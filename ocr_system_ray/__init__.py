@@ -1,0 +1,23 @@
+"""ocr_system_ray — a Ray-Data-native main-content + field extraction engine.
+
+A from-scratch rebuild of the data-processing capabilities of the reference
+``MokshaDill/OCR-System`` (see SURVEY.md), re-expressed Ray-Data-first:
+
+* ``core``       — pure-Python field-extraction semantics, byte-identical to
+                   the reference's ``ocr/extract.py`` / ``ocr/dynamic.py`` /
+                   ``ocr/postprocess.py`` (no Ray imports; unit-testable
+                   against the live reference oracle).
+* ``html``       — stdlib HTML main-content extractor (block tree,
+                   text-density + link-density boilerplate scoring, span
+                   offsets) replacing the reference's PDF→OCR front end.
+* ``stages``     — Ray Data ``map_batches`` stages (stateless fns + actor
+                   pool classes) wrapping core/html plus training-data ops
+                   (dedup, similarity, text analysis, multimodal plumbing).
+* ``sources``    — deterministic synthetic pages generator (FIXTURES.md) and
+                   parquet readers with column pruning.
+* ``pipelines``  — end-to-end composition (flagship main-content pipeline,
+                   final-extract pipeline) with skew handling.
+* ``state``      — per-partition lineage manifest for checkpoint/resume.
+"""
+
+__version__ = "0.1.0"

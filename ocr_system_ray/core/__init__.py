@@ -1,0 +1,70 @@
+"""Pure-Python extraction core (no Ray).
+
+Byte-identical re-expression of the reference engine's text→fields
+semantics.  Every public function here is pinned against the *live*
+reference code by ``tests/test_core_oracle.py`` (the reference's pure
+modules are importable standalone — they depend only on ``re``).
+
+Reference parity map (file:line cites are into ``/root/reference``):
+
+==============================  =========================================
+ours                            reference
+==============================  =========================================
+``textfields.DEFAULT_PATTERNS``  ``ocr/patterns.py:6-21``
+``textfields.first_match``       ``ocr/extract.py:15-22``
+``textfields.extract_fields``    ``ocr/extract.py:25-37``
+``address.extract_address``      ``ocr/extract.py:43-79``
+``daterange.extract_date_range`` ``ocr/extract.py:88-148``
+``licenses.normalize_license_text``  ``ocr/dynamic.py:127-140``
+``licenses.find_license_numbers``    ``ocr/dynamic.py:143-164``
+``licenses.first_page_license``      ``ocr/dynamic.py:178-191``
+``dynamic_fields.extract_dynamic_fields``  ``ocr/dynamic.py:54-68``
+``induction.*``                  ``ocr/dynamic.py:7-51,71-117``
+``computed.renew_times``         ``ocr/postprocess.py:6-59``
+``document.*``                   ``ocr/pipeline.py:13-92``, ``gui/app.py:464-501``
+==============================  =========================================
+"""
+
+from .textfields import DEFAULT_PATTERNS, compile_pattern_map, first_match, extract_fields
+from .address import extract_address
+from .daterange import extract_date_range
+from .licenses import (
+    normalize_license_text,
+    find_license_numbers,
+    first_page_license,
+    PAGE_BREAK_MARKER,
+)
+from .dynamic_fields import extract_dynamic_fields
+from .induction import smart_patterns, window_patterns, token_shape
+from .computed import renew_times, add_computed_column
+from .document import (
+    DocumentResult,
+    process_document_text,
+    assemble_final_rows,
+    BASE_COLUMNS,
+    RENEW_COLUMN,
+)
+
+__all__ = [
+    "DEFAULT_PATTERNS",
+    "compile_pattern_map",
+    "first_match",
+    "extract_fields",
+    "extract_address",
+    "extract_date_range",
+    "normalize_license_text",
+    "find_license_numbers",
+    "first_page_license",
+    "PAGE_BREAK_MARKER",
+    "extract_dynamic_fields",
+    "smart_patterns",
+    "window_patterns",
+    "token_shape",
+    "renew_times",
+    "add_computed_column",
+    "DocumentResult",
+    "process_document_text",
+    "assemble_final_rows",
+    "BASE_COLUMNS",
+    "RENEW_COLUMN",
+]

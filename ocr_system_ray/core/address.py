@@ -1,0 +1,43 @@
+"""Address extraction between tower-phrase markers.
+
+Parity target: ``/root/reference/ocr/extract.py:43-79`` — byte-identical
+output per input text, pinned by ``tests/test_core_oracle.py``.
+
+Behavioral contract (all reference quirks preserved):
+* zero-width spaces and carriage returns are folded to single spaces first;
+* the capture starts after ``(?:Telecommunication|Transmission)…\\s+at\\s+``
+  (lazy fill of word/space/punct chars between);
+* capture stops at the first of ``of Dialog`` / ``situated`` / ``within`` /
+  ``under`` / end-of-string (lookahead, so the stop words are excluded);
+* runs of 2+ spaces collapse to one; result stripped of `` ,.;:-``;
+* no match → None.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CLEAN = re.compile("[​\r]+")
+_MULTISPACE = re.compile(r"\s{2,}")
+
+# Single-line equivalent of the reference's VERBOSE pattern
+# (ocr/extract.py:56-70); alternation and lookahead order preserved.
+_ADDRESS = re.compile(
+    r"(?:Telecommunication|Transmission)[\w\s,()/-]*?"
+    r"\s+at\s+"
+    r"(.*?)"
+    r"(?=\s+of\s+Dialog|\s*situated|\s*within|\s*under|$)",
+    flags=re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_address(text: str) -> str | None:
+    """Return the address following a tower phrase, or None."""
+    if not text:
+        return None
+    t = _CLEAN.sub(" ", text)
+    m = _ADDRESS.search(t)
+    if m is None:
+        return None
+    addr = _MULTISPACE.sub(" ", m.group(1))
+    return addr.strip(" ,.;:-")

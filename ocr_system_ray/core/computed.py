@@ -1,0 +1,49 @@
+"""Computed-column stage ("Renew Times") with a user-UDF hook.
+
+Parity target: ``/root/reference/ocr/postprocess.py:6-59`` — byte-identical,
+pinned by ``tests/test_core_oracle.py``.
+
+Default rule per row:
+1. take the text inside the first ``(...)`` of the ``Licenses`` cell (else
+   the whole cell);
+2. the first digit run, parsed as ``int`` (drops leading zeros), formats as
+   ``"{n} times"``;
+3. no digits: fall back to ``"{lic} | {addr}"`` when both are present, else
+   whichever is non-empty (possibly ``""``).
+
+The UDF hook (``compute``) has the reference's exact signature: a callable
+mapping the full row dict to the new column's string value.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Mapping
+
+_PAREN = re.compile(r"\(([^)]+)\)")
+_DIGITS = re.compile(r"(\d+)")
+
+
+def renew_times(row: Mapping[str, str]) -> str:
+    """The default computed value for one row (see module docstring)."""
+    lic = (row.get("Licenses") or "").strip()
+    addr = (row.get("Address") or "").strip()
+
+    paren = _PAREN.search(lic)
+    code = paren.group(1) if paren else lic
+    digits = _DIGITS.search(code)
+    if digits:
+        return f"{int(digits.group(1))} times"
+    if lic and addr:
+        return f"{lic} | {addr}"
+    return lic or addr
+
+
+def add_computed_column(
+    rows: list[dict[str, str]],
+    compute: Callable[[dict[str, str]], str] | None = None,
+    column_name: str = "Summary",
+) -> list[dict[str, str]]:
+    """Return new rows with ``column_name`` appended (input rows untouched)."""
+    fn = compute if compute is not None else renew_times
+    return [{**row, column_name: fn(row)} for row in rows]

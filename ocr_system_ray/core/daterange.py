@@ -1,0 +1,65 @@
+"""Date-range ("X to Y") extraction and normalization.
+
+Parity target: ``/root/reference/ocr/extract.py:88-148`` — byte-identical
+output, pinned by ``tests/test_core_oracle.py``.
+
+Contract (reference quirks preserved on purpose):
+* dates are numeric ``d[.-]m[.-]yyyy`` (spaces allowed around the
+  separator) or textual ``12th May 2025`` / OCR-quote ``15" May 2025``;
+* the pair must read ``DATE … to … DATE`` with at most 40 chars of slack
+  on each side of the word ``to``;
+* normalization strips ordinal/quote day suffixes, maps month names to
+  numbers, and canonicalizes separators to ``.``;
+* **the June→6e bug is load-bearing**: the month alternation lists the
+  3-letter names first, so IGNORECASE matching of ``June`` consumes only
+  ``Jun`` and leaves the trailing ``e`` in place (``15" June 2026`` →
+  ``15.6e.2026``).  Fixtures pin this; do not "fix" it.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CLEAN = re.compile("[​\r]+")
+
+# -- pattern assembly (mirrors ocr/extract.py:101-116 structure) ------------
+_NUMERIC = r"\d{1,2}\s*[\.\-]\s*\d{1,2}\s*[\.\-]\s*\d{4}"
+# 3-letter names FIRST — this ordering is what produces the pinned June→6e
+# behavior under IGNORECASE (see module docstring).
+_MONTH_ALT = (
+    r"Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec|"
+    r"January|February|March|April|May|June|July|August|September|October|November|December"
+)
+_MONTHS = rf"(?:{_MONTH_ALT})"
+_TEXTUAL = r"\d{1,2}(?:st|nd|rd|th|\"|”)?" r"\s*" + _MONTHS + r"\s+\d{4}"
+_DATE = rf"(?:{_NUMERIC}|{_TEXTUAL})"
+
+_RANGE = re.compile(
+    rf"({_DATE}).{{0,40}}?\bto\b.{{0,40}}?({_DATE})",
+    flags=re.IGNORECASE | re.DOTALL,
+)
+
+_DAY_SUFFIX = re.compile(r'(\d{1,2})(st|nd|rd|th|"|”)', flags=re.IGNORECASE)
+_MONTH_SUB = re.compile(_MONTH_ALT, flags=re.IGNORECASE)
+_SEPS = re.compile(r"[\s\.\-]+")
+
+_MONTH_NUM = {
+    "jan": "1", "feb": "2", "mar": "3", "apr": "4", "may": "5", "jun": "6",
+    "jul": "7", "aug": "8", "sep": "9", "oct": "10", "nov": "11", "dec": "12",
+}
+
+
+def _normalize(s: str) -> str:
+    s = _DAY_SUFFIX.sub(r"\1", s)
+    s = _MONTH_SUB.sub(lambda m: _MONTH_NUM[m.group(0).lower()[:3]], s)
+    return _SEPS.sub(".", s)
+
+
+def extract_date_range(text: str) -> tuple[str | None, str | None]:
+    """Return ``(start, end)`` normalized to ``d.m.yyyy``-ish, or (None, None)."""
+    if not text:
+        return None, None
+    m = _RANGE.search(_CLEAN.sub(" ", text))
+    if m is None:
+        return None, None
+    return _normalize(m.group(1)), _normalize(m.group(2))

@@ -1,0 +1,121 @@
+"""Per-document composite extraction semantics ("the reference's query plans").
+
+Two composites are pinned byte-for-byte by ``tests/test_core_oracle.py``:
+
+* ``process_document_text`` — the legacy per-document pipeline's extraction
+  half (``/root/reference/ocr/pipeline.py:43-92``): standard fields +
+  address + date range over the full text, with the ``notes`` contract
+  (``"No patterns matched"`` when license/date/ref are all None — address
+  and date-range are deliberately NOT consulted) and the error contract
+  (any exception → a surviving row with ``notes="Error: {exc}"``).
+
+* ``assemble_final_rows`` — the EPL "Final Extract" phase
+  (``/root/reference/gui/app.py:464-501``): dynamic fields + first-page
+  license + address + date range per document, ``""`` fill, the non-empty
+  filter, then the ``Renew Times`` computed column; output column order is
+  ``BASE_COLUMNS + user fields + [RENEW_COLUMN]``.
+
+In the Ray engine both run *fused* inside one ``map_batches`` stage over
+the text column (the reference's J1 dict-join and J2 O(n²) text re-lookup
+— gui/app.py:476-479 — are eliminated by construction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping, Sequence
+from dataclasses import dataclass, asdict
+
+from .textfields import extract_fields
+from .address import extract_address
+from .daterange import extract_date_range
+from .dynamic_fields import extract_dynamic_fields
+from .licenses import first_page_license
+from .computed import add_computed_column
+
+# Final-output column contract (gui/app.py:485,499-501).
+BASE_COLUMNS = ("File Name", "Licenses", "Address", "Start Date", "End Date")
+RENEW_COLUMN = "Renew Times"
+
+
+@dataclass
+class DocumentResult:
+    """The reference's ExtractionResult record (ocr/models.py:7-16)."""
+
+    file_name: str
+    license_id: str | None = None
+    date: str | None = None
+    reference_id: str | None = None
+    address: str | None = None
+    start_date: str | None = None
+    end_date: str | None = None
+    notes: str | None = None
+
+    def as_dict(self) -> dict[str, str | None]:
+        return asdict(self)
+
+
+def process_document_text(
+    key: str,
+    text: str,
+    patterns: Mapping[str, Sequence[str]] | None = None,
+) -> DocumentResult:
+    """Legacy per-document extraction over already-decoded text.
+
+    Never raises: failures become data (``notes="Error: …"``), matching
+    ocr/pipeline.py:85-92.
+    """
+    try:
+        license_id, date, reference_id = extract_fields(text, patterns=patterns)
+        start_date, end_date = extract_date_range(text)
+        return DocumentResult(
+            file_name=key,
+            license_id=license_id,
+            date=date,
+            reference_id=reference_id,
+            address=extract_address(text),
+            start_date=start_date,
+            end_date=end_date,
+            notes=None if any([license_id, date, reference_id]) else "No patterns matched",
+        )
+    except Exception as exc:  # noqa: BLE001 — the error contract IS the feature
+        return DocumentResult(file_name=key, notes=f"Error: {exc}")
+
+
+def _has_data(row: Mapping[str, str], user_fields: Iterable[str]) -> bool:
+    """The non-empty filter (gui/app.py:487-497)."""
+    if any(row.get(c, "").strip() != "" for c in BASE_COLUMNS[1:]):
+        return True
+    return any(row.get(f, "").strip() != "" for f in user_fields)
+
+
+def assemble_final_rows(
+    docs: Iterable[tuple[str, str]],
+    field_to_patterns: Mapping[str, Sequence[str]] | None = None,
+    compute_new_column: Callable[[dict[str, str]], str] | None = None,
+) -> tuple[list[dict[str, str]], list[str]]:
+    """EPL Final-Extract over ``(key, text)`` documents → (rows, columns).
+
+    ``field_to_patterns`` empty/None means no dynamic columns (the reference
+    skips bulk_extract entirely then — gui/app.py:474).
+    """
+    user_patterns = dict(field_to_patterns or {})
+    results: list[dict[str, str]] = []
+    for key, text in docs:
+        row: dict[str, str] = {"File Name": key}
+        if user_patterns:
+            row.update(extract_dynamic_fields(text or "", user_patterns))
+        row["Licenses"] = first_page_license(text or "")
+        start, end = extract_date_range(text or "")
+        row["Address"] = extract_address(text or "") or ""
+        row["Start Date"] = start or ""
+        row["End Date"] = end or ""
+        results.append(row)
+
+    cols = list(BASE_COLUMNS) + list(user_patterns.keys())
+    kept = [
+        {c: r.get(c, "") for c in cols}
+        for r in results
+        if _has_data(r, user_patterns.keys())
+    ]
+    kept = add_computed_column(kept, compute=compute_new_column, column_name=RENEW_COLUMN)
+    return kept, cols + [RENEW_COLUMN]

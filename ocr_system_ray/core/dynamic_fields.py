@@ -1,0 +1,59 @@
+"""User-defined ("dynamic") field extraction from raw pattern lists.
+
+Parity target: ``/root/reference/ocr/dynamic.py:54-68`` — byte-identical,
+pinned by ``tests/test_core_oracle.py``.
+
+Contract:
+* per field, raw patterns are tried in order; each is compiled with
+  IGNORECASE at use time; the first that matches wins;
+* the group(1)-if-any-capture rule applies (same as ``textfields.first_match``);
+* a pattern that fails to compile (user-authored, so arbitrary) — or any
+  other exception while matching — is silently skipped;
+* a field with no match yields ``""`` (not None — unlike the standard fields).
+
+Unlike the reference, compiled patterns are cached per raw string
+(the reference recompiles per call, per row — ocr/dynamic.py:60); output
+is unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Mapping, Sequence
+
+# raw pattern string -> compiled pattern, or None if it failed to compile.
+_cache: dict[str, re.Pattern[str] | None] = {}
+
+
+def _compiled(raw: str) -> re.Pattern[str] | None:
+    try:
+        hit = _cache[raw]
+    except KeyError:
+        try:
+            hit = re.compile(raw, flags=re.IGNORECASE)
+        except Exception:
+            hit = None
+        _cache[raw] = hit
+    return hit
+
+
+def extract_dynamic_fields(
+    text: str, field_to_patterns: Mapping[str, Sequence[str]]
+) -> dict[str, str]:
+    """Extract each user field's first-match value; missing → ``""``."""
+    out: dict[str, str] = {}
+    for field, raws in field_to_patterns.items():
+        value = ""
+        for raw in raws:
+            rgx = _compiled(raw)
+            if rgx is None:
+                continue
+            try:
+                m = rgx.search(text)
+            except Exception:
+                continue
+            if m:
+                value = (m.group(1) if m.lastindex else m.group(0)) or ""
+                break
+        out[field] = value
+    return out

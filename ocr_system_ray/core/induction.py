@@ -1,0 +1,91 @@
+"""Pattern induction from user-selected samples (the user-extension surface).
+
+Parity targets (byte-identical output, pinned by tests):
+* ``smart_patterns``  — ``/root/reference/ocr/dynamic.py:7-51``
+* ``window_patterns`` — ``/root/reference/ocr/dynamic.py:71-100``
+* ``token_shape``     — ``/root/reference/ocr/dynamic.py:103-117``
+
+These run driver-side (interactive pattern authoring, not a data-plane
+op); their output — a ``field → [raw pattern, …]`` dict — feeds the
+``extract_dynamic_fields`` stage.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+_DATE_SHAPE = re.compile(r"\d{1,2}[/-]\d{1,2}[/-]\d{4}")
+_ALNUM_SHAPE = re.compile(r"[A-Z]{2,}\d+")
+_DIGIT_SHAPE = re.compile(r"\d+")
+
+
+def _dedup(patterns: Sequence[str]) -> list[str]:
+    seen: set[str] = set()
+    return [p for p in patterns if not (p in seen or seen.add(p))]
+
+
+def smart_patterns(sample_text: str, context_text: str | None = None) -> list[str]:
+    """Literal escape first, then shape-family generalizations, then up to 3
+    context-anchored ``\\bword.*?sample`` patterns; order-preserving dedup."""
+    if not sample_text:
+        return []
+
+    patterns: list[str] = [re.escape(sample_text)]
+
+    if _DATE_SHAPE.match(sample_text):
+        patterns += [
+            r"\d{1,2}[/-]\d{1,2}[/-]\d{4}",
+            r"\d{4}[/-]\d{1,2}[/-]\d{1,2}",
+            r"\d{1,2}\s+\d{1,2}\s+\d{4}",
+        ]
+    elif _ALNUM_SHAPE.match(sample_text):
+        patterns += [r"[A-Z]{2,}\d+", r"[A-Z]{2,}[-_\s]?\d+", r"[A-Z]*\d+"]
+    elif _DIGIT_SHAPE.match(sample_text):
+        patterns += [r"\d+", r"[A-Z]*\d+", r"\d+[A-Z]*"]
+
+    if context_text:
+        for word in context_text.split()[:3]:
+            if len(word) > 2:
+                patterns.append(rf"\b{re.escape(word)}.*?{re.escape(sample_text)}")
+
+    return _dedup(patterns)
+
+
+def token_shape(sample_text: str) -> str:
+    """Char-class + length-range regex describing the sample's shape."""
+    s = sample_text.strip()
+    if not s:
+        return r"\S{2,20}"
+    has_alpha = any(c.isalpha() for c in s)
+    has_digit = any(c.isdigit() for c in s)
+    lo = max(2, min(4, len(s)))
+    hi = min(40, max(len(s) + 6, 8))
+    if has_alpha and has_digit:
+        cls = r"[A-Za-z0-9/()\-\s]"
+    elif has_digit:
+        cls = r"[0-9/()\-\s]"
+    else:
+        cls = r"[A-Za-z/()\-\s]"
+    return rf"{cls}{{{lo},{hi}}}"
+
+
+def window_patterns(
+    sample_text: str,
+    before_words: Sequence[str],
+    after_words: Sequence[str],
+    max_words_window: int = 3,
+    shape_regex: str | None = None,
+) -> list[str]:
+    """Anchor-word window patterns around the sample's inferred shape."""
+    if not sample_text:
+        return []
+    shape = shape_regex if shape_regex is not None else token_shape(sample_text)
+    gap = rf"(?:\W+\w+){{0,{max_words_window}}}"
+
+    def usable(words: Sequence[str]) -> list[str]:
+        return [re.escape(w) for w in words if len(w) > 1][:max_words_window]
+
+    patterns = [rf"\b{w}\b{gap}\W+({shape})" for w in usable(before_words)]
+    patterns += [rf"({shape})\W+{gap}\b{w}\b" for w in usable(after_words)]
+    return _dedup(patterns)

@@ -1,0 +1,84 @@
+"""License-number normalization, extraction, and first-page restriction.
+
+Parity target: ``/root/reference/ocr/dynamic.py:120-164`` (typed patterns +
+normalize + order-preserving dedup) and ``ocr/dynamic.py:178-191``
+(first-page restriction + first-license limit + ``"; "`` join) —
+byte-identical, pinned by ``tests/test_core_oracle.py``.
+
+Normalization contract (ocr/dynamic.py:127-140):
+* fullwidth parens ``（）`` and square brackets ``[]`` fold to ``()``;
+* uppercase; whitespace runs collapse to single spaces; zero-width spaces
+  stripped (after the collapse — order matters);
+* ``O`` flanked by ASCII digits inside short paren groups (inner length
+  1–20) is repaired to ``0``; fullwidth digits do NOT trigger the repair.
+
+Extraction contract (ocr/dynamic.py:143-164):
+* TYPE_A ``No. 123 (R05)``-style and TYPE_B ``12/345 R6``-style matches are
+  collected separately with order-preserving case-folded dedup;
+* the result is ALL TYPE_A matches if any exist, else all TYPE_B.
+"""
+
+from __future__ import annotations
+
+import re
+
+# The page separator written between pages by the EPL OCR flow
+# (ocr/pipeline.py:40); the legacy flow joins with plain "\n"
+# (ocr/pipeline.py:66) in which case first-page restriction no-ops.
+PAGE_BREAK_MARKER = "--- PAGE BREAK ---"
+
+# Typed license patterns — string-identical to ocr/dynamic.py:120-124.
+TYPE_A_PATTERN = (
+    r"\b(?:[A-Z]{1,5}|No)\.?\s*\d{1,10}\s*"
+    r"\(\s*[Rr][ \t/_\\\-:;]*[A-Za-z0-9₀-₉;:/\-]{1,8}\s*\)"
+)
+TYPE_B_PATTERN = r"\b\d{1,6}/\d{1,6}\s*R\d+\b"
+
+_TYPE_A = re.compile(TYPE_A_PATTERN, flags=re.IGNORECASE)
+_TYPE_B = re.compile(TYPE_B_PATTERN, flags=re.IGNORECASE)
+_WS = re.compile(r"\s+")
+_PAREN_GROUP = re.compile(r"\(([^)]{1,20})\)")
+_O_BETWEEN_DIGITS = re.compile(r"(?<=\d)O(?=\d)")
+
+_FOLD = str.maketrans({"（": "(", "）": ")", "[": "(", "]": ")"})
+
+
+def normalize_license_text(text: str) -> str:
+    """Canonicalize a text for license matching (see module docstring)."""
+    t = text.translate(_FOLD).upper()
+    t = _WS.sub(" ", t).replace("​", "")
+    return _PAREN_GROUP.sub(
+        lambda m: f"({_O_BETWEEN_DIGITS.sub('0', m.group(1))})", t
+    )
+
+
+def _dedup_ordered(matches: re.Pattern[str], txt: str) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in matches.finditer(txt):
+        val = m.group(0).strip()
+        key = val.upper()
+        if key not in seen:
+            seen.add(key)
+            out.append(val)
+    return out
+
+
+def find_license_numbers(text: str) -> list[str]:
+    """All TYPE_A licenses if any, else all TYPE_B; order-preserving dedup."""
+    txt = normalize_license_text(text or "")
+    type_a = _dedup_ordered(_TYPE_A, txt)
+    if type_a:
+        return type_a
+    return _dedup_ordered(_TYPE_B, txt)
+
+
+def first_page_license(text: str) -> str:
+    """The reference's per-document license cell (ocr/dynamic.py:178-191).
+
+    Restrict to the first page (split on PAGE_BREAK_MARKER), take only the
+    first extracted license, join with ``"; "`` (a no-op for ≤1 element but
+    kept for contract clarity).
+    """
+    first_page = text.split(PAGE_BREAK_MARKER, 1)[0] if text else ""
+    return "; ".join(find_license_numbers(first_page)[:1])

@@ -1,0 +1,89 @@
+"""Priority-ordered regex field extraction.
+
+Semantics pinned byte-for-byte to the reference (``/root/reference``):
+``ocr/patterns.py:6-21`` (default pattern sets), ``ocr/extract.py:8-12``
+(IGNORECASE compile preserving priority order), ``ocr/extract.py:15-22``
+(first-pattern-wins scan with the group(1)-if-any-capture rule) and
+``ocr/extract.py:25-37`` (the three standard fields).
+
+Implementation notes (why Python ``re``, not pyarrow.compute):
+pyarrow's regex kernels are RE2 — no backreferences, different corner-case
+semantics, and no priority-list short-circuit — so the hot path keeps
+Python ``re`` over column values inside ``map_batches``.  Unlike the
+reference (which recompiles per call — ``ocr/extract.py:31``) patterns are
+compiled once and memoised; output is unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Mapping
+
+# Field → ordered regex list; earlier entries take priority.  The trailing
+# catch-alls (``[A-Z0-9]{6,20}`` / ``[A-Z0-9]{4,10}``) are case-insensitive
+# and match almost any long token — a reference quirk that fixtures pin.
+# Must stay string-identical to ocr/patterns.py:6-21.
+DEFAULT_PATTERNS: dict[str, tuple[str, ...]] = {
+    "license_id": (
+        r"\bLIC[-_\s]?\d{3,}\b",
+        r"\bLicense\s*ID[:#-]*\s*([A-Z0-9]{6,20})\b",
+        r"\b[A-Z0-9]{6,20}\b",
+    ),
+    "date": (
+        r"\b\d{2}[\/-]\d{2}[\/-]\d{4}\b",
+        r"\b\d{4}[\/-]\d{2}[\/-]\d{2}\b",
+    ),
+    "reference_id": (
+        r"\bREF[-_\s]*([A-Z0-9]{4,10})\b",
+        r"\b(?:Reference|Ref)[\s:#-]*([A-Z0-9-]{4,10})\b",
+        r"\b[A-Z0-9]{4,10}\b",
+    ),
+}
+
+_STANDARD_FIELDS = ("license_id", "date", "reference_id")
+
+
+def compile_pattern_map(
+    patterns: Mapping[str, Iterable[str]],
+) -> dict[str, list[re.Pattern[str]]]:
+    """Compile each field's pattern list with IGNORECASE, order preserved.
+
+    Parity: ocr/extract.py:8-12.
+    """
+    return {
+        field: [re.compile(expr, flags=re.IGNORECASE) for expr in exprs]
+        for field, exprs in patterns.items()
+    }
+
+
+def first_match(text: str, compiled: Iterable[re.Pattern[str]]) -> str | None:
+    """Scan an ordered pattern list; the first pattern matching anywhere wins.
+
+    If the winning match has any capture group, return group(1) (the
+    ``m.lastindex`` rule), else the whole match.  Parity: ocr/extract.py:15-22.
+    """
+    for rgx in compiled:
+        m = rgx.search(text)
+        if m is not None:
+            return m.group(1) if m.lastindex else m.group(0)
+    return None
+
+
+# Cache keyed by identity of the pattern mapping when hashable; the default
+# map gets a precompiled singleton.
+_DEFAULT_COMPILED = compile_pattern_map(DEFAULT_PATTERNS)
+
+
+def extract_fields(
+    text: str,
+    patterns: Mapping[str, Iterable[str]] | None = None,
+) -> tuple[str | None, str | None, str | None]:
+    """Extract ``(license_id, date, reference_id)`` via the priority lists.
+
+    Parity: ocr/extract.py:25-37 (missing field → None; a field absent from
+    a caller-supplied pattern map also yields None).
+    """
+    compiled = _DEFAULT_COMPILED if patterns is None else compile_pattern_map(patterns)
+    return tuple(
+        first_match(text, compiled.get(field, [])) for field in _STANDARD_FIELDS
+    )  # type: ignore[return-value]

@@ -1,0 +1,66 @@
+"""Shared fixtures: one Ray session per pytest run + the live reference oracle."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE_OCR = Path("/root/reference/ocr")
+
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield ray
+    ray.shutdown()
+
+
+def _load_reference_modules() -> types.SimpleNamespace:
+    """Import the reference's pure extraction modules standalone.
+
+    ``extract.py`` / ``dynamic.py`` / ``postprocess.py`` / ``patterns.py``
+    import only ``re`` — they load without the PIL/cv2/pytesseract deps
+    pulled in by the package ``__init__``.  This gives tests a LIVE oracle
+    instead of hand-maintained goldens (SURVEY.md §5.2).
+    """
+    pkg = types.ModuleType("refocr")
+    pkg.__path__ = [str(REFERENCE_OCR)]
+    sys.modules.setdefault("refocr", pkg)
+    out = {}
+    for name in ("patterns", "extract", "dynamic", "postprocess"):
+        full = f"refocr.{name}"
+        if full not in sys.modules:
+            spec = importlib.util.spec_from_file_location(full, REFERENCE_OCR / f"{name}.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[full] = mod
+            spec.loader.exec_module(mod)
+        out[name] = sys.modules[full]
+    return types.SimpleNamespace(**out)
+
+
+@pytest.fixture(scope="session")
+def ref():
+    if not REFERENCE_OCR.exists():
+        pytest.skip("reference tree not available")
+    return _load_reference_modules()

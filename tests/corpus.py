@@ -1,0 +1,73 @@
+"""Adversarial text corpus shared by the oracle-parity tests.
+
+Every reference quirk documented in SURVEY.md §2.3/§2.7 gets at least one
+probe here: catch-all fallbacks, June→6e, fullwidth parens, O→0 repair,
+page-break restriction, empty/whitespace inputs, pathological regex inputs.
+"""
+
+TEXTS = [
+    "",
+    " ",
+    "\n\n",
+    "no fields at all here, lowercase words only",
+    "License ID: ABC123XYZ dated 12/05/2025 REF-AB1234",
+    "LIC-12345 something 2025-01-31 Reference: XY-99",
+    "LIC_987654 and ref WXYZ",
+    "plain ALLCAPS9 token",  # catch-all fallbacks fire
+    "short A1 token",
+    "License No. 123 (R05) granted",
+    "License No. 123 (RO05) granted",  # O not between digits -> kept
+    "License No. 9 (R1O5) extended",  # O between digits -> 0
+    "license no. 77 （r؍05） fullwidth",
+    "NO 4567 ( R / 5 ) spaced",
+    "TRX 88 [r-2] bracket fold",
+    "12/345 R6 type-b only",
+    "9/9 R1 and 12/345 R6 and 9/9 r1 duplicate",
+    "License No. 1 (R2) then 3/4 R5",  # A wins over B
+    "from 10th May 2025 to 15\" June 2026",
+    "valid 12.02.2025 through to 21-03-2026 window",
+    "renewed 1 . 2 . 2025 to 3 - 4 - 2026 with spaces",
+    "from 31st December 2024 to 1st January 2025",
+    "15” May 2025 to 16” Sept 2025 curly quote",
+    "99.99.9999 to 11.11.1111 invalid but matching",
+    "date 12/05/2025 alone no range",
+    "from 10th May 2025 onward to someday",
+    "a 12.1.2025 xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx to 13.1.2026",  # slack >40
+    "Telecommunication Tower at 123 Main Street, Kandy of Dialog Axiata PLC",
+    "Transmission Tower Providing Facilities for Telecommunication at No 5, Lake Rd situated in Colombo",
+    "(Telecommunication tower), erected at Hill Top within the district",
+    "Telecommunication mast at  double  spaced  place ;:- ",
+    "telecommunication lowercase at somewhere under clause 4",
+    "Transmission at",
+    "zero​width\rLIC-123 Telecommunication Tower at X​Y of Dialog",
+    "License No. 123 (R05) --- PAGE BREAK --- License No. 999 (R77)",
+    "first page empty --- PAGE BREAK --- License No. 999 (R77)",
+    "\n\n--- PAGE BREAK ---\n\nLicense No. 999 (R77)",
+    "multi License No. 1 (R1) License No. 2 (R2) LICENSE NO. 1 (R1)",
+    "mixed ＯＣＲ ７７ digits fullwidth",
+    "Ref: ABCD-12 and REF GHJK99",
+    "Reference #QR-77A tail",
+    "dates 99/99/9999 and 0000-00-00",
+    "LIC 555 no separator to match?",
+    "a LIC-333\nTelecommunication Tower at Somewhere\nfrom 1.1.2025 to 2.2.2026\nLicense No. 5 (R03)",
+]
+
+# (sample, context) pairs for the induction oracle.
+INDUCTION_SAMPLES = [
+    ("12/05/2025", "dated 12/05/2025 in Colombo"),
+    ("AB123", "License AB123 issued"),
+    ("12345", None),
+    ("", "whatever"),
+    ("LIC-77", "a b LIC-77 c"),
+    ("token", "tiny xx yy zz ww"),
+    ("9/9", None),
+]
+
+# field_to_patterns configs for the dynamic-field oracle (incl. a broken regex).
+DYNAMIC_CONFIGS = [
+    {},
+    {"amount": [r"Rs\.?\s*([\d,]+)", r"\d+"]},
+    {"bad": [r"([unclosed", r"\bok\b"], "empty": []},
+    {"cap": [r"(?:(a+)|(b+))"]},
+    {"multi": [r"never\b", r"LIC[-_]?(\d+)"]},
+]

@@ -1,0 +1,174 @@
+"""Byte-identical parity of ocr_system_ray.core vs the LIVE reference code.
+
+The reference's pure extraction modules are loaded standalone (conftest
+``ref`` fixture) and run side-by-side with ours over the adversarial corpus
+— every assertion is exact equality, per SURVEY.md §5.2 / the north rule's
+byte-identical invariant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_system_ray import core
+from tests.corpus import TEXTS, INDUCTION_SAMPLES, DYNAMIC_CONFIGS
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_extract_fields(ref, text):
+    assert core.extract_fields(text) == ref.extract.extract_fields(text)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_extract_fields_custom_patterns(ref, text):
+    pats = {"license_id": [r"NOPE\d+"], "reference_id": [r"(\w+)-(\d+)"]}
+    assert core.extract_fields(text, pats) == ref.extract.extract_fields(text, pats)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_address(ref, text):
+    assert core.extract_address(text) == ref.extract.extract_address_between_markers(text)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_date_range(ref, text):
+    assert core.extract_date_range(text) == ref.extract.extract_date_range(text)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_license_normalize(ref, text):
+    assert core.normalize_license_text(text) == ref.dynamic.normalize_text_for_license(text)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_license_numbers(ref, text):
+    assert core.find_license_numbers(text) == ref.dynamic.extract_all_license_numbers(text)
+
+
+@pytest.mark.parametrize("text", TEXTS)
+def test_first_page_license(ref, text):
+    ours = core.first_page_license(text)
+    ref_rows = ref.dynamic.bulk_extract_licenses([{"File Name": "k", "Text": text}])
+    assert ours == ref_rows[0]["Licenses"]
+
+
+@pytest.mark.parametrize("cfg_idx", range(len(DYNAMIC_CONFIGS)))
+@pytest.mark.parametrize("text", TEXTS)
+def test_dynamic_fields(ref, text, cfg_idx):
+    cfg = {k: list(v) for k, v in DYNAMIC_CONFIGS[cfg_idx].items()}
+    assert core.extract_dynamic_fields(text, cfg) == ref.dynamic.extract_dynamic_fields(text, cfg)
+
+
+def test_bulk_extract_shape(ref):
+    cfg = {"amount": [r"(\d+)"], "word": [r"[a-z]{4,}"]}
+    rows = [{"File Name": f"f{i}", "Text": t} for i, t in enumerate(TEXTS)]
+    expected = ref.dynamic.bulk_extract(rows, cfg)
+    ours = [
+        {"File Name": r["File Name"], **core.extract_dynamic_fields(r["Text"] or "", cfg)}
+        for r in rows
+    ]
+    assert ours == expected
+
+
+@pytest.mark.parametrize("sample,context", INDUCTION_SAMPLES)
+def test_smart_patterns(ref, sample, context):
+    assert core.smart_patterns(sample, context) == ref.dynamic.generate_smart_patterns(sample, context)
+
+
+@pytest.mark.parametrize("sample,context", INDUCTION_SAMPLES)
+def test_token_shape_and_windows(ref, sample, context):
+    assert core.token_shape(sample) == ref.dynamic.infer_token_shape(sample)
+    before = (context or "").split()[:4]
+    after = list(reversed(before))
+    assert core.window_patterns(sample, before, after) == ref.dynamic.generate_window_patterns(
+        sample, before, after
+    )
+
+
+def test_postprocess_default(ref):
+    rows = [
+        {"File Name": "a", "Licenses": "NO. 123 (RO05)", "Address": "X"},
+        {"File Name": "b", "Licenses": "NO. 1 (R0012)", "Address": ""},
+        {"File Name": "c", "Licenses": "ABC", "Address": "Addr"},
+        {"File Name": "d", "Licenses": "", "Address": "Only Addr"},
+        {"File Name": "e", "Licenses": "", "Address": ""},
+        {"File Name": "f", "Licenses": "77 plain", "Address": "Y"},
+        {"File Name": "g", "Licenses": "(NODIGITS)", "Address": ""},
+    ]
+    expected = ref.postprocess.postprocess_results(
+        [dict(r) for r in rows], compute_new_column=None, new_column_name="Renew Times"
+    )
+    ours = core.add_computed_column([dict(r) for r in rows], column_name="Renew Times")
+    assert ours == expected
+
+
+def test_postprocess_udf_hook(ref):
+    rows = [{"File Name": "a", "Licenses": "L", "Address": "A"}]
+    udf = lambda r: f"{r.get('File Name')}!"  # noqa: E731
+    expected = ref.postprocess.postprocess_results([dict(r) for r in rows], udf, "Col")
+    assert core.add_computed_column([dict(r) for r in rows], udf, "Col") == expected
+
+
+def _reference_final_extract(ref, docs, user_patterns):
+    """Re-run the EPL Final-Extract flow (gui/app.py:464-501) via the oracle
+    modules, faithfully reproducing its join + filter + column assembly."""
+    rows = [{"File Name": k, "Text": t} for k, t in docs]
+    results = (
+        ref.dynamic.bulk_extract(rows, user_patterns)
+        if user_patterns
+        else [{"File Name": r["File Name"]} for r in rows]
+    )
+    lic_map = {
+        r["File Name"]: r["Licenses"] for r in ref.dynamic.bulk_extract_licenses(rows)
+    }
+    for r in results:
+        r["Licenses"] = lic_map.get(r["File Name"], "")
+        full_text = next(
+            (x["Text"] for x in rows if x["File Name"] == r["File Name"]), ""
+        )
+        r["Address"] = ref.extract.extract_address_between_markers(full_text) or ""
+        start, end = ref.extract.extract_date_range(full_text)
+        r["Start Date"] = start or ""
+        r["End Date"] = end or ""
+    base = ["File Name", "Licenses", "Address", "Start Date", "End Date"]
+    cols = base + list(user_patterns.keys())
+    filtered = []
+    for r in results:
+        has = (
+            r.get("Licenses", "").strip() != ""
+            or r.get("Address", "").strip() != ""
+            or r.get("Start Date", "").strip() != ""
+            or r.get("End Date", "").strip() != ""
+            or any(r.get(k, "").strip() != "" for k in user_patterns)
+        )
+        if has:
+            filtered.append({c: r.get(c, "") for c in cols})
+    filtered = ref.postprocess.postprocess_results(filtered, None, "Renew Times")
+    return filtered, cols + ["Renew Times"]
+
+
+@pytest.mark.parametrize(
+    "user_patterns",
+    [{}, {"amount": [r"(\d+)"], "tower": [r"Tower\s+\w+"]}],
+    ids=["no-user-fields", "two-user-fields"],
+)
+def test_assemble_final_rows(ref, user_patterns):
+    docs = [(f"doc{i:03d}", t) for i, t in enumerate(TEXTS)]
+    expected_rows, expected_cols = _reference_final_extract(ref, docs, dict(user_patterns))
+    ours_rows, ours_cols = core.assemble_final_rows(docs, user_patterns)
+    assert ours_cols == expected_cols
+    assert ours_rows == expected_rows
+
+
+def test_process_document_text_notes(ref):
+    # every token must be <4 chars or the IGNORECASE catch-alls fire
+    r = core.process_document_text("k", "a bc de fg hi jk")
+    assert r.notes == "No patterns matched"
+    r2 = core.process_document_text("k", "LIC-123")
+    assert r2.notes is None and r2.license_id == "LIC-123"
+
+
+def test_process_document_text_error_contract():
+    r = core.process_document_text("k", None)  # type: ignore[arg-type]
+    assert r.notes is not None and r.notes.startswith("Error: ")
+    assert r.file_name == "k"
