@@ -1,0 +1,24 @@
+"""Stdlib HTML main-content extraction (the binary→text front end).
+
+Replaces the reference's PDF→image→Tesseract leg (``ocr/pdf.py``,
+``ocr/preprocess.py``, ``ocr/ocr_engine.py``, composed in
+``ocr/pipeline.py:13-40``) with the same operator *shape*: an opaque
+binary payload decoded by a warm, stateful engine into document text —
+here Common-Crawl-style HTML → main-content text + character spans,
+via a block tree scored on text density + link density
+(Boilerpipe/trafilatura-style block classification; no lxml/selectolax
+in this sandbox, so the DOM walk is ``html.parser``).
+"""
+
+from .blocks import Block, BlockParser, decode_html_bytes
+from .extractor import MainContentExtractor, ExtractionOutput, PAGE_JOIN_EPL, PAGE_JOIN_LEGACY
+
+__all__ = [
+    "Block",
+    "BlockParser",
+    "decode_html_bytes",
+    "MainContentExtractor",
+    "ExtractionOutput",
+    "PAGE_JOIN_EPL",
+    "PAGE_JOIN_LEGACY",
+]

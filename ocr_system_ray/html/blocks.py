@@ -1,0 +1,234 @@
+"""DOM block tree with raw-offset span tracking (stdlib ``html.parser``).
+
+The parser walks the decoded HTML string once and emits flat text
+*blocks* — runs of character data delimited by block-level tags — each
+carrying:
+
+* normalized text (entity-decoded, whitespace-collapsed);
+* **spans**: merged ``(start, end)`` offsets into the *raw decoded HTML
+  string* covering the character data that produced the text (entities
+  span their full ``&name;`` source);
+* link-chars vs total-chars (for link-density scoring);
+* the set of ancestor tags (for container-based boilerplate rules);
+* a page index — each top-level ``<article>`` element starts a new
+  "page", the analog of the reference's PDF pages
+  (``/root/reference/ocr/pdf.py:10-17``; page list consumed at
+  ``ocr/pipeline.py:26-40``).
+
+Offset bookkeeping: ``HTMLParser.getpos()`` returns (line, col); a
+precomputed line-start table converts that to an absolute offset.
+``convert_charrefs=False`` so entity references arrive as discrete
+events with exact raw extents.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose boundaries delimit text blocks.
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd article section main
+    header footer nav aside table thead tbody tr td th blockquote pre
+    figure figcaption form fieldset hr br address""".split()
+)
+
+# Elements whose character data is never text content.
+HIDDEN_TAGS = frozenset("script style noscript template svg head iframe select option button".split())
+
+# Void elements (never pushed on the open-element stack).
+VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+# Containers that mark boilerplate for the scorer.
+CHROME_TAGS = frozenset("nav header footer aside form".split())
+
+_WS = re.compile(r"\s+")
+
+
+@dataclass
+class Block:
+    """One flat text block (see module docstring)."""
+
+    raw_parts: list[str] = field(default_factory=list)
+    spans: list[tuple[int, int]] = field(default_factory=list)
+    link_chars: int = 0
+    total_chars: int = 0
+    ancestors: frozenset[str] = frozenset()
+    page_index: int = 0
+    in_article: bool = False
+    heading: bool = False
+
+    _text: str | None = None
+
+    @property
+    def text(self) -> str:
+        if self._text is None:
+            self._text = _WS.sub(" ", "".join(self.raw_parts)).strip()
+        return self._text
+
+    @property
+    def words(self) -> int:
+        return len(self.text.split()) if self.text else 0
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+
+class BlockParser(HTMLParser):
+    """Single-pass block builder. Re-usable: call ``parse(html_str)``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+
+    # -- public API ---------------------------------------------------------
+
+    def parse(self, raw: str) -> list[Block]:
+        self.reset()
+        self._raw = raw
+        self._line_starts = self._compute_line_starts(raw)
+        self._stack: list[str] = []
+        self._hidden_depth = 0
+        self._link_depth = 0
+        self._article_depth = 0
+        self._page = -1  # becomes 0 on first article, or stays -1 → single page 0
+        self._blocks: list[Block] = []
+        self._current: Block | None = None
+        self.feed(raw)
+        self.close()
+        self._flush()
+        blocks = [b for b in self._blocks if b.text]
+        if self._page < 0:
+            for b in blocks:
+                b.page_index = 0
+        return blocks
+
+    @property
+    def page_count(self) -> int:
+        return max(1, self._page + 1)
+
+    # -- offset helpers -----------------------------------------------------
+
+    @staticmethod
+    def _compute_line_starts(raw: str) -> list[int]:
+        starts = [0]
+        idx = raw.find("\n")
+        while idx != -1:
+            starts.append(idx + 1)
+            idx = raw.find("\n", idx + 1)
+        return starts
+
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    # -- block lifecycle ----------------------------------------------------
+
+    def _flush(self) -> None:
+        b = self._current
+        if b is not None and b.raw_parts:
+            self._blocks.append(b)
+        self._current = None
+
+    def _ensure_block(self) -> Block:
+        if self._current is None:
+            self._current = Block(
+                ancestors=frozenset(self._stack),
+                page_index=max(self._page, 0),
+                in_article=self._article_depth > 0,
+                heading=any(t in ("h1", "h2", "h3", "h4", "h5", "h6") for t in self._stack),
+            )
+        return self._current
+
+    def _append_text(self, decoded: str, raw_len: int) -> None:
+        if self._hidden_depth > 0 or not decoded:
+            return
+        start = self._offset()
+        b = self._ensure_block()
+        b.raw_parts.append(decoded)
+        # merge with previous span when contiguous
+        if b.spans and b.spans[-1][1] == start:
+            b.spans[-1] = (b.spans[-1][0], start + raw_len)
+        else:
+            b.spans.append((start, start + raw_len))
+        visible = len(decoded.strip())
+        b.total_chars += visible
+        if self._link_depth > 0:
+            b.link_chars += visible
+
+    # -- HTMLParser events --------------------------------------------------
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "article" and self._article_depth == 0:
+            self._page += 1
+        if tag in VOID_TAGS:
+            return
+        self._stack.append(tag)
+        if tag in HIDDEN_TAGS:
+            self._hidden_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag == "article":
+            self._article_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in VOID_TAGS:
+            return
+        # pop up to the nearest matching open tag (tolerates misnesting)
+        if tag in self._stack:
+            while self._stack:
+                popped = self._stack.pop()
+                if popped in HIDDEN_TAGS:
+                    self._hidden_depth -= 1
+                if popped == "a":
+                    self._link_depth -= 1
+                if popped == "article":
+                    self._article_depth -= 1
+                if popped == tag:
+                    break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        self._append_text(data, len(data))
+
+    def handle_entityref(self, name: str) -> None:
+        self._append_text(html_mod.unescape(f"&{name};"), len(name) + 2)
+
+    def handle_charref(self, name: str) -> None:
+        try:
+            cp = int(name[1:], 16) if name.startswith(("x", "X")) else int(name)
+            decoded = chr(cp)
+        except (ValueError, OverflowError):
+            decoded = ""
+        self._append_text(decoded, len(name) + 3)
+
+
+_META_CHARSET = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE)
+
+
+def decode_html_bytes(payload: bytes) -> str:
+    """Decode an HTML byte payload: UTF-8 → sniffed meta charset → latin-1.
+
+    Best-effort, never raises (the reference's swallow-and-continue
+    contract, cf. ``ocr/preprocess.py:46-47``).
+    """
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET.search(payload[:4096])
+    if m:
+        try:
+            return payload.decode(m.group(1).decode("ascii"), errors="replace")
+        except LookupError:
+            pass
+    return payload.decode("latin-1", errors="replace")

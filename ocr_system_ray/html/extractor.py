@@ -1,0 +1,114 @@
+"""Main-content extraction: block scoring + page assembly + spans.
+
+The classifier is a deterministic Boilerpipe/trafilatura-style rule set
+over the flat block list produced by ``BlockParser``:
+
+* blocks inside page chrome (``nav/header/footer/aside/form`` ancestors)
+  or hidden elements are boilerplate — dropped;
+* otherwise keep a block when either
+  - it sits inside ``<article>``/``<main>`` and is not link-dominated
+    (link density ≤ 0.5), or
+  - it is long enough to be body text on its own (≥ ``min_words``
+    words) with low link density (< 0.25);
+* headings inside the main container are kept regardless of length.
+
+Pages: each top-level ``<article>`` is one "page" (the PDF-page analog);
+page texts are block texts joined with ``"\\n"``, and the document text
+joins pages with the EPL page marker ``"\\n\\n--- PAGE BREAK ---\\n\\n"``
+(``/root/reference/ocr/pipeline.py:39-40``) or plain ``"\\n"`` in legacy
+mode (``ocr/pipeline.py:66``) — the dual-join semantic fork the
+downstream first-page license logic depends on (``ocr/dynamic.py:183``).
+
+The extractor object is cheap but *stateful by design* (warm parser,
+precompiled rules): construct once per actor in ``__init__``, call per
+batch — the reference's load-once-per-worker shape (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from .blocks import Block, BlockParser, decode_html_bytes, CHROME_TAGS
+
+PAGE_JOIN_EPL = "\n\n--- PAGE BREAK ---\n\n"
+PAGE_JOIN_LEGACY = "\n"
+
+
+@dataclass
+class ExtractionOutput:
+    text: str
+    spans: list[tuple[int, int]]  # raw-HTML offsets of kept content, merged, in order
+    n_pages: int
+    n_blocks_total: int
+    n_blocks_kept: int
+    error: str | None = None
+
+    @classmethod
+    def failure(cls, exc: BaseException) -> "ExtractionOutput":
+        return cls(text="", spans=[], n_pages=0, n_blocks_total=0, n_blocks_kept=0,
+                   error=f"Error: {exc}")
+
+
+class MainContentExtractor:
+    """Warm, reusable HTML → main-content engine."""
+
+    def __init__(
+        self,
+        page_join: str = PAGE_JOIN_EPL,
+        min_words: int = 8,
+        max_link_density: float = 0.25,
+        article_max_link_density: float = 0.5,
+    ) -> None:
+        self._parser = BlockParser()
+        self.page_join = page_join
+        self.min_words = min_words
+        self.max_link_density = max_link_density
+        self.article_max_link_density = article_max_link_density
+
+    # -- classification -----------------------------------------------------
+
+    def _keep(self, b: Block) -> bool:
+        if b.ancestors & CHROME_TAGS:
+            return False
+        main_scope = b.in_article or "main" in b.ancestors
+        if main_scope:
+            if b.heading:
+                return True
+            return b.link_density <= self.article_max_link_density
+        return b.words >= self.min_words and b.link_density < self.max_link_density
+
+    # -- extraction ---------------------------------------------------------
+
+    def extract_str(self, raw_html: str) -> ExtractionOutput:
+        blocks = self._parser.parse(raw_html)
+        n_pages = self._parser.page_count
+        kept = [b for b in blocks if self._keep(b)]
+
+        pages: list[list[Block]] = [[] for _ in range(n_pages)]
+        for b in kept:
+            pages[min(b.page_index, n_pages - 1)].append(b)
+
+        text = self.page_join.join("\n".join(b.text for b in page) for page in pages)
+        spans: list[tuple[int, int]] = []
+        for b in kept:
+            for s in b.spans:
+                if spans and spans[-1][1] >= s[0]:
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], s[1]))
+                else:
+                    spans.append(s)
+        return ExtractionOutput(
+            text=text,
+            spans=spans,
+            n_pages=n_pages,
+            n_blocks_total=len(blocks),
+            n_blocks_kept=len(kept),
+        )
+
+    def extract_bytes(self, payload: bytes | None) -> ExtractionOutput:
+        """Decode + extract; never raises (error-as-data contract,
+        ``ocr/pipeline.py:85-92``)."""
+        try:
+            if payload is None:
+                raise ValueError("html payload is null")
+            return self.extract_str(decode_html_bytes(bytes(payload)))
+        except Exception as exc:  # noqa: BLE001
+            return ExtractionOutput.failure(exc)

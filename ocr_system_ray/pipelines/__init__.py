@@ -1,0 +1,17 @@
+"""End-to-end pipeline compositions."""
+
+from .main_content import (
+    parse_pages,
+    final_extract,
+    document_fields,
+    run_resumable,
+    PipelineConfig,
+)
+
+__all__ = [
+    "parse_pages",
+    "final_extract",
+    "document_fields",
+    "run_resumable",
+    "PipelineConfig",
+]

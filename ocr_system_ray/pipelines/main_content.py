@@ -1,0 +1,180 @@
+"""The flagship pipeline: pages → main-content text → extracted fields.
+
+Physical plan (SURVEY.md §4.4):
+
+    read_parquet(pages, columns=[url, html])       # prune at the read
+      ├─ filter payload < 1 MiB  ─ parse actor pool (big batches)   ┐
+      └─ filter payload ≥ 1 MiB  ─ parse actor pool (batch_size=1)  ┴ union
+      → fused field extraction (dynamic fields + licenses + address +
+        date range + filter + Renew Times; no joins — SURVEY.md §2.5)
+      → write_parquet / return Dataset
+
+All stages stream; nothing materializes the full dataset.  The
+small/large split keeps multi-MB skew rows from stalling the main
+stream (SURVEY.md §4.3); at test scale the large side is a handful of
+rows, at 100 TB it is the difference between a smooth stream and a
+straggler tail.
+
+``run_resumable`` wraps the same plan in per-partition lineage
+(``state/lineage.py``): one invocation per pending partition group,
+idempotent per-partition output directories, manifest append after each.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..html.extractor import PAGE_JOIN_EPL
+from ..stages.parse import HtmlParseStage
+from ..stages.fieldextract import FinalExtractStage, DocumentFieldsStage
+from ..stages.skew import DEFAULT_LARGE_ROW_BYTES
+from ..state.lineage import LineageManifest, plan_partitions
+
+
+@dataclass
+class PipelineConfig:
+    page_join: str = PAGE_JOIN_EPL
+    field_to_patterns: dict[str, list[str]] = field(default_factory=dict)
+    large_row_bytes: int = DEFAULT_LARGE_ROW_BYTES
+    parse_batch_size: int = 64
+    # actor-pool sizes: (min, max) autoscaling; max should track the CPU
+    # budget of the job — bench/production override per ray.init size.
+    parse_concurrency: int | tuple[int, int] = (1, 32)
+    large_parse_concurrency: int | tuple[int, int] = (1, 2)
+    min_words: int = 8
+
+
+def _read(input_path: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(input_path, columns=["url", "html"])
+
+
+def parse_pages(
+    input_path: str | ray.data.Dataset,
+    config: PipelineConfig | None = None,
+) -> ray.data.Dataset:
+    """pages(url, html) → (url, extracted_text, spans, stats).
+
+    The heavy ``html`` column is read once and dropped inside the parse
+    stage; skewed rows take the dedicated large path.
+    """
+    cfg = config or PipelineConfig()
+    ds = _read(input_path) if isinstance(input_path, str) else input_path
+
+    # null payloads count as size 0 (they must reach the parse stage to get
+    # their error-as-data row — row conservation, FIXTURES.md §5.2/§5.3).
+    def _sizes(t):  # noqa: ANN001
+        return pc.coalesce(pc.binary_length(t.column("html")), 0)
+
+    small = ds.map_batches(
+        lambda t: t.filter(pc.less(_sizes(t), cfg.large_row_bytes)),
+        batch_format="pyarrow",
+    )
+    large = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(_sizes(t), cfg.large_row_bytes)),
+        batch_format="pyarrow",
+    )
+
+    stage_kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"page_join": cfg.page_join, "min_words": cfg.min_words},
+    )
+    parsed_small = small.map_batches(
+        HtmlParseStage,
+        batch_size=cfg.parse_batch_size,
+        concurrency=cfg.parse_concurrency,
+        **stage_kwargs,
+    )
+    parsed_large = large.map_batches(
+        HtmlParseStage,
+        batch_size=1,
+        concurrency=cfg.large_parse_concurrency,
+        **stage_kwargs,
+    )
+    return parsed_small.union(parsed_large)
+
+
+def final_extract(
+    input_path: str | ray.data.Dataset,
+    config: PipelineConfig | None = None,
+) -> ray.data.Dataset:
+    """Full flagship: pages → final filtered field rows (EPL contract)."""
+    cfg = config or PipelineConfig()
+    parsed = parse_pages(input_path, cfg)
+    # cheap per-task state (a pattern dict) → stateless tasks, not an actor
+    # pool; the compiled-regex cache warms once per worker process.
+    stage = FinalExtractStage(field_to_patterns=cfg.field_to_patterns)
+    return parsed.map_batches(stage.__call__, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def document_fields(
+    input_path: str | ray.data.Dataset,
+    config: PipelineConfig | None = None,
+    patterns: Mapping[str, Sequence[str]] | None = None,
+) -> ray.data.Dataset:
+    """pages → per-document DocumentResult rows (legacy contract, no filter)."""
+    cfg = config or PipelineConfig(page_join="\n")
+    parsed = parse_pages(input_path, cfg)
+    stage = DocumentFieldsStage(patterns=patterns)
+    return parsed.map_batches(stage.__call__, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_resumable(
+    input_glob: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    files_per_partition: int = 8,
+    pipeline: str = "final_extract",
+) -> dict:
+    """Resumable flagship run: per-partition lineage + idempotent outputs.
+
+    ``input_glob`` e.g. ``/data/pages/part-*.parquet``.  Re-running after
+    a crash skips partitions whose lineage record is ``done`` with an
+    unchanged input fingerprint.  Returns the manifest metrics dict.
+    """
+    cfg = config or PipelineConfig()
+    shards = glob.glob(input_glob)
+    if not shards:
+        raise FileNotFoundError(f"no input shards match {input_glob}")
+    plan = plan_partitions(shards, files_per_partition)
+    manifest = LineageManifest(out_dir)
+    build = final_extract if pipeline == "final_extract" else document_fields
+
+    for rec in manifest.pending(plan):
+        t0 = time.monotonic()
+        part_dir = os.path.join(out_dir, f"part-{rec.partition_id:05d}")
+        try:
+            ds = build(ray.data.read_parquet(rec.input_paths, columns=["url", "html"]), cfg)
+            # idempotent overwrite: clear the partition dir, then write
+            if os.path.isdir(part_dir):
+                for f_ in os.listdir(part_dir):
+                    os.remove(os.path.join(part_dir, f_))
+            ds.write_parquet(part_dir)
+            import pyarrow.parquet as pq
+
+            rec.rows_out = sum(
+                pq.ParquetFile(os.path.join(part_dir, f_)).metadata.num_rows
+                for f_ in os.listdir(part_dir)
+                if f_.endswith(".parquet")
+            )
+            rec.rows_in = sum(
+                pq.ParquetFile(p).metadata.num_rows for p in rec.input_paths
+            )
+            rec.bytes_in = sum(os.path.getsize(p) for p in rec.input_paths)
+            rec.status = "done"
+            rec.output_path = part_dir
+        except Exception as exc:  # noqa: BLE001 — record failure, keep going
+            rec.status = "failed"
+            rec.error = str(exc)
+        rec.wall_ms = (time.monotonic() - t0) * 1000.0
+        manifest.append(rec)
+
+    return manifest.metrics()

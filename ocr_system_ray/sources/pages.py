@@ -1,0 +1,239 @@
+"""Deterministic synthetic Common-Crawl-style pages table (FIXTURES.md §1).
+
+Schema (exactly the BASELINE.json ``input_hint`` shape):
+``url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string``
+
+``text`` is the ground-truth main-content plain text of ``html`` — what a
+correct extractor must recover byte-identically.  The generator and the
+extractor agree by construction: main content lives in ``<article>``
+elements (one per "page"), boilerplate lives in chrome containers
+(``nav/header/footer/aside``) and a link-farm div, and the ground truth
+applies the same whitespace normalization as the block parser.
+
+Determinism: everything derives from ``random.Random((seed << 32) | i)``
+per document — row ``i`` is identical across runs, machines, and shard
+layouts (no ``Date.now``-style ambient state).
+
+Knobs (FIXTURES.md):
+* ``page break``: ``i % 20 == 7`` → a second ``<article>`` (≈5%) so the
+  dual page-join semantics and first-page license logic are exercised;
+* ``skew``: ``i % skew_every == 0`` → article body repeated
+  ``skew_factor×`` (multi-MB html rows) to exercise byte-size
+  repartitioning;
+* ``no payload``: ``i % 10 == 3`` (≈10%) → short-word prose that matches
+  NO extraction pattern (words ≤3 chars, no digits) → exercises
+  ``notes="No patterns matched"`` and the non-empty final filter.
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import random
+import re
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_EPOCH = datetime(2025, 1, 1)
+_CATEGORIES = ("news", "blog", "docs", "forum", "wiki")
+_LANGS = ("en", "en", "en", "si", "ta", "de")
+_WS = re.compile(r"\s+")
+
+_STREETS = ("Galle Road", "Main Street", "Temple Lane", "Lake Drive", "Hill Crescent", "Station Avenue")
+_TOWNS = ("Kandy", "Colombo 03", "Galle", "Matara", "Jaffna", "Negombo")
+_WORDS = (
+    "network coverage report indicates steady regional growth across the"
+    " operator footprint while infrastructure upgrades continue on schedule"
+    " with community consultations held quarterly and environmental reviews"
+    " submitted to the regulator for assessment before final approval"
+).split()
+# words of ≤3 chars only — immune to every default pattern (incl. the
+# IGNORECASE catch-alls \b[A-Z0-9]{4,10}\b / {6,20}); no digits, no "to"
+# adjacent to dates, no tower phrases.
+_TINY_WORDS = ("we", "go", "on", "dim", "icy", "elk", "orb", "fig", "zed", "yak", "ash", "oak")
+
+
+def _prose(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def _payload_phrases(rng: random.Random, i: int) -> list[str]:
+    """Deterministic payload mix for doc i (FIXTURES.md §1 phrase table)."""
+    if i % 10 == 3:  # no-payload rows
+        return [" ".join(rng.choice(_TINY_WORDS) for _ in range(12))]
+
+    phrases: list[str] = []
+    v = i % 7
+    n = rng.randint(1, 99999)
+    k = rng.randint(1, 99)
+    if v == 0:
+        phrases.append(f"License No. {n} (R{k:02d}) remains in force.")
+    elif v == 1:
+        phrases.append(f"License No. {n} (RO{k:02d}) with OCR noise.")  # O after R: NOT repaired
+    elif v == 2:
+        phrases.append(f"license no. {n} （r{k}） issued under seal.")  # fullwidth + lowercase
+    elif v == 3:
+        phrases.append(f"Permit NO. {n} [R-{k}] under review.")  # bracket fold
+    elif v == 4:
+        phrases.append(f"{rng.randint(1, 999)}/{rng.randint(1, 9999)} R{k} series permit.")  # TYPE_B only
+    elif v == 5:
+        phrases.append(f"License No. {n} (R1O{k % 10}) renewal notice.")  # O between digits → repaired
+    # v == 6: no license phrase at all
+
+    w = i % 5
+    d = rng.randint(10000, 999999)
+    tok = "".join(rng.choice("ABCDEFGHJKLMNPQRSTUVWXYZ23456789") for _ in range(8))
+    if w == 0:
+        phrases.append(f"Filed as LIC-{d} this cycle.")
+    elif w == 1:
+        phrases.append(f"License ID: {tok} appears on page one.")
+    elif w == 2:
+        phrases.append(f"Tracking REF-{tok[:6]} for the dossier.")
+    elif w == 3:
+        phrases.append(f"Reference: {tok[:5]} held on file.")
+    # w == 4: none
+
+    u = i % 4
+    if u == 0:
+        phrases.append(
+            f"Telecommunication Tower at {rng.choice(_STREETS)}, {rng.choice(_TOWNS)}"
+            " of Dialog Axiata PLC."
+        )
+    elif u == 1:
+        phrases.append(
+            "Transmission Tower Providing Facilities for Telecommunication at "
+            f"No {rng.randint(1, 400)}, {rng.choice(_STREETS)} situated within "
+            f"{rng.choice(_TOWNS)}."
+        )
+
+    z = i % 6
+    if z == 0:
+        phrases.append(f"Valid from {rng.randint(1, 28)}th May 2025 to 15\" June 2026 inclusive.")
+    elif z == 1:
+        phrases.append(f"Term runs 12.02.2025 to {rng.randint(1, 28):02d}-03-2026 as gazetted.")
+    elif z == 2:
+        phrases.append(
+            f"Dated {rng.randint(1, 28):02d}/{rng.randint(1, 12):02d}/{rng.randint(2020, 2030)} by the office."
+        )
+    elif z == 3:
+        phrases.append(f"Logged {rng.randint(2020, 2030)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d} centrally.")
+
+    rng.shuffle(phrases)
+    return phrases or [_prose(rng, 10)]
+
+
+def _article_paragraphs(rng: random.Random, i: int) -> list[str]:
+    paras = []
+    for phrase in _payload_phrases(rng, i):
+        paras.append(f"{_prose(rng, rng.randint(4, 10))} {phrase} {_prose(rng, rng.randint(4, 10))}")
+    paras.append(_prose(rng, rng.randint(8, 20)))
+    return paras
+
+
+def _norm(s: str) -> str:
+    """The block parser's text normalization (blocks.py)."""
+    return _WS.sub(" ", s).strip()
+
+
+def _render_article(title: str, paras: list[str]) -> tuple[str, str]:
+    """→ (html fragment, ground-truth page text)."""
+    body = "\n".join(f"    <p>{html_mod.escape(p)}</p>" for p in paras)
+    frag = f'  <article class="page">\n    <h2>{html_mod.escape(title)}</h2>\n{body}\n  </article>\n'
+    truth = "\n".join([_norm(title)] + [_norm(p) for p in paras])
+    return frag, truth
+
+
+def synthesize_page(i: int, seed: int = 42, skew_every: int = 500, skew_factor: int = 200) -> dict:
+    """Generate row ``i`` of the pages table (pure function of (seed, i))."""
+    rng = random.Random((seed << 32) | i)
+    cat = _CATEGORIES[i % len(_CATEGORIES)]
+    url = f"https://site{i % 97}.example/{cat}/{i:08d}"
+
+    paras = _article_paragraphs(rng, i)
+    if skew_every and i % skew_every == 0:
+        paras = paras * skew_factor
+
+    title = f"Notice {i:08d} — {cat} bulletin"
+    articles = [_render_article(title, paras)]
+    if i % 20 == 7:  # second "page"
+        rng2 = random.Random((seed << 32) | i | (1 << 62))
+        paras2 = _article_paragraphs(rng2, i + 11)
+        articles.append(_render_article(f"Annex {i:08d}", paras2))
+
+    nav_links = "".join(
+        f'<a href="/{c}/">{c}</a> | ' for c in _CATEGORIES
+    )
+    farm = "".join(
+        f'<a href="https://site{rng.randint(0, 96)}.example/x/{rng.randint(0, 10 ** 6)}">related item {j}</a>\n'
+        for j in range(6)
+    )
+    html_doc = (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        f"  <meta charset=\"utf-8\">\n  <title>site{i % 97}.example — {cat}</title>\n"
+        "  <style>body{margin:0}</style>\n  <script>var t=1;</script>\n"
+        "</head>\n<body>\n"
+        f"  <header><h1>site{i % 97}.example</h1><p>The {cat} portal of record</p></header>\n"
+        f"  <nav>{nav_links}<a href=\"/about\">about</a></nav>\n"
+        f"{''.join(a[0] for a in articles)}"
+        f"  <aside><h3>Sponsored</h3><p>subscribe today for premium {cat} digests</p></aside>\n"
+        f"  <div class=\"related\">{farm}</div>\n"
+        "  <footer><p>© 2025 example holdings — terms — privacy</p></footer>\n"
+        "</body>\n</html>\n"
+    )
+
+    truth = "\n\n--- PAGE BREAK ---\n\n".join(a[1] for a in articles)
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + timedelta(seconds=i * 137),
+        "html": html_doc.encode("utf-8"),
+        "text": truth,
+        "lang": _LANGS[i % len(_LANGS)],
+    }
+
+
+def synthesize_pages_table(
+    start: int, count: int, seed: int = 42, skew_every: int = 500, skew_factor: int = 200
+) -> pa.Table:
+    rows = [synthesize_page(i, seed, skew_every, skew_factor) for i in range(start, start + count)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def write_pages_dataset(
+    out_dir: str,
+    num_docs: int,
+    seed: int = 42,
+    shard_rows: int = 2000,
+    skew_every: int = 500,
+    skew_factor: int = 200,
+) -> list[str]:
+    """Write ``part-{k:05d}.parquet`` shards; returns the file list.
+
+    Sharding is positional and deterministic, so the same (seed, num_docs,
+    shard_rows) always yields byte-stable row content (parquet metadata
+    aside) — the property the resume tests rely on.
+    """
+    import os
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for k, start in enumerate(range(0, num_docs, shard_rows)):
+        n = min(shard_rows, num_docs - start)
+        path = os.path.join(out_dir, f"part-{k:05d}.parquet")
+        pq.write_table(
+            synthesize_pages_table(start, n, seed, skew_every, skew_factor),
+            path,
+            compression="zstd",
+        )
+        paths.append(path)
+    return paths

@@ -1,0 +1,25 @@
+"""Parquet readers with column pruning (read only what the stage needs)."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import ray.data
+
+
+def read_pages(path: str, columns: Sequence[str] | None = None) -> ray.data.Dataset:
+    """Read a pages table (directory of part-*.parquet or a single file).
+
+    Always pass ``columns`` when a stage doesn't need the heavy ``html`` /
+    ``text`` payloads — at 100 TB an unpruned read is the dominant cost.
+    """
+    return ray.data.read_parquet(path, columns=list(columns) if columns else None)
+
+
+def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None) -> ray.data.Dataset:
+    """Read one driver testdata table (``/root/testdata/sf*/{name}.parquet``)."""
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"),
+        columns=list(columns) if columns else None,
+    )

@@ -1,0 +1,15 @@
+"""Ray Data stages: map_batches callables (stateless fns + actor classes)."""
+
+from .parse import HtmlParseStage, PARSED_SCHEMA
+from .fieldextract import FinalExtractStage, DocumentFieldsStage
+from .skew import add_payload_size, split_by_payload_size, salted_key
+
+__all__ = [
+    "HtmlParseStage",
+    "PARSED_SCHEMA",
+    "FinalExtractStage",
+    "DocumentFieldsStage",
+    "add_payload_size",
+    "split_by_payload_size",
+    "salted_key",
+]

@@ -1,0 +1,88 @@
+"""Fused field-extraction stages over the text column.
+
+Two batch callables, both pure CPU over ``extracted_text`` — stateless
+``map_batches`` functions in spirit, but shipped as callable classes so
+the per-field pattern config is bound once per actor (compiled-regex
+caches warm up once, not per batch).
+
+``FinalExtractStage`` = the EPL Final-Extract phase *fused into one
+stage* (``gui/app.py:464-501``): dynamic fields + first-page license +
+address + date range + non-empty filter + "Renew Times", per url.  The
+reference needed a dict-join (J1) and an O(n²) text re-lookup (J2)
+because it produced separate row lists; computing every column while the
+text is still in hand eliminates both (SURVEY.md §2.5) — and at scale
+removes an entire shuffle.
+
+``DocumentFieldsStage`` = the legacy per-document result record
+(``ocr/pipeline.py:43-92``): standard fields + address + date range +
+notes contract, NO filter (every url survives).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pyarrow as pa
+
+from ..core import (
+    DEFAULT_PATTERNS,
+    assemble_final_rows,
+    process_document_text,
+    BASE_COLUMNS,
+    RENEW_COLUMN,
+)
+
+
+class FinalExtractStage:
+    """(url, extracted_text) batches → filtered final rows (EPL contract)."""
+
+    def __init__(self, field_to_patterns: Mapping[str, Sequence[str]] | None = None) -> None:
+        self._patterns = {k: list(v) for k, v in (field_to_patterns or {}).items()}
+        self._columns = list(BASE_COLUMNS) + list(self._patterns) + [RENEW_COLUMN]
+
+    @property
+    def output_columns(self) -> list[str]:
+        return list(self._columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = zip(batch.column("url").to_pylist(), batch.column("extracted_text").to_pylist())
+        rows, cols = assemble_final_rows(docs, self._patterns)
+        # "File Name" is the reference's key column name; ours is url.
+        arrays = {
+            "url" if c == "File Name" else c: pa.array([r[c] for r in rows], pa.string())
+            for c in cols
+        }
+        return pa.table(arrays)
+
+
+class DocumentFieldsStage:
+    """(url, extracted_text) batches → DocumentResult rows (legacy contract)."""
+
+    RESULT_COLUMNS = (
+        "url",
+        "license_id",
+        "date",
+        "reference_id",
+        "address",
+        "start_date",
+        "end_date",
+        "notes",
+    )
+
+    def __init__(self, patterns: Mapping[str, Sequence[str]] | None = None) -> None:
+        self._patterns = (
+            {k: list(v) for k, v in patterns.items()} if patterns is not None else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [
+            process_document_text(url, text, self._patterns).as_dict()
+            for url, text in zip(
+                batch.column("url").to_pylist(),
+                batch.column("extracted_text").to_pylist(),
+            )
+        ]
+        cols = {"url": pa.array([r["file_name"] for r in results], pa.string())}
+        for c in self.RESULT_COLUMNS[1:]:
+            cols[c] = pa.array([r[c] for r in results], pa.string())
+        return pa.table(cols)

@@ -1,0 +1,81 @@
+"""The HTML→text parse stage (actor pool; the hot stage).
+
+Operator shape = the reference's binary→text front end: a warm stateful
+engine per worker (``ocr/ocr_engine.py`` + ``ocr/pipeline.py:13-40``),
+made explicit as a callable class for
+``ds.map_batches(HtmlParseStage, concurrency=N, batch_size=B,
+batch_format="pyarrow", zero_copy_batch=True)``:
+
+* ``__init__`` (once per actor): construct the ``MainContentExtractor``
+  (warm parser, compiled rules) — the reference's load-once state
+  (SURVEY.md §2.8);
+* ``__call__`` (per batch): Arrow in → Arrow out.  Per-row parse failures
+  never raise — they become ``parse_error`` strings with empty text (the
+  error-as-data contract, ``ocr/pipeline.py:85-92``).
+
+Output schema drops ``html`` (the heavy payload dies here; only text +
+spans + cheap stats flow downstream — at 100 TB this is the single most
+important schema decision in the pipeline).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..html import MainContentExtractor, PAGE_JOIN_EPL
+
+SPAN_TYPE = pa.list_(pa.struct([("start", pa.int64()), ("end", pa.int64())]))
+
+PARSED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        ("spans", SPAN_TYPE),
+        ("n_pages", pa.int32()),
+        ("n_blocks_kept", pa.int32()),
+        ("parse_error", pa.string()),
+    ]
+)
+
+
+class HtmlParseStage:
+    """url+html batches → url+extracted_text+spans batches."""
+
+    def __init__(
+        self,
+        page_join: str = PAGE_JOIN_EPL,
+        min_words: int = 8,
+        passthrough: tuple[str, ...] = (),
+    ) -> None:
+        self._extractor = MainContentExtractor(page_join=page_join, min_words=min_words)
+        self._passthrough = passthrough
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        htmls = batch.column("html")
+
+        texts: list[str] = []
+        spans: list[list[dict[str, int]]] = []
+        n_pages: list[int] = []
+        n_kept: list[int] = []
+        errors: list[str | None] = []
+        for payload in htmls:
+            out = self._extractor.extract_bytes(payload.as_py())
+            texts.append(out.text)
+            spans.append([{"start": s, "end": e} for s, e in out.spans])
+            n_pages.append(out.n_pages)
+            n_kept.append(out.n_blocks_kept)
+            errors.append(out.error)
+
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "url": urls,
+            "extracted_text": pa.array(texts, pa.string()),
+            "spans": pa.array(spans, SPAN_TYPE),
+            "n_pages": pa.array(n_pages, pa.int32()),
+            "n_blocks_kept": pa.array(n_kept, pa.int32()),
+            "parse_error": pa.array(errors, pa.string()),
+        }
+        for name in self._passthrough:
+            if name in batch.column_names:
+                cols[name] = batch.column(name)
+        return pa.table(cols)

@@ -1,0 +1,82 @@
+"""Skew handling: byte-size profiling, small/large routing, salted keys.
+
+A single multi-MB ``html`` row parses in one task no matter how Ray
+splits blocks — the giant-PDF stall of the reference (SURVEY.md §4.1)
+reborn at web scale.  Mitigations implemented here (SURVEY.md §4.3):
+
+* ``add_payload_size`` — cheap vectorized ``binary_length`` profile
+  column (no payload copy);
+* ``split_by_payload_size`` — route rows into a small path (big batches,
+  wide actor pool) and a large path (batch_size≈1) that are parsed
+  independently and unioned after; the large path can't stall the
+  small-row stream;
+* ``salted_key`` — ``hash(url) % (num_partitions * salt)`` key for
+  shuffles (dedup / repartition / output bucketing) so hot partitions
+  spread; hash is a stable 64-bit FNV-1a over the url bytes —
+  deterministic across runs/processes (NOT Python's seeded ``hash``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+DEFAULT_LARGE_ROW_BYTES = 1 << 20  # 1 MiB of html → "large"
+
+
+def add_payload_size(batch: pa.Table, column: str = "html") -> pa.Table:
+    return batch.append_column("payload_bytes", pc.binary_length(batch.column(column)))
+
+
+def split_by_payload_size(
+    ds: ray.data.Dataset,
+    threshold: int = DEFAULT_LARGE_ROW_BYTES,
+    column: str = "html",
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """→ (small_rows, large_rows). Two filter passes over the input —
+    cheap relative to parse, and each side streams independently."""
+    small = ds.map_batches(
+        lambda t: t.filter(pc.less(pc.binary_length(t.column(column)), threshold)),
+        batch_format="pyarrow",
+    )
+    large = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.binary_length(t.column(column)), threshold)),
+        batch_format="pyarrow",
+    )
+    return small, large
+
+
+def stable_hash64(values: list[str] | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per string.
+
+    ``zlib.crc32`` over the raw bytes and over the length-prefixed bytes,
+    combined into 64 bits — C-speed per row, stable across processes
+    (unlike Python's seeded ``hash``), good enough spread for partition
+    keys and salting (content-identity hashing for dedup uses blake2b in
+    ``stages/dedup.py`` instead).
+    """
+    from zlib import crc32
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = (v or "").encode("utf-8")
+        out[i] = (crc32(b) << 32) | crc32(b, 0x9E3779B9)
+    return out
+
+
+def salted_key(
+    batch: pa.Table,
+    key_column: str = "url",
+    num_partitions: int = 64,
+    salt: int = 1,
+    out_column: str = "part_key",
+) -> pa.Table:
+    """Append a stable shuffle key ``hash(key) % (num_partitions * salt)``."""
+    hashes = stable_hash64(batch.column(key_column))
+    keys = (hashes % np.uint64(num_partitions * max(1, salt))).astype(np.int64)
+    return batch.append_column(out_column, pa.array(keys))

@@ -1,0 +1,5 @@
+"""Checkpoint/resume state: the per-partition lineage manifest."""
+
+from .lineage import LineageManifest, PartitionRecord, plan_partitions
+
+__all__ = ["LineageManifest", "PartitionRecord", "plan_partitions"]

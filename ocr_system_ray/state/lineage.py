@@ -1,0 +1,148 @@
+"""Per-partition lineage manifest → resumable runs (SURVEY.md §4.4).
+
+Ray Data gives streaming execution and task retries but no cross-run
+resume; this module supplies it, replacing (correctly) what the
+reference's rewrite-the-whole-CSV-after-every-document loop gestured at
+(``/root/reference/main_tk - AI.py:307-312``) and its append-mode sink
+(``ocr/csv_utils.py:8-16``).
+
+Design:
+* a **partition** = a fixed group of input shard files.  Partition ids
+  derive from the *sorted input listing + group size* — stable across
+  runs and scheduler order (the resume-correctness requirement);
+* each partition's output lands at ``{out_dir}/part-{pid:05d}/`` —
+  written by the pipeline, then a :class:`PartitionRecord` (id, inputs,
+  input content fingerprint, row/byte/wall metrics, status) is appended
+  to ``{out_dir}/_lineage.jsonl``;
+* resume = read the manifest, skip partitions recorded ``done`` whose
+  input fingerprint still matches, run the rest.  Output writes are
+  idempotent per-partition (fixed directory, overwritten whole).
+
+At 10^12 documents the manifest stays driver-small: one JSON line per
+partition (≈ thousands), never per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, asdict, field
+
+
+@dataclass
+class PartitionRecord:
+    partition_id: int
+    input_paths: list[str]
+    input_fingerprint: str
+    status: str = "pending"  # pending | done | failed
+    output_path: str = ""
+    rows_in: int = 0
+    rows_out: int = 0
+    bytes_in: int = 0
+    wall_ms: float = 0.0
+    error: str = ""
+    attempt: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+def _fingerprint(paths: list[str]) -> str:
+    """Cheap content fingerprint: path + size + mtime_ns per shard.
+
+    Full-content hashing would re-read 100 TB to decide what to skip;
+    size+mtime is the standard make-style invalidation tradeoff.  A
+    ``strict`` mode could hash parquet footers instead.
+    """
+    h = hashlib.blake2b(digest_size=16)
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def plan_partitions(input_paths: list[str], files_per_partition: int = 8) -> list[PartitionRecord]:
+    """Deterministic partition plan over the sorted input listing."""
+    paths = sorted(input_paths)
+    plan = []
+    for pid, start in enumerate(range(0, len(paths), files_per_partition)):
+        group = paths[start : start + files_per_partition]
+        plan.append(
+            PartitionRecord(
+                partition_id=pid,
+                input_paths=group,
+                input_fingerprint=_fingerprint(group),
+            )
+        )
+    return plan
+
+
+class LineageManifest:
+    """Append-only JSONL manifest at ``{out_dir}/_lineage.jsonl``.
+
+    Later records for the same partition id supersede earlier ones, so
+    append is crash-safe (a torn final line is ignored on load).
+    """
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, "_lineage.jsonl")
+        os.makedirs(out_dir, exist_ok=True)
+
+    def load(self) -> dict[int, PartitionRecord]:
+        records: dict[int, PartitionRecord] = {}
+        if not os.path.exists(self.path):
+            return records
+        with open(self.path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    d = json.loads(line)
+                    records[d["partition_id"]] = PartitionRecord(**d)
+                except (json.JSONDecodeError, TypeError, KeyError):
+                    continue  # torn tail line from a crash — ignore
+        return records
+
+    def append(self, rec: PartitionRecord) -> None:
+        # If a crash left a torn line without a trailing newline, start a
+        # fresh line so this record isn't glued to (and lost with) it.
+        needs_newline = False
+        try:
+            with open(self.path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                needs_newline = rf.read(1) != b"\n"
+        except (OSError, ValueError):
+            pass
+        with open(self.path, "a", encoding="utf-8") as f:
+            if needs_newline:
+                f.write("\n")
+            f.write(json.dumps(asdict(rec)) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def pending(self, plan: list[PartitionRecord]) -> list[PartitionRecord]:
+        """Partitions still needing work: not done, or inputs changed."""
+        done = self.load()
+        out = []
+        for rec in plan:
+            prev = done.get(rec.partition_id)
+            if prev and prev.status == "done" and prev.input_fingerprint == rec.input_fingerprint:
+                continue
+            rec.attempt = (prev.attempt + 1) if prev else 0
+            out.append(rec)
+        return out
+
+    def metrics(self) -> dict:
+        recs = [r for r in self.load().values() if r.status == "done"]
+        wall = sum(r.wall_ms for r in recs)
+        return {
+            "partitions_done": len(recs),
+            "rows_in": sum(r.rows_in for r in recs),
+            "rows_out": sum(r.rows_out for r in recs),
+            "bytes_in": sum(r.bytes_in for r in recs),
+            "wall_ms_total": wall,
+            "docs_per_sec_per_partition": (
+                sum(r.rows_in for r in recs) / (wall / 1000.0) if wall else 0.0
+            ),
+        }

@@ -1,0 +1,41 @@
+"""Row conservation + error-as-data through the full Ray pipeline.
+
+Malformed / empty / null html payloads must never raise and never drop
+rows (FIXTURES.md §5.2-3; reference contract ocr/pipeline.py:85-92).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_system_ray.stages.parse import HtmlParseStage
+from ocr_system_ray.pipelines import document_fields
+
+BAD = pa.table(
+    {
+        "url": ["u1", "u2", "u3", "u4", "u5"],
+        "html": [
+            b"\xff\xfe\x00garbage\x9c\x80",
+            b"",
+            b"<html><p>unclosed <b>nested <table><tr><td>mess",
+            None,
+            b"<p>&bogus; &#xZZ; &#99999999999; entities</p>",
+        ],
+    }
+)
+
+
+def test_parse_stage_never_raises_never_drops():
+    out = HtmlParseStage()(BAD)
+    assert out.num_rows == BAD.num_rows
+    errs = out.column("parse_error").to_pylist()
+    assert errs[3] is not None and errs[3].startswith("Error: ")
+
+
+def test_pipeline_row_conservation(ray_session, tmp_path):
+    pq.write_table(BAD, str(tmp_path / "part-00000.parquet"))
+    rows = document_fields(str(tmp_path)).take_all()
+    assert sorted(r["url"] for r in rows) == ["u1", "u2", "u3", "u4", "u5"]
+    for r in rows:
+        assert r["notes"] is not None  # nothing extractable -> notes, not a crash
