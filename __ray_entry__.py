@@ -1,44 +1,199 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native extraction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray before importing this module; nothing here
+(or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``   — flagship smoke: wrap sf0.001 ``documents`` rows into
+  deterministic HTML pages, run parse → fused field extraction, return
+  the result Dataset.
+* ``queries()`` — one entry per implemented operator family
+  (SURVEY.md §2 + the training-data ops).
+* ``oracle_sql()`` — DuckDB equivalents for the SQL-expressible subset;
+  column names match the Ray outputs exactly.  Non-SQL-expressible ops
+  (regex priority-list extraction, LSH dedup, IVF search, multimodal
+  stubs, the flagship HTML pipeline) are pytest-verified instead
+  (tests/test_core_oracle.py, tests/test_pipeline_e2e.py, …).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import html as html_mod
+
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.pipelines import final_extract, PipelineConfig
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            urls.append(f"https://docs.example/{doc_id:08d}")
+            payloads.append(
+                (
+                    "<!DOCTYPE html><html><head><title>d</title></head><body>"
+                    "<nav><a href='/'>home</a></nav>"
+                    f"<article><p>{html_mod.escape(text or '')}</p></article>"
+                    "<footer><p>footer</p></footer></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table({"url": pa.array(urls), "html": pa.array(payloads, pa.binary())})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    cfg = PipelineConfig(
+        parse_concurrency=(1, 4),
+        # user-defined dynamic fields matched to this corpus so the
+        # non-empty final filter keeps rows (the EPL contract drops
+        # documents where every extracted cell is empty)
+        field_to_patterns={
+            "first_kw": [r"\b(spark|query|data|merge|join|filter)\b"],
+            "has_window": [r"\bwindow\b"],
+        },
+    )
+    return final_extract(pages, cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_system_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "doc_stats_by_lang": q.q_doc_stats_by_lang,
+        "docs_en_long": q.q_docs_en_long,
+        "top_sources": q.q_top_sources,
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "customer_order_totals": q.q_customer_order_totals,
+        "events_hourly": q.q_events_hourly,
+        "distinct_langs": q.q_distinct_langs,
+        "orders_top100": q.q_orders_top100,
+        # text analysis
+        "token_counts": q.q_token_counts,
+        "char_classes": q.q_char_classes,
+        "quality_scores": q.q_quality_scores,
+        "lang_id": q.q_lang_id,
+        "content_md5": q.q_content_md5,
+        "winnow_fingerprints": q.q_winnow_fingerprints,
+        # dedup family
+        "exact_dedup": q.q_exact_dedup,
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash_pairs": q.q_simhash_pairs,
+        "embedding_dup_pairs": q.q_embedding_dup_pairs,
+        # similarity search
+        "knn_bruteforce": q.q_knn_bruteforce,
+        "knn_ivf": q.q_knn_ivf,
+        # extraction + flagship
+        "extract_fields_docs": q.q_extract_fields_docs,
+        "final_extract_pages": q.q_final_extract_pages,
+        "parse_pages_stats": q.q_parse_pages_stats,
+        # multimodal plumbing
+        "media_decode": q.q_media_decode,
+        "media_features": q.q_media_features,
+        "frame_sample": q.q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats_by_lang": """
+            SELECT lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   COUNT(*)     AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "docs_en_long": """
+            SELECT doc_id, source, n_chars
+            FROM documents WHERE lang = 'en' AND n_chars >= 400
+        """,
+        "top_sources": """
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+            ORDER BY total_chars DESC, source LIMIT 10
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_order_totals": """
+            SELECT o.o_custkey AS c_custkey,
+                   c.c_name    AS c_name,
+                   COUNT(*)    AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY total_cents DESC, c_custkey LIMIT 20
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hour,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "distinct_langs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "orders_top100": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+            FROM orders
+            ORDER BY price_cents DESC, o_orderkey LIMIT 100
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "char_classes": """
+            SELECT doc_id,
+                   length(text) AS n_chars_total,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))   AS n_alpha,
+                   length(regexp_replace(text, '[^0-9]', '', 'g'))      AS n_digit,
+                   length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_space
+            FROM documents
+        """,
+        "content_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS content_md5,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*)    AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qvec) AS cosine
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+        """,
+    }

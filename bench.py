@@ -1,0 +1,208 @@
+"""Benchmark runner — prints ONE JSON line for the driver.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+``--scaling``: runs the headline flagship pipeline twice in FRESH
+processes (num_cpus=8, then 32) over the same synthetic pages input and
+prints both throughputs + scaling efficiency (the sandbox substitute for
+the N vs 4N cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Pages corpus sized for ≥ tens of seconds of parse work at 32 cpus.
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "60000"))
+PAGES_DIR = os.environ.get("GRAFT_PAGES_DIR", f"/tmp/osr_bench_pages_{BENCH_DOCS}")
+
+
+def ensure_pages() -> str:
+    from ocr_system_ray.sources.pages import write_pages_dataset
+
+    marker = Path(PAGES_DIR) / "_complete"
+    if not marker.exists():
+        write_pages_dataset(PAGES_DIR, BENCH_DOCS, shard_rows=4000)
+        marker.write_text("ok")
+    return PAGES_DIR
+
+
+def run_flagship() -> tuple[float, int]:
+    """Headline: pages → parse → fused extract → consume. Returns (sec, docs)."""
+    from ocr_system_ray.pipelines import final_extract, PipelineConfig
+
+    pages = ensure_pages()
+    cfg = PipelineConfig(
+        parse_concurrency=(2, NUM_CPUS),
+        parse_batch_size=128,
+        field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]},
+    )
+    t0 = time.monotonic()
+    n = final_extract(pages, cfg).count()
+    return time.monotonic() - t0, n
+
+
+def run_query_suite() -> dict[str, float]:
+    """Secondary pipelines over the driver testdata at SF_DIR."""
+    from ocr_system_ray.pipelines import queries as q
+
+    timings: dict[str, float] = {}
+    suite = {
+        "lineitem_pricing": q.q_lineitem_pricing,
+        "events_hourly": q.q_events_hourly,
+        "exact_dedup": q.q_exact_dedup,
+        "token_counts": q.q_token_counts,
+        "minhash_pairs": q.q_minhash_pairs,
+        "knn_bruteforce": q.q_knn_bruteforce,
+    }
+    import pandas as pd
+
+    for name, fn in suite.items():
+        t0 = time.monotonic()
+        out = fn(SF_DIR)
+        if not isinstance(out, pd.DataFrame):
+            out.count()  # consume the stream
+        timings[name] = round(time.monotonic() - t0, 3)
+    return timings
+
+
+def bench_once() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ensure_pages()
+
+    flagship_sec, docs = run_flagship()
+    queries = run_query_suite()
+
+    print(
+        json.dumps(
+            {
+                "metric": "flagship main-content extraction wall time",
+                "value": round(flagship_sec, 3),
+                "unit": "sec",
+                "queries": {"flagship_extract": round(flagship_sec, 3), **queries},
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "bench_docs": BENCH_DOCS,
+                "docs_per_sec": round(BENCH_DOCS / flagship_sec, 1) if flagship_sec else None,
+                "rows_out": docs,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs over the same input."""
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_PAGES_DIR=PAGES_DIR,
+            GRAFT_BENCH_DOCS=str(BENCH_DOCS),
+            GRAFT_SCALING_CHILD="1",
+        )
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--flagship-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    tp_lo = lo["docs_per_sec"]
+    tp_hi = hi["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (docs/sec, 8 vs 32 cpus, fresh processes)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "docs_per_sec_8": tp_lo,
+                "docs_per_sec_32": tp_hi,
+                "bench_docs": BENCH_DOCS,
+                "threshold": 0.8,
+                "pass": eff >= 0.8,
+            }
+        )
+    )
+
+
+def flagship_only() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+    ensure_pages()
+    sec, docs = run_flagship()
+    print(
+        json.dumps(
+            {
+                "metric": "flagship",
+                "value": round(sec, 3),
+                "unit": "sec",
+                "num_cpus": NUM_CPUS,
+                "docs_per_sec": round(BENCH_DOCS / sec, 1),
+                "rows_out": docs,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--flagship-only" in sys.argv:
+        flagship_only()
+    else:
+        bench_once()

@@ -1,0 +1,5 @@
+"""Training-data-pipeline operators: text analysis, dedup, similarity, multimodal."""
+
+from . import textstats, dedup, similarity, multimodal
+
+__all__ = ["textstats", "dedup", "similarity", "multimodal"]

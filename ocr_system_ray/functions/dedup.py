@@ -1,0 +1,402 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (the part that matters at 100 TB):
+
+* **exact**      — content hash per batch (cheap, vectorized-ish) → ONE
+  small shuffle: ``groupby(content_md5).aggregate(Min(doc_id), Count())``.
+  Pre-hashing means the shuffle moves 48-byte keys, not documents.
+* **MinHash-LSH** — per-batch: shingle → minhash signature (numpy,
+  vectorized over permutations) → explode to ``(band, band_hash, doc_id)``
+  rows; ONE ``groupby(band_key)``; per-group candidate pairs; verify by
+  signature-estimated Jaccard.  Documents never shuffle — only signatures.
+* **SimHash**    — 64-bit signature per doc; 4×16-bit band blocking →
+  same explode+groupby shape; verify by Hamming distance.
+* **n-gram Jaccard** — exact verify pass for LSH candidates (small side),
+  not a corpus-wide O(n²).
+* **embedding near-dup** — seeded random-hyperplane LSH buckets → exact
+  cosine within bucket.
+
+All randomness is a seeded ``np.random.default_rng`` constructed in
+actor/closure init — deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .textstats import fingerprint_batch
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, key_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """One surviving id per distinct content: (content_md5, doc_id=min, n_dups).
+
+    The survivors dataset can be semi-joined back to fetch full rows; at
+    scale the groupby moves only (hash, id) pairs.
+    """
+    hashed = ds.map_batches(
+        lambda t: fingerprint_batch(t, key_col).select(["content_md5", id_col]),
+        batch_format="pyarrow",
+    )
+    agg = hashed.groupby("content_md5").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash
+# ---------------------------------------------------------------------------
+
+
+def _word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique crc32 hashes of word k-shingles (lowercased)."""
+    words = (text or "").lower().split()
+    if len(words) < k:
+        joined = " ".join(words)
+        return (
+            np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
+            if joined
+            else np.array([], dtype=np.uint64)
+        )
+    hs = {
+        zlib.crc32(" ".join(words[i : i + k]).encode("utf-8"))
+        for i in range(len(words) - k + 1)
+    }
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """num_perms universal-hash permutations; vectorized signature per doc."""
+
+    def __init__(self, num_perms: int = 64, seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perms, dtype=np.uint64)
+        self.num_perms = num_perms
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perms, int(_MERSENNE), dtype=np.uint64)
+        # (perms × shingles) universal hash, min over shingles
+        with np.errstate(over="ignore"):
+            prod = self.a[:, None] * shingle_hashes[None, :] + self.b[:, None]
+        return (prod % _MERSENNE).min(axis=1)
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+
+class MinHashStage:
+    """Actor-pool stage: text → minhash signature (list<uint64>)."""
+
+    def __init__(self, num_perms: int = 64, seed: int = 42, shingle_k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.hasher = MinHasher(num_perms, seed)
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [
+            self.hasher.signature(_word_shingles(t or "", self.k)).tolist()
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+            }
+        )
+
+
+def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str) -> pa.Table:
+    """(id, minhash) → (band_key, id, minhash) one row per band."""
+    ids, keys, sigs = [], [], []
+    for row_id, sig in zip(batch.column(id_col).to_pylist(), batch.column("minhash").to_pylist()):
+        arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(bands):
+            chunk = arr[b * rows_per_band : (b + 1) * rows_per_band]
+            h = zlib.crc32(chunk.tobytes(), b)  # band index salts the hash
+            ids.append(row_id)
+            keys.append((b << 32) | h)
+            sigs.append(sig)
+    return pa.table(
+        {
+            "band_key": pa.array(keys, pa.int64()),
+            id_col: pa.array(ids),
+            "minhash": pa.array(sigs, pa.list_(pa.uint64())),
+        }
+    )
+
+
+def minhash_duplicate_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perms: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Candidate-and-verify near-dup pairs: (id_a, id_b, est_jaccard).
+
+    id_a < id_b, deduplicated across bands via per-pair min-band emission.
+    """
+    rows_per_band = num_perms // bands
+    sigs = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={
+            "num_perms": num_perms, "seed": seed, "text_col": text_col, "id_col": id_col
+        },
+    )
+    exploded = sigs.map_batches(
+        lambda t: _explode_bands(t, bands, rows_per_band, id_col),
+        batch_format="pyarrow",
+    )
+
+    def pairs_in_band(group) -> "pa.Table":  # pandas DataFrame in
+        import pandas as pd
+
+        out = {"id_a": [], "id_b": [], "est_jaccard": []}
+        if len(group) > 1:
+            ids = group[id_col].tolist()
+            sigs_ = [np.asarray(s, dtype=np.uint64) for s in group["minhash"]]
+            band = int(group["band_key"].iloc[0]) >> 32
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    est = MinHasher.estimate_jaccard(sigs_[i], sigs_[j])
+                    if est >= threshold:
+                        a, b = sorted((ids[i], ids[j]))
+                        # emit from ONE band only (the first band where the
+                        # pair collides) so cross-band duplicates vanish
+                        # without a second distinct() shuffle
+                        first = _first_colliding_band(sigs_[i], sigs_[j], bands, rows_per_band)
+                        if first == band:
+                            out["id_a"].append(a)
+                            out["id_b"].append(b)
+                            out["est_jaccard"].append(est)
+        return pd.DataFrame(out)
+
+    return exploded.groupby("band_key").map_groups(pairs_in_band, batch_format="pandas")
+
+
+def _first_colliding_band(sig_a: np.ndarray, sig_b: np.ndarray, bands: int, r: int) -> int:
+    for b in range(bands):
+        if np.array_equal(sig_a[b * r : (b + 1) * r], sig_b[b * r : (b + 1) * r]):
+            return b
+    return -1
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHashStage:
+    """text → 64-bit simhash over word unigrams (crc32-doubled hashing)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        words = (text or "").lower().split()
+        if not words:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for w in words:
+            b = w.encode("utf-8")
+            h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            acc += np.where(bits > 0, 1, -1)
+        out = np.packbits((acc > 0).astype(np.uint8))
+        return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash64(t or "") for t in batch.column(self.text_col).to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(np.array(hs, dtype=np.uint64)),
+            }
+        )
+
+
+def simhash_signatures(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        SimHashStage,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+    )
+
+
+def simhash_duplicate_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Near-dup pairs by simhash Hamming distance ≤ k, via 4×16-bit band
+    blocking (any pair within distance 3 shares ≥1 exact 16-bit band)."""
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, keys, hs = [], [], []
+        for i, h in zip(t.column(id_col).to_pylist(), t.column("simhash").to_pylist()):
+            for b in range(4):
+                ids.append(i)
+                keys.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
+                hs.append(h)
+        return pa.table(
+            {"band_key": pa.array(keys, pa.int64()), id_col: pa.array(ids),
+             "simhash": pa.array(np.array(hs, dtype=np.uint64))}
+        )
+
+    def pairs(group):  # pandas in
+        import pandas as pd
+
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        if len(group) > 1:
+            ids = group[id_col].tolist()
+            hs = group["simhash"].tolist()
+            band = int(group["band_key"].iloc[0]) >> 16
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = int(int(hs[i]) ^ int(hs[j])).bit_count()
+                    if d <= max_hamming:
+                        # emit from the FIRST shared band only (dedup trick)
+                        first = next(
+                            b for b in range(4)
+                            if ((int(hs[i]) >> (16 * b)) & 0xFFFF) == ((int(hs[j]) >> (16 * b)) & 0xFFFF)
+                        )
+                        if first == band:
+                            a, b2 = sorted((ids[i], ids[j]))
+                            out["id_a"].append(a)
+                            out["id_b"].append(b2)
+                            out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    return sigs.map_batches(explode, batch_format="pyarrow").groupby("band_key").map_groups(
+        pairs, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verify pass)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    a = set(_word_shingles(text_a, k).tolist())
+    b = set(_word_shingles(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+class JaccardVerifyStage:
+    """(id_a, id_b) candidate pairs + broadcast id→text map → exact Jaccard.
+
+    The text lookup side is broadcast via ``ray.put`` (read once per actor
+    in ``__init__``) — the small-side-broadcast join pattern; candidates
+    are the small stream, texts the shared reference.
+    """
+
+    def __init__(self, texts_ref, k: int = 3) -> None:  # noqa: ANN001
+        import ray as _ray
+
+        self._texts: dict = _ray.get(texts_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ja = [
+            ngram_jaccard(self._texts.get(a, ""), self._texts.get(b, ""), self.k)
+            for a, b in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist())
+        ]
+        return batch.append_column("jaccard", pa.array(ja, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+
+def embedding_duplicate_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """Pairs with cosine ≥ threshold via random-hyperplane bucket + exact
+    verify within bucket.  NOTE: single-probe LSH — pairs straddling a
+    hyperplane can be missed; raise num_planes/probes for recall, or use
+    ``similarity.brute_force_topk`` for exact search."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float32)
+        if vecs.size == 0:
+            return pa.table({ "bucket": pa.array([], pa.int64()), id_col: t.column(id_col),
+                              vec_col: t.column(vec_col)})
+        signs = (vecs @ planes) > 0
+        packed = np.packbits(signs, axis=1, bitorder="little")
+        padded = np.zeros((packed.shape[0], 8), dtype=np.uint8)
+        padded[:, : packed.shape[1]] = packed
+        keys = padded.view(np.int64)[:, 0]
+        return pa.table({"bucket": pa.array(keys), id_col: t.column(id_col), vec_col: t.column(vec_col)})
+
+    def verify(group):  # pandas in
+        import pandas as pd
+
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        if len(group) > 1:
+            ids = group[id_col].tolist()
+            v = np.asarray([np.asarray(x, dtype=np.float32) for x in group[vec_col]])
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vn = v / norms
+            cos = vn @ vn.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            for i, j in zip(ii, jj):
+                c = float(cos[i, j])
+                if c >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out["id_a"].append(a)
+                    out["id_b"].append(b)
+                    out["cosine"].append(c)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+        verify, batch_format="pandas"
+    )

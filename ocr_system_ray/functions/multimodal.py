@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real in this module: the Arrow schemas, actor-pool batch signatures,
+batch-size discipline for large payloads, and the output layouts — the
+parts that matter for a 100 TB pipeline.  STUBBED (clearly) in this
+sandbox: the actual codecs (no PIL/cv2/ffmpeg offline).  Each stub is
+deterministic so the plumbing is testable end-to-end; swap
+``_decode_impl`` for a real codec in production.
+
+Payload convention: ``payload: binary`` with a 16-byte fake header
+(magic ``4s``, width ``uint32``, height ``uint32``, n_frames ``uint32``)
+followed by raw bytes — produced by :func:`synthesize_media_table`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("source_url", pa.string()),
+    ]
+)
+
+_MAGIC = {"image": b"FIMG", "audio": b"FAUD", "video": b"FVID"}
+_HEADER = struct.Struct("<4sIII")
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media rows (payload sizes vary ×100 for skew)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        w, h, f = int(rng.integers(16, 512)), int(rng.integers(16, 512)), int(rng.integers(1, 60))
+        body = rng.integers(0, 256, size=int(rng.integers(256, 25600)), dtype=np.uint8).tobytes()
+        rows.append(
+            {
+                "media_id": i,
+                "media_type": kind,
+                "payload": _HEADER.pack(_MAGIC[kind], w, h, f) + body,
+                "source_url": f"https://media{i % 11}.example/{kind}/{i:06d}",
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaDecodeStage:
+    """Actor-pool decode stage: payload → typed metadata (+ optional error).
+
+    Production note: ``use_real_codecs=True`` raises NotImplementedError —
+    that is the seam where PIL/libav decoding plugs in.  Keep
+    ``batch_size`` SMALL (≤32) for this stage: payload bytes × batch ×
+    concurrency must fit the worker heap (SURVEY.md §4.3 memory rule).
+    """
+
+    def __init__(self, use_real_codecs: bool = False) -> None:
+        if use_real_codecs:
+            raise NotImplementedError(
+                "real image/audio/video codecs are not available in this "
+                "sandbox; install PIL/torchaudio/pyav and implement "
+                "_decode_impl for production"
+            )
+
+    @staticmethod
+    def _decode_impl(payload: bytes) -> dict:
+        if payload is None or len(payload) < _HEADER.size:
+            raise ValueError("payload too short for header")
+        magic, w, h, f = _HEADER.unpack(payload[: _HEADER.size])
+        kinds = {v: k for k, v in _MAGIC.items()}
+        if magic not in kinds:
+            raise ValueError(f"unknown magic {magic!r}")
+        return {
+            "decoded_type": kinds[magic],
+            "width": w,
+            "height": h,
+            "n_frames": f,
+            "body_bytes": len(payload) - _HEADER.size,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, errs = [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                metas.append(self._decode_impl(payload))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — error-as-data
+                metas.append({"decoded_type": "", "width": 0, "height": 0, "n_frames": 0, "body_bytes": 0})
+                errs.append(f"Error: {exc}")
+        out = batch.drop_columns(["payload"])  # heavy bytes die here
+        for key, typ in (
+            ("decoded_type", pa.string()), ("width", pa.int32()), ("height", pa.int32()),
+            ("n_frames", pa.int32()), ("body_bytes", pa.int64()),
+        ):
+            out = out.append_column(key, pa.array([m[key] for m in metas], typ))
+        return out.append_column("decode_error", pa.array(errs, pa.string()))
+
+
+class MediaFeatureStage:
+    """payload → fixed-dim feature vector (deterministic fake embedding).
+
+    The fake: blake2b(payload) → 32 bytes → 32-dim float in [-1, 1).
+    Real models replace ``_featurize``; the Ray plumbing (actor pool,
+    list<float> output column, small batches) is production-shaped.
+    """
+
+    DIM = 32
+
+    def _featurize(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.blake2b(payload or b"", digest_size=self.DIM).digest()
+        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._featurize(p).tolist() for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampleStage:
+    """video payload → every ``stride``-th "frame" record (1→N fan-out).
+
+    Demonstrates the flat-map shape for multimodal expansion: output rows
+    ≫ input rows, so downstream batch sizes must be re-budgeted.
+    Frame bytes are deterministic slices of the body (fake decode).
+    """
+
+    def __init__(self, stride: int = 10, max_frames: int = 8) -> None:
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frame_bytes = [], [], []
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video" or payload is None or len(payload) < _HEADER.size:
+                continue
+            _, w, h, n_frames = _HEADER.unpack(payload[: _HEADER.size])
+            body = payload[_HEADER.size :]
+            step = max(1, len(body) // max(1, n_frames))
+            for k, fi in enumerate(range(0, n_frames, self.stride)):
+                if k >= self.max_frames:
+                    break
+                ids.append(mid)
+                frame_idx.append(fi)
+                frame_bytes.append(body[fi * step : (fi + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(frame_idx, pa.int32()),
+                "frame": pa.array(frame_bytes, pa.binary()),
+            }
+        )

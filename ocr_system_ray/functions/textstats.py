@@ -1,0 +1,195 @@
+"""Text analysis stages: token counts, quality scores, language ID, fingerprints.
+
+All are stateless ``map_batches`` transforms over a ``text`` column.
+Hot-path rules: vectorized pyarrow kernels where they exist
+(`utf8_split_whitespace`, `binary_length`), compiled regexes + C-speed
+hashing (`zlib.crc32`, `hashlib`) where they don't.  No per-row Python
+in anything that scales with corpus size except the unavoidable
+regex/hash loops, which are O(bytes) like the kernels themselves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+# A BPE-ish pre-tokenizer: word pieces OR single non-space symbols (the
+# GPT-2-style contraction/word/number/symbol split, simplified to stdlib re).
+_BPEISH = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (whitespace tokens) and ``n_tokens_bpeish``.
+
+    Whitespace semantics = Python ``str.split()`` = DuckDB
+    ``CASE WHEN trim(text)='' THEN 0 ELSE length(regexp_split_to_array(trim(text),'\\s+')) END``
+    (the oracle formula used by ``__ray_entry__``).
+    """
+    texts = pc.fill_null(batch.column(text_col), "")
+    # utf8_split_whitespace emits empty edge pieces; count only non-empty
+    # pieces to match str.split().
+    pieces = pc.utf8_split_whitespace(texts)
+    ws_counts = pc.list_value_length(pieces)
+    flat = pc.list_flatten(pieces)
+    empty_mask = pc.equal(flat, "")
+    # per-row empty-piece counts via parent indices
+    parents = pc.list_parent_indices(pieces)
+    n = len(batch)
+    empties = np.zeros(n, dtype=np.int64)
+    if len(flat) > 0:
+        np.add.at(empties, parents.to_numpy(zero_copy_only=False), empty_mask.to_numpy(zero_copy_only=False).astype(np.int64))
+    n_tokens = ws_counts.to_numpy(zero_copy_only=False).astype(np.int64) - empties
+
+    bpeish = np.fromiter(
+        (len(_BPEISH.findall(t)) if t else 0 for t in texts.to_pylist()),
+        dtype=np.int64,
+        count=n,
+    )
+    return batch.append_column("n_tokens", pa.array(n_tokens)).append_column(
+        "n_tokens_bpeish", pa.array(bpeish)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append deterministic quality signals per document.
+
+    Columns (all float64, SQL-reproducible formulas — see oracle_sql):
+    ``alpha_ratio``  alpha chars / total chars (0 for empty)
+    ``digit_ratio``  digit chars / total chars
+    ``space_ratio``  whitespace chars / total chars
+    ``upper_ratio``  uppercase / alpha chars
+    ``mean_word_len`` total non-space chars / whitespace tokens
+    ``stopword_ratio`` stopword tokens / tokens (lowercased; NOT in oracle —
+                       checked by pytest instead)
+    """
+    out_cols: dict[str, list[float]] = {
+        k: [] for k in ("alpha_ratio", "digit_ratio", "space_ratio", "upper_ratio", "mean_word_len", "stopword_ratio")
+    }
+    for v in batch.column(text_col).to_pylist():
+        t = v or ""
+        n = len(t)
+        alpha = sum(c.isalpha() for c in t)
+        digit = sum(c.isdigit() for c in t)
+        space = sum(c.isspace() for c in t)
+        upper = sum(c.isupper() for c in t)
+        toks = t.split()
+        out_cols["alpha_ratio"].append(alpha / n if n else 0.0)
+        out_cols["digit_ratio"].append(digit / n if n else 0.0)
+        out_cols["space_ratio"].append(space / n if n else 0.0)
+        out_cols["upper_ratio"].append(upper / alpha if alpha else 0.0)
+        out_cols["mean_word_len"].append((n - space) / len(toks) if toks else 0.0)
+        out_cols["stopword_ratio"].append(
+            sum(w.lower() in _STOPWORDS for w in toks) / len(toks) if toks else 0.0
+        )
+    for k, v in out_cols.items():
+        batch = batch.append_column(k, pa.array(v, pa.float64()))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+# Tiny per-language trigram/stopword profiles — a deterministic heuristic in
+# the fastText spirit, scoped to the langs present in the synthetic corpora.
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that for with are".split()),
+    "de": frozenset("der die das und ist nicht mit ein für von".split()),
+    "fr": frozenset("le la les et de un une est pour dans".split()),
+    "es": frozenset("el la los de y que en un para es".split()),
+}
+# script ranges decide before stopwords do
+_SCRIPTS = (
+    ("si", re.compile(r"[඀-෿]")),  # Sinhala
+    ("ta", re.compile(r"[஀-௿]")),  # Tamil
+    ("zh", re.compile(r"[一-鿿]")),  # CJK
+    ("ja", re.compile(r"[぀-ヿ]")),  # kana
+    ("ko", re.compile(r"[가-힯]")),  # Hangul
+    ("ru", re.compile(r"[Ѐ-ӿ]")),  # Cyrillic
+)
+
+
+class LangIdStage:
+    """Actor-pool language-ID stage (profiles built once per actor)."""
+
+    def __init__(self) -> None:
+        self._markers = _LANG_MARKERS
+        self._scripts = _SCRIPTS
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        sample = text[:2000]
+        for lang, rgx in self._scripts:
+            if rgx.search(sample):
+                return lang
+        words = sample.lower().split()
+        if not words:
+            return "und"
+        best, best_hits = "und", 0
+        for lang, markers in self._markers.items():
+            hits = sum(w in markers for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t or "") for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``content_md5`` (exact identity; matches DuckDB ``md5(text)``)."""
+    digests = [
+        hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column(text_col).to_pylist()
+    ]
+    return batch.append_column("content_md5", pa.array(digests, pa.string()))
+
+
+def winnow_fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 8, window: int = 4
+) -> pa.Table:
+    """Append ``fingerprints``: winnowing (rolling k-gram hash, min per
+    window) — the standard document-fingerprint sketch (Schleimer et al.,
+    SIGMOD'03).  Deterministic; list<uint32> per doc, comparable by overlap.
+    """
+    out: list[list[int]] = []
+    for v in batch.column(text_col).to_pylist():
+        t = (v or "").lower()
+        if len(t) < k:
+            out.append([])
+            continue
+        hashes = [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
+        fps: list[int] = []
+        prev = -1
+        for w in range(max(1, len(hashes) - window + 1)):
+            m = min(hashes[w : w + window])
+            if m != prev:
+                fps.append(m)
+                prev = m
+        out.append(fps)
+    return batch.append_column("fingerprints", pa.array(out, pa.list_(pa.uint32())))

@@ -1,0 +1,484 @@
+"""Driver-facing query implementations (SURVEY.md §2 coverage).
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pandas DataFrame / pyarrow Table; ``__ray_entry__.queries()`` maps names
+to them, and ``__ray_entry__.oracle_sql()`` carries the DuckDB-equivalent
+SQL for the SQL-expressible ones.  Column names match the oracle SQL
+exactly (the driver hashes values under sorted column names).
+
+Numeric-parity rules used throughout (floats don't hash reliably):
+* money sums → integer cents via ``floor(x*100 + 0.5)`` — the identical
+  IEEE-754 op sequence in numpy and DuckDB;
+* aggregates are pre-aggregated per batch (combiner) before the global
+  ``groupby`` — the shuffle moves partial rows, not documents
+  (SURVEY.md "wide operations shuffle" rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..sources.readers import read_table
+from ..functions import textstats, dedup, similarity, multimodal
+from ..stages.fieldextract import FinalExtractStage, DocumentFieldsStage
+from ..pipelines.main_content import parse_pages, final_extract, PipelineConfig
+
+
+# ---------------------------------------------------------------------------
+# relational core (documents / lineitem / orders / customer / events)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Grouped aggregate with per-batch pre-aggregation (combiner)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return g.rename_columns(["lang", "p_sum", "p_cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("p_sum", alias_name="total_chars"), Sum("p_cnt", alias_name="n_docs")
+    )
+
+
+def q_docs_en_long(sf_dir: str) -> ray.data.Dataset:
+    """Filter + project, pruned at the read."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("lang"), "en"), pc.greater_equal(t.column("n_chars"), 400))
+        ).select(["doc_id", "source", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_sources(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate + global top-k (ties broken by source)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(
+        Sum("n_chars", alias_name="total_chars"), Count(alias_name="n_docs")
+    )
+    df = agg.to_pandas()  # small: one row per source
+    return (
+        df.sort_values(["total_chars", "source"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def q_lineitem_pricing(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-shaped: filter + pre-aggregate per batch + small groupby."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        price = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        tmp = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_cents", "p_cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_cents", alias_name="sum_price_cents"),
+        Sum("p_cnt", alias_name="count_order"),
+    )
+
+
+def q_customer_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Join via small-side broadcast: aggregate orders, then map customer
+    names from a ``ray.put`` dict inside the (tiny) final stage."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        tmp = pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = tmp.group_by("o_custkey").aggregate([("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["o_custkey", "p_cents", "p_cnt"])
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("p_cents", alias_name="total_cents"), Sum("p_cnt", alias_name="n_orders"))
+    )
+    df = agg.to_pandas()  # one row per customer — small
+
+    import pyarrow.parquet as pq
+    import os
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
+    df["c_name"] = df["o_custkey"].map(names)
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    return (
+        df.sort_values(["total_cents", "c_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)[["c_custkey", "c_name", "n_orders", "total_cents"]]
+    )
+
+
+def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-window aggregate: (event_type, hour) counts + value cents."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour").cast(pa.timestamp("us"))
+        value = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+        tmp = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": hour,
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = tmp.group_by(["event_type", "hour"]).aggregate([("cents", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "hour", "p_cents", "p_cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("p_cents", alias_name="value_cents"), Sum("p_cnt", alias_name="n_events"))
+    )
+    # Ray's aggregate emits the timestamp key at [s] resolution; restore the
+    # canonical timestamp[us] so schemas match the oracle exactly.
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("hour"),
+            "hour",
+            t.column("hour").cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_distinct_langs(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["lang"])
+    # distinct via groupby-count keeps it one shuffle and names the column
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q_orders_top100(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (top-k) with deterministic tie-break."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderstatus": t.column("o_orderstatus"),
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    top = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["price_cents", "o_orderkey"], descending=[True, False])
+        .limit(100)
+    )
+    return top.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textstats.token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_char_classes(sf_dir: str) -> ray.data.Dataset:
+    """Integer character-class counts (ASCII definitions shared with SQL)."""
+    import re
+
+    non_alpha = re.compile(r"[^A-Za-z]")
+    non_digit = re.compile(r"[^0-9]")
+    non_space = re.compile(r"[^ \t\n\r]")
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars_total": pa.array([len(x) for x in texts], pa.int64()),
+                "n_alpha": pa.array([len(non_alpha.sub("", x)) for x in texts], pa.int64()),
+                "n_digit": pa.array([len(non_digit.sub("", x)) for x in texts], pa.int64()),
+                "n_space": pa.array([len(non_space.sub("", x)) for x in texts], pa.int64()),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Full quality signals (floats + stopwords) — pytest-verified, no SQL."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textstats.quality_batch(t).drop_columns(["text"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_content_md5(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textstats.fingerprint_batch(t).select(["doc_id", "content_md5"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Winnowing sketch sizes per doc (list payload kept out of the compare)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        out = textstats.winnow_fingerprint_batch(t)
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_fingerprints": pc.list_value_length(out.column("fingerprints")).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup(ds)
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.minhash_duplicate_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_duplicate_pairs(ds, max_hamming=10)
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_duplicate_pairs(ds, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _load_query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    import os
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().set_index("vec_id").sort_index()
+    return np.asarray(df["embedding"].iloc[:n].tolist(), dtype=np.float64)
+
+
+def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
+    """Exact top-10 cosine per query (queries = vec_id 0..4), ranked."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.brute_force_topk(ds, _load_query_vectors(sf_dir), k=10).to_pandas()
+    out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate top-10 (nprobe=4 of 16 centroids) — rows-only check;
+    recall vs brute force asserted in pytest."""
+    import os
+    import pyarrow.parquet as pq
+
+    sample = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .column("embedding")
+        .to_pylist()[:2000]
+    )
+    codebook = similarity.fit_codebook(np.asarray(sample, dtype=np.float32), n_centroids=16)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.ivf_topk(ds, codebook, _load_query_vectors(sf_dir), k=10, nprobe=4).to_pandas()
+    out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# extraction over the documents corpus + the flagship pages pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_extract_fields_docs(sf_dir: str) -> ray.data.Dataset:
+    """Standard 3 fields over documents.text (legacy contract, no filter)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(t.column("doc_id"), pa.string()),
+                "extracted_text": t.column("text"),
+            }
+        )
+
+    stage = DocumentFieldsStage()
+    out = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        stage.__call__, batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("url"), pa.int64()),
+                "license_id": t.column("license_id"),
+                "date": t.column("date"),
+                "reference_id": t.column("reference_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_final_extract_pages(sf_dir: str) -> ray.data.Dataset:
+    """The flagship pipeline over a deterministic synthetic pages shard set
+    sized to the sf (rows-only driver check; byte-level checks in pytest)."""
+    import os
+    import tempfile
+
+    from ..sources.pages import write_pages_dataset
+
+    n = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}.get(os.path.basename(sf_dir.rstrip("/")), 500)
+    pages_dir = os.path.join(tempfile.gettempdir(), f"osr_pages_{n}")
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        write_pages_dataset(pages_dir, n, shard_rows=max(250, n // 8))
+    cfg = PipelineConfig(field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]})
+    return final_extract(pages_dir, cfg)
+
+
+def q_parse_pages_stats(sf_dir: str) -> ray.data.Dataset:
+    """Parse-only flagship stage: per-url page/span stats."""
+    import os
+    import tempfile
+
+    from ..sources.pages import write_pages_dataset
+
+    n = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}.get(os.path.basename(sf_dir.rstrip("/")), 500)
+    pages_dir = os.path.join(tempfile.gettempdir(), f"osr_pages_{n}")
+    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+        write_pages_dataset(pages_dir, n, shard_rows=max(250, n // 8))
+    parsed = parse_pages(pages_dir)
+    return parsed.map_batches(
+        lambda t: pa.table(
+            {
+                "url": t.column("url"),
+                "n_pages": t.column("n_pages"),
+                "n_blocks_kept": t.column("n_blocks_kept"),
+                "n_spans": pc.list_value_length(t.column("spans")).cast(pa.int64()),
+                "text_chars": pc.utf8_length(t.column("extracted_text")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def _media_ds(n: int = 600) -> ray.data.Dataset:
+    return ray.data.from_arrow(multimodal.synthesize_media_table(n))
+
+
+def q_media_decode(sf_dir: str) -> ray.data.Dataset:  # noqa: ARG001 — synthetic input
+    return _media_ds().map_batches(
+        multimodal.MediaDecodeStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+
+def q_media_features(sf_dir: str) -> ray.data.Dataset:  # noqa: ARG001
+    out = _media_ds().map_batches(
+        multimodal.MediaFeatureStage, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t.column("feature").to_pylist()
+        sums = [round(float(np.sum(np.asarray(f, dtype=np.float64))), 4) for f in feats]
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "dim": pc.list_value_length(t.column("feature")).cast(pa.int64()),
+                "checksum": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_frame_sample(sf_dir: str) -> ray.data.Dataset:  # noqa: ARG001
+    out = _media_ds().map_batches(
+        multimodal.FrameSampleStage, batch_format="pyarrow", batch_size=16, concurrency=(1, 4)
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame_index": t.column("frame_index"),
+                "frame_bytes": pc.binary_length(t.column("frame")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,96 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given sf, converts to pandas, and for
+entries with an ``oracle_sql()`` compares row count, column-name set, and
+order-insensitive values against DuckDB.  Usage:
+
+    python tools/driver_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def to_pandas(obj):  # noqa: ANN001
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def canon(df):  # noqa: ANN001 — sort columns by name, rows by all values
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    import duckdb
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        try:
+            ours = canon(to_pandas(fn(sf_dir)))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: query raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"ok    {name}: rows={len(ours)} cols={list(ours.columns)} ({dt:.1f}s, rows-only)")
+            continue
+        want = canon(con.sql(oracles[name]).df())
+        if list(ours.columns) != list(want.columns):
+            print(f"FAIL  {name}: columns {list(ours.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(ours) != len(want):
+            print(f"FAIL  {name}: rows {len(ours)} != {len(want)}")
+            failures += 1
+            continue
+        if not ours.equals(want):
+            neq = (ours != want).any(axis=1)
+            print(f"FAIL  {name}: {int(neq.sum())}/{len(ours)} rows differ; first:")
+            print(ours[neq].head(3))
+            print(want[neq].head(3))
+            failures += 1
+            continue
+        print(f"OK    {name}: rows={len(ours)} ({dt:.1f}s, oracle match)")
+
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
