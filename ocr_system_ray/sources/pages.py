@@ -132,11 +132,15 @@ def _payload_phrases(rng: random.Random, i: int) -> list[str]:
     return phrases or [_prose(rng, 10)]
 
 
-def _article_paragraphs(rng: random.Random, i: int) -> list[str]:
+def _article_paragraphs(rng: random.Random, i: int, richness: int = 1) -> list[str]:
+    """``richness`` scales the boilerplate-free body size (1 ≈ 1.7 KB html,
+    16 ≈ 25 KB — the realistic Common-Crawl page weight used by bench)."""
     paras = []
     for phrase in _payload_phrases(rng, i):
         paras.append(f"{_prose(rng, rng.randint(4, 10))} {phrase} {_prose(rng, rng.randint(4, 10))}")
     paras.append(_prose(rng, rng.randint(8, 20)))
+    for _ in range((richness - 1) * 4):
+        paras.append(_prose(rng, rng.randint(30, 80)))
     return paras
 
 
@@ -153,13 +157,19 @@ def _render_article(title: str, paras: list[str]) -> tuple[str, str]:
     return frag, truth
 
 
-def synthesize_page(i: int, seed: int = 42, skew_every: int = 500, skew_factor: int = 200) -> dict:
+def synthesize_page(
+    i: int,
+    seed: int = 42,
+    skew_every: int = 500,
+    skew_factor: int = 200,
+    richness: int = 1,
+) -> dict:
     """Generate row ``i`` of the pages table (pure function of (seed, i))."""
     rng = random.Random((seed << 32) | i)
     cat = _CATEGORIES[i % len(_CATEGORIES)]
     url = f"https://site{i % 97}.example/{cat}/{i:08d}"
 
-    paras = _article_paragraphs(rng, i)
+    paras = _article_paragraphs(rng, i, richness)
     if skew_every and i % skew_every == 0:
         paras = paras * skew_factor
 
@@ -167,7 +177,7 @@ def synthesize_page(i: int, seed: int = 42, skew_every: int = 500, skew_factor: 
     articles = [_render_article(title, paras)]
     if i % 20 == 7:  # second "page"
         rng2 = random.Random((seed << 32) | i | (1 << 62))
-        paras2 = _article_paragraphs(rng2, i + 11)
+        paras2 = _article_paragraphs(rng2, i + 11, richness)
         articles.append(_render_article(f"Annex {i:08d}", paras2))
 
     nav_links = "".join(
@@ -202,9 +212,17 @@ def synthesize_page(i: int, seed: int = 42, skew_every: int = 500, skew_factor: 
 
 
 def synthesize_pages_table(
-    start: int, count: int, seed: int = 42, skew_every: int = 500, skew_factor: int = 200
+    start: int,
+    count: int,
+    seed: int = 42,
+    skew_every: int = 500,
+    skew_factor: int = 200,
+    richness: int = 1,
 ) -> pa.Table:
-    rows = [synthesize_page(i, seed, skew_every, skew_factor) for i in range(start, start + count)]
+    rows = [
+        synthesize_page(i, seed, skew_every, skew_factor, richness)
+        for i in range(start, start + count)
+    ]
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
@@ -215,6 +233,7 @@ def write_pages_dataset(
     shard_rows: int = 2000,
     skew_every: int = 500,
     skew_factor: int = 200,
+    richness: int = 1,
 ) -> list[str]:
     """Write ``part-{k:05d}.parquet`` shards; returns the file list.
 
@@ -231,7 +250,7 @@ def write_pages_dataset(
         n = min(shard_rows, num_docs - start)
         path = os.path.join(out_dir, f"part-{k:05d}.parquet")
         pq.write_table(
-            synthesize_pages_table(start, n, seed, skew_every, skew_factor),
+            synthesize_pages_table(start, n, seed, skew_every, skew_factor, richness),
             path,
             compression="zstd",
         )

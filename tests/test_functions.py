@@ -1,0 +1,250 @@
+"""Unit + small-Ray tests for the training-data operator library."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions import textstats, dedup, similarity, multimodal
+
+DOCS = pa.table(
+    {
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+            "the quick brown fox jumps over a lazy dog today",  # near dup
+            "completely different words about ray data engines and arrow",
+            "",
+            "   ",
+            "UPPER case 123 text with 9 digits!",
+            None,
+        ],
+    }
+)
+
+
+# -- textstats --------------------------------------------------------------
+
+
+def test_token_counts_match_python_split():
+    out = textstats.token_count_batch(DOCS)
+    want = [len((t or "").split()) for t in DOCS.column("text").to_pylist()]
+    assert out.column("n_tokens").to_pylist() == want
+
+
+def test_quality_ranges():
+    out = textstats.quality_batch(DOCS)
+    for col in ("alpha_ratio", "digit_ratio", "space_ratio", "upper_ratio", "stopword_ratio"):
+        vals = out.column(col).to_pylist()
+        assert all(0.0 <= v <= 1.0 for v in vals), col
+
+
+def test_langid_deterministic_and_scripted():
+    stage = textstats.LangIdStage()
+    assert stage.classify("the cat and the hat is on the mat") == "en"
+    assert stage.classify("der hund und die katze ist nicht da") == "de"
+    assert stage.classify("මෙය සිංහල වාක්‍යයකි") == "si"
+    assert stage.classify("இது ஒரு தமிழ் வாக்கியம்") == "ta"
+    assert stage.classify("") == "und"
+
+
+def test_winnow_fingerprints_deterministic_and_overlapping():
+    out1 = textstats.winnow_fingerprint_batch(DOCS).column("fingerprints").to_pylist()
+    out2 = textstats.winnow_fingerprint_batch(DOCS).column("fingerprints").to_pylist()
+    assert out1 == out2
+    # exact dup docs share the full sketch; near dup shares most of it
+    assert out1[0] == out1[1]
+    shared = len(set(out1[0]) & set(out1[2])) / max(1, len(set(out1[0]) | set(out1[2])))
+    assert shared > 0.4
+
+
+def test_content_md5_matches_hashlib():
+    import hashlib
+
+    out = textstats.fingerprint_batch(DOCS).column("content_md5").to_pylist()
+    assert out[0] == hashlib.md5(DOCS.column("text")[0].as_py().encode()).hexdigest()
+    assert out[0] == out[1] != out[2]
+
+
+# -- minhash / simhash ------------------------------------------------------
+
+
+def test_minhash_signature_properties():
+    h = dedup.MinHasher(num_perms=64, seed=42)
+    s0 = h.signature(dedup._word_shingles(DOCS.column("text")[0].as_py()))
+    s1 = h.signature(dedup._word_shingles(DOCS.column("text")[1].as_py()))
+    s2 = h.signature(dedup._word_shingles(DOCS.column("text")[2].as_py()))
+    s3 = h.signature(dedup._word_shingles(DOCS.column("text")[3].as_py()))
+    assert np.array_equal(s0, s1)  # identical docs → identical signatures
+    assert dedup.MinHasher.estimate_jaccard(s0, s2) > 0.3  # near dup
+    assert dedup.MinHasher.estimate_jaccard(s0, s3) < 0.2  # unrelated
+
+
+def test_simhash_hamming_ordering():
+    f = dedup.SimHashStage.simhash64
+    a = f(DOCS.column("text")[0].as_py())
+    b = f(DOCS.column("text")[2].as_py())
+    c = f(DOCS.column("text")[3].as_py())
+    near = (a ^ b).bit_count()
+    far = (a ^ c).bit_count()
+    assert near < far
+    assert f("") == 0
+
+
+def test_ngram_jaccard_bounds():
+    t0 = DOCS.column("text")[0].as_py()
+    t2 = DOCS.column("text")[2].as_py()
+    assert dedup.ngram_jaccard(t0, t0) == 1.0
+    assert 0.0 < dedup.ngram_jaccard(t0, t2) < 1.0
+    assert dedup.ngram_jaccard("", "") == 1.0
+    assert dedup.ngram_jaccard(t0, "") == 0.0
+
+
+# -- Ray-backed dedup + similarity -----------------------------------------
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(DOCS)
+
+
+def test_exact_dedup_groups(docs_ds):
+    out = dedup.exact_dedup(docs_ds).to_pandas()
+    # 8 docs → 6 groups: {0,1} text dup, {4,7} ("" and None both hash as ""),
+    # singletons 2, 3, 5, 6
+    assert len(out) == 6
+    dup_rows = out[out["n_dups"] == 2].sort_values("doc_id")
+    assert dup_rows["doc_id"].tolist() == [0, 4]
+
+
+def test_minhash_pairs_find_the_dups(docs_ds):
+    pairs = dedup.minhash_duplicate_pairs(docs_ds, threshold=0.5).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in got  # the exact dup pair must be found
+    assert all(a < b for a, b in got)
+    # deterministic across runs
+    pairs2 = dedup.minhash_duplicate_pairs(docs_ds, threshold=0.5).to_pandas()
+    assert sorted(map(tuple, pairs[["id_a", "id_b"]].values.tolist())) == sorted(
+        map(tuple, pairs2[["id_a", "id_b"]].values.tolist())
+    )
+
+
+def test_simhash_pairs_find_the_dups(docs_ds):
+    pairs = dedup.simhash_duplicate_pairs(docs_ds, max_hamming=3).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in got
+
+
+def _embedding_table(n=50, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    vecs[1] = vecs[0]  # exact dup
+    vecs[2] = vecs[0] + rng.standard_normal(dim).astype(np.float32) * 0.01  # near dup
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_embedding_table())
+    pairs = dedup.embedding_duplicate_pairs(ds, threshold=0.99, dim=16).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in got and (0, 2) in got
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data
+
+    table = _embedding_table()
+    ds = ray.data.from_arrow(table)
+    queries = np.asarray(table.column("embedding").to_pylist()[:2], dtype=np.float64)
+    out = similarity.brute_force_topk(ds, queries, k=5).to_pandas()
+    # oracle: numpy over the whole table
+    vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    for qi in range(2):
+        order = np.lexsort((np.arange(len(vecs)), -sims[:, qi]))[:5]
+        got = (
+            out[out["query_id"] == qi]
+            .sort_values(["cosine", "vec_id"], ascending=[False, True])["vec_id"]
+            .tolist()
+        )
+        assert got == order.tolist()
+    # self-similarity first: query 0 == vec 0 (and its exact dup vec 1)
+    top0 = out[out["query_id"] == 0].sort_values("cosine", ascending=False)["vec_id"].tolist()
+    assert set(top0[:2]) == {0, 1}
+
+
+def test_ivf_recall(ray_session):
+    import ray.data
+
+    table = _embedding_table(n=200)
+    ds = ray.data.from_arrow(table)
+    sample = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    codebook = similarity.fit_codebook(sample, n_centroids=8)
+    queries = np.asarray(table.column("embedding").to_pylist()[:3], dtype=np.float64)
+    exact = similarity.brute_force_topk(ds, queries, k=10).to_pandas()
+    approx = similarity.ivf_topk(ds, codebook, queries, k=10, nprobe=4).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5  # recall@10 with half the centroids probed
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+
+def test_media_decode_roundtrip():
+    table = multimodal.synthesize_media_table(30)
+    out = multimodal.MediaDecodeStage()(table)
+    assert out.num_rows == 30
+    assert "payload" not in out.column_names  # heavy bytes dropped
+    assert out.column("decoded_type").to_pylist() == table.column("media_type").to_pylist()
+    assert all(e is None for e in out.column("decode_error").to_pylist())
+
+
+def test_media_decode_error_contract():
+    bad = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media_type": ["image", "image"],
+            "payload": [b"xx", None],
+            "source_url": ["u", "u"],
+        }
+    )
+    out = multimodal.MediaDecodeStage()(bad)
+    assert out.num_rows == 2
+    assert all(e and e.startswith("Error: ") for e in out.column("decode_error").to_pylist())
+
+
+def test_real_codecs_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaDecodeStage(use_real_codecs=True)
+
+
+def test_frame_sample_fanout():
+    table = multimodal.synthesize_media_table(30)
+    out = multimodal.FrameSampleStage(stride=5, max_frames=4)(table)
+    assert set(out.column_names) == {"media_id", "frame_index", "frame"}
+    videos = {r["media_id"] for r in out.to_pylist()}
+    kinds = dict(zip(table.column("media_id").to_pylist(), table.column("media_type").to_pylist()))
+    assert all(kinds[m] == "video" for m in videos)
+
+
+def test_feature_stage_deterministic():
+    table = multimodal.synthesize_media_table(10)
+    f1 = multimodal.MediaFeatureStage()(table).column("feature").to_pylist()
+    f2 = multimodal.MediaFeatureStage()(table).column("feature").to_pylist()
+    assert f1 == f2
+    assert all(len(f) == 32 for f in f1)

@@ -1,0 +1,145 @@
+"""Golden-corpus tests for the HTML main-content extractor.
+
+Hand-written adversarial HTML with inline expected outputs — independent
+of the synthetic generator, so extractor regressions can't hide behind
+generator changes.  Every expectation is exact (byte-identical text).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_system_ray.html import MainContentExtractor, PAGE_JOIN_LEGACY
+from ocr_system_ray.html.blocks import BlockParser, decode_html_bytes
+
+EX = MainContentExtractor()
+
+
+def test_basic_article_with_chrome():
+    html = """
+    <html><head><title>T</title><script>var x = '<p>not text</p>';</script></head>
+    <body>
+      <header><h1>Site</h1><p>slogan words here for the masthead</p></header>
+      <nav><a href="/a">a</a> <a href="/b">b</a></nav>
+      <article>
+        <h2>Headline</h2>
+        <p>First paragraph of the body text.</p>
+        <p>Second paragraph with <b>bold</b> and <i>italics</i> inline.</p>
+      </article>
+      <aside><p>subscribe to our newsletter today please and thanks</p></aside>
+      <footer><p>copyright</p></footer>
+    </body></html>
+    """
+    out = EX.extract_str(html)
+    assert out.text == (
+        "Headline\nFirst paragraph of the body text.\n"
+        "Second paragraph with bold and italics inline."
+    )
+    assert out.n_pages == 1
+    assert out.error is None
+
+
+def test_entities_and_charrefs_decode_with_spans():
+    html = '<article><p>Fish &amp; chips &#8212; caf&eacute; &#x2603;</p></article>'
+    out = EX.extract_str(html)
+    assert out.text == "Fish & chips — café ☃"
+    # spans point into the RAW string and cover the entity sources
+    joined = "".join(html[s:e] for s, e in out.spans)
+    assert "&amp;" in joined and "&#8212;" in joined and "&eacute;" in joined
+
+
+def test_two_articles_are_pages_epl_and_legacy():
+    html = "<article><p>page one body</p></article><article><p>page two body</p></article>"
+    epl = EX.extract_str(html)
+    assert epl.text == "page one body\n\n--- PAGE BREAK ---\n\npage two body"
+    assert epl.n_pages == 2
+    legacy = MainContentExtractor(page_join=PAGE_JOIN_LEGACY).extract_str(html)
+    assert legacy.text == "page one body\npage two body"
+
+
+def test_no_article_long_text_heuristic():
+    html = """
+    <body>
+      <div>short nav-ish line</div>
+      <div>This standalone paragraph has more than eight words so it is kept as body text.</div>
+      <div><a href="x">link</a> <a href="y">heavy</a> <a href="z">menu row that is long too but links</a></div>
+    </body>
+    """
+    out = EX.extract_str(html)
+    assert out.text == (
+        "This standalone paragraph has more than eight words so it is kept as body text."
+    )
+
+
+def test_link_density_filter_in_article():
+    html = """
+    <article>
+      <p>Real sentence with enough words to be obvious body text.</p>
+      <p><a href="1">one</a> <a href="2">two</a> <a href="3">three</a> <a href="4">four</a></p>
+    </article>
+    """
+    out = EX.extract_str(html)
+    assert out.text == "Real sentence with enough words to be obvious body text."
+
+
+def test_misnested_tags_tolerated():
+    html = "<article><p>outer <b>bold <i>both</b> italic?</i> tail</p></article>"
+    out = EX.extract_str(html)
+    assert out.error is None
+    assert "outer bold both italic? tail" == out.text
+
+
+def test_hidden_content_excluded():
+    html = (
+        "<article><p>visible words in the article body text</p>"
+        "<script>hidden();</script><style>.x{}</style>"
+        "<noscript>fallback</noscript><template><p>tpl</p></template></article>"
+    )
+    out = EX.extract_str(html)
+    assert out.text == "visible words in the article body text"
+
+
+def test_charset_sniffing():
+    utf8 = "<p>héllo</p>".encode("utf-8")
+    assert "héllo" in decode_html_bytes(utf8)
+    latin = '<meta charset="iso-8859-1"><p>h\xe9llo</p>'.encode("latin-1")
+    assert "héllo" in decode_html_bytes(latin)
+    garbage = b"\xff\xfe\x00\x9c"
+    assert isinstance(decode_html_bytes(garbage), str)  # never raises
+
+
+def test_spans_are_sorted_and_merged():
+    html = "<article><h2>Title here now</h2><p>body text follows the title closely</p></article>"
+    out = EX.extract_str(html)
+    assert out.spans == sorted(out.spans)
+    assert all(s < e for s, e in out.spans)
+    for (s1, e1), (s2, e2) in zip(out.spans, out.spans[1:]):
+        assert e1 < s2  # disjoint after merging
+
+
+def test_block_parser_page_attribution():
+    p = BlockParser()
+    blocks = p.parse(
+        "<p>preamble before articles with quite many words inside</p>"
+        "<article><p>first page words</p></article>"
+        "<article><p>second page words</p></article>"
+    )
+    pages = {b.text: b.page_index for b in blocks}
+    assert pages["first page words"] == 0
+    assert pages["second page words"] == 1
+    assert p.page_count == 2
+
+
+def test_empty_and_whitespace_docs():
+    assert EX.extract_str("").text == ""
+    assert EX.extract_str("   \n\t ").text == ""
+    assert EX.extract_bytes(b"").error is None
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_deterministic(n):
+    from ocr_system_ray.sources.pages import synthesize_page
+
+    row = synthesize_page(12345)
+    outs = {EX.extract_bytes(row["html"]).text for _ in range(n + 1)}
+    assert len(outs) == 1

@@ -1,0 +1,83 @@
+"""Checkpoint/resume invariants (FIXTURES.md §5.5, SURVEY.md §4.4)."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from ocr_system_ray.pipelines import run_resumable, PipelineConfig
+from ocr_system_ray.sources.pages import write_pages_dataset
+from ocr_system_ray.state import LineageManifest, PartitionRecord, plan_partitions
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("resume_pages")
+    write_pages_dataset(str(d), N_DOCS, shard_rows=25, skew_every=0)
+    return str(d)
+
+
+def _final_rows(out_dir: str):
+    con = duckdb.connect()
+    return con.sql(
+        f"SELECT * FROM '{out_dir}/part-*/*.parquet' ORDER BY url"
+    ).df()
+
+
+def test_kill_and_resume_identical_output(ray_session, pages_dir, tmp_path):
+    cfg = PipelineConfig()
+    full_dir = str(tmp_path / "full")
+    run_resumable(pages_dir + "/part-*.parquet", full_dir, cfg, files_per_partition=2)
+    full = _final_rows(full_dir)
+
+    # simulated kill: run, then drop the last two manifest records (as if
+    # the process died before finishing those partitions)
+    crash_dir = str(tmp_path / "crash")
+    run_resumable(pages_dir + "/part-*.parquet", crash_dir, cfg, files_per_partition=2)
+    man = Path(crash_dir) / "_lineage.jsonl"
+    lines = man.read_text().strip().splitlines()
+    assert len(lines) == 4
+    man.write_text("\n".join(lines[:2]) + "\n")
+
+    # record mtimes of the partitions that were already done
+    done_parts = [json.loads(l)["output_path"] for l in lines[:2]]
+    mtimes_before = {
+        p: sorted(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+        for p in done_parts
+    }
+
+    metrics = run_resumable(pages_dir + "/part-*.parquet", crash_dir, cfg, files_per_partition=2)
+    assert metrics["partitions_done"] == 4
+
+    # completed partitions untouched (not reprocessed)
+    for p, before in mtimes_before.items():
+        after = sorted(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p))
+        assert after == before, f"partition {p} was reprocessed"
+
+    resumed = _final_rows(crash_dir)
+    assert full.equals(resumed)
+
+
+def test_partition_plan_stable_across_listing_order(pages_dir):
+    shards = sorted(Path(pages_dir).glob("part-*.parquet"))
+    fwd = plan_partitions([str(p) for p in shards], files_per_partition=3)
+    rev = plan_partitions([str(p) for p in reversed(shards)], files_per_partition=3)
+    assert [(r.partition_id, r.input_paths) for r in fwd] == [
+        (r.partition_id, r.input_paths) for r in rev
+    ]
+
+
+def test_failed_partition_is_retried(tmp_path):
+    m = LineageManifest(str(tmp_path))
+    plan = [PartitionRecord(0, [], "fp0"), PartitionRecord(1, [], "fp1")]
+    m.append(PartitionRecord(0, [], "fp0", status="done"))
+    m.append(PartitionRecord(1, [], "fp1", status="failed", error="boom"))
+    pending = m.pending([PartitionRecord(0, [], "fp0"), PartitionRecord(1, [], "fp1")])
+    assert [r.partition_id for r in pending] == [1]
+    assert pending[0].attempt == 1

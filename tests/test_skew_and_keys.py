@@ -1,0 +1,64 @@
+"""Skew-routing and salted-key stage tests (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_system_ray.stages.skew import (
+    add_payload_size,
+    split_by_payload_size,
+    salted_key,
+    stable_hash64,
+)
+
+
+def _pages_table():
+    return pa.table(
+        {
+            "url": [f"u{i}" for i in range(10)],
+            "html": [b"x" * (10 if i % 2 else 3000) for i in range(10)],
+        }
+    )
+
+
+def test_add_payload_size():
+    out = add_payload_size(_pages_table())
+    assert out.column("payload_bytes").to_pylist() == [3000, 10] * 5
+
+
+def test_split_routes_every_row_exactly_once(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_pages_table())
+    small, large = split_by_payload_size(ds, threshold=1000)
+    s = {r["url"] for r in small.take_all()}
+    l = {r["url"] for r in large.take_all()}
+    assert s | l == {f"u{i}" for i in range(10)}
+    assert s & l == set()
+    assert all(int(u[1:]) % 2 == 1 for u in s)  # odd rows are the small ones
+
+
+def test_stable_hash_deterministic_across_calls():
+    urls = [f"https://site{i}.example/{i}" for i in range(100)]
+    h1 = stable_hash64(urls)
+    h2 = stable_hash64(list(urls))
+    assert np.array_equal(h1, h2)
+    assert len(set(h1.tolist())) == 100  # no collisions on this tiny set
+
+
+def test_salted_key_spread_and_stability():
+    t = pa.table({"url": [f"https://s.example/{i}" for i in range(2000)]})
+    out1 = salted_key(t, num_partitions=64)
+    out2 = salted_key(t, num_partitions=64)
+    keys = out1.column("part_key").to_pylist()
+    assert keys == out2.column("part_key").to_pylist()  # run-to-run stable
+    assert 0 <= min(keys) and max(keys) < 64
+    # reasonable spread: no partition holds more than 4x the fair share
+    import collections
+
+    counts = collections.Counter(keys)
+    assert max(counts.values()) < 4 * (2000 / 64)
+    # salt widens the keyspace
+    salted = salted_key(t, num_partitions=64, salt=4).column("part_key").to_pylist()
+    assert max(salted) >= 64
