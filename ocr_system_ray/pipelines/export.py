@@ -1,0 +1,70 @@
+"""Export sinks with the reference's column contract (K1-K3, M15, M18).
+
+Contract pinned from the reference:
+* output columns are an explicit ordered list; missing cells fill with
+  ``""``, never null (``ocr/csv_utils.py:15``, ``gui/app.py:106-112``);
+* csv/xlsx chosen by extension; anything else rejected up front
+  (``gui/app.py:91-103`` validate_paths — xlsx needs openpyxl, absent
+  here, so it's rejected with a clear error instead);
+* parquet is the scale sink (directory of part files); csv exists for
+  interop/debug parity.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def validate_export_path(out_path: str, allow_parquet_dir: bool = True) -> str | None:
+    """Precondition checks; returns an error message or None (M18 parity)."""
+    if not out_path:
+        return "Please provide an output path."
+    parent = os.path.dirname(os.path.abspath(out_path))
+    if not os.path.isdir(parent):
+        return "Output directory does not exist."
+    lower = out_path.lower()
+    if lower.endswith(".csv"):
+        return None
+    if lower.endswith(".xlsx"):
+        return "xlsx export requires openpyxl, which is unavailable; use .csv or parquet"
+    if allow_parquet_dir and not os.path.splitext(out_path)[1]:
+        return None  # extensionless → parquet directory
+    return "Output file must be .csv or a parquet directory"
+
+
+def project_columns(batch: pa.Table, columns: Sequence[str]) -> pa.Table:
+    """Explicit column list + ``""`` fill for missing cells (M15 parity)."""
+    n = len(batch)
+    arrays = []
+    for c in columns:
+        if c in batch.column_names:
+            arrays.append(pc.fill_null(batch.column(c).cast(pa.string()), ""))
+        else:
+            arrays.append(pa.array([""] * n, pa.string()))
+    return pa.table(dict(zip(columns, arrays)))
+
+
+def export_results(
+    ds: ray.data.Dataset, out_path: str, columns: Sequence[str]
+) -> None:
+    """K2-equivalent sink: project to the column contract, then write.
+
+    ``.csv`` suffix → a single-header csv directory via ``write_csv``;
+    otherwise a parquet directory (the scale path).
+    """
+    err = validate_export_path(out_path)
+    if err:
+        raise ValueError(err)
+    projected = ds.map_batches(
+        lambda t: project_columns(t, columns), batch_format="pyarrow"
+    )
+    if out_path.lower().endswith(".csv"):
+        projected.write_csv(out_path)
+    else:
+        projected.write_parquet(out_path)

@@ -34,7 +34,11 @@ import ray.data
 
 from ..html.extractor import PAGE_JOIN_EPL
 from ..stages.parse import HtmlParseStage
-from ..stages.fieldextract import FinalExtractStage, DocumentFieldsStage
+from ..stages.fieldextract import (
+    FinalExtractStage,
+    DocumentFieldsStage,
+    FusedParseExtractStage,
+)
 from ..stages.skew import DEFAULT_LARGE_ROW_BYTES
 from ..state.lineage import LineageManifest, plan_partitions
 
@@ -43,13 +47,17 @@ from ..state.lineage import LineageManifest, plan_partitions
 class PipelineConfig:
     page_join: str = PAGE_JOIN_EPL
     field_to_patterns: dict[str, list[str]] = field(default_factory=dict)
-    large_row_bytes: int = DEFAULT_LARGE_ROW_BYTES
+    # byte threshold routing rows to the dedicated large-row path;
+    # None disables the split entirely (single pool — right when the
+    # corpus has no pathological rows or CPUs are scarce)
+    large_row_bytes: int | None = DEFAULT_LARGE_ROW_BYTES
     parse_batch_size: int = 64
     # actor-pool sizes: (min, max) autoscaling; max should track the CPU
     # budget of the job — bench/production override per ray.init size.
     parse_concurrency: int | tuple[int, int] = (1, 32)
     large_parse_concurrency: int | tuple[int, int] = (1, 2)
     min_words: int = 8
+    fused: bool = True
 
 
 def _read(input_path: str) -> ray.data.Dataset:
@@ -67,6 +75,19 @@ def parse_pages(
     """
     cfg = config or PipelineConfig()
     ds = _read(input_path) if isinstance(input_path, str) else input_path
+
+    stage_kwargs_single = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_kwargs={"page_join": cfg.page_join, "min_words": cfg.min_words},
+    )
+    if cfg.large_row_bytes is None:
+        return ds.map_batches(
+            HtmlParseStage,
+            batch_size=cfg.parse_batch_size,
+            concurrency=cfg.parse_concurrency,
+            **stage_kwargs_single,
+        )
 
     # null payloads count as size 0 (they must reach the parse stage to get
     # their error-as-data row — row conservation, FIXTURES.md §5.2/§5.3).
@@ -106,8 +127,57 @@ def final_extract(
     input_path: str | ray.data.Dataset,
     config: PipelineConfig | None = None,
 ) -> ray.data.Dataset:
-    """Full flagship: pages → final filtered field rows (EPL contract)."""
+    """Full flagship: pages → final filtered field rows (EPL contract).
+
+    ``cfg.fused=True`` (default) runs parse+extract as one actor stage —
+    the throughput path; ``False`` keeps the two-stage plan with the
+    intermediate (url, extracted_text, spans) stream.
+    """
     cfg = config or PipelineConfig()
+    if cfg.fused:
+        ds = _read(input_path) if isinstance(input_path, str) else input_path
+        kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_constructor_kwargs={
+                "page_join": cfg.page_join,
+                "min_words": cfg.min_words,
+                "field_to_patterns": cfg.field_to_patterns,
+            },
+        )
+        if cfg.large_row_bytes is None:
+            return ds.map_batches(
+                FusedParseExtractStage,
+                batch_size=cfg.parse_batch_size,
+                concurrency=cfg.parse_concurrency,
+                **kwargs,
+            )
+
+        def _sizes(t):  # noqa: ANN001
+            return pc.coalesce(pc.binary_length(t.column("html")), 0)
+
+        small = ds.map_batches(
+            lambda t: t.filter(pc.less(_sizes(t), cfg.large_row_bytes)),
+            batch_format="pyarrow",
+        )
+        large = ds.map_batches(
+            lambda t: t.filter(pc.greater_equal(_sizes(t), cfg.large_row_bytes)),
+            batch_format="pyarrow",
+        )
+        return small.map_batches(
+            FusedParseExtractStage,
+            batch_size=cfg.parse_batch_size,
+            concurrency=cfg.parse_concurrency,
+            **kwargs,
+        ).union(
+            large.map_batches(
+                FusedParseExtractStage,
+                batch_size=1,
+                concurrency=cfg.large_parse_concurrency,
+                **kwargs,
+            )
+        )
+
     parsed = parse_pages(input_path, cfg)
     # cheap per-task state (a pattern dict) → stateless tasks, not an actor
     # pool; the compiled-regex cache warms once per worker process.

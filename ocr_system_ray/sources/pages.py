@@ -245,14 +245,27 @@ def write_pages_dataset(
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    jobs = []
     for k, start in enumerate(range(0, num_docs, shard_rows)):
         n = min(shard_rows, num_docs - start)
-        path = os.path.join(out_dir, f"part-{k:05d}.parquet")
+        jobs.append((os.path.join(out_dir, f"part-{k:05d}.parquet"), start, n))
+
+    def _write_one(path: str, start: int, n: int) -> str:
         pq.write_table(
             synthesize_pages_table(start, n, seed, skew_every, skew_factor, richness),
             path,
             compression="zstd",
         )
-        paths.append(path)
-    return paths
+        return path
+
+    # Shard generation is embarrassingly parallel and deterministic per
+    # (seed, row-range); fan out over Ray when a session is live.
+    try:
+        import ray
+
+        if ray.is_initialized() and len(jobs) > 1:
+            remote = ray.remote(num_cpus=1)(_write_one)
+            return ray.get([remote.remote(*j) for j in jobs])
+    except Exception:  # noqa: BLE001 — fall back to sequential
+        pass
+    return [_write_one(*j) for j in jobs]

@@ -33,6 +33,47 @@ from ..core import (
 )
 
 
+class FusedParseExtractStage:
+    """(url, html) → final filtered rows in ONE actor stage.
+
+    Fuses the parse (warm DOM extractor) and the EPL final-extract into a
+    single ``__call__`` so one actor pool can own nearly every CPU — no
+    intermediate handoff, no second stage competing for slots, and the
+    heavy ``html`` payload AND the intermediate text both die inside the
+    stage.  This is the throughput configuration of the flagship; the
+    unfused ``HtmlParseStage → FinalExtractStage`` split remains for
+    pipelines that need the intermediate (url, extracted_text, spans)
+    dataset (checkpointing, reuse across extract configs).
+    """
+
+    def __init__(
+        self,
+        page_join: str | None = None,
+        min_words: int = 8,
+        field_to_patterns: Mapping[str, Sequence[str]] | None = None,
+    ) -> None:
+        from ..html import MainContentExtractor, PAGE_JOIN_EPL
+
+        self._extractor = MainContentExtractor(
+            page_join=page_join if page_join is not None else PAGE_JOIN_EPL,
+            min_words=min_words,
+        )
+        self._patterns = {k: list(v) for k, v in (field_to_patterns or {}).items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = (
+            (url.as_py(), self._extractor.extract_bytes(payload.as_py()).text)
+            for url, payload in zip(batch.column("url"), batch.column("html"))
+        )
+        rows, cols = assemble_final_rows(docs, self._patterns)
+        return pa.table(
+            {
+                "url" if c == "File Name" else c: pa.array([r[c] for r in rows], pa.string())
+                for c in cols
+            }
+        )
+
+
 class FinalExtractStage:
     """(url, extracted_text) batches → filtered final rows (EPL contract)."""
 

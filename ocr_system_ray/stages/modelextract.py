@@ -1,0 +1,135 @@
+"""Model-based field extraction stage (the reference's T5 leg, Ray-shaped).
+
+The reference's ``t5_extractor.py`` is a stateful seq2seq extractor:
+model+tokenizer loaded lazily once per object (``t5_extractor.py:36-61``),
+per-field prompt construction with 1000-char truncation (``:110-130``),
+generation, then *regex validation per field type* (``:132-167``).  The
+legacy GUI constructed a fresh extractor per document — reloading the
+model every time (``main_tk - AI.py:445-493``); the actor pool fixes
+that by construction.
+
+What's real here:
+* the **actor shape**: model resolved once in ``__init__``, batches in
+  ``__call__`` — the canonical load-once-per-worker stage (SURVEY.md
+  §2.8/S4);
+* the **prompt construction** and **validation semantics**, byte-matched
+  to the reference (same truncation, same field descriptions, same
+  validation regexes and fallthrough rules);
+* the pluggable ``model_fn``: any ``prompt → generated text`` callable.
+
+What's stubbed: the T5 weights (no transformers/keras offline).  The
+default ``model_fn`` raises unless a fallback is requested;
+``heuristic_model_fn`` answers prompts with the reference's *regex*
+engine so the full stage is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+import pyarrow as pa
+
+from ..core import extract_fields
+
+FIELD_DESCRIPTIONS = {
+    "license_id": "license number or license ID",
+    "date": "date or date of issue",
+    "reference_id": "reference number or reference ID",
+    "invoice_number": "invoice number",
+    "amount": "amount or total amount",
+    "customer_name": "customer name or client name",
+}
+
+_DATE_A = re.compile(r"\d{1,2}[/-]\d{1,2}[/-]\d{4}")
+_DATE_B = re.compile(r"\d{4}[/-]\d{1,2}[/-]\d{1,2}")
+_LICENSE = re.compile(r"^[A-Z0-9]{3,20}$")
+_REFERENCE = re.compile(r"^[A-Z0-9-]{3,20}$")
+_AMOUNT = re.compile(r"^\d+[.,]?\d*$")
+
+
+def build_prompt(text: str, field_type: str) -> str:
+    """Prompt construction — parity with t5_extractor.py:110-130
+    (1000-char truncation with ``...`` suffix, field description map)."""
+    desc = FIELD_DESCRIPTIONS.get(field_type, field_type)
+    if len(text) > 1000:
+        text = text[:1000] + "..."
+    return f"Extract the {desc} from this document text: {text}"
+
+
+def validate_field(text: str | None, field_type: str) -> str | None:
+    """Per-field validation — parity with t5_extractor.py:132-167."""
+    if not text or text.strip() == "":
+        return None
+    text = text.strip()
+    if field_type == "date":
+        return text if (_DATE_A.match(text) or _DATE_B.match(text)) else None
+    if field_type == "license_id":
+        return text if _LICENSE.match(text) else None
+    if field_type == "reference_id":
+        return text if _REFERENCE.match(text) else None
+    if field_type == "amount":
+        return text if _AMOUNT.match(text) else None
+    return text if len(text) > 1 else None
+
+
+def heuristic_model_fn(prompt: str) -> str:
+    """Deterministic stand-in "model": answers the prompt by running the
+    reference's regex engine over the document text embedded in it."""
+    marker = " from this document text: "
+    idx = prompt.find(marker)
+    doc = prompt[idx + len(marker):] if idx >= 0 else prompt
+    license_id, date, reference_id = extract_fields(doc)
+    if "license number" in prompt:
+        return license_id or ""
+    if "date or date of issue" in prompt:
+        return date or ""
+    if "reference number" in prompt:
+        return reference_id or ""
+    return ""
+
+
+def unavailable_model_fn(prompt: str) -> str:  # noqa: ARG001
+    raise NotImplementedError(
+        "T5 weights are not available in this sandbox; pass "
+        "model_fn=heuristic_model_fn (tests) or a real seq2seq callable "
+        "(production: load tokenizer+model here, once per actor)"
+    )
+
+
+class ModelFieldExtractStage:
+    """Actor-pool stage: (url, extracted_text) → one column per field.
+
+    ``model_fn`` is resolved ONCE per actor in ``__init__`` — at
+    production scale this is where tokenizer+weights load (num_gpus can
+    be attached via map_batches kwargs).  Per batch, each field runs
+    prompt → generate → validate, exactly the reference loop
+    (t5_extractor.py:63-108).
+    """
+
+    def __init__(
+        self,
+        field_types: Sequence[str] = ("license_id", "date", "reference_id"),
+        model_fn: Callable[[str], str] | None = None,
+    ) -> None:
+        self.field_types = list(field_types)
+        self.model_fn = model_fn if model_fn is not None else unavailable_model_fn
+
+    def extract_one(self, text: str) -> dict[str, str | None]:
+        out: dict[str, str | None] = {}
+        for field_type in self.field_types:
+            try:
+                generated = self.model_fn(build_prompt(text, field_type))
+                out[field_type] = validate_field(generated, field_type)
+            except Exception:  # noqa: BLE001 — reference swallows per-field errors
+                out[field_type] = None
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [
+            self.extract_one(t or "") for t in batch.column("extracted_text").to_pylist()
+        ]
+        cols: dict[str, pa.Array] = {"url": batch.column("url")}
+        for f in self.field_types:
+            cols[f] = pa.array([r[f] for r in results], pa.string())
+        return pa.table(cols)

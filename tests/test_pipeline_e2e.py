@@ -52,8 +52,11 @@ def test_parse_recovers_ground_truth(ray_session, pages_dir, oracle_docs):
     assert seen == oracle_docs  # byte-identical per url
 
 
-def test_final_extract_matches_oracle(ray_session, pages_dir, oracle_docs):
-    cfg = PipelineConfig(field_to_patterns=USER_PATTERNS, large_row_bytes=64 * 1024)
+@pytest.mark.parametrize("fused", [True, False], ids=["fused", "two-stage"])
+def test_final_extract_matches_oracle(ray_session, pages_dir, oracle_docs, fused):
+    cfg = PipelineConfig(
+        field_to_patterns=USER_PATTERNS, large_row_bytes=64 * 1024, fused=fused
+    )
     out = final_extract(pages_dir, cfg).take_all()
 
     expected_rows, expected_cols = core.assemble_final_rows(
