@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_pairs": q.q_minhash_pairs,
+        "minhash_pairs_verified": q.q_minhash_pairs_verified,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dup_pairs": q.q_embedding_dup_pairs,
         # similarity search

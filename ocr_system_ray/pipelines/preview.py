@@ -1,0 +1,66 @@
+"""Preview flow: first-document snippet + induced patterns (A3/P4 parity).
+
+The reference's preview dialog (``/root/reference/main_tk - AI.py:325-437``)
+takes the FIRST document only, runs the binary→text front end, shows a
+2000-char snippet, and induces patterns from a user text selection with
+±50 chars of context.  Ray shape: ``ds.limit(1)`` through the parse stage
+(streaming early-stop — only the first block(s) are ever read) plus
+driver-side pattern induction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from ..core import smart_patterns, window_patterns
+from .main_content import parse_pages, PipelineConfig
+
+SNIPPET_CHARS = 2000  # main_tk - AI.py:355 preview length
+CONTEXT_CHARS = 50  # gui/app.py:418 selection context window
+MAX_PATTERNS = 6  # gui/app.py:432 induced-pattern cap
+
+
+@dataclass
+class Preview:
+    url: str
+    snippet: str
+    full_length: int
+
+
+def preview_first_document(
+    input_path: str | ray.data.Dataset, config: PipelineConfig | None = None
+) -> Preview | None:
+    """Parse only the first page row and return its snippet."""
+    cfg = config or PipelineConfig(parse_concurrency=1, large_row_bytes=None)
+    ds = (
+        ray.data.read_parquet(input_path, columns=["url", "html"])
+        if isinstance(input_path, str)
+        else input_path
+    ).limit(1)
+    rows = parse_pages(ds, cfg).take(1)
+    if not rows:
+        return None
+    text = rows[0]["extracted_text"]
+    return Preview(url=rows[0]["url"], snippet=text[:SNIPPET_CHARS], full_length=len(text))
+
+
+def induce_field_patterns(
+    text: str, selection_start: int, selection_end: int
+) -> list[str]:
+    """Selection → induced patterns, mirroring the GUI workflow
+    (gui/app.py:399-453): ±50-char context, smart patterns + window
+    patterns over the context words, capped at 6."""
+    sample = text[selection_start:selection_end]
+    ctx_lo = max(0, selection_start - CONTEXT_CHARS)
+    ctx_hi = min(len(text), selection_end + CONTEXT_CHARS)
+    context = text[ctx_lo:ctx_hi]
+    before_words = text[ctx_lo:selection_start].split()
+    after_words = text[selection_end:ctx_hi].split()
+
+    patterns = smart_patterns(sample, context)
+    patterns += window_patterns(sample, before_words[-3:], after_words[:3])
+    seen: set[str] = set()
+    deduped = [p for p in patterns if not (p in seen or seen.add(p))]
+    return deduped[:MAX_PATTERNS]

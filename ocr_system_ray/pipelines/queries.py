@@ -311,6 +311,32 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_duplicate_pairs(ds, max_hamming=10)
 
 
+def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
+    """LSH candidates + exact n-gram-Jaccard verification.
+
+    The verify stage broadcasts the id→text map once via ``ray.put``
+    (small-side broadcast join) — candidates stream, texts don't shuffle.
+    """
+    import os
+    import pyarrow.parquet as pq
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.minhash_duplicate_pairs(ds, threshold=0.4)
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
+    verified = pairs.map_batches(
+        dedup.JaccardVerifyStage,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"texts_ref": texts_ref},
+    )
+    df = verified.to_pandas()
+    df["jaccard"] = df["jaccard"].round(6)
+    df["est_jaccard"] = df["est_jaccard"].round(6)
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dedup.embedding_duplicate_pairs(ds, threshold=0.9)

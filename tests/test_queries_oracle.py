@@ -1,0 +1,84 @@
+"""Pytest guard over a subset of the driver queries vs DuckDB at sf0.001.
+
+tools/driver_check.py covers the full set at sf0.01; this subset keeps
+oracle parity inside `pytest -x -q` so regressions surface in the normal
+test loop.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SUBSET = [
+    "doc_stats_by_lang",
+    "lineitem_pricing",
+    "events_hourly",
+    "token_counts",
+    "exact_dedup",
+    "knn_bruteforce",
+    "customer_order_totals",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(obj):  # noqa: ANN001
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as entry
+
+    ours = _canon(_to_pandas(entry.queries()[name](SF)))
+    want = _canon(con.sql(entry.oracle_sql()[name]).df())
+    assert list(ours.columns) == list(want.columns)
+    assert len(ours) == len(want)
+    pd.testing.assert_frame_equal(ours, want, check_dtype=True)
+
+
+def test_preview_flow(ray_session, tmp_path):
+    from ocr_system_ray.sources.pages import write_pages_dataset
+    from ocr_system_ray.pipelines.preview import preview_first_document, induce_field_patterns
+
+    write_pages_dataset(str(tmp_path), 10, shard_rows=5, skew_every=0)
+    p = preview_first_document(str(tmp_path))
+    assert p is not None and p.snippet and len(p.snippet) <= 2000
+
+    text = "The License No. 123 (R05) was granted at Kandy."
+    start = text.index("123")
+    pats = induce_field_patterns(text, start, start + 3)
+    assert 1 <= len(pats) <= 6
+    import re
+
+    assert any(re.search(pat, text, re.IGNORECASE) for pat in pats)
+
+
+def test_minhash_verified_query(ray_session):
+    import __ray_entry__ as entry
+
+    df = _to_pandas(entry.queries()["minhash_pairs_verified"](SF))
+    assert set(df.columns) >= {"id_a", "id_b", "est_jaccard", "jaccard"}
+    assert (df["jaccard"] <= 1.0).all() and (df["jaccard"] >= 0.0).all()
