@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q.q_lineitem_pricing,
         "customer_order_totals": q.q_customer_order_totals,
         "events_hourly": q.q_events_hourly,
+        "events_props_stats": q.q_events_props_stats,
+        "user_sessions": q.q_user_sessions,
+        "orders_of_top_customers": q.q_orders_of_top_customers,
         "distinct_langs": q.q_distinct_langs,
         "orders_top100": q.q_orders_top100,
         # text analysis
@@ -150,6 +153,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "distinct_langs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "events_props_stats": """
+            WITH parsed AS (
+                SELECT event_type,
+                       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(FLOOR(k / 10.0) AS BIGINT) AS k_bucket,
+                   CAST(SUM(k) AS BIGINT) AS k_total,
+                   COUNT(*) AS n_events
+            FROM parsed GROUP BY event_type, CAST(FLOOR(k / 10.0) AS BIGINT)
+        """,
+        "user_sessions": """
+            WITH w AS (
+                SELECT user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                                 OR date_diff('second', prev_ts, ts) > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM w GROUP BY user_id
+        """,
+        "orders_of_top_customers": """
+            WITH top AS (
+                SELECT o_custkey
+                FROM orders GROUP BY o_custkey
+                ORDER BY SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) DESC, o_custkey
+                LIMIT 20
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+            FROM orders o WHERE o.o_custkey IN (SELECT o_custkey FROM top)
+        """,
         "orders_top100": """
             SELECT o_orderkey, o_orderstatus,
                    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents

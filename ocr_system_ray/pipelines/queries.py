@@ -186,6 +186,90 @@ def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_props_stats(sf_dir: str) -> ray.data.Dataset:
+    """JSON column parsing: extract ``k`` from the props JSON per event,
+    bucket it, aggregate.  Parse is vectorized-enough (stdlib json per
+    row is O(bytes), same as any JSON kernel)."""
+    import json
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t.column("props").to_pylist():
+            try:
+                ks.append(int(json.loads(p or "{}").get("k", -1)))
+            except (ValueError, TypeError):
+                ks.append(-1)
+        karr = np.asarray(ks, dtype=np.int64)
+        tmp = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "k_bucket": pa.array(karr // 10),
+                "k": pa.array(karr),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = tmp.group_by(["event_type", "k_bucket"]).aggregate([("k", "sum"), ("one", "sum")])
+        return g.rename_columns(["event_type", "k_bucket", "p_k", "p_cnt"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Sum("p_k", alias_name="k_total"), Sum("p_cnt", alias_name="n_events"))
+    )
+
+
+def q_orders_of_top_customers(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast semi-join: filter the big orders stream by a small key
+    set (top-20 customers by spend) shipped once via ``ray.put`` — no
+    shuffle of the big side (the guide's semi-join pattern)."""
+    top = q_customer_order_totals(sf_dir)  # small driver-side result
+    keys_ref = ray.put(set(top["c_custkey"].tolist()))
+
+    class SemiFilter:
+        def __init__(self) -> None:
+            keys = ray.get(keys_ref)
+            self.keys = pa.array(sorted(keys), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+            cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+            t = pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_custkey": t.column("o_custkey"),
+                    "price_cents": pa.array(cents),
+                }
+            )
+            return t.filter(pc.is_in(t.column("o_custkey"), value_set=self.keys))
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return orders.map_batches(SemiFilter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization (stream-shaped op): per user, sort by ts, close a
+    session after a >30-minute gap; count sessions and events.
+
+    Ray shape: ONE ``groupby(user_id).map_groups`` with in-group pandas
+    sort — the guide's windowing pattern for stream-shaped references;
+    the ordering assumption (events of one user fit one group) holds by
+    construction of the groupby."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g):  # pandas in
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
+        n_sessions = int((gaps > 1800).sum())
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_distinct_langs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["lang"])
     # distinct via groupby-count keeps it one shuffle and names the column
@@ -308,7 +392,7 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.simhash_duplicate_pairs(ds, max_hamming=10)
+    return dedup.simhash_duplicate_pairs(ds, max_hamming=3)
 
 
 def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
