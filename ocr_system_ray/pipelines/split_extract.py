@@ -1,0 +1,89 @@
+"""Split-pipeline final extract: the reference's J1 join shape, kept honest.
+
+The reference computed licenses and dynamic fields as two separate row
+lists and dict-joined them by File Name (``gui/app.py:474-478``, J1 in
+SURVEY.md §2.5).  The fused flagship eliminates that join entirely; this
+module keeps the *split* variant as a first-class citizen for pipelines
+that genuinely produce the two sides independently (e.g. licenses from a
+cached parse checkpoint, dynamic fields from a re-run with new user
+patterns) — joined with Ray's hash-partitioned ``Dataset.join`` on
+``url``, both sides co-partitioned by the same key.
+
+Also here: ``dedup_pages_by_url`` — input hygiene (reference A6, the
+lower-cased-path dedup of ``ocr/pdf.py:20-28``): exact first-wins dedup
+on the identity key via one hash-partitioned groupby.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..core import extract_dynamic_fields, first_page_license
+
+
+def licenses_stream(parsed: ray.data.Dataset) -> ray.data.Dataset:
+    """(url, extracted_text) → (url, Licenses) — the M12 side of J1."""
+
+    def lic(t: pa.Table) -> pa.Table:
+        vals = [first_page_license(x or "") for x in t.column("extracted_text").to_pylist()]
+        return pa.table({"url": t.column("url"), "Licenses": pa.array(vals, pa.string())})
+
+    return parsed.map_batches(lic, batch_format="pyarrow")
+
+
+def dynamic_fields_stream(
+    parsed: ray.data.Dataset, field_to_patterns: dict[str, list[str]]
+) -> ray.data.Dataset:
+    """(url, extracted_text) → (url, <field…>) — the M11 side of J1."""
+    fields = list(field_to_patterns)
+
+    def dyn(t: pa.Table) -> pa.Table:
+        rows = [
+            extract_dynamic_fields(x or "", field_to_patterns)
+            for x in t.column("extracted_text").to_pylist()
+        ]
+        cols: dict[str, pa.Array] = {"url": t.column("url")}
+        for f in fields:
+            cols[f] = pa.array([r[f] for r in rows], pa.string())
+        return pa.table(cols)
+
+    return parsed.map_batches(dyn, batch_format="pyarrow")
+
+
+def join_extract(
+    parsed: ray.data.Dataset,
+    field_to_patterns: dict[str, list[str]],
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """J1 as a real distributed join: inner hash join on ``url``.
+
+    Both sides have identical cardinality (one row per url), so neither
+    qualifies for a broadcast — this is the co-partitioned hash-join
+    case.  ``num_partitions`` should track cluster size (≈ total rows /
+    2M per partition at scale).
+    """
+    lic = licenses_stream(parsed)
+    dyn = dynamic_fields_stream(parsed, field_to_patterns)
+    return lic.join(
+        dyn,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("url",),
+    )
+
+
+def dedup_pages_by_url(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact first-wins dedup on the identity key (reference A6 analog).
+
+    One hash-partitioned groupby; "first" = smallest ``warc_ts`` when
+    present (stable across runs), else arbitrary-but-single.
+    """
+
+    def first(group):  # pandas in
+        if "warc_ts" in group.columns:
+            group = group.sort_values("warc_ts")
+        return group.head(1)
+
+    return pages.groupby("url").map_groups(first, batch_format="pandas")

@@ -1,6 +1,13 @@
 """Sources: synthetic Common-Crawl-style pages + pruned parquet readers."""
 
 from .pages import synthesize_pages_table, write_pages_dataset, PAGES_SCHEMA
-from .readers import read_pages, read_table
+from .readers import read_pages, read_table, read_html_files
 
-__all__ = ["synthesize_pages_table", "write_pages_dataset", "PAGES_SCHEMA", "read_pages", "read_table"]
+__all__ = [
+    "synthesize_pages_table",
+    "write_pages_dataset",
+    "PAGES_SCHEMA",
+    "read_pages",
+    "read_table",
+    "read_html_files",
+]

@@ -23,3 +23,27 @@ def read_table(sf_dir: str, name: str, columns: Sequence[str] | None = None) -> 
         os.path.join(sf_dir, f"{name}.parquet"),
         columns=list(columns) if columns else None,
     )
+
+
+def read_html_files(path: str) -> ray.data.Dataset:
+    """Raw ``.html`` files on disk → the pages shape ``(url, html)``.
+
+    The S3-analog source (reference: a loose folder of documents,
+    ``ocr/pdf.py:20-28`` / ``x1.py``): ``read_binary_files`` with paths,
+    file path becoming the ``url`` identity key.  For bulk data prefer
+    the parquet pages layout — one row per file is the wrong shape at
+    100 TB, but this is the on-ramp for small local corpora.
+    """
+    import pyarrow as pa
+
+    ds = ray.data.read_binary_files(path, include_paths=True)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("path"),
+                "html": batch.column("bytes").cast(pa.binary()),
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""Split-pipeline (hash-join) variant vs the fused path + url dedup + file source."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.core import first_page_license, extract_dynamic_fields
+from ocr_system_ray.pipelines.split_extract import join_extract, dedup_pages_by_url
+from ocr_system_ray.sources import read_html_files
+
+PATTERNS = {"town": [r"(Kandy|Galle)"], "amount": [r"\b\d{4,}\b"]}
+
+TEXTS = [
+    ("u1", "License No. 123 (R05) at Kandy for 50000"),
+    ("u2", "nothing of note"),
+    ("u3", "12/345 R6 at Galle"),
+]
+
+
+@pytest.fixture()
+def parsed_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "url": [t[0] for t in TEXTS],
+                "extracted_text": [t[1] for t in TEXTS],
+            }
+        )
+    )
+
+
+def test_join_extract_matches_core(parsed_ds):
+    out = {r["url"]: r for r in join_extract(parsed_ds, PATTERNS, num_partitions=2).take_all()}
+    assert len(out) == 3
+    for url, text in TEXTS:
+        want_lic = first_page_license(text)
+        want_dyn = extract_dynamic_fields(text, PATTERNS)
+        assert out[url]["Licenses"] == want_lic
+        for f, v in want_dyn.items():
+            assert out[url][f] == v, (url, f)
+
+
+def test_dedup_pages_by_url(ray_session):
+    import datetime
+    import ray.data
+
+    t0 = datetime.datetime(2025, 1, 1)
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["a", "a", "b", "a"],
+                "warc_ts": pa.array(
+                    [t0 + datetime.timedelta(days=d) for d in (2, 0, 1, 5)],
+                    pa.timestamp("us"),
+                ),
+                "html": [b"v2", b"v0", b"b1", b"v5"],
+            }
+        )
+    )
+    out = dedup_pages_by_url(pages).take_all()
+    by_url = {r["url"]: r for r in out}
+    assert len(out) == 2
+    assert by_url["a"]["html"] == b"v0"  # earliest warc_ts wins
+    assert by_url["b"]["html"] == b"b1"
+
+
+def test_read_html_files_source(ray_session, tmp_path):
+    (tmp_path / "one.html").write_text("<article><p>alpha beta gamma delta</p></article>")
+    (tmp_path / "two.html").write_text("<article><p>epsilon zeta</p></article>")
+    ds = read_html_files(str(tmp_path))
+    rows = {r["url"].split("/")[-1]: r["html"] for r in ds.take_all()}
+    assert set(rows) == {"one.html", "two.html"}
+    assert b"alpha beta" in rows["one.html"]
+
+    # feeds straight into the flagship
+    from ocr_system_ray.pipelines import parse_pages, PipelineConfig
+
+    parsed = parse_pages(ds, PipelineConfig(parse_concurrency=1, large_row_bytes=None))
+    texts = {r["url"].split("/")[-1]: r["extracted_text"] for r in parsed.take_all()}
+    assert texts["one.html"] == "alpha beta gamma delta"
