@@ -1,0 +1,106 @@
+"""Property-based parity: random texts through ours AND the live reference.
+
+Hypothesis generates adversarial unicode/structured text; every core
+function must agree byte-for-byte with the reference on all of it.
+Alphabets are biased toward the trigger characters (digits, parens,
+fullwidth chars, month names, marker words) so the interesting branches
+actually fire, not just the no-match path.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_system_ray import core
+
+# character pool biased toward extraction-relevant structure
+_POOL = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n\r.-/():;,#_[]（）​\"”"
+)
+_WORDS = st.sampled_from(
+    [
+        "License", "No.", "LIC-123", "REF-AB12", "Reference:", "to", "from",
+        "Telecommunication", "Transmission", "Tower", "at", "of", "Dialog",
+        "situated", "within", "under", "May", "June", "Sept", "2025", "2026",
+        "12.02.2025", "21-03-2026", "10th", '15"', "(R05)", "(RO05)", "(R1O5)",
+        "12/345", "R6", "（r7）", "[r-8]", "--- PAGE BREAK ---", "ＯＣＲ", "₅",
+    ]
+)
+_CHUNK = st.text(alphabet=_POOL, max_size=30)
+TEXTS = st.lists(st.one_of(_WORDS, _CHUNK), max_size=30).map(" ".join)
+
+COMMON = settings(max_examples=150, deadline=None)
+
+
+@COMMON
+@given(TEXTS)
+def test_extract_fields_parity(ref, text):
+    assert core.extract_fields(text) == ref.extract.extract_fields(text)
+
+
+@COMMON
+@given(TEXTS)
+def test_address_parity(ref, text):
+    assert core.extract_address(text) == ref.extract.extract_address_between_markers(text)
+
+
+@COMMON
+@given(TEXTS)
+def test_date_range_parity(ref, text):
+    assert core.extract_date_range(text) == ref.extract.extract_date_range(text)
+
+
+@COMMON
+@given(TEXTS)
+def test_license_parity(ref, text):
+    assert core.normalize_license_text(text) == ref.dynamic.normalize_text_for_license(text)
+    assert core.find_license_numbers(text) == ref.dynamic.extract_all_license_numbers(text)
+    rows = ref.dynamic.bulk_extract_licenses([{"File Name": "k", "Text": text}])
+    assert core.first_page_license(text) == rows[0]["Licenses"]
+
+
+@COMMON
+@given(
+    TEXTS,
+    st.dictionaries(
+        st.text(alphabet="abcdef_", min_size=1, max_size=8),
+        st.lists(
+            st.sampled_from(
+                [r"(\d+)", r"[A-Z]{2,}", r"\bto\b", r"([unclosed", r"(?:(a+)|(b+))", r""]
+            ),
+            max_size=4,
+        ),
+        max_size=3,
+    ),
+)
+def test_dynamic_fields_parity(ref, text, cfg):
+    assert core.extract_dynamic_fields(text, cfg) == ref.dynamic.extract_dynamic_fields(text, cfg)
+
+
+@COMMON
+@given(st.text(alphabet=_POOL, max_size=40), st.one_of(st.none(), TEXTS))
+def test_induction_parity(ref, sample, context):
+    assert core.smart_patterns(sample, context) == ref.dynamic.generate_smart_patterns(sample, context)
+    assert core.token_shape(sample) == ref.dynamic.infer_token_shape(sample)
+
+
+@COMMON
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "File Name": st.text(max_size=10),
+                "Licenses": st.sampled_from(
+                    ["", "NO. 1 (R05)", "ABC", "(R0012)", "77", "(X)", "1 (R2); 3 (R4)"]
+                ),
+                "Address": st.sampled_from(["", "Somewhere", " padded "]),
+            }
+        ),
+        max_size=6,
+    )
+)
+def test_postprocess_parity(ref, rows):
+    expected = ref.postprocess.postprocess_results([dict(r) for r in rows], None, "Renew Times")
+    ours = core.add_computed_column([dict(r) for r in rows], column_name="Renew Times")
+    assert ours == expected
