@@ -23,12 +23,10 @@ actor/closure init — deterministic across runs and cluster sizes.
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min

@@ -23,11 +23,11 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..sources.readers import read_table
 from ..functions import textstats, dedup, similarity, multimodal
-from ..stages.fieldextract import FinalExtractStage, DocumentFieldsStage
+from ..stages.fieldextract import DocumentFieldsStage
 from ..pipelines.main_content import parse_pages, final_extract, PipelineConfig
 
 

@@ -25,7 +25,6 @@ from collections.abc import Mapping, Sequence
 import pyarrow as pa
 
 from ..core import (
-    DEFAULT_PATTERNS,
     assemble_final_rows,
     process_document_text,
     BASE_COLUMNS,
