@@ -363,7 +363,9 @@ def embedding_duplicate_pairs(
     planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
 
     def bucket(t: pa.Table) -> pa.Table:
-        vecs = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float32)
+        from .similarity import _as_matrix
+
+        vecs = _as_matrix(t.column(vec_col))
         if vecs.size == 0:
             return pa.table({ "bucket": pa.array([], pa.int64()), id_col: t.column(id_col),
                               vec_col: t.column(vec_col)})

@@ -24,7 +24,23 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:  # noqa: ANN001
-    v = np.asarray(col.to_pylist(), dtype=np.float32)
+    """list<float> column → (n, dim) float32 matrix, zero-copy via Arrow
+    buffer flatten (no per-row Python conversion)."""
+    import pyarrow as pa_
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if pa_.types.is_list(col.type) or pa_.types.is_large_list(col.type):
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        if (widths == widths[0]).all():
+            # account for a possible non-zero start offset of a sliced array
+            return flat[offsets[0] : offsets[-1]].reshape(n, int(widths[0]))
+    v = np.asarray(col.to_pylist(), dtype=np.float32)  # ragged fallback
     return v if v.ndim == 2 else v.reshape(0, 0)
 
 

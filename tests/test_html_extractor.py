@@ -130,6 +130,41 @@ def test_block_parser_page_attribution():
     assert p.page_count == 2
 
 
+def test_main_element_scope():
+    html = """
+    <body>
+      <nav><a href="/">home</a></nav>
+      <main>
+        <h1>Title</h1>
+        <p>short main text</p>
+      </main>
+      <div>random short div</div>
+    </body>
+    """
+    out = EX.extract_str(html)
+    # inside <main>, even short blocks are kept; the stray short div is not
+    assert out.text == "Title\nshort main text"
+
+
+def test_br_and_table_blocks():
+    html = (
+        "<article><p>line one continues here just fine for sure</p>"
+        "<p>alpha<br>beta</p>"
+        "<table><tr><td>cell one text</td><td>cell two text</td></tr></table></article>"
+    )
+    out = EX.extract_str(html)
+    lines = out.text.split("\n")
+    assert "alpha" in lines and "beta" in lines  # br splits blocks
+    assert "cell one text" in lines and "cell two text" in lines
+
+
+def test_comment_and_doctype_ignored():
+    html = "<!DOCTYPE html><!-- secret comment words --><article><p>the visible body text here</p></article>"
+    out = EX.extract_str(html)
+    assert out.text == "the visible body text here"
+    assert "secret" not in out.text
+
+
 def test_empty_and_whitespace_docs():
     assert EX.extract_str("").text == ""
     assert EX.extract_str("   \n\t ").text == ""
