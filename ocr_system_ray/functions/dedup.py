@@ -154,10 +154,19 @@ def minhash_duplicate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    star_threshold: int = 256,
 ) -> ray.data.Dataset:
     """Candidate-and-verify near-dup pairs: (id_a, id_b, est_jaccard).
 
     id_a < id_b, deduplicated across bands via per-pair min-band emission.
+
+    Big-bucket guard: a band bucket of k members implies k² candidate
+    pairs — with boilerplate-identical documents (common at web scale) a
+    single bucket can hold millions.  Buckets larger than
+    ``star_threshold`` switch to the *star* pattern: every member pairs
+    only with the bucket's smallest id (still threshold-verified).  For
+    dedup clustering this is lossless — the connected component is
+    preserved through the hub — while emission drops from O(k²) to O(k).
     """
     rows_per_band = num_perms // bands
     sigs = ds.map_batches(
@@ -181,19 +190,29 @@ def minhash_duplicate_pairs(
             ids = group[id_col].tolist()
             sigs_ = [np.asarray(s, dtype=np.uint64) for s in group["minhash"]]
             band = int(group["band_key"].iloc[0]) >> 32
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    est = MinHasher.estimate_jaccard(sigs_[i], sigs_[j])
-                    if est >= threshold:
-                        a, b = sorted((ids[i], ids[j]))
-                        # emit from ONE band only (the first band where the
-                        # pair collides) so cross-band duplicates vanish
-                        # without a second distinct() shuffle
-                        first = _first_colliding_band(sigs_[i], sigs_[j], bands, rows_per_band)
-                        if first == band:
-                            out["id_a"].append(a)
-                            out["id_b"].append(b)
-                            out["est_jaccard"].append(est)
+
+            def emit(i: int, j: int) -> None:
+                est = MinHasher.estimate_jaccard(sigs_[i], sigs_[j])
+                if est >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    # emit from ONE band only (the first band where the
+                    # pair collides) so cross-band duplicates vanish
+                    # without a second distinct() shuffle
+                    first = _first_colliding_band(sigs_[i], sigs_[j], bands, rows_per_band)
+                    if first == band:
+                        out["id_a"].append(a)
+                        out["id_b"].append(b)
+                        out["est_jaccard"].append(est)
+
+            if len(ids) > star_threshold:  # star pattern (see docstring)
+                hub = min(range(len(ids)), key=ids.__getitem__)
+                for j in range(len(ids)):
+                    if j != hub:
+                        emit(hub, j)
+            else:
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        emit(i, j)
         return pd.DataFrame(out)
 
     return exploded.groupby("band_key").map_groups(pairs_in_band, batch_format="pandas")

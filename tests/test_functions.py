@@ -133,6 +133,25 @@ def test_minhash_pairs_find_the_dups(docs_ds):
     )
 
 
+def test_minhash_star_pattern_on_big_buckets(ray_session):
+    """A bucket of identical docs larger than star_threshold emits O(k)
+    hub pairs, preserving the connected component."""
+    import pyarrow as pa
+    import ray.data
+
+    n = 12
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": ["identical duplicated content words here repeated often"] * n,
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.minhash_duplicate_pairs(ds, threshold=0.9, star_threshold=4).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == {(0, j) for j in range(1, n)}  # star around the min id
+
+
 def test_simhash_pairs_find_the_dups(docs_ds):
     pairs = dedup.simhash_duplicate_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}

@@ -1,0 +1,52 @@
+"""Span-offset fidelity: spans must point at the real content in the raw HTML."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ocr_system_ray.html import MainContentExtractor
+from ocr_system_ray.html.blocks import decode_html_bytes
+from ocr_system_ray.sources.pages import synthesize_page
+
+EX = MainContentExtractor()
+_WS = re.compile(r"\s+")
+
+
+@pytest.mark.parametrize("i", [1, 7, 13, 42, 100])
+def test_span_slices_cover_extracted_words(i):
+    """Every word of the extracted text appears inside the span-covered
+    region of the raw HTML (after entity unescape + ws-normalization)."""
+    import html as html_mod
+
+    row = synthesize_page(i, skew_every=0)
+    raw = decode_html_bytes(row["html"])
+    out = EX.extract_bytes(row["html"])
+    assert out.text == row["text"]
+
+    covered = " ".join(raw[s:e] for s, e in out.spans)
+    covered_norm = _WS.sub(" ", html_mod.unescape(covered))
+    body_words = set(_WS.sub(" ", out.text).replace("--- PAGE BREAK ---", " ").split())
+    missing = [w for w in body_words if w not in covered_norm]
+    assert not missing, missing[:5]
+
+
+def test_spans_exclude_chrome():
+    row = synthesize_page(5, skew_every=0)
+    raw = decode_html_bytes(row["html"])
+    out = EX.extract_bytes(row["html"])
+    covered = " ".join(raw[s:e] for s, e in out.spans)
+    # boilerplate strings from the generator's chrome must not be covered
+    assert "portal of record" not in covered  # header slogan
+    assert "subscribe today" not in covered  # aside
+    assert "example holdings" not in covered  # footer
+    assert "related item" not in covered  # link farm
+
+
+def test_span_bounds_within_document():
+    row = synthesize_page(9, skew_every=0)
+    raw = decode_html_bytes(row["html"])
+    out = EX.extract_bytes(row["html"])
+    for s, e in out.spans:
+        assert 0 <= s < e <= len(raw)
