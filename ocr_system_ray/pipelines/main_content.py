@@ -58,9 +58,18 @@ class PipelineConfig:
     large_parse_concurrency: int | tuple[int, int] = (1, 2)
     min_words: int = 8
     fused: bool = True
+    # restrict to these languages at the READ (pyarrow dataset filter →
+    # parquet row-group pushdown; rows never leave storage). None = all.
+    languages: tuple[str, ...] | None = None
 
 
-def _read(input_path: str) -> ray.data.Dataset:
+def _read(input_path: str, languages: tuple[str, ...] | None = None) -> ray.data.Dataset:
+    if languages:
+        return ray.data.read_parquet(
+            input_path,
+            columns=["url", "html"],
+            filter=pc.field("lang").isin(list(languages)),
+        )
     return ray.data.read_parquet(input_path, columns=["url", "html"])
 
 
@@ -74,7 +83,7 @@ def parse_pages(
     stage; skewed rows take the dedicated large path.
     """
     cfg = config or PipelineConfig()
-    ds = _read(input_path) if isinstance(input_path, str) else input_path
+    ds = _read(input_path, cfg.languages) if isinstance(input_path, str) else input_path
 
     stage_kwargs_single = dict(
         batch_format="pyarrow",
@@ -135,7 +144,7 @@ def final_extract(
     """
     cfg = config or PipelineConfig()
     if cfg.fused:
-        ds = _read(input_path) if isinstance(input_path, str) else input_path
+        ds = _read(input_path, cfg.languages) if isinstance(input_path, str) else input_path
         kwargs = dict(
             batch_format="pyarrow",
             zero_copy_batch=True,

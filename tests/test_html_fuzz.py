@@ -1,0 +1,41 @@
+"""Fuzz the HTML extractor: arbitrary tag soup must never raise, always
+produce in-bounds sorted spans, and be deterministic."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from ocr_system_ray.html import MainContentExtractor
+
+EX = MainContentExtractor()
+
+_TAGS = st.sampled_from(
+    [
+        "<p>", "</p>", "<div>", "</div>", "<article>", "</article>", "<a href='x'>",
+        "</a>", "<br>", "<script>", "</script>", "<b>", "</i>", "<table>", "</td>",
+        "<h1>", "</h2>", "<main>", "</main>", "<nav>", "</nav>", "<!-- c -->",
+        "<![CDATA[x]]>", "<!DOCTYPE html>", "<?pi?>", "<unclosed", "&amp;", "&bogus;",
+        "&#65;", "&#x41;", "&#xZZ;", "&",
+    ]
+)
+_TEXT = st.text(max_size=20)
+SOUP = st.lists(st.one_of(_TAGS, _TEXT), max_size=40).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(SOUP)
+def test_never_raises_and_spans_valid(soup):
+    out1 = EX.extract_str(soup)
+    out2 = EX.extract_str(soup)  # warm-parser reuse must not leak state
+    assert out1.text == out2.text
+    assert out1.spans == out2.spans
+    assert out1.spans == sorted(out1.spans)
+    for s, e in out1.spans:
+        assert 0 <= s < e <= len(soup)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_bytes_never_raise(payload):
+    out = EX.extract_bytes(payload)
+    assert isinstance(out.text, str)

@@ -72,6 +72,15 @@ def test_final_extract_matches_oracle(ray_session, pages_dir, oracle_docs, fused
             assert got == want[col], (r["url"], col)
 
 
+def test_language_pushdown_filter(ray_session, pages_dir, oracle_docs):
+    cfg = PipelineConfig(languages=("en",), large_row_bytes=None, parse_concurrency=2)
+    rows = parse_pages(pages_dir, cfg).take_all()
+    # lang cycle is (en, en, en, si, ta, de) → exactly half the docs
+    assert len(rows) == N_DOCS // 2
+    for r in rows:
+        assert r["extracted_text"] == oracle_docs[r["url"]]
+
+
 def test_document_fields_contract(ray_session, pages_dir, oracle_docs):
     out = document_fields(pages_dir, PipelineConfig(page_join="\n")).take_all()
     assert len(out) == N_DOCS  # no filter in the legacy contract
