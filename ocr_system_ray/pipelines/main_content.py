@@ -231,7 +231,7 @@ def run_resumable(
         t0 = time.monotonic()
         part_dir = os.path.join(out_dir, f"part-{rec.partition_id:05d}")
         try:
-            ds = build(ray.data.read_parquet(rec.input_paths, columns=["url", "html"]), cfg)
+            ds = build(_read(rec.input_paths, cfg.languages), cfg)
             # idempotent overwrite: clear the partition dir, then write
             if os.path.isdir(part_dir):
                 for f_ in os.listdir(part_dir):

@@ -1,0 +1,47 @@
+"""Per-stage Ray Data stats for the flagship pipeline (tuning evidence).
+
+Runs the fused flagship over the bench corpus and prints ``ds.stats()``
+— operator wall times, CPU, memory, output rows — the feedback loop used
+to tune batch size / pool size (BASELINE.md "knobs that mattered").
+
+    python tools/stats_report.py [num_cpus]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    import ray
+
+    ncpu = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    import bench
+
+    pages = bench.ensure_pages()
+    from ocr_system_ray.pipelines import final_extract, PipelineConfig
+
+    cfg = PipelineConfig(
+        parse_concurrency=max(1, ncpu * 3 // 4),
+        large_row_bytes=None,
+        parse_batch_size=64,
+        field_to_patterns={"town": [r"(Kandy|Galle)"]},
+    )
+    ds = final_extract(pages, cfg)
+    ds = ds.materialize()
+    print(ds.stats())
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
