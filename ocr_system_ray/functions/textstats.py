@@ -67,6 +67,11 @@ _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it this that for on with as at by".split()
 )
 
+_ALPHA_RGX = re.compile(r"[^\W\d_]")
+_DIGIT_RGX = re.compile(r"\d")
+_SPACE_RGX = re.compile(r"\s")
+_UPPER_RGX = re.compile(r"[A-ZÀ-ÖØ-Þ]")
+
 
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append deterministic quality signals per document.
@@ -86,10 +91,12 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     for v in batch.column(text_col).to_pylist():
         t = v or ""
         n = len(t)
-        alpha = sum(c.isalpha() for c in t)
-        digit = sum(c.isdigit() for c in t)
-        space = sum(c.isspace() for c in t)
-        upper = sum(c.isupper() for c in t)
+        # char-class counts via single-pass C regex (subn), not per-char
+        # Python predicates; classes are unicode-aware
+        alpha = _ALPHA_RGX.subn("", t)[1]
+        digit = _DIGIT_RGX.subn("", t)[1]
+        space = _SPACE_RGX.subn("", t)[1]
+        upper = _UPPER_RGX.subn("", t)[1]
         toks = t.split()
         out_cols["alpha_ratio"].append(alpha / n if n else 0.0)
         out_cols["digit_ratio"].append(digit / n if n else 0.0)
@@ -176,20 +183,29 @@ def winnow_fingerprint_batch(
     """Append ``fingerprints``: winnowing (rolling k-gram hash, min per
     window) — the standard document-fingerprint sketch (Schleimer et al.,
     SIGMOD'03).  Deterministic; list<uint32> per doc, comparable by overlap.
+
+    Vectorized: k-gram hashes are a polynomial hash over the utf-8 bytes
+    computed with one ``sliding_window_view`` matmul (uint64 wraparound),
+    window-minima via a second sliding view — no per-gram Python loop.
     """
     out: list[list[int]] = []
+    powers = (np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64))[::-1]
     for v in batch.column(text_col).to_pylist():
-        t = (v or "").lower()
-        if len(t) < k:
+        data = np.frombuffer((v or "").lower().encode("utf-8"), dtype=np.uint8)
+        if data.size < k:
             out.append([])
             continue
-        hashes = [zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)]
-        fps: list[int] = []
-        prev = -1
-        for w in range(max(1, len(hashes) - window + 1)):
-            m = min(hashes[w : w + window])
-            if m != prev:
-                fps.append(m)
-                prev = m
-        out.append(fps)
+        grams = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+        hashes = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if hashes.size <= window:
+            mins = np.array([hashes.min()], dtype=np.uint32)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+        # keep first of each run of equal consecutive minima (winnowing rule)
+        keep = np.empty(mins.size, dtype=bool)
+        keep[0] = True
+        np.not_equal(mins[1:], mins[:-1], out=keep[1:])
+        out.append(mins[keep].tolist())
     return batch.append_column("fingerprints", pa.array(out, pa.list_(pa.uint32())))
