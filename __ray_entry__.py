@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": q.q_events_props_stats,
         "user_sessions": q.q_user_sessions,
         "orders_of_top_customers": q.q_orders_of_top_customers,
+        "events_sliding_windows": q.q_events_sliding_windows,
+        "top_orders_per_customer": q.q_top_orders_per_customer,
+        "orders_without_big_lineitem": q.q_orders_without_big_lineitem,
+        "suppliers_per_part": q.q_suppliers_per_part,
         "distinct_langs": q.q_distinct_langs,
         "orders_top100": q.q_orders_top100,
         # text analysis
@@ -153,6 +157,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "distinct_langs": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "events_sliding_windows": """
+            WITH shifted AS (
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS window_start
+                FROM events
+                UNION ALL
+                SELECT event_type,
+                       to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)::TIMESTAMP AS window_start
+                FROM events
+            )
+            SELECT event_type, window_start, COUNT(*) AS n_events
+            FROM shifted GROUP BY event_type, window_start
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, price_cents, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "orders_without_big_lineitem": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_orderkey NOT IN (
+                SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45
+            )
+        """,
+        "suppliers_per_part": """
+            SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_partkey
+        """,
         "events_props_stats": """
             WITH parsed AS (
                 SELECT event_type,

@@ -270,6 +270,126 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_events_sliding_windows(sf_dir: str) -> ray.data.Dataset:
+    """Sliding windows (size 1 h, hop 30 min): each event lands in the two
+    windows covering it — explode per batch (the flat-map shape), then one
+    grouped aggregate over (event_type, window_start)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    half_hour = np.timedelta64(30, "m")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        half = ts.astype("datetime64[m]")
+        # floor to 30-minute boundaries
+        mins = (ts - ts.astype("datetime64[D]")).astype("timedelta64[m]").astype(np.int64)
+        floor30 = ts.astype("datetime64[D]").astype("datetime64[m]") + (mins // 30) * half_hour.astype("timedelta64[m]")
+        del half
+        win_a = floor30  # window starting at the floor
+        win_b = floor30 - half_hour  # the earlier overlapping window
+        et = t.column("event_type")
+        tmp = pa.table(
+            {
+                "event_type": pa.concat_arrays([et.combine_chunks(), et.combine_chunks()]),
+                "window_start": pa.array(
+                    np.concatenate([win_a, win_b]).astype("datetime64[us]")
+                ),
+                "one": pa.array(np.ones(2 * len(t), dtype=np.int64)),
+            }
+        )
+        g = tmp.group_by(["event_type", "window_start"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "window_start", "p_cnt"])
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("p_cnt", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("window_start"),
+            "window_start",
+            t.column("window_start").cast(pa.timestamp("us")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders per customer by price (per-group top-k / window-rank)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": pa.array(np.floor(price * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    def top3(g):  # pandas in
+        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    out = (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+def q_orders_without_big_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast ANTI-join: orders having no lineitem with quantity ≥ 45.
+
+    The filter keyset (high-quantity orderkeys) is aggregated driver-side
+    from a pruned column read, broadcast once, and anti-applied to the
+    orders stream with ``is_in`` + ``invert`` — no shuffle."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    high_keys = li.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("l_quantity"), 45.0)).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    ).unique("l_orderkey")  # list of values — the small side
+    keyset = ray.put(pa.array(sorted(high_keys), pa.int64()))
+
+    class AntiFilter:
+        def __init__(self) -> None:
+            self.keys = ray.get(keyset)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(t.column("o_orderkey"), value_set=self.keys))
+            return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return orders.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def q_suppliers_per_part(sf_dir: str) -> ray.data.Dataset:
+    """Grouped distinct count: suppliers per part — exact, via pair-dedup
+    inside each batch (combiner) then a global pair-dedup + count."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([]).select(
+            ["l_partkey", "l_suppkey"]
+        )
+
+    deduped = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    return (
+        deduped.select_columns(["l_partkey"])
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+
+
 def q_distinct_langs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["lang"])
     # distinct via groupby-count keeps it one shuffle and names the column
