@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_verified": q.q_minhash_pairs_verified,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dup_pairs": q.q_embedding_dup_pairs,
+        "embedding_dup_exact": q.q_embedding_dup_exact,
         # similarity search
         "knn_bruteforce": q.q_knn_bruteforce,
         "knn_ivf": q.q_knn_ivf,
@@ -249,6 +250,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "content_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "embedding_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
                    MIN(doc_id) AS doc_id,

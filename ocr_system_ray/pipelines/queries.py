@@ -279,11 +279,9 @@ def q_events_sliding_windows(sf_dir: str) -> ray.data.Dataset:
 
     def explode(t: pa.Table) -> pa.Table:
         ts = t.column("ts").to_numpy(zero_copy_only=False)
-        half = ts.astype("datetime64[m]")
         # floor to 30-minute boundaries
         mins = (ts - ts.astype("datetime64[D]")).astype("timedelta64[m]").astype(np.int64)
         floor30 = ts.astype("datetime64[D]").astype("datetime64[m]") + (mins // 30) * half_hour.astype("timedelta64[m]")
-        del half
         win_a = floor30  # window starting at the floor
         win_b = floor30 - half_hour  # the earlier overlapping window
         et = t.column("event_type")
@@ -539,6 +537,47 @@ def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
     df["jaccard"] = df["jaccard"].round(6)
     df["est_jaccard"] = df["est_jaccard"].round(6)
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_embedding_dup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact all-pairs cosine near-dup (id_a < id_b, cosine ≥ 0.4).
+
+    The normalized corpus matrix is broadcast once (``ray.put``); each
+    batch matmuls its rows against the full matrix and emits qualifying
+    pairs — O(n²) flops but distributed per batch and zero shuffle.  The
+    exact path for modest n; the LSH variant (``embedding_dup_pairs``)
+    is the 10^9-row path."""
+    import os
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = similarity._normalize(
+        np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    )
+    ref = ray.put((ids_all, mat))
+
+    class PairEmit:
+        def __init__(self) -> None:
+            self.ids_all, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            vecs = similarity._normalize(
+                np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            sims = vecs @ self.mat.T  # (batch, n)
+            bi, aj = np.nonzero(sims >= 0.4)
+            keep = ids[bi] < self.ids_all[aj]  # id_a < id_b, no self/dup pairs
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[bi][keep]),
+                    "id_b": pa.array(self.ids_all[aj][keep]),
+                }
+            )
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(PairEmit, batch_format="pyarrow", concurrency=(1, 4))
 
 
 def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
