@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         # extraction + flagship
         "extract_fields_docs": q.q_extract_fields_docs,
+        "model_extract_docs": q.q_model_extract_docs,
         "final_extract_pages": q.q_final_extract_pages,
         "parse_pages_stats": q.q_parse_pages_stats,
         # multimodal plumbing

@@ -61,6 +61,14 @@ class PipelineConfig:
     # restrict to these languages at the READ (pyarrow dataset filter →
     # parquet row-group pushdown; rows never leave storage). None = all.
     languages: tuple[str, ...] | None = None
+    # globally sort the final rows by url (ONE all-to-all shuffle) —
+    # only for stable golden files; correctness checks are keyed, not
+    # positional (SURVEY.md §2.6 A2)
+    sort_output: bool = False
+    # write outputs bucketed by a stable salted url-hash
+    # (partition_cols=[bucket]) so downstream stages co-partitioned on
+    # url can read aligned buckets; 0 = off
+    output_buckets: int = 0
 
 
 def _read(input_path: str, languages: tuple[str, ...] | None = None) -> ray.data.Dataset:
@@ -143,6 +151,10 @@ def final_extract(
     intermediate (url, extracted_text, spans) stream.
     """
     cfg = config or PipelineConfig()
+
+    def _finish(out: ray.data.Dataset) -> ray.data.Dataset:
+        return out.sort("url") if cfg.sort_output else out
+
     if cfg.fused:
         ds = _read(input_path, cfg.languages) if isinstance(input_path, str) else input_path
         kwargs = dict(
@@ -155,11 +167,13 @@ def final_extract(
             },
         )
         if cfg.large_row_bytes is None:
-            return ds.map_batches(
-                FusedParseExtractStage,
-                batch_size=cfg.parse_batch_size,
-                concurrency=cfg.parse_concurrency,
-                **kwargs,
+            return _finish(
+                ds.map_batches(
+                    FusedParseExtractStage,
+                    batch_size=cfg.parse_batch_size,
+                    concurrency=cfg.parse_concurrency,
+                    **kwargs,
+                )
             )
 
         def _sizes(t):  # noqa: ANN001
@@ -173,17 +187,19 @@ def final_extract(
             lambda t: t.filter(pc.greater_equal(_sizes(t), cfg.large_row_bytes)),
             batch_format="pyarrow",
         )
-        return small.map_batches(
-            FusedParseExtractStage,
-            batch_size=cfg.parse_batch_size,
-            concurrency=cfg.parse_concurrency,
-            **kwargs,
-        ).union(
-            large.map_batches(
+        return _finish(
+            small.map_batches(
                 FusedParseExtractStage,
-                batch_size=1,
-                concurrency=cfg.large_parse_concurrency,
+                batch_size=cfg.parse_batch_size,
+                concurrency=cfg.parse_concurrency,
                 **kwargs,
+            ).union(
+                large.map_batches(
+                    FusedParseExtractStage,
+                    batch_size=1,
+                    concurrency=cfg.large_parse_concurrency,
+                    **kwargs,
+                )
             )
         )
 
@@ -191,7 +207,9 @@ def final_extract(
     # cheap per-task state (a pattern dict) → stateless tasks, not an actor
     # pool; the compiled-regex cache warms once per worker process.
     stage = FinalExtractStage(field_to_patterns=cfg.field_to_patterns)
-    return parsed.map_batches(stage.__call__, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish(
+        parsed.map_batches(stage.__call__, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 def document_fields(
@@ -234,15 +252,26 @@ def run_resumable(
             ds = build(_read(rec.input_paths, cfg.languages), cfg)
             # idempotent overwrite: clear the partition dir, then write
             if os.path.isdir(part_dir):
-                for f_ in os.listdir(part_dir):
-                    os.remove(os.path.join(part_dir, f_))
-            ds.write_parquet(part_dir)
+                import shutil
+
+                shutil.rmtree(part_dir)
+            if cfg.output_buckets:
+                from ..stages.skew import salted_key
+
+                ds = ds.map_batches(
+                    lambda t: salted_key(
+                        t, num_partitions=cfg.output_buckets, out_column="bucket"
+                    ),
+                    batch_format="pyarrow",
+                )
+                ds.write_parquet(part_dir, partition_cols=["bucket"])
+            else:
+                ds.write_parquet(part_dir)
             import pyarrow.parquet as pq
 
             rec.rows_out = sum(
-                pq.ParquetFile(os.path.join(part_dir, f_)).metadata.num_rows
-                for f_ in os.listdir(part_dir)
-                if f_.endswith(".parquet")
+                pq.ParquetFile(fp).metadata.num_rows
+                for fp in glob.glob(os.path.join(part_dir, "**", "*.parquet"), recursive=True)
             )
             rec.rows_in = sum(
                 pq.ParquetFile(p).metadata.num_rows for p in rec.input_paths

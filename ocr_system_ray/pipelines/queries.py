@@ -661,6 +661,41 @@ def q_extract_fields_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_model_extract_docs(sf_dir: str) -> ray.data.Dataset:
+    """The C3 composite (model-based field extraction) over documents:
+    actor pool with the pluggable model seam (heuristic model here —
+    production swaps in real weights via model_fn)."""
+    from ..stages.modelextract import ModelFieldExtractStage, heuristic_model_fn
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(t.column("doc_id"), pa.string()),
+                "extracted_text": t.column("text"),
+            }
+        )
+
+    out = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        ModelFieldExtractStage,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"model_fn": heuristic_model_fn},
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t.column("url"), pa.int64()),
+                "license_id": t.column("license_id"),
+                "date": t.column("date"),
+                "reference_id": t.column("reference_id"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_final_extract_pages(sf_dir: str) -> ray.data.Dataset:
     """The flagship pipeline over a deterministic synthetic pages shard set
     sized to the sf (rows-only driver check; byte-level checks in pytest)."""
