@@ -7,9 +7,10 @@ Scale shapes (the part that matters at 100 TB):
   small shuffle: ``groupby(content_md5).aggregate(Min(doc_id), Count())``.
   Pre-hashing means the shuffle moves 48-byte keys, not documents.
 * **MinHash-LSH** — per-batch: shingle → minhash signature (numpy,
-  vectorized over permutations) → explode to ``(band, band_hash, doc_id)``
-  rows; ONE ``groupby(band_key)``; per-group candidate pairs; verify by
-  signature-estimated Jaccard.  Documents never shuffle — only signatures.
+  vectorized over permutations) → explode to ``(band_key, doc_id)`` rows
+  (12 bytes/row — signatures do NOT ride the shuffle); ONE
+  ``groupby(band_key)`` → candidate pairs → global pair dedup → verify
+  against broadcast signatures.  Documents never shuffle at all.
 * **SimHash**    — 64-bit signature per doc; 4×16-bit band blocking →
   same explode+groupby shape; verify by Hamming distance.
 * **n-gram Jaccard** — exact verify pass for LSH candidates (small side),
@@ -23,6 +24,7 @@ actor/closure init — deterministic across runs and cluster sizes.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -127,8 +129,12 @@ class MinHashStage:
 
 
 def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str) -> pa.Table:
-    """(id, minhash) → (band_key, id, minhash) one row per band."""
-    ids, keys, sigs = [], [], []
+    """(id, minhash) → (band_key, id) one row per band.
+
+    Only the 12-byte (key, id) pair moves through the groupby shuffle —
+    NOT the 512-byte signature (a 16× traffic blowup otherwise);
+    signatures rejoin at the verify stage via broadcast."""
+    ids, keys = [], []
     for row_id, sig in zip(batch.column(id_col).to_pylist(), batch.column("minhash").to_pylist()):
         arr = np.asarray(sig, dtype=np.uint64)
         for b in range(bands):
@@ -136,14 +142,7 @@ def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str)
             h = zlib.crc32(chunk.tobytes(), b)  # band index salts the hash
             ids.append(row_id)
             keys.append((b << 32) | h)
-            sigs.append(sig)
-    return pa.table(
-        {
-            "band_key": pa.array(keys, pa.int64()),
-            id_col: pa.array(ids),
-            "minhash": pa.array(sigs, pa.list_(pa.uint64())),
-        }
-    )
+    return pa.table({"band_key": pa.array(keys, pa.int64()), id_col: pa.array(ids)})
 
 
 def minhash_duplicate_pairs(
@@ -158,15 +157,19 @@ def minhash_duplicate_pairs(
 ) -> ray.data.Dataset:
     """Candidate-and-verify near-dup pairs: (id_a, id_b, est_jaccard).
 
-    id_a < id_b, deduplicated across bands via per-pair min-band emission.
+    Plan: band-explode (ids only) → per-bucket candidate pairs → global
+    pair dedup (``groupby(id_a, id_b)`` over the small candidate stream)
+    → signature-estimate verify with the signature map broadcast once.
 
     Big-bucket guard: a band bucket of k members implies k² candidate
     pairs — with boilerplate-identical documents (common at web scale) a
     single bucket can hold millions.  Buckets larger than
     ``star_threshold`` switch to the *star* pattern: every member pairs
-    only with the bucket's smallest id (still threshold-verified).  For
-    dedup clustering this is lossless — the connected component is
-    preserved through the hub — while emission drops from O(k²) to O(k).
+    only with the bucket's smallest id.  A pair collected in ANY normal
+    bucket is always verified (the global dedup makes cross-band
+    duplicates free); pairs that only ever meet inside star buckets are
+    approximated by their hub edges — exact for the identical-document
+    clusters the guard targets (est = 1.0 throughout).
     """
     rows_per_band = num_perms // bands
     sigs = ds.map_batches(
@@ -182,47 +185,66 @@ def minhash_duplicate_pairs(
         batch_format="pyarrow",
     )
 
-    def pairs_in_band(group) -> "pa.Table":  # pandas DataFrame in
+    def candidates_in_band(group):  # pandas DataFrame in
         import pandas as pd
 
-        out = {"id_a": [], "id_b": [], "est_jaccard": []}
+        out = {"id_a": [], "id_b": []}
         if len(group) > 1:
-            ids = group[id_col].tolist()
-            sigs_ = [np.asarray(s, dtype=np.uint64) for s in group["minhash"]]
-            band = int(group["band_key"].iloc[0]) >> 32
-
-            def emit(i: int, j: int) -> None:
-                est = MinHasher.estimate_jaccard(sigs_[i], sigs_[j])
-                if est >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    # emit from ONE band only (the first band where the
-                    # pair collides) so cross-band duplicates vanish
-                    # without a second distinct() shuffle
-                    first = _first_colliding_band(sigs_[i], sigs_[j], bands, rows_per_band)
-                    if first == band:
-                        out["id_a"].append(a)
-                        out["id_b"].append(b)
-                        out["est_jaccard"].append(est)
-
+            ids = sorted(group[id_col].tolist())
             if len(ids) > star_threshold:  # star pattern (see docstring)
-                hub = min(range(len(ids)), key=ids.__getitem__)
-                for j in range(len(ids)):
-                    if j != hub:
-                        emit(hub, j)
+                hub = ids[0]
+                out["id_a"] = [hub] * (len(ids) - 1)
+                out["id_b"] = ids[1:]
             else:
                 for i in range(len(ids)):
                     for j in range(i + 1, len(ids)):
-                        emit(i, j)
+                        out["id_a"].append(ids[i])
+                        out["id_b"].append(ids[j])
         return pd.DataFrame(out)
 
-    return exploded.groupby("band_key").map_groups(pairs_in_band, batch_format="pandas")
+    candidates = exploded.groupby("band_key").map_groups(
+        candidates_in_band, batch_format="pandas"
+    )
+    # a pair may collide in several bands → one global dedup over the
+    # (small) candidate pair stream
+    unique_pairs = candidates.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
 
+    # verify by signature-estimated Jaccard; signatures are broadcast once
+    # (ray.put) — at corpus sizes where n×num_perms×8B exceeds worker
+    # memory, swap this for a hash-join of pairs against the signature
+    # dataset on id
+    import ray as _ray
 
-def _first_colliding_band(sig_a: np.ndarray, sig_b: np.ndarray, bands: int, r: int) -> int:
-    for b in range(bands):
-        if np.array_equal(sig_a[b * r : (b + 1) * r], sig_b[b * r : (b + 1) * r]):
-            return b
-    return -1
+    sig_table = sigs.to_pandas()
+    sig_map = {
+        i: np.asarray(s, dtype=np.uint64)
+        for i, s in zip(sig_table[id_col], sig_table["minhash"])
+    }
+    sig_ref = _ray.put(sig_map)
+
+    class EstimateVerify:
+        def __init__(self) -> None:
+            self.sigs = _ray.get(sig_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ia = t.column("id_a").to_pylist()
+            ib = t.column("id_b").to_pylist()
+            est = [
+                MinHasher.estimate_jaccard(self.sigs[a], self.sigs[b]) for a, b in zip(ia, ib)
+            ]
+            keep = pa.array([e >= threshold for e in est])
+            out = pa.table(
+                {
+                    "id_a": t.column("id_a"),
+                    "id_b": t.column("id_b"),
+                    "est_jaccard": pa.array(est, pa.float64()),
+                }
+            )
+            return out.filter(keep)
+
+    return unique_pairs.map_batches(
+        EstimateVerify, batch_format="pyarrow", concurrency=(1, 4)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -239,14 +261,21 @@ class SimHashStage:
 
     @staticmethod
     def simhash64(text: str) -> int:
+        """64-bit simhash over word unigrams.
+
+        Word hash = blake2b 8-byte digest: the 64 bit-planes are genuinely
+        independent.  (Two crc32 variants are NOT — crc is affine in its
+        init value, so crc32(b, salt) = crc32(b) ^ f(len(b)), which would
+        collapse the upper 32 planes into mirrors of the lower ones and
+        wreck Hamming-distance discrimination.)
+        """
         words = (text or "").lower().split()
         if not words:
             return 0
         acc = np.zeros(64, dtype=np.int64)
         for w in words:
-            b = w.encode("utf-8")
-            h = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
-            bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+            digest = hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest()
+            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
             acc += np.where(bits > 0, 1, -1)
         out = np.packbits((acc > 0).astype(np.uint8))
         return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])

@@ -36,10 +36,12 @@ def _as_matrix(col) -> np.ndarray:  # noqa: ANN001
     if pa_.types.is_list(col.type) or pa_.types.is_large_list(col.type):
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offsets)
+        # flatten() already honors any slice offset — its output length is
+        # exactly widths.sum(); reshape it directly (re-applying the raw
+        # offsets here would double-slice and break on sliced arrays)
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
-        if (widths == widths[0]).all():
-            # account for a possible non-zero start offset of a sliced array
-            return flat[offsets[0] : offsets[-1]].reshape(n, int(widths[0]))
+        if widths.size and (widths == widths[0]).all() and flat.size == n * int(widths[0]):
+            return flat.reshape(n, int(widths[0]))
     v = np.asarray(col.to_pylist(), dtype=np.float32)  # ragged fallback
     return v if v.ndim == 2 else v.reshape(0, 0)
 

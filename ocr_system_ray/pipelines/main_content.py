@@ -11,9 +11,13 @@ Physical plan (SURVEY.md §4.4):
 
 All stages stream; nothing materializes the full dataset.  The
 small/large split keeps multi-MB skew rows from stalling the main
-stream (SURVEY.md §4.3); at test scale the large side is a handful of
-rows, at 100 TB it is the difference between a smooth stream and a
-straggler tail.
+stream (SURVEY.md §4.3).  Branching a lazy Dataset re-executes the
+shared read once per branch, so the in-memory split costs a second
+read pass; at ingest scale, pre-bucket ONCE with
+``stages.skew.bucket_by_size_class`` (write partitioned by size_class)
+and point each path at its pruned partition — or set
+``large_row_bytes=None`` to parse giant rows inline when the corpus
+has no pathological rows.
 
 ``run_resumable`` wraps the same plan in per-partition lineage
 (``state/lineage.py``): one invocation per pending partition group,
@@ -39,7 +43,7 @@ from ..stages.fieldextract import (
     DocumentFieldsStage,
     FusedParseExtractStage,
 )
-from ..stages.skew import DEFAULT_LARGE_ROW_BYTES
+from ..stages.skew import DEFAULT_LARGE_ROW_BYTES, payload_sizes
 from ..state.lineage import LineageManifest, plan_partitions
 
 
@@ -106,17 +110,12 @@ def parse_pages(
             **stage_kwargs_single,
         )
 
-    # null payloads count as size 0 (they must reach the parse stage to get
-    # their error-as-data row — row conservation, FIXTURES.md §5.2/§5.3).
-    def _sizes(t):  # noqa: ANN001
-        return pc.coalesce(pc.binary_length(t.column("html")), 0)
-
     small = ds.map_batches(
-        lambda t: t.filter(pc.less(_sizes(t), cfg.large_row_bytes)),
+        lambda t: t.filter(pc.less(payload_sizes(t), cfg.large_row_bytes)),
         batch_format="pyarrow",
     )
     large = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(_sizes(t), cfg.large_row_bytes)),
+        lambda t: t.filter(pc.greater_equal(payload_sizes(t), cfg.large_row_bytes)),
         batch_format="pyarrow",
     )
 
@@ -176,15 +175,12 @@ def final_extract(
                 )
             )
 
-        def _sizes(t):  # noqa: ANN001
-            return pc.coalesce(pc.binary_length(t.column("html")), 0)
-
         small = ds.map_batches(
-            lambda t: t.filter(pc.less(_sizes(t), cfg.large_row_bytes)),
+            lambda t: t.filter(pc.less(payload_sizes(t), cfg.large_row_bytes)),
             batch_format="pyarrow",
         )
         large = ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(_sizes(t), cfg.large_row_bytes)),
+            lambda t: t.filter(pc.greater_equal(payload_sizes(t), cfg.large_row_bytes)),
             batch_format="pyarrow",
         )
         return _finish(

@@ -696,33 +696,39 @@ def q_model_extract_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_final_extract_pages(sf_dir: str) -> ray.data.Dataset:
-    """The flagship pipeline over a deterministic synthetic pages shard set
-    sized to the sf (rows-only driver check; byte-level checks in pytest)."""
+def _ensure_query_pages(sf_dir: str) -> str:
+    """Deterministic pages corpus for the flagship queries, cached under
+    /tmp keyed by size.  A ``_complete`` marker written AFTER the last
+    shard makes the cache crash-safe — a half-written directory from a
+    killed run is regenerated, never silently read."""
     import os
     import tempfile
 
     from ..sources.pages import write_pages_dataset
 
-    n = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}.get(os.path.basename(sf_dir.rstrip("/")), 500)
+    n = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 500
+    )
     pages_dir = os.path.join(tempfile.gettempdir(), f"osr_pages_{n}")
-    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
+    marker = os.path.join(pages_dir, "_complete")
+    if not os.path.exists(marker):
         write_pages_dataset(pages_dir, n, shard_rows=max(250, n // 8))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return pages_dir
+
+
+def q_final_extract_pages(sf_dir: str) -> ray.data.Dataset:
+    """The flagship pipeline over a deterministic synthetic pages shard set
+    sized to the sf (rows-only driver check; byte-level checks in pytest)."""
+    pages_dir = _ensure_query_pages(sf_dir)
     cfg = PipelineConfig(field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]})
     return final_extract(pages_dir, cfg)
 
 
 def q_parse_pages_stats(sf_dir: str) -> ray.data.Dataset:
     """Parse-only flagship stage: per-url page/span stats."""
-    import os
-    import tempfile
-
-    from ..sources.pages import write_pages_dataset
-
-    n = {"sf0.001": 500, "sf0.01": 2000, "sf0.1": 8000}.get(os.path.basename(sf_dir.rstrip("/")), 500)
-    pages_dir = os.path.join(tempfile.gettempdir(), f"osr_pages_{n}")
-    if not os.path.isdir(pages_dir) or not os.listdir(pages_dir):
-        write_pages_dataset(pages_dir, n, shard_rows=max(250, n // 8))
+    pages_dir = _ensure_query_pages(sf_dir)
     parsed = parse_pages(pages_dir)
     return parsed.map_batches(
         lambda t: pa.table(

@@ -75,16 +75,21 @@ def validate_field(text: str | None, field_type: str) -> str | None:
 
 def heuristic_model_fn(prompt: str) -> str:
     """Deterministic stand-in "model": answers the prompt by running the
-    reference's regex engine over the document text embedded in it."""
+    reference's regex engine over the document text embedded in it.
+
+    Field routing anchors on the FIXED prompt prefix, never on the
+    embedded (untrusted) document text — a document containing the
+    literal words "license number" must not hijack the date field."""
     marker = " from this document text: "
     idx = prompt.find(marker)
     doc = prompt[idx + len(marker):] if idx >= 0 else prompt
+    prefix = prompt[:idx] if idx >= 0 else ""
     license_id, date, reference_id = extract_fields(doc)
-    if "license number" in prompt:
+    if prefix.startswith("Extract the license number"):
         return license_id or ""
-    if "date or date of issue" in prompt:
+    if prefix.startswith("Extract the date"):
         return date or ""
-    if "reference number" in prompt:
+    if prefix.startswith("Extract the reference number"):
         return reference_id or ""
     return ""
 

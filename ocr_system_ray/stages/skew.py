@@ -31,41 +31,73 @@ def add_payload_size(batch: pa.Table, column: str = "html") -> pa.Table:
     return batch.append_column("payload_bytes", pc.binary_length(batch.column(column)))
 
 
+def payload_sizes(t: pa.Table, column: str = "html"):
+    """Null-safe byte sizes: null payloads count as 0 so they are routed
+    (to the small path) instead of silently dropped by both filters —
+    row conservation, FIXTURES.md §5.2/§5.3."""
+    return pc.coalesce(pc.binary_length(t.column(column)), 0)
+
+
 def split_by_payload_size(
     ds: ray.data.Dataset,
     threshold: int = DEFAULT_LARGE_ROW_BYTES,
     column: str = "html",
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """→ (small_rows, large_rows). Two filter passes over the input —
-    cheap relative to parse, and each side streams independently."""
+    each side streams independently.  NOTE: branching a lazy Dataset
+    re-executes the shared read once per branch; for a single-read
+    routing at ingest scale use :func:`bucket_by_size_class` instead."""
     small = ds.map_batches(
-        lambda t: t.filter(pc.less(pc.binary_length(t.column(column)), threshold)),
+        lambda t: t.filter(pc.less(payload_sizes(t, column), threshold)),
         batch_format="pyarrow",
     )
     large = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(pc.binary_length(t.column(column)), threshold)),
+        lambda t: t.filter(pc.greater_equal(payload_sizes(t, column), threshold)),
         batch_format="pyarrow",
     )
     return small, large
 
 
+def bucket_by_size_class(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    threshold: int = DEFAULT_LARGE_ROW_BYTES,
+    column: str = "html",
+) -> str:
+    """ONE-pass ingest bucketing: read once, write partitioned by
+    ``size_class`` (small/large).  Downstream pipelines then read each
+    class with partition pruning — the heavy payload is read exactly
+    once per run instead of once per filter branch.  This is the 100 TB
+    answer to skew routing; the in-memory split above is the small-job
+    convenience."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        sizes = payload_sizes(t, column)
+        cls = pc.if_else(pc.greater_equal(sizes, threshold), "large", "small")
+        return t.append_column("size_class", cls)
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["size_class"]
+    )
+    return out_dir
+
+
 def stable_hash64(values: list[str] | pa.Array) -> np.ndarray:
     """Deterministic 64-bit hash per string.
 
-    ``zlib.crc32`` over the raw bytes and over the length-prefixed bytes,
-    combined into 64 bits — C-speed per row, stable across processes
-    (unlike Python's seeded ``hash``), good enough spread for partition
-    keys and salting (content-identity hashing for dedup uses blake2b in
-    ``stages/dedup.py`` instead).
+    blake2b 8-byte digest — C-speed per row, stable across processes
+    (unlike Python's seeded ``hash``), and all 64 bits independent
+    (two crc32 variants are affinely related and would halve the
+    effective keyspace).
     """
-    from zlib import crc32
+    import hashlib
 
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = values.to_pylist()
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
-        b = (v or "").encode("utf-8")
-        out[i] = (crc32(b) << 32) | crc32(b, 0x9E3779B9)
+        digest = hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(digest, "little")
     return out
 
 
