@@ -29,9 +29,11 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min as AggMin
 
 from .textstats import fingerprint_batch
 
@@ -180,39 +182,54 @@ def minhash_duplicate_pairs(
             "num_perms": num_perms, "seed": seed, "text_col": text_col, "id_col": id_col
         },
     )
-    exploded = sigs.map_batches(
-        lambda t: _explode_bands(t, bands, rows_per_band, id_col),
-        batch_format="pyarrow",
-    )
+    # signatures are consumed twice (band explode + broadcast verify);
+    # materialize once so the shingle+minhash pass doesn't re-execute.
+    # Size is ~(8·num_perms+8) B/doc ≈ 0.5% of a text corpus — fine to pin
+    # (the object store spills if it must).
+    sigs = sigs.materialize()
+    def explode_with_coarse(t: pa.Table) -> pa.Table:
+        ex = _explode_bands(t, bands, rows_per_band, id_col)
+        return ex.append_column(
+            "coarse_key", pc.bit_wise_and(ex.column("band_key"), 0xFFF)
+        )
 
-    def candidates_in_band(group):  # pandas DataFrame in
+    exploded = sigs.map_batches(explode_with_coarse, batch_format="pyarrow")
+
+    def candidates_in_coarse_group(group):  # pandas DataFrame in
+        """One Ray group = 1/4096 of the keyspace; the exact per-bucket
+        grouping happens in pandas (C-speed) — Ray-side map_groups over
+        hundreds of thousands of tiny buckets pays per-group overhead
+        that dwarfs the work."""
         import pandas as pd
 
-        out = {"id_a": [], "id_b": []}
-        if len(group) > 1:
-            ids = sorted(group[id_col].tolist())
+        ia: list = []
+        ib: list = []
+        for _, bucket in group.groupby("band_key", sort=True):
+            if len(bucket) < 2:
+                continue
+            ids = sorted(bucket[id_col].tolist())
             if len(ids) > star_threshold:  # star pattern (see docstring)
                 hub = ids[0]
-                out["id_a"] = [hub] * (len(ids) - 1)
-                out["id_b"] = ids[1:]
+                ia.extend([hub] * (len(ids) - 1))
+                ib.extend(ids[1:])
             else:
                 for i in range(len(ids)):
                     for j in range(i + 1, len(ids)):
-                        out["id_a"].append(ids[i])
-                        out["id_b"].append(ids[j])
-        return pd.DataFrame(out)
+                        ia.append(ids[i])
+                        ib.append(ids[j])
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    candidates = exploded.groupby("band_key").map_groups(
-        candidates_in_band, batch_format="pandas"
+    candidates = exploded.groupby("coarse_key").map_groups(
+        candidates_in_coarse_group, batch_format="pandas"
     )
-    # a pair may collide in several bands → one global dedup over the
-    # (small) candidate pair stream
-    unique_pairs = candidates.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
 
-    # verify by signature-estimated Jaccard; signatures are broadcast once
-    # (ray.put) — at corpus sizes where n×num_perms×8B exceeds worker
-    # memory, swap this for a hash-join of pairs against the signature
-    # dataset on id
+    # verify by signature-estimated Jaccard BEFORE the pair-dedup shuffle:
+    # most candidates fail the threshold, so filtering first keeps the
+    # all-to-all small (a pair colliding in several bands is verified more
+    # than once — µs each — then deduped).  Signatures are broadcast once
+    # (ray.put); at corpus sizes where n×num_perms×8B exceeds worker
+    # memory, swap the broadcast for a hash-join of pairs against the
+    # signature dataset on id.
     import ray as _ray
 
     sig_table = sigs.to_pandas()
@@ -242,8 +259,13 @@ def minhash_duplicate_pairs(
             )
             return out.filter(keep)
 
-    return unique_pairs.map_batches(
+    verified = candidates.map_batches(
         EstimateVerify, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    # cross-band duplicates → one dedup over the (now tiny) verified set;
+    # Min keeps est_jaccard (identical for every copy of a pair)
+    return verified.groupby(["id_a", "id_b"]).aggregate(
+        AggMin("est_jaccard", alias_name="est_jaccard")
     )
 
 

@@ -62,3 +62,17 @@ def test_salted_key_spread_and_stability():
     # salt widens the keyspace
     salted = salted_key(t, num_partitions=64, salt=4).column("part_key").to_pylist()
     assert max(salted) >= 64
+
+
+def test_bucket_by_size_class_single_pass(ray_session, tmp_path):
+    import duckdb
+    import ray.data
+    from ocr_system_ray.stages.skew import bucket_by_size_class
+
+    ds = ray.data.from_arrow(_pages_table())
+    out = bucket_by_size_class(ds, str(tmp_path / "bucketed"), threshold=1000)
+    df = duckdb.sql(f"select size_class, count(*) n from '{out}/*/*.parquet' group by 1 order by 1").df()
+    assert dict(zip(df["size_class"], df["n"])) == {"large": 5, "small": 5}
+    # downstream partition-pruned read sees only the small class
+    small = ray.data.read_parquet(out + "/size_class=small")
+    assert small.count() == 5
