@@ -100,10 +100,17 @@ def run_query_suite() -> dict[str, float]:
     suite = {
         "lineitem_pricing": q.q_lineitem_pricing,
         "events_hourly": q.q_events_hourly,
+        "events_sliding_windows": q.q_events_sliding_windows,
+        "user_sessions": q.q_user_sessions,
         "exact_dedup": q.q_exact_dedup,
+        "suppliers_per_part": q.q_suppliers_per_part,
         "token_counts": q.q_token_counts,
+        "quality_scores": q.q_quality_scores,
         "minhash_pairs": q.q_minhash_pairs,
+        "simhash_pairs": q.q_simhash_pairs,
         "knn_bruteforce": q.q_knn_bruteforce,
+        "embedding_dup_exact": q.q_embedding_dup_exact,
+        "media_decode": q.q_media_decode,
     }
     import pandas as pd
 

@@ -372,19 +372,24 @@ def q_suppliers_per_part(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
     def pairs(t: pa.Table) -> pa.Table:
+        # per-batch pair dedup (combiner) so the shuffle moves unique
+        # pairs, not raw lineitems
         return t.group_by(["l_partkey", "l_suppkey"]).aggregate([]).select(
             ["l_partkey", "l_suppkey"]
         )
 
-    deduped = (
-        ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="_n"))
-    )
+    def distinct_count(group):  # pandas in — ONE shuffle total
+        return pd.DataFrame(
+            {
+                "l_partkey": [group["l_partkey"].iloc[0]],
+                "n_suppliers": [int(group["l_suppkey"].nunique())],
+            }
+        )
+
     return (
-        deduped.select_columns(["l_partkey"])
+        ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("l_partkey")
-        .aggregate(Count(alias_name="n_suppliers"))
+        .map_groups(distinct_count, batch_format="pandas")
     )
 
 

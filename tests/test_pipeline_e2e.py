@@ -72,6 +72,29 @@ def test_final_extract_matches_oracle(ray_session, pages_dir, oracle_docs, fused
             assert got == want[col], (r["url"], col)
 
 
+def test_checkpoint_workflow_equals_fused(ray_session, pages_dir, oracle_docs, tmp_path):
+    """The two-stage path's reason to exist: parse once → parquet
+    checkpoint → run (possibly many) extract configs from the checkpoint.
+    Result must equal the fused single-pass run byte-for-byte."""
+    import ray.data
+
+    cfg = PipelineConfig(field_to_patterns=USER_PATTERNS, large_row_bytes=64 * 1024)
+    ckpt = str(tmp_path / "parsed_ckpt")
+    parse_pages(pages_dir, cfg).drop_columns(["spans"]).write_parquet(ckpt)
+
+    from ocr_system_ray.stages.fieldextract import FinalExtractStage
+
+    stage = FinalExtractStage(field_to_patterns=USER_PATTERNS)
+    from_ckpt = (
+        ray.data.read_parquet(ckpt, columns=["url", "extracted_text"])
+        .map_batches(stage.__call__, batch_format="pyarrow")
+        .take_all()
+    )
+    fused = final_extract(pages_dir, cfg).take_all()
+    key = lambda rows: sorted((tuple(sorted(r.items())) for r in rows))  # noqa: E731
+    assert key(from_ckpt) == key(fused)
+
+
 def test_language_pushdown_filter(ray_session, pages_dir, oracle_docs):
     cfg = PipelineConfig(languages=("en",), large_row_bytes=None, parse_concurrency=2)
     rows = parse_pages(pages_dir, cfg).take_all()
