@@ -46,6 +46,8 @@ CHROME_TAGS = frozenset("nav header footer aside form".split())
 
 _WS = re.compile(r"\s+")
 
+_HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
 
 @dataclass
 class Block:
@@ -90,8 +92,10 @@ class BlockParser(HTMLParser):
         self._raw = raw
         self._line_starts = self._compute_line_starts(raw)
         self._stack: list[str] = []
+        self._stack_frozen: frozenset[str] | None = frozenset()
         self._hidden_depth = 0
         self._link_depth = 0
+        self._heading_depth = 0
         self._article_depth = 0
         self._page = -1  # becomes 0 on first article, or stays -1 → single page 0
         self._blocks: list[Block] = []
@@ -132,18 +136,30 @@ class BlockParser(HTMLParser):
             self._blocks.append(b)
         self._current = None
 
+    def _ancestors(self) -> frozenset[str]:
+        # the stack only changes on tag push/pop — cache the frozenset
+        # between those events instead of rebuilding it per block
+        if self._stack_frozen is None:
+            self._stack_frozen = frozenset(self._stack)
+        return self._stack_frozen
+
     def _ensure_block(self) -> Block:
         if self._current is None:
             self._current = Block(
-                ancestors=frozenset(self._stack),
+                ancestors=self._ancestors(),
                 page_index=max(self._page, 0),
                 in_article=self._article_depth > 0,
-                heading=any(t in ("h1", "h2", "h3", "h4", "h5", "h6") for t in self._stack),
+                heading=self._heading_depth > 0,
             )
         return self._current
 
     def _append_text(self, decoded: str, raw_len: int) -> None:
         if self._hidden_depth > 0 or not decoded:
+            return
+        # whitespace-only runs between tags (indentation/newlines) would be
+        # stripped by block normalization anyway — don't let them *open* a
+        # block; in tag-dense HTML they are the majority of data events
+        if self._current is None and not decoded.strip():
             return
         start = self._offset()
         b = self._ensure_block()
@@ -168,10 +184,13 @@ class BlockParser(HTMLParser):
         if tag in VOID_TAGS:
             return
         self._stack.append(tag)
+        self._stack_frozen = None
         if tag in HIDDEN_TAGS:
             self._hidden_depth += 1
         if tag == "a":
             self._link_depth += 1
+        if tag in _HEADING_TAGS:
+            self._heading_depth += 1
         if tag == "article":
             self._article_depth += 1
 
@@ -182,12 +201,15 @@ class BlockParser(HTMLParser):
             return
         # pop up to the nearest matching open tag (tolerates misnesting)
         if tag in self._stack:
+            self._stack_frozen = None
             while self._stack:
                 popped = self._stack.pop()
                 if popped in HIDDEN_TAGS:
                     self._hidden_depth -= 1
                 if popped == "a":
                     self._link_depth -= 1
+                if popped in _HEADING_TAGS:
+                    self._heading_depth -= 1
                 if popped == "article":
                     self._article_depth -= 1
                 if popped == tag:
