@@ -20,6 +20,12 @@ Design:
 
 At 10^12 documents the manifest stays driver-small: one JSON line per
 partition (≈ thousands), never per document.
+
+Concurrency caveat: the manifest is single-writer.  One resumable run
+per ``out_dir`` at a time — two concurrent drivers would interleave
+appends harmlessly (last record wins) but could overwrite each other's
+partition outputs mid-write.  Scale-out happens INSIDE a run (Ray
+parallelism across a partition), not by racing drivers.
 """
 
 from __future__ import annotations
