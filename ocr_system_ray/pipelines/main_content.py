@@ -74,6 +74,26 @@ class PipelineConfig:
     # url can read aligned buckets; 0 = off
     output_buckets: int = 0
 
+    @classmethod
+    def sized_for(cls, num_cpus: int, **overrides) -> "PipelineConfig":
+        """Config with the pool-sizing rules baked in (BASELINE.md §knobs):
+
+        * the fused pool takes 3/4 of the CPUs — actor pools must NEVER
+          reserve every CPU or the read/write stages starve and the
+          stream deadlocks;
+        * the large-row pool gets 1/8 (only when the split is on);
+        * below 8 CPUs the split is disabled (not enough slots for two
+          pools + read).
+        """
+        small_cluster = num_cpus < 8
+        cfg = dict(
+            parse_concurrency=max(1, num_cpus * 3 // 4),
+            large_parse_concurrency=max(1, num_cpus // 8),
+            large_row_bytes=None if small_cluster else DEFAULT_LARGE_ROW_BYTES,
+        )
+        cfg.update(overrides)
+        return cls(**cfg)
+
 
 def _read(input_path: str, languages: tuple[str, ...] | None = None) -> ray.data.Dataset:
     if languages:

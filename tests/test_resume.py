@@ -81,3 +81,37 @@ def test_failed_partition_is_retried(tmp_path):
     pending = m.pending([PartitionRecord(0, [], "fp0"), PartitionRecord(1, [], "fp1")])
     assert [r.partition_id for r in pending] == [1]
     assert pending[0].attempt == 1
+
+
+def test_resumable_document_fields_pipeline(ray_session, pages_dir, tmp_path):
+    """The legacy-contract pipeline also runs resumably (no filter: every
+    input url appears in the output exactly once)."""
+    import duckdb
+
+    from ocr_system_ray.pipelines import PipelineConfig
+
+    out = str(tmp_path / "df_out")
+    m = run_resumable(
+        pages_dir + "/part-*.parquet",
+        out,
+        PipelineConfig(page_join="\n"),
+        files_per_partition=4,
+        pipeline="document_fields",
+    )
+    assert m["rows_out"] == N_DOCS == m["rows_in"]
+    urls = duckdb.sql(f"select url from '{out}/part-*/*.parquet'").df()["url"]
+    assert urls.nunique() == N_DOCS
+
+
+def test_sized_for_factory():
+    from ocr_system_ray.pipelines import PipelineConfig
+
+    small = PipelineConfig.sized_for(4)
+    assert small.large_row_bytes is None  # no split below 8 cpus
+    assert small.parse_concurrency == 3
+    big = PipelineConfig.sized_for(32)
+    assert big.parse_concurrency == 24
+    assert big.large_parse_concurrency == 4
+    assert big.large_row_bytes is not None
+    over = PipelineConfig.sized_for(32, large_row_bytes=None, min_words=5)
+    assert over.large_row_bytes is None and over.min_words == 5
