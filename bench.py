@@ -59,16 +59,13 @@ def run_flagship() -> tuple[float, int]:
     from ocr_system_ray.pipelines import final_extract, PipelineConfig
 
     pages = ensure_pages()
-    cfg = PipelineConfig(
-        # one fused pool at 3/4 of the CPU budget: parse+extract happen in
-        # the same actor (no inter-stage handoff), and read/write tasks
-        # always have slots — a pool reserving every CPU deadlocks the
-        # stream.  3/4 keeps the actor:CPU ratio identical across the
-        # scaling pair so N vs 4N compares the engine, not pool shape.
-        parse_concurrency=max(1, NUM_CPUS * 3 // 4),
-        # bench corpus max row ≈1.5 MB — inline in the main pool; the
-        # dedicated large path (large_row_bytes=1 MiB default) is for
-        # pathological rows and is exercised by tests, not the bench
+    # sized_for encodes the deadlock-safe pool rules (3/4 CPU budget);
+    # large_row_bytes=None parses the ≈1.5 MB bench skew rows inline —
+    # the dedicated large path is for pathological rows (tested, not
+    # benched).  One fused pool keeps the actor:CPU ratio identical
+    # across the scaling pair so N vs 4N compares the engine.
+    cfg = PipelineConfig.sized_for(
+        NUM_CPUS,
         large_row_bytes=None,
         parse_batch_size=64,
         field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]},
