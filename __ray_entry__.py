@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dup_pairs": q.q_embedding_dup_pairs,
         "embedding_dup_exact": q.q_embedding_dup_exact,
+        "near_dedup_survivors": q.q_near_dedup_survivors,
+        "corpus_quality_filter": q.q_corpus_quality_filter,
         # similarity search
         "knn_bruteforce": q.q_knn_bruteforce,
         "knn_ivf": q.q_knn_ivf,
@@ -251,6 +253,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "content_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "corpus_quality_filter": """
+            SELECT doc_id, lang FROM documents
+            WHERE length(text) > 0
+              AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  >= 0.7 * length(text)
+              AND (CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                   END) >= 40
+        """,
         "embedding_dup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

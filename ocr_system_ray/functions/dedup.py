@@ -375,6 +375,134 @@ def simhash_duplicate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components + survivor selection (the dedup end-game)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: ray.data.Dataset, max_iters: int = 20
+) -> ray.data.Dataset:
+    """Cluster duplicate pairs → ``(node, label)`` with label = min id of
+    the node's connected component.
+
+    Distributed min-label propagation (the guide's groupby-rounds
+    pattern): labels start as each node's own id; each round every edge
+    pushes the smaller endpoint label to both endpoints via ONE
+    ``groupby(node).min(label)``; converges in O(component diameter)
+    rounds — near-dup components are shallow (stars/cliques), so a few
+    rounds suffice.  Each round's work is O(edges); nothing ever
+    materializes the node set on the driver.
+
+    Early exit: iteration stops when a round changes no label (cheap
+    count of changed rows per round).
+    """
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t.column("id_a").cast(pa.int64()),
+                "b": t.column("id_b").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # edges are reused every round — pin the (small) set
+
+    # labels(node) = min(node, min over incident edges of other endpoint)
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [t.column("a").to_numpy(zero_copy_only=False), t.column("b").to_numpy(zero_copy_only=False)]
+        )
+        labels = np.concatenate(
+            [
+                np.minimum(
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ),
+            ]
+            * 2
+        )
+        return pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(AggMin("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # join current labels onto both edge endpoints via broadcast
+        # (labels ≤ 2×edges rows — the pair stream is small by
+        # construction; a hash-join replaces this at extreme scale)
+        label_map = dict(
+            zip(
+                labels.to_pandas()["node"].to_numpy(),
+                labels.to_pandas()["label"].to_numpy(),
+            )
+        )
+        import ray as _ray
+
+        ref = _ray.put(label_map)
+
+        def propagate(t: pa.Table) -> pa.Table:
+            lm = _ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            la = np.fromiter((lm[x] for x in a), dtype=np.int64, count=len(a))
+            lb = np.fromiter((lm[x] for x in b), dtype=np.int64, count=len(b))
+            m = np.minimum(la, lb)
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([a, b])),
+                    "label": pa.array(np.concatenate([m, m])),
+                }
+            )
+
+        new_labels = (
+            edges.map_batches(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(AggMin("label", alias_name="label"))
+            .materialize()
+        )
+        old = labels.to_pandas().set_index("node")["label"]
+        new = new_labels.to_pandas().set_index("node")["label"]
+        labels = new_labels
+        if old.sort_index().equals(new.sort_index()):
+            break
+    return labels
+
+
+def duplicate_survivors(
+    pairs: ray.data.Dataset, all_ids: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """→ ``(doc_id, keep: bool, cluster: int64)`` over the whole corpus.
+
+    keep = the document is its cluster's min id (or is in no cluster).
+    Composed from :func:`connected_components` + a broadcast of the
+    (small) non-trivial cluster labels into a full-corpus map_batches —
+    the corpus itself never shuffles.
+    """
+    labels = connected_components(pairs).to_pandas()
+    import ray as _ray
+
+    lm_ref = _ray.put(dict(zip(labels["node"], labels["label"])))
+
+    def mark(t: pa.Table) -> pa.Table:
+        lm = _ray.get(lm_ref)
+        ids = t.column(id_col).to_pylist()
+        cluster = [lm.get(i, i) for i in ids]
+        keep = [c == i for i, c in zip(ids, cluster)]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "keep": pa.array(keep, pa.bool_()),
+                "cluster": pa.array(cluster, pa.int64()),
+            }
+        )
+
+    return all_ids.map_batches(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verify pass)
 # ---------------------------------------------------------------------------
 

@@ -544,6 +544,46 @@ def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_near_dedup_survivors(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dedup: minhash pairs → connected components →
+    per-document keep/cluster decision (the full training-data dedup
+    story; the corpus itself never shuffles)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.minhash_duplicate_pairs(ds, threshold=0.5)
+    out = dedup.duplicate_survivors(pairs, ds.select_columns(["doc_id"])).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_corpus_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Training-corpus quality gate: keep docs with ≥70% ASCII-alpha
+    density and ≥40 whitespace tokens (SQL-expressible → oracled)."""
+    import re
+
+    non_alpha = re.compile(r"[^A-Za-z]")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        keep = []
+        for x in texts:
+            n = len(x)
+            alpha = len(non_alpha.sub("", x))
+            toks = len(x.split())
+            # multiplication form matches the SQL oracle bit-for-bit at
+            # ratio boundaries (a/n >= 0.7 and a >= 0.7*n can disagree
+            # in the last ulp)
+            keep.append(n > 0 and alpha >= 0.7 * n and toks >= 40)
+        filtered = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": filtered.column("doc_id"),
+                "lang": filtered.column("lang"),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
 def q_embedding_dup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact all-pairs cosine near-dup (id_a < id_b, cosine ≥ 0.4).
 

@@ -267,3 +267,56 @@ def test_feature_stage_deterministic():
     f2 = multimodal.MediaFeatureStage()(table).column("feature").to_pylist()
     assert f1 == f2
     assert all(len(f) == 32 for f in f1)
+
+
+def test_connected_components(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    # components: {1,2,3,9} via chain, {5,7}, singleton edges absent
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": [1, 2, 3, 5], "id_b": [2, 3, 9, 7]})
+    )
+    labels = dedup.connected_components(pairs).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_duplicate_survivors(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    pairs = ray.data.from_arrow(pa.table({"id_a": [0, 1], "id_b": [1, 2]}))
+    corpus = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(6), pa.int64())}))
+    out = dedup.duplicate_survivors(pairs, corpus).to_pandas().set_index("doc_id")
+    assert out.loc[0, "keep"] and not out.loc[1, "keep"] and not out.loc[2, "keep"]
+    assert all(out.loc[i, "keep"] for i in (3, 4, 5))  # untouched docs survive
+    assert out.loc[2, "cluster"] == 0
+
+
+def test_end_to_end_near_dedup(ray_session):
+    """minhash pairs → components → survivors, over a corpus with a
+    3-doc duplicate cluster."""
+    import pyarrow as pa
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                base,
+                base,
+                base + " ok",
+                "completely different words in this one document here",
+                "yet another unrelated piece of text for the corpus",
+                "and one more distinct document to round things out",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    pairs = dedup.minhash_duplicate_pairs(ds, threshold=0.6)
+    out = dedup.duplicate_survivors(pairs, ds.select_columns(["doc_id"])).to_pandas()
+    keep = set(out[out["keep"]]["doc_id"])
+    assert 0 in keep and 1 not in keep and 2 not in keep
+    assert {3, 4, 5} <= keep
