@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_big_lineitem": q.q_orders_without_big_lineitem,
         "suppliers_per_part": q.q_suppliers_per_part,
         "distinct_langs": q.q_distinct_langs,
+        "approx_distinct_users": q.q_approx_distinct_users,
         "orders_top100": q.q_orders_top100,
         # text analysis
         "token_counts": q.q_token_counts,

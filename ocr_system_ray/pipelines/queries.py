@@ -393,6 +393,18 @@ def q_suppliers_per_part(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Mergeable-sketch pattern: per-batch HLL over user_id, driver merge
+    — 4 KB sketches move instead of a value shuffle.  Deterministic
+    (stable blake2b hashing); rows-only check (approximate by design,
+    accuracy asserted in pytest vs exact count)."""
+    from ..state.streaming import approx_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
+
+
 def q_distinct_langs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["lang"])
     # distinct via groupby-count keeps it one shuffle and names the column

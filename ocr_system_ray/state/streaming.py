@@ -1,0 +1,175 @@
+"""Keyed stateful stream processing with raw Ray actors (the last resort).
+
+Ray Data has no event-time windows and actor-pool ``map_batches`` does
+NOT route batches by key — an actor sees arbitrary batches, so
+cross-batch per-key state cannot live there.  When the semantics
+genuinely need incremental keyed state over an ordered log (the
+guide's "one actor per key-hash bucket, fed batches in ts order"),
+this module supplies the shape:
+
+* ``B`` stateful bucket actors (``@ray.remote`` on the user's class);
+* the driver streams the dataset with ``iter_batches`` in source order
+  (sort by ts upstream) and routes each batch's rows to their bucket
+  actor — the driver never holds more than a batch, actors hold the
+  state;
+* ``finish()`` collects per-bucket results.
+
+Use the ``groupby(key).map_groups`` pattern instead whenever the whole
+key group fits one task (``q_user_sessions``); this module is for
+state that must persist across an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+class SessionBucketActor:
+    """Per-bucket sessionizer: incremental gap-based session counting.
+
+    State per key: (last_ts, n_sessions, n_events).  Feed order must be
+    non-decreasing ts per key (sort upstream).
+    """
+
+    def __init__(self, gap_seconds: float = 1800.0) -> None:
+        self.gap = gap_seconds
+        self.state: dict = {}
+
+    def feed(self, keys: list, ts_micros: list[int]) -> int:
+        for k, t in zip(keys, ts_micros):
+            st = self.state.get(k)
+            if st is None:
+                self.state[k] = [t, 1, 1]
+            else:
+                last, sessions, events = st
+                if (t - last) / 1e6 > self.gap:
+                    sessions += 1
+                self.state[k] = [t, sessions, events + 1]
+        return len(keys)
+
+    def finish(self) -> list[tuple]:
+        return [(k, v[1], v[2]) for k, v in self.state.items()]
+
+
+def sessionize_stream(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int = 8,
+    gap_seconds: float = 1800.0,
+    batch_size: int = 4096,
+) -> "pa.Table":
+    """Ordered-log sessionization via keyed bucket actors.
+
+    ``ds`` must be sorted by ``ts_col`` (one upstream ``sort`` — the
+    ordering assumption of every streaming window).  Returns
+    ``(user_id, n_sessions, n_events)``.
+    """
+    actors = [SessionBucketActor.remote(gap_seconds) for _ in range(num_buckets)]
+    pending: list = []
+    for batch in ds.sort(ts_col).iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        buckets = (keys % num_buckets).astype(np.int64)
+        for b in range(num_buckets):
+            mask = buckets == b
+            if mask.any():
+                # sequential per bucket: ray queues calls per actor in
+                # submission order, preserving the ts ordering per key
+                pending.append(actors[b].feed.remote(keys[mask].tolist(), ts[mask].tolist()))
+    ray.get(pending)  # drain before reading state
+    rows = [r for chunk in ray.get([a.finish.remote() for a in actors]) for r in chunk]
+    rows.sort()
+    return pa.table(
+        {
+            key_col: pa.array([r[0] for r in rows], pa.int64()),
+            "n_sessions": pa.array([r[1] for r in rows], pa.int64()),
+            "n_events": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — the mergeable-sketch pattern
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    """Plain-numpy HLL (p-bit registers, the standard bias-corrected
+    estimator).  Sketches are tiny (2^p bytes) and MERGEABLE — the
+    pattern for distributed approximate distinct counts: one sketch per
+    batch inside ``map_batches``, one cheap merge reduce at the end,
+    instead of shuffling every value."""
+
+    def __init__(self, p: int = 12) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """hashes: uint64 values (pre-hashed keys)."""
+        if hashes.size == 0:
+            return
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hashes << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits, +1; leading
+        # zeros via branch-free successive halving (log2-on-float is
+        # unsafe at 64 bits)
+        v = rest.copy()
+        lz = np.zeros(hashes.size, dtype=np.uint8)
+        for s in (32, 16, 8, 4, 2, 1):
+            mask = (v >> np.uint64(64 - s)) == 0
+            v = np.where(mask, v << np.uint64(s), v)
+            lz = np.where(mask, lz + s, lz)
+        lz = np.minimum(lz, 64 - self.p).astype(np.uint8)
+        ranks = np.where(rest != 0, lz + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert other.p == self.p
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, column: str, p: int = 12, hash_fn: Callable | None = None
+) -> float:
+    """Distributed approximate distinct count: per-batch sketches, driver
+    merge.  Only 2^p-byte sketches ever move — no shuffle of values."""
+    from ..stages.skew import stable_hash64
+
+    def sketch(t: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        values = [str(v) for v in t.column(column).to_pylist()]
+        h.add_hashes(stable_hash64(values))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(HyperLogLog.deserialize(row["sketch"], p))
+    return merged.estimate()

@@ -1,0 +1,62 @@
+"""Keyed streaming actors + HLL sketch tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.state.streaming import HyperLogLog, approx_distinct, sessionize_stream
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(3)
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    h1 = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    h2 = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    a.add_hashes(h1)
+    b.add_hashes(np.concatenate([h1[:10000], h2]))
+    merged = a.merge(b)
+    true = len(set(h1.tolist()) | set(h2.tolist()))
+    est = merged.estimate()
+    assert abs(est - true) / true < 0.05  # ~1.04/sqrt(4096) ≈ 1.6% std error
+
+
+def test_hll_small_range():
+    h = HyperLogLog(12)
+    h.add_hashes(np.arange(50, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    assert abs(h.estimate() - 50) < 5
+
+
+def test_hll_serialize_roundtrip():
+    h = HyperLogLog(10)
+    h.add_hashes(np.arange(1000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    h2 = HyperLogLog.deserialize(h.serialize(), 10)
+    assert h2.estimate() == h.estimate()
+
+
+def test_approx_distinct_on_events(ray_session):
+    import duckdb
+
+    from ocr_system_ray.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.01"
+    ds = read_table(sf, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    true = duckdb.sql(f"select count(distinct user_id) from '{sf}/events.parquet'").fetchone()[0]
+    assert abs(est - true) / true < 0.1
+
+
+def test_sessionize_stream_matches_groupby(ray_session):
+    """The raw-actor streaming sessionizer must agree with the
+    groupby-based q_user_sessions on the same input."""
+    from ocr_system_ray.pipelines import queries as q
+    from ocr_system_ray.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "events", columns=["user_id", "ts"])
+    streamed = sessionize_stream(ds, num_buckets=4).to_pandas()
+    grouped = q.q_user_sessions(sf)
+    merged = streamed.merge(grouped, on="user_id", suffixes=("_s", "_g"))
+    assert len(merged) == len(grouped) == len(streamed)
+    assert (merged["n_sessions_s"] == merged["n_sessions_g"]).all()
+    assert (merged["n_events_s"] == merged["n_events_g"]).all()
