@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_part": q.q_suppliers_per_part,
         "distinct_langs": q.q_distinct_langs,
         "approx_distinct_users": q.q_approx_distinct_users,
+        "train_test_split": q.q_train_test_split,
+        "corpus_shuffle": q.q_corpus_shuffle,
         "orders_top100": q.q_orders_top100,
         # text analysis
         "token_counts": q.q_token_counts,
@@ -254,6 +256,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "content_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
+        "corpus_shuffle": "SELECT doc_id FROM documents",
         "corpus_quality_filter": """
             SELECT doc_id, lang FROM documents
             WHERE length(text) > 0

@@ -393,6 +393,36 @@ def q_suppliers_per_part(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_train_test_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic content-hash split (the training-data holdout
+    pattern): split label derives from md5(text) — stable across runs,
+    machines, and cluster sizes; no RNG state to coordinate.  First hex
+    nibble 0 → test (1/16), else train."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        out = textstats.fingerprint_batch(t)
+        labels = [
+            "test" if h[0] == "0" else "train"
+            for h in out.column("content_md5").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "split": pa.array(labels, pa.string()),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def q_corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Global random shuffle (training-order randomization) — seeded,
+    row-preserving; the one intentionally order-changing wide op."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return ds.random_shuffle(seed=42)
+
+
 def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     """Mergeable-sketch pattern: per-batch HLL over user_id, driver merge
     — 4 KB sketches move instead of a value shuffle.  Deterministic
