@@ -57,8 +57,15 @@ class MainContentExtractor:
         min_words: int = 8,
         max_link_density: float = 0.25,
         article_max_link_density: float = 0.5,
+        engine: str = "fast",
     ) -> None:
-        self._parser = BlockParser()
+        if engine == "fast":
+            from .fastblocks import FastBlockParser
+
+            self._parser = FastBlockParser()
+        else:  # "stdlib" — the html.parser reference engine
+            self._parser = BlockParser()
+        self.engine = engine
         self.page_join = page_join
         self.min_words = min_words
         self.max_link_density = max_link_density

@@ -1,0 +1,147 @@
+"""Differential tests: FastBlockParser vs the stdlib BlockParser.
+
+Byte-equality of the full extraction output is enforced on every
+well-formed corpus we own (synthetic pages incl. skew/2-page docs, the
+golden strings, the entry() page shape).  On adversarial soup both
+engines must be deterministic with valid spans; tokenization of
+*malformed* constructs may differ between them (both behaviors are
+deterministic and documented).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from ocr_system_ray.html import MainContentExtractor
+from ocr_system_ray.sources.pages import synthesize_page
+
+FAST = MainContentExtractor(engine="fast")
+REF = MainContentExtractor(engine="stdlib")
+
+
+def _outputs_equal(html: str) -> bool:
+    a, b = FAST.extract_str(html), REF.extract_str(html)
+    return (
+        a.text == b.text
+        and a.spans == b.spans
+        and a.n_pages == b.n_pages
+        and a.n_blocks_kept == b.n_blocks_kept
+    )
+
+
+@pytest.mark.parametrize("i", list(range(0, 400, 7)) + [0, 100, 500])
+def test_synthetic_corpus_identical(i):
+    row = synthesize_page(i, skew_every=100, skew_factor=5)
+    html = row["html"].decode("utf-8")
+    a, b = FAST.extract_str(html), REF.extract_str(html)
+    assert a.text == row["text"] == b.text
+    assert a.spans == b.spans and a.n_pages == b.n_pages
+
+
+GOLDENS = [
+    """
+    <html><head><title>T</title><script>var x = '<p>not text</p>';</script></head>
+    <body>
+      <header><h1>Site</h1><p>slogan words here for the masthead</p></header>
+      <nav><a href="/a">a</a> <a href="/b">b</a></nav>
+      <article>
+        <h2>Headline</h2>
+        <p>First paragraph of the body text.</p>
+        <p>Second paragraph with <b>bold</b> and <i>italics</i> inline.</p>
+      </article>
+      <aside><p>subscribe to our newsletter today please and thanks</p></aside>
+      <footer><p>copyright</p></footer>
+    </body></html>
+    """,
+    '<article><p>Fish &amp; chips &#8212; caf&eacute; &#x2603;</p></article>',
+    "<article><p>page one body</p></article><article><p>page two body</p></article>",
+    """
+    <body>
+      <div>short nav-ish line</div>
+      <div>This standalone paragraph has more than eight words so it is kept as body text.</div>
+      <div><a href="x">link</a> <a href="y">heavy</a> <a href="z">menu row that is long too but links</a></div>
+    </body>
+    """,
+    """
+    <article>
+      <p>Real sentence with enough words to be obvious body text.</p>
+      <p><a href="1">one</a> <a href="2">two</a> <a href="3">three</a> <a href="4">four</a></p>
+    </article>
+    """,
+    "<article><p>outer <b>bold <i>both</b> italic?</i> tail</p></article>",
+    (
+        "<article><p>visible words in the article body text</p>"
+        "<script>hidden();</script><style>.x{}</style>"
+        "<noscript>fallback</noscript><template><p>tpl</p></template></article>"
+    ),
+    "<article><h2>Title here now</h2><p>body text follows the title closely</p></article>",
+    (
+        "<p>preamble before articles with quite many words inside</p>"
+        "<article><p>first page words</p></article>"
+        "<article><p>second page words</p></article>"
+    ),
+    """
+    <body>
+      <nav><a href="/">home</a></nav>
+      <main>
+        <h1>Title</h1>
+        <p>short main text</p>
+      </main>
+      <div>random short div</div>
+    </body>
+    """,
+    (
+        "<article><p>line one continues here just fine for sure</p>"
+        "<p>alpha<br>beta</p>"
+        "<table><tr><td>cell one text</td><td>cell two text</td></tr></table></article>"
+    ),
+    "<!DOCTYPE html><!-- secret comment words --><article><p>the visible body text here</p></article>",
+    "",
+    "   \n\t ",
+    '<article><p title="a > b">attr with gt and the body words here</p></article>',
+    "<article><p>selfclosed<br/>tail words</p><img src='x'/></article>",
+    "<ARTICLE><P>UPPERCASE tags normalize fine</P></ARTICLE>",
+]
+
+
+@pytest.mark.parametrize("idx", range(len(GOLDENS)))
+def test_goldens_identical(idx):
+    assert _outputs_equal(GOLDENS[idx]), GOLDENS[idx][:80]
+
+
+_TAGS = st.sampled_from(
+    [
+        "<p>", "</p>", "<div>", "</div>", "<article>", "</article>", "<a href='x'>",
+        "</a>", "<br>", "<script>", "</script>", "<b>", "</i>", "<table>", "</td>",
+        "<h1>", "</h2>", "<main>", "</main>", "<nav>", "</nav>", "<!-- c -->",
+        "<!DOCTYPE html>", "&amp;", "&#65;", "&#x41;",
+    ]
+)
+WELLFORMED_SOUP = st.lists(st.one_of(_TAGS, st.text(alphabet="abc XY.\n", max_size=15)), max_size=40).map("".join)
+
+
+@settings(max_examples=400, deadline=None)
+@given(WELLFORMED_SOUP)
+def test_wellformed_soup_identical(soup):
+    """On soup made only of well-formed constructs the engines agree."""
+    assert _outputs_equal(soup)
+
+
+NASTY = st.sampled_from(
+    ["<unclosed", "<![CDATA[x]]>", "<?pi?>", "&bogus;", "&#xZZ;", "&", "<", "< p>", "<//>"]
+)
+NASTY_SOUP = st.lists(st.one_of(_TAGS, NASTY, st.text(max_size=12)), max_size=40).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(NASTY_SOUP)
+def test_nasty_soup_fast_engine_sane(soup):
+    """Malformed constructs: fast engine never crashes, is deterministic,
+    and produces in-bounds sorted spans (tokenization may legitimately
+    differ from html.parser here)."""
+    o1, o2 = FAST.extract_str(soup), FAST.extract_str(soup)
+    assert o1.text == o2.text and o1.spans == o2.spans
+    assert o1.spans == sorted(o1.spans)
+    for s, e in o1.spans:
+        assert 0 <= s < e <= len(soup)
