@@ -144,7 +144,12 @@ def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str)
             h = zlib.crc32(chunk.tobytes(), b)  # band index salts the hash
             ids.append(row_id)
             keys.append((b << 32) | h)
-    return pa.table({"band_key": pa.array(keys, pa.int64()), id_col: pa.array(ids)})
+    return pa.table(
+        {
+            "band_key": pa.array(keys, pa.int64()),
+            id_col: pa.array(ids, batch.column(id_col).type),
+        }
+    )
 
 
 def minhash_duplicate_pairs(
@@ -249,7 +254,7 @@ def minhash_duplicate_pairs(
             est = [
                 MinHasher.estimate_jaccard(self.sigs[a], self.sigs[b]) for a, b in zip(ia, ib)
             ]
-            keep = pa.array([e >= threshold for e in est])
+            keep = pa.array([e >= threshold for e in est], pa.bool_())
             out = pa.table(
                 {
                     "id_a": t.column("id_a"),
@@ -329,16 +334,32 @@ def simhash_duplicate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> ray.data.Dataset:
-    """Near-dup pairs by simhash Hamming distance ≤ k, via 4×16-bit band
-    blocking (any pair within distance 3 shares ≥1 exact 16-bit band)."""
+    """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``.
+
+    Band blocking with ``max_hamming + 1`` bands (pigeonhole: a pair
+    within distance k differs in ≤ k bands, so it shares at least one of
+    k+1 bands) — the recall guarantee holds for ANY ``max_hamming``, not
+    just the historical fixed 4×16 split."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31] (band keys pack into int64)")
+    bands = max_hamming + 1
+    width = 64 // bands
+    # band b covers bits [starts[b], starts[b+1]); last band absorbs the
+    # remainder bits
+    starts = [b * width for b in range(bands)] + [64]
+
+    def band_value(h: int, b: int) -> int:
+        lo, hi = starts[b], starts[b + 1]
+        return (h >> lo) & ((1 << (hi - lo)) - 1)
+
     sigs = simhash_signatures(ds, text_col, id_col)
 
     def explode(t: pa.Table) -> pa.Table:
         ids, keys, hs = [], [], []
         for i, h in zip(t.column(id_col).to_pylist(), t.column("simhash").to_pylist()):
-            for b in range(4):
+            for b in range(bands):
                 ids.append(i)
-                keys.append((b << 16) | ((h >> (16 * b)) & 0xFFFF))
+                keys.append((b << 58) | band_value(h, b))
                 hs.append(h)
         return pa.table(
             {"band_key": pa.array(keys, pa.int64()), id_col: pa.array(ids),
@@ -352,15 +373,15 @@ def simhash_duplicate_pairs(
         if len(group) > 1:
             ids = group[id_col].tolist()
             hs = group["simhash"].tolist()
-            band = int(group["band_key"].iloc[0]) >> 16
+            band = int(group["band_key"].iloc[0]) >> 58
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     d = int(int(hs[i]) ^ int(hs[j])).bit_count()
                     if d <= max_hamming:
                         # emit from the FIRST shared band only (dedup trick)
                         first = next(
-                            b for b in range(4)
-                            if ((int(hs[i]) >> (16 * b)) & 0xFFFF) == ((int(hs[j]) >> (16 * b)) & 0xFFFF)
+                            b for b in range(bands)
+                            if band_value(int(hs[i]), b) == band_value(int(hs[j]), b)
                         )
                         if first == band:
                             a, b2 = sorted((ids[i], ids[j]))
@@ -433,12 +454,8 @@ def connected_components(
         # join current labels onto both edge endpoints via broadcast
         # (labels ≤ 2×edges rows — the pair stream is small by
         # construction; a hash-join replaces this at extreme scale)
-        label_map = dict(
-            zip(
-                labels.to_pandas()["node"].to_numpy(),
-                labels.to_pandas()["label"].to_numpy(),
-            )
-        )
+        labels_df = labels.to_pandas()
+        label_map = dict(zip(labels_df["node"].to_numpy(), labels_df["label"].to_numpy()))
         import ray as _ray
 
         ref = _ray.put(label_map)
@@ -463,7 +480,7 @@ def connected_components(
             .aggregate(AggMin("label", alias_name="label"))
             .materialize()
         )
-        old = labels.to_pandas().set_index("node")["label"]
+        old = labels_df.set_index("node")["label"]
         new = new_labels.to_pandas().set_index("node")["label"]
         labels = new_labels
         if old.sort_index().equals(new.sort_index()):

@@ -223,7 +223,11 @@ class BlockParser(HTMLParser):
         self._append_text(data, len(data))
 
     def handle_entityref(self, name: str) -> None:
-        self._append_text(html_mod.unescape(f"&{name};"), len(name) + 2)
+        # html.parser fires entityref with or without a trailing ';' —
+        # measure the true raw extent so spans cover exactly the source
+        end = self._offset() + 1 + len(name)
+        has_semi = self._raw[end : end + 1] == ";"
+        self._append_text(html_mod.unescape(f"&{name};"), len(name) + (2 if has_semi else 1))
 
     def handle_charref(self, name: str) -> None:
         try:

@@ -45,15 +45,29 @@ _TOKEN = re.compile(
     | <\?(?P<pi>[^>]*)>
     | </\s*(?P<endtag>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*[^>]*>
     | <(?P<starttag>[a-zA-Z][-.a-zA-Z0-9:_]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>
-    | &\#x(?P<hexref>[0-9a-fA-F]+);?
+    | &\#[xX](?P<hexref>[0-9a-fA-F]+);?
     | &\#(?P<decref>[0-9]+);?
-    | &(?P<entity>[a-zA-Z][-.a-zA-Z0-9]*);
+    | &(?P<entity>[a-zA-Z][-.a-zA-Z0-9]*)(?P<entsemi>;)?
     """,
     re.DOTALL | re.VERBOSE,
 )
 
+# html.parser parses '<a href=http://x/>' as a normal start tag (the '/'
+# belongs to the unquoted value); self-closing needs the '/' detached —
+# preceded by whitespace/quote or alone ('<br/>').
+def _is_selfclosing(attrs: str) -> bool:
+    a = attrs.rstrip()
+    if not a.endswith("/"):
+        return False
+    if len(a) == 1:
+        return True
+    return a[-2] in " \t\n\r\f\"'"
+
+# close only on the exact tag name (html.parser keeps CDATA mode through
+# '</scripted>' — the name must end at a non-name character)
 _RAWTEXT_CLOSE = {
-    tag: re.compile(rf"</\s*{tag}\s*[^>]*>", re.IGNORECASE) for tag in ("script", "style")
+    tag: re.compile(rf"</\s*{tag}(?![a-zA-Z0-9-._:])[^>]*>", re.IGNORECASE)
+    for tag in ("script", "style")
 }
 
 _HEADING_TAGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
@@ -87,7 +101,7 @@ class FastBlockParser:
 
             if m.group("starttag") is not None:
                 tag = m.group("starttag").lower()
-                selfclosing = (m.group("attrs") or "").rstrip().endswith("/")
+                selfclosing = _is_selfclosing(m.group("attrs") or "")
                 self._handle_start(tag, selfclosing)
                 if tag in _RAWTEXT_CLOSE and not selfclosing:
                     close = _RAWTEXT_CLOSE[tag].search(raw, pos)
@@ -101,9 +115,17 @@ class FastBlockParser:
             elif m.group("endtag") is not None:
                 self._handle_end(m.group("endtag").lower())
             elif m.group("entity") is not None:
-                self._append_text(
-                    html_mod.unescape(f"&{m.group('entity')};"), m.start(), m.end() - m.start()
-                )
+                # without a ';' html.parser fires entityref only when a
+                # terminator character follows; a bare '&name' at EOF is
+                # literal data
+                if m.group("entsemi") is None and m.end() >= n:
+                    self._append_text(raw[m.start() : m.end()], m.start(), m.end() - m.start())
+                else:
+                    self._append_text(
+                        html_mod.unescape(f"&{m.group('entity')};"),
+                        m.start(),
+                        m.end() - m.start(),
+                    )
             elif m.group("decref") is not None or m.group("hexref") is not None:
                 try:
                     cp = (
@@ -167,9 +189,13 @@ class FastBlockParser:
     def _handle_start(self, tag: str, selfclosing: bool) -> None:
         if tag in BLOCK_TAGS:
             self._flush()
+        if selfclosing:
+            # html.parser routes '<x/>' to handle_startendtag: flush only —
+            # no page bump, no stack push
+            return
         if tag == "article" and self._article_depth == 0:
             self._page += 1
-        if tag in VOID_TAGS or selfclosing:
+        if tag in VOID_TAGS:
             return
         self._stack.append(tag)
         self._stack_frozen = None

@@ -75,6 +75,14 @@ def sessionize_stream(
     actors = [SessionBucketActor.remote(gap_seconds) for _ in range(num_buckets)]
     pending: list = []
     for batch in ds.sort(ts_col).iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+        import pyarrow.compute as pc
+
+        # null keys have no session identity — drop them explicitly (a
+        # null int64 would otherwise round-trip through float NaN and
+        # silently vanish into an out-of-range bucket)
+        batch = batch.filter(pc.is_valid(batch.column(key_col)))
+        if batch.num_rows == 0:
+            continue
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         buckets = (keys % num_buckets).astype(np.int64)
@@ -160,13 +168,22 @@ def approx_distinct(
     ds: ray.data.Dataset, column: str, p: int = 12, hash_fn: Callable | None = None
 ) -> float:
     """Distributed approximate distinct count: per-batch sketches, driver
-    merge.  Only 2^p-byte sketches ever move — no shuffle of values."""
+    merge.  Only 2^p-byte sketches ever move — no shuffle of values.
+
+    ``hash_fn`` maps a list of column values to a uint64 numpy array;
+    default = blake2b over ``str(value)``.  Sketches are only mergeable
+    across runs that used the SAME hash function.
+    """
     from ..stages.skew import stable_hash64
+
+    def default_hash(values: list) -> "np.ndarray":
+        return stable_hash64([str(v) for v in values])
+
+    hasher = hash_fn if hash_fn is not None else default_hash
 
     def sketch(t: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
-        values = [str(v) for v in t.column(column).to_pylist()]
-        h.add_hashes(stable_hash64(values))
+        h.add_hashes(np.asarray(hasher(t.column(column).to_pylist()), dtype=np.uint64))
         return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
 
     merged = HyperLogLog(p)

@@ -102,6 +102,13 @@ GOLDENS = [
     '<article><p title="a > b">attr with gt and the body words here</p></article>',
     "<article><p>selfclosed<br/>tail words</p><img src='x'/></article>",
     "<ARTICLE><P>UPPERCASE tags normalize fine</P></ARTICLE>",
+    # review findings pinned:
+    '<article><p><a href=http://example.com/>Read more from here now</a> tail words</p></article>',
+    '<article><script>var s = "</scripted>"; secret();</script><p>the visible body words</p></article>',
+    "<article><p>R &amp D and &#X41; letters</p></article>",
+    "<article><p>end words &amp</p></article>",
+    "<article/><article><p>body words for page attribution</p></article>",
+    "<article><p>unquoted <a href=x />selfclosed link</a> tail</p></article>",
 ]
 
 
