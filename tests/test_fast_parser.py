@@ -128,7 +128,7 @@ _TAGS = st.sampled_from(
 WELLFORMED_SOUP = st.lists(st.one_of(_TAGS, st.text(alphabet="abc XY.\n", max_size=15)), max_size=40).map("".join)
 
 
-@settings(max_examples=400, deadline=None)
+@settings(max_examples=400, deadline=None, derandomize=True)
 @given(WELLFORMED_SOUP)
 def test_wellformed_soup_identical(soup):
     """On soup made only of well-formed constructs the engines agree."""
@@ -141,7 +141,7 @@ NASTY = st.sampled_from(
 NASTY_SOUP = st.lists(st.one_of(_TAGS, NASTY, st.text(max_size=12)), max_size=40).map("".join)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(NASTY_SOUP)
 def test_nasty_soup_fast_engine_sane(soup):
     """Malformed constructs: fast engine never crashes, is deterministic,

@@ -22,7 +22,7 @@ _TEXT = st.text(max_size=20)
 SOUP = st.lists(st.one_of(_TAGS, _TEXT), max_size=40).map("".join)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(SOUP)
 def test_never_raises_and_spans_valid(soup):
     out1 = EX.extract_str(soup)
@@ -34,7 +34,7 @@ def test_never_raises_and_spans_valid(soup):
         assert 0 <= s < e <= len(soup)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(st.binary(max_size=200))
 def test_bytes_never_raise(payload):
     out = EX.extract_bytes(payload)
