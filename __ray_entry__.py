@@ -218,7 +218,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    CAST(SUM(CASE WHEN prev_ts IS NULL
-                                 OR date_diff('second', prev_ts, ts) > 1800
+                                 OR date_diff('microsecond', prev_ts, ts) > 1800000000
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM w GROUP BY user_id
@@ -242,9 +242,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_tokens
+                   CAST(length(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS BIGINT)
+                       AS n_tokens
             FROM documents
         """,
         "char_classes": """
@@ -268,14 +267,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(text) > 0
               AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                   >= 0.7 * length(text)
-              AND (CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
-                   END) >= 40
+              AND length(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) >= 40
         """,
         "embedding_dup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,
@@ -296,7 +293,8 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
                 SELECT query_id, vec_id,
                        ROW_NUMBER() OVER (
-                           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+                           PARTITION BY query_id
+                           ORDER BY round(cosine, 6) DESC, vec_id
                        ) AS rank
                 FROM scored
             )

@@ -91,10 +91,15 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> ray.data.Dataset:
     """Exact global top-k per query: (query_id, vec_id, cosine), best first.
 
-    Ties broken by id (ascending) for determinism.
+    Ties broken by id (ascending) for determinism.  ``round_decimals``
+    quantizes the cosine before the final ranking (per-batch candidate
+    selection stays at raw precision) — use when comparing ranks against
+    an oracle whose fp op order differs (ulp-level rank ties otherwise
+    break exact-match checks; ADVICE r1).
     """
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
     ref = ray.put(queries)
@@ -107,7 +112,10 @@ def brute_force_topk(
     # candidate stream is tiny (n_batches × nq × k): one global sort+limit
     # per query via a grouped head — expressed as sort + per-group limit.
     def head_per_query(group):  # pandas in
-        g = group.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = group
+        if round_decimals is not None:
+            g = g.assign(cosine=g["cosine"].round(round_decimals))
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
         return g
 
     return candidates.groupby("query_id").map_groups(head_per_query, batch_format="pandas")

@@ -27,34 +27,33 @@ import pyarrow.compute as pc
 _BPEISH = re.compile(r"[A-Za-z]+|\d+|[^\w\s]")
 
 
-def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append ``n_tokens`` (whitespace tokens) and ``n_tokens_bpeish``.
+# The token definition shared verbatim with the SQL oracle: a token is a
+# maximal run of non-ASCII-whitespace.  Explicit class, NOT \s or
+# str.split() — Python's unicode whitespace (NBSP, \x1c-\x1f, …) and
+# RE2's ASCII \s disagree, which would silently diverge the oracle hash
+# on corpora containing such characters (ADVICE r1).
+TOKEN_PATTERN = "[^ \t\n\r\f\v]+"
+_TOKEN_RGX = re.compile(TOKEN_PATTERN)
 
-    Whitespace semantics = Python ``str.split()`` = DuckDB
-    ``CASE WHEN trim(text)='' THEN 0 ELSE length(regexp_split_to_array(trim(text),'\\s+')) END``
-    (the oracle formula used by ``__ray_entry__``).
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (ASCII-whitespace tokens) and ``n_tokens_bpeish``.
+
+    ``n_tokens`` counts matches of :data:`TOKEN_PATTERN` via the
+    vectorized RE2 kernel; the DuckDB oracle uses
+    ``length(regexp_extract_all(text, <same pattern>))`` — one shared
+    explicit character class on both sides, no trim() edge cases.
     """
     texts = pc.fill_null(batch.column(text_col), "")
-    # utf8_split_whitespace emits empty edge pieces; count only non-empty
-    # pieces to match str.split().
-    pieces = pc.utf8_split_whitespace(texts)
-    ws_counts = pc.list_value_length(pieces)
-    flat = pc.list_flatten(pieces)
-    empty_mask = pc.equal(flat, "")
-    # per-row empty-piece counts via parent indices
-    parents = pc.list_parent_indices(pieces)
     n = len(batch)
-    empties = np.zeros(n, dtype=np.int64)
-    if len(flat) > 0:
-        np.add.at(empties, parents.to_numpy(zero_copy_only=False), empty_mask.to_numpy(zero_copy_only=False).astype(np.int64))
-    n_tokens = ws_counts.to_numpy(zero_copy_only=False).astype(np.int64) - empties
+    n_tokens = pc.count_substring_regex(texts, pattern=TOKEN_PATTERN).cast(pa.int64())
 
     bpeish = np.fromiter(
         (len(_BPEISH.findall(t)) if t else 0 for t in texts.to_pylist()),
         dtype=np.int64,
         count=n,
     )
-    return batch.append_column("n_tokens", pa.array(n_tokens)).append_column(
+    return batch.append_column("n_tokens", n_tokens).append_column(
         "n_tokens_bpeish", pa.array(bpeish)
     )
 

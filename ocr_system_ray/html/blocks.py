@@ -235,7 +235,12 @@ class BlockParser(HTMLParser):
             decoded = chr(cp)
         except (ValueError, OverflowError):
             decoded = ""
-        self._append_text(decoded, len(name) + 3)
+        # like handle_entityref: html.parser also fires charrefs that are
+        # terminated by a non-';' character ("&#65<") — measure the true
+        # raw extent so the span covers exactly the source
+        end = self._offset() + 2 + len(name)
+        has_semi = self._raw[end : end + 1] == ";"
+        self._append_text(decoded, len(name) + (3 if has_semi else 2))
 
 
 _META_CHARSET = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE)

@@ -260,8 +260,11 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
 
     def sessions(g):  # pandas in
         g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(float("inf"))
-        n_sessions = int((gaps > 1800).sum())
+        # exact native-resolution comparison (no float total_seconds():
+        # a gap in (1800 s, 1801 s) must agree with the SQL oracle's
+        # date_diff('microsecond', ...) > 1800000000 at the boundary)
+        gaps = g["ts"].diff()
+        n_sessions = 1 + int((gaps > pd.Timedelta(seconds=1800)).sum())
         return pd.DataFrame(
             {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
         )
@@ -602,6 +605,7 @@ def q_corpus_quality_filter(sf_dir: str) -> ray.data.Dataset:
     import re
 
     non_alpha = re.compile(r"[^A-Za-z]")
+    token_rgx = re.compile(textstats.TOKEN_PATTERN)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def gate(t: pa.Table) -> pa.Table:
@@ -610,7 +614,8 @@ def q_corpus_quality_filter(sf_dir: str) -> ray.data.Dataset:
         for x in texts:
             n = len(x)
             alpha = len(non_alpha.sub("", x))
-            toks = len(x.split())
+            # ASCII token definition shared with the oracle (textstats.TOKEN_PATTERN)
+            toks = len(token_rgx.findall(x))
             # multiplication form matches the SQL oracle bit-for-bit at
             # ratio boundaries (a/n >= 0.7 and a >= 0.7*n can disagree
             # in the last ulp)
@@ -654,7 +659,11 @@ def q_embedding_dup_exact(sf_dir: str) -> ray.data.Dataset:
                 np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
             )
             sims = vecs @ self.mat.T  # (batch, n)
-            bi, aj = np.nonzero(sims >= 0.4)
+            # quantize before thresholding: numpy's matmul and DuckDB's
+            # list_cosine_similarity use different fp op orders, so a
+            # cosine within an ulp of 0.4 could otherwise be included by
+            # one side only (ADVICE r1); both sides compare round(c, 6)
+            bi, aj = np.nonzero(np.round(sims, 6) >= 0.4)
             keep = ids[bi] < self.ids_all[aj]  # id_a < id_b, no self/dup pairs
             return pa.table(
                 {
@@ -687,9 +696,14 @@ def _load_query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
 
 
 def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
-    """Exact top-10 cosine per query (queries = vec_id 0..4), ranked."""
+    """Exact top-10 cosine per query (queries = vec_id 0..4), ranked.
+
+    Ranks compare ``round(cosine, 6)`` on both sides so ulp-level fp
+    differences vs the SQL oracle cannot flip a rank tie."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = similarity.brute_force_topk(ds, _load_query_vectors(sf_dir), k=10).to_pandas()
+    out = similarity.brute_force_topk(
+        ds, _load_query_vectors(sf_dir), k=10, round_decimals=6
+    ).to_pandas()
     out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)

@@ -109,6 +109,10 @@ GOLDENS = [
     "<article><p>end words &amp</p></article>",
     "<article/><article><p>body words for page attribution</p></article>",
     "<article><p>unquoted <a href=x />selfclosed link</a> tail</p></article>",
+    # charref terminated by a non-';' char: the raw extent is one char
+    # shorter than the ';'-terminated form (ADVICE r1: span overshoot)
+    "<article><p>tail charref &#65</p></article>",
+    "<article><p>hex charref &#x41</p><p>mixed &#65; &amp &#x42</p></article>",
 ]
 
 

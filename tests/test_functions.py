@@ -28,10 +28,31 @@ DOCS = pa.table(
 # -- textstats --------------------------------------------------------------
 
 
-def test_token_counts_match_python_split():
+def test_token_counts_ascii_whitespace_semantics():
+    """n_tokens = maximal runs of non-ASCII-whitespace (TOKEN_PATTERN) —
+    the definition shared verbatim with the SQL oracle.  On ASCII-ws-only
+    text it equals str.split(); on unicode whitespace it intentionally
+    does NOT (NBSP etc. are token characters on BOTH sides)."""
     out = textstats.token_count_batch(DOCS)
     want = [len((t or "").split()) for t in DOCS.column("text").to_pylist()]
     assert out.column("n_tokens").to_pylist() == want
+
+    uni = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "a b",       # NBSP: one token here, two under str.split()
+                "a\x0bb c",        # \v IS ASCII whitespace → three tokens
+                "x y z　w",  # unicode line/ideographic sep: token chars
+            ],
+        }
+    )
+    got = textstats.token_count_batch(uni).column("n_tokens").to_pylist()
+    assert got == [1, 3, 2]
+    # and the shared pattern really is what the SQL oracle uses
+    import re
+
+    assert [len(re.findall(textstats.TOKEN_PATTERN, t)) for t in uni.column("text").to_pylist()] == got
 
 
 def test_quality_ranges():
