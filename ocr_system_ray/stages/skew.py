@@ -82,23 +82,77 @@ def bucket_by_size_class(
     return out_dir
 
 
+# FNV-64 prime drives the per-byte polynomial; the splitmix64 constants
+# finalize it for full-width avalanche (the polynomial alone has weak
+# high bits, which HLL's register-index extraction reads).
+_POLY_PRIME = np.uint64(1099511628211)
+_LEN_SALT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al.; public constants)."""
+    h = (h ^ (h >> np.uint64(30))) * _MIX_C1
+    h = (h ^ (h >> np.uint64(27))) * _MIX_C2
+    return h ^ (h >> np.uint64(31))
+
+
+def _string_segments(values: list[str] | pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """→ (flat utf-8 bytes, int64 offsets[n+1]); nulls hash as ""."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = pc.fill_null(values, "")
+        if pa.types.is_large_string(values.type):
+            values = values.cast(pa.string())
+        buffers = values.buffers()  # [validity, int32 offsets, data]
+        offs = np.frombuffer(buffers[1], dtype=np.int32)[
+            values.offset : values.offset + len(values) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(buffers[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        return data, offs - offs[0]
+    encoded = [(v or "").encode("utf-8") for v in values]
+    offs = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offs[1:])
+    return np.frombuffer(b"".join(encoded), dtype=np.uint8), offs
+
+
 def stable_hash64(values: list[str] | pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hash per string.
+    """Deterministic 64-bit hash per string — fully vectorized.
 
-    blake2b 8-byte digest — C-speed per row, stable across processes
-    (unlike Python's seeded ``hash``), and all 64 bits independent
-    (two crc32 variants are affinely related and would halve the
-    effective keyspace).
+    Polynomial hash over the utf-8 bytes (byte·prime^position summed per
+    segment via one cumsum, mod-2^64 wraparound) ⊕ a length salt, then a
+    splitmix64 finalize.  No per-row Python: the string column's Arrow
+    buffers are consumed directly, so hashing 10¹² keys costs a handful
+    of numpy passes per block.  Stable across processes/runs (pure
+    arithmetic, no interpreter ``hash`` seed); outputs pinned by a
+    golden test so accidental algorithm changes are caught.
     """
-    import hashlib
-
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        digest = hashlib.blake2b((v or "").encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(digest, "little")
-    return out
+    data, offs = _string_segments(values)
+    n = len(offs) - 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.diff(offs)
+    with np.errstate(over="ignore"):
+        if data.size:
+            # per-byte exponent = position within its own string
+            pos = np.arange(data.size, dtype=np.int64) - np.repeat(offs[:-1], lengths)
+            powers = np.empty(int(lengths.max()), dtype=np.uint64)  # [p^0, p^1, …]
+            powers[0] = 1
+            if powers.size > 1:
+                np.multiply.accumulate(
+                    np.full(powers.size - 1, _POLY_PRIME, dtype=np.uint64),
+                    out=powers[1:],
+                )
+            terms = data.astype(np.uint64) * powers[pos]
+            csum = np.zeros(data.size + 1, dtype=np.uint64)
+            np.cumsum(terms, out=csum[1:])
+            h = csum[offs[1:]] - csum[offs[:-1]]
+        else:
+            h = np.zeros(n, dtype=np.uint64)
+        # seed keeps "" off splitmix64's 0 → 0 fixed point
+        return _splitmix64((h + _MIX_C1) ^ (lengths.astype(np.uint64) * _LEN_SALT))
 
 
 def salted_key(

@@ -47,6 +47,39 @@ def test_stable_hash_deterministic_across_calls():
     assert len(set(h1.tolist())) == 100  # no collisions on this tiny set
 
 
+def test_stable_hash_golden_pinned():
+    """The exact hash values are load-bearing (bucket layouts, HLL
+    sketches, salted keys persist across runs/processes) — pin them so
+    any accidental algorithm change is caught."""
+    vals = ["", "a", "ab", "https://site0.example/0", "日本語", "\x00", "a" * 100]
+    golden = [
+        17509614380081456743,
+        17296218729906653468,
+        17845465841273537895,
+        2867376167142766573,
+        11302387678236909475,
+        17387357957170766638,
+        10573347454069876711,
+    ]
+    assert [int(x) for x in stable_hash64(vals)] == golden
+    assert [int(x) for x in stable_hash64(pa.array(vals))] == golden
+
+
+def test_stable_hash_input_forms_agree():
+    """list / Array / ChunkedArray / sliced Array must hash identically;
+    nulls hash as empty strings."""
+    urls = [f"https://s{i}.example/{i * 7}" for i in range(1000)]
+    arr = pa.array(urls)
+    h = stable_hash64(urls)
+    assert np.array_equal(h, stable_hash64(arr))
+    assert np.array_equal(
+        h, stable_hash64(pa.chunked_array([arr[:300], arr[300:]]))
+    )
+    assert np.array_equal(h[100:200], stable_hash64(arr.slice(100, 100)))
+    hm = stable_hash64(pa.array(["x", None, ""]))
+    assert hm[1] == hm[2]
+
+
 def test_salted_key_spread_and_stability():
     t = pa.table({"url": [f"https://s.example/{i}" for i in range(2000)]})
     out1 = salted_key(t, num_partitions=64)
