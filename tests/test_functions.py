@@ -173,6 +173,31 @@ def test_minhash_star_pattern_on_big_buckets(ray_session):
     assert got == {(0, j) for j in range(1, n)}  # star around the min id
 
 
+def test_minhash_join_and_broadcast_verify_agree(ray_session):
+    """The distributed hash-join verify (default) and the opt-in
+    broadcast verify must produce identical pairs and estimates."""
+    import pyarrow as pa
+    import ray.data
+
+    n = 30
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": [
+                f"shared boilerplate words across docs variant {i % 4} plus tail {i % 7}"
+                for i in range(n)
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    joined = dedup.minhash_duplicate_pairs(ds, threshold=0.4, verify_mode="join").to_pandas()
+    bcast = dedup.minhash_duplicate_pairs(ds, threshold=0.4, verify_mode="broadcast").to_pandas()
+    a = joined.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = bcast.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
 def test_simhash_pairs_find_the_dups(docs_ds):
     pairs = dedup.simhash_duplicate_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
