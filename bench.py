@@ -59,14 +59,13 @@ def run_flagship() -> tuple[float, int]:
     from ocr_system_ray.pipelines import final_extract, PipelineConfig
 
     pages = ensure_pages()
-    # sized_for encodes the deadlock-safe pool rules (3/4 CPU budget);
-    # large_row_bytes=None parses the ≈1.5 MB bench skew rows inline —
-    # the dedicated large path is for pathological rows (tested, not
-    # benched).  One fused pool keeps the actor:CPU ratio identical
-    # across the scaling pair so N vs 4N compares the engine.
+    # sized_for encodes the deadlock-safe pool rules (3/4 CPU budget).
+    # In-stage skew routing stays ON (the production default): the
+    # ≈1.5 MB bench skew rows parse one at a time inside the single
+    # pool — one read of the input, no second pool, so the actor:CPU
+    # ratio is identical across the scaling pair.
     cfg = PipelineConfig.sized_for(
         NUM_CPUS,
-        large_row_bytes=None,
         parse_batch_size=64,
         field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]},
     )

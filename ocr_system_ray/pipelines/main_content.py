@@ -3,21 +3,21 @@
 Physical plan (SURVEY.md §4.4):
 
     read_parquet(pages, columns=[url, html])       # prune at the read
-      ├─ filter payload < 1 MiB  ─ parse actor pool (big batches)   ┐
-      └─ filter payload ≥ 1 MiB  ─ parse actor pool (batch_size=1)  ┴ union
+      → ONE parse(+extract) actor pool with IN-STAGE skew routing:
+        each batch's small rows parse together and yield first, then
+        every ≥1 MiB row parses alone and yields incrementally
       → fused field extraction (dynamic fields + licenses + address +
         date range + filter + Renew Times; no joins — SURVEY.md §2.5)
       → write_parquet / return Dataset
 
-All stages stream; nothing materializes the full dataset.  The
-small/large split keeps multi-MB skew rows from stalling the main
-stream (SURVEY.md §4.3).  Branching a lazy Dataset re-executes the
-shared read once per branch, so the in-memory split costs a second
-read pass; at ingest scale, pre-bucket ONCE with
+All stages stream; nothing materializes the full dataset, and the
+input is read EXACTLY ONCE — the former dataset-level small/large
+filter split re-executed the shared read per branch (VERDICT r1
+item 3).  A multi-MB skew row now occupies one actor for one row's
+time while every other actor keeps streaming; for corpora where giant
+rows must not share a pool at all, pre-bucket once with
 ``stages.skew.bucket_by_size_class`` (write partitioned by size_class)
-and point each path at its pruned partition — or set
-``large_row_bytes=None`` to parse giant rows inline when the corpus
-has no pathological rows.
+and run each class with its own config.
 
 ``run_resumable`` wraps the same plan in per-partition lineage
 (``state/lineage.py``): one invocation per pending partition group,
@@ -43,7 +43,7 @@ from ..stages.fieldextract import (
     DocumentFieldsStage,
     FusedParseExtractStage,
 )
-from ..stages.skew import DEFAULT_LARGE_ROW_BYTES, payload_sizes
+from ..stages.skew import DEFAULT_LARGE_ROW_BYTES
 from ..state.lineage import LineageManifest, plan_partitions
 
 
@@ -51,14 +51,17 @@ from ..state.lineage import LineageManifest, plan_partitions
 class PipelineConfig:
     page_join: str = PAGE_JOIN_EPL
     field_to_patterns: dict[str, list[str]] = field(default_factory=dict)
-    # byte threshold routing rows to the dedicated large-row path;
-    # None disables the split entirely (single pool — right when the
-    # corpus has no pathological rows or CPUs are scarce)
+    # byte threshold for IN-STAGE skew routing: rows at/above it parse
+    # one at a time inside the (single) pool, yielding incrementally so
+    # a giant row never holds its batch-mates' results back; None turns
+    # the routing off (whole batches parse together)
     large_row_bytes: int | None = DEFAULT_LARGE_ROW_BYTES
     parse_batch_size: int = 64
     # actor-pool sizes: (min, max) autoscaling; max should track the CPU
     # budget of the job — bench/production override per ray.init size.
     parse_concurrency: int | tuple[int, int] = (1, 32)
+    # retained for API compatibility; the in-stage routing made the
+    # dedicated large-row pool obsolete (no longer consulted)
     large_parse_concurrency: int | tuple[int, int] = (1, 2)
     min_words: int = 8
     fused: bool = True
@@ -81,16 +84,11 @@ class PipelineConfig:
         * the fused pool takes 3/4 of the CPUs — actor pools must NEVER
           reserve every CPU or the read/write stages starve and the
           stream deadlocks;
-        * the large-row pool gets 1/8 (only when the split is on);
-        * below 8 CPUs the split is disabled (not enough slots for two
-          pools + read).
+        * skew routing (``large_row_bytes``) stays on at every size —
+          in-stage routing costs one vectorized size filter per batch
+          and needs no second pool.
         """
-        small_cluster = num_cpus < 8
-        cfg = dict(
-            parse_concurrency=max(1, num_cpus * 3 // 4),
-            large_parse_concurrency=max(1, num_cpus // 8),
-            large_row_bytes=None if small_cluster else DEFAULT_LARGE_ROW_BYTES,
-        )
+        cfg = dict(parse_concurrency=max(1, num_cpus * 3 // 4))
         cfg.update(overrides)
         return cls(**cfg)
 
@@ -117,46 +115,18 @@ def parse_pages(
     cfg = config or PipelineConfig()
     ds = _read(input_path, cfg.languages) if isinstance(input_path, str) else input_path
 
-    stage_kwargs_single = dict(
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_constructor_kwargs={"page_join": cfg.page_join, "min_words": cfg.min_words},
-    )
-    if cfg.large_row_bytes is None:
-        return ds.map_batches(
-            HtmlParseStage,
-            batch_size=cfg.parse_batch_size,
-            concurrency=cfg.parse_concurrency,
-            **stage_kwargs_single,
-        )
-
-    small = ds.map_batches(
-        lambda t: t.filter(pc.less(payload_sizes(t), cfg.large_row_bytes)),
-        batch_format="pyarrow",
-    )
-    large = ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(payload_sizes(t), cfg.large_row_bytes)),
-        batch_format="pyarrow",
-    )
-
-    stage_kwargs = dict(
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_constructor_kwargs={"page_join": cfg.page_join, "min_words": cfg.min_words},
-    )
-    parsed_small = small.map_batches(
+    return ds.map_batches(
         HtmlParseStage,
         batch_size=cfg.parse_batch_size,
         concurrency=cfg.parse_concurrency,
-        **stage_kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_constructor_kwargs={
+            "page_join": cfg.page_join,
+            "min_words": cfg.min_words,
+            "large_row_bytes": cfg.large_row_bytes,
+        },
     )
-    parsed_large = large.map_batches(
-        HtmlParseStage,
-        batch_size=1,
-        concurrency=cfg.large_parse_concurrency,
-        **stage_kwargs,
-    )
-    return parsed_small.union(parsed_large)
 
 
 def final_extract(
@@ -176,46 +146,19 @@ def final_extract(
 
     if cfg.fused:
         ds = _read(input_path, cfg.languages) if isinstance(input_path, str) else input_path
-        kwargs = dict(
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            fn_constructor_kwargs={
-                "page_join": cfg.page_join,
-                "min_words": cfg.min_words,
-                "field_to_patterns": cfg.field_to_patterns,
-            },
-        )
-        if cfg.large_row_bytes is None:
-            return _finish(
-                ds.map_batches(
-                    FusedParseExtractStage,
-                    batch_size=cfg.parse_batch_size,
-                    concurrency=cfg.parse_concurrency,
-                    **kwargs,
-                )
-            )
-
-        small = ds.map_batches(
-            lambda t: t.filter(pc.less(payload_sizes(t), cfg.large_row_bytes)),
-            batch_format="pyarrow",
-        )
-        large = ds.map_batches(
-            lambda t: t.filter(pc.greater_equal(payload_sizes(t), cfg.large_row_bytes)),
-            batch_format="pyarrow",
-        )
         return _finish(
-            small.map_batches(
+            ds.map_batches(
                 FusedParseExtractStage,
                 batch_size=cfg.parse_batch_size,
                 concurrency=cfg.parse_concurrency,
-                **kwargs,
-            ).union(
-                large.map_batches(
-                    FusedParseExtractStage,
-                    batch_size=1,
-                    concurrency=cfg.large_parse_concurrency,
-                    **kwargs,
-                )
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                fn_constructor_kwargs={
+                    "page_join": cfg.page_join,
+                    "min_words": cfg.min_words,
+                    "field_to_patterns": cfg.field_to_patterns,
+                    "large_row_bytes": cfg.large_row_bytes,
+                },
             )
         )
 

@@ -50,6 +50,7 @@ class FusedParseExtractStage:
         page_join: str | None = None,
         min_words: int = 8,
         field_to_patterns: Mapping[str, Sequence[str]] | None = None,
+        large_row_bytes: int | None = None,
     ) -> None:
         from ..html import MainContentExtractor, PAGE_JOIN_EPL
 
@@ -58,8 +59,24 @@ class FusedParseExtractStage:
             min_words=min_words,
         )
         self._patterns = {k: list(v) for k, v in (field_to_patterns or {}).items()}
+        self._large_row_bytes = large_row_bytes
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
+        # in-stage skew routing (see HtmlParseStage): small rows first,
+        # then each large row parsed and yielded individually — ONE read
+        # of the input, no dataset-level branch
+        if self._large_row_bytes is None:
+            yield self._process(batch)
+            return
+        from .parse import split_small_large
+
+        small, large = split_small_large(batch, self._large_row_bytes)
+        if small.num_rows:
+            yield self._process(small)
+        for i in range(large.num_rows):
+            yield self._process(large.slice(i, 1))
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         docs = (
             (url.as_py(), self._extractor.extract_bytes(payload.as_py()).text)
             for url, payload in zip(batch.column("url"), batch.column("html"))

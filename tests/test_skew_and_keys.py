@@ -97,6 +97,32 @@ def test_salted_key_spread_and_stability():
     assert max(salted) >= 64
 
 
+def test_flagship_single_read_plan_and_routing_equality(ray_session, tmp_path):
+    """The flagship with skew routing ON must read the input once (no
+    dataset-level branch: one read op, no union in the plan) and return
+    byte-identical rows to the unrouted single-pool path."""
+    from ocr_system_ray.sources import write_pages_dataset
+    from ocr_system_ray.pipelines import final_extract, parse_pages, PipelineConfig
+
+    pages = str(tmp_path / "pages")
+    write_pages_dataset(pages, 60, shard_rows=30, skew_every=20, skew_factor=20)
+
+    routed = final_extract(pages, PipelineConfig(parse_concurrency=(1, 2)))
+    plan = repr(routed)
+    assert plan.count("Dataset(") == 1  # exactly one read
+    assert "Union" not in plan
+    parse_plan = repr(parse_pages(pages, PipelineConfig(parse_concurrency=(1, 2))))
+    assert parse_plan.count("Dataset(") == 1 and "Union" not in parse_plan
+
+    unrouted = final_extract(
+        pages, PipelineConfig(parse_concurrency=(1, 2), large_row_bytes=None)
+    )
+    a = routed.to_pandas().sort_values("url").reset_index(drop=True)
+    b = unrouted.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+
+
 def test_bucket_by_size_class_single_pass(ray_session, tmp_path):
     import duckdb
     import ray.data
