@@ -162,6 +162,13 @@ def assign_partitions(
     return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _probe_centroids(codebook: np.ndarray, queries: np.ndarray, nprobe: int) -> list[int]:
+    cents = _normalize(np.asarray(codebook, dtype=np.float32))
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(_normalize(queries) @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    return sorted({int(c) for row in probe for c in row})
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     codebook: np.ndarray,
@@ -171,14 +178,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> ray.data.Dataset:
-    """Approximate top-k: search only the ``nprobe`` nearest centroids'
-    vectors per query.  At scale the assignment is precomputed and the
-    filter becomes a partition-pruned read instead of a scan."""
-    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-    cents = _normalize(np.asarray(codebook, dtype=np.float32))
-    probe = np.argsort(-(_normalize(queries) @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    wanted = sorted({int(c) for row in probe for c in row})
+    """Approximate top-k by filter-SCAN: assign + filter + brute force.
 
+    One-shot convenience for un-indexed data; for repeated queries at
+    scale, persist the assignment once with :func:`build_ivf_index` and
+    search with :func:`ivf_topk_indexed`, which reads ONLY the probed
+    centroids' partitions from storage."""
+    wanted = _probe_centroids(codebook, queries, nprobe)
     assigned = assign_partitions(ds, codebook, id_col, vec_col)
     import pyarrow.compute as pc
 
@@ -186,4 +192,65 @@ def ivf_topk(
         lambda t: t.filter(pc.is_in(t.column("centroid_id"), value_set=pa.array(wanted, pa.int32()))),
         batch_format="pyarrow",
     )
+    return brute_force_topk(pruned, queries, k, id_col, vec_col)
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    codebook: np.ndarray,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the IVF layout: one parquet partition directory per
+    centroid (``centroid_id=<c>/``).  Build once, search many — the
+    partitioned layout is what turns ``nprobe`` from a full-corpus
+    filter scan into a pruned read that never touches the other
+    ``n_centroids - nprobe`` partitions' bytes."""
+    assign_partitions(ds, codebook, id_col, vec_col).write_parquet(
+        index_dir, partition_cols=["centroid_id"]
+    )
+    return index_dir
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    codebook: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k over a persisted IVF index: READ ONLY the
+    ``nprobe`` nearest centroids' partitions (parquet partition-pruned
+    via the hive ``centroid_id`` key), then exact top-k within them.
+    The non-probed partitions are never listed into the plan — at 100 TB
+    this is the difference between touching ~nprobe/n_centroids of the
+    corpus and scanning all of it."""
+    import pyarrow.compute as pc
+
+    import os
+
+    wanted = _probe_centroids(codebook, queries, nprobe)
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    # prune by PATH: only the probed centroids' partition directories
+    # enter the read plan at all (ray 2.49's `filter=` pushdown fails to
+    # bind hive partition keys in its sampling pass, and path pruning is
+    # stronger anyway — non-probed partitions are never even listed)
+    import glob
+
+    paths: list[str] = []
+    for c in wanted:
+        d = os.path.join(index_dir, f"centroid_id={c}")
+        if os.path.isdir(d):  # prefix listing; object stores list the same way
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    if not paths:
+        return brute_force_topk(
+            ray.data.from_arrow(
+                pa.table({id_col: pa.array([], pa.int64()), vec_col: pa.array([], pa.list_(pa.float32()))})
+            ),
+            queries, k, id_col, vec_col,
+        )
+    pruned = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(pruned, queries, k, id_col, vec_col)

@@ -710,9 +710,13 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
 
 
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF approximate top-10 (nprobe=4 of 16 centroids) — rows-only check;
-    recall vs brute force asserted in pytest."""
+    """IVF approximate top-10 (nprobe=4 of 16 centroids) over a
+    PERSISTED partition-per-centroid index: build once (cached under
+    /tmp, crash-safe marker), then search with a partition-pruned read
+    that only lists the probed centroids' files — rows-only check;
+    recall vs brute force + indexed≡scan equality asserted in pytest."""
     import os
+    import tempfile
     import pyarrow.parquet as pq
 
     sample = (
@@ -721,8 +725,22 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
         .to_pylist()[:2000]
     )
     codebook = similarity.fit_codebook(np.asarray(sample, dtype=np.float32), n_centroids=16)
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = similarity.ivf_topk(ds, codebook, _load_query_vectors(sf_dir), k=10, nprobe=4).to_pandas()
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = os.path.join(tempfile.gettempdir(), f"osr_ivf_{tag}")
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        similarity.build_ivf_index(ds, codebook, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    out = similarity.ivf_topk_indexed(
+        index_dir, codebook, _load_query_vectors(sf_dir), k=10, nprobe=4
+    ).to_pandas()
     out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)

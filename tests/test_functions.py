@@ -267,6 +267,57 @@ def test_ivf_recall(ray_session):
         assert len(e & a) / len(e) >= 0.5  # recall@10 with half the centroids probed
 
 
+def test_ivf_indexed_matches_scan_and_prunes_read(ray_session, tmp_path):
+    """The persisted partition-per-centroid index must return the same
+    results as the filter-scan variant, and its read plan must list
+    ONLY the probed centroids' partition files."""
+    import os
+
+    import ray.data
+
+    table = _embedding_table(n=200)
+    ds = ray.data.from_arrow(table)
+    sample = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    codebook = similarity.fit_codebook(sample, n_centroids=8)
+    queries = np.asarray(table.column("embedding").to_pylist()[:3], dtype=np.float64)
+
+    index_dir = similarity.build_ivf_index(ds, codebook, str(tmp_path / "ivf"))
+    # one hive partition directory per centroid actually present
+    part_dirs = sorted(d for d in os.listdir(index_dir) if d.startswith("centroid_id="))
+    assert len(part_dirs) >= 2
+
+    scan = similarity.ivf_topk(ds, codebook, queries, k=10, nprobe=4).to_pandas()
+    indexed_ds = similarity.ivf_topk_indexed(index_dir, codebook, queries, k=10, nprobe=4)
+    indexed = indexed_ds.to_pandas()
+    key = ["query_id", "vec_id"]
+    assert (
+        scan[key].sort_values(key).reset_index(drop=True)
+        .equals(indexed[key].sort_values(key).reset_index(drop=True))
+    )
+
+    # pruning evidence: only the probed centroids' partition files enter
+    # the read (path-level pruning — the impl lists exactly these)
+    import glob
+
+    wanted = similarity._probe_centroids(codebook, queries, nprobe=1)
+    files_wanted = sorted(
+        f
+        for c in wanted
+        for f in glob.glob(os.path.join(index_dir, f"centroid_id={c}", "*.parquet"))
+    )
+    all_files = glob.glob(os.path.join(index_dir, "centroid_id=*", "*.parquet"))
+    assert 0 < len(files_wanted) < len(all_files)
+    pruned_read = ray.data.read_parquet(files_wanted, columns=["vec_id"])
+    assert sorted(pruned_read.input_files()) == files_wanted
+    # and the nprobe=1 indexed search agrees with the nprobe=1 scan
+    idx1 = similarity.ivf_topk_indexed(index_dir, codebook, queries, k=10, nprobe=1).to_pandas()
+    scan1 = similarity.ivf_topk(ds, codebook, queries, k=10, nprobe=1).to_pandas()
+    assert (
+        idx1[key].sort_values(key).reset_index(drop=True)
+        .equals(scan1[key].sort_values(key).reset_index(drop=True))
+    )
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 
