@@ -255,6 +255,45 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "content_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "quality_scores": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE (1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) // length(text)
+                   END AS alpha_permille,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE (1000 * length(regexp_replace(text, '[^0-9]', '', 'g'))) // length(text)
+                   END AS digit_permille,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE (1000 * length(regexp_replace(text, '[^ \t\n\r\f\v]', '', 'g'))) // length(text)
+                   END AS space_permille,
+                   CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) = 0 THEN 0
+                        ELSE (1000 * length(regexp_replace(text, '[^A-Z]', '', 'g')))
+                             // length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   END AS upper_permille,
+                   CASE WHEN length(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) = 0 THEN 0
+                        ELSE (1000 * (length(text) - length(regexp_replace(text, '[^ \t\n\r\f\v]', '', 'g'))))
+                             // length(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                   END AS mean_word_len_milli
+            FROM documents
+        """,
+        # golden-parquet oracles: committed files generated by
+        # tools/make_goldens.py (extract_fields: computed by the LIVE
+        # reference code; winnow: frozen counts of the pytest-pinned
+        # sketch).  The inner join against `documents` keys the oracle
+        # to the driver's input — on any other corpus the row counts
+        # mismatch loudly instead of silently passing.
+        "extract_fields_docs": """
+            SELECT d.doc_id, g.license_id, g."date" AS date, g.reference_id
+            FROM documents d
+            JOIN '/root/repo/tests/golden/extract_fields_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "winnow_fingerprints": """
+            SELECT d.doc_id, g.n_fingerprints
+            FROM documents d
+            JOIN '/root/repo/tests/golden/winnow_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'test'

@@ -505,11 +505,49 @@ def q_char_classes(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
-    """Full quality signals (floats + stopwords) — pytest-verified, no SQL."""
+    """Quality signals as INTEGER permille ratios, ASCII definitions —
+    every value exactly reproducible in SQL (floor integer division on
+    both sides; floats never hash reliably).  The richer float/unicode
+    variant (`textstats.quality_batch`, + stopword_ratio) stays the
+    library API, pytest-verified."""
+    import re
+
+    non_alpha = re.compile(r"[^A-Za-z]")
+    non_digit = re.compile(r"[^0-9]")
+    non_space = re.compile(r"[^ \t\n\r\f\v]")
+    non_upper = re.compile(r"[^A-Z]")
+    token_rgx = re.compile(textstats.TOKEN_PATTERN)
+
+    def scores(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t.column("text").to_pylist()]
+        cols: dict[str, list[int]] = {
+            k: []
+            for k in (
+                "alpha_permille",
+                "digit_permille",
+                "space_permille",
+                "upper_permille",
+                "mean_word_len_milli",
+            )
+        }
+        for x in texts:
+            n = len(x)
+            alpha = len(non_alpha.sub("", x))
+            digit = len(non_digit.sub("", x))
+            space = len(non_space.sub("", x))
+            upper = len(non_upper.sub("", x))
+            toks = len(token_rgx.findall(x))
+            cols["alpha_permille"].append((1000 * alpha) // n if n else 0)
+            cols["digit_permille"].append((1000 * digit) // n if n else 0)
+            cols["space_permille"].append((1000 * space) // n if n else 0)
+            cols["upper_permille"].append((1000 * upper) // alpha if alpha else 0)
+            cols["mean_word_len_milli"].append((1000 * (n - space)) // toks if toks else 0)
+        out = {"doc_id": t.column("doc_id")}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        return pa.table(out)
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        lambda t: textstats.quality_batch(t).drop_columns(["text"]), batch_format="pyarrow"
-    )
+    return ds.map_batches(scores, batch_format="pyarrow")
 
 
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:

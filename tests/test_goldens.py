@@ -1,0 +1,64 @@
+"""Golden-parquet oracle guards.
+
+The committed goldens under ``tests/golden/`` back the driver's DuckDB
+oracles for ``extract_fields_docs`` (reference-derived) and
+``winnow_fingerprints`` (frozen sketch counts).  These tests regenerate
+both in memory and fail if the committed files drift — a stale golden
+would otherwise turn the driver check into a false pass/fail.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = Path("/root/testdata/sf0.01")
+GOLDEN_DIR = Path(__file__).resolve().parent / "golden"
+
+
+needs_testdata = pytest.mark.skipif(
+    not SF_DIR.exists(), reason="driver testdata not available"
+)
+
+
+@needs_testdata
+def test_extract_fields_golden_matches_live_reference(ref):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import extract_fields_golden
+
+    fresh = extract_fields_golden()
+    committed = pq.read_table(GOLDEN_DIR / "extract_fields_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
+def test_winnow_golden_matches_current_sketch():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import winnow_golden
+
+    fresh = winnow_golden()
+    committed = pq.read_table(GOLDEN_DIR / "winnow_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
+def test_extract_fields_golden_agrees_with_our_core():
+    """Belt-and-braces: our core must reproduce the reference-derived
+    golden byte-for-byte (the same invariant the driver now checks)."""
+    from ocr_system_ray import core
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    committed = pq.read_table(GOLDEN_DIR / "extract_fields_sf001.parquet")
+    for text, lic, date, refid in zip(
+        docs.column("text").to_pylist(),
+        committed.column("license_id").to_pylist(),
+        committed.column("date").to_pylist(),
+        committed.column("reference_id").to_pylist(),
+    ):
+        assert core.extract_fields(text or "") == (lic, date, refid)

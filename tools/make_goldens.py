@@ -1,0 +1,102 @@
+"""Generate the committed golden parquet files used as DuckDB oracles
+for queries whose semantics SQL cannot express directly.
+
+* ``extract_fields_sf001.parquet`` — (doc_id, license_id, date,
+  reference_id) computed by the LIVE REFERENCE code
+  (``/root/reference/ocr/extract.py`` loaded standalone, same loader as
+  tests/conftest.py) over the sf0.01 ``documents`` table.  This is a
+  true reference-derived oracle: if our Ray pipeline ever diverges from
+  the reference's byte-identical semantics, the driver's hash check
+  fails.
+* ``winnow_sf001.parquet`` — (doc_id, n_fingerprints) from the repo's
+  winnowing implementation over the same table (self-derived golden —
+  winnowing has no SQL equivalent; the sketch itself is pinned by
+  pytest, this file freezes the per-doc counts so the driver check
+  becomes rows+schema+hash instead of rows-only).
+
+Run from the repo root:  python tools/make_goldens.py
+Re-run ONLY when the corpus or the winnowing parameters change; commit
+the result.  ``tests/test_goldens.py`` regenerates both in memory and
+fails if the committed files drift.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+GOLDEN_DIR = REPO / "tests" / "golden"
+SF_DIR = Path("/root/testdata/sf0.01")
+REFERENCE_OCR = Path("/root/reference/ocr")
+
+sys.path.insert(0, str(REPO))
+
+
+def load_reference():
+    pkg = types.ModuleType("refocr")
+    pkg.__path__ = [str(REFERENCE_OCR)]
+    sys.modules.setdefault("refocr", pkg)
+    out = {}
+    for name in ("patterns", "extract", "dynamic", "postprocess"):
+        full = f"refocr.{name}"
+        if full not in sys.modules:
+            spec = importlib.util.spec_from_file_location(full, REFERENCE_OCR / f"{name}.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[full] = mod
+            spec.loader.exec_module(mod)
+        out[name] = sys.modules[full]
+    return types.SimpleNamespace(**out)
+
+
+def extract_fields_golden() -> pa.Table:
+    ref = load_reference()
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    lic, date, refid = [], [], []
+    for text in docs.column("text").to_pylist():
+        a, b, c = ref.extract.extract_fields(text or "")
+        lic.append(a)
+        date.append(b)
+        refid.append(c)
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "license_id": pa.array(lic, pa.string()),
+            "date": pa.array(date, pa.string()),
+            "reference_id": pa.array(refid, pa.string()),
+        }
+    )
+
+
+def winnow_golden() -> pa.Table:
+    import pyarrow.compute as pc
+
+    from ocr_system_ray.functions import textstats
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    out = textstats.winnow_fingerprint_batch(docs)
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "n_fingerprints": pc.list_value_length(out.column("fingerprints")).cast(pa.int64()),
+        }
+    )
+
+
+def main() -> None:
+    GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
+    ef = extract_fields_golden()
+    pq.write_table(ef, GOLDEN_DIR / "extract_fields_sf001.parquet")
+    print(f"extract_fields_sf001.parquet: {ef.num_rows} rows")
+    wf = winnow_golden()
+    pq.write_table(wf, GOLDEN_DIR / "winnow_sf001.parquet")
+    print(f"winnow_sf001.parquet: {wf.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
