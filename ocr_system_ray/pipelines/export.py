@@ -3,17 +3,17 @@
 Contract pinned from the reference:
 * output columns are an explicit ordered list; missing cells fill with
   ``""``, never null (``ocr/csv_utils.py:15``, ``gui/app.py:106-112``);
-* csv/xlsx chosen by extension; anything else rejected up front
-  (``gui/app.py:91-103`` validate_paths — xlsx needs openpyxl, absent
-  here, so it's rejected with a clear error instead);
-* parquet is the scale sink (directory of part files); csv exists for
-  interop/debug parity.
+* csv/xlsx chosen by extension (``gui/app.py:91-103`` validate_paths;
+  xlsx written by a minimal stdlib zip+xml writer — openpyxl is not
+  available offline);
+* parquet is the scale sink (directory of part files); csv/xlsx exist
+  for interop/debug parity and are single-file driver-side writers.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Sequence
+from collections.abc import Iterable, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -29,13 +29,114 @@ def validate_export_path(out_path: str, allow_parquet_dir: bool = True) -> str |
     if not os.path.isdir(parent):
         return "Output directory does not exist."
     lower = out_path.lower()
-    if lower.endswith(".csv"):
+    if lower.endswith((".csv", ".xlsx")):
         return None
-    if lower.endswith(".xlsx"):
-        return "xlsx export requires openpyxl, which is unavailable; use .csv or parquet"
     if allow_parquet_dir and not os.path.splitext(out_path)[1]:
         return None  # extensionless → parquet directory
-    return "Output file must be .csv or a parquet directory"
+    return "Output file must be .csv, .xlsx, or a parquet directory"
+
+
+# ---------------------------------------------------------------------------
+# minimal stdlib XLSX writer (K2 parity — gui/app.py:106-112 wrote via
+# openpyxl; same sheet contract: one header row, then the data rows)
+# ---------------------------------------------------------------------------
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+_XLSX_WORKBOOK_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def _xml_escape(value: str) -> str:
+    return (
+        value.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _xlsx_row(cells: Iterable[str]) -> str:
+    parts = ["<row>"]
+    for v in cells:
+        parts.append(
+            f'<c t="inlineStr"><is><t xml:space="preserve">{_xml_escape(v)}</t></is></c>'
+        )
+    parts.append("</row>")
+    return "".join(parts)
+
+
+def write_xlsx(
+    source: "ray.data.Dataset | pa.Table | Iterable[dict]",
+    out_path: str,
+    columns: Sequence[str],
+) -> None:
+    """Write a single .xlsx workbook with the reference's sheet contract
+    (header row = ``columns``, missing cells filled with ``""``).
+
+    Pure stdlib: a zip archive of hand-built OOXML parts with
+    inline-string cells — no openpyxl.  The worksheet part is STREAMED
+    into the zip batch by batch, so memory stays bounded; like any
+    single-file interop sink this is a driver-side writer for
+    human-scale exports (the scale sink is partitioned parquet).
+    """
+    import zipfile
+
+    if isinstance(source, ray.data.Dataset):
+        batches: Iterable[pa.Table] = source.iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+    elif isinstance(source, pa.Table):
+        batches = [source]
+    else:  # iterable of row dicts
+        rows = list(source)
+        batches = [
+            pa.table(
+                {c: pa.array([str(r.get(c, "") or "") for r in rows], pa.string()) for c in columns}
+            )
+        ]
+
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _XLSX_ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _XLSX_WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WORKBOOK_RELS)
+        with zf.open("xl/worksheets/sheet1.xml", "w") as sheet:
+            sheet.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                b"<sheetData>"
+            )
+            sheet.write(_xlsx_row(columns).encode("utf-8"))
+            for batch in batches:
+                projected = project_columns(batch, columns)
+                cols = [projected.column(c).to_pylist() for c in columns]
+                for row_cells in zip(*cols):
+                    sheet.write(_xlsx_row(row_cells).encode("utf-8"))
+            sheet.write(b"</sheetData></worksheet>")
 
 
 def project_columns(batch: pa.Table, columns: Sequence[str]) -> pa.Table:
@@ -56,15 +157,20 @@ def export_results(
     """K2-equivalent sink: project to the column contract, then write.
 
     ``.csv`` suffix → a single-header csv directory via ``write_csv``;
-    otherwise a parquet directory (the scale path).
+    ``.xlsx`` → one workbook via the stdlib writer (driver-side,
+    streaming batches); otherwise a parquet directory (the scale path).
     """
     err = validate_export_path(out_path)
     if err:
         raise ValueError(err)
+    lower = out_path.lower()
+    if lower.endswith(".xlsx"):
+        write_xlsx(ds, out_path, columns)
+        return
     projected = ds.map_batches(
         lambda t: project_columns(t, columns), batch_format="pyarrow"
     )
-    if out_path.lower().endswith(".csv"):
+    if lower.endswith(".csv"):
         projected.write_csv(out_path)
     else:
         projected.write_parquet(out_path)

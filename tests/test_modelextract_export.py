@@ -105,7 +105,7 @@ def test_stage_without_model_degrades_to_none():
 def test_validate_export_path(tmp_path):
     assert validate_export_path(str(tmp_path / "out.csv")) is None
     assert validate_export_path(str(tmp_path / "outdir")) is None
-    assert "openpyxl" in validate_export_path(str(tmp_path / "o.xlsx"))
+    assert validate_export_path(str(tmp_path / "o.xlsx")) is None  # stdlib writer
     assert validate_export_path("") is not None
     assert validate_export_path("/nonexistent/dir/o.csv") is not None
     assert validate_export_path(str(tmp_path / "o.json")) is not None
@@ -137,4 +137,68 @@ def test_export_results_csv_and_parquet(ray_session, tmp_path):
     assert df2["Licenses"].tolist() == ["L1", ""]
 
     with pytest.raises(ValueError):
-        export_results(ds, str(tmp_path / "bad.xlsx"), cols)
+        export_results(ds, str(tmp_path / "bad.json"), cols)
+
+
+def _read_xlsx_rows(path: str) -> list[list[str]]:
+    """Parse the workbook back with stdlib zip+ElementTree only."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        # the package must be a valid OOXML zip: all four parts present
+        names = set(zf.namelist())
+        assert {
+            "[Content_Types].xml",
+            "_rels/.rels",
+            "xl/workbook.xml",
+            "xl/_rels/workbook.xml.rels",
+            "xl/worksheets/sheet1.xml",
+        } <= names
+        root = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    rows = []
+    for row in root.iter(f"{ns}row"):
+        cells = []
+        for c in row.iter(f"{ns}c"):
+            t = c.find(f"{ns}is/{ns}t")
+            cells.append(t.text if t is not None and t.text is not None else "")
+        rows.append(cells)
+    return rows
+
+
+def test_export_results_xlsx_stdlib_writer(ray_session, tmp_path):
+    """K2 xlsx parity: header row = column contract, '' fill, xml
+    escaping, round-trip through a stdlib reader (no openpyxl)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["u1", "u2"],
+                "Licenses": ["NO. 1 (R2) <&\">", None],
+            }
+        )
+    )
+    cols = ["url", "Licenses", "Renew Times"]
+    path = str(tmp_path / "out.xlsx")
+    export_results(ds, path, cols)
+
+    rows = _read_xlsx_rows(path)
+    assert rows[0] == cols
+    body = sorted(rows[1:])
+    assert body == [["u1", 'NO. 1 (R2) <&">', ""], ["u2", "", ""]]
+
+
+def test_write_xlsx_from_rows_and_table(tmp_path):
+    from ocr_system_ray.pipelines.export import write_xlsx
+
+    cols = ["File Name", "Licenses"]
+    path = str(tmp_path / "r.xlsx")
+    write_xlsx([{"File Name": "a"}, {"File Name": "b", "Licenses": "L"}], path, cols)
+    rows = _read_xlsx_rows(path)
+    assert rows == [cols, ["a", ""], ["b", "L"]]
+
+    path2 = str(tmp_path / "t.xlsx")
+    write_xlsx(pa.table({"File Name": ["x"], "extra": ["ignored"]}), path2, cols)
+    assert _read_xlsx_rows(path2) == [cols, ["x", ""]]
