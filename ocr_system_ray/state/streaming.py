@@ -1,22 +1,26 @@
-"""Keyed stateful stream processing with raw Ray actors (the last resort).
+"""Stream-shaped keyed state as MERGEABLE PARTIALS (plus HLL sketches).
 
 Ray Data has no event-time windows and actor-pool ``map_batches`` does
 NOT route batches by key — an actor sees arbitrary batches, so
-cross-batch per-key state cannot live there.  When the semantics
-genuinely need incremental keyed state over an ordered log (the
-guide's "one actor per key-hash bucket, fed batches in ts order"),
-this module supplies the shape:
+cross-batch per-key state cannot live there.  The round-1 answer was
+``B`` bucket actors fed by a driver-side ``iter_batches`` routing loop
+— a driver bottleneck (every byte of the stream crossed one process).
+The round-2 answer removes the driver from the data path entirely by
+making the state *mergeable*, the same move HLL makes for distinct
+counts:
 
-* ``B`` stateful bucket actors (``@ray.remote`` on the user's class);
-* the driver streams the dataset with ``iter_batches`` in source order
-  (sort by ts upstream) and routes each batch's rows to their bucket
-  actor — the driver never holds more than a batch, actors hold the
-  state;
-* ``finish()`` collects per-bucket results.
+* gap-sessionization state per key = a set of closed session intervals
+  ``(start, end, n_events)``.  Each batch computes its own intervals
+  (vectorized, no ordering assumption across batches); one
+  ``groupby`` merges per-key intervals with the gap rule.  The merge
+  is EXACT, not approximate: within one segment consecutive events are
+  ≤ gap apart, so two segments chain-connect iff the later one starts
+  within ``gap`` of the earlier one's end (1-D single-linkage).
+* sketches (``HyperLogLog``) below follow the identical shape.
 
-Use the ``groupby(key).map_groups`` pattern instead whenever the whole
-key group fits one task (``q_user_sessions``); this module is for
-state that must persist across an unbounded stream.
+Keyed state that is genuinely non-mergeable over an unbounded stream
+(e.g. order-sensitive FSMs) still needs raw bucket actors — build them
+with ``@ray.remote`` directly; nothing here requires the driver loop.
 """
 
 from __future__ import annotations
@@ -30,77 +34,137 @@ import ray
 import ray.data
 
 
-@ray.remote
-class SessionBucketActor:
-    """Per-bucket sessionizer: incremental gap-based session counting.
+def session_partials_batch(
+    batch: pa.Table,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+) -> pa.Table:
+    """One batch → per-key session segments ``(key, start_us, end_us,
+    n_events)`` — the mergeable partial.  Fully vectorized (lexsort +
+    boundary masks); exact µs arithmetic (ADVICE r1: no float seconds).
+    Null keys have no session identity and are dropped."""
+    import pyarrow.compute as pc
 
-    State per key: (last_ts, n_sessions, n_events).  Feed order must be
-    non-decreasing ts per key (sort upstream).
-    """
-
-    def __init__(self, gap_seconds: float = 1800.0) -> None:
-        self.gap = gap_seconds
-        self.state: dict = {}
-
-    def feed(self, keys: list, ts_micros: list[int]) -> int:
-        for k, t in zip(keys, ts_micros):
-            st = self.state.get(k)
-            if st is None:
-                self.state[k] = [t, 1, 1]
-            else:
-                last, sessions, events = st
-                if (t - last) / 1e6 > self.gap:
-                    sessions += 1
-                self.state[k] = [t, sessions, events + 1]
-        return len(keys)
-
-    def finish(self) -> list[tuple]:
-        return [(k, v[1], v[2]) for k, v in self.state.items()]
+    batch = batch.filter(pc.is_valid(batch.column(key_col)))
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    gap_us = int(round(gap_seconds * 1_000_000))
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    ts = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    order = np.lexsort((ts, keys))
+    k = keys[order]
+    s = ts[order]
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    np.not_equal(k[1:], k[:-1], out=new_key[1:])
+    gap_break = np.empty(n, dtype=bool)
+    gap_break[0] = True
+    np.greater(s[1:] - s[:-1], gap_us, out=gap_break[1:])
+    seg_start = new_key | gap_break
+    seg_id = np.cumsum(seg_start) - 1
+    seg_end = np.empty(n, dtype=bool)
+    seg_end[:-1] = seg_start[1:]
+    seg_end[-1] = True
+    return pa.table(
+        {
+            key_col: pa.array(k[seg_start].astype(np.int64)),
+            "start_us": pa.array(s[seg_start]),
+            "end_us": pa.array(s[seg_end]),
+            "n_events": pa.array(np.bincount(seg_id).astype(np.int64)),
+        }
+    )
 
 
 def sessionize_stream(
     ds: ray.data.Dataset,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    num_buckets: int = 8,
+    num_buckets: int = 64,
     gap_seconds: float = 1800.0,
     batch_size: int = 4096,
-) -> "pa.Table":
-    """Ordered-log sessionization via keyed bucket actors.
+) -> ray.data.Dataset:
+    """Distributed gap-sessionization → ``(user_id, n_sessions,
+    n_events)`` as a streaming Dataset.
 
-    ``ds`` must be sorted by ``ts_col`` (one upstream ``sort`` — the
-    ordering assumption of every streaming window).  Returns
-    ``(user_id, n_sessions, n_events)``.
+    Plan: per-batch mergeable segments (no sort, no ordering assumption)
+    → ONE groupby on a coarse key-hash bucket (``num_buckets`` groups,
+    not one per key — per-group overhead stays amortized) → in-group
+    pandas/numpy interval merge per key.  The shuffle moves session
+    segments, not events; the driver moves nothing.
     """
-    actors = [SessionBucketActor.remote(gap_seconds) for _ in range(num_buckets)]
-    pending: list = []
-    for batch in ds.sort(ts_col).iter_batches(batch_size=batch_size, batch_format="pyarrow"):
-        import pyarrow.compute as pc
+    gap_us = int(round(gap_seconds * 1_000_000))
 
-        # null keys have no session identity — drop them explicitly (a
-        # null int64 would otherwise round-trip through float NaN and
-        # silently vanish into an out-of-range bucket)
-        batch = batch.filter(pc.is_valid(batch.column(key_col)))
-        if batch.num_rows == 0:
-            continue
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        buckets = (keys % num_buckets).astype(np.int64)
-        for b in range(num_buckets):
-            mask = buckets == b
-            if mask.any():
-                # sequential per bucket: ray queues calls per actor in
-                # submission order, preserving the ts ordering per key
-                pending.append(actors[b].feed.remote(keys[mask].tolist(), ts[mask].tolist()))
-    ray.get(pending)  # drain before reading state
-    rows = [r for chunk in ray.get([a.finish.remote() for a in actors]) for r in chunk]
-    rows.sort()
-    return pa.table(
-        {
-            key_col: pa.array([r[0] for r in rows], pa.int64()),
-            "n_sessions": pa.array([r[1] for r in rows], pa.int64()),
-            "n_events": pa.array([r[2] for r in rows], pa.int64()),
-        }
+    def partials(t: pa.Table) -> pa.Table:
+        out = session_partials_batch(t, key_col, ts_col, gap_seconds)
+        kn = out.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((kn * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(13)) % np.uint64(
+                max(1, num_buckets)
+            )
+        return out.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def merge_in_bucket(g):  # pandas DataFrame in
+        import pandas as pd
+
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "n_sessions": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([key_col, "start_us"], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        starts = g["start_us"].to_numpy()
+        ends = g["end_us"].to_numpy()
+        events = g["n_events"].to_numpy()
+        out_k: list[int] = []
+        out_s: list[int] = []
+        out_e: list[int] = []
+        cur_key = None
+        run_end = 0
+        for i in range(len(keys)):
+            if keys[i] != cur_key:
+                if cur_key is not None:
+                    out_k.append(cur_key)
+                    out_s.append(n_sessions)
+                    out_e.append(n_events)
+                cur_key = keys[i]
+                n_sessions = 1
+                n_events = int(events[i])
+                run_end = ends[i]
+            else:
+                if starts[i] - run_end > gap_us:
+                    n_sessions += 1
+                run_end = max(run_end, ends[i])
+                n_events += int(events[i])
+        out_k.append(cur_key)
+        out_s.append(n_sessions)
+        out_e.append(n_events)
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(out_k, dtype="int64"),
+                "n_sessions": pd.Series(out_s, dtype="int64"),
+                "n_events": pd.Series(out_e, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(merge_in_bucket, batch_format="pandas")
     )
 
 

@@ -47,7 +47,7 @@ def test_approx_distinct_on_events(ray_session):
 
 
 def test_sessionize_stream_matches_groupby(ray_session):
-    """The raw-actor streaming sessionizer must agree with the
+    """The mergeable-partials sessionizer must agree with the
     groupby-based q_user_sessions on the same input."""
     from ocr_system_ray.pipelines import queries as q
     from ocr_system_ray.sources.readers import read_table
@@ -60,3 +60,31 @@ def test_sessionize_stream_matches_groupby(ray_session):
     assert len(merged) == len(grouped) == len(streamed)
     assert (merged["n_sessions_s"] == merged["n_sessions_g"]).all()
     assert (merged["n_events_s"] == merged["n_events_g"]).all()
+
+
+def test_sessionize_cross_batch_and_boundary(ray_session):
+    """Adversarial: one user's session interleaves across blocks in
+    arbitrary order, with gaps exactly AT and one µs PAST the 1800 s
+    threshold — the segment merge must be event-exact."""
+    import pyarrow as pa
+    import ray.data
+
+    us = 1_000_000
+    g = 1800 * us
+    # user 7: events such that merged timeline is
+    #   0, g (exact gap → same session), then 2g + 1µs later → new session
+    t7 = [0, g, 2 * g + g + 1]  # sessions: {0, g}, {3g+1}
+    # user 9: dense run split across blocks out of order
+    t9 = [5 * us, 0, 10 * us, 2 * us]
+    blocks = [
+        pa.table({"user_id": pa.array([7, 9], pa.int64()),
+                  "ts": pa.array([t7[2], t9[2]], pa.timestamp("us"))}),
+        pa.table({"user_id": pa.array([7, 9, 9], pa.int64()),
+                  "ts": pa.array([t7[0], t9[1], t9[3]], pa.timestamp("us"))}),
+        pa.table({"user_id": pa.array([7, 9], pa.int64()),
+                  "ts": pa.array([t7[1], t9[0]], pa.timestamp("us"))}),
+    ]
+    ds = ray.data.from_arrow(blocks)
+    out = sessionize_stream(ds, num_buckets=4).to_pandas().set_index("user_id")
+    assert out.loc[7, "n_sessions"] == 2 and out.loc[7, "n_events"] == 3
+    assert out.loc[9, "n_sessions"] == 1 and out.loc[9, "n_events"] == 4
