@@ -64,10 +64,15 @@ def run_flagship() -> tuple[float, int]:
     # ≈1.5 MB bench skew rows parse one at a time inside the single
     # pool — one read of the input, no second pool, so the actor:CPU
     # ratio is identical across the scaling pair.
+    overrides = {}
+    if os.environ.get("GRAFT_LARGE_ROW_BYTES"):  # A/B knob for the skew routing
+        v = os.environ["GRAFT_LARGE_ROW_BYTES"]
+        overrides["large_row_bytes"] = None if v in ("none", "0") else int(v)
     cfg = PipelineConfig.sized_for(
         NUM_CPUS,
         parse_batch_size=64,
         field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]},
+        **overrides,
     )
     out_dir = f"/tmp/osr_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -173,6 +178,12 @@ def scaling() -> None:
     """
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", str(lo_cpus * 4)))
+    # best-of-N per level, runs interleaved lo/hi: the sandbox host
+    # time-shares its CPUs with unrelated load, so single-run wall times
+    # swing ±15% (measured).  The MINIMUM wall per level is the run
+    # least disturbed by background load — the standard way to measure
+    # the engine rather than the neighbors.  All samples are reported.
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -192,10 +203,13 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
-    tp_lo = lo["docs_per_sec"]
-    tp_hi = hi["docs_per_sec"]
+    lo_secs, hi_secs = [], []
+    for _ in range(reps):
+        lo_secs.append(run(lo_cpus)["value"])
+        hi_secs.append(run(hi_cpus)["value"])
+    sec_lo, sec_hi = min(lo_secs), min(hi_secs)
+    tp_lo = round(BENCH_DOCS / sec_lo, 1)
+    tp_hi = round(BENCH_DOCS / sec_hi, 1)
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
@@ -205,8 +219,10 @@ def scaling() -> None:
                 "unit": "efficiency",
                 "cpus_lo": lo_cpus,
                 "cpus_hi": hi_cpus,
-                "sec_lo": lo["value"],
-                "sec_hi": hi["value"],
+                "sec_lo": sec_lo,
+                "sec_hi": sec_hi,
+                "sec_lo_samples": lo_secs,
+                "sec_hi_samples": hi_secs,
                 "docs_per_sec_lo": tp_lo,
                 "docs_per_sec_hi": tp_hi,
                 "bench_docs": BENCH_DOCS,

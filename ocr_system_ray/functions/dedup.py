@@ -893,12 +893,164 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
+def jaccard_verify_distributed(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_buckets: int = 4096,
+    bloom_bits: int = 1 << 23,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard per candidate pair, corpus-scale: →
+    ``(id_a, id_b, jaccard)``.
+
+    Three-step plan, no driver text table and no full-corpus shuffle:
+
+    1. **Bloom semi-join** — a Bloom filter over the pair ids (built
+       distributed, kB-size sketches merged on the driver, broadcast
+       once) filters the document stream worker-local; only docs that
+       (probably) appear in some pair survive.  False positives add a
+       few spurious texts downstream; they can never drop a match.
+    2. **fetch** — surviving (id, shingle-set) rows and pair member rows
+       meet in ONE coarse-bucketed groupby on the id (the reduce-side
+       join used across this module).  Texts are reduced to their
+       crc32 shingle hash sets BEFORE the shuffle — the only part of a
+       document Jaccard needs — so the shuffle moves ~4 B/shingle, not
+       raw text.
+    3. **reassemble** — member rows regroup on a coarse pair bucket and
+       each pair's two shingle sets meet for the exact Jaccard.
+
+    The broadcast :class:`JaccardVerifyStage` below stays as the
+    small-corpus shortcut (one driver map, zero shuffles).
+    """
+    import pandas as pd
+
+    from ..state.streaming import build_bloom
+
+    bloom = build_bloom(pairs, ["id_a", "id_b"], num_bits=bloom_bits)
+    import ray as _ray
+
+    bloom_ref = _ray.put(bloom.serialize())
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        from ..state.streaming import BloomFilter
+
+        b = BloomFilter.deserialize(_ray.get(bloom_ref), bloom_bits)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = b.might_contain(ids.astype(np.uint64))
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+        shingles = [
+            _word_shingles(x or "", shingle_k).astype(np.uint64).tobytes()
+            for x in t.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, num_buckets)),
+                "jid": pa.array(ids.astype(np.int64)),
+                "id_a": pa.array(ids.astype(np.int64)),  # dummy on doc rows
+                "id_b": pa.array(ids.astype(np.int64)),
+                "m": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "sh": pa.array(shingles, pa.binary()),
+            }
+        )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        ia = t.column("id_a")
+        ib = t.column("id_b")
+        if isinstance(ia, pa.ChunkedArray):
+            ia = ia.combine_chunks()
+        if isinstance(ib, pa.ChunkedArray):
+            ib = ib.combine_chunks()
+        jid = pa.concat_arrays([ia, ib])
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    _coarse_bucket(jid.to_numpy(zero_copy_only=False), num_buckets)
+                ),
+                "jid": jid,
+                "id_a": pa.concat_arrays([ia, ia]),
+                "id_b": pa.concat_arrays([ib, ib]),
+                "m": pa.array(np.ones(2 * len(t), dtype=np.int8)),
+                "sh": pa.array([b""] * (2 * len(t)), pa.binary()),
+            }
+        )
+
+    tagged = docs.map_batches(shingle_rows, batch_format="pyarrow").union(
+        pairs.map_batches(member_rows, batch_format="pyarrow")
+    )
+
+    def fetch_in_bucket(g):  # pandas in
+        members = g[g["m"] == 1]
+        if members.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in ("id_a", "id_b", "jid", "sh")}
+            )
+        dim = g[g["m"] == 0][["jid", "sh"]]
+        merged = members.drop(columns=["sh", "bucket", "m"]).merge(dim, on="jid", how="inner")
+        return merged[["id_a", "id_b", "jid", "sh"]]
+
+    fetched = tagged.groupby("bucket").map_groups(fetch_in_bucket, batch_format="pandas")
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        if len(a):
+            with np.errstate(over="ignore"):
+                key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(np.uint64)
+            pb = _coarse_bucket(key.astype(np.int64), 4096)
+        else:
+            pb = np.zeros(0, dtype=np.int64)
+        return t.append_column("pbucket", pa.array(pb, pa.int64()))
+
+    def jaccard_in_bucket(g):  # pandas in
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        if g.empty:
+            return empty
+        ga = g[g["jid"] == g["id_a"]]
+        gb = g[g["jid"] == g["id_b"]]
+        m = ga.merge(gb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        ja = []
+        for sa, sb in zip(m["sh_a"], m["sh_b"]):
+            a_set = set(np.frombuffer(sa, dtype=np.uint64).tolist())
+            b_set = set(np.frombuffer(sb, dtype=np.uint64).tolist())
+            if not a_set and not b_set:
+                ja.append(1.0)
+            elif not a_set or not b_set:
+                ja.append(0.0)
+            else:
+                ja.append(len(a_set & b_set) / len(a_set | b_set))
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"].astype("int64"),
+                "id_b": m["id_b"].astype("int64"),
+                "jaccard": pd.Series(ja, dtype="float64"),
+            }
+        )
+
+    return (
+        fetched.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(jaccard_in_bucket, batch_format="pandas")
+    )
+
+
 class JaccardVerifyStage:
     """(id_a, id_b) candidate pairs + broadcast id→text map → exact Jaccard.
 
     The text lookup side is broadcast via ``ray.put`` (read once per actor
-    in ``__init__``) — the small-side-broadcast join pattern; candidates
-    are the small stream, texts the shared reference.
+    in ``__init__``) — the small-side-broadcast join pattern for a
+    candidate SUBSET that fits worker memory; corpus-wide verification
+    uses :func:`jaccard_verify_distributed` instead.
     """
 
     def __init__(self, texts_ref, k: int = 3) -> None:  # noqa: ANN001

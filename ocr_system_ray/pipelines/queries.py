@@ -602,26 +602,17 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
-    """LSH candidates + exact n-gram-Jaccard verification.
-
-    The verify stage broadcasts the id→text map once via ``ray.put``
-    (small-side broadcast join) — candidates stream, texts don't shuffle.
-    """
-    import os
-    import pyarrow.parquet as pq
-
+    """LSH candidates + exact n-gram-Jaccard verification, fully
+    distributed: a Bloom semi-join prunes the document stream to pair
+    participants worker-local, then shingle sets (not texts) ride one
+    coarse-bucketed reduce-side join — no driver text table
+    (`dedup.jaccard_verify_distributed`); the est/exact merge happens
+    driver-side on the tiny verified result."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = dedup.minhash_duplicate_pairs(ds, threshold=0.4)
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
-    verified = pairs.map_batches(
-        dedup.JaccardVerifyStage,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={"texts_ref": texts_ref},
-    )
-    df = verified.to_pandas()
+    # pairs feed both the bloom build and the member explode
+    pairs = dedup.minhash_duplicate_pairs(ds, threshold=0.4).materialize()
+    verified = dedup.jaccard_verify_distributed(pairs, ds)
+    df = pairs.to_pandas().merge(verified.to_pandas(), on=["id_a", "id_b"], how="inner")
     df["jaccard"] = df["jaccard"].round(6)
     df["est_jaccard"] = df["est_jaccard"].round(6)
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -169,6 +169,96 @@ def sessionize_stream(
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter — the mergeable-membership pattern (semi-join pruning)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Plain-numpy Bloom filter over pre-hashed uint64 keys.
+
+    The distributed use is SEMI-JOIN PRUNING: build partial filters per
+    batch of the small side (map_batches), OR-merge the (kB-sized)
+    filters on the driver, broadcast once with ``ray.put``, and filter
+    the big side worker-local — no shuffle of the big side, false
+    positives only add a few spurious rows to the next stage (they can
+    never drop a match).  ``num_hashes`` index probes derive from one
+    64-bit hash by double hashing (Kirsch–Mitzenmacher).
+    """
+
+    def __init__(self, num_bits: int = 1 << 23, num_hashes: int = 4) -> None:
+        assert num_bits % 8 == 0
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.bits = np.zeros(num_bits // 8, dtype=np.uint8)
+
+    def _indexes(self, hashes: np.ndarray) -> np.ndarray:
+        from ..stages.skew import _splitmix64
+
+        # finalize first: raw sequential ids would otherwise yield
+        # h2≈1 (correlated probe runs) and inflate the FP rate
+        h1 = _splitmix64(hashes.astype(np.uint64))
+        with np.errstate(over="ignore"):
+            h2 = (h1 >> np.uint64(17)) * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+            steps = np.arange(self.num_hashes, dtype=np.uint64)[:, None]
+            return ((h1[None, :] + steps * h2[None, :]) % np.uint64(self.num_bits)).astype(
+                np.int64
+            )  # (num_hashes, n)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        if hashes.size == 0:
+            return
+        idx = self._indexes(hashes).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+    def might_contain(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indexes(hashes)
+        present = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return present.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert other.num_bits == self.num_bits and other.num_hashes == self.num_hashes
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def serialize(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def deserialize(
+        cls, data: bytes, num_bits: int = 1 << 23, num_hashes: int = 4
+    ) -> "BloomFilter":
+        b = cls(num_bits, num_hashes)
+        b.bits = np.frombuffer(data, dtype=np.uint8).copy()
+        return b
+
+
+def build_bloom(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+) -> BloomFilter:
+    """Distributed Bloom build over int64 key columns: per-batch partial
+    filters (map_batches), driver OR-merge — only ``num_bits/8``-byte
+    sketches move, never the keys themselves."""
+
+    def sketch(t: pa.Table) -> pa.Table:
+        b = BloomFilter(num_bits, num_hashes)
+        for c in columns:
+            b.add_hashes(
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        return pa.table({"bloom": pa.array([b.serialize()], pa.binary())})
+
+    merged = BloomFilter(num_bits, num_hashes)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        merged.merge(BloomFilter.deserialize(row["bloom"], num_bits, num_hashes))
+    return merged
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog — the mergeable-sketch pattern
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,40 @@ def test_minhash_join_and_broadcast_verify_agree(ray_session):
     assert a.equals(b)
 
 
+def test_jaccard_verify_distributed_matches_broadcast(ray_session):
+    """The bloom-pruned reduce-side Jaccard verify must equal the
+    broadcast JaccardVerifyStage on the same pairs."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    n = 24
+    texts = [
+        f"common words shared by group {i % 3} with extra tail token {i % 5}" for i in range(n)
+    ]
+    docs_t = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": texts})
+    docs = ray.data.from_arrow(docs_t)
+    pairs = dedup.minhash_duplicate_pairs(docs, threshold=0.3).materialize()
+
+    dist = dedup.jaccard_verify_distributed(pairs, docs, num_buckets=32).to_pandas()
+
+    texts_ref = ray.put(dict(zip(range(n), texts)))
+    bcast = (
+        pairs.map_batches(
+            dedup.JaccardVerifyStage,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"texts_ref": texts_ref},
+        )
+        .to_pandas()[["id_a", "id_b", "jaccard"]]
+    )
+    key = ["id_a", "id_b"]
+    a = dist.sort_values(key).reset_index(drop=True)
+    b = bcast.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+
+
 def test_simhash_pairs_find_the_dups(docs_ds):
     pairs = dedup.simhash_duplicate_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}

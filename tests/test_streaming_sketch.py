@@ -8,6 +8,42 @@ import pytest
 from ocr_system_ray.state.streaming import HyperLogLog, approx_distinct, sessionize_stream
 
 
+def test_bloom_no_false_negatives_and_low_fp():
+    from ocr_system_ray.state.streaming import BloomFilter
+
+    b = BloomFilter(num_bits=1 << 16, num_hashes=4)
+    members = np.arange(0, 2000, dtype=np.uint64)  # sequential ids (worst case)
+    b.add_hashes(members)
+    assert b.might_contain(members).all()  # no false negatives, ever
+    probe = np.arange(10_000, 60_000, dtype=np.uint64)
+    fp = b.might_contain(probe).mean()
+    assert fp < 0.05, fp  # ~2k keys in 64k bits, k=4 → theory ≈ 0.2%
+
+
+def test_bloom_merge_and_roundtrip():
+    from ocr_system_ray.state.streaming import BloomFilter
+
+    a = BloomFilter(num_bits=1 << 12)
+    b = BloomFilter(num_bits=1 << 12)
+    a.add_hashes(np.array([1, 2, 3], dtype=np.uint64))
+    b.add_hashes(np.array([100, 200], dtype=np.uint64))
+    a.merge(b)
+    assert a.might_contain(np.array([1, 2, 3, 100, 200], dtype=np.uint64)).all()
+    rt = BloomFilter.deserialize(a.serialize(), 1 << 12)
+    assert np.array_equal(rt.bits, a.bits)
+
+
+def test_build_bloom_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.state.streaming import build_bloom
+
+    t = pa.table({"id_a": pa.array([5, 6], pa.int64()), "id_b": pa.array([7, 8], pa.int64())})
+    bloom = build_bloom(ray.data.from_arrow(t), ["id_a", "id_b"], num_bits=1 << 12)
+    assert bloom.might_contain(np.array([5, 6, 7, 8], dtype=np.uint64)).all()
+
+
 def test_hll_accuracy_and_merge():
     rng = np.random.default_rng(3)
     a, b = HyperLogLog(12), HyperLogLog(12)
