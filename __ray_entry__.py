@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_extract_docs": q.q_model_extract_docs,
         "final_extract_pages": q.q_final_extract_pages,
         "parse_pages_stats": q.q_parse_pages_stats,
+        # sources
+        "warc_ingest": q.q_warc_ingest,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -312,6 +314,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.4
+        """,
+        "warc_ingest": """
+            SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,

@@ -1080,11 +1080,23 @@ def embedding_duplicate_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int = 64,
+    probes: int = 1,
 ) -> ray.data.Dataset:
     """Pairs with cosine ≥ threshold via random-hyperplane bucket + exact
-    verify within bucket.  NOTE: single-probe LSH — pairs straddling a
-    hyperplane can be missed; raise num_planes/probes for recall, or use
-    ``similarity.brute_force_topk`` for exact search."""
+    verify within bucket.
+
+    ``probes=1`` is classic single-probe LSH — a near-dup pair straddling
+    one hyperplane lands in different buckets and is missed.
+    ``probes=p`` adds MULTI-PROBE (Lv et al., VLDB'07): each vector also
+    enters the ``p-1`` buckets reached by flipping its lowest-|margin|
+    plane bits — the bits most likely to disagree for a true neighbor —
+    multiplying recall at the cost of ``p×`` bucket rows (still no
+    all-pairs, still one shuffle).  Pairs meeting in several shared
+    buckets are deduped by one tiny groupby.  For exact search use
+    ``similarity.brute_force_topk``."""
+    if not 1 <= num_planes <= 62:
+        raise ValueError("num_planes must be in [1, 62] (keys pack into int64)")
+    probes = max(1, min(probes, num_planes + 1))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
 
@@ -1095,17 +1107,39 @@ def embedding_duplicate_pairs(
         if vecs.size == 0:
             return pa.table({ "bucket": pa.array([], pa.int64()), id_col: t.column(id_col),
                               vec_col: t.column(vec_col)})
-        signs = (vecs @ planes) > 0
+        proj = vecs @ planes  # (n, p)
+        signs = proj > 0
         packed = np.packbits(signs, axis=1, bitorder="little")
         padded = np.zeros((packed.shape[0], 8), dtype=np.uint8)
         padded[:, : packed.shape[1]] = packed
-        keys = padded.view(np.int64)[:, 0]
-        return pa.table({"bucket": pa.array(keys), id_col: t.column(id_col), vec_col: t.column(vec_col)})
+        keys0 = padded.view(np.int64)[:, 0]
+        all_keys = [keys0]
+        if probes > 1:
+            # flip the probes-1 smallest-margin bits, one per extra probe
+            order = np.argsort(np.abs(proj), axis=1)  # (n, p), ascending margin
+            for j in range(probes - 1):
+                all_keys.append(keys0 ^ (np.int64(1) << order[:, j].astype(np.int64)))
+        ids = t.column(id_col)
+        vec = t.column(vec_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(all_keys)),
+                id_col: pa.concat_arrays([ids] * probes),
+                vec_col: pa.concat_arrays([vec] * probes),
+            }
+        )
 
     def verify(group):  # pandas in
         import pandas as pd
 
         out = {"id_a": [], "id_b": [], "cosine": []}
+        if len(group) > 1:
+            # multi-probe can put the same id in one bucket twice
+            group = group.drop_duplicates(subset=[id_col])
         if len(group) > 1:
             ids = group[id_col].tolist()
             v = np.asarray([np.asarray(x, dtype=np.float32) for x in group[vec_col]])
@@ -1121,8 +1155,20 @@ def embedding_duplicate_pairs(
                     out["id_a"].append(a)
                     out["id_b"].append(b)
                     out["cosine"].append(c)
-        return pd.DataFrame(out)
+        id_dt = group[id_col].dtype
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out["id_a"], dtype=id_dt),
+                "id_b": pd.Series(out["id_b"], dtype=id_dt),
+                "cosine": pd.Series(out["cosine"], dtype="float64"),
+            }
+        )
 
-    return ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").map_groups(
+    pairs = ds.map_batches(bucket, batch_format="pyarrow").groupby("bucket").map_groups(
         verify, batch_format="pandas"
+    )
+    if probes == 1:
+        return pairs  # no duplicate pair can arise from a single probe
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        AggMin("cosine", alias_name="cosine")
     )

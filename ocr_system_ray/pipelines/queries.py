@@ -707,7 +707,7 @@ def q_embedding_dup_exact(sf_dir: str) -> ray.data.Dataset:
 
 def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup.embedding_duplicate_pairs(ds, threshold=0.9)
+    return dedup.embedding_duplicate_pairs(ds, threshold=0.9, probes=2)
 
 
 # ---------------------------------------------------------------------------
@@ -886,6 +886,69 @@ def q_parse_pages_stats(sf_dir: str) -> ray.data.Dataset:
                 "n_blocks_kept": t.column("n_blocks_kept"),
                 "n_spans": pc.list_value_length(t.column("spans")).cast(pa.int64()),
                 "text_chars": pc.utf8_length(t.column("extracted_text")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_warc_ingest(sf_dir: str) -> ray.data.Dataset:
+    """WARC source round-trip: the documents table is serialized once as
+    Common-Crawl-layout archives (one gzip member per record, cached
+    under /tmp with a crash-safe marker), read back with
+    ``sources.warc.read_warc``, and reduced to per-url payload sizes.
+    SQL-oracled: the payload byte count per doc must equal
+    ``strlen(text)`` (utf-8 bytes) — a value-level round-trip check of
+    the whole WARC write→gzip→parse path."""
+    import os
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    warc_dir = os.path.join(tempfile.gettempdir(), f"osr_warc_{tag}")
+    marker = os.path.join(warc_dir, "_complete")
+    if not os.path.exists(marker):
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(warc_dir, ignore_errors=True)
+        os.makedirs(warc_dir)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        records = [
+            {
+                "url": f"https://docs.example/{doc_id:08d}",
+                "warc_ts": 1_672_531_200_000_000 + int(doc_id) * 1_000_000,
+                "payload": (text or "").encode("utf-8"),
+                "record_type": "conversion",
+            }
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            )
+        ]
+        shard = max(64, len(records) // 8)
+        for i in range(0, len(records), shard):
+            write_warc(
+                records[i : i + shard],
+                os.path.join(warc_dir, f"part-{i // shard:05d}.warc.gz"),
+                gzip_per_record=True,
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    import glob
+
+    ds = read_warc(sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz"))))
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.utf8_slice_codeunits(t.column("url"), 21, 99), pa.int64()
+                ),
+                "n_bytes": pc.binary_length(t.column("html")).cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",

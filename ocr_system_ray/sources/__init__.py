@@ -1,7 +1,9 @@
-"""Sources: synthetic Common-Crawl-style pages + pruned parquet readers."""
+"""Sources: synthetic Common-Crawl-style pages, WARC archives, and
+pruned parquet readers."""
 
 from .pages import synthesize_pages_table, write_pages_dataset, PAGES_SCHEMA
 from .readers import read_pages, read_table, read_html_files
+from .warc import read_warc, write_warc, parse_warc_records
 
 __all__ = [
     "synthesize_pages_table",
@@ -10,4 +12,7 @@ __all__ = [
     "read_pages",
     "read_table",
     "read_html_files",
+    "read_warc",
+    "write_warc",
+    "parse_warc_records",
 ]

@@ -1,0 +1,192 @@
+"""Minimal WARC source: Common-Crawl-style archives → the pages schema.
+
+WARC (ISO 28500) is the archive format Common Crawl publishes: a
+concatenation of records, each a header block (``WARC/1.0`` + key:value
+lines, CRLF-separated) followed by ``Content-Length`` payload bytes and
+a blank-line separator.  Crawl payloads of ``response`` records embed
+the HTTP response (status line + headers + body); WET ``conversion``
+records carry extracted text directly.  Files are usually gzipped with
+ONE GZIP MEMBER PER RECORD so readers can split archives by compressed
+offset.
+
+This reader maps archives onto the engine's canonical pages schema
+``(url: string, warc_ts: timestamp[us], html: binary)`` so
+``pipelines.main_content.final_extract`` can consume a crawl directly:
+
+    ray.data.read_binary_files(paths, include_paths=True)
+      → map_batches(parse file → records)      # stateless tasks
+      → (url, warc_ts, html)
+
+Per-file parse keeps the Ray plumbing trivial (one task per archive —
+the right granularity when archives are the usual ~1 GB crawl shards;
+pass more files for more parallelism).  Malformed records follow the
+engine's error-as-data contract: skipped with a counter, never a raised
+task.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress possibly multi-member gzip (one member per record, the
+    Common-Crawl layout); plain bytes pass through untouched."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=47)  # gzip wrapper
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+        if not data or data[:2] != b"\x1f\x8b":
+            break
+    return b"".join(out)
+
+
+def _parse_warc_ts(value: str) -> int | None:
+    """WARC-Date (ISO-8601 ``...Z``) → µs since epoch, or None."""
+    try:
+        dt = datetime.strptime(value.strip(), "%Y-%m-%dT%H:%M:%SZ")
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    except ValueError:
+        return None
+
+
+def strip_http_headers(payload: bytes) -> bytes:
+    """response-record payloads embed the HTTP message; the body starts
+    after the first blank line.  Non-HTTP payloads pass through."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        sep = payload.find(b"\n\n")
+        return payload[sep + 2 :] if sep >= 0 else payload
+    return payload[sep + 4 :]
+
+
+def parse_warc_records(
+    data: bytes,
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    strip_http: bool = True,
+) -> tuple[list[dict], int]:
+    """One archive's bytes → (records, n_skipped).
+
+    Each record dict: ``url`` (str), ``warc_ts`` (µs int or None),
+    ``payload`` (bytes).  Records without a target URI, with a bad
+    Content-Length, or of other types are skipped (counted)."""
+    data = _gunzip_members(data)
+    records: list[dict] = []
+    skipped = 0
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # seek the next record marker (tolerates leading separators)
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(b"\r\n\r\n", start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[start:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if v:
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1", "replace"
+                ).strip()
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            skipped += 1
+            pos = head_end + 4
+            continue
+        body_start = head_end + 4
+        payload = data[body_start : body_start + length]
+        pos = body_start + length
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri")
+        if rtype not in record_types:
+            continue  # other record kinds are structural, not errors
+        if not url:
+            skipped += 1
+            continue
+        if strip_http:
+            payload = strip_http_headers(payload)
+        records.append(
+            {
+                "url": url,
+                "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+                "payload": payload,
+            }
+        )
+    return records, skipped
+
+
+def read_warc(
+    paths: str | list[str],
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    strip_http: bool = True,
+) -> ray.data.Dataset:
+    """WARC archives → Dataset(url: string, warc_ts: timestamp[us],
+    html: binary) — the engine's canonical pages schema, ready for
+    ``final_extract`` / ``parse_pages``."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        ts: list[int | None] = []
+        payloads: list[bytes] = []
+        for raw in batch.column("bytes"):
+            records, _ = parse_warc_records(raw.as_py(), record_types, strip_http)
+            for r in records:
+                urls.append(r["url"])
+                ts.append(r["warc_ts"])
+                payloads.append(r["payload"])
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_warc(
+    records: list[dict],
+    out_path: str,
+    gzip_per_record: bool = False,
+) -> str:
+    """Serialize ``(url, warc_ts µs, payload bytes[, record_type])``
+    dicts as a WARC file (optionally one gzip member per record, the
+    Common-Crawl layout).  Test/fixture helper and round-trip oracle."""
+    import gzip as _gzip
+
+    chunks: list[bytes] = []
+    for r in records:
+        ts_us = r.get("warc_ts")
+        dt = datetime.fromtimestamp((ts_us or 0) / 1e6, tz=timezone.utc)
+        payload = r["payload"]
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {r.get('record_type', 'response')}\r\n"
+            f"WARC-Target-URI: {r['url']}\r\n"
+            f"WARC-Date: {dt.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode("latin-1")
+        record = head + payload + b"\r\n\r\n"
+        chunks.append(_gzip.compress(record) if gzip_per_record else record)
+    with open(out_path, "wb") as f:
+        f.write(b"".join(chunks))
+    return out_path

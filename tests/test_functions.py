@@ -251,6 +251,38 @@ def _embedding_table(n=50, dim=16, seed=7):
     )
 
 
+def test_embedding_multiprobe_improves_recall(ray_session):
+    """Multi-probe LSH must be a superset of single-probe and close the
+    gap toward the exact pair set."""
+    import ray.data
+
+    table = _embedding_table(n=120)
+    ds = ray.data.from_arrow(table)
+
+    def pairset(probes):
+        df = dedup.embedding_duplicate_pairs(
+            ds, threshold=0.6, num_planes=12, dim=16, probes=probes
+        ).to_pandas()
+        return {tuple(r) for r in df[["id_a", "id_b"]].itertuples(index=False)}
+
+    p1, p4 = pairset(1), pairset(4)
+    # exact ground truth by brute force
+    vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = vn @ vn.T
+    ii, jj = np.nonzero(np.triu(cos >= 0.6, k=1))
+    exact = {(int(a), int(b)) for a, b in zip(ii, jj)}
+    assert p1 <= p4 <= exact
+    assert len(exact) > 0
+    recall1 = len(p1) / len(exact)
+    recall4 = len(p4) / len(exact)
+    # deterministic (seeded): measured 0.089 → 0.311 — multi-probe
+    # roughly triples recall at this (hard) threshold; near-dup
+    # thresholds (≥0.9) sit far higher
+    assert recall4 >= 2 * recall1
+    assert recall4 >= 0.25, (recall1, recall4)
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray.data
 
