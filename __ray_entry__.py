@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.q_events_hourly,
         "events_props_stats": q.q_events_props_stats,
         "user_sessions": q.q_user_sessions,
+        "asof_latest_view": q.q_asof_latest_view,
         "orders_of_top_customers": q.q_orders_of_top_customers,
         "events_sliding_windows": q.q_events_sliding_windows,
         "top_orders_per_customer": q.q_top_orders_per_customer,
@@ -224,6 +225,14 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM w GROUP BY user_id
+        """,
+        "asof_latest_view": """
+            SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
         """,
         "orders_of_top_customers": """
             WITH top AS (

@@ -1,0 +1,123 @@
+"""Join operators Ray Data lacks, built on the coarse-bucket
+reduce-side pattern (union tagged sides → ONE groupby on a key-hash
+bucket → exact matching in pandas at C speed inside each group).
+
+Native ``Dataset.join`` is deliberately not used — see CLAUDE.md
+(list-payload rejection, per-join CPU reservation, the empty-first-block
+schema-broadcast bug).  The shapes here shuffle each side exactly once
+and keep everything off the driver.
+
+* :func:`asof_join_latest` — the classic AS-OF join: for every left row,
+  the greatest right timestamp ≤ the left timestamp within the same
+  key (DuckDB's ``ASOF LEFT JOIN`` semantics, which the driver oracle
+  uses verbatim).  Partitioning assumption: one key's rows fit one
+  bucket group — the same assumption every keyed groupby here makes;
+  salt hot keys upstream if a single key exceeds a task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .dedup import _coarse_bucket
+
+
+def asof_join_latest(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str = "ts",
+    left_cols: tuple[str, ...] = (),
+    out_ts_col: str = "right_ts",
+    num_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """For each left row: append ``out_ts_col`` = the latest right
+    ``ts_col`` ≤ the left row's ``ts_col`` for the same ``key_col``
+    (null when no such right row exists — LEFT as-of semantics).
+
+    ``left_cols``: extra int64 left columns carried through (the key and
+    timestamp always are).  Timestamps ride the shuffle as int64 µs and
+    the output restores ``timestamp[us]`` — pandas would otherwise
+    resurface them at ns resolution (CLAUDE.md gotcha).
+    """
+    import pandas as pd
+
+    carry = [c for c in left_cols if c not in (key_col, ts_col)]
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        cols = {
+            "bucket": pa.array(
+                _coarse_bucket(k.to_numpy(zero_copy_only=False), num_buckets)
+            ),
+            key_col: k,
+            "ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            "m": pa.array(np.ones(len(t), dtype=np.int8)),
+        }
+        for c in carry:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        cols = {
+            "bucket": pa.array(
+                _coarse_bucket(k.to_numpy(zero_copy_only=False), num_buckets)
+            ),
+            key_col: k,
+            "ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            "m": pa.array(np.zeros(len(t), dtype=np.int8)),
+        }
+        for c in carry:
+            cols[c] = k  # dummy; unused on right rows
+        return pa.table(cols)
+
+    tagged = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows, batch_format="pyarrow")
+    )
+    out_cols = [key_col, "ts_us", *carry, "right_ts_us"]
+
+    def asof_in_bucket(g):  # pandas DataFrame in
+        l = g[g["m"] == 1].drop(columns=["bucket", "m"])
+        if l.empty:
+            return pd.DataFrame(
+                {
+                    **{c: pd.Series([], dtype="int64") for c in out_cols[:-1]},
+                    "right_ts_us": pd.Series([], dtype="Int64"),
+                }
+            )
+        r = (
+            g[g["m"] == 0][[key_col, "ts_us"]]
+            .rename(columns={"ts_us": "right_ts_us"})
+            .sort_values("right_ts_us", kind="mergesort")
+        )
+        l = l.sort_values("ts_us", kind="mergesort")
+        merged = pd.merge_asof(
+            l,
+            r,
+            left_on="ts_us",
+            right_on="right_ts_us",
+            by=key_col,
+            direction="backward",  # greatest right_ts ≤ ts (exact matches allowed)
+        )
+        # nullable Int64: a miss is a NULL, never a NaN-float (which
+        # would corrupt the int64→timestamp cast downstream)
+        merged["right_ts_us"] = merged["right_ts_us"].astype("Int64")
+        return merged[out_cols]
+
+    joined = tagged.groupby("bucket").map_groups(asof_in_bucket, batch_format="pandas")
+
+    def restore_ts(t: pa.Table) -> pa.Table:
+        cols = {key_col: t.column(key_col)}
+        for c in carry:
+            cols[c] = t.column(c)
+        cols[ts_col] = t.column("ts_us").cast(pa.int64()).cast(pa.timestamp("us"))
+        cols[out_ts_col] = (
+            t.column("right_ts_us").cast(pa.int64()).cast(pa.timestamp("us"))
+        )
+        return pa.table(cols)
+
+    return joined.map_batches(restore_ts, batch_format="pyarrow")

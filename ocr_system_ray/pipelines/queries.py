@@ -892,6 +892,44 @@ def q_parse_pages_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_asof_latest_view(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join: for every purchase event, the same user's latest view
+    event at or before it (null if none) — the operator family the
+    reference lacks and training-data pipelines constantly need (attach
+    the most recent state to each fact).  Implemented as ONE
+    coarse-bucketed reduce-side join + in-bucket ``merge_asof``; the
+    oracle is DuckDB's native ``ASOF LEFT JOIN``."""
+    from ..functions.joins import asof_join_latest
+
+    # two independent pruned reads (NOT a branch of one lazy read, which
+    # would re-execute the shared scan per side); each side projects
+    # only what it carries
+    purchases = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    views = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "view")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join_latest(
+        purchases,
+        views,
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=("event_id",),
+        out_ts_col="view_ts",
+    )
+
+
 def q_warc_ingest(sf_dir: str) -> ray.data.Dataset:
     """WARC source round-trip: the documents table is serialized once as
     Common-Crawl-layout archives (one gzip member per record, cached

@@ -198,6 +198,49 @@ def test_minhash_join_and_broadcast_verify_agree(ray_session):
     assert a.equals(b)
 
 
+def test_asof_join_latest_semantics(ray_session):
+    """LEFT as-of: greatest right ts ≤ left ts per key; exact-equal ts
+    matches; no-match → null; keys independent; cross-block input."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.functions.joins import asof_join_latest
+
+    us = 1_000_000
+    T = lambda s: s * us  # noqa: E731
+    left_t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([10, 10, 10, 20], pa.int64()),
+            "ts": pa.array([T(5), T(50), T(2), T(100)], pa.timestamp("us")),
+        }
+    )
+    right_blocks = [
+        pa.table({"user_id": pa.array([10], pa.int64()),
+                  "ts": pa.array([T(50)], pa.timestamp("us"))}),  # exact match for event 2
+        pa.table({"user_id": pa.array([10, 30], pa.int64()),
+                  "ts": pa.array([T(4), T(1)], pa.timestamp("us"))}),
+    ]
+    out = (
+        asof_join_latest(
+            ray.data.from_arrow(left_t),
+            ray.data.from_arrow(right_blocks),
+            key_col="user_id",
+            ts_col="ts",
+            left_cols=("event_id",),
+            out_ts_col="view_ts",
+            num_buckets=8,
+        )
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "view_ts"].value == T(4) * 1000  # pandas ns
+    assert out.loc[2, "view_ts"].value == T(50) * 1000  # exact ts counts
+    assert pd.isna(out.loc[3, "view_ts"])  # nothing at/before T(2)
+    assert pd.isna(out.loc[4, "view_ts"])  # user 20 has no right rows
+
+
 def test_jaccard_verify_distributed_matches_broadcast(ray_session):
     """The bloom-pruned reduce-side Jaccard verify must equal the
     broadcast JaccardVerifyStage on the same pairs."""
