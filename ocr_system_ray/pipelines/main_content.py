@@ -81,14 +81,16 @@ class PipelineConfig:
     def sized_for(cls, num_cpus: int, **overrides) -> "PipelineConfig":
         """Config with the pool-sizing rules baked in (BASELINE.md §knobs):
 
-        * the fused pool takes 3/4 of the CPUs — actor pools must NEVER
-          reserve every CPU or the read/write stages starve and the
-          stream deadlocks;
+        * the fused pool takes 7/8 of the CPUs, always leaving ≥1 slot —
+          actor pools must NEVER reserve every CPU or the read/write
+          stages starve and the stream deadlocks.  (r1 used 3/4; with
+          the single-read plan the read/write side needs fewer slots —
+          7/8 measured ~12% faster at 32 cpus, BASELINE.md r2 knobs);
         * skew routing (``large_row_bytes``) stays on at every size —
           in-stage routing costs one vectorized size filter per batch
           and needs no second pool.
         """
-        cfg = dict(parse_concurrency=max(1, num_cpus * 3 // 4))
+        cfg = dict(parse_concurrency=max(1, min(num_cpus - 1, num_cpus * 7 // 8)))
         cfg.update(overrides)
         return cls(**cfg)
 

@@ -112,7 +112,7 @@ def test_sized_for_factory():
     assert small.large_row_bytes is not None
     assert small.parse_concurrency == 3
     big = PipelineConfig.sized_for(32)
-    assert big.parse_concurrency == 24
+    assert big.parse_concurrency == 28  # 7/8 rule, ≥1 slot free
     assert big.large_row_bytes is not None
     over = PipelineConfig.sized_for(32, large_row_bytes=None, min_words=5)
     assert over.large_row_bytes is None and over.min_words == 5
