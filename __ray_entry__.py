@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "lang_id": q.q_lang_id,
+        "vocab_top100": q.q_vocab_top100,
+        "vocab_top100_approx": q.q_vocab_top100_approx,
         "content_md5": q.q_content_md5,
         "winnow_fingerprints": q.q_winnow_fingerprints,
         # dedup family
@@ -266,6 +268,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "content_md5": "SELECT doc_id, md5(text) AS content_md5 FROM documents",
+        "vocab_top100": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 100
+        """,
         "quality_scores": """
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

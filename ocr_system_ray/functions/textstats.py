@@ -163,6 +163,91 @@ class LangIdStage:
 
 
 # ---------------------------------------------------------------------------
+# vocabulary / heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def approx_top_tokens(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    k: int = 100,
+    capacity: int = 4096,
+    text_col: str = "text",
+    candidate_factor: int = 4,
+):
+    """Exact top-``k`` tokens via a Misra–Gries candidate pass — the
+    100 TB vocabulary shape (a full wordcount shuffle moves every
+    distinct token; web-scale vocabularies are billions of keys).
+
+    Pass 1: one MG summary per batch (capacity ``capacity``), merged on
+    the driver — only (token, count) tables of ≤ capacity rows move.
+    Pass 2: exact recount of the top ``candidate_factor·k`` candidates
+    only (broadcast set, worker-local filter) → one tiny groupby.
+
+    The result is EXACTLY the true top-k whenever every true top-k
+    token's frequency exceeds N/(capacity+1) (the MG guarantee) — for
+    Zipfian text with capacity ≫ k that holds by a wide margin; the
+    pytest check pins equality against the full wordcount.
+
+    Reads ``ds`` twice (sketch + recount); pass a materialized or
+    re-readable dataset.  Returns a pandas DataFrame (token, n).
+    """
+    import re as _re
+    from collections import Counter
+
+    import ray as _ray
+
+    from ..state.streaming import MisraGries
+
+    rgx = _re.compile(TOKEN_PATTERN)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update(rgx.findall(x or ""))
+        mg = MisraGries(capacity)
+        mg.add(list(c.keys()), list(c.values()))
+        return pa.table(
+            {
+                "tokens": pa.array([list(mg.counters.keys())], pa.list_(pa.string())),
+                "counts": pa.array([list(mg.counters.values())], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = MisraGries(capacity)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        part = MisraGries(capacity)
+        part.counters = dict(zip(row["tokens"], row["counts"]))
+        merged.merge(part)
+    cand_ref = _ray.put(frozenset(merged.candidates()[: candidate_factor * k]))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cands = _ray.get(cand_ref)
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update(tok for tok in rgx.findall(x or "") if tok in cands)
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "p_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("p_n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    return (
+        df.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------
 

@@ -557,6 +557,52 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["doc_id", "lang_pred"])
 
 
+def q_vocab_top100(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary top-100 (the wordcount shape): per-batch local
+    token counts (combiner — the shuffle moves (token, partial_count)
+    rows, never individual tokens) → ONE groupby(token) sum → global
+    top-k with deterministic tie-break.  Token definition =
+    textstats.TOKEN_PATTERN, shared verbatim with the SQL oracle."""
+    import re
+    from collections import Counter
+
+    token_rgx = re.compile(textstats.TOKEN_PATTERN)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            counts.update(token_rgx.findall(x or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "p_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    df = agg.to_pandas()  # one row per distinct token — small
+    return (
+        df.sort_values(["n", "token"], ascending=[False, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+
+
+def q_vocab_top100_approx(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitters path for the same vocabulary question: Misra–Gries
+    candidate sketches (merged driver-side, ≤capacity rows each) + an
+    exact recount of the broadcast candidate set — no full-vocabulary
+    shuffle.  Equality vs the exact wordcount is pinned in pytest;
+    rows-only here (approximate machinery by design)."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return textstats.approx_top_tokens(ds, k=100, capacity=4096)
+
+
 def q_content_md5(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -259,6 +259,58 @@ def build_bloom(
 
 
 # ---------------------------------------------------------------------------
+# Misra–Gries — mergeable heavy-hitters (approximate top-k candidates)
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """Misra–Gries heavy-hitters summary over a stream of items.
+
+    Capacity-``k`` counter table; any item with true frequency
+    > N/(k+1) is GUARANTEED present, and every stored count
+    undercounts by at most N/(k+1).  Summaries MERGE (add counters,
+    then decrement by the (k+1)-th largest and drop ≤0 — Agarwal et
+    al., PODS'12), which makes this the distributed candidate stage for
+    exact top-k: sketch per batch → merge → exact recount of the
+    (small) candidate set.  Plain dicts; items are any hashable.
+    """
+
+    def __init__(self, k: int = 1024) -> None:
+        self.k = k
+        self.counters: dict = {}
+
+    def add(self, items, counts=None) -> None:  # noqa: ANN001
+        counts = counts if counts is not None else [1] * len(items)
+        for item, c in zip(items, counts):
+            if item in self.counters:
+                self.counters[item] += c
+            elif len(self.counters) < self.k:
+                self.counters[item] = c
+            else:
+                # decrement-all by the smallest add; batched variant:
+                # subtract c from everyone, drop the dead, keep remainder
+                dec = min(c, min(self.counters.values()))
+                self.counters = {
+                    i: n - dec for i, n in self.counters.items() if n - dec > 0
+                }
+                if c - dec > 0:
+                    self.counters[item] = c - dec
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for item, c in other.counters.items():
+            self.counters[item] = self.counters.get(item, 0) + c
+        if len(self.counters) > self.k:
+            cut = sorted(self.counters.values(), reverse=True)[self.k]
+            self.counters = {
+                i: n - cut for i, n in self.counters.items() if n - cut > 0
+            }
+        return self
+
+    def candidates(self) -> list:
+        return sorted(self.counters, key=lambda i: (-self.counters[i], str(i)))
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog — the mergeable-sketch pattern
 # ---------------------------------------------------------------------------
 

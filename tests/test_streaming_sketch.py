@@ -44,6 +44,49 @@ def test_build_bloom_distributed(ray_session):
     assert bloom.might_contain(np.array([5, 6, 7, 8], dtype=np.uint64)).all()
 
 
+def test_misra_gries_guarantee_and_merge():
+    from ocr_system_ray.state.streaming import MisraGries
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: item i appears ~1000/(i+1) times
+    items = [f"t{i}" for i in range(200) for _ in range(1000 // (i + 1))]
+    rng.shuffle(items)
+    half = len(items) // 2
+    a, b = MisraGries(64), MisraGries(64)
+    a.add(items[:half])
+    b.add(items[half:])
+    a.merge(b)
+    # every item with true freq > N/(k+1) must be present
+    from collections import Counter
+
+    true = Counter(items)
+    thresh = len(items) / 65
+    heavy = {t for t, n in true.items() if n > thresh}
+    assert heavy <= set(a.counters)
+    # counts undercount by at most N/(k+1) (merge doubles the bound)
+    for t in heavy:
+        assert true[t] - 2 * thresh <= a.counters[t] <= true[t]
+
+
+def test_approx_top_tokens_equals_exact(ray_session):
+    import duckdb
+
+    from ocr_system_ray.functions.textstats import approx_top_tokens
+    from ocr_system_ray.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_table(sf, "documents", columns=["text"])
+    approx = approx_top_tokens(ds, k=50, capacity=2048)
+    exact = duckdb.sql(
+        "SELECT token, COUNT(*) AS n FROM ("
+        "  SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token"
+        f"  FROM '{sf}/documents.parquet')"
+        " GROUP BY token ORDER BY n DESC, token LIMIT 50"
+    ).df()
+    assert approx["token"].tolist() == exact["token"].tolist()
+    assert approx["n"].tolist() == exact["n"].tolist()
+
+
 def test_hll_accuracy_and_merge():
     rng = np.random.default_rng(3)
     a, b = HyperLogLog(12), HyperLogLog(12)
