@@ -252,22 +252,24 @@ def minhash_duplicate_pairs(
         for _, bucket in group.groupby("band_key", sort=True):
             if len(bucket) < 2:
                 continue
-            ids = sorted(bucket[id_col].tolist())
+            ids = np.sort(bucket[id_col].to_numpy())
             if len(ids) > star_threshold:  # star pattern (see docstring)
-                hub = ids[0]
-                ia.extend([hub] * (len(ids) - 1))
-                ib.extend(ids[1:])
+                ia.append(np.full(len(ids) - 1, ids[0]))
+                ib.append(ids[1:])
             else:
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        ia.append(ids[i])
-                        ib.append(ids[j])
+                # vectorized upper-triangle pair emission (a python
+                # double loop here costs ~50× at web-scale bucket sizes)
+                ii, jj = np.triu_indices(len(ids), k=1)
+                ia.append(ids[ii])
+                ib.append(ids[jj])
         # explicit dtype: an empty Python list would otherwise yield
         # object-dtype columns → schema-less empty Arrow blocks that the
-        # downstream hash-join rejects ("no match for key field id_b")
+        # downstream joins/groupbys mis-schema
         dt = group[id_col].dtype
+        flat_a = np.concatenate(ia) if ia else np.array([], dtype=dt)
+        flat_b = np.concatenate(ib) if ib else np.array([], dtype=dt)
         return pd.DataFrame(
-            {"id_a": pd.Series(ia, dtype=dt), "id_b": pd.Series(ib, dtype=dt)}
+            {"id_a": pd.Series(flat_a, dtype=dt), "id_b": pd.Series(flat_b, dtype=dt)}
         )
 
     candidates = exploded.groupby("coarse_key").map_groups(
@@ -549,18 +551,33 @@ def simhash_signatures(
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 values."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    u8 = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(u8, axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_duplicate_pairs(
     ds: ray.data.Dataset,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    star_threshold: int = 256,
 ) -> ray.data.Dataset:
     """Near-dup pairs by simhash Hamming distance ≤ ``max_hamming``.
 
     Band blocking with ``max_hamming + 1`` bands (pigeonhole: a pair
     within distance k differs in ≤ k bands, so it shares at least one of
     k+1 bands) — the recall guarantee holds for ANY ``max_hamming``, not
-    just the historical fixed 4×16 split."""
+    just the historical fixed 4×16 split.
+
+    Big-bucket guard (same rationale as minhash): a band bucket larger
+    than ``star_threshold`` — at web scale, a cluster of
+    boilerplate-identical pages — emits only hub pairs (every member vs
+    the bucket's min id) instead of k² pairs; exact for the
+    identical-page clusters the guard targets (hamming 0 throughout)."""
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31] (band keys pack into int64)")
     bands = max_hamming + 1
@@ -597,31 +614,61 @@ def simhash_duplicate_pairs(
         )
         return out.append_column("coarse_key", coarse)
 
+    def _band_values_vec(h: np.ndarray, b: int) -> np.ndarray:
+        lo, hi = starts[b], starts[b + 1]
+        return (h >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+
+    def _first_shared_band(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Per pair: smallest band index where the two hashes agree
+        (bands if none) — vectorized over the pair arrays."""
+        first = np.full(h1.size, bands, dtype=np.int64)
+        for b in reversed(range(bands)):
+            eq = _band_values_vec(h1, b) == _band_values_vec(h2, b)
+            first = np.where(eq, b, first)
+        return first
+
     def pairs_in_coarse_group(group):  # pandas in
         import pandas as pd
 
-        out = {"id_a": [], "id_b": [], "hamming": []}
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
         for _, bucket in group.groupby("band_key", sort=True):
-            if len(bucket) < 2:
+            k = len(bucket)
+            if k < 2:
                 continue
-            ids = bucket[id_col].tolist()
-            hs = bucket["simhash"].tolist()
+            order = np.argsort(bucket[id_col].to_numpy())
+            ids = bucket[id_col].to_numpy()[order]
+            hs = bucket["simhash"].to_numpy().astype(np.uint64)[order]
             band = int(bucket["band_key"].iloc[0]) >> 58
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = int(int(hs[i]) ^ int(hs[j])).bit_count()
-                    if d <= max_hamming:
-                        # emit from the FIRST shared band only (dedup trick)
-                        first = next(
-                            b for b in range(bands)
-                            if band_value(int(hs[i]), b) == band_value(int(hs[j]), b)
-                        )
-                        if first == band:
-                            a, b2 = sorted((ids[i], ids[j]))
-                            out["id_a"].append(a)
-                            out["id_b"].append(b2)
-                            out["hamming"].append(d)
-        return pd.DataFrame(out)
+            if k > star_threshold:  # star pattern (see docstring)
+                h1 = np.full(k - 1, hs[0], dtype=np.uint64)
+                h2 = hs[1:]
+                d = _popcount64(h1 ^ h2)
+                keep = (d <= max_hamming) & (_first_shared_band(h1, h2) == band)
+                out_a.append(np.full(int(keep.sum()), ids[0]))
+                out_b.append(ids[1:][keep])
+                out_h.append(d[keep])
+            else:
+                ii, jj = np.triu_indices(k, k=1)
+                h1, h2 = hs[ii], hs[jj]
+                d = _popcount64(h1 ^ h2)
+                # emit from the FIRST shared band only (dedup trick)
+                keep = (d <= max_hamming) & (_first_shared_band(h1, h2) == band)
+                out_a.append(ids[ii][keep])
+                out_b.append(ids[jj][keep])
+                out_h.append(d[keep])
+        dt = group[id_col].dtype
+        flat_a = np.concatenate(out_a) if out_a else np.array([], dtype=dt)
+        flat_b = np.concatenate(out_b) if out_b else np.array([], dtype=dt)
+        flat_h = np.concatenate(out_h) if out_h else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(flat_a, dtype=dt),
+                "id_b": pd.Series(flat_b, dtype=dt),
+                "hamming": pd.Series(flat_h.astype(np.int64), dtype="int64"),
+            }
+        )
 
     return sigs.map_batches(explode, batch_format="pyarrow").groupby("coarse_key").map_groups(
         pairs_in_coarse_group, batch_format="pandas"

@@ -241,6 +241,61 @@ def test_asof_join_latest_semantics(ray_session):
     assert pd.isna(out.loc[4, "view_ts"])  # user 20 has no right rows
 
 
+def test_asof_join_random_sweep_vs_pandas(ray_session):
+    """Seeded random left/right streams must match a single global
+    pandas merge_asof (ties, duplicates, missing keys included)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.functions.joins import asof_join_latest
+
+    rng = np.random.default_rng(23)
+    nl, nr = 400, 300
+    lk = rng.integers(0, 12, size=nl).astype(np.int64)
+    lt = rng.integers(0, 10_000, size=nl).astype(np.int64) * 1_000_000
+    rk = rng.integers(0, 15, size=nr).astype(np.int64)  # some keys absent left/right
+    rt = rng.integers(0, 10_000, size=nr).astype(np.int64) * 1_000_000
+
+    left_t = pa.table(
+        {
+            "event_id": pa.array(np.arange(nl, dtype=np.int64)),
+            "user_id": pa.array(lk),
+            "ts": pa.array(lt, pa.timestamp("us")),
+        }
+    )
+    right_t = pa.table(
+        {"user_id": pa.array(rk), "ts": pa.array(rt, pa.timestamp("us"))}
+    )
+    got = (
+        asof_join_latest(
+            ray.data.from_arrow(left_t),
+            ray.data.from_arrow(right_t),
+            key_col="user_id",
+            ts_col="ts",
+            left_cols=("event_id",),
+            out_ts_col="view_ts",
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    l = left_t.to_pandas().sort_values("ts", kind="mergesort")
+    r = (
+        right_t.to_pandas()
+        .rename(columns={"ts": "view_ts"})
+        .sort_values("view_ts", kind="mergesort")
+    )
+    want = (
+        pd.merge_asof(l, r, left_on="ts", right_on="view_ts", by="user_id")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["view_ts"].equals(want["view_ts"])
+
+
 def test_jaccard_verify_distributed_matches_broadcast(ray_session):
     """The bloom-pruned reduce-side Jaccard verify must equal the
     broadcast JaccardVerifyStage on the same pairs."""
@@ -279,6 +334,27 @@ def test_simhash_pairs_find_the_dups(docs_ds):
     pairs = dedup.simhash_duplicate_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
     assert (0, 1) in got
+
+
+def test_simhash_star_pattern_on_big_buckets(ray_session):
+    """Identical docs above star_threshold emit O(k) hub pairs with
+    hamming 0, preserving the connected component (mirrors minhash)."""
+    import pyarrow as pa
+    import ray.data
+
+    n = 10
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": ["identical words repeated in every single document here"] * n,
+        }
+    )
+    pairs = dedup.simhash_duplicate_pairs(
+        ray.data.from_arrow(t), max_hamming=3, star_threshold=4
+    ).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert got == {(0, j) for j in range(1, n)}
+    assert (pairs["hamming"] == 0).all()
 
 
 def _embedding_table(n=50, dim=16, seed=7):

@@ -141,6 +141,50 @@ def test_sessionize_stream_matches_groupby(ray_session):
     assert (merged["n_events_s"] == merged["n_events_g"]).all()
 
 
+def test_sessionize_random_sweep_vs_direct(ray_session):
+    """Seeded random events (ts collisions, near-boundary gaps, many
+    keys, multi-block) must match a direct per-key computation."""
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    g_us = 1800 * 1_000_000
+    n = 1200
+    keys = rng.integers(0, 25, size=n)
+    # mixture: small jitters, exact-boundary multiples, big jumps
+    ts = rng.choice(
+        np.concatenate(
+            [
+                rng.integers(0, 10 * g_us, size=n),
+                (rng.integers(0, 10, size=n)) * g_us,  # exact boundary collisions
+            ]
+        ),
+        size=n,
+        replace=False,
+    ).astype(np.int64)
+    order = rng.permutation(n)
+    blocks = [
+        pa.table(
+            {
+                "user_id": pa.array(keys[order[i::4]].astype(np.int64)),
+                "ts": pa.array(ts[order[i::4]], pa.timestamp("us")),
+            }
+        )
+        for i in range(4)
+    ]
+    got = (
+        sessionize_stream(ray.data.from_arrow(blocks), num_buckets=8)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for k in np.unique(keys):
+        s = np.sort(ts[keys == k])
+        want_sessions = 1 + int((np.diff(s) > g_us).sum())
+        assert got.loc[k, "n_sessions"] == want_sessions, k
+        assert got.loc[k, "n_events"] == (keys == k).sum()
+
+
 def test_sessionize_cross_batch_and_boundary(ray_session):
     """Adversarial: one user's session interleaves across blocks in
     arbitrary order, with gaps exactly AT and one µs PAST the 1800 s
