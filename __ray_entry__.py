@@ -315,6 +315,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN '/root/repo/tests/golden/winnow_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
+        # deterministic-pipeline goldens (seeded LSH / codebooks / synthetic
+        # pages): the committed files freeze the exact sf0.01 output, so the
+        # driver check becomes rows+schema+hash instead of rows-only.  Where
+        # the query reads the sf tables, the oracle inner-joins the golden
+        # against them so a different corpus fails loudly.
+        "lang_id": """
+            SELECT d.doc_id, g.lang_pred
+            FROM documents d
+            JOIN '/root/repo/tests/golden/lang_id_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "minhash_pairs": """
+            SELECT g.id_a, g.id_b, g.est_jaccard
+            FROM '/root/repo/tests/golden/minhash_pairs_sf001.parquet' g
+            JOIN documents d ON g.id_a = d.doc_id
+        """,
+        "minhash_pairs_verified": """
+            SELECT g.id_a, g.id_b, g.est_jaccard, g.jaccard
+            FROM '/root/repo/tests/golden/minhash_pairs_verified_sf001.parquet' g
+            JOIN documents d ON g.id_a = d.doc_id
+        """,
+        "simhash_pairs": """
+            SELECT g.id_a, g.id_b, g.hamming
+            FROM '/root/repo/tests/golden/simhash_pairs_sf001.parquet' g
+            JOIN documents d ON g.id_a = d.doc_id
+        """,
+        "near_dedup_survivors": """
+            SELECT d.doc_id, g.keep, g.cluster
+            FROM documents d
+            JOIN '/root/repo/tests/golden/near_dedup_survivors_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "knn_ivf": """
+            SELECT g.query_id, g.vec_id, g.rank
+            FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
+            JOIN embeddings e ON g.vec_id = e.vec_id
+        """,
+        "final_extract_pages": """
+            SELECT url, "Licenses", "Address", "Start Date", "End Date",
+                   town, "Renew Times"
+            FROM '/root/repo/tests/golden/final_extract_pages_sf001.parquet'
+        """,
+        "parse_pages_stats": """
+            SELECT url, n_pages, n_blocks_kept, n_spans, text_chars
+            FROM '/root/repo/tests/golden/parse_pages_stats_sf001.parquet'
+        """,
+        "model_extract_docs": """
+            SELECT d.doc_id, g.license_id, g."date" AS date, g.reference_id
+            FROM documents d
+            JOIN '/root/repo/tests/golden/model_extract_docs_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "media_decode": """
+            SELECT media_id, media_type, source_url, body_bytes, decoded_type,
+                   width, height, n_frames, decode_error
+            FROM '/root/repo/tests/golden/media_decode_sf001.parquet'
+        """,
+        "media_features": """
+            SELECT media_id, dim, checksum
+            FROM '/root/repo/tests/golden/media_features_sf001.parquet'
+        """,
+        "frame_sample": """
+            SELECT media_id, frame_index, frame_bytes
+            FROM '/root/repo/tests/golden/frame_sample_sf001.parquet'
+        """,
+        # vocab_top100_approx: the MG candidate pass provably returns the
+        # EXACT top-100 whenever every top token clears the N/(cap+1)
+        # guarantee (pinned in pytest) — so the exact wordcount IS its
+        # oracle, not a frozen snapshot.
+        "vocab_top100_approx": """
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token
+            LIMIT 100
+        """,
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN substr(md5(text), 1, 1) = '0' THEN 'test'

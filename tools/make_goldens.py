@@ -88,6 +88,56 @@ def winnow_golden() -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# query-output goldens (deterministic seeded pipelines, frozen at sf0.01)
+# ---------------------------------------------------------------------------
+
+# each entry: golden file stem → queries() name.  All of these are
+# DETERMINISTIC (seeded LSH/codebooks, pure functions, synthetic pages
+# keyed by sf) — freezing their sf0.01 output upgrades the driver check
+# from rows-only to value-hash and pins regressions (seed changes,
+# banding changes, parser changes) loudly.
+QUERY_GOLDENS = {
+    "minhash_pairs_sf001": "minhash_pairs",
+    "minhash_pairs_verified_sf001": "minhash_pairs_verified",
+    "simhash_pairs_sf001": "simhash_pairs",
+    "near_dedup_survivors_sf001": "near_dedup_survivors",
+    "lang_id_sf001": "lang_id",
+    "knn_ivf_sf001": "knn_ivf",
+    "final_extract_pages_sf001": "final_extract_pages",
+    "parse_pages_stats_sf001": "parse_pages_stats",
+    "model_extract_docs_sf001": "model_extract_docs",
+    "media_decode_sf001": "media_decode",
+    "media_features_sf001": "media_features",
+    "frame_sample_sf001": "frame_sample",
+}
+
+
+def query_golden(name: str) -> pa.Table:
+    """Run one queries() entry at sf0.01 and canonicalize to a table
+    sorted by all columns (the driver compares order-insensitively)."""
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    out = fn(str(SF_DIR))
+    if isinstance(out, pd.DataFrame):
+        df = out
+    elif isinstance(out, pa.Table):
+        df = out.to_pandas()
+    else:
+        df = out.to_pandas()
+    df = df[sorted(df.columns)].sort_values(sorted(df.columns)).reset_index(drop=True)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    # an all-null object column infers as arrow `null` type, which
+    # DuckDB surfaces as float NaN instead of string NULL — pin string
+    for i, f in enumerate(t.schema):
+        if pa.types.is_null(f.type):
+            t = t.set_column(i, f.name, t.column(f.name).cast(pa.string()))
+    return t
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -96,6 +146,19 @@ def main() -> None:
     wf = winnow_golden()
     pq.write_table(wf, GOLDEN_DIR / "winnow_sf001.parquet")
     print(f"winnow_sf001.parquet: {wf.num_rows} rows")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    for stem, qname in QUERY_GOLDENS.items():
+        t = query_golden(qname)
+        pq.write_table(t, GOLDEN_DIR / f"{stem}.parquet")
+        print(f"{stem}.parquet: {t.num_rows} rows")
+    ray.shutdown()
 
 
 if __name__ == "__main__":
