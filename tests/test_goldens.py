@@ -47,6 +47,35 @@ def test_winnow_golden_matches_current_sketch():
     assert fresh.equals(committed)
 
 
+# Cheap deterministic-query goldens regenerate in seconds — drift here
+# means a behavior change that would flip the driver's value-hash; the
+# heavier LSH/survivor goldens are exercised by every
+# tools/driver_check.py run instead.
+CHEAP_QUERY_GOLDENS = [
+    "lang_id_sf001",
+    "parse_pages_stats_sf001",
+    "final_extract_pages_sf001",
+    "model_extract_docs_sf001",
+    "media_decode_sf001",
+    "media_features_sf001",
+    "frame_sample_sf001",
+    "knn_ivf_sf001",
+]
+
+
+@needs_testdata
+@pytest.mark.parametrize("stem", CHEAP_QUERY_GOLDENS)
+def test_query_golden_drift(ray_session, stem):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import QUERY_GOLDENS, query_golden
+
+    fresh = query_golden(QUERY_GOLDENS[stem])
+    committed = pq.read_table(GOLDEN_DIR / f"{stem}.parquet")
+    assert fresh.equals(committed), stem
+
+
 @needs_testdata
 def test_extract_fields_golden_agrees_with_our_core():
     """Belt-and-braces: our core must reproduce the reference-derived
