@@ -70,7 +70,6 @@ def run_flagship() -> tuple[float, int]:
         overrides["large_row_bytes"] = None if v in ("none", "0") else int(v)
     cfg = PipelineConfig.sized_for(
         NUM_CPUS,
-        parse_batch_size=64,
         field_to_patterns={"town": [r"(Kandy|Galle|Colombo\s*\d*)"]},
         **overrides,
     )
@@ -184,13 +183,22 @@ def scaling() -> None:
     # least disturbed by background load — the standard way to measure
     # the engine rather than the neighbors.  All samples are reported.
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+    # the scaling corpus is 2× the headline corpus: after the r2 extract
+    # speedups a 24k-doc run finishes in ~12 s at 16 cpus, so fixed ends
+    # (actor ramp, first/last waves) eat ~15% of the window and the
+    # efficiency measures the host more than the engine; 48k docs keeps
+    # the steady-state phase dominant at both levels
+    scale_docs = int(os.environ.get("GRAFT_SCALE_DOCS", str(max(BENCH_DOCS, 48000))))
+    scale_pages_dir = os.environ.get(
+        "GRAFT_PAGES_DIR", f"/tmp/osr_bench_pages_{scale_docs}x{BENCH_RICHNESS}"
+    )
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_PAGES_DIR=PAGES_DIR,
-            GRAFT_BENCH_DOCS=str(BENCH_DOCS),
+            GRAFT_PAGES_DIR=scale_pages_dir,
+            GRAFT_BENCH_DOCS=str(scale_docs),
             GRAFT_BENCH_RICHNESS=str(BENCH_RICHNESS),
             GRAFT_SCALING_CHILD="1",
         )
@@ -208,8 +216,8 @@ def scaling() -> None:
         lo_secs.append(run(lo_cpus)["value"])
         hi_secs.append(run(hi_cpus)["value"])
     sec_lo, sec_hi = min(lo_secs), min(hi_secs)
-    tp_lo = round(BENCH_DOCS / sec_lo, 1)
-    tp_hi = round(BENCH_DOCS / sec_hi, 1)
+    tp_lo = round(scale_docs / sec_lo, 1)
+    tp_hi = round(scale_docs / sec_hi, 1)
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
@@ -225,7 +233,7 @@ def scaling() -> None:
                 "sec_hi_samples": hi_secs,
                 "docs_per_sec_lo": tp_lo,
                 "docs_per_sec_hi": tp_hi,
-                "bench_docs": BENCH_DOCS,
+                "bench_docs": scale_docs,
                 "threshold": 0.8,
                 "pass": eff >= 0.8,
             }

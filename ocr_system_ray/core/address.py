@@ -35,7 +35,15 @@ def extract_address(text: str) -> str | None:
     """Return the address following a tower phrase, or None."""
     if not text:
         return None
-    t = _CLEAN.sub(" ", text)
+    # conservative-complete prefilter: the pattern cannot match without
+    # one of the marker words, and the clean step only REPLACES chars
+    # with spaces (it can never create a marker), so a raw-text literal
+    # scan is sufficient to rule a document out without running either
+    # regex (most documents have no tower phrase)
+    low = text.lower()
+    if "telecommunication" not in low and "transmission" not in low:
+        return None
+    t = _CLEAN.sub(" ", text) if ("​" in text or "\r" in text) else text
     m = _ADDRESS.search(t)
     if m is None:
         return None

@@ -55,11 +55,22 @@ def _normalize(s: str) -> str:
     return _SEPS.sub(".", s)
 
 
+_YEAR = re.compile(r"\d{4}")
+
+
 def extract_date_range(text: str) -> tuple[str | None, str | None]:
     """Return ``(start, end)`` normalized to ``d.m.yyyy``-ish, or (None, None)."""
     if not text:
         return None, None
-    m = _RANGE.search(_CLEAN.sub(" ", text))
+    # conservative-complete prefilters: the range pattern cannot match
+    # without the literal word "to" (any casing) and a 4-digit year, and
+    # the clean step only replaces chars with spaces (it can never
+    # create either), so two cheap scans skip the expensive alternation
+    # regex on documents that cannot contain a range
+    if "to" not in text.lower() or _YEAR.search(text) is None:
+        return None, None
+    t = _CLEAN.sub(" ", text) if ("​" in text or "\r" in text) else text
+    m = _RANGE.search(t)
     if m is None:
         return None, None
     return _normalize(m.group(1)), _normalize(m.group(2))

@@ -67,7 +67,13 @@ class Block:
     @property
     def text(self) -> str:
         if self._text is None:
-            self._text = _WS.sub(" ", "".join(self.raw_parts)).strip()
+            # " ".join(split()) ≡ _WS.sub(" ", s).strip() but ~5× faster
+            # (this runs once per block — the hottest string op in the
+            # parse stage).  The one divergence: \x1c-\x1f separators
+            # count as whitespace here (str.isspace) but not for re \s;
+            # both parser engines share this property, so engine
+            # byte-equality is unaffected.
+            self._text = " ".join("".join(self.raw_parts).split())
         return self._text
 
     @property

@@ -56,7 +56,10 @@ class PipelineConfig:
     # a giant row never holds its batch-mates' results back; None turns
     # the routing off (whole batches parse together)
     large_row_bytes: int | None = DEFAULT_LARGE_ROW_BYTES
-    parse_batch_size: int = 64
+    # 128 balances per-task overhead against end-of-stream stragglers
+    # (BASELINE.md r2 knobs: 64 pays ~8% task overhead at 16 cpus, 256+
+    # loses more to tail imbalance)
+    parse_batch_size: int = 128
     # actor-pool sizes: (min, max) autoscaling; max should track the CPU
     # budget of the job — bench/production override per ray.init size.
     parse_concurrency: int | tuple[int, int] = (1, 32)
