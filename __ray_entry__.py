@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": q.q_events_props_stats,
         "user_sessions": q.q_user_sessions,
         "asof_latest_view": q.q_asof_latest_view,
+        "error_click_window": q.q_error_click_window,
         "orders_of_top_customers": q.q_orders_of_top_customers,
         "events_sliding_windows": q.q_events_sliding_windows,
         "top_orders_per_customer": q.q_top_orders_per_customer,
@@ -235,6 +236,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "error_click_window": """
+            SELECT e.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON c.user_id = e.user_id
+             AND c.ts <= e.ts
+             AND c.ts >= e.ts - INTERVAL 5 MINUTE
+            GROUP BY e.event_id
         """,
         "orders_of_top_customers": """
             WITH top AS (

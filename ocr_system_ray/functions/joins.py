@@ -13,6 +13,13 @@ and keep everything off the driver.
   uses verbatim).  Partitioning assumption: one key's rows fit one
   bucket group — the same assumption every keyed groupby here makes;
   salt hot keys upstream if a single key exceeds a task.
+* :func:`window_count_join` — the keyed RANGE join in its aggregating
+  form: for every left row, COUNT the right rows of the same key inside
+  ``[left.ts - lookback, left.ts]`` (both bounds inclusive).  Banding
+  by the window width bounds the fan-out: a right row lands in exactly
+  one band, a left row probes exactly two, so the shuffle is 2·|left| +
+  |right| rows regardless of window size — never an interval
+  cross-product.
 """
 
 from __future__ import annotations
@@ -121,3 +128,123 @@ def asof_join_latest(
         return pa.table(cols)
 
     return joined.map_batches(restore_ts, batch_format="pyarrow")
+
+
+def window_count_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str = "ts",
+    lookback_us: int = 300_000_000,
+    left_id_col: str = "event_id",
+    out_col: str = "n_right",
+    num_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Keyed point-in-window range join (counting form): for each left
+    row, ``out_col`` = number of right rows with the same ``key_col``
+    whose ``ts_col`` lies in ``[left.ts - lookback_us, left.ts]``
+    (inclusive bounds; integer-µs arithmetic on both sides).
+
+    Plan: band = ``ts // lookback_us``.  Each right row enters its one
+    band; each left row probes its own band and the one before (a
+    window of width L can only overlap those two).  One coarse-bucketed
+    groupby on (key, band) does exact matching in pandas; a final
+    ``groupby(left_id)`` sums the ≤2 per-band partial counts.  Left
+    rows with no matches keep count 0 (their probe rows always emit a
+    partial)."""
+    import pandas as pd
+
+    lb = np.int64(lookback_us)
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = (
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        band = ts // lb
+        with np.errstate(over="ignore"):
+            combo = k.astype(np.uint64) * np.uint64(1099511628211) + band.astype(np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(combo.astype(np.int64), num_buckets)),
+                key_col: pa.array(k.astype(np.int64)),
+                "band": pa.array(band),
+                "ts_us": pa.array(ts),
+                "lid": pa.array(np.full(len(k), -1, dtype=np.int64)),  # n/a on right
+                "m": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def left_rows(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        ts = (
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        lid = t.column(left_id_col).to_numpy(zero_copy_only=False)
+        band = ts // lb
+        k2 = np.concatenate([k, k])
+        ts2 = np.concatenate([ts, ts])
+        lid2 = np.concatenate([lid, lid])
+        band2 = np.concatenate([band, band - 1])  # probe own + previous band
+        with np.errstate(over="ignore"):
+            combo = k2.astype(np.uint64) * np.uint64(1099511628211) + band2.astype(np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(combo.astype(np.int64), num_buckets)),
+                key_col: pa.array(k2.astype(np.int64)),
+                "band": pa.array(band2),
+                "ts_us": pa.array(ts2),
+                "lid": pa.array(lid2.astype(np.int64)),
+                "m": pa.array(np.ones(2 * len(k), dtype=np.int8)),
+            }
+        )
+
+    tagged = right.map_batches(right_rows, batch_format="pyarrow").union(
+        left.map_batches(left_rows, batch_format="pyarrow")
+    )
+
+    def count_in_bucket(g):  # pandas DataFrame in
+        probes = g[g["m"] == 1]
+        if probes.empty:
+            return pd.DataFrame(
+                {"lid": pd.Series([], dtype="int64"), "p_n": pd.Series([], dtype="int64")}
+            )
+        rows = g[g["m"] == 0][[key_col, "band", "ts_us"]]
+        merged = probes[[key_col, "band", "ts_us", "lid"]].merge(
+            rows, on=[key_col, "band"], how="left", suffixes=("", "_r")
+        )
+        hit = (
+            merged["ts_us_r"].notna()
+            & (merged["ts_us_r"] <= merged["ts_us"])
+            & (merged["ts_us_r"] >= merged["ts_us"] - int(lb))
+        )
+        counts = (
+            pd.DataFrame({"lid": merged["lid"], "hit": hit.astype("int64")})
+            .groupby("lid", sort=False)["hit"]
+            .sum()
+            .reset_index()
+        )
+        # every probe row must emit a partial (zero counts included) —
+        # the left merge guarantees >=1 merged row per probe
+        return pd.DataFrame(
+            {"lid": counts["lid"].astype("int64"), "p_n": counts["hit"].astype("int64")}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        tagged.groupby("bucket")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .groupby("lid")
+        .aggregate(_Sum("p_n", alias_name=out_col))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {left_id_col: t.column("lid"), out_col: t.column(out_col)}
+        ),
+        batch_format="pyarrow",
+    )

@@ -976,6 +976,41 @@ def q_asof_latest_view(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_error_click_window(sf_dir: str) -> ray.data.Dataset:
+    """Keyed RANGE join (counting form): for every error event, how many
+    clicks the same user made in the preceding 5 minutes (inclusive
+    bounds).  Banded by the window width, so the shuffle is linear in
+    the two streams — never an interval cross-product; the oracle is
+    the literal SQL BETWEEN join."""
+    from ..functions.joins import window_count_join
+
+    errors = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "error")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = read_table(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).select(
+            ["user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    return window_count_join(
+        errors,
+        clicks,
+        key_col="user_id",
+        ts_col="ts",
+        lookback_us=300_000_000,
+        left_id_col="event_id",
+        out_col="n_clicks",
+    )
+
+
 def q_warc_ingest(sf_dir: str) -> ray.data.Dataset:
     """WARC source round-trip: the documents table is serialized once as
     Common-Crawl-layout archives (one gzip member per record, cached

@@ -296,6 +296,55 @@ def test_asof_join_random_sweep_vs_pandas(ray_session):
     assert got["view_ts"].equals(want["view_ts"])
 
 
+def test_window_count_join_random_sweep(ray_session):
+    """Seeded random streams vs a direct O(n·m) count — boundary-exact
+    (both window bounds inclusive), zero-count lefts preserved."""
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.functions.joins import window_count_join
+
+    rng = np.random.default_rng(31)
+    us = 1_000_000
+    L = 300 * us  # 5-minute lookback
+    nl, nr = 250, 400
+    lk = rng.integers(0, 10, size=nl).astype(np.int64)
+    # mix of arbitrary times and exact band/window boundaries
+    lt = (rng.integers(0, 50, size=nl) * 60 * us + rng.integers(0, 3, size=nl) * L).astype(
+        np.int64
+    )
+    rk = rng.integers(0, 12, size=nr).astype(np.int64)
+    rt = (rng.integers(0, 50, size=nr) * 60 * us).astype(np.int64)
+
+    left_t = pa.table(
+        {
+            "event_id": pa.array(np.arange(nl, dtype=np.int64)),
+            "user_id": pa.array(lk),
+            "ts": pa.array(lt, pa.timestamp("us")),
+        }
+    )
+    right_t = pa.table({"user_id": pa.array(rk), "ts": pa.array(rt, pa.timestamp("us"))})
+    got = (
+        window_count_join(
+            ray.data.from_arrow(left_t),
+            ray.data.from_arrow(right_t),
+            key_col="user_id",
+            ts_col="ts",
+            lookback_us=int(L),
+            left_id_col="event_id",
+            out_col="n_clicks",
+            num_buckets=16,
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == nl
+    for i in range(nl):
+        want = int(((rk == lk[i]) & (rt <= lt[i]) & (rt >= lt[i] - L)).sum())
+        assert got.loc[i, "n_clicks"] == want, i
+
+
 def test_jaccard_verify_distributed_matches_broadcast(ray_session):
     """The bloom-pruned reduce-side Jaccard verify must equal the
     broadcast JaccardVerifyStage on the same pairs."""
