@@ -63,6 +63,14 @@ def join_extract(
     qualifies for a broadcast — this is the co-partitioned hash-join
     case.  ``num_partitions`` should track cluster size (≈ total rows /
     2M per partition at scale).
+
+    This is the repo's one remaining native ``Dataset.join`` — safe here
+    because both sides are string columns (no list payloads), it is a
+    single join (aggregators cap at ~CPU/2 once, no chained-pool
+    deadlock), and both sides derive from the same nonempty parse stream
+    (the empty-FIRST-block schema-broadcast bug cannot trigger; see
+    CLAUDE.md).  Aggregators are pinned to fractional CPUs anyway so the
+    pool can never crowd out the parse actors.
     """
     lic = licenses_stream(parsed)
     dyn = dynamic_fields_stream(parsed, field_to_patterns)
@@ -71,6 +79,7 @@ def join_extract(
         join_type="inner",
         num_partitions=num_partitions,
         on=("url",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
 
 
