@@ -751,9 +751,18 @@ def q_embedding_dup_exact(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(PairEmit, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dedup.embedding_duplicate_pairs(ds, threshold=0.9, probes=2)
+    out = dedup.embedding_duplicate_pairs(ds, threshold=0.9, probes=2).to_pandas()
+    if out.empty:  # a fully-empty Dataset loses its schema — restore it
+        out = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
