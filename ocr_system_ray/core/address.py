@@ -39,8 +39,11 @@ def extract_address(text: str) -> str | None:
     # one of the marker words, and the clean step only REPLACES chars
     # with spaces (it can never create a marker), so a raw-text literal
     # scan is sufficient to rule a document out without running either
-    # regex (most documents have no tower phrase)
-    low = text.lower()
+    # regex (most documents have no tower phrase).  casefold(), NOT
+    # lower(): re.IGNORECASE equates e.g. 'ſ' with 's' via full case
+    # folding, which lower() does not perform — a lower() scan would
+    # wrongly reject such texts and break byte-identity.
+    low = text.casefold()
     if "telecommunication" not in low and "transmission" not in low:
         return None
     t = _CLEAN.sub(" ", text) if ("​" in text or "\r" in text) else text

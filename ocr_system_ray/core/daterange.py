@@ -67,7 +67,8 @@ def extract_date_range(text: str) -> tuple[str | None, str | None]:
     # the clean step only replaces chars with spaces (it can never
     # create either), so two cheap scans skip the expensive alternation
     # regex on documents that cannot contain a range
-    if "to" not in text.lower() or _YEAR.search(text) is None:
+    # casefold(), not lower(): re.IGNORECASE uses full case folding
+    if "to" not in text.casefold() or _YEAR.search(text) is None:
         return None, None
     t = _CLEAN.sub(" ", text) if ("​" in text or "\r" in text) else text
     m = _RANGE.search(t)

@@ -1,5 +1,6 @@
-"""Training-data-pipeline operators: text analysis, dedup, similarity, multimodal."""
+"""Training-data-pipeline operators: text analysis, dedup, similarity,
+joins (as-of / range), multimodal."""
 
-from . import textstats, dedup, similarity, multimodal
+from . import textstats, dedup, similarity, joins, multimodal
 
-__all__ = ["textstats", "dedup", "similarity", "multimodal"]
+__all__ = ["textstats", "dedup", "similarity", "joins", "multimodal"]

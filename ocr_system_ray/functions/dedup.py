@@ -9,10 +9,10 @@ Scale shapes (the part that matters at 100 TB):
 * **MinHash-LSH** — per-batch: shingle → minhash signature (numpy,
   vectorized over permutations) → explode to ``(band_key, doc_id)`` rows
   (12 bytes/row — signatures do NOT ride the band shuffle); ONE
-  ``groupby(band_key)`` → candidate pairs → estimate-verify via a
-  distributed hash-join of the pair stream against the signature
-  dataset (id_a then id_b) → global pair dedup.  Documents never
-  shuffle at all, and signatures never materialize on the driver.
+  ``groupby(band_key)`` → candidate pairs → global pair dedup →
+  estimate-verify via a coarse-bucketed reduce-side join of the pair
+  stream against the signature dataset.  Documents never shuffle at
+  all, and signatures never materialize on the driver.
 * **SimHash**    — 64-bit signature per doc; 4×16-bit band blocking →
   same explode+groupby shape; verify by Hamming distance.
 * **n-gram Jaccard** — exact verify pass for LSH candidates (small side),
@@ -137,7 +137,7 @@ def _explode_bands(batch: pa.Table, bands: int, rows_per_band: int, id_col: str)
 
     Only the 12-byte (key, id) pair moves through the groupby shuffle —
     NOT the 512-byte signature (a 16× traffic blowup otherwise);
-    signatures rejoin at the verify stage via an id-keyed hash-join."""
+    signatures rejoin at the verify stage via the reduce-side join."""
     ids, keys = [], []
     for row_id, sig in zip(batch.column(id_col).to_pylist(), batch.column("minhash").to_pylist()):
         arr = np.asarray(sig, dtype=np.uint64)
@@ -166,18 +166,6 @@ def _sig_list_to_binary(col, num_perms: int) -> pa.Array:  # noqa: ANN001
     return pa.Array.from_buffers(
         pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())]
     )
-
-
-def _sig_binary_to_matrix(col, num_perms: int) -> np.ndarray:  # noqa: ANN001
-    """binary signature column → (n, num_perms) uint64 matrix, zero-copy."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n == 0:
-        return np.zeros((0, num_perms), dtype=np.uint64)
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[col.offset : col.offset + n + 1]
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
-    return data.view(np.uint64).reshape(n, num_perms)
 
 
 def minhash_duplicate_pairs(
@@ -614,19 +602,6 @@ def simhash_duplicate_pairs(
         )
         return out.append_column("coarse_key", coarse)
 
-    def _band_values_vec(h: np.ndarray, b: int) -> np.ndarray:
-        lo, hi = starts[b], starts[b + 1]
-        return (h >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
-
-    def _first_shared_band(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """Per pair: smallest band index where the two hashes agree
-        (bands if none) — vectorized over the pair arrays."""
-        first = np.full(h1.size, bands, dtype=np.int64)
-        for b in reversed(range(bands)):
-            eq = _band_values_vec(h1, b) == _band_values_vec(h2, b)
-            first = np.where(eq, b, first)
-        return first
-
     def pairs_in_coarse_group(group):  # pandas in
         import pandas as pd
 
@@ -640,12 +615,11 @@ def simhash_duplicate_pairs(
             order = np.argsort(bucket[id_col].to_numpy())
             ids = bucket[id_col].to_numpy()[order]
             hs = bucket["simhash"].to_numpy().astype(np.uint64)[order]
-            band = int(bucket["band_key"].iloc[0]) >> 58
             if k > star_threshold:  # star pattern (see docstring)
                 h1 = np.full(k - 1, hs[0], dtype=np.uint64)
                 h2 = hs[1:]
                 d = _popcount64(h1 ^ h2)
-                keep = (d <= max_hamming) & (_first_shared_band(h1, h2) == band)
+                keep = d <= max_hamming
                 out_a.append(np.full(int(keep.sum()), ids[0]))
                 out_b.append(ids[1:][keep])
                 out_h.append(d[keep])
@@ -653,8 +627,7 @@ def simhash_duplicate_pairs(
                 ii, jj = np.triu_indices(k, k=1)
                 h1, h2 = hs[ii], hs[jj]
                 d = _popcount64(h1 ^ h2)
-                # emit from the FIRST shared band only (dedup trick)
-                keep = (d <= max_hamming) & (_first_shared_band(h1, h2) == band)
+                keep = d <= max_hamming
                 out_a.append(ids[ii][keep])
                 out_b.append(ids[jj][keep])
                 out_h.append(d[keep])
@@ -670,8 +643,17 @@ def simhash_duplicate_pairs(
             }
         )
 
-    return sigs.map_batches(explode, batch_format="pyarrow").groupby("coarse_key").map_groups(
-        pairs_in_coarse_group, batch_format="pandas"
+    # a pair can meet in several shared bands (and in a star bucket only
+    # via its hub): emit everywhere, dedup once downstream.  The old
+    # "emit from the first shared band only" trick silently DROPPED a
+    # pair whose first shared band fell in an over-threshold star bucket
+    # while a later shared band's bucket was small — the cross-band
+    # groupby dedup has no such interaction.
+    raw_pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby(
+        "coarse_key"
+    ).map_groups(pairs_in_coarse_group, batch_format="pandas")
+    return raw_pairs.groupby(["id_a", "id_b"]).aggregate(
+        AggMin("hamming", alias_name="hamming")
     )
 
 
@@ -912,8 +894,16 @@ def duplicate_survivors(
                 }
             )
         dim = g[g["m"] == 0][["k", "label"]].rename(columns={"label": "cl"})
+        # nullable Int64 BEFORE the left merge: a plain int64 column
+        # would upcast to float64 on the unmatched rows and silently
+        # corrupt ids above 2^53 (CLAUDE.md rule)
+        dim = dim.assign(cl=dim["cl"].astype("Int64"))
         merged = ids[["k", "label"]].merge(dim, on="k", how="left")
-        cluster = merged["cl"].fillna(merged["label"]).astype("int64")
+        cluster = (
+            merged["cl"]
+            .fillna(merged["label"].astype("Int64"))
+            .astype("int64")
+        )
         return pd.DataFrame(
             {
                 id_col: merged["k"].astype("int64"),
@@ -984,20 +974,26 @@ def jaccard_verify_distributed(
         from ..state.streaming import BloomFilter
 
         b = BloomFilter.deserialize(_ray.get(bloom_ref), bloom_bits)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        keep = b.might_contain(ids.astype(np.uint64))
+        from ..state.streaming import bloom_keys
+
+        ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = b.might_contain(bloom_keys(ids_np))
         t = t.filter(pa.array(keep))
-        ids = ids[keep]
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         shingles = [
             _word_shingles(x or "", shingle_k).astype(np.uint64).tobytes()
             for x in t.column(text_col).to_pylist()
         ]
         return pa.table(
             {
-                "bucket": pa.array(_coarse_bucket(ids, num_buckets)),
-                "jid": pa.array(ids.astype(np.int64)),
-                "id_a": pa.array(ids.astype(np.int64)),  # dummy on doc rows
-                "id_b": pa.array(ids.astype(np.int64)),
+                "bucket": pa.array(
+                    _coarse_bucket(ids.to_numpy(zero_copy_only=False), num_buckets)
+                ),
+                "jid": ids,
+                "id_a": ids,  # dummy on doc rows
+                "id_b": ids,
                 "m": pa.array(np.zeros(len(ids), dtype=np.int8)),
                 "sh": pa.array(shingles, pa.binary()),
             }
@@ -1043,19 +1039,24 @@ def jaccard_verify_distributed(
     def pair_bucket(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False)
         b = t.column("id_b").to_numpy(zero_copy_only=False)
-        if len(a):
+        if len(a) and np.issubdtype(a.dtype, np.integer):
             with np.errstate(over="ignore"):
                 key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(np.uint64)
             pb = _coarse_bucket(key.astype(np.int64), 4096)
+        elif len(a):  # string ids
+            pb = _coarse_bucket(
+                np.array([f"{x}\x00{y}" for x, y in zip(a, b)], dtype=object), 4096
+            )
         else:
             pb = np.zeros(0, dtype=np.int64)
         return t.append_column("pbucket", pa.array(pb, pa.int64()))
 
     def jaccard_in_bucket(g):  # pandas in
+        id_dt = g["id_a"].dtype
         empty = pd.DataFrame(
             {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
+                "id_a": pd.Series([], dtype=id_dt),
+                "id_b": pd.Series([], dtype=id_dt),
                 "jaccard": pd.Series([], dtype="float64"),
             }
         )
@@ -1078,8 +1079,8 @@ def jaccard_verify_distributed(
                 ja.append(len(a_set & b_set) / len(a_set | b_set))
         return pd.DataFrame(
             {
-                "id_a": m["id_a"].astype("int64"),
-                "id_b": m["id_b"].astype("int64"),
+                "id_a": m["id_a"].astype(id_dt),
+                "id_b": m["id_b"].astype(id_dt),
                 "jaccard": pd.Series(ja, dtype="float64"),
             }
         )

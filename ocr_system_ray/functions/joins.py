@@ -32,6 +32,17 @@ import ray.data
 from .dedup import _coarse_bucket
 
 
+def _require_valid_keys(col, key_col: str, op: str) -> None:  # noqa: ANN001
+    """Null join keys have no join identity, and a nullable int64 would
+    round-trip through float64 in the numpy/pandas stages and silently
+    corrupt the output schema (CLAUDE.md) — fail loudly instead."""
+    if col.null_count:
+        raise ValueError(
+            f"{op}: join key column {key_col!r} contains "
+            f"{col.null_count} null value(s); filter or fill them upstream"
+        )
+
+
 def asof_join_latest(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -56,6 +67,7 @@ def asof_join_latest(
 
     def left_rows(t: pa.Table) -> pa.Table:
         k = t.column(key_col)
+        _require_valid_keys(k, key_col, "asof_join_latest(left)")
         cols = {
             "bucket": pa.array(
                 _coarse_bucket(k.to_numpy(zero_copy_only=False), num_buckets)
@@ -70,6 +82,7 @@ def asof_join_latest(
 
     def right_rows(t: pa.Table) -> pa.Table:
         k = t.column(key_col)
+        _require_valid_keys(k, key_col, "asof_join_latest(right)")
         cols = {
             "bucket": pa.array(
                 _coarse_bucket(k.to_numpy(zero_copy_only=False), num_buckets)
@@ -157,6 +170,7 @@ def window_count_join(
     lb = np.int64(lookback_us)
 
     def right_rows(t: pa.Table) -> pa.Table:
+        _require_valid_keys(t.column(key_col), key_col, "window_count_join(right)")
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         ts = (
             t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
@@ -178,6 +192,7 @@ def window_count_join(
         )
 
     def left_rows(t: pa.Table) -> pa.Table:
+        _require_valid_keys(t.column(key_col), key_col, "window_count_join(left)")
         k = t.column(key_col).to_numpy(zero_copy_only=False)
         ts = (
             t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(

@@ -53,14 +53,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _BatchTopK:
-    """Per-batch local top-k against a broadcast query matrix."""
+    """Per-batch local top-k against a broadcast query matrix.
 
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:  # noqa: ANN001
+    ``round_decimals``: when the FINAL ranking quantizes the cosine, the
+    per-batch selection must use the SAME total order ((rounded cosine
+    desc, id asc)) — selecting by raw cosine could cut a vector that the
+    rounded order ranks inside the global top-k (rounded tie, smaller
+    id, fractionally lower raw value)."""
+
+    def __init__(
+        self, queries_ref, k: int, id_col: str, vec_col: str, round_decimals=None
+    ) -> None:  # noqa: ANN001
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
         self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, dim)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self.round_decimals = round_decimals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_col).to_pylist())
@@ -74,11 +83,15 @@ class _BatchTopK:
         k = min(self.k, len(ids))
         out_q, out_id, out_c = [], [], []
         for qi in range(self.q.shape[0]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
+            col = sims[:, qi].astype(np.float64)
+            if self.round_decimals is not None:
+                # full sort under the global total order
+                order = np.lexsort((ids, -np.round(col, self.round_decimals)))[:k]
+            else:
+                order = np.argpartition(-col, k - 1)[:k]
             out_q.extend([qi] * k)
-            out_id.extend(ids[top].tolist())
-            out_c.extend(col[top].astype(np.float64).tolist())
+            out_id.extend(ids[order].tolist())
+            out_c.extend(col[order].tolist())
         return pa.table(
             {"query_id": pa.array(out_q, pa.int64()), self.id_col: pa.array(out_id),
              "cosine": pa.array(out_c, pa.float64())}
@@ -107,7 +120,13 @@ def brute_force_topk(
         _BatchTopK,
         batch_format="pyarrow",
         concurrency=(1, 8),
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "round_decimals": round_decimals,
+        },
     )
     # candidate stream is tiny (n_batches × nq × k): one global sort+limit
     # per query via a grouped head — expressed as sort + per-group limit.

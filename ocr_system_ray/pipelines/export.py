@@ -113,9 +113,20 @@ def write_xlsx(
         batches = [source]
     else:  # iterable of row dicts
         rows = list(source)
+        # "" fills MISSING/None cells only — falsy values like 0 or
+        # False are real data and must export as their string form
         batches = [
             pa.table(
-                {c: pa.array([str(r.get(c, "") or "") for r in rows], pa.string()) for c in columns}
+                {
+                    c: pa.array(
+                        [
+                            "" if (v := r.get(c)) is None else str(v)
+                            for r in rows
+                        ],
+                        pa.string(),
+                    )
+                    for c in columns
+                }
             )
         ]
 

@@ -770,6 +770,20 @@ def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _source_tag(sf_dir: str, table: str) -> str:
+    """Cache key component for /tmp artifacts DERIVED from a source
+    table: basename + a size/mtime fingerprint of the parquet file, so a
+    regenerated corpus (same path, new data) can never silently reuse a
+    stale index/archive."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    return f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+
+
 def _load_query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
     import os
     import pyarrow.parquet as pq
@@ -810,8 +824,9 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     )
     codebook = similarity.fit_codebook(np.asarray(sample, dtype=np.float32), n_centroids=16)
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    index_dir = os.path.join(tempfile.gettempdir(), f"osr_ivf_{tag}")
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_ivf_{_source_tag(sf_dir, 'embeddings')}"
+    )
     marker = os.path.join(index_dir, "_complete")
     if not os.path.exists(marker):
         import shutil
@@ -1033,8 +1048,9 @@ def q_warc_ingest(sf_dir: str) -> ray.data.Dataset:
 
     from ..sources.warc import read_warc, write_warc
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    warc_dir = os.path.join(tempfile.gettempdir(), f"osr_warc_{tag}")
+    warc_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_warc_{_source_tag(sf_dir, 'documents')}"
+    )
     marker = os.path.join(warc_dir, "_complete")
     if not os.path.exists(marker):
         import shutil

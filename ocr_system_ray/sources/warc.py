@@ -120,7 +120,10 @@ def parse_warc_records(
         if not url:
             skipped += 1
             continue
-        if strip_http:
+        # only response records embed an HTTP message; a conversion
+        # (WET) payload is plain text that may legitimately BEGIN with
+        # the characters "HTTP/" and must never be truncated
+        if strip_http and rtype == "response":
             payload = strip_http_headers(payload)
         records.append(
             {

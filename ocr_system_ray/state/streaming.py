@@ -234,22 +234,32 @@ class BloomFilter:
         return b
 
 
+def bloom_keys(values: np.ndarray) -> np.ndarray:
+    """Canonical uint64 Bloom key per value: integers pass through,
+    anything else goes through the stable string hash — builders and
+    probers MUST use this same function."""
+    if np.issubdtype(values.dtype, np.integer):
+        return values.astype(np.uint64)
+    from ..stages.skew import stable_hash64
+
+    return stable_hash64([str(v) for v in values])
+
+
 def build_bloom(
     ds: ray.data.Dataset,
     columns: list[str],
     num_bits: int = 1 << 23,
     num_hashes: int = 4,
 ) -> BloomFilter:
-    """Distributed Bloom build over int64 key columns: per-batch partial
-    filters (map_batches), driver OR-merge — only ``num_bits/8``-byte
-    sketches move, never the keys themselves."""
+    """Distributed Bloom build over key columns (int or string; keyed
+    via :func:`bloom_keys`): per-batch partial filters (map_batches),
+    driver OR-merge — only ``num_bits/8``-byte sketches move, never the
+    keys themselves."""
 
     def sketch(t: pa.Table) -> pa.Table:
         b = BloomFilter(num_bits, num_hashes)
         for c in columns:
-            b.add_hashes(
-                t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
+            b.add_hashes(bloom_keys(t.column(c).to_numpy(zero_copy_only=False)))
         return pa.table({"bloom": pa.array([b.serialize()], pa.binary())})
 
     merged = BloomFilter(num_bits, num_hashes)

@@ -14,6 +14,10 @@ TEXTS = [
     "LIC-12345 something 2025-01-31 Reference: XY-99",
     "LIC_987654 and ref WXYZ",
     "plain ALLCAPS9 token",  # catch-all fallbacks fire
+    # long-s: re.IGNORECASE equates \u017f with 's' via full casefold;
+    # prefilters must not reject these (round-2 regression)
+    "Tran\u017fmi\u017f\u017fion tower at 12 Main Street within the zone",
+    "valid \u017fo from 12.05.2025 to 13.06.2026 range",
     "short A1 token",
     "License No. 123 (R05) granted",
     "License No. 123 (RO05) granted",  # O not between digits -> kept

@@ -379,10 +379,62 @@ def test_jaccard_verify_distributed_matches_broadcast(ray_session):
     assert a.equals(b)
 
 
+def test_jaccard_verify_distributed_string_ids(ray_session):
+    """String doc ids must work end-to-end (bloom keying, bucket
+    hashing, pair reassembly) — round-2 regression."""
+    import pyarrow as pa
+    import ray.data
+
+    docs_t = pa.table(
+        {
+            "doc_id": pa.array([f"u{i}" for i in range(6)], pa.string()),
+            "text": ["alpha beta gamma delta shared words here"] * 3
+            + [f"other content {i} entirely distinct tokens" for i in range(3)],
+        }
+    )
+    pairs_t = pa.table(
+        {
+            "id_a": pa.array(["u0", "u0"], pa.string()),
+            "id_b": pa.array(["u1", "u4"], pa.string()),
+        }
+    )
+    out = (
+        dedup.jaccard_verify_distributed(
+            ray.data.from_arrow(pairs_t),
+            ray.data.from_arrow(docs_t),
+            num_buckets=8,
+        )
+        .to_pandas()
+        .set_index(["id_a", "id_b"])
+    )
+    assert out.loc[("u0", "u1"), "jaccard"] == 1.0  # identical texts
+    assert out.loc[("u0", "u4"), "jaccard"] == 0.0  # disjoint texts
+
+
 def test_simhash_pairs_find_the_dups(docs_ds):
     pairs = dedup.simhash_duplicate_pairs(docs_ds, max_hamming=3).to_pandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
     assert (0, 1) in got
+
+
+def test_simhash_star_does_not_drop_nonhub_pairs(ray_session):
+    """A near-dup pair of NON-hub docs must survive even when some of
+    its shared bands fall into over-threshold star buckets (the old
+    first-shared-band dedup dropped such pairs when the first shared
+    band was starred; cross-band dedup has no such interaction)."""
+    import pyarrow as pa
+    import ray.data
+
+    base = "identical boilerplate words repeated across every page here"
+    texts = [base] * 8 + [base + " uniquetail", base + " uniquetail"]
+    t = pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()), "text": texts}
+    )
+    pairs = dedup.simhash_duplicate_pairs(
+        ray.data.from_arrow(t), max_hamming=3, star_threshold=4
+    ).to_pandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (8, 9) in got  # identical pair, neither is any bucket's hub
 
 
 def test_simhash_star_pattern_on_big_buckets(ray_session):

@@ -70,6 +70,19 @@ def test_warc_skips_malformed_and_other_types(tmp_path):
     assert skipped == 1
 
 
+def test_conversion_payload_starting_with_http_not_truncated(tmp_path):
+    """WET conversion text may legitimately begin with 'HTTP/'; only
+    response records embed an HTTP message to strip."""
+    body = b"HTTP/2 is a protocol revision.\r\n\r\nIt multiplexes streams."
+    recs = [
+        {"url": "https://a/1", "warc_ts": TS, "payload": body, "record_type": "conversion"}
+    ]
+    raw = open(write_warc(recs, str(tmp_path / "w.warc")), "rb").read()
+    parsed, skipped = parse_warc_records(raw)
+    assert skipped == 0
+    assert parsed[0]["payload"] == body  # untouched
+
+
 def test_read_warc_dataset_schema_and_flagship(ray_session, tmp_path):
     paths = []
     for i, gz in enumerate([False, True]):
