@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q.q_user_sessions,
         "asof_latest_view": q.q_asof_latest_view,
         "error_click_window": q.q_error_click_window,
+        "event_value_quantiles": q.q_event_value_quantiles,
+        "stratified_sample": q.q_stratified_sample,
         "orders_of_top_customers": q.q_orders_of_top_customers,
         "events_sliding_windows": q.q_events_sliding_windows,
         "top_orders_per_customer": q.q_top_orders_per_customer,
@@ -236,6 +238,24 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.5)
+                       AS p50_cents,
+                   quantile_disc(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 0.95)
+                       AS p95_cents,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY md5(text), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         "error_click_window": """
             SELECT e.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks

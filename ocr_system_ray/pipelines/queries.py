@@ -315,6 +315,92 @@ def q_events_sliding_windows(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Grouped EXACT quantiles via a histogram combiner — the
+    distributed-quantile shape: per-batch (event_type, cents) counts
+    (the combiner), ONE groupby over distinct pairs (the only shuffle —
+    it moves value-histogram cells, never events), then the discrete
+    quantile read off the merged histogram driver-side.  Values are
+    integer cents; the rank rule (element at ceil(q·n)−1 of the sorted
+    values) matches DuckDB ``quantile_disc`` exactly, verified
+    empirically and by the oracle."""
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        value = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(value * 100.0 + 0.5).astype(np.int64)
+        tmp = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+        g = tmp.group_by(["event_type", "cents"]).aggregate([("one", "sum")])
+        return g.rename_columns(["event_type", "cents", "p_cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("p_cnt", alias_name="n"))
+        .to_pandas()  # distinct (type, cents) cells — small
+    )
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy()
+        cents = g["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+
+        def disc(q: float) -> int:
+            rank = max(1, math.ceil(q * n))
+            return int(cents[np.searchsorted(cum, rank)])
+
+        rows.append(
+            {
+                "event_type": et,
+                "p50_cents": disc(0.5),
+                "p95_cents": disc(0.95),
+                "n_events": n,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic EXACT-SIZE stratified sample: the 20 documents per
+    language that sort first by (md5(text), doc_id) — reproducible on
+    any machine/cluster size with zero RNG coordination (the same
+    content-hash trick as the train/test split, extended to per-stratum
+    quotas)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        out = textstats.fingerprint_batch(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "content_md5": out.column("content_md5"),
+            }
+        )
+
+    def head20(g):  # pandas in
+        return g.sort_values(["content_md5", "doc_id"]).head(20)[["lang", "doc_id"]]
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(head20, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     """Top-3 orders per customer by price (per-group top-k / window-rank)."""
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
