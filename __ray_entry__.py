@@ -103,6 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100_approx": q.q_vocab_top100_approx,
         "content_md5": q.q_content_md5,
         "winnow_fingerprints": q.q_winnow_fingerprints,
+        "repetition_signals": q.q_repetition_signals,
+        "pii_scrub": q.q_pii_scrub,
+        "decontam_flags": q.q_decontam_flags,
+        "token_chunks": q.q_token_chunks,
+        "domain_mix": q.q_domain_mix,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_pairs": q.q_minhash_pairs,
@@ -112,9 +117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_exact": q.q_embedding_dup_exact,
         "near_dedup_survivors": q.q_near_dedup_survivors,
         "corpus_quality_filter": q.q_corpus_quality_filter,
-        # similarity search
+        # similarity search / clustering
         "knn_bruteforce": q.q_knn_bruteforce,
         "knn_ivf": q.q_knn_ivf,
+        "kmeans_clusters": q.q_kmeans_clusters,
         # extraction + flagship
         "extract_fields_docs": q.q_extract_fields_docs,
         "model_extract_docs": q.q_model_extract_docs,
@@ -129,7 +135,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _domain_mix_arms() -> str:
+    from ocr_system_ray.pipelines.queries import DOMAIN_MIX_DEFAULT, DOMAIN_MIX_WEIGHTS
+
+    arms = " ".join(f"WHEN '{s}' THEN '{t}'" for s, t in DOMAIN_MIX_WEIGHTS.items())
+    return f"{arms} ELSE '{DOMAIN_MIX_DEFAULT}'"
+
+
 def oracle_sql() -> dict[str, str]:
+    from ocr_system_ray.functions.pii import sql_scrub_expr
+
     return {
         "doc_stats_by_lang": """
             SELECT lang,
@@ -329,6 +344,75 @@ def oracle_sql() -> dict[str, str]:
                    END AS mean_word_len_milli
             FROM documents
         """,
+        # repetition signals: Counter-per-doc on the Ray side ≡
+        # unnest/groupby on the SQL side; integer permille (// is
+        # BIGINT division on both sides).  Tokens = string_split(' ').
+        "repetition_signals": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ), wc AS (
+              SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+            ), wordstats AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                     CAST(MAX(c) AS BIGINT) AS m
+              FROM wc GROUP BY doc_id
+            ), t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), g AS (
+              SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
+              FROM t, UNNEST(generate_series(1, len(l)-1)) AS u(i)
+            ), gs AS (
+              SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT gram) AS d
+              FROM g GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   w.m * 1000 // w.n_tok AS top_word_permille,
+                   COALESCE((gs.total - gs.d) * 1000 // gs.total, 0) AS dup_2gram_permille
+            FROM wordstats w LEFT JOIN gs USING (doc_id)
+        """,
+        # pii_scrub: the SQL is GENERATED from the same rule tuples the
+        # Ray kernel applies (functions/pii.py DEFAULT_RULES), and both
+        # engines are RE2 — the two sides cannot drift independently.
+        "pii_scrub": f"""
+            SELECT event_id, {sql_scrub_expr('props')} AS props_scrubbed
+            FROM events
+        """,
+        # decontam_flags: word-aligned 8-gram overlap.  Single-space
+        # tokens make space-padded contains() exactly the n-gram-set
+        # predicate the Ray side evaluates.
+        "decontam_flags": """
+            WITH bench AS (
+              SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS snippet
+              FROM documents
+              WHERE doc_id % 37 = 3 AND len(string_split(text, ' ')) >= 8
+            )
+            SELECT d.doc_id,
+                   CAST(EXISTS (
+                     SELECT 1 FROM bench b
+                     WHERE contains(' ' || d.text || ' ', ' ' || b.snippet || ' ')
+                   ) AS BIGINT) AS contaminated
+            FROM documents d
+        """,
+        # token_chunks: chunk geometry (ceil(n/64) windows per doc, last
+        # one short).  string_split(' ') tokens on both sides.
+        "token_chunks": """
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+            )
+            SELECT doc_id,
+                   CAST(u.i AS BIGINT) AS chunk_index,
+                   CAST(LEAST(64, n - u.i * 64) AS BIGINT) AS chunk_tokens
+            FROM t, UNNEST(generate_series(0, (n - 1) // 64)) AS u(i)
+        """,
+        # domain_mix: md5-prefix threshold per source — the CASE arms
+        # are GENERATED from pipelines/queries.DOMAIN_MIX_WEIGHTS ('zz'
+        # sorts above every hex digit → keep-all default), so the two
+        # sides share one weights table.
+        "domain_mix": f"""
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5(text), 1, 2) <
+                  CASE source {_domain_mix_arms()} END
+        """,
         # golden-parquet oracles: committed files generated by
         # tools/make_goldens.py (extract_fields: computed by the LIVE
         # reference code; winnow: frozen counts of the pytest-pinned
@@ -383,6 +467,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.query_id, g.vec_id, g.rank
             FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
             JOIN embeddings e ON g.vec_id = e.vec_id
+        """,
+        "kmeans_clusters": """
+            SELECT e.vec_id, g.cluster
+            FROM embeddings e
+            JOIN '/root/repo/tests/golden/kmeans_sf001.parquet' g
+              ON e.vec_id = g.vec_id
         """,
         "final_extract_pages": """
             SELECT url, "Licenses", "Address", "Start Date", "End Date",

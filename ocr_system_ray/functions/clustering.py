@@ -1,0 +1,163 @@
+"""Distributed k-means over an embedding column (Lloyd's algorithm).
+
+The corpus-organization op a training-data pipeline runs before
+curriculum bucketing / domain mixing (and the general form of the IVF
+codebook in ``similarity.py``, which fits on a driver-side sample —
+this one fits on the FULL dataset, distributed).
+
+Ray shape per iteration: centroids are broadcast (``ray.put``, k × dim
+floats — kilobytes), one stateless ``map_batches`` computes each
+batch's per-cluster partial sums and counts (a k × (dim+1) table per
+batch), and the driver reduces those tiny partials.  The corpus never
+moves: per iteration the cluster exchanges O(n_batches · k · dim)
+floats, not O(n · dim).  ``take_all`` touches only the partials, never
+the vectors.
+
+Determinism (the oracle contract): every per-row computation is
+batching-invariant, and the one cross-batch float reduction (summing
+partials) is immunized by rounding centroids to ``round_decimals``
+after each update — reordered float64 addition drifts ~1e-13 relative,
+9 orders below the 1e-4 rounding grid, so any batch layout yields the
+same rounded centroids and therefore the same assignments.  Pinned by
+tests (different batch sizes / block counts → identical output) and a
+committed golden (``tools/make_goldens.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .similarity import _as_matrix
+
+
+def assign_ids(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row (squared L2), ties → lowest cluster id.
+
+    Uses ``-2·x·cᵀ + ‖c‖²`` (the ‖x‖² term is constant per row) in
+    float64; purely row-wise, so batching cannot change the result.
+    """
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    c = centroids.astype(np.float64)
+    scores = -2.0 * (x.astype(np.float64) @ c.T) + (c * c).sum(axis=1)
+    return scores.argmin(axis=1).astype(np.int64)
+
+
+def update_centroids(
+    sums: np.ndarray, counts: np.ndarray, prev: np.ndarray, round_decimals: int = 4
+) -> np.ndarray:
+    """New rounded centroids from global per-cluster sums/counts; empty
+    clusters keep their previous centroid (already rounded)."""
+    out = prev.copy()
+    nonempty = counts > 0
+    out[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return np.round(out, round_decimals)
+
+
+def kmeans_numpy(
+    x: np.ndarray, k: int, n_iter: int = 10, round_decimals: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-matrix reference implementation (the golden generator and
+    the equality oracle for the distributed path).  Init = first ``k``
+    rows (callers pass rows ordered by id).  Returns (centroids,
+    assignments)."""
+    x = x.astype(np.float64)
+    centroids = np.round(x[:k].copy(), round_decimals)
+    for _ in range(n_iter):
+        a = assign_ids(x, centroids)
+        sums = np.zeros((k, x.shape[1]), dtype=np.float64)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        centroids = update_centroids(sums, counts, centroids, round_decimals)
+    return centroids, assign_ids(x, centroids)
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, k: int, vec_col: str, id_col: str, round_decimals: int
+) -> np.ndarray:
+    """Deterministic seed: the vectors of the ``k`` smallest ids.
+
+    Shuffle-free min-k: each batch keeps its own k smallest ids (tiny
+    tables), the driver merges — no global sort of the corpus."""
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return t.take(pa.array(take))
+
+    cand = ds.map_batches(partial_min, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r[id_col])
+    seed = np.asarray([r[vec_col] for r in cand[:k]], dtype=np.float64)
+    return np.round(seed, round_decimals)
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 10,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 4,
+) -> np.ndarray:
+    """Fit ``k`` centroids over the full dataset; returns (k, dim) float64.
+
+    Each Lloyd iteration re-executes ``ds``'s plan (n_iter + 2 passes
+    total) — for large corpora pass ``ds.materialize()`` (or a dataset
+    whose plan is just a parquet read, which is what the driver queries
+    do) so iterations re-read blocks instead of recomputing upstream
+    stages.
+    """
+    centroids = _init_centroids(ds, k, vec_col, id_col, round_decimals)
+    dim = centroids.shape[1]
+
+    for _ in range(n_iter):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _as_matrix(t.column(vec_col)).astype(np.float64)
+            a = assign_ids(x, c)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.reshape(-1)], pa.list_(pa.float64())),
+                    "counts": pa.array([counts], pa.list_(pa.int64())),
+                }
+            )
+
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+            sums += np.asarray(row["sums"], dtype=np.float64).reshape(k, dim)
+            counts += np.asarray(row["counts"], dtype=np.int64)
+        centroids = update_centroids(sums, counts, centroids, round_decimals)
+    return centroids
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+) -> ray.data.Dataset:
+    """Label every row with its nearest centroid → (id_col, cluster_col)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _as_matrix(t.column(vec_col)).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                cluster_col: pa.array(assign_ids(x, c), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

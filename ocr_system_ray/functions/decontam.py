@@ -1,0 +1,96 @@
+"""Benchmark decontamination: flag corpus documents that share a word
+n-gram with a benchmark / eval snippet set.
+
+The GPT-3-appendix-C / Llama-style overlap rule, word-level: a document
+is *contaminated* when any of its n-token windows appears in the
+benchmark n-gram set.  Tokens are single-space splits (exactly DuckDB's
+``string_split(text, ' ')``), so the SQL oracle's word-aligned
+``contains(' '||text||' ', ' '||snippet||' ')`` check is the identical
+predicate for single-n-gram snippets.
+
+Ray shape (the 100 TB story): the benchmark side is small by nature —
+eval suites are 1e4–1e6 snippets, megabytes — so it is broadcast ONCE
+(``ray.put`` of a frozenset of n-gram strings; swap in
+``state.streaming.BloomFilter`` for very large sets) and the corpus
+streams through a single stateless ``map_batches``.  No shuffle; cost
+is O(corpus bytes) + one broadcast.  This mirrors the repo's broadcast
+semi-join rule (SURVEY.md §2.5): never shuffle the big side against a
+small lookup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def snippet_ngrams(snippets: Iterable[str], n: int = 8) -> frozenset[str]:
+    """Every word ``n``-gram of every snippet, as space-joined strings.
+
+    Snippets shorter than ``n`` tokens contribute nothing (too weak a
+    signal to act on — the standard rule drops them).
+    """
+    grams: set[str] = set()
+    for s in snippets:
+        toks = s.split(" ")
+        for i in range(len(toks) - n + 1):
+            grams.add(" ".join(toks[i : i + n]))
+    return frozenset(grams)
+
+
+def contamination_flags(
+    ds: ray.data.Dataset,
+    bench_grams: frozenset[str],
+    n: int = 8,
+    text_col: str = "text",
+    flag_col: str = "contaminated",
+) -> ray.data.Dataset:
+    """Append ``flag_col`` (int64 0/1): 1 iff any n-token window of the
+    document appears in ``bench_grams``.
+
+    The window scan is a short-circuiting set probe per window —
+    O(tokens · n) string assembly worst case, O(tokens) probes; for
+    large n prefer hashing the windows (same loop, ``zlib.crc32`` of
+    the joined bytes) — string probes keep the oracle predicate exact.
+    """
+    bench_ref = ray.put(bench_grams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        grams: frozenset[str] = ray.get(bench_ref)
+        out = []
+        for v in batch.column(text_col).to_pylist():
+            toks = (v or "").split(" ")
+            hit = 0
+            for i in range(len(toks) - n + 1):
+                if " ".join(toks[i : i + n]) in grams:
+                    hit = 1
+                    break
+            out.append(hit)
+        return batch.append_column(flag_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_grams: frozenset[str],
+    n: int = 8,
+    text_col: str = "text",
+    keep_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Survivor filter: drop contaminated documents, keep ``keep_cols``
+    (default: all input columns)."""
+    flagged = contamination_flags(ds, bench_grams, n=n, text_col=text_col)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = batch.filter(pc.equal(batch.column("contaminated"), 0))
+        kept = kept.drop_columns(["contaminated"])
+        return kept.select(list(keep_cols)) if keep_cols else kept
+
+    return flagged.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,132 @@
+"""Tokenize-and-chunk: documents → fixed-length token-id windows, the
+last hop of a pre-training data pipeline (what the trainer's data
+loader actually reads).
+
+Ray shape: a stateless 1→N ``map_batches`` flat-map (same shape as the
+multimodal ``frame_sample`` stage) — each document independently emits
+``ceil(n_tokens / seq_len)`` chunk rows, so the stage streams, never
+shuffles, and parallelizes by block.  A *cross-document* packer (fill
+each window to exactly ``seq_len`` with multiple docs, GPT-style) is
+deliberately out of scope for a stateless stage: it needs an ordered
+carry between neighbors — do it per-partition after a
+``repartition``/sort and document that partition assumption, or accept
+per-block greedy packing.  Per-document chunking (this module) is the
+deterministic, order-free 99% case.
+
+Tokens are single-space splits (``string_split(text, ' ')`` parity, the
+repo-wide rule); token *ids* come from a stable crc32 hash into a
+2**vocab_bits vocab — a deterministic stand-in for a real BPE vocab
+(no tokenizer ships in this environment; swap ``token_id`` for a real
+encoder in production).  Chunk COUNTS are SQL-oracle-checkable; the id
+lists are pinned by pytest goldens.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def token_id(token: str, vocab_bits: int = 16) -> int:
+    """Stable hash-vocab id (crc32 masked to ``vocab_bits``)."""
+    return zlib.crc32(token.encode("utf-8")) & ((1 << vocab_bits) - 1)
+
+
+def chunk_tokens_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 64,
+    vocab_bits: int = 16,
+) -> pa.Table:
+    """1→N: one row per ``seq_len``-token window of each document.
+
+    Output: ``(id_col, chunk_index: int64, chunk_tokens: int64,
+    token_ids: list<int32>)`` — the final (short) chunk is emitted
+    unpadded (``chunk_tokens < seq_len``); trainers pad or drop it.
+    """
+    ids_out: list[int] = []
+    idx_out: list[int] = []
+    n_out: list[int] = []
+    tok_out: list[list[int]] = []
+    mask = (1 << vocab_bits) - 1
+    doc_ids = batch.column(id_col).to_pylist()
+    for did, v in zip(doc_ids, batch.column(text_col).to_pylist()):
+        toks = (v or "").split(" ")
+        tids = [zlib.crc32(t.encode("utf-8")) & mask for t in toks]
+        n = len(tids)
+        for ci, start in enumerate(range(0, n, seq_len)):
+            win = tids[start : start + seq_len]
+            ids_out.append(did)
+            idx_out.append(ci)
+            n_out.append(len(win))
+            tok_out.append(win)
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, batch.column(id_col).type),
+            "chunk_index": pa.array(idx_out, pa.int64()),
+            "chunk_tokens": pa.array(n_out, pa.int64()),
+            "token_ids": pa.array(tok_out, pa.list_(pa.int32())),
+        }
+    )
+
+
+def pack_chunks_greedy(
+    batch: pa.Table,
+    seq_len: int = 64,
+    tokens_col: str = "token_ids",
+    id_col: str = "doc_id",
+    pad_id: int = 0,
+) -> pa.Table:
+    """Per-BLOCK greedy packing: concatenate this batch's chunks into
+    full ``seq_len`` windows (documents separated implicitly by chunk
+    boundaries), padding only the final window.
+
+    This is the cross-document packer with its partition assumption
+    made explicit: windows never span blocks, so ~one window per block
+    is padding overhead — negligible at production block sizes (1e5+
+    tokens/block), zero coordination.  Output:
+    ``(example_index: int64, token_ids: list<int32>, n_docs: int64)``
+    where ``example_index`` is block-local (globally unique only after
+    a downstream zip-with-index, which would be ordered — document why
+    before adding it).
+    """
+    flat: list[int] = []
+    doc_edges: list[int] = []  # flat offsets where a new doc begins
+    last_doc = object()
+    for did, win in zip(
+        batch.column(id_col).to_pylist(), batch.column(tokens_col).to_pylist()
+    ):
+        if did != last_doc:
+            doc_edges.append(len(flat))
+            last_doc = did
+        flat.extend(win)
+    if not flat:
+        return pa.table(
+            {
+                "example_index": pa.array([], pa.int64()),
+                "token_ids": pa.array([], pa.list_(pa.int32())),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+    edges = np.asarray(doc_edges, dtype=np.int64)
+    examples: list[list[int]] = []
+    n_docs: list[int] = []
+    for start in range(0, len(flat), seq_len):
+        win = flat[start : start + seq_len]
+        if len(win) < seq_len:
+            win = win + [pad_id] * (seq_len - len(win))
+        examples.append(win)
+        lo, hi = start, min(start + seq_len, len(flat))
+        # docs overlapping the window: the one carrying over at `lo`
+        # plus every doc that starts strictly inside it
+        n_docs.append(int(((edges > lo) & (edges < hi)).sum()) + 1)
+    return pa.table(
+        {
+            "example_index": pa.array(range(len(examples)), pa.int64()),
+            "token_ids": pa.array(examples, pa.list_(pa.int32())),
+            "n_docs": pa.array(n_docs, pa.int64()),
+        }
+    )

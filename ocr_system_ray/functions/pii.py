@@ -1,0 +1,72 @@
+"""PII scrubbing: redact emails / IPv4 addresses / phone-shaped digit
+runs / residual numbers from a text column.
+
+The standard pre-training hygiene pass (C4/CCNet-style): rule-based
+redaction applied corpus-wide before training.  Ray shape: one
+stateless ``map_batches`` over the text column — no shuffle, no state,
+O(corpus bytes).
+
+Parity design: the kernels are pyarrow's ``replace_substring_regex``
+(RE2), the same engine family DuckDB's ``regexp_replace(..., 'g')``
+uses — so the SQL oracle is the *identical* regex walk, not a
+lookalike.  Patterns therefore use only RE2-portable syntax: no
+lookaround, no backreferences, ASCII ``\\b``.
+
+Reference analog: the extraction engine's normalization passes
+(``/root/reference/ocr/dynamic.py:120-124`` rewrites character classes
+in-place); this module is the corpus-hygiene counterpart the graft
+mandate adds.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Order matters and is part of the contract: EMAIL before IPV4 (an
+# address inside an email host must become part of <EMAIL>), PHONE
+# before NUMBER (else the digit runs are consumed piecemeal).
+EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE = r"\+?\d[\d() -]{7,}\d"
+NUMBER = r"\d+"
+
+DEFAULT_RULES: tuple[tuple[str, str], ...] = (
+    (EMAIL, "<EMAIL>"),
+    (IPV4, "<IP>"),
+    (PHONE, "<PHONE>"),
+    (NUMBER, "<NUM>"),
+)
+
+
+def scrub_text_batch(
+    batch: pa.Table,
+    text_col: str,
+    out_col: str | None = None,
+    rules: tuple[tuple[str, str], ...] = DEFAULT_RULES,
+) -> pa.Table:
+    """Append ``out_col`` (default ``{text_col}_scrubbed``) with every
+    rule applied left-to-right, globally, via the vectorized RE2 kernel.
+
+    The DuckDB-equivalent expression is the same rules nested inside
+    out:  ``regexp_replace(regexp_replace(... , EMAIL, '<EMAIL>', 'g'),
+    ..., NUMBER, '<NUM>', 'g')``.
+    """
+    arr = pc.fill_null(batch.column(text_col), "")
+    for pat, repl in rules:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    name = out_col or f"{text_col}_scrubbed"
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+def sql_scrub_expr(col: str, rules: tuple[tuple[str, str], ...] = DEFAULT_RULES) -> str:
+    """The DuckDB expression equivalent to :func:`scrub_text_batch` —
+    built from the SAME rule tuples so the two sides cannot drift."""
+    expr = col
+    for pat, repl in rules:
+        # DuckDB string literals are not backslash-escaped, so the raw
+        # RE2 pattern embeds verbatim (none of the rules contain ').
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

@@ -163,6 +163,45 @@ class LangIdStage:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append the Gopher repetition-filter signals (Rae et al. 2021 §A1.1),
+    as exact integer permille so the SQL oracle hashes bit-identically:
+
+    ``top_word_permille``    most-frequent-token count · 1000 // tokens
+    ``dup_2gram_permille``   (2-grams − distinct 2-grams) · 1000 // 2-grams
+                             (0 when the doc has fewer than two tokens)
+
+    Tokens are single-space splits — exactly DuckDB's
+    ``string_split(text, ' ')`` (NOT ``str.split()``: unicode whitespace
+    would silently diverge the oracle, the ADVICE-r1 lesson).  Cost is
+    one Counter pass per document, O(bytes) — same budget as the other
+    per-doc signals in this module.
+    """
+    from collections import Counter
+
+    top_out: list[int] = []
+    dup2_out: list[int] = []
+    for v in batch.column(text_col).to_pylist():
+        toks = (v or "").split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        top_out.append(max(c.values()) * 1000 // n)
+        n2 = n - 1
+        if n2 <= 0:
+            dup2_out.append(0)
+            continue
+        d2 = len({(toks[i], toks[i + 1]) for i in range(n2)})
+        dup2_out.append((n2 - d2) * 1000 // n2)
+    return batch.append_column(
+        "top_word_permille", pa.array(top_out, pa.int64())
+    ).append_column("dup_2gram_permille", pa.array(dup2_out, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
 # vocabulary / heavy hitters
 # ---------------------------------------------------------------------------
 

@@ -26,7 +26,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..sources.readers import read_table
-from ..functions import textstats, dedup, similarity, multimodal
+from ..functions import textstats, dedup, similarity, multimodal, pii
 from ..stages.fieldextract import DocumentFieldsStage
 from ..pipelines.main_content import parse_pages, final_extract, PipelineConfig
 
@@ -711,6 +711,120 @@ def q_winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters (integer permille — exact SQL
+    parity via Counter/`string_split(' ')` on both sides)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textstats.repetition_batch(t).select(
+            ["doc_id", "top_word_permille", "dup_2gram_permille"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII/number redaction over the events ``props`` payload.
+
+    Both sides run the same RE2 rule chain (`functions/pii.py`
+    DEFAULT_RULES; the oracle SQL is generated from the same tuples by
+    ``sql_scrub_expr``), so the scrubbed strings hash identically."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    return ds.map_batches(
+        lambda t: pii.scrub_text_batch(t, "props").select(["event_id", "props_scrubbed"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_decontam_flags(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag documents sharing an 8-token
+    window with the benchmark snippet set.
+
+    The benchmark stand-in is derived deterministically from the corpus
+    (every ``doc_id % 37 == 3`` document contributes its first 8
+    tokens) — at production scale it is an external eval-suite table,
+    always small, so the Ray shape is collect-small-side → ``ray.put``
+    broadcast → one stateless flag pass over the streaming corpus."""
+    from ..functions import decontam
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snip(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.filter(pa.array(ids % 37 == 3)).column("text").to_pylist()
+        out = []
+        for x in texts:
+            toks = (x or "").split(" ")
+            if len(toks) >= 8:
+                out.append(" ".join(toks[:8]))
+        return pa.table({"snippet": pa.array(out, pa.string())})
+
+    snippets = [r["snippet"] for r in docs.map_batches(snip, batch_format="pyarrow").take_all()]
+    grams = decontam.snippet_ngrams(snippets, n=8)
+    flagged = decontam.contamination_flags(docs, grams, n=8)
+    return flagged.map_batches(
+        lambda t: t.select(["doc_id", "contaminated"]), batch_format="pyarrow"
+    )
+
+
+def q_token_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Tokenize-and-chunk (the trainer-facing final stage): one row per
+    64-token window per document.  Stateless 1→N flat-map, no shuffle.
+    The SQL oracle checks the chunk geometry (index + length per doc);
+    the hash-vocab token-id lists are pinned by pytest."""
+    from ..functions import packing
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: packing.chunk_tokens_batch(t, seq_len=64).select(
+            ["doc_id", "chunk_index", "chunk_tokens"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# Domain-mixing weights: hex-threshold on md5(text) — the same
+# deterministic-hash sampling family as q_train_test_split (no RNG
+# coordination; a doc's fate is a pure function of its content).  The
+# two-hex-digit threshold gives 1/256 granularity; 'zz' > 'ff' keeps all.
+DOMAIN_MIX_WEIGHTS: dict[str, str] = {"src1": "80", "src2": "40", "src3": "20"}
+DOMAIN_MIX_DEFAULT = "zz"
+
+
+def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
+    """Weighted per-source downsampling (Pile/Llama-style domain
+    mixing): keep a doc iff its md5 prefix clears the source's
+    threshold.  Stateless filter — the mixing weights broadcast as
+    plain config, no shuffle, identical decisions at any cluster size."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def mix(t: pa.Table) -> pa.Table:
+        out = textstats.fingerprint_batch(t)
+        keep = [
+            h[:2] < DOMAIN_MIX_WEIGHTS.get(s, DOMAIN_MIX_DEFAULT)
+            for h, s in zip(
+                out.column("content_md5").to_pylist(),
+                t.column("source").to_pylist(),
+            )
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return ds.map_batches(mix, batch_format="pyarrow")
+
+
+def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Distributed k-means over the embeddings table (k=10, 10 Lloyd
+    iterations, deterministic min-id seed).  Oracle = committed golden
+    (generated by the single-matrix ``kmeans_numpy`` twin; the
+    distributed path is batching-invariant by construction — see
+    functions/clustering.py)."""
+    from ..functions import clustering
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = clustering.kmeans_fit(emb, k=10, n_iter=10)
+    return clustering.kmeans_assign(emb, centroids)
 
 
 # ---------------------------------------------------------------------------

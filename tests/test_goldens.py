@@ -77,6 +77,18 @@ def test_query_golden_drift(ray_session, stem):
 
 
 @needs_testdata
+def test_kmeans_golden_matches_numpy_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import kmeans_golden
+
+    fresh = kmeans_golden()
+    committed = pq.read_table(GOLDEN_DIR / "kmeans_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
 def test_extract_fields_golden_agrees_with_our_core():
     """Belt-and-braces: our core must reproduce the reference-derived
     golden byte-for-byte (the same invariant the driver now checks)."""

@@ -21,6 +21,11 @@ SUBSET = [
     "exact_dedup",
     "knn_bruteforce",
     "customer_order_totals",
+    "repetition_signals",
+    "pii_scrub",
+    "decontam_flags",
+    "token_chunks",
+    "domain_mix",
 ]
 
 

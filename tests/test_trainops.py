@@ -1,0 +1,297 @@
+"""Round-2 training-data operators: PII scrubbing, benchmark
+decontamination, repetition signals, distributed k-means.
+
+Each operator is checked three ways where applicable: against a
+brute-force python twin, against DuckDB on synthetic inputs (the same
+parity the driver enforces on the sf tables), and for
+batching-invariance (the distributed result must not depend on block /
+batch layout).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions import clustering, decontam, pii, textstats
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+PII_SAMPLES = [
+    "contact me at john.doe+spam@example.co.uk thanks",
+    "server at 10.0.255.3 responded",
+    "call +1 (415) 555-0199 today",
+    "order 1234 shipped, 56 units",
+    "mixed: a@b.io via 192.168.1.1 ref 42",
+    "",
+    "no pii here at all",
+]
+
+
+def test_scrub_rules_on_synthetic_pii():
+    t = pa.table({"text": pa.array(PII_SAMPLES, pa.string())})
+    out = pii.scrub_text_batch(t, "text").column("text_scrubbed").to_pylist()
+    assert out[0] == "contact me at <EMAIL> thanks"
+    assert out[1] == "server at <IP> responded"
+    assert out[2] == "call <PHONE> today"
+    assert out[3] == "order <NUM> shipped, <NUM> units"
+    assert out[4] == "mixed: <EMAIL> via <IP> ref <NUM>"
+    assert out[5] == ""
+    assert out[6] == "no pii here at all"
+
+
+def test_scrub_null_and_in_place_overwrite():
+    t = pa.table({"text": pa.array(["a 1 b", None], pa.string())})
+    out = pii.scrub_text_batch(t, "text", out_col="text")
+    assert out.column_names == ["text"]
+    assert out.column("text").to_pylist() == ["a <NUM> b", ""]
+
+
+def test_scrub_matches_duckdb_regexp_replace():
+    """The generated SQL chain must reproduce the Arrow kernel exactly —
+    this is the parity the driver's pii_scrub hash check relies on."""
+    t = pa.table({"text": pa.array(PII_SAMPLES, pa.string())})
+    ours = pii.scrub_text_batch(t, "text").column("text_scrubbed").to_pylist()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {pii.sql_scrub_expr('text')} FROM t"
+        ).fetchall()
+    ]
+    assert ours == want
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_snippet_ngrams_multi_window():
+    grams = decontam.snippet_ngrams(["a b c d", "x y"], n=3)
+    assert grams == frozenset({"a b c", "b c d"})  # "x y" too short
+
+
+def test_contamination_flags_vs_bruteforce(ray_session):
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(5, 40))) for _ in range(200)]
+    bench = decontam.snippet_ngrams(docs[::17], n=6)
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(docs)})
+    ).repartition(5)
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.contamination_flags(ds, bench, n=6).take_all()
+    }
+
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        want = int(
+            any(" ".join(toks[j : j + 6]) in bench for j in range(len(toks) - 5))
+        )
+        assert got[i] == want, i
+    # every seed doc with >=6 tokens must self-flag
+    for i in range(0, 200, 17):
+        if len(docs[i].split(" ")) >= 6:
+            assert got[i] == 1
+
+
+def test_decontaminate_drops_flagged(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["p q r s", "a b c d", "a b c e"]),
+            }
+        )
+    )
+    grams = decontam.snippet_ngrams(["a b c"], n=3)
+    kept = decontam.decontaminate(ds, grams, n=3).take_all()
+    assert [r["doc_id"] for r in kept] == [0]
+    assert set(kept[0]) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,top,dup2",
+    [
+        ("", 1000, 0),  # ''.split(' ') == [''] on both sides
+        ("a", 1000, 0),
+        ("a a a", 1000, 500),  # 2 bigrams, 1 distinct
+        ("a b a b", 500, 333),  # 3 bigrams, 2 distinct
+        ("a b c d", 250, 0),
+    ],
+)
+def test_repetition_signals_edge_cases(text, top, dup2):
+    t = pa.table({"text": pa.array([text], pa.string())})
+    out = textstats.repetition_batch(t)
+    assert out.column("top_word_permille").to_pylist() == [top]
+    assert out.column("dup_2gram_permille").to_pylist() == [dup2]
+
+
+def test_repetition_matches_duckdb_on_synthetic():
+    rng = np.random.RandomState(3)
+    vocab = ["x", "y", "z", "w"]
+    texts = [" ".join(rng.choice(vocab, size=n)) for n in rng.randint(1, 25, size=60)]
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+    ours = textstats.repetition_batch(t)
+    con = duckdb.connect()
+    con.register("documents", t)
+    import __ray_entry__ as entry
+
+    want = (
+        con.sql(entry.oracle_sql()["repetition_signals"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert ours.column("top_word_permille").to_pylist() == want["top_word_permille"].tolist()
+    assert ours.column("dup_2gram_permille").to_pylist() == want["dup_2gram_permille"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# tokenize-and-chunk / packing
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_tokens_geometry_and_ids():
+    from ocr_system_ray.functions import packing
+
+    texts = [" ".join(str(i) for i in range(150)), "a b", ""]
+    t = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()), "text": pa.array(texts)})
+    out = packing.chunk_tokens_batch(t, seq_len=64)
+    rows = list(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("chunk_index").to_pylist(),
+            out.column("chunk_tokens").to_pylist(),
+        )
+    )
+    # 150 tokens → 64 + 64 + 22; "a b" → 2; "" → [''] → 1
+    assert rows == [(10, 0, 64), (10, 1, 64), (10, 2, 22), (11, 0, 2), (12, 0, 1)]
+    ids = out.column("token_ids").to_pylist()
+    assert all(len(w) == n for w, n in zip(ids, out.column("chunk_tokens").to_pylist()))
+    # stable hash vocab: same token → same id, id < 2^16
+    assert ids[3][0] == packing.token_id("a") and 0 <= ids[3][0] < 65536
+    first_chunk_last = ids[0][63]
+    assert first_chunk_last == packing.token_id("63")
+
+
+def test_pack_chunks_greedy_windows():
+    from ocr_system_ray.functions import packing
+
+    chunks = packing.chunk_tokens_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(["x"] * 50),
+                        " ".join(["y"] * 30),
+                        " ".join(["z"] * 20),
+                    ]
+                ),
+            }
+        ),
+        seq_len=64,
+    )
+    packed = packing.pack_chunks_greedy(chunks, seq_len=64, pad_id=0)
+    toks = packed.column("token_ids").to_pylist()
+    assert len(toks) == 2  # 100 tokens → 2 windows of 64
+    assert all(len(w) == 64 for w in toks)
+    assert toks[1][36:] == [0] * 28  # final window padded
+    assert packed.column("n_docs").to_pylist() == [2, 2]  # docs 1+2 | 2→3
+
+
+def test_pack_chunks_empty_batch():
+    from ocr_system_ray.functions import packing
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "token_ids": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+    out = packing.pack_chunks_greedy(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["example_index", "token_ids", "n_docs"]
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def _ids_and_matrix():
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    x = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)[order]
+    return ids[order], x
+
+
+def test_kmeans_distributed_equals_numpy_twin(ray_session):
+    ids, x = _ids_and_matrix()
+    _, want = clustering.kmeans_numpy(x, k=10, n_iter=10)
+
+    emb = ray.data.read_parquet(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c = clustering.kmeans_fit(emb, k=10, n_iter=10)
+    got = {r["vec_id"]: r["cluster"] for r in clustering.kmeans_assign(emb, c).take_all()}
+    assert [got[i] for i in ids] == list(want)
+
+
+def test_kmeans_batching_invariance(ray_session):
+    """Different block layouts must give identical centroids — the
+    rounding contract that makes the golden oracle safe."""
+    ids, x = _ids_and_matrix()
+    results = []
+    for blocks in (1, 7):
+        emb = ray.data.read_parquet(
+            f"{SF001}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        )
+        results.append(clustering.kmeans_fit(emb, k=10, n_iter=5))
+    assert np.array_equal(results[0], results[1])
+
+
+def test_kmeans_separates_obvious_clusters(ray_session):
+    rng = np.random.RandomState(0)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    blobs = [c + rng.randn(40, 2) * 0.1 for c in centers]
+    # interleave so the min-id seed (ids 0,1,2) lands one per blob —
+    # the deterministic-seed contract leaves init quality to the caller
+    pts = np.stack(blobs, axis=1).reshape(-1, 2)  # id i → blob i % 3
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(120), pa.int64()),
+                "embedding": pa.array([list(p) for p in pts], pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    c = clustering.kmeans_fit(ds, k=3, n_iter=8)
+    lab = {r["vec_id"]: r["cluster"] for r in clustering.kmeans_assign(ds, c).take_all()}
+    groups = [{lab[i] for i in range(120) if i % 3 == g} for g in range(3)]
+    assert all(len(g) == 1 for g in groups)  # each blob is one cluster
+    assert len(set().union(*groups)) == 3  # and the blobs are distinct

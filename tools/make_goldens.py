@@ -88,6 +88,28 @@ def winnow_golden() -> pa.Table:
     )
 
 
+def kmeans_golden() -> pa.Table:
+    """(vec_id, cluster) from the single-matrix numpy twin
+    (``clustering.kmeans_numpy``) — an INDEPENDENT implementation of the
+    same contract, so the golden cross-checks the distributed path
+    rather than freezing its own output."""
+    import numpy as np
+
+    from ocr_system_ray.functions.clustering import kmeans_numpy
+
+    emb = pq.read_table(SF_DIR / "embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    x = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)[order]
+    _, assign = kmeans_numpy(x, k=10, n_iter=10)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cluster": pa.array(assign, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # query-output goldens (deterministic seeded pipelines, frozen at sf0.01)
 # ---------------------------------------------------------------------------
@@ -146,6 +168,9 @@ def main() -> None:
     wf = winnow_golden()
     pq.write_table(wf, GOLDEN_DIR / "winnow_sf001.parquet")
     print(f"winnow_sf001.parquet: {wf.num_rows} rows")
+    km = kmeans_golden()
+    pq.write_table(km, GOLDEN_DIR / "kmeans_sf001.parquet")
+    print(f"kmeans_sf001.parquet: {km.num_rows} rows")
 
     import ray
 
