@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_flags": q.q_decontam_flags,
         "token_chunks": q.q_token_chunks,
         "domain_mix": q.q_domain_mix,
+        "repeated_ngrams": q.q_repeated_ngrams,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_pairs": q.q_minhash_pairs,
@@ -412,6 +413,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(text), 1, 2) <
                   CASE source {_domain_mix_arms()} END
+        """,
+        # repeated_ngrams: ExactSubstr-lite — grams repeated corpus-wide
+        # (count >= 2) and the per-doc token coverage of their windows.
+        # Coverage = distinct covered token indexes, ≡ the Ray side's
+        # merged-interval sum.
+        "repeated_ngrams": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), g AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(l[u.i+1 : u.i+8], ' ') AS gram
+              FROM t, UNNEST(generate_series(0, len(l) - 8)) AS u(i)
+            ), rep AS (
+              SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM g JOIN rep USING (gram)
+            ), cover AS (
+              SELECT DISTINCT doc_id, pos + v.j AS tok
+              FROM hits, UNNEST(generate_series(0, 7)) AS v(j)
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n FROM hits GROUP BY doc_id
+            ), cagg AS (
+              SELECT doc_id, COUNT(*) AS c FROM cover GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n, 0) AS n_repeated_grams,
+                   COALESCE(c.c, 0) AS n_masked_tokens
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN cagg c USING (doc_id)
         """,
         # golden-parquet oracles: committed files generated by
         # tools/make_goldens.py (extract_fields: computed by the LIVE

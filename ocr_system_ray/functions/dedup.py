@@ -916,6 +916,150 @@ def duplicate_survivors(
 
 
 # ---------------------------------------------------------------------------
+# repeated-substring statistics (ExactSubstr-lite)
+# ---------------------------------------------------------------------------
+
+
+def repeated_ngram_stats(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_buckets: int = 4096,
+    doc_buckets: int = 1024,
+    min_count: int = 2,
+) -> ray.data.Dataset:
+    """Substring-dedup statistics in the ExactSubstr spirit (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    at word-k-gram granularity instead of suffix arrays: per document,
+    how many of its k-token windows occur ≥ ``min_count`` times in the
+    WHOLE corpus, and how many of its tokens sit under at least one
+    such repeated window (the span a full ExactSubstr pass would cut).
+
+    Tokens are single-space splits (``string_split(text, ' ')`` parity).
+
+    Ray shape — two coarse-bucket sort-shuffles, nothing on the driver:
+
+    1. **gram pass**: each doc emits ``(gram_bucket, gram, id, pos)``;
+       ``groupby(gram_bucket)`` + an in-bucket pandas groupby keeps the
+       grams whose corpus count ≥ min_count and emits their (id, pos)
+       hits.  Only gram strings + (id, pos) move — documents don't.
+       At corpus scale swap the gram string for its ``stable_hash64``
+       (8 bytes instead of ~50) — kept exact here for oracle parity.
+    2. **doc pass**: hits union one tag row per doc (int8 kind column —
+       never nulled-out keys, the pandas-float64-id lesson) regroup on
+       a doc bucket; per doc the sorted hit positions merge into
+       interval coverage (Σ min(gap, k) + k).
+
+    Returns one row per input document:
+    ``(id_col, n_repeated_grams: int64, n_masked_tokens: int64)``,
+    zero-filled for documents with no repeated window.
+    """
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def emit_grams(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        gram_out: list[str] = []
+        for did, v in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = (v or "").split(" ")
+            for i in range(len(toks) - k + 1):
+                gram_out.append(" ".join(toks[i : i + k]))
+                ids_out.append(did)
+                pos_out.append(i)
+        bucket = (
+            (stable_hash64(gram_out) % np.uint64(gram_buckets)).astype(np.int64)
+            if gram_out
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "gram": pa.array(gram_out, pa.string()),
+                id_col: pa.array(ids_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+            }
+        )
+
+    grams = ds.map_batches(emit_grams, batch_format="pyarrow")
+
+    def find_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                }
+            )
+        sizes = df.groupby("gram")["gram"].transform("size")
+        out = df.loc[sizes >= min_count, [id_col, "pos"]]
+        return out.astype({id_col: "int64", "pos": "int64"})
+
+    hits = grams.groupby("bucket").map_groups(find_hits, batch_format="pandas")
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: t.column(id_col),
+                "pos": pa.array(np.zeros(n, dtype=np.int64)),
+                "m": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: t.column(id_col),
+                "pos": t.column("pos"),
+                "m": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    tagged = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "n_repeated_grams": pd.Series([], dtype="int64"),
+                    "n_masked_tokens": pd.Series([], dtype="int64"),
+                }
+            )
+        res_id: list[int] = []
+        res_n: list[int] = []
+        res_cov: list[int] = []
+        for did, g in df.groupby(id_col, sort=False):
+            hp = np.sort(g.loc[g["m"] == 1, "pos"].to_numpy(dtype=np.int64))
+            res_id.append(int(did))
+            res_n.append(int(hp.size))
+            res_cov.append(
+                int(np.minimum(np.diff(hp), k).sum() + k) if hp.size else 0
+            )
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(res_id, dtype="int64"),
+                "n_repeated_grams": pd.Series(res_n, dtype="int64"),
+                "n_masked_tokens": pd.Series(res_cov, dtype="int64"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(per_doc, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verify pass)
 # ---------------------------------------------------------------------------
 

@@ -814,6 +814,15 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def q_repeated_ngrams(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-lite substring-dedup statistics: per doc, the number
+    of corpus-repeated 8-token windows and the tokens they cover.  Two
+    coarse-bucket shuffles (grams, then doc aggregation), zero driver
+    state — see ``dedup.repeated_ngram_stats``."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.repeated_ngram_stats(ds, k=8)
+
+
 def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     """Distributed k-means over the embeddings table (k=10, 10 Lloyd
     iterations, deterministic min-id seed).  Oracle = committed golden

@@ -26,6 +26,7 @@ SUBSET = [
     "decontam_flags",
     "token_chunks",
     "domain_mix",
+    "repeated_ngrams",
 ]
 
 

@@ -166,6 +166,77 @@ def test_repetition_matches_duckdb_on_synthetic():
 
 
 # ---------------------------------------------------------------------------
+# repeated-substring statistics (ExactSubstr-lite)
+# ---------------------------------------------------------------------------
+
+
+def _repeated_bruteforce(docs: list[str], k: int) -> list[tuple[int, int]]:
+    from collections import Counter
+
+    counts: Counter = Counter()
+    grams_per_doc = []
+    for d in docs:
+        toks = d.split(" ")
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        grams_per_doc.append(grams)
+        counts.update(grams)
+    out = []
+    for grams in grams_per_doc:
+        hits = [i for i, g in enumerate(grams) if counts[g] >= 2]
+        covered = set()
+        for i in hits:
+            covered.update(range(i, i + k))
+        out.append((len(hits), len(covered)))
+    return out
+
+
+def test_repeated_ngram_stats_vs_bruteforce(ray_session):
+    from ocr_system_ray.functions import dedup
+
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab → plenty of repeats
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(2, 30))) for _ in range(120)]
+    # plant a shared phrase (cross-doc repeat) and an in-doc repeat
+    docs[5] = "alpha beta gamma delta " + docs[5]
+    docs[77] = docs[77] + " alpha beta gamma delta"
+    docs[40] = "p q r s p q r s p q r s"
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(120), pa.int64()), "text": pa.array(docs)})
+    ).repartition(6)
+    out = {
+        r["doc_id"]: (r["n_repeated_grams"], r["n_masked_tokens"])
+        for r in dedup.repeated_ngram_stats(ds, k=4).take_all()
+    }
+    want = _repeated_bruteforce(docs, k=4)
+    assert len(out) == 120
+    for i, w in enumerate(want):
+        assert out[i] == w, (i, out[i], w)
+    # the planted cross-doc phrase must be caught on both sides
+    assert out[5][0] >= 1 and out[77][0] >= 1
+    # the in-doc triple repeat: 9 windows of size 4, all repeated
+    assert out[40] == (9, 12)
+
+
+def test_repeated_ngram_stats_short_docs_zero(ray_session):
+    from ocr_system_ray.functions import dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["a b", "a b"]),  # < k tokens: no windows
+            }
+        )
+    )
+    rows = dedup.repeated_ngram_stats(ds, k=8).take_all()
+    assert sorted((r["doc_id"], r["n_repeated_grams"], r["n_masked_tokens"]) for r in rows) == [
+        (1, 0, 0),
+        (2, 0, 0),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # tokenize-and-chunk / packing
 # ---------------------------------------------------------------------------
 
