@@ -111,6 +111,11 @@ def run_query_suite() -> dict[str, float]:
         "knn_bruteforce": q.q_knn_bruteforce,
         "embedding_dup_exact": q.q_embedding_dup_exact,
         "media_decode": q.q_media_decode,
+        # round-2 training-data additions
+        "repeated_ngrams": q.q_repeated_ngrams,
+        "decontam_flags": q.q_decontam_flags,
+        "pii_scrub": q.q_pii_scrub,
+        "kmeans_clusters": q.q_kmeans_clusters,
     }
     import pandas as pd
 

@@ -831,7 +831,9 @@ def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     functions/clustering.py)."""
     from ..functions import clustering
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # materialize once: Lloyd re-reads the table n_iter+2 times; cached
+    # blocks turn each pass into pure compute (kmeans_fit docstring)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
     centroids = clustering.kmeans_fit(emb, k=10, n_iter=10)
     return clustering.kmeans_assign(emb, centroids)
 
