@@ -350,7 +350,8 @@ def oracle_sql() -> dict[str, str]:
         # BIGINT division on both sides).  Tokens = string_split(' ').
         "repetition_signals": """
             WITH toks AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+              SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w
+              FROM documents
             ), wc AS (
               SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
             ), wordstats AS (
@@ -358,7 +359,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(MAX(c) AS BIGINT) AS m
               FROM wc GROUP BY doc_id
             ), t AS (
-              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l FROM documents
             ), g AS (
               SELECT doc_id, l[i] || ' ' || l[i+1] AS gram
               FROM t, UNNEST(generate_series(1, len(l)-1)) AS u(i)
@@ -398,7 +399,8 @@ def oracle_sql() -> dict[str, str]:
         # one short).  string_split(' ') tokens on both sides.
         "token_chunks": """
             WITH t AS (
-              SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+              SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS n
+              FROM documents
             )
             SELECT doc_id,
                    CAST(u.i AS BIGINT) AS chunk_index,
@@ -411,7 +413,7 @@ def oracle_sql() -> dict[str, str]:
         # sides share one weights table.
         "domain_mix": f"""
             SELECT doc_id, source FROM documents
-            WHERE substr(md5(text), 1, 2) <
+            WHERE substr(md5(COALESCE(text, '')), 1, 2) <
                   CASE source {_domain_mix_arms()} END
         """,
         # repeated_ngrams: ExactSubstr-lite — grams repeated corpus-wide

@@ -66,6 +66,8 @@ def kmeans_numpy(
     rows (callers pass rows ordered by id).  Returns (centroids,
     assignments)."""
     x = x.astype(np.float64)
+    if len(x) < k:
+        raise ValueError(f"kmeans needs at least k={k} rows, got {len(x)}")
     centroids = np.round(x[:k].copy(), round_decimals)
     for _ in range(n_iter):
         a = assign_ids(x, centroids)
@@ -90,6 +92,8 @@ def _init_centroids(
         return t.take(pa.array(take))
 
     cand = ds.map_batches(partial_min, batch_format="pyarrow").take_all()
+    if len(cand) < k:
+        raise ValueError(f"kmeans needs at least k={k} rows, got {len(cand)}")
     cand.sort(key=lambda r: r[id_col])
     seed = np.asarray([r[vec_col] for r in cand[:k]], dtype=np.float64)
     return np.round(seed, round_decimals)

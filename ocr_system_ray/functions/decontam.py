@@ -27,6 +27,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
+# worker-process cache for the broadcast benchmark set (see flag())
+_BENCH_CACHE: dict[str, frozenset[str]] = {}
+
 
 def snippet_ngrams(snippets: Iterable[str], n: int = 8) -> frozenset[str]:
     """Every word ``n``-gram of every snippet, as space-joined strings.
@@ -60,7 +63,15 @@ def contamination_flags(
     bench_ref = ray.put(bench_grams)
 
     def flag(batch: pa.Table) -> pa.Table:
-        grams: frozenset[str] = ray.get(bench_ref)
+        # per-worker memo: ray.get of a plain frozenset re-unpickles the
+        # whole (potentially multi-MB) set on every call; workers are
+        # reused across batches, so cache the deserialized object once
+        key = bench_ref.hex()
+        grams: frozenset[str] | None = _BENCH_CACHE.get(key)
+        if grams is None:
+            grams = ray.get(bench_ref)
+            _BENCH_CACHE.clear()  # one benchmark set per worker at a time
+            _BENCH_CACHE[key] = grams
         out = []
         for v in batch.column(text_col).to_pylist():
             toks = (v or "").split(" ")
@@ -70,7 +81,10 @@ def contamination_flags(
                     hit = 1
                     break
             out.append(hit)
-        return batch.append_column(flag_col, pa.array(out, pa.int64()))
+        arr = pa.array(out, pa.int64())
+        if flag_col in batch.column_names:
+            return batch.set_column(batch.column_names.index(flag_col), flag_col, arr)
+        return batch.append_column(flag_col, arr)
 
     return ds.map_batches(flag, batch_format="pyarrow")
 
@@ -81,16 +95,17 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     keep_cols: Sequence[str] | None = None,
+    flag_col: str = "contaminated",
 ) -> ray.data.Dataset:
     """Survivor filter: drop contaminated documents, keep ``keep_cols``
     (default: all input columns)."""
-    flagged = contamination_flags(ds, bench_grams, n=n, text_col=text_col)
+    flagged = contamination_flags(ds, bench_grams, n=n, text_col=text_col, flag_col=flag_col)
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        kept = batch.filter(pc.equal(batch.column("contaminated"), 0))
-        kept = kept.drop_columns(["contaminated"])
+        kept = batch.filter(pc.equal(batch.column(flag_col), 0))
+        kept = kept.drop_columns([flag_col])
         return kept.select(list(keep_cols)) if keep_cols else kept
 
     return flagged.map_batches(keep, batch_format="pyarrow")

@@ -928,6 +928,7 @@ def repeated_ngram_stats(
     gram_buckets: int = 4096,
     doc_buckets: int = 1024,
     min_count: int = 2,
+    exact: bool = True,
 ) -> ray.data.Dataset:
     """Substring-dedup statistics in the ExactSubstr spirit (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"),
@@ -943,9 +944,15 @@ def repeated_ngram_stats(
     1. **gram pass**: each doc emits ``(gram_bucket, gram, id, pos)``;
        ``groupby(gram_bucket)`` + an in-bucket pandas groupby keeps the
        grams whose corpus count ≥ min_count and emits their (id, pos)
-       hits.  Only gram strings + (id, pos) move — documents don't.
-       At corpus scale swap the gram string for its ``stable_hash64``
-       (8 bytes instead of ~50) — kept exact here for oracle parity.
+       hits.  Only grams + (id, pos) move — documents don't.
+       ``exact=True`` (the oracle default) ships the gram STRING, which
+       is ~k·6 bytes per window — overlapping windows make that ≈ k×
+       the corpus size in shuffle traffic.  ``exact=False`` is the
+       100 TB mode: ship the gram's ``stable_hash64`` (8 bytes, ~6×
+       less at k=8); a 64-bit collision needs ~10¹⁰ distinct grams
+       (birthday) to reach even one expected false hit, and the
+       equality of both modes is pinned by pytest on a repeat-heavy
+       corpus.
     2. **doc pass**: hits union one tag row per doc (int8 kind column —
        never nulled-out keys, the pandas-float64-id lesson) regroup on
        a doc bucket; per doc the sorted hit positions merge into
@@ -971,19 +978,18 @@ def repeated_ngram_stats(
                 gram_out.append(" ".join(toks[i : i + k]))
                 ids_out.append(did)
                 pos_out.append(i)
-        bucket = (
-            (stable_hash64(gram_out) % np.uint64(gram_buckets)).astype(np.int64)
-            if gram_out
-            else np.empty(0, dtype=np.int64)
+        hashes = (
+            stable_hash64(gram_out) if gram_out else np.empty(0, dtype=np.uint64)
         )
-        return pa.table(
-            {
-                "bucket": pa.array(bucket),
-                "gram": pa.array(gram_out, pa.string()),
-                id_col: pa.array(ids_out, pa.int64()),
-                "pos": pa.array(pos_out, pa.int64()),
-            }
-        )
+        bucket = (hashes % np.uint64(gram_buckets)).astype(np.int64)
+        cols: dict = {"bucket": pa.array(bucket)}
+        if exact:
+            cols["gram"] = pa.array(gram_out, pa.string())
+        else:  # 100 TB mode: the 8-byte hash IS the gram identity
+            cols["gram"] = pa.array(hashes.astype(np.int64))
+        cols[id_col] = pa.array(ids_out, pa.int64())
+        cols["pos"] = pa.array(pos_out, pa.int64())
+        return pa.table(cols)
 
     grams = ds.map_batches(emit_grams, batch_format="pyarrow")
 

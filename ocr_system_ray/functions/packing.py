@@ -51,11 +51,10 @@ def chunk_tokens_batch(
     idx_out: list[int] = []
     n_out: list[int] = []
     tok_out: list[list[int]] = []
-    mask = (1 << vocab_bits) - 1
     doc_ids = batch.column(id_col).to_pylist()
     for did, v in zip(doc_ids, batch.column(text_col).to_pylist()):
         toks = (v or "").split(" ")
-        tids = [zlib.crc32(t.encode("utf-8")) & mask for t in toks]
+        tids = [token_id(t, vocab_bits) for t in toks]
         n = len(tids)
         for ci, start in enumerate(range(0, n, seq_len)):
             win = tids[start : start + seq_len]

@@ -63,8 +63,10 @@ def scrub_text_batch(
 
 def sql_scrub_expr(col: str, rules: tuple[tuple[str, str], ...] = DEFAULT_RULES) -> str:
     """The DuckDB expression equivalent to :func:`scrub_text_batch` —
-    built from the SAME rule tuples so the two sides cannot drift."""
-    expr = col
+    built from the SAME rule tuples so the two sides cannot drift.
+    Starts from ``COALESCE(col, '')`` to mirror the kernel's
+    ``fill_null`` (SQL regexp_replace would otherwise propagate NULL)."""
+    expr = f"COALESCE({col}, '')"
     for pat, repl in rules:
         # DuckDB string literals are not backslash-escaped, so the raw
         # RE2 pattern embeds verbatim (none of the rules contain ').

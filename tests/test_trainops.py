@@ -58,8 +58,10 @@ def test_scrub_null_and_in_place_overwrite():
 
 def test_scrub_matches_duckdb_regexp_replace():
     """The generated SQL chain must reproduce the Arrow kernel exactly —
-    this is the parity the driver's pii_scrub hash check relies on."""
-    t = pa.table({"text": pa.array(PII_SAMPLES, pa.string())})
+    this is the parity the driver's pii_scrub hash check relies on.
+    Includes a NULL row: the kernel fill_nulls to '' and the generated
+    SQL starts from COALESCE(col, '') to match."""
+    t = pa.table({"text": pa.array(PII_SAMPLES + [None], pa.string())})
     ours = pii.scrub_text_batch(t, "text").column("text_scrubbed").to_pylist()
     con = duckdb.connect()
     con.register("t", t)
@@ -106,6 +108,55 @@ def test_contamination_flags_vs_bruteforce(ray_session):
     for i in range(0, 200, 17):
         if len(docs[i].split(" ")) >= 6:
             assert got[i] == 1
+
+
+def test_contamination_flags_rerun_overwrites_flag_column(ray_session):
+    """Re-running decontamination on an already-flagged corpus must
+    overwrite the flag column, not duplicate it."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c", "x y z"]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    grams = decontam.snippet_ngrams(["a b c"], n=3)
+    once = decontam.contamination_flags(ds, grams, n=3)
+    twice = decontam.contamination_flags(once, grams, n=3)
+    rows = sorted(twice.take_all(), key=lambda r: r["doc_id"])
+    assert [set(r) for r in rows] == [{"doc_id", "text", "contaminated"}] * 2
+    assert [r["contaminated"] for r in rows] == [1, 0]
+
+
+def test_null_text_rows_survive_oracles():
+    """NULL text must not drop rows from the SQL oracles (the Ray side
+    coalesces to '' and keeps the row) — repetition_signals,
+    token_chunks, and domain_mix all pinned here on a nullable corpus."""
+    import __ray_entry__ as entry
+    from ocr_system_ray.functions import packing
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b", None], pa.string()),
+            "source": pa.array(["src1", "src9"], pa.string()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    rep = con.sql(entry.oracle_sql()["repetition_signals"]).df()
+    assert len(rep) == 2  # the NULL row keeps its (1000, 0) signature
+    assert rep.set_index("doc_id").loc[1, "top_word_permille"] == 1000
+    want_rep = textstats.repetition_batch(t)
+    assert sorted(want_rep.column("top_word_permille").to_pylist()) == sorted(
+        rep["top_word_permille"].tolist()
+    )
+    chunks = con.sql(entry.oracle_sql()["token_chunks"]).df()
+    ours_chunks = packing.chunk_tokens_batch(t, seq_len=64)
+    assert len(chunks) == len(ours_chunks) == 2
+    mix = con.sql(entry.oracle_sql()["domain_mix"]).df()
+    # src9 falls under the keep-all default; md5('') decides, row kept
+    assert 1 in mix["doc_id"].tolist()
 
 
 def test_decontaminate_drops_flagged(ray_session):
@@ -216,6 +267,28 @@ def test_repeated_ngram_stats_vs_bruteforce(ray_session):
     assert out[5][0] >= 1 and out[77][0] >= 1
     # the in-doc triple repeat: 9 windows of size 4, all repeated
     assert out[40] == (9, 12)
+
+
+def test_repeated_ngram_stats_hashed_mode_equals_exact(ray_session):
+    """exact=False ships 8-byte gram hashes instead of gram strings
+    (the 100 TB shuffle mode) — results must be identical."""
+    from ocr_system_ray.functions import dedup
+
+    rng = np.random.RandomState(23)
+    vocab = [f"v{i}" for i in range(8)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(3, 25))) for _ in range(80)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(docs)})
+    ).repartition(4)
+    a = sorted(
+        (r["doc_id"], r["n_repeated_grams"], r["n_masked_tokens"])
+        for r in dedup.repeated_ngram_stats(ds, k=3, exact=True).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_repeated_grams"], r["n_masked_tokens"])
+        for r in dedup.repeated_ngram_stats(ds, k=3, exact=False).take_all()
+    )
+    assert a == b
 
 
 def test_repeated_ngram_stats_short_docs_zero(ray_session):
@@ -344,6 +417,21 @@ def test_kmeans_batching_invariance(ray_session):
         )
         results.append(clustering.kmeans_fit(emb, k=10, n_iter=5))
     assert np.array_equal(results[0], results[1])
+
+
+def test_kmeans_rejects_fewer_rows_than_k(ray_session):
+    with pytest.raises(ValueError, match="at least k"):
+        clustering.kmeans_numpy(np.zeros((3, 4)), k=10)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[0.0, 1.0], [1.0, 0.0]], pa.list_(pa.float64())),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        clustering.kmeans_fit(ds, k=5, n_iter=2)
 
 
 def test_kmeans_separates_obvious_clusters(ray_session):
