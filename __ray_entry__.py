@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": q.q_token_chunks,
         "domain_mix": q.q_domain_mix,
         "repeated_ngrams": q.q_repeated_ngrams,
+        "unigram_logprob": q.q_unigram_logprob,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_pairs": q.q_minhash_pairs,
@@ -506,6 +507,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             JOIN '/root/repo/tests/golden/kmeans_sf001.parquet' g
               ON e.vec_id = g.vec_id
+        """,
+        "unigram_logprob": """
+            SELECT d.doc_id, g.neglogp_micro
+            FROM documents d
+            JOIN '/root/repo/tests/golden/unigram_logprob_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         "final_extract_pages": """
             SELECT url, "Licenses", "Address", "Start Date", "End Date",

@@ -287,6 +287,87 @@ def approx_top_tokens(
 
 
 # ---------------------------------------------------------------------------
+# unigram LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def unigram_neglogprob(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Language-model quality score, CCNet-shaped (Wenzek et al. 2020
+    bucket corpora by KenLM perplexity; this is the same pipeline shape
+    with the 5-gram LM swapped for the corpus unigram model — the
+    heaviest LM this sandbox can fit): per document, the mean
+    ``-ln p(token)`` under the corpus unigram distribution, in integer
+    micro-nats (``floor(x·1e6 + 0.5)``) so the value is hashable.
+
+    Two passes, both scale-clean:
+    1. **wordcount** — per-batch Counter combiners → one ``groupby``
+       over (token, partial) rows; the resulting (token, count) table
+       is the broadcast small side.  At web scale the vocabulary
+       explodes: cap it with :func:`approx_top_tokens` (Misra–Gries)
+       plus a reserved ``<unk>`` mass — the standard LM truncation —
+       before broadcasting; exact here because the sf vocabularies are
+       tiny.
+    2. **score** — stateless ``map_batches``; each doc's score is a
+       row-local float64 reduction (numpy pairwise sum over its own
+       tokens, batching-invariant), so the integer output is safe to
+       golden and hash.
+
+    Returns a Dataset ``(id_col, neglogp_micro: int64)``.  Tokens are
+    single-space splits; every token is in-vocabulary by construction
+    (the model is fit on the same corpus).
+    """
+    import math
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def sketch(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update((x or "").split(" "))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "p_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    freq_df = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(freq_df["n"].sum())
+    log_total = math.log(total) if total else 0.0  # empty corpus: no rows to score
+    # broadcast token → ln(count); -ln p = ln(total) - ln(count)
+    logc = {t: math.log(int(n)) for t, n in zip(freq_df["token"], freq_df["n"])}
+    model_ref = _ray.put((logc, log_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        model, lt = _ray.get(model_ref)
+        out: list[int] = []
+        for x in t.column(text_col).to_pylist():
+            toks = (x or "").split(" ")
+            s = np.fromiter((model[w] for w in toks), dtype=np.float64, count=len(toks))
+            mean = lt - float(s.sum()) / len(toks)
+            out.append(int(math.floor(mean * 1e6 + 0.5)))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "neglogp_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------
 

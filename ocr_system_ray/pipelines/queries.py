@@ -814,6 +814,16 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style LM quality score (corpus unigram model, mean
+    -ln p(token) per doc, integer micro-nats).  Oracle = committed
+    golden from the single-process twin in tools/make_goldens.py;
+    the per-doc float reduction is row-local, so the integers are
+    batching-invariant."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.unigram_neglogprob(ds)
+
+
 def q_repeated_ngrams(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr-lite substring-dedup statistics: per doc, the number
     of corpus-repeated 8-token windows and the tokens they cover.  Two

@@ -89,6 +89,18 @@ def test_kmeans_golden_matches_numpy_twin():
 
 
 @needs_testdata
+def test_unigram_logprob_golden_matches_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import unigram_logprob_golden
+
+    fresh = unigram_logprob_golden()
+    committed = pq.read_table(GOLDEN_DIR / "unigram_logprob_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
 def test_extract_fields_golden_agrees_with_our_core():
     """Belt-and-braces: our core must reproduce the reference-derived
     golden byte-for-byte (the same invariant the driver now checks)."""

@@ -310,6 +310,37 @@ def test_repeated_ngram_stats_short_docs_zero(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# unigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_neglogprob_vs_single_process_twin(ray_session):
+    import math
+    from collections import Counter
+
+    docs = ["a a a b", "a b c d", "z z q q", "a a a a a a"]
+    c: Counter = Counter()
+    for t in docs:
+        c.update(t.split(" "))
+    total = sum(c.values())
+    want = []
+    for t in docs:
+        toks = t.split(" ")
+        s = np.fromiter((math.log(c[w]) for w in toks), dtype=np.float64, count=len(toks))
+        want.append(int(math.floor((math.log(total) - float(s.sum()) / len(toks)) * 1e6 + 0.5)))
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(docs)})
+    ).repartition(3)
+    got = {r["doc_id"]: r["neglogp_micro"] for r in textstats.unigram_neglogprob(ds).take_all()}
+    assert [got[i] for i in range(4)] == want
+    # rarity sanity: the doc of rare tokens scores strictly higher than
+    # the doc made only of the most common token
+    assert got[2] > got[0]  # docs[2] ("z z q q") vs docs[0] ("a a a b")
+    assert got[3] < got[1]  # all-'a' doc is the most typical
+
+
+# ---------------------------------------------------------------------------
 # tokenize-and-chunk / packing
 # ---------------------------------------------------------------------------
 

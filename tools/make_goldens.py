@@ -110,6 +110,37 @@ def kmeans_golden() -> pa.Table:
     )
 
 
+def unigram_logprob_golden() -> pa.Table:
+    """(doc_id, neglogp_micro) from a single-process twin of the
+    unigram-LM scorer — plain-Python wordcount + the same row-local
+    numpy reduction (the reduction order is per-doc, so the Ray path
+    must reproduce these integers exactly regardless of batching)."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    texts = [(t or "") for t in docs.column("text").to_pylist()]
+    c: Counter = Counter()
+    for t in texts:
+        c.update(t.split(" "))
+    total = sum(c.values())
+    lt = math.log(total)
+    logc = {w: math.log(n) for w, n in c.items()}
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        s = np.fromiter((logc[w] for w in toks), dtype=np.float64, count=len(toks))
+        out.append(int(math.floor((lt - float(s.sum()) / len(toks)) * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "neglogp_micro": pa.array(out, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # query-output goldens (deterministic seeded pipelines, frozen at sf0.01)
 # ---------------------------------------------------------------------------
@@ -171,6 +202,9 @@ def main() -> None:
     km = kmeans_golden()
     pq.write_table(km, GOLDEN_DIR / "kmeans_sf001.parquet")
     print(f"kmeans_sf001.parquet: {km.num_rows} rows")
+    ul = unigram_logprob_golden()
+    pq.write_table(ul, GOLDEN_DIR / "unigram_logprob_sf001.parquet")
+    print(f"unigram_logprob_sf001.parquet: {ul.num_rows} rows")
 
     import ray
 
