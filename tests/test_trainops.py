@@ -465,6 +465,30 @@ def test_kmeans_rejects_fewer_rows_than_k(ray_session):
         clustering.kmeans_fit(ds, k=5, n_iter=2)
 
 
+def test_kmeans_codebook_feeds_ivf_index(ray_session, tmp_path):
+    """kmeans_fit composes directly as the IVF codebook (the full-data
+    alternative to similarity.fit_codebook's driver-sample fit):
+    build_ivf_index accepts it verbatim and recall holds."""
+    from ocr_system_ray.functions import similarity
+
+    emb = ray.data.read_parquet(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+    codebook = clustering.kmeans_fit(emb, k=8, n_iter=5).astype(np.float32)
+    index_dir = similarity.build_ivf_index(emb, codebook, str(tmp_path / "ivf_km"))
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF001}/embeddings.parquet", columns=["embedding"])
+    queries = np.asarray(t.column("embedding").to_pylist()[:3], dtype=np.float64)
+    exact = similarity.brute_force_topk(emb, queries, k=10).to_pandas()
+    approx = similarity.ivf_topk_indexed(index_dir, codebook, queries, k=10, nprobe=4).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5
+
+
 def test_kmeans_separates_obvious_clusters(ray_session):
     rng = np.random.RandomState(0)
     centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
