@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": q.q_domain_mix,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
+        "dedup_incremental": q.q_dedup_incremental,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_pairs": q.q_minhash_pairs,
@@ -446,6 +447,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN cagg c USING (doc_id)
+        """,
+        # dedup_incremental: anti-join of the synthetic "new crawl"
+        # stream (odds + re-crawled evens) against the even-docs hash
+        # index; the re-crawls carry identical text so they must drop.
+        "dedup_incremental": """
+            WITH new_stream AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+            ), idx AS (
+              SELECT md5(COALESCE(text, '')) AS h
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT n.doc_id FROM new_stream n
+            WHERE md5(COALESCE(n.text, '')) NOT IN (SELECT h FROM idx)
         """,
         # golden-parquet oracles: committed files generated by
         # tools/make_goldens.py (extract_fields: computed by the LIVE

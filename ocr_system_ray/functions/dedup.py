@@ -916,6 +916,135 @@ def duplicate_survivors(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def build_md5_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_buckets: int = 256,
+) -> str:
+    """Persist the corpus content-hash index: ``(md5, id)`` partitioned
+    by the md5's first byte (``bucket=<0..prefix_buckets)``).
+
+    The ingestion-time dedup shape: the 100 TB corpus is hashed ONCE and
+    never re-read; every new crawl batch dedups against this index via
+    a partition-pruned read (:func:`dedup_against_index`).  Raise
+    ``prefix_buckets`` (≤ 65536, two bytes) as the corpus grows so a
+    pruned read stays proportional to the new batch, not the corpus.
+    """
+    def hash_rows(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((v or "").encode("utf-8")).hexdigest()
+            for v in t.column(text_col).to_pylist()
+        ]
+        bucket = [int(h[:4], 16) % prefix_buckets for h in md5s]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "md5": pa.array(md5s, pa.string()),
+                id_col: t.column(id_col),
+            }
+        )
+
+    ds.map_batches(hash_rows, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    return index_dir
+
+
+def dedup_against_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_buckets: int = 256,
+    join_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Survivor ids of ``new_ds`` whose text md5 is NOT in the persisted
+    index — exact cross-corpus dedup without touching corpus documents.
+
+    1. hash the new batch (one stateless pass, materialized — it is the
+       small side by construction: a crawl increment vs the corpus);
+    2. read ONLY the index partitions whose bucket appears in the new
+       batch (path-pruned, the same trick as the IVF index) — for an
+       increment touching b of ``prefix_buckets`` buckets the read is
+       ~b/prefix_buckets of the index;
+    3. one coarse-bucket reduce-side anti-join on md5 (int8 side tag,
+       in-group pandas) — index rows move as (md5, id) pairs only.
+
+    Returns a Dataset with one ``id_col`` row per surviving new doc.
+    """
+    import os
+
+    import pandas as pd
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5((v or "").encode("utf-8")).hexdigest()
+            for v in t.column(text_col).to_pylist()
+        ]
+        bucket = [int(h[:4], 16) % prefix_buckets for h in md5s]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "md5": pa.array(md5s, pa.string()),
+                id_col: t.column(id_col),
+            }
+        )
+
+    new_hashed = new_ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+
+    # distinct buckets of the increment (tiny: ≤ prefix_buckets values)
+    seen: set[int] = set()
+    for row in new_hashed.map_batches(
+        lambda t: pa.table({"bucket": pa.array(sorted(set(t.column("bucket").to_pylist())), pa.int64())}),
+        batch_format="pyarrow",
+    ).take_all():
+        seen.add(int(row["bucket"]))
+
+    import glob as _glob
+
+    part_files = [
+        f
+        for b in sorted(seen)
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+
+    def tag(m: int):  # noqa: ANN202
+        def inner(t: pa.Table) -> pa.Table:
+            md5s = t.column("md5").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cb": pa.array(_coarse_bucket(md5s, join_buckets)),
+                    "md5": t.column("md5"),
+                    id_col: t.column(id_col),
+                    "m": pa.array(np.full(len(t), m, dtype=np.int8)),
+                }
+            )
+
+        return inner
+
+    sides = [new_hashed.map_batches(tag(1), batch_format="pyarrow")]
+    if part_files:
+        index_rows = ray.data.read_parquet(part_files, columns=["md5", id_col])
+        sides.append(index_rows.map_batches(tag(0), batch_format="pyarrow"))
+    tagged = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        known = set(df.loc[df["m"] == 0, "md5"])
+        keep = df.loc[(df["m"] == 1) & (~df["md5"].isin(known)), [id_col]]
+        return keep.astype({id_col: "int64"})
+
+    return tagged.groupby("cb").map_groups(survivors, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # repeated-substring statistics (ExactSubstr-lite)
 # ---------------------------------------------------------------------------
 

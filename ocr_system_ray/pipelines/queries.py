@@ -814,6 +814,42 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Ingestion-time dedup: a new crawl increment dedups against the
+    PERSISTED corpus hash index (built once, partition-pruned read —
+    the corpus documents are never re-read).
+
+    Stand-in split: evens = the existing corpus (indexed); the new
+    stream = odds plus re-crawls of every doc_id % 10 == 0 document
+    (same text, new id +100000) — the re-crawls must all be dropped."""
+    import tempfile
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def odds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 1))
+
+    def recrawls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 10 == 0))
+        new_ids = sel.column("doc_id").to_numpy(zero_copy_only=False) + 100000
+        return pa.table(
+            {"doc_id": pa.array(new_ids, pa.int64()), "text": sel.column("text")}
+        )
+
+    index_dir = tempfile.mkdtemp(prefix="osr_md5_index_")
+    dedup.build_md5_index(docs.map_batches(evens, batch_format="pyarrow"), index_dir)
+    new_stream = docs.map_batches(odds, batch_format="pyarrow").union(
+        docs.map_batches(recrawls, batch_format="pyarrow")
+    )
+    return dedup.dedup_against_index(new_stream, index_dir)
+
+
 def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """CCNet-style LM quality score (corpus unigram model, mean
     -ln p(token) per doc, integer micro-nats).  Oracle = committed

@@ -310,6 +310,49 @@ def test_repeated_ngram_stats_short_docs_zero(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted index
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_against_index_vs_set_logic(ray_session, tmp_path):
+    from ocr_system_ray.functions import dedup
+
+    corpus = [f"doc number {i} body" for i in range(50)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(50), pa.int64()), "text": pa.array(corpus)})
+    ).repartition(4)
+    index_dir = dedup.build_md5_index(ds, str(tmp_path / "idx"))
+
+    # new batch: 10 fresh texts + 7 verbatim re-crawls
+    new_texts = [f"fresh {i}" for i in range(10)] + corpus[3:10]
+    new_ids = list(range(1000, 1000 + len(new_texts)))
+    new_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(new_ids, pa.int64()), "text": pa.array(new_texts)})
+    ).repartition(3)
+    out = sorted(r["doc_id"] for r in dedup.dedup_against_index(new_ds, index_dir).take_all())
+    assert out == list(range(1000, 1010))  # only the fresh texts survive
+
+
+def test_dedup_against_index_empty_and_all_dup(ray_session, tmp_path):
+    from ocr_system_ray.functions import dedup
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["x", "y"])})
+    )
+    index_dir = dedup.build_md5_index(ds, str(tmp_path / "idx2"))
+    # all-dup increment → no survivors
+    dup = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([9, 10], pa.int64()), "text": pa.array(["x", "y"])})
+    )
+    assert dedup.dedup_against_index(dup, index_dir).take_all() == []
+    # disjoint increment → all survive (pruned read may touch 0 partitions)
+    fresh = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([20], pa.int64()), "text": pa.array(["zzz"])})
+    )
+    assert [r["doc_id"] for r in dedup.dedup_against_index(fresh, index_dir).take_all()] == [20]
+
+
+# ---------------------------------------------------------------------------
 # unigram LM quality scoring
 # ---------------------------------------------------------------------------
 
