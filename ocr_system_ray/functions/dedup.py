@@ -920,6 +920,27 @@ def duplicate_survivors(
 # ---------------------------------------------------------------------------
 
 
+def _md5_bucket_rows(
+    t: pa.Table, id_col: str, text_col: str, prefix_buckets: int
+) -> pa.Table:
+    """(bucket, md5, id) rows — the ONE definition of the index's bucket
+    function (``first two md5 bytes mod prefix_buckets``); build and
+    probe must agree byte-for-byte or partition pruning silently misses
+    duplicates, so both call this helper."""
+    md5s = [
+        hashlib.md5((v or "").encode("utf-8")).hexdigest()
+        for v in t.column(text_col).to_pylist()
+    ]
+    bucket = [int(h[:4], 16) % prefix_buckets for h in md5s]
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, pa.int64()),
+            "md5": pa.array(md5s, pa.string()),
+            id_col: t.column(id_col),
+        }
+    )
+
+
 def build_md5_index(
     ds: ray.data.Dataset,
     index_dir: str,
@@ -928,31 +949,27 @@ def build_md5_index(
     prefix_buckets: int = 256,
 ) -> str:
     """Persist the corpus content-hash index: ``(md5, id)`` partitioned
-    by the md5's first byte (``bucket=<0..prefix_buckets)``).
+    by the md5's first two bytes mod ``prefix_buckets``
+    (``bucket=<0..prefix_buckets)``).
 
     The ingestion-time dedup shape: the 100 TB corpus is hashed ONCE and
     never re-read; every new crawl batch dedups against this index via
     a partition-pruned read (:func:`dedup_against_index`).  Raise
     ``prefix_buckets`` (≤ 65536, two bytes) as the corpus grows so a
     pruned read stays proportional to the new batch, not the corpus.
+    An ``_index_meta.json`` records the build parameters; the probe side
+    validates against it so a bucket-function mismatch fails loudly
+    instead of silently reporting duplicates as survivors.
     """
-    def hash_rows(t: pa.Table) -> pa.Table:
-        md5s = [
-            hashlib.md5((v or "").encode("utf-8")).hexdigest()
-            for v in t.column(text_col).to_pylist()
-        ]
-        bucket = [int(h[:4], 16) % prefix_buckets for h in md5s]
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, pa.int64()),
-                "md5": pa.array(md5s, pa.string()),
-                id_col: t.column(id_col),
-            }
-        )
+    import json
+    import os
 
-    ds.map_batches(hash_rows, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    ds.map_batches(
+        lambda t: _md5_bucket_rows(t, id_col, text_col, prefix_buckets),
+        batch_format="pyarrow",
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump({"prefix_buckets": prefix_buckets, "id_col": id_col}, f)
     return index_dir
 
 
@@ -961,7 +978,7 @@ def dedup_against_index(
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_buckets: int = 256,
+    prefix_buckets: int | None = None,
     join_buckets: int = 1024,
 ) -> ray.data.Dataset:
     """Survivor ids of ``new_ds`` whose text md5 is NOT in the persisted
@@ -976,27 +993,36 @@ def dedup_against_index(
     3. one coarse-bucket reduce-side anti-join on md5 (int8 side tag,
        in-group pandas) — index rows move as (md5, id) pairs only.
 
-    Returns a Dataset with one ``id_col`` row per surviving new doc.
+    ``prefix_buckets`` defaults to the value recorded in the index's
+    ``_index_meta.json``; passing a conflicting value raises (a silent
+    mismatch would prune the wrong partitions and report duplicates as
+    survivors).  Returns a Dataset with one ``id_col`` row per
+    surviving new doc.
     """
+    import json
     import os
 
     import pandas as pd
 
-    def hash_rows(t: pa.Table) -> pa.Table:
-        md5s = [
-            hashlib.md5((v or "").encode("utf-8")).hexdigest()
-            for v in t.column(text_col).to_pylist()
-        ]
-        bucket = [int(h[:4], 16) % prefix_buckets for h in md5s]
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, pa.int64()),
-                "md5": pa.array(md5s, pa.string()),
-                id_col: t.column(id_col),
-            }
+    meta_path = os.path.join(index_dir, "_index_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if prefix_buckets is None:
+        prefix_buckets = int(meta["prefix_buckets"])
+    elif prefix_buckets != meta["prefix_buckets"]:
+        raise ValueError(
+            f"index at {index_dir} was built with prefix_buckets="
+            f"{meta['prefix_buckets']}, got {prefix_buckets}"
+        )
+    if meta.get("id_col", id_col) != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with id_col={meta['id_col']!r}, got {id_col!r}"
         )
 
-    new_hashed = new_ds.map_batches(hash_rows, batch_format="pyarrow").materialize()
+    new_hashed = new_ds.map_batches(
+        lambda t: _md5_bucket_rows(t, id_col, text_col, prefix_buckets),
+        batch_format="pyarrow",
+    ).materialize()
 
     # distinct buckets of the increment (tiny: ≤ prefix_buckets values)
     seen: set[int] = set()

@@ -821,7 +821,12 @@ def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
 
     Stand-in split: evens = the existing corpus (indexed); the new
     stream = odds plus re-crawls of every doc_id % 10 == 0 document
-    (same text, new id +100000) — the re-crawls must all be dropped."""
+    (same text, new id +100000) — the re-crawls must all be dropped.
+
+    The index lives in a /tmp dir keyed by the source fingerprint with
+    a ``_complete`` marker (the q_knn_ivf caching pattern): built once,
+    reused across runs, never stale against a regenerated corpus."""
+    import os
     import tempfile
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -842,8 +847,14 @@ def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
             {"doc_id": pa.array(new_ids, pa.int64()), "text": sel.column("text")}
         )
 
-    index_dir = tempfile.mkdtemp(prefix="osr_md5_index_")
-    dedup.build_md5_index(docs.map_batches(evens, batch_format="pyarrow"), index_dir)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_md5_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        dedup.build_md5_index(docs.map_batches(evens, batch_format="pyarrow"), index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
     new_stream = docs.map_batches(odds, batch_format="pyarrow").union(
         docs.map_batches(recrawls, batch_format="pyarrow")
     )

@@ -333,6 +333,27 @@ def test_dedup_against_index_vs_set_logic(ray_session, tmp_path):
     assert out == list(range(1000, 1010))  # only the fresh texts survive
 
 
+def test_dedup_against_index_validates_build_params(ray_session, tmp_path):
+    """The probe must take prefix_buckets from the index metadata and
+    refuse a conflicting override — a silent mismatch prunes the wrong
+    partitions and reports duplicates as survivors."""
+    from ocr_system_ray.functions import dedup
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    )
+    index_dir = dedup.build_md5_index(ds, str(tmp_path / "idx3"), prefix_buckets=64)
+    dup = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([2], pa.int64()), "text": pa.array(["x"])})
+    )
+    # default probe reads prefix_buckets=64 from the metadata
+    assert dedup.dedup_against_index(dup, index_dir).take_all() == []
+    with pytest.raises(ValueError, match="prefix_buckets"):
+        dedup.dedup_against_index(dup, index_dir, prefix_buckets=1024)
+    with pytest.raises(ValueError, match="id_col"):
+        dedup.dedup_against_index(dup, index_dir, id_col="vec_id")
+
+
 def test_dedup_against_index_empty_and_all_dup(ray_session, tmp_path):
     from ocr_system_ray.functions import dedup
 
