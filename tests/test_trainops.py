@@ -309,6 +309,43 @@ def test_repeated_ngram_stats_short_docs_zero(ray_session):
     ]
 
 
+def test_text_oracles_randomized_unicode_sweep():
+    """Randomized token soup including unicode, punctuation, and digits:
+    the repetition and chunk-geometry oracles must agree with the Ray
+    batch functions verbatim (the single-space token contract holds for
+    any space-free token)."""
+    import __ray_entry__ as entry
+    from ocr_system_ray.functions import packing
+
+    rng = np.random.RandomState(99)
+    pool = ["é", "漢字", "a", "b.", "c,d", "42", "x-y", "ß", "🙂", "l'eau"]
+    texts = [
+        " ".join(rng.choice(pool, size=n)) for n in rng.randint(1, 120, size=80)
+    ]
+    t = pa.table({"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    rep_sql = (
+        con.sql(entry.oracle_sql()["repetition_signals"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rep_ray = textstats.repetition_batch(t)
+    assert rep_ray.column("top_word_permille").to_pylist() == rep_sql["top_word_permille"].tolist()
+    assert rep_ray.column("dup_2gram_permille").to_pylist() == rep_sql["dup_2gram_permille"].tolist()
+
+    ch_sql = (
+        con.sql(entry.oracle_sql()["token_chunks"])
+        .df()
+        .sort_values(["doc_id", "chunk_index"])
+        .reset_index(drop=True)
+    )
+    ch_ray = packing.chunk_tokens_batch(t, seq_len=64)
+    assert ch_ray.column("chunk_tokens").to_pylist() == ch_sql["chunk_tokens"].tolist()
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup against a persisted index
 # ---------------------------------------------------------------------------
