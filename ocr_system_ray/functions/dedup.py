@@ -39,6 +39,21 @@ from ray.data.aggregate import Min as AggMin
 
 from .textstats import fingerprint_batch
 
+
+def _sig_pool_size() -> tuple[int, int]:
+    """Autoscaling bounds for the signature actor pools: up to 3/4 of
+    the cluster's CPUs (min 1 free slot for the read stage — the
+    pool-starves-reads deadlock rule), floor 8 so small clusters aren't
+    over-throttled.  A fixed (1, 8) cap left half a 16-cpu cluster idle
+    during signature computation (measured r2)."""
+    import ray as _ray
+
+    try:
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    return (1, max(8, (ncpu * 3) // 4))
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -210,7 +225,7 @@ def minhash_duplicate_pairs(
     sigs = ds.map_batches(
         MinHashStage,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_sig_pool_size(),
         fn_constructor_kwargs={
             "num_perms": num_perms, "seed": seed, "text_col": text_col, "id_col": id_col
         },
@@ -220,10 +235,17 @@ def minhash_duplicate_pairs(
     # Size is ~(8·num_perms+8) B/doc ≈ 0.5% of a text corpus — fine to pin
     # (the object store spills if it must).
     sigs = sigs.materialize()
+
+    # adaptive coarse width (see _adaptive_coarse_bits); power-of-two
+    # mask keeps the key a cheap bit_wise_and; sigs is materialized so
+    # count() is metadata, not a re-execution
+    coarse_bits = _adaptive_coarse_bits(sigs.count() * bands)
+    coarse_mask = (1 << coarse_bits) - 1
+
     def explode_with_coarse(t: pa.Table) -> pa.Table:
         ex = _explode_bands(t, bands, rows_per_band, id_col)
         return ex.append_column(
-            "coarse_key", pc.bit_wise_and(ex.column("band_key"), 0xFFF)
+            "coarse_key", pc.bit_wise_and(ex.column("band_key"), coarse_mask)
         )
 
     exploded = sigs.map_batches(explode_with_coarse, batch_format="pyarrow")
@@ -267,11 +289,22 @@ def minhash_duplicate_pairs(
     if verify_mode == "join":
         # dedup cross-band duplicate candidates BEFORE the join (each
         # duplicate would otherwise fetch its signatures again); the
-        # candidate stream is ids-only, so this shuffle is cheap
+        # candidate stream is ids-only, so this shuffle is cheap.
+        # Coarse-bucket + in-group pandas drop_duplicates, NOT the
+        # native groupby().aggregate — Ray 2.49's Aggregate spent
+        # ~2 s/reduce-task on a 130k-row pair dedup (≈200 s remote wall
+        # at 40k docs, the entire minhash scaling bottleneck); the
+        # map_groups path does the identical dedup in <2 s total
+        def drop_dup_pairs(df):  # noqa: ANN001, ANN202 — pandas in/out
+            return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
         distinct = (
-            candidates.groupby(["id_a", "id_b"])
-            .aggregate(Count(alias_name="n_cand"))
-            .map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+            candidates.map_batches(
+                lambda t: _pair_bucket_column(t, 1 << coarse_bits, "pair_bucket"),
+                batch_format="pyarrow",
+            )
+            .groupby("pair_bucket")
+            .map_groups(drop_dup_pairs, batch_format="pandas")
         )
         return _estimate_verify_join(
             distinct, sigs, threshold, num_perms, id_col, join_buckets
@@ -296,6 +329,33 @@ def _coarse_bucket(values: np.ndarray, num_buckets: int) -> np.ndarray:
     from ..stages.skew import stable_hash64
 
     return (stable_hash64([str(v) for v in values]) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _pair_bucket_column(t: pa.Table, num_buckets: int, name: str = "pbucket") -> pa.Table:
+    """Append a coarse shuffle bucket keyed on the (id_a, id_b) pair —
+    the shared reassembly/dedup key for every pair-stream groupby
+    (int or string ids, empty-safe)."""
+    a = t.column("id_a").to_numpy(zero_copy_only=False)
+    b = t.column("id_b").to_numpy(zero_copy_only=False)
+    if len(a) and np.issubdtype(a.dtype, np.integer):
+        with np.errstate(over="ignore"):
+            key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(np.uint64)
+        pb = _coarse_bucket(key.astype(np.int64), num_buckets)
+    elif len(a):  # string ids
+        pb = _coarse_bucket(
+            np.array([f"{x}\x00{y}" for x, y in zip(a, b)], dtype=object), num_buckets
+        )
+    else:
+        pb = np.zeros(0, dtype=np.int64)
+    return t.append_column(name, pa.array(pb, pa.int64()))
+
+
+def _adaptive_coarse_bits(total_rows: int, target: int = 50_000) -> int:
+    """Coarse-key width scaling with the exploded row count: ~``target``
+    rows per Ray group.  Fixed widths are wrong at both ends — near-empty
+    pandas groups at bench scale (per-group overhead dominates the
+    stage), multi-GB groups at 10⁹ docs."""
+    return max(6, min(20, int(np.ceil(np.log2(max(2, total_rows / target))))))
 
 
 def _estimate_verify_join(
@@ -395,18 +455,12 @@ def _estimate_verify_join(
 
     fetched = tagged.groupby("bucket").map_groups(fetch_in_bucket, batch_format="pandas")
 
+    # pair-reassembly bucket count = num_buckets (adaptive, ~20k rows
+    # each), NOT a fixed 4096: a fixed wide fan over few pairs makes
+    # thousands of near-empty pandas groups whose per-group overhead
+    # dominates the stage
     def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False)
-        b = t.column("id_b").to_numpy(zero_copy_only=False)
-        if len(a) and np.issubdtype(a.dtype, np.integer):
-            with np.errstate(over="ignore"):
-                key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(np.uint64)
-            pb = _coarse_bucket(key.astype(np.int64), 4096)
-        else:
-            pb = _coarse_bucket(
-                np.array([f"{x}\x00{y}" for x, y in zip(a, b)], dtype=object), 4096
-            )
-        return t.append_column("pbucket", pa.array(pb, pa.int64()))
+        return _pair_bucket_column(t, num_buckets)
 
     def estimate_in_bucket(g):  # pandas DataFrame in
         empty = pd.DataFrame(
@@ -534,7 +588,7 @@ def simhash_signatures(
     return ds.map_batches(
         SimHashStage,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=_sig_pool_size(),
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
     )
 
@@ -579,6 +633,10 @@ def simhash_duplicate_pairs(
         return (h >> lo) & ((1 << (hi - lo)) - 1)
 
     sigs = simhash_signatures(ds, text_col, id_col)
+    # adaptive coarse width (input count is parquet/arrow metadata for
+    # the driver-query read plans; see _adaptive_coarse_bits)
+    coarse_bits = _adaptive_coarse_bits(ds.count() * bands)
+    coarse_mask = (1 << coarse_bits) - 1
 
     def explode(t: pa.Table) -> pa.Table:
         ids, keys, hs = [], [], []
@@ -591,14 +649,14 @@ def simhash_duplicate_pairs(
             {"band_key": pa.array(keys, pa.int64()), id_col: pa.array(ids),
              "simhash": pa.array(np.array(hs, dtype=np.uint64))}
         )
-        # coarse shuffle key (the minhash 4096-bucket pattern): one Ray
-        # group = 1/4096 of the keyspace; exact per-bucket grouping runs
-        # in pandas at C speed.  Grouping on raw band_key would pay Ray's
-        # per-group overhead for millions of 1-2 row buckets at corpus
-        # scale.  Band index is mixed in so each band's buckets spread.
+        # coarse shuffle key (the minhash adaptive-bucket pattern): one
+        # Ray group = 1/2^coarse_bits of the keyspace; exact per-bucket
+        # grouping runs in pandas at C speed.  Grouping on raw band_key
+        # would pay Ray's per-group overhead for millions of 1-2 row
+        # buckets at corpus scale.  Band index mixes in via the shift.
         coarse = pc.bit_wise_and(
             pc.bit_wise_xor(out.column("band_key"), pc.shift_right(out.column("band_key"), 46)),
-            0xFFF,
+            coarse_mask,
         )
         return out.append_column("coarse_key", coarse)
 
@@ -652,8 +710,21 @@ def simhash_duplicate_pairs(
     raw_pairs = sigs.map_batches(explode, batch_format="pyarrow").groupby(
         "coarse_key"
     ).map_groups(pairs_in_coarse_group, batch_format="pandas")
-    return raw_pairs.groupby(["id_a", "id_b"]).aggregate(
-        AggMin("hamming", alias_name="hamming")
+
+    # cross-band dedup (keep min hamming) via coarse pair buckets +
+    # in-group pandas — NOT the native groupby().aggregate, whose reduce
+    # tasks burn ~2 s each on small pair streams (same pathology fixed
+    # in the minhash pair dedup; measured on ray 2.49)
+    def min_hamming_in_bucket(df):  # noqa: ANN001, ANN202 — pandas in/out
+        return df.groupby(["id_a", "id_b"], sort=False, as_index=False)["hamming"].min()
+
+    return (
+        raw_pairs.map_batches(
+            lambda t: _pair_bucket_column(t, 1 << coarse_bits, "pair_bucket"),
+            batch_format="pyarrow",
+        )
+        .groupby("pair_bucket")
+        .map_groups(min_hamming_in_bucket, batch_format="pandas")
     )
 
 
@@ -1342,19 +1413,7 @@ def jaccard_verify_distributed(
     fetched = tagged.groupby("bucket").map_groups(fetch_in_bucket, batch_format="pandas")
 
     def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False)
-        b = t.column("id_b").to_numpy(zero_copy_only=False)
-        if len(a) and np.issubdtype(a.dtype, np.integer):
-            with np.errstate(over="ignore"):
-                key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(np.uint64)
-            pb = _coarse_bucket(key.astype(np.int64), 4096)
-        elif len(a):  # string ids
-            pb = _coarse_bucket(
-                np.array([f"{x}\x00{y}" for x, y in zip(a, b)], dtype=object), 4096
-            )
-        else:
-            pb = np.zeros(0, dtype=np.int64)
-        return t.append_column("pbucket", pa.array(pb, pa.int64()))
+        return _pair_bucket_column(t, num_buckets)
 
     def jaccard_in_bucket(g):  # pandas in
         id_dt = g["id_a"].dtype

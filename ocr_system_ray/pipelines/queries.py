@@ -462,22 +462,27 @@ def q_suppliers_per_part(sf_dir: str) -> ray.data.Dataset:
 
     def pairs(t: pa.Table) -> pa.Table:
         # per-batch pair dedup (combiner) so the shuffle moves unique
-        # pairs, not raw lineitems
-        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([]).select(
+        # pairs, not raw lineitems; coarse bucket so the ONE shuffle's
+        # groups hold ~hundreds of parts each — grouping on raw
+        # l_partkey pays Ray's per-group overhead per part (20k tiny
+        # pandas calls at sf0.1, the dominant cost of the r2 version)
+        from ..functions.dedup import _coarse_bucket
+
+        out = t.group_by(["l_partkey", "l_suppkey"]).aggregate([]).select(
             ["l_partkey", "l_suppkey"]
         )
+        keys = out.column("l_partkey").to_numpy(zero_copy_only=False)
+        return out.append_column("bucket", pa.array(_coarse_bucket(keys, 64)))
 
-    def distinct_count(group):  # pandas in — ONE shuffle total
-        return pd.DataFrame(
-            {
-                "l_partkey": [group["l_partkey"].iloc[0]],
-                "n_suppliers": [int(group["l_suppkey"].nunique())],
-            }
-        )
+    def distinct_count(df):  # pandas in — ONE shuffle total
+        out = df.groupby("l_partkey", sort=False, as_index=False)["l_suppkey"].nunique()
+        out = out.rename(columns={"l_suppkey": "n_suppliers"})
+        out["n_suppliers"] = out["n_suppliers"].astype("int64")
+        return out[["l_partkey", "n_suppliers"]]
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow")
-        .groupby("l_partkey")
+        .groupby("bucket")
         .map_groups(distinct_count, batch_format="pandas")
     )
 

@@ -1,0 +1,153 @@
+"""Shuffle-heavy scaling evidence: MinHash-LSH near-dup over a synthetic
+dup-heavy corpus at two CPU levels, fresh process per run.
+
+The flagship scaling bench (`bench.py --scaling`) measures an
+embarrassingly-parallel pipeline; this one exercises the band-explode
+groupby + coarse-bucket reduce-side verify join — the all-to-all paths
+that actually stress a 100 TB cluster.  Protocol mirrors the flagship
+bench: fresh `ray.init` per level, warm pass first, best-of-N
+interleaved, minimum per level (the time-shared host's noise floor is
+±15%).
+
+    python tools/shuffle_scaling.py            # 4 vs 16 cpus, 40k docs
+    GRAFT_SHUF_DOCS=80000 python tools/shuffle_scaling.py
+
+Prints one JSON line; results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+DOCS = int(os.environ.get("GRAFT_SHUF_DOCS", "40000"))
+LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+HI = int(os.environ.get("GRAFT_SCALE_HI", str(LO * 4)))
+REPS = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
+CORPUS = os.environ.get("GRAFT_SHUF_DIR", f"/tmp/osr_shuf_docs_{DOCS}")
+
+
+def ensure_corpus() -> str:
+    """Deterministic dup-heavy documents table: ~200-token word-soup
+    docs; every 5th doc is a light mutation of its predecessor (one
+    token changed) so LSH finds a dense candidate set — the worst
+    honest case for the pair shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    marker = Path(CORPUS) / "_complete"
+    if marker.exists():
+        return CORPUS
+    Path(CORPUS).mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"w{i:04d}" for i in range(4000)])
+    rows_per_shard = 10000
+    doc_id = 0
+    prev_tokens: list[str] | None = None
+    for shard in range(0, DOCS, rows_per_shard):
+        n = min(rows_per_shard, DOCS - shard)
+        ids, texts = [], []
+        for _ in range(n):
+            if prev_tokens is not None and doc_id % 5 == 4:
+                toks = list(prev_tokens)
+                toks[rng.randint(len(toks))] = str(vocab[rng.randint(len(vocab))])
+            else:
+                toks = [str(w) for w in vocab[rng.randint(0, len(vocab), size=200)]]
+            prev_tokens = toks
+            ids.append(doc_id)
+            texts.append(" ".join(toks))
+            doc_id += 1
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+            Path(CORPUS) / f"part-{shard:08d}.parquet",
+        )
+    marker.write_text("ok")
+    return CORPUS
+
+
+def run_once(ncpu: int) -> float:
+    """Child entry: minhash near-dup pairs end-to-end, timed."""
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+    from ocr_system_ray.functions import dedup
+
+    corpus = ensure_corpus()
+
+    def pairs():  # noqa: ANN202
+        ds = ray.data.read_parquet(corpus, columns=["doc_id", "text"])
+        return dedup.minhash_duplicate_pairs(ds, id_col="doc_id", text_col="text")
+
+    # warm pass on one shard spawns worker processes
+    warm = ray.data.read_parquet(
+        os.path.join(corpus, "part-00000000.parquet"), columns=["doc_id", "text"]
+    )
+    dedup.minhash_duplicate_pairs(warm, id_col="doc_id", text_col="text").materialize()
+
+    t0 = time.monotonic()
+    out = pairs().materialize()
+    sec = time.monotonic() - t0
+    n_pairs = out.count()  # materialized: metadata only
+    ray.shutdown()
+    print(json.dumps({"child": True, "sec": round(sec, 3), "pairs": n_pairs, "ncpu": ncpu}))
+    return sec
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        run_once(int(os.environ["GRAFT_SHUF_CPUS"]))
+        return
+    ensure_corpus()
+    lo_s, hi_s, pairs = [], [], None
+    for _ in range(REPS):
+        for level, acc in ((LO, lo_s), (HI, hi_s)):
+            env = dict(os.environ, GRAFT_SHUF_CPUS=str(level))
+            out = subprocess.run(
+                [sys.executable, str(Path(__file__)), "--child"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            rec = json.loads(out.strip().splitlines()[-1])
+            acc.append(rec["sec"])
+            pairs = rec["pairs"]
+    sec_lo, sec_hi = min(lo_s), min(hi_s)
+    tp_lo, tp_hi = DOCS / sec_lo, DOCS / sec_hi
+    eff = (tp_hi / tp_lo) / (HI / LO)
+    print(
+        json.dumps(
+            {
+                "metric": "minhash near-dup scaling (docs/sec, N vs 4N cpus)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "cpus_lo": LO,
+                "cpus_hi": HI,
+                "sec_lo": sec_lo,
+                "sec_hi": sec_hi,
+                "sec_lo_samples": lo_s,
+                "sec_hi_samples": hi_s,
+                "docs": DOCS,
+                "pairs": pairs,
+                "threshold": 0.8,
+                "pass": eff >= 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
