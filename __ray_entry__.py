@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "vocab_top100": q.q_vocab_top100,
         "vocab_top100_approx": q.q_vocab_top100_approx,
+        "tfidf_top_terms": q.q_tfidf_top_terms,
         "content_md5": q.q_content_md5,
         "winnow_fingerprints": q.q_winnow_fingerprints,
         "repetition_signals": q.q_repetition_signals,
@@ -325,6 +326,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        # tfidf_top_terms: exact-integer score tf*1e6 // df (monotone in
+        # tf·idf for a fixed corpus; floats never hash reliably); ties
+        # break on lexicographically smaller token on BOTH sides.
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM toks GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY token
+            ), scored AS (
+              SELECT tf.doc_id, tf.token,
+                     tf.tf * 1000000 // df.df AS tfidf_micro,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * 1000000 // df.df DESC, tf.token
+                     ) AS rank
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, rank, token, tfidf_micro
+            FROM scored WHERE rank <= 3
         """,
         "quality_scores": """
             SELECT doc_id,

@@ -368,6 +368,117 @@ def unigram_neglogprob(
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_BCAST_MEMO: dict = {}
+
+
+def _broadcast_memo(ref):  # noqa: ANN001 — ray.ObjectRef
+    """Fetch a broadcast object once per worker process.
+
+    ``ray.get`` on a plain-Python payload re-unpickles on every call
+    (only Arrow/numpy are zero-copy), so per-batch fetches pay the
+    deserialization cost per batch; a module-level memo pays it once
+    per worker (CLAUDE.md gotcha)."""
+    import ray as _ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BCAST_MEMO:
+        _BCAST_MEMO[key] = _ray.get(ref)
+    return _BCAST_MEMO[key]
+
+
+def tfidf_top_terms(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document top-``k`` TF-IDF terms — the keyword-extraction shape
+    (salient-term tagging for corpus browsing / topic routing).
+
+    Two passes, both scale-clean:
+    1. **document frequency** — per-batch combiners emit each batch's
+       DISTINCT (token, docs-containing) partial counts, so the shuffle
+       moves (token, partial) rows, never token occurrences; one
+       ``groupby(token)`` sum yields the DF table, broadcast via
+       ``ray.put``.  At web scale the vocabulary explodes past broadcast
+       size: cap it to heavy hitters with :func:`approx_top_tokens` and
+       treat out-of-sketch tokens as df=1 (max salience), or swap the
+       broadcast for the repo's coarse-bucket reduce-side join — exact
+       here because the sf vocabularies are tiny.
+    2. **score** — stateless ``map_batches``; each doc ranks its own
+       tokens locally.  No shuffle: top-k per doc is row-local.
+
+    The score is exact-integer ``tf · 1_000_000 // df`` — monotone in
+    tf/df (the TF-IDF ordering for a fixed corpus: idf = f(1/df) with f
+    increasing), and reproducible bit-for-bit in the SQL oracle, unlike
+    a float ``tf·ln(N/df)`` whose ulp-level rounding can flip ranks.
+    Ties rank lexicographically smaller tokens first on both sides.
+
+    Returns a Dataset ``(id_col, rank, token, tfidf_micro)`` with
+    ``rank`` in 1..k per document (fewer when a doc has < k distinct
+    tokens).  Tokens are :data:`TOKEN_PATTERN` matches.
+    """
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update(set(_TOKEN_RGX.findall(x or "")))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "p_df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("p_df", alias_name="df"))
+        .to_pandas()
+    )
+    df_ref = _ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def score(t: pa.Table) -> pa.Table:
+        # per-worker memo: plain-dict broadcasts re-unpickle on every
+        # ray.get, so fetch once per worker process, not per batch
+        df_map = _broadcast_memo(df_ref)
+        ids: list = []
+        ranks: list[int] = []
+        tokens: list[str] = []
+        scores: list[int] = []
+        for doc_id, x in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            tf = Counter(_TOKEN_RGX.findall(x or ""))
+            scored = sorted(
+                ((c * 1_000_000 // df_map[w], w) for w, c in tf.items()),
+                key=lambda p: (-p[0], p[1]),
+            )[:k]
+            for r, (s, w) in enumerate(scored, start=1):
+                ids.append(doc_id)
+                ranks.append(r)
+                tokens.append(w)
+                scores.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(ids, t.column(id_col).type),
+                "rank": pa.array(ranks, pa.int64()),
+                "token": pa.array(tokens, pa.string()),
+                "tfidf_micro": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------
 

@@ -694,6 +694,17 @@ def q_vocab_top100_approx(sf_dir: str) -> pd.DataFrame:
     return textstats.approx_top_tokens(ds, k=100, capacity=4096)
 
 
+def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-document top-3 salient terms by exact-integer TF-IDF
+    (keyword extraction for corpus browsing / topic routing).  DF pass
+    = per-batch distinct-token combiners → one groupby(token) sum
+    (shuffle moves (token, partial) rows only); scoring is row-local.
+    Score = tf·1e6 // df — monotone in the float tf·idf ordering and
+    bit-reproducible in SQL (see textstats.tfidf_top_terms)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.tfidf_top_terms(ds, k=3, id_col="doc_id")
+
+
 def q_content_md5(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

@@ -27,6 +27,7 @@ SUBSET = [
     "token_chunks",
     "domain_mix",
     "repeated_ngrams",
+    "tfidf_top_terms",
 ]
 
 

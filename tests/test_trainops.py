@@ -610,3 +610,67 @@ def test_kmeans_separates_obvious_clusters(ray_session):
     groups = [{lab[i] for i in range(120) if i % 3 == g} for g in range(3)]
     assert all(len(g) == 1 for g in groups)  # each blob is one cluster
     assert len(set().union(*groups)) == 3  # and the blobs are distinct
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_top_terms_vs_bruteforce(ray_session):
+    """Distributed TF-IDF ≡ a single-process python twin, and the
+    result is invariant to block layout (the DF pass uses per-batch
+    combiners whose partials must sum identically across layouts)."""
+    from collections import Counter
+    import re
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana durian",
+        "apple elderberry elderberry elderberry",
+        "",  # no tokens → contributes no output rows
+        "cherry durian cherry",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    rgx = re.compile(textstats.TOKEN_PATTERN)
+    df: Counter = Counter()
+    for x in texts:
+        df.update(set(rgx.findall(x)))
+    expect = []
+    for i, x in enumerate(texts):
+        tf = Counter(rgx.findall(x))
+        scored = sorted(
+            ((c * 1_000_000 // df[w], w) for w, c in tf.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[:3]
+        for r, (s, w) in enumerate(scored, start=1):
+            expect.append((i, r, w, s))
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = textstats.tfidf_top_terms(ds, k=3, id_col="doc_id").to_pandas()
+        got = sorted(map(tuple, out[["doc_id", "rank", "token", "tfidf_micro"]].values))
+        assert got == sorted(expect)
+
+
+def test_tfidf_tie_break_is_lexicographic(ray_session):
+    # both tokens appear once in one doc each → identical scores; the
+    # rank must order them lexicographically (the oracle's ROW_NUMBER
+    # tie-break), not by insertion order
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["zeta alpha"], pa.string()),
+        }
+    )
+    out = (
+        textstats.tfidf_top_terms(ray.data.from_arrow(t), k=2, id_col="doc_id")
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert list(out["token"]) == ["alpha", "zeta"]
