@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q.q_dedup_incremental,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
+        "source_overlap": q.q_source_overlap,
         "minhash_pairs": q.q_minhash_pairs,
         "minhash_pairs_verified": q.q_minhash_pairs_verified,
         "simhash_pairs": q.q_simhash_pairs,
@@ -620,6 +621,22 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": """
             SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        # source_overlap: shared distinct 8-token-prefix fingerprints per
+        # source pair.  string_split(' ') ≡ Python str.split(' ') (both
+        # keep empty strings on runs of spaces); 1-based [1:8] slice ≡
+        # tokens[:8].
+        "source_overlap": """
+            WITH fp AS (
+              SELECT DISTINCT source,
+                     array_to_string(string_split(text, ' ')[1:8], ' ') AS fp
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 8
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_shared
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_md5,

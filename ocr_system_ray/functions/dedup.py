@@ -1584,3 +1584,123 @@ def embedding_duplicate_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         AggMin("cosine", alias_name="cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def cross_source_overlap(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+    prefix_tokens: int = 8,
+):
+    """Pairwise source-overlap matrix: for every pair of crawl sources,
+    the number of DISTINCT content fingerprints both contain.
+
+    The corpus-mixing question ("how much of source B is already in
+    source A?") that precedes domain-weight decisions.  Fingerprint =
+    the document's first ``prefix_tokens`` space-split tokens (the
+    decontam snippet convention) — catches syndicated-lead / boilerplate
+    duplication that full-text md5 misses when tails differ.
+
+    Plan (scale-clean):
+    1. per-batch combiner emits DISTINCT ``(fp, source)`` rows — the
+       shuffle moves fingerprints, never documents;
+    2. coarse-bucket groupby keyed on ``hash(fp)`` (every copy of one
+       fingerprint lands in one group; width adapts via
+       :func:`_adaptive_coarse_bits`) → in-group pandas dedupe +
+       upper-triangle pair emission + partial pair counts — NOT a
+       multi-column native aggregate (the ray 2.49 pathology);
+    3. driver-side sum of the ≤ |sources|² partial table (tiny by
+       construction — the matrix is quadratic in sources, not docs).
+
+    Returns a pandas DataFrame ``(source_a, source_b, n_shared)`` with
+    ``source_a < source_b``, sorted for determinism.
+    """
+    import pandas as pd
+
+    coarse_bits = _adaptive_coarse_bits(ds.count())
+    n_buckets = 1 << coarse_bits
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        seen: set = set()
+        for src, text in zip(
+            t.column(source_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = (text or "").split(" ")
+            if len(toks) >= prefix_tokens:
+                seen.add((" ".join(toks[:prefix_tokens]), src))
+        fps = [f for f, _ in seen]
+        srcs = [s for _, s in seen]
+        bucket = _coarse_bucket(np.array(fps, dtype=object), n_buckets)
+        return pa.table(
+            {
+                "fp": pa.array(fps, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(df):  # noqa: ANN001, ANN202 — pandas in/out
+        df = df.drop_duplicates(["fp", "source"])
+        out_a: list = []
+        out_b: list = []
+        for _, g in df.groupby("fp", sort=False):
+            if len(g) < 2:
+                continue
+            srcs = np.sort(g["source"].to_numpy())
+            ii, jj = np.triu_indices(len(srcs), k=1)
+            out_a.append(srcs[ii])
+            out_b.append(srcs[jj])
+        if not out_a:
+            # zero-count sentinel, filtered driver-side: an EMPTY block
+            # with string columns trips ray 2.49's pandas size estimator
+            # (np.vectorize on size-0 input) into per-block error spam
+            return pd.DataFrame(
+                {
+                    "source_a": pd.Series([""], dtype="string"),
+                    "source_b": pd.Series([""], dtype="string"),
+                    "p_n": pd.Series([0], dtype="int64"),
+                }
+            )
+        pairs = pd.DataFrame(
+            {
+                "source_a": pd.Series(np.concatenate(out_a), dtype="string"),
+                "source_b": pd.Series(np.concatenate(out_b), dtype="string"),
+            }
+        )
+        return (
+            pairs.groupby(["source_a", "source_b"], sort=False)
+            .size()
+            .reset_index(name="p_n")
+            .astype({"p_n": "int64"})
+        )
+
+    partials = (
+        ds.map_batches(fp_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ |sources|² rows per bucket, tiny by construction
+    )
+    partials = partials[partials["p_n"] > 0]
+    if partials.empty:
+        # object (not pandas "string") dtype: downstream equality checks
+        # (driver gate, DuckDB .df() outputs) compare dtype-sensitively
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        partials.groupby(["source_a", "source_b"], sort=True)["p_n"]
+        .sum()
+        .reset_index(name="n_shared")
+        .astype({"n_shared": "int64", "source_a": object, "source_b": object})
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )

@@ -921,6 +921,14 @@ def q_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return dedup.exact_dedup(ds)
 
 
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise source-overlap matrix by shared 8-token-prefix
+    fingerprints — the corpus-mixing diagnostic run before choosing
+    domain weights (see dedup.cross_source_overlap for the plan)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    return dedup.cross_source_overlap(ds)
+
+
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.minhash_duplicate_pairs(ds, threshold=0.5)

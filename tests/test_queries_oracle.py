@@ -28,6 +28,7 @@ SUBSET = [
     "domain_mix",
     "repeated_ngrams",
     "tfidf_top_terms",
+    "source_overlap",
 ]
 
 

@@ -674,3 +674,72 @@ def test_tfidf_tie_break_is_lexicographic(ray_session):
         .sort_values("rank")
     )
     assert list(out["token"]) == ["alpha", "zeta"]
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def test_cross_source_overlap_vs_bruteforce(ray_session):
+    """Distributed overlap matrix ≡ a python set twin; layout-invariant
+    (every copy of a fingerprint must land in one coarse group)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from ocr_system_ray.functions import dedup as dd
+
+    texts_by_src = {
+        "a": ["one two three four five six seven eight tail-a",
+              "x1 x2 x3 x4 x5 x6 x7 x8",
+              "short text"],
+        "b": ["one two three four five six seven eight tail-b",
+              "y1 y2 y3 y4 y5 y6 y7 y8"],
+        "c": ["one two three four five six seven eight",
+              "x1 x2 x3 x4 x5 x6 x7 x8 more"],
+    }
+    srcs, texts = [], []
+    for s, ts in texts_by_src.items():
+        for x in ts:
+            srcs.append(s)
+            texts.append(x)
+    fp_sets = defaultdict(set)
+    for s, x in zip(srcs, texts):
+        toks = x.split(" ")
+        if len(toks) >= 8:
+            fp_sets[s].add(" ".join(toks[:8]))
+    expect = sorted(
+        (sa, sb, len(fp_sets[sa] & fp_sets[sb]))
+        for sa, sb in combinations(sorted(fp_sets), 2)
+        if fp_sets[sa] & fp_sets[sb]
+    )
+
+    t = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = dd.cross_source_overlap(ds)
+        got = sorted(map(tuple, out[["source_a", "source_b", "n_shared"]].values))
+        assert got == expect == [("a", "b", 1), ("a", "c", 2), ("b", "c", 1)]
+
+
+def test_cross_source_overlap_empty_and_disjoint(ray_session):
+    from ocr_system_ray.functions import dedup as dd
+
+    # disjoint sources → empty matrix with a stable schema
+    t = pa.table(
+        {
+            "source": pa.array(["a", "b"], pa.string()),
+            "text": pa.array(
+                ["a1 a2 a3 a4 a5 a6 a7 a8", "b1 b2 b3 b4 b5 b6 b7 b8"],
+                pa.string(),
+            ),
+        }
+    )
+    out = dd.cross_source_overlap(ray.data.from_arrow(t))
+    assert len(out) == 0
+    assert list(out.columns) == ["source_a", "source_b", "n_shared"]
