@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.q_token_counts,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
+        "gopher_quality": q.q_gopher_quality,
         "lang_id": q.q_lang_id,
         "vocab_top100": q.q_vocab_top100,
         "vocab_top100_approx": q.q_vocab_top100_approx,
@@ -138,6 +139,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
     }
+
+
+def _gopher_sql() -> str:
+    """Generate the gopher_quality oracle from the SAME constants the
+    Ray kernel applies (textstats.GOPHER_STOPWORDS / GOPHER_BOUNDS) —
+    the two sides cannot drift independently."""
+    from ocr_system_ray.functions.textstats import GOPHER_BOUNDS as B
+    from ocr_system_ray.functions.textstats import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(ltoks, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+') AS toks,
+                 list_transform(
+                   regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+'),
+                   w -> lower(w)) AS ltoks,
+                 string_split(COALESCE(text, ''), chr(10)) AS lines
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(CASE WHEN len(toks) = 0 THEN 0
+                      ELSE 1000 * len(array_to_string(toks, '')) // len(toks)
+                 END AS BIGINT) AS mean_word_len_milli,
+                 CAST(CASE WHEN len(toks) = 0 THEN 0
+                      ELSE 1000 * len(list_filter(toks,
+                               w -> regexp_matches(w, '[A-Za-z]'))) // len(toks)
+                 END AS BIGINT) AS alpha_word_permille,
+                 CAST(1000 * len(list_filter(lines,
+                          l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+                      // len(lines) AS BIGINT) AS bullet_line_permille,
+                 CAST(1000 * len(list_filter(lines, l -> l LIKE '%...'))
+                      // len(lines) AS BIGINT) AS ellipsis_line_permille,
+                 CAST({stop_sum} AS BIGINT) AS n_stop_hits
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len_milli, alpha_word_permille,
+               bullet_line_permille, ellipsis_line_permille, n_stop_hits,
+               CAST(CASE WHEN n_words BETWEEN {B['n_words'][0]} AND {B['n_words'][1]}
+                     AND mean_word_len_milli
+                         BETWEEN {B['mean_word_len_milli'][0]} AND {B['mean_word_len_milli'][1]}
+                     AND alpha_word_permille >= {B['alpha_word_permille_min']}
+                     AND bullet_line_permille <= {B['bullet_line_permille_max']}
+                     AND ellipsis_line_permille <= {B['ellipsis_line_permille_max']}
+                     AND n_stop_hits >= {B['stop_hits_min']}
+               THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
+        FROM s
+    """
 
 
 def _domain_mix_arms() -> str:
@@ -375,6 +428,9 @@ def oracle_sql() -> dict[str, str]:
                    END AS mean_word_len_milli
             FROM documents
         """,
+        # gopher_quality: generated from textstats.GOPHER_* (one source
+        # of truth for bounds + stopword list on both sides)
+        "gopher_quality": _gopher_sql(),
         # repetition signals: Counter-per-doc on the Ray side ≡
         # unnest/groupby on the SQL side; integer permille (// is
         # BIGINT division on both sides).  Tokens = string_split(' ').

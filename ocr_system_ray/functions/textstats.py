@@ -111,6 +111,96 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style composite quality gate
+# ---------------------------------------------------------------------------
+
+# The 8 "must contain ≥2 of" stopwords from the Gopher quality rules
+# (Rae et al. 2021, §A1.1) — shared verbatim with the generated SQL
+# oracle (see __ray_entry__.oracle_sql), like pii.DEFAULT_RULES.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Gopher rule bounds, integer-scaled to the repo's permille/milli idiom
+GOPHER_BOUNDS = {
+    "n_words": (50, 100_000),
+    "mean_word_len_milli": (3_000, 10_000),
+    "alpha_word_permille_min": 800,
+    "bullet_line_permille_max": 900,
+    "ellipsis_line_permille_max": 300,
+    "stop_hits_min": 2,
+}
+
+_ASCII_ALPHA_RGX = re.compile(r"[A-Za-z]")
+
+
+def gopher_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append the Gopher composite quality signals + pass flag.
+
+    All signals are exact integers (permille / milli, floor division)
+    so the SQL oracle reproduces them bit-for-bit:
+
+    ``n_words``                  TOKEN_PATTERN matches
+    ``mean_word_len_milli``      1000·Σ|token| // n_words (0 if empty)
+    ``alpha_word_permille``      tokens containing [A-Za-z], ‰ of tokens
+    ``bullet_line_permille``     lines starting ``-``/``*``/``•``, ‰ of lines
+    ``ellipsis_line_permille``   lines ending ``...``, ‰ of lines
+    ``n_stop_hits``              distinct GOPHER_STOPWORDS present
+                                 (lowercased tokens; ASCII corpora — both
+                                 engines' lower() agree on ASCII)
+    ``pass_gopher``              1 iff every GOPHER_BOUNDS rule holds
+
+    Lines are ``\\n`` splits of the raw text (``[""]`` for empty docs,
+    matching DuckDB ``string_split(text, chr(10))``), so the line
+    ratios never divide by zero.
+    """
+    b = GOPHER_BOUNDS
+    cols: dict[str, list[int]] = {
+        k: []
+        for k in (
+            "n_words",
+            "mean_word_len_milli",
+            "alpha_word_permille",
+            "bullet_line_permille",
+            "ellipsis_line_permille",
+            "n_stop_hits",
+            "pass_gopher",
+        )
+    }
+    for v in batch.column(text_col).to_pylist():
+        t = v or ""
+        toks = _TOKEN_RGX.findall(t)
+        n_words = len(toks)
+        mwl = sum(len(w) for w in toks) * 1000 // n_words if n_words else 0
+        apm = (
+            sum(1 for w in toks if _ASCII_ALPHA_RGX.search(w)) * 1000 // n_words
+            if n_words
+            else 0
+        )
+        lines = t.split("\n")  # never empty: ''.split('\n') == ['']
+        bpm = sum(1 for x in lines if x.startswith(("-", "*", "•"))) * 1000 // len(lines)
+        epm = sum(1 for x in lines if x.endswith("...")) * 1000 // len(lines)
+        low = {w.lower() for w in toks}
+        hits = sum(1 for s in GOPHER_STOPWORDS if s in low)
+        ok = (
+            b["n_words"][0] <= n_words <= b["n_words"][1]
+            and b["mean_word_len_milli"][0] <= mwl <= b["mean_word_len_milli"][1]
+            and apm >= b["alpha_word_permille_min"]
+            and bpm <= b["bullet_line_permille_max"]
+            and epm <= b["ellipsis_line_permille_max"]
+            and hits >= b["stop_hits_min"]
+        )
+        cols["n_words"].append(n_words)
+        cols["mean_word_len_milli"].append(mwl)
+        cols["alpha_word_permille"].append(apm)
+        cols["bullet_line_permille"].append(bpm)
+        cols["ellipsis_line_permille"].append(epm)
+        cols["n_stop_hits"].append(hits)
+        cols["pass_gopher"].append(int(ok))
+    for k, v in cols.items():
+        batch = batch.append_column(k, pa.array(v, pa.int64()))
+    return batch
+
+
+# ---------------------------------------------------------------------------
 # language ID (n-gram heuristic)
 # ---------------------------------------------------------------------------
 

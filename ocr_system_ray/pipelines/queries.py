@@ -641,6 +641,28 @@ def q_quality_scores(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(scores, batch_format="pyarrow")
 
 
+def q_gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gopher composite quality gate (Rae et al. 2021 rules) as exact
+    integer signals + pass flag — row-local map_batches, no shuffle;
+    the SQL oracle is generated from the same textstats.GOPHER_*
+    constants so the two sides cannot drift independently."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keep = [
+        "doc_id",
+        "n_words",
+        "mean_word_len_milli",
+        "alpha_word_permille",
+        "bullet_line_permille",
+        "ellipsis_line_permille",
+        "n_stop_hits",
+        "pass_gopher",
+    ]
+    return ds.map_batches(
+        lambda t: textstats.gopher_quality_batch(t).select(keep),
+        batch_format="pyarrow",
+    )
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(

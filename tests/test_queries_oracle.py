@@ -29,6 +29,7 @@ SUBSET = [
     "repeated_ngrams",
     "tfidf_top_terms",
     "source_overlap",
+    "gopher_quality",
 ]
 
 

@@ -743,3 +743,70 @@ def test_cross_source_overlap_empty_and_disjoint(ray_session):
     out = dd.cross_source_overlap(ray.data.from_arrow(t))
     assert len(out) == 0
     assert list(out.columns) == ["source_a", "source_b", "n_shared"]
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_rules():
+    good = "the data we have is good and that should be enough to " + " ".join(
+        f"word{i}" for i in range(40)
+    )
+    cases = {
+        "": dict(n_words=0, pass_gopher=0),
+        good: dict(pass_gopher=1, n_stop_hits=6),
+        # too short (plenty of stopwords, but < 50 words)
+        "the cat sat on the mat and that is all we have to say": dict(pass_gopher=0),
+        # bullet-heavy: every line starts with a list marker
+        "- one\n* two\n• three": dict(bullet_line_permille=1000, pass_gopher=0),
+        # ellipsis-heavy lines
+        "first line...\nsecond line...\nthird": dict(ellipsis_line_permille=666),
+        # numeric-only tokens fail the alpha-word rule
+        " ".join(str(i) for i in range(60)): dict(alpha_word_permille=0, pass_gopher=0),
+    }
+    t = pa.table({"text": pa.array(list(cases), pa.string())})
+    out = textstats.gopher_quality_batch(t)
+    for i, want in enumerate(cases.values()):
+        row = {k: out.column(k)[i].as_py() for k in out.column_names if k != "text"}
+        for k, v in want.items():
+            assert row[k] == v, (i, k, row)
+
+
+def test_gopher_quality_matches_duckdb_on_synthetic_edge_docs(ray_session):
+    """The generated SQL oracle ≡ the Ray kernel on docs that exercise
+    every rule branch (the sf corpora are single-line, so the line
+    ratios and empty/None branches are pinned here)."""
+    import duckdb
+    import __ray_entry__ as entry
+
+    texts = [
+        None,
+        "",
+        "- a\n- b\nplain",
+        "tail...\nmore...",
+        "the be to of and that have with " * 10,
+        "• unicode bullet\nnormal line",
+        "x " * 60,
+        "no stopwords here just nouns " * 12,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ours = (
+        textstats.gopher_quality_batch(t)
+        .drop_columns(["text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = entry.oracle_sql()["gopher_quality"]
+    want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    want = want[list(ours.columns)]
+    assert ours.equals(want), (ours, want)
