@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q.q_knn_bruteforce,
         "knn_ivf": q.q_knn_ivf,
         "kmeans_clusters": q.q_kmeans_clusters,
+        "semdedup": q.q_semdedup,
         # extraction + flagship
         "extract_fields_docs": q.q_extract_fields_docs,
         "model_extract_docs": q.q_model_extract_docs,
@@ -608,6 +609,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             JOIN '/root/repo/tests/golden/kmeans_sf001.parquet' g
               ON e.vec_id = g.vec_id
+        """,
+        # semdedup: the committed kmeans golden pins the clusters (the
+        # query re-fits with identical params), so the in-cluster cosine
+        # dedup is fully SQL-expressible; round(c, 6) on both sides.
+        "semdedup": """
+            WITH cl AS (
+              SELECT e.vec_id, g.cluster, e.embedding
+              FROM embeddings e
+              JOIN '/root/repo/tests/golden/kmeans_sf001.parquet' g
+                ON e.vec_id = g.vec_id
+            ), dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM cl a JOIN cl b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                    >= 0.4
+            )
+            SELECT c.vec_id, c.cluster,
+                   CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS keep
+            FROM cl c LEFT JOIN dropped d ON c.vec_id = d.vec_id
         """,
         "unigram_logprob": """
             SELECT d.doc_id, g.neglogp_micro

@@ -165,3 +165,87 @@ def kmeans_assign(
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def semdedup(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic dedup confined to k-means
+    clusters — pairwise cosine runs inside each cluster only, dropping
+    the all-pairs cost from O(n²) to Σ|cluster|² while catching the
+    near-dups that matter (cross-cluster pairs are below threshold by
+    construction when k is sized right).
+
+    Ray shape: one ``map_batches`` labels rows with their nearest
+    centroid (broadcast k × dim matrix), one ``groupby(cluster)``
+    shuffle co-locates each cluster, and the in-group pandas kernel
+    does a single normalized matmul + min-id survivor rule.
+
+    Partition assumption (the SemDeDup regime): a cluster must fit in
+    one worker's memory — size ``k ≈ n / target_cluster_rows`` (the
+    paper used 50k clusters for LAION); k=10 here only because the sf
+    corpora are tiny.
+
+    Survivor rule, deterministic: a row is dropped iff a SAME-CLUSTER
+    row with a smaller id has ``round(cosine, 6) >= threshold``
+    (quantized before comparing — numpy matmul and SQL
+    list_cosine_similarity disagree at ulp level; ADVICE r1).
+
+    Returns ``(id_col, cluster_col, keep)`` — one row per input, keep
+    ∈ {0, 1}, all int64.
+    """
+    import pandas as pd
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)  # numpy → plasma zero-copy, no per-batch unpickle
+        x = _as_matrix(t.column(vec_col)).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                vec_col: t.column(vec_col),
+                cluster_col: pa.array(assign_ids(x, c), pa.int64()),
+            }
+        )
+
+    labeled = ds.map_batches(label, batch_format="pyarrow")
+
+    def dedup_in_cluster(df):  # noqa: ANN001, ANN202 — pandas in/out
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    cluster_col: pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = df[id_col].to_numpy()
+        order = np.argsort(ids)  # min-id rule needs id order, not arrival order
+        ids = ids[order]
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in df[vec_col].to_numpy()[order]]
+        )
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (v / n) @ (v / n).T
+        ii, jj = np.nonzero(np.round(sims, 6) >= threshold)
+        dropped = np.unique(jj[ii < jj])  # strict: only smaller-id partners drop you
+        keep = np.ones(len(ids), dtype=np.int64)
+        keep[dropped] = 0
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                cluster_col: pd.Series(df[cluster_col].to_numpy()[order], dtype="int64"),
+                "keep": pd.Series(keep, dtype="int64"),
+            }
+        )
+
+    return labeled.groupby(cluster_col).map_groups(
+        dedup_in_cluster, batch_format="pandas"
+    )

@@ -933,6 +933,18 @@ def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     return clustering.kmeans_assign(emb, centroids)
 
 
+def q_semdedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup over the embeddings table: k-means (same k=10 fit as
+    q_kmeans_clusters, so the committed cluster golden doubles as this
+    oracle's join key) + in-cluster cosine dedup with the min-id
+    survivor rule.  See clustering.semdedup for the scale contract."""
+    from ..functions import clustering
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    centroids = clustering.kmeans_fit(emb, k=10, n_iter=10)
+    return clustering.semdedup(emb, centroids, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------

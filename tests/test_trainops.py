@@ -810,3 +810,80 @@ def test_gopher_quality_matches_duckdb_on_synthetic_edge_docs(ray_session):
     want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
     want = want[list(ours.columns)]
     assert ours.equals(want), (ours, want)
+
+# ---------------------------------------------------------------------------
+# SemDeDup (in-cluster semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_twin(ids, x, assign, threshold=0.4):
+    """Single-matrix brute-force twin of clustering.semdedup: per
+    cluster, drop a row iff a smaller-id row in the SAME cluster has
+    round(cosine, 6) >= threshold."""
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    u = x / n
+    keep = {}
+    for cl in np.unique(assign):
+        sub = np.nonzero(assign == cl)[0]
+        sub = sub[np.argsort(ids[sub])]
+        sims = np.round(u[sub] @ u[sub].T, 6)
+        for pos, i in enumerate(sub):
+            dropped = any(sims[p, pos] >= threshold for p in range(pos))
+            keep[int(ids[i])] = 0 if dropped else 1
+    return keep
+
+
+def test_semdedup_equals_numpy_twin(ray_session):
+    ids, x = _ids_and_matrix()
+    centroids, assign = clustering.kmeans_numpy(x, k=10, n_iter=10)
+    want = _semdedup_twin(ids, x, assign)
+
+    emb = ray.data.read_parquet(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = clustering.semdedup(emb, centroids, threshold=0.4).take_all()
+    assert len(out) == len(ids)  # one verdict per input row
+    got = {r["vec_id"]: r["keep"] for r in out}
+    assert got == want
+    cl = {r["vec_id"]: r["cluster"] for r in out}
+    assert [cl[int(i)] for i in ids] == list(assign)
+
+
+def test_semdedup_min_id_survivor_rule(ray_session):
+    """Near-identical vectors in one cluster: only the smallest id
+    survives; the far-away cluster is untouched; cross-cluster
+    near-dups are NOT compared (the SemDeDup contract)."""
+    vecs = [
+        [1.0, 0.0],   # id 0 — survivor of the dup group
+        [0.99, 0.01], # id 1 — dup of 0, dropped
+        [1.0, 0.001], # id 2 — dup of 0, dropped
+        [-1.0, 0.0],  # id 3 — own cluster, kept
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(4), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(3)
+    centroids = np.array([[1.0, 0.0], [-1.0, 0.0]])
+    out = {r["vec_id"]: r for r in clustering.semdedup(ds, centroids, threshold=0.95).take_all()}
+    assert [out[i]["keep"] for i in range(4)] == [1, 0, 0, 1]
+    assert out[3]["cluster"] != out[0]["cluster"]
+
+
+def test_semdedup_batching_invariance(ray_session):
+    ids, x = _ids_and_matrix()
+    centroids, _ = clustering.kmeans_numpy(x, k=10, n_iter=10)
+    results = []
+    for blocks in (1, 7):
+        emb = ray.data.read_parquet(
+            f"{SF001}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        )
+        out = clustering.semdedup(emb, centroids).take_all()
+        results.append(sorted((r["vec_id"], r["cluster"], r["keep"]) for r in out))
+    assert results[0] == results[1]
