@@ -604,6 +604,19 @@ def oracle_sql() -> dict[str, str]:
             FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
             JOIN embeddings e ON g.vec_id = e.vec_id
         """,
+        # seeded multi-probe LSH is deterministic, so the frozen sf0.01
+        # golden pins WHICH pairs the buckets surface — but the cosine
+        # values are recomputed INDEPENDENTLY by DuckDB over the live
+        # embeddings (both sides quantize to 1e-6 after a float64 dot)
+        "embedding_dup_pairs": """
+            SELECT g.id_a, g.id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM '/root/repo/tests/golden/embedding_dup_pairs_sf001.parquet' g
+            JOIN embeddings a ON g.id_a = a.vec_id
+            JOIN embeddings b ON g.id_b = b.vec_id
+        """,
         "kmeans_clusters": """
             SELECT e.vec_id, g.cluster
             FROM embeddings e

@@ -1554,11 +1554,18 @@ def embedding_duplicate_pairs(
             group = group.drop_duplicates(subset=[id_col])
         if len(group) > 1:
             ids = group[id_col].tolist()
-            v = np.asarray([np.asarray(x, dtype=np.float32) for x in group[vec_col]])
+            # float64: the quantized cosine must agree with an oracle
+            # recomputing it in double (float32 error ~1e-7 straddles
+            # 1e-6 rounding boundaries too often; float64 never does)
+            v = np.asarray([np.asarray(x, dtype=np.float64) for x in group[vec_col]])
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             vn = v / norms
-            cos = vn @ vn.T
+            # quantize BEFORE thresholding: a cosine within an ulp of the
+            # threshold must not flip pair membership between runs /
+            # engines (the repo's float-hash rule; ADVICE r1), and the
+            # emitted value round-trips parquet/DuckDB exactly
+            cos = np.round(vn @ vn.T, 6)
             ii, jj = np.triu_indices(len(ids), k=1)
             for i, j in zip(ii, jj):
                 c = float(cos[i, j])

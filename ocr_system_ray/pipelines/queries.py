@@ -1079,7 +1079,14 @@ def q_embedding_dup_exact(sf_dir: str) -> ray.data.Dataset:
 
 def q_embedding_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = dedup.embedding_duplicate_pairs(ds, threshold=0.9, probes=2).to_pandas()
+    # threshold matches embedding_dup_exact so the LSH pair set is a
+    # (recall-limited) subset of the exact one; plane count is matched
+    # to the threshold angle — cos 0.4 ≈ 66°, per-plane collision
+    # p = 1-66/180 ≈ 0.63, so 6 planes × 8 probes recovers ~70% of the
+    # exact pairs at sf0.01 where 16 planes (tuned for ≥0.9) finds none
+    out = dedup.embedding_duplicate_pairs(
+        ds, threshold=0.4, num_planes=6, probes=8
+    ).to_pandas()
     if out.empty:  # a fully-empty Dataset loses its schema — restore it
         out = pd.DataFrame(
             {

@@ -60,6 +60,7 @@ CHEAP_QUERY_GOLDENS = [
     "media_features_sf001",
     "frame_sample_sf001",
     "knn_ivf_sf001",
+    "embedding_dup_pairs_sf001",
 ]
 
 

@@ -163,6 +163,7 @@ QUERY_GOLDENS = {
     "media_decode_sf001": "media_decode",
     "media_features_sf001": "media_features",
     "frame_sample_sf001": "frame_sample",
+    "embedding_dup_pairs_sf001": "embedding_dup_pairs",
 }
 
 
