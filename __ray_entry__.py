@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": q.q_domain_mix,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
+        "dsir_scores": q.q_dsir_scores,
         "dedup_incremental": q.q_dedup_incremental,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -648,6 +649,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.neglogp_micro
             FROM documents d
             JOIN '/root/repo/tests/golden/unigram_logprob_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # dsir: crc32 hashed-ngram features are not SQL-expressible;
+        # the golden is an INDEPENDENT pure-Python twin (make_goldens)
+        "dsir_scores": """
+            SELECT d.doc_id, g.logw_micro
+            FROM documents d
+            JOIN '/root/repo/tests/golden/dsir_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         "final_extract_pages": """

@@ -1,0 +1,173 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023): score every raw document by how target-like it is under
+hashed-n-gram bag models, so a 100 TB crawl can be filtered toward a
+small high-quality target corpus without training a classifier.
+
+Public recipe (the paper's §3, reproduced from the published method):
+
+1. featurize each document as counts over ``m`` hash buckets of its
+   word unigrams and bigrams;
+2. fit bag-of-hashed-ngrams models ``p̂`` (target) and ``q̂`` (raw) —
+   just bucket-count vectors, Laplace-smoothed;
+3. per raw document, the log importance weight is
+   ``log w = Σ_b c_b · (ln p̂[b] − ln q̂[b])`` where ``c_b`` is the
+   document's bucket count;
+4. resample proportionally to ``w`` (the paper uses Gumbel top-k).
+
+Ray shape, scale-clean at 100 TB:
+
+* **fit pass** — one streaming ``map_batches`` combiner emits per-batch
+  partial count rows ``(bucket, target_n, raw_n)`` (≤ m rows per batch,
+  nonzero buckets only) → one ``groupby(bucket)`` over a FIXED key
+  domain of m values — the shuffle is O(m · batches), never
+  O(corpus);
+* the fitted model is an m-length float64 log-ratio vector — a few KB —
+  broadcast once via ``ray.put`` (numpy ⇒ plasma zero-copy);
+* **score pass** — stateless ``map_batches``; each document's score is
+  a row-local ``bincount ⋅ λ`` dot in fixed bucket order, so the
+  integer output is batching-invariant and safe to golden/hash.
+
+Selection (step 4) is deliberately left to composition: the repo's
+deterministic rule is top-fraction by ``(logw_micro, id)`` — compose
+with a sort/limit or the quantile-threshold query — because Gumbel
+resampling needs coordinated RNG, which this engine avoids (the same
+reasoning as the content-hash train/test split).
+
+Scores are integer micro-nats (``floor(x·1e6 + 0.5)``), the repo's
+float-hash rule.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# separator for bigram hashing: cannot appear inside a space-split token
+_BIGRAM_SEP = "\x00"
+
+
+def _doc_bucket_counts(text: str, num_buckets: int) -> np.ndarray:
+    """Hashed unigram+bigram counts for one document (crc32 buckets —
+    the same stable-hash family as the chunker's hash vocab).
+
+    Per-token ``zlib.crc32`` is a C call in a Python loop; at 100 TB the
+    hot path would batch this through the vectorized polynomial hash in
+    ``stages/skew.py`` — kept scalar here because the golden/oracle
+    contract pins crc32 bucket ids.
+    """
+    toks = text.split(" ")
+    h = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+    grams = [h]
+    if len(toks) > 1:
+        grams.append(
+            np.fromiter(
+                (
+                    zlib.crc32((a + _BIGRAM_SEP + b).encode("utf-8"))
+                    for a, b in zip(toks, toks[1:])
+                ),
+                dtype=np.int64,
+                count=len(toks) - 1,
+            )
+        )
+    return np.bincount(
+        np.concatenate(grams) % num_buckets, minlength=num_buckets
+    ).astype(np.int64)
+
+
+def fit_log_ratio(
+    ds: ray.data.Dataset,
+    target_col: str,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+) -> np.ndarray:
+    """Fit the DSIR log-ratio vector ``λ[b] = ln p̂[b] − ln q̂[b]``.
+
+    ``target_col`` is an int/bool column marking target-distribution
+    rows (e.g. ``lang == 'en'``); every row contributes to the raw
+    model.  Laplace add-1 smoothing over the m buckets keeps both logs
+    finite.  Returns an ``(m,)`` float64 numpy vector — broadcast it
+    with ``ray.put`` and score many corpora against one fit.
+    """
+
+    def partials(t: pa.Table) -> pa.Table:
+        tgt = np.zeros(num_buckets, dtype=np.int64)
+        raw = np.zeros(num_buckets, dtype=np.int64)
+        flags = t.column(target_col).to_pylist()
+        for text, flag in zip(t.column(text_col).to_pylist(), flags):
+            c = _doc_bucket_counts(text or "", num_buckets)
+            raw += c
+            if flag:
+                tgt += c
+        nz = np.nonzero(raw)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "target_n": pa.array(tgt[nz], pa.int64()),
+                "raw_n": pa.array(raw[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("target_n", alias_name="t_n"), Sum("raw_n", alias_name="r_n"))
+        .to_pandas()  # ≤ num_buckets rows by construction — driver-safe
+    )
+    t_counts = np.ones(num_buckets, dtype=np.float64)  # add-1 smoothing
+    r_counts = np.ones(num_buckets, dtype=np.float64)
+    b = agg["bucket"].to_numpy()
+    t_counts[b] += agg["t_n"].to_numpy()
+    r_counts[b] += agg["r_n"].to_numpy()
+    return (np.log(t_counts) - math.log(t_counts.sum())) - (
+        np.log(r_counts) - math.log(r_counts.sum())
+    )
+
+
+def dsir_logweights(
+    ds: ray.data.Dataset,
+    log_ratio: np.ndarray,
+    num_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Score every document: ``logw_micro = floor(1e6 · c ⋅ λ + 0.5)``.
+
+    Row-local fixed-order reduction — batching-invariant, goldenable.
+    Returns ``(id_col, logw_micro: int64)``.
+    """
+    lam = np.asarray(log_ratio, dtype=np.float64)
+    if lam.shape != (num_buckets,):
+        raise ValueError(f"log_ratio must have shape ({num_buckets},)")
+    lam_ref = ray.put(lam)
+
+    def score(t: pa.Table) -> pa.Table:
+        lam_w = ray.get(lam_ref)  # numpy → plasma zero-copy per worker
+        out = [
+            int(
+                math.floor(
+                    float(_doc_bucket_counts(x or "", num_buckets) @ lam_w) * 1e6
+                    + 0.5
+                )
+            )
+            for x in t.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "logw_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

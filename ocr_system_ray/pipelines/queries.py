@@ -909,6 +909,25 @@ def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     return textstats.unigram_neglogprob(ds)
 
 
+def q_dsir_scores(sf_dir: str) -> ray.data.Dataset:
+    """DSIR importance weights (Xie et al. 2023) with the English
+    documents as the target distribution and the whole corpus as raw.
+    Integer micro-nats; oracle = committed golden from the independent
+    single-process twin in tools/make_goldens.py (hashed-feature models
+    are not SQL-expressible — crc32 bucketing has no DuckDB analog)."""
+    from ..functions import dsir
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en").cast(pa.int8())
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    flagged = ds.map_batches(flag, batch_format="pyarrow").materialize()
+    lam = dsir.fit_log_ratio(flagged, target_col="is_target")
+    return dsir.dsir_logweights(flagged, lam)
+
+
 def q_repeated_ngrams(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr-lite substring-dedup statistics: per doc, the number
     of corpus-repeated 8-token windows and the tokens they cover.  Two

@@ -102,6 +102,18 @@ def test_unigram_logprob_golden_matches_twin():
 
 
 @needs_testdata
+def test_dsir_golden_matches_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import dsir_golden
+
+    fresh = dsir_golden()
+    committed = pq.read_table(GOLDEN_DIR / "dsir_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
 def test_extract_fields_golden_agrees_with_our_core():
     """Belt-and-braces: our core must reproduce the reference-derived
     golden byte-for-byte (the same invariant the driver now checks)."""

@@ -887,3 +887,94 @@ def test_semdedup_batching_invariance(ray_session):
         out = clustering.semdedup(emb, centroids).take_all()
         results.append(sorted((r["vec_id"], r["cluster"], r["keep"]) for r in out))
     assert results[0] == results[1]
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_discriminates_target_language(ray_session):
+    """With lang=en as target, English docs must average a higher
+    importance weight than non-English docs (the whole point of DSIR)."""
+    import pyarrow.parquet as pq
+
+    from ocr_system_ray.functions import dsir
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en").cast(pa.int8())
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            f"{SF001}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        .map_batches(flag, batch_format="pyarrow")
+        .materialize()
+    )
+    lam = dsir.fit_log_ratio(ds, target_col="is_target")
+    scores = {r["doc_id"]: r["logw_micro"] for r in dsir.dsir_logweights(ds, lam).take_all()}
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "lang"]).to_pylist()
+    }
+    en = [scores[d] for d, l in langs.items() if l == "en"]
+    other = [scores[d] for d, l in langs.items() if l != "en"]
+    assert en and other
+    assert np.mean(en) > np.mean(other) + 1_000_000  # ≥1 nat of separation
+
+
+def test_dsir_batching_invariance(ray_session):
+    from ocr_system_ray.functions import dsir
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en").cast(pa.int8())
+        )
+
+    results = []
+    for blocks in (1, 7):
+        ds = (
+            ray.data.read_parquet(
+                f"{SF001}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+                override_num_blocks=blocks,
+            )
+            .map_batches(flag, batch_format="pyarrow")
+            .materialize()
+        )
+        lam = dsir.fit_log_ratio(ds, target_col="is_target")
+        out = dsir.dsir_logweights(ds, lam).take_all()
+        results.append(sorted((r["doc_id"], r["logw_micro"]) for r in out))
+    assert results[0] == results[1]
+
+
+def test_dsir_edge_docs(ray_session):
+    """Empty and single-token docs survive featurization (no bigrams),
+    and a doc made of pure target phrases outranks an off-target one."""
+    from ocr_system_ray.functions import dsir
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", 1),
+        (1, "the quick brown fox", 1),
+        (2, "xyzzy plugh qwerty asdf zxcv", 0),
+        (3, "", 0),
+        (4, "solo", 0),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "is_target": pa.array([r[2] for r in rows], pa.int8()),
+            }
+        )
+    ).materialize()
+    lam = dsir.fit_log_ratio(ds, target_col="is_target")
+    got = {r["doc_id"]: r["logw_micro"] for r in dsir.dsir_logweights(ds, lam).take_all()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0] > got[2]  # target-phrase doc beats off-target doc

@@ -110,6 +110,60 @@ def kmeans_golden() -> pa.Table:
     )
 
 
+def dsir_golden() -> pa.Table:
+    """(doc_id, logw_micro) from a pure-Python twin of the DSIR scorer
+    (dict counting, no numpy feature path): hashed unigram+bigram
+    crc32 buckets (m=1024), add-1 smoothed target(lang=en)/raw models,
+    per-doc dot in fixed bucket order, integer micro-nats."""
+    import math
+    import zlib
+    from collections import Counter
+
+    import numpy as np
+
+    m = 1024
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text", "lang"])
+    texts = [(t or "") for t in docs.column("text").to_pylist()]
+    langs = docs.column("lang").to_pylist()
+
+    def buckets(text: str) -> Counter:
+        toks = text.split(" ")
+        c: Counter = Counter(zlib.crc32(t.encode()) % m for t in toks)
+        c.update(
+            zlib.crc32((a + "\x00" + b).encode()) % m for a, b in zip(toks, toks[1:])
+        )
+        return c
+
+    per_doc = [buckets(t) for t in texts]
+    tgt, raw = Counter(), Counter()
+    for c, lang in zip(per_doc, langs):
+        raw.update(c)
+        if lang == "en":
+            tgt.update(c)
+    t_tot = sum(tgt.values()) + m
+    r_tot = sum(raw.values()) + m
+    lam = np.array(
+        [
+            (math.log(tgt.get(b, 0) + 1) - math.log(t_tot))
+            - (math.log(raw.get(b, 0) + 1) - math.log(r_tot))
+            for b in range(m)
+        ],
+        dtype=np.float64,
+    )
+    out = []
+    for c in per_doc:
+        vec = np.zeros(m, dtype=np.float64)
+        for b, n in c.items():
+            vec[b] = n
+        out.append(int(math.floor(float(vec @ lam) * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "logw_micro": pa.array(out, pa.int64()),
+        }
+    )
+
+
 def unigram_logprob_golden() -> pa.Table:
     """(doc_id, neglogp_micro) from a single-process twin of the
     unigram-LM scorer — plain-Python wordcount + the same row-local
@@ -206,6 +260,9 @@ def main() -> None:
     ul = unigram_logprob_golden()
     pq.write_table(ul, GOLDEN_DIR / "unigram_logprob_sf001.parquet")
     print(f"unigram_logprob_sf001.parquet: {ul.num_rows} rows")
+    dg = dsir_golden()
+    pq.write_table(dg, GOLDEN_DIR / "dsir_sf001.parquet")
+    print(f"dsir_sf001.parquet: {dg.num_rows} rows")
 
     import ray
 
