@@ -116,6 +116,8 @@ def run_query_suite() -> dict[str, float]:
         "decontam_flags": q.q_decontam_flags,
         "pii_scrub": q.q_pii_scrub,
         "kmeans_clusters": q.q_kmeans_clusters,
+        "semdedup": q.q_semdedup,
+        "dsir_scores": q.q_dsir_scores,
     }
     import pandas as pd
 
