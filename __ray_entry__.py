@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_flags": q.q_decontam_flags,
         "token_chunks": q.q_token_chunks,
         "domain_mix": q.q_domain_mix,
+        "curation_pipeline": q.q_curation_pipeline,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
@@ -143,12 +144,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _gopher_sql() -> str:
+def _gopher_sql(bounds: dict | None = None) -> str:
     """Generate the gopher_quality oracle from the SAME constants the
     Ray kernel applies (textstats.GOPHER_STOPWORDS / GOPHER_BOUNDS) —
-    the two sides cannot drift independently."""
-    from ocr_system_ray.functions.textstats import GOPHER_BOUNDS as B
+    the two sides cannot drift independently.  ``bounds`` overrides the
+    gate thresholds (the curation pipeline passes its relaxed set)."""
+    from ocr_system_ray.functions.textstats import GOPHER_BOUNDS
     from ocr_system_ray.functions.textstats import GOPHER_STOPWORDS
+
+    B = bounds if bounds is not None else GOPHER_BOUNDS
 
     stop_sum = " + ".join(
         f"(CASE WHEN list_contains(ltoks, '{s}') THEN 1 ELSE 0 END)"
@@ -193,6 +197,12 @@ def _gopher_sql() -> str:
                THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
         FROM s
     """
+
+
+def _curation_bounds() -> dict:
+    from ocr_system_ray.pipelines.queries import CURATION_GOPHER_BOUNDS
+
+    return CURATION_GOPHER_BOUNDS
 
 
 def _domain_mix_arms() -> str:
@@ -503,6 +513,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(COALESCE(text, '')), 1, 2) <
                   CASE source {_domain_mix_arms()} END
+        """,
+        # curation_pipeline: the four component oracles composed with
+        # the same precedence the Ray pass applies (gopher → duplicate
+        # → contaminated → mix); every fragment is the SAME generated /
+        # shared SQL as its standalone query (gate bounds generated
+        # from queries.CURATION_GOPHER_BOUNDS), so the composite cannot
+        # drift from the parts.
+        "curation_pipeline": f"""
+            WITH gq AS ({_gopher_sql(_curation_bounds())}),
+            dup AS (
+              SELECT md5(COALESCE(text, '')) AS m, MIN(doc_id) AS keep_id
+              FROM documents GROUP BY 1
+            ),
+            bench AS (
+              SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS snippet
+              FROM documents
+              WHERE doc_id % 37 = 3 AND len(string_split(text, ' ')) >= 8
+            ),
+            f AS (
+              SELECT d.doc_id,
+                     gq.pass_gopher,
+                     CASE WHEN d.doc_id = dup.keep_id THEN 1 ELSE 0 END AS survivor,
+                     CAST(EXISTS (
+                       SELECT 1 FROM bench b
+                       WHERE contains(' ' || d.text || ' ', ' ' || b.snippet || ' ')
+                     ) AS BIGINT) AS contaminated,
+                     CASE WHEN substr(md5(COALESCE(d.text, '')), 1, 2) <
+                               CASE d.source {_domain_mix_arms()} END
+                          THEN 1 ELSE 0 END AS mix_keep
+              FROM documents d
+              JOIN gq USING (doc_id)
+              JOIN dup ON md5(COALESCE(d.text, '')) = dup.m
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN pass_gopher = 1 AND survivor = 1
+                              AND contaminated = 0 AND mix_keep = 1
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                   CASE WHEN pass_gopher = 0 THEN 'gopher'
+                        WHEN survivor = 0 THEN 'duplicate'
+                        WHEN contaminated = 1 THEN 'contaminated'
+                        WHEN mix_keep = 0 THEN 'mix'
+                        ELSE 'kept' END AS reason
+            FROM f
         """,
         # repeated_ngrams: ExactSubstr-lite — grams repeated corpus-wide
         # (count >= 2) and the per-doc token coverage of their windows.

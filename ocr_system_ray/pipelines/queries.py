@@ -776,18 +776,13 @@ def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_decontam_flags(sf_dir: str) -> ray.data.Dataset:
-    """Benchmark decontamination: flag documents sharing an 8-token
-    window with the benchmark snippet set.
-
-    The benchmark stand-in is derived deterministically from the corpus
-    (every ``doc_id % 37 == 3`` document contributes its first 8
-    tokens) — at production scale it is an external eval-suite table,
-    always small, so the Ray shape is collect-small-side → ``ray.put``
-    broadcast → one stateless flag pass over the streaming corpus."""
+def _benchmark_grams(docs: ray.data.Dataset):
+    """The deterministic benchmark stand-in shared by the decontam
+    query and the curation pipeline: every ``doc_id % 37 == 3``
+    document contributes its first 8 tokens; at production scale this
+    is an external eval-suite table, always small (collect →
+    ``ray.put`` broadcast)."""
     from ..functions import decontam
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def snip(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -800,7 +795,19 @@ def q_decontam_flags(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"snippet": pa.array(out, pa.string())})
 
     snippets = [r["snippet"] for r in docs.map_batches(snip, batch_format="pyarrow").take_all()]
-    grams = decontam.snippet_ngrams(snippets, n=8)
+    return decontam.snippet_ngrams(snippets, n=8)
+
+
+def q_decontam_flags(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag documents sharing an 8-token
+    window with the benchmark snippet set (see ``_benchmark_grams``
+    for the stand-in derivation).  Ray shape: collect-small-side →
+    ``ray.put`` broadcast → one stateless flag pass over the
+    streaming corpus."""
+    from ..functions import decontam
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = _benchmark_grams(docs)
     flagged = decontam.contamination_flags(docs, grams, n=8)
     return flagged.map_batches(
         lambda t: t.select(["doc_id", "contaminated"]), batch_format="pyarrow"
@@ -830,6 +837,20 @@ def q_token_chunks(sf_dir: str) -> ray.data.Dataset:
 DOMAIN_MIX_WEIGHTS: dict[str, str] = {"src1": "80", "src2": "40", "src3": "20"}
 DOMAIN_MIX_DEFAULT = "zz"
 
+# Quality bounds for the curation pipeline's gate — same signal
+# definitions as textstats.GOPHER_BOUNDS but relaxed to discriminate on
+# the synthetic sf corpora (word-salad text: ≤1 stopword, 10–99 words;
+# the published bounds would fail every row and make the composite
+# verdict degenerate).  The oracle SQL is GENERATED from this dict.
+CURATION_GOPHER_BOUNDS: dict = {
+    "n_words": (20, 100_000),
+    "mean_word_len_milli": (3000, 10000),
+    "alpha_word_permille_min": 800,
+    "bullet_line_permille_max": 900,
+    "ellipsis_line_permille_max": 300,
+    "stop_hits_min": 1,
+}
+
 
 def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     """Weighted per-source downsampling (Pile/Llama-style domain
@@ -850,6 +871,119 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
         return t.filter(pa.array(keep)).select(["doc_id", "source"])
 
     return ds.map_batches(mix, batch_format="pyarrow")
+
+
+def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end corpus curation verdict — the RedPajama/FineWeb shape
+    (quality gate → exact dedup → decontamination → domain mixing) as
+    ONE pass over the corpus, emitting a keep/drop decision and the
+    first failing stage per document.
+
+    Stage precedence (the published order — cheap row-local gates
+    before corpus-wide ones): ``gopher`` → ``duplicate`` →
+    ``contaminated`` → ``mix`` → ``kept``.  Every flag is computed for
+    every row (a drop at one gate does not mask the others' inputs;
+    the REASON is just the first failure), and the duplicate survivor
+    is the min doc_id of the md5 group over the FULL corpus.
+
+    Ray shape: the gopher, decontam, mix and md5 passes are row-local
+    ``map_batches`` (the streaming executor fuses the chain into one
+    stage — documents are read once and the text dies in-stage); the
+    only shuffle is ONE coarse-bucket groupby over (md5, doc_id, 3
+    flag bytes) rows for the survivor rule — the repo's reduce-side
+    idiom, never a per-key map_groups.
+    """
+    import pandas as pd
+
+    from ..functions import decontam
+    from ..functions.dedup import _adaptive_coarse_bits
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    grams = _benchmark_grams(docs)
+    n_docs = docs.count()  # parquet metadata, not an execution
+    mask = (1 << _adaptive_coarse_bits(n_docs)) - 1
+
+    flagged = decontam.contamination_flags(
+        docs.map_batches(textstats.gopher_quality_batch, batch_format="pyarrow"),
+        grams,
+        n=8,
+    )
+
+    def finalize_flags(t: pa.Table) -> pa.Table:
+        b = CURATION_GOPHER_BOUNDS
+        sig = {
+            c: t.column(c).to_numpy()
+            for c in (
+                "n_words",
+                "mean_word_len_milli",
+                "alpha_word_permille",
+                "bullet_line_permille",
+                "ellipsis_line_permille",
+                "n_stop_hits",
+            )
+        }
+        pass_gate = (
+            (sig["n_words"] >= b["n_words"][0])
+            & (sig["n_words"] <= b["n_words"][1])
+            & (sig["mean_word_len_milli"] >= b["mean_word_len_milli"][0])
+            & (sig["mean_word_len_milli"] <= b["mean_word_len_milli"][1])
+            & (sig["alpha_word_permille"] >= b["alpha_word_permille_min"])
+            & (sig["bullet_line_permille"] <= b["bullet_line_permille_max"])
+            & (sig["ellipsis_line_permille"] <= b["ellipsis_line_permille_max"])
+            & (sig["n_stop_hits"] >= b["stop_hits_min"])
+        ).astype(np.int64)
+        out = textstats.fingerprint_batch(t)
+        md5s = out.column("content_md5").to_pylist()
+        mix_keep = [
+            int(h[:2] < DOMAIN_MIX_WEIGHTS.get(s, DOMAIN_MIX_DEFAULT))
+            for h, s in zip(md5s, t.column("source").to_pylist())
+        ]
+        bucket = [int(h[:8], 16) & mask for h in md5s]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "content_md5": pa.array(md5s, pa.string()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "pass_gopher": pa.array(pass_gate, pa.int64()),
+                "contaminated": t.column("contaminated"),
+                "mix_keep": pa.array(mix_keep, pa.int64()),
+            }
+        )
+
+    small = flagged.map_batches(finalize_flags, batch_format="pyarrow")
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="int64"),
+                    "reason": pd.Series([], dtype="object"),
+                }
+            )
+        survivor = (
+            df.groupby("content_md5")["doc_id"].transform("min") == df["doc_id"]
+        ).to_numpy()
+        gopher = df["pass_gopher"].to_numpy() == 1
+        clean = df["contaminated"].to_numpy() == 0
+        mixed = df["mix_keep"].to_numpy() == 1
+        reason = np.select(
+            [~gopher, ~survivor, ~clean, ~mixed],
+            ["gopher", "duplicate", "contaminated", "mix"],
+            default="kept",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(df["doc_id"].to_numpy(), dtype="int64"),
+                "keep": pd.Series(
+                    (gopher & survivor & clean & mixed).astype(np.int64),
+                    dtype="int64",
+                ),
+                "reason": pd.Series(reason, dtype="object"),
+            }
+        )
+
+    return small.groupby("bucket").map_groups(verdict, batch_format="pandas")
 
 
 def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:

@@ -978,3 +978,90 @@ def test_dsir_edge_docs(ray_session):
     got = {r["doc_id"]: r["logw_micro"] for r in dsir.dsir_logweights(ds, lam).take_all()}
     assert set(got) == {0, 1, 2, 3, 4}
     assert got[0] > got[2]  # target-phrase doc beats off-target doc
+
+# ---------------------------------------------------------------------------
+# curation pipeline (composite verdict)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_matches_composite_oracle_and_precedence(
+    ray_session, tmp_path
+):
+    """Synthetic corpus exercising every verdict branch, checked two
+    ways: full equality against the composite DuckDB oracle (the same
+    SQL the driver runs, on the same tmp table), and the precedence
+    pin — a doc failing gopher AND being a non-survivor duplicate must
+    report 'gopher', the first gate in the published order."""
+    import sys
+    from pathlib import Path as _P
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+    import __ray_entry__ as entrymod
+
+    from ocr_system_ray.functions import textstats
+
+    # harvest real pass/fail texts under the CURATION bounds (the
+    # published Gopher bounds fail the whole word-salad corpus)
+    from ocr_system_ray.pipelines.queries import CURATION_GOPHER_BOUNDS as CB
+
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    gq = textstats.gopher_quality_batch(docs)
+    nw = np.array(gq.column("n_words").to_pylist())
+    st = np.array(gq.column("n_stop_hits").to_pylist())
+    flags = (nw >= CB["n_words"][0]) & (st >= CB["stop_hits_min"])
+    texts = docs.column("text").to_pylist()
+    passing = [t for t, f in zip(texts, flags) if f]
+    failing = [t for t, f in zip(texts, flags) if not f]
+    assert len(passing) >= 12 and len(failing) >= 1
+
+    rows = [
+        (1, passing[0], "src0"),   # kept (src0 unweighted → keep-all)
+        (2, passing[0], "src0"),   # duplicate of 1
+        (3, passing[1], "src0"),   # benchmark donor (3 % 37 == 3) → contaminated
+        (4, failing[0], "src0"),   # gopher fail, survivor of its md5 group
+        (5, failing[0], "src0"),   # gopher fail AND duplicate → 'gopher' wins
+    ]
+    # src3 keeps only md5-prefix < '20' (~1/8): enough distinct docs
+    # guarantees some 'mix' drops
+    rows += [(10 + i, t, "src3") for i, t in enumerate(passing[2:12])]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+
+    from ocr_system_ray.pipelines import queries as q
+
+    ours = (
+        q.q_curation_pipeline(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = (
+        con.sql(entrymod.oracle_sql()["curation_pipeline"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[list(ours.columns)]
+    )
+    assert ours["keep"].to_numpy().tolist() == want["keep"].to_numpy().tolist()
+    assert ours["reason"].tolist() == want["reason"].tolist()
+
+    r = dict(zip(ours["doc_id"], ours["reason"]))
+    assert r[1] == "kept"
+    assert r[2] == "duplicate"
+    assert r[3] == "contaminated"
+    assert r[4] == "gopher"
+    assert r[5] == "gopher"  # precedence: gopher outranks duplicate
+    assert "mix" in set(r.values())
