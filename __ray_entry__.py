@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
+        "curriculum_buckets": q.q_curriculum_buckets,
         "dedup_incremental": q.q_dedup_incremental,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -703,6 +704,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/unigram_logprob_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # curriculum buckets: scores come from the unigram golden (the
+        # LM itself is not SQL-expressible) but the quartile CUTS and
+        # bucket rule are recomputed INDEPENDENTLY by DuckDB
+        # (quantile_disc ≡ the ceil(q·n)−1 histogram read)
+        "curriculum_buckets": """
+            WITH s AS (
+              SELECT d.doc_id, g.neglogp_micro
+              FROM documents d
+              JOIN '/root/repo/tests/golden/unigram_logprob_sf001.parquet' g
+                ON d.doc_id = g.doc_id
+            ), c AS (
+              SELECT quantile_disc(neglogp_micro, 0.25) AS q25,
+                     quantile_disc(neglogp_micro, 0.50) AS q50,
+                     quantile_disc(neglogp_micro, 0.75) AS q75
+              FROM s
+            )
+            SELECT s.doc_id, s.neglogp_micro,
+                   CAST((s.neglogp_micro > c.q25)::INT
+                      + (s.neglogp_micro > c.q50)::INT
+                      + (s.neglogp_micro > c.q75)::INT AS BIGINT) AS bucket
+            FROM s, c
         """,
         # dsir: crc32 hashed-ngram features are not SQL-expressible;
         # the golden is an INDEPENDENT pure-Python twin (make_goldens)

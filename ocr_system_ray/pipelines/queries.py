@@ -1043,6 +1043,77 @@ def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     return textstats.unigram_neglogprob(ds)
 
 
+def q_curriculum_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Curriculum bucketing: every document labeled with its LM-score
+    difficulty quartile (0 = easiest / most predictable under the
+    corpus unigram model, 3 = hardest) — the easy→hard data-ordering
+    stage of curriculum training, and the same shape CCNet uses to
+    bucket a crawl by perplexity before choosing which tail to keep.
+
+    Plan (reuses two verified pieces): the unigram LM score pass
+    (integer micro-nats), then the histogram-combiner exact-quantile
+    shape — per-batch (score, count) partials → ONE ``groupby(score)``
+    over distinct integer scores (the shuffle moves histogram cells,
+    never documents), cut ranks read off the merged histogram
+    driver-side with the ``quantile_disc`` rule (element at
+    ``ceil(q·n)−1``), then a stateless row-local bucket pass against
+    the 3 broadcast cuts.  At web scale the distinct-score histogram is
+    bounded by quantizing scores more coarsely (milli- instead of
+    micro-nats) — the cells table must stay driver-small.
+
+    bucket = (score > q25) + (score > q50) + (score > q75); ties land
+    in the lower bucket on both sides.
+    """
+    import math
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    scores = textstats.unigram_neglogprob(docs).materialize()  # used twice
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "neglogp_micro": t.column("neglogp_micro"),
+                    "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            )
+            .group_by("neglogp_micro")
+            .aggregate([("one", "sum")])
+        )
+        return g.rename_columns(["neglogp_micro", "p_cnt"])
+
+    hist = (
+        scores.map_batches(partial, batch_format="pyarrow")
+        .groupby("neglogp_micro")
+        .aggregate(Sum("p_cnt", alias_name="n"))
+        .to_pandas()  # distinct integer scores — driver-small by contract
+        .sort_values("neglogp_micro")
+    )
+    counts = hist["n"].to_numpy()
+    vals = hist["neglogp_micro"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def disc(q: float) -> int:
+        rank = max(1, math.ceil(q * n))
+        return int(vals[np.searchsorted(cum, rank)])
+
+    cuts = np.array([disc(0.25), disc(0.5), disc(0.75)], dtype=np.int64)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        s = t.column("neglogp_micro").to_numpy()
+        b = (s[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "neglogp_micro": t.column("neglogp_micro"),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    return scores.map_batches(bucket, batch_format="pyarrow")
+
+
 def q_dsir_scores(sf_dir: str) -> ray.data.Dataset:
     """DSIR importance weights (Xie et al. 2023) with the English
     documents as the target distribution and the whole corpus as raw.

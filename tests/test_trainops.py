@@ -1065,3 +1065,51 @@ def test_curation_pipeline_matches_composite_oracle_and_precedence(
     assert r[4] == "gopher"
     assert r[5] == "gopher"  # precedence: gopher outranks duplicate
     assert "mix" in set(r.values())
+
+# ---------------------------------------------------------------------------
+# curriculum buckets
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_buckets_quartile_rule_with_ties(ray_session, tmp_path):
+    """Repeated texts produce exactly-tied LM scores; the quartile rule
+    (quantile_disc cuts, ties to the lower bucket) must match a direct
+    recomputation from the emitted scores, and identical docs must land
+    in identical buckets."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_system_ray.pipelines import queries as q
+
+    base = pq.read_table(f"{SF001}/documents.parquet", columns=["text"])
+    texts = [t for t in base.column("text").to_pylist() if t][:7]
+    # 7 distinct texts with multiplicities 8,6,5,4,3,2,1 → heavy ties
+    rows, did = [], 0
+    for i, t in enumerate(texts):
+        for _ in range(8 - i):
+            rows.append((did, t))
+            did += 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = q.q_curriculum_buckets(str(tmp_path)).to_pandas()
+    assert len(out) == len(rows)
+
+    scores = np.sort(out["neglogp_micro"].to_numpy())
+    n = len(scores)
+    cuts = [int(scores[max(1, math.ceil(qq * n)) - 1]) for qq in (0.25, 0.5, 0.75)]
+    want = (out["neglogp_micro"].to_numpy()[:, None] > np.array(cuts)[None, :]).sum(
+        axis=1
+    )
+    assert out["bucket"].to_numpy().tolist() == want.tolist()
+
+    by_text_score = out.groupby("neglogp_micro")["bucket"].nunique()
+    assert (by_text_score == 1).all()  # tied scores → one bucket
+    assert set(out["bucket"]) == {0, 1, 2, 3}
