@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": q.q_token_chunks,
         "domain_mix": q.q_domain_mix,
         "curation_pipeline": q.q_curation_pipeline,
+        "url_dedup": q.q_url_dedup,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
@@ -198,6 +199,12 @@ def _gopher_sql(bounds: dict | None = None) -> str:
                THEN 1 ELSE 0 END AS BIGINT) AS pass_gopher
         FROM s
     """
+
+
+def _url_canon_expr() -> str:
+    from ocr_system_ray.functions.urls import sql_canon_expr
+
+    return sql_canon_expr("url")
 
 
 def _curation_bounds() -> dict:
@@ -658,6 +665,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.query_id, g.vec_id, g.rank
             FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
             JOIN embeddings e ON g.vec_id = e.vec_id
+        """,
+        # url_dedup: the messy-url construction mirrors the query's
+        # derivation rule; the canonicalization expression is GENERATED
+        # from functions/urls.py's rule table (same RE2 walk)
+        "url_dedup": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://WWW.' || source || '.Example/items/'
+                     || CAST(doc_id % 50 AS VARCHAR)
+                     || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 0
+                             THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+                             WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+                             WHEN doc_id % 7 = 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+              FROM documents
+            ), c AS (
+              SELECT doc_id, {_url_canon_expr()} AS canonical_url FROM u
+            )
+            SELECT canonical_url, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+            FROM c GROUP BY canonical_url
         """,
         # seeded multi-probe LSH is deterministic, so the frozen sf0.01
         # golden pins WHICH pairs the buckets surface — but the cosine

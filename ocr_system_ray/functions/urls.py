@@ -1,0 +1,119 @@
+"""URL canonicalization + crawl dedup by canonical URL.
+
+The crawl-side hygiene pass that runs BEFORE content dedup: the same
+page is fetched under many url spellings (host case, ``www.``,
+fragments, tracking parameters, trailing slashes), and collapsing those
+first removes the bulk of exact duplicates without touching document
+bytes.  (CCNet / RefinedWeb both dedup by normalized URL ahead of the
+content passes.)
+
+Parity design (the ``pii.py`` pattern): every step is a vectorized
+pyarrow ``replace_substring_regex`` (RE2) drawn from ONE rule table
+that also generates the DuckDB expression — RE2-portable syntax only
+(no lookaround, no backreferences).  The single non-regex step —
+lowercasing scheme+host while preserving path case — is an
+extract/lower/concat on both sides.
+
+Canonical form applied, in order:
+1. lowercase the ``scheme://host`` prefix (path/query case preserved);
+2. drop a ``www.`` host prefix;
+3. drop the ``#fragment``;
+4. drop tracking parameters (``utm_*``, ``ref``, ``fbclid``,
+   ``gclid``), repairing ``?``/``&`` separators;
+5. drop a trailing path slash (also before ``?``).
+
+Parameter REORDERING is deliberately out of scope (it needs query
+tokenization, not a regex walk); urls differing only in param order
+stay distinct — documented, conservative.
+
+Ray shape: canonicalization is one stateless ``map_batches``; the
+dedup is the exact-dedup shape — a single-column ``groupby(canonical)``
+moving (canonical, id) pairs only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+# scheme://host prefix (everything before the first /, ? or # after the
+# authority) — the one segment whose case is insignificant
+SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
+
+TRACKING_PARAMS = ("utm_[^&]*", "ref=[^&]*", "fbclid=[^&]*", "gclid=[^&]*")
+
+# plain (pattern, replacement) steps applied AFTER host lowering; order
+# is part of the contract (fragment drop precedes param surgery; the
+# ?→?& trick makes every param &-prefixed so one global removal works)
+CANON_STEPS: tuple[tuple[str, str], ...] = (
+    (r"://www\.", "://"),
+    (r"#.*$", ""),
+    (r"\?", "?&"),
+    ("&(" + "|".join(TRACKING_PARAMS) + ")", ""),
+    (r"\?&", "?"),
+    (r"\?$", ""),
+    (r"/\?", "?"),
+    (r"/$", ""),
+)
+
+
+def canonicalize_url_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str | None = None
+) -> pa.Table:
+    """Append ``out_col`` (default ``{url_col}_canonical``) — the
+    vectorized RE2 walk described in the module docstring."""
+    arr = pc.fill_null(batch.column(url_col), "")
+    # lowercase scheme://host, keep the rest; urls without a scheme
+    # pass through unchanged (extract yields null → coalesce to arr)
+    host = pc.struct_field(
+        pc.extract_regex(arr, pattern=f"(?P<sh>{SCHEME_HOST})"), "sh"
+    )
+    rest = pc.replace_substring_regex(
+        arr, pattern=SCHEME_HOST, replacement="", max_replacements=1
+    )
+    lowered = pc.binary_join_element_wise(pc.utf8_lower(host), rest, "")
+    arr = pc.coalesce(lowered, arr)
+    for pat, repl in CANON_STEPS:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    name = out_col or f"{url_col}_canonical"
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
+def sql_canon_expr(col: str) -> str:
+    """The DuckDB expression equivalent to
+    :func:`canonicalize_url_batch`, generated from the SAME rule table
+    (``regexp_replace('g')`` is RE2 like the Arrow kernel, so the walk
+    is identical, not a lookalike)."""
+    base = f"COALESCE({col}, '')"
+    expr = (
+        f"CASE WHEN regexp_matches({base}, '{SCHEME_HOST}') THEN "
+        f"lower(regexp_extract({base}, '{SCHEME_HOST}')) || "
+        f"regexp_replace({base}, '{SCHEME_HOST}', '') "
+        f"ELSE {base} END"
+    )
+    for pat, repl in CANON_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def url_dedup(
+    ds: ray.data.Dataset, url_col: str = "url", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """One survivor per canonical url: ``(canonical_url, id=min,
+    n_dups)`` — the exact-dedup shape; the shuffle moves (canonical,
+    id) pairs only, never pages."""
+    hashed = ds.map_batches(
+        lambda t: canonicalize_url_batch(t, url_col, out_col="canonical_url").select(
+            ["canonical_url", id_col]
+        ),
+        batch_format="pyarrow",
+    )
+    return hashed.groupby("canonical_url").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )

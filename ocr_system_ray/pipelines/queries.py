@@ -873,6 +873,47 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def q_url_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Crawl dedup by canonical URL (the pre-content hygiene pass —
+    CCNet/RefinedWeb shape).  The documents table has no url column, so
+    a messy url is DERIVED deterministically per doc (host case,
+    ``www.``, tracking params, fragments, trailing slashes — every
+    canonicalization feature) with the construction rule mirrored in
+    the oracle SQL; the operator under test is
+    ``functions/urls.py`` (vectorized RE2 walk + single-column
+    groupby dedup)."""
+    from ..functions import urls as urlmod
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_pylist()
+        out = []
+        for i, s in zip(ids.tolist(), srcs):
+            q = (
+                "?utm_source=feed&id=" + str(i % 5)
+                if i % 3 == 0 and i % 7 == 0
+                else "?utm_source=feed"
+                if i % 3 == 0
+                else "?id=" + str(i % 5)
+                if i % 7 == 0
+                else ""
+            )
+            out.append(
+                f"https://WWW.{s}.Example/items/{i % 50}"
+                + ("/" if i % 2 == 0 else "")
+                + q
+                + ("#top" if i % 5 == 0 else "")
+            )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "url": pa.array(out, pa.string())}
+        )
+
+    pages = docs.map_batches(mk, batch_format="pyarrow")
+    return urlmod.url_dedup(pages)
+
+
 def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     """End-to-end corpus curation verdict — the RedPajama/FineWeb shape
     (quality gate → exact dedup → decontamination → domain mixing) as

@@ -1113,3 +1113,67 @@ def test_curriculum_buckets_quartile_rule_with_ties(ray_session, tmp_path):
     by_text_score = out.groupby("neglogp_micro")["bucket"].nunique()
     assert (by_text_score == 1).all()  # tied scores → one bucket
     assert set(out["bucket"]) == {0, 1, 2, 3}
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    ("HTTPS://WWW.Example.COM/A/b/?utm_source=x&id=2#frag", "https://example.com/A/b?id=2"),
+    ("http://a.b/c?utm_x=1", "http://a.b/c"),
+    ("http://A.B/", "http://a.b"),
+    ("www.foo.com/x", "www.foo.com/x"),  # no scheme → host pass-through
+    ("https://x.y/p/#s", "https://x.y/p"),
+    ("https://h.i/p?id=1&utm_a=1&utm_b=2&ref=zz", "https://h.i/p?id=1"),
+    ("https://h.i/p?ref=zz&id=1", "https://h.i/p?id=1"),
+    ("", ""),
+    (None, ""),
+]
+
+
+def test_url_canon_cases_and_duckdb_parity():
+    from ocr_system_ray.functions import urls
+
+    t = pa.table({"url": pa.array([c for c, _ in URL_CASES], pa.string())})
+    ours = urls.canonicalize_url_batch(t).column("url_canonical").to_pylist()
+    assert ours == [w for _, w in URL_CASES]
+    con = duckdb.connect()
+    con.register("t", t)
+    want = [r[0] for r in con.sql(f"SELECT {urls.sql_canon_expr('url')} FROM t").fetchall()]
+    assert ours == want
+
+
+def test_url_canon_is_idempotent():
+    """Canonical urls are a fixpoint of the walk — re-canonicalizing an
+    already-deduped crawl must be a no-op."""
+    from ocr_system_ray.functions import urls
+
+    once = pa.table(
+        {"url": pa.array([w for _, w in URL_CASES], pa.string())}
+    )
+    twice = urls.canonicalize_url_batch(once).column("url_canonical").to_pylist()
+    assert twice == [w for _, w in URL_CASES]
+
+
+def test_url_dedup_merges_spellings(ray_session):
+    from ocr_system_ray.functions import urls
+
+    spellings = [
+        "https://WWW.Site.ORG/page/",     # id 0 — survivor
+        "https://site.org/page#frag",     # id 1 — same canonical
+        "https://site.org/page?utm_c=1",  # id 2 — same canonical
+        "https://site.org/other",         # id 3 — distinct
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "url": pa.array(spellings, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = {r["canonical_url"]: r for r in urls.url_dedup(ds).take_all()}
+    assert set(out) == {"https://site.org/page", "https://site.org/other"}
+    assert out["https://site.org/page"]["doc_id"] == 0
+    assert out["https://site.org/page"]["n_dups"] == 3
+    assert out["https://site.org/other"]["n_dups"] == 1
