@@ -672,7 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": f"""
             WITH u AS (
               SELECT doc_id,
-                     'https://WWW.' || source || '.Example/items/'
+                     'https://WWW.' || COALESCE(source, '') || '.Example/items/'
                      || CAST(doc_id % 50 AS VARCHAR)
                      || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
                      || CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 0

@@ -127,9 +127,11 @@ def fit_log_ratio(
     )
     t_counts = np.ones(num_buckets, dtype=np.float64)  # add-1 smoothing
     r_counts = np.ones(num_buckets, dtype=np.float64)
-    b = agg["bucket"].to_numpy()
-    t_counts[b] += agg["t_n"].to_numpy()
-    r_counts[b] += agg["r_n"].to_numpy()
+    if len(agg):  # empty input: uniform model (an empty aggregate has
+        # no key column at all, so even agg["bucket"] would KeyError)
+        b = agg["bucket"].to_numpy()
+        t_counts[b] += agg["t_n"].to_numpy()
+        r_counts[b] += agg["r_n"].to_numpy()
     return (np.log(t_counts) - math.log(t_counts.sum())) - (
         np.log(r_counts) - math.log(r_counts.sum())
     )

@@ -132,7 +132,9 @@ GOPHER_BOUNDS = {
 _ASCII_ALPHA_RGX = re.compile(r"[A-Za-z]")
 
 
-def gopher_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def gopher_quality_batch(
+    batch: pa.Table, text_col: str = "text", bounds: dict | None = None
+) -> pa.Table:
     """Append the Gopher composite quality signals + pass flag.
 
     All signals are exact integers (permille / milli, floor division)
@@ -146,13 +148,17 @@ def gopher_quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ``n_stop_hits``              distinct GOPHER_STOPWORDS present
                                  (lowercased tokens; ASCII corpora — both
                                  engines' lower() agree on ASCII)
-    ``pass_gopher``              1 iff every GOPHER_BOUNDS rule holds
+    ``pass_gopher``              1 iff every bound rule holds
+
+    ``bounds`` defaults to the published GOPHER_BOUNDS; the curation
+    pipeline passes its relaxed set — the signal definitions and gate
+    logic stay in this one place either way.
 
     Lines are ``\\n`` splits of the raw text (``[""]`` for empty docs,
     matching DuckDB ``string_split(text, chr(10))``), so the line
     ratios never divide by zero.
     """
-    b = GOPHER_BOUNDS
+    b = bounds if bounds is not None else GOPHER_BOUNDS
     cols: dict[str, list[int]] = {
         k: []
         for k in (
@@ -433,6 +439,11 @@ def unigram_neglogprob(
         .aggregate(_Sum("p_n", alias_name="n"))
         .to_pandas()
     )
+    if freq_df.empty:  # empty corpus: an empty aggregate loses its
+        # columns entirely, so even freq_df["n"] would KeyError
+        import pandas as _pd
+
+        freq_df = _pd.DataFrame({"token": [], "n": []})
     total = int(freq_df["n"].sum())
     log_total = math.log(total) if total else 0.0  # empty corpus: no rows to score
     # broadcast token → ln(count); -ln p = ln(total) - ln(count)

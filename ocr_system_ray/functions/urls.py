@@ -8,23 +8,26 @@ bytes.  (CCNet / RefinedWeb both dedup by normalized URL ahead of the
 content passes.)
 
 Parity design (the ``pii.py`` pattern): every step is a vectorized
-pyarrow ``replace_substring_regex`` (RE2) drawn from ONE rule table
-that also generates the DuckDB expression — RE2-portable syntax only
-(no lookaround, no backreferences).  The single non-regex step —
-lowercasing scheme+host while preserving path case — is an
-extract/lower/concat on both sides.
+pyarrow RE2 kernel drawn from ONE rule table that also generates the
+DuckDB expression — RE2-portable syntax only (no lookaround, no
+backreferences in patterns; ``\\1`` rewrites are RE2/DuckDB-portable).
 
 Canonical form applied, in order:
 1. lowercase the ``scheme://host`` prefix (path/query case preserved);
-2. drop a ``www.`` host prefix;
+2. drop a ``www.`` host prefix (anchored to the scheme — an embedded
+   ``www.`` later in the url is data, not a host);
 3. drop the ``#fragment``;
-4. drop tracking parameters (``utm_*``, ``ref``, ``fbclid``,
-   ``gclid``), repairing ``?``/``&`` separators;
-5. drop a trailing path slash (also before ``?``).
+4. split at the FIRST ``?`` and surgically drop tracking parameters
+   (``utm_*``, ``ref``, ``fbclid``, ``gclid``) from the query segment
+   only — a literal ``&``/``?`` in the path or in a parameter VALUE is
+   never touched;
+5. drop a trailing path slash (on the path segment, so ``/p/?q`` and
+   ``/p?q`` collapse too).
 
 Parameter REORDERING is deliberately out of scope (it needs query
 tokenization, not a regex walk); urls differing only in param order
-stay distinct — documented, conservative.
+stay distinct — documented, conservative.  The canonical form is a
+fixpoint: re-canonicalizing is a no-op (pinned by test).
 
 Ray shape: canonicalization is one stateless ``map_batches``; the
 dedup is the exact-dedup shape — a single-column ``groupby(canonical)``
@@ -44,21 +47,28 @@ from ray.data.aggregate import Count, Min
 # authority) — the one segment whose case is insignificant
 SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*"
 
+# www strip, anchored to the (already-lowercased) scheme
+WWW_PATTERN = r"^([a-z][a-z0-9+.\-]*://)www\."
+WWW_REWRITE = r"\1"
+
+FRAGMENT_PATTERN = r"#.*$"
+
+# first '?' to end — the query segment (fragment already removed)
+QUERY_PATTERN = r"\?.*$"
+
 TRACKING_PARAMS = ("utm_[^&]*", "ref=[^&]*", "fbclid=[^&]*", "gclid=[^&]*")
 
-# plain (pattern, replacement) steps applied AFTER host lowering; order
-# is part of the contract (fragment drop precedes param surgery; the
-# ?→?& trick makes every param &-prefixed so one global removal works)
-CANON_STEPS: tuple[tuple[str, str], ...] = (
-    (r"://www\.", "://"),
-    (r"#.*$", ""),
-    (r"\?", "?&"),
+# steps applied to the QUERY SEGMENT only (it always starts with '?');
+# the anchored ?→?& prep makes every param &-prefixed so one global
+# removal works, then the separators are repaired
+QUERY_STEPS: tuple[tuple[str, str], ...] = (
+    (r"^\?", "?&"),
     ("&(" + "|".join(TRACKING_PARAMS) + ")", ""),
-    (r"\?&", "?"),
-    (r"\?$", ""),
-    (r"/\?", "?"),
-    (r"/$", ""),
+    (r"^\?&", "?"),
+    (r"^\?$", ""),
 )
+
+TRAILING_SLASH_PATTERN = r"/$"
 
 
 def canonicalize_url_batch(
@@ -67,7 +77,7 @@ def canonicalize_url_batch(
     """Append ``out_col`` (default ``{url_col}_canonical``) — the
     vectorized RE2 walk described in the module docstring."""
     arr = pc.fill_null(batch.column(url_col), "")
-    # lowercase scheme://host, keep the rest; urls without a scheme
+    # 1. lowercase scheme://host, keep the rest; urls without a scheme
     # pass through unchanged (extract yields null → coalesce to arr)
     host = pc.struct_field(
         pc.extract_regex(arr, pattern=f"(?P<sh>{SCHEME_HOST})"), "sh"
@@ -75,10 +85,25 @@ def canonicalize_url_batch(
     rest = pc.replace_substring_regex(
         arr, pattern=SCHEME_HOST, replacement="", max_replacements=1
     )
-    lowered = pc.binary_join_element_wise(pc.utf8_lower(host), rest, "")
-    arr = pc.coalesce(lowered, arr)
-    for pat, repl in CANON_STEPS:
-        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    arr = pc.coalesce(pc.binary_join_element_wise(pc.utf8_lower(host), rest, ""), arr)
+    # 2./3. anchored www strip, fragment drop
+    arr = pc.replace_substring_regex(arr, pattern=WWW_PATTERN, replacement=WWW_REWRITE)
+    arr = pc.replace_substring_regex(arr, pattern=FRAGMENT_PATTERN, replacement="")
+    # 4. split at the first '?'; param surgery on the query segment only
+    query = pc.coalesce(
+        pc.struct_field(pc.extract_regex(arr, pattern=f"(?P<q>{QUERY_PATTERN})"), "q"),
+        "",
+    )
+    pre = pc.replace_substring_regex(
+        arr, pattern=QUERY_PATTERN, replacement="", max_replacements=1
+    )
+    for pat, repl in QUERY_STEPS:
+        query = pc.replace_substring_regex(query, pattern=pat, replacement=repl)
+    # 5. trailing path slash (the path segment ends where '?' began)
+    pre = pc.replace_substring_regex(
+        pre, pattern=TRAILING_SLASH_PATTERN, replacement=""
+    )
+    arr = pc.binary_join_element_wise(pre, query, "")
     name = out_col or f"{url_col}_canonical"
     if name in batch.column_names:
         return batch.set_column(batch.column_names.index(name), name, arr)
@@ -88,18 +113,29 @@ def canonicalize_url_batch(
 def sql_canon_expr(col: str) -> str:
     """The DuckDB expression equivalent to
     :func:`canonicalize_url_batch`, generated from the SAME rule table
-    (``regexp_replace('g')`` is RE2 like the Arrow kernel, so the walk
-    is identical, not a lookalike)."""
+    (``regexp_replace`` is RE2 like the Arrow kernel, so the walk is
+    identical, not a lookalike)."""
     base = f"COALESCE({col}, '')"
+    # 1. lowercase scheme://host
     expr = (
         f"CASE WHEN regexp_matches({base}, '{SCHEME_HOST}') THEN "
         f"lower(regexp_extract({base}, '{SCHEME_HOST}')) || "
         f"regexp_replace({base}, '{SCHEME_HOST}', '') "
         f"ELSE {base} END"
     )
-    for pat, repl in CANON_STEPS:
-        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
-    return expr
+    # 2./3. anchored www strip, fragment drop
+    expr = f"regexp_replace({expr}, '{WWW_PATTERN}', '{WWW_REWRITE}')"
+    expr = f"regexp_replace({expr}, '{FRAGMENT_PATTERN}', '', 'g')"
+    # 4. split at the first '?' (regexp_extract yields '' on no match,
+    # matching the kernel's coalesce-to-'')
+    pre = f"regexp_replace({expr}, '{QUERY_PATTERN}', '')"
+    query = f"regexp_extract({expr}, '{QUERY_PATTERN}')"
+    for pat, repl in QUERY_STEPS:
+        flags = ", 'g'" if not pat.startswith("^") else ""
+        query = f"regexp_replace({query}, '{pat}', '{repl}'{flags})"
+    # 5. trailing path slash
+    pre = f"regexp_replace({pre}, '{TRAILING_SLASH_PATTERN}', '')"
+    return f"({pre}) || ({query})"
 
 
 def url_dedup(

@@ -315,6 +315,27 @@ def q_events_sliding_windows(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _disc_quantiles(vals, counts, qs) -> list[int]:  # noqa: ANN001
+    """Discrete quantiles off a value histogram — the ONE rank rule
+    (element at ``ceil(q·n)−1`` of the sorted values, DuckDB
+    ``quantile_disc`` parity) shared by the event-percentile and
+    curriculum-bucket queries.  Empty histogram → all zeros (callers
+    emit zero rows anyway)."""
+    import math
+
+    vals = np.asarray(vals)
+    counts = np.asarray(counts)
+    order = np.argsort(vals, kind="stable")
+    vals, counts = vals[order], counts[order]
+    cum = np.cumsum(counts)
+    if not len(cum):
+        return [0] * len(qs)
+    n = int(cum[-1])
+    return [
+        int(vals[np.searchsorted(cum, max(1, math.ceil(q * n)))]) for q in qs
+    ]
+
+
 def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Grouped EXACT quantiles via a histogram combiner — the
     distributed-quantile shape: per-batch (event_type, cents) counts
@@ -324,8 +345,6 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     integer cents; the rank rule (element at ceil(q·n)−1 of the sorted
     values) matches DuckDB ``quantile_disc`` exactly, verified
     empirically and by the oracle."""
-    import math
-
     ds = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -350,22 +369,13 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
 
     rows = []
     for et, g in hist.groupby("event_type", sort=True):
-        g = g.sort_values("cents")
-        counts = g["n"].to_numpy()
-        cents = g["cents"].to_numpy()
-        cum = np.cumsum(counts)
-        n = int(cum[-1])
-
-        def disc(q: float) -> int:
-            rank = max(1, math.ceil(q * n))
-            return int(cents[np.searchsorted(cum, rank)])
-
+        p50, p95 = _disc_quantiles(g["cents"].to_numpy(), g["n"].to_numpy(), (0.5, 0.95))
         rows.append(
             {
                 "event_type": et,
-                "p50_cents": disc(0.5),
-                "p95_cents": disc(0.95),
-                "n_events": n,
+                "p50_cents": p50,
+                "p95_cents": p95,
+                "n_events": int(g["n"].sum()),
             }
         )
     return pd.DataFrame(rows)
@@ -837,6 +847,15 @@ def q_token_chunks(sf_dir: str) -> ray.data.Dataset:
 DOMAIN_MIX_WEIGHTS: dict[str, str] = {"src1": "80", "src2": "40", "src3": "20"}
 DOMAIN_MIX_DEFAULT = "zz"
 
+
+def _mix_keep_flags(md5s: list[str], sources: list[str]) -> list[int]:
+    """The one mixing predicate (md5 prefix clears the source's
+    threshold) shared by q_domain_mix and the curation pipeline."""
+    return [
+        int(h[:2] < DOMAIN_MIX_WEIGHTS.get(s, DOMAIN_MIX_DEFAULT))
+        for h, s in zip(md5s, sources)
+    ]
+
 # Quality bounds for the curation pipeline's gate — same signal
 # definitions as textstats.GOPHER_BOUNDS but relaxed to discriminate on
 # the synthetic sf corpora (word-salad text: ≤1 stopword, 10–99 words;
@@ -861,14 +880,12 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
 
     def mix(t: pa.Table) -> pa.Table:
         out = textstats.fingerprint_batch(t)
-        keep = [
-            h[:2] < DOMAIN_MIX_WEIGHTS.get(s, DOMAIN_MIX_DEFAULT)
-            for h, s in zip(
-                out.column("content_md5").to_pylist(),
-                t.column("source").to_pylist(),
-            )
-        ]
-        return t.filter(pa.array(keep)).select(["doc_id", "source"])
+        keep = _mix_keep_flags(
+            out.column("content_md5").to_pylist(), t.column("source").to_pylist()
+        )
+        return t.filter(pa.array([bool(k) for k in keep])).select(
+            ["doc_id", "source"]
+        )
 
     return ds.map_batches(mix, batch_format="pyarrow")
 
@@ -888,7 +905,9 @@ def q_url_dedup(sf_dir: str) -> ray.data.Dataset:
 
     def mk(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        srcs = t.column("source").to_pylist()
+        # null source → '' on both sides (SQL: COALESCE(source, ''));
+        # a Python f-string would render None as the string 'None'
+        srcs = [(s or "") for s in t.column("source").to_pylist()]
         out = []
         for i, s in zip(ids.tolist(), srcs):
             q = (
@@ -945,47 +964,27 @@ def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     mask = (1 << _adaptive_coarse_bits(n_docs)) - 1
 
     flagged = decontam.contamination_flags(
-        docs.map_batches(textstats.gopher_quality_batch, batch_format="pyarrow"),
+        docs.map_batches(
+            lambda t: textstats.gopher_quality_batch(
+                t, bounds=CURATION_GOPHER_BOUNDS
+            ),
+            batch_format="pyarrow",
+        ),
         grams,
         n=8,
     )
 
     def finalize_flags(t: pa.Table) -> pa.Table:
-        b = CURATION_GOPHER_BOUNDS
-        sig = {
-            c: t.column(c).to_numpy()
-            for c in (
-                "n_words",
-                "mean_word_len_milli",
-                "alpha_word_permille",
-                "bullet_line_permille",
-                "ellipsis_line_permille",
-                "n_stop_hits",
-            )
-        }
-        pass_gate = (
-            (sig["n_words"] >= b["n_words"][0])
-            & (sig["n_words"] <= b["n_words"][1])
-            & (sig["mean_word_len_milli"] >= b["mean_word_len_milli"][0])
-            & (sig["mean_word_len_milli"] <= b["mean_word_len_milli"][1])
-            & (sig["alpha_word_permille"] >= b["alpha_word_permille_min"])
-            & (sig["bullet_line_permille"] <= b["bullet_line_permille_max"])
-            & (sig["ellipsis_line_permille"] <= b["ellipsis_line_permille_max"])
-            & (sig["n_stop_hits"] >= b["stop_hits_min"])
-        ).astype(np.int64)
         out = textstats.fingerprint_batch(t)
         md5s = out.column("content_md5").to_pylist()
-        mix_keep = [
-            int(h[:2] < DOMAIN_MIX_WEIGHTS.get(s, DOMAIN_MIX_DEFAULT))
-            for h, s in zip(md5s, t.column("source").to_pylist())
-        ]
+        mix_keep = _mix_keep_flags(md5s, t.column("source").to_pylist())
         bucket = [int(h[:8], 16) & mask for h in md5s]
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "content_md5": pa.array(md5s, pa.string()),
                 "bucket": pa.array(bucket, pa.int64()),
-                "pass_gopher": pa.array(pass_gate, pa.int64()),
+                "pass_gopher": t.column("pass_gopher"),
                 "contaminated": t.column("contaminated"),
                 "mix_keep": pa.array(mix_keep, pa.int64()),
             }
@@ -1105,8 +1104,6 @@ def q_curriculum_buckets(sf_dir: str) -> ray.data.Dataset:
     bucket = (score > q25) + (score > q50) + (score > q75); ties land
     in the lower bucket on both sides.
     """
-    import math
-
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     scores = textstats.unigram_neglogprob(docs).materialize()  # used twice
 
@@ -1128,18 +1125,15 @@ def q_curriculum_buckets(sf_dir: str) -> ray.data.Dataset:
         .groupby("neglogp_micro")
         .aggregate(Sum("p_cnt", alias_name="n"))
         .to_pandas()  # distinct integer scores — driver-small by contract
-        .sort_values("neglogp_micro")
     )
-    counts = hist["n"].to_numpy()
-    vals = hist["neglogp_micro"].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
-
-    def disc(q: float) -> int:
-        rank = max(1, math.ceil(q * n))
-        return int(vals[np.searchsorted(cum, rank)])
-
-    cuts = np.array([disc(0.25), disc(0.5), disc(0.75)], dtype=np.int64)
+    if hist.empty:  # empty aggregate loses its columns (no KeyError)
+        hist = pd.DataFrame({"neglogp_micro": [], "n": []})
+    cuts = np.array(
+        _disc_quantiles(
+            hist["neglogp_micro"].to_numpy(), hist["n"].to_numpy(), (0.25, 0.5, 0.75)
+        ),
+        dtype=np.int64,
+    )
 
     def bucket(t: pa.Table) -> pa.Table:
         s = t.column("neglogp_micro").to_numpy()

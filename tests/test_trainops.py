@@ -1177,3 +1177,38 @@ def test_url_dedup_merges_spellings(ray_session):
     assert out["https://site.org/page"]["doc_id"] == 0
     assert out["https://site.org/page"]["n_dups"] == 3
     assert out["https://site.org/other"]["n_dups"] == 1
+
+
+def test_dsir_empty_input_gives_uniform_model(ray_session):
+    from ocr_system_ray.functions import dsir
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "is_target": pa.array([], pa.int8()),
+            }
+        )
+    )
+    lam = dsir.fit_log_ratio(empty, target_col="is_target")
+    assert lam.shape == (1024,)
+    assert np.allclose(lam, 0.0)  # add-1 smoothing only → uniform ratio
+    assert dsir.dsir_logweights(empty, lam).take_all() == []
+
+
+def test_curriculum_buckets_empty_corpus(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_system_ray.pipelines import queries as q
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    assert q.q_curriculum_buckets(str(tmp_path)).take_all() == []
