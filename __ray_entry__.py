@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": q.q_domain_mix,
         "curation_pipeline": q.q_curation_pipeline,
         "url_dedup": q.q_url_dedup,
+        "token_index_lookup": q.q_token_index_lookup,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
@@ -665,6 +666,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.query_id, g.vec_id, g.rank
             FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
             JOIN embeddings e ON g.vec_id = e.vec_id
+        """,
+        # token_index_lookup: probe tokens derived identically (first 5
+        # tokens of doc 1); the posting pairs are recomputed from the
+        # live table, so the persisted index is fully value-checked
+        "token_index_lookup": """
+            WITH probe AS (
+              SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:5]) AS token
+              FROM documents WHERE doc_id = 1
+            ), toks AS (
+              SELECT DISTINCT d.doc_id,
+                     unnest(string_split(COALESCE(d.text, ''), ' ')) AS token
+              FROM documents d
+            )
+            SELECT t.token, t.doc_id
+            FROM toks t JOIN probe p USING (token)
         """,
         # url_dedup: the messy-url construction mirrors the query's
         # derivation rule; the canonicalization expression is GENERATED

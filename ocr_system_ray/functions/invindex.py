@@ -1,0 +1,134 @@
+"""Persisted inverted token index: build once, probe with pruned reads.
+
+The corpus-search primitive behind contamination audits ("which
+documents contain this eval phrase?"), targeted curation ("pull every
+doc mentioning X"), and debugging dedup/decontam decisions — without
+ever re-scanning the 100 TB corpus per question.
+
+Same layout contract as the md5 dedup index (``dedup.build_md5_index``):
+``(token, doc_id)`` pair rows partitioned by ``bucket =
+crc32(token) % prefix_buckets``, plus an ``_index_meta.json`` the probe
+side validates so a bucket-function mismatch fails loudly.  A lookup
+for k tokens reads ≤ k partitions — proportional to the probe, not the
+corpus.
+
+Scale note (the web-scale hazard is DF skew, not volume): stopword
+postings are enormous and useless for point lookups.  ``max_df_ratio``
+drops tokens seen in more than that fraction of a BATCH's docs — a
+per-batch approximation of a stopword cap (exact DF capping would need
+the DF pass of ``tfidf_top_terms``); 1.0 disables it, and the sf
+corpora index everything so the SQL oracle stays exact.
+
+Ray shape: build = one stateless combiner ``map_batches`` (per-doc
+DISTINCT tokens — the shuffle-free write moves (token, id) pairs
+straight to their partition files); probe = pruned ``read_parquet`` of
+the probed buckets + one vectorized ``is_in`` filter.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _token_bucket(token: str, prefix_buckets: int) -> int:
+    return zlib.crc32(token.encode("utf-8")) % prefix_buckets
+
+
+def build_token_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_buckets: int = 256,
+    max_df_ratio: float = 1.0,
+) -> str:
+    """Persist the inverted index; returns ``index_dir``.
+
+    Tokens are single-space splits (the repo's oracle tokenization);
+    each document contributes each of its tokens ONCE.
+    """
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks_out: list[str] = []
+        ids_out: list[int] = []
+        buckets: list[int] = []
+        ids = t.column(id_col).to_pylist()
+        per_doc = [set((x or "").split(" ")) for x in t.column(text_col).to_pylist()]
+        if max_df_ratio < 1.0 and len(per_doc) > 1:
+            from collections import Counter
+
+            df = Counter(tok for s in per_doc for tok in s)
+            cap = max_df_ratio * len(per_doc)
+            banned = {tok for tok, n in df.items() if n > cap}
+            per_doc = [s - banned for s in per_doc]
+        for i, s in zip(ids, per_doc):
+            for tok in s:
+                toks_out.append(tok)
+                ids_out.append(i)
+                buckets.append(_token_bucket(tok, prefix_buckets))
+        return pa.table(
+            {
+                "token": pa.array(toks_out, pa.string()),
+                id_col: pa.array(ids_out, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    ds.map_batches(pairs, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "prefix_buckets": prefix_buckets,
+                "id_col": id_col,
+                "max_df_ratio": max_df_ratio,
+            },
+            f,
+        )
+    return index_dir
+
+
+def lookup_tokens(
+    index_dir: str,
+    tokens: list[str],
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """``(token, doc_id)`` rows for every probe token — a pruned read
+    of only the probed buckets (path-level pruning, the IVF/md5-index
+    trick: ``read_parquet([dir])`` on partition DIRECTORIES errors in
+    ray 2.49, so the matching files are globbed explicitly)."""
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("id_col", id_col) != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    prefix_buckets = int(meta["prefix_buckets"])
+    want = sorted({_token_bucket(t, prefix_buckets) for t in tokens})
+    files = [
+        f
+        for b in want
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+    probe = pa.array(sorted(set(tokens)), pa.string())
+    if not files:  # no probed bucket materialized (e.g. empty corpus)
+        return ray.data.from_arrow(
+            pa.table(
+                {"token": pa.array([], pa.string()), id_col: pa.array([], pa.int64())}
+            )
+        )
+    ds = ray.data.read_parquet(files, columns=["token", id_col])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("token"), value_set=probe)),
+        batch_format="pyarrow",
+    )

@@ -890,6 +890,40 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def q_token_index_lookup(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index point lookup: which documents contain the probe
+    tokens?  The index (``functions/invindex.py``) is built ONCE per
+    corpus into /tmp (the md5-index caching pattern) and the lookup
+    reads only the probed hash-bucket partitions.  Probe tokens =
+    the first 5 space-split tokens of doc_id 1 (deterministic, mirrored
+    in the oracle SQL)."""
+    import os
+    import tempfile
+
+    from ..functions import invindex
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_tok_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        invindex.build_token_index(docs, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    import pyarrow.parquet as pq_
+
+    probe_row = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 1)],
+    )
+    probe_text = probe_row.column("text").to_pylist()[0] or ""
+    probe = list(dict.fromkeys(probe_text.split(" ")[:5]))
+    return invindex.lookup_tokens(index_dir, probe)
+
+
 def q_url_dedup(sf_dir: str) -> ray.data.Dataset:
     """Crawl dedup by canonical URL (the pre-content hygiene pass —
     CCNet/RefinedWeb shape).  The documents table has no url column, so

@@ -1212,3 +1212,83 @@ def test_curriculum_buckets_empty_corpus(ray_session, tmp_path):
         tmp_path / "documents.parquet",
     )
     assert q.q_curriculum_buckets(str(tmp_path)).take_all() == []
+
+# ---------------------------------------------------------------------------
+# inverted token index
+# ---------------------------------------------------------------------------
+
+
+def test_token_index_build_and_lookup(ray_session, tmp_path):
+    import shutil
+
+    from ocr_system_ray.functions import invindex
+
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "beta delta"),
+        (2, "gamma gamma epsilon"),
+        (3, ""),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    ).repartition(2)
+    idx = str(tmp_path / "idx")
+    invindex.build_token_index(ds, idx, prefix_buckets=8)
+
+    out = invindex.lookup_tokens(idx, ["beta", "gamma"]).take_all()
+    got = {(r["token"], r["doc_id"]) for r in out}
+    assert got == {("beta", 0), ("beta", 1), ("gamma", 0), ("gamma", 2)}
+
+    # the probe is a PRUNED read: buckets outside the probed set are
+    # never opened — prove it by deleting every unprobed bucket dir
+    keep = {invindex._token_bucket(t, 8) for t in ["beta"]}
+    import os
+
+    for d in os.listdir(idx):
+        if d.startswith("bucket=") and int(d.split("=")[1]) not in keep:
+            shutil.rmtree(os.path.join(idx, d))
+    out2 = invindex.lookup_tokens(idx, ["beta"]).take_all()
+    assert {(r["token"], r["doc_id"]) for r in out2} == {("beta", 0), ("beta", 1)}
+
+
+def test_token_index_df_cap_drops_stopwords(ray_session, tmp_path):
+    from ocr_system_ray.functions import invindex
+
+    # 'the' in every doc; 'rare' in one — cap at 50% kills only 'the'
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    ["the a", "the b", "the c", "the rare"], pa.string()
+                ),
+            }
+        )
+    )
+    idx = str(tmp_path / "idx")
+    invindex.build_token_index(ds, idx, prefix_buckets=4, max_df_ratio=0.5)
+    assert invindex.lookup_tokens(idx, ["the"]).take_all() == []
+    out = invindex.lookup_tokens(idx, ["rare"]).take_all()
+    assert [(r["token"], r["doc_id"]) for r in out] == [("rare", 3)]
+
+
+def test_token_index_meta_validation(ray_session, tmp_path):
+    from ocr_system_ray.functions import invindex
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["x"], pa.string()),
+            }
+        )
+    )
+    idx = str(tmp_path / "idx")
+    invindex.build_token_index(ds, idx)
+    with pytest.raises(ValueError, match="id_col"):
+        invindex.lookup_tokens(idx, ["x"], id_col="vec_id")
