@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_pages_stats": q.q_parse_pages_stats,
         # sources
         "warc_ingest": q.q_warc_ingest,
+        # PDF leg (north star: "PDF layout parser")
+        "pdf_extract": q.q_pdf_extract,
+        "mixed_parse": q.q_mixed_parse,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -842,6 +845,43 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": """
             SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        # pdf_extract / mixed_parse: the oracle recomputes the PDF
+        # writer's sanitize+wrap contract (ocr_system_ray/pdf/mini.py:
+        # sanitize_line + wrap_words, 12 words/line, 40 lines/page) in
+        # RE2 — the Ray side must reproduce it through REAL PDF bytes
+        # (xref → FlateDecode → content interpreter → line assembly).
+        "pdf_extract": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                            regexp_replace(text, '[^ -~\t]', '?', 'g'),
+                            '[ \t\n\f\r]+', ' ', 'g'), ' ') AS s
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN s = '' THEN ''
+                        ELSE regexp_replace(s, '((\\S+ ){11}\\S+) ',
+                                            '\\1' || chr(10), 'g') END
+                     AS extracted_text,
+                   CASE WHEN s = '' THEN 1
+                        ELSE CAST(ceil(ceil(len(string_split(s, ' ')) / 12.0)
+                                       / 40.0) AS BIGINT) END AS n_pages
+            FROM norm
+        """,
+        "mixed_parse": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                            regexp_replace(text, '[^ -~\t]', '?', 'g'),
+                            '[ \t\n\f\r]+', ' ', 'g'), ' ') AS s
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'html' ELSE 'pdf' END AS doc_kind,
+                   CASE WHEN doc_id % 2 = 0 THEN 1
+                        WHEN s = '' THEN 1
+                        ELSE CAST(ceil(ceil(len(string_split(s, ' ')) / 12.0)
+                                       / 40.0) AS BIGINT) END AS n_pages
+            FROM norm
         """,
         # source_overlap: shared distinct 8-token-prefix fingerprints per
         # source pair.  string_split(' ') ≡ Python str.split(' ') (both

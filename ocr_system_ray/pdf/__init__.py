@@ -1,0 +1,20 @@
+"""PDF text + layout leg (pure stdlib).
+
+``parser`` extracts positioned text from PDF payloads (the "PDF layout
+parser" of BASELINE.json's north star); ``mini`` is the deterministic
+writer used to synthesize PDF corpora for tests and queries.
+"""
+
+from .parser import PdfDocument, PdfError, extract_pages, extract_pdf_text
+from .mini import build_pdf, build_pdf_xrefstream, sanitize_line, wrap_words
+
+__all__ = [
+    "PdfDocument",
+    "PdfError",
+    "extract_pages",
+    "extract_pdf_text",
+    "build_pdf",
+    "build_pdf_xrefstream",
+    "sanitize_line",
+    "wrap_words",
+]

@@ -1,0 +1,269 @@
+"""Deterministic minimal PDF writer (fixture/synthesis side of the leg).
+
+Produces small, valid PDFs from page text entirely with the stdlib so
+tests and queries can synthesize a PDF corpus from the driver's
+``documents`` table (TESTDATA.md) instead of shipping binary fixtures —
+the same derive-inputs-deterministically pattern as the HTML corpus
+builders (``sources/pages.py``).
+
+The writer is intentionally byte-stable: fixed object numbering, fixed
+formatting, ``zlib`` level pinned — identical input text yields
+identical PDF bytes on every run/platform, which keeps golden oracles
+and the driver's value-hash comparisons meaningful.
+
+Two layouts are emitted to exercise both parser xref paths:
+
+* ``build_pdf`` — classic xref table + ``trailer`` (PDF 1.4 shape);
+* ``build_pdf_xrefstream`` — cross-reference *stream* + object stream
+  holding the document/page dicts (PDF 1.5 shape).
+
+Text contract (mirrored by the SQL oracle in ``pdf_extract``):
+characters outside printable ASCII + tab are replaced with ``?`` (the
+parser decodes single-byte strings as Latin-1; restricting the writer
+to ASCII keeps the round-trip byte-exact), and each non-empty line
+becomes one text run per page line.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["sanitize_line", "wrap_words", "build_pdf", "build_pdf_xrefstream"]
+
+_BAD = re.compile(r"[^ -~\t]")
+
+
+def sanitize_line(line: str) -> str:
+    """Map to the writable charset: printable ASCII + tab; else ``?``.
+
+    The SQL-oracle twin is ``regexp_replace(x, '[^ -~\\t]', '?', 'g')``
+    — one ``?`` per *codepoint*, matching RE2-on-UTF-8 semantics.
+    """
+    return _BAD.sub("?", line)
+
+
+_ASCII_WS = re.compile(r"[ \t\n\f\r]+")
+
+
+def wrap_words(text: str, per_line: int = 12) -> list[str]:
+    """Whitespace-normalize and wrap into ``per_line``-word lines.
+
+    Splits on exactly RE2's ``\\s`` class (``[ \\t\\n\\f\\r ]`` — NOT
+    Python's unicode-aware ``str.split``; round-1 ADVICE flagged that
+    divergence class) so the DuckDB oracle's
+    ``regexp_replace(..., '[ \\t\\n\\f\\r]+', ' ', 'g')`` normalization
+    is byte-identical.
+    """
+    words = [w for w in _ASCII_WS.split(text) if w]
+    return [" ".join(words[i : i + per_line]) for i in range(0, len(words), per_line)]
+
+
+def _escape(s: str) -> bytes:
+    out = sanitize_line(s).replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    return out.encode("ascii")
+
+
+def _content_stream(
+    lines: list[str], *, font_size: int, leading: int, x0: int, y0: int
+) -> bytes:
+    parts = [b"BT /F1 %d Tf %d TL %d %d Td" % (font_size, leading, x0, y0)]
+    first = True
+    for line in lines:
+        esc = _escape(line)
+        if first:
+            parts.append(b"(%s) Tj" % esc)
+            first = False
+        else:
+            parts.append(b"(%s) '" % esc)
+    parts.append(b"ET")
+    return b"\n".join(parts)
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n%s\nendobj\n" % (num, body)
+
+
+def _stream_obj(num: int, d: bytes, data: bytes) -> bytes:
+    return b"%d 0 obj\n<< %s /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        num,
+        d,
+        len(data),
+        data,
+    )
+
+
+def build_pdf(
+    pages: list[list[str]],
+    *,
+    compress: bool = True,
+    font_size: int = 11,
+    leading: int = 14,
+    x0: int = 72,
+    y0: int = 720,
+) -> bytes:
+    """Build a classic-xref PDF: one text run per line, ``'`` line ops."""
+    n_pages = max(len(pages), 1)
+    pages = pages or [[]]
+    # object layout: 1 Catalog, 2 Pages, 3 Font, then (page, content) pairs
+    first_page_obj = 4
+    kids = b" ".join(
+        b"%d 0 R" % (first_page_obj + 2 * i) for i in range(n_pages)
+    )
+    objs: list[bytes] = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)),
+        _obj(
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    for i, lines in enumerate(pages):
+        page_num = first_page_obj + 2 * i
+        content_num = page_num + 1
+        objs.append(
+            _obj(
+                page_num,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % content_num,
+            )
+        )
+        content = _content_stream(
+            lines, font_size=font_size, leading=leading, x0=x0, y0=y0
+        )
+        if compress:
+            data = zlib.compress(content, 6)
+            objs.append(_stream_obj(content_num, b"/Filter /FlateDecode", data))
+        else:
+            objs.append(_stream_obj(content_num, b"", content))
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the free head
+    for o in objs:
+        offsets.append(len(buf))
+        buf.extend(o)
+    xref_at = len(buf)
+    n_objs = len(objs) + 1
+    buf.extend(b"xref\n0 %d\n" % n_objs)
+    buf.extend(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        buf.extend(b"%010d 00000 n \n" % off)
+    buf.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs, xref_at)
+    )
+    return bytes(buf)
+
+
+def build_pdf_xrefstream(
+    pages: list[list[str]],
+    *,
+    font_size: int = 11,
+    leading: int = 14,
+    x0: int = 72,
+    y0: int = 720,
+) -> bytes:
+    """PDF 1.5 shape: dict objects packed in an ObjStm, xref as a stream.
+
+    Content streams stay as top-level objects (streams cannot live in
+    an object stream); the catalog/pages/font/page dicts are type-2
+    entries so the parser's ObjStm + XRef-stream paths are exercised.
+    """
+    n_pages = max(len(pages), 1)
+    pages = pages or [[]]
+    # numbering: 1..(3+n) dict objects (in ObjStm), then content streams,
+    # then the ObjStm, then the XRef stream.
+    first_page_obj = 4
+    n_dicts = 3 + n_pages
+    first_content = n_dicts + 1
+    objstm_num = first_content + n_pages
+    xref_num = objstm_num + 1
+
+    kids = b" ".join(b"%d 0 R" % (first_page_obj + i) for i in range(n_pages))
+    dict_objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)),
+        (
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>",
+        ),
+    ]
+    for i in range(n_pages):
+        dict_objs.append(
+            (
+                first_page_obj + i,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % (first_content + i),
+            )
+        )
+
+    # object stream payload
+    bodies = b""
+    header_pairs = []
+    for num, body in dict_objs:
+        header_pairs.append(b"%d %d" % (num, len(bodies)))
+        bodies += body + b"\n"
+    header = b" ".join(header_pairs) + b"\n"
+    objstm_content = header + bodies
+    objstm_data = zlib.compress(objstm_content, 6)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for i, lines in enumerate(pages):
+        num = first_content + i
+        offsets[num] = len(buf)
+        content = _content_stream(
+            lines, font_size=font_size, leading=leading, x0=x0, y0=y0
+        )
+        buf.extend(
+            _stream_obj(num, b"/Filter /FlateDecode", zlib.compress(content, 6))
+        )
+    offsets[objstm_num] = len(buf)
+    buf.extend(
+        _stream_obj(
+            objstm_num,
+            b"/Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+            % (len(dict_objs), len(header)),
+            objstm_data,
+        )
+    )
+
+    # xref stream: W [1 4 2]; entries for objects 0..xref_num
+    size = xref_num + 1
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int) -> None:
+        rows.append(t)
+        rows.extend(f2.to_bytes(4, "big"))
+        rows.extend(f3.to_bytes(2, "big"))
+
+    row(0, 0, 65535)  # free head
+    for num in range(1, size):
+        if num in offsets:
+            row(1, offsets[num], 0)
+        elif num == xref_num:
+            row(1, 0, 0)  # patched below
+        else:
+            idx = next(
+                j for j, (dn, _) in enumerate(dict_objs) if dn == num
+            )
+            row(2, objstm_num, idx)
+    xref_at = len(buf)
+    # patch the xref stream's own offset
+    pos = 1 + (xref_num * 7)
+    rows[pos + 1 : pos + 5] = xref_at.to_bytes(4, "big")
+    xref_data = zlib.compress(bytes(rows), 6)
+    buf.extend(
+        _stream_obj(
+            xref_num,
+            b"/Type /XRef /Size %d /W [1 4 2] /Root 1 0 R /Filter /FlateDecode"
+            % size,
+            xref_data,
+        )
+    )
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
+    return bytes(buf)

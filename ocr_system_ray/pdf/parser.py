@@ -1,0 +1,960 @@
+"""Pure-stdlib PDF text + layout parser (the "PDF layout parser" leg).
+
+The reference front end is PDF→raster→Tesseract (``/root/reference/ocr/
+pdf.py:10-17`` renders pages, ``ocr/ocr_engine.py`` OCRs them); this
+module re-expresses the capability as a *direct* PDF text extractor so
+the Ray pipeline can parse born-digital PDFs without rasterizing — the
+same warm-actor-pool operator shape as the HTML leg
+(``stages/parse.py``), per BASELINE.json's north star ("actor pools
+holding warm ... DOM parsers and a PDF layout parser").
+
+Supported (all stdlib, no PDF libraries exist in this environment):
+
+* classic xref tables with ``/Prev`` chains, cross-reference *streams*
+  (PDF 1.5, ``/Type/XRef`` with PNG predictors) and hybrid ``/XRefStm``,
+  plus a brute-force ``N G obj`` scan fallback for broken xrefs;
+* object streams (``/Type/ObjStm``);
+* stream filters: FlateDecode (with PNG predictors), ASCIIHexDecode,
+  ASCII85Decode, RunLengthDecode; filter chains and ``/DecodeParms``;
+* content-stream text operators: BT/ET, Tf, Td, TD, Tm, T*, TL, Tc, Tw,
+  Tz, Ts, Tj, ', ", TJ, with q/Q/cm graphics state so runs land in
+  device space;
+* layout assembly: runs are clustered into lines by device-space
+  baseline y, ordered by x within a line, and a space is synthesized
+  when the x-gap exceeds a size-relative threshold — Boilerpipe-style
+  block logic stays in the HTML leg; here "layout" means geometric
+  reading order.
+
+Documented out of scope (error-as-data or best-effort, never a crash):
+LZWDecode, encrypted PDFs, CID/Type0 multi-byte fonts and ToUnicode
+CMaps (single-byte strings decode as Latin-1), embedded font metrics
+(advance widths use a 0.5·em Helvetica-ish estimate — this affects only
+space synthesis between runs, not run text).
+
+Scale note: this module is per-document and driver-free; it runs inside
+``stages/pdfparse.PdfParseStage`` actor pools over Arrow batches, so
+the 100 TB story (skew routing, payload dropped in-stage, streaming
+write) is identical to the HTML flagship's.
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+import zlib
+
+__all__ = ["PdfError", "PdfDocument", "extract_pdf_text", "extract_pages"]
+
+
+class PdfError(Exception):
+    """Unparseable PDF (malformed beyond recovery, or unsupported)."""
+
+
+class Ref:
+    """Indirect object reference ``num gen R``."""
+
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"Ref({self.num},{self.gen})"
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Ref) and (self.num, self.gen) == (other.num, other.gen)
+
+    def __hash__(self) -> int:
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """PDF name object (``/Foo``); distinct from string values."""
+
+    __slots__ = ()
+
+
+class StreamObj:
+    """A stream object: its dict plus the raw (still-encoded) bytes."""
+
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_REGULAR_END = _WS + _DELIM
+
+_OCTAL = re.compile(rb"[0-7]{1,3}")
+_OBJ_SCAN = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # '%' comment → end of line
+            while i < n and data[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _token_end(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n and data[i] not in _REGULAR_END:
+        i += 1
+    return i
+
+
+def _parse_name(data: bytes, i: int) -> tuple[Name, int]:
+    # data[i] == '/'
+    j = _token_end(data, i + 1)
+    raw = data[i + 1 : j]
+    if b"#" in raw:
+        out = bytearray()
+        k = 0
+        while k < len(raw):
+            if raw[k : k + 1] == b"#" and k + 2 < len(raw) + 1:
+                try:
+                    out.append(int(raw[k + 1 : k + 3], 16))
+                    k += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(raw[k])
+            k += 1
+        raw = bytes(out)
+    return Name(raw.decode("latin-1")), j
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    # data[i] == '('
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e == 0x6E:  # n
+                out.append(0x0A)
+            elif e == 0x72:  # r
+                out.append(0x0D)
+            elif e == 0x74:  # t
+                out.append(0x09)
+            elif e == 0x62:  # b
+                out.append(0x08)
+            elif e == 0x66:  # f
+                out.append(0x0C)
+            elif e in b"()\\":
+                out.append(e)
+            elif e in b"\r\n":  # line continuation
+                if e == 0x0D and i + 1 < n and data[i + 1] == 0x0A:
+                    i += 1
+            else:
+                m = _OCTAL.match(data, i)
+                if m:
+                    out.append(int(m.group(), 8) & 0xFF)
+                    i = m.end() - 1
+                else:
+                    out.append(e)
+            i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise PdfError("unterminated literal string")
+
+
+def _parse_hex_string(data: bytes, i: int) -> tuple[bytes, int]:
+    # data[i] == '<' (single)
+    j = data.find(b">", i + 1)
+    if j < 0:
+        raise PdfError("unterminated hex string")
+    hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii")), j + 1
+
+
+_NUM = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def parse_object(data: bytes, i: int):
+    """Parse one PDF object at ``i`` → ``(obj, next_pos)``."""
+    i = _skip_ws(data, i)
+    if i >= len(data):
+        raise PdfError("unexpected EOF")
+    c = data[i]
+    if c == 0x2F:  # /
+        return _parse_name(data, i)
+    if c == 0x28:  # (
+        return _parse_literal_string(data, i)
+    if c == 0x3C:  # <
+        if data[i : i + 2] == b"<<":
+            d: dict = {}
+            i += 2
+            while True:
+                i = _skip_ws(data, i)
+                if i >= len(data):
+                    raise PdfError("unterminated dict")
+                if data[i : i + 2] == b">>":
+                    return d, i + 2
+                if data[i] != 0x2F:
+                    raise PdfError("dict key is not a name")
+                key, i = _parse_name(data, i)
+                val, i = parse_object(data, i)
+                d[str(key)] = val
+        return _parse_hex_string(data, i)
+    if c == 0x5B:  # [
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(data, i)
+            if i < len(data) and data[i] == 0x5D:
+                return arr, i + 1
+            v, i = parse_object(data, i)
+            arr.append(v)
+    m = _NUM.match(data, i)
+    if m:
+        tok = m.group()
+        j = m.end()
+        if b"." not in tok:
+            # lookahead for "gen R" (indirect reference)
+            k = _skip_ws(data, j)
+            m2 = _NUM.match(data, k)
+            if m2 and b"." not in m2.group():
+                k2 = _skip_ws(data, m2.end())
+                if data[k2 : k2 + 1] == b"R" and (
+                    k2 + 1 >= len(data) or data[k2 + 1] in _REGULAR_END
+                ):
+                    return Ref(int(tok), int(m2.group())), k2 + 1
+            return int(tok), j
+        return float(tok), j
+    j = _token_end(data, i)
+    word = data[i:j]
+    if word == b"true":
+        return True, j
+    if word == b"false":
+        return False, j
+    if word == b"null":
+        return None, j
+    raise PdfError(f"unparseable object at {i}: {word[:20]!r}")
+
+
+# ---------------------------------------------------------------------------
+# stream filters
+# ---------------------------------------------------------------------------
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    rowlen = max(1, (columns * colors * bpc + 7) // 8)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    i = 0
+    n = len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + b - cc
+                pa, pb, pcv = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pcv) else (b if pb <= pcv else cc)
+                row[k] = (row[k] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"unknown PNG predictor row filter {ft}")
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            break
+        if l < 128:
+            out.extend(data[i + 1 : i + 2 + l])
+            i += 2 + l
+        else:
+            out.extend(data[i + 1 : i + 2] * (257 - l))
+            i += 2
+    return bytes(out)
+
+
+def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
+    if name in ("FlateDecode", "Fl"):
+        data = zlib.decompress(data)
+        if parms:
+            pred = parms.get("Predictor", 1)
+            if isinstance(pred, int) and pred >= 10:
+                data = _png_unpredict(
+                    data,
+                    int(parms.get("Columns", 1)),
+                    int(parms.get("Colors", 1)),
+                    int(parms.get("BitsPerComponent", 8)),
+                )
+            elif pred not in (1, None):
+                raise PdfError(f"unsupported predictor {pred}")
+        return data
+    if name in ("ASCIIHexDecode", "AHx"):
+        end = data.find(b">")
+        if end >= 0:
+            data = data[:end]
+        hexdigits = re.sub(rb"[^0-9A-Fa-f]", b"", data)
+        if len(hexdigits) % 2:
+            hexdigits += b"0"
+        return bytes.fromhex(hexdigits.decode("ascii"))
+    if name in ("ASCII85Decode", "A85"):
+        data = re.sub(rb"\s", b"", data)
+        if data.endswith(b"~>"):
+            data = data[:-2]
+        return base64.a85decode(data)
+    if name in ("RunLengthDecode", "RL"):
+        return _runlength_decode(data)
+    raise PdfError(f"unsupported filter {name}")
+
+
+# ---------------------------------------------------------------------------
+# document
+# ---------------------------------------------------------------------------
+
+
+class PdfDocument:
+    """Random-access PDF object store over one in-memory byte payload."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            # be tolerant of a BOM/garbage prefix, but require the magic
+            at = data.find(b"%PDF-")
+            if at < 0 or at > 1024:
+                raise PdfError("missing %PDF- header")
+        self._data = data
+        self._cache: dict[int, object] = {}
+        self._xref: dict[int, tuple] = {}  # num → (1, offset) | (2, stm_num, idx)
+        self._scanned = False
+        self.trailer: dict = {}
+        try:
+            self._load_xref()
+        except PdfError:
+            self._xref = {}
+        if not self._xref or "Root" not in self.trailer:
+            self._scan_fallback()
+        if "Root" not in self.trailer:
+            raise PdfError("no document catalog (/Root)")
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        data = self._data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("no startxref")
+        offset = int(m.group(1))
+        seen: set[int] = set()
+        while offset and offset not in seen and 0 <= offset < len(data):
+            seen.add(offset)
+            i = _skip_ws(data, offset)
+            if data[i : i + 4] == b"xref":
+                trailer = self._parse_xref_table(i + 4)
+            else:
+                trailer = self._parse_xref_stream(i)
+            if not self.trailer:
+                self.trailer = dict(trailer)
+            hybrid = trailer.get("XRefStm")
+            if isinstance(hybrid, int) and hybrid not in seen:
+                seen.add(hybrid)
+                try:
+                    self._parse_xref_stream(_skip_ws(data, hybrid))
+                except PdfError:
+                    pass
+            prev = trailer.get("Prev")
+            offset = prev if isinstance(prev, int) else 0
+
+    def _parse_xref_table(self, i: int) -> dict:
+        data = self._data
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 7] == b"trailer":
+                tr, _ = parse_object(data, i + 7)
+                if not isinstance(tr, dict):
+                    raise PdfError("bad trailer")
+                return tr
+            m = re.compile(rb"(\d+)\s+(\d+)").match(data, i)
+            if not m:
+                raise PdfError("bad xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            i = _skip_ws(data, m.end())
+            for k in range(count):
+                em = re.compile(rb"(\d{10})\s(\d{5})\s([nf])").match(data, i)
+                if not em:
+                    raise PdfError("bad xref entry")
+                if em.group(3) == b"n":
+                    num = start + k
+                    if num not in self._xref:
+                        self._xref[num] = (1, int(em.group(1)))
+                i = em.end()
+                # entries are 20 bytes incl. the 2-byte terminator
+                while i < len(data) and data[i] in b"\r\n ":
+                    i += 1
+
+    def _parse_xref_stream(self, i: int) -> dict:
+        data = self._data
+        m = _OBJ_SCAN.match(data, _skip_ws(data, i))
+        if not m:
+            raise PdfError("xref offset points at neither table nor stream")
+        obj = self._parse_indirect_at(_skip_ws(data, i))
+        if not isinstance(obj, StreamObj) or obj.dict.get("Type") != "XRef":
+            raise PdfError("not an XRef stream")
+        content = self._decode_stream(obj)
+        w = [int(x) for x in obj.dict.get("W", [1, 2, 1])]
+        size = int(self._resolve(obj.dict.get("Size", 0)))
+        index = obj.dict.get("Index", [0, size])
+        rowlen = sum(w)
+        pos = 0
+
+        def field(row: bytes, a: int, b: int, default: int) -> int:
+            if b == 0:
+                return default
+            return int.from_bytes(row[a : a + b], "big")
+
+        pairs = [(int(index[j]), int(index[j + 1])) for j in range(0, len(index) - 1, 2)]
+        for start, count in pairs:
+            for k in range(count):
+                row = content[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    break
+                t = field(row, 0, w[0], 1)
+                f2 = field(row, w[0], w[1], 0)
+                f3 = field(row, w[0] + w[1], w[2], 0)
+                num = start + k
+                if num in self._xref:
+                    continue
+                if t == 1:
+                    self._xref[num] = (1, f2)
+                elif t == 2:
+                    self._xref[num] = (2, f2, f3)
+        return dict(obj.dict)
+
+    def _scan_fallback(self) -> None:
+        """Brute-force object scan — last one wins (appended updates)."""
+        self._scanned = True
+        self._cache.clear()
+        for m in _OBJ_SCAN.finditer(self._data):
+            self._xref[int(m.group(1))] = (1, m.start())
+        if "Root" not in self.trailer:
+            tm = None
+            for tm in re.finditer(rb"trailer", self._data):
+                pass
+            if tm is not None:
+                try:
+                    tr, _ = parse_object(self._data, tm.end())
+                    if isinstance(tr, dict):
+                        self.trailer = tr
+                except PdfError:
+                    pass
+        if "Root" not in self.trailer:
+            # some xref-stream PDFs have no `trailer` keyword: find a catalog
+            for num in sorted(self._xref):
+                try:
+                    obj = self.get_object(num)
+                except Exception:  # noqa: BLE001 — probing arbitrary garbage
+                    continue
+                d = obj.dict if isinstance(obj, StreamObj) else obj
+                if isinstance(d, dict) and d.get("Type") == "Catalog":
+                    self.trailer = {"Root": Ref(num, 0)}
+                    break
+
+    # -- objects ------------------------------------------------------------
+
+    def _parse_indirect_at(self, offset: int, expect_num: int | None = None):
+        data = self._data
+        if not 0 <= offset < len(data):
+            raise PdfError(f"object offset {offset} out of range")
+        m = _OBJ_SCAN.match(data, _skip_ws(data, offset))
+        if not m:
+            raise PdfError(f"no object at offset {offset}")
+        if expect_num is not None and int(m.group(1)) != expect_num:
+            raise PdfError(
+                f"xref points object {expect_num} at object {m.group(1).decode()}"
+            )
+        obj, i = parse_object(data, m.end())
+        i = _skip_ws(data, i)
+        if isinstance(obj, dict) and data[i : i + 6] == b"stream":
+            i += 6
+            if data[i : i + 2] == b"\r\n":
+                i += 2
+            elif data[i : i + 1] in (b"\n", b"\r"):
+                i += 1
+            length = self._resolve(obj.get("Length", 0))
+            if not isinstance(length, int) or length < 0:
+                length = 0
+            raw = data[i : i + length]
+            end = i + length
+            if data[_skip_ws(data, end) : _skip_ws(data, end) + 9] != b"endstream":
+                # Length was wrong/indirect-broken: scan for endstream
+                at = data.find(b"endstream", i)
+                if at < 0:
+                    raise PdfError("unterminated stream")
+                raw = data[i:at].rstrip(b"\r\n")
+            return StreamObj(obj, raw)
+        return obj
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self._xref.get(num)
+        if entry is None:
+            return None
+        try:
+            if entry[0] == 1:
+                obj = self._parse_indirect_at(entry[1], expect_num=num)
+            else:
+                obj = self._objstm_lookup(entry[1], entry[2], num)
+        except PdfError:
+            # broken xref entry: repair once via the brute-force scan
+            if self._scanned:
+                raise
+            self._scan_fallback()
+            entry = self._xref.get(num)
+            if entry is None or entry[0] != 1:
+                raise
+            obj = self._parse_indirect_at(entry[1], expect_num=num)
+        self._cache[num] = obj
+        return obj
+
+    def _objstm_lookup(self, stm_num: int, idx: int, want: int):
+        stm = self.get_object(stm_num)
+        if not isinstance(stm, StreamObj) or stm.dict.get("Type") != "ObjStm":
+            raise PdfError(f"object {want}: bad object stream {stm_num}")
+        content = self._decode_stream(stm)
+        n = int(self._resolve(stm.dict.get("N", 0)))
+        first = int(self._resolve(stm.dict.get("First", 0)))
+        header = content[:first]
+        pairs = []
+        i = 0
+        for _ in range(n):
+            i = _skip_ws(header, i)
+            m1 = _NUM.match(header, i)
+            i = _skip_ws(header, m1.end())
+            m2 = _NUM.match(header, i)
+            i = m2.end()
+            pairs.append((int(m1.group()), int(m2.group())))
+        for objnum, off in pairs:
+            if objnum == want:
+                obj, _ = parse_object(content, first + off)
+                return obj
+        # fall back to positional index
+        if 0 <= idx < len(pairs):
+            obj, _ = parse_object(content, first + pairs[idx][1])
+            return obj
+        raise PdfError(f"object {want} not in object stream {stm_num}")
+
+    def _resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref):
+            if depth > 32:
+                raise PdfError("reference cycle")
+            obj = self.get_object(obj.num)
+            depth += 1
+        return obj
+
+    resolve = _resolve
+
+    def _decode_stream(self, stm: StreamObj) -> bytes:
+        data = stm.raw
+        filt = self._resolve(stm.dict.get("Filter"))
+        parms = self._resolve(stm.dict.get("DecodeParms")) or self._resolve(
+            stm.dict.get("DP")
+        )
+        if filt is None:
+            return data
+        if not isinstance(filt, list):
+            filt = [filt]
+            parms = [parms]
+        elif not isinstance(parms, list):
+            parms = [parms] + [None] * (len(filt) - 1)
+        for f, p in zip(filt, parms or [None] * len(filt)):
+            data = _apply_filter(str(self._resolve(f)), data, self._resolve(p))
+        return data
+
+    # -- pages --------------------------------------------------------------
+
+    _INHERITED = ("Resources", "MediaBox", "CropBox", "Rotate")
+
+    def pages(self) -> list[dict]:
+        root = self._resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("bad /Root")
+        top = self._resolve(root.get("Pages"))
+        if not isinstance(top, dict):
+            raise PdfError("bad /Pages")
+        out: list[dict] = []
+        seen: set[int] = set()
+
+        def walk(node: dict, inherited: dict) -> None:
+            if len(out) > 100_000:
+                raise PdfError("page tree too large")
+            inh = dict(inherited)
+            for k in self._INHERITED:
+                if k in node:
+                    inh[k] = node[k]
+            ntype = node.get("Type")
+            kids = node.get("Kids")
+            if ntype == "Page" or (kids is None and "Contents" in node):
+                page = dict(inh)
+                page.update(node)
+                out.append(page)
+                return
+            for kid in self._resolve(kids) or []:
+                if isinstance(kid, Ref):
+                    if kid.num in seen:
+                        continue
+                    seen.add(kid.num)
+                k = self._resolve(kid)
+                if isinstance(k, dict):
+                    walk(k, inh)
+
+        walk(top, {})
+        return out
+
+    def page_content(self, page: dict) -> bytes:
+        contents = self._resolve(page.get("Contents"))
+        if contents is None:
+            return b""
+        if isinstance(contents, StreamObj):
+            return self._decode_stream(contents)
+        if isinstance(contents, list):
+            parts = []
+            for c in contents:
+                c = self._resolve(c)
+                if isinstance(c, StreamObj):
+                    parts.append(self._decode_stream(c))
+            return b"\n".join(parts)
+        return b""
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpretation → positioned text runs
+# ---------------------------------------------------------------------------
+
+# average advance width per glyph as a fraction of the font size; real
+# extraction would use the font's /Widths — we only need this for
+# space-synthesis decisions, so a Helvetica-ish average is fine.
+_AVG_GLYPH_EM = 0.5
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mmul(a, b):
+    # matrix product a·b for row-vector convention [x y 1]·M
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+def _mapply(m, x, y):
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+class TextRun:
+    """One positioned show-text result in device space."""
+
+    __slots__ = ("x", "y", "size", "text", "width")
+
+    def __init__(self, x: float, y: float, size: float, text: str, width: float) -> None:
+        self.x = x
+        self.y = y
+        self.size = size
+        self.text = text
+        self.width = width
+
+
+def _decode_pdf_text(raw: bytes) -> str:
+    # single-byte fonts only (documented); Latin-1 is the identity map
+    return raw.decode("latin-1")
+
+
+_CONTENT_OPS = {
+    b"BT", b"ET", b"Tf", b"Td", b"TD", b"Tm", b"T*", b"TL", b"Tc", b"Tw",
+    b"Tz", b"Ts", b"Tj", b"'", b'"', b"TJ", b"q", b"Q", b"cm",
+}
+
+
+def _tokenize_content(data: bytes):
+    """Yield (kind, value): kind in {'obj','op'}."""
+    i = 0
+    n = len(data)
+    while True:
+        i = _skip_ws(data, i)
+        if i >= n:
+            return
+        c = data[i]
+        if c in b"/([<" or (data[i : i + 2] == b"<<"):
+            obj, i = parse_object(data, i)
+            yield ("obj", obj)
+            continue
+        m = _NUM.match(data, i)
+        if m:
+            tok = m.group()
+            yield ("obj", float(tok) if b"." in tok else int(tok))
+            i = m.end()
+            continue
+        if c == 0x27 or c == 0x22:  # ' and " are operators, also delim-adjacent
+            yield ("op", data[i : i + 1])
+            i += 1
+            continue
+        j = _token_end(data, i)
+        if j == i:  # stray delimiter (e.g. ']' from malformed input)
+            i += 1
+            continue
+        word = data[i:j]
+        if word == b"true":
+            yield ("obj", True)
+        elif word == b"false":
+            yield ("obj", False)
+        elif word == b"null":
+            yield ("obj", None)
+        elif word == b"BI":
+            # inline image: skip to EI
+            at = data.find(b"EI", j)
+            j = n if at < 0 else at + 2
+        else:
+            yield ("op", word)
+        i = j
+
+
+def interpret_content(data: bytes) -> list[TextRun]:
+    """Run the text-relevant subset of the content stream → runs."""
+    runs: list[TextRun] = []
+    ctm = _ID
+    gstack: list[tuple] = []
+    tm = tlm = _ID
+    leading = 0.0
+    tc = tw = 0.0
+    th = 1.0  # horizontal scale (Tz/100)
+    ts = 0.0  # rise
+    size = 0.0
+    in_text = False
+    stack: list = []
+
+    def est_width(s: str) -> float:
+        w = 0.0
+        for ch in s:
+            w += _AVG_GLYPH_EM * size + tc
+            if ch == " ":
+                w += tw
+        return w * th
+
+    def show(s: str) -> None:
+        nonlocal tm
+        if not in_text or not s:
+            return
+        m = _mmul(tm, ctm)
+        x, y = _mapply(m, 0.0, ts)
+        scale = (m[2] ** 2 + m[3] ** 2) ** 0.5  # vertical scale magnitude
+        dev_size = max(size * scale, 0.01)
+        w = est_width(s)
+        dev_w = w * (m[0] ** 2 + m[1] ** 2) ** 0.5
+        runs.append(TextRun(x, y, dev_size, s, dev_w))
+        tm = _mmul((1.0, 0.0, 0.0, 1.0, w, 0.0), tm)
+
+    def next_line(tx: float, ty: float) -> None:
+        nonlocal tm, tlm
+        tlm = _mmul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm)
+        tm = tlm
+
+    def fnum(v) -> float:
+        return float(v) if isinstance(v, (int, float)) else 0.0
+
+    for kind, val in _tokenize_content(data):
+        if kind == "obj":
+            stack.append(val)
+            continue
+        op = val
+        try:
+            if op == b"BT":
+                in_text = True
+                tm = tlm = _ID
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 2:
+                size = fnum(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                next_line(fnum(stack[-2]), fnum(stack[-1]))
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -fnum(stack[-1])
+                next_line(fnum(stack[-2]), fnum(stack[-1]))
+            elif op == b"Tm" and len(stack) >= 6:
+                tlm = tuple(fnum(v) for v in stack[-6:])
+                tm = tlm
+            elif op == b"T*":
+                next_line(0.0, -leading)
+            elif op == b"TL" and stack:
+                leading = fnum(stack[-1])
+            elif op == b"Tc" and stack:
+                tc = fnum(stack[-1])
+            elif op == b"Tw" and stack:
+                tw = fnum(stack[-1])
+            elif op == b"Tz" and stack:
+                th = fnum(stack[-1]) / 100.0
+            elif op == b"Ts" and stack:
+                ts = fnum(stack[-1])
+            elif op == b"Tj" and stack:
+                if isinstance(stack[-1], bytes):
+                    show(_decode_pdf_text(stack[-1]))
+            elif op == b"'" and stack:
+                next_line(0.0, -leading)
+                if isinstance(stack[-1], bytes):
+                    show(_decode_pdf_text(stack[-1]))
+            elif op == b'"' and len(stack) >= 3:
+                tw = fnum(stack[-3])
+                tc = fnum(stack[-2])
+                next_line(0.0, -leading)
+                if isinstance(stack[-1], bytes):
+                    show(_decode_pdf_text(stack[-1]))
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        show(_decode_pdf_text(el))
+                    elif isinstance(el, (int, float)):
+                        # kerning: negative moves right by n/1000 em
+                        tm = _mmul(
+                            (1.0, 0.0, 0.0, 1.0, -float(el) / 1000.0 * size * th, 0.0),
+                            tm,
+                        )
+            elif op == b"q":
+                gstack.append(ctm)
+            elif op == b"Q":
+                if gstack:
+                    ctm = gstack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mmul(tuple(fnum(v) for v in stack[-6:]), ctm)
+        finally:
+            stack.clear()
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# layout assembly
+# ---------------------------------------------------------------------------
+
+
+def assemble_runs(runs: list[TextRun], *, space_gap_em: float = 0.25) -> str:
+    """Cluster runs into baseline lines and order them for reading.
+
+    Lines are clustered by device y with a tolerance of half the run
+    size (baselines within that distance merge); lines are emitted top
+    to bottom, runs left to right, and a single space is synthesized
+    when the x-gap between adjacent runs exceeds ``space_gap_em`` ems.
+    """
+    if not runs:
+        return ""
+    runs = sorted(runs, key=lambda r: (-r.y, r.x))
+    lines: list[list[TextRun]] = []
+    cur_y = None
+    for r in runs:
+        tol = max(1.0, 0.5 * r.size)
+        if cur_y is not None and abs(r.y - cur_y) <= tol:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+            cur_y = r.y
+    parts: list[str] = []
+    for line in lines:
+        line.sort(key=lambda r: r.x)
+        buf: list[str] = []
+        end_x = None
+        for r in line:
+            if buf and end_x is not None:
+                gap = r.x - end_x
+                if (
+                    gap > space_gap_em * r.size
+                    and not buf[-1].endswith(" ")
+                    and not r.text.startswith(" ")
+                ):
+                    buf.append(" ")
+            buf.append(r.text)
+            end_x = r.x + r.width
+        parts.append("".join(buf))
+    return "\n".join(parts)
+
+
+def extract_pages(data: bytes) -> list[str]:
+    """Parse a PDF payload → one laid-out text string per page.
+
+    Raises :class:`PdfError` on any malformation — lower-level errors
+    (zlib, slicing, recursion) are converted so callers have exactly
+    one failure type to turn into error-as-data rows.
+    """
+    try:
+        doc = PdfDocument(data)
+        out = []
+        for page in doc.pages():
+            content = doc.page_content(page)
+            out.append(assemble_runs(interpret_content(content)))
+        return out
+    except PdfError:
+        raise
+    except Exception as e:  # noqa: BLE001 — malformed input, not a bug escape
+        raise PdfError(f"malformed pdf: {type(e).__name__}: {e}") from e
+
+
+def extract_pdf_text(data: bytes, page_join: str = "\n") -> tuple[str, int]:
+    """Extract the full document text → ``(text, n_pages)``.
+
+    Empty pages contribute nothing to the joined text (the HTML leg's
+    empty-page behavior, ``html/extractor.py``).
+    """
+    pages = extract_pages(data)
+    return page_join.join(p for p in pages if p), len(pages)

@@ -1773,3 +1773,127 @@ def q_frame_sample(sf_dir: str) -> ray.data.Dataset:  # noqa: ARG001
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF leg (the north star's "PDF layout parser")
+# ---------------------------------------------------------------------------
+
+PDF_WRAP_WORDS = 12  # words per synthesized line (shared with the oracle)
+PDF_PAGE_LINES = 40  # lines per synthesized page
+
+
+def _docs_as_pdfs(t: pa.Table) -> pa.Table:
+    """Deterministic PDF corpus: one PDF per document row; even doc_ids
+    use the classic-xref writer, odd ones the xref-stream/ObjStm writer
+    so the driver run exercises both parser paths."""
+    from ..pdf import build_pdf, build_pdf_xrefstream, wrap_words
+
+    ids = t.column("doc_id").to_pylist()
+    payloads = []
+    for doc_id, text in zip(ids, t.column("text").to_pylist()):
+        lines = wrap_words(text or "", PDF_WRAP_WORDS)
+        pages = [
+            lines[i : i + PDF_PAGE_LINES] for i in range(0, len(lines), PDF_PAGE_LINES)
+        ] or [[]]
+        builder = build_pdf if doc_id % 2 == 0 else build_pdf_xrefstream
+        payloads.append(builder(pages))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "url": pa.array([f"https://docs.example/{i:08d}.pdf" for i in ids]),
+            "html": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def q_pdf_extract(sf_dir: str) -> ray.data.Dataset:
+    """PDF layout-parse round trip, fully SQL-oracled.
+
+    Each document is rendered to real PDF bytes (FlateDecode streams,
+    one text run per line) and parsed back by the pure-stdlib layout
+    parser inside a warm actor pool; the oracle recomputes the expected
+    text with the writer's sanitize+wrap contract expressed in RE2
+    (``pdf/mini.py:wrap_words``) — so the whole xref → filter → content
+    interpreter → line-assembly path is value-hash-checked per row."""
+    from ..stages.pdfparse import PdfParseStage
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pdfs = docs.map_batches(_docs_as_pdfs, batch_format="pyarrow")
+    parsed = pdfs.map_batches(
+        PdfParseStage,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return parsed.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "extracted_text": t.column("extracted_text"),
+                "n_pages": t.column("n_pages").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_mixed_parse(sf_dir: str) -> ray.data.Dataset:
+    """Mixed HTML/PDF corpus through ONE DocumentParseStage pool with
+    magic-byte routing (north star: one front end, two warm engines).
+    Even doc_ids arrive as HTML pages, odd ones as PDFs; the oracle
+    recomputes kind and page geometry from doc_id parity + text shape."""
+    import html as html_mod
+
+    from ..stages.pdfparse import DocumentParseStage
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_mixed(t: pa.Table) -> pa.Table:
+        from ..pdf import build_pdf_xrefstream, wrap_words
+
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for doc_id, text in zip(ids, t.column("text").to_pylist()):
+            if doc_id % 2 == 0:
+                payloads.append(
+                    (
+                        "<!DOCTYPE html><html><body><nav><a href='/'>x</a></nav>"
+                        f"<article><p>{html_mod.escape(text or '')}</p></article>"
+                        "</body></html>"
+                    ).encode("utf-8")
+                )
+            else:
+                lines = wrap_words(text or "", PDF_WRAP_WORDS)
+                pages = [
+                    lines[i : i + PDF_PAGE_LINES]
+                    for i in range(0, len(lines), PDF_PAGE_LINES)
+                ] or [[]]
+                payloads.append(build_pdf_xrefstream(pages))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": pa.array([f"https://docs.example/{i:08d}" for i in ids]),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    mixed = docs.map_batches(to_mixed, batch_format="pyarrow")
+    parsed = mixed.map_batches(
+        DocumentParseStage,
+        fn_constructor_kwargs={"passthrough": ("doc_id",)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return parsed.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "doc_kind": t.column("doc_kind"),
+                "n_pages": t.column("n_pages").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

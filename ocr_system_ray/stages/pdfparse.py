@@ -1,0 +1,159 @@
+"""The PDF→text parse stage (actor pool) + the mixed-payload router.
+
+Same operator shape as the HTML leg (``stages/parse.py``): a warm
+stateful engine per worker (the reference's load-once contract,
+``/root/reference/ocr/pipeline.py:13-40``), per-row failures become
+``parse_error`` strings (error-as-data, ``ocr/pipeline.py:85-92``),
+and the heavy binary payload dies in-stage — only text + cheap stats
+flow downstream.
+
+``DocumentParseStage`` is the north-star unified front end: ONE actor
+pool holding BOTH warm engines (DOM block-tree extractor + PDF layout
+parser), routing each row on payload magic bytes — ``%PDF-`` → PDF leg,
+anything else → HTML leg.  Routing inside the stage (not a Dataset
+branch) keeps the input read single-pass, exactly like the in-stage
+skew routing (VERDICT r1 item 3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..html import MainContentExtractor, PAGE_JOIN_EPL
+from ..pdf import PdfError, extract_pdf_text
+from .parse import split_small_large
+
+PDF_PARSED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_pages", pa.int32()),
+        ("parse_error", pa.string()),
+    ]
+)
+
+
+def looks_like_pdf(payload: bytes | None) -> bool:
+    """Magic-byte sniff: PDF headers may sit after up to 1 KiB of junk
+    (the parser's own tolerance window) — but any ``<`` before the magic
+    means markup (an HTML page that merely *mentions* ``%PDF-`` must
+    stay on the HTML leg)."""
+    if not payload:
+        return False
+    at = payload[:1024].find(b"%PDF-")
+    return at >= 0 and b"<" not in payload[:at]
+
+
+class PdfParseStage:
+    """url+payload batches → url+extracted_text+n_pages batches.
+
+    ``large_row_bytes`` mirrors ``HtmlParseStage``'s in-stage skew
+    routing: a giant PDF parses alone and yields incrementally so it
+    cannot hold a batch's other rows hostage.
+    """
+
+    def __init__(
+        self,
+        page_join: str = "\n",
+        payload_column: str = "html",
+        passthrough: tuple[str, ...] = (),
+        large_row_bytes: int | None = None,
+    ) -> None:
+        self._page_join = page_join
+        self._payload_column = payload_column
+        self._passthrough = passthrough
+        self._large_row_bytes = large_row_bytes
+
+    def __call__(self, batch: pa.Table):
+        if self._large_row_bytes is None:
+            yield self._process(batch)
+            return
+        small, large = split_small_large(
+            batch, self._large_row_bytes, column=self._payload_column
+        )
+        if small.num_rows:
+            yield self._process(small)
+        for i in range(large.num_rows):
+            yield self._process(large.slice(i, 1))
+
+    def _extract(self, payload: bytes | None) -> tuple[str, int, str | None]:
+        if payload is None:
+            return "", 0, "empty payload"
+        try:
+            text, n_pages = extract_pdf_text(payload, page_join=self._page_join)
+            return text, n_pages, None
+        except PdfError as e:
+            return "", 0, str(e)
+
+    def _process(self, batch: pa.Table) -> pa.Table:
+        texts: list[str] = []
+        n_pages: list[int] = []
+        errors: list[str | None] = []
+        for payload in batch.column(self._payload_column):
+            text, np_, err = self._extract(payload.as_py())
+            texts.append(text)
+            n_pages.append(np_)
+            errors.append(err)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "url": batch.column("url"),
+            "extracted_text": pa.array(texts, pa.string()),
+            "n_pages": pa.array(n_pages, pa.int32()),
+            "parse_error": pa.array(errors, pa.string()),
+        }
+        for name in self._passthrough:
+            if name in batch.column_names and name not in cols:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+
+class DocumentParseStage:
+    """Mixed HTML/PDF front end: one pool, two warm engines, magic-byte
+    routing per row.  Output adds ``doc_kind`` ∈ {html, pdf, empty}."""
+
+    def __init__(
+        self,
+        page_join: str = PAGE_JOIN_EPL,
+        min_words: int = 8,
+        payload_column: str = "html",
+        passthrough: tuple[str, ...] = (),
+    ) -> None:
+        self._html = MainContentExtractor(page_join=page_join, min_words=min_words)
+        self._pdf = PdfParseStage(page_join="\n", payload_column=payload_column)
+        self._payload_column = payload_column
+        self._passthrough = passthrough
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts: list[str] = []
+        n_pages: list[int] = []
+        kinds: list[str] = []
+        errors: list[str | None] = []
+        for payload_s in batch.column(self._payload_column):
+            payload = payload_s.as_py()
+            if not payload:
+                texts.append("")
+                n_pages.append(0)
+                kinds.append("empty")
+                errors.append("empty payload")
+            elif looks_like_pdf(payload):
+                text, np_, err = self._pdf._extract(payload)
+                texts.append(text)
+                n_pages.append(np_)
+                kinds.append("pdf")
+                errors.append(err)
+            else:
+                out = self._html.extract_bytes(payload)
+                texts.append(out.text)
+                n_pages.append(out.n_pages)
+                kinds.append("html")
+                errors.append(out.error)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "url": batch.column("url"),
+            "extracted_text": pa.array(texts, pa.string()),
+            "n_pages": pa.array(n_pages, pa.int32()),
+            "doc_kind": pa.array(kinds, pa.string()),
+            "parse_error": pa.array(errors, pa.string()),
+        }
+        for name in self._passthrough:
+            if name in batch.column_names and name not in cols:
+                cols[name] = batch.column(name)
+        return pa.table(cols)

@@ -1,0 +1,334 @@
+"""PDF leg: writer→parser round trips, robustness, stage, and oracle.
+
+The parser must be crash-free on arbitrary bytes (error-as-data
+contract of the parse stages) and byte-exact on the deterministic
+writer's output through BOTH xref layouts.
+"""
+
+from __future__ import annotations
+
+import base64
+import random
+import re
+import zlib
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_system_ray.pdf import (
+    PdfError,
+    build_pdf,
+    build_pdf_xrefstream,
+    extract_pdf_text,
+    sanitize_line,
+    wrap_words,
+)
+from ocr_system_ray.pdf.parser import assemble_runs, interpret_content
+from ocr_system_ray.stages.pdfparse import (
+    DocumentParseStage,
+    PdfParseStage,
+    looks_like_pdf,
+)
+
+PAGES = [["alpha beta gamma", "second line here"], ["next page text"]]
+FLAT = "alpha beta gamma\nsecond line here\nnext page text"
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("builder", [build_pdf, build_pdf_xrefstream])
+def test_round_trip_both_xref_layouts(builder):
+    text, n = extract_pdf_text(builder(PAGES))
+    assert (text, n) == (FLAT, 2)
+
+
+def test_round_trip_uncompressed():
+    text, n = extract_pdf_text(build_pdf(PAGES, compress=False))
+    assert (text, n) == (FLAT, 2)
+
+
+def test_escapes_and_charset():
+    lines = ["paren (x) and \\ backslash", "tab\there", "unicode é becomes ?"]
+    text, _ = extract_pdf_text(build_pdf([lines]))
+    assert text == "paren (x) and \\ backslash\ntab\there\nunicode ? becomes ?"
+
+
+def test_empty_pages_dropped_from_text_but_counted():
+    text, n = extract_pdf_text(build_pdf([["page one"], [], ["page three"]]))
+    assert n == 3
+    assert text == "page one\npage three"
+
+
+def test_empty_document():
+    text, n = extract_pdf_text(build_pdf([]))
+    assert (text, n) == ("", 1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+                min_size=1,
+                max_size=60,
+            ).filter(lambda s: s.strip()),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_round_trip_printable_property(pages):
+    text, n = extract_pdf_text(build_pdf(pages))
+    expected = "\n".join("\n".join(p) for p in pages if p)
+    assert n == len(pages)
+    assert text == expected
+
+
+# ---------------------------------------------------------------------------
+# content interpreter + layout
+# ---------------------------------------------------------------------------
+
+
+def test_scrambled_tm_order_reassembles_reading_order():
+    content = (
+        b"BT /F1 10 Tf"
+        b" 1 0 0 1 72 600 Tm (second line) Tj"
+        b" 1 0 0 1 72 700 Tm (hello) Tj"
+        b" 1 0 0 1 110 700 Tm (world) Tj ET"
+    )
+    assert assemble_runs(interpret_content(content)) == "hello world\nsecond line"
+
+
+def test_tj_kerning_and_gap_space_synthesis():
+    # -20/1000 em keeps "Hel"+"lo" fused; -500 opens a gap → space
+    content = b"BT /F1 10 Tf 72 700 Td [(Hel) -20 (lo) -500 (world)] TJ ET"
+    assert assemble_runs(interpret_content(content)) == "Hello world"
+
+
+def test_hex_string_and_ctm_scaling():
+    content = b"q 2 0 0 2 0 0 cm BT /F1 10 Tf 36 350 Td <48656C6C6F> Tj ET Q"
+    runs = interpret_content(content)
+    assert runs[0].text == "Hello"
+    assert (runs[0].x, runs[0].y, runs[0].size) == (72.0, 700.0, 20.0)
+
+
+def test_quote_operators_advance_lines():
+    content = b'BT /F1 10 Tf 14 TL 72 700 Td (a) Tj 2 1 (b c) " (d) \' ET'
+    assert assemble_runs(interpret_content(content)) == "a\nb c\nd"
+
+
+# ---------------------------------------------------------------------------
+# filters + xref robustness (hand-built single-page docs)
+# ---------------------------------------------------------------------------
+
+
+def _mini_doc(stream_dict: bytes, data: bytes) -> bytes:
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n",
+        b"4 0 obj\n<< %s /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (stream_dict, len(data), data),
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for o in objs:
+        offs.append(len(buf))
+        buf.extend(o)
+    xa = len(buf)
+    buf.extend(b"xref\n0 5\n0000000000 65535 f \n")
+    for o in offs:
+        buf.extend(b"%010d 00000 n \n" % o)
+    buf.extend(b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % xa)
+    return bytes(buf)
+
+
+_CONTENT = b"BT /F1 10 Tf 72 700 Td (filters) Tj ET"
+
+
+@pytest.mark.parametrize(
+    ("stream_dict", "encode"),
+    [
+        (b"/Filter /ASCIIHexDecode", lambda c: c.hex().encode() + b">"),
+        (
+            b"/Filter [/ASCII85Decode /FlateDecode]",
+            lambda c: base64.a85encode(zlib.compress(c)) + b"~>",
+        ),
+    ],
+)
+def test_filters(stream_dict, encode):
+    text, _ = extract_pdf_text(_mini_doc(stream_dict, encode(_CONTENT)))
+    assert text == "filters"
+
+
+def test_runlength_filter():
+    rl = bytearray()
+    for i in range(0, len(_CONTENT), 100):
+        chunk = _CONTENT[i : i + 100]
+        rl.append(len(chunk) - 1)
+        rl.extend(chunk)
+    rl.append(128)
+    text, _ = extract_pdf_text(_mini_doc(b"/Filter /RunLengthDecode", bytes(rl)))
+    assert text == "filters"
+
+
+def test_unsupported_filter_is_pdferror():
+    with pytest.raises(PdfError):
+        extract_pdf_text(_mini_doc(b"/Filter /LZWDecode", b"\x80\x0b"))
+
+
+def test_broken_xref_offsets_fall_back_to_scan():
+    pdf = build_pdf([["alpha beta", "gamma"]])
+    broken = re.sub(rb"\n\d{10} 00000 n \n", b"\n9999999999 00000 n \n", pdf)
+    assert broken != pdf
+    assert extract_pdf_text(broken) == ("alpha beta\ngamma", 1)
+
+
+def test_xref_pointing_at_wrong_object_recovers():
+    pdf = build_pdf([["recovered text"]])
+    # swap the catalog's offset with the pages obj's: entries disagree
+    entries = re.findall(rb"\n(\d{10}) 00000 n \n", pdf)
+    swapped = pdf.replace(
+        b"\n" + entries[0] + b" 00000 n \n\n".rstrip() + b"",
+        b"\n" + entries[1] + b" 00000 n \n",
+        1,
+    )
+    assert extract_pdf_text(swapped) == ("recovered text", 1)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [b"", b"<html>hi</html>", b"%PDF-1.4\ngarbage", b"%PDF-1.4"],
+)
+def test_malformed_inputs_raise_pdferror(bad):
+    with pytest.raises(PdfError):
+        extract_pdf_text(bad)
+
+
+def test_byte_flip_fuzz_never_crashes_with_other_errors():
+    pdf = build_pdf([["alpha beta gamma delta", "line two"]])
+    rng = random.Random(7)
+    for _ in range(150):
+        b = bytearray(pdf)
+        for _ in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            extract_pdf_text(bytes(b))
+        except PdfError:
+            pass  # the only acceptable failure type
+
+
+def test_writer_is_byte_deterministic():
+    assert build_pdf(PAGES) == build_pdf(PAGES)
+    assert build_pdf_xrefstream(PAGES) == build_pdf_xrefstream(PAGES)
+
+
+# ---------------------------------------------------------------------------
+# wrap/sanitize contract (the SQL-oracle twin)
+# ---------------------------------------------------------------------------
+
+
+def test_wrap_words_ascii_whitespace_only():
+    # \v and NBSP are NOT split points (RE2 \s parity); \f \r \n \t are
+    assert wrap_words("a b c", 2) == ["a b c"]
+    assert wrap_words("a\x0bb c", 2) == ["a\x0bb c"]
+    assert wrap_words("a\tb\nc\rd\fe", 2) == ["a b", "c d", "e"]
+    assert wrap_words("  lead trail  ", 12) == ["lead trail"]
+    assert wrap_words("", 12) == []
+
+
+def test_sanitize_line_per_codepoint():
+    assert sanitize_line("café 中文") == "caf? ??"
+    assert sanitize_line("ok ~ !\t") == "ok ~ !\t"
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+def _batch(payloads: list[bytes | None], ids=None) -> pa.Table:
+    urls = [f"u{i}" for i in range(len(payloads))]
+    cols = {"url": pa.array(urls), "html": pa.array(payloads, pa.binary())}
+    if ids is not None:
+        cols["doc_id"] = pa.array(ids, pa.int64())
+    return pa.table(cols)
+
+
+def test_pdf_stage_error_as_data_and_passthrough():
+    stage = PdfParseStage(passthrough=("doc_id",))
+    good = build_pdf([["hello world"]])
+    out = pa.concat_tables(stage(_batch([good, b"not a pdf", None], ids=[7, 8, 9])))
+    assert out.column("extracted_text").to_pylist() == ["hello world", "", ""]
+    assert out.column("n_pages").to_pylist() == [1, 0, 0]
+    errs = out.column("parse_error").to_pylist()
+    assert errs[0] is None and errs[1] and errs[2]
+    assert out.column("doc_id").to_pylist() == [7, 8, 9]
+    assert "html" not in out.column_names  # payload dies in-stage
+
+
+def test_pdf_stage_large_row_routing_yields_singletons():
+    big = build_pdf([[f"line {i} " + "x" * 50 for i in range(200)]])
+    small = build_pdf([["tiny"]])
+    stage = PdfParseStage(large_row_bytes=len(big))
+    outs = list(stage(_batch([small, big, small])))
+    assert len(outs) == 2  # one small batch + one singleton
+    assert outs[0].num_rows == 2 and outs[1].num_rows == 1
+    assert outs[1].column("extracted_text").to_pylist()[0].startswith("line 0")
+
+
+def test_looks_like_pdf_sniff():
+    assert looks_like_pdf(b"%PDF-1.4\n...")
+    assert looks_like_pdf(b"\xef\xbb\xbfjunk%PDF-1.7")
+    assert not looks_like_pdf(b"<html>%PDF- later" + b"x" * 2000)
+    assert not looks_like_pdf(b"")
+    assert not looks_like_pdf(None)
+
+
+def test_document_parse_stage_routes_by_magic():
+    html = (
+        b"<!DOCTYPE html><html><body><article><p>"
+        b"one two three four five six seven eight nine ten"
+        b"</p></article></body></html>"
+    )
+    pdf = build_pdf_xrefstream([["pdf text here"]])
+    stage = DocumentParseStage(passthrough=("doc_id",))
+    out = stage(_batch([html, pdf, None], ids=[1, 2, 3]))
+    assert out.column("doc_kind").to_pylist() == ["html", "pdf", "empty"]
+    texts = out.column("extracted_text").to_pylist()
+    assert "one two three" in texts[0]
+    assert texts[1] == "pdf text here"
+    assert texts[2] == ""
+    assert out.column("doc_id").to_pylist() == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# query vs oracle (sf0.001; the full set runs in tools/driver_check.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["pdf_extract", "mixed_parse"])
+def test_pdf_queries_match_oracle(ray_session, name):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    got = entry.queries()[name](sf).to_pandas()
+    exp = con.sql(entry.oracle_sql()[name]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd_testing = pytest.importorskip("pandas.testing")
+    pd_testing.assert_frame_equal(got, exp, check_dtype=True)
