@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PDF leg (north star: "PDF layout parser")
         "pdf_extract": q.q_pdf_extract,
         "mixed_parse": q.q_mixed_parse,
+        # corpus hygiene
+        "line_dedup": q.q_line_dedup,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -867,6 +869,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(ceil(ceil(len(string_split(s, ' ')) / 12.0)
                                        / 40.0) AS BIGINT) END AS n_pages
             FROM norm
+        """,
+        # line_dedup: the corpus is decorated with deterministic chrome
+        # (shared nav header, per-source copyright footer, 12-word-wrap
+        # body — the pdf_extract wrap contract); a line in ≥2 DISTINCT
+        # docs is boilerplate and every occurrence is removed.
+        "line_dedup": """
+            WITH norm AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(
+                            regexp_replace(text, '[^ -~\t]', '?', 'g'),
+                            '[ \t\n\f\r]+', ' ', 'g'), ' ') AS s
+              FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     'home | about | login' || chr(10) ||
+                     CASE WHEN s = '' THEN ''
+                          ELSE regexp_replace(s, '((\\S+ ){11}\\S+) ',
+                                              '\\1' || chr(10), 'g') END
+                     || chr(10) || 'copyright ' || source AS t
+              FROM norm),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     generate_subscripts(string_split(t, chr(10)), 1) AS ord
+              FROM lined),
+            freq AS (
+              SELECT line, COUNT(DISTINCT doc_id) AS nd
+              FROM lines GROUP BY line)
+            SELECT l.doc_id,
+                   COALESCE(string_agg(l.line, chr(10) ORDER BY l.ord)
+                              FILTER (WHERE f.nd < 2), '') AS kept_text,
+                   COUNT(*) AS n_lines,
+                   COUNT(*) FILTER (WHERE f.nd >= 2) AS n_removed
+            FROM lines l JOIN freq f USING (line)
+            GROUP BY l.doc_id
         """,
         "mixed_parse": """
             WITH norm AS (

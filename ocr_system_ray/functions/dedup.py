@@ -1711,3 +1711,148 @@ def cross_source_overlap(
         .sort_values(["source_a", "source_b"])
         .reset_index(drop=True)
     )
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    line_buckets: int = 4096,
+    doc_buckets: int = 1024,
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """Cross-document line deduplication (RefinedWeb / MassiveText
+    hygiene pass; Penedo et al. 2023 §4.2 remove lines duplicated
+    across pages — navigation chrome, cookie banners, copyright
+    footers): a newline-separated LINE whose exact text occurs in
+    ≥ ``min_docs`` *distinct* documents is boilerplate, and every
+    occurrence of it is removed from every document.  (Intra-document
+    repetition is deliberately NOT this operator's job — that is the
+    Gopher repetition signal, ``textstats.repetition_batch``.)
+
+    Returns one row per input document:
+    ``(id_col, kept_text: string, n_lines: int64, n_removed: int64)``
+    where ``kept_text`` is the surviving lines joined by ``\\n`` in
+    their original order (``""`` when everything was boilerplate).
+
+    Ray shape — the ``repeated_ngram_stats`` two-shuffle skeleton:
+
+    1. **line pass**: each doc emits ``(bucket, line, id, ord)`` —
+       ``groupby(bucket)`` + in-group pandas ``nunique`` keeps lines
+       appearing in ≥ min_docs docs and emits their (id, ord) hits.
+       Only lines + (id, ord) move, documents don't.  ``exact=False``
+       is the 100 TB mode: ship ``stable_hash64(line)`` (8 bytes)
+       instead of the line text (same collision math as the hashed
+       gram mode — pinned equal by pytest).
+    2. **doc pass**: removal hits union the full docs (int8 ``m`` tag,
+       text rides on the doc rows only) regrouped on a doc bucket;
+       per doc the kept lines are re-joined in ``ord`` order.  This is
+       the one pass that moves the corpus — once, as a plain
+       repartition-by-doc, with no driver state anywhere.
+    """
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def emit_lines(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        ord_out: list[int] = []
+        line_out: list[str] = []
+        for did, v in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            lines = v.split("\n") if v else []
+            for j, line in enumerate(lines):
+                ids_out.append(did)
+                ord_out.append(j)
+                line_out.append(line)
+        hashes = stable_hash64(line_out) if line_out else np.empty(0, dtype=np.uint64)
+        bucket = (hashes % np.uint64(line_buckets)).astype(np.int64)
+        cols: dict = {"bucket": pa.array(bucket)}
+        if exact:
+            cols["line"] = pa.array(line_out, pa.string())
+        else:
+            cols["line"] = pa.array(hashes.astype(np.int64))
+        cols[id_col] = pa.array(ids_out, pa.int64())
+        cols["ord"] = pa.array(ord_out, pa.int64())
+        return pa.table(cols)
+
+    lines = ds.map_batches(emit_lines, batch_format="pyarrow")
+
+    def find_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "ord": pd.Series([], dtype="int64"),
+                }
+            )
+        ndocs = df.groupby("line")[id_col].transform("nunique")
+        out = df.loc[ndocs >= min_docs, [id_col, "ord"]]
+        return out.astype({id_col: "int64", "ord": "int64"})
+
+    hits = lines.groupby("bucket").map_groups(find_hits, batch_format="pandas")
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: t.column(id_col),
+                "ord": pa.array(np.zeros(n, dtype=np.int64)),
+                "m": pa.array(np.zeros(n, dtype=np.int8)),
+                text_col: t.column(text_col),
+            }
+        )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: t.column(id_col),
+                "ord": t.column("ord"),
+                "m": pa.array(np.ones(n, dtype=np.int8)),
+                text_col: pa.array([""] * n, pa.string()),
+            }
+        )
+
+    tagged = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "kept_text": pd.Series([], dtype=object),
+                    "n_lines": pd.Series([], dtype="int64"),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
+            )
+        out_ids: list = []
+        out_text: list[str] = []
+        out_nl: list[int] = []
+        out_nr: list[int] = []
+        docs = df[df["m"] == 0]
+        removed = df[df["m"] == 1].groupby(id_col)["ord"].agg(set)
+        for did, text in zip(docs[id_col], docs[text_col]):
+            lines = text.split("\n") if text else []
+            gone = removed.get(did, frozenset())
+            kept = [ln for j, ln in enumerate(lines) if j not in gone]
+            out_ids.append(did)
+            out_text.append("\n".join(kept))
+            out_nl.append(len(lines))
+            out_nr.append(len(lines) - len(kept))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_ids, dtype="int64"),
+                "kept_text": pd.Series(out_text, dtype=object),
+                "n_lines": pd.Series(out_nl, dtype="int64"),
+                "n_removed": pd.Series(out_nr, dtype="int64"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(per_doc, batch_format="pandas")

@@ -1897,3 +1897,35 @@ def q_mixed_parse(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document boilerplate line removal (RefinedWeb line dedup),
+    fully SQL-oracled.
+
+    The corpus is given deterministic page chrome: every doc gets the
+    same nav header line, a per-source copyright footer line, and its
+    own text wrapped to 12-word lines (the pdf_extract wrap contract).
+    Header + footers repeat across ≥2 docs → removed; body lines are
+    (near-)unique word salad → kept.  The oracle recomputes the rule
+    with unnest + COUNT(DISTINCT doc_id) + ordered string_agg."""
+    from ..functions.dedup import line_dedup
+    from ..pdf import wrap_words
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def to_lined(t: pa.Table) -> pa.Table:
+        lined = [
+            "home | about | login\n"
+            + "\n".join(wrap_words(text or "", PDF_WRAP_WORDS))
+            + "\ncopyright " + source
+            for text, source in zip(
+                t.column("text").to_pylist(), t.column("source").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(lined, pa.string())}
+        )
+
+    lined = docs.map_batches(to_lined, batch_format="pyarrow")
+    return line_dedup(lined, min_docs=2)

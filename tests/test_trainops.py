@@ -1292,3 +1292,113 @@ def test_token_index_meta_validation(ray_session, tmp_path):
     invindex.build_token_index(ds, idx)
     with pytest.raises(ValueError, match="id_col"):
         invindex.lookup_tokens(idx, ["x"], id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (RefinedWeb cross-document boilerplate line removal)
+# ---------------------------------------------------------------------------
+
+
+def _lined_docs() -> pa.Table:
+    header = "home | about | login"
+    docs = {
+        1: f"{header}\nunique alpha body\ncopyright acme",
+        2: f"{header}\nanother body line\ncopyright acme",
+        3: f"{header}\nthird unique text\ncopyright zeta",  # footer unique
+        4: "totally standalone page",  # nothing shared
+        5: f"{header}\n{header}\ncopyright acme",  # dup line twice in one doc
+        6: "",  # empty doc
+    }
+    return pa.table(
+        {"doc_id": pa.array(list(docs), pa.int64()), "text": pa.array(list(docs.values()))}
+    )
+
+
+def _brute_line_dedup(t: pa.Table, min_docs: int = 2) -> dict[int, tuple[str, int, int]]:
+    from collections import defaultdict
+
+    by_line: dict[str, set[int]] = defaultdict(set)
+    rows = list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    for did, text in rows:
+        for line in text.split("\n") if text else []:
+            by_line[line].add(did)
+    boiler = {ln for ln, ids in by_line.items() if len(ids) >= min_docs}
+    out = {}
+    for did, text in rows:
+        lines = text.split("\n") if text else []
+        kept = [ln for ln in lines if ln not in boiler]
+        out[did] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+def test_line_dedup_vs_bruteforce(ray_session):
+    from ocr_system_ray.functions.dedup import line_dedup
+
+    t = _lined_docs()
+    got = line_dedup(ray.data.from_arrow(t), min_docs=2).to_pandas()
+    exp = _brute_line_dedup(t)
+    assert len(got) == len(exp)
+    for row in got.itertuples():
+        kept, nl, nr = exp[row.doc_id]
+        assert (row.kept_text, row.n_lines, row.n_removed) == (kept, nl, nr), row
+    # the shared header is gone everywhere, incl. BOTH copies in doc 5
+    d5 = got.set_index("doc_id").loc[5]
+    assert d5["kept_text"] == "" and d5["n_removed"] == 3
+    # unique footer survives
+    d3 = got.set_index("doc_id").loc[3]
+    assert "copyright zeta" in d3["kept_text"]
+    # empty doc: zero lines, zero removed
+    d6 = got.set_index("doc_id").loc[6]
+    assert d6["kept_text"] == "" and d6["n_lines"] == 0 and d6["n_removed"] == 0
+
+
+def test_line_dedup_hashed_mode_equals_exact(ray_session):
+    from ocr_system_ray.functions.dedup import line_dedup
+
+    t = _lined_docs()
+    a = (
+        line_dedup(ray.data.from_arrow(t), exact=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        line_dedup(ray.data.from_arrow(t), exact=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_line_dedup_block_layout_invariance(ray_session):
+    from ocr_system_ray.functions.dedup import line_dedup
+
+    t = _lined_docs()
+    whole = (
+        line_dedup(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    split = (
+        line_dedup(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert whole.equals(split)
+
+
+def test_line_dedup_min_docs_threshold(ray_session):
+    from ocr_system_ray.functions.dedup import line_dedup
+
+    t = _lined_docs()
+    got = (
+        line_dedup(ray.data.from_arrow(t), min_docs=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # header appears in 4 distinct docs (1,2,3,5) < 5 → everything kept
+    assert int(got["n_removed"].sum()) == 0
+    assert got.loc[1, "kept_text"] == t.column("text").to_pylist()[0]
