@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixed_parse": q.q_mixed_parse,
         # corpus hygiene
         "line_dedup": q.q_line_dedup,
+        "quality_classifier": q.q_quality_classifier,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -753,6 +754,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.neglogp_micro
             FROM documents d
             JOIN '/root/repo/tests/golden/unigram_logprob_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # quality_classifier: weights + scores re-derived by the
+        # independent Counter/whole-matrix twin in tools/make_goldens.py
+        "quality_classifier": """
+            SELECT d.doc_id, g.logit_micro, g.label
+            FROM documents d
+            JOIN '/root/repo/tests/golden/quality_classifier_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # curriculum buckets: scores come from the unigram golden (the

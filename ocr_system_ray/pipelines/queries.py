@@ -1929,3 +1929,22 @@ def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
 
     lined = docs.map_batches(to_lined, batch_format="pyarrow")
     return line_dedup(lined, min_docs=2)
+
+
+def q_quality_classifier(sf_dir: str) -> ray.data.Dataset:
+    """Model-based quality filter (FineWeb-Edu / GPT-3 WebText-LR
+    shape): fit the hashed-ngram logistic classifier on the corpus
+    with lang=='en' as the positive class, then score every document.
+    Golden-oracled: tools/make_goldens.py re-derives weights AND scores
+    with an independent single-matrix / Counter-featurized twin."""
+    from ..functions.classifier import fit_quality_classifier, score_quality
+
+    labeled = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    with_label = labeled.map_batches(
+        lambda t: t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en").cast(pa.int8())
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # iterative fit re-executes its input per pass
+    w = fit_quality_classifier(with_label, label_col="is_target")
+    return score_quality(with_label, w)

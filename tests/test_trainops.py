@@ -1402,3 +1402,137 @@ def test_line_dedup_min_docs_threshold(ray_session):
     # header appears in 4 distinct docs (1,2,3,5) < 5 → everything kept
     assert int(got["n_removed"].sum()) == 0
     assert got.loc[1, "kept_text"] == t.column("text").to_pylist()[0]
+
+
+# ---------------------------------------------------------------------------
+# trainable quality classifier (hashed-ngram logistic regression)
+# ---------------------------------------------------------------------------
+
+
+def _flagged_docs(blocks: int = 4) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en").cast(pa.int8())
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{SF001}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+            override_num_blocks=blocks,
+        )
+        .map_batches(flag, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def test_quality_classifier_fit_equals_twin(ray_session):
+    """Distributed per-batch-partial GD == single-matrix numpy twin,
+    weight-for-weight (the per-iteration 1e-6 rounding guarantees it)."""
+    import pyarrow.parquet as pq
+
+    from ocr_system_ray.functions.classifier import (
+        fit_quality_classifier,
+        logistic_fit_twin,
+    )
+
+    ds = _flagged_docs()
+    w = fit_quality_classifier(ds, label_col="is_target")
+
+    docs = pq.read_table(
+        f"{SF001}/documents.parquet", columns=["text", "lang"]
+    )
+    w_twin = logistic_fit_twin(
+        [v or "" for v in docs.column("text").to_pylist()],
+        [1 if v == "en" else 0 for v in docs.column("lang").to_pylist()],
+    )
+    assert np.array_equal(w, w_twin)
+    assert w[-1] != 0.0  # bias moved (fit actually ran)
+
+
+def test_quality_classifier_discriminates_target_language(ray_session):
+    """lang==en as positive class: English docs must average a higher
+    logit than the rest, and most get label 1."""
+    import pyarrow.parquet as pq
+
+    from ocr_system_ray.functions.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    ds = _flagged_docs()
+    w = fit_quality_classifier(ds, label_col="is_target")
+    scores = {
+        r["doc_id"]: (r["logit_micro"], r["label"])
+        for r in score_quality(ds, w).take_all()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in pq.read_table(
+            f"{SF001}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pylist()
+    }
+    en = [scores[d][0] for d, l in langs.items() if l == "en"]
+    other = [scores[d][0] for d, l in langs.items() if l != "en"]
+    assert en and other
+    assert np.mean(en) > np.mean(other)
+    assert np.mean([scores[d][1] for d, l in langs.items() if l == "en"]) > 0.8
+    assert np.mean([scores[d][1] for d, l in langs.items() if l != "en"]) < 0.2
+
+
+def test_quality_classifier_batching_invariance(ray_session):
+    """Weights AND integer scores are identical across block layouts."""
+    from ocr_system_ray.functions.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    results = []
+    weights = []
+    for blocks in (1, 7):
+        ds = _flagged_docs(blocks)
+        w = fit_quality_classifier(ds, label_col="is_target")
+        weights.append(w)
+        out = score_quality(ds, w).take_all()
+        results.append(sorted((r["doc_id"], r["logit_micro"], r["label"]) for r in out))
+    assert np.array_equal(weights[0], weights[1])
+    assert results[0] == results[1]
+
+
+def test_quality_classifier_edge_docs(ray_session):
+    """Empty and single-token docs featurize (note: ''.split(' ') is
+    [''] — the empty doc carries ONE feature, the crc32('') bucket, on
+    top of the bias) and score identically to the twin's per-row dot;
+    an empty fit input raises."""
+    from ocr_system_ray.functions.classifier import (
+        _doc_features,
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox", "", "solo", "xyzzy plugh qwerty"],
+                pa.string(),
+            ),
+            "is_target": pa.array([1, 0, 0, 0], pa.int8()),
+        }
+    )
+    ds = ray.data.from_arrow(t).materialize()
+    w = fit_quality_classifier(ds, label_col="is_target")
+    got = {r["doc_id"]: r for r in score_quality(ds, w).take_all()}
+    assert set(got) == {0, 1, 2, 3}
+    # every doc scores exactly the per-row dot of its twin features
+    for i, text in enumerate(t.column("text").to_pylist()):
+        z = float(np.dot(_doc_features(text, 1024), w))
+        assert got[i]["logit_micro"] == int(np.floor(z * 1e6 + 0.5))
+    # and the positive doc separates from the negatives
+    assert got[0]["label"] == 1 and got[3]["label"] == 0
+
+    empty = ray.data.from_arrow(t.slice(0, 0)).materialize()
+    with pytest.raises(ValueError, match="empty"):
+        fit_quality_classifier(empty, label_col="is_target")

@@ -197,6 +197,76 @@ def unigram_logprob_golden() -> pa.Table:
 
 # ---------------------------------------------------------------------------
 # query-output goldens (deterministic seeded pipelines, frozen at sf0.01)
+def quality_classifier_golden() -> pa.Table:
+    """(doc_id, logit_micro, label) from an INDEPENDENT twin of the
+    quality classifier: Counter-featurized hashed unigram+bigram term
+    frequencies (m=1024, crc32, unit-L2 + bias), whole-matrix
+    Newton/IRLS with the same hyperparameters, 1e-8 statistic rounding
+    and 1e-6 per-step weight rounding (the roundings are what make
+    per-batch vs whole-matrix float order equal), scores via the
+    per-row-dot micro rule."""
+    import math
+    import zlib
+    from collections import Counter
+
+    import numpy as np
+
+    m = 1024
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text", "lang"])
+    texts = [(t or "") for t in docs.column("text").to_pylist()]
+    langs = docs.column("lang").to_pylist()
+
+    def feats(text: str) -> np.ndarray:
+        toks = text.split(" ")
+        c: Counter = Counter(zlib.crc32(t.encode()) % m for t in toks)
+        c.update(
+            zlib.crc32((a + "\x00" + b).encode()) % m for a, b in zip(toks, toks[1:])
+        )
+        x = np.zeros(m + 1, dtype=np.float64)
+        total = sum(c.values())
+        for b, n in c.items():
+            x[b] = n / total if total > 0 else 0.0
+        nrm = float(np.linalg.norm(x[:m]))
+        if nrm > 0:
+            x[:m] /= nrm
+        x[m] = 1.0
+        return x
+
+    x = np.stack([feats(t) for t in texts])
+    y = np.asarray([1.0 if v == "en" else 0.0 for v in langs], dtype=np.float64)
+    n = len(texts)
+    l2_mask = np.ones(m + 1, dtype=np.float64)
+    l2_mask[m] = 0.0
+    w = np.zeros(m + 1, dtype=np.float64)
+    l2, n_iter = 1e-5, 12
+
+    def sigmoid(z: np.ndarray) -> np.ndarray:
+        out = np.empty_like(z)
+        pos = z >= 0
+        out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+        ez = np.exp(z[~pos])
+        out[~pos] = ez / (1.0 + ez)
+        return out
+
+    for _ in range(n_iter):
+        p = sigmoid(x @ w)
+        s = p * (1.0 - p)
+        a_over_n = np.round(((x * s[:, None]).T @ x) / n, 8)
+        g_over_n = np.round((x.T @ (p - y)) / n, 8)
+        h = a_over_n + l2 * np.diag(l2_mask) + 1e-9 * np.eye(m + 1)
+        w = np.round(w - np.linalg.solve(h, g_over_n + l2 * (w * l2_mask)), 6)
+
+    micro = [int(math.floor(float(np.dot(x[i], w)) * 1e6 + 0.5)) for i in range(n)]
+    arr = np.asarray(micro, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "logit_micro": pa.array(arr),
+            "label": pa.array((arr >= 0).astype(np.int8)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # each entry: golden file stem → queries() name.  All of these are
@@ -263,6 +333,9 @@ def main() -> None:
     dg = dsir_golden()
     pq.write_table(dg, GOLDEN_DIR / "dsir_sf001.parquet")
     print(f"dsir_sf001.parquet: {dg.num_rows} rows")
+    qc = quality_classifier_golden()
+    pq.write_table(qc, GOLDEN_DIR / "quality_classifier_sf001.parquet")
+    print(f"quality_classifier_sf001.parquet: {qc.num_rows} rows")
 
     import ray
 
