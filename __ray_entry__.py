@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / clustering
         "knn_bruteforce": q.q_knn_bruteforce,
         "knn_ivf": q.q_knn_ivf,
+        "knn_pq": q.q_knn_pq,
         "kmeans_clusters": q.q_kmeans_clusters,
         "semdedup": q.q_semdedup,
         # extraction + flagship
@@ -672,6 +673,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.query_id, g.vec_id, g.rank
             FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
             JOIN embeddings e ON g.vec_id = e.vec_id
+        """,
+        # knn_pq: the golden pins WHICH 80 candidates the seeded PQ/ADC
+        # stage surfaces per query; the exact cosines and the final
+        # top-10 ranks are recomputed INDEPENDENTLY by DuckDB over the
+        # live embeddings (both sides rank by (round(c,6) DESC, id))
+        "knn_pq": """
+            WITH cand AS (
+                SELECT query_id, vec_id
+                FROM '/root/repo/tests/golden/knn_pq_candidates_sf001.parquet'
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT c.query_id, c.vec_id,
+                       list_cosine_similarity(e.embedding, q.qvec) AS cosine
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN q ON q.query_id = c.query_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY round(cosine, 6) DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
         """,
         # token_index_lookup: probe tokens derived identically (first 5
         # tokens of doc 1); the posting pairs are recomputed from the

@@ -118,6 +118,8 @@ def run_query_suite() -> dict[str, float]:
         "kmeans_clusters": q.q_kmeans_clusters,
         "semdedup": q.q_semdedup,
         "dsir_scores": q.q_dsir_scores,
+        "quality_classifier": q.q_quality_classifier,
+        "knn_pq": q.q_knn_pq,
     }
     import pandas as pd
 

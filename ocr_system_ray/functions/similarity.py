@@ -12,6 +12,21 @@
   ``nprobe`` nearest centroids' partitions.  Same contract as a real IVF
   index; recall < 1.0 by construction, verified against brute force in
   tests.
+
+* ``pq_*`` / ``ivfpq_*`` — product quantization (Jégou et al. 2011,
+  "Product Quantization for Nearest Neighbor Search"): unit-normalized
+  vectors are split into M subspaces, each quantized to its nearest
+  seeded sub-centroid, so a dim-D float32 vector becomes M bytes
+  (32× smaller at D=64, M=8).  Search is ADC — per query one (M ×
+  n_codes) inner-product lookup table; a candidate's approximate cosine
+  is M table hits summed in fixed per-row order (batching-invariant).
+  The candidate pass therefore streams only ``(id, M-byte code)``
+  columns; full-precision vectors are touched ONLY for the
+  ``k·oversample`` rerank survivors per query.  At 100 TB that is the
+  difference between scanning 25 TB of float32 and 0.8 TB of codes.
+  Composes with the IVF layout (``build_ivfpq_index`` /
+  ``ivfpq_topk_indexed``): probe prunes partitions by PATH, PQ prunes
+  bytes per row via parquet column projection, rerank prunes rows.
 """
 
 from __future__ import annotations
@@ -232,6 +247,22 @@ def build_ivf_index(
     return index_dir
 
 
+def _pruned_partition_paths(index_dir: str, wanted: list[int]) -> list[str]:
+    """Prune by PATH: only the probed centroids' partition directories
+    enter the read plan at all (ray 2.49's ``filter=`` pushdown fails to
+    bind hive partition keys in its sampling pass, and path pruning is
+    stronger anyway — non-probed partitions are never even listed)."""
+    import glob
+    import os
+
+    paths: list[str] = []
+    for c in wanted:
+        d = os.path.join(index_dir, f"centroid_id={c}")
+        if os.path.isdir(d):  # prefix listing; object stores list the same way
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return paths
+
+
 def ivf_topk_indexed(
     index_dir: str,
     codebook: np.ndarray,
@@ -247,23 +278,9 @@ def ivf_topk_indexed(
     The non-probed partitions are never listed into the plan — at 100 TB
     this is the difference between touching ~nprobe/n_centroids of the
     corpus and scanning all of it."""
-    import pyarrow.compute as pc
-
-    import os
-
     wanted = _probe_centroids(codebook, queries, nprobe)
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-    # prune by PATH: only the probed centroids' partition directories
-    # enter the read plan at all (ray 2.49's `filter=` pushdown fails to
-    # bind hive partition keys in its sampling pass, and path pruning is
-    # stronger anyway — non-probed partitions are never even listed)
-    import glob
-
-    paths: list[str] = []
-    for c in wanted:
-        d = os.path.join(index_dir, f"centroid_id={c}")
-        if os.path.isdir(d):  # prefix listing; object stores list the same way
-            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    paths = _pruned_partition_paths(index_dir, wanted)
     if not paths:
         return brute_force_topk(
             ray.data.from_arrow(
@@ -273,3 +290,290 @@ def ivf_topk_indexed(
         )
     pruned = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(pruned, queries, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def fit_pq_codebook(
+    sample: np.ndarray,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Seeded per-subspace Lloyd on a driver-side sample →
+    ``(M, n_codes, dim/M)`` float32.
+
+    Vectors are unit-normalized FIRST (PQ approximates the cosine as an
+    inner product of normalized parts), then each dim/M-slice is
+    k-means'd independently with L2 assignment — the textbook PQ
+    construction.  Empty clusters keep their previous centroid (same
+    rule as :func:`fit_codebook`), so the result is deterministic for a
+    given (sample, seed)."""
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    n, dim = sample.shape
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    dsub = dim // m_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, min(n_codes, n), dsub), dtype=np.float32)
+    for m in range(m_subspaces):
+        sub = sample[:, m * dsub : (m + 1) * dsub]
+        idx = rng.choice(n, size=min(n_codes, n), replace=False)
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[m] = cents
+    return books
+
+
+def _pq_encode_matrix(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float32 → (n, M) uint8 codes (nearest sub-centroid, L2)."""
+    n = len(vecs)
+    m_subspaces, _, dsub = books.shape
+    vecs = _normalize(vecs.astype(np.float32, copy=False))
+    codes = np.empty((n, m_subspaces), dtype=np.uint8)
+    for m in range(m_subspaces):
+        sub = vecs[:, m * dsub : (m + 1) * dsub]
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² is rank-constant
+        scores = sub @ books[m].T - 0.5 * (books[m] ** 2).sum(axis=1)[None, :]
+        codes[:, m] = scores.argmax(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    pq_codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Append ``pq_code`` — an M-byte ``binary`` column (32× smaller
+    than a dim-64 float32 vector at M=8).  Stateless, row-local."""
+    ref = ray.put(np.asarray(pq_codebook, dtype=np.float32))
+
+    class Encode:
+        def __init__(self) -> None:
+            self.books = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _as_matrix(batch.column(vec_col))
+            if vecs.size == 0:
+                return batch.append_column("pq_code", pa.array([], pa.binary()))
+            codes = _pq_encode_matrix(vecs, self.books)
+            return batch.append_column(
+                "pq_code", pa.array([c.tobytes() for c in codes], pa.binary())
+            )
+
+    return ds.map_batches(Encode, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _pq_lut(pq_codebook: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """ADC lookup tables: (nq, M, n_codes) float64 — LUT[q, m, c] is the
+    inner product of query q's m-th slice with sub-centroid c."""
+    books = np.asarray(pq_codebook, dtype=np.float32)
+    m_subspaces, _, dsub = books.shape
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+    lut = np.empty((len(q), m_subspaces, books.shape[1]), dtype=np.float64)
+    for m in range(m_subspaces):
+        lut[:, m, :] = (q[:, m * dsub : (m + 1) * dsub] @ books[m].T).astype(np.float64)
+    return lut
+
+
+class _BatchPQTopK:
+    """Per-batch local top-k by ADC over the M-byte code column.
+
+    The approximate score is ``lut[q, arange(M), codes].sum(axis=1)`` —
+    M float64 adds in a fixed per-row order, so a row's score is
+    bit-identical under any block/batch layout; ties break by id asc
+    (same total-order discipline as ``_BatchTopK``)."""
+
+    def __init__(self, lut_ref, k: int, id_col: str) -> None:  # noqa: ANN001
+        self.lut = ray.get(lut_ref) if not isinstance(lut_ref, np.ndarray) else lut_ref
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 self.id_col: pa.array([], pa.int64()),
+                 "approx": pa.array([], pa.float64())}
+            )
+        raw = b"".join(batch.column("pq_code").to_pylist())
+        m_subspaces = self.lut.shape[1]
+        codes = np.frombuffer(raw, dtype=np.uint8).reshape(len(ids), m_subspaces)
+        cols = np.arange(m_subspaces)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.lut.shape[0]):
+            scores = self.lut[qi][cols, codes].sum(axis=1)
+            order = np.lexsort((ids, -scores))[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[order].tolist())
+            out_s.extend(scores[order].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             self.id_col: pa.array(out_id),
+             "approx": pa.array(out_s, pa.float64())}
+        )
+
+
+def pq_topk(
+    ds_encoded: ray.data.Dataset,
+    pq_codebook: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Approximate global top-k per query by ADC over ``pq_code`` →
+    (query_id, id, approx), best first, id-asc tie break.  The input
+    needs only ``(id_col, pq_code)`` — never project the vector column
+    into this pass."""
+    lut_ref = ray.put(_pq_lut(pq_codebook, queries))
+    candidates = ds_encoded.map_batches(
+        _BatchPQTopK,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"lut_ref": lut_ref, "k": k, "id_col": id_col},
+    )
+
+    def head_per_query(group):  # pandas in — candidate stream is tiny
+        return group.sort_values(
+            ["approx", id_col], ascending=[False, True]
+        ).head(k)
+
+    return candidates.groupby("query_id").map_groups(head_per_query, batch_format="pandas")
+
+
+def pq_topk_refined(
+    ds: ray.data.Dataset,
+    pq_codebook: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = None,
+    _encoded: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """PQ candidates + exact rerank → (query_id, id, cosine), top-k.
+
+    Pass 1 (cheap): ADC over codes selects ``k·oversample`` candidates
+    per query.  Pass 2: ONE stateless pass over the corpus computes the
+    exact float64 cosine for rows in the candidate set ONLY (a
+    per-(query, id) membership broadcast — ``nq·k·oversample`` pairs,
+    query-side-sized, never corpus-sized), then a final per-query head.
+    Recall < 1.0 by construction (quantization error can evict a true
+    neighbor from the candidate set); tests pin it vs brute force."""
+    encoded = _encoded if _encoded is not None else pq_encode(ds, pq_codebook, id_col, vec_col)
+    cand = pq_topk(encoded, pq_codebook, queries, k * oversample, id_col)
+    # candidate pair set: nq·k·oversample rows — driver-small by contract
+    pairs: dict[int, list[int]] = {}
+    for row in cand.take_all():
+        pairs.setdefault(int(row[id_col]), []).append(int(row["query_id"]))
+    pairs_ref = ray.put(pairs)
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+    q_ref = ray.put(q)
+
+    class Rerank:
+        def __init__(self) -> None:
+            self.pairs = ray.get(pairs_ref)
+            self.cand_ids = np.fromiter(self.pairs.keys(), dtype=np.int64, count=len(self.pairs))
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            keep = (
+                np.isin(ids, self.cand_ids)
+                if len(ids)
+                else np.zeros(0, dtype=bool)
+            )
+            out_q, out_id, out_c = [], [], []
+            if keep.any():
+                vecs = _normalize(_as_matrix(batch.column(vec_col))[keep])
+                kept_ids = ids[keep]
+                sims = vecs @ self.q.T  # (n_keep, nq)
+                for i, vid in enumerate(kept_ids):
+                    for qi in self.pairs[int(vid)]:
+                        c = float(sims[i, qi])
+                        if round_decimals is not None:
+                            c = round(c, round_decimals)
+                        out_q.append(qi)
+                        out_id.append(int(vid))
+                        out_c.append(c)
+            return pa.table(
+                {"query_id": pa.array(out_q, pa.int64()),
+                 id_col: pa.array(out_id, pa.int64()),
+                 "cosine": pa.array(out_c, pa.float64())}
+            )
+
+    exact = ds.map_batches(Rerank, batch_format="pyarrow", concurrency=(1, 8))
+
+    def head_per_query(group):  # pandas in — ≤ nq·k·oversample rows total
+        return group.sort_values(
+            ["cosine", id_col], ascending=[False, True]
+        ).head(k)
+
+    return exact.groupby("query_id").map_groups(head_per_query, batch_format="pandas")
+
+
+def build_ivfpq_index(
+    ds: ray.data.Dataset,
+    codebook: np.ndarray,
+    pq_codebook: np.ndarray,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Persist the IVF-PQ layout: partition-per-centroid directories
+    holding ``(id, pq_code, embedding)``.  The code column makes the
+    candidate pass a skinny column projection; the vector column stays
+    co-located for the rerank pass."""
+    encoded = pq_encode(
+        assign_partitions(ds, codebook, id_col, vec_col), pq_codebook, id_col, vec_col
+    )
+    encoded.write_parquet(index_dir, partition_cols=["centroid_id"])
+    return index_dir
+
+
+def ivfpq_topk_indexed(
+    index_dir: str,
+    codebook: np.ndarray,
+    pq_codebook: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = None,
+) -> ray.data.Dataset:
+    """Triple-pruned search over a persisted IVF-PQ index: probed
+    partitions only (path pruning) × code column only in the candidate
+    pass (parquet projection) × candidate rows only in the rerank
+    (row pruning)."""
+    wanted = _probe_centroids(codebook, queries, nprobe)
+    paths = _pruned_partition_paths(index_dir, wanted)
+    if not paths:
+        return brute_force_topk(
+            ray.data.from_arrow(
+                pa.table({id_col: pa.array([], pa.int64()),
+                          vec_col: pa.array([], pa.list_(pa.float32()))})
+            ),
+            queries, k, id_col, vec_col, round_decimals,
+        )
+    codes = ray.data.read_parquet(paths, columns=[id_col, "pq_code"])
+    full = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return pq_topk_refined(
+        full, pq_codebook, queries, k, oversample, id_col, vec_col,
+        round_decimals, _encoded=codes,
+    )

@@ -1471,6 +1471,58 @@ def q_knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
 
 
+def _pq_setup(sf_dir: str):
+    """Shared by q_knn_pq and the candidate golden: the seeded PQ
+    codebook (M=16 subspaces × 32 codes over dim-64 → 16 bytes/vector)
+    plus the query matrix.  The sample fit is driver-side by the same
+    contract as fit_codebook (these embedding tables are query-side
+    small; the corpus-scale alternative is kmeans_fit per subspace)."""
+    import os
+    import pyarrow.parquet as pq
+
+    sample = np.asarray(
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .column("embedding")
+        .to_pylist()[:2000],
+        dtype=np.float32,
+    )
+    books = similarity.fit_pq_codebook(sample, m_subspaces=16, n_codes=32)
+    return books, _load_query_vectors(sf_dir)
+
+
+def knn_pq_candidates(sf_dir: str) -> pd.DataFrame:
+    """The ADC candidate stage of q_knn_pq: (query_id, vec_id) of the
+    k·oversample=80 PQ-nearest ids per query.  Frozen as a golden so the
+    DuckDB oracle can recompute the exact cosines and final ranks
+    INDEPENDENTLY over a pinned set (the embedding_dup_pairs pattern)."""
+    books, queries = _pq_setup(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cand = similarity.pq_topk(
+        similarity.pq_encode(ds, books), books, queries, k=80
+    ).to_pandas()
+    return (
+        cand[["query_id", "vec_id"]]
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+
+def q_knn_pq(sf_dir: str) -> pd.DataFrame:
+    """PQ-compressed approximate top-10 with exact rerank: ADC over
+    16-byte codes selects 80 candidates per query, one row-pruned pass
+    recomputes their exact cosines, ranked like knn_bruteforce
+    (round(c, 6) desc, vec_id asc).  The candidate set is pinned by the
+    committed golden; DuckDB recomputes cosine + rank independently."""
+    books, queries = _pq_setup(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.pq_topk_refined(
+        ds, books, queries, k=10, oversample=8, round_decimals=6
+    ).to_pandas()
+    out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # extraction over the documents corpus + the flagship pages pipeline
 # ---------------------------------------------------------------------------

@@ -604,6 +604,134 @@ def test_ivf_indexed_matches_scan_and_prunes_read(ray_session, tmp_path):
     )
 
 
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_encode_shape_and_determinism(ray_session):
+    import ray.data
+
+    table = _embedding_table(n=200)
+    sample = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    books = similarity.fit_pq_codebook(sample, m_subspaces=4, n_codes=8)
+    assert books.shape == (4, 8, 4)  # dim 16 / M 4
+    # seeded fit is bitwise-reproducible
+    assert np.array_equal(books, similarity.fit_pq_codebook(sample, 4, 8))
+    enc = similarity.pq_encode(ray.data.from_arrow(table), books).take_all()
+    assert all(len(r["pq_code"]) == 4 for r in enc)  # M bytes per vector
+    # an exact-duplicate vector pair must share codes
+    by_id = {r["vec_id"]: r["pq_code"] for r in enc}
+    assert by_id[0] == by_id[1]
+
+
+def test_pq_refined_recall_and_candidate_subset(ray_session):
+    """Refined top-k must (a) reach high recall vs brute force at a
+    generous oversample, (b) rank the exact/near dup of query 0 first,
+    and (c) only ever return ids from the ADC candidate set."""
+    import ray.data
+
+    table = _embedding_table(n=200)
+    ds = ray.data.from_arrow(table)
+    sample = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    books = similarity.fit_pq_codebook(sample, m_subspaces=8, n_codes=16)
+    queries = np.asarray(table.column("embedding").to_pylist()[:3], dtype=np.float64)
+
+    exact = similarity.brute_force_topk(ds, queries, k=10).to_pandas()
+    encoded = similarity.pq_encode(ds, books)
+    cand = similarity.pq_topk(encoded, books, queries, k=80).to_pandas()
+    refined = similarity.pq_topk_refined(
+        ds, books, queries, k=10, oversample=8
+    ).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        r = set(refined[refined["query_id"] == qi]["vec_id"])
+        c = set(cand[cand["query_id"] == qi]["vec_id"])
+        assert r <= c  # rerank can only choose among ADC candidates
+        recalls.append(len(e & r) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+    top0 = refined[refined["query_id"] == 0].sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    )["vec_id"].tolist()
+    assert set(top0[:2]) == {0, 1}  # query 0 finds itself + its exact dup
+
+
+def test_pq_refined_block_layout_invariance(ray_session):
+    import ray.data
+
+    table = _embedding_table(n=150)
+    sample = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    books = similarity.fit_pq_codebook(sample, m_subspaces=8, n_codes=16)
+    queries = np.asarray(table.column("embedding").to_pylist()[:3], dtype=np.float64)
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(table).repartition(blocks)
+        df = similarity.pq_topk_refined(
+            ds, books, queries, k=10, oversample=4, round_decimals=6
+        ).to_pandas()
+        outs.append(
+            sorted(map(tuple, df[["query_id", "vec_id", "cosine"]].itertuples(index=False)))
+        )
+    assert outs[0] == outs[1]
+
+
+def test_ivfpq_indexed_prunes_and_matches_unindexed(ray_session, tmp_path):
+    """The persisted IVF-PQ layout: candidate pass must see only the
+    probed partitions; with every centroid probed the result must equal
+    the unindexed refined search over the full corpus."""
+    import os
+
+    import ray.data
+
+    table = _embedding_table(n=200)
+    ds = ray.data.from_arrow(table)
+    sample = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    codebook = similarity.fit_codebook(sample, n_centroids=8)
+    books = similarity.fit_pq_codebook(sample, m_subspaces=8, n_codes=16)
+    queries = np.asarray(table.column("embedding").to_pylist()[:3], dtype=np.float64)
+
+    index_dir = similarity.build_ivfpq_index(ds, codebook, books, str(tmp_path / "ivfpq"))
+    # the layout stores codes next to vectors, partitioned by centroid
+    part_dirs = [d for d in os.listdir(index_dir) if d.startswith("centroid_id=")]
+    assert len(part_dirs) >= 2
+    key = ["query_id", "vec_id"]
+
+    full_probe = similarity.ivfpq_topk_indexed(
+        index_dir, codebook, books, queries, k=10, nprobe=8, oversample=4,
+        round_decimals=6,
+    ).to_pandas()
+    unindexed = similarity.pq_topk_refined(
+        ds, books, queries, k=10, oversample=4, round_decimals=6
+    ).to_pandas()
+    assert (
+        full_probe[key].sort_values(key).reset_index(drop=True)
+        .equals(unindexed[key].sort_values(key).reset_index(drop=True))
+    )
+
+    # path pruning: nprobe=1 reads strictly fewer partition files
+    wanted = similarity._probe_centroids(codebook, queries, nprobe=1)
+    pruned = similarity._pruned_partition_paths(index_dir, wanted)
+    everything = similarity._pruned_partition_paths(
+        index_dir, list(range(len(codebook)))
+    )
+    assert 0 < len(pruned) < len(everything)
+    # and a partial probe still returns k rows per query
+    part = similarity.ivfpq_topk_indexed(
+        index_dir, codebook, books, queries, k=10, nprobe=2, oversample=4
+    ).to_pandas()
+    assert (part.groupby("query_id").size() == 10).all()
+
+
+def test_ivfpq_empty_index_dir(ray_session, tmp_path):
+    """No matching partitions → empty result with the right schema."""
+    books = np.zeros((4, 2, 4), dtype=np.float32)
+    codebook = np.eye(2, 16, dtype=np.float32)
+    out = similarity.ivfpq_topk_indexed(
+        str(tmp_path / "missing"), codebook, books,
+        np.ones((1, 16), dtype=np.float32), k=5,
+    ).to_pandas()
+    assert len(out) == 0
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 

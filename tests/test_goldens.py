@@ -128,3 +128,30 @@ def test_extract_fields_golden_agrees_with_our_core():
         committed.column("reference_id").to_pylist(),
     ):
         assert core.extract_fields(text or "") == (lic, date, refid)
+
+
+@needs_testdata
+def test_quality_classifier_golden_matches_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import quality_classifier_golden
+
+    fresh = quality_classifier_golden()
+    committed = pq.read_table(GOLDEN_DIR / "quality_classifier_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
+def test_knn_pq_candidates_golden_drift(ray_session):
+    """The pinned ADC candidate set must match what the seeded PQ stage
+    produces today — drift silently rewires the knn_pq oracle."""
+    import pyarrow as pa
+
+    from ocr_system_ray.pipelines.queries import knn_pq_candidates
+
+    fresh = pa.Table.from_pandas(
+        knn_pq_candidates(str(SF_DIR)), preserve_index=False
+    )
+    committed = pq.read_table(GOLDEN_DIR / "knn_pq_candidates_sf001.parquet")
+    assert fresh.equals(committed)

@@ -348,6 +348,13 @@ def main() -> None:
         t = query_golden(qname)
         pq.write_table(t, GOLDEN_DIR / f"{stem}.parquet")
         print(f"{stem}.parquet: {t.num_rows} rows")
+    # knn_pq: freeze the seeded ADC CANDIDATE set (not the final ranks —
+    # DuckDB recomputes cosines + ranks over the pinned candidates)
+    from ocr_system_ray.pipelines.queries import knn_pq_candidates
+
+    kc = pa.Table.from_pandas(knn_pq_candidates(str(SF_DIR)), preserve_index=False)
+    pq.write_table(kc, GOLDEN_DIR / "knn_pq_candidates_sf001.parquet")
+    print(f"knn_pq_candidates_sf001.parquet: {kc.num_rows} rows")
     ray.shutdown()
 
 
