@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q.q_curation_pipeline,
         "url_dedup": q.q_url_dedup,
         "token_index_lookup": q.q_token_index_lookup,
+        "bm25_topk": q.q_bm25_topk,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
@@ -718,6 +719,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.token, t.doc_id
             FROM toks t JOIN probe p USING (token)
+        """,
+        # bm25_topk: BM25 recomputed from scratch over the live table —
+        # same single-space tokenization, the idf/tf expression copied
+        # VERBATIM from functions/bm25.py (same IEEE op order; k1=1.2,
+        # b=0.75), scores quantized to integer micro-units on both
+        # sides, ties broken by doc_id
+        "bm25_topk": """
+            WITH probe AS (
+              SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:8]) AS token
+              FROM documents WHERE doc_id = 2
+            ), toks AS (
+              SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token
+              FROM documents
+            ), doclen AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), corpus AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avg_len
+              FROM doclen
+            ), tf AS (
+              SELECT t.doc_id, t.token, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks t JOIN probe p USING (token)
+              GROUP BY t.doc_id, t.token
+            ), df AS (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY token
+            ), scored AS (
+              SELECT tf.doc_id,
+                     SUM(
+                       ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * ((tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / c.avg_len))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (token)
+              JOIN doclen dl USING (doc_id)
+              CROSS JOIN corpus c
+              GROUP BY tf.doc_id
+            ), ranked AS (
+              SELECT doc_id,
+                     CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_micro,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) DESC,
+                                doc_id
+                     ) AS rank
+              FROM scored
+            )
+            SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= 10
         """,
         # url_dedup: the messy-url construction mirrors the query's
         # derivation rule; the canonicalization expression is GENERATED

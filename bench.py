@@ -120,6 +120,7 @@ def run_query_suite() -> dict[str, float]:
         "dsir_scores": q.q_dsir_scores,
         "quality_classifier": q.q_quality_classifier,
         "knn_pq": q.q_knn_pq,
+        "bm25_topk": q.q_bm25_topk,
     }
     import pandas as pd
 

@@ -1,0 +1,264 @@
+"""BM25 ranked retrieval over a persisted positional-free index — the
+classic probabilistic ranking function (Robertson & Zaragoza 2009,
+"The Probabilistic Relevance Framework: BM25 and Beyond") on top of the
+inverted-index layout contract from ``functions/invindex.py``.
+
+This is the corpus-search upgrade from boolean lookups ("which docs
+contain token X" — ``invindex.lookup_tokens``) to RANKED retrieval
+("the 10 most relevant docs for this query") — the primitive behind
+contamination triage, targeted curation, and eval-set leakage review at
+corpus scale.
+
+Index layout: ``(token, doc_id, tf, doc_len)`` rows partitioned by
+``bucket = crc32(token) % prefix_buckets`` (the md5/token-index
+contract, incl. ``_index_meta.json`` validation), plus the two corpus
+constants BM25 needs (``n_docs``, ``total_len``) recorded in the meta
+at build time.  A k-token query reads ≤ k bucket partitions — probe-
+proportional, never corpus-proportional.
+
+Ray shape: build = one stateless postings pass (shuffle-free
+partitioned write) + one tiny stats-combiner pass; search = pruned
+read → per-batch score contributions pre-combined by doc — so the
+``groupby(doc_id)`` shuffle moves at most (matched docs × 1) partial
+rows, not postings — → single-column sum → global sort+limit k.
+
+Determinism: idf/tf math is written with EXPLICIT parenthesization
+mirrored verbatim in the SQL oracle (same IEEE op order per term);
+per-doc sums of per-token contributions are order-sensitive at the
+last ulp (Ray pre-combine vs SQL SUM), so scores quantize to integer
+micro-units ``floor(score * 1e6 + 0.5)`` with doc_id tie-break on both
+sides — the repo's integer-cents discipline (floats never enter the
+driver hash).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .invindex import _token_bucket
+
+__all__ = ["build_bm25_index", "bm25_topk"]
+
+
+def build_bm25_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_buckets: int = 256,
+) -> str:
+    """Persist the BM25 index; returns ``index_dir``.
+
+    Tokens are single-space splits (the repo's oracle tokenization);
+    ``tf`` is the in-document count, ``doc_len`` the document's token
+    count (denormalized onto every posting so scoring never needs a
+    doc-table join).  A second, stats-only streaming pass records
+    ``n_docs`` / ``total_len`` in the meta — two corpus passes total,
+    both shuffle-free."""
+    from collections import Counter
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks_out: list[str] = []
+        ids_out: list[int] = []
+        tf_out: list[int] = []
+        len_out: list[int] = []
+        buckets: list[int] = []
+        ids = t.column(id_col).to_pylist()
+        for i, x in zip(ids, t.column(text_col).to_pylist()):
+            toks = (x or "").split(" ")
+            c = Counter(toks)
+            for tok, n in c.items():
+                toks_out.append(tok)
+                ids_out.append(i)
+                tf_out.append(n)
+                len_out.append(len(toks))
+                buckets.append(_token_bucket(tok, prefix_buckets))
+        return pa.table(
+            {
+                "token": pa.array(toks_out, pa.string()),
+                id_col: pa.array(ids_out, pa.int64()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "doc_len": pa.array(len_out, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        lens = [len((x or "").split(" ")) for x in t.column(text_col).to_pylist()]
+        return pa.table(
+            {
+                "n_docs": pa.array([len(lens)], pa.int64()),
+                "total_len": pa.array([sum(lens)], pa.int64()),
+            }
+        )
+
+    n_docs = 0
+    total_len = 0
+    for row in ds.map_batches(stats, batch_format="pyarrow").take_all():
+        n_docs += int(row["n_docs"])
+        total_len += int(row["total_len"])
+
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "bm25",
+                "prefix_buckets": prefix_buckets,
+                "id_col": id_col,
+                "n_docs": n_docs,
+                "total_len": total_len,
+            },
+            f,
+        )
+    return index_dir
+
+
+def bm25_topk(
+    index_dir: str,
+    query_tokens: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Top-k docs for the query → ``(doc_id, score_micro)``, sorted by
+    ``(score_micro DESC, doc_id ASC)`` (rank = row position; the
+    ≤ k result can span blocks, so callers assign rank after collecting).
+
+    idf is the Lucene/BM25+ variant ``ln((N - df + 0.5)/(df + 0.5) + 1)``
+    (always positive).  DF is exact, computed from the probed postings
+    themselves with a per-batch combiner — a second pruned read-through,
+    never a corpus scan."""
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"index at {index_dir} is not a bm25 index: {meta}")
+    if meta.get("id_col", id_col) != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    prefix_buckets = int(meta["prefix_buckets"])
+    n_docs = int(meta["n_docs"])
+    total_len = int(meta["total_len"])
+    if n_docs == 0:
+        return ray.data.from_arrow(_empty_result(id_col))
+    avg_len = total_len / n_docs
+
+    tokens = sorted(set(query_tokens))
+    want = sorted({_token_bucket(t, prefix_buckets) for t in tokens})
+    files = [
+        f
+        for bk in want
+        for f in sorted(glob.glob(os.path.join(index_dir, f"bucket={bk}", "*.parquet")))
+    ]
+    if not files:
+        return ray.data.from_arrow(_empty_result(id_col))
+    probe = pa.array(tokens, pa.string())
+
+    def matched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("token"), value_set=probe))
+
+    postings = ray.data.read_parquet(
+        files, columns=["token", id_col, "tf", "doc_len"]
+    ).map_batches(matched, batch_format="pyarrow")
+    # plans re-execute per consumer (the kmeans lesson) — pin the pruned
+    # + filtered postings once; they are probe-sized, not corpus-sized
+    postings = postings.materialize()
+
+    # exact DF per probe token: per-batch distinct-doc combiner → driver
+    # sum over ≤ len(tokens) keys per batch
+    def df_partial(t: pa.Table) -> pa.Table:
+        import collections
+
+        c = collections.Counter(t.column("token").to_pylist())
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "df": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    df: dict[str, int] = {}
+    for row in postings.map_batches(df_partial, batch_format="pyarrow").take_all():
+        df[row["token"]] = df.get(row["token"], 0) + int(row["df"])
+    if not df:
+        # no probe token matched: an EMPTY groupby().aggregate()
+        # finalizes as a zero-column table (the r2 gotcha) and the sort
+        # would KeyError — return the typed empty result instead
+        return ray.data.from_arrow(_empty_result(id_col))
+    idf = {
+        t: math.log((n_docs - n + 0.5) / (n + 0.5) + 1.0) for t, n in df.items()
+    }
+    idf_ref = ray.put(idf)
+
+    def contributions(t: pa.Table) -> pa.Table:
+        """Per-batch BM25 contributions, pre-combined by doc: the
+        groupby shuffle then moves ≤ distinct-docs-per-batch rows."""
+        iv = ray.get(idf_ref)
+        toks = t.column("token").to_pylist()
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("doc_len").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        idf_v = np.fromiter((iv[x] for x in toks), dtype=np.float64, count=len(toks))
+        # parenthesization mirrored VERBATIM in the SQL oracle
+        score = idf_v * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avg_len))))
+        import pandas as pd
+
+        part = (
+            pd.DataFrame({id_col: ids, "part": score})
+            .groupby(id_col, sort=False)["part"]
+            .sum()
+        )
+        return pa.table(
+            {
+                id_col: pa.array(part.index.to_numpy(), pa.int64()),
+                "part": pa.array(part.to_numpy(), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    scored = (
+        postings.map_batches(contributions, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("part", alias_name="score"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "score_micro": pa.array(
+                    np.floor(s * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        scored.map_batches(finish, batch_format="pyarrow")
+        .sort(["score_micro", id_col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def _empty_result(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+        }
+    )

@@ -924,6 +924,47 @@ def q_token_index_lookup(sf_dir: str) -> ray.data.Dataset:
     return invindex.lookup_tokens(index_dir, probe)
 
 
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Ranked retrieval: BM25 top-10 for a deterministic probe query
+    (the first 8 space-split tokens of doc_id 2 — enough terms to mix
+    DFs).  The persisted index (``functions/bm25.py``) is built ONCE
+    per corpus into /tmp (the token-index caching pattern); search
+    reads only the probed token-hash buckets.  Scores are integer
+    micro-units (``floor(score·1e6 + 0.5)``), the idf/tf expression is
+    mirrored verbatim in the oracle SQL, rank assigned after collect
+    (the ≤ k result can span blocks)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from ..functions import bm25
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_bm25_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        bm25.build_bm25_index(docs, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    probe_row = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 2)],
+    )
+    probe_text = probe_row.column("text").to_pylist()[0] or ""
+    probe = list(dict.fromkeys(probe_text.split(" ")[:8]))
+    out = bm25.bm25_topk(index_dir, probe, k=10).to_pandas()
+    out = out.sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "score_micro", "rank"]]
+
+
 def q_url_dedup(sf_dir: str) -> ray.data.Dataset:
     """Crawl dedup by canonical URL (the pre-content hygiene pass —
     CCNet/RefinedWeb shape).  The documents table has no url column, so

@@ -1295,6 +1295,148 @@ def test_token_index_meta_validation(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_DOCS = [
+    (0, "alpha beta gamma alpha"),
+    (1, "beta delta beta beta"),
+    (2, "gamma gamma epsilon alpha delta"),
+    (3, ""),
+    (4, None),
+    (5, "alpha"),
+    (6, "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+]
+
+
+def _bm25_reference(docs, query, k1=1.2, b=0.75):
+    """Whole-corpus python twin of functions/bm25.py — same formula,
+    same single-space tokenization, same micro quantization."""
+    import math
+    from collections import Counter
+
+    toks = {i: (t or "").split(" ") for i, t in docs}
+    n_docs = len(toks)
+    avg_len = sum(len(v) for v in toks.values()) / n_docs
+    qtoks = sorted(set(query))
+    df = {t: sum(1 for v in toks.values() if t in v) for t in qtoks}
+    out = {}
+    for i, tv in toks.items():
+        c = Counter(tv)
+        s = 0.0
+        for t in qtoks:
+            if c.get(t) and df[t]:
+                tf = float(c[t])
+                dl = float(len(tv))
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += idf * (
+                    (tf * (k1 + 1.0))
+                    / (tf + k1 * ((1.0 - b) + b * (dl / avg_len)))
+                )
+        if s > 0.0:
+            out[i] = int(math.floor(s * 1e6 + 0.5))
+    return out
+
+
+def _bm25_build(tmp_path, blocks=2):
+    from ocr_system_ray.functions import bm25
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in _BM25_DOCS], pa.int64()),
+                "text": pa.array([t for _, t in _BM25_DOCS], pa.string()),
+            }
+        )
+    ).repartition(blocks)
+    idx = str(tmp_path / "bm25idx")
+    bm25.build_bm25_index(ds, idx, prefix_buckets=8)
+    return idx
+
+
+def test_bm25_topk_matches_python_twin(ray_session, tmp_path):
+    from ocr_system_ray.functions import bm25
+
+    idx = _bm25_build(tmp_path)
+    query = ["alpha", "delta", "nope"]
+    got = {
+        r["doc_id"]: r["score_micro"]
+        for r in bm25.bm25_topk(idx, query, k=10).take_all()
+    }
+    assert got == _bm25_reference(_BM25_DOCS, query)
+    # doc 2 is the only doc matching BOTH query terms — it must rank
+    # first (term coverage dominates single-term tf saturation)
+    ranked = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert ranked[0][0] == 2
+
+
+def test_bm25_topk_limit_and_tiebreak(ray_session, tmp_path):
+    from ocr_system_ray.functions import bm25
+
+    idx = _bm25_build(tmp_path)
+    out = bm25.bm25_topk(idx, ["alpha"], k=2).take_all()
+    ref = _bm25_reference(_BM25_DOCS, ["alpha"])
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc_id"], r["score_micro"]) for r in out] == want
+
+
+def test_bm25_pruned_read(ray_session, tmp_path):
+    """Deleting every bucket outside the probe set must not change the
+    result — the search never opens unprobed partitions."""
+    import os
+    import shutil
+
+    from ocr_system_ray.functions import bm25
+    from ocr_system_ray.functions.invindex import _token_bucket
+
+    idx = _bm25_build(tmp_path)
+    before = bm25.bm25_topk(idx, ["beta"], k=10).take_all()
+    keep = {_token_bucket("beta", 8)}
+    for d in os.listdir(idx):
+        if d.startswith("bucket=") and int(d.split("=")[1]) not in keep:
+            shutil.rmtree(os.path.join(idx, d))
+    after = bm25.bm25_topk(idx, ["beta"], k=10).take_all()
+    assert before == after and len(after) > 0
+
+
+def test_bm25_layout_invariance(ray_session, tmp_path):
+    from ocr_system_ray.functions import bm25
+
+    outs = []
+    for blocks in (1, 4):
+        idx = _bm25_build(tmp_path / f"b{blocks}", blocks=blocks)
+        outs.append(
+            sorted(
+                (r["doc_id"], r["score_micro"])
+                for r in bm25.bm25_topk(idx, ["alpha", "gamma"], k=10).take_all()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
+def test_bm25_no_match_and_meta_validation(ray_session, tmp_path):
+    from ocr_system_ray.functions import bm25, invindex
+
+    idx = _bm25_build(tmp_path)
+    assert bm25.bm25_topk(idx, ["notintheindex"], k=5).take_all() == []
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array(["x"], pa.string()),
+            }
+        )
+    )
+    tok_idx = str(tmp_path / "tokidx")
+    invindex.build_token_index(ds, tok_idx)
+    with pytest.raises(ValueError, match="not a bm25 index"):
+        bm25.bm25_topk(tok_idx, ["x"])
+    with pytest.raises(ValueError, match="id_col"):
+        bm25.bm25_topk(idx, ["alpha"], id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
 # line_dedup (RefinedWeb cross-document boilerplate line removal)
 # ---------------------------------------------------------------------------
 
