@@ -138,34 +138,76 @@ def fit_quality_classifier(
     n_rows)`` — model²-sized, never corpus-sized — → driver reduce →
     round → one dense solve → round.
 
-    Iterative plans re-execute their input per pass — hand this a
-    materialized Dataset or a bare parquet read (the kmeans rule).
+    The input is consumed ONCE (featurization pass, materialized as a
+    fixed-size-list column); only the model²-sized partial passes
+    iterate — the kmeans re-execution rule applied at the feature
+    level.
     """
     m = num_buckets
     w = np.zeros(m + 1, dtype=np.float64)
     l2_mask = np.ones(m + 1, dtype=np.float64)
     l2_mask[m] = 0.0  # no penalty on the bias
 
+    # featurize ONCE (the crc32 hashing dominates; repeating it every
+    # Newton pass made the fit ~n_iter× slower) — the fixed-size-list
+    # column round-trips float64 exactly, so the per-iteration partials
+    # see bitwise-identical x
+    def featurize(t: pa.Table) -> pa.Table:
+        x = np.stack(
+            [_doc_features(v or "", m) for v in t.column(text_col).to_pylist()]
+        )
+        y = np.asarray(
+            [1.0 if v else 0.0 for v in t.column(label_col).to_pylist()],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {
+                "x": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.ravel(), pa.float64()), m + 1
+                ),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    feat = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    n_rows = feat.count()  # metadata on a materialized dataset — free
+    if n_rows == 0:
+        raise ValueError("fit_quality_classifier: empty dataset")
+    # each partial is (m+1)²·8B ≈ 8 MB REGARDLESS of how few rows the
+    # batch held — at 32 cpus the read splits 5k rows into ~200 tiny
+    # blocks and the driver would reduce 200×8 MB ≈ 1.6 GB per
+    # iteration.  Coalesce so one partial covers ≥ ~2k rows (order-
+    # preserving split-free repartition; layout drift is absorbed by
+    # the 1e-8 statistic rounding, pinned by the layout-invariance
+    # test).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    target_blocks = max(1, min(32, cpus, (n_rows + 2047) // 2048))
+    if feat.num_blocks() != target_blocks:
+        feat = feat.repartition(target_blocks).materialize()
+
     for _ in range(n_iter):
         wref = ray.put(w)
 
         def partial(t: pa.Table) -> pa.Table:
             wv = ray.get(wref)
-            x = np.stack(
-                [_doc_features(v or "", m) for v in t.column(text_col).to_pylist()]
-            )
-            y = np.asarray(
-                [1.0 if v else 0.0 for v in t.column(label_col).to_pylist()],
-                dtype=np.float64,
-            )
+            xs = t.column("x").combine_chunks()
+            x = xs.flatten().to_numpy(zero_copy_only=False).reshape(-1, m + 1)
+            y = t.column("y").to_numpy(zero_copy_only=False)
             p = _sigmoid(x @ wv)
             s = p * (1.0 - p)
             a = (x * s[:, None]).T @ x
             g = x.T @ (p - y)
+            # fixed-size lists from numpy are zero-copy both directions;
+            # pa.array([np], list_) / to_pylist cost ~1 s per 8 MB
+            # partial and dominated the whole fit
             return pa.table(
                 {
-                    "a": pa.array([a.ravel()], pa.list_(pa.float64())),
-                    "g": pa.array([g], pa.list_(pa.float64())),
+                    "a": pa.FixedSizeListArray.from_arrays(
+                        pa.array(a.ravel(), pa.float64()), (m + 1) * (m + 1)
+                    ),
+                    "g": pa.FixedSizeListArray.from_arrays(
+                        pa.array(g, pa.float64()), m + 1
+                    ),
                     "n": pa.array([len(y)], pa.int64()),
                 }
             )
@@ -173,10 +215,24 @@ def fit_quality_classifier(
         a_sum = np.zeros((m + 1) * (m + 1), dtype=np.float64)
         g_sum = np.zeros(m + 1, dtype=np.float64)
         n = 0
-        for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-            a_sum += np.asarray(row["a"], dtype=np.float64)
-            g_sum += np.asarray(row["g"], dtype=np.float64)
-            n += int(row["n"])
+        # zero-copy driver reduce, row-sequential += (same float-add
+        # order as the original take_all loop — golden-pinned)
+        for t in feat.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            a_rows = (
+                t.column("a").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, (m + 1) * (m + 1))
+            )
+            g_rows = (
+                t.column("g").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, m + 1)
+            )
+            n_rows = t.column("n").to_numpy(zero_copy_only=False)
+            for i in range(len(n_rows)):
+                a_sum += a_rows[i]
+                g_sum += g_rows[i]
+                n += int(n_rows[i])
         if n == 0:
             raise ValueError("fit_quality_classifier: empty dataset")
         a_over_n = np.round(a_sum / n, partial_round_decimals).reshape(m + 1, m + 1)
