@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q.q_url_dedup,
         "token_index_lookup": q.q_token_index_lookup,
         "bm25_topk": q.q_bm25_topk,
+        "bpe_merges": q.q_bpe_merges,
+        "bpe_encode": q.q_bpe_encode,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
@@ -719,6 +721,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.token, t.doc_id
             FROM toks t JOIN probe p USING (token)
+        """,
+        # bpe_merges / bpe_encode: BPE is iterative (not SQL-expressible);
+        # the goldens come from the INDEPENDENT whole-corpus twin in
+        # tools/make_goldens.py (Counter word counts off the raw parquet,
+        # textbook Sennrich loop) — the doc_id join keeps the encode
+        # check anchored to the live table
+        "bpe_merges": """
+            SELECT "rank", "left", "right", pair_count
+            FROM '/root/repo/tests/golden/bpe_merges_sf001.parquet'
+        """,
+        "bpe_encode": """
+            SELECT d.doc_id, g.n_pieces
+            FROM documents d
+            JOIN '/root/repo/tests/golden/bpe_encode_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # bm25_topk: BM25 recomputed from scratch over the live table —
         # same single-space tokenization, the idf/tf expression copied

@@ -121,6 +121,7 @@ def run_query_suite() -> dict[str, float]:
         "quality_classifier": q.q_quality_classifier,
         "knn_pq": q.q_knn_pq,
         "bm25_topk": q.q_bm25_topk,
+        "bpe_encode": q.q_bpe_encode,
     }
     import pandas as pd
 

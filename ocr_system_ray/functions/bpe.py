@@ -1,0 +1,240 @@
+"""BPE tokenizer TRAINING and encoding on Ray Data — the missing hop
+between raw curated text and the trainer's token ids (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units";
+the same word-count-driven construction sentencepiece/HF-tokenizers
+use).
+
+Why this decomposition (all public method):
+
+* **Word counting is the only corpus-scale pass** — the classic
+  combiner shape (``vocab_top100``): per-batch ``Counter`` partials so
+  the single-column ``groupby(word)`` shuffle moves ``(word,
+  partial_count)`` rows, never token instances.
+* **Merge learning runs on the WORD-FREQUENCY TABLE, not the corpus**
+  — exactly how reference BPE trainers work.  The vocab is pruned to
+  ``max_words`` by ``(count DESC, word ASC)`` before fitting (at
+  10^12 documents the raw distinct-word table is unbounded — typos,
+  hashes, urls; every production trainer caps it), so the driver-side
+  fit is O(max_words · word_len · n_merges) — model-sized, corpus-free.
+* **Encoding is a stateless actor-pool pass**: the merge-rank table is
+  built once per actor (``__init__``), each batch encodes with a
+  per-actor word→pieces cache (Zipf makes the hit rate ~99%); no
+  shuffle, streams at corpus scale.
+
+Determinism: pure integer counting — no float order anywhere.  Merge
+selection ties break lexicographically (``(-count, pair)`` min), so
+the merge list is a pure function of the word-count table, which is a
+pure function of the corpus.  Batching-invariance is exact, not
+rounded.
+
+Word definition = ``textstats.TOKEN_PATTERN`` (maximal runs of
+non-ASCII-whitespace), the repo-wide oracle tokenization.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .textstats import TOKEN_PATTERN
+
+__all__ = [
+    "word_counts",
+    "fit_bpe",
+    "encode_word",
+    "learn_bpe",
+    "BpeEncodeStage",
+    "bpe_encode",
+]
+
+
+def word_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Corpus word-frequency table → ``(word, n)`` (one row per
+    distinct word).  Per-batch combiner then ONE single-column groupby
+    sum — the shuffle moves partial counts only."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    rgx = re.compile(TOKEN_PATTERN)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            counts.update(rgx.findall(x or ""))
+        return pa.table(
+            {
+                "word": pa.array(list(counts.keys()), pa.string()),
+                "p_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+
+def fit_bpe(
+    counts: dict[str, int],
+    n_merges: int,
+    min_count: int = 2,
+    max_words: int | None = 100_000,
+) -> list[tuple[str, str, int]]:
+    """Learn ≤ ``n_merges`` merges from a word-frequency dict →
+    ``[(left, right, pair_count), ...]`` in rank order.
+
+    The textbook loop: words start as character sequences; each round
+    counts adjacent symbol pairs weighted by word frequency, merges the
+    most frequent pair everywhere (left-to-right, non-overlapping), and
+    stops early when the best pair occurs < ``min_count`` times (a
+    merge seen once is noise).  Ties break on the lexicographically
+    smallest ``(left, right)`` so the result is layout- and
+    hash-order-independent."""
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    if max_words is not None:
+        items = items[:max_words]
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in items:
+        if w:
+            key = tuple(w)
+            vocab[key] = vocab.get(key, 0) + n
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += freq
+        if not pairs:
+            break
+        (left, right), best_n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best_n < min_count:
+            break
+        merges.append((left, right, best_n))
+        merged = left + right
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            n_sym = len(word)
+            while i < n_sym:
+                if i < n_sym - 1 and word[i] == left and word[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with learned merges — repeatedly apply the
+    LOWEST-RANK applicable merge to all its occurrences (left-to-right,
+    non-overlapping), the standard BPE inference order."""
+    sym = list(word)
+    while len(sym) > 1:
+        best: tuple[int, tuple[str, str]] | None = None
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            r = ranks.get(p)
+            if r is not None and (best is None or r < best[0]):
+                best = (r, p)
+        if best is None:
+            break
+        left, right = best[1]
+        merged = left + right
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == left and sym[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def learn_bpe(
+    ds: ray.data.Dataset,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int | None = 100_000,
+) -> list[tuple[str, str, int]]:
+    """Distributed word count → driver-side fit.  The driver holds the
+    PRUNED word table (≤ ``max_words`` rows), never the corpus."""
+    wc = word_counts(ds, text_col=text_col).to_pandas()  # vocab-sized
+    counts = dict(zip(wc["word"], (int(v) for v in wc["n"])))
+    return fit_bpe(counts, n_merges, min_count=min_count, max_words=max_words)
+
+
+class BpeEncodeStage:
+    """Actor-pool encode: merges → rank table once per actor
+    (``__init__``), per-actor word→pieces cache (Zipf hit rate), one
+    ``(id_col, n_pieces)`` row per document per ``__call__``.
+
+    ``merges_ref`` is a ``ray.put`` handle so the merge table ships to
+    each actor once, not once per batch."""
+
+    def __init__(
+        self,
+        merges_ref,  # ObjectRef | list — ray.put'd list of (l, r, n)
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        import re
+
+        merges = ray.get(merges_ref) if isinstance(merges_ref, ray.ObjectRef) else merges_ref
+        self.ranks = {(l, r): i for i, (l, r, _n) in enumerate(merges)}
+        self.rgx = re.compile(TOKEN_PATTERN)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, int] = {}
+
+    def _pieces(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is None:
+            n = len(encode_word(word, self.ranks))
+            self.cache[word] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col)
+        out = []
+        for x in t.column(self.text_col).to_pylist():
+            total = 0
+            for w in self.rgx.findall(x or ""):
+                total += self._pieces(w)
+            out.append(total)
+        return pa.table({self.id_col: ids, "n_pieces": pa.array(out, pa.int64())})
+
+
+def bpe_encode(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: tuple[int, int] | int = (1, 4),
+) -> ray.data.Dataset:
+    """Corpus-scale encode pass → ``(id_col, n_pieces)``."""
+    return ds.map_batches(
+        BpeEncodeStage,
+        fn_constructor_kwargs={
+            "merges_ref": ray.put(merges),
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

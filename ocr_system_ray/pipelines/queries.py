@@ -924,6 +924,50 @@ def q_token_index_lookup(sf_dir: str) -> ray.data.Dataset:
     return invindex.lookup_tokens(index_dir, probe)
 
 
+_BPE_MEMO: dict = {}
+
+
+def _learned_merges(sf_dir: str):
+    """Learn (and memoize per corpus) 40 BPE merges over the documents
+    table — the fit is a pure function of the corpus, so recomputing
+    per query would only re-pay the word-count pass."""
+    from ..functions import bpe
+
+    key = _source_tag(sf_dir, "documents")
+    if key not in _BPE_MEMO:
+        docs = read_table(sf_dir, "documents", columns=["text"])
+        _BPE_MEMO[key] = bpe.learn_bpe(docs, n_merges=40, min_count=2)
+    return _BPE_MEMO[key]
+
+
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (Sennrich 2016): the 40 highest-count
+    merges learned from the distributed word-frequency table →
+    ``(rank, left, right, pair_count)``.  Pure integer counting with
+    lexicographic tie-break — exactly reproducible by the independent
+    whole-corpus twin in tools/make_goldens.py (golden oracle)."""
+    merges = _learned_merges(sf_dir)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "pair_count": np.asarray([m[2] for m in merges], dtype=np.int64),
+        }
+    )
+
+
+def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-scale BPE encode with the learned merges → per-doc
+    subword piece count ``(doc_id, n_pieces)``.  Actor-pool stage:
+    rank table built once per actor, per-actor word cache; no shuffle.
+    Golden-oracled (independent twin re-learns AND re-encodes)."""
+    from ..functions import bpe
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe.bpe_encode(docs, _learned_merges(sf_dir))
+
+
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     """Ranked retrieval: BM25 top-10 for a deterministic probe query
     (the first 8 space-split tokens of doc_id 2 — enough terms to mix

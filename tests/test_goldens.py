@@ -143,6 +143,21 @@ def test_quality_classifier_golden_matches_twin():
 
 
 @needs_testdata
+def test_bpe_goldens_match_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import bpe_encode_golden, bpe_merges_golden
+
+    assert bpe_merges_golden().equals(
+        pq.read_table(GOLDEN_DIR / "bpe_merges_sf001.parquet")
+    )
+    assert bpe_encode_golden().equals(
+        pq.read_table(GOLDEN_DIR / "bpe_encode_sf001.parquet")
+    )
+
+
+@needs_testdata
 def test_knn_pq_candidates_golden_drift(ray_session):
     """The pinned ADC candidate set must match what the seeded PQ stage
     produces today — drift silently rewires the knn_pq oracle."""

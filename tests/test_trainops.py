@@ -1295,6 +1295,104 @@ def test_token_index_meta_validation(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training + encoding
+# ---------------------------------------------------------------------------
+
+
+def test_fit_bpe_textbook_example():
+    """The canonical Sennrich toy vocab: merges must follow frequency
+    with lexicographic tie-break, and counts must be exact."""
+    from ocr_system_ray.functions.bpe import fit_bpe
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = fit_bpe(counts, n_merges=4, min_count=2)
+    # 'es' occurs in newest(6)+widest(3)=9 — the top pair; then 'est'
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    # 'lo' (low+lower = 7) beats 'ne' (6)
+    assert merges[2] == ("l", "o", 7)
+
+
+def test_fit_bpe_tie_break_and_min_count():
+    from ocr_system_ray.functions.bpe import fit_bpe
+
+    # 'ab' and 'cd' both occur twice — lexicographically smaller wins
+    merges = fit_bpe({"ab": 2, "cd": 2}, n_merges=1)
+    assert merges == [("a", "b", 2)]
+    # below min_count nothing merges
+    assert fit_bpe({"xy": 1}, n_merges=5, min_count=2) == []
+
+
+def test_encode_word_rank_priority():
+    from ocr_system_ray.functions.bpe import encode_word, fit_bpe
+
+    merges = fit_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    ranks = {(l, r): i for i, (l, r, _n) in enumerate(merges)}
+    assert "".join(encode_word("newest", ranks)) == "newest"
+    assert encode_word("est", ranks) == ["est"]  # es then est
+    # unseen chars stay as singles
+    assert encode_word("zq", ranks) == ["z", "q"]
+    assert encode_word("", ranks) == []
+
+
+def test_learn_bpe_distributed_matches_local_and_layout(ray_session):
+    """learn_bpe over a Dataset must equal fit_bpe over a Counter of
+    the same corpus, at any block layout (pure-integer invariance)."""
+    from collections import Counter
+    import re
+
+    from ocr_system_ray.functions.bpe import fit_bpe, learn_bpe
+    from ocr_system_ray.functions.textstats import TOKEN_PATTERN
+
+    texts = [
+        "the newest widest low lower newest",
+        "low low newest est est",
+        "",
+        None,
+        "the the the widest",
+    ]
+    rgx = re.compile(TOKEN_PATTERN)
+    local: Counter = Counter()
+    for t in texts:
+        local.update(rgx.findall(t or ""))
+    want = fit_bpe(dict(local), n_merges=8)
+
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(blocks)
+        assert learn_bpe(ds, n_merges=8) == want
+
+
+def test_bpe_encode_stage_counts(ray_session):
+    from ocr_system_ray.functions.bpe import bpe_encode, encode_word, fit_bpe
+    import re
+
+    from ocr_system_ray.functions.textstats import TOKEN_PATTERN
+
+    merges = fit_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    ranks = {(l, r): i for i, (l, r, _n) in enumerate(merges)}
+    rgx = re.compile(TOKEN_PATTERN)
+    texts = ["newest lower zoo", "", None, "est est est"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = {
+        r["doc_id"]: r["n_pieces"] for r in bpe_encode(ds, merges).take_all()
+    }
+    want = {
+        i: sum(len(encode_word(w, ranks)) for w in rgx.findall(t or ""))
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # BM25 ranked retrieval
 # ---------------------------------------------------------------------------
 

@@ -267,6 +267,110 @@ def quality_classifier_golden() -> pa.Table:
     )
 
 
+def _bpe_twin(n_merges: int = 40, min_count: int = 2, max_words: int = 100_000):
+    """Independent whole-corpus BPE fit: Counter word counts straight
+    off the parquet (ASCII-ws token runs), the textbook Sennrich loop
+    with (-count, pair) tie-break — no ocr_system_ray code involved."""
+    import re
+    from collections import Counter
+
+    rgx = re.compile(r"[^ \t\n\r\f\v]+")
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    counts: Counter = Counter()
+    for t in docs.column("text").to_pylist():
+        counts.update(rgx.findall(t or ""))
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    vocab: dict = {}
+    for w, n in items:
+        if w:
+            vocab[tuple(w)] = vocab.get(tuple(w), 0) + n
+
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += freq
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((l, r, n))
+        nv: dict = {}
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == l and word[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + freq
+        vocab = nv
+    return docs, rgx, merges
+
+
+def bpe_merges_golden() -> pa.Table:
+    _, _, merges = _bpe_twin()
+    import numpy as np
+
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def bpe_encode_golden() -> pa.Table:
+    """Per-doc piece counts by rank-priority encoding with the twin's
+    merges (lowest-rank applicable pair first, left-to-right)."""
+    docs, rgx, merges = _bpe_twin()
+    ranks = {(l, r): i for i, (l, r, _n) in enumerate(merges)}
+
+    def enc(word: str) -> int:
+        sym = list(word)
+        while len(sym) > 1:
+            best = None
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                if p in ranks and (best is None or ranks[p] < best[0]):
+                    best = (ranks[p], p)
+            if best is None:
+                break
+            l, r = best[1]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    cache: dict = {}
+    n_pieces = []
+    for t in docs.column("text").to_pylist():
+        total = 0
+        for w in rgx.findall(t or ""):
+            if w not in cache:
+                cache[w] = enc(w)
+            total += cache[w]
+        n_pieces.append(total)
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "n_pieces": pa.array(n_pieces, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 
 # each entry: golden file stem → queries() name.  All of these are
@@ -336,6 +440,12 @@ def main() -> None:
     qc = quality_classifier_golden()
     pq.write_table(qc, GOLDEN_DIR / "quality_classifier_sf001.parquet")
     print(f"quality_classifier_sf001.parquet: {qc.num_rows} rows")
+    bm = bpe_merges_golden()
+    pq.write_table(bm, GOLDEN_DIR / "bpe_merges_sf001.parquet")
+    print(f"bpe_merges_sf001.parquet: {bm.num_rows} rows")
+    be = bpe_encode_golden()
+    pq.write_table(be, GOLDEN_DIR / "bpe_encode_sf001.parquet")
+    print(f"bpe_encode_sf001.parquet: {be.num_rows} rows")
 
     import ray
 
