@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.q_bm25_topk,
         "bpe_merges": q.q_bpe_merges,
         "bpe_encode": q.q_bpe_encode,
+        "sequence_packing": q.q_sequence_packing,
         "repeated_ngrams": q.q_repeated_ngrams,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
@@ -721,6 +722,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.token, t.doc_id
             FROM toks t JOIN probe p USING (token)
+        """,
+        # sequence_packing: the ordered prefix sum is recomputed by a
+        # window SUM (same token definition as token_counts); integer
+        # division mirrors pc.divide on int64 (values non-negative)
+        "sequence_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '[^ \t\n\r\f\v]+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            ), nz AS (
+              SELECT doc_id, n_tokens FROM t WHERE n_tokens > 0
+            ), p AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS prefix
+              FROM nz
+            )
+            SELECT doc_id, n_tokens, prefix,
+                   prefix // 256 AS seq_first,
+                   (prefix + n_tokens - 1) // 256 AS seq_last
+            FROM p
         """,
         # bpe_merges / bpe_encode: BPE is iterative (not SQL-expressible);
         # the goldens come from the INDEPENDENT whole-corpus twin in

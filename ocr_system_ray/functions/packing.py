@@ -129,3 +129,152 @@ def pack_chunks_greedy(
             "n_docs": pa.array(n_docs, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# global concat-and-chunk packing via distributed ordered prefix sum
+# ---------------------------------------------------------------------------
+
+
+def ordered_prefix_sum(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    id_col: str = "doc_id",
+    val_col: str = "n_tokens",
+    bucket_shift: int = 10,
+):
+    """EXCLUSIVE prefix sum of ``val_col`` in ``id_col`` order →
+    ``(id_col, val_col, prefix)`` — the ordered-scan primitive Ray Data
+    lacks (GPT-style packing, global offsets, file layout planning).
+
+    Two passes, both distributed:
+
+    1. bucket = ``id >> bucket_shift`` (CONTIGUOUS id ranges — order-
+       preserving, unlike a hash key); per-batch combiner then a
+       single-column ``groupby(bucket)`` sum, so the shuffle moves one
+       ``(bucket, partial)`` row per batch per bucket.  The driver
+       holds only the bucket-sum table (``id_range / 2^shift`` rows —
+       at 10^12 ids, shift 24 → 6·10^4 buckets) and takes its
+       exclusive cumsum: pure int64, exact.
+    2. ``groupby(bucket).map_groups``: sort the group by id, local
+       cumsum + the bucket's broadcast offset.  Groups are id-range
+       slices, so size them via ``bucket_shift`` to ~10^4-10^5 rows
+       (per-group overhead vs group memory — same tradeoff as the
+       dedup coarse keys; ids need not be dense, only monotone in the
+       intended order).
+
+    All arithmetic is int64 — batching-invariant EXACTLY.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.shift_right(t.column(id_col).cast(pa.int64()), bucket_shift)
+        )
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("bucket").aggregate([(val_col, "sum")])
+        return pa.table(
+            {
+                "bucket": agg.column("bucket"),
+                "p_sum": agg.column(f"{val_col}_sum").cast(pa.int64()),
+            }
+        )
+
+    sums = (
+        keyed.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("p_sum", alias_name="total"))
+        .to_pandas()  # bucket-count-sized, never row-count-sized
+    )
+    if len(sums) == 0:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                val_col: pd.Series([], dtype="int64"),
+                "prefix": pd.Series([], dtype="int64"),
+            }
+        )
+        return ray.data.from_pandas(empty)
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    totals = sums["total"].to_numpy(dtype="int64")
+    offsets = dict(
+        zip(
+            (int(b) for b in sums["bucket"]),
+            (int(v) for v in (totals.cumsum() - totals)),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def scan_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # empty-group gotcha: pin dtypes explicitly
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    val_col: pd.Series([], dtype="int64"),
+                    "prefix": pd.Series([], dtype="int64"),
+                }
+            )
+        from .textstats import _broadcast_memo
+
+        off = _broadcast_memo(offsets_ref)[int(df["bucket"].iloc[0])]
+        df = df.sort_values(id_col)
+        vals = df[val_col].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype="int64"),
+                val_col: vals,
+                "prefix": vals.cumsum() - vals + off,
+            }
+        )
+
+    return keyed.groupby("bucket").map_groups(scan_group)
+
+
+def pack_sequences(
+    ds,  # noqa: ANN001 — ray.data.Dataset of (id_col, val_col)
+    seq_len: int,
+    id_col: str = "doc_id",
+    val_col: str = "n_tokens",
+    bucket_shift: int = 10,
+):
+    """GPT-style concat-and-chunk packing plan: concatenate documents
+    in ``id_col`` order, cut every ``seq_len`` tokens →
+    ``(id_col, val_col, prefix, seq_first, seq_last)`` where the doc
+    occupies training sequences ``seq_first..seq_last`` (a doc spans a
+    boundary iff ``seq_last > seq_first``).  Zero padding waste by
+    construction — the packing used by GPT-2/3-style pre-training.
+
+    Feed only ``val_col > 0`` rows (an empty doc occupies no tokens so
+    its sequence slot is undefined); the prefix sum makes the plan a
+    pure function of (corpus, seq_len) — any cluster size, any layout,
+    same table.
+    """
+    import pyarrow.compute as pc
+
+    with_prefix = ordered_prefix_sum(
+        ds, id_col=id_col, val_col=val_col, bucket_shift=bucket_shift
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        prefix = t.column("prefix")
+        vals = t.column(val_col)
+        first = pc.divide(prefix, seq_len)
+        last = pc.divide(pc.add(prefix, pc.subtract(vals, 1)), seq_len)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                val_col: vals,
+                "prefix": prefix,
+                "seq_first": first,
+                "seq_last": last,
+            }
+        )
+
+    return with_prefix.map_batches(assign, batch_format="pyarrow")

@@ -924,6 +924,24 @@ def q_token_index_lookup(sf_dir: str) -> ray.data.Dataset:
     return invindex.lookup_tokens(index_dir, probe)
 
 
+def q_sequence_packing(sf_dir: str) -> ray.data.Dataset:
+    """GPT-style concat-and-chunk packing plan (seq_len=256): docs in
+    doc_id order are concatenated and cut every 256 tokens; each doc
+    reports its exclusive token ``prefix`` and the sequence range it
+    lands in.  Under the hood: the distributed ordered prefix-sum
+    primitive (bucket sums → driver cumsum of the BUCKET table only →
+    per-bucket ordered scan).  All int64 — the oracle recomputes with
+    a window SUM."""
+    from ..functions import packing
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    counted = docs.map_batches(
+        lambda t: textstats.token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    ).filter(expr="n_tokens > 0")
+    return packing.pack_sequences(counted, seq_len=256, bucket_shift=6)
+
+
 _BPE_MEMO: dict = {}
 
 

@@ -1295,8 +1295,69 @@ def test_token_index_meta_validation(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# BPE tokenizer training + encoding
+# ordered prefix sum + global sequence packing
 # ---------------------------------------------------------------------------
+
+
+def _prefix_table(ids, vals):
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    """Exclusive prefix in id order, exact, for any layout and any
+    bucket width — including sparse, shuffled-arrival ids."""
+    import numpy as np
+
+    from ocr_system_ray.functions.packing import ordered_prefix_sum
+
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(100_000, size=300, replace=False))
+    vals = rng.integers(0, 5_000, size=300)
+    order = rng.permutation(300)  # arrival order ≠ id order
+    want = dict(zip(ids.tolist(), (np.cumsum(vals) - vals).tolist()))
+
+    for blocks in (1, 5):
+        for shift in (4, 10, 40):
+            ds = ray.data.from_arrow(
+                _prefix_table(ids[order], vals[order])
+            ).repartition(blocks)
+            out = ordered_prefix_sum(ds, bucket_shift=shift).take_all()
+            got = {r["doc_id"]: r["prefix"] for r in out}
+            assert got == want, (blocks, shift)
+
+
+def test_ordered_prefix_sum_empty(ray_session):
+    from ocr_system_ray.functions.packing import ordered_prefix_sum
+
+    out = ordered_prefix_sum(
+        ray.data.from_arrow(_prefix_table([], []))
+    ).take_all()
+    assert out == []
+
+
+def test_pack_sequences_boundaries(ray_session):
+    """Docs packed at seq_len=10: spans and boundaries are exact."""
+    from ocr_system_ray.functions.packing import pack_sequences
+
+    ds = ray.data.from_arrow(_prefix_table([1, 2, 3, 4], [4, 6, 15, 1]))
+    rows = {
+        r["doc_id"]: (r["prefix"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(ds, seq_len=10).take_all()
+    }
+    assert rows == {
+        1: (0, 0, 0),   # tokens 0-3
+        2: (4, 0, 0),   # tokens 4-9 — fills seq 0 exactly
+        3: (10, 1, 2),  # tokens 10-24 — spans seqs 1-2
+        4: (25, 2, 2),  # token 25
+    }
+
+
+
 
 
 def test_fit_bpe_textbook_example():
