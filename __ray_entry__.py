@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q.q_bpe_encode,
         "sequence_packing": q.q_sequence_packing,
         "repeated_ngrams": q.q_repeated_ngrams,
+        "repeated_ngram_removal": q.q_repeated_ngram_removal,
         "unigram_logprob": q.q_unigram_logprob,
         "dsir_scores": q.q_dsir_scores,
         "curriculum_buckets": q.q_curriculum_buckets,
@@ -606,6 +607,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN cagg c USING (doc_id)
+        """,
+        # repeated_ngram_removal: same gram/hit derivation, then each
+        # doc is rebuilt from its uncovered tokens (ordered string_agg)
+        "repeated_ngram_removal": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), g AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(l[u.i+1 : u.i+8], ' ') AS gram
+              FROM t, UNNEST(generate_series(0, len(l) - 8)) AS u(i)
+            ), rep AS (
+              SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+            ), hits AS (
+              SELECT doc_id, pos FROM g JOIN rep USING (gram)
+            ), cover AS (
+              SELECT DISTINCT doc_id, pos + v.j AS tok
+              FROM hits, UNNEST(generate_series(0, 7)) AS v(j)
+            ), toks AS (
+              SELECT doc_id, unnest(l) AS tok_s,
+                     generate_subscripts(l, 1) - 1 AS tok
+              FROM t
+            )
+            SELECT tk.doc_id,
+                   COALESCE(string_agg(tk.tok_s, ' ' ORDER BY tk.tok)
+                              FILTER (WHERE c.tok IS NULL), '') AS clean_text,
+                   CAST(COUNT(*) FILTER (WHERE c.tok IS NOT NULL) AS BIGINT)
+                       AS n_removed
+            FROM toks tk
+            LEFT JOIN cover c ON tk.doc_id = c.doc_id AND tk.tok = c.tok
+            GROUP BY tk.doc_id
         """,
         # dedup_incremental: anti-join of the synthetic "new crawl"
         # stream (odds + re-crawled evens) against the even-docs hash

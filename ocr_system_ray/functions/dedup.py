@@ -1142,8 +1142,68 @@ def dedup_against_index(
 
 
 # ---------------------------------------------------------------------------
-# repeated-substring statistics (ExactSubstr-lite)
+# repeated-substring statistics + removal (ExactSubstr-lite)
 # ---------------------------------------------------------------------------
+
+
+def _repeated_gram_hits(
+    ds: ray.data.Dataset,
+    k: int,
+    text_col: str,
+    id_col: str,
+    gram_buckets: int,
+    min_count: int,
+    exact: bool,
+) -> ray.data.Dataset:
+    """Gram pass shared by the stats and removal operators: one
+    ``(id_col, pos)`` row per k-token window whose gram occurs
+    ≥ ``min_count`` times corpus-wide (occurrences, not distinct docs).
+    Only grams + (id, pos) ride the shuffle — documents don't; see
+    ``repeated_ngram_stats`` for the exact-vs-hashed tradeoff."""
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def emit_grams(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        gram_out: list[str] = []
+        for did, v in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = (v or "").split(" ")
+            for i in range(len(toks) - k + 1):
+                gram_out.append(" ".join(toks[i : i + k]))
+                ids_out.append(did)
+                pos_out.append(i)
+        hashes = (
+            stable_hash64(gram_out) if gram_out else np.empty(0, dtype=np.uint64)
+        )
+        bucket = (hashes % np.uint64(gram_buckets)).astype(np.int64)
+        cols: dict = {"bucket": pa.array(bucket)}
+        if exact:
+            cols["gram"] = pa.array(gram_out, pa.string())
+        else:  # 100 TB mode: the 8-byte hash IS the gram identity
+            cols["gram"] = pa.array(hashes.astype(np.int64))
+        cols[id_col] = pa.array(ids_out, pa.int64())
+        cols["pos"] = pa.array(pos_out, pa.int64())
+        return pa.table(cols)
+
+    grams = ds.map_batches(emit_grams, batch_format="pyarrow")
+
+    def find_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                }
+            )
+        sizes = df.groupby("gram")["gram"].transform("size")
+        out = df.loc[sizes >= min_count, [id_col, "pos"]]
+        return out.astype({id_col: "int64", "pos": "int64"})
+
+    return grams.groupby("bucket").map_groups(find_hits, batch_format="pandas")
 
 
 def repeated_ngram_stats(
@@ -1190,48 +1250,9 @@ def repeated_ngram_stats(
     """
     import pandas as pd
 
-    from ..stages.skew import stable_hash64
-
-    def emit_grams(t: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        pos_out: list[int] = []
-        gram_out: list[str] = []
-        for did, v in zip(
-            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
-        ):
-            toks = (v or "").split(" ")
-            for i in range(len(toks) - k + 1):
-                gram_out.append(" ".join(toks[i : i + k]))
-                ids_out.append(did)
-                pos_out.append(i)
-        hashes = (
-            stable_hash64(gram_out) if gram_out else np.empty(0, dtype=np.uint64)
-        )
-        bucket = (hashes % np.uint64(gram_buckets)).astype(np.int64)
-        cols: dict = {"bucket": pa.array(bucket)}
-        if exact:
-            cols["gram"] = pa.array(gram_out, pa.string())
-        else:  # 100 TB mode: the 8-byte hash IS the gram identity
-            cols["gram"] = pa.array(hashes.astype(np.int64))
-        cols[id_col] = pa.array(ids_out, pa.int64())
-        cols["pos"] = pa.array(pos_out, pa.int64())
-        return pa.table(cols)
-
-    grams = ds.map_batches(emit_grams, batch_format="pyarrow")
-
-    def find_hits(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    "pos": pd.Series([], dtype="int64"),
-                }
-            )
-        sizes = df.groupby("gram")["gram"].transform("size")
-        out = df.loc[sizes >= min_count, [id_col, "pos"]]
-        return out.astype({id_col: "int64", "pos": "int64"})
-
-    hits = grams.groupby("bucket").map_groups(find_hits, batch_format="pandas")
+    hits = _repeated_gram_hits(
+        ds, k, text_col, id_col, gram_buckets, min_count, exact
+    )
 
     def doc_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -1285,6 +1306,113 @@ def repeated_ngram_stats(
                 id_col: pd.Series(res_id, dtype="int64"),
                 "n_repeated_grams": pd.Series(res_n, dtype="int64"),
                 "n_masked_tokens": pd.Series(res_cov, dtype="int64"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(per_doc, batch_format="pandas")
+
+
+def remove_repeated_ngrams(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_buckets: int = 4096,
+    doc_buckets: int = 1024,
+    min_count: int = 2,
+    exact: bool = True,
+) -> ray.data.Dataset:
+    """ExactSubstr-lite REMOVAL (the operator Lee et al. 2022 actually
+    run, at word-k-gram granularity): delete every token covered by a
+    k-token window that occurs ≥ ``min_count`` times corpus-wide →
+    ``(id_col, clean_text, n_removed)``, one row per input document
+    (row conservation: a fully-repeated doc survives with
+    ``clean_text = ""``).
+
+    ``n_removed`` equals ``repeated_ngram_stats``'s ``n_masked_tokens``
+    by construction (both are the interval union of the hit windows) —
+    pinned by pytest.
+
+    Ray shape — the same two coarse-bucket shuffles as the stats pass,
+    but the doc-bucket shuffle carries the corpus text ONCE (the
+    ``line_dedup`` cost model: rewriting documents necessarily moves
+    them once; grams still move as (id, pos) + gram/hash only).  Hit
+    rows and text rows are tagged with an int8 kind column and meet in
+    one groupby; per doc the coverage mask is a vectorized diff-array
+    cumsum, never a Python scan per token.
+    """
+    import pandas as pd
+
+    hits = _repeated_gram_hits(
+        ds, k, text_col, id_col, gram_buckets, min_count, exact
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: t.column(id_col),
+                "pos": pa.array(np.zeros(n, dtype=np.int64)),
+                "m": pa.array(np.zeros(n, dtype=np.int8)),
+                "txt": t.column(text_col).cast(pa.string()),
+            }
+        )
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(t)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: t.column(id_col),
+                "pos": t.column("pos"),
+                "m": pa.array(np.ones(n, dtype=np.int8)),
+                "txt": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    tagged = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "clean_text": pd.Series([], dtype="object"),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
+            )
+        res_id: list[int] = []
+        res_txt: list[str] = []
+        res_rm: list[int] = []
+        for did, g in df.groupby(id_col, sort=False):
+            txt_rows = g.loc[g["m"] == 0, "txt"]
+            text = txt_rows.iloc[0] if len(txt_rows) else ""
+            toks = (text or "").split(" ")
+            n = len(toks)
+            hp = g.loc[g["m"] == 1, "pos"].to_numpy(dtype=np.int64)
+            res_id.append(int(did))
+            if hp.size == 0:
+                res_txt.append(text if text is not None else "")
+                res_rm.append(0)
+                continue
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, hp, 1)
+            np.add.at(diff, np.minimum(hp + k, n), -1)
+            cov = np.cumsum(diff[:-1]) > 0
+            res_txt.append(
+                " ".join(tok for tok, c in zip(toks, cov) if not c)
+            )
+            res_rm.append(int(cov.sum()))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(res_id, dtype="int64"),
+                "clean_text": pd.Series(res_txt, dtype="object"),
+                "n_removed": pd.Series(res_rm, dtype="int64"),
             }
         )
 

@@ -1314,6 +1314,15 @@ def q_repeated_ngrams(sf_dir: str) -> ray.data.Dataset:
     return dedup.repeated_ngram_stats(ds, k=8)
 
 
+def q_repeated_ngram_removal(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-lite removal: tokens under any corpus-repeated
+    8-token window are cut from the document → (doc_id, clean_text,
+    n_removed).  The doc-bucket shuffle moves the corpus once; grams
+    move as (id, pos) rows — see ``dedup.remove_repeated_ngrams``."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.remove_repeated_ngrams(ds, k=8)
+
+
 def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
     """Distributed k-means over the embeddings table (k=10, 10 Lloyd
     iterations, deterministic min-id seed).  Oracle = committed golden

@@ -27,6 +27,8 @@ SUBSET = [
     "token_chunks",
     "domain_mix",
     "repeated_ngrams",
+    "repeated_ngram_removal",
+    "sequence_packing",
     "tfidf_top_terms",
     "source_overlap",
     "gopher_quality",

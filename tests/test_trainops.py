@@ -309,6 +309,105 @@ def test_repeated_ngram_stats_short_docs_zero(ray_session):
     ]
 
 
+# ---------------------------------------------------------------------------
+# repeated-substring removal (ExactSubstr-lite removal)
+# ---------------------------------------------------------------------------
+
+
+def _removal_bruteforce(docs: list[str], k: int) -> list[tuple[str, int]]:
+    from collections import Counter
+
+    counts: Counter = Counter()
+    grams_per_doc = []
+    for d in docs:
+        toks = d.split(" ")
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        grams_per_doc.append(grams)
+        counts.update(grams)
+    out = []
+    for d, grams in zip(docs, grams_per_doc):
+        toks = d.split(" ")
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if counts[g] >= 2:
+                covered.update(range(i, i + k))
+        out.append(
+            (
+                " ".join(t for j, t in enumerate(toks) if j not in covered),
+                len(covered),
+            )
+        )
+    return out
+
+
+def test_remove_repeated_ngrams_vs_bruteforce(ray_session):
+    from ocr_system_ray.functions import dedup
+
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(2, 30))) for _ in range(120)]
+    docs[5] = "alpha beta gamma delta " + docs[5]
+    docs[77] = docs[77] + " alpha beta gamma delta"
+    docs[40] = "p q r s p q r s p q r s"  # fully covered → clean_text ""
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(120), pa.int64()), "text": pa.array(docs)})
+    ).repartition(6)
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.remove_repeated_ngrams(ds, k=4).take_all()
+    }
+    want = _removal_bruteforce(docs, k=4)
+    assert len(out) == 120  # row conservation, even for emptied docs
+    for i, w in enumerate(want):
+        assert out[i] == w, (i, out[i], w)
+    assert out[40] == ("", 12)
+
+
+def test_remove_repeated_ngrams_matches_stats_coverage(ray_session):
+    """n_removed ≡ repeated_ngram_stats.n_masked_tokens (both are the
+    interval union of the hit windows)."""
+    from ocr_system_ray.functions import dedup
+
+    rng = np.random.RandomState(37)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(2, 24))) for _ in range(90)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(90), pa.int64()), "text": pa.array(docs)})
+    ).repartition(5)
+    removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in dedup.remove_repeated_ngrams(ds, k=3).take_all()
+    }
+    masked = {
+        r["doc_id"]: r["n_masked_tokens"]
+        for r in dedup.repeated_ngram_stats(ds, k=3).take_all()
+    }
+    assert removed == masked
+
+
+def test_remove_repeated_ngrams_hashed_mode_and_short_docs(ray_session):
+    from ocr_system_ray.functions import dedup
+
+    rng = np.random.RandomState(23)
+    vocab = [f"v{i}" for i in range(8)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(3, 25))) for _ in range(80)]
+    docs[0] = "a b"  # < k tokens: untouched
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(docs)})
+    ).repartition(4)
+    a = sorted(
+        (r["doc_id"], r["clean_text"], r["n_removed"])
+        for r in dedup.remove_repeated_ngrams(ds, k=3, exact=True).take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["clean_text"], r["n_removed"])
+        for r in dedup.remove_repeated_ngrams(ds, k=3, exact=False).take_all()
+    )
+    assert a == b
+    assert a[0] == (0, "a b", 0)
+
+
 def test_text_oracles_randomized_unicode_sweep():
     """Randomized token soup including unicode, punctuation, and digits:
     the repetition and chunk-geometry oracles must agree with the Ray
