@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_flags": q.q_decontam_flags,
         "token_chunks": q.q_token_chunks,
         "domain_mix": q.q_domain_mix,
+        "temperature_mix": q.q_temperature_mix,
         "curation_pipeline": q.q_curation_pipeline,
         "url_dedup": q.q_url_dedup,
         "token_index_lookup": q.q_token_index_lookup,
@@ -534,6 +535,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(COALESCE(text, '')), 1, 2) <
                   CASE source {_domain_mix_arms()} END
+        """,
+        # temperature_mix: the oracle recomputes counts, tempered rates
+        # (ONE libm pow, then integer-only quantization — the Ray side
+        # mirrors the exact same t6→thresh arithmetic), and the md5
+        # 4-hex acceptance test INDEPENDENTLY.
+        "temperature_mix": """
+            WITH g AS (
+              SELECT doc_id, source, text,
+                     CASE WHEN source IN ('src0', 'src1') THEN source
+                          ELSE 'other' END AS mix_group
+              FROM documents
+            ), c AS (
+              SELECT mix_group, COUNT(*) AS n FROM g GROUP BY mix_group
+            ), m AS (
+              SELECT MIN(n) AS nmin FROM c
+            ), r AS (
+              SELECT c.mix_group,
+                     (CAST(FLOOR(POWER(CAST(m.nmin AS DOUBLE) / c.n, 0.3)
+                                 * 1000000) AS BIGINT) * 65536) // 1000000
+                         AS thresh
+              FROM c, m
+            ), h AS (
+              SELECT mix_group,
+                     CASE WHEN thresh >= 65536 THEN 'zzzz'
+                          ELSE printf('%04x', thresh) END AS thresh_hex
+              FROM r
+            )
+            SELECT g.doc_id, g.source
+            FROM g JOIN h USING (mix_group)
+            WHERE substr(md5(COALESCE(g.text, '')), 1, 4) < h.thresh_hex
         """,
         # curation_pipeline: the four component oracles composed with
         # the same precedence the Ray pass applies (gopher → duplicate

@@ -890,6 +890,104 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+# Temperature-based source sampling (mT5 / XLM-R multinomial mixing,
+# Xue et al. 2021 §3.3): final share q_i ∝ n_i^τ, realized per doc by
+# acceptance rate r_i = (n_min / n_i)^(1-τ) (the smallest source keeps
+# everything; bigger sources are downsampled toward the tempered
+# share).  τ=1 is proportional (keep all), τ→0 is uniform.
+TEMPERATURE_MIX_TAU = 0.7
+
+
+def _temperature_thresholds(
+    counts: dict[str, int], tau: float = TEMPERATURE_MIX_TAU
+) -> dict[str, str]:
+    """Per-source 4-hex-digit md5 threshold for the tempered acceptance
+    rate.  ONE float op (libm pow — same doubles in numpy and DuckDB),
+    then integer-only quantization: ``t6 = floor(rate·1e6)``,
+    ``thresh = t6·65536 // 1e6`` — so an ulp of pow disagreement can
+    flip a decision only if a doc's 4-hex prefix lands exactly on the
+    1e-6 grid boundary (measure-zero; the rate-1.0 case is exact).
+    thresh ≥ 65536 → 'zzzz' (keeps all: > every hex string)."""
+    import math
+
+    # round to the decimal-literal double: 1.0-0.7 is 0.30000000000000004
+    # in IEEE754, but the oracle SQL spells the exponent as the literal
+    # 0.3 — both sides must feed pow the SAME double.
+    exp = round(1.0 - tau, 12)
+    nmin = min(counts.values())
+    out: dict[str, str] = {}
+    for s, n in counts.items():
+        t6 = math.floor((nmin / n) ** exp * 1_000_000)
+        thresh = t6 * 65536 // 1_000_000
+        out[s] = "zzzz" if thresh >= 65536 else format(thresh, "04x")
+    return out
+
+
+# The sf corpora have perfectly uniform sources (every rate would be
+# 1.0 and the oracle comparison vacuous), so the driver query mixes
+# over a deliberately skewed regrouping: src0 and src1 stay standalone,
+# everything else pools into 'other' (18× bigger at any sf).
+TEMPERATURE_MIX_STANDALONE = ("src0", "src1")
+
+
+def q_temperature_mix(
+    sf_dir: str, group_fn=None  # noqa: ANN001 — str -> str
+) -> ray.data.Dataset:
+    """Temperature-sampled source mix (τ=0.7): a counts pass (per-batch
+    combiner → one tiny groupby(group) → |groups|-row driver table)
+    fixes each group's acceptance threshold, then a stateless md5
+    filter pass keeps the docs.  Deterministic — a doc's fate is a pure
+    function of (corpus counts, its content); no RNG coordination."""
+    from ray.data.aggregate import Sum
+
+    if group_fn is None:
+        group_fn = lambda s: (  # noqa: E731
+            s if s in TEMPERATURE_MIX_STANDALONE else "other"
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def add_group(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "mix_group",
+            pa.array([group_fn(s) for s in t.column("source").to_pylist()]),
+        )
+
+    grouped = ds.map_batches(add_group, batch_format="pyarrow")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("mix_group").aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "mix_group": agg.column("mix_group"),
+                "n_part": agg.column("doc_id_count").cast(pa.int64()),
+            }
+        )
+
+    counts_df = (
+        grouped.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("mix_group")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()  # |groups| rows — config-sized, never corpus-sized
+    )
+    thresholds = _temperature_thresholds(
+        dict(zip(counts_df["mix_group"], (int(v) for v in counts_df["n"])))
+    )
+
+    def mix(t: pa.Table) -> pa.Table:
+        out = textstats.fingerprint_batch(t)
+        keep = [
+            h[:4] < thresholds[g]
+            for h, g in zip(
+                out.column("content_md5").to_pylist(),
+                t.column("mix_group").to_pylist(),
+            )
+        ]
+        return t.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return grouped.map_batches(mix, batch_format="pyarrow")
+
+
 def q_token_index_lookup(sf_dir: str) -> ray.data.Dataset:
     """Inverted-index point lookup: which documents contain the probe
     tokens?  The index (``functions/invindex.py``) is built ONCE per

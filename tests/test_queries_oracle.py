@@ -26,6 +26,7 @@ SUBSET = [
     "decontam_flags",
     "token_chunks",
     "domain_mix",
+    "temperature_mix",
     "repeated_ngrams",
     "repeated_ngram_removal",
     "sequence_packing",

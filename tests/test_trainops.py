@@ -217,6 +217,62 @@ def test_repetition_matches_duckdb_on_synthetic():
 
 
 # ---------------------------------------------------------------------------
+# temperature-based source sampling
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_thresholds_properties():
+    """mT5-style tempered acceptance: the smallest source keeps all,
+    rates are monotone-decreasing in source size, and τ=1 keeps all."""
+    from ocr_system_ray.pipelines.queries import _temperature_thresholds
+
+    th = _temperature_thresholds({"a": 1600, "b": 400, "c": 100})
+    assert th["c"] == "zzzz"  # smallest source: rate 1.0
+    assert th["b"] < "zzzz" and th["a"] < th["b"]  # monotone in n
+    # τ=1 → proportional sampling → every source keeps everything
+    assert set(_temperature_thresholds({"a": 99, "b": 7}, tau=1.0).values()) == {
+        "zzzz"
+    }
+    # exact quantization pin: (100/400)^0.3 = 0.659753955386447…,
+    # t6 = 659753, thresh = 659753*65536 // 1e6 = 43241 = 0xa8e9
+    assert th["b"] == format(659753 * 65536 // 1_000_000, "04x")
+
+
+def test_temperature_mix_tempered_shares(ray_session, tmp_path):
+    """On a skewed two-source corpus the kept share of the big source
+    lands near (n_min/n_big)^0.3 while the small source survives
+    whole."""
+    import pandas as pd
+
+    from ocr_system_ray.pipelines.queries import q_temperature_mix
+
+    rng = np.random.RandomState(5)
+    n_big, n_small = 4000, 250
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_big + n_small, dtype=np.int64),
+            "source": ["big"] * n_big + ["small"] * n_small,
+            "text": [
+                " ".join(rng.choice([f"w{i}" for i in range(50)], size=12))
+                for _ in range(n_big + n_small)
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pa_tbl = pa.Table.from_pandas(df, preserve_index=False)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_tbl, str(d / "documents.parquet"))
+    kept = q_temperature_mix(str(d), group_fn=lambda s: s).to_pandas()
+    by_src = kept.groupby("source").size()
+    assert by_src["small"] == n_small  # rate 1.0 → kept whole
+    want_rate = (n_small / n_big) ** 0.3
+    got_rate = by_src["big"] / n_big
+    assert abs(got_rate - want_rate) < 0.05  # md5 uniformity, 4000 draws
+
+
+# ---------------------------------------------------------------------------
 # repeated-substring statistics (ExactSubstr-lite)
 # ---------------------------------------------------------------------------
 
