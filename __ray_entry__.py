@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": q.q_token_chunks,
         "domain_mix": q.q_domain_mix,
         "temperature_mix": q.q_temperature_mix,
+        "corpus_report": q.q_corpus_report,
+        "text_normalize": q.q_text_normalize,
         "curation_pipeline": q.q_curation_pipeline,
         "url_dedup": q.q_url_dedup,
         "token_index_lookup": q.q_token_index_lookup,
@@ -535,6 +537,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE substr(md5(COALESCE(text, '')), 1, 2) <
                   CASE source {_domain_mix_arms()} END
+        """,
+        # text_normalize: same pipeline — NFC (utf8proc vs CPython
+        # unicodedata, both UAX#15), control strip, space collapse,
+        # trim; the \\x escapes reach RE2 unprocessed (SQL literals
+        # don't interpret backslashes)
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       nfc_normalize(COALESCE(text, '')),
+                       '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'),
+                       ' ') AS norm_text,
+                   CAST(length(trim(regexp_replace(regexp_replace(
+                       nfc_normalize(COALESCE(text, '')),
+                       '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'),
+                       ' ')) AS BIGINT) AS n_chars_norm
+            FROM documents
+        """,
+        # corpus_report: exact-integer rollups, recomputed directly
+        # (token definition = the shared explicit ASCII-ws class)
+        "corpus_report": """
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(
+                       COALESCE(text, ''), '[^ \t\n\r\f\v]+'))) AS BIGINT)
+                       AS total_tokens,
+                   CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                       AS total_chars,
+                   CAST(COUNT(*) FILTER (WHERE len(regexp_extract_all(
+                       COALESCE(text, ''), '[^ \t\n\r\f\v]+')) >= 100)
+                       AS BIGINT) AS long_docs
+            FROM documents
+            GROUP BY lang, source
         """,
         # temperature_mix: the oracle recomputes counts, tempered rates
         # (ONE libm pow, then integer-only quantization — the Ray side

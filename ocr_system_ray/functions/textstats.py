@@ -625,3 +625,38 @@ def winnow_fingerprint_batch(
         np.not_equal(mins[1:], mins[:-1], out=keep[1:])
         out.append(mins[keep].tolist())
     return batch.append_column("fingerprints", pa.array(out, pa.list_(pa.uint32())))
+
+
+# ---------------------------------------------------------------------------
+# text normalization (NFC + control strip + whitespace collapse)
+# ---------------------------------------------------------------------------
+
+# Shared with the SQL oracle verbatim: NFC first (DuckDB nfc_normalize /
+# Python unicodedata — both implement UAX#15; pinned on composed and
+# decomposed inputs by pytest), then every C0 control + DEL becomes a
+# space, then space runs collapse, then edge spaces trim.  Explicit
+# byte-range classes — no \s, no locale (the ADVICE-r1 lesson).
+_CTRL_RGX = re.compile("[\x00-\x1f\x7f]")
+_MULTISPACE_RGX = re.compile(" +")
+
+
+def normalize_text(s: str | None) -> str:
+    import unicodedata
+
+    s = unicodedata.normalize("NFC", s or "")
+    s = _CTRL_RGX.sub(" ", s)
+    return _MULTISPACE_RGX.sub(" ", s).strip(" ")
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "norm_text"
+) -> pa.Table:
+    """Append ``out_col`` (+ ``n_chars_norm``) — the canonical cleanup
+    pass run before tokenization/dedup so byte-level variants of the
+    same text (decomposed accents, stray control bytes, ragged spacing)
+    fingerprint identically.  Row-local, stateless, no shuffle."""
+    vals = [normalize_text(v) for v in batch.column(text_col).to_pylist()]
+    arr = pa.array(vals, pa.string())
+    return batch.append_column(out_col, arr).append_column(
+        "n_chars_norm", pc.utf8_length(arr).cast(pa.int64())
+    )

@@ -890,6 +890,84 @@ def q_domain_mix(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
+def q_text_normalize(sf_dir: str) -> ray.data.Dataset:
+    """Canonical text cleanup (NFC + control-char strip + space
+    collapse + trim) → (doc_id, norm_text, n_chars_norm).  Stateless
+    row-local pass; the oracle recomputes with DuckDB's nfc_normalize
+    and the same explicit regex classes."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: textstats.normalize_text_batch(t).select(
+            ["doc_id", "norm_text", "n_chars_norm"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_corpus_report(sf_dir: str) -> ray.data.Dataset:
+    """Corpus report card: per (lang, source) cell, exact-integer
+    rollups a curation run reads first — docs, tokens, chars, and the
+    ≥100-token share.  Shape: per-batch combiner over a SINGLE
+    concatenated key (multi-column groupby().aggregate() is pathological
+    in ray 2.49 — CLAUDE.md), one tiny groupby over ≤ |lang|·|source|
+    keys, then the key splits back.  The shuffle moves one partial row
+    per batch per populated cell."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = textstats.token_count_batch(t)
+        texts = pc.fill_null(t.column("text"), "")
+        t = t.append_column("n_chars_", pc.utf8_length(texts).cast(pa.int64()))
+        t = t.append_column(
+            "long_", pc.greater_equal(t.column("n_tokens"), 100).cast(pa.int64())
+        )
+        t = t.append_column(
+            "cell",
+            pc.binary_join_element_wise(
+                t.column("lang").cast(pa.string()),
+                t.column("source").cast(pa.string()),
+                "\x1f",  # unit separator — never in lang/source values
+            ),
+        )
+        g = t.group_by("cell").aggregate(
+            [
+                ("n_tokens", "sum"),
+                ("n_chars_", "sum"),
+                ("long_", "sum"),
+                ("cell", "count"),
+            ]
+        )
+        return g.rename_columns(["cell", "p_tok", "p_chr", "p_long", "p_cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("p_cnt", alias_name="n_docs"),
+            Sum("p_tok", alias_name="total_tokens"),
+            Sum("p_chr", alias_name="total_chars"),
+            Sum("p_long", alias_name="long_docs"),
+        )
+    )
+
+    def split_cell(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("cell"), "\x1f")
+        return pa.table(
+            {
+                "lang": pc.list_element(parts, 0),
+                "source": pc.list_element(parts, 1),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "total_tokens": t.column("total_tokens").cast(pa.int64()),
+                "total_chars": t.column("total_chars").cast(pa.int64()),
+                "long_docs": t.column("long_docs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(split_cell, batch_format="pyarrow")
+
+
 # Temperature-based source sampling (mT5 / XLM-R multinomial mixing,
 # Xue et al. 2021 §3.3): final share q_i ∝ n_i^τ, realized per doc by
 # acceptance rate r_i = (n_min / n_i)^(1-τ) (the smallest source keeps

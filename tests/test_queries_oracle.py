@@ -15,6 +15,7 @@ import pytest
 SF = "/root/testdata/sf0.001"
 SUBSET = [
     "doc_stats_by_lang",
+    "corpus_report",
     "lineitem_pricing",
     "events_hourly",
     "token_counts",

@@ -217,6 +217,64 @@ def test_repetition_matches_duckdb_on_synthetic():
 
 
 # ---------------------------------------------------------------------------
+# text normalization (NFC + control strip + space collapse)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_unicode_parity_vs_duckdb(ray_session, tmp_path):
+    """Adversarial inputs — decomposed accents, C0 controls, DEL,
+    ragged spacing, empty/None — must normalize identically in the Ray
+    kernel and the DuckDB oracle (utf8proc vs unicodedata NFC)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    rows = [
+        "e\u0301cole franc\u0327aise",  # decomposed -> composed NFC
+        "\u00e9cole",  # already composed: unchanged
+        "a\x00b\x07c\x7fd",  # NUL, BEL, DEL -> spaces
+        "  lots\t\tof \n whitespace  ",
+        "A\u030a ring",  # A + combining ring -> \u00c5
+        "",
+        None,
+        "plain ascii text",
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(rows, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    ours = (
+        entry.queries()["text_normalize"](str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = (
+        con.sql(entry.oracle_sql()["text_normalize"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert ours["norm_text"].tolist() == want["norm_text"].tolist()
+    assert ours["n_chars_norm"].tolist() == want["n_chars_norm"].tolist()
+    # pin the semantics themselves, not just parity
+    assert ours["norm_text"][0] == "\u00e9cole fran\u00e7aise"
+    assert ours["norm_text"][2] == "a b c d"
+    assert ours["norm_text"][3] == "lots of whitespace"
+    assert ours["norm_text"][4] == "\u00c5 ring"
+
+
+# ---------------------------------------------------------------------------
 # temperature-based source sampling
 # ---------------------------------------------------------------------------
 
