@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngrams": q.q_repeated_ngrams,
         "repeated_ngram_removal": q.q_repeated_ngram_removal,
         "unigram_logprob": q.q_unigram_logprob,
+        "bigram_logprob": q.q_bigram_logprob,
         "dsir_scores": q.q_dsir_scores,
         "curriculum_buckets": q.q_curriculum_buckets,
         "dedup_incremental": q.q_dedup_incremental,
@@ -972,6 +973,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.neglogp_micro
             FROM documents d
             JOIN '/root/repo/tests/golden/unigram_logprob_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # bigram_logprob: committed golden from the independent dict
+        # twin (same sequential row-local float-sum contract)
+        "bigram_logprob": """
+            SELECT d.doc_id, g.neglogp2_micro
+            FROM documents d
+            JOIN '/root/repo/tests/golden/bigram_logprob_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # quality_classifier: weights + scores re-derived by the

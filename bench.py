@@ -122,6 +122,11 @@ def run_query_suite() -> dict[str, float]:
         "knn_pq": q.q_knn_pq,
         "bm25_topk": q.q_bm25_topk,
         "bpe_encode": q.q_bpe_encode,
+        "sequence_packing": q.q_sequence_packing,
+        "repeated_ngram_removal": q.q_repeated_ngram_removal,
+        "temperature_mix": q.q_temperature_mix,
+        "corpus_report": q.q_corpus_report,
+        "text_normalize": q.q_text_normalize,
     }
     import pandas as pd
 

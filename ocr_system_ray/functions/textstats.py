@@ -660,3 +660,137 @@ def normalize_text_batch(
     return batch.append_column(out_col, arr).append_column(
         "n_chars_norm", pc.utf8_length(arr).cast(pa.int64())
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM scoring (one step closer to CCNet's KenLM)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_score_doc(
+    text: str | None,
+    cu: dict,
+    total: int,
+    cb: dict,
+    cp: dict,
+    lam: float,
+    uni_w: float,
+) -> int:
+    """Mean -ln p per token, integer micro-nats.  Shared arithmetic
+    contract with the golden twin: sequential Python float sum in token
+    order (row-local ⇒ batching-invariant), position 0 scored by the
+    unigram, positions i>0 by λ·p(w|prev) + (1-λ)·p(w).  Unseen bigrams
+    (possible only when the pair table is capped at web scale) back off
+    to the (1-λ) unigram mass alone."""
+    import math
+
+    toks = (text or "").split(" ")
+    s = -math.log(cu[toks[0]] / total)
+    prev = toks[0]
+    for w in toks[1:]:
+        nb = cb.get(prev + "\x1f" + w)
+        # uni_w is passed as a decimal literal, never computed as 1-λ
+        # (1.0-0.8 is 0.19999999999999996 in IEEE754 — the golden twin
+        # spells 0.2, so must we)
+        p = (lam * nb / cp[prev] if nb else 0.0) + uni_w * cu[w] / total
+        s += -math.log(p)
+        prev = w
+    return int(math.floor(s / len(toks) * 1e6 + 0.5))
+
+
+def bigram_neglogprob(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+    uni_w: float = 0.2,
+):
+    """Interpolated-bigram LM quality score (the CCNet pipeline shape,
+    Wenzek et al. 2020, with the 5-gram KenLM swapped for the largest
+    n-gram model this sandbox fits): per document, mean
+    ``-ln p(token | prev)`` under ``λ·MLE-bigram + (1-λ)·unigram``, in
+    integer micro-nats → ``(id_col, neglogp2_micro)``.
+
+    Three distributed passes:
+    1. unigram wordcount (Counter combiners → one groupby) — as
+       :func:`unigram_neglogprob`;
+    2. bigram paircount, same shape over ``prev\\x1fword`` keys; the
+       context totals ``c(prev·)`` derive from the pair table on the
+       driver (pure int sums).  At web scale the pair vocabulary
+       explodes: cap it (Misra–Gries heavy pairs) and let rare pairs
+       back off to the unigram arm — the scorer already handles
+       missing pairs; exact here because sf vocabularies are tiny.
+    3. stateless score pass; models broadcast once via ``ray.put`` and
+       memoized per worker.
+    """
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def sketch_uni(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update((x or "").split(" "))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "p_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def sketch_big(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            toks = (x or "").split(" ")
+            c.update(
+                toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
+            )
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "p_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni_df = (
+        ds.map_batches(sketch_uni, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    big_df = (
+        ds.map_batches(sketch_big, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(_Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    import pandas as _pd
+
+    if uni_df.empty:  # empty-aggregate gotcha: rebuild with columns
+        uni_df = _pd.DataFrame({"token": [], "n": []})
+    if big_df.empty:
+        big_df = _pd.DataFrame({"pair": [], "n": []})
+    total = int(uni_df["n"].sum())
+    cu = {t: int(n) for t, n in zip(uni_df["token"], uni_df["n"])}
+    cb = {p: int(n) for p, n in zip(big_df["pair"], big_df["n"])}
+    cp: dict = {}
+    for p, n in cb.items():
+        prev = p.split("\x1f", 1)[0]
+        cp[prev] = cp.get(prev, 0) + n
+    model_ref = _ray.put((cu, total, cb, cp))
+
+    def score(t: pa.Table) -> pa.Table:
+        cu_, total_, cb_, cp_ = _broadcast_memo(model_ref)
+        out = [
+            _bigram_score_doc(x, cu_, total_, cb_, cp_, lam, uni_w)
+            for x in t.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "neglogp2_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1396,6 +1396,16 @@ def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     return textstats.unigram_neglogprob(ds)
 
 
+def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
+    unigram, mean -ln p per token, integer micro-nats).  Oracle =
+    committed golden from the independent dict twin in
+    tools/make_goldens.py — the per-doc reduction is a sequential
+    row-local float sum, so the integers are batching-invariant."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.bigram_neglogprob(ds)
+
+
 def q_curriculum_buckets(sf_dir: str) -> ray.data.Dataset:
     """Curriculum bucketing: every document labeled with its LM-score
     difficulty quartile (0 = easiest / most predictable under the

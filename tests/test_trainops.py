@@ -217,6 +217,97 @@ def test_repetition_matches_duckdb_on_synthetic():
 
 
 # ---------------------------------------------------------------------------
+# interpolated bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def _bigram_twin(texts: list[str], lam=0.8, uni_w=0.2) -> list[int]:
+    import math
+    from collections import Counter
+
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    cp: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        cu.update(toks)
+        for i in range(len(toks) - 1):
+            cb[(toks[i], toks[i + 1])] += 1
+            cp[toks[i]] += 1
+    total = sum(cu.values())
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        s = -math.log(cu[toks[0]] / total)
+        for i in range(1, len(toks)):
+            nb = cb.get((toks[i - 1], toks[i]))
+            p = (lam * nb / cp[toks[i - 1]] if nb else 0.0) + uni_w * cu[
+                toks[i]
+            ] / total
+            s += -math.log(p)
+        out.append(int(math.floor(s / len(toks) * 1e6 + 0.5)))
+    return out
+
+
+def test_bigram_neglogprob_matches_twin_any_layout(ray_session):
+    from ocr_system_ray.functions import textstats
+
+    rng = np.random.RandomState(41)
+    vocab = [f"w{i}" for i in range(15)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 40))) for _ in range(150)
+    ]
+    texts[7] = "x"  # single token: unigram-only position
+    texts[9] = ""  # empty string: one '' token
+    want = _bigram_twin(texts)
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(150), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(blocks)
+        got = {
+            r["doc_id"]: r["neglogp2_micro"]
+            for r in textstats.bigram_neglogprob(ds).take_all()
+        }
+        assert [got[i] for i in range(150)] == want, blocks
+
+
+def test_bigram_neglogprob_detects_structure(ray_session):
+    """A corpus of one repeated phrase + word-salad docs: the phrase
+    docs must score (much) lower — the signal the unigram model cannot
+    see when unigram frequencies match."""
+    from ocr_system_ray.functions import textstats
+
+    rng = np.random.RandomState(3)
+    phrase = "the quick brown fox jumps over the lazy dog"
+    vocab = phrase.split(" ")
+    structured = [phrase] * 40
+    salad = [
+        " ".join(rng.choice(vocab, size=9)) for _ in range(40)
+    ]  # same unigram pool, scrambled order
+    texts = structured + salad
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(80), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(4)
+    got = {
+        r["doc_id"]: r["neglogp2_micro"]
+        for r in textstats.bigram_neglogprob(ds).take_all()
+    }
+    mean_structured = np.mean([got[i] for i in range(40)])
+    mean_salad = np.mean([got[i] for i in range(40, 80)])
+    assert mean_structured < mean_salad - 200_000  # ≥0.2 nats apart
+
+
+# ---------------------------------------------------------------------------
 # text normalization (NFC + control strip + space collapse)
 # ---------------------------------------------------------------------------
 

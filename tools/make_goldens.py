@@ -195,6 +195,45 @@ def unigram_logprob_golden() -> pa.Table:
     )
 
 
+def bigram_logprob_golden() -> pa.Table:
+    """(doc_id, neglogp2_micro) from a single-process dict twin of the
+    interpolated-bigram scorer: plain Counter uni/bigram counts, then
+    the SAME sequential row-local float-sum contract (position 0 =
+    unigram, i>0 = 0.8·MLE-bigram + 0.2·unigram)."""
+    import math
+    from collections import Counter
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    texts = [(t or "") for t in docs.column("text").to_pylist()]
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    cp: Counter = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        cu.update(toks)
+        for i in range(len(toks) - 1):
+            cb[(toks[i], toks[i + 1])] += 1
+            cp[toks[i]] += 1
+    total = sum(cu.values())
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        s = -math.log(cu[toks[0]] / total)
+        for i in range(1, len(toks)):
+            nb = cb.get((toks[i - 1], toks[i]))
+            p = (0.8 * nb / cp[toks[i - 1]] if nb else 0.0) + 0.2 * cu[
+                toks[i]
+            ] / total
+            s += -math.log(p)
+        out.append(int(math.floor(s / len(toks) * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "neglogp2_micro": pa.array(out, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # query-output goldens (deterministic seeded pipelines, frozen at sf0.01)
 def quality_classifier_golden() -> pa.Table:
@@ -434,6 +473,9 @@ def main() -> None:
     ul = unigram_logprob_golden()
     pq.write_table(ul, GOLDEN_DIR / "unigram_logprob_sf001.parquet")
     print(f"unigram_logprob_sf001.parquet: {ul.num_rows} rows")
+    bl = bigram_logprob_golden()
+    pq.write_table(bl, GOLDEN_DIR / "bigram_logprob_sf001.parquet")
+    print(f"bigram_logprob_sf001.parquet: {bl.num_rows} rows")
     dg = dsir_golden()
     pq.write_table(dg, GOLDEN_DIR / "dsir_sf001.parquet")
     print(f"dsir_sf001.parquet: {dg.num_rows} rows")
