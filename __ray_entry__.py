@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": q.q_dsir_scores,
         "curriculum_buckets": q.q_curriculum_buckets,
         "dedup_incremental": q.q_dedup_incremental,
+        "corpus_diff": q.q_corpus_diff,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "source_overlap": q.q_source_overlap,
@@ -703,6 +704,29 @@ def oracle_sql() -> dict[str, str]:
             FROM toks tk
             LEFT JOIN cover c ON tk.doc_id = c.doc_id AND tk.tok = c.tok
             GROUP BY tk.doc_id
+        """,
+        # corpus_diff: the v2 derivation re-applied in SQL, then a
+        # FULL OUTER JOIN classifies every id independently of the Ray
+        # reduce-side-join plan
+        "corpus_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+            ), v2 AS (
+              SELECT doc_id,
+                     md5(COALESCE(text, '') ||
+                         CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END) AS h
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     md5('new doc ' || CAST(doc_id AS VARCHAR))
+              FROM documents WHERE doc_id % 9 = 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
         """,
         # dedup_incremental: anti-join of the synthetic "new crawl"
         # stream (odds + re-crawled evens) against the even-docs hash

@@ -1,0 +1,90 @@
+"""Corpus snapshot diff — added / removed / changed / unchanged.
+
+The incremental-crawl companion to ``dedup.dedup_against_index``:
+given two versions of a corpus (last month's crawl and this month's),
+classify every document id.  The engine-level need it covers (compare
+two table snapshots without materializing either) matches the
+reference's append-only export bookkeeping (`gui/app.py` re-export
+dedup by path) generalized to content identity.
+
+Scale shape — ONE coarse-bucket sort-shuffle moving ``(bucket, id,
+md5, side)`` rows only (32 B/row regardless of document size; the
+documents themselves never move), then an in-group pandas outer merge
+per bucket — the module's standard reduce-side join idiom.  No driver
+state, no native ``Dataset.join`` (see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _coarse_bucket
+from .textstats import fingerprint_batch
+
+
+def corpus_diff(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """→ ``(id_col, status)`` with status ∈ {added, removed, changed,
+    unchanged}: removed = id only in old, added = only in new, changed
+    = both sides but different content md5.  Ids must be unique per
+    side (snapshot semantics)."""
+    import pandas as pd
+
+    def keyed(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = fingerprint_batch(t, text_col=text_col)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bucket": pa.array(_coarse_bucket(ids, num_buckets)),
+                    id_col: t.column(id_col).cast(pa.int64()),
+                    "h": t.column("content_md5"),
+                    "side": pa.array(
+                        np.full(len(t), side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = old_ds.map_batches(keyed(0), batch_format="pyarrow").union(
+        new_ds.map_batches(keyed(1), batch_format="pyarrow")
+    )
+
+    def diff_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "status": pd.Series([], dtype="object"),
+                }
+            )
+        old = df.loc[df["side"] == 0, [id_col, "h"]]
+        new = df.loc[df["side"] == 1, [id_col, "h"]]
+        m = old.merge(new, on=id_col, how="outer", suffixes=("_o", "_n"))
+        status = np.select(
+            [
+                m["h_o"].isna().to_numpy(),
+                m["h_n"].isna().to_numpy(),
+                (m["h_o"] != m["h_n"]).to_numpy(),
+            ],
+            ["added", "removed", "changed"],
+            default="unchanged",
+        )
+        return pd.DataFrame(
+            {
+                id_col: m[id_col].to_numpy(dtype=np.int64),
+                "status": pd.Series(status, dtype="object"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(diff_group, batch_format="pandas")

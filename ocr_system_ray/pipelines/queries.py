@@ -1396,6 +1396,43 @@ def q_unigram_logprob(sf_dir: str) -> ray.data.Dataset:
     return textstats.unigram_neglogprob(ds)
 
 
+def q_corpus_diff(sf_dir: str) -> ray.data.Dataset:
+    """Snapshot diff of two crawl versions → (doc_id, status).  v2 is
+    derived deterministically from the documents table (the same
+    derivation the oracle SQL applies): every 7th doc dropped
+    (removed), every remaining 5th doc's text gets a ' v2' suffix
+    (changed), every 9th doc re-appears under doc_id+1000000 with new
+    text (added).  One coarse-bucket shuffle of (id, md5, side) rows —
+    see ``functions/diff.py``."""
+    from ..functions.diff import corpus_diff
+
+    old_ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive_v2(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [v or "" for v in t.column("text").to_pylist()]
+        out_ids: list[int] = []
+        out_txt: list[str] = []
+        for i, x in zip(ids.tolist(), texts):
+            if i % 7 != 0:
+                out_ids.append(i)
+                out_txt.append(x + " v2" if i % 5 == 0 else x)
+            if i % 9 == 0:
+                out_ids.append(i + 1_000_000)
+                out_txt.append(f"new doc {i}")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    new_ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        derive_v2, batch_format="pyarrow"
+    )
+    return corpus_diff(old_ds, new_ds)
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

@@ -217,6 +217,62 @@ def test_repetition_matches_duckdb_on_synthetic():
 
 
 # ---------------------------------------------------------------------------
+# corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(pairs):  # [(id, text)] -> Dataset
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([p[0] for p in pairs], pa.int64()),
+                "text": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def test_corpus_diff_statuses(ray_session):
+    from ocr_system_ray.functions.diff import corpus_diff
+
+    old = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    new = [(2, "b"), (3, "c CHANGED"), (5, "e")]
+    for blocks in (1, 3):
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(
+                _mk_docs(old).repartition(blocks), _mk_docs(new).repartition(blocks)
+            ).take_all()
+        }
+        assert got == {
+            1: "removed",
+            2: "unchanged",
+            3: "changed",
+            4: "removed",
+            5: "added",
+        }, blocks
+
+
+def test_corpus_diff_identical_and_disjoint(ray_session):
+    from ocr_system_ray.functions.diff import corpus_diff
+
+    same = [(i, f"t{i}") for i in range(50)]
+    got = {
+        r["status"] for r in corpus_diff(_mk_docs(same), _mk_docs(same)).take_all()
+    }
+    assert got == {"unchanged"}
+    a = [(i, f"t{i}") for i in range(20)]
+    b = [(i + 100, f"t{i}") for i in range(20)]
+    got2 = [
+        (r["doc_id"], r["status"])
+        for r in corpus_diff(_mk_docs(a), _mk_docs(b)).take_all()
+    ]
+    assert sum(1 for _, s in got2 if s == "removed") == 20
+    assert sum(1 for _, s in got2 if s == "added") == 20
+    assert len(got2) == 40
+
+
+# ---------------------------------------------------------------------------
 # interpolated bigram LM scoring
 # ---------------------------------------------------------------------------
 
