@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_buckets": q.q_curriculum_buckets,
         "dedup_incremental": q.q_dedup_incremental,
         "corpus_diff": q.q_corpus_diff,
+        "pagerank": q.q_pagerank,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "source_overlap": q.q_source_overlap,
@@ -238,10 +239,26 @@ def _domain_mix_arms() -> str:
     return f"{arms} ELSE '{DOMAIN_MIX_DEFAULT}'"
 
 
+def _pagerank_sql() -> str:
+    """Generated PageRank oracle: identical edge derivation + the
+    integer fixed-point unrolled as CTEs (one per iteration) by the
+    same generator the engine shares its constants with."""
+    from ocr_system_ray.functions.graph import pagerank_sql
+    from ocr_system_ray.pipelines.queries import PAGERANK_HOSTS as H
+
+    edges = f"""SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+        ) WHERE src <> dst"""
+    return pagerank_sql(edges, node_col="host", rank_col="rank_micro")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_system_ray.functions.pii import sql_scrub_expr
 
     return {
+        "pagerank": _pagerank_sql(),
         "doc_stats_by_lang": """
             SELECT lang,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,

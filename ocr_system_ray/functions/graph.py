@@ -1,0 +1,364 @@
+"""Distributed PageRank over an edge list — host-graph ranking.
+
+Web-curation pipelines rank hosts/URLs by link centrality
+(Common-Crawl publishes exactly this as its harmonic/PageRank host
+ranks) and use the rank as a quality prior for sampling.  The engine
+primitive is an ITERATIVE fixed-point over an edge table — a shape
+Ray Data has no operator for; this module composes it from the repo's
+standard parts (broadcast model pass / reduce-side lookup join).
+
+Exact-integer arithmetic end to end: ranks live in int64 micro-units
+(total mass ``total_micro``), each iteration computes
+
+    rank'(v) = ((100-d)·total // 100) // |V|  +  d·(Σ_{u→v} rank(u) // deg(u)) // 100
+
+with floor division everywhere.  Integer sums are order-independent,
+so the result is EXACTLY batching-invariant and EXACTLY reproducible
+by the generated DuckDB oracle (``pagerank_sql`` unrolls the same
+iterations as chained CTEs — same `//`, same COALESCE-0 for nodes with
+no in-links).  Dangling nodes (no out-edges) leak their mass, the
+classic simplification; the rule is part of the spec the SQL mirrors.
+
+Two execution modes (equality pinned by tests):
+
+* ``broadcast`` (|V| ≤ ``max_broadcast_nodes``) — the kmeans idiom
+  (`clustering.py`): the rank vector is a driver-side int64 array
+  broadcast via ``ray.put`` each round; one ``map_batches`` pass over
+  the (materialized, index-remapped) edges emits per-batch SPARSE
+  partial in-link sums (≤ |V| rows per batch, pre-combined by
+  ``np.add.at``); the driver reduces partials and steps the vector.
+  Edges never move after the one-time remap; per-iteration shuffle
+  cost is ZERO.  Host graphs (|V| ~ 10⁶–10⁸) fit this mode on real
+  clusters with adequate driver RAM.
+* ``distributed`` (any |V|) — rank table stays a Dataset; each
+  iteration is one coarse-bucket reduce-side lookup join
+  (``dedup._attach_label``: edges ⋈ ranks on src) plus one
+  ``groupby(node).sum`` over pre-combined contributions.  2 shuffles
+  per iteration, O(E) rows each; no driver state beyond scalars.
+
+Reference seam: the reference app has no graph op — this is part of
+the training-data operator mandate (crawl-quality priors), same
+family as `functions/urls.py` (rank keys on canonical hosts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _adaptive_coarse_bits, _attach_label, _coarse_bucket, _pair_bucket_column
+
+PR_TOTAL_MICRO = 10**12
+
+
+def _dedup_edges(edges: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
+    """Exact distinct over (src, dst) pairs — PageRank here is defined on
+    the edge SET (parallel edges collapse), matching a SQL DISTINCT
+    derivation.  Coarse pair-bucket shuffle + in-group pandas
+    drop_duplicates (the `_pair_bucket_column` idiom — pair-hash
+    groupby keys, never the raw multi-column Aggregate)."""
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        t2 = pa.table(
+            {
+                "id_a": t.column("src").cast(pa.int64()),
+                "id_b": t.column("dst").cast(pa.int64()),
+            }
+        )
+        return _pair_bucket_column(t2, num_buckets)
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                }
+            )
+        d = df.drop_duplicates(subset=["id_a", "id_b"])
+        return pd.DataFrame(
+            {
+                "src": d["id_a"].to_numpy(dtype=np.int64),
+                "dst": d["id_b"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
+def _node_table(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct node set of the edge list → Dataset[(node,)]."""
+    from ray.data.aggregate import Count
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("src").combine_chunks().cast(pa.int64()),
+                        t.column("dst").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    return (
+        edges.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+    )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    iters: int = 10,
+    damping_pct: int = 85,
+    total_micro: int = PR_TOTAL_MICRO,
+    node_col: str = "node",
+    rank_col: str = "rank_micro",
+    mode: str = "auto",
+    max_broadcast_nodes: int = 200_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """PageRank over ``edges`` (columns ``src``, ``dst``; treated as a
+    set — duplicates collapse, self-loops are legal and contribute to
+    their own node) → Dataset ``(node_col, rank_col)`` int64 micro-units.
+
+    ``mode``: "broadcast" | "distributed" | "auto" (broadcast iff
+    |V| ≤ ``max_broadcast_nodes``).  Both modes produce IDENTICAL
+    integers (pinned by tests)."""
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    from ray.data.aggregate import Count
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+    e = _dedup_edges(edges, nb).materialize()  # reused every iteration
+    nodes = _node_table(e).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {node_col: pa.array([], pa.int64()), rank_col: pa.array([], pa.int64())}
+            )
+        )
+    init_rank = total_micro // n_nodes
+    base = ((100 - damping_pct) * total_micro // 100) // n_nodes
+
+    if mode == "auto":
+        mode = "broadcast" if n_nodes <= max_broadcast_nodes else "distributed"
+    if mode == "broadcast":
+        return _pagerank_broadcast(
+            e, nodes, n_nodes, iters, damping_pct, init_rank, base, node_col, rank_col
+        )
+    if mode == "distributed":
+        return _pagerank_distributed(
+            e, nodes, n_nodes, iters, damping_pct, init_rank, base, node_col, rank_col, nb
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _pagerank_broadcast(
+    e: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_nodes: int,
+    iters: int,
+    damping_pct: int,
+    init_rank: int,
+    base: int,
+    node_col: str,
+    rank_col: str,
+) -> ray.data.Dataset:
+    node_arr = np.sort(
+        np.fromiter(
+            (r["node"] for r in nodes.take_all()), dtype=np.int64, count=n_nodes
+        )
+    )
+    nref = ray.put(node_arr)
+
+    # one-time remap: edges → compact (si, di) indices (searchsorted on
+    # the broadcast sorted node array; zero-copy plasma numpy)
+    def remap(t: pa.Table) -> pa.Table:
+        na = ray.get(nref)
+        si = np.searchsorted(na, t.column("src").to_numpy(zero_copy_only=False))
+        di = np.searchsorted(na, t.column("dst").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"si": pa.array(si.astype(np.int64)), "di": pa.array(di.astype(np.int64))}
+        )
+
+    eidx = e.map_batches(remap, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            t.column("si").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"i": pa.array(u.astype(np.int64)), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    for part in eidx.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            deg,
+            part.column("i").to_numpy(zero_copy_only=False),
+            part.column("c").to_numpy(zero_copy_only=False),
+        )
+    dref = ray.put(deg)
+
+    rank = np.full(n_nodes, init_rank, dtype=np.int64)
+    for _ in range(iters):
+        rref = ray.put(rank)
+
+        def partial(t: pa.Table, _rref=rref) -> pa.Table:
+            r, d = ray.get(_rref), ray.get(dref)
+            si = t.column("si").to_numpy(zero_copy_only=False)
+            di = t.column("di").to_numpy(zero_copy_only=False)
+            c = r[si] // d[si]  # deg[si] ≥ 1: si came from the src column
+            acc = np.zeros(len(r), dtype=np.int64)
+            np.add.at(acc, di, c)
+            nz = np.flatnonzero(acc)
+            return pa.table(
+                {"i": pa.array(nz.astype(np.int64)), "c": pa.array(acc[nz])}
+            )
+
+        inc = np.zeros(n_nodes, dtype=np.int64)
+        for part in eidx.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            np.add.at(
+                inc,
+                part.column("i").to_numpy(zero_copy_only=False),
+                part.column("c").to_numpy(zero_copy_only=False),
+            )
+        rank = base + damping_pct * inc // 100
+
+    return ray.data.from_arrow(
+        pa.table({node_col: pa.array(node_arr), rank_col: pa.array(rank)})
+    )
+
+
+def _pagerank_distributed(
+    e: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    n_nodes: int,
+    iters: int,
+    damping_pct: int,
+    init_rank: int,
+    base: int,
+    node_col: str,
+    rank_col: str,
+    nb: int,
+) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+
+    # out-degree per src, attached to every edge ONCE (reduce-side
+    # lookup join; reused all iterations)
+    deg_labels = (
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("src"),
+                    "label": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("label", alias_name="label"))
+    )
+    edeg = _attach_label(e, ["src", "dst"], deg_labels, "src", "deg", nb).materialize()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "label": pa.array(np.full(len(t), init_rank, dtype=np.int64)),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t.column("node"), "c": pa.array(np.zeros(len(t), dtype=np.int64))}
+        )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table({"node": t.column("dst"), "c": pa.array(r // d)})
+
+    for _ in range(iters):
+        joined = _attach_label(edeg, ["dst", "deg"], ranks, "src", "r", nb)
+        summed = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.array(base + damping_pct * c // 100),
+                }
+            )
+
+        ranks = summed.map_batches(step, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({node_col: t.column("node"), rank_col: t.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 10,
+    damping_pct: int = 85,
+    total_micro: int = PR_TOTAL_MICRO,
+    node_col: str = "node",
+    rank_col: str = "rank_micro",
+) -> str:
+    """Generate the DuckDB oracle: the SAME integer fixed-point,
+    unrolled as chained CTEs (one per iteration).  ``edges_sql`` must
+    select distinct (src, dst).  Single source of truth for the
+    iteration rule — the Python engine and this generator share the
+    constants, the expression shape is mirrored verbatim."""
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e))",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        "c AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT h, CAST({total_micro} // c.n AS BIGINT) AS r FROM nodes, c)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT n.h,
+                     CAST(({100 - damping_pct} * {total_micro} // 100) // c.n
+                          + ({damping_pct} * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n CROSS JOIN c
+              LEFT JOIN (SELECT e.dst AS h, SUM(r.r // d.d) AS s
+                         FROM e JOIN r{i} r ON e.src = r.h
+                                JOIN deg d ON e.src = d.src
+                         GROUP BY e.dst) inc ON n.h = inc.h)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT h AS {node_col}, r AS {rank_col} FROM r{iters}"
+    )

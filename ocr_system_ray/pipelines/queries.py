@@ -1433,6 +1433,36 @@ def q_corpus_diff(sf_dir: str) -> ray.data.Dataset:
     return corpus_diff(old_ds, new_ds)
 
 
+PAGERANK_HOSTS = 997  # prime host-space for the synthetic link graph
+
+
+def q_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """Host-graph PageRank (Common-Crawl-style crawl-quality prior).
+    The link graph is derived deterministically from the documents
+    table (each doc links its host ``doc_id % 997`` to two target
+    hosts — the oracle SQL re-derives the identical edge set);
+    exact-integer fixed-point, 10 iterations, damping 85/100 — see
+    ``functions/graph.py``.  Broadcast mode (997 nodes); the
+    distributed mode is equality-pinned in tests."""
+    from ..functions.graph import pagerank
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return pagerank(ds, node_col="host", rank_col="rank_micro")
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

@@ -1,0 +1,117 @@
+"""PageRank (functions/graph.py) — integer fixed-point over edge lists.
+
+An INDEPENDENT pure-Python dict twin recomputes the spec from scratch
+(set semantics, floor division, dangling leak); both Ray modes must
+match it exactly, on any block layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.graph import pagerank, pagerank_sql
+
+
+def pr_twin(edges, iters=10, dp=85, total=10**12):
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: total // n for v in nodes}
+    base = ((100 - dp) * total // 100) // n
+    for _ in range(iters):
+        inc = {v: 0 for v in nodes}
+        for s, d in es:
+            inc[d] += r[s] // deg[s]
+        r = {v: base + dp * inc[v] // 100 for v in nodes}
+    return r
+
+
+def _edges_ds(edges, blocks=1):
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _run(edges, mode, blocks=1, **kw):
+    out = pagerank(_edges_ds(edges, blocks), mode=mode, **kw).take_all()
+    return {r["node"]: r["rank_micro"] for r in out}
+
+
+HAND_GRAPH = [
+    # hub 1 is linked by everyone; 5 is dangling (no out-edges);
+    # 2→2 self-loop; (3,1) duplicated — must collapse to set semantics
+    (2, 1),
+    (3, 1),
+    (3, 1),
+    (4, 1),
+    (1, 5),
+    (2, 2),
+    (3, 4),
+]
+
+
+def test_broadcast_matches_twin_hand_graph(ray_session):
+    got = _run(HAND_GRAPH, "broadcast")
+    assert got == pr_twin(HAND_GRAPH)
+    # the hub out-ranks the no-in-link node 3 (base-only rank), and 5
+    # (sole target of the hub's whole mass) out-ranks everyone
+    assert got[3] == min(got.values())
+    assert got[1] > got[3]
+    assert got[5] == max(got.values())
+
+
+def test_distributed_matches_twin_and_broadcast(ray_session):
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 40, 300), rng.integers(0, 40, 300))
+        if a != b
+    ]
+    want = pr_twin(edges, iters=4)
+    for blocks in (1, 5):
+        assert _run(edges, "broadcast", blocks, iters=4) == want, blocks
+        assert _run(edges, "distributed", blocks, iters=4, num_buckets=8) == want, blocks
+
+
+def test_auto_mode_threshold(ray_session):
+    got = _run(HAND_GRAPH, "auto", iters=3, max_broadcast_nodes=2)  # forces distributed
+    assert got == pr_twin(HAND_GRAPH, iters=3)
+
+
+def test_empty_edges(ray_session):
+    out = pagerank(_edges_ds([(1, 1)]).filter(lambda r: False)).take_all()
+    assert out == []
+
+
+def test_sql_generator_matches_twin(ray_session):
+    import duckdb
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (1, 4)]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE el AS SELECT * FROM (VALUES "
+        + ", ".join(f"({s}, {d})" for s, d in edges)
+        + ") AS t(src, dst)"
+    )
+    sql = pagerank_sql("SELECT DISTINCT src, dst FROM el", iters=10)
+    got = {int(h): int(r) for h, r in con.sql(sql).fetchall()}
+    assert got == pr_twin(edges)
+
+
+def test_iters_and_damping_params(ray_session):
+    got = _run(HAND_GRAPH, "broadcast", iters=3, damping_pct=50)
+    assert got == pr_twin(HAND_GRAPH, iters=3, dp=50)
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(HAND_GRAPH), damping_pct=0)
