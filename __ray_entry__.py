@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q.q_dedup_incremental,
         "corpus_diff": q.q_corpus_diff,
         "pagerank": q.q_pagerank,
+        "event_gaps": q.q_event_gaps,
+        "rolling_spend": q.q_rolling_spend,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "source_overlap": q.q_source_overlap,
@@ -259,6 +261,23 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": _pagerank_sql(),
+        # per-key LAG window, exact microseconds (never truncated
+        # seconds — the r1-advice boundary rule), (ts, event_id) order
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   COALESCE(date_diff('microsecond',
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts), -1) AS prev_gap_us
+            FROM events
+        """,
+        "rolling_spend": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling_cents
+            FROM events
+        """,
         "doc_stats_by_lang": """
             SELECT lang,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -1,0 +1,175 @@
+"""Keyed window operators — per-key LAG / rolling aggregates.
+
+Ray Data has no window functions; these compose the repo's standard
+coarse-bucket shape: ONE sort-shuffle keyed on ``hash(key) %
+num_buckets`` co-locates every row of a key, then pandas inside each
+bucket does the ordered scan at C speed.  The partitioning assumption
+is the usual one: all rows of one KEY fit in a worker (per-user event
+history — thousands of rows), while a BUCKET aggregates many keys to
+amortize Ray's per-group overhead (`_adaptive_coarse_bits` targets
+~50k rows/group).
+
+Determinism: order inside a key is ``(order_col, id_col)`` — the id
+tiebreak makes results exact under timestamp ties.  All emitted values
+are int64 (µs gaps / integer cents), so the driver hash is stable and
+the DuckDB ``LAG``/``SUM OVER ROWS`` oracles match bit-for-bit
+(ADVICE r1: gaps compared in exact microseconds, never truncated
+seconds).
+
+Reference seam: the reference app is batch-per-document and has no
+windowed analytics; this is engine completeness for the events table
+(sessionization's neighbours: inter-event gaps, trailing spend).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _adaptive_coarse_bits, _coarse_bucket
+
+
+def _bucketed(
+    ds: ray.data.Dataset,
+    key_col: str,
+    keep: dict[str, pa.DataType],
+    num_buckets: int | None,
+) -> ray.data.Dataset:
+    """Tag each row with the key's coarse bucket; project to ``keep``."""
+    nb = num_buckets or (1 << _adaptive_coarse_bits(ds.count()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        cols = {"bucket": pa.array(_coarse_bucket(k, nb))}
+        for c, typ in keep.items():
+            cols[c] = t.column(c).cast(typ)
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def prev_event_gap(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "prev_gap_us",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key LAG delta: for every row, microseconds since the key's
+    previous row (ordered by ``(ts, id)``); the key's first row gets
+    ``-1`` (int sentinel — no nullable-int64→float64 corruption in
+    pandas groups).  → ``(id_col, key_col, out_col)``, all int64."""
+    import pandas as pd
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                key_col: t.column(key_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(ts_us, batch_format="pyarrow"),
+        key_col,
+        {id_col: pa.int64(), key_col: pa.int64(), "_ts_us": pa.int64()},
+        num_buckets,
+    )
+
+    def lag_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64"),
+                    out_col: pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        # event-time µs (~1.7e15) < 2^53: the float64 shift round-trips
+        # exactly; the subtraction of two exactly-held ints is exact
+        prev = df.groupby(key_col)["_ts_us"].shift()
+        gap = (df["_ts_us"] - prev).fillna(-1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                key_col: df[key_col].to_numpy(dtype=np.int64),
+                out_col: gap.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(lag_in_bucket, batch_format="pandas")
+
+
+def rolling_sum_cents(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    window: int = 3,
+    out_col: str = "rolling_cents",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key trailing-``window`` rolling sum (current row + window-1
+    preceding, ordered by ``(ts, id)``) of ``val_col`` in integer cents
+    (``floor(x·100 + 0.5)`` — the repo's float→hash rule).  → ``(id_col,
+    key_col, out_col)``, all int64."""
+    import pandas as pd
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                key_col: t.column(key_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+                "_cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col,
+        {
+            id_col: pa.int64(),
+            key_col: pa.int64(),
+            "_ts_us": pa.int64(),
+            "_cents": pa.int64(),
+        },
+        num_buckets,
+    )
+
+    def roll_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype="int64"),
+                    out_col: pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        # cents are small ints: rolling's float64 accumulator is exact
+        rs = (
+            df.groupby(key_col)["_cents"]
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(level=0, drop=True)
+            .sort_index()
+        )
+        df = df.assign(**{out_col: rs.astype(np.int64)})
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                key_col: df[key_col].to_numpy(dtype=np.int64),
+                out_col: df[out_col].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(roll_in_bucket, batch_format="pandas")

@@ -1433,6 +1433,26 @@ def q_corpus_diff(sf_dir: str) -> ray.data.Dataset:
     return corpus_diff(old_ds, new_ds)
 
 
+def q_event_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Per-user LAG window: µs since the user's previous event, -1 for
+    the first (exact microseconds both sides — the r1-advice rule).
+    One coarse-bucket shuffle; pandas ordered scan in-bucket
+    (``functions/windows.py``)."""
+    from ..functions.windows import prev_event_gap
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return prev_event_gap(ds)
+
+
+def q_rolling_spend(sf_dir: str) -> ray.data.Dataset:
+    """Per-user trailing-3-event rolling sum of value in integer cents
+    (SQL ``SUM ... ROWS 2 PRECEDING`` twin)."""
+    from ..functions.windows import rolling_sum_cents
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return rolling_sum_cents(ds, window=3)
+
+
 PAGERANK_HOSTS = 997  # prime host-space for the synthetic link graph
 
 

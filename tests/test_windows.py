@@ -1,0 +1,106 @@
+"""Keyed window ops (functions/windows.py) vs a live DuckDB twin on a
+tie-heavy synthetic event log."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.windows import prev_event_gap, rolling_sum_cents
+
+
+def _events():
+    # 3 users; user 7 has duplicate timestamps (id tiebreak must bite),
+    # user 8 has a single event, user 9 has microsecond-level gaps
+    rows = [
+        (1, 7, "2024-01-01 00:00:00.000000", 1.005),
+        (2, 7, "2024-01-01 00:00:00.000000", 2.0),
+        (3, 7, "2024-01-01 00:30:00.000001", -3.5),
+        (4, 8, "2024-02-01 12:00:00.999999", 10.0),
+        (5, 9, "2024-03-01 00:00:00.000001", 0.0),
+        (6, 9, "2024-03-01 00:00:00.000002", 0.004),
+        (7, 9, "2024-03-01 00:00:00.000002", 0.006),
+        (8, 9, "2024-03-02 00:00:00.000000", 100.0),
+    ]
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"]).assign(
+        ts=lambda d: pd.to_datetime(d["ts"])
+    )
+
+
+def _ds(df, blocks):
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    i = t.schema.get_field_index("ts")
+    t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_prev_gap_matches_duckdb(ray_session):
+    df = _events()
+    want = duckdb.sql(
+        """SELECT event_id,
+                  COALESCE(date_diff('microsecond',
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                           ts), -1) AS g
+           FROM df ORDER BY event_id"""
+    ).df()
+    for blocks in (1, 4):
+        out = prev_event_gap(_ds(df, blocks), num_buckets=4).take_all()
+        got = {r["event_id"]: r["prev_gap_us"] for r in out}
+        assert [got[e] for e in want["event_id"]] == want["g"].tolist(), blocks
+    # spot pins: tie resolved by event_id; single-event user gets -1
+    assert got[1] == -1 and got[2] == 0 and got[4] == -1 and got[7] == 0
+
+
+def test_rolling_cents_matches_duckdb(ray_session):
+    df = _events()
+    want = duckdb.sql(
+        """SELECT event_id,
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+           FROM df ORDER BY event_id"""
+    ).df()
+    for blocks in (1, 4):
+        out = rolling_sum_cents(_ds(df, blocks), window=3, num_buckets=4).take_all()
+        got = {r["event_id"]: r["rolling_cents"] for r in out}
+        assert [got[e] for e in want["event_id"]] == want["s"].tolist(), blocks
+
+
+def test_rolling_window_one_is_pointwise(ray_session):
+    df = _events()
+    out = rolling_sum_cents(_ds(df, 2), window=1, num_buckets=2).take_all()
+    got = {r["event_id"]: r["rolling_cents"] for r in out}
+    cents = {
+        e: int(np.floor(v * 100 + 0.5))
+        for e, v in zip(df["event_id"], df["value"])
+    }
+    assert got == cents
+
+
+def test_random_sweep_vs_duckdb(ray_session):
+    rng = np.random.default_rng(13)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**7, n), unit="us"),
+            "value": rng.normal(0, 50, n),
+        }
+    )
+    want = duckdb.sql(
+        """SELECT event_id,
+                  COALESCE(date_diff('microsecond',
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                           ts), -1) AS g
+           FROM df ORDER BY event_id"""
+    ).df()
+    out = prev_event_gap(_ds(df, 5), num_buckets=8).take_all()
+    got = {r["event_id"]: r["prev_gap_us"] for r in out}
+    assert [got[e] for e in want["event_id"]] == want["g"].tolist()
