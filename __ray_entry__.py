@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q.q_corpus_diff,
         "pagerank": q.q_pagerank,
         "event_gaps": q.q_event_gaps,
+        "jsonl_ingest": q.q_jsonl_ingest,
+        "value_quantiles_hdr": q.q_value_quantiles_hdr,
         "rolling_spend": q.q_rolling_spend,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -256,11 +258,25 @@ def _pagerank_sql() -> str:
     return pagerank_sql(edges, node_col="host", rank_col="rank_micro")
 
 
+def _hdr_sql() -> str:
+    from ocr_system_ray.functions.hdr import hdr_quantiles_sql
+
+    return hdr_quantiles_sql("value", "FROM events")
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_system_ray.functions.pii import sql_scrub_expr
 
     return {
         "pagerank": _pagerank_sql(),
+        # HDR approx-quantile sketch: the generated SQL recomputes the
+        # same integer bucket/rank/decode rules independently
+        "value_quantiles_hdr": _hdr_sql(),
+        # jsonl round trip: the oracle reads the parquet directly; the
+        # Ray side reads the JSONL-gz copy — equality = ingest parity
+        "jsonl_ingest": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
         # per-key LAG window, exact microseconds (never truncated
         # seconds — the r1-advice boundary rule), (ts, event_id) order
         "event_gaps": """

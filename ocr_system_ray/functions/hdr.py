@@ -1,0 +1,160 @@
+"""HDR-histogram approximate quantiles — the mergeable sketch path.
+
+The exact grouped-quantile query (`q_event_value_quantiles`) ships a
+histogram of DISTINCT values — exact, but its combiner state grows
+with value cardinality.  This module is the bounded-state alternative
+(HdrHistogram's idea, Gil Tene): bucket integer cents by (bit length,
+next 4 mantissa bits), so the sketch holds ≤ 16 buckets per octave ×
+~60 octaves ≈ 1k counters no matter how many distinct values exist,
+with guaranteed relative error < 1/16 ≈ 6.25 % (values in (-16, 16)
+cents are EXACT).  Bucket assignment is per-row and pure-integer, so
+the sketch is deterministic, order-independent, and mergeable by plain
+addition — and the whole pipeline (bucket rule, rank rule, lower-bound
+decode) is mirrored verbatim by the generated DuckDB oracle
+(``hdr_quantiles_sql``): an *approximate* sketch with an *exact*
+value-hash oracle.
+
+Rank rule = DuckDB ``quantile_disc``: the picked bucket is the first
+whose cumulative count reaches ``max(ceil(q·n/100), 1)`` — integer
+ceiling ``(q·n + 99) // 100`` on both sides.
+
+Ray shape: one stateless bucket+count combiner pass (per-batch
+``np.unique``), one single-column ``groupby(bucket).sum`` over ≤ ~1k
+keys, then the driver reads the tiny bucket table and extracts
+quantiles.  The events never move; the shuffle carries (bucket,
+partial_count) rows only.
+
+Limit: |cents| must fit float64 exactly (< 2^53) — asserted; cents
+beyond that are not representable upstream anyway (the cents rule
+itself runs through float64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_SIG = 4  # significant mantissa bits after the leading 1
+_LO = 1 << _SIG  # 16: values below are exact
+
+
+def hdr_bucket(cents: np.ndarray) -> np.ndarray:
+    """Vectorized bucket id per int64 cents value (monotone in cents).
+    Positive c ≥ 16 → (bitlen(c) - 5)·16 + (c >> (bitlen(c) - 5));
+    0 ≤ c < 16 → c; negative → -bucket(-c)."""
+    c = cents.astype(np.int64)
+    if len(c) and int(np.abs(c).max()) >= 1 << 53:
+        raise ValueError("cents magnitude must be < 2^53")
+    a = np.abs(c)
+    # exact bit length: frexp exponent of an exactly-held double
+    bl = np.frexp(a.astype(np.float64))[1].astype(np.int64)
+    shift = np.maximum(bl - (_SIG + 1), 0)
+    top = a >> shift
+    b = np.where(a < _LO, a, (bl - (_SIG + 1)) * _LO + top)
+    return np.where(c < 0, -b, b).astype(np.int64)
+
+
+def hdr_lower_bound(bucket: np.ndarray) -> np.ndarray:
+    """Decode bucket id → the smallest |cents| in the bucket (sign
+    preserved) — the sketch's representative value."""
+    b = bucket.astype(np.int64)
+    a = np.abs(b)
+    with np.errstate(over="ignore"):
+        lb = np.where(a < _LO, a, (a % _LO + _LO) << np.maximum(a // _LO - 1, 0))
+    return np.where(b < 0, -lb, lb).astype(np.int64)
+
+
+def approx_quantiles_hdr(
+    ds: ray.data.Dataset,
+    val_col: str,
+    q_pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+) -> ray.data.Dataset:
+    """→ ``(q_pct, approx_cents)``: HDR-sketch quantiles of
+    ``floor(val·100 + 0.5)`` cents.  Relative error < 1/16."""
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        u, n = np.unique(hdr_bucket(cents), return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u), "pn": pa.array(n.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # ≤ ~1k rows by construction — the sketch bound
+    )
+    if hist.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "q_pct": pa.array([], pa.int64()),
+                    "approx_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hist = hist.sort_values("bucket")
+    buckets = hist["bucket"].to_numpy(dtype=np.int64)
+    cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
+    total = int(cum[-1])
+    out_q, out_v = [], []
+    for q in q_pcts:
+        rank = max((q * total + 99) // 100, 1)
+        i = int(np.searchsorted(cum, rank))
+        out_q.append(int(q))
+        out_v.append(int(hdr_lower_bound(buckets[i : i + 1])[0]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_pct": pa.array(out_q, pa.int64()),
+                "approx_cents": pa.array(out_v, pa.int64()),
+            }
+        )
+    )
+
+
+def hdr_quantiles_sql(
+    val_expr: str,
+    from_clause: str,
+    q_pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+) -> str:
+    """Generated DuckDB oracle — the SAME bucket rule (bit length via
+    ``length(printf('%b', x))``, integer shifts), rank rule, and
+    lower-bound decode, recomputed independently in SQL."""
+    sig, lo = _SIG, _LO
+
+    def bexpr(x: str) -> str:
+        return (
+            f"CASE WHEN {x} < {lo} THEN {x} "
+            f"ELSE (length(printf('%b', {x})) - {sig + 1}) * {lo}"
+            f" + ({x} >> (length(printf('%b', {x})) - {sig + 1})) END"
+        )
+
+    values = ", ".join(f"({q})" for q in q_pcts)
+    return f"""
+        WITH c AS (SELECT CAST(FLOOR(({val_expr}) * 100 + 0.5) AS BIGINT) AS cents
+                   {from_clause}),
+        b AS (SELECT CASE WHEN cents >= 0 THEN {bexpr("cents")}
+                          ELSE -({bexpr("(-cents)")}) END AS bucket FROM c),
+        g AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+        o AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum,
+                     (SELECT SUM(n) FROM g) AS total FROM g),
+        qs AS (SELECT * FROM (VALUES {values}) AS t(q_pct)),
+        pick AS (SELECT qs.q_pct, MIN(o.bucket) AS bucket
+                 FROM qs JOIN o
+                   ON o.cum >= GREATEST((qs.q_pct * o.total + 99) // 100, 1)
+                 GROUP BY qs.q_pct)
+        SELECT CAST(q_pct AS BIGINT) AS q_pct,
+               CAST(CASE WHEN abs(bucket) < {lo} THEN bucket
+                         WHEN bucket > 0 THEN
+                           (bucket % {lo} + {lo}) << (bucket // {lo} - 1)
+                         ELSE
+                           -(((-bucket) % {lo} + {lo}) << ((-bucket) // {lo} - 1))
+                    END AS BIGINT) AS approx_cents
+        FROM pick
+    """

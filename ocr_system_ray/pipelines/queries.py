@@ -1433,6 +1433,54 @@ def q_corpus_diff(sf_dir: str) -> ray.data.Dataset:
     return corpus_diff(old_ds, new_ds)
 
 
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def q_jsonl_ingest(sf_dir: str) -> ray.data.Dataset:
+    """Source-format coverage: the documents table round-tripped
+    through gzipped JSONL shards (the C4/OSCAR corpus layout) and read
+    back by the vectorized NDJSON reader (``sources/jsonl.py``).  The
+    oracle reads the parquet directly — equality IS the ingest
+    correctness statement."""
+    import hashlib
+    import os
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    cache = f"/tmp/osr_jsonl_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        ds = read_table(
+            sf_dir, "documents", columns=[f.name for f in DOCS_SCHEMA]
+        )
+        write_jsonl(ds, cache)
+    paths = [
+        os.path.join(cache, n)
+        for n in sorted(os.listdir(cache))
+        if n.endswith(".jsonl.gz")
+    ]
+    return read_jsonl(paths, DOCS_SCHEMA)
+
+
+def q_value_quantiles_hdr(sf_dir: str) -> ray.data.Dataset:
+    """Approximate quantiles of event value cents via the HDR sketch
+    (bounded ~1k-counter state regardless of value cardinality, <1/16
+    relative error) — the scale path next to the exact
+    ``event_value_quantiles``.  Deterministic integer bucketing, so the
+    generated SQL oracle matches the hash exactly."""
+    from ..functions.hdr import approx_quantiles_hdr
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    return approx_quantiles_hdr(ds, "value")
+
+
 def q_event_gaps(sf_dir: str) -> ray.data.Dataset:
     """Per-user LAG window: µs since the user's previous event, -1 for
     the first (exact microseconds both sides — the r1-advice rule).

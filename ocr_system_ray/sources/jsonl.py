@@ -1,0 +1,145 @@
+"""JSONL source/sink — newline-delimited JSON ingest (C4/OSCAR layout).
+
+Web-text corpora ship as gzipped JSONL shards (one JSON object per
+line: C4, OSCAR, Dolma, RedPajama); an engine that can't ingest them
+can't load most public corpora.  This reader maps shards onto an
+explicit Arrow schema:
+
+    ray.data.read_binary_files(paths)            # one task per shard
+      → gunzip (multi-member tolerated)
+      → pyarrow.json.read_json on the WHOLE buffer   # C++-vectorized,
+                                                     # never a Python
+                                                     # loop on the hot path
+      → schema coercion (missing → null, extras ignored, casts)
+
+Malformed shards follow the engine's error-as-data contract: when the
+vectorized parse rejects the buffer, a per-line salvage pass keeps
+every valid line and counts the bad ones (``on_error="skip"``) instead
+of failing the task — one poisoned line in a 10⁹-line crawl must not
+kill the job.  ``on_error="raise"`` opts back into strictness.
+
+Granularity is per shard (the practical layout: many 100 MB–1 GB
+shards); parallelism comes from shard count, as with the WARC reader
+(`sources/warc.py`).  The sink writes one shard per incoming block
+from inside the tasks — the driver never sees the data.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.json as pa_json
+
+import ray.data
+
+from .warc import _gunzip_members
+
+
+def _coerce(t: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Project/cast ``t`` onto ``schema``: missing fields become null
+    columns, extra fields are dropped, types are cast."""
+    cols = []
+    for field in schema:
+        if field.name in t.column_names:
+            cols.append(t.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(len(t), field.type))
+    return pa.table(cols, schema=schema)
+
+
+def _parse_buffer(
+    buf: bytes, schema: pa.Schema, on_error: str
+) -> tuple[pa.Table, int]:
+    """Vectorized NDJSON parse with per-line salvage fallback.
+    Returns (table, n_bad_lines)."""
+    opts = pa_json.ParseOptions(
+        explicit_schema=schema, unexpected_field_behavior="ignore"
+    )
+    try:
+        return _coerce(pa_json.read_json(io.BytesIO(buf), parse_options=opts), schema), 0
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        if on_error == "raise":
+            raise
+    rows: list[dict] = []
+    bad = 0
+    for line in buf.split(b"\n"):
+        if not line.strip():
+            continue
+        try:
+            obj = json.loads(line)
+            if not isinstance(obj, dict):
+                raise ValueError("not an object")
+            rows.append(obj)
+        except (ValueError, UnicodeDecodeError):
+            bad += 1
+    arrays = [
+        pa.array([r.get(f.name) for r in rows], type=f.type) for f in schema
+    ]
+    return pa.table(arrays, schema=schema), bad
+
+
+def read_jsonl(
+    paths: str | list[str],
+    schema: pa.Schema,
+    on_error: str = "skip",
+    **read_kwargs,
+) -> ray.data.Dataset:
+    """Read JSONL / JSONL-gz shards into ``schema``.  ``on_error``:
+    "skip" (salvage valid lines of a malformed shard) | "raise"."""
+    if on_error not in ("skip", "raise"):
+        raise ValueError("on_error must be 'skip' or 'raise'")
+    raw = ray.data.read_binary_files(paths, **read_kwargs)
+
+    def parse(t: pa.Table) -> pa.Table:
+        tables = []
+        for buf in t.column("bytes").to_pylist():
+            parsed, _bad = _parse_buffer(_gunzip_members(buf), schema, on_error)
+            tables.append(parsed)
+        return pa.concat_tables(tables) if tables else schema.empty_table()
+
+    return raw.map_batches(parse, batch_format="pyarrow")
+
+
+def write_jsonl(
+    ds: ray.data.Dataset, out_dir: str, compression: str | None = "gzip"
+) -> int:
+    """Write ``ds`` as JSONL shards (one per incoming block, written
+    from inside the tasks; shard names are content-hashed so re-runs
+    are idempotent).  Returns the number of rows written."""
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".jsonl.gz" if compression == "gzip" else ".jsonl"
+
+    def write_block(t: pa.Table) -> pa.Table:
+        lines = []
+        names = t.column_names
+        for row in t.to_pylist():
+            lines.append(
+                json.dumps(
+                    {k: row[k] for k in names},
+                    ensure_ascii=False,
+                    separators=(",", ":"),
+                )
+            )
+        payload = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+        if compression == "gzip":
+            payload = gzip.compress(payload, mtime=0)
+        name = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n

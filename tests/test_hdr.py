@@ -1,0 +1,93 @@
+"""HDR approx-quantile sketch (functions/hdr.py): bucket-rule
+properties, error bound vs exact quantiles, SQL twin."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.hdr import (
+    approx_quantiles_hdr,
+    hdr_bucket,
+    hdr_lower_bound,
+    hdr_quantiles_sql,
+)
+
+
+def test_bucket_monotone_and_bounds():
+    c = np.concatenate(
+        [
+            np.arange(-2000, 2001),
+            np.array([2**40, -(2**40), 2**52, -(2**52), (1 << 53) - 1]),
+        ]
+    ).astype(np.int64)
+    b = hdr_bucket(c)
+    order = np.argsort(c, kind="mergesort")
+    assert (np.diff(b[order]) >= 0).all()  # monotone in cents
+    lb = hdr_lower_bound(b)
+    pos = c > 0
+    # lower bound never exceeds the value; relative error < 1/16
+    assert (lb[pos] <= c[pos]).all()
+    assert ((c[pos] - lb[pos]) / c[pos] < 1 / 16).all()
+    neg = c < 0
+    assert (np.abs(lb[neg]) <= np.abs(c[neg])).all()
+    small = np.abs(c) < 16
+    assert (lb[small] == c[small]).all()  # exact below 16
+
+
+def test_bucket_magnitude_guard():
+    with pytest.raises(ValueError):
+        hdr_bucket(np.array([1 << 53], dtype=np.int64))
+
+
+def test_quantile_error_bound_vs_exact(ray_session):
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.lognormal(4, 2, 4000), -rng.lognormal(2, 1, 1000), np.zeros(50)]
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(5)
+    got = {r["q_pct"]: r["approx_cents"] for r in approx_quantiles_hdr(ds, "value").take_all()}
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    for q, a in got.items():
+        rank = max((q * len(cents) + 99) // 100, 1)
+        exact = int(np.sort(cents)[rank - 1])
+        if abs(exact) < 16:
+            assert a == exact, q
+        else:
+            assert abs(a - exact) / abs(exact) < 1 / 16, (q, a, exact)
+
+
+def test_layout_invariance(ray_session):
+    vals = np.linspace(-500, 500, 777)
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.table({"value": pa.array(vals, pa.float64())})
+        ).repartition(blocks)
+        outs.append(sorted(map(tuple, (r.values() for r in approx_quantiles_hdr(ds, "value").take_all()))))
+    assert outs[0] == outs[1]
+
+
+def test_sql_twin(ray_session):
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"value": rng.normal(0, 300, 3000)})
+    sql = hdr_quantiles_sql("value", "FROM df")
+    want = {
+        int(q): int(v) for q, v in duckdb.sql(sql).fetchall()
+    }
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    got = {r["q_pct"]: r["approx_cents"] for r in approx_quantiles_hdr(ds, "value").take_all()}
+    assert got == want
+
+
+def test_empty_input(ray_session):
+    ds = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    assert approx_quantiles_hdr(ds, "value").take_all() == []

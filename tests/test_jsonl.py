@@ -1,0 +1,80 @@
+"""JSONL source/sink (sources/jsonl.py): round trip, salvage, coercion."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.jsonl import read_jsonl, write_jsonl
+
+SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("text", pa.string()), ("n", pa.int64())]
+)
+
+
+def _rows(ds):
+    return sorted(ds.take_all(), key=lambda r: (r["doc_id"] is None, r["doc_id"]))
+
+
+def test_round_trip_unicode_newline_null(ray_session, tmp_path):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["héllo ☂", "two\nlines\ttab", None, 'quote"back\\slash'], pa.string()),
+            "n": pa.array([7, None, 0, -5], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "shards")
+    n = write_jsonl(ray.data.from_arrow(t).repartition(2), out)
+    assert n == 4
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    paths = [os.path.join(out, p) for p in os.listdir(out) if p.endswith(".jsonl.gz")]
+    assert len(paths) == 2
+    got = _rows(read_jsonl(paths, SCHEMA))
+    assert got == _rows(ray.data.from_arrow(t))
+
+
+def test_plain_uncompressed_and_field_coercion(ray_session, tmp_path):
+    p = tmp_path / "a.jsonl"
+    # extra field ignored; missing field -> null
+    p.write_text(
+        '{"doc_id": 1, "text": "a", "n": 2, "extra": true}\n{"doc_id": 2}\n'
+    )
+    got = _rows(read_jsonl([str(p)], SCHEMA))
+    assert got == [
+        {"doc_id": 1, "text": "a", "n": 2},
+        {"doc_id": 2, "text": None, "n": None},
+    ]
+
+
+def test_malformed_line_salvage_and_raise(ray_session, tmp_path):
+    p = tmp_path / "bad.jsonl.gz"
+    payload = (
+        '{"doc_id": 1, "text": "ok", "n": 1}\n'
+        "THIS IS NOT JSON {{{\n"
+        "[1, 2, 3]\n"
+        '{"doc_id": 2, "text": "also ok", "n": 2}\n'
+    ).encode()
+    p.write_bytes(gzip.compress(payload))
+    got = _rows(read_jsonl([str(p)], SCHEMA))
+    assert [r["doc_id"] for r in got] == [1, 2]
+    with pytest.raises(Exception):
+        read_jsonl([str(p)], SCHEMA, on_error="raise").take_all()
+    with pytest.raises(ValueError):
+        read_jsonl([str(p)], SCHEMA, on_error="typo")
+
+
+def test_writer_idempotent_content_hash(ray_session, tmp_path):
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"]), "n": pa.array([1], pa.int64())})
+    out = str(tmp_path / "o")
+    write_jsonl(ray.data.from_arrow(t), out)
+    first = sorted(os.listdir(out))
+    write_jsonl(ray.data.from_arrow(t), out)
+    assert sorted(os.listdir(out)) == first  # same content → same shard name
