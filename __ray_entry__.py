@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q.q_event_gaps,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
+        "mojibake_repair": q.q_mojibake_repair,
         "rolling_spend": q.q_rolling_spend,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -269,6 +270,14 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": _pagerank_sql(),
+        # mojibake: committed golden from the independent plain-codecs
+        # twin (tools/make_goldens.py mojibake_golden)
+        "mojibake_repair": """
+            SELECT d.doc_id, g.was_fixed, g.fixed_md5
+            FROM documents d
+            JOIN '/root/repo/tests/golden/mojibake_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
         # HDR approx-quantile sketch: the generated SQL recomputes the
         # same integer bucket/rank/decode rules independently
         "value_quantiles_hdr": _hdr_sql(),

@@ -1,0 +1,132 @@
+"""Mojibake repair — ftfy-lite UTF-8/cp1252 double-encoding fixes.
+
+Web crawls are full of text that was UTF-8 encoded and then decoded
+with a legacy single-byte codec ("café" → "cafÃ©", "'" → "â€™"); C4 /
+OSCAR-class pipelines run a repair pass (ftfy) before any dedup or
+quality scoring, because mojibake variants of the same page would
+otherwise fingerprint apart.  No ftfy offline — this is a from-scratch
+subset covering the dominant corruption: one or two rounds of
+UTF-8-read-as-cp1252/latin-1.
+
+Algorithm per flagged string (≤ ``max_passes`` rounds):
+  1. re-encode via SLOPPY cp1252 (the five unmapped bytes 0x81 0x8D
+     0x8F 0x90 0x9D fall back to their Latin-1 code points — ftfy's
+     "sloppy-windows-1252" trick, so latin-1-style corruption repairs
+     through the same path);
+  2. decode the bytes as UTF-8; failure → keep the original;
+  3. accept only if the marker count STRICTLY drops — the no-false-
+     positive guard: legitimate text containing "Ã" as a real word
+     stays untouched unless re-decoding genuinely de-mojibakes it.
+
+Ray shape: the hot path is vectorized — a compiled RE2 marker gate
+(``pc.match_substring_regex``) selects the (rare) corrupted rows; only
+those enter the per-string repair.  Stateless and row-local: safe at
+any batch size, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# cp1252's C1 block (0x80-0x9F) mapped to unicode — the second char of
+# a mojibake pair lands either here or in U+00A0-00FF
+_CP1252_HIGH = "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+# UTF-8 lead bytes are 0xC2-0xF4; decoded via cp1252/latin-1 they land
+# on the code points U+00C2-U+00F4 (Â…ô — includes â, Ã, å, æ, è for
+# 2/3/4-byte sequences, so CJK mojibake gates too)
+_LEADS = "Â-ô"
+# RE2-safe class (explicit chars + one contiguous range)
+MARKER_PATTERN = f"[{_LEADS}][{re.escape(_CP1252_HIGH)}- -¿]"
+_MARKER_RE = re.compile(MARKER_PATTERN)
+
+
+def _sloppy_cp1252_bytes(s: str) -> bytes | None:
+    """cp1252 encode with ftfy's sloppy fallback: code points ≤ 0x9F
+    (latin-1 C1 controls, unmapped in cp1252) become their own byte.
+    None when any char has no byte at all (genuinely non-Western text
+    — not mojibake, leave it alone)."""
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in s:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o <= 0x9F:
+                    out.append(o)
+                else:
+                    return None
+        return bytes(out)
+
+
+def fix_text(s: str, max_passes: int = 3) -> str:
+    """Repair one string (see module docstring); returns the input
+    unchanged when no safe repair exists."""
+    for _ in range(max_passes):
+        n = len(_MARKER_RE.findall(s))
+        if n == 0:
+            return s
+        b = _sloppy_cp1252_bytes(s)
+        if b is None:
+            return s
+        try:
+            s2 = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return s
+        if len(_MARKER_RE.findall(s2)) >= n:
+            return s
+        s = s2
+    return s
+
+
+def fix_mojibake_batch(
+    t: pa.Table,
+    text_col: str = "text",
+    out_col: str = "fixed_text",
+    flag_col: str = "was_fixed",
+    max_passes: int = 3,
+) -> pa.Table:
+    """Append ``out_col`` (repaired text; null stays null) and
+    ``flag_col`` (int8 1 iff the text changed).  Vectorized marker gate;
+    per-string repair only on flagged rows."""
+    texts = t.column(text_col)
+    flagged = pc.fill_null(pc.match_substring_regex(texts, MARKER_PATTERN), False)
+    idx = np.flatnonzero(flagged.to_numpy(zero_copy_only=False))
+    vals = texts.to_pylist()
+    changed = np.zeros(len(t), dtype=np.int8)
+    for i in idx:
+        fixed = fix_text(vals[i], max_passes=max_passes)
+        if fixed != vals[i]:
+            vals[i] = fixed
+            changed[i] = 1
+    return t.append_column(out_col, pa.array(vals, pa.string())).append_column(
+        flag_col, pa.array(changed)
+    )
+
+
+def fix_mojibake(
+    ds: ray.data.Dataset, text_col: str = "text", **kw
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: fix_mojibake_batch(t, text_col=text_col, **kw),
+        batch_format="pyarrow",
+    )
+
+
+def corrupt_cp1252(s: str) -> str:
+    """The corruption being repaired, for test/derivation use: UTF-8
+    bytes read back per-byte as sloppy cp1252 (unmapped C1 bytes keep
+    their code point, mirroring `_sloppy_cp1252_bytes`)."""
+    out = []
+    for byte in s.encode("utf-8"):
+        ch = bytes([byte]).decode("cp1252", errors="ignore")
+        out.append(ch if ch else chr(byte))
+    return "".join(out)

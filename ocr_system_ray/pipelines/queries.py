@@ -1469,6 +1469,52 @@ def q_jsonl_ingest(sf_dir: str) -> ray.data.Dataset:
     return read_jsonl(paths, DOCS_SCHEMA)
 
 
+def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
+    """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
+    Corruption is derived deterministically (every 3rd doc: accent
+    injection + UTF-8-read-as-cp1252; every 6th: corrupted twice);
+    repair must recover the injected text exactly.  Oracle = committed
+    golden from the INDEPENDENT plain-codecs twin in
+    tools/make_goldens.py (``mojibake_golden``)."""
+    from ..functions.mojibake import corrupt_cp1252, fix_mojibake
+    from ..functions.textstats import fingerprint_batch
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, x in zip(ids, texts):
+            x = x or ""
+            if i % 3 == 0:
+                x = corrupt_cp1252(x.replace("a", "á").replace("e", "é"))
+                if i % 6 == 0:
+                    x = corrupt_cp1252(x)
+            out.append(x)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        corrupt, batch_format="pyarrow"
+    )
+    fixed = fix_mojibake(ds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = fingerprint_batch(t, text_col="fixed_text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "was_fixed": t.column("was_fixed").cast(pa.int64()),
+                "fixed_md5": t.column("content_md5"),
+            }
+        )
+
+    return fixed.map_batches(finish, batch_format="pyarrow")
+
+
 def q_value_quantiles_hdr(sf_dir: str) -> ray.data.Dataset:
     """Approximate quantiles of event value cents via the HDR sketch
     (bounded ~1k-counter state regardless of value cardinality, <1/16

@@ -102,6 +102,18 @@ def test_unigram_logprob_golden_matches_twin():
 
 
 @needs_testdata
+def test_mojibake_golden_matches_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import mojibake_golden
+
+    fresh = mojibake_golden()
+    committed = pq.read_table(GOLDEN_DIR / "mojibake_sf001.parquet")
+    assert fresh.equals(committed)
+
+
+@needs_testdata
 def test_dsir_golden_matches_twin():
     import sys
 

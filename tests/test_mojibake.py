@@ -1,0 +1,81 @@
+"""ftfy-lite mojibake repair (functions/mojibake.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.mojibake import (
+    corrupt_cp1252,
+    fix_mojibake,
+    fix_mojibake_batch,
+    fix_text,
+)
+
+ROUND_TRIP = [
+    "café au lait",
+    "naïve — “curly” ’quotes’ …ellipsis",
+    "Ångström ünïcödé",
+    "日本語テキスト",
+    "한국어 텍스트",
+    "русский текст",
+    "emoji 🎉 party",
+    "mixed ascii + é + 中文",
+]
+
+LEGIT = [
+    "São Paulo",
+    "déjà vu — naïve",
+    "Übermut tût gut",
+    "price €99 now",
+    "Ãlvaro (odd but real)",
+    "plain ascii only",
+    "",
+]
+
+
+def test_single_and_double_corruption_round_trip():
+    for s in ROUND_TRIP:
+        c1 = corrupt_cp1252(s)
+        assert fix_text(c1) == s, s
+        assert fix_text(corrupt_cp1252(c1)) == s, s
+
+
+def test_legit_text_never_touched():
+    for s in LEGIT:
+        assert fix_text(s) == s, s
+
+
+def test_idempotent():
+    for s in ROUND_TRIP + LEGIT:
+        assert fix_text(fix_text(corrupt_cp1252(s))) == fix_text(corrupt_cp1252(s))
+
+
+def test_batch_flags_and_nulls():
+    t = pa.table(
+        {
+            "text": pa.array(
+                [corrupt_cp1252("café"), "clean", None, corrupt_cp1252(corrupt_cp1252("über"))],
+                pa.string(),
+            )
+        }
+    )
+    out = fix_mojibake_batch(t)
+    assert out.column("fixed_text").to_pylist() == ["café", "clean", None, "über"]
+    assert out.column("was_fixed").to_pylist() == [1, 0, 0, 1]
+
+
+def test_dataset_wrapper(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([corrupt_cp1252(s) for s in ROUND_TRIP], pa.string())})
+    ).repartition(3)
+    got = sorted(r["fixed_text"] for r in fix_mojibake(ds).take_all())
+    assert got == sorted(ROUND_TRIP)
+
+
+def test_truncated_utf8_left_alone():
+    # a mojibake-looking string whose re-encode is NOT valid UTF-8
+    broken = "Ã" + "\x28"  # C3 28 — invalid continuation
+    assert fix_text(broken) == broken

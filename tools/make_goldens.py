@@ -459,6 +459,87 @@ def query_golden(name: str) -> pa.Table:
     return t
 
 
+def mojibake_golden() -> pa.Table:
+    """Independent twin of ``q_mojibake_repair``: the deterministic
+    corruption derivation AND the ftfy-lite repair spec re-implemented
+    from scratch with plain codecs (nothing imported from the engine).
+    Spec: marker = UTF-8-lead char (U+00C2-00F4) followed by a
+    continuation-byte char (U+0080-00BF or its cp1252 mapping); repair
+    = ≤3 rounds of sloppy-cp1252 encode → UTF-8 decode, accepted only
+    on a strict marker-count decrease."""
+    import hashlib
+    import re as _re
+
+    cont = {chr(b) for b in range(0x80, 0xC0)}
+    for b in range(0x80, 0xA0):
+        try:
+            cont.add(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            pass
+    marker = _re.compile("[Â-ô][" + "".join(sorted(cont)) + "]")
+
+    def sloppy_enc(s: str) -> bytes | None:
+        bs = bytearray()
+        for ch in s:
+            try:
+                bs += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o <= 0x9F:
+                    bs.append(o)
+                else:
+                    return None
+        return bytes(bs)
+
+    def corrupt(s: str) -> str:
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    def fix(s: str) -> str:
+        for _ in range(3):
+            n = len(marker.findall(s))
+            if n == 0:
+                return s
+            bs = sloppy_enc(s)
+            if bs is None:
+                return s
+            try:
+                s2 = bs.decode("utf-8")
+            except UnicodeDecodeError:
+                return s
+            if len(marker.findall(s2)) >= n:
+                return s
+            s = s2
+        return s
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    ids, fixed_flags, md5s = [], [], []
+    for did, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        x = text or ""
+        if did % 3 == 0:
+            x = corrupt(x.replace("a", "á").replace("e", "é"))
+            if did % 6 == 0:
+                x = corrupt(x)
+        fixed = fix(x)
+        ids.append(did)
+        fixed_flags.append(int(fixed != x))
+        md5s.append(hashlib.md5(fixed.encode("utf-8")).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "was_fixed": pa.array(fixed_flags, pa.int64()),
+            "fixed_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -488,6 +569,9 @@ def main() -> None:
     be = bpe_encode_golden()
     pq.write_table(be, GOLDEN_DIR / "bpe_encode_sf001.parquet")
     print(f"bpe_encode_sf001.parquet: {be.num_rows} rows")
+    mj = mojibake_golden()
+    pq.write_table(mj, GOLDEN_DIR / "mojibake_sf001.parquet")
+    print(f"mojibake_sf001.parquet: {mj.num_rows} rows")
 
     import ray
 
