@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
         "mojibake_repair": q.q_mojibake_repair,
+        "media_headers": q.q_media_headers,
         "rolling_spend": q.q_rolling_spend,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -270,6 +271,31 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": _pagerank_sql(),
+        # media_headers: real PNG/JPEG/GIF/BMP/WAV bytes are built from
+        # doc_id-derived dimensions and PARSED back by the stdlib
+        # codecs; SQL recomputes the expected metadata from the same
+        # derivation (-1 = field the format doesn't carry)
+        "media_headers": """
+            SELECT doc_id,
+                   CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp'
+                        ELSE 'wav' END AS format,
+                   CAST(CASE WHEN doc_id % 5 <= 3 THEN doc_id % 61 + 1
+                        ELSE -1 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % 5 <= 3 THEN doc_id % 37 + 1
+                        ELSE -1 END AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+                        ELSE -1 END AS BIGINT) AS channels,
+                   CAST(CASE WHEN doc_id % 5 = 4
+                        THEN 8000 + ((doc_id // 5) % 4) * 4000
+                        ELSE -1 END AS BIGINT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 5 = 4
+                        THEN ((doc_id % 1000 + 1) * (1 + doc_id % 2) * 2 * 1000)
+                             // ((8000 + ((doc_id // 5) % 4) * 4000)
+                                 * (1 + doc_id % 2) * 2)
+                        ELSE -1 END AS BIGINT) AS duration_ms
+            FROM documents
+        """,
         # mojibake: committed golden from the independent plain-codecs
         # twin (tools/make_goldens.py mojibake_golden)
         "mojibake_repair": """

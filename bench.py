@@ -127,6 +127,15 @@ def run_query_suite() -> dict[str, float]:
         "temperature_mix": q.q_temperature_mix,
         "corpus_report": q.q_corpus_report,
         "text_normalize": q.q_text_normalize,
+        # late-round-2 additions
+        "corpus_diff": q.q_corpus_diff,
+        "pagerank": q.q_pagerank,
+        "event_gaps": q.q_event_gaps,
+        "rolling_spend": q.q_rolling_spend,
+        "value_quantiles_hdr": q.q_value_quantiles_hdr,
+        "mojibake_repair": q.q_mojibake_repair,
+        "media_headers": q.q_media_headers,
+        "jsonl_ingest": q.q_jsonl_ingest,
     }
     import pandas as pd
 

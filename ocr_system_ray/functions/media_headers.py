@@ -1,0 +1,268 @@
+"""Real media container parsing — PNG/JPEG/GIF/BMP/WAV headers.
+
+`functions/multimodal.py` keeps the actor-pool plumbing with a fake
+16-byte header because full codecs (PIL/libav) are absent offline.
+This module removes the fake for the METADATA layer: genuine container
+formats, parsed from their real byte layouts with the stdlib —
+dimensions for PNG (IHDR), JPEG (SOF segment walk), GIF (logical
+screen descriptor), BMP (BITMAPINFOHEADER), and channels / sample rate
+/ duration for WAV (RIFF chunk walk).  Pixel/sample DECODING still
+needs real codecs; header extraction — the part a curation pipeline
+uses for filtering (min-resolution gates, aspect-ratio limits,
+duration caps à la LAION / DataComp) — is fully real here.
+
+The matching minimal ENCODERS (valid PNG with correct CRCs + zlib
+IDAT, header-only JFIF JPEG, GIF89a, BMP, PCM WAV) exist so tests and
+the driver query can synthesize deterministic real-format payloads
+without any image library.
+
+Ray shape: a stateless `map_batches` stage; per-record byte walks are
+the irreducible unit (headers are tens of bytes — the loop is not the
+hot path, the payload column is).  Payload bytes are DROPPED in-stage
+(the multimodal batch-size discipline: keep ``batch_size`` small so
+payload × batch × concurrency fits the heap).  Errors follow the
+error-as-data contract.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# --------------------------------------------------------------------------
+# parsers (real formats)
+# --------------------------------------------------------------------------
+
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF
+}
+_STANDALONE = {0x01} | set(range(0xD0, 0xD8))  # TEM, RSTn — no length field
+
+_ABSENT = -1  # fields a format does not carry (keeps all columns int64)
+
+
+def sniff_media(payload: bytes) -> dict:
+    """Parse real container headers → metadata dict.  Raises ValueError
+    on unknown/corrupt payloads (callers wrap per error-as-data)."""
+    if not payload:
+        raise ValueError("empty payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("png: truncated/missing IHDR")
+        w, h = struct.unpack(">II", payload[16:24])
+        return _meta("png", width=w, height=h)
+    if payload[:2] == b"\xff\xd8":
+        return _meta("jpeg", **_jpeg_dims(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("gif: truncated screen descriptor")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return _meta("gif", width=w, height=h)
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("bmp: truncated header")
+        w, h = struct.unpack("<ii", payload[18:26])
+        return _meta("bmp", width=w, height=abs(h))  # h<0 = top-down rows
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _meta("wav", **_wav_info(payload))
+    raise ValueError(f"unknown container (first bytes {payload[:4]!r})")
+
+
+def _meta(
+    fmt: str,
+    width: int = _ABSENT,
+    height: int = _ABSENT,
+    channels: int = _ABSENT,
+    sample_rate: int = _ABSENT,
+    duration_ms: int = _ABSENT,
+) -> dict:
+    return {
+        "format": fmt,
+        "width": int(width),
+        "height": int(height),
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "duration_ms": int(duration_ms),
+    }
+
+
+def _jpeg_dims(payload: bytes) -> dict:
+    """Walk JPEG segments to the first SOFn frame header (B.2.2)."""
+    pos = 2
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: lost marker sync")
+        while pos < n and payload[pos] == 0xFF:  # fill bytes are legal
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker in _STANDALONE:
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment length")
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if marker in _SOF_MARKERS:
+            if pos + 7 > n:
+                raise ValueError("jpeg: truncated SOF")
+            h, w = struct.unpack(">HH", payload[pos + 3 : pos + 7])
+            return {"width": w, "height": h}
+        if marker == 0xDA:  # start of scan: dims must have appeared
+            break
+        pos += seglen
+    raise ValueError("jpeg: no SOF frame header found")
+
+
+def _wav_info(payload: bytes) -> dict:
+    """Walk RIFF chunks: fmt → channels/rate, data → duration."""
+    pos = 12
+    n = len(payload)
+    channels = rate = byte_rate = None
+    data_bytes = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= n:
+            _fmt, channels, rate, byte_rate = struct.unpack(
+                "<HHII", payload[pos + 8 : pos + 20]
+            )
+        elif cid == b"data":
+            data_bytes = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None or rate is None:
+        raise ValueError("wav: missing fmt chunk")
+    dur = _ABSENT
+    if data_bytes is not None and byte_rate:
+        dur = data_bytes * 1000 // byte_rate
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": dur,
+    }
+
+
+# --------------------------------------------------------------------------
+# minimal real encoders (test/derivation side)
+# --------------------------------------------------------------------------
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(w: int, h: int, seed: int = 0) -> bytes:
+    """Valid 8-bit RGB PNG (correct CRCs, zlib IDAT, filter-0 rows)."""
+    row = (np.arange(3 * w, dtype=np.int64) * 31 + seed) % 256
+    rows = b"".join(
+        b"\x00" + ((row + y) % 256).astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(rows, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg(w: int, h: int) -> bytes:
+    """Header-only JFIF JPEG (SOI + APP0 + SOF0 + EOI): real segment
+    layout for parser use; carries no scan data."""
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3) + comps
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def encode_gif(w: int, h: int) -> bytes:
+    """GIF89a logical screen descriptor + trailer (no image blocks)."""
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def encode_bmp(w: int, h: int) -> bytes:
+    """BMP with a BITMAPINFOHEADER and zeroed 24-bit pixel rows."""
+    row_bytes = (3 * w + 3) & ~3
+    pixels = b"\x00" * (row_bytes * h)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return header + pixels
+
+
+def encode_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """PCM-16 WAV of silence."""
+    data = b"\x00" * (n_samples * channels * 2)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+# --------------------------------------------------------------------------
+# Ray stage
+# --------------------------------------------------------------------------
+
+_OUT_FIELDS = (
+    ("format", pa.string()),
+    ("width", pa.int64()),
+    ("height", pa.int64()),
+    ("channels", pa.int64()),
+    ("sample_rate", pa.int64()),
+    ("duration_ms", pa.int64()),
+    ("parse_error", pa.string()),
+)
+
+
+def parse_media_headers_batch(
+    t: pa.Table, payload_col: str = "payload"
+) -> pa.Table:
+    """Sniff every payload; append metadata columns and DROP the bytes."""
+    metas, errs = [], []
+    for payload in t.column(payload_col).to_pylist():
+        try:
+            metas.append(sniff_media(payload))
+            errs.append(None)
+        except ValueError as exc:
+            metas.append(_meta("unknown"))
+            errs.append(f"Error: {exc}")
+    out = t.drop_columns([payload_col])
+    for name, typ in _OUT_FIELDS[:-1]:
+        out = out.append_column(name, pa.array([m[name] for m in metas], typ))
+    return out.append_column("parse_error", pa.array(errs, pa.string()))
+
+
+def parse_media_headers(
+    ds: ray.data.Dataset, payload_col: str = "payload", batch_size: int = 32
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: parse_media_headers_batch(t, payload_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,  # payload-heavy rows: small batches
+    )

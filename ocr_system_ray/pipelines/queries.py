@@ -1469,6 +1469,55 @@ def q_jsonl_ingest(sf_dir: str) -> ray.data.Dataset:
     return read_jsonl(paths, DOCS_SCHEMA)
 
 
+def q_media_headers(sf_dir: str) -> ray.data.Dataset:
+    """REAL container parsing (PNG/JPEG/GIF/BMP/WAV — stdlib codecs,
+    `functions/media_headers.py`): payloads are synthesized as genuine
+    format bytes with dimensions derived from doc_id; the oracle SQL
+    recomputes the expected metadata from the same derivation — if
+    either the encoders or the parsers mis-handle the byte layouts,
+    the hash breaks."""
+    from ..functions.media_headers import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_png,
+        encode_wav,
+        parse_media_headers,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            k = i % 5
+            w, h = i % 61 + 1, i % 37 + 1
+            if k == 0:
+                payloads.append(encode_png(w, h, seed=i))
+            elif k == 1:
+                payloads.append(encode_jpeg(w, h))
+            elif k == 2:
+                payloads.append(encode_gif(w, h))
+            elif k == 3:
+                payloads.append(encode_bmp(w, h))
+            else:
+                sr = 8000 + ((i // 5) % 4) * 4000
+                ch = 1 + i % 2
+                payloads.append(encode_wav(sr, ch, i % 1000 + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return parse_media_headers(ds).select_columns(
+        ["doc_id", "format", "width", "height", "channels", "sample_rate", "duration_ms"]
+    )
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

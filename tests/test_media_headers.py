@@ -1,0 +1,108 @@
+"""Real media container codecs (functions/media_headers.py)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.media_headers import (
+    encode_bmp,
+    encode_gif,
+    encode_jpeg,
+    encode_png,
+    encode_wav,
+    parse_media_headers,
+    sniff_media,
+)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (61, 37), (640, 480), (3, 1000)])
+def test_image_round_trips(w, h):
+    for enc, fmt in ((encode_png, "png"), (encode_jpeg, "jpeg"), (encode_gif, "gif"), (encode_bmp, "bmp")):
+        m = sniff_media(enc(w, h))
+        assert (m["format"], m["width"], m["height"]) == (fmt, w, h), fmt
+
+
+def test_wav_round_trip_and_duration():
+    m = sniff_media(encode_wav(44100, 2, 44100))
+    assert m == {
+        "format": "wav",
+        "width": -1,
+        "height": -1,
+        "channels": 2,
+        "sample_rate": 44100,
+        "duration_ms": 1000,
+    }
+    assert sniff_media(encode_wav(8000, 1, 4000))["duration_ms"] == 500
+
+
+def test_png_is_structurally_valid():
+    """Independent structural check: chunk walk, CRC verification, zlib
+    inflate, exact filter-0 row geometry — what a real decoder checks
+    before pixels."""
+    w, h = 19, 7
+    data = encode_png(w, h, seed=3)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(typ + body), typ
+        chunks.append((typ, body))
+        pos += 12 + ln
+    assert [c[0] for c in chunks] == [b"IHDR", b"IDAT", b"IEND"]
+    raw = zlib.decompress(chunks[1][1])
+    assert len(raw) == h * (1 + 3 * w)
+    assert all(raw[y * (1 + 3 * w)] == 0 for y in range(h))  # filter 0 per row
+
+
+def test_bmp_topdown_negative_height():
+    b = bytearray(encode_bmp(10, 4))
+    struct.pack_into("<i", b, 22, -4)  # top-down rows: height stored negative
+    assert sniff_media(bytes(b))["height"] == 4
+
+
+def test_jpeg_marker_walk_skips_segments():
+    # extra COM and DQT-sized segments before SOF; fill bytes between
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    core = encode_jpeg(99, 44)
+    with_com = core[:2] + com + b"\xff" + core[2:]  # fill byte before APP0
+    m = sniff_media(with_com)
+    assert (m["width"], m["height"]) == (99, 44)
+
+
+def test_errors_are_values_not_raises_in_stage(ray_session):
+    rows = [
+        encode_png(5, 5),
+        b"",
+        b"\x89PNG\r\n\x1a\nxx",
+        b"\xff\xd8\xff\xd9",
+        b"totally not media",
+        encode_wav(8000, 1, 10),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(len(rows)), pa.int64()),
+                "payload": pa.array(rows, pa.binary()),
+            }
+        )
+    ).repartition(2)
+    out = sorted(parse_media_headers(ds).take_all(), key=lambda r: r["media_id"])
+    assert [r["format"] for r in out] == ["png", "unknown", "unknown", "unknown", "unknown", "wav"]
+    assert [r["parse_error"] is None for r in out] == [True, False, False, False, False, True]
+    assert "payload" not in out[0]  # bytes dropped in-stage
+
+
+def test_sniff_rejects_garbage():
+    for bad in (b"", b"garbage", b"RIFFxxxxAVI ", b"GIF89"):
+        with pytest.raises(ValueError):
+            sniff_media(bad)
