@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
         "mojibake_repair": q.q_mojibake_repair,
         "media_headers": q.q_media_headers,
+        "index_compaction": q.q_index_compaction,
         "rolling_spend": q.q_rolling_spend,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -271,6 +272,22 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": _pagerank_sql(),
+        # index_compaction: both increments re-derived; MIN(id) per md5
+        # is exactly the compaction rule every partition went through
+        "index_compaction": """
+            WITH inc1 AS (
+              SELECT doc_id AS i, md5(COALESCE(text, '')) AS h
+              FROM documents WHERE doc_id % 2 = 0
+            ), inc2 AS (
+              SELECT doc_id AS i, md5(COALESCE(text, '')) AS h
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, md5(COALESCE(text, '') || ' upd')
+              FROM documents WHERE doc_id % 10 = 0
+            ), u AS (SELECT * FROM inc1 UNION ALL SELECT * FROM inc2)
+            SELECT h AS md5, CAST(MIN(i) AS BIGINT) AS doc_id
+            FROM u GROUP BY h
+        """,
         # media_headers: real PNG/JPEG/GIF/BMP/WAV bytes are built from
         # doc_id-derived dimensions and PARSED back by the stdlib
         # codecs; SQL recomputes the expected metadata from the same

@@ -1013,7 +1013,7 @@ def _md5_bucket_rows(
 
 
 def build_md5_index(
-    ds: ray.data.Dataset,
+    ds: ray.data.Dataset | None,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1035,10 +1035,13 @@ def build_md5_index(
     import json
     import os
 
-    ds.map_batches(
-        lambda t: _md5_bucket_rows(t, id_col, text_col, prefix_buckets),
-        batch_format="pyarrow",
-    ).write_parquet(index_dir, partition_cols=["bucket"])
+    if ds is not None:
+        ds.map_batches(
+            lambda t: _md5_bucket_rows(t, id_col, text_col, prefix_buckets),
+            batch_format="pyarrow",
+        ).write_parquet(index_dir, partition_cols=["bucket"])
+    else:  # bootstrap an empty index; populate via update_md5_index
+        os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
         json.dump({"prefix_buckets": prefix_buckets, "id_col": id_col}, f)
     return index_dir
@@ -1139,6 +1142,144 @@ def dedup_against_index(
         return keep.astype({id_col: "int64"})
 
     return tagged.groupby("cb").map_groups(survivors, batch_format="pandas")
+
+
+def update_md5_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Merge a crawl increment into the persisted md5 index and COMPACT
+    the touched partitions — the maintenance half of the incremental-
+    dedup pair (:func:`build_md5_index` builds once,
+    :func:`dedup_against_index` probes, this keeps the index current as
+    crawls land, so the corpus is still never re-read).
+
+    Shape: hash the increment (small side) → ONE ``groupby(bucket)``
+    over the union of increment rows and the touched partitions' rows
+    (≤ ``prefix_buckets`` groups — the partition key itself) → each
+    group rewrites its partition as ONE file: md5-deduped (min id
+    wins), sorted, named by a hash of its content so re-runs are
+    idempotent (same rows → same file name → ``os.replace`` no-op).
+    Old part files are deleted only AFTER every new file is in place.
+
+    Crash safety: if the job dies between writing compacted files and
+    deleting the old ones, partitions briefly hold duplicate md5 rows —
+    harmless, because :func:`dedup_against_index` is an anti-join
+    (duplicate known-md5 rows cannot change survivor sets) and a re-run
+    of this function converges to the same single file.  Untouched
+    partitions are never read or written.
+
+    Returns ``{"buckets_compacted", "rows_added", "rows_total"}``.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    prefix_buckets = int(meta["prefix_buckets"])
+    if meta.get("id_col", id_col) != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+
+    new_rows = new_ds.map_batches(
+        lambda t: _md5_bucket_rows(t, id_col, text_col, prefix_buckets),
+        batch_format="pyarrow",
+    ).materialize()
+    rows_added = new_rows.count()
+
+    seen: set[int] = set()
+    for row in new_rows.map_batches(
+        lambda t: pa.table(
+            {"bucket": pa.array(sorted(set(t.column("bucket").to_pylist())), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        seen.add(int(row["bucket"]))
+
+    old_files = {
+        b: sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        for b in sorted(seen)
+    }
+
+    sides = [new_rows]
+    flat_old = [f for files in old_files.values() for f in files]
+    if flat_old:
+        def rebucket(t: pa.Table) -> pa.Table:
+            md5s = t.column("md5").to_pylist()
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        [int(h[:4], 16) % prefix_buckets for h in md5s], pa.int64()
+                    ),
+                    "md5": t.column("md5"),
+                    id_col: t.column(id_col),
+                }
+            )
+
+        sides.append(
+            ray.data.read_parquet(flat_old, columns=["md5", id_col]).map_batches(
+                rebucket, batch_format="pyarrow"
+            )
+        )
+    merged = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+    def compact_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        import pyarrow.parquet as pq_
+
+        b = int(df["bucket"].iloc[0])
+        d = (
+            df.sort_values(["md5", id_col], kind="mergesort")
+            .drop_duplicates(subset=["md5"], keep="first")
+        )
+        part_dir = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        content_key = hashlib.md5(
+            ("\n".join(d["md5"]) + f"|{len(d)}").encode()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        pq_.write_table(
+            pa.table(
+                {
+                    "md5": pa.array(d["md5"].tolist(), pa.string()),
+                    id_col: pa.array(d[id_col].to_numpy(dtype=np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(d)], "path": [path]})
+
+    manifest = (
+        merged.groupby("bucket").map_groups(compact_group, batch_format="pandas").take_all()
+    )
+    new_paths = {m["path"] for m in manifest}
+    written = {int(m["bucket"]) for m in manifest}
+    for b, files in old_files.items():
+        if b not in written:  # a touched bucket must have produced a file
+            raise RuntimeError(f"compaction wrote no file for bucket {b}")
+        for f in files:
+            if f not in new_paths:  # idempotent re-run keeps its own file
+                os.remove(f)
+    return {
+        "buckets_compacted": len(manifest),
+        "rows_added": int(rows_added),
+        "rows_total": int(sum(m["rows"] for m in manifest)),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -1469,6 +1469,56 @@ def q_jsonl_ingest(sf_dir: str) -> ray.data.Dataset:
     return read_jsonl(paths, DOCS_SCHEMA)
 
 
+def q_index_compaction(sf_dir: str) -> ray.data.Dataset:
+    """Two crawl increments merged into the persisted md5 index via
+    ``update_md5_index`` (bootstrap → evens → odds + modified evens),
+    then the WHOLE compacted index read back.  Every partition went
+    through the compaction path (md5-dedup, min id), so the oracle is
+    one GROUP BY over the union of both increments."""
+    import glob as _glob
+    import hashlib as _h
+    import os
+    import shutil
+
+    from ..functions.dedup import build_md5_index, update_md5_index
+
+    idx = f"/tmp/osr_compact_idx_{_h.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(idx, ignore_errors=True)
+    # 32 partitions at bench scale (the production default 256 would
+    # leave compaction groups near-empty here — the adaptive-coarse-key
+    # lesson); raise with corpus size per build_md5_index's docstring
+    build_md5_index(None, idx, prefix_buckets=32)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def increment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).tolist()
+        texts = [v or "" for v in t.column("text").to_pylist()]
+        out_i, out_t = [], []
+        for i, x in zip(ids, texts):
+            if i % 2 == 1:
+                out_i.append(i)
+                out_t.append(x)
+            if i % 10 == 0:  # re-crawled even doc with updated content
+                out_i.append(i + 1_000_000)
+                out_t.append(x + " upd")
+        return pa.table(
+            {
+                "doc_id": pa.array(out_i, pa.int64()),
+                "text": pa.array(out_t, pa.string()),
+            }
+        )
+
+    update_md5_index(docs.map_batches(evens, batch_format="pyarrow"), idx)
+    update_md5_index(docs.map_batches(increment, batch_format="pyarrow"), idx)
+    files = sorted(_glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    return ray.data.read_parquet(files, columns=["md5", "doc_id"])
+
+
 def q_media_headers(sf_dir: str) -> ray.data.Dataset:
     """REAL container parsing (PNG/JPEG/GIF/BMP/WAV — stdlib codecs,
     `functions/media_headers.py`): payloads are synthesized as genuine

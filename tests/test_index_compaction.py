@@ -1,0 +1,122 @@
+"""Incremental md5-index compaction (dedup.update_md5_index)."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.dedup import (
+    build_md5_index,
+    dedup_against_index,
+    update_md5_index,
+)
+
+
+def _docs(pairs):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([p[0] for p in pairs], pa.int64()),
+                "text": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def _index_rows(idx):
+    files = sorted(glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    out = {}
+    for f in files:
+        t = pq.read_table(f)
+        for h, i in zip(t.column("md5").to_pylist(), t.column("doc_id").to_pylist()):
+            assert h not in out, "duplicate md5 within compacted index"
+            out[h] = i
+    return out
+
+
+def _twin(pairs):
+    best = {}
+    for i, x in pairs:
+        h = hashlib.md5(x.encode()).hexdigest()
+        best[h] = min(best.get(h, i), i)
+    return best
+
+
+def test_update_merges_dedups_min_id(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    base = [(4, "a"), (2, "a"), (6, "b")]  # duplicate md5 within base
+    build_md5_index(_docs(base), idx, prefix_buckets=8)
+    inc = [(1, "a"), (9, "c"), (11, "c"), (3, "b")]
+    m = update_md5_index(_docs(inc), idx)
+    assert m["rows_added"] == 4
+    assert _index_rows(idx) == _twin(base + inc)
+    # compacted buckets hold exactly one file each
+    for d in glob.glob(os.path.join(idx, "bucket=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+
+def test_update_is_idempotent(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_md5_index(_docs([(1, "x"), (2, "y")]), idx, prefix_buckets=4)
+    inc = _docs([(3, "z"), (4, "x")])
+    update_md5_index(inc, idx)
+    snap = {
+        f: os.path.getsize(f)
+        for f in glob.glob(os.path.join(idx, "bucket=*", "*.parquet"))
+    }
+    update_md5_index(inc, idx)  # same increment again → converged state
+    snap2 = {
+        f: os.path.getsize(f)
+        for f in glob.glob(os.path.join(idx, "bucket=*", "*.parquet"))
+    }
+    assert snap == snap2
+    assert _index_rows(idx) == _twin([(1, "x"), (2, "y"), (3, "z"), (4, "x")])
+
+
+def test_bootstrap_empty_index_then_fill(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_md5_index(None, idx, prefix_buckets=4)
+    docs = [(i, f"t{i % 5}") for i in range(20)]
+    update_md5_index(_docs(docs), idx)
+    assert _index_rows(idx) == _twin(docs)
+
+
+def test_probe_after_update(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_md5_index(_docs([(1, "a"), (2, "b")]), idx, prefix_buckets=8)
+    update_md5_index(_docs([(3, "c")]), idx)
+    probe = _docs([(10, "a"), (11, "c"), (12, "NEW")])
+    got = sorted(r["doc_id"] for r in dedup_against_index(probe, idx).take_all())
+    assert got == [12]  # a and c are now both known
+
+
+def test_duplicate_rows_from_partial_crash_are_harmless(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_md5_index(_docs([(1, "a")]), idx, prefix_buckets=2)
+    update_md5_index(_docs([(2, "b")]), idx)
+    # simulate a crash that left an extra pre-compaction file behind
+    some_dir = glob.glob(os.path.join(idx, "bucket=*"))[0]
+    existing = glob.glob(os.path.join(some_dir, "*.parquet"))[0]
+    stale = pq.read_table(existing)
+    pq.write_table(stale, os.path.join(some_dir, "stale-leftover.parquet"))
+    probe = _docs([(10, "a"), (11, "b"), (12, "fresh")])
+    got = sorted(r["doc_id"] for r in dedup_against_index(probe, idx).take_all())
+    assert got == [12]  # anti-join unaffected by duplicate known rows
+    update_md5_index(_docs([(3, "b")]), idx)  # re-update converges
+    for d in glob.glob(os.path.join(idx, "bucket=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+
+def test_id_col_mismatch_raises(ray_session, tmp_path):
+    idx = str(tmp_path / "idx")
+    build_md5_index(_docs([(1, "a")]), idx, prefix_buckets=2)
+    with pytest.raises(ValueError):
+        update_md5_index(_docs([(2, "b")]), idx, id_col="other_id")
