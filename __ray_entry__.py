@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_repair": q.q_mojibake_repair,
         "media_headers": q.q_media_headers,
         "index_compaction": q.q_index_compaction,
+        "blocked_hosts": q.q_blocked_hosts,
         "rolling_spend": q.q_rolling_spend,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -261,6 +262,33 @@ def _pagerank_sql() -> str:
     return pagerank_sql(edges, node_col="host", rank_col="rank_micro")
 
 
+_MESSY_URL_SQL = """
+    'https://WWW.' || COALESCE(source, '') || '.Example/items/'
+    || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 AND doc_id % 7 = 0
+            THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+            WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+            WHEN doc_id % 7 = 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END
+"""
+
+
+def _blocked_hosts_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_blocked_expr, sql_host_expr
+    from ocr_system_ray.pipelines.queries import BLOCKED_HOSTS
+
+    host = sql_host_expr("u.url")
+    return f"""
+        WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)
+        SELECT doc_id, {host} AS host,
+               CAST(CASE WHEN {sql_blocked_expr(host, BLOCKED_HOSTS)}
+                    THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        FROM u
+    """
+
+
 def _hdr_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_sql
 
@@ -272,6 +300,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": _pagerank_sql(),
+        # blocked_hosts: host + blocklist test re-derived via the
+        # generated sql_host_expr / sql_blocked_expr twins
+        "blocked_hosts": _blocked_hosts_sql(),
         # index_compaction: both increments re-derived; MIN(id) per md5
         # is exactly the compaction rule every partition went through
         "index_compaction": """

@@ -36,6 +36,7 @@ moving (canonical, id) pairs only.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -153,3 +154,92 @@ def url_dedup(
     return hashed.groupby("canonical_url").aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
     )
+
+
+# ---------------------------------------------------------------------------
+# host blocklist filtering
+# ---------------------------------------------------------------------------
+
+HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]+)"
+_PORT_PATTERN = r":[0-9]+$"
+_WWW_HOST_PATTERN = r"^www\."
+
+
+def extract_host_batch(
+    batch: pa.Table, url_col: str = "url", host_col: str = "host"
+) -> pa.Table:
+    """Append the normalized host (lowercased, port and leading
+    ``www.`` stripped) — one vectorized RE2 walk; urls without a scheme
+    yield ''."""
+    arr = pc.fill_null(batch.column(url_col), "")
+    h = pc.coalesce(
+        pc.struct_field(pc.extract_regex(arr, pattern=HOST_PATTERN), "host"), ""
+    )
+    h = pc.replace_substring_regex(h, pattern=_PORT_PATTERN, replacement="")
+    h = pc.utf8_lower(h)
+    h = pc.replace_substring_regex(h, pattern=_WWW_HOST_PATTERN, replacement="")
+    return batch.append_column(host_col, h)
+
+
+def flag_blocked_hosts(
+    ds: ray.data.Dataset,
+    blocked: tuple[str, ...],
+    url_col: str = "url",
+    host_col: str = "host",
+    flag_col: str = "blocked",
+) -> ray.data.Dataset:
+    """Append ``host_col`` and int64 ``flag_col`` = 1 iff the host IS a
+    blocked entry or is a SUBDOMAIN of one (registrable-suffix
+    semantics: blocking ``example.com`` blocks ``a.b.example.com`` but
+    not ``notexample.com``).
+
+    Small blocklists (≤64) match vectorized (one equality + one
+    ends-with kernel per entry — loops over ENTRIES, never rows);
+    larger ones use a frozenset with per-row suffix-candidate probes
+    (≤ label-count dict hits per row, C-speed).  The blocklist rides
+    the task closure (serialized once per task); at real blocklist
+    scale broadcast it with ``ray.put`` + a module-level memo, the
+    repo's standard pattern."""
+    blocked = tuple(b.lower().lstrip(".") for b in blocked)
+    bset = frozenset(blocked)
+
+    def flag(t: pa.Table) -> pa.Table:
+        t = extract_host_batch(t, url_col, host_col)
+        hosts = t.column(host_col)
+        if len(blocked) <= 64:
+            m = pa.array(np.zeros(len(t), dtype=bool))
+            for b in blocked:
+                m = pc.or_(m, pc.equal(hosts, b))
+                m = pc.or_(m, pc.ends_with(hosts, "." + b))
+            flags = pc.cast(m, pa.int64())
+        else:
+            out = np.zeros(len(t), dtype=np.int64)
+            for i, hv in enumerate(hosts.to_pylist()):
+                labels = (hv or "").split(".")
+                for j in range(len(labels)):
+                    if ".".join(labels[j:]) in bset:
+                        out[i] = 1
+                        break
+            flags = pa.array(out)
+        return t.append_column(flag_col, flags)
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def sql_blocked_expr(host_expr: str, blocked: tuple[str, ...]) -> str:
+    """DuckDB twin of the blocklist test, generated from the SAME
+    entries (exact-or-subdomain per entry)."""
+    terms = []
+    for b in tuple(x.lower().lstrip(".") for x in blocked):
+        esc = b.replace("'", "''")
+        terms.append(f"({host_expr}) = '{esc}' OR ({host_expr}) LIKE '%.{esc}'")
+    return "(" + " OR ".join(terms) + ")" if terms else "FALSE"
+
+
+def sql_host_expr(col: str) -> str:
+    """DuckDB twin of :func:`extract_host_batch` (same RE2 steps, same
+    order)."""
+    h = f"COALESCE(regexp_extract(COALESCE({col}, ''), '{HOST_PATTERN.replace('(?P<host>', '(')}', 1), '')"
+    h = f"regexp_replace({h}, '{_PORT_PATTERN}', '')"
+    h = f"lower({h})"
+    return f"regexp_replace({h}, '{_WWW_HOST_PATTERN}', '')"

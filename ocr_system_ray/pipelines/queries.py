@@ -1203,6 +1203,54 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score_micro", "rank"]]
 
 
+def _messy_urls_batch(t: pa.Table) -> pa.Table:
+    """Deterministic messy-url derivation shared by the url queries
+    (the documents table has no url column); the construction rule is
+    mirrored verbatim in the oracle SQL."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    # null source → '' on both sides (SQL: COALESCE(source, ''));
+    # a Python f-string would render None as the string 'None'
+    srcs = [(s or "") for s in t.column("source").to_pylist()]
+    out = []
+    for i, s in zip(ids.tolist(), srcs):
+        q = (
+            "?utm_source=feed&id=" + str(i % 5)
+            if i % 3 == 0 and i % 7 == 0
+            else "?utm_source=feed"
+            if i % 3 == 0
+            else "?id=" + str(i % 5)
+            if i % 7 == 0
+            else ""
+        )
+        out.append(
+            f"https://WWW.{s}.Example/items/{i % 50}"
+            + ("/" if i % 2 == 0 else "")
+            + q
+            + ("#top" if i % 5 == 0 else "")
+        )
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "url": pa.array(out, pa.string())}
+    )
+
+
+BLOCKED_HOSTS = ("src3.example", "src7.example", "no-such.example")
+
+
+def q_blocked_hosts(sf_dir: str) -> ray.data.Dataset:
+    """Domain-blocklist filter flags (the crawl hygiene pass before any
+    content work): derived urls → normalized host → exact-or-subdomain
+    match against BLOCKED_HOSTS (`functions/urls.py:
+    flag_blocked_hosts`); the oracle rebuilds host and match from the
+    same generated expressions."""
+    from ..functions import urls as urlmod
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    pages = docs.map_batches(_messy_urls_batch, batch_format="pyarrow")
+    return urlmod.flag_blocked_hosts(pages, BLOCKED_HOSTS).select_columns(
+        ["doc_id", "host", "blocked"]
+    )
+
+
 def q_url_dedup(sf_dir: str) -> ray.data.Dataset:
     """Crawl dedup by canonical URL (the pre-content hygiene pass —
     CCNet/RefinedWeb shape).  The documents table has no url column, so
@@ -1215,34 +1263,7 @@ def q_url_dedup(sf_dir: str) -> ray.data.Dataset:
     from ..functions import urls as urlmod
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
-
-    def mk(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        # null source → '' on both sides (SQL: COALESCE(source, ''));
-        # a Python f-string would render None as the string 'None'
-        srcs = [(s or "") for s in t.column("source").to_pylist()]
-        out = []
-        for i, s in zip(ids.tolist(), srcs):
-            q = (
-                "?utm_source=feed&id=" + str(i % 5)
-                if i % 3 == 0 and i % 7 == 0
-                else "?utm_source=feed"
-                if i % 3 == 0
-                else "?id=" + str(i % 5)
-                if i % 7 == 0
-                else ""
-            )
-            out.append(
-                f"https://WWW.{s}.Example/items/{i % 50}"
-                + ("/" if i % 2 == 0 else "")
-                + q
-                + ("#top" if i % 5 == 0 else "")
-            )
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "url": pa.array(out, pa.string())}
-        )
-
-    pages = docs.map_batches(mk, batch_format="pyarrow")
+    pages = docs.map_batches(_messy_urls_batch, batch_format="pyarrow")
     return urlmod.url_dedup(pages)
 
 

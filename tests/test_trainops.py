@@ -2197,3 +2197,63 @@ def test_quality_classifier_edge_docs(ray_session):
     empty = ray.data.from_arrow(t.slice(0, 0)).materialize()
     with pytest.raises(ValueError, match="empty"):
         fit_quality_classifier(empty, label_col="is_target")
+
+
+# ---------------------------------------------------------------------------
+# host blocklist filtering
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_hosts_suffix_semantics(ray_session):
+    from ocr_system_ray.functions import urls
+
+    cases = [
+        ("https://spam.example/page", 1),          # exact
+        ("https://a.b.spam.example/x", 1),         # deep subdomain
+        ("https://WWW.SPAM.example:8080/", 1),     # case/port/www normalized
+        ("https://notspam.example/x", 0),          # suffix must be label-aligned
+        ("https://spam.example.org/x", 0),         # different registrable suffix
+        ("https://clean.site/x", 0),
+        ("no-scheme-at-all", 0),                   # host '' never matches
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(cases)), pa.int64()),
+                "url": pa.array([c[0] for c in cases], pa.string()),
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r["blocked"]
+        for r in urls.flag_blocked_hosts(ds, ("spam.example",)).take_all()
+    }
+    assert out == {i: want for i, (_, want) in enumerate(cases)}
+
+
+def test_blocked_hosts_large_list_path_equals_vectorized(ray_session):
+    from ocr_system_ray.functions import urls
+
+    urls_in = [f"https://h{i}.example/x" for i in range(40)] + [
+        "https://deep.h3.example/y",
+        "https://clean.org/z",
+    ]
+    ds_t = pa.table(
+        {
+            "doc_id": pa.array(range(len(urls_in)), pa.int64()),
+            "url": pa.array(urls_in, pa.string()),
+        }
+    )
+    small = ("h3.example", "h7.example")
+    big = small + tuple(f"filler{i}.invalid" for i in range(100))  # >64 → set path
+    a = {
+        r["doc_id"]: r["blocked"]
+        for r in urls.flag_blocked_hosts(ray.data.from_arrow(ds_t), small).take_all()
+    }
+    b = {
+        r["doc_id"]: r["blocked"]
+        for r in urls.flag_blocked_hosts(ray.data.from_arrow(ds_t), big).take_all()
+    }
+    assert a == b
+    assert a[3] == 1 and a[7] == 1 and a[40] == 1 and a[41] == 0
+    assert sum(a.values()) == 3
