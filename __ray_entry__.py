@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus hygiene
         "line_dedup": q.q_line_dedup,
         "quality_classifier": q.q_quality_classifier,
+        "c4_cleaning": q.q_c4_cleaning,
+        "duplicate_weights": q.q_duplicate_weights,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -295,6 +297,44 @@ def _hdr_sql() -> str:
     return hdr_quantiles_sql("value", "FROM events")
 
 
+def _c4_sql() -> str:
+    """c4_cleaning oracle: the page derivation re-applied in SQL (the
+    q_c4_cleaning to_pages rule, modulus for modulus), then the rule
+    twin GENERATED from functions/c4.py's constants."""
+    from ocr_system_ray.functions.c4 import sql_c4_select
+
+    prelude = """d AS (
+          SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+          FROM documents
+        ), pg AS (
+          SELECT doc_id,
+            'Home | About | Contact'
+            || CASE WHEN doc_id % 4 >= 1
+                    THEN chr(10) || COALESCE(array_to_string(w[1:6], ' '), '') || '.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 4 >= 2
+                    THEN chr(10) || COALESCE(array_to_string(w[7:12], ' '), '') || '.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 4 >= 3
+                    THEN chr(10) || COALESCE(array_to_string(w[13:18], ' '), '') || '.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || 'click here to buy' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                    THEN chr(10) || 'Enable javascript to view this page.'
+                    ELSE '' END
+            || CASE WHEN doc_id % 13 = 0
+                    THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+            || CASE WHEN doc_id % 17 = 0
+                    THEN chr(10) || 'function() { return 0; }' ELSE '' END
+            || CASE WHEN doc_id % 19 = 0
+                    THEN chr(10) || 'win big at the casino today.' ELSE '' END
+            AS page
+          FROM d
+        )"""
+    return sql_c4_select("FROM pg", text_expr="page", prelude_ctes=prelude)
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_system_ray.functions.pii import sql_scrub_expr
 
@@ -355,6 +395,24 @@ def oracle_sql() -> dict[str, str]:
         # HDR approx-quantile sketch: the generated SQL recomputes the
         # same integer bucket/rank/decode rules independently
         "value_quantiles_hdr": _hdr_sql(),
+        # c4_cleaning: derived page + the GENERATED C4 rule twin
+        "c4_cleaning": _c4_sql(),
+        # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
+        # the group sizes independently of the coarse-bucket plan
+        "duplicate_weights": """
+            WITH s AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+            ), h AS (
+              SELECT doc_id, md5(COALESCE(text, '')) AS m FROM s
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) OVER (PARTITION BY m) AS BIGINT) AS dup_count,
+                   CAST(1000 // COUNT(*) OVER (PARTITION BY m) AS BIGINT)
+                       AS weight_milli
+            FROM h
+        """,
         # jsonl round trip: the oracle reads the parquet directly; the
         # Ray side reads the JSONL-gz copy — equality = ingest parity
         "jsonl_ingest": """

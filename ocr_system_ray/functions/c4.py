@@ -1,0 +1,157 @@
+"""C4-style line/page cleaning (Raffel et al. 2020, §2.2).
+
+The published heuristics that turned Common Crawl into C4, made
+deterministic and SQL-reproducible:
+
+line rules (lines = ``\\n`` splits, each stripped of spaces):
+  * keep only lines ending in a terminal punctuation mark
+    (``C4_TERMINAL``),
+  * with at least ``C4_MIN_WORDS_PER_LINE`` words,
+  * and not containing the word "javascript" (case-insensitive).
+
+page rules (evaluated on the ORIGINAL page text):
+  * drop pages whose cleaned text has fewer than ``C4_MIN_SENTENCES``
+    sentences (sentence count = ``C4_SENTENCE_CHARS`` occurrences in
+    the cleaned text — a deterministic stand-in for the paper's
+    sentence splitter),
+  * drop pages containing "lorem ipsum" (case-insensitive),
+  * drop pages containing a curly brace ``{`` (code),
+  * drop pages containing any blocklist word (``C4_BADWORDS``; token
+    match on the lowercased page — the paper's "List of Dirty, Naughty
+    …" membership test, with a short stand-in list),
+  * drop pages where every line was removed.
+
+Everything is row-local and stateless — ONE ``map_batches`` pass, no
+shuffle, O(bytes) per document: the same per-doc compiled-regex loop
+cost model as ``textstats.gopher_quality_batch``.  The SQL oracle is
+GENERATED from the same constants by :func:`sql_c4_select`, so the two
+sides cannot drift independently.
+
+Scale note: at 100 TB this pass fuses with ingest (it is a pure
+filter-map); the only care needed is that ``clean_text`` replaces the
+raw page in-stage so both copies never coexist downstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# terminal punctuation a kept line must end with (C4 §2.2: "terminal
+# punctuation mark (i.e. a period, exclamation mark, question mark, or
+# end quotation mark)")
+C4_TERMINAL = (".", "!", "?", '"')
+# characters that count as sentence enders for the ≥3-sentence rule
+C4_SENTENCE_CHARS = (".", "!", "?")
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+# stand-in for the paper's badword blocklist (token membership on the
+# lowercased page).  Kept short and mild; the mechanism is the point.
+C4_BADWORDS = ("casino", "viagra", "porn", "xxx")
+
+_TERMINAL_SET = frozenset(C4_TERMINAL)
+_SENTENCE_RGX = re.compile("[" + re.escape("".join(C4_SENTENCE_CHARS)) + "]")
+# words within a line: runs of non-space/non-tab (a line never contains
+# the other whitespace kinds — they were the split delimiters)
+_LINE_WORD_RGX = re.compile(r"[^ \t]+")
+# page tokens for the badword membership test: the repo-wide explicit
+# ASCII-whitespace token class (see textstats.TOKEN_PATTERN rationale)
+_PAGE_TOKEN_RGX = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _keep_line(line: str) -> bool:
+    if not line or line[-1] not in _TERMINAL_SET:
+        return False
+    if len(_LINE_WORD_RGX.findall(line)) < C4_MIN_WORDS_PER_LINE:
+        return False
+    return "javascript" not in line.lower()
+
+
+def c4_clean_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``clean_text``, ``n_kept_lines``, ``n_dropped_lines``,
+    ``n_sentences``, ``keep`` (all counts int64, ``keep`` 0/1)."""
+    clean: list[str] = []
+    n_kept: list[int] = []
+    n_dropped: list[int] = []
+    n_sent: list[int] = []
+    keep: list[int] = []
+    for v in batch.column(text_col).to_pylist():
+        page = v or ""
+        lines = [ln.strip(" ") for ln in page.split("\n")]
+        kept = [ln for ln in lines if _keep_line(ln)]
+        ct = "\n".join(kept)
+        ns = len(_SENTENCE_RGX.findall(ct))
+        low = page.lower()
+        toks = set(_PAGE_TOKEN_RGX.findall(low))
+        ok = (
+            len(kept) >= 1
+            and ns >= C4_MIN_SENTENCES
+            and "lorem ipsum" not in low
+            and "{" not in page
+            and not any(b in toks for b in C4_BADWORDS)
+        )
+        clean.append(ct)
+        n_kept.append(len(kept))
+        n_dropped.append(len(lines) - len(kept))
+        n_sent.append(ns)
+        keep.append(1 if ok else 0)
+    return batch.append_column("clean_text", pa.array(clean, pa.string())) \
+        .append_column("n_kept_lines", pa.array(n_kept, pa.int64())) \
+        .append_column("n_dropped_lines", pa.array(n_dropped, pa.int64())) \
+        .append_column("n_sentences", pa.array(n_sent, pa.int64())) \
+        .append_column("keep", pa.array(keep, pa.int64()))
+
+
+def sql_c4_select(
+    from_clause: str,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    prelude_ctes: str = "",
+) -> str:
+    """Generate the DuckDB twin of :func:`c4_clean_batch` from the SAME
+    constants.  ``from_clause`` supplies the input relation (e.g.
+    ``FROM documents`` or a derived CTE); ``text_expr`` the page column
+    expression within it; ``prelude_ctes`` lets the caller prepend its
+    own ``name AS (...)`` derivation CTEs (it becomes part of this
+    query's single WITH block)."""
+    terminal_cls = "[" + "".join("\\" + c if c in "\\^]" else c for c in C4_TERMINAL) + "]"
+    sentence_keep_cls = "[^" + "".join(C4_SENTENCE_CHARS) + "]"
+    badword_test = " OR ".join(f"list_contains(ptoks, '{b}')" for b in C4_BADWORDS)
+    prelude = f"{prelude_ctes}," if prelude_ctes else ""
+    return f"""
+        WITH {prelude} c4_t AS (
+          SELECT {id_col}, {text_expr} AS page {from_clause}
+        ), c4_s AS (
+          SELECT {id_col}, page,
+                 list_filter(
+                   list_transform(string_split(COALESCE(page, ''), chr(10)),
+                                  l -> trim(l, ' ')),
+                   l -> regexp_matches(l, '{terminal_cls}$')
+                        AND len(regexp_extract_all(l, '[^ \t]+'))
+                            >= {C4_MIN_WORDS_PER_LINE}
+                        AND NOT contains(lower(l), 'javascript')) AS kept,
+                 len(string_split(COALESCE(page, ''), chr(10))) AS n_lines,
+                 regexp_extract_all(lower(COALESCE(page, '')),
+                                    '[^ \t\n\r\f\v]+') AS ptoks
+          FROM c4_t
+        ), c4_c AS (
+          -- array_to_string([]) is NULL in DuckDB — coalesce to ''
+          SELECT {id_col}, page, kept, n_lines, ptoks,
+                 COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+          FROM c4_s
+        )
+        SELECT {id_col}, clean_text,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(n_lines - len(kept) AS BIGINT) AS n_dropped_lines,
+               CAST(length(regexp_replace(clean_text, '{sentence_keep_cls}', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               CAST(CASE WHEN len(kept) >= 1
+                          AND length(regexp_replace(clean_text, '{sentence_keep_cls}', '', 'g'))
+                              >= {C4_MIN_SENTENCES}
+                          AND NOT contains(lower(COALESCE(page, '')), 'lorem ipsum')
+                          AND NOT contains(COALESCE(page, ''), '{{')
+                          AND NOT ({badword_test})
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM c4_c
+    """

@@ -77,6 +77,69 @@ def exact_dedup(
     return agg
 
 
+def duplicate_weights(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Soft dedup: per-document duplicate-group size and sampling weight
+    instead of hard removal (the SlimPajama / DataComp-LM downweighting
+    shape — keep every copy, sample each at 1/count so the group
+    contributes one document's worth of probability mass).
+
+    Returns one row per input document:
+    ``(id_col, dup_count: int64, weight_milli: int64)`` with
+    ``weight_milli = 1000 // dup_count`` (exact integer — SQL-stable).
+
+    Ray shape: content-hash per batch, then ONE coarse-bucket shuffle of
+    ``(bucket, content_md5, id)`` rows (~56 B/row — documents never
+    move); group counts resolve in-bucket with a pandas ``transform``.
+    Unlike :func:`exact_dedup` (one row per distinct content) every
+    input row needs its group's size attached, which a plain
+    ``groupby(md5).aggregate`` cannot express without a second join —
+    the coarse bucket does it in one pass.
+    """
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    hashed = ds.map_batches(
+        lambda t: fingerprint_batch(t, text_col).select(["content_md5", id_col]),
+        batch_format="pyarrow",
+    )
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t.column("content_md5"))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def weights_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "dup_count": pd.Series([], dtype="int64"),
+                    "weight_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        cnt = df.groupby("content_md5")[id_col].transform("size").astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "dup_count": cnt,
+                "weight_milli": (1000 // cnt).astype("int64"),
+            }
+        )
+
+    return (
+        hashed.map_batches(to_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(weights_in_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + MinHash
 # ---------------------------------------------------------------------------

@@ -2599,3 +2599,75 @@ def q_quality_classifier(sf_dir: str) -> ray.data.Dataset:
     ).materialize()  # iterative fit re-executes its input per pass
     w = fit_quality_classifier(with_label, label_col="is_target")
     return score_quality(with_label, w)
+
+
+def q_c4_cleaning(sf_dir: str) -> ray.data.Dataset:
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2) over a derived
+    crawl page per document, fully SQL-oracled.
+
+    The derivation decorates each word-salad doc into a multi-line page
+    that exercises every rule branch: a nav-chrome line (no terminal
+    punctuation → line-dropped), ``doc_id % 4`` six-word sentence lines
+    (the ≥3-sentence page gate), and per-modulus adversaries — a short
+    call-to-action line (<5 words), a "javascript" line, a "lorem
+    ipsum" page-killer, a ``{`` code page-killer, and a badword
+    page-killer.  The oracle re-derives the SAME page in SQL and
+    applies the GENERATED rule twin (`functions/c4.py:sql_c4_select`).
+
+    Row-local and stateless — no shuffle; at 100 TB this fuses with
+    ingest and ``clean_text`` replaces the raw page in-stage."""
+    from ..functions.c4 import c4_clean_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pages: list[str] = []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            w = (txt or "").split(" ")
+            lines = ["Home | About | Contact"]
+            for s in range(int(i) % 4):
+                lines.append(" ".join(w[6 * s : 6 * s + 6]) + ".")
+            if i % 7 == 0:
+                lines.append("click here to buy")
+            if i % 11 == 0:
+                lines.append("Enable javascript to view this page.")
+            if i % 13 == 0:
+                lines.append("lorem ipsum dolor sit amet.")
+            if i % 17 == 0:
+                lines.append("function() { return 0; }")
+            if i % 19 == 0:
+                lines.append("win big at the casino today.")
+            pages.append("\n".join(lines))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(pages, pa.string())}
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: c4_clean_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_duplicate_weights(sf_dir: str) -> ray.data.Dataset:
+    """Soft dedup (SlimPajama / DataComp-LM downweighting): every copy
+    kept, each assigned ``1000 // dup_count`` sampling weight.  The
+    derived stream re-crawls every ``doc_id % 3 == 0`` document under a
+    new id (+1_000_000, same text), so those groups must weigh 500‰.
+    One coarse-bucket shuffle of (bucket, md5, id) rows — see
+    ``dedup.duplicate_weights``."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_recrawls(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 3 == 0))
+        new_ids = sel.column("doc_id").to_numpy(zero_copy_only=False) + 1_000_000
+        dup = pa.table(
+            {"doc_id": pa.array(new_ids, pa.int64()), "text": sel.column("text")}
+        )
+        return pa.concat_tables([t, dup])
+
+    stream = docs.map_batches(with_recrawls, batch_format="pyarrow")
+    return dedup.duplicate_weights(stream)

@@ -1,0 +1,128 @@
+"""C4 line/page cleaning (functions/c4.py) — rule-branch pins, live
+DuckDB generated-twin equality on an adversarial corpus, and the
+soft-dedup weight op (dedup.duplicate_weights) vs a window-SQL twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.c4 import (
+    C4_BADWORDS,
+    c4_clean_batch,
+    sql_c4_select,
+)
+from ocr_system_ray.functions.dedup import duplicate_weights
+
+
+def _clean_one(page):
+    t = c4_clean_batch(pa.table({"text": pa.array([page], pa.string())}))
+    return {c: t.column(c)[0].as_py() for c in t.column_names}
+
+
+def test_line_rules():
+    # terminal punctuation required
+    r = _clean_one("this line has plenty of words but no terminal mark")
+    assert r["n_kept_lines"] == 0 and r["keep"] == 0
+    # each terminal mark accepted; ≥5 words enforced
+    for mark in (".", "!", "?", '"'):
+        r = _clean_one(f"one two three four five{mark}")
+        assert r["n_kept_lines"] == 1, mark
+    r = _clean_one("only four words here.")
+    assert r["n_kept_lines"] == 0
+    # javascript line dropped case-insensitively
+    r = _clean_one("please enable JavaScript to view this page.")
+    assert r["n_kept_lines"] == 0
+    # leading/trailing spaces stripped before the checks
+    r = _clean_one("   padded line with enough words here.   ")
+    assert r["n_kept_lines"] == 1 and r["clean_text"].startswith("padded")
+
+
+def test_page_rules():
+    good = "\n".join(["alpha beta gamma delta epsilon zeta."] * 3)
+    assert _clean_one(good)["keep"] == 1
+    # fewer than 3 sentences
+    two = "\n".join(["alpha beta gamma delta epsilon zeta."] * 2)
+    assert _clean_one(two)["keep"] == 0
+    # lorem ipsum / brace / badword page-killers (lines themselves clean)
+    assert _clean_one(good + "\nsome Lorem Ipsum filler text here.")["keep"] == 0
+    assert _clean_one(good + "\nvar f = function() { return; }")["keep"] == 0
+    for b in C4_BADWORDS:
+        assert _clean_one(good + f"\nvisit the {b} with five words.")["keep"] == 0
+    # badword must match a whole token, not a substring
+    assert _clean_one(good + "\nthe casinos word is a different token.")["keep"] == 1
+    # sentence count uses the cleaned text: ! and ? count, " does not
+    r = _clean_one('really good words here indeed!\nare these enough words now?\nfive more words "quoted line"')
+    assert r["n_sentences"] == 2 and r["keep"] == 0
+
+
+_ADVERSARIAL = [
+    "",  # empty page
+    None,  # null page
+    "single line no punct",
+    "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\nlam mu nu xi omicron?",
+    "  spaced  out   words  here  okay.  \n\ttabbed line with words here.",
+    "ends with quote one two three four\"\nshort one.",
+    "Lorem ipsum dolor sit amet line.\nmore good words in this line.",
+    "brace { page\ngood line with five words here.",
+    "mixed JAVASCRIPT warning line with words.\nclean line with five words here.",
+    "unicode café naïve résumé wörds line.\nsecond fine line with words here.\nthird fine line with words here.",
+    "casino",
+    "win at the casino tonight friends.\nclean line with five words here.\nanother clean line with words here.",
+]
+
+
+def test_generated_sql_twin_matches():
+    df = pd.DataFrame(
+        {"doc_id": range(len(_ADVERSARIAL)), "text": _ADVERSARIAL}
+    )
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(
+        sql_c4_select("FROM docs") + " ORDER BY doc_id"
+    ).df()
+    got = (
+        c4_clean_batch(pa.Table.from_pandas(df, preserve_index=False))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ("clean_text", "n_kept_lines", "n_dropped_lines", "n_sentences", "keep"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_duplicate_weights_matches_window_sql(ray_session):
+    # 3 copies of A, 2 of B, 1 of C — across block layouts
+    rows = [(1, "A"), (2, "B"), (3, "A"), (4, "C"), (5, "A"), (6, "B")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(
+        """SELECT doc_id,
+                  COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count,
+                  1000 // COUNT(*) OVER (PARTITION BY md5(text)) AS weight_milli
+           FROM docs ORDER BY doc_id"""
+    ).df()
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        out = (
+            duplicate_weights(ds, num_buckets=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["dup_count"].tolist() == want["dup_count"].tolist(), blocks
+        assert out["weight_milli"].tolist() == want["weight_milli"].tolist(), blocks
+
+
+def test_duplicate_weights_all_unique(ray_session):
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(10)]
+    )
+    out = duplicate_weights(ds, num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(10))
+    assert set(out["dup_count"]) == {1} and set(out["weight_milli"]) == {1000}
