@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q.q_quality_classifier,
         "c4_cleaning": q.q_c4_cleaning,
         "duplicate_weights": q.q_duplicate_weights,
+        "host_link_graph": q.q_host_link_graph,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -335,6 +336,27 @@ def _c4_sql() -> str:
     return sql_c4_select("FROM pg", text_expr="page", prelude_ctes=prelude)
 
 
+def _host_link_graph_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_outlinks_select
+    from ocr_system_ray.pipelines.queries import HOST_LINK_HOSTS as H
+
+    inner = sql_outlinks_select("FROM pg", id_expr="src_host", html_expr="html")
+    return f"""
+        WITH pg AS (
+          SELECT 'h' || CAST(doc_id % {H} AS VARCHAR) || '.example' AS src_host,
+                 '<html><body><p>words</p><a href="https://h'
+                 || CAST((doc_id * 7 + 3) % {H} AS VARCHAR)
+                 || '.example/p1">a</a><A HREF="https://WWW.h'
+                 || CAST((doc_id * 13 + 5) % {H} AS VARCHAR)
+                 || '.example:8080/p2">b</A><a href="/local">c</a>'
+                 || '<a href="mailto:x@y.z">d</a></body></html>' AS html
+          FROM documents
+        ), ol AS ({inner})
+        SELECT link_src AS src_host, dst_host, COUNT(*) AS n_links
+        FROM ol GROUP BY 1, 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_system_ray.functions.pii import sql_scrub_expr
 
@@ -397,6 +419,9 @@ def oracle_sql() -> dict[str, str]:
         "value_quantiles_hdr": _hdr_sql(),
         # c4_cleaning: derived page + the GENERATED C4 rule twin
         "c4_cleaning": _c4_sql(),
+        # host_link_graph: same derived pages, GENERATED anchor-pattern
+        # + host-normalizer twins, direct GROUP BY re-aggregation
+        "host_link_graph": _host_link_graph_sql(),
         # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
         # the group sizes independently of the coarse-bucket plan
         "duplicate_weights": """

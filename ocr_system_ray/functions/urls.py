@@ -36,6 +36,7 @@ moving (canonical, id) pairs only.
 
 from __future__ import annotations
 
+import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -243,3 +244,67 @@ def sql_host_expr(col: str) -> str:
     h = f"regexp_replace({h}, '{_PORT_PATTERN}', '')"
     h = f"lower({h})"
     return f"regexp_replace({h}, '{_WWW_HOST_PATTERN}', '')"
+
+
+# anchor extraction: double-quoted href inside an <a> tag, the C4-grade
+# heuristic (single-quoted/unquoted attributes are out of scope — the
+# crawl pages this engine derives always double-quote).  The (?i) inline
+# flag and the explicit ASCII class keep Python re and DuckDB RE2 on
+# identical semantics.
+OUTLINK_PATTERN = r'(?i)<a[ \t\n\r][^>]*href="([^"]+)"'
+_OUTLINK_RGX = re.compile(OUTLINK_PATTERN)
+
+
+def extract_outlinks(
+    ds: ray.data.Dataset,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    host_col: str = "dst_host",
+) -> ray.data.Dataset:
+    """1→N flat-map: each page emits one row per absolute outlink —
+    ``(id_col, href, host_col)`` with the normalized target host
+    (relative / mailto / schemeless links drop: their host is '').
+
+    Stateless map_batches; the findall loop is per-doc compiled-regex
+    O(bytes) (the gopher cost model), host normalization is the
+    vectorized RE2 walk shared with the blocklist/canonicalization ops.
+    The page payload dies in-stage — only (id, href, host) rows flow
+    on, so the downstream graph groupby never moves HTML.
+    """
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        hrefs: list[str] = []
+        ids = t.column(id_col).to_pylist()
+        for i, page in zip(ids, t.column(html_col).to_pylist()):
+            for href in _OUTLINK_RGX.findall(page or ""):
+                ids_out.append(i)
+                hrefs.append(href)
+        out = pa.table(
+            {
+                id_col: pa.array(ids_out, t.schema.field(id_col).type),
+                "href": pa.array(hrefs, pa.string()),
+            }
+        )
+        out = extract_host_batch(out, "href", host_col)
+        return out.filter(pc.not_equal(out.column(host_col), ""))
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def sql_outlinks_select(
+    from_clause: str, id_expr: str = "doc_id", html_expr: str = "html"
+) -> str:
+    """DuckDB twin of :func:`extract_outlinks`, generated from the SAME
+    pattern + host rules."""
+    return f"""
+        WITH ol_l AS (
+          SELECT {id_expr} AS link_src,
+                 unnest(regexp_extract_all(COALESCE({html_expr}, ''),
+                                           '{OUTLINK_PATTERN}', 1)) AS href
+          {from_clause}
+        ), ol_h AS (
+          SELECT link_src, href, {sql_host_expr('href')} AS dst_host FROM ol_l
+        )
+        SELECT link_src, href, dst_host FROM ol_h WHERE dst_host <> ''
+    """

@@ -2671,3 +2671,70 @@ def q_duplicate_weights(sf_dir: str) -> ray.data.Dataset:
 
     stream = docs.map_batches(with_recrawls, batch_format="pyarrow")
     return dedup.duplicate_weights(stream)
+
+
+HOST_LINK_HOSTS = 61  # prime host-space for the derived outlink pages
+
+
+def q_host_link_graph(sf_dir: str) -> ray.data.Dataset:
+    """Outlink-graph construction from raw HTML — the crawl-analytics
+    front half whose output feeds ``pagerank``: every page emits its
+    anchor targets, hosts normalize (case/port/``www.``), and the
+    weighted host→host edge list aggregates with ONE small groupby.
+
+    The derived page per document carries four anchors: a plain https
+    link, an uppercase ``<A HREF`` with www+port chrome (exercising the
+    (?i) flag and the host normalizer), a relative link and a mailto
+    (both dropped — no absolute host).  The oracle re-derives the same
+    pages and applies the GENERATED pattern + host twins
+    (`functions/urls.py:sql_outlinks_select`).
+
+    Scale shape: HTML dies inside the extract stage ((id, href, host)
+    rows flow on); the groupby key is the concatenated edge string
+    (the ray-2.49 multi-column-aggregate workaround) over a ≤\|hosts\|²
+    key domain."""
+    from ..functions.urls import extract_outlinks
+
+    h_mod = HOST_LINK_HOSTS
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src: list[str] = []
+        html: list[str] = []
+        for i in ids:
+            i = int(i)
+            src.append(f"h{i % h_mod}.example")
+            html.append(
+                "<html><body><p>words</p>"
+                f'<a href="https://h{(i * 7 + 3) % h_mod}.example/p1">a</a>'
+                f'<A HREF="https://WWW.h{(i * 13 + 5) % h_mod}.example:8080/p2">b</A>'
+                '<a href="/local">c</a><a href="mailto:x@y.z">d</a></body></html>'
+            )
+        return pa.table({"src_host": pa.array(src), "html": pa.array(html)})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    links = extract_outlinks(pages, id_col="src_host")
+    keyed = links.map_batches(
+        lambda t: pa.table(
+            {
+                "edge": pc.binary_join_element_wise(
+                    t.column("src_host"), t.column("dst_host"), ">"
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = keyed.groupby("edge").aggregate(Count(alias_name="n_links"))
+
+    def split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("edge"), ">")
+        return pa.table(
+            {
+                "src_host": pc.list_element(parts, 0),
+                "dst_host": pc.list_element(parts, 1),
+                "n_links": t.column("n_links"),
+            }
+        )
+
+    return agg.map_batches(split, batch_format="pyarrow")

@@ -1,0 +1,68 @@
+"""Outlink extraction (functions/urls.py:extract_outlinks) vs the
+generated DuckDB twin, plus edge-rule pins."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.urls import extract_outlinks, sql_outlinks_select
+
+_PAGES = [
+    (1, '<html><a href="https://one.example/x">a</a></html>'),
+    (2, '<A HREF="https://WWW.Two.Example:8080/y">upper + www + port</A>'),
+    (3, '<a href="/relative">rel</a><a href="mailto:x@y.z">mail</a>'),
+    (4, '<a class="z" href="https://four.example/a">1</a>'
+        '<a href="https://four.example/b">2</a>'),
+    (5, "no links at all"),
+    (6, None),
+    (7, '<a href="ftp://files.example/f">non-http scheme still a host</a>'),
+    (8, "<a href='https://single.example/q'>single quotes out of scope</a>"),
+]
+
+
+def _run(blocks):
+    df = pd.DataFrame(_PAGES, columns=["doc_id", "html"])
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    return (
+        extract_outlinks(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "href"])
+        .reset_index(drop=True)
+    )
+
+
+def test_rules_and_layout_invariance(ray_session):
+    for blocks in (1, 4):
+        out = _run(blocks)
+        by_doc = out.groupby("doc_id")["dst_host"].apply(list).to_dict()
+        assert by_doc[1] == ["one.example"]
+        # (?i) tag, www., port, and case all normalize
+        assert by_doc[2] == ["two.example"]
+        # relative + mailto dropped, linkless/null pages emit nothing
+        assert 3 not in by_doc and 5 not in by_doc and 6 not in by_doc
+        assert by_doc[4] == ["four.example", "four.example"]
+        # any scheme with :// carries a host
+        assert by_doc[7] == ["files.example"]
+        # single-quoted href is documented out of scope
+        assert 8 not in by_doc
+
+
+def test_generated_sql_twin_matches(ray_session):
+    df = pd.DataFrame(_PAGES, columns=["doc_id", "html"])
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = (
+        con.execute(
+            sql_outlinks_select("FROM pages") + " ORDER BY link_src, href"
+        )
+        .df()
+        .rename(columns={"link_src": "doc_id"})
+    )
+    got = _run(2)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["href"].tolist() == want["href"].tolist()
+    assert got["dst_host"].tolist() == want["dst_host"].tolist()
