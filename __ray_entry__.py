@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_cleaning": q.q_c4_cleaning,
         "duplicate_weights": q.q_duplicate_weights,
         "host_link_graph": q.q_host_link_graph,
+        "domain_cap": q.q_domain_cap,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -357,6 +358,27 @@ def _host_link_graph_sql() -> str:
     """
 
 
+def _domain_cap_sql() -> str:
+    from ocr_system_ray.pipelines.queries import DOMAIN_CAP_HOSTS, DOMAIN_CAP_K
+
+    return f"""
+        WITH d AS (
+          SELECT 'h' || CAST(doc_id % {DOMAIN_CAP_HOSTS} AS VARCHAR)
+                 || '.example' AS host,
+                 doc_id, n_chars
+          FROM documents
+        )
+        SELECT host, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rank
+        FROM (
+          SELECT host, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY n_chars DESC, doc_id
+                 ) AS rank
+          FROM d
+        ) WHERE rank <= {DOMAIN_CAP_K}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_system_ray.functions.pii import sql_scrub_expr
 
@@ -422,6 +444,10 @@ def oracle_sql() -> dict[str, str]:
         # host_link_graph: same derived pages, GENERATED anchor-pattern
         # + host-normalizer twins, direct GROUP BY re-aggregation
         "host_link_graph": _host_link_graph_sql(),
+        # domain_cap: window ROW_NUMBER recomputes the per-host ranks
+        # independently of the coarse-bucket plan (same order + ties;
+        # host modulus + K shared via queries.DOMAIN_CAP_*)
+        "domain_cap": _domain_cap_sql(),
         # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
         # the group sizes independently of the coarse-bucket plan
         "duplicate_weights": """

@@ -173,3 +173,71 @@ def rolling_sum_cents(
         )
 
     return tagged.groupby("bucket").map_groups(roll_in_bucket, batch_format="pandas")
+
+
+def top_k_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    k: int = 3,
+    ascending: bool = False,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key top-k WITHOUT per-key Ray groups — the scale-correct
+    version of the window-rank idiom (grouping on a raw
+    high-cardinality key pays Ray's per-group overhead per key; see
+    CLAUDE.md).  ONE coarse-bucket shuffle co-locates each key's rows,
+    pandas ranks all of a bucket's keys in a single vectorized
+    sort+cumcount, and only rows with ``rank <= k`` survive.
+
+    Order within a key is ``(order_col asc|desc, id_col asc)`` — the
+    id tiebreak keeps ranks exact under value ties (stable mergesort).
+    Returns ``(key_col, id_col, order_col, rank)``; ``order_col`` and
+    ``id_col`` cast to int64 (integer metrics only — floats don't hash
+    reliably), ``key_col`` passes through (string or int).
+
+    This is the FineWeb/Dolma per-domain-cap shape: keep at most k
+    documents per host ranked by a quality metric.
+    """
+    import pandas as pd
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(ds.count()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(kv, nb)),
+                key_col: t.column(key_col),
+                id_col: t.column(id_col).cast(pa.int64()),
+                order_col: t.column(order_col).cast(pa.int64()),
+            }
+        )
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype),
+                    id_col: pd.Series([], dtype="int64"),
+                    order_col: pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            [key_col, order_col, id_col],
+            ascending=[True, ascending, True],
+            kind="mergesort",
+        )
+        df = df.assign(
+            rank=(df.groupby(key_col, sort=False).cumcount() + 1).astype("int64")
+        )
+        df = df[df["rank"] <= k]
+        return df[[key_col, id_col, order_col, "rank"]]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pandas")
+    )

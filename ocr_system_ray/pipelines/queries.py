@@ -2738,3 +2738,35 @@ def q_host_link_graph(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(split, batch_format="pyarrow")
+
+
+DOMAIN_CAP_HOSTS = 97  # prime host-space for the derived per-host cap
+DOMAIN_CAP_K = 3
+
+
+def q_domain_cap(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain quota cap (FineWeb/Dolma crawl-balance shape): keep at
+    most K documents per host, ranked by a quality metric (chars DESC,
+    id tiebreak).  Uses the scale-correct keyed top-k
+    (`windows.top_k_per_key` — ONE coarse-bucket shuffle, never a Ray
+    group per host) over a derived ``doc_id % 97`` host space."""
+    from ..functions.windows import top_k_per_key
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def with_host(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = [f"h{int(i) % DOMAIN_CAP_HOSTS}.example" for i in ids]
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    hosted = docs.map_batches(with_host, batch_format="pyarrow")
+    return top_k_per_key(
+        hosted, key_col="host", order_col="n_chars", id_col="doc_id",
+        k=DOMAIN_CAP_K,
+    )

@@ -104,3 +104,55 @@ def test_random_sweep_vs_duckdb(ray_session):
     out = prev_event_gap(_ds(df, 5), num_buckets=8).take_all()
     got = {r["event_id"]: r["prev_gap_us"] for r in out}
     assert [got[e] for e in want["event_id"]] == want["g"].tolist()
+
+
+def test_top_k_per_key_matches_duckdb(ray_session):
+    import duckdb as _dd
+
+    # tie-heavy: key 1 has 5 rows incl. equal metrics (id tiebreak),
+    # key 2 has fewer than k rows, string keys exercised separately
+    rows = [
+        (1, 10, 100), (2, 1, 100), (3, 1, 100), (4, 1, 50),
+        (5, 1, 200), (6, 1, 50), (7, 2, 7), (8, 2, 7),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "host", "metric"])
+    want = _dd.sql(
+        """SELECT host, doc_id, metric, rank FROM (
+             SELECT host, doc_id, metric,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY host ORDER BY metric DESC, doc_id) AS rank
+             FROM df) WHERE rank <= 3
+           ORDER BY host, rank"""
+    ).df()
+    from ocr_system_ray.functions.windows import top_k_per_key
+
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            top_k_per_key(ds, "host", "metric", "doc_id", k=3, num_buckets=4)
+            .to_pandas()
+            .sort_values(["host", "rank"])
+            .reset_index(drop=True)
+        )
+        for c in ("host", "doc_id", "metric", "rank"):
+            assert got[c].tolist() == want[c].tolist(), (blocks, c)
+
+
+def test_top_k_per_key_string_keys_ascending(ray_session):
+    from ocr_system_ray.functions.windows import top_k_per_key
+
+    rows = [(i, f"h{i % 3}", 100 - i) for i in range(12)]
+    df = pd.DataFrame(rows, columns=["doc_id", "host", "metric"])
+    got = (
+        top_k_per_key(
+            ds := ray.data.from_pandas(df).repartition(3),
+            "host", "metric", "doc_id", k=2, ascending=True, num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values(["host", "rank"])
+        .reset_index(drop=True)
+    )
+    # ascending: smallest metric first — per host the LAST two ids
+    assert got[got["host"] == "h0"]["doc_id"].tolist() == [9, 6]
+    assert got[got["host"] == "h2"]["doc_id"].tolist() == [11, 8]
+    assert got["rank"].tolist() == [1, 2] * 3
