@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_weights": q.q_duplicate_weights,
         "host_link_graph": q.q_host_link_graph,
         "domain_cap": q.q_domain_cap,
+        "noindex_filter": q.q_noindex_filter,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -358,6 +359,27 @@ def _host_link_graph_sql() -> str:
     """
 
 
+def _noindex_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_noindex_expr
+
+    return f"""
+        WITH pg AS (
+          SELECT doc_id,
+                 '<html><head>' ||
+                 CASE WHEN doc_id % 3 = 0 THEN
+                        CASE WHEN doc_id % 2 = 0
+                             THEN '<META NAME="robots" CONTENT="NOINDEX, NOFOLLOW">'
+                             ELSE '<meta name="robots" content="noindex">' END
+                      WHEN doc_id % 3 = 1
+                        THEN '<meta name="robots" content="index, follow">'
+                      ELSE '<meta charset="utf-8">' END
+                 || '</head><body><p>x</p></body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id, {sql_noindex_expr('html')} AS noindex FROM pg
+    """
+
+
 def _domain_cap_sql() -> str:
     from ocr_system_ray.pipelines.queries import DOMAIN_CAP_HOSTS, DOMAIN_CAP_K
 
@@ -448,6 +470,8 @@ def oracle_sql() -> dict[str, str]:
         # independently of the coarse-bucket plan (same order + ties;
         # host modulus + K shared via queries.DOMAIN_CAP_*)
         "domain_cap": _domain_cap_sql(),
+        # noindex_filter: derived heads + the GENERATED robots-meta twin
+        "noindex_filter": _noindex_sql(),
         # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
         # the group sizes independently of the coarse-bucket plan
         "duplicate_weights": """

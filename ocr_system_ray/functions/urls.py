@@ -308,3 +308,45 @@ def sql_outlinks_select(
         )
         SELECT link_src, href, dst_host FROM ol_h WHERE dst_host <> ''
     """
+
+
+# robots-meta compliance: pages carrying <meta name="robots"
+# content="... noindex ..."> must not enter a training corpus (the
+# CCNet/C4 crawl-hygiene contract).  Tag scan + per-tag content probe —
+# both RE2-expressible, double-quoted attributes (the engine-wide
+# documented scope).
+ROBOTS_TAG_PATTERN = r"(?i)<meta[^>]*>"
+ROBOTS_CONTENT_PATTERN = r'(?i)content="([^"]*)"'
+_ROBOTS_TAG_RGX = re.compile(ROBOTS_TAG_PATTERN)
+_ROBOTS_CONTENT_RGX = re.compile(ROBOTS_CONTENT_PATTERN)
+
+
+def flag_noindex_batch(
+    batch: pa.Table, html_col: str = "html", flag_col: str = "noindex"
+) -> pa.Table:
+    """Append int64 ``flag_col`` = 1 iff any ``<meta>`` tag names
+    robots and its content mentions ``noindex`` (case-insensitive,
+    attribute order free).  Row-local, O(bytes)/doc."""
+    out: list[int] = []
+    for page in batch.column(html_col).to_pylist():
+        flag = 0
+        for m in _ROBOTS_TAG_RGX.findall(page or ""):
+            if 'name="robots"' in m.lower():
+                c = _ROBOTS_CONTENT_RGX.search(m)
+                if c and "noindex" in c.group(1).lower():
+                    flag = 1
+                    break
+        out.append(flag)
+    return batch.append_column(flag_col, pa.array(out, pa.int64()))
+
+
+def sql_noindex_expr(html_expr: str) -> str:
+    """DuckDB twin of :func:`flag_noindex_batch` (same patterns)."""
+    return (
+        "CAST(CASE WHEN len(list_filter("
+        f"regexp_extract_all(COALESCE({html_expr}, ''), '{ROBOTS_TAG_PATTERN}'), "
+        "m -> contains(lower(m), 'name=\"robots\"') "
+        "AND contains(lower(COALESCE(regexp_extract(m, "
+        f"'{ROBOTS_CONTENT_PATTERN}', 1), '')), 'noindex'))) > 0 "
+        "THEN 1 ELSE 0 END AS BIGINT)"
+    )

@@ -412,7 +412,13 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
-    """Top-3 orders per customer by price (per-group top-k / window-rank)."""
+    """Top-3 orders per customer by price (per-group top-k /
+    window-rank), via the scale-correct keyed top-k: a coarse-bucket
+    shuffle + one vectorized rank pass per bucket — never a Ray group
+    per customer (raw high-cardinality groupby pays per-key overhead;
+    see CLAUDE.md)."""
+    from ..functions.windows import top_k_per_key
+
     ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def to_cents(t: pa.Table) -> pa.Table:
@@ -425,18 +431,13 @@ def q_top_orders_per_customer(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def top3(g):  # pandas in
-        g = g.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(3)
-        g = g.copy()
-        g["rank"] = range(1, len(g) + 1)
-        return g
-
-    out = (
-        ds.map_batches(to_cents, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(top3, batch_format="pandas")
-        .to_pandas()
-    )
+    out = top_k_per_key(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key_col="o_custkey",
+        order_col="price_cents",
+        id_col="o_orderkey",
+        k=3,
+    ).to_pandas()
     return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
 
 
@@ -2769,4 +2770,41 @@ def q_domain_cap(sf_dir: str) -> ray.data.Dataset:
     return top_k_per_key(
         hosted, key_col="host", order_col="n_chars", id_col="doc_id",
         k=DOMAIN_CAP_K,
+    )
+
+
+def q_noindex_filter(sf_dir: str) -> ray.data.Dataset:
+    """Robots-meta crawl compliance: flag pages whose
+    ``<meta name="robots">`` content requests ``noindex`` (CCNet/C4
+    hygiene — such pages must not enter a training corpus).  The
+    derived head rotates through a noindex directive (uppercase on even
+    ids — the (?i) path), an index,follow directive, and a charset-only
+    meta; the oracle re-derives the pages and applies the GENERATED tag
+    + content twins (`urls.sql_noindex_expr`).  Row-local, one pass."""
+    from ..functions.urls import flag_noindex_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        html: list[str] = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                tag = (
+                    '<META NAME="robots" CONTENT="NOINDEX, NOFOLLOW">'
+                    if i % 2 == 0
+                    else '<meta name="robots" content="noindex">'
+                )
+            elif i % 3 == 1:
+                tag = '<meta name="robots" content="index, follow">'
+            else:
+                tag = '<meta charset="utf-8">'
+            html.append(f"<html><head>{tag}</head><body><p>x</p></body></html>")
+        return pa.table({"doc_id": t.column("doc_id"), "html": pa.array(html)})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: flag_noindex_batch(t).drop_columns(["html"]),
+        batch_format="pyarrow",
     )

@@ -66,3 +66,34 @@ def test_generated_sql_twin_matches(ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["href"].tolist() == want["href"].tolist()
     assert got["dst_host"].tolist() == want["dst_host"].tolist()
+
+
+def test_noindex_flag_rules():
+    import pyarrow as pa
+    from ocr_system_ray.functions.urls import flag_noindex_batch, sql_noindex_expr
+
+    pages = [
+        '<head><meta name="robots" content="noindex"></head>',
+        '<head><META NAME="robots" CONTENT="NOINDEX, NOFOLLOW"></head>',
+        # attribute order reversed
+        '<head><meta content="noindex" name="robots"></head>',
+        '<head><meta name="robots" content="index, follow"></head>',
+        '<head><meta charset="utf-8"></head>',
+        # noindex in a NON-robots meta must not trip the flag
+        '<head><meta name="description" content="noindex talk"></head>',
+        "",
+        None,
+    ]
+    want = [1, 1, 1, 0, 0, 0, 0, 0]
+    t = flag_noindex_batch(pa.table({"html": pa.array(pages, pa.string())}))
+    assert t.column("noindex").to_pylist() == want
+    # generated SQL twin agrees on the same adversaries
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("pg", pd.DataFrame({"doc_id": range(len(pages)), "html": pages}))
+    got = con.execute(
+        f"SELECT {sql_noindex_expr('html')} AS f FROM pg ORDER BY doc_id"
+    ).df()["f"].tolist()
+    assert got == want
