@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": q.q_host_link_graph,
         "domain_cap": q.q_domain_cap,
         "noindex_filter": q.q_noindex_filter,
+        "token_counts_cm": q.q_token_counts_cm,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -359,6 +360,34 @@ def _host_link_graph_sql() -> str:
     """
 
 
+def _token_counts_cm_sql() -> str:
+    from ocr_system_ray.pipelines.queries import CM_DEPTH
+
+    js = ", ".join(str(j) for j in range(CM_DEPTH))
+    return f"""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+'))
+                 AS token
+          FROM documents
+        ), probe AS (
+          SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:8]) AS token
+          FROM documents WHERE doc_id = 3
+        ), cells AS (
+          SELECT u.j,
+                 CAST('0x' || substr(md5(t.token), 1 + 4 * u.j, 4) AS INTEGER)
+                     AS bucket,
+                 COUNT(*) AS c
+          FROM toks t, UNNEST([{js}]) AS u(j)
+          GROUP BY 1, 2
+        )
+        SELECT p.token, CAST(MIN(c.c) AS BIGINT) AS est_count
+        FROM probe p
+        JOIN cells c
+          ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
+        GROUP BY p.token
+    """
+
+
 def _noindex_sql() -> str:
     from ocr_system_ray.functions.urls import sql_noindex_expr
 
@@ -472,6 +501,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         # noindex_filter: derived heads + the GENERATED robots-meta twin
         "noindex_filter": _noindex_sql(),
+        # token_counts_cm: DuckDB rebuilds every Count-Min cell and the
+        # min rule from the same md5-carve bucket contract
+        "token_counts_cm": _token_counts_cm_sql(),
         # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
         # the group sizes independently of the coarse-bucket plan
         "duplicate_weights": """

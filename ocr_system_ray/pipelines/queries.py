@@ -2808,3 +2808,83 @@ def q_noindex_filter(sf_dir: str) -> ray.data.Dataset:
         lambda t: flag_noindex_batch(t).drop_columns(["html"]),
         batch_format="pyarrow",
     )
+
+
+CM_DEPTH = 4
+
+
+def q_token_counts_cm(sf_dir: str) -> pa.Table:
+    """Count-Min frequency estimates for a probe token set (the first 8
+    space-split tokens of doc 3) over the whole corpus's token stream.
+
+    Distributed shape: per-batch Counter combiner → each unique token
+    contributes its ``CM_DEPTH`` md5-carved (row, bucket) cells, but
+    ONLY cells the probe set hashes to are emitted (a 32-entry closure
+    set — nothing sketch-sized ever materializes); one
+    ``groupby(cell)`` over ≤ depth·|probe| keys; the driver takes the
+    tiny cell table and finishes with min-per-token.  The oracle
+    recomputes every cell count AND the min rule in SQL via
+    ``'0x' || substr(md5(token), 1+4j, 4)`` — the sketch arithmetic is
+    the shared contract (state/streaming.py:CountMin)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from ..state.streaming import CountMin
+
+    probe_row = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 3)],
+    )
+    probe_text = probe_row.column("text").to_pylist()[0] or ""
+    probe = sorted(set(probe_text.split(" ")[:8]))
+    probe_cells = {
+        (j, b): None
+        for tok in probe
+        for j, b in enumerate(CountMin.buckets(tok, CM_DEPTH))
+    }
+    cell_keys = frozenset(j * CountMin.WIDTH + b for j, b in probe_cells)
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def emit_cells(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(textstats._TOKEN_RGX.findall(txt or ""))
+        cells: list[int] = []
+        ns: list[int] = []
+        for tok, n in c.items():
+            for j, b in enumerate(CountMin.buckets(tok, CM_DEPTH)):
+                key = j * CountMin.WIDTH + b
+                if key in cell_keys:
+                    cells.append(key)
+                    ns.append(n)
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(emit_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="c"))
+        .to_pandas()
+    )
+    counts = dict(zip(agg["cell"], agg["c"]))
+    est = [
+        int(
+            min(
+                counts[j * CountMin.WIDTH + b]
+                for j, b in enumerate(CountMin.buckets(tok, CM_DEPTH))
+            )
+        )
+        for tok in probe
+    ]
+    return pa.table(
+        {"token": pa.array(probe, pa.string()), "est_count": pa.array(est, pa.int64())}
+    )

@@ -269,6 +269,68 @@ def build_bloom(
 
 
 # ---------------------------------------------------------------------------
+# Count-Min — mergeable frequency sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+class CountMin:
+    """Mergeable Count-Min frequency sketch: ``depth`` 16-bit-wide
+    counter rows; each key's ``depth`` buckets are carved from ONE md5
+    digest (hex chars ``4j..4j+4`` for row j), so the sketch is fully
+    deterministic AND exactly reproducible in SQL
+    (``'0x' || substr(md5(key), 1+4*j, 4)``) — the HDR-sketch contract
+    applied to frequencies.  Width is fixed at 65536 (4 hex chars);
+    depth ≤ 8 (md5 has 32 hex chars).
+
+    Estimates are classical CM: min over rows, never an underestimate;
+    overestimate ≤ εN with probability 1-δ for ε = e/65536, δ = e^-depth
+    (bounds pinned by pytest).  Partial sketches from map_batches merge
+    by element-wise ``+`` (one small driver reduce); the driver query
+    path instead ships only the PROBED cells through one groupby —
+    nothing sketch-sized materializes anywhere.
+    """
+
+    WIDTH = 1 << 16
+
+    def __init__(self, depth: int = 4) -> None:
+        if not 1 <= depth <= 8:
+            raise ValueError("depth must be 1..8 (md5 carve limit)")
+        self.depth = depth
+        self.counts = np.zeros((depth, self.WIDTH), dtype=np.int64)
+
+    @staticmethod
+    def buckets(key: str, depth: int) -> list[int]:
+        """The key's bucket per row — hex chars ``4j..4j+4`` of md5."""
+        import hashlib
+
+        h = hashlib.md5(key.encode("utf-8")).hexdigest()
+        return [int(h[4 * j : 4 * j + 4], 16) for j in range(depth)]
+
+    def add(self, key: str, count: int = 1) -> None:
+        for j, b in enumerate(self.buckets(key, self.depth)):
+            self.counts[j, b] += count
+
+    def estimate(self, key: str) -> int:
+        return int(
+            min(self.counts[j, b] for j, b in enumerate(self.buckets(key, self.depth)))
+        )
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert other.depth == self.depth
+        self.counts += other.counts
+        return self
+
+    def serialize(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def deserialize(cls, raw: bytes, depth: int = 4) -> "CountMin":
+        cm = cls(depth)
+        cm.counts = np.frombuffer(raw, dtype=np.int64).reshape(depth, cls.WIDTH).copy()
+        return cm
+
+
+# ---------------------------------------------------------------------------
 # Misra–Gries — mergeable heavy-hitters (approximate top-k candidates)
 # ---------------------------------------------------------------------------
 

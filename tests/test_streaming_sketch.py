@@ -211,3 +211,60 @@ def test_sessionize_cross_batch_and_boundary(ray_session):
     out = sessionize_stream(ds, num_buckets=4).to_pandas().set_index("user_id")
     assert out.loc[7, "n_sessions"] == 2 and out.loc[7, "n_events"] == 3
     assert out.loc[9, "n_sessions"] == 1 and out.loc[9, "n_events"] == 4
+
+
+def test_countmin_never_underestimates_and_bounds():
+    from collections import Counter
+
+    from ocr_system_ray.state.streaming import CountMin
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream with a heavy head
+    keys = [f"k{int(i)}" for i in rng.zipf(1.5, 20_000) if i < 5_000]
+    truth = Counter(keys)
+    cm = CountMin(depth=4)
+    for k, n in truth.items():
+        cm.add(k, n)
+    n_total = sum(truth.values())
+    eps = np.e / CountMin.WIDTH
+    over = 0
+    for k, n in truth.items():
+        est = cm.estimate(k)
+        assert est >= n, k  # CM never underestimates
+        if est > n + eps * n_total:
+            over += 1
+    # δ = e^-4 ≈ 1.8% per key; allow generous slack
+    assert over <= max(10, int(0.05 * len(truth)))
+
+
+def test_countmin_merge_and_serialize():
+    from ocr_system_ray.state.streaming import CountMin
+
+    a, b, whole = CountMin(), CountMin(), CountMin()
+    for i in range(100):
+        (a if i % 2 else b).add(f"t{i % 7}")
+        whole.add(f"t{i % 7}")
+    a.merge(b)
+    for i in range(7):
+        assert a.estimate(f"t{i}") == whole.estimate(f"t{i}")
+    rt = CountMin.deserialize(whole.serialize())
+    assert rt.estimate("t0") == whole.estimate("t0")
+    assert (rt.counts == whole.counts).all()
+
+
+def test_countmin_buckets_match_sql_carve():
+    import duckdb
+
+    from ocr_system_ray.state.streaming import CountMin
+
+    toks = ["the", "café", "x", ""]
+    con = duckdb.connect()
+    for tok in toks:
+        want = [
+            con.execute(
+                "SELECT CAST('0x' || substr(md5(?), 1 + 4 * ?, 4) AS INTEGER)",
+                [tok, j],
+            ).fetchone()[0]
+            for j in range(8)
+        ]
+        assert CountMin.buckets(tok, 8) == want, tok
