@@ -136,13 +136,22 @@ def run_query_suite() -> dict[str, float]:
         "mojibake_repair": q.q_mojibake_repair,
         "media_headers": q.q_media_headers,
         "jsonl_ingest": q.q_jsonl_ingest,
+        # end-of-round-2 additions
+        "c4_cleaning": q.q_c4_cleaning,
+        "duplicate_weights": q.q_duplicate_weights,
+        "host_link_graph": q.q_host_link_graph,
+        "domain_cap": q.q_domain_cap,
+        "noindex_filter": q.q_noindex_filter,
+        "token_counts_cm": q.q_token_counts_cm,
     }
     import pandas as pd
+
+    import pyarrow as pa
 
     for name, fn in suite.items():
         t0 = time.monotonic()
         out = fn(SF_DIR)
-        if not isinstance(out, pd.DataFrame):
+        if not isinstance(out, (pd.DataFrame, pa.Table)):
             # materialize, not count(): count() gets optimizer-shortcut on
             # row-preserving plans and would under-measure
             out.materialize()
