@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q.q_embedding_dup_pairs,
         "embedding_dup_exact": q.q_embedding_dup_exact,
         "near_dedup_survivors": q.q_near_dedup_survivors,
+        "neardup_incremental": q.q_neardup_incremental,
         "corpus_quality_filter": q.q_corpus_quality_filter,
         # similarity search / clustering
         "knn_bruteforce": q.q_knn_bruteforce,
@@ -1093,6 +1094,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/near_dedup_survivors_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        "neardup_incremental": """
+            SELECT g.id_a, g.id_b, g.est_jaccard
+            FROM '/root/repo/tests/golden/neardup_incremental_sf001.parquet' g
+            JOIN documents d ON g.id_a = d.doc_id
         """,
         "knn_ivf": """
             SELECT g.query_id, g.vec_id, g.rank

@@ -2188,3 +2188,339 @@ def line_dedup(
         )
 
     return tagged.groupby("bucket").map_groups(per_doc, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup dedup vs a persisted MinHash band index
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    num_perms: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    band_buckets: int = 256,
+    sig_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    write_blocks: int = 4,
+) -> str:
+    """Persist the corpus's LSH state so new crawl increments can
+    near-dup-dedup against it WITHOUT re-reading or re-signaturing the
+    corpus — the :func:`build_md5_index` contract extended from exact
+    to near duplicates.
+
+    ``write_blocks`` coalesces each layout before the partitioned write
+    so every bucket gets ~``write_blocks`` files instead of one PER
+    INPUT BLOCK — without it a many-block corpus writes
+    blocks×buckets single-row files and the probe's pruned read drowns
+    in per-file task overhead (measured 11.6 s to read 4 000 rows from
+    2 527 files).  Raise it with cluster size so each file stays in the
+    ~100 MB range at corpus scale.
+
+    Two partitioned parquet layouts under ``index_dir``:
+
+    * ``bands/bucket=<b>`` — ``(band_key, id)`` rows, bucketed by
+      ``band_key % band_buckets``: the probe reads ONLY buckets the
+      increment's own band keys touch (b/band_buckets of the index).
+    * ``sigs/bucket=<b>`` — ``(id, minhash)`` rows bucketed by the id's
+      coarse hash: the verify stage reads only buckets holding
+      candidate ids.
+
+    ``_index_meta.json`` freezes every signature parameter; the probe
+    validates against it (a num_perms/seed/shingle mismatch would
+    silently produce disjoint band keys and report everything novel).
+    """
+    import json
+    import os
+
+    rows_per_band = num_perms // bands
+    sigs = ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=_sig_pool_size(),
+        fn_constructor_kwargs={
+            "num_perms": num_perms, "seed": seed, "shingle_k": shingle_k,
+            "text_col": text_col, "id_col": id_col,
+        },
+    ).materialize()  # consumed twice (bands + sigs layouts)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ex = _explode_bands(t, bands, rows_per_band, id_col)
+        keys = ex.column("band_key").to_numpy(zero_copy_only=False)
+        return ex.append_column(
+            "bucket", pa.array((keys % band_buckets).astype(np.int64))
+        )
+
+    sigs.map_batches(band_rows, batch_format="pyarrow").repartition(
+        write_blocks
+    ).write_parquet(os.path.join(index_dir, "bands"), partition_cols=["bucket"])
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "minhash": t.column("minhash"),
+                "bucket": pa.array(_coarse_bucket(ids, sig_buckets)),
+            }
+        )
+
+    sigs.map_batches(sig_rows, batch_format="pyarrow").repartition(
+        write_blocks
+    ).write_parquet(os.path.join(index_dir, "sigs"), partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "num_perms": num_perms, "bands": bands, "shingle_k": shingle_k,
+                "seed": seed, "band_buckets": band_buckets,
+                "sig_buckets": sig_buckets, "id_col": id_col,
+            },
+            f,
+        )
+    return index_dir
+
+
+def dedup_against_minhash_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    threshold: float = 0.7,
+    star_threshold: int = 256,
+    join_buckets: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Near-dup matches of a crawl increment against the persisted
+    MinHash index: ``(id_a = index doc, id_b = increment doc,
+    est_jaccard)`` for every pair whose signature estimate clears
+    ``threshold``.  Survivors = increment ids absent from ``id_b``
+    (an anti-join the caller composes; duplicates-within-the-increment
+    are :func:`minhash_duplicate_pairs`' job on the increment alone).
+
+    Plan — corpus documents and corpus signatures are never re-read
+    beyond the probed partitions:
+
+    1. signature the increment (small side, materialized);
+    2. band-explode it, collect its DISTINCT band buckets (≤
+       band_buckets ints on the driver), read ONLY those ``bands/``
+       partitions;
+    3. candidates per band_key = index_ids × increment_ids inside one
+       coarse-bucket groupby (int8 side tag; star guard pairs every
+       increment id with the smallest index id when a key explodes —
+       the boilerplate-cluster case); global pair dedup in coarse pair
+       buckets;
+    4. estimate-verify via the existing reduce-side signature join
+       (:func:`_estimate_verify_join`) over increment signatures ∪ the
+       candidate-pruned ``sigs/`` partitions.
+
+    Increment ids MUST be disjoint from index ids (new crawls mint new
+    ids) — the verify join keys signatures by id.
+    """
+    import json
+    import os
+    import glob as _glob
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    num_perms = int(meta["num_perms"])
+    bands = int(meta["bands"])
+    rows_per_band = num_perms // bands
+    band_buckets = int(meta["band_buckets"])
+    sig_buckets = int(meta["sig_buckets"])
+
+    inc_sigs = new_ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=_sig_pool_size(),
+        fn_constructor_kwargs={
+            "num_perms": num_perms, "seed": int(meta["seed"]),
+            "shingle_k": int(meta["shingle_k"]),
+            "text_col": text_col, "id_col": id_col,
+        },
+    ).materialize()
+
+    inc_bands = inc_sigs.map_batches(
+        lambda t: _explode_bands(t, bands, rows_per_band, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # distinct band buckets of the increment (≤ band_buckets values)
+    touched: set[int] = set()
+    for row in inc_bands.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pa.array(
+                    sorted(
+                        set(
+                            (
+                                t.column("band_key").to_numpy(zero_copy_only=False)
+                                % band_buckets
+                            ).tolist()
+                        )
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        touched.add(int(row["bucket"]))
+
+    band_files = [
+        f
+        for b in sorted(touched)
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "bands", f"bucket={b}", "*.parquet"))
+        )
+    ]
+
+    empty_pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+    if not band_files:  # bootstrap / disjoint increment: nothing can match
+        return empty_pairs
+
+    # cap read-task count: the pruned file list is many SMALL files by
+    # layout construction; one task per file would dominate wall time
+    idx_bands = ray.data.read_parquet(
+        band_files,
+        columns=["band_key", id_col],
+        override_num_blocks=min(len(band_files), 64),
+    )
+
+    coarse_bits = _adaptive_coarse_bits(max(inc_bands.count() * 4, 2))
+    coarse_mask = (1 << coarse_bits) - 1
+
+    def tag(m: int):  # noqa: ANN202
+        def inner(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "coarse_key": pc.bit_wise_and(t.column("band_key"), coarse_mask),
+                    "band_key": t.column("band_key"),
+                    id_col: t.column(id_col).cast(pa.int64()),
+                    "m": pa.array(np.full(len(t), m, dtype=np.int8)),
+                }
+            )
+
+        return inner
+
+    tagged = idx_bands.map_batches(tag(0), batch_format="pyarrow").union(
+        inc_bands.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def candidates_in_group(group):  # pandas DataFrame in
+        ia: list = []
+        ib: list = []
+        for _, bucket in group.groupby("band_key", sort=True):
+            idx_ids = np.sort(bucket.loc[bucket["m"] == 0, id_col].to_numpy())
+            inc_ids = np.sort(bucket.loc[bucket["m"] == 1, id_col].to_numpy())
+            if len(idx_ids) == 0 or len(inc_ids) == 0:
+                continue
+            if len(idx_ids) * len(inc_ids) > star_threshold:
+                # boilerplate-cluster guard: hub on the smallest index id
+                ia.append(np.full(len(inc_ids), idx_ids[0]))
+                ib.append(inc_ids)
+            else:
+                ii = np.repeat(idx_ids, len(inc_ids))
+                jj = np.tile(inc_ids, len(idx_ids))
+                ia.append(ii)
+                ib.append(jj)
+        flat_a = np.concatenate(ia) if ia else np.array([], dtype=np.int64)
+        flat_b = np.concatenate(ib) if ib else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(flat_a, dtype="int64"),
+                "id_b": pd.Series(flat_b, dtype="int64"),
+            }
+        )
+
+    candidates = tagged.groupby("coarse_key").map_groups(
+        candidates_in_group, batch_format="pandas"
+    )
+
+    def drop_dup_pairs(df):  # noqa: ANN001, ANN202 — pandas in/out
+        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    distinct = (
+        candidates.map_batches(
+            lambda t: _pair_bucket_column(t, 1 << coarse_bits, "pair_bucket"),
+            batch_format="pyarrow",
+        )
+        .groupby("pair_bucket")
+        .map_groups(drop_dup_pairs, batch_format="pandas")
+        .materialize()  # consumed twice: sig-bucket probe + verify join
+    )
+    if distinct.count() == 0:  # no band collisions at all — and an
+        # empty groupby output would be SCHEMA-LESS (the empty-aggregate
+        # gotcha), so downstream needs the typed empty instead
+        return empty_pairs
+
+    # candidate index ids → their sig buckets (≤ sig_buckets values)
+    sbuckets: set[int] = set()
+    for row in distinct.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pa.array(
+                    sorted(
+                        set(
+                            _coarse_bucket(
+                                t.column("id_a").to_numpy(zero_copy_only=False),
+                                sig_buckets,
+                            ).tolist()
+                        )
+                    ),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        sbuckets.add(int(row["bucket"]))
+
+    sig_files = [
+        f
+        for b in sorted(sbuckets)
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "sigs", f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if not sig_files:
+        return empty_pairs
+
+    idx_sigs = ray.data.read_parquet(
+        sig_files,
+        columns=[id_col, "minhash"],
+        override_num_blocks=min(len(sig_files), 64),
+    )
+
+    def norm_sig(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "minhash": t.column("minhash").cast(pa.list_(pa.uint64())),
+            }
+        )
+
+    all_sigs = (
+        idx_sigs.map_batches(norm_sig, batch_format="pyarrow")
+        .union(inc_sigs.map_batches(norm_sig, batch_format="pyarrow"))
+        .materialize()
+    )
+    return _estimate_verify_join(
+        distinct, all_sigs, threshold, num_perms, id_col, join_buckets
+    )

@@ -2888,3 +2888,58 @@ def q_token_counts_cm(sf_dir: str) -> pa.Table:
     return pa.table(
         {"token": pa.array(probe, pa.string()), "est_count": pa.array(est, pa.int64())}
     )
+
+
+def q_neardup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental NEAR-dup dedup: a crawl increment probes the
+    PERSISTED MinHash band index (built once over the even-doc corpus,
+    cached in /tmp by source fingerprint — the md5-index pattern,
+    extended from exact to near duplicates).
+
+    Increment = odds plus near-recrawls of every doc_id % 10 == 0
+    document (same text + one appended token, new id +1_000_000) —
+    each near-recrawl must match its original at est_jaccard ≈ 1.
+    Returns (id_a = index doc, id_b = increment doc, est_jaccard).
+    Golden-oracled: minhash is not SQL-expressible; the committed
+    golden freezes the seeded pair set (the minhash_pairs treatment)."""
+    import os
+    import tempfile
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def increment(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        odds = t.filter(pa.array(ids % 2 == 1))
+        sel = t.filter(pa.array(ids % 10 == 0))
+        near = pa.table(
+            {
+                "doc_id": pa.array(
+                    sel.column("doc_id").to_numpy(zero_copy_only=False) + 1_000_000,
+                    pa.int64(),
+                ),
+                "text": pa.array(
+                    [(x or "") + " zzz" for x in sel.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+        return pa.concat_tables([odds, near])
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_mh_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        dedup.build_minhash_index(
+            docs.map_batches(evens, batch_format="pyarrow"), index_dir
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    new_ds = docs.map_batches(increment, batch_format="pyarrow")
+    return dedup.dedup_against_minhash_index(new_ds, index_dir, threshold=0.7)

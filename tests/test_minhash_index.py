@@ -1,0 +1,115 @@
+"""Incremental near-dup dedup vs the persisted MinHash band index
+(dedup.build_minhash_index / dedup_against_minhash_index)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.dedup import (
+    build_minhash_index,
+    dedup_against_minhash_index,
+)
+
+
+def _corpus(n=40, words=40):
+    rng = __import__("random").Random(5)
+    vocab = [f"w{i}" for i in range(50)]
+    return {
+        i: " ".join(rng.choice(vocab) for _ in range(words)) for i in range(n)
+    }
+
+
+def _build(tmp, docs):
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ).repartition(3)
+    return build_minhash_index(ds, tmp, band_buckets=32, sig_buckets=8)
+
+
+def test_planted_neardups_found_across_layouts(ray_session, tmp_path):
+    docs = _corpus()
+    idx = _build(str(tmp_path / "idx"), docs)
+    # increment: 5 fresh docs + 3 near-copies of indexed docs (one token
+    # appended — jaccard ≈ (n-2)/(n-1))
+    fresh = {1000 + i: f"fresh doc {i} " + " ".join(f"x{i}y{j}" for j in range(30))
+             for i in range(5)}
+    copies = {2000 + i: docs[i * 7] + " zzz" for i in range(3)}
+    inc = {**fresh, **copies}
+    for blocks in (1, 4):
+        new_ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": list(inc), "text": list(inc.values())})
+        ).repartition(blocks)
+        out = dedup_against_minhash_index(new_ds, idx, threshold=0.7).to_pandas()
+        matched = set(zip(out["id_a"], out["id_b"]))
+        for i in range(3):
+            assert (i * 7, 2000 + i) in matched, (blocks, i)
+        assert (out["est_jaccard"] >= 0.7).all()
+        # fresh docs never match
+        assert not (set(out["id_b"]) & set(fresh)), blocks
+        # survivors = increment ids minus matched id_b
+        survivors = set(inc) - set(out["id_b"])
+        assert set(fresh) <= survivors
+
+
+def test_probe_is_partition_pruned(ray_session, tmp_path):
+    docs = _corpus()
+    idx = _build(str(tmp_path / "idx"), docs)
+    inc = {2000: docs[0] + " zzz"}
+    new_ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(inc), "text": list(inc.values())})
+    )
+    before = dedup_against_minhash_index(new_ds, idx, threshold=0.7).to_pandas()
+    assert (0, 2000) in set(zip(before["id_a"], before["id_b"]))
+    # deleting band/sig partitions the probe does NOT touch must not
+    # change the result — proves the reads are path-pruned
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    touched_bands = set()
+    for f in glob.glob(os.path.join(idx, "bands", "bucket=*", "*.parquet")):
+        pass
+    # recompute the increment's touched buckets directly from its pairs
+    from ocr_system_ray.functions.dedup import MinHashStage, _explode_bands
+
+    stage = MinHashStage(num_perms=64, seed=42, shingle_k=3)
+    import pyarrow as pa
+
+    sig = stage(pa.table({"doc_id": pa.array([2000]), "text": pa.array([inc[2000]])}))
+    ex = _explode_bands(sig, 16, 4, "doc_id")
+    touched = set(
+        (ex.column("band_key").to_numpy(zero_copy_only=False) % 32).tolist()
+    )
+    removed = 0
+    for d in glob.glob(os.path.join(idx, "bands", "bucket=*")):
+        b = int(d.rsplit("=", 1)[1])
+        if b not in touched:
+            shutil.rmtree(d)
+            removed += 1
+    assert removed > 0  # the test must actually delete something
+    after = dedup_against_minhash_index(new_ds, idx, threshold=0.7).to_pandas()
+    assert set(zip(after["id_a"], after["id_b"])) == set(
+        zip(before["id_a"], before["id_b"])
+    )
+
+
+def test_disjoint_increment_and_meta_mismatch(ray_session, tmp_path):
+    docs = _corpus(n=10)
+    idx = _build(str(tmp_path / "idx"), docs)
+    new_ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [5000], "text": ["totally novel content here"]})
+    )
+    out = dedup_against_minhash_index(new_ds, idx, threshold=0.7)
+    # Dataset-level schema is typed even at 0 rows (to_pandas on any
+    # empty Dataset drops columns — the repo-wide empty-frame gotcha)
+    assert out.schema().names == ["id_a", "id_b", "est_jaccard"]
+    assert len(out.to_pandas()) == 0
+    with pytest.raises(ValueError, match="id_col"):
+        dedup_against_minhash_index(new_ds, idx, id_col="other")
