@@ -2524,3 +2524,235 @@ def dedup_against_minhash_index(
     return _estimate_verify_join(
         distinct, all_sigs, threshold, num_perms, id_col, join_buckets
     )
+
+
+def update_minhash_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+) -> dict:
+    """Merge a crawl increment into the persisted MinHash index and
+    compact the touched partitions — the maintenance half of the
+    incremental NEAR-dup pair (mirrors :func:`update_md5_index`): build
+    once, probe new crawls (:func:`dedup_against_minhash_index`), fold
+    accepted documents in as they land; the corpus is never
+    re-signatured.
+
+    Both layouts get the same treatment: signature the increment with
+    the index's FROZEN parameters (``_index_meta.json``), union each
+    touched partition's old rows with the new ones, drop exact
+    duplicate rows, rewrite the partition as ONE content-hash-named
+    file (idempotent re-runs), delete old files only after every new
+    file is in place.  Untouched partitions are never read or written.
+
+    Crash safety: between write and delete a partition briefly holds
+    duplicate rows.  Duplicate band rows only re-propose candidate
+    pairs the pair-dedup stage already collapses; duplicate sig rows
+    can transiently duplicate matched PAIR ROWS in a concurrent probe
+    (the match SET — and therefore any survivor anti-join — is
+    unchanged), and a re-run of this function converges to single
+    files.
+
+    Returns ``{"band_buckets_compacted", "sig_buckets_compacted",
+    "docs_added"}``.
+    """
+    import glob as _glob
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    num_perms = int(meta["num_perms"])
+    bands = int(meta["bands"])
+    rows_per_band = num_perms // bands
+    band_buckets = int(meta["band_buckets"])
+    sig_buckets = int(meta["sig_buckets"])
+
+    sigs = new_ds.map_batches(
+        MinHashStage,
+        batch_format="pyarrow",
+        concurrency=_sig_pool_size(),
+        fn_constructor_kwargs={
+            "num_perms": num_perms, "seed": int(meta["seed"]),
+            "shingle_k": int(meta["shingle_k"]),
+            "text_col": text_col, "id_col": id_col,
+        },
+    ).materialize()
+    docs_added = sigs.count()
+
+    def _distinct_buckets(ds_: ray.data.Dataset) -> set[int]:
+        out: set[int] = set()
+        for row in ds_.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": pa.array(
+                        sorted(set(t.column("bucket").to_pylist())), pa.int64()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).take_all():
+            out.add(int(row["bucket"]))
+        return out
+
+    def _compact(
+        subdir: str,
+        new_rows: ray.data.Dataset,
+        old_reader,  # files -> Dataset with a recomputed bucket column
+        group_fn,
+    ) -> int:
+        touched = _distinct_buckets(new_rows)
+        old_files = {
+            b: sorted(
+                _glob.glob(os.path.join(index_dir, subdir, f"bucket={b}", "*.parquet"))
+            )
+            for b in sorted(touched)
+        }
+        flat_old = [f for files in old_files.values() for f in files]
+        merged = new_rows.union(old_reader(flat_old)) if flat_old else new_rows
+        manifest = (
+            merged.groupby("bucket")
+            .map_groups(group_fn, batch_format="pandas")
+            .take_all()
+        )
+        new_paths = {m["path"] for m in manifest}
+        written = {int(m["bucket"]) for m in manifest}
+        for b, files in old_files.items():
+            if b not in written:
+                raise RuntimeError(f"compaction wrote no file for {subdir} bucket {b}")
+            for f in files:
+                if f not in new_paths:
+                    os.remove(f)
+        return len(manifest)
+
+    # ---- bands layout -----------------------------------------------------
+    def band_rows(t: pa.Table) -> pa.Table:
+        ex = _explode_bands(t, bands, rows_per_band, id_col)
+        keys = ex.column("band_key").to_numpy(zero_copy_only=False)
+        return ex.append_column(
+            "bucket", pa.array((keys % band_buckets).astype(np.int64))
+        )
+
+    def read_old_bands(files: list[str]) -> ray.data.Dataset:
+        def rebucket(t: pa.Table) -> pa.Table:
+            keys = t.column("band_key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "band_key": t.column("band_key"),
+                    id_col: t.column(id_col),
+                    "bucket": pa.array((keys % band_buckets).astype(np.int64)),
+                }
+            )
+
+        return ray.data.read_parquet(
+            files,
+            columns=["band_key", id_col],
+            override_num_blocks=min(len(files), 64),
+        ).map_batches(rebucket, batch_format="pyarrow")
+
+    def compact_bands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        b = int(df["bucket"].iloc[0])
+        d = df.sort_values(["band_key", id_col], kind="mergesort").drop_duplicates(
+            ["band_key", id_col]
+        )
+        part_dir = os.path.join(index_dir, "bands", f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        content_key = hashlib.md5(
+            d["band_key"].to_numpy(dtype=np.int64).tobytes()
+            + d[id_col].to_numpy(dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        pq_.write_table(
+            pa.table(
+                {
+                    "band_key": pa.array(d["band_key"].to_numpy(dtype=np.int64)),
+                    id_col: pa.array(d[id_col].to_numpy(dtype=np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(d)], "path": [path]})
+
+    n_band = _compact(
+        "bands",
+        sigs.map_batches(band_rows, batch_format="pyarrow").materialize(),
+        read_old_bands,
+        compact_bands,
+    )
+
+    # ---- sigs layout ------------------------------------------------------
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "minhash": t.column("minhash").cast(pa.list_(pa.uint64())),
+                "bucket": pa.array(_coarse_bucket(ids, sig_buckets)),
+            }
+        )
+
+    def read_old_sigs(files: list[str]) -> ray.data.Dataset:
+        return ray.data.read_parquet(
+            files,
+            columns=[id_col, "minhash"],
+            override_num_blocks=min(len(files), 64),
+        ).map_batches(sig_rows, batch_format="pyarrow")
+
+    def compact_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        b = int(df["bucket"].iloc[0])
+        d = df.sort_values(id_col, kind="mergesort").drop_duplicates([id_col])
+        part_dir = os.path.join(index_dir, "sigs", f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        content_key = hashlib.md5(
+            d[id_col].to_numpy(dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        pq_.write_table(
+            pa.table(
+                {
+                    id_col: pa.array(d[id_col].to_numpy(dtype=np.int64)),
+                    "minhash": pa.array(
+                        [list(x) for x in d["minhash"]], pa.list_(pa.uint64())
+                    ),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(d)], "path": [path]})
+
+    n_sig = _compact(
+        "sigs",
+        sigs.map_batches(sig_rows, batch_format="pyarrow").materialize(),
+        read_old_sigs,
+        compact_sigs,
+    )
+
+    return {
+        "band_buckets_compacted": n_band,
+        "sig_buckets_compacted": n_sig,
+        "docs_added": int(docs_added),
+    }

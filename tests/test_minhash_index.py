@@ -69,14 +69,8 @@ def test_probe_is_partition_pruned(ray_session, tmp_path):
     before = dedup_against_minhash_index(new_ds, idx, threshold=0.7).to_pandas()
     assert (0, 2000) in set(zip(before["id_a"], before["id_b"]))
     # deleting band/sig partitions the probe does NOT touch must not
-    # change the result — proves the reads are path-pruned
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    touched_bands = set()
-    for f in glob.glob(os.path.join(idx, "bands", "bucket=*", "*.parquet")):
-        pass
-    # recompute the increment's touched buckets directly from its pairs
+    # change the result — proves the reads are path-pruned; recompute
+    # the increment's touched buckets directly from its band keys
     from ocr_system_ray.functions.dedup import MinHashStage, _explode_bands
 
     stage = MinHashStage(num_perms=64, seed=42, shingle_k=3)
@@ -113,3 +107,46 @@ def test_disjoint_increment_and_meta_mismatch(ray_session, tmp_path):
     assert len(out.to_pandas()) == 0
     with pytest.raises(ValueError, match="id_col"):
         dedup_against_minhash_index(new_ds, idx, id_col="other")
+
+
+def test_update_minhash_index_merges_and_probes(ray_session, tmp_path):
+    from ocr_system_ray.functions.dedup import update_minhash_index
+
+    docs = _corpus(n=20)
+    idx = _build(str(tmp_path / "idx"), docs)
+    # fold in a second crawl wave
+    wave = {100 + i: f"wave doc {i} " + " ".join(f"a{i}b{j}" for j in range(30))
+            for i in range(6)}
+    wave_ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(wave), "text": list(wave.values())})
+    ).repartition(2)
+    m = update_minhash_index(wave_ds, idx)
+    assert m["docs_added"] == 6 and m["band_buckets_compacted"] > 0
+    # a near-copy of a WAVE doc must now match against the index
+    probe = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [9000], "text": [wave[103] + " tail"]})
+    )
+    out = dedup_against_minhash_index(probe, idx, threshold=0.7).to_pandas()
+    assert (103, 9000) in set(zip(out["id_a"], out["id_b"]))
+    # ...and near-copies of ORIGINAL docs still match (old rows kept)
+    probe2 = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [9001], "text": [docs[2] + " tail"]})
+    )
+    out2 = dedup_against_minhash_index(probe2, idx, threshold=0.7).to_pandas()
+    assert (2, 9001) in set(zip(out2["id_a"], out2["id_b"]))
+
+
+def test_update_minhash_index_idempotent(ray_session, tmp_path):
+    import glob as _glob
+    from ocr_system_ray.functions.dedup import update_minhash_index
+
+    docs = _corpus(n=8)
+    idx = _build(str(tmp_path / "idx"), docs)
+    wave_ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [500], "text": ["one more doc with words here"]})
+    )
+    update_minhash_index(wave_ds, idx)
+    files1 = sorted(_glob.glob(os.path.join(idx, "*", "bucket=*", "*.parquet")))
+    update_minhash_index(wave_ds, idx)
+    files2 = sorted(_glob.glob(os.path.join(idx, "*", "bucket=*", "*.parquet")))
+    assert files1 == files2  # content-hash names: re-run is a no-op
