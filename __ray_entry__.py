@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": q.q_domain_cap,
         "noindex_filter": q.q_noindex_filter,
         "token_counts_cm": q.q_token_counts_cm,
+        "semantic_decontam": q.q_semantic_decontam,
         # multimodal plumbing
         "media_decode": q.q_media_decode,
         "media_features": q.q_media_features,
@@ -361,6 +362,32 @@ def _host_link_graph_sql() -> str:
     """
 
 
+def _semantic_decontam_sql() -> str:
+    from ocr_system_ray.pipelines.queries import (
+        SEMANTIC_DECONTAM_MICRO as TAU,
+        SEMANTIC_DECONTAM_MOD as MOD,
+    )
+
+    return f"""
+        WITH bench AS (
+          SELECT embedding FROM embeddings WHERE vec_id % {MOD} = 0
+        ), corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % {MOD} <> 0
+        ), s AS (
+          SELECT c.vec_id,
+                 MAX(round(list_cosine_similarity(
+                     CAST(c.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6)) AS mc
+          FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id
+        )
+        SELECT vec_id,
+               CAST(FLOOR(mc * 1000000 + 0.5) AS BIGINT) AS max_cos_micro,
+               CAST(CASE WHEN FLOOR(mc * 1000000 + 0.5) >= {TAU}
+                    THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM s
+    """
+
+
 def _token_counts_cm_sql() -> str:
     from ocr_system_ray.pipelines.queries import CM_DEPTH
 
@@ -505,6 +532,9 @@ def oracle_sql() -> dict[str, str]:
         # token_counts_cm: DuckDB rebuilds every Count-Min cell and the
         # min rule from the same md5-carve bucket contract
         "token_counts_cm": _token_counts_cm_sql(),
+        # semantic_decontam: every max-cosine recomputed independently
+        # via list_cosine_similarity; 1e-6 quantization on both sides
+        "semantic_decontam": _semantic_decontam_sql(),
         # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
         # the group sizes independently of the coarse-bucket plan
         "duplicate_weights": """

@@ -2943,3 +2943,44 @@ def q_neardup_incremental(sf_dir: str) -> ray.data.Dataset:
 
     new_ds = docs.map_batches(increment, batch_format="pyarrow")
     return dedup.dedup_against_minhash_index(new_ds, index_dir, threshold=0.7)
+
+
+SEMANTIC_DECONTAM_MOD = 41  # benchmark stand-in: every 41st embedding
+SEMANTIC_DECONTAM_MICRO = 300_000
+
+
+def q_semantic_decontam(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-space benchmark decontamination: corpus vectors whose
+    max cosine vs the benchmark set (vec_id % 41 == 0 — loaded once,
+    broadcast) clears 0.30 are flagged — the paraphrase-robust
+    complement of the 8-gram `decontam_flags`.  One stateless pass;
+    DuckDB recomputes every max-cosine with `list_cosine_similarity`
+    (both sides quantize to 1e-6 before thresholding)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from ..functions.similarity import semantic_decontam
+
+    bench_tbl = pq_.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(bench_tbl.column("vec_id").to_pylist())
+    bench = np.asarray(
+        bench_tbl.filter(pa.array(ids % SEMANTIC_DECONTAM_MOD == 0))
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float32,
+    )
+
+    corpus = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def drop_bench(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v % SEMANTIC_DECONTAM_MOD != 0))
+
+    return semantic_decontam(
+        corpus.map_batches(drop_bench, batch_format="pyarrow"),
+        bench,
+        threshold_micro=SEMANTIC_DECONTAM_MICRO,
+    )

@@ -2257,3 +2257,52 @@ def test_blocked_hosts_large_list_path_equals_vectorized(ray_session):
     assert a == b
     assert a[3] == 1 and a[7] == 1 and a[40] == 1 and a[41] == 0
     assert sum(a.values()) == 3
+
+
+def test_semantic_decontam_matches_duckdb(ray_session):
+    import duckdb
+
+    import pandas as pd
+
+    from ocr_system_ray.functions.similarity import semantic_decontam
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    bench = rng.normal(size=(4, dim)).astype(np.float32)
+    # corpus: 20 random + 3 near-copies of benchmark rows (must flag)
+    corpus = rng.normal(size=(20, dim)).astype(np.float32)
+    near = (bench[:3] + rng.normal(scale=0.05, size=(3, dim))).astype(np.float32)
+    vecs = np.vstack([corpus, near])
+    df = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("corpus", df)
+    con.register(
+        "bench", pd.DataFrame({"embedding": [b.tolist() for b in bench]})
+    )
+    want = con.execute(
+        """WITH s AS (
+             SELECT c.vec_id,
+                    MAX(round(list_cosine_similarity(
+                        CAST(c.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])), 6)) AS mc
+             FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id)
+           SELECT vec_id, CAST(FLOOR(mc*1000000 + 0.5) AS BIGINT) AS micro
+           FROM s ORDER BY vec_id"""
+    ).df()
+    for blocks in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            semantic_decontam(ds, bench, threshold_micro=800_000)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert got["max_cos_micro"].tolist() == want["micro"].tolist(), blocks
+        # the three planted near-copies flag; the flag is exactly the
+        # integer threshold test on the shared micro values
+        assert got["contaminated"].tolist() == [
+            int(m >= 800_000) for m in want["micro"]
+        ], blocks
+        assert got.loc[got["vec_id"] >= 20, "contaminated"].tolist() == [1, 1, 1]
