@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_part": q.q_suppliers_per_part,
         "distinct_langs": q.q_distinct_langs,
         "approx_distinct_users": q.q_approx_distinct_users,
+        "users_per_type_approx": q.q_users_per_type_approx,
         "train_test_split": q.q_train_test_split,
         "corpus_shuffle": q.q_corpus_shuffle,
         "orders_top100": q.q_orders_top100,

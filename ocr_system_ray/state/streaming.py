@@ -468,3 +468,74 @@ def approx_distinct(
     for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
         merged.merge(HyperLogLog.deserialize(row["sketch"], p))
     return merged.estimate()
+
+
+def approx_distinct_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+) -> ray.data.Dataset:
+    """GROUPED approximate distinct count: one HLL sketch per (batch,
+    key) inside ``map_batches``, then ONE ``groupby(key)`` whose rows
+    are 2^p-byte serialized sketches — values never shuffle, and each
+    group's merge is a vectorized register max.
+
+    The grouped complement of :func:`approx_distinct`: exact grouped
+    distinct (``q_suppliers_per_part``) shuffles every (key, value)
+    pair; this moves ``keys_per_batch × 2^p`` bytes instead — the win
+    at web scale is value-cardinality independence (counting distinct
+    urls per host at 10⁹ urls costs the same shuffle as at 10⁴).
+    Returns ``(key_col, approx_distinct: int64)``.  p=12 → ~1.6%
+    standard error (pytest pins the bound against exact counts).
+    """
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def sketch(t: pa.Table) -> pa.Table:
+        keys_out: list = []
+        sk_out: list[bytes] = []
+        df = pd.DataFrame(
+            {
+                "k": t.column(key_col).to_pylist(),
+                "v": [str(v) for v in t.column(value_col).to_pylist()],
+            }
+        )
+        for k, grp in df.groupby("k", sort=False):
+            h = HyperLogLog(p)
+            h.add_hashes(stable_hash64(grp["v"].tolist()))
+            keys_out.append(k)
+            sk_out.append(h.serialize())
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, t.schema.field(key_col).type),
+                "sketch": pa.array(sk_out, pa.binary()),
+            }
+        )
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype),
+                    "approx_distinct": pd.Series([], dtype="int64"),
+                }
+            )
+        h = HyperLogLog(p)
+        for raw in df["sketch"]:
+            h.merge(HyperLogLog.deserialize(bytes(raw), p))
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].iloc[:1],
+                "approx_distinct": pd.Series(
+                    [int(round(h.estimate()))], dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+    )

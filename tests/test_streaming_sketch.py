@@ -268,3 +268,34 @@ def test_countmin_buckets_match_sql_carve():
             for j in range(8)
         ]
         assert CountMin.buckets(tok, 8) == want, tok
+
+
+def test_approx_distinct_by_key_within_bound(ray_session):
+    import pandas as pd
+
+    import ray.data
+
+    from ocr_system_ray.state.streaming import approx_distinct_by_key
+
+    rng = np.random.default_rng(3)
+    # three keys with very different cardinalities + heavy repetition
+    rows = []
+    for key, n_distinct, n_rows in (("a", 17, 400), ("b", 900, 3000), ("c", 1, 50)):
+        vals = rng.integers(0, n_distinct, size=n_rows)
+        # force full coverage of the distinct domain
+        vals[:n_distinct] = np.arange(n_distinct)
+        rows += [(key, f"{key}-{v}") for v in vals]
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    exact = df.groupby("k")["v"].nunique()
+    for blocks in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            approx_distinct_by_key(ds, "k", "v")
+            .to_pandas()
+            .set_index("k")["approx_distinct"]
+        )
+        for k in exact.index:
+            rel = abs(got[k] - exact[k]) / exact[k]
+            assert rel <= 0.05, (blocks, k, got[k], exact[k])
+    # tiny cardinalities are exact (small-range correction)
+    assert got["c"] == 1
