@@ -143,6 +143,8 @@ def run_query_suite() -> dict[str, float]:
         "domain_cap": q.q_domain_cap,
         "noindex_filter": q.q_noindex_filter,
         "token_counts_cm": q.q_token_counts_cm,
+        "semantic_decontam": q.q_semantic_decontam,
+        "users_per_type_approx": q.q_users_per_type_approx,
     }
     import pandas as pd
 
