@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_exact": q.q_embedding_dup_exact,
         "near_dedup_survivors": q.q_near_dedup_survivors,
         "neardup_incremental": q.q_neardup_incremental,
+        "crawl_refresh": q.q_crawl_refresh,
         "corpus_quality_filter": q.q_corpus_quality_filter,
         # similarity search / clustering
         "knn_bruteforce": q.q_knn_bruteforce,
@@ -1130,6 +1131,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.est_jaccard
             FROM '/root/repo/tests/golden/neardup_incremental_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # crawl_refresh: the exact_dup leg is SQL-recomputable, but the
+        # near_dup leg is minhash — the golden freezes the full verdict
+        # column; the doc_id derivation keys it to the live corpus
+        "crawl_refresh": """
+            SELECT g.doc_id, g.verdict
+            FROM '/root/repo/tests/golden/crawl_refresh_sf001.parquet' g
+            JOIN documents d ON (g.doc_id % 1000000) = d.doc_id
         """,
         "knn_ivf": """
             SELECT g.query_id, g.vec_id, g.rank

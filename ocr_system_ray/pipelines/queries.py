@@ -2996,3 +2996,136 @@ def q_users_per_type_approx(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
+def q_crawl_refresh(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end incremental crawl verdict — the composite that ties
+    the maintenance story together: a new crawl wave probes the
+    persisted EXACT index (md5) first, the cheap gate; its survivors'
+    only remaining duplicate risk is NEAR duplication, checked against
+    the persisted MinHash band index; everything else is accepted.
+
+    Per increment document: ``verdict`` ∈ ``exact_dup`` (md5 already in
+    the corpus index) → ``near_dup`` (MinHash estimate ≥ 0.7 vs an
+    indexed doc) → ``accepted``, precedence in that order.  Wave
+    derivation: odds (mostly novel) ∪ exact re-crawls (evens % 10, new
+    id +1M, same text) ∪ near re-crawls (evens % 14, new id +2M, text
+    + one token).  Both indices are the cached /tmp artifacts shared
+    with ``dedup_incremental`` / ``neardup_incremental`` (built over
+    the even-doc corpus, keyed by source fingerprint).
+
+    The verdict assembly is ONE coarse-bucket groupby over int8-tagged
+    (increment ∪ exact-survivor ∪ near-matched) id rows — no driver
+    sets, no broadcast.  Golden-oracled (minhash is not
+    SQL-expressible)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    def wave(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        odds = t.filter(pa.array(ids % 2 == 1))
+        ex = t.filter(pa.array(ids % 10 == 0))
+        exact_re = pa.table(
+            {
+                "doc_id": pa.array(
+                    ex.column("doc_id").to_numpy(zero_copy_only=False) + 1_000_000,
+                    pa.int64(),
+                ),
+                "text": ex.column("text"),
+            }
+        )
+        nr = t.filter(pa.array(ids % 14 == 0))
+        near_re = pa.table(
+            {
+                "doc_id": pa.array(
+                    nr.column("doc_id").to_numpy(zero_copy_only=False) + 2_000_000,
+                    pa.int64(),
+                ),
+                "text": pa.array(
+                    [(x or "") + " zzz" for x in nr.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+        return pa.concat_tables([odds, exact_re, near_re])
+
+    md5_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_md5_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    if not os.path.exists(os.path.join(md5_dir, "_complete")):
+        dedup.build_md5_index(docs.map_batches(evens, batch_format="pyarrow"), md5_dir)
+        with open(os.path.join(md5_dir, "_complete"), "w") as f:
+            f.write("ok")
+    mh_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_mh_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    if not os.path.exists(os.path.join(mh_dir, "_complete")):
+        dedup.build_minhash_index(
+            docs.map_batches(evens, batch_format="pyarrow"), mh_dir
+        )
+        with open(os.path.join(mh_dir, "_complete"), "w") as f:
+            f.write("ok")
+
+    inc = docs.map_batches(wave, batch_format="pyarrow").materialize()
+    exact_survivors = dedup.dedup_against_index(inc, md5_dir)  # (doc_id)
+    near_matches = dedup.dedup_against_minhash_index(inc, mh_dir, threshold=0.7)
+
+    # verdict assembly: int8-tagged id rows through one coarse groupby
+    num_buckets = 256
+
+    def tag(m: int, id_from: str):  # noqa: ANN202
+        def inner(t: pa.Table) -> pa.Table:
+            ids = t.column(id_from).cast(pa.int64())
+            iv = ids.to_numpy(zero_copy_only=False)
+            from ..functions.dedup import _coarse_bucket
+
+            return pa.table(
+                {
+                    "bucket": pa.array(_coarse_bucket(iv, num_buckets)),
+                    "doc_id": ids,
+                    "m": pa.array(np.full(len(t), m, dtype=np.int8)),
+                }
+            )
+
+        return inner
+
+    tagged = (
+        inc.map_batches(tag(0, "doc_id"), batch_format="pyarrow")
+        .union(exact_survivors.map_batches(tag(1, "doc_id"), batch_format="pyarrow"))
+        .union(near_matches.map_batches(tag(2, "id_b"), batch_format="pyarrow"))
+    )
+
+    def verdict_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "verdict": pd.Series([], dtype="object"),
+                }
+            )
+        inc_ids = g.loc[g["m"] == 0, "doc_id"]
+        surv = set(g.loc[g["m"] == 1, "doc_id"])
+        near = set(g.loc[g["m"] == 2, "doc_id"])
+        out = [
+            "exact_dup" if i not in surv else ("near_dup" if i in near else "accepted")
+            for i in inc_ids
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": inc_ids.reset_index(drop=True).astype("int64"),
+                "verdict": pd.Series(out, dtype="object"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(
+        verdict_in_bucket, batch_format="pandas"
+    )

@@ -150,3 +150,25 @@ def test_update_minhash_index_idempotent(ray_session, tmp_path):
     update_minhash_index(wave_ds, idx)
     files2 = sorted(_glob.glob(os.path.join(idx, "*", "bucket=*", "*.parquet")))
     assert files1 == files2  # content-hash names: re-run is a no-op
+
+
+def test_crawl_refresh_verdicts(ray_session):
+    """The composite verdict query on the sf0.001 corpus: planted
+    exact re-crawls → exact_dup, planted near re-crawls → near_dup,
+    verdict precedence exact > near, one verdict per increment doc."""
+    from ocr_system_ray.pipelines.queries import q_crawl_refresh
+
+    out = q_crawl_refresh("/root/testdata/sf0.001").to_pandas()
+    v = dict(zip(out["doc_id"], out["verdict"]))
+    # planted exact re-crawls (evens % 10 → +1M) all exact_dup
+    exact_ids = [i for i in v if 1_000_000 <= i < 2_000_000]
+    assert exact_ids and all(v[i] == "exact_dup" for i in exact_ids)
+    # planted near re-crawls (evens % 14 → +2M) all near_dup
+    near_ids = [i for i in v if i >= 2_000_000]
+    assert near_ids and all(v[i] == "near_dup" for i in near_ids)
+    # odds are present and at least some are accepted
+    odd_ids = [i for i in v if i < 1_000_000]
+    assert odd_ids and all(i % 2 == 1 for i in odd_ids)
+    assert any(v[i] == "accepted" for i in odd_ids)
+    # exactly one verdict per increment doc
+    assert len(out) == len(set(out["doc_id"]))

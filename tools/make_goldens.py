@@ -420,6 +420,7 @@ def bpe_encode_golden() -> pa.Table:
 QUERY_GOLDENS = {
     "minhash_pairs_sf001": "minhash_pairs",
     "neardup_incremental_sf001": "neardup_incremental",
+    "crawl_refresh_sf001": "crawl_refresh",
     "minhash_pairs_verified_sf001": "minhash_pairs_verified",
     "simhash_pairs_sf001": "simhash_pairs",
     "near_dedup_survivors_sf001": "near_dedup_survivors",
