@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_survivors": q.q_near_dedup_survivors,
         "neardup_incremental": q.q_neardup_incremental,
         "crawl_refresh": q.q_crawl_refresh,
+        "quality_survivors": q.q_quality_survivors,
         "corpus_quality_filter": q.q_corpus_quality_filter,
         # similarity search / clustering
         "knn_bruteforce": q.q_knn_bruteforce,
@@ -537,6 +538,29 @@ def oracle_sql() -> dict[str, str]:
         # semantic_decontam: every max-cosine recomputed independently
         # via list_cosine_similarity; 1e-6 quantization on both sides
         "semantic_decontam": _semantic_decontam_sql(),
+        # quality_survivors: ROW_NUMBER window recomputes each group's
+        # quality-argmax independently of the coarse-bucket plan
+        "quality_survivors": """
+            WITH s AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+            ), q AS (
+              SELECT doc_id, md5(COALESCE(text, '')) AS content_md5,
+                     CAST(doc_id % 97 AS BIGINT) AS quality
+              FROM s
+            ), r AS (
+              SELECT content_md5, doc_id, quality,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY content_md5 ORDER BY quality DESC, doc_id
+                     ) AS rn,
+                     COUNT(*) OVER (PARTITION BY content_md5) AS n_dups
+              FROM q
+            )
+            SELECT content_md5, doc_id, quality,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM r WHERE rn = 1
+        """,
         # duplicate_weights: COUNT() OVER (PARTITION BY md5) recomputes
         # the group sizes independently of the coarse-bucket plan
         "duplicate_weights": """

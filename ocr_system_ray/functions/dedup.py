@@ -2756,3 +2756,73 @@ def update_minhash_index(
         "sig_buckets_compacted": n_sig,
         "docs_added": int(docs_added),
     }
+
+
+def quality_survivors(
+    ds: ray.data.Dataset,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Exact-dup survivor selection by QUALITY — the FineWeb/SlimPajama
+    nuance over :func:`exact_dedup`'s min-id rule: of each identical-
+    content group, keep the member with the HIGHEST quality metric
+    (ties → smaller id), so a re-crawl that fetched a better rendering
+    replaces the original instead of losing to it.
+
+    Returns one row per distinct content:
+    ``(content_md5, id_col, quality_col, n_dups)`` — all ints except
+    the md5.  ONE coarse-bucket shuffle of (bucket, md5, id, quality)
+    rows (~64 B/row, documents never move); the per-group argmax is a
+    vectorized in-bucket pandas sort + drop_duplicates.
+    """
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    hashed = ds.map_batches(
+        lambda t: fingerprint_batch(t, text_col).select(
+            ["content_md5", id_col, quality_col]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        h = stable_hash64(t.column("content_md5"))
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def best_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "content_md5": pd.Series([], dtype="object"),
+                    id_col: pd.Series([], dtype="int64"),
+                    quality_col: pd.Series([], dtype="int64"),
+                    "n_dups": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.assign(
+            n_dups=df.groupby("content_md5")[id_col].transform("size").astype("int64")
+        )
+        best = df.sort_values(
+            ["content_md5", quality_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(["content_md5"])
+        return pd.DataFrame(
+            {
+                "content_md5": best["content_md5"].reset_index(drop=True),
+                id_col: best[id_col].reset_index(drop=True).astype("int64"),
+                quality_col: best[quality_col].reset_index(drop=True).astype("int64"),
+                "n_dups": best["n_dups"].reset_index(drop=True),
+            }
+        )
+
+    return (
+        hashed.map_batches(to_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(best_in_bucket, batch_format="pandas")
+    )

@@ -3129,3 +3129,34 @@ def q_crawl_refresh(sf_dir: str) -> ray.data.Dataset:
     return tagged.groupby("bucket").map_groups(
         verdict_in_bucket, batch_format="pandas"
     )
+
+
+def q_quality_survivors(sf_dir: str) -> ray.data.Dataset:
+    """Quality-aware exact-dup survivors (FineWeb keeps the BEST copy,
+    not the first): the derived stream re-crawls every doc_id % 4 == 0
+    document under id +1M with identical text; each pair's survivor is
+    whichever copy carries the higher synthetic quality
+    (``doc_id % 97``, ties → smaller id) — sometimes the re-crawl
+    wins, which the min-id rule can never do.  One coarse-bucket
+    shuffle; the oracle recomputes with a ROW_NUMBER window."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_recrawls(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "text"])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % 4 == 0))
+        dup = pa.table(
+            {
+                "doc_id": pa.array(
+                    sel.column("doc_id").to_numpy(zero_copy_only=False) + 1_000_000,
+                    pa.int64(),
+                ),
+                "text": sel.column("text"),
+            }
+        )
+        merged = pa.concat_tables([t, dup])
+        q = merged.column("doc_id").to_numpy(zero_copy_only=False) % 97
+        return merged.append_column("quality", pa.array(q.astype(np.int64)))
+
+    stream = docs.map_batches(with_recrawls, batch_format="pyarrow")
+    return dedup.quality_survivors(stream, quality_col="quality")

@@ -126,3 +126,38 @@ def test_duplicate_weights_all_unique(ray_session):
     out = duplicate_weights(ds, num_buckets=4).to_pandas()
     assert sorted(out["doc_id"]) == list(range(10))
     assert set(out["dup_count"]) == {1} and set(out["weight_milli"]) == {1000}
+
+
+def test_quality_survivors_picks_best_copy(ray_session):
+    import duckdb
+
+    from ocr_system_ray.functions.dedup import quality_survivors
+
+    # groups: A has 3 copies (q 5 < 9 > 7 → id 3 wins); B has a quality
+    # tie (q 4 = 4 on ids 2 and 4 → smaller id 2 wins); C is a singleton
+    rows = [
+        (1, "A", 5), (2, "B", 4), (3, "A", 9), (4, "B", 4),
+        (5, "A", 7), (6, "C", 0),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "quality"])
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.execute(
+        """SELECT content_md5, doc_id, quality, n_dups
+           FROM (SELECT md5(text) AS content_md5, doc_id, quality,
+                        ROW_NUMBER() OVER (
+                          PARTITION BY text ORDER BY quality DESC, doc_id) AS rn,
+                        COUNT(*) OVER (PARTITION BY text) AS n_dups
+                 FROM docs) WHERE rn = 1 ORDER BY doc_id"""
+    ).df()
+    for blocks in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        got = (
+            quality_survivors(ds, "quality", num_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [2, 3, 6], blocks
+        for col in ("content_md5", "doc_id", "quality", "n_dups"):
+            assert got[col].tolist() == want[col].tolist(), (blocks, col)
