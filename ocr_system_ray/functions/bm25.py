@@ -56,8 +56,16 @@ def build_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_buckets: int = 256,
+    write_blocks: int = 4,
 ) -> str:
     """Persist the BM25 index; returns ``index_dir``.
+
+    ``write_blocks`` coalesces the postings before the partitioned
+    write (the ``build_minhash_index`` idiom): every bucket gets
+    ~``write_blocks`` files instead of one per input block, keeping the
+    pruned :func:`bm25_topk` probe's read-task count proportional to
+    the probed buckets, not to blocks×buckets.  Raise it with cluster
+    size (~100 MB target per file).
 
     Tokens are single-space splits (the repo's oracle tokenization);
     ``tf`` is the in-document count, ``doc_len`` the document's token
@@ -93,9 +101,9 @@ def build_bm25_index(
             }
         )
 
-    ds.map_batches(postings, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    ds.map_batches(postings, batch_format="pyarrow").repartition(
+        write_blocks
+    ).write_parquet(index_dir, partition_cols=["bucket"])
 
     def stats(t: pa.Table) -> pa.Table:
         lens = [len((x or "").split(" ")) for x in t.column(text_col).to_pylist()]

@@ -50,11 +50,19 @@ def build_token_index(
     id_col: str = "doc_id",
     prefix_buckets: int = 256,
     max_df_ratio: float = 1.0,
+    write_blocks: int = 4,
 ) -> str:
     """Persist the inverted index; returns ``index_dir``.
 
     Tokens are single-space splits (the repo's oracle tokenization);
     each document contributes each of its tokens ONCE.
+
+    ``write_blocks`` coalesces the posting rows before the partitioned
+    write (the ``build_minhash_index`` idiom) so every bucket gets
+    ~``write_blocks`` files instead of one per input block — a
+    many-block corpus would otherwise write blocks×buckets near-empty
+    files and every pruned :func:`lookup_tokens` probe pays a read task
+    per file.  Raise it with cluster size (~100 MB target per file).
     """
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -83,9 +91,9 @@ def build_token_index(
             }
         )
 
-    ds.map_batches(pairs, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
+    ds.map_batches(pairs, batch_format="pyarrow").repartition(
+        write_blocks
+    ).write_parquet(index_dir, partition_cols=["bucket"])
     with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
         json.dump(
             {

@@ -235,15 +235,22 @@ def build_ivf_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    write_blocks: int = 4,
 ) -> str:
     """Persist the IVF layout: one parquet partition directory per
     centroid (``centroid_id=<c>/``).  Build once, search many — the
     partitioned layout is what turns ``nprobe`` from a full-corpus
     filter scan into a pruned read that never touches the other
-    ``n_centroids - nprobe`` partitions' bytes."""
-    assign_partitions(ds, codebook, id_col, vec_col).write_parquet(
-        index_dir, partition_cols=["centroid_id"]
-    )
+    ``n_centroids - nprobe`` partitions' bytes.
+
+    ``write_blocks`` coalesces the assigned rows before the partitioned
+    write (the ``build_minhash_index`` idiom) so each centroid
+    directory holds ~``write_blocks`` files instead of one per input
+    block — the probe's per-file read-task cost stays proportional to
+    ``nprobe``.  Raise it with cluster size (~100 MB target per file)."""
+    assign_partitions(ds, codebook, id_col, vec_col).repartition(
+        write_blocks
+    ).write_parquet(index_dir, partition_cols=["centroid_id"])
     return index_dir
 
 
@@ -533,15 +540,20 @@ def build_ivfpq_index(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    write_blocks: int = 4,
 ) -> str:
     """Persist the IVF-PQ layout: partition-per-centroid directories
     holding ``(id, pq_code, embedding)``.  The code column makes the
     candidate pass a skinny column projection; the vector column stays
-    co-located for the rerank pass."""
+    co-located for the rerank pass.  ``write_blocks`` coalesces before
+    the partitioned write (see :func:`build_ivf_index`) so file count
+    stays ~centroids×write_blocks, not centroids×input blocks."""
     encoded = pq_encode(
         assign_partitions(ds, codebook, id_col, vec_col), pq_codebook, id_col, vec_col
     )
-    encoded.write_parquet(index_dir, partition_cols=["centroid_id"])
+    encoded.repartition(write_blocks).write_parquet(
+        index_dir, partition_cols=["centroid_id"]
+    )
     return index_dir
 
 

@@ -1797,18 +1797,23 @@ def q_repeated_ngrams(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr-lite substring-dedup statistics: per doc, the number
     of corpus-repeated 8-token windows and the tokens they cover.  Two
     coarse-bucket shuffles (grams, then doc aggregation), zero driver
-    state — see ``dedup.repeated_ngram_stats``."""
+    state — see ``dedup.repeated_ngram_stats``.  Runs in hashed mode
+    (``exact=False``): the gram shuffle ships 8-byte token-polynomial
+    hashes instead of gram strings — the 100 TB configuration; output
+    equals exact mode up to ~10⁻¹⁰ collision odds (pytest-pinned)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.repeated_ngram_stats(ds, k=8)
+    return dedup.repeated_ngram_stats(ds, k=8, exact=False)
 
 
 def q_repeated_ngram_removal(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr-lite removal: tokens under any corpus-repeated
     8-token window are cut from the document → (doc_id, clean_text,
     n_removed).  The doc-bucket shuffle moves the corpus once; grams
-    move as (id, pos) rows — see ``dedup.remove_repeated_ngrams``."""
+    move as (id, pos) rows — see ``dedup.remove_repeated_ngrams``.
+    Hashed mode (``exact=False``): string-free gram identities, the
+    100 TB configuration (see ``q_repeated_ngrams``)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.remove_repeated_ngrams(ds, k=8)
+    return dedup.remove_repeated_ngrams(ds, k=8, exact=False)
 
 
 def q_kmeans_clusters(sf_dir: str) -> ray.data.Dataset:
