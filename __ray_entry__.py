@@ -419,6 +419,42 @@ def _token_counts_cm_sql() -> str:
     """
 
 
+def _hll_registers_cte(group_cols: str = "") -> str:
+    """Shared HLL-register rebuild (p=12, m=4096) from ``md5(user_id)``
+    — the md5-carve contract of ``state.streaming.md5_hash64``: hex
+    chars 1-3 are the register index (top 12 bits of the 64-bit hash),
+    chars 4-16 the remaining 52 bits whose leading-zero count gives the
+    rank (``53 - length(bin(rest))``; rest=0 → 53).  ``group_cols``
+    (with trailing comma) threads an optional grouping key through."""
+    g = group_cols
+    return f"""
+        h AS (
+          SELECT DISTINCT {g}
+                 md5(COALESCE(CAST(user_id AS VARCHAR), 'None')) AS hx
+          FROM events
+        ), reg AS (
+          SELECT {g}
+                 CAST('0x' || substr(hx, 1, 3) AS INTEGER) AS idx,
+                 CAST('0x' || substr(hx, 4, 13) AS BIGINT) AS rest
+          FROM h
+        ), ranks AS (
+          SELECT {g} idx,
+                 MAX(CASE WHEN rest = 0 THEN 53
+                          ELSE 53 - length(bin(rest)) END) AS r
+          FROM reg GROUP BY {g} idx
+        ), agg AS (
+          SELECT {g} COUNT(*) AS nreg, SUM(power(2.0, -r)) AS s
+          FROM ranks GROUP BY ALL
+        ), est AS (
+          SELECT {g}
+                 (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                   / (s + (4096 - nreg)) AS raw,
+                 4096 - nreg AS zeros
+          FROM agg
+        )
+    """
+
+
 def _noindex_sql() -> str:
     from ocr_system_ray.functions.urls import sql_noindex_expr
 
@@ -535,6 +571,26 @@ def oracle_sql() -> dict[str, str]:
         # token_counts_cm: DuckDB rebuilds every Count-Min cell and the
         # min rule from the same md5-carve bucket contract
         "token_counts_cm": _token_counts_cm_sql(),
+        # approx_distinct_users: DuckDB rebuilds all 4096 HLL registers
+        # from md5(user_id) carves and applies the same bias-corrected
+        # estimator + small-range correction — estimates compare EXACTLY
+        "approx_distinct_users": f"""
+            WITH {_hll_registers_cte()}
+            SELECT CAST(round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                                   THEN 4096.0 * ln(4096.0 / zeros)
+                                   ELSE raw END) AS BIGINT) AS approx_users
+            FROM est
+        """,
+        # users_per_type_approx: the grouped twin — registers rebuilt
+        # per event_type, same estimator per group
+        "users_per_type_approx": f"""
+            WITH {_hll_registers_cte("event_type,")}
+            SELECT event_type,
+                   CAST(round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                                   THEN 4096.0 * ln(4096.0 / zeros)
+                                   ELSE raw END) AS BIGINT) AS approx_distinct
+            FROM est
+        """,
         # semantic_decontam: every max-cosine recomputed independently
         # via list_cosine_similarity; 1e-6 quantization on both sides
         "semantic_decontam": _semantic_decontam_sql(),

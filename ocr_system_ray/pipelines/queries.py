@@ -530,13 +530,14 @@ def q_corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
 
 def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     """Mergeable-sketch pattern: per-batch HLL over user_id, driver merge
-    — 4 KB sketches move instead of a value shuffle.  Deterministic
-    (stable blake2b hashing); rows-only check (approximate by design,
-    accuracy asserted in pytest vs exact count)."""
-    from ..state.streaming import approx_distinct
+    — 4 KB sketches move instead of a value shuffle.  Hashes with
+    ``md5_hash64`` (the CountMin carve contract) so the DuckDB oracle
+    rebuilds the registers from ``md5(user_id)`` hex substrings and the
+    estimate matches EXACTLY, not just within the HLL error bound."""
+    from ..state.streaming import approx_distinct, md5_hash64
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    est = approx_distinct(ds, "user_id")
+    est = approx_distinct(ds, "user_id", hash_fn=md5_hash64)
     return pa.table({"approx_users": pa.array([int(round(est))], pa.int64())})
 
 
@@ -2995,12 +2996,14 @@ def q_users_per_type_approx(sf_dir: str) -> ray.data.Dataset:
     """GROUPED approximate distinct (HLL per key): distinct users per
     event_type without shuffling user ids — per-(batch, key) sketches
     ride ONE groupby as 4 KB binaries (value-cardinality-independent
-    shuffle).  Approximate by design → rows-only driver check; the
-    ±1.6% (p=12) bound vs exact counts is pinned in pytest."""
-    from ..state.streaming import approx_distinct_by_key
+    shuffle).  Hashes with ``md5_hash64`` so the DuckDB oracle rebuilds
+    every group's registers exactly (estimates compare as equals, not
+    within-bound); the ±1.6% (p=12) accuracy bound vs exact counts
+    stays pinned in pytest."""
+    from ..state.streaming import approx_distinct_by_key, md5_hash64
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-    return approx_distinct_by_key(ds, "event_type", "user_id")
+    return approx_distinct_by_key(ds, "event_type", "user_id", hash_fn=md5_hash64)
 
 
 def q_crawl_refresh(sf_dir: str) -> ray.data.Dataset:

@@ -442,6 +442,24 @@ class HyperLogLog:
         return h
 
 
+def md5_hash64(values: list) -> np.ndarray:
+    """uint64 hash per value = the first 16 hex chars of
+    ``md5(str(value))`` — the CountMin carve contract applied to HLL, so
+    a DuckDB oracle can rebuild the registers exactly:
+    ``('0x' || substr(md5(v), 1, 3))::INT`` is the p=12 register index
+    (the hash's top 12 bits) and ``('0x' || substr(md5(v), 4, 13))::BIGINT``
+    the remaining 52 bits whose leading-zero count is the rank
+    (``53 - length(bin(rest))``, rest=0 → 53).  Slower than
+    ``stable_hash64`` (hashlib per value) — use it where SQL
+    reproducibility is worth more than the hash throughput."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:16], 16) for v in values],
+        dtype=np.uint64,
+    )
+
+
 def approx_distinct(
     ds: ray.data.Dataset, column: str, p: int = 12, hash_fn: Callable | None = None
 ) -> float:
@@ -475,6 +493,7 @@ def approx_distinct_by_key(
     key_col: str,
     value_col: str,
     p: int = 12,
+    hash_fn: Callable | None = None,
 ) -> ray.data.Dataset:
     """GROUPED approximate distinct count: one HLL sketch per (batch,
     key) inside ``map_batches``, then ONE ``groupby(key)`` whose rows
@@ -488,10 +507,16 @@ def approx_distinct_by_key(
     urls per host at 10⁹ urls costs the same shuffle as at 10⁴).
     Returns ``(key_col, approx_distinct: int64)``.  p=12 → ~1.6%
     standard error (pytest pins the bound against exact counts).
+
+    ``hash_fn`` maps a list of stringified values to a uint64 array;
+    default ``stable_hash64``; pass :func:`md5_hash64` when the result
+    must be reproducible by a DuckDB oracle.
     """
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+
+    hasher = hash_fn if hash_fn is not None else stable_hash64
 
     def sketch(t: pa.Table) -> pa.Table:
         keys_out: list = []
@@ -504,7 +529,7 @@ def approx_distinct_by_key(
         )
         for k, grp in df.groupby("k", sort=False):
             h = HyperLogLog(p)
-            h.add_hashes(stable_hash64(grp["v"].tolist()))
+            h.add_hashes(np.asarray(hasher(grp["v"].tolist()), dtype=np.uint64))
             keys_out.append(k)
             sk_out.append(h.serialize())
         return pa.table(

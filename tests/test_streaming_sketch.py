@@ -299,3 +299,30 @@ def test_approx_distinct_by_key_within_bound(ray_session):
             assert rel <= 0.05, (blocks, k, got[k], exact[k])
     # tiny cardinalities are exact (small-range correction)
     assert got["c"] == 1
+
+
+def test_md5_hash64_matches_sql_carve_and_keeps_accuracy():
+    """md5_hash64 IS the SQL contract: the uint64 equals the first 16
+    hex chars of md5(str(v)), so ('0x'||substr(md5(v),1,3))::INT is the
+    p=12 register index and ('0x'||substr(md5(v),4,13))::BIGINT the
+    remaining 52 bits (rank = 53 - length(bin(rest)), rest=0 → 53) —
+    what the approx_distinct_users / users_per_type_approx DuckDB
+    oracles rebuild."""
+    import duckdb
+
+    from ocr_system_ray.state.streaming import md5_hash64
+
+    vals = [0, 123, -7, 10**12, "host.example", ""]
+    h = md5_hash64(vals)
+    carved = duckdb.sql(
+        "SELECT CAST('0x' || substr(md5(v), 1, 3) AS INTEGER),"
+        "       CAST('0x' || substr(md5(v), 4, 13) AS BIGINT)"
+        " FROM (SELECT unnest(" + repr([str(v) for v in vals]) + ") AS v)"
+    ).fetchall()
+    for hv, (idx, rest) in zip(h, carved):
+        assert int(hv) >> 52 == idx
+        assert int(hv) & ((1 << 52) - 1) == rest
+    # the md5-backed HLL keeps the standard accuracy bound
+    hll = HyperLogLog(p=12)
+    hll.add_hashes(md5_hash64(list(range(5000))))
+    assert abs(hll.estimate() - 5000) / 5000 < 0.05
