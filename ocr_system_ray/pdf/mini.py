@@ -29,7 +29,68 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["sanitize_line", "wrap_words", "build_pdf", "build_pdf_xrefstream"]
+__all__ = [
+    "sanitize_line",
+    "wrap_words",
+    "build_pdf",
+    "build_pdf_cid",
+    "build_pdf_xrefstream",
+    "lzw_encode",
+]
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """TIFF/PDF LZW encoder (the ``parser._lzw_decode`` inverse): used
+    to synthesize ``/Filter /LZWDecode`` fixture streams so the decode
+    path is round-trip-tested without shipping binary fixtures.
+    MSB-first variable-width codes, clear-table first, EOD last; width
+    grows one entry early per the default ``EarlyChange 1``; emits a
+    clear code when the table would exceed 12 bits.  Deterministic
+    (greedy longest-match), so fixture bytes are stable."""
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            buf &= (1 << nbits) - 1
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    emit(256)  # spec-recommended leading clear
+    table = fresh_table()
+    next_code = 258
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early_change > (1 << width) and width < 12:
+                width += 1
+        else:  # table full: clear and restart (keeps width ≤ 12)
+            emit(256)
+            table = fresh_table()
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:  # zero-pad the final partial byte
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 _BAD = re.compile(r"[^ -~\t]")
 
@@ -96,13 +157,16 @@ def _stream_obj(num: int, d: bytes, data: bytes) -> bytes:
 def build_pdf(
     pages: list[list[str]],
     *,
-    compress: bool = True,
+    compress: bool | str = True,
     font_size: int = 11,
     leading: int = 14,
     x0: int = 72,
     y0: int = 720,
 ) -> bytes:
-    """Build a classic-xref PDF: one text run per line, ``'`` line ops."""
+    """Build a classic-xref PDF: one text run per line, ``'`` line ops.
+
+    ``compress``: ``True`` → FlateDecode, ``"lzw"`` → LZWDecode (the
+    round-trip fixture for the parser's LZW leg), falsy → raw."""
     n_pages = max(len(pages), 1)
     pages = pages or [[]]
     # object layout: 1 Catalog, 2 Pages, 3 Font, then (page, content) pairs
@@ -133,14 +197,22 @@ def build_pdf(
         content = _content_stream(
             lines, font_size=font_size, leading=leading, x0=x0, y0=y0
         )
-        if compress:
+        if compress == "lzw":
+            objs.append(
+                _stream_obj(content_num, b"/Filter /LZWDecode", lzw_encode(content))
+            )
+        elif compress:
             data = zlib.compress(content, 6)
             objs.append(_stream_obj(content_num, b"/Filter /FlateDecode", data))
         else:
             objs.append(_stream_obj(content_num, b"", content))
 
+    return _classic_xref(objs)
+
+
+def _classic_xref(objs: list[bytes]) -> bytes:
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]  # object 0 is the free head
+    offsets = []
     for o in objs:
         offsets.append(len(buf))
         buf.extend(o)
@@ -148,13 +220,92 @@ def build_pdf(
     n_objs = len(objs) + 1
     buf.extend(b"xref\n0 %d\n" % n_objs)
     buf.extend(b"0000000000 65535 f \n")
-    for off in offsets[1:]:
+    for off in offsets:
         buf.extend(b"%010d 00000 n \n" % off)
     buf.extend(
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (n_objs, xref_at)
     )
     return bytes(buf)
+
+
+def build_pdf_cid(
+    pages: list[list[str]],
+    *,
+    font_size: int = 11,
+    leading: int = 14,
+    x0: int = 72,
+    y0: int = 720,
+) -> bytes:
+    """Build a CID/Type0 PDF: text shows as 2-byte hex strings whose
+    CIDs are synthetic (never the Unicode code point), mapped back by
+    an embedded ``/ToUnicode`` CMap — the parser must actually walk the
+    CMap to recover the text.  Lowercase a-z ride ONE scalar bfrange
+    (<0100>..<0119> → U+0061); every other character gets a bfchar
+    entry with CIDs from 0x0200 in order of first appearance.  Same
+    classic-xref skeleton and text contract as :func:`build_pdf`."""
+    n_pages = max(len(pages), 1)
+    pages = [[sanitize_line(ln) for ln in p] for p in pages] or [[]]
+
+    cid_of: dict[str, int] = {chr(97 + i): 0x0100 + i for i in range(26)}
+    bfchars: list[tuple[int, str]] = []
+    nxt = 0x0200
+    for p in pages:
+        for ln in p:
+            for ch in ln:
+                if ch not in cid_of:
+                    cid_of[ch] = nxt
+                    bfchars.append((nxt, ch))
+                    nxt += 1
+
+    cmap_lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin begincmap",
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange",
+        b"1 beginbfrange\n<0100> <0119> <0061>\nendbfrange",
+    ]
+    if bfchars:
+        cmap_lines.append(b"%d beginbfchar" % len(bfchars))
+        cmap_lines += [
+            b"<%04X> <%s>" % (cid, ch.encode("utf-16-be").hex().upper().encode())
+            for cid, ch in bfchars
+        ]
+        cmap_lines.append(b"endbfchar")
+    cmap_lines.append(b"endcmap end end")
+    cmap = b"\n".join(cmap_lines)
+
+    first_page_obj = 5
+    kids = b" ".join(b"%d 0 R" % (first_page_obj + 2 * i) for i in range(n_pages))
+    objs: list[bytes] = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)),
+        _obj(
+            3,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic-Identity-H"
+            b" /Encoding /Identity-H /ToUnicode 4 0 R >>",
+        ),
+        _stream_obj(4, b"", cmap),
+    ]
+    for i, lines in enumerate(pages):
+        page_num = first_page_obj + 2 * i
+        parts = [b"BT /F1 %d Tf %d TL %d %d Td" % (font_size, leading, x0, y0)]
+        for k, ln in enumerate(lines):
+            hexstr = b"".join(b"%04X" % cid_of[ch] for ch in ln)
+            parts.append(b"<%s> %s" % (hexstr, b"Tj" if k == 0 else b"'"))
+        parts.append(b"ET")
+        content = b"\n".join(parts)
+        objs.append(
+            _obj(
+                page_num,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % (page_num + 1),
+            )
+        )
+        objs.append(
+            _stream_obj(page_num + 1, b"/Filter /FlateDecode", zlib.compress(content, 6))
+        )
+    return _classic_xref(objs)
 
 
 def build_pdf_xrefstream(

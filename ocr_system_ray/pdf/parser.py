@@ -14,8 +14,9 @@ Supported (all stdlib, no PDF libraries exist in this environment):
   (PDF 1.5, ``/Type/XRef`` with PNG predictors) and hybrid ``/XRefStm``,
   plus a brute-force ``N G obj`` scan fallback for broken xrefs;
 * object streams (``/Type/ObjStm``);
-* stream filters: FlateDecode (with PNG predictors), ASCIIHexDecode,
-  ASCII85Decode, RunLengthDecode; filter chains and ``/DecodeParms``;
+* stream filters: FlateDecode and LZWDecode (both with PNG predictors;
+  LZW honors ``/EarlyChange``), ASCIIHexDecode, ASCII85Decode,
+  RunLengthDecode; filter chains and ``/DecodeParms``;
 * content-stream text operators: BT/ET, Tf, Td, TD, Tm, T*, TL, Tc, Tw,
   Tz, Ts, Tj, ', ", TJ, with q/Q/cm graphics state so runs land in
   device space;
@@ -25,9 +26,15 @@ Supported (all stdlib, no PDF libraries exist in this environment):
   block logic stays in the HTML leg; here "layout" means geometric
   reading order.
 
+* CID/Type0 multi-byte text: embedded ``/ToUnicode`` CMaps
+  (codespacerange + bfchar + bfrange, scalar and array destinations)
+  decode shown strings per-font; Type0 fonts without a ToUnicode fall
+  back to Identity 2-byte decoding; simple fonts stay Latin-1.
+
 Documented out of scope (error-as-data or best-effort, never a crash):
-LZWDecode, encrypted PDFs, CID/Type0 multi-byte fonts and ToUnicode
-CMaps (single-byte strings decode as Latin-1), embedded font metrics
+encrypted PDFs, predefined (non-embedded) CMaps by name
+(e.g. ``/Encoding /UniJIS-UCS2-H`` without a ToUnicode — decodes as
+Identity), embedded font metrics
 (advance widths use a 0.5·em Helvetica-ish estimate — this affects only
 space synthesis between runs, not run text).
 
@@ -324,9 +331,69 @@ def _runlength_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """The TIFF/PDF LZW variant (PDF 32000-1 §7.4.4): MSB-first packed
+    variable-width codes starting at 9 bits; 256 = clear-table, 257 =
+    EOD, new sequences from 258; the code width grows at 511/1023/2047
+    table entries under the default ``EarlyChange 1`` (one entry before
+    the width would overflow — the rule poppler/pdfminer implement),
+    or at 512/1024/2048 with ``EarlyChange 0``."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    width = 9
+    buf = 0
+    nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            buf &= (1 << nbits) - 1
+            if code == 256:  # clear-table
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:  # first code after (implicit) clear: literal
+                if code >= len(table):
+                    raise PdfError(f"LZW code {code} before any sequence")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError(f"LZW code {code} out of range")
+            out.extend(entry)
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _apply_filter(name: str, data: bytes, parms: dict | None) -> bytes:
     if name in ("FlateDecode", "Fl"):
         data = zlib.decompress(data)
+        if parms:
+            pred = parms.get("Predictor", 1)
+            if isinstance(pred, int) and pred >= 10:
+                data = _png_unpredict(
+                    data,
+                    int(parms.get("Columns", 1)),
+                    int(parms.get("Colors", 1)),
+                    int(parms.get("BitsPerComponent", 8)),
+                )
+            elif pred not in (1, None):
+                raise PdfError(f"unsupported predictor {pred}")
+        return data
+    if name in ("LZWDecode", "LZW"):
+        data = _lzw_decode(data, int((parms or {}).get("EarlyChange", 1)))
         if parms:
             pred = parms.get("Predictor", 1)
             if isinstance(pred, int) and pred >= 10:
@@ -678,6 +745,32 @@ class PdfDocument:
             return b"\n".join(parts)
         return b""
 
+    def page_fonts(self, page: dict) -> dict[str, "ToUnicodeCMap"]:
+        """Per-page font-resource-name → ToUnicode CMap, for the fonts
+        that need one: any font carrying a ``/ToUnicode`` stream, plus
+        bare ``/Subtype /Type0`` fonts (Identity 2-byte decoding — an
+        empty CMap's codespace default).  Simple single-byte fonts are
+        omitted and keep the Latin-1 path.  Best-effort: a malformed
+        font entry falls back to Latin-1 rather than failing the page."""
+        out: dict[str, ToUnicodeCMap] = {}
+        res = self._resolve(page.get("Resources"))
+        fonts = self._resolve(res.get("Font")) if isinstance(res, dict) else None
+        if not isinstance(fonts, dict):
+            return out
+        for fname, fref in fonts.items():
+            try:
+                fdict = self._resolve(fref)
+                if not isinstance(fdict, dict):
+                    continue
+                tu = self._resolve(fdict.get("ToUnicode"))
+                if isinstance(tu, StreamObj):
+                    out[str(fname)] = ToUnicodeCMap(self._decode_stream(tu))
+                elif str(fdict.get("Subtype", "")) == "Type0":
+                    out[str(fname)] = ToUnicodeCMap(b"")
+            except (PdfError, ValueError, KeyError):
+                continue
+        return out
+
 
 # ---------------------------------------------------------------------------
 # content-stream interpretation → positioned text runs
@@ -721,8 +814,120 @@ class TextRun:
 
 
 def _decode_pdf_text(raw: bytes) -> str:
-    # single-byte fonts only (documented); Latin-1 is the identity map
+    # single-byte simple fonts; Latin-1 is the identity map
     return raw.decode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (CID/Type0 multi-byte text)
+# ---------------------------------------------------------------------------
+
+_HEXPAIR = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_CODESPACE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL
+)
+_BFCHAR = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_BFRANGE_ENTRY = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]*>)+)\s*\])",
+    re.DOTALL,
+)
+_HEXTOKEN = re.compile(rb"<([0-9A-Fa-f]*)>")
+
+
+def _utf16be(hexdigits: bytes) -> str:
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii")).decode(
+        "utf-16-be", errors="replace"
+    )
+
+
+def _bump_last_unit(base: str, offset: int) -> str:
+    """PDF 32000-1 §9.10.3: within a bfrange the LAST UTF-16 code unit
+    of the destination increments with the source code."""
+    if not base:
+        return base
+    units = base.encode("utf-16-be")
+    last = int.from_bytes(units[-2:], "big") + offset
+    return (units[:-2] + (last & 0xFFFF).to_bytes(2, "big")).decode(
+        "utf-16-be", errors="replace"
+    )
+
+
+class ToUnicodeCMap:
+    """Parsed ``/ToUnicode`` CMap (the bfchar/bfrange subset real
+    generators emit — PDF 32000-1 §9.10.3).  ``decode`` walks the shown
+    string's bytes, consuming the code width of the matching codespace
+    range per step (2-byte Identity-H being the overwhelmingly common
+    layout), and maps each code through bfchar singles then bfranges;
+    unmapped codes fall back to ``chr(code)``.  The reference handled
+    CID-font PDFs by rasterizing via poppler (``/root/reference/ocr/
+    pdf.py:10-17``); this is the direct-extraction equivalent for the
+    born-digital subset."""
+
+    __slots__ = ("codespaces", "singles", "ranges")
+
+    def __init__(self, data: bytes) -> None:
+        # (width, lo, hi) — narrow widths first so 1-byte spaces defined
+        # alongside 2-byte CJK resolve the way CMap lookup specifies
+        self.codespaces: list[tuple[int, int, int]] = []
+        self.singles: dict[tuple[int, int], str] = {}
+        # (width, lo, hi, base_str | list[str])
+        self.ranges: list[tuple[int, int, int, object]] = []
+        for m in _CODESPACE.finditer(data):
+            for lo_h, hi_h in _HEXPAIR.findall(m.group(1)):
+                w = (len(lo_h) + 1) // 2
+                self.codespaces.append(
+                    (w, int(lo_h, 16), int(hi_h, 16))
+                )
+        for m in _BFCHAR.finditer(data):
+            for src_h, dst_h in _HEXPAIR.findall(m.group(1)):
+                w = (len(src_h) + 1) // 2
+                self.singles[(w, int(src_h, 16))] = _utf16be(dst_h)
+        for m in _BFRANGE.finditer(data):
+            for e in _BFRANGE_ENTRY.finditer(m.group(1)):
+                lo_h, hi_h, dst_h, arr = e.groups()
+                w = (len(lo_h) + 1) // 2
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+                if dst_h is not None:
+                    self.ranges.append((w, lo, hi, _utf16be(dst_h)))
+                else:
+                    dsts = [_utf16be(h) for h in _HEXTOKEN.findall(arr)]
+                    self.ranges.append((w, lo, hi, dsts))
+        if not self.codespaces:  # Identity-H shape
+            self.codespaces = [(2, 0x0000, 0xFFFF)]
+        self.codespaces.sort()
+
+    def _lookup(self, w: int, code: int) -> str:
+        s = self.singles.get((w, code))
+        if s is not None:
+            return s
+        for rw, lo, hi, dst in self.ranges:
+            if rw == w and lo <= code <= hi:
+                if isinstance(dst, list):
+                    return dst[code - lo] if code - lo < len(dst) else "�"
+                return _bump_last_unit(dst, code - lo)
+        try:
+            return chr(code)
+        except ValueError:
+            return "�"
+
+    def decode(self, raw: bytes) -> str:
+        out: list[str] = []
+        i, n = 0, len(raw)
+        while i < n:
+            for w, lo, hi in self.codespaces:
+                if i + w <= n and lo <= int.from_bytes(raw[i : i + w], "big") <= hi:
+                    out.append(self._lookup(w, int.from_bytes(raw[i : i + w], "big")))
+                    i += w
+                    break
+            else:  # outside every codespace: consume the widest prefix
+                w = min(self.codespaces[-1][0], n - i)
+                out.append(self._lookup(w, int.from_bytes(raw[i : i + w], "big")))
+                i += w
+        return "".join(out)
 
 
 _CONTENT_OPS = {
@@ -774,9 +979,16 @@ def _tokenize_content(data: bytes):
         i = j
 
 
-def interpret_content(data: bytes) -> list[TextRun]:
-    """Run the text-relevant subset of the content stream → runs."""
+def interpret_content(
+    data: bytes, fonts: dict[str, "ToUnicodeCMap"] | None = None
+) -> list[TextRun]:
+    """Run the text-relevant subset of the content stream → runs.
+
+    ``fonts`` maps a page font resource name (the ``/F1`` in ``/F1 12
+    Tf``) to its :class:`ToUnicodeCMap`; shown strings under such a
+    font decode through the CMap, everything else stays Latin-1."""
     runs: list[TextRun] = []
+    decoder = _decode_pdf_text
     ctm = _ID
     gstack: list[tuple] = []
     tm = tlm = _ID
@@ -830,6 +1042,10 @@ def interpret_content(data: bytes) -> list[TextRun]:
                 in_text = False
             elif op == b"Tf" and len(stack) >= 2:
                 size = fnum(stack[-1])
+                cmap = (fonts or {}).get(str(stack[-2])) if isinstance(
+                    stack[-2], Name
+                ) else None
+                decoder = cmap.decode if cmap is not None else _decode_pdf_text
             elif op == b"Td" and len(stack) >= 2:
                 next_line(fnum(stack[-2]), fnum(stack[-1]))
             elif op == b"TD" and len(stack) >= 2:
@@ -852,21 +1068,21 @@ def interpret_content(data: bytes) -> list[TextRun]:
                 ts = fnum(stack[-1])
             elif op == b"Tj" and stack:
                 if isinstance(stack[-1], bytes):
-                    show(_decode_pdf_text(stack[-1]))
+                    show(decoder(stack[-1]))
             elif op == b"'" and stack:
                 next_line(0.0, -leading)
                 if isinstance(stack[-1], bytes):
-                    show(_decode_pdf_text(stack[-1]))
+                    show(decoder(stack[-1]))
             elif op == b'"' and len(stack) >= 3:
                 tw = fnum(stack[-3])
                 tc = fnum(stack[-2])
                 next_line(0.0, -leading)
                 if isinstance(stack[-1], bytes):
-                    show(_decode_pdf_text(stack[-1]))
+                    show(decoder(stack[-1]))
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
                     if isinstance(el, bytes):
-                        show(_decode_pdf_text(el))
+                        show(decoder(el))
                     elif isinstance(el, (int, float)):
                         # kerning: negative moves right by n/1000 em
                         tm = _mmul(
@@ -942,7 +1158,9 @@ def extract_pages(data: bytes) -> list[str]:
         out = []
         for page in doc.pages():
             content = doc.page_content(page)
-            out.append(assemble_runs(interpret_content(content)))
+            out.append(
+                assemble_runs(interpret_content(content, doc.page_fonts(page)))
+            )
         return out
     except PdfError:
         raise

@@ -249,27 +249,20 @@ def q_orders_of_top_customers(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Sessionization (stream-shaped op): per user, sort by ts, close a
-    session after a >30-minute gap; count sessions and events.
+    """Sessionization (stream-shaped op): per user, close a session
+    after a >30-minute gap; count sessions and events.
 
-    Ray shape: ONE ``groupby(user_id).map_groups`` with in-group pandas
-    sort — the guide's windowing pattern for stream-shaped references;
-    the ordering assumption (events of one user fit one group) holds by
-    construction of the groupby."""
+    Ray shape: the mergeable sessionizer
+    (``state.streaming.sessionize_stream``) — per-batch vectorized
+    session SEGMENTS (no ordering assumption, exact µs arithmetic),
+    then ONE coarse-bucket groupby whose in-group interval merge
+    produces per-user counts.  The shuffle moves segments, not events,
+    and no group is one-row-per-user (the raw-key map_groups
+    anti-pattern this query used to showcase)."""
+    from ..state.streaming import sessionize_stream
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-
-    def sessions(g):  # pandas in
-        g = g.sort_values("ts")
-        # exact native-resolution comparison (no float total_seconds():
-        # a gap in (1800 s, 1801 s) must agree with the SQL oracle's
-        # date_diff('microsecond', ...) > 1800000000 at the boundary)
-        gaps = g["ts"].diff()
-        n_sessions = 1 + int((gaps > pd.Timedelta(seconds=1800)).sum())
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
-        )
-
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = sessionize_stream(ds, "user_id", "ts", gap_seconds=1800.0).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -2442,10 +2435,14 @@ PDF_PAGE_LINES = 40  # lines per synthesized page
 
 
 def _docs_as_pdfs(t: pa.Table) -> pa.Table:
-    """Deterministic PDF corpus: one PDF per document row; even doc_ids
-    use the classic-xref writer, odd ones the xref-stream/ObjStm writer
-    so the driver run exercises both parser paths."""
+    """Deterministic PDF corpus: one PDF per document row, rotating
+    doc_id % 4 over the parser's structural paths — classic xref +
+    Flate, xref-stream/ObjStm, classic + LZWDecode, and a CID/Type0
+    font with an embedded ToUnicode CMap — all with the same sanitize
+    contract, so every variant extracts identical text and the one SQL
+    oracle covers all four."""
     from ..pdf import build_pdf, build_pdf_xrefstream, wrap_words
+    from ..pdf.mini import build_pdf_cid
 
     ids = t.column("doc_id").to_pylist()
     payloads = []
@@ -2454,8 +2451,15 @@ def _docs_as_pdfs(t: pa.Table) -> pa.Table:
         pages = [
             lines[i : i + PDF_PAGE_LINES] for i in range(0, len(lines), PDF_PAGE_LINES)
         ] or [[]]
-        builder = build_pdf if doc_id % 2 == 0 else build_pdf_xrefstream
-        payloads.append(builder(pages))
+        variant = doc_id % 4
+        if variant == 0:
+            payloads.append(build_pdf(pages))
+        elif variant == 1:
+            payloads.append(build_pdf_xrefstream(pages))
+        elif variant == 2:
+            payloads.append(build_pdf(pages, compress="lzw"))
+        else:
+            payloads.append(build_pdf_cid(pages))
     return pa.table(
         {
             "doc_id": t.column("doc_id"),

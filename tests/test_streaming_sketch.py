@@ -125,9 +125,12 @@ def test_approx_distinct_on_events(ray_session):
     assert abs(est - true) / true < 0.1
 
 
-def test_sessionize_stream_matches_groupby(ray_session):
-    """The mergeable-partials sessionizer must agree with the
-    groupby-based q_user_sessions on the same input."""
+def test_sessionize_stream_matches_direct_pandas(ray_session):
+    """The mergeable-partials sessionizer (which q_user_sessions now
+    routes through) must agree with a direct per-user pandas
+    sessionization of the same events table."""
+    import pandas as pd
+
     from ocr_system_ray.pipelines import queries as q
     from ocr_system_ray.sources.readers import read_table
 
@@ -135,10 +138,22 @@ def test_sessionize_stream_matches_groupby(ray_session):
     ds = read_table(sf, "events", columns=["user_id", "ts"])
     streamed = sessionize_stream(ds, num_buckets=4).to_pandas()
     grouped = q.q_user_sessions(sf)
-    merged = streamed.merge(grouped, on="user_id", suffixes=("_s", "_g"))
-    assert len(merged) == len(grouped) == len(streamed)
-    assert (merged["n_sessions_s"] == merged["n_sessions_g"]).all()
-    assert (merged["n_events_s"] == merged["n_events_g"]).all()
+
+    ev = ds.to_pandas().sort_values(["user_id", "ts"])
+    gap = pd.Timedelta(seconds=1800)
+    direct = (
+        ev.groupby("user_id")
+        .agg(
+            n_sessions=("ts", lambda s: 1 + int((s.diff() > gap).sum())),
+            n_events=("ts", "size"),
+        )
+        .reset_index()
+    )
+    for got in (streamed, grouped):
+        merged = got.merge(direct, on="user_id", suffixes=("_s", "_d"))
+        assert len(merged) == len(direct) == len(got)
+        assert (merged["n_sessions_s"] == merged["n_sessions_d"]).all()
+        assert (merged["n_events_s"] == merged["n_events_d"]).all()
 
 
 def test_sessionize_random_sweep_vs_direct(ray_session):
