@@ -350,27 +350,19 @@ def minhash_duplicate_pairs(
     )
 
     if verify_mode == "join":
-        # dedup cross-band duplicate candidates BEFORE the join (each
-        # duplicate would otherwise fetch its signatures again); the
-        # candidate stream is ids-only, so this shuffle is cheap.
-        # Coarse-bucket + in-group pandas drop_duplicates, NOT the
-        # native groupby().aggregate — Ray 2.49's Aggregate spent
-        # ~2 s/reduce-task on a 130k-row pair dedup (≈200 s remote wall
-        # at 40k docs, the entire minhash scaling bottleneck); the
-        # map_groups path does the identical dedup in <2 s total
-        def drop_dup_pairs(df):  # noqa: ANN001, ANN202 — pandas in/out
-            return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
-        distinct = (
-            candidates.map_batches(
-                lambda t: _pair_bucket_column(t, 1 << coarse_bits, "pair_bucket"),
-                batch_format="pyarrow",
-            )
-            .groupby("pair_bucket")
-            .map_groups(drop_dup_pairs, batch_format="pandas")
-        )
+        # cross-band duplicate candidates are deduped INSIDE the verify
+        # join's fetch stage (``dedup_pairs=True``), not in a shuffle of
+        # their own: every occurrence of pair (a, b) sends its member
+        # rows to the SAME id-keyed buckets (bucket = f(jid)), so an
+        # in-group drop_duplicates there is exact — one sort barrier
+        # fewer on the LSH path (r2 measured the barriers, not the
+        # bytes, as its scaling residual).  The native
+        # groupby().aggregate dedup is off the table either way (Ray
+        # 2.49's Aggregate spent ~2 s/reduce-task on a 130k-row pair
+        # dedup — ≈200 s remote wall at 40k docs).
         return _estimate_verify_join(
-            distinct, sigs, threshold, num_perms, id_col, join_buckets
+            candidates, sigs, threshold, num_perms, id_col, join_buckets,
+            dedup_pairs=True,
         )
     if verify_mode == "broadcast":
         # broadcast verify is µs per candidate — verify first, THEN
@@ -428,6 +420,7 @@ def _estimate_verify_join(
     num_perms: int,
     id_col: str,
     join_buckets: int | None,
+    dedup_pairs: bool = False,
 ) -> ray.data.Dataset:
     """Distributed estimate-verify as a coarse-bucket reduce-side join.
 
@@ -445,7 +438,12 @@ def _estimate_verify_join(
        (signature as fixed-width ``num_perms·8``-byte binary).  ONE
        groupby on a coarse id bucket; a pandas merge inside each bucket
        attaches each member's signature.  Signatures move once, ~0.5 KB
-       per doc; documents never move.
+       per doc; documents never move.  With ``dedup_pairs=True`` the
+       fetch group also drops duplicate (pair, side) member rows — all
+       occurrences of a pair land in the same id bucket, so this
+       in-group dedup is exact and saves callers with duplicate-bearing
+       candidate streams (cross-band LSH collisions) a whole pair-keyed
+       sort barrier of their own.
     2. **reassemble** — member rows regroup on a coarse (id_a, id_b)
        bucket; the two signatures of each pair meet, the estimate is one
        vectorized equality-mean, and pairs below ``threshold`` die here.
@@ -510,6 +508,13 @@ def _estimate_verify_join(
             return pd.DataFrame(
                 {c: pd.Series([], dtype=g[c].dtype) for c in ("id_a", "id_b", "jid", "sig")}
             )
+        if dedup_pairs:
+            # cross-band duplicate candidates: every occurrence of pair
+            # (a, b) lands its jid=a member row in THIS bucket (bucket
+            # is a function of jid alone), so per-bucket dedup on the
+            # (pair, side) key is exact — it replaces a whole
+            # pair-keyed sort barrier upstream
+            members = members.drop_duplicates(["id_a", "id_b", "jid"])
         sig_side = g[g["m"] == 0]
         merged = members.drop(columns=["sig", "bucket", "m"]).merge(
             sig_side[["jid", "sig"]], on="jid", how="inner"
