@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top100": q.q_orders_top100,
         # text analysis
         "token_counts": q.q_token_counts,
+        "dataset_split": q.q_dataset_split,
+        "token_shards": q.q_token_shards,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -153,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_quality_filter": q.q_corpus_quality_filter,
         # similarity search / clustering
         "knn_bruteforce": q.q_knn_bruteforce,
+        "embedding_binarize": q.q_embedding_binarize,
+        "hamming_topk": q.q_hamming_topk,
         "knn_ivf": q.q_knn_ivf,
         "knn_pq": q.q_knn_pq,
         "kmeans_clusters": q.q_kmeans_clusters,
@@ -416,6 +420,70 @@ def _token_counts_cm_sql() -> str:
         JOIN cells c
           ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
         GROUP BY p.token
+    """
+
+
+def _dataset_split_sql() -> str:
+    from ocr_system_ray.functions.splits import sql_split_expr
+    from ocr_system_ray.pipelines.queries import SPLIT_FRACTIONS
+
+    key, case = sql_split_expr(SPLIT_FRACTIONS)
+    return f"SELECT doc_id, {key} AS split_key, {case} AS split FROM documents"
+
+
+def _token_shards_sql() -> str:
+    from ocr_system_ray.pipelines.queries import SHARD_TOKEN_BUDGET
+
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(length(regexp_extract_all(text, '[^ \t\n\r\f\v]+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard
+        FROM tok
+    """
+
+
+def _sign_bits_sql() -> str:
+    from ocr_system_ray.functions.similarity import sql_sign_bits_expr
+
+    lo = sql_sign_bits_expr("embedding", lo=True)
+    hi = sql_sign_bits_expr("embedding", lo=False)
+    return f"""
+        SELECT vec_id, {lo} AS bits_lo, {hi} AS bits_hi FROM embeddings
+    """
+
+
+def _hamming_topk_sql() -> str:
+    from ocr_system_ray.functions.similarity import sql_sign_bits_expr
+
+    lo = sql_sign_bits_expr("embedding", lo=True)
+    hi = sql_sign_bits_expr("embedding", lo=False)
+    return f"""
+        WITH bits AS (
+          SELECT vec_id, {lo} AS lo, {hi} AS hi FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+          FROM bits WHERE vec_id < 5
+        ), d AS (
+          SELECT q.query_id, b.vec_id,
+                 CAST(bit_count(xor(b.lo, q.qlo))
+                      + bit_count(xor(b.hi, q.qhi)) AS BIGINT) AS hamming
+          FROM bits b CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, hamming,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY hamming, vec_id
+                 ) AS rn
+          FROM d
+        )
+        SELECT query_id, vec_id, hamming FROM ranked WHERE rn <= 10
     """
 
 
@@ -1648,4 +1716,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
         """,
+        # dataset_split: GENERATED carve + CASE ladder over the same
+        # integer thresholds (pure function of doc_id)
+        "dataset_split": _dataset_split_sql(),
+        # token_shards: window SUM recomputes the exclusive token prefix
+        # and the same integer division yields the shard
+        "token_shards": _token_shards_sql(),
+        # embedding_binarize: both int64 halves of the sign code rebuilt
+        # from the GENERATED 32-term CASE sums (shared rule table)
+        "embedding_binarize": _sign_bits_sql(),
+        # hamming_topk: every XOR+popcount distance recomputed from the
+        # same generated sign-code expressions — exact-integer match
+        "hamming_topk": _hamming_topk_sql(),
     }

@@ -152,6 +152,11 @@ def _query_suite() -> dict:
         "token_counts_cm": q.q_token_counts_cm,
         "semantic_decontam": q.q_semantic_decontam,
         "users_per_type_approx": q.q_users_per_type_approx,
+        # round-3 additions
+        "dataset_split": q.q_dataset_split,
+        "token_shards": q.q_token_shards,
+        "embedding_binarize": q.q_embedding_binarize,
+        "hamming_topk": q.q_hamming_topk,
     }
     return suite
 

@@ -638,3 +638,149 @@ def semantic_decontam(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sign-bit binarization + Hamming top-k (binary embedding ANN)
+# ---------------------------------------------------------------------------
+
+# byte-wise popcount table (numpy < 2.0 has no bitwise_count ufunc)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (uint8 view + table)."""
+    return (
+        _POPCOUNT8[v.view(np.uint8).reshape(v.shape + (8,))]
+        .sum(axis=-1)
+        .astype(np.int64)
+    )
+
+
+def sign_bits_matrix(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n, dim≤64) floats → two int64 halves of the sign mask: bit ``i``
+    of the 64-bit code is set iff ``vecs[:, i] >= 0`` (−0.0 counts as
+    ≥ 0 in numpy and SQL alike).  Split into lo (dims 0-31) / hi (dims
+    32-63) so the code also fits SIGNED 64-bit SQL arithmetic — the
+    DuckDB twin rebuilds each half as a 32-term generated CASE sum."""
+    n, dim = vecs.shape
+    if dim > 64:
+        raise ValueError(f"sign_bits supports dim <= 64, got {dim}")
+    bits = np.zeros((n, 64), dtype=bool)
+    bits[:, :dim] = vecs >= 0
+    packed = np.packbits(bits, axis=1, bitorder="little")  # (n, 8) bytes
+    code = packed.view(np.uint64).reshape(n)
+    lo = (code & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    hi = (code >> np.uint64(32)).astype(np.int64)
+    return lo, hi
+
+
+def binarize_embeddings(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Sign-bit binarization (SimHash-for-embeddings / LSH with axis
+    hyperplanes — Charikar 2002 with fixed directions): dim-64 float32
+    vectors (256 B) become one 8-byte code carried as two int64 halves
+    ``(bits_lo, bits_hi)`` — a 32× storage cut and the substrate for
+    XOR+popcount candidate search.  Row-local, stateless, no shuffle."""
+
+    def enc(t: pa.Table) -> pa.Table:
+        vecs = _as_matrix(t.column(vec_col))
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "bits_lo": pa.array([], pa.int64()),
+                    "bits_hi": pa.array([], pa.int64()),
+                }
+            )
+        lo, hi = sign_bits_matrix(vecs)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "bits_lo": pa.array(lo),
+                "bits_hi": pa.array(hi),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def hamming_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate top-k by sign-bit Hamming distance: the binary-ANN
+    candidate pass (Hamming distance lower-bounds angular distance for
+    sign codes).  Per batch: binarize, XOR against the broadcast query
+    codes, popcount, local top-k; then the same tiny candidate
+    sort+limit as :func:`brute_force_topk`.  Exact integers throughout
+    — batching-invariant and SQL-twinnable (DuckDB
+    ``bit_count(xor(...))``).  Ties break by id ascending.  Returns
+    ``(query_id, vec_id, hamming)``, best (smallest) first per query."""
+    import pandas as pd
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    qlo, qhi = sign_bits_matrix(q)
+    qref = ray.put((qlo.astype(np.uint64), qhi.astype(np.uint64)))
+    nq = len(q)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        vecs = _as_matrix(t.column(vec_col))
+        if vecs.size == 0:
+            return empty
+        lo, hi = sign_bits_matrix(vecs)
+        lo = lo.astype(np.uint64)
+        hi = hi.astype(np.uint64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ql, qh = ray.get(qref)
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for qi in range(nq):
+            d = _popcount64(lo ^ ql[qi]) + _popcount64(hi ^ qh[qi])
+            kk = min(k, len(d))
+            # local top-k with (hamming, id) tie-break via lexsort
+            sel = np.lexsort((ids, d))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[sel].astype(np.int64))
+            out_h.append(d[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "hamming": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+
+    def head_per_query(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["hamming", id_col], ascending=[True, True]).head(k)
+
+    return cand.groupby("query_id").map_groups(head_per_query, batch_format="pandas")
+
+
+def sql_sign_bits_expr(vec_col: str, lo: bool, dim: int = 64) -> str:
+    """GENERATED DuckDB twin of :func:`sign_bits_matrix`: one 32-term
+    CASE sum per half (1-based list indexing), int64-safe."""
+    start = 1 if lo else dim // 2 + 1
+    end = dim // 2 if lo else dim
+    terms = " + ".join(
+        f"(CASE WHEN {vec_col}[{i}] >= 0 THEN (1::BIGINT << {i - start}) "
+        "ELSE 0 END)"
+        for i in range(start, end + 1)
+    )
+    return f"({terms})"

@@ -1,0 +1,149 @@
+"""Deterministic dataset partitioning for training pipelines.
+
+Two layout operators every large-scale training-data pipeline ends up
+needing, both exact-integer and SQL-twinnable:
+
+* :func:`assign_splits` — hash-based train/val/test assignment (the
+  GPT-2/T5-style held-out split): per document, a salted md5 threshold
+  test, so membership is a pure function of the id — stable across
+  runs, cluster sizes, and corpus growth (new docs never move old ones
+  between splits).  Row-local, stateless, no shuffle.
+
+* :func:`assign_balanced_shards` — token-budget-balanced output shard
+  planning: documents in id order are packed into shards of
+  ``tokens_per_shard`` tokens via the repo's ordered-prefix-sum
+  primitive (``functions/packing.py:ordered_prefix_sum`` — the
+  bucket-table scan that moves ONE partial row per (batch, bucket)),
+  so every shard holds a contiguous id range with ~equal token mass —
+  the file-layout planner for writer stages whose downstream consumer
+  (a training loader) wants uniform shard sizes.  The shard id is a
+  pure function of (corpus, budget): any block layout, any cluster
+  size, same table.
+
+100 TB notes: split assignment touches each row once with a per-row
+md5 (the CountMin/HLL carve contract — cheap next to parse, and the
+SQL-reproducibility is worth more than a faster hash here); shard
+planning's only shuffle is the prefix sum's single-column bucket
+groupby (id_range/2^shift rows on the driver — ~6·10⁴ buckets at
+10¹² ids with shift 24).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SPLIT_SCALE = 1 << 16  # 4 md5 hex chars — the threshold domain
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds over the 16-bit carve domain:
+    ``[(name, upper_bound), ...]`` in declaration order, last bound
+    forced to 2^16 so the fractions need not sum to exactly 1.0."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        out.append((name, int(np.floor(acc * _SPLIT_SCALE + 0.5))))
+    out.append((names[-1], _SPLIT_SCALE))
+    return out
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> ray.data.Dataset:
+    """Append ``split`` (and the carve value ``split_key``): the first
+    4 hex chars of ``md5(str(id) + ':' + salt)`` as an integer in
+    [0, 2^16), compared against the cumulative fraction thresholds.
+
+    The salt separates independent split decisions over the same ids
+    (re-splitting with a new salt is a fresh i.i.d. assignment).  The
+    DuckDB twin is ``('0x' || substr(md5(...), 1, 4))::INT`` plus the
+    same CASE ladder (:func:`sql_split_expr`)."""
+    import hashlib
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bounds = split_thresholds(fractions)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        keys = np.array(
+            [
+                int(
+                    hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:4], 16
+                )
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        labels = np.full(len(ids), bounds[-1][0], dtype=object)
+        assigned = np.zeros(len(ids), dtype=bool)
+        for name, ub in bounds[:-1]:
+            pick = (~assigned) & (keys < ub)
+            labels[pick] = name
+            assigned |= pick
+        return t.append_column("split_key", pa.array(keys)).append_column(
+            "split", pa.array(labels.tolist(), pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_split_expr(
+    fractions: dict[str, float], id_col: str = "doc_id", salt: str = "split"
+) -> tuple[str, str]:
+    """GENERATED DuckDB twins of :func:`assign_splits`: the carve
+    expression and the CASE ladder over the same integer thresholds."""
+    key = (
+        f"CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 4)"
+        " AS BIGINT)"
+    )
+    bounds = split_thresholds(fractions)
+    cases = " ".join(
+        f"WHEN {key} < {ub} THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    return key, f"CASE {cases} ELSE '{bounds[-1][0]}' END"
+
+
+def assign_balanced_shards(
+    ds: ray.data.Dataset,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    val_col: str = "n_tokens",
+    bucket_shift: int = 10,
+) -> ray.data.Dataset:
+    """Token-budget shard plan: documents in ``id_col`` order pack into
+    shards of ``tokens_per_shard`` tokens; a document's shard is its
+    EXCLUSIVE token prefix divided by the budget (greedy-by-offset —
+    a doc starting inside shard s belongs to s even if it crosses the
+    boundary, so shards are contiguous id ranges and every doc has
+    exactly one home).  Returns ``(id_col, val_col, shard: int64)``.
+
+    SQL twin: ``COALESCE(SUM(v) OVER (ORDER BY id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // budget``."""
+    from .packing import ordered_prefix_sum
+
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    pre = ordered_prefix_sum(ds, id_col, val_col, bucket_shift)
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        prefix = t.column("prefix").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                val_col: t.column(val_col),
+                "shard": pa.array((prefix // tokens_per_shard).astype(np.int64)),
+            }
+        )
+
+    return pre.map_batches(to_shard, batch_format="pyarrow")

@@ -576,6 +576,38 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# shared with the generated oracle (sql_split_expr)
+SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+SHARD_TOKEN_BUDGET = 20_000
+
+
+def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by salted md5 threshold
+    (98/1/1): membership is a pure function of doc_id — stable across
+    runs and corpus growth.  Row-local, no shuffle; the oracle is the
+    GENERATED carve + CASE ladder (``splits.sql_split_expr``)."""
+    from ..functions import splits
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return splits.assign_splits(ds, SPLIT_FRACTIONS)
+
+
+def q_token_shards(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget-balanced shard plan: docs in id order pack into
+    ~20k-token shards via the ordered-prefix-sum primitive (exclusive
+    prefix // budget) — the file-layout planner for uniform training
+    shards.  The only shuffle is the prefix sum's single-column bucket
+    groupby; the oracle recomputes the plan with a window SUM."""
+    from ..functions import splits
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = ds.map_batches(
+        lambda t: textstats.token_count_batch(t).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+    return splits.assign_balanced_shards(counts, SHARD_TOKEN_BUDGET)
+
+
 def q_char_classes(sf_dir: str) -> ray.data.Dataset:
     """Integer character-class counts (ASCII definitions shared with SQL)."""
     import re
@@ -2030,6 +2062,30 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
     out["rank"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def q_embedding_binarize(sf_dir: str) -> ray.data.Dataset:
+    """Sign-bit embedding binarization: dim-64 float32 → one 8-byte
+    code as two int64 halves (32× storage cut, the binary-ANN
+    substrate).  Row-local, stateless, no shuffle; the oracle rebuilds
+    both halves from a GENERATED 32-term CASE sum
+    (``similarity.sql_sign_bits_expr``)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.binarize_embeddings(ds)
+
+
+def q_hamming_topk(sf_dir: str) -> pd.DataFrame:
+    """Binary-ANN candidate search: top-10 by sign-code Hamming
+    distance per query (queries = vec_id 0..4).  Exact integers
+    end-to-end (XOR + popcount), so the oracle recomputes every
+    distance via ``bit_count(xor(...))`` and the sets match exactly
+    under the (hamming, vec_id) tie-break."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.hamming_topk(ds, _load_query_vectors(sf_dir), k=10).to_pandas()
+    return (
+        out.sort_values(["query_id", "hamming", "vec_id"])
+        .reset_index(drop=True)[["query_id", "vec_id", "hamming"]]
+    )
 
 
 def q_knn_ivf(sf_dir: str) -> pd.DataFrame:

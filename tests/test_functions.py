@@ -831,3 +831,119 @@ def test_end_to_end_near_dedup(ray_session):
     keep = set(out[out["keep"]]["doc_id"])
     assert 0 in keep and 1 not in keep and 2 not in keep
     assert {3, 4, 5} <= keep
+
+
+# ---------------------------------------------------------------------------
+# sign-bit binarization + Hamming top-k
+# ---------------------------------------------------------------------------
+
+
+def _vec_ds(ray_mod, n=300, dim=64, blocks=1, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    items = [
+        {"vec_id": i, "embedding": rng.normal(size=dim).astype(np.float32).tolist()}
+        for i in range(n)
+    ]
+    return ray_mod.data.from_items(items).repartition(blocks), items
+
+
+def test_sign_bits_matrix_contract():
+    import numpy as np
+
+    from ocr_system_ray.functions.similarity import sign_bits_matrix
+
+    v = np.array(
+        [[1.0, -1.0, 0.0, -0.0] + [-1.0] * 60, [-1.0] * 64], dtype=np.float32
+    )
+    lo, hi = sign_bits_matrix(v)
+    # bits 0,2,3 set (>=0 includes 0 and -0); the rest clear
+    assert lo[0] == 0b1101 and hi[0] == 0
+    assert lo[1] == 0 and hi[1] == 0
+    # 32-dim vectors leave the hi half empty
+    lo2, hi2 = sign_bits_matrix(np.ones((1, 32), dtype=np.float32))
+    assert lo2[0] == (1 << 32) - 1 and hi2[0] == 0
+
+
+def test_hamming_topk_matches_numpy_twin_across_layouts(ray_session):
+    import numpy as np
+
+    from ocr_system_ray.functions.similarity import hamming_topk, sign_bits_matrix
+
+    _, items = _vec_ds(ray_session)
+    mat = np.asarray([r["embedding"] for r in items], dtype=np.float32)
+    q = mat[:3]
+    lo, hi = sign_bits_matrix(mat)
+    qlo, qhi = sign_bits_matrix(q)
+    code = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
+    qcode = qlo.astype(np.uint64) | (qhi.astype(np.uint64) << np.uint64(32))
+
+    def pop(x):
+        return bin(int(x)).count("1")
+
+    want = {}
+    for qi in range(3):
+        d = np.array([pop(c ^ qcode[qi]) for c in code])
+        order = np.lexsort((np.arange(len(d)), d))[:10]
+        want[qi] = [(int(i), int(d[i])) for i in order]
+
+    for blocks in (1, 7):
+        ds, _ = _vec_ds(ray_session, blocks=blocks)
+        got = hamming_topk(ds, q, k=10).to_pandas()
+        for qi in range(3):
+            g = got[got["query_id"] == qi].sort_values(["hamming", "vec_id"])
+            assert list(zip(g["vec_id"], g["hamming"])) == want[qi], (blocks, qi)
+
+
+def test_binarize_matches_duckdb_generated_twin(ray_session):
+    import duckdb
+
+    from ocr_system_ray.functions.similarity import (
+        binarize_embeddings,
+        sql_sign_bits_expr,
+    )
+
+    ds, items = _vec_ds(ray_session, n=100)
+    got = (
+        binarize_embeddings(ds)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(items)
+    lo = sql_sign_bits_expr("embedding", lo=True)
+    hi = sql_sign_bits_expr("embedding", lo=False)
+    want = (
+        duckdb.sql(f"SELECT vec_id, {lo} AS bits_lo, {hi} AS bits_hi FROM df ORDER BY vec_id")
+        .df()
+    )
+    assert (got["bits_lo"].to_numpy() == want["bits_lo"].to_numpy()).all()
+    assert (got["bits_hi"].to_numpy() == want["bits_hi"].to_numpy()).all()
+
+
+def test_hamming_correlates_with_cosine(ray_session):
+    """Sanity: the binary candidate pass ranks near-identical vectors
+    far above random ones (the property that makes it an ANN prefilter)."""
+    import numpy as np
+
+    from ocr_system_ray.functions.similarity import hamming_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64).astype(np.float32)
+    items = [{"vec_id": 0, "embedding": base.tolist()}]
+    # ids 1-5: tiny perturbations; ids 6-105: random
+    for i in range(1, 6):
+        items.append(
+            {"vec_id": i, "embedding": (base + rng.normal(scale=0.05, size=64).astype(np.float32)).tolist()}
+        )
+    for i in range(6, 106):
+        items.append({"vec_id": i, "embedding": rng.normal(size=64).astype(np.float32).tolist()})
+    import ray as ray_mod
+
+    ds = ray_mod.data.from_items(items).repartition(4)
+    top = hamming_topk(ds, base[None, :], k=6).to_pandas()
+    assert set(top["vec_id"]) == {0, 1, 2, 3, 4, 5}
+    assert top.loc[top["vec_id"] == 0, "hamming"].iloc[0] == 0

@@ -1,0 +1,106 @@
+"""Deterministic dataset splits + token-balanced shard planning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.splits import (
+    assign_balanced_shards,
+    assign_splits,
+    split_thresholds,
+    sql_split_expr,
+)
+
+FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def _ids_ds(ray_mod, n=4000, blocks=1):
+    return ray_mod.data.from_items([{"doc_id": i} for i in range(n)]).repartition(blocks)
+
+
+def test_split_thresholds_integer_bounds():
+    assert split_thresholds(FRACTIONS) == [
+        ("train", int(np.floor(0.98 * 65536 + 0.5))),
+        ("val", int(np.floor(0.99 * 65536 + 0.5))),
+        ("test", 65536),
+    ]
+    with pytest.raises(ValueError):
+        split_thresholds({})
+
+
+def test_assign_splits_matches_hashlib_twin_and_layouts(ray_session):
+    want = {}
+    bounds = split_thresholds(FRACTIONS)
+    for i in range(4000):
+        k = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:4], 16)
+        want[i] = next(name for name, ub in bounds if k < ub)
+    for blocks in (1, 9):
+        got = assign_splits(_ids_ds(ray_session, blocks=blocks), FRACTIONS).to_pandas()
+        assert dict(zip(got["doc_id"], got["split"])) == want, blocks
+    # proportions are in the right ballpark (hash uniformity)
+    counts = got["split"].value_counts()
+    assert counts["train"] / 4000 > 0.95
+    assert 0 < counts.get("val", 0) < 200 and 0 < counts.get("test", 0) < 200
+
+
+def test_assign_splits_salt_changes_assignment(ray_session):
+    a = assign_splits(_ids_ds(ray_session, n=500), FRACTIONS, salt="a").to_pandas()
+    b = assign_splits(_ids_ds(ray_session, n=500), FRACTIONS, salt="b").to_pandas()
+    assert (a["split_key"].to_numpy() != b["split_key"].to_numpy()).any()
+
+
+def test_sql_split_expr_matches_live_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    key, case = sql_split_expr(FRACTIONS)
+    want = duckdb.sql(
+        f"SELECT doc_id, {key} AS split_key, {case} AS split FROM df ORDER BY doc_id"
+    ).df()
+    got = (
+        assign_splits(_ids_ds(ray_session, n=2000), FRACTIONS)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["split_key"].to_numpy() == want["split_key"].to_numpy()).all()
+    assert (got["split"].to_numpy() == want["split"].to_numpy()).all()
+
+
+def _tok_ds(ray_mod, vals, blocks=1):
+    items = [{"doc_id": i, "n_tokens": int(v)} for i, v in enumerate(vals)]
+    return ray_mod.data.from_items(items).repartition(blocks)
+
+
+def test_balanced_shards_matches_numpy_twin_across_layouts(ray_session):
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 400, size=3000)
+    prefix = np.concatenate([[0], np.cumsum(vals)[:-1]])
+    want = prefix // 777
+    for blocks in (1, 11):
+        got = (
+            assign_balanced_shards(_tok_ds(ray_session, vals, blocks), 777)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert (got["shard"].to_numpy() == want).all(), blocks
+    # shards are contiguous id ranges with ~budget token mass
+    sums = got.groupby("shard")["n_tokens"].sum()
+    assert (sums.iloc[:-1] >= 777 - 400).all()  # no shard closes far short
+    assert got.groupby("shard")["doc_id"].apply(
+        lambda s: (np.diff(np.sort(s)) == 1).all()
+    ).all()
+
+
+def test_balanced_shards_edges(ray_session):
+    # zero-token docs stay in the current shard; budget must be positive
+    got = assign_balanced_shards(
+        _tok_ds(ray_session, [0, 0, 5, 0, 5]), 5
+    ).to_pandas().sort_values("doc_id")
+    assert list(got["shard"]) == [0, 0, 0, 1, 1]
+    with pytest.raises(ValueError):
+        assign_balanced_shards(_tok_ds(ray_session, [1]), 0)
