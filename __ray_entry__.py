@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.q_token_counts,
         "dataset_split": q.q_dataset_split,
         "token_shards": q.q_token_shards,
+        "robots_admission": q.q_robots_admission,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -420,6 +421,41 @@ def _token_counts_cm_sql() -> str:
         JOIN cells c
           ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
         GROUP BY p.token
+    """
+
+
+def _robots_admission_sql() -> str:
+    from ocr_system_ray.pipelines.queries import ROBOTS_HOSTS, ROBOTS_RULESETS
+
+    rows = [
+        f"('h{i}.example', '{pat}', {int(allow)})"
+        for i in range(ROBOTS_HOSTS)
+        for pat, allow in ROBOTS_RULESETS[i % 3]
+    ]
+    values = ", ".join(rows)
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR) || '.example'
+                   AS host,
+                 '/p' || CAST(doc_id % 7 AS VARCHAR) || '/doc'
+                   || CAST(doc_id AS VARCHAR) || '.html' AS path
+          FROM documents
+        ), rules(h, pattern, allow) AS (VALUES {values}),
+        scored AS (
+          SELECT u.doc_id, u.host, r.pattern, r.allow
+          FROM u LEFT JOIN rules r
+            ON u.host = r.h AND starts_with(u.path, r.pattern)
+        ), ranked AS (
+          SELECT doc_id, host, allow,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY length(pattern) DESC, allow DESC
+                 ) AS rn
+          FROM scored
+        )
+        SELECT doc_id, host, CAST(COALESCE(allow, 1) AS BIGINT) AS allowed
+        FROM ranked WHERE rn = 1
     """
 
 
@@ -1716,6 +1752,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
         """,
+        # robots_admission: rule table re-derived from the shared
+        # constants, longest-match + allow-tie admission via window rank
+        "robots_admission": _robots_admission_sql(),
         # dataset_split: GENERATED carve + CASE ladder over the same
         # integer thresholds (pure function of doc_id)
         "dataset_split": _dataset_split_sql(),

@@ -157,6 +157,7 @@ def _query_suite() -> dict:
         "token_shards": q.q_token_shards,
         "embedding_binarize": q.q_embedding_binarize,
         "hamming_topk": q.q_hamming_topk,
+        "robots_admission": q.q_robots_admission,
     }
     return suite
 

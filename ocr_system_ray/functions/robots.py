@@ -1,0 +1,196 @@
+"""robots.txt parsing + URL admission (RFC 9309 subset).
+
+Crawl-hygiene front gate: given a table of per-host ``robots.txt``
+payloads and a stream of candidate URLs, decide which URLs the crawler
+may fetch.  The reference app has no crawl side, but the north star's
+Common-Crawl-style ingestion does — this is the admission-control
+sibling of the robots-META ``noindex`` filter (``urls.flag_noindex_batch``:
+that one gates INDEXING of fetched pages, this one gates FETCHING).
+
+Semantics (RFC 9309, the Google standard):
+
+* group selection — the group(s) whose ``User-agent`` token is a
+  case-insensitive substring-token match for our product token; if any
+  specific group matches, ``*`` groups are ignored; multiple matching
+  groups merge.
+* rule matching — ``Allow``/``Disallow`` path patterns with ``*``
+  wildcards and a ``$`` end anchor; the MOST SPECIFIC (longest-pattern)
+  matching rule wins; on a length tie ``Allow`` wins; no matching rule
+  → allowed.  Empty patterns match nothing.
+
+Ray shape: the robots table is host-cardinality (10⁸ rows at crawl
+scale — too big to broadcast), so admission is the repo's reduce-side
+join idiom: int8-tagged (robots ∪ url) rows meet in ONE coarse
+host-bucket groupby; each group parses its hosts' robots once and
+evaluates its URLs against compiled rules.  URLs move once (~60 B/row),
+robots bodies move once; nothing driver-side.
+
+Oracle strategy: the driver query derives per-host robots BODIES from a
+shared literal-prefix rule table; the DuckDB twin re-derives the RULE
+table and recomputes longest-match admission with a window — so the
+text parser, group selection, and the precedence rule are all
+value-checked.  Wildcard/``$``/group-merge semantics beyond the literal
+subset are pinned by pytest unit cases.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_LINE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$")
+
+
+def parse_robots(text: str, agent: str = "graftbot") -> list[tuple[str, bool]]:
+    """robots.txt body → the ordered ``(pattern, allow)`` rules that
+    apply to ``agent`` (specific groups if any match, else the ``*``
+    groups).  Comments (``#``) stripped; unknown directives ignored;
+    consecutive ``User-agent`` lines share a group."""
+    agent = agent.lower()
+    specific: list[tuple[str, bool]] = []
+    star: list[tuple[str, bool]] = []
+    cur_agents: list[str] = []
+    in_agent_run = False  # consecutive User-agent lines merge into one group
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0]
+        m = _LINE.match(line)
+        if not m:
+            continue
+        field = m.group(1).lower()
+        value = m.group(2)
+        if field == "user-agent":
+            if not in_agent_run:
+                cur_agents = []
+            cur_agents.append(value.strip().lower())
+            in_agent_run = True
+            continue
+        in_agent_run = False
+        if field not in ("allow", "disallow") or not value:
+            continue  # empty pattern matches nothing (RFC 9309 §2.2.2)
+        rule = (value, field == "allow")
+        if any(a == "*" for a in cur_agents):
+            star.append(rule)
+        if any(a != "*" and a in agent for a in cur_agents):
+            specific.append(rule)
+    return specific if specific else star
+
+
+def _compile_rule(pattern: str) -> re.Pattern:
+    # '*' → '.*', trailing '$' anchors; everything else literal
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def is_allowed(rules: list[tuple[str, bool]], path: str) -> bool:
+    """Longest-match admission: most specific (longest pattern) matching
+    rule decides; ties → allow; no match → allow."""
+    best = (-1, True)  # (pattern length, allow) — allow wins length ties
+    for pattern, allow in rules:
+        cand = (len(pattern), allow)
+        if cand > best and _compile_rule(pattern).match(path):
+            best = cand
+    return best[1]
+
+
+_URL_HOST_PATH = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*)")
+
+
+def split_host_path(url: str) -> tuple[str, str]:
+    m = _URL_HOST_PATH.match(url or "")
+    if not m:
+        return "", "/"
+    host = m.group(1).lower()
+    if "@" in host:
+        host = host.rsplit("@", 1)[1]
+    host = host.rsplit(":", 1)[0] if re.search(r":\d+$", host) else host
+    return host, (m.group(2) or "/")
+
+
+def evaluate_robots(
+    urls: ray.data.Dataset,
+    robots: ray.data.Dataset,
+    agent: str = "graftbot",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Admission decision per URL → ``(id_col, host, allowed: int64)``.
+
+    Reduce-side by host: both inputs emit int8-tagged rows bucketed on a
+    stable host hash; each group parses its hosts' robots ONCE (dict of
+    compiled rule lists) and evaluates its URL rows.  A URL whose host
+    has no robots row is allowed (fetch-on-absent, the crawl norm)."""
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def bucket_of(hosts: list[str]) -> np.ndarray:
+        return (stable_hash64(hosts) % np.uint64(num_buckets)).astype(np.int64)
+
+    def robot_rows(t: pa.Table) -> pa.Table:
+        hosts = [h or "" for h in t.column(host_col).to_pylist()]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_of(hosts)),
+                "host": pa.array(hosts, pa.string()),
+                "m": pa.array(np.zeros(len(hosts), dtype=np.int8)),
+                id_col: pa.array(np.zeros(len(hosts), dtype=np.int64)),
+                "path": pa.array([""] * len(hosts), pa.string()),
+                "body": t.column(body_col).cast(pa.string()),
+            }
+        )
+
+    def url_rows(t: pa.Table) -> pa.Table:
+        pairs = [split_host_path(u) for u in t.column(url_col).to_pylist()]
+        hosts = [h for h, _ in pairs]
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_of(hosts)),
+                "host": pa.array(hosts, pa.string()),
+                "m": pa.array(np.ones(len(hosts), dtype=np.int8)),
+                id_col: t.column(id_col).cast(pa.int64()),
+                "path": pa.array([p for _, p in pairs], pa.string()),
+                "body": pa.array([""] * len(hosts), pa.string()),
+            }
+        )
+
+    tagged = robots.map_batches(robot_rows, batch_format="pyarrow").union(
+        urls.map_batches(url_rows, batch_format="pyarrow")
+    )
+
+    def decide(g: "pd.DataFrame") -> "pd.DataFrame":
+        u = g[g["m"] == 1]
+        if u.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "host": pd.Series([], dtype=object),
+                    "allowed": pd.Series([], dtype="int64"),
+                }
+            )
+        rules_by_host = {
+            h: parse_robots(b, agent)
+            for h, b in zip(g.loc[g["m"] == 0, "host"], g.loc[g["m"] == 0, "body"])
+        }
+        allowed = [
+            int(is_allowed(rules_by_host.get(h, []), p))
+            for h, p in zip(u["host"], u["path"])
+        ]
+        return pd.DataFrame(
+            {
+                id_col: u[id_col].to_numpy(),
+                "host": u["host"].to_numpy(),
+                "allowed": pd.Series(allowed, dtype="int64"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(decide, batch_format="pandas")

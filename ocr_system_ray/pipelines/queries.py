@@ -580,6 +580,75 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
 SPLIT_FRACTIONS = {"train": 0.98, "val": 0.01, "test": 0.01}
 SHARD_TOKEN_BUDGET = 20_000
 
+# robots admission: shared literal-prefix rule table (host_id % 3 → rules);
+# the Ray side renders these as robots.txt BODIES (with decoy groups and
+# comments) and parses them back, the oracle re-derives the rules directly
+ROBOTS_HOSTS = 10
+ROBOTS_RULESETS: dict[int, list[tuple[str, bool]]] = {
+    0: [("/p1/", False), ("/p1/doc", True), ("/p3/", False)],
+    1: [("/", False), ("/p2/", True)],
+    2: [],
+}
+
+
+def _robots_body(host_id: int) -> str:
+    """Render a host's ruleset as a realistic robots.txt body: comment,
+    a decoy group the agent must skip, then the applicable group —
+    specific for class 0 (star must then be IGNORED per RFC 9309, so a
+    poison star group is added), star for the rest."""
+    rules = ROBOTS_RULESETS[host_id % 3]
+    lines = [f"# robots for h{host_id}", "User-agent: badbot", "Disallow: /", ""]
+    if host_id % 3 == 0:
+        lines.append("User-agent: graftbot")
+        lines += [
+            f"{'Allow' if allow else 'Disallow'}: {pat}" for pat, allow in rules
+        ]
+        # poison star group: would deny everything if group selection
+        # wrongly merged it with the specific group
+        lines += ["", "User-agent: *", "Disallow: /"]
+    else:
+        lines.append("User-agent: *")
+        lines += [
+            f"{'Allow' if allow else 'Disallow'}: {pat}" for pat, allow in rules
+        ]
+    return "\n".join(lines)
+
+
+def q_robots_admission(sf_dir: str) -> ray.data.Dataset:
+    """robots.txt crawl admission (RFC 9309 longest-match subset): urls
+    derived from doc_id meet per-host robots BODIES in one reduce-side
+    host-bucket groupby; the parser, group selection (specific beats a
+    poison ``*`` group), and longest-match precedence are all
+    value-checked — the oracle re-derives the rule table and recomputes
+    admission with a window rank.  See ``functions/robots.py``."""
+    from ..functions import robots as robots_mod
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": pa.array(
+                    [
+                        f"https://h{i % ROBOTS_HOSTS}.example:8443"
+                        f"/p{i % 7}/doc{i}.html"
+                        for i in ids
+                    ]
+                ),
+            }
+        )
+
+    urls = docs.map_batches(to_urls, batch_format="pyarrow")
+    robots_ds = ray.data.from_items(
+        [
+            {"host": f"h{i}.example", "robots_txt": _robots_body(i)}
+            for i in range(ROBOTS_HOSTS)
+        ]
+    )
+    return robots_mod.evaluate_robots(urls, robots_ds, agent="graftbot")
+
 
 def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
     """Deterministic train/val/test assignment by salted md5 threshold

@@ -1,0 +1,98 @@
+"""robots.txt parsing + RFC 9309 longest-match admission."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_system_ray.functions.robots import (
+    evaluate_robots,
+    is_allowed,
+    parse_robots,
+    split_host_path,
+)
+
+BODY = """
+# comment line
+User-agent: badbot
+Disallow: /
+
+User-agent: graftbot
+Disallow: /private/
+Allow: /private/ok
+Disallow: /tmp*.bak
+Disallow: /exact$
+
+User-agent: *
+Disallow: /
+"""
+
+
+def test_group_selection_specific_beats_star():
+    rules = parse_robots(BODY, agent="graftbot")
+    assert ("/", False) not in rules  # the poison * group is ignored
+    assert ("/private/", False) in rules
+    # unknown agent falls back to the * group
+    assert parse_robots(BODY, agent="otherbot") == [("/", False)]
+
+
+def test_longest_match_and_allow_tie():
+    rules = parse_robots(BODY, agent="graftbot")
+    assert is_allowed(rules, "/anything") is True            # no match
+    assert is_allowed(rules, "/private/raw") is False
+    assert is_allowed(rules, "/private/ok/deep") is True     # longer Allow
+    # equal-length tie: Allow wins
+    tie = [("/a/", False), ("/b/", True), ("/a/", True)]
+    assert is_allowed(tie, "/a/x") is True
+
+
+def test_wildcard_and_anchor():
+    rules = parse_robots(BODY, agent="graftbot")
+    assert is_allowed(rules, "/tmp123.bak") is False          # * wildcard
+    assert is_allowed(rules, "/tmp123.bakup") is False        # unanchored
+    assert is_allowed(rules, "/exact") is False               # $ anchor
+    assert is_allowed(rules, "/exactly") is True              # anchor holds
+
+
+def test_parser_edges():
+    # consecutive user-agent lines share one group; case-insensitive
+    body = "User-Agent: GraftBot\nUser-agent: crawler\nDisallow: /x/\n"
+    assert parse_robots(body, agent="graftbot/1.0") == [("/x/", False)]
+    assert parse_robots(body, agent="crawler") == [("/x/", False)]
+    # empty Disallow matches nothing (allow-all), unknown fields ignored
+    assert parse_robots("User-agent: *\nDisallow:\nCrawl-delay: 3\n") == []
+    assert parse_robots("", "x") == []
+    assert is_allowed([], "/anything") is True
+
+
+def test_split_host_path():
+    assert split_host_path("https://User@H.Example.COM:8443/a/b?q#f") == (
+        "h.example.com",
+        "/a/b",
+    )
+    assert split_host_path("http://h.example") == ("h.example", "/")
+    assert split_host_path("not a url") == ("", "/")
+
+
+def test_evaluate_robots_reduce_side(ray_session):
+    import ray as ray_mod
+
+    urls = ray_mod.data.from_items(
+        [
+            {"doc_id": 0, "url": "https://a.example/private/raw"},
+            {"doc_id": 1, "url": "https://a.example/private/ok/x"},
+            {"doc_id": 2, "url": "https://a.example/open"},
+            {"doc_id": 3, "url": "https://norobots.example/x"},
+            {"doc_id": 4, "url": "https://b.example/anything"},
+        ]
+    ).repartition(3)
+    robots = ray_mod.data.from_items(
+        [
+            {"host": "a.example", "robots_txt": BODY},
+            {"host": "b.example", "robots_txt": "User-agent: *\nDisallow: /\n"},
+        ]
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in evaluate_robots(urls, robots, agent="graftbot").take_all()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0}
