@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": q.q_dataset_split,
         "token_shards": q.q_token_shards,
         "robots_admission": q.q_robots_admission,
+        "charset_decode": q.q_charset_decode,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -1755,6 +1756,25 @@ def oracle_sql() -> dict[str, str]:
         # robots_admission: rule table re-derived from the shared
         # constants, longest-match + allow-tie admission via window rank
         "robots_admission": _robots_admission_sql(),
+        # charset_decode: expected labels from the doc_id%4 derivation;
+        # decoded md5 = md5 of the SAME page concatenation (byte-exact
+        # decode round trip through three real encodings)
+        "charset_decode": """
+            SELECT doc_id,
+                   CASE doc_id % 4 WHEN 1 THEN 'cp1252'
+                        WHEN 2 THEN 'utf-16-le' ELSE 'utf-8' END AS charset,
+                   CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'meta'
+                        WHEN 2 THEN 'bom' ELSE 'utf8' END AS charset_source,
+                   md5('<html><head>'
+                       || CASE doc_id % 4
+                            WHEN 0 THEN '<meta charset="utf-8">'
+                            WHEN 1 THEN '<meta http-equiv="Content-Type"'
+                                 || ' content="text/html; charset=windows-1252">'
+                            ELSE '' END
+                       || '</head><body><p>' || text
+                       || '</p></body></html>') AS text_md5
+            FROM documents
+        """,
         # dataset_split: GENERATED carve + CASE ladder over the same
         # integer thresholds (pure function of doc_id)
         "dataset_split": _dataset_split_sql(),

@@ -158,6 +158,7 @@ def _query_suite() -> dict:
         "embedding_binarize": q.q_embedding_binarize,
         "hamming_topk": q.q_hamming_topk,
         "robots_admission": q.q_robots_admission,
+        "charset_decode": q.q_charset_decode,
     }
     return suite
 

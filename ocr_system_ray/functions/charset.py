@@ -1,0 +1,132 @@
+"""Charset sniffing + decoding for raw ``html: binary`` pages.
+
+Common-Crawl payloads are bytes in whatever encoding the origin server
+chose; the parse stages need ``str``.  This is the HTML5 "encoding
+sniffing algorithm" subset that covers real corpora:
+
+1. **BOM** (wins over everything): UTF-8 / UTF-16 LE / UTF-16 BE.
+2. **meta prescan** over the first ``prescan_bytes`` (default 1024,
+   the spec's budget): ``<meta charset=...>`` or
+   ``<meta http-equiv="Content-Type" content="...charset=...">``,
+   case-insensitive, quote-optional; labels normalized per WHATWG
+   (``latin-1``/``iso-8859-1``/``ascii`` → ``cp1252`` — the web's
+   actual superset encoding).
+3. **UTF-8 heuristic**: strict-decode probe; valid → ``utf-8``.
+4. **fallback**: ``cp1252`` (never fails: all 256 bytes map).
+
+Decode is ``errors="replace"`` so malformed payloads degrade to U+FFFD
+instead of dropping rows (the never-fail-row contract, M1).
+
+Ray shape: one stateless ``map_batches`` pass; the binary payload dies
+in-stage (text out, bytes dropped) — same contract as the parse stages.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# WHATWG-style label normalization (the subset that appears in crawls)
+_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "latin-1": "cp1252",
+    "latin1": "cp1252",
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "utf-16": "utf-16-le",  # undeclared endianness → LE (WHATWG)
+    "utf-16le": "utf-16-le",
+    "utf-16-le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+    "utf-16-be": "utf-16-be",
+}
+
+_META_CHARSET = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.I)
+
+
+def normalize_label(label: str) -> str | None:
+    """Charset label → canonical Python codec name, or None if unknown."""
+    key = label.strip().lower()
+    if key in _ALIASES:
+        return _ALIASES[key]
+    try:
+        name = codecs.lookup(key).name
+    except LookupError:
+        return None
+    return _ALIASES.get(name, name)
+
+
+def sniff_charset(data: bytes, prescan_bytes: int = 1024) -> tuple[str, str]:
+    """Raw page bytes → ``(codec, source)`` with source ∈
+    ``bom | meta | utf8 | fallback``."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", "bom"
+    if data.startswith(b"\xff\xfe"):
+        return "utf-16-le", "bom"
+    if data.startswith(b"\xfe\xff"):
+        return "utf-16-be", "bom"
+    m = _META_CHARSET.search(data[:prescan_bytes])
+    if m:
+        codec = normalize_label(m.group(1).decode("ascii", "replace"))
+        if codec is not None:
+            return codec, "meta"
+    try:
+        data.decode("utf-8", "strict")
+        return "utf-8", "utf8"
+    except UnicodeDecodeError:
+        return "cp1252", "fallback"
+
+
+def decode_html_batch(
+    t: pa.Table,
+    html_col: str = "html",
+    text_out: str = "text",
+    keep_html: bool = False,
+    prescan_bytes: int = 1024,
+) -> pa.Table:
+    """Per row: sniff + decode → ``(…, text_out, charset, charset_source)``.
+    The binary column is dropped unless ``keep_html`` (payload dies
+    in-stage — the 100 TB memory contract)."""
+    payloads = t.column(html_col).to_pylist()
+    texts: list[str] = []
+    charsets: list[str] = []
+    sources: list[str] = []
+    for raw in payloads:
+        raw = raw or b""
+        codec, source = sniff_charset(raw, prescan_bytes)
+        body = raw
+        if source == "bom" and codec.startswith("utf-16"):
+            body = raw[2:]  # utf-8-sig strips its own BOM; utf-16-le/be don't
+        texts.append(body.decode(codec, "replace"))
+        # report the canonical family name (utf-8-sig IS utf-8 + BOM)
+        charsets.append("utf-8" if codec == "utf-8-sig" else codec)
+        sources.append(source)
+    cols = {name: t.column(name) for name in t.column_names if name != html_col}
+    if keep_html:
+        cols[html_col] = t.column(html_col)
+    cols[text_out] = pa.array(texts, pa.string())
+    cols["charset"] = pa.array(charsets, pa.string())
+    cols["charset_source"] = pa.array(sources, pa.string())
+    return pa.table(cols)
+
+
+def decode_pages(
+    ds: ray.data.Dataset,
+    html_col: str = "html",
+    text_out: str = "text",
+    prescan_bytes: int = 1024,
+) -> ray.data.Dataset:
+    """Dataset wrapper: one stateless decode pass."""
+    return ds.map_batches(
+        lambda t: decode_html_batch(t, html_col, text_out, prescan_bytes=prescan_bytes),
+        batch_format="pyarrow",
+    )

@@ -614,6 +614,64 @@ def _robots_body(host_id: int) -> str:
     return "\n".join(lines)
 
 
+def q_charset_decode(sf_dir: str) -> ray.data.Dataset:
+    """Charset sniffing + decode over binary pages (HTML5 prescan
+    subset): doc_id % 4 rotates utf-8-meta / windows-1252-http-equiv /
+    utf-16-LE-BOM / undeclared-ascii payloads; the operator must
+    recover the charset (and its source) and decode back to the exact
+    page string — the oracle recomputes the expected labels from the
+    derivation and the decoded md5 from the same concatenation.  See
+    ``functions/charset.py``."""
+    import hashlib
+
+    from ..functions.charset import decode_html_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads: list[bytes] = []
+        for i, txt in zip(ids, t.column("text").to_pylist()):
+            v = i % 4
+            meta = (
+                '<meta charset="utf-8">'
+                if v == 0
+                else '<meta http-equiv="Content-Type"'
+                ' content="text/html; charset=windows-1252">'
+                if v == 1
+                else ""
+            )
+            page = f"<html><head>{meta}</head><body><p>{txt or ''}</p></body></html>"
+            if v == 2:
+                payloads.append(b"\xff\xfe" + page.encode("utf-16-le"))
+            elif v == 1:
+                payloads.append(page.encode("cp1252"))
+            else:
+                payloads.append(page.encode("utf-8"))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "html": pa.array(payloads, pa.binary())}
+        )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        dec = decode_html_batch(t)
+        md5s = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in dec.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": dec.column("doc_id"),
+                "charset": dec.column("charset"),
+                "charset_source": dec.column("charset_source"),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return docs.map_batches(encode_pages, batch_format="pyarrow").map_batches(
+        summarize, batch_format="pyarrow"
+    )
+
+
 def q_robots_admission(sf_dir: str) -> ray.data.Dataset:
     """robots.txt crawl admission (RFC 9309 longest-match subset): urls
     derived from doc_id meet per-host robots BODIES in one reduce-side

@@ -1,0 +1,112 @@
+"""Charset sniffing + decode (HTML5 prescan subset)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.charset import (
+    decode_html_batch,
+    decode_pages,
+    normalize_label,
+    sniff_charset,
+)
+
+
+def test_bom_wins_over_meta():
+    page = '<meta charset="windows-1252"><p>x</p>'
+    assert sniff_charset(b"\xef\xbb\xbf" + page.encode()) == ("utf-8-sig", "bom")
+    assert sniff_charset(b"\xff\xfe" + page.encode("utf-16-le")) == (
+        "utf-16-le",
+        "bom",
+    )
+    assert sniff_charset(b"\xfe\xff" + page.encode("utf-16-be")) == (
+        "utf-16-be",
+        "bom",
+    )
+
+
+@pytest.mark.parametrize(
+    ("decl", "want"),
+    [
+        (b'<META CHARSET="UTF-8">', "utf-8"),
+        (b"<meta charset=iso-8859-1>", "cp1252"),  # WHATWG: latin-1 IS cp1252
+        (b"<meta charset='Windows-1252'>", "cp1252"),
+        (
+            b'<meta http-equiv="Content-Type" content="text/html; charset=utf-8">',
+            "utf-8",
+        ),
+    ],
+)
+def test_meta_declarations(decl, want):
+    assert sniff_charset(b"<html><head>" + decl + b"</head>") == (want, "meta")
+
+
+def test_meta_outside_prescan_budget_ignored():
+    page = b" " * 2000 + b'<meta charset="windows-1252">caf\xc3\xa9'
+    # meta is past 1024 bytes; payload is valid UTF-8 -> heuristic
+    assert sniff_charset(page) == ("utf-8", "utf8")
+
+
+def test_unknown_label_falls_through_to_heuristic():
+    assert sniff_charset(b'<meta charset="klingon-9">ok') == ("utf-8", "utf8")
+    assert normalize_label("klingon-9") is None
+    assert normalize_label("UTF8") == "utf-8"
+    assert normalize_label("utf-16") == "utf-16-le"
+
+
+def test_fallback_cp1252_on_invalid_utf8():
+    # 0x97 is an em dash in cp1252 and invalid leading UTF-8 alone
+    assert sniff_charset(b"no declaration \x97 here") == ("cp1252", "fallback")
+
+
+def test_decode_batch_round_trips_and_drops_payload():
+    s = "café — naïve"
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "html": [
+            ('<meta charset="utf-8">' + s).encode("utf-8"),
+            (
+                '<meta http-equiv="Content-Type"'
+                ' content="text/html; charset=windows-1252">' + s
+            ).encode("cp1252"),
+            b"\xff\xfe" + s.encode("utf-16-le"),
+            s.encode("utf-8"),
+        ],
+    }
+    out = decode_html_batch(pa.table(rows))
+    assert "html" not in out.column_names
+    texts = out.column("text").to_pylist()
+    assert all(t.endswith(s) for t in texts)
+    assert not texts[2].startswith("﻿")  # BOM stripped, not decoded
+    assert out.column("charset").to_pylist() == [
+        "utf-8",
+        "cp1252",
+        "utf-16-le",
+        "utf-8",
+    ]
+    assert out.column("charset_source").to_pylist() == [
+        "meta",
+        "meta",
+        "bom",
+        "utf8",
+    ]
+    # malformed bytes degrade to U+FFFD, never raise (row conservation)
+    bad = decode_html_batch(
+        pa.table({"doc_id": [9], "html": [b'<meta charset="utf-8">\xff\xfe\xfa']})
+    )
+    assert "�" in bad.column("text").to_pylist()[0]
+    # None payload decodes to empty
+    none_row = decode_html_batch(pa.table({"doc_id": [1], "html": pa.array([None], pa.binary())}))
+    assert none_row.column("text").to_pylist() == [""]
+
+
+def test_decode_pages_dataset(ray_session):
+    import ray as ray_mod
+
+    ds = ray_mod.data.from_items(
+        [{"doc_id": i, "html": f"<p>doc {i}</p>".encode()} for i in range(20)]
+    ).repartition(3)
+    out = decode_pages(ds).to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == [f"<p>doc {i}</p>" for i in range(20)]
+    assert set(out["charset"]) == {"utf-8"}
