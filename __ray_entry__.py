@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_shards": q.q_token_shards,
         "robots_admission": q.q_robots_admission,
         "charset_decode": q.q_charset_decode,
+        "anchor_texts": q.q_anchor_texts,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -422,6 +423,32 @@ def _token_counts_cm_sql() -> str:
         JOIN cells c
           ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
         GROUP BY p.token
+    """
+
+
+def _anchor_texts_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_anchor_texts_select
+    from ocr_system_ray.pipelines.queries import HOST_LINK_HOSTS as H
+
+    inner = sql_anchor_texts_select("FROM pg")
+    return f"""
+        WITH pg AS (
+          SELECT '<html><body><a href="https://h'
+                 || CAST((doc_id * 7 + 3) % {H} AS VARCHAR)
+                 || '.example/x">Visit site '
+                 || CAST((doc_id * 7 + 3) % {H} AS VARCHAR)
+                 || '</a><A HREF="https://WWW.h'
+                 || CAST((doc_id * 13 + 5) % {H} AS VARCHAR)
+                 || '.example:8080/y">' || chr(10) || '  spaced   label '
+                 || CAST(doc_id % 4 AS VARCHAR) || chr(9)
+                 || '</A><a href="https://h'
+                 || CAST(doc_id % {H} AS VARCHAR)
+                 || '.example/z"><b>nested</b></a>'
+                 || '<a href="/rel">rel text</a>'
+                 || '<a href="https://h0.example/e"></a></body></html>' AS html
+          FROM documents
+        )
+        SELECT dst_host, anchor, CAST(n AS BIGINT) AS n FROM ({inner})
     """
 
 
@@ -1756,6 +1783,9 @@ def oracle_sql() -> dict[str, str]:
         # robots_admission: rule table re-derived from the shared
         # constants, longest-match + allow-tie admission via window rank
         "robots_admission": _robots_admission_sql(),
+        # anchor_texts: derived pages + the GENERATED anchor-pattern /
+        # host / whitespace twins, direct GROUP BY recount
+        "anchor_texts": _anchor_texts_sql(),
         # charset_decode: expected labels from the doc_id%4 derivation;
         # decoded md5 = md5 of the SAME page concatenation (byte-exact
         # decode round trip through three real encodings)

@@ -159,6 +159,7 @@ def _query_suite() -> dict:
         "hamming_topk": q.q_hamming_topk,
         "robots_admission": q.q_robots_admission,
         "charset_decode": q.q_charset_decode,
+        "anchor_texts": q.q_anchor_texts,
     }
     return suite
 

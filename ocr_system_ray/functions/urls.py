@@ -292,6 +292,110 @@ def extract_outlinks(
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
+# anchor-TEXT extraction: href + the immediate text child of text-only
+# anchors (`[^<]*` — anchors wrapping nested markup are documented out
+# of scope, same double-quoted-attribute scope as OUTLINK_PATTERN)
+ANCHOR_PATTERN = r'(?i)<a[ \t\n\r][^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+_ANCHOR_RGX = re.compile(ANCHOR_PATTERN)
+_WS_RUN = re.compile(r"[ \t\n\r]+")
+
+
+def anchor_text_counts(
+    ds: ray.data.Dataset,
+    html_col: str = "html",
+    host_col: str = "dst_host",
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Anchor-text corpus per target host (the link-text signal search
+    engines and query-doc training sets are built from): every
+    text-only anchor emits ``(dst_host, anchor)`` — whitespace-collapsed
+    and trimmed — and one coarse host-bucket groupby counts each
+    distinct (host, anchor) pair → ``(dst_host, anchor, n: int64)``.
+
+    Scale shape: HTML dies in the extract stage; only (host, anchor)
+    rows ride the single shuffle, bucketed on the host hash (in-group
+    pandas two-column groupby — the ray-2.49 multi-column-aggregate
+    workaround without concat-key separator ambiguity)."""
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def emit(t: pa.Table) -> pa.Table:
+        hrefs: list[str] = []
+        anchors: list[str] = []
+        for page in t.column(html_col).to_pylist():
+            for href, text in _ANCHOR_RGX.findall(page or ""):
+                text = _WS_RUN.sub(" ", text).strip()
+                if text:
+                    hrefs.append(href)
+                    anchors.append(text)
+        out = pa.table(
+            {
+                "href": pa.array(hrefs, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+        out = extract_host_batch(out, "href", host_col)
+        out = out.filter(pc.not_equal(out.column(host_col), ""))
+        b = (
+            stable_hash64(out.column(host_col).to_pylist())
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                host_col: out.column(host_col),
+                "anchor": out.column("anchor"),
+            }
+        )
+
+    def count_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    host_col: pd.Series([], dtype=object),
+                    "anchor": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            g.groupby([host_col, "anchor"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out[[host_col, "anchor", "n"]]
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_group, batch_format="pandas")
+    )
+
+
+def sql_anchor_texts_select(from_clause: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`anchor_text_counts`, generated from the
+    SAME pattern + host + whitespace rules (unnest zips the two capture
+    groups positionally)."""
+    return f"""
+        WITH an_raw AS (
+          SELECT unnest(regexp_extract_all(COALESCE({html_expr}, ''),
+                                           '{ANCHOR_PATTERN}', 1)) AS href,
+                 unnest(regexp_extract_all(COALESCE({html_expr}, ''),
+                                           '{ANCHOR_PATTERN}', 2)) AS a_raw
+          {from_clause}
+        ), an_norm AS (
+          SELECT {sql_host_expr('href')} AS dst_host,
+                 trim(regexp_replace(a_raw, '[ \t\n\r]+', ' ', 'g')) AS anchor
+          FROM an_raw
+        )
+        SELECT dst_host, anchor, COUNT(*) AS n
+        FROM an_norm WHERE dst_host <> '' AND anchor <> ''
+        GROUP BY dst_host, anchor
+    """
+
+
 def sql_outlinks_select(
     from_clause: str, id_expr: str = "doc_id", html_expr: str = "html"
 ) -> str:

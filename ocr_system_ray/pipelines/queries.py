@@ -614,6 +614,41 @@ def _robots_body(host_id: int) -> str:
     return "\n".join(lines)
 
 
+def q_anchor_texts(sf_dir: str) -> ray.data.Dataset:
+    """Anchor-text corpus per target host (link-text signal): derived
+    pages carry a plain text anchor, an uppercase+chrome anchor with
+    ragged whitespace (host normalizer + ws-collapse under test), a
+    nested-markup anchor and a relative anchor (both dropped) and an
+    empty-text anchor (dropped); one coarse host-bucket groupby counts
+    (host, anchor) pairs.  Oracle = the GENERATED pattern/host/ws twins
+    over the same derived pages (``urls.sql_anchor_texts_select``)."""
+    from ..functions.urls import anchor_text_counts
+
+    h_mod = HOST_LINK_HOSTS
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        html: list[str] = []
+        for i in ids:
+            i = int(i)
+            html.append(
+                "<html><body>"
+                f'<a href="https://h{(i * 7 + 3) % h_mod}.example/x">'
+                f"Visit site {(i * 7 + 3) % h_mod}</a>"
+                f'<A HREF="https://WWW.h{(i * 13 + 5) % h_mod}.example:8080/y">'
+                f"\n  spaced   label {i % 4}\t</A>"
+                f'<a href="https://h{i % h_mod}.example/z"><b>nested</b></a>'
+                '<a href="/rel">rel text</a>'
+                '<a href="https://h0.example/e"></a>'
+                "</body></html>"
+            )
+        return pa.table({"html": pa.array(html)})
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    return anchor_text_counts(pages)
+
+
 def q_charset_decode(sf_dir: str) -> ray.data.Dataset:
     """Charset sniffing + decode over binary pages (HTML5 prescan
     subset): doc_id % 4 rotates utf-8-meta / windows-1252-http-equiv /

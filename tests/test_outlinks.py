@@ -97,3 +97,58 @@ def test_noindex_flag_rules():
         f"SELECT {sql_noindex_expr('html')} AS f FROM pg ORDER BY doc_id"
     ).df()["f"].tolist()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_text_counts_rules(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.urls import anchor_text_counts
+
+    pages = [
+        # plain + ws-ragged + uppercase chrome host
+        '<a href="https://A.Example/x">Hello World</a>'
+        '<A HREF="https://WWW.a.example:8080/y">\n Hello\t\tWorld </A>',
+        # nested markup, relative, empty text: all dropped
+        '<a href="https://b.example/z"><b>bold</b></a>'
+        '<a href="/rel">rel</a><a href="https://b.example/e">   </a>'
+        '<a href="https://b.example/k">kept</a>',
+    ]
+    ds = ray_mod.data.from_items([{"html": h} for h in pages]).repartition(2)
+    got = {
+        (r["dst_host"], r["anchor"]): r["n"]
+        for r in anchor_text_counts(ds).take_all()
+    }
+    # both spellings normalize to the same (host, anchor) pair → n=2
+    assert got == {("a.example", "Hello World"): 2, ("b.example", "kept"): 1}
+
+
+def test_anchor_texts_matches_generated_sql_twin(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.urls import (
+        anchor_text_counts,
+        sql_anchor_texts_select,
+    )
+
+    pages = [
+        f'<a href="https://h{i % 3}.example/p">label {i % 5}</a>'
+        f'<a href="https://h{(i + 1) % 3}.example/q"> multi  word  {i % 2} </a>'
+        for i in range(40)
+    ]
+    df = pd.DataFrame({"html": pages})
+    want = duckdb.sql(sql_anchor_texts_select("FROM df")).df()
+    ds = ray_mod.data.from_items([{"html": h} for h in pages]).repartition(5)
+    got = anchor_text_counts(ds).to_pandas()
+    key = ["dst_host", "anchor"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n"]].astype({"n": "int64"}).equals(
+        want[key + ["n"]].astype({"n": "int64"})
+    )
