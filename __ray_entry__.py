@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_admission": q.q_robots_admission,
         "charset_decode": q.q_charset_decode,
         "anchor_texts": q.q_anchor_texts,
+        "image_phash": q.q_image_phash,
+        "image_neardup": q.q_image_neardup,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -1786,6 +1788,20 @@ def oracle_sql() -> dict[str, str]:
         # anchor_texts: derived pages + the GENERATED anchor-pattern /
         # host / whitespace twins, direct GROUP BY recount
         "anchor_texts": _anchor_texts_sql(),
+        # image_phash / image_neardup: INDEPENDENT per-pixel golden twin
+        # (naive BMP reader + from-scratch hash spec + brute-force
+        # all-pairs popcount — tools/make_goldens.py:imagehash_goldens)
+        "image_phash": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "image_neardup": """
+            SELECT g.id_a, g.id_b, g.hamming
+            FROM '/root/repo/tests/golden/image_neardup_sf001.parquet' g
+            JOIN documents d ON g.id_a = d.doc_id
+        """,
         # charset_decode: expected labels from the doc_id%4 derivation;
         # decoded md5 = md5 of the SAME page concatenation (byte-exact
         # decode round trip through three real encodings)

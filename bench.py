@@ -160,6 +160,8 @@ def _query_suite() -> dict:
         "robots_admission": q.q_robots_admission,
         "charset_decode": q.q_charset_decode,
         "anchor_texts": q.q_anchor_texts,
+        "image_phash": q.q_image_phash,
+        "image_neardup": q.q_image_neardup,
     }
     return suite
 

@@ -614,6 +614,74 @@ def _robots_body(host_id: int) -> str:
     return "\n".join(lines)
 
 
+IMG_H, IMG_W = 32, 48
+IMG_BAD_MOD = 97  # doc_id % 97 == 0 → corrupt payload (error-as-data row)
+
+
+def derived_image(doc_id: int) -> np.ndarray:
+    """Deterministic (32, 48, 3) uint8 test image per document: RGB
+    gradients + id-keyed stripe toggles; every doc_id % 5 == 4 is a
+    NEAR-DUP of its predecessor (same base pattern, one inverted 4×4
+    corner patch) so the near-dup pair set is known by construction.
+    Shared by the Ray query and the independent golden twin — the
+    HASHES are never shared, only the pixels."""
+    base_id = doc_id - 1 if doc_id % 5 == 4 else doc_id
+    yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
+    r = (xx * 255 // (IMG_W - 1)).astype(np.uint8)
+    g = (yy * 255 // (IMG_H - 1)).astype(np.uint8)
+    b = ((xx + yy + base_id * 37) % 256).astype(np.uint8)
+    img = np.stack([r, g, b], axis=2)
+    stripe = IMG_W // 8
+    for s in range(8):
+        if (base_id >> s) & 1:
+            img[:, s * stripe : (s + 1) * stripe, 0] ^= 0x80
+    if doc_id % 5 == 4:
+        img[:4, :4] = 255 - img[:4, :4]
+    return img
+
+
+def _derived_image_payloads(t: pa.Table) -> pa.Table:
+    from ..functions.imagehash import encode_bmp_pixels
+
+    ids = t.column("doc_id").to_pylist()
+    payloads = [
+        b"not an image" if i % IMG_BAD_MOD == 0 else encode_bmp_pixels(derived_image(i))
+        for i in ids
+    ]
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_image_phash(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual image hashing over REAL BMP pixel data: derived
+    images (known near-dups by construction, plus planted corrupt
+    payloads) encode to genuine 24-bpp BMPs, the operator decodes the
+    bytes and computes integer-exact aHash/dHash.  Golden oracle =
+    an INDEPENDENT per-pixel twin that parses the same bytes with its
+    own naive BMP reader (tools/make_goldens.py)."""
+    from ..functions.imagehash import image_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_image_payloads, batch_format="pyarrow")
+    return image_hashes(imgs)
+
+
+def q_image_neardup(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate images by aHash Hamming ≤ 6: the band-pigeonhole
+    candidate pass + popcount verify (EXACT for the budget — recall 1
+    by construction), one coarse-bucket groupby.  Golden oracle = the
+    independent twin's brute-force all-pairs popcount."""
+    from ..functions.imagehash import image_hashes, phash_duplicate_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_image_payloads, batch_format="pyarrow")
+    hashes = image_hashes(imgs).map_batches(
+        lambda t: t.filter(pc.equal(t.column("ok"), 1)), batch_format="pyarrow"
+    )
+    return phash_duplicate_pairs(hashes, max_hamming=6)
+
+
 def q_anchor_texts(sf_dir: str) -> ray.data.Dataset:
     """Anchor-text corpus per target host (link-text signal): derived
     pages carry a plain text anchor, an uppercase+chrome anchor with

@@ -182,3 +182,13 @@ def test_knn_pq_candidates_golden_drift(ray_session):
     )
     committed = pq.read_table(GOLDEN_DIR / "knn_pq_candidates_sf001.parquet")
     assert fresh.equals(committed)
+
+
+def test_imagehash_goldens_match_twin():
+    import pyarrow.parquet as pq
+
+    from make_goldens import imagehash_goldens
+
+    fresh_h, fresh_p = imagehash_goldens()
+    assert fresh_h.equals(pq.read_table(GOLDEN_DIR / "imagehash_sf001.parquet"))
+    assert fresh_p.equals(pq.read_table(GOLDEN_DIR / "image_neardup_sf001.parquet"))

@@ -1,0 +1,128 @@
+"""Perceptual image hashing over real BMP bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.imagehash import (
+    ahash64,
+    decode_bmp,
+    dhash64,
+    encode_bmp_pixels,
+    image_hashes,
+    phash_duplicate_pairs,
+)
+
+
+def _img(seed=0, h=24, w=40):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_round_trip_including_padding():
+    for w in (40, 41, 42, 43):  # all four stride paddings
+        img = _img(w, w=w)
+        assert (decode_bmp(encode_bmp_pixels(img)) == img).all(), w
+
+
+def test_bmp_top_down_negative_height():
+    img = _img(3)
+    raw = bytearray(encode_bmp_pixels(img))
+    # flip to top-down: negate height, reverse the stored row order
+    import struct
+
+    h, w = img.shape[:2]
+    stride = (3 * w + 3) & ~3
+    struct.pack_into("<i", raw, 22, -h)
+    rows = bytes(raw[54:])
+    flipped = b"".join(
+        rows[i * stride : (i + 1) * stride] for i in reversed(range(h))
+    )
+    assert (decode_bmp(bytes(raw[:54]) + flipped) == img).all()
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [b"", b"BM123", b"PNG" + b"\x00" * 60, None],
+)
+def test_bmp_rejects_garbage(bad):
+    with pytest.raises((ValueError, TypeError)):
+        decode_bmp(bad if bad is not None else None)
+
+
+def test_bmp_truncated_pixels_rejected():
+    raw = encode_bmp_pixels(_img(1))
+    with pytest.raises(ValueError):
+        decode_bmp(raw[:-10])
+
+
+def test_hashes_are_deterministic_and_sensitive():
+    img = _img(7)
+    assert ahash64(img) == ahash64(img.copy())
+    assert dhash64(img) == dhash64(img.copy())
+    # inverting a quadrant must move the hash
+    mod = img.copy()
+    mod[:12, :20] = 255 - mod[:12, :20]
+    assert ahash64(mod) != ahash64(img)
+    # flat image: all cells == mean → hash 0 (strict >)
+    flat = np.full((16, 16, 3), 100, dtype=np.uint8)
+    assert ahash64(flat) == 0 and dhash64(flat) == 0
+
+
+def test_small_perturbation_small_hamming():
+    img = _img(11, h=32, w=48)
+    mod = img.copy()
+    mod[:3, :3] = 255 - mod[:3, :3]
+    d = bin(ahash64(img) ^ ahash64(mod)).count("1")
+    assert d <= 4
+
+
+def test_image_hashes_error_as_data(ray_session):
+    import ray as ray_mod
+
+    items = [
+        {"doc_id": 0, "image": encode_bmp_pixels(_img(0))},
+        {"doc_id": 1, "image": b"junk"},
+        {"doc_id": 2, "image": encode_bmp_pixels(_img(2))},
+    ]
+    out = (
+        image_hashes(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["ok"]) == [1, 0, 1]
+    assert out.loc[out["doc_id"] == 1, "ahash"].iloc[0] == 0
+    assert list(out.columns) == ["doc_id", "width", "height", "ahash", "dhash", "ok"]
+
+
+def test_banded_pairs_equal_brute_force(ray_session):
+    import ray as ray_mod
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 1 << 63, size=60, dtype=np.int64)
+    # plant near-dups: flip ≤ budget bits on copies
+    hashes = list(base)
+    for i in range(20):
+        v = int(base[i])
+        for b in rng.integers(0, 64, size=int(rng.integers(0, 7))):
+            v ^= 1 << int(b)
+        hashes.append(np.int64(np.uint64(v) & np.uint64((1 << 63) - 1)))
+    items = [{"doc_id": i, "ahash": int(h), "ok": 1} for i, h in enumerate(hashes)]
+
+    def pop(x):
+        return bin(int(x) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (i, j, pop(hashes[i] ^ hashes[j]))
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if pop(hashes[i] ^ hashes[j]) <= 6
+    }
+    for blocks in (1, 5):
+        ds = ray_mod.data.from_items(items).repartition(blocks)
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in phash_duplicate_pairs(ds, max_hamming=6).take_all()
+        }
+        assert got == want, blocks

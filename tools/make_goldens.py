@@ -27,6 +27,7 @@ import sys
 import types
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -542,6 +543,128 @@ def mojibake_golden() -> pa.Table:
     )
 
 
+def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
+    """Independent twin of ``q_image_phash`` / ``q_image_neardup``: the
+    shared pixel derivation produces the SAME BMP bytes, but this twin
+    parses them with its own naive struct/loops reader and computes the
+    hash spec from scratch (nothing imported from the engine's
+    imagehash module).  Spec: gray = (r+g+b)//3; block mean over
+    floor-boundary 8×8 (aHash) / 8×9 (dHash) grids, each cell =
+    sum // count; aHash bit = cell > (sum-of-cells // 64); dHash bit =
+    cell[i,j] > cell[i,j+1]; bits row-major, first bit = bit 63.
+    Near-dups = brute-force all-pairs popcount ≤ 6 over ok rows."""
+    import struct as _struct
+
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_image_payloads,
+    )
+
+    def read_bmp(raw: bytes):
+        if len(raw) < 54 or raw[:2] != b"BM":
+            return None
+        off = _struct.unpack_from("<I", raw, 10)[0]
+        w, h = _struct.unpack_from("<ii", raw, 18)
+        bpp = _struct.unpack_from("<H", raw, 28)[0]
+        if bpp != 24 or w <= 0 or h == 0:
+            return None
+        top_down, h = h < 0, abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        if len(raw) < off + stride * h:
+            return None
+        px = [[None] * w for _ in range(h)]
+        for row in range(h):
+            base = off + row * stride
+            y = row if top_down else h - 1 - row
+            for x in range(w):
+                b, g, r = raw[base + 3 * x : base + 3 * x + 3]
+                px[y][x] = (r, g, b)
+        return px
+
+    def block_cells(gray, out_h, out_w):
+        h, w = len(gray), len(gray[0])
+        cells = []
+        for i in range(out_h):
+            row = []
+            for j in range(out_w):
+                total = cnt = 0
+                for y in range(h * i // out_h, h * (i + 1) // out_h):
+                    for x in range(w * j // out_w, w * (j + 1) // out_w):
+                        total += gray[y][x]
+                        cnt += 1
+                row.append(total // max(cnt, 1))
+            cells.append(row)
+        return cells
+
+    def hashes_of(px):
+        gray = [[(r + g + b) // 3 for (r, g, b) in row] for row in px]
+        a_cells = block_cells(gray, 8, 8)
+        mean = sum(sum(r) for r in a_cells) // 64
+        ah = 0
+        for r in a_cells:
+            for v in r:
+                ah = (ah << 1) | int(v > mean)
+        d_cells = block_cells(gray, 8, 9)
+        dh = 0
+        for r in d_cells:
+            for j in range(8):
+                dh = (dh << 1) | int(r[j] > r[j + 1])
+        return ah, dh
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_image_payloads(docs)
+    ids, widths, heights, ahs, dhs, oks = [], [], [], [], [], []
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(), payloads.column("image").to_pylist()
+    ):
+        px = read_bmp(raw)
+        ids.append(did)
+        if px is None:
+            assert did % IMG_BAD_MOD == 0  # only the planted corrupt rows
+            widths.append(0)
+            heights.append(0)
+            ahs.append(0)
+            dhs.append(0)
+            oks.append(0)
+        else:
+            ah, dh = hashes_of(px)
+            widths.append(len(px[0]))
+            heights.append(len(px))
+            ahs.append(ah)
+            dhs.append(dh)
+            oks.append(1)
+    hashes = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+            "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+            "ok": pa.array(oks, pa.int64()),
+        }
+    )
+    # brute-force near-dup twin over ok rows
+    ok_ids = [i for i, ok in zip(ids, oks) if ok]
+    ok_ah = [a for a, ok in zip(ahs, oks) if ok]
+    pa_ids, pb_ids, hams = [], [], []
+    for x in range(len(ok_ids)):
+        for y in range(x + 1, len(ok_ids)):
+            d = bin(ok_ah[x] ^ ok_ah[y]).count("1")
+            if d <= 6:
+                a, b = sorted((ok_ids[x], ok_ids[y]))
+                pa_ids.append(a)
+                pb_ids.append(b)
+                hams.append(d)
+    pairs = pa.table(
+        {
+            "id_a": pa.array(pa_ids, pa.int64()),
+            "id_b": pa.array(pb_ids, pa.int64()),
+            "hamming": pa.array(hams, pa.int64()),
+        }
+    )
+    return hashes, pairs
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -574,6 +697,11 @@ def main() -> None:
     mj = mojibake_golden()
     pq.write_table(mj, GOLDEN_DIR / "mojibake_sf001.parquet")
     print(f"mojibake_sf001.parquet: {mj.num_rows} rows")
+    ih, ip = imagehash_goldens()
+    pq.write_table(ih, GOLDEN_DIR / "imagehash_sf001.parquet")
+    print(f"imagehash_sf001.parquet: {ih.num_rows} rows")
+    pq.write_table(ip, GOLDEN_DIR / "image_neardup_sf001.parquet")
+    print(f"image_neardup_sf001.parquet: {ip.num_rows} rows")
 
     import ray
 
