@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_texts": q.q_anchor_texts,
         "image_phash": q.q_image_phash,
         "image_neardup": q.q_image_neardup,
+        "sitemap_urls": q.q_sitemap_urls,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -425,6 +426,54 @@ def _token_counts_cm_sql() -> str:
         JOIN cells c
           ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
         GROUP BY p.token
+    """
+
+
+def _sitemap_urls_sql() -> str:
+    from ocr_system_ray.functions.sitemap import (
+        DEFAULT_PRIORITY_MICRO,
+        LASTMOD_PATTERN,
+        LOC_PATTERN,
+        SITEMAP_BLOCK_PATTERN,
+        sql_sitemap_urls_select,
+    )
+
+    urlset_leg = sql_sitemap_urls_select("FROM xmls", xml_expr="xml")
+    return f"""
+        WITH xmls AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN
+                   '<?xml version="1.0"?><sitemapindex><sitemap><loc>https://h'
+                   || CAST(doc_id % 10 AS VARCHAR) || '.example/sub'
+                   || CAST(doc_id AS VARCHAR) || '.xml</loc><lastmod>2026-0'
+                   || CAST(doc_id % 9 + 1 AS VARCHAR)
+                   || '-01</lastmod></sitemap></sitemapindex>'
+                 ELSE
+                   '<?xml version="1.0"?><urlset><url><loc>https://h'
+                   || CAST(doc_id % 10 AS VARCHAR) || '.example/p'
+                   || CAST(doc_id AS VARCHAR) || '</loc><lastmod>2026-0'
+                   || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15</lastmod><priority>0.'
+                   || CAST(doc_id % 10 AS VARCHAR)
+                   || '</priority></url><url><changefreq>daily</changefreq></url>'
+                   || '<url><loc> https://h' || CAST(doc_id % 10 AS VARCHAR)
+                   || '.example/q' || CAST(doc_id AS VARCHAR)
+                   || ' </loc></url></urlset>'
+                 END AS xml
+          FROM documents
+        ), url_leg AS ({urlset_leg}), sm_leg AS (
+          SELECT doc_id, 'sitemap' AS kind,
+                 regexp_extract(block, '{LOC_PATTERN}', 1) AS url,
+                 regexp_extract(block, '{LASTMOD_PATTERN}', 1) AS lastmod,
+                 CAST({DEFAULT_PRIORITY_MICRO} AS BIGINT) AS priority_micro
+          FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(xml,
+                          '{SITEMAP_BLOCK_PATTERN}', 1)) AS block
+            FROM xmls
+          ) WHERE regexp_matches(block, '{LOC_PATTERN}')
+        )
+        SELECT * FROM url_leg UNION ALL
+        SELECT * FROM sm_leg WHERE url <> ''
     """
 
 
@@ -1788,6 +1837,9 @@ def oracle_sql() -> dict[str, str]:
         # anchor_texts: derived pages + the GENERATED anchor-pattern /
         # host / whitespace twins, direct GROUP BY recount
         "anchor_texts": _anchor_texts_sql(),
+        # sitemap_urls: derived XML + the GENERATED block/field twins,
+        # both legs (urlset + sitemapindex) recomputed
+        "sitemap_urls": _sitemap_urls_sql(),
         # image_phash / image_neardup: INDEPENDENT per-pixel golden twin
         # (naive BMP reader + from-scratch hash spec + brute-force
         # all-pairs popcount — tools/make_goldens.py:imagehash_goldens)

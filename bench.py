@@ -162,6 +162,7 @@ def _query_suite() -> dict:
         "anchor_texts": q.q_anchor_texts,
         "image_phash": q.q_image_phash,
         "image_neardup": q.q_image_neardup,
+        "sitemap_urls": q.q_sitemap_urls,
     }
     return suite
 

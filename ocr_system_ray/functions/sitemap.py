@@ -1,0 +1,147 @@
+"""Sitemap XML parsing (sitemaps.org protocol) — URL discovery.
+
+The crawl-side complement of ``robots.py``: a ``<urlset>`` document
+yields one row per ``<url>`` entry (``loc`` required; ``lastmod`` and
+``priority`` optional — priority defaults to the protocol's 0.5), a
+``<sitemapindex>`` yields one row per child ``<sitemap>`` so the caller
+can enqueue nested fetches.  Scope: well-formed documents with plain
+(non-CDATA) element text — the regex contract both engines share; the
+patterns are module constants so the DuckDB twin is GENERATED from the
+same rules (the ``urls.py``/``pii.py`` parity pattern).
+
+Priority is integer micro-units (``floor(p·10⁶ + 0.5)``) so the value
+hash is float-free on both sides.
+
+Ray shape: one stateless 1→N flat-map; the XML payload dies in-stage,
+only (id, kind, url, lastmod, priority_micro) rows flow on.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+URL_BLOCK_PATTERN = r"(?s)<url>(.*?)</url>"
+SITEMAP_BLOCK_PATTERN = r"(?s)<sitemap>(.*?)</sitemap>"
+LOC_PATTERN = r"(?s)<loc>\s*(.*?)\s*</loc>"
+LASTMOD_PATTERN = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+PRIORITY_PATTERN = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+_URL_BLOCK = re.compile(URL_BLOCK_PATTERN)
+_SITEMAP_BLOCK = re.compile(SITEMAP_BLOCK_PATTERN)
+_LOC = re.compile(LOC_PATTERN)
+_LASTMOD = re.compile(LASTMOD_PATTERN)
+_PRIORITY = re.compile(PRIORITY_PATTERN)
+
+DEFAULT_PRIORITY_MICRO = 500_000  # protocol default 0.5
+
+
+def _priority_micro(text: str | None) -> int:
+    if not text:
+        return DEFAULT_PRIORITY_MICRO
+    try:
+        import math
+
+        return int(math.floor(float(text) * 1_000_000 + 0.5))
+    except ValueError:
+        return DEFAULT_PRIORITY_MICRO
+
+
+def parse_sitemap(xml: str) -> list[dict]:
+    """One sitemap document → entry dicts ``{kind, url, lastmod,
+    priority_micro}``; kind ∈ ``url | sitemap``.  Blocks without a
+    ``<loc>`` are skipped (nothing to fetch)."""
+    out: list[dict] = []
+    for block in _URL_BLOCK.findall(xml or ""):
+        loc = _LOC.search(block)
+        if not loc or not loc.group(1):
+            continue
+        lm = _LASTMOD.search(block)
+        pr = _PRIORITY.search(block)
+        out.append(
+            {
+                "kind": "url",
+                "url": loc.group(1),
+                "lastmod": lm.group(1) if lm else "",
+                "priority_micro": _priority_micro(pr.group(1) if pr else None),
+            }
+        )
+    for block in _SITEMAP_BLOCK.findall(xml or ""):
+        loc = _LOC.search(block)
+        if not loc or not loc.group(1):
+            continue
+        lm = _LASTMOD.search(block)
+        out.append(
+            {
+                "kind": "sitemap",
+                "url": loc.group(1),
+                "lastmod": lm.group(1) if lm else "",
+                "priority_micro": DEFAULT_PRIORITY_MICRO,
+            }
+        )
+    return out
+
+
+def parse_sitemaps(
+    ds: ray.data.Dataset,
+    xml_col: str = "xml",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """1→N flat-map over sitemap documents →
+    ``(id_col, kind, url, lastmod, priority_micro)``."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        kinds: list[str] = []
+        urls: list[str] = []
+        lastmods: list[str] = []
+        prios: list[int] = []
+        for i, xml in zip(t.column(id_col).to_pylist(), t.column(xml_col).to_pylist()):
+            for e in parse_sitemap(xml or ""):
+                ids_out.append(i)
+                kinds.append(e["kind"])
+                urls.append(e["url"])
+                lastmods.append(e["lastmod"])
+                prios.append(e["priority_micro"])
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, t.schema.field(id_col).type),
+                "kind": pa.array(kinds, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "lastmod": pa.array(lastmods, pa.string()),
+                "priority_micro": pa.array(prios, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def sql_sitemap_urls_select(from_clause: str, id_expr: str = "doc_id", xml_expr: str = "xml") -> str:
+    """GENERATED DuckDB twin of the ``<urlset>`` leg of
+    :func:`parse_sitemaps` (same block/field patterns; priority micro
+    via the same floor(·10⁶+0.5) rule, NULL-safe defaults)."""
+    return f"""
+        WITH sm_b AS (
+          SELECT {id_expr} AS doc_id,
+                 unnest(regexp_extract_all(COALESCE({xml_expr}, ''),
+                                           '{URL_BLOCK_PATTERN}', 1)) AS block
+          {from_clause}
+        ), sm_f AS (
+          SELECT doc_id,
+                 regexp_extract(block, '{LOC_PATTERN}', 1) AS url,
+                 regexp_extract(block, '{LASTMOD_PATTERN}', 1) AS lastmod,
+                 regexp_extract(block, '{PRIORITY_PATTERN}', 1) AS prio
+          FROM sm_b
+          WHERE regexp_matches(block, '{LOC_PATTERN}')
+        )
+        SELECT doc_id, 'url' AS kind, url, lastmod,
+               CAST(CASE WHEN prio = '' OR prio IS NULL
+                         THEN {DEFAULT_PRIORITY_MICRO}
+                         ELSE FLOOR(CAST(prio AS DOUBLE) * 1000000 + 0.5)
+                    END AS BIGINT) AS priority_micro
+        FROM sm_f WHERE url <> ''
+    """

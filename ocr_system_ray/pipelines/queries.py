@@ -614,6 +614,44 @@ def _robots_body(host_id: int) -> str:
     return "\n".join(lines)
 
 
+def q_sitemap_urls(sf_dir: str) -> ray.data.Dataset:
+    """Sitemap URL discovery: doc_id % 11 == 0 documents arrive as
+    ``<sitemapindex>`` pages (one nested sitemap ref), the rest as
+    ``<urlset>`` pages with two entries — one fully attributed
+    (lastmod + priority), one bare (protocol defaults) — plus a
+    loc-less decoy block that must be skipped.  Oracle = the GENERATED
+    block/field pattern twins over the same derived XML
+    (``sitemap.sql_sitemap_urls_select`` + a sitemapindex leg)."""
+    from ..functions.sitemap import parse_sitemaps
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_xml(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        xmls: list[str] = []
+        for i in ids:
+            if i % 11 == 0:
+                xmls.append(
+                    '<?xml version="1.0"?><sitemapindex><sitemap>'
+                    f"<loc>https://h{i % 10}.example/sub{i}.xml</loc>"
+                    f"<lastmod>2026-0{i % 9 + 1}-01</lastmod>"
+                    "</sitemap></sitemapindex>"
+                )
+            else:
+                xmls.append(
+                    '<?xml version="1.0"?><urlset><url>'
+                    f"<loc>https://h{i % 10}.example/p{i}</loc>"
+                    f"<lastmod>2026-0{i % 9 + 1}-15</lastmod>"
+                    f"<priority>0.{i % 10}</priority></url>"
+                    "<url><changefreq>daily</changefreq></url>"
+                    f"<url><loc> https://h{i % 10}.example/q{i} </loc></url>"
+                    "</urlset>"
+                )
+        return pa.table({"doc_id": t.column("doc_id"), "xml": pa.array(xmls)})
+
+    return parse_sitemaps(docs.map_batches(to_xml, batch_format="pyarrow"))
+
+
 IMG_H, IMG_W = 32, 48
 IMG_BAD_MOD = 97  # doc_id % 97 == 0 → corrupt payload (error-as-data row)
 

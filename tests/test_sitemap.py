@@ -1,0 +1,96 @@
+"""Sitemap XML parsing."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_system_ray.functions.sitemap import (
+    DEFAULT_PRIORITY_MICRO,
+    parse_sitemap,
+    parse_sitemaps,
+    sql_sitemap_urls_select,
+)
+
+URLSET = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://a.example/page1</loc>
+    <lastmod>2026-01-15</lastmod>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>
+     https://a.example/page2
+  </loc></url>
+  <url><changefreq>weekly</changefreq></url>
+  <url><loc></loc></url>
+</urlset>"""
+
+INDEX = """<sitemapindex>
+  <sitemap><loc>https://a.example/s1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+  <sitemap><loc>https://a.example/s2.xml</loc></sitemap>
+  <sitemap><priority>1.0</priority></sitemap>
+</sitemapindex>"""
+
+
+def test_urlset_entries_and_defaults():
+    got = parse_sitemap(URLSET)
+    assert got == [
+        {
+            "kind": "url",
+            "url": "https://a.example/page1",
+            "lastmod": "2026-01-15",
+            "priority_micro": 800_000,
+        },
+        {
+            "kind": "url",
+            "url": "https://a.example/page2",
+            "lastmod": "",
+            "priority_micro": DEFAULT_PRIORITY_MICRO,
+        },
+    ]
+
+
+def test_sitemapindex_entries():
+    got = parse_sitemap(INDEX)
+    assert [e["url"] for e in got] == [
+        "https://a.example/s1.xml",
+        "https://a.example/s2.xml",
+    ]
+    assert all(e["kind"] == "sitemap" for e in got)
+    assert got[0]["lastmod"] == "2026-02-01" and got[1]["lastmod"] == ""
+
+
+def test_edges():
+    assert parse_sitemap("") == []
+    assert parse_sitemap("<html>not a sitemap</html>") == []
+    # bad priority text falls back to the protocol default
+    bad = "<urlset><url><loc>u</loc><priority>high</priority></url></urlset>"
+    assert parse_sitemap(bad)[0]["priority_micro"] == DEFAULT_PRIORITY_MICRO
+    # priority 0.0 is exact
+    zero = "<urlset><url><loc>u</loc><priority>0.0</priority></url></urlset>"
+    assert parse_sitemap(zero)[0]["priority_micro"] == 0
+
+
+def test_dataset_pass_matches_generated_sql_twin(ray_session):
+    import ray as ray_mod
+
+    xmls = [
+        f"<urlset><url><loc>https://h{i % 3}.example/p{i}</loc>"
+        + (f"<priority>0.{i % 10}</priority>" if i % 2 else "")
+        + "</url><url><loc>x</loc><lastmod>2026-03-01</lastmod></url></urlset>"
+        for i in range(60)
+    ]
+    df = pd.DataFrame({"doc_id": range(60), "xml": xmls})
+    want = duckdb.sql(sql_sitemap_urls_select("FROM df")).df()
+    ds = ray_mod.data.from_items(
+        [{"doc_id": i, "xml": x} for i, x in enumerate(xmls)]
+    ).repartition(4)
+    got = parse_sitemaps(ds).to_pandas()
+    key = ["doc_id", "url", "lastmod", "priority_micro"]
+    got = got[got["kind"] == "url"][key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    assert got.astype({"priority_micro": "int64"}).equals(
+        want.astype({"priority_micro": "int64"})
+    )
