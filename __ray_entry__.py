@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q.q_image_phash,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
+        "fetch_schedule": q.q_fetch_schedule,
+        "kwic_snippets": q.q_kwic_snippets,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -427,6 +429,39 @@ def _token_counts_cm_sql() -> str:
           ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
         GROUP BY p.token
     """
+
+
+def _fetch_schedule_sql() -> str:
+    from ocr_system_ray.pipelines.queries import FETCH_DELAY_MS, ROBOTS_HOSTS
+
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR) || '.example'
+                   AS host,
+                 'https://h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR)
+                   || '.example:8443/p' || CAST(doc_id % 7 AS VARCHAR)
+                   || '/doc' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                 n_chars AS prio
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, host,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY prio DESC, url, doc_id
+                 ) - 1 AS r
+          FROM u
+        )
+        SELECT doc_id, host, CAST(r AS BIGINT) AS fetch_rank,
+               CAST(r * {FETCH_DELAY_MS} AS BIGINT) AS fetch_offset_ms
+        FROM ranked
+    """
+
+
+def _kwic_sql() -> str:
+    from ocr_system_ray.functions.bm25 import sql_kwic_select
+    from ocr_system_ray.pipelines.queries import KWIC_QUERY, KWIC_WINDOW
+
+    return sql_kwic_select(KWIC_QUERY, window=KWIC_WINDOW)
 
 
 def _sitemap_urls_sql() -> str:
@@ -1837,6 +1872,13 @@ def oracle_sql() -> dict[str, str]:
         # anchor_texts: derived pages + the GENERATED anchor-pattern /
         # host / whitespace twins, direct GROUP BY recount
         "anchor_texts": _anchor_texts_sql(),
+        # fetch_schedule: ROW_NUMBER window recomputes the per-host
+        # politeness ranks/offsets independently of the bucket plan
+        "fetch_schedule": _fetch_schedule_sql(),
+        # kwic_snippets: GENERATED list_position / 1-based-slice twin
+        # (same tokenizer, earliest-position rule, COALESCE for the
+        # empty-slice array_to_string NULL)
+        "kwic_snippets": _kwic_sql(),
         # sitemap_urls: derived XML + the GENERATED block/field twins,
         # both legs (urlset + sitemapindex) recomputed
         "sitemap_urls": _sitemap_urls_sql(),

@@ -163,6 +163,8 @@ def _query_suite() -> dict:
         "image_phash": q.q_image_phash,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
+        "fetch_schedule": q.q_fetch_schedule,
+        "kwic_snippets": q.q_kwic_snippets,
     }
     return suite
 

@@ -270,3 +270,91 @@ def _empty_result(id_col: str) -> pa.Table:
             "score_micro": pa.array([], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC snippets (keyword-in-context) — the search-result presentation leg
+# ---------------------------------------------------------------------------
+
+
+def kwic_snippets(
+    ds: ray.data.Dataset,
+    query_tokens: list[str],
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Keyword-in-context snippets: for each document containing any
+    query token, the ±``window``-token context around the FIRST
+    occurrence (earliest position across all query tokens) →
+    ``(id_col, pos: int64, snippet)``; non-matching docs emit nothing.
+
+    ``pos`` is 1-based (the SQL ``list_position`` convention) so the
+    DuckDB twin — ``LEAST(COALESCE(list_position(...)))`` + a 1-based
+    list slice + ``array_to_string`` — compares value-exactly.
+    Tokenization is the repo's single-space split.  One stateless
+    row-filtering pass; only matched (id, pos, snippet) rows flow on."""
+    qset = list(dict.fromkeys(query_tokens))  # de-dup, keep order
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        pos_out: list[int] = []
+        snips: list[str] = []
+        for i, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            toks = (txt or "").split(" ")
+            best = None
+            for q in qset:
+                try:
+                    p = toks.index(q) + 1  # 1-based
+                except ValueError:
+                    continue
+                if best is None or p < best:
+                    best = p
+            if best is None:
+                continue
+            lo = max(best - 1 - window, 0)
+            hi = min(best - 1 + window + 1, len(toks))
+            ids_out.append(i)
+            pos_out.append(best)
+            snips.append(" ".join(toks[lo:hi]))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+                "snippet": pa.array(snips, pa.string()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def sql_kwic_select(
+    query_tokens: list[str],
+    window: int = 3,
+    from_clause: str = "FROM documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    """GENERATED DuckDB twin of :func:`kwic_snippets` (same tokenizer,
+    1-based first-position rule, inclusive 1-based slice bounds)."""
+    sentinel = 999_999_999
+    # NULLIF guard: duckdb 1.0 list_position returns 0 (not NULL) when
+    # the element is absent
+    firsts = ", ".join(
+        f"COALESCE(NULLIF(list_position(tk, '{q}'), 0), {sentinel})"
+        for q in dict.fromkeys(query_tokens)
+    )
+    return f"""
+        WITH kw_t AS (
+          SELECT {id_expr} AS doc_id,
+                 string_split(COALESCE({text_expr}, ''), ' ') AS tk
+          {from_clause}
+        ), kw_p AS (
+          SELECT doc_id, tk, LEAST({firsts}) AS p FROM kw_t
+        )
+        SELECT doc_id, CAST(p AS BIGINT) AS pos,
+               COALESCE(array_to_string(
+                 tk[GREATEST(p - {window}, 1):LEAST(p + {window}, len(tk))],
+                 ' '), '') AS snippet
+        FROM kw_p WHERE p < {sentinel}
+    """

@@ -194,3 +194,76 @@ def evaluate_robots(
         )
 
     return tagged.groupby("bucket").map_groups(decide, batch_format="pandas")
+
+
+def fetch_schedule(
+    urls: ray.data.Dataset,
+    crawl_delay_ms: int = 1000,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    priority_col: str | None = None,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Politeness planner: per host, order URLs by (priority DESC,
+    url, id) and give each a fetch slot ``rank × crawl_delay_ms`` —
+    the per-host offset plan a frontier executes so no host sees more
+    than one request per delay window.  Returns ``(id_col, host,
+    fetch_rank: int64, fetch_offset_ms: int64)``.
+
+    Ray shape: the keyed-rank idiom (``windows.top_k_per_key`` without
+    the cap) — ONE coarse host-bucket shuffle of (host, priority, url,
+    id) rows, vectorized sort + cumcount per bucket; never a Ray group
+    per host.  SQL twin: a ROW_NUMBER window."""
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def emit(t: pa.Table) -> pa.Table:
+        pairs = [split_host_path(u) for u in t.column(url_col).to_pylist()]
+        hosts = [h for h, _ in pairs]
+        b = (stable_hash64(hosts) % np.uint64(num_buckets)).astype(np.int64)
+        cols = {
+            "bucket": pa.array(b),
+            "host": pa.array(hosts, pa.string()),
+            id_col: t.column(id_col).cast(pa.int64()),
+            url_col: t.column(url_col),
+            "prio": (
+                t.column(priority_col).cast(pa.int64())
+                if priority_col is not None
+                else pa.array(np.zeros(len(hosts), dtype=np.int64))
+            ),
+        }
+        return pa.table(cols)
+
+    def rank_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "host": pd.Series([], dtype=object),
+                    "fetch_rank": pd.Series([], dtype="int64"),
+                    "fetch_offset_ms": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["host", "prio", url_col, id_col],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        rank = g.groupby("host", sort=False).cumcount().to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "host": g["host"].to_numpy(),
+                "fetch_rank": pd.Series(rank, dtype="int64"),
+                "fetch_offset_ms": pd.Series(
+                    rank * crawl_delay_ms, dtype="int64"
+                ),
+            }
+        )
+
+    return (
+        urls.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pandas")
+    )

@@ -614,6 +614,54 @@ def _robots_body(host_id: int) -> str:
     return "\n".join(lines)
 
 
+FETCH_DELAY_MS = 1000
+KWIC_QUERY = ["table", "merge"]
+KWIC_WINDOW = 3
+
+
+def q_fetch_schedule(sf_dir: str) -> ray.data.Dataset:
+    """Crawl politeness planner: the robots-derivation URL space ranked
+    per host by (n_chars DESC, url, id) and given fetch offsets of one
+    ``FETCH_DELAY_MS`` slot each — the frontier plan that keeps every
+    host at ≤1 request per delay window.  One coarse host-bucket
+    shuffle (keyed-rank idiom); oracle = a ROW_NUMBER window."""
+    from ..functions.robots import fetch_schedule
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": pa.array(
+                    [
+                        f"https://h{i % ROBOTS_HOSTS}.example:8443"
+                        f"/p{i % 7}/doc{i}.html"
+                        for i in ids
+                    ]
+                ),
+                "prio": t.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    urls = docs.map_batches(to_urls, batch_format="pyarrow")
+    return fetch_schedule(
+        urls, crawl_delay_ms=FETCH_DELAY_MS, priority_col="prio"
+    )
+
+
+def q_kwic_snippets(sf_dir: str) -> ray.data.Dataset:
+    """Keyword-in-context search snippets: docs containing any of
+    ``KWIC_QUERY`` emit the ±3-token window around the earliest
+    occurrence — the presentation leg of the BM25 search stack.  Oracle
+    = the GENERATED list_position/slice twin (``bm25.sql_kwic_select``)."""
+    from ..functions.bm25 import kwic_snippets
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return kwic_snippets(ds, KWIC_QUERY, window=KWIC_WINDOW)
+
+
 def q_sitemap_urls(sf_dir: str) -> ray.data.Dataset:
     """Sitemap URL discovery: doc_id % 11 == 0 documents arrive as
     ``<sitemapindex>`` pages (one nested sitemap ref), the rest as

@@ -947,3 +947,43 @@ def test_hamming_correlates_with_cosine(ray_session):
     top = hamming_topk(ds, base[None, :], k=6).to_pandas()
     assert set(top["vec_id"]) == {0, 1, 2, 3, 4, 5}
     assert top.loc[top["vec_id"] == 0, "hamming"].iloc[0] == 0
+
+
+def test_kwic_snippets_rules_and_twin(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.bm25 import kwic_snippets, sql_kwic_select
+
+    rows = [
+        {"doc_id": 0, "text": "a b c needle d e f g"},     # mid: full window
+        {"doc_id": 1, "text": "needle x y z"},             # at start: clipped
+        {"doc_id": 2, "text": "p q r s t needle"},         # at end: clipped
+        {"doc_id": 3, "text": "no match here"},            # dropped
+        {"doc_id": 4, "text": "w pin v needle"},           # pin earlier wins
+        {"doc_id": 5, "text": ""},                         # empty: dropped
+    ]
+    ds = ray_mod.data.from_items(rows).repartition(3)
+    got = (
+        kwic_snippets(ds, ["needle", "pin"], window=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == [0, 1, 2, 4]
+    assert list(got["pos"]) == [4, 1, 6, 2]
+    assert list(got["snippet"]) == [
+        "b c needle d e",
+        "needle x y",
+        "s t needle",
+        "w pin v needle",
+    ]
+    df = pd.DataFrame(rows)
+    want = (
+        duckdb.sql(sql_kwic_select(["needle", "pin"], 2, "FROM df"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.astype({"pos": "int64"}).equals(want.astype({"pos": "int64"}))

@@ -96,3 +96,49 @@ def test_evaluate_robots_reduce_side(ray_session):
         for r in evaluate_robots(urls, robots, agent="graftbot").take_all()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_fetch_schedule_matches_window_twin(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.robots import fetch_schedule
+
+    rows = [
+        {
+            "doc_id": i,
+            "url": f"https://h{i % 4}.example/p{i}",
+            "prio": (i * 13) % 7,
+        }
+        for i in range(60)
+    ]
+    df = pd.DataFrame(rows)
+    df["host"] = "h" + (df["doc_id"] % 4).astype(str) + ".example"
+    want = duckdb.sql(
+        """
+        SELECT doc_id, host,
+               ROW_NUMBER() OVER (
+                 PARTITION BY host ORDER BY prio DESC, url, doc_id
+               ) - 1 AS fetch_rank
+        FROM df
+        """
+    ).df()
+    for blocks in (1, 5):
+        ds = ray_mod.data.from_items(rows).repartition(blocks)
+        got = (
+            fetch_schedule(ds, crawl_delay_ms=250, priority_col="prio")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        merged = got.merge(want, on=["doc_id", "host"], suffixes=("", "_w"))
+        assert len(merged) == 60
+        assert (merged["fetch_rank"] == merged["fetch_rank_w"]).all(), blocks
+        assert (merged["fetch_offset_ms"] == merged["fetch_rank"] * 250).all()
+    # per-host politeness invariant: offsets within a host are distinct
+    # consecutive multiples of the delay
+    per_host = got.groupby("host")["fetch_offset_ms"].apply(
+        lambda s: sorted(s) == [250 * k for k in range(len(s))]
+    )
+    assert per_host.all()
