@@ -712,15 +712,13 @@ def derived_image(doc_id: int) -> np.ndarray:
     Shared by the Ray query and the independent golden twin — the
     HASHES are never shared, only the pixels."""
     base_id = doc_id - 1 if doc_id % 5 == 4 else doc_id
-    yy, xx = np.mgrid[0:IMG_H, 0:IMG_W]
-    r = (xx * 255 // (IMG_W - 1)).astype(np.uint8)
-    g = (yy * 255 // (IMG_H - 1)).astype(np.uint8)
-    b = ((xx + yy + base_id * 37) % 256).astype(np.uint8)
-    img = np.stack([r, g, b], axis=2)
-    stripe = IMG_W // 8
-    for s in range(8):
-        if (base_id >> s) & 1:
-            img[:, s * stripe : (s + 1) * stripe, 0] ^= 0x80
+    # per-id seeded random pixels: unrelated images sit at expected
+    # Hamming ~32, so the near-dup pair set is EXACTLY the planted
+    # neighbors (structured gradients clustered within the band budget
+    # and made the pair count grow quadratically — a derivation
+    # artifact the op shouldn't pay for at sf0.1)
+    rng = np.random.default_rng(base_id)
+    img = rng.integers(0, 256, size=(IMG_H, IMG_W, 3), dtype=np.uint8)
     if doc_id % 5 == 4:
         img[:4, :4] = 255 - img[:4, :4]
     return img
