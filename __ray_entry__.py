@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
         "kwic_snippets": q.q_kwic_snippets,
+        "wet_roundtrip": q.q_wet_roundtrip,
+        "crawl_frontier": q.q_crawl_frontier,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -428,6 +430,57 @@ def _token_counts_cm_sql() -> str:
         JOIN cells c
           ON c.bucket = CAST('0x' || substr(md5(p.token), 1 + 4 * c.j, 4) AS INTEGER)
         GROUP BY p.token
+    """
+
+
+def _crawl_frontier_sql() -> str:
+    from ocr_system_ray.pipelines.queries import (
+        FETCH_DELAY_MS,
+        ROBOTS_HOSTS,
+        ROBOTS_RULESETS,
+    )
+
+    rows = [
+        f"('h{i}.example', '{pat}', {int(allow)})"
+        for i in range(ROBOTS_HOSTS)
+        for pat, allow in ROBOTS_RULESETS[i % 3]
+    ]
+    values = ", ".join(rows)
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR) || '.example'
+                   AS host,
+                 'https://h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR)
+                   || '.example:8443/p' || CAST(doc_id % 7 AS VARCHAR)
+                   || '/doc' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                 '/p' || CAST(doc_id % 7 AS VARCHAR) || '/doc'
+                   || CAST(doc_id AS VARCHAR) || '.html' AS path
+          FROM documents
+        ), rules(h, pattern, allow) AS (VALUES {values}),
+        scored AS (
+          SELECT u.doc_id, u.host, u.url, r.pattern, r.allow
+          FROM u LEFT JOIN rules r
+            ON u.host = r.h AND starts_with(u.path, r.pattern)
+        ), verdict AS (
+          SELECT doc_id, host, url, COALESCE(allow, 1) AS allowed,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY length(pattern) DESC, allow DESC
+                 ) AS rn
+          FROM scored
+        ), admitted AS (
+          SELECT doc_id, host, url FROM verdict WHERE rn = 1 AND allowed = 1
+        ), ranked AS (
+          SELECT doc_id, host,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY url, doc_id
+                 ) - 1 AS r
+          FROM admitted
+        )
+        SELECT doc_id, host, CAST(r AS BIGINT) AS fetch_rank,
+               CAST(r * {FETCH_DELAY_MS} AS BIGINT) AS fetch_offset_ms
+        FROM ranked
     """
 
 
@@ -1875,6 +1928,17 @@ def oracle_sql() -> dict[str, str]:
         # fetch_schedule: ROW_NUMBER window recomputes the per-host
         # politeness ranks/offsets independently of the bucket plan
         "fetch_schedule": _fetch_schedule_sql(),
+        # crawl_frontier: admission + politeness composed from the same
+        # shared rules (window rank over the admitted subset)
+        "crawl_frontier": _crawl_frontier_sql(),
+        # wet_roundtrip: the oracle recomputes url/ts/md5 from the
+        # ORIGINAL derivation — writer or reader corruption breaks it
+        "wet_roundtrip": """
+            SELECT 'https://wet.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(1767225600 + doc_id AS BIGINT) AS ts_s,
+                   md5(COALESCE(text, '')) AS text_md5
+            FROM documents
+        """,
         # kwic_snippets: GENERATED list_position / 1-based-slice twin
         # (same tokenizer, earliest-position rule, COALESCE for the
         # empty-slice array_to_string NULL)

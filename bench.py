@@ -165,6 +165,8 @@ def _query_suite() -> dict:
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
         "kwic_snippets": q.q_kwic_snippets,
+        "wet_roundtrip": q.q_wet_roundtrip,
+        "crawl_frontier": q.q_crawl_frontier,
     }
     return suite
 

@@ -614,6 +614,70 @@ def _robots_body(host_id: int) -> str:
     return "\n".join(lines)
 
 
+WET_EPOCH_S = 1_767_225_600  # 2026-01-01T00:00:00Z
+
+
+def q_wet_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """WET sink + source round trip — the north star's crawl loop
+    closed: derived conversion rows (url, second-resolution warc_ts,
+    text) write as sharded one-gzip-member-per-record WET files
+    (``sources.warc.write_wet``, content-hash-named idempotent shards),
+    then ``read_warc`` parses them back; output is
+    ``(url, ts_s, text_md5)`` of the ROUND-TRIPPED bytes, which the
+    oracle recomputes from the original derivation — any writer or
+    reader corruption breaks the hash.  The WET artifact is cached
+    under /tmp keyed by the sf dir (idempotent rebuild)."""
+    import hashlib
+    import os
+
+    from ..functions.charset import decode_html_batch  # noqa: F401 (doc xref)
+    from ..sources.warc import read_warc, write_wet
+
+    cache = f"/tmp/osr_wet_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_rows(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            return pa.table(
+                {
+                    "url": pa.array([f"https://wet.example/{i}" for i in ids]),
+                    "warc_ts": pa.array(
+                        [(WET_EPOCH_S + i) * 1_000_000 for i in ids],
+                        pa.timestamp("us"),
+                    ),
+                    "extracted_text": t.column("text"),
+                }
+            )
+
+        write_wet(docs.map_batches(to_rows, batch_format="pyarrow"), cache)
+
+    import glob as _glob
+
+    pages = read_warc(sorted(_glob.glob(os.path.join(cache, "*.warc.wet.gz"))))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(p or b"").hexdigest() for p in t.column("html").to_pylist()
+        ]
+        ts_s = (
+            t.column("warc_ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 1_000_000
+        )
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "ts_s": pa.array(ts_s.astype(np.int64)),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return pages.map_batches(summarize, batch_format="pyarrow")
+
+
 FETCH_DELAY_MS = 1000
 KWIC_QUERY = ["table", "merge"]
 KWIC_WINDOW = 3
@@ -649,6 +713,48 @@ def q_fetch_schedule(sf_dir: str) -> ray.data.Dataset:
     return fetch_schedule(
         urls, crawl_delay_ms=FETCH_DELAY_MS, priority_col="prio"
     )
+
+
+def q_crawl_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-frontier composite — the fetch-side maintenance loop in
+    one plan: candidate URLs pass robots admission (RFC 9309
+    longest-match vs the shared rule table), and only ADMITTED urls get
+    politeness slots (per-host rank × delay).  Two coarse host-bucket
+    shuffles total; the oracle composes the same two rules (admission
+    CTE + ROW_NUMBER over admitted rows)."""
+    from ..functions.robots import evaluate_robots, fetch_schedule
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": pa.array(
+                    [
+                        f"https://h{i % ROBOTS_HOSTS}.example:8443"
+                        f"/p{i % 7}/doc{i}.html"
+                        for i in ids
+                    ]
+                ),
+            }
+        )
+
+    urls = docs.map_batches(to_urls, batch_format="pyarrow")
+    robots_ds = ray.data.from_items(
+        [
+            {"host": f"h{i}.example", "robots_txt": _robots_body(i)}
+            for i in range(ROBOTS_HOSTS)
+        ]
+    )
+    admitted = evaluate_robots(urls, robots_ds, agent="graftbot").map_batches(
+        lambda t: t.filter(pc.equal(t.column("allowed"), 1)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    # url is a pure function of doc_id — re-derive instead of joining
+    admitted_urls = admitted.map_batches(to_urls, batch_format="pyarrow")
+    return fetch_schedule(admitted_urls, crawl_delay_ms=FETCH_DELAY_MS)
 
 
 def q_kwic_snippets(sf_dir: str) -> ray.data.Dataset:

@@ -193,3 +193,66 @@ def write_warc(
     with open(out_path, "wb") as f:
         f.write(b"".join(chunks))
     return out_path
+
+
+def write_wet(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "extracted_text",
+) -> int:
+    """Distributed WET sink: extracted text → sharded
+    ``*.warc.wet.gz`` files of ``conversion`` records, one gzip member
+    per record (the Common-Crawl WET layout ``read_warc`` consumes).
+
+    One shard per incoming block, written INSIDE the tasks (no driver
+    byte traffic); shard names are content-hashed so re-runs are
+    idempotent and a crashed run leaves only complete files (tmp +
+    rename — the ``write_jsonl`` sink contract).  Returns rows written
+    and drops a ``_SUCCESS`` marker.
+
+    This closes the crawl loop of the north star: WARC responses in
+    (``read_warc``) → main-content extraction → WET conversions out —
+    byte-round-trippable (``read_warc(out) ≡`` the input rows, pinned
+    by pytest and the ``wet_roundtrip`` driver query)."""
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        ts_arr = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        chunks: list[bytes] = []
+        for url, ts_us, text in zip(
+            t.column(url_col).to_pylist(), ts_arr, t.column(text_col).to_pylist()
+        ):
+            payload = (text or "").encode("utf-8")
+            dt = datetime.fromtimestamp((ts_us or 0) / 1e6, tz=timezone.utc)
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {dt.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1")
+            chunks.append(
+                _gzip.compress(head + payload + b"\r\n\r\n", mtime=0)
+            )
+        blob = b"".join(chunks)
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"wet-{name}.warc.wet.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n

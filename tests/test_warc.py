@@ -103,3 +103,49 @@ def test_read_warc_dataset_schema_and_flagship(ray_session, tmp_path):
     rows = parsed.take_all()
     by_url = {r["url"]: r for r in rows}
     assert "hello warc world one" in by_url["https://a.example/1"]["extracted_text"]
+
+
+def test_write_wet_round_trip(ray_session, tmp_path):
+    import glob
+
+    import ray as ray_mod
+
+    from ocr_system_ray.sources.warc import read_warc, write_wet
+
+    rows = [
+        {
+            "url": f"https://w.example/{i}",
+            "warc_ts": (1_700_000_000 + i) * 1_000_000,
+            "extracted_text": f"doc {i} — café ≠ naïve\nline two",
+        }
+        for i in range(40)
+    ]
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows]),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "extracted_text": pa.array([r["extracted_text"] for r in rows]),
+        }
+    )
+    out = str(tmp_path / "wet")
+    ds = ray_mod.data.from_arrow(t).repartition(4)
+    n = write_wet(ds, out)
+    assert n == 40
+    shards = glob.glob(out + "/*.warc.wet.gz")
+    assert 1 <= len(shards) <= 4 + 1
+    back = read_warc(sorted(shards)).to_pandas().sort_values("url")
+    assert len(back) == 40
+    got = {
+        (u, int(ts.value // 1_000_000_000), p.decode("utf-8"))
+        for u, ts, p in zip(back["url"], back["warc_ts"], back["html"])
+    }
+    want = {
+        (r["url"], r["warc_ts"] // 1_000_000, r["extracted_text"]) for r in rows
+    }
+    assert got == want
+    # idempotent re-run: same content-hash shard names, no duplicates
+    n2 = write_wet(ray_mod.data.from_arrow(t).repartition(4), out)
+    assert n2 == 40
+    assert sorted(glob.glob(out + "/*.warc.wet.gz")) == sorted(shards)
