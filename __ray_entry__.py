@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_snippets": q.q_kwic_snippets,
         "wet_roundtrip": q.q_wet_roundtrip,
         "crawl_frontier": q.q_crawl_frontier,
+        "image_neardup_incremental": q.q_image_neardup_incremental,
         "char_classes": q.q_char_classes,
         "quality_scores": q.q_quality_scores,
         "gopher_quality": q.q_gopher_quality,
@@ -1959,6 +1960,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.hamming
             FROM '/root/repo/tests/golden/image_neardup_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # image_neardup_incremental: odd×even cross distances recomputed
+        # from the committed hash golden via bit_count(xor) — the probe
+        # path must reproduce the full brute-force cross set
+        "image_neardup_incremental": """
+            WITH h AS (
+              SELECT g.doc_id, g.ahash
+              FROM '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              JOIN documents d ON g.doc_id = d.doc_id
+              WHERE g.ok = 1
+            )
+            SELECT o.doc_id AS id_new, e.doc_id AS id_idx,
+                   CAST(bit_count(xor(o.ahash, e.ahash)) AS BIGINT) AS hamming
+            FROM h o CROSS JOIN h e
+            WHERE o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+              AND bit_count(xor(o.ahash, e.ahash)) <= 6
         """,
         # charset_decode: expected labels from the doc_id%4 derivation;
         # decoded md5 = md5 of the SAME page concatenation (byte-exact

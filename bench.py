@@ -167,6 +167,7 @@ def _query_suite() -> dict:
         "kwic_snippets": q.q_kwic_snippets,
         "wet_roundtrip": q.q_wet_roundtrip,
         "crawl_frontier": q.q_crawl_frontier,
+        "image_neardup_incremental": q.q_image_neardup_incremental,
     }
     return suite
 

@@ -296,3 +296,247 @@ def phash_duplicate_pairs(
         .groupby("pbucket")
         .map_groups(drop_dups, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted Hamming band index (the md5/minhash index contract for images)
+# ---------------------------------------------------------------------------
+
+
+def _band_edges(n_bands: int) -> list[int]:
+    return [64 * i // n_bands for i in range(n_bands + 1)]
+
+
+def _band_rows(
+    t: pa.Table, n_bands: int, prefix_buckets: int, hash_col: str, id_col: str
+) -> pa.Table:
+    """(bucket, band, val, id, h) rows — one per (row, band); bucket is
+    a stable hash of (band, val) so probe reads prune by path."""
+    hv = t.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    edges = _band_edges(n_bands)
+    bands, vals, ids_o, h_o = [], [], [], []
+    for b in range(n_bands):
+        lo, hi = edges[b], edges[b + 1]
+        vals.append(
+            ((hv >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)).astype(np.int64)
+        )
+        bands.append(np.full(len(hv), b, dtype=np.int64))
+        ids_o.append(ids)
+        h_o.append(hv.view(np.int64))
+    band = np.concatenate(bands) if bands else np.zeros(0, dtype=np.int64)
+    val = np.concatenate(vals) if vals else np.zeros(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        key = band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + val.astype(
+            np.uint64
+        )
+        bucket = (
+            (key * np.uint64(1099511628211)) >> np.uint64(13)
+        ) % np.uint64(prefix_buckets)
+    return pa.table(
+        {
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "band": pa.array(band),
+            "val": pa.array(val),
+            id_col: pa.array(np.concatenate(ids_o) if ids_o else ids),
+            "h": pa.array(np.concatenate(h_o) if h_o else ids),
+        }
+    )
+
+
+def build_phash_index(
+    hashes: ray.data.Dataset,
+    index_dir: str,
+    max_hamming: int = 8,
+    hash_col: str = "ahash",
+    id_col: str = "doc_id",
+    prefix_buckets: int = 256,
+    write_blocks: int = 4,
+) -> str:
+    """Persist the image-hash band index: (band, val, id, hash) rows
+    partitioned by a (band, val) hash bucket — the md5/minhash index
+    contract applied to perceptual hashes, so crawl increments
+    near-dedup against a 10⁹-image corpus by reading ONLY the buckets
+    their own band values touch.  ``write_blocks`` coalesces before the
+    partitioned write (one file per bucket per ~write_blocks, never per
+    input block); ``_index_meta.json`` freezes the band/bucket params
+    and the probe validates against it."""
+    import json
+    import os
+
+    n_bands = max_hamming + 1
+    hashes.map_batches(
+        lambda t: _band_rows(t, n_bands, prefix_buckets, hash_col, id_col),
+        batch_format="pyarrow",
+    ).repartition(write_blocks).write_parquet(index_dir, partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "max_hamming": max_hamming,
+                "prefix_buckets": prefix_buckets,
+                "hash_col": hash_col,
+                "id_col": id_col,
+            },
+            f,
+        )
+    return index_dir
+
+
+def dedup_against_phash_index(
+    new_hashes: ray.data.Dataset,
+    index_dir: str,
+    hash_col: str = "ahash",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Near-dup matches of an increment vs the persisted index →
+    ``(id_new, id_idx, hamming)`` for every cross pair within the
+    index's ``max_hamming``.  Probe shape (the ``dedup_against_index``
+    contract): band the increment, read ONLY the touched bucket
+    partitions (path-pruned glob), ONE coarse groupby on the bucket
+    with an in-group (band, val) pandas match + popcount verify.
+    Corpus images never re-hash; index rows move as 32-byte band rows."""
+    import glob as _glob
+    import json
+    import os
+
+    import pandas as pd
+
+    from .similarity import _popcount64
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("hash_col") != hash_col or meta.get("id_col") != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with "
+            f"hash_col={meta.get('hash_col')!r}/id_col={meta.get('id_col')!r}"
+        )
+    max_hamming = int(meta["max_hamming"])
+    n_bands = max_hamming + 1
+    prefix_buckets = int(meta["prefix_buckets"])
+
+    inc = new_hashes.map_batches(
+        lambda t: _band_rows(t, n_bands, prefix_buckets, hash_col, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    seen: set[int] = set()
+    for row in inc.map_batches(
+        lambda t: pa.table(
+            {"bucket": pa.array(sorted(set(t.column("bucket").to_pylist())), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        seen.add(int(row["bucket"]))
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_new": pa.array([], pa.int64()),
+                "id_idx": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    )
+    files = [
+        f
+        for b in sorted(seen)
+        for f in sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+    ]
+    if not files:
+        return empty
+
+    idx = ray.data.read_parquet(
+        files, columns=["band", "val", id_col, "h"],
+        override_num_blocks=min(len(files), 64),
+    )
+
+    def tag(m: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {
+                "bucket": t.column("bucket")
+                if "bucket" in t.column_names
+                else pa.array(
+                    _band_rows_bucket(t, prefix_buckets), pa.int64()
+                ),
+            }
+            return pa.table(
+                {
+                    "bucket": cols["bucket"],
+                    "band": t.column("band"),
+                    "val": t.column("val"),
+                    id_col: t.column(id_col),
+                    "h": t.column("h"),
+                    "m": pa.array(np.full(len(t), m, dtype=np.int8)),
+                }
+            )
+
+        return f
+
+    def _band_rows_bucket(t: pa.Table, nb: int) -> np.ndarray:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t.column("val").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = band * np.uint64(0x9E3779B97F4A7C15) + val
+            return (
+                ((key * np.uint64(1099511628211)) >> np.uint64(13))
+                % np.uint64(nb)
+            ).astype(np.int64)
+
+    tagged = idx.map_batches(tag(0), batch_format="pyarrow").union(
+        inc.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def match_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty_df = pd.DataFrame(
+            {
+                "id_new": pd.Series([], dtype="int64"),
+                "id_idx": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
+        inc_side = g[g["m"] == 1]
+        idx_side = g[g["m"] == 0]
+        if inc_side.empty or idx_side.empty:
+            return empty_df
+        merged = inc_side.merge(
+            idx_side, on=["band", "val"], suffixes=("_n", "_i")
+        )
+        if merged.empty:
+            return empty_df
+        d = _popcount64(
+            merged["h_n"].to_numpy().astype(np.uint64)
+            ^ merged["h_i"].to_numpy().astype(np.uint64)
+        )
+        keep = d <= max_hamming
+        out = pd.DataFrame(
+            {
+                "id_new": merged[f"{id_col}_n"][keep].to_numpy(),
+                "id_idx": merged[f"{id_col}_i"][keep].to_numpy(),
+                "hamming": d[keep],
+            }
+        )
+        # cross-band duplicates resolved here per bucket; cross-BUCKET
+        # duplicates are impossible for the same (band, val) pair but a
+        # pair can meet via different bands in different buckets →
+        # global dedup below
+        return out.drop_duplicates(["id_new", "id_idx"])
+
+    cand = tagged.groupby("bucket").map_groups(match_group, batch_format="pandas")
+
+    from .dedup import _pair_bucket_column
+
+    def drop_dups(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.drop_duplicates(["id_a", "id_b"]).rename(
+            columns={"id_a": "id_new", "id_b": "id_idx"}
+        )[["id_new", "id_idx", "hamming"]]
+
+    return (
+        cand.map_batches(
+            lambda t: _pair_bucket_column(
+                t.rename_columns(["id_a", "id_b", "hamming"]), 256, "pbucket"
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("pbucket")
+        .map_groups(drop_dups, batch_format="pandas")
+    )

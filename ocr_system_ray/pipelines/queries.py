@@ -872,6 +872,42 @@ def q_image_neardup(sf_dir: str) -> ray.data.Dataset:
     return phash_duplicate_pairs(hashes, max_hamming=6)
 
 
+def q_image_neardup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental image near-dedup vs a PERSISTED Hamming band index —
+    the md5/minhash index contract extended to perceptual hashes: even
+    doc ids' image hashes are indexed once (cached under /tmp, coalesced
+    partitioned write), odd ids probe it reading ONLY the buckets their
+    band values touch → ``(id_new, id_idx, hamming ≤ 6)``.  Oracle: the
+    committed imagehash golden crossed odd×even in SQL via
+    ``bit_count(xor(...))`` — every distance recomputed independently."""
+    import hashlib
+    import os
+
+    from ..functions.imagehash import (
+        build_phash_index,
+        dedup_against_phash_index,
+        image_hashes,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_image_payloads, batch_format="pyarrow")
+    hashes = image_hashes(imgs).map_batches(
+        lambda t: t.filter(pc.equal(t.column("ok"), 1)), batch_format="pyarrow"
+    )
+    evens = hashes.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    odds = hashes.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    idx_dir = f"/tmp/osr_phash_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(idx_dir, "_index_meta.json")):
+        build_phash_index(evens, idx_dir, max_hamming=6)
+    return dedup_against_phash_index(odds, idx_dir)
+
+
 def q_anchor_texts(sf_dir: str) -> ray.data.Dataset:
     """Anchor-text corpus per target host (link-text signal): derived
     pages carry a plain text anchor, an uppercase+chrome anchor with

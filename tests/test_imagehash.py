@@ -126,3 +126,108 @@ def test_banded_pairs_equal_brute_force(ray_session):
             for r in phash_duplicate_pairs(ds, max_hamming=6).take_all()
         }
         assert got == want, blocks
+
+
+# ---------------------------------------------------------------------------
+# persisted Hamming band index
+# ---------------------------------------------------------------------------
+
+
+def _hash_items(n=120, seed=31, planted=25):
+    rng = np.random.default_rng(seed)
+    hashes = list(rng.integers(0, 1 << 63, size=n, dtype=np.int64))
+    # planted: ids n..n+planted-1 are ≤6-bit flips of ids 0..planted-1
+    for i in range(planted):
+        v = int(np.uint64(hashes[i]))
+        for b in rng.integers(0, 64, size=int(rng.integers(0, 7))):
+            v ^= 1 << int(b)
+        hashes.append(np.int64(np.uint64(v) & np.uint64((1 << 63) - 1)))
+    return [{"doc_id": i, "ahash": int(h)} for i, h in enumerate(hashes)]
+
+
+def test_phash_index_build_probe_and_coalescing(ray_session, tmp_path):
+    import glob
+    import os
+
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.imagehash import (
+        build_phash_index,
+        dedup_against_phash_index,
+    )
+
+    items = _hash_items()
+    n_base = 120
+    idx_items = items[:n_base]
+    inc_items = items[n_base:]
+    idx = str(tmp_path / "phash")
+    build_phash_index(
+        ray_mod.data.from_items(idx_items).repartition(20),
+        idx,
+        max_hamming=6,
+        prefix_buckets=16,
+        write_blocks=3,
+    )
+    # coalesced: ≤ write_blocks files per bucket dir
+    for d in {os.path.dirname(f) for f in glob.glob(idx + "/**/*.parquet", recursive=True)}:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 3, d
+
+    got = {
+        (r["id_new"], r["id_idx"], r["hamming"])
+        for r in dedup_against_phash_index(
+            ray_mod.data.from_items(inc_items).repartition(4), idx
+        ).take_all()
+    }
+
+    def pop(a, b):
+        return bin(int(np.uint64(np.int64(a)) ^ np.uint64(np.int64(b)))).count("1")
+
+    want = {
+        (i["doc_id"], j["doc_id"], pop(i["ahash"], j["ahash"]))
+        for i in inc_items
+        for j in idx_items
+        if pop(i["ahash"], j["ahash"]) <= 6
+    }
+    assert got == want and len(want) >= 20
+
+
+def test_phash_index_probe_is_pruned_and_meta_validated(ray_session, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.imagehash import (
+        build_phash_index,
+        dedup_against_phash_index,
+    )
+
+    items = _hash_items(n=80, planted=10)
+    idx = str(tmp_path / "phash2")
+    build_phash_index(
+        ray_mod.data.from_items(items[:80]), idx, max_hamming=6, prefix_buckets=32
+    )
+    one_inc = ray_mod.data.from_items(items[80:81])
+    before = {
+        (r["id_new"], r["id_idx"]) for r in dedup_against_phash_index(one_inc, idx).take_all()
+    }
+    # compute which buckets the increment touches, delete every other
+    from ocr_system_ray.functions.imagehash import _band_rows
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": [items[80]["doc_id"]], "ahash": [items[80]["ahash"]]})
+    touched = set(_band_rows(t, 7, 32, "ahash", "doc_id").column("bucket").to_pylist())
+    removed = 0
+    for d in glob.glob(idx + "/bucket=*"):
+        b = int(d.rsplit("=", 1)[1])
+        if b not in touched:
+            shutil.rmtree(d)
+            removed += 1
+    assert removed > 0  # the prune is real
+    after = {
+        (r["id_new"], r["id_idx"]) for r in dedup_against_phash_index(one_inc, idx).take_all()
+    }
+    assert after == before  # untouched partitions were never read
+    with pytest.raises(ValueError):
+        dedup_against_phash_index(one_inc, idx, hash_col="dhash")
