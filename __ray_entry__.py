@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_decode": q.q_charset_decode,
         "anchor_texts": q.q_anchor_texts,
         "image_phash": q.q_image_phash,
+        "image_phash_png": q.q_image_phash_png,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
@@ -1960,6 +1961,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.hamming
             FROM '/root/repo/tests/golden/image_neardup_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # image_phash_png: INDEPENDENT naive chunk-walk/zlib/unfilter
+        # PNG twin (tools/make_goldens.py:imagehash_png_golden) — every
+        # filter type and color type 0/2/3/4/6 exercised by derivation
+        "image_phash_png": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_png_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # image_neardup_incremental: odd×even cross distances recomputed
         # from the committed hash golden via bit_count(xor) — the probe

@@ -161,6 +161,7 @@ def _query_suite() -> dict:
         "charset_decode": q.q_charset_decode,
         "anchor_texts": q.q_anchor_texts,
         "image_phash": q.q_image_phash,
+        "image_phash_png": q.q_image_phash_png,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,

@@ -1,12 +1,13 @@
 """Perceptual image hashing over real BMP pixel data (no codec deps).
 
-The multimodal leg's first operator with GENUINE pixel math: BMP is the
-one mainstream raster format the stdlib can fully decode (uncompressed
-24-bit BGR rows + 4-byte row padding + bottom-up/top-down orientation),
-so image fingerprinting gets the same treatment the repo gave container
-headers (``media_headers.py``) — real bytes in, real math, zero
-environment stubs.  PNG/JPEG pixel decode stays behind the documented
-``multimodal.py`` seam.
+The multimodal leg's first operator with GENUINE pixel math: BMP
+(uncompressed 24-bit BGR rows + 4-byte row padding + bottom-up/top-down
+orientation) decodes here, PNG (zlib IDAT + the five row filters, color
+types 0/2/3/4/6) via :mod:`pngpixels` — so image fingerprinting gets
+the same treatment the repo gave container headers
+(``media_headers.py``): real bytes in, real math, zero environment
+stubs.  JPEG/video pixel decode stays behind the documented
+``multimodal.py`` seam (DCT + Huffman need a codec library).
 
 * :func:`decode_bmp` — BITMAPINFOHEADER 24-bpp decode → ``(h, w, 3)``
   RGB uint8 (stride, padding, negative-height top-down handled).
@@ -87,6 +88,19 @@ def encode_bmp_pixels(img: np.ndarray) -> bytes:
     return header + pixels
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch → ``(h, w, 3)`` RGB uint8: BMP via
+    :func:`decode_bmp`, PNG via :func:`pngpixels.decode_png`; anything
+    else raises ``ValueError`` (error-as-data at the callers)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .pngpixels import decode_png
+
+        return decode_png(payload)
+    raise ValueError("image: unrecognized container (BMP/PNG supported)")
+
+
 def _gray(img: np.ndarray) -> np.ndarray:
     # integer-exact luma-ish: (r + g + b) // 3 — keeps the independent
     # twin trivially reproducible (no fixed-point 601 coefficients)
@@ -148,7 +162,7 @@ def image_hashes(
         ok: list[int] = []
         for raw in t.column(payload_col).to_pylist():
             try:
-                img = decode_bmp(raw or b"")
+                img = decode_image(raw or b"")
                 widths.append(img.shape[1])
                 heights.append(img.shape[0])
                 ah.append(ahash64(img))

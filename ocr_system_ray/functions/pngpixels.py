@@ -1,0 +1,262 @@
+"""Real PNG pixel decoding — stdlib zlib + the five PNG row filters.
+
+Closes half of the VERDICT r2 "real image codecs" gap: PNG is, like
+BMP, fully decodable with nothing but the stdlib (``zlib.decompress``
+plus the spec's per-row filter inversion), so perceptual hashing
+(``imagehash.py``) no longer needs the BMP-only restriction.  JPEG
+(DCT + Huffman) and video stay behind the documented ``multimodal.py``
+environment seam.
+
+Reference parity note: the reference app rasterizes documents through
+poppler/PIL (`/root/reference/ocr/pdf.py:10-17`), which decodes PNG
+transparently; this module is the from-scratch equivalent for the
+image-payload leg.
+
+* :func:`decode_png` — 8-bit-depth PNG → ``(h, w, 3)`` RGB uint8.
+  Chunk walk with CRC validation, multi-IDAT concatenation, filter
+  types 0–4 (None/Sub/Up/Average/Paeth) inverted exactly, color types
+  0 (gray, replicated), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha,
+  alpha dropped), 6 (RGBA, alpha dropped).  Interlaced (Adam7),
+  non-8-bit depths, bad CRCs, and truncated streams raise
+  ``ValueError`` — callers map that to error-as-data rows.
+* :func:`encode_png_pixels` — the deterministic fixture encoder: raw
+  samples + per-row filter choices → spec-correct bytes (forward
+  filtering is the exact inverse of the decoder, CRCs real).  Exists
+  so tests and derived-corpus queries can exercise EVERY filter type
+  and color type, not just the filter-0 RGB happy path that
+  ``media_headers.encode_png`` emits.
+
+Scale notes: decode is row-local work inside ``map_batches`` (payload
+dies in-stage).  Filters None/Up/Sub vectorize across the row (Sub is
+a per-channel cumsum); Average/Paeth are sequential by spec (each byte
+needs the reconstructed left neighbor) — the loop is O(w·channels) per
+row, the same order as the copy itself.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type → samples per pixel (bit depth 8 only)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _walk_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, validating lengths and CRCs."""
+    pos = 8
+    n = len(payload)
+    while True:
+        if pos + 8 > n:
+            raise ValueError("png: truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > n:
+            raise ValueError("png: truncated chunk data")
+        data = payload[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", payload, end)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: bad CRC in {typ!r}")
+        yield typ, data
+        if typ == b"IEND":
+            return
+        pos = end + 4
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Inverse-filter the decompressed scanline stream → (h, w*ch) uint8."""
+    rowlen = w * ch
+    if len(raw) != h * (1 + rowlen):
+        raise ValueError("png: scanline stream length mismatch")
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + rowlen)
+    filters = data[:, 0]
+    rows = data[:, 1:].astype(np.int64)  # headroom for the adds
+    out = np.zeros((h, rowlen), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y]
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(rowlen, dtype=np.int64)
+        if f == 0:
+            line = cur
+        elif f == 1:  # Sub: per-channel cumsum reconstructs the prefix sums
+            line = cur.reshape(w, ch).cumsum(axis=0).reshape(rowlen)
+        elif f == 2:  # Up
+            line = cur + prev
+        elif f == 3:  # Average — sequential: needs the reconstructed left
+            line = np.zeros(rowlen, dtype=np.int64)
+            for i in range(rowlen):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (cur[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth — sequential likewise
+            line = np.zeros(rowlen, dtype=np.int64)
+            for i in range(rowlen):
+                left = line[i - ch] if i >= ch else 0
+                upleft = prev[i - ch] if i >= ch else 0
+                line[i] = (cur[i] + _paeth(int(left), int(prev[i]), int(upleft))) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+        out[y] = (line & 0xFF).astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit PNG → ``(h, w, 3)`` RGB uint8 (alpha dropped, gray
+    replicated, palette resolved).  Raises ``ValueError`` on anything
+    the subset doesn't cover — callers map that to error-as-data."""
+    if len(payload) < 8 or payload[:8] != PNG_SIG:
+        raise ValueError("png: bad signature")
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    for typ, data in _walk_chunks(payload):
+        if typ == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("png: duplicate IHDR")
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("png: missing/short IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0:
+        raise ValueError("png: bad dimensions")
+    if depth != 8:
+        raise ValueError(f"png: bit depth {depth} not supported (8 only)")
+    if color not in _CHANNELS:
+        raise ValueError(f"png: color type {color} not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: interlaced (Adam7) not supported")
+    if not idat:
+        raise ValueError("png: no IDAT data")
+    ch = _CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"png: IDAT inflate failed: {e}") from None
+    samples = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if color == 2:
+        return samples.copy()
+    if color == 6:
+        return samples[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(samples, 3, axis=2)
+    if color == 4:
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    # color == 3: palette
+    if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+        raise ValueError("png: palette image without a valid PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = samples[:, :, 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("png: palette index out of range")
+    return pal[idx]
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder (forward filtering — the decoder's exact inverse)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(
+    cur: np.ndarray, prev: np.ndarray, ch: int, f: int
+) -> np.ndarray:
+    """Forward-apply filter ``f`` to a raw row (filters read RAW
+    neighbors, so every type vectorizes on encode)."""
+    cur64 = cur.astype(np.int64)
+    prev64 = prev.astype(np.int64)
+    left = np.zeros_like(cur64)
+    left[ch:] = cur64[:-ch]
+    upleft = np.zeros_like(prev64)
+    upleft[ch:] = prev64[:-ch]
+    if f == 0:
+        out = cur64
+    elif f == 1:
+        out = cur64 - left
+    elif f == 2:
+        out = cur64 - prev64
+    elif f == 3:
+        out = cur64 - (left + prev64) // 2
+    elif f == 4:
+        p = left + prev64 - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - prev64), np.abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev64, upleft)
+        )
+        out = cur64 - pred
+    else:
+        raise ValueError(f"png: unknown filter type {f}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png_pixels(
+    samples: np.ndarray,
+    color_type: int = 2,
+    filters: int | list[int] = 0,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Raw samples ``(h, w, channels)`` uint8 (``(h, w)`` accepted for
+    1-channel types) → spec-correct PNG bytes.  ``filters`` is one
+    filter type for every row or a per-row list — the knob that lets
+    fixtures exercise Sub/Up/Average/Paeth, not just filter 0.
+    ``palette`` (n≤256, 3) is required for color type 3."""
+    if samples.ndim == 2:
+        samples = samples[:, :, None]
+    h, w, ch = samples.shape
+    if _CHANNELS.get(color_type) != ch:
+        raise ValueError(
+            f"png: color type {color_type} carries {_CHANNELS.get(color_type)} "
+            f"channels, got {ch}"
+        )
+    if isinstance(filters, int):
+        filters = [filters] * h
+    if len(filters) != h:
+        raise ValueError("png: need one filter per row")
+    samples = samples.astype(np.uint8)
+    rowlen = w * ch
+    flat = samples.reshape(h, rowlen)
+    lines = bytearray()
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        lines.append(f)
+        lines.extend(_filter_row(flat[y], prev, ch, f).tobytes())
+        prev = flat[y]
+    out = bytearray(PNG_SIG)
+    out += _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if color_type == 3:
+        if palette is None or palette.ndim != 2 or palette.shape[1] != 3:
+            raise ValueError("png: color type 3 needs an (n, 3) palette")
+        if len(palette) > 256:
+            raise ValueError("png: palette too large")
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

@@ -908,6 +908,66 @@ def q_image_neardup_incremental(sf_dir: str) -> ray.data.Dataset:
     return dedup_against_phash_index(odds, idx_dir)
 
 
+def _derived_png_payloads(t: pa.Table) -> pa.Table:
+    """PNG leg of the image corpus: the SAME derived pixels, encoded
+    through rotating color types (doc_id % 4 → RGB / RGBA / gray /
+    palette) with per-row filter types ``(doc_id + row) % 5`` so every
+    PNG filter and every supported color type is exercised at sf scale.
+    Alpha varies per pixel (must be DROPPED by decode); gray/palette
+    legs transform the pixels deterministically, and the golden twin
+    recomputes everything from the bytes with its own naive reader."""
+    from ..functions.pngpixels import encode_png_pixels
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not an image")
+            continue
+        img = derived_image(i)
+        filters = [(i + r) % 5 for r in range(IMG_H)]
+        sel = i % 4
+        if sel == 0:
+            raw = encode_png_pixels(img, color_type=2, filters=filters)
+        elif sel == 1:
+            alpha = ((img[:, :, 0].astype(np.int64) * 7 + i) % 256).astype(np.uint8)
+            raw = encode_png_pixels(
+                np.dstack([img, alpha]), color_type=6, filters=filters
+            )
+        elif sel == 2:
+            gray = (img.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+            raw = encode_png_pixels(gray, color_type=0, filters=filters)
+        else:
+            pal = np.stack(
+                [
+                    np.arange(256, dtype=np.int64) % 256,
+                    (np.arange(256, dtype=np.int64) * 7 + i) % 256,
+                    (np.arange(256, dtype=np.int64) * 13 + i) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            raw = encode_png_pixels(
+                img[:, :, 0], color_type=3, filters=filters, palette=pal
+            )
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_image_phash_png(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual image hashing over REAL PNG bytes — genuine stdlib
+    zlib inflate + all five PNG row filters + color types 0/2/3/4/6
+    (``functions/pngpixels.py``), the codec leg BMP hashing could not
+    cover.  Golden oracle = an INDEPENDENT per-pixel twin with its own
+    naive chunk-walk/unfilter reader (tools/make_goldens.py)."""
+    from ..functions.imagehash import image_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_png_payloads, batch_format="pyarrow")
+    return image_hashes(imgs)
+
+
 def q_anchor_texts(sf_dir: str) -> ray.data.Dataset:
     """Anchor-text corpus per target host (link-text signal): derived
     pages carry a plain text anchor, an uppercase+chrome anchor with

@@ -192,3 +192,12 @@ def test_imagehash_goldens_match_twin():
     fresh_h, fresh_p = imagehash_goldens()
     assert fresh_h.equals(pq.read_table(GOLDEN_DIR / "imagehash_sf001.parquet"))
     assert fresh_p.equals(pq.read_table(GOLDEN_DIR / "image_neardup_sf001.parquet"))
+
+
+def test_imagehash_png_golden_matches_twin():
+    import pyarrow.parquet as pq
+
+    from make_goldens import imagehash_png_golden
+
+    fresh = imagehash_png_golden()
+    assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_png_sf001.parquet"))

@@ -1,0 +1,187 @@
+"""PNG pixel codec: round trips across every filter/color type,
+corruption rejection, and cross-codec hash parity with BMP."""
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.pngpixels import (
+    PNG_SIG,
+    decode_png,
+    encode_png_pixels,
+)
+
+
+def _rng_img(h, w, ch, seed=7):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, ch), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_rgb_round_trip_each_filter(f):
+    img = _rng_img(13, 17, 3, seed=f)
+    out = decode_png(encode_png_pixels(img, color_type=2, filters=f))
+    assert np.array_equal(out, img)
+
+
+def test_mixed_per_row_filters():
+    img = _rng_img(25, 9, 3, seed=42)
+    filters = [r % 5 for r in range(25)]
+    out = decode_png(encode_png_pixels(img, color_type=2, filters=filters))
+    assert np.array_equal(out, img)
+
+
+def test_gray_replicates_channels():
+    gray = _rng_img(11, 14, 1, seed=3)
+    out = decode_png(encode_png_pixels(gray, color_type=0, filters=4))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    # 2-D input accepted too
+    out2 = decode_png(encode_png_pixels(gray[:, :, 0], color_type=0, filters=1))
+    assert np.array_equal(out2, out)
+
+
+def test_alpha_dropped_rgba_and_gray_alpha():
+    rgba = _rng_img(10, 10, 4, seed=9)
+    out = decode_png(encode_png_pixels(rgba, color_type=6, filters=3))
+    assert np.array_equal(out, rgba[:, :, :3])
+    ga = _rng_img(10, 10, 2, seed=10)
+    out = decode_png(encode_png_pixels(ga, color_type=4, filters=2))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_palette_lookup():
+    pal = _rng_img(1, 256, 3, seed=5)[0]  # (256, 3)
+    idx = _rng_img(8, 12, 1, seed=6)
+    out = decode_png(
+        encode_png_pixels(idx, color_type=3, filters=1, palette=pal)
+    )
+    assert np.array_equal(out, pal[idx[:, :, 0]])
+
+
+def test_palette_index_out_of_range_rejected():
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.full((3, 3, 1), 7, dtype=np.uint8)
+    raw = encode_png_pixels(idx, color_type=3, filters=0, palette=pal)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(raw)
+
+
+def test_media_headers_encoder_decodes():
+    # the filter-0 RGB fixture encoder from media_headers round-trips
+    from ocr_system_ray.functions.media_headers import encode_png
+
+    w, h, seed = 6, 4, 11
+    img = decode_png(encode_png(w, h, seed=seed))
+    row = (np.arange(3 * w, dtype=np.int64) * 31 + seed) % 256
+    expect = np.stack([((row + y) % 256) for y in range(h)]).reshape(h, w, 3)
+    assert np.array_equal(img, expect.astype(np.uint8))
+
+
+def test_multi_idat_concatenation():
+    img = _rng_img(6, 6, 3, seed=1)
+    raw = bytearray(encode_png_pixels(img, color_type=2, filters=2))
+    # split the single IDAT into two chunks
+    pos = 8
+    while True:
+        (length,) = struct.unpack_from(">I", raw, pos)
+        typ = bytes(raw[pos + 4 : pos + 8])
+        if typ == b"IDAT":
+            data = bytes(raw[pos + 8 : pos + 8 + length])
+            cut = len(data) // 2
+            parts = b"".join(
+                struct.pack(">I", len(d))
+                + b"IDAT"
+                + d
+                + struct.pack(">I", zlib.crc32(b"IDAT" + d) & 0xFFFFFFFF)
+                for d in (data[:cut], data[cut:])
+            )
+            raw[pos : pos + 12 + length] = parts
+            break
+        pos += 12 + length
+    assert np.array_equal(decode_png(bytes(raw)), img)
+
+
+def test_crc_corruption_rejected():
+    img = _rng_img(5, 5, 3)
+    raw = bytearray(encode_png_pixels(img, color_type=2, filters=0))
+    raw[40] ^= 0xFF  # inside IHDR/IDAT territory — some CRC breaks
+    with pytest.raises(ValueError):
+        decode_png(bytes(raw))
+
+
+def test_truncation_rejected():
+    img = _rng_img(5, 5, 3)
+    raw = encode_png_pixels(img, color_type=2, filters=0)
+    with pytest.raises(ValueError):
+        decode_png(raw[: len(raw) - 9])
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a")  # short signature
+
+
+def _patch_ihdr(raw: bytes, offset_in_ihdr: int, value: int) -> bytes:
+    """Rewrite one IHDR byte and fix the CRC (to test semantic rejects,
+    not the CRC gate)."""
+    ihdr = bytearray(raw[16:29])
+    ihdr[offset_in_ihdr] = value
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    return raw[:16] + bytes(ihdr) + struct.pack(">I", crc) + raw[33:]
+
+
+def test_interlace_and_depth_rejected():
+    img = _rng_img(5, 5, 3)
+    raw = encode_png_pixels(img, color_type=2, filters=0)
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(_patch_ihdr(raw, 12, 1))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_patch_ihdr(raw, 8, 16))
+
+
+def test_cross_codec_hash_parity(ray_session):
+    # identical pixels through BMP and PNG must produce identical
+    # perceptual hashes — decode parity end to end through the Dataset op
+    import ray.data
+
+    from ocr_system_ray.functions.imagehash import encode_bmp_pixels, image_hashes
+
+    imgs = [_rng_img(32, 48, 3, seed=s) for s in range(8)]
+    rows_bmp = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "image": pa.array([encode_bmp_pixels(i) for i in imgs], pa.binary()),
+        }
+    )
+    rows_png = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "image": pa.array(
+                [
+                    encode_png_pixels(i, color_type=2, filters=[(s + r) % 5 for r in range(32)])
+                    for s, i in enumerate(imgs)
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    h_bmp = (
+        image_hashes(ray.data.from_arrow(rows_bmp)).to_pandas().sort_values("doc_id")
+    )
+    h_png = (
+        image_hashes(ray.data.from_arrow(rows_png)).to_pandas().sort_values("doc_id")
+    )
+    assert (h_bmp["ok"] == 1).all() and (h_png["ok"] == 1).all()
+    assert h_bmp["ahash"].tolist() == h_png["ahash"].tolist()
+    assert h_bmp["dhash"].tolist() == h_png["dhash"].tolist()
+
+
+def test_garbage_payloads_rejected():
+    with pytest.raises(ValueError):
+        decode_png(b"")
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all, definitely")
+    # valid signature, garbage body
+    with pytest.raises(ValueError):
+        decode_png(PNG_SIG + b"\x00" * 30)

@@ -543,6 +543,42 @@ def mojibake_golden() -> pa.Table:
     )
 
 
+def _twin_block_cells(gray, out_h, out_w):
+    """Hash-spec twin helper (shared by the BMP and PNG image goldens;
+    still independent of the engine's imagehash module): floor-boundary
+    block means, each cell = sum // count."""
+    h, w = len(gray), len(gray[0])
+    cells = []
+    for i in range(out_h):
+        row = []
+        for j in range(out_w):
+            total = cnt = 0
+            for y in range(h * i // out_h, h * (i + 1) // out_h):
+                for x in range(w * j // out_w, w * (j + 1) // out_w):
+                    total += gray[y][x]
+                    cnt += 1
+            row.append(total // max(cnt, 1))
+        cells.append(row)
+    return cells
+
+
+def _twin_hashes_of(px):
+    """aHash/dHash spec from scratch over (r, g, b) tuple rows."""
+    gray = [[(r + g + b) // 3 for (r, g, b) in row] for row in px]
+    a_cells = _twin_block_cells(gray, 8, 8)
+    mean = sum(sum(r) for r in a_cells) // 64
+    ah = 0
+    for r in a_cells:
+        for v in r:
+            ah = (ah << 1) | int(v > mean)
+    d_cells = _twin_block_cells(gray, 8, 9)
+    dh = 0
+    for r in d_cells:
+        for j in range(8):
+            dh = (dh << 1) | int(r[j] > r[j + 1])
+    return ah, dh
+
+
 def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
     """Independent twin of ``q_image_phash`` / ``q_image_neardup``: the
     shared pixel derivation produces the SAME BMP bytes, but this twin
@@ -581,35 +617,7 @@ def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
                 px[y][x] = (r, g, b)
         return px
 
-    def block_cells(gray, out_h, out_w):
-        h, w = len(gray), len(gray[0])
-        cells = []
-        for i in range(out_h):
-            row = []
-            for j in range(out_w):
-                total = cnt = 0
-                for y in range(h * i // out_h, h * (i + 1) // out_h):
-                    for x in range(w * j // out_w, w * (j + 1) // out_w):
-                        total += gray[y][x]
-                        cnt += 1
-                row.append(total // max(cnt, 1))
-            cells.append(row)
-        return cells
-
-    def hashes_of(px):
-        gray = [[(r + g + b) // 3 for (r, g, b) in row] for row in px]
-        a_cells = block_cells(gray, 8, 8)
-        mean = sum(sum(r) for r in a_cells) // 64
-        ah = 0
-        for r in a_cells:
-            for v in r:
-                ah = (ah << 1) | int(v > mean)
-        d_cells = block_cells(gray, 8, 9)
-        dh = 0
-        for r in d_cells:
-            for j in range(8):
-                dh = (dh << 1) | int(r[j] > r[j + 1])
-        return ah, dh
+    hashes_of = _twin_hashes_of
 
     docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
     payloads = _derived_image_payloads(docs)
@@ -665,6 +673,137 @@ def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
     return hashes, pairs
 
 
+def imagehash_png_golden() -> pa.Table:
+    """Independent twin of ``q_image_phash_png``: the shared derivation
+    produces the SAME PNG bytes, but this twin parses them with its own
+    naive chunk-walk/zlib/per-pixel-unfilter reader (nothing imported
+    from the engine's pngpixels module) and computes the hash spec from
+    scratch via the shared twin helpers."""
+    import zlib as _zlib
+
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_png_payloads,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb_ and pa_ <= pc_:
+            return a
+        return b if pb_ <= pc_ else c
+
+    def read_png(raw: bytes):
+        if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, ihdr, plte, idat = 8, None, None, b""
+        while pos + 12 <= len(raw):
+            ln = int.from_bytes(raw[pos : pos + 4], "big")
+            typ = raw[pos + 4 : pos + 8]
+            data = raw[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if _zlib.crc32(typ + data) & 0xFFFFFFFF != int.from_bytes(
+                raw[pos + 8 + ln : pos + 12 + ln], "big"
+            ):
+                return None
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or len(ihdr) != 13:
+            return None
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, ct, comp, filt, inter = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct)
+        if depth != 8 or ch is None or comp or filt or inter or not idat:
+            return None
+        try:
+            lines = _zlib.decompress(idat)
+        except _zlib.error:
+            return None
+        rowlen = w * ch
+        if len(lines) != h * (1 + rowlen):
+            return None
+        out = [[0] * rowlen for _ in range(h)]
+        for y in range(h):
+            f = lines[y * (1 + rowlen)]
+            cur = lines[y * (1 + rowlen) + 1 : (y + 1) * (1 + rowlen)]
+            prev = out[y - 1] if y else [0] * rowlen
+            line = out[y]
+            for i in range(rowlen):
+                left = line[i - ch] if i >= ch else 0
+                up = prev[i]
+                upleft = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    v = cur[i]
+                elif f == 1:
+                    v = cur[i] + left
+                elif f == 2:
+                    v = cur[i] + up
+                elif f == 3:
+                    v = cur[i] + (left + up) // 2
+                elif f == 4:
+                    v = cur[i] + paeth(left, up, upleft)
+                else:
+                    return None
+                line[i] = v & 0xFF
+        px = [[None] * w for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                s = out[y][x * ch : (x + 1) * ch]
+                if ct == 2:
+                    px[y][x] = (s[0], s[1], s[2])
+                elif ct == 6:
+                    px[y][x] = (s[0], s[1], s[2])
+                elif ct in (0, 4):
+                    px[y][x] = (s[0], s[0], s[0])
+                else:  # palette
+                    if plte is None or 3 * s[0] + 3 > len(plte):
+                        return None
+                    px[y][x] = tuple(plte[3 * s[0] : 3 * s[0] + 3])
+        return px
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_png_payloads(docs)
+    ids, widths, heights, ahs, dhs, oks = [], [], [], [], [], []
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(), payloads.column("image").to_pylist()
+    ):
+        px = read_png(raw)
+        ids.append(did)
+        if px is None:
+            assert did % IMG_BAD_MOD == 0  # only the planted corrupt rows
+            widths.append(0)
+            heights.append(0)
+            ahs.append(0)
+            dhs.append(0)
+            oks.append(0)
+        else:
+            ah, dh = _twin_hashes_of(px)
+            widths.append(len(px[0]))
+            heights.append(len(px))
+            ahs.append(ah)
+            dhs.append(dh)
+            oks.append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+            "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+            "ok": pa.array(oks, pa.int64()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -702,6 +841,9 @@ def main() -> None:
     print(f"imagehash_sf001.parquet: {ih.num_rows} rows")
     pq.write_table(ip, GOLDEN_DIR / "image_neardup_sf001.parquet")
     print(f"image_neardup_sf001.parquet: {ip.num_rows} rows")
+    ihp = imagehash_png_golden()
+    pq.write_table(ihp, GOLDEN_DIR / "imagehash_png_sf001.parquet")
+    print(f"imagehash_png_sf001.parquet: {ihp.num_rows} rows")
 
     import ray
 
