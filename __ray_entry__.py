@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_admission": q.q_robots_admission,
         "charset_decode": q.q_charset_decode,
         "anchor_texts": q.q_anchor_texts,
+        "canonical_urls": q.q_canonical_urls,
+        "canonical_dedup": q.q_canonical_dedup,
+        "page_structure": q.q_page_structure,
         "image_phash": q.q_image_phash,
         "image_phash_png": q.q_image_phash_png,
         "image_neardup": q.q_image_neardup,
@@ -590,6 +593,91 @@ def _anchor_texts_sql() -> str:
           FROM documents
         )
         SELECT dst_host, anchor, CAST(n AS BIGINT) AS n FROM ({inner})
+    """
+
+
+def _canonical_pages_cte() -> str:
+    """The rel=canonical derived-page corpus, re-derived in SQL."""
+    from ocr_system_ray.pipelines.queries import CANON_SITES, CANON_TARGETS
+
+    return f"""
+        pg AS (
+          SELECT doc_id,
+                 'https://site' || CAST(doc_id % {CANON_SITES} AS VARCHAR)
+                   || '.example:8080/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><head>' || CASE doc_id % 6
+                   WHEN 0 THEN '<link rel="canonical" href="https://c'
+                     || CAST(doc_id % {CANON_TARGETS} AS VARCHAR)
+                     || '.example/page">'
+                   WHEN 1 THEN '<link rel="canonical" href="/canon/'
+                     || CAST(doc_id % {CANON_TARGETS} AS VARCHAR) || '">'
+                   WHEN 2 THEN '<p>no canonical here</p>'
+                   WHEN 3 THEN '<link href=" https://c'
+                     || CAST(doc_id % {CANON_TARGETS} AS VARCHAR)
+                     || '.example/page " rel="canonical">'
+                   WHEN 4 THEN '<LINK REL="stylesheet" HREF="/css">'
+                     || '<LINK REL="CANONICAL" HREF="HTTPS://c'
+                     || CAST(doc_id % {CANON_TARGETS} AS VARCHAR)
+                     || '.example/Upper">'
+                   ELSE '<link rel="canonical" href="page.html">'
+                 END || '</head><body>x</body></html>' AS html
+          FROM documents
+        )
+    """
+
+
+def _canonical_urls_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_canonical_select
+
+    inner = sql_canonical_select("FROM pg")
+    return f"""
+        WITH {_canonical_pages_cte()}
+        SELECT cid AS doc_id, curl AS url, canonical_url,
+               CAST(CASE WHEN canonical_url <> '' THEN 1 ELSE 0 END AS BIGINT)
+                 AS has_canonical
+        FROM ({inner})
+    """
+
+
+def _canonical_dedup_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_canonical_select
+
+    inner = sql_canonical_select("FROM pg")
+    return f"""
+        WITH {_canonical_pages_cte()},
+        eff AS (
+          SELECT cid,
+                 CASE WHEN canonical_url <> '' THEN canonical_url
+                      ELSE curl END AS effective_url
+          FROM ({inner})
+        )
+        SELECT effective_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(cid) AS survivor_id
+        FROM eff GROUP BY effective_url
+    """
+
+
+def _page_structure_sql() -> str:
+    from ocr_system_ray.functions.pagestats import sql_page_structure_select
+
+    inner = sql_page_structure_select("FROM pg")
+    return f"""
+        WITH pg AS (
+          SELECT doc_id,
+                 '<html><head><script>var a=1;</script><SCRIPT>b</SCRIPT></head>'
+                 || '<body><p>' || substr(COALESCE(text, ''), 1, 200)
+                 || '</p><P>para2</P>'
+                 || repeat('<a href="/l">x</a>', doc_id % 5)
+                 || '<A HREF="/nav"><b>Nav ' || CAST(doc_id % 3 AS VARCHAR)
+                 || '</b> menu</A>'
+                 || '<a href="/m">line1' || chr(10) || 'line2</a>'
+                 || '</body></html>' AS html
+          FROM documents
+        )
+        SELECT psid AS doc_id, html_chars, n_tags, n_links, n_paras,
+               n_scripts, text_chars, link_text_chars,
+               link_density_permille, text_density_permille
+        FROM ({inner})
     """
 
 
@@ -1927,6 +2015,14 @@ def oracle_sql() -> dict[str, str]:
         # anchor_texts: derived pages + the GENERATED anchor-pattern /
         # host / whitespace twins, direct GROUP BY recount
         "anchor_texts": _anchor_texts_sql(),
+        # canonical_urls / canonical_dedup: derived pages + the
+        # GENERATED tag/href/origin twins (urls.sql_canonical_select);
+        # dedup recomputes effective-url groups + min-id survivor
+        "canonical_urls": _canonical_urls_sql(),
+        "canonical_dedup": _canonical_dedup_sql(),
+        # page_structure: derived pages + the GENERATED regex/permille
+        # twins (pagestats.sql_page_structure_select)
+        "page_structure": _page_structure_sql(),
         # fetch_schedule: ROW_NUMBER window recomputes the per-host
         # politeness ranks/offsets independently of the bucket plan
         "fetch_schedule": _fetch_schedule_sql(),

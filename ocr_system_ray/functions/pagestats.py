@@ -1,0 +1,135 @@
+"""HTML page-structure features — the text-density / link-density
+signal family behind boilerplate classification.
+
+The flagship extractor (``html/extractor.py``) applies text-density +
+link-density scoring per DOM BLOCK to pick main content (the
+Boilerpipe/trafilatura shape the north star names); this module exposes
+the same signal family at PAGE granularity as cheap integer features
+for corpus-quality gating — pages that are mostly markup, mostly
+anchor text, or script-heavy are boilerplate/navigation/SEO chaff
+before any model sees them (the FineWeb/RefinedWeb pre-filter shape).
+
+Definitions are REGEX-denotable by design (not a DOM walk) so the
+DuckDB oracle is GENERATED from the same constants (the ``pii.py`` /
+``c4.py`` parity pattern):
+
+* ``text_chars`` — characters left after stripping every ``<...>``
+  run (a deterministic density proxy, documented as such).
+* ``link_text_chars`` — characters inside ``<a ...>...</a>`` spans
+  after tag stripping (nested markup inside the anchor counts its
+  text, not its tags).
+* ``n_tags`` / ``n_links`` / ``n_paras`` / ``n_scripts`` — open-tag
+  counts.
+* ``link_density_permille`` = link_text · 1000 // max(text, 1) and
+  ``text_density_permille`` = text · 1000 // max(html_chars, 1) —
+  integer permille, hash-stable across engines.
+
+Scale notes: one stateless ``map_batches`` pass, O(bytes)/doc,
+compiled RE2-compatible patterns; fuses with ingest.  HTML can be
+dropped in-stage by selecting only the feature columns downstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# shared constants — the SQL twin is generated from these
+TAG_STRIP_PATTERN = r"<[^>]*>"
+OPEN_TAG_PATTERN = r"<[A-Za-z]"
+LINK_OPEN_PATTERN = r"(?i)<a\b"
+PARA_OPEN_PATTERN = r"(?i)<p\b"
+SCRIPT_OPEN_PATTERN = r"(?i)<script\b"
+ANCHOR_SPAN_PATTERN = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+_TAG_STRIP_RGX = re.compile(TAG_STRIP_PATTERN)
+_OPEN_TAG_RGX = re.compile(OPEN_TAG_PATTERN)
+_LINK_OPEN_RGX = re.compile(LINK_OPEN_PATTERN)
+_PARA_OPEN_RGX = re.compile(PARA_OPEN_PATTERN)
+_SCRIPT_OPEN_RGX = re.compile(SCRIPT_OPEN_PATTERN)
+_ANCHOR_SPAN_RGX = re.compile(ANCHOR_SPAN_PATTERN)
+
+_FIELDS = (
+    "html_chars",
+    "n_tags",
+    "n_links",
+    "n_paras",
+    "n_scripts",
+    "text_chars",
+    "link_text_chars",
+    "link_density_permille",
+    "text_density_permille",
+)
+
+
+def page_structure_batch(
+    batch: pa.Table, html_col: str = "html", keep_html: bool = False
+) -> pa.Table:
+    """Append the nine integer structure features per page (row-local,
+    never-fail — null pages count as empty).  ``keep_html=False`` drops
+    the payload in-stage (the default for pipeline use)."""
+    cols: dict[str, list[int]] = {f: [] for f in _FIELDS}
+    for page in batch.column(html_col).to_pylist():
+        s = page or ""
+        text_chars = len(_TAG_STRIP_RGX.sub("", s))
+        link_text = sum(
+            len(_TAG_STRIP_RGX.sub("", span))
+            for span in _ANCHOR_SPAN_RGX.findall(s)
+        )
+        cols["html_chars"].append(len(s))
+        cols["n_tags"].append(len(_OPEN_TAG_RGX.findall(s)))
+        cols["n_links"].append(len(_LINK_OPEN_RGX.findall(s)))
+        cols["n_paras"].append(len(_PARA_OPEN_RGX.findall(s)))
+        cols["n_scripts"].append(len(_SCRIPT_OPEN_RGX.findall(s)))
+        cols["text_chars"].append(text_chars)
+        cols["link_text_chars"].append(link_text)
+        cols["link_density_permille"].append(link_text * 1000 // max(text_chars, 1))
+        cols["text_density_permille"].append(text_chars * 1000 // max(len(s), 1))
+    out = batch
+    if not keep_html:
+        out = out.drop_columns([html_col])
+    for f in _FIELDS:
+        out = out.append_column(f, pa.array(cols[f], pa.int64()))
+    return out
+
+
+def sql_page_structure_select(
+    from_clause: str, id_expr: str = "doc_id", html_expr: str = "html"
+) -> str:
+    """DuckDB twin of :func:`page_structure_batch`, GENERATED from the
+    same pattern constants and the same integer permille rules."""
+    strip = f"regexp_replace(h, '{TAG_STRIP_PATTERN}', '', 'g')"
+    return f"""
+        WITH ps_h AS (
+          SELECT {id_expr} AS psid, COALESCE({html_expr}, '') AS h
+          {from_clause}
+        ), ps_f AS (
+          SELECT psid,
+                 length(h) AS html_chars,
+                 len(regexp_extract_all(h, '{OPEN_TAG_PATTERN}')) AS n_tags,
+                 len(regexp_extract_all(h, '{LINK_OPEN_PATTERN}')) AS n_links,
+                 len(regexp_extract_all(h, '{PARA_OPEN_PATTERN}')) AS n_paras,
+                 len(regexp_extract_all(h, '{SCRIPT_OPEN_PATTERN}')) AS n_scripts,
+                 length({strip}) AS text_chars,
+                 COALESCE(list_aggregate(list_transform(
+                     regexp_extract_all(h, '{ANCHOR_SPAN_PATTERN}', 1),
+                     x -> length(regexp_replace(x, '{TAG_STRIP_PATTERN}', '',
+                                                'g'))), 'sum'), 0)
+                   AS link_text_chars
+          FROM ps_h
+        )
+        SELECT psid,
+               CAST(html_chars AS BIGINT) AS html_chars,
+               CAST(n_tags AS BIGINT) AS n_tags,
+               CAST(n_links AS BIGINT) AS n_links,
+               CAST(n_paras AS BIGINT) AS n_paras,
+               CAST(n_scripts AS BIGINT) AS n_scripts,
+               CAST(text_chars AS BIGINT) AS text_chars,
+               CAST(link_text_chars AS BIGINT) AS link_text_chars,
+               CAST(link_text_chars * 1000 // greatest(text_chars, 1) AS BIGINT)
+                 AS link_density_permille,
+               CAST(text_chars * 1000 // greatest(html_chars, 1) AS BIGINT)
+                 AS text_density_permille
+        FROM ps_f
+    """

@@ -454,3 +454,91 @@ def sql_noindex_expr(html_expr: str) -> str:
         f"'{ROBOTS_CONTENT_PATTERN}', 1), '')), 'noindex'))) > 0 "
         "THEN 1 ELSE 0 END AS BIGINT)"
     )
+
+
+# rel=canonical: the page's self-declared canonical URL — the crawl
+# dedup signal search engines honor before any content hashing (pages
+# with distinct bytes but one canonical are ONE document).  Tag scan +
+# per-tag href probe, attribute order free, double-quoted attributes
+# (the engine-wide documented scope); resolution covers absolute
+# http(s) hrefs and root-relative paths against the page origin —
+# other relative forms are documented out of scope (treated absent).
+CANONICAL_TAG_PATTERN = r"(?i)<link[^>]*>"
+CANONICAL_HREF_PATTERN = r'(?i)href="([^"]*)"'
+CANONICAL_ORIGIN_PATTERN = r"^(https?://[^/]+)"
+_CANON_TAG_RGX = re.compile(CANONICAL_TAG_PATTERN)
+_CANON_HREF_RGX = re.compile(CANONICAL_HREF_PATTERN)
+_CANON_ORIGIN_RGX = re.compile(CANONICAL_ORIGIN_PATTERN)
+_CANON_TRIM = " \t\n\r"
+
+
+def _resolve_canonical(href: str, page_url: str) -> str:
+    h = href.strip(_CANON_TRIM)
+    hl = h.lower()
+    if hl.startswith("http://") or hl.startswith("https://"):
+        return h
+    if h.startswith("/") and not h.startswith("//"):
+        m = _CANON_ORIGIN_RGX.match(page_url or "")
+        if m:
+            return m.group(1) + h
+    return ""
+
+
+def extract_canonical_batch(
+    batch: pa.Table, html_col: str = "html", url_col: str = "url"
+) -> pa.Table:
+    """Append ``canonical_url`` (resolved; ``""`` when absent or
+    unresolvable) and int64 ``has_canonical``.  The FIRST ``<link>``
+    tag whose body mentions ``rel="canonical"`` decides — a missing or
+    unresolvable href on that tag means no canonical (no fallback to
+    later tags; one rule, SQL-reproducible).  Row-local, O(bytes)/doc."""
+    canon: list[str] = []
+    flags: list[int] = []
+    urls = batch.column(url_col).to_pylist()
+    for page, page_url in zip(batch.column(html_col).to_pylist(), urls):
+        resolved = ""
+        for tag in _CANON_TAG_RGX.findall(page or ""):
+            if 'rel="canonical"' in tag.lower():
+                m = _CANON_HREF_RGX.search(tag)
+                if m:
+                    resolved = _resolve_canonical(m.group(1), page_url or "")
+                break
+        canon.append(resolved)
+        flags.append(1 if resolved else 0)
+    return batch.append_column(
+        "canonical_url", pa.array(canon, pa.string())
+    ).append_column("has_canonical", pa.array(flags, pa.int64()))
+
+
+def sql_canonical_select(
+    from_clause: str,
+    id_expr: str = "doc_id",
+    html_expr: str = "html",
+    url_expr: str = "url",
+) -> str:
+    """DuckDB twin of :func:`extract_canonical_batch`, generated from
+    the SAME patterns: first rel=canonical link tag → trimmed href →
+    absolute-or-root-relative resolution."""
+    return f"""
+        WITH ct_t AS (
+          SELECT {id_expr} AS cid, {url_expr} AS curl,
+                 list_filter(regexp_extract_all(COALESCE({html_expr}, ''),
+                                                '{CANONICAL_TAG_PATTERN}'),
+                             m -> contains(lower(m), 'rel="canonical"'))[1] AS tag
+          {from_clause}
+        ), ct_h AS (
+          SELECT cid, curl,
+                 trim(COALESCE(regexp_extract(tag, '{CANONICAL_HREF_PATTERN}', 1),
+                               ''), ' ' || chr(9) || chr(10) || chr(13)) AS href,
+                 COALESCE(regexp_extract(curl, '{CANONICAL_ORIGIN_PATTERN}', 1),
+                          '') AS origin
+          FROM ct_t
+        )
+        SELECT cid, curl,
+               CASE WHEN lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%'
+                      THEN href
+                    WHEN href LIKE '/%' AND href NOT LIKE '//%' AND origin <> ''
+                      THEN origin || href
+                    ELSE '' END AS canonical_url
+        FROM ct_h
+    """

@@ -955,6 +955,133 @@ def _derived_png_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+CANON_TARGETS = 40  # distinct canonical targets → known dup groups
+CANON_SITES = 7  # page-origin hosts (with a port: origin fidelity)
+
+
+def _derived_canonical_pages(t: pa.Table) -> pa.Table:
+    """(doc_id, url, html) pages exercising every rel=canonical branch:
+    doc_id % 6 → absolute / root-relative / absent / attribute-order-
+    reversed + padded href / uppercase attrs behind a stylesheet decoy /
+    unsupported plain-relative (absent).  SQL re-derives the SAME pages
+    by concatenation."""
+    ids = t.column("doc_id").to_pylist()
+    urls: list[str] = []
+    html: list[str] = []
+    for i in ids:
+        urls.append(f"https://site{i % CANON_SITES}.example:8080/p/{i}")
+        sel = i % 6
+        tgt = i % CANON_TARGETS
+        if sel == 0:
+            h = f'<link rel="canonical" href="https://c{tgt}.example/page">'
+        elif sel == 1:
+            h = f'<link rel="canonical" href="/canon/{tgt}">'
+        elif sel == 2:
+            h = "<p>no canonical here</p>"
+        elif sel == 3:
+            h = f'<link href=" https://c{tgt}.example/page " rel="canonical">'
+        elif sel == 4:
+            h = (
+                '<LINK REL="stylesheet" HREF="/css">'
+                f'<LINK REL="CANONICAL" HREF="HTTPS://c{tgt}.example/Upper">'
+            )
+        else:
+            h = '<link rel="canonical" href="page.html">'
+        html.append(f"<html><head>{h}</head><body>x</body></html>")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "url": pa.array(urls),
+            "html": pa.array(html),
+        }
+    )
+
+
+def q_canonical_urls(sf_dir: str) -> ray.data.Dataset:
+    """rel=canonical extraction: first canonical link tag per page →
+    trimmed href → absolute-or-root-relative resolution (attribute
+    order free, case-insensitive, decoy link tags skipped).  Oracle =
+    the GENERATED tag/href/origin twins over the same derived pages
+    (``urls.sql_canonical_select``)."""
+    from ..functions.urls import extract_canonical_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_canonical_pages, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: extract_canonical_batch(t).drop_columns(["html"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_canonical_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Canonical-URL crawl dedup: pages collapse onto their declared
+    canonical (falling back to their own url), per-group doc count +
+    min-id survivor — the dedup signal that fires BEFORE any content
+    hashing.  One single-column groupby of (effective_url, doc_id)
+    pairs; pages die in-stage."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.urls import extract_canonical_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_canonical_pages, batch_format="pyarrow")
+
+    def effective(t: pa.Table) -> pa.Table:
+        t = extract_canonical_batch(t)
+        eff = pc.if_else(
+            pc.equal(t.column("canonical_url"), ""),
+            t.column("url"),
+            t.column("canonical_url"),
+        )
+        return pa.table({"effective_url": eff, "doc_id": t.column("doc_id")})
+
+    agg = (
+        pages.map_batches(effective, batch_format="pyarrow")
+        .groupby("effective_url")
+        .aggregate(Count(), Min("doc_id"))
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["effective_url", "n_docs", "survivor_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _derived_structure_pages(t: pa.Table) -> pa.Table:
+    """(doc_id, html) pages for the structure-feature op: scripts,
+    mixed-case paragraph tags, a repeated link run sized doc_id % 5, an
+    uppercase nested-markup anchor, and a multi-line anchor — every
+    branch of the tag/anchor regexes.  SQL re-derives by concatenation
+    (repeat() for the link run, chr(10) for the newline)."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    html: list[str] = []
+    for i, txt in zip(ids, texts):
+        body = (txt or "")[:200]
+        html.append(
+            "<html><head><script>var a=1;</script><SCRIPT>b</SCRIPT></head>"
+            f"<body><p>{body}</p><P>para2</P>"
+            + '<a href="/l">x</a>' * (i % 5)
+            + f'<A HREF="/nav"><b>Nav {i % 3}</b> menu</A>'
+            + '<a href="/m">line1\nline2</a>'
+            "</body></html>"
+        )
+    return pa.table({"doc_id": t.column("doc_id"), "html": pa.array(html)})
+
+
+def q_page_structure(sf_dir: str) -> ray.data.Dataset:
+    """HTML page-structure features — the text-density / link-density
+    boilerplate signals at page granularity (integer permille): tag /
+    link / paragraph / script counts, tag-stripped text chars, anchor-
+    span text chars, and the two density ratios.  One stateless pass;
+    oracle = the GENERATED regex/permille twins
+    (``pagestats.sql_page_structure_select``)."""
+    from ..functions.pagestats import page_structure_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pages = docs.map_batches(_derived_structure_pages, batch_format="pyarrow")
+    return pages.map_batches(page_structure_batch, batch_format="pyarrow")
+
+
 def q_image_phash_png(sf_dir: str) -> ray.data.Dataset:
     """Perceptual image hashing over REAL PNG bytes — genuine stdlib
     zlib inflate + all five PNG row filters + color types 0/2/3/4/6

@@ -1,0 +1,178 @@
+"""rel=canonical extraction + page-structure features: rule pins and
+live-DuckDB generated-twin equality."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.functions.pagestats import (
+    page_structure_batch,
+    sql_page_structure_select,
+)
+from ocr_system_ray.functions.urls import (
+    extract_canonical_batch,
+    sql_canonical_select,
+)
+
+_URL = "https://host.example:8080/dir/page"
+
+_CANON_PAGES = [
+    # (html, expected canonical for _URL)
+    ('<link rel="canonical" href="https://c.example/p">', "https://c.example/p"),
+    # root-relative resolves against scheme://host:port
+    ('<link rel="canonical" href="/canon/1">', "https://host.example:8080/canon/1"),
+    # attribute order reversed + whitespace-padded href (trim rule)
+    ('<link href=" https://c.example/p2\t" rel="canonical">', "https://c.example/p2"),
+    # uppercase attrs behind a decoy link tag
+    (
+        '<LINK REL="stylesheet" HREF="/css"><LINK REL="CANONICAL" '
+        'HREF="HTTPS://c.example/U">',
+        "HTTPS://c.example/U",
+    ),
+    # no canonical at all
+    ("<p>nothing</p>", ""),
+    # unsupported plain-relative href
+    ('<link rel="canonical" href="page.html">', ""),
+    # protocol-relative href is NOT root-relative
+    ('<link rel="canonical" href="//cdn.example/x">', ""),
+    # FIRST canonical tag decides: hrefless first, resolvable second → absent
+    (
+        '<link rel="canonical"><link rel="canonical" href="https://c.example/l">',
+        "",
+    ),
+    # canonical mention inside href text only — the tag body check is
+    # on the whole tag, so this DOES count (documented single-rule scope)
+    ("", ""),
+]
+
+
+def _canon_table(url=_URL):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(_CANON_PAGES)), pa.int64()),
+            "url": pa.array([url] * len(_CANON_PAGES)),
+            "html": pa.array([h for h, _ in _CANON_PAGES]),
+        }
+    )
+
+
+def test_canonical_branch_pins():
+    out = extract_canonical_batch(_canon_table())
+    got = out.column("canonical_url").to_pylist()
+    want = [c for _, c in _CANON_PAGES]
+    assert got == want
+    assert out.column("has_canonical").to_pylist() == [
+        1 if c else 0 for c in want
+    ]
+
+
+def test_canonical_no_origin_root_relative_absent():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "url": pa.array(["not-a-url"]),
+            "html": pa.array(['<link rel="canonical" href="/x">']),
+        }
+    )
+    out = extract_canonical_batch(t)
+    assert out.column("canonical_url").to_pylist() == [""]
+
+
+def test_canonical_sql_twin_matches():
+    df = _canon_table().to_pandas()
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = con.execute(
+        sql_canonical_select("FROM pages") + " ORDER BY cid"
+    ).df()
+    got = extract_canonical_batch(_canon_table()).to_pandas()
+    assert got["canonical_url"].tolist() == want["canonical_url"].tolist()
+
+
+_STRUCT_PAGES = [
+    "",
+    "<p>plain para</p>",
+    # uppercase + nested markup anchor, tags inside stripped from link text
+    '<A HREF="/x"><b>bold</b> tail</A>',
+    # multi-line anchor span ((?is) non-greedy)
+    '<a href="/m">line1\nline2</a><a href="/n">after</a>',
+    # script + mixed case + text outside tags
+    "<script>var a=1;</script><SCRIPT>b</SCRIPT>loose text",
+    # unclosed anchor: span regex finds no </a> → no link text counted
+    '<a href="/u">dangling',
+    # unicode text (char counts, not bytes)
+    "<p>héllo wörld — ünïcode</p>",
+]
+
+
+def test_page_structure_hand_computed():
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(_STRUCT_PAGES)), pa.int64()),
+            "html": pa.array(_STRUCT_PAGES),
+        }
+    )
+    out = page_structure_batch(t)
+    assert "html" not in out.column_names  # payload dropped in-stage
+    rows = out.to_pandas().set_index("doc_id")
+    # empty page
+    assert rows.loc[0, ["html_chars", "n_tags", "text_chars"]].tolist() == [0, 0, 0]
+    assert rows.loc[0, "link_density_permille"] == 0
+    # nested anchor: link text = "bold tail" (9 chars), total text same
+    assert rows.loc[2, "n_links"] == 1
+    assert rows.loc[2, "link_text_chars"] == 9
+    assert rows.loc[2, "text_chars"] == 9
+    assert rows.loc[2, "link_density_permille"] == 1000
+    # multi-line span counted; two anchors
+    assert rows.loc[3, "n_links"] == 2
+    assert rows.loc[3, "link_text_chars"] == len("line1\nline2") + len("after")
+    # scripts counted case-insensitively; their text still counts as chars
+    assert rows.loc[4, "n_scripts"] == 2
+    assert rows.loc[4, "text_chars"] == len("var a=1;") + 1 + len("loose text")
+    # unclosed anchor: open-tag count fires, span does not
+    assert rows.loc[5, "n_links"] == 1
+    assert rows.loc[5, "link_text_chars"] == 0
+    # unicode chars counted as characters
+    assert rows.loc[6, "text_chars"] == len("héllo wörld — ünïcode")
+
+
+def test_page_structure_sql_twin_matches():
+    df = pd.DataFrame(
+        {"doc_id": range(len(_STRUCT_PAGES)), "html": _STRUCT_PAGES}
+    )
+    con = duckdb.connect()
+    con.register("pages", df)
+    want = con.execute(
+        sql_page_structure_select("FROM pages") + " ORDER BY psid"
+    ).df()
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(_STRUCT_PAGES)), pa.int64()),
+            "html": pa.array(_STRUCT_PAGES),
+        }
+    )
+    got = page_structure_batch(t).to_pandas().sort_values("doc_id")
+    for col in [
+        "html_chars",
+        "n_tags",
+        "n_links",
+        "n_paras",
+        "n_scripts",
+        "text_chars",
+        "link_text_chars",
+        "link_density_permille",
+        "text_density_permille",
+    ]:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_page_structure_null_pages():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "html": pa.array([None, "<p>x</p>"], pa.string()),
+        }
+    )
+    out = page_structure_batch(t).to_pandas()
+    assert out["html_chars"].tolist() == [0, 8]
+    assert out["text_chars"].tolist() == [0, 1]
