@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_structure": q.q_page_structure,
         "image_phash": q.q_image_phash,
         "image_phash_png": q.q_image_phash_png,
+        "gif_frames": q.q_gif_frames,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
@@ -2065,6 +2066,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_png_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
+        # loop, sub-block walk, interlace reorder, and compositing
+        # (tools/make_goldens.py:gif_frames_golden)
+        "gif_frames": """
+            SELECT d.doc_id, g.frame_idx, g.width, g.height, g.ahash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/gif_frames_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # image_neardup_incremental: odd×even cross distances recomputed

@@ -162,6 +162,7 @@ def _query_suite() -> dict:
         "anchor_texts": q.q_anchor_texts,
         "image_phash": q.q_image_phash,
         "image_phash_png": q.q_image_phash_png,
+        "gif_frames": q.q_gif_frames,
         "canonical_dedup": q.q_canonical_dedup,
         "page_structure": q.q_page_structure,
         "image_neardup": q.q_image_neardup,

@@ -98,7 +98,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .pngpixels import decode_png
 
         return decode_png(payload)
-    raise ValueError("image: unrecognized container (BMP/PNG supported)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifpixels import decode_gif_frames
+
+        return decode_gif_frames(payload, max_frames=1)[0]
+    raise ValueError("image: unrecognized container (BMP/PNG/GIF supported)")
 
 
 def _gray(img: np.ndarray) -> np.ndarray:

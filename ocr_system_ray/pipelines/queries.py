@@ -1095,6 +1095,84 @@ def q_image_phash_png(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(imgs)
 
 
+def _derived_gif_payloads(t: pa.Table) -> pa.Table:
+    """Animated-GIF corpus: 1–3 frames per doc (doc_id % 3 + 1) over a
+    doc-keyed 256-color global palette; frame 0 is the derived image's
+    red channel (interlaced on odd ids), frame 1 a transparent-holed
+    patch at a doc-keyed offset (background disposal on id % 4 == 0),
+    frame 2 a full repaint under a LOCAL palette.  Every decoder branch
+    — LZW width growth, interlace, transparency, disposal 2, local
+    tables — appears at sf scale; doc_id % IMG_BAD_MOD plants corrupt
+    payloads (error-as-data)."""
+    from ..functions.gifpixels import encode_gif
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    ar = np.arange(256, dtype=np.int64)
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not a gif")
+            continue
+        pal = np.stack([ar % 256, (ar * 7 + i) % 256, (ar * 13 + i) % 256], axis=1)
+        frames = [
+            {
+                "indices": derived_image(i)[:, :, 0],
+                "interlace": i % 2 == 1,
+            }
+        ]
+        if i % 3 >= 1:
+            patch = np.random.default_rng(i + 1000).integers(
+                0, 256, size=(8, 12), dtype=np.uint8
+            )
+            patch[patch % 5 == 0] = 0  # transparent holes
+            frames.append(
+                {
+                    "indices": patch,
+                    "left": i % 30,
+                    "top": i % 20,
+                    "transparent": 0,
+                    "disposal": 2 if i % 4 == 0 else 0,
+                }
+            )
+        if i % 3 == 2:
+            pal2 = np.stack(
+                [(ar * 3 + i) % 256, (ar * 11 + 7) % 256, (ar * 5 + i) % 256],
+                axis=1,
+            )
+            frames.append(
+                {
+                    "indices": np.random.default_rng(i + 2000).integers(
+                        0, 256, size=(IMG_H, IMG_W), dtype=np.uint8
+                    ),
+                    "local_palette": pal2.astype(np.uint8),
+                }
+            )
+        payloads.append(
+            encode_gif(
+                (IMG_W, IMG_H),
+                frames,
+                global_palette=pal.astype(np.uint8),
+                bg_index=i % 256,
+            )
+        )
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
+    variable width) + compositing (transparency, background disposal,
+    interlace, local palettes) → per-frame integer aHash.  Golden
+    oracle = an INDEPENDENT naive reader with its OWN bit reader, LZW
+    loop, and compositing (tools/make_goldens.py:gif_frames_golden)."""
+    from ..functions.gifpixels import gif_frame_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    gifs = docs.map_batches(_derived_gif_payloads, batch_format="pyarrow")
+    return gif_frame_hashes(gifs)
+
+
 def q_anchor_texts(sf_dir: str) -> ray.data.Dataset:
     """Anchor-text corpus per target host (link-text signal): derived
     pages carry a plain text anchor, an uppercase+chrome anchor with

@@ -1,0 +1,193 @@
+"""GIF codec: hand-pinned LZW wire bytes, round-trip fuzz across code
+widths, container/compositing branches, and hash parity with BMP."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.gifpixels import (
+    decode_gif_frames,
+    encode_gif,
+    lzw_decode,
+    lzw_encode,
+)
+
+
+def test_lzw_hand_pinned_wire_bytes():
+    # indices [1]*5 at mcs=2 → codes clear(4),1,6,6,eoi(5); eoi read at
+    # width 4 (decoder table hits 2^3 on the third data code); LSB-first
+    # packing gives exactly 0x8C 0x5D — hand-derived from the GIF89a
+    # spec appendix rules, pinning bit order AND the width-growth rule.
+    assert lzw_encode(b"\x01" * 5, 2) == bytes([0x8C, 0x5D])
+    assert lzw_decode(bytes([0x8C, 0x5D]), 2, 5) == b"\x01" * 5
+
+
+@pytest.mark.parametrize(
+    "n_sym,mcs,n",
+    [(4, 2, 20000), (16, 4, 5000), (256, 8, 3000), (2, 2, 1000), (4, 2, 1)],
+)
+def test_lzw_round_trip_fuzz(n_sym, mcs, n):
+    rng = np.random.default_rng(n_sym * 1000 + n)
+    s = rng.integers(0, n_sym, size=n, dtype=np.uint8).tobytes()
+    assert lzw_decode(lzw_encode(s, mcs), mcs, n) == s
+    # runs-heavy stream: deep dictionary chains
+    s2 = b"".join(bytes([i % n_sym]) * 97 for i in range(60))
+    assert lzw_decode(lzw_encode(s2, mcs), mcs, len(s2)) == s2
+
+
+def test_lzw_truncation_rejected():
+    enc = lzw_encode(b"\x01\x02\x03" * 50, 2)
+    with pytest.raises(ValueError):
+        lzw_decode(enc[: len(enc) // 2], 2, 150)
+
+
+_PAL = np.stack(
+    [
+        np.arange(256) % 256,
+        (np.arange(256) * 7 + 3) % 256,
+        (np.arange(256) * 13 + 5) % 256,
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def _idx(h, w, seed=0, n=256):
+    return np.random.default_rng(seed).integers(0, n, size=(h, w), dtype=np.uint8)
+
+
+def test_single_frame_round_trip():
+    idx = _idx(16, 24, seed=1)
+    raw = encode_gif((24, 16), [{"indices": idx}], global_palette=_PAL)
+    frames = decode_gif_frames(raw)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], _PAL[idx])
+
+
+def test_small_palette_and_local_palette():
+    pal4 = _PAL[:4]
+    idx = _idx(7, 9, seed=2, n=4)
+    raw = encode_gif((9, 7), [{"indices": idx}], global_palette=pal4)
+    assert np.array_equal(decode_gif_frames(raw)[0], pal4[idx])
+    # local palette overrides the global one
+    local = _PAL[100:104]
+    raw = encode_gif(
+        (9, 7), [{"indices": idx, "local_palette": local}], global_palette=pal4
+    )
+    assert np.array_equal(decode_gif_frames(raw)[0], local[idx])
+    # no global, local only
+    raw = encode_gif((9, 7), [{"indices": idx, "local_palette": local}])
+    assert np.array_equal(decode_gif_frames(raw)[0], local[idx])
+
+
+def test_interlaced_round_trip():
+    idx = _idx(19, 8, seed=3)  # odd height exercises ragged passes
+    raw = encode_gif(
+        (8, 19), [{"indices": idx, "interlace": True}], global_palette=_PAL
+    )
+    assert np.array_equal(decode_gif_frames(raw)[0], _PAL[idx])
+
+
+def test_animation_compositing_transparency_and_offsets():
+    base = _idx(10, 10, seed=4)
+    # frame 2: small patch at (2, 3) with transparent index 0 holes
+    patch = _idx(4, 5, seed=5)
+    patch[1, :] = 0
+    raw = encode_gif(
+        (10, 10),
+        [
+            {"indices": base},
+            {"indices": patch, "left": 3, "top": 2, "transparent": 0},
+        ],
+        global_palette=_PAL,
+    )
+    frames = decode_gif_frames(raw)
+    assert len(frames) == 2
+    expect = _PAL[base].copy()
+    opaque = patch != 0
+    expect[2:6, 3:8][opaque] = _PAL[patch[opaque]]
+    assert np.array_equal(frames[1], expect)
+    # transparent row kept the base frame's pixels
+    assert np.array_equal(frames[1][3, 3:8], _PAL[base[3, 3:8]])
+
+
+def test_disposal_background_restore():
+    patch = _idx(4, 4, seed=6)
+    raw = encode_gif(
+        (8, 8),
+        [
+            {"indices": patch, "left": 1, "top": 1, "disposal": 2},
+            {"indices": _idx(2, 2, seed=7), "left": 5, "top": 5},
+        ],
+        global_palette=_PAL,
+        bg_index=9,
+    )
+    frames = decode_gif_frames(raw)
+    # after disposal 2, the first rect is back to the background color
+    assert np.array_equal(
+        frames[1][1:5, 1:5], np.broadcast_to(_PAL[9], (4, 4, 3))
+    )
+
+
+def test_disposal_restore_previous_rejected():
+    raw = encode_gif(
+        (4, 4),
+        [{"indices": _idx(4, 4, seed=8), "disposal": 3}],
+        global_palette=_PAL,
+    )
+    with pytest.raises(ValueError, match="restore-to-previous"):
+        decode_gif_frames(raw)
+
+
+def test_max_frames_and_errors():
+    idx = _idx(4, 4, seed=9)
+    raw = encode_gif(
+        (4, 4), [{"indices": idx}] * 5, global_palette=_PAL
+    )
+    assert len(decode_gif_frames(raw, max_frames=2)) == 2
+    with pytest.raises(ValueError):
+        decode_gif_frames(b"GIF89a")  # truncated
+    with pytest.raises(ValueError):
+        decode_gif_frames(b"not a gif")
+    with pytest.raises(ValueError):
+        decode_gif_frames(raw[:-10])  # truncated mid-stream
+    # header-only fixture from media_headers has no image blocks
+    from ocr_system_ray.functions.media_headers import encode_gif as hdr_gif
+
+    with pytest.raises(ValueError):
+        decode_gif_frames(hdr_gif(3, 3))
+
+
+def test_cross_codec_hash_parity_with_bmp(ray_session):
+    import ray.data
+
+    from ocr_system_ray.functions.imagehash import (
+        encode_bmp_pixels,
+        image_hashes,
+    )
+
+    idxs = [_idx(32, 48, seed=s) for s in range(4)]
+    gif_rows = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "image": pa.array(
+                [
+                    encode_gif((48, 32), [{"indices": i}], global_palette=_PAL)
+                    for i in idxs
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    bmp_rows = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "image": pa.array(
+                [encode_bmp_pixels(_PAL[i]) for i in idxs], pa.binary()
+            ),
+        }
+    )
+    h_gif = image_hashes(ray.data.from_arrow(gif_rows)).to_pandas().sort_values("doc_id")
+    h_bmp = image_hashes(ray.data.from_arrow(bmp_rows)).to_pandas().sort_values("doc_id")
+    assert (h_gif["ok"] == 1).all()
+    assert h_gif["ahash"].tolist() == h_bmp["ahash"].tolist()
+    assert h_gif["dhash"].tolist() == h_bmp["dhash"].tolist()

@@ -201,3 +201,12 @@ def test_imagehash_png_golden_matches_twin():
 
     fresh = imagehash_png_golden()
     assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_png_sf001.parquet"))
+
+
+def test_gif_frames_golden_matches_twin():
+    import pyarrow.parquet as pq
+
+    from make_goldens import gif_frames_golden
+
+    fresh = gif_frames_golden()
+    assert fresh.equals(pq.read_table(GOLDEN_DIR / "gif_frames_sf001.parquet"))

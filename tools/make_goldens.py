@@ -804,6 +804,185 @@ def imagehash_png_golden() -> pa.Table:
     )
 
 
+def gif_frames_golden() -> pa.Table:
+    """Independent twin of ``q_gif_frames``: the shared derivation
+    produces the SAME GIF bytes, but this twin parses them with its own
+    naive reader — its OWN LSB-first bit reader, LZW dictionary loop,
+    sub-block walk, interlace reorder, and transparency/disposal
+    compositing in plain Python (nothing imported from the engine's
+    gifpixels module) — then hashes through the shared spec twin."""
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_gif_payloads,
+    )
+
+    def lzw(data: bytes, mcs: int, expected: int):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        table = [bytes([i]) for i in range(clear)] + [None, None]
+        width, prev, bitpos, out = mcs + 1, None, 0, bytearray()
+        while len(out) < expected:
+            if bitpos + width > 8 * len(data):
+                return None
+            code = 0
+            for i in range(width):
+                if data[(bitpos + i) >> 3] >> ((bitpos + i) & 7) & 1:
+                    code |= 1 << i
+            bitpos += width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [None, None]
+                width, prev = mcs + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    return None
+                out += table[code]
+                prev = code
+                continue
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table):
+                entry = table[prev] + table[prev][:1]
+            else:
+                return None
+            out += entry
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+        return bytes(out[:expected]) if len(out) >= expected else None
+
+    def subblocks(raw: bytes, pos: int):
+        chunks = b""
+        while pos < len(raw):
+            n = raw[pos]
+            pos += 1
+            if n == 0:
+                return chunks, pos
+            chunks += raw[pos : pos + n]
+            pos += n
+        return None, pos
+
+    def read_gif(raw: bytes):
+        if raw[:6] not in (b"GIF87a", b"GIF89a") or len(raw) < 13:
+            return None
+        sw = raw[6] | raw[7] << 8
+        sh = raw[8] | raw[9] << 8
+        flags, bg = raw[10], raw[11]
+        pos, gpal = 13, None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gpal = [tuple(raw[pos + 3 * k : pos + 3 * k + 3]) for k in range(n)]
+            pos += 3 * n
+        bg_rgb = gpal[bg] if gpal and bg < len(gpal) else (0, 0, 0)
+        canvas = [[bg_rgb] * sw for _ in range(sh)]
+        frames = []
+        transparent, disposal = None, 0
+        while pos < len(raw):
+            b = raw[pos]
+            pos += 1
+            if b == 0x3B:
+                return frames or None
+            if b == 0x21:
+                label = raw[pos]
+                pos += 1
+                data, pos = subblocks(raw, pos)
+                if data is None:
+                    return None
+                if label == 0xF9:
+                    if len(data) < 4:
+                        return None
+                    disposal = (data[0] >> 2) & 7
+                    transparent = data[3] if data[0] & 1 else None
+                    if disposal >= 3:
+                        return None
+                continue
+            if b != 0x2C or pos + 9 > len(raw):
+                return None
+            left = raw[pos] | raw[pos + 1] << 8
+            top = raw[pos + 2] | raw[pos + 3] << 8
+            w = raw[pos + 4] | raw[pos + 5] << 8
+            h = raw[pos + 6] | raw[pos + 7] << 8
+            iflags = raw[pos + 8]
+            pos += 9
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = [tuple(raw[pos + 3 * k : pos + 3 * k + 3]) for k in range(n)]
+                pos += 3 * n
+            if pal is None or pos >= len(raw) or left + w > sw or top + h > sh:
+                return None
+            mcs = raw[pos]
+            pos += 1
+            data, pos = subblocks(raw, pos)
+            if data is None:
+                return None
+            idx = lzw(data, mcs, w * h)
+            if idx is None or (idx and max(idx) >= len(pal)):
+                return None
+            rows = [list(idx[y * w : (y + 1) * w]) for y in range(h)]
+            if iflags & 0x40:
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                disp = [None] * h
+                for k, y in enumerate(order):
+                    disp[y] = rows[k]
+                rows = disp
+            for y in range(h):
+                for x in range(w):
+                    v = rows[y][x]
+                    if transparent is None or v != transparent:
+                        canvas[top + y][left + x] = pal[v]
+            frames.append([row[:] for row in canvas])
+            if disposal == 2:
+                for y in range(h):
+                    for x in range(w):
+                        canvas[top + y][left + x] = bg_rgb
+            transparent, disposal = None, 0
+        return None
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_gif_payloads(docs)
+    ids, fidx, widths, heights, ahs, oks = [], [], [], [], [], []
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(), payloads.column("image").to_pylist()
+    ):
+        frames = read_gif(raw)
+        if frames is None:
+            assert did % IMG_BAD_MOD == 0
+            ids.append(did)
+            fidx.append(-1)
+            widths.append(0)
+            heights.append(0)
+            ahs.append(0)
+            oks.append(0)
+            continue
+        for k, px in enumerate(frames):
+            ah, _ = _twin_hashes_of(px)
+            ids.append(did)
+            fidx.append(k)
+            widths.append(len(px[0]))
+            heights.append(len(px))
+            ahs.append(ah)
+            oks.append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+            "ok": pa.array(oks, pa.int64()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -844,6 +1023,9 @@ def main() -> None:
     ihp = imagehash_png_golden()
     pq.write_table(ihp, GOLDEN_DIR / "imagehash_png_sf001.parquet")
     print(f"imagehash_png_sf001.parquet: {ihp.num_rows} rows")
+    gf = gif_frames_golden()
+    pq.write_table(gf, GOLDEN_DIR / "gif_frames_sf001.parquet")
+    print(f"gif_frames_sf001.parquet: {gf.num_rows} rows")
 
     import ray
 
