@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_schedule": q.q_fetch_schedule,
         "kwic_snippets": q.q_kwic_snippets,
         "wet_roundtrip": q.q_wet_roundtrip,
+        "surt_urlkeys": q.q_surt_urlkeys,
+        "cdx_roundtrip": q.q_cdx_roundtrip,
         "crawl_frontier": q.q_crawl_frontier,
         "image_neardup_incremental": q.q_image_neardup_incremental,
         "char_classes": q.q_char_classes,
@@ -655,6 +657,68 @@ def _canonical_dedup_sql() -> str:
         SELECT effective_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MIN(cid) AS survivor_id
         FROM eff GROUP BY effective_url
+    """
+
+
+def _cdx_rows_cte() -> str:
+    """The derived crawl-log rows (url exercising every SURT branch,
+    ts/status/mime/digest), re-derived in SQL — the identical CASE
+    concatenation as ``queries._derived_cdx_rows``."""
+    return """
+        rows AS (
+          SELECT doc_id,
+                 CASE doc_id % 8
+                   WHEN 0 THEN 'https://www.Example.COM/path/'
+                     || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+                   WHEN 1 THEN 'http://sub.site' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example:8080/A/B' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example:443/x?z=1'
+                   WHEN 3 THEN 'http://user:pw@secure.example/'
+                     || CAST(doc_id AS VARCHAR)
+                   WHEN 4 THEN 'ftp://files.example/' || CAST(doc_id AS VARCHAR)
+                   WHEN 5 THEN 'https://bare' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example'
+                   WHEN 6 THEN 'http://www.a.b.c' || CAST(doc_id % 3 AS VARCHAR)
+                     || '.example:80/p?only=1&only=0'
+                   ELSE 'HTTPS://UPPER' || CAST(doc_id % 4 AS VARCHAR)
+                     || '.Example/Path?q=' || CAST(doc_id AS VARCHAR)
+                     || '&Q=2#frag'
+                 END AS url,
+                 CAST(1767225600 + doc_id * 7 AS BIGINT) AS ts_s,
+                 CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                      ELSE 404 END AS BIGINT) AS status,
+                 CASE (doc_id + 1) % 3 WHEN 0 THEN 'text/html'
+                      WHEN 1 THEN 'application/pdf'
+                      ELSE 'image/png' END AS mime,
+                 md5(CAST(doc_id AS VARCHAR)) AS digest
+          FROM documents
+        )
+    """
+
+
+def _surt_urlkeys_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_surt_select
+
+    inner = sql_surt_select("FROM rows")
+    return f"""
+        WITH {_cdx_rows_cte()}
+        SELECT suid AS doc_id, suurl AS url, urlkey
+        FROM ({inner})
+    """
+
+
+def _cdx_roundtrip_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_surt_select
+
+    inner = sql_surt_select("FROM rows")
+    return f"""
+        WITH {_cdx_rows_cte()}
+        SELECT sk.urlkey,
+               strftime(epoch_ms(r.ts_s * 1000), '%Y%m%d%H%M%S') AS ts14,
+               r.url, r.status, r.mime, r.digest
+        FROM rows r
+        JOIN ({inner}) sk ON sk.suid = r.doc_id
     """
 
 
@@ -2038,6 +2102,12 @@ def oracle_sql() -> dict[str, str]:
                    md5(COALESCE(text, '')) AS text_md5
             FROM documents
         """,
+        # surt_urlkeys: GENERATED string-surgery twin
+        # (urls.sql_surt_select) over the derived branch-covering URLs
+        "surt_urlkeys": _surt_urlkeys_sql(),
+        # cdx_roundtrip: write + read back; oracle recomputes all six
+        # columns (urlkey included) from the ORIGINAL derivation
+        "cdx_roundtrip": _cdx_roundtrip_sql(),
         # kwic_snippets: GENERATED list_position / 1-based-slice twin
         # (same tokenizer, earliest-position rule, COALESCE for the
         # empty-slice array_to_string NULL)

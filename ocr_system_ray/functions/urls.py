@@ -542,3 +542,95 @@ def sql_canonical_select(
                     ELSE '' END AS canonical_url
         FROM ct_h
     """
+
+
+# SURT — Sort-friendly URI Reordering Transform, the urlkey of the
+# Common-Crawl/OpenWayback CDX index: host labels reversed (comma-
+# joined), lowercase, scheme/userinfo/default-port/www. stripped,
+# query parameters sorted.  Subset documented: IPs are label-reversed
+# like hostnames (consistent, not special-cased), %-encoding left
+# verbatim, fragment dropped by the match pattern.
+SURT_HOST_PATTERN = r"(?i)^https?://([^/?#]+)"
+SURT_REST_PATTERN = r"(?i)^https?://[^/?#]+([^#]*)"
+_SURT_HOST_RGX = re.compile(SURT_HOST_PATTERN)
+_SURT_REST_RGX = re.compile(SURT_REST_PATTERN)
+_SURT_PORT_RGX = re.compile(r":(\d+)$")
+_SURT_DEFAULT_PORTS = ("", "80", "443")
+
+
+def surt_key(url: str) -> str:
+    """CDX urlkey for one URL; ``""`` for anything non-http(s)."""
+    m = _SURT_HOST_RGX.match(url or "")
+    if not m:
+        return ""
+    hostport = m.group(1).lower()
+    if "@" in hostport:
+        hostport = hostport.rsplit("@", 1)[1]
+    pm = _SURT_PORT_RGX.search(hostport)
+    port = pm.group(1) if pm else ""
+    host = hostport[: pm.start()] if pm else hostport
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    if port not in _SURT_DEFAULT_PORTS:
+        key += ":" + port
+    rm = _SURT_REST_RGX.match(url)
+    rest = (rm.group(1) if rm else "").lower() or "/"
+    if "?" in rest:
+        path, q = rest.split("?", 1)
+        rest = path + "?" + "&".join(sorted(q.split("&"))) if q else path
+    return key + ")" + rest
+
+
+def surt_keys_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "urlkey"
+) -> pa.Table:
+    """Append the SURT urlkey per row (row-local, never-fail)."""
+    keys = [surt_key(u or "") for u in batch.column(url_col).to_pylist()]
+    return batch.append_column(out_col, pa.array(keys, pa.string()))
+
+
+def sql_surt_select(
+    from_clause: str, id_expr: str = "doc_id", url_expr: str = "url"
+) -> str:
+    """CTE-based DuckDB twin of :func:`surt_key` (the scalar pieces
+    need staging; ``sql_surt_expr`` is intentionally not offered as a
+    single expression)."""
+    return f"""
+        WITH su_u AS (
+          SELECT {id_expr} AS suid, {url_expr} AS suurl,
+                 regexp_replace(lower(COALESCE(regexp_extract({url_expr},
+                     '{SURT_HOST_PATTERN}', 1), '')), '^.*@', '') AS hostport,
+                 lower(COALESCE(regexp_extract({url_expr},
+                     '{SURT_REST_PATTERN}', 1), '')) AS rest0
+          {from_clause}
+        ), su_p AS (
+          SELECT suid, suurl, hostport,
+                 COALESCE(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+                 regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                                '^www\\.', '') AS host,
+                 CASE WHEN rest0 = '' THEN '/' ELSE rest0 END AS rest
+          FROM su_u
+        ), su_q AS (
+          SELECT suid, suurl, hostport, port, host,
+                 CASE WHEN contains(rest, '?')
+                      THEN CASE WHEN regexp_extract(rest, '\\?(.*)$', 1) = ''
+                                THEN regexp_extract(rest, '^([^?]*)', 1)
+                                ELSE regexp_extract(rest, '^([^?]*)', 1) || '?'
+                                     || array_to_string(list_sort(string_split(
+                                          regexp_extract(rest, '\\?(.*)$', 1),
+                                          '&')), '&')
+                           END
+                      ELSE rest END AS rest
+          FROM su_p
+        )
+        SELECT suid, suurl,
+               CASE WHEN hostport = '' THEN ''
+                    ELSE array_to_string(list_reverse(string_split(host, '.')),
+                                         ',')
+                         || CASE WHEN port IN ('', '80', '443') THEN ''
+                                 ELSE ':' || port END
+                         || ')' || rest
+               END AS urlkey
+        FROM su_q
+    """

@@ -3949,3 +3949,99 @@ def q_quality_survivors(sf_dir: str) -> ray.data.Dataset:
 
     stream = docs.map_batches(with_recrawls, batch_format="pyarrow")
     return dedup.quality_survivors(stream, quality_col="quality")
+
+
+# ---------------------------------------------------------------------------
+# SURT urlkeys + CDX(J) crawl-index round trip
+# ---------------------------------------------------------------------------
+
+CDX_EPOCH_S = WET_EPOCH_S  # same 2026-01-01 base as the WET sink
+
+
+def _derived_cdx_url(i: int) -> str:
+    """One URL per doc exercising every SURT branch (doc_id % 8): query
+    sort, kept/dropped ports, userinfo, non-http, bare host, www strip,
+    uppercase scheme/host, fragment.  The SQL twin is the identical
+    CASE concatenation."""
+    s = str(i)
+    m = i % 8
+    if m == 0:
+        return f"https://www.Example.COM/path/{s}?b=2&a=1"
+    if m == 1:
+        return f"http://sub.site{i % 10}.example:8080/A/B{s}"
+    if m == 2:
+        return f"https://host{i % 5}.example:443/x?z=1"
+    if m == 3:
+        return f"http://user:pw@secure.example/{s}"
+    if m == 4:
+        return f"ftp://files.example/{s}"
+    if m == 5:
+        return f"https://bare{i % 7}.example"
+    if m == 6:
+        return f"http://www.a.b.c{i % 3}.example:80/p?only=1&only=0"
+    return f"HTTPS://UPPER{i % 4}.Example/Path?q={s}&Q=2#frag"
+
+
+_CDX_STATUS = (200, 301, 404)
+_CDX_MIME = ("text/html", "application/pdf", "image/png")
+
+
+def _derived_cdx_rows(t: pa.Table) -> pa.Table:
+    """(url, ts_s, status, mime, digest) crawl-log rows per doc_id."""
+    import hashlib
+
+    ids = t.column("doc_id").to_pylist()
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "url": pa.array([_derived_cdx_url(i) for i in ids], pa.string()),
+            "ts_s": pa.array([CDX_EPOCH_S + i * 7 for i in ids], pa.int64()),
+            "status": pa.array([_CDX_STATUS[i % 3] for i in ids], pa.int64()),
+            "mime": pa.array([_CDX_MIME[(i + 1) % 3] for i in ids], pa.string()),
+            "digest": pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def q_surt_urlkeys(sf_dir: str) -> ray.data.Dataset:
+    """SURT urlkey (the Common-Crawl CDX sort key) per derived URL:
+    host labels reversed, scheme/userinfo/default-port/www. stripped,
+    lowercased, query params sorted, non-http → ''.  Row-local
+    stateless pass; oracle = the GENERATED string-surgery twin
+    (``urls.sql_surt_select``)."""
+    from ..functions.urls import surt_keys_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(
+        lambda t: surt_keys_batch(
+            _derived_cdx_rows(t).select(["doc_id", "url"])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_cdx_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """CDXJ crawl-index sink + source round trip: derived crawl-log
+    rows write as sorted gzip CDXJ shards (``sources.cdx.write_cdx``,
+    urlkey computed in-sink), then ``read_cdx`` parses them back —
+    output is the round-tripped (urlkey, ts14, url, status, mime,
+    digest); the oracle recomputes all six from the ORIGINAL derivation
+    so any writer/reader corruption mismatches.  Artifact cached under
+    /tmp keyed by the sf dir."""
+    import hashlib
+    import os
+
+    from ..sources.cdx import read_cdx, write_cdx
+
+    cache = f"/tmp/osr_cdx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=["doc_id"])
+        rows = docs.map_batches(
+            lambda t: _derived_cdx_rows(t).drop_columns(["doc_id"]),
+            batch_format="pyarrow",
+        )
+        write_cdx(rows, cache)
+    return read_cdx(cache)

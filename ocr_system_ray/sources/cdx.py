@@ -1,0 +1,158 @@
+"""CDX(J) crawl-index sink + source — the Common-Crawl index layout.
+
+A CDXJ index line is ``<urlkey> <timestamp14> <json>``: the SURT
+urlkey (``functions/urls.surt_key``), a 14-digit UTC timestamp, and a
+JSON blob carrying at least url/status/mime/digest.  Common Crawl
+publishes its per-crawl URL index in exactly this shape
+(``cc-index``); writing one closes the index leg of the crawl loop the
+WET sink opened for content.
+
+* :func:`write_cdx` — one gzip shard per incoming block, written
+  INSIDE the tasks (no driver byte traffic); lines sorted by
+  (urlkey, ts) within the shard (the layout contract CDX consumers
+  rely on for merge scans); content-hash shard names ⇒ idempotent
+  re-runs, tmp + rename crash safety, ``_SUCCESS`` marker — the
+  ``write_jsonl`` / ``write_wet`` sink contract.
+* :func:`read_cdx` — per-shard tasks parse lines back to
+  ``(urlkey, ts14, url, status, mime, digest)``; malformed LINES are
+  skipped (the reader consumes what the writer and Common Crawl emit —
+  salvage is the JSONL source's department), while a corrupt-gzip
+  SHARD fails the read task loudly (Ray's binary reader gunzips
+  ``*.gz`` transparently in the read task — zero extra copy; parse
+  keeps a gzip fallback for extension-less paths).
+
+Scale notes: the sink is embarrassingly parallel (per-block); a
+global (urlkey, ts) ordering across shards is a `sort` the caller
+opts into — within-shard ordering plus shard merge at read time is
+the Common-Crawl-shaped contract.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import json
+import os
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.urls import surt_key
+
+_TS14 = "%Y%m%d%H%M%S"
+
+
+def write_cdx(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "ts_s",
+    status_col: str = "status",
+    mime_col: str = "mime",
+    digest_col: str = "digest",
+) -> int:
+    """Sharded CDXJ sink: urlkey computed per row, lines sorted by
+    (urlkey, ts14) within each shard.  ``ts_col`` is int64 epoch
+    seconds (UTC).  Returns rows written."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        lines: list[str] = []
+        for url, ts_s, status, mime, digest in zip(
+            t.column(url_col).to_pylist(),
+            t.column(ts_col).to_pylist(),
+            t.column(status_col).to_pylist(),
+            t.column(mime_col).to_pylist(),
+            t.column(digest_col).to_pylist(),
+        ):
+            ts14 = datetime.fromtimestamp(int(ts_s or 0), tz=timezone.utc).strftime(
+                _TS14
+            )
+            blob = json.dumps(
+                {
+                    "digest": digest or "",
+                    "mime": mime or "",
+                    "status": str(int(status or 0)),
+                    "url": url or "",
+                },
+                sort_keys=True,
+                separators=(",", ":"),
+            )
+            lines.append(f"{surt_key(url or '')} {ts14} {blob}")
+        lines.sort()
+        payload = gzip.compress(("\n".join(lines) + "\n").encode("utf-8"), mtime=0)
+        name = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(out_dir, f"cdx-{name}.cdx.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def read_cdx(paths: str | list[str], **read_kwargs) -> ray.data.Dataset:
+    """CDXJ shards → ``(urlkey, ts14, url, status, mime, digest)``.
+    One task per shard; malformed lines skipped."""
+    import glob as _glob
+
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(_glob.glob(os.path.join(paths, "*.cdx.gz")))
+    files = ray.data.read_binary_files(paths, **read_kwargs)
+
+    def parse(t: pa.Table) -> pa.Table:
+        urlkeys: list[str] = []
+        ts14s: list[str] = []
+        urls: list[str] = []
+        statuses: list[int] = []
+        mimes: list[str] = []
+        digests: list[str] = []
+        for raw in t.column("bytes").to_pylist():
+            # .gz paths arrive pre-gunzipped (Ray's reader); keep a
+            # gzip fallback for extension-less shard paths
+            if raw[:2] == b"\x1f\x8b":
+                try:
+                    raw = gzip.decompress(raw)
+                except OSError:
+                    continue
+            try:
+                text = raw.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            for line in text.splitlines():
+                parts = line.split(" ", 2)
+                if len(parts) != 3:
+                    continue
+                try:
+                    blob = json.loads(parts[2])
+                    status = int(blob.get("status", "0"))
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                urlkeys.append(parts[0])
+                ts14s.append(parts[1])
+                urls.append(str(blob.get("url", "")))
+                statuses.append(status)
+                mimes.append(str(blob.get("mime", "")))
+                digests.append(str(blob.get("digest", "")))
+        return pa.table(
+            {
+                "urlkey": pa.array(urlkeys, pa.string()),
+                "ts14": pa.array(ts14s, pa.string()),
+                "url": pa.array(urls, pa.string()),
+                "status": pa.array(statuses, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")

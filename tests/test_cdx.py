@@ -1,0 +1,208 @@
+"""SURT urlkey + CDXJ index sink/source tests: key branch coverage,
+DuckDB twin parity, shard round trip, idempotence, malformed-line skip.
+
+Reference behavior: the Common-Crawl / OpenWayback CDX(J) index layout
+(urlkey = SURT, 14-digit timestamp, JSON blob) — public format; the
+engine's subset is documented in ocr_system_ray/sources/cdx.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.urls import (
+    sql_surt_select,
+    surt_key,
+    surt_keys_batch,
+)
+from ocr_system_ray.sources.cdx import read_cdx, write_cdx
+
+CASES = {
+    # www strip + lowercase + query sort
+    "https://www.Example.COM/path/9?b=2&a=1": "com,example)/path/9?a=1&b=2",
+    # non-default port kept, path lowercased
+    "http://sub.site3.example:8080/A/B9": "example,site3,sub:8080)/a/b9",
+    # default https port dropped
+    "https://host0.example:443/x?z=1": "example,host0)/x?z=1",
+    # userinfo stripped
+    "http://user:pw@secure.example/7": "example,secure)/7",
+    # non-http scheme → empty key
+    "ftp://files.example/7": "",
+    "mailto:x@y.example": "",
+    "": "",
+    # bare host → "/"
+    "https://bare1.example": "example,bare1)/",
+    # www strip is single and leading-label only; port 80 dropped
+    "http://www.a.b.c0.example:80/p?only=1&only=0": (
+        "example,c0,b,a)/p?only=0&only=1"
+    ),
+    # uppercase scheme/host, fragment dropped, params sorted after lower
+    "HTTPS://UPPER2.Example/Path?q=15&Q=2#frag": (
+        "example,upper2)/path?q=15&q=2"
+    ),
+    # trailing empty query → path only
+    "https://e.example/p?": "example,e)/p",
+    # IPs label-reversed like hostnames (documented subset)
+    "http://10.0.0.1:8443/z": "1,0,0,10:8443)/z",
+}
+
+
+def test_surt_key_branches():
+    for url, expect in CASES.items():
+        assert surt_key(url) == expect, url
+
+
+def test_surt_key_port_kept_oddball():
+    # non-default port on https, with www
+    assert surt_key("https://www.x.example:8443/") == "example,x:8443)/"
+
+
+def test_surt_keys_batch_appends_column():
+    urls = list(CASES)
+    t = pa.table({"url": pa.array(urls), "k": pa.array(range(len(urls)))})
+    out = surt_keys_batch(t)
+    assert out.column_names == ["url", "k", "urlkey"]
+    assert out.column("urlkey").to_pylist() == [CASES[u] for u in urls]
+
+
+def test_surt_sql_twin_matches_python():
+    urls = [u for u in CASES if u]  # '' needs no SQL coverage (regex no-match)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW rows AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, u in enumerate(urls))
+        + ") t(doc_id, url)"
+    )
+    got = (
+        con.sql(sql_surt_select("FROM rows")).df().sort_values("suid")
+    )
+    assert got["urlkey"].tolist() == [surt_key(u) for u in urls]
+
+
+ROWS = pa.table(
+    {
+        "url": pa.array(
+            [
+                "https://www.A.example/p?b=1&a=2",
+                "http://b.example:81/q",
+                "ftp://no.example/x",
+            ]
+        ),
+        "ts_s": pa.array([1_767_225_600, 1_767_225_661, 0], pa.int64()),
+        "status": pa.array([200, 404, 301], pa.int64()),
+        "mime": pa.array(["text/html", "image/png", ""], pa.string()),
+        "digest": pa.array(["d1", "d2", ""], pa.string()),
+    }
+)
+
+
+def test_cdx_roundtrip_and_idempotence(ray_session, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "cdx")
+    ds = ray.data.from_arrow(ROWS)
+    n = write_cdx(ds, out)
+    assert n == 3
+    shards = sorted(glob.glob(os.path.join(out, "*.cdx.gz")))
+    assert shards and os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # within-shard lines sorted by (urlkey, ts14)
+    lines = gzip.decompress(open(shards[0], "rb").read()).decode().splitlines()
+    assert lines == sorted(lines)
+    assert lines[1].startswith("example,a)/p?a=2&b=1 20260101000000 {")
+    assert lines[-1].startswith("example,b:81)/q 20260101000101 {")
+
+    # idempotent re-run: content-hash names → same shard set
+    write_cdx(ray.data.from_arrow(ROWS), out)
+    assert sorted(glob.glob(os.path.join(out, "*.cdx.gz"))) == shards
+
+    back = read_cdx(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert back["url"].tolist() == [
+        "ftp://no.example/x",
+        "http://b.example:81/q",
+        "https://www.A.example/p?b=1&a=2",
+    ]
+    assert back["urlkey"].tolist() == [
+        "",
+        "example,b:81)/q",
+        "example,a)/p?a=2&b=1",
+    ]
+    assert back["ts14"].tolist() == [
+        "19700101000000",
+        "20260101000101",
+        "20260101000000",
+    ]
+    assert back["status"].tolist() == [301, 404, 200]
+    assert back["mime"].tolist() == ["", "image/png", "text/html"]
+    assert back["digest"].tolist() == ["", "d2", "d1"]
+
+
+def test_read_cdx_skips_malformed_lines(ray_session, tmp_path):
+    out = str(tmp_path / "bad")
+    os.makedirs(out)
+    good = 'com,ok)/ 20260101000000 {"digest":"d","mime":"m","status":"200","url":"https://ok.com/"}'
+    payload = "\n".join(
+        [
+            "only-two fields",
+            'com,bad)/ 20260101000000 {not json}',
+            'com,bad2)/ 20260101000000 {"status":"NaNope","url":"u"}',
+            good,
+        ]
+    ).encode()
+    with open(os.path.join(out, "a.cdx.gz"), "wb") as f:
+        f.write(gzip.compress(payload))
+    back = read_cdx(out).to_pandas()
+    assert len(back) == 1
+    assert back.loc[0, "urlkey"] == "com,ok)/"
+    assert back.loc[0, "status"] == 200
+
+
+def test_read_cdx_extensionless_gzip_fallback(ray_session, tmp_path):
+    # extension-less shard path → Ray does NOT gunzip; parse's
+    # magic-byte fallback does
+    p = str(tmp_path / "shard-noext")
+    line = 'com,x)/ 20260101000000 {"digest":"","mime":"","status":"200","url":"http://x.com/"}\n'
+    with open(p, "wb") as f:
+        f.write(gzip.compress(line.encode()))
+    back = read_cdx([p]).to_pandas()
+    assert back["urlkey"].tolist() == ["com,x)/"]
+
+
+def test_read_cdx_corrupt_shard_fails_loudly(ray_session, tmp_path):
+    out = str(tmp_path / "corrupt")
+    os.makedirs(out)
+    with open(os.path.join(out, "b.cdx.gz"), "wb") as f:
+        f.write(b"not gzip at all")
+    with pytest.raises(Exception):
+        read_cdx(out).to_pandas()
+
+
+@pytest.mark.parametrize("name", ["surt_urlkeys", "cdx_roundtrip"])
+def test_driver_queries_vs_duckdb_sf0001(ray_session, name):
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    q = e.queries()[name]
+    sql = e.oracle_sql()[name]
+    got = q("/root/testdata/sf0.001")
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    want = con.sql(sql).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
