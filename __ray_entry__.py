@@ -115,6 +115,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip": q.q_wet_roundtrip,
         "surt_urlkeys": q.q_surt_urlkeys,
         "cdx_roundtrip": q.q_cdx_roundtrip,
+        "html_markdown": q.q_html_markdown,
+        "feed_entries": q.q_feed_entries,
+        "url_features": q.q_url_features,
+        "cdx_collapse": q.q_cdx_collapse,
+        "robots_sitemaps": q.q_robots_sitemaps,
+        "tld_stats": q.q_tld_stats,
         "crawl_frontier": q.q_crawl_frontier,
         "image_neardup_incremental": q.q_image_neardup_incremental,
         "char_classes": q.q_char_classes,
@@ -694,6 +700,168 @@ def _cdx_rows_cte() -> str:
                  md5(CAST(doc_id AS VARCHAR)) AS digest
           FROM documents
         )
+    """
+
+
+def _feed_entries_sql() -> str:
+    from ocr_system_ray.functions.feeds import sql_feed_select
+
+    inner = sql_feed_select("FROM xmls", xml_expr="xml")
+    return f"""
+        WITH xmls AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '<rss><channel><item><title>Post '
+                     || CAST(doc_id AS VARCHAR) || ' one</title><link>https://r'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+                     || CAST(doc_id AS VARCHAR)
+                     || '/1</link><guid isPermaLink="false">g-'
+                     || CAST(doc_id AS VARCHAR) || '-1</guid><pubDate>Mon, 0'
+                     || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || ' Jan 2026 00:00:00 GMT</pubDate></item>'
+                     || '<item><title>Post ' || CAST(doc_id AS VARCHAR)
+                     || ' two</title><link>https://r'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+                     || CAST(doc_id AS VARCHAR) || '/2</link></item>'
+                     || '<item><title>no link decoy</title></item>'
+                     || '</channel></rss>'
+                   WHEN 1 THEN '<rss><channel><item><title> Pad '
+                     || CAST(doc_id AS VARCHAR)
+                     || ' </title><link> https://r'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+                     || CAST(doc_id AS VARCHAR)
+                     || '/pad </link></item></channel></rss>'
+                   WHEN 2 THEN '<feed><entry><title>Atom '
+                     || CAST(doc_id AS VARCHAR)
+                     || '</title><link rel="alternate" href="https://a'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+                     || CAST(doc_id AS VARCHAR) || '"/><id>tag:a'
+                     || CAST(doc_id % 10 AS VARCHAR) || ','
+                     || CAST(doc_id AS VARCHAR) || '</id><updated>2026-01-0'
+                     || CAST(doc_id % 9 + 1 AS VARCHAR)
+                     || 'T00:00:00Z</updated></entry>'
+                     || '<entry><title>nolink</title><id>x</id></entry></feed>'
+                   ELSE '<feed><entry><title>Multi '
+                     || CAST(doc_id AS VARCHAR)
+                     || '</title><link href="https://a'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+                     || CAST(doc_id AS VARCHAR)
+                     || '/first"/><link href="https://a'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+                     || CAST(doc_id AS VARCHAR) || '/second"/><id>m-'
+                     || CAST(doc_id AS VARCHAR) || '</id></entry></feed>'
+                 END AS xml
+          FROM documents
+        )
+        {inner}
+    """
+
+
+def _html_markdown_sql() -> str:
+    """Expected-markdown twin of ``_derived_markdown_pages`` →
+    ``markdown_batch`` (chr(10) pair = the blank-line block join)."""
+    return """
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN '## Title ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || chr(10)
+                   || 'Body & more ' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '- alpha' || chr(10) || chr(10)
+                   || '- **beta ' || CAST(doc_id AS VARCHAR) || '**'
+                 WHEN 2 THEN 'See [link ' || CAST(doc_id AS VARCHAR)
+                   || '](https://x.example/' || CAST(doc_id AS VARCHAR)
+                   || ') now'
+                 WHEN 3 THEN '1. one' || chr(10) || chr(10) || '2. two'
+                   || chr(10) || chr(10) || '---'
+                 WHEN 4 THEN '> quote ' || CAST(doc_id AS VARCHAR)
+                   || chr(10) || chr(10) || 'after'
+                 ELSE 'mixed *em ' || CAST(doc_id AS VARCHAR)
+                   || '* and `c()`'
+               END AS markdown
+        FROM documents
+    """
+
+
+def _robots_sitemaps_sql() -> str:
+    from ocr_system_ray.functions.robots import sql_sitemap_directives_select
+
+    inner = sql_sitemap_directives_select("FROM bodies")
+    return f"""
+        WITH bodies AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /tmp'
+                     || chr(10) || 'Sitemap: https://h'
+                     || CAST(doc_id % 10 AS VARCHAR) || '.example/sitemap-'
+                     || CAST(doc_id AS VARCHAR) || '.xml' || chr(10)
+                     || '  sitemap : https://h' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example/extra-' || CAST(doc_id AS VARCHAR)
+                     || '.xml # comment' || chr(10)
+                   WHEN 1 THEN 'User-agent: *' || chr(10) || 'Allow: /'
+                     || chr(10) || '# Sitemap: https://ignored.example/x.xml'
+                     || chr(10)
+                   ELSE 'SITEMAP:https://h' || CAST(doc_id % 10 AS VARCHAR)
+                     || '.example/s' || CAST(doc_id AS VARCHAR) || '.xml'
+                     || chr(10) || 'Sitemap:' || chr(10)
+                 END AS robots_txt
+          FROM documents
+        )
+        {inner}
+    """
+
+
+def _tld_stats_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_url_features_select
+
+    inner = sql_url_features_select("FROM (SELECT doc_id, url FROM rows)")
+    return f"""
+        WITH {_cdx_rows_cte()}
+        SELECT tld,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_ip) AS BIGINT) AS n_ip,
+               CAST(SUM(path_depth) AS BIGINT) AS sum_path_depth,
+               CAST(SUM(n_params) AS BIGINT) AS sum_params
+        FROM ({inner})
+        GROUP BY tld
+    """
+
+
+def _cdx_collapse_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_surt_select
+
+    surt = sql_surt_select("FROM (SELECT DISTINCT doc_id, url FROM caps)")
+    return f"""
+        WITH {_cdx_rows_cte()},
+        caps AS (
+          SELECT r.doc_id, r.url,
+                 r.ts_s + t.k * 86400 AS ts_s,
+                 md5(CAST(r.doc_id AS VARCHAR) || '-'
+                     || CAST(t.k // 2 AS VARCHAR)) AS digest
+          FROM rows r, UNNEST(range(r.doc_id % 3 + 1)) AS t(k)
+        ),
+        keyed AS (
+          SELECT c.ts_s, c.digest, sk.urlkey
+          FROM caps c JOIN ({surt}) sk ON sk.suid = c.doc_id
+          WHERE sk.urlkey <> ''
+        )
+        SELECT urlkey,
+               CAST(COUNT(*) AS BIGINT) AS n_captures,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_versions,
+               strftime(epoch_ms(MIN(ts_s) * 1000), '%Y%m%d%H%M%S')
+                 AS first_ts14,
+               strftime(epoch_ms(MAX(ts_s) * 1000), '%Y%m%d%H%M%S')
+                 AS last_ts14
+        FROM keyed GROUP BY urlkey
+    """
+
+
+def _url_features_sql() -> str:
+    from ocr_system_ray.functions.urls import sql_url_features_select
+
+    inner = sql_url_features_select("FROM (SELECT doc_id, url FROM rows)")
+    return f"""
+        WITH {_cdx_rows_cte()}
+        SELECT * FROM ({inner})
     """
 
 
@@ -2108,6 +2276,24 @@ def oracle_sql() -> dict[str, str]:
         # cdx_roundtrip: write + read back; oracle recomputes all six
         # columns (urlkey included) from the ORIGINAL derivation
         "cdx_roundtrip": _cdx_roundtrip_sql(),
+        # robots_sitemaps: derived bodies + GENERATED pattern twin
+        # (robots.sql_sitemap_directives_select)
+        "robots_sitemaps": _robots_sitemaps_sql(),
+        # tld_stats: composed GROUP BY over the generated url-features
+        # twin (combiner on the Ray side, plain GROUP BY in SQL)
+        "tld_stats": _tld_stats_sql(),
+        # cdx_collapse: derivation-recomputing twin — captures via
+        # unnest(range()), urlkey via the generated SURT twin, GROUP BY
+        "cdx_collapse": _cdx_collapse_sql(),
+        # url_features: GENERATED vectorized-kernel twin
+        # (urls.sql_url_features_select) over the SURT-branch URLs
+        "url_features": _url_features_sql(),
+        # feed_entries: derived RSS/Atom XML + the GENERATED block/field
+        # pattern twins, both legs recomputed (feeds.sql_feed_select)
+        "feed_entries": _feed_entries_sql(),
+        # html_markdown: GENERATED expected-markdown twin over the
+        # branch-covering derived pages (edge cases pinned in pytest)
+        "html_markdown": _html_markdown_sql(),
         # kwic_snippets: GENERATED list_position / 1-based-slice twin
         # (same tokenizer, earliest-position rule, COALESCE for the
         # empty-slice array_to_string NULL)

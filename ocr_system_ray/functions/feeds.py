@@ -1,0 +1,157 @@
+"""RSS 2.0 / Atom feed parsing — content-discovery leg of the crawl.
+
+Feeds complement sitemaps (``sitemap.py``) for discovery: an RSS
+``<item>`` or Atom ``<entry>`` yields one row per entry with title,
+link, stable entry id (guid / atom:id), and the raw published
+timestamp string.  Scope (documented, the regex contract both engines
+share): well-formed documents with plain element text, attribute-less
+``<item>``/``<entry>`` open tags, double-quoted Atom ``href``; CDATA
+and namespace-prefixed variants are out of scope.  Entries without a
+resolvable URL are skipped (nothing to fetch); RSS links are element
+text, Atom links are the FIRST ``href`` attribute in the entry.
+
+Patterns are module constants so the DuckDB twin is GENERATED from the
+same rules (the ``sitemap.py`` parity pattern).
+
+Ray shape: one stateless 1→N flat-map; the XML payload dies in-stage,
+only (id, kind, title, url, entry_id, published) rows flow on.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+ITEM_BLOCK_PATTERN = r"(?s)<item>(.*?)</item>"
+ENTRY_BLOCK_PATTERN = r"(?s)<entry>(.*?)</entry>"
+TITLE_PATTERN = r"(?s)<title>\s*(.*?)\s*</title>"
+RSS_LINK_PATTERN = r"(?s)<link>\s*(.*?)\s*</link>"
+ATOM_LINK_PATTERN = r'<link[^>]*href="([^"]*)"'
+GUID_PATTERN = r"(?s)<guid[^>]*>\s*(.*?)\s*</guid>"
+ATOM_ID_PATTERN = r"(?s)<id>\s*(.*?)\s*</id>"
+PUBDATE_PATTERN = r"(?s)<pubDate>\s*(.*?)\s*</pubDate>"
+UPDATED_PATTERN = r"(?s)<updated>\s*(.*?)\s*</updated>"
+
+_ITEM = re.compile(ITEM_BLOCK_PATTERN)
+_ENTRY = re.compile(ENTRY_BLOCK_PATTERN)
+_TITLE = re.compile(TITLE_PATTERN)
+_RSS_LINK = re.compile(RSS_LINK_PATTERN)
+_ATOM_LINK = re.compile(ATOM_LINK_PATTERN)
+_GUID = re.compile(GUID_PATTERN)
+_ATOM_ID = re.compile(ATOM_ID_PATTERN)
+_PUBDATE = re.compile(PUBDATE_PATTERN)
+_UPDATED = re.compile(UPDATED_PATTERN)
+
+
+def _first(rgx: re.Pattern, block: str) -> str:
+    m = rgx.search(block)
+    return m.group(1) if m else ""
+
+
+def parse_feed(xml: str) -> list[dict]:
+    """One feed document → entry dicts ``{kind, title, url, entry_id,
+    published}``; kind ∈ ``rss | atom``.  URL-less entries skipped."""
+    out: list[dict] = []
+    for block in _ITEM.findall(xml or ""):
+        url = _first(_RSS_LINK, block)
+        if not url:
+            continue
+        out.append(
+            {
+                "kind": "rss",
+                "title": _first(_TITLE, block),
+                "url": url,
+                "entry_id": _first(_GUID, block),
+                "published": _first(_PUBDATE, block),
+            }
+        )
+    for block in _ENTRY.findall(xml or ""):
+        url = _first(_ATOM_LINK, block)
+        if not url:
+            continue
+        out.append(
+            {
+                "kind": "atom",
+                "title": _first(_TITLE, block),
+                "url": url,
+                "entry_id": _first(_ATOM_ID, block),
+                "published": _first(_UPDATED, block),
+            }
+        )
+    return out
+
+
+def parse_feeds(
+    ds: ray.data.Dataset,
+    xml_col: str = "xml",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """1→N flat-map over feed documents →
+    ``(id_col, kind, title, url, entry_id, published)``."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        cols: dict[str, list[str]] = {
+            "kind": [],
+            "title": [],
+            "url": [],
+            "entry_id": [],
+            "published": [],
+        }
+        for i, xml in zip(
+            t.column(id_col).to_pylist(), t.column(xml_col).to_pylist()
+        ):
+            for e in parse_feed(xml or ""):
+                ids_out.append(i)
+                for k in cols:
+                    cols[k].append(e[k])
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, t.schema.field(id_col).type),
+                **{k: pa.array(v, pa.string()) for k, v in cols.items()},
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def sql_feed_select(
+    from_clause: str, id_expr: str = "doc_id", xml_expr: str = "xml"
+) -> str:
+    """GENERATED DuckDB twin of :func:`parse_feeds`, both legs unioned
+    (same block/field patterns; url-less entries dropped)."""
+    rss = f"""
+        SELECT doc_id, 'rss' AS kind,
+               regexp_extract(block, '{TITLE_PATTERN}', 1) AS title,
+               regexp_extract(block, '{RSS_LINK_PATTERN}', 1) AS url,
+               regexp_extract(block, '{GUID_PATTERN}', 1) AS entry_id,
+               regexp_extract(block, '{PUBDATE_PATTERN}', 1) AS published
+        FROM (
+          SELECT {id_expr} AS doc_id,
+                 unnest(regexp_extract_all(COALESCE({xml_expr}, ''),
+                                           '{ITEM_BLOCK_PATTERN}', 1)) AS block
+          {from_clause}
+        )
+    """
+    atom = f"""
+        SELECT doc_id, 'atom' AS kind,
+               regexp_extract(block, '{TITLE_PATTERN}', 1) AS title,
+               regexp_extract(block, '{ATOM_LINK_PATTERN}', 1) AS url,
+               regexp_extract(block, '{ATOM_ID_PATTERN}', 1) AS entry_id,
+               regexp_extract(block, '{UPDATED_PATTERN}', 1) AS published
+        FROM (
+          SELECT {id_expr} AS doc_id,
+                 unnest(regexp_extract_all(COALESCE({xml_expr}, ''),
+                                           '{ENTRY_BLOCK_PATTERN}', 1)) AS block
+          {from_clause}
+        )
+    """
+    return f"""
+        SELECT * FROM ({rss}) WHERE url <> ''
+        UNION ALL
+        SELECT * FROM ({atom}) WHERE url <> ''
+    """

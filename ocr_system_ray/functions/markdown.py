@@ -1,0 +1,200 @@
+"""HTML → Markdown conversion — the extraction-output format modern
+training-data pipelines emit (trafilatura ``--output-format markdown``,
+FineWeb-Edu derivatives, readability exporters).
+
+From-scratch stdlib converter (no reference analog — the reference at
+/root/reference emits plain text only; this widens the extraction tier
+per SURVEY.md §2.11).  Deterministic subset, documented:
+
+* blocks: ``h1..h6`` → ``#``-prefix lines, ``p``/``div`` → blank-line
+  paragraphs, ``blockquote`` → ``> `` prefix, ``ul``/``ol``/``li`` →
+  ``- `` / ``1.`` items (nesting = two-space indent, ordered lists
+  numbered per level), ``br`` → hard line break, ``hr`` → ``---``,
+  ``pre`` → fenced code block (whitespace preserved).
+* inline: ``a[href]`` → ``[text](href)`` (textless or hrefless anchors
+  degrade to their text), ``b``/``strong`` → ``**``, ``i``/``em`` →
+  ``*``, ``code`` → backticks.
+* dropped: ``script``/``style``/``head``/``template`` subtrees,
+  comments, every other tag (children kept — div-soup flattens).
+* whitespace: runs collapse to one space outside ``pre``; blocks are
+  edge-trimmed; output joins blocks with single blank lines.
+* charrefs decoded by the stdlib (``&amp;`` → ``&``); markdown special
+  characters in text are NOT escaped (documented: corpus conversion,
+  not round-trippable authoring).
+
+Never-fail-row: parse errors degrade to tag-stripped text, mirroring
+the engine's error-as-data contract.
+
+Scale: one stateless ``map_batches`` pass, HTML dies in-stage; the
+parser is per-row Python by necessity (same cost class as the flagship
+block parser), so the stage belongs in an actor/task pool sized like
+parse — not a regex hot loop to vectorize.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+_SKIP = {"script", "style", "head", "template"}
+_BLOCK_H = {f"h{i}": i for i in range(1, 7)}
+_WS_RGX = re.compile(r"[ \t\r\n\f\v]+")
+
+
+class _MdParser(HTMLParser):
+    """Single-pass HTML→Markdown emitter with a list-context stack."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []  # finished markdown blocks
+        self._cur: list[str] = []  # inline pieces of the open block
+        self._lists: list[list[int]] = []  # stack: [is_ordered, counter]
+        self._skip = 0
+        self._pre = 0
+        self._quote = 0
+        self._prefix = ""  # block prefix (heading/list/quote)
+
+    # -- block plumbing ------------------------------------------------
+    def _flush(self) -> None:
+        text = "".join(self._cur)
+        if not self._pre:
+            # \x01 = <br> hard break, restored after the collapse
+            text = _WS_RGX.sub(" ", text).strip()
+            text = re.sub(r" ?\x01 ?", "\n", text)
+        if text:
+            self.blocks.append(self._prefix + text)
+        self._cur = []
+        self._prefix = ""
+
+    def _open_block(self, prefix: str) -> None:
+        self._flush()
+        self._prefix = prefix
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in _SKIP:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag in _BLOCK_H:
+            self._open_block("#" * _BLOCK_H[tag] + " ")
+        elif tag in ("p", "div"):
+            self._open_block("> " * self._quote)
+        elif tag == "blockquote":
+            self._flush()
+            self._quote += 1
+            self._prefix = "> " * self._quote
+        elif tag in ("ul", "ol"):
+            self._flush()
+            self._lists.append([1 if tag == "ol" else 0, 0])
+        elif tag == "li":
+            self._flush()
+            indent = "  " * max(len(self._lists) - 1, 0)
+            if self._lists and self._lists[-1][0]:
+                self._lists[-1][1] += 1
+                self._prefix = f"{indent}{self._lists[-1][1]}. "
+            else:
+                self._prefix = indent + "- "
+        elif tag == "br":
+            self._cur.append("\x01")
+        elif tag == "hr":
+            self._flush()
+            self.blocks.append("---")
+        elif tag == "pre":
+            self._flush()
+            self._pre += 1
+        elif tag in ("b", "strong"):
+            self._cur.append("**")
+        elif tag in ("i", "em"):
+            self._cur.append("*")
+        elif tag == "code":
+            self._cur.append("```" if self._pre else "`")
+            if self._pre:
+                self._cur.append("\n")
+        elif tag == "a":
+            href = next((v for k, v in attrs if k == "href"), None)
+            self._cur.append("\x00[")  # sentinel resolved on close
+            self._href = (href or "").strip()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP:
+            self._skip = max(self._skip - 1, 0)
+            return
+        if self._skip:
+            return
+        if tag in _BLOCK_H or tag in ("p", "div", "li"):
+            self._flush()
+        elif tag == "blockquote":
+            self._flush()
+            self._quote = max(self._quote - 1, 0)
+        elif tag in ("ul", "ol"):
+            self._flush()
+            if self._lists:
+                self._lists.pop()
+        elif tag == "pre":
+            self._flush()
+            self._pre = max(self._pre - 1, 0)
+        elif tag in ("b", "strong"):
+            self._cur.append("**")
+        elif tag in ("i", "em"):
+            self._cur.append("*")
+        elif tag == "code":
+            if self._pre:
+                self._cur.append("\n```")
+            else:
+                self._cur.append("`")
+        elif tag == "a":
+            text = "".join(self._cur)
+            start = text.rfind("\x00[")
+            if start < 0:
+                return
+            label = text[start + 2 :]
+            href = getattr(self, "_href", "")
+            if href and label.strip():
+                repl = f"[{label}]({href})"
+            else:
+                repl = label
+            self._cur = [text[:start], repl]
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip:
+            self._cur.append(data)
+
+    def finish(self) -> str:
+        self._flush()
+        # unresolved anchor sentinels (unclosed <a>) degrade to text
+        return "\n\n".join(b.replace("\x00[", "") for b in self.blocks)
+
+
+_TAG_STRIP_RGX = re.compile(r"<[^>]*>")
+
+
+def html_to_markdown(html: str) -> str:
+    """Convert one HTML document; parse failures degrade to
+    tag-stripped collapsed text (error-as-data, never raises)."""
+    p = _MdParser()
+    try:
+        p.feed(html or "")
+        p.close()
+        return p.finish()
+    except Exception:  # noqa: BLE001 — never-fail-row contract
+        return _WS_RGX.sub(" ", _TAG_STRIP_RGX.sub(" ", html or "")).strip()
+
+
+def markdown_batch(
+    batch: pa.Table, html_col: str = "html", out_col: str = "markdown"
+) -> pa.Table:
+    """Append the markdown conversion per row; HTML column is the
+    caller's to drop (``.drop_columns`` in-stage so payloads die)."""
+    col = batch.column(html_col)
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        texts = [
+            (b or b"").decode("utf-8", errors="replace") for b in col.to_pylist()
+        ]
+    else:
+        texts = [s or "" for s in col.to_pylist()]
+    md = [html_to_markdown(s) for s in texts]
+    return batch.append_column(out_col, pa.array(md, pa.string()))

@@ -267,3 +267,64 @@ def fetch_schedule(
         .groupby("bucket")
         .map_groups(rank_group, batch_format="pandas")
     )
+
+
+# Sitemap: directives (RFC 9309 §2.3 / sitemaps.org autodiscovery) —
+# group-independent lines anywhere in the file; the discovery hop that
+# feeds ``sitemap.parse_sitemaps``.  Pattern is a module constant so
+# the DuckDB twin is GENERATED from the same rule.
+SITEMAP_DIRECTIVE_PATTERN = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*)"
+_SITEMAP_DIRECTIVE = re.compile(SITEMAP_DIRECTIVE_PATTERN)
+
+
+def extract_sitemap_directives(text: str) -> list[str]:
+    """robots.txt body → sitemap URLs (comments stripped by the
+    pattern, values trimmed, empties dropped)."""
+    return [
+        v
+        for v in (m.strip(" \t") for m in _SITEMAP_DIRECTIVE.findall(text or ""))
+        if v
+    ]
+
+
+def sitemap_directives(
+    ds: ray.data.Dataset,
+    body_col: str = "robots_txt",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """1→N flat-map over robots bodies → ``(id_col, sitemap_url)``;
+    the body dies in-stage."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids: list = []
+        urls: list[str] = []
+        for i, body in zip(
+            t.column(id_col).to_pylist(), t.column(body_col).to_pylist()
+        ):
+            for u in extract_sitemap_directives(body or ""):
+                ids.append(i)
+                urls.append(u)
+        return pa.table(
+            {
+                id_col: pa.array(ids, t.schema.field(id_col).type),
+                "sitemap_url": pa.array(urls, pa.string()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def sql_sitemap_directives_select(
+    from_clause: str, id_expr: str = "doc_id", body_expr: str = "robots_txt"
+) -> str:
+    """GENERATED DuckDB twin of :func:`sitemap_directives` (same
+    pattern, same trim/drop rules)."""
+    return f"""
+        SELECT doc_id, sitemap_url FROM (
+          SELECT {id_expr} AS doc_id,
+                 trim(unnest(regexp_extract_all(COALESCE({body_expr}, ''),
+                     '{SITEMAP_DIRECTIVE_PATTERN}', 1)), ' ' || chr(9))
+                   AS sitemap_url
+          {from_clause}
+        ) WHERE sitemap_url <> ''
+    """

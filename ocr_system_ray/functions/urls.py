@@ -634,3 +634,116 @@ def sql_surt_select(
                END AS urlkey
         FROM su_q
     """
+
+
+# URL quality features — the FineWeb/UT1-style URL-filtering signals:
+# spammy hosts skew digit/hyphen-heavy, deep paths and parameter soup
+# correlate with boilerplate/session pages.  All features integer (or
+# plain strings) so the value hash is float-free; every kernel is a
+# vectorized pyarrow RE2/count op drawn from the same patterns that
+# generate the DuckDB twin.
+URLF_HOST_PATTERN = r"(?i)^https?://(?:[^/?#]*@)?(?P<h>[^/?#]+)"
+URLF_PATH_PATTERN = r"(?i)^https?://[^/?#]+(?P<p>[^?#]*)"
+URLF_QUERY_PATTERN = r"\?(?P<q>[^#]*)"
+URLF_PORT_STRIP = r":[0-9]+$"
+URLF_IP_PATTERN = r"^[0-9]+(\.[0-9]+){3}$"
+URLF_TLD_PATTERN = r"(?P<t>[^.]*)$"
+
+
+def _extract_group(arr: pa.ChunkedArray | pa.Array, pattern: str, group: str):
+    """extract_regex → named group, null-safe ''-filled string array."""
+    s = pc.extract_regex(arr, pattern)
+    return pc.fill_null(pc.struct_field(s, group), "")
+
+
+def url_features_batch(
+    batch: pa.Table, url_col: str = "url", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-URL quality features: ``(id, url, url_len, host, tld,
+    host_labels, host_digits, host_hyphens, is_ip, path_depth,
+    path_len, path_digits, n_params)``.  Non-http(s) rows degrade to
+    host='' with zeroed host features (never-fail-row)."""
+    url = pc.fill_null(batch.column(url_col), "")
+    host = pc.utf8_lower(
+        pc.replace_substring_regex(
+            _extract_group(url, URLF_HOST_PATTERN, "h"), URLF_PORT_STRIP, ""
+        )
+    )
+    path = _extract_group(url, URLF_PATH_PATTERN, "p")
+    query = _extract_group(url, URLF_QUERY_PATTERN, "q")
+
+    def i64(a):  # noqa: ANN001
+        return pc.cast(a, pa.int64())
+
+    empty_host = pc.equal(host, "")
+    host_labels = pc.if_else(
+        empty_host,
+        pa.scalar(0, pa.int64()),
+        i64(pc.add(pc.count_substring(host, "."), 1)),
+    )
+    tld = pc.if_else(empty_host, "", _extract_group(host, URLF_TLD_PATTERN, "t"))
+    n_params = pc.if_else(
+        pc.equal(query, ""),
+        pa.scalar(0, pa.int64()),
+        i64(pc.add(pc.count_substring(query, "&"), 1)),
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "url": url,
+            "url_len": i64(pc.utf8_length(url)),
+            "host": host,
+            "tld": tld,
+            "host_labels": host_labels,
+            "host_digits": i64(pc.count_substring_regex(host, "[0-9]")),
+            "host_hyphens": i64(pc.count_substring(host, "-")),
+            "is_ip": i64(pc.match_substring_regex(host, URLF_IP_PATTERN)),
+            "path_depth": i64(pc.count_substring(path, "/")),
+            "path_len": i64(pc.utf8_length(path)),
+            "path_digits": i64(pc.count_substring_regex(path, "[0-9]")),
+            "n_params": n_params,
+        }
+    )
+
+
+def sql_url_features_select(
+    from_clause: str, id_expr: str = "doc_id", url_expr: str = "url"
+) -> str:
+    """GENERATED DuckDB twin of :func:`url_features_batch` (same
+    patterns, same ''-degrade rules, BIGINT casts throughout)."""
+    return f"""
+        WITH uf_u AS (
+          SELECT {id_expr} AS doc_id, COALESCE({url_expr}, '') AS url,
+                 lower(regexp_replace(COALESCE(regexp_extract({url_expr},
+                     '(?i)^https?://(?:[^/?#]*@)?([^/?#]+)', 1), ''),
+                     '{URLF_PORT_STRIP}', '')) AS host,
+                 COALESCE(regexp_extract({url_expr},
+                     '(?i)^https?://[^/?#]+([^?#]*)', 1), '') AS path,
+                 COALESCE(regexp_extract({url_expr},
+                     '\\?([^#]*)', 1), '') AS query
+          {from_clause}
+        )
+        SELECT doc_id, url,
+               CAST(length(url) AS BIGINT) AS url_len,
+               host,
+               CASE WHEN host = '' THEN ''
+                    ELSE regexp_extract(host, '([^.]*)$', 1) END AS tld,
+               CAST(CASE WHEN host = '' THEN 0
+                    ELSE length(host) - length(replace(host, '.', '')) + 1
+               END AS BIGINT) AS host_labels,
+               CAST(length(regexp_replace(host, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS host_digits,
+               CAST(length(host) - length(replace(host, '-', ''))
+                    AS BIGINT) AS host_hyphens,
+               CAST(CASE WHEN regexp_matches(host, '{URLF_IP_PATTERN}')
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_ip,
+               CAST(length(path) - length(replace(path, '/', ''))
+                    AS BIGINT) AS path_depth,
+               CAST(length(path) AS BIGINT) AS path_len,
+               CAST(length(regexp_replace(path, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS path_digits,
+               CAST(CASE WHEN query = '' THEN 0
+                    ELSE length(query) - length(replace(query, '&', '')) + 1
+               END AS BIGINT) AS n_params
+        FROM uf_u
+    """

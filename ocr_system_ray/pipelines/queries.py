@@ -4045,3 +4045,319 @@ def q_cdx_roundtrip(sf_dir: str) -> ray.data.Dataset:
         )
         write_cdx(rows, cache)
     return read_cdx(cache)
+
+
+def _derived_markdown_pages(t: pa.Table) -> pa.Table:
+    """(doc_id, html) pages exercising every converter branch family
+    (doc_id % 6): heading+charref, list+bold, link+dropped script,
+    ordered list+hr, blockquote, div+em+code.  The SQL twin recomputes
+    the EXPECTED markdown by the same concatenation."""
+    ids = t.column("doc_id").to_pylist()
+    html: list[str] = []
+    for i in ids:
+        s = str(i)
+        m = i % 6
+        if m == 0:
+            h = f"<h2>Title {s}</h2><p>Body &amp; more {s}</p>"
+        elif m == 1:
+            h = f"<ul><li>alpha</li><li><b>beta {s}</b></li></ul>"
+        elif m == 2:
+            h = (
+                f'<p>See <a href="https://x.example/{s}">link {s}</a> now</p>'
+                "<script>var a=1;</script>"
+            )
+        elif m == 3:
+            h = "<ol><li>one</li><li>two</li></ol><hr>"
+        elif m == 4:
+            h = f"<blockquote><p>quote {s}</p></blockquote><p>after</p>"
+        else:
+            h = f"<div>mixed <i>em {s}</i> and <code>c()</code></div>"
+        html.append(h)
+    return pa.table({"doc_id": t.column("doc_id"), "html": pa.array(html)})
+
+
+def q_html_markdown(sf_dir: str) -> ray.data.Dataset:
+    """HTML → Markdown conversion (the extraction-output format of
+    trafilatura-style pipelines): headings/lists/links/quotes/emphasis
+    per the documented subset, script subtrees dropped, charrefs
+    decoded.  One stateless pass, HTML dies in-stage; oracle = the
+    GENERATED expected-markdown twin over the same derived pages."""
+    from ..functions.markdown import markdown_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(
+        lambda t: markdown_batch(_derived_markdown_pages(t)).drop_columns(
+            ["html"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _derived_feed_xml(i: int) -> str:
+    """One feed document per doc_id (doc_id % 4): RSS 2-good-items +
+    link-less decoy, RSS whitespace-padded minimal item, Atom
+    attributed entry + link-less decoy, Atom multi-link entry (first
+    href wins).  The SQL twin is the identical CASE concatenation."""
+    s = str(i)
+    h = i % 10
+    d = i % 9 + 1
+    m = i % 4
+    if m == 0:
+        return (
+            "<rss><channel>"
+            f"<item><title>Post {s} one</title>"
+            f"<link>https://r{h}.example/{s}/1</link>"
+            f'<guid isPermaLink="false">g-{s}-1</guid>'
+            f"<pubDate>Mon, 0{d} Jan 2026 00:00:00 GMT</pubDate></item>"
+            f"<item><title>Post {s} two</title>"
+            f"<link>https://r{h}.example/{s}/2</link></item>"
+            "<item><title>no link decoy</title></item>"
+            "</channel></rss>"
+        )
+    if m == 1:
+        return (
+            "<rss><channel><item>"
+            f"<title> Pad {s} </title>"
+            f"<link> https://r{h}.example/{s}/pad </link>"
+            "</item></channel></rss>"
+        )
+    if m == 2:
+        return (
+            "<feed>"
+            f"<entry><title>Atom {s}</title>"
+            f'<link rel="alternate" href="https://a{h}.example/{s}"/>'
+            f"<id>tag:a{h},{s}</id>"
+            f"<updated>2026-01-0{d}T00:00:00Z</updated></entry>"
+            "<entry><title>nolink</title><id>x</id></entry>"
+            "</feed>"
+        )
+    return (
+        "<feed><entry>"
+        f"<title>Multi {s}</title>"
+        f'<link href="https://a{h}.example/{s}/first"/>'
+        f'<link href="https://a{h}.example/{s}/second"/>'
+        f"<id>m-{s}</id>"
+        "</entry></feed>"
+    )
+
+
+def q_feed_entries(sf_dir: str) -> ray.data.Dataset:
+    """RSS/Atom feed parsing — the content-discovery leg sitemaps
+    don't cover: one row per fetchable entry (title, url, stable id,
+    raw published string), url-less entries skipped, RSS element-text
+    links vs Atom first-href links.  One stateless 1→N flat-map, XML
+    dies in-stage; oracle = the GENERATED block/field pattern twins
+    (``feeds.sql_feed_select``) over the same derived XML."""
+    from ..functions.feeds import parse_feeds
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_xml(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "xml": pa.array([_derived_feed_xml(i) for i in ids]),
+            }
+        )
+
+    return parse_feeds(docs.map_batches(to_xml, batch_format="pyarrow"))
+
+
+def q_url_features(sf_dir: str) -> ray.data.Dataset:
+    """URL quality features (the FineWeb/UT1-style URL-filter signals):
+    length/label/digit/hyphen/IP/path-depth/param-count integers per
+    url, non-http rows degrading to zeroed host features.  Vectorized
+    RE2/count kernels in one stateless pass over the SURT-branch URL
+    corpus; oracle = the GENERATED twin (``urls.sql_url_features_select``)."""
+    from ..functions.urls import url_features_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(
+        lambda t: url_features_batch(
+            _derived_cdx_rows(t).select(["doc_id", "url"])
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _derived_cdx_captures(t: pa.Table) -> pa.Table:
+    """Multi-capture crawl log: doc_id % 3 + 1 captures per doc, one
+    day apart, digest changing every second capture (revisit records
+    share digests — the wayback collapse signal).  SQL twin:
+    unnest(range()) over the same derivation."""
+    import hashlib
+
+    from ..functions.urls import surt_key
+
+    ids = t.column("doc_id").to_pylist()
+    urlkeys: list[str] = []
+    ts_s: list[int] = []
+    digests: list[str] = []
+    for i in ids:
+        key = surt_key(_derived_cdx_url(i))
+        for k in range(i % 3 + 1):
+            urlkeys.append(key)
+            ts_s.append(CDX_EPOCH_S + i * 7 + k * 86_400)
+            digests.append(hashlib.md5(f"{i}-{k // 2}".encode()).hexdigest())
+    return pa.table(
+        {
+            "urlkey": pa.array(urlkeys, pa.string()),
+            "ts_s": pa.array(ts_s, pa.int64()),
+            "digest": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def q_cdx_collapse(sf_dir: str) -> ray.data.Dataset:
+    """Wayback-style CDX collapse: the capture log groups per urlkey
+    into (n_captures, n_versions = distinct digests, first/last ts14)
+    — the crawl-dedup signal replay tooling runs on cc-index shards.
+    Non-replayable rows (urlkey = '', non-http) are dropped BEFORE the
+    shuffle (they would form one degenerate hot key).  One adaptive
+    coarse-bucket shuffle + in-group pandas aggregate (the single-
+    column-groupby-safe idiom)."""
+    from ..functions.dedup import _adaptive_coarse_bits, _coarse_bucket
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    caps = docs.map_batches(_derived_cdx_captures, batch_format="pyarrow")
+    caps = caps.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("urlkey"), "")),
+        batch_format="pyarrow",
+    )
+    nb = 1 << _adaptive_coarse_bits(max(2, caps.count()))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        keys = t.column("urlkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(_coarse_bucket(keys, nb), pa.int64())
+        )
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "urlkey": pd.Series([], dtype="object"),
+                    "n_captures": pd.Series([], dtype="int64"),
+                    "n_versions": pd.Series([], dtype="int64"),
+                    "first_ts14": pd.Series([], dtype="object"),
+                    "last_ts14": pd.Series([], dtype="object"),
+                }
+            )
+        g = df.groupby("urlkey", sort=False).agg(
+            n_captures=("digest", "size"),
+            n_versions=("digest", "nunique"),
+            first_s=("ts_s", "min"),
+            last_s=("ts_s", "max"),
+        )
+        out = g.reset_index()
+        for src, dst in (("first_s", "first_ts14"), ("last_s", "last_ts14")):
+            out[dst] = (
+                pd.to_datetime(out[src], unit="s", utc=True)
+                .dt.strftime("%Y%m%d%H%M%S")
+                .astype(object)
+            )
+        return out[
+            ["urlkey", "n_captures", "n_versions", "first_ts14", "last_ts14"]
+        ].astype({"n_captures": "int64", "n_versions": "int64"})
+
+    return (
+        caps.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(collapse, batch_format="pandas")
+    )
+
+
+def _derived_robots_sitemap_body(i: int) -> str:
+    """robots.txt bodies for sitemap autodiscovery (doc_id % 3):
+    two live directives (one indented + trailing comment), none (a
+    commented-out decoy), uppercase-field + empty-value pair."""
+    s = str(i)
+    h = i % 10
+    m = i % 3
+    if m == 0:
+        return (
+            "User-agent: *\nDisallow: /tmp\n"
+            f"Sitemap: https://h{h}.example/sitemap-{s}.xml\n"
+            f"  sitemap : https://h{h}.example/extra-{s}.xml # comment\n"
+        )
+    if m == 1:
+        return (
+            "User-agent: *\nAllow: /\n"
+            "# Sitemap: https://ignored.example/x.xml\n"
+        )
+    return f"SITEMAP:https://h{h}.example/s{s}.xml\nSitemap:\n"
+
+
+def q_robots_sitemaps(sf_dir: str) -> ray.data.Dataset:
+    """Sitemap autodiscovery from robots.txt (RFC 9309 §2.3): the
+    group-independent ``Sitemap:`` directives anywhere in the file —
+    the hop that feeds ``sitemap_urls``.  One stateless 1→N flat-map;
+    oracle = the GENERATED pattern twin
+    (``robots.sql_sitemap_directives_select``) over the same derived
+    bodies."""
+    from ..functions.robots import sitemap_directives
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def to_bodies(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "robots_txt": pa.array(
+                    [_derived_robots_sitemap_body(i) for i in ids]
+                ),
+            }
+        )
+
+    return sitemap_directives(docs.map_batches(to_bodies, batch_format="pyarrow"))
+
+
+def q_tld_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-TLD crawl stats over the URL-feature stream (the host-mix
+    report crawl ops watch): doc count, IP-literal count, summed path
+    depth and params.  Features composed from ``url_features_batch``;
+    per-batch pre-aggregation (combiner) BEFORE the tiny
+    single-column groupby — the shuffle moves one partial row per
+    (batch, tld), never documents."""
+    from ..functions.urls import url_features_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        f = url_features_batch(_derived_cdx_rows(t).select(["doc_id", "url"]))
+        df = f.select(["tld", "is_ip", "path_depth", "n_params"]).to_pandas()
+        g = (
+            df.groupby("tld", sort=False)
+            .agg(
+                n_docs=("is_ip", "size"),
+                n_ip=("is_ip", "sum"),
+                sum_path_depth=("path_depth", "sum"),
+                sum_params=("n_params", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g.astype(
+                {
+                    "n_docs": "int64",
+                    "n_ip": "int64",
+                    "sum_path_depth": "int64",
+                    "sum_params": "int64",
+                }
+            ),
+            preserve_index=False,
+        )
+
+    agg = (
+        docs.map_batches(partials, batch_format="pyarrow")
+        .groupby("tld")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_ip", alias_name="n_ip"),
+            Sum("sum_path_depth", alias_name="sum_path_depth"),
+            Sum("sum_params", alias_name="sum_params"),
+        )
+    )
+    return agg

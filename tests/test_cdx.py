@@ -183,7 +183,26 @@ def test_read_cdx_corrupt_shard_fails_loudly(ray_session, tmp_path):
         read_cdx(out).to_pandas()
 
 
-@pytest.mark.parametrize("name", ["surt_urlkeys", "cdx_roundtrip"])
+def test_cdx_collapse_shared_urlkey_branch(ray_session):
+    """doc_id % 8 == 6 urls differ only in doc_id % 3 → whole corpus
+    collapses onto 3 urlkeys there; version count follows the
+    digest-changes-every-second-capture rule."""
+    import __ray_entry__ as e
+
+    df = e.queries()["cdx_collapse"]("/root/testdata/sf0.001").to_pandas()
+    m6 = df[df["urlkey"].str.startswith("example,c")]
+    assert len(m6) == 3
+    # ~300/8 docs share 3 keys, 1-3 captures each
+    assert m6["n_captures"].sum() > 60
+    assert (m6["n_versions"] <= m6["n_captures"]).all()
+    # ftp docs (urlkey '') are dropped before the shuffle
+    assert (df["urlkey"] != "").all()
+    assert (df["first_ts14"] <= df["last_ts14"]).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["surt_urlkeys", "cdx_roundtrip", "cdx_collapse"]
+)
 def test_driver_queries_vs_duckdb_sf0001(ray_session, name):
     import pandas as pd
 

@@ -1,0 +1,132 @@
+"""RSS/Atom feed parser tests: per-leg pins, skip rules, live DuckDB
+twin, and the driver query at sf0.001.
+
+Public formats (RSS 2.0 / RFC 4287 Atom); subset contract documented
+in ocr_system_ray/functions/feeds.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+
+from ocr_system_ray.functions.feeds import parse_feed, parse_feeds, sql_feed_select
+
+RSS = (
+    "<rss><channel><title>chan title ignored</title>"
+    "<item><title>A</title><link>https://r.example/a</link>"
+    '<guid isPermaLink="true">https://r.example/a</guid>'
+    "<pubDate>Tue, 03 Feb 2026 10:00:00 GMT</pubDate></item>"
+    "<item><title> padded </title><link> https://r.example/b </link></item>"
+    "<item><title>no link</title></item>"
+    "</channel></rss>"
+)
+
+ATOM = (
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>feed t</title>'
+    '<entry><title>E1</title><link rel="alternate" href="https://a.example/1"/>'
+    "<id>tag:one</id><updated>2026-02-03T10:00:00Z</updated></entry>"
+    '<entry><title>E2</title><link href="https://a.example/2/first"/>'
+    '<link href="https://a.example/2/second"/><id>tag:two</id></entry>'
+    "<entry><title>nolink</title><id>tag:three</id></entry>"
+    "</feed>"
+)
+
+
+def test_parse_rss():
+    rows = parse_feed(RSS)
+    assert [r["url"] for r in rows] == [
+        "https://r.example/a",
+        "https://r.example/b",
+    ]
+    assert rows[0] == {
+        "kind": "rss",
+        "title": "A",
+        "url": "https://r.example/a",
+        "entry_id": "https://r.example/a",
+        "published": "Tue, 03 Feb 2026 10:00:00 GMT",
+    }
+    # padding trimmed, missing guid/pubDate → ''
+    assert rows[1]["title"] == "padded"
+    assert rows[1]["entry_id"] == "" and rows[1]["published"] == ""
+
+
+def test_parse_atom():
+    rows = parse_feed(ATOM)
+    assert [r["url"] for r in rows] == [
+        "https://a.example/1",
+        "https://a.example/2/first",  # first href wins
+    ]
+    assert rows[0]["kind"] == "atom"
+    assert rows[0]["entry_id"] == "tag:one"
+    assert rows[0]["published"] == "2026-02-03T10:00:00Z"
+    assert rows[1]["published"] == ""
+
+
+def test_parse_feed_empty_and_none():
+    assert parse_feed("") == []
+    assert parse_feed("<html><p>not a feed</p></html>") == []
+
+
+def test_parse_feeds_dataset_flatmap(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "xml": [RSS, ATOM]})
+    )
+    out = parse_feeds(ds).to_pandas().sort_values(["doc_id", "url"])
+    assert out["doc_id"].tolist() == [1, 1, 2, 2]
+    assert out.columns.tolist() == [
+        "doc_id",
+        "kind",
+        "title",
+        "url",
+        "entry_id",
+        "published",
+    ]
+
+
+def test_sql_twin_matches_python():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW xmls AS SELECT * FROM (VALUES "
+        f"(CAST(1 AS BIGINT), '{RSS.replace(chr(39), chr(39) * 2)}'), "
+        f"(CAST(2 AS BIGINT), '{ATOM.replace(chr(39), chr(39) * 2)}')"
+        ") t(doc_id, xml)"
+    )
+    got = (
+        con.sql(sql_feed_select("FROM xmls"))
+        .df()
+        .sort_values(["doc_id", "url"])
+        .reset_index(drop=True)
+    )
+    want = [
+        dict(doc_id=1, **e) for e in parse_feed(RSS)
+    ] + [dict(doc_id=2, **e) for e in parse_feed(ATOM)]
+    import pandas as pd
+
+    want_df = (
+        pd.DataFrame(want)[got.columns]
+        .sort_values(["doc_id", "url"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want_df)
+
+
+def test_driver_query_vs_duckdb_sf0001(ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    got = e.queries()["feed_entries"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(e.oracle_sql()["feed_entries"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)

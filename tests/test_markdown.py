@@ -1,0 +1,111 @@
+"""HTML→Markdown converter tests: per-construct pins, nesting, the
+never-fail fallback, and the driver query vs its DuckDB twin.
+
+No reference analog (/root/reference emits plain text only); subset
+contract documented in ocr_system_ray/functions/markdown.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.markdown import html_to_markdown, markdown_batch
+
+PINS = {
+    # headings + paragraphs + charrefs
+    "<h1>T</h1><p>a &amp; b</p>": "# T\n\na & b",
+    "<h3>Deep</h3>": "### Deep",
+    # inline emphasis + code
+    "<p><b>x</b> <em>y</em> <code>z()</code></p>": "**x** *y* `z()`",
+    # links; textless/hrefless degrade
+    '<p><a href="https://e/1">lnk</a></p>': "[lnk](https://e/1)",
+    "<p><a>plain</a></p>": "plain",
+    '<p><a href="https://e/2">  </a>tail</p>': "tail",
+    # unordered / ordered lists
+    "<ul><li>a</li><li>b</li></ul>": "- a\n\n- b",
+    "<ol><li>a</li><li>b</li></ol>": "1. a\n\n2. b",
+    # nested list indents, ordered numbering resets per level
+    "<ol><li>top</li><ul><li>sub</li></ul><li>next</li></ol>": (
+        "1. top\n\n  - sub\n\n2. next"
+    ),
+    # blockquote prefix, including inner paragraphs
+    "<blockquote><p>q1</p><p>q2</p></blockquote><p>out</p>": (
+        "> q1\n\n> q2\n\nout"
+    ),
+    # hr + br
+    "<p>a<br>b</p><hr>": "a\nb\n\n---",
+    # script/style/head subtrees dropped entirely
+    "<head><title>t</title></head><body><script>var s='<p>no</p>'</script><p>yes</p><style>p{}</style></body>": "yes",
+    # unknown tags flatten (children kept)
+    "<section><span>keep</span></section>": "keep",
+    # whitespace collapse
+    "<p>  a \n\t b  </p>": "a b",
+    # pre keeps whitespace, fenced via <pre><code>
+    "<pre><code>x = 1\n  y = 2</code></pre>": "```\nx = 1\n  y = 2\n```",
+    # comments dropped
+    "<p>a<!-- hidden -->b</p>": "ab",
+    # empty / no-block input
+    "": "",
+    "just text": "just text",
+    # unclosed anchor degrades to text (sentinel stripped)
+    '<p><a href="https://e/3">dangling</p>': "dangling",
+}
+
+
+@pytest.mark.parametrize("html,expect", list(PINS.items()))
+def test_pins(html, expect):
+    assert html_to_markdown(html) == expect
+
+
+def test_bold_inside_link_label():
+    assert (
+        html_to_markdown('<p><a href="/u"><b>B</b> rest</a></p>')
+        == "[**B** rest](/u)"
+    )
+
+
+def test_markdown_batch_binary_and_null():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array([b"<h1>B</h1>", None], pa.binary()),
+        }
+    )
+    out = markdown_batch(t)
+    assert out.column("markdown").to_pylist() == ["# B", ""]
+
+
+def test_never_fail_fallback_shape():
+    # the fallback path strips tags and collapses whitespace; force it
+    # by monkeypatching feed to raise
+    from ocr_system_ray.functions import markdown as m
+
+    class Boom(m._MdParser):
+        def feed(self, *_):  # noqa: ANN002
+            raise RuntimeError("boom")
+
+    orig = m._MdParser
+    m._MdParser = Boom
+    try:
+        assert m.html_to_markdown("<p>a</p>\n<p>b</p>") == "a b"
+    finally:
+        m._MdParser = orig
+
+
+def test_driver_query_vs_duckdb_sf0001(ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    got = e.queries()["html_markdown"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(e.oracle_sql()["html_markdown"]).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["doc_id", "markdown"]], w)

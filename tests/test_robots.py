@@ -142,3 +142,84 @@ def test_fetch_schedule_matches_window_twin(ray_session):
         lambda s: sorted(s) == [250 * k for k in range(len(s))]
     )
     assert per_host.all()
+
+
+# --- Sitemap: autodiscovery (RFC 9309 §2.3) ---------------------------------
+
+
+def test_extract_sitemap_directives():
+    from ocr_system_ray.functions.robots import extract_sitemap_directives
+
+    body = (
+        "User-agent: *\nDisallow: /tmp\n"
+        "Sitemap: https://h.example/a.xml\n"
+        "  sitemap : https://h.example/b.xml # comment\n"
+        "# Sitemap: https://commented.example/x.xml\n"
+        "SITEMAP:https://h.example/c.xml\n"
+        "Sitemap:\n"
+        "NotSitemap: https://no.example/d.xml\n"
+    )
+    assert extract_sitemap_directives(body) == [
+        "https://h.example/a.xml",
+        "https://h.example/b.xml",
+        "https://h.example/c.xml",
+    ]
+    assert extract_sitemap_directives("") == []
+    assert extract_sitemap_directives(None) == []
+
+
+def test_sitemap_directives_sql_twin():
+    import duckdb
+
+    from ocr_system_ray.functions.robots import (
+        extract_sitemap_directives,
+        sql_sitemap_directives_select,
+    )
+
+    bodies = [
+        "Sitemap: https://a.example/1.xml\nSitemap: https://a.example/2.xml",
+        "User-agent: *\nDisallow: /",
+        "  SiTeMaP\t: \thttps://b.example/t.xml\t",
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW bodies AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({i} AS BIGINT), '{b}')".replace("\n", "' || chr(10) || '")
+            .replace("\t", "' || chr(9) || '")
+            for i, b in enumerate(bodies)
+        )
+        + ") t(doc_id, robots_txt)"
+    )
+    got = (
+        con.sql(sql_sitemap_directives_select("FROM bodies"))
+        .df()
+        .sort_values(["doc_id", "sitemap_url"])
+    )
+    want = [
+        (i, u)
+        for i, b in enumerate(bodies)
+        for u in extract_sitemap_directives(b)
+    ]
+    assert list(map(tuple, got.to_records(index=False))) == sorted(want)
+
+
+def test_driver_robots_sitemaps_and_tld_stats(ray_session):
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    for name in ("robots_sitemaps", "tld_stats"):
+        got = e.queries()[name]("/root/testdata/sf0.001").to_pandas()
+        want = con.sql(e.oracle_sql()[name]).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), name
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=True)

@@ -1,0 +1,115 @@
+"""URL quality-feature tests: hand pins per branch, live DuckDB twin,
+and the driver query at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.functions.urls import (
+    sql_url_features_select,
+    url_features_batch,
+)
+
+URLS = [
+    "https://www.Example.COM/path/9?b=2&a=1",
+    "http://user:pw@sub.site-3.example:8080/A/B/c9?x=1&y=2&z=3",
+    "http://192.168.0.1/admin.php?id=123",
+    "ftp://files.example/7",
+    "https://bare.example",
+    "",
+    "https://a-b-c.spam-42.biz/p1/p2/p3/p4/55?q",
+]
+
+
+def _feat(url: str) -> dict:
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "url": [url]})
+    return {k: v[0] for k, v in url_features_batch(t).to_pydict().items()}
+
+
+def test_basic_host_and_params():
+    f = _feat(URLS[0])
+    assert f["host"] == "www.example.com"
+    assert f["tld"] == "com"
+    assert f["host_labels"] == 3
+    assert f["n_params"] == 2
+    assert f["path_depth"] == 2
+    assert f["path_len"] == len("/path/9")
+    assert f["path_digits"] == 1
+    assert f["is_ip"] == 0
+    assert f["url_len"] == len(URLS[0])
+
+
+def test_userinfo_port_hyphens():
+    f = _feat(URLS[1])
+    assert f["host"] == "sub.site-3.example"  # userinfo + port stripped
+    assert f["host_hyphens"] == 1
+    assert f["host_digits"] == 1
+    assert f["n_params"] == 3
+    assert f["path_depth"] == 3
+
+
+def test_ip_host():
+    f = _feat(URLS[2])
+    assert f["is_ip"] == 1
+    assert f["host_labels"] == 4
+    assert f["tld"] == "1"
+    assert f["host_digits"] == 8
+    assert f["path_digits"] == 0  # query digits are not path digits
+
+
+def test_non_http_and_empty_degrade():
+    for u in (URLS[3], URLS[5]):
+        f = _feat(u)
+        assert f["host"] == "" and f["tld"] == ""
+        assert f["host_labels"] == 0 and f["is_ip"] == 0
+        assert f["path_depth"] == 0 and f["n_params"] == 0
+
+
+def test_bare_host_and_spammy():
+    assert _feat(URLS[4])["path_len"] == 0
+    f = _feat(URLS[6])
+    assert f["host_hyphens"] == 3
+    assert f["tld"] == "biz"
+    assert f["path_depth"] == 5
+    assert f["n_params"] == 1  # "?q" is one (valueless) param
+
+
+def test_sql_twin_matches_python():
+    t = pa.table(
+        {"doc_id": pa.array(range(len(URLS)), pa.int64()), "url": URLS}
+    )
+    got = url_features_batch(t).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW u AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(CAST({i} AS BIGINT), '{u}')" for i, u in enumerate(URLS)
+        )
+        + ") t(doc_id, url)"
+    )
+    want = (
+        con.sql(sql_url_features_select("FROM u"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_driver_query_vs_duckdb_sf0001(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["url_features"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(e.oracle_sql()["url_features"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
