@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_collapse": q.q_cdx_collapse,
         "robots_sitemaps": q.q_robots_sitemaps,
         "tld_stats": q.q_tld_stats,
+        "boilerplate_strip": q.q_boilerplate_strip,
         "crawl_frontier": q.q_crawl_frontier,
         "image_neardup_incremental": q.q_image_neardup_incremental,
         "char_classes": q.q_char_classes,
@@ -779,6 +780,52 @@ def _html_markdown_sql() -> str:
                    || '* and `c()`'
                END AS markdown
         FROM documents
+    """
+
+
+def _boilerplate_strip_sql() -> str:
+    from ocr_system_ray.pipelines.queries import BOILER_HOSTS, BOILER_MIN_DOCS
+
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 'h' || CAST(doc_id % {BOILER_HOSTS} AS VARCHAR)
+                   || '.example' AS host,
+                 'Shared header h' || CAST(doc_id % {BOILER_HOSTS} AS VARCHAR)
+                 || CASE WHEN doc_id % 2 = 0
+                    THEN chr(10) || 'promo banner h'
+                         || CAST(doc_id % {BOILER_HOSTS} AS VARCHAR)
+                    ELSE '' END
+                 || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ': '
+                 || replace(replace(substr(COALESCE(text, ''), 1, 40),
+                            chr(10), ' '), chr(13), ' ')
+                 || chr(10) || 'Shared footer h'
+                 || CAST(doc_id % {BOILER_HOSTS} AS VARCHAR) AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, host,
+                 unnest(string_split(text, chr(10))) AS ln
+          FROM pages
+        ),
+        boiler AS (
+          SELECT host, ln FROM lines
+          GROUP BY host, ln
+          HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+        ),
+        hostlists AS (
+          SELECT host, list(ln) AS bl FROM boiler GROUP BY host
+        )
+        SELECT p.doc_id,
+               COALESCE(array_to_string(
+                 list_filter(string_split(p.text, chr(10)),
+                             x -> NOT list_contains(COALESCE(h.bl, []), x)),
+                 chr(10)), '') AS clean_text,
+               CAST(length(string_split(p.text, chr(10)))
+                    - length(list_filter(string_split(p.text, chr(10)),
+                             x -> NOT list_contains(COALESCE(h.bl, []), x)))
+                    AS BIGINT) AS n_removed
+        FROM pages p LEFT JOIN hostlists h ON p.host = h.host
     """
 
 
@@ -2276,6 +2323,9 @@ def oracle_sql() -> dict[str, str]:
         # cdx_roundtrip: write + read back; oracle recomputes all six
         # columns (urlkey included) from the ORIGINAL derivation
         "cdx_roundtrip": _cdx_roundtrip_sql(),
+        # boilerplate_strip: GROUP-BY/HAVING + list_filter twin over
+        # the same derived pages
+        "boilerplate_strip": _boilerplate_strip_sql(),
         # robots_sitemaps: derived bodies + GENERATED pattern twin
         # (robots.sql_sitemap_directives_select)
         "robots_sitemaps": _robots_sitemaps_sql(),

@@ -1,0 +1,179 @@
+"""Host-scoped boilerplate line removal — the CCNet/trafilatura-side
+cleanup the corpus-wide line dedup (``dedup.py:line_dedup``) can't do:
+a line is boilerplate FOR A HOST when it appears on ≥ ``min_docs``
+distinct pages of that host (nav bars, cookie banners, footers), and
+only those pages lose it — the same sentence on an unrelated host
+stays.
+
+Two coarse-bucket shuffles, both scale-shaped:
+
+1. **count** — pages explode to (host, line, doc_id) rows, bucketed by
+   hash(host NUL line) (adaptive width); an in-group pandas
+   ``nunique`` finds lines with ≥ ``min_docs`` distinct docs.  Only
+   (host, line) flag rows survive.
+2. **strip** — the reduce-side join idiom (never ``Dataset.join``,
+   see CLAUDE.md): boilerplate rows (kind=1 int8 tag) union page rows
+   (kind=0), bucketed by hash(host); in-group pandas builds the
+   per-host line set and filters each page's lines.  Pages move ONCE;
+   the boilerplate side is proportional to distinct shared lines, not
+   to pages.
+
+Skew note: bucketing by host makes a mega-host a hot key; the page
+side is what dominates group size, and a host's pages already had to
+co-locate to be stripped — salting would break the semantics, so the
+stage documents the assumption instead (same contract as
+``fetch_schedule``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _adaptive_coarse_bits, _coarse_bucket
+
+
+def strip_host_boilerplate(
+    pages: ray.data.Dataset,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """→ ``(doc_id, clean_text, n_removed)``: per-host frequent lines
+    (≥ ``min_docs`` distinct docs) removed from every page of that
+    host; line order otherwise preserved."""
+    n_pages = max(2, pages.count())
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: list = []
+        hosts: list[str] = []
+        lines: list[str] = []
+        for i, h, txt in zip(
+            t.column(id_col).to_pylist(),
+            t.column(host_col).to_pylist(),
+            t.column(text_col).to_pylist(),
+        ):
+            for ln in (txt or "").split("\n"):
+                ids.append(i)
+                hosts.append(h or "")
+                lines.append(ln)
+        return pa.table(
+            {
+                id_col: pa.array(ids, t.schema.field(id_col).type),
+                "host": pa.array(hosts, pa.string()),
+                "line": pa.array(lines, pa.string()),
+            }
+        )
+
+    # ~20 lines/page is the derivation's shape; the width only tunes
+    # group sizes, correctness is width-independent
+    nb1 = 1 << _adaptive_coarse_bits(n_pages * 20)
+
+    def bucket_line(t: pa.Table) -> pa.Table:
+        keys = np.array(
+            [
+                f"{h}\x00{ln}"
+                for h, ln in zip(
+                    t.column("host").to_pylist(), t.column("line").to_pylist()
+                )
+            ],
+            dtype=object,
+        )
+        return t.append_column(
+            "bucket", pa.array(_coarse_bucket(keys, nb1), pa.int64())
+        )
+
+    def find_boiler(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series([], dtype="object"),
+                    "line": pd.Series([], dtype="object"),
+                }
+            )
+        g = df.groupby(["host", "line"], sort=False)[id_col].nunique()
+        hot = g[g >= min_docs].reset_index()[["host", "line"]]
+        return hot.astype({"host": "object", "line": "object"})
+
+    boiler = (
+        pages.map_batches(explode, batch_format="pyarrow")
+        .map_batches(bucket_line, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(find_boiler, batch_format="pandas")
+    )
+
+    nb2 = 1 << _adaptive_coarse_bits(n_pages)
+
+    def tag_pages(t: pa.Table) -> pa.Table:
+        hosts = np.array(
+            [h or "" for h in t.column(host_col).to_pylist()], dtype=object
+        )
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "host": pa.array(hosts, pa.string()),
+                "line": pa.array([""] * len(t), pa.string()),
+                id_col: t.column(id_col),
+                "text": t.column(text_col),
+                "bucket": pa.array(_coarse_bucket(hosts, nb2), pa.int64()),
+            }
+        )
+
+    def tag_boiler(t: pa.Table) -> pa.Table:
+        hosts = np.array(
+            [h or "" for h in t.column("host").to_pylist()], dtype=object
+        )
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+                "host": pa.array(hosts, pa.string()),
+                "line": t.column("line"),
+                id_col: pa.array(np.zeros(len(t), dtype=np.int64)),
+                "text": pa.array([""] * len(t), pa.string()),
+                "bucket": pa.array(_coarse_bucket(hosts, nb2), pa.int64()),
+            }
+        )
+
+    tagged = pages.map_batches(tag_pages, batch_format="pyarrow").union(
+        boiler.map_batches(tag_boiler, batch_format="pyarrow")
+    )
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or not (df["kind"] == 0).any():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "clean_text": pd.Series([], dtype="object"),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
+            )
+        kill: dict[str, set[str]] = {}
+        for h, ln in df.loc[df["kind"] == 1, ["host", "line"]].itertuples(
+            index=False
+        ):
+            kill.setdefault(h, set()).add(ln)
+        docs = df[df["kind"] == 0]
+        out_ids: list[int] = []
+        out_text: list[str] = []
+        out_rm: list[int] = []
+        for i, h, txt in docs[[id_col, "host", "text"]].itertuples(index=False):
+            lines = (txt or "").split("\n")
+            bad = kill.get(h, ())
+            kept = [ln for ln in lines if ln not in bad]
+            out_ids.append(i)
+            out_text.append("\n".join(kept))
+            out_rm.append(len(lines) - len(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "clean_text": pd.Series(out_text, dtype="object"),
+                "n_removed": pd.Series(out_rm, dtype="int64"),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(strip, batch_format="pandas")

@@ -4361,3 +4361,48 @@ def q_tld_stats(sf_dir: str) -> ray.data.Dataset:
         )
     )
     return agg
+
+
+BOILER_HOSTS = 7
+BOILER_MIN_DOCS = 3
+
+
+def _derived_boiler_pages(t: pa.Table) -> pa.Table:
+    """(doc_id, host, text) pages for the boilerplate op: every page of
+    a host shares header+footer lines, even pages add a promo line,
+    and one content line stays unique per doc (text newlines flattened
+    so the line count is derivation-controlled)."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    hosts: list[str] = []
+    bodies: list[str] = []
+    for i, txt in zip(ids, texts):
+        h = i % BOILER_HOSTS
+        hosts.append(f"h{h}.example")
+        flat = (txt or "")[:40].replace("\n", " ").replace("\r", " ")
+        lines = [f"Shared header h{h}"]
+        if i % 2 == 0:
+            lines.append(f"promo banner h{h}")
+        lines.append(f"doc {i}: {flat}")
+        lines.append(f"Shared footer h{h}")
+        bodies.append("\n".join(lines))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "host": pa.array(hosts, pa.string()),
+            "text": pa.array(bodies, pa.string()),
+        }
+    )
+
+
+def q_boilerplate_strip(sf_dir: str) -> ray.data.Dataset:
+    """Host-scoped boilerplate line removal (the CCNet-side cleanup
+    line dedup can't do): lines on ≥ 3 distinct pages of a host die on
+    that host only.  Two coarse-bucket shuffles (count by (host,line),
+    reduce-side strip join by host); oracle = GROUP-BY/HAVING +
+    list_filter recomputation over the same derived pages."""
+    from ..functions.boilerplate import strip_host_boilerplate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pages = docs.map_batches(_derived_boiler_pages, batch_format="pyarrow")
+    return strip_host_boilerplate(pages, min_docs=BOILER_MIN_DOCS)

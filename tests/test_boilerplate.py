@@ -1,0 +1,92 @@
+"""Host-scoped boilerplate removal: hand corpus pins (threshold,
+cross-host isolation, order preservation, within-doc repeats) and the
+driver query vs its DuckDB twin at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.functions.boilerplate import strip_host_boilerplate
+
+
+def _run(rows, min_docs=2):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "host": pa.array([r[1] for r in rows], pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        strip_host_boilerplate(ray.data.from_arrow(t), min_docs=min_docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def test_strip_threshold_and_isolation(ray_session):
+    rows = [
+        # host A: "nav" on 3 docs (boiler at min_docs=2), content unique
+        (1, "a.example", "nav\nalpha one"),
+        (2, "a.example", "nav\nalpha two"),
+        (3, "a.example", "nav\nalpha three"),
+        # host B carries the SAME "nav" line but only on ONE page →
+        # stays (host-scoped, not corpus-wide)
+        (4, "b.example", "nav\nbeta four"),
+        (5, "b.example", "beta five"),
+    ]
+    out = _run(rows, min_docs=2)
+    assert out["clean_text"].tolist() == [
+        "alpha one",
+        "alpha two",
+        "alpha three",
+        "nav\nbeta four",
+        "beta five",
+    ]
+    assert out["n_removed"].tolist() == [1, 1, 1, 0, 0]
+
+
+def test_strip_preserves_order_and_repeats(ray_session):
+    rows = [
+        (1, "c.example", "keep1\nfoot\nkeep2\nfoot"),
+        (2, "c.example", "foot\nother"),
+    ]
+    out = _run(rows, min_docs=2)
+    # both copies of the boilerplate line die; survivors keep order
+    assert out.loc[0, "clean_text"] == "keep1\nkeep2"
+    assert out.loc[0, "n_removed"] == 2
+
+
+def test_all_lines_removed_and_empty_text(ray_session):
+    rows = [
+        (1, "d.example", "only"),
+        (2, "d.example", "only"),
+        (3, "d.example", ""),
+    ]
+    out = _run(rows, min_docs=2)
+    assert out["clean_text"].tolist() == ["", "", ""]
+    # doc 3's single empty line is on 1 doc only → kept, 0 removed
+    assert out["n_removed"].tolist() == [1, 1, 0]
+
+
+def test_driver_query_vs_duckdb_sf0001(ray_session):
+    import __ray_entry__ as e
+
+    got = e.queries()["boilerplate_strip"]("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    want = con.sql(e.oracle_sql()["boilerplate_strip"]).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
