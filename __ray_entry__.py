@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_structure": q.q_page_structure,
         "image_phash": q.q_image_phash,
         "image_phash_png": q.q_image_phash_png,
+        "image_phash_jpeg": q.q_image_phash_jpeg,
         "gif_frames": q.q_gif_frames,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
@@ -2372,6 +2373,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_png_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # image_phash_jpeg: INDEPENDENT baseline-JPEG twin — own
+        # bit-by-bit Huffman walk (no LUTs), per-pixel Python-int IDCT
+        # loops over the spec'd fixed-point basis
+        # (tools/make_goldens.py:imagehash_jpeg_golden)
+        "image_phash_jpeg": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_jpeg_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW

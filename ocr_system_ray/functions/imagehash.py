@@ -3,11 +3,14 @@
 The multimodal leg's first operator with GENUINE pixel math: BMP
 (uncompressed 24-bit BGR rows + 4-byte row padding + bottom-up/top-down
 orientation) decodes here, PNG (zlib IDAT + the five row filters, color
-types 0/2/3/4/6) via :mod:`pngpixels` — so image fingerprinting gets
-the same treatment the repo gave container headers
-(``media_headers.py``): real bytes in, real math, zero environment
-stubs.  JPEG/video pixel decode stays behind the documented
-``multimodal.py`` seam (DCT + Huffman need a codec library).
+types 0/2/3/4/6) via :mod:`pngpixels`, GIF (full LZW) via
+:mod:`gifpixels`, and baseline JPEG (Huffman + fixed-point IDCT) via
+:mod:`jpegpixels` — so image fingerprinting gets the same treatment
+the repo gave container headers (``media_headers.py``): real bytes in,
+real math, zero environment stubs.  Video pixel decode stays behind
+the documented ``multimodal.py`` seam (container + motion compensation
+need a codec library); animated GIF frame sampling covers the
+sampled-frames leg with real bytes.
 
 * :func:`decode_bmp` — BITMAPINFOHEADER 24-bpp decode → ``(h, w, 3)``
   RGB uint8 (stride, padding, negative-height top-down handled).
@@ -102,7 +105,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .gifpixels import decode_gif_frames
 
         return decode_gif_frames(payload, max_frames=1)[0]
-    raise ValueError("image: unrecognized container (BMP/PNG/GIF supported)")
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpegpixels import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("image: unrecognized container (BMP/PNG/GIF/JPEG supported)")
 
 
 def _gray(img: np.ndarray) -> np.ndarray:

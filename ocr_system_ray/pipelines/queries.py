@@ -1160,6 +1160,59 @@ def _derived_gif_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def _derived_jpeg_payloads(t: pa.Table) -> pa.Table:
+    """JPEG leg of the image corpus: the SAME derived pixels, encoded
+    through rotating layouts (doc_id % 4 → 4:4:4 / 4:2:0 with restart
+    markers / grayscale / 4:2:0 high-quality) at id-varied quality so
+    every decoder branch — subsampling, DRI+RSTn, single-component
+    scans, different DQT contents — appears at sf scale.  Corrupt rows:
+    doc_id % IMG_BAD_MOD plants non-JPEG bytes, and doc_id % 89 == 3
+    plants a TRUNCATED stream (valid headers, cut entropy data) so the
+    error-as-data path covers mid-scan truncation too."""
+    from ..functions.jpegpixels import encode_jpeg_pixels
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not an image")
+            continue
+        img = derived_image(i)
+        sel = i % 4
+        if sel == 0:
+            raw = encode_jpeg_pixels(img, quality=85 + i % 11, subsampling="444")
+        elif sel == 1:
+            raw = encode_jpeg_pixels(
+                img, quality=80 + i % 16, subsampling="420", restart_interval=1 + i % 3
+            )
+        elif sel == 2:
+            gray = (img.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+            raw = encode_jpeg_pixels(gray, quality=75 + i % 21)
+        else:
+            raw = encode_jpeg_pixels(img, quality=95, subsampling="420")
+        if i % 89 == 3:
+            raw = raw[: len(raw) // 2]  # mid-entropy truncation
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_image_phash_jpeg(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual image hashing over REAL baseline JPEG bytes — genuine
+    Huffman entropy decode + the spec'd fixed-point integer IDCT +
+    chroma upsampling + integer YCbCr→RGB (``functions/jpegpixels.py``),
+    closing the last common web image format (BMP/PNG/GIF already
+    decode for real).  Golden oracle = an INDEPENDENT twin with its own
+    bit-by-bit Huffman walk and per-pixel IDCT loops
+    (tools/make_goldens.py:imagehash_jpeg_golden)."""
+    from ..functions.imagehash import image_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_jpeg_payloads, batch_format="pyarrow")
+    return image_hashes(imgs)
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -203,6 +203,15 @@ def test_imagehash_png_golden_matches_twin():
     assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_png_sf001.parquet"))
 
 
+def test_imagehash_jpeg_golden_matches_twin():
+    import pyarrow.parquet as pq
+
+    from make_goldens import imagehash_jpeg_golden
+
+    fresh = imagehash_jpeg_golden()
+    assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_jpeg_sf001.parquet"))
+
+
 def test_gif_frames_golden_matches_twin():
     import pyarrow.parquet as pq
 

@@ -673,6 +673,330 @@ def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
     return hashes, pairs
 
 
+def imagehash_jpeg_golden() -> pa.Table:
+    """Independent twin of ``q_image_phash_jpeg``: the shared
+    derivation produces the SAME baseline-JPEG bytes, but this twin
+    decodes them with its own machinery — a bit-by-bit canonical
+    Huffman walk (no lookup tables), per-pixel Python-int IDCT loops
+    over the spec'd 2^20 fixed-point basis, list-of-lists planes —
+    and computes the hash spec from scratch (nothing imported from the
+    engine's jpegpixels module).  The decode SPEC is shared (documented
+    in functions/jpegpixels.py); the implementations are disjoint."""
+    import math as _math
+    import struct as _struct
+
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_jpeg_payloads,
+    )
+
+    ZZ = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    B = [
+        [
+            int(
+                _math.floor(
+                    ((1 / _math.sqrt(2)) if u == 0 else 1.0)
+                    / 2.0
+                    * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+                    * (1 << 20)
+                    + 0.5
+                )
+            )
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    class Bits:
+        def __init__(self, data):
+            self.d = data
+            self.p = 0
+
+        def bit(self):
+            if self.p >= 8 * len(self.d):
+                raise ValueError("eof")
+            b = (self.d[self.p >> 3] >> (7 - (self.p & 7))) & 1
+            self.p += 1
+            return b
+
+        def bits(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.bit()
+            return v
+
+    def huff_map(bits16, vals):
+        # (length, code) -> symbol; decoded by walking bit-by-bit
+        m = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits16[ln - 1]):
+                m[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return m
+
+    def huff_decode(rd, table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | rd.bit()
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("bad code")
+
+    def extend(v, sz):
+        if sz and v < (1 << (sz - 1)):
+            return v - (1 << sz) + 1
+        return v
+
+    def read_jpeg(raw: bytes):
+        try:
+            if raw[:2] != b"\xff\xd8":
+                return None
+            pos = 2
+            qt, ht = {}, {}
+            frame = None
+            ri = 0
+            while pos + 4 <= len(raw):
+                if raw[pos] != 0xFF:
+                    return None
+                m = raw[pos + 1]
+                if m == 0xFF:
+                    pos += 1
+                    continue
+                if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                    pos += 2
+                    continue
+                if m == 0xD9:
+                    return None
+                ln = _struct.unpack_from(">H", raw, pos + 2)[0]
+                body = raw[pos + 4 : pos + 2 + ln]
+                if len(body) != ln - 2:
+                    return None
+                if m == 0xDB:
+                    i = 0
+                    while i < len(body):
+                        pq_, tq = body[i] >> 4, body[i] & 15
+                        i += 1
+                        tab = [0] * 64
+                        if pq_ == 0:
+                            for z in range(64):
+                                tab[ZZ[z]] = body[i + z]
+                            i += 64
+                        elif pq_ == 1:
+                            for z in range(64):
+                                tab[ZZ[z]] = _struct.unpack_from(
+                                    ">H", body, i + 2 * z
+                                )[0]
+                            i += 128
+                        else:
+                            return None
+                        qt[tq] = tab
+                elif m == 0xC4:
+                    i = 0
+                    while i + 17 <= len(body):
+                        tc, th = body[i] >> 4, body[i] & 15
+                        bts = list(body[i + 1 : i + 17])
+                        cnt = sum(bts)
+                        vls = list(body[i + 17 : i + 17 + cnt])
+                        if len(vls) != cnt:
+                            return None
+                        ht[(tc, th)] = huff_map(bts, vls)
+                        i += 17 + cnt
+                elif m in (0xC0, 0xC1):
+                    if body[0] != 8:
+                        return None
+                    hh, ww = _struct.unpack_from(">HH", body, 1)
+                    nc = body[5]
+                    comps = []
+                    for c in range(nc):
+                        cid = body[6 + 3 * c]
+                        hv = body[7 + 3 * c]
+                        comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * c]))
+                    frame = (ww, hh, comps)
+                elif m == 0xDD:
+                    ri = _struct.unpack_from(">H", body, 0)[0]
+                elif m == 0xDA:
+                    if frame is None:
+                        return None
+                    ww, hh, comps = frame
+                    ns = body[0]
+                    if ns != len(comps):
+                        return None
+                    st = {}
+                    for c in range(ns):
+                        st[body[1 + 2 * c]] = (
+                            body[2 + 2 * c] >> 4,
+                            body[2 + 2 * c] & 15,
+                        )
+                    return scan(raw, pos + 2 + ln, ww, hh, comps, st, qt, ht, ri)
+                elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                    return None
+                pos += 2 + ln
+            return None
+        except (ValueError, IndexError, _struct.error):
+            return None
+
+    def scan(raw, start, ww, hh, comps, st, qt, ht, ri):
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (ww + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
+        # entropy segments split at RST markers, 0xFF00 unstuffed
+        segs, cur, i = [], bytearray(), start
+        while i < len(raw):
+            b = raw[i]
+            if b != 0xFF:
+                cur.append(b)
+                i += 1
+                continue
+            if i + 1 >= len(raw):
+                break
+            m = raw[i + 1]
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+            elif 0xD0 <= m <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+            else:
+                break
+        segs.append(bytes(cur))
+        state = []
+        for cid, hs, vs, tq in comps:
+            td, ta = st[cid]
+            state.append(
+                {
+                    "hs": hs,
+                    "vs": vs,
+                    "q": qt[tq],
+                    "dc": ht[(0, td)],
+                    "ac": ht[(1, ta)],
+                    "bw": mcux * hs,
+                    "blocks": {},
+                    "pred": 0,
+                }
+            )
+        rd = Bits(segs[0])
+        seg_i = 0
+        for mcu in range(mcux * mcuy):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                rd = Bits(segs[seg_i])
+                for s in state:
+                    s["pred"] = 0
+            my, mx = divmod(mcu, mcux)
+            for s in state:
+                for by in range(s["vs"]):
+                    for bx in range(s["hs"]):
+                        coef = [0] * 64
+                        sz = huff_decode(rd, s["dc"])
+                        s["pred"] += extend(rd.bits(sz), sz)
+                        coef[0] = s["pred"] * s["q"][0]
+                        k = 1
+                        while k < 64:
+                            rs = huff_decode(rd, s["ac"])
+                            r, szz = rs >> 4, rs & 15
+                            if szz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                raise ValueError("run")
+                            coef[ZZ[k]] = extend(rd.bits(szz), szz) * s["q"][ZZ[k]]
+                            k += 1
+                        # spec IDCT, per-pixel loops
+                        t = [[0] * 8 for _ in range(8)]
+                        for u in range(8):
+                            for x in range(8):
+                                acc = 0
+                                for v in range(8):
+                                    acc += coef[8 * u + v] * B[v][x]
+                                t[u][x] = (acc + (1 << 19)) >> 20
+                        px = [[0] * 8 for _ in range(8)]
+                        for y in range(8):
+                            for x in range(8):
+                                acc = 0
+                                for u in range(8):
+                                    acc += t[u][x] * B[u][y]
+                                val = ((acc + (1 << 19)) >> 20) + 128
+                                px[y][x] = 0 if val < 0 else (255 if val > 255 else val)
+                        s["blocks"][(my * s["vs"] + by, mx * s["hs"] + bx)] = px
+        planes = []
+        for s in state:
+            bh, bwid = mcuy * s["vs"], s["bw"]
+            plane = [[0] * (bwid * 8) for _ in range(bh * 8)]
+            for (by, bx), px in s["blocks"].items():
+                for y in range(8):
+                    for x in range(8):
+                        plane[by * 8 + y][bx * 8 + x] = px[y][x]
+            ry, rx = vmax // s["vs"], hmax // s["hs"]
+            full = [
+                [plane[y // ry][x // rx] for x in range(ww)] for y in range(hh)
+            ]
+            planes.append(full)
+        out = [[None] * ww for _ in range(hh)]
+        if len(planes) == 1:
+            for y in range(hh):
+                for x in range(ww):
+                    g = planes[0][y][x]
+                    out[y][x] = (g, g, g)
+            return out
+        for y in range(hh):
+            for x in range(ww):
+                Y, cb, cr = planes[0][y][x], planes[1][y][x] - 128, planes[2][y][x] - 128
+                r = (Y * 65536 + 91881 * cr + 32768) >> 16
+                g = (Y * 65536 - 22554 * cb - 46802 * cr + 32768) >> 16
+                b = (Y * 65536 + 116130 * cb + 32768) >> 16
+                clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
+                out[y][x] = (clamp(r), clamp(g), clamp(b))
+        return out
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_jpeg_payloads(docs)
+    ids, widths, heights, ahs, dhs, oks = [], [], [], [], [], []
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(), payloads.column("image").to_pylist()
+    ):
+        px = read_jpeg(raw)
+        ids.append(did)
+        if px is None:
+            # only the planted corrupt / truncated rows
+            assert did % IMG_BAD_MOD == 0 or did % 89 == 3
+            widths.append(0)
+            heights.append(0)
+            ahs.append(0)
+            dhs.append(0)
+            oks.append(0)
+        else:
+            ah, dh = _twin_hashes_of(px)
+            widths.append(len(px[0]))
+            heights.append(len(px))
+            ahs.append(ah)
+            dhs.append(dh)
+            oks.append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+            "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+            "ok": pa.array(oks, pa.int64()),
+        }
+    )
+
+
 def imagehash_png_golden() -> pa.Table:
     """Independent twin of ``q_image_phash_png``: the shared derivation
     produces the SAME PNG bytes, but this twin parses them with its own
@@ -1023,6 +1347,9 @@ def main() -> None:
     ihp = imagehash_png_golden()
     pq.write_table(ihp, GOLDEN_DIR / "imagehash_png_sf001.parquet")
     print(f"imagehash_png_sf001.parquet: {ihp.num_rows} rows")
+    ihj = imagehash_jpeg_golden()
+    pq.write_table(ihj, GOLDEN_DIR / "imagehash_jpeg_sf001.parquet")
+    print(f"imagehash_jpeg_sf001.parquet: {ihj.num_rows} rows")
     gf = gif_frames_golden()
     pq.write_table(gf, GOLDEN_DIR / "gif_frames_sf001.parquet")
     print(f"gif_frames_sf001.parquet: {gf.num_rows} rows")
