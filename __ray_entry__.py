@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_png": q.q_image_phash_png,
         "image_phash_jpeg": q.q_image_phash_jpeg,
         "gif_frames": q.q_gif_frames,
+        "video_frames": q.q_video_frames,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
@@ -2392,6 +2393,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.frame_idx, g.width, g.height, g.ahash, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/gif_frames_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # video_frames: INDEPENDENT AVI/MJPEG twin — own RIFF scanner
+        # (int.from_bytes slicing, halt flag) + the independent
+        # bit-by-bit JPEG reader (tools/make_goldens.py:
+        # video_frames_golden)
+        "video_frames": """
+            SELECT d.doc_id, g.frame_idx, g.width, g.height,
+                   g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/video_frames_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # image_neardup_incremental: odd×even cross distances recomputed

@@ -172,6 +172,8 @@ def _query_suite() -> dict:
         "wet_roundtrip": q.q_wet_roundtrip,
         "crawl_frontier": q.q_crawl_frontier,
         "image_neardup_incremental": q.q_image_neardup_incremental,
+        "image_phash_jpeg": q.q_image_phash_jpeg,
+        "video_frames": q.q_video_frames,
     }
     return suite
 

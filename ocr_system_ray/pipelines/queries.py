@@ -1213,6 +1213,52 @@ def q_image_phash_jpeg(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(imgs)
 
 
+def _derived_avi_payloads(t: pa.Table) -> pa.Table:
+    """Video leg of the image corpus: 2–6 derived frames per doc, each
+    baseline-JPEG encoded at id-varied quality/subsampling (with DRI
+    restart markers every 7th doc) inside a real RIFF/AVI container.
+    Corrupt rows: doc_id % IMG_BAD_MOD plants non-AVI bytes; doc_id %
+    89 == 3 cuts the stream at 2/3 (headers survive, the movi list
+    truncates mid-frame → the parser's complete-frame-prefix path)."""
+    from ..functions.avipixels import encode_avi_mjpeg
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not a video")
+            continue
+        frames = [derived_image(i * 8 + k) for k in range(2 + i % 5)]
+        raw = encode_avi_mjpeg(
+            frames,
+            fps=10 + i % 20,
+            quality=80 + i % 16,
+            subsampling="420" if i % 2 else "444",
+            restart_interval=2 if i % 7 == 1 else 0,
+        )
+        if i % 89 == 3:
+            raw = raw[: len(raw) * 2 // 3]  # mid-movi truncation
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "video": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_video_frames(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling over REAL AVI/MJPEG videos: genuine RIFF
+    container walk (LIST hdrl/movi, ``00dc`` chunks, WORD alignment,
+    truncation → complete-frame prefix) + real baseline-JPEG decode of
+    every 2nd frame (cap 4) + integer aHash/dHash per sampled frame
+    (``functions/avipixels.py``).  Golden oracle = an INDEPENDENT twin
+    with its own RIFF scanner and the independent bit-by-bit JPEG
+    reader (tools/make_goldens.py:video_frames_golden)."""
+    from ..functions.avipixels import video_frame_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    vids = docs.map_batches(_derived_avi_payloads, batch_format="pyarrow")
+    return video_frame_hashes(vids, stride=2, max_frames=4)
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

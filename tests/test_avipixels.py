@@ -1,0 +1,199 @@
+"""Real AVI/MJPEG container: round trips through the matching real
+muxer, wire-format fields, truncation → complete-frame prefix,
+rejection paths, frame sampling, and the Dataset-level flat-map pass."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.avipixels import (
+    encode_avi_mjpeg,
+    parse_avi,
+    sample_avi_frames,
+    video_frame_hashes,
+)
+from ocr_system_ray.functions.jpegpixels import decode_jpeg
+
+
+def _frames(n, h=24, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# round trip + wire format
+# ---------------------------------------------------------------------------
+
+
+def test_round_trip_meta_and_frames():
+    fr = _frames(5)
+    raw = encode_avi_mjpeg(fr, fps=25, quality=90)
+    m = parse_avi(raw)
+    assert (m["width"], m["height"], m["n_frames"]) == (32, 24, 5)
+    assert m["usec_per_frame"] == 1_000_000 // 25
+    assert len(m["frames"]) == 5
+    for chunk, src in zip(m["frames"], fr):
+        dec = decode_jpeg(chunk)
+        assert dec.shape == src.shape
+
+
+def test_riff_wire_format():
+    raw = encode_avi_mjpeg(_frames(2), fps=10)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    # declared RIFF size covers the whole buffer exactly
+    assert struct.unpack_from("<I", raw, 4)[0] == len(raw) - 8
+    assert b"LIST" in raw and b"hdrl" in raw and b"movi" in raw
+    assert b"avih" in raw and b"strh" in raw and b"strf" in raw
+    assert b"vids" in raw and b"MJPG" in raw and b"idx1" in raw
+    assert raw.count(b"00dc") == 2 + 2  # movi chunks + idx1 entries
+
+
+def test_word_alignment_pad_handled():
+    # force an odd-sized jpeg chunk by trying several seeds; the muxer
+    # pads to even and the parser must skip the pad byte
+    for seed in range(20):
+        fr = _frames(3, seed=seed)
+        raw = encode_avi_mjpeg(fr, fps=10, quality=80 + seed)
+        m = parse_avi(raw)
+        assert len(m["frames"]) == 3
+        for chunk in m["frames"]:
+            assert decode_jpeg(chunk).shape == (24, 32, 3)
+
+
+def test_idx1_offsets_point_at_chunks():
+    raw = encode_avi_mjpeg(_frames(3), fps=10)
+    movi_fourcc = raw.index(b"movi")
+    idx_pos = raw.index(b"idx1") + 8
+    for k in range(3):
+        ckid = raw[idx_pos + 16 * k : idx_pos + 16 * k + 4]
+        off = struct.unpack_from("<I", raw, idx_pos + 16 * k + 8)[0]
+        assert ckid == b"00dc"
+        assert raw[movi_fourcc + off : movi_fourcc + off + 4] == b"00dc"
+
+
+def test_encode_is_deterministic():
+    a = encode_avi_mjpeg(_frames(4, seed=3), fps=12, quality=85)
+    b = encode_avi_mjpeg(_frames(4, seed=3), fps=12, quality=85)
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# truncation + rejection
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_yields_complete_frame_prefix():
+    raw = encode_avi_mjpeg(_frames(6, seed=1), fps=10, quality=90)
+    full = parse_avi(raw)["frames"]
+    seen = set()
+    for cut in range(200, len(raw), 307):
+        got = parse_avi(raw[:cut])["frames"]
+        assert got == full[: len(got)]  # always a prefix of complete frames
+        seen.add(len(got))
+    assert 0 in seen and len(full) - 1 in seen or len(seen) > 2
+
+
+def test_rejection_paths():
+    for bad in (b"", b"x", b"not a video", b"RIFF\x00\x00\x00\x00WAVE"):
+        with pytest.raises(ValueError):
+            parse_avi(bad)
+    # RIFF/AVI magic but no avih header inside
+    body = b"AVI " + b"JUNK" + struct.pack("<I", 4) + b"abcd"
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_rec_list_grouping_recursed():
+    # re-mux the movi body inside a 'rec ' LIST: parser must still find
+    # the frames (VfW muxers group interleaved chunks this way)
+    raw = encode_avi_mjpeg(_frames(2, seed=2), fps=10)
+    movi_fourcc = raw.index(b"movi")
+    movi_size = struct.unpack_from("<I", raw, movi_fourcc - 4)[0]
+    movi_body = raw[movi_fourcc + 4 : movi_fourcc + 4 + movi_size - 4]
+    rec = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"rec " + movi_body
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(rec)) + b"movi" + rec
+    head = raw[12 : movi_fourcc - 8]
+    payload = b"AVI " + head + new_movi
+    wrapped = b"RIFF" + struct.pack("<I", len(payload)) + payload
+    assert parse_avi(wrapped)["frames"] == parse_avi(raw)["frames"]
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], fps=10)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(_frames(1), fps=0)
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([_frames(1)[0], _frames(1, h=8, w=8)[0]], fps=10)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_sample_stride_and_cap():
+    raw = encode_avi_mjpeg(_frames(9, seed=4), fps=10)
+    _, sampled = sample_avi_frames(raw, stride=3, max_frames=2)
+    assert [i for i, _ in sampled] == [0, 3]
+    _, sampled = sample_avi_frames(raw, stride=2, max_frames=None)
+    assert [i for i, _ in sampled] == [0, 2, 4, 6, 8]
+    for _, img in sampled:
+        assert img is not None and img.shape == (24, 32, 3)
+
+
+def test_sample_bad_frame_is_none():
+    raw = encode_avi_mjpeg(_frames(3, seed=5), fps=10)
+    # corrupt the second frame's JPEG bytes in place (kill its SOI)
+    m = parse_avi(raw)
+    pos = raw.index(m["frames"][1])
+    broken = raw[:pos] + b"XX" + raw[pos + 2 :]
+    _, sampled = sample_avi_frames(broken, stride=1, max_frames=None)
+    assert sampled[0][1] is not None
+    assert sampled[1][1] is None
+    assert sampled[2][1] is not None
+
+
+# ---------------------------------------------------------------------------
+# dataset flat-map pass
+# ---------------------------------------------------------------------------
+
+
+def test_video_frame_hashes_dataset(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    ids, payloads = [], []
+    for i in range(8):
+        ids.append(i)
+        if i == 3:
+            payloads.append(b"junk")
+        else:
+            payloads.append(
+                encode_avi_mjpeg(_frames(2 + i % 3, seed=i), fps=10, quality=85)
+            )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "video": pa.array(payloads, pa.binary())}
+        )
+    )
+    out = (
+        video_frame_hashes(ds, stride=2, max_frames=4)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert set(out["doc_id"]) == set(range(8))  # id conservation
+    bad = out[out["doc_id"] == 3]
+    assert len(bad) == 1 and bad.iloc[0]["frame_idx"] == -1 and bad.iloc[0]["ok"] == 0
+    good = out[out["ok"] == 1]
+    assert (good["width"] == 32).all() and (good["height"] == 24).all()
+    # stride-2 sampling: frame 0 always, frame 2 only when 3+ frames exist
+    for i in range(8):
+        if i == 3:
+            continue
+        rows = out[out["doc_id"] == i]
+        want = list(range(0, 2 + i % 3, 2))
+        assert list(rows["frame_idx"]) == want

@@ -212,6 +212,18 @@ def test_imagehash_jpeg_golden_matches_twin():
     assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_jpeg_sf001.parquet"))
 
 
+def test_video_frames_golden_matches_twin():
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import video_frames_golden
+
+    fresh = video_frames_golden()
+    assert fresh.equals(pq.read_table(GOLDEN_DIR / "video_frames_sf001.parquet"))
+
+
 def test_gif_frames_golden_matches_twin():
     import pyarrow.parquet as pq
 

@@ -673,22 +673,15 @@ def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
     return hashes, pairs
 
 
-def imagehash_jpeg_golden() -> pa.Table:
-    """Independent twin of ``q_image_phash_jpeg``: the shared
-    derivation produces the SAME baseline-JPEG bytes, but this twin
-    decodes them with its own machinery — a bit-by-bit canonical
+def _twin_jpeg_reader():
+    """Build the independent baseline-JPEG twin decoder and return its
+    ``read_jpeg(raw) -> pixel rows | None`` entry point.  Shared by the
+    JPEG image golden and the AVI video golden; still fully disjoint
+    from the engine's jpegpixels module — a bit-by-bit canonical
     Huffman walk (no lookup tables), per-pixel Python-int IDCT loops
-    over the spec'd 2^20 fixed-point basis, list-of-lists planes —
-    and computes the hash spec from scratch (nothing imported from the
-    engine's jpegpixels module).  The decode SPEC is shared (documented
-    in functions/jpegpixels.py); the implementations are disjoint."""
+    over the spec'd 2^20 fixed-point basis, list-of-lists planes."""
     import math as _math
     import struct as _struct
-
-    from ocr_system_ray.pipelines.queries import (
-        IMG_BAD_MOD,
-        _derived_jpeg_payloads,
-    )
 
     ZZ = [
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -962,6 +955,23 @@ def imagehash_jpeg_golden() -> pa.Table:
                 out[y][x] = (clamp(r), clamp(g), clamp(b))
         return out
 
+    return read_jpeg
+
+
+def imagehash_jpeg_golden() -> pa.Table:
+    """Independent twin of ``q_image_phash_jpeg``: the shared
+    derivation produces the SAME baseline-JPEG bytes, but this twin
+    decodes them with its own machinery (``_twin_jpeg_reader``) and
+    computes the hash spec from scratch (nothing imported from the
+    engine's jpegpixels module).  The decode SPEC is shared (documented
+    in functions/jpegpixels.py); the implementations are disjoint."""
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_jpeg_payloads,
+    )
+
+    read_jpeg = _twin_jpeg_reader()
+
     docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
     payloads = _derived_jpeg_payloads(docs)
     ids, widths, heights, ahs, dhs, oks = [], [], [], [], [], []
@@ -988,6 +998,111 @@ def imagehash_jpeg_golden() -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+            "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+            "ok": pa.array(oks, pa.int64()),
+        }
+    )
+
+
+def video_frames_golden() -> pa.Table:
+    """Independent twin of ``q_video_frames``: the shared derivation
+    produces the SAME RIFF/AVI bytes, but this twin walks the container
+    with its own scanner (int.from_bytes slicing, explicit halt flag)
+    and decodes sampled frames with the independent bit-by-bit JPEG
+    reader (``_twin_jpeg_reader``), hashing via the from-scratch hash
+    spec.  The container SPEC is shared (documented in
+    functions/avipixels.py); the implementations are disjoint."""
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_avi_payloads,
+    )
+
+    read_jpeg = _twin_jpeg_reader()
+
+    def read_avi(raw: bytes):
+        if not raw or len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+            return None
+        avail = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
+        info: dict = {}
+        frames: list[bytes] = []
+        halted = [False]
+
+        def scan(p: int, end: int) -> None:
+            while p + 8 <= end and not halted[0]:
+                cc = raw[p : p + 4]
+                n = int.from_bytes(raw[p + 4 : p + 8], "little")
+                if p + 8 + n > end:
+                    # truncated group: walk what is present, then halt
+                    if cc == b"LIST" and p + 12 <= end:
+                        scan(p + 12, end)
+                    halted[0] = True
+                    return
+                if cc == b"LIST":
+                    scan(p + 12, p + 8 + n)
+                elif cc == b"avih":
+                    if n < 56:
+                        raise ValueError("short avih")
+                    body = raw[p + 8 : p + 8 + n]
+                    info["usec"] = int.from_bytes(body[0:4], "little")
+                    info["total"] = int.from_bytes(body[16:20], "little")
+                    info["w"] = int.from_bytes(body[32:36], "little")
+                    info["h"] = int.from_bytes(body[36:40], "little")
+                elif (
+                    cc[0] in b"0123456789"
+                    and cc[1] in b"0123456789"
+                    and cc[2:4] in (b"dc", b"db")
+                ):
+                    frames.append(raw[p + 8 : p + 8 + n])
+                p += 8 + n + (n & 1)
+
+        try:
+            scan(12, avail)
+        except ValueError:
+            return None
+        if "w" not in info:
+            return None
+        return frames
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_avi_payloads(docs)
+    ids, fidx, widths, heights, ahs, dhs, oks = [], [], [], [], [], [], []
+
+    def emit(did, fi, w, h, ah, dh, o):
+        ids.append(did)
+        fidx.append(fi)
+        widths.append(w)
+        heights.append(h)
+        ahs.append(ah)
+        dhs.append(dh)
+        oks.append(o)
+
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(), payloads.column("video").to_pylist()
+    ):
+        frames = read_avi(raw)
+        if frames is None:
+            assert did % IMG_BAD_MOD == 0  # only the planted corrupt rows
+            emit(did, -1, 0, 0, 0, 0, 0)
+            continue
+        picked = frames[::2][:4]
+        if not picked:
+            assert did % 89 == 3  # only truncation can empty the prefix
+            emit(did, -1, 0, 0, 0, 0, 0)
+            continue
+        for k, fraw in enumerate(picked):
+            px = read_jpeg(fraw)
+            if px is None:
+                emit(did, 2 * k, 0, 0, 0, 0, 0)
+            else:
+                ah, dh = _twin_hashes_of(px)
+                emit(did, 2 * k, len(px[0]), len(px), ah, dh, 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
             "width": pa.array(widths, pa.int64()),
             "height": pa.array(heights, pa.int64()),
             "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
@@ -1353,6 +1468,9 @@ def main() -> None:
     gf = gif_frames_golden()
     pq.write_table(gf, GOLDEN_DIR / "gif_frames_sf001.parquet")
     print(f"gif_frames_sf001.parquet: {gf.num_rows} rows")
+    vf = video_frames_golden()
+    pq.write_table(vf, GOLDEN_DIR / "video_frames_sf001.parquet")
+    print(f"video_frames_sf001.parquet: {vf.num_rows} rows")
 
     import ray
 
