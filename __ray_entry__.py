@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_jpeg": q.q_image_phash_jpeg,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
+        "audio_features": q.q_audio_features,
+        "audio_fingerprints": q.q_audio_fingerprints,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
@@ -2404,6 +2406,23 @@ def oracle_sql() -> dict[str, str]:
                    g.ahash, g.dhash, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/video_frames_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # audio_features / audio_fingerprints: INDEPENDENT PCM WAV twin
+        # — own int.from_bytes chunk walk, per-sample Python-int
+        # feature loops and DFT accumulation (no numpy)
+        # (tools/make_goldens.py:audio_goldens)
+        "audio_features": """
+            SELECT d.doc_id, g.sample_rate, g.channels, g.n_samples,
+                   g.peak, g.zero_crossings, g.rms, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/audio_features_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "audio_fingerprints": """
+            SELECT d.doc_id, g.frame_idx, g.fp, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/audio_fingerprints_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # image_neardup_incremental: odd×even cross distances recomputed

@@ -1259,6 +1259,81 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
     return video_frame_hashes(vids, stride=2, max_frames=4)
 
 
+def _derived_wav_samples(doc_id: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic per-doc waveform: an integer square wave (id-keyed
+    period/amplitude → real spectral structure for the band-energy
+    fingerprint) plus seeded noise.  Returns (int16 mono samples,
+    sample_rate, bits).  Shared by the Ray derivation and the golden
+    twin — the FEATURES are never shared, only the samples."""
+    i = doc_id
+    n = 1500 + (i % 5) * 700
+    if i % 83 == 7:
+        n = 100  # shorter than one DFT window → fingerprint ok=0 path
+    period = 20 + i % 60
+    amp = 8000 + (i % 8) * 2000
+    k = np.arange(n, dtype=np.int64)
+    square = np.where((k // period) % 2 == 0, amp, -amp)
+    noise = np.random.default_rng(i).integers(-2048, 2048, size=n, dtype=np.int64)
+    samples = (square + noise).astype(np.int16)
+    rate = (8000, 16000, 22050, 44100)[i % 4]
+    bits = 8 if i % 11 == 5 else 16
+    return samples, rate, bits
+
+
+def _derived_wav_payloads(t: pa.Table) -> pa.Table:
+    """Audio leg of the media corpus: real PCM WAVs (16-bit mono,
+    16-bit stereo every 3rd doc — right channel = half amplitude —
+    8-bit every 11th).  Corrupt rows: doc_id % IMG_BAD_MOD plants
+    non-WAV bytes; doc_id % 89 == 3 cuts the stream at 2/3 (header
+    survives, the data chunk truncates → complete-frame prefix)."""
+    from ..functions.audiofp import encode_wav_pcm
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not audio")
+            continue
+        samples, rate, bits = _derived_wav_samples(i)
+        if i % 3 == 0 and bits == 16:
+            samples = np.stack([samples, samples // 2], axis=1)
+        raw = encode_wav_pcm(samples, rate, bits=bits)
+        if i % 89 == 3:
+            raw = raw[: len(raw) * 2 // 3]  # mid-data truncation
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact audio features over REAL PCM WAV bytes: genuine
+    RIFF/WAVE parse (16/8-bit, mono/stereo floor-mix, truncation →
+    complete-frame prefix) → peak / zero-crossings / isqrt RMS
+    (``functions/audiofp.py``).  Golden oracle = an INDEPENDENT twin
+    with its own struct walk and per-sample Python-int loops
+    (tools/make_goldens.py:audio_goldens)."""
+    from ..functions.audiofp import audio_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    wavs = docs.map_batches(_derived_wav_payloads, batch_format="pyarrow")
+    return audio_features(wavs)
+
+
+def q_audio_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Spectral fingerprinting over REAL PCM samples: windowed
+    fixed-point integer DFT (spec'd 2^14 cos/sin tables) → 17 band
+    energies → 16 delta bits per frame, Chromaprint-style (1→N
+    flat-map).  Golden oracle = an INDEPENDENT twin computing the same
+    spec with per-sample Python-int accumulation loops — no numpy, no
+    matmul (tools/make_goldens.py:audio_goldens)."""
+    from ..functions.audiofp import audio_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    wavs = docs.map_batches(_derived_wav_payloads, batch_format="pyarrow")
+    return audio_fingerprints(wavs)
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -1,0 +1,195 @@
+"""Real PCM WAV decode + integer audio features + fixed-point spectral
+fingerprints: round trips, mono-mix/8-bit/truncation spec paths,
+rejection, fingerprint physics (the square wave's band shows up), and
+the Dataset-level passes."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.audiofp import (
+    _HOP,
+    _N,
+    audio_features,
+    audio_fingerprints,
+    decode_wav_pcm,
+    encode_wav_pcm,
+    fingerprint_frames,
+    wav_feature_row,
+)
+
+
+def _noise(n, seed=0, lo=-20000, hi=20000):
+    return np.random.default_rng(seed).integers(lo, hi, size=n).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+def test_mono16_round_trip_exact():
+    s = _noise(1000, seed=1)
+    rate, ch, mono = decode_wav_pcm(encode_wav_pcm(s, 16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(mono, s.astype(np.int32))
+
+
+def test_stereo_floor_mix():
+    left = _noise(500, seed=2)
+    right = _noise(500, seed=3)
+    st = np.stack([left, right], axis=1)
+    _, ch, mono = decode_wav_pcm(encode_wav_pcm(st, 8000))
+    assert ch == 2
+    want = np.floor_divide(left.astype(np.int64) + right.astype(np.int64), 2)
+    assert np.array_equal(mono.astype(np.int64), want)  # floor, not trunc
+
+
+def test_8bit_round_trip():
+    s = _noise(300, seed=4)
+    rate, ch, mono = decode_wav_pcm(encode_wav_pcm(s, 44100, bits=8))
+    assert (rate, ch) == (44100, 1)
+    want = ((s.astype(np.int32) >> 8) + 128 - 128) << 8
+    assert np.array_equal(mono, want)
+
+
+def test_odd_data_length_padded():
+    s = _noise(151, seed=5)
+    raw = encode_wav_pcm(s, 8000, bits=8)  # 151 bytes of data → pad byte
+    assert len(raw) % 2 == 0
+    _, _, mono = decode_wav_pcm(raw)
+    assert mono.shape[0] == 151
+
+
+# ---------------------------------------------------------------------------
+# truncation + rejection
+# ---------------------------------------------------------------------------
+
+
+def test_truncation_yields_frame_prefix():
+    s = _noise(400, seed=6)
+    st = np.stack([s, s], axis=1)
+    raw = encode_wav_pcm(st, 16000)
+    full = decode_wav_pcm(raw)[2]
+    for cut in (len(raw) // 2, len(raw) * 2 // 3, 44 + 7):
+        got = decode_wav_pcm(raw[:cut])[2]
+        assert np.array_equal(got, full[: got.shape[0]])
+        assert got.shape[0] == (cut - 44) // 4  # complete 2ch frames only
+
+
+def test_rejection_paths():
+    for bad in (b"", b"x", b"not audio", b"RIFF\x00\x00\x00\x00AVI "):
+        with pytest.raises(ValueError):
+            decode_wav_pcm(bad)
+    s = _noise(10, seed=7)
+    raw = encode_wav_pcm(s, 8000)
+    # non-PCM format tag rejected
+    pos = raw.index(b"fmt ") + 8
+    patched = raw[:pos] + struct.pack("<H", 3) + raw[pos + 2 :]
+    with pytest.raises(ValueError):
+        decode_wav_pcm(patched)
+    # missing data chunk rejected
+    with pytest.raises(ValueError):
+        decode_wav_pcm(raw[: raw.index(b"data")])
+
+
+def test_encoder_validation():
+    with pytest.raises(ValueError):
+        encode_wav_pcm(np.empty((0,), dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        encode_wav_pcm(_noise(10), 0)
+    with pytest.raises(ValueError):
+        encode_wav_pcm(_noise(10), 8000, bits=24)
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+
+def test_feature_values_hand_checked():
+    s = np.array([0, 5, -3, 3, 0, -32768], dtype=np.int16)
+    row = wav_feature_row(encode_wav_pcm(s, 8000))
+    assert row["n_samples"] == 6
+    assert row["peak"] == 32768  # |-32768| doesn't overflow
+    assert row["zero_crossings"] == 2  # 5→-3 and -3→3 (zeros don't count)
+    total = 0 + 25 + 9 + 9 + 0 + 32768 * 32768
+    import math
+
+    assert row["rms"] == math.isqrt(total // 6)
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def test_fingerprint_frame_count():
+    assert fingerprint_frames(np.zeros(_N - 1, dtype=np.int64)).shape[0] == 0
+    assert fingerprint_frames(np.zeros(_N, dtype=np.int64)).shape[0] == 1
+    assert fingerprint_frames(np.zeros(_N + _HOP, dtype=np.int64)).shape[0] == 2
+    assert fingerprint_frames(np.zeros(_N + _HOP - 1, dtype=np.int64)).shape[0] == 1
+
+
+def test_fingerprint_detects_tone_band():
+    # pure cosine at bin k: energy concentrates in band k, so delta bits
+    # flip exactly at k (E_{k-1} < E_k > E_{k+1})
+    n = np.arange(_N)
+    for k in (4, 9):
+        tone = np.round(20000 * np.cos(2 * np.pi * k * n / _N)).astype(np.int64)
+        fp = int(fingerprint_frames(tone)[0])
+        bits = [(fp >> (15 - j)) & 1 for j in range(16)]
+        # bit j compares band j+1 vs j+2 (bands are 1-indexed)
+        assert bits[k - 2] == 0  # E_{k-1} < E_k
+        assert bits[k - 1] == 1  # E_k   > E_{k+1}
+
+
+def test_fingerprint_deterministic_and_16bit():
+    s = _noise(2000, seed=8).astype(np.int64)
+    a, b = fingerprint_frames(s), fingerprint_frames(s)
+    assert np.array_equal(a, b)
+    assert (a >= 0).all() and (a < (1 << 16)).all()
+
+
+# ---------------------------------------------------------------------------
+# dataset passes
+# ---------------------------------------------------------------------------
+
+
+def test_audio_dataset_passes(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    ids, payloads = [], []
+    for i in range(10):
+        ids.append(i)
+        if i == 4:
+            payloads.append(b"junk")
+        elif i == 7:
+            payloads.append(encode_wav_pcm(_noise(_N // 2, seed=i), 8000))  # short
+        else:
+            payloads.append(encode_wav_pcm(_noise(_N * 2, seed=i), 16000))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "audio": pa.array(payloads, pa.binary())}
+        )
+    )
+    feats = audio_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(feats) == 10  # row conservation
+    assert feats.loc[4, "ok"] == 0 and feats.loc[4, "n_samples"] == 0
+    assert feats.loc[7, "ok"] == 1 and feats.loc[7, "n_samples"] == _N // 2
+
+    fps = (
+        audio_fingerprints(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert set(fps["doc_id"]) == set(range(10))  # id conservation
+    for bad_id in (4, 7):  # undecodable / shorter than one window
+        rows = fps[fps["doc_id"] == bad_id]
+        assert len(rows) == 1 and rows.iloc[0]["frame_idx"] == -1 and rows.iloc[0]["ok"] == 0
+    good = fps[fps["ok"] == 1]
+    assert (good.groupby("doc_id")["frame_idx"].count() == 3).all()  # 512 → 3 windows

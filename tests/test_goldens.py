@@ -224,6 +224,19 @@ def test_video_frames_golden_matches_twin():
     assert fresh.equals(pq.read_table(GOLDEN_DIR / "video_frames_sf001.parquet"))
 
 
+def test_audio_goldens_match_twin():
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import audio_goldens
+
+    feats, fps = audio_goldens()
+    assert feats.equals(pq.read_table(GOLDEN_DIR / "audio_features_sf001.parquet"))
+    assert fps.equals(pq.read_table(GOLDEN_DIR / "audio_fingerprints_sf001.parquet"))
+
+
 def test_gif_frames_golden_matches_twin():
     import pyarrow.parquet as pq
 

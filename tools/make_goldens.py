@@ -1112,6 +1112,142 @@ def video_frames_golden() -> pa.Table:
     )
 
 
+def audio_goldens() -> tuple[pa.Table, pa.Table]:
+    """Independent twin of ``q_audio_features`` / ``q_audio_fingerprints``:
+    the shared derivation produces the SAME PCM WAV bytes, but this twin
+    parses them with its own int.from_bytes chunk walk and computes
+    every feature with per-sample Python-int loops — its own cos/sin
+    tables from the spec formula, per-window accumulation, no numpy
+    vector math (the engine uses one int64 matmul).  The SPECs are
+    shared (documented in functions/audiofp.py); the implementations
+    are disjoint."""
+    import math as _math
+
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_wav_payloads,
+    )
+
+    N, HOP, K = 256, 128, 17
+    COS = [
+        [int(_math.floor(_math.cos(2.0 * _math.pi * k * n / N) * 16384 + 0.5)) for n in range(N)]
+        for k in range(1, K + 1)
+    ]
+    SIN = [
+        [int(_math.floor(_math.sin(2.0 * _math.pi * k * n / N) * 16384 + 0.5)) for n in range(N)]
+        for k in range(1, K + 1)
+    ]
+
+    def read_wav(raw: bytes):
+        if not raw or len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        avail = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
+        pos = 12
+        fmt = data = None
+        while pos + 8 <= avail:
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            end = min(pos + 8 + size, avail)
+            if cid == b"fmt ":
+                if end - (pos + 8) < 16:
+                    return None
+                b = raw[pos + 8 : pos + 24]
+                fmt = (
+                    int.from_bytes(b[0:2], "little"),
+                    int.from_bytes(b[2:4], "little"),
+                    int.from_bytes(b[4:8], "little"),
+                    int.from_bytes(b[14:16], "little"),
+                )
+            elif cid == b"data" and data is None:
+                data = raw[pos + 8 : end]
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            return None
+        tag, ch, rate, bits = fmt
+        if tag != 1 or bits not in (8, 16) or ch < 1:
+            return None
+        bpf = ch * bits // 8
+        nf = len(data) // bpf
+        mono = []
+        for f in range(nf):
+            total = 0
+            for c in range(ch):
+                if bits == 16:
+                    o = f * bpf + 2 * c
+                    v = int.from_bytes(data[o : o + 2], "little", signed=True)
+                else:
+                    v = (data[f * bpf + c] - 128) << 8
+                total += v
+            mono.append(total // ch)
+        return rate, ch, mono
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_wav_payloads(docs)
+
+    f_ids, f_rate, f_ch, f_n, f_peak, f_zc, f_rms, f_ok = ([] for _ in range(8))
+    p_ids, p_idx, p_fp, p_ok = ([] for _ in range(4))
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(), payloads.column("audio").to_pylist()
+    ):
+        parsed = read_wav(raw)
+        f_ids.append(did)
+        p_row_emitted = False
+        if parsed is None:
+            assert did % IMG_BAD_MOD == 0  # only the planted corrupt rows
+            f_rate.append(0); f_ch.append(0); f_n.append(0)
+            f_peak.append(0); f_zc.append(0); f_rms.append(0); f_ok.append(0)
+            p_ids.append(did); p_idx.append(-1); p_fp.append(0); p_ok.append(0)
+            continue
+        rate, ch, mono = parsed
+        n = len(mono)
+        peak = max((abs(v) for v in mono), default=0)
+        zc = sum(1 for a, b in zip(mono, mono[1:]) if a * b < 0)
+        rms = _math.isqrt(sum(v * v for v in mono) // n) if n else 0
+        f_rate.append(rate); f_ch.append(ch); f_n.append(n)
+        f_peak.append(peak); f_zc.append(zc); f_rms.append(rms); f_ok.append(1)
+        n_frames = 1 + (n - N) // HOP if n >= N else 0
+        for fi in range(n_frames):
+            w = mono[fi * HOP : fi * HOP + N]
+            e = []
+            for k in range(K):
+                xr = xi = 0
+                for j in range(N):
+                    xr += w[j] * COS[k][j]
+                    xi += w[j] * SIN[k][j]
+                xr >>= 14
+                xi >>= 14
+                e.append(xr * xr + xi * xi)
+            fp = 0
+            for k in range(K - 1):
+                fp = (fp << 1) | int(e[k] > e[k + 1])
+            p_ids.append(did); p_idx.append(fi); p_fp.append(fp); p_ok.append(1)
+            p_row_emitted = True
+        if not p_row_emitted:
+            assert did % 83 == 7  # only the planted too-short rows
+            p_ids.append(did); p_idx.append(-1); p_fp.append(0); p_ok.append(0)
+    feats = pa.table(
+        {
+            "doc_id": pa.array(f_ids, pa.int64()),
+            "sample_rate": pa.array(f_rate, pa.int64()),
+            "channels": pa.array(f_ch, pa.int64()),
+            "n_samples": pa.array(f_n, pa.int64()),
+            "peak": pa.array(f_peak, pa.int64()),
+            "zero_crossings": pa.array(f_zc, pa.int64()),
+            "rms": pa.array(f_rms, pa.int64()),
+            "ok": pa.array(f_ok, pa.int64()),
+        }
+    )
+    fps = pa.table(
+        {
+            "doc_id": pa.array(p_ids, pa.int64()),
+            "frame_idx": pa.array(p_idx, pa.int64()),
+            "fp": pa.array(p_fp, pa.int64()),
+            "ok": pa.array(p_ok, pa.int64()),
+        }
+    )
+    return feats, fps
+
+
 def imagehash_png_golden() -> pa.Table:
     """Independent twin of ``q_image_phash_png``: the shared derivation
     produces the SAME PNG bytes, but this twin parses them with its own
@@ -1471,6 +1607,11 @@ def main() -> None:
     vf = video_frames_golden()
     pq.write_table(vf, GOLDEN_DIR / "video_frames_sf001.parquet")
     print(f"video_frames_sf001.parquet: {vf.num_rows} rows")
+    af, ap = audio_goldens()
+    pq.write_table(af, GOLDEN_DIR / "audio_features_sf001.parquet")
+    print(f"audio_features_sf001.parquet: {af.num_rows} rows")
+    pq.write_table(ap, GOLDEN_DIR / "audio_fingerprints_sf001.parquet")
+    print(f"audio_fingerprints_sf001.parquet: {ap.num_rows} rows")
 
     import ray
 
