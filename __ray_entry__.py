@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
+        "audio_neardup": q.q_audio_neardup,
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
@@ -2424,6 +2425,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/audio_fingerprints_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # audio_neardup: every pairwise distance recomputed brute-force
+        # from the committed fingerprint golden — summed 16-bit
+        # bit_count(xor) over the four frame columns ≡ Hamming on the
+        # engine's packed 64-bit signature
+        "audio_neardup": """
+            WITH f AS (
+                SELECT doc_id, frame_idx, fp
+                FROM '/root/repo/tests/golden/audio_fingerprints_sf001.parquet'
+                WHERE ok = 1 AND frame_idx BETWEEN 0 AND 3
+            ), s AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN frame_idx = 0 THEN fp END) AS f0,
+                       MAX(CASE WHEN frame_idx = 1 THEN fp END) AS f1,
+                       MAX(CASE WHEN frame_idx = 2 THEN fp END) AS f2,
+                       MAX(CASE WHEN frame_idx = 3 THEN fp END) AS f3
+                FROM f GROUP BY doc_id
+                HAVING COUNT(*) = 4
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1))
+                      + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3))
+                        AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f0, b.f0)) + bit_count(xor(a.f1, b.f1))
+                + bit_count(xor(a.f2, b.f2)) + bit_count(xor(a.f3, b.f3)) <= 8
         """,
         # image_neardup_incremental: odd×even cross distances recomputed
         # from the committed hash golden via bit_count(xor) — the probe

@@ -176,6 +176,7 @@ def _query_suite() -> dict:
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
+        "audio_neardup": q.q_audio_neardup,
     }
     return suite
 

@@ -186,6 +186,46 @@ def fingerprint_frames(mono: np.ndarray) -> np.ndarray:
     return bits @ weights
 
 
+def audio_signatures(ds, payload_col: str = "audio", id_col: str = "doc_id"):
+    """Per-doc 64-bit audio signature: the first FOUR window
+    fingerprints packed MSB-first (``fp0<<48 | fp1<<32 | fp2<<16 |
+    fp3``) — Hamming distance on the packed word = summed per-frame
+    fingerprint distance, so the banded pigeonhole pair machinery
+    (``imagehash.phash_duplicate_pairs``) applies unchanged.  Docs
+    with fewer than four windows (or undecodable) emit ``ok=0`` with
+    ``sig=0``; payload dies in-stage."""
+    import pyarrow as pa
+
+    def sig_batch(t: "pa.Table") -> "pa.Table":
+        sigs: list[int] = []
+        ok: list[int] = []
+        for raw in t.column(payload_col).to_pylist():
+            try:
+                _rate, _ch, mono = decode_wav_pcm(raw or b"")
+                frames = fingerprint_frames(mono)
+            except ValueError:
+                frames = np.empty(0, dtype=np.int64)
+            if frames.shape[0] < 4:
+                sigs.append(0)
+                ok.append(0)
+                continue
+            f = frames[:4].astype(np.uint64)
+            packed = (f[0] << np.uint64(48)) | (f[1] << np.uint64(32)) | (
+                f[2] << np.uint64(16)
+            ) | f[3]
+            sigs.append(int(packed.view(np.int64)))
+            ok.append(1)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "sig": pa.array(np.array(sigs, dtype=np.int64)),
+                "ok": pa.array(ok, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
 def audio_features(ds, payload_col: str = "audio", id_col: str = "doc_id"):
     """Stateless decode + feature pass: ``(id, sample_rate, channels,
     n_samples, peak, zero_crossings, rms, ok)``; undecodable payloads

@@ -1266,15 +1266,34 @@ def _derived_wav_samples(doc_id: int) -> tuple[np.ndarray, int, int]:
     sample_rate, bits).  Shared by the Ray derivation and the golden
     twin — the FEATURES are never shared, only the samples."""
     i = doc_id
-    n = 1500 + (i % 5) * 700
-    if i % 83 == 7:
+    # every doc_id % 5 == 4 is a NEAR-DUP of its predecessor: same
+    # square wave (period/amplitude/length), fresh noise — so the
+    # fingerprint-signature pair set is known by construction (the
+    # derived_image contract, for audio)
+    base = i - 1 if i % 5 == 4 else i
+    n = 1500 + (base % 5) * 700
+    if base % 83 == 7:
         n = 100  # shorter than one DFT window → fingerprint ok=0 path
-    period = 20 + i % 60
-    amp = 8000 + (i % 8) * 2000
+    # hash-spread TWO-tone mix: unrelated docs get distinctive spectra
+    # (single low-varied tones clustered unrelated signatures within the
+    # near-dup budget — the audio analog of the imagehash gradient
+    # artifact), while the near-dup pair keeps both tones
+    period = 20 + (base * 7919) % 180
+    period2 = 9 + (base * 12007) % 90
+    sweep = 1 + (base * 331) % 7
+    amp = 6000 + (base * 104729) % 14000
     k = np.arange(n, dtype=np.int64)
-    square = np.where((k // period) % 2 == 0, amp, -amp)
+    # per-128-sample-segment frequency sweep: successive DFT windows see
+    # DIFFERENT spectra, so the packed 4-frame signature carries ~64
+    # bits, not 4 copies of one 16-bit pattern (identical windows
+    # saturated the fingerprint space and clustered unrelated docs
+    # within the near-dup budget)
+    p1 = period + sweep * (k // 128)
+    p2 = period2 + sweep * (k // 128)
+    square = np.where((k // p1) % 2 == 0, amp, -amp)
+    square2 = np.where((k // p2) % 2 == 0, amp // 2, -(amp // 2))
     noise = np.random.default_rng(i).integers(-2048, 2048, size=n, dtype=np.int64)
-    samples = (square + noise).astype(np.int16)
+    samples = (square + square2 + noise).astype(np.int16)
     rate = (8000, 16000, 22050, 44100)[i % 4]
     bits = 8 if i % 11 == 5 else 16
     return samples, rate, bits
@@ -1332,6 +1351,25 @@ def q_audio_fingerprints(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     wavs = docs.map_batches(_derived_wav_payloads, batch_format="pyarrow")
     return audio_fingerprints(wavs)
+
+
+def q_audio_neardup(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate audio by packed-fingerprint Hamming ≤ 8: per-doc
+    64-bit signature (first four window fingerprints, MSB-first) →
+    the SAME band-pigeonhole + popcount machinery as image near-dup
+    (EXACT recall for the budget, one coarse-bucket groupby).  Oracle =
+    DuckDB recomputing every pairwise distance brute-force from the
+    committed fingerprint golden (summed 16-bit ``bit_count(xor)`` over
+    the four frame columns ≡ Hamming on the packed word)."""
+    from ..functions.audiofp import audio_signatures
+    from ..functions.imagehash import phash_duplicate_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    wavs = docs.map_batches(_derived_wav_payloads, batch_format="pyarrow")
+    sigs = audio_signatures(wavs).map_batches(
+        lambda t: t.filter(pc.equal(t.column("ok"), 1)), batch_format="pyarrow"
+    )
+    return phash_duplicate_pairs(sigs, max_hamming=8, hash_col="sig")
 
 
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:

@@ -193,3 +193,78 @@ def test_audio_dataset_passes(ray_session):
         assert len(rows) == 1 and rows.iloc[0]["frame_idx"] == -1 and rows.iloc[0]["ok"] == 0
     good = fps[fps["ok"] == 1]
     assert (good.groupby("doc_id")["frame_idx"].count() == 3).all()  # 512 → 3 windows
+
+
+# ---------------------------------------------------------------------------
+# signatures + near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_audio_signatures_packing_and_gates(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.audiofp import audio_signatures
+
+    long = _noise(_N + 3 * _HOP, seed=9)  # exactly 4 windows
+    short = _noise(_N + 2 * _HOP, seed=9)  # only 3 windows
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "audio": pa.array(
+                    [encode_wav_pcm(long, 8000), encode_wav_pcm(short, 8000), b"junk"],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    out = audio_signatures(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 0, 0]
+    frames = fingerprint_frames(long.astype(np.int64))
+    want = (
+        (int(frames[0]) << 48)
+        | (int(frames[1]) << 32)
+        | (int(frames[2]) << 16)
+        | int(frames[3])
+    )
+    got = int(np.int64(out.loc[0, "sig"]).view(np.uint64))
+    assert got == want
+
+
+def test_audio_neardup_finds_planted_pair(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.audiofp import audio_signatures
+    from ocr_system_ray.functions.imagehash import phash_duplicate_pairs
+
+    # two docs sharing a swept square wave, different noise → near-dup;
+    # a third with a different wave → unrelated
+    def wave(period, sweep, amp, seed, n=_N + 3 * _HOP):
+        k = np.arange(n, dtype=np.int64)
+        p = period + sweep * (k // _HOP)
+        sq = np.where((k // p) % 2 == 0, amp, -amp)
+        noise = np.random.default_rng(seed).integers(-1500, 1500, size=n)
+        return (sq + noise).astype(np.int16)
+
+    payloads = [
+        encode_wav_pcm(wave(40, 3, 12000, seed=1), 8000),
+        encode_wav_pcm(wave(40, 3, 12000, seed=2), 8000),
+        encode_wav_pcm(wave(97, 5, 9000, seed=3), 8000),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "audio": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    sigs = audio_signatures(ds)
+    pairs = phash_duplicate_pairs(sigs, max_hamming=8, hash_col="sig").to_pandas()
+    assert len(pairs) == 1
+    assert (int(pairs.iloc[0]["id_a"]), int(pairs.iloc[0]["id_b"])) == (10, 11)
+    assert int(pairs.iloc[0]["hamming"]) <= 8
