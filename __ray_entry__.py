@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q.q_image_phash,
         "image_phash_png": q.q_image_phash_png,
         "image_phash_jpeg": q.q_image_phash_jpeg,
+        "image_phash_prog": q.q_image_phash_prog,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2387,6 +2388,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_jpeg_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # image_phash_prog: coefficient-equivalence oracle — the
+        # INDEPENDENT baseline twin decodes the BASELINE encode of the
+        # same pixels (progressive ≡ baseline on quantized
+        # coefficients; tools/make_goldens.py:imagehash_prog_golden)
+        "image_phash_prog": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_prog_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW

@@ -173,6 +173,7 @@ def _query_suite() -> dict:
         "crawl_frontier": q.q_crawl_frontier,
         "image_neardup_incremental": q.q_image_neardup_incremental,
         "image_phash_jpeg": q.q_image_phash_jpeg,
+        "image_phash_prog": q.q_image_phash_prog,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

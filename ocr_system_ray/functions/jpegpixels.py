@@ -1,11 +1,14 @@
-"""Real baseline JPEG decode (and a matching real encoder) — stdlib +
-numpy only, no codec deps.
+"""Real JPEG decode — baseline AND progressive — (and matching real
+encoders) — stdlib + numpy only, no codec deps.
 
 Closes the last common-web-format gap in the image leg (BMP, PNG, GIF
 already decode for real): ``decode_jpeg`` parses genuine JFIF/EXIF
-baseline streams — DQT (8/16-bit), DHT (canonical Huffman), SOF0/SOF1,
-DRI + restart markers, interleaved single-scan entropy data with byte
-unstuffing — and reconstructs pixels through an EXACTLY SPECIFIED
+streams — DQT (8/16-bit), DHT (canonical Huffman), SOF0/SOF1
+(sequential) and SOF2 (progressive: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs,
+interleaved and non-interleaved scans), DRI + restart markers, entropy
+data with byte unstuffing — and reconstructs pixels through an EXACTLY
+SPECIFIED
 fixed-point integer IDCT, nearest-neighbor chroma upsampling, and
 integer YCbCr→RGB.  Every arithmetic step is integer with a pinned
 rounding rule, so an independent implementation of the spec reproduces
@@ -244,22 +247,35 @@ def _extend(val: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → ``(h, w, 3)`` RGB uint8 per the module spec.
+    """Baseline AND progressive JPEG → ``(h, w, 3)`` RGB uint8 per the
+    module spec.
 
-    Supports SOF0/SOF1 (Huffman sequential), 8-bit samples, 1 or 3
-    components with sampling factors in {1, 2}, DQT 8/16-bit, DRI +
-    restart markers.  Raises ``ValueError`` on anything else
-    (progressive SOF2, arithmetic coding, truncation, bad codes) —
-    callers map that to error-as-data rows."""
+    Supports SOF0/SOF1 (Huffman sequential) and SOF2 (Huffman
+    progressive: spectral selection + successive approximation, DC/AC
+    first and refinement scans, EOB runs, interleaved and
+    non-interleaved scans), 8-bit samples, 1 or 3 components with
+    sampling factors in {1, 2}, DQT 8/16-bit, DRI + restart markers.
+    Raises ``ValueError`` on anything else (arithmetic/lossless SOFs,
+    truncation, bad codes) — callers map that to error-as-data rows.
+
+    Both modes accumulate RAW quantized coefficients (zigzag order) and
+    share one finisher (dequantize → spec'd fixed-point IDCT → upsample
+    → color), so a progressive stream and a baseline stream carrying the
+    same coefficients decode to IDENTICAL pixels — the equivalence the
+    progressive tests and the golden oracle rely on."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("jpeg: bad SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}  # id -> natural-order int64[64]
     htables: dict[tuple, tuple] = {}  # (class, id) -> (sym, len) LUT
     frame = None  # (w, h, comps) ; comps = [(cid, hs, vs, tq)]
+    progressive = False
+    planes_meta: list[dict] | None = None
+    geom = None  # (w, h, mcux, mcuy, hmax, vmax)
+    saw_scan = False
     restart_interval = 0
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: marker sync lost")
         marker = payload[pos + 1]
@@ -270,7 +286,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 2
             continue
         if marker == 0xD9:
+            if progressive and saw_scan:
+                return _finish(planes_meta, qtables, geom)
             raise ValueError("jpeg: EOI before SOS")
+        if pos + 4 > n:
+            break  # truncated inside a marker segment header
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -307,7 +327,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: truncated DHT")
                 htables[(tc, th)] = _huff_lut(bits, vals)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if frame is not None:
+                raise ValueError("jpeg: multiple frames")
             if len(body) < 6:
                 raise ValueError("jpeg: truncated SOF")
             if body[0] != 8:
@@ -326,7 +348,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: sampling factors beyond 2 unsupported")
                 comps.append((cid, hs, vs, tq))
             frame = (w_img, h_img, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w_img // (8 * hmax))
+            mcuy = -(-h_img // (8 * vmax))
+            geom = (w_img, h_img, mcux, mcuy, hmax, vmax)
+            planes_meta = []
+            for cid, hs, vs, tq in comps:
+                bw, bh = mcux * hs, mcuy * vs
+                planes_meta.append(
+                    {
+                        "cid": cid,
+                        "hs": hs,
+                        "vs": vs,
+                        "tq": tq,
+                        "bw": bw,
+                        # non-interleaved scans cover the component's own
+                        # ceil dims, not the MCU-padded grid (G.1.2)
+                        "nbw": -(-(w_img * hs) // (8 * hmax)),
+                        "nbh": -(-(h_img * vs) // (8 * vmax)),
+                        # RAW coefficients in ZIGZAG order; dequant at finish
+                        "coefs": np.zeros((bw * bh, 64), dtype=np.int64),
+                        "pred": 0,
+                    }
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: non-baseline SOF unsupported")
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -338,34 +385,51 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(body) < 1:
                 raise ValueError("jpeg: truncated SOS")
             ns = body[0]
-            w_img, h_img, comps = frame
-            if ns != len(comps):
-                raise ValueError("jpeg: only single interleaved scan supported")
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("jpeg: truncated SOS")
-            scan_tabs = {}
+            scan_tabs = []  # [(meta, td, ta)] in scan order
+            by_cid = {m["cid"]: m for m in planes_meta}
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan_tabs[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(
+                if cs not in by_cid:
+                    raise ValueError("jpeg: scan component not in frame")
+                scan_tabs.append((by_cid[cs], tt >> 4, tt & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            scan_start = pos + 2 + seglen
+            if not progressive:
+                if ns != len(planes_meta):
+                    raise ValueError("jpeg: only single interleaved scan supported")
+                _decode_scan_baseline(
+                    payload, scan_start, geom, scan_tabs, htables, restart_interval
+                )
+                return _finish(planes_meta, qtables, geom)
+            pos = _decode_prog_scan(
                 payload,
-                pos + 2 + seglen,
-                w_img,
-                h_img,
-                comps,
+                scan_start,
+                geom,
                 scan_tabs,
-                qtables,
                 htables,
                 restart_interval,
+                ss,
+                se,
+                ah,
+                al,
             )
+            saw_scan = True
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seglen
+    if progressive and saw_scan:
+        raise ValueError("jpeg: truncated progressive stream (no EOI)")
     raise ValueError("jpeg: no SOS found")
 
 
-def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
+def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuffed entropy byte segments split at RST markers; stops at
-    the first non-RST marker (normally EOI)."""
+    the first non-RST marker (normally EOI / the next scan header).
+    Returns ``(segments, index of the terminating marker)``."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -377,6 +441,7 @@ def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         m = payload[i + 1]
         if m == 0x00:
@@ -389,46 +454,34 @@ def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
         else:
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
-def _decode_scan(
-    payload, start, w_img, h_img, comps, scan_tabs, qtables, htables, ri
-) -> np.ndarray:
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w_img // (8 * hmax))
-    mcuy = -(-h_img // (8 * vmax))
+def _read_huff(reader: _BitReader, table: tuple) -> int:
+    sym, ln = table
+    p16 = reader.peek16()
+    length = int(ln[p16])
+    if length == 0:
+        raise ValueError("jpeg: bad huffman code")
+    reader.take(length)
+    return int(sym[p16])
+
+
+def _decode_scan_baseline(payload, start, geom, scan_tabs, htables, ri) -> None:
+    """Single interleaved sequential scan → RAW quantized coefficients
+    (zigzag order) into each component's buffer."""
+    _w, _h, mcux, mcuy, _hmax, _vmax = geom
     n_mcu = mcux * mcuy
-
-    planes_meta = []
-    for cid, hs, vs, tq in comps:
-        if tq not in qtables:
-            raise ValueError("jpeg: missing quant table")
-        if cid not in scan_tabs:
-            raise ValueError("jpeg: scan component not in frame")
-        td, ta = scan_tabs[cid]
+    state = []
+    for meta, td, ta in scan_tabs:
         if (0, td) not in htables or (1, ta) not in htables:
             raise ValueError("jpeg: missing huffman table")
-        bw, bh = mcux * hs, mcuy * vs
-        planes_meta.append(
-            {
-                "hs": hs,
-                "vs": vs,
-                "quant": qtables[tq],
-                "dc": htables[(0, td)],
-                "ac": htables[(1, ta)],
-                "bw": bw,
-                "coefs": np.zeros((bw * bh, 8, 8), dtype=np.int64),
-                "pred": 0,
-            }
-        )
+        state.append((meta, htables[(0, td)], htables[(1, ta)]))
+        meta["pred"] = 0
 
-    segs = _entropy_segments(payload, start)
+    segs, _end = _entropy_segments(payload, start)
     seg_idx = 0
     reader = _BitReader(segs[0])
-    zz_rows = [ZIGZAG[z] >> 3 for z in range(64)]
-    zz_cols = [ZIGZAG[z] & 7 for z in range(64)]
 
     for mcu in range(n_mcu):
         if ri and mcu and mcu % ri == 0:
@@ -436,38 +489,22 @@ def _decode_scan(
             if seg_idx >= len(segs):
                 raise ValueError("jpeg: missing restart segment")
             reader = _BitReader(segs[seg_idx])
-            for meta in planes_meta:
+            for meta, _d, _a in state:
                 meta["pred"] = 0
         my, mx = divmod(mcu, mcux)
-        for meta in planes_meta:
+        for meta, dct, act in state:
             hs, vs, bw = meta["hs"], meta["vs"], meta["bw"]
-            dsym, dlen = meta["dc"]
-            asym, alen = meta["ac"]
-            quant = meta["quant"]
             coefs = meta["coefs"]
             for by in range(vs):
                 for bx in range(hs):
-                    block_idx = (my * vs + by) * bw + (mx * hs + bx)
-                    blk = coefs[block_idx]
-                    # DC
-                    p16 = reader.peek16()
-                    ln = int(dlen[p16])
-                    if ln == 0:
-                        raise ValueError("jpeg: bad huffman code")
-                    reader.take(ln)
-                    sz = int(dsym[p16])
+                    blk = coefs[(my * vs + by) * bw + (mx * hs + bx)]
+                    sz = _read_huff(reader, dct)
                     diff = _extend(reader.take(sz), sz)
                     meta["pred"] += diff
-                    blk[0, 0] = meta["pred"] * quant[0]
-                    # AC
+                    blk[0] = meta["pred"]
                     k = 1
                     while k < 64:
-                        p16 = reader.peek16()
-                        ln = int(alen[p16])
-                        if ln == 0:
-                            raise ValueError("jpeg: bad huffman code")
-                        reader.take(ln)
-                        rs = int(asym[p16])
+                        rs = _read_huff(reader, act)
                         r, sz = rs >> 4, rs & 15
                         if sz == 0:
                             if r == 15:
@@ -477,16 +514,174 @@ def _decode_scan(
                         k += r
                         if k > 63:
                             raise ValueError("jpeg: AC run past block end")
-                        val = _extend(reader.take(sz), sz)
-                        blk[zz_rows[k], zz_cols[k]] = val * quant[ZIGZAG[k]]
+                        blk[k] = _extend(reader.take(sz), sz)
                         k += 1
 
-    # IDCT + assemble + upsample + color
+
+def _decode_prog_scan(
+    payload, start, geom, scan_tabs, htables, ri, ss, se, ah, al
+) -> int:
+    """One progressive scan (F.2.2 / G.2): DC or AC band, first pass or
+    refinement, interleaved (DC only) or single-component.  Accumulates
+    RAW coefficients (zigzag order, successively approximated) into the
+    component buffers; returns the payload index just past the scan's
+    entropy data."""
+    _w, _h, mcux, mcuy, _hmax, _vmax = geom
+    if not (0 <= al <= 13 and 0 <= ah <= 13):
+        raise ValueError("jpeg: bad successive approximation")
+    dc_scan = ss == 0
+    if dc_scan:
+        if se != 0:
+            raise ValueError("jpeg: DC scan must have Se=0")
+    else:
+        if len(scan_tabs) != 1:
+            raise ValueError("jpeg: AC scans must be single-component")
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("jpeg: bad spectral band")
+    if ah != 0 and ah != al + 1:
+        # refinement must lower Al by exactly one (G.1.1.1.2)
+        raise ValueError("jpeg: bad successive approximation step")
+
+    state = []
+    for meta, td, ta in scan_tabs:
+        if dc_scan:
+            if ah == 0 and (0, td) not in htables:
+                raise ValueError("jpeg: missing huffman table")
+            tab = htables.get((0, td)) if ah == 0 else None
+        else:
+            if (1, ta) not in htables:
+                raise ValueError("jpeg: missing huffman table")
+            tab = htables[(1, ta)]
+        state.append((meta, tab))
+        meta["pred"] = 0
+
+    segs, end = _entropy_segments(payload, start)
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    eobrun = 0
+
+    # data-unit schedule: MCU-interleaved for multi-component scans,
+    # component raster (ceil dims) for single-component scans
+    if len(state) > 1:
+        units = mcux * mcuy
+    else:
+        meta0 = state[0][0]
+        units = meta0["nbw"] * meta0["nbh"]
+
+    for unit in range(units):
+        if ri and unit and unit % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("jpeg: missing restart segment")
+            reader = _BitReader(segs[seg_idx])
+            eobrun = 0
+            for meta, _t in state:
+                meta["pred"] = 0
+        if len(state) > 1:
+            my, mx = divmod(unit, mcux)
+            blocks = []
+            for meta, tab in state:
+                hs, vs, bw = meta["hs"], meta["vs"], meta["bw"]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blocks.append(
+                            (meta, tab, meta["coefs"][(my * vs + by) * bw + (mx * hs + bx)])
+                        )
+        else:
+            meta, tab = state[0]
+            uy, ux = divmod(unit, meta["nbw"])
+            blocks = [(meta, tab, meta["coefs"][uy * meta["bw"] + ux])]
+
+        for meta, tab, blk in blocks:
+            if dc_scan:
+                if ah == 0:  # DC first: diff of (DC >> Al)
+                    sz = _read_huff(reader, tab)
+                    meta["pred"] += _extend(reader.take(sz), sz)
+                    blk[0] = meta["pred"] << al
+                else:  # DC refinement: one bit per block
+                    if reader.take(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+            elif ah == 0:  # AC first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huff(reader, tab)
+                    r, sz = rs >> 4, rs & 15
+                    if sz == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.take(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("jpeg: AC run past band end")
+                    blk[k] = _extend(reader.take(sz), sz) << al
+                    k += 1
+            else:  # AC refinement (jdphuff.c decode_mcu_AC_refine)
+                p1 = 1 << al
+                m1 = -1 << al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_huff(reader, tab)
+                        r, sz = rs >> 4, rs & 15
+                        newval = 0
+                        if sz:
+                            if sz != 1:
+                                raise ValueError("jpeg: bad refinement size")
+                            newval = p1 if reader.take(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.take(r)
+                            break
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.take(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("jpeg: refinement past band end")
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if reader.take(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return end
+
+
+def _finish(planes_meta, qtables, geom) -> np.ndarray:
+    """Dequantize the accumulated raw zigzag coefficients and run the
+    shared reconstruction: spec'd fixed-point IDCT → plane assembly →
+    replication upsample → integer YCbCr→RGB."""
+    w_img, h_img, mcux, mcuy, hmax, vmax = geom
     full_planes = []
     for meta in planes_meta:
+        if meta["tq"] not in qtables:
+            raise ValueError("jpeg: missing quant table")
+        quant = qtables[meta["tq"]]
         hs, vs, bw = meta["hs"], meta["vs"], meta["bw"]
         bh = mcuy * vs
-        px = idct2d_blocks(meta["coefs"])  # (bw*bh, 8, 8)
+        nat = np.zeros((bw * bh, 64), dtype=np.int64)
+        nat[:, ZIGZAG] = meta["coefs"]  # zigzag z → natural ZIGZAG[z]
+        deq = (nat * quant[None, :]).reshape(-1, 8, 8)
+        px = idct2d_blocks(deq)  # (bw*bh, 8, 8)
         plane = (
             px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
@@ -595,12 +790,19 @@ def encode_jpeg_pixels(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Real baseline JFIF JPEG bytes from ``(h, w, 3)`` RGB uint8 (or
-    ``(h, w)`` grayscale): integer FDCT + IJG-scaled Annex-K quant +
-    standard Huffman tables; ``subsampling`` ∈ {"444", "420"} for
-    color; ``restart_interval`` (MCUs) > 0 writes DRI + RSTn markers.
-    Decodable by :func:`decode_jpeg` and by any standard decoder."""
+    """Real JFIF JPEG bytes from ``(h, w, 3)`` RGB uint8 (or ``(h, w)``
+    grayscale): integer FDCT + IJG-scaled Annex-K quant; baseline
+    (standard Huffman tables, single scan) or — with
+    ``progressive=True`` — a genuine SOF2 progressive stream using the
+    libjpeg default scan script (DC first at Al=1 + DC refinement,
+    spectral AC bands with successive approximation Al 2→1→0 for luma
+    and 1→0 for chroma, EOB-run coding).  ``subsampling`` ∈ {"444",
+    "420"} for color; ``restart_interval`` (data units) > 0 writes DRI
+    + RSTn markers in every scan.  Both modes decode bit-identically
+    (same quantized coefficients) by :func:`decode_jpeg` and by any
+    standard decoder."""
     img = np.asarray(img)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -662,6 +864,11 @@ def encode_jpeg_pixels(
         # (reachable only at quality≈100); DC diffs stay within 11 bits
         qv = np.clip(qv, -1023, 1023)
         comp_q.append((qv.astype(np.int64), hs, vs, bw))
+
+    if progressive:
+        return _encode_progressive_stream(
+            comp_q, samp, ql, qc, gray, h_img, w_img, mcux, mcuy, restart_interval
+        )
 
     dc_l = _enc_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _enc_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -756,5 +963,273 @@ def encode_jpeg_pixels(
     sos += bytes([0, 63, 0])
     out.append(seg(0xDA, sos))
     out.append(entropy)
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2 + libjpeg default scan script)
+# ---------------------------------------------------------------------------
+
+# AC table for progressive scans: EVERY (run, size) symbol — including
+# the EOBn codes (r<<4|0, r=1..14) the Annex-K sequential tables do not
+# define — as a flat canonical table (128 symbols at length 8 + 128 at
+# length 9; DHT's BITS bytes cap each length at 255 codes, and the
+# layout leaves the all-ones codeword of both lengths unused per the
+# Annex-C reservation).  Inefficient and perfectly legal; the point is
+# decodability, not compression.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: bit emission + EOB-run
+    and buffered-correction-bit state (jcphuff.c's EOBRUN/BE buffer),
+    restart segmentation."""
+
+    def __init__(self, ac_codes, restart_interval: int):
+        self.ac = ac_codes
+        self.ri = restart_interval
+        self.w = _BitWriter()
+        self.parts: list[bytes] = []
+        self.eobrun = 0
+        # TWO correction-bit buffers, like jcphuff's BE/BR split: bits
+        # belonging to blocks already rolled into the pending EOB run
+        # (emitted right after the EOB code) vs bits of the CURRENT
+        # block since the last emission point (emitted after the next
+        # ZRL / newly-nonzero code).  One shared buffer would emit them
+        # out of the decoder's read order.
+        self.pending_eob: list[int] = []
+        self.cur: list[int] = []
+        self.rst = 0
+
+    def put(self, val: int, n: int) -> None:
+        self.w.put(val, n)
+
+    def emit_cur(self) -> None:
+        for bit in self.cur:
+            self.w.put(bit, 1)
+        self.cur.clear()
+
+    def roll_block_into_eobrun(self) -> None:
+        self.eobrun += 1
+        self.pending_eob.extend(self.cur)
+        self.cur.clear()
+        if self.eobrun == 0x7FFF:
+            self.flush_eobrun()
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.w.put(code, ln)
+            if r:
+                self.w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.pending_eob:
+            self.w.put(bit, 1)
+        self.pending_eob.clear()
+
+    def restart_boundary(self) -> None:
+        self.flush_eobrun()
+        self.w.pad_to_byte()
+        self.parts.append(bytes(self.w.buf))
+        self.parts.append(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+        self.rst += 1
+        self.w = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.w.pad_to_byte()
+        self.parts.append(bytes(self.w.buf))
+        return b"".join(self.parts)
+
+
+def _encode_progressive_stream(
+    comp_q, samp, ql, qc, gray, h_img, w_img, mcux, mcuy, restart_interval
+) -> bytes:
+    dc_l = _enc_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _enc_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_p = _enc_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    dc_codes = [dc_l] + [dc_c] * (len(comp_q) - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    zz = ZIGZAG
+
+    def dc_units():
+        """Interleaved MCU order over all components (DC scans)."""
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            out = []
+            for ci, (qv, hs, vs, bwid) in enumerate(comp_q):
+                for by in range(vs):
+                    for bx in range(hs):
+                        out.append((ci, qv[(my * vs + by) * bwid + (mx * hs + bx)]))
+            yield out
+
+    def ac_units(ci):
+        """Component raster order over ceil dims (AC scans, G.1.2)."""
+        qv, hs, vs, bwid = comp_q[ci]
+        nbw = -(-(w_img * hs) // (8 * hmax))
+        nbh = -(-(h_img * vs) // (8 * vmax))
+        for uy in range(nbh):
+            for ux in range(nbw):
+                yield qv[uy * bwid + ux]
+
+    def run_dc(al, refine):
+        writer = _ProgScanWriter(ac_p, restart_interval)
+        preds = [0] * len(comp_q)
+        for n_unit, unit in enumerate(dc_units()):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                writer.restart_boundary()
+                preds = [0] * len(comp_q)
+            for ci, blk in unit:
+                dc = int(blk[0, 0])
+                if refine:
+                    writer.put((dc >> al) & 1, 1)
+                else:
+                    v = dc >> al  # arithmetic shift (floor) per G.1.2.1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    sz, mag = _magnitude(diff)
+                    code, ln = dc_codes[ci][sz]
+                    writer.put(code, ln)
+                    if sz:
+                        writer.put(mag, sz)
+        return writer.finish()
+
+    def run_ac_first(ci, ss, se, al):
+        writer = _ProgScanWriter(ac_p, restart_interval)
+        for n_unit, blk in enumerate(ac_units(ci)):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                writer.restart_boundary()
+            flat = blk.reshape(64)
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(flat[zz[k]])
+                m = abs(v) >> al  # point transform: magnitude toward zero
+                if m == 0:
+                    run += 1
+                    continue
+                writer.flush_eobrun()
+                while run > 15:
+                    code, ln = ac_p[0xF0]
+                    writer.put(code, ln)
+                    run -= 16
+                sz, mag = _magnitude(m if v > 0 else -m)
+                code, ln = ac_p[(run << 4) | sz]
+                writer.put(code, ln)
+                writer.put(mag, sz)
+                run = 0
+            if run > 0:
+                writer.roll_block_into_eobrun()
+        return writer.finish()
+
+    def run_ac_refine(ci, ss, se, al):
+        writer = _ProgScanWriter(ac_p, restart_interval)
+        p1 = 1 << al
+        for n_unit, blk in enumerate(ac_units(ci)):
+            if restart_interval and n_unit and n_unit % restart_interval == 0:
+                writer.restart_boundary()
+            flat = blk.reshape(64)
+            absval = [abs(int(flat[zz[k]])) >> al for k in range(ss, se + 1)]
+            eob = -1  # band index of the LAST newly-nonzero coefficient
+            for i, a in enumerate(absval):
+                if a == 1:
+                    eob = i
+            r = 0
+            for i, a in enumerate(absval):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    writer.flush_eobrun()
+                    code, ln = ac_p[0xF0]
+                    writer.put(code, ln)
+                    r -= 16
+                    writer.emit_cur()
+                if a > 1:
+                    # history coefficient: buffer its correction bit
+                    writer.cur.append(a & 1)
+                    continue
+                # newly nonzero (|coef|>>al == 1): emit (r, s=1) + sign
+                writer.flush_eobrun()
+                code, ln = ac_p[(r << 4) | 1]
+                writer.put(code, ln)
+                writer.put(1 if int(flat[zz[ss + i]]) > 0 else 0, 1)
+                writer.emit_cur()
+                r = 0
+            if r > 0 or writer.cur:
+                writer.roll_block_into_eobrun()
+        return writer.finish()
+
+    # libjpeg default scan script (jcparam.c), restricted to our comps
+    if gray:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", None, 0, 0, 0, 1),
+            ("ac_first", 0, 1, 5, 0, 2),
+            ("ac_first", 1, 1, 63, 0, 1),
+            ("ac_first", 2, 1, 63, 0, 1),
+            ("ac_first", 0, 6, 63, 0, 2),
+            ("ac_refine", 0, 1, 63, 2, 1),
+            ("dc_refine", None, 0, 0, 1, 0),
+            ("ac_refine", 1, 1, 63, 1, 0),
+            ("ac_refine", 2, 1, 63, 1, 0),
+            ("ac_refine", 0, 1, 63, 1, 0),
+        ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = [b"\xff\xd8"]
+    out.append(
+        seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    )
+    dqt = bytes([0]) + bytes(int(ql[ZIGZAG[z]]) for z in range(64))
+    if not gray:
+        dqt += bytes([1]) + bytes(int(qc[ZIGZAG[z]]) for z in range(64))
+    out.append(seg(0xDB, dqt))
+    sof = bytes([8]) + struct.pack(">HH", h_img, w_img) + bytes([len(comp_q)])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out.append(seg(0xC2, sof))
+    dht = (
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS)
+    )
+    if not gray:
+        dht += bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+    out.append(seg(0xC4, dht))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
+
+    for kind, ci, ss, se, ah, al in script:
+        if kind == "dc_first":
+            entropy = run_dc(al, refine=False)
+            comps = [(c + 1, (0 if c == 0 else 1) << 4) for c in range(len(comp_q))]
+        elif kind == "dc_refine":
+            entropy = run_dc(al, refine=True)
+            comps = [(c + 1, (0 if c == 0 else 1) << 4) for c in range(len(comp_q))]
+        elif kind == "ac_first":
+            entropy = run_ac_first(ci, ss, se, al)
+            comps = [(ci + 1, 0x00)]  # shared flat AC table id 0
+        else:
+            entropy = run_ac_refine(ci, ss, se, al)
+            comps = [(ci + 1, 0x00)]
+        sos = bytes([len(comps)])
+        for cid, tt in comps:
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.append(seg(0xDA, sos))
+        out.append(entropy)
     out.append(b"\xff\xd9")
     return b"".join(out)

@@ -1372,6 +1372,67 @@ def q_audio_neardup(sf_dir: str) -> ray.data.Dataset:
     return phash_duplicate_pairs(sigs, max_hamming=8, hash_col="sig")
 
 
+def _derived_prog_jpeg_payloads(t: pa.Table) -> pa.Table:
+    """Progressive-JPEG leg of the image corpus: the SAME derived
+    pixels as the baseline leg, encoded as genuine SOF2 streams
+    (libjpeg default SA scan script) through rotating layouts
+    (doc_id % 4 → 4:4:4 / 4:2:0 with restart markers / grayscale /
+    4:2:0 high-quality).  Corrupt rows: doc_id % IMG_BAD_MOD plants
+    non-JPEG bytes; doc_id % 89 == 3 cuts the stream at 1/2 (a
+    progressive prefix never carries EOI → error-as-data)."""
+    from ..functions.jpegpixels import encode_jpeg_pixels
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not an image")
+            continue
+        img = derived_image(i)
+        sel = i % 4
+        if sel == 0:
+            raw = encode_jpeg_pixels(
+                img, quality=85 + i % 11, subsampling="444", progressive=True
+            )
+        elif sel == 1:
+            raw = encode_jpeg_pixels(
+                img,
+                quality=80 + i % 16,
+                subsampling="420",
+                restart_interval=1 + i % 3,
+                progressive=True,
+            )
+        elif sel == 2:
+            gray = (img.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+            raw = encode_jpeg_pixels(gray, quality=75 + i % 21, progressive=True)
+        else:
+            raw = encode_jpeg_pixels(
+                img, quality=95, subsampling="420", progressive=True
+            )
+        if i % 89 == 3:
+            raw = raw[: len(raw) // 2]  # mid-stream truncation (no EOI)
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_image_phash_prog(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual image hashing over REAL progressive (SOF2) JPEG
+    bytes: spectral-selection + successive-approximation scan decode
+    (DC/AC first + refinement, EOB runs, non-interleaved AC scans)
+    through the shared coefficient finisher.  Golden oracle = the
+    INDEPENDENT bit-by-bit baseline twin decoding the BASELINE encode
+    of the same pixels at the same quality/subsampling — exact because
+    both streams carry the SAME quantized coefficients (the equivalence
+    `tests/test_jpegpixels.py` pins across layouts)."""
+    from ..functions.imagehash import image_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_prog_jpeg_payloads, batch_format="pyarrow")
+    return image_hashes(imgs)
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

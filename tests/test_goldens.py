@@ -204,12 +204,27 @@ def test_imagehash_png_golden_matches_twin():
 
 
 def test_imagehash_jpeg_golden_matches_twin():
+    import sys
+
     import pyarrow.parquet as pq
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from make_goldens import imagehash_jpeg_golden
 
     fresh = imagehash_jpeg_golden()
     assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_jpeg_sf001.parquet"))
+
+
+def test_imagehash_prog_golden_matches_twin():
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import imagehash_prog_golden
+
+    fresh = imagehash_prog_golden()
+    assert fresh.equals(pq.read_table(GOLDEN_DIR / "imagehash_prog_sf001.parquet"))
 
 
 def test_video_frames_golden_matches_twin():

@@ -155,13 +155,100 @@ def test_truncation_rejected_everywhere():
             decode_jpeg(raw[:cut])
 
 
-def test_progressive_sof_rejected():
+def test_baseline_stream_mislabeled_as_progressive_rejected():
+    # flipping SOF0→SOF2 leaves a full-band DC "scan" (Ss=0, Se=63),
+    # which violates G.1 scan-header rules
     raw = encode_jpeg_pixels(_smooth_img(8, 8), quality=90)
     pos = _find_seg(raw, 0xC0)
     patched = bytearray(raw)
     patched[pos + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
     with pytest.raises(ValueError):
         decode_jpeg(bytes(patched))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): exact equivalence with baseline + stream handling
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dims", [(32, 48), (8, 8), (19, 29), (1, 1), (9, 33)])
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_progressive_equals_baseline_exactly(dims, sub):
+    # same quantized coefficients → the shared finisher must produce
+    # IDENTICAL pixels; any coding bug in the SA scans breaks equality
+    h, w = dims
+    img = _rng_img(h, w, seed=h * 100 + w)
+    for q in (50, 95):
+        base = decode_jpeg(encode_jpeg_pixels(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_pixels(img, quality=q, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_equals_baseline_with_restarts():
+    img = _rng_img(33, 50, seed=17)
+    for ri in (1, 2, 5):
+        base = decode_jpeg(encode_jpeg_pixels(img, quality=85, subsampling="420"))
+        raw = encode_jpeg_pixels(
+            img, quality=85, subsampling="420", restart_interval=ri, progressive=True
+        )
+        assert any(bytes([0xFF, 0xD0 + k]) in raw for k in range(8))
+        assert np.array_equal(decode_jpeg(raw), base)
+
+
+def test_progressive_grayscale_equals_baseline():
+    g = ((np.arange(23)[:, None] * 7 + np.arange(31)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg_pixels(g, quality=90))
+    prog = decode_jpeg(encode_jpeg_pixels(g, quality=90, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_image_long_eob_runs():
+    # flat image ⇒ every AC band empty ⇒ each AC scan is one long EOBn
+    # run (the (1<<r)+bits path); wrong EOBRUN accounting misaligns the
+    # whole scan
+    img = np.full((40, 56, 3), 130, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_pixels(img, quality=90, subsampling="420"))
+    prog = decode_jpeg(
+        encode_jpeg_pixels(img, quality=90, subsampling="420", progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_wire_format():
+    raw = encode_jpeg_pixels(_rng_img(16, 24, seed=3), quality=85, progressive=True)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    pos = _find_seg(raw, 0xC2)  # SOF2 present, no SOF0
+    with pytest.raises(AssertionError):
+        _find_seg(raw, 0xC0)
+    assert raw.count(b"\xff\xda") >= 6  # multi-scan script
+
+
+def test_progressive_truncation_rejected():
+    raw = encode_jpeg_pixels(
+        _rng_img(24, 32, seed=9), quality=85, subsampling="420", progressive=True
+    )
+    for cut in (len(raw) // 4, len(raw) // 2, 3 * len(raw) // 4, len(raw) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(raw[:cut])
+
+
+def test_progressive_entropy_bit_flips_never_crash():
+    raw = encode_jpeg_pixels(_rng_img(16, 16, seed=21), quality=85, progressive=True)
+    sos = _find_seg(raw, 0xDA)
+    rng = np.random.default_rng(1)
+    for _ in range(60):
+        b = bytearray(raw)
+        i = int(rng.integers(sos + 12, len(raw) - 2))
+        b[i] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.shape == (16, 16, 3)
+        except ValueError:
+            pass  # rejected: fine — anything but a crash
 
 
 def test_corrupt_entropy_byte_flips_never_crash():

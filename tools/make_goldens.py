@@ -1007,6 +1007,68 @@ def imagehash_jpeg_golden() -> pa.Table:
     )
 
 
+def imagehash_prog_golden() -> pa.Table:
+    """Independent twin of ``q_image_phash_prog`` via coefficient
+    equivalence: a progressive and a baseline stream encoding the same
+    quantized coefficients decode to IDENTICAL pixels (pinned across
+    layouts by tests/test_jpegpixels.py), so the twin decodes the
+    BASELINE encode of the same pixels at the same quality/subsampling
+    with the independent bit-by-bit reader — no progressive machinery
+    is shared (or even present) on the oracle side.  Planted corrupt
+    and truncated rows are asserted to ok=0 (a progressive prefix
+    never carries EOI)."""
+    from ocr_system_ray.functions.jpegpixels import encode_jpeg_pixels
+    from ocr_system_ray.pipelines.queries import IMG_BAD_MOD, derived_image
+
+    read_jpeg = _twin_jpeg_reader()
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    ids, widths, heights, ahs, dhs, oks = [], [], [], [], [], []
+    for did in docs.column("doc_id").to_pylist():
+        ids.append(did)
+        if did % IMG_BAD_MOD == 0 or did % 89 == 3:
+            widths.append(0)
+            heights.append(0)
+            ahs.append(0)
+            dhs.append(0)
+            oks.append(0)
+            continue
+        img = derived_image(did)
+        sel = did % 4
+        if sel == 0:
+            raw = encode_jpeg_pixels(img, quality=85 + did % 11, subsampling="444")
+        elif sel == 1:
+            raw = encode_jpeg_pixels(
+                img,
+                quality=80 + did % 16,
+                subsampling="420",
+                restart_interval=1 + did % 3,
+            )
+        elif sel == 2:
+            gray = (img.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+            raw = encode_jpeg_pixels(gray, quality=75 + did % 21)
+        else:
+            raw = encode_jpeg_pixels(img, quality=95, subsampling="420")
+        px = read_jpeg(raw)
+        assert px is not None
+        ah, dh = _twin_hashes_of(px)
+        widths.append(len(px[0]))
+        heights.append(len(px))
+        ahs.append(ah)
+        dhs.append(dh)
+        oks.append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+            "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+            "ok": pa.array(oks, pa.int64()),
+        }
+    )
+
+
 def video_frames_golden() -> pa.Table:
     """Independent twin of ``q_video_frames``: the shared derivation
     produces the SAME RIFF/AVI bytes, but this twin walks the container
@@ -1602,6 +1664,9 @@ def main() -> None:
     ihj = imagehash_jpeg_golden()
     pq.write_table(ihj, GOLDEN_DIR / "imagehash_jpeg_sf001.parquet")
     print(f"imagehash_jpeg_sf001.parquet: {ihj.num_rows} rows")
+    ihpr = imagehash_prog_golden()
+    pq.write_table(ihpr, GOLDEN_DIR / "imagehash_prog_sf001.parquet")
+    print(f"imagehash_prog_sf001.parquet: {ihpr.num_rows} rows")
     gf = gif_frames_golden()
     pq.write_table(gf, GOLDEN_DIR / "gif_frames_sf001.parquet")
     print(f"gif_frames_sf001.parquet: {gf.num_rows} rows")
