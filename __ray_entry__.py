@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_png": q.q_image_phash_png,
         "image_phash_jpeg": q.q_image_phash_jpeg,
         "image_phash_prog": q.q_image_phash_prog,
+        "exif_extract": q.q_exif_extract,
+        "exif_scrub": q.q_exif_scrub,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2399,6 +2401,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_prog_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # exif_extract / exif_scrub: every field is a pure function of
+        # doc_id (the derivation contract), so DuckDB recomputes them
+        # all directly — container-corrupt (%97), no-EXIF (%13==4),
+        # corrupt-TIFF (%17==9), GPS-absent (%3==1) branches included
+        "exif_extract": """
+            WITH f AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad_container,
+                       doc_id % 13 = 4 AS no_exif,
+                       doc_id % 17 = 9 AND doc_id % 13 <> 4 AS bad_tiff,
+                       doc_id % 3 <> 1 AS gps_present
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad_container OR bad_tiff THEN 0 ELSE 1 END AS BIGINT) AS exif_ok,
+                CAST(CASE WHEN bad_container OR no_exif THEN 0 ELSE 1 END AS BIGINT) AS has_exif,
+                CAST(CASE WHEN bad_container OR no_exif OR bad_tiff OR NOT gps_present
+                     THEN 0 ELSE 1 END AS BIGINT) AS has_gps,
+                CAST(CASE WHEN bad_container OR no_exif OR bad_tiff THEN 0
+                     WHEN doc_id % 29 = 8 THEN 0 ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation,
+                CASE WHEN bad_container OR no_exif OR bad_tiff THEN ''
+                     WHEN doc_id % 19 = 6 THEN ''
+                     ELSE 'Cam' || CAST(doc_id % 7 AS VARCHAR) END AS make,
+                CASE WHEN bad_container OR no_exif OR bad_tiff THEN ''
+                     ELSE 'M' || lpad(CAST(doc_id % 23 AS VARCHAR), 3, '0') END AS model,
+                CASE WHEN bad_container OR no_exif OR bad_tiff THEN ''
+                     ELSE '2026:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                       || ':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                       || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                       || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                       || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+                     END AS datetime,
+                CAST(CASE WHEN bad_container OR no_exif OR bad_tiff OR NOT gps_present THEN 0
+                     ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)
+                        * (((doc_id % 90) * 360000 + ((doc_id * 7) % 60) * 6000
+                            + (doc_id * doc_id) % 6000) * 1000000 // 360000)
+                     END AS BIGINT) AS lat_micro,
+                CAST(CASE WHEN bad_container OR no_exif OR bad_tiff OR NOT gps_present THEN 0
+                     ELSE (CASE WHEN doc_id % 5 < 3 THEN 1 ELSE -1 END)
+                        * ((((doc_id * 3) % 180) * 360000 + ((doc_id * 11) % 60) * 6000
+                            + (doc_id * 13) % 6000) * 1000000 // 360000)
+                     END AS BIGINT) AS lon_micro
+            FROM f
+        """,
+        "exif_scrub": """
+            SELECT doc_id,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 4
+                          OR (doc_id % 17 = 9 AND doc_id % 13 <> 4)
+                          OR doc_id % 3 = 1 THEN 0 ELSE 1 END AS BIGINT) AS had_gps,
+                CAST(0 AS BIGINT) AS gps_after,
+                CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 13 = 4 OR doc_id % 17 = 9
+                          OR doc_id % 29 = 8 THEN 0
+                     ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation_after
+            FROM documents
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -174,6 +174,8 @@ def _query_suite() -> dict:
         "image_neardup_incremental": q.q_image_neardup_incremental,
         "image_phash_jpeg": q.q_image_phash_jpeg,
         "image_phash_prog": q.q_image_phash_prog,
+        "exif_extract": q.q_exif_extract,
+        "exif_scrub": q.q_exif_scrub,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

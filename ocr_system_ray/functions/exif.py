@@ -1,0 +1,417 @@
+"""EXIF metadata: real TIFF-IFD parse over JPEG APP1 + GPS privacy strip.
+
+The image-side PII operation a training-data pipeline needs (photos
+carry GPS coordinates; corpus hygiene strips them the way text PII
+scrubbing strips phone numbers — ``functions/pii.py``'s contract for
+pixels' metadata).  Everything is real bytes: a genuine TIFF header
+(both ``II`` little- and ``MM`` big-endian), IFD entry walk with the
+4-byte inline-value rule, rational GPS coordinates, and marker-level
+JPEG splicing that leaves entropy data untouched (pixels decode
+identically before and after the strip — pinned by tests).
+
+Parse SPEC (integer-exact, shared with the SQL oracle which recomputes
+every field from the derivation):
+
+* APP1 must open with ``Exif\\0\\0``; TIFF magic 42 at offset 0 of the
+  TIFF body; unknown tags skipped; entries with out-of-bounds value
+  offsets make the whole EXIF block an error (``exif_ok=0``).
+* GPS micro-degrees: with D/M rationals degree/minute (den 1) and a
+  centi-second rational (den 100),
+  ``micro = (D·360000 + M·6000 + Scenti) · 1_000_000 // 360_000``,
+  negated for ``S`` / ``W`` refs.
+
+Scale notes: parse + strip are row-local stateless ``map_batches``
+passes; the strip rewrites only marker segments (no entropy re-encode),
+so payload bytes stream through once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TAG_MAKE = 0x010F
+TAG_MODEL = 0x0110
+TAG_ORIENTATION = 0x0112
+TAG_DATETIME = 0x0132
+TAG_GPS_IFD = 0x8825
+
+GPS_LAT_REF = 0x0001
+GPS_LAT = 0x0002
+GPS_LON_REF = 0x0003
+GPS_LON = 0x0004
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def micro_degrees(deg: int, minute: int, sec_centi: int, ref: str) -> int:
+    """The spec'd integer micro-degree reduction (floor division)."""
+    total = deg * 360000 + minute * 6000 + sec_centi
+    micro = total * 1_000_000 // 360_000
+    return -micro if ref in ("S", "W") else micro
+
+
+def build_exif_app1(
+    make: str = "",
+    model: str = "",
+    orientation: int = 0,
+    datetime: str = "",
+    gps: tuple | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Genuine APP1 body (``Exif\\0\\0`` + TIFF) carrying IFD0 fields
+    and, when ``gps=(lat_deg, lat_min, lat_centisec, lat_ref, lon_deg,
+    lon_min, lon_centisec, lon_ref)``, a linked GPS sub-IFD with
+    rational coordinates.  ``big_endian=True`` writes an ``MM`` TIFF."""
+    e = ">" if big_endian else "<"
+    entries0: list[tuple[int, int, int, bytes]] = []  # tag, type, count, raw value
+    extra = bytearray()  # value area after the IFDs; offsets patched later
+
+    def ascii_val(s: str) -> tuple[int, int, bytes, bool]:
+        raw = s.encode("ascii") + b"\x00"
+        return 2, len(raw), raw, len(raw) > 4
+
+    def add(entries, tag, typ, count, raw, needs_offset):
+        entries.append((tag, typ, count, raw, needs_offset))
+
+    ifd0: list = []
+    if make:
+        typ, cnt, raw, off = ascii_val(make)
+        add(ifd0, TAG_MAKE, typ, cnt, raw, off)
+    if model:
+        typ, cnt, raw, off = ascii_val(model)
+        add(ifd0, TAG_MODEL, typ, cnt, raw, off)
+    if orientation:
+        add(ifd0, TAG_ORIENTATION, 3, 1, struct.pack(e + "H", orientation), False)
+    if datetime:
+        typ, cnt, raw, off = ascii_val(datetime)
+        add(ifd0, TAG_DATETIME, typ, cnt, raw, off)
+
+    gps_entries: list = []
+    if gps is not None:
+        lat_d, lat_m, lat_sc, lat_ref, lon_d, lon_m, lon_sc, lon_ref = gps
+
+        def rat3(d, m, sc):
+            return struct.pack(e + "IIIIII", d, 1, m, 1, sc, 100)
+
+        add(gps_entries, GPS_LAT_REF, 2, 2, lat_ref.encode("ascii") + b"\x00", False)
+        add(gps_entries, GPS_LAT, 5, 3, rat3(lat_d, lat_m, lat_sc), True)
+        add(gps_entries, GPS_LON_REF, 2, 2, lon_ref.encode("ascii") + b"\x00", False)
+        add(gps_entries, GPS_LON, 5, 3, rat3(lon_d, lon_m, lon_sc), True)
+        add(ifd0, TAG_GPS_IFD, 4, 1, b"", True)  # pointer patched below
+
+    ifd0.sort(key=lambda t: t[0])
+    gps_entries.sort(key=lambda t: t[0])
+
+    # layout: header(8) | IFD0 | [GPS IFD] | value area
+    ifd0_pos = 8
+    ifd0_size = 2 + 12 * len(ifd0) + 4
+    gps_pos = ifd0_pos + ifd0_size
+    gps_size = (2 + 12 * len(gps_entries) + 4) if gps_entries else 0
+    val_pos = gps_pos + gps_size
+
+    def render(entries, next_values_at):
+        out = bytearray(struct.pack(e + "H", len(entries)))
+        cursor = next_values_at
+        for tag, typ, cnt, raw, needs_offset in entries:
+            if tag == TAG_GPS_IFD:
+                out += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + "I", gps_pos)
+                continue
+            out += struct.pack(e + "HHI", tag, typ, cnt)
+            if needs_offset:
+                out += struct.pack(e + "I", cursor)
+                extra.extend(raw)
+                cursor += len(raw)
+            else:
+                out += raw.ljust(4, b"\x00")
+        out += struct.pack(e + "I", 0)  # next-IFD pointer
+        return bytes(out), cursor
+
+    ifd0_raw, cursor = render(ifd0, val_pos)
+    gps_raw = b""
+    if gps_entries:
+        gps_raw, cursor = render(gps_entries, cursor)
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "H", 42)
+        + struct.pack(e + "I", ifd0_pos)
+        + ifd0_raw
+        + gps_raw
+        + bytes(extra)
+    )
+    return b"Exif\x00\x00" + tiff
+
+
+def _parse_ifd(tiff: bytes, e: str, pos: int) -> dict[int, tuple]:
+    """One IFD → {tag: (type, count, value bytes)}; offset rule applied."""
+    if pos + 2 > len(tiff):
+        raise ValueError("exif: IFD out of bounds")
+    (n,) = struct.unpack_from(e + "H", tiff, pos)
+    out: dict[int, tuple] = {}
+    for i in range(n):
+        epos = pos + 2 + 12 * i
+        if epos + 12 > len(tiff):
+            raise ValueError("exif: IFD entry out of bounds")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, epos)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            raw = tiff[epos + 8 : epos + 8 + max(size, 0)]
+        else:
+            (off,) = struct.unpack_from(e + "I", tiff, epos + 8)
+            if off + size > len(tiff):
+                raise ValueError("exif: value offset out of bounds")
+            raw = tiff[off : off + size]
+        out[tag] = (typ, cnt, raw)
+    return out
+
+
+def _ascii(entry) -> str:
+    _typ, _cnt, raw = entry
+    return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+
+
+def parse_exif(app1_body: bytes) -> dict:
+    """APP1 body → typed fields per the module SPEC.  Raises
+    ``ValueError`` on malformed EXIF (bad magic, truncated IFDs,
+    out-of-bounds offsets)."""
+    if not app1_body.startswith(b"Exif\x00\x00"):
+        raise ValueError("exif: missing Exif header")
+    tiff = app1_body[6:]
+    if len(tiff) < 8:
+        raise ValueError("exif: truncated TIFF header")
+    order = tiff[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("exif: bad byte order")
+    magic, ifd0_off = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("exif: bad TIFF magic")
+    ifd0 = _parse_ifd(tiff, e, ifd0_off)
+
+    out = {
+        "make": _ascii(ifd0[TAG_MAKE]) if TAG_MAKE in ifd0 else "",
+        "model": _ascii(ifd0[TAG_MODEL]) if TAG_MODEL in ifd0 else "",
+        "datetime": _ascii(ifd0[TAG_DATETIME]) if TAG_DATETIME in ifd0 else "",
+        "orientation": 0,
+        "has_gps": 0,
+        "lat_micro": 0,
+        "lon_micro": 0,
+    }
+    if TAG_ORIENTATION in ifd0:
+        typ, _cnt, raw = ifd0[TAG_ORIENTATION]
+        if typ != 3 or len(raw) < 2:
+            raise ValueError("exif: bad orientation entry")
+        out["orientation"] = struct.unpack_from(e + "H", raw, 0)[0]
+    if TAG_GPS_IFD in ifd0:
+        (gps_off,) = struct.unpack_from(e + "I", ifd0[TAG_GPS_IFD][2], 0)
+        gps = _parse_ifd(tiff, e, gps_off)
+
+        def coord(tag_val, tag_ref) -> int:
+            if tag_val not in gps or tag_ref not in gps:
+                raise ValueError("exif: incomplete GPS coordinate")
+            typ, cnt, raw = gps[tag_val]
+            if typ != 5 or cnt != 3 or len(raw) < 24:
+                raise ValueError("exif: bad GPS rational")
+            dn, dd, mn, md, sn, sd = struct.unpack_from(e + "IIIIII", raw, 0)
+            if dd != 1 or md != 1 or sd != 100:
+                raise ValueError("exif: unsupported GPS denominators")
+            return micro_degrees(dn, mn, sn, _ascii(gps[tag_ref]))
+
+        out["has_gps"] = 1
+        out["lat_micro"] = coord(GPS_LAT, GPS_LAT_REF)
+        out["lon_micro"] = coord(GPS_LON, GPS_LON_REF)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG marker-level splicing
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_segments(payload: bytes):
+    """Yield ``(marker, start, end)`` for each marker segment after SOI,
+    stopping at SOS (entropy data and everything after stays opaque)."""
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        end = pos + 2 + seglen
+        if end > n:
+            raise ValueError("jpeg: truncated segment")
+        yield marker, pos, end
+        if marker == 0xDA:
+            return
+        pos = end
+    raise ValueError("jpeg: no SOS found")
+
+
+def extract_exif_app1(payload: bytes) -> bytes | None:
+    """First ``Exif\\0\\0`` APP1 body in a JPEG stream, or None."""
+    for marker, start, end in _jpeg_segments(payload):
+        if marker == 0xE1 and payload[start + 4 : start + 10] == b"Exif\x00\x00":
+            return payload[start + 4 : end]
+    return None
+
+
+def insert_exif_app1(payload: bytes, app1_body: bytes) -> bytes:
+    """Splice an APP1 right after SOI (before any other segment)."""
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    seg = bytes([0xFF, 0xE1]) + struct.pack(">H", len(app1_body) + 2) + app1_body
+    return payload[:2] + seg + payload[2:]
+
+
+def strip_gps(payload: bytes) -> bytes:
+    """GPS privacy strip: drop Exif APP1 segments and, when the EXIF
+    parsed cleanly, re-insert one REBUILT from the parsed fields minus
+    the GPS IFD (orientation/make/model/datetime survive — dropping the
+    whole APP1 would lose them).  Unparseable EXIF is dropped outright
+    (privacy-safe default).  Entropy data is untouched: pixels decode
+    identically."""
+    drops = []
+    kept_fields = None
+    for marker, start, end in _jpeg_segments(payload):
+        if marker == 0xE1 and payload[start + 4 : start + 10] == b"Exif\x00\x00":
+            drops.append((start, end))
+            if kept_fields is None:
+                try:
+                    kept_fields = parse_exif(payload[start + 4 : end])
+                except ValueError:
+                    kept_fields = None
+    out = bytearray()
+    pos = 0
+    for start, end in drops:
+        out += payload[pos:start]
+        pos = end
+    out += payload[pos:]
+    result = bytes(out)
+    if kept_fields and (
+        kept_fields["make"]
+        or kept_fields["model"]
+        or kept_fields["datetime"]
+        or kept_fields["orientation"]
+    ):
+        app1 = build_exif_app1(
+            make=kept_fields["make"],
+            model=kept_fields["model"],
+            orientation=kept_fields["orientation"],
+            datetime=kept_fields["datetime"],
+            gps=None,
+        )
+        result = insert_exif_app1(result, app1)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# dataset passes
+# ---------------------------------------------------------------------------
+
+_FIELDS = (
+    ("exif_ok", "int64"),
+    ("has_exif", "int64"),
+    ("has_gps", "int64"),
+    ("orientation", "int64"),
+    ("make", "str"),
+    ("model", "str"),
+    ("datetime", "str"),
+    ("lat_micro", "int64"),
+    ("lon_micro", "int64"),
+)
+
+
+def _row_for(payload: bytes) -> dict:
+    row = {k: (0 if t == "int64" else "") for k, t in _FIELDS}
+    try:
+        app1 = extract_exif_app1(payload or b"")
+    except ValueError:
+        return row  # exif_ok stays 0: undecodable container
+    row["exif_ok"] = 1
+    if app1 is None:
+        return row
+    row["has_exif"] = 1
+    try:
+        fields = parse_exif(app1)
+    except ValueError:
+        row["exif_ok"] = 0
+        return row
+    row.update(fields)
+    return row
+
+
+def exif_features(ds, payload_col: str = "image", id_col: str = "doc_id"):
+    """Stateless EXIF extraction: one row per payload with typed fields
+    (error-as-data: bad containers / bad EXIF → ``exif_ok=0``)."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        rows = [_row_for(p) for p in t.column(payload_col).to_pylist()]
+        out = {id_col: t.column(id_col)}
+        for name, typ in _FIELDS:
+            if typ == "int64":
+                out[name] = pa.array([int(r[name]) for r in rows], pa.int64())
+            else:
+                out[name] = pa.array([str(r[name]) for r in rows], pa.string())
+        return pa.table(out)
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def scrub_gps(ds, payload_col: str = "image", id_col: str = "doc_id"):
+    """GPS strip pass → ``(id, scrubbed payload, had_gps, gps_after,
+    orientation_after)``; undecodable containers pass through verbatim
+    with ``ok=0`` (never-fail-row)."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids = t.column(id_col)
+        outs, ok, had, after, orient = [], [], [], [], []
+        for p in t.column(payload_col).to_pylist():
+            p = p or b""
+            before = _row_for(p)
+            if before["exif_ok"] == 0 and before["has_exif"] == 0:
+                try:
+                    _ = list(_jpeg_segments(p))
+                    decodable = True
+                except ValueError:
+                    decodable = False
+                if not decodable:
+                    outs.append(p)
+                    ok.append(0)
+                    had.append(0)
+                    after.append(0)
+                    orient.append(0)
+                    continue
+            stripped = strip_gps(p)
+            post = _row_for(stripped)
+            outs.append(stripped)
+            ok.append(1)
+            had.append(before["has_gps"])
+            after.append(post["has_gps"])
+            orient.append(post["orientation"])
+        return pa.table(
+            {
+                id_col: ids,
+                payload_col: pa.array(outs, pa.binary()),
+                "ok": pa.array(ok, pa.int64()),
+                "had_gps": pa.array(had, pa.int64()),
+                "gps_after": pa.array(after, pa.int64()),
+                "orientation_after": pa.array(orient, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

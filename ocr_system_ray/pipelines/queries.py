@@ -1433,6 +1433,84 @@ def q_image_phash_prog(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(imgs)
 
 
+def _derived_exif_payloads(t: pa.Table) -> pa.Table:
+    """EXIF leg of the image corpus: real JPEGs (8×8 crops — metadata
+    is the subject) carrying APP1/TIFF blocks whose every field is a
+    pure integer/string function of doc_id, so the DuckDB oracle
+    recomputes them all directly.  Variants: no-EXIF (``%13==4``),
+    corrupt TIFF byte order (``%17==9``), big-endian MM (``%5==2``),
+    absent orientation (``%29==8``), absent make (``%19==6``), GPS
+    present iff ``%3!=1``; corrupt container ``%IMG_BAD_MOD``."""
+    from ..functions.exif import build_exif_app1, insert_exif_app1
+    from ..functions.jpegpixels import encode_jpeg_pixels
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not an image")
+            continue
+        base = encode_jpeg_pixels(derived_image(i)[:8, :8], quality=85)
+        if i % 13 == 4:
+            payloads.append(base)  # decodable, no EXIF
+            continue
+        gps = None
+        if i % 3 != 1:
+            gps = (
+                i % 90,
+                (i * 7) % 60,
+                (i * i) % 6000,
+                "N" if i % 2 == 0 else "S",
+                (i * 3) % 180,
+                (i * 11) % 60,
+                (i * 13) % 6000,
+                "E" if i % 5 < 3 else "W",
+            )
+        app1 = build_exif_app1(
+            make="" if i % 19 == 6 else f"Cam{i % 7}",
+            model=f"M{i % 23:03d}",
+            orientation=0 if i % 29 == 8 else 1 + i % 8,
+            datetime=(
+                f"2026:{1 + i % 12:02d}:{1 + i % 28:02d} "
+                f"{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}"
+            ),
+            gps=gps,
+            big_endian=i % 5 == 2,
+        )
+        if i % 17 == 9:
+            app1 = app1[:6] + b"XX" + app1[8:]  # corrupt TIFF byte order
+        payloads.append(insert_exif_app1(base, app1))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_exif_extract(sf_dir: str) -> ray.data.Dataset:
+    """EXIF metadata extraction over REAL APP1/TIFF bytes: IFD walk
+    (both endiannesses, inline-vs-offset values, linked GPS sub-IFD),
+    rational GPS → integer micro-degrees (``functions/exif.py``).
+    Oracle = DuckDB recomputing EVERY field from the doc_id derivation
+    — pure SQL, no golden."""
+    from ..functions.exif import exif_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_exif_payloads, batch_format="pyarrow")
+    return exif_features(imgs)
+
+
+def q_exif_scrub(sf_dir: str) -> ray.data.Dataset:
+    """GPS privacy strip (image-side PII scrub): drop Exif APP1s and
+    re-insert one rebuilt WITHOUT the GPS IFD (orientation/make/model
+    survive; unparseable EXIF dropped outright — privacy-safe default);
+    entropy data untouched so pixels decode identically (pinned by
+    tests).  Emits the post-strip audit columns; payload dies here."""
+    from ..functions.exif import scrub_gps
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_exif_payloads, batch_format="pyarrow")
+    return scrub_gps(imgs).drop_columns(["image"])
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -1,0 +1,174 @@
+"""EXIF TIFF-IFD parse + GPS privacy strip: round trips in both
+endiannesses, the inline-vs-offset value rule, micro-degree math,
+malformed-block rejection, pixels-unchanged strip invariant, and the
+Dataset-level passes."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.exif import (
+    build_exif_app1,
+    exif_features,
+    extract_exif_app1,
+    insert_exif_app1,
+    micro_degrees,
+    parse_exif,
+    scrub_gps,
+    strip_gps,
+)
+from ocr_system_ray.functions.jpegpixels import decode_jpeg, encode_jpeg_pixels
+
+
+def _jpeg(seed=0, h=16, w=24):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_jpeg_pixels(img, quality=90)
+
+
+GPS = (51, 30, 1234, "N", 0, 7, 5678, "W")
+
+
+def _tagged(seed=0, big_endian=False, gps=GPS, **kw):
+    kw.setdefault("make", "CamX")
+    kw.setdefault("model", "M007")
+    kw.setdefault("orientation", 6)
+    kw.setdefault("datetime", "2026:08:18 10:00:00")
+    return insert_exif_app1(
+        _jpeg(seed), build_exif_app1(gps=gps, big_endian=big_endian, **kw)
+    )
+
+
+# ---------------------------------------------------------------------------
+# parse round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("be", [False, True])
+def test_round_trip_both_endiannesses(be):
+    f = parse_exif(extract_exif_app1(_tagged(big_endian=be)))
+    assert f["make"] == "CamX" and f["model"] == "M007"
+    assert f["orientation"] == 6 and f["datetime"] == "2026:08:18 10:00:00"
+    assert f["has_gps"] == 1
+    assert f["lat_micro"] == micro_degrees(51, 30, 1234, "N")
+    assert f["lon_micro"] == micro_degrees(0, 7, 5678, "W")
+
+
+def test_micro_degree_spec_pins():
+    # 51°30'12.34" N = (51*360000 + 30*6000 + 1234) * 1e6 // 360000
+    assert micro_degrees(51, 30, 1234, "N") == 51503427
+    assert micro_degrees(51, 30, 1234, "S") == -51503427
+    assert micro_degrees(0, 0, 0, "N") == 0
+    assert micro_degrees(0, 7, 5678, "W") == -132438
+
+
+def test_inline_vs_offset_value_rule():
+    # 3-char make + NUL = 4 bytes → inline; longer strings go through
+    # the offset path — both must parse
+    for make in ("abc", "a much longer camera make"):
+        f = parse_exif(extract_exif_app1(_tagged(make=make)))
+        assert f["make"] == make
+
+
+def test_no_gps_and_absent_fields():
+    f = parse_exif(
+        extract_exif_app1(_tagged(gps=None, make="", orientation=0, datetime=""))
+    )
+    assert f["has_gps"] == 0 and f["lat_micro"] == 0
+    assert f["make"] == "" and f["orientation"] == 0
+    assert f["model"] == "M007"
+
+
+def test_no_exif_jpeg():
+    assert extract_exif_app1(_jpeg()) is None
+
+
+# ---------------------------------------------------------------------------
+# rejection
+# ---------------------------------------------------------------------------
+
+
+def test_malformed_exif_rejected():
+    app1 = build_exif_app1(make="X", gps=GPS)
+    with pytest.raises(ValueError):
+        parse_exif(b"NotExif" + app1[7:])
+    with pytest.raises(ValueError):
+        parse_exif(app1[:6] + b"XX" + app1[8:])  # bad byte order
+    bad_magic = app1[:8] + struct.pack("<H", 43) + app1[10:]
+    with pytest.raises(ValueError):
+        parse_exif(bad_magic)
+    # out-of-bounds IFD offset
+    bad_off = app1[:10] + struct.pack("<I", 1 << 20) + app1[14:]
+    with pytest.raises(ValueError):
+        parse_exif(bad_off)
+    with pytest.raises(ValueError):
+        parse_exif(b"Exif\x00\x00II")
+
+
+# ---------------------------------------------------------------------------
+# strip
+# ---------------------------------------------------------------------------
+
+
+def test_strip_kills_gps_keeps_fields_and_pixels():
+    for be in (False, True):
+        jp = _tagged(seed=3, big_endian=be)
+        st = strip_gps(jp)
+        f = parse_exif(extract_exif_app1(st))
+        assert f["has_gps"] == 0 and f["lat_micro"] == 0
+        assert f["make"] == "CamX" and f["orientation"] == 6
+        assert f["datetime"] == "2026:08:18 10:00:00"
+        assert np.array_equal(decode_jpeg(st), decode_jpeg(jp))  # pixels untouched
+
+
+def test_strip_unparseable_exif_drops_app1():
+    jp = _tagged(seed=4)
+    app1_start = jp.index(b"Exif\x00\x00")
+    broken = jp[:app1_start] + b"Exif\x00\x00XX" + jp[app1_start + 8 :]
+    st = strip_gps(broken)
+    assert extract_exif_app1(st) is None  # privacy-safe default
+    assert np.array_equal(decode_jpeg(st), decode_jpeg(jp))
+
+
+def test_strip_idempotent_and_noop_without_exif():
+    jp = _tagged(seed=5)
+    once = strip_gps(jp)
+    assert strip_gps(once) == once
+    plain = _jpeg(seed=6)
+    assert strip_gps(plain) == plain
+
+
+# ---------------------------------------------------------------------------
+# dataset passes
+# ---------------------------------------------------------------------------
+
+
+def test_exif_dataset_passes(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    payloads = [
+        _tagged(seed=0),
+        _jpeg(seed=1),  # no EXIF
+        b"not a jpeg",
+        _tagged(seed=2, gps=None),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(4)), pa.int64()),
+                "image": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    f = exif_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(f["exif_ok"]) == [1, 1, 0, 1]
+    assert list(f["has_exif"]) == [1, 0, 0, 1]
+    assert list(f["has_gps"]) == [1, 0, 0, 0]
+
+    s = scrub_gps(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(s["ok"]) == [1, 1, 0, 1]
+    assert list(s["had_gps"]) == [1, 0, 0, 0]
+    assert list(s["gps_after"]) == [0, 0, 0, 0]
+    assert bytes(s.loc[2, "image"]) == b"not a jpeg"  # passthrough verbatim
