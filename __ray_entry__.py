@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_prog": q.q_image_phash_prog,
         "exif_extract": q.q_exif_extract,
         "exif_scrub": q.q_exif_scrub,
+        "favicon_hash": q.q_favicon_hash,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2457,6 +2458,16 @@ def oracle_sql() -> dict[str, str]:
                           OR doc_id % 29 = 8 THEN 0
                      ELSE 1 + doc_id % 8 END AS BIGINT) AS orientation_after
             FROM documents
+        """,
+        # favicon_hash: pixel-equivalence oracle — the ICO's largest
+        # entry carries the SAME derived pixels the BMP leg hashes and
+        # both embedded formats (DIB, PNG-in-ICO) are lossless, so the
+        # committed BMP imagehash golden IS the favicon answer
+        "favicon_hash": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

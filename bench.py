@@ -176,6 +176,7 @@ def _query_suite() -> dict:
         "image_phash_prog": q.q_image_phash_prog,
         "exif_extract": q.q_exif_extract,
         "exif_scrub": q.q_exif_scrub,
+        "favicon_hash": q.q_favicon_hash,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

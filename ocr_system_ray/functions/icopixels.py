@@ -1,0 +1,130 @@
+"""ICO (favicon) container: real ICONDIR walk + embedded DIB/PNG decode.
+
+Favicons are the crawl's most common non-content image fetch; an ICO
+is a directory of images each stored either as a PNG stream or as a
+headerless DIB (BITMAPINFOHEADER with DOUBLED height covering the XOR
+pixel rows plus a 1-bpp AND transparency mask).  Both embedded formats
+decode through the repo's REAL codecs (``pngpixels.decode_png``, DIB
+rows shared with the BMP conventions in ``imagehash``) — no new pixel
+math, just the genuine container rules:
+
+* ICONDIR: reserved 0, type 1 (icons), count ≥ 1; each ICONDIRENTRY
+  carries width/height bytes (0 means 256), bit depth, payload size
+  and absolute offset;
+* entry payloads starting with the PNG signature decode as PNG;
+  anything else is a DIB: BITMAPINFOHEADER (biSize ≥ 40) whose
+  ``biHeight`` is TWICE the visible height, 24/32-bpp bottom-up BGR(A)
+  rows with 4-byte stride padding, alpha dropped, AND mask ignored;
+* :func:`decode_ico` picks the LARGEST entry (max w·h after the 0→256
+  rule; first wins ties) — the resolution a pipeline fingerprints.
+
+``decode_image`` dispatches the ``00 00 01 00`` magic here, so the
+standard hashing pass covers favicons unchanged.  Oracle story: an ICO
+embedding the corpus' derived pixels decodes to EXACTLY the pixels the
+BMP leg decodes, so the committed imagehash golden doubles as the
+favicon oracle (pixel-equivalence, same discipline as the progressive
+JPEG leg).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_ico(images: list[np.ndarray], as_png: "list[bool] | None" = None) -> bytes:
+    """Real ICO bytes from ``(h, w, 3)`` RGB uint8 frames (h, w ≤ 256);
+    ``as_png[i]`` stores entry i as a PNG stream, else as a 24-bpp DIB
+    with doubled-height header and an all-opaque AND mask."""
+    from .pngpixels import encode_png_pixels
+
+    if not images:
+        raise ValueError("ico: need at least one image")
+    if as_png is None:
+        as_png = [False] * len(images)
+    if len(as_png) != len(images):
+        raise ValueError("ico: as_png length mismatch")
+    blobs: list[bytes] = []
+    dims: list[tuple[int, int]] = []
+    for img, png in zip(images, as_png):
+        h, w = img.shape[:2]
+        if not (1 <= h <= 256 and 1 <= w <= 256):
+            raise ValueError("ico: entry dimensions must be in [1, 256]")
+        dims.append((w, h))
+        if png:
+            blobs.append(encode_png_pixels(img.astype(np.uint8), color_type=2))
+            continue
+        stride = (3 * w + 3) & ~3
+        bgr = img[:, :, ::-1].astype(np.uint8)
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+        xor = rows[::-1].tobytes()  # bottom-up
+        mask_stride = ((w + 31) // 32) * 4
+        mask = b"\x00" * (mask_stride * h)  # all-opaque AND mask
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0, len(xor) + len(mask), 0, 0, 0, 0
+        )
+        blobs.append(hdr + xor + mask)
+
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    offset = 6 + 16 * len(images)
+    for (w, h), blob in zip(dims, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(blob), offset
+        )
+        offset += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def _decode_dib(blob: bytes) -> np.ndarray:
+    if len(blob) < 40:
+        raise ValueError("ico: truncated DIB header")
+    (size, w, h2, planes, bpp, comp) = struct.unpack_from("<IiiHHI", blob, 0)
+    if size < 40 or comp != 0 or planes != 1 or bpp not in (24, 32):
+        raise ValueError("ico: unsupported DIB (24/32-bpp uncompressed only)")
+    if w <= 0 or h2 <= 0 or h2 % 2:
+        raise ValueError("ico: bad DIB dimensions (height must be doubled)")
+    h = h2 // 2
+    ch = bpp // 8
+    stride = (ch * w + 3) & ~3
+    if size + stride * h > len(blob):
+        raise ValueError("ico: truncated DIB pixel data")
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=size)
+    rows = rows.reshape(h, stride)[:, : ch * w].reshape(h, w, ch)
+    rows = rows[::-1]  # bottom-up → top-down
+    return rows[:, :, 2::-1].copy()  # BGR(A) → RGB, alpha dropped
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """Largest entry of an ICO → ``(h, w, 3)`` RGB uint8 per the module
+    SPEC.  Raises ``ValueError`` on bad directory/entries."""
+    if payload is None or len(payload) < 6:
+        raise ValueError("ico: too short for ICONDIR")
+    reserved, typ, count = struct.unpack_from("<HHH", payload, 0)
+    if reserved != 0 or typ != 1 or count == 0:
+        raise ValueError("ico: bad ICONDIR")
+    if 6 + 16 * count > len(payload):
+        raise ValueError("ico: truncated directory")
+    best = None  # (area, index, offset, size)
+    for i in range(count):
+        wb, hb = payload[6 + 16 * i], payload[7 + 16 * i]
+        size, off = struct.unpack_from("<II", payload, 6 + 16 * i + 8)
+        w = wb or 256
+        h = hb or 256
+        if off + size > len(payload):
+            raise ValueError("ico: entry out of bounds")
+        area = w * h
+        if best is None or area > best[0]:
+            best = (area, i, off, size)
+    _area, _i, off, size = best
+    blob = payload[off : off + size]
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        from .pngpixels import decode_png
+
+        return decode_png(blob)
+    return _decode_dib(blob)

@@ -109,7 +109,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpegpixels import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ValueError("image: unrecognized container (BMP/PNG/GIF/JPEG supported)")
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from .icopixels import decode_ico
+
+        return decode_ico(payload)
+    raise ValueError("image: unrecognized container (BMP/PNG/GIF/JPEG/ICO supported)")
 
 
 def _gray(img: np.ndarray) -> np.ndarray:

@@ -1511,6 +1511,47 @@ def q_exif_scrub(sf_dir: str) -> ray.data.Dataset:
     return scrub_gps(imgs).drop_columns(["image"])
 
 
+def _derived_ico_payloads(t: pa.Table) -> pa.Table:
+    """Favicon leg of the image corpus: real ICO containers whose
+    LARGEST entry is the SAME derived image the BMP leg hashes, stored
+    as a DIB (even ids) or an embedded PNG (odd ids), plus an 8×8 DIB
+    decoy entry (before the main one on most ids, after it on
+    ``%3==0``) so largest-entry selection is exercised both ways.
+    Corrupt rows: doc_id % IMG_BAD_MOD plants non-ICO bytes."""
+    from ..functions.icopixels import encode_ico
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not an image")
+            continue
+        main = derived_image(i)
+        decoy = main[:8, :8]
+        if i % 3 == 0:
+            imgs, pngs = [main, decoy], [i % 2 == 1, False]
+        else:
+            imgs, pngs = [decoy, main], [False, i % 2 == 1]
+        payloads.append(encode_ico(imgs, as_png=pngs))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_favicon_hash(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual hashing over REAL ICO favicons: genuine ICONDIR walk,
+    largest-entry selection, embedded doubled-height DIB and PNG-in-ICO
+    decode (``functions/icopixels.py``).  Oracle = the committed BMP
+    imagehash golden by PIXEL EQUIVALENCE: the chosen entry carries the
+    same derived pixels the BMP leg decodes, and both embedded formats
+    are lossless — so the hash rows must be identical."""
+    from ..functions.imagehash import image_hashes
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    icos = docs.map_batches(_derived_ico_payloads, batch_format="pyarrow")
+    return image_hashes(icos)
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

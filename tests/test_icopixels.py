@@ -1,0 +1,116 @@
+"""ICO container: DIB and PNG-in-ICO round trips, largest-entry
+selection, 32-bpp alpha drop, directory rejection paths, and the
+hashing-dispatch equivalence with standalone BMP."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.icopixels import decode_ico, encode_ico
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_dib_round_trip_exact():
+    img = _img(32, 48, seed=1)
+    assert np.array_equal(decode_ico(encode_ico([img])), img)
+
+
+def test_png_in_ico_round_trip_exact():
+    img = _img(17, 29, seed=2)
+    assert np.array_equal(decode_ico(encode_ico([img], as_png=[True])), img)
+
+
+def test_largest_entry_wins_both_orders():
+    big, small = _img(48, 48, seed=3), _img(8, 8, seed=4)
+    assert np.array_equal(decode_ico(encode_ico([small, big])), big)
+    assert np.array_equal(decode_ico(encode_ico([big, small])), big)
+    # mixed formats: PNG big after DIB decoy
+    assert np.array_equal(decode_ico(encode_ico([small, big], as_png=[False, True])), big)
+
+
+def test_zero_byte_means_256():
+    # a 256-wide entry stores width byte 0 and must outrank a 255-wide one
+    big, mid = _img(2, 256, seed=5), _img(2, 255, seed=6)
+    raw = encode_ico([mid, big])
+    assert raw[6 + 16] == 0  # second entry's width byte wraps to 0
+    assert decode_ico(raw).shape == (2, 256, 3)
+
+
+def test_32bpp_alpha_dropped():
+    img = _img(6, 6, seed=7)
+    raw = bytearray(encode_ico([img]))
+    # rewrite the DIB as 32-bpp BGRA in place
+    off = struct.unpack_from("<I", raw, 6 + 12)[0]
+    h, w = img.shape[:2]
+    bgra = np.zeros((h, w, 4), dtype=np.uint8)
+    bgra[:, :, :3] = img[:, :, ::-1]
+    bgra[:, :, 3] = 200
+    xor = bgra[::-1].reshape(h, w * 4).tobytes()
+    mask = b"\x00" * (((w + 31) // 32) * 4 * h)
+    hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, len(xor) + len(mask), 0, 0, 0, 0)
+    blob = hdr + xor + mask
+    new = raw[:off] + blob
+    struct.pack_into("<II", new, 6 + 8, len(blob), off)
+    assert np.array_equal(decode_ico(bytes(new)), img)
+
+
+def test_rejection_paths():
+    for bad in (b"", b"\x00\x00\x01\x00", b"not an icon"):
+        with pytest.raises(ValueError):
+            decode_ico(bad)
+    raw = encode_ico([_img(4, 4)])
+    with pytest.raises(ValueError):
+        decode_ico(raw[:2] + b"\x02\x00" + raw[4:])  # type=2 (cursor)
+    with pytest.raises(ValueError):
+        decode_ico(raw[: len(raw) // 2])  # entry out of bounds
+    # non-doubled DIB height rejected
+    bad = bytearray(raw)
+    off = struct.unpack_from("<I", bad, 6 + 12)[0]
+    struct.pack_into("<i", bad, off + 8, 7)
+    with pytest.raises(ValueError):
+        decode_ico(bytes(bad))
+
+
+def test_encoder_validation():
+    with pytest.raises(ValueError):
+        encode_ico([])
+    with pytest.raises(ValueError):
+        encode_ico([_img(300, 4)])
+    with pytest.raises(ValueError):
+        encode_ico([_img(4, 4)], as_png=[True, False])
+
+
+def test_dispatch_and_hash_parity_with_bmp(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.imagehash import encode_bmp_pixels, image_hashes
+
+    imgs = [_img(32, 48, seed=s) for s in range(6)]
+    bmp = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "image": pa.array([encode_bmp_pixels(i) for i in imgs], pa.binary()),
+            }
+        )
+    )
+    ico = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "image": pa.array(
+                    [encode_ico([i], as_png=[s % 2 == 1]) for s, i in enumerate(imgs)],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    a = image_hashes(bmp).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = image_hashes(ico).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
