@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exif_extract": q.q_exif_extract,
         "exif_scrub": q.q_exif_scrub,
         "favicon_hash": q.q_favicon_hash,
+        "http_bodies": q.q_http_bodies,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2468,6 +2469,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # http_bodies: every column recomputed from the derivation;
+        # body_md5 = byte-exact round trip through chunked/gzip/deflate
+        # codings (md5(decoded) ≡ md5(text)); truncated chunked rows
+        # pin the complete-prefix rule (exactly 200 'x' bytes survive)
+        "http_bodies": """
+            SELECT doc_id,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                     WHEN doc_id % 7 = 2 THEN 301
+                     WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END AS BIGINT) AS status,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                     WHEN doc_id % 89 = 3 THEN 1
+                     WHEN doc_id % 5 IN (1, 3) THEN 1 ELSE 0 END AS BIGINT) AS chunked,
+                CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 3 THEN 0
+                     WHEN doc_id % 5 IN (2, 3) THEN 1 ELSE 0 END AS BIGINT) AS gzipped,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                     WHEN doc_id % 89 = 3 THEN 200
+                     ELSE octet_length(encode(COALESCE(text, ''))) END AS BIGINT) AS n_bytes,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     WHEN doc_id % 89 = 3 THEN md5(repeat('x', 200))
+                     ELSE md5(COALESCE(text, '')) END AS body_md5
+            FROM documents
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

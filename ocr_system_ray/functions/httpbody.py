@@ -1,0 +1,230 @@
+"""Real HTTP/1.1 message decode for crawl payloads: status line +
+headers, ``Transfer-Encoding: chunked`` de-chunking, and
+``Content-Encoding`` gzip/deflate decompression.
+
+Common-Crawl WARC ``response`` records store the raw HTTP message;
+``sources/warc.py:strip_http_headers`` handles only the identity case
+(headers + Content-Length body).  Real crawls are full of chunked and
+gzip/deflate bodies — this module is the full-fidelity path.
+
+Decode SPEC (shared with the SQL oracle, which recomputes body md5s
+from the derivation):
+
+* the message must open with ``HTTP/``; header block ends at the first
+  blank line (CRLF or bare LF framing); header names case-insensitive,
+  first occurrence wins;
+* chunked framing: ``<hex size>[;ext]`` CRLF, chunk bytes, CRLF, …,
+  terminated by a 0-size chunk (trailer headers ignored).  A stream
+  that ends mid-chunk or without the terminator yields the COMPLETE
+  chunks present (truncation → prefix, the crawl-robustness default);
+  a malformed size line is an error;
+* content decoding after de-chunking: ``gzip``/``x-gzip`` via the gzip
+  wrapper, ``deflate`` as zlib (raw-deflate fallback — real servers
+  send both); corrupt compressed bytes are an error;
+* identity bodies honor ``Content-Length`` when present and sane,
+  else run to end-of-payload.
+
+Scale notes: one row-local stateless pass; headers and transfer
+framing die in-stage, only decoded bytes (or their fingerprints) flow
+on.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import zlib
+
+import numpy as np  # noqa: F401  (module convention)
+
+
+def _split_head(payload: bytes) -> tuple[bytes, bytes] | None:
+    sep = payload.find(b"\r\n\r\n")
+    if sep >= 0:
+        return payload[:sep], payload[sep + 4 :]
+    sep = payload.find(b"\n\n")
+    if sep >= 0:
+        return payload[:sep], payload[sep + 2 :]
+    return None
+
+
+def _parse_head(head: bytes) -> tuple[int, dict[str, str]]:
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status_parts = lines[0].split(None, 2)
+    if len(status_parts) < 2 or not status_parts[0].startswith(b"HTTP/"):
+        raise ValueError("http: bad status line")
+    try:
+        status = int(status_parts[1])
+    except ValueError as exc:
+        raise ValueError("http: bad status code") from exc
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        if not line:
+            continue
+        name, _, value = line.partition(b":")
+        key = name.strip().lower().decode("latin-1")
+        if key and key not in headers:
+            headers[key] = value.strip().decode("latin-1")
+    return status, headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        bare = False
+        if eol < 0:
+            eol = body.find(b"\n", pos)
+            bare = True
+        if eol < 0:
+            return bytes(out)  # truncated before a size line: prefix
+        size_field = body[pos:eol].split(b";", 1)[0].strip()
+        if not size_field:
+            return bytes(out)
+        try:
+            size = int(size_field, 16)
+        except ValueError as exc:
+            raise ValueError("http: bad chunk size line") from exc
+        data_start = eol + (1 if bare else 2)
+        if size == 0:
+            return bytes(out)  # terminator (trailers ignored)
+        if data_start + size > n:
+            return bytes(out)  # truncated mid-chunk: complete prefix only
+        out += body[data_start : data_start + size]
+        pos = data_start + size
+        # consume the chunk-data CRLF (tolerate bare LF / truncation)
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+        elif pos >= n:
+            return bytes(out)
+
+
+def decode_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Raw HTTP response message → ``(status, headers, decoded body)``
+    per the module SPEC.  Raises ``ValueError`` on non-HTTP payloads,
+    malformed framing, or corrupt compressed bodies."""
+    if payload is None or not payload.startswith(b"HTTP/"):
+        raise ValueError("http: not an HTTP message")
+    split = _split_head(payload)
+    if split is None:
+        raise ValueError("http: no header terminator")
+    head, body = split
+    status, headers = _parse_head(head)
+
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    else:
+        cl = headers.get("content-length", "")
+        if cl.isdigit():
+            want = int(cl)
+            if want <= len(body):
+                body = body[:want]
+
+    ce = headers.get("content-encoding", "").lower().strip()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = _gzip.decompress(body)
+        except (OSError, EOFError, zlib.error) as exc:
+            raise ValueError("http: corrupt gzip body") from exc
+    elif ce == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+            except zlib.error as exc:
+                raise ValueError("http: corrupt deflate body") from exc
+    return status, headers, body
+
+
+def encode_http_response(
+    body: bytes,
+    status: int = 200,
+    content_encoding: str = "",
+    chunked: bool = False,
+    chunk_size: int = 100,
+    terminate: bool = True,
+    extra_headers: "list[tuple[str, str]] | None" = None,
+) -> bytes:
+    """Real HTTP response bytes for fixtures/derivations: optional
+    gzip/deflate content coding, optional chunked framing
+    (``terminate=False`` omits the 0-chunk — the truncated-stream
+    case), else a Content-Length body."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(status, "X")
+    if content_encoding in ("gzip", "x-gzip"):
+        body = _gzip.compress(body, mtime=0)
+    elif content_encoding == "deflate":
+        body = zlib.compress(body)
+    elif content_encoding:
+        raise ValueError("http: unsupported content_encoding fixture")
+    headers = [("Date", "Tue, 18 Aug 2026 00:00:00 GMT")]
+    if content_encoding:
+        headers.append(("Content-Encoding", content_encoding))
+    if extra_headers:
+        headers.extend(extra_headers)
+    if chunked:
+        headers.append(("Transfer-Encoding", "chunked"))
+        parts = bytearray()
+        for i in range(0, len(body), chunk_size):
+            chunk = body[i : i + chunk_size]
+            parts += f"{len(chunk):x}".encode() + b"\r\n" + chunk + b"\r\n"
+        if terminate:
+            parts += b"0\r\n\r\n"
+        payload = bytes(parts)
+    else:
+        if not terminate:
+            raise ValueError("http: terminate=False requires chunked")
+        headers.append(("Content-Length", str(len(body))))
+        payload = body
+    head = f"HTTP/1.1 {status} {reason}\r\n".encode()
+    head += b"".join(f"{k}: {v}\r\n".encode() for k, v in headers)
+    return head + b"\r\n" + payload
+
+
+def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id"):
+    """Stateless decode pass → ``(id, ok, status, chunked, gzipped,
+    n_bytes, body_md5)``; non-HTTP / malformed payloads emit a zero row
+    with ``ok=0`` (error-as-data, row conservation).  Raw payloads die
+    in-stage — only fingerprints flow on."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids = t.column(id_col)
+        ok, status, chunked, gzipped, n_bytes, md5s = [], [], [], [], [], []
+        for p in t.column(payload_col).to_pylist():
+            try:
+                st, headers, body = decode_http_response(p or b"")
+            except ValueError:
+                ok.append(0)
+                status.append(0)
+                chunked.append(0)
+                gzipped.append(0)
+                n_bytes.append(0)
+                md5s.append("")
+                continue
+            ok.append(1)
+            status.append(st)
+            chunked.append(int("chunked" in headers.get("transfer-encoding", "").lower()))
+            ce = headers.get("content-encoding", "").lower()
+            gzipped.append(int(ce in ("gzip", "x-gzip")))
+            n_bytes.append(len(body))
+            md5s.append(hashlib.md5(body).hexdigest())
+        return pa.table(
+            {
+                id_col: ids,
+                "ok": pa.array(ok, pa.int64()),
+                "status": pa.array(status, pa.int64()),
+                "chunked": pa.array(chunked, pa.int64()),
+                "gzipped": pa.array(gzipped, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "body_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

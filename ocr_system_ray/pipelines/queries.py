@@ -1552,6 +1552,61 @@ def q_favicon_hash(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(icos)
 
 
+def _derived_http_payloads(t: pa.Table) -> pa.Table:
+    """HTTP-response leg over the documents' own text: rotating
+    transfer/content codings (doc_id % 5 → identity / chunked / gzip /
+    chunked+gzip / deflate; ``x-gzip`` label every %10==2), rotating
+    statuses (%7==2 → 301, %11==3 → 404), a truncated chunked stream
+    (%89==3: two complete 100-byte chunks of a 500-byte body survive →
+    complete-prefix semantics) and non-HTTP corrupt rows (%97)."""
+    from ..functions.httpbody import encode_http_response
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads: list[bytes] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"not http")
+            continue
+        status = 301 if i % 7 == 2 else (404 if i % 11 == 3 else 200)
+        if i % 89 == 3:
+            raw = encode_http_response(b"x" * 500, status=status, chunked=True)
+            body_start = raw.index(b"\r\n\r\n") + 4
+            # keep two complete 106-byte chunk frames + a partial third
+            payloads.append(raw[: body_start + 2 * 106 + 10])
+            continue
+        body = (text or "").encode("utf-8")
+        enc = i % 5
+        ce = ""
+        if enc in (2, 3):
+            ce = "x-gzip" if i % 10 == 2 else "gzip"
+        elif enc == 4:
+            ce = "deflate"
+        payloads.append(
+            encode_http_response(
+                body, status=status, content_encoding=ce, chunked=enc in (1, 3)
+            )
+        )
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_http_bodies(sf_dir: str) -> ray.data.Dataset:
+    """Full-fidelity HTTP response decode over REAL message bytes —
+    chunked de-framing (incl. truncated-stream complete-prefix
+    semantics), gzip/x-gzip/deflate content decoding, status parse
+    (``functions/httpbody.py``) — the WARC-response path real crawls
+    need beyond Content-Length.  Oracle = DuckDB recomputing every
+    column from the derivation; body md5 is the byte-exact round trip
+    through the codings (md5(decoded) ≡ md5(text))."""
+    from ..functions.httpbody import http_body_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    msgs = docs.map_batches(_derived_http_payloads, batch_format="pyarrow")
+    return http_body_features(msgs)
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -1,0 +1,123 @@
+"""HTTP response decode: chunked framing (terminator, extensions, bare
+LF, truncation-prefix), gzip/x-gzip/deflate content codings, header
+rules, rejection paths, and the Dataset pass."""
+
+import gzip
+import hashlib
+import zlib
+
+import pytest
+
+from ocr_system_ray.functions.httpbody import (
+    decode_http_response,
+    encode_http_response,
+    http_body_features,
+)
+
+BODY = "héllo wörld — " .encode("utf-8") * 40
+
+
+def test_identity_content_length():
+    st, hdrs, body = decode_http_response(encode_http_response(BODY))
+    assert (st, body) == (200, BODY)
+    assert hdrs["content-length"] == str(len(BODY))
+
+
+def test_chunked_round_trip_and_flag():
+    raw = encode_http_response(BODY, chunked=True, chunk_size=7)
+    st, hdrs, body = decode_http_response(raw)
+    assert body == BODY and "chunked" in hdrs["transfer-encoding"]
+
+
+@pytest.mark.parametrize("ce", ["gzip", "x-gzip", "deflate"])
+def test_content_codings(ce):
+    raw = encode_http_response(BODY, content_encoding=ce)
+    _, hdrs, body = decode_http_response(raw)
+    assert body == BODY and hdrs["content-encoding"] == ce
+
+
+def test_chunked_plus_gzip():
+    raw = encode_http_response(BODY, content_encoding="gzip", chunked=True, chunk_size=13)
+    assert decode_http_response(raw)[2] == BODY
+
+
+def test_raw_deflate_fallback():
+    # some servers send raw deflate without the zlib wrapper
+    comp = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    body = comp.compress(BODY) + comp.flush()
+    raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+    assert decode_http_response(raw)[2] == BODY
+
+
+def test_chunk_extensions_and_bare_lf():
+    payload = b"HTTP/1.1 200 OK\nTransfer-Encoding: chunked\n\n" + b"5;name=v\nhello\n3\nxyz\n0\n\n"
+    assert decode_http_response(payload)[2] == b"helloxyz"
+
+
+def test_truncation_yields_complete_chunk_prefix():
+    raw = encode_http_response(b"x" * 500, chunked=True, chunk_size=100)
+    body_start = raw.index(b"\r\n\r\n") + 4
+    for n_complete in (0, 1, 2, 4):
+        cut = raw[: body_start + n_complete * 106 + 10]
+        assert decode_http_response(cut)[2] == b"x" * (100 * n_complete)
+    # missing terminator but all chunks present
+    assert decode_http_response(raw[:-5])[2] == b"x" * 500
+
+
+def test_header_rules():
+    raw = (
+        b"HTTP/1.1 301 Moved\r\nX-Dup: a\r\nX-Dup: b\r\n"
+        b"CONTENT-length: 3\r\n\r\nabcdef"
+    )
+    st, hdrs, body = decode_http_response(raw)
+    assert st == 301
+    assert hdrs["x-dup"] == "a"  # first occurrence wins
+    assert body == b"abc"  # case-insensitive Content-Length honored
+
+
+def test_rejection_paths():
+    for bad in (b"", b"not http", b"HTTP/1.1 200 OK\r\nno terminator"):
+        with pytest.raises(ValueError):
+            decode_http_response(bad)
+    with pytest.raises(ValueError):
+        decode_http_response(b"HTTP/1.1 xx OK\r\n\r\n")
+    with pytest.raises(ValueError):
+        decode_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nbody"
+        )
+    with pytest.raises(ValueError):
+        decode_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\nContent-Length: 4\r\n\r\nnope"
+        )
+
+
+def test_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    payloads = [
+        encode_http_response(b"alpha"),
+        encode_http_response(b"beta", content_encoding="gzip", chunked=True),
+        b"junk",
+        encode_http_response(b"gamma", status=404),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(4)), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    out = http_body_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 1, 0, 1]
+    assert list(out["status"]) == [200, 200, 0, 404]
+    assert list(out["chunked"]) == [0, 1, 0, 0]
+    assert list(out["gzipped"]) == [0, 1, 0, 0]
+    assert out.loc[0, "body_md5"] == hashlib.md5(b"alpha").hexdigest()
+    assert out.loc[1, "body_md5"] == hashlib.md5(b"beta").hexdigest()
