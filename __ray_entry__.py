@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
         "mojibake_repair": q.q_mojibake_repair,
         "media_headers": q.q_media_headers,
+        "av_headers": q.q_av_headers,
         "index_compaction": q.q_index_compaction,
         "blocked_hosts": q.q_blocked_hosts,
         "rolling_spend": q.q_rolling_spend,
@@ -1196,6 +1197,39 @@ def oracle_sql() -> dict[str, str]:
                                  * (1 + doc_id % 2) * 2)
                         ELSE -1 END AS BIGINT) AS duration_ms
             FROM documents
+        """,
+        # av_headers: MP3 frame-walk durations + WebP dims recomputed
+        # from the doc_id derivation (MPEG1/MPEG2 rate tables inlined)
+        "av_headers": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       doc_id % 5 AS k,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                              (CASE doc_id % 3 WHEN 0 THEN 44100
+                                    WHEN 1 THEN 48000 ELSE 32000 END)
+                            WHEN doc_id % 5 = 1 THEN
+                              (CASE doc_id % 3 WHEN 0 THEN 22050
+                                    WHEN 1 THEN 24000 ELSE 16000 END)
+                            ELSE 0 END AS sr,
+                       CASE WHEN doc_id % 5 = 0 THEN 1152 ELSE 576 END AS spf
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE WHEN bad THEN 'unknown'
+                     WHEN k IN (0, 1) THEN 'mp3' ELSE 'webp' END AS format,
+                CAST(CASE WHEN bad OR k IN (0, 1) THEN -1
+                     ELSE 1 + doc_id % 500 END AS BIGINT) AS width,
+                CAST(CASE WHEN bad OR k IN (0, 1) THEN -1
+                     ELSE 1 + doc_id % 300 END AS BIGINT) AS height,
+                CAST(CASE WHEN bad OR k NOT IN (0, 1) THEN -1
+                     WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+                CAST(CASE WHEN bad OR k NOT IN (0, 1) THEN -1
+                     ELSE sr END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN bad OR k NOT IN (0, 1) THEN -1
+                     ELSE ((1 + doc_id % 30) * spf * 1000) // sr
+                     END AS BIGINT) AS duration_ms
+            FROM b
         """,
         # mojibake: committed golden from the independent plain-codecs
         # twin (tools/make_goldens.py mojibake_golden)

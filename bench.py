@@ -178,6 +178,7 @@ def _query_suite() -> dict:
         "exif_scrub": q.q_exif_scrub,
         "favicon_hash": q.q_favicon_hash,
         "http_bodies": q.q_http_bodies,
+        "av_headers": q.q_av_headers,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

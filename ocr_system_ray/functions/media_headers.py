@@ -70,7 +70,112 @@ def sniff_media(payload: bytes) -> dict:
         return _meta("bmp", width=w, height=abs(h))  # h<0 = top-down rows
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _meta("wav", **_wav_info(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _meta("webp", **_webp_dims(payload))
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _meta("mp3", **_mp3_info(payload))
     raise ValueError(f"unknown container (first bytes {payload[:4]!r})")
+
+
+# MPEG audio tables (Layer III): kbps by (version, bitrate index) and
+# Hz by (version, samplerate index); version key 3 = MPEG1, 2 = MPEG2,
+# 0 = MPEG2.5
+_MP3_BITRATES = {
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    0: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+
+def _mp3_info(payload: bytes) -> dict:
+    """Walk MPEG-audio Layer III frames (ID3v2 skipped via its
+    syncsafe length) → channels / sample rate / exact frame-sum
+    duration.  Stops at the first non-sync byte; requires ≥ 1 frame."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("mp3: truncated ID3v2 header")
+        ssz = payload[6:10]
+        if any(b & 0x80 for b in ssz):
+            raise ValueError("mp3: bad syncsafe size")
+        pos = 10 + ((ssz[0] << 21) | (ssz[1] << 14) | (ssz[2] << 7) | ssz[3])
+    n = len(payload)
+    frames = 0
+    samples_num = 0  # Σ samples·1000, divided by rate at the end
+    rate = channels = None
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise ValueError("mp3: unsupported version/layer")
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        mode = b3 >> 6
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("mp3: bad bitrate/samplerate index")
+        bitrate = _MP3_BITRATES[version][br_idx] * 1000
+        sr = _MP3_RATES[version][sr_idx]
+        spf = 1152 if version == 3 else 576
+        flen = spf // 8 * bitrate // sr + padding
+        if pos + flen > n:
+            break  # truncated final frame: keep the complete prefix
+        if rate is None:
+            rate = sr
+            channels = 1 if mode == 3 else 2
+        frames += 1
+        samples_num += spf * 1000
+        pos += flen
+    if frames == 0:
+        raise ValueError("mp3: no complete audio frame")
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": samples_num // rate,
+    }
+
+
+def _webp_dims(payload: bytes) -> dict:
+    """WebP dimensions from the first VP8 (lossy key frame), VP8L
+    (lossless 14+14-bit pack) or VP8X (canvas minus-one 24-bit LE)
+    chunk."""
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("webp: truncated chunk")
+        if fourcc == b"VP8 ":
+            if size < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("webp: bad VP8 key frame")
+            w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+            return {"width": w, "height": h}
+        if fourcc == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                raise ValueError("webp: bad VP8L signature")
+            bits = struct.unpack_from("<I", body, 1)[0]
+            return {"width": (bits & 0x3FFF) + 1, "height": ((bits >> 14) & 0x3FFF) + 1}
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("webp: truncated VP8X")
+            w = 1 + (body[4] | (body[5] << 8) | (body[6] << 16))
+            h = 1 + (body[7] | (body[8] << 8) | (body[9] << 16))
+            return {"width": w, "height": h}
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no dimension-bearing chunk")
 
 
 def _meta(
@@ -205,6 +310,61 @@ def encode_bmp(w: int, h: int) -> bytes:
         "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     return header + pixels
+
+
+def encode_mp3(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    sr_idx: int = 0,
+    mpeg1: bool = True,
+    stereo: bool = True,
+    id3_bytes: int = 0,
+) -> bytes:
+    """Valid MPEG-audio Layer III frame sequence (headers + zero
+    payload, optional ID3v2 prefix) — real wire format, silent audio."""
+    version = 3 if mpeg1 else 2
+    out = bytearray()
+    if id3_bytes:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F, (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F]
+        )
+        out += b"\x00" * id3_bytes
+    bitrate = _MP3_BITRATES[version][bitrate_idx] * 1000
+    sr = _MP3_RATES[version][sr_idx]
+    spf = 1152 if mpeg1 else 576
+    for k in range(n_frames):
+        padding = 0
+        flen = spf // 8 * bitrate // sr + padding
+        b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync..., Layer III, no CRC
+        b2 = (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1)
+        b3 = (0x00 if stereo else 0xC0) | 0x04
+        hdr = bytes([0xFF, b1, b2, b3])
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def encode_webp(w: int, h: int, variant: str = "vp8") -> bytes:
+    """Minimal real WebP: a dimension-bearing VP8 / VP8L / VP8X chunk
+    inside the RIFF wrapper (header-only; no coefficient data)."""
+    if not (1 <= w <= 16383 and 1 <= h <= 16383):
+        raise ValueError("webp: dims out of 14-bit range")
+    if variant == "vp8":
+        body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 4
+        chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+    elif variant == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(body)) + body + b"\x00"  # odd-size pad
+    elif variant == "vp8x":
+        wm, hm = w - 1, h - 1
+        body = b"\x00\x00\x00\x00" + bytes(
+            [wm & 0xFF, (wm >> 8) & 0xFF, (wm >> 16) & 0xFF,
+             hm & 0xFF, (hm >> 8) & 0xFF, (hm >> 16) & 0xFF]
+        )
+        chunk = b"VP8X" + struct.pack("<I", len(body)) + body
+    else:
+        raise ValueError("webp: unknown variant")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
 def encode_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:

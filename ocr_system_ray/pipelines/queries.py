@@ -2784,6 +2784,56 @@ def q_media_headers(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_av_headers(sf_dir: str) -> ray.data.Dataset:
+    """REAL MP3 + WebP header parsing (`functions/media_headers.py`):
+    MPEG-audio Layer III frame walks (ID3v2 syncsafe skip, MPEG1/MPEG2
+    bitrate/rate tables, exact frame-sum duration) and WebP dimensions
+    from all three chunk flavors (VP8 key frame, VP8L 14+14-bit pack,
+    VP8X canvas-minus-one).  Oracle SQL recomputes every field from
+    the doc_id derivation, including the corrupt error-as-data rows."""
+    from ..functions.media_headers import (
+        encode_mp3,
+        encode_webp,
+        parse_media_headers,
+    )
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(b"junk")
+                continue
+            k = i % 5
+            if k in (0, 1):
+                payloads.append(
+                    encode_mp3(
+                        1 + i % 30,
+                        bitrate_idx=1 + i % 14,
+                        sr_idx=i % 3,
+                        mpeg1=k == 0,
+                        stereo=i % 2 == 0,
+                        id3_bytes=17 if i % 4 == 1 else 0,
+                    )
+                )
+            else:
+                variant = ("vp8", "vp8l", "vp8x")[k - 2]
+                payloads.append(encode_webp(1 + i % 500, 1 + i % 300, variant))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return parse_media_headers(ds).select_columns(
+        ["doc_id", "format", "width", "height", "channels", "sample_rate", "duration_ms"]
+    )
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

@@ -106,3 +106,66 @@ def test_sniff_rejects_garbage():
     for bad in (b"", b"garbage", b"RIFFxxxxAVI ", b"GIF89"):
         with pytest.raises(ValueError):
             sniff_media(bad)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame walk + WebP dimensions
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_frame_walk_exact_duration():
+    from ocr_system_ray.functions.media_headers import encode_mp3
+
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), 38 frames
+    m = sniff_media(encode_mp3(38, bitrate_idx=9, sr_idx=0, mpeg1=True))
+    assert m["format"] == "mp3" and m["channels"] == 2
+    assert m["sample_rate"] == 44100
+    assert m["duration_ms"] == 38 * 1152 * 1000 // 44100
+    # MPEG2 halves samples-per-frame; mono mode
+    m2 = sniff_media(encode_mp3(10, bitrate_idx=5, sr_idx=2, mpeg1=False, stereo=False))
+    assert (m2["sample_rate"], m2["channels"]) == (16000, 1)
+    assert m2["duration_ms"] == 10 * 576 * 1000 // 16000
+
+
+def test_mp3_id3v2_skip_and_truncation_prefix():
+    from ocr_system_ray.functions.media_headers import encode_mp3
+
+    raw = sniff_media(encode_mp3(5, id3_bytes=200))
+    assert raw["duration_ms"] == 5 * 1152 * 1000 // 44100
+    full = encode_mp3(5)
+    cut = sniff_media(full[: len(full) - 10])  # truncated final frame
+    assert cut["duration_ms"] == 4 * 1152 * 1000 // 44100
+
+
+def test_mp3_rejections():
+    from ocr_system_ray.functions.media_headers import encode_mp3
+
+    good = encode_mp3(2)
+    with pytest.raises(ValueError):
+        sniff_media(good[:3])  # no complete frame
+    bad = bytearray(good)
+    bad[2] = 0xF0 | (bad[2] & 0x0F)  # bitrate index 15 (reserved)
+    with pytest.raises(ValueError):
+        sniff_media(bytes(bad))
+    with pytest.raises(ValueError):
+        sniff_media(b"ID3\x04\x00\x00\x00\x00\x00")  # truncated ID3v2
+
+
+@pytest.mark.parametrize("variant", ["vp8", "vp8l", "vp8x"])
+def test_webp_dims_all_variants(variant):
+    from ocr_system_ray.functions.media_headers import encode_webp
+
+    m = sniff_media(encode_webp(321, 97, variant))
+    assert (m["format"], m["width"], m["height"]) == ("webp", 321, 97)
+
+
+def test_webp_rejections():
+    from ocr_system_ray.functions.media_headers import encode_webp
+
+    raw = encode_webp(10, 10, "vp8")
+    with pytest.raises(ValueError):
+        sniff_media(raw[: len(raw) - 4])  # truncated chunk
+    bad = bytearray(raw)
+    bad[12 + 8 + 3] = 0x00  # break the VP8 start code
+    with pytest.raises(ValueError):
+        sniff_media(bytes(bad))
