@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exif_scrub": q.q_exif_scrub,
         "favicon_hash": q.q_favicon_hash,
         "http_bodies": q.q_http_bodies,
+        "epub_extract": q.q_epub_extract,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2526,6 +2527,41 @@ def oracle_sql() -> dict[str, str]:
                      WHEN doc_id % 89 = 3 THEN md5(repeat('x', 200))
                      ELSE md5(COALESCE(text, '')) END AS body_md5
             FROM documents
+        """,
+        # epub_extract: the book text rebuilt in SQL from the documents'
+        # own text through the shared spec — 'Chapter c <text> tailc'
+        # per chapter, ws-collapsed, spine order (reversed on %3==0),
+        # chr(10)-joined; md5/length compared exactly
+        "epub_extract": """
+            WITH ch AS (
+                SELECT doc_id,
+                       1 + doc_id % 4 AS n,
+                       doc_id % 3 = 0 AS rev,
+                       [trim(regexp_replace(
+                            'Chapter ' || c || ' ' || COALESCE(text, '')
+                                || ' tail' || c,
+                            '[ \t\r\n\f\v]+', ' ', 'g'))
+                        FOR c IN range(0, 1 + CAST(doc_id % 4 AS INT))] AS parts
+                FROM documents
+            ), built AS (
+                SELECT doc_id, n,
+                       list_reduce(
+                           CASE WHEN rev THEN list_reverse(parts) ELSE parts END,
+                           (a, b) -> a || chr(10) || b) AS booktext
+                FROM ch
+            )
+            SELECT b.doc_id,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5 THEN ''
+                     ELSE 'Book ' || CAST(b.doc_id AS VARCHAR) END AS title,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE b.n END AS BIGINT) AS n_chapters,
+                CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5 THEN ''
+                     ELSE md5(b.booktext) END AS text_md5,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE length(b.booktext) END AS BIGINT) AS n_chars
+            FROM built b
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

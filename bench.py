@@ -179,6 +179,7 @@ def _query_suite() -> dict:
         "favicon_hash": q.q_favicon_hash,
         "http_bodies": q.q_http_bodies,
         "av_headers": q.q_av_headers,
+        "epub_extract": q.q_epub_extract,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

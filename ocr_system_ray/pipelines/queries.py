@@ -2834,6 +2834,67 @@ def q_av_headers(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _derived_epub_payloads(t: pa.Table) -> pa.Table:
+    """Book leg over the documents' own text: real OCF/OPF EPUBs with
+    1 + i%4 XHTML chapters (head noise, escaped body text, a script
+    decoy, a non-spine cover decoy, manifest order REVERSED vs spine),
+    spine itself reversed on %3==0.  Corrupt rows: %97 non-zip bytes;
+    %59==5 a zip missing container.xml."""
+    import io
+    import zipfile
+
+    from ..sources.epub import write_epub_book
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads: list[bytes] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"not a zip")
+            continue
+        if i % 59 == 5:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                zf.writestr("mimetype", "application/epub+zip")
+            payloads.append(buf.getvalue())
+            continue
+        body = text or ""
+        esc = (
+            body.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+            .replace('"', "&quot;")
+            .replace("'", "&#39;")
+        )
+        n = 1 + i % 4
+        chapters = [
+            "<html><head><title>Head noise</title></head>"
+            f'<body class="x"><h1>Chapter {c}</h1><p>{esc} tail{c}</p>'
+            '<script>var x = "<p>not text</p>";</script></body></html>'
+            for c in range(n)
+        ]
+        order = list(range(n))[::-1] if i % 3 == 0 else list(range(n))
+        payloads.append(write_epub_book(f"Book {i}", chapters, spine_order=order))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "epub": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_epub_extract(sf_dir: str) -> ray.data.Dataset:
+    """Book-format extraction over REAL EPUB bytes: OCF zip walk,
+    container.xml → OPF rootfile, manifest-vs-SPINE ordering (decoys
+    planted both ways), XHTML body-scoped tag-strip text per the spec
+    (``sources/epub.py``).  Oracle = DuckDB rebuilding every book's
+    exact text (and md5) from the documents' own text through the same
+    spec — escape/unescape round trip, chapter ordering, whitespace
+    collapse all pinned."""
+    from ..sources.epub import epub_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    books = docs.map_batches(_derived_epub_payloads, batch_format="pyarrow")
+    return epub_extract(books)
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

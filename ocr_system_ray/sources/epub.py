@@ -1,0 +1,205 @@
+"""EPUB ingestion: real OCF zip walk + OPF spine order + XHTML text.
+
+The extraction tier's book-format leg (the reference app extracts from
+HTML and rasterized PDFs; EPUB is the third document container a
+corpus pipeline meets).  Everything is the real format: the OCF
+container (``mimetype`` stored first, ``META-INF/container.xml``
+naming the OPF rootfile), the OPF package (manifest id→href map,
+SPINE order — which is NOT manifest order — hrefs resolved relative
+to the OPF directory), and XHTML chapters.
+
+Text SPEC (shared with the SQL oracle, which recomputes every book's
+text from the derivation):
+
+* chapter scope = between the first ``<body...>`` tag's ``>`` and the
+  last ``</body>``;
+* ``<script>``/``<style>`` elements die with their content;
+* every remaining tag becomes ONE space; the five standard entities
+  (``&amp; &lt; &gt; &quot; &#39;``) unescape;
+* ASCII whitespace runs (``[ \\t\\r\\n\\f\\v]+``) collapse to one
+  space, ends trimmed;
+* the book text = chapter texts joined by ``\\n`` in SPINE order
+  (non-spine manifest items — covers, nav — contribute nothing).
+
+Scale notes: one stateless ``map_batches`` pass; each book unzips
+in-stage and only the extracted text (or its fingerprint) flows on.
+Books are independent rows — the format needs no cross-row state.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+import numpy as np  # noqa: F401  (module convention)
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_BODY_OPEN_RE = re.compile(r"<body\b[^>]*>", re.IGNORECASE)
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def xhtml_text(markup: str) -> str:
+    """The chapter-text spec: body scope → script/style removal → tags
+    to spaces → entity unescape → ASCII whitespace collapse."""
+    m = _BODY_OPEN_RE.search(markup)
+    if m:
+        end = markup.lower().rfind("</body>")
+        markup = markup[m.end() : end if end > m.end() else len(markup)]
+    markup = _SCRIPT_RE.sub(" ", markup)
+    text = _TAG_RE.sub(" ", markup)
+    for src, dst in _ENTITIES:
+        text = text.replace(src, dst)
+    return _WS_RE.sub(" ", text).strip()
+
+
+def read_epub_book(payload: bytes) -> dict:
+    """One EPUB → ``{"title", "chapters": [(href, xhtml str)], ...}``
+    in SPINE order.  Raises ``ValueError`` on a non-zip, a missing
+    container/rootfile/OPF, or a spine idref without a manifest item."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload or b""))
+    except (zipfile.BadZipFile, OSError) as exc:
+        raise ValueError(f"epub: not a zip container ({exc})") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "META-INF/container.xml" not in names:
+            raise ValueError("epub: missing META-INF/container.xml")
+        try:
+            container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+        except ElementTree.ParseError as exc:
+            raise ValueError("epub: malformed container.xml") from exc
+        opf_path = None
+        for el in container.iter():
+            if _local(el.tag) == "rootfile":
+                opf_path = el.get("full-path")
+                break
+        if not opf_path or opf_path not in names:
+            raise ValueError("epub: missing OPF rootfile")
+        try:
+            opf = ElementTree.fromstring(zf.read(opf_path))
+        except ElementTree.ParseError as exc:
+            raise ValueError("epub: malformed OPF") from exc
+
+        opf_dir = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        title = ""
+        manifest: dict[str, str] = {}
+        spine: list[str] = []
+        for el in opf.iter():
+            tag = _local(el.tag)
+            if tag == "title" and not title:
+                title = (el.text or "").strip()
+            elif tag == "item" and el.get("id") and el.get("href"):
+                manifest[el.get("id")] = el.get("href")
+            elif tag == "itemref" and el.get("idref"):
+                spine.append(el.get("idref"))
+        if not spine:
+            raise ValueError("epub: empty spine")
+        chapters: list[tuple[str, str]] = []
+        for idref in spine:
+            href = manifest.get(idref)
+            if href is None:
+                raise ValueError(f"epub: spine idref {idref!r} not in manifest")
+            path = opf_dir + href
+            if path not in names:
+                raise ValueError(f"epub: missing chapter {path!r}")
+            chapters.append((path, zf.read(path).decode("utf-8", "replace")))
+        return {"title": title, "chapters": chapters}
+
+
+def write_epub_book(
+    title: str, chapters: list[str], spine_order: "list[int] | None" = None
+) -> bytes:
+    """Real OCF bytes: stored ``mimetype`` first, container.xml, an OPF
+    under ``OEBPS/`` whose MANIFEST lists chapters in reverse (plus a
+    non-spine cover decoy) while the SPINE carries the real order —
+    readers that confuse the two extract wrong books."""
+    order = list(range(len(chapters))) if spine_order is None else spine_order
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), b"application/epub+zip", zipfile.ZIP_STORED
+        )
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?>\n'
+            '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles></container>',
+            zipfile.ZIP_DEFLATED,
+        )
+        items = []
+        for c in reversed(range(len(chapters))):  # manifest order ≠ spine order
+            items.append(
+                f'<item id="ch{c}" href="ch{c}.xhtml" media-type="application/xhtml+xml"/>'
+            )
+        items.append('<item id="cover" href="cover.xhtml" media-type="application/xhtml+xml"/>')
+        itemrefs = "".join(f'<itemref idref="ch{c}"/>' for c in order)
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<?xml version="1.0"?>\n'
+            '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+            '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            f"<dc:title>{title}</dc:title></metadata>"
+            f'<manifest>{"".join(items)}</manifest>'
+            f"<spine>{itemrefs}</spine></package>",
+            zipfile.ZIP_DEFLATED,
+        )
+        zf.writestr(
+            "OEBPS/cover.xhtml",
+            "<html><body><p>DECOY COVER — never in the spine</p></body></html>",
+            zipfile.ZIP_DEFLATED,
+        )
+        for c, markup in enumerate(chapters):
+            zf.writestr(f"OEBPS/ch{c}.xhtml", markup, zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+def epub_extract(ds, payload_col: str = "epub", id_col: str = "doc_id"):
+    """Stateless book-extraction pass → ``(id, ok, title, n_chapters,
+    text_md5, n_chars)``; broken containers emit a zero row with
+    ``ok=0`` (error-as-data, row conservation).  Zip bytes die
+    in-stage."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ok, titles, n_ch, md5s, n_chars = [], [], [], [], []
+        for p in t.column(payload_col).to_pylist():
+            try:
+                book = read_epub_book(p)
+            except ValueError:
+                ok.append(0)
+                titles.append("")
+                n_ch.append(0)
+                md5s.append("")
+                n_chars.append(0)
+                continue
+            texts = [xhtml_text(markup) for _href, markup in book["chapters"]]
+            joined = "\n".join(texts)
+            ok.append(1)
+            titles.append(book["title"])
+            n_ch.append(len(texts))
+            md5s.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+            n_chars.append(len(joined))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ok": pa.array(ok, pa.int64()),
+                "title": pa.array(titles, pa.string()),
+                "n_chapters": pa.array(n_ch, pa.int64()),
+                "text_md5": pa.array(md5s, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,109 @@
+"""EPUB (OCF/OPF) ingestion: spine-vs-manifest ordering, text spec
+(body scope, script/style removal, entities, whitespace), rejection
+paths, and the Dataset pass."""
+
+import hashlib
+
+import pytest
+
+from ocr_system_ray.sources.epub import (
+    epub_extract,
+    read_epub_book,
+    write_epub_book,
+    xhtml_text,
+)
+
+
+def _chapter(body: str) -> str:
+    return f"<html><head><title>noise</title></head><body><p>{body}</p></body></html>"
+
+
+# ---------------------------------------------------------------------------
+# text spec
+# ---------------------------------------------------------------------------
+
+
+def test_xhtml_text_spec():
+    markup = (
+        "<html><head><title>SKIP ME</title><style>p { color: red }</style></head>"
+        "<body id='x'><h1>Title</h1>\n\n  <p>a &amp; b &lt;tag&gt; &quot;q&#39;</p>"
+        "<script>var s = '<p>no</p>';</script><div>end</div></body></html>"
+    )
+    assert xhtml_text(markup) == "Title a & b <tag> \"q' end"
+
+
+def test_xhtml_text_without_body_falls_back_to_whole_doc():
+    assert xhtml_text("<p>just a fragment</p>") == "just a fragment"
+
+
+# ---------------------------------------------------------------------------
+# container round trips
+# ---------------------------------------------------------------------------
+
+
+def test_round_trip_spine_order_not_manifest_order():
+    chapters = [_chapter(f"chapter body {c}") for c in range(3)]
+    book = read_epub_book(write_epub_book("T", chapters))
+    assert book["title"] == "T"
+    texts = [xhtml_text(m) for _p, m in book["chapters"]]
+    assert texts == [f"chapter body {c}" for c in range(3)]  # spine order
+    # reversed spine must come back reversed even though the manifest
+    # (and the zip layout) list chapters the other way
+    book_r = read_epub_book(write_epub_book("T", chapters, spine_order=[2, 1, 0]))
+    assert [xhtml_text(m) for _p, m in book_r["chapters"]] == [
+        f"chapter body {c}" for c in (2, 1, 0)
+    ]
+
+
+def test_cover_decoy_never_extracted():
+    raw = write_epub_book("T", [_chapter("real")])
+    book = read_epub_book(raw)
+    assert len(book["chapters"]) == 1
+    assert "DECOY" not in book["chapters"][0][1]
+
+
+def test_rejection_paths():
+    import io
+    import zipfile
+
+    with pytest.raises(ValueError):
+        read_epub_book(b"not a zip")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+    with pytest.raises(ValueError):
+        read_epub_book(buf.getvalue())  # no container.xml
+    # spine pointing at a manifest item that does not exist
+    with pytest.raises(ValueError):
+        read_epub_book(write_epub_book("T", [_chapter("x")], spine_order=[7]))
+
+
+# ---------------------------------------------------------------------------
+# dataset pass
+# ---------------------------------------------------------------------------
+
+
+def test_epub_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    books = [
+        write_epub_book("A", [_chapter("one"), _chapter("two")]),
+        b"junk",
+        write_epub_book("B", [_chapter("solo")]),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "epub": pa.array(books, pa.binary()),
+            }
+        )
+    )
+    out = epub_extract(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 0, 1]
+    assert list(out["n_chapters"]) == [2, 0, 1]
+    assert out.loc[0, "title"] == "A"
+    assert out.loc[0, "text_md5"] == hashlib.md5(b"one\ntwo").hexdigest()
+    assert out.loc[2, "n_chars"] == len("solo")
