@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "favicon_hash": q.q_favicon_hash,
         "http_bodies": q.q_http_bodies,
         "epub_extract": q.q_epub_extract,
+        "page_meta": q.q_page_meta,
+        "subtitles": q.q_subtitles,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2562,6 +2564,51 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
                      THEN 0 ELSE length(b.booktext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # page_meta: OG/Twitter/JSON-LD fields recomputed from the
+        # doc_id derivation (broken JSON-LD blocks uncounted; the first
+        # valid block's @type wins, @graph unwrapped)
+        "page_meta": """
+            SELECT doc_id,
+                CASE WHEN doc_id % 13 = 4 THEN ''
+                     ELSE 'Title ' || CAST(doc_id AS VARCHAR) END AS og_title,
+                CASE WHEN doc_id % 13 = 4 OR doc_id % 4 = 1 THEN ''
+                     ELSE 'https://img.example/' || CAST(doc_id AS VARCHAR)
+                          || '.jpg' END AS og_image,
+                CASE WHEN doc_id % 13 = 4 THEN ''
+                     WHEN doc_id % 5 < 3 THEN 'article'
+                     ELSE 'website' END AS og_type,
+                CASE WHEN doc_id % 13 = 4 OR doc_id % 6 = 2 THEN ''
+                     ELSE 'summary' END AS twitter_card,
+                CASE WHEN doc_id % 13 = 4 OR doc_id % 3 = 0 THEN ''
+                     WHEN doc_id % 3 = 1 THEN 'Product'
+                     ELSE 'Organization' END AS ld_type,
+                CAST(CASE WHEN doc_id % 13 = 4 THEN 0
+                     ELSE doc_id % 3 END AS BIGINT) AS n_ld
+            FROM documents
+        """,
+        # subtitles: cue counts / summed durations / joined-text md5
+        # recomputed from the doc_id derivation (tag-stripped text is
+        # the same across the italic-wrap branch)
+        "subtitles": """
+            WITH c AS (
+                SELECT doc_id,
+                       doc_id % 13 = 4 AS bare,
+                       1 + doc_id % 5 AS n,
+                       [1500 + (c * 137 + doc_id) % 2000
+                        FOR c IN range(0, 1 + CAST(doc_id % 5 AS INT))] AS durs,
+                       ['line ' || doc_id || ' cue ' || c
+                        FOR c IN range(0, 1 + CAST(doc_id % 5 AS INT))] AS texts
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bare THEN 0 ELSE n END AS BIGINT) AS n_cues,
+                CAST(CASE WHEN bare THEN 0
+                     ELSE list_sum(durs) END AS BIGINT) AS total_ms,
+                CASE WHEN bare THEN md5('')
+                     ELSE md5(list_reduce(texts, (a, b) -> a || chr(10) || b))
+                     END AS text_md5
+            FROM c
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -180,6 +180,8 @@ def _query_suite() -> dict:
         "http_bodies": q.q_http_bodies,
         "av_headers": q.q_av_headers,
         "epub_extract": q.q_epub_extract,
+        "page_meta": q.q_page_meta,
+        "subtitles": q.q_subtitles,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

@@ -1,0 +1,108 @@
+"""Social/structured page metadata: OpenGraph + Twitter-card meta tags
+and schema.org JSON-LD blocks.
+
+The crawl-metadata leg next to rel=canonical (``urls.py``) and
+robots/noindex: curation pipelines key share-cards and page typing off
+these tags (FineWeb-style URL+metadata filters; news/product corpus
+routing keys off JSON-LD ``@type``).  All parsing is row-local RE2 +
+stdlib ``json``.
+
+Extraction SPEC (shared with the SQL oracle via the derivation):
+
+* ``<meta ...>`` tags anywhere in the page; key = the ``property`` or
+  ``name`` attribute (either attribute order, single or double quotes,
+  case-insensitive names and keys), value = the ``content`` attribute;
+  FIRST tag wins per key;
+* keys surfaced: ``og:title``, ``og:image``, ``og:type``,
+  ``twitter:card`` (missing → empty string);
+* JSON-LD: every ``<script type="application/ld+json">`` block;
+  blocks that fail ``json.loads`` are SKIPPED and not counted;
+  ``ld_type`` = the first valid block's top-level ``@type`` (a list
+  takes its first element; ``@graph`` takes the first node's
+  ``@type``), ``n_ld`` = the count of VALID blocks.
+
+Scale notes: one stateless pass, compiled patterns at module level,
+HTML dies in-stage.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np  # noqa: F401  (module convention)
+
+_META_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+_KEY_RE = re.compile(r"""(?:\b(?:property|name))\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+_CONTENT_RE = re.compile(r"""\bcontent\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+_LD_RE = re.compile(
+    r"""<script\b[^>]*type\s*=\s*["']application/ld\+json["'][^>]*>(.*?)</script\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_KEYS = ("og:title", "og:image", "og:type", "twitter:card")
+
+
+def _ld_type(obj) -> str:
+    if isinstance(obj, dict):
+        t = obj.get("@type")
+        if isinstance(t, list):
+            t = t[0] if t else None
+        if isinstance(t, str):
+            return t
+        graph = obj.get("@graph")
+        if isinstance(graph, list) and graph:
+            return _ld_type(graph[0])
+    if isinstance(obj, list) and obj:
+        return _ld_type(obj[0])
+    return ""
+
+
+def extract_page_meta(html: str) -> dict:
+    """One page → the SPEC's fields."""
+    out = {k.replace(":", "_"): "" for k in _KEYS}
+    seen: set[str] = set()
+    for tag in _META_RE.findall(html or ""):
+        km = _KEY_RE.search(tag)
+        cm = _CONTENT_RE.search(tag)
+        if not km or not cm:
+            continue
+        key = (km.group(1) or km.group(2) or "").strip().lower()
+        if key in _KEYS and key not in seen:
+            seen.add(key)
+            out[key.replace(":", "_")] = cm.group(1) if cm.group(1) is not None else cm.group(2)
+    n_ld = 0
+    ld_type = ""
+    for m in _LD_RE.finditer(html or ""):
+        try:
+            obj = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            continue  # broken blocks are skipped, not counted
+        n_ld += 1
+        if not ld_type:
+            ld_type = _ld_type(obj)
+    out["ld_type"] = ld_type
+    out["n_ld"] = n_ld
+    return out
+
+
+def page_meta_batch(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """Stateless extraction pass → ``(id, og_title, og_image, og_type,
+    twitter_card, ld_type, n_ld)``; HTML dies in-stage."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        rows = [extract_page_meta(h or "") for h in t.column(html_col).to_pylist()]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "og_title": pa.array([r["og_title"] for r in rows], pa.string()),
+                "og_image": pa.array([r["og_image"] for r in rows], pa.string()),
+                "og_type": pa.array([r["og_type"] for r in rows], pa.string()),
+                "twitter_card": pa.array([r["twitter_card"] for r in rows], pa.string()),
+                "ld_type": pa.array([r["ld_type"] for r in rows], pa.string()),
+                "n_ld": pa.array([r["n_ld"] for r in rows], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

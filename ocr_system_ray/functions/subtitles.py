@@ -1,0 +1,129 @@
+"""Subtitle parsing: SRT and WebVTT → cue timings + clean text.
+
+Subtitle corpora (OpenSubtitles et al.) are a standard training-data
+text source; the formats are line-oriented and regex-denotable, so the
+whole operator is row-local RE2 + integer time math.
+
+Parse SPEC (shared with the SQL oracle via the derivation):
+
+* format sniff: a body whose first non-BOM line starts with ``WEBVTT``
+  is VTT; anything else parses as SRT;
+* cue timing line: ``start --> end`` where a timestamp is
+  ``[HH:]MM:SS(,|.)mmm`` — SRT uses the comma, VTT the dot, VTT may
+  omit hours; VTT cue settings after the end stamp are ignored;
+* blocks are blank-line separated; lines before the timing line (SRT
+  indices, VTT cue ids) are ignored; blocks WITHOUT a timing line
+  (``WEBVTT`` header, ``NOTE``/``STYLE`` blocks) are skipped;
+* cue text = the lines after the timing line, inline markup tags
+  (``<i>``, ``<c.cls>``, …) stripped, joined by one space;
+* per-document outputs: cue count, Σ(end−start) ms, and the md5 of
+  cue texts joined by ``\\n``.
+
+Scale notes: one stateless pass; bodies die in-stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np  # noqa: F401  (module convention)
+
+_TS = r"(?:(\d+):)?(\d{1,2}):(\d{2})[,.](\d{3})"
+_TIMING_RE = re.compile(rf"^\s*{_TS}\s*-->\s*{_TS}(?:\s+.*)?$")
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"[ \t]+")
+
+
+def _ms(h, m, s, frac) -> int:
+    return ((int(h or 0) * 60 + int(m)) * 60 + int(s)) * 1000 + int(frac)
+
+
+def parse_subtitles(body: str) -> list[tuple[int, int, str]]:
+    """Subtitle text → ``[(start_ms, end_ms, clean text), ...]`` per
+    the module SPEC (format-agnostic: the timing-line regex accepts
+    both dialects)."""
+    cues: list[tuple[int, int, str]] = []
+    if body.startswith("﻿"):
+        body = body[1:]
+    for block in re.split(r"\n\s*\n", body.replace("\r\n", "\n")):
+        lines = [ln for ln in block.split("\n")]
+        timing_idx = None
+        match = None
+        for idx, ln in enumerate(lines):
+            m = _TIMING_RE.match(ln)
+            if m:
+                timing_idx = idx
+                match = m
+                break
+        if match is None:
+            continue  # header / NOTE / STYLE blocks
+        start = _ms(*match.groups()[:4])
+        end = _ms(*match.groups()[4:])
+        text_lines = []
+        for ln in lines[timing_idx + 1 :]:
+            clean = _WS_RE.sub(" ", _TAG_RE.sub("", ln)).strip()
+            if clean:
+                text_lines.append(clean)
+        cues.append((start, end, " ".join(text_lines)))
+    return cues
+
+
+def format_srt_ts(ms: int) -> str:
+    h, rem = divmod(ms, 3600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d},{frac:03d}"
+
+
+def format_vtt_ts(ms: int, short: bool = False) -> str:
+    h, rem = divmod(ms, 3600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    if short and h == 0:
+        return f"{m:02d}:{s:02d}.{frac:03d}"
+    return f"{h:02d}:{m:02d}:{s:02d}.{frac:03d}"
+
+
+def write_srt(cues: list[tuple[int, int, str]]) -> str:
+    parts = []
+    for k, (start, end, text) in enumerate(cues, 1):
+        parts.append(f"{k}\n{format_srt_ts(start)} --> {format_srt_ts(end)}\n{text}")
+    return "\n\n".join(parts) + "\n"
+
+
+def write_vtt(
+    cues: list[tuple[int, int, str]], short_ts: bool = False, settings: str = ""
+) -> str:
+    parts = ["WEBVTT", "NOTE synthetic fixture"]
+    for k, (start, end, text) in enumerate(cues):
+        timing = f"{format_vtt_ts(start, short_ts)} --> {format_vtt_ts(end, short_ts)}"
+        if settings and k % 2 == 0:
+            timing += f" {settings}"
+        parts.append(f"cue-{k}\n{timing}\n{text}")
+    return "\n\n".join(parts) + "\n"
+
+
+def subtitle_features(ds, body_col: str = "subs", id_col: str = "doc_id"):
+    """Stateless parse pass → ``(id, n_cues, total_ms, text_md5)``."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        n_cues, total, md5s = [], [], []
+        for body in t.column(body_col).to_pylist():
+            cues = parse_subtitles(body or "")
+            n_cues.append(len(cues))
+            total.append(sum(e - s for s, e, _ in cues))
+            md5s.append(
+                hashlib.md5("\n".join(txt for _s, _e, txt in cues).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_cues": pa.array(n_cues, pa.int64()),
+                "total_ms": pa.array(total, pa.int64()),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

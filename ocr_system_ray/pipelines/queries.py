@@ -2895,6 +2895,113 @@ def q_epub_extract(sf_dir: str) -> ray.data.Dataset:
     return epub_extract(books)
 
 
+def _derived_meta_pages(t: pa.Table) -> pa.Table:
+    """Social-metadata leg: pages whose OG/Twitter/JSON-LD content is a
+    pure function of doc_id, through the messy syntax real pages use —
+    swapped attribute order (%3==0), single quotes (%2==1), UPPERCASE
+    PROPERTY (%7==3), a decoy description meta, og:image absent
+    (%4==1), twitter:card absent (%6==2), 0–2 JSON-LD blocks with a
+    planted BROKEN block on %11==7 (skipped, uncounted), @graph
+    wrapping on %9==4, and bare no-meta pages (%13==4)."""
+    ids = t.column("doc_id").to_pylist()
+    pages: list[str] = []
+    for i in ids:
+        if i % 13 == 4:
+            pages.append(f"<html><body><p>bare page {i}</p></body></html>")
+            continue
+        q = "'" if i % 2 == 1 else '"'
+        parts = ["<html><head>", f"<meta name={q}description{q} content={q}decoy{q}>"]
+
+        def meta(key: str, val: str) -> str:
+            attr = "PROPERTY" if i % 7 == 3 else "property"
+            a = f"{attr}={q}{key}{q}"
+            b = f"content={q}{val}{q}"
+            return f"<meta {b} {a}>" if i % 3 == 0 else f"<meta {a} {b}>"
+
+        parts.append(meta("og:title", f"Title {i}"))
+        if i % 4 != 1:
+            parts.append(meta("og:image", f"https://img.example/{i}.jpg"))
+        parts.append(meta("og:type", "article" if i % 5 < 3 else "website"))
+        if i % 6 != 2:
+            parts.append(meta("twitter:card", "summary"))
+        n_ld = i % 3
+        types = ["NewsArticle", "Product", "Organization"]
+        for b in range(n_ld):
+            typ = types[(i + b) % 3]
+            if b == 0 and i % 9 == 4:
+                body = f'{{"@graph": [{{"@type": "{typ}", "name": "g"}}]}}'
+            else:
+                body = f'{{"@type": "{typ}", "name": "x{i}"}}'
+            parts.append(f'<script type={q}application/ld+json{q}>{body}</script>')
+        if i % 11 == 7:
+            parts.append(
+                f"<script type={q}application/ld+json{q}>{{broken json</script>"
+            )
+        parts.append(f"</head><body><p>page {i}</p></body></html>")
+        pages.append("".join(parts))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "html": pa.array(pages, pa.string())}
+    )
+
+
+def q_page_meta(sf_dir: str) -> ray.data.Dataset:
+    """OpenGraph / Twitter-card / JSON-LD extraction over derived pages
+    exercising real-web syntax mess (attribute order, quote styles,
+    case, decoys, broken JSON-LD) — ``functions/metatags.py``.  Oracle
+    = DuckDB recomputing every field from the doc_id derivation."""
+    from ..functions.metatags import page_meta_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_meta_pages, batch_format="pyarrow")
+    return page_meta_batch(pages)
+
+
+def _derived_subtitle_bodies(t: pa.Table) -> pa.Table:
+    """Subtitle leg: SRT (even ids) / WebVTT (odd ids, short MM:SS
+    stamps on %5==2, cue settings planted on alternating cues) with
+    1 + i%5 cues; cue c spans [c·2000 + i%1000, +1500 + (c·137+i)%2000]
+    ms and carries ``line {i} cue {c}`` (italic-wrapped on (i+c)%4==0 —
+    tags must strip).  %13==4 plants a cue-less plain-text body."""
+    from ..functions.subtitles import write_srt, write_vtt
+
+    ids = t.column("doc_id").to_pylist()
+    bodies: list[str] = []
+    for i in ids:
+        if i % 13 == 4:
+            bodies.append("just some text\nwith no cues at all\n")
+            continue
+        cues = []
+        for c in range(1 + i % 5):
+            start = c * 2000 + i % 1000
+            end = start + 1500 + (c * 137 + i) % 2000
+            text = f"line {i} cue {c}"
+            if (i + c) % 4 == 0:
+                text = f"<i>{text}</i>"
+            cues.append((start, end, text))
+        if i % 2 == 0:
+            bodies.append(write_srt(cues))
+        else:
+            bodies.append(
+                write_vtt(cues, short_ts=i % 5 == 2, settings="align:start")
+            )
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "subs": pa.array(bodies, pa.string())}
+    )
+
+
+def q_subtitles(sf_dir: str) -> ray.data.Dataset:
+    """SRT + WebVTT cue parsing (``functions/subtitles.py``): both
+    timestamp dialects (comma/dot, optional hours), cue ids/indices,
+    NOTE blocks, cue settings, inline-tag stripping.  Oracle = DuckDB
+    recomputing cue counts, summed durations, and the joined-text md5
+    from the doc_id derivation."""
+    from ..functions.subtitles import subtitle_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    subs = docs.map_batches(_derived_subtitle_bodies, batch_format="pyarrow")
+    return subtitle_features(subs)
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

@@ -1,0 +1,73 @@
+"""OpenGraph / Twitter-card / JSON-LD extraction: syntax-mess round
+trips (attribute order, quotes, case), first-wins rule, broken-block
+skipping, @graph/list unwrapping, and the Dataset pass."""
+
+from ocr_system_ray.functions.metatags import extract_page_meta, page_meta_batch
+
+
+def test_basic_extraction_and_first_wins():
+    html = (
+        '<html><head><meta name="description" content="decoy">'
+        '<meta property="og:title" content="First">'
+        '<meta property="og:title" content="Second">'
+        '<meta property="og:type" content="article">'
+        '<meta name="twitter:card" content="summary"></head></html>'
+    )
+    m = extract_page_meta(html)
+    assert m["og_title"] == "First"  # first tag wins
+    assert m["og_type"] == "article" and m["twitter_card"] == "summary"
+    assert m["og_image"] == "" and m["n_ld"] == 0
+
+
+def test_attribute_order_quotes_and_case():
+    html = (
+        "<META CONTENT='swapped' PROPERTY='og:title'>"
+        "<meta Property='OG:IMAGE' Content='img.jpg'>"
+    )
+    m = extract_page_meta(html)
+    assert m["og_title"] == "swapped"
+    assert m["og_image"] == "img.jpg"  # keys compared case-insensitively
+
+
+def test_json_ld_blocks():
+    html = (
+        '<script type="application/ld+json">{"@type": "Product"}</script>'
+        '<script type="application/ld+json">{broken</script>'
+        "<script type='application/ld+json'>{\"@graph\": [{\"@type\": \"NewsArticle\"}]}</script>"
+        '<script type="application/ld+json">[{"@type": ["Article", "Thing"]}]</script>'
+    )
+    m = extract_page_meta(html)
+    assert m["n_ld"] == 3  # broken block skipped, not counted
+    assert m["ld_type"] == "Product"  # first valid block wins
+    # @graph and list unwrapping
+    assert extract_page_meta(html.split("</script>", 2)[2])["ld_type"] == "NewsArticle"
+
+
+def test_empty_and_meta_free_pages():
+    assert extract_page_meta("")["og_title"] == ""
+    m = extract_page_meta("<html><body>no meta</body></html>")
+    assert m["n_ld"] == 0 and m["ld_type"] == ""
+
+
+def test_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    pages = [
+        '<meta property="og:title" content="A">',
+        "plain text",
+        '<script type="application/ld+json">{"@type": "Recipe"}</script>',
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "html": pa.array(pages, pa.string()),
+            }
+        )
+    )
+    out = page_meta_batch(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["og_title"]) == ["A", "", ""]
+    assert list(out["ld_type"]) == ["", "", "Recipe"]
+    assert list(out["n_ld"]) == [0, 0, 1]

@@ -1,0 +1,76 @@
+"""SRT + WebVTT parsing: both timestamp dialects, header/NOTE/STYLE
+skipping, cue ids, settings, tag stripping, multi-line cues, and the
+Dataset pass."""
+
+import hashlib
+
+from ocr_system_ray.functions.subtitles import (
+    parse_subtitles,
+    subtitle_features,
+    write_srt,
+    write_vtt,
+)
+
+
+def test_srt_round_trip():
+    cues = [(0, 1500, "hello"), (2000, 4500, "world two")]
+    assert parse_subtitles(write_srt(cues)) == cues
+
+
+def test_vtt_round_trip_with_settings_and_notes():
+    cues = [(0, 1500, "hello"), (2000, 4500, "world")]
+    body = write_vtt(cues, settings="align:start position:10%")
+    assert "NOTE" in body and "cue-0" in body
+    assert parse_subtitles(body) == cues
+
+
+def test_vtt_short_timestamps():
+    cues = [(61_250, 65_000, "a")]
+    body = write_vtt(cues, short_ts=True)
+    assert "01:01.250 --> 01:05.000" in body
+    assert parse_subtitles(body) == cues
+
+
+def test_hours_and_dialect_mix():
+    body = (
+        "1\n01:02:03,456 --> 01:02:04,000\nsrt style\n\n"
+        "02:03.000 --> 02:04.500\nvtt style, no hours\n"
+    )
+    cues = parse_subtitles(body)
+    assert cues[0] == (3_723_456, 3_724_000, "srt style")
+    assert cues[1] == (123_000, 124_500, "vtt style, no hours")
+
+
+def test_tag_strip_and_multiline_join():
+    body = "1\n00:00:01,000 --> 00:00:02,000\n<i>first  line</i>\n<c.yellow>second</c>\n"
+    assert parse_subtitles(body) == [(1000, 2000, "first line second")]
+
+
+def test_cueless_bodies():
+    assert parse_subtitles("") == []
+    assert parse_subtitles("WEBVTT\n\nNOTE nothing else\n") == []
+    assert parse_subtitles("plain text\nwith lines\n") == []
+
+
+def test_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    bodies = [
+        write_srt([(0, 1000, "a"), (1000, 3000, "b")]),
+        "no cues here",
+        write_vtt([(5, 10, "c")]),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "subs": pa.array(bodies, pa.string()),
+            }
+        )
+    )
+    out = subtitle_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["n_cues"]) == [2, 0, 1]
+    assert list(out["total_ms"]) == [3000, 0, 5]
+    assert out.loc[0, "text_md5"] == hashlib.md5(b"a\nb").hexdigest()
