@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epub_extract": q.q_epub_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
+        "wds_roundtrip": q.q_wds_roundtrip,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2609,6 +2610,16 @@ def oracle_sql() -> dict[str, str]:
                      ELSE md5(list_reduce(texts, (a, b) -> a || chr(10) || b))
                      END AS text_md5
             FROM c
+        """,
+        # wds_roundtrip: the tar carries the SAME derived pixels the BMP
+        # leg hashes (lossless) + the documents' own captions — golden
+        # join × md5(text); any shard/grouping corruption breaks it
+        "wds_roundtrip": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok,
+                   md5(COALESCE(d.text, '')) AS caption_md5
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -182,6 +182,7 @@ def _query_suite() -> dict:
         "epub_extract": q.q_epub_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
+        "wds_roundtrip": q.q_wds_roundtrip,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

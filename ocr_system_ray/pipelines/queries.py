@@ -3002,6 +3002,98 @@ def q_subtitles(sf_dir: str) -> ray.data.Dataset:
     return subtitle_features(subs)
 
 
+def q_wds_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """WebDataset sink + source round trip — the multimodal training
+    shard layout: (image, caption, json sidecar) samples write as
+    content-hashed tar shards (``sources/webdataset.py``), read back
+    shard-parallel, images decode for real, captions fingerprint.
+    Oracle: the committed BMP imagehash golden (the tar carries the
+    SAME derived pixels, losslessly) × ``md5(text)`` recomputed by
+    DuckDB — any writer/reader/grouping corruption breaks the join."""
+    import glob as _glob
+    import hashlib
+    import json
+    import os
+
+    from ..functions.imagehash import ahash64, dhash64, decode_image, encode_bmp_pixels
+    from ..sources.webdataset import read_webdataset, write_webdataset
+
+    cache = f"/tmp/osr_wds_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_samples(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            return pa.table(
+                {
+                    "key": pa.array([f"{i:09d}" for i in ids], pa.string()),
+                    "bmp": pa.array(
+                        [
+                            b"not an image"
+                            if i % IMG_BAD_MOD == 0
+                            else encode_bmp_pixels(derived_image(i))
+                            for i in ids
+                        ],
+                        pa.binary(),
+                    ),
+                    "txt": pa.array([t_ or "" for t_ in texts], pa.string()),
+                    "meta": pa.array(
+                        [json.dumps({"doc_id": i}) for i in ids], pa.string()
+                    ),
+                }
+            )
+
+        samples = docs.map_batches(to_samples, batch_format="pyarrow").repartition(8)
+        write_webdataset(
+            samples, cache, members={"bmp": "bmp", "txt": "txt", "meta": "meta.json"}
+        )
+
+    shards = sorted(_glob.glob(os.path.join(cache, "wds-*.tar")))
+    ds = read_webdataset(shards, exts=("bmp", "txt", "meta.json"))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        ids, widths, heights, ahs, dhs, oks, md5s = [], [], [], [], [], [], []
+        for key, img, txt, meta in zip(
+            t.column("key").to_pylist(),
+            t.column("bmp").to_pylist(),
+            t.column("txt").to_pylist(),
+            t.column("meta_json").to_pylist(),
+        ):
+            did = int(key)
+            assert _json.loads(meta)["doc_id"] == did  # sidecar grouping pin
+            ids.append(did)
+            try:
+                px = decode_image(img or b"")
+                widths.append(px.shape[1])
+                heights.append(px.shape[0])
+                ahs.append(ahash64(px))
+                dhs.append(dhash64(px))
+                oks.append(1)
+            except ValueError:
+                widths.append(0)
+                heights.append(0)
+                ahs.append(0)
+                dhs.append(0)
+                oks.append(0)
+            md5s.append(hashlib.md5(txt or b"").hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+                "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+                "ok": pa.array(oks, pa.int64()),
+                "caption_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

@@ -1,0 +1,87 @@
+"""WebDataset tar shards: sample grouping (key = name up to first dot,
+multi-dot extensions), contiguity, optional members, idempotent
+content-hashed shard writes, and the read-back round trip."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.sources.webdataset import (
+    _tar_bytes,
+    read_webdataset,
+    write_webdataset,
+)
+
+
+def _rows(n, start=0):
+    return pa.table(
+        {
+            "key": pa.array([f"{i:05d}" for i in range(start, start + n)], pa.string()),
+            "img": pa.array([f"IMG{i}".encode() for i in range(start, start + n)], pa.binary()),
+            "txt": pa.array([f"caption {i}" for i in range(start, start + n)], pa.string()),
+        }
+    )
+
+
+def test_round_trip_and_multidot_ext(ray_session, tmp_path):
+    out = str(tmp_path / "wds")
+    ds = ray.data.from_arrow(_rows(7)).repartition(3)
+    n = write_webdataset(ds, out, members={"img": "jpg", "txt": "meta.txt"})
+    assert n == 7
+    shards = sorted(glob.glob(os.path.join(out, "wds-*.tar")))
+    assert len(shards) == 3 and os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = (
+        read_webdataset(shards, exts=("jpg", "meta.txt"))
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 7
+    assert bytes(back.loc[0, "jpg"]) == b"IMG0"
+    assert bytes(back.loc[3, "meta_txt"]) == b"caption 3"
+
+
+def test_optional_member_null(ray_session, tmp_path):
+    out = str(tmp_path / "wds")
+    t = _rows(2)
+    t = t.set_column(1, "img", pa.array([b"IMG0", None], pa.binary()))
+    write_webdataset(ray.data.from_arrow(t), out, members={"img": "jpg", "txt": "txt"})
+    back = (
+        read_webdataset(sorted(glob.glob(out + "/wds-*.tar")), exts=("jpg", "txt"))
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert bytes(back.loc[0, "jpg"]) == b"IMG0"
+    assert back.loc[1, "jpg"] is None
+    assert bytes(back.loc[1, "txt"]) == b"caption 1"
+
+
+def test_idempotent_content_hashed_shards(ray_session, tmp_path):
+    out = str(tmp_path / "wds")
+    for _ in range(2):  # re-running writes the SAME shard set
+        write_webdataset(
+            ray.data.from_arrow(_rows(5)).repartition(2), out, members={"txt": "txt"}
+        )
+    assert len(glob.glob(out + "/wds-*.tar")) == 2
+
+
+def test_unrequested_and_malformed_members(ray_session, tmp_path):
+    raw = _tar_bytes([("00001.txt", b"a"), ("00001.xyz", b"ignored"), ("00002.txt", b"b")])
+    p = tmp_path / "one.tar"
+    p.write_bytes(raw)
+    back = read_webdataset([str(p)], exts=("txt",)).to_pandas().sort_values("key")
+    assert [bytes(v) for v in back["txt"]] == [b"a", b"b"]
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(_tar_bytes([("noext", b"x")]))
+    with pytest.raises(Exception):  # extension-less member is a format error
+        read_webdataset([str(bad)], exts=("txt",)).materialize()
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        write_webdataset(None, "/tmp/x", members={})
