@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
+        "ogg_headers": q.q_ogg_headers,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2620,6 +2621,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # ogg_headers: container math recomputed from the derivation —
+        # duration = pages·granules·1000 // rate, one page fewer on the
+        # truncated rows (complete-page prefix)
+        "ogg_headers": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       2 + doc_id % 5
+                         - CASE WHEN doc_id % 89 = 3 THEN 1 ELSE 0 END AS n_audio,
+                       1024 * (1 + doc_id % 4) AS gpp,
+                       CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END AS rate
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
+                CAST(CASE WHEN bad THEN 0 ELSE rate END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE (n_audio * gpp * 1000) // rate END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 + n_audio END AS BIGINT) AS n_pages
+            FROM b
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

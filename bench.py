@@ -183,6 +183,7 @@ def _query_suite() -> dict:
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
+        "ogg_headers": q.q_ogg_headers,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

@@ -3094,6 +3094,43 @@ def q_wds_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_ogg_headers(sf_dir: str) -> ray.data.Dataset:
+    """Ogg/Vorbis container walk (``functions/oggpages.py``): page
+    lacing, BOS/EOS flags, Vorbis ident header, duration from the last
+    granule position; %89==3 rows are cut 10 bytes short so the final
+    page drops (complete-page prefix), %97 rows are corrupt.  Oracle =
+    DuckDB recomputing channels/rate/duration/page counts from the
+    doc_id derivation."""
+    from ..functions.oggpages import encode_ogg_vorbis, ogg_features
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(b"not ogg")
+                continue
+            raw = encode_ogg_vorbis(
+                channels=1 + i % 2,
+                sample_rate=(8000, 16000, 22050, 44100)[i % 4],
+                n_audio_pages=2 + i % 5,
+                granules_per_page=1024 * (1 + i % 4),
+                serial=i,
+            )
+            if i % 89 == 3:
+                raw = raw[:-10]  # chop the final page mid-body
+            payloads.append(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "audio": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return ogg_features(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

@@ -1,0 +1,79 @@
+"""Ogg/Vorbis container walk: page lacing (255 runs), BOS/EOS flags,
+granule → duration math, truncation prefix, rejection paths, and the
+Dataset pass."""
+
+import struct
+
+import pytest
+
+from ocr_system_ray.functions.oggpages import (
+    encode_ogg_vorbis,
+    ogg_features,
+    parse_ogg,
+)
+
+
+def test_round_trip_duration_math():
+    raw = encode_ogg_vorbis(channels=2, sample_rate=44100, n_audio_pages=5, granules_per_page=4096)
+    m = parse_ogg(raw)
+    assert (m["channels"], m["sample_rate"]) == (2, 44100)
+    assert m["n_pages"] == 6  # BOS + 5 audio pages
+    assert m["duration_ms"] == 5 * 4096 * 1000 // 44100
+
+
+def test_255_run_lacing():
+    # packet_bytes ≥ 255 forces multi-entry lacing per packet
+    raw = encode_ogg_vorbis(1, 8000, 2, 1024, packet_bytes=700)
+    assert parse_ogg(raw)["n_pages"] == 3
+    assert raw.count(b"\xff") >= 4  # 255-run lacing bytes present
+
+
+def test_truncation_drops_partial_page():
+    raw = encode_ogg_vorbis(1, 16000, 4, 2048)
+    full = parse_ogg(raw)
+    cut = parse_ogg(raw[:-10])
+    assert cut["n_pages"] == full["n_pages"] - 1
+    assert cut["duration_ms"] == 3 * 2048 * 1000 // 16000
+
+
+def test_foreign_serial_pages_ignored():
+    a = encode_ogg_vorbis(1, 8000, 2, 1024, serial=1)
+    b = encode_ogg_vorbis(2, 44100, 9, 4096, serial=2)
+    # interleave: stream 1's BOS first → stream 2's pages must not count
+    m = parse_ogg(a[: len(a) // 1] + b)
+    assert m["sample_rate"] == 8000 and m["n_pages"] == 3
+
+
+def test_rejection_paths():
+    for bad in (b"", b"not ogg", b"OggS" + b"\x00" * 10):
+        with pytest.raises(ValueError):
+            parse_ogg(bad)
+    raw = encode_ogg_vorbis(1, 8000, 1, 1024)
+    v = bytearray(raw)
+    v[4] = 9  # stream structure version
+    with pytest.raises(ValueError):
+        parse_ogg(bytes(v))
+    nb = bytearray(raw)
+    nb[28] = ord("x")  # break the \x01vorbis ident magic
+    with pytest.raises(ValueError):
+        parse_ogg(bytes(nb))
+
+
+def test_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "audio": pa.array(
+                    [encode_ogg_vorbis(1, 8000, 2, 1024), b"junk"], pa.binary()
+                ),
+            }
+        )
+    )
+    out = ogg_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 0]
+    assert out.loc[0, "duration_ms"] == 2 * 1024 * 1000 // 8000
