@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
         "ogg_headers": q.q_ogg_headers,
+        "doc_chunks": q.q_doc_chunks,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2644,6 +2645,34 @@ def oracle_sql() -> dict[str, str]:
                      ELSE (n_audio * gpp * 1000) // rate END AS BIGINT) AS duration_ms,
                 CAST(CASE WHEN bad THEN 0 ELSE 1 + n_audio END AS BIGINT) AS n_pages
             FROM b
+        """,
+        # doc_chunks: every chunk re-derived in SQL from the SAME token
+        # class (regexp_extract_all + 1-based list slicing); empty docs
+        # pin the chunk_idx=-1 id-conservation row
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       unnest(CASE WHEN len(toks) = 0 THEN [-1]
+                              ELSE [st FOR st IN
+                                    range(0, CAST(len(toks) AS INT), 48)]
+                              END) AS start
+                FROM t
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN start = -1 AND n = 0 THEN -1
+                     ELSE start // 48 END AS BIGINT) AS chunk_idx,
+                CAST(CASE WHEN start = -1 AND n = 0 THEN 0
+                     ELSE least(64, n - start) END AS BIGINT) AS n_chunk_tokens,
+                md5(CASE WHEN start = -1 AND n = 0 THEN ''
+                    ELSE COALESCE(array_to_string(
+                         toks[start + 1 : start + 64], ' '), '')
+                    END) AS chunk_md5
+            FROM s
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -36,6 +36,59 @@ TOKEN_PATTERN = "[^ \t\n\r\f\v]+"
 _TOKEN_RGX = re.compile(TOKEN_PATTERN)
 
 
+def chunk_documents(
+    ds,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAG/window chunking: each document's token stream (the shared
+    :data:`TOKEN_PATTERN` class) splits into windows of ``window``
+    tokens starting every ``stride`` tokens (overlap = window−stride);
+    chunk starts are ``0, stride, 2·stride, …`` for every start < n —
+    the trailing chunks may be short.  Emits ``(id, chunk_idx,
+    n_chunk_tokens, chunk_md5)`` (1→N flat-map); token-less documents
+    emit one ``chunk_idx=-1`` row (id conservation).  Row-local — no
+    shuffle; the chunk inherits the doc's partition."""
+    import hashlib
+
+    import pyarrow as pa
+
+    if window < 1 or stride < 1:
+        raise ValueError("chunking needs window ≥ 1 and stride ≥ 1")
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids_out, cidx, ntok, md5s = [], [], [], []
+        for did, text in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN_RGX.findall(text or "")
+            n = len(toks)
+            if n == 0:
+                ids_out.append(did)
+                cidx.append(-1)
+                ntok.append(0)
+                md5s.append(hashlib.md5(b"").hexdigest())
+                continue
+            for k, s in enumerate(range(0, n, stride)):
+                chunk = toks[s : s + window]
+                ids_out.append(did)
+                cidx.append(k)
+                ntok.append(len(chunk))
+                md5s.append(hashlib.md5(" ".join(chunk).encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "chunk_idx": pa.array(cidx, pa.int64()),
+                "n_chunk_tokens": pa.array(ntok, pa.int64()),
+                "chunk_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append ``n_tokens`` (ASCII-whitespace tokens) and ``n_tokens_bpeish``.
 

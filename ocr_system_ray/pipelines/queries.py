@@ -3131,6 +3131,17 @@ def q_ogg_headers(sf_dir: str) -> ray.data.Dataset:
     return ogg_features(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Window chunking over the documents' own text (window 64, stride
+    48 — 16-token overlap), the RAG/packing preprocessing shape.
+    Oracle = DuckDB re-deriving every chunk from the SAME shared token
+    class via regexp_extract_all + list slicing."""
+    from ..functions.textstats import chunk_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, window=64, stride=48)
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

@@ -2306,3 +2306,58 @@ def test_semantic_decontam_matches_duckdb(ray_session):
             int(m >= 800_000) for m in want["micro"]
         ], blocks
         assert got.loc[got["vec_id"] >= 20, "contaminated"].tolist() == [1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# document window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.textstats import chunk_documents
+
+    text = " ".join(f"t{k}" for k in range(10))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array([text, "", "a  b\tc"], pa.string()),
+            }
+        )
+    )
+    out = (
+        chunk_documents(ds, window=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    # starts 0,3,6,9 → sizes 4,4,4,1 (trailing short chunk kept)
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(d0["n_chunk_tokens"]) == [4, 4, 4, 1]
+    assert d0.iloc[0]["chunk_md5"] == hashlib.md5(b"t0 t1 t2 t3").hexdigest()
+    assert d0.iloc[3]["chunk_md5"] == hashlib.md5(b"t9").hexdigest()
+    # empty doc: id-conservation row
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 1 and d1.iloc[0]["chunk_idx"] == -1
+    # mixed whitespace collapses through the shared token class
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["n_chunk_tokens"]) == [3]
+    assert d2.iloc[0]["chunk_md5"] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_chunk_documents_validation():
+    import pytest as _pytest
+
+    from ocr_system_ray.functions.textstats import chunk_documents
+
+    with _pytest.raises(ValueError):
+        chunk_documents(None, window=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(None, stride=0)
