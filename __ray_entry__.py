@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_roundtrip": q.q_wds_roundtrip,
         "ogg_headers": q.q_ogg_headers,
         "doc_chunks": q.q_doc_chunks,
+        "pdf_images": q.q_pdf_images,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2673,6 +2674,29 @@ def oracle_sql() -> dict[str, str]:
                          toks[start + 1 : start + 64], ' '), '')
                     END) AS chunk_md5
             FROM s
+        """,
+        # pdf_images: branch-selected committed goldens — the raw-RGB
+        # branch must equal the BMP leg (lossless), the DCT branches the
+        # JPEG leg (same payload bytes through the PDF layer)
+        "pdf_images": """
+            SELECT d.doc_id,
+                CAST(CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 6 = 2
+                     THEN b.width ELSE j.width END AS BIGINT) AS width,
+                CAST(CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 6 = 2
+                     THEN b.height ELSE j.height END AS BIGINT) AS height,
+                CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 6 = 2
+                     THEN b.ahash ELSE j.ahash END AS ahash,
+                CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 6 = 2
+                     THEN b.dhash ELSE j.dhash END AS dhash,
+                CAST(CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 6 = 2
+                     THEN b.ok ELSE j.ok END AS BIGINT) AS ok,
+                CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 6 = 2
+                     THEN 'raw' ELSE 'jpeg' END AS codec
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_jpeg_sf001.parquet' j
+              ON d.doc_id = j.doc_id
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' b
+              ON d.doc_id = b.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

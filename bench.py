@@ -185,6 +185,7 @@ def _query_suite() -> dict:
         "wds_roundtrip": q.q_wds_roundtrip,
         "ogg_headers": q.q_ogg_headers,
         "doc_chunks": q.q_doc_chunks,
+        "pdf_images": q.q_pdf_images,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

@@ -210,6 +210,61 @@ def build_pdf(
     return _classic_xref(objs)
 
 
+def build_pdf_images(entries: list[tuple[str, bytes, int, int]]) -> bytes:
+    """Classic-xref PDF with one image XObject per page: entries are
+    ``("jpeg", jfif_bytes, w, h)`` → a ``/DCTDecode`` stream stored
+    verbatim, ``("jpeg_flate", ...)`` → a ``[/FlateDecode /DCTDecode]``
+    chain (the upstream-filter path), or ``("rgb", raw_rgb_bytes, w,
+    h)`` → a FlateDecode ``/DeviceRGB`` 8-bit stream.  Content paints
+    the image across a 100×100 box (``cm`` + ``Do``)."""
+    n_pages = max(len(entries), 1)
+    first = 3  # 1 Catalog, 2 Pages, then (page, content, image) triples
+    kids = b" ".join(b"%d 0 R" % (first + 3 * i) for i in range(n_pages))
+    objs: list[bytes] = [
+        _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        _obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)),
+    ]
+    for i, (kind, data, w, h) in enumerate(entries or [("rgb", b"\x00" * 3, 1, 1)]):
+        page_num = first + 3 * i
+        content_num = page_num + 1
+        img_num = page_num + 2
+        objs.append(
+            _obj(
+                page_num,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+                b" /Contents %d 0 R >>" % (img_num, content_num),
+            )
+        )
+        content = b"q 100 0 0 100 100 600 cm /Im0 Do Q"
+        objs.append(_stream_obj(content_num, b"", content))
+        head = (
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceRGB /BitsPerComponent 8" % (w, h)
+        )
+        if kind == "jpeg":
+            objs.append(_stream_obj(img_num, head + b" /Filter /DCTDecode", data))
+        elif kind == "jpeg_flate":
+            objs.append(
+                _stream_obj(
+                    img_num,
+                    head + b" /Filter [/FlateDecode /DCTDecode]",
+                    zlib.compress(data, 6),
+                )
+            )
+        elif kind == "rgb":
+            objs.append(
+                _stream_obj(
+                    img_num,
+                    head + b" /Filter /FlateDecode",
+                    zlib.compress(data, 6),
+                )
+            )
+        else:
+            raise ValueError(f"build_pdf_images: unknown kind {kind!r}")
+    return _classic_xref(objs)
+
+
 def _classic_xref(objs: list[bytes]) -> bytes:
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = []

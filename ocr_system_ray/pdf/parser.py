@@ -745,6 +745,59 @@ class PdfDocument:
             return b"\n".join(parts)
         return b""
 
+    def page_images(self, page: dict) -> list[dict]:
+        """Embedded image XObjects of a page → ``[{"name", "width",
+        "height", "codec", "data"}]`` in resource-name order.
+
+        A trailing ``/DCTDecode`` stays ENCODED (``codec="jpeg"``,
+        bytes verbatim — embedded JPEGs are stored as real JFIF streams
+        per PDF 32000-1 §7.4.8, ready for a JPEG decoder); upstream
+        filters (Flate over DCT, etc.) are applied first.  Any other
+        chain fully decodes to ``codec="raw"`` component samples
+        (callers reshape by width/height/colorspace).  The reference's
+        poppler leg rasterized exactly these streams before OCR
+        (/root/reference/ocr/pdf.py:10-17); here they feed the repo's
+        real JPEG decoder directly."""
+        res = self._resolve(page.get("Resources"))
+        xobjs = self._resolve(res.get("XObject")) if isinstance(res, dict) else None
+        out: list[dict] = []
+        if not isinstance(xobjs, dict):
+            return out
+        for name in sorted(xobjs):
+            stm = self._resolve(xobjs[name])
+            if not isinstance(stm, StreamObj):
+                continue
+            if str(self._resolve(stm.dict.get("Subtype"))) != "Image":
+                continue
+            filt = self._resolve(stm.dict.get("Filter"))
+            parms = self._resolve(stm.dict.get("DecodeParms")) or self._resolve(
+                stm.dict.get("DP")
+            )
+            filts = [] if filt is None else (filt if isinstance(filt, list) else [filt])
+            parms_list = (
+                parms
+                if isinstance(parms, list)
+                else [parms] + [None] * (max(len(filts) - 1, 0))
+            )
+            data = stm.raw
+            codec = "raw"
+            for f, p in zip(filts, parms_list):
+                fname = str(self._resolve(f))
+                if fname in ("DCTDecode", "DCT"):
+                    codec = "jpeg"
+                    break  # remaining bytes ARE the JPEG stream
+                data = _apply_filter(fname, data, self._resolve(p))
+            out.append(
+                {
+                    "name": str(name),
+                    "width": int(self._resolve(stm.dict.get("Width")) or 0),
+                    "height": int(self._resolve(stm.dict.get("Height")) or 0),
+                    "codec": codec,
+                    "data": data,
+                }
+            )
+        return out
+
     def page_fonts(self, page: dict) -> dict[str, "ToUnicodeCMap"]:
         """Per-page font-resource-name → ToUnicode CMap, for the fonts
         that need one: any font carrying a ``/ToUnicode`` stream, plus

@@ -1169,33 +1169,36 @@ def _derived_jpeg_payloads(t: pa.Table) -> pa.Table:
     doc_id % IMG_BAD_MOD plants non-JPEG bytes, and doc_id % 89 == 3
     plants a TRUNCATED stream (valid headers, cut entropy data) so the
     error-as-data path covers mid-scan truncation too."""
-    from ..functions.jpegpixels import encode_jpeg_pixels
-
     ids = t.column("doc_id").to_pylist()
-    payloads: list[bytes] = []
-    for i in ids:
-        if i % IMG_BAD_MOD == 0:
-            payloads.append(b"not an image")
-            continue
-        img = derived_image(i)
-        sel = i % 4
-        if sel == 0:
-            raw = encode_jpeg_pixels(img, quality=85 + i % 11, subsampling="444")
-        elif sel == 1:
-            raw = encode_jpeg_pixels(
-                img, quality=80 + i % 16, subsampling="420", restart_interval=1 + i % 3
-            )
-        elif sel == 2:
-            gray = (img.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
-            raw = encode_jpeg_pixels(gray, quality=75 + i % 21)
-        else:
-            raw = encode_jpeg_pixels(img, quality=95, subsampling="420")
-        if i % 89 == 3:
-            raw = raw[: len(raw) // 2]  # mid-entropy truncation
-        payloads.append(raw)
+    payloads = [_derived_jpeg_bytes(i) for i in ids]
     return pa.table(
         {"doc_id": t.column("doc_id"), "image": pa.array(payloads, pa.binary())}
     )
+
+
+def _derived_jpeg_bytes(i: int) -> bytes:
+    """One doc's baseline-JPEG payload (shared by the JPEG hash leg and
+    the PDF embedded-image leg so both ride the SAME committed golden)."""
+    from ..functions.jpegpixels import encode_jpeg_pixels
+
+    if i % IMG_BAD_MOD == 0:
+        return b"not an image"
+    img = derived_image(i)
+    sel = i % 4
+    if sel == 0:
+        raw = encode_jpeg_pixels(img, quality=85 + i % 11, subsampling="444")
+    elif sel == 1:
+        raw = encode_jpeg_pixels(
+            img, quality=80 + i % 16, subsampling="420", restart_interval=1 + i % 3
+        )
+    elif sel == 2:
+        gray = (img.astype(np.int64).sum(axis=2) // 3).astype(np.uint8)
+        raw = encode_jpeg_pixels(gray, quality=75 + i % 21)
+    else:
+        raw = encode_jpeg_pixels(img, quality=95, subsampling="420")
+    if i % 89 == 3:
+        raw = raw[: len(raw) // 2]  # mid-entropy truncation
+    return raw
 
 
 def q_image_phash_jpeg(sf_dir: str) -> ray.data.Dataset:
@@ -3140,6 +3143,85 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return chunk_documents(docs, window=64, stride=48)
+
+
+def q_pdf_images(sf_dir: str) -> ray.data.Dataset:
+    """Embedded PDF image extraction + REAL decode: each doc's PDF
+    carries one image XObject — the SAME baseline-JPEG payload as the
+    JPEG hash leg (as /DCTDecode, with a [/FlateDecode /DCTDecode]
+    chain on %7==5) or the raw derived pixels as a FlateDecode
+    /DeviceRGB stream (%6==2) — extracted by ``PdfDocument.
+    page_images`` and decoded/hashed for real.  Oracle: the committed
+    JPEG and BMP imagehash goldens selected per branch (the PDF layer
+    must hand both codecs through byte-perfectly)."""
+    from ..functions.imagehash import ahash64, dhash64
+    from ..functions.jpegpixels import decode_jpeg
+    from ..pdf.mini import build_pdf_images
+    from ..pdf.parser import PdfDocument, PdfError
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pdfs = []
+        for i in ids:
+            if i % 97 != 0 and i % 6 == 2:
+                img = derived_image(i)
+                entry = ("rgb", img.tobytes(), img.shape[1], img.shape[0])
+            else:
+                kind = "jpeg_flate" if i % 7 == 5 else "jpeg"
+                entry = (kind, _derived_jpeg_bytes(i), 48, 32)
+            pdfs.append(build_pdf_images([entry]))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "pdf": pa.array(pdfs, pa.binary())}
+        )
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids_out, widths, heights, ahs, dhs, oks, codecs = [], [], [], [], [], [], []
+        for did, raw in zip(
+            t.column("doc_id").to_pylist(), t.column("pdf").to_pylist()
+        ):
+            ids_out.append(did)
+            try:
+                doc = PdfDocument(raw)
+                imgs = doc.page_images(doc.pages()[0])
+                assert len(imgs) == 1
+                meta = imgs[0]
+            except (PdfError, AssertionError, IndexError):
+                widths.append(0); heights.append(0); ahs.append(0)
+                dhs.append(0); oks.append(0); codecs.append("")
+                continue
+            codecs.append(meta["codec"])
+            px = None
+            if meta["codec"] == "jpeg":
+                try:
+                    px = decode_jpeg(meta["data"])
+                except ValueError:
+                    px = None
+            else:
+                buf = np.frombuffer(meta["data"], dtype=np.uint8)
+                if meta["width"] * meta["height"] * 3 == buf.size:
+                    px = buf.reshape(meta["height"], meta["width"], 3)
+            if px is None:
+                widths.append(0); heights.append(0); ahs.append(0)
+                dhs.append(0); oks.append(0)
+            else:
+                widths.append(px.shape[1]); heights.append(px.shape[0])
+                ahs.append(ahash64(px)); dhs.append(dhash64(px)); oks.append(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "ahash": pa.array(np.array(ahs, dtype=np.uint64).view(np.int64)),
+                "dhash": pa.array(np.array(dhs, dtype=np.uint64).view(np.int64)),
+                "ok": pa.array(oks, pa.int64()),
+                "codec": pa.array(codecs, pa.string()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        extract, batch_format="pyarrow"
+    )
 
 
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:

@@ -472,3 +472,72 @@ def test_tounicode_mixed_width_codespaces():
         b"1 beginbfchar <8001> <4E2D> endbfchar"
     )
     assert cmap.decode(b"\x41\x80\x01\x42") == "A中B"
+
+
+# ---------------------------------------------------------------------------
+# embedded image XObjects
+# ---------------------------------------------------------------------------
+
+
+def test_page_images_dct_verbatim():
+    import numpy as np
+
+    from ocr_system_ray.functions.jpegpixels import decode_jpeg, encode_jpeg_pixels
+    from ocr_system_ray.pdf.mini import build_pdf_images
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    img = np.random.default_rng(3).integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    jpeg = encode_jpeg_pixels(img, quality=90)
+    doc = PdfDocument(build_pdf_images([("jpeg", jpeg, 24, 16)]))
+    (meta,) = doc.page_images(doc.pages()[0])
+    assert meta["codec"] == "jpeg"
+    assert meta["data"] == jpeg  # stored verbatim, byte-for-byte
+    assert decode_jpeg(meta["data"]).shape == (16, 24, 3)
+
+
+def test_page_images_flate_over_dct_chain():
+    import numpy as np
+
+    from ocr_system_ray.functions.jpegpixels import encode_jpeg_pixels
+    from ocr_system_ray.pdf.mini import build_pdf_images
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    img = np.random.default_rng(4).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    jpeg = encode_jpeg_pixels(img, quality=85)
+    doc = PdfDocument(build_pdf_images([("jpeg_flate", jpeg, 8, 8)]))
+    (meta,) = doc.page_images(doc.pages()[0])
+    # upstream Flate applied, trailing DCT left encoded
+    assert meta["codec"] == "jpeg" and meta["data"] == jpeg
+
+
+def test_page_images_raw_rgb_roundtrip():
+    import numpy as np
+
+    from ocr_system_ray.pdf.mini import build_pdf_images
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    img = np.random.default_rng(5).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    doc = PdfDocument(build_pdf_images([("rgb", img.tobytes(), 6, 4)]))
+    (meta,) = doc.page_images(doc.pages()[0])
+    assert (meta["codec"], meta["width"], meta["height"]) == ("raw", 6, 4)
+    assert np.array_equal(
+        np.frombuffer(meta["data"], dtype=np.uint8).reshape(4, 6, 3), img
+    )
+
+
+def test_page_images_absent_and_multipage():
+    import numpy as np
+
+    from ocr_system_ray.pdf.mini import build_pdf, build_pdf_images
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    doc = PdfDocument(build_pdf([["no images here"]]))
+    assert doc.page_images(doc.pages()[0]) == []
+
+    a = np.zeros((2, 2, 3), dtype=np.uint8).tobytes()
+    b = np.full((3, 3, 3), 9, dtype=np.uint8).tobytes()
+    doc2 = PdfDocument(build_pdf_images([("rgb", a, 2, 2), ("rgb", b, 3, 3)]))
+    pages = doc2.pages()
+    assert len(pages) == 2
+    assert doc2.page_images(pages[0])[0]["width"] == 2
+    assert doc2.page_images(pages[1])[0]["width"] == 3
