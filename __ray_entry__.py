@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ogg_headers": q.q_ogg_headers,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
+        "image_phash_png_i7": q.q_image_phash_png_i7,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2697,6 +2698,14 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = j.doc_id
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' b
               ON d.doc_id = b.doc_id
+        """,
+        # image_phash_png_i7: Adam7 de-interlacing is lossless, so the
+        # committed BMP golden is the answer (pixel equivalence)
+        "image_phash_png_i7": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -16,8 +16,9 @@ image-payload leg.
   Chunk walk with CRC validation, multi-IDAT concatenation, filter
   types 0–4 (None/Sub/Up/Average/Paeth) inverted exactly, color types
   0 (gray, replicated), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha,
-  alpha dropped), 6 (RGBA, alpha dropped).  Interlaced (Adam7),
-  non-8-bit depths, bad CRCs, and truncated streams raise
+  alpha dropped), 6 (RGBA, alpha dropped), and Adam7 INTERLACED
+  streams (seven independently-filtered sub-images scattered back onto
+  the grid).  Non-8-bit depths, bad CRCs, and truncated streams raise
   ``ValueError`` — callers map that to error-as-data rows.
 * :func:`encode_png_pixels` — the deterministic fixture encoder: raw
   samples + per-row filter choices → spec-correct bytes (forward
@@ -112,6 +113,48 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, wp, hp) per pass; empty passes have wp/hp 0."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx if w > x0 else 0
+        hp = (h - y0 + dy - 1) // dy if h > y0 else 0
+        out.append((x0, y0, dx, dy, wp, hp))
+    return out
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Adam7: seven sequentially-stored sub-images, each independently
+    filtered; unfilter each pass and scatter onto the full grid."""
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, wp, hp in _adam7_dims(w, h):
+        if wp == 0 or hp == 0:
+            continue  # empty passes contribute NO bytes
+        span = hp * (1 + wp * ch)
+        sub_raw = raw[pos : pos + span]
+        if len(sub_raw) != span:
+            raise ValueError("png: truncated interlaced pass")
+        pos += span
+        sub = _unfilter(sub_raw, hp, wp, ch).reshape(hp, wp, ch)
+        out[y0::dy, x0::dx] = sub
+    if pos != len(raw):
+        raise ValueError("png: interlaced stream length mismatch")
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """8-bit PNG → ``(h, w, 3)`` RGB uint8 (alpha dropped, gray
     replicated, palette resolved).  Raises ``ValueError`` on anything
@@ -141,8 +184,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"png: color type {color} not supported")
     if comp != 0 or filt != 0:
         raise ValueError("png: nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("png: interlaced (Adam7) not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     if not idat:
         raise ValueError("png: no IDAT data")
     ch = _CHANNELS[color]
@@ -150,7 +193,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"png: IDAT inflate failed: {e}") from None
-    samples = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace == 1:
+        samples = _deinterlace_adam7(raw, h, w, ch)
+    else:
+        samples = _unfilter(raw, h, w, ch).reshape(h, w, ch)
     if color == 2:
         return samples.copy()
     if color == 6:
@@ -219,12 +265,15 @@ def encode_png_pixels(
     color_type: int = 2,
     filters: int | list[int] = 0,
     palette: np.ndarray | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Raw samples ``(h, w, channels)`` uint8 (``(h, w)`` accepted for
     1-channel types) → spec-correct PNG bytes.  ``filters`` is one
     filter type for every row or a per-row list — the knob that lets
-    fixtures exercise Sub/Up/Average/Paeth, not just filter 0.
-    ``palette`` (n≤256, 3) is required for color type 3."""
+    fixtures exercise Sub/Up/Average/Paeth, not just filter 0 (under
+    ``interlace=True`` a list cycles across the passes' rows in
+    storage order).  ``palette`` (n≤256, 3) is required for color
+    type 3."""
     if samples.ndim == 2:
         samples = samples[:, :, None]
     h, w, ch = samples.shape
@@ -233,23 +282,42 @@ def encode_png_pixels(
             f"png: color type {color_type} carries {_CHANNELS.get(color_type)} "
             f"channels, got {ch}"
         )
-    if isinstance(filters, int):
-        filters = [filters] * h
-    if len(filters) != h:
-        raise ValueError("png: need one filter per row")
     samples = samples.astype(np.uint8)
-    rowlen = w * ch
-    flat = samples.reshape(h, rowlen)
-    lines = bytearray()
-    prev = np.zeros(rowlen, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        lines.append(f)
-        lines.extend(_filter_row(flat[y], prev, ch, f).tobytes())
-        prev = flat[y]
+
+    def filter_image(img: np.ndarray, row_filters: list[int]) -> bytearray:
+        ih, iw = img.shape[:2]
+        rowlen = iw * ch
+        flat = img.reshape(ih, rowlen)
+        lines = bytearray()
+        prev = np.zeros(rowlen, dtype=np.uint8)
+        for y in range(ih):
+            f = int(row_filters[y])
+            lines.append(f)
+            lines.extend(_filter_row(flat[y], prev, ch, f).tobytes())
+            prev = flat[y]
+        return lines
+
+    if interlace:
+        fl = [filters] if isinstance(filters, int) else list(filters)
+        lines = bytearray()
+        row_cursor = 0
+        for x0, y0, dx, dy, wp, hp in _adam7_dims(w, h):
+            if wp == 0 or hp == 0:
+                continue
+            sub = samples[y0::dy, x0::dx]
+            row_f = [fl[(row_cursor + y) % len(fl)] for y in range(hp)]
+            row_cursor += hp
+            lines += filter_image(sub, row_f)
+    else:
+        if isinstance(filters, int):
+            filters = [filters] * h
+        if len(filters) != h:
+            raise ValueError("png: need one filter per row")
+        lines = filter_image(samples, list(filters))
     out = bytearray(PNG_SIG)
     out += _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0),
     )
     if color_type == 3:
         if palette is None or palette.ndim != 2 or palette.shape[1] != 3:

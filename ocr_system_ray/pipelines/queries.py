@@ -1610,6 +1610,43 @@ def q_http_bodies(sf_dir: str) -> ray.data.Dataset:
     return http_body_features(msgs)
 
 
+def q_image_phash_png_i7(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual hashing over Adam7 INTERLACED PNGs: the seven-pass
+    de-interlacing path (per-pass filtering, scatter reassembly) over
+    the same derived pixels — rotating color types 2/6 and cycling all
+    five filters across pass rows.  Oracle = the committed BMP golden
+    by lossless pixel equivalence."""
+    from ..functions.imagehash import image_hashes
+    from ..functions.pngpixels import encode_png_pixels
+
+    def payloads(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            if i % IMG_BAD_MOD == 0:
+                out.append(b"not an image")
+                continue
+            img = derived_image(i)
+            if i % 2 == 0:
+                raw = encode_png_pixels(
+                    img, color_type=2, filters=[0, 1, 2, 3, 4], interlace=True
+                )
+            else:
+                rgba = np.concatenate(
+                    [img, np.full(img.shape[:2] + (1,), 255, dtype=np.uint8)], axis=2
+                )
+                raw = encode_png_pixels(
+                    rgba, color_type=6, filters=(i // 2) % 5, interlace=True
+                )
+            out.append(raw)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "image": pa.array(out, pa.binary())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return image_hashes(docs.map_batches(payloads, batch_format="pyarrow"))
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

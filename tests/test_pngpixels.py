@@ -131,13 +131,68 @@ def _patch_ihdr(raw: bytes, offset_in_ihdr: int, value: int) -> bytes:
     return raw[:16] + bytes(ihdr) + struct.pack(">I", crc) + raw[33:]
 
 
-def test_interlace_and_depth_rejected():
+def test_depth_and_unknown_interlace_rejected():
     img = _rng_img(5, 5, 3)
     raw = encode_png_pixels(img, color_type=2, filters=0)
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_png(_patch_ihdr(raw, 12, 1))
     with pytest.raises(ValueError, match="bit depth"):
         decode_png(_patch_ihdr(raw, 8, 16))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(_patch_ihdr(raw, 12, 2))  # method 2 doesn't exist
+    # relabeling a STRAIGHT stream as Adam7 must fail loudly (the pass
+    # layout doesn't line up), not decode garbage
+    with pytest.raises(ValueError):
+        decode_png(_patch_ihdr(raw, 12, 1))
+
+
+@pytest.mark.parametrize("dims", [(32, 48), (1, 1), (7, 5), (9, 17), (3, 300)])
+def test_adam7_round_trip_rgb(dims):
+    h, w = dims
+    img = _rng_img(h, w, 3)
+    for filters in (0, [0, 1, 2, 3, 4]):
+        raw = encode_png_pixels(img, color_type=2, filters=filters, interlace=True)
+        assert raw[28] == 1  # IHDR interlace byte
+        assert np.array_equal(decode_png(raw), img)
+
+
+def test_adam7_all_color_types():
+    g = _rng_img(11, 13, 1)[:, :, 0]
+    out = decode_png(encode_png_pixels(g, color_type=0, filters=[1, 4], interlace=True))
+    assert np.array_equal(out[:, :, 0], g)
+    rgba = np.random.default_rng(7).integers(0, 256, size=(10, 6, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png_pixels(rgba, color_type=6, filters=3, interlace=True)),
+        rgba[:, :, :3],
+    )
+    pal = np.random.default_rng(8).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = np.random.default_rng(9).integers(0, 16, size=(9, 9, 1), dtype=np.uint8)
+    got = decode_png(encode_png_pixels(idx, color_type=3, palette=pal, interlace=True))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def test_adam7_truncated_pass_rejected():
+    img = _rng_img(16, 16, 3)
+    raw = encode_png_pixels(img, color_type=2, interlace=True)
+    # rebuild with a shortened IDAT: inflate succeeds but the last pass
+    # is missing bytes
+    import zlib as _zlib
+
+    from ocr_system_ray.functions.pngpixels import PNG_SIG, _chunk
+
+    full = _zlib.decompress(
+        b"".join(
+            d for t, d in __import__(
+                "ocr_system_ray.functions.pngpixels", fromlist=["_walk_chunks"]
+            )._walk_chunks(raw)
+            if t == b"IDAT"
+        )
+    )
+    short = _zlib.compress(full[:-10])
+    broken = bytearray(PNG_SIG)
+    broken += raw[8:33]  # original IHDR chunk
+    broken += _chunk(b"IDAT", short)
+    broken += _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bytes(broken))
 
 
 def test_cross_codec_hash_parity(ray_session):
