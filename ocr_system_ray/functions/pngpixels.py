@@ -178,10 +178,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if w <= 0 or h <= 0:
         raise ValueError("png: bad dimensions")
-    if depth != 8:
-        raise ValueError(f"png: bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(f"png: bit depth {depth} not supported (8/16 only)")
     if color not in _CHANNELS:
         raise ValueError(f"png: color type {color} not supported")
+    if depth == 16 and color == 3:
+        raise ValueError("png: 16-bit palette images are not legal PNG")
     if comp != 0 or filt != 0:
         raise ValueError("png: nonstandard compression/filter method")
     if interlace not in (0, 1):
@@ -189,14 +191,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("png: no IDAT data")
     ch = _CHANNELS[color]
+    # filters operate BYTE-wise with a bpp offset (spec §9.2): a 16-bit
+    # pixel is just 2·ch filter "channels"; the 8-bit view is the HIGH
+    # (big-endian first) byte of each sample
+    chb = ch * (depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"png: IDAT inflate failed: {e}") from None
     if interlace == 1:
-        samples = _deinterlace_adam7(raw, h, w, ch)
+        samples = _deinterlace_adam7(raw, h, w, chb)
     else:
-        samples = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+        samples = _unfilter(raw, h, w, chb).reshape(h, w, chb)
+    if depth == 16:
+        samples = samples.reshape(h, w, ch, 2)[:, :, :, 0]
     if color == 2:
         return samples.copy()
     if color == 6:
@@ -266,14 +274,15 @@ def encode_png_pixels(
     filters: int | list[int] = 0,
     palette: np.ndarray | None = None,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
     """Raw samples ``(h, w, channels)`` uint8 (``(h, w)`` accepted for
-    1-channel types) → spec-correct PNG bytes.  ``filters`` is one
-    filter type for every row or a per-row list — the knob that lets
-    fixtures exercise Sub/Up/Average/Paeth, not just filter 0 (under
-    ``interlace=True`` a list cycles across the passes' rows in
-    storage order).  ``palette`` (n≤256, 3) is required for color
-    type 3."""
+    1-channel types; uint16 with ``depth=16``) → spec-correct PNG
+    bytes.  ``filters`` is one filter type for every row or a per-row
+    list — the knob that lets fixtures exercise Sub/Up/Average/Paeth,
+    not just filter 0 (under ``interlace=True`` a list cycles across
+    the passes' rows in storage order).  ``palette`` (n≤256, 3) is
+    required for color type 3 (8-bit only)."""
     if samples.ndim == 2:
         samples = samples[:, :, None]
     h, w, ch = samples.shape
@@ -282,18 +291,30 @@ def encode_png_pixels(
             f"png: color type {color_type} carries {_CHANNELS.get(color_type)} "
             f"channels, got {ch}"
         )
-    samples = samples.astype(np.uint8)
+    if depth == 8:
+        samples = samples.astype(np.uint8)
+        chb = ch
+    elif depth == 16:
+        if color_type == 3:
+            raise ValueError("png: 16-bit palette images are not legal PNG")
+        # big-endian byte planes; filters run byte-wise with bpp = 2·ch
+        samples = (
+            samples.astype(np.uint16).astype(">u2").view(np.uint8).reshape(h, w, 2 * ch)
+        )
+        chb = 2 * ch
+    else:
+        raise ValueError("png: depth must be 8 or 16")
 
     def filter_image(img: np.ndarray, row_filters: list[int]) -> bytearray:
         ih, iw = img.shape[:2]
-        rowlen = iw * ch
+        rowlen = iw * chb
         flat = img.reshape(ih, rowlen)
         lines = bytearray()
         prev = np.zeros(rowlen, dtype=np.uint8)
         for y in range(ih):
             f = int(row_filters[y])
             lines.append(f)
-            lines.extend(_filter_row(flat[y], prev, ch, f).tobytes())
+            lines.extend(_filter_row(flat[y], prev, chb, f).tobytes())
             prev = flat[y]
         return lines
 
@@ -317,7 +338,7 @@ def encode_png_pixels(
     out = bytearray(PNG_SIG)
     out += _chunk(
         b"IHDR",
-        struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0),
+        struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0),
     )
     if color_type == 3:
         if palette is None or palette.ndim != 2 or palette.shape[1] != 3:

@@ -185,8 +185,11 @@ def test_knn_pq_candidates_golden_drift(ray_session):
 
 
 def test_imagehash_goldens_match_twin():
+    import sys
+
     import pyarrow.parquet as pq
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from make_goldens import imagehash_goldens
 
     fresh_h, fresh_p = imagehash_goldens()
@@ -195,8 +198,11 @@ def test_imagehash_goldens_match_twin():
 
 
 def test_imagehash_png_golden_matches_twin():
+    import sys
+
     import pyarrow.parquet as pq
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from make_goldens import imagehash_png_golden
 
     fresh = imagehash_png_golden()
@@ -253,8 +259,11 @@ def test_audio_goldens_match_twin():
 
 
 def test_gif_frames_golden_matches_twin():
+    import sys
+
     import pyarrow.parquet as pq
 
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from make_goldens import gif_frames_golden
 
     fresh = gif_frames_golden()

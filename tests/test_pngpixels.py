@@ -135,6 +135,10 @@ def test_depth_and_unknown_interlace_rejected():
     img = _rng_img(5, 5, 3)
     raw = encode_png_pixels(img, color_type=2, filters=0)
     with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_patch_ihdr(raw, 8, 4))  # sub-byte depths unsupported
+    # relabeling an 8-bit stream as 16-bit must fail loudly (stream
+    # length no longer matches), never decode garbage
+    with pytest.raises(ValueError):
         decode_png(_patch_ihdr(raw, 8, 16))
     with pytest.raises(ValueError, match="interlace"):
         decode_png(_patch_ihdr(raw, 12, 2))  # method 2 doesn't exist
