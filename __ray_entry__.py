@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "image_phash_png_i7": q.q_image_phash_png_i7,
+        "mhtml_extract": q.q_mhtml_extract,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2706,6 +2707,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # mhtml_extract: QP/base64 round trips mean the decoded root is
+        # byte-identical to the derivation string and the BMP resource
+        # has the constant 32×48 size (54 + 144·32)
+        "mhtml_extract": """
+            SELECT doc_id,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                     ELSE 1 + CASE WHEN doc_id % 3 <> 1 THEN 1 ELSE 0 END
+                            + CASE WHEN doc_id % 4 <> 2 THEN 1 ELSE 0 END
+                     END AS BIGINT) AS n_parts,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     ELSE md5('<html><body><p>' || COALESCE(text, '')
+                              || '</p></body></html>') END AS root_md5,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                     ELSE 33 + octet_length(encode(COALESCE(text, '')))
+                     END AS BIGINT) AS root_bytes,
+                CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 3 = 1 THEN 0
+                     ELSE 4662 END AS BIGINT) AS image_bytes
+            FROM documents
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -187,6 +187,7 @@ def _query_suite() -> dict:
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "image_phash_png_i7": q.q_image_phash_png_i7,
+        "mhtml_extract": q.q_mhtml_extract,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

@@ -1,0 +1,187 @@
+"""MHTML (multipart/related web archives): MIME part walk + content
+transfer decodings.
+
+"Save page as MHTML" archives (and some crawler outputs) bundle a page
+and its resources into one RFC 2557 ``multipart/related`` message —
+the last single-file page format the repo didn't open.  Parsing is
+header rules + boundary splitting + the three classic
+Content-Transfer-Encodings, all stdlib:
+
+* the top Content-Type must be ``multipart/related`` with a
+  ``boundary`` parameter (quoted or bare);
+* parts are delimited by ``--boundary`` lines, terminated by
+  ``--boundary--``; preamble and epilogue are ignored;
+* per-part headers: Content-Type, Content-Transfer-Encoding
+  (``quoted-printable`` via :mod:`quopri`, ``base64``, else identity),
+  Content-Location;
+* the ROOT document = the first part whose media type is
+  ``text/html`` (the RFC's ``start`` default when no parameter names
+  one).
+
+Scale notes: one stateless pass, archives die in-stage.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import quopri
+import re
+
+import numpy as np  # noqa: F401  (module convention)
+
+_BOUNDARY_RE = re.compile(
+    r"""boundary\s*=\s*(?:"([^"]+)"|([^\s;]+))""", re.IGNORECASE
+)
+
+
+def _split_message(raw: bytes) -> tuple[dict[str, str], bytes]:
+    sep = raw.find(b"\r\n\r\n")
+    if sep >= 0:
+        head, body = raw[:sep], raw[sep + 4 :]
+    else:
+        sep = raw.find(b"\n\n")
+        if sep < 0:
+            raise ValueError("mhtml: no header terminator")
+        head, body = raw[:sep], raw[sep + 2 :]
+    headers: dict[str, str] = {}
+    last = None
+    for line in head.replace(b"\r\n", b"\n").split(b"\n"):
+        if line[:1] in (b" ", b"\t") and last:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, _, value = line.partition(b":")
+        key = name.strip().lower().decode("latin-1")
+        if key:
+            headers.setdefault(key, value.strip().decode("latin-1"))
+            last = key
+    return headers, body
+
+
+def _decode_part(headers: dict[str, str], body: bytes) -> bytes:
+    cte = headers.get("content-transfer-encoding", "").strip().lower()
+    if cte == "quoted-printable":
+        return quopri.decodestring(body)
+    if cte == "base64":
+        try:
+            return base64.b64decode(re.sub(rb"\s+", b"", body), validate=True)
+        except Exception as exc:  # noqa: BLE001 — binascii.Error subclasses vary
+            raise ValueError("mhtml: corrupt base64 part") from exc
+    return body  # 7bit / 8bit / binary / absent
+
+
+def parse_mhtml(raw: bytes) -> dict:
+    """One archive → ``{"n_parts", "parts": [(content_type, location,
+    decoded bytes)], "root_html": bytes | None}`` per the module SPEC.
+    Raises ``ValueError`` on a non-multipart message or a missing
+    terminator boundary."""
+    if raw is None:
+        raise ValueError("mhtml: empty payload")
+    headers, body = _split_message(raw)
+    ctype = headers.get("content-type", "")
+    if "multipart/related" not in ctype.lower():
+        raise ValueError("mhtml: not multipart/related")
+    m = _BOUNDARY_RE.search(ctype)
+    if not m:
+        raise ValueError("mhtml: missing boundary parameter")
+    boundary = (m.group(1) or m.group(2)).encode("latin-1")
+    delim = b"--" + boundary
+    chunks = body.replace(b"\r\n", b"\n").split(b"\n" + delim)
+    # chunk 0 is the preamble unless the body STARTS with the delimiter
+    first = body.replace(b"\r\n", b"\n")
+    if first.startswith(delim):
+        chunks = first.split(b"\n" + delim)
+        chunks[0] = chunks[0][len(delim) :]
+        chunks.insert(0, b"")  # synthetic empty preamble
+        chunks[1] = chunks[1]
+    terminated = False
+    parts: list[tuple[str, str, bytes]] = []
+    for chunk in chunks[1:]:
+        if chunk.startswith(b"--"):
+            terminated = True
+            break  # epilogue ignored
+        # the CRLF before each delimiter belongs to the DELIMITER (RFC
+        # 2046 §5.1.1) and was consumed by the split; the leading
+        # newline after the boundary line starts the part's headers
+        part = chunk[1:] if chunk.startswith(b"\n") else chunk
+        phead, pbody = _split_message(part + (b"" if b"\n\n" in part else b"\n\n"))
+        parts.append(
+            (
+                phead.get("content-type", "").split(";")[0].strip().lower(),
+                phead.get("content-location", ""),
+                _decode_part(phead, pbody),
+            )
+        )
+    if not terminated:
+        raise ValueError("mhtml: missing terminator boundary")
+    root = next((p[2] for p in parts if p[0] == "text/html"), None)
+    return {"n_parts": len(parts), "parts": parts, "root_html": root}
+
+
+def write_mhtml(parts: list[tuple[str, str, str, bytes]], boundary: str = "----=_Part_0") -> bytes:
+    """Real RFC 2557 bytes: parts are ``(content_type, location, cte,
+    payload)`` with cte ∈ {"quoted-printable", "base64", "7bit"}."""
+    out = bytearray(
+        (
+            "From: <saved>\r\nSubject: archive\r\nMIME-Version: 1.0\r\n"
+            f'Content-Type: multipart/related; boundary="{boundary}"\r\n\r\n'
+            "preamble to be ignored\r\n"
+        ).encode("latin-1")
+    )
+    for ctype, loc, cte, payload in parts:
+        out += f"--{boundary}\r\n".encode("latin-1")
+        out += f"Content-Type: {ctype}\r\n".encode("latin-1")
+        if loc:
+            out += f"Content-Location: {loc}\r\n".encode("latin-1")
+        out += f"Content-Transfer-Encoding: {cte}\r\n\r\n".encode("latin-1")
+        if cte == "quoted-printable":
+            out += quopri.encodestring(payload)
+        elif cte == "base64":
+            enc = base64.b64encode(payload)
+            out += b"\r\n".join(enc[i : i + 76] for i in range(0, len(enc), 76))
+        else:
+            out += payload
+        out += b"\r\n"
+    out += f"--{boundary}--\r\n".encode("latin-1")
+    return bytes(out)
+
+
+def mhtml_features(ds, payload_col: str = "archive", id_col: str = "doc_id"):
+    """Stateless archive pass → ``(id, ok, n_parts, root_md5,
+    root_bytes, image_bytes)`` (error-as-data); ``image_bytes`` = the
+    decoded size of the first image/* part (0 when absent)."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ok, n_parts, root_md5, root_bytes, image_bytes = [], [], [], [], []
+        for raw in t.column(payload_col).to_pylist():
+            try:
+                book = parse_mhtml(raw or b"")
+            except ValueError:
+                ok.append(0)
+                n_parts.append(0)
+                root_md5.append("")
+                root_bytes.append(0)
+                image_bytes.append(0)
+                continue
+            ok.append(1)
+            n_parts.append(book["n_parts"])
+            root = book["root_html"]
+            root_md5.append(hashlib.md5(root or b"").hexdigest())
+            root_bytes.append(len(root or b""))
+            img = next(
+                (p[2] for p in book["parts"] if p[0].startswith("image/")), b""
+            )
+            image_bytes.append(len(img))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ok": pa.array(ok, pa.int64()),
+                "n_parts": pa.array(n_parts, pa.int64()),
+                "root_md5": pa.array(root_md5, pa.string()),
+                "root_bytes": pa.array(root_bytes, pa.int64()),
+                "image_bytes": pa.array(image_bytes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

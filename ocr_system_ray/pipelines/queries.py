@@ -3261,6 +3261,49 @@ def q_pdf_images(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_mhtml_extract(sf_dir: str) -> ray.data.Dataset:
+    """MHTML web-archive extraction (``functions/mhtml.py``): real RFC
+    2557 multipart/related messages — quoted-printable root HTML built
+    from the documents' own text, a base64 BMP resource (%3!=1), an
+    identity CSS part (%4!=2), preamble/epilogue noise, corrupt rows
+    (%97).  Oracle = DuckDB recomputing part counts, the root md5/size
+    (QP round trip ≡ identity), and the constant decoded BMP size."""
+    from ..functions.imagehash import encode_bmp_pixels
+    from ..functions.mhtml import mhtml_features, write_mhtml
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        payloads = []
+        for i, text in zip(ids, texts):
+            if i % 97 == 0:
+                payloads.append(b"junk")
+                continue
+            html = f"<html><body><p>{text or ''}</p></body></html>".encode("utf-8")
+            parts = [("text/html", f"https://m.example/{i}", "quoted-printable", html)]
+            if i % 3 != 1:
+                parts.append(
+                    (
+                        "image/bmp",
+                        f"https://m.example/{i}.bmp",
+                        "base64",
+                        encode_bmp_pixels(derived_image(i)),
+                    )
+                )
+            if i % 4 != 2:
+                parts.append(("text/css", "", "7bit", b"body { margin: 0 }"))
+            payloads.append(write_mhtml(parts))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "archive": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return mhtml_features(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_mojibake_repair(sf_dir: str) -> ray.data.Dataset:
     """ftfy-lite mojibake repair → (doc_id, was_fixed, fixed_md5).
     Corruption is derived deterministically (every 3rd doc: accent

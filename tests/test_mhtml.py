@@ -1,0 +1,100 @@
+"""MHTML (RFC 2557 multipart/related): part splitting with preamble /
+epilogue, QP and base64 transfer decodings, header folding, root
+selection, rejection paths, and the Dataset pass."""
+
+import hashlib
+
+import pytest
+
+from ocr_system_ray.functions.mhtml import mhtml_features, parse_mhtml, write_mhtml
+
+
+HTML = "<html><body><p>héllo = wörld\nsecond line</p></body></html>".encode("utf-8")
+IMG = bytes(range(256)) * 5
+
+
+def _archive():
+    return write_mhtml(
+        [
+            ("text/html", "https://x.example/", "quoted-printable", HTML),
+            ("image/bmp", "https://x.example/i.bmp", "base64", IMG),
+            ("text/css", "", "7bit", b"body { color: red }"),
+        ]
+    )
+
+
+def test_round_trip_all_encodings():
+    m = parse_mhtml(_archive())
+    assert m["n_parts"] == 3
+    assert m["root_html"] == HTML  # QP inverted exactly
+    assert m["parts"][1][2] == IMG  # base64 inverted exactly
+    assert m["parts"][2][2] == b"body { color: red }"
+    assert m["parts"][1][1] == "https://x.example/i.bmp"  # Content-Location
+
+
+@pytest.mark.parametrize(
+    "payload", [b"", b"x", b"abc\n", b"line1\nline2\n", b"t\n\n"]
+)
+def test_payload_edge_round_trips(payload):
+    for cte in ("quoted-printable", "base64"):
+        raw = write_mhtml([("text/html", "", cte, payload)])
+        assert parse_mhtml(raw)["root_html"] == payload
+
+
+def test_root_is_first_html_part():
+    raw = write_mhtml(
+        [
+            ("text/css", "", "7bit", b"not the root"),
+            ("text/html", "", "7bit", b"<p>first html</p>"),
+            ("text/html", "", "7bit", b"<p>second html</p>"),
+        ]
+    )
+    assert parse_mhtml(raw)["root_html"] == b"<p>first html</p>"
+
+
+def test_quoted_boundary_and_folded_header():
+    raw = (
+        b"MIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/related;\r\n"
+        b'\tboundary="b=nd"\r\n\r\n'
+        b"--b=nd\r\nContent-Type: text/html\r\n\r\n<p>x</p>\r\n"
+        b"--b=nd--\r\n"
+    )
+    m = parse_mhtml(raw)
+    assert m["n_parts"] == 1 and m["root_html"] == b"<p>x</p>"
+
+
+def test_rejection_paths():
+    with pytest.raises(ValueError):
+        parse_mhtml(b"")
+    with pytest.raises(ValueError):
+        parse_mhtml(b"Content-Type: text/html\r\n\r\nplain")
+    with pytest.raises(ValueError):
+        parse_mhtml(b"Content-Type: multipart/related\r\n\r\nno boundary")
+    raw = _archive()
+    with pytest.raises(ValueError):
+        parse_mhtml(raw.rsplit(b"--", 2)[0])  # missing terminator
+    bad_b64 = write_mhtml([("image/bmp", "", "base64", IMG)])
+    bad_b64 = bad_b64.replace(b"AAEC", b"!!EC", 1)  # corrupt base64 chars
+    with pytest.raises(ValueError):
+        parse_mhtml(bad_b64)
+
+
+def test_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "archive": pa.array([_archive(), b"junk"], pa.binary()),
+            }
+        )
+    )
+    out = mhtml_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 0]
+    assert out.loc[0, "n_parts"] == 3
+    assert out.loc[0, "root_md5"] == hashlib.md5(HTML).hexdigest()
+    assert out.loc[0, "image_bytes"] == len(IMG)
