@@ -2,10 +2,21 @@
 
 Real in this module: the Arrow schemas, actor-pool batch signatures,
 batch-size discipline for large payloads, and the output layouts — the
-parts that matter for a 100 TB pipeline.  STUBBED (clearly) in this
-sandbox: the actual codecs (no PIL/cv2/ffmpeg offline).  Each stub is
-deterministic so the plumbing is testable end-to-end; swap
-``_decode_impl`` for a real codec in production.
+parts that matter for a 100 TB pipeline.  The PAYLOADS here are the
+deterministic fake-header kind so the plumbing is testable in
+isolation; the repo's REAL codecs live next door and cover the common
+web formats end to end with zero environment stubs:
+
+* images — BMP (``imagehash.decode_bmp``), PNG incl. Adam7 + 16-bit
+  (``pngpixels``), GIF incl. animation (``gifpixels``), JPEG baseline
+  AND progressive (``jpegpixels``), ICO (``icopixels``);
+* video — AVI/MJPEG frame sampling (``avipixels``);
+* audio — WAV PCM + spectral fingerprints (``audiofp``), MP3/Ogg
+  container metadata (``media_headers``, ``oggpages``).
+
+The ``use_real_codecs`` seam below now marks only what genuinely needs
+a codec LIBRARY offline (H.264/VP9 video, Vorbis/MP3 audio DECODE —
+their containers already parse for real).
 
 Payload convention: ``payload: binary`` with a 16-byte fake header
 (magic ``4s``, width ``uint32``, height ``uint32``, n_frames ``uint32``)
@@ -64,9 +75,11 @@ class MediaDecodeStage:
     def __init__(self, use_real_codecs: bool = False) -> None:
         if use_real_codecs:
             raise NotImplementedError(
-                "real image/audio/video codecs are not available in this "
-                "sandbox; install PIL/torchaudio/pyav and implement "
-                "_decode_impl for production"
+                "inter-frame video (H.264/VP9) and lossy-audio DECODE "
+                "(Vorbis/MP3 samples) need a codec library offline; every "
+                "common web IMAGE format, MJPEG video, and PCM audio "
+                "already decode for real — see imagehash.decode_image, "
+                "avipixels, audiofp (the module docstring maps them)"
             )
 
     @staticmethod
