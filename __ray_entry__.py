@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_neardup": q.q_image_neardup,
         "sitemap_urls": q.q_sitemap_urls,
         "fetch_schedule": q.q_fetch_schedule,
+        "fetch_schedule_robots": q.q_fetch_schedule_robots,
         "kwic_snippets": q.q_kwic_snippets,
         "wet_roundtrip": q.q_wet_roundtrip,
         "surt_urlkeys": q.q_surt_urlkeys,
@@ -515,6 +516,38 @@ def _crawl_frontier_sql() -> str:
         )
         SELECT doc_id, host, CAST(r AS BIGINT) AS fetch_rank,
                CAST(r * {FETCH_DELAY_MS} AS BIGINT) AS fetch_offset_ms
+        FROM ranked
+    """
+
+
+def _fetch_schedule_robots_sql() -> str:
+    from ocr_system_ray.pipelines.queries import FETCH_DELAY_MS, ROBOTS_HOSTS
+
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 doc_id % {ROBOTS_HOSTS} AS h,
+                 'h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR) || '.example'
+                   AS host,
+                 'https://h' || CAST(doc_id % {ROBOTS_HOSTS} AS VARCHAR)
+                   || '.example:8443/p' || CAST(doc_id % 7 AS VARCHAR)
+                   || '/doc' || CAST(doc_id AS VARCHAR) || '.html' AS url,
+                 n_chars AS prio
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, host,
+                 CASE WHEN h % 5 = 2 THEN 2000
+                      WHEN h % 4 = 3 THEN {FETCH_DELAY_MS}
+                      WHEN h % 3 = 0 THEN (1 + h % 5) * 1000 + (h % 10) * 100
+                      ELSE (1 + h % 5) * 1000 END AS delay_ms,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY prio DESC, url, doc_id
+                 ) - 1 AS r
+          FROM u
+        )
+        SELECT doc_id, host, CAST(r AS BIGINT) AS fetch_rank,
+               CAST(delay_ms AS BIGINT) AS delay_ms,
+               CAST(r * delay_ms AS BIGINT) AS fetch_offset_ms
         FROM ranked
     """
 
@@ -2359,6 +2392,10 @@ def oracle_sql() -> dict[str, str]:
         # fetch_schedule: ROW_NUMBER window recomputes the per-host
         # politeness ranks/offsets independently of the bucket plan
         "fetch_schedule": _fetch_schedule_sql(),
+        # fetch_schedule_robots: per-host Crawl-delay recomputed by the
+        # derivation CASE (star fallback, delay-less default, integer-ms
+        # fractional parse), ranks by the same window
+        "fetch_schedule_robots": _fetch_schedule_robots_sql(),
         # crawl_frontier: admission + politeness composed from the same
         # shared rules (window rank over the admitted subset)
         "crawl_frontier": _crawl_frontier_sql(),

@@ -269,6 +269,162 @@ def fetch_schedule(
     )
 
 
+def parse_crawl_delay(text: str, agent: str = "graftbot") -> int | None:
+    """Group-scoped ``Crawl-delay`` (the de-facto Bing/Yandex
+    directive, not in RFC 9309 but honored by polite crawlers) →
+    milliseconds, or None when the selected groups carry none.
+
+    Selection mirrors :func:`parse_robots` (specific groups beat ``*``;
+    several matching groups merge); with multiple delays the MAXIMUM
+    wins (the politeness-conservative choice).  Values parse with
+    INTEGER math (``"1.5"`` → 1500, fraction truncated past ms) — no
+    float rounding to diverge an oracle."""
+    agent = agent.lower()
+    specific: list[int] = []
+    star: list[int] = []
+    saw_specific_group = False  # a MATCHED group suppresses '*' even
+    cur_agents: list[str] = []  # when it carries no Crawl-delay
+    in_agent_run = False
+    val_re = re.compile(r"^(\d+)(?:\.(\d+))?$")
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0]
+        m = _LINE.match(line)
+        if not m:
+            continue
+        field = m.group(1).lower()
+        value = m.group(2)
+        if field == "user-agent":
+            if not in_agent_run:
+                cur_agents = []
+            token = value.strip().lower()
+            cur_agents.append(token)
+            if token != "*" and token in agent:
+                saw_specific_group = True
+            in_agent_run = True
+            continue
+        in_agent_run = False
+        if field != "crawl-delay":
+            continue
+        vm = val_re.match(value.strip())
+        if not vm:
+            continue  # unparseable delays are ignored
+        ms = int(vm.group(1)) * 1000 + int(((vm.group(2) or "") + "000")[:3])
+        if any(a == "*" for a in cur_agents):
+            star.append(ms)
+        if any(a != "*" and a in agent for a in cur_agents):
+            specific.append(ms)
+    chosen = specific if saw_specific_group else star
+    return max(chosen) if chosen else None
+
+
+def fetch_schedule_with_robots(
+    robots: ray.data.Dataset,
+    urls: ray.data.Dataset,
+    agent: str = "graftbot",
+    default_delay_ms: int = 1000,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    priority_col: str | None = None,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Politeness planner driven by the hosts' OWN robots.txt: each
+    host's ``Crawl-delay`` (``parse_crawl_delay``; ``default_delay_ms``
+    when absent) sizes its fetch slots.  Same reduce-side idiom as
+    admission (``evaluate_robots``): int8-tagged (robots ∪ url) rows
+    meet in ONE coarse host-bucket groupby — robots bodies parse once
+    per host, URLs move once, nothing driver-side; never a broadcast
+    of a 10⁸-host robots table."""
+    import pandas as pd
+
+    from ..stages.skew import stable_hash64
+
+    def robot_rows(t: pa.Table) -> pa.Table:
+        hosts = t.column("host").to_pylist()
+        b = (stable_hash64(hosts) % np.uint64(num_buckets)).astype(np.int64)
+        n = len(hosts)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "host": pa.array(hosts, pa.string()),
+                "body": t.column("robots_txt"),
+                id_col: pa.array(np.zeros(n, dtype=np.int64)),
+                url_col: pa.array([""] * n, pa.string()),
+                "prio": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def url_rows(t: pa.Table) -> pa.Table:
+        pairs = [split_host_path(u) for u in t.column(url_col).to_pylist()]
+        hosts = [h for h, _ in pairs]
+        b = (stable_hash64(hosts) % np.uint64(num_buckets)).astype(np.int64)
+        n = len(hosts)
+        return pa.table(
+            {
+                "bucket": pa.array(b),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "host": pa.array(hosts, pa.string()),
+                "body": pa.array([""] * n, pa.string()),
+                id_col: t.column(id_col).cast(pa.int64()),
+                url_col: t.column(url_col),
+                "prio": (
+                    t.column(priority_col).cast(pa.int64())
+                    if priority_col is not None
+                    else pa.array(np.zeros(n, dtype=np.int64))
+                ),
+            }
+        )
+
+    def schedule_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "host": pd.Series([], dtype=object),
+                "fetch_rank": pd.Series([], dtype="int64"),
+                "delay_ms": pd.Series([], dtype="int64"),
+                "fetch_offset_ms": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        delays = {
+            host: parse_crawl_delay(body, agent=agent)
+            for host, body in zip(
+                g.loc[g["kind"] == 0, "host"], g.loc[g["kind"] == 0, "body"]
+            )
+        }
+        u = g[g["kind"] == 1]
+        if u.empty:
+            return empty
+        u = u.sort_values(
+            ["host", "prio", url_col, id_col],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        rank = u.groupby("host", sort=False).cumcount().to_numpy()
+        delay = np.array(
+            [
+                delays.get(h) if delays.get(h) is not None else default_delay_ms
+                for h in u["host"]
+            ],
+            dtype="int64",
+        )
+        return pd.DataFrame(
+            {
+                id_col: u[id_col].to_numpy(),
+                "host": u["host"].to_numpy(),
+                "fetch_rank": pd.Series(rank, dtype="int64"),
+                "delay_ms": pd.Series(delay, dtype="int64"),
+                "fetch_offset_ms": pd.Series(rank * delay, dtype="int64"),
+            }
+        )
+
+    tagged = robots.map_batches(robot_rows, batch_format="pyarrow").union(
+        urls.map_batches(url_rows, batch_format="pyarrow")
+    )
+    return tagged.groupby("bucket").map_groups(schedule_group, batch_format="pandas")
+
+
 # Sitemap: directives (RFC 9309 §2.3 / sitemaps.org autodiscovery) —
 # group-independent lines anywhere in the file; the discovery hop that
 # feeds ``sitemap.parse_sitemaps``.  Pattern is a module constant so

@@ -715,6 +715,60 @@ def q_fetch_schedule(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_fetch_schedule_robots(sf_dir: str) -> ray.data.Dataset:
+    """Politeness planner driven by the hosts' OWN robots.txt
+    Crawl-delay directives (``robots.fetch_schedule_with_robots``):
+    per-host bodies plant a ``*`` group delay (2 s), a specific group
+    that beats it (absent on h%5==2 → the star delay applies),
+    delay-less specific groups (h%4==3 → the 1 s default), and
+    fractional-second values (h%3==0, integer-ms parse).  ONE
+    reduce-side host-bucket shuffle of tagged (robots ∪ url) rows.
+    Oracle = ROW_NUMBER ranks × the CASE-recomputed per-host delay."""
+    import ray.data as rd
+
+    from ..functions.robots import fetch_schedule_with_robots
+
+    bodies = []
+    for h in range(ROBOTS_HOSTS):
+        parts = ["User-agent: *", "Crawl-delay: 2", "Disallow: /x", ""]
+        if h % 5 != 2:
+            parts.append("User-agent: graftbot")
+            if h % 4 == 3:
+                pass  # specific group selected, but carries no delay
+            elif h % 3 == 0:
+                parts.append(f"Crawl-delay: {1 + h % 5}.{h % 10}")
+            else:
+                parts.append(f"Crawl-delay: {1 + h % 5}")
+            parts.append("Allow: /")
+        bodies.append(
+            {"host": f"h{h}.example", "robots_txt": "\n".join(parts)}
+        )
+    robots = rd.from_items(bodies)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def to_urls(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": pa.array(
+                    [
+                        f"https://h{i % ROBOTS_HOSTS}.example:8443"
+                        f"/p{i % 7}/doc{i}.html"
+                        for i in ids
+                    ]
+                ),
+                "prio": t.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    urls = docs.map_batches(to_urls, batch_format="pyarrow")
+    return fetch_schedule_with_robots(
+        robots, urls, default_delay_ms=FETCH_DELAY_MS, priority_col="prio"
+    )
+
+
 def q_crawl_frontier(sf_dir: str) -> ray.data.Dataset:
     """Crawl-frontier composite — the fetch-side maintenance loop in
     one plan: candidate URLs pass robots admission (RFC 9309

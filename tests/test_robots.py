@@ -223,3 +223,69 @@ def test_driver_robots_sitemaps_and_tld_stats(ray_session):
         g = got[cols].sort_values(cols).reset_index(drop=True)
         w = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=True)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay + robots-driven scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_parse_crawl_delay_selection_and_values():
+    from ocr_system_ray.functions.robots import parse_crawl_delay
+
+    body = "User-agent: *\nCrawl-delay: 2\n\nUser-agent: graftbot\nCrawl-delay: 1.5\n"
+    assert parse_crawl_delay(body) == 1500  # specific beats star
+    # matched specific group WITHOUT a delay suppresses the star delay
+    body2 = "User-agent: *\nCrawl-delay: 2\n\nUser-agent: graftbot\nAllow: /\n"
+    assert parse_crawl_delay(body2) is None
+    # star applies when no specific group matches
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 3\n") == 3000
+    # several matching delays: the maximum (politeness-conservative)
+    multi = (
+        "User-agent: graftbot\nCrawl-delay: 1\n\n"
+        "User-agent: graft\nCrawl-delay: 4\n"
+    )
+    assert parse_crawl_delay(multi) == 4000
+    # integer-ms fraction parse, truncated past milliseconds
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 0.1234\n") == 123
+    # unparseable / absent
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("") is None
+
+
+def test_fetch_schedule_with_robots(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.robots import fetch_schedule_with_robots
+
+    robots = ray.data.from_items(
+        [
+            {"host": "a.example", "robots_txt": "User-agent: *\nCrawl-delay: 2\n"},
+            {"host": "b.example", "robots_txt": "User-agent: graftbot\nAllow: /\n"},
+        ]
+    )
+    urls = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "url": pa.array(
+                    [
+                        "https://a.example/1",
+                        "https://a.example/2",
+                        "https://b.example/1",
+                        "https://c.example/1",  # no robots row at all
+                    ]
+                ),
+            }
+        )
+    )
+    out = (
+        fetch_schedule_with_robots(robots, urls, default_delay_ms=500)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["delay_ms"]) == [2000, 2000, 500, 500]
+    assert list(out["fetch_offset_ms"]) == [0, 2000, 0, 0]
