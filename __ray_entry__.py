@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_images": q.q_pdf_images,
         "image_phash_png_i7": q.q_image_phash_png_i7,
         "mhtml_extract": q.q_mhtml_extract,
+        "scan_ingest": q.q_scan_ingest,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2764,6 +2765,14 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 3 = 1 THEN 0
                      ELSE 4662 END AS BIGINT) AS image_bytes
             FROM documents
+        """,
+        # scan_ingest: TIFF/netpbm are lossless, so the committed BMP
+        # golden is the oracle (pixel equivalence)
+        "scan_ingest": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -113,7 +113,17 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .icopixels import decode_ico
 
         return decode_ico(payload)
-    raise ValueError("image: unrecognized container (BMP/PNG/GIF/JPEG/ICO supported)")
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from .tiffpixels import decode_tiff
+
+        return decode_tiff(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        from .tiffpixels import decode_pnm
+
+        return decode_pnm(payload)
+    raise ValueError(
+        "image: unrecognized container (BMP/PNG/GIF/JPEG/ICO/TIFF/PNM supported)"
+    )
 
 
 def _gray(img: np.ndarray) -> np.ndarray:

@@ -1,0 +1,263 @@
+"""Scan-format pixel decode: baseline TIFF (uncompressed strips) and
+binary netpbm (P5/P6).
+
+The reference is an OCR app — scan corpora ship exactly these formats
+(multi-page TIFF scanners, netpbm intermediates), so they round out
+the image leg the web formats (PNG/JPEG/GIF/BMP/ICO) already cover.
+Both decode with the stdlib + numpy, no codec deps.
+
+TIFF SPEC (the baseline subset a scan pipeline meets):
+
+* classic TIFF header (``II``/``MM`` + magic 42), IFD0 walked with the
+  4-byte inline-value rule (the machinery EXIF uses — same wire
+  format, different tag set);
+* tags: ImageWidth(256)/ImageLength(257), BitsPerSample(258, must be
+  8 per sample), Compression(259, must be 1 = none), Photometric(262,
+  1 = gray / 2 = RGB), StripOffsets(273), SamplesPerPixel(277),
+  RowsPerStrip(278, defaults to the full height), StripByteCounts(279);
+* strips concatenate top-to-bottom; a strip whose bytes overrun the
+  buffer is an error (scans are not streamed mid-file).
+
+netpbm SPEC: ``P5`` (gray) / ``P6`` (RGB) with whitespace-separated
+header tokens, ``#`` comments, maxval ≤ 255, raster bytes immediately
+after the single whitespace following maxval.
+
+Scale notes: row-local decode inside the hash ``map_batches`` stage,
+payload dies in-stage — identical to every other codec leg.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_values(buf: bytes, e: str, typ: int, cnt: int, raw: bytes) -> list[int]:
+    if typ == 3:
+        return list(struct.unpack_from(e + f"{cnt}H", raw, 0))
+    if typ == 4:
+        return list(struct.unpack_from(e + f"{cnt}I", raw, 0))
+    if typ == 1:
+        return list(raw[:cnt])
+    raise ValueError(f"tiff: unsupported entry type {typ}")
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF → ``(h, w, 3)`` RGB uint8 per the module SPEC
+    (gray replicated).  Raises ``ValueError`` outside the subset."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("tiff: too short for header")
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("tiff: bad byte order")
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("tiff: bad magic")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("tiff: IFD out of bounds")
+    (n,) = struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        epos = ifd_off + 2 + 12 * i
+        if epos + 12 > len(payload):
+            raise ValueError("tiff: IFD entry out of bounds")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", payload, epos)
+        size = _TYPE_SIZES.get(typ, 0) * cnt
+        if size == 0:
+            continue  # unknown types skipped
+        if size <= 4:
+            raw = payload[epos + 8 : epos + 8 + size]
+        else:
+            (off,) = struct.unpack_from(e + "I", payload, epos + 8)
+            if off + size > len(payload):
+                raise ValueError("tiff: value offset out of bounds")
+            raw = payload[off : off + size]
+        try:
+            tags[tag] = _read_values(payload, e, typ, cnt, raw)
+        except ValueError:
+            continue  # rationals etc. — not needed for the pixel subset
+
+    def one(tag: int, default: "int | None" = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"tiff: missing tag {tag}")
+            return default
+        return int(v[0])
+
+    w = one(256)
+    h = one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError("tiff: bad dimensions")
+    if one(259, 1) != 1:
+        raise ValueError("tiff: only uncompressed strips supported")
+    spp = one(277, 1)
+    photometric = one(262)
+    if (photometric, spp) not in ((1, 1), (2, 3)):
+        raise ValueError("tiff: only 8-bit gray (1ch) / RGB (3ch) supported")
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps):
+        raise ValueError("tiff: only 8 bits per sample supported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: missing/mismatched strip tables")
+    rows_per_strip = one(278, h)
+    expected_strips = -(-h // rows_per_strip)
+    if len(offsets) != expected_strips:
+        raise ValueError("tiff: strip count does not match RowsPerStrip")
+    raster = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("tiff: strip out of bounds")
+        raster += payload[off : off + cnt]
+    if len(raster) != h * w * spp:
+        raise ValueError("tiff: raster size mismatch")
+    img = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(img, 3, axis=2)
+    return img.copy()
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False, rows_per_strip: int = 0) -> bytes:
+    """Real baseline TIFF bytes from ``(h, w, 3)`` RGB or ``(h, w)``
+    gray uint8; ``rows_per_strip`` > 0 splits the raster into multiple
+    strips (0 = single strip)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        strips.append(img[y0 : y0 + rps].tobytes())
+
+    entries: list[tuple[int, int, int, list[int]]] = [
+        (256, 4, 1, [w]),
+        (257, 4, 1, [h]),
+        (258, 3, spp, [8] * spp),
+        (259, 3, 1, [1]),
+        (262, 3, 1, [1 if gray else 2]),
+        (277, 3, 1, [spp]),
+        (278, 4, 1, [rps]),
+    ]
+    # layout: header(8) | IFD | value area | strip data
+    n_entries = len(entries) + 2  # + StripOffsets + StripByteCounts
+    ifd_size = 2 + 12 * n_entries + 4
+    val_pos = 8 + ifd_size
+
+    extra = bytearray()
+
+    def pack_vals(typ: int, vals: list[int]) -> bytes:
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        return struct.pack(e + fmt * len(vals), *vals)
+
+    # reserve the value area for the two strip tables (+ any >4-byte values)
+    pending: list[tuple[int, int, int, bytes]] = []
+    for tag, typ, cnt, vals in entries:
+        pending.append((tag, typ, cnt, pack_vals(typ, vals)))
+    # strip tables appended after computing the data start
+    n_strips = len(strips)
+    table_bytes = 4 * n_strips
+    # value-area layout: overflow values first, then offset/count tables
+    overflow = sum(len(raw) for _t, _y, _c, raw in pending if len(raw) > 4)
+    offsets_pos = val_pos + overflow
+    counts_pos = offsets_pos + (table_bytes if n_strips > 1 else 0)
+    data_pos = counts_pos + (table_bytes if n_strips > 1 else 0)
+
+    strip_offsets = []
+    cursor = data_pos
+    for s in strips:
+        strip_offsets.append(cursor)
+        cursor += len(s)
+    strip_counts = [len(s) for s in strips]
+
+    all_entries = pending + [
+        (273, 4, n_strips, pack_vals(4, strip_offsets)),
+        (279, 4, n_strips, pack_vals(4, strip_counts)),
+    ]
+    all_entries.sort(key=lambda t: t[0])
+
+    ifd = bytearray(struct.pack(e + "H", n_entries))
+    vcursor = val_pos
+    for tag, typ, cnt, raw in all_entries:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if len(raw) <= 4:
+            ifd += raw.ljust(4, b"\x00")
+        else:
+            # the two strip tables land at their precomputed positions
+            if tag == 273:
+                ifd += struct.pack(e + "I", offsets_pos)
+            elif tag == 279:
+                ifd += struct.pack(e + "I", counts_pos)
+            else:
+                ifd += struct.pack(e + "I", vcursor)
+                extra += raw
+                vcursor += len(raw)
+    ifd += struct.pack(e + "I", 0)
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, 8)
+    out += ifd
+    out += extra
+    if n_strips > 1:
+        out += pack_vals(4, strip_offsets)
+        out += pack_vals(4, strip_counts)
+    out += b"".join(strips)
+    return bytes(out)
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB, maxval ≤ 255) → ``(h, w, 3)``
+    RGB uint8 (gray replicated)."""
+    if payload is None or payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("pnm: not a binary netpbm file")
+    rgb = payload[:2] == b"P6"
+    pos = 2
+    tokens: list[int] = []
+    n = len(payload)
+    while len(tokens) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":
+            eol = payload.find(b"\n", pos)
+            if eol < 0:
+                raise ValueError("pnm: unterminated comment")
+            pos = eol + 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError("pnm: bad header token")
+        tokens.append(int(tok))
+    w, h, maxval = tokens
+    if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+        raise ValueError("pnm: bad dimensions/maxval")
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    ch = 3 if rgb else 1
+    need = w * h * ch
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("pnm: truncated raster")
+    img = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    return img.copy() if rgb else np.repeat(img, 3, axis=2)
+
+
+def encode_pnm(img: np.ndarray, comment: str = "") -> bytes:
+    """Real P5/P6 bytes from gray ``(h, w)`` / RGB ``(h, w, 3)`` uint8."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    head = b"P5" if gray else b"P6"
+    c = f"# {comment}\n".encode() if comment else b""
+    return head + b"\n" + c + f"{w} {h}\n255\n".encode() + img.tobytes()

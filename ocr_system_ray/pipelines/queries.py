@@ -1701,6 +1701,41 @@ def q_image_phash_png_i7(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(docs.map_batches(payloads, batch_format="pyarrow"))
 
 
+def q_scan_ingest(sf_dir: str) -> ray.data.Dataset:
+    """Scan-format ingestion (the OCR corpus leg): the derived pixels
+    as baseline TIFF (even ids — rotating II/MM endianness, multi-strip
+    on %4==0) or binary P6 netpbm (odd ids, comment headers on %3==0),
+    hashed through the standard pass.  Oracle = the committed BMP
+    golden by lossless pixel equivalence."""
+    from ..functions.imagehash import image_hashes
+    from ..functions.tiffpixels import encode_pnm, encode_tiff
+
+    def payloads(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            if i % IMG_BAD_MOD == 0:
+                out.append(b"not an image")
+                continue
+            img = derived_image(i)
+            if i % 2 == 0:
+                out.append(
+                    encode_tiff(
+                        img,
+                        big_endian=i % 6 == 2,
+                        rows_per_strip=7 if i % 4 == 0 else 0,
+                    )
+                )
+            else:
+                out.append(encode_pnm(img, comment="scan" if i % 3 == 0 else ""))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "image": pa.array(out, pa.binary())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return image_hashes(docs.map_batches(payloads, batch_format="pyarrow"))
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -1,0 +1,107 @@
+"""Scan formats: baseline TIFF (both endiannesses, strip splits, gray)
+and binary netpbm (P5/P6, comments), rejection paths, dispatch parity."""
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.tiffpixels import (
+    decode_pnm,
+    decode_tiff,
+    encode_pnm,
+    encode_tiff,
+)
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("be", [False, True])
+@pytest.mark.parametrize("rps", [0, 5])
+def test_tiff_round_trip(be, rps):
+    img = _img(33, 47, seed=be + rps)
+    assert np.array_equal(decode_tiff(encode_tiff(img, big_endian=be, rows_per_strip=rps)), img)
+
+
+def test_tiff_gray_replicated():
+    g = np.random.default_rng(1).integers(0, 256, size=(9, 11), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(g, big_endian=True, rows_per_strip=4))
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+
+
+def test_tiff_rejections():
+    img = _img(8, 8)
+    raw = encode_tiff(img)
+    for bad in (b"", b"XX\x2a\x00", b"II\x2b\x00" + raw[4:]):
+        with pytest.raises(ValueError):
+            decode_tiff(bad)
+    with pytest.raises(ValueError):
+        decode_tiff(raw[: len(raw) // 2])  # strips out of bounds
+    # compression other than none rejected (patch tag 259 inline value)
+    import struct
+
+    b = bytearray(raw)
+    (n,) = struct.unpack_from("<H", b, 8)
+    for i in range(n):
+        pos = 10 + 12 * i
+        tag = struct.unpack_from("<H", b, pos)[0]
+        if tag == 259:
+            struct.pack_into("<H", b, pos + 8, 5)  # LZW
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(b))
+
+
+def test_pnm_round_trips_and_comments():
+    img = _img(13, 7, seed=2)
+    assert np.array_equal(decode_pnm(encode_pnm(img, comment="a scan")), img)
+    g = np.random.default_rng(3).integers(0, 256, size=(5, 6), dtype=np.uint8)
+    out = decode_pnm(encode_pnm(g))
+    assert np.array_equal(out[:, :, 1], g)
+
+
+def test_pnm_rejections():
+    with pytest.raises(ValueError):
+        decode_pnm(b"P4\n1 1\n")  # bitmap flavor unsupported
+    with pytest.raises(ValueError):
+        decode_pnm(b"P6\n2 2\n255\n\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        decode_pnm(b"P6\n2 x\n255\n" + b"\x00" * 12)  # bad token
+    with pytest.raises(ValueError):
+        decode_pnm(b"P6\n2 2\n70000\n" + b"\x00" * 12)  # 16-bit maxval
+
+
+def test_dispatch_and_hash_parity(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.imagehash import encode_bmp_pixels, image_hashes
+
+    imgs = [_img(32, 48, seed=s) for s in range(4)]
+    mk = [
+        encode_bmp_pixels(imgs[0]),
+        encode_tiff(imgs[1], big_endian=True),
+        encode_pnm(imgs[2]),
+        encode_tiff(imgs[3], rows_per_strip=3),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(4)), pa.int64()),
+                "image": pa.array(mk, pa.binary()),
+            }
+        )
+    )
+    out = image_hashes(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out["ok"] == 1).all()
+    bmp_ref = image_hashes(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(4)), pa.int64()),
+                    "image": pa.array([encode_bmp_pixels(i) for i in imgs], pa.binary()),
+                }
+            )
+        )
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(bmp_ref)  # BMP ≡ TIFF ≡ PNM through the Dataset op
