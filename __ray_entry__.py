@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_png_i7": q.q_image_phash_png_i7,
         "mhtml_extract": q.q_mhtml_extract,
         "scan_ingest": q.q_scan_ingest,
+        "srcset_urls": q.q_srcset_urls,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2773,6 +2774,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # srcset_urls: every candidate row re-derived per branch
+        # (UNION ALL); the bad-descriptor candidate is dropped by spec
+        "srcset_urls": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 4)
+            SELECT doc_id,
+                   'https://cdn.example/' || doc_id || '-s.jpg' AS url,
+                   CAST(240 + doc_id % 60 AS BIGINT) AS width_px,
+                   CAST(0 AS BIGINT) AS density_milli
+            FROM d
+            UNION ALL
+            SELECT doc_id,
+                   'https://cdn.example/' || doc_id || '-l.jpg',
+                   CAST(960 + doc_id % 200 AS BIGINT), CAST(0 AS BIGINT)
+            FROM d
+            UNION ALL
+            SELECT doc_id, 'https://cdn.example/' || doc_id || '.jpg',
+                   CAST(0 AS BIGINT), CAST(1000 AS BIGINT)
+            FROM d WHERE doc_id % 3 <> 1
+            UNION ALL
+            SELECT doc_id, 'https://cdn.example/' || doc_id || '@2x.jpg',
+                   CAST(0 AS BIGINT),
+                   CAST(2000 + (doc_id % 10) * 100 AS BIGINT)
+            FROM d WHERE doc_id % 3 <> 1
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

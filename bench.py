@@ -190,6 +190,7 @@ def _query_suite() -> dict:
         "mhtml_extract": q.q_mhtml_extract,
         "fetch_schedule_robots": q.q_fetch_schedule_robots,
         "scan_ingest": q.q_scan_ingest,
+        "srcset_urls": q.q_srcset_urls,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

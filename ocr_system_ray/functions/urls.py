@@ -747,3 +747,97 @@ def sql_url_features_select(
                END AS BIGINT) AS n_params
         FROM uf_u
     """
+
+
+# ---------------------------------------------------------------------------
+# srcset parsing (responsive-image asset discovery)
+# ---------------------------------------------------------------------------
+
+_SRCSET_ATTR = re.compile(
+    r"""<img\b[^>]*\bsrcset\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE
+)
+_DESC_W = re.compile(r"^(\d+)w$")
+_DESC_X = re.compile(r"^(\d+)(?:\.(\d+))?x$")
+
+
+def parse_srcset(value: str) -> list[tuple[str, int, int]]:
+    """HTML ``srcset`` grammar → ``[(url, width_px, density_milli)]``:
+    comma-separated candidates, each a URL plus an optional ``Nw`` width
+    or ``F.Fx`` density descriptor (integer-milli parse, no float
+    rounding); a descriptor-less candidate defaults to density 1x
+    (milli 1000); candidates with an unparseable descriptor are DROPPED
+    (the spec's error handling); width and density are exclusive, the
+    unset one reported as 0."""
+    out: list[tuple[str, int, int]] = []
+    pos = 0
+    n = len(value or "")
+    while pos < n:
+        while pos < n and value[pos] in " \t\r\n\f,":
+            pos += 1
+        start = pos
+        while pos < n and value[pos] not in " \t\r\n\f":
+            pos += 1
+        url = value[start:pos]
+        if not url:
+            break
+        trailing_comma = url.endswith(",")
+        url = url.rstrip(",")
+        if not url:
+            continue
+        desc = ""
+        if not trailing_comma:
+            while pos < n and value[pos] in " \t\r\n\f":
+                pos += 1
+            dstart = pos
+            while pos < n and value[pos] != ",":
+                pos += 1
+            desc = value[dstart:pos].strip()
+        if not desc:
+            out.append((url, 0, 1000))
+            continue
+        m = _DESC_W.match(desc)
+        if m:
+            out.append((url, int(m.group(1)), 0))
+            continue
+        m = _DESC_X.match(desc)
+        if m:
+            milli = int(m.group(1)) * 1000 + int(((m.group(2) or "") + "000")[:3])
+            out.append((url, 0, milli))
+            continue
+        # unparseable descriptor: drop the candidate
+    return out
+
+
+def srcset_candidates(
+    ds: "ray.data.Dataset", html_col: str = "html", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """1→N flat-map: every ``<img srcset=...>`` candidate on a page →
+    ``(id, url, width_px, density_milli)`` — the asset-discovery hop
+    responsive pages need beyond plain ``src`` outlinks.  Stateless;
+    HTML dies in-stage."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        urls_out: list[str] = []
+        widths: list[int] = []
+        densities: list[int] = []
+        for did, html in zip(
+            t.column(id_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            for m in _SRCSET_ATTR.finditer(html or ""):
+                value = m.group(1) if m.group(1) is not None else m.group(2)
+                for url, w, d in parse_srcset(value):
+                    ids_out.append(did)
+                    urls_out.append(url)
+                    widths.append(w)
+                    densities.append(d)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "url": pa.array(urls_out, pa.string()),
+                "width_px": pa.array(widths, pa.int64()),
+                "density_milli": pa.array(densities, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")

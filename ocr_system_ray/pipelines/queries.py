@@ -1736,6 +1736,47 @@ def q_scan_ingest(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(docs.map_batches(payloads, batch_format="pyarrow"))
 
 
+def q_srcset_urls(sf_dir: str) -> ray.data.Dataset:
+    """Responsive-image asset discovery (``urls.srcset_candidates``):
+    derived pages carry width-descriptor sets, a descriptor-less +
+    retina pair (%3!=1), a dropped bad-descriptor candidate (%5==2, the
+    spec's error handling) and srcset-free pages (%13==4); single vs
+    double quotes rotate.  Oracle = DuckDB re-deriving every candidate
+    row (UNION ALL per branch)."""
+    from ..functions.urls import srcset_candidates
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pages = []
+        for i in ids:
+            if i % 13 == 4:
+                pages.append(f"<html><body><img src='plain{i}.jpg'></body></html>")
+                continue
+            q = "'" if i % 2 == 1 else '"'
+            parts = [f"<html><body><img src={q}ignored{i}.jpg{q}>"]
+            parts.append(
+                f"<img srcset={q}https://cdn.example/{i}-s.jpg {240 + i % 60}w, "
+                f"https://cdn.example/{i}-l.jpg {960 + i % 200}w{q}>"
+            )
+            if i % 3 != 1:
+                parts.append(
+                    f"<img alt={q}x{q} srcset={q}https://cdn.example/{i}.jpg, "
+                    f"https://cdn.example/{i}@2x.jpg 2.{i % 10}x{q}>"
+                )
+            if i % 5 == 2:
+                parts.append(
+                    f"<img srcset={q}https://cdn.example/{i}-bad.jpg 7q{q}>"
+                )
+            parts.append("</body></html>")
+            pages.append("".join(parts))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "html": pa.array(pages, pa.string())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return srcset_candidates(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -1,0 +1,55 @@
+
+
+# ---------------------------------------------------------------------------
+# srcset candidates
+# ---------------------------------------------------------------------------
+
+
+def test_parse_srcset_grammar():
+    from ocr_system_ray.functions.urls import parse_srcset
+
+    assert parse_srcset("a.jpg 480w, b.jpg 1024w") == [
+        ("a.jpg", 480, 0),
+        ("b.jpg", 1024, 0),
+    ]
+    # descriptor-less candidate defaults to 1x; integer-milli density
+    assert parse_srcset("plain.jpg, retina.jpg 2x") == [
+        ("plain.jpg", 0, 1000),
+        ("retina.jpg", 0, 2000),
+    ]
+    assert parse_srcset("x.jpg 1.5x") == [("x.jpg", 0, 1500)]
+    # unparseable descriptors drop the candidate (spec error handling)
+    assert parse_srcset("bad.jpg 2q, ok.jpg 10w") == [("ok.jpg", 10, 0)]
+    assert parse_srcset("  lone.jpg , ") == [("lone.jpg", 0, 1000)]
+    assert parse_srcset("") == []
+
+
+def test_srcset_candidates_dataset(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.urls import srcset_candidates
+
+    pages = [
+        '<img srcset="a.jpg 10w, b.jpg 20w"><img srcset=\'c.jpg 2x\'>',
+        "<img src='no-srcset.jpg'>",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "html": pa.array(pages, pa.string()),
+            }
+        )
+    )
+    out = (
+        srcset_candidates(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "url"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert list(out["url"]) == ["a.jpg", "b.jpg", "c.jpg"]
+    assert list(out["width_px"]) == [10, 20, 0]
+    assert list(out["density_milli"]) == [0, 0, 2000]
