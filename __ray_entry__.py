@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mhtml_extract": q.q_mhtml_extract,
         "scan_ingest": q.q_scan_ingest,
         "srcset_urls": q.q_srcset_urls,
+        "webp_lossless": q.q_webp_lossless,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
@@ -2798,6 +2799,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT),
                    CAST(2000 + (doc_id % 10) * 100 AS BIGINT)
             FROM d WHERE doc_id % 3 <> 1
+        """,
+        # webp_lossless: VP8L is lossless, so the committed BMP golden
+        # is the oracle (pixel equivalence)
+        "webp_lossless": """
+            SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # gif_frames: INDEPENDENT naive GIF twin — own bit reader, LZW
         # loop, sub-block walk, interlace reorder, and compositing

@@ -191,6 +191,7 @@ def _query_suite() -> dict:
         "fetch_schedule_robots": q.q_fetch_schedule_robots,
         "scan_ingest": q.q_scan_ingest,
         "srcset_urls": q.q_srcset_urls,
+        "webp_lossless": q.q_webp_lossless,
         "video_frames": q.q_video_frames,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,

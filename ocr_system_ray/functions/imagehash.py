@@ -121,8 +121,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .tiffpixels import decode_pnm
 
         return decode_pnm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8lpixels import decode_webp_lossless
+
+        return decode_webp_lossless(payload)
     raise ValueError(
-        "image: unrecognized container (BMP/PNG/GIF/JPEG/ICO/TIFF/PNM supported)"
+        "image: unrecognized container "
+        "(BMP/PNG/GIF/JPEG/ICO/TIFF/PNM/WebP-lossless supported)"
     )
 
 

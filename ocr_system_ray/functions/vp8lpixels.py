@@ -1,0 +1,465 @@
+"""WebP lossless (VP8L) pixel decode + a literal-coding encoder.
+
+WebP is the modern web's default image format; its LOSSLESS flavor
+(VP8L) is pure entropy coding — LSB-first bit streams, canonical
+Huffman trees shipped via code-length codes, LZ77 backward references
+over the pixel sequence, and an optional color cache — all
+implementable with stdlib + numpy (the lossy VP8 flavor needs the full
+DCT/boolean-coder stack and stays behind the codec seam;
+``media_headers`` already reads its dimensions).
+
+Decoder scope (the subset a literal/LZ77/cache stream uses):
+
+* VP8L header (0x2f signature, 14-bit minus-one dims, version 0);
+* the SUBTRACT_GREEN transform (the common cheap one); other
+  transforms (predictor/color/palette) raise ``ValueError`` —
+  documented seam, error-as-data at callers;
+* no meta-Huffman partitioning (one code group; the meta bit is read
+  and rejected when set) — matching simple encoders;
+* per-group trees: green+length+cache, red, blue, alpha, distance —
+  each either a SIMPLE code (1–2 symbols) or a NORMAL code shipped as
+  code lengths through the 19-symbol code-length code with 16/17/18
+  repeat extensions and the optional max-symbol cap;
+* pixel loop: literals, LZ77 (length/distance prefix coding with the
+  120-entry 2-D neighborhood distance map), color-cache hits
+  (``0x1e35a7bd`` multiplicative hash), cache updated on EVERY emitted
+  pixel.
+
+The encoder writes literal-only streams (no transforms, no cache, no
+LZ77) with flat canonical trees — all-8-bit red/blue/alpha codes are
+the identity mapping, greens are 9-bit — shipped via the code-length
+code using repeat-16 runs.  Lossless ⇒ the committed BMP golden
+oracles the whole path by pixel equivalence.
+
+Scale notes: identical to every codec leg — row-local decode inside
+the hashing ``map_batches``, payload dies in-stage.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 7, 8, 9, 6, 10, 11, 12, 13, 14, 15]
+
+
+class _LsbReader:
+    """LSB-first bit reader (the VP8L convention)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def bits(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("vp8l: truncated bit stream")
+        self.pos = p + n
+        i = p >> 3
+        window = int.from_bytes(self.data[i : i + (((p & 7) + n + 7) >> 3)], "little")
+        return (window >> (p & 7)) & ((1 << n) - 1)
+
+
+class _Huff:
+    """Canonical Huffman decode table from code lengths (bit-by-bit
+    walk via a (length, code) map — trees are tiny).
+
+    ``fixed_width`` marks the degenerate all-symbols-equal-length tree
+    (canonical code == symbol index) — the shape flat encoders emit —
+    which unlocks the vectorized bit-slice fast path in
+    :func:`decode_vp8l`."""
+
+    __slots__ = ("map", "max_len", "single", "fixed_width")
+
+    def __init__(self, lengths: list[int]):
+        self.single = None
+        self.fixed_width = 0
+        used = [(sym, ln) for sym, ln in enumerate(lengths) if ln > 0]
+        if len(used) == 1:
+            self.single = used[0][0]
+            self.map = {}
+            self.max_len = 0
+            return
+        if not used:
+            raise ValueError("vp8l: empty huffman tree")
+        if len(used) == len(lengths) and len({ln for _s, ln in used}) == 1:
+            self.fixed_width = used[0][1]
+        self.map: dict[tuple[int, int], int] = {}
+        code = 0
+        prev_len = 0
+        for sym, ln in sorted(used, key=lambda t: (t[1], t[0])):
+            code <<= ln - prev_len
+            prev_len = ln
+            self.map[(ln, code)] = sym
+            code += 1
+        self.max_len = prev_len
+
+    def read(self, rd: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | rd.bits(1)
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("vp8l: bad huffman code")
+
+
+def _read_code(rd: _LsbReader, alphabet_size: int) -> _Huff:
+    if rd.bits(1):  # simple code: 1 or 2 symbols
+        n = rd.bits(1) + 1
+        first_8bit = rd.bits(1)
+        syms = [rd.bits(8 if first_8bit else 1)]
+        if n == 2:
+            syms.append(rd.bits(8))
+        lengths = [0] * alphabet_size
+        for s in syms:
+            if s >= alphabet_size:
+                raise ValueError("vp8l: simple-code symbol out of range")
+            lengths[s] = 1
+        if n == 1:
+            h = _Huff(lengths)
+            return h
+        return _Huff(lengths)
+    num_codes = rd.bits(4) + 4
+    if num_codes > 19:
+        raise ValueError("vp8l: bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_ORDER[i]] = rd.bits(3)
+    cl_tree = _Huff(cl_lengths)
+    if rd.bits(1):  # use max_symbol
+        length_nbits = 2 + 2 * rd.bits(3)
+        max_symbol = 2 + rd.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = cl_tree.read(rd)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            for _ in range(3 + rd.bits(2)):
+                if i >= alphabet_size:
+                    raise ValueError("vp8l: repeat past alphabet")
+                lengths[i] = prev
+                i += 1
+        elif s == 17:
+            i += 3 + rd.bits(3)
+        else:  # 18
+            i += 11 + rd.bits(7)
+        if i > alphabet_size:
+            raise ValueError("vp8l: repeat past alphabet")
+    return _Huff(lengths)
+
+
+def _lz77_extent(rd: _LsbReader, code: int) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + rd.bits(extra) + 1
+
+
+# 120-entry 2-D neighborhood for short distance codes: (dx, dy) pairs
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (8, 3), (-8, 3), (5, 7), (-5, 7), (7, 5),
+    (-7, 5), (8, 4), (3, 8), (-3, 8), (8, 5), (-8, 5), (6, 7), (-6, 7),
+]
+assert len(_DIST_MAP) == 120
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L stream (the bytes INSIDE the RIFF ``VP8L`` chunk) →
+    ``(h, w, 3)`` RGB uint8 per the module scope.  Raises
+    ``ValueError`` outside the subset."""
+    if payload is None or len(payload) < 5 or payload[0] != 0x2F:
+        raise ValueError("vp8l: bad signature")
+    rd = _LsbReader(payload[1:])
+    w = rd.bits(14) + 1
+    h = rd.bits(14) + 1
+    rd.bits(1)  # alpha hint
+    if rd.bits(3) != 0:
+        raise ValueError("vp8l: unsupported version")
+
+    subtract_green = False
+    while rd.bits(1):  # transform loop
+        ttype = rd.bits(2)
+        if ttype == 2:  # SUBTRACT_GREEN
+            subtract_green = True
+            continue
+        raise ValueError(f"vp8l: transform {ttype} not supported")
+
+    cache_bits = 0
+    if rd.bits(1):  # color cache
+        cache_bits = rd.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("vp8l: bad color-cache size")
+    if rd.bits(1):  # meta-huffman partitioning
+        raise ValueError("vp8l: meta-huffman codes not supported")
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _read_code(rd, 256 + 24 + cache_size)
+    red = _read_code(rd, 256)
+    blue = _read_code(rd, 256)
+    alpha = _read_code(rd, 256)
+    dist_tree = _read_code(rd, 40)
+
+    n = w * h
+
+    # vectorized fast path: flat trees + no cache ⇒ every LITERAL is a
+    # fixed (gw+24)-bit slice; one unpackbits + two matmuls decode the
+    # whole raster.  Any length/cache symbol (impossible from flat-tree
+    # literal encoders, legal in general) falls back to the exact loop.
+    if (
+        cache_size == 0
+        and green.fixed_width
+        and red.fixed_width == 8
+        and blue.fixed_width == 8
+        and alpha.fixed_width == 8
+    ):
+        gw = green.fixed_width
+        stride = gw + 24
+        if rd.pos + n * stride <= rd.nbits:
+            bits = np.unpackbits(
+                np.frombuffer(rd.data, dtype=np.uint8), bitorder="little"
+            )[rd.pos : rd.pos + n * stride].reshape(n, stride)
+            wg = (1 << np.arange(gw - 1, -1, -1)).astype(np.int64)  # MSB-first
+            w8 = (1 << np.arange(7, -1, -1)).astype(np.int64)
+            g = bits[:, :gw].astype(np.int64) @ wg
+            if not (g >= 256).any():
+                r = bits[:, gw : gw + 8].astype(np.int64) @ w8
+                b = bits[:, gw + 8 : gw + 16].astype(np.int64) @ w8
+                rd.pos += n * stride
+                img = np.stack([r, g, b], axis=1).reshape(h, w, 3)
+                if subtract_green:
+                    gg = img[:, :, 1]
+                    img[:, :, 0] = (img[:, :, 0] + gg) & 0xFF
+                    img[:, :, 2] = (img[:, :, 2] + gg) & 0xFF
+                return img.astype(np.uint8)
+
+    px = np.zeros((n, 4), dtype=np.uint8)  # R G B A
+    cache = [0] * cache_size
+    i = 0
+    while i < n:
+        s = green.read(rd)
+        if s < 256:
+            g = s
+            r = red.read(rd)
+            b = blue.read(rd)
+            a = alpha.read(rd)
+            px[i] = (r, g, b, a)
+        elif s < 256 + 24:
+            length = _lz77_extent(rd, s - 256)
+            dcode = dist_tree.read(rd)
+            dist = _lz77_extent(rd, dcode)
+            if dist <= 120:
+                dx, dy = _DIST_MAP[dist - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            else:
+                dist -= 120
+            if dist > i or i + length > n:
+                raise ValueError("vp8l: LZ77 reference out of range")
+            for k in range(length):
+                px[i + k] = px[i + k - dist]
+            if cache_size:
+                for k in range(i, i + length):
+                    argb = (
+                        (int(px[k][3]) << 24)
+                        | (int(px[k][0]) << 16)
+                        | (int(px[k][1]) << 8)
+                        | int(px[k][2])
+                    )
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+            i += length
+            continue
+        else:
+            if not cache_size:
+                raise ValueError("vp8l: cache hit without a cache")
+            argb = cache[s - 256 - 24]
+            px[i] = (
+                (argb >> 16) & 0xFF,
+                (argb >> 8) & 0xFF,
+                argb & 0xFF,
+                (argb >> 24) & 0xFF,
+            )
+        if cache_size:
+            argb = (
+                (int(px[i][3]) << 24)
+                | (int(px[i][0]) << 16)
+                | (int(px[i][1]) << 8)
+                | int(px[i][2])
+            )
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+        i += 1
+
+    img = px.reshape(h, w, 4)[:, :, :3].astype(np.int64)
+    if subtract_green:
+        g = img[:, :, 1]
+        img[:, :, 0] = (img[:, :, 0] + g) & 0xFF
+        img[:, :, 2] = (img[:, :, 2] + g) & 0xFF
+    return img.astype(np.uint8)
+
+
+def decode_webp_lossless(payload: bytes) -> np.ndarray:
+    """Full WebP container → RGB via the first ``VP8L`` chunk."""
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP buffer")
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("webp: truncated chunk")
+        if fourcc == b"VP8L":
+            return decode_vp8l(body)
+        pos += 8 + size + (size & 1)
+    raise ValueError("webp: no VP8L chunk (lossy VP8 needs a codec library)")
+
+
+# ---------------------------------------------------------------------------
+# literal-coding encoder (flat trees; the decoder's exact inverse)
+# ---------------------------------------------------------------------------
+
+
+class _LsbWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, val: int, n: int) -> None:
+        self.acc |= (val & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code_msb(self, code: int, ln: int) -> None:
+        """Huffman codes are consumed bit-by-bit MSB-first."""
+        for k in range(ln - 1, -1, -1):
+            self.put((code >> k) & 1, 1)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _write_flat_code(wr: _LsbWriter, alphabet_size: int, code_len: int) -> None:
+    """Ship ``lengths = [code_len] * alphabet_size`` through the
+    code-length code: CL tree = {code_len: 1 bit, 16 (repeat): 1 bit},
+    one literal emission then repeat-16 runs."""
+    wr.put(0, 1)  # normal (not simple) code
+    idx_L = _ORDER.index(code_len)
+    idx_16 = _ORDER.index(16)
+    num_codes = max(idx_L, idx_16) + 1
+    wr.put(num_codes - 4, 4)
+    for i in range(num_codes):
+        sym = _ORDER[i]
+        ln = 1 if sym in (code_len, 16) else 0
+        wr.put(ln, 3)
+    wr.put(0, 1)  # no max-symbol cap: read all alphabet_size lengths
+    # canonical CL codes: the smaller symbol (code_len < 16) gets 0
+    bit_L, bit_16 = 0, 1
+    wr.put(bit_L, 1)  # first symbol: literal code_len
+    remaining = alphabet_size - 1
+    while remaining > 0:
+        run = min(6, remaining)
+        if remaining - run in (1, 2):  # keep the tail ≥ 3 for one more 16
+            run = remaining - 3 if remaining - 3 >= 3 else remaining
+        if run < 3:
+            for _ in range(run):
+                wr.put(bit_L, 1)
+            remaining -= run
+            continue
+        wr.put(bit_16, 1)
+        wr.put(run - 3, 2)
+        remaining -= run
+
+
+def encode_vp8l_pixels(img: np.ndarray, subtract_green: bool = False) -> bytes:
+    """``(h, w, 3)`` RGB uint8 → a full WebP (RIFF + VP8L) with
+    literal-only coding and flat canonical trees (greens 9-bit, R/B/A
+    8-bit identity codes, distance tree single-symbol).  Lossless and
+    decodable by :func:`decode_webp_lossless` and libwebp."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("vp8l: expected (h, w, 3) RGB")
+    h, w = img.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("vp8l: dims out of 14-bit range")
+    wr = _LsbWriter()
+    wr.put(w - 1, 14)
+    wr.put(h - 1, 14)
+    wr.put(0, 1)  # no alpha hint
+    wr.put(0, 3)  # version
+    if subtract_green:
+        wr.put(1, 1)
+        wr.put(2, 2)  # transform type SUBTRACT_GREEN
+    wr.put(0, 1)  # end of transforms
+    wr.put(0, 1)  # no color cache
+    wr.put(0, 1)  # no meta-huffman
+    _write_flat_code(wr, 256 + 24, 9)  # green+length
+    for _ in range(3):  # red, blue, alpha
+        _write_flat_code(wr, 256, 8)
+    # distance tree: simple code, single symbol 0
+    wr.put(1, 1)  # simple
+    wr.put(0, 1)  # one symbol
+    wr.put(0, 1)  # 1-bit first symbol
+    wr.put(0, 1)  # symbol 0
+    rgb = img.astype(np.int64)
+    if subtract_green:
+        g = rgb[:, :, 1]
+        r_plane = (rgb[:, :, 0] - g) & 0xFF
+        b_plane = (rgb[:, :, 2] - g) & 0xFF
+    else:
+        r_plane = rgb[:, :, 0]
+        b_plane = rgb[:, :, 2]
+    g_plane = rgb[:, :, 1]
+    for y in range(h):
+        for x in range(w):
+            wr.put_code_msb(int(g_plane[y, x]), 9)  # flat 9-bit: code = symbol
+            wr.put_code_msb(int(r_plane[y, x]), 8)  # flat 8-bit identity
+            wr.put_code_msb(int(b_plane[y, x]), 8)
+            wr.put_code_msb(255, 8)  # opaque alpha
+    body = b"\x2f" + wr.finish()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

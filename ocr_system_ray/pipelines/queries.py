@@ -1777,6 +1777,31 @@ def q_srcset_urls(sf_dir: str) -> ray.data.Dataset:
     return srcset_candidates(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def q_webp_lossless(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual hashing over REAL WebP-lossless (VP8L) bytes:
+    LSB-first entropy decode — canonical trees shipped through the
+    code-length code with repeat-16 runs, subtract-green transform on
+    odd ids (``functions/vp8lpixels.py``).  Oracle = the committed BMP
+    golden by lossless pixel equivalence."""
+    from ..functions.imagehash import image_hashes
+    from ..functions.vp8lpixels import encode_vp8l_pixels
+
+    def payloads(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            if i % IMG_BAD_MOD == 0:
+                out.append(b"not an image")
+                continue
+            out.append(encode_vp8l_pixels(derived_image(i), subtract_green=i % 2 == 1))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "image": pa.array(out, pa.binary())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return image_hashes(docs.map_batches(payloads, batch_format="pyarrow"))
+
+
 def q_gif_frames(sf_dir: str) -> ray.data.Dataset:
     """Frame sampling over REAL animated GIFs: stdlib LZW (LSB-first,
     variable width) + compositing (transparency, background disposal,

@@ -1,0 +1,172 @@
+"""WebP lossless (VP8L): literal round trips (fast path), hand-built
+streams exercising the general loop (LZ77 back-references, color
+cache, simple codes), rejection paths, and dispatch parity."""
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.vp8lpixels import (
+    _LsbWriter,
+    _write_flat_code,
+    decode_vp8l,
+    decode_webp_lossless,
+    encode_vp8l_pixels,
+)
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("dims", [(32, 48), (1, 1), (7, 5), (3, 100)])
+@pytest.mark.parametrize("sg", [False, True])
+def test_literal_round_trip(dims, sg):
+    h, w = dims
+    img = _img(h, w, seed=h + w)
+    assert np.array_equal(
+        decode_webp_lossless(encode_vp8l_pixels(img, subtract_green=sg)), img
+    )
+
+
+def _stream_header(wr, w, h, cache_bits=0):
+    wr.put(w - 1, 14)
+    wr.put(h - 1, 14)
+    wr.put(0, 1)  # alpha hint
+    wr.put(0, 3)  # version
+    wr.put(0, 1)  # no transforms
+    if cache_bits:
+        wr.put(1, 1)
+        wr.put(cache_bits, 4)
+    else:
+        wr.put(0, 1)
+    wr.put(0, 1)  # no meta-huffman
+
+
+def _flat_trees(wr, cache_size=0):
+    _write_flat_code(wr, 256 + 24 + cache_size, 9)
+    for _ in range(3):
+        _write_flat_code(wr, 256, 8)
+    _write_flat_code(wr, 40, 6)  # flat distance tree
+
+
+def _literal(wr, r, g, b, a=255):
+    wr.put_code_msb(g, 9)
+    wr.put_code_msb(r, 8)
+    wr.put_code_msb(b, 8)
+    wr.put_code_msb(a, 8)
+
+
+def test_lz77_backward_reference():
+    # 1×4 image: literal A, then a length-3 copy at raw distance 1
+    wr = _LsbWriter()
+    _stream_header(wr, 4, 1)
+    _flat_trees(wr)
+    _literal(wr, 10, 20, 30)
+    wr.put_code_msb(256 + 2, 9)  # length code 2 → length 3
+    # distance extent 121 → raw distance 1: prefix code 13 + 5 extra (24)
+    wr.put_code_msb(13, 6)
+    wr.put(24, 5)
+    raw = b"\x2f" + wr.finish()
+    out = decode_vp8l(raw)
+    assert out.shape == (1, 4, 3)
+    assert (out == [10, 20, 30]).all()
+
+
+def test_lz77_neighborhood_distance_code():
+    # 2×2 image: two literals, then dist-map entry 2 = (1, 0) — one left
+    wr = _LsbWriter()
+    _stream_header(wr, 2, 2)
+    _flat_trees(wr)
+    _literal(wr, 1, 2, 3)
+    _literal(wr, 4, 5, 6)
+    wr.put_code_msb(256 + 1, 9)  # length 2
+    # distance extent 2 → map entry (1, 0) → dist 1 (copy previous)
+    wr.put_code_msb(1, 6)
+    raw = b"\x2f" + wr.finish()
+    out = decode_vp8l(raw).reshape(4, 3)
+    assert (out[2] == out[1]).all() and (out[3] == out[2]).all()
+
+
+def test_color_cache_hit():
+    wr = _LsbWriter()
+    _stream_header(wr, 3, 1, cache_bits=4)
+    _flat_trees(wr, cache_size=16)
+    _literal(wr, 7, 8, 9)
+    _literal(wr, 100, 101, 102)
+    argb = (255 << 24) | (7 << 16) | (8 << 8) | 9
+    idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - 4)
+    wr.put_code_msb(256 + 24 + idx, 9)  # cache hit → first pixel again
+    raw = b"\x2f" + wr.finish()
+    out = decode_vp8l(raw).reshape(3, 3)
+    assert (out[2] == [7, 8, 9]).all()
+
+
+def test_simple_code_trees():
+    # all five trees as SIMPLE codes: single-symbol trees read 0 bits,
+    # so a 2×1 image of one constant color needs almost no payload
+    wr = _LsbWriter()
+    _stream_header(wr, 2, 1)
+    for sym, eight_bit in ((42, True), (5, True), (250, True), (255, True), (0, True)):
+        wr.put(1, 1)  # simple
+        wr.put(0, 1)  # one symbol
+        wr.put(1, 1)  # 8-bit symbol field
+        wr.put(sym, 8)
+    raw = b"\x2f" + wr.finish()
+    out = decode_vp8l(raw).reshape(2, 3)
+    assert (out == [5, 42, 250]).all()
+
+
+def test_rejections():
+    for bad in (b"", b"\x30\x00\x00\x00\x00", b"junk"):
+        with pytest.raises(ValueError):
+            decode_vp8l(bad)
+    img = _img(4, 4)
+    raw = encode_vp8l_pixels(img)
+    with pytest.raises(ValueError):
+        decode_webp_lossless(raw[: len(raw) - 6])  # truncated chunk
+    with pytest.raises(ValueError):
+        decode_webp_lossless(b"RIFF\x04\x00\x00\x00WEBP")  # no VP8L
+    # unsupported transform (predictor, type 0)
+    wr = _LsbWriter()
+    wr.put(3, 14)
+    wr.put(3, 14)
+    wr.put(0, 1)
+    wr.put(0, 3)
+    wr.put(1, 1)  # a transform follows
+    wr.put(0, 2)  # PREDICTOR
+    with pytest.raises(ValueError):
+        decode_vp8l(b"\x2f" + wr.finish())
+
+
+def test_dispatch_and_hash_parity(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.imagehash import encode_bmp_pixels, image_hashes
+
+    imgs = [_img(32, 48, seed=s) for s in range(4)]
+    a = image_hashes(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(4)), pa.int64()),
+                    "image": pa.array([encode_bmp_pixels(i) for i in imgs], pa.binary()),
+                }
+            )
+        )
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = image_hashes(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(range(4)), pa.int64()),
+                    "image": pa.array(
+                        [encode_vp8l_pixels(i, subtract_green=s % 2 == 1) for s, i in enumerate(imgs)],
+                        pa.binary(),
+                    ),
+                }
+            )
+        )
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # BMP ≡ VP8L through the Dataset op
