@@ -373,6 +373,20 @@ class _LsbWriter:
         for k in range(ln - 1, -1, -1):
             self.put((code >> k) & 1, 1)
 
+    def put_bits(self, bits: np.ndarray) -> None:
+        """Append a 0/1 array in STREAM order (vectorized 32-bit words
+        instead of per-bit puts — the literal raster's hot path)."""
+        n = int(bits.size)
+        pad = (-n) % 32
+        if pad:
+            bits = np.concatenate([bits, np.zeros(pad, dtype=bits.dtype)])
+        words = bits.reshape(-1, 32).astype(np.uint64) @ (
+            np.uint64(1) << np.arange(32, dtype=np.uint64)
+        )
+        last = len(words) - 1
+        for k, wv in enumerate(words):
+            self.put(int(wv), 32 - pad if (pad and k == last) else 32)
+
     def finish(self) -> bytes:
         if self.nbits:
             self.buf.append(self.acc & 0xFF)
@@ -443,21 +457,24 @@ def encode_vp8l_pixels(img: np.ndarray, subtract_green: bool = False) -> bytes:
     wr.put(0, 1)  # one symbol
     wr.put(0, 1)  # 1-bit first symbol
     wr.put(0, 1)  # symbol 0
-    rgb = img.astype(np.int64)
+    rgb = img.astype(np.int64).reshape(-1, 3)
     if subtract_green:
-        g = rgb[:, :, 1]
-        r_plane = (rgb[:, :, 0] - g) & 0xFF
-        b_plane = (rgb[:, :, 2] - g) & 0xFF
+        g = rgb[:, 1]
+        r_plane = (rgb[:, 0] - g) & 0xFF
+        b_plane = (rgb[:, 2] - g) & 0xFF
     else:
-        r_plane = rgb[:, :, 0]
-        b_plane = rgb[:, :, 2]
-    g_plane = rgb[:, :, 1]
-    for y in range(h):
-        for x in range(w):
-            wr.put_code_msb(int(g_plane[y, x]), 9)  # flat 9-bit: code = symbol
-            wr.put_code_msb(int(r_plane[y, x]), 8)  # flat 8-bit identity
-            wr.put_code_msb(int(b_plane[y, x]), 8)
-            wr.put_code_msb(255, 8)  # opaque alpha
+        r_plane = rgb[:, 0]
+        b_plane = rgb[:, 2]
+    g_plane = rgb[:, 1]
+    # fixed 33-bit literals (g:9, r:8, b:8, a:8, each MSB-first) as one
+    # vectorized bit matrix — flat codes make code == symbol
+    n = rgb.shape[0]
+    bits = np.empty((n, 33), dtype=np.uint8)
+    bits[:, 0:9] = (g_plane[:, None] >> np.arange(8, -1, -1)[None, :]) & 1
+    bits[:, 9:17] = (r_plane[:, None] >> np.arange(7, -1, -1)[None, :]) & 1
+    bits[:, 17:25] = (b_plane[:, None] >> np.arange(7, -1, -1)[None, :]) & 1
+    bits[:, 25:33] = 1  # alpha 255: all bits set
+    wr.put_bits(bits.reshape(-1))
     body = b"\x2f" + wr.finish()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) & 1:
