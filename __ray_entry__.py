@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_dedup": q.q_canonical_dedup,
         "page_structure": q.q_page_structure,
         "image_phash": q.q_image_phash,
+        "image_resize_area": q.q_image_resize_area,
+        "image_resize_nearest": q.q_image_resize_nearest,
         "image_phash_png": q.q_image_phash_png,
         "image_phash_jpeg": q.q_image_phash_jpeg,
         "image_phash_prog": q.q_image_phash_prog,
@@ -2457,6 +2459,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.hamming
             FROM '/root/repo/tests/golden/image_neardup_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # image_resize_area / image_resize_nearest: INDEPENDENT
+        # per-pixel resize twin (naive BMP reader + Python-int box /
+        # floor-mapping loops — tools/make_goldens.py:imresize_goldens)
+        "image_resize_area": """
+            SELECT d.doc_id, g.in_width, g.in_height, g.width, g.height,
+                   g.px_md5, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imresize_area_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        "image_resize_nearest": """
+            SELECT d.doc_id, g.in_width, g.in_height, g.width, g.height,
+                   g.px_md5, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/imresize_nearest_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         # image_phash_png: INDEPENDENT naive chunk-walk/zlib/unfilter
         # PNG twin (tools/make_goldens.py:imagehash_png_golden) — every

@@ -161,6 +161,7 @@ def _query_suite() -> dict:
         "charset_decode": q.q_charset_decode,
         "anchor_texts": q.q_anchor_texts,
         "image_phash": q.q_image_phash,
+        "image_resize_area": q.q_image_resize_area,
         "image_phash_png": q.q_image_phash_png,
         "gif_frames": q.q_gif_frames,
         "canonical_dedup": q.q_canonical_dedup,

@@ -1,0 +1,158 @@
+"""Deterministic integer image resize (the multimodal "resize" stage).
+
+The mandate's multimodal list is decode / feature-extract / RESIZE /
+frame-sample; decode, features and frame sampling shipped earlier
+(``imagehash.py`` + friends, ``media_headers.py``, ``avipixels.py``).
+This module closes the resize leg with REAL pixel math over the repo's
+own decoders — no codec deps, no floats, so results are platform- and
+batching-invariant and the golden oracle's independent per-pixel twin
+matches byte-for-byte.
+
+Two methods, both exact-integer by spec:
+
+* **area** (box-mean downsample) — output cell ``(i, j)`` averages the
+  source box with floor boundaries ``[i·h//out_h, (i+1)·h//out_h) ×
+  [j·w//out_w, (j+1)·w//out_w)`` per channel, value = ``sum // count``.
+  This is the ``imagehash._block_means`` boundary convention promoted
+  to 3 channels and vectorized (integral image: one cumsum + four
+  gathers per batch of boxes — no per-cell Python loop).  Downscale
+  only (``out ≤ in`` per axis): floor boundaries guarantee non-empty
+  boxes exactly then; upscale requests raise (→ error-as-data rows at
+  the Dataset layer).
+* **nearest** — source index = ``i·in // out`` (floor mapping), any
+  direction; pure fancy indexing.
+
+:func:`resize_images` is the Dataset pass: decode any supported
+container (BMP/PNG/GIF/JPEG/ICO/TIFF/PNM/WebP-lossless via
+``imagehash.decode_image``) → resize → emit geometry + the md5 of the
+row-major RGB bytes (the value-hash the oracle pins), optionally the
+re-encoded PNG payload for sink pipelines.  Error-as-data: undecodable
+payloads or invalid geometry yield ``ok=0`` rows (row conservation,
+the M1 contract — reference ``ocr/preprocess.py:46-47``'s never-fail
+semantics).
+
+Scale notes: one stateless ``map_batches`` pass, images die in-stage
+(only 40-byte metadata rows flow on unless ``keep_payload``); per-image
+cost is the decode (already profiled per format) + two integer matmul-
+free passes over the pixels.  At 10⁹ images this is embarrassingly
+parallel — no shuffle, no driver state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .imagehash import decode_image
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-mean downsample to ``(out_h, out_w, 3)`` uint8.  Floor
+    boundaries, per-channel ``sum // count``.  Raises ``ValueError``
+    when upscaling (empty boxes) or on degenerate targets."""
+    h, w = img.shape[0], img.shape[1]
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize: target dims must be >= 1")
+    if out_h > h or out_w > w:
+        raise ValueError("resize: area method is downscale-only")
+    # integral image with a zero row/col: S[i, j, c] = sum img[:i, :j, c]
+    s = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.int64), axis=1, out=s[1:, 1:])
+    ys = (h * np.arange(out_h + 1, dtype=np.int64)) // out_h
+    xs = (w * np.arange(out_w + 1, dtype=np.int64)) // out_w
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    box = (
+        s[y1][:, x1]
+        - s[y0][:, x1]
+        - s[y1][:, x0]
+        + s[y0][:, x0]
+    )
+    count = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[:, :, None]
+    return (box // count).astype(np.uint8)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample (floor source mapping), any direction."""
+    h, w = img.shape[0], img.shape[1]
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize: target dims must be >= 1")
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[rows][:, cols]
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int, method: str = "area") -> np.ndarray:
+    if method == "area":
+        return resize_area(img, out_h, out_w)
+    if method == "nearest":
+        return resize_nearest(img, out_h, out_w)
+    raise ValueError(f"resize: unknown method {method!r}")
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    out_h: int,
+    out_w: int,
+    *,
+    method: str = "area",
+    payload_col: str = "image",
+    id_col: str = "doc_id",
+    keep_payload: bool = False,
+) -> ray.data.Dataset:
+    """Per image: ``(id_col, in_width, in_height, width, height,
+    px_md5, ok)`` — ``px_md5`` = md5 hex of the resized row-major RGB
+    bytes; ``keep_payload=True`` adds a ``resized`` PNG column (real
+    encoder, lossless).  Undecodable payloads / invalid geometry →
+    ok=0, zeroed dims, empty md5 (error-as-data, row conservation)."""
+    if method not in ("area", "nearest"):
+        raise ValueError(f"resize: unknown method {method!r}")
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize: target dims must be >= 1")
+
+    def resize_batch(t: pa.Table) -> pa.Table:
+        in_w: list[int] = []
+        in_h: list[int] = []
+        md5s: list[str] = []
+        ok: list[int] = []
+        payloads: list[bytes] = []
+        for raw in t.column(payload_col).to_pylist():
+            try:
+                img = decode_image(raw or b"")
+                out = resize_image(img, out_h, out_w, method)
+                in_w.append(img.shape[1])
+                in_h.append(img.shape[0])
+                md5s.append(hashlib.md5(out.tobytes()).hexdigest())
+                ok.append(1)
+                if keep_payload:
+                    from .pngpixels import encode_png_pixels
+
+                    payloads.append(encode_png_pixels(out))
+            except ValueError:
+                in_w.append(0)
+                in_h.append(0)
+                md5s.append("")
+                ok.append(0)
+                if keep_payload:
+                    payloads.append(b"")
+        n = t.num_rows
+        cols = {
+            id_col: t.column(id_col),
+            "in_width": pa.array(in_w, pa.int64()),
+            "in_height": pa.array(in_h, pa.int64()),
+            "width": pa.array([out_w if o else 0 for o in ok], pa.int64()),
+            "height": pa.array([out_h if o else 0 for o in ok], pa.int64()),
+            "px_md5": pa.array(md5s, pa.string()),
+            "ok": pa.array(ok, pa.int64()),
+        }
+        assert len(md5s) == n
+        if keep_payload:
+            cols["resized"] = pa.array(payloads, pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(resize_batch, batch_format="pyarrow")

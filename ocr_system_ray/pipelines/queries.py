@@ -962,6 +962,37 @@ def q_image_neardup_incremental(sf_dir: str) -> ray.data.Dataset:
     return dedup_against_phash_index(odds, idx_dir)
 
 
+RESIZE_AREA_DIMS = (13, 11)  # (out_h, out_w): non-divisible downscale
+RESIZE_NEAREST_DIMS = (47, 61)  # upscale both axes (floor source mapping)
+
+
+def q_image_resize_area(sf_dir: str) -> ray.data.Dataset:
+    """Box-mean (area) image resize over real BMP bytes: the mandate's
+    multimodal RESIZE stage with exact-integer math — floor-boundary
+    boxes, per-channel ``sum // count`` — to a deliberately
+    non-divisible 13×11 target so every box-size combination occurs.
+    Golden oracle = an INDEPENDENT per-pixel twin (own naive BMP
+    reader, Python-int box loops, tools/make_goldens.py:imresize_goldens)."""
+    from ..functions.imresize import resize_images
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_image_payloads, batch_format="pyarrow")
+    oh, ow = RESIZE_AREA_DIMS
+    return resize_images(imgs, oh, ow, method="area")
+
+
+def q_image_resize_nearest(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-neighbor UPSCALE (47×61 from 32×48) — the other resize
+    direction area cannot take; source index = ``i·in // out``.  Same
+    independent per-pixel golden twin."""
+    from ..functions.imresize import resize_images
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = docs.map_batches(_derived_image_payloads, batch_format="pyarrow")
+    oh, ow = RESIZE_NEAREST_DIMS
+    return resize_images(imgs, oh, ow, method="nearest")
+
+
 def _derived_png_payloads(t: pa.Table) -> pa.Table:
     """PNG leg of the image corpus: the SAME derived pixels, encoded
     through rotating color types (doc_id % 4 → RGB / RGBA / gray /

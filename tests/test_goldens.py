@@ -197,6 +197,21 @@ def test_imagehash_goldens_match_twin():
     assert fresh_p.equals(pq.read_table(GOLDEN_DIR / "image_neardup_sf001.parquet"))
 
 
+def test_imresize_goldens_match_twin():
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import imresize_goldens
+
+    fresh_a, fresh_n = imresize_goldens()
+    assert fresh_a.equals(pq.read_table(GOLDEN_DIR / "imresize_area_sf001.parquet"))
+    assert fresh_n.equals(
+        pq.read_table(GOLDEN_DIR / "imresize_nearest_sf001.parquet")
+    )
+
+
 def test_imagehash_png_golden_matches_twin():
     import sys
 

@@ -1,0 +1,170 @@
+"""Deterministic integer image resize (area box-mean + nearest)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.imagehash import encode_bmp_pixels
+from ocr_system_ray.functions.imresize import (
+    resize_area,
+    resize_image,
+    resize_images,
+    resize_nearest,
+)
+
+
+def _img(seed=0, h=24, w=40):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _brute_area(img, out_h, out_w):
+    """Independent per-pixel spec twin: floor boundaries, sum // count."""
+    h, w = img.shape[:2]
+    ys = [h * i // out_h for i in range(out_h + 1)]
+    xs = [w * j // out_w for j in range(out_w + 1)]
+    out = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            for c in range(3):
+                vals = [
+                    int(img[y, x, c])
+                    for y in range(ys[i], ys[i + 1])
+                    for x in range(xs[j], xs[j + 1])
+                ]
+                out[i, j, c] = sum(vals) // len(vals)
+    return out
+
+
+def test_area_identity_is_original():
+    img = _img(1, h=7, w=9)
+    assert (resize_area(img, 7, 9) == img).all()
+
+
+def test_area_2x2_to_1x1_mean():
+    img = np.array(
+        [[[0, 0, 0], [10, 20, 30]], [[20, 40, 60], [30, 60, 90]]], dtype=np.uint8
+    )
+    out = resize_area(img, 1, 1)
+    assert out.shape == (1, 1, 3)
+    assert list(out[0, 0]) == [15, 30, 45]
+
+
+def test_area_floor_division_not_round():
+    img = np.array([[[0, 0, 0], [1, 1, 1], [1, 1, 1]]], dtype=np.uint8)  # 1x3
+    # single box: sum=2, count=3 -> 0 (floor), not round(0.67)=1
+    assert list(resize_area(img, 1, 1)[0, 0]) == [0, 0, 0]
+
+
+@pytest.mark.parametrize("dims", [(2, 2), (3, 5), (5, 3), (1, 7), (8, 8)])
+def test_area_matches_brute_twin(dims):
+    img = _img(7, h=11, w=13)
+    oh, ow = dims
+    assert (resize_area(img, oh, ow) == _brute_area(img, oh, ow)).all()
+
+
+def test_area_upscale_raises():
+    img = _img(2, h=4, w=4)
+    with pytest.raises(ValueError):
+        resize_area(img, 5, 4)
+    with pytest.raises(ValueError):
+        resize_area(img, 4, 5)
+    with pytest.raises(ValueError):
+        resize_area(img, 0, 4)
+
+
+def test_nearest_floor_mapping():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    out = resize_nearest(img, 4, 6)
+    # rows: i*2//4 = [0,0,1,1]; cols: j*3//6 = [0,0,1,1,2,2]
+    for i in range(4):
+        for j in range(6):
+            assert (out[i, j] == img[i * 2 // 4, j * 3 // 6]).all()
+
+
+def test_nearest_downscale_picks_floor_sources():
+    img = _img(3, h=10, w=10)
+    out = resize_nearest(img, 3, 3)
+    rows = [0, 3, 6]
+    assert (out == img[np.ix_(rows, rows)]).all()
+
+
+def test_resize_image_dispatch():
+    img = _img(4, h=6, w=6)
+    assert (resize_image(img, 3, 3, "area") == resize_area(img, 3, 3)).all()
+    assert (resize_image(img, 9, 9, "nearest") == resize_nearest(img, 9, 9)).all()
+    with pytest.raises(ValueError):
+        resize_image(img, 3, 3, "bilinear")
+
+
+def test_resize_images_dataset_error_as_data(ray_session):
+    import ray as ray_mod
+
+    imgs = {0: _img(10, h=16, w=16), 2: _img(12, h=9, w=9), 3: _img(13, h=4, w=4)}
+    items = [
+        {"doc_id": 0, "image": encode_bmp_pixels(imgs[0])},
+        {"doc_id": 1, "image": b"junk"},
+        {"doc_id": 2, "image": encode_bmp_pixels(imgs[2])},
+        # 4x4 source, 8x6 area target -> upscale ValueError -> ok=0
+        {"doc_id": 3, "image": encode_bmp_pixels(imgs[3])},
+    ]
+    out = (
+        resize_images(ray_mod.data.from_items(items), 8, 6, method="area")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["ok"]) == [1, 0, 1, 0]
+    assert list(out.columns) == [
+        "doc_id",
+        "in_width",
+        "in_height",
+        "width",
+        "height",
+        "px_md5",
+        "ok",
+    ]
+    for i in (0, 2):
+        expect = hashlib.md5(resize_area(imgs[i], 8, 6).tobytes()).hexdigest()
+        assert out.loc[out["doc_id"] == i, "px_md5"].iloc[0] == expect
+    assert out.loc[out["doc_id"] == 1, "px_md5"].iloc[0] == ""
+    assert out.loc[out["doc_id"] == 3, "width"].iloc[0] == 0
+
+
+def test_resize_images_keep_payload_png_round_trip(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.pngpixels import decode_png
+
+    img = _img(20, h=12, w=12)
+    items = [{"doc_id": 0, "image": encode_bmp_pixels(img)}]
+    out = resize_images(
+        ray_mod.data.from_items(items), 6, 6, method="area", keep_payload=True
+    ).to_pandas()
+    decoded = decode_png(out["resized"].iloc[0])
+    assert (decoded == resize_area(img, 6, 6)).all()
+
+
+def test_resize_images_layout_invariance(ray_session):
+    import ray as ray_mod
+
+    items = [
+        {"doc_id": i, "image": encode_bmp_pixels(_img(i, h=10 + i % 3, w=12))}
+        for i in range(24)
+    ]
+    ref = None
+    for blocks in (1, 5, 24):
+        ds = ray_mod.data.from_items(items).repartition(blocks)
+        out = (
+            resize_images(ds, 5, 5, method="nearest")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref), blocks

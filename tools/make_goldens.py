@@ -673,6 +673,117 @@ def imagehash_goldens() -> tuple[pa.Table, pa.Table]:
     return hashes, pairs
 
 
+def imresize_goldens() -> tuple[pa.Table, pa.Table]:
+    """Independent twin of ``q_image_resize_area`` /
+    ``q_image_resize_nearest``: the shared pixel derivation produces the
+    SAME BMP bytes, but this twin parses them with its own naive
+    struct/loops reader and applies the resize SPEC with per-pixel
+    Python-int loops (nothing imported from the engine's imresize
+    module).  Spec — area: output cell (i, j, c) = sum // count over the
+    floor-boundary box [i·h//oh, (i+1)·h//oh) × [j·w//ow, (j+1)·w//ow);
+    nearest: source index = i·in // out.  px_md5 = md5 hex of the
+    row-major R,G,B bytes."""
+    import hashlib as _hashlib
+    import struct as _struct
+
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        RESIZE_AREA_DIMS,
+        RESIZE_NEAREST_DIMS,
+        _derived_image_payloads,
+    )
+
+    def read_bmp(raw: bytes):
+        if len(raw) < 54 or raw[:2] != b"BM":
+            return None
+        off = _struct.unpack_from("<I", raw, 10)[0]
+        w, h = _struct.unpack_from("<ii", raw, 18)
+        bpp = _struct.unpack_from("<H", raw, 28)[0]
+        if bpp != 24 or w <= 0 or h == 0:
+            return None
+        top_down, h = h < 0, abs(h)
+        stride = (3 * w + 3) // 4 * 4
+        if len(raw) < off + stride * h:
+            return None
+        px = [[None] * w for _ in range(h)]
+        for row in range(h):
+            base = off + row * stride
+            y = row if top_down else h - 1 - row
+            for x in range(w):
+                b, g, r = raw[base + 3 * x : base + 3 * x + 3]
+                px[y][x] = (r, g, b)
+        return px
+
+    def area_px(px, oh, ow):
+        h, w = len(px), len(px[0])
+        ys = [h * i // oh for i in range(oh + 1)]
+        xs = [w * j // ow for j in range(ow + 1)]
+        out = bytearray()
+        for i in range(oh):
+            for j in range(ow):
+                cnt = (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
+                for c in range(3):
+                    total = 0
+                    for y in range(ys[i], ys[i + 1]):
+                        for x in range(xs[j], xs[j + 1]):
+                            total += px[y][x][c]
+                    out.append(total // cnt)
+        return bytes(out)
+
+    def nearest_px(px, oh, ow):
+        h, w = len(px), len(px[0])
+        out = bytearray()
+        for i in range(oh):
+            for j in range(ow):
+                p = px[i * h // oh][j * w // ow]
+                out.extend(p)
+        return bytes(out)
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_image_payloads(docs)
+    tables = []
+    for (oh, ow), fn in (
+        (RESIZE_AREA_DIMS, area_px),
+        (RESIZE_NEAREST_DIMS, nearest_px),
+    ):
+        ids, in_ws, in_hs, ws, hs, md5s, oks = [], [], [], [], [], [], []
+        for did, raw in zip(
+            payloads.column("doc_id").to_pylist(),
+            payloads.column("image").to_pylist(),
+        ):
+            px = read_bmp(raw)
+            ids.append(did)
+            if px is None:
+                assert did % IMG_BAD_MOD == 0
+                in_ws.append(0)
+                in_hs.append(0)
+                ws.append(0)
+                hs.append(0)
+                md5s.append("")
+                oks.append(0)
+            else:
+                in_ws.append(len(px[0]))
+                in_hs.append(len(px))
+                ws.append(ow)
+                hs.append(oh)
+                md5s.append(_hashlib.md5(fn(px, oh, ow)).hexdigest())
+                oks.append(1)
+        tables.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "in_width": pa.array(in_ws, pa.int64()),
+                    "in_height": pa.array(in_hs, pa.int64()),
+                    "width": pa.array(ws, pa.int64()),
+                    "height": pa.array(hs, pa.int64()),
+                    "px_md5": pa.array(md5s, pa.string()),
+                    "ok": pa.array(oks, pa.int64()),
+                }
+            )
+        )
+    return tables[0], tables[1]
+
+
 def _twin_jpeg_reader():
     """Build the independent baseline-JPEG twin decoder and return its
     ``read_jpeg(raw) -> pixel rows | None`` entry point.  Shared by the
@@ -1658,6 +1769,11 @@ def main() -> None:
     print(f"imagehash_sf001.parquet: {ih.num_rows} rows")
     pq.write_table(ip, GOLDEN_DIR / "image_neardup_sf001.parquet")
     print(f"image_neardup_sf001.parquet: {ip.num_rows} rows")
+    ra, rn = imresize_goldens()
+    pq.write_table(ra, GOLDEN_DIR / "imresize_area_sf001.parquet")
+    print(f"imresize_area_sf001.parquet: {ra.num_rows} rows")
+    pq.write_table(rn, GOLDEN_DIR / "imresize_nearest_sf001.parquet")
+    print(f"imresize_nearest_sf001.parquet: {rn.num_rows} rows")
     ihp = imagehash_png_golden()
     pq.write_table(ihp, GOLDEN_DIR / "imagehash_png_sf001.parquet")
     print(f"imagehash_png_sf001.parquet: {ihp.num_rows} rows")
