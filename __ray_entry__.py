@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "favicon_hash": q.q_favicon_hash,
         "http_bodies": q.q_http_bodies,
         "epub_extract": q.q_epub_extract,
+        "docx_extract": q.q_docx_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2628,6 +2629,35 @@ def oracle_sql() -> dict[str, str]:
                      ELSE md5(b.booktext) END AS text_md5,
                 CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
                      THEN 0 ELSE length(b.booktext) END AS BIGINT) AS n_chars
+            FROM built b
+        """,
+        # docx_extract: the document text REBUILT in SQL from the
+        # documents' own text through the paragraph spec (tabs =
+        # chr(9), paragraphs joined chr(10)); decoys (instrText,
+        # delText, pPr tab stops, header part) must contribute nothing
+        # or the md5 breaks
+        "docx_extract": """
+            WITH par AS (
+                SELECT doc_id,
+                       1 + doc_id % 3 AS n,
+                       ['Heading ' || c || chr(9) || COALESCE(text, '')
+                            || ' end' || c
+                        FOR c IN range(0, 1 + CAST(doc_id % 3 AS INT))] AS parts
+                FROM documents
+            ), built AS (
+                SELECT doc_id, n,
+                       list_reduce(parts, (a, b) -> a || chr(10) || b) AS doctext
+                FROM par
+            )
+            SELECT b.doc_id,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE b.n END AS BIGINT) AS n_paragraphs,
+                CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5 THEN ''
+                     ELSE md5(b.doctext) END AS text_md5,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
         """,
         # page_meta: OG/Twitter/JSON-LD fields recomputed from the

@@ -181,6 +181,7 @@ def _query_suite() -> dict:
         "http_bodies": q.q_http_bodies,
         "av_headers": q.q_av_headers,
         "epub_extract": q.q_epub_extract,
+        "docx_extract": q.q_docx_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

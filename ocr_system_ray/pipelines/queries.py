@@ -3121,6 +3121,53 @@ def q_epub_extract(sf_dir: str) -> ray.data.Dataset:
     return epub_extract(books)
 
 
+def _derived_docx_payloads(t: pa.Table) -> pa.Table:
+    """Office-document leg over the documents' own text: real OPC/OOXML
+    DOCX packages with 1 + i%3 paragraphs (tab characters inside each,
+    multi-run splits, plus the writer's standing decoys: a pPr tab-stop
+    definition, a w:instrText field code, a w:delText tracked deletion,
+    a header part).  Corrupt rows: %97 non-zip bytes; %59==5 a zip
+    missing word/document.xml."""
+    import io
+    import zipfile
+
+    from ..sources.docx import write_docx
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads: list[bytes] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"not a zip")
+            continue
+        if i % 59 == 5:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                zf.writestr("word/other.xml", "<x/>")
+            payloads.append(buf.getvalue())
+            continue
+        n = 1 + i % 3
+        paras = [f"Heading {c}\t{text or ''} end{c}" for c in range(n)]
+        payloads.append(write_docx(paras))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "docx": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_docx_extract(sf_dir: str) -> ray.data.Dataset:
+    """Office-document extraction over REAL DOCX bytes: OPC zip walk,
+    WordprocessingML paragraph/run/tab/br semantics, pPr tab-stop +
+    instrText + delText + header decoys all planted by the fixture
+    writer (``sources/docx.py``).  Oracle = DuckDB rebuilding every
+    document's exact text (and md5) from the documents' own text
+    through the same spec."""
+    from ..sources.docx import docx_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    files = docs.map_batches(_derived_docx_payloads, batch_format="pyarrow")
+    return docx_extract(files)
+
+
 def _derived_meta_pages(t: pa.Table) -> pa.Table:
     """Social-metadata leg: pages whose OG/Twitter/JSON-LD content is a
     pure function of doc_id, through the messy syntax real pages use —

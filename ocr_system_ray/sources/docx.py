@@ -1,0 +1,233 @@
+"""DOCX ingestion: real OOXML (WordprocessingML) zip walk + paragraph text.
+
+The extraction tier's office-document leg, next to HTML (flagship), PDF
+(``pdf/parser.py``) and EPUB (``sources/epub.py``): web corpora link
+``.docx`` files constantly, and the reference's poppler/OCR path was
+its catch-all for "documents that aren't HTML" (``/root/reference/ocr/
+pdf.py:10-17``).  Everything here is the real format: the OPC zip
+container, ``word/document.xml``, and the WordprocessingML element
+semantics that matter for TEXT:
+
+* a ``w:p`` element is one paragraph; paragraphs join with ``\\n``;
+* within a paragraph, document-order ``w:t`` elements contribute their
+  text verbatim (``xml:space="preserve"`` honored by the XML parser),
+  ``w:tab`` contributes ``\\t``, ``w:br``/``w:cr`` contribute ``\\n``;
+* ``w:pPr``/``w:rPr`` property subtrees are SKIPPED — a ``w:tab``
+  inside a tab-stop DEFINITION (``w:tabs``) is not a tab character;
+* field instruction text (``w:instrText``) and tracked-change deleted
+  text (``w:delText``) are NOT document text (different local names —
+  the walker only collects ``t``);
+* header/footer parts (``word/header*.xml``) are not body text.
+
+Run boundaries are invisible (two ``w:t`` runs concatenate exactly),
+which the fixture writer exercises by splitting paragraphs into
+multiple runs.  Tables are out of scope for the fixture corpus (their
+``w:p`` cells would extract in document order — a documented subset,
+like EPUB's plain-relative hrefs).
+
+Scale notes: one stateless ``map_batches`` pass; each payload unzips
+in-stage and only extracted text metadata flows on.  Rows are
+independent — no cross-row state, no shuffle.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from xml.etree import ElementTree
+
+_DOC_PART = "word/document.xml"
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _para_text(p) -> str:
+    """Document-order text of one ``w:p``: t / tab / br / cr collected,
+    pPr / rPr property subtrees skipped (tab-stop definitions are not
+    tabs), everything else descended through (runs, hyperlinks, smart
+    tags)."""
+    out: list[str] = []
+
+    def walk(el) -> None:
+        for ch in el:
+            ln = _local(ch.tag)
+            if ln in ("pPr", "rPr"):
+                continue
+            if ln == "t":
+                out.append(ch.text or "")
+            elif ln == "tab":
+                out.append("\t")
+            elif ln in ("br", "cr"):
+                out.append("\n")
+            else:
+                walk(ch)
+
+    walk(p)
+    return "".join(out)
+
+
+def read_docx(payload: bytes) -> list[str]:
+    """One DOCX → its paragraph texts in document order.  Raises
+    ``ValueError`` on a non-zip, a missing ``word/document.xml``, or
+    malformed XML."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload or b""))
+    except (zipfile.BadZipFile, OSError) as exc:
+        raise ValueError(f"docx: not a zip container ({exc})") from exc
+    with zf:
+        if _DOC_PART not in set(zf.namelist()):
+            raise ValueError("docx: missing word/document.xml")
+        try:
+            root = ElementTree.fromstring(zf.read(_DOC_PART))
+        except ElementTree.ParseError as exc:
+            raise ValueError("docx: malformed document.xml") from exc
+    body = None
+    for el in root:
+        if _local(el.tag) == "body":
+            body = el
+            break
+    if body is None:
+        raise ValueError("docx: document.xml has no w:body")
+    return [_para_text(el) for el in body.iter() if _local(el.tag) == "p"]
+
+
+def docx_text(payload: bytes) -> str:
+    """The document text spec: paragraphs joined by ``\\n``."""
+    return "\n".join(read_docx(payload))
+
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def _runs_for(segment: str) -> str:
+    """One text segment → one or two ``w:r`` runs (split mid-segment
+    when long enough — run boundaries must be invisible to readers)."""
+    if len(segment) > 8:
+        mid = len(segment) // 2
+        parts = [segment[:mid], segment[mid:]]
+    else:
+        parts = [segment]
+    return "".join(
+        f'<w:r><w:t xml:space="preserve">{_xml_escape(p)}</w:t></w:r>' for p in parts
+    )
+
+
+def write_docx(paragraphs: list[str]) -> bytes:
+    """Real OPC bytes: ``[Content_Types].xml``, ``_rels/.rels``, and a
+    ``word/document.xml`` whose paragraphs encode ``\\t`` as ``w:tab``
+    and ``\\n`` as ``w:br``, split text across multiple runs, and carry
+    the decoys a naive reader trips on: a ``w:tabs`` tab-stop
+    definition in pPr (NOT a tab character), a ``w:instrText`` field
+    code, a ``w:delText`` tracked deletion, and a ``word/header1.xml``
+    part (NOT body text)."""
+    paras_xml: list[str] = []
+    for idx, para in enumerate(paragraphs):
+        chunks: list[str] = []
+        if idx == 0:
+            chunks.append(
+                '<w:pPr><w:tabs><w:tab w:val="left" w:pos="720"/></w:tabs></w:pPr>'
+            )
+            chunks.append(
+                '<w:r><w:fldChar w:fldCharType="begin"/></w:r>'
+                "<w:r><w:instrText> PAGEREF decoy </w:instrText></w:r>"
+                '<w:r><w:fldChar w:fldCharType="end"/></w:r>'
+            )
+        buf = ""
+        for ch in para:
+            if ch in ("\t", "\n"):
+                if buf:
+                    chunks.append(_runs_for(buf))
+                    buf = ""
+                tag = "tab" if ch == "\t" else "br"
+                chunks.append(f"<w:r><w:{tag}/></w:r>")
+            else:
+                buf += ch
+        if buf:
+            chunks.append(_runs_for(buf))
+        if idx == 0:
+            chunks.append(
+                '<w:del w:id="1" w:author="x">'
+                "<w:r><w:delText> DELETED decoy </w:delText></w:r></w:del>"
+            )
+        paras_xml.append(f"<w:p>{''.join(chunks)}</w:p>")
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<w:document xmlns:w="{_W}"><w:body>'
+        f"{''.join(paras_xml)}"
+        "<w:sectPr/></w:body></w:document>"
+    )
+    buf_out = io.BytesIO()
+    with zipfile.ZipFile(buf_out, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?>\n'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+            'openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?>\n'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+            'officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr("word/document.xml", document)
+        zf.writestr(
+            "word/header1.xml",
+            f'<w:hdr xmlns:w="{_W}"><w:p><w:r><w:t>HEADER decoy — never body text'
+            "</w:t></w:r></w:p></w:hdr>",
+        )
+    return buf_out.getvalue()
+
+
+def docx_extract(ds, payload_col: str = "docx", id_col: str = "doc_id"):
+    """Stateless extraction pass → ``(id, ok, n_paragraphs, text_md5,
+    n_chars)``; broken containers emit a zero row with ``ok=0``
+    (error-as-data, row conservation).  Zip bytes die in-stage."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ok, n_par, md5s, n_chars = [], [], [], []
+        for p in t.column(payload_col).to_pylist():
+            try:
+                paras = read_docx(p)
+            except ValueError:
+                ok.append(0)
+                n_par.append(0)
+                md5s.append("")
+                n_chars.append(0)
+                continue
+            joined = "\n".join(paras)
+            ok.append(1)
+            n_par.append(len(paras))
+            md5s.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+            n_chars.append(len(joined))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ok": pa.array(ok, pa.int64()),
+                "n_paragraphs": pa.array(n_par, pa.int64()),
+                "text_md5": pa.array(md5s, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,154 @@
+"""DOCX (WordprocessingML) extraction: real zip + XML semantics."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from ocr_system_ray.sources.docx import (
+    docx_extract,
+    docx_text,
+    read_docx,
+    write_docx,
+)
+
+
+def test_round_trip_simple_paragraphs():
+    paras = ["Hello world", "Second paragraph", "Third"]
+    assert read_docx(write_docx(paras)) == paras
+    assert docx_text(write_docx(paras)) == "\n".join(paras)
+
+
+def test_round_trip_tabs_and_breaks():
+    paras = ["col1\tcol2\tcol3", "line1\nline2", "\tleading tab", "trailing\t"]
+    assert read_docx(write_docx(paras)) == paras
+
+
+def test_round_trip_xml_special_chars():
+    paras = ['a < b & c > "d"', "e 'f' &amp; raw"]
+    assert read_docx(write_docx(paras)) == paras
+
+
+def test_round_trip_unicode():
+    paras = ["café naïve", "日本語テキスト", "emoji 🎉 ok"]
+    assert read_docx(write_docx(paras)) == paras
+
+
+def test_multi_run_split_is_invisible():
+    # writer splits segments > 8 chars across two w:t runs
+    paras = ["a reasonably long paragraph that certainly splits"]
+    raw = write_docx(paras)
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        doc = zf.read("word/document.xml").decode()
+    assert doc.count("<w:t ") >= 2  # actually split
+    assert read_docx(raw) == paras
+
+
+def test_decoys_excluded():
+    paras = ["visible text only"]
+    raw = write_docx(paras)
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        doc = zf.read("word/document.xml").decode()
+        hdr = zf.read("word/header1.xml").decode()
+    # the decoys are present in the bytes...
+    assert "instrText" in doc and "delText" in doc and "w:tabs" in doc
+    assert "HEADER decoy" in hdr
+    # ...and absent from the extraction
+    text = docx_text(raw)
+    assert text == "visible text only"
+    assert "decoy" not in text and "\t" not in text
+
+
+def test_tab_stop_definition_is_not_a_tab():
+    # first paragraph carries <w:tabs><w:tab .../></w:tabs> in pPr
+    paras = ["no tab here"]
+    assert read_docx(write_docx(paras))[0] == "no tab here"
+
+
+def test_empty_paragraphs_preserved():
+    paras = ["", "middle", ""]
+    assert read_docx(write_docx(paras)) == paras
+
+
+def test_not_a_zip_raises():
+    with pytest.raises(ValueError, match="not a zip"):
+        read_docx(b"plainly not a zip")
+    with pytest.raises(ValueError):
+        read_docx(b"")
+
+
+def test_missing_document_part_raises():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/other.xml", "<x/>")
+    with pytest.raises(ValueError, match="missing word/document.xml"):
+        read_docx(buf.getvalue())
+
+
+def test_malformed_xml_raises():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document><unclosed")
+    with pytest.raises(ValueError, match="malformed"):
+        read_docx(buf.getvalue())
+
+
+def test_no_body_raises():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "word/document.xml",
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main"><w:other/></w:document>',
+        )
+    with pytest.raises(ValueError, match="no w:body"):
+        read_docx(buf.getvalue())
+
+
+def test_docx_extract_error_as_data(ray_session):
+    import hashlib
+
+    import ray as ray_mod
+
+    good = write_docx(["alpha", "beta\tgamma"])
+    items = [
+        {"doc_id": 0, "docx": good},
+        {"doc_id": 1, "docx": b"junk"},
+        {"doc_id": 2, "docx": write_docx([])},
+    ]
+    out = (
+        docx_extract(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["doc_id", "ok", "n_paragraphs", "text_md5", "n_chars"]
+    assert list(out["ok"]) == [1, 0, 1]
+    assert out.loc[0, "n_paragraphs"] == 2
+    assert out.loc[0, "text_md5"] == hashlib.md5(b"alpha\nbeta\tgamma").hexdigest()
+    assert out.loc[0, "n_chars"] == len("alpha\nbeta\tgamma")
+    assert out.loc[1, "text_md5"] == ""
+    assert out.loc[2, "n_paragraphs"] == 0
+
+
+def test_docx_extract_layout_invariance(ray_session):
+    import ray as ray_mod
+
+    items = [
+        {"doc_id": i, "docx": write_docx([f"para {i} {j}" for j in range(1 + i % 3)])}
+        for i in range(18)
+    ]
+    ref = None
+    for blocks in (1, 4, 18):
+        out = (
+            docx_extract(ray_mod.data.from_items(items).repartition(blocks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = out
+        else:
+            assert out.equals(ref), blocks
