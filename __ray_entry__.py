@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ogg_headers": q.q_ogg_headers,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
+        "pdf_outlinks": q.q_pdf_outlinks,
         "image_phash_png_i7": q.q_image_phash_png_i7,
         "mhtml_extract": q.q_mhtml_extract,
         "scan_ingest": q.q_scan_ingest,
@@ -2768,6 +2769,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # pdf_outlinks: every URI re-derived from the doc_id derivation
+        # (i%4 links per non-corrupt doc); ord=-1 sentinel rows for
+        # link-less and corrupt docs — the decoy annots (Square, GoTo,
+        # Dest-only) must contribute nothing or the row set differs
+        "pdf_outlinks": """
+            WITH links AS (
+                SELECT doc_id, CAST(k AS BIGINT) AS ord,
+                       'https://out' || CAST((doc_id * 7 + k) % 50 AS VARCHAR)
+                           || '.example/p/' || CAST(doc_id AS VARCHAR)
+                           || '-' || CAST(k AS VARCHAR) AS uri,
+                       CAST(1 AS BIGINT) AS ok
+                FROM documents, unnest(range(0, CAST(doc_id % 4 AS INT))) AS t(k)
+                WHERE doc_id % 97 <> 0
+            ), sentinels AS (
+                SELECT doc_id, CAST(-1 AS BIGINT) AS ord, '' AS uri,
+                       CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END
+                            AS BIGINT) AS ok
+                FROM documents
+                WHERE doc_id % 97 = 0 OR doc_id % 4 = 0
+            )
+            SELECT * FROM links UNION ALL SELECT * FROM sentinels
+        """,
         # JPEG leg (same payload bytes through the PDF layer)
         "pdf_images": """
             SELECT d.doc_id,

@@ -182,6 +182,7 @@ def _query_suite() -> dict:
         "av_headers": q.q_av_headers,
         "epub_extract": q.q_epub_extract,
         "docx_extract": q.q_docx_extract,
+        "pdf_outlinks": q.q_pdf_outlinks,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

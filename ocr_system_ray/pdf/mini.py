@@ -210,6 +210,83 @@ def build_pdf(
     return _classic_xref(objs)
 
 
+def build_pdf_links(pages: list[tuple[list[str], list[str]]]) -> bytes:
+    """Classic-xref PDF whose pages carry ``/Annots`` arrays: one
+    ``/Link`` + ``/S /URI`` annotation per URI (each its own indirect
+    object — the layout real writers emit), PLUS three standing decoys
+    per page that a naive reader trips on: a ``/Square`` annot, a
+    ``/Link`` with an internal ``/GoTo`` action, and a ``/Link`` with a
+    ``/Dest`` but no action.  Pages are ``(text_lines, uris)``."""
+    n_pages = max(len(pages), 1)
+    pages = pages or [([], [])]
+    objs: list[bytes] = []
+    # object layout: 1 Catalog, 2 Pages, 3 Font, then per page:
+    # page obj, content obj, decoy×3, uri annots
+    num = 4
+    page_nums = []
+    for lines, uris in pages:
+        page_nums.append(num)
+        num += 2 + 3 + len(uris)
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    objs.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    objs.append(
+        _obj(2, b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages))
+    )
+    objs.append(
+        _obj(
+            3,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>",
+        )
+    )
+    for (lines, uris), page_num in zip(pages, page_nums):
+        content_num = page_num + 1
+        decoy0, decoy1, decoy2 = page_num + 2, page_num + 3, page_num + 4
+        annot_nums = [page_num + 5 + k for k in range(len(uris))]
+        annots = b" ".join(
+            b"%d 0 R" % n for n in [decoy0, decoy1] + annot_nums + [decoy2]
+        )
+        objs.append(
+            _obj(
+                page_num,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents %d 0 R /Annots [%s] >>" % (content_num, annots),
+            )
+        )
+        content = _content_stream(lines, font_size=11, leading=14, x0=72, y0=720)
+        objs.append(_stream_obj(content_num, b"/Filter /FlateDecode", zlib.compress(content, 6)))
+        objs.append(
+            _obj(
+                decoy0,
+                b"<< /Type /Annot /Subtype /Square /Rect [0 0 10 10] >>",
+            )
+        )
+        objs.append(
+            _obj(
+                decoy1,
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10]"
+                b" /A << /S /GoTo /D [%d 0 R /Fit] >> >>" % page_num,
+            )
+        )
+        objs.append(
+            _obj(
+                decoy2,
+                b"<< /Type /Annot /Subtype /Link /Rect [0 20 10 30]"
+                b" /Dest [%d 0 R /Fit] >>" % page_num,
+            )
+        )
+        for n, uri in zip(annot_nums, uris):
+            objs.append(
+                _obj(
+                    n,
+                    b"<< /Type /Annot /Subtype /Link /Rect [0 40 100 52]"
+                    b" /A << /S /URI /URI (%s) >> >>" % _escape(uri),
+                )
+            )
+    return _classic_xref(objs)
+
+
 def build_pdf_images(entries: list[tuple[str, bytes, int, int]]) -> bytes:
     """Classic-xref PDF with one image XObject per page: entries are
     ``("jpeg", jfif_bytes, w, h)`` → a ``/DCTDecode`` stream stored

@@ -798,6 +798,37 @@ class PdfDocument:
             )
         return out
 
+    def page_links(self, page: dict) -> list[str]:
+        """URI link annotations of a page, in ``/Annots`` order — the
+        crawl-discovery hop for PDF corpora (PDF 32000-1 §12.5.6.5 Link
+        annotations, §12.6.4.7 URI actions).  Only ``/Subtype /Link``
+        annots whose action is ``/S /URI`` contribute; internal GoTo
+        links, ``/Dest``-only links and non-link annots are skipped.
+        The reference's poppler leg exposed the same set via
+        ``Page::getAnnots`` (/root/reference/ocr/pdf.py:10-17 renders
+        through poppler, which owns annotation parsing)."""
+        annots = self._resolve(page.get("Annots"))
+        out: list[str] = []
+        if not isinstance(annots, list):
+            return out
+        for a in annots:
+            a = self._resolve(a)
+            if not isinstance(a, dict):
+                continue
+            if str(self._resolve(a.get("Subtype"))) != "Link":
+                continue
+            action = self._resolve(a.get("A"))
+            if not isinstance(action, dict):
+                continue
+            if str(self._resolve(action.get("S"))) != "URI":
+                continue
+            uri = self._resolve(action.get("URI"))
+            if isinstance(uri, bytes):
+                out.append(uri.decode("latin-1"))
+            elif isinstance(uri, str):
+                out.append(uri)
+        return out
+
     def page_fonts(self, page: dict) -> dict[str, "ToUnicodeCMap"]:
         """Per-page font-resource-name → ToUnicode CMap, for the fonts
         that need one: any font carrying a ``/ToUnicode`` stream, plus

@@ -3415,6 +3415,73 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def q_pdf_outlinks(sf_dir: str) -> ray.data.Dataset:
+    """PDF URI link-annotation extraction — the crawl-discovery hop for
+    PDF corpora: each doc's PDF carries i%4 ``/Link``+``/S /URI``
+    annotations PLUS the builder's standing decoys (a Square annot, an
+    internal GoTo link, a Dest-only link) that must contribute nothing.
+    1→N flat-map with an ord=-1 sentinel row for link-less or corrupt
+    docs (row conservation).  Oracle: every URI re-derived in SQL from
+    the doc_id derivation."""
+    from ..pdf.mini import build_pdf_links
+    from ..pdf.parser import PdfDocument, PdfError
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        pdfs = []
+        for i in ids:
+            if i % 97 == 0:
+                pdfs.append(b"broken pdf")
+                continue
+            uris = [
+                f"https://out{(i * 7 + k) % 50}.example/p/{i}-{k}"
+                for k in range(i % 4)
+            ]
+            pdfs.append(build_pdf_links([([f"Doc {i}"], uris)]))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "pdf": pa.array(pdfs, pa.binary())}
+        )
+
+    def extract(t: pa.Table) -> pa.Table:
+        ids_out, ords, uris_out, oks = [], [], [], []
+        for did, raw in zip(
+            t.column("doc_id").to_pylist(), t.column("pdf").to_pylist()
+        ):
+            try:
+                doc = PdfDocument(raw)
+                links = [u for p in doc.pages() for u in doc.page_links(p)]
+            except PdfError:
+                ids_out.append(did)
+                ords.append(-1)
+                uris_out.append("")
+                oks.append(0)
+                continue
+            if not links:
+                ids_out.append(did)
+                ords.append(-1)
+                uris_out.append("")
+                oks.append(1)
+                continue
+            for k, u in enumerate(links):
+                ids_out.append(did)
+                ords.append(k)
+                uris_out.append(u)
+                oks.append(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+                "uri": pa.array(uris_out, pa.string()),
+                "ok": pa.array(oks, pa.int64()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        extract, batch_format="pyarrow"
+    )
+
+
 def q_pdf_images(sf_dir: str) -> ray.data.Dataset:
     """Embedded PDF image extraction + REAL decode: each doc's PDF
     carries one image XObject — the SAME baseline-JPEG payload as the

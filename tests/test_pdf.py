@@ -541,3 +541,55 @@ def test_page_images_absent_and_multipage():
     assert len(pages) == 2
     assert doc2.page_images(pages[0])[0]["width"] == 2
     assert doc2.page_images(pages[1])[0]["width"] == 3
+
+
+def test_page_links_extracts_uris_in_annots_order():
+    from ocr_system_ray.pdf.mini import build_pdf_links
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    uris = ["https://a.example/x", "https://b.example/y?q=1&r=2", "mailto:x@y.z"]
+    doc = PdfDocument(build_pdf_links([(["Hello"], uris)]))
+    assert doc.page_links(doc.pages()[0]) == uris
+
+
+def test_page_links_skips_decoys_and_linkless_pages():
+    from ocr_system_ray.pdf.mini import build_pdf_links
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    # every page carries Square + GoTo + Dest-only decoys; no URIs here
+    doc = PdfDocument(build_pdf_links([(["Page one"], []), (["Page two"], [])]))
+    for page in doc.pages():
+        assert doc.page_links(page) == []
+    # the builder really did plant the decoys
+    assert doc.pages()[0].get("Annots") is not None
+
+
+def test_page_links_multipage_and_parens_escape():
+    from ocr_system_ray.pdf.mini import build_pdf_links
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    # parens and backslash in the URI must survive the literal-string
+    # escape round trip
+    tricky = "https://c.example/a(b)c\\d"
+    doc = PdfDocument(
+        build_pdf_links([(["P1"], ["https://a.example/1"]), (["P2"], [tricky])])
+    )
+    pages = doc.pages()
+    assert doc.page_links(pages[0]) == ["https://a.example/1"]
+    assert doc.page_links(pages[1]) == [tricky]
+
+
+def test_page_links_absent_annots_key():
+    from ocr_system_ray.pdf.mini import build_pdf
+    from ocr_system_ray.pdf.parser import PdfDocument
+
+    doc = PdfDocument(build_pdf([["plain text page"]]))
+    assert doc.page_links(doc.pages()[0]) == []
+
+
+def test_page_links_text_still_extracts():
+    from ocr_system_ray.pdf.mini import build_pdf_links
+    from ocr_system_ray.pdf.parser import extract_pages
+
+    raw = build_pdf_links([(["Hello links"], ["https://a.example"])])
+    assert "Hello links" in extract_pages(raw)[0]
