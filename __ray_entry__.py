@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "http_bodies": q.q_http_bodies,
         "epub_extract": q.q_epub_extract,
         "docx_extract": q.q_docx_extract,
+        "rtf_extract": q.q_rtf_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2769,6 +2770,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # rtf_extract: the document text REBUILT in SQL from the
+        # documents' own text through the paragraph spec (tabs = chr(9),
+        # paragraphs joined chr(10)); the RTF write→read round trip must
+        # be byte-exact (escapes, \uN, destinations) or the md5 breaks
+        "rtf_extract": """
+            WITH par AS (
+                SELECT doc_id,
+                       ['Sec ' || c || chr(9) || COALESCE(text, '')
+                            || ' fin' || c
+                        FOR c IN range(0, 1 + CAST(doc_id % 4 AS INT))] AS parts
+                FROM documents
+            ), built AS (
+                SELECT doc_id,
+                       list_reduce(parts, (a, b) -> a || chr(10) || b) AS doctext
+                FROM par
+            )
+            SELECT b.doc_id,
+                CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0 ELSE 1 END
+                     AS BIGINT) AS ok,
+                CASE WHEN b.doc_id % 97 = 0 THEN ''
+                     ELSE md5(b.doctext) END AS text_md5,
+                CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
+                     ELSE length(b.doctext) END AS BIGINT) AS n_chars
+            FROM built b
+        """,
         # pdf_outlinks: every URI re-derived from the doc_id derivation
         # (i%4 links per non-corrupt doc); ord=-1 sentinel rows for
         # link-less and corrupt docs — the decoy annots (Square, GoTo,

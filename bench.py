@@ -183,6 +183,7 @@ def _query_suite() -> dict:
         "epub_extract": q.q_epub_extract,
         "docx_extract": q.q_docx_extract,
         "pdf_outlinks": q.q_pdf_outlinks,
+        "rtf_extract": q.q_rtf_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

@@ -3415,6 +3415,43 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def _derived_rtf_payloads(t: pa.Table) -> pa.Table:
+    """Legacy-office leg over the documents' own text: real RTF files
+    with 1 + i%4 tab-bearing paragraphs (the writer's standing decoys —
+    fonttbl/colortbl/info groups, a ``{\\*\\generator}`` destination, a
+    pict blob — planted in every file).  Corrupt rows: %97 non-RTF
+    bytes."""
+    from ..sources.rtf import write_rtf
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads: list[bytes] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"not rtf")
+            continue
+        n = 1 + i % 4
+        paras = [f"Sec {c}\t{text or ''} fin{c}" for c in range(n)]
+        payloads.append(write_rtf("\n".join(paras)))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "rtf": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_rtf_extract(sf_dir: str) -> ray.data.Dataset:
+    """Legacy-office extraction over REAL RTF bytes: control-word
+    parsing, group-state uc/skip inheritance, destination and escape
+    semantics (``sources/rtf.py``).  Oracle = DuckDB rebuilding every
+    file's exact text (and md5) from the documents' own text — the
+    write→read round trip must be byte-exact through cp1252 escapes,
+    ``\\uN`` Unicode, tabs and paragraph marks."""
+    from ..sources.rtf import rtf_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    files = docs.map_batches(_derived_rtf_payloads, batch_format="pyarrow")
+    return rtf_extract(files)
+
+
 def q_pdf_outlinks(sf_dir: str) -> ray.data.Dataset:
     """PDF URI link-annotation extraction — the crawl-discovery hop for
     PDF corpora: each doc's PDF carries i%4 ``/Link``+``/S /URI``

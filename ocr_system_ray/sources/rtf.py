@@ -1,0 +1,236 @@
+"""RTF ingestion: real control-word parsing + group-state text extraction.
+
+The extraction tier's legacy-office leg (next to DOCX/EPUB/PDF):
+``.rtf`` files are still common in web corpora and mail archives, and
+the reference's OCR path was the catch-all for every non-HTML document
+(``/root/reference/ocr/pdf.py:10-17``).  This is a from-scratch reader
+for the RTF 1.x wire format's TEXT layer:
+
+* ``{`` / ``}`` push/pop group state (the ``\\ucN`` skip count and the
+  ignorable-destination flag inherit into child groups);
+* control words: ``\\par`` / ``\\line`` → ``\\n``, ``\\tab`` → ``\\t``,
+  ``\\ucN`` sets the Unicode fallback skip count, ``\\uN`` emits the
+  (signed-16-bit) code point then skips the next ``uc`` fallback
+  characters, ``\\binN`` skips N raw bytes;
+* control symbols: ``\\\\`` ``\\{`` ``\\}`` literal, ``\\~`` →
+  non-breaking space (emitted as a plain space), ``\\'hh`` → the
+  cp1252 byte, ``\\*`` marks the enclosing group ignorable;
+* destination groups contribute NOTHING: any ``\\*``-marked group plus
+  the classic header destinations (``fonttbl colortbl stylesheet info
+  pict header footer footnote generator``);
+* unknown control words are ignored (their delimiting space is
+  consumed, per spec), so real-world files degrade to text instead of
+  erroring.
+
+``write_rtf`` is the matching real writer: escapes the RTF specials,
+encodes non-cp1252 characters as ``\\uN?``, cp1252-but-non-ASCII bytes
+as ``\\'hh``, and PLANTS the standing decoys (fonttbl/colortbl/info
+groups, a ``{\\*\\generator}`` destination, a ``\\pict`` with hex data)
+every fixture must ignore.
+
+Scale notes: one stateless ``map_batches`` pass, payload dies in-stage;
+rows are independent — no shuffle, no cross-row state.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SKIP_DESTS = frozenset(
+    {
+        b"fonttbl",
+        b"colortbl",
+        b"stylesheet",
+        b"info",
+        b"pict",
+        b"header",
+        b"footer",
+        b"footnote",
+        b"generator",
+    }
+)
+
+_CW_RE = re.compile(rb"([a-z]+)(-?\d+)?", re.IGNORECASE)
+
+
+def rtf_text(payload: bytes) -> str:
+    """One RTF file → its plain text per the spec above.  Raises
+    ``ValueError`` when the payload does not start with ``{\\rtf`` or
+    the group nesting is corrupt (more pops than pushes)."""
+    data = payload or b""
+    if not data.startswith(b"{\\rtf"):
+        raise ValueError("rtf: missing {\\rtf header")
+    out: list[str] = []
+    # group state: (uc, skipping)
+    uc = 1
+    skipping = False
+    stack: list[tuple[int, bool]] = []
+    pend_skip = 0  # \uN fallback characters still to swallow
+    i, n = 0, len(data)
+
+    def emit(s: str) -> None:
+        nonlocal pend_skip
+        if pend_skip > 0:
+            pend_skip -= 1
+            return
+        if not skipping:
+            out.append(s)
+
+    while i < n:
+        c = data[i]
+        if c == 0x7B:  # {
+            stack.append((uc, skipping))
+            i += 1
+        elif c == 0x7D:  # }
+            if not stack:
+                raise ValueError("rtf: unbalanced group close")
+            uc, skipping = stack.pop()
+            i += 1
+        elif c == 0x5C:  # backslash
+            if i + 1 >= n:
+                break
+            nxt = data[i + 1]
+            if nxt == 0x27:  # \'hh
+                hexpair = data[i + 2 : i + 4]
+                if len(hexpair) == 2:
+                    try:
+                        emit(bytes([int(hexpair, 16)]).decode("cp1252", "replace"))
+                    except ValueError:
+                        pass
+                i += 4
+            elif nxt == 0x2A:  # \* — ignorable destination
+                skipping = True
+                i += 2
+            elif not bytes([nxt]).isalpha():  # control symbol
+                if nxt in (0x5C, 0x7B, 0x7D):
+                    emit(chr(nxt))
+                elif nxt == 0x7E:  # \~ nbsp
+                    emit(" ")
+                i += 2
+            else:  # control word
+                m = _CW_RE.match(data, i + 1)
+                word = m.group(1).lower()
+                param = int(m.group(2)) if m.group(2) else None
+                i = m.end()
+                if i < n and data[i] == 0x20:  # delimiting space consumed
+                    i += 1
+                if word == b"par" or word == b"line":
+                    emit("\n")
+                elif word == b"tab":
+                    emit("\t")
+                elif word == b"uc":
+                    uc = param if param is not None else 1
+                elif word == b"u":
+                    cp = param if param is not None else 0
+                    if cp < 0:
+                        cp += 65536
+                    emit(chr(cp))
+                    if not skipping:
+                        pend_skip = uc
+                elif word == b"bin":
+                    i += max(param or 0, 0)
+                elif word in _SKIP_DESTS:
+                    skipping = True
+                # any other control word: formatting — ignored
+        else:
+            j = i
+            while j < n and data[j] not in (0x5C, 0x7B, 0x7D):
+                j += 1
+            chunk = data[i:j].replace(b"\r", b"").replace(b"\n", b"")
+            if chunk:
+                if pend_skip > 0:
+                    take = min(pend_skip, len(chunk))
+                    pend_skip -= take
+                    chunk = chunk[take:]
+                if chunk and not skipping:
+                    out.append(chunk.decode("cp1252", "replace"))
+            i = j
+    # \uN surrogate pairs arrive as two lone chr() units — recombine
+    # through UTF-16 (replace keeps never-fail on corrupt input)
+    return (
+        "".join(out)
+        .encode("utf-16-le", "surrogatepass")
+        .decode("utf-16-le", "replace")
+    )
+
+
+def _rtf_escape(text: str) -> bytes:
+    out = bytearray()
+    for ch in text:
+        if ch == "\n":
+            out += b"\\par\n"
+        elif ch == "\t":
+            out += b"\\tab "
+        elif ch in ("\\", "{", "}"):
+            out += b"\\" + ch.encode()
+        elif ord(ch) < 128:
+            out += ch.encode()
+        else:
+            try:
+                b = ch.encode("cp1252")
+                out += b"\\'%02x" % b[0]
+            except UnicodeEncodeError:
+                cp = ord(ch)
+                if cp > 0xFFFF:  # non-BMP: UTF-16 surrogate pair per spec
+                    cp -= 0x10000
+                    hi = 0xD800 + (cp >> 10)
+                    lo = 0xDC00 + (cp & 0x3FF)
+                    for unit in (hi, lo):
+                        u = unit - 65536 if unit > 32767 else unit
+                        out += b"\\u%d?" % u
+                else:
+                    u = cp - 65536 if cp > 32767 else cp
+                    out += b"\\u%d?" % u
+    return bytes(out)
+
+
+def write_rtf(text: str) -> bytes:
+    """Real RTF bytes carrying ``text`` (newlines → ``\\par``, tabs →
+    ``\\tab``, cp1252 escapes, ``\\uN?`` Unicode) plus the standing
+    decoys: fonttbl/colortbl/info header groups, a ``{\\*\\generator}``
+    ignorable destination, and a ``\\pict`` hex blob — none of which is
+    document text."""
+    body = _rtf_escape(text)
+    return (
+        b"{\\rtf1\\ansi\\ansicpg1252\\deff0"
+        b"{\\fonttbl{\\f0\\fswiss Helvetica;}{\\f1\\fmodern Courier;}}"
+        b"{\\colortbl;\\red255\\green0\\blue0;}"
+        b"{\\stylesheet{\\s0 Normal;}}"
+        b"{\\info{\\title DECOY title}{\\author nobody}}"
+        b"{\\*\\generator ocr_system_ray 1.0;}"
+        b"{\\pict\\pngblip\\picw4\\pich4 deadbeef00ff}"
+        b"\\uc1\\pard\\f0\\fs22 " + body + b"}"
+    )
+
+
+def rtf_extract(ds, payload_col: str = "rtf", id_col: str = "doc_id"):
+    """Stateless extraction pass → ``(id, ok, text_md5, n_chars)``;
+    non-RTF payloads emit a zero row with ``ok=0`` (error-as-data, row
+    conservation).  Bytes die in-stage."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ok, md5s, n_chars = [], [], []
+        for p in t.column(payload_col).to_pylist():
+            try:
+                text = rtf_text(p)
+            except ValueError:
+                ok.append(0)
+                md5s.append("")
+                n_chars.append(0)
+                continue
+            ok.append(1)
+            md5s.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            n_chars.append(len(text))
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ok": pa.array(ok, pa.int64()),
+                "text_md5": pa.array(md5s, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

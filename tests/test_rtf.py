@@ -1,0 +1,118 @@
+"""RTF extraction: control words, groups, destinations, escapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_system_ray.sources.rtf import rtf_extract, rtf_text, write_rtf
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "Hello world",
+        "tabs\there\tand\tthere",
+        "two\nparagraphs\nhere",
+        "café naïve — em dash",
+        "日本語テキスト",
+        "emoji 🎉 party",
+        "specials \\ { } and 'quotes'",
+        "",
+    ],
+)
+def test_write_read_round_trip(text):
+    assert rtf_text(write_rtf(text)) == text
+
+
+def test_decoys_contribute_nothing():
+    raw = write_rtf("only this")
+    # decoys really are in the bytes
+    for decoy in (b"fonttbl", b"colortbl", b"DECOY title", b"generator", b"pict"):
+        assert decoy in raw
+    assert rtf_text(raw) == "only this"
+
+
+def test_unicode_escape_with_uc_fallback_skip():
+    # \uc2 → two fallback chars ("AB") swallowed after ⑕5
+    wild = b"{\\rtf1\\ansi\\uc2\\u24555 AB rest}"
+    assert rtf_text(wild) == "快 rest"
+
+
+def test_uc_state_restored_on_group_pop():
+    wild = b"{\\rtf1{\\uc2\\u24555 AB}\\u24555 Xtail}"
+    # inside group uc=2 (skip AB); after pop uc=1 again (skip only X)
+    assert rtf_text(wild) == "快快tail"
+
+
+def test_negative_u_param_wraps_to_bmp():
+    wild = b"{\\rtf1\\u-1000 ?x}"
+    assert rtf_text(wild) == chr(65536 - 1000) + "x"
+
+
+def test_hex_escape_cp1252():
+    assert rtf_text(b"{\\rtf1 caf\\'e9}") == "café"
+    # 0x93/0x94 are cp1252 smart quotes
+    assert rtf_text(b"{\\rtf1 \\'93hi\\'94}") == "“hi”"
+
+
+def test_line_and_par_and_tab():
+    assert rtf_text(b"{\\rtf1 a\\par b\\line c\\tab d}") == "a\nb\nc\td"
+
+
+def test_nonbreaking_space_and_literals():
+    assert rtf_text(b"{\\rtf1 a\\~b \\\\ \\{x\\} }") == "a b \\ {x} "
+
+
+def test_raw_newlines_ignored():
+    assert rtf_text(b"{\\rtf1 split\r\nacross\nlines}") == "splitacrosslines"
+
+
+def test_bin_skips_raw_bytes():
+    # 5 raw bytes after the delimiting space — including a lone \ and {
+    # that would otherwise derail the tokenizer — are all swallowed
+    wild = b"{\\rtf1 a\\bin5 \x00\x01\\{Xb}"
+    assert rtf_text(wild) == "ab"
+
+
+def test_ignorable_destination_star():
+    assert rtf_text(b"{\\rtf1 a{\\*\\weirddest hidden}b}") == "ab"
+
+
+def test_unknown_control_words_ignored():
+    # the single space after a control word is its DELIMITER (consumed);
+    # a second space is literal text
+    assert rtf_text(b"{\\rtf1\\pard\\fs22\\qj text\\sa200  more}") == "text more"
+    assert rtf_text(b"{\\rtf1\\qj text\\sa200 more}") == "textmore"
+
+
+def test_not_rtf_raises():
+    with pytest.raises(ValueError):
+        rtf_text(b"plain text")
+    with pytest.raises(ValueError):
+        rtf_text(b"")
+    with pytest.raises(ValueError):
+        rtf_text(b"{\\rtf1 too}many}closes}")
+
+
+def test_rtf_extract_error_as_data(ray_session):
+    import hashlib
+
+    import ray as ray_mod
+
+    items = [
+        {"doc_id": 0, "rtf": write_rtf("alpha\tbeta")},
+        {"doc_id": 1, "rtf": b"junk"},
+        {"doc_id": 2, "rtf": write_rtf("")},
+    ]
+    out = (
+        rtf_extract(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["doc_id", "ok", "text_md5", "n_chars"]
+    assert list(out["ok"]) == [1, 0, 1]
+    assert out.loc[0, "text_md5"] == hashlib.md5(b"alpha\tbeta").hexdigest()
+    assert out.loc[0, "n_chars"] == len("alpha\tbeta")
+    assert out.loc[1, "text_md5"] == ""
+    assert out.loc[2, "n_chars"] == 0
