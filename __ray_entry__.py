@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epub_extract": q.q_epub_extract,
         "docx_extract": q.q_docx_extract,
         "rtf_extract": q.q_rtf_extract,
+        "odt_extract": q.q_odt_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2770,6 +2771,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # odt_extract: the document text REBUILT in SQL from the
+        # documents' own text (tabs = chr(9), paragraphs joined
+        # chr(10)); footnote/annotation/styles decoys must contribute
+        # nothing or the md5 breaks
+        "odt_extract": """
+            WITH par AS (
+                SELECT doc_id,
+                       1 + doc_id % 5 AS n,
+                       ['Odt ' || c || chr(9) || COALESCE(text, '')
+                            || ' p' || c
+                        FOR c IN range(0, 1 + CAST(doc_id % 5 AS INT))] AS parts
+                FROM documents
+            ), built AS (
+                SELECT doc_id, n,
+                       list_reduce(parts, (a, b) -> a || chr(10) || b) AS doctext
+                FROM par
+            )
+            SELECT b.doc_id,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE b.n END AS BIGINT) AS n_paragraphs,
+                CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5 THEN ''
+                     ELSE md5(b.doctext) END AS text_md5,
+                CAST(CASE WHEN b.doc_id % 97 = 0 OR b.doc_id % 59 = 5
+                     THEN 0 ELSE length(b.doctext) END AS BIGINT) AS n_chars
+            FROM built b
+        """,
         # rtf_extract: the document text REBUILT in SQL from the
         # documents' own text through the paragraph spec (tabs = chr(9),
         # paragraphs joined chr(10)); the RTF write→read round trip must

@@ -184,6 +184,7 @@ def _query_suite() -> dict:
         "docx_extract": q.q_docx_extract,
         "pdf_outlinks": q.q_pdf_outlinks,
         "rtf_extract": q.q_rtf_extract,
+        "odt_extract": q.q_odt_extract,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

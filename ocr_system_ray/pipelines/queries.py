@@ -3415,6 +3415,51 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def _derived_odt_payloads(t: pa.Table) -> pa.Table:
+    """OpenDocument leg over the documents' own text: real ODF packages
+    with 1 + i%5 tab-bearing paragraphs (headings every third index,
+    plus the writer's standing decoys: a footnote with an inner
+    text:p, an office:annotation comment, styles/meta parts).  Corrupt
+    rows: %97 non-zip bytes; %59==5 a zip missing content.xml."""
+    import io
+    import zipfile
+
+    from ..sources.odt import write_odt
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads: list[bytes] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"not a zip")
+            continue
+        if i % 59 == 5:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as zf:
+                zf.writestr("styles.xml", "<x/>")
+            payloads.append(buf.getvalue())
+            continue
+        n = 1 + i % 5
+        paras = [f"Odt {c}\t{text or ''} p{c}" for c in range(n)]
+        payloads.append(write_odt(paras))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "odt": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_odt_extract(sf_dir: str) -> ray.data.Dataset:
+    """OpenDocument extraction over REAL ODT bytes: ODF zip walk,
+    text:p/text:h paragraphs, tab/line-break/text:s elements, footnote
+    and annotation exclusion (``sources/odt.py``).  Oracle = DuckDB
+    rebuilding every document's exact text (and md5) from the
+    documents' own text through the same spec."""
+    from ..sources.odt import odt_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    files = docs.map_batches(_derived_odt_payloads, batch_format="pyarrow")
+    return odt_extract(files)
+
+
 def _derived_rtf_payloads(t: pa.Table) -> pa.Table:
     """Legacy-office leg over the documents' own text: real RTF files
     with 1 + i%4 tab-bearing paragraphs (the writer's standing decoys —

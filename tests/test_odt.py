@@ -1,0 +1,141 @@
+"""ODT (OpenDocument) extraction: real zip + content.xml semantics."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from ocr_system_ray.sources.odt import (
+    odt_extract,
+    odt_text,
+    read_odt,
+    write_odt,
+)
+
+
+@pytest.mark.parametrize(
+    "paras",
+    [
+        ["Hello world", "Second paragraph", "Third"],
+        ["col1\tcol2", "line1\nline2"],
+        ["double  space", "triple   space", " leading", "trailing "],
+        ['a < b & c > "d"', "e 'f' &amp; raw"],
+        ["café naïve", "日本語テキスト", "emoji 🎉 ok"],
+        ["", "middle", ""],
+    ],
+)
+def test_round_trip(paras):
+    assert read_odt(write_odt(paras)) == paras
+
+
+def test_headings_are_paragraphs():
+    # index %3==1 is written as text:h — still a paragraph in order
+    paras = ["first", "heading here", "third", "fourth heading?"]
+    assert read_odt(write_odt(paras)) == paras
+
+
+def test_decoys_excluded():
+    raw = write_odt(["body text only"])
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        content = zf.read("content.xml").decode()
+        styles = zf.read("styles.xml").decode()
+    assert "FOOTNOTE decoy" in content and "COMMENT decoy" in content
+    assert "STYLES decoy" in styles
+    assert odt_text(raw) == "body text only"
+
+
+def test_space_run_encoding_uses_text_s():
+    raw = write_odt(["a  b"])
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        content = zf.read("content.xml").decode()
+    assert "<text:s" in content  # the run really is element-encoded
+    assert read_odt(raw) == ["a  b"]
+
+
+def test_text_s_default_count_is_one():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "content.xml",
+            '<office:document-content xmlns:office="urn:oasis:names:tc:'
+            'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+            'opendocument:xmlns:text:1.0"><office:body><office:text>'
+            "<text:p>a<text:s/>b</text:p>"
+            "</office:text></office:body></office:document-content>",
+        )
+    assert read_odt(buf.getvalue()) == ["a b"]
+
+
+def test_nested_span_text_collected():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "content.xml",
+            '<office:document-content xmlns:office="urn:oasis:names:tc:'
+            'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+            'opendocument:xmlns:text:1.0"><office:body><office:text>'
+            '<text:p>pre <text:span text:style-name="T1">bold</text:span>'
+            " post</text:p>"
+            "</office:text></office:body></office:document-content>",
+        )
+    assert read_odt(buf.getvalue()) == ["pre bold post"]
+
+
+def test_not_a_zip_raises():
+    with pytest.raises(ValueError, match="not a zip"):
+        read_odt(b"nope")
+
+
+def test_missing_content_raises():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.xml", "<x/>")
+    with pytest.raises(ValueError, match="missing content.xml"):
+        read_odt(buf.getvalue())
+
+
+def test_malformed_xml_raises():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", "<broken")
+    with pytest.raises(ValueError, match="malformed"):
+        read_odt(buf.getvalue())
+
+
+def test_no_office_text_raises():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "content.xml",
+            '<office:document-content xmlns:office="urn:oasis:names:tc:'
+            'opendocument:xmlns:office:1.0"><office:body/>'
+            "</office:document-content>",
+        )
+    with pytest.raises(ValueError, match="no office:text"):
+        read_odt(buf.getvalue())
+
+
+def test_odt_extract_error_as_data(ray_session):
+    import hashlib
+
+    import ray as ray_mod
+
+    items = [
+        {"doc_id": 0, "odt": write_odt(["alpha", "beta\tgamma"])},
+        {"doc_id": 1, "odt": b"junk"},
+        {"doc_id": 2, "odt": write_odt([])},
+    ]
+    out = (
+        odt_extract(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["doc_id", "ok", "n_paragraphs", "text_md5", "n_chars"]
+    assert list(out["ok"]) == [1, 0, 1]
+    assert out.loc[0, "n_paragraphs"] == 2
+    assert out.loc[0, "text_md5"] == hashlib.md5(b"alpha\nbeta\tgamma").hexdigest()
+    assert out.loc[1, "text_md5"] == ""
+    assert out.loc[2, "n_paragraphs"] == 0
