@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docx_extract": q.q_docx_extract,
         "rtf_extract": q.q_rtf_extract,
         "odt_extract": q.q_odt_extract,
+        "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2771,6 +2772,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # xlsx_roundtrip: the whole grid (header + rows, tab/newline
+        # flattened) REBUILT in SQL from the doc_id derivation — the
+        # stdlib writer and the from-scratch reader must both be
+        # byte-exact for the md5 to match
+        "xlsx_roundtrip": """
+            WITH g AS (
+                SELECT doc_id,
+                       CAST(doc_id % 4 AS INT) AS n,
+                       list_concat(
+                           ['c0' || chr(9) || 'c1'],
+                           ['v' || doc_id || '-' || k || chr(9)
+                                || 'w' || ((doc_id * 3 + k) % 7)
+                            FOR k IN range(0, CAST(doc_id % 4 AS INT))]
+                       ) AS rows_list
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END
+                     AS BIGINT) AS ok,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 + n END
+                     AS BIGINT) AS n_rows,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 2 END
+                     AS BIGINT) AS n_cols,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     ELSE md5(list_reduce(rows_list,
+                                          (a, b) -> a || chr(10) || b))
+                END AS grid_md5
+            FROM g
+        """,
         # odt_extract: the document text REBUILT in SQL from the
         # documents' own text (tabs = chr(9), paragraphs joined
         # chr(10)); footnote/annotation/styles decoys must contribute

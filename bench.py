@@ -185,6 +185,7 @@ def _query_suite() -> dict:
         "pdf_outlinks": q.q_pdf_outlinks,
         "rtf_extract": q.q_rtf_extract,
         "odt_extract": q.q_odt_extract,
+        "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

@@ -3415,6 +3415,46 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def q_xlsx_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Spreadsheet payload extraction over REAL XLSX bytes: each doc's
+    workbook is written by the repo's own stdlib sink (``write_xlsx`` —
+    the K2/K3 export contract) and read back by the from-scratch
+    SpreadsheetML reader (``sources/xlsx.py``) — writer and reader are
+    independent implementations, so the oracle (DuckDB rebuilding every
+    grid from the doc_id derivation) breaks if EITHER side corrupts a
+    cell.  Corrupt rows: %97 non-zip bytes."""
+    import io
+
+    from ..pipelines.export import write_xlsx
+    from ..sources.xlsx import xlsx_extract
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads: list[bytes] = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(b"junk")
+                continue
+            n = i % 4
+            tbl = pa.table(
+                {
+                    "c0": pa.array([f"v{i}-{k}" for k in range(n)], pa.string()),
+                    "c1": pa.array(
+                        [f"w{(i * 3 + k) % 7}" for k in range(n)], pa.string()
+                    ),
+                }
+            )
+            buf = io.BytesIO()
+            write_xlsx(tbl, buf, ["c0", "c1"])
+            payloads.append(buf.getvalue())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "xlsx": pa.array(payloads, pa.binary())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return xlsx_extract(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def _derived_odt_payloads(t: pa.Table) -> pa.Table:
     """OpenDocument leg over the documents' own text: real ODF packages
     with 1 + i%5 tab-bearing paragraphs (headings every third index,

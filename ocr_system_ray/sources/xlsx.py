@@ -1,0 +1,239 @@
+"""XLSX reading: real SpreadsheetML parsing (the sink's round trip).
+
+The repo ships a pure-stdlib XLSX SINK (`pipelines/export.py:write_xlsx`,
+the reference's K2/K3 export contract — reference ``gui/app.py:106-112``
+exported via openpyxl); this module closes the loop with a READER, so
+spreadsheet payloads found in a crawl (and our own exports) parse
+without openpyxl:
+
+* ``xl/workbook.xml`` sheet list resolved through
+  ``xl/_rels/workbook.xml.rels`` to the worksheet part (first sheet by
+  default, any sheet by name);
+* ``xl/sharedStrings.xml`` when present — each ``si`` is the concat of
+  its ``t`` descendants (rich-text runs flatten, the spec rule);
+* cell semantics: ``t="s"`` shared-string index, ``t="inlineStr"``
+  inline ``is/t`` runs, ``t="str"`` formula string result, ``t="b"``
+  boolean, default numeric ``v`` (int when integral); SPARSE grids
+  honored — explicit ``r="D7"``-style refs place cells/rows, gaps fill
+  with None;
+* malformed zips/parts raise ``ValueError`` (error-as-data at the
+  Dataset layer).
+
+Scale notes: a workbook is one row's payload — the Dataset op is a
+stateless ``map_batches`` pass and the zip dies in-stage.  Reading OUR
+export back is a driver-side interop path like the writer itself.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree
+
+_REF_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(ref: str) -> int | None:
+    """``"D7"`` → 3 (zero-based column).  None when the ref is odd."""
+    m = _REF_RE.match(ref or "")
+    if not m:
+        return None
+    col = 0
+    for ch in m.group(1):
+        col = col * 26 + (ord(ch) - 64)
+    return col - 1
+
+
+def _cell_value(c, shared: list[str]):
+    t = c.get("t") or "n"
+    if t == "inlineStr":
+        return "".join(
+            el.text or "" for el in c.iter() if _local(el.tag) == "t"
+        )
+    v = None
+    for el in c:
+        if _local(el.tag) == "v":
+            v = el.text or ""
+            break
+    if v is None:
+        return None
+    if t == "s":
+        try:
+            return shared[int(v)]
+        except (ValueError, IndexError) as exc:
+            raise ValueError(f"xlsx: bad shared-string index {v!r}") from exc
+    if t == "str" or t == "e":
+        return v
+    if t == "b":
+        return v.strip() == "1"
+    try:
+        f = float(v)
+    except ValueError as exc:
+        raise ValueError(f"xlsx: bad numeric cell {v!r}") from exc
+    return int(f) if f.is_integer() and abs(f) < 2**53 else f
+
+
+def read_xlsx_rows(payload: bytes, sheet: str | None = None) -> list[list]:
+    """One workbook → the chosen sheet's grid as a list of rows (cells
+    are str / int / float / bool / None).  Sparse refs honored; rows
+    padded to the widest row."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload or b""))
+    except (zipfile.BadZipFile, OSError) as exc:
+        raise ValueError(f"xlsx: not a zip container ({exc})") from exc
+    with zf:
+        names = set(zf.namelist())
+        if "xl/workbook.xml" not in names:
+            raise ValueError("xlsx: missing xl/workbook.xml")
+        try:
+            wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+        except ElementTree.ParseError as exc:
+            raise ValueError("xlsx: malformed workbook.xml") from exc
+        sheets: list[tuple[str, str]] = []  # (name, rId)
+        for el in wb.iter():
+            if _local(el.tag) == "sheet":
+                rid = next(
+                    (v for k, v in el.attrib.items() if _local(k) == "id"), ""
+                )
+                sheets.append((el.get("name") or "", rid))
+        if not sheets:
+            raise ValueError("xlsx: workbook has no sheets")
+        rels: dict[str, str] = {}
+        if "xl/_rels/workbook.xml.rels" in names:
+            try:
+                rl = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+            except ElementTree.ParseError as exc:
+                raise ValueError("xlsx: malformed workbook rels") from exc
+            for el in rl.iter():
+                if _local(el.tag) == "Relationship":
+                    rels[el.get("Id") or ""] = el.get("Target") or ""
+        if sheet is None:
+            pick = sheets[0]
+        else:
+            match = [s for s in sheets if s[0] == sheet]
+            if not match:
+                raise ValueError(f"xlsx: no sheet named {sheet!r}")
+            pick = match[0]
+        target = rels.get(pick[1], "worksheets/sheet1.xml")
+        part = target if target.startswith("xl/") else "xl/" + target
+        if part not in names:
+            raise ValueError(f"xlsx: missing worksheet part {part!r}")
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            try:
+                ss = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            except ElementTree.ParseError as exc:
+                raise ValueError("xlsx: malformed sharedStrings") from exc
+            for si in ss:
+                if _local(si.tag) == "si":
+                    shared.append(
+                        "".join(
+                            el.text or ""
+                            for el in si.iter()
+                            if _local(el.tag) == "t"
+                        )
+                    )
+        try:
+            ws = ElementTree.fromstring(zf.read(part))
+        except ElementTree.ParseError as exc:
+            raise ValueError("xlsx: malformed worksheet") from exc
+
+    grid: list[list] = []
+    next_row = 0
+    for el in ws.iter():
+        if _local(el.tag) != "row":
+            continue
+        r_attr = el.get("r")
+        row_idx = int(r_attr) - 1 if r_attr and r_attr.isdigit() else next_row
+        while len(grid) <= row_idx:
+            grid.append([])
+        cells = grid[row_idx]
+        next_col = 0
+        for c in el:
+            if _local(c.tag) != "c":
+                continue
+            ref = c.get("r")
+            col_idx = _col_index(ref) if ref else None
+            if col_idx is None:
+                col_idx = next_col
+            while len(cells) <= col_idx:
+                cells.append(None)
+            cells[col_idx] = _cell_value(c, shared)
+            next_col = col_idx + 1
+        next_row = row_idx + 1
+    width = max((len(r) for r in grid), default=0)
+    for r in grid:
+        r.extend([None] * (width - len(r)))
+    return grid
+
+
+def read_xlsx_table(payload: bytes, sheet: str | None = None):
+    """Workbook → ``pa.Table`` using row 0 as the header (the
+    ``write_xlsx`` sheet contract); every column stringified, missing
+    cells ``""``."""
+    import pyarrow as pa
+
+    grid = read_xlsx_rows(payload, sheet)
+    if not grid:
+        return pa.table({})
+    header = [str(h) if h is not None else "" for h in grid[0]]
+    cols: dict[str, list[str]] = {h: [] for h in header}
+    for row in grid[1:]:
+        for h, v in zip(header, row):
+            if v is None:
+                cols[h].append("")
+            elif isinstance(v, bool):
+                cols[h].append("True" if v else "False")
+            else:
+                cols[h].append(str(v))
+    return pa.table({h: pa.array(vs, pa.string()) for h, vs in cols.items()})
+
+
+def xlsx_extract(ds, payload_col: str = "xlsx", id_col: str = "doc_id"):
+    """Stateless workbook-extraction pass → ``(id, ok, n_rows, n_cols,
+    grid_md5)`` — ``grid_md5`` = md5 of the stringified grid (cells
+    tab-joined, rows newline-joined, None → "").  Broken workbooks emit
+    ``ok=0`` rows (error-as-data, row conservation)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def render(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "True" if v else "False"
+        return str(v)
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ok, n_rows, n_cols, md5s = [], [], [], []
+        for p in t.column(payload_col).to_pylist():
+            try:
+                grid = read_xlsx_rows(p)
+            except ValueError:
+                ok.append(0)
+                n_rows.append(0)
+                n_cols.append(0)
+                md5s.append("")
+                continue
+            flat = "\n".join("\t".join(render(v) for v in row) for row in grid)
+            ok.append(1)
+            n_rows.append(len(grid))
+            n_cols.append(len(grid[0]) if grid else 0)
+            md5s.append(hashlib.md5(flat.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ok": pa.array(ok, pa.int64()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_cols": pa.array(n_cols, pa.int64()),
+                "grid_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

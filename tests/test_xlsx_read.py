@@ -1,0 +1,153 @@
+"""XLSX reading: SpreadsheetML cells, shared strings, sparse refs."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.pipelines.export import write_xlsx
+from ocr_system_ray.sources.xlsx import (
+    read_xlsx_rows,
+    read_xlsx_table,
+    xlsx_extract,
+)
+
+
+def _our_workbook(rows, columns):
+    buf = io.BytesIO()
+    write_xlsx(pa.table({c: pa.array(v, pa.string()) for c, v in rows.items()}), buf, columns)
+    return buf.getvalue()
+
+
+def test_round_trip_with_our_writer():
+    data = {"a": ["1", "x y", ""], "b": ["<tag>&amp;", "café", "🎉"]}
+    raw = _our_workbook(data, ["a", "b"])
+    grid = read_xlsx_rows(raw)
+    assert grid[0] == ["a", "b"]
+    assert grid[1:] == [["1", "<tag>&amp;"], ["x y", "café"], ["", "🎉"]]
+    t = read_xlsx_table(raw)
+    assert t.column("a").to_pylist() == ["1", "x y", ""]
+    assert t.column("b").to_pylist() == ["<tag>&amp;", "café", "🎉"]
+
+
+def _hand_workbook(sheet_xml, shared=None, sheet_name="S1"):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f'<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        if shared is not None:
+            zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{sheet_xml}</sheetData></worksheet>",
+        )
+    return buf.getvalue()
+
+
+def test_shared_strings_with_rich_text_runs():
+    shared = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2">'
+        "<si><t>plain</t></si>"
+        "<si><r><rPr/><t>rich </t></r><r><t>text</t></r></si></sst>"
+    )
+    sheet = '<row><c t="s"><v>0</v></c><c t="s"><v>1</v></c></row>'
+    assert read_xlsx_rows(_hand_workbook(sheet, shared)) == [["plain", "rich text"]]
+
+
+def test_numbers_booleans_formula_strings():
+    sheet = (
+        "<row>"
+        "<c><v>42</v></c>"
+        "<c><v>2.5</v></c>"
+        '<c t="b"><v>1</v></c>'
+        '<c t="b"><v>0</v></c>'
+        '<c t="str"><v>SUM result</v></c>'
+        "</row>"
+    )
+    assert read_xlsx_rows(_hand_workbook(sheet)) == [
+        [42, 2.5, True, False, "SUM result"]
+    ]
+
+
+def test_sparse_refs_place_cells_and_rows():
+    sheet = (
+        '<row r="2"><c r="B2"><v>5</v></c><c r="D2"><v>7</v></c></row>'
+        '<row r="4"><c r="A4" t="str"><v>x</v></c></row>'
+    )
+    grid = read_xlsx_rows(_hand_workbook(sheet))
+    assert grid == [
+        [None, None, None, None],
+        [None, 5, None, 7],
+        [None, None, None, None],
+        ["x", None, None, None],
+    ]
+
+
+def test_sheet_selection_by_name():
+    raw = _hand_workbook('<row><c><v>9</v></c></row>', sheet_name="Data")
+    assert read_xlsx_rows(raw, sheet="Data") == [[9]]
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_xlsx_rows(raw, sheet="Missing")
+
+
+def test_errors():
+    with pytest.raises(ValueError, match="not a zip"):
+        read_xlsx_rows(b"nope")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.xml", "<x/>")
+    with pytest.raises(ValueError, match="missing xl/workbook.xml"):
+        read_xlsx_rows(buf.getvalue())
+    with pytest.raises(ValueError, match="bad shared-string index"):
+        read_xlsx_rows(_hand_workbook('<row><c t="s"><v>99</v></c></row>', "<sst/>"))
+
+
+def test_export_results_xlsx_round_trip(tmp_path, ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.pipelines.export import export_results
+
+    ds = ray_mod.data.from_items(
+        [{"url": f"u{i}", "Licenses": f"L{i}"} for i in range(5)]
+    )
+    out = tmp_path / "export.xlsx"
+    export_results(ds, str(out), ["url", "Licenses", "Address"])
+    grid = read_xlsx_rows(out.read_bytes())
+    assert grid[0] == ["url", "Licenses", "Address"]
+    assert grid[1] == ["u0", "L0", ""]
+    assert len(grid) == 6
+
+
+def test_xlsx_extract_error_as_data(ray_session):
+    import ray as ray_mod
+
+    good = _our_workbook({"a": ["1", "2"]}, ["a"])
+    items = [
+        {"doc_id": 0, "xlsx": good},
+        {"doc_id": 1, "xlsx": b"junk"},
+    ]
+    out = (
+        xlsx_extract(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["doc_id", "ok", "n_rows", "n_cols", "grid_md5"]
+    assert list(out["ok"]) == [1, 0]
+    assert out.loc[0, "n_rows"] == 3 and out.loc[0, "n_cols"] == 1
+    import hashlib
+
+    assert out.loc[0, "grid_md5"] == hashlib.md5(b"a\n1\n2").hexdigest()
