@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rtf_extract": q.q_rtf_extract,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
+        "corpus_shuffle": q.q_corpus_shuffle,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2772,6 +2773,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # corpus_shuffle: lowercase-hex md5 substrings sort exactly like
+        # the engine's carved 60-bit integers, so the window rank IS the
+        # distributed rank
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY substr(md5(doc_id || ':shuffle'), 1, 15), doc_id
+                   ) - 1 AS shuffle_ord
+            FROM documents
+        """,
         # xlsx_roundtrip: the whole grid (header + rows, tab/newline
         # flattened) REBUILT in SQL from the doc_id derivation — the
         # stdlib writer and the from-scratch reader must both be

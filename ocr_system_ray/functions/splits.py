@@ -147,3 +147,133 @@ def assign_balanced_shards(
         )
 
     return pre.map_batches(to_shard, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    fine_bits: int = 20,
+) -> ray.data.Dataset:
+    """Reproducible corpus shuffle: ``(id_col, shuffle_ord)`` where
+    ``shuffle_ord`` is the document's 0-based global rank under the
+    salted md5 order ``(md5(f"{id}:{salt}")[:15], id)`` — the
+    training-data shuffle every epoch pipeline needs, as a pure
+    function of (corpus, salt): any block layout, any cluster size,
+    same permutation; a new salt is a fresh permutation.
+
+    Distributed exact rank in two passes (the ordered-prefix-sum
+    idiom on a HASH key instead of the id):
+
+    1. fine bucket = key >> (60 - ``fine_bits``); per-batch count
+       combiner → one single-column ``groupby(bucket)`` sum.  The
+       driver holds only the bucket-count table (≤ 2^20 rows at any
+       corpus size) and takes its exclusive cumsum.
+    2. coarse groups (top ``_adaptive_coarse_bits`` bits — ~50k rows
+       per Ray group at any n, the repo's shuffle-width contract):
+       sort each group by (key, id), rank = group offset + position.
+
+    Keys are uniform 60-bit integers, so coarse groups are balanced by
+    construction; all arithmetic is int64 — batching-invariant EXACTLY.
+    SQL twin: ``ROW_NUMBER() OVER (ORDER BY substr(md5(id || ':' ||
+    salt), 1, 15), id) - 1`` (lowercase-hex substrings sort exactly
+    like the carved integers)."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _adaptive_coarse_bits
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        keys = np.array(
+            [
+                int(hashlib.md5(f"{i}:{salt}".encode("utf-8")).hexdigest()[:15], 16)
+                for i in ids
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "skey": pa.array(keys),
+                "fine": pa.array(keys >> (60 - fine_bits)),
+            }
+        )
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    def fine_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("fine").aggregate([("skey", "count")])
+        return pa.table(
+            {
+                "fine": agg.column("fine"),
+                "p_cnt": agg.column("skey_count").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        keyed.map_batches(fine_partial, batch_format="pyarrow")
+        .groupby("fine")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+        .to_pandas()  # fine-bucket-sized, never row-count-sized
+    )
+    if len(counts) == 0:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "shuffle_ord": pd.Series([], dtype="int64"),
+            }
+        )
+        return ray.data.from_pandas(empty)
+    counts = counts.sort_values("fine").reset_index(drop=True)
+    total = int(counts["cnt"].sum())
+    g_bits = min(_adaptive_coarse_bits(total), fine_bits)
+    coarse = counts["fine"].to_numpy(dtype="int64") >> (fine_bits - g_bits)
+    cnt = counts["cnt"].to_numpy(dtype="int64")
+    coarse_tbl = pd.DataFrame({"c": coarse, "cnt": cnt}).groupby("c", sort=True)[
+        "cnt"
+    ].sum()
+    totals = coarse_tbl.to_numpy(dtype="int64")
+    offsets = dict(
+        zip(
+            (int(c) for c in coarse_tbl.index),
+            (int(v) for v in (totals.cumsum() - totals)),
+        )
+    )
+    offsets_ref = ray.put(offsets)
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "skey": t.column("skey"),
+                "coarse": pc.shift_right(t.column("skey"), 60 - g_bits),
+            }
+        )
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "shuffle_ord": pd.Series([], dtype="int64"),
+                }
+            )
+        off = ray.get(offsets_ref)[int(df["coarse"].iloc[0])]
+        df = df.sort_values(["skey", id_col]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "shuffle_ord": np.arange(off, off + len(df), dtype=np.int64),
+            }
+        )
+
+    return (
+        keyed.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(rank_group, batch_format="pandas")
+    )

@@ -3415,6 +3415,18 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def q_corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Reproducible training-data shuffle: every document's 0-based
+    global rank under the salted md5 order — the epoch-permutation
+    operator, computed as a distributed exact rank (fine-bucket count
+    pass + adaptive coarse-group ordered scan; the driver holds only
+    the bucket table).  Oracle: ROW_NUMBER over the same md5 carve."""
+    from ..functions.splits import deterministic_shuffle
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle(docs)
+
+
 def q_xlsx_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """Spreadsheet payload extraction over REAL XLSX bytes: each doc's
     workbook is written by the repo's own stdlib sink (``write_xlsx`` —

@@ -104,3 +104,52 @@ def test_balanced_shards_edges(ray_session):
     assert list(got["shard"]) == [0, 0, 0, 1, 1]
     with pytest.raises(ValueError):
         assign_balanced_shards(_tok_ds(ray_session, [1]), 0)
+
+
+def _shuffle_twin(ids, salt="shuffle"):
+    import hashlib
+
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:15], i))
+    return {i: r for r, i in enumerate(order)}
+
+
+def test_deterministic_shuffle_matches_twin_across_layouts(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.splits import deterministic_shuffle
+
+    ids = list(range(0, 600, 3))  # sparse ids
+    want = _shuffle_twin(ids)
+    for blocks in (1, 7, 40):
+        ds = ray_mod.data.from_items([{"doc_id": i} for i in ids]).repartition(blocks)
+        out = deterministic_shuffle(ds).to_pandas()
+        got = dict(zip(out["doc_id"], out["shuffle_ord"]))
+        assert got == want, blocks
+
+
+def test_deterministic_shuffle_is_a_permutation_and_salted(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.splits import deterministic_shuffle
+
+    ids = list(range(300))
+    ds = ray_mod.data.from_items([{"doc_id": i} for i in ids])
+    a = deterministic_shuffle(ds, salt="epoch0").to_pandas()
+    b = deterministic_shuffle(ds, salt="epoch1").to_pandas()
+    assert sorted(a["shuffle_ord"]) == ids  # exact 0..n-1 permutation
+    assert sorted(b["shuffle_ord"]) == ids
+    ga = dict(zip(a["doc_id"], a["shuffle_ord"]))
+    gb = dict(zip(b["doc_id"], b["shuffle_ord"]))
+    assert ga == _shuffle_twin(ids, "epoch0")
+    assert gb == _shuffle_twin(ids, "epoch1")
+    assert ga != gb  # a new salt is a fresh permutation
+
+
+def test_deterministic_shuffle_empty(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.splits import deterministic_shuffle
+
+    ds = ray_mod.data.from_items([{"doc_id": 1}]).filter(lambda r: False)
+    out = deterministic_shuffle(ds).to_pandas()
+    assert len(out) == 0
