@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
+        "microdata": q.q_microdata,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2773,6 +2774,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # microdata: every property row re-derived from the doc_id
+        # derivation (flat item model; orphan/prop-less decoys and the
+        # whitespace-collapse rule must hold or the row set differs)
+        "microdata": """
+            WITH items AS (
+                SELECT doc_id, CAST(j AS BIGINT) AS item_ord,
+                       'https://schema.org/' ||
+                       CASE (doc_id + j) % 3 WHEN 0 THEN 'Product'
+                            WHEN 1 THEN 'Article' ELSE 'Person'
+                       END AS itemtype
+                FROM documents,
+                     unnest(range(0, CAST(1 + doc_id % 2 AS INT))) AS t(j)
+                WHERE doc_id % 13 <> 4
+            ), props AS (
+                SELECT doc_id, item_ord, itemtype, 'name' AS prop,
+                       'N' || doc_id || ' - ' || item_ord AS value
+                FROM items
+                UNION ALL
+                SELECT doc_id, item_ord, itemtype, 'price',
+                       'P' || ((doc_id * 3 + item_ord) % 100)
+                FROM items WHERE (doc_id + item_ord) % 4 <> 1
+                UNION ALL
+                SELECT doc_id, item_ord, itemtype, 'url',
+                       '/p/' || doc_id || '/' || item_ord
+                FROM items
+            ), sentinels AS (
+                SELECT doc_id, CAST(-1 AS BIGINT) AS item_ord,
+                       '' AS itemtype, '' AS prop, '' AS value
+                FROM documents WHERE doc_id % 13 = 4
+            )
+            SELECT * FROM props UNION ALL SELECT * FROM sentinels
+        """,
         # corpus_shuffle: lowercase-hex md5 substrings sort exactly like
         # the engine's carved 60-bit integers, so the window rank IS the
         # distributed rank

@@ -187,6 +187,7 @@ def _query_suite() -> dict:
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
+        "microdata": q.q_microdata,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

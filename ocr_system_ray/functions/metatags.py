@@ -106,3 +106,106 @@ def page_meta_batch(ds, html_col: str = "html", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HTML microdata (schema.org itemscope/itemprop) — the third structured-data
+# syntax next to OG meta tags and JSON-LD.
+
+_ANYTAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\b([^>]*)>")
+_ITEMSCOPE_RE = re.compile(r"\bitemscope\b", re.IGNORECASE)
+_STRIP_TAGS_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _attr(attrs: str, name: str) -> "str | None":
+    m = re.search(
+        rf"""\b{name}\s*=\s*(?:"([^"]*)"|'([^']*)')""", attrs, re.IGNORECASE
+    )
+    if not m:
+        return None
+    return m.group(1) if m.group(1) is not None else m.group(2)
+
+
+def extract_microdata(html: str) -> list[tuple[int, str, str, str]]:
+    """Microdata SPEC (flat model, shared with the SQL oracle via the
+    derivation): every tag carrying ``itemscope`` opens item
+    ``item_ord`` (0-based, document order) with its quoted ``itemtype``
+    ('' when absent); every later tag carrying ``itemprop`` attaches a
+    property to the MOST RECENT item — value by tag kind:
+    ``meta``→``content``, ``a``/``link``/``area``→``href``,
+    ``img``/``source``/``iframe``/``embed``→``src``,
+    ``time``→``datetime``, anything else → its tag-stripped,
+    whitespace-collapsed inner text up to the first matching close tag
+    (nested same-name tags out of scope).  ``itemprop`` tags before any
+    ``itemscope`` are dropped per the flat model; nested itemscopes are
+    treated as sibling items (documented subset)."""
+    out: list[tuple[int, str, str, str]] = []
+    item_ord = -1
+    itemtype = ""
+    for m in _ANYTAG_RE.finditer(html or ""):
+        name = m.group(1).lower()
+        attrs = m.group(2)
+        if name in ("script", "style"):
+            continue
+        if _ITEMSCOPE_RE.search(attrs):
+            item_ord += 1
+            itemtype = _attr(attrs, "itemtype") or ""
+            # an itemscope tag may itself carry itemprop in NESTED
+            # models — out of scope for the flat subset
+            continue
+        prop = _attr(attrs, "itemprop")
+        if prop is None or item_ord < 0:
+            continue
+        if name == "meta":
+            value = _attr(attrs, "content") or ""
+        elif name in ("a", "link", "area"):
+            value = _attr(attrs, "href") or ""
+        elif name in ("img", "source", "iframe", "embed"):
+            value = _attr(attrs, "src") or ""
+        elif name == "time":
+            value = _attr(attrs, "datetime") or ""
+        else:
+            close = re.search(rf"</{name}\s*>", html[m.end() :], re.IGNORECASE)
+            inner = html[m.end() : m.end() + close.start()] if close else ""
+            value = _WS_RE.sub(" ", _STRIP_TAGS_RE.sub(" ", inner)).strip()
+        out.append((item_ord, itemtype, prop, value))
+    return out
+
+
+def microdata_batch(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """1→N flat-map → ``(id, item_ord, itemtype, prop, value)`` per
+    property; docs with no microdata emit one ``item_ord=-1`` sentinel
+    row (row conservation).  HTML dies in-stage."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids_out, ords, types, props, values = [], [], [], [], []
+        for did, h in zip(
+            t.column(id_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            rows = extract_microdata(h or "")
+            if not rows:
+                ids_out.append(did)
+                ords.append(-1)
+                types.append("")
+                props.append("")
+                values.append("")
+                continue
+            for item_ord, itemtype, prop, value in rows:
+                ids_out.append(did)
+                ords.append(item_ord)
+                types.append(itemtype)
+                props.append(prop)
+                values.append(value)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "item_ord": pa.array(ords, pa.int64()),
+                "itemtype": pa.array(types, pa.string()),
+                "prop": pa.array(props, pa.string()),
+                "value": pa.array(values, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -3415,6 +3415,59 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def _derived_microdata_pages(t: pa.Table) -> pa.Table:
+    """Microdata leg: pages whose itemscope/itemprop content is a pure
+    function of doc_id through the messy syntax real pages use —
+    single quotes on %2==1, itemtype attribute BEFORE itemscope on
+    %3==0, a double-spaced inner text (whitespace collapse pinned), a
+    missing price meta on (i+j)%4==1, plus standing decoys: an orphan
+    itemprop before any itemscope and a prop-less span.  Bare no-item
+    pages on %13==4."""
+    ids = t.column("doc_id").to_pylist()
+    pages: list[str] = []
+    for i in ids:
+        if i % 13 == 4:
+            pages.append(f"<html><body><p>bare page {i}</p></body></html>")
+            continue
+        q = "'" if i % 2 == 1 else '"'
+        parts = [
+            "<html><body>",
+            f"<span itemprop={q}orphan{q}>dropped — before any item</span>",
+            "<span>prop-less decoy</span>",
+        ]
+        for j in range(1 + i % 2):
+            typ = ["Product", "Article", "Person"][(i + j) % 3]
+            t_attr = f"itemtype={q}https://schema.org/{typ}{q}"
+            scope = (
+                f"<div {t_attr} itemscope>" if i % 3 == 0 else f"<div itemscope {t_attr}>"
+            )
+            parts.append(scope)
+            parts.append(f"<span itemprop={q}name{q}>N{i}  -  {j}</span>")
+            if (i + j) % 4 != 1:
+                parts.append(
+                    f"<meta itemprop={q}price{q} content={q}P{(i * 3 + j) % 100}{q}>"
+                )
+            parts.append(f"<a itemprop={q}url{q} href={q}/p/{i}/{j}{q}>buy</a>")
+            parts.append("</div>")
+        parts.append("</body></html>")
+        pages.append("".join(parts))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "html": pa.array(pages, pa.string())}
+    )
+
+
+def q_microdata(sf_dir: str) -> ray.data.Dataset:
+    """Schema.org microdata extraction (itemscope/itemprop — the third
+    structured-data syntax next to OG meta and JSON-LD): flat-model
+    items + per-tag-kind value resolution, orphan/prop-less decoys
+    dropped.  Oracle: every property row re-derived in SQL."""
+    from ..functions.metatags import microdata_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_microdata_pages, batch_format="pyarrow")
+    return microdata_batch(pages)
+
+
 def q_corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
     """Reproducible training-data shuffle: every document's 0-based
     global rank under the salted md5 order — the epoch-permutation

@@ -71,3 +71,74 @@ def test_dataset_pass(ray_session):
     assert list(out["og_title"]) == ["A", "", ""]
     assert list(out["ld_type"]) == ["", "", "Recipe"]
     assert list(out["n_ld"]) == [0, 0, 1]
+
+
+def test_microdata_flat_model_and_value_resolution():
+    from ocr_system_ray.functions.metatags import extract_microdata
+
+    html = (
+        "<body><span itemprop='orphan'>dropped</span>"
+        "<div itemscope itemtype='https://schema.org/Product'>"
+        "<span itemprop='name'>Widget  <b>Pro</b></span>"
+        "<meta itemprop='price' content='9.99'>"
+        "<a itemprop='url' href='/w'>buy</a>"
+        "<img itemprop='image' src='/w.jpg'>"
+        "<time itemprop='released' datetime='2020-01-02'>Jan 2</time>"
+        "</div><section ITEMSCOPE><span itemprop='name'>Untyped</span>"
+        "</section></body>"
+    )
+    rows = extract_microdata(html)
+    assert rows == [
+        (0, "https://schema.org/Product", "name", "Widget Pro"),
+        (0, "https://schema.org/Product", "price", "9.99"),
+        (0, "https://schema.org/Product", "url", "/w"),
+        (0, "https://schema.org/Product", "image", "/w.jpg"),
+        (0, "https://schema.org/Product", "released", "2020-01-02"),
+        (1, "", "name", "Untyped"),
+    ]
+
+
+def test_microdata_attribute_order_and_quotes():
+    from ocr_system_ray.functions.metatags import extract_microdata
+
+    a = extract_microdata(
+        '<div itemtype="https://schema.org/Person" itemscope>'
+        '<span itemprop="name">X</span></div>'
+    )
+    b = extract_microdata(
+        "<div itemscope itemtype='https://schema.org/Person'>"
+        "<span itemprop='name'>X</span></div>"
+    )
+    assert a == b == [(0, "https://schema.org/Person", "name", "X")]
+
+
+def test_microdata_script_tags_ignored_and_empty_page():
+    from ocr_system_ray.functions.metatags import extract_microdata
+
+    assert extract_microdata("<p>nothing here</p>") == []
+    assert extract_microdata("") == []
+    html = (
+        "<div itemscope><script itemprop='name'>var x;</script>"
+        "<span itemprop='ok'>y</span></div>"
+    )
+    assert extract_microdata(html) == [(0, "", "ok", "y")]
+
+
+def test_microdata_batch_sentinel_rows(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.metatags import microdata_batch
+
+    items = [
+        {"doc_id": 0, "html": "<div itemscope><span itemprop='a'>v</span></div>"},
+        {"doc_id": 1, "html": "<p>none</p>"},
+        {"doc_id": 2, "html": None},
+    ]
+    out = (
+        microdata_batch(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["item_ord"]) == [0, -1, -1]
+    assert list(out["prop"]) == ["a", "", ""]
