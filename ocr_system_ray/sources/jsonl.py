@@ -6,7 +6,7 @@ can't load most public corpora.  This reader maps shards onto an
 explicit Arrow schema:
 
     ray.data.read_binary_files(paths)            # one task per shard
-      → gunzip (multi-member tolerated)
+      → decompress (gzip/bz2/xz by magic, multi-member/stream tolerated)
       → pyarrow.json.read_json on the WHOLE buffer   # C++-vectorized,
                                                      # never a Python
                                                      # loop on the hot path
@@ -38,6 +38,24 @@ import pyarrow.json as pa_json
 import ray.data
 
 from .warc import _gunzip_members
+
+
+def _decompress_any(data: bytes) -> bytes:
+    """Magic-byte shard decompression: gzip (multi-member), bz2 and xz
+    (both multi-stream per their stdlib decompressors — the OSCAR/
+    HPLT shard flavors), plain bytes pass through.  zstd/brotli stay
+    behind the environment seam (no stdlib codec)."""
+    if data[:2] == b"\x1f\x8b":
+        return _gunzip_members(data)
+    if data[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(data)
+    if data[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.decompress(data)
+    return data
 
 
 def _coerce(t: pa.Table, schema: pa.Schema) -> pa.Table:
@@ -98,7 +116,7 @@ def read_jsonl(
     def parse(t: pa.Table) -> pa.Table:
         tables = []
         for buf in t.column("bytes").to_pylist():
-            parsed, _bad = _parse_buffer(_gunzip_members(buf), schema, on_error)
+            parsed, _bad = _parse_buffer(_decompress_any(buf), schema, on_error)
             tables.append(parsed)
         return pa.concat_tables(tables) if tables else schema.empty_table()
 
@@ -110,9 +128,14 @@ def write_jsonl(
 ) -> int:
     """Write ``ds`` as JSONL shards (one per incoming block, written
     from inside the tasks; shard names are content-hashed so re-runs
-    are idempotent).  Returns the number of rows written."""
+    are idempotent).  ``compression``: "gzip" | "bz2" | "xz" | None.
+    Returns the number of rows written."""
+    if compression not in ("gzip", "bz2", "xz", None):
+        raise ValueError("compression must be 'gzip', 'bz2', 'xz' or None")
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".jsonl.gz" if compression == "gzip" else ".jsonl"
+    ext = {"gzip": ".jsonl.gz", "bz2": ".jsonl.bz2", "xz": ".jsonl.xz", None: ".jsonl"}[
+        compression
+    ]
 
     def write_block(t: pa.Table) -> pa.Table:
         lines = []
@@ -128,6 +151,14 @@ def write_jsonl(
         payload = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
         if compression == "gzip":
             payload = gzip.compress(payload, mtime=0)
+        elif compression == "bz2":
+            import bz2
+
+            payload = bz2.compress(payload)
+        elif compression == "xz":
+            import lzma
+
+            payload = lzma.compress(payload)
         name = hashlib.md5(payload).hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{name}{ext}")
         tmp = path + ".tmp"

@@ -78,3 +78,63 @@ def test_writer_idempotent_content_hash(ray_session, tmp_path):
     first = sorted(os.listdir(out))
     write_jsonl(ray.data.from_arrow(t), out)
     assert sorted(os.listdir(out)) == first  # same content → same shard name
+
+
+@pytest.mark.parametrize("compression,ext", [("bz2", ".jsonl.bz2"), ("xz", ".jsonl.xz")])
+def test_round_trip_bz2_and_xz(ray_session, tmp_path, compression, ext):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["héllo ☂", "two\nlines", None], pa.string()),
+            "n": pa.array([7, None, 0], pa.int64()),
+        }
+    )
+    out = str(tmp_path / compression)
+    n = write_jsonl(ray.data.from_arrow(t).repartition(2), out, compression=compression)
+    assert n == 3
+    paths = [os.path.join(out, p) for p in os.listdir(out) if p.endswith(ext)]
+    assert len(paths) == 2
+    got = _rows(read_jsonl(paths, SCHEMA))
+    assert got == _rows(ray.data.from_arrow(t))
+
+
+def test_mixed_compression_directory(ray_session, tmp_path):
+    import bz2
+    import lzma
+
+    (tmp_path / "a.jsonl").write_text('{"doc_id": 1, "text": "p", "n": 1}\n')
+    (tmp_path / "b.jsonl.gz").write_bytes(
+        gzip.compress(b'{"doc_id": 2, "text": "g", "n": 2}\n', mtime=0)
+    )
+    (tmp_path / "c.jsonl.bz2").write_bytes(
+        bz2.compress(b'{"doc_id": 3, "text": "b", "n": 3}\n')
+    )
+    (tmp_path / "d.jsonl.xz").write_bytes(
+        lzma.compress(b'{"doc_id": 4, "text": "x", "n": 4}\n')
+    )
+    paths = sorted(str(p) for p in tmp_path.iterdir())
+    got = _rows(read_jsonl(paths, SCHEMA))
+    assert [r["doc_id"] for r in got] == [1, 2, 3, 4]
+    assert [r["text"] for r in got] == ["p", "g", "b", "x"]
+
+
+def test_multistream_xz_and_bz2_members(ray_session, tmp_path):
+    import bz2
+    import lzma
+
+    # two concatenated streams per file — the multi-member shard layout
+    x = lzma.compress(b'{"doc_id": 1, "text": "a", "n": 1}\n') + lzma.compress(
+        b'{"doc_id": 2, "text": "b", "n": 2}\n'
+    )
+    (tmp_path / "m.jsonl.xz").write_bytes(x)
+    b = bz2.compress(b'{"doc_id": 3, "text": "c", "n": 3}\n') + bz2.compress(
+        b'{"doc_id": 4, "text": "d", "n": 4}\n'
+    )
+    (tmp_path / "m.jsonl.bz2").write_bytes(b)
+    got = _rows(read_jsonl([str(tmp_path / "m.jsonl.xz"), str(tmp_path / "m.jsonl.bz2")], SCHEMA))
+    assert [r["doc_id"] for r in got] == [1, 2, 3, 4]
+
+
+def test_write_jsonl_bad_compression(ray_session):
+    with pytest.raises(ValueError, match="compression"):
+        write_jsonl(ray.data.from_items([{"doc_id": 1}]), "/tmp/x", compression="zstd")
