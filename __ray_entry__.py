@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q.q_curation_pipeline,
         "url_dedup": q.q_url_dedup,
         "token_index_lookup": q.q_token_index_lookup,
+        "token_index_update": q.q_token_index_update,
         "bm25_topk": q.q_bm25_topk,
         "bpe_merges": q.q_bpe_merges,
         "bpe_encode": q.q_bpe_encode,
@@ -2001,6 +2002,21 @@ def oracle_sql() -> dict[str, str]:
             WITH probe AS (
               SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:5]) AS token
               FROM documents WHERE doc_id = 1
+            ), toks AS (
+              SELECT DISTINCT d.doc_id,
+                     unnest(string_split(COALESCE(d.text, ''), ' ')) AS token
+              FROM documents d
+            )
+            SELECT t.token, t.doc_id
+            FROM toks t JOIN probe p USING (token)
+        """,
+        # token_index_update: postings recomputed over ALL docs — the
+        # Ray side answered from an even-docs build + an odd-docs
+        # increment merge, so a lost increment breaks the row set
+        "token_index_update": """
+            WITH probe AS (
+              SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:4]) AS token
+              FROM documents WHERE doc_id = 3
             ), toks AS (
               SELECT DISTINCT d.doc_id,
                      unnest(string_split(COALESCE(d.text, ''), ' ')) AS token

@@ -188,6 +188,7 @@ def _query_suite() -> dict:
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
         "microdata": q.q_microdata,
+        "token_index_update": q.q_token_index_update,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

@@ -43,6 +43,42 @@ def _token_bucket(token: str, prefix_buckets: int) -> int:
     return zlib.crc32(token.encode("utf-8")) % prefix_buckets
 
 
+def _posting_rows(
+    t: pa.Table,
+    text_col: str,
+    id_col: str,
+    prefix_buckets: int,
+    max_df_ratio: float,
+) -> pa.Table:
+    """Per-batch posting combiner: each doc contributes each DISTINCT
+    token once, bucketed by crc32; the per-batch DF cap is the stopword
+    skew guard (see module docstring)."""
+    toks_out: list[str] = []
+    ids_out: list[int] = []
+    buckets: list[int] = []
+    ids = t.column(id_col).to_pylist()
+    per_doc = [set((x or "").split(" ")) for x in t.column(text_col).to_pylist()]
+    if max_df_ratio < 1.0 and len(per_doc) > 1:
+        from collections import Counter
+
+        df = Counter(tok for s in per_doc for tok in s)
+        cap = max_df_ratio * len(per_doc)
+        banned = {tok for tok, n in df.items() if n > cap}
+        per_doc = [s - banned for s in per_doc]
+    for i, s in zip(ids, per_doc):
+        for tok in s:
+            toks_out.append(tok)
+            ids_out.append(i)
+            buckets.append(_token_bucket(tok, prefix_buckets))
+    return pa.table(
+        {
+            "token": pa.array(toks_out, pa.string()),
+            id_col: pa.array(ids_out, pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+        }
+    )
+
+
 def build_token_index(
     ds: ray.data.Dataset,
     index_dir: str,
@@ -66,30 +102,7 @@ def build_token_index(
     """
 
     def pairs(t: pa.Table) -> pa.Table:
-        toks_out: list[str] = []
-        ids_out: list[int] = []
-        buckets: list[int] = []
-        ids = t.column(id_col).to_pylist()
-        per_doc = [set((x or "").split(" ")) for x in t.column(text_col).to_pylist()]
-        if max_df_ratio < 1.0 and len(per_doc) > 1:
-            from collections import Counter
-
-            df = Counter(tok for s in per_doc for tok in s)
-            cap = max_df_ratio * len(per_doc)
-            banned = {tok for tok, n in df.items() if n > cap}
-            per_doc = [s - banned for s in per_doc]
-        for i, s in zip(ids, per_doc):
-            for tok in s:
-                toks_out.append(tok)
-                ids_out.append(i)
-                buckets.append(_token_bucket(tok, prefix_buckets))
-        return pa.table(
-            {
-                "token": pa.array(toks_out, pa.string()),
-                id_col: pa.array(ids_out, pa.int64()),
-                "bucket": pa.array(buckets, pa.int64()),
-            }
-        )
+        return _posting_rows(t, text_col, id_col, prefix_buckets, max_df_ratio)
 
     ds.map_batches(pairs, batch_format="pyarrow").repartition(
         write_blocks
@@ -140,3 +153,143 @@ def lookup_tokens(
         lambda t: t.filter(pc.is_in(t.column("token"), value_set=probe)),
         batch_format="pyarrow",
     )
+
+
+def update_token_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Merge a crawl increment into the persisted inverted index and
+    COMPACT the touched partitions — the maintenance half next to
+    :func:`build_token_index` / :func:`lookup_tokens`, mirroring the
+    md5/minhash index update contract (``dedup.update_md5_index``), so
+    the corpus is never re-indexed as crawls land.
+
+    Shape: posting rows for the increment (small side, the same
+    combiner as the build incl. the meta's DF cap) → ONE
+    ``groupby(bucket)`` over the union of increment rows and the
+    touched partitions' rows (≤ ``prefix_buckets`` groups — the
+    partition key itself) → each group rewrites its partition as ONE
+    (token, id)-deduped sorted file named by a hash of its content, so
+    re-runs are idempotent.  Old part files are deleted only AFTER
+    every new file is in place.
+
+    Crash safety: a death between writing compacted files and deleting
+    old ones leaves duplicate (token, id) rows — harmless, because
+    lookups have set semantics (and BM25 builds its own layout); a
+    re-run converges to the same single file.  Untouched partitions are
+    never read or written.
+
+    Returns ``{"buckets_compacted", "rows_added", "rows_total"}``.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    prefix_buckets = int(meta["prefix_buckets"])
+    if meta.get("id_col", id_col) != id_col:
+        raise ValueError(
+            f"index at {index_dir} was built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    max_df_ratio = float(meta.get("max_df_ratio", 1.0))
+
+    new_rows = new_ds.map_batches(
+        lambda t: _posting_rows(t, text_col, id_col, prefix_buckets, max_df_ratio),
+        batch_format="pyarrow",
+    ).materialize()
+    rows_added = new_rows.count()
+
+    seen: set[int] = set()
+    for row in new_rows.map_batches(
+        lambda t: pa.table(
+            {"bucket": pa.array(sorted(set(t.column("bucket").to_pylist())), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        seen.add(int(row["bucket"]))
+
+    old_files = {
+        b: sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        for b in sorted(seen)
+    }
+
+    sides = [new_rows]
+    flat_old = [f for files in old_files.values() for f in files]
+    if flat_old:
+
+        def rebucket(t: pa.Table) -> pa.Table:
+            toks = t.column("token").to_pylist()
+            return pa.table(
+                {
+                    "token": t.column("token"),
+                    id_col: t.column(id_col),
+                    "bucket": pa.array(
+                        [_token_bucket(tok, prefix_buckets) for tok in toks],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        sides.append(
+            ray.data.read_parquet(flat_old, columns=["token", id_col]).map_batches(
+                rebucket, batch_format="pyarrow"
+            )
+        )
+    merged = sides[0] if len(sides) == 1 else sides[0].union(sides[1])
+
+    def compact_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        import pyarrow.parquet as pq_
+
+        b = int(df["bucket"].iloc[0])
+        d = (
+            df.sort_values(["token", id_col], kind="mergesort")
+            .drop_duplicates(subset=["token", id_col], keep="first")
+        )
+        part_dir = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        content_key = hashlib.md5(
+            ("\n".join(d["token"]) + f"|{len(d)}").encode()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        pq_.write_table(
+            pa.table(
+                {
+                    "token": pa.array(d["token"].tolist(), pa.string()),
+                    id_col: pa.array(d[id_col].to_numpy(dtype=np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(d)], "path": [path]})
+
+    manifest = (
+        merged.groupby("bucket").map_groups(compact_group, batch_format="pandas").take_all()
+    )
+    new_paths = {m["path"] for m in manifest}
+    written = {int(m["bucket"]) for m in manifest}
+    for b, files in old_files.items():
+        if b not in written:
+            raise RuntimeError(f"compaction wrote no file for bucket {b}")
+        for f in files:
+            if f not in new_paths:
+                os.remove(f)
+    return {
+        "buckets_compacted": len(manifest),
+        "rows_added": int(rows_added),
+        "rows_total": int(sum(m["rows"] for m in manifest)),
+    }

@@ -2521,6 +2521,55 @@ def q_token_index_lookup(sf_dir: str) -> ray.data.Dataset:
     return invindex.lookup_tokens(index_dir, probe)
 
 
+def q_token_index_update(sf_dir: str) -> ray.data.Dataset:
+    """Incremental inverted-index maintenance: the index is built from
+    the EVEN docs only, then a crawl increment (the ODD docs) is folded
+    in via ``update_token_index`` (touched-partition compaction — the
+    md5-index update contract).  The probe (first 4 tokens of doc 3, an
+    odd doc) must surface documents from BOTH waves; the oracle
+    recomputes postings over ALL docs, so a lost increment or a
+    clobbered original breaks the row set."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc_
+
+    from ..functions import invindex
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_tokupd_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        if os.path.exists(index_dir):  # partial state from a dead run
+            shutil.rmtree(index_dir)
+        evens = docs.map_batches(
+            lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 0)),
+            batch_format="pyarrow",
+        )
+        odds = docs.map_batches(
+            lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 1)),
+            batch_format="pyarrow",
+        )
+        invindex.build_token_index(evens, index_dir)
+        invindex.update_token_index(odds, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    import pyarrow.parquet as pq_
+
+    probe_row = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 3)],
+    )
+    probe_text = probe_row.column("text").to_pylist()[0] or ""
+    probe = list(dict.fromkeys(probe_text.split(" ")[:4]))
+    return invindex.lookup_tokens(index_dir, probe)
+
+
 def q_sequence_packing(sf_dir: str) -> ray.data.Dataset:
     """GPT-style concat-and-chunk packing plan (seq_len=256): docs in
     doc_id order are concatenated and cut every 256 tokens; each doc

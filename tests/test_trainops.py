@@ -2361,3 +2361,96 @@ def test_chunk_documents_validation():
         chunk_documents(None, window=0)
     with _pytest.raises(ValueError):
         chunk_documents(None, stride=0)
+
+
+def test_token_index_update_compacts_and_probes(ray_session, tmp_path):
+    import glob as _glob
+    import os
+
+    from ocr_system_ray.functions import invindex
+
+    def _ds(docs, blocks=2):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            )
+        ).repartition(blocks)
+
+    idx = str(tmp_path / "idx")
+    invindex.build_token_index(_ds([(0, "alpha beta"), (1, "beta gamma")]), idx, prefix_buckets=8)
+    stats = invindex.update_token_index(_ds([(2, "alpha zeta"), (3, "beta")]), idx)
+    assert stats["rows_added"] == 3  # alpha+zeta from doc 2, beta from doc 3
+    # old and new docs both probe correctly after the merge
+    out = invindex.lookup_tokens(idx, ["alpha"]).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2]
+    out = invindex.lookup_tokens(idx, ["beta"]).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 3]
+    out = invindex.lookup_tokens(idx, ["zeta"]).take_all()
+    assert [r["doc_id"] for r in out] == [2]
+    # touched buckets hold exactly ONE compacted file each
+    touched = {invindex._token_bucket(t, 8) for t in ("alpha", "zeta", "beta")}
+    for b in touched:
+        files = _glob.glob(os.path.join(idx, f"bucket={b}", "*.parquet"))
+        assert len(files) == 1, (b, files)
+        assert "compact-" in files[0]
+
+
+def test_token_index_update_idempotent_and_crash_safe(ray_session, tmp_path):
+    import glob as _glob
+    import os
+
+    from ocr_system_ray.functions import invindex
+
+    def _ds(docs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                }
+            )
+        )
+
+    idx = str(tmp_path / "idx")
+    invindex.build_token_index(_ds([(0, "alpha beta")]), idx, prefix_buckets=4)
+    invindex.update_token_index(_ds([(1, "alpha")]), idx)
+    before = sorted(_glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    # re-running the same merge converges to the same content-hash files
+    invindex.update_token_index(_ds([(1, "alpha")]), idx)
+    after = sorted(_glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    assert before == after
+    # simulated crash leftover: a duplicate posting file is harmless to
+    # the probe (set semantics) and the next update removes it
+    b = invindex._token_bucket("alpha", 4)
+    leftover = os.path.join(idx, f"bucket={b}", "leftover.parquet")
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table({"token": pa.array(["alpha"]), "doc_id": pa.array([0], pa.int64())}),
+        leftover,
+    )
+    out = invindex.lookup_tokens(idx, ["alpha"]).take_all()
+    assert sorted({r["doc_id"] for r in out}) == [0, 1]
+    invindex.update_token_index(_ds([(2, "alpha")]), idx)
+    assert not os.path.exists(leftover)
+    out = invindex.lookup_tokens(idx, ["alpha"]).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+def test_token_index_update_meta_validation(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from ocr_system_ray.functions import invindex
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"], pa.string())}
+        )
+    )
+    idx = str(tmp_path / "idx")
+    invindex.build_token_index(ds, idx)
+    with _pytest.raises(ValueError, match="id_col"):
+        invindex.update_token_index(ds, idx, id_col="vec_id")
