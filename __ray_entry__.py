@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
         "microdata": q.q_microdata,
+        "html_tables": q.q_html_tables,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2790,6 +2791,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # html_tables: every cell row re-derived from the doc_id
+        # derivation (nested-table + script-ghost decoys must not leak
+        # or the row set differs)
+        "html_tables": """
+            WITH tabs AS (
+                SELECT doc_id, CAST(j AS BIGINT) AS table_ord,
+                       CASE WHEN (doc_id + j) % 3 <> 1
+                            THEN 'Cap ' || doc_id || '-' || j ELSE ''
+                       END AS caption,
+                       CAST(1 + (doc_id + j) % 3 AS INT) AS n_data
+                FROM documents,
+                     unnest(range(0, CAST(1 + doc_id % 2 AS INT))) AS t(j)
+                WHERE doc_id % 13 <> 4
+            ), hdr AS (
+                SELECT doc_id, table_ord, caption,
+                       CAST(0 AS BIGINT) AS "row", CAST(k AS BIGINT) AS "col",
+                       CAST(1 AS BIGINT) AS is_header,
+                       CASE k WHEN 0 THEN 'A' ELSE 'B' END AS text
+                FROM tabs, unnest(range(0, 2)) AS u(k)
+            ), data0 AS (
+                SELECT doc_id, table_ord, caption,
+                       CAST(1 + r AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS BIGINT),
+                       'c' || doc_id || '-' || table_ord || '-' || r
+                FROM tabs, unnest(range(0, n_data)) AS u(r)
+            ), data1 AS (
+                SELECT doc_id, table_ord, caption,
+                       CAST(1 + r AS BIGINT), CAST(1 AS BIGINT),
+                       CAST(0 AS BIGINT),
+                       'v' || ((doc_id * 5 + table_ord + r) % 9)
+                FROM tabs, unnest(range(0, n_data)) AS u(r)
+            ), sentinels AS (
+                SELECT doc_id, CAST(-1 AS BIGINT), '',
+                       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                       CAST(0 AS BIGINT), ''
+                FROM documents WHERE doc_id % 13 = 4
+            )
+            SELECT * FROM hdr
+            UNION ALL SELECT * FROM data0
+            UNION ALL SELECT * FROM data1
+            UNION ALL SELECT * FROM sentinels
+        """,
         # microdata: every property row re-derived from the doc_id
         # derivation (flat item model; orphan/prop-less decoys and the
         # whitespace-collapse rule must hold or the row set differs)

@@ -189,6 +189,7 @@ def _query_suite() -> dict:
         "corpus_shuffle": q.q_corpus_shuffle,
         "microdata": q.q_microdata,
         "token_index_update": q.q_token_index_update,
+        "html_tables": q.q_html_tables,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

@@ -1,0 +1,146 @@
+"""HTML table extraction: web tables → structured cell rows.
+
+The web-table mining leg of the extraction tier (WDC Web Tables /
+TURL-style corpora are built exactly this way): relational data on the
+web lives in ``<table>`` markup, and a training-data pipeline wants it
+as typed rows, not prose.  This extracts every table's cell grid with
+a deterministic, SQL-twinnable SPEC:
+
+* tables in document order (``table_ord``); NESTED tables are out of
+  scope for the subset — a ``<table>`` inside a table cell ends the
+  outer cell's text and is skipped whole (its cells do not leak into
+  the outer grid);
+* rows = ``<tr>``, cells = ``<td>`` / ``<th>`` in document order
+  (``row``/``col`` 0-based positions; ``is_header`` = 1 for ``th``);
+  ``colspan``/``rowspan`` ATTRIBUTES do not shift positions (the
+  grid is the markup's cell order, not the rendered geometry — the
+  subset real table-corpus builders use before geometry repair);
+* cell text = tag-stripped (inner markup → one space), the five
+  standard charrefs unescaped, ASCII whitespace collapsed, trimmed;
+* ``<caption>`` text is surfaced per table; script/style content never
+  leaks into cells.
+
+Scale notes: one stateless 1→N flat-map (a page with T cells emits T
+rows + one caption row per table), HTML dies in-stage; rows are
+independent — no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_TABLE_OPEN_RE = re.compile(r"<table\b[^>]*>", re.IGNORECASE)
+_TABLE_ANY_RE = re.compile(r"<(/?)table\b[^>]*>", re.IGNORECASE)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)(?=<tr\b|</table|$)", re.IGNORECASE | re.DOTALL)
+_CELL_RE = re.compile(
+    r"<(td|th)\b[^>]*>(.*?)(?=<td\b|<th\b|</tr|</table|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_CAPTION_RE = re.compile(
+    r"<caption\b[^>]*>(.*?)</caption\s*>", re.IGNORECASE | re.DOTALL
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _cell_text(markup: str) -> str:
+    text = _TAG_RE.sub(" ", markup)
+    for src, dst in _ENTITIES:
+        text = text.replace(src, dst)
+    return _WS_RE.sub(" ", text).strip()
+
+
+def _table_bodies(html: str) -> list[str]:
+    """Top-level table bodies in document order; nested tables are cut
+    out whole (depth tracking over open/close table tags)."""
+    bodies: list[str] = []
+    depth = 0
+    start = 0
+    parts: list[str] = []
+    for m in _TABLE_ANY_RE.finditer(html):
+        if not m.group(1):  # open
+            if depth == 0:
+                parts = []
+                start = m.end()
+            else:
+                parts.append(html[start : m.start()])  # outer text before nested
+            depth += 1
+            if depth > 1:
+                pass
+        else:  # close
+            if depth == 0:
+                continue  # stray close
+            depth -= 1
+            if depth == 0:
+                parts.append(html[start : m.start()])
+                bodies.append("".join(parts))
+            elif depth == 1:
+                start = m.end()  # resume outer capture after the nested table
+    return bodies
+
+
+def extract_tables(html: str) -> list[dict]:
+    """One page → ``[{"table_ord", "caption", "cells": [(row, col,
+    is_header, text)]}]`` per the SPEC."""
+    html = _SCRIPT_RE.sub(" ", html or "")
+    out: list[dict] = []
+    for t_ord, body in enumerate(_table_bodies(html)):
+        cm = _CAPTION_RE.search(body)
+        caption = _cell_text(cm.group(1)) if cm else ""
+        body_wo_caption = _CAPTION_RE.sub(" ", body)
+        cells: list[tuple[int, int, int, str]] = []
+        for r, rm in enumerate(_TR_RE.finditer(body_wo_caption)):
+            for c, cmatch in enumerate(_CELL_RE.finditer(rm.group(1))):
+                is_header = 1 if cmatch.group(1).lower() == "th" else 0
+                cells.append((r, c, is_header, _cell_text(cmatch.group(2))))
+        out.append({"table_ord": t_ord, "caption": caption, "cells": cells})
+    return out
+
+
+def table_cells_batch(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """1→N flat-map → one row per CELL: ``(id, table_ord, caption, row,
+    col, is_header, text)``; table-less docs emit one ``table_ord=-1``
+    sentinel row (row conservation).  HTML dies in-stage."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids_out, t_ords, caps, rows_, cols_, hdrs, texts = [], [], [], [], [], [], []
+        for did, h in zip(
+            t.column(id_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            tables = extract_tables(h or "")
+            emitted = False
+            for tab in tables:
+                for r, c, is_h, text in tab["cells"]:
+                    ids_out.append(did)
+                    t_ords.append(tab["table_ord"])
+                    caps.append(tab["caption"])
+                    rows_.append(r)
+                    cols_.append(c)
+                    hdrs.append(is_h)
+                    texts.append(text)
+                    emitted = True
+            if not emitted:
+                ids_out.append(did)
+                t_ords.append(-1)
+                caps.append("")
+                rows_.append(-1)
+                cols_.append(-1)
+                hdrs.append(0)
+                texts.append("")
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "table_ord": pa.array(t_ords, pa.int64()),
+                "caption": pa.array(caps, pa.string()),
+                "row": pa.array(rows_, pa.int64()),
+                "col": pa.array(cols_, pa.int64()),
+                "is_header": pa.array(hdrs, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

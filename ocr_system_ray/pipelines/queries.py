@@ -3464,6 +3464,62 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def _derived_table_pages(t: pa.Table) -> pa.Table:
+    """Web-table leg: pages whose table grids are a pure function of
+    doc_id — 1 + i%2 tables each with a 2-column header row and
+    1 + (i+j)%3 data rows; caption present when (i+j)%3 != 1; UPPERCASE
+    tags on %5==0; a nested-table decoy inside the first data cell on
+    %7==3 and a script ghost table always (both must not leak).  Bare
+    table-less pages on %13==4."""
+    ids = t.column("doc_id").to_pylist()
+    pages: list[str] = []
+    for i in ids:
+        if i % 13 == 4:
+            pages.append(f"<html><body><p>no tables {i}</p></body></html>")
+            continue
+        up = i % 5 == 0
+        tt, tr, td, th = (
+            ("TABLE", "TR", "TD", "TH") if up else ("table", "tr", "td", "th")
+        )
+        parts = ["<html><body>"]
+        parts.append(
+            f'<script>var g = "<table><tr><td>ghost {i}</td></tr></table>";</script>'
+        )
+        for j in range(1 + i % 2):
+            parts.append(f"<{tt} class=t{j}>")
+            if (i + j) % 3 != 1:
+                parts.append(f"<caption>Cap {i}-{j}</caption>")
+            parts.append(f"<{tr}><{th}>A</{th}><{th}>B</{th}></{tr}>")
+            for r in range(1 + (i + j) % 3):
+                nested = (
+                    "<table><tr><td>inner</td></tr></table> "
+                    if (i % 7 == 3 and j == 0 and r == 0)
+                    else ""
+                )
+                parts.append(
+                    f"<{tr}><{td}>{nested}c{i}-{j}-{r}</{td}>"
+                    f"<{td}>v{(i * 5 + j + r) % 9}</{td}></{tr}>"
+                )
+            parts.append(f"</{tt}>")
+        parts.append("</body></html>")
+        pages.append("".join(parts))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "html": pa.array(pages, pa.string())}
+    )
+
+
+def q_html_tables(sf_dir: str) -> ray.data.Dataset:
+    """Web-table extraction (the WDC-Web-Tables corpus shape): every
+    table's cell grid with header flags and captions; nested-table and
+    script-ghost decoys must not leak.  Oracle: every cell row
+    re-derived in SQL from the doc_id derivation."""
+    from ..functions.htmltables import table_cells_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_table_pages, batch_format="pyarrow")
+    return table_cells_batch(pages)
+
+
 def _derived_microdata_pages(t: pa.Table) -> pa.Table:
     """Microdata leg: pages whose itemscope/itemprop content is a pure
     function of doc_id through the messy syntax real pages use —

@@ -1,0 +1,91 @@
+"""HTML table extraction: grids, nesting, captions, charrefs."""
+
+from __future__ import annotations
+
+from ocr_system_ray.functions.htmltables import extract_tables, table_cells_batch
+
+
+def test_basic_grid_with_headers_and_caption():
+    html = (
+        "<table><caption>Cap <b>One</b></caption>"
+        "<tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td>a &amp; b</td><td>c\n  d</td></tr></table>"
+    )
+    (t,) = extract_tables(html)
+    assert t["caption"] == "Cap One"
+    assert t["cells"] == [
+        (0, 0, 1, "H1"),
+        (0, 1, 1, "H2"),
+        (1, 0, 0, "a & b"),
+        (1, 1, 0, "c d"),
+    ]
+
+
+def test_nested_table_cut_out_whole():
+    html = (
+        "<table><tr><td>outer <table><tr><td>INNER</td></tr></table> tail</td>"
+        "<td>e</td></tr></table>"
+    )
+    (t,) = extract_tables(html)
+    assert t["cells"] == [(0, 0, 0, "outer tail"), (0, 1, 0, "e")]
+    # the inner table does NOT appear as its own table in the subset
+    assert len(extract_tables(html)) == 1
+
+
+def test_multiple_tables_in_order_and_script_ghost():
+    html = (
+        "<table><tr><td>t0</td></tr></table>"
+        '<script>var x = "<table><tr><td>ghost</td></tr></table>";</script>'
+        "<TABLE><TR><TD>t1</TD></TR></TABLE>"
+    )
+    tables = extract_tables(html)
+    assert [t["table_ord"] for t in tables] == [0, 1]
+    assert tables[0]["cells"][0][3] == "t0"
+    assert tables[1]["cells"][0][3] == "t1"
+
+
+def test_unclosed_cells_and_rows():
+    # real-web sloppy markup: no </td>/</tr> closers
+    html = "<table><tr><td>a<td>b<tr><td>c</table>"
+    (t,) = extract_tables(html)
+    assert t["cells"] == [(0, 0, 0, "a"), (0, 1, 0, "b"), (1, 0, 0, "c")]
+
+
+def test_cell_with_markup_and_empty_table():
+    html = "<table><tr><td><a href='/x'>link</a> <i>it</i></td></tr></table><table></table>"
+    tables = extract_tables(html)
+    assert tables[0]["cells"] == [(0, 0, 0, "link it")]
+    assert tables[1]["cells"] == []
+
+
+def test_no_tables_and_empty_page():
+    assert extract_tables("<p>nothing</p>") == []
+    assert extract_tables("") == []
+    assert extract_tables(None) == []
+
+
+def test_table_cells_batch_sentinels(ray_session):
+    import ray as ray_mod
+
+    items = [
+        {"doc_id": 0, "html": "<table><tr><th>H</th></tr><tr><td>v</td></tr></table>"},
+        {"doc_id": 1, "html": "<p>none</p>"},
+    ]
+    out = (
+        table_cells_batch(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values(["doc_id", "row", "col"])
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == [
+        "doc_id",
+        "table_ord",
+        "caption",
+        "row",
+        "col",
+        "is_header",
+        "text",
+    ]
+    assert list(out["table_ord"]) == [0, 0, -1]
+    assert list(out["is_header"]) == [1, 0, 0]
+    assert list(out["text"]) == ["H", "v", ""]
