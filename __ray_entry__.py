@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle": q.q_corpus_shuffle,
         "microdata": q.q_microdata,
         "html_tables": q.q_html_tables,
+        "sentence_split": q.q_sentence_split,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
@@ -2791,6 +2792,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pdf_images: branch-selected committed goldens — the raw-RGB
         # branch must equal the BMP leg (lossless), the DCT branches the
+        # sentence_split: every sentence row re-derived from the doc_id
+        # derivation — the abbreviation (Dr.) and close-quote branches
+        # pin the guard rules; tail fragments and whitespace-only docs
+        # pin the edge handling
+        "sentence_split": """
+            WITH sents AS (
+                SELECT doc_id, CAST(k AS BIGINT) AS sent_ord,
+                       CASE k % 3
+                            WHEN 0 THEN 'Beta sent ' || doc_id || '-' || k || '!'
+                            WHEN 1 THEN 'Dr. Case ' || doc_id || '-' || k
+                                        || ' stays whole.'
+                            ELSE 'She said "stop ' || doc_id || '-' || k || '."'
+                       END AS sentence
+                FROM documents,
+                     unnest(range(0, CAST(1 + doc_id % 3 AS INT))) AS t(k)
+                WHERE doc_id % 13 <> 4
+                UNION ALL
+                SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT),
+                       'Tail fragment ' || doc_id
+                FROM documents
+                WHERE doc_id % 13 <> 4 AND doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, CAST(-1 AS BIGINT), ''
+                FROM documents WHERE doc_id % 13 = 4
+            )
+            SELECT doc_id, sent_ord, sentence,
+                   CAST(length(sentence) AS BIGINT) AS n_chars
+            FROM sents
+        """,
         # html_tables: every cell row re-derived from the doc_id
         # derivation (nested-table + script-ghost decoys must not leak
         # or the row set differs)

@@ -190,6 +190,7 @@ def _query_suite() -> dict:
         "microdata": q.q_microdata,
         "token_index_update": q.q_token_index_update,
         "html_tables": q.q_html_tables,
+        "sentence_split": q.q_sentence_split,
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,

@@ -847,3 +847,79 @@ def bigram_neglogprob(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sentence splitting (the sentence-level dedup/decontam preprocessing step)
+
+# A deliberately deterministic rule-based splitter (punkt-lite): the
+# sentence-level analogs of line_dedup / decontam want stable, engine-
+# reproducible boundaries, not a trained model.
+SENT_ABBREVS = frozenset(
+    {"Mr", "Mrs", "Ms", "Dr", "Prof", "St", "vs", "etc", "e.g", "i.e", "Fig", "No"}
+)
+_SENT_BOUNDARY = re.compile(
+    r"""([.!?]+["')\]]*)[ \t\r\n\f\v]+(?=["'(\[]*[A-Z0-9])"""
+)
+_LAST_WORD = re.compile(r"""([A-Za-z][A-Za-z.]*)[.!?]+["')\]]*$""")
+
+
+def split_sentences(text: str | None) -> list[str]:
+    """Rule-based sentence split: a boundary is a run of ``.!?`` (plus
+    closing quotes/brackets) followed by whitespace and an upper/digit
+    start — unless the word before the period is a known abbreviation
+    (``SENT_ABBREVS``, checked without its trailing period).  Sentences
+    are trimmed; empty pieces drop; a final unterminated fragment is
+    kept.  Deterministic and model-free so the derivation oracle can
+    plant exact expected splits."""
+    s = text or ""
+    out: list[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY.finditer(s):
+        candidate = s[start : m.end(1)]
+        lw = _LAST_WORD.search(candidate)
+        if lw and lw.group(1).rstrip(".") in SENT_ABBREVS:
+            continue  # abbreviation — not a boundary
+        piece = candidate.strip()
+        if piece:
+            out.append(piece)
+        start = m.end()
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def sentences_batch(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """1→N flat-map → ``(id, sent_ord, sentence, n_chars)`` per
+    sentence; sentence-less docs emit one ``sent_ord=-1`` sentinel row
+    (row conservation).  Row-local, no shuffle."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids_out, ords, sents, lens = [], [], [], []
+        for did, x in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            pieces = split_sentences(x)
+            if not pieces:
+                ids_out.append(did)
+                ords.append(-1)
+                sents.append("")
+                lens.append(0)
+                continue
+            for k, p in enumerate(pieces):
+                ids_out.append(did)
+                ords.append(k)
+                sents.append(p)
+                lens.append(len(p))
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "sent_ord": pa.array(ords, pa.int64()),
+                "sentence": pa.array(sents, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

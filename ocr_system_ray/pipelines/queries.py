@@ -3464,6 +3464,48 @@ def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     return chunk_documents(docs, window=64, stride=48)
 
 
+def _derived_sentence_docs(t: pa.Table) -> pa.Table:
+    """Sentence-split leg: docs whose expected sentence list is known
+    by construction — per doc 1 + i%3 sentences rotating through a
+    plain terminal (!), an in-sentence abbreviation (``Dr.`` must NOT
+    split), and a close-quote terminal (``."``), single-space joined;
+    an unterminated tail fragment appended on %4==0; whitespace-only
+    docs (→ sentinel) on %13==4."""
+    ids = t.column("doc_id").to_pylist()
+    texts: list[str] = []
+    for i in ids:
+        if i % 13 == 4:
+            texts.append("   ")
+            continue
+        sents = []
+        for k in range(1 + i % 3):
+            if k % 3 == 0:
+                sents.append(f"Beta sent {i}-{k}!")
+            elif k % 3 == 1:
+                sents.append(f"Dr. Case {i}-{k} stays whole.")
+            else:
+                sents.append(f'She said "stop {i}-{k}."')
+        if i % 4 == 0:
+            sents.append(f"Tail fragment {i}")
+        texts.append(" ".join(sents))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "text": pa.array(texts, pa.string())}
+    )
+
+
+def q_sentence_split(sf_dir: str) -> ray.data.Dataset:
+    """Rule-based sentence splitting (the sentence-level dedup /
+    decontam preprocessing step): terminal-punctuation boundaries with
+    close-quote attachment and an abbreviation guard, deterministic and
+    model-free.  Oracle: every sentence row re-derived in SQL from the
+    doc_id derivation (the Dr./quote branches pin the guard rules)."""
+    from ..functions.textstats import sentences_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    derived = docs.map_batches(_derived_sentence_docs, batch_format="pyarrow")
+    return sentences_batch(derived)
+
+
 def _derived_table_pages(t: pa.Table) -> pa.Table:
     """Web-table leg: pages whose table grids are a pure function of
     doc_id — 1 + i%2 tables each with a 2-column header row and

@@ -1,0 +1,43 @@
+
+
+def test_split_sentences_rules():
+    from ocr_system_ray.functions.textstats import split_sentences
+
+    cases = [
+        ("Hello world. Second one! Third?", ["Hello world.", "Second one!", "Third?"]),
+        ("Dr. Smith went home. He slept.", ["Dr. Smith went home.", "He slept."]),
+        ('She said "Stop." Then left.', ['She said "Stop."', "Then left."]),
+        ("See Fig. 3 for details. Next.", ["See Fig. 3 for details.", "Next."]),
+        ("e.g. apples are good. Yes.", ["e.g. apples are good.", "Yes."]),
+        ("No terminal fragment", ["No terminal fragment"]),
+        ("ends low. not split here", ["ends low. not split here"]),
+        ("", []),
+        (None, []),
+        ("   ", []),
+        ("Multi...  Dots! OK?", ["Multi...", "Dots!", "OK?"]),
+        ("(Bracketed.) Next one.", ["(Bracketed.)", "Next one."]),
+        ("Number end 3. 4 starts this.", ["Number end 3.", "4 starts this."]),
+    ]
+    for s, want in cases:
+        assert split_sentences(s) == want, s
+
+
+def test_sentences_batch_sentinels_and_order(ray_session):
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.textstats import sentences_batch
+
+    items = [
+        {"doc_id": 0, "text": "One here. Two here."},
+        {"doc_id": 1, "text": "   "},
+        {"doc_id": 2, "text": None},
+    ]
+    out = (
+        sentences_batch(ray_mod.data.from_items(items))
+        .to_pandas()
+        .sort_values(["doc_id", "sent_ord"])
+        .reset_index(drop=True)
+    )
+    assert list(out["sent_ord"]) == [0, 1, -1, -1]
+    assert list(out["sentence"]) == ["One here.", "Two here.", "", ""]
+    assert list(out["n_chars"]) == [9, 9, 0, 0]
