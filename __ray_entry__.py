@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
         "ogg_headers": q.q_ogg_headers,
+        "mp4_headers": q.q_mp4_headers,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -2738,6 +2739,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # mp4_headers: every box-walk field recomputed from the doc_id
+        # derivation — duration in mvhd units floor-divided to ms, the
+        # audio-only / truncated-mdat / non-MP4 branches all pinned
+        "mp4_headers": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       CASE doc_id % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                            WHEN 2 THEN 'avc1' ELSE 'dash' END AS brand,
+                       CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 600
+                            WHEN 2 THEN 90000 ELSE 48000 END AS ts,
+                       doc_id % 11 <> 5 AS hasv,
+                       (doc_id % 2 = 0) OR (doc_id % 11 = 5) AS hasa
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CASE WHEN bad THEN '' ELSE brand END AS brand,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE ((5 + doc_id % 7) * ts + 37 * (doc_id % 4))
+                          * 1000 // ts END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE (CASE WHEN hasv THEN 1 ELSE 0 END)
+                        + (CASE WHEN hasa THEN 1 ELSE 0 END)
+                     END AS BIGINT) AS n_tracks,
+                CAST(CASE WHEN bad OR NOT hasv THEN 0
+                     ELSE 16 * (2 + doc_id % 5) END AS BIGINT) AS video_w,
+                CAST(CASE WHEN bad OR NOT hasv THEN 0
+                     ELSE 16 * (1 + doc_id % 3) END AS BIGINT) AS video_h,
+                CASE WHEN bad OR NOT hasv THEN ''
+                     ELSE CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                          WHEN 2 THEN 'vp09' ELSE 'av01' END
+                     END AS video_codec,
+                CASE WHEN bad OR NOT hasa THEN ''
+                     ELSE CASE doc_id % 3 WHEN 0 THEN 'mp4a' WHEN 1 THEN 'opus'
+                          ELSE 'ac-3' END
+                     END AS audio_codec,
+                CAST(CASE WHEN bad THEN 0 WHEN doc_id % 89 = 3 THEN 2
+                     ELSE 3 END AS BIGINT) AS n_boxes
+            FROM b
         """,
         # ogg_headers: container math recomputed from the derivation —
         # duration = pages·granules·1000 // rate, one page fewer on the

@@ -1,0 +1,301 @@
+"""MP4 / ISO-BMFF container walk → filterable A/V metadata.
+
+The dominant web video container (MP4/M4A/MOV family): duration,
+track layout and codec identity all live in the CONTAINER layer — no
+codec decode needed — the same filterable-metadata contract as
+``media_headers`` (PNG/JPEG/MP3/WAV/WebP) and ``oggpages``:
+
+* box grammar: ``[size:u32][type:4cc]``; ``size == 1`` → a u64
+  largesize follows (the >4 GiB mdat case); ``size == 0`` → box runs
+  to EOF; FullBoxes carry ``version:u8 + flags:u24``;
+* ``ftyp`` major brand identifies the family (``isom``/``mp42``/...);
+* ``moov/mvhd`` carries the presentation timescale + duration
+  (version 0: u32 times; version 1: u64 — both real-world);
+* per ``trak``: ``tkhd`` has the 16.16 fixed-point visual width and
+  height, ``mdia/hdlr`` the handler kind (``vide``/``soun``), and
+  ``mdia/minf/stbl/stsd``'s first sample entry the codec fourcc
+  (``avc1``, ``hev1``, ``mp4a``, ``opus``, ...);
+* truncated tails (interrupted fetches): the top-level walk keeps the
+  complete-box prefix — a chopped trailing ``mdat`` drops out of the
+  box count while the already-complete ``moov`` still dates the file.
+
+``encode_mp4`` writes the real wire format (box sizes, FullBox
+versions, fixed-point dims, largesize path) around empty media data —
+silent but structurally genuine, like ``encode_mp3`` /
+``encode_ogg_vorbis``.  Reference analog: the OCR app treats every
+input as an opaque document and sniffs by magic bytes
+(`/root/reference/ocr/pdf.py` routes on extension); here the
+container itself is the metadata source.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_U32 = struct.Struct(">I")
+_U64 = struct.Struct(">Q")
+
+
+def _walk_children(payload: bytes, start: int, end: int):
+    """Yield ``(fourcc, body_start, body_end)`` for each COMPLETE child
+    box in ``payload[start:end]``; stops at the first incomplete one."""
+    pos = start
+    while pos + 8 <= end:
+        size = _U32.unpack_from(payload, pos)[0]
+        typ = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = _U64.unpack_from(payload, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # box runs to the end of its container
+        if size < hdr or pos + size > end:
+            return  # truncated / corrupt: complete-box prefix
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _fullbox_times(payload: bytes, start: int) -> tuple[int, int]:
+    """(timescale, duration) from an mvhd/mdhd FullBox body."""
+    version = payload[start]
+    if version == 1:
+        timescale = _U32.unpack_from(payload, start + 4 + 16)[0]
+        duration = _U64.unpack_from(payload, start + 4 + 20)[0]
+    else:
+        timescale = _U32.unpack_from(payload, start + 4 + 8)[0]
+        duration = _U32.unpack_from(payload, start + 4 + 12)[0]
+    return timescale, duration
+
+
+def _tkhd_dims(payload: bytes, start: int, end: int) -> tuple[int, int]:
+    """(width, height) integer pixels from tkhd's trailing 16.16 pair."""
+    if end - start < 8:
+        return 0, 0
+    w = _U32.unpack_from(payload, end - 8)[0] >> 16
+    h = _U32.unpack_from(payload, end - 4)[0] >> 16
+    return w, h
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Walk an ISO-BMFF file → ``{"brand", "duration_ms", "n_tracks",
+    "video_w", "video_h", "video_codec", "audio_codec", "n_boxes"}``.
+
+    Raises ``ValueError`` when the file does not start with ``ftyp``
+    or carries no complete ``moov``/``mvhd``.
+    """
+    if payload is None or len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("mp4: missing ftyp box")
+    n = len(payload)
+    brand = None
+    duration_ms = None
+    n_tracks = 0
+    video_w = video_h = 0
+    video_codec = ""
+    audio_codec = ""
+    n_boxes = 0
+    for typ, body_s, body_e in _walk_children(payload, 0, n):
+        n_boxes += 1
+        if typ == b"ftyp":
+            brand = payload[body_s : body_s + 4].decode("latin-1")
+        elif typ == b"moov":
+            for ctyp, cs, ce in _walk_children(payload, body_s, body_e):
+                if ctyp == b"mvhd":
+                    timescale, duration = _fullbox_times(payload, cs)
+                    if timescale == 0:
+                        raise ValueError("mp4: zero mvhd timescale")
+                    duration_ms = duration * 1000 // timescale
+                elif ctyp == b"trak":
+                    n_tracks += 1
+                    kind = b""
+                    codec = ""
+                    dims = (0, 0)
+                    for t2, s2, e2 in _walk_children(payload, cs, ce):
+                        if t2 == b"tkhd":
+                            dims = _tkhd_dims(payload, s2, e2)
+                        elif t2 == b"mdia":
+                            for t3, s3, e3 in _walk_children(payload, s2, e2):
+                                if t3 == b"hdlr":
+                                    kind = payload[s3 + 8 : s3 + 12]
+                                elif t3 == b"minf":
+                                    for t4, s4, e4 in _walk_children(payload, s3, e3):
+                                        if t4 != b"stbl":
+                                            continue
+                                        for t5, s5, e5 in _walk_children(
+                                            payload, s4, e4
+                                        ):
+                                            if t5 == b"stsd" and e5 - s5 >= 16:
+                                                codec = payload[
+                                                    s5 + 12 : s5 + 16
+                                                ].decode("latin-1")
+                    if kind == b"vide" and not video_codec:
+                        video_w, video_h = dims
+                        video_codec = codec
+                    elif kind == b"soun" and not audio_codec:
+                        audio_codec = codec
+    if brand is None or duration_ms is None:
+        raise ValueError("mp4: no complete moov/mvhd")
+    return {
+        "brand": brand,
+        "duration_ms": int(duration_ms),
+        "n_tracks": int(n_tracks),
+        "video_w": int(video_w),
+        "video_h": int(video_h),
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+        "n_boxes": int(n_boxes),
+    }
+
+
+def _box(typ: bytes, body: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return _U32.pack(1) + typ + _U64.pack(16 + len(body)) + body
+    return _U32.pack(8 + len(body)) + typ + body
+
+
+def _fullbox(typ: bytes, version: int, body: bytes) -> bytes:
+    return _box(typ, bytes([version, 0, 0, 0]) + body)
+
+
+def _mvhd(timescale: int, duration: int, version: int) -> bytes:
+    if version == 1:
+        body = _U64.pack(0) * 2 + _U32.pack(timescale) + _U64.pack(duration)
+    else:
+        body = _U32.pack(0) * 2 + _U32.pack(timescale) + _U32.pack(duration)
+    # rate 1.0, volume 1.0, reserved, identity matrix, predefineds, next id
+    body += _U32.pack(0x00010000) + struct.pack(">hH", 0x0100, 0)
+    body += _U32.pack(0) * 2
+    body += _U32.pack(0x00010000) + _U32.pack(0) * 3
+    body += _U32.pack(0x00010000) + _U32.pack(0) * 3 + _U32.pack(0x40000000)
+    body += _U32.pack(0) * 6 + _U32.pack(0xFFFFFFFF)
+    return _fullbox(b"mvhd", version, body)
+
+
+def _tkhd(track_id: int, duration: int, w: int, h: int, version: int) -> bytes:
+    if version == 1:
+        body = _U64.pack(0) * 2 + _U32.pack(track_id) + _U32.pack(0)
+        body += _U64.pack(duration)
+    else:
+        body = _U32.pack(0) * 2 + _U32.pack(track_id) + _U32.pack(0)
+        body += _U32.pack(duration)
+    body += _U32.pack(0) * 2 + struct.pack(">hhhH", 0, 0, 0, 0)
+    body += _U32.pack(0x00010000) + _U32.pack(0) * 3
+    body += _U32.pack(0x00010000) + _U32.pack(0) * 3 + _U32.pack(0x40000000)
+    body += _U32.pack(w << 16) + _U32.pack(h << 16)
+    return _fullbox(b"tkhd", version, body)
+
+
+def _hdlr(kind: bytes) -> bytes:
+    return _fullbox(b"hdlr", 0, _U32.pack(0) + kind + _U32.pack(0) * 3 + b"\x00")
+
+
+def _stsd(codec: str) -> bytes:
+    entry = _box(codec.encode("latin-1"), b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16)
+    return _fullbox(b"stsd", 0, _U32.pack(1) + entry)
+
+
+def _trak(
+    track_id: int,
+    kind: bytes,
+    codec: str,
+    timescale: int,
+    duration: int,
+    w: int,
+    h: int,
+    version: int,
+) -> bytes:
+    if version == 1:
+        mdhd_body = _U64.pack(0) * 2 + _U32.pack(timescale) + _U64.pack(duration)
+    else:
+        mdhd_body = _U32.pack(0) * 2 + _U32.pack(timescale) + _U32.pack(duration)
+    mdhd_body += struct.pack(">HH", 0x55C4, 0)  # language 'und'
+    stbl = _box(b"stbl", _stsd(codec))
+    minf = _box(b"minf", stbl)
+    mdia = _box(
+        b"mdia", _fullbox(b"mdhd", version, mdhd_body) + _hdlr(kind) + minf
+    )
+    return _box(b"trak", _tkhd(track_id, duration, w, h, version) + mdia)
+
+
+def encode_mp4(
+    brand: str = "isom",
+    timescale: int = 1000,
+    duration: int = 5000,
+    video: tuple[int, int, str] | None = (640, 360, "avc1"),
+    audio: str | None = "mp4a",
+    mdat_bytes: int = 64,
+    largesize_mdat: bool = False,
+    version: int = 0,
+) -> bytes:
+    """Real ISO-BMFF wire format: ftyp + moov(mvhd + traks) + mdat.
+    ``video=(w, h, fourcc)`` and/or ``audio=fourcc`` select tracks;
+    ``largesize_mdat`` exercises the 64-bit size path; ``version``
+    picks 32- vs 64-bit FullBox times throughout."""
+    ftyp = _box(b"ftyp", brand.encode("latin-1") + _U32.pack(0) + b"isomiso2")
+    traks = b""
+    tid = 1
+    if video is not None:
+        w, h, codec = video
+        traks += _trak(tid, b"vide", codec, timescale, duration, w, h, version)
+        tid += 1
+    if audio is not None:
+        traks += _trak(tid, b"soun", audio, timescale, duration, 0, 0, version)
+    moov = _box(b"moov", _mvhd(timescale, duration, version) + traks)
+    mdat = _box(b"mdat", b"\x00" * mdat_bytes, largesize=largesize_mdat)
+    return ftyp + moov + mdat
+
+
+def mp4_features(ds, payload_col: str = "video", id_col: str = "doc_id"):
+    """Stateless container pass → ``(id, ok, brand, duration_ms,
+    n_tracks, video_w, video_h, video_codec, audio_codec, n_boxes)``
+    (error-as-data; payload dies in-stage)."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        cols: dict[str, list] = {
+            "ok": [],
+            "brand": [],
+            "duration_ms": [],
+            "n_tracks": [],
+            "video_w": [],
+            "video_h": [],
+            "video_codec": [],
+            "audio_codec": [],
+            "n_boxes": [],
+        }
+        for p in t.column(payload_col).to_pylist():
+            try:
+                m = parse_mp4(p or b"")
+            except ValueError:
+                cols["ok"].append(0)
+                cols["brand"].append("")
+                cols["duration_ms"].append(0)
+                cols["n_tracks"].append(0)
+                cols["video_w"].append(0)
+                cols["video_h"].append(0)
+                cols["video_codec"].append("")
+                cols["audio_codec"].append("")
+                cols["n_boxes"].append(0)
+                continue
+            cols["ok"].append(1)
+            for k in (
+                "brand",
+                "duration_ms",
+                "n_tracks",
+                "video_w",
+                "video_h",
+                "video_codec",
+                "audio_codec",
+                "n_boxes",
+            ):
+                cols[k].append(m[k])
+        out = {id_col: t.column(id_col)}
+        for k, v in cols.items():
+            if k in ("brand", "video_codec", "audio_codec"):
+                out[k] = pa.array(v, pa.string())
+            else:
+                out[k] = pa.array(v, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(run, batch_format="pyarrow")

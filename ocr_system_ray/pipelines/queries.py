@@ -3453,6 +3453,58 @@ def q_ogg_headers(sf_dir: str) -> ray.data.Dataset:
     return ogg_features(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def q_mp4_headers(sf_dir: str) -> ray.data.Dataset:
+    """MP4/ISO-BMFF container walk (``functions/mp4boxes.py``): box
+    grammar incl. 64-bit largesize mdat (%5==0) and version-1 FullBox
+    times (%3==0), ftyp brand, mvhd duration, per-trak tkhd 16.16 dims
+    + hdlr kind + stsd codec fourcc; %11==5 rows are audio-only,
+    %89==3 rows are cut 10 bytes short so the trailing mdat drops from
+    the box count (complete-box prefix), %97 rows are not MP4 at all.
+    Oracle = DuckDB recomputing every field from the doc_id
+    derivation."""
+    from ..functions.mp4boxes import encode_mp4, mp4_features
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(b"not mp4")
+                continue
+            has_video = i % 11 != 5
+            has_audio = (i % 2 == 0) or not has_video
+            ts = (1000, 600, 90000, 48000)[i % 4]
+            raw = encode_mp4(
+                brand=("isom", "mp42", "avc1", "dash")[i % 4],
+                timescale=ts,
+                duration=(5 + i % 7) * ts + 37 * (i % 4),
+                video=(
+                    (
+                        16 * (2 + i % 5),
+                        16 * (1 + i % 3),
+                        ("avc1", "hev1", "vp09", "av01")[i % 4],
+                    )
+                    if has_video
+                    else None
+                ),
+                audio=("mp4a", "opus", "ac-3")[i % 3] if has_audio else None,
+                largesize_mdat=i % 5 == 0,
+                version=1 if i % 3 == 0 else 0,
+            )
+            if i % 89 == 3:
+                raw = raw[:-10]  # chop into the trailing mdat
+            payloads.append(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "video": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return mp4_features(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     """Window chunking over the documents' own text (window 64, stride
     48 — 16-token overlap), the RAG/packing preprocessing shape.

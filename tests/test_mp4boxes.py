@@ -1,0 +1,94 @@
+"""MP4/ISO-BMFF container walk: box grammar (32-bit, 64-bit largesize),
+FullBox version 0/1 times, tkhd 16.16 dims, hdlr/stsd codec identity,
+truncation prefix, rejection paths, and the Dataset pass."""
+
+import struct
+
+import pytest
+
+from ocr_system_ray.functions.mp4boxes import encode_mp4, mp4_features, parse_mp4
+
+
+def test_round_trip_defaults():
+    m = parse_mp4(encode_mp4())
+    assert m == {
+        "brand": "isom",
+        "duration_ms": 5000,
+        "n_tracks": 2,
+        "video_w": 640,
+        "video_h": 360,
+        "video_codec": "avc1",
+        "audio_codec": "mp4a",
+        "n_boxes": 3,
+    }
+
+
+def test_version1_times_and_largesize():
+    raw = encode_mp4(
+        brand="mp42",
+        timescale=90000,
+        duration=90000 * 7 + 123,
+        video=None,
+        audio="opus",
+        largesize_mdat=True,
+        version=1,
+    )
+    m = parse_mp4(raw)
+    assert m["brand"] == "mp42"
+    assert m["duration_ms"] == (90000 * 7 + 123) * 1000 // 90000
+    assert (m["n_tracks"], m["video_w"], m["video_codec"]) == (1, 0, "")
+    assert m["audio_codec"] == "opus"
+    assert m["n_boxes"] == 3
+    # the largesize mdat really is on the 64-bit path
+    assert struct.pack(">I", 1) + b"mdat" in raw
+
+
+def test_duration_floor_division():
+    # non-integral ms: 1001 units at timescale 600 → 1668 ms (floor)
+    m = parse_mp4(encode_mp4(timescale=600, duration=1001))
+    assert m["duration_ms"] == 1001 * 1000 // 600 == 1668
+
+
+def test_video_dims_and_codec():
+    m = parse_mp4(encode_mp4(video=(1920, 1080, "hev1"), audio=None))
+    assert (m["video_w"], m["video_h"], m["video_codec"]) == (1920, 1080, "hev1")
+    assert m["audio_codec"] == "" and m["n_tracks"] == 1
+
+
+def test_truncation_keeps_complete_box_prefix():
+    raw = encode_mp4()
+    cut = parse_mp4(raw[:-10])  # chop into the trailing mdat
+    assert cut["n_boxes"] == 2  # mdat dropped
+    assert cut["duration_ms"] == 5000  # moov already complete
+
+
+def test_truncated_moov_rejected():
+    raw = encode_mp4()
+    ftyp_len = struct.unpack(">I", raw[:4])[0]
+    with pytest.raises(ValueError):
+        parse_mp4(raw[: ftyp_len + 20])  # mid-moov cut: no complete moov
+
+
+def test_rejection_paths():
+    for bad in (b"", b"not mp4 bytes", b"\x00" * 32):
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "video": pa.array([encode_mp4(), b"junk"], pa.binary()),
+            }
+        )
+    )
+    out = mp4_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 0]
+    assert out.loc[0, "video_codec"] == "avc1"
+    assert out.loc[1, "brand"] == ""
