@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_roundtrip": q.q_wds_roundtrip,
         "ogg_headers": q.q_ogg_headers,
         "mp4_headers": q.q_mp4_headers,
+        "simhash_incremental": q.q_simhash_incremental,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -1954,6 +1955,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.est_jaccard
             FROM '/root/repo/tests/golden/neardup_incremental_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # simhash_incremental: blake2b simhashes aren't SQL-computable;
+        # the frozen golden pins the persisted-index probe's pair set
+        # (id_new is odd by construction → join keys it to the corpus)
+        "simhash_incremental": """
+            SELECT g.id_new, g.id_idx, g.hamming
+            FROM '/root/repo/tests/golden/simhash_incremental_sf001.parquet' g
+            JOIN documents d ON g.id_new = d.doc_id
         """,
         # crawl_refresh: the exact_dup leg is SQL-recomputable, but the
         # near_dup leg is minhash — the golden freezes the full verdict

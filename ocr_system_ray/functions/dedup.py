@@ -797,6 +797,100 @@ def simhash_duplicate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# persisted SimHash band index (the md5/minhash/phash index contract for
+# text simhashes — a simhash IS a 64-bit Hamming signature, so the image
+# band-index machinery in functions/imagehash.py applies verbatim; these
+# wrappers freeze the TEXT-side signature parameters in the index meta)
+# ---------------------------------------------------------------------------
+
+
+def build_simhash_index(
+    docs: ray.data.Dataset,
+    index_dir: str,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_buckets: int = 256,
+    write_blocks: int = 4,
+) -> str:
+    """Persist a text near-dup index: simhash the corpus once, store
+    (band, val, id, hash) rows partitioned by a (band, val) hash bucket
+    so crawl increments probe by reading ONLY touched buckets —
+    build/probe/update contract identical to :func:`build_md5_index` /
+    :func:`build_minhash_index` / ``imagehash.build_phash_index``."""
+    import json
+    import os
+
+    from .imagehash import build_phash_index
+
+    sigs = simhash_signatures(docs, text_col, id_col)
+    build_phash_index(
+        sigs,
+        index_dir,
+        max_hamming=max_hamming,
+        hash_col="simhash",
+        id_col=id_col,
+        prefix_buckets=prefix_buckets,
+        write_blocks=write_blocks,
+    )
+    # extend the meta with the frozen text-side signature parameters
+    meta_path = os.path.join(index_dir, "_index_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["kind"] = "simhash"
+    meta["text_col"] = text_col
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return index_dir
+
+
+def dedup_against_simhash_index(
+    new_docs: ray.data.Dataset,
+    index_dir: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Near-dup matches of a crawl increment's TEXTS vs the persisted
+    simhash index → ``(id_new, id_idx, hamming)`` within the index's
+    frozen ``max_hamming``.  The increment simhashes with the frozen
+    ``text_col``; the probe itself is the path-pruned band-bucket read
+    + in-group popcount verify of ``dedup_against_phash_index``."""
+    import json
+    import os
+
+    from .imagehash import dedup_against_phash_index
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "simhash":
+        raise ValueError(f"index at {index_dir} is not a simhash index")
+    sigs = simhash_signatures(new_docs, meta["text_col"], meta["id_col"])
+    return dedup_against_phash_index(
+        sigs, index_dir, hash_col="simhash", id_col=id_col
+    )
+
+
+def update_simhash_index(
+    new_docs: ray.data.Dataset,
+    index_dir: str,
+) -> dict:
+    """Fold accepted increment documents into the persisted simhash
+    index (touched-partition compaction, content-hash file names —
+    the :func:`update_md5_index` contract).  Texts simhash with the
+    index's frozen parameters; the corpus is never re-signatured."""
+    import json
+    import os
+
+    from .imagehash import update_phash_index
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "simhash":
+        raise ValueError(f"index at {index_dir} is not a simhash index")
+    sigs = simhash_signatures(new_docs, meta["text_col"], meta["id_col"])
+    return update_phash_index(sigs, index_dir)
+
+
+# ---------------------------------------------------------------------------
 # connected components + survivor selection (the dedup end-game)
 # ---------------------------------------------------------------------------
 

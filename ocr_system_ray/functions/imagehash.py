@@ -584,3 +584,137 @@ def dedup_against_phash_index(
         .groupby("pbucket")
         .map_groups(drop_dups, batch_format="pandas")
     )
+
+
+def update_phash_index(
+    new_hashes: ray.data.Dataset,
+    index_dir: str,
+) -> dict:
+    """Fold a crawl increment's hashes into the persisted Hamming band
+    index and compact the touched partitions — the maintenance half of
+    the incremental pair (the ``update_md5_index`` /
+    ``update_minhash_index`` contract applied to 64-bit Hamming
+    signatures).  Band rows are derived with the index's FROZEN
+    parameters (``_index_meta.json``), each touched bucket's old rows
+    union the new ones, exact duplicate (band, val, id) rows drop, and
+    the bucket rewrites as ONE content-hash-named file (idempotent
+    re-runs; old files deleted only after the new file is in place).
+    Untouched partitions are never read or written.
+
+    Crash safety: between write and delete a partition briefly holds
+    duplicate band rows — those only re-propose matches the probe's
+    per-bucket ``drop_duplicates`` already collapses, and a re-run
+    converges to single files.
+
+    Returns ``{"buckets_compacted", "docs_added"}``.
+    """
+    import glob as _glob
+    import hashlib
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    hash_col = meta["hash_col"]
+    n_bands = int(meta["max_hamming"]) + 1
+    prefix_buckets = int(meta["prefix_buckets"])
+
+    docs_added = new_hashes.count()
+    inc = new_hashes.map_batches(
+        lambda t: _band_rows(t, n_bands, prefix_buckets, hash_col, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    touched: set[int] = set()
+    for row in inc.map_batches(
+        lambda t: pa.table(
+            {"bucket": pa.array(sorted(set(t.column("bucket").to_pylist())), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        touched.add(int(row["bucket"]))
+
+    old_files = {
+        b: sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        for b in sorted(touched)
+    }
+    flat_old = [f for files in old_files.values() for f in files]
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = t.column("val").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = band * np.uint64(0x9E3779B97F4A7C15) + val
+            bucket = (
+                ((key * np.uint64(1099511628211)) >> np.uint64(13))
+                % np.uint64(prefix_buckets)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "band": t.column("band"),
+                "val": t.column("val"),
+                id_col: t.column(id_col),
+                "h": t.column("h"),
+            }
+        )
+
+    merged = inc
+    if flat_old:
+        old = ray.data.read_parquet(
+            flat_old,
+            columns=["band", "val", id_col, "h"],
+            override_num_blocks=min(len(flat_old), 64),
+        ).map_batches(rebucket, batch_format="pyarrow")
+        merged = inc.union(old)
+
+    def compact(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        b = int(df["bucket"].iloc[0])
+        d = df.sort_values(["band", "val", id_col], kind="mergesort").drop_duplicates(
+            ["band", "val", id_col]
+        )
+        part_dir = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        content_key = hashlib.md5(
+            d["band"].to_numpy(dtype=np.int64).tobytes()
+            + d["val"].to_numpy(dtype=np.int64).tobytes()
+            + d[id_col].to_numpy(dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        pq_.write_table(
+            pa.table(
+                {
+                    "band": pa.array(d["band"].to_numpy(dtype=np.int64)),
+                    "val": pa.array(d["val"].to_numpy(dtype=np.int64)),
+                    id_col: pa.array(d[id_col].to_numpy(dtype=np.int64)),
+                    "h": pa.array(d["h"].to_numpy(dtype=np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(d)], "path": [path]})
+
+    manifest = merged.groupby("bucket").map_groups(compact, batch_format="pandas").take_all()
+    new_paths = {m["path"] for m in manifest}
+    written = {int(m["bucket"]) for m in manifest}
+    for b, files in old_files.items():
+        if b not in written:
+            raise RuntimeError(f"compaction wrote no file for bucket {b}")
+        for f in files:
+            if f not in new_paths:
+                os.remove(f)
+    return {"buckets_compacted": len(manifest), "docs_added": int(docs_added)}

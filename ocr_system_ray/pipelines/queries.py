@@ -3505,6 +3505,59 @@ def q_mp4_headers(sf_dir: str) -> ray.data.Dataset:
     return mp4_features(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+def _derived_simhash_family_texts(t: pa.Table) -> pa.Table:
+    """Near-dup text families keyed by doc_id: ids {4k..4k+3} share a
+    40-token base vocabulary with the FIRST ``id % 4`` positions swapped
+    for member-unique tokens — members sit a few simhash bits apart,
+    different families share no tokens (≈32 bits apart)."""
+    ids = t.column("doc_id").to_pylist()
+    texts = []
+    for i in ids:
+        fid = i - (i % 4)
+        toks = [f"f{fid}w{j}" for j in range(40)]
+        for p in range(i % 4):
+            toks[p] = f"m{i}x{p}"
+        texts.append(" ".join(toks))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def q_simhash_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental TEXT near-dedup vs a PERSISTED simhash band index —
+    the md5/minhash/phash index contract applied to simhashes
+    (``dedup.build_simhash_index``): even doc ids' family texts are
+    indexed once (cached under /tmp, coalesced partitioned write), odd
+    ids probe it reading ONLY the buckets their band values touch →
+    ``(id_new, id_idx, hamming ≤ 12)``.  Family construction plants
+    cross-parity near-dups (see ``_derived_simhash_family_texts``).
+    Oracle: the frozen sf0.01 golden (simhash is blake2b — not
+    SQL-computable) joined to the live documents table."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..functions.dedup import build_simhash_index, dedup_against_simhash_index
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _derived_simhash_family_texts, batch_format="pyarrow"
+    )
+    evens = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)),
+        batch_format="pyarrow",
+    )
+    odds = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 1)),
+        batch_format="pyarrow",
+    )
+    idx_dir = f"/tmp/osr_simhash_idx_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(idx_dir, "_index_meta.json")):
+        build_simhash_index(evens, idx_dir, max_hamming=12)
+    return dedup_against_simhash_index(odds, idx_dir)
+
+
 def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
     """Window chunking over the documents' own text (window 64, stride
     48 — 16-token overlap), the RAG/packing preprocessing shape.

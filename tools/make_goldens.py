@@ -424,6 +424,7 @@ QUERY_GOLDENS = {
     "crawl_refresh_sf001": "crawl_refresh",
     "minhash_pairs_verified_sf001": "minhash_pairs_verified",
     "simhash_pairs_sf001": "simhash_pairs",
+    "simhash_incremental_sf001": "simhash_incremental",
     "near_dedup_survivors_sf001": "near_dedup_survivors",
     "lang_id_sf001": "lang_id",
     "knn_ivf_sf001": "knn_ivf",
