@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ogg_headers": q.q_ogg_headers,
         "mp4_headers": q.q_mp4_headers,
         "simhash_incremental": q.q_simhash_incremental,
+        "dict_tags": q.q_dict_tags,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -1208,6 +1209,13 @@ def _domain_cap_sql() -> str:
     """
 
 
+def _dict_tags_sql() -> str:
+    from ocr_system_ray.functions.dicttag import dicttag_oracle_sql
+    from ocr_system_ray.pipelines.queries import DICT_TAG_PHRASES
+
+    return dicttag_oracle_sql(DICT_TAG_PHRASES)
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_system_ray.functions.pii import sql_scrub_expr
 
@@ -1956,6 +1964,10 @@ def oracle_sql() -> dict[str, str]:
             FROM '/root/repo/tests/golden/neardup_incremental_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
         """,
+        # dict_tags: the SQL twin is GENERATED from the same phrase
+        # table — positions re-derived per phrase via a DuckDB list
+        # comprehension over regexp_extract_all tokens
+        "dict_tags": _dict_tags_sql(),
         # simhash_incremental: blake2b simhashes aren't SQL-computable;
         # the frozen golden pins the persisted-index probe's pair set
         # (id_new is odd by construction → join keys it to the corpus)

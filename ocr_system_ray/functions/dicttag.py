@@ -1,0 +1,230 @@
+"""Dictionary phrase tagging — dictionary-size-INDEPENDENT multi-phrase
+matching (badword lists, blocklist phrases, policy term audits).
+
+The naive approaches fail at both scales: a compiled regex alternation
+re-scans each position per alternative (O(dict) per char in Python
+``re``), and a per-phrase ``str.count`` pass is O(dict × bytes).  The
+classic answer is Aho–Corasick; the VECTORIZED equivalent used here
+reuses the repo's hashed-window machinery (``dedup._repeated_gram_hits``
+hashed mode): tokenize with the shared :data:`~.textstats.TOKEN_PATTERN`
+class, hash every token ONCE (``stable_hash64`` over the flat Arrow
+child array), derive every L-token window identity with the same
+vectorized polynomial + splitmix64 finalize, and membership-test the
+window hashes against a per-length broadcast hash set (``np.isin``).
+Cost: O(tokens × distinct_phrase_LENGTHS) — independent of phrase
+COUNT, so a 10⁶-entry dictionary costs the same pass as a 10-entry one
+(phrase lengths cluster on 1–5 tokens in practice).
+
+Candidates are verified EXACTLY (token-slice string compare) before
+emission, so 64-bit collisions cannot produce false hits — matching is
+exact, not probabilistic.  The stage is a load-once actor pool: the
+per-length tables build once per actor in ``__init__`` (the reference's
+compile-patterns-once contract, `/root/reference/ocr/patterns.py` via
+`ocr/extract.py:14-25`, generalized to phrase dictionaries).
+
+Scale shape: one stateless-per-batch actor pass, no shuffle; only
+(id, term_id, n_hits, first_pos) rows leave the stage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .textstats import TOKEN_PATTERN
+
+_PRIME = np.uint64(1099511628211)  # the repeated-ngrams gram polynomial
+
+
+def _phrase_tokens(phrase: str) -> list[str]:
+    return re.findall(TOKEN_PATTERN, phrase or "")
+
+
+class DictTagStage:
+    """Callable actor class: phrase tables build once per actor."""
+
+    def __init__(
+        self,
+        phrases: dict[int, str],
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        from ..stages.skew import _splitmix64, stable_hash64
+
+        self._splitmix64 = _splitmix64
+        self._stable_hash64 = stable_hash64
+        self.text_col = text_col
+        self.id_col = id_col
+        # per-length: sorted window-hash array + parallel term ids + the
+        # exact token tuples for collision-proof verification
+        by_len: dict[int, list[tuple[int, np.uint64, tuple[str, ...]]]] = {}
+        for term_id, phrase in phrases.items():
+            toks = _phrase_tokens(phrase)
+            if not toks:
+                raise ValueError(f"term {term_id}: phrase has no tokens")
+            th = stable_hash64(toks)
+            with np.errstate(over="ignore"):
+                h = np.uint64(0)
+                for x in th:
+                    h = h * _PRIME + x
+                h = _splitmix64(np.array([h], dtype=np.uint64))[0]
+            by_len.setdefault(len(toks), []).append((term_id, h, tuple(toks)))
+        self.tables: dict[int, tuple[np.ndarray, np.ndarray, dict]] = {}
+        for ln, rows in by_len.items():
+            hs = np.array([r[1] for r in rows], dtype=np.uint64)
+            tids = np.array([r[0] for r in rows], dtype=np.int64)
+            order = np.argsort(hs)
+            verify = {int(r[1]): (r[0], r[2]) for r in rows}
+            self.tables[ln] = (hs[order], tids[order], verify)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                self.id_col: pa.array([], pa.int64()),
+                "term_id": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        txt = pc.fill_null(t.column(self.text_col), "").combine_chunks()
+        lst = pc.split_pattern_regex(txt, "[ \t\n\r\f\v]+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = np.asarray(lst.offsets, dtype=np.int64)
+        vals = lst.values
+        valid = pc.not_equal(vals, "").to_numpy(zero_copy_only=False).astype(bool)
+        # per-doc token counts after dropping the empty split artifacts
+        counts = np.diff(offs)
+        seg = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+        ntok = np.bincount(seg[valid], minlength=t.num_rows).astype(np.int64)
+        tok_all = vals.to_numpy(zero_copy_only=False)[valid]
+        tok_h = self._stable_hash64(vals)[valid]
+        starts_per_doc = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+
+        ids_np = (
+            t.column(self.id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        out_id: list[int] = []
+        out_term: list[int] = []
+        out_hits: list[int] = []
+        out_first: list[int] = []
+        match_doc: list[np.ndarray] = []
+        match_term: list[np.ndarray] = []
+        match_pos: list[np.ndarray] = []
+        for ln, (hs_sorted, tid_sorted, verify) in self.tables.items():
+            nwin = np.maximum(ntok - ln + 1, 0)
+            total = int(nwin.sum())
+            if total == 0:
+                continue
+            doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), nwin)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(nwin) - nwin, nwin
+            )
+            flat = starts_per_doc[doc_idx] + pos
+            with np.errstate(over="ignore"):
+                h = np.zeros(total, dtype=np.uint64)
+                for j in range(ln):
+                    h = h * _PRIME + tok_h[flat + j]
+                h = self._splitmix64(h)
+            cand = np.flatnonzero(np.isin(h, hs_sorted))
+            if cand.size == 0:
+                continue
+            # exact verification of the (few) candidates — collision-proof
+            keep_doc, keep_term, keep_pos = [], [], []
+            for c in cand:
+                term_id, toks = verify[int(h[c])]
+                f = int(flat[c])
+                if tuple(tok_all[f : f + ln]) == toks:
+                    keep_doc.append(doc_idx[c])
+                    keep_term.append(term_id)
+                    keep_pos.append(pos[c])
+            if keep_doc:
+                match_doc.append(np.array(keep_doc, dtype=np.int64))
+                match_term.append(np.array(keep_term, dtype=np.int64))
+                match_pos.append(np.array(keep_pos, dtype=np.int64))
+        if not match_doc:
+            return empty
+        md = np.concatenate(match_doc)
+        mt = np.concatenate(match_term)
+        mp = np.concatenate(match_pos)
+        # aggregate per (doc, term): hit count + earliest window start
+        import pandas as pd
+
+        agg = (
+            pd.DataFrame({"d": md, "t": mt, "p": mp})
+            .groupby(["d", "t"], sort=True)
+            .agg(n_hits=("p", "size"), first_pos=("p", "min"))
+            .reset_index()
+        )
+        out_id = ids_np[agg["d"].to_numpy()].astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "term_id": pa.array(agg["t"].to_numpy(dtype=np.int64)),
+                "n_hits": pa.array(agg["n_hits"].to_numpy(dtype=np.int64)),
+                "first_pos": pa.array(agg["first_pos"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+
+def tag_dictionary(
+    ds: ray.data.Dataset,
+    phrases: dict[int, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    """Tag every document with its dictionary phrase hits →
+    ``(id, term_id, n_hits, first_pos)`` rows, hits only (token-window
+    positions, overlapping occurrences each count).  Matching is exact
+    token-sequence equality on the shared token class."""
+    return ds.map_batches(
+        DictTagStage,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "phrases": phrases,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+    )
+
+
+def dicttag_oracle_sql(
+    phrases: dict[int, str], table: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """GENERATE the DuckDB twin from the same phrase table: per phrase,
+    positions are re-derived with a list comprehension over
+    ``regexp_extract_all`` tokens (1-based slice compare), then hit
+    rows union."""
+    parts = []
+    for term_id, phrase in sorted(phrases.items()):
+        toks = _phrase_tokens(phrase)
+        ln = len(toks)
+        lit = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in toks) + "]"
+        parts.append(
+            f"""
+            SELECT {id_col}, CAST({term_id} AS BIGINT) AS term_id,
+                   CAST(len(hits) AS BIGINT) AS n_hits,
+                   CAST(hits[1] - 1 AS BIGINT) AS first_pos
+            FROM (
+                SELECT {id_col},
+                       [i FOR i IN range(1, len(toks) - {ln} + 2)
+                          IF toks[i : i + {ln - 1}] = {lit}] AS hits
+                FROM (SELECT {id_col},
+                             regexp_extract_all(COALESCE(text, ''),
+                                                '{TOKEN_PATTERN}') AS toks
+                      FROM {table})
+            )
+            WHERE len(hits) > 0"""
+        )
+        parts.append("UNION ALL")
+    return "\n".join(parts[:-1])

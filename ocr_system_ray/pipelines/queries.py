@@ -3505,6 +3505,33 @@ def q_mp4_headers(sf_dir: str) -> ray.data.Dataset:
     return mp4_features(docs.map_batches(synth, batch_format="pyarrow"))
 
 
+#: Dictionary-tagging phrase table shared VERBATIM with the generated
+#: SQL twin (``dicttag.dicttag_oracle_sql``) — mixed 1/2/3-token
+#: phrases over the corpus vocabulary so every per-length table fires.
+DICT_TAG_PHRASES = {
+    1: "fast table",
+    2: "table table key",
+    3: "scan slow",
+    4: "value",
+    5: "window table",
+    6: "big query value",
+    7: "stream",
+}
+
+
+def q_dict_tags(sf_dir: str) -> ray.data.Dataset:
+    """Dictionary phrase tagging (``functions/dicttag.py``):
+    dictionary-size-independent multi-phrase matching via per-length
+    vectorized window hashes + broadcast hash sets, candidates verified
+    exactly (collision-proof).  Output: ``(doc_id, term_id, n_hits,
+    first_pos)`` hit rows.  Oracle = the SQL twin GENERATED from the
+    same phrase table (list-comprehension position re-derivation)."""
+    from ..functions.dicttag import tag_dictionary
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tag_dictionary(docs, DICT_TAG_PHRASES)
+
+
 def _derived_simhash_family_texts(t: pa.Table) -> pa.Table:
     """Near-dup text families keyed by doc_id: ids {4k..4k+3} share a
     40-token base vocabulary with the FIRST ``id % 4`` positions swapped
