@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mp4_headers": q.q_mp4_headers,
         "simhash_incremental": q.q_simhash_incremental,
         "dict_tags": q.q_dict_tags,
+        "readability": q.q_readability,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -1963,6 +1964,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.est_jaccard
             FROM '/root/repo/tests/golden/neardup_incremental_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # readability: counts + both milli formulas recomputed with
+        # identical floor arithmetic (sentence runs, per-word clamped
+        # vowel runs via list comprehension, shared token class)
+        "readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(COALESCE(text, ''),
+                                              '[^ \t\n\r\f\v]+')) AS w,
+                       len(regexp_extract_all(COALESCE(text, ''),
+                                              '[.!?]+')) AS s,
+                       list_sum([greatest(1,
+                               len(regexp_extract_all(tok, '[aeiouyAEIOUY]+')))
+                           FOR tok IN regexp_extract_all(COALESCE(text, ''),
+                                                         '[^ \t\n\r\f\v]+')]) AS y
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(w AS BIGINT) AS n_words,
+                CAST(CASE WHEN w > 0 THEN s ELSE 0 END AS BIGINT) AS n_sentences,
+                CAST(CASE WHEN w > 0 THEN y ELSE 0 END AS BIGINT) AS n_syllables,
+                CAST(CASE WHEN w > 0 THEN
+                     206835 - (1015 * (w * 1000 // greatest(s, 1))) // 1000
+                            - (84600 * (y * 1000 // greatest(w, 1))) // 1000
+                     ELSE 0 END AS BIGINT) AS flesch_milli,
+                CAST(CASE WHEN w > 0 THEN
+                     (390 * (w * 1000 // greatest(s, 1))) // 1000
+                   + (11800 * (y * 1000 // greatest(w, 1))) // 1000 - 15590
+                     ELSE 0 END AS BIGINT) AS fk_milli
+            FROM t
         """,
         # dict_tags: the SQL twin is GENERATED from the same phrase
         # table — positions re-derived per phrase via a DuckDB list

@@ -112,6 +112,78 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# readability (Flesch reading-ease / Flesch–Kincaid grade, integer-exact)
+# ---------------------------------------------------------------------------
+
+#: shared with the SQL twin verbatim: a "sentence" is one maximal
+#: terminal-punctuation run, a "syllable" is one maximal vowel run
+#: (min 1 per word) — the classic deterministic approximations.
+SENT_TERM_PATTERN = "[.!?]+"
+VOWEL_RUN_PATTERN = "[aeiouyAEIOUY]+"
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc readability in INTEGER milli-units (batching/platform
+    invariant, SQL-twinnable with identical floor ops):
+
+    * ``n_words`` — the shared :data:`TOKEN_PATTERN` tokens;
+    * ``n_sentences`` — maximal ``[.!?]+`` runs;
+    * ``n_syllables`` — Σ per word of ``max(1, vowel runs)``;
+    * ``flesch_milli`` — ``206835 − 1015·wps‰//1000 − 84600·spw‰//1000``
+      where ``wps‰ = words·1000 // max(1, sentences)`` and
+      ``spw‰ = syllables·1000 // max(1, words)`` (Flesch 1948 × 1000);
+    * ``fk_milli`` — ``390·wps‰//1000 + 11800·spw‰//1000 − 15590``
+      (Flesch–Kincaid grade × 1000).
+
+    Token-less documents emit all-zero rows (sentinel).  Everything is
+    Arrow RE2 kernels + numpy — no per-row Python."""
+    txt = pc.fill_null(batch.column(text_col), "").combine_chunks()
+    n = len(batch)
+    n_words = pc.count_substring_regex(txt, pattern=TOKEN_PATTERN).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_sent = pc.count_substring_regex(txt, pattern=SENT_TERM_PATTERN).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    # per-word vowel runs: split to the token list, count runs on the
+    # flat child array, clamp to ≥1 per word, sum back per doc
+    lst = pc.split_pattern_regex(txt, "[ \t\n\r\f\v]+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offs = np.asarray(lst.offsets, dtype=np.int64)
+    vals = lst.values
+    valid = pc.not_equal(vals, "").to_numpy(zero_copy_only=False).astype(bool)
+    runs = pc.count_substring_regex(vals, pattern=VOWEL_RUN_PATTERN).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    runs = np.maximum(runs, 1)
+    seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    n_syll = np.bincount(seg[valid], weights=runs[valid], minlength=n).astype(
+        np.int64
+    )
+    has = n_words > 0
+    wps = n_words * 1000 // np.maximum(n_sent, 1)
+    spw = n_syll * 1000 // np.maximum(n_words, 1)
+    flesch = np.where(has, 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000, 0)
+    fk = np.where(has, (390 * wps) // 1000 + (11800 * spw) // 1000 - 15590, 0)
+    return (
+        batch.append_column("n_words", pa.array(n_words))
+        .append_column("n_sentences", pa.array(np.where(has, n_sent, 0)))
+        .append_column("n_syllables", pa.array(np.where(has, n_syll, 0)))
+        .append_column("flesch_milli", pa.array(flesch.astype(np.int64)))
+        .append_column("fk_milli", pa.array(fk.astype(np.int64)))
+    )
+
+
+def readability(ds, text_col: str = "text"):  # noqa: ANN001, ANN201
+    """Dataset pass: one stateless vectorized ``map_batches`` — no
+    shuffle, text dies downstream of the projection the caller picks."""
+    return ds.map_batches(
+        lambda t: readability_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # quality scoring
 # ---------------------------------------------------------------------------
 

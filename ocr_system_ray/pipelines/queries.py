@@ -3519,6 +3519,20 @@ DICT_TAG_PHRASES = {
 }
 
 
+def q_readability(sf_dir: str) -> ray.data.Dataset:
+    """Integer-exact Flesch reading-ease / Flesch–Kincaid grade in
+    milli-units (``textstats.readability_batch``): shared token class,
+    ``[.!?]+`` sentence runs, ``max(1, vowel runs)`` syllables — one
+    vectorized stateless pass.  Oracle = DuckDB recomputing every
+    count and both formulas with identical floor arithmetic."""
+    from ..functions.textstats import readability
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return readability(docs).select_columns(
+        ["doc_id", "n_words", "n_sentences", "n_syllables", "flesch_milli", "fk_milli"]
+    )
+
+
 def q_dict_tags(sf_dir: str) -> ray.data.Dataset:
     """Dictionary phrase tagging (``functions/dicttag.py``):
     dictionary-size-independent multi-phrase matching via per-length

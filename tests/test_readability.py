@@ -1,0 +1,67 @@
+"""Integer-exact Flesch / Flesch–Kincaid readability
+(textstats.readability_batch): hand-computed pins, clamps, sentinels."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ocr_system_ray.functions.textstats import readability_batch
+
+
+def _one(text):
+    t = readability_batch(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])})
+    )
+    return {c: t.column(c)[0].as_py() for c in t.column_names if c != "text"}
+
+
+def test_hand_computed_example():
+    # "The cat sat. It ran fast!"  words=6, sentences=2,
+    # syllables: the=1 cat.=1 sat.=1 it=1 ran=1 fast!=1 → 6
+    r = _one("The cat sat. It ran fast!")
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    wps = 6 * 1000 // 2  # 3000
+    spw = 6 * 1000 // 6  # 1000
+    assert r["flesch_milli"] == 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000
+    assert r["fk_milli"] == (390 * wps) // 1000 + (11800 * spw) // 1000 - 15590
+
+
+def test_no_terminal_punct_clamps_sentences_to_one():
+    r = _one("banana papaya")  # 0 sentence runs → formula uses max(1, s)
+    assert r["n_sentences"] == 0
+    # banana: a,a,a → 3 runs; papaya: a, aya → 2 (y joins the run)
+    assert r["n_syllables"] == 5
+    wps = 2 * 1000 // 1
+    spw = 5 * 1000 // 2
+    assert r["flesch_milli"] == 206835 - (1015 * wps) // 1000 - (84600 * spw) // 1000
+
+
+def test_vowelless_tokens_count_one_syllable():
+    r = _one("hmm pfft grr.")
+    assert r["n_syllables"] == 3
+    assert r["n_sentences"] == 1
+
+
+def test_multirun_words_and_y_as_vowel():
+    # "beautiful": eau,i,u → 3 runs; "rhythm": y → 1
+    r = _one("beautiful rhythm.")
+    assert r["n_syllables"] == 4
+
+
+def test_empty_and_null_sentinel():
+    t = readability_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["", None, "   "]),
+            }
+        )
+    )
+    for c in ("n_words", "n_sentences", "n_syllables", "flesch_milli", "fk_milli"):
+        assert t.column(c).to_pylist() == [0, 0, 0], c
+
+
+def test_terminal_runs_collapse():
+    # "Wait...!! Go." → runs: "...!!" and "." → 2 sentences
+    r = _one("Wait...!! Go.")
+    assert r["n_sentences"] == 2
