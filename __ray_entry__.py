@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_incremental": q.q_simhash_incremental,
         "dict_tags": q.q_dict_tags,
         "readability": q.q_readability,
+        "kn_logprob": q.q_kn_logprob,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -2241,6 +2242,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.neglogp2_micro
             FROM documents d
             JOIN '/root/repo/tests/golden/bigram_logprob_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # kn_logprob: committed golden from the independent Counter
+        # twin (same KN arithmetic contract: D=0.75, add-one-smoothed
+        # continuation, sequential row-local float sum)
+        "kn_logprob": """
+            SELECT d.doc_id, g.neglogp_kn_micro
+            FROM documents d
+            JOIN '/root/repo/tests/golden/kn_logprob_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # quality_classifier: weights + scores re-derived by the

@@ -792,6 +792,68 @@ def normalize_text_batch(
 # ---------------------------------------------------------------------------
 
 
+def _fit_bigram_counts(ds, text_col: str):  # noqa: ANN001, ANN202
+    """Shared distributed fit: unigram + bigram wordcounts (Counter
+    combiners → one single-column groupby each) → plain dicts
+    ``(cu, total, cb, cp)``.  The model tables are corpus-vocabulary
+    sized, never corpus-sized; at web scale cap ``cb`` with Misra–Gries
+    heavy pairs and let rare pairs take the scorer's backoff arm."""
+    from collections import Counter
+
+    import pandas as _pd
+    from ray.data.aggregate import Sum as _Sum
+
+    def sketch_uni(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update((x or "").split(" "))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "p_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def sketch_big(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            toks = (x or "").split(" ")
+            c.update(
+                toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
+            )
+        return pa.table(
+            {
+                "pair": pa.array(list(c.keys()), pa.string()),
+                "p_n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni_df = (
+        ds.map_batches(sketch_uni, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    big_df = (
+        ds.map_batches(sketch_big, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(_Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    if uni_df.empty:  # empty-aggregate gotcha: rebuild with columns
+        uni_df = _pd.DataFrame({"token": [], "n": []})
+    if big_df.empty:
+        big_df = _pd.DataFrame({"pair": [], "n": []})
+    total = int(uni_df["n"].sum())
+    cu = {t: int(n) for t, n in zip(uni_df["token"], uni_df["n"])}
+    cb = {p: int(n) for p, n in zip(big_df["pair"], big_df["n"])}
+    cp: dict = {}
+    for p, n in cb.items():
+        prev = p.split("\x1f", 1)[0]
+        cp[prev] = cp.get(prev, 0) + n
+    return cu, total, cb, cp
+
+
 def _bigram_score_doc(
     text: str | None,
     cu: dict,
@@ -848,61 +910,9 @@ def bigram_neglogprob(
     3. stateless score pass; models broadcast once via ``ray.put`` and
        memoized per worker.
     """
-    from collections import Counter
-
     import ray as _ray
-    from ray.data.aggregate import Sum as _Sum
 
-    def sketch_uni(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for x in t.column(text_col).to_pylist():
-            c.update((x or "").split(" "))
-        return pa.table(
-            {
-                "token": pa.array(list(c.keys()), pa.string()),
-                "p_n": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    def sketch_big(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for x in t.column(text_col).to_pylist():
-            toks = (x or "").split(" ")
-            c.update(
-                toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
-            )
-        return pa.table(
-            {
-                "pair": pa.array(list(c.keys()), pa.string()),
-                "p_n": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    uni_df = (
-        ds.map_batches(sketch_uni, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(_Sum("p_n", alias_name="n"))
-        .to_pandas()
-    )
-    big_df = (
-        ds.map_batches(sketch_big, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(_Sum("p_n", alias_name="n"))
-        .to_pandas()
-    )
-    import pandas as _pd
-
-    if uni_df.empty:  # empty-aggregate gotcha: rebuild with columns
-        uni_df = _pd.DataFrame({"token": [], "n": []})
-    if big_df.empty:
-        big_df = _pd.DataFrame({"pair": [], "n": []})
-    total = int(uni_df["n"].sum())
-    cu = {t: int(n) for t, n in zip(uni_df["token"], uni_df["n"])}
-    cb = {p: int(n) for p, n in zip(big_df["pair"], big_df["n"])}
-    cp: dict = {}
-    for p, n in cb.items():
-        prev = p.split("\x1f", 1)[0]
-        cp[prev] = cp.get(prev, 0) + n
+    cu, total, cb, cp = _fit_bigram_counts(ds, text_col)
     model_ref = _ray.put((cu, total, cb, cp))
 
     def score(t: pa.Table) -> pa.Table:
@@ -915,6 +925,91 @@ def bigram_neglogprob(
             {
                 id_col: t.column(id_col),
                 "neglogp2_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _kn_score_doc(
+    text: str | None,
+    cu: dict,
+    total: int,
+    cb: dict,
+    cp: dict,
+    n1p_fwd: dict,
+    n1p_bwd: dict,
+    n_pairs: int,
+    vocab: int,
+) -> int:
+    """Mean -ln p per token under interpolated Kneser–Ney (D = 0.75),
+    integer micro-nats.  Arithmetic contract shared with the golden
+    twin: position 0 = MLE unigram; i>0 =
+    ``max(c(prev,w) − 0.75, 0)/c(prev·) + 0.75·N1+(prev·)/c(prev·)·Pc(w)``
+    with the add-one-smoothed continuation
+    ``Pc(w) = (N1+(·w) + 1)/(N_distinct_pairs + V)`` (always > 0 — a
+    token seen only document-initially has no continuation count);
+    a context with no outgoing bigrams scores the continuation alone.
+    0.75 is an exact binary float — no decimal drift on either side."""
+    import math
+
+    toks = (text or "").split(" ")
+    s = -math.log(cu[toks[0]] / total)
+    prev = toks[0]
+    for w in toks[1:]:
+        pc = (n1p_bwd.get(w, 0) + 1) / (n_pairs + vocab)
+        cprev = cp.get(prev)
+        if cprev:
+            nb = cb.get(prev + "\x1f" + w, 0)
+            p = max(nb - 0.75, 0.0) / cprev + (0.75 * n1p_fwd[prev] / cprev) * pc
+        else:
+            p = pc
+        s += -math.log(p)
+        prev = w
+    return int(math.floor(s / len(toks) * 1e6 + 0.5))
+
+
+def kneser_ney_neglogprob(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    the smoothing KenLM applies in the CCNet perplexity filter, Wenzek
+    et al. 2020, at the bigram order this sandbox fits): per document,
+    mean ``-ln p(token | prev)`` in integer micro-nats →
+    ``(id_col, neglogp_kn_micro)``.
+
+    Distributed shape = :func:`bigram_neglogprob`'s: the SAME two
+    wordcount-shaped combiner fits (shared via ``_fit_bigram_counts``),
+    then the continuation statistics — ``N1+(prev·)`` distinct
+    continuations, ``N1+(·w)`` distinct predecessors, distinct-pair
+    total — derive from the pair table on the driver (pure int
+    tallies over a vocabulary²-bounded dict, never corpus-sized), and
+    one stateless broadcast-model score pass."""
+    import ray as _ray
+
+    cu, total, cb, cp = _fit_bigram_counts(ds, text_col)
+    n1p_fwd: dict = {}
+    n1p_bwd: dict = {}
+    for p in cb:
+        prev, w = p.split("\x1f", 1)
+        n1p_fwd[prev] = n1p_fwd.get(prev, 0) + 1
+        n1p_bwd[w] = n1p_bwd.get(w, 0) + 1
+    n_pairs = len(cb)
+    vocab = len(cu)
+    model_ref = _ray.put((cu, total, cb, cp, n1p_fwd, n1p_bwd, n_pairs, vocab))
+
+    def score(t: pa.Table) -> pa.Table:
+        cu_, total_, cb_, cp_, nf_, nb_, np_, v_ = _broadcast_memo(model_ref)
+        out = [
+            _kn_score_doc(x, cu_, total_, cb_, cp_, nf_, nb_, np_, v_)
+            for x in t.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "neglogp_kn_micro": pa.array(out, pa.int64()),
             }
         )
 

@@ -3519,6 +3519,18 @@ DICT_TAG_PHRASES = {
 }
 
 
+def q_kn_logprob(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated Kneser–Ney bigram LM quality score
+    (``textstats.kneser_ney_neglogprob``) — the CCNet perplexity-filter
+    smoothing at the order this sandbox fits.  Oracle = the frozen
+    golden from an INDEPENDENT single-process Counter twin
+    (tools/make_goldens.py:kn_logprob_golden)."""
+    from ..functions.textstats import kneser_ney_neglogprob
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return kneser_ney_neglogprob(docs)
+
+
 def q_readability(sf_dir: str) -> ray.data.Dataset:
     """Integer-exact Flesch reading-ease / Flesch–Kincaid grade in
     milli-units (``textstats.readability_batch``): shared token class,

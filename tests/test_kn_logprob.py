@@ -1,0 +1,86 @@
+"""Interpolated Kneser–Ney bigram scoring
+(textstats.kneser_ney_neglogprob): contract pins vs a local twin,
+discount/continuation properties, batching invariance."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.textstats import kneser_ney_neglogprob
+
+
+def _twin(texts: dict[int, str]) -> dict[int, int]:
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    cp: Counter = Counter()
+    nf: Counter = Counter()
+    nb: Counter = Counter()
+    for t in texts.values():
+        toks = (t or "").split(" ")
+        cu.update(toks)
+        for i in range(len(toks) - 1):
+            cb[(toks[i], toks[i + 1])] += 1
+            cp[toks[i]] += 1
+    for (p, w) in cb:
+        nf[p] += 1
+        nb[w] += 1
+    n_pairs, vocab, total = len(cb), len(cu), sum(cu.values())
+    out = {}
+    for did, t in texts.items():
+        toks = (t or "").split(" ")
+        s = -math.log(cu[toks[0]] / total)
+        for i in range(1, len(toks)):
+            prev, w = toks[i - 1], toks[i]
+            pc = (nb.get(w, 0) + 1) / (n_pairs + vocab)
+            cprev = cp.get(prev)
+            if cprev:
+                c2 = cb.get((prev, w), 0)
+                p = max(c2 - 0.75, 0.0) / cprev + (0.75 * nf[prev] / cprev) * pc
+            else:
+                p = pc
+            s += -math.log(p)
+        out[did] = int(math.floor(s / len(toks) * 1e6 + 0.5))
+    return out
+
+
+def _run(texts: dict[int, str], blocks: int = 2) -> dict[int, int]:
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).repartition(blocks)
+    df = kneser_ney_neglogprob(ds).to_pandas()
+    return dict(zip(df["doc_id"].astype(int), df["neglogp_kn_micro"].astype(int)))
+
+
+def test_matches_twin_and_batching_invariant(ray_session):
+    rng = __import__("random").Random(7)
+    vocab = ["sun", "moon", "star", "sky", "sea", "ship"]
+    texts = {i: " ".join(rng.choice(vocab) for _ in range(25)) for i in range(30)}
+    # a doc ending in a token that never starts a bigram elsewhere
+    texts[100] = "sun moon uniqueend"
+    expect = _twin(texts)
+    assert _run(texts, blocks=1) == expect
+    assert _run(texts, blocks=5) == expect
+
+
+def test_frequent_bigrams_score_lower(ray_session):
+    # "a b" dominates the corpus; "a q" occurs once — the doc made of
+    # the frequent bigram must be more probable (lower neglogp)
+    texts = {i: "a b a b a b a b" for i in range(10)}
+    texts[99] = "a q"
+    got = _run(texts)
+    assert got[0] < got[99]
+
+
+def test_unseen_continuation_backoff_positive(ray_session):
+    # "solo" appears only document-initially → N1+(·solo)=0; the
+    # add-one continuation keeps p > 0 (no math domain error)
+    texts = {0: "solo alpha", 1: "alpha beta", 2: "beta alpha solo"}
+    got = _run(texts)
+    assert set(got) == {0, 1, 2}
+    assert all(v > 0 for v in got.values())

@@ -235,6 +235,58 @@ def bigram_logprob_golden() -> pa.Table:
     )
 
 
+def kn_logprob_golden() -> pa.Table:
+    """(doc_id, neglogp_kn_micro) from a single-process Counter twin of
+    the interpolated Kneser–Ney scorer: position 0 = MLE unigram; i>0 =
+    max(c(prev,w)−0.75, 0)/c(prev·) + 0.75·N1+(prev·)/c(prev·)·Pc(w)
+    where Pc(w) = (N1+(·w)+1)/(distinct pairs + V); a prev with no
+    outgoing bigram scores Pc alone.  Same sequential float-sum and
+    micro rounding contract."""
+    import math
+    from collections import Counter
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    texts = [(t or "") for t in docs.column("text").to_pylist()]
+    cu: Counter = Counter()
+    cb: Counter = Counter()
+    cp: Counter = Counter()
+    nf: Counter = Counter()  # N1+(prev ·)
+    nb_: Counter = Counter()  # N1+(· w)
+    for t in texts:
+        toks = t.split(" ")
+        cu.update(toks)
+        for i in range(len(toks) - 1):
+            cb[(toks[i], toks[i + 1])] += 1
+            cp[toks[i]] += 1
+    for (prev, w) in cb:
+        nf[prev] += 1
+        nb_[w] += 1
+    n_pairs = len(cb)
+    vocab = len(cu)
+    total = sum(cu.values())
+    out = []
+    for t in texts:
+        toks = t.split(" ")
+        s = -math.log(cu[toks[0]] / total)
+        for i in range(1, len(toks)):
+            prev, w = toks[i - 1], toks[i]
+            pc = (nb_.get(w, 0) + 1) / (n_pairs + vocab)
+            cprev = cp.get(prev)
+            if cprev:
+                c2 = cb.get((prev, w), 0)
+                p = max(c2 - 0.75, 0.0) / cprev + (0.75 * nf[prev] / cprev) * pc
+            else:
+                p = pc
+            s += -math.log(p)
+        out.append(int(math.floor(s / len(toks) * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "neglogp_kn_micro": pa.array(out, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # query-output goldens (deterministic seeded pipelines, frozen at sf0.01)
 def quality_classifier_golden() -> pa.Table:
@@ -1750,6 +1802,9 @@ def main() -> None:
     bl = bigram_logprob_golden()
     pq.write_table(bl, GOLDEN_DIR / "bigram_logprob_sf001.parquet")
     print(f"bigram_logprob_sf001.parquet: {bl.num_rows} rows")
+    kn = kn_logprob_golden()
+    pq.write_table(kn, GOLDEN_DIR / "kn_logprob_sf001.parquet")
+    print(f"kn_logprob_sf001.parquet: {kn.num_rows} rows")
     dg = dsir_golden()
     pq.write_table(dg, GOLDEN_DIR / "dsir_sf001.parquet")
     print(f"dsir_sf001.parquet: {dg.num_rows} rows")
