@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_tags": q.q_dict_tags,
         "readability": q.q_readability,
         "kn_logprob": q.q_kn_logprob,
+        "bm25_update": q.q_bm25_update,
+        "knn_ivf_update": q.q_knn_ivf_update,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -2167,6 +2169,60 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= 10
+        """,
+        # bm25_update: the evens-built + odds-folded index must score a
+        # doc-3 probe exactly like a FULL-corpus build — the oracle is
+        # the same full-corpus BM25 recomputation (probe = doc 3)
+        "bm25_update": """
+            WITH probe AS (
+              SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:8]) AS token
+              FROM documents WHERE doc_id = 3
+            ), toks AS (
+              SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token
+              FROM documents
+            ), doclen AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), corpus AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avg_len
+              FROM doclen
+            ), tf AS (
+              SELECT t.doc_id, t.token, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks t JOIN probe p USING (token)
+              GROUP BY t.doc_id, t.token
+            ), df AS (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY token
+            ), scored AS (
+              SELECT tf.doc_id,
+                     SUM(
+                       ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * ((tf.tf * (1.2 + 1.0))
+                          / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / c.avg_len))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (token)
+              JOIN doclen dl USING (doc_id)
+              CROSS JOIN corpus c
+              GROUP BY tf.doc_id
+            ), ranked AS (
+              SELECT doc_id,
+                     CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS score_micro,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) DESC,
+                                doc_id
+                     ) AS rank
+              FROM scored
+            )
+            SELECT doc_id, score_micro, rank FROM ranked WHERE rank <= 10
+        """,
+        # knn_ivf_update: folding the odd vec_ids into an evens-built
+        # index must reproduce the one-shot full build bit-for-bit —
+        # the oracle is knn_ivf's own golden
+        "knn_ivf_update": """
+            SELECT g.query_id, g.vec_id, g.rank
+            FROM '/root/repo/tests/golden/knn_ivf_sf001.parquet' g
+            JOIN embeddings e ON g.vec_id = e.vec_id
         """,
         # url_dedup: the messy-url construction mirrors the query's
         # derivation rule; the canonicalization expression is GENERATED

@@ -207,6 +207,14 @@ def _query_suite() -> dict:
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
+        # round-3 session-4 additions
+        "mp4_headers": q.q_mp4_headers,
+        "simhash_incremental": q.q_simhash_incremental,
+        "dict_tags": q.q_dict_tags,
+        "readability": q.q_readability,
+        "kn_logprob": q.q_kn_logprob,
+        "bm25_update": q.q_bm25_update,
+        "knn_ivf_update": q.q_knn_ivf_update,
     }
     return suite
 

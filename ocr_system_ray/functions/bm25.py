@@ -47,7 +47,7 @@ import ray.data
 
 from .invindex import _token_bucket
 
-__all__ = ["build_bm25_index", "bm25_topk"]
+__all__ = ["build_bm25_index", "bm25_topk", "update_bm25_index"]
 
 
 def build_bm25_index(
@@ -132,6 +132,206 @@ def build_bm25_index(
             f,
         )
     return index_dir
+
+
+def update_bm25_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+) -> dict:
+    """Fold a crawl increment into the persisted BM25 index — the
+    md5/minhash/token/phash index UPDATE contract applied to postings:
+    increment postings with the index's frozen ``prefix_buckets``, ONE
+    ``groupby(bucket)`` over increment ∪ touched partitions, each
+    touched bucket rewritten as ONE content-hash-named (token, id)-
+    deduped file (re-runs idempotent, old files deleted only after the
+    new file lands), untouched partitions never read or written.  The
+    corpus constants ``n_docs`` / ``total_len`` in the meta advance by
+    the increment's tallies (re-ingesting an id double-counts the
+    stats — feed accepted NEW documents, the same contract as
+    ``update_md5_index``).  Duplicate (token, id) rows keep the
+    increment's tf/doc_len (stable sort, increment side first).
+
+    Returns ``{"buckets_compacted", "rows_added", "docs_added"}``.
+    """
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "bm25":
+        raise ValueError(f"index at {index_dir} is not a bm25 index: {meta}")
+    prefix_buckets = int(meta["prefix_buckets"])
+    id_col = meta["id_col"]
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks_out, ids_out, tf_out, len_out, buckets = [], [], [], [], []
+        stats_docs = 0
+        stats_len = 0
+        for i, x in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = (x or "").split(" ")
+            stats_docs += 1
+            stats_len += len(toks)
+            for tok, n in Counter(toks).items():
+                toks_out.append(tok)
+                ids_out.append(i)
+                tf_out.append(n)
+                len_out.append(len(toks))
+                buckets.append(_token_bucket(tok, prefix_buckets))
+        return pa.table(
+            {
+                "token": pa.array(toks_out, pa.string()),
+                id_col: pa.array(ids_out, pa.int64()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "doc_len": pa.array(len_out, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "m": pa.array(np.zeros(len(toks_out), dtype=np.int8)),
+            }
+        )
+
+    inc = new_ds.map_batches(postings, batch_format="pyarrow").materialize()
+    rows_added = inc.count()
+
+    # corpus stats of the increment (token totals, doc count) plus an
+    # order-free id fingerprint (splitmix64 sum) — a re-run of the SAME
+    # increment (crash recovery) must not double-count the meta stats
+    from ..stages.skew import _splitmix64
+
+    docs_added = 0
+    len_added = 0
+    id_fp = 0
+
+    def _stat_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            fp = int(_splitmix64(ids).sum(dtype=np.uint64))
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "l": pa.array(
+                    [
+                        sum(
+                            len((x or "").split(" "))
+                            for x in t.column(text_col).to_pylist()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "fp": pa.array([fp % (1 << 63)], pa.int64()),
+            }
+        )
+
+    for row in new_ds.map_batches(_stat_partial, batch_format="pyarrow").take_all():
+        docs_added += int(row["n"])
+        len_added += int(row["l"])
+        id_fp = (id_fp + int(row["fp"])) % (1 << 63)
+
+    touched: set[int] = set()
+    for row in inc.map_batches(
+        lambda t: pa.table(
+            {"bucket": pa.array(sorted(set(t.column("bucket").to_pylist())), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        touched.add(int(row["bucket"]))
+
+    old_files = {
+        b: sorted(glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        for b in sorted(touched)
+    }
+    flat_old = [f for files in old_files.values() for f in files]
+    merged = inc
+    if flat_old:
+
+        def rebucket(t: pa.Table) -> pa.Table:
+            toks = t.column("token").to_pylist()
+            return pa.table(
+                {
+                    "token": t.column("token"),
+                    id_col: t.column(id_col),
+                    "tf": t.column("tf"),
+                    "doc_len": t.column("doc_len"),
+                    "bucket": pa.array(
+                        [_token_bucket(tok, prefix_buckets) for tok in toks],
+                        pa.int64(),
+                    ),
+                    "m": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        merged = inc.union(
+            ray.data.read_parquet(
+                flat_old, columns=["token", id_col, "tf", "doc_len"]
+            ).map_batches(rebucket, batch_format="pyarrow")
+        )
+
+    def compact_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        b = int(df["bucket"].iloc[0])
+        d = (
+            df.sort_values(["token", id_col, "m"], kind="mergesort")
+            .drop_duplicates(subset=["token", id_col], keep="first")
+        )
+        part_dir = os.path.join(index_dir, f"bucket={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        content_key = hashlib.md5(
+            ("\n".join(d["token"]) + f"|{len(d)}").encode()
+            + d["tf"].to_numpy(dtype=np.int64).tobytes()
+        ).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        pq_.write_table(
+            pa.table(
+                {
+                    "token": pa.array(d["token"].tolist(), pa.string()),
+                    id_col: pa.array(d[id_col].to_numpy(dtype=np.int64)),
+                    "tf": pa.array(d["tf"].to_numpy(dtype=np.int64)),
+                    "doc_len": pa.array(d["doc_len"].to_numpy(dtype=np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [b], "rows": [len(d)], "path": [path]})
+
+    manifest = (
+        merged.groupby("bucket").map_groups(compact_group, batch_format="pandas").take_all()
+    )
+    new_paths = {m["path"] for m in manifest}
+    written = {int(m["bucket"]) for m in manifest}
+    for b, files in old_files.items():
+        if b not in written:
+            raise RuntimeError(f"compaction wrote no file for bucket {b}")
+        for f in files:
+            if f not in new_paths:
+                os.remove(f)
+
+    update_key = f"{id_fp}:{docs_added}:{len_added}"
+    if meta.get("last_update_key") != update_key:
+        meta["n_docs"] = int(meta["n_docs"]) + docs_added
+        meta["total_len"] = int(meta["total_len"]) + len_added
+        meta["last_update_key"] = update_key
+        tmp_meta = os.path.join(index_dir, "_index_meta.json.tmp")
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp_meta, os.path.join(index_dir, "_index_meta.json"))
+    return {
+        "buckets_compacted": len(manifest),
+        "rows_added": int(rows_added),
+        "docs_added": docs_added,
+    }
 
 
 def bm25_topk(

@@ -248,10 +248,163 @@ def build_ivf_index(
     directory holds ~``write_blocks`` files instead of one per input
     block — the probe's per-file read-task cost stays proportional to
     ``nprobe``.  Raise it with cluster size (~100 MB target per file)."""
+    import json
+    import os
+
     assign_partitions(ds, codebook, id_col, vec_col).repartition(
         write_blocks
     ).write_parquet(index_dir, partition_cols=["centroid_id"])
+    # freeze the codebook + layout params so crawl increments can fold
+    # in later (update_ivf_index) without the caller re-supplying them
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(
+            {
+                "kind": "ivf",
+                "codebook": np.asarray(codebook, dtype=np.float32).tolist(),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "write_blocks": write_blocks,
+            },
+            f,
+        )
     return index_dir
+
+
+def update_ivf_index(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+) -> dict:
+    """Fold a crawl increment's vectors into the persisted IVF layout —
+    the md5/minhash/token/bm25/phash index UPDATE contract applied to
+    centroid partitions: assign the increment with the index's FROZEN
+    codebook (no refit — the partition geometry must stay stable for
+    old rows), then compact ONLY the touched centroid directories (ONE
+    groupby over increment ∪ touched partitions, id-deduped with the
+    increment winning, one content-hash-named file per centroid,
+    idempotent re-runs, old files deleted last).  Untouched centroids
+    are never read or written; probes see the folded vectors
+    immediately (``ivf_topk_indexed`` globs the directories).
+
+    Centroid drift note (the honest 100 TB caveat): folding without
+    refit keeps reads pruned but lets cluster balance decay as the
+    corpus distribution shifts — rebuild with a refreshed codebook when
+    the largest partition outgrows the mean by the skew budget.
+
+    Returns ``{"centroids_compacted", "vecs_added"}``.
+    """
+    import glob
+    import hashlib
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"index at {index_dir} is not an ivf index: {meta}")
+    codebook = np.asarray(meta["codebook"], dtype=np.float32)
+    id_col = meta["id_col"]
+    vec_col = meta["vec_col"]
+
+    inc = assign_partitions(new_ds, codebook, id_col, vec_col).materialize()
+    vecs_added = inc.count()
+
+    touched: set[int] = set()
+    for row in inc.map_batches(
+        lambda t: pa.table(
+            {
+                "centroid_id": pa.array(
+                    sorted(set(t.column("centroid_id").to_pylist())), pa.int32()
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        touched.add(int(row["centroid_id"]))
+
+    old_files = {
+        c: sorted(
+            glob.glob(os.path.join(index_dir, f"centroid_id={c}", "*.parquet"))
+        )
+        for c in sorted(touched)
+    }
+    flat_old = [f for files in old_files.values() for f in files]
+
+    def tag(m: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t.column(id_col).cast(pa.int64()),
+                    vec_col: t.column(vec_col).cast(pa.list_(pa.float32())),
+                    "centroid_id": t.column("centroid_id").cast(pa.int32()),
+                    "m": pa.array(np.full(t.num_rows, m, dtype=np.int8)),
+                }
+            )
+
+        return f
+
+    merged = inc.map_batches(tag(0), batch_format="pyarrow")
+    if flat_old:
+        # partition files don't store centroid_id (it's the dir key) —
+        # re-assign from the frozen codebook (same argmax ⇒ same id)
+        old = assign_partitions(
+            ray.data.read_parquet(flat_old, columns=[id_col, vec_col]),
+            codebook,
+            id_col,
+            vec_col,
+        ).map_batches(tag(1), batch_format="pyarrow")
+        merged = merged.union(old)
+
+    def compact(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "centroid_id": pd.Series([], dtype="int64"),
+                    "rows": pd.Series([], dtype="int64"),
+                    "path": pd.Series([], dtype="object"),
+                }
+            )
+        c = int(df["centroid_id"].iloc[0])
+        d = df.sort_values([id_col, "m"], kind="mergesort").drop_duplicates(
+            [id_col], keep="first"
+        )
+        part_dir = os.path.join(index_dir, f"centroid_id={c}")
+        os.makedirs(part_dir, exist_ok=True)
+        ids_np = d[id_col].to_numpy(dtype=np.int64)
+        content_key = hashlib.md5(ids_np.tobytes()).hexdigest()[:16]
+        path = os.path.join(part_dir, f"compact-{content_key}.parquet")
+        tmp = path + ".tmp"
+        vec_list = [
+            np.asarray(v, dtype=np.float32).tolist() for v in d[vec_col]
+        ]
+        pq_.write_table(
+            pa.table(
+                {
+                    id_col: pa.array(ids_np),
+                    vec_col: pa.array(vec_list, pa.list_(pa.float32())),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"centroid_id": [c], "rows": [len(d)], "path": [path]})
+
+    manifest = (
+        merged.groupby("centroid_id")
+        .map_groups(compact, batch_format="pandas")
+        .take_all()
+    )
+    new_paths = {m["path"] for m in manifest}
+    written = {int(m["centroid_id"]) for m in manifest}
+    for c, files in old_files.items():
+        if c not in written:
+            raise RuntimeError(f"compaction wrote no file for centroid {c}")
+        for f in files:
+            if f not in new_paths:
+                os.remove(f)
+    return {"centroids_compacted": len(manifest), "vecs_added": int(vecs_added)}
 
 
 def _pruned_partition_paths(index_dir: str, wanted: list[int]) -> list[str]:

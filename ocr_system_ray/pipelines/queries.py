@@ -2673,6 +2673,109 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score_micro", "rank"]]
 
 
+def q_bm25_update(sf_dir: str) -> pd.DataFrame:
+    """Incremental BM25 maintenance (``bm25.update_bm25_index``): the
+    index is built from the EVEN docs only, the ODD docs fold in as a
+    crawl increment (touched-bucket compaction + meta-stat advance),
+    and the probe (first 8 tokens of doc 3) must score EXACTLY like a
+    full-corpus build — the oracle recomputes BM25 over ALL docs, so a
+    lost increment, a clobbered original, or a stale n_docs/total_len
+    in the meta all break the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+
+    from ..functions import bm25
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_bm25upd_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        if os.path.exists(index_dir):  # partial state from a dead run
+            shutil.rmtree(index_dir)
+        evens = docs.map_batches(
+            lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 0)),
+            batch_format="pyarrow",
+        )
+        odds = docs.map_batches(
+            lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("doc_id"), 1), 1)),
+            batch_format="pyarrow",
+        )
+        bm25.build_bm25_index(evens, index_dir)
+        bm25.update_bm25_index(odds, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    probe_row = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 3)],
+    )
+    probe_text = probe_row.column("text").to_pylist()[0] or ""
+    probe = list(dict.fromkeys(probe_text.split(" ")[:8]))
+    out = bm25.bm25_topk(index_dir, probe, k=10).to_pandas()
+    out = out.sort_values(
+        ["score_micro", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "score_micro", "rank"]]
+
+
+def q_knn_ivf_update(sf_dir: str) -> pd.DataFrame:
+    """Incremental IVF maintenance (``similarity.update_ivf_index``):
+    the partition-per-centroid index is built from the EVEN vec_ids
+    only, the ODD vec_ids fold in with the FROZEN codebook
+    (touched-centroid compaction), and the pruned probe must return the
+    SAME top-10 as the full-corpus build — the oracle is q_knn_ivf's
+    golden, so the update path must reproduce the one-shot build
+    bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    sample = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+        .column("embedding")
+        .to_pylist()[:2000]
+    )
+    codebook = similarity.fit_codebook(np.asarray(sample, dtype=np.float32), n_centroids=16)
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_ivfupd_{_source_tag(sf_dir, 'embeddings')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        evens = ds.map_batches(
+            lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("vec_id"), 1), 0)),
+            batch_format="pyarrow",
+        )
+        odds = ds.map_batches(
+            lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t.column("vec_id"), 1), 1)),
+            batch_format="pyarrow",
+        )
+        similarity.build_ivf_index(evens, codebook, index_dir)
+        similarity.update_ivf_index(odds, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    out = similarity.ivf_topk_indexed(
+        index_dir, codebook, _load_query_vectors(sf_dir), k=10, nprobe=4
+    ).to_pandas()
+    out = out.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
 def _messy_urls_batch(t: pa.Table) -> pa.Table:
     """Deterministic messy-url derivation shared by the url queries
     (the documents table has no url column); the construction rule is

@@ -1,0 +1,171 @@
+"""BM25 + IVF index UPDATE contract (update_bm25_index /
+update_ivf_index): fold-in correctness, probe visibility, compaction
+file bounds, idempotence, meta-stat advancement."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.bm25 import (
+    bm25_topk,
+    build_bm25_index,
+    update_bm25_index,
+)
+from ocr_system_ray.functions.similarity import (
+    build_ivf_index,
+    fit_codebook,
+    ivf_topk_indexed,
+    update_ivf_index,
+)
+
+
+def _docs_ds(docs: dict[int, str], blocks: int = 2) -> ray.data.Dataset:
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ).repartition(blocks)
+
+
+def _meta(idx: str) -> dict:
+    with open(os.path.join(idx, "_index_meta.json")) as f:
+        return json.load(f)
+
+
+# --------------------------------------------------------------------- BM25
+
+
+def test_bm25_update_folds_and_probe_sees_new_docs(ray_session, tmp_path):
+    base = {i: f"alpha beta common{i} gamma" for i in range(20)}
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(_docs_ds(base), idx, prefix_buckets=32)
+    m0 = _meta(idx)
+
+    inc = {100 + i: "zebra quagga alpha" for i in range(5)}
+    stats = update_bm25_index(_docs_ds(inc, 1), idx)
+    assert stats["docs_added"] == 5 and stats["buckets_compacted"] > 0
+
+    m1 = _meta(idx)
+    assert m1["n_docs"] == m0["n_docs"] + 5
+    assert m1["total_len"] == m0["total_len"] + 5 * 3
+
+    # a query for the increment-only token ranks the folded docs
+    out = bm25_topk(idx, ["zebra"], k=10).to_pandas()
+    assert set(out["doc_id"]) == set(inc)
+    # corpus tokens still rank everything
+    out2 = bm25_topk(idx, ["alpha"], k=100).to_pandas()
+    assert set(out2["doc_id"]) == set(base) | set(inc)
+
+
+def test_bm25_update_is_idempotent(ray_session, tmp_path):
+    base = {i: f"tok{i} shared" for i in range(8)}
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(_docs_ds(base), idx, prefix_buckets=16)
+    inc = {200: "fresh shared words"}
+    update_bm25_index(_docs_ds(inc, 1), idx)
+    snap_files = sorted(glob.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    snap_meta = _meta(idx)
+    update_bm25_index(_docs_ds(inc, 1), idx)  # crash-recovery re-run
+    assert sorted(glob.glob(os.path.join(idx, "bucket=*", "*.parquet"))) == snap_files
+    m = _meta(idx)
+    assert m["n_docs"] == snap_meta["n_docs"]  # stats NOT double-counted
+    assert m["total_len"] == snap_meta["total_len"]
+
+
+def test_bm25_update_compacts_touched_buckets_to_one_file(ray_session, tmp_path):
+    base = {i: f"w{i % 4} filler" for i in range(30)}
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(_docs_ds(base, 6), idx, prefix_buckets=8)
+    update_bm25_index(_docs_ds({500: "w0 w1 w2 w3 filler"}, 1), idx)
+    # every touched bucket is exactly one compacted file
+    for d in glob.glob(os.path.join(idx, "bucket=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if any("compact-" in f for f in files):
+            assert len(files) == 1, d
+
+
+def test_bm25_wrong_kind_rejected(ray_session, tmp_path):
+    idx = str(tmp_path / "bm25")
+    build_bm25_index(_docs_ds({0: "a"}), idx)
+    meta = _meta(idx)
+    meta["kind"] = "other"
+    with open(os.path.join(idx, "_index_meta.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError):
+        update_bm25_index(_docs_ds({1: "b"}), idx)
+
+
+# ---------------------------------------------------------------------- IVF
+
+
+def _vec_ds(vecs: dict[int, np.ndarray], blocks: int = 2) -> ray.data.Dataset:
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs.values()], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(blocks)
+
+
+def _clustered_vecs(n: int, dim: int = 16, seed: int = 5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(4, dim)).astype(np.float32)
+    out = {}
+    for i in range(n):
+        out[i] = (centers[i % 4] + 0.05 * rng.normal(size=dim)).astype(np.float32)
+    return out, centers
+
+
+def test_ivf_update_folds_and_probe_finds_new_vectors(ray_session, tmp_path):
+    vecs, centers = _clustered_vecs(40)
+    sample = np.stack(list(vecs.values()))
+    book = fit_codebook(sample, n_centroids=4, seed=1)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_vec_ds(vecs), book, idx)
+    assert _meta(idx)["kind"] == "ivf"
+
+    rng = np.random.default_rng(9)
+    inc = {
+        1000 + i: (centers[i % 4] + 0.05 * rng.normal(size=16)).astype(np.float32)
+        for i in range(8)
+    }
+    stats = update_ivf_index(_vec_ds(inc, 1), idx)
+    assert stats["vecs_added"] == 8 and stats["centroids_compacted"] > 0
+
+    # querying AT an increment vector must return it as the top hit
+    q = np.stack([inc[1000]])
+    out = ivf_topk_indexed(idx, book, q, k=3, nprobe=2).to_pandas()
+    assert 1000 in set(out["vec_id"])
+
+
+def test_ivf_update_is_idempotent_and_dedups_reingested_ids(ray_session, tmp_path):
+    vecs, centers = _clustered_vecs(12)
+    book = fit_codebook(np.stack(list(vecs.values())), n_centroids=3, seed=2)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_vec_ds(vecs), book, idx)
+    inc = {2000: vecs[0] + np.float32(0.01)}
+    update_ivf_index(_vec_ds(inc, 1), idx)
+    snap = sorted(glob.glob(os.path.join(idx, "centroid_id=*", "*.parquet")))
+    update_ivf_index(_vec_ds(inc, 1), idx)
+    assert sorted(glob.glob(os.path.join(idx, "centroid_id=*", "*.parquet"))) == snap
+    # re-ingesting an EXISTING id keeps one row for it (increment wins)
+    update_ivf_index(_vec_ds({0: vecs[0]}, 1), idx)
+    import pyarrow.parquet as pq_
+
+    ids = []
+    for f in glob.glob(os.path.join(idx, "centroid_id=*", "*.parquet")):
+        ids.extend(pq_.read_table(f, columns=["vec_id"]).column("vec_id").to_pylist())
+    assert ids.count(0) == 1
