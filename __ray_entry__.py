@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
+        "paragraph_dedup": q.q_paragraph_dedup,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -2466,6 +2467,40 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) FILTER (WHERE f.nd >= 2) AS n_removed
             FROM lines l JOIN freq f USING (line)
             GROUP BY l.doc_id
+        """,
+        # paragraph_dedup: the line_dedup rule at paragraph granularity
+        # — same recomputation with the two-newline separator (24-word
+        # paragraph wrap, shared nav + per-source footer paragraphs)
+        "paragraph_dedup": """
+            WITH norm AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(
+                            regexp_replace(text, '[^ -~\t]', '?', 'g'),
+                            '[ \t\n\f\r]+', ' ', 'g'), ' ') AS s
+              FROM documents),
+            paraed AS (
+              SELECT doc_id,
+                     'site nav | home | about' || chr(10) || chr(10) ||
+                     CASE WHEN s = '' THEN ''
+                          ELSE regexp_replace(s, '((\\S+ ){23}\\S+) ',
+                                 '\\1' || chr(10) || chr(10), 'g') END
+                     || chr(10) || chr(10) || 'copyright ' || source AS t
+              FROM norm),
+            paras AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10) || chr(10))) AS para,
+                     generate_subscripts(string_split(t, chr(10) || chr(10)), 1) AS ord
+              FROM paraed),
+            freq AS (
+              SELECT para, COUNT(DISTINCT doc_id) AS nd
+              FROM paras GROUP BY para)
+            SELECT p.doc_id,
+                   COALESCE(string_agg(p.para, chr(10) || chr(10) ORDER BY p.ord)
+                              FILTER (WHERE f.nd < 2), '') AS kept_text,
+                   COUNT(*) AS n_paras,
+                   COUNT(*) FILTER (WHERE f.nd >= 2) AS n_removed
+            FROM paras p JOIN freq f USING (para)
+            GROUP BY p.doc_id
         """,
         "mixed_parse": """
             WITH norm AS (

@@ -215,6 +215,7 @@ def _query_suite() -> dict:
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
+        "paragraph_dedup": q.q_paragraph_dedup,
     }
     return suite
 

@@ -2219,6 +2219,7 @@ def line_dedup(
     line_buckets: int = 4096,
     doc_buckets: int = 1024,
     exact: bool = True,
+    sep: str = "\n",
 ) -> ray.data.Dataset:
     """Cross-document line deduplication (RefinedWeb / MassiveText
     hygiene pass; Penedo et al. 2023 §4.2 remove lines duplicated
@@ -2231,8 +2232,14 @@ def line_dedup(
 
     Returns one row per input document:
     ``(id_col, kept_text: string, n_lines: int64, n_removed: int64)``
-    where ``kept_text`` is the surviving lines joined by ``\\n`` in
+    where ``kept_text`` is the surviving lines joined by ``sep`` in
     their original order (``""`` when everything was boilerplate).
+
+    ``sep`` generalizes the unit: ``"\\n"`` (default) is RefinedWeb's
+    line pass, ``"\\n\\n"`` is PARAGRAPH-level dedup (the coarser
+    hygiene unit FineWeb-style pipelines also run) — split semantics
+    are Python ``str.split(sep)``, identical to DuckDB's literal
+    ``str_split``, so the SQL twin holds for any separator.
 
     Ray shape — the ``repeated_ngram_stats`` two-shuffle skeleton:
 
@@ -2258,7 +2265,7 @@ def line_dedup(
         ord_out: list[int] = []
         line_out: list[str] = []
         for did, v in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
-            lines = v.split("\n") if v else []
+            lines = v.split(sep) if v else []
             for j, line in enumerate(lines):
                 ids_out.append(did)
                 ord_out.append(j)
@@ -2337,11 +2344,11 @@ def line_dedup(
         docs = df[df["m"] == 0]
         removed = df[df["m"] == 1].groupby(id_col)["ord"].agg(set)
         for did, text in zip(docs[id_col], docs[text_col]):
-            lines = text.split("\n") if text else []
+            lines = text.split(sep) if text else []
             gone = removed.get(did, frozenset())
             kept = [ln for j, ln in enumerate(lines) if j not in gone]
             out_ids.append(did)
-            out_text.append("\n".join(kept))
+            out_text.append(sep.join(kept))
             out_nl.append(len(lines))
             out_nr.append(len(lines) - len(kept))
         return pd.DataFrame(

@@ -5232,6 +5232,40 @@ def q_line_dedup(sf_dir: str) -> ray.data.Dataset:
     return line_dedup(lined, min_docs=2)
 
 
+def q_paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
+    """PARAGRAPH-level cross-document dedup — ``line_dedup`` with
+    ``sep="\\n\\n"`` (the coarser FineWeb-style hygiene unit): docs get
+    a shared nav paragraph, 24-word body paragraphs from their own
+    text, and a per-source copyright paragraph; nav + same-source
+    footers repeat across ≥2 docs → removed, body paragraphs are
+    unique → kept.  Same SQL twin shape as line_dedup with the
+    two-newline separator (``str.split`` ≡ literal ``string_split``)."""
+    from ..functions.dedup import line_dedup
+    from ..pdf import wrap_words
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def to_paras(t: pa.Table) -> pa.Table:
+        out = [
+            "site nav | home | about\n\n"
+            + "\n\n".join(wrap_words(text or "", 24))
+            + "\n\ncopyright " + source
+            for text, source in zip(
+                t.column("text").to_pylist(), t.column("source").to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    paras = docs.map_batches(to_paras, batch_format="pyarrow")
+    out = line_dedup(paras, min_docs=2, sep="\n\n")
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "kept_text", "n_paras", "n_removed"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_quality_classifier(sf_dir: str) -> ray.data.Dataset:
     """Model-based quality filter (FineWeb-Edu / GPT-3 WebText-LR
     shape): fit the hashed-ngram logistic classifier on the corpus

@@ -2013,6 +2013,50 @@ def test_line_dedup_vs_bruteforce(ray_session):
     assert d6["kept_text"] == "" and d6["n_lines"] == 0 and d6["n_removed"] == 0
 
 
+def test_paragraph_dedup_sep_parameter(ray_session):
+    """sep='\\n\\n' dedups at PARAGRAPH granularity: multi-line
+    paragraphs are one unit, single newlines never split."""
+    from ocr_system_ray.functions.dedup import line_dedup
+
+    nav = "nav menu\nhome | about"  # an internal \n stays inside the unit
+    docs = {
+        1: f"{nav}\n\nbody one alpha\n\nfooter acme",
+        2: f"{nav}\n\nbody two beta\n\nfooter acme",
+        3: f"{nav}\n\nbody three gamma\n\nfooter zeta",
+        4: "standalone paragraph only",
+        5: "",
+    }
+    t = pa.table(
+        {"doc_id": pa.array(list(docs), pa.int64()), "text": pa.array(list(docs.values()))}
+    )
+    got = (
+        line_dedup(ray.data.from_arrow(t), min_docs=2, sep="\n\n")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # nav (multi-line) removed everywhere; same-source footers removed;
+    # unique bodies + the unique footer survive
+    assert got.loc[1, "kept_text"] == "body one alpha"
+    assert got.loc[1, "n_lines"] == 3 and got.loc[1, "n_removed"] == 2
+    assert got.loc[3, "kept_text"] == "body three gamma\n\nfooter zeta"
+    assert got.loc[4, "kept_text"] == "standalone paragraph only"
+    assert got.loc[5, "n_lines"] == 0
+    # hashed mode agrees under the custom separator too
+    h = (
+        line_dedup(ray.data.from_arrow(t), min_docs=2, sep="\n\n", exact=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    e = (
+        line_dedup(ray.data.from_arrow(t), min_docs=2, sep="\n\n", exact=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert h.equals(e)
+
+
 def test_line_dedup_hashed_mode_equals_exact(ray_session):
     from ocr_system_ray.functions.dedup import line_dedup
 
