@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
         "paragraph_dedup": q.q_paragraph_dedup,
+        "webm_headers": q.q_webm_headers,
+        "flac_headers": q.q_flac_headers,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -2892,6 +2894,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # webm_headers: every EBML-walk field recomputed from the
+        # doc_id derivation — the truncated rows (%89==3, chopped into
+        # the Cluster) still expect full fields, pinning the complete-
+        # child clamp; audio-only and non-EBML branches pinned too
+        "webm_headers": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       doc_id % 7 <> 4 AS hasv,
+                       (doc_id % 3 <> 1) OR (doc_id % 7 = 4) AS hasa,
+                       CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 44100 ELSE 48000 END AS arate
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CASE WHEN bad THEN ''
+                     WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska'
+                END AS doctype,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE 1000 * (1 + doc_id % 9) + 17 * (doc_id % 7)
+                     END AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE (CASE WHEN hasv THEN 1 ELSE 0 END)
+                        + (CASE WHEN hasa THEN 1 ELSE 0 END)
+                     END AS BIGINT) AS n_tracks,
+                CAST(CASE WHEN bad OR NOT hasv THEN 0
+                     ELSE 2 * (100 + doc_id % 37) END AS BIGINT) AS video_w,
+                CAST(CASE WHEN bad OR NOT hasv THEN 0
+                     ELSE 2 * (50 + doc_id % 23) END AS BIGINT) AS video_h,
+                CASE WHEN bad OR NOT hasv THEN ''
+                     ELSE CASE doc_id % 3 WHEN 0 THEN 'V_VP9'
+                          WHEN 1 THEN 'V_AV1' ELSE 'V_VP8' END
+                END AS video_codec,
+                CASE WHEN bad OR NOT hasa THEN ''
+                     ELSE CASE doc_id % 2 WHEN 0 THEN 'A_OPUS'
+                          ELSE 'A_VORBIS' END
+                END AS audio_codec,
+                CAST(CASE WHEN bad OR NOT hasa THEN 0
+                     ELSE arate END AS BIGINT) AS audio_rate,
+                CAST(CASE WHEN bad OR NOT hasa THEN 0
+                     ELSE 1 + doc_id % 2 END AS BIGINT) AS audio_channels
+            FROM b
+        """,
+        # flac_headers: the STREAMINFO bitfield recomputed from the
+        # derivation; %89==3 mid-STREAMINFO cuts are error-as-data
+        "flac_headers": """
+            WITH b AS (
+                SELECT doc_id,
+                       (doc_id % 97 = 0) OR (doc_id % 89 = 3) AS bad,
+                       CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                            WHEN 2 THEN 44100 ELSE 48000 END AS rate
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE WHEN bad THEN 'unknown' ELSE 'flac' END AS format,
+                CAST(CASE WHEN bad THEN -1
+                     ELSE 1 + doc_id % 3 END AS BIGINT) AS channels,
+                CAST(CASE WHEN bad THEN -1 ELSE rate END AS BIGINT) AS sample_rate,
+                CAST(CASE WHEN bad THEN -1
+                     ELSE (rate * (2 + doc_id % 6) + 31 * (doc_id % 5))
+                          * 1000 // rate END AS BIGINT) AS duration_ms
+            FROM b
         """,
         # mp4_headers: every box-walk field recomputed from the doc_id
         # derivation — duration in mvhd units floor-divided to ms, the

@@ -216,6 +216,8 @@ def _query_suite() -> dict:
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
         "paragraph_dedup": q.q_paragraph_dedup,
+        "webm_headers": q.q_webm_headers,
+        "flac_headers": q.q_flac_headers,
     }
     return suite
 

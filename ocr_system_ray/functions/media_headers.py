@@ -72,6 +72,8 @@ def sniff_media(payload: bytes) -> dict:
         return _meta("wav", **_wav_info(payload))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return _meta("webp", **_webp_dims(payload))
+    if payload[:4] == b"fLaC":
+        return _meta("flac", **_flac_info(payload))
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):
@@ -92,6 +94,48 @@ _MP3_RATES = {
     2: [22050, 24000, 16000],
     0: [11025, 12000, 8000],
 }
+
+
+def _flac_info(payload: bytes) -> dict:
+    """FLAC STREAMINFO (the mandatory FIRST metadata block, RFC 9639
+    §8.2): sample rate (20 bits), channels−1 (3 bits), total inter-
+    channel samples (36 bits) → duration_ms = samples·1000 // rate."""
+    if len(payload) < 8:
+        raise ValueError("flac: truncated block header")
+    btype = payload[4] & 0x7F
+    blen = int.from_bytes(payload[5:8], "big")
+    if btype != 0 or blen < 34:
+        raise ValueError("flac: first block is not a 34-byte STREAMINFO")
+    if len(payload) < 8 + 34:
+        raise ValueError("flac: truncated STREAMINFO")
+    si = payload[8 : 8 + 34]
+    # bytes 10..17: 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    bits = int.from_bytes(si[10:18], "big")
+    rate = bits >> 44
+    channels = ((bits >> 41) & 0x7) + 1
+    total = bits & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("flac: zero sample rate")
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": total * 1000 // rate,
+    }
+
+
+def encode_flac(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Real fLaC + STREAMINFO bytes (empty audio stream): block sizes,
+    the packed rate/channels/bps/total bitfield, zero MD5."""
+    bits = (sample_rate << 44) | ((channels - 1) << 41) | ((16 - 1) << 36)
+    bits |= n_samples & ((1 << 36) - 1)
+    si = (
+        struct.pack(">HH", 4096, 4096)  # min/max block size
+        + b"\x00\x00\x00" * 2  # min/max frame size (unknown)
+        + bits.to_bytes(8, "big")
+        + b"\x00" * 16  # MD5 of unencoded audio (unset)
+    )
+    assert len(si) == 34
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
 
 
 def _mp3_info(payload: bytes) -> dict:

@@ -3661,6 +3661,99 @@ def q_dict_tags(sf_dir: str) -> ray.data.Dataset:
     return tag_dictionary(docs, DICT_TAG_PHRASES)
 
 
+def q_webm_headers(sf_dir: str) -> ray.data.Dataset:
+    """WebM/Matroska EBML container walk (``functions/ebml.py``):
+    varint grammar incl. the all-ones unknown-size Segment (%5==0) and
+    8-byte float Durations (%3==0), DocType, Info timestamp-scale math,
+    per-TrackEntry type/codec/dims/audio params; %7==4 rows are
+    audio-only, %89==3 rows are cut 10 bytes short (into the trailing
+    Cluster — the complete-child clamp must keep every field), %97 rows
+    are not EBML.  Oracle = DuckDB recomputing every field from the
+    doc_id derivation."""
+    from ..functions.ebml import encode_webm, webm_features
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(b"junk")
+                continue
+            has_video = i % 7 != 4
+            has_audio = (i % 3 != 1) or not has_video
+            raw = encode_webm(
+                doctype=("webm", "matroska")[i % 2],
+                duration_ticks=1000 * (1 + i % 9) + 17 * (i % 7),
+                video=(
+                    (
+                        2 * (100 + i % 37),
+                        2 * (50 + i % 23),
+                        ("V_VP9", "V_AV1", "V_VP8")[i % 3],
+                    )
+                    if has_video
+                    else None
+                ),
+                audio=(
+                    (
+                        (8000, 16000, 44100, 48000)[i % 4],
+                        1 + i % 2,
+                        ("A_OPUS", "A_VORBIS")[i % 2],
+                    )
+                    if has_audio
+                    else None
+                ),
+                unknown_segment_size=i % 5 == 0,
+                float8_duration=i % 3 == 0,
+            )
+            if i % 89 == 3:
+                raw = raw[:-10]  # chop into the trailing Cluster
+            payloads.append(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "video": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return webm_features(docs.map_batches(synth, batch_format="pyarrow"))
+
+
+def q_flac_headers(sf_dir: str) -> ray.data.Dataset:
+    """FLAC STREAMINFO parsing (``media_headers.sniff_media`` flac
+    branch): 20-bit rate / 3-bit channels / 36-bit total-sample
+    bitfield → exact duration; %89==3 rows are cut mid-STREAMINFO
+    (error-as-data), %97 rows are not FLAC.  Oracle = DuckDB
+    recomputing from the doc_id derivation."""
+    from ..functions.media_headers import encode_flac, parse_media_headers
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payloads = []
+        for i in ids:
+            if i % 97 == 0:
+                payloads.append(b"xx")
+                continue
+            rate = (8000, 22050, 44100, 48000)[i % 4]
+            raw = encode_flac(rate, 1 + i % 3, rate * (2 + i % 6) + 31 * (i % 5))
+            if i % 89 == 3:
+                raw = raw[:28]  # chop mid-STREAMINFO
+            payloads.append(raw)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return parse_media_headers(ds).select_columns(
+        ["doc_id", "format", "channels", "sample_rate", "duration_ms"]
+    )
+
+
 def _derived_simhash_family_texts(t: pa.Table) -> pa.Table:
     """Near-dup text families keyed by doc_id: ids {4k..4k+3} share a
     40-token base vocabulary with the FIRST ``id % 4`` positions swapped

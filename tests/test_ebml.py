@@ -1,0 +1,130 @@
+"""WebM/Matroska EBML walk (functions/ebml.py) + FLAC STREAMINFO
+(media_headers.py): varint grammar, unknown-size Segments, float
+durations, truncation clamp, rejection paths, Dataset passes."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from ocr_system_ray.functions.ebml import (
+    _read_vint,
+    encode_webm,
+    parse_webm,
+    webm_features,
+)
+from ocr_system_ray.functions.media_headers import encode_flac, sniff_media
+
+
+def test_round_trip_defaults():
+    m = parse_webm(encode_webm())
+    assert m == {
+        "doctype": "webm",
+        "duration_ms": 5000,
+        "n_tracks": 2,
+        "video_w": 640,
+        "video_h": 360,
+        "video_codec": "V_VP9",
+        "audio_codec": "A_OPUS",
+        "audio_rate": 48000,
+        "audio_channels": 2,
+    }
+
+
+def test_param_sweep_unknown_size_and_float8():
+    for us in (False, True):
+        for f8 in (False, True):
+            m = parse_webm(
+                encode_webm(
+                    doctype="matroska",
+                    duration_ticks=7777,
+                    video=None,
+                    audio=(44100, 1, "A_VORBIS"),
+                    unknown_segment_size=us,
+                    float8_duration=f8,
+                )
+            )
+            assert m["doctype"] == "matroska"
+            assert m["duration_ms"] == 7777, (us, f8)
+            assert m["n_tracks"] == 1 and m["video_codec"] == ""
+            assert (m["audio_rate"], m["audio_channels"]) == (44100, 1)
+
+
+def test_timestamp_scale_math():
+    # scale 2e6 ns/tick: 1500 ticks → 3000 ms
+    m = parse_webm(encode_webm(duration_ticks=1500, timestamp_scale=2_000_000))
+    assert m["duration_ms"] == 3000
+
+
+def test_varint_widths():
+    # 2-byte id, multi-byte sizes exercised by large cluster bodies
+    raw = encode_webm(cluster_bytes=20000)  # forces a 3-byte size varint
+    assert parse_webm(raw)["n_tracks"] == 2
+    v, p = _read_vint(b"\x40\x7f", 0, keep_marker=False)
+    assert (v, p) == (0x7F, 2)
+    v, _ = _read_vint(b"\x20\x00\x01", 0, keep_marker=False)
+    assert v == 1
+
+
+def test_truncation_clamp_keeps_fields():
+    raw = encode_webm()
+    for cut in (5, 10, 40):
+        m = parse_webm(raw[:-cut])  # chops into the trailing Cluster
+        assert m["duration_ms"] == 5000 and m["n_tracks"] == 2, cut
+
+
+def test_rejection_paths():
+    for bad in (b"", b"nope", b"\x1a\x45\xdf\xa3", b"\x1a\x45\xdf\xa3\x00"):
+        with pytest.raises(ValueError):
+            parse_webm(bad)
+    # EBML header alone (no Segment) rejected
+    hdr_only = encode_webm()[: encode_webm().index(b"\x18\x53\x80\x67")]
+    with pytest.raises(ValueError):
+        parse_webm(hdr_only)
+
+
+def test_webm_dataset_pass(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "video": pa.array([encode_webm(), b"junk"], pa.binary()),
+            }
+        )
+    )
+    out = webm_features(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["ok"]) == [1, 0]
+    assert out.loc[0, "video_codec"] == "V_VP9"
+
+
+def test_flac_round_trip_and_duration():
+    raw = encode_flac(44100, 2, 44100 * 7 + 123)
+    m = sniff_media(raw)
+    assert m["format"] == "flac"
+    assert (m["channels"], m["sample_rate"]) == (2, 44100)
+    assert m["duration_ms"] == (44100 * 7 + 123) * 1000 // 44100
+    # 20-bit rate and 36-bit total upper ranges survive the bitfield
+    hi = sniff_media(encode_flac(655350, 8, (1 << 36) - 1))
+    assert hi["sample_rate"] == 655350 and hi["channels"] == 8
+
+
+def test_flac_rejections():
+    raw = encode_flac(8000, 1, 8000)
+    with pytest.raises(ValueError):
+        sniff_media(raw[:28])  # mid-STREAMINFO
+    v = bytearray(raw)
+    v[4] = 0x84  # first block type = VORBIS_COMMENT, not STREAMINFO
+    with pytest.raises(ValueError):
+        sniff_media(bytes(v))
+    zero = encode_flac(8000, 1, 100)
+    z = bytearray(zero)
+    # zero out the rate bits (bytes 8+10..): force rate==0 rejection
+    bits = (0 << 44) | (0 << 41) | ((16 - 1) << 36) | 100
+    z[18:26] = bits.to_bytes(8, "big")
+    with pytest.raises(ValueError):
+        sniff_media(bytes(z))
