@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q.q_paragraph_dedup,
         "webm_headers": q.q_webm_headers,
         "flac_headers": q.q_flac_headers,
+        "nfc_normalize": q.q_nfc_normalize,
         "doc_chunks": q.q_doc_chunks,
         "pdf_images": q.q_pdf_images,
         "pdf_outlinks": q.q_pdf_outlinks,
@@ -3022,6 +3023,32 @@ def oracle_sql() -> dict[str, str]:
                      ELSE (n_audio * gpp * 1000) // rate END AS BIGINT) AS duration_ms,
                 CAST(CASE WHEN bad THEN 0 ELSE 1 + n_audio END AS BIGINT) AS n_pages
             FROM b
+        """,
+        # nfc_normalize: the synth rotation rebuilt with chr() code
+        # points (769=combining acute, 778=ring, 233=é composed,
+        # 803=dot-below), then DuckDB's own nfc_normalize (utf8proc)
+        # vs CPython unicodedata — a cross-IMPLEMENTATION oracle, both
+        # UAX#15; length() counts code points on both sides (verified)
+        "nfc_normalize": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                            WHEN 0 THEN 'cafe' || chr(769) || ' ' || doc_id
+                                        || ' A' || chr(778)
+                            WHEN 1 THEN 'caf' || chr(233) || ' ' || doc_id
+                            WHEN 2 THEN COALESCE(text, '')
+                            ELSE 'ko' || chr(803) || chr(769) || 'mbo '
+                                 || doc_id
+                       END AS raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(raw) AS text_nfc,
+                   CAST(CASE WHEN nfc_normalize(raw) = raw THEN 0 ELSE 1
+                        END AS BIGINT) AS changed,
+                   CAST(length(raw) AS BIGINT) AS len_before,
+                   CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_after
+            FROM s
         """,
         # doc_chunks: every chunk re-derived in SQL from the SAME token
         # class (regexp_extract_all + 1-based list slicing); empty docs

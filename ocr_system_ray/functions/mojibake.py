@@ -130,3 +130,58 @@ def corrupt_cp1252(s: str) -> str:
         ch = bytes([byte]).decode("cp1252", errors="ignore")
         out.append(ch if ch else chr(byte))
     return "".join(out)
+
+
+def nfc_normalize_batch(
+    t: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Unicode NFC normalization — the canonical-composition pass every
+    dedup pipeline needs BEFORE hashing (a decomposed ``cafe´`` and a
+    composed ``café`` are different byte strings but the same text;
+    without this, exact/minhash/line dedup silently miss them).
+
+    Emits ``(id, text_nfc, changed, len_before, len_after)`` —
+    ``changed`` flags rows that were not already NFC (the
+    ``unicodedata.is_normalized`` quick check short-circuits the
+    already-normalized common case), lengths count code points.  The
+    oracle is DuckDB's own ``nfc_normalize`` (verified char-for-char
+    against CPython's unicodedata on composed/decomposed/reordering
+    cases) — a cross-IMPLEMENTATION check, not a twin."""
+    import unicodedata
+
+    texts = t.column(text_col).to_pylist()
+    out: list[str] = []
+    changed: list[int] = []
+    lb: list[int] = []
+    la: list[int] = []
+    for s in texts:
+        s = s or ""
+        lb.append(len(s))
+        if unicodedata.is_normalized("NFC", s):
+            out.append(s)
+            changed.append(0)
+            la.append(len(s))
+        else:
+            n = unicodedata.normalize("NFC", s)
+            out.append(n)
+            changed.append(1)
+            la.append(len(n))
+    return pa.table(
+        {
+            id_col: t.column(id_col),
+            "text_nfc": pa.array(out, pa.string()),
+            "changed": pa.array(changed, pa.int64()),
+            "len_before": pa.array(lb, pa.int64()),
+            "len_after": pa.array(la, pa.int64()),
+        }
+    )
+
+
+def nfc_normalize(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Dataset pass: row-local stateless ``map_batches`` — no shuffle."""
+    return ds.map_batches(
+        lambda t: nfc_normalize_batch(t, text_col, id_col),
+        batch_format="pyarrow",
+    )

@@ -3661,6 +3661,41 @@ def q_dict_tags(sf_dir: str) -> ray.data.Dataset:
     return tag_dictionary(docs, DICT_TAG_PHRASES)
 
 
+def q_nfc_normalize(sf_dir: str) -> ray.data.Dataset:
+    """Unicode NFC normalization (``mojibake.nfc_normalize``) — the
+    canonical-composition pass before content hashing.  Derivation
+    rotates decomposed accents (e+U+0301, A+U+030A), an already-
+    composed twin, the doc's own ASCII text, and a combining-mark
+    REORDERING case (o+dot-below+acute → U+1ECD U+0301).  Oracle =
+    DuckDB's own ``nfc_normalize`` (a cross-implementation check
+    against CPython's unicodedata, not a twin)."""
+    from ..functions.mojibake import nfc_normalize
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        own = t.column("text").to_pylist()
+        texts = []
+        for i, s in zip(ids, own):
+            k = i % 4
+            if k == 0:
+                texts.append(f"café {i} Å")  # decomposed
+            elif k == 1:
+                texts.append(f"café {i}")  # already NFC
+            elif k == 2:
+                texts.append(s or "")  # ASCII corpus text
+            else:
+                texts.append(f"kọ́mbo {i}")  # mark reorder
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return nfc_normalize(docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def q_webm_headers(sf_dir: str) -> ray.data.Dataset:
     """WebM/Matroska EBML container walk (``functions/ebml.py``):
     varint grammar incl. the all-ones unknown-size Segment (%5==0) and

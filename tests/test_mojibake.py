@@ -79,3 +79,46 @@ def test_truncated_utf8_left_alone():
     # a mojibake-looking string whose re-encode is NOT valid UTF-8
     broken = "Ã" + "\x28"  # C3 28 — invalid continuation
     assert fix_text(broken) == broken
+
+
+def test_nfc_normalize_batch():
+    import unicodedata
+
+    from ocr_system_ray.functions.mojibake import nfc_normalize_batch
+
+    cases = [
+        "café Å",  # decomposed → composes
+        "café",  # already NFC
+        "kọ́mbo",  # dot-below + acute: o+0323 → U+1ECD, acute stays
+        "plain",
+        None,
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(cases))), pa.int64()),
+            "text": pa.array(cases, pa.string()),
+        }
+    )
+    out = nfc_normalize_batch(t)
+    exp = [unicodedata.normalize("NFC", s or "") for s in cases]
+    assert out.column("text_nfc").to_pylist() == exp
+    assert out.column("changed").to_pylist() == [1, 0, 1, 0, 0]
+    assert out.column("len_before").to_pylist() == [len(s or "") for s in cases]
+    assert out.column("len_after").to_pylist() == [len(e) for e in exp]
+    assert "ọ́" in exp[2]  # composition happened under the acute
+
+
+def test_nfc_normalize_dataset(ray_session):
+    from ocr_system_ray.functions.mojibake import nfc_normalize
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["café", "done"], pa.string()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in nfc_normalize(ds).take_all()}
+    assert rows[1]["text_nfc"] == "café" and rows[1]["changed"] == 1
+    assert rows[2]["text_nfc"] == "done" and rows[2]["changed"] == 0
