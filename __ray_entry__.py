@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epub_extract": q.q_epub_extract,
         "docx_extract": q.q_docx_extract,
         "rtf_extract": q.q_rtf_extract,
+        "eml_extract": q.q_eml_extract,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -3274,6 +3275,45 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # eml_extract: subject/sender/epoch/body rebuilt in SQL from the
+        # doc_id derivation; the RFC 5322 write→read round trip (encoded
+        # words, qp/b64 decodes, multipart walk, zoned dates) must be
+        # byte-exact or the md5 / epoch / counts break
+        "eml_extract": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       doc_id % 4 = 0 AS multi,
+                       CASE WHEN doc_id % 3 = 2
+                            THEN 'Plain body ' || doc_id || ' '
+                                 || repeat('z', CAST(doc_id % 5 AS INT))
+                            ELSE 'Body ' || doc_id || ': '
+                                 || COALESCE(text, '') || ' é'
+                       END AS body
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CASE WHEN bad THEN ''
+                     WHEN doc_id % 2 = 0 THEN 'Sübject ' || doc_id
+                     ELSE 'Subject ' || doc_id END AS subject,
+                CASE WHEN bad THEN ''
+                     ELSE 'user' || (doc_id % 50) || '@example.org'
+                     END AS from_addr,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE 1700000000 + doc_id * 97 END AS BIGINT)
+                     AS date_epoch,
+                CASE WHEN bad THEN '' ELSE md5(body) END AS body_md5,
+                CAST(CASE WHEN bad THEN 0 ELSE length(body) END AS BIGINT)
+                     AS n_chars,
+                CAST(CASE WHEN bad THEN 0 WHEN multi THEN 3 ELSE 1 END
+                     AS BIGINT) AS n_parts,
+                CAST(CASE WHEN bad THEN 0 WHEN multi THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_attachments,
+                CAST(CASE WHEN bad OR NOT multi THEN 0
+                     ELSE (doc_id % 7) * 10 + 5 END AS BIGINT) AS att_bytes
+            FROM b
         """,
         # pdf_outlinks: every URI re-derived from the doc_id derivation
         # (i%4 links per non-corrupt doc); ord=-1 sentinel rows for

@@ -4138,6 +4138,68 @@ def q_rtf_extract(sf_dir: str) -> ray.data.Dataset:
     return rtf_extract(files)
 
 
+def _derived_eml_payloads(t: pa.Table) -> pa.Table:
+    """Mail leg over the documents' own text: real RFC 5322 messages
+    rotating transfer encoding (%3: qp / base64 / 7bit-ASCII), RFC 2047
+    encoded-word subjects (%2==0), timezone offsets (%3: UTC / +0530 /
+    -0800), and a multipart/mixed(alternative) layout with one binary
+    attachment on %4==0 rows.  The writer's standing decoys (X-Mailer,
+    folded Received chain, References, the HTML alternative) must all
+    be ignored.  Corrupt rows: %97 non-mail bytes."""
+    from ..sources.email_mime import write_eml
+
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    payloads: list[bytes] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"not an email at all")
+            continue
+        e = i % 3
+        if e == 2:
+            body = f"Plain body {i} " + "z" * (i % 5)
+        else:
+            body = f"Body {i}: {text or ''} é"
+        multi = i % 4 == 0
+        att_len = (i % 7) * 10 + 5
+        payloads.append(
+            write_eml(
+                f"Sübject {i}" if i % 2 == 0 else f"Subject {i}",
+                f"user{i % 50}@example.org",
+                1700000000 + i * 97,
+                body,
+                encoding=("qp", "b64", "7bit")[e],
+                tz_minutes=(0, 330, -480)[e],
+                encoded_word_subject=i % 2 == 0,
+                html_alt=f"<p>alt {i}</p>" if multi else None,
+                attachments=(
+                    [(f"a{i}.bin", bytes((j * 13 + i) % 256
+                                         for j in range(att_len)))]
+                    if multi
+                    else None
+                ),
+            )
+        )
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "eml": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_eml_extract(sf_dir: str) -> ray.data.Dataset:
+    """Email extraction over REAL RFC 5322 / MIME bytes: header
+    unfolding, RFC 2047 encoded-words, multipart walks, base64 /
+    quoted-printable transfer decodes, RFC 5322 date-with-zone → epoch
+    (``sources/email_mime.py``).  Oracle = DuckDB rebuilding subject,
+    sender, epoch, body md5/len and part/attachment counts from the
+    doc_id derivation — the write→read round trip must be byte-exact
+    through every decode layer."""
+    from ..sources.email_mime import eml_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    files = docs.map_batches(_derived_eml_payloads, batch_format="pyarrow")
+    return eml_extract(files)
+
+
 def q_pdf_outlinks(sf_dir: str) -> ray.data.Dataset:
     """PDF URI link-annotation extraction — the crawl-discovery hop for
     PDF corpora: each doc's PDF carries i%4 ``/Link``+``/S /URI``

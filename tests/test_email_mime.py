@@ -1,0 +1,114 @@
+"""Email (.eml / mbox) extraction (sources/email_mime.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.email_mime import (
+    decode_encoded_words,
+    eml_extract,
+    eml_message,
+    encode_word,
+    format_rfc5322_date,
+    parse_rfc5322_date,
+    split_mbox,
+    write_eml,
+    write_mbox,
+)
+
+
+def test_singlepart_round_trip_all_encodings():
+    body = "Héllo wörld\nsecond líne — ünïcödé"
+    for enc in ("qp", "b64", "7bit"):
+        b = body if enc != "7bit" else "plain ascii\nbody only"
+        raw = write_eml("Re: test", "a@example.org", 1700000000, b,
+                        encoding=enc)
+        m = eml_message(raw)
+        assert m["body"] == b, enc
+        assert m["subject"] == "Re: test"
+        assert m["from_addr"] == "a@example.org"
+        assert m["date_epoch"] == 1700000000
+        assert m["n_parts"] == 1 and m["n_attachments"] == 0
+
+
+def test_encoded_word_subject_and_tz():
+    raw = write_eml("Sübject — ünïcödé", "Jörg <j@example.org>".encode(
+        "latin-1").decode("latin-1"), 1700001234, "x",
+        encoded_word_subject=True, tz_minutes=330)
+    m = eml_message(raw)
+    assert m["subject"] == "Sübject — ünïcödé"
+    assert m["date_epoch"] == 1700001234  # +0530 offset round-trips
+
+
+def test_adjacent_encoded_words_join():
+    s = encode_word("ab") + " " + encode_word("cd")
+    assert decode_encoded_words("X " + s + " Y") == "X abcd Y"
+    # Q encoding with underscore-as-space
+    assert decode_encoded_words("=?utf-8?Q?a_b=C3=A9?=") == "a bé"
+
+
+def test_multipart_attachments_and_html_alt():
+    att = b"\x00\x01binary payload\xff" * 9
+    raw = write_eml(
+        "multi", "b@example.org", 1700002000,
+        "the plain text",
+        html_alt="<p>the <b>html</b> text</p>",
+        attachments=[("a.bin", att), ("b.bin", b"zz")],
+    )
+    m = eml_message(raw)
+    assert m["body"] == "the plain text"  # html alternative NOT folded in
+    assert m["n_parts"] == 4  # plain + html + 2 attachments
+    assert m["n_attachments"] == 2
+    assert m["att_bytes"] == len(att) + 2
+
+
+def test_date_parse_variants():
+    assert parse_rfc5322_date("Thu, 1 Jan 1970 00:00:00 +0000") == 0
+    assert parse_rfc5322_date("1 Jan 1970 01:00:00 +0100") == 0  # no day name
+    assert parse_rfc5322_date("31 Dec 1969 16:00:00 -0800") == 0
+    rt = format_rfc5322_date(1699999999, -480)
+    assert parse_rfc5322_date(rt) == 1699999999
+
+
+def test_corrupt_payloads_raise():
+    import pytest
+
+    for bad in (b"", b"not an email at all", b"no blank separator: x"):
+        with pytest.raises(ValueError):
+            eml_message(bad)
+
+
+def test_mbox_round_trip_with_from_stuffing():
+    msgs = [
+        write_eml("one", "a@x", 100, "From the start\n>From quoted"),
+        write_eml("two", "b@x", 200, "plain"),
+    ]
+    data = write_mbox(msgs)
+    back = split_mbox(data)
+    assert len(back) == 2
+    m0 = eml_message(back[0])
+    assert m0["subject"] == "one"
+    assert m0["body"] == "From the start\n>From quoted"
+    assert eml_message(back[1])["subject"] == "two"
+
+
+def test_dataset_wrapper(ray_session):
+    good = write_eml("s", "f@x", 1700000000, "körper")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "eml": pa.array([good, b"junk"], pa.binary()),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in eml_extract(ds).take_all()}
+    assert rows[1]["ok"] == 1
+    assert rows[1]["body_md5"] == hashlib.md5("körper".encode()).hexdigest()
+    assert rows[1]["n_chars"] == len("körper")
+    assert rows[2]["ok"] == 0 and rows[2]["body_md5"] == ""
