@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docx_extract": q.q_docx_extract,
         "rtf_extract": q.q_rtf_extract,
         "eml_extract": q.q_eml_extract,
+        "wikitext_extract": q.q_wikitext_extract,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -3275,6 +3276,45 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # wikitext_extract: the plain text REBUILT line-by-line in SQL
+        # from the doc_id derivation (heading text, resolved link
+        # labels, list items, body, external label — everything else
+        # drops); any wrong markup decision breaks the md5
+        "wikitext_extract": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       ['Heading ' || doc_id,
+                        'Intro text with a label ' || doc_id
+                            || ' link and Plain' || doc_id || '.']
+                       || ['item ' || c || ' of ' || doc_id
+                           FOR c IN range(0, 1 + CAST(doc_id % 3 AS INT))]
+                       || ['Some body: ' || COALESCE(text, '') || ' end.',
+                           'ext ' || doc_id] AS lines
+                FROM documents
+            ), built AS (
+                SELECT doc_id, bad,
+                       list_reduce(lines, (a, x) -> a || chr(10) || x)
+                           AS plain
+                FROM b
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CASE WHEN bad THEN '' ELSE md5(plain) END AS text_md5,
+                CAST(CASE WHEN bad THEN 0 ELSE length(plain) END AS BIGINT)
+                    AS n_chars,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE 2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                     END AS BIGINT) AS n_links,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 + doc_id % 2 END AS BIGINT)
+                    AS n_templates,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_headings,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 + doc_id % 2 END AS BIGINT)
+                    AS n_refs,
+                CAST(CASE WHEN bad THEN 0 ELSE doc_id % 3 END AS BIGINT)
+                    AS n_categories
+            FROM built
         """,
         # eml_extract: subject/sender/epoch/body rebuilt in SQL from the
         # doc_id derivation; the RFC 5322 write→read round trip (encoded

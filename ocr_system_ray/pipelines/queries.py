@@ -4185,6 +4185,65 @@ def _derived_eml_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def _derived_wikitext(t: pa.Table) -> pa.Table:
+    """Wiki leg over the documents' own text: real wikitext pages with
+    a heading, labeled + plain links, a nested-template infobox (and a
+    second template on odd ids), 1 + i%3 list items, a removed table,
+    1 + i%2 refs, an external link, a File with a caption link on
+    %5==0, i%3 categories, plus standing decoys (comment with fake
+    markup, __NOTOC__).  Corrupt rows: %97 unclosed template."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    pages: list[str] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            pages.append("bad {{unclosed")
+            continue
+        lines = [
+            "<!-- decoy {{fake}} [[fake]] -->",
+            f"== Heading {i} ==",
+            f"'''Intro''' text with a [[Target {i}|label {i}]] link"
+            f" and [[Plain{i}]].",
+            "{{infobox|name=%d|nested={{inner|x=1}}}}" % i,
+        ]
+        if i % 2:
+            lines.append("{{done}}")
+        for c in range(1 + i % 3):
+            lines.append(f"* item {c} of {i}")
+        lines += ['{| class="wikitable"', "|-", "| cell1 || cell2", "|}"]
+        body = f"Some body: {text or ''} end.<ref>r{i}</ref>"
+        if i % 2:
+            body += '<ref name="x" />'
+        lines.append(body)
+        lines.append(f"[http://ex.org/{i} ext {i}]")
+        if i % 5 == 0:
+            lines.append(f"[[File:Pic{i}.png|thumb|cap [[cap{i}]] done]]")
+        for c in range(i % 3):
+            lines.append(f"[[Category:Cat{c}]]")
+        lines.append("__NOTOC__")
+        pages.append("\n".join(lines))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "wikitext": pa.array(pages, pa.string()),
+        }
+    )
+
+
+def q_wikitext_extract(sf_dir: str) -> ray.data.Dataset:
+    """MediaWiki markup extraction over REAL wikitext (nested
+    templates, media/category links, refs, tables, headings —
+    ``sources/wikitext.py``).  Oracle = DuckDB rebuilding the exact
+    plain text (md5 + code-point length) and every structure count
+    from the doc_id derivation; a wrong drop/keep decision on any
+    markup class breaks the md5."""
+    from ..sources.wikitext import wikitext_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pages = docs.map_batches(_derived_wikitext, batch_format="pyarrow")
+    return wikitext_extract(pages)
+
+
 def q_eml_extract(sf_dir: str) -> ray.data.Dataset:
     """Email extraction over REAL RFC 5322 / MIME bytes: header
     unfolding, RFC 2047 encoded-words, multipart walks, base64 /

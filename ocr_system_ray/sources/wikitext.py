@@ -1,0 +1,205 @@
+"""MediaWiki wikitext extraction: markup → plain text + structure stats.
+
+Wikipedia dumps are a standing training-corpus source (The Pile, Dolma
+and every CC-adjacent curation pipeline carry a wikitext leg); the
+reference's extraction tier is HTML-only, so this is the wiki-markup
+analog of ``html/extractor.py`` — a from-scratch parser for the TEXT
+layer of the MediaWiki grammar:
+
+* HTML comments ``<!-- -->`` removed first (decoy markup inside them
+  must not count);
+* ``<nowiki>…</nowiki>`` content protected verbatim through every
+  later pass;
+* ``<ref…>…</ref>`` and self-closing ``<ref… />`` removed and counted;
+* templates ``{{…}}`` removed with full nesting (depth scan — an
+  unclosed ``{{`` raises, error-as-data at the dataset layer); only
+  TOP-level templates count;
+* tables ``{| … |}`` removed line-wise with nesting; top-level count;
+* magic words ``__NOTOC__`` etc. removed;
+* wiki links innermost-first: ``[[Target|label]]`` → label,
+  ``[[Plain]]`` → Plain (counted); ``[[File:…]]`` / ``[[Image:…]]``
+  dropped whole (nested caption links resolve first, so captions
+  inside dropped media still count — same rule both sides);
+  ``[[Category:…]]`` dropped and counted separately;
+* external links ``[http://… label]`` → label (bare → dropped);
+* bold/italic quote runs ``'''``/``''`` stripped;
+* per-line: ``== H ==`` headings → their text (counted),
+  ``* # ; :`` list/indent markers stripped, blank lines dropped,
+  remaining lines joined ``"\\n"``.
+
+Scale notes: one stateless ``map_batches`` pass, payload dies
+in-stage; rows are independent — no shuffle, no cross-row state.
+"""
+
+from __future__ import annotations
+
+import re
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_NOWIKI_RE = re.compile(r"<nowiki>(.*?)</nowiki>", re.DOTALL | re.IGNORECASE)
+_REF_PAIR_RE = re.compile(r"<ref[^>/]*>.*?</ref>", re.DOTALL | re.IGNORECASE)
+_REF_SELF_RE = re.compile(r"<ref[^>]*/>", re.IGNORECASE)
+_MAGIC_RE = re.compile(r"__[A-Z][A-Z_]*__")
+_LINK_RE = re.compile(r"\[\[([^\[\]]*)\]\]")
+_EXT_RE = re.compile(r"\[(?:https?|ftp)://[^\s\]]*(?:\s+([^\]]*))?\]")
+_HEADING_RE = re.compile(r"^(={2,6})\s*(.*?)\s*={2,6}\s*$")
+_LIST_RE = re.compile(r"^[*#;:]+\s*")
+
+
+def _strip_templates(s: str) -> tuple[str, int]:
+    out: list[str] = []
+    i, n, count = 0, len(s), 0
+    while i < n:
+        if s.startswith("{{", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if s.startswith("{{", j):
+                    depth += 1
+                    j += 2
+                elif s.startswith("}}", j):
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            if depth:
+                raise ValueError("unclosed template")
+            count += 1
+            i = j
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out), count
+
+
+def _strip_tables(lines: list[str]) -> tuple[list[str], int]:
+    out: list[str] = []
+    depth = count = 0
+    for ln in lines:
+        t = ln.lstrip()
+        if t.startswith("{|"):
+            if depth == 0:
+                count += 1
+            depth += 1
+            continue
+        if depth:
+            if t.startswith("|}"):
+                depth -= 1
+            continue
+        out.append(ln)
+    return out, count
+
+
+def wikitext_extract_text(src: str) -> dict:
+    """One wikitext page → ``{text, n_links, n_templates, n_headings,
+    n_refs, n_categories, n_tables}``.  Raises ``ValueError`` on an
+    unclosed template."""
+    s = src or ""
+    # protect nowiki spans through every later pass
+    protected: list[str] = []
+
+    def _protect(m: re.Match) -> str:
+        protected.append(m.group(1))
+        return f"\x00{len(protected) - 1}\x00"
+
+    s = _NOWIKI_RE.sub(_protect, s)
+    s = _COMMENT_RE.sub("", s)
+    n_refs = 0
+    s, k = _REF_PAIR_RE.subn("", s)
+    n_refs += k
+    s, k = _REF_SELF_RE.subn("", s)
+    n_refs += k
+    s, n_templates = _strip_templates(s)
+    lines, n_tables = _strip_tables(s.split("\n"))
+    s = "\n".join(lines)
+    s = _MAGIC_RE.sub("", s)
+
+    stats = {"links": 0, "cats": 0}
+
+    def _link(m: re.Match) -> str:
+        inner = m.group(1)
+        tgt = inner.split("|", 1)[0].strip().lower()
+        if tgt.startswith(("file:", "image:")):
+            return ""
+        if tgt.startswith("category:"):
+            stats["cats"] += 1
+            return ""
+        stats["links"] += 1
+        parts = inner.split("|")
+        return parts[-1] if len(parts) > 1 else inner
+
+    while True:  # innermost-first: media captions resolve before drop
+        s, n = _LINK_RE.subn(_link, s)
+        if not n:
+            break
+    s = _EXT_RE.sub(lambda m: m.group(1) or "", s)
+    s = s.replace("'''", "").replace("''", "")
+
+    out_lines: list[str] = []
+    n_headings = 0
+    for ln in s.split("\n"):
+        m = _HEADING_RE.match(ln)
+        if m:
+            n_headings += 1
+            ln = m.group(2)
+        else:
+            ln = _LIST_RE.sub("", ln)
+        ln = ln.strip()
+        if ln:
+            out_lines.append(ln)
+    text = "\n".join(out_lines)
+    for idx, lit in enumerate(protected):
+        text = text.replace(f"\x00{idx}\x00", lit)
+    return {
+        "text": text,
+        "n_links": stats["links"],
+        "n_templates": n_templates,
+        "n_headings": n_headings,
+        "n_refs": n_refs,
+        "n_categories": stats["cats"],
+        "n_tables": n_tables,
+    }
+
+
+def wikitext_extract(ds, src_col: str = "wikitext", id_col: str = "doc_id"):
+    """Stateless extraction pass → ``(id, ok, text_md5, n_chars,
+    n_links, n_templates, n_headings, n_refs, n_categories)``;
+    unparseable pages emit a zero row with ``ok=0`` (error-as-data, row
+    conservation).  Source markup dies in-stage."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        keys = ("ok", "text_md5", "n_chars", "n_links", "n_templates",
+                "n_headings", "n_refs", "n_categories")
+        cols: dict[str, list] = {k: [] for k in keys}
+        for src in t.column(src_col).to_pylist():
+            try:
+                m = wikitext_extract_text(src)
+            except ValueError:
+                for k in keys:
+                    cols[k].append("" if k == "text_md5" else 0)
+                continue
+            cols["ok"].append(1)
+            cols["text_md5"].append(
+                hashlib.md5(m["text"].encode("utf-8")).hexdigest()
+            )
+            cols["n_chars"].append(len(m["text"]))
+            for k in ("n_links", "n_templates", "n_headings", "n_refs",
+                      "n_categories"):
+                cols[k].append(m[k])
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "ok": pa.array(cols["ok"], pa.int64()),
+                "text_md5": pa.array(cols["text_md5"], pa.string()),
+                "n_chars": pa.array(cols["n_chars"], pa.int64()),
+                "n_links": pa.array(cols["n_links"], pa.int64()),
+                "n_templates": pa.array(cols["n_templates"], pa.int64()),
+                "n_headings": pa.array(cols["n_headings"], pa.int64()),
+                "n_refs": pa.array(cols["n_refs"], pa.int64()),
+                "n_categories": pa.array(cols["n_categories"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,88 @@
+"""MediaWiki wikitext extraction (sources/wikitext.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.wikitext import (
+    wikitext_extract,
+    wikitext_extract_text,
+)
+
+
+def test_links_and_labels():
+    m = wikitext_extract_text("See [[Foo|the foo]] and [[Bar]].")
+    assert m["text"] == "See the foo and Bar."
+    assert m["n_links"] == 2
+
+
+def test_media_and_category_dropped_caption_links_resolve():
+    src = "x\n[[File:P.png|thumb|cap [[Inner|in]] done]]\n[[Category:C]]\ny"
+    m = wikitext_extract_text(src)
+    assert m["text"] == "x\ny"
+    assert m["n_links"] == 1  # the caption's inner link resolved first
+    assert m["n_categories"] == 1
+
+
+def test_nested_templates_and_unclosed_raises():
+    m = wikitext_extract_text("a {{box|k={{inner|1}}|z}} b {{t}} c")
+    assert m["text"] == "a  b  c"  # internal spacing untouched
+    assert m["n_templates"] == 2
+    with pytest.raises(ValueError):
+        wikitext_extract_text("bad {{unclosed")
+
+
+def test_tables_headings_lists_quotes():
+    src = (
+        "== Head ==\n"
+        "'''Bold''' and ''italic'' text.\n"
+        "* one\n"
+        "** two\n"
+        "# three\n"
+        "{| class=\"wikitable\"\n|-\n| a || b\n{|\n| nested\n|}\n|}\n"
+        "after"
+    )
+    m = wikitext_extract_text(src)
+    assert m["text"] == "Head\nBold and italic text.\none\ntwo\nthree\nafter"
+    assert m["n_headings"] == 1
+    assert m["n_tables"] == 1  # nested table counts once at top level
+
+
+def test_refs_comments_magic_nowiki():
+    src = (
+        "before<ref>cite {{tmpl}} [[lnk]]</ref> mid<ref name=\"a\" /> end\n"
+        "<!-- comment {{fake}} [[fake]] -->\n"
+        "__NOTOC__\n"
+        "<nowiki>[[not a link]] {{not a template}}</nowiki>"
+    )
+    m = wikitext_extract_text(src)
+    assert m["text"] == "before mid end\n[[not a link]] {{not a template}}"
+    assert m["n_refs"] == 2
+    assert m["n_templates"] == 0
+    assert m["n_links"] == 0
+
+
+def test_external_links():
+    m = wikitext_extract_text("a [http://x.org/p lbl here] b [http://y.org] c")
+    assert m["text"] == "a lbl here b  c"
+    assert "http" not in m["text"]
+
+
+def test_dataset_wrapper(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "wikitext": pa.array(
+                    ["== H ==\n[[A|a]] text", "{{broken"], pa.string()
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in wikitext_extract(ds).take_all()}
+    assert rows[1]["ok"] == 1 and rows[1]["n_headings"] == 1
+    assert rows[2]["ok"] == 0 and rows[2]["text_md5"] == ""
