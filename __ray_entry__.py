@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rtf_extract": q.q_rtf_extract,
         "eml_extract": q.q_eml_extract,
         "wikitext_extract": q.q_wikitext_extract,
+        "wat_roundtrip": q.q_wat_roundtrip,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -3276,6 +3277,27 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # wat_roundtrip: title + every link-kind count recomputed from
+        # the doc_id derivation; the decoy anchors (single-quoted,
+        # no-href) must not count, %97 empty pages pin the zero row
+        "wat_roundtrip": """
+            SELECT 'https://wat.example/' || doc_id AS url,
+                   CAST(1600000000 + doc_id AS BIGINT) AS ts_s,
+                   CASE WHEN doc_id % 97 = 0 THEN ''
+                        ELSE 'Tïtle ' || doc_id END AS title,
+                   CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                        ELSE doc_id % 5 END AS BIGINT) AS n_a,
+                   CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                        ELSE doc_id % 3 END AS BIGINT) AS n_img,
+                   CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                        ELSE doc_id % 2 END AS BIGINT) AS n_link,
+                   CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                        WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_script,
+                   CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                        ELSE (doc_id % 7) % 3 END AS BIGINT) AS n_meta
+            FROM documents
         """,
         # wikitext_extract: the plain text REBUILT line-by-line in SQL
         # from the doc_id derivation (heading text, resolved link

@@ -4185,6 +4185,75 @@ def _derived_eml_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def q_wat_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """WAT sink + source round trip — the crawl-artifact family closed
+    (WARC responses, WET conversions, CDX index, now WAT metadata):
+    derived HTML pages (title, i%5 anchors, i%3 imgs, i%2 link assets,
+    a script on %4, (i%7)%3 metas, plus single-quoted / no-href decoy
+    anchors that must NOT count) build Envelope JSON records
+    (``sources/wat.py``), write as sharded one-gzip-member-per-record
+    WAT files, then ``read_wat`` parses them back.  Oracle recomputes
+    title and every link-kind count from the doc_id derivation — a
+    writer or reader corruption anywhere in the JSON/WARC/gzip stack
+    breaks it.  The WAT artifact is cached under /tmp keyed by the sf
+    dir (idempotent rebuild)."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    from ..sources.wat import read_wat, write_wat
+
+    cache = f"/tmp/osr_wat_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+        def to_pages(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            urls, ts, htmls = [], [], []
+            for i, text in zip(ids, texts):
+                urls.append(f"https://wat.example/{i}")
+                ts.append((1_600_000_000 + i) * 1_000_000)
+                if i % 97 == 0:
+                    htmls.append(b"")
+                    continue
+                parts = [f"<html><head><title>Tïtle {i}</title>"]
+                for k in range((i % 7) % 3):
+                    parts.append(f'<meta name="m{k}" content="c{i}-{k}"/>')
+                for k in range(i % 2):
+                    parts.append(
+                        f'<link href="https://cdn.example/s{i}.css"'
+                        ' rel="stylesheet"/>'
+                    )
+                if i % 4 == 0:
+                    parts.append(
+                        f'<script src="https://cdn.example/j{i}.js"></script>'
+                    )
+                parts.append("</head><body>")
+                for k in range(i % 5):
+                    parts.append(
+                        f'<a href="https://out{k}.example/{i}">x{k}</a>'
+                    )
+                for k in range(i % 3):
+                    parts.append(f'<img src="https://img.example/{i}-{k}.png"/>')
+                parts.append("<a href='https://decoy.example/sq'>d</a>")
+                parts.append("<a>no href</a>")
+                parts.append(f"{text or ''}</body></html>")
+                htmls.append("".join(parts).encode("utf-8"))
+            return pa.table(
+                {
+                    "url": pa.array(urls, pa.string()),
+                    "warc_ts": pa.array(ts, pa.timestamp("us")),
+                    "html": pa.array(htmls, pa.binary()),
+                }
+            )
+
+        write_wat(docs.map_batches(to_pages, batch_format="pyarrow"), cache)
+
+    shards = sorted(_glob.glob(os.path.join(cache, "*.warc.wat.gz")))
+    return read_wat(shards).drop_columns(["entity_length"])
+
+
 def _derived_wikitext(t: pa.Table) -> pa.Table:
     """Wiki leg over the documents' own text: real wikitext pages with
     a heading, labeled + plain links, a nested-template infobox (and a

@@ -1,0 +1,194 @@
+"""WAT metadata records: the third Common-Crawl artifact (WARC → WAT).
+
+Completes the crawl-artifact family next to ``sources/warc.py`` (WARC
+responses + WET conversions) and ``sources/cdx.py`` (CDX index): a WAT
+file is a WARC of ``metadata`` records whose JSON payload describes
+each response — the head metadata (title, metas, link/script assets)
+and the outgoing link set with their DOM paths (``A@/href``,
+``IMG@/src``…).  Crawl pipelines consume WAT instead of re-parsing
+HTML when only the link graph / metadata is needed, so producing it IS
+an extraction product of the north-star pipeline.
+
+* ``build_wat_json`` — one page → the Envelope JSON (same
+  double-quoted-attribute scope as ``functions/urls.py``'s outlink and
+  anchor extractors, single-quoted decoys excluded by contract);
+* ``write_wat`` — distributed sink: one gzip member per ``metadata``
+  record, sharded per input block, content-hash-named idempotent
+  shards (the ``write_wet`` contract: tmp + rename, ``_SUCCESS``);
+* ``read_wat`` — WAT shards → Dataset of per-url metadata stats
+  (title, link-kind counts, entity length).
+
+Scale notes: build + write run inside ``map_batches`` tasks — page
+bytes die in-stage, no driver byte traffic; read is one task per
+shard.  Rows are independent — no shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_TITLE_RE = re.compile(rb"(?is)<title>([^<]*)</title>")
+_A_RE = re.compile(rb'(?is)<a[ \t\n\r][^>]*href="([^"]*)"')
+_IMG_RE = re.compile(rb'(?is)<img[ \t\n\r][^>]*src="([^"]*)"')
+_LINK_RE = re.compile(rb'(?is)<link[ \t\n\r][^>]*href="([^"]*)"')
+_SCRIPT_RE = re.compile(rb'(?is)<script[ \t\n\r][^>]*src="([^"]*)"')
+_META_RE = re.compile(
+    rb'(?is)<meta[ \t\n\r][^>]*name="([^"]*)"[^>]*content="([^"]*)"'
+)
+
+
+def build_wat_json(url: str, ts_us: int, html: bytes) -> str:
+    """One response → the WAT Envelope JSON string."""
+    data = html or b""
+    m = _TITLE_RE.search(data)
+    title = (m.group(1) if m else b"").decode("utf-8", "replace").strip()
+    links: list[dict] = []
+    for path, rx in (
+        ("A@/href", _A_RE),
+        ("IMG@/src", _IMG_RE),
+        ("LINK@/href", _LINK_RE),
+        ("SCRIPT@/src", _SCRIPT_RE),
+    ):
+        for href in rx.findall(data):
+            links.append(
+                {"path": path, "url": href.decode("utf-8", "replace")}
+            )
+    metas = [
+        {
+            "name": k.decode("utf-8", "replace"),
+            "content": v.decode("utf-8", "replace"),
+        }
+        for k, v in _META_RE.findall(data)
+    ]
+    dt = datetime.fromtimestamp((ts_us or 0) / 1e6, tz=timezone.utc)
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Date": dt.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "WARC-Type": "response",
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {
+                        "Head": {"Title": title, "Metas": metas},
+                        "Links": links,
+                    },
+                    "Entity-Length": len(data),
+                }
+            },
+        }
+    }
+    return json.dumps(env, ensure_ascii=False, separators=(",", ":"))
+
+
+def write_wat(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> int:
+    """Distributed WAT sink: pages → sharded ``*.warc.wat.gz`` files of
+    ``metadata`` records, one gzip member per record.  Same idempotency
+    contract as ``write_wet`` (content-hash shard names, tmp + rename,
+    ``_SUCCESS`` marker); returns rows written."""
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        ts_arr = (
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+        )
+        chunks: list[bytes] = []
+        for url, ts_us, html in zip(
+            t.column(url_col).to_pylist(), ts_arr, t.column(html_col).to_pylist()
+        ):
+            payload = build_wat_json(url, ts_us or 0, html).encode("utf-8")
+            dt = datetime.fromtimestamp((ts_us or 0) / 1e6, tz=timezone.utc)
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: metadata\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {dt.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+                "Content-Type: application/json\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("latin-1")
+            chunks.append(_gzip.compress(head + payload + b"\r\n\r\n", mtime=0))
+        blob = b"".join(chunks)
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"wat-{name}.warc.wat.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def read_wat(paths: str | list[str]) -> ray.data.Dataset:
+    """WAT shards → Dataset(url, ts_s, title, n_a, n_img, n_link,
+    n_script, n_meta, entity_length) — one row per metadata record."""
+    from .warc import parse_warc_records
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {
+            k: []
+            for k in ("url", "ts_s", "title", "n_a", "n_img", "n_link",
+                      "n_script", "n_meta", "entity_length")
+        }
+        for raw in batch.column("bytes"):
+            records, _ = parse_warc_records(
+                raw.as_py(), record_types=("metadata",), strip_http=False
+            )
+            for r in records:
+                env = json.loads(r["payload"].decode("utf-8"))["Envelope"]
+                rm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+                hm = rm["HTML-Metadata"]
+                kinds = {"A@/href": 0, "IMG@/src": 0, "LINK@/href": 0,
+                         "SCRIPT@/src": 0}
+                for ln in hm["Links"]:
+                    kinds[ln["path"]] = kinds.get(ln["path"], 0) + 1
+                cols["url"].append(env["WARC-Header-Metadata"]
+                                   ["WARC-Target-URI"])
+                cols["ts_s"].append((r["warc_ts"] or 0) // 1_000_000)
+                cols["title"].append(hm["Head"]["Title"])
+                cols["n_a"].append(kinds["A@/href"])
+                cols["n_img"].append(kinds["IMG@/src"])
+                cols["n_link"].append(kinds["LINK@/href"])
+                cols["n_script"].append(kinds["SCRIPT@/src"])
+                cols["n_meta"].append(len(hm["Head"]["Metas"]))
+                cols["entity_length"].append(rm["Entity-Length"])
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "ts_s": pa.array(cols["ts_s"], pa.int64()),
+                "title": pa.array(cols["title"], pa.string()),
+                "n_a": pa.array(cols["n_a"], pa.int64()),
+                "n_img": pa.array(cols["n_img"], pa.int64()),
+                "n_link": pa.array(cols["n_link"], pa.int64()),
+                "n_script": pa.array(cols["n_script"], pa.int64()),
+                "n_meta": pa.array(cols["n_meta"], pa.int64()),
+                "entity_length": pa.array(cols["entity_length"], pa.int64()),
+            }
+        )
+
+    files = ray.data.read_binary_files(paths)
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)

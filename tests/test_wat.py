@@ -1,0 +1,90 @@
+"""WAT metadata records (sources/wat.py)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.wat import build_wat_json, read_wat, write_wat
+
+HTML = (
+    b'<html><head><title> The T\xc3\xaftle </title>'
+    b'<meta name="desc" content="d1"/>'
+    b'<link href="https://cdn.example/a.css" rel="stylesheet"/>'
+    b'<script src="https://cdn.example/a.js"></script>'
+    b"</head><body>"
+    b'<a href="https://x.example/1">one</a>'
+    b'<a href="https://x.example/2">two</a>'
+    b"<a href='https://single.quoted/skip'>decoy</a>"
+    b"<a>no href</a>"
+    b'<img src="https://img.example/p.png"/>'
+    b"body text</body></html>"
+)
+
+
+def test_build_wat_json_counts_and_title():
+    env = json.loads(build_wat_json("https://u.example/", 1_000_000, HTML))
+    e = env["Envelope"]
+    assert e["WARC-Header-Metadata"]["WARC-Target-URI"] == "https://u.example/"
+    rm = e["Payload-Metadata"]["HTTP-Response-Metadata"]
+    hm = rm["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "The Tïtle"  # stripped, utf-8
+    assert hm["Head"]["Metas"] == [{"name": "desc", "content": "d1"}]
+    paths = [ln["path"] for ln in hm["Links"]]
+    assert paths.count("A@/href") == 2  # single-quote + no-href decoys skip
+    assert paths.count("IMG@/src") == 1
+    assert paths.count("LINK@/href") == 1
+    assert paths.count("SCRIPT@/src") == 1
+    assert rm["Entity-Length"] == len(HTML)
+
+
+def test_empty_page():
+    env = json.loads(build_wat_json("https://e.example/", 0, b""))
+    hm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]
+    assert hm["Head"]["Title"] == "" and hm["Links"] == []
+
+
+def test_write_read_round_trip(ray_session, tmp_path):
+    out = str(tmp_path / "wat")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [f"https://rt.example/{i}" for i in range(6)], pa.string()
+                ),
+                "warc_ts": pa.array(
+                    [(1_600_000_000 + i) * 1_000_000 for i in range(6)],
+                    pa.timestamp("us"),
+                ),
+                "html": pa.array([HTML] * 5 + [b""], pa.binary()),
+            }
+        )
+    ).repartition(2)
+    n = write_wat(ds, out)
+    assert n == 6
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    shards = sorted(glob.glob(os.path.join(out, "*.warc.wat.gz")))
+    assert 1 <= len(shards) <= 2
+    back = read_wat(shards).take_all()
+    assert len(back) == 6
+    rows = {r["url"]: r for r in back}
+    r0 = rows["https://rt.example/0"]
+    assert r0["ts_s"] == 1_600_000_000
+    assert (r0["n_a"], r0["n_img"], r0["n_link"], r0["n_script"],
+            r0["n_meta"]) == (2, 1, 1, 1, 1)
+    assert r0["entity_length"] == len(HTML)
+    r5 = rows["https://rt.example/5"]
+    assert r5["title"] == "" and r5["n_a"] == 0 and r5["entity_length"] == 0
+    # idempotent rewrite: same content-hash shard names, no duplicates
+    write_wat(ds, out)
+    assert sorted(glob.glob(os.path.join(out, "*.warc.wat.gz"))) == shards
+    shutil.rmtree(out)
