@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eml_extract": q.q_eml_extract,
         "wikitext_extract": q.q_wikitext_extract,
         "wat_roundtrip": q.q_wat_roundtrip,
+        "latex_extract": q.q_latex_extract,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -3277,6 +3278,43 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # latex_extract: the plain text REBUILT line-by-line in SQL from
+        # the doc_id derivation (section title, the math/cite-stripped
+        # intro with its residual double spaces, items, body, escapes);
+        # any wrong drop/keep decision breaks the md5
+        "latex_extract": """
+            WITH b AS (
+                SELECT doc_id,
+                       doc_id % 97 = 0 AS bad,
+                       ['Head ' || doc_id,
+                        'Intro emph text with math  and  cite.']
+                       || ['item ' || c || ' of ' || doc_id
+                           FOR c IN range(0, 1 + CAST(doc_id % 3 AS INT))]
+                       || ['Some body: ' || COALESCE(text, '') || ' end.',
+                           '100% done & fine ' || doc_id || '.'] AS lines
+                FROM documents
+            ), built AS (
+                SELECT doc_id, bad,
+                       list_reduce(lines, (a, x) -> a || chr(10) || x)
+                           AS plain
+                FROM b
+            )
+            SELECT doc_id,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS ok,
+                CASE WHEN bad THEN '' ELSE md5(plain) END AS text_md5,
+                CAST(CASE WHEN bad THEN 0 ELSE length(plain) END AS BIGINT)
+                    AS n_chars,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_sections,
+                CAST(CASE WHEN bad THEN 0
+                     ELSE 1 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                     END AS BIGINT) AS n_math,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT) AS n_cites,
+                CAST(CASE WHEN bad THEN 0 ELSE doc_id % 2 END AS BIGINT)
+                    AS n_footnotes,
+                CAST(CASE WHEN bad THEN 0 ELSE 1 END AS BIGINT)
+                    AS n_envs_dropped
+            FROM built
         """,
         # wat_roundtrip: title + every link-kind count recomputed from
         # the doc_id derivation; the decoy anchors (single-quoted,

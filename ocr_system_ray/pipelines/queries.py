@@ -4185,6 +4185,68 @@ def _derived_eml_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def _derived_latex(t: pa.Table) -> pa.Table:
+    """arXiv leg over the documents' own text: real .tex sources with
+    a preamble (cut), a section, inline math + a cite on one line, a
+    kept itemize (1 + i%3 items), a dropped figure environment, a
+    footnote on odd ids, display math on %4==0, escape sequences, and
+    a comment decoy.  Corrupt rows: %97 unclosed figure."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    srcs: list[str] = []
+    for i, text in zip(ids, texts):
+        if i % 97 == 0:
+            srcs.append("\\begin{figure} unclosed")
+            continue
+        lines = [
+            "% decoy \\section{fake} $fake$",
+            "\\documentclass{article}",
+            "preamble junk",
+            "\\begin{document}",
+            f"\\section{{Head {i}}}",
+            f"\\textbf{{Intro}} \\emph{{emph}} text with math $x^2+{i}$"
+            f" and \\cite{{r{i}}} cite.",
+            "\\begin{itemize}",
+        ]
+        for c in range(1 + i % 3):
+            lines.append(f"\\item item {c} of {i}")
+        lines += [
+            "\\end{itemize}",
+            "\\begin{figure}",
+            f"\\includegraphics{{f{i}.png}}",
+            "\\caption{dropped}",
+            "\\end{figure}",
+        ]
+        body = f"Some body: {text or ''} end."
+        if i % 2:
+            body += f"\\footnote{{note {i}}}"
+        lines.append(body)
+        if i % 4 == 0:
+            lines.append(f"\\[ display_{i} \\]")
+        lines += [
+            f"100\\% done \\& fine {i}.",
+            "\\end{document}",
+            "junk after",
+        ]
+        srcs.append("\n".join(lines))
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "tex": pa.array(srcs, pa.string())}
+    )
+
+
+def q_latex_extract(sf_dir: str) -> ray.data.Dataset:
+    """LaTeX extraction over REAL .tex sources (preamble cut, math and
+    float removal, formatter unwrap, escapes — ``sources/latex.py``).
+    Oracle = DuckDB rebuilding the exact plain text (md5 + length) and
+    every markup count from the doc_id derivation; any wrong drop/keep
+    decision breaks the md5."""
+    from ..sources.latex import latex_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    srcs = docs.map_batches(_derived_latex, batch_format="pyarrow")
+    return latex_extract(srcs)
+
+
 def q_wat_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """WAT sink + source round trip — the crawl-artifact family closed
     (WARC responses, WET conversions, CDX index, now WAT metadata):

@@ -1,0 +1,188 @@
+"""LaTeX (.tex) text extraction: detex-style markup strip + stats.
+
+arXiv source dumps are a standing training-corpus leg (RedPajama,
+Dolma and The Pile all carry one); the reference's extraction tier is
+HTML-only, so this is the TeX analog of ``html/extractor.py`` — a
+from-scratch extractor for an explicit subset of the LaTeX grammar:
+
+* escape sequences protected first (``\\%`` ``\\&`` ``\\_`` ``\\#``
+  ``\\$`` → their literal characters, surviving every later pass);
+* ``%`` comments to end-of-line;
+* body = between ``\\begin{document}`` / ``\\end{document}`` when
+  present (preamble and trailing junk dropped), else the whole input;
+* math removed and counted: display (``$$…$$``, ``\\[…\\]``,
+  equation/align/math/displaymath/eqnarray environments) and inline
+  (``$…$``, ``\\(…\\)``);
+* ``verbatim`` content kept literally (protected through all passes);
+* float/graphic environments dropped whole and counted: figure,
+  table, tabular, tikzpicture, minipage (an unclosed dropped
+  environment raises — error-as-data at the dataset layer);
+* structural environments keep their content: itemize, enumerate,
+  abstract, center, quote, quotation, document;
+* ``\\section``/``\\subsection``/``\\subsubsection`` → their title on
+  its own line (counted together);
+* keep-arg commands unwrap innermost-first: textbf, textit, emph,
+  texttt, underline, url, mbox, text;
+* drop-arg commands: cite/citep/citet (counted), footnote (counted),
+  ref, eqref, label, includegraphics, caption, vspace, hspace,
+  documentclass, usepackage, title, author, date;
+* ``\\item`` markers strip, ``\\\\`` → newline, any leftover
+  ``\\command[opt]`` drops bare, ``~`` → space, stray braces strip;
+* lines stripped, empties dropped, joined ``"\\n"``.
+
+Scale notes: one stateless ``map_batches`` pass, payload dies
+in-stage; rows are independent — no shuffle, no cross-row state.
+"""
+
+from __future__ import annotations
+
+import re
+
+_ESCAPES = [("\\%", "\x01"), ("\\&", "\x02"), ("\\_", "\x03"),
+            ("\\#", "\x04"), ("\\$", "\x05")]
+_RESTORE = {"\x01": "%", "\x02": "&", "\x03": "_", "\x04": "#", "\x05": "$"}
+
+_COMMENT_RE = re.compile(r"%[^\n]*")
+_VERB_RE = re.compile(r"\\begin\{verbatim\}(.*?)\\end\{verbatim\}", re.DOTALL)
+_DISPLAY_RES = [
+    re.compile(r"\$\$.*?\$\$", re.DOTALL),
+    re.compile(r"\\\[.*?\\\]", re.DOTALL),
+    re.compile(
+        r"\\begin\{(equation|align|math|displaymath|eqnarray)(\*?)\}"
+        r".*?\\end\{\1\2\}",
+        re.DOTALL,
+    ),
+]
+_INLINE_RES = [
+    re.compile(r"\$[^$\n]*\$"),
+    re.compile(r"\\\(.*?\\\)", re.DOTALL),
+]
+_DROP_ENV_RE = re.compile(
+    r"\\begin\{(figure|table|tabular|tikzpicture|minipage)(\*?)\}"
+    r".*?\\end\{\1\2\}",
+    re.DOTALL,
+)
+_KEEP_ENV_RE = re.compile(
+    r"\\(?:begin|end)\{(?:itemize|enumerate|abstract|center|quote|"
+    r"quotation|document)\}"
+)
+_SECTION_RE = re.compile(r"\\(?:sub){0,2}section\*?\{([^{}]*)\}")
+_KEEP_ARG_RE = re.compile(
+    r"\\(?:textbf|textit|emph|texttt|underline|url|mbox|text)\{([^{}]*)\}"
+)
+_CITE_RE = re.compile(r"\\cite[pt]?\*?(?:\[[^\]]*\])?\{[^{}]*\}")
+_FOOTNOTE_RE = re.compile(r"\\footnote\{([^{}]*)\}")
+_DROP_ARG_RE = re.compile(
+    r"\\(?:ref|eqref|label|includegraphics|caption|vspace|hspace|"
+    r"documentclass|usepackage|title|author|date|bibliography|"
+    r"bibliographystyle)\*?(?:\[[^\]]*\])?\{[^{}]*\}"
+)
+_LEFTOVER_CMD_RE = re.compile(r"\\[a-zA-Z]+\*?(?:\[[^\]]*\])?")
+
+
+def latex_extract_text(src: str) -> dict:
+    """One .tex source → ``{text, n_sections, n_math, n_cites,
+    n_footnotes, n_envs_dropped}``.  Raises ``ValueError`` on an
+    unclosed droppable environment."""
+    s = src or ""
+    for lit, ph in _ESCAPES:
+        s = s.replace(lit, ph)
+    s = _COMMENT_RE.sub("", s)
+    m = re.search(r"\\begin\{document\}", s)
+    if m:
+        s = s[m.end():]
+        e = re.search(r"\\end\{document\}", s)
+        if e:
+            s = s[: e.start()]
+
+    protected: list[str] = []
+
+    def _protect(mm: re.Match) -> str:
+        protected.append(mm.group(1))
+        return f"\x00{len(protected) - 1}\x00"
+
+    s = _VERB_RE.sub(_protect, s)
+
+    n_math = 0
+    for rx in _DISPLAY_RES + _INLINE_RES:
+        s, k = rx.subn("", s)
+        n_math += k
+    n_envs = 0
+    while True:
+        s, k = _DROP_ENV_RE.subn("", s)
+        if not k:
+            break
+        n_envs += k
+    s = _KEEP_ENV_RE.sub("", s)
+    if "\\begin{" in s:
+        raise ValueError("unclosed environment")
+
+    s, n_sections = _SECTION_RE.subn(lambda mm: "\n" + mm.group(1) + "\n", s)
+    while True:  # unwrap nested formatters innermost-first
+        s, k = _KEEP_ARG_RE.subn(lambda mm: mm.group(1), s)
+        if not k:
+            break
+    s, n_cites = _CITE_RE.subn("", s)
+    s, n_footnotes = _FOOTNOTE_RE.subn("", s)
+    s = _DROP_ARG_RE.sub("", s)
+    s = s.replace("\\item", "").replace("\\\\", "\n")
+    s = _LEFTOVER_CMD_RE.sub("", s)
+    s = s.replace("~", " ").replace("{", "").replace("}", "")
+    for ph, lit in _RESTORE.items():
+        s = s.replace(ph, lit)
+
+    lines = [ln.strip() for ln in s.split("\n")]
+    text = "\n".join(ln for ln in lines if ln)
+    for idx, lit in enumerate(protected):
+        text = text.replace(f"\x00{idx}\x00", lit)
+    return {
+        "text": text,
+        "n_sections": n_sections,
+        "n_math": n_math,
+        "n_cites": n_cites,
+        "n_footnotes": n_footnotes,
+        "n_envs_dropped": n_envs,
+    }
+
+
+def latex_extract(ds, src_col: str = "tex", id_col: str = "doc_id"):
+    """Stateless extraction pass → ``(id, ok, text_md5, n_chars,
+    n_sections, n_math, n_cites, n_footnotes, n_envs_dropped)``;
+    unparseable sources emit a zero row with ``ok=0`` (error-as-data,
+    row conservation).  Source bytes die in-stage."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        keys = ("ok", "text_md5", "n_chars", "n_sections", "n_math",
+                "n_cites", "n_footnotes", "n_envs_dropped")
+        cols: dict[str, list] = {k: [] for k in keys}
+        for src in t.column(src_col).to_pylist():
+            try:
+                m = latex_extract_text(src)
+            except ValueError:
+                for k in keys:
+                    cols[k].append("" if k == "text_md5" else 0)
+                continue
+            cols["ok"].append(1)
+            cols["text_md5"].append(
+                hashlib.md5(m["text"].encode("utf-8")).hexdigest()
+            )
+            cols["n_chars"].append(len(m["text"]))
+            for k in keys[3:]:
+                cols[k].append(m[k])
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                **{
+                    k: pa.array(
+                        cols[k],
+                        pa.string() if k == "text_md5" else pa.int64(),
+                    )
+                    for k in keys
+                },
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""LaTeX text extraction (sources/latex.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.latex import latex_extract, latex_extract_text
+
+
+def test_preamble_and_trailing_cut():
+    src = (
+        "\\documentclass{article}\n\\usepackage{amsmath}\npreamble junk\n"
+        "\\begin{document}\nbody here\n\\end{document}\ntrailing junk"
+    )
+    m = latex_extract_text(src)
+    assert m["text"] == "body here"
+
+
+def test_math_removed_and_counted():
+    src = "a $x^2$ b $$y$$ c \\[z\\] d \\(w\\) e\n" \
+          "\\begin{equation}q=1\\end{equation}\nf"
+    m = latex_extract_text(src)
+    assert m["n_math"] == 5
+    assert "x^2" not in m["text"] and "q=1" not in m["text"]
+    assert m["text"] == "a  b  c  d  e\nf"
+
+
+def test_sections_formatters_cites_footnotes():
+    src = (
+        "\\section{Head}\n"
+        "\\textbf{Bold \\emph{nested}} text \\cite{a,b} done."
+        "\\footnote{drop me}\n"
+        "\\subsection*{Sub}\nend"
+    )
+    m = latex_extract_text(src)
+    assert m["text"] == "Head\nBold nested text  done.\nSub\nend"
+    assert m["n_sections"] == 2
+    assert m["n_cites"] == 1
+    assert m["n_footnotes"] == 1
+
+
+def test_environments_drop_keep_verbatim_and_unclosed():
+    src = (
+        "\\begin{itemize}\\item one\\\\\\item two\\end{itemize}\n"
+        "\\begin{figure}\\includegraphics{f.png}\\caption{c}\\end{figure}\n"
+        "\\begin{verbatim}kept $literal$ \\cmd{x}\\end{verbatim}\n"
+        "after"
+    )
+    m = latex_extract_text(src)
+    assert m["text"] == "one\ntwo\nkept $literal$ \\cmd{x}\nafter"
+    assert m["n_envs_dropped"] == 1
+    with pytest.raises(ValueError):
+        latex_extract_text("\\begin{figure} unclosed")
+
+
+def test_escapes_comments_misc():
+    src = (
+        "100\\% done \\& fine \\_x\\#y\\$z % comment \\section{fake}\n"
+        "tilde~space \\maketitle \\vspace{1em} leftover"
+    )
+    m = latex_extract_text(src)
+    assert m["text"] == "100% done & fine _x#y$z\ntilde space   leftover"
+    assert m["n_sections"] == 0
+
+
+def test_dataset_wrapper(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "tex": pa.array(
+                    ["\\section{S}\nx $m$", "\\begin{table} nope"], pa.string()
+                ),
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in latex_extract(ds).take_all()}
+    assert rows[1]["ok"] == 1 and rows[1]["n_sections"] == 1
+    assert rows[1]["n_math"] == 1
+    assert rows[2]["ok"] == 0 and rows[2]["text_md5"] == ""
