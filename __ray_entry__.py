@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wikitext_extract": q.q_wikitext_extract,
         "wat_roundtrip": q.q_wat_roundtrip,
         "latex_extract": q.q_latex_extract,
+        "weighted_sample": q.q_weighted_sample,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -3278,6 +3279,22 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # weighted_sample: every ES priority recomputed in SQL from the
+        # same md5 carve (13 hex chars = 52-bit uniform, +1, /2^52) and
+        # DuckDB's own libm ln — bit-identical to math.log (verified
+        # 0/20000 mismatches); same top-k, same id tiebreak
+        "weighted_sample": """
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(floor(
+                           ln((('0x' || substr(md5('ws1:' || doc_id), 1, 13))
+                               ::BIGINT + 1) / 4503599627370496.0)
+                           / (1 + doc_id % 10) * 1e9) AS BIGINT) AS score_q
+                FROM documents
+            )
+            SELECT doc_id, score_q FROM s
+            ORDER BY score_q DESC, doc_id LIMIT 100
         """,
         # latex_extract: the plain text REBUILT line-by-line in SQL from
         # the doc_id derivation (section title, the math/cite-stripped

@@ -1,0 +1,94 @@
+"""Deterministic weighted sampling without replacement (ES priority).
+
+Corpus subsampling with per-document quality weights — "keep the best
+k documents, probability proportional to weight" — is the selection
+step between quality scoring and training-set assembly.  This is the
+Efraimidis–Spirakis one-pass scheme made DETERMINISTIC and
+SQL-twinnable: each row's uniform draw is carved from
+``md5(salt || ':' || id)`` (the CountMin/HLL carve contract,
+``state/streaming.py:md5_hash64``), its priority is ``ln(u) / w``
+(monotone in the classic ``u^(1/w)`` key), and the global sample is
+the top-k by priority.  Same salt → same sample on any cluster size,
+any partitioning, any execution order — the property an epoch-stable
+corpus sample needs.
+
+Priorities are quantized to integer micro-units
+(``floor(ln(u)/w · 1e9)``) with id tiebreak, so the DuckDB oracle
+(``ln`` on the identical exactly-representable double) reproduces the
+selection exactly; ``math.log`` (libm) is used per row instead of
+numpy's SIMD log precisely because the oracle's ``ln`` is libm — the
+md5 per id dominates the cost anyway (the documented md5_hash64
+trade: SQL reproducibility over hash throughput).
+
+Scale design: each block emits only its LOCAL top-k candidate rows
+(k·n_blocks small rows total, never the corpus), the driver merges
+the bounded candidate set — no global sort, no all-to-all shuffle.
+At 10⁹ docs with k=10⁵ this moves ~k rows per block of a few ints
+each; weights and ids only, payloads never.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_TWO_52 = float(1 << 52)
+
+
+def es_priority(ids: list, weights: list[float], salt: str) -> np.ndarray:
+    """Quantized Efraimidis–Spirakis priority per row (int64 micro
+    units); weight ≤ 0 / null → ``INT64_MIN`` (never sampled)."""
+    out = np.empty(len(ids), dtype=np.int64)
+    lo = np.iinfo(np.int64).min
+    for j, (i, w) in enumerate(zip(ids, weights)):
+        if w is None or w <= 0:
+            out[j] = lo
+            continue
+        m = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13], 16)
+        u = (m + 1) / _TWO_52  # exactly-representable double in (0, 1]
+        out[j] = math.floor(math.log(u) / w * 1e9)
+    return out
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> pa.Table:
+    """Global weighted sample without replacement → ``(id, score_q)``
+    of the k winners (deterministic in ``salt``).  Per-block top-k
+    partials + a bounded driver merge — no shuffle."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        ws = t.column(weight_col).to_pylist()
+        score = es_priority(ids, ws, salt)
+        keep = np.argsort(score)[::-1][:k]
+        keep = keep[score[keep] > np.iinfo(np.int64).min]
+        return pa.table(
+            {
+                id_col: pa.array([ids[j] for j in keep],
+                                 t.schema.field(id_col).type),
+                "score_q": pa.array(score[keep], pa.int64()),
+            }
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    rows = sorted(
+        ((r["score_q"], r[id_col]) for r in cands),
+        key=lambda x: (-x[0], x[1]),
+    )[:k]
+    return pa.table(
+        {
+            id_col: pa.array([i for _, i in rows]),
+            "score_q": pa.array([s for s, _ in rows], pa.int64()),
+        }
+    )

@@ -4185,6 +4185,34 @@ def _derived_eml_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sampling without replacement
+    (``functions/sampling.py``): Efraimidis–Spirakis priorities from
+    md5-carved uniforms, quantized to integer micro-units; weights
+    ``1 + doc_id % 10``, k=100, salt-stable across any partitioning.
+    Scale path: per-block top-k candidate partials + bounded driver
+    merge — no shuffle, no global sort.  Oracle = DuckDB recomputing
+    every priority with its own ``ln`` on the identical
+    exactly-representable double (bit-match verified at 20k ids) and
+    taking the same top-k."""
+    from ..functions.sampling import weighted_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "w": pa.array([float(1 + i % 10) for i in ids], pa.float64()),
+            }
+        )
+
+    return weighted_sample(
+        docs.map_batches(add_w, batch_format="pyarrow"), 100, "w", salt="ws1"
+    )
+
+
 def _derived_latex(t: pa.Table) -> pa.Table:
     """arXiv leg over the documents' own text: real .tex sources with
     a preamble (cut), a section, inline math + a cite on one line, a

@@ -1,0 +1,63 @@
+"""Deterministic weighted sampling (functions/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.sampling import es_priority, weighted_sample
+
+
+def _brute(ids, ws, salt, k):
+    rows = []
+    for i, w in zip(ids, ws):
+        if w is None or w <= 0:
+            continue
+        m = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13], 16)
+        rows.append((math.floor(math.log((m + 1) / float(1 << 52)) / w * 1e9), i))
+    rows.sort(key=lambda x: (-x[0], x[1]))
+    return [i for _, i in rows[:k]]
+
+
+def test_priority_matches_brute_and_excludes_nonpositive():
+    ids = list(range(20))
+    ws = [1 + i % 5 for i in ids]
+    ws[3] = 0
+    ws[7] = None
+    got = es_priority(ids, ws, "s")
+    import numpy as np
+
+    lo = np.iinfo(np.int64).min
+    assert got[3] == lo and got[7] == lo
+    exp = _brute(ids, ws, "s", 20)
+    assert 3 not in exp and 7 not in exp
+
+
+def test_partition_invariance_and_brute_equality(ray_session):
+    ids = list(range(500))
+    ws = [float(1 + i % 10) for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "w": pa.array(ws, pa.float64())})
+    exp = _brute(ids, ws, "ws1", 50)
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = weighted_sample(ds, 50, "w", salt="ws1")
+        assert got.column("doc_id").to_pylist() == exp, parts
+
+
+def test_weight_bias(ray_session):
+    # two weight classes 1 vs 9: the heavy class must dominate the sample
+    ids = list(range(2000))
+    ws = [9.0 if i % 2 else 1.0 for i in ids]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "w": pa.array(ws, pa.float64())})
+    )
+    got = weighted_sample(ds, 200, "w", salt="bias")
+    heavy = sum(1 for i in got.column("doc_id").to_pylist() if i % 2)
+    assert heavy > 150  # E[heavy] ≈ 180, binomial tail makes 150 safe
