@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wat_roundtrip": q.q_wat_roundtrip,
         "latex_extract": q.q_latex_extract,
         "weighted_sample": q.q_weighted_sample,
+        "pmi_collocations": q.q_pmi_collocations,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -3279,6 +3280,36 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # pmi_collocations: unigram/bigram counts recomputed by unnest
+        # over the SAME token class; pmi micro-units via ln on exact
+        # doubles (both count products < 2^53); same top-100 tiebreak
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS tk
+                FROM documents
+            ), uni AS (
+                SELECT u.t AS token, COUNT(*) AS c
+                FROM toks, unnest(tk) AS u(t) GROUP BY 1
+            ), n AS (
+                SELECT SUM(c) AS n FROM uni
+            ), bi AS (
+                SELECT u.b AS bigram, COUNT(*) AS c_ab
+                FROM toks, unnest([tk[i] || ' ' || tk[i + 1]
+                                   FOR i IN range(1, len(tk))]) AS u(b)
+                GROUP BY 1
+                HAVING COUNT(*) >= 5
+            )
+            SELECT b.bigram,
+                   CAST(b.c_ab AS BIGINT) AS c_ab,
+                   CAST(floor(ln((CAST(b.c_ab AS DOUBLE) * n.n)
+                                 / (CAST(u1.c AS DOUBLE) * u2.c)) * 1e6)
+                        AS BIGINT) AS pmi_q
+            FROM bi b, n, uni u1, uni u2
+            WHERE u1.token = split_part(b.bigram, ' ', 1)
+              AND u2.token = split_part(b.bigram, ' ', 2)
+            ORDER BY pmi_q DESC, b.bigram LIMIT 100
         """,
         # weighted_sample: every ES priority recomputed in SQL from the
         # same md5 carve (13 hex chars = 52-bit uniform, +1, /2^52) and

@@ -704,6 +704,133 @@ def tfidf_top_terms(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def pmi_collocations(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    k: int = 100,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-level bigram collocation mining — the classic
+    PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b))) ranking that surfaces
+    multiword expressions ("new york", "machine learning") for
+    tokenizer-vocab seeding and phrase-aware dedup.
+
+    Three scale-clean steps (the :func:`tfidf_top_terms` shape):
+    1. **unigram counts** — per-batch Counter combiners → one
+       single-column ``groupby(token)`` (the multi-column aggregate is
+       the documented ray-2.49 pathology) → broadcast via ``ray.put``
+       with the same web-scale cap note as tfidf (heavy-hitter sketch
+       or coarse-bucket reduce-side join when vocab outgrows
+       broadcast).
+    2. **bigram counts** — per-batch Counter over ADJACENT token pairs
+       (the shuffle moves (bigram, partial-count) rows, never token
+       occurrences) → one ``groupby(bigram)`` on a single ``"w1 w2"``
+       string key → ``min_count`` filter bounds the candidate set.
+    3. **rank** — stateless pmi scoring against the broadcast, then
+       per-block top-k partials + bounded driver merge (the
+       ``weighted_sample`` contract) — no global sort.
+
+    The score is quantized to integer micro-units
+    (``floor(ln(c_ab·N / (c_a·c_b)) · 1e6)``): both count products
+    stay under 2^53 so the doubles are exact, and DuckDB's libm ``ln``
+    reproduces the value bit-for-bit (same contract as
+    ``functions/sampling.py``).  Ties rank lexicographically smaller
+    bigrams first on both sides.
+
+    Returns a ``pa.Table (bigram, c_ab, pmi_q)`` of the top-k.
+    """
+    import math
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            c.update(_TOKEN_RGX.findall(x or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("p", alias_name="c"))
+        .to_pandas()
+    )
+    if uni.empty:
+        return pa.table(
+            {
+                "bigram": pa.array([], pa.string()),
+                "c_ab": pa.array([], pa.int64()),
+                "pmi_q": pa.array([], pa.int64()),
+            }
+        )
+    n_total = int(uni["c"].sum())
+    uni_ref = _ray.put(dict(zip(uni["token"], uni["c"].astype(int))))
+
+    def bi_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            toks = _TOKEN_RGX.findall(x or "")
+            c.update(
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            )
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(_Sum("p", alias_name="c_ab"))
+    )
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        uni_map = _broadcast_memo(uni_ref)
+        rows: list[tuple[int, str, int]] = []
+        for bg, c_ab in zip(
+            t.column("bigram").to_pylist(), t.column("c_ab").to_pylist()
+        ):
+            if c_ab < min_count:
+                continue
+            w1, w2 = bg.split(" ", 1)
+            pmi_q = math.floor(
+                math.log((c_ab * n_total) / (uni_map[w1] * uni_map[w2])) * 1e6
+            )
+            rows.append((pmi_q, bg, c_ab))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        rows = rows[:k]
+        return pa.table(
+            {
+                "bigram": pa.array([r[1] for r in rows], pa.string()),
+                "c_ab": pa.array([r[2] for r in rows], pa.int64()),
+                "pmi_q": pa.array([r[0] for r in rows], pa.int64()),
+            }
+        )
+
+    cands = bi.map_batches(score_topk, batch_format="pyarrow").take_all()
+    top = sorted(
+        ((r["pmi_q"], r["bigram"], r["c_ab"]) for r in cands),
+        key=lambda r: (-r[0], r[1]),
+    )[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([r[1] for r in top], pa.string()),
+            "c_ab": pa.array([r[2] for r in top], pa.int64()),
+            "pmi_q": pa.array([r[0] for r in top], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------

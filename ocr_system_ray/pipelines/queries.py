@@ -4185,6 +4185,20 @@ def _derived_eml_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def q_pmi_collocations(sf_dir: str) -> pa.Table:
+    """Bigram collocation mining by pointwise mutual information
+    (``textstats.pmi_collocations``): combiner-fed single-column
+    groupbys for unigram/bigram counts, broadcast unigram table,
+    integer micro-unit PMI, per-block top-k + bounded driver merge.
+    Oracle = DuckDB recomputing every count (unnest over the shared
+    token class), the same ln on exact doubles, and the same
+    (pmi desc, bigram) top-100."""
+    from ..functions.textstats import pmi_collocations
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pmi_collocations(docs, k=100, min_count=5)
+
+
 def q_weighted_sample(sf_dir: str) -> pa.Table:
     """Deterministic weighted sampling without replacement
     (``functions/sampling.py``): Efraimidis–Spirakis priorities from

@@ -41,3 +41,73 @@ def test_sentences_batch_sentinels_and_order(ray_session):
     assert list(out["sent_ord"]) == [0, 1, -1, -1]
     assert list(out["sentence"]) == ["One here.", "Two here.", "", ""]
     assert list(out["n_chars"]) == [9, 9, 0, 0]
+
+
+def test_pmi_collocations_exact_and_partition_invariant(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.textstats import pmi_collocations
+
+    # corpus engineered so "new york" is a strong collocation
+    docs = (
+        ["new york is big"] * 6
+        + ["the new day", "the new day"]
+        + ["york here"] * 2
+        + ["is it big or big"] * 3
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+
+    # brute force twin
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = d.split()
+        uni.update(toks)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n = sum(uni.values())
+    exp = sorted(
+        (
+            (
+                math.floor(
+                    math.log((c * n) / (uni[g.split()[0]] * uni[g.split()[1]]))
+                    * 1e6
+                ),
+                g,
+                c,
+            )
+            for g, c in bi.items()
+            if c >= 3
+        ),
+        key=lambda r: (-r[0], r[1]),
+    )[:5]
+
+    for parts in (1, 4):
+        ds = ray_mod.data.from_arrow(t).repartition(parts)
+        got = pmi_collocations(ds, k=5, min_count=3)
+        assert got.column("bigram").to_pylist() == [g for _, g, _ in exp], parts
+        assert got.column("pmi_q").to_pylist() == [q for q, _, _ in exp]
+        assert got.column("c_ab").to_pylist() == [c for _, _, c in exp]
+    assert "new york" in got.column("bigram").to_pylist()
+
+
+def test_pmi_collocations_empty(ray_session):
+    import pyarrow as pa
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.textstats import pmi_collocations
+
+    ds = ray_mod.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([""], pa.string())})
+    )
+    got = pmi_collocations(ds, k=5, min_count=1)
+    assert got.num_rows == 0
