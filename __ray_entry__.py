@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latex_extract": q.q_latex_extract,
         "weighted_sample": q.q_weighted_sample,
         "pmi_collocations": q.q_pmi_collocations,
+        "rake_keyphrases": q.q_rake_keyphrases,
         "odt_extract": q.q_odt_extract,
         "xlsx_roundtrip": q.q_xlsx_roundtrip,
         "corpus_shuffle": q.q_corpus_shuffle,
@@ -338,6 +339,12 @@ def _domain_mix_arms() -> str:
 
     arms = " ".join(f"WHEN '{s}' THEN '{t}'" for s, t in DOMAIN_MIX_WEIGHTS.items())
     return f"{arms} ELSE '{DOMAIN_MIX_DEFAULT}'"
+
+
+def _rake_stops() -> str:
+    from ocr_system_ray.functions.textstats import RAKE_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
 
 
 def _pagerank_sql() -> str:
@@ -3280,6 +3287,58 @@ def oracle_sql() -> dict[str, str]:
                 CAST(CASE WHEN b.doc_id % 97 = 0 THEN 0
                      ELSE length(b.doctext) END AS BIGINT) AS n_chars
             FROM built b
+        """,
+        # rake_keyphrases: a full SQL twin — phrase segmentation via a
+        # window cumulative sum over stopword flags, word deg/freq via
+        # grouped joins, floor-per-word micro scores, same top-3 ranking
+        "rake_keyphrases": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(COALESCE(text, ''),
+                                                  '[^ \t\n\r\f\v]+') AS tk
+                FROM documents
+            ), w AS (
+                SELECT doc_id, r.i AS pos, tk[r.i] AS w,
+                       CASE WHEN tk[r.i] IN ({_rake_stops()}) THEN 1 ELSE 0
+                       END AS stop
+                FROM toks, unnest(range(1, len(tk) + 1)) AS r(i)
+            ), p AS (
+                SELECT doc_id, pos, w, stop,
+                       SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                           AS grp
+                FROM w
+            ), words AS (
+                SELECT doc_id, grp, pos, w FROM p WHERE stop = 0
+            ), plen AS (
+                SELECT doc_id, grp, COUNT(*) AS L FROM words GROUP BY 1, 2
+            ), wstat AS (
+                SELECT ws.doc_id, ws.w, COUNT(*) AS freq, SUM(pl.L) AS deg
+                FROM words ws
+                JOIN plen pl ON ws.doc_id = pl.doc_id AND ws.grp = pl.grp
+                GROUP BY 1, 2
+            ), wscore AS (
+                SELECT doc_id, w, deg * 1000000 // freq AS s FROM wstat
+            ), pscore AS (
+                SELECT wo.doc_id, wo.grp, SUM(sc.s) AS score
+                FROM words wo
+                JOIN wscore sc ON wo.doc_id = sc.doc_id AND wo.w = sc.w
+                GROUP BY 1, 2
+            ), ptext AS (
+                SELECT doc_id, grp,
+                       string_agg(w, ' ' ORDER BY pos) AS phrase
+                FROM words GROUP BY 1, 2
+            ), cand AS (
+                SELECT DISTINCT s.doc_id, t.phrase, s.score
+                FROM pscore s
+                JOIN ptext t ON s.doc_id = t.doc_id AND s.grp = t.grp
+            ), ranked AS (
+                SELECT doc_id, phrase, score,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, phrase) AS rank
+                FROM cand
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+                   CAST(score AS BIGINT) AS score_micro
+            FROM ranked WHERE rank <= 3
         """,
         # pmi_collocations: unigram/bigram counts recomputed by unnest
         # over the SAME token class; pmi micro-units via ln on exact

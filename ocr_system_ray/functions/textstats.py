@@ -831,6 +831,92 @@ def pmi_collocations(
     )
 
 
+# RAKE stopword set — the phrase delimiters.  Shared constant: the SQL
+# oracle's IN-list is GENERATED from this tuple (the _domain_mix_arms
+# contract), so both sides split candidates at the same words.
+RAKE_STOPWORDS = ("a", "the", "of", "and", "is", "to", "in", "or", "for")
+
+
+def rake_keyphrases(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    k: int = 3,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    ``degree/frequency`` over the document's candidates (degree = sum
+    of the lengths of the phrases containing each occurrence); a
+    phrase scores the sum of its word scores; top-k DISTINCT phrases
+    per document win.
+
+    Word scores are integer micro-units (``deg · 1e6 // freq``, floor
+    per word, summed per phrase) so the DuckDB oracle — a window
+    cumulative-sum phrase segmentation + two grouped joins — matches
+    bit-for-bit.  Ties rank lexicographically smaller phrases first.
+
+    Entirely row-local (each document ranks its own phrases inside one
+    ``map_batches``) — no shuffle, payload dies in-stage.  Returns a
+    Dataset ``(id, rank, phrase, score_micro)`` with rank 1..k;
+    documents with no candidate phrases emit nothing.
+    """
+    from collections import Counter
+
+    stop = frozenset(stopwords)
+
+    def run(t: pa.Table) -> pa.Table:
+        ids_out: list = []
+        ranks: list[int] = []
+        phrases_out: list[str] = []
+        scores: list[int] = []
+        for doc_id, x in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN_RGX.findall(x or "")
+            phrases: list[list[str]] = []
+            cur: list[str] = []
+            for tok in toks:
+                if tok in stop:
+                    if cur:
+                        phrases.append(cur)
+                        cur = []
+                else:
+                    cur.append(tok)
+            if cur:
+                phrases.append(cur)
+            if not phrases:
+                continue
+            freq: Counter = Counter()
+            deg: Counter = Counter()
+            for ph in phrases:
+                for w in ph:
+                    freq[w] += 1
+                    deg[w] += len(ph)
+            wscore = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+            cand: dict[str, int] = {}
+            for ph in phrases:
+                txt = " ".join(ph)
+                if txt not in cand:
+                    cand[txt] = sum(wscore[w] for w in ph)
+            ranked = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for r, (txt, s) in enumerate(ranked, start=1):
+                ids_out.append(doc_id)
+                ranks.append(r)
+                phrases_out.append(txt)
+                scores.append(s)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, t.column(id_col).type),
+                "rank": pa.array(ranks, pa.int64()),
+                "phrase": pa.array(phrases_out, pa.string()),
+                "score_micro": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------

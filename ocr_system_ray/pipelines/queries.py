@@ -4185,6 +4185,21 @@ def _derived_eml_payloads(t: pa.Table) -> pa.Table:
     )
 
 
+def q_rake_keyphrases(sf_dir: str) -> ray.data.Dataset:
+    """RAKE keyphrase extraction (``textstats.rake_keyphrases``):
+    stopword-delimited candidate phrases, integer micro-unit
+    degree/frequency word scores, top-3 distinct phrases per document.
+    Row-local — no shuffle.  Oracle = a full SQL twin: window
+    cumulative-sum phrase segmentation over the shared token class,
+    the same floor-per-word scoring, the same (score desc, phrase)
+    ranking; the stopword IN-list is generated from the shared
+    ``RAKE_STOPWORDS`` constant."""
+    from ..functions.textstats import rake_keyphrases
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return rake_keyphrases(docs, k=3)
+
+
 def q_pmi_collocations(sf_dir: str) -> pa.Table:
     """Bigram collocation mining by pointwise mutual information
     (``textstats.pmi_collocations``): combiner-fed single-column

@@ -111,3 +111,58 @@ def test_pmi_collocations_empty(ray_session):
     )
     got = pmi_collocations(ds, k=5, min_count=1)
     assert got.num_rows == 0
+
+
+def test_rake_keyphrases_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.textstats import rake_keyphrases
+
+    # doc: "deep learning of deep nets in practice"
+    # stopwords {of, in}: phrases = [deep learning], [deep nets], [practice]
+    # freq: deep 2, learning 1, nets 1, practice 1
+    # deg:  deep 2+2=4, learning 2, nets 2, practice 1
+    # wscore: deep 2_000_000, learning 2_000_000, nets 2_000_000,
+    #         practice 1_000_000
+    # phrase scores: "deep learning" 4e6, "deep nets" 4e6, "practice" 1e6
+    ds = ray_mod.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array(
+                    ["deep learning of deep nets in practice"], pa.string()
+                ),
+            }
+        )
+    )
+    out = rake_keyphrases(ds, k=3).to_pandas().sort_values("rank")
+    assert list(out["phrase"]) == ["deep learning", "deep nets", "practice"]
+    assert list(out["score_micro"]) == [4_000_000, 4_000_000, 1_000_000]
+    assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_rake_dedup_and_empty(ray_session):
+    import pyarrow as pa
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.textstats import rake_keyphrases
+
+    ds = ray_mod.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["big cat of big cat", "the of a", None], pa.string()
+                ),
+            }
+        )
+    )
+    out = rake_keyphrases(ds, k=5).to_pandas()
+    # doc 1: duplicate phrase occurrences dedupe to one candidate, but
+    # freq/deg count both occurrences
+    d1 = out[out.doc_id == 1]
+    assert list(d1["phrase"]) == ["big cat"]
+    assert list(d1["score_micro"]) == [4_000_000]  # 2e6 + 2e6
+    # docs 2 (all stopwords) and 3 (null) emit nothing
+    assert set(out.doc_id) == {1}
