@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q.q_source_overlap,
         "minhash_pairs": q.q_minhash_pairs,
         "minhash_pairs_verified": q.q_minhash_pairs_verified,
+        "jaccard_join_exact": q.q_jaccard_join_exact,
         "simhash_pairs": q.q_simhash_pairs,
         "embedding_dup_pairs": q.q_embedding_dup_pairs,
         "embedding_dup_exact": q.q_embedding_dup_exact,
@@ -1968,6 +1969,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.id_a, g.id_b, g.est_jaccard, g.jaccard
             FROM '/root/repo/tests/golden/minhash_pairs_verified_sf001.parquet' g
             JOIN documents d ON g.id_a = d.doc_id
+        """,
+        # jaccard_join_exact: TRUE brute-force recomputation — the
+        # exact-recall claim means the O(n²) gram self-join at sf scale
+        # IS the operator's definition (distinct bigrams over the shared
+        # token class; <2-token docs contribute their whole token run as
+        # one gram; floor micro Jaccard; threshold as an integer cross-
+        # multiplication, no float anywhere)
+        "jaccard_join_exact": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) >= 2
+                              THEN [tk[i] || ' ' || tk[i + 1]
+                                    FOR i IN range(1, len(tk))]
+                              ELSE [array_to_string(tk, ' ')] END) AS g
+                FROM toks WHERE len(tk) > 0
+            ), gs AS (
+                SELECT DISTINCT doc_id, g FROM grams
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS s FROM gs GROUP BY 1
+            ), it AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT it.id_a, it.id_b,
+                   CAST(it.i AS BIGINT) AS inter_size,
+                   CAST(sa.s + sb.s - it.i AS BIGINT) AS union_size,
+                   CAST(it.i * 1000000 // (sa.s + sb.s - it.i) AS BIGINT)
+                       AS jac_micro
+            FROM it
+            JOIN sz sa ON sa.doc_id = it.id_a
+            JOIN sz sb ON sb.doc_id = it.id_b
+            WHERE it.i * 1000000 >= 400000 * (sa.s + sb.s - it.i)
         """,
         "simhash_pairs": """
             SELECT g.id_a, g.id_b, g.hamming

@@ -218,6 +218,8 @@ def _query_suite() -> dict:
         "paragraph_dedup": q.q_paragraph_dedup,
         "webm_headers": q.q_webm_headers,
         "flac_headers": q.q_flac_headers,
+        # round-3 session-5 additions
+        "jaccard_join_exact": q.q_jaccard_join_exact,
     }
     return suite
 

@@ -2999,3 +2999,315 @@ def quality_survivors(
         .groupby("bucket")
         .map_groups(best_in_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join (prefix filtering — AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def _gram_set_rows(
+    batch: pa.Table, ngram: int, text_col: str, id_col: str
+) -> pa.Table:
+    """Per document: the DISTINCT word-``ngram`` set as one sorted array
+    of 64-bit gram hashes, packed into a binary column (``8·size`` bytes
+    per row).  Tokens are the shared explicit class
+    (:data:`~ocr_system_ray.functions.textstats.TOKEN_PATTERN`); a
+    document with fewer than ``ngram`` tokens contributes its whole
+    token run joined as ONE gram (the :func:`_word_shingles` convention,
+    cf. `/root/reference/ocr/dynamic.py:146-163`'s in-row dedup shape);
+    a token-less document has the empty set.  Gram strings die inside
+    this stage — only 8-byte identities ever leave it."""
+    from ..stages.skew import stable_hash64
+
+    from .textstats import _TOKEN_RGX
+
+    texts = batch.column(text_col).to_pylist()
+    grams_flat: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RGX.findall(t or "")
+        if len(toks) >= ngram:
+            doc_grams = [" ".join(toks[j : j + ngram]) for j in range(len(toks) - ngram + 1)]
+        elif toks:
+            doc_grams = [" ".join(toks)]
+        else:
+            doc_grams = []
+        grams_flat.extend(doc_grams)
+        counts[i] = len(doc_grams)
+    hashes = stable_hash64(grams_flat)
+    sets: list[bytes] = []
+    sizes = np.empty(len(texts), dtype=np.int64)
+    off = 0
+    for i, c in enumerate(counts):
+        u = np.unique(hashes[off : off + c])  # sorted ascending — the global order
+        off += c
+        sets.append(u.tobytes())
+        sizes[i] = u.size
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "set_size": pa.array(sizes),
+            "setbin": pa.array(sets, pa.binary()),
+        }
+    )
+
+
+def _prefix_len(sizes: np.ndarray, thr_micro: int) -> np.ndarray:
+    """AllPairs prefix length p = s − ⌈t·s⌉ + 1 in exact integer
+    arithmetic (``thr_micro`` = t·10⁶): any two sets with Jaccard ≥ t
+    must share at least one element among each set's first p elements
+    under a common total order (Bayardo et al., WWW'07)."""
+    ceil_ts = (thr_micro * sizes + 999_999) // 1_000_000
+    return np.where(sizes > 0, sizes - ceil_ts + 1, 0)
+
+
+def jaccard_similarity_join(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    ngram: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT-recall n-gram Jaccard self-join: every unordered pair with
+    ``|A∩B|/|A∪B| ≥ threshold``, no signatures, no probabilistic recall
+    (the deterministic complement of :func:`minhash_duplicate_pairs` —
+    MinHash banding misses true pairs with probability
+    ``(1-t^r)^b``; this join misses none).
+
+    Plan (three coarse-bucket shuffles, corpus never moves):
+
+    1. **gram sets** — one stateless pass; each doc's distinct
+       word-``ngram`` hashes (sorted uint64, packed binary).  Gram
+       strings never leave the stage; the 8-byte identities are what
+       shuffle (cf. the hashed ``repeated_ngrams`` mode).
+    2. **prefix filter** — each doc emits only its p smallest gram
+       hashes (p = s − ⌈t·s⌉ + 1); candidates = docs sharing a prefix
+       gram, pruned by the length bound ``min·10⁶ ≥ t_micro·max``.
+       Completeness is a theorem (prefix filtering under any global
+       total order — here hash order, which doubles as a uniform
+       sample so hot grams land in prefixes with probability p/s);
+       the emitted volume is ≈(1−t)·corpus gram count.
+    3. **verify** — candidate pairs ride the repo's reduce-side fetch
+       join (pair-side dedup in the fetch bucket, exact there), each
+       pair's two sorted sets meet in a pair bucket, and the exact
+       intersection (``np.intersect1d`` on presorted arrays) decides.
+
+    Returns ``(id_a, id_b, inter_size, union_size, jac_micro)`` with
+    ``jac_micro = ⌊10⁶·|∩|/|∪|⌋ ≥ ⌊10⁶·t⌋`` — integer-exact, so a
+    brute-force SQL twin over the actual grams matches bit-for-bit
+    (64-bit gram-hash collisions are the only divergence risk,
+    ~n²/2⁶⁵ per corpus)."""
+    import pandas as pd
+
+    thr_micro = int(round(threshold * 1_000_000))
+    if not 0 < thr_micro <= 1_000_000:
+        raise ValueError("threshold must be in (0, 1]")
+
+    sets = ds.map_batches(
+        lambda t: _gram_set_rows(t, ngram, text_col, id_col), batch_format="pyarrow"
+    ).materialize()
+
+    n_docs = sets.count()  # materialized — metadata only
+    if join_buckets is None:
+        join_buckets = int(max(64, min(1 << 18, n_docs // 20_000 + 64)))
+
+    # --- stage 2: prefix rows ------------------------------------------------
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        sizes = t.column("set_size").to_numpy(zero_copy_only=False)
+        plens = _prefix_len(sizes, thr_micro)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        setcol = t.column("setbin").to_pylist()
+        toks: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        out_sizes: list[np.ndarray] = []
+        for i, (sb, p) in enumerate(zip(setcol, plens)):
+            if p <= 0:
+                continue
+            pre = np.frombuffer(sb, dtype=np.uint64)[: int(p)]
+            toks.append(pre)
+            out_ids.append(np.full(pre.size, ids[i], dtype=ids.dtype))
+            out_sizes.append(np.full(pre.size, sizes[i], dtype=np.int64))
+        if not toks:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.uint64()),
+                    id_col: pa.array([], t.column(id_col).type),
+                    "set_size": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "tok": pa.array(np.concatenate(toks)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "set_size": pa.array(np.concatenate(out_sizes)),
+            }
+        )
+
+    prefixes = sets.map_batches(prefix_rows, batch_format="pyarrow")
+
+    bits = _adaptive_coarse_bits(max(1, int(n_docs * 3)))  # ≈ prefix row volume
+    num_coarse = 1 << bits
+
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cbucket", pa.array(_coarse_bucket(toks.astype(np.int64), num_coarse))
+        )
+
+    def candidates_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        m = g.merge(g, on="tok", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        lo = np.minimum(m["set_size_a"].to_numpy(), m["set_size_b"].to_numpy())
+        hi = np.maximum(m["set_size_a"].to_numpy(), m["set_size_b"].to_numpy())
+        keep = lo * 1_000_000 >= thr_micro * hi  # Jaccard length bound
+        m = m[keep]
+        out = pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_a"].to_numpy(),
+                "id_b": m[f"{id_col}_b"].to_numpy(),
+            }
+        ).drop_duplicates()
+        return out
+
+    candidates = (
+        prefixes.map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(candidates_in_bucket, batch_format="pandas")
+    )
+
+    return _set_verify_join(
+        candidates, sets, thr_micro, id_col, join_buckets, dedup_pairs=True
+    )
+
+
+def _set_verify_join(
+    pairs: ray.data.Dataset,
+    sets: ray.data.Dataset,
+    thr_micro: int,
+    id_col: str,
+    num_buckets: int,
+    dedup_pairs: bool = True,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verify: the reduce-side fetch/reassemble join of
+    :func:`_estimate_verify_join`, generalized to variable-width binary
+    set payloads and an exact sorted-array intersection verdict.  Sets
+    move once (8·|set| bytes per doc); cross-token duplicate candidates
+    die in the fetch bucket (every occurrence of a pair keys its member
+    rows by the same ids), so no pair-keyed sort barrier exists."""
+    import pandas as pd
+
+    def set_rows(t: pa.Table) -> pa.Table:
+        jid = t.column(id_col)
+        jids = jid.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(jids, num_buckets)),
+                "jid": jid,
+                "id_a": jid,  # dummy on set rows
+                "id_b": jid,
+                "m": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "sig": t.column("setbin"),
+            }
+        )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        ia = t.column("id_a")
+        ib = t.column("id_b")
+        if isinstance(ia, pa.ChunkedArray):
+            ia = ia.combine_chunks()
+        if isinstance(ib, pa.ChunkedArray):
+            ib = ib.combine_chunks()
+        jid = pa.concat_arrays([ia, ib])
+        jids = jid.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(jids, num_buckets)),
+                "jid": jid,
+                "id_a": pa.concat_arrays([ia, ia]),
+                "id_b": pa.concat_arrays([ib, ib]),
+                "m": pa.array(np.ones(2 * len(t), dtype=np.int8)),
+                "sig": pa.array([b""] * (2 * len(t)), pa.binary()),
+            }
+        )
+
+    tagged = sets.map_batches(set_rows, batch_format="pyarrow").union(
+        pairs.map_batches(member_rows, batch_format="pyarrow")
+    )
+
+    def fetch_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        members = g[g["m"] == 1]
+        if members.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in ("id_a", "id_b", "jid", "sig")}
+            )
+        if dedup_pairs:
+            members = members.drop_duplicates(["id_a", "id_b", "jid"])
+        set_side = g[g["m"] == 0]
+        merged = members.drop(columns=["sig", "bucket", "m"]).merge(
+            set_side[["jid", "sig"]], on="jid", how="inner"
+        )
+        return merged[["id_a", "id_b", "jid", "sig"]]
+
+    fetched = tagged.groupby("bucket").map_groups(fetch_in_bucket, batch_format="pandas")
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        return _pair_bucket_column(t, num_buckets)
+
+    def verify_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=g["id_a"].dtype if not g.empty else "int64"),
+                "id_b": pd.Series([], dtype=g["id_b"].dtype if not g.empty else "int64"),
+                "inter_size": pd.Series([], dtype="int64"),
+                "union_size": pd.Series([], dtype="int64"),
+                "jac_micro": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        ga = g[g["jid"] == g["id_a"]]
+        gb = g[g["jid"] == g["id_b"]]
+        m = ga.merge(gb, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty
+        inter = np.empty(len(m), dtype=np.int64)
+        union = np.empty(len(m), dtype=np.int64)
+        for i, (sa, sb) in enumerate(zip(m["sig_a"], m["sig_b"])):
+            a = np.frombuffer(sa, dtype=np.uint64)
+            b = np.frombuffer(sb, dtype=np.uint64)
+            k = np.intersect1d(a, b, assume_unique=True).size
+            inter[i] = k
+            union[i] = a.size + b.size - k
+        jac = np.where(union > 0, (inter * 1_000_000) // np.maximum(union, 1), 0)
+        keep = jac >= thr_micro
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"][keep].reset_index(drop=True),
+                "id_b": m["id_b"][keep].reset_index(drop=True),
+                "inter_size": pd.Series(inter[keep], dtype="int64"),
+                "union_size": pd.Series(union[keep], dtype="int64"),
+                "jac_micro": pd.Series(jac[keep], dtype="int64"),
+            }
+        )
+
+    return (
+        fetched.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(verify_in_bucket, batch_format="pandas")
+    )

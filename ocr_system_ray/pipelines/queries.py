@@ -4934,6 +4934,17 @@ def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_jaccard_join_exact(sf_dir: str) -> ray.data.Dataset:
+    """EXACT-recall bigram-Jaccard self-join (prefix filtering, AllPairs
+    family): every pair with Jaccard ≥ 0.4, deterministically — the
+    complement of the probabilistic MinHash path.  Fully SQL-twinnable
+    (integer micro Jaccard over the shared token class), so this is the
+    one near-dup query whose oracle is a true brute-force recomputation
+    rather than a frozen golden."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.jaccard_similarity_join(ds, threshold=0.4, ngram=2)
+
+
 def q_near_dedup_survivors(sf_dir: str) -> pd.DataFrame:
     """End-to-end near-dedup: minhash pairs → connected components →
     per-document keep/cluster decision (the full training-data dedup

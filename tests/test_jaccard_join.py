@@ -1,0 +1,155 @@
+"""Exact-recall set-similarity self-join (prefix filtering / AllPairs).
+
+The operator's claim is EXACT completeness — every pair with Jaccard ≥ t,
+no probabilistic recall — so the tests are brute-force twins: a python
+set-arithmetic recomputation over the actual gram strings (the Ray path
+works on 64-bit gram hashes; sans collisions the two are identical), on
+hand-built corpora, the sf0.001 documents table, and a seeded randomized
+sweep whose duplicates are planted at controlled overlap levels.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions import dedup
+
+_TOK = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _bruteforce(texts: dict[int, str], threshold: float, ngram: int = 2):
+    sets = {}
+    for did, txt in texts.items():
+        toks = _TOK.findall(txt or "")
+        if len(toks) >= ngram:
+            g = {" ".join(toks[j : j + ngram]) for j in range(len(toks) - ngram + 1)}
+        elif toks:
+            g = {" ".join(toks)}
+        else:
+            g = set()
+        sets[did] = g
+    thr_micro = int(round(threshold * 1_000_000))
+    out = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            A, B = sets[a], sets[b]
+            if not A or not B:
+                continue
+            inter = len(A & B)
+            union = len(A | B)
+            jm = inter * 1_000_000 // union
+            if jm >= thr_micro:
+                out.append((a, b, inter, union, jm))
+    return out
+
+
+def _run(texts: dict[int, str], threshold: float, ngram: int = 2):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        )
+    ).repartition(4)
+    df = dedup.jaccard_similarity_join(ds, threshold=threshold, ngram=ngram).to_pandas()
+    if df.empty:  # empty Dataset → column-less frame (documented gotcha)
+        return []
+    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return list(
+        zip(df.id_a, df.id_b, df.inter_size, df.union_size, df.jac_micro)
+    )
+
+
+def test_handbuilt_corpus_exact(ray_session):
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",  # near-dup of 1
+        3: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        4: "completely different text about ray data pipelines",
+        5: "",  # empty — never pairs
+        6: "single",  # <ngram tokens — whole run is one gram
+        7: "single",  # pairs with 6 at jaccard 1.0
+    }
+    got = _run(texts, threshold=0.5)
+    want = _bruteforce(texts, threshold=0.5)
+    assert got == want
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (1, 3) in pairs and (6, 7) in pairs and (1, 2) in pairs
+    assert all(5 not in p and 4 not in p for p in pairs)
+    # exact dup carries jac_micro == 1_000_000
+    exact = [r for r in got if (r[0], r[1]) == (1, 3)]
+    assert exact[0][4] == 1_000_000
+
+
+def test_threshold_is_inclusive_floor_boundary(ray_session):
+    # two docs engineered to share exactly half their gram union:
+    # A has bigrams {a b, b c}, B has {a b, b x} → inter 1, union 3 →
+    # jac_micro 333333; threshold 0.333333 keeps it, 0.333334 kills it
+    texts = {1: "a b c", 2: "a b x"}
+    assert _run(texts, threshold=0.333333) == _bruteforce(texts, 0.333333)
+    assert len(_run(texts, threshold=0.333333)) == 1
+    assert _run(texts, threshold=0.333334) == []
+
+
+def test_randomized_planted_duplicates(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts: dict[int, str] = {}
+    for i in range(60):
+        n = int(rng.integers(5, 40))
+        texts[i] = " ".join(rng.choice(vocab, size=n))
+    # plant mutations at varying distances from their source doc
+    for j, (src, nmut) in enumerate([(0, 1), (1, 3), (2, 8), (3, 0)]):
+        toks = texts[src].split()
+        for _ in range(nmut):
+            toks[int(rng.integers(0, len(toks)))] = str(rng.choice(vocab))
+        texts[100 + j] = " ".join(toks)
+    for thr in (0.3, 0.6, 0.9):
+        assert _run(texts, threshold=thr) == _bruteforce(texts, thr)
+
+
+def test_sf0001_documents_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    df = (
+        dedup.jaccard_similarity_join(ds, threshold=0.4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(df.id_a, df.id_b, df.inter_size, df.union_size, df.jac_micro))
+    assert got == _bruteforce(texts, 0.4)
+    assert len(got) > 0  # the synthetic corpus plants near-dups
+
+
+def test_prefix_len_theorem_bounds():
+    # p = s - ceil(t*s) + 1, exact integer arithmetic at float-hostile
+    # thresholds (0.7*10 == 6.999...96 in binary)
+    sizes = np.array([0, 1, 10, 100, 33], dtype=np.int64)
+    p = dedup._prefix_len(sizes, 700_000)
+    assert list(p) == [0, 1, 4, 31, 10]
+    p1 = dedup._prefix_len(sizes, 1_000_000)  # t=1 → prefix of 1
+    assert list(p1) == [0, 1, 1, 1, 1]
+
+
+def test_trigram_mode_matches_bruteforce(ray_session):
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",
+        3: "one two",  # < ngram → single whole-run gram
+        4: "one two",
+    }
+    assert _run(texts, threshold=0.4, ngram=3) == _bruteforce(texts, 0.4, ngram=3)
