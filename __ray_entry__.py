@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_meta": q.q_page_meta,
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
+        "tfrecord_roundtrip": q.q_tfrecord_roundtrip,
         "ogg_headers": q.q_ogg_headers,
         "mp4_headers": q.q_mp4_headers,
         "simhash_incremental": q.q_simhash_incremental,
@@ -2947,6 +2948,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # tfrecord_roundtrip: content recomputed straight from the
+        # table — md5 over the UTF-8 bytes (DuckDB md5(varchar) ≡
+        # Python md5 of the round-tripped record bytes), byte length
+        # via encode(); any CRC/framing/proto corruption diverges
+        "tfrecord_roundtrip": """
+            SELECT doc_id, COALESCE(lang, '') AS lang,
+                   md5(COALESCE(text, '')) AS text_md5,
+                   CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+                       AS n_bytes
+            FROM documents
         """,
         # webm_headers: every EBML-walk field recomputed from the
         # doc_id derivation — the truncated rows (%89==3, chopped into

@@ -220,6 +220,7 @@ def _query_suite() -> dict:
         "flac_headers": q.q_flac_headers,
         # round-3 session-5 additions
         "jaccard_join_exact": q.q_jaccard_join_exact,
+        "tfrecord_roundtrip": q.q_tfrecord_roundtrip,
     }
     return suite
 

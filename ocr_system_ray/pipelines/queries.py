@@ -3519,6 +3519,54 @@ def q_wds_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_tfrecord_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """TFRecord sink + source round trip (``sources/tfrecord.py``) —
+    the tf.data training-shard format: documents write as framed
+    tf.train.Example records (masked-CRC32C framing, hand-encoded
+    protos, content-hashed idempotent shards), read back
+    shard-parallel with BOTH CRCs verified per record.  Oracle: DuckDB
+    recomputes each doc's text md5/byte length and lang straight from
+    the table — any framing, proto, or CRC corruption breaks the
+    match."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.tfrecord import read_tfrecord, write_tfrecord
+
+    cache = f"/tmp/osr_tfr_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        write_tfrecord(
+            docs.repartition(8),
+            cache,
+            features={"doc_id": "int64", "text": "bytes", "lang": "bytes"},
+        )
+
+    shards = sorted(_glob.glob(_os.path.join(cache, "shard-*.tfrecord")))
+    ds = read_tfrecord(
+        shards, features={"doc_id": "int64", "text": "bytes", "lang": "bytes"}
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": pa.array(
+                    [(v or b"").decode("utf-8") for v in t.column("lang").to_pylist()],
+                    pa.string(),
+                ),
+                "text_md5": pa.array(
+                    [_hashlib.md5(v or b"").hexdigest() for v in texts], pa.string()
+                ),
+                "n_bytes": pa.array([len(v or b"") for v in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_ogg_headers(sf_dir: str) -> ray.data.Dataset:
     """Ogg/Vorbis container walk (``functions/oggpages.py``): page
     lacing, BOS/EOS flags, Vorbis ident header, duration from the last

@@ -1,0 +1,153 @@
+"""TFRecord sink/source: framing (masked CRC-32C), hand-encoded
+tf.train.Example protos, sharded round trips.
+
+The CRC is pinned to the published CRC-32C check value and the framing
+to a byte-for-byte hand-assembled record, so the writer can't drift
+into a private dialect that only its own reader accepts.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.sources import tfrecord as tfr
+
+
+def test_crc32c_check_value():
+    # the canonical CRC-32C test vector (RFC 3720 appendix B.4)
+    assert tfr.crc32c(b"123456789") == 0xE3069283
+    assert tfr.crc32c(b"") == 0
+    assert tfr.crc32c(bytes(32)) == 0x8A9136AA  # 32 zero bytes vector
+
+
+def test_crc32c_many_matches_scalar_mixed_lengths():
+    rng = np.random.default_rng(3)
+    payloads = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+                for n in [0, 1, 7, 100, 4096, 13]]
+    many = tfr.crc32c_many(payloads)
+    assert [int(c) for c in many] == [tfr.crc32c(p) for p in payloads]
+
+
+def test_crc32c_many_chunking_by_skew(monkeypatch):
+    # a giant row next to tiny rows must not change any CRC
+    monkeypatch.setattr(tfr, "_CHUNK_BUDGET", 1 << 12)
+    payloads = [b"a" * 3000, b"xy", b"", b"b" * 2500, b"q"]
+    assert [int(c) for c in tfr.crc32c_many(payloads)] == [
+        tfr.crc32c(p) for p in payloads
+    ]
+
+
+def test_framing_bytes_hand_assembled():
+    payload = b"hello"
+    blob = tfr.frame_records([payload])
+    # length header
+    assert blob[:8] == struct.pack("<Q", 5)
+    # masked length CRC recomputed independently
+    c = tfr.crc32c(blob[:8])
+    masked = ((c >> 15) | (c << 17)) & 0xFFFFFFFF
+    masked = (masked + 0xA282EAD8) & 0xFFFFFFFF
+    assert blob[8:12] == struct.pack("<I", masked)
+    assert blob[12:17] == payload
+    cd = tfr.crc32c(payload)
+    md = ((((cd >> 15) | (cd << 17)) & 0xFFFFFFFF) + 0xA282EAD8) & 0xFFFFFFFF
+    assert blob[17:21] == struct.pack("<I", md)
+    assert tfr.unframe_records(blob) == [payload]
+
+
+def test_framing_rejects_corruption_and_truncation():
+    blob = tfr.frame_records([b"abc", b"defg"])
+    for i in (0, 9, 14, 15):
+        bad = bytearray(blob)
+        bad[i] ^= 0x40
+        with pytest.raises(ValueError):
+            tfr.unframe_records(bytes(bad))
+    with pytest.raises(ValueError):
+        tfr.unframe_records(blob[:-2])
+
+
+def test_example_roundtrip_all_kinds():
+    ex = tfr.encode_example(
+        {
+            "text": ("bytes", "héllo wörld"),
+            "doc_id": ("int64", 9_007_199_254_740_993),  # > 2^53
+            "neg": ("int64", [-1, -(1 << 62), 5]),
+            "emb": ("float", [0.5, -1.25, 3.0]),
+        }
+    )
+    dec = tfr.decode_example(ex)
+    assert dec["text"] == ("bytes", ["héllo wörld".encode()])
+    assert dec["doc_id"] == ("int64", [9_007_199_254_740_993])
+    assert dec["neg"] == ("int64", [-1, -(1 << 62), 5])
+    assert dec["emb"] == ("float", [0.5, -1.25, 3.0])
+
+
+def test_example_accepts_unpacked_scalars():
+    # unpacked repeated int64 (wire type 0 per element) is equally legal
+    feat = bytes([0x1A, 4, 0x08, 7, 0x08, 9])  # Int64List{value:7, value:9}
+    entry = (
+        bytes([0x0A, 1]) + b"k" + bytes([0x12, len(feat)]) + feat
+    )
+    ex = bytes([0x0A, len(entry) + 2, 0x0A, len(entry)]) + entry
+    assert tfr.decode_example(ex)["k"] == ("int64", [7, 9])
+
+
+def test_sharded_roundtrip_and_idempotence(ray_session, tmp_path):
+    out = str(tmp_path / "tfr")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["a", None, "c" * 1000, "", "é"], pa.string()),
+            "score": pa.array([0.5, 1.5, -2.0, 0.0, 9.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    n = tfr.write_tfrecord(
+        ds, out, features={"doc_id": "int64", "text": "bytes", "score": "float"}
+    )
+    assert n == 5
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.tfrecord")))
+    assert 1 <= len(shards) <= 3
+    back = (
+        tfr.read_tfrecord(
+            shards, features={"doc_id": "int64", "text": "bytes", "score": "float"}
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(back["doc_id"]) == [1, 2, 3, 4, 5]
+    assert list(back["text"]) == [b"a", b"", b"c" * 1000, b"", "é".encode()]
+    assert list(back["score"]) == [0.5, 1.5, -2.0, 0.0, 9.0]
+    # idempotence: re-running the sink rewrites the same content-hashed names
+    before = {p: os.path.getsize(p) for p in shards}
+    tfr.write_tfrecord(
+        ray.data.from_arrow(t).repartition(3),
+        out,
+        features={"doc_id": "int64", "text": "bytes", "score": "float"},
+    )
+    after = {
+        p: os.path.getsize(p)
+        for p in sorted(glob.glob(os.path.join(out, "shard-*.tfrecord")))
+    }
+    assert before == after
+
+
+def test_reader_kind_mismatch_and_missing_feature(ray_session, tmp_path):
+    out = str(tmp_path / "tfr2")
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    tfr.write_tfrecord(
+        ray.data.from_arrow(t), out, features={"doc_id": "int64", "text": "bytes"}
+    )
+    shards = glob.glob(os.path.join(out, "shard-*.tfrecord"))
+    with pytest.raises(Exception):  # kind mismatch surfaces from the read task
+        tfr.read_tfrecord(shards, features={"text": "int64"}).to_pandas()
+    df = tfr.read_tfrecord(shards, features={"absent": "bytes"}).to_pandas()
+    assert list(df["absent"]) == [None]
