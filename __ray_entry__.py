@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subtitles": q.q_subtitles,
         "wds_roundtrip": q.q_wds_roundtrip,
         "tfrecord_roundtrip": q.q_tfrecord_roundtrip,
+        "redirect_chains": q.q_redirect_chains,
         "ogg_headers": q.q_ogg_headers,
         "mp4_headers": q.q_mp4_headers,
         "simhash_incremental": q.q_simhash_incremental,
@@ -341,6 +342,12 @@ def _domain_mix_arms() -> str:
 
     arms = " ".join(f"WHEN '{s}' THEN '{t}'" for s, t in DOMAIN_MIX_WEIGHTS.items())
     return f"{arms} ELSE '{DOMAIN_MIX_DEFAULT}'"
+
+
+def _redirect_chains_sql() -> str:
+    from ocr_system_ray.functions.redirects import redirect_resolution_sql
+
+    return redirect_resolution_sql(4)
 
 
 def _rake_stops() -> str:
@@ -2949,6 +2956,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
+        # redirect_chains: the recursive-CTE twin — identical
+        # carve-derived edges, bounded walk, last row per start, same
+        # ok/dangling/too_many CASE (generated by the module so the
+        # derivation constants exist exactly once)
+        "redirect_chains": _redirect_chains_sql(),
         # tfrecord_roundtrip: content recomputed straight from the
         # table — md5 over the UTF-8 bytes (DuckDB md5(varchar) ≡
         # Python md5 of the round-tripped record bytes), byte length

@@ -1,0 +1,287 @@
+"""HTTP redirect-chain resolution — the crawl-frontier hop every real
+crawler runs before fetching: follow 3xx ``Location`` pointers from
+each seed until a terminal page, an unknown (off-corpus) target, or
+the redirect cap (curl's ``--max-redirs`` / a crawler's politeness
+cap), and label each seed ``ok`` / ``dangling`` / ``too_many``.
+
+The redirect graph is FUNCTIONAL (≤1 outgoing edge per url — a page
+has one ``Location``), so resolution is a bounded walk, not a general
+transitive closure.
+
+Scale shape: per hop, ONE coarse-bucket reduce-side join of the
+pending walk states against the (edge, node) lookup side — the
+pagerank-distributed-mode idiom.  Rows are 3–4 int64s; resolved
+states leave the loop immediately (the pending set only shrinks), the
+walk materializes per round (iterative plans re-execute otherwise —
+CLAUDE.md), and rounds are bounded by ``max_hops`` (a small crawl
+policy constant, default 8) with an early-exit aggregate when nothing
+is pending.  Corpus payloads never enter the walk.
+
+Status semantics (shared verbatim with the recursive-CTE SQL twin):
+
+* ``ok``       — the walk reached a known url with no outgoing edge
+  (``final_id`` = that url, ``hops`` = edges followed);
+* ``dangling`` — the walk stepped onto a target that is not in the
+  node set (off-corpus / never-crawled Location);
+* ``too_many`` — ``max_hops`` edges followed and the cursor STILL has
+  an outgoing edge (covers self-loops and longer cycles — a cycle is
+  just a chain that never terminates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .dedup import _coarse_bucket
+
+_PENDING, _OK, _DANGLING, _TOO_MANY = 0, 1, 2, 3
+_STATUS_NAMES = {_OK: "ok", _DANGLING: "dangling", _TOO_MANY: "too_many"}
+
+
+def resolve_redirects(
+    nodes: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    max_hops: int = 8,
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Resolve every node's redirect chain.  ``nodes`` has ``id_col``
+    (the known-url set = the walk's seeds), ``edges`` has
+    ``src``/``dst`` (≤1 edge per src — a functional graph; duplicate
+    srcs would make the walk ambiguous and raise in-bucket).  Returns
+    ``(start_id, final_id, hops, status)``."""
+    import pandas as pd
+
+    if max_hops < 1:
+        raise ValueError("max_hops must be ≥ 1")
+    n_nodes = nodes.count()
+    if num_buckets is None:
+        num_buckets = int(max(64, min(1 << 18, n_nodes // 50_000 + 64)))
+    nb = num_buckets
+
+    # m: 0 = edge row (key=src, carries dst), 1 = node row (key=id),
+    # 2 = walk state (key=cur, carries start/hops) — int8 kind flag,
+    # never nulled-out key columns (pandas would float64 them)
+    def edge_rows(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(src, nb)),
+                "key": t.column("src"),
+                "dst": t.column("dst"),
+                "start": t.column("src"),  # dummy
+                "hops": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "m": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(ids, nb)),
+                "key": t.column(id_col),
+                "dst": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "start": t.column(id_col),  # dummy
+                "hops": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "m": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    def state_rows(t: pa.Table) -> pa.Table:
+        cur = t.column("cur").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(cur, nb)),
+                "key": t.column("cur"),
+                "dst": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "start": t.column("start"),
+                "hops": t.column("hops"),
+                "m": pa.array(np.full(len(t), 2, dtype=np.int8)),
+            }
+        )
+
+    def step_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "start": pd.Series([], dtype="int64"),
+                "cur": pd.Series([], dtype="int64"),
+                "hops": pd.Series([], dtype="int64"),
+                "status": pd.Series([], dtype="int8"),
+            }
+        )
+        states = g[g["m"] == 2]
+        if states.empty:
+            return empty
+        e = g[g["m"] == 0]
+        if e["key"].duplicated().any():
+            raise ValueError("redirects: duplicate src — not a functional graph")
+        known = set(g[g["m"] == 1]["key"].to_numpy())
+        # nullable Int64 keeps absent-edge targets exact (a float64
+        # left-merge would corrupt ids > 2^53 — CLAUDE.md)
+        merged = states[["start", "key", "hops"]].merge(
+            e[["key", "dst"]].astype({"dst": "Int64"}),
+            on="key",
+            how="left",
+            suffixes=("", "_e"),
+        )
+        cur = merged["key"].to_numpy()
+        dst = merged["dst"]
+        hops = merged["hops"].to_numpy(dtype=np.int64)
+        exists = np.fromiter((k in known for k in cur), dtype=bool, count=len(cur))
+        has_edge = dst.notna().to_numpy()
+        status = np.full(len(cur), _PENDING, dtype=np.int8)
+        status[~exists] = _DANGLING
+        status[exists & ~has_edge] = _OK
+        # the cap mirrors the SQL walk's ``hops < max_hops`` bound: a
+        # cursor that followed max_hops edges and STILL has an outgoing
+        # edge is too_many (covers self-loops and longer cycles)
+        capped = exists & has_edge & (hops >= max_hops)
+        status[capped] = _TOO_MANY
+        moving = exists & has_edge & (hops < max_hops)
+        out_cur = cur.astype(np.int64).copy()
+        out_hops = hops.copy()
+        out_cur[moving] = dst[moving].astype(np.int64).to_numpy()
+        out_hops[moving] = hops[moving] + 1
+        return pd.DataFrame(
+            {
+                "start": pd.Series(merged["start"].to_numpy(), dtype="int64"),
+                "cur": pd.Series(out_cur, dtype="int64"),
+                "hops": pd.Series(out_hops, dtype="int64"),
+                "status": pd.Series(status, dtype="int8"),
+            }
+        )
+
+    def seeds(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "start": t.column(id_col),
+                "cur": t.column(id_col),
+                "hops": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "status": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    pending = nodes.map_batches(seeds, batch_format="pyarrow").materialize()
+    resolved: list[ray.data.Dataset] = []
+    lookup = edges.map_batches(edge_rows, batch_format="pyarrow").union(
+        nodes.map_batches(node_rows, batch_format="pyarrow")
+    )
+
+    for _hop in range(max_hops + 1):
+        stepped = (
+            lookup.union(pending.map_batches(state_rows, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(step_in_bucket, batch_format="pandas")
+            .materialize()
+        )
+        # lazy filters over the materialized step — no extra execution;
+        # the final union realizes the resolved slices exactly once
+        resolved.append(stepped.filter(lambda r: r["status"] != _PENDING))
+        pending = stepped.filter(lambda r: r["status"] == _PENDING).materialize()
+        if pending.count() == 0:
+            break
+    if pending.count() > 0:  # every state resolves within max_hops+1 rounds
+        raise RuntimeError("redirects: walk failed to terminate (bug)")
+
+    out = resolved[0]
+    for d in resolved[1:]:
+        out = out.union(d)
+
+    def finish(t: pa.Table) -> pa.Table:
+        st = t.column("status").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "start_id": t.column("start"),
+                "final_id": t.column("cur"),
+                "hops": t.column("hops"),
+                "status": pa.array(
+                    [_STATUS_NAMES[int(s)] for s in st], pa.string()
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic derivation (query/test fixture) + its SQL twin
+# ---------------------------------------------------------------------------
+
+REDIR_SALT = "redir"
+
+
+def derive_redirect_edges(
+    ds: ray.data.Dataset, n_docs: int, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Synthetic-but-deterministic redirect edges over a doc table (the
+    md5-carve contract, SQL-reproducible): carve c = first 4 hex chars
+    of ``md5(f"{id}:redir")``; ``c%10 ≤ 3`` → redirect to
+    ``(id·7+c) % n_docs``, ``= 4`` → self-loop, ``= 5`` → dangling
+    target ``n_docs + c%100``; else terminal (no edge)."""
+    import hashlib
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        srcs, dsts = [], []
+        for i in ids:
+            c = int(hashlib.md5(f"{i}:{REDIR_SALT}".encode()).hexdigest()[:4], 16)
+            k = c % 10
+            if k <= 3:
+                srcs.append(i)
+                dsts.append((i * 7 + c) % n_docs)
+            elif k == 4:
+                srcs.append(i)
+                dsts.append(i)
+            elif k == 5:
+                srcs.append(i)
+                dsts.append(n_docs + c % 100)
+        return pa.table(
+            {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())}
+        )
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def redirect_resolution_sql(max_hops: int = 8) -> str:
+    """The recursive-CTE twin: identical carve-derived edges, a bounded
+    walk (rows stop extending at ``max_hops``), last row per start,
+    same status CASE."""
+    return f"""
+        WITH RECURSIVE n AS (
+            SELECT COUNT(*) AS cnt FROM documents
+        ), carved AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{REDIR_SALT}'),
+                                   1, 4))::INT AS c
+            FROM documents
+        ), edges AS (
+            SELECT doc_id AS src,
+                   CASE WHEN c % 10 <= 3 THEN (doc_id * 7 + c) % (SELECT cnt FROM n)
+                        WHEN c % 10 = 4 THEN doc_id
+                        ELSE (SELECT cnt FROM n) + c % 100 END AS dst
+            FROM carved WHERE c % 10 <= 5
+        ), walk(start_id, cur, hops) AS (
+            SELECT doc_id, doc_id, 0 FROM documents
+            UNION ALL
+            SELECT w.start_id, e.dst, w.hops + 1
+            FROM walk w JOIN edges e ON e.src = w.cur
+            WHERE w.hops < {max_hops}
+        ), last AS (
+            SELECT start_id, cur, hops,
+                   row_number() OVER (PARTITION BY start_id
+                                      ORDER BY hops DESC) AS rn
+            FROM walk
+        )
+        SELECT l.start_id,
+               CAST(l.cur AS BIGINT) AS final_id,
+               CAST(l.hops AS BIGINT) AS hops,
+               CASE WHEN l.cur NOT IN (SELECT doc_id FROM documents)
+                        THEN 'dangling'
+                    WHEN l.cur IN (SELECT src FROM edges) THEN 'too_many'
+                    ELSE 'ok' END AS status
+        FROM last l WHERE l.rn = 1
+    """

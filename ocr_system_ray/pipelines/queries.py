@@ -3519,6 +3519,23 @@ def q_wds_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_redirect_chains(sf_dir: str) -> ray.data.Dataset:
+    """Redirect-chain resolution (``functions/redirects.py``): follow
+    carve-derived 3xx pointers from every doc to a terminal page, an
+    off-corpus target, or the 4-hop cap — per-hop reduce-side joins of
+    int64 walk states, corpus never moves.  Rounds = the policy cap (a
+    small constant), so sf-scale wall is pure stage latency — the
+    documented multi-stage pattern, kept payload-proportional rather
+    than distorted for toy-scale wall.  Oracle: a recursive-CTE walk
+    over the identical carve-derived edge table."""
+    from ..functions import redirects
+
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_docs = nodes.count()
+    edges = redirects.derive_redirect_edges(nodes, n_docs=n_docs)
+    return redirects.resolve_redirects(nodes, edges, max_hops=4)
+
+
 def q_tfrecord_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """TFRecord sink + source round trip (``sources/tfrecord.py``) —
     the tf.data training-shard format: documents write as framed

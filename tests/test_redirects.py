@@ -1,0 +1,137 @@
+"""Redirect-chain resolution: bounded functional-graph walk with
+ok / dangling / too_many status semantics shared with the recursive-CTE
+SQL twin."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions import redirects
+
+
+def _resolve(nodes: list[int], edges: list[tuple[int, int]], max_hops: int = 8):
+    nds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(nodes, pa.int64())})
+    ).repartition(3)
+    eds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in edges], pa.int64()),
+                "dst": pa.array([d for _, d in edges], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    df = (
+        redirects.resolve_redirects(nds, eds, max_hops=max_hops)
+        .to_pandas()
+        .sort_values("start_id")
+        .reset_index(drop=True)
+    )
+    return {
+        int(r.start_id): (int(r.final_id), int(r.hops), r.status)
+        for r in df.itertuples()
+    }
+
+
+def _brute(nodes, edges, max_hops=8):
+    emap = dict(edges)
+    known = set(nodes)
+    out = {}
+    for s in nodes:
+        cur, hops = s, 0
+        while True:
+            if cur not in known:
+                out[s] = (cur, hops, "dangling")
+                break
+            if cur not in emap:
+                out[s] = (cur, hops, "ok")
+                break
+            if hops >= max_hops:
+                out[s] = (cur, hops, "too_many")
+                break
+            cur = emap[cur]
+            hops += 1
+    return out
+
+
+def test_chain_shapes(ray_session):
+    nodes = list(range(10))
+    edges = [
+        (0, 1), (1, 2), (2, 3),          # chain 0→1→2→3 (3 terminal)
+        (4, 4),                           # self-loop
+        (5, 6), (6, 5),                   # 2-cycle
+        (7, 99),                          # dangling target
+    ]
+    got = _resolve(nodes, edges, max_hops=8)
+    assert got == _brute(nodes, edges, 8)
+    assert got[0] == (3, 3, "ok")
+    assert got[3] == (3, 0, "ok")
+    assert got[4][2] == "too_many" and got[4][1] == 8
+    assert got[5][2] == "too_many"
+    assert got[7] == (99, 1, "dangling")
+    assert got[8] == (8, 0, "ok")
+
+
+def test_exact_cap_boundary(ray_session):
+    # a chain exactly max_hops long is ok; one longer is too_many
+    nodes = list(range(6))
+    edges = [(i, i + 1) for i in range(5)]  # 0→1→…→5
+    got3 = _resolve(nodes, edges, max_hops=3)
+    assert got3[2] == (5, 3, "ok")       # 2→3→4→5 = 3 hops exactly
+    assert got3[0] == (3, 3, "too_many")  # 0 needs 5
+    got5 = _resolve(nodes, edges, max_hops=5)
+    assert got5[0] == (5, 5, "ok")
+
+
+def test_randomized_functional_graph(ray_session):
+    rng = np.random.default_rng(11)
+    nodes = list(range(80))
+    edges = []
+    for i in nodes:
+        k = rng.integers(0, 10)
+        if k <= 4:
+            edges.append((i, int(rng.integers(0, 80))))
+        elif k == 5:
+            edges.append((i, 200 + i))
+    for mh in (1, 4, 8):
+        assert _resolve(nodes, edges, max_hops=mh) == _brute(nodes, edges, mh)
+
+
+def test_duplicate_src_rejected(ray_session):
+    with pytest.raises(Exception):
+        _resolve([0, 1, 2], [(0, 1), (0, 2)])
+
+
+def test_sql_twin_matches_on_sf0001(ray_session):
+    nodes = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    )
+    n = nodes.count()
+    edges = redirects.derive_redirect_edges(nodes, n_docs=n)
+    got = (
+        redirects.resolve_redirects(nodes, edges, max_hops=8)
+        .to_pandas()
+        .sort_values("start_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = (
+        con.execute(redirects.redirect_resolution_sql(8))
+        .df()
+        .sort_values("start_id")
+        .reset_index(drop=True)
+    )
+    got = got.astype({"final_id": "int64", "hops": "int64"})
+    want = want.astype({"final_id": "int64", "hops": "int64"})
+    assert got.equals(want)
+    # the derivation must exercise all three statuses
+    assert set(got["status"]) == {"ok", "dangling", "too_many"}
