@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q.q_corpus_diff,
         "pagerank": q.q_pagerank,
         "event_gaps": q.q_event_gaps,
+        "funnel_conversion": q.q_funnel_conversion,
+        "cohort_retention": q.q_cohort_retention,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
         "mojibake_repair": q.q_mojibake_repair,
@@ -1436,6 +1438,49 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS rolling_cents
             FROM events
+        """,
+        # ordered funnel view→click→purchase, 7-day window anchored at
+        # the FIRST step; progressive min-ts chain mirrors
+        # functions/windows.py:funnel_steps exactly (>= step k-1 ts,
+        # <= t1 + window, earliest wins)
+        "funnel_conversion": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                     AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                     AND epoch_us(e.ts) <= epoch_us(s1.t1) + 604800000000
+                   GROUP BY 1)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed,
+                   CAST(COALESCE(epoch_us(COALESCE(t3, t2, t1))
+                                 - epoch_us(t1), -1) AS BIGINT) AS funnel_us
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)
+        """,
+        # cohort day = the user's first epoch day; one row per
+        # (cohort, offset) cell with distinct-user counts
+        "cohort_retention": """
+            WITH f AS (SELECT user_id,
+                              epoch_us(min(ts)) // 86400000000 AS cd
+                       FROM events GROUP BY 1),
+            d AS (SELECT DISTINCT e.user_id, f.cd,
+                         epoch_us(e.ts) // 86400000000 - f.cd AS off
+                  FROM events e JOIN f USING (user_id))
+            SELECT CAST(cd AS BIGINT) AS cohort_day,
+                   CAST(off AS BIGINT) AS day_offset,
+                   COUNT(*) AS users
+            FROM d GROUP BY 1, 2
         """,
         "doc_stats_by_lang": """
             SELECT lang,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -241,3 +242,222 @@ def top_k_per_key(
         .groupby("bucket")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def funnel_steps(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Ordered-funnel analysis: for every key, how far through the
+    ``steps`` event-type sequence it progressed, earliest-first.
+
+    Semantics (exactly mirrored by the SQL twin): ``t1`` is the key's
+    earliest ``steps[0]`` event; step ``k`` is reached at ``tk`` = the
+    earliest ``steps[k-1]`` event with ``ts >= t(k-1)`` and, when
+    ``window_us`` is set, ``ts <= t1 + window_us`` (the window anchors
+    at the FIRST step).  Emits one row per key appearing in ``ds``:
+    ``(key_col int64, steps_completed int64, funnel_us int64)`` where
+    ``funnel_us`` is ``t_last_reached - t1`` (0 if only step 1, -1 if
+    step 1 never fired).
+
+    Scale shape: rows are pre-filtered to the step types BEFORE the
+    shuffle (only funnel-relevant ``(key, ts, step)`` triples move —
+    at web scale that is a tiny fraction of the event stream), then
+    ONE coarse key-bucket shuffle co-locates each key and pandas
+    resolves every key of a bucket in K vectorized groupby-min passes.
+    All values are exact integers (µs), so results are
+    batching-invariant and hash-stable.
+    """
+    import pandas as pd
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+    k_steps = len(steps)
+
+    def tag_steps(t: pa.Table) -> pa.Table:
+        tv = t.column(type_col).to_pylist()
+        keep = np.array([s in step_ix for s in tv], dtype=bool)
+        ix = np.array([step_ix.get(s, -1) for s in tv], dtype=np.int8)
+        out = pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "_step": pa.array(ix),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    # every key must emit a row even when none of its events are step
+    # types — ship one (key, -1) marker row per (batch, key) too so the
+    # bucket sees the key (tiny: one row per distinct key per batch)
+    def tag_keys(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t.column(key_col).cast(pa.int64()))
+        return pa.table(
+            {
+                key_col: keys,
+                "_ts_us": pa.array(
+                    np.zeros(len(keys), dtype=np.int64), pa.int64()
+                ),
+                "_step": pa.array(
+                    np.full(len(keys), -1, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(tag_steps, batch_format="pyarrow").union(
+        ds.map_batches(tag_keys, batch_format="pyarrow")
+    )
+    tagged = _bucketed(
+        rows,
+        key_col,
+        {key_col: pa.int64(), "_ts_us": pa.int64(), "_step": pa.int8()},
+        num_buckets,
+    )
+
+    def funnel_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "steps_completed": pd.Series([], dtype="int64"),
+                    "funnel_us": pd.Series([], dtype="int64"),
+                }
+            )
+        users = pd.Index(df[key_col].unique(), name=key_col)
+        s0 = df[df["_step"] == 0]
+        t1 = s0.groupby(key_col)["_ts_us"].min()
+        completed = pd.Series(
+            np.where(users.isin(t1.index), 1, 0), index=users, dtype="int64"
+        )
+        last = t1.reindex(users)  # NaN where step1 missing
+        deadline = (
+            last + float(window_us) if window_us is not None else None
+        )
+        cur = last
+        for k in range(1, k_steps):
+            cand = df[df["_step"] == k]
+            if len(cand) == 0:
+                break
+            c_cur = cur.reindex(cand[key_col]).to_numpy()
+            ok = cand["_ts_us"].to_numpy() >= c_cur  # NaN compares False
+            if deadline is not None:
+                c_dl = deadline.reindex(cand[key_col]).to_numpy()
+                ok &= cand["_ts_us"].to_numpy() <= c_dl
+            hit = cand[ok]
+            tk = hit.groupby(key_col)["_ts_us"].min()
+            if len(tk) == 0:
+                break
+            reached = users.isin(tk.index)
+            completed = completed.where(
+                ~reached, np.int64(k + 1)
+            ).astype("int64")
+            nxt = tk.reindex(users)
+            last = last.where(~reached, nxt)
+            cur = nxt  # only keys that reached step k may continue
+        # µs values < 2^53: float64 holds them exactly, subtraction exact
+        funnel = (last - t1.reindex(users)).fillna(-1.0)
+        funnel[completed == 0] = -1.0
+        return pd.DataFrame(
+            {
+                key_col: users.to_numpy(dtype=np.int64),
+                "steps_completed": completed.to_numpy(dtype=np.int64),
+                "funnel_us": funnel.to_numpy().astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(
+        funnel_in_bucket, batch_format="pandas"
+    )
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Cohort-retention matrix over an event stream: users grouped by
+    their first-activity day (the cohort), counted per day-offset of
+    later activity.  → ``(cohort_day int64 epoch-days, day_offset
+    int64, users int64)`` — one row per non-empty cell.
+
+    Scale shape: ONE coarse key-bucket shuffle of ``(key, day)`` pairs
+    (days pre-truncated in the map, so only 8-byte ints move, and
+    per-(batch,key,day) duplicates are dropped BEFORE the shuffle);
+    each bucket resolves its keys' first days and distinct offsets
+    vectorized, then emits per-cell PARTIAL counts packed into one
+    int64 key (``cohort_day * 2^16 + offset``) so the global sum is a
+    SINGLE-column groupby (multi-column aggregate is pathological in
+    ray 2.49 — see CLAUDE.md).  Driver never sees per-user data.
+    """
+    import pandas as pd
+
+    day_us = 86_400_000_000
+
+    def days(t: pa.Table) -> pa.Table:
+        d = (
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        ).to_numpy() // day_us
+        k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kd = np.unique(np.stack([k, d], axis=1), axis=0)
+        return pa.table(
+            {
+                key_col: pa.array(kd[:, 0], pa.int64()),
+                "_day": pa.array(kd[:, 1], pa.int64()),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(days, batch_format="pyarrow"),
+        key_col,
+        {key_col: pa.int64(), "_day": pa.int64()},
+        num_buckets,
+    )
+
+    def cells_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "_cell": pd.Series([], dtype="int64"),
+                    "partial": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.drop_duplicates([key_col, "_day"])
+        first = df.groupby(key_col)["_day"].transform("min")
+        off = df["_day"] - first
+        if (off >= (1 << 16)).any():
+            raise ValueError("day_offset >= 2^16 — widen the cell packing")
+        cell = first * (1 << 16) + off
+        counts = cell.value_counts()
+        return pd.DataFrame(
+            {
+                "_cell": counts.index.to_numpy(dtype=np.int64),
+                "partial": counts.to_numpy(dtype=np.int64),
+            }
+        )
+
+    summed = (
+        tagged.groupby("bucket")
+        .map_groups(cells_in_bucket, batch_format="pandas")
+        .groupby("_cell")
+        .sum("partial")
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cell = t.column("_cell").to_numpy(zero_copy_only=False)
+        users = t.column("sum(partial)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": pa.array(cell >> 16, pa.int64()),
+                "day_offset": pa.array(cell & 0xFFFF, pa.int64()),
+                "users": pa.array(users.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return summed.map_batches(unpack, batch_format="pyarrow")

@@ -4779,6 +4779,37 @@ def q_rolling_spend(sf_dir: str) -> ray.data.Dataset:
     return rolling_sum_cents(ds, window=3)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 7 * 86_400_000_000  # anchored at first step
+
+
+def q_funnel_conversion(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-funnel analysis view→click→purchase with a 7-day window
+    anchored at the first step: one row per user with how many steps
+    completed and the exact µs first→last latency.  Step-type rows are
+    pre-filtered before the ONE coarse user-bucket shuffle
+    (``functions/windows.py:funnel_steps``); SQL twin = progressive
+    min-ts CTE chain."""
+    from ..functions.windows import funnel_steps
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_steps(
+        ds, FUNNEL_STEPS, window_us=FUNNEL_WINDOW_US
+    )
+
+
+def q_cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort-retention matrix: users bucketed by first-activity epoch
+    day, counted per day-offset of later activity.  (key, day) pairs
+    pre-deduped per batch before the single coarse shuffle; global sum
+    is one SINGLE-column groupby over packed cells
+    (``functions/windows.py:cohort_retention``)."""
+    from ..functions.windows import cohort_retention
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
 PAGERANK_HOSTS = 997  # prime host-space for the synthetic link graph
 
 

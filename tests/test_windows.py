@@ -156,3 +156,147 @@ def test_top_k_per_key_string_keys_ascending(ray_session):
     assert got[got["host"] == "h0"]["doc_id"].tolist() == [9, 6]
     assert got[got["host"] == "h2"]["doc_id"].tolist() == [11, 8]
     assert got["rank"].tolist() == [1, 2] * 3
+
+
+def _funnel_df():
+    # user 1: full path; user 2: click BEFORE its first view (must not
+    # count) then click+purchase after; user 3: view only; user 4: no
+    # step types at all (only 'error'); user 5: purchase outside the
+    # window; user 6: duplicate views (earliest wins)
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        (2, "click", 0), (2, "view", 5), (2, "click", 9), (2, "purchase", 30),
+        (3, "view", 100),
+        (4, "error", 0),
+        (5, "view", 0), (5, "click", 1), (5, "purchase", 10_000_000),
+        (6, "view", 50), (6, "view", 40), (6, "click", 45),
+    ]
+    return pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "event_type": [r[1] for r in rows],
+            "ts": [base + pd.to_timedelta(r[2], unit="us") for r in rows],
+        }
+    )
+
+
+def test_funnel_matches_hand_derivation(ray_session):
+    from ocr_system_ray.functions.windows import funnel_steps
+
+    df = _funnel_df()
+    for blocks in (1, 4):
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = funnel_steps(
+            ds, ["view", "click", "purchase"],
+            window_us=1000, num_buckets=4,
+        ).take_all()
+        got = {r["user_id"]: (r["steps_completed"], r["funnel_us"]) for r in out}
+        assert got == {
+            1: (3, 20),       # full funnel
+            2: (3, 25),       # pre-view click ignored; 5→9→30
+            3: (1, 0),        # view only
+            4: (0, -1),       # no step events but still reported
+            5: (2, 1),        # purchase at +10s is outside the 1 ms window
+            6: (2, 5),        # earliest view (40) wins; click at 45
+        }, blocks
+
+
+def test_funnel_matches_duckdb_sweep(ray_session):
+    """Random event log vs the progressive min-ts SQL chain — the same
+    query shape the driver oracle uses."""
+    from ocr_system_ray.functions.windows import funnel_steps
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "error", "signup"], n
+            ),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**7, n), unit="us"),
+        }
+    )
+    w = 2_000_000
+    want = duckdb.sql(
+        f"""WITH u AS (SELECT DISTINCT user_id FROM df),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM df
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t2
+               FROM df e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                 AND epoch_us(e.ts) <= epoch_us(s1.t1) + {w} GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t3
+               FROM df e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                 AND epoch_us(e.ts) <= epoch_us(s1.t1) + {w} GROUP BY 1)
+        SELECT u.user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS sc,
+               CAST(COALESCE(epoch_us(COALESCE(t3, t2, t1))
+                             - epoch_us(t1), -1) AS BIGINT) AS fu
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id) ORDER BY user_id"""
+    ).df()
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    i = t.schema.get_field_index("ts")
+    t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
+    out = funnel_steps(
+        ray.data.from_arrow(t).repartition(5),
+        ["view", "click", "purchase"], window_us=w, num_buckets=8,
+    ).take_all()
+    got = {r["user_id"]: (r["steps_completed"], r["funnel_us"]) for r in out}
+    assert got == {
+        u: (sc, fu)
+        for u, sc, fu in zip(want["user_id"], want["sc"], want["fu"])
+    }
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    from ocr_system_ray.functions.windows import cohort_retention
+
+    rng = np.random.default_rng(3)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86_400_000_000, n), unit="us"),
+        }
+    )
+    want = duckdb.sql(
+        """WITH f AS (SELECT user_id, epoch_us(min(ts)) // 86400000000 AS cd
+                      FROM df GROUP BY 1),
+        d AS (SELECT DISTINCT e.user_id, f.cd,
+                     epoch_us(e.ts) // 86400000000 - f.cd AS off
+              FROM df e JOIN f USING (user_id))
+        SELECT CAST(cd AS BIGINT) AS cohort_day,
+               CAST(off AS BIGINT) AS day_offset, COUNT(*) AS users
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).df()
+    for blocks in (1, 6):
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
+        out = cohort_retention(
+            ray.data.from_arrow(t).repartition(blocks), num_buckets=4
+        ).to_pandas()
+        out = out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+        for c in ("cohort_day", "day_offset", "users"):
+            assert out[c].tolist() == want[c].tolist(), (blocks, c)
+    # day-0 cell exists for every cohort and counts every cohort member
+    day0 = out[out["day_offset"] == 0]
+    first = duckdb.sql(
+        """WITH f AS (SELECT user_id, epoch_us(min(ts)) // 86400000000 AS cd
+                      FROM df GROUP BY 1)
+           SELECT cd, COUNT(*) AS n FROM f GROUP BY 1"""
+    ).df()
+    assert dict(zip(day0["cohort_day"], day0["users"])) == dict(
+        zip(first["cd"].astype("int64"), first["n"].astype("int64"))
+    )
