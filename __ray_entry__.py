@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_incremental": q.q_simhash_incremental,
         "dict_tags": q.q_dict_tags,
         "readability": q.q_readability,
+        "code_filters": q.q_code_filters,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1241,6 +1242,49 @@ def _domain_cap_sql() -> str:
     """
 
 
+def _code_filters_sql() -> str:
+    """Twin GENERATED from the codefilters constants: the SQL rebuilds
+    the derived code file from (doc_id, text), then recomputes every
+    metric + the verdict ladder with the module's own expression
+    builders — threshold or kernel drift breaks the hash."""
+    from ocr_system_ray.functions.codefilters import (
+        codefilters_sql_exprs,
+        codefilters_verdict_sql,
+    )
+
+    derived = """
+        CASE WHEN doc_id % 17 = 0
+             THEN repeat('~!@#$' || chr(10), 40 + doc_id % 20)
+             WHEN doc_id % 19 = 0
+             THEN '// note' || chr(10) || 'data = "'
+                  || repeat('word ', 40 + doc_id % 10) || '";'
+             ELSE '// Copyright ' || doc_id
+               || CASE WHEN doc_id % 13 = 0
+                       THEN chr(10) || '// AUTO-GENERATED do not edit'
+                       ELSE '' END
+               || COALESCE(array_to_string(
+                      list_transform(
+                          regexp_extract_all(COALESCE(text, ''),
+                                             '[^ \t\n\r\f\v]+'),
+                          w -> chr(10) || 'let v = "' || w || '";'),
+                      ''), '')
+               || CASE WHEN doc_id % 7 = 0
+                       THEN chr(10) || repeat('x', 1200) ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN chr(10) || repeat('a0f3', 6 + doc_id % 50)
+                       ELSE '' END
+        END
+    """
+    return f"""
+        WITH src AS (SELECT doc_id, {derived} AS d FROM documents),
+        m AS (SELECT doc_id, {codefilters_sql_exprs("d")} FROM src)
+        SELECT doc_id, n_lines, max_line_len, mean_line_milli,
+               alnum_permille, hex_permille, autogen,
+               {codefilters_verdict_sql("m")}
+        FROM m
+    """
+
+
 def _dict_tags_sql() -> str:
     from ocr_system_ray.functions.dicttag import dicttag_oracle_sql
     from ocr_system_ray.pipelines.queries import DICT_TAG_PHRASES
@@ -2111,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
         # table — positions re-derived per phrase via a DuckDB list
         # comprehension over regexp_extract_all tokens
         "dict_tags": _dict_tags_sql(),
+        # code_filters: derived-code rebuild + GENERATED metric twin
+        "code_filters": _code_filters_sql(),
         # simhash_incremental: blake2b simhashes aren't SQL-computable;
         # the frozen golden pins the persisted-index probe's pair set
         # (id_new is odd by construction → join keys it to the corpus)

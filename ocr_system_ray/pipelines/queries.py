@@ -16,6 +16,8 @@ Numeric-parity rules used throughout (floats don't hash reliably):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4777,6 +4779,58 @@ def q_rolling_spend(sf_dir: str) -> ray.data.Dataset:
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     return rolling_sum_cents(ds, window=3)
+
+
+_CODE_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _derived_code(t: pa.Table) -> pa.Table:
+    """Code-corpus leg over the documents' own text: real code-looking
+    files (one `let v = "tok";` statement per token) with deterministic
+    gate-triggering branches — %17 punctuation-only lines (alnum drop),
+    %19 a one-statement long-mean file (mean_line drop), %13 an
+    auto-generated header, %7 a 1200-char minified line, %11 a
+    >=24-char hex run.  Mirrored verbatim by the SQL derivation."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out: list[str] = []
+    for i, tx in zip(ids, texts):
+        if i % 17 == 0:
+            out.append("~!@#$\n" * (40 + i % 20))
+            continue
+        if i % 19 == 0:
+            out.append('// note\ndata = "' + "word " * (40 + i % 10) + '";')
+            continue
+        parts = [f"// Copyright {i}"]
+        if i % 13 == 0:
+            parts.append("\n// AUTO-GENERATED do not edit")
+        for w in _CODE_TOKEN_RE.findall(tx or ""):
+            parts.append(f'\nlet v = "{w}";')
+        if i % 7 == 0:
+            parts.append("\n" + "x" * 1200)
+        if i % 11 == 0:
+            parts.append("\n" + "a0f3" * (6 + i % 50))
+        out.append("".join(parts))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(out, pa.string()),
+        }
+    )
+
+
+def q_code_filters(sf_dir: str) -> ray.data.Dataset:
+    """The Stack / StarCoder code-quality gate over derived real code
+    files: max/mean line length, alnum fraction, hex-run mass,
+    auto-generated header — integer metrics + first-failing-rule
+    verdict, ONE stateless vectorized pass
+    (``functions/codefilters.py``).  SQL twin GENERATED from the same
+    constants recomputes every metric from the doc_id derivation."""
+    from ..functions.codefilters import code_quality
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    files = docs.map_batches(_derived_code, batch_format="pyarrow")
+    return code_quality(files).drop_columns(["text"])
 
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
