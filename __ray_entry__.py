@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_tags": q.q_dict_tags,
         "readability": q.q_readability,
         "code_filters": q.q_code_filters,
+        "ipynb_extract": q.q_ipynb_extract,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -2157,6 +2158,56 @@ def oracle_sql() -> dict[str, str]:
         "dict_tags": _dict_tags_sql(),
         # code_filters: derived-code rebuild + GENERATED metric twin
         "code_filters": _code_filters_sql(),
+        # ipynb_extract: every field rebuilt from the notebook
+        # derivation — cell texts via list comprehensions, output
+        # order stream→text/plain, corrupt %97 rows all-empty
+        "ipynb_extract": r"""
+            WITH e AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS tk
+                FROM documents
+            )
+            SELECT doc_id,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     WHEN doc_id % 9 = 0 THEN 'julia'
+                     ELSE 'python' END AS language,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     ELSE array_to_string(list_concat(
+                        [COALESCE(array_to_string(
+                            list_transform(tk, w -> 'v = "' || w || '";'),
+                            chr(10)), '')],
+                        [('print(' || doc_id || ', ' || k || ')')
+                         FOR k IN range(1, 1 + doc_id % 3)]
+                     ), chr(10) || chr(10)) END AS code_text,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     ELSE COALESCE(array_to_string(
+                        [('## Sec ' || k || chr(10) || 'doc ' || doc_id)
+                         FOR k IN range(0, doc_id % 4)],
+                        chr(10) || chr(10)), '') END AS markdown_text,
+                CASE WHEN doc_id % 97 = 0 THEN ''
+                     WHEN doc_id % 2 = 0 THEN
+                        'out ' || doc_id || chr(10) || 'more' || chr(10)
+                        || CAST(doc_id * 7 AS VARCHAR)
+                     ELSE CAST(doc_id * 7 AS VARCHAR) END AS output_text,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                          ELSE 1 + doc_id % 3 END AS BIGINT) AS n_code,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                          ELSE doc_id % 4 END AS BIGINT) AS n_markdown,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                          WHEN doc_id % 5 = 0 THEN 1
+                          ELSE 0 END AS BIGINT) AS n_raw,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                          ELSE 1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                                 + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END
+                          END AS BIGINT) AS n_outputs,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 0
+                          WHEN doc_id % 13 = 0 THEN 1
+                          ELSE 0 END AS BIGINT) AS n_errors,
+                CAST(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS parse_error
+            FROM e
+        """,
         # simhash_incremental: blake2b simhashes aren't SQL-computable;
         # the frozen golden pins the persisted-index probe's pair set
         # (id_new is odd by construction → join keys it to the corpus)

@@ -4833,6 +4833,120 @@ def q_code_filters(sf_dir: str) -> ray.data.Dataset:
     return code_quality(files).drop_columns(["text"])
 
 
+def _derived_ipynb(t: pa.Table) -> pa.Table:
+    """Notebook leg over the documents' own text: REAL nbformat-4 JSON
+    — code cell 0 holds one `v = "tok";` line per token (source as a
+    keep-ends LIST on even ids, a plain string on odd — both wire
+    forms), i%3 extra `print(i, k)` code cells, i%4 markdown cells,
+    a raw cell on %5; outputs on cell 0: a stream (%2, list text),
+    an execute_result text/plain always (list form on %3), an error
+    record on %13; language_info julia on %9 else python.  %97 rows
+    are corrupt JSON (error-as-data).  Mirrored by the SQL twin."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    import json as _json
+
+    payloads: list[bytes] = []
+    for i, tx in zip(ids, texts):
+        if i % 97 == 0:
+            payloads.append(b"{bad json")
+            continue
+        src0 = "\n".join(
+            f'v = "{w}";' for w in _CODE_TOKEN_RE.findall(tx or "")
+        )
+        outputs: list[dict] = []
+        if i % 2 == 0:
+            outputs.append(
+                {
+                    "output_type": "stream",
+                    "name": "stdout",
+                    "text": [f"out {i}\n", "more"],
+                }
+            )
+        plain = str(i * 7)
+        outputs.append(
+            {
+                "output_type": "execute_result",
+                "execution_count": 1,
+                "data": {
+                    "text/plain": [plain] if i % 3 == 0 else plain
+                },
+                "metadata": {},
+            }
+        )
+        if i % 13 == 0:
+            outputs.append(
+                {
+                    "output_type": "error",
+                    "ename": "ValueError",
+                    "evalue": f"bad {i}",
+                    "traceback": ["tb0", "tb1"],
+                }
+            )
+        cells: list[dict] = [
+            {
+                "cell_type": "code",
+                "execution_count": 1,
+                "metadata": {},
+                "source": src0.splitlines(keepends=True)
+                if i % 2 == 0
+                else src0,
+                "outputs": outputs,
+            }
+        ]
+        for k in range(1, 1 + i % 3):
+            cells.append(
+                {
+                    "cell_type": "code",
+                    "execution_count": None,
+                    "metadata": {},
+                    "source": f"print({i}, {k})",
+                    "outputs": [],
+                }
+            )
+        for k in range(i % 4):
+            cells.append(
+                {
+                    "cell_type": "markdown",
+                    "metadata": {},
+                    "source": f"## Sec {k}\ndoc {i}",
+                }
+            )
+        if i % 5 == 0:
+            cells.append(
+                {"cell_type": "raw", "metadata": {}, "source": f"raw {i}"}
+            )
+        nb = {
+            "nbformat": 4,
+            "nbformat_minor": 5,
+            "metadata": {
+                "language_info": {
+                    "name": "julia" if i % 9 == 0 else "python"
+                }
+            },
+            "cells": cells,
+        }
+        payloads.append(_json.dumps(nb).encode("utf-8"))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
+    """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
+    (``sources/ipynb.py``): code/markdown/output text, cell + output
+    counts, kernel language, error-as-data on corrupt JSON.  Oracle =
+    DuckDB rebuilding every field from the doc_id derivation."""
+    from ..sources.ipynb import ipynb_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    nbs = docs.map_batches(_derived_ipynb, batch_format="pyarrow")
+    return ipynb_extract(nbs)
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_US = 7 * 86_400_000_000  # anchored at first step
 

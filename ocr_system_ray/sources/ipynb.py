@@ -1,0 +1,154 @@
+"""Jupyter notebook (.ipynb, nbformat 4) text extraction.
+
+Code corpora (The Stack, StarCoder data prep) treat notebooks as a
+first-class source: JSON documents holding an ordered cell list whose
+``source`` is either one string or a list of keep-ends lines, with
+code-cell ``outputs`` carrying stream text / ``text/plain`` rich
+reprs / error records.  This module converts one notebook payload into
+flat text columns:
+
+* ``code_text``     — code-cell sources joined with a blank line
+  (the notebook→script convention);
+* ``markdown_text`` — markdown-cell sources, same join;
+* ``output_text``   — per output item: ``stream`` text, else the
+  ``data["text/plain"]`` of ``execute_result`` / ``display_data``
+  (list-of-lines joined verbatim), newline-joined in document order —
+  ``error`` outputs contribute NO text but count in ``n_errors``;
+* counts ``n_code, n_markdown, n_raw, n_outputs, n_errors`` and the
+  kernel ``language`` from ``metadata.language_info.name``.
+
+Only nbformat 4 is handled; anything unparseable (bad JSON, missing
+``cells``, v3 worksheets) becomes an error-as-data row
+(``parse_error=1``, empty fields) — the never-fail-row contract of
+`/root/reference/ocr/pipeline.py:85-92`.
+
+Ray shape: ONE stateless ``map_batches`` pass; the JSON payload dies
+in-stage (schema out is flat strings + int64 counts).  Per-row
+``json.loads`` is inherent to the format (the DOCX/EPUB precedent) —
+the payloads are small and the stage pipelines behind the read.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_EMPTY = {
+    "language": "",
+    "code_text": "",
+    "markdown_text": "",
+    "output_text": "",
+    "n_code": 0,
+    "n_markdown": 0,
+    "n_raw": 0,
+    "n_outputs": 0,
+    "n_errors": 0,
+    "parse_error": 1,
+}
+
+
+def _src(cell: dict) -> str:
+    s = cell.get("source", "")
+    if isinstance(s, list):
+        return "".join(str(x) for x in s)
+    return str(s)
+
+
+def _text_of(obj) -> str:
+    if isinstance(obj, list):
+        return "".join(str(x) for x in obj)
+    return str(obj)
+
+
+def extract_notebook(raw: bytes | str) -> dict:
+    """Extract one notebook; returns the flat field dict (see module
+    docstring).  Never raises — unparseable input yields the
+    ``parse_error=1`` sentinel row."""
+    try:
+        if isinstance(raw, bytes):
+            raw = raw.decode("utf-8")
+        nb = json.loads(raw)
+        cells = nb["cells"]
+        if not isinstance(cells, list):
+            raise TypeError("cells")
+    except Exception:
+        return dict(_EMPTY)
+    code: list[str] = []
+    md: list[str] = []
+    outs: list[str] = []
+    n_raw = n_outputs = n_errors = 0
+    try:
+        for c in cells:
+            kind = c.get("cell_type")
+            if kind == "code":
+                code.append(_src(c))
+                for o in c.get("outputs", []) or []:
+                    ot = o.get("output_type")
+                    if ot == "stream":
+                        n_outputs += 1
+                        outs.append(_text_of(o.get("text", "")))
+                    elif ot in ("execute_result", "display_data"):
+                        n_outputs += 1
+                        tp = (o.get("data", {}) or {}).get("text/plain")
+                        if tp is not None:
+                            outs.append(_text_of(tp))
+                    elif ot == "error":
+                        n_outputs += 1
+                        n_errors += 1
+            elif kind == "markdown":
+                md.append(_src(c))
+            elif kind == "raw":
+                n_raw += 1
+        lang = (
+            (nb.get("metadata", {}) or {})
+            .get("language_info", {})
+            .get("name", "")
+        )
+    except Exception:
+        return dict(_EMPTY)
+    return {
+        "language": str(lang or ""),
+        "code_text": "\n\n".join(code),
+        "markdown_text": "\n\n".join(md),
+        "output_text": "\n".join(outs),
+        "n_code": len(code),
+        "n_markdown": len(md),
+        "n_raw": n_raw,
+        "n_outputs": n_outputs,
+        "n_errors": n_errors,
+        "parse_error": 0,
+    }
+
+
+def ipynb_extract(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> ray.data.Dataset:
+    """Dataset pass: ``(id, notebook bytes)`` → flat extraction rows.
+    Stateless ``map_batches``; payload dies in-stage."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        rows = [extract_notebook(r) for r in t.column(payload_col).to_pylist()]
+        cols: dict = {id_col: ids}
+        for name, typ in (
+            ("language", pa.string()),
+            ("code_text", pa.string()),
+            ("markdown_text", pa.string()),
+            ("output_text", pa.string()),
+            ("n_code", pa.int64()),
+            ("n_markdown", pa.int64()),
+            ("n_raw", pa.int64()),
+            ("n_outputs", pa.int64()),
+            ("n_errors", pa.int64()),
+            ("parse_error", pa.int64()),
+        ):
+            cols[name] = pa.array([r[name] for r in rows], typ)
+        return pa.table(cols)
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,117 @@
+"""Jupyter notebook extraction (sources/ipynb.py) — wire-form pins and
+the never-fail-row contract."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.ipynb import extract_notebook, ipynb_extract
+
+
+def _nb(cells, lang="python"):
+    return json.dumps(
+        {
+            "nbformat": 4,
+            "nbformat_minor": 5,
+            "metadata": {"language_info": {"name": lang}},
+            "cells": cells,
+        }
+    ).encode()
+
+
+def test_source_list_and_string_forms_agree():
+    src = "a = 1\nb = 2"
+    as_list = _nb([{"cell_type": "code", "source": ["a = 1\n", "b = 2"], "outputs": []}])
+    as_str = _nb([{"cell_type": "code", "source": src, "outputs": []}])
+    assert extract_notebook(as_list)["code_text"] == src
+    assert extract_notebook(as_str)["code_text"] == src
+
+
+def test_cell_kinds_and_joins():
+    r = extract_notebook(
+        _nb(
+            [
+                {"cell_type": "code", "source": "x=1", "outputs": []},
+                {"cell_type": "markdown", "source": "# T"},
+                {"cell_type": "code", "source": "y=2", "outputs": []},
+                {"cell_type": "markdown", "source": "body"},
+                {"cell_type": "raw", "source": "%%raw"},
+            ],
+            lang="julia",
+        )
+    )
+    assert r["code_text"] == "x=1\n\ny=2"
+    assert r["markdown_text"] == "# T\n\nbody"
+    assert (r["n_code"], r["n_markdown"], r["n_raw"]) == (2, 2, 1)
+    assert r["language"] == "julia" and r["parse_error"] == 0
+
+
+def test_output_kinds():
+    r = extract_notebook(
+        _nb(
+            [
+                {
+                    "cell_type": "code",
+                    "source": "print(1)",
+                    "outputs": [
+                        {"output_type": "stream", "name": "stdout", "text": ["1\n", "2"]},
+                        {
+                            "output_type": "execute_result",
+                            "data": {"text/plain": "42", "text/html": "<b>42</b>"},
+                        },
+                        {
+                            "output_type": "display_data",
+                            "data": {"image/png": "AAAA"},  # no text/plain
+                        },
+                        {
+                            "output_type": "error",
+                            "ename": "E",
+                            "evalue": "v",
+                            "traceback": ["t"],
+                        },
+                    ],
+                }
+            ]
+        )
+    )
+    assert r["output_text"] == "1\n2\n42"  # png-only display adds nothing
+    assert r["n_outputs"] == 4 and r["n_errors"] == 1
+
+
+def test_error_as_data():
+    for bad in (b"{bad", b"", b"[1,2]", _nb([])[:-2], b'{"nbformat":4}'):
+        r = extract_notebook(bad)
+        assert r["parse_error"] == 1 and r["code_text"] == ""
+    # cells present but not a list
+    r = extract_notebook(json.dumps({"cells": "nope"}).encode())
+    assert r["parse_error"] == 1
+
+
+def test_missing_metadata_language():
+    raw = json.dumps({"nbformat": 4, "cells": []}).encode()
+    r = extract_notebook(raw)
+    assert r["parse_error"] == 0 and r["language"] == ""
+
+
+def test_dataset_pass(ray_session):
+    rows = [
+        {"doc_id": 1, "payload": _nb([{"cell_type": "code", "source": "a", "outputs": []}])},
+        {"doc_id": 2, "payload": b"{broken"},
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ipynb_extract(ray.data.from_arrow(t).repartition(2)).take_all()
+    }
+    assert out[1]["code_text"] == "a" and out[1]["parse_error"] == 0
+    assert out[2]["parse_error"] == 1 and out[2]["n_code"] == 0
