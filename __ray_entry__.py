@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q.q_readability,
         "code_filters": q.q_code_filters,
         "ipynb_extract": q.q_ipynb_extract,
+        "avro_roundtrip": q.q_avro_roundtrip,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1465,6 +1466,10 @@ def oracle_sql() -> dict[str, str]:
         # jsonl round trip: the oracle reads the parquet directly; the
         # Ray side reads the JSONL-gz copy — equality = ingest parity
         "jsonl_ingest": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # avro_roundtrip: OCF write+read must reproduce the table
+        "avro_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # per-key LAG window, exact microseconds (never truncated

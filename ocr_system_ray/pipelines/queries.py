@@ -4935,6 +4935,42 @@ def _derived_ipynb(t: pa.Table) -> pa.Table:
     )
 
 
+def q_avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Avro Object Container sink + source round trip
+    (``sources/avro.py``): the documents table written as deflate OCF
+    shards (zigzag varints, nullable unions, md5-derived sync marker,
+    content-hash shard names) and read back via the self-describing
+    embedded schema.  Oracle = the table itself — any writer or reader
+    corruption anywhere in the varint/union/deflate/sync stack breaks
+    full-value equality.  Artifact cached under /tmp keyed by sf dir."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.avro import read_avro, write_avro
+
+    cache = f"/tmp/osr_avro_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(
+            sf_dir,
+            "documents",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        write_avro(
+            docs,
+            cache,
+            {
+                "doc_id": "long",
+                "text": "string",
+                "lang": "string",
+                "source": "string",
+                "n_chars": "long",
+            },
+        )
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.avro")))
+    return read_avro(shards)
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

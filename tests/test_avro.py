@@ -1,0 +1,122 @@
+"""Avro OCF sink/source (sources/avro.py) — codec pins, container
+framing, truncation rule, and the Dataset round trip."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.avro import (
+    build_schema,
+    dec_long,
+    enc_long,
+    read_avro,
+    read_container,
+    write_avro,
+    write_container,
+)
+
+
+def test_zigzag_varint_pins():
+    # spec examples: 0→00, -1→01, 1→02, -2→03, 2→04
+    assert [enc_long(v) for v in (0, -1, 1, -2, 2)] == [
+        b"\x00", b"\x01", b"\x02", b"\x03", b"\x04",
+    ]
+    for v in (63, -64, 64, 2**31, -(2**31), 2**62, -(2**63), 2**63 - 1):
+        got, pos = dec_long(enc_long(v), 0)
+        assert got == v and pos == len(enc_long(v))
+
+
+SCHEMA = build_schema(
+    "row",
+    {
+        "id": "long",
+        "name": "string",
+        "blob": "bytes",
+        "score": "double",
+        "ok": "boolean",
+        "ts": "timestamp_us",
+    },
+)
+
+ROWS = [
+    {"id": 1, "name": "a", "blob": b"\x00\xff", "score": 1.5,
+     "ok": True, "ts": 1_700_000_000_000_000},
+    {"id": -(2**62), "name": "üñï", "blob": b"", "score": -0.0,
+     "ok": False, "ts": 0},
+    {"id": None, "name": None, "blob": None, "score": None,
+     "ok": None, "ts": None},
+]
+
+
+@pytest.mark.parametrize("codec", ["deflate", "null"])
+def test_container_roundtrip(codec):
+    blob = write_container(SCHEMA, ROWS, codec=codec)
+    schema, rows = read_container(blob)
+    assert schema == SCHEMA and rows == ROWS
+
+
+def test_empty_container_roundtrip():
+    blob = write_container(SCHEMA, [])
+    schema, rows = read_container(blob)
+    assert schema == SCHEMA and rows == []
+
+
+def test_truncation_is_complete_block_prefix():
+    b1 = write_container(SCHEMA, ROWS[:2])
+    # append a second block by writing a two-block file by hand:
+    # reuse the writer on the same schema and splice its data block
+    b2 = write_container(SCHEMA, ROWS[2:])
+    header_len = len(write_container(SCHEMA, []))
+    two = b1 + b2[header_len:]
+    schema, rows = read_container(two)
+    assert rows == ROWS
+    # cut mid-second-block → only the first block survives
+    schema, rows = read_container(two[: len(b1) + 3])
+    assert rows == ROWS[:2]
+
+
+def test_sync_mismatch_raises():
+    blob = bytearray(write_container(SCHEMA, ROWS[:1]))
+    blob[-1] ^= 0xFF  # corrupt the trailing sync
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bytes(blob))
+
+
+def test_bad_magic_and_unsupported_types():
+    with pytest.raises(ValueError, match="magic"):
+        read_container(b"NOPE" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="unsupported kind"):
+        build_schema("r", {"x": "float32"})
+
+
+def test_dataset_roundtrip_idempotent(ray_session, tmp_path):
+    out = str(tmp_path / "avro")
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x", None, "z"], pa.string()),
+            "ts": pa.array(
+                [1_700_000_000_000_000, 0, None], pa.timestamp("us")
+            ),
+        }
+    )
+    fields = {"doc_id": "long", "text": "string", "ts": "timestamp_us"}
+    n = write_avro(ray.data.from_arrow(t).repartition(2), out, fields)
+    assert n == 3
+    shards = sorted(glob.glob(os.path.join(out, "*.avro")))
+    assert shards and os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = read_avro(shards).to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == [1, 2, 3]
+    assert back["text"].tolist()[0] == "x" and back["text"].isna()[1]
+    assert str(back["ts"].dtype) == "datetime64[us]"
+    # idempotent: re-write produces the same content-hash shard set
+    write_avro(ray.data.from_arrow(t).repartition(2), out, fields)
+    assert sorted(glob.glob(os.path.join(out, "*.avro"))) == shards
