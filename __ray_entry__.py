@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q.q_dedup_incremental,
         "corpus_diff": q.q_corpus_diff,
         "pagerank": q.q_pagerank,
+        "hits_scores": q.q_hits_scores,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
         "cohort_retention": q.q_cohort_retention,
@@ -359,6 +360,21 @@ def _rake_stops() -> str:
     from ocr_system_ray.functions.textstats import RAKE_STOPWORDS
 
     return ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+def _hits_sql() -> str:
+    """Generated HITS oracle: identical edge derivation as pagerank's,
+    the L1-normalized integer fixed point unrolled by the shared
+    generator."""
+    from ocr_system_ray.functions.graph import hits_sql
+    from ocr_system_ray.pipelines.queries import PAGERANK_HOSTS as H
+
+    edges = f"""SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+        ) WHERE src <> dst"""
+    return hits_sql(edges, node_col="host")
 
 
 def _pagerank_sql() -> str:
@@ -1299,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pagerank": _pagerank_sql(),
+        "hits_scores": _hits_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins
         "blocked_hosts": _blocked_hosts_sql(),

@@ -362,3 +362,185 @@ def pagerank_sql(
         + ",\n".join(parts)
         + f"\nSELECT h AS {node_col}, r AS {rank_col} FROM r{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_TOTAL = 10**9
+
+
+def hits(
+    edges: ray.data.Dataset,
+    iters: int = 5,
+    total: int = HITS_TOTAL,
+    node_col: str = "node",
+    hub_col: str = "hub_score",
+    auth_col: str = "auth_score",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """HITS (Kleinberg 1999) over ``edges`` (set semantics, like
+    :func:`pagerank`) → ``(node_col, hub_col, auth_col)`` int64.
+
+    Exact-integer L1-normalized fixed point, shared verbatim with the
+    generated :func:`hits_sql` oracle.  Per iteration:
+
+        ra(v) = Σ_{u→v} h(u);  a(v) = ra(v)·total // Σ ra
+        rh(u) = Σ_{u→v} a(v);  h(u) = rh(u)·total // Σ rh
+
+    with ``h0 = total // |V|``.  Unlike PageRank, hub mass flows WHOLE
+    along every out-edge (no degree division) — normalization is what
+    keeps the fixed point bounded.  Overflow guard: values stay ≤
+    ``total`` and products ≤ ``total²`` (int64-safe at the default
+    10⁹); the L1 sums need ``total · max_degree < 2⁶³``.
+
+    Execution = the broadcast PageRank idiom: edges deduped and
+    index-remapped ONCE (materialized), then per iteration two
+    zero-shuffle ``map_batches`` passes emit sparse per-batch partial
+    sums against the broadcast score vector; the driver holds only the
+    |V|-sized arrays.  Host graphs (10⁶–10⁸ nodes) fit this on real
+    clusters; the distributed variant would follow
+    ``_pagerank_distributed`` (2 reduce-side joins per half-step).
+    """
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+    e = _dedup_edges(edges, nb).materialize()
+    nodes = _node_table(e).materialize()
+    n_nodes = nodes.count()
+    empty = pa.table(
+        {
+            node_col: pa.array([], pa.int64()),
+            hub_col: pa.array([], pa.int64()),
+            auth_col: pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if total < 4 * n_nodes:
+        raise ValueError("hits: total must be >= 4 * |V| for a nonzero fixed point")
+
+    node_arr = np.sort(
+        np.fromiter(
+            (r["node"] for r in nodes.take_all()), dtype=np.int64, count=n_nodes
+        )
+    )
+    nref = ray.put(node_arr)
+
+    def remap(t: pa.Table) -> pa.Table:
+        na = ray.get(nref)
+        si = np.searchsorted(na, t.column("src").to_numpy(zero_copy_only=False))
+        di = np.searchsorted(na, t.column("dst").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"si": pa.array(si.astype(np.int64)), "di": pa.array(di.astype(np.int64))}
+        )
+
+    eidx = e.map_batches(remap, batch_format="pyarrow").materialize()
+
+    def _gather_sum(vec_ref, src_ix: str, dst_ix: str) -> np.ndarray:
+        """One broadcast pass: Σ over edges of vec[src_ix] into dst_ix."""
+
+        def partial(t: pa.Table, _vref=vec_ref) -> pa.Table:
+            v = ray.get(_vref)
+            s = t.column(src_ix).to_numpy(zero_copy_only=False)
+            d = t.column(dst_ix).to_numpy(zero_copy_only=False)
+            acc = np.zeros(len(v), dtype=np.int64)
+            np.add.at(acc, d, v[s])
+            nz = np.flatnonzero(acc)
+            return pa.table(
+                {"i": pa.array(nz.astype(np.int64)), "c": pa.array(acc[nz])}
+            )
+
+        out = np.zeros(n_nodes, dtype=np.int64)
+        for part in eidx.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            np.add.at(
+                out,
+                part.column("i").to_numpy(zero_copy_only=False),
+                part.column("c").to_numpy(zero_copy_only=False),
+            )
+        return out
+
+    hub = np.full(n_nodes, total // n_nodes, dtype=np.int64)
+    auth = np.zeros(n_nodes, dtype=np.int64)
+    for _ in range(iters):
+        ra = _gather_sum(ray.put(hub), "si", "di")
+        a_sum = int(ra.sum())
+        auth = ra * total // a_sum if a_sum else np.zeros_like(ra)
+        rh = _gather_sum(ray.put(auth), "di", "si")
+        h_sum = int(rh.sum())
+        hub = rh * total // h_sum if h_sum else np.zeros_like(rh)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_col: pa.array(node_arr),
+                hub_col: pa.array(hub),
+                auth_col: pa.array(auth),
+            }
+        )
+    )
+
+
+def hits_sql(
+    edges_sql: str,
+    iters: int = 5,
+    total: int = HITS_TOTAL,
+    node_col: str = "node",
+    hub_col: str = "hub_score",
+    auth_col: str = "auth_score",
+) -> str:
+    """Generate the DuckDB oracle: the SAME L1-normalized integer
+    fixed point unrolled as chained CTEs (six per iteration).
+    ``edges_sql`` must select distinct (src, dst)."""
+    # every CTE is MATERIALIZED: the per-iteration levels reference
+    # each other 2-4x and DuckDB's default inlining would expand the
+    # chain exponentially (4^iters scans of the base table)
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e))",
+        "c AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT h, CAST({total} // c.n AS BIGINT) AS r"
+        " FROM nodes, c)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""ra{i} AS MATERIALIZED (
+                 SELECT e.dst AS h, CAST(SUM(r.r) AS BIGINT) AS s
+                 FROM e JOIN h{i} r ON e.src = r.h GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"as{i} AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ra{i})"
+        )
+        parts.append(
+            f"""a{i + 1} AS MATERIALIZED (SELECT n.h,
+                 CAST(CASE WHEN x.t > 0
+                      THEN COALESCE(ra.s, 0) * {total} // x.t
+                      ELSE 0 END AS BIGINT) AS a
+                 FROM nodes n CROSS JOIN as{i} x
+                 LEFT JOIN ra{i} ra ON n.h = ra.h)"""
+        )
+        parts.append(
+            f"""rh{i} AS MATERIALIZED (
+                 SELECT e.src AS h, CAST(SUM(a.a) AS BIGINT) AS s
+                 FROM e JOIN a{i + 1} a ON e.dst = a.h GROUP BY e.src)"""
+        )
+        parts.append(
+            f"hs{i} AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM rh{i})"
+        )
+        parts.append(
+            f"""h{i + 1} AS MATERIALIZED (SELECT n.h,
+                 CAST(CASE WHEN x.t > 0
+                      THEN COALESCE(rh.s, 0) * {total} // x.t
+                      ELSE 0 END AS BIGINT) AS r
+                 FROM nodes n CROSS JOIN hs{i} x
+                 LEFT JOIN rh{i} rh ON n.h = rh.h)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT h.h AS {node_col}, h.r AS {hub_col}, a.a AS {auth_col}
+        FROM h{iters} h JOIN a{iters} a ON h.h = a.h"""
+    )

@@ -5044,6 +5044,31 @@ def q_pagerank(sf_dir: str) -> ray.data.Dataset:
     return pagerank(ds, node_col="host", rank_col="rank_micro")
 
 
+def q_hits_scores(sf_dir: str) -> ray.data.Dataset:
+    """HITS hubs & authorities over the same derived host graph as
+    ``pagerank`` — the complementary centrality (who LINKS well vs who
+    IS linked well).  Exact-integer L1-normalized fixed point, 5
+    iterations, broadcast mode (``functions/graph.py:hits``); oracle =
+    the generated unrolled-CTE twin sharing the constants."""
+    from ..functions.graph import hits
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return hits(ds, node_col="host")
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

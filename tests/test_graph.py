@@ -115,3 +115,81 @@ def test_iters_and_damping_params(ray_session):
     assert got == pr_twin(HAND_GRAPH, iters=3, dp=50)
     with pytest.raises(ValueError):
         pagerank(_edges_ds(HAND_GRAPH), damping_pct=0)
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.graph import hits, hits_sql  # noqa: E402
+
+
+def hits_twin(edges, iters=5, total=10**9):
+    """Independent dict twin of the L1-normalized integer fixed point."""
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    h = {v: total // len(nodes) for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        ra = {v: 0 for v in nodes}
+        for s, d in es:
+            ra[d] += h[s]
+        asum = sum(ra.values())
+        a = {v: (ra[v] * total // asum if asum else 0) for v in nodes}
+        rh = {v: 0 for v in nodes}
+        for s, d in es:
+            rh[s] += a[d]
+        hsum = sum(rh.values())
+        h = {v: (rh[v] * total // hsum if hsum else 0) for v in nodes}
+    return h, a
+
+
+HITS_GRAPH = [
+    (1, 2), (1, 3), (4, 2), (4, 3), (5, 1), (2, 3), (1, 2),  # dup collapses
+    (3, 3),  # self-loop
+]
+
+
+def test_hits_matches_twin(ray_session):
+    want_h, want_a = hits_twin(HITS_GRAPH)
+    for blocks in (1, 3):
+        out = hits(_edges_ds(HITS_GRAPH, blocks), num_buckets=4).take_all()
+        got_h = {r["node"]: r["hub_score"] for r in out}
+        got_a = {r["node"]: r["auth_score"] for r in out}
+        assert got_h == want_h and got_a == want_a, blocks
+    # structure sanity: 1 and 4 are the hubs; 2 and 3 the authorities
+    assert got_h[1] > got_h[2] and got_h[4] > got_h[2]
+    assert got_a[3] > got_a[5] and got_a[2] > got_a[5]
+
+
+def test_hits_random_matches_sql_twin(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(s), int(d))
+        for s, d in zip(rng.integers(0, 40, 300), rng.integers(0, 40, 300))
+        if s != d
+    ]
+    want_h, want_a = hits_twin(edges, iters=4)
+    out = hits(_edges_ds(edges, 4), iters=4, num_buckets=8).take_all()
+    assert {r["node"]: r["hub_score"] for r in out} == want_h
+    assert {r["node"]: r["auth_score"] for r in out} == want_a
+    # and the generated SQL twin agrees bit-for-bit
+    edge_tbl = pa.table(  # noqa: F841 — bound by duckdb.sql below
+        {
+            "src": pa.array([x for x, _ in edges], pa.int64()),
+            "dst": pa.array([y for _, y in edges], pa.int64()),
+        }
+    )
+    sql = hits_sql("SELECT DISTINCT src, dst FROM edge_tbl", iters=4)
+    df = duckdb.sql(sql).df()
+    assert {int(r.node): int(r.hub_score) for r in df.itertuples()} == want_h
+    assert {int(r.node): int(r.auth_score) for r in df.itertuples()} == want_a
+
+
+def test_hits_empty_and_total_guard(ray_session):
+    out = hits(_edges_ds([]), num_buckets=2).take_all()
+    assert out == []
+    with pytest.raises(ValueError, match="total"):
+        hits(_edges_ds([(1, 2)]), total=4, num_buckets=2).take_all()
