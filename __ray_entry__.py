@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q.q_corpus_diff,
         "pagerank": q.q_pagerank,
         "hits_scores": q.q_hits_scores,
+        "triangle_counts": q.q_triangle_counts,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
         "cohort_retention": q.q_cohort_retention,
@@ -375,6 +376,23 @@ def _hits_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return hits_sql(edges, node_col="host")
+
+
+def _triangles_sql() -> str:
+    """Generated triangle oracle over the identical 3-target edge
+    derivation (degree orientation + closure join shared with the
+    engine's generator)."""
+    from ocr_system_ray.functions.graph import triangle_sql
+    from ocr_system_ray.pipelines.queries import TRIANGLE_HOSTS as H
+
+    edges = f"""SELECT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 19 + 11) % {H} AS dst FROM documents
+        )"""
+    return triangle_sql(edges, node_col="host")
 
 
 def _pagerank_sql() -> str:
@@ -1316,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "triangle_counts": _triangles_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins
         "blocked_hosts": _blocked_hosts_sql(),

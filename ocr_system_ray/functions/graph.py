@@ -544,3 +544,275 @@ def hits_sql(
         SELECT h.h AS {node_col}, h.r AS {hub_col}, a.a AS {auth_col}
         FROM h{iters} h JOIN a{iters} a ON h.h = a.h"""
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-oriented)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    node_col: str = "node",
+    out_col: str = "triangles",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-node triangle counts over the UNDIRECTED edge set (direction
+    and duplicates collapse; self-loops drop) → ``(node_col, out_col)``
+    int64, one row per node in ≥1 triangle.  Triangles are the
+    crawl-graph clustering signal (link farms are dense; organic hosts
+    are sparse).
+
+    The scalable degree-orientation idiom (cf. Suri & Vassilvitskii,
+    WWW'11 MapReduce triangle counting): orient every edge from the
+    endpoint with smaller ``(degree, id)`` to the larger, making the
+    graph a DAG where each triangle {x<y<z} appears exactly once as
+    wedges (x→y, x→z) closed by (y→z); a node's out-degree after
+    orientation is bounded by O(√E) (graph arboricity), so the wedge
+    set — the only quadratic term — is bounded per node even on
+    power-law crawl graphs.
+
+    Plan (all reduce-side, nothing on the driver):
+      1. undirect + distinct (coarse pair-bucket shuffle),
+      2. degree table = ONE single-column groupby count,
+      3. two ``_attach_label`` joins put (deg_a, deg_b) on each edge,
+      4. wedge stage: ONE coarse src-bucket shuffle, per-bucket pandas
+         self-merge emits (lo, hi, apex) pairs ordered by (deg, id),
+      5. close stage: wedges ∪ oriented edges keyed by a pair bucket,
+         per-bucket inner merge; matched wedges emit per-node PARTIAL
+         counts in-group,
+      6. ONE ``groupby(node).sum`` finishes.
+    """
+    import pandas as pd
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+            }
+        )
+
+    u = _dedup_edges(
+        edges.map_batches(undirect, batch_format="pyarrow"), nb
+    ).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("src").combine_chunks().cast(pa.int64()),
+                        t.column("dst").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    deg = (
+        u.map_batches(both_ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "label": t.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    withdeg = _attach_label(
+        _attach_label(u, ["src", "dst"], deg, "src", "dega", nb),
+        ["src", "dst", "dega"],
+        deg,
+        "dst",
+        "degb",
+        nb,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("src").to_numpy(zero_copy_only=False)
+        b = t.column("dst").to_numpy(zero_copy_only=False)
+        da = t.column("dega").to_numpy(zero_copy_only=False)
+        db = t.column("degb").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        s = np.where(a_first, a, b)
+        d = np.where(a_first, b, a)
+        ds_deg = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "s": pa.array(s.astype(np.int64)),
+                "t": pa.array(d.astype(np.int64)),
+                "tdeg": pa.array(ds_deg.astype(np.int64)),
+            }
+        )
+
+    o = withdeg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    _coarse_bucket(
+                        t.column("s").to_numpy(zero_copy_only=False), nb
+                    )
+                ),
+                "s": t.column("s"),
+                "t": t.column("t"),
+                "tdeg": t.column("tdeg"),
+            }
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("lo", "hi", "apex")}
+            )
+        m = df[["s", "t", "tdeg"]].merge(
+            df[["s", "t", "tdeg"]], on="s", suffixes=("_x", "_y")
+        )
+        # order the pair by (deg, id); keep each unordered pair once
+        first = (m["tdeg_x"] < m["tdeg_y"]) | (
+            (m["tdeg_x"] == m["tdeg_y"]) & (m["t_x"] < m["t_y"])
+        )
+        m = m[first]
+        return pd.DataFrame(
+            {
+                "lo": m["t_x"].to_numpy(dtype=np.int64),
+                "hi": m["t_y"].to_numpy(dtype=np.int64),
+                "apex": m["s"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    w = (
+        o.map_batches(tag_src, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def _pair_bucket(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            key = lo.astype(np.uint64) * np.uint64(1099511628211) + hi.astype(
+                np.uint64
+            )
+        return _coarse_bucket(key.astype(np.int64), nb)
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").to_numpy(zero_copy_only=False)
+        hi = t.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_pair_bucket(lo, hi)),
+                "lo": t.column("lo"),
+                "hi": t.column("hi"),
+                "apex": t.column("apex"),
+                "m": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        lo = t.column("s").to_numpy(zero_copy_only=False)
+        hi = t.column("t").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_pair_bucket(lo, hi)),
+                "lo": t.column("s"),
+                "hi": t.column("t"),
+                "apex": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "m": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    tagged = w.map_batches(tag_wedge, batch_format="pyarrow").union(
+        o.map_batches(tag_edge, batch_format="pyarrow")
+    )
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "partial": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return out_empty
+        wed = df[df["m"] == 1]
+        edg = df[df["m"] == 0][["lo", "hi"]]
+        if wed.empty or edg.empty:
+            return out_empty
+        hit = wed.merge(edg, on=["lo", "hi"], how="inner")
+        if hit.empty:
+            return out_empty
+        nodes = np.concatenate(
+            [
+                hit["lo"].to_numpy(dtype=np.int64),
+                hit["hi"].to_numpy(dtype=np.int64),
+                hit["apex"].to_numpy(dtype=np.int64),
+            ]
+        )
+        vals, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame(
+            {"node": vals.astype(np.int64), "partial": cnt.astype(np.int64)}
+        )
+
+    summed = (
+        tagged.groupby("bucket")
+        .map_groups(close, batch_format="pandas")
+        .groupby("node")
+        .sum("partial")
+    )
+
+    return summed.map_batches(
+        lambda t: pa.table(
+            {
+                node_col: t.column("node").cast(pa.int64()),
+                out_col: t.column("sum(partial)").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def triangle_sql(
+    edges_sql: str, node_col: str = "node", out_col: str = "triangles"
+) -> str:
+    """Generated DuckDB oracle: the SAME degree orientation (smaller
+    (deg, id) → larger) and the x→y, x→z, y→z closure — each triangle
+    once, per-node counts over the three roles."""
+    return f"""
+        WITH raw AS MATERIALIZED ({edges_sql}),
+        u AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM raw WHERE src <> dst),
+        d AS MATERIALIZED (
+            SELECT h AS node, COUNT(*) AS deg FROM (
+                SELECT a AS h FROM u UNION ALL SELECT b AS h FROM u)
+            GROUP BY h),
+        o AS MATERIALIZED (
+            SELECT CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND u.a < u.b)
+                        THEN u.a ELSE u.b END AS s,
+                   CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND u.a < u.b)
+                        THEN u.b ELSE u.a END AS t
+            FROM u JOIN d da ON da.node = u.a JOIN d db ON db.node = u.b),
+        tri AS MATERIALIZED (
+            SELECT e1.s AS x, e1.t AS y, e2.t AS z
+            FROM o e1 JOIN o e2 ON e2.s = e1.s AND e2.t <> e1.t
+                      JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t)
+        SELECT node AS {node_col}, CAST(COUNT(*) AS BIGINT) AS {out_col}
+        FROM (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY node
+    """

@@ -5069,6 +5069,34 @@ def q_hits_scores(sf_dir: str) -> ray.data.Dataset:
     return hits(ds, node_col="host")
 
 
+TRIANGLE_HOSTS = 199  # denser prime host-space so triangles exist
+
+
+def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-host triangle counts (crawl-graph clustering signal — link
+    farms are triangle-dense).  Degree-oriented wedge-close plan, all
+    reduce-side (``functions/graph.py:triangle_counts``); oracle = the
+    generated orientation-faithful join twin.  The derived graph uses
+    a denser 199-host space (3 targets per doc) so real triangles
+    exist at every sf."""
+    from ..functions.graph import triangle_counts
+
+    h = TRIANGLE_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h] * 3)
+        dst = np.concatenate(
+            [(ids * 7 + 3) % h, (ids * 13 + 5) % h, (ids * 19 + 11) % h]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return triangle_counts(ds, node_col="host")
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

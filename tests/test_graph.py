@@ -193,3 +193,70 @@ def test_hits_empty_and_total_guard(ray_session):
     assert out == []
     with pytest.raises(ValueError, match="total"):
         hits(_edges_ds([(1, 2)]), total=4, num_buckets=2).take_all()
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.graph import triangle_counts, triangle_sql  # noqa: E402
+
+
+def tri_twin(edges):
+    """Brute-force per-node triangle counts (set semantics)."""
+    from itertools import combinations
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt: dict[int, int] = {}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def test_triangles_hand_graph(ray_session):
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) + a pendant edge +
+    # duplicate/reversed/self-loop noise that must collapse
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+        + [(4, 9), (9, 4), (7, 7), (1, 2), (2, 1)]
+    )
+    want = tri_twin(edges)
+    for blocks in (1, 3):
+        out = triangle_counts(_edges_ds(edges, blocks), num_buckets=4).take_all()
+        assert {r["node"]: r["triangles"] for r in out} == want, blocks
+    assert want == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_random_matches_twin_and_sql(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 25, 200), rng.integers(0, 25, 200))
+    ]
+    want = tri_twin(edges)
+    out = triangle_counts(_edges_ds(edges, 4), num_buckets=4).take_all()
+    assert {r["node"]: r["triangles"] for r in out} == want
+    edge_tbl = pa.table(  # noqa: F841 — bound by duckdb below
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    df = duckdb.sql(triangle_sql("SELECT src, dst FROM edge_tbl")).df()
+    assert {int(r.node): int(r.triangles) for r in df.itertuples()} == want
+
+
+def test_triangles_none(ray_session):
+    # a tree has no triangles → empty result
+    out = triangle_counts(
+        _edges_ds([(1, 2), (2, 3), (3, 4), (2, 5)]), num_buckets=2
+    ).take_all()
+    assert out == []
