@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "hits_scores": q.q_hits_scores,
         "triangle_counts": q.q_triangle_counts,
+        "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
         "cohort_retention": q.q_cohort_retention,
@@ -376,6 +377,38 @@ def _hits_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return hits_sql(edges, node_col="host")
+
+
+def _credit_card_sql() -> str:
+    """Generated Luhn oracle: the SQL re-derives the embedded cards
+    (base-15 from doc_id·37, check digit via the appended-position
+    parity sum) and recomputes candidates/valid/last4 with the shared
+    expression builder."""
+    from ocr_system_ray.functions.pii import cc_sql_exprs
+
+    b15 = "lpad(CAST((doc_id * 37) % 1000000000000000 AS VARCHAR), 15, '0')"
+    chk = (
+        f"(10 - list_sum([CASE WHEN i % 2 = 1 "
+        f"THEN CASE WHEN 2 * CAST(({b15})[i] AS INT) > 9 "
+        f"THEN 2 * CAST(({b15})[i] AS INT) - 9 "
+        f"ELSE 2 * CAST(({b15})[i] AS INT) END "
+        f"ELSE CAST(({b15})[i] AS INT) END "
+        f"FOR i IN range(1, 16)]) % 10) % 10"
+    )
+    cc = f"({b15} || CAST({chk} AS VARCHAR))"
+    spaced = (
+        f"(substring({cc}, 1, 4) || ' ' || substring({cc}, 5, 4) || ' ' || "
+        f"substring({cc}, 9, 4) || ' ' || substring({cc}, 13, 4))"
+    )
+    bad = f"({b15} || CAST(({chk} + 5) % 10 AS VARCHAR))"
+    derived = (
+        f"(COALESCE(text, '') || ' pay ' || {spaced} || ' or ' || {bad}"
+        f" || ' ref 1234')"
+    )
+    return f"""
+        WITH src AS MATERIALIZED (SELECT doc_id, {derived} AS t FROM documents)
+        SELECT doc_id, {cc_sql_exprs("t")} FROM src
+    """
 
 
 def _triangles_sql() -> str:
@@ -1335,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
         "triangle_counts": _triangles_sql(),
+        "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins
         "blocked_hosts": _blocked_hosts_sql(),

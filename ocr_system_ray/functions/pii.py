@@ -72,3 +72,95 @@ def sql_scrub_expr(col: str, rules: tuple[tuple[str, str], ...] = DEFAULT_RULES)
         # RE2 pattern embeds verbatim (none of the rules contain ').
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated credit-card detection
+# ---------------------------------------------------------------------------
+
+#: candidate = 13-19 digits with optional single space/hyphen separators
+#: between them; greedy-with-boundary in both engines (RE2 and Python
+#: `re` agree on greedy repetition without backrefs).  NB a 20+-digit
+#: contiguous run matches NOWHERE: every interior start fails the
+#: leading \b — both engines agree (pinned in tests).
+CC_CANDIDATE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+import re as _re  # noqa: E402  (stdlib; compiled once at import)
+
+_CC_RE = _re.compile(CC_CANDIDATE)
+_CC_SEP = _re.compile(r"[ -]")
+
+
+def luhn_valid(digits: str) -> bool:
+    """Luhn mod-10 checksum (ISO/IEC 7812) over a pure digit string."""
+    total = 0
+    for pos, ch in enumerate(reversed(digits), start=1):
+        v = int(ch)
+        if pos % 2 == 0:
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return total % 10 == 0
+
+
+def credit_card_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str | None = None
+) -> pa.Table:
+    """Append credit-card detection columns (the PAN leg of the PII
+    pass — the one redaction rule that needs a checksum, not just a
+    shape):
+
+    * ``n_cc_candidates`` — card-shaped digit runs (13-19 digits,
+      optional space/hyphen separators);
+    * ``n_cc_valid``      — candidates whose digits pass Luhn;
+    * ``cc_last4``        — ``|``-joined last-4 of each VALID candidate
+      in document order ('' if none) — the audit artifact.
+
+    Candidates are rare, so the per-row ``findall`` is cold-path; the
+    checksum itself is integer-exact and mirrored verbatim by the
+    generated SQL twin (:func:`cc_sql_exprs`)."""
+    texts = pc.fill_null(batch.column(text_col), "").to_pylist()
+    n_cand = []
+    n_valid = []
+    last4 = []
+    for t in texts:
+        cands = _CC_RE.findall(t)
+        digits = [_CC_SEP.sub("", c) for c in cands]
+        valids = [d for d in digits if 13 <= len(d) <= 19 and luhn_valid(d)]
+        n_cand.append(len(cands))
+        n_valid.append(len(valids))
+        last4.append("|".join(d[-4:] for d in valids))
+    return (
+        batch.append_column("n_cc_candidates", pa.array(n_cand, pa.int64()))
+        .append_column("n_cc_valid", pa.array(n_valid, pa.int64()))
+        .append_column("cc_last4", pa.array(last4, pa.string()))
+    )
+
+
+def cc_sql_exprs(col: str) -> str:
+    """GENERATED DuckDB twin of :func:`credit_card_batch`: candidates
+    via the same RE2 pattern, the Luhn sum as a list comprehension over
+    the separator-stripped digits (right-position parity via
+    ``length - i``), last-4 list of the valid subset."""
+    cand = f"regexp_extract_all(COALESCE({col}, ''), '{CC_CANDIDATE}')"
+    # DuckDB lambdas cannot hold subqueries, so the separator-stripped
+    # digit string is INLINED at each use site (recomputed, identical)
+    d = "(regexp_replace(c, '[ -]', '', 'g'))"
+    luhn = (
+        f"list_sum([CASE WHEN (length({d}) - i) % 2 = 1 "
+        f"THEN CASE WHEN 2 * CAST({d}[i] AS INT) > 9 "
+        f"THEN 2 * CAST({d}[i] AS INT) - 9 ELSE 2 * CAST({d}[i] AS INT) END "
+        f"ELSE CAST({d}[i] AS INT) END "
+        f"FOR i IN range(1, length({d}) + 1)]) % 10 = 0"
+    )
+    valid_list = (
+        f"list_transform(list_filter({cand}, "
+        f"c -> length({d}) BETWEEN 13 AND 19 AND ({luhn})), "
+        f"c -> right({d}, 4))"
+    )
+    return f"""
+        CAST(len({cand}) AS BIGINT) AS n_cc_candidates,
+        CAST(len({valid_list}) AS BIGINT) AS n_cc_valid,
+        COALESCE(array_to_string({valid_list}, '|'), '') AS cc_last4
+    """

@@ -5069,6 +5069,56 @@ def q_hits_scores(sf_dir: str) -> ray.data.Dataset:
     return hits(ds, node_col="host")
 
 
+def _luhn_check15(b15: str) -> int:
+    """Check digit for a 15-digit base so b15+check is Luhn-valid:
+    with the check appended, base digit i (1-indexed from the LEFT)
+    sits at right-position 17-i → doubled iff i is odd."""
+    s = 0
+    for i, ch in enumerate(b15, start=1):
+        v = int(ch)
+        if i % 2 == 1:
+            v *= 2
+            if v > 9:
+                v -= 9
+        s += v
+    return (10 - s % 10) % 10
+
+
+def _derived_cc_text(t: pa.Table) -> pa.Table:
+    """PAN leg derivation: each doc's text gains one Luhn-VALID card
+    (16 digits from doc_id·37, spaced 4-4-4-4), one INVALID decoy
+    (check digit +5 mod 10, contiguous) and a too-short '1234' run.
+    Mirrored verbatim by the SQL derivation in the oracle."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = []
+    for i, tx in zip(ids, texts):
+        b15 = str((i * 37) % 10**15).zfill(15)
+        c = _luhn_check15(b15)
+        cc = b15 + str(c)
+        spaced = " ".join(cc[k : k + 4] for k in range(0, 16, 4))
+        bad = b15 + str((c + 5) % 10)
+        out.append(f"{tx or ''} pay {spaced} or {bad} ref 1234")
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+    )
+
+
+def q_credit_card_scan(sf_dir: str) -> ray.data.Dataset:
+    """Luhn-validated credit-card detection (the checksum leg of the
+    PII pass): card-shaped candidates, mod-10-valid count, last-4
+    audit trail (``functions/pii.py:credit_card_batch``).  Oracle =
+    the GENERATED list-comprehension Luhn twin over the identical
+    derived text."""
+    from ..functions.pii import credit_card_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    withcc = docs.map_batches(_derived_cc_text, batch_format="pyarrow")
+    return withcc.map_batches(
+        lambda t: credit_card_batch(t), batch_format="pyarrow"
+    ).drop_columns(["text"])
+
+
 TRIANGLE_HOSTS = 199  # denser prime host-space so triangles exist
 
 

@@ -987,3 +987,66 @@ def test_kwic_snippets_rules_and_twin(ray_session):
         .reset_index(drop=True)
     )
     assert got.astype({"pos": "int64"}).equals(want.astype({"pos": "int64"}))
+
+
+# ---------------------------------------------------------------------------
+# Luhn credit-card detection (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+
+def test_luhn_classic_vectors():
+    from ocr_system_ray.functions.pii import luhn_valid
+
+    assert luhn_valid("79927398713")           # the ISO example
+    assert not luhn_valid("79927398710")
+    assert luhn_valid("4539578763621486")      # 16-digit Visa shape
+    assert not luhn_valid("4539578763621487")
+    assert luhn_valid("0" * 16)                # sum 0 is valid
+
+
+def test_credit_card_batch_pins():
+    import pyarrow as pa
+
+    from ocr_system_ray.functions.pii import credit_card_batch
+
+    rows = [
+        "card 4539 5787 6362 1486 ok",          # spaced valid
+        "bad 4539-5787-6362-1487 here",         # separator invalid
+        "79927398713 is only 11 digits",        # too short → no candidate
+        "two 4539578763621486 and 0000000000000000",  # both valid
+        "",                                      # empty
+        None,                                    # null
+        "digits 12345678901234567890 overflow",  # 20-run → no \b inside
+    ]
+    t = pa.table({"text": pa.array(rows, pa.string())})
+    out = credit_card_batch(t).to_pylist()
+    got = [(r["n_cc_candidates"], r["n_cc_valid"], r["cc_last4"]) for r in out]
+    assert got[0] == (1, 1, "1486")
+    assert got[1] == (1, 0, "")
+    assert got[2] == (0, 0, "")
+    assert got[3] == (2, 2, "1486|0000")
+    assert got[4] == (0, 0, "") and got[5] == (0, 0, "")
+    # a 20-digit run has no interior \b — ZERO candidates in BOTH engines
+    assert got[6] == (0, 0, "")
+
+
+def test_credit_card_matches_sql_twin():
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_system_ray.functions.pii import cc_sql_exprs, credit_card_batch
+
+    texts = [
+        "a 4539 5787 6362 1486 b 79927398713 c",
+        "x 4111111111111111 4111111111111112 1234",
+        "sep 6011-0009-9013-9424 tail",
+        "run 12345678901234567890 done",
+        "",
+    ]
+    t = pa.table({"i": list(range(len(texts))), "text": texts})
+    ours = credit_card_batch(t).to_pandas()
+    want = duckdb.sql(
+        f"SELECT i, {cc_sql_exprs('text')} FROM t ORDER BY i"
+    ).df()
+    for c in ("n_cc_candidates", "n_cc_valid", "cc_last4"):
+        assert ours[c].tolist() == want[c].tolist(), c
