@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_filters": q.q_code_filters,
         "ipynb_extract": q.q_ipynb_extract,
         "avro_roundtrip": q.q_avro_roundtrip,
+        "csv_roundtrip": q.q_csv_roundtrip,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1541,6 +1542,12 @@ def oracle_sql() -> dict[str, str]:
         # avro_roundtrip: OCF write+read must reproduce the table
         "avro_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # csv_roundtrip: RFC 4180 shards; CSV's inherent null contract
+        # (None -> '' for strings) is part of the spec
+        "csv_roundtrip": """
+            SELECT doc_id, COALESCE(text, '') AS text, lang, source,
+                   n_chars FROM documents
         """,
         # per-key LAG window, exact microseconds (never truncated
         # seconds — the r1-advice boundary rule), (ts, event_id) order

@@ -4935,6 +4935,36 @@ def _derived_ipynb(t: pa.Table) -> pa.Table:
     )
 
 
+def q_csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded RFC 4180 CSV sink + source round trip
+    (``sources/csvfiles.py``): documents written as quoted CSV shards
+    (embedded commas/quotes/newlines in text exercise the quoting
+    machinery) and read back typed.  Oracle = the table itself with
+    the documented CSV null contract (``COALESCE(text, '')``)."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.csvfiles import read_csv_shards, write_csv_shards
+
+    cache = f"/tmp/osr_csv_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=cols)
+        write_csv_shards(docs, cache, cols)
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.csv")))
+    return read_csv_shards(
+        shards,
+        {
+            "doc_id": "int64",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            "n_chars": "int64",
+        },
+    )
+
+
 def q_avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """Avro Object Container sink + source round trip
     (``sources/avro.py``): the documents table written as deflate OCF

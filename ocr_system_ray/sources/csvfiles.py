@@ -1,0 +1,121 @@
+"""Sharded CSV source + sink (RFC 4180) for tabular corpus exchange.
+
+The reference's output side is CSV (`/root/reference/ocr/csv_utils.py:8-16`
+append-mode, header-once; `gui/app.py:106-112` export) — this module is
+the INGEST side of that contract at corpus scale, plus a sharded sink
+that mirrors the repo's shard discipline (content-hash names, in-task
+writes, ``_SUCCESS``).
+
+Dialect: RFC 4180 as produced by Python's ``csv`` module with
+``QUOTE_MINIMAL`` — fields containing the delimiter, quote, CR or LF
+are double-quoted, embedded quotes double.  The reader parses the
+WHOLE shard through ``csv.reader`` (C implementation), so quoted
+embedded newlines are handled correctly — never a naive splitlines.
+
+Null contract (inherent to CSV): None serializes as the empty string
+and reads back as ``''`` for string columns / NULL for numeric columns
+— the documented lossy edge every CSV pipeline has; oracles compare
+against ``COALESCE(col, '')`` accordingly.
+
+Ray shape: sink = one shard per incoming block written inside the
+tasks; source = ``read_binary_files`` (one task per shard) + in-stage
+expansion; a 100 TB corpus streams shard-parallel with no driver byte
+traffic.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import io
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+_TYPES = {
+    "int64": pa.int64(),
+    "float64": pa.float64(),
+    "string": pa.string(),
+}
+
+
+def write_csv_shards(
+    ds: ray.data.Dataset, out_dir: str, columns: list[str]
+) -> int:
+    """One ``.csv`` shard per block: header row + ``QUOTE_MINIMAL``
+    rows in ``columns`` order, ``\\r\\n`` line terminator (RFC 4180),
+    None → ''.  Content-hash names, tmp+rename, ``_SUCCESS``."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        buf = io.StringIO()
+        w = csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="\r\n")
+        w.writerow(columns)
+        cols = [t.column(c).to_pylist() for c in columns]
+        for i in range(len(t)):
+            w.writerow(
+                ["" if cols[j][i] is None else cols[j][i] for j in range(len(columns))]
+            )
+        blob = buf.getvalue().encode("utf-8")
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"shard-{name}.csv")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def read_csv_shards(
+    paths: list[str] | str, column_types: dict[str, str]
+) -> ray.data.Dataset:
+    """Source: header-bearing RFC 4180 shards → typed rows.
+    ``column_types``: column → ``int64`` / ``float64`` / ``string``.
+    Shard headers must cover every requested column (extra columns are
+    ignored); '' parses as NULL for numeric columns, '' for strings."""
+    for c, k in column_types.items():
+        if k not in _TYPES:
+            raise ValueError(f"csv: unsupported type {k!r} for {c!r}")
+    items = sorted(column_types.items())
+
+    def expand(t: pa.Table) -> pa.Table:
+        outs: dict[str, list] = {c: [] for c, _k in items}
+        for blob in t.column("bytes").to_pylist():
+            rdr = csv.reader(io.StringIO(blob.decode("utf-8")))
+            try:
+                header = next(rdr)
+            except StopIteration:
+                continue
+            ix = {}
+            for c, _k in items:
+                if c not in header:
+                    raise ValueError(f"csv: shard missing column {c!r}")
+                ix[c] = header.index(c)
+            for row in rdr:
+                for c, k in items:
+                    v = row[ix[c]]
+                    if k == "string":
+                        outs[c].append(v)
+                    elif v == "":
+                        outs[c].append(None)
+                    elif k == "int64":
+                        outs[c].append(int(v))
+                    else:
+                        outs[c].append(float(v))
+        return pa.table(
+            {c: pa.array(outs[c], _TYPES[k]) for c, k in items}
+        )
+
+    return ray.data.read_binary_files(
+        paths, file_extensions=["csv"]
+    ).map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,106 @@
+"""Sharded RFC 4180 CSV sink/source (sources/csvfiles.py) — quoting
+pins, the CSV null contract, and DuckDB's OWN csv reader as an
+independent cross-implementation oracle."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.csvfiles import read_csv_shards, write_csv_shards
+
+NASTY = pa.table(
+    {
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            [
+                'comma, inside',
+                'quote " inside',
+                "line\nbreak and \r\n crlf",
+                None,
+                "plain",
+            ],
+            pa.string(),
+        ),
+        "score": pa.array([1.5, None, -2.0, 0.0, 3.25], pa.float64()),
+    }
+)
+
+
+def test_roundtrip_nasty_values(ray_session, tmp_path):
+    out = str(tmp_path / "csv")
+    n = write_csv_shards(
+        ray.data.from_arrow(NASTY).repartition(2), out,
+        ["doc_id", "text", "score"],
+    )
+    assert n == 5
+    shards = sorted(glob.glob(os.path.join(out, "*.csv")))
+    back = (
+        read_csv_shards(
+            shards, {"doc_id": "int64", "text": "string", "score": "float64"}
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["text"].tolist()[:3] == [
+        "comma, inside",
+        'quote " inside',
+        "line\nbreak and \r\n crlf",
+    ]
+    assert back["text"][3] == ""  # the CSV null contract
+    assert back["score"].isna()[1] and back["score"][4] == 3.25
+
+
+def test_duckdb_reads_our_shards(ray_session, tmp_path):
+    """Cross-implementation: DuckDB's csv reader parses our bytes to
+    the same values."""
+    out = str(tmp_path / "csv2")
+    write_csv_shards(
+        ray.data.from_arrow(NASTY).repartition(1), out,
+        ["doc_id", "text", "score"],
+    )
+    got = duckdb.sql(
+        f"""SELECT doc_id, COALESCE(text, '') AS text, score
+            FROM read_csv('{out}/*.csv', header=true, quote='"')
+            ORDER BY doc_id"""
+    ).df()
+    assert got["text"].tolist() == [
+        "comma, inside",
+        'quote " inside',
+        "line\nbreak and \r\n crlf",
+        "",
+        "plain",
+    ]
+    assert got["doc_id"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_missing_column_raises(ray_session, tmp_path):
+    out = str(tmp_path / "csv3")
+    write_csv_shards(
+        ray.data.from_arrow(NASTY).repartition(1), out, ["doc_id", "text"]
+    )
+    shards = glob.glob(os.path.join(out, "*.csv"))
+    with pytest.raises(Exception, match="missing column"):
+        read_csv_shards(shards, {"nope": "string"}).take_all()
+    with pytest.raises(ValueError, match="unsupported type"):
+        read_csv_shards(shards, {"doc_id": "int32"})
+
+
+def test_idempotent_shards(ray_session, tmp_path):
+    out = str(tmp_path / "csv4")
+    write_csv_shards(
+        ray.data.from_arrow(NASTY).repartition(2), out, ["doc_id", "text"]
+    )
+    shards = sorted(glob.glob(os.path.join(out, "*.csv")))
+    write_csv_shards(
+        ray.data.from_arrow(NASTY).repartition(2), out, ["doc_id", "text"]
+    )
+    assert sorted(glob.glob(os.path.join(out, "*.csv"))) == shards
