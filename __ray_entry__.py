@@ -221,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
+        "user_event_pivot": q.q_user_event_pivot,
+        "oov_rate": q.q_oov_rate,
+        "value_quantiles_by_type": q.q_value_quantiles_by_type,
         "cohort_retention": q.q_cohort_retention,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
@@ -363,6 +366,12 @@ def _rake_stops() -> str:
     from ocr_system_ray.functions.textstats import RAKE_STOPWORDS
 
     return ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+def _value_quantiles_by_type_sql() -> str:
+    from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
+
+    return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
 
 
 def _hits_sql() -> str:
@@ -1566,6 +1575,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rolling_cents
             FROM events
         """,
+        # per-doc OOV rate vs the corpus top-100 vocab (same
+        # (count DESC, token ASC) cut as vocab_top100); NOT IN on the
+        # vocab CTE mirrors the broadcast set probe
+        "oov_rate": r"""
+            WITH vocab AS MATERIALIZED (
+                SELECT token FROM (
+                    SELECT unnest(regexp_extract_all(COALESCE(text, ''),
+                                  '[^ \t\n\r\f\v]+')) AS token
+                    FROM documents)
+                GROUP BY token
+                ORDER BY COUNT(*) DESC, token
+                LIMIT 100),
+            vl AS MATERIALIZED (SELECT list(token) AS v FROM vocab),
+            toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''),
+                                          '[^ \t\n\r\f\v]+') AS tk
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(tk,
+                        w -> NOT list_contains(vl.v, w)))
+                        AS BIGINT) AS n_oov,
+                   CAST(len(list_filter(tk,
+                        w -> NOT list_contains(vl.v, w)))
+                        * 1000 // greatest(len(tk), 1) AS BIGINT)
+                        AS oov_permille
+            FROM toks CROSS JOIN vl
+        """,
+        # user × event-type crosstab — FILTER aggregates
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(COUNT(*) FILTER (event_type NOT IN
+                        ('click','error','purchase','signup','view'))
+                        AS BIGINT) AS n_other,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        # grouped HDR quantiles — the generated per-key twin
+        "value_quantiles_by_type": _value_quantiles_by_type_sql(),
         # ordered funnel view→click→purchase, 7-day window anchored at
         # the FIRST step; progressive min-ts chain mirrors
         # functions/windows.py:funnel_steps exactly (>= step k-1 ts,

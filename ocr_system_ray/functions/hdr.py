@@ -158,3 +158,118 @@ def hdr_quantiles_sql(
                     END AS BIGINT) AS approx_cents
         FROM pick
     """
+
+
+def approx_quantiles_hdr_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    q_pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+) -> ray.data.Dataset:
+    """Grouped HDR quantiles: → ``(key_col, q_pct, approx_cents)`` —
+    one sketch per key, same bucket/rank/decode rules as the global
+    sketch (relative error < 1/16, exact under 16 cents).
+
+    Scale shape: the combiner emits per-(batch, key, bucket) partial
+    counts with key+bucket PACKED into one string key, so the merge is
+    a SINGLE-column groupby (the ray-2.49 multi-column hazard); the
+    merged histogram is ≤ keys × ~1k cells — driver-small for grouping
+    columns (event types, languages, sources), which is this
+    operator's contract (per-URL keys belong in ``top_k_per_key``
+    territory, not a quantile sketch)."""
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        b = hdr_bucket(cents)
+        keys = t.column(key_col).to_pylist()
+        kb: dict[str, int] = {}
+        for k, bb in zip(keys, b):
+            s = f"{k}\x00{bb}"
+            kb[s] = kb.get(s, 0) + 1
+        return pa.table(
+            {
+                "kb": pa.array(list(kb.keys()), pa.string()),
+                "pn": pa.array(list(kb.values()), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("kb")
+        .aggregate(Sum("pn", alias_name="n"))
+        .to_pandas()  # ≤ keys × ~1k cells — the grouped-sketch bound
+    )
+    out_k: list[str] = []
+    out_q: list[int] = []
+    out_v: list[int] = []
+    if not hist.empty:
+        split = hist["kb"].str.rsplit("\x00", n=1, expand=True)
+        hist = hist.assign(k=split[0], bucket=split[1].astype(np.int64))
+        for k, grp in hist.groupby("k", sort=True):
+            grp = grp.sort_values("bucket")
+            buckets = grp["bucket"].to_numpy(dtype=np.int64)
+            cum = grp["n"].to_numpy(dtype=np.int64).cumsum()
+            total = int(cum[-1])
+            for q in q_pcts:
+                rank = max((q * total + 99) // 100, 1)
+                i = int(np.searchsorted(cum, rank))
+                out_k.append(k)
+                out_q.append(int(q))
+                out_v.append(int(hdr_lower_bound(buckets[i : i + 1])[0]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "q_pct": pa.array(out_q, pa.int64()),
+                "approx_cents": pa.array(out_v, pa.int64()),
+            }
+        )
+    )
+
+
+def hdr_quantiles_by_key_sql(
+    key_expr: str,
+    val_expr: str,
+    from_clause: str,
+    key_col: str = "event_type",
+    q_pcts: tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+) -> str:
+    """Generated grouped twin — per-key PARTITIONed rank walk over the
+    identical bucket rule."""
+    sig, lo = _SIG, _LO
+
+    def bexpr(x: str) -> str:
+        return (
+            f"CASE WHEN {x} < {lo} THEN {x} "
+            f"ELSE (length(printf('%b', {x})) - {sig + 1}) * {lo}"
+            f" + ({x} >> (length(printf('%b', {x})) - {sig + 1})) END"
+        )
+
+    values = ", ".join(f"({q})" for q in q_pcts)
+    return f"""
+        WITH c AS (SELECT {key_expr} AS k,
+                          CAST(FLOOR(({val_expr}) * 100 + 0.5) AS BIGINT) AS cents
+                   {from_clause}),
+        b AS (SELECT k, CASE WHEN cents >= 0 THEN {bexpr("cents")}
+                             ELSE -({bexpr("(-cents)")}) END AS bucket FROM c),
+        g AS (SELECT k, bucket, COUNT(*) AS n FROM b GROUP BY k, bucket),
+        o AS (SELECT k, bucket,
+                     SUM(n) OVER (PARTITION BY k ORDER BY bucket) AS cum,
+                     SUM(n) OVER (PARTITION BY k) AS total FROM g),
+        qs AS (SELECT * FROM (VALUES {values}) AS t(q_pct)),
+        pick AS (SELECT o.k, qs.q_pct, MIN(o.bucket) AS bucket
+                 FROM qs JOIN o
+                   ON o.cum >= GREATEST((qs.q_pct * o.total + 99) // 100, 1)
+                 GROUP BY o.k, qs.q_pct)
+        SELECT k AS {key_col},
+               CAST(q_pct AS BIGINT) AS q_pct,
+               CAST(CASE WHEN abs(bucket) < {lo} THEN bucket
+                         WHEN bucket > 0 THEN
+                           (bucket % {lo} + {lo}) << (bucket // {lo} - 1)
+                         ELSE
+                           -(((-bucket) % {lo} + {lo}) << ((-bucket) // {lo} - 1))
+                    END AS BIGINT) AS approx_cents
+        FROM pick
+    """

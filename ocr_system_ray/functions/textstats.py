@@ -1303,3 +1303,79 @@ def sentences_batch(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def oov_rate(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    vocab_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):  # noqa: ANN201
+    """Tokenizer-vocabulary coverage: score every document by its
+    out-of-vocabulary token rate against the corpus' own top-``k``
+    vocabulary — the go/no-go report run before committing to a fixed
+    tokenizer vocab (high OOV = the vocab won't cover the corpus).
+
+    → ``(id_col, n_tokens, n_oov, oov_permille)`` int64, where vocab =
+    top-``k`` tokens by ``(count DESC, token ASC)`` (the vocab_top100
+    rule) and ``oov_permille = n_oov·1000 // max(1, n_tokens)``.
+
+    Plan: the wordcount combiner pass (the shuffle moves (token,
+    partial) rows, never token instances) → ONE ``groupby(token)``
+    sum → driver-side top-k cut (k rows) → ``ray.put`` broadcast set →
+    stateless per-doc scoring pass (memoized per worker).  At web
+    scale the exact wordcount is replaced by the MG-candidates +
+    recount path (``approx_top_tokens``) — same downstream contract.
+    """
+    import re as _re
+    from collections import Counter
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    token_rgx = _re.compile(TOKEN_PATTERN)
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for x in t.column(text_col).to_pylist():
+            counts.update(token_rgx.findall(x or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "p_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    wc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    if wc.empty:
+        vocab: frozenset = frozenset()
+    else:
+        wc = wc.sort_values(["n", "token"], ascending=[False, True])
+        vocab = frozenset(wc["token"].head(vocab_k))
+    vref = _ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        v = _broadcast_memo(vref)
+        n_tok, n_oov = [], []
+        for x in t.column(text_col).to_pylist():
+            toks = token_rgx.findall(x or "")
+            oov = sum(1 for w in toks if w not in v)
+            n_tok.append(len(toks))
+            n_oov.append(oov)
+        nt = np.asarray(n_tok, dtype=np.int64)
+        no = np.asarray(n_oov, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "n_tokens": pa.array(nt),
+                "n_oov": pa.array(no),
+                "oov_permille": pa.array(no * 1000 // np.maximum(nt, 1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

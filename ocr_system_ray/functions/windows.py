@@ -461,3 +461,64 @@ def cohort_retention(
         )
 
     return summed.map_batches(unpack, batch_format="pyarrow")
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Crosstab: one row per key with an ``n_<category>`` int64 count
+    column per FIXED category (plus ``n_other`` for the rest and
+    ``n_total``) — the wide-format report every analytics engine
+    ships, over a column set known up front (pivoting on an unbounded
+    category set is a different, schema-less problem).
+
+    Scale shape: the map pre-aggregates per (batch, key) into one row
+    of category counts (only ≤ |categories|+2 ints per key per batch
+    move), then ONE coarse key-bucket shuffle and a vectorized
+    in-bucket groupby-sum merge the partials.  No per-key Ray groups,
+    no driver table."""
+    import pandas as pd
+
+    cat_ix = {c: i for i, c in enumerate(categories)}
+    ncat = len(categories)
+    names = [f"n_{c}" for c in categories] + ["n_other", "n_total"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = t.column(cat_col).to_pylist()
+        ci = np.fromiter(
+            (cat_ix.get(c, ncat) for c in cats), dtype=np.int64, count=len(cats)
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        mat = np.zeros((len(uk), ncat + 1), dtype=np.int64)
+        np.add.at(mat, (inv, ci), 1)
+        cols: dict = {key_col: pa.array(uk)}
+        for j, c in enumerate(categories):
+            cols[f"n_{c}"] = pa.array(mat[:, j])
+        cols["n_other"] = pa.array(mat[:, ncat])
+        cols["n_total"] = pa.array(mat.sum(axis=1))
+        return pa.table(cols)
+
+    tagged = _bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_col,
+        {key_col: pa.int64(), **{n: pa.int64() for n in names}},
+        num_buckets,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    **{n: pd.Series([], dtype="int64") for n in names},
+                }
+            )
+        out = df.groupby(key_col, sort=False, as_index=False)[names].sum()
+        return out[[key_col] + names].astype("int64")
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")

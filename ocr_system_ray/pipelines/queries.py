@@ -5013,6 +5013,40 @@ def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     return ipynb_extract(nbs)
 
 
+def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary-coverage report: per-doc OOV token rate vs the
+    corpus' own top-100 vocabulary (``textstats.oov_rate``) — combiner
+    wordcount → driver top-k cut → broadcast set → stateless score.
+    Shares the vocab_top100 tie-break rule with the SQL twin."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.oov_rate(ds)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Crosstab: one row per user with per-event-type counts + other +
+    total (``functions/windows.py:pivot_counts``) — per-(batch,key)
+    pre-aggregation, ONE coarse shuffle.  SQL twin = FILTER
+    aggregates."""
+    from ..functions.windows import pivot_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type", EVENT_TYPES)
+
+
+def q_value_quantiles_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Grouped HDR quantiles: per event_type, the 7 standard
+    percentiles of value in cents (one mergeable sketch per key,
+    packed single-column merge — ``functions/hdr.py``).  Oracle =
+    the generated per-key PARTITIONed twin of the same bucket rules."""
+    from ..functions.hdr import approx_quantiles_hdr_by_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles_hdr_by_key(ds, "event_type", "value")
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 FUNNEL_WINDOW_US = 7 * 86_400_000_000  # anchored at first step
 

@@ -91,3 +91,55 @@ def test_sql_twin(ray_session):
 def test_empty_input(ray_session):
     ds = ray.data.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
     assert approx_quantiles_hdr(ds, "value").take_all() == []
+
+
+def test_grouped_quantiles_match_generated_twin(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ocr_system_ray.functions.hdr import (
+        approx_quantiles_hdr_by_key,
+        hdr_quantiles_by_key_sql,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["x", "y", "z"], n),
+            "value": np.concatenate(
+                [rng.normal(0, 5, n // 2), rng.lognormal(3, 1, n - n // 2)]
+            ),
+        }
+    )
+    for blocks in (1, 6):
+        got = (
+            approx_quantiles_hdr_by_key(
+                ray.data.from_pandas(df).repartition(blocks), "k", "value"
+            )
+            .to_pandas()
+            .sort_values(["k", "q_pct"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(hdr_quantiles_by_key_sql("k", "value", "FROM df", key_col="k"))
+            .df()
+            .sort_values(["k", "q_pct"])
+            .reset_index(drop=True)
+        )
+        for c in ("k", "q_pct", "approx_cents"):
+            assert got[c].tolist() == want[c].tolist(), (blocks, c)
+    # per-key sketch ≡ the global sketch restricted to that key
+    from ocr_system_ray.functions.hdr import approx_quantiles_hdr
+
+    only_x = df[df["k"] == "x"][["value"]]
+    solo = (
+        approx_quantiles_hdr(ray.data.from_pandas(only_x), "value")
+        .to_pandas()
+        .sort_values("q_pct")["approx_cents"]
+        .tolist()
+    )
+    grp_x = got[got["k"] == "x"].sort_values("q_pct")["approx_cents"].tolist()
+    assert solo == grp_x

@@ -166,3 +166,37 @@ def test_rake_dedup_and_empty(ray_session):
     assert list(d1["score_micro"]) == [4_000_000]  # 2e6 + 2e6
     # docs 2 (all stopwords) and 3 (null) emit nothing
     assert set(out.doc_id) == {1}
+
+
+def test_oov_rate_against_hand_twin(ray_session):
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.functions.textstats import TOKEN_PATTERN, oov_rate
+
+    texts = [
+        "aa aa aa bb bb cc",       # aa,bb in top-2; cc is OOV
+        "bb cc dd",
+        "",
+        None,
+        "aa aa",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_permille"])
+        for r in oov_rate(
+            ray.data.from_arrow(t).repartition(2), vocab_k=2
+        ).take_all()
+    }
+    # vocab = top-2 by (count desc, token asc): aa(5), bb(3)
+    rgx = re.compile(TOKEN_PATTERN)
+    vocab = {"aa", "bb"}
+    for i, tx in enumerate(texts):
+        toks = rgx.findall(tx or "")
+        oov = sum(1 for w in toks if w not in vocab)
+        assert out[i] == (
+            len(toks), oov, oov * 1000 // max(1, len(toks))
+        ), i
+    assert out[0] == (6, 1, 166) and out[2] == (0, 0, 0)

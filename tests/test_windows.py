@@ -300,3 +300,39 @@ def test_cohort_retention_matches_duckdb(ray_session):
     assert dict(zip(day0["cohort_day"], day0["users"])) == dict(
         zip(first["cd"].astype("int64"), first["n"].astype("int64"))
     )
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    from ocr_system_ray.functions.windows import pivot_counts
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "zz"], n),
+        }
+    )
+    cats = ["a", "b", "c"]
+    want = duckdb.sql(
+        """SELECT user_id,
+                  CAST(COUNT(*) FILTER (event_type = 'a') AS BIGINT) AS n_a,
+                  CAST(COUNT(*) FILTER (event_type = 'b') AS BIGINT) AS n_b,
+                  CAST(COUNT(*) FILTER (event_type = 'c') AS BIGINT) AS n_c,
+                  CAST(COUNT(*) FILTER (event_type NOT IN ('a','b','c'))
+                       AS BIGINT) AS n_other,
+                  COUNT(*) AS n_total
+           FROM df GROUP BY user_id ORDER BY user_id"""
+    ).df()
+    for blocks in (1, 5):
+        got = (
+            pivot_counts(
+                ray.data.from_pandas(df).repartition(blocks),
+                "user_id", "event_type", cats, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        for c in ("user_id", "n_a", "n_b", "n_c", "n_other", "n_total"):
+            assert got[c].tolist() == want[c].tolist(), (blocks, c)
