@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_index_update": q.q_token_index_update,
         "bm25_topk": q.q_bm25_topk,
         "bpe_merges": q.q_bpe_merges,
+        "wordpiece_merges": q.q_wordpiece_merges,
+        "wordpiece_encode": q.q_wordpiece_encode,
         "bpe_encode": q.q_bpe_encode,
         "sequence_packing": q.q_sequence_packing,
         "repeated_ngrams": q.q_repeated_ngrams,
@@ -2457,6 +2459,18 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": """
             SELECT "rank", "left", "right", pair_count
             FROM '/root/repo/tests/golden/bpe_merges_sf001.parquet'
+        """,
+        # wordpiece: goldens from the INDEPENDENT likelihood-scored
+        # twin (tools/make_goldens.py) — the bpe precedent
+        "wordpiece_merges": """
+            SELECT "rank", "left", "right", pair_count
+            FROM '/root/repo/tests/golden/wordpiece_merges_sf001.parquet'
+        """,
+        "wordpiece_encode": """
+            SELECT d.doc_id, g.n_pieces, g.n_unk
+            FROM documents d
+            JOIN '/root/repo/tests/golden/wordpiece_encode_sf001.parquet' g
+              ON d.doc_id = g.doc_id
         """,
         "bpe_encode": """
             SELECT d.doc_id, g.n_pieces

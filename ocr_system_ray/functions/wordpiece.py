@@ -1,0 +1,260 @@
+"""WordPiece tokenizer TRAINING and encoding on Ray Data — the
+likelihood-scored sibling of ``functions/bpe.py`` (Schuster & Nakajima
+2012; the BERT tokenizer; the trainer HF-tokenizers ships as
+``WordPieceTrainer``).
+
+Differences from BPE, both load-bearing:
+
+* **Training picks the pair maximizing count(AB) / (count(A)·count(B))**
+  (the pairwise-likelihood gain), not the raw pair count.  Scores are
+  compared EXACTLY by integer cross-multiplication — no floats, so the
+  merge list is a pure function of the word-count table on any
+  platform.  Ties break on (higher pair count, lexicographically
+  smaller pair).
+* **Word-internal continuation symbols carry the ``##`` prefix** from
+  the start ("hello" → ``h ##e ##l ##l ##o``), so a merged token keeps
+  its word-position identity (BERT convention).
+* **Inference is greedy longest-match against the VOCAB** (not merge
+  replay): repeatedly take the longest prefix of the remaining word
+  present in the vocabulary (``##``-prefixed after the first piece);
+  a word with any unmatched remainder encodes as one ``[UNK]``.
+
+Ray shape = the BPE decomposition: ONE corpus-scale word-count
+combiner pass (the shuffle moves ``(word, partial)`` rows), a
+driver-side fit over the pruned word table (model-sized, corpus-free),
+and a stateless actor-pool encode with a per-actor word cache.
+
+Word definition = ``textstats.TOKEN_PATTERN`` (the repo-wide rule).
+Oracle = committed goldens from an INDEPENDENT twin
+(``tools/make_goldens.py``), the bpe_merges precedent.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .bpe import word_counts
+from .textstats import TOKEN_PATTERN
+
+__all__ = [
+    "fit_wordpiece",
+    "learn_wordpiece",
+    "wordpiece_vocab",
+    "encode_word_wordpiece",
+    "WordPieceEncodeStage",
+    "wordpiece_encode",
+]
+
+UNK = "[UNK]"
+
+
+def _symbols(word: str) -> tuple[str, ...]:
+    return tuple(
+        ch if i == 0 else "##" + ch for i, ch in enumerate(word)
+    )
+
+
+def _merge_token(left: str, right: str) -> str:
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def fit_wordpiece(
+    counts: dict[str, int],
+    n_merges: int,
+    min_count: int = 2,
+    max_words: int | None = 100_000,
+) -> tuple[list[tuple[str, str, int]], set[str]]:
+    """Learn ≤ ``n_merges`` merges → (merge list ``[(left, right,
+    pair_count)]`` in rank order, base-symbol inventory).
+
+    Each round: count adjacent pairs and per-symbol totals weighted by
+    word frequency; pick the pair maximizing
+    ``pair_count / (count(left)·count(right))`` with EXACT fraction
+    comparison (cross-multiplication on Python ints); merge everywhere
+    left-to-right non-overlapping; stop early when the winner's pair
+    count < ``min_count``."""
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    if max_words is not None:
+        items = items[:max_words]
+    vocab: dict[tuple[str, ...], int] = {}
+    base: set[str] = set()
+    for w, n in items:
+        if w:
+            key = _symbols(w)
+            base.update(key)
+            vocab[key] = vocab.get(key, 0) + n
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        sym: Counter = Counter()
+        for word, freq in vocab.items():
+            for s in word:
+                sym[s] += freq
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += freq
+        best = None  # (pair, p_cnt, denominator)
+        for p, c in pairs.items():
+            if c < min_count:
+                continue
+            den = sym[p[0]] * sym[p[1]]
+            if best is None:
+                best = (p, c, den)
+                continue
+            bp, bc, bden = best
+            # c/den vs bc/bden, exact; ties → higher count → lex pair
+            lhs, rhs = c * bden, bc * den
+            if lhs > rhs or (lhs == rhs and (c > bc or (c == bc and p < bp))):
+                best = (p, c, den)
+        if best is None:
+            break
+        (left, right), p_cnt, _ = best
+        merges.append((left, right, p_cnt))
+        merged = _merge_token(left, right)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            n_sym = len(word)
+            while i < n_sym:
+                if i < n_sym - 1 and word[i] == left and word[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges, base
+
+
+def wordpiece_vocab(
+    merges: list[tuple[str, str, int]], base: set[str]
+) -> frozenset[str]:
+    """The inference vocabulary: base symbol inventory ∪ every merged
+    token, cumulatively (a merge's output is in-vocab even when later
+    merges consume it — standard WordPiece vocab files list all)."""
+    v = set(base)
+    for left, right, _n in merges:
+        v.add(_merge_token(left, right))
+    return frozenset(v)
+
+
+def learn_wordpiece(
+    ds: ray.data.Dataset,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int | None = 100_000,
+) -> tuple[list[tuple[str, str, int]], frozenset[str]]:
+    """Distributed word count → driver-side fit → (merges, vocab)."""
+    wc = word_counts(ds, text_col=text_col).to_pandas()  # vocab-sized
+    counts = dict(zip(wc["word"], (int(v) for v in wc["n"])))
+    merges, base = fit_wordpiece(
+        counts, n_merges, min_count=min_count, max_words=max_words
+    )
+    return merges, wordpiece_vocab(merges, base)
+
+
+def encode_word_wordpiece(
+    word: str, vocab: frozenset[str]
+) -> list[str]:
+    """Greedy longest-match: longest prefix of the remainder in
+    ``vocab`` (``##``-prefixed after the first piece); any unmatched
+    remainder → the whole word is ``[UNK]``."""
+    if not word:
+        return []
+    pieces: list[str] = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        end = n
+        hit = None
+        while end > pos:
+            cand = word[pos:end] if pos == 0 else "##" + word[pos:end]
+            if cand in vocab:
+                hit = cand
+                break
+            end -= 1
+        if hit is None:
+            return [UNK]
+        pieces.append(hit)
+        pos = end
+    return pieces
+
+
+class WordPieceEncodeStage:
+    """Actor-pool encode: vocab shipped once per actor via ``ray.put``,
+    per-actor word→(pieces, is_unk) cache (Zipf hit rate), one
+    ``(id_col, n_pieces, n_unk)`` row per document."""
+
+    def __init__(
+        self,
+        vocab_ref,  # ObjectRef | frozenset
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        import re
+
+        self.vocab = (
+            ray.get(vocab_ref)
+            if isinstance(vocab_ref, ray.ObjectRef)
+            else vocab_ref
+        )
+        self.rgx = re.compile(TOKEN_PATTERN)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, tuple[int, int]] = {}
+
+    def _word(self, word: str) -> tuple[int, int]:
+        got = self.cache.get(word)
+        if got is None:
+            pieces = encode_word_wordpiece(word, self.vocab)
+            got = (len(pieces), 1 if pieces == [UNK] else 0)
+            self.cache[word] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col)
+        n_pieces, n_unk = [], []
+        for x in t.column(self.text_col).to_pylist():
+            tp = tu = 0
+            for w in self.rgx.findall(x or ""):
+                p, u = self._word(w)
+                tp += p
+                tu += u
+            n_pieces.append(tp)
+            n_unk.append(tu)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_pieces": pa.array(n_pieces, pa.int64()),
+                "n_unk": pa.array(n_unk, pa.int64()),
+            }
+        )
+
+
+def wordpiece_encode(
+    ds: ray.data.Dataset,
+    vocab: frozenset[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: tuple[int, int] | int = (1, 4),
+) -> ray.data.Dataset:
+    """Corpus-scale encode pass → ``(id_col, n_pieces, n_unk)``."""
+    return ds.map_batches(
+        WordPieceEncodeStage,
+        fn_constructor_kwargs={
+            "vocab_ref": ray.put(vocab),
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

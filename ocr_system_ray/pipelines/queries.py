@@ -5013,6 +5013,41 @@ def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     return ipynb_extract(nbs)
 
 
+def _wordpiece_fit(sf_dir: str):
+    from ..functions.wordpiece import learn_wordpiece
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return learn_wordpiece(ds, n_merges=40)
+
+
+def q_wordpiece_merges(sf_dir: str) -> pd.DataFrame:
+    """WordPiece training (likelihood-scored merges over ##
+    continuation symbols, exact integer fraction comparison —
+    ``functions/wordpiece.py``).  One combiner word-count pass;
+    driver fit on the pruned word table.  Oracle = committed golden
+    from the INDEPENDENT twin in tools/make_goldens.py."""
+    merges, _vocab = _wordpiece_fit(sf_dir)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(merges) + 1, dtype=np.int64),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+            "pair_count": np.array([m[2] for m in merges], dtype=np.int64),
+        }
+    )
+
+
+def q_wordpiece_encode(sf_dir: str) -> ray.data.Dataset:
+    """WordPiece greedy longest-match encode against the learned
+    vocab: per-doc piece + UNK-word counts, broadcast-vocab actor
+    pool.  Oracle = committed golden from the independent twin."""
+    from ..functions.wordpiece import wordpiece_encode
+
+    _merges, vocab = _wordpiece_fit(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return wordpiece_encode(ds, vocab)
+
+
 def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
     """Vocabulary-coverage report: per-doc OOV token rate vs the
     corpus' own top-100 vocabulary (``textstats.oov_rate``) — combiner

@@ -404,6 +404,129 @@ def _bpe_twin(n_merges: int = 40, min_count: int = 2, max_words: int = 100_000):
     return docs, rgx, merges
 
 
+def _wordpiece_twin(n_merges: int = 40, min_count: int = 2, max_words: int = 100_000):
+    """Independent WordPiece fit: likelihood-scored merges over ##
+    continuation symbols, EXACT fraction comparison via
+    cross-multiplication — written from scratch, no ocr_system_ray
+    imports."""
+    import re
+    from collections import Counter
+
+    rgx = re.compile(r"[^ \t\n\r\f\v]+")
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    counts: Counter = Counter()
+    for t in docs.column("text").to_pylist():
+        counts.update(rgx.findall(t or ""))
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+
+    def syms(w):
+        return tuple(c if i == 0 else "##" + c for i, c in enumerate(w))
+
+    vocab: dict = {}
+    base: set = set()
+    for w, n in items:
+        if w:
+            k = syms(w)
+            base.update(k)
+            vocab[k] = vocab.get(k, 0) + n
+
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        stot: Counter = Counter()
+        for word, freq in vocab.items():
+            for s in word:
+                stot[s] += freq
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += freq
+        best = None
+        for p, c in pairs.items():
+            if c < min_count:
+                continue
+            den = stot[p[0]] * stot[p[1]]
+            if best is None:
+                best = (p, c, den)
+                continue
+            bp, bc, bden = best
+            lhs, rhs = c * bden, bc * den
+            if lhs > rhs or (lhs == rhs and (c > bc or (c == bc and p < bp))):
+                best = (p, c, den)
+        if best is None:
+            break
+        (l, r), c, _ = best
+        merges.append((l, r, c))
+        merged = l + (r[2:] if r.startswith("##") else r)
+        nv: dict = {}
+        for word, freq in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == l and word[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + freq
+        vocab = nv
+    wp_vocab = set(base)
+    for l, r, _n in merges:
+        wp_vocab.add(l + (r[2:] if r.startswith("##") else r))
+    return docs, rgx, merges, frozenset(wp_vocab)
+
+
+def wordpiece_merges_golden() -> pa.Table:
+    _, _, merges, _ = _wordpiece_twin()
+
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(merges) + 1, dtype=np.int64)),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def wordpiece_encode_golden() -> pa.Table:
+    """Per-doc greedy-longest-match piece + UNK-word counts with the
+    twin's vocab."""
+    docs, rgx, _merges, vocab = _wordpiece_twin()
+
+    def enc(word):
+        pieces, pos, n = [], 0, len(word)
+        while pos < n:
+            end, hit = n, None
+            while end > pos:
+                cand = word[pos:end] if pos == 0 else "##" + word[pos:end]
+                if cand in vocab:
+                    hit = cand
+                    break
+                end -= 1
+            if hit is None:
+                return 1, 1  # [UNK]
+            pieces.append(hit)
+            pos = end
+        return len(pieces), 0
+
+    ids, np_out, nu_out = [], [], []
+    for i, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        tp = tu = 0
+        for w in rgx.findall(t or ""):
+            p, u = enc(w)
+            tp += p
+            tu += u
+        ids.append(i)
+        np_out.append(tp)
+        nu_out.append(tu)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pieces": pa.array(np_out, pa.int64()),
+            "n_unk": pa.array(nu_out, pa.int64()),
+        }
+    )
+
+
 def bpe_merges_golden() -> pa.Table:
     _, _, merges = _bpe_twin()
     import numpy as np
@@ -1817,6 +1940,12 @@ def main() -> None:
     be = bpe_encode_golden()
     pq.write_table(be, GOLDEN_DIR / "bpe_encode_sf001.parquet")
     print(f"bpe_encode_sf001.parquet: {be.num_rows} rows")
+    wm = wordpiece_merges_golden()
+    pq.write_table(wm, GOLDEN_DIR / "wordpiece_merges_sf001.parquet")
+    print(f"wordpiece_merges_sf001.parquet: {wm.num_rows} rows")
+    we = wordpiece_encode_golden()
+    pq.write_table(we, GOLDEN_DIR / "wordpiece_encode_sf001.parquet")
+    print(f"wordpiece_encode_sf001.parquet: {we.num_rows} rows")
     mj = mojibake_golden()
     pq.write_table(mj, GOLDEN_DIR / "mojibake_sf001.parquet")
     print(f"mojibake_sf001.parquet: {mj.num_rows} rows")
