@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q.q_bm25_topk,
         "bpe_merges": q.q_bpe_merges,
         "wordpiece_merges": q.q_wordpiece_merges,
+        "cdc_chunks": q.q_cdc_chunks,
+        "cdc_dedup": q.q_cdc_dedup,
         "wordpiece_encode": q.q_wordpiece_encode,
         "bpe_encode": q.q_bpe_encode,
         "sequence_packing": q.q_sequence_packing,
@@ -2471,6 +2473,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/wordpiece_encode_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # gear-CDC: goldens from the independent byte-at-a-time twin;
+        # the doc_id join anchors chunks to the live table
+        "cdc_chunks": """
+            SELECT g.doc_id, g.chunk_ord, g."offset", g.size, g.chunk_md5
+            FROM '/root/repo/tests/golden/cdc_chunks_sf001.parquet' g
+            JOIN documents d ON g.doc_id = d.doc_id
+        """,
+        "cdc_dedup": """
+            SELECT chunk_md5, copies, size, dup_bytes
+            FROM '/root/repo/tests/golden/cdc_dedup_sf001.parquet'
         """,
         "bpe_encode": """
             SELECT d.doc_id, g.n_pieces

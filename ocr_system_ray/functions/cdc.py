@@ -1,0 +1,184 @@
+"""Content-defined chunking (gear-hash CDC) + chunk-level dedup stats.
+
+The storage/transfer dedup primitive (rsync, borg, FastCDC — Xia et
+al., USENIX ATC'16): split every binary payload at positions where a
+rolling hash of the trailing window hits a mask, so INSERTIONS shift
+chunk boundaries only locally and identical regions of different
+payloads produce identical chunks.  At 100 TB this is how re-crawled
+corpora are stored and shipped without copying the unchanged bytes.
+
+Algorithm (gear variant, deterministic):
+
+    H[i] = Σ_{k=0..63} GEAR[b[i-k]] << k   (mod 2^64)
+
+i.e. ``H = (H << 1) + GEAR[next_byte]`` — the shift ages bytes out
+after 64 positions.  A boundary is cut after position ``i`` when
+``H[i] & mask == 0`` and the chunk has reached ``min_size``; a cut is
+forced at ``max_size``.  ``GEAR`` derives from splitmix64 so the table
+(and every boundary) is a pure function of the module constants.
+
+Vectorization: the rolling hash is computed for ALL positions at once
+as a sliding-window dot product with ``2^k`` weights (numpy uint64,
+natural mod-2^64 wraparound) — no per-byte Python; only the SPARSE
+candidate list (positions where the mask fires, ~1/2^bits of bytes)
+is walked sequentially to apply the min/max rules.
+
+Ray shape: chunking is ONE stateless ``map_batches`` (payload dies
+in-stage, only (doc, chunk_md5, size) rows flow); corpus-level dedup
+stats are ONE single-column ``groupby(chunk_md5)`` over pre-combined
+per-batch partials.  Oracle = committed golden from the independent
+byte-at-a-time twin in ``tools/make_goldens.py`` (a rolling hash is
+not SQL territory).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+WINDOW = 64
+MIN_SIZE = 64
+AVG_BITS = 8  # mask = 2^8 - 1 → ~256-byte average chunks
+MAX_SIZE = 1024
+MASK = np.uint64((1 << AVG_BITS) - 1)
+
+
+def _gear_table() -> np.ndarray:
+    """splitmix64(i+1) for i in 0..255 — the deterministic gear."""
+    out = np.empty(256, dtype=np.uint64)
+    for i in range(256):
+        z = (i + 1) * 0x9E3779B97F4A7C15 & (1 << 64) - 1
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & (1 << 64) - 1
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB & (1 << 64) - 1
+        out[i] = z ^ (z >> 31)
+    return out
+
+
+GEAR = _gear_table()
+_POW2 = (np.uint64(1) << np.arange(WINDOW, dtype=np.uint64))  # 2^0..2^63
+
+
+def chunk_boundaries(
+    data: bytes,
+    min_size: int = MIN_SIZE,
+    max_size: int = MAX_SIZE,
+    mask: np.uint64 = MASK,
+) -> list[int]:
+    """Cut points (exclusive end offsets) for one payload; the final
+    offset ``len(data)`` always closes the last chunk."""
+    n = len(data)
+    if n == 0:
+        return []
+    b = np.frombuffer(data, dtype=np.uint8)
+    g = GEAR[b]
+    # H[i] = Σ_{k<WINDOW} g[i-k] << k — sliding dot product; positions
+    # before WINDOW-1 use the shorter available history (same as the
+    # sequential recurrence started from H=0)
+    H = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(min(WINDOW, n)):  # 64 vector ops, not n
+            H[k:] += g[: n - k] << np.uint64(k)
+    cand = np.flatnonzero((H & mask) == 0)
+    cuts: list[int] = []
+    start = 0
+    ci = 0
+    m = len(cand)
+    while start < n:
+        lo = start + min_size - 1  # earliest cuttable position
+        hi = start + max_size - 1  # forced cut position
+        while ci < m and cand[ci] < lo:
+            ci += 1
+        if ci < m and cand[ci] <= hi:
+            cut = int(cand[ci]) + 1
+            ci += 1
+        else:
+            cut = min(hi + 1, n)
+        cuts.append(cut)
+        start = cut
+    return cuts
+
+
+def chunk_payloads(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> ray.data.Dataset:
+    """Payloads → one row per chunk ``(id_col, chunk_ord, offset,
+    size, chunk_md5)``.  Stateless; the payload dies in-stage."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        out_id, out_ord, out_off, out_sz, out_md5 = [], [], [], [], []
+        for i, raw in zip(ids, t.column(payload_col).to_pylist()):
+            raw = raw or b""
+            prev = 0
+            for o, cut in enumerate(chunk_boundaries(raw)):
+                out_id.append(i)
+                out_ord.append(o)
+                out_off.append(prev)
+                out_sz.append(cut - prev)
+                out_md5.append(hashlib.md5(raw[prev:cut]).hexdigest())
+                prev = cut
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "chunk_ord": pa.array(out_ord, pa.int64()),
+                "offset": pa.array(out_off, pa.int64()),
+                "size": pa.array(out_sz, pa.int64()),
+                "chunk_md5": pa.array(out_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def chunk_dedup_stats(chunks: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus chunk-dedup rollup → ``(chunk_md5, copies, size,
+    dup_bytes)`` for chunks seen more than once (``dup_bytes`` =
+    bytes saved storing the chunk once).  ONE single-column groupby
+    over per-batch pre-combined (md5, partial, size) rows."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        md5 = t.column("chunk_md5").to_pylist()
+        sz = t.column("size").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for m, s in zip(md5, sz):
+            got = agg.get(m)
+            if got is None:
+                agg[m] = [1, s]
+            else:
+                got[0] += 1
+        return pa.table(
+            {
+                "chunk_md5": pa.array(list(agg.keys()), pa.string()),
+                "pn": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "size": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    merged = (
+        chunks.map_batches(partial, batch_format="pyarrow")
+        .groupby("chunk_md5")
+        .aggregate(Sum("pn", alias_name="copies"), Max("size", alias_name="size"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        copies = t.column("copies").to_numpy(zero_copy_only=False).astype(np.int64)
+        size = t.column("size").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = copies > 1
+        return pa.table(
+            {
+                "chunk_md5": t.column("chunk_md5").filter(pa.array(keep)),
+                "copies": pa.array(copies[keep]),
+                "size": pa.array(size[keep]),
+                "dup_bytes": pa.array((copies[keep] - 1) * size[keep]),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -5048,6 +5048,49 @@ def q_wordpiece_encode(sf_dir: str) -> ray.data.Dataset:
     return wordpiece_encode(ds, vocab)
 
 
+def _derived_cdc_payloads(t: pa.Table) -> pa.Table:
+    """CDC leg: binary payloads sharing two fixed md5-expanded blocks
+    (A, B) around each doc's own bytes, so identical regions produce
+    identical chunks across documents — the dedup signal the rollup
+    measures.  Mirrored byte-for-byte by the golden twin."""
+    import hashlib as _h
+
+    blk_a = b"".join(_h.md5(b"A%d" % k).digest() for k in range(40))
+    blk_b = b"".join(_h.md5(b"B%d" % k).digest() for k in range(40))
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = [
+        blk_a + (tx or "").encode("utf-8") + blk_b for tx in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "payload": pa.array(out, pa.binary()),
+        }
+    )
+
+
+def q_cdc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """Content-defined chunking (gear CDC, ``functions/cdc.py``):
+    derived payloads → one row per chunk with offset/size/md5.
+    Oracle = committed golden from the independent byte-at-a-time
+    twin (rolling hashes are not SQL territory)."""
+    from ..functions.cdc import chunk_payloads
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    payloads = docs.map_batches(_derived_cdc_payloads, batch_format="pyarrow")
+    return chunk_payloads(payloads)
+
+
+def q_cdc_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus chunk-dedup rollup: chunks stored more than once, with
+    the bytes saved by single-instancing (ONE single-column groupby
+    over pre-combined partials).  Golden oracle from the same twin."""
+    from ..functions.cdc import chunk_dedup_stats
+
+    return chunk_dedup_stats(q_cdc_chunks(sf_dir))
+
+
 def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
     """Vocabulary-coverage report: per-doc OOV token rate vs the
     corpus' own top-100 vocabulary (``textstats.oov_rate``) — combiner

@@ -1,0 +1,121 @@
+"""Gear-hash CDC (functions/cdc.py) — recurrence equivalence, cut
+rules, shift resistance, and the dedup rollup."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.cdc import (
+    GEAR,
+    MASK,
+    MAX_SIZE,
+    MIN_SIZE,
+    chunk_boundaries,
+    chunk_dedup_stats,
+    chunk_payloads,
+)
+
+
+def _twin_cuts(data: bytes) -> list[int]:
+    """Byte-at-a-time recurrence — independent of the vectorized path."""
+    n = len(data)
+    h = 0
+    cand = []
+    for i, b in enumerate(data):
+        h = ((h << 1) + int(GEAR[b])) & (1 << 64) - 1
+        if h & int(MASK) == 0:
+            cand.append(i)
+    out, start, ci = [], 0, 0
+    while start < n:
+        lo, hi = start + MIN_SIZE - 1, start + MAX_SIZE - 1
+        while ci < len(cand) and cand[ci] < lo:
+            ci += 1
+        if ci < len(cand) and cand[ci] <= hi:
+            cut = cand[ci] + 1
+            ci += 1
+        else:
+            cut = min(hi + 1, n)
+        out.append(cut)
+        start = cut
+    return out
+
+
+def _payload(seed: bytes, n_blocks: int) -> bytes:
+    return b"".join(
+        hashlib.md5(seed + str(k).encode()).digest() for k in range(n_blocks)
+    )
+
+
+def test_vectorized_matches_sequential_twin():
+    for seed, blocks in ((b"x", 200), (b"y", 64), (b"z", 5)):
+        data = _payload(seed, blocks)
+        assert chunk_boundaries(data) == _twin_cuts(data), seed
+
+
+def test_cut_rules():
+    data = _payload(b"rules", 300)
+    cuts = chunk_boundaries(data)
+    assert cuts[-1] == len(data)
+    sizes = np.diff([0] + cuts)
+    # every chunk but possibly the last respects min/max
+    assert (sizes[:-1] >= MIN_SIZE).all() and (sizes <= MAX_SIZE).all()
+    assert chunk_boundaries(b"") == []
+    # a constant payload has no mask hits in general → max-size chunks
+    flat = bytes([7]) * 5000
+    szs = np.diff([0] + chunk_boundaries(flat))
+    assert set(szs[:-1].tolist()) <= {MAX_SIZE}
+
+
+def test_insertion_shifts_boundaries_locally():
+    """The CDC property: a 1-byte insertion near the front changes
+    only the nearby chunks — later chunk hashes are identical."""
+    base = _payload(b"shift", 400)
+    edited = base[:100] + b"!" + base[100:]
+
+    def hashes(d: bytes) -> list[str]:
+        prev, out = 0, []
+        for c in chunk_boundaries(d):
+            out.append(hashlib.md5(d[prev:c]).hexdigest())
+            prev = c
+        return out
+
+    h1, h2 = hashes(base), hashes(edited)
+    # suffix chunks re-align: compare trailing sequences
+    tail = 0
+    while tail < min(len(h1), len(h2)) and h1[-1 - tail] == h2[-1 - tail]:
+        tail += 1
+    assert tail >= len(h1) - 3  # only the first couple of chunks differ
+
+
+def test_dataset_chunking_and_dedup(ray_session):
+    common = _payload(b"common", 30)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [common + b"one", common + b"two", b"unrelated" * 100],
+                pa.binary(),
+            ),
+        }
+    )
+    chunks = chunk_payloads(ray.data.from_arrow(t).repartition(2))
+    rows = chunks.take_all()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, pl in ((1, common + b"one"), (2, common + b"two")):
+        want = _twin_cuts(pl)
+        got = sorted(by_doc[i], key=lambda r: r["chunk_ord"])
+        assert [r["offset"] + r["size"] for r in got] == want
+        assert got[0]["chunk_md5"] == hashlib.md5(pl[: want[0]]).hexdigest()
+    dup = chunk_dedup_stats(chunks).take_all()
+    assert all(r["copies"] >= 2 for r in dup)
+    assert any(r["copies"] == 2 for r in dup)  # the shared-prefix chunks
+    for r in dup:
+        assert r["dup_bytes"] == (r["copies"] - 1) * r["size"]

@@ -527,6 +527,92 @@ def wordpiece_encode_golden() -> pa.Table:
     )
 
 
+def _cdc_twin():
+    """Independent gear-CDC: byte-at-a-time recurrence
+    h = (h<<1) + gear[b] mod 2^64 (gear = splitmix64(i+1), written out
+    again here), mask 0xFF, min 64 / max 1024, min/max walk over the
+    candidate stream; payload derivation repeated verbatim."""
+    import hashlib
+
+    gear = []
+    for i in range(256):
+        z = (i + 1) * 0x9E3779B97F4A7C15 & (1 << 64) - 1
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & (1 << 64) - 1
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB & (1 << 64) - 1
+        gear.append(z ^ (z >> 31))
+
+    def cuts(data: bytes):
+        n = len(data)
+        h = 0
+        cand = []
+        for i, b in enumerate(data):
+            h = ((h << 1) + gear[b]) & (1 << 64) - 1
+            if h & 0xFF == 0:
+                cand.append(i)
+        out, start, ci = [], 0, 0
+        while start < n:
+            lo, hi = start + 63, start + 1023
+            while ci < len(cand) and cand[ci] < lo:
+                ci += 1
+            if ci < len(cand) and cand[ci] <= hi:
+                cut = cand[ci] + 1
+                ci += 1
+            else:
+                cut = min(hi + 1, n)
+            out.append(cut)
+            start = cut
+        return out
+
+    blk_a = b"".join(hashlib.md5(b"A%d" % k).digest() for k in range(40))
+    blk_b = b"".join(hashlib.md5(b"B%d" % k).digest() for k in range(40))
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for i, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        raw = blk_a + (t or "").encode("utf-8") + blk_b
+        prev = 0
+        for o, cut in enumerate(cuts(raw)):
+            rows.append(
+                (i, o, prev, cut - prev, hashlib.md5(raw[prev:cut]).hexdigest())
+            )
+            prev = cut
+    return rows
+
+
+def cdc_chunks_golden() -> pa.Table:
+    rows = _cdc_twin()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "chunk_ord": pa.array([r[1] for r in rows], pa.int64()),
+            "offset": pa.array([r[2] for r in rows], pa.int64()),
+            "size": pa.array([r[3] for r in rows], pa.int64()),
+            "chunk_md5": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def cdc_dedup_golden() -> pa.Table:
+    rows = _cdc_twin()
+    agg: dict = {}
+    for _i, _o, _off, sz, md5 in rows:
+        got = agg.get(md5)
+        if got is None:
+            agg[md5] = [1, sz]
+        else:
+            got[0] += 1
+    dup = {m: v for m, v in agg.items() if v[0] > 1}
+    return pa.table(
+        {
+            "chunk_md5": pa.array(list(dup.keys()), pa.string()),
+            "copies": pa.array([v[0] for v in dup.values()], pa.int64()),
+            "size": pa.array([v[1] for v in dup.values()], pa.int64()),
+            "dup_bytes": pa.array(
+                [(v[0] - 1) * v[1] for v in dup.values()], pa.int64()
+            ),
+        }
+    )
+
+
 def bpe_merges_golden() -> pa.Table:
     _, _, merges = _bpe_twin()
     import numpy as np
@@ -1946,6 +2032,12 @@ def main() -> None:
     we = wordpiece_encode_golden()
     pq.write_table(we, GOLDEN_DIR / "wordpiece_encode_sf001.parquet")
     print(f"wordpiece_encode_sf001.parquet: {we.num_rows} rows")
+    cc = cdc_chunks_golden()
+    pq.write_table(cc, GOLDEN_DIR / "cdc_chunks_sf001.parquet")
+    print(f"cdc_chunks_sf001.parquet: {cc.num_rows} rows")
+    cd = cdc_dedup_golden()
+    pq.write_table(cd, GOLDEN_DIR / "cdc_dedup_sf001.parquet")
+    print(f"cdc_dedup_sf001.parquet: {cd.num_rows} rows")
     mj = mojibake_golden()
     pq.write_table(mj, GOLDEN_DIR / "mojibake_sf001.parquet")
     print(f"mojibake_sf001.parquet: {mj.num_rows} rows")
