@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q.q_user_event_pivot,
         "oov_rate": q.q_oov_rate,
         "value_quantiles_by_type": q.q_value_quantiles_by_type,
+        "value_trend_by_type": q.q_value_trend_by_type,
         "cohort_retention": q.q_cohort_retention,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
@@ -376,6 +377,12 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _value_trend_sql() -> str:
+    from ocr_system_ray.functions.regress import trend_by_key_sql
+
+    return trend_by_key_sql("event_type", "ts", "value", "FROM events")
 
 
 def _hits_sql() -> str:
@@ -1624,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # grouped HDR quantiles — the generated per-key twin
         "value_quantiles_by_type": _value_quantiles_by_type_sql(),
+        "value_trend_by_type": _value_trend_sql(),
         # ordered funnel view→click→purchase, 7-day window anchored at
         # the FIRST step; progressive min-ts chain mirrors
         # functions/windows.py:funnel_steps exactly (>= step k-1 ts,

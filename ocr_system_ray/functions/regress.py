@@ -1,0 +1,155 @@
+"""Per-key least-squares trend — mergeable integer regression.
+
+The monitoring question every event pipeline answers ("is purchase
+value drifting up?") as an exact-integer distributed aggregate: for
+each key, the OLS slope of ``y = value cents`` over ``x = seconds
+since the 2024-01-01 anchor``,
+
+    slope_nano = sign(N·Σxy − Σx·Σy) ·
+                 (|N·Σxy − Σx·Σy| · 10⁹) // (N·Σx² − (Σx)²)
+
+(slope in nano-cents per second).  The magnitude//sign split makes the
+rounding identical in Python (floor) and DuckDB (``//`` truncates
+toward zero — they differ on negatives; CLAUDE-worthy); the division
+is the ONLY non-sum step, so the statistic is a textbook mergeable
+aggregate.
+
+Scale shape: per-batch combiner emits one ``(key, n, Σx, Σy, Σx²,
+Σxy)`` row per key (int64-safe per batch: |x| < 2.7e6 from the anchor,
+|y| ≤ 1e7 cents ⇒ Σx² per 10k-row batch < 7e16), then ONE
+single-column ``groupby(key)`` sums the partials, and the finishing
+map computes the slope in PYTHON ints (``N·Σx²`` exceeds int64 at
+corpus scale; the SQL twin's HUGEINT does the same).
+
+Anchor: fixed epoch (2024-01-01) — NOT a data-derived min, so partials
+are mergeable without coordination and the twin is derivation-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+X_ANCHOR_S = 1_704_067_200  # 2024-01-01T00:00:00Z
+SLOPE_SCALE = 10**9
+
+
+def trend_by_key(
+    ds: ray.data.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> ray.data.Dataset:
+    """→ ``(key_col, n, slope_nano)``: per-key OLS slope of value
+    cents over anchored seconds, exact integers end to end.  Keys with
+    zero x-variance (one point / all simultaneous) emit slope 0."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        ).to_numpy() // 1_000_000 - X_ANCHOR_S
+        y = np.floor(
+            t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        keys = t.column(key_col).to_pylist()
+        agg: dict[str, list[int]] = {}
+        for k, xi, yi in zip(keys, x, y):
+            got = agg.get(k)
+            if got is None:
+                agg[k] = [1, int(xi), int(yi), int(xi) * int(xi), int(xi) * int(yi)]
+            else:
+                got[0] += 1
+                got[1] += int(xi)
+                got[2] += int(yi)
+                got[3] += int(xi) * int(xi)
+                got[4] += int(xi) * int(yi)
+        ks = list(agg.keys())
+        return pa.table(
+            {
+                key_col: pa.array(ks, pa.string()),
+                "pn": pa.array([agg[k][0] for k in ks], pa.int64()),
+                "sx": pa.array([agg[k][1] for k in ks], pa.int64()),
+                "sy": pa.array([agg[k][2] for k in ks], pa.int64()),
+                "sxx": pa.array([agg[k][3] for k in ks], pa.int64()),
+                "sxy": pa.array([agg[k][4] for k in ks], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(
+            Sum("pn", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Python ints: N·Σx² overflows int64 at corpus scale
+        rows = t.to_pylist()
+        ks, ns, slopes = [], [], []
+        for r in rows:
+            n, sx, sy, sxx, sxy = (
+                int(r["n"]),
+                int(r["sx"]),
+                int(r["sy"]),
+                int(r["sxx"]),
+                int(r["sxy"]),
+            )
+            den = n * sxx - sx * sx
+            num = n * sxy - sx * sy
+            if den <= 0:
+                s = 0
+            else:
+                s = (abs(num) * SLOPE_SCALE) // den
+                if num < 0:
+                    s = -s
+            ks.append(r[key_col])
+            ns.append(n)
+            slopes.append(s)
+        return pa.table(
+            {
+                key_col: pa.array(ks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "slope_nano": pa.array(slopes, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def trend_by_key_sql(
+    key_expr: str,
+    ts_expr: str,
+    val_expr: str,
+    from_clause: str,
+    key_col: str = "event_type",
+) -> str:
+    """Generated DuckDB twin: the same sums (HUGEINT via SUM) and the
+    same sign-adjusted magnitude division."""
+    return f"""
+        WITH p AS (SELECT {key_expr} AS k,
+                CAST(epoch_us({ts_expr}) // 1000000 - {X_ANCHOR_S}
+                     AS BIGINT) AS x,
+                CAST(FLOOR(({val_expr}) * 100 + 0.5) AS BIGINT) AS y
+            {from_clause}),
+        s AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM p GROUP BY k)
+        SELECT k AS {key_col}, CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+                    ELSE (CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                         * ((abs(n * sxy - sx * sy) * {SLOPE_SCALE})
+                            // (n * sxx - sx * sx)) END
+                    AS BIGINT) AS slope_nano
+        FROM s
+    """

@@ -5091,6 +5091,18 @@ def q_cdc_dedup(sf_dir: str) -> ray.data.Dataset:
     return chunk_dedup_stats(q_cdc_chunks(sf_dir))
 
 
+def q_value_trend_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type OLS value trend (nano-cents/second over the
+    fixed 2024-01-01 anchor) — a textbook mergeable integer aggregate:
+    per-batch (n, Σx, Σy, Σx², Σxy) partials, ONE single-column
+    groupby, Python-int finish (``functions/regress.py``).  SQL twin
+    GENERATED with the same sign-adjusted magnitude division."""
+    from ..functions.regress import trend_by_key
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return trend_by_key(ds)
+
+
 def q_oov_rate(sf_dir: str) -> ray.data.Dataset:
     """Vocabulary-coverage report: per-doc OOV token rate vs the
     corpus' own top-100 vocabulary (``textstats.oov_rate``) — combiner

@@ -336,3 +336,73 @@ def test_pivot_counts_matches_duckdb(ray_session):
         )
         for c in ("user_id", "n_a", "n_b", "n_c", "n_other", "n_total"):
             assert got[c].tolist() == want[c].tolist(), (blocks, c)
+
+
+def test_trend_by_key_matches_twin_and_sql(ray_session):
+    from ocr_system_ray.functions.regress import (
+        SLOPE_SCALE,
+        X_ANCHOR_S,
+        trend_by_key,
+        trend_by_key_sql,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["up", "down", "flat", "one"], n),
+            "ts": pd.to_datetime("2024-01-05")
+            + pd.to_timedelta(rng.integers(0, 10**13, n), unit="us"),
+            "value": rng.normal(0, 40, n),
+        }
+    )
+    # force deterministic shapes: 'up' trends, 'one' has a single point
+    df.loc[df["event_type"] == "up", "value"] = (
+        df.loc[df["event_type"] == "up", "ts"].astype("int64") / 1e15
+    )
+    df = df[~((df["event_type"] == "one") & (df.index > df.index[df["event_type"] == "one"].min()))]
+
+    def twin():
+        out = {}
+        for k, g in df.groupby("event_type"):
+            x = [
+                int(t.value) // 1000 // 1_000_000 - X_ANCHOR_S
+                for t in g["ts"]
+            ]
+            y = [int(np.floor(v * 100 + 0.5)) for v in g["value"]]
+            nn = len(x)
+            sx, sy = sum(x), sum(y)
+            sxx = sum(a * a for a in x)
+            sxy = sum(a * b for a, b in zip(x, y))
+            den = nn * sxx - sx * sx
+            num = nn * sxy - sx * sy
+            if den <= 0:
+                s = 0
+            else:
+                s = (abs(num) * SLOPE_SCALE) // den
+                if num < 0:
+                    s = -s
+            out[k] = (nn, s)
+        return out
+
+    want = twin()
+    for blocks in (1, 4):
+        t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("us")))
+        got = {
+            r["event_type"]: (r["n"], r["slope_nano"])
+            for r in trend_by_key(
+                ray.data.from_arrow(t).repartition(blocks)
+            ).take_all()
+        }
+        assert got == want, blocks
+    assert want["one"][1] == 0  # single point → zero variance → 0
+    assert got["up"][1] > 0
+    # the generated SQL twin agrees bit-for-bit
+    sql = trend_by_key_sql("event_type", "ts", "value", "FROM df")
+    got_sql = {
+        r.event_type: (int(r.n), int(r.slope_nano))
+        for r in duckdb.sql(sql).df().itertuples()
+    }
+    assert got_sql == want
