@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q.q_readability,
         "code_filters": q.q_code_filters,
         "ipynb_extract": q.q_ipynb_extract,
+        "markdown_extract": q.q_markdown_extract,
         "avro_roundtrip": q.q_avro_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
         "kn_logprob": q.q_kn_logprob,
@@ -1558,6 +1559,30 @@ def oracle_sql() -> dict[str, str]:
         # Ray side reads the JSONL-gz copy — equality = ingest parity
         "jsonl_ingest": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # markdown_extract: plain text REBUILT line-by-line from the
+        # derivation (heading/quote/bullets/inline/fence-verbatim/setext)
+        "markdown_extract": r"""
+            SELECT doc_id,
+                'Title ' || doc_id || chr(10)
+                || 'quote line ' || doc_id || chr(10)
+                || COALESCE(array_to_string(
+                       [('item ' || k || ' of ' || doc_id)
+                        FOR k IN range(0, doc_id % 3)],
+                       chr(10)) || chr(10), '')
+                || 'numbered ' || doc_id || chr(10)
+                || 'bold' || doc_id || ' and ital' || doc_id
+                || ' and code' || doc_id || chr(10)
+                || 'see go ' || doc_id || ' and im ' || doc_id || chr(10)
+                || COALESCE(array_to_string(
+                       regexp_extract_all(
+                           replace(COALESCE(text, ''), '`', chr(39)),
+                           '[^ 	
+]+'),
+                       ' '), '') || chr(10)
+                || 'Setext Head ' || doc_id AS plain_text,
+                CAST(7 + doc_id % 3 AS BIGINT) AS n_lines
+            FROM documents
         """,
         # avro_roundtrip: OCF write+read must reproduce the table
         "avro_roundtrip": """

@@ -5091,6 +5091,55 @@ def q_cdc_dedup(sf_dir: str) -> ray.data.Dataset:
     return chunk_dedup_stats(q_cdc_chunks(sf_dir))
 
 
+def _derived_markdown(t: pa.Table) -> pa.Table:
+    """Markdown leg: real markdown pages exercising every line rule —
+    ATX heading, blockquote, i%3 bullets, a numbered item, inline
+    bold/italic/code, image+link, an hrule (dropped), a code fence
+    holding the doc's own tokens VERBATIM (backticks → apostrophes so
+    the fence stays balanced; mirrored in SQL), and a setext heading.
+    The SQL twin rebuilds the expected plain text line-by-line."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = []
+    for i, tx in zip(ids, texts):
+        body = " ".join(
+            _CODE_TOKEN_RE.findall((tx or "").replace("`", "'"))
+        )
+        lines = [
+            f"# Title {i}",
+            f"> quote line {i}",
+            *(f"- item {k} of {i}" for k in range(i % 3)),
+            f"1. numbered {i}",
+            f"**bold{i}** and *ital{i}* and `code{i}`",
+            f"see [go {i}](http://e/{i}) and ![im {i}](u)",
+            "---",
+            "```",
+            body,
+            "```",
+            f"Setext Head {i}",
+            "====",
+        ]
+        out.append("\n".join(lines))
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "markdown": pa.array(out, pa.string()),
+        }
+    )
+
+
+def q_markdown_extract(sf_dir: str) -> ray.data.Dataset:
+    """Markdown → plain text over derived real markdown
+    (``sources/mdtext.py``): heading/quote/bullet/hrule/fence line
+    rules + image/link/emphasis/code inline rules.  Oracle = DuckDB
+    rebuilding the exact expected text from the derivation."""
+    from ..sources.mdtext import markdown_extract
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    md = docs.map_batches(_derived_markdown, batch_format="pyarrow")
+    return markdown_extract(md)
+
+
 def q_value_trend_by_type(sf_dir: str) -> ray.data.Dataset:
     """Per-event-type OLS value trend (nano-cents/second over the
     fixed 2024-01-01 anchor) — a textbook mergeable integer aggregate:

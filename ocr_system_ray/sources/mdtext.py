@@ -1,0 +1,124 @@
+"""Markdown → plain text extraction (the ingest leg for markdown
+corpora — GitHub READMEs, StackExchange dumps, Dolma's markdown
+slices).  The inverse of ``functions/markdown.py`` (HTML→markdown):
+here markdown IS the wire format and training text comes out.
+
+Line rules (deterministic, applied in order):
+
+* fenced code blocks — ``` / ~~~ fences drop, inner lines keep
+  VERBATIM (no inline processing inside code);
+* ATX headings — leading ``#{1,6}`` + space strips (trailing ``#``
+  run too); setext underlines (``===`` / ``---`` alone under text)
+  drop;
+* blockquote markers — leading ``>`` runs strip (with one optional
+  space each);
+* list bullets — leading ``-``/``*``/``+``+space or ``N.``+space
+  strip (one level per line, after quote strip);
+* horizontal rules (``---``/``***``/``___`` alone) drop.
+
+Inline rules (after line rules, skipping code-fence interiors):
+images ``![alt](url)`` → alt, links ``[text](url)`` → text,
+reference links ``[text][ref]`` → text, bold/italics
+``**x**``/``__x__``/``*x*``/``_x_`` → x, inline code ``` `x` ``` → x.
+
+Never-fail-row: extraction is total (no parse errors exist in this
+grammar — every input is "some markdown").
+
+Ray shape: ONE stateless ``map_batches``; payload dies in-stage.
+Oracle = SQL rebuild of the expected text from the doc_id derivation
+(the wikitext/latex precedent), plus adversarial unit pins.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_FENCE = re.compile(r"^(```|~~~)")
+_ATX = re.compile(r"^(#{1,6})\s+(.*?)(?:\s+#+\s*)?$")
+_SETEXT = re.compile(r"^(=+|-+)\s*$")
+_QUOTE = re.compile(r"^(?:>\s?)+")
+_BULLET = re.compile(r"^(?:[-*+]|\d{1,9}\.)\s+")
+_HRULE = re.compile(r"^\s*(?:-{3,}|\*{3,}|_{3,})\s*$")
+
+_IMG = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_REFLINK = re.compile(r"\[([^\]]*)\]\[[^\]]*\]")
+_BOLD = re.compile(r"\*\*([^*]+)\*\*|__([^_]+)__")
+_ITAL = re.compile(r"\*([^*]+)\*|_([^_]+)_")
+_CODE = re.compile(r"`([^`]*)`")
+
+
+def _inline(s: str) -> str:
+    s = _IMG.sub(r"\1", s)
+    s = _LINK.sub(r"\1", s)
+    s = _REFLINK.sub(r"\1", s)
+    s = _BOLD.sub(lambda m: m.group(1) or m.group(2) or "", s)
+    s = _ITAL.sub(lambda m: m.group(1) or m.group(2) or "", s)
+    s = _CODE.sub(r"\1", s)
+    return s
+
+
+def markdown_to_text(md: str) -> str:
+    """One document; returns the plain text, newline-joined, with the
+    original blank-line structure of kept lines preserved."""
+    out: list[str] = []
+    in_fence = False
+    fence_mark = ""
+    lines = md.split("\n")
+    for i, line in enumerate(lines):
+        m = _FENCE.match(line)
+        if m:
+            if not in_fence:
+                in_fence, fence_mark = True, m.group(1)
+                continue
+            if line.startswith(fence_mark):
+                in_fence = False
+                continue
+            # a different fence marker inside a fence is CONTENT
+            out.append(line)
+            continue
+        if in_fence:
+            out.append(line)
+            continue
+        if _HRULE.match(line):
+            continue
+        # setext underline: drops iff the previous SOURCE line kept text
+        if _SETEXT.match(line) and i > 0 and lines[i - 1].strip():
+            continue
+        s = _QUOTE.sub("", line)
+        s = _BULLET.sub("", s)
+        m = _ATX.match(s)
+        if m:
+            s = m.group(2)
+        out.append(_inline(s))
+    return "\n".join(out)
+
+
+def markdown_extract(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    md_col: str = "markdown",
+) -> ray.data.Dataset:
+    """Dataset pass → ``(id_col, plain_text, n_lines)``."""
+
+    def run(t: pa.Table) -> pa.Table:
+        texts = [
+            markdown_to_text(x or "") for x in t.column(md_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "plain_text": pa.array(texts, pa.string()),
+                "n_lines": pa.array(
+                    [len(x.split("\n")) if x else 0 for x in texts],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

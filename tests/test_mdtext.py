@@ -1,0 +1,59 @@
+"""Markdown → plain text (sources/mdtext.py) — line/inline rule pins
+and the fence-verbatim contract."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.mdtext import markdown_extract, markdown_to_text
+
+
+def test_headings_and_rules():
+    md = "# H1\n## H2 ##\nText\n====\nplain\n---\nafter"
+    # H2's trailing-hash run strips; ==== is a setext underline under
+    # 'Text'... but Text itself stays; --- under 'plain' is an HRULE
+    # (checked first) and drops either way
+    assert markdown_to_text(md) == "H1\nH2\nText\nplain\nafter"
+
+
+def test_quotes_bullets_numbered():
+    md = "> quoted\n>> nested\n- a\n* b\n+ c\n12. num\n-not a bullet"
+    assert markdown_to_text(md) == (
+        "quoted\nnested\na\nb\nc\nnum\n-not a bullet"
+    )
+
+
+def test_inline_rules_and_order():
+    md = "![alt](i.png) then [txt](u) and [ref][1] **b** __B__ *i* _I_ `c`"
+    assert markdown_to_text(md) == "alt then txt and ref b B i I c"
+
+
+def test_fence_verbatim():
+    md = "before\n```py\n**not bold** [not](a link)\n# not heading\n```\nafter **b**"
+    assert markdown_to_text(md) == (
+        "before\n**not bold** [not](a link)\n# not heading\nafter b"
+    )
+    # tildes open their own fence; backtick fence line inside stays
+    md2 = "~~~\n```\nx\n~~~\ny"
+    assert markdown_to_text(md2) == "```\nx\ny"
+
+
+def test_empty_and_dataset(ray_session):
+    assert markdown_to_text("") == ""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "markdown": ["# A\nbody", None],
+        }
+    )
+    out = {
+        r["doc_id"]: (r["plain_text"], r["n_lines"])
+        for r in markdown_extract(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out[1] == ("A\nbody", 2)
+    assert out[2] == ("", 0)
