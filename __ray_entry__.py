@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q.q_oov_rate,
         "value_quantiles_by_type": q.q_value_quantiles_by_type,
         "value_trend_by_type": q.q_value_trend_by_type,
+        "fuzzy_linkage": q.q_fuzzy_linkage,
         "cohort_retention": q.q_cohort_retention,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
@@ -1578,7 +1579,8 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(
                            replace(COALESCE(text, ''), '`', chr(39)),
                            '[^ 	
-]+'),
+
+]+'),
                        ' '), '') || chr(10)
                 || 'Setext Head ' || doc_id AS plain_text,
                 CAST(7 + doc_id % 3 AS BIGINT) AS n_lines
@@ -1657,6 +1659,45 @@ def oracle_sql() -> dict[str, str]:
         # grouped HDR quantiles — the generated per-key twin
         "value_quantiles_by_type": _value_quantiles_by_type_sql(),
         "value_trend_by_type": _value_trend_sql(),
+        # fuzzy_linkage: DuckDB's NATIVE levenshtein vs our banded DP
+        # over the identical dirty-name derivation (substring surgery)
+        "fuzzy_linkage": """
+            WITH reg AS MATERIALIZED (
+                SELECT 'entity-' || lpad(CAST(k AS VARCHAR), 4, '0') AS cname
+                FROM range(120) t(k)),
+            base AS (
+                SELECT doc_id,
+                       'entity-' || lpad(CAST(doc_id % 120 AS VARCHAR),
+                                         4, '0') AS b
+                FROM documents),
+            dirty AS (
+                SELECT doc_id,
+                    CASE doc_id % 4
+                      WHEN 0 THEN substring(b, 1, (doc_id % 7) + 3)
+                                  || substring(b, (doc_id % 7) + 5)
+                      WHEN 1 THEN substring(b, 1, (doc_id % 5) + 3)
+                                  || substring(b, (doc_id % 5) + 3, 1)
+                                  || substring(b, (doc_id % 5) + 4)
+                      WHEN 2 THEN substring(b, 1, (doc_id % 6) + 2)
+                                  || 'x' || substring(b, (doc_id % 6) + 4)
+                      ELSE b END AS dname
+                FROM base),
+            scored AS (
+                SELECT d.doc_id, r.cname,
+                       levenshtein(d.dname, r.cname) AS dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.doc_id
+                           ORDER BY levenshtein(d.dname, r.cname), r.cname
+                       ) AS rn
+                FROM dirty d CROSS JOIN reg r)
+            SELECT d.doc_id,
+                   COALESCE(CASE WHEN s.dist <= 2 THEN s.cname END, '')
+                       AS best_name,
+                   CAST(COALESCE(CASE WHEN s.dist <= 2 THEN s.dist END, -1)
+                        AS BIGINT) AS best_dist
+            FROM dirty d LEFT JOIN scored s
+              ON s.doc_id = d.doc_id AND s.rn = 1
+        """,
         # ordered funnel view→click→purchase, 7-day window anchored at
         # the FIRST step; progressive min-ts chain mirrors
         # functions/windows.py:funnel_steps exactly (>= step k-1 ts,

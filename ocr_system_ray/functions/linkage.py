@@ -1,0 +1,109 @@
+"""Record linkage — fuzzy matching of a dirty stream against a master
+registry (entity resolution: the dedup problem where "duplicate" means
+*typo*, not byte-equality).
+
+Shape: the registry is the SMALL side (a master entity list —
+thousands to millions of rows), broadcast once via ``ray.put``; the
+dirty stream maps statelessly, each row scored against the registry
+with banded Levenshtein and resolved to the best match under the
+deterministic rule ``(min distance, lexicographically smallest
+name)``; no match within ``max_dist`` → ``('', -1)``.
+
+The banded DP computes exact edit distance when it is ≤ ``max_dist``
+and returns ``max_dist+1`` otherwise (Ukkonen's band — O(len·k) per
+pair, and a length-difference pre-filter skips most registry rows
+without touching the DP).  This is the exact-recall small-registry
+variant; a web-scale registry needs q-gram blocking in front (the
+jaccard-join machinery), which changes recall only if the blocking
+misses — documented, not silently assumed.
+
+Oracle: DuckDB has a NATIVE ``levenshtein`` — the SQL twin is a true
+cross-implementation check of the DP, not a rebuilt lookalike.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def levenshtein_banded(a: str, b: str, k: int) -> int:
+    """Exact edit distance if ≤ k, else k+1 (Ukkonen band)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0:
+        return lb if lb <= k else k + 1
+    if lb == 0:
+        return la if la <= k else k + 1
+    big = k + 1
+    prev = list(range(min(lb, k) + 1)) + [big] * max(0, lb - k)
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [big] * (lb + 1)
+        if i - k <= 0:
+            cur[0] = i
+        best = cur[0] if cur[0] <= k else big
+        for j in range(lo, hi + 1):
+            c = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + c)
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > k:
+            return k + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= k else k + 1
+
+
+_REG_MEMO: dict = {}
+
+
+def fuzzy_match_registry(
+    ds: ray.data.Dataset,
+    registry: list[str],
+    id_col: str = "doc_id",
+    name_col: str = "name",
+    max_dist: int = 2,
+) -> ray.data.Dataset:
+    """→ ``(id_col, best_name, best_dist)``: each dirty name resolved
+    to the registry entry with ``(min distance, lex smallest name)``;
+    unmatched → ``('', -1)``.  The registry ships once per worker
+    (``ray.put`` + module memo); sorted once so the tiebreak is the
+    scan order."""
+    reg_ref = ray.put(sorted(registry))
+
+    def run(t: pa.Table) -> pa.Table:
+        key = reg_ref.hex() if hasattr(reg_ref, "hex") else id(reg_ref)
+        reg = _REG_MEMO.get(key)
+        if reg is None:
+            reg = _REG_MEMO[key] = ray.get(reg_ref)
+        names = t.column(name_col).to_pylist()
+        best_n, best_d = [], []
+        for nm in names:
+            nm = nm or ""
+            bd, bn = max_dist + 1, ""
+            for cand in reg:
+                if abs(len(cand) - len(nm)) > max_dist:
+                    continue
+                d = levenshtein_banded(nm, cand, max_dist)
+                if d < bd:  # lex tiebreak = first hit in sorted order
+                    bd, bn = d, cand
+                    if bd == 0:
+                        break
+            if bd > max_dist:
+                bd, bn = -1, ""
+            best_n.append(bn)
+            best_d.append(bd)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "best_name": pa.array(best_n, pa.string()),
+                "best_dist": pa.array(best_d, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -5140,6 +5140,53 @@ def q_markdown_extract(sf_dir: str) -> ray.data.Dataset:
     return markdown_extract(md)
 
 
+LINKAGE_ENTITIES = 120
+
+
+def _derived_dirty_names(t: pa.Table) -> pa.Table:
+    """Linkage leg: each doc carries a typo'd spelling of one of 120
+    registry entities ('entity-NNNN') — %4 branches: char DROP at
+    (i%7)+4, char DUP at (i%5)+3, SUBSTITUTE 'x' at (i%6)+3, or clean
+    (positions 1-indexed, mirrored by the SQL substring surgery)."""
+    ids = t.column("doc_id").to_pylist()
+    out = []
+    for i in ids:
+        base = f"entity-{i % LINKAGE_ENTITIES:04d}"
+        m = i % 4
+        if m == 0:
+            p = (i % 7) + 4
+            dirty = base[: p - 1] + base[p:]
+        elif m == 1:
+            p = (i % 5) + 3
+            dirty = base[:p] + base[p - 1] + base[p:]
+        elif m == 2:
+            p = (i % 6) + 3
+            dirty = base[: p - 1] + "x" + base[p:]
+        else:
+            dirty = base
+        out.append(dirty)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "name": pa.array(out, pa.string()),
+        }
+    )
+
+
+def q_fuzzy_linkage(sf_dir: str) -> ray.data.Dataset:
+    """Record linkage: typo'd names resolved against the broadcast
+    120-entity registry with banded Levenshtein ≤ 2, best match by
+    (min distance, lex name) (``functions/linkage.py``).  Oracle =
+    DuckDB's NATIVE levenshtein over the identical derivation — a
+    true cross-implementation check of the DP."""
+    from ..functions.linkage import fuzzy_match_registry
+
+    registry = [f"entity-{k:04d}" for k in range(LINKAGE_ENTITIES)]
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    dirty = docs.map_batches(_derived_dirty_names, batch_format="pyarrow")
+    return fuzzy_match_registry(dirty, registry)
+
+
 def q_value_trend_by_type(sf_dir: str) -> ray.data.Dataset:
     """Per-event-type OLS value trend (nano-cents/second over the
     fixed 2024-01-01 anchor) — a textbook mergeable integer aggregate:

@@ -1,0 +1,60 @@
+"""Record linkage (functions/linkage.py) — banded DP vs DuckDB's
+native levenshtein, plus matcher semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.linkage import (
+    fuzzy_match_registry,
+    levenshtein_banded,
+)
+
+
+def test_dp_matches_duckdb_levenshtein():
+    rng = np.random.default_rng(23)
+    alphabet = list("abcde")
+    pairs = []
+    for _ in range(300):
+        la, lb = rng.integers(0, 9, 2)
+        a = "".join(rng.choice(alphabet, la))
+        b = "".join(rng.choice(alphabet, lb))
+        pairs.append((a, b))
+    pairs += [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    for a, b in pairs:
+        want = duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+        for k in (1, 2, 3, 10):
+            got = levenshtein_banded(a, b, k)
+            assert got == (want if want <= k else k + 1), (a, b, k)
+
+
+def test_matcher_semantics(ray_session):
+    registry = ["alpha", "alphb", "beta", "gamma"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "name": [
+                "alpha",      # exact
+                "alphc",      # dist 1 to BOTH alpha and alphb → lex picks alpha
+                "betaa",      # dist 1 to beta
+                "zzzzzzzz",   # no match
+                None,         # null name → no match
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: (r["best_name"], r["best_dist"])
+        for r in fuzzy_match_registry(
+            ray.data.from_arrow(t).repartition(2), registry, max_dist=2
+        ).take_all()
+    }
+    assert out[1] == ("alpha", 0)
+    assert out[2] == ("alpha", 1)
+    assert out[3] == ("beta", 1)
+    assert out[4] == ("", -1)
+    assert out[5] == ("", -1)
