@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": q.q_value_quantiles_by_type,
         "value_trend_by_type": q.q_value_trend_by_type,
         "fuzzy_linkage": q.q_fuzzy_linkage,
+        "confusables_fold": q.q_confusables_fold,
         "cohort_retention": q.q_cohort_retention,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
@@ -379,6 +380,33 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _confusables_sql() -> str:
+    """Generated fold twin: the derivation (spoof injection) and the
+    fold + count expressions all come from the module table."""
+    from ocr_system_ray.functions.translit import (
+        count_sql_expr,
+        fold_sql_expr,
+    )
+
+    derived = """
+        CASE WHEN doc_id % 4 = 0 THEN
+            replace(CASE WHEN doc_id % 3 = 0
+                         THEN replace(COALESCE(text, ''), 'e', 'е')
+                         ELSE COALESCE(text, '') END, 'o', 'ο')
+             WHEN doc_id % 3 = 0 THEN replace(COALESCE(text, ''), 'e', 'е')
+             ELSE COALESCE(text, '') END
+        || ' ' || CASE WHEN doc_id % 5 = 0 THEN 'раураl' ELSE 'paypal' END
+        || CAST(doc_id AS VARCHAR)
+    """
+    return f"""
+        WITH src AS MATERIALIZED (SELECT doc_id, {derived} AS d FROM documents)
+        SELECT doc_id,
+               {fold_sql_expr("d")} AS text_folded,
+               {count_sql_expr("d")} AS n_confusables
+        FROM src
+    """
 
 
 def _value_trend_sql() -> str:
@@ -1661,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "value_trend_by_type": _value_trend_sql(),
         # fuzzy_linkage: DuckDB's NATIVE levenshtein vs our banded DP
         # over the identical dirty-name derivation (substring surgery)
+        "confusables_fold": _confusables_sql(),
         "fuzzy_linkage": """
             WITH reg AS MATERIALIZED (
                 SELECT 'entity-' || lpad(CAST(k AS VARCHAR), 4, '0') AS cname

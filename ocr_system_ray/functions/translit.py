@@ -1,0 +1,108 @@
+"""Homoglyph / confusables folding — the spam-evasion normalizer.
+
+Adversarial web text dodges keyword filters and exact dedup by
+swapping Latin letters for visually-identical Cyrillic/Greek letters
+("раypal" with a Cyrillic р, "vіagra" with a Ukrainian і).  Folding
+confusables to their ASCII skeleton BEFORE hashing/filtering restores
+the match — the Unicode TR39 "skeleton" idea restricted to a fixed,
+auditable table.
+
+The table covers the high-traffic confusables (Cyrillic + Greek
+lookalikes both cases, fullwidth Latin, common punctuation spoofs).
+It is deliberately a FIXED module constant: the SQL twin is GENERATED
+from it as a replace() chain, so the two sides cannot drift and every
+mapping is reviewable.
+
+Ray shape: ONE stateless vectorized pass (chained
+``pc.replace_substring`` — literal replaces, no regex); fuses with
+ingest.  Output adds the folded text and an integer flag/count so
+downstream dedup can key on the skeleton.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+#: (confusable, ascii) — order is part of the contract (applied
+#: left-to-right on both sides).  Sources: Unicode TR39 confusables,
+#: restricted to single-codepoint → single-char mappings.
+CONFUSABLES: tuple[tuple[str, str], ...] = (
+    # Cyrillic lowercase lookalikes
+    ("а", "a"), ("с", "c"), ("е", "e"), ("о", "o"),
+    ("р", "p"), ("х", "x"), ("у", "y"), ("і", "i"),
+    ("ј", "j"), ("ѕ", "s"), ("һ", "h"), ("ґ", "r"),
+    # Cyrillic uppercase
+    ("А", "A"), ("В", "B"), ("С", "C"), ("Е", "E"),
+    ("Н", "H"), ("К", "K"), ("М", "M"), ("О", "O"),
+    ("Р", "P"), ("Т", "T"), ("Х", "X"), ("І", "I"),
+    # Greek lookalikes
+    ("ο", "o"), ("α", "a"), ("ε", "e"), ("ι", "i"),
+    ("ν", "v"), ("Α", "A"), ("Β", "B"), ("Ε", "E"),
+    ("Ζ", "Z"), ("Η", "H"), ("Ι", "I"), ("Κ", "K"),
+    ("Μ", "M"), ("Ν", "N"), ("Ο", "O"), ("Ρ", "P"),
+    ("Τ", "T"), ("Υ", "Y"), ("Χ", "X"),
+    # punctuation spoofs
+    ("\u2019", "'"), ("\u2018", "'"), ("\u201c", '"'), ("\u201d", '"'),
+    ("\u2013", "-"), ("\u2014", "-"), ("\u00a0", " "), ("\u200b", ""),
+) + tuple(
+    # fullwidth Latin, both cases (the dynamic.py fullwidth-fold cousin)
+    (chr(0xFF41 + k), chr(ord("a") + k)) for k in range(26)
+) + tuple(
+    (chr(0xFF21 + k), chr(ord("A") + k)) for k in range(26)
+)
+
+
+def fold_confusables_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Append ``{text_col}_folded`` (all mappings applied in table
+    order) and ``n_confusables`` (total characters folded, int64 —
+    the spoofiness signal)."""
+    src = pc.fill_null(batch.column(text_col), "")
+    arr = src
+    for bad, good in CONFUSABLES:
+        arr = pc.replace_substring(arr, pattern=bad, replacement=good)
+    # n_confusables = Σ per-mapping occurrence counts (each confusable
+    # is ONE codepoint, so occurrences ≡ characters folded)
+    n = None
+    for bad, _good in CONFUSABLES:
+        c = pc.count_substring(src, bad)
+        n = c if n is None else pc.add(n, c)
+    return batch.append_column(
+        f"{text_col}_folded", arr
+    ).append_column("n_confusables", pc.cast(n, pa.int64()))
+
+
+def fold_confusables(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Dataset pass: one stateless vectorized ``map_batches``."""
+    return ds.map_batches(
+        lambda t: fold_confusables_batch(t, text_col),
+        batch_format="pyarrow",
+    )
+
+
+def fold_sql_expr(col: str) -> str:
+    """GENERATED DuckDB twin of the fold: the same replace chain in
+    the same order, from the same table."""
+    expr = f"COALESCE({col}, '')"
+    for bad, good in CONFUSABLES:
+        g = good.replace("'", "''")
+        expr = f"replace({expr}, '{bad}', '{g}')"
+    return expr
+
+
+def count_sql_expr(col: str) -> str:
+    """GENERATED twin of ``n_confusables``: Σ per-mapping occurrence
+    counts via length arithmetic (each confusable is ONE codepoint)."""
+    parts = [
+        f"(length(COALESCE({col}, ''))"
+        f" - length(replace(COALESCE({col}, ''), '{bad}', '')))"
+        for bad, _good in CONFUSABLES
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"

@@ -5140,6 +5140,43 @@ def q_markdown_extract(sf_dir: str) -> ray.data.Dataset:
     return markdown_extract(md)
 
 
+def _derived_confusable_text(t: pa.Table) -> pa.Table:
+    """Confusables leg: docs gain Cyrillic е on %3, Greek ο on %4, and
+    a trailing spoofed/clean 'paypal{i}' token on %5 — mirrored by the
+    SQL replace-chain derivation."""
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    out = []
+    for i, tx in zip(ids, texts):
+        d = tx or ""
+        if i % 3 == 0:
+            d = d.replace("e", "е")
+        if i % 4 == 0:
+            d = d.replace("o", "ο")
+        d = d + " " + ("раураl" if i % 5 == 0 else "paypal") + str(i)
+        out.append(d)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "text": pa.array(out, pa.string()),
+        }
+    )
+
+
+def q_confusables_fold(sf_dir: str) -> ray.data.Dataset:
+    """Homoglyph folding (spam-evasion normalizer,
+    ``functions/translit.py``): Cyrillic/Greek/fullwidth lookalikes →
+    ASCII skeleton + per-doc spoofed-char count.  Twin GENERATED from
+    the same table as a replace chain."""
+    from ..functions.translit import fold_confusables
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    spoofed = docs.map_batches(
+        _derived_confusable_text, batch_format="pyarrow"
+    )
+    return fold_confusables(spoofed).drop_columns(["text"])
+
+
 LINKAGE_ENTITIES = 120
 
 

@@ -1050,3 +1050,57 @@ def test_credit_card_matches_sql_twin():
     ).df()
     for c in ("n_cc_candidates", "n_cc_valid", "cc_last4"):
         assert ours[c].tolist() == want[c].tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# confusables folding (functions/translit.py)
+# ---------------------------------------------------------------------------
+
+
+def test_confusables_fold_pins():
+    import pyarrow as pa
+
+    from ocr_system_ray.functions.translit import fold_confusables_batch
+
+    rows = [
+        "раураl login",          # full Cyrillic spoof of paypal
+        "vіagra and οmega",      # Ukrainian і + Greek ο
+        "ｅｘtra ｏｏ",            # fullwidth
+        "clean ascii",
+        "zero​width and nbsp",
+        None,
+    ]
+    t = pa.table({"text": pa.array(rows, pa.string())})
+    out = fold_confusables_batch(t).to_pylist()
+    assert out[0]["text_folded"] == "paypal login"
+    assert out[0]["n_confusables"] == 5  # р а у р а (final l is Latin)
+    assert out[1]["text_folded"] == "viagra and omega"
+    assert out[2]["text_folded"] == "extra oo"
+    assert out[3] == {
+        "text": "clean ascii",
+        "text_folded": "clean ascii",
+        "n_confusables": 0,
+    }
+    assert out[4]["text_folded"] == "zerowidth and nbsp"
+    assert out[5]["text_folded"] == "" and out[5]["n_confusables"] == 0
+
+
+def test_confusables_sql_twin_agrees():
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_system_ray.functions.translit import (
+        count_sql_expr,
+        fold_confusables_batch,
+        fold_sql_expr,
+    )
+
+    rows = ["раураl", "mixed есо txt", "Ζeus Τitan", "", "ΝΟ spoof ΝΟ"]
+    t = pa.table({"i": list(range(len(rows))), "text": rows})
+    ours = fold_confusables_batch(t).to_pandas()
+    want = duckdb.sql(
+        f"SELECT i, {fold_sql_expr('text')} AS f, {count_sql_expr('text')} AS n"
+        " FROM t ORDER BY i"
+    ).df()
+    assert ours["text_folded"].tolist() == want["f"].tolist()
+    assert ours["n_confusables"].tolist() == want["n"].tolist()
