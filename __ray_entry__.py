@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_by_type": q.q_value_trend_by_type,
         "fuzzy_linkage": q.q_fuzzy_linkage,
         "confusables_fold": q.q_confusables_fold,
+        "phonetic_keys": q.q_phonetic_keys,
         "cohort_retention": q.q_cohort_retention,
         "jsonl_ingest": q.q_jsonl_ingest,
         "value_quantiles_hdr": q.q_value_quantiles_hdr,
@@ -380,6 +381,24 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _phonetic_sql() -> str:
+    from ocr_system_ray.functions.linkage import soundex_sql_expr
+
+    return rf"""
+        WITH n AS MATERIALIZED (
+            SELECT doc_id,
+                CASE WHEN len(regexp_extract_all(COALESCE(text, ''),
+                                                 '[^ \t\n\r\f\v]+')) = 0
+                     THEN 'empty' || doc_id
+                     ELSE array_to_string(
+                         regexp_extract_all(COALESCE(text, ''),
+                                            '[^ \t\n\r\f\v]+')[:2], ' ')
+                END AS name
+            FROM documents)
+        SELECT doc_id, name, {soundex_sql_expr("name")} AS soundex FROM n
+    """
 
 
 def _confusables_sql() -> str:
@@ -1690,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         # fuzzy_linkage: DuckDB's NATIVE levenshtein vs our banded DP
         # over the identical dirty-name derivation (substring surgery)
         "confusables_fold": _confusables_sql(),
+        "phonetic_keys": _phonetic_sql(),
         "fuzzy_linkage": """
             WITH reg AS MATERIALIZED (
                 SELECT 'entity-' || lpad(CAST(k AS VARCHAR), 4, '0') AS cname

@@ -107,3 +107,94 @@ def fuzzy_match_registry(
         )
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Soundex phonetic keys
+# ---------------------------------------------------------------------------
+
+#: letter → code (simple American Soundex; vowels/H/W/Y code 0).  The
+#: h/w-transparency refinement of archival Soundex is intentionally
+#: NOT applied — this is the widely-implemented "simple" variant, and
+#: the SQL twin is generated from this same table.
+SOUNDEX_CODES: tuple[tuple[str, int], ...] = (
+    ("BFPV", 1),
+    ("CGJKQSXZ", 2),
+    ("DT", 3),
+    ("L", 4),
+    ("MN", 5),
+    ("R", 6),
+)
+
+_SND = {}
+for _letters, _code in SOUNDEX_CODES:
+    for _c in _letters:
+        _SND[_c] = _code
+
+
+def soundex(word: str) -> str:
+    """Simple Soundex: first letter + three code digits (collapse
+    adjacent equal codes, drop zeros, right-pad with '0'); non-letters
+    ignored; no letters → ''."""
+    letters = [c for c in (word or "").upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    codes = [_SND.get(c, 0) for c in letters]
+    collapsed = [
+        c for i, c in enumerate(codes) if i == 0 or c != codes[i - 1]
+    ]
+    digits = [str(c) for c in collapsed[1:] if c != 0]
+    return letters[0] + ("".join(digits)[:3]).ljust(3, "0")
+
+
+def phonetic_keys(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    name_col: str = "name",
+) -> ray.data.Dataset:
+    """→ ``(id_col, name_col, soundex)`` — the blocking key for
+    phonetic joins (names that SOUND alike land in one group).  One
+    stateless pass."""
+
+    def run(t: pa.Table) -> pa.Table:
+        names = t.column(name_col).to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                name_col: t.column(name_col),
+                "soundex": pa.array(
+                    [soundex(n or "") for n in names], pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def soundex_sql_expr(col: str) -> str:
+    """GENERATED DuckDB twin of :func:`soundex` — same code table,
+    same collapse/zero-drop/pad rules, via list comprehensions."""
+    case = "CASE " + " ".join(
+        f"WHEN list_contains({list(letters)!r}, c) THEN {code}"
+        for letters, code in SOUNDEX_CODES
+    ).replace("'", "'") + " ELSE 0 END"
+    case = case.replace('"', "'")
+    letters = f"regexp_extract_all(upper(COALESCE({col}, '')), '[A-Z]')"
+    return f"""
+        CASE WHEN len({letters}) = 0 THEN ''
+        ELSE (
+            WITH_DUMMY
+        ) END
+    """.replace(
+        "WITH_DUMMY",
+        f"""
+            (SELECT l[1] || rpad(COALESCE(array_to_string(
+                 list_filter(
+                     [cd[i] FOR i IN range(1, len(cd) + 1)
+                      IF i = 1 OR cd[i] <> cd[i - 1]][2:],
+                     x -> x <> 0)[:3], ''), ''), 3, '0')
+             FROM (SELECT {letters} AS l,
+                          list_transform({letters},
+                              c -> {case}) AS cd))
+        """,
+    )

@@ -5224,6 +5224,33 @@ def q_fuzzy_linkage(sf_dir: str) -> ray.data.Dataset:
     return fuzzy_match_registry(dirty, registry)
 
 
+def q_phonetic_keys(sf_dir: str) -> ray.data.Dataset:
+    """Soundex phonetic blocking keys over name-bearing text (simple
+    American Soundex, ``functions/linkage.py:soundex``) — names that
+    sound alike share a key, the classic pre-join blocking for entity
+    resolution.  Names derive from the documents' own first two
+    tokens; twin GENERATED from the same code table."""
+    from ..functions.linkage import phonetic_keys
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def names(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = []
+        for i, tx in zip(ids, texts):
+            toks = _CODE_TOKEN_RE.findall(tx or "")
+            out.append(" ".join(toks[:2]) if toks else f"empty{i}")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "name": pa.array(out, pa.string()),
+            }
+        )
+
+    return phonetic_keys(docs.map_batches(names, batch_format="pyarrow"))
+
+
 def q_value_trend_by_type(sf_dir: str) -> ray.data.Dataset:
     """Per-event-type OLS value trend (nano-cents/second over the
     fixed 2024-01-01 anchor) — a textbook mergeable integer aggregate:

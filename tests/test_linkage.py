@@ -58,3 +58,50 @@ def test_matcher_semantics(ray_session):
     assert out[3] == ("beta", 1)
     assert out[4] == ("", -1)
     assert out[5] == ("", -1)
+
+
+def test_soundex_classic_vectors():
+    from ocr_system_ray.functions.linkage import soundex
+
+    want = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A226",
+        "Tymczak": "T522", "Pfister": "P236", "Honeyman": "H555",
+        "": "", "123": "", "a": "A000", "LL": "L000", "aeiou": "A000",
+    }
+    for w, s in want.items():
+        assert soundex(w) == s, w
+
+
+def test_soundex_sql_twin_agrees():
+    import pyarrow as pa
+
+    from ocr_system_ray.functions.linkage import soundex, soundex_sql_expr
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+        "Honeyman", "", "123", "a", "o'brien-smith", "LL",
+        "Washington", "Wu", "Gauss", "Ghosh", "Heilbronn",
+    ]
+    t = pa.table({"i": list(range(len(words))), "w": words})
+    df = duckdb.sql(
+        f"SELECT i, {soundex_sql_expr('w')} AS s FROM t ORDER BY i"
+    ).df()
+    assert df["s"].tolist() == [soundex(w) for w in words]
+
+
+def test_phonetic_keys_dataset(ray_session):
+    from ocr_system_ray.functions.linkage import phonetic_keys
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "name": ["Robert", "rupert", None],
+        }
+    )
+    out = {
+        r["doc_id"]: r["soundex"]
+        for r in phonetic_keys(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out[1] == out[2] == "R163" and out[3] == ""
