@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q.q_corpus_diff,
         "pagerank": q.q_pagerank,
         "hits_scores": q.q_hits_scores,
+        "crawl_depth": q.q_crawl_depth,
         "triangle_counts": q.q_triangle_counts,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
@@ -479,6 +480,18 @@ def _credit_card_sql() -> str:
         WITH src AS MATERIALIZED (SELECT doc_id, {derived} AS t FROM documents)
         SELECT doc_id, {cc_sql_exprs("t")} FROM src
     """
+
+
+def _crawl_depth_sql() -> str:
+    from ocr_system_ray.functions.graph import bfs_sql
+    from ocr_system_ray.pipelines.queries import BFS_SEEDS, PAGERANK_HOSTS as H
+
+    edges = f"""SELECT DISTINCT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+        ) WHERE src <> dst"""
+    return bfs_sql(edges, BFS_SEEDS, max_hops=4, node_col="host")
 
 
 def _triangles_sql() -> str:
@@ -1437,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
+        "crawl_depth": _crawl_depth_sql(),
         "triangle_counts": _triangles_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the

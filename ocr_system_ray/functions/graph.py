@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -816,3 +817,154 @@ def triangle_sql(
               UNION ALL SELECT z FROM tri)
         GROUP BY node
     """
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth from a seed set
+# ---------------------------------------------------------------------------
+
+
+def bfs_depth(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    max_hops: int = 6,
+    node_col: str = "node",
+    depth_col: str = "depth",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Directed BFS distance from a seed set — the crawl-depth label
+    every frontier scheduler assigns ("how many hops from the seed
+    list is this host?").  → ``(node_col, depth_col)`` int64 for every
+    node in the edge set; unreached within ``max_hops`` → ``-1``.
+
+    ``seeds`` is a driver-side list (seed lists are small by
+    definition); the walk itself is fully distributed: each hop is ONE
+    reduce-side label join (edges ⋈ current depths on src — the
+    ``_attach_label`` idiom) plus ONE ``groupby(node).min`` folding
+    new candidates into the depth table.  O(edges) rows per hop,
+    ``max_hops`` hops, nothing corpus-sized on the driver.  The SQL
+    twin (:func:`bfs_sql`) unrolls the same hops as MATERIALIZED CTEs.
+    """
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+    e = _dedup_edges(edges, nb).materialize()
+    nodes = _node_table(e).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([], pa.int64()),
+                    depth_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    seed_arr = sorted(set(int(s) for s in seeds))
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_arr, pa.int64()),
+                "label": pa.array([0] * len(seed_arr), pa.int64()),
+            }
+        )
+    )
+    from ray.data.aggregate import Min
+
+    for _hop in range(max_hops):
+        cand = _attach_label(e, ["dst"], dist, "src", "d", nb).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst").cast(pa.int64()),
+                    "label": pc.add(
+                        t.column("d").cast(pa.int64()), pa.scalar(1)
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = (
+            dist.union(cand)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            # normalize block type: aggregate emits pandas blocks,
+            # which union() refuses to mix with arrow blocks
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node").cast(pa.int64()),
+                        "label": t.column("label").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    # every node joined with its depth; absent → the BIG sentinel,
+    # which min() never beats a real depth with, then -1 at the end
+    big = 1 << 60
+
+    def all_nodes_rows(t: pa.Table) -> pa.Table:
+        n = t.column("node").cast(pa.int64())
+        return pa.table(
+            {
+                "node": n,
+                "label": pa.array(
+                    np.full(len(t), big, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    merged = (
+        nodes.map_batches(all_nodes_rows, batch_format="pyarrow")
+        .union(dist)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="m"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                node_col: t.column("node").cast(pa.int64()),
+                depth_col: pa.array(np.where(m >= big, -1, m)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def bfs_sql(
+    edges_sql: str,
+    seeds: list[int],
+    max_hops: int = 6,
+    node_col: str = "node",
+    depth_col: str = "depth",
+) -> str:
+    """Generated DuckDB oracle for :func:`bfs_depth`: the same hops
+    unrolled as MATERIALIZED CTEs (union + per-node MIN per hop);
+    output = edge-set nodes ∪ seeds, unreached → -1."""
+    seed_vals = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e"
+        f" UNION ALL SELECT s FROM (VALUES {seed_vals}) sv(s)))",
+        f"d0 AS MATERIALIZED (SELECT s AS h, 0 AS d FROM (VALUES {seed_vals}) sv(s))",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+                SELECT h, MIN(d) AS d FROM (
+                    SELECT h, d FROM d{k - 1}
+                    UNION ALL
+                    SELECT e.dst AS h, r.d + 1 AS d
+                    FROM e JOIN d{k - 1} r ON e.src = r.h
+                ) GROUP BY h)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT n.h AS {node_col},
+               CAST(COALESCE(dk.d, -1) AS BIGINT) AS {depth_col}
+        FROM nodes n LEFT JOIN d{max_hops} dk ON n.h = dk.h"""
+    )

@@ -5461,6 +5461,34 @@ def q_triangle_counts(sf_dir: str) -> ray.data.Dataset:
     return triangle_counts(ds, node_col="host")
 
 
+BFS_SEEDS = [0, 7, 13]
+
+
+def q_crawl_depth(sf_dir: str) -> ray.data.Dataset:
+    """BFS crawl depth from the seed hosts over the pagerank-derived
+    link graph (unreached → -1; 4 hops) — the frontier scheduler's
+    hop label, fully distributed (one reduce-side label join + one
+    groupby-min per hop, ``functions/graph.py:bfs_depth``).  Oracle =
+    the generated unrolled-CTE twin."""
+    from ..functions.graph import bfs_depth
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return bfs_depth(ds, BFS_SEEDS, max_hops=4, node_col="host")
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

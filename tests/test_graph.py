@@ -260,3 +260,76 @@ def test_triangles_none(ray_session):
         _edges_ds([(1, 2), (2, 3), (3, 4), (2, 5)]), num_buckets=2
     ).take_all()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.graph import bfs_depth, bfs_sql  # noqa: E402
+
+
+def bfs_twin(edges, seeds, max_hops):
+    from collections import deque
+
+    es = set(edges)
+    adj: dict[int, set[int]] = {}
+    nodes: set[int] = set()
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        nodes.add(a)
+        nodes.add(b)
+    dist = {s: 0 for s in seeds}
+    q = deque((s, 0) for s in seeds)
+    while q:
+        u, d = q.popleft()
+        if d >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist or dist[v] > d + 1:
+                dist[v] = d + 1
+                q.append((v, d + 1))
+    return {n: dist.get(n, -1) for n in nodes | set(seeds)}
+
+
+def test_bfs_matches_twin_and_sql(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 60, 300), rng.integers(0, 60, 300))
+        if a != b
+    ]
+    seeds = [0, 7]
+    want = bfs_twin(edges, seeds, 3)
+    for blocks in (1, 3):
+        got = {
+            r["node"]: r["depth"]
+            for r in bfs_depth(
+                _edges_ds(edges, blocks), seeds, max_hops=3, num_buckets=4
+            ).take_all()
+        }
+        assert got == want, blocks
+    edge_tbl = pa.table(  # noqa: F841 — bound by duckdb below
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    df = duckdb.sql(
+        bfs_sql("SELECT DISTINCT src, dst FROM edge_tbl", seeds, max_hops=3)
+    ).df()
+    assert {int(r.node): int(r.depth) for r in df.itertuples()} == want
+
+
+def test_bfs_hop_cap_and_chain(ray_session):
+    # 1→2→3→4→5 chain, seed 1: cap 2 reaches only depth ≤ 2
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(
+            _edges_ds(edges), [1], max_hops=2, num_buckets=2
+        ).take_all()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: -1, 5: -1}
