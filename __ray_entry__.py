@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_extract": q.q_markdown_extract,
         "avro_roundtrip": q.q_avro_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
+        "ipc_roundtrip": q.q_ipc_roundtrip,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1649,6 +1650,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # avro_roundtrip: OCF write+read must reproduce the table
         "avro_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # ipc_roundtrip: Arrow IPC is lossless — bare table, no
+        # COALESCE null contract
+        "ipc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # csv_roundtrip: RFC 4180 shards; CSV's inherent null contract

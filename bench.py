@@ -221,6 +221,29 @@ def _query_suite() -> dict:
         # round-3 session-5 additions
         "jaccard_join_exact": q.q_jaccard_join_exact,
         "tfrecord_roundtrip": q.q_tfrecord_roundtrip,
+        # round-3 session-6 additions (the multi-hop graph walks —
+        # triangle_counts, crawl_depth — stay OUT: stage-latency-bound
+        # at sf scale, the neardup_incremental precedent)
+        "funnel_conversion": q.q_funnel_conversion,
+        "cohort_retention": q.q_cohort_retention,
+        "code_filters": q.q_code_filters,
+        "ipynb_extract": q.q_ipynb_extract,
+        "avro_roundtrip": q.q_avro_roundtrip,
+        "csv_roundtrip": q.q_csv_roundtrip,
+        "hits_scores": q.q_hits_scores,
+        "credit_card_scan": q.q_credit_card_scan,
+        "user_event_pivot": q.q_user_event_pivot,
+        "value_quantiles_by_type": q.q_value_quantiles_by_type,
+        "value_trend_by_type": q.q_value_trend_by_type,
+        "oov_rate": q.q_oov_rate,
+        "wordpiece_encode": q.q_wordpiece_encode,
+        "cdc_chunks": q.q_cdc_chunks,
+        "markdown_extract": q.q_markdown_extract,
+        "fuzzy_linkage": q.q_fuzzy_linkage,
+        "confusables_fold": q.q_confusables_fold,
+        "phonetic_keys": q.q_phonetic_keys,
+        # round-3 session-7 additions
+        "ipc_roundtrip": q.q_ipc_roundtrip,
     }
     return suite
 

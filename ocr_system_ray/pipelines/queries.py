@@ -5001,6 +5001,28 @@ def q_avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return read_avro(shards)
 
 
+def q_ipc_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Arrow IPC (Feather v2) sink + source round trip
+    (``sources/arrowipc.py``): the documents table written as
+    zstd-compressed IPC shards (the zero-copy interchange leg of the
+    corpus-exchange family) and read back through the in-stage
+    ``ipc.open_file`` expansion.  Lossless by spec — the oracle is the
+    bare table, no null contract.  Artifact cached under /tmp."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.arrowipc import read_ipc_shards, write_ipc_shards
+
+    cache = f"/tmp/osr_ipc_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=cols)
+        write_ipc_shards(docs, cache, columns=cols, compression="zstd")
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.arrow")))
+    return read_ipc_shards(shards)
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

@@ -1,0 +1,109 @@
+"""Sharded Arrow IPC (Feather v2) sink + source — the zero-copy leg of
+the corpus-exchange family (Parquet / JSONL / CSV / Avro / TFRecord /
+WebDataset already covered).
+
+Arrow IPC is the natural interchange format for a Ray Data engine: the
+on-disk record batches ARE the in-memory layout, so a read is a
+(possibly mmap'd) cast, not a parse — the cheapest possible hand-off
+between two Ray pipelines or between this engine and any Arrow-native
+consumer (polars, DuckDB via scan_ipc, pandas).  The reference's
+export side is CSV (`/root/reference/ocr/csv_utils.py:8-16`); this is
+the lossless high-throughput alternative at corpus scale.
+
+Contract (lossless, unlike CSV): every Arrow type round-trips exactly,
+nulls included — oracles compare against the bare table, no COALESCE.
+
+Ray shape mirrors the repo's shard discipline: sink writes ONE
+``.arrow`` file per incoming block inside the map tasks (content-hash
+names, tmp+rename, ``_SUCCESS``), so a 100 TB corpus streams
+shard-parallel with no driver byte traffic; source is
+``read_binary_files`` (one task per shard) + an in-stage zero-copy
+``ipc.open_file`` expansion.  Optional zstd/lz4 buffer compression is
+part of the IPC spec (not a container gzip), so compressed shards stay
+batch-seekable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+import ray.data
+
+_CODECS = (None, "zstd", "lz4")
+
+
+def write_ipc_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    columns: list[str] | None = None,
+    compression: str | None = "zstd",
+) -> int:
+    """One Feather-v2 (Arrow IPC file format) shard per block.
+
+    ``columns`` optionally projects/reorders; ``compression`` is the
+    IPC body-buffer codec (None / 'zstd' / 'lz4').  Shard names are
+    content hashes of the encoded bytes → idempotent re-runs rewrite
+    identical files; ``_SUCCESS`` carries the row count.
+    """
+    if compression not in _CODECS:
+        raise ValueError(f"ipc: unsupported compression {compression!r}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if columns is not None:
+            t = t.select(columns)
+        sink = pa.BufferOutputStream()
+        # IpcWriteOptions is not cloudpickle-able (Ray ships the
+        # closure to workers) — construct from the codec string here.
+        opts = ipc.IpcWriteOptions(compression=compression)
+        w = ipc.new_file(sink, t.schema, options=opts)
+        w.write_table(t)
+        w.close()
+        blob = sink.getvalue().to_pybytes()
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"shard-{name}.arrow")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def read_ipc_shards(
+    paths: list[str] | str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Source: Arrow IPC file shards → rows, one read task per shard.
+
+    The expansion is zero-copy off the fetched buffer
+    (``ipc.open_file`` over a ``pa.BufferReader``); ``columns``
+    projects before the block leaves the task, so unused columns never
+    enter the object store (the prune-at-the-read rule).
+    """
+
+    def expand(t: pa.Table) -> pa.Table:
+        outs: list[pa.Table] = []
+        for blob in t.column("bytes").to_pylist():
+            rdr = ipc.open_file(pa.BufferReader(blob))
+            tab = rdr.read_all()
+            if columns is not None:
+                tab = tab.select(columns)
+            outs.append(tab)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.read_binary_files(
+        paths, file_extensions=["arrow"]
+    ).map_batches(expand, batch_format="pyarrow")
