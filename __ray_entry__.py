@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip": q.q_avro_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
         "ipc_roundtrip": q.q_ipc_roundtrip,
+        "table_profile": q.q_table_profile,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1656,6 +1657,40 @@ def oracle_sql() -> dict[str, str]:
         # COALESCE null contract
         "ipc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # table_profile: per-column profiler — int columns stringify
+        # min/max (str(int) ≡ CAST AS VARCHAR), string columns use
+        # binary-collation MIN/MAX and total UTF-8 bytes as magnitude
+        "table_profile": """
+            SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(doc_id) AS n_null,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_v,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_metric
+            FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+                   COUNT(DISTINCT text), MIN(text), MAX(text),
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang), MIN(lang), MAX(lang),
+                   CAST(SUM(octet_length(encode(lang))) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source), MIN(source), MAX(source),
+                   CAST(SUM(octet_length(encode(source))) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR),
+                   CAST(MAX(n_chars) AS VARCHAR),
+                   CAST(SUM(n_chars) AS BIGINT)
+            FROM documents
         """,
         # csv_roundtrip: RFC 4180 shards; CSV's inherent null contract
         # (None -> '' for strings) is part of the spec

@@ -244,6 +244,7 @@ def _query_suite() -> dict:
         "phonetic_keys": q.q_phonetic_keys,
         # round-3 session-7 additions
         "ipc_roundtrip": q.q_ipc_roundtrip,
+        "table_profile": q.q_table_profile,
     }
     return suite
 

@@ -5023,6 +5023,25 @@ def q_ipc_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return read_ipc_shards(shards)
 
 
+def q_table_profile(sf_dir: str) -> ray.data.Dataset:
+    """Distributed data profiler over the documents table
+    (``functions/profile.py``): per-column rows/nulls/exact-distinct/
+    min/max/magnitude in two payload-proportional passes (fixed-width
+    stats partials + hashed-identity adaptive-bucket distinct).  Twin
+    = one UNION ALL of per-column DuckDB aggregates."""
+    from ..functions.profile import profile_columns
+
+    cols = {
+        "doc_id": "int",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int",
+    }
+    ds = read_table(sf_dir, "documents", columns=sorted(cols))
+    return profile_columns(ds, cols)
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

@@ -1,0 +1,81 @@
+"""Distributed data profiler (functions/profile.py) — DuckDB as the
+independent per-column aggregate oracle, null/all-null edges, numeric
+vs lexical int min/max, and layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.profile import profile_columns
+
+T = pa.table(
+    {
+        "doc_id": pa.array([9, 10, 2, 2, None, 1000], pa.int64()),
+        "text": pa.array(["b", None, "a", "a", "é", ""], pa.string()),
+        "empty": pa.array([None] * 6, pa.int64()),
+    }
+)
+
+
+def _oracle(t: pa.Table, col: str, kind: str) -> dict:
+    metric = (
+        f"CAST(SUM({col}) AS BIGINT)"
+        if kind == "int"
+        else f"CAST(SUM(octet_length(encode({col}))) AS BIGINT)"
+    )
+    cast = "CAST(MIN({c}) AS VARCHAR)" if kind == "int" else "MIN({c})"
+    castx = "CAST(MAX({c}) AS VARCHAR)" if kind == "int" else "MAX({c})"
+    row = duckdb.sql(
+        f"SELECT COUNT(*) , COUNT(*) - COUNT({col}), COUNT(DISTINCT {col}), "
+        f"{cast.format(c=col)}, {castx.format(c=col)}, {metric} FROM t"
+    ).fetchone()
+    return dict(
+        zip(["n_rows", "n_null", "n_distinct", "min_v", "max_v", "sum_metric"], row)
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_profile_matches_duckdb(ray_session, nblocks):
+    t = T  # noqa: F841  (duckdb binds local variables as tables)
+    ds = ray.data.from_arrow(T).repartition(nblocks)
+    out = (
+        profile_columns(ds, {"doc_id": "int", "text": "string", "empty": "int"})
+        .to_pandas()
+        .set_index("col_name")
+    )
+    for col, kind in [("doc_id", "int"), ("text", "string"), ("empty", "int")]:
+        want = _oracle(T, col, kind)
+        got = out.loc[col]
+        assert int(got["n_rows"]) == want["n_rows"], col
+        assert int(got["n_null"]) == want["n_null"], col
+        assert int(got["n_distinct"]) == want["n_distinct"], col
+        assert (got["min_v"] if pd.notna(got["min_v"]) else None) == want["min_v"]
+        assert (got["max_v"] if pd.notna(got["max_v"]) else None) == want["max_v"]
+        g = got["sum_metric"]
+        assert (int(g) if pd.notna(g) else None) == want["sum_metric"], col
+
+
+def test_numeric_not_lexical_minmax(ray_session):
+    # '1000' < '2' lexically — the merge must compare ints numerically.
+    ds = ray.data.from_arrow(T).repartition(4)
+    out = profile_columns(ds, {"doc_id": "int"}).to_pandas().iloc[0]
+    assert out["min_v"] == "2" and out["max_v"] == "1000"
+
+
+def test_utf8_byte_metric(ray_session):
+    # 'é' is 2 UTF-8 bytes; total = 1+1+1+2+0 = 5 over non-null texts.
+    ds = ray.data.from_arrow(T)
+    out = profile_columns(ds, {"text": "string"}).to_pandas().iloc[0]
+    assert int(out["sum_metric"]) == 5
+    assert int(out["n_distinct"]) == 4  # 'b','a','é','' — dup 'a' collapses
+
+
+def test_bad_kind_rejected(ray_session):
+    with pytest.raises(ValueError):
+        profile_columns(ray.data.from_arrow(T), {"doc_id": "float"})
