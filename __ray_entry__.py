@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q.q_csv_roundtrip,
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "table_profile": q.q_table_profile,
+        "data_contract": q.q_data_contract,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1657,6 +1658,32 @@ def oracle_sql() -> dict[str, str]:
         # COALESCE null contract
         "ipc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # data_contract: one verdict row per rule; all checks except
+        # not_null evaluate non-null values only; regex is RE2 on both
+        # sides (pc.match_substring_regex ≡ regexp_matches)
+        "data_contract": """
+            SELECT 'not_null(doc_id)' AS rule_id, 'not_null' AS "check",
+                   'doc_id' AS col_name, COUNT(*) AS n_checked,
+                   COUNT(*) - COUNT(doc_id) AS n_failed FROM documents
+            UNION ALL
+            SELECT 'unique(doc_id)', 'unique', 'doc_id', COUNT(doc_id),
+                   COUNT(doc_id) - COUNT(DISTINCT doc_id) FROM documents
+            UNION ALL
+            SELECT 'not_null(text)', 'not_null', 'text', COUNT(*),
+                   COUNT(*) - COUNT(text) FROM documents
+            UNION ALL
+            SELECT 'in_set(lang)', 'in_set', 'lang', COUNT(lang),
+                   COUNT(lang) - COUNT(*) FILTER (
+                       lang IN ('en','fr','es','de')) FROM documents
+            UNION ALL
+            SELECT 'matches(source)', 'matches', 'source', COUNT(source),
+                   COUNT(source) - COUNT(*) FILTER (
+                       regexp_matches(source, '^src[0-9]+$')) FROM documents
+            UNION ALL
+            SELECT 'in_range(n_chars)', 'in_range', 'n_chars',
+                   COUNT(n_chars), COUNT(n_chars) - COUNT(*) FILTER (
+                       n_chars BETWEEN 1 AND 400) FROM documents
         """,
         # table_profile: per-column profiler — int columns stringify
         # min/max (str(int) ≡ CAST AS VARCHAR), string columns use

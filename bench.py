@@ -245,6 +245,7 @@ def _query_suite() -> dict:
         # round-3 session-7 additions
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "table_profile": q.q_table_profile,
+        "data_contract": q.q_data_contract,
     }
     return suite
 

@@ -1,0 +1,154 @@
+"""Data-contract validation — Great-Expectations-style rule suites
+over any table, distributed.
+
+A corpus refresh gates on a contract: ids are unique, urls match the
+scheme, langs come from the allow-list, sizes sit in range, keys are
+never null.  Each rule yields one verdict row
+``(rule_id, check, col_name, n_checked, n_failed)`` so the suite's
+output is a tiny auditable table (and ``n_failed > 0`` is the gate).
+
+The reference's analog is its never-fail-row error contract
+(`/root/reference/ocr/extract.py` error-as-data rows); this is the
+same philosophy promoted to declarative table-level contracts.
+
+Shape: all row-local rules (``not_null`` / ``in_range`` / ``matches``
+/ ``in_set``) evaluate in ONE ``map_batches`` pass over zero-copy
+Arrow with pyarrow.compute kernels — RE2 regex semantics via
+``pc.match_substring_regex``, identical to DuckDB's ``regexp_matches``
+(both RE2 partial-match; NEVER Python ``re`` here, the one place the
+repo's no-RE2 rule inverts because the oracle side is RE2 too).  The
+fixed-width per-(rule, block) partials merge through one single-column
+groupby.  ``unique`` rules ride the profiler's hashed-identity
+adaptive-bucket distinct pass (``profile.exact_distinct_counts``):
+``n_failed = n_nonnull − n_distinct``.
+
+Null contract: every check EXCEPT ``not_null`` evaluates non-null
+values only (``n_checked`` = non-null count) — SQL's
+``COUNT_IF(... AND col IS NOT NULL)`` semantics, so twins are plain
+FILTERed aggregates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .profile import exact_distinct_counts
+
+_CHECKS = ("not_null", "unique", "in_range", "matches", "in_set")
+
+
+def _rule_id(rule: dict) -> str:
+    return rule.get("id") or f"{rule['check']}({rule['column']})"
+
+
+def _eval_row_local(rule: dict, col: pa.ChunkedArray) -> tuple[int, int]:
+    """(n_checked, n_failed) for one rule over one block's column."""
+    check = rule["check"]
+    if check == "not_null":
+        return len(col), col.null_count
+    vals = col.filter(pc.is_valid(col))
+    n = len(vals)
+    if n == 0:
+        return 0, 0
+    if check == "in_range":
+        ok = pc.and_(
+            pc.greater_equal(vals, rule["lo"]), pc.less_equal(vals, rule["hi"])
+        )
+    elif check == "matches":
+        ok = pc.match_substring_regex(vals, rule["pattern"])
+    elif check == "in_set":
+        ok = pc.is_in(vals, value_set=pa.array(rule["values"]))
+    else:  # pragma: no cover - guarded in validate_expectations
+        raise AssertionError(check)
+    return n, n - int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+
+
+def validate_expectations(
+    ds: ray.data.Dataset, rules: list[dict]
+) -> ray.data.Dataset:
+    """Run a rule suite; one verdict row per rule.
+
+    ``rules``: dicts with ``check`` ∈ ``{'not_null','unique',
+    'in_range','matches','in_set'}``, ``column``, and per-check params
+    (``lo``/``hi``, ``pattern`` (RE2), ``values``); optional ``id``
+    overrides the derived rule id.  ``unique`` additionally takes
+    ``kind`` (``'int'``/``'string'``, default ``'string'``) for the
+    hashed distinct pass.
+    """
+    for r in rules:
+        if r.get("check") not in _CHECKS:
+            raise ValueError(f"expectations: unknown check {r.get('check')!r}")
+        if "column" not in r:
+            raise ValueError("expectations: rule missing 'column'")
+    ids = [_rule_id(r) for r in rules]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"expectations: duplicate rule ids in {ids}")
+    row_local = [r for r in rules if r["check"] != "unique"]
+    uniques = [r for r in rules if r["check"] == "unique"]
+    need = sorted({r["column"] for r in rules})
+    ds = ds.select_columns(need)
+
+    def emit(t: pa.Table) -> pa.Table:
+        rids, checked, failed = [], [], []
+        for r in row_local:
+            n, f = _eval_row_local(r, t.column(r["column"]))
+            rids.append(_rule_id(r))
+            checked.append(n)
+            failed.append(f)
+        # unique rules contribute their non-null counts here; the
+        # distinct correction lands in the final assembly.
+        for r in uniques:
+            col = t.column(r["column"])
+            rids.append(_rule_id(r))
+            checked.append(len(col) - col.null_count)
+            failed.append(0)
+        return pa.table(
+            {
+                "rule_id": pa.array(rids, pa.string()),
+                "n_checked": pa.array(checked, pa.int64()),
+                "n_failed": pa.array(failed, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("rule_id")
+        .sum(["n_checked", "n_failed"])
+        .to_pandas()
+    )  # bounded: one row per rule
+    got = {
+        r["rule_id"]: (int(r["sum(n_checked)"]), int(r["sum(n_failed)"]))
+        for _, r in merged.iterrows()
+    } if not merged.empty else {}
+
+    if uniques:
+        ucols = sorted(
+            {(r["column"], r.get("kind", "string")) for r in uniques}
+        )
+        ddf = exact_distinct_counts(ds, list(ucols)).to_pandas()
+        d_by_col = (
+            dict(zip(ddf["col_name"], ddf["sum(d)"])) if not ddf.empty else {}
+        )
+        for r in uniques:
+            rid = _rule_id(r)
+            n, _ = got.get(rid, (0, 0))
+            got[rid] = (n, n - int(d_by_col.get(r["column"], 0)))
+
+    out = pa.table(
+        {
+            "rule_id": pa.array([_rule_id(r) for r in rules], pa.string()),
+            "check": pa.array([r["check"] for r in rules], pa.string()),
+            "col_name": pa.array([r["column"] for r in rules], pa.string()),
+            "n_checked": pa.array(
+                [got.get(_rule_id(r), (0, 0))[0] for r in rules], pa.int64()
+            ),
+            "n_failed": pa.array(
+                [got.get(_rule_id(r), (0, 0))[1] for r in rules], pa.int64()
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)

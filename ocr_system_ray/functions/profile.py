@@ -153,8 +153,52 @@ def profile_columns(
     )
 
     # ---- distinct pass: hash identities + adaptive coarse buckets.
-    n_rows = ds.count()
-    bits = _adaptive_coarse_bits(max(1, n_rows) * len(cols))
+    distinct = exact_distinct_counts(ds, cols)
+
+    # ---- final assembly: both sides are ≤ #columns rows (bounded by
+    # schema width, never by data) — a driver merge is the honest move.
+    sdf = stats.to_pandas()
+    ddf = distinct.to_pandas()
+    d_by_col = (
+        dict(zip(ddf["col_name"], ddf["sum(d)"])) if not ddf.empty else {}
+    )
+    out = pa.table(
+        {
+            "col_name": pa.array(list(sdf["col_name"]), pa.string()),
+            "n_rows": pa.array([int(v) for v in sdf["n_rows"]], pa.int64()),
+            "n_null": pa.array([int(v) for v in sdf["n_null"]], pa.int64()),
+            "n_distinct": pa.array(
+                [int(d_by_col.get(c, 0)) for c in sdf["col_name"]], pa.int64()
+            ),
+            "min_v": pa.array(
+                [None if pd.isna(v) else str(v) for v in sdf["min_v"]],
+                pa.string(),
+            ),
+            "max_v": pa.array(
+                [None if pd.isna(v) else str(v) for v in sdf["max_v"]],
+                pa.string(),
+            ),
+            "sum_metric": pa.array(
+                [None if pd.isna(v) else int(v) for v in sdf["sum_metric"]],
+                pa.int64(),
+            ),
+        }
+    )
+    return ray.data.from_arrow(out)
+
+
+def exact_distinct_counts(
+    ds: ray.data.Dataset, cols: list[tuple[str, str]]
+) -> ray.data.Dataset:
+    """Exact per-column distinct counts (nulls excluded) as a Dataset
+    of ``col_name, sum(d)`` rows — the profiler's distinct pass,
+    shared with the expectations validator's ``unique`` rule.
+
+    Values collapse to vectorized 64-bit ``stable_hash64`` identities
+    in-stage (8 bytes/cell shuffles, never the values), bucketed by
+    adaptive coarse keys, pandas-``nunique``d per bucket, summed per
+    column with one single-column groupby."""
+    bits = _adaptive_coarse_bits(max(1, ds.count()) * len(cols))
 
     # gkey packs (column index, coarse bucket) into one int64 — fully
     # vectorized, single-column groupby (the multi-column-groupby
@@ -198,44 +242,13 @@ def profile_columns(
             {"col_name": [name], "d": pd.Series([df["h"].nunique()], dtype="int64")}
         )
 
-    distinct = (
+    return (
         ds.map_batches(emit_hashes, batch_format="pyarrow")
         .groupby("gkey")
         .map_groups(count_bucket, batch_format="pandas")
         .groupby("col_name")
         .sum("d")
     )
-
-    # ---- final assembly: both sides are ≤ #columns rows (bounded by
-    # schema width, never by data) — a driver merge is the honest move.
-    sdf = stats.to_pandas()
-    ddf = distinct.to_pandas()
-    d_by_col = (
-        dict(zip(ddf["col_name"], ddf["sum(d)"])) if not ddf.empty else {}
-    )
-    out = pa.table(
-        {
-            "col_name": pa.array(list(sdf["col_name"]), pa.string()),
-            "n_rows": pa.array([int(v) for v in sdf["n_rows"]], pa.int64()),
-            "n_null": pa.array([int(v) for v in sdf["n_null"]], pa.int64()),
-            "n_distinct": pa.array(
-                [int(d_by_col.get(c, 0)) for c in sdf["col_name"]], pa.int64()
-            ),
-            "min_v": pa.array(
-                [None if pd.isna(v) else str(v) for v in sdf["min_v"]],
-                pa.string(),
-            ),
-            "max_v": pa.array(
-                [None if pd.isna(v) else str(v) for v in sdf["max_v"]],
-                pa.string(),
-            ),
-            "sum_metric": pa.array(
-                [None if pd.isna(v) else int(v) for v in sdf["sum_metric"]],
-                pa.int64(),
-            ),
-        }
-    )
-    return ray.data.from_arrow(out)
 
 
 def _merge_int_aware(kinds: dict[str, str]):

@@ -5042,6 +5042,33 @@ def q_table_profile(sf_dir: str) -> ray.data.Dataset:
     return profile_columns(ds, cols)
 
 
+def q_data_contract(sf_dir: str) -> ray.data.Dataset:
+    """Declarative data-contract suite over documents
+    (``functions/expectations.py``): pk uniqueness, null gates, RE2
+    format checks, allow-lists, numeric ranges — one verdict row per
+    rule, ``n_failed`` the gate.  Twin = FILTERed DuckDB aggregates
+    (both sides RE2, the documented semantics inversion)."""
+    from ..functions.expectations import validate_expectations
+
+    ds = read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return validate_expectations(
+        ds,
+        [
+            {"check": "not_null", "column": "doc_id"},
+            {"check": "unique", "column": "doc_id", "kind": "int"},
+            {"check": "not_null", "column": "text"},
+            {"check": "in_set", "column": "lang",
+             "values": ["en", "fr", "es", "de"]},
+            {"check": "matches", "column": "source", "pattern": r"^src[0-9]+$"},
+            {"check": "in_range", "column": "n_chars", "lo": 1, "hi": 400},
+        ],
+    )
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

@@ -1,0 +1,108 @@
+"""Data-contract validation (functions/expectations.py) — DuckDB
+FILTERed aggregates as the oracle, RE2 parity, null contract, unique
+via hashed distinct, layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.expectations import validate_expectations
+
+T = pa.table(
+    {
+        "doc_id": pa.array([1, 2, 2, 4, None, 6], pa.int64()),
+        "url": pa.array(
+            [
+                "https://a.example/x",
+                "http://b.example/y",
+                "ftp://c.example/z",
+                None,
+                "https://d.example",
+                "not a url",
+            ],
+            pa.string(),
+        ),
+        "lang": pa.array(["en", "si", "xx", "en", None, "ta"], pa.string()),
+        "n": pa.array([5, -1, 10, 99, 100, None], pa.int64()),
+    }
+)
+
+RULES = [
+    {"check": "not_null", "column": "doc_id"},
+    {"check": "unique", "column": "doc_id", "kind": "int"},
+    {"check": "matches", "column": "url", "pattern": r"^https?://"},
+    {"check": "in_set", "column": "lang", "values": ["en", "si", "ta"]},
+    {"check": "in_range", "column": "n", "lo": 0, "hi": 99},
+]
+
+
+def _oracle() -> dict:
+    t = T  # noqa: F841
+    rows = duckdb.sql(
+        """
+        SELECT 'not_null(doc_id)', COUNT(*), COUNT(*) - COUNT(doc_id) FROM t
+        UNION ALL
+        SELECT 'unique(doc_id)', COUNT(doc_id),
+               COUNT(doc_id) - COUNT(DISTINCT doc_id) FROM t
+        UNION ALL
+        SELECT 'matches(url)', COUNT(url),
+               COUNT(url) - COUNT(*) FILTER (regexp_matches(url, '^https?://'))
+        FROM t
+        UNION ALL
+        SELECT 'in_set(lang)', COUNT(lang),
+               COUNT(lang) - COUNT(*) FILTER (lang IN ('en','si','ta')) FROM t
+        UNION ALL
+        SELECT 'in_range(n)', COUNT(n),
+               COUNT(n) - COUNT(*) FILTER (n BETWEEN 0 AND 99) FROM t
+        """
+    ).fetchall()
+    return {r[0]: (r[1], r[2]) for r in rows}
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_suite_matches_duckdb(ray_session, nblocks):
+    ds = ray.data.from_arrow(T).repartition(nblocks)
+    out = validate_expectations(ds, RULES).to_pandas().set_index("rule_id")
+    want = _oracle()
+    assert len(out) == len(RULES)
+    for rid, (n, f) in want.items():
+        assert int(out.loc[rid, "n_checked"]) == n, rid
+        assert int(out.loc[rid, "n_failed"]) == f, rid
+    # spot-pin the interesting ones
+    assert int(out.loc["unique(doc_id)", "n_failed"]) == 1  # dup 2
+    assert int(out.loc["matches(url)", "n_failed"]) == 2  # ftp + garbage
+    assert int(out.loc["in_range(n)", "n_failed"]) == 2  # -1, 100
+
+
+def test_custom_id_and_order_preserved(ray_session):
+    ds = ray.data.from_arrow(T)
+    out = validate_expectations(
+        ds,
+        [
+            {"id": "pk", "check": "unique", "column": "doc_id", "kind": "int"},
+            {"check": "not_null", "column": "url"},
+        ],
+    ).to_pandas()
+    assert out["rule_id"].tolist() == ["pk", "not_null(url)"]
+    assert out["check"].tolist() == ["unique", "not_null"]
+
+
+def test_rejects_bad_rules(ray_session):
+    ds = ray.data.from_arrow(T)
+    with pytest.raises(ValueError):
+        validate_expectations(ds, [{"check": "nope", "column": "url"}])
+    with pytest.raises(ValueError):
+        validate_expectations(ds, [{"check": "not_null"}])
+    with pytest.raises(ValueError):
+        validate_expectations(
+            ds,
+            [
+                {"check": "not_null", "column": "url"},
+                {"check": "not_null", "column": "url"},
+            ],
+        )
