@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "table_profile": q.q_table_profile,
         "data_contract": q.q_data_contract,
+        "registrable_domains": q.q_registrable_domains,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -385,6 +386,60 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _psl_sql() -> str:
+    """Independent DuckDB re-implementation of the PSL algorithm
+    (label-aligned suffix join + prevailing-rule aggregation) over a
+    VALUES table generated from the module's rule snapshot; the host
+    derivation mirrors q_registrable_domains."""
+    from ocr_system_ray.functions.psl import PSL_RULES
+
+    rules = ", ".join(f"('{r}')" for r in PSL_RULES)
+    return f"""
+        WITH hosts AS MATERIALIZED (
+            SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'www.site' || (doc_id % 20) || '.com'
+                  WHEN 1 THEN 'a.b.site' || (doc_id % 20) || '.co.uk'
+                  WHEN 2 THEN 'user' || (doc_id % 10) || '.github.io'
+                  WHEN 3 THEN 'x.site' || (doc_id % 20) || '.web.ck'
+                  WHEN 4 THEN 'www.ck'
+                  ELSE 'site' || (doc_id % 20) || '.zz'
+                END AS host
+            FROM documents),
+        split AS MATERIALIZED (
+            SELECT doc_id, host, string_split(host, '.') AS hl FROM hosts),
+        rs AS (SELECT (rule LIKE '!%') AS exc,
+                      string_split(CASE WHEN rule LIKE '!%'
+                                        THEN substr(rule, 2) ELSE rule END,
+                                   '.') AS rl
+               FROM (VALUES {rules}) r(rule)),
+        m AS (
+          SELECT s.doc_id, r.exc, len(r.rl) AS L
+          FROM split s JOIN rs r
+          ON len(s.hl) >= len(r.rl)
+          AND list_reduce(
+                [CASE WHEN r.rl[k] = '*'
+                        OR r.rl[k] = s.hl[len(s.hl)-len(r.rl)+k]
+                      THEN 1 ELSE 0 END FOR k IN range(1, len(r.rl)+1)],
+                (a, b) -> a * b) = 1
+        ),
+        best AS (
+          SELECT doc_id, CASE WHEN bool_or(exc)
+                              THEN min(CASE WHEN exc THEN L - 1 END)
+                              ELSE max(L) END AS pslen
+          FROM m GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.host,
+               array_to_string(
+                   s.hl[len(s.hl)-COALESCE(b.pslen,1)+1:], '.') AS public_suffix,
+               CASE WHEN len(s.hl) > COALESCE(b.pslen, 1)
+                    THEN array_to_string(
+                           s.hl[len(s.hl)-COALESCE(b.pslen,1):], '.')
+                    ELSE NULL END AS registrable
+        FROM split s LEFT JOIN best b USING (doc_id)
+    """
 
 
 def _phonetic_sql() -> str:
@@ -1792,6 +1847,9 @@ def oracle_sql() -> dict[str, str]:
         # over the identical dirty-name derivation (substring surgery)
         "confusables_fold": _confusables_sql(),
         "phonetic_keys": _phonetic_sql(),
+        # registrable_domains: independent DuckDB PSL implementation
+        # over the generated rule table
+        "registrable_domains": _psl_sql(),
         "fuzzy_linkage": """
             WITH reg AS MATERIALIZED (
                 SELECT 'entity-' || lpad(CAST(k AS VARCHAR), 4, '0') AS cname

@@ -246,6 +246,7 @@ def _query_suite() -> dict:
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "table_profile": q.q_table_profile,
         "data_contract": q.q_data_contract,
+        "registrable_domains": q.q_registrable_domains,
     }
     return suite
 

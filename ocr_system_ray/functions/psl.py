@@ -1,0 +1,129 @@
+"""Public-suffix (eTLD+1) registered-domain extraction.
+
+Per-site quotas, host-level dedup scopes, and domain mixing all group
+by the REGISTRABLE domain, not the raw host — ``a.b.site.co.uk`` and
+``www.site.co.uk`` are the same site, while ``user1.github.io`` and
+``user2.github.io`` are different ones.  That boundary is the Public
+Suffix List algorithm (publicsuffix.org): the prevailing rule is the
+exception rule if any matches, else the longest matching rule, else
+``*`` (the bare TLD); the public suffix is the matched labels (minus
+one for exceptions) and the registrable domain is the public suffix
+plus one label — NULL when the host IS a public suffix.
+
+``PSL_RULES`` is a small embedded snapshot of representative PSL
+entries (exact, wildcard ``*.ck``, exception ``!www.ck``, private
+``github.io``-style) — the algorithm is rule-set-generic, swap in the
+full published list at deploy time.  The SQL twin re-implements the
+same algorithm independently in DuckDB (label-aligned suffix join +
+prevailing-rule aggregation) over a VALUES table GENERATED from this
+module's rule set, so the two sides share data but not code.
+
+Ray shape: row-local (one ``map_batches`` pass, no shuffle); the rule
+set compiles once per worker into three lookup structures at module
+import — never per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+# Representative snapshot of publicsuffix.org entries: ICANN exact
+# rules (incl. multi-label), the wildcard+exception pair the spec
+# documents (ck), and private-section entries (github.io, blogspot).
+PSL_RULES: tuple[str, ...] = (
+    "com",
+    "org",
+    "net",
+    "io",
+    "co",
+    "de",
+    "fr",
+    "jp",
+    "uk",
+    "co.uk",
+    "org.uk",
+    "ac.uk",
+    "gov.uk",
+    "au",
+    "com.au",
+    "net.au",
+    "co.jp",
+    "ne.jp",
+    "ck",
+    "*.ck",
+    "!www.ck",
+    "github.io",
+    "gitlab.io",
+    "blogspot.com",
+)
+
+
+def _compile(rules: tuple[str, ...]):
+    exact: set[tuple[str, ...]] = set()
+    wild: set[tuple[str, ...]] = set()  # rest after '*.'
+    exc: set[tuple[str, ...]] = set()
+    for r in rules:
+        if r.startswith("!"):
+            exc.add(tuple(r[1:].split(".")))
+        elif r.startswith("*."):
+            wild.add(tuple(r[2:].split(".")))
+        else:
+            exact.add(tuple(r.split(".")))
+    return exact, wild, exc
+
+
+_EXACT, _WILD, _EXC = _compile(PSL_RULES)
+
+
+def public_suffix_len(labels: list[str]) -> int:
+    """Number of labels in the prevailing public suffix of ``labels``
+    (lowercased host split on '.'), per the PSL algorithm."""
+    n = len(labels)
+    # exception rules prevail outright
+    for L in range(n, 0, -1):
+        if tuple(labels[n - L:]) in _EXC:
+            return L - 1
+    best = 1  # the implicit '*' default rule
+    for L in range(1, n + 1):
+        suf = tuple(labels[n - L:])
+        if suf in _EXACT:
+            best = max(best, L)
+        # wildcard '*.rest' matches suffixes of len(rest)+1
+        if L >= 2 and tuple(labels[n - L + 1:]) in _WILD:
+            best = max(best, L)
+    return best
+
+
+def split_host(host: str) -> tuple[str | None, str | None]:
+    """(public_suffix, registrable_domain) for one host; registrable
+    is NULL when the host is itself a public suffix (or empty)."""
+    h = (host or "").strip().strip(".").lower()
+    if not h:
+        return None, None
+    labels = h.split(".")
+    ps = public_suffix_len(labels)
+    suffix = ".".join(labels[len(labels) - ps:]) if ps else None
+    if len(labels) <= ps:
+        return suffix, None
+    return suffix, ".".join(labels[len(labels) - ps - 1:])
+
+
+def registrable_domains(
+    ds: ray.data.Dataset, host_col: str = "host"
+) -> ray.data.Dataset:
+    """Append ``public_suffix`` and ``registrable`` columns derived
+    from ``host_col`` — row-local, shuffle-free."""
+
+    def add(t: pa.Table) -> pa.Table:
+        sufs, regs = [], []
+        for h in t.column(host_col).to_pylist():
+            s, r = split_host(h) if h is not None else (None, None)
+            sufs.append(s)
+            regs.append(r)
+        return t.append_column(
+            "public_suffix", pa.array(sufs, pa.string())
+        ).append_column("registrable", pa.array(regs, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

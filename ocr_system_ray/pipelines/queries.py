@@ -5069,6 +5069,42 @@ def q_data_contract(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_registrable_domains(sf_dir: str) -> ray.data.Dataset:
+    """Public-suffix (eTLD+1) registered-domain split
+    (``functions/psl.py``) — the site boundary every per-domain quota
+    / dedup scope / mixing weight groups by.  Hosts DERIVED from
+    doc_id to cover exact, multi-label, wildcard (``*.ck``), exception
+    (``!www.ck``), private (``github.io``) and unknown-TLD rules; twin
+    = an independent DuckDB re-implementation of the PSL algorithm
+    over a VALUES table generated from the same rule snapshot."""
+    from ..functions.psl import registrable_domains
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).tolist()
+        out = []
+        for i in ids:
+            k = i % 6
+            if k == 0:
+                out.append(f"www.site{i % 20}.com")
+            elif k == 1:
+                out.append(f"a.b.site{i % 20}.co.uk")
+            elif k == 2:
+                out.append(f"user{i % 10}.github.io")
+            elif k == 3:
+                out.append(f"x.site{i % 20}.web.ck")
+            elif k == 4:
+                out.append("www.ck")
+            else:
+                out.append(f"site{i % 20}.zz")
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "host": pa.array(out, pa.string())}
+        )
+
+    return registrable_domains(docs.map_batches(hosts, batch_format="pyarrow"))
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

@@ -1,0 +1,122 @@
+"""Public-suffix registrable-domain extraction (functions/psl.py) —
+publicsuffix.org spec examples, the wildcard/exception pair, and an
+independent DuckDB re-implementation of the PSL algorithm over the
+same rule table as a randomized cross-check."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.psl import (
+    PSL_RULES,
+    registrable_domains,
+    split_host,
+)
+
+# (host, public_suffix, registrable) — the publicsuffix.org test-case
+# shapes, restricted to the snapshot's rules.
+SPEC = [
+    ("example.com", "com", "example.com"),
+    ("www.example.com", "com", "example.com"),
+    ("a.b.example.co.uk", "co.uk", "example.co.uk"),
+    ("example.co.uk", "co.uk", "example.co.uk"),
+    ("co.uk", "co.uk", None),
+    ("com", "com", None),
+    ("user1.github.io", "github.io", "user1.github.io"),
+    ("a.user1.github.io", "github.io", "user1.github.io"),
+    # wildcard *.ck: any single label under ck is a public suffix
+    ("example.web.ck", "web.ck", "example.web.ck"),
+    ("a.example.web.ck", "web.ck", "example.web.ck"),
+    ("web.ck", "web.ck", None),
+    # exception !www.ck: www.ck is registrable despite the wildcard
+    ("www.ck", "ck", "www.ck"),
+    ("a.www.ck", "ck", "www.ck"),
+    # unknown TLD → the implicit '*' default rule
+    ("example.zz", "zz", "example.zz"),
+    ("localhost", "localhost", None),
+    # normalization
+    ("WWW.Example.COM.", "com", "example.com"),
+    ("", None, None),
+]
+
+
+@pytest.mark.parametrize("host,suffix,reg", SPEC)
+def test_spec_cases(host, suffix, reg):
+    assert split_host(host) == (suffix, reg)
+
+
+def _sql_psl(hosts: list[str]) -> dict[str, str | None]:
+    """Independent DuckDB implementation of the PSL algorithm."""
+    vals = ", ".join(f"({i}, '{h}')" for i, h in enumerate(hosts))
+    rules = ", ".join(f"('{r}')" for r in PSL_RULES)
+    rows = duckdb.sql(f"""
+        WITH hosts(i, host) AS (VALUES {vals}),
+        split AS (SELECT i, host, string_split(host,'.') AS hl FROM hosts),
+        rs AS (SELECT (rule LIKE '!%') AS exc,
+                      string_split(CASE WHEN rule LIKE '!%'
+                                        THEN substr(rule,2) ELSE rule END,
+                                   '.') AS rl
+               FROM (VALUES {rules}) r(rule)),
+        m AS (
+          SELECT s.i, r.exc, len(r.rl) AS L
+          FROM split s JOIN rs r
+          ON len(s.hl) >= len(r.rl)
+          AND list_reduce(
+                [CASE WHEN r.rl[k] = '*'
+                        OR r.rl[k] = s.hl[len(s.hl)-len(r.rl)+k]
+                      THEN 1 ELSE 0 END FOR k IN range(1, len(r.rl)+1)],
+                (a,b) -> a*b) = 1
+        ),
+        best AS (
+          SELECT i, CASE WHEN bool_or(exc)
+                         THEN min(CASE WHEN exc THEN L-1 END)
+                         ELSE max(L) END AS pslen
+          FROM m GROUP BY i
+        )
+        SELECT s.host,
+               CASE WHEN len(s.hl) > COALESCE(b.pslen,1)
+                    THEN array_to_string(
+                           s.hl[len(s.hl)-COALESCE(b.pslen,1):], '.')
+                    ELSE NULL END AS registrable
+        FROM split s LEFT JOIN best b USING (i)
+    """).fetchall()
+    return dict(rows)
+
+
+def test_cross_check_duckdb_algorithm():
+    import random
+
+    rng = random.Random(7)
+    tlds = ["com", "co.uk", "github.io", "ck", "web.ck", "www.ck", "zz",
+            "jp", "co.jp", "blogspot.com", "au", "com.au"]
+    hosts = []
+    for _ in range(300):
+        depth = rng.randint(0, 3)
+        labels = [f"l{rng.randint(0, 9)}" for _ in range(depth)]
+        hosts.append(".".join(labels + [rng.choice(tlds)]))
+    hosts = sorted(set(hosts))
+    want = _sql_psl(hosts)
+    for h in hosts:
+        assert split_host(h)[1] == want[h], h
+
+
+def test_dataset_stage(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "host": pa.array(["www.a.com", "b.web.ck", None], pa.string()),
+        }
+    )
+    out = (
+        registrable_domains(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["registrable"].tolist()[:2] == ["a.com", "b.web.ck"]
+    assert out["public_suffix"].tolist()[:2] == ["com", "web.ck"]
+    assert out["registrable"].isna()[2] and out["public_suffix"].isna()[2]
