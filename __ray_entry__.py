@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q.q_table_profile,
         "data_contract": q.q_data_contract,
         "registrable_domains": q.q_registrable_domains,
+        "idna_hosts": q.q_idna_hosts,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -386,6 +387,35 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _idna_sql() -> str:
+    """Mapping VALUES table generated from Python's stdlib punycode
+    codec (independent of functions/idna.py's from-scratch decoder);
+    host derivation mirrors q_idna_hosts."""
+    import codecs
+
+    from ocr_system_ray.pipelines.queries import IDNA_LABELS
+
+    rows = []
+    for k, lb in enumerate(IDNA_LABELS):
+        ace = (
+            lb
+            if lb.isascii()
+            else "xn--" + codecs.encode(lb, "punycode").decode("ascii")
+        )
+        rows.append(f"({k}, '{ace}', '{lb}')")
+    vals = ", ".join(rows)
+    return f"""
+        WITH map(k, ace, uni) AS (VALUES {vals})
+        SELECT d.doc_id,
+               m.ace || '.example.' ||
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'com' ELSE 'de' END AS host,
+               m.uni || '.example.' ||
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'com' ELSE 'de' END
+                   AS unicode_host
+        FROM documents d JOIN map m ON m.k = d.doc_id % 10
+    """
 
 
 def _psl_sql() -> str:
@@ -1850,6 +1880,9 @@ def oracle_sql() -> dict[str, str]:
         # registrable_domains: independent DuckDB PSL implementation
         # over the generated rule table
         "registrable_domains": _psl_sql(),
+        # idna_hosts: stdlib-codec-generated mapping table vs the
+        # from-scratch RFC 3492 decoder
+        "idna_hosts": _idna_sql(),
         "fuzzy_linkage": """
             WITH reg AS MATERIALIZED (
                 SELECT 'entity-' || lpad(CAST(k AS VARCHAR), 4, '0') AS cname

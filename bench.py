@@ -247,6 +247,7 @@ def _query_suite() -> dict:
         "table_profile": q.q_table_profile,
         "data_contract": q.q_data_contract,
         "registrable_domains": q.q_registrable_domains,
+        "idna_hosts": q.q_idna_hosts,
     }
     return suite
 

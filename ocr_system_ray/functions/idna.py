@@ -1,0 +1,171 @@
+"""Punycode / IDNA host decoding (RFC 3492) — from scratch.
+
+Internationalized hostnames arrive in crawls as ASCII-Compatible
+Encoding (``xn--bcher-kva.example``); URL canonicalization, per-site
+grouping and display all want the Unicode form (``bücher.example``).
+This is the full RFC 3492 bootstring algorithm (generalized
+variable-length integers with adaptive bias), not a table lookup —
+both directions, so tests can round-trip arbitrary labels and
+cross-check against Python's independent stdlib ``punycode`` codec.
+
+Error contract: a label that fails to decode (truncated digits,
+overflow, non-ASCII input) stays AS-IS — error-as-data, the crawl
+never drops a row over a malformed host.
+
+Ray shape: row-local ``map_batches`` pass, no shuffle; plain integer
+arithmetic per label (hosts are short — the per-row loop is bounded by
+label length, not document size).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+# RFC 3492 §5 parameter values
+_BASE, _TMIN, _TMAX = 36, 1, 26
+_SKEW, _DAMP = 38, 700
+_INITIAL_BIAS, _INITIAL_N = 72, 128
+
+
+def _adapt(delta: int, numpoints: int, firsttime: bool) -> int:
+    delta = delta // _DAMP if firsttime else delta // 2
+    delta += delta // numpoints
+    k = 0
+    while delta > ((_BASE - _TMIN) * _TMAX) // 2:
+        delta //= _BASE - _TMIN
+        k += _BASE
+    return k + (((_BASE - _TMIN + 1) * delta) // (delta + _SKEW))
+
+
+def _digit_value(ch: str) -> int:
+    o = ord(ch)
+    if 0x61 <= o <= 0x7A:  # a-z → 0..25
+        return o - 0x61
+    if 0x41 <= o <= 0x5A:  # A-Z → 0..25 (case-insensitive digits)
+        return o - 0x41
+    if 0x30 <= o <= 0x39:  # 0-9 → 26..35
+        return o - 0x30 + 26
+    raise ValueError(f"punycode: bad digit {ch!r}")
+
+
+def _digit_char(d: int) -> str:
+    return chr(d + 0x61) if d < 26 else chr(d - 26 + 0x30)
+
+
+def punycode_decode(s: str) -> str:
+    """RFC 3492 §6.2 decoding of one label body (no ``xn--`` prefix)."""
+    if not s:
+        raise ValueError("punycode: empty input")
+    if not s.isascii():
+        raise ValueError("punycode: non-ASCII input")
+    pos = s.rfind("-")
+    if pos > 0:
+        output = list(s[:pos])
+        rest = s[pos + 1:]
+    else:
+        output = []
+        rest = s[1:] if pos == 0 else s
+    for ch in output:
+        if ord(ch) >= _INITIAL_N:  # pragma: no cover - isascii-guarded
+            raise ValueError("punycode: non-basic code point in literal part")
+    n, i, bias = _INITIAL_N, 0, _INITIAL_BIAS
+    p = 0
+    while p < len(rest):
+        oldi, w, k = i, 1, _BASE
+        while True:
+            if p >= len(rest):
+                raise ValueError("punycode: truncated variable-length integer")
+            digit = _digit_value(rest[p])
+            p += 1
+            i += digit * w
+            if i > 0x10FFFF * 1000:  # overflow guard (spec: maxint)
+                raise ValueError("punycode: overflow")
+            t = _TMIN if k <= bias else (_TMAX if k >= bias + _TMAX else k - bias)
+            if digit < t:
+                break
+            w *= _BASE - t
+            k += _BASE
+        bias = _adapt(i - oldi, len(output) + 1, oldi == 0)
+        n += i // (len(output) + 1)
+        if n > 0x10FFFF:
+            raise ValueError("punycode: code point out of range")
+        i %= len(output) + 1
+        output.insert(i, chr(n))
+        i += 1
+    return "".join(output)
+
+
+def punycode_encode(s: str) -> str:
+    """RFC 3492 §6.3 encoding of one label to its ACE body."""
+    output = [c for c in s if ord(c) < _INITIAL_N]
+    b = h = len(output)
+    if b:
+        output.append("-")
+    n, delta, bias = _INITIAL_N, 0, _INITIAL_BIAS
+    codepoints = sorted({ord(c) for c in s if ord(c) >= _INITIAL_N})
+    if not codepoints and b == len(s):
+        return "".join(output[:-1]) + "-" if b else ""
+    for m in codepoints:
+        delta += (m - n) * (h + 1)
+        n = m
+        for c in s:
+            o = ord(c)
+            if o < n:
+                delta += 1
+                if delta == 0:  # pragma: no cover - overflow guard
+                    raise ValueError("punycode: overflow")
+            elif o == n:
+                q = delta
+                k = _BASE
+                while True:
+                    t = (
+                        _TMIN
+                        if k <= bias
+                        else (_TMAX if k >= bias + _TMAX else k - bias)
+                    )
+                    if q < t:
+                        break
+                    output.append(_digit_char(t + ((q - t) % (_BASE - t))))
+                    q = (q - t) // (_BASE - t)
+                    k += _BASE
+                output.append(_digit_char(q))
+                bias = _adapt(delta, h + 1, h == b)
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    return "".join(output)
+
+
+def decode_idna_label(label: str) -> str:
+    """One host label: ``xn--…`` → Unicode (lowercased first, per the
+    case-insensitive DNS contract); anything else — including a label
+    that fails to decode — passes through unchanged."""
+    low = label.lower()
+    if not low.startswith("xn--"):
+        return low
+    try:
+        return punycode_decode(low[4:])
+    except ValueError:
+        return low
+
+
+def decode_idna_host(host: str) -> str:
+    return ".".join(decode_idna_label(lb) for lb in (host or "").split("."))
+
+
+def decode_idna_hosts(
+    ds: ray.data.Dataset, host_col: str = "host"
+) -> ray.data.Dataset:
+    """Append ``unicode_host`` decoded from ``host_col``."""
+
+    def add(t: pa.Table) -> pa.Table:
+        out = [
+            None if h is None else decode_idna_host(h)
+            for h in t.column(host_col).to_pylist()
+        ]
+        return t.append_column("unicode_host", pa.array(out, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

@@ -5105,6 +5105,44 @@ def q_registrable_domains(sf_dir: str) -> ray.data.Dataset:
     return registrable_domains(docs.map_batches(hosts, batch_format="pyarrow"))
 
 
+IDNA_LABELS = (
+    "bücher", "münchen", "café", "токен", "中文网",
+    "ölçü", "naïve", "søk", "plain1", "shop",
+)
+
+
+def q_idna_hosts(sf_dir: str) -> ray.data.Dataset:
+    """Punycode/IDNA host decoding (``functions/idna.py`` — RFC 3492
+    bootstring from scratch): ACE hosts derived from doc_id over the
+    shared ``IDNA_LABELS`` list, decoded row-locally.  Twin = the same
+    derivation joined against a mapping VALUES table generated from
+    Python's INDEPENDENT stdlib punycode codec — two implementations,
+    one label list."""
+    import codecs as _codecs
+
+    from ..functions.idna import decode_idna_hosts
+
+    ace = [
+        lb
+        if lb.isascii()
+        else "xn--" + _codecs.encode(lb, "punycode").decode("ascii")
+        for lb in IDNA_LABELS
+    ]
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).tolist()
+        out = [
+            f"{ace[i % 10]}.example." + ("com" if i % 2 == 0 else "de")
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "host": pa.array(out, pa.string())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return decode_idna_hosts(docs.map_batches(hosts, batch_format="pyarrow"))
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

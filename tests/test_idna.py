@@ -1,0 +1,92 @@
+"""Punycode/IDNA (functions/idna.py) — RFC 3492 spec vectors, Python's
+independent stdlib punycode codec as a randomized round-trip oracle,
+and the error-as-data label contract."""
+
+from __future__ import annotations
+
+import codecs
+import random
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.idna import (
+    decode_idna_host,
+    decode_idna_hosts,
+    punycode_decode,
+    punycode_encode,
+)
+
+# RFC 3492 §7.1 sample strings (subset) + common real-world labels.
+VECTORS = [
+    ("bcher-kva", "bücher"),
+    ("mnchen-3ya", "münchen"),
+    ("caf-dma", "café"),
+    # RFC 3492 (A): Arabic (Egyptian)
+    ("egbpdaj6bu4bxfgehfvwxn", "ليهمابتكلموشعربي؟"),
+    # RFC 3492 (B): Chinese (simplified)
+    ("ihqwcrb4cv8a8dqg056pqjye", "他们为什么不说中文"),
+    # RFC 3492 (L): Japanese
+    ("n8jok5ay5dzabd5bym9f0cm5685rrjetr6pdxa",
+     "なぜみんな日本語を話してくれないのか"),
+    # RFC 3492 (P): Japanese with basic code points
+    ("3b-ww4c5e180e575a65lsy2b", "3年b組金八先生"),
+    # all-basic label with explicit delimiter
+    ("abc-", "abc"),
+]
+
+
+@pytest.mark.parametrize("ace,uni", VECTORS)
+def test_rfc_vectors_decode(ace, uni):
+    assert punycode_decode(ace) == uni
+
+
+@pytest.mark.parametrize("ace,uni", VECTORS)
+def test_rfc_vectors_encode(ace, uni):
+    assert punycode_encode(uni).lower() == ace
+
+
+def test_random_roundtrip_vs_stdlib():
+    rng = random.Random(42)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+        "àáâãäåæçèéêëìíîïðñòóôõö",
+        "αβγδεζηθικλμνξο",
+        "абвгдежзийклмноп",
+        "一二三四五六七八九十中文日本語",
+    ]
+    for _ in range(300):
+        n = rng.randint(1, 12)
+        label = "".join(
+            rng.choice(rng.choice(pools)) for _ in range(n)
+        )
+        want = codecs.encode(label, "punycode").decode("ascii")
+        got = punycode_encode(label)
+        assert got == want, label
+        assert punycode_decode(got) == label
+        assert codecs.decode(got.encode("ascii"), "punycode") == label
+
+
+def test_host_decode_and_error_as_data():
+    assert decode_idna_host("XN--Bcher-KVA.Example.COM") == "bücher.example.com"
+    assert decode_idna_host("www.example.com") == "www.example.com"
+    # malformed ACE labels pass through unchanged (lowercased)
+    assert decode_idna_host("xn--!!!.example") == "xn--!!!.example"
+    assert decode_idna_host("xn--.example") == "xn--.example"
+    assert decode_idna_host("") == ""
+
+
+def test_dataset_stage(ray_session):
+    t = pa.table(
+        {
+            "host": pa.array(
+                ["xn--mnchen-3ya.de", "plain.com", None], pa.string()
+            )
+        }
+    )
+    out = decode_idna_hosts(ray.data.from_arrow(t)).to_pandas()
+    assert out["unicode_host"].tolist()[:2] == ["münchen.de", "plain.com"]
+    assert out["unicode_host"].isna()[2]
