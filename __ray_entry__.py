@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_contract": q.q_data_contract,
         "registrable_domains": q.q_registrable_domains,
         "idna_hosts": q.q_idna_hosts,
+        "hreflang_links": q.q_hreflang_links,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -1883,6 +1884,22 @@ def oracle_sql() -> dict[str, str]:
         # idna_hosts: stdlib-codec-generated mapping table vs the
         # from-scratch RFC 3492 decoder
         "idna_hosts": _idna_sql(),
+        # hreflang_links: every row re-derived from the doc_id
+        # arithmetic (hreflang lowercased by the extractor; the
+        # j-parity uppercase variant maps back to the same tag)
+        "hreflang_links": """
+            SELECT doc_id, CAST(j AS BIGINT) AS link_ord,
+                   (['en','fr','de','es','x-default','pt-br'])
+                       [((doc_id + j) % 6) + 1] AS hreflang,
+                   'https://ex' || (doc_id % 7) || '.example/p/' || doc_id
+                       || '?l=' ||
+                       (['en','fr','de','es','x-default','pt-br'])
+                           [((doc_id + j) % 6) + 1] AS href
+            FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+            WHERE j < doc_id % 4
+            UNION ALL
+            SELECT doc_id, -1, '', '' FROM documents WHERE doc_id % 4 = 0
+        """,
         "fuzzy_linkage": """
             WITH reg AS MATERIALIZED (
                 SELECT 'entity-' || lpad(CAST(k AS VARCHAR), 4, '0') AS cname

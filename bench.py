@@ -248,6 +248,7 @@ def _query_suite() -> dict:
         "data_contract": q.q_data_contract,
         "registrable_domains": q.q_registrable_domains,
         "idna_hosts": q.q_idna_hosts,
+        "hreflang_links": q.q_hreflang_links,
     }
     return suite
 

@@ -209,3 +209,65 @@ def microdata_batch(ds, html_col: str = "html", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+_LINKTAG_RE = re.compile(r"<link\b([^>]*)>", re.IGNORECASE)
+
+
+def extract_hreflang(html: str) -> list[tuple[int, str, str]]:
+    """hreflang alternate-link SPEC (shared with the SQL oracle via
+    the derivation): every ``<link>`` tag whose ``rel`` attribute
+    contains the token ``alternate`` (space-separated, case-
+    insensitive) AND carries non-empty ``hreflang`` and ``href``
+    attributes emits ``(link_ord, hreflang, href)`` — ``link_ord``
+    0-based over the QUALIFYING links in document order, ``hreflang``
+    lowercased (BCP 47 tags are case-insensitive).  Attribute order
+    and quote style are free; links missing either attribute (or with
+    rel=stylesheet etc.) are decoys and don't count."""
+    out: list[tuple[int, str, str]] = []
+    for m in _LINKTAG_RE.finditer(html or ""):
+        attrs = m.group(1)
+        rel = _attr(attrs, "rel")
+        if rel is None or "alternate" not in rel.lower().split():
+            continue
+        hl = _attr(attrs, "hreflang")
+        href = _attr(attrs, "href")
+        if not hl or not href:
+            continue
+        out.append((len(out), hl.lower(), href))
+    return out
+
+
+def hreflang_batch(ds, html_col: str = "html", id_col: str = "doc_id"):
+    """1→N flat-map → ``(id, link_ord, hreflang, href)``; docs with no
+    alternates emit one ``link_ord=-1`` sentinel row (row
+    conservation).  HTML dies in-stage."""
+    import pyarrow as pa
+
+    def run(t: "pa.Table") -> "pa.Table":
+        ids_out, ords, hls, hrefs = [], [], [], []
+        for did, h in zip(
+            t.column(id_col).to_pylist(), t.column(html_col).to_pylist()
+        ):
+            rows = extract_hreflang(h or "")
+            if not rows:
+                ids_out.append(did)
+                ords.append(-1)
+                hls.append("")
+                hrefs.append("")
+                continue
+            for link_ord, hl, href in rows:
+                ids_out.append(did)
+                ords.append(link_ord)
+                hls.append(hl)
+                hrefs.append(href)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "link_ord": pa.array(ords, pa.int64()),
+                "hreflang": pa.array(hls, pa.string()),
+                "href": pa.array(hrefs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

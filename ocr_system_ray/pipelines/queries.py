@@ -5143,6 +5143,55 @@ def q_idna_hosts(sf_dir: str) -> ray.data.Dataset:
     return decode_idna_hosts(docs.map_batches(hosts, batch_format="pyarrow"))
 
 
+HREFLANG_LANGS = ("en", "fr", "de", "es", "x-default", "pt-br")
+
+
+def _derived_hreflang_pages(t: pa.Table) -> pa.Table:
+    """Deterministic hreflang test pages: doc_id%4 qualifying
+    alternate links (attribute order / quote style / case varied by
+    parity, one uppercase-hreflang variant), plus constant decoys
+    (stylesheet, alternate-sans-hreflang, hreflang-sans-href).
+    Mirrored verbatim in the oracle SQL."""
+    ids = t.column("doc_id").to_pylist()
+    pages = []
+    for i in ids:
+        parts = [
+            '<link rel="stylesheet" href="/s.css">',
+            '<link rel="alternate" href="/feed.xml" type="application/rss+xml">',
+            '<link rel="alternate" hreflang="zz">',
+        ]
+        for j in range(i % 4):
+            lang = HREFLANG_LANGS[(i + j) % 6]
+            href = f"https://ex{i % 7}.example/p/{i}?l={lang}"
+            if (i + j) % 2 == 0:
+                parts.append(
+                    f'<link rel="alternate" hreflang="{lang}" href="{href}">'
+                )
+            else:
+                parts.append(
+                    f"<link href='{href}' hreflang='{lang.upper()}' "
+                    f"rel='alternate me'>"
+                )
+        parts.append('<meta name="robots" content="index">')
+        pages.append("<head>" + "".join(parts) + "</head>")
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "html": pa.array(pages, pa.string())}
+    )
+
+
+def q_hreflang_links(sf_dir: str) -> ray.data.Dataset:
+    """hreflang alternate-link extraction
+    (``functions/metatags.py:extract_hreflang``) — the crawl i18n
+    cluster map (which URLs are translations of each other).  Pages
+    derived from doc_id with decoys and attr-order/quote/case
+    variation; oracle re-derives every row in SQL."""
+    from ..functions.metatags import hreflang_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_hreflang_pages, batch_format="pyarrow")
+    return hreflang_batch(pages)
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

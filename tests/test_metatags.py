@@ -142,3 +142,54 @@ def test_microdata_batch_sentinel_rows(ray_session):
     )
     assert list(out["item_ord"]) == [0, -1, -1]
     assert list(out["prop"]) == ["a", "", ""]
+
+
+def test_hreflang_qualifying_and_decoys():
+    from ocr_system_ray.functions.metatags import extract_hreflang
+
+    html = (
+        '<link rel="stylesheet" href="/s.css">'
+        "<link hreflang='EN' rel='alternate nofollow' href='/en'>"
+        '<LINK rel="ALTERNATE" href="/fr" hreflang="fr-FR">'
+        '<link rel="alternate" hreflang="de">'  # no href → decoy
+        '<link rel="alternate" href="/x">'  # no hreflang → decoy
+        '<link rel="alternate" hreflang="" href="/y">'  # empty → decoy
+        '<a rel="alternate" hreflang="es" href="/es">not a link tag</a>'
+    )
+    assert extract_hreflang(html) == [
+        (0, "en", "/en"),
+        (1, "fr-fr", "/fr"),
+    ]
+    assert extract_hreflang("") == []
+    assert extract_hreflang("<p>no links</p>") == []
+
+
+def test_hreflang_batch_sentinel(ray_session):
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from ocr_system_ray.functions.metatags import hreflang_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array(
+                [
+                    '<link rel="alternate" hreflang="en" href="/en">',
+                    "<p>nothing</p>",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        hreflang_batch(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values(["doc_id", "link_ord"])
+    )
+    assert out.values.tolist() == [
+        [1, 0, "en", "/en"],
+        [2, -1, "", ""],
+    ]
