@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registrable_domains": q.q_registrable_domains,
         "idna_hosts": q.q_idna_hosts,
         "hreflang_links": q.q_hreflang_links,
+        "script_mix": q.q_script_mix,
+        "url_templates": q.q_url_templates,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -388,6 +390,33 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _url_templates_sql() -> str:
+    from ocr_system_ray.functions.urltemplates import sql_url_templates_select
+
+    u = """
+        'https://h' || (doc_id % 3) || '.example' ||
+        CASE doc_id % 5
+          WHEN 0 THEN '/items/' || doc_id
+          WHEN 1 THEN '/items/' || doc_id || '/reviews'
+          WHEN 2 THEN '/u/' || printf('%08x',
+                                      (doc_id * 2654435761) % 4294967296)
+          WHEN 3 THEN '/about?ref=' || (doc_id % 7)
+          ELSE '/p/' || (doc_id % 7) || '/c/' || (doc_id % 5)
+        END
+    """
+    return sql_url_templates_select(u, "FROM documents")
+
+
+def _script_mix_sql() -> str:
+    from ocr_system_ray.functions.scripts import sql_script_mix_select
+
+    text = (
+        "COALESCE(text, '') || (['', ' мир-привет', ' 你好世界', ' αβγ δèf'])"
+        "[(doc_id % 4) + 1]"
+    )
+    return sql_script_mix_select(text, "FROM documents")
 
 
 def _idna_sql() -> str:
@@ -1884,6 +1913,12 @@ def oracle_sql() -> dict[str, str]:
         # idna_hosts: stdlib-codec-generated mapping table vs the
         # from-scratch RFC 3492 decoder
         "idna_hosts": _idna_sql(),
+        # script_mix: generated RE2 \p{Script} twin over the same
+        # multilingual-suffix derivation
+        "script_mix": _script_mix_sql(),
+        # url_templates: generated segment-rule twin over the same
+        # derived URLs
+        "url_templates": _url_templates_sql(),
         # hreflang_links: every row re-derived from the doc_id
         # arithmetic (hreflang lowercased by the extractor; the
         # j-parity uppercase variant maps back to the same tag)

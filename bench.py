@@ -249,6 +249,8 @@ def _query_suite() -> dict:
         "registrable_domains": q.q_registrable_domains,
         "idna_hosts": q.q_idna_hosts,
         "hreflang_links": q.q_hreflang_links,
+        "script_mix": q.q_script_mix,
+        "url_templates": q.q_url_templates,
     }
     return suite
 

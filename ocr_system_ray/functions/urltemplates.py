@@ -1,0 +1,118 @@
+"""URL template mining — path-pattern clustering over a crawl.
+
+Crawl frontiers and per-site samplers want the PAGE-TYPE histogram,
+not per-URL counts: ``/items/123`` and ``/items/987`` are the same
+template ``/items/{n}``.  Classifying variable path segments and
+counting templates yields the map used for per-template crawl quotas
+(don't fetch 10⁹ calendar pages), faceted-URL spider-trap detection,
+and boilerplate-cluster sampling.
+
+Template SPEC (shared with the SQL twin):
+* host = the normalized URL host (``urls.sql_host_expr`` rules);
+* path = the URL after the host, query string and fragment stripped;
+* each ``/``-segment: all-digits → ``{n}``; lowercase-hex of length
+  ≥ 8 → ``{x}`` (ids/hashes); anything else verbatim;
+* template = ``host || classified path``; count of URLs per template.
+
+Ray shape: the classify pass is FULLY vectorized Arrow — split the
+path column into a ListArray, classify the flattened child with two
+RE2 kernels, rebuild on the same offsets, ``binary_join`` back —
+zero Python per row; then ONE single-column groupby count on the
+template (templates are low-cardinality by construction; skew-safe).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .urls import extract_host_batch
+
+_SEG_NUM = r"^[0-9]+$"
+_SEG_HEX = r"^[0-9a-f]{8,}$"
+
+
+def classify_paths(paths: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized segment classification of a path column."""
+    if isinstance(paths, pa.ChunkedArray):
+        paths = paths.combine_chunks()
+        if isinstance(paths, pa.ChunkedArray):
+            paths = (
+                paths.chunk(0) if paths.num_chunks else pa.array([], pa.string())
+            )
+    lists = pc.split_pattern(paths, "/")
+    flat = pc.list_flatten(lists)
+    rep = pc.if_else(
+        pc.match_substring_regex(flat, _SEG_NUM),
+        pa.scalar("{n}"),
+        pc.if_else(
+            pc.match_substring_regex(flat, _SEG_HEX), pa.scalar("{x}"), flat
+        ),
+    )
+    rebuilt = pa.ListArray.from_arrays(lists.offsets, rep)
+    return pc.binary_join(rebuilt, "/")
+
+
+def url_templates(
+    ds: ray.data.Dataset, url_col: str = "url"
+) -> ray.data.Dataset:
+    """→ ``(template, n)``: URL count per mined path template."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        t = extract_host_batch(t, url_col, "host")
+        urls = pc.fill_null(t.column(url_col), "")
+        path = pc.replace_substring_regex(
+            urls, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "", max_replacements=1
+        )
+        path = pc.replace_substring_regex(path, r"[?#].*$", "", max_replacements=1)
+        tpl = classify_paths(path)
+        host = t.column("host")
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        return pa.table(
+            {"template": pc.binary_join_element_wise(host, tpl, "")}
+        )
+
+    counted = (
+        ds.map_batches(emit, batch_format="pyarrow").groupby("template").count()
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "template": t.column("template"),
+                "n": pc.cast(t.column("count()"), pa.int64()),
+            }
+        )
+
+    return counted.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_url_templates_select(url_expr: str, from_clause: str) -> str:
+    """DuckDB twin GENERATED from the same segment rules + host expr."""
+    from .urls import sql_host_expr
+
+    host = sql_host_expr("u")
+    return f"""
+        SELECT host || array_to_string(
+                   list_transform(
+                       string_split(path, '/'),
+                       s -> CASE WHEN regexp_matches(s, '{_SEG_NUM}')
+                                 THEN '{{n}}'
+                                 WHEN regexp_matches(s, '{_SEG_HEX}')
+                                 THEN '{{x}}'
+                                 ELSE s END),
+                   '/') AS template,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT {host} AS host,
+                   regexp_replace(
+                       regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*',
+                                      ''),
+                       '[?#].*$', '') AS path
+            FROM (SELECT {url_expr} AS u {from_clause})
+        )
+        GROUP BY template
+    """

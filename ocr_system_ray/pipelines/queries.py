@@ -5192,6 +5192,61 @@ def q_hreflang_links(sf_dir: str) -> ray.data.Dataset:
     return hreflang_batch(pages)
 
 
+def q_script_mix(sf_dir: str) -> ray.data.Dataset:
+    """Unicode-script mix per document (``functions/scripts.py``):
+    six RE2 ``\\p{Script}`` class counts + dominant script, fully
+    vectorized (``pc.count_substring_regex``).  Docs get a
+    deterministic multilingual suffix so every class exercises; twin
+    = the generated DuckDB expression over the same derivation."""
+    from ..functions.scripts import script_mix
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sufs = ["", " мир-привет", " 你好世界", " αβγ δèf"]
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = [(tx or "") + sufs[i % 4] for i, tx in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return script_mix(docs.map_batches(derive, batch_format="pyarrow"))
+
+
+def q_url_templates(sf_dir: str) -> ray.data.Dataset:
+    """URL template mining (``functions/urltemplates.py``): the
+    page-type histogram crawl quotas and spider-trap detection key on
+    — digit segments → ``{n}``, long lowercase hex → ``{x}``, one
+    vectorized Arrow classify pass + one single-column groupby count.
+    URLs derived from doc_id (numeric ids, hex ids, static pages,
+    query strings); twin = the generated segment-rule SQL over the
+    same derivation."""
+    from ..functions.urltemplates import url_templates
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            base = f"https://h{i % 3}.example"
+            k = i % 5
+            if k == 0:
+                out.append(f"{base}/items/{i}")
+            elif k == 1:
+                out.append(f"{base}/items/{i}/reviews")
+            elif k == 2:
+                out.append(f"{base}/u/{(i * 2654435761) % 4294967296:08x}")
+            elif k == 3:
+                out.append(f"{base}/about?ref={i % 7}")
+            else:
+                out.append(f"{base}/p/{i % 7}/c/{i % 5}")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    return url_templates(docs.map_batches(derive, batch_format="pyarrow"))
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

@@ -1,0 +1,80 @@
+"""Unicode-script mix (functions/scripts.py) — DuckDB's RE2 as the
+cross-engine oracle via the generated twin, tie-break order, null
+contract."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.scripts import script_mix, sql_script_mix_select
+
+T = pa.table(
+    {
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(
+            [
+                "hello world",
+                "привет мир",
+                "mixed мир text 你好",
+                "ελληνικά και العربية",
+                "1234 !!!",  # no scripted chars → dominant ''
+                None,  # null → zeros, ''
+            ],
+            pa.string(),
+        ),
+    }
+)
+
+
+def test_matches_duckdb_twin(ray_session):
+    t = T  # noqa: F841
+    out = (
+        script_mix(ray.data.from_arrow(T).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sql = sql_script_mix_select("COALESCE(text, '')", "FROM t")
+    want = duckdb.sql(sql + " ORDER BY doc_id").df()
+    for c in want.columns:
+        assert out[c].tolist() == want[c].tolist(), c
+
+
+def test_counts_and_dominant():
+    import ray
+
+    ds = ray.data.from_arrow(T)
+    out = script_mix(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dominant"] == "latin"
+    assert out.loc[2, "dominant"] == "cyrillic"
+    assert int(out.loc[2, "n_cyrillic"]) == 9  # приветмир
+    # doc 3: latin 9 (mixedtext), cyrillic 3, han 2 → latin wins
+    assert out.loc[3, "dominant"] == "latin"
+    assert int(out.loc[3, "n_han"]) == 2
+    assert out.loc[4, "n_greek"] > 0 and out.loc[4, "n_arabic"] > 0
+    assert out.loc[5, "dominant"] == "" and int(out.loc[5, "n_latin"]) == 0
+    assert out.loc[6, "dominant"] == "" and int(out.loc[6, "n_latin"]) == 0
+
+
+def test_tie_break_is_first_listed():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            # one Cyrillic + one Latin char — tie → latin (listed first)
+            "text": pa.array(["aб"], pa.string()),
+        }
+    )
+    import ray
+
+    out = script_mix(ray.data.from_arrow(t)).to_pandas()
+    assert out["dominant"][0] == "latin"
+    # and the SQL twin agrees
+    want = duckdb.sql(
+        sql_script_mix_select("COALESCE(text, '')", "FROM t")
+    ).df()
+    assert want["dominant"][0] == "latin"

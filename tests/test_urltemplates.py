@@ -1,0 +1,77 @@
+"""URL template mining (functions/urltemplates.py) — DuckDB generated
+twin as cross-engine oracle, segment classification pins, layout
+invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.urltemplates import (
+    classify_paths,
+    sql_url_templates_select,
+    url_templates,
+)
+
+URLS = [
+    "https://www.shop.example/items/123",
+    "https://shop.example/items/987?utm=x#top",
+    "https://shop.example/items/123/reviews",
+    "https://blog.example/u/deadbeef01",
+    "https://blog.example/u/DEADBEEF01",  # uppercase hex is NOT {x}
+    "https://blog.example/about",
+    "https://blog.example/",
+    "https://shop.example:8080/p/7/c/3",
+    "relative/path/9",  # no scheme → host '', path untouched rules
+    None,
+]
+
+
+def test_classify_paths_pins():
+    got = classify_paths(
+        pa.array(
+            ["/items/123/reviews", "/u/deadbeef01", "/u/beef", "/about", ""],
+            pa.string(),
+        )
+    ).to_pylist()
+    assert got == ["/items/{n}/reviews", "/u/{x}", "/u/beef", "/about", ""]
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    t = pa.table({"url": pa.array(URLS, pa.string())})  # noqa: F841
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    out = (
+        url_templates(ds)
+        .to_pandas()
+        .sort_values("template")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            sql_url_templates_select("COALESCE(url, '')", "FROM t")
+            + " ORDER BY template"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert out["template"].tolist() == want["template"].tolist()
+    assert out["n"].tolist() == want["n"].tolist()
+
+
+def test_template_collapse(ray_session):
+    t = pa.table({"url": pa.array(URLS, pa.string())})
+    out = url_templates(ray.data.from_arrow(t)).to_pandas()
+    m = dict(zip(out["template"], out["n"]))
+    # 123 and 987 collapse; the /reviews variant does not
+    assert m["shop.example/items/{n}"] == 2
+    assert m["shop.example/items/{n}/reviews"] == 1
+    # port stripped by host normalization; both digit segments classify
+    assert m["shop.example/p/{n}/c/{n}"] == 1
+    # lowercase hex only
+    assert m["blog.example/u/{x}"] == 1
+    assert m["blog.example/u/DEADBEEF01"] == 1
