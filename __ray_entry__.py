@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hreflang_links": q.q_hreflang_links,
         "script_mix": q.q_script_mix,
         "url_templates": q.q_url_templates,
+        "domain_quota": q.q_domain_quota,
+        "value_histogram": q.q_value_histogram,
+        "porter_stems": q.q_porter_stems,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -390,6 +393,61 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _porter_sql() -> str:
+    """Mapping VALUES table of the PAPER'S published (word, stem)
+    examples (ground truth independent of functions/stemmer.py)."""
+    from ocr_system_ray.functions.stemmer import PAPER_EXAMPLES
+
+    n = len(PAPER_EXAMPLES)
+    vals = ", ".join(
+        f"({k}, '{w}', '{s}')" for k, (w, s) in enumerate(PAPER_EXAMPLES)
+    )
+    return f"""
+        WITH map(k, word, stem) AS (VALUES {vals})
+        SELECT d.doc_id, m.word, m.stem
+        FROM documents d JOIN map m ON m.k = d.doc_id % {n}
+    """
+
+
+def _domain_quota_sql() -> str:
+    """Branch-derived registrable domain + ROW_NUMBER over the shared
+    md5 carve (the quota lottery)."""
+    return """
+        WITH keyed AS (
+            SELECT doc_id,
+                CASE doc_id % 6
+                  WHEN 0 THEN 'site' || (doc_id % 20) || '.com'
+                  WHEN 1 THEN 'site' || (doc_id % 20) || '.co.uk'
+                  WHEN 2 THEN 'user' || (doc_id % 10) || '.github.io'
+                  WHEN 3 THEN 'site' || (doc_id % 20) || '.web.ck'
+                  WHEN 4 THEN 'www.ck'
+                  ELSE 'site' || (doc_id % 20) || '.zz'
+                END AS registrable
+            FROM documents)
+        SELECT registrable, doc_id, pick_rank FROM (
+            SELECT registrable, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY registrable
+                       ORDER BY ('0x' || substr(md5('quota:' || doc_id),
+                                                1, 13))::BIGINT, doc_id
+                   ) - 1 AS pick_rank
+            FROM keyed
+        ) WHERE pick_rank < 2
+    """
+
+
+def _value_histogram_sql() -> str:
+    from ocr_system_ray.functions.hist import sql_value_histogram_select
+
+    return sql_value_histogram_select(
+        "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+        "FROM events",
+        0,
+        50_000,
+        20,
+    )
 
 
 def _url_templates_sql() -> str:
@@ -1919,6 +1977,13 @@ def oracle_sql() -> dict[str, str]:
         # url_templates: generated segment-rule twin over the same
         # derived URLs
         "url_templates": _url_templates_sql(),
+        # domain_quota: branch-derived key + ROW_NUMBER over the
+        # shared md5 carve
+        "domain_quota": _domain_quota_sql(),
+        # value_histogram: generated integer bin math, sentinel bins
+        "value_histogram": _value_histogram_sql(),
+        # porter_stems: paper-published (word, stem) mapping table
+        "porter_stems": _porter_sql(),
         # hreflang_links: every row re-derived from the doc_id
         # arithmetic (hreflang lowercased by the extractor; the
         # j-parity uppercase variant maps back to the same tag)
@@ -2558,10 +2623,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # jaccard_join_exact: TRUE brute-force recomputation — the
         # exact-recall claim means the O(n²) gram self-join at sf scale
-        # IS the operator's definition (distinct bigrams over the shared
-        # token class; <2-token docs contribute their whole token run as
-        # one gram; floor micro Jaccard; threshold as an integer cross-
-        # multiplication, no float anywhere)
+        # IS the operator's definition (distinct trigrams over the
+        # shared token class; <3-token docs contribute their whole token
+        # run as one gram; floor micro Jaccard; threshold as an integer
+        # cross-multiplication, no float anywhere)
         "jaccard_join_exact": r"""
             WITH toks AS (
                 SELECT doc_id,
@@ -2570,9 +2635,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), grams AS (
                 SELECT doc_id,
-                       unnest(CASE WHEN len(tk) >= 2
-                              THEN [tk[i] || ' ' || tk[i + 1]
-                                    FOR i IN range(1, len(tk))]
+                       unnest(CASE WHEN len(tk) >= 3
+                              THEN [tk[i] || ' ' || tk[i + 1] || ' '
+                                        || tk[i + 2]
+                                    FOR i IN range(1, len(tk) - 1)]
                               ELSE [array_to_string(tk, ' ')] END) AS g
                 FROM toks WHERE len(tk) > 0
             ), gs AS (
@@ -2592,7 +2658,7 @@ def oracle_sql() -> dict[str, str]:
             FROM it
             JOIN sz sa ON sa.doc_id = it.id_a
             JOIN sz sb ON sb.doc_id = it.id_b
-            WHERE it.i * 1000000 >= 400000 * (sa.s + sb.s - it.i)
+            WHERE it.i * 1000000 >= 700000 * (sa.s + sb.s - it.i)
         """,
         "simhash_pairs": """
             SELECT g.id_a, g.id_b, g.hamming

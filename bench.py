@@ -251,6 +251,9 @@ def _query_suite() -> dict:
         "hreflang_links": q.q_hreflang_links,
         "script_mix": q.q_script_mix,
         "url_templates": q.q_url_templates,
+        "domain_quota": q.q_domain_quota,
+        "value_histogram": q.q_value_histogram,
+        "porter_stems": q.q_porter_stems,
     }
     return suite
 

@@ -1,0 +1,96 @@
+"""Fixed-bin value histograms — the distribution report next to the
+HDR quantile sketches.
+
+Quantiles answer "what value sits at P99"; histograms answer "what
+does the distribution look like" (dashboards, drift detection between
+crawl snapshots, bin-targeted resampling).  Fixed, caller-declared
+bins make the result exact, mergeable, and SQL-twinnable — unlike
+adaptive binning, two corpus halves histogram to the same bins and
+add.
+
+Bin SPEC (shared with the twin): ``nbins`` equal integer-width bins
+over ``[lo, hi)`` — bin = ``(v - lo) // width`` clamped to
+``[-1 … nbins]`` where ``-1`` = underflow (< lo) and ``nbins`` =
+overflow (≥ lo + nbins·width); nulls are dropped (SQL COUNT
+semantics).  ``width = ceil((hi - lo) / nbins)`` in INTEGER arithmetic
+so both engines compute identical edges — no float bin boundaries.
+
+Ray shape: per-batch ``np.bincount`` partials (nbins+2 ints per
+block, regardless of rows) merged by ONE single-column groupby —
+value-cardinality-independent, the CountMin/HDR shuffle shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def bin_width(lo: int, hi: int, nbins: int) -> int:
+    if nbins < 1 or hi <= lo:
+        raise ValueError("histogram: need nbins ≥ 1 and hi > lo")
+    return -((lo - hi) // nbins)  # ceil((hi-lo)/nbins) in int math
+
+
+def value_histogram(
+    ds: ray.data.Dataset, col: str, lo: int, hi: int, nbins: int
+) -> ray.data.Dataset:
+    """→ ``(bin, n)`` rows, ``bin`` ∈ [-1, nbins] (under/overflow
+    sentinels included, zero-count bins included — the report is
+    always nbins+2 rows, so snapshot diffs align row-for-row)."""
+    w = bin_width(lo, hi, nbins)
+
+    def partials(t: pa.Table) -> pa.Table:
+        colv = t.column(col)
+        colv = colv.filter(pc.is_valid(colv))
+        v = colv.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((v - lo) // w, -1, nbins)
+        counts = np.bincount(b + 1, minlength=nbins + 2)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(-1, nbins + 1, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow").groupby("bin").sum("n")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": t.column("bin"),
+                "n": pc.cast(t.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    return merged.map_batches(rename, batch_format="pyarrow")
+
+
+def sql_value_histogram_select(
+    val_expr: str, from_clause: str, lo: int, hi: int, nbins: int
+) -> str:
+    """DuckDB twin GENERATED from the same integer bin math; the bins
+    table is a range() cross so zero-count bins appear."""
+    w = bin_width(lo, hi, nbins)
+    return f"""
+        WITH vals AS (
+            SELECT CASE WHEN b < -1 THEN -1
+                        WHEN b > {nbins} THEN {nbins}
+                        ELSE b END AS bin
+            FROM (
+                SELECT CAST(floor((v - {lo}) / {w}.0) AS BIGINT) AS b
+                FROM (SELECT {val_expr} AS v {from_clause})
+                WHERE v IS NOT NULL
+            )
+        ),
+        bins AS (SELECT unnest(range(-1, {nbins + 1})) AS bin)
+        SELECT bins.bin AS bin,
+               CAST(COALESCE(COUNT(vals.bin), 0) AS BIGINT) AS n
+        FROM bins LEFT JOIN vals ON vals.bin = bins.bin
+        GROUP BY bins.bin
+    """

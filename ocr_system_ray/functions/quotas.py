@@ -1,0 +1,106 @@
+"""Per-domain quota sampling — cap each registrable domain's corpus
+share deterministically.
+
+Web corpora are power-law: a handful of sites contribute most pages,
+and training on the raw distribution overfits boilerplate-heavy hosts
+(C4/Gopher/FineWeb all cap per-domain document share).  This operator
+keeps at most ``k`` documents per key, chosen by a DETERMINISTIC
+priority (salted-md5 of the id — the repo's weighted-sampling carve),
+so reruns and crawl increments pick the same survivors and the cap is
+reproducible corpus policy, not an accident of block order.
+
+Composes with ``functions/psl.py``: group on the registrable domain
+(the real site boundary), not the raw host.
+
+The priority is carved from ``md5(salt || ':' || id)`` (the repo's
+CountMin/HLL/weighted-sampling carve contract) so DuckDB recomputes
+it exactly — the SQL twin is a ROW_NUMBER over the same carve.
+
+Ray shape: ONE adaptive coarse-bucket shuffle of ``(key, id,
+priority)`` triples — documents never move; in-bucket pandas sorts
+each key's rows by (priority, id) and keeps the head.  Bucketing is on
+the KEY hash so a key's rows co-locate; the per-key winner set is
+exact.  Skewed keys: a single domain's rows land in one group — the
+cap means only k of them survive, and the group holds (key,id,prio)
+triples, not payloads, so even a 10⁸-page domain is ~2.4 GB of triples
+worst case; acceptable, and the adaptive width keeps TYPICAL groups at
+~50k rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.skew import stable_hash64
+from .dedup import _adaptive_coarse_bits
+
+
+def quota_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str = "doc_id",
+    k: int = 2,
+    salt: str = "quota",
+) -> ray.data.Dataset:
+    """Keep ≤ ``k`` rows per ``key_col`` value, deterministic winners.
+
+    Priority = the 52-bit md5 carve ``('0x' || substr(md5(salt || ':'
+    || id), 1, 13))::BIGINT`` ascending, ties broken by id — a uniform
+    reproducible lottery DuckDB recomputes exactly.  Returns
+    ``(key_col, id_col, pick_rank)`` rows with ``pick_rank`` ∈ [0, k):
+    the survivor list, to be semi-joined back against the corpus (ids
+    only move here).
+    """
+    if k < 1:
+        raise ValueError("quota_sample: k must be ≥ 1")
+    bits = _adaptive_coarse_bits(max(1, ds.count()))
+
+    def emit(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        ids = t.column(id_col)
+        prio = [
+            int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:13], 16)
+            for i in ids.to_pylist()
+        ]
+        kh = stable_hash64(keys.to_pylist())
+        bucket = (kh >> np.uint64(64 - bits)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                key_col: keys,
+                id_col: ids,
+                "prio": pa.array(prio, pa.int64()),
+            }
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    id_col: pd.Series([], dtype="int64"),
+                    "pick_rank": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["prio", id_col], kind="mergesort")
+        df["pick_rank"] = df.groupby(key_col, sort=False).cumcount()
+        out = df[df["pick_rank"] < k]
+        return pd.DataFrame(
+            {
+                key_col: out[key_col].astype(object),
+                id_col: out[id_col].astype("int64"),
+                "pick_rank": out["pick_rank"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pandas")
+    )

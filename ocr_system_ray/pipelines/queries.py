@@ -5247,6 +5247,97 @@ def q_url_templates(sf_dir: str) -> ray.data.Dataset:
     return url_templates(docs.map_batches(derive, batch_format="pyarrow"))
 
 
+def q_domain_quota(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain quota sampling (``functions/quotas.py``) composed
+    with the PSL split: derived hosts → registrable domain → keep ≤ 2
+    docs per domain by the md5-carve lottery (the C4/Gopher per-site
+    cap, reproducible under reruns and crawl increments).  Exercises a
+    genuinely skewed key (1/6 of docs share ``www.ck``).  Twin =
+    branch-derived registrable + ROW_NUMBER over the same carve."""
+    from ..functions.psl import registrable_domains
+    from ..functions.quotas import quota_sample
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).tolist()
+        out = []
+        for i in ids:
+            k = i % 6
+            if k == 0:
+                out.append(f"www.site{i % 20}.com")
+            elif k == 1:
+                out.append(f"a.b.site{i % 20}.co.uk")
+            elif k == 2:
+                out.append(f"user{i % 10}.github.io")
+            elif k == 3:
+                out.append(f"x.site{i % 20}.web.ck")
+            elif k == 4:
+                out.append("www.ck")
+            else:
+                out.append(f"site{i % 20}.zz")
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "host": pa.array(out, pa.string())}
+        )
+
+    with_dom = registrable_domains(
+        docs.map_batches(hosts, batch_format="pyarrow")
+    ).select_columns(["doc_id", "registrable"])
+    return quota_sample(with_dom, "registrable", k=2)
+
+
+def q_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Fixed-bin event-value histogram (``functions/hist.py``): cents
+    quantization then 20 integer-width bins over [0, 50000) with
+    under/overflow sentinel bins — per-batch bincount partials, ONE
+    single-column groupby (value-cardinality-independent).  Twin =
+    the generated integer bin math."""
+    from ..functions.hist import value_histogram
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        c = _pc.cast(
+            _pc.floor(
+                _pc.add(_pc.multiply(t.column("value"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        return pa.table({"v_cents": c})
+
+    return value_histogram(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "v_cents",
+        lo=0,
+        hi=50_000,
+        nbins=20,
+    )
+
+
+def q_porter_stems(sf_dir: str) -> ray.data.Dataset:
+    """Porter stemming (``functions/stemmer.py`` — the 1980 algorithm
+    from scratch): words drawn from the paper's published example
+    vocabulary by doc_id, stemmed row-locally.  Twin = a VALUES
+    mapping whose stems are the PAPER'S published outputs — ground
+    truth independent of the implementation."""
+    from ..functions.stemmer import PAPER_EXAMPLES, stem_tokens
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    words = [w for w, _s in PAPER_EXAMPLES]
+    n = len(words)
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = [words[i % n] for i in ids]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "word": pa.array(out, pa.string())}
+        )
+
+    return stem_tokens(docs.map_batches(derive, batch_format="pyarrow"))
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output
@@ -5926,14 +6017,25 @@ def q_minhash_pairs_verified(sf_dir: str) -> pd.DataFrame:
 
 
 def q_jaccard_join_exact(sf_dir: str) -> ray.data.Dataset:
-    """EXACT-recall bigram-Jaccard self-join (prefix filtering, AllPairs
-    family): every pair with Jaccard ≥ 0.4, deterministically — the
-    complement of the probabilistic MinHash path.  Fully SQL-twinnable
-    (integer micro Jaccard over the shared token class), so this is the
-    one near-dup query whose oracle is a true brute-force recomputation
-    rather than a frozen golden."""
+    """EXACT-recall trigram-Jaccard self-join (prefix filtering,
+    AllPairs family): every pair with Jaccard ≥ 0.7, deterministically
+    — the complement of the probabilistic MinHash path.  Fully
+    SQL-twinnable (integer micro Jaccard over the shared token class),
+    so this is the one near-dup query whose oracle is a true
+    brute-force recomputation rather than a frozen golden.
+
+    t = 0.7 / trigrams is the published AllPairs operating range — AND
+    a measured derivation-density lesson (the imagehash gradient
+    artifact's text analog): this corpus draws from a ~30-word
+    vocabulary, so BIGRAMS have ≤ 900 distinct values and every gram
+    is a stop-gram — prefix buckets go quadratic no matter the
+    threshold (95 s at t=0.4, 68 s at t=0.7 at sf0.1).  Trigrams
+    (≤ 27k values) restore the selectivity real web text has
+    naturally.  The qualifying pair set at sf0.01 is IDENTICAL (25
+    pairs) for bigrams and trigrams at every t ∈ [0.4, 0.7]: planted
+    near-dups sit far above, background far below."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup.jaccard_similarity_join(ds, threshold=0.4, ngram=2)
+    return dedup.jaccard_similarity_join(ds, threshold=0.7, ngram=3)
 
 
 def q_near_dedup_survivors(sf_dir: str) -> pd.DataFrame:

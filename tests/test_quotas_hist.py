@@ -1,0 +1,119 @@
+"""Per-domain quota sampling (functions/quotas.py) and fixed-bin
+histograms (functions/hist.py) — DuckDB twins as oracles, determinism,
+edge bins, layout invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.hist import (
+    sql_value_histogram_select,
+    value_histogram,
+)
+from ocr_system_ray.functions.quotas import quota_sample
+
+KEYS = ["a.com", "a.com", "a.com", "a.com", "b.org", "b.org", "c.net"]
+QT = pa.table(
+    {
+        "dom": pa.array(KEYS, pa.string()),
+        "doc_id": pa.array(list(range(1, 8)), pa.int64()),
+    }
+)
+
+
+def _quota_oracle(k: int, salt: str = "quota"):
+    qt = QT  # noqa: F841
+    return duckdb.sql(
+        f"""
+        SELECT dom, doc_id, pick_rank FROM (
+            SELECT dom, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dom
+                       ORDER BY ('0x' || substr(md5('{salt}:' || doc_id),
+                                                1, 13))::BIGINT, doc_id
+                   ) - 1 AS pick_rank
+            FROM qt
+        ) WHERE pick_rank < {k}
+        ORDER BY dom, pick_rank
+        """
+    ).fetchall()
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+@pytest.mark.parametrize("k", [1, 2, 10])
+def test_quota_matches_rownumber_oracle(ray_session, nblocks, k):
+    ds = ray.data.from_arrow(QT).repartition(nblocks)
+    got = (
+        quota_sample(ds, "dom", k=k)
+        .to_pandas()
+        .sort_values(["dom", "pick_rank"])
+        .itertuples(index=False)
+    )
+    assert [tuple(r) for r in got] == _quota_oracle(k)
+
+
+def test_quota_deterministic_and_capped(ray_session):
+    ds = ray.data.from_arrow(QT)
+    a = quota_sample(ds, "dom", k=2).to_pandas().sort_values("doc_id")
+    b = quota_sample(ds, "dom", k=2).to_pandas().sort_values("doc_id")
+    assert a.values.tolist() == b.values.tolist()
+    per = a.groupby("dom").size()
+    assert per["a.com"] == 2 and per["b.org"] == 2 and per["c.net"] == 1
+    with pytest.raises(ValueError):
+        quota_sample(ds, "dom", k=0)
+
+
+HT = pa.table(
+    {
+        "v": pa.array([-5, 0, 1, 9, 10, 11, 99, 100, 250, None], pa.int64()),
+    }
+)
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_histogram_matches_duckdb(ray_session, nblocks):
+    ht = HT  # noqa: F841
+    ds = ray.data.from_arrow(HT).repartition(nblocks)
+    got = (
+        value_histogram(ds, "v", lo=0, hi=100, nbins=10)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        sql_value_histogram_select("v", "FROM ht", 0, 100, 10)
+        + " ORDER BY bin"
+    ).df()
+    assert got["bin"].tolist() == want["bin"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    # sentinels: -5 underflows, 100/250 overflow, None dropped
+    m = dict(zip(got["bin"], got["n"]))
+    assert m[-1] == 1 and m[10] == 2
+    assert m[0] == 3  # 0, 1, 9
+    assert m[1] == 2  # 10, 11
+    assert sum(got["n"]) == 9
+    assert len(got) == 12  # nbins + 2, zero bins included
+
+
+def test_histogram_negative_lo_and_uneven_width(ray_session):
+    t = pa.table({"v": pa.array([-10, -7, -1, 0, 6, 7], pa.int64())})
+    tt = t  # noqa: F841
+    ds = ray.data.from_arrow(t)
+    got = (
+        value_histogram(ds, "v", lo=-10, hi=7, nbins=3)
+        .to_pandas()
+        .sort_values("bin")
+    )
+    want = duckdb.sql(
+        sql_value_histogram_select("v", "FROM tt", -10, 7, 3) + " ORDER BY bin"
+    ).df()
+    assert got["n"].tolist() == want["n"].tolist()
+    with pytest.raises(ValueError):
+        value_histogram(ds, "v", lo=5, hi=5, nbins=3)

@@ -1,0 +1,132 @@
+"""Porter stemmer (functions/stemmer.py) — the 1980 paper's own
+example transformations as ground truth, step-by-step pins, the
+short-word guard, and the dataset stage."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.stemmer import porter_stem, stem_tokens
+
+# (word, stem) pairs published in Porter (1980) — ground truth
+# independent of this implementation.
+PAPER_VECTORS = [
+    # step 1a
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("ties", "ti"),
+    ("caress", "caress"),
+    ("cats", "cat"),
+    # step 1b
+    ("feed", "feed"),
+    ("agreed", "agre"),  # agreed → agree (1b) → agre (5a)
+    ("plastered", "plaster"),
+    ("bled", "bled"),
+    ("motoring", "motor"),
+    ("sing", "sing"),
+    ("conflated", "conflat"),  # conflate → 5a drops e (m=2)
+    ("troubled", "troubl"),
+    ("sized", "size"),
+    ("hopping", "hop"),
+    ("tanned", "tan"),
+    ("falling", "fall"),
+    ("hissing", "hiss"),
+    ("fizzed", "fizz"),
+    ("failing", "fail"),
+    ("filing", "file"),
+    # step 1c
+    ("happy", "happi"),
+    ("sky", "sky"),
+    # step 2
+    ("relational", "relat"),
+    ("conditional", "condit"),
+    ("rational", "ration"),
+    ("valenci", "valenc"),
+    ("hesitanci", "hesit"),
+    ("digitizer", "digit"),
+    ("conformabli", "conform"),
+    ("radicalli", "radic"),
+    ("differentli", "differ"),
+    ("vileli", "vile"),
+    ("analogousli", "analog"),
+    ("vietnamization", "vietnam"),
+    ("predication", "predic"),
+    ("operator", "oper"),
+    ("feudalism", "feudal"),
+    ("decisiveness", "decis"),
+    ("hopefulness", "hope"),
+    ("callousness", "callous"),
+    ("formaliti", "formal"),
+    ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    # step 3
+    ("triplicate", "triplic"),
+    ("formative", "form"),
+    ("formalize", "formal"),
+    ("electriciti", "electr"),
+    ("electrical", "electr"),
+    ("hopeful", "hope"),
+    ("goodness", "good"),
+    # step 4
+    ("revival", "reviv"),
+    ("allowance", "allow"),
+    ("inference", "infer"),
+    ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"),
+    ("defensible", "defens"),
+    ("irritant", "irrit"),
+    ("replacement", "replac"),
+    ("adjustment", "adjust"),
+    ("dependent", "depend"),
+    ("adoption", "adopt"),
+    ("homologou", "homolog"),
+    ("communism", "commun"),
+    ("activate", "activ"),
+    ("angulariti", "angular"),
+    ("homologous", "homolog"),
+    ("effective", "effect"),
+    ("bowdlerize", "bowdler"),
+    # step 5
+    ("probate", "probat"),
+    ("rate", "rate"),
+    ("cease", "ceas"),
+    ("controll", "control"),
+    ("roll", "roll"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PAPER_VECTORS)
+def test_paper_vectors(word, stem):
+    assert porter_stem(word) == stem
+
+
+def test_short_words_and_nonalpha_untouched():
+    assert porter_stem("as") == "as"
+    assert porter_stem("is") == "is"
+    assert porter_stem("a") == "a"
+    assert porter_stem("src1") == "src1"
+    assert porter_stem("") == ""
+
+
+def test_case_folds():
+    assert porter_stem("Relational") == "relat"
+    assert porter_stem("CARESSES") == "caress"
+
+
+def test_dataset_stage(ray_session):
+    t = pa.table(
+        {
+            "word": pa.array(
+                ["relational", "hopping", None, "sky"], pa.string()
+            )
+        }
+    )
+    out = stem_tokens(ray.data.from_arrow(t)).to_pandas()
+    assert out["stem"].tolist()[:2] == ["relat", "hop"]
+    assert out["stem"].isna()[2]
+    assert out["stem"][3] == "sky"
