@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quota": q.q_domain_quota,
         "value_histogram": q.q_value_histogram,
         "porter_stems": q.q_porter_stems,
+        "value_anomalies": q.q_value_anomalies,
+        "accent_fold": q.q_accent_fold,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
         "knn_ivf_update": q.q_knn_ivf_update,
@@ -393,6 +395,18 @@ def _value_quantiles_by_type_sql() -> str:
     from ocr_system_ray.functions.hdr import hdr_quantiles_by_key_sql
 
     return hdr_quantiles_by_key_sql("event_type", "value", "FROM events")
+
+
+def _value_anomalies_sql() -> str:
+    from ocr_system_ray.functions.anomaly import sql_rolling_zscore_select
+
+    return sql_rolling_zscore_select(
+        "FROM events",
+        "event_type",
+        "ts",
+        "event_id",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+    )
 
 
 def _porter_sql() -> str:
@@ -1984,6 +1998,19 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _value_histogram_sql(),
         # porter_stems: paper-published (word, stem) mapping table
         "porter_stems": _porter_sql(),
+        # value_anomalies: the identical integer inequality over
+        # DuckDB window SUMs
+        "value_anomalies": _value_anomalies_sql(),
+        # accent_fold: DuckDB's own strip_accents (ICU) vs stdlib
+        # unicodedata — true cross-implementation oracle
+        "accent_fold": """
+            SELECT doc_id,
+                   strip_accents(
+                       COALESCE(text, '') ||
+                       ([' café', ' naïve crème', ' münchen São', ''])
+                           [(doc_id % 4) + 1]) AS folded
+            FROM documents
+        """,
         # hreflang_links: every row re-derived from the doc_id
         # arithmetic (hreflang lowercased by the extractor; the
         # j-parity uppercase variant maps back to the same tag)

@@ -254,6 +254,8 @@ def _query_suite() -> dict:
         "domain_quota": q.q_domain_quota,
         "value_histogram": q.q_value_histogram,
         "porter_stems": q.q_porter_stems,
+        "value_anomalies": q.q_value_anomalies,
+        "accent_fold": q.q_accent_fold,
     }
     return suite
 

@@ -1,0 +1,49 @@
+"""Diacritic stripping (accent folding) — NFD decompose + drop
+combining marks.
+
+The search-normalization leg next to NFC (``nfc_normalize``) and
+confusables folding (``translit.py``): "café", "café" and
+"CAFÉ".lower() should all index as "cafe".  The fold is pure Unicode
+data: NFD-decompose, drop category-Mn combining marks, recompose NFC.
+Characters whose "accent" is NOT a combining mark (ø, ß, đ) are
+unchanged by design — that's the documented difference from
+transliteration.
+
+Oracle: DuckDB's OWN ``strip_accents`` (ICU-derived) is an
+independent implementation of the same fold — a true
+cross-implementation check, used both in tests (randomized parity
+sweep) and as the driver twin.
+
+Ray shape: row-local ``map_batches``; stdlib ``unicodedata`` calls
+per string (short fields — hosts, names, queries — are the intended
+inputs; for document-scale text the NFC op's batching applies).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+
+import ray.data
+
+
+def strip_accents(s: str) -> str:
+    nfd = unicodedata.normalize("NFD", s)
+    kept = "".join(c for c in nfd if unicodedata.category(c) != "Mn")
+    return unicodedata.normalize("NFC", kept)
+
+
+def strip_accents_batch(
+    ds: ray.data.Dataset, text_col: str = "text", out_col: str = "folded"
+) -> ray.data.Dataset:
+    """Append ``out_col`` = accent-stripped ``text_col`` (null-safe)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        out = [
+            None if v is None else strip_accents(v)
+            for v in t.column(text_col).to_pylist()
+        ]
+        return t.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")

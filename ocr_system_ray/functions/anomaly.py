@@ -1,0 +1,153 @@
+"""Rolling z-score anomaly flags — integer-exact, per key.
+
+The telemetry-QC pass over an event stream: flag values that sit more
+than ``k`` standard deviations from the trailing-window mean of their
+key.  Everything stays in int64 cross-multiplied form — no sqrt, no
+float — so Ray and DuckDB agree bit-for-bit:
+
+    flag  ⇔  (v·n − s)²  >  k² · (n·q − s²)     [n = window rows,
+                                                  s = Σv, q = Σv²]
+
+which is ``(v − μ)² > k²·σ²`` scaled by n².  The window is the
+trailing ``W`` rows EXCLUDING the current one (an anomaly shouldn't
+dilute its own baseline), ordered by ``(ts, id)`` — the repo's
+deterministic tiebreak; rows with fewer than ``min_n`` predecessors
+never flag (cold start).
+
+Ray shape: ONE adaptive coarse key-bucket shuffle of int64 triples,
+in-bucket pandas ordered scan with O(W)-free vectorized rolling sums
+(cumsum differences) — the ``prev_event_gap``/``rolling_sum_cents``
+idiom extended to second moments.
+
+Overflow: with |v| ≤ 2·10⁶ (cents) and W ≤ 64, the largest
+cross-product k²·(n·q − s²) ≤ 9·64²·(2·10⁶)² ≈ 1.5·10¹⁷ < 2⁶³ —
+asserted via the |v| cap, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.skew import stable_hash64
+from .dedup import _adaptive_coarse_bits
+
+_V_CAP = 2_000_000  # |v| cap (cents) keeping all cross-products < 2^63
+_W_CAP = 64
+
+
+def rolling_zscore_flags(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 8,
+    k: int = 3,
+    min_n: int = 4,
+) -> ray.data.Dataset:
+    """→ ``(id_col, key_col, n_prev, flag)`` per row; ``flag`` ∈
+    {0, 1}, ``n_prev`` = trailing rows actually seen (< window during
+    warm-up; flag forced 0 when n_prev < min_n or the window variance
+    is 0 with v ≠ μ handled by the same integer inequality)."""
+    if window < 1 or k < 1 or min_n < 1:
+        raise ValueError("rolling_zscore_flags: window/k/min_n must be ≥ 1")
+    if window > _W_CAP or k > 16:
+        raise ValueError("rolling_zscore_flags: window/k beyond int64-safe caps")
+    bits = _adaptive_coarse_bits(max(1, ds.count()))
+
+    def emit(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        kh = stable_hash64(keys.to_pylist())
+        bucket = (kh >> np.uint64(64 - bits)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                key_col: keys,
+                ts_col: t.column(ts_col),
+                id_col: t.column(id_col),
+                value_col: t.column(value_col),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype=object),
+                    "n_prev": pd.Series([], dtype="int64"),
+                    "flag": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        v = df[value_col].to_numpy(dtype=np.int64)
+        if np.abs(v).max(initial=0) > _V_CAP:
+            raise ValueError("rolling_zscore_flags: value exceeds int64-safe cap")
+        # per-key trailing sums via grouped cumsum differences
+        key_codes, _ = pd.factorize(df[key_col], sort=False)
+        n = len(v)
+        cs = np.zeros(n + 1, dtype=np.int64)
+        cq = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v, out=cs[1:])
+        np.cumsum(v * v, out=cq[1:])
+        # positions where the key changes
+        starts = np.flatnonzero(
+            np.r_[True, key_codes[1:] != key_codes[:-1]]
+        )
+        key_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        lo = np.maximum(np.arange(n) - window, key_start)
+        n_prev = np.arange(n) - lo
+        s = cs[np.arange(n)] - cs[lo]
+        q = cq[np.arange(n)] - cq[lo]
+        lhs = (v * n_prev - s) ** 2
+        rhs = (k * k) * (n_prev * q - s * s)
+        flag = ((n_prev >= min_n) & (lhs > rhs)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                key_col: df[key_col].astype(object),
+                "n_prev": n_prev.astype(np.int64),
+                "flag": flag,
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def sql_rolling_zscore_select(
+    from_clause: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window: int = 8,
+    k: int = 3,
+    min_n: int = 4,
+) -> str:
+    """DuckDB twin: the same integer inequality over window SUMs."""
+    w = f"""PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+            ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING"""
+    return f"""
+        SELECT {id_col}, {key_col},
+               CAST(n_prev AS BIGINT) AS n_prev,
+               CAST(CASE WHEN n_prev >= {min_n}
+                          AND (v * n_prev - s) * (v * n_prev - s)
+                              > {k * k} * (n_prev * q - s * s)
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag
+        FROM (
+            SELECT {id_col}, {key_col}, v,
+                   COUNT(v) OVER ({w}) AS n_prev,
+                   COALESCE(SUM(v) OVER ({w}), 0) AS s,
+                   COALESCE(SUM(v * v) OVER ({w}), 0) AS q
+            FROM (SELECT {id_col}, {key_col}, {ts_col},
+                         {value_col} AS v {from_clause})
+        )
+    """

@@ -5338,6 +5338,67 @@ def q_porter_stems(sf_dir: str) -> ray.data.Dataset:
     return stem_tokens(docs.map_batches(derive, batch_format="pyarrow"))
 
 
+def q_value_anomalies(sf_dir: str) -> ray.data.Dataset:
+    """Rolling z-score anomaly flags per event type
+    (``functions/anomaly.py``): integer-exact (v·n−s)² > k²(n·q−s²)
+    over the trailing-8 window excluding self, (ts, event_id) order,
+    cold-start guard — ONE coarse key-bucket shuffle, vectorized
+    cumsum-difference scan in-bucket.  Twin = the same inequality over
+    DuckDB window SUMs."""
+    from ..functions.anomaly import rolling_zscore_flags
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        c = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(t.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "ts": t.column("ts"),
+                "v_cents": c,
+            }
+        )
+
+    return rolling_zscore_flags(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "ts",
+        "event_id",
+        "v_cents",
+    )
+
+
+def q_accent_fold(sf_dir: str) -> ray.data.Dataset:
+    """Diacritic stripping (``functions/accents.py`` — NFD + drop-Mn +
+    NFC): docs get a deterministic accented suffix, folded row-locally.
+    Twin = DuckDB's OWN ``strip_accents`` over the same derivation — a
+    true cross-implementation oracle (ICU vs stdlib unicodedata)."""
+    from ..functions.accents import strip_accents_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sufs = [" café", " naïve crème", " münchen São", ""]
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out = [(tx or "") + sufs[i % 4] for i, tx in zip(ids, texts)]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return strip_accents_batch(
+        docs.map_batches(derive, batch_format="pyarrow")
+    ).select_columns(["doc_id", "folded"])
+
+
 def q_ipynb_extract(sf_dir: str) -> ray.data.Dataset:
     """Jupyter notebook extraction over REAL nbformat-4 JSON payloads
     (``sources/ipynb.py``): code/markdown/output text, cell + output

@@ -1,0 +1,138 @@
+"""Rolling z-score anomaly flags (functions/anomaly.py) and accent
+folding (functions/accents.py) — DuckDB window/strip_accents twins as
+cross-engine oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.accents import strip_accents, strip_accents_batch
+from ocr_system_ray.functions.anomaly import (
+    rolling_zscore_flags,
+    sql_rolling_zscore_select,
+)
+
+
+def _events(n=400, keys=5, seed=3):
+    rng = np.random.default_rng(seed)
+    key = [f"k{int(x)}" for x in rng.integers(0, keys, n)]
+    ts = rng.permutation(n).astype("int64")  # distinct → deterministic order
+    v = rng.integers(90, 111, n).astype("int64")
+    # plant spikes
+    spike = rng.choice(n, size=n // 25, replace=False)
+    v[spike] += 500
+    return pa.table(
+        {
+            "key": pa.array(key, pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(np.arange(n, dtype="int64")),
+            "v": pa.array(v),
+        }
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_zscore_matches_duckdb(ray_session, nblocks):
+    T = _events()
+    t = T  # noqa: F841
+    ds = ray.data.from_arrow(T).repartition(nblocks)
+    got = (
+        rolling_zscore_flags(ds, "key", "ts", "event_id", "v")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        sql_rolling_zscore_select("FROM t", "key", "ts", "event_id", "v")
+        + " ORDER BY event_id"
+    ).df()
+    assert got["n_prev"].tolist() == want["n_prev"].tolist()
+    assert got["flag"].tolist() == want["flag"].tolist()
+    assert got["flag"].sum() > 0  # spikes actually flag
+
+
+def test_zscore_cold_start_and_constant_window(ray_session):
+    t = pa.table(
+        {
+            "key": pa.array(["a"] * 6, pa.string()),
+            "ts": pa.array(list(range(6)), pa.int64()),
+            "event_id": pa.array(list(range(6)), pa.int64()),
+            # constant 100s then a spike: variance 0 → any deviation flags
+            "v": pa.array([100, 100, 100, 100, 100, 400], pa.int64()),
+        }
+    )
+    out = (
+        rolling_zscore_flags(ray.data.from_arrow(t), "key", "ts", "event_id", "v")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # first 4 rows: n_prev < min_n → never flag
+    assert out["flag"].tolist()[:4] == [0, 0, 0, 0]
+    assert out["flag"].tolist()[5] == 1
+    assert out["n_prev"].tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_zscore_guards(ray_session):
+    t = pa.table(
+        {
+            "key": pa.array(["a"], pa.string()),
+            "ts": pa.array([1], pa.int64()),
+            "event_id": pa.array([1], pa.int64()),
+            "v": pa.array([10**9], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError):
+        rolling_zscore_flags(ds, "key", "ts", "event_id", "v", window=0)
+    with pytest.raises(ValueError):
+        rolling_zscore_flags(ds, "key", "ts", "event_id", "v", window=128)
+    with pytest.raises(Exception):
+        rolling_zscore_flags(ds, "key", "ts", "event_id", "v").to_pandas()
+
+
+ACCENT_CASES = [
+    ("café", "cafe"),
+    ("naïve", "naive"),
+    ("münchen", "munchen"),
+    ("crème brûlée", "creme brulee"),
+    ("São Paulo", "Sao Paulo"),
+    ("ø and ß and đ", "ø and ß and đ"),  # not combining marks — kept
+    ("ASCII stays", "ASCII stays"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("raw,want", ACCENT_CASES)
+def test_strip_accents_pins(raw, want):
+    assert strip_accents(raw) == want
+
+
+def test_strip_accents_parity_with_duckdb():
+    # randomized parity sweep over Latin-1/Latin-Extended letters
+    import random
+
+    rng = random.Random(11)
+    pool = "aeiouncyz" + "áàâãäåéèêëíìîïóòôõöúùûüçñý" + "ÁÈÎÕÜÇÑ" + " -"
+    words = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    vals = ", ".join(f"('{w}')" for w in words)
+    rows = duckdb.sql(
+        f"SELECT w, strip_accents(w) FROM (VALUES {vals}) t(w)"
+    ).fetchall()
+    for w, want in rows:
+        assert strip_accents(w) == want, w
+
+
+def test_strip_accents_dataset(ray_session):
+    t = pa.table({"text": pa.array(["café", None], pa.string())})
+    out = strip_accents_batch(ray.data.from_arrow(t)).to_pandas()
+    assert out["folded"][0] == "cafe"
+    assert out["folded"].isna()[1]
