@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "hits_scores": q.q_hits_scores,
         "crawl_depth": q.q_crawl_depth,
+        "host_communities": q.q_host_communities,
         "triangle_counts": q.q_triangle_counts,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
@@ -682,6 +683,18 @@ def _crawl_depth_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return bfs_sql(edges, BFS_SEEDS, max_hops=4, node_col="host")
+
+
+def _host_communities_sql() -> str:
+    from ocr_system_ray.functions.graph import label_propagation_sql
+    from ocr_system_ray.pipelines.queries import PAGERANK_HOSTS as H
+
+    edges = f"""SELECT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+        ) WHERE src <> dst"""
+    return label_propagation_sql(edges, rounds=3, node_col="host")
 
 
 def _triangles_sql() -> str:
@@ -1641,6 +1654,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "hits_scores": _hits_sql(),
         "crawl_depth": _crawl_depth_sql(),
+        # host_communities: unrolled synchronous LPA rounds (votes +
+        # self-vote, max-count/min-label) over the identical derivation
+        "host_communities": _host_communities_sql(),
         "triangle_counts": _triangles_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the

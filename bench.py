@@ -222,7 +222,8 @@ def _query_suite() -> dict:
         "jaccard_join_exact": q.q_jaccard_join_exact,
         "tfrecord_roundtrip": q.q_tfrecord_roundtrip,
         # round-3 session-6 additions (the multi-hop graph walks —
-        # triangle_counts, crawl_depth — stay OUT: stage-latency-bound
+        # triangle_counts, crawl_depth, host_communities — stay OUT:
+        # stage-latency-bound
         # at sf scale, the neardup_incremental precedent)
         "funnel_conversion": q.q_funnel_conversion,
         "cohort_retention": q.q_cohort_retention,

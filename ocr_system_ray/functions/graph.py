@@ -968,3 +968,191 @@ def bfs_sql(
                CAST(COALESCE(dk.d, -1) AS BIGINT) AS {depth_col}
         FROM nodes n LEFT JOIN d{max_hops} dk ON n.h = dk.h"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (LPA)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    rounds: int = 3,
+    node_col: str = "node",
+    label_col: str = "community",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection over an edge
+    list — the classic host/mirror-cluster grouping signal (link farms,
+    site families) next to :func:`triangle_counts`.
+
+    Deterministic spec (the SQL twin :func:`label_propagation_sql`
+    mirrors it exactly):
+
+    * the graph is UNDIRECTED — edges are symmetrized, self-loops
+      dropped, parallel edges collapsed (label propagation is defined
+      on the neighbour SET);
+    * ``labels₀(v) = v``;
+    * each round every node adopts the label most frequent among its
+      neighbours' current labels PLUS one self-vote for its own current
+      label (the damping that keeps the synchronous update from
+      oscillating on bipartite subgraphs), ties broken by the SMALLEST
+      label;
+    * output is the fixed-``rounds`` synchronous state — a finite
+      deterministic computation, not a convergence loop, so the result
+      is well-defined on every input.
+
+    Scale shape: per round ONE reduce-side label join
+    (``dedup._attach_label`` — edges ⋈ labels on src) plus ONE adaptive
+    coarse node-bucket shuffle with an in-bucket pandas vote count;
+    O(edges) rows per round, nothing corpus-sized on the driver.
+
+    Reference seam: the reference app has no graph op — training-data
+    operator mandate (crawl clustering), same family as `pagerank`.
+    """
+    import pandas as pd
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t.column("src").combine_chunks().cast(pa.int64())
+        d = t.column("dst").combine_chunks().cast(pa.int64())
+        src = pa.concat_arrays([s, d])
+        dst = pa.concat_arrays([d, s])
+        keep = pc.not_equal(src, dst)
+        return pa.table({"src": src.filter(keep), "dst": dst.filter(keep)})
+
+    e = _dedup_edges(
+        edges.map_batches(sym, batch_format="pyarrow"), nb
+    ).materialize()
+    empty = pa.table(
+        {
+            node_col: pa.array([], pa.int64()),
+            label_col: pa.array([], pa.int64()),
+        }
+    )
+    nodes = _node_table(e).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        n = t.column("node").cast(pa.int64())
+        return pa.table({"node": n, "label": n})
+
+    def self_votes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "l": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    def nbr_votes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("dst").cast(pa.int64()),
+                "l": t.column("l").cast(pa.int64()),
+            }
+        )
+
+    def bucket_votes(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(_coarse_bucket(n, nb)))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                }
+            )
+        cnt = (
+            df.groupby(["node", "l"], sort=False).size().reset_index(name="c")
+        )
+        cnt = cnt.sort_values(
+            ["node", "c", "l"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = cnt.drop_duplicates("node")
+        return pd.DataFrame(
+            {
+                "node": top["node"].to_numpy(dtype=np.int64),
+                "label": top["l"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow")
+    for _round in range(rounds):
+        votes = (
+            _attach_label(e, ["dst"], labels, "src", "l", nb)
+            .map_batches(nbr_votes, batch_format="pyarrow")
+            .union(labels.map_batches(self_votes, batch_format="pyarrow"))
+        )
+        labels = (
+            votes.map_batches(bucket_votes, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_col: t.column("node").cast(pa.int64()),
+                label_col: t.column("label").cast(pa.int64()),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation_sql(
+    edges_sql: str,
+    rounds: int = 3,
+    node_col: str = "node",
+    label_col: str = "community",
+) -> str:
+    """Generated DuckDB oracle for :func:`label_propagation`: the same
+    fixed synchronous rounds unrolled as MATERIALIZED CTEs — per round,
+    neighbour votes (edges ⋈ labels on src) + one self-vote per node,
+    then ROW_NUMBER over (count DESC, label ASC) picks the winner.
+    CTE names are ``lp_``-prefixed (duckdb binds local Python variables
+    as tables — unambiguous names avoid circular-reference traps)."""
+    parts = [
+        f"lp_e0 AS MATERIALIZED ({edges_sql})",
+        """lp_e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM lp_e0
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM lp_e0
+            ) WHERE src <> dst)""",
+        "lp_l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM lp_e)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""lp_v{k} AS MATERIALIZED (
+                SELECT node, label, COUNT(*) AS c FROM (
+                    SELECT lp_e.dst AS node, r.label
+                    FROM lp_e JOIN lp_l{k - 1} r ON lp_e.src = r.node
+                    UNION ALL
+                    SELECT node, label FROM lp_l{k - 1}
+                ) GROUP BY node, label)"""
+        )
+        parts.append(
+            f"""lp_l{k} AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY node ORDER BY c DESC, label
+                           ) AS rn
+                    FROM lp_v{k}
+                ) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(node AS BIGINT) AS {node_col},
+               CAST(label AS BIGINT) AS {label_col}
+        FROM lp_l{rounds}"""
+    )

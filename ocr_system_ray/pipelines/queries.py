@@ -5887,6 +5887,32 @@ def q_crawl_depth(sf_dir: str) -> ray.data.Dataset:
     return bfs_depth(ds, BFS_SEEDS, max_hops=4, node_col="host")
 
 
+def q_host_communities(sf_dir: str) -> ray.data.Dataset:
+    """Label-propagation communities over the pagerank-derived host
+    graph (``functions/graph.py:label_propagation``) — the host/mirror
+    cluster grouping signal: 3 synchronous rounds, neighbour votes +
+    one self-vote, max-count/min-label rule.  Per round ONE reduce-side
+    label join + ONE coarse vote shuffle.  Oracle = the generated
+    unrolled-CTE twin over the identical edge derivation."""
+    from ..functions.graph import label_propagation
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return label_propagation(ds, rounds=3, node_col="host")
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

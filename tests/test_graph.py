@@ -333,3 +333,104 @@ def test_bfs_hop_cap_and_chain(ray_session):
         ).take_all()
     }
     assert got == {1: 0, 2: 1, 3: 2, 4: -1, 5: -1}
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.graph import (  # noqa: E402
+    label_propagation,
+    label_propagation_sql,
+)
+
+
+def lpa_twin(edges, rounds):
+    """Independent dict twin of the spec: symmetrize, drop self-loops,
+    dedup; per round neighbour votes + one self-vote, max count then
+    min label."""
+    from collections import Counter
+
+    es = set()
+    for a, b in edges:
+        if a != b:
+            es.add((a, b))
+            es.add((b, a))
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    nodes = sorted(adj)
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nodes:
+            votes = Counter(lab[u] for u in adj[v])
+            votes[lab[v]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    return lab
+
+
+def test_lpa_two_cliques_bridge(ray_session):
+    # two 4-cliques joined by one bridge edge: each clique collapses to
+    # its min node id; the bridge does not merge them in 3 rounds
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cl1 + cl2 + [(3, 10)]
+    want = lpa_twin(edges, 3)
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges_ds(edges), rounds=3, num_buckets=2
+        ).take_all()
+    }
+    assert got == want
+    assert {got[v] for v in range(4)} == {0}
+    assert {got[v] for v in range(10, 14)} == {10}
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_lpa_matches_twin_and_sql(ray_session, blocks):
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 50, 240), rng.integers(0, 50, 240))
+        if a != b
+    ]
+    want = lpa_twin(edges, 3)
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges_ds(edges, blocks), rounds=3, num_buckets=4
+        ).take_all()
+    }
+    assert got == want
+    lpa_edge_tbl = pa.table(  # noqa: F841 — bound by duckdb below
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    df = duckdb.sql(
+        label_propagation_sql("SELECT src, dst FROM lpa_edge_tbl", rounds=3)
+    ).df()
+    assert {int(r.node): int(r.community) for r in df.itertuples()} == want
+
+
+def test_lpa_self_loops_and_empty(ray_session):
+    # self-loops only → empty node set → empty result
+    out = label_propagation(
+        _edges_ds([(1, 1), (2, 2)]), rounds=2, num_buckets=2
+    ).take_all()
+    assert out == []
+    # a single edge: both nodes adopt the min label round 1 and stay
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _edges_ds([(7, 3)]), rounds=2, num_buckets=2
+        ).take_all()
+    }
+    assert got == {3: 3, 7: 3}
