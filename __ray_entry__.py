@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": q.q_hits_scores,
         "crawl_depth": q.q_crawl_depth,
         "host_communities": q.q_host_communities,
+        "corpus_rollup": q.q_corpus_rollup,
         "triangle_counts": q.q_triangle_counts,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
@@ -695,6 +696,16 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _corpus_rollup_sql() -> str:
+    from ocr_system_ray.functions.rollup import rollup_sql
+
+    return rollup_sql(
+        "FROM documents",
+        {"lang": "lang", "source": "source"},
+        "n_chars",
+    )
 
 
 def _triangles_sql() -> str:
@@ -1657,6 +1668,9 @@ def oracle_sql() -> dict[str, str]:
         # host_communities: unrolled synchronous LPA rounds (votes +
         # self-vote, max-count/min-label) over the identical derivation
         "host_communities": _host_communities_sql(),
+        # corpus_rollup: GROUP BY ROLLUP with GROUPING()→'(all)' and
+        # COALESCE('') null keys — the identical spec
+        "corpus_rollup": _corpus_rollup_sql(),
         "triangle_counts": _triangles_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the

@@ -257,6 +257,7 @@ def _query_suite() -> dict:
         "porter_stems": q.q_porter_stems,
         "value_anomalies": q.q_value_anomalies,
         "accent_fold": q.q_accent_fold,
+        "corpus_rollup": q.q_corpus_rollup,
     }
     return suite
 

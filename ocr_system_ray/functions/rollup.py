@@ -1,0 +1,175 @@
+"""Multi-level ROLLUP reports — hierarchical aggregates in ONE pass.
+
+The corpus-governance report every curation run ships ("docs and
+chars per (lang, source), per lang, and overall") is SQL's
+``GROUP BY ROLLUP(k1, …, kL)``: one aggregate row per distinct key
+PREFIX at every level, rolled-up positions marked.  Ray Data has no
+grouping-sets operator; the scale-correct composition is the
+pivot/hist partial idiom: every batch pre-aggregates ALL L+1 levels
+locally (≤ (L+1)·distinct-prefixes rows per block move — report-sized,
+never corpus-sized), then ONE adaptive coarse shuffle on the packed
+group key merges the partials in-bucket.  No multi-column Ray
+aggregate (pathological in ray 2.49 — CLAUDE.md), no driver table.
+
+Spec (the SQL twin mirrors it exactly):
+
+* levels are ROLLUP prefixes — full key, drop the last column, …,
+  grand total;
+* rolled-up positions carry the ``all_token`` sentinel (default
+  ``"(all)"``) rather than SQL's NULL, so the report is
+  hash-comparable across engines and a rolled row can't collide with
+  a null key value;
+* null/missing key values aggregate as ``""`` (COALESCE in the twin);
+  key values must not equal ``all_token`` (documented contract);
+* outputs: the key columns (string), ``n_rows`` (int64 row count) and
+  ``val_sum`` (int64 exact sum of ``value_col``; omitted when no
+  value column is given).
+
+Reference seam: the reference app has no report op — training-data
+operator mandate (corpus mix dashboards), same family as
+`windows.pivot_counts` / `functions/hist.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .dedup import _adaptive_coarse_bits
+
+SEP = "\x1f"
+
+
+def rollup_report(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str | None = None,
+    all_token: str = "(all)",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """→ one row per ROLLUP group: ``(*key_cols, n_rows[, val_sum])``.
+
+    See the module docstring for the exact spec; ``rollup_sql``
+    generates the DuckDB twin.
+    """
+    if not key_cols:
+        raise ValueError("rollup_report needs at least one key column")
+    if SEP in all_token:
+        raise ValueError("all_token must not contain the packing separator")
+    import pandas as pd
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, ds.count())))
+    L = len(key_cols)
+    out_names = list(key_cols) + ["n_rows"] + (["val_sum"] if value_col else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys = [
+            pc.fill_null(t.column(c).cast(pa.string()), "").to_pandas()
+            for c in key_cols
+        ]
+        v = (
+            t.column(value_col)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            if value_col
+            else np.ones(n, dtype=np.int64)
+        )
+        packed_all = []
+        vals_all = []
+        for lvl in range(L + 1):  # lvl = number of leading keys kept
+            parts = [keys[i] for i in range(lvl)] + [
+                pd.Series([all_token] * n) for _ in range(L - lvl)
+            ]
+            s = parts[0].str.cat(parts[1:], sep=SEP) if L > 1 else parts[0]
+            packed_all.append(s.to_numpy())
+            vals_all.append(v)
+        df = pd.DataFrame(
+            {
+                "k": np.concatenate(packed_all) if n else np.array([], object),
+                "v": np.concatenate(vals_all) if n else np.array([], np.int64),
+            }
+        )
+        g = df.groupby("k", sort=False)["v"].agg(["count", "sum"]).reset_index()
+        packed = g["k"].tolist()
+        from ..stages.skew import stable_hash64
+
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (stable_hash64(packed) % np.uint64(nb)).astype(np.int64)
+                    if packed
+                    else np.array([], np.int64)
+                ),
+                "k": pa.array(packed, pa.string()),
+                "n": pa.array(g["count"].to_numpy(dtype=np.int64)),
+                "s": pa.array(g["sum"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def merge(df) -> "pd.DataFrame":  # noqa: ANN001
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    **{c: pd.Series([], dtype=object) for c in key_cols},
+                    "n_rows": pd.Series([], dtype="int64"),
+                    **(
+                        {"val_sum": pd.Series([], dtype="int64")}
+                        if value_col
+                        else {}
+                    ),
+                }
+            )
+        g = (
+            df.groupby("k", sort=False)[["n", "s"]]
+            .sum()
+            .reset_index()
+        )
+        split = g["k"].str.split(SEP, expand=True)
+        out = {key_cols[i]: split[i].astype(object) for i in range(L)}
+        out["n_rows"] = g["n"].astype("int64")
+        if value_col:
+            out["val_sum"] = g["s"].astype("int64")
+        return pd.DataFrame(out)[out_names]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def rollup_sql(
+    from_sql: str,
+    key_exprs: dict[str, str],
+    value_expr: str | None = None,
+    all_token: str = "(all)",
+) -> str:
+    """Generated DuckDB oracle for :func:`rollup_report`:
+    ``GROUP BY ROLLUP`` with ``GROUPING()`` mapping rolled positions to
+    ``all_token`` and nulls COALESCEd to ``''`` — the identical spec.
+
+    ``key_exprs`` maps output column name → SQL expression;
+    ``from_sql`` is the ``FROM …`` clause.
+    """
+    names = list(key_exprs)
+    sel = [
+        f"CASE WHEN GROUPING({e}) = 1 THEN '{all_token}'"
+        f" ELSE COALESCE(CAST({e} AS VARCHAR), '') END AS {n}"
+        for n, e in key_exprs.items()
+    ]
+    sel.append("CAST(COUNT(*) AS BIGINT) AS n_rows")
+    if value_expr:
+        sel.append(
+            f"CAST(COALESCE(SUM({value_expr}), 0) AS BIGINT) AS val_sum"
+        )
+    keys = ", ".join(key_exprs.values())
+    return (
+        "SELECT "
+        + ",\n               ".join(sel)
+        + f"\n        {from_sql}\n        GROUP BY ROLLUP({keys})"
+    )

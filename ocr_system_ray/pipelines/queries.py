@@ -5913,6 +5913,20 @@ def q_host_communities(sf_dir: str) -> ray.data.Dataset:
     return label_propagation(ds, rounds=3, node_col="host")
 
 
+def q_corpus_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical corpus-mix report (``functions/rollup.py``):
+    docs + chars per (lang, source), per lang, and overall — SQL's
+    GROUP BY ROLLUP in ONE pass (per-batch partials at every level,
+    one packed-key coarse shuffle).  Oracle = the generated
+    GROUPING()-mapped ROLLUP twin."""
+    from ..functions.rollup import rollup_report
+
+    ds = read_table(
+        sf_dir, "documents", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_report(ds, ["lang", "source"], value_col="n_chars")
+
+
 def q_bigram_logprob(sf_dir: str) -> ray.data.Dataset:
     """Interpolated-bigram LM quality score (λ=0.8 bigram + 0.2
     unigram, mean -ln p per token, integer micro-nats).  Oracle =

@@ -1,0 +1,116 @@
+"""Multi-level ROLLUP reports (functions/rollup.py) vs the generated
+DuckDB GROUP BY ROLLUP twin — one-pass partials, packed-key merge."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.rollup import rollup_report, rollup_sql
+
+
+def _tbl():
+    return pa.table(
+        {
+            "lang": pa.array(
+                ["en", "en", "de", None, "fr", "en", "de", "fr", "fr", "en"]
+            ),
+            "src": pa.array(
+                ["web", "book", "web", "web", None, "web", "book", "web",
+                 "web", "book"]
+            ),
+            "v": pa.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], pa.int64()),
+        }
+    )
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_rollup_matches_sql_twin(ray_session, blocks):
+    t = _tbl()
+    ds = ray.data.from_arrow(t)
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    got = rollup_report(
+        ds, ["lang", "src"], value_col="v", num_buckets=2
+    ).to_pandas()
+    rollup_src_tbl = t  # noqa: F841 — bound by duckdb below
+    want = duckdb.sql(
+        rollup_sql(
+            "FROM rollup_src_tbl", {"lang": "lang", "src": "src"}, "v"
+        )
+    ).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # grand total pinned: one row, all rows, full sum
+    tot = got[(got["lang"] == "(all)") & (got["src"] == "(all)")]
+    assert len(tot) == 1
+    assert int(tot["n_rows"].iloc[0]) == 10
+    assert int(tot["val_sum"].iloc[0]) == 55
+    # ROLLUP is prefix-only: no (all, web) mixed row
+    assert not (
+        (got["lang"] == "(all)") & (got["src"] != "(all)")
+    ).any()
+
+
+def test_rollup_count_only_and_null_keys(ray_session):
+    t = _tbl()
+    got = rollup_report(
+        ray.data.from_arrow(t), ["lang"], num_buckets=2
+    ).to_pandas()
+    assert list(got.columns) == ["lang", "n_rows"]
+    rollup_src_tbl2 = t  # noqa: F841
+    want = duckdb.sql(
+        rollup_sql("FROM rollup_src_tbl2", {"lang": "lang"})
+    ).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # the null lang row aggregates under ''
+    assert int(got[got["lang"] == ""]["n_rows"].iloc[0]) == 1
+
+
+def test_rollup_rejects_bad_args(ray_session):
+    ds = ray.data.from_arrow(_tbl())
+    with pytest.raises(ValueError):
+        rollup_report(ds, [])
+    with pytest.raises(ValueError):
+        rollup_report(ds, ["lang"], all_token="a\x1fb")
+
+
+def test_rollup_batching_invariance(ray_session):
+    rng = np.random.default_rng(5)
+    n = 400
+    t = pa.table(
+        {
+            "a": pa.array([f"k{int(x)}" for x in rng.integers(0, 7, n)]),
+            "b": pa.array([f"s{int(x)}" for x in rng.integers(0, 5, n)]),
+            "v": pa.array(rng.integers(-50, 50, n), pa.int64()),
+        }
+    )
+    outs = []
+    for blocks in (1, 8):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        outs.append(
+            _canon(
+                rollup_report(
+                    ds, ["a", "b"], value_col="v", num_buckets=4
+                ).to_pandas()
+            )
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == len(
+        duckdb.sql(
+            "SELECT a, b FROM t GROUP BY ROLLUP(a, b)"
+        ).df()
+    )
