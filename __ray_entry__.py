@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipynb_extract": q.q_ipynb_extract,
         "markdown_extract": q.q_markdown_extract,
         "avro_roundtrip": q.q_avro_roundtrip,
+        "sqlite_roundtrip": q.q_sqlite_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "table_profile": q.q_table_profile,
@@ -1874,6 +1875,10 @@ def oracle_sql() -> dict[str, str]:
         # ipc_roundtrip: Arrow IPC is lossless — bare table, no
         # COALESCE null contract
         "ipc_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # sqlite_roundtrip: nulls round-trip natively — bare table
+        "sqlite_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # data_contract: one verdict row per rule; all checks except

@@ -258,6 +258,7 @@ def _query_suite() -> dict:
         "value_anomalies": q.q_value_anomalies,
         "accent_fold": q.q_accent_fold,
         "corpus_rollup": q.q_corpus_rollup,
+        "sqlite_roundtrip": q.q_sqlite_roundtrip,
     }
     return suite
 

@@ -5001,6 +5001,35 @@ def q_avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
     return read_avro(shards)
 
 
+def q_sqlite_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Sharded SQLite sink + source round trip
+    (``sources/sqlitedb.py``): the documents table written as
+    self-contained ``.sqlite`` shards (in-memory build +
+    ``Connection.serialize()``, content-hash idempotent names) and read
+    back shard-parallel via ``deserialize()``.  Nulls round-trip
+    natively.  Oracle = the table itself.  Cached under /tmp keyed by
+    sf dir."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.sqlitedb import read_sqlite_shards, write_sqlite_shards
+
+    cols = {
+        "doc_id": "int64",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int64",
+    }
+    cache = f"/tmp/osr_sqlite_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=list(cols))
+        write_sqlite_shards(docs, cache, cols)
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.sqlite")))
+    return read_sqlite_shards(shards, cols)
+
+
 def q_ipc_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """Arrow IPC (Feather v2) sink + source round trip
     (``sources/arrowipc.py``): the documents table written as

@@ -1,0 +1,147 @@
+"""Sharded SQLite sink + source — the embedded-DB corpus-exchange leg.
+
+SQLite database files are the most widely deployed exchange format for
+small-to-medium datasets (annotation tools, labeling UIs, eval
+harnesses all speak it), and the stdlib ships a complete, battle-tested
+implementation — so unlike the hand-built wire formats in this family
+(Avro/TFRecord/MessagePack), the value here is the SHARDING contract:
+one self-contained ``.sqlite`` file per Ray block with content-hash
+idempotent names, written inside the tasks, read back shard-parallel.
+
+Nulls round-trip natively (unlike the CSV leg's '' contract); SQLite's
+dynamic typing is pinned down by the declared column map — INTEGER /
+REAL / TEXT / BLOB for int64 / float64 / string / binary.
+
+Ray shape: sink = in-memory ``sqlite3`` database per block serialized
+via ``Connection.serialize()`` (Python 3.11 stdlib) and written
+tmp+rename — no filesystem round trip inside the task; source =
+``read_binary_files`` (one task per shard) + ``deserialize()`` into a
+``:memory:`` connection inside the expanding ``map_batches`` — the
+shard bytes never touch the driver.
+
+Reference seam: the reference app's export side is CSV/XLSX
+(`/root/reference/ocr/csv_utils.py:8-16`); this is the same export
+contract for DB-consuming downstreams, at corpus scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sqlite3
+
+import pyarrow as pa
+
+import ray.data
+
+_TYPES = {
+    "int64": (pa.int64(), "INTEGER"),
+    "float64": (pa.float64(), "REAL"),
+    "string": (pa.string(), "TEXT"),
+    "binary": (pa.binary(), "BLOB"),
+}
+
+TABLE = "rows"
+
+
+def _check_columns(column_types: dict[str, str]) -> None:
+    if not column_types:
+        raise ValueError("sqlite: need at least one column")
+    for c, k in column_types.items():
+        if k not in _TYPES:
+            raise ValueError(f"sqlite: unsupported type {k!r} for {c!r}")
+        if '"' in c:
+            raise ValueError(f"sqlite: bad column name {c!r}")
+
+
+def write_sqlite_shards(
+    ds: ray.data.Dataset, out_dir: str, column_types: dict[str, str]
+) -> int:
+    """One ``.sqlite`` shard per block: table ``rows`` with the declared
+    columns, rows in block order.  Content-hash names (md5 of the
+    serialized database bytes), tmp+rename, ``_SUCCESS`` with the row
+    count — the repo's idempotent shard discipline."""
+    _check_columns(column_types)
+    os.makedirs(out_dir, exist_ok=True)
+    items = list(column_types.items())
+    ddl = ", ".join(f'"{c}" {_TYPES[k][1]}' for c, k in items)
+    ins = (
+        f"INSERT INTO {TABLE} ("
+        + ", ".join(f'"{c}"' for c, _k in items)
+        + ") VALUES ("
+        + ", ".join("?" for _ in items)
+        + ")"
+    )
+
+    def write_block(t: pa.Table) -> pa.Table:
+        con = sqlite3.connect(":memory:")
+        con.execute(f"CREATE TABLE {TABLE} ({ddl})")
+        cols = [t.column(c).to_pylist() for c, _k in items]
+        con.executemany(ins, list(zip(*cols)) if cols and len(t) else [])
+        con.commit()
+        blob = con.serialize()
+        con.close()
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"shard-{name}.sqlite")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def read_sqlite_shards(
+    paths: list[str] | str, column_types: dict[str, str]
+) -> ray.data.Dataset:
+    """Source: ``.sqlite`` shards → typed rows.  Each shard's table
+    ``rows`` must cover every requested column; missing columns raise.
+    The shard bytes are ``deserialize()``d into a ``:memory:``
+    connection inside the task — no temp files, no driver traffic."""
+    _check_columns(column_types)
+    items = list(column_types.items())
+    sel = (
+        "SELECT "
+        + ", ".join(f'"{c}"' for c, _k in items)
+        + f" FROM {TABLE}"
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        outs: dict[str, list] = {c: [] for c, _k in items}
+        for blob in t.column("bytes").to_pylist():
+            con = sqlite3.connect(":memory:")
+            con.deserialize(blob)
+            try:
+                # explicit presence check: SQLite's double-quoted-string
+                # misfeature silently turns an unknown "column" into a
+                # string literal, so a bare SELECT can't catch typos
+                have = {
+                    r[1] for r in con.execute(f"PRAGMA table_info({TABLE})")
+                }
+                missing = [c for c, _k in items if c not in have]
+                if missing:
+                    raise ValueError(
+                        f"sqlite: bad shard: missing columns {missing}"
+                    )
+                rows = con.execute(sel).fetchall()
+            except sqlite3.OperationalError as exc:
+                raise ValueError(f"sqlite: bad shard: {exc}") from exc
+            finally:
+                con.close()
+            for row in rows:
+                for (c, _k), v in zip(items, row):
+                    outs[c].append(v)
+        return pa.table(
+            {c: pa.array(outs[c], _TYPES[k][0]) for c, k in items}
+        )
+
+    return ray.data.read_binary_files(
+        paths, file_extensions=["sqlite"]
+    ).map_batches(expand, batch_format="pyarrow")

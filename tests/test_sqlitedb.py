@@ -1,0 +1,104 @@
+"""Sharded SQLite sink/source (sources/sqlitedb.py) — round trip,
+null/binary contract, idempotent shard names, bad-input rejection."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sqlite3
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.sqlitedb import (
+    read_sqlite_shards,
+    write_sqlite_shards,
+)
+
+COLS = {
+    "doc_id": "int64",
+    "text": "string",
+    "score": "float64",
+    "payload": "binary",
+}
+
+
+def _tbl():
+    return pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["a", None, "", "quote'd\ntext", "ünïcode"]),
+            "score": pa.array([1.5, None, -2.25, 0.0, 3.0], pa.float64()),
+            "payload": pa.array(
+                [b"\x00\x01", None, b"", b"\xff" * 5, b"xyz"], pa.binary()
+            ),
+        }
+    )
+
+
+def _canon(rows):
+    return sorted(
+        (r["doc_id"], r["text"], r["score"], r["payload"]) for r in rows
+    )
+
+
+def test_sqlite_roundtrip_multiblock(ray_session, tmp_path):
+    t = _tbl()
+    out = str(tmp_path / "shards")
+    n = write_sqlite_shards(
+        ray.data.from_arrow(t).repartition(3), out, COLS
+    )
+    assert n == 5
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    shards = sorted(glob.glob(os.path.join(out, "*.sqlite")))
+    assert len(shards) == 3
+    got = read_sqlite_shards(shards, COLS).take_all()
+    want = [
+        {c: t.column(c)[i].as_py() for c in COLS} for i in range(len(t))
+    ]
+    assert _canon(got) == _canon(want)
+
+
+def test_sqlite_shards_are_real_databases(ray_session, tmp_path):
+    out = str(tmp_path / "real")
+    write_sqlite_shards(ray.data.from_arrow(_tbl()), out, COLS)
+    (shard,) = glob.glob(os.path.join(out, "*.sqlite"))
+    # an independent reader (plain sqlite3 file open) sees the rows
+    con = sqlite3.connect(shard)
+    rows = con.execute("SELECT doc_id, text FROM rows ORDER BY doc_id").fetchall()
+    con.close()
+    assert rows[0] == (1, "a")
+    assert rows[1] == (2, None)
+    assert len(rows) == 5
+
+
+def test_sqlite_idempotent_names(ray_session, tmp_path):
+    out = str(tmp_path / "idem")
+    write_sqlite_shards(ray.data.from_arrow(_tbl()), out, COLS)
+    first = sorted(glob.glob(os.path.join(out, "*.sqlite")))
+    write_sqlite_shards(ray.data.from_arrow(_tbl()), out, COLS)
+    second = sorted(glob.glob(os.path.join(out, "*.sqlite")))
+    assert first == second  # same content → same names, no dup shards
+
+
+def test_sqlite_rejects_bad_args(ray_session, tmp_path):
+    ds = ray.data.from_arrow(_tbl())
+    with pytest.raises(ValueError):
+        write_sqlite_shards(ds, str(tmp_path / "x"), {})
+    with pytest.raises(ValueError):
+        write_sqlite_shards(ds, str(tmp_path / "x"), {"doc_id": "int32"})
+    with pytest.raises(ValueError):
+        write_sqlite_shards(ds, str(tmp_path / "x"), {'a"b': "int64"})
+
+
+def test_sqlite_missing_column_raises(ray_session, tmp_path):
+    out = str(tmp_path / "miss")
+    write_sqlite_shards(
+        ray.data.from_arrow(_tbl()), out, {"doc_id": "int64"}
+    )
+    shards = glob.glob(os.path.join(out, "*.sqlite"))
+    with pytest.raises(Exception, match="bad shard"):
+        read_sqlite_shards(shards, {"doc_id": "int64", "nope": "string"}).take_all()
