@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_by_type": q.q_value_quantiles_by_type,
         "value_trend_by_type": q.q_value_trend_by_type,
         "fuzzy_linkage": q.q_fuzzy_linkage,
+        "string_similarity": q.q_string_similarity,
         "confusables_fold": q.q_confusables_fold,
         "phonetic_keys": q.q_phonetic_keys,
         "cohort_retention": q.q_cohort_retention,
@@ -2098,6 +2099,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS best_dist
             FROM dirty d LEFT JOIN scored s
               ON s.doc_id = d.doc_id AND s.rn = 1
+        """,
+        # string_similarity: DuckDB's NATIVE jaro / jaro_winkler vs our
+        # from-scratch flag/transposition implementation (ulp-equal, so
+        # the shared micro rounding is exact) over the same derivation
+        "string_similarity": """
+            WITH base AS (
+                SELECT doc_id,
+                       'entity-' || lpad(CAST(doc_id % 120 AS VARCHAR),
+                                         4, '0') AS a
+                FROM documents),
+            pair AS (
+                SELECT doc_id, a,
+                    CASE doc_id % 5
+                      WHEN 0 THEN substring(a, 1, (doc_id % 7) + 3)
+                                  || substring(a, (doc_id % 7) + 5)
+                      WHEN 1 THEN substring(a, 1, (doc_id % 5) + 3)
+                                  || substring(a, (doc_id % 5) + 3, 1)
+                                  || substring(a, (doc_id % 5) + 4)
+                      WHEN 2 THEN substring(a, 1, (doc_id % 6) + 2)
+                                  || 'x' || substring(a, (doc_id % 6) + 4)
+                      WHEN 3 THEN a
+                      ELSE 'entity-' || lpad(
+                               CAST((doc_id + 7) % 120 AS VARCHAR), 4, '0')
+                      END AS b
+                FROM base)
+            SELECT doc_id, a AS name_a, b AS name_b,
+                   CAST(floor(jaro_similarity(a, b) * 1000000 + 0.5)
+                        AS BIGINT) AS jaro_micro,
+                   CAST(floor(jaro_winkler_similarity(a, b) * 1000000 + 0.5)
+                        AS BIGINT) AS jw_micro
+            FROM pair
         """,
         # ordered funnel view→click→purchase, 7-day window anchored at
         # the FIRST step; progressive min-ts chain mirrors

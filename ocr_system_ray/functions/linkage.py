@@ -110,6 +110,115 @@ def fuzzy_match_registry(
 
 
 # ---------------------------------------------------------------------------
+# Jaro / Jaro-Winkler similarity
+# ---------------------------------------------------------------------------
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Classic Jaro similarity, double-identical to DuckDB's native
+    ``jaro_similarity`` (which is rapidfuzz-derived — verified
+    empirically over randomized pairs in the tests):
+
+    - either side empty → 0.0 (DuckDB convention; NOT the 1.0 some
+      libraries return for two empties),
+    - match window = ``max(len)//2 - 1`` clamped at 0,
+    - transpositions = mismatched flagged pairs ``// 2`` (integer),
+    - sum order ``(m/l1 + m/l2) + (m-t)/m`` then ``/ 3.0`` so the IEEE
+      rounding sequence matches the C++ implementation.
+
+    ASCII/BMP strings only (the engine's url/name columns); DuckDB
+    compares code points, Python compares code points — equal here.
+    """
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags1 = [False] * l1
+    flags2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        c = s1[i]
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = True
+                flags2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    trans = 0
+    j = 0
+    for i in range(l1):
+        if flags1[i]:
+            while not flags2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                trans += 1
+            j += 1
+    t = trans // 2
+    return ((m / l1 + m / l2) + (m - t) / m) / 3.0
+
+
+def jaro_winkler_similarity(s1: str, s2: str) -> float:
+    """Jaro-Winkler with the rapidfuzz/DuckDB conventions: prefix
+    weight 0.1, common prefix capped at 4, and the boost applied ONLY
+    when the Jaro score exceeds 0.7 (verified: DuckDB returns plain
+    Jaro 0.5 for 'aaxxxxxx'/'aayyyyyy' despite the 2-char prefix)."""
+    sim = jaro_similarity(s1, s2)
+    if sim > 0.7:
+        pl = 0
+        for i in range(min(len(s1), len(s2), 4)):
+            if s1[i] != s2[i]:
+                break
+            pl += 1
+        sim = sim + pl * 0.1 * (1.0 - sim)
+    return sim
+
+
+def string_similarity(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    a_col: str = "name_a",
+    b_col: str = "name_b",
+) -> ray.data.Dataset:
+    """→ ``(id_col, a_col, b_col, jaro_micro, jw_micro)``: both
+    similarities as integer micro-units ``floor(x*1e6 + 0.5)`` so the
+    driver hash is float-free.  Both sides round the IDENTICAL double
+    (our implementation is ulp-equal to DuckDB's native functions), so
+    the micro quantization is exact, not a tolerance.  Row-local
+    stateless pass — no shuffle."""
+
+    def run(t: pa.Table) -> pa.Table:
+        av = t.column(a_col).to_pylist()
+        bv = t.column(b_col).to_pylist()
+        jm, wm = [], []
+        for a, b in zip(av, bv):
+            a = a or ""
+            b = b or ""
+            jm.append(int(jaro_similarity(a, b) * 1e6 + 0.5))
+            wm.append(int(jaro_winkler_similarity(a, b) * 1e6 + 0.5))
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                a_col: t.column(a_col),
+                b_col: t.column(b_col),
+                "jaro_micro": pa.array(jm, pa.int64()),
+                "jw_micro": pa.array(wm, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Soundex phonetic keys
 # ---------------------------------------------------------------------------
 

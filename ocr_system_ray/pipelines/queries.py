@@ -5651,6 +5651,55 @@ def q_fuzzy_linkage(sf_dir: str) -> ray.data.Dataset:
     return fuzzy_match_registry(dirty, registry)
 
 
+def _derived_name_pairs(t: pa.Table) -> pa.Table:
+    """String-similarity leg: per doc a (name_a, name_b) pair — %5
+    branches over the entity base: char DROP at (i%7)+4, char DUP at
+    (i%5)+3, SUBSTITUTE 'x' at (i%6)+3, identical, or a DIFFERENT
+    entity ((i+7)%120) for the low-similarity tail (positions
+    1-indexed, mirrored by the SQL substring surgery)."""
+    ids = t.column("doc_id").to_pylist()
+    a_out, b_out = [], []
+    for i in ids:
+        a = f"entity-{i % LINKAGE_ENTITIES:04d}"
+        m = i % 5
+        if m == 0:
+            p = (i % 7) + 4
+            b = a[: p - 1] + a[p:]
+        elif m == 1:
+            p = (i % 5) + 3
+            b = a[:p] + a[p - 1] + a[p:]
+        elif m == 2:
+            p = (i % 6) + 3
+            b = a[: p - 1] + "x" + a[p:]
+        elif m == 3:
+            b = a
+        else:
+            b = f"entity-{(i + 7) % LINKAGE_ENTITIES:04d}"
+        a_out.append(a)
+        b_out.append(b)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "name_a": pa.array(a_out, pa.string()),
+            "name_b": pa.array(b_out, pa.string()),
+        }
+    )
+
+
+def q_string_similarity(sf_dir: str) -> ray.data.Dataset:
+    """Jaro + Jaro-Winkler similarity as integer micro-units over
+    derived name pairs (``functions/linkage.py``).  Oracle = DuckDB's
+    NATIVE jaro_similarity / jaro_winkler_similarity over the same
+    derivation — a true cross-implementation check: our from-scratch
+    flag/transposition implementation is ulp-equal to DuckDB's
+    rapidfuzz-derived C++, so the micro rounding matches exactly."""
+    from ..functions.linkage import string_similarity
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pairs = docs.map_batches(_derived_name_pairs, batch_format="pyarrow")
+    return string_similarity(pairs)
+
+
 def q_phonetic_keys(sf_dir: str) -> ray.data.Dataset:
     """Soundex phonetic blocking keys over name-bearing text (simple
     American Soundex, ``functions/linkage.py:soundex``) — names that

@@ -89,6 +89,63 @@ def test_soundex_sql_twin_agrees():
     assert df["s"].tolist() == [soundex(w) for w in words]
 
 
+def test_jaro_matches_duckdb_ulp_exact():
+    """Our from-scratch Jaro / Jaro-Winkler must be DOUBLE-identical
+    to DuckDB's native (rapidfuzz-derived) implementations — the
+    string_similarity oracle rounds the same double on both sides."""
+    import random
+
+    from ocr_system_ray.functions.linkage import (
+        jaro_similarity,
+        jaro_winkler_similarity,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcde-0123"
+    pairs = [
+        ("", ""), ("a", ""), ("", "a"), ("a", "a"), ("ab", "ba"),
+        ("martha", "marhta"), ("dwayne", "duane"), ("dixon", "dicksonx"),
+        ("aaxxxxxx", "aayyyyyy"),  # jaro 0.5: prefix boost must NOT fire
+        ("crate", "trace"), ("a", "ab"), ("xx", "xxxxxxxxxx"),
+    ]
+    for _ in range(500):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+        pairs.append((a, b))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    rows = con.execute(
+        "SELECT a, b, jaro_similarity(a, b),"
+        " jaro_winkler_similarity(a, b) FROM p"
+    ).fetchall()
+    for a, b, dj, dw in rows:
+        assert jaro_similarity(a, b) == dj, (a, b)
+        assert jaro_winkler_similarity(a, b) == dw, (a, b)
+
+
+def test_string_similarity_dataset(ray_session):
+    from ocr_system_ray.functions.linkage import string_similarity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "name_a": ["martha", "alpha", "", None],
+            "name_b": ["marhta", "alpha", "x", "beta"],
+        }
+    )
+    out = {
+        r["doc_id"]: (r["jaro_micro"], r["jw_micro"])
+        for r in string_similarity(
+            ray.data.from_arrow(t).repartition(2)
+        ).take_all()
+    }
+    assert out[1] == (944444, 961111)
+    assert out[2] == (1000000, 1000000)
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)  # null → ''
+
+
 def test_phonetic_keys_dataset(ray_session):
     from ocr_system_ray.functions.linkage import phonetic_keys
 
