@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_compaction": q.q_index_compaction,
         "blocked_hosts": q.q_blocked_hosts,
         "rolling_spend": q.q_rolling_spend,
+        "value_ntiles": q.q_value_ntiles,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "source_overlap": q.q_source_overlap,
@@ -1964,6 +1965,26 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS rolling_cents
             FROM events
+        """,
+        # per-key NTILE(4) + integer percent_rank micro — tile = SQL
+        # NTILE (larger tiles first); pct = the same integer //
+        # division on both sides, never percent_rank()'s double
+        "value_ntiles": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events)
+            SELECT event_type, event_id, cents,
+                   CAST(NTILE(4) OVER (
+                        PARTITION BY event_type
+                        ORDER BY cents, event_id) AS BIGINT) AS tile,
+                   CAST((ROW_NUMBER() OVER (
+                             PARTITION BY event_type
+                             ORDER BY cents, event_id) - 1) * 1000000
+                        // GREATEST(COUNT(*) OVER (
+                             PARTITION BY event_type) - 1, 1)
+                        AS BIGINT) AS pct_micro
+            FROM c
         """,
         # per-doc OOV rate vs the corpus top-100 vocab (same
         # (count DESC, token ASC) cut as vocab_top100); NOT IN on the

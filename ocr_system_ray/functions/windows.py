@@ -244,6 +244,94 @@ def top_k_per_key(
     )
 
 
+def ntile_ranks(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    n: int = 4,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key NTILE(n) + percent_rank — the quantile-bucket and
+    relative-rank window pair (curriculum quartiles per domain,
+    percentile tags per event type) with the coarse-bucket shape:
+    ONE adaptive key-bucket shuffle, in-bucket vectorized
+    sort + cumcount, never a Ray group per key.
+
+    Semantics match SQL exactly:
+
+    - order within a key is ``(order_col, id_col)`` ascending — the id
+      tiebreak makes both outputs deterministic under value ties;
+    - ``tile`` = SQL NTILE(n): sizes differ by at most 1 with the
+      LARGER tiles FIRST (cnt = q·n + r → first r tiles hold q+1 rows);
+    - ``pct_micro`` = floor((rn−1)·10⁶ / (cnt−1)) as pure INTEGER math
+      (single-row keys → 0), so the driver hash never sees a float —
+      the SQL twin uses the same ``//`` division, not percent_rank()'s
+      double.
+
+    Returns ``(key_col, id_col, order_col, tile, pct_micro)``; order
+    and id cast to int64.
+    """
+    import pandas as pd
+
+    if n < 1:
+        raise ValueError("ntile n must be >= 1")
+    nb = num_buckets or (1 << _adaptive_coarse_bits(ds.count()))
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_coarse_bucket(kv, nb)),
+                key_col: t.column(key_col),
+                id_col: t.column(id_col).cast(pa.int64()),
+                order_col: t.column(order_col).cast(pa.int64()),
+            }
+        )
+
+    def ranks(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=df[key_col].dtype),
+                    id_col: pd.Series([], dtype="int64"),
+                    order_col: pd.Series([], dtype="int64"),
+                    "tile": pd.Series([], dtype="int64"),
+                    "pct_micro": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            [key_col, order_col, id_col], kind="mergesort"
+        )
+        grp = df.groupby(key_col, sort=False)
+        rn0 = grp.cumcount().to_numpy(dtype=np.int64)  # 0-based
+        cnt = grp[id_col].transform("size").to_numpy(dtype=np.int64)
+        base = cnt // n
+        rem = cnt % n
+        cut = rem * (base + 1)  # rows living in the (q+1)-sized tiles
+        tile = np.where(
+            rn0 < cut,
+            rn0 // (base + 1),
+            rem + (rn0 - cut) // np.maximum(base, 1),
+        ) + 1
+        pct = (rn0 * 1_000_000) // np.maximum(cnt - 1, 1)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col].to_numpy(),
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                order_col: df[order_col].to_numpy(dtype=np.int64),
+                "tile": tile.astype(np.int64),
+                "pct_micro": pct.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(ranks, batch_format="pandas")
+    )
+
+
 def funnel_steps(
     ds: ray.data.Dataset,
     steps: list[str],

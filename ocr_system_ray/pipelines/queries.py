@@ -4781,6 +4781,38 @@ def q_rolling_spend(sf_dir: str) -> ray.data.Dataset:
     return rolling_sum_cents(ds, window=3)
 
 
+def q_value_ntiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type NTILE(4) quartile + integer percent_rank micro
+    (``functions/windows.py:ntile_ranks``): ONE adaptive coarse
+    key-bucket shuffle, in-bucket vectorized cumcount — never a Ray
+    group per key.  Order = (cents, event_id); pct = pure integer
+    ``//`` division on both sides (no percent_rank() double)."""
+    import numpy as np
+
+    from ..functions.windows import ntile_ranks
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(np.nan_to_num(v, nan=0.0) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(c),
+            }
+        )
+
+    return ntile_ranks(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_col="event_type",
+        order_col="cents",
+        id_col="event_id",
+        n=4,
+    )
+
+
 _CODE_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 
 

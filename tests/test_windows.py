@@ -181,6 +181,58 @@ def _funnel_df():
     )
 
 
+def test_ntile_ranks_matches_duckdb_sweep(ray_session):
+    """Random tie-heavy sweep: tile ≡ SQL NTILE (larger tiles first),
+    pct_micro ≡ the integer // division, across n and layouts."""
+    from ocr_system_ray.functions.windows import ntile_ranks
+
+    rng = np.random.default_rng(31)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 13, n).astype(np.int64),  # incl. tiny keys
+            "cents": rng.integers(-5, 6, n).astype(np.int64),  # heavy ties
+        }
+    )
+    # key 12 reduced to a single row: pct must be 0, tile 1
+    df = df[(df["key"] != 12) | (df["event_id"] == df[df["key"] == 12]["event_id"].min())]
+    for nt in (1, 3, 4, 7):
+        want = duckdb.sql(
+            f"""SELECT event_id,
+                   CAST(NTILE({nt}) OVER (PARTITION BY key ORDER BY cents, event_id)
+                        AS BIGINT) AS tile,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY key ORDER BY cents, event_id) - 1)
+                        * 1000000
+                        // GREATEST(COUNT(*) OVER (PARTITION BY key) - 1, 1)
+                        AS BIGINT) AS pct
+                FROM df ORDER BY event_id"""
+        ).df()
+        t = pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        out = ntile_ranks(
+            ray.data.from_arrow(t).repartition(4),
+            key_col="key",
+            order_col="cents",
+            id_col="event_id",
+            n=nt,
+            num_buckets=4,
+        ).take_all()
+        got = {r["event_id"]: (r["tile"], r["pct_micro"]) for r in out}
+        assert len(got) == len(want)
+        for e, tl, p in zip(want["event_id"], want["tile"], want["pct"]):
+            assert got[e] == (tl, p), (nt, e)
+
+
+def test_ntile_rejects_bad_n(ray_session):
+    import pytest
+
+    from ocr_system_ray.functions.windows import ntile_ranks
+
+    t = pa.table({"k": [1], "v": [1], "i": [1]})
+    with pytest.raises(ValueError):
+        ntile_ranks(ray.data.from_arrow(t), "k", "v", "i", n=0)
+
+
 def test_funnel_matches_hand_derivation(ray_session):
     from ocr_system_ray.functions.windows import funnel_steps
 
