@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": q.q_token_counts,
         "dataset_split": q.q_dataset_split,
+        "shard_assign": q.q_shard_assign,
         "token_shards": q.q_token_shards,
         "robots_admission": q.q_robots_admission,
         "charset_decode": q.q_charset_decode,
@@ -1467,6 +1468,13 @@ def _robots_admission_sql() -> str:
         SELECT doc_id, host, CAST(COALESCE(allow, 1) AS BIGINT) AS allowed
         FROM ranked WHERE rn = 1
     """
+
+
+def _rendezvous_sql() -> str:
+    from ocr_system_ray.functions.splits import rendezvous_sql
+    from ocr_system_ray.pipelines.queries import HRW_SHARDS
+
+    return rendezvous_sql(HRW_SHARDS)
 
 
 def _dataset_split_sql() -> str:
@@ -4628,6 +4636,9 @@ def oracle_sql() -> dict[str, str]:
                        || '</p></body></html>') AS text_md5
             FROM documents
         """,
+        # shard_assign: GENERATED rendezvous twin — unnest the shard
+        # list, same 15-hex carve, ROW_NUMBER (wt DESC, shard)
+        "shard_assign": _rendezvous_sql(),
         # dataset_split: GENERATED carve + CASE ladder over the same
         # integer thresholds (pure function of doc_id)
         "dataset_split": _dataset_split_sql(),

@@ -277,3 +277,91 @@ def deterministic_shuffle(
         .groupby("coarse")
         .map_groups(rank_group, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+
+
+def rendezvous_assign(
+    ds: ray.data.Dataset,
+    shards: list[str],
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+) -> ray.data.Dataset:
+    """Consistent shard assignment by rendezvous hashing (Thaler &
+    Ravishankar 1998): each id goes to ``argmax over shards of
+    weight(shard, id)``, where the weight is the 15-hex (60-bit) md5
+    carve of ``f"{shard}|{id}:{salt}"`` — ties (practically impossible
+    with md5, but the rule is pinned for the SQL twin) break to the
+    lexicographically SMALLEST shard.
+
+    Why this and not ``hash(id) % N``: growing N→N+1 shards moves only
+    the ~1/(N+1) of keys whose argmax changes (every surviving key
+    keeps its weight for every old shard — the new shard either wins
+    or nothing changes), where mod-N reshuffles (N-1)/N of the corpus.
+    That is the crawl-reshard story at 10^12 documents: adding
+    capacity must not re-ship the whole corpus.
+
+    Row-local stateless pass, no shuffle; cost O(rows · shards) md5
+    calls — shards is the SMALL side (a machine/bucket list).
+    → ``(id_col, shard)``.
+    """
+    import hashlib
+
+    if not shards or len(set(shards)) != len(shards):
+        raise ValueError("shards must be a non-empty list of unique names")
+    # sorted once: scan order = the lex tiebreak, and strict > keeps
+    # the first (smallest) shard on equal weights
+    shard_list = sorted(shards)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        out = []
+        for i in ids:
+            best_w, best_s = -1, ""
+            for s in shard_list:
+                w = int(
+                    hashlib.md5(
+                        f"{s}|{i}:{salt}".encode("utf-8")
+                    ).hexdigest()[:15],
+                    16,
+                )
+                if w > best_w:
+                    best_w, best_s = w, s
+            out.append(best_s)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                "shard": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def rendezvous_sql(
+    shards: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+) -> str:
+    """GENERATED DuckDB twin of :func:`rendezvous_assign`: unnest the
+    shard list, carve the same 15-hex weight, ROW_NUMBER over
+    ``(weight DESC, shard ASC)``, keep rank 1."""
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(shards))
+    return f"""
+        WITH w AS (
+            SELECT {id_col}, s.shard,
+                   CAST('0x' || substr(md5(s.shard || '|' ||
+                            CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 15)
+                        AS BIGINT) AS wt
+            FROM {table} CROSS JOIN (SELECT unnest([{lits}]) AS shard) s),
+        r AS (
+            SELECT {id_col}, shard,
+                   ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                      ORDER BY wt DESC, shard) AS rn
+            FROM w)
+        SELECT {id_col}, shard FROM r WHERE rn = 1
+    """

@@ -1988,6 +1988,21 @@ def q_dataset_split(sf_dir: str) -> ray.data.Dataset:
     return splits.assign_splits(ds, SPLIT_FRACTIONS)
 
 
+HRW_SHARDS = [f"shard-{k:02d}" for k in range(8)]
+
+
+def q_shard_assign(sf_dir: str) -> ray.data.Dataset:
+    """Rendezvous (highest-random-weight) consistent shard assignment
+    (``splits.rendezvous_assign``): argmax over shards of the 60-bit
+    md5 carve — growing the shard list moves only ~1/(N+1) of keys,
+    unlike mod-N's (N−1)/N.  Row-local, no shuffle; oracle = the
+    GENERATED unnest + ROW_NUMBER twin over the same carve."""
+    from ..functions import splits
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return splits.rendezvous_assign(ds, HRW_SHARDS)
+
+
 def q_token_shards(sf_dir: str) -> ray.data.Dataset:
     """Token-budget-balanced shard plan: docs in id order pack into
     ~20k-token shards via the ordered-prefix-sum primitive (exclusive

@@ -153,3 +153,66 @@ def test_deterministic_shuffle_empty(ray_session):
     ds = ray_mod.data.from_items([{"doc_id": 1}]).filter(lambda r: False)
     out = deterministic_shuffle(ds).to_pandas()
     assert len(out) == 0
+
+
+def test_rendezvous_matches_duckdb_twin(ray_session):
+    import duckdb
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.splits import (
+        rendezvous_assign,
+        rendezvous_sql,
+    )
+
+    ids = list(range(300))
+    shards = [f"s{k}" for k in range(5)]
+    ds = ray_mod.data.from_items([{"doc_id": i} for i in ids]).repartition(4)
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in rendezvous_assign(ds, shards).take_all()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT unnest(range(300)) AS doc_id")
+    want = dict(
+        con.execute(rendezvous_sql(shards)).fetchall()
+    )
+    assert got == {int(k): v for k, v in want.items()}
+    # every shard gets a non-trivial share of 300 keys
+    import collections
+
+    c = collections.Counter(got.values())
+    assert set(c) == set(shards) and min(c.values()) > 20
+
+
+def test_rendezvous_minimal_movement(ray_session):
+    """The property that justifies HRW over mod-N: adding one shard
+    moves only the keys the NEW shard wins (~1/(N+1)); every other
+    key keeps its assignment exactly."""
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.splits import rendezvous_assign
+
+    ids = list(range(600))
+    old = [f"s{k}" for k in range(6)]
+    new = old + ["s6"]
+    ds = ray_mod.data.from_items([{"doc_id": i} for i in ids])
+    a = {r["doc_id"]: r["shard"] for r in rendezvous_assign(ds, old).take_all()}
+    b = {r["doc_id"]: r["shard"] for r in rendezvous_assign(ds, new).take_all()}
+    moved = [i for i in ids if a[i] != b[i]]
+    # every moved key moved TO the new shard, never between old shards
+    assert all(b[i] == "s6" for i in moved)
+    # expected 600/7 ≈ 86; allow generous band
+    assert 40 <= len(moved) <= 140
+
+
+def test_rendezvous_rejects_bad_shards(ray_session):
+    import pytest
+    import ray as ray_mod
+
+    from ocr_system_ray.functions.splits import rendezvous_assign
+
+    ds = ray_mod.data.from_items([{"doc_id": 1}])
+    with pytest.raises(ValueError):
+        rendezvous_assign(ds, [])
+    with pytest.raises(ValueError):
+        rendezvous_assign(ds, ["a", "a"])
