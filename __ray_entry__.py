@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q.q_distinct_langs,
         "approx_distinct_users": q.q_approx_distinct_users,
         "users_per_type_approx": q.q_users_per_type_approx,
+        "kmv_overlap": q.q_kmv_overlap,
         "train_test_split": q.q_train_test_split,
         "corpus_shuffle": q.q_corpus_shuffle,
         "orders_top100": q.q_orders_top100,
@@ -1470,6 +1471,12 @@ def _robots_admission_sql() -> str:
     """
 
 
+def _kmv_overlap_sql() -> str:
+    from ocr_system_ray.functions.kmv import kmv_set_ops_sql
+
+    return kmv_set_ops_sql("events", "event_type", "user_id", k=64)
+
+
 def _rendezvous_sql() -> str:
     from ocr_system_ray.functions.splits import rendezvous_sql
     from ocr_system_ray.pipelines.queries import HRW_SHARDS
@@ -1806,6 +1813,11 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE raw END) AS BIGINT) AS approx_distinct
             FROM est
         """,
+        # kmv_overlap: DuckDB rebuilds every KMV sketch from the same
+        # 60-bit md5 carves (ROW_NUMBER ≤ k) and applies the identical
+        # integer estimate rules — per-set, union AND intersection
+        # estimates compare EXACTLY
+        "kmv_overlap": _kmv_overlap_sql(),
         # semantic_decontam: every max-cosine recomputed independently
         # via list_cosine_similarity; 1e-6 quantization on both sides
         "semantic_decontam": _semantic_decontam_sql(),

@@ -1,0 +1,265 @@
+"""KMV (k-minimum-values) theta sketches with set-operation estimates.
+
+The HLL pass (``state/streaming.py:approx_distinct_by_key``) answers
+"how many distinct values per key" but cannot answer "how many distinct
+values do two keys SHARE" — HLL unions are exact but intersections need
+inclusion-exclusion, whose error explodes for small overlaps.  The KMV
+/ theta sketch (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007 —
+"distinct-value estimation under multiset operations") keeps the k
+smallest hash values per set; because a uniform hash makes the k-th
+minimum an order statistic of the distinct count, and because the k-min
+of a UNION is computable from the two k-min sets alone, union AND
+intersection estimates fall out of the sketches directly.
+
+Reference parity note: the reference app has no sketches at all (its
+only dedup is an in-row seen-set, ``/root/reference/ocr/dynamic.py:146``);
+this module is part of the mandated training-data operator library —
+the cross-source audit "how many distinct users/urls do sources A and B
+share" at 10⁹ values per source, where the exact answer is an
+all-to-all shuffle but sketches move ``keys × k × 8`` bytes.
+
+Determinism / SQL twin: hashes are the 15-hex (60-bit) md5 carve of
+``f"{value}:{salt}"`` — the rendezvous/CountMin carve contract — so a
+DuckDB oracle rebuilds every sketch EXACTLY (``('0x' || substr(md5(v),
+1, 15))::BIGINT`` + ROW_NUMBER ≤ k), and the integer estimate rules are
+pinned identically on both sides:
+
+* per-set estimate:   n < k  → n   (sketch holds every distinct hash)
+                      else   → ((k-1) << 60) // h_k      (h_k = k-th min)
+* union estimate:     same rule over the k smallest of the merged sets
+* intersection:       rho = |{h in union-sketch : h in A and h in B}|
+                      est = (rho * est_union) // |union-sketch|
+
+Everything stays int64; md5 collisions inside 60 bits are ~2⁻⁶⁰ and in
+any case IDENTICAL on both sides, so oracle equality is exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+M60 = 1 << 60  # hash space of the 15-hex md5 carve
+
+
+def _carve60(values: list, salt: str) -> np.ndarray:
+    """int64 array: 60-bit md5 carve of ``f"{v}:{salt}"`` per value."""
+    return np.array(
+        [
+            int(hashlib.md5(f"{v}:{salt}".encode("utf-8")).hexdigest()[:15], 16)
+            for v in values
+        ],
+        dtype=np.int64,
+    )
+
+
+def _kmin(hashes: np.ndarray, k: int) -> np.ndarray:
+    """k smallest DISTINCT hashes, ascending (all of them if fewer)."""
+    u = np.unique(hashes)  # unique() sorts
+    return u[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> int:
+    """The pinned estimator over a k-truncated ascending hash array."""
+    n = int(sketch.size)
+    if n < k:
+        return n
+    h_k = int(sketch[k - 1])
+    if h_k <= 0:
+        return n
+    return ((k - 1) * M60) // h_k
+
+
+def kmv_sketch_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> dict:
+    """One KMV sketch per key: per-(batch, key) k-min partials inside
+    ``map_batches`` (values die in-stage — only ≤ k int64s per key per
+    batch move), then ONE ``groupby(key)`` whose in-group merge is a
+    vectorized unique+truncate.  Returns ``{key: np.ndarray}`` of
+    ascending k-truncated hash arrays — a driver-side dict because the
+    sketch table is ``keys × k × 8`` bytes (the report, not the data).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": t.column(key_col).to_pylist(),
+                "v": [str(v) for v in t.column(value_col).to_pylist()],
+            }
+        )
+        keys, sk = [], []
+        for key, grp in df.groupby("k", sort=False):
+            keys.append(key)
+            sk.append(_kmin(_carve60(grp["v"].tolist(), salt), k).tobytes())
+        return pa.table(
+            {
+                key_col: pa.array(keys, t.schema.field(key_col).type),
+                "sketch": pa.array(sk, pa.binary()),
+            }
+        )
+
+    def merge_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=object),
+                    "sketch": pd.Series([], dtype=object),
+                }
+            )
+        hashes = np.concatenate(
+            [np.frombuffer(raw, dtype=np.int64) for raw in df["sketch"]]
+        )
+        return pd.DataFrame(
+            {
+                key_col: [df[key_col].iloc[0]],
+                "sketch": [_kmin(hashes, k).tobytes()],
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .take_all()
+    )
+    return {
+        r[key_col]: np.frombuffer(r["sketch"], dtype=np.int64) for r in rows
+    }
+
+
+def kmv_set_ops(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> "pa.Table":
+    """Pairwise distinct-set-operation report over all keys: one row
+    per unordered key pair (a < b) with the per-set, union and
+    intersection distinct-count ESTIMATES — every number derived from
+    the k-min sketches alone by the pinned integer rules above.
+
+    Shuffle cost: the sketch pass only (values never pair up); the
+    pairwise finish is driver-side over the ``keys × k × 8``-byte
+    sketch table — keys is the SMALL axis (sources / event types /
+    languages), the report is keys², and 10⁹ values per key cost the
+    same as 10⁴.  → ``(key_a, key_b, est_a, est_b, est_union,
+    est_intersection)`` sorted by (key_a, key_b).
+    """
+    sketches = kmv_sketch_by_key(ds, key_col, value_col, k=k, salt=salt)
+    keys = sorted(sketches)
+    rows: dict[str, list] = {
+        "key_a": [],
+        "key_b": [],
+        "est_a": [],
+        "est_b": [],
+        "est_union": [],
+        "est_intersection": [],
+    }
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            sa, sb = sketches[a], sketches[b]
+            union = _kmin(np.concatenate([sa, sb]), k)
+            est_u = kmv_estimate(union, k)
+            nu = int(union.size)
+            rho = int(np.sum(np.isin(union, sa) & np.isin(union, sb)))
+            est_i = (rho * est_u) // nu if nu else 0
+            rows["key_a"].append(a)
+            rows["key_b"].append(b)
+            rows["est_a"].append(kmv_estimate(sa, k))
+            rows["est_b"].append(kmv_estimate(sb, k))
+            rows["est_union"].append(est_u)
+            rows["est_intersection"].append(est_i)
+    return pa.table(
+        {
+            "key_a": pa.array(rows["key_a"], pa.string()),
+            "key_b": pa.array(rows["key_b"], pa.string()),
+            "est_a": pa.array(rows["est_a"], pa.int64()),
+            "est_b": pa.array(rows["est_b"], pa.int64()),
+            "est_union": pa.array(rows["est_union"], pa.int64()),
+            "est_intersection": pa.array(rows["est_intersection"], pa.int64()),
+        }
+    )
+
+
+def kmv_set_ops_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> str:
+    """GENERATED DuckDB twin of :func:`kmv_set_ops`: rebuild every
+    sketch with the same 60-bit carve + ROW_NUMBER ≤ k, then apply the
+    same integer estimate rules over the merged pair sketches."""
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT CAST({key_col} AS VARCHAR) AS key,
+                   CAST('0x' || substr(md5(CAST({value_col} AS VARCHAR)
+                            || ':{salt}'), 1, 15) AS BIGINT) AS hv
+            FROM {table}
+        ),
+        r AS (
+            SELECT key, hv,
+                   ROW_NUMBER() OVER (PARTITION BY key ORDER BY hv) AS rn
+            FROM h
+        ),
+        sk AS (SELECT key, hv FROM r WHERE rn <= {k}),
+        est AS (
+            SELECT key, count(*) AS n, max(hv) AS hk,
+                   CASE WHEN count(*) < {k} THEN count(*)
+                        ELSE CAST((({k} - 1)::HUGEINT *
+                                   1152921504606846976) // max(hv) AS BIGINT)
+                   END AS est
+            FROM sk GROUP BY key
+        ),
+        pairs AS (
+            SELECT a.key AS ka, b.key AS kb
+            FROM est a JOIN est b ON a.key < b.key
+        ),
+        uh AS (
+            SELECT ka, kb, hv,
+                   ROW_NUMBER() OVER (PARTITION BY ka, kb
+                                      ORDER BY hv) AS rn
+            FROM (
+                SELECT DISTINCT p.ka, p.kb, s.hv
+                FROM pairs p JOIN sk s ON s.key = p.ka OR s.key = p.kb
+            )
+        ),
+        um AS (SELECT ka, kb, hv FROM uh WHERE rn <= {k}),
+        ue AS (
+            SELECT ka, kb, count(*) AS nu, max(hv) AS hk,
+                   CASE WHEN count(*) < {k} THEN count(*)
+                        ELSE CAST((({k} - 1)::HUGEINT *
+                                   1152921504606846976) // max(hv) AS BIGINT)
+                   END AS est_u
+            FROM um GROUP BY ka, kb
+        ),
+        rho AS (
+            SELECT um.ka, um.kb, count(*) AS nboth
+            FROM um
+            JOIN sk a ON a.key = um.ka AND a.hv = um.hv
+            JOIN sk b ON b.key = um.kb AND b.hv = um.hv
+            GROUP BY um.ka, um.kb
+        )
+        SELECT ue.ka AS key_a, ue.kb AS key_b,
+               ea.est AS est_a, eb.est AS est_b,
+               ue.est_u AS est_union,
+               CASE WHEN ue.nu > 0
+                    THEN (COALESCE(rho.nboth, 0) * ue.est_u) // ue.nu
+                    ELSE 0 END AS est_intersection
+        FROM ue
+        JOIN est ea ON ea.key = ue.ka
+        JOIN est eb ON eb.key = ue.kb
+        LEFT JOIN rho ON rho.ka = ue.ka AND rho.kb = ue.kb
+        ORDER BY key_a, key_b
+    """

@@ -8069,3 +8069,18 @@ def q_boilerplate_strip(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     pages = docs.map_batches(_derived_boiler_pages, batch_format="pyarrow")
     return strip_host_boilerplate(pages, min_docs=BOILER_MIN_DOCS)
+
+
+def q_kmv_overlap(sf_dir: str) -> "pa.Table":
+    """KMV / theta-sketch set-operation report (``functions/kmv.py``):
+    distinct-user estimates per event_type PLUS union / intersection
+    estimates per type pair — the cross-source overlap question HLL
+    cannot answer (intersections via inclusion-exclusion blow up).
+    Values never pair up: per-(batch, key) k-min partials → ONE
+    groupby of ≤ k·8-byte sketches → keys²-sized driver report.
+    60-bit md5 carves make the DuckDB twin rebuild every sketch and
+    estimate EXACTLY (integer rules pinned on both sides)."""
+    from ..functions.kmv import kmv_set_ops
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return kmv_set_ops(ds, "event_type", "user_id", k=64)

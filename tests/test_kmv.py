@@ -1,0 +1,121 @@
+"""KMV / theta sketch: set-operation estimates with exact SQL twin."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_system_ray.functions.kmv import (
+    M60,
+    _carve60,
+    _kmin,
+    kmv_estimate,
+    kmv_set_ops,
+    kmv_set_ops_sql,
+    kmv_sketch_by_key,
+)
+
+
+def _events_df(n=6000):
+    """Three overlapping sources: a ⊃ half of b, c disjoint."""
+    rows = []
+    for i in range(n):
+        rows.append(("a", i))
+        if i % 2 == 0:
+            rows.append(("b", i))
+        if i % 3 == 0:
+            rows.append(("b", n + i))  # b-only values
+        rows.append(("c", 10 * n + i))
+    return pd.DataFrame(rows, columns=["src", "val"])
+
+
+def _exact(df):
+    return {k: set(g["val"]) for k, g in df.groupby("src")}
+
+
+def test_estimator_exact_below_k():
+    h = _carve60(list(range(10)), "kmv")
+    sk = _kmin(h, 64)
+    assert kmv_estimate(sk, 64) == 10  # fewer than k → exact count
+
+
+def test_estimator_accuracy_and_merge_invariance(ray_session):
+    import ray
+
+    df = _events_df()
+    exact = _exact(df)
+    for blocks in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        sketches = kmv_sketch_by_key(ds, "src", "val", k=256)
+        for key, vals in exact.items():
+            est = kmv_estimate(sketches[key], 256)
+            assert abs(est - len(vals)) / len(vals) < 0.2, (blocks, key)
+    # determinism: sketch content is block-layout invariant
+    ds1 = ray.data.from_pandas(df).repartition(1)
+    ds7 = ray.data.from_pandas(df).repartition(7)
+    s1 = kmv_sketch_by_key(ds1, "src", "val", k=64)
+    s7 = kmv_sketch_by_key(ds7, "src", "val", k=64)
+    for key in exact:
+        assert np.array_equal(s1[key], s7[key])
+
+
+def test_set_ops_report_orders_and_bounds(ray_session):
+    import ray
+
+    df = _events_df()
+    exact = _exact(df)
+    t = kmv_set_ops(ray.data.from_pandas(df), "src", "val", k=256).to_pandas()
+    assert list(t["key_a"]) == ["a", "a", "b"]
+    assert list(t["key_b"]) == ["b", "c", "c"]
+    ab = t.iloc[0]
+    true_inter = len(exact["a"] & exact["b"])
+    true_union = len(exact["a"] | exact["b"])
+    assert abs(ab["est_union"] - true_union) / true_union < 0.2
+    assert abs(ab["est_intersection"] - true_inter) / true_inter < 0.35
+    # disjoint pairs: intersection estimate collapses to ~0
+    ac = t.iloc[1]
+    assert ac["est_intersection"] < 0.05 * ac["est_union"]
+
+
+def test_sql_twin_matches_live_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    df = _events_df(n=500).rename(columns={"src": "event_type", "val": "user_id"})
+    events = df  # noqa: F841 — bound as a DuckDB table below
+    want = duckdb.sql(
+        kmv_set_ops_sql("events", "event_type", "user_id", k=64)
+    ).df()
+    got = (
+        kmv_set_ops(ray.data.from_pandas(df), "event_type", "user_id", k=64)
+        .to_pandas()
+        .sort_values(["key_a", "key_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_carve_matches_hashlib_contract():
+    vals = ["x", 42, "étude"]
+    got = _carve60(vals, "s")
+    want = [
+        int(hashlib.md5(f"{v}:s".encode("utf-8")).hexdigest()[:15], 16)
+        for v in vals
+    ]
+    assert got.tolist() == want
+    assert all(0 <= w < M60 for w in want)
+
+
+def test_empty_and_single_key(ray_session):
+    import ray
+
+    df = pd.DataFrame({"src": ["only"] * 5, "val": [1, 2, 3, 1, 2]})
+    t = kmv_set_ops(ray.data.from_pandas(df), "src", "val", k=8).to_pandas()
+    assert t.empty  # one key → no pairs
+    sk = kmv_sketch_by_key(ray.data.from_pandas(df), "src", "val", k=8)
+    assert kmv_estimate(sk["only"], 8) == 3  # below k → exact
