@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q.q_value_histogram,
         "porter_stems": q.q_porter_stems,
         "value_anomalies": q.q_value_anomalies,
+        "value_changepoints": q.q_value_changepoints,
         "accent_fold": q.q_accent_fold,
         "kn_logprob": q.q_kn_logprob,
         "bm25_update": q.q_bm25_update,
@@ -408,6 +409,18 @@ def _value_anomalies_sql() -> str:
     from ocr_system_ray.functions.anomaly import sql_rolling_zscore_select
 
     return sql_rolling_zscore_select(
+        "FROM events",
+        "event_type",
+        "ts",
+        "event_id",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+    )
+
+
+def _value_changepoints_sql() -> str:
+    from ocr_system_ray.functions.anomaly import sql_cusum_select
+
+    return sql_cusum_select(
         "FROM events",
         "event_type",
         "ts",
@@ -2078,6 +2091,10 @@ def oracle_sql() -> dict[str, str]:
         # value_anomalies: the identical integer inequality over
         # DuckDB window SUMs
         "value_anomalies": _value_anomalies_sql(),
+        # value_changepoints: the same closed-form CUSUM (prefix SUM −
+        # running MIN) recomputed as nested DuckDB windows; truncated
+        # per-key mean via // on both sides
+        "value_changepoints": _value_changepoints_sql(),
         # accent_fold: DuckDB's own strip_accents (ICU) vs stdlib
         # unicodedata — true cross-implementation oracle
         "accent_fold": """

@@ -151,3 +151,172 @@ def sql_rolling_zscore_select(
                          {value_col} AS v {from_clause})
         )
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` rule
+    (Python's ``//`` floors; the two differ on negative sums)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def cusum_changepoints(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    slack: int = 50,
+    threshold: int = 500,
+) -> ray.data.Dataset:
+    """Per-key CUSUM level-shift detection (Page 1954) — the
+    changepoint complement of :func:`rolling_zscore_flags` (a z-score
+    flags lone spikes; CUSUM accumulates small persistent drifts the
+    window test never sees).  Two one-sided statistics per row, in the
+    row's ``(ts, id)`` order within its key:
+
+        S⁺_t = max(0, S⁺_{t-1} + (v_t − μ_k − slack))      (upward)
+        S⁻_t = max(0, S⁻_{t-1} + (μ_k − v_t − slack))      (downward)
+
+    flag = 1 when either exceeds ``threshold``.  μ_k is the key's OWN
+    global mean in cents, truncated toward zero (DuckDB ``//``
+    semantics, pinned via ``_trunc_div``); slack/threshold are cents.
+
+    The recurrence looks sequential but has a CLOSED FORM over prefix
+    sums — with P_t = Σ_{j≤t} y_j and P_0 = 0:
+
+        S_t = P_t − min(P_0, …, P_t)
+
+    so both engines compute it with cumsum + running-min (no loop):
+    the Ray side vectorizes per bucket, the DuckDB twin is a window
+    SUM nested under a window MIN — integer-exact on both sides.
+
+    Ray shape: ONE adaptive coarse key-bucket shuffle (all rows of a
+    key co-locate, so μ_k is computable in-bucket — no separate mean
+    pass); in-bucket vectorized cumsum/running-min scan.  → ``(id_col,
+    key_col, s_pos, s_neg, flag)``.
+    """
+    if slack < 0 or threshold <= 0:
+        raise ValueError("cusum_changepoints: slack ≥ 0, threshold > 0")
+    bits = _adaptive_coarse_bits(max(1, ds.count()))
+
+    def emit(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        kh = stable_hash64(keys.to_pylist())
+        bucket = (kh >> np.uint64(64 - bits)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                key_col: keys,
+                ts_col: t.column(ts_col),
+                id_col: t.column(id_col),
+                value_col: t.column(value_col),
+            }
+        )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key_col: pd.Series([], dtype=object),
+                    "s_pos": pd.Series([], dtype="int64"),
+                    "s_neg": pd.Series([], dtype="int64"),
+                    "flag": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        v = df[value_col].to_numpy(dtype=np.int64)
+        if np.abs(v).max(initial=0) > _V_CAP:
+            raise ValueError("cusum_changepoints: value exceeds int64-safe cap")
+        key_codes, _ = pd.factorize(df[key_col], sort=False)
+        n = len(v)
+        starts = np.flatnonzero(np.r_[True, key_codes[1:] != key_codes[:-1]])
+        seg_len = np.diff(np.r_[starts, n])
+        # per-key truncated mean
+        sums = np.add.reduceat(v, starts)
+        mu_seg = np.array(
+            [_trunc_div(int(s), int(c)) for s, c in zip(sums, seg_len)],
+            dtype=np.int64,
+        )
+        mu = np.repeat(mu_seg, seg_len)
+
+        def one_sided(y: np.ndarray) -> np.ndarray:
+            # S_t = P_t − min(P_0..P_t), restarted per key segment
+            p = np.cumsum(y)
+            seg_base = np.repeat(np.r_[0, p[starts[1:] - 1]], seg_len)
+            p = p - seg_base  # per-key prefix sums, P_0 = 0 implicit
+            # running min restarts per key segment (segments per bucket =
+            # keys per bucket — the small axis; the scan inside is numpy)
+            m = p.copy()
+            for s0, ln in zip(starts, seg_len):
+                seg = np.minimum(p[s0 : s0 + ln], 0)
+                m[s0 : s0 + ln] = np.minimum.accumulate(seg)
+            return p - np.minimum(m, 0)
+
+        s_pos = one_sided(v - mu - slack)
+        s_neg = one_sided(mu - v - slack)
+        flag = ((s_pos > threshold) | (s_neg > threshold)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                key_col: df[key_col].astype(object),
+                "s_pos": s_pos.astype(np.int64),
+                "s_neg": s_neg.astype(np.int64),
+                "flag": flag,
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+    )
+
+
+def sql_cusum_select(
+    from_clause: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    slack: int = 50,
+    threshold: int = 500,
+) -> str:
+    """DuckDB twin: the closed form S_t = P_t − min(0, min_{j≤t} P_j)
+    as a window SUM nested under a window MIN, per key."""
+    w = f"PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}"
+    return f"""
+        SELECT {id_col}, {key_col},
+               CAST(pp - LEAST(0, mp) AS BIGINT) AS s_pos,
+               CAST(pn - LEAST(0, mn) AS BIGINT) AS s_neg,
+               CAST(CASE WHEN pp - LEAST(0, mp) > {threshold}
+                           OR pn - LEAST(0, mn) > {threshold}
+                    THEN 1 ELSE 0 END AS BIGINT) AS flag
+        FROM (
+            SELECT {id_col}, {key_col}, pp, pn,
+                   MIN(pp) OVER ({w} ROWS UNBOUNDED PRECEDING) AS mp,
+                   MIN(pn) OVER ({w} ROWS UNBOUNDED PRECEDING) AS mn
+            FROM (
+                SELECT {id_col}, {key_col}, {ts_col},
+                       SUM(v - mu - {slack}) OVER ({w}
+                           ROWS UNBOUNDED PRECEDING) AS pp,
+                       SUM(mu - v - {slack}) OVER ({w}
+                           ROWS UNBOUNDED PRECEDING) AS pn
+                FROM (
+                    SELECT b.*, m.mu
+                    FROM (SELECT {id_col}, {key_col}, {ts_col},
+                                 {value_col} AS v {from_clause}) b
+                    JOIN (SELECT {key_col}, SUM(v) // COUNT(*) AS mu
+                          FROM (SELECT {key_col},
+                                       {value_col} AS v {from_clause})
+                          GROUP BY {key_col}) m USING ({key_col})
+                )
+            )
+        )
+    """

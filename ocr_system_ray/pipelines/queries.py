@@ -8084,3 +8084,42 @@ def q_kmv_overlap(sf_dir: str) -> "pa.Table":
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     return kmv_set_ops(ds, "event_type", "user_id", k=64)
+
+
+def q_value_changepoints(sf_dir: str) -> ray.data.Dataset:
+    """CUSUM level-shift detection per event type
+    (``anomaly.cusum_changepoints``): the drift detector the z-score
+    window misses — S⁺/S⁻ = Page's one-sided cumulative sums vs the
+    key's own truncated mean, slack 50¢, threshold 500¢, computed via
+    the closed form S_t = P_t − min(0, min P_j) so both engines are
+    loop-free.  ONE coarse key-bucket shuffle.  Twin = window SUM
+    nested under window MIN."""
+    from ..functions.anomaly import cusum_changepoints
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        c = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(t.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "ts": t.column("ts"),
+                "v_cents": c,
+            }
+        )
+
+    return cusum_changepoints(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "ts",
+        "event_id",
+        "v_cents",
+    )

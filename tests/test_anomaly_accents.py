@@ -136,3 +136,103 @@ def test_strip_accents_dataset(ray_session):
     out = strip_accents_batch(ray.data.from_arrow(t)).to_pandas()
     assert out["folded"][0] == "cafe"
     assert out["folded"].isna()[1]
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoints
+# ---------------------------------------------------------------------------
+
+
+def _drift_events(n=600, seed=7):
+    """Two keys: 'shift' drifts +120¢ halfway through; 'flat' doesn't."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rows.append(("shift", i, i, 1000 + int(rng.integers(-20, 21))
+                     + (120 if i >= n // 2 else 0)))
+        rows.append(("flat", i, n + i, 1000 + int(rng.integers(-20, 21))))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["key", "ts", "event_id", "v"])
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_cusum_matches_duckdb(ray_session, nblocks):
+    from ocr_system_ray.functions.anomaly import (
+        cusum_changepoints,
+        sql_cusum_select,
+    )
+
+    df = _drift_events()
+    t = df  # noqa: F841
+    got = (
+        cusum_changepoints(
+            ray.data.from_pandas(df).repartition(nblocks),
+            "key", "ts", "event_id", "v",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        sql_cusum_select("FROM t", "key", "ts", "event_id", "v")
+        + " ORDER BY event_id"
+    ).df()
+    for c in ("s_pos", "s_neg", "flag"):
+        assert got[c].tolist() == want[c].tolist(), (nblocks, c)
+
+
+def test_cusum_detects_drift_not_noise(ray_session):
+    from ocr_system_ray.functions.anomaly import cusum_changepoints
+
+    df = _drift_events()
+    out = cusum_changepoints(
+        ray.data.from_pandas(df), "key", "ts", "event_id", "v"
+    ).to_pandas()
+    by = {k: g.sort_values("event_id") for k, g in out.groupby("key")}
+    # vs the key's GLOBAL mean both halves of the stepped key drift
+    # (down then up) — but only after accumulation: drift ≈ 60¢/row,
+    # slack 50¢ → net ~10¢/row vs threshold 500¢ needs ≳ 25 rows
+    shift = by["shift"].reset_index(drop=True)
+    assert shift["flag"].iloc[-1] == 1
+    assert shift["flag"].iloc[:20].sum() == 0
+    assert by["flat"]["flag"].sum() == 0
+    # statistics are the closed form: always ≥ 0
+    assert (out["s_pos"] >= 0).all() and (out["s_neg"] >= 0).all()
+
+
+def test_cusum_downward_shift_and_trunc_mean(ray_session):
+    from ocr_system_ray.functions.anomaly import (
+        _trunc_div,
+        cusum_changepoints,
+    )
+
+    assert _trunc_div(-7, 2) == -3 and _trunc_div(7, 2) == 3  # DuckDB //
+    import pandas as pd
+
+    n = 300
+    v = [500] * (n // 2) + [300] * (n // 2)  # downward step
+    df = pd.DataFrame(
+        {"key": ["k"] * n, "ts": range(n), "event_id": range(n), "v": v}
+    )
+    out = (
+        cusum_changepoints(ray.data.from_pandas(df), "key", "ts", "event_id", "v")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["flag"].iloc[-1] == 1 and out["s_neg"].iloc[-1] > 0
+    assert out["s_pos"].iloc[-1] == 0
+
+
+def test_cusum_bad_args(ray_session):
+    from ocr_system_ray.functions.anomaly import cusum_changepoints
+
+    import pandas as pd
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"key": ["a"], "ts": [1], "event_id": [1], "v": [1]})
+    )
+    with pytest.raises(ValueError):
+        cusum_changepoints(ds, "key", "ts", "event_id", "v", threshold=0)
+    with pytest.raises(ValueError):
+        cusum_changepoints(ds, "key", "ts", "event_id", "v", slack=-1)
