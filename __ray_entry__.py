@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_communities": q.q_host_communities,
         "corpus_rollup": q.q_corpus_rollup,
         "triangle_counts": q.q_triangle_counts,
+        "host_kcore": q.q_host_kcore,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -714,6 +715,25 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _host_kcore_sql() -> str:
+    from ocr_system_ray.functions.graph import k_core_sql
+    from ocr_system_ray.pipelines.queries import (
+        KCORE_CORE as C,
+        KCORE_K,
+        KCORE_PERIPH as P,
+        KCORE_ROUNDS,
+    )
+
+    edges = f"""
+          SELECT doc_id % {C} AS src, (doc_id // {C}) % {C} AS dst FROM documents
+          UNION ALL
+          SELECT 1000 + doc_id % {P} AS src, (doc_id // 7) % {C} AS dst FROM documents
+          UNION ALL
+          SELECT 1000 + (doc_id * 3 + 1) % {P} AS src,
+                 1000 + (doc_id // 3) % {P} AS dst FROM documents"""
+    return k_core_sql(edges, k=KCORE_K, rounds=KCORE_ROUNDS, node_col="host")
 
 
 def _corpus_rollup_sql() -> str:
@@ -1703,6 +1723,8 @@ def oracle_sql() -> dict[str, str]:
         # COALESCE('') null keys — the identical spec
         "corpus_rollup": _corpus_rollup_sql(),
         "triangle_counts": _triangles_sql(),
+        # host_kcore: generated unrolled MATERIALIZED-CTE peel twin
+        "host_kcore": _host_kcore_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -1156,3 +1156,160 @@ def label_propagation_sql(
                CAST(label AS BIGINT) AS {label_col}
         FROM lp_l{rounds}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel)
+# ---------------------------------------------------------------------------
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = 4,
+    node_col: str = "node",
+    deg_col: str = "core_deg",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """k-core peeling over an edge list — the density signal next to
+    :func:`triangle_counts`: link farms and tightly-knit mirror
+    clusters live in high-k cores, while legitimate long-tail hosts
+    peel off in the first rounds (Seidman 1983; used for web-graph
+    spam analysis since Kumar et al.'s trawling work).
+
+    Deterministic spec (mirrored exactly by :func:`k_core_sql`):
+
+    * UNDIRECTED — edges symmetrized, self-loops dropped, parallel
+      edges collapsed (cores are defined on the neighbour SET);
+    * per round: degree(v) over the CURRENT edge set; survivors =
+      {v : degree(v) ≥ k}; keep only edges whose BOTH endpoints
+      survive;
+    * output after exactly ``rounds`` rounds: ``(node_col, deg_col)``
+      — every node still carrying an edge, with its degree in the
+      surviving subgraph.  With enough rounds this is the k-core
+      (peeling converges in ≤ |V| rounds; fixed ``rounds`` keeps the
+      result well-defined and SQL-unrollable on every input — the
+      BFS/LPA contract).
+
+    Scale shape: per round ONE single-column ``groupby(src).count()``
+    (degrees) plus TWO reduce-side semi-joins (``_attach_label`` —
+    survivors onto src, then dst); O(edges) rows per round, shrinking
+    monotonically; nothing corpus-sized on the driver.
+    """
+    if k < 1:
+        raise ValueError("k_core: need k ≥ 1")
+    from ray.data.aggregate import Count
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t.column("src").combine_chunks().cast(pa.int64())
+        d = t.column("dst").combine_chunks().cast(pa.int64())
+        src = pa.concat_arrays([s, d])
+        dst = pa.concat_arrays([d, s])
+        keep = pc.not_equal(src, dst)
+        return pa.table({"src": src.filter(keep), "dst": dst.filter(keep)})
+
+    e = _dedup_edges(
+        edges.map_batches(sym, batch_format="pyarrow"), nb
+    ).materialize()
+    empty = pa.table(
+        {
+            node_col: pa.array([], pa.int64()),
+            deg_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def _degrees(ed: ray.data.Dataset) -> ray.data.Dataset:
+        """(node, label=degree) — both directions are present after
+        symmetrization, so grouping on src alone counts each
+        neighbour once."""
+        return (
+            ed.groupby("src")
+            .aggregate(Count(alias_name="d"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("src").cast(pa.int64()),
+                        "label": t.column("d").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    for _round in range(rounds):
+        if e.count() == 0:
+            return ray.data.from_arrow(empty)
+        surv = _degrees(e).map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("label"), pa.scalar(k))),
+            batch_format="pyarrow",
+        )
+        kept_src = _attach_label(e, ["src", "dst"], surv, "src", "_sa", nb)
+        kept = _attach_label(
+            kept_src, ["src", "dst"], surv, "dst", "_sb", nb
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t.column("src").cast(pa.int64()),
+                    "dst": t.column("dst").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        e = kept.materialize()
+
+    if e.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_col: t.column("node").cast(pa.int64()),
+                deg_col: t.column("label").cast(pa.int64()),
+            }
+        )
+
+    return _degrees(e).map_batches(finish, batch_format="pyarrow")
+
+
+def k_core_sql(
+    edges_sql: str,
+    k: int,
+    rounds: int = 4,
+    node_col: str = "node",
+    deg_col: str = "core_deg",
+) -> str:
+    """Generated DuckDB oracle for :func:`k_core`: the same fixed peel
+    rounds unrolled as MATERIALIZED CTEs (degree HAVING-filter + a
+    two-way semi-join per round).  ``kc_``-prefixed CTE names (duckdb
+    binds local Python variables as tables)."""
+    parts = [
+        f"kc_b AS MATERIALIZED ({edges_sql})",
+        """kc_e0 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM kc_b
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM kc_b
+            ) WHERE src <> dst)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""kc_s{r} AS MATERIALIZED (
+                SELECT src AS h FROM kc_e{r - 1}
+                GROUP BY src HAVING COUNT(*) >= {int(k)})"""
+        )
+        parts.append(
+            f"""kc_e{r} AS MATERIALIZED (
+                SELECT e.src, e.dst FROM kc_e{r - 1} e
+                JOIN kc_s{r} a ON e.src = a.h
+                JOIN kc_s{r} b ON e.dst = b.h)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(src AS BIGINT) AS {node_col},
+               CAST(COUNT(*) AS BIGINT) AS {deg_col}
+        FROM kc_e{rounds} GROUP BY src"""
+    )

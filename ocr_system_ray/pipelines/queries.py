@@ -8123,3 +8123,38 @@ def q_value_changepoints(sf_dir: str) -> ray.data.Dataset:
         "event_id",
         "v_cents",
     )
+
+
+KCORE_CORE = 23  # dense core host-space of the derived graph
+KCORE_PERIPH = 199  # sparse periphery host-space (offset +1000)
+KCORE_K = 8
+KCORE_ROUNDS = 3
+
+
+def q_host_kcore(sf_dir: str) -> ray.data.Dataset:
+    """k-core peel over a derived host graph with a dense 23-node core
+    plus a 199-node sparse periphery (``functions/graph.py:k_core``):
+    the link-farm density signal next to triangles — periphery hosts
+    peel off round by round, the core survives with its in-core
+    degree.  Independent carves on each side of every derived edge
+    (``doc_id % m`` vs ``doc_id // m``) keep the graph from collapsing
+    to a functional graph (the derivation-density trap).  Oracle = the
+    generated unrolled MATERIALIZED-CTE peel twin."""
+    from ..functions.graph import k_core
+
+    c, p = KCORE_CORE, KCORE_PERIPH
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate(
+            [ids % c, 1000 + ids % p, 1000 + (ids * 3 + 1) % p]
+        )
+        dst = np.concatenate(
+            [(ids // c) % c, (ids // 7) % c, 1000 + (ids // 3) % p]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return k_core(ds, k=KCORE_K, rounds=KCORE_ROUNDS, node_col="host")

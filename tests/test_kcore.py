@@ -1,0 +1,116 @@
+"""k-core peeling (functions/graph.py:k_core) — fixed-round degree
+peel over an undirected edge set.
+
+An INDEPENDENT pure-Python dict twin recomputes the spec from scratch
+(symmetrize / drop self-loops / dedup; per round degree-filter both
+endpoints); the Ray op must match it exactly on any block layout, and
+the generated SQL twin must match both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.graph import k_core, k_core_sql
+
+
+def kcore_twin(edges, k, rounds):
+    """Independent spec twin: per round, degree over the current edge
+    SET, survivors = deg ≥ k, keep edges with both ends surviving;
+    return {node: degree} after exactly `rounds` rounds."""
+    es = set()
+    for a, b in edges:
+        if a != b:
+            es.add((a, b))
+            es.add((b, a))
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for a, _b in es:
+            deg[a] = deg.get(a, 0) + 1
+        surv = {v for v, d in deg.items() if d >= k}
+        es = {(a, b) for a, b in es if a in surv and b in surv}
+    deg = {}
+    for a, _b in es:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def _edges_ds(edges, blocks=1):
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _run(edges, k, rounds, **kw):
+    return {
+        r["node"]: r["core_deg"]
+        for r in k_core(_edges_ds(edges, kw.pop("blocks", 1)), k=k, rounds=rounds, **kw).take_all()
+    }
+
+
+def test_clique_with_tail(ray_session):
+    # 4-clique + a path tail: k=3 keeps exactly the clique (deg 3 each)
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    got = _run(clique + tail, k=3, rounds=3, num_buckets=2)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_fixed_rounds_not_convergence(ray_session):
+    # a long path peels one layer per round: rounds=1 must differ from
+    # rounds=4 (the fixed-round contract, not a convergence loop)
+    path = [(i, i + 1) for i in range(8)]
+    one = _run(path, k=2, rounds=1, num_buckets=2)
+    four = _run(path, k=2, rounds=4, num_buckets=2)
+    assert one == kcore_twin(path, 2, 1)
+    assert four == kcore_twin(path, 2, 4)
+    assert one != four
+    assert four == {}
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+@pytest.mark.parametrize("k", [2, 4])
+def test_matches_twin_and_sql(ray_session, blocks, k):
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 60, 300), rng.integers(0, 60, 300))
+        if a != b
+    ]
+    want = kcore_twin(edges, k, 3)
+    got = _run(edges, k=k, rounds=3, blocks=blocks, num_buckets=4)
+    assert got == want
+
+    kc_edge_tbl = pa.table(  # noqa: F841 — bound by duckdb below
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    sql = k_core_sql("SELECT src, dst FROM kc_edge_tbl", k=k, rounds=3)
+    sdf = duckdb.sql(sql).df()
+    assert dict(zip(sdf["node"], sdf["core_deg"])) == want
+
+
+def test_empty_and_self_loops(ray_session):
+    assert _run([(5, 5), (7, 7)], k=1, rounds=2, num_buckets=2) == {}
+    out = k_core(
+        _edges_ds([(1, 2)]).filter(lambda r: False), k=1, rounds=2, num_buckets=2
+    ).take_all()
+    assert out == []
+
+
+def test_bad_k_rejected(ray_session):
+    with pytest.raises(ValueError):
+        k_core(_edges_ds([(1, 2)]), k=0)
