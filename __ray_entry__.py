@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_rollup": q.q_corpus_rollup,
         "triangle_counts": q.q_triangle_counts,
         "host_kcore": q.q_host_kcore,
+        "event_windows": q.q_event_windows,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -715,6 +716,19 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _event_windows_sql() -> str:
+    from ocr_system_ray.functions.windows import hopping_window_sql
+    from ocr_system_ray.pipelines.queries import HOP_HOP_US, HOP_WINDOW_US
+
+    return hopping_window_sql(
+        "ts",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT)",
+        "FROM events",
+        HOP_WINDOW_US,
+        HOP_HOP_US,
+    )
 
 
 def _host_kcore_sql() -> str:
@@ -1725,6 +1739,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _triangles_sql(),
         # host_kcore: generated unrolled MATERIALIZED-CTE peel twin
         "host_kcore": _host_kcore_sql(),
+        # event_windows: generated unnest(range) window-start derivation
+        "event_windows": _event_windows_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

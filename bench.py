@@ -259,6 +259,8 @@ def _query_suite() -> dict:
         "accent_fold": q.q_accent_fold,
         "corpus_rollup": q.q_corpus_rollup,
         "sqlite_roundtrip": q.q_sqlite_roundtrip,
+        # round-3 session-8 additions
+        "event_windows": q.q_event_windows,
     }
     return suite
 

@@ -610,3 +610,118 @@ def pivot_counts(
         return out[[key_col] + names].astype("int64")
 
     return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling / hopping time windows
+# ---------------------------------------------------------------------------
+
+
+def hopping_window_counts(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    cents_col: str,
+    window_us: int,
+    hop_us: int,
+) -> ray.data.Dataset:
+    """Event-time tumbling/hopping window aggregates — the
+    stream-analytics counterpart of the gap sessionizer: count and
+    integer-cent sum per fixed window of width ``window_us`` sliding
+    by ``hop_us`` (``hop == window`` ⇒ tumbling).
+
+    Deterministic spec (mirrored by :func:`hopping_window_sql`): an
+    event at µs timestamp ``t`` lands in every window whose start
+    ``s ≡ 0 (mod hop_us)`` satisfies ``s ≤ t < s + window_us`` —
+    exactly ``window_us // hop_us`` windows (``window_us`` must be a
+    multiple of ``hop_us``), starts derived as
+    ``(t // hop_us − i) · hop_us`` for ``i ∈ [0, window/hop)``.  Rows
+    with null ``ts_col`` are dropped (SQL COUNT semantics); windows
+    are emitted as int64 µs starts (never raw timestamp groupby keys —
+    ray's aggregate truncates timestamp keys to [s]).
+
+    Scale shape: the 1→N window fan-out and a per-batch pandas
+    pre-aggregation happen IN the map (shuffle rows are per-(batch,
+    window) partials — bounded by the batch's time span / hop, not by
+    its row count), then ONE single-column ``groupby(window_start)``
+    sums partials.  No ordering assumption, no driver state.
+    """
+    if window_us < 1 or hop_us < 1 or window_us % hop_us:
+        raise ValueError(
+            "hopping_window_counts: need window_us ≥ hop_us ≥ 1 with "
+            "window_us a multiple of hop_us"
+        )
+    k = window_us // hop_us
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tsv = t.column(ts_col)
+        ok = pc.is_valid(tsv)
+        tsv = tsv.filter(ok)
+        cents = t.column(cents_col).filter(ok)
+        tus = tsv.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = (
+            pc.coalesce(cents, pa.scalar(0, cents.type))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        base = (tus // hop_us) * hop_us
+        starts = (
+            base[None, :] - (np.arange(k, dtype=np.int64) * hop_us)[:, None]
+        ).ravel()
+        vals = np.broadcast_to(c, (k, len(c))).ravel()
+        df = pd.DataFrame({"window_start_us": starts, "c": vals})
+        g = df.groupby("window_start_us", sort=False).agg(
+            n=("c", "size"), s=("c", "sum")
+        )
+        return pa.table(
+            {
+                "window_start_us": pa.array(
+                    g.index.to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .sum(["n", "s"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start_us": t.column("window_start_us").cast(pa.int64()),
+                "n_events": t.column("sum(n)").cast(pa.int64()),
+                "sum_cents": t.column("sum(s)").cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_window_sql(
+    ts_expr: str, cents_expr: str, from_clause: str, window_us: int, hop_us: int
+) -> str:
+    """Generated DuckDB twin of :func:`hopping_window_counts` — the
+    identical start derivation over ``unnest(range(k))``."""
+    k = window_us // hop_us
+    return f"""
+        WITH hw_ev AS (
+            SELECT epoch_us({ts_expr}) AS t,
+                   CAST(COALESCE({cents_expr}, 0) AS BIGINT) AS c
+            {from_clause}
+            WHERE {ts_expr} IS NOT NULL
+        ),
+        hw_i AS (SELECT unnest(range({k})) AS i),
+        hw_w AS (
+            SELECT (t // {hop_us} - i) * {hop_us} AS window_start_us, c
+            FROM hw_ev, hw_i
+        )
+        SELECT window_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(c) AS BIGINT) AS sum_cents
+        FROM hw_w GROUP BY window_start_us
+    """

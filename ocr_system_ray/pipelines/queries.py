@@ -8158,3 +8158,35 @@ def q_host_kcore(sf_dir: str) -> ray.data.Dataset:
         edges, batch_format="pyarrow"
     )
     return k_core(ds, k=KCORE_K, rounds=KCORE_ROUNDS, node_col="host")
+
+
+HOP_WINDOW_US = 900_000_000  # 15-minute windows …
+HOP_HOP_US = 300_000_000  # … hopping every 5 minutes
+
+
+def q_event_windows(sf_dir: str) -> ray.data.Dataset:
+    """Hopping event-time windows (15 min / 5 min hop) over the events
+    stream: count + cent sum per window
+    (``functions/windows.py:hopping_window_counts``) — per-batch
+    partial aggregation, ONE single-column groupby of window partials.
+    Twin = the generated unnest(range) start derivation."""
+    from ..functions.windows import hopping_window_counts
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        c = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(t.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"ts": t.column("ts"), "v_cents": c})
+
+    return hopping_window_counts(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "ts",
+        "v_cents",
+        window_us=HOP_WINDOW_US,
+        hop_us=HOP_HOP_US,
+    )

@@ -1,0 +1,98 @@
+"""Hopping/tumbling event-time windows
+(functions/windows.py:hopping_window_counts) vs the generated DuckDB
+twin and hand pins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.windows import (
+    hopping_window_counts,
+    hopping_window_sql,
+)
+
+US = 1_000_000
+
+
+def _ds(ts_us, cents, blocks=1):
+    t = pa.table(
+        {
+            "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+            "c": pa.array(cents, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _run(ds, window_us, hop_us):
+    out = hopping_window_counts(ds, "ts", "c", window_us, hop_us).take_all()
+    return {
+        r["window_start_us"]: (r["n_events"], r["sum_cents"]) for r in out
+    }
+
+
+def test_hopping_multiplicity_pin(ray_session):
+    # one event at t=7s with 15s/5s windows → starts 5s, 0s, -5s
+    got = _run(_ds([7 * US], [100]), 15 * US, 5 * US)
+    assert got == {5 * US: (1, 100), 0: (1, 100), -5 * US: (1, 100)}
+
+
+def test_tumbling_is_partition(ray_session):
+    # hop == window: every event in exactly one window; sums partition
+    ts = [int(x) for x in range(0, 100 * US, 7 * US)]
+    c = list(range(len(ts)))
+    got = _run(_ds(ts, c), 10 * US, 10 * US)
+    assert sum(n for n, _ in got.values()) == len(ts)
+    assert sum(s for _, s in got.values()) == sum(c)
+
+
+def test_null_ts_dropped_null_cents_zero(ray_session):
+    t = pa.table(
+        {
+            "ts": pa.array([None, 3 * US], pa.timestamp("us")),
+            "c": pa.array([5, None], pa.int64()),
+        }
+    )
+    got = _run(ray.data.from_arrow(t), 5 * US, 5 * US)
+    assert got == {0: (1, 0)}
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+@pytest.mark.parametrize("win,hop", [(15, 5), (10, 10), (12, 3)])
+def test_matches_sql_twin(ray_session, blocks, win, hop):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ts = rng.integers(0, 3_600 * US, n)
+    cents = rng.integers(-500, 5_000, n)
+    got = _run(_ds(list(ts), list(cents), blocks), win * US, hop * US)
+
+    hw_tbl = pa.table(  # noqa: F841 — bound by duckdb below
+        {
+            "ts": pa.array([int(x) for x in ts], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "c": pa.array([int(x) for x in cents], pa.int64()),
+        }
+    )
+    sdf = duckdb.sql(
+        hopping_window_sql("ts", "c", "FROM hw_tbl", win * US, hop * US)
+    ).df()
+    want = {
+        int(r.window_start_us): (int(r.n_events), int(r.sum_cents))
+        for r in sdf.itertuples()
+    }
+    assert got == want
+
+
+def test_bad_args_rejected(ray_session):
+    ds = _ds([0], [1])
+    for w, h in [(0, 1), (5, 0), (7, 3)]:
+        with pytest.raises(ValueError):
+            hopping_window_counts(ds, "ts", "c", w, h)
