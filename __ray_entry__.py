@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q.q_triangle_counts,
         "host_kcore": q.q_host_kcore,
         "event_windows": q.q_event_windows,
+        "embed_project": q.q_embed_project,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -716,6 +717,12 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _embed_project_sql() -> str:
+    from ocr_system_ray.functions.similarity import random_project_sql
+
+    return random_project_sql("FROM embeddings", out_dim=16)
 
 
 def _event_windows_sql() -> str:
@@ -1741,6 +1748,8 @@ def oracle_sql() -> dict[str, str]:
         "host_kcore": _host_kcore_sql(),
         # event_windows: generated unnest(range) window-start derivation
         "event_windows": _event_windows_sql(),
+        # embed_project: generated VALUES sign matrix + integer dots
+        "embed_project": _embed_project_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

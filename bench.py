@@ -261,6 +261,7 @@ def _query_suite() -> dict:
         "sqlite_roundtrip": q.q_sqlite_roundtrip,
         # round-3 session-8 additions
         "event_windows": q.q_event_windows,
+        "embed_project": q.q_embed_project,
     }
     return suite
 

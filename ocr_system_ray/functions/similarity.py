@@ -937,3 +937,114 @@ def sql_sign_bits_expr(vec_col: str, lo: bool, dim: int = 64) -> str:
         for i in range(start, end + 1)
     )
     return f"({terms})"
+
+
+# ---------------------------------------------------------------------------
+# Sign random projection (Johnson–Lindenstrauss, Achlioptas ±1 form)
+# ---------------------------------------------------------------------------
+
+
+def random_projection_signs(dim: int, out_dim: int, salt: str = "jl") -> np.ndarray:
+    """Deterministic ±1 projection matrix (dim × out_dim): sign(i, j) =
+    +1 iff the first md5 hex nibble of ``"{salt}:{i}:{j}"`` is < 8 —
+    the Achlioptas (2003) dense ±1 JL family with the repo's standard
+    md5-carve coin so BOTH engines rebuild the identical matrix."""
+    import hashlib
+
+    m = np.empty((dim, out_dim), dtype=np.int64)
+    for i in range(dim):
+        for j in range(out_dim):
+            h = hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()
+            m[i, j] = 1 if int(h[0], 16) < 8 else -1
+    return m
+
+
+def random_project(
+    ds: ray.data.Dataset,
+    out_dim: int = 16,
+    salt: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> ray.data.Dataset:
+    """Johnson–Lindenstrauss sign projection — the dimensionality cut
+    in front of clustering / SemDeDup / ANN when the raw embedding is
+    wide: dim-``dim`` float vectors → ``out_dim`` exact-integer
+    components, distances preserved within the JL bound.
+
+    Deterministic spec (mirrored by :func:`random_project_sql`):
+    components are quantized to micro-units ``floor(v·10⁶ + 0.5)`` in
+    FLOAT64 (exact widening from float32, identical in numpy and
+    DuckDB), then projected through the md5-carved ±1 matrix — every
+    output is an int64 dot product, no float ever crosses a stage
+    boundary.  Output long form: one ``(id, j, p)`` row per (vector,
+    output dim) — unnest-shaped so the twin is a plain join.
+
+    Row-local, stateless, no shuffle: one int64 matmul per batch
+    (n×dim @ dim×out_dim); the matrix is a closure constant (KiB-sized,
+    shipped once per worker with the function)."""
+    signs = random_projection_signs(dim, out_dim, salt)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.is_valid(t.column(vec_col))
+        t = t.filter(ok)  # null vectors are skipped (the twin's WHERE)
+        vecs = _as_matrix(t.column(vec_col))
+        n = len(t)
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                }
+            )
+        vm = np.floor(vecs.astype(np.float64) * 1_000_000.0 + 0.5).astype(
+            np.int64
+        )
+        proj = vm @ signs  # n × out_dim, exact int64
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim)),
+                "j": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+                "p": pa.array(proj.ravel()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def random_project_sql(
+    from_clause: str,
+    out_dim: int = 16,
+    salt: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """Generated DuckDB twin of :func:`random_project`: the identical
+    md5-carved sign matrix inlined as a VALUES table, the identical
+    micro quantization, grouped integer dot products."""
+    signs = random_projection_signs(dim, out_dim, salt)
+    vals = ", ".join(
+        f"({i}, {j}, {int(signs[i, j])})"
+        for i in range(dim)
+        for j in range(out_dim)
+    )
+    return f"""
+        WITH jl_s(i, j, s) AS (VALUES {vals}),
+        jl_v AS (
+            SELECT {id_col}, ii.i AS i,
+                   CAST(floor(CAST({vec_col}[ii.i + 1] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS vm
+            {from_clause}, (SELECT unnest(range({dim})) AS i) ii
+            WHERE {vec_col} IS NOT NULL
+        )
+        SELECT jl_v.{id_col} AS {id_col},
+               CAST(jl_s.j AS BIGINT) AS j,
+               CAST(SUM(jl_s.s * jl_v.vm) AS BIGINT) AS p
+        FROM jl_v JOIN jl_s ON jl_v.i = jl_s.i
+        GROUP BY jl_v.{id_col}, jl_s.j
+    """

@@ -8190,3 +8190,15 @@ def q_event_windows(sf_dir: str) -> ray.data.Dataset:
         window_us=HOP_WINDOW_US,
         hop_us=HOP_HOP_US,
     )
+
+
+def q_embed_project(sf_dir: str) -> ray.data.Dataset:
+    """JL sign random projection of the embeddings table: 64-dim
+    float32 → 16 exact-integer micro-unit components
+    (``functions/similarity.py:random_project``), long (id, j, p)
+    form.  Row-local int64 matmul, no shuffle; twin = the generated
+    VALUES sign matrix + grouped dot products."""
+    from ..functions.similarity import random_project
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return random_project(emb, out_dim=16)

@@ -1,0 +1,95 @@
+"""JL sign random projection
+(functions/similarity.py:random_project) vs the generated DuckDB twin,
+plus the distance-preservation property that justifies the op."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.similarity import (
+    random_project,
+    random_project_sql,
+    random_projection_signs,
+)
+
+
+def _emb_ds(vecs, ids=None, blocks=1):
+    n = len(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(
+                ids if ids is not None else list(range(n)), pa.int64()
+            ),
+            "embedding": pa.array(
+                [None if v is None else list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_sign_matrix_deterministic():
+    s = random_projection_signs(64, 16)
+    s2 = random_projection_signs(64, 16)
+    assert np.array_equal(s, s2)
+    assert set(np.unique(s)) == {-1, 1}
+    # salted matrices differ
+    assert not np.array_equal(s, random_projection_signs(64, 16, salt="x"))
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_matches_sql_twin(ray_session, blocks):
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32) * 3.0
+    got = {
+        (r["vec_id"], r["j"]): r["p"]
+        for r in random_project(_emb_ds(list(vecs), blocks=blocks)).take_all()
+    }
+    jl_tbl = pa.table(  # noqa: F841 — bound by duckdb below
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    sdf = duckdb.sql(random_project_sql("FROM jl_tbl", out_dim=16)).df()
+    want = {
+        (int(r.vec_id), int(r.j)): int(r.p) for r in sdf.itertuples()
+    }
+    assert got == want
+
+
+def test_null_vectors_skipped(ray_session):
+    out = random_project(_emb_ds([None, [0.5] * 64], ids=[7, 9])).take_all()
+    assert {r["vec_id"] for r in out} == {9}
+    assert len(out) == 16
+
+
+def test_jl_distance_preservation(ray_session):
+    # squared distances in the projected space track true squared
+    # distances (the JL property, loose bound at out_dim=16)
+    m = 48  # the property needs more dims than the sf query's 16
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 64)).astype(np.float32)
+    rows = random_project(_emb_ds(list(vecs)), out_dim=m).take_all()
+    proj = np.zeros((30, m))
+    for r in rows:
+        proj[r["vec_id"], r["j"]] = r["p"] / 1e6
+    true_d, proj_d = [], []
+    for a in range(30):
+        for b in range(a + 1, 30):
+            true_d.append(float(np.sum((vecs[a] - vecs[b]) ** 2)))
+            # E[proj sq dist] = out_dim × true sq dist for ±1 signs
+            proj_d.append(float(np.sum((proj[a] - proj[b]) ** 2)) / m)
+    corr = np.corrcoef(true_d, proj_d)[0, 1]
+    assert corr > 0.6
+    assert 0.6 < np.median(np.array(proj_d) / np.array(true_d)) < 1.6
