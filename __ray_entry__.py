@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_kcore": q.q_host_kcore,
         "event_windows": q.q_event_windows,
         "embed_project": q.q_embed_project,
+        "corpus_upsert": q.q_corpus_upsert,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -717,6 +718,26 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _corpus_upsert_sql() -> str:
+    from ocr_system_ray.functions.diff import upsert_sql
+
+    base = (
+        "SELECT doc_id, COALESCE(text,'') AS text, COALESCE(lang,'') AS lang,"
+        " COALESCE(source,'') AS source, n_chars FROM documents"
+    )
+    incr = f"""
+        SELECT doc_id, text || ' v2' AS text, lang, source,
+               n_chars + 3 AS n_chars
+        FROM ({base}) WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000,
+               'new doc ' || CAST(doc_id AS VARCHAR), 'en', 'refresh',
+               length('new doc ' || CAST(doc_id AS VARCHAR))
+        FROM documents WHERE doc_id % 9 = 0
+    """
+    return upsert_sql(base, incr, ["text", "lang", "source", "n_chars"])
 
 
 def _embed_project_sql() -> str:
@@ -1750,6 +1771,8 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _event_windows_sql(),
         # embed_project: generated VALUES sign matrix + integer dots
         "embed_project": _embed_project_sql(),
+        # corpus_upsert: ROW_NUMBER last-writer-wins over tagged sides
+        "corpus_upsert": _corpus_upsert_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

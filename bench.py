@@ -262,6 +262,7 @@ def _query_suite() -> dict:
         # round-3 session-8 additions
         "event_windows": q.q_event_windows,
         "embed_project": q.q_embed_project,
+        "corpus_upsert": q.q_corpus_upsert,
     }
     return suite
 

@@ -88,3 +88,87 @@ def corpus_diff(
         )
 
     return tagged.groupby("bucket").map_groups(diff_group, batch_format="pandas")
+
+
+def upsert_corpus(
+    base_ds: ray.data.Dataset,
+    incr_ds: ray.data.Dataset,
+    payload_schema: "dict[str, pa.DataType]",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """MERGE a crawl increment into the corpus — the write-side
+    companion of :func:`corpus_diff`: one row per id, the increment's
+    version winning over the base's (SQL ``MERGE`` / last-writer-wins
+    upsert).  Ids must be unique per side (snapshot semantics).
+
+    Scale shape: the corpus moves ONCE — full rows tagged with an int8
+    side flag ride ONE coarse-bucket shuffle (the line-dedup
+    reassembly / snapshot-diff budget), and an in-bucket vectorized
+    drop_duplicates keeps the side-1 row per id.  No driver state, no
+    ``Dataset.join``.  ``payload_schema`` pins the output arrow types
+    explicitly (the map_groups pandas leg must never guess dtypes —
+    nullable int64 payloads are NOT supported, coalesce upstream).
+    """
+    import pandas as pd
+
+    cols = list(payload_schema)
+
+    def keyed(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            out = {
+                "bucket": pa.array(_coarse_bucket(ids, num_buckets)),
+                id_col: t.column(id_col).cast(pa.int64()),
+                "side": pa.array(np.full(len(t), side, dtype=np.int8)),
+            }
+            for c in cols:
+                out[c] = t.column(c).cast(payload_schema[c])
+            return pa.table(out)
+
+        return fn
+
+    tagged = base_ds.map_batches(keyed(0), batch_format="pyarrow").union(
+        incr_ds.map_batches(keyed(1), batch_format="pyarrow")
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            empty = {id_col: pd.Series([], dtype="int64")}
+            for c in cols:
+                empty[c] = pd.Series([], dtype=object)
+            return pd.DataFrame(empty)
+        d = g.sort_values(
+            [id_col, "side"], ascending=[True, False], kind="mergesort"
+        ).drop_duplicates(id_col)
+        return d[[id_col] + cols]
+
+    merged = tagged.groupby("bucket").map_groups(pick, batch_format="pandas")
+
+    def to_arrow(t: pa.Table) -> pa.Table:
+        out = {id_col: t.column(id_col).cast(pa.int64())}
+        for c in cols:
+            out[c] = t.column(c).cast(payload_schema[c])
+        return pa.table(out)
+
+    return merged.map_batches(to_arrow, batch_format="pyarrow")
+
+
+def upsert_sql(
+    base_sql: str, incr_sql: str, cols: list[str], id_col: str = "doc_id"
+) -> str:
+    """Generated DuckDB twin of :func:`upsert_corpus`: the identical
+    last-writer-wins rule as ROW_NUMBER over (side DESC)."""
+    proj = ", ".join([id_col] + cols)
+    return f"""
+        WITH up_u AS (
+            SELECT {proj}, 1 AS side FROM ({incr_sql})
+            UNION ALL
+            SELECT {proj}, 0 AS side FROM ({base_sql})
+        )
+        SELECT {proj} FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {id_col} ORDER BY side DESC
+            ) AS rn FROM up_u
+        ) WHERE rn = 1
+    """

@@ -8202,3 +8202,74 @@ def q_embed_project(sf_dir: str) -> ray.data.Dataset:
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return random_project(emb, out_dim=16)
+
+
+def q_corpus_upsert(sf_dir: str) -> ray.data.Dataset:
+    """MERGE a derived crawl increment into the documents corpus
+    (``functions/diff.py:upsert_corpus``): every 5th doc updated
+    (text + ' v2', n_chars + 3), every 9th doc re-crawled under
+    doc_id + 1000000 — increment wins per id; the corpus rides ONE
+    coarse-bucket shuffle.  Twin = the generated ROW_NUMBER
+    last-writer-wins rule over the same derivation."""
+    from ..functions.diff import upsert_corpus
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": _pc.coalesce(t.column("text"), pa.scalar("")),
+                "lang": _pc.coalesce(t.column("lang"), pa.scalar("")),
+                "source": _pc.coalesce(t.column("source"), pa.scalar("")),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+
+    base = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).map_batches(norm, batch_format="pyarrow")
+
+    def derive_incr(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = [v or "" for v in t.column("text").to_pylist()]
+        langs = [v or "" for v in t.column("lang").to_pylist()]
+        srcs = [v or "" for v in t.column("source").to_pylist()]
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        oi, ot, ol, os_, on = [], [], [], [], []
+        for i, x, lg, s, n in zip(
+            ids.tolist(), texts, langs, srcs, nch.tolist()
+        ):
+            if i % 5 == 0:
+                oi.append(i)
+                ot.append(x + " v2")
+                ol.append(lg)
+                os_.append(s)
+                on.append(n + 3)
+            if i % 9 == 0:
+                oi.append(i + 1_000_000)
+                ot.append(f"new doc {i}")
+                ol.append("en")
+                os_.append("refresh")
+                on.append(len(f"new doc {i}"))
+        return pa.table(
+            {
+                "doc_id": pa.array(oi, pa.int64()),
+                "text": pa.array(ot, pa.string()),
+                "lang": pa.array(ol, pa.string()),
+                "source": pa.array(os_, pa.string()),
+                "n_chars": pa.array(on, pa.int64()),
+            }
+        )
+
+    incr = read_table(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).map_batches(derive_incr, batch_format="pyarrow")
+
+    schema = {
+        "text": pa.string(),
+        "lang": pa.string(),
+        "source": pa.string(),
+        "n_chars": pa.int64(),
+    }
+    return upsert_corpus(base, incr, schema, id_col="doc_id", num_buckets=256)

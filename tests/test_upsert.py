@@ -1,0 +1,83 @@
+"""Corpus upsert (functions/diff.py:upsert_corpus) — last-writer-wins
+MERGE of a crawl increment, vs the generated ROW_NUMBER twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.diff import upsert_corpus, upsert_sql
+
+SCHEMA = {"text": pa.string(), "n": pa.int64()}
+
+
+def _ds(rows, blocks=1):
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _run(base, incr, blocks=1, nb=8):
+    out = upsert_corpus(
+        _ds(base, blocks), _ds(incr, blocks), SCHEMA, num_buckets=nb
+    ).take_all()
+    return {r["doc_id"]: (r["text"], r["n"]) for r in out}
+
+
+def test_increment_wins_and_inserts(ray_session):
+    base = [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    incr = [(2, "B2", 21), (9, "new", 90)]
+    got = _run(base, incr)
+    assert got == {1: ("a", 10), 2: ("B2", 21), 3: ("c", 30), 9: ("new", 90)}
+
+
+def test_empty_sides(ray_session):
+    base = [(1, "a", 10)]
+    assert _run(base, []) == {1: ("a", 10)}
+    assert _run([], base) == {1: ("a", 10)}
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_matches_sql_twin(ray_session, blocks):
+    import duckdb
+
+    rng = np.random.default_rng(3)
+    base = [
+        (int(i), f"b{i}", int(rng.integers(0, 100)))
+        for i in rng.choice(200, 120, replace=False)
+    ]
+    incr = [
+        (int(i), f"i{i}", int(rng.integers(0, 100)))
+        for i in rng.choice(250, 80, replace=False)
+    ]
+    got = _run(base, incr, blocks=blocks)
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    up_b = tbl(base)  # noqa: F841 — bound by duckdb below
+    up_i = tbl(incr)  # noqa: F841
+    sdf = duckdb.sql(
+        upsert_sql("SELECT * FROM up_b", "SELECT * FROM up_i", ["text", "n"])
+    ).df()
+    want = {
+        int(r.doc_id): (r.text, int(r.n)) for r in sdf.itertuples()
+    }
+    assert got == want
+    # row conservation: ids = base ∪ incr
+    assert set(got) == {r[0] for r in base} | {r[0] for r in incr}
