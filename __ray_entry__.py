@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": q.q_event_windows,
         "embed_project": q.q_embed_project,
         "corpus_upsert": q.q_corpus_upsert,
+        "pseudonymize_users": q.q_pseudonymize,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -718,6 +719,16 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _pseudonymize_sql() -> str:
+    from ocr_system_ray.functions.pii import pseudonymize_sql_expr
+
+    return (
+        "SELECT event_id,"
+        f" {pseudonymize_sql_expr('user_id', 'osr-export-1')} AS user_id_token"
+        " FROM events"
+    )
 
 
 def _corpus_upsert_sql() -> str:
@@ -1773,6 +1784,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_project": _embed_project_sql(),
         # corpus_upsert: ROW_NUMBER last-writer-wins over tagged sides
         "corpus_upsert": _corpus_upsert_sql(),
+        # pseudonymize_users: generated md5-substr token expression
+        "pseudonymize_users": _pseudonymize_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -263,6 +263,7 @@ def _query_suite() -> dict:
         "event_windows": q.q_event_windows,
         "embed_project": q.q_embed_project,
         "corpus_upsert": q.q_corpus_upsert,
+        "pseudonymize_users": q.q_pseudonymize,
     }
     return suite
 

@@ -164,3 +164,69 @@ def cc_sql_exprs(col: str) -> str:
         CAST(len({valid_list}) AS BIGINT) AS n_cc_valid,
         COALESCE(array_to_string({valid_list}, '|'), '') AS cc_last4
     """
+
+
+# ---------------------------------------------------------------------------
+# Keyed pseudonymization (privacy-safe exports)
+# ---------------------------------------------------------------------------
+
+
+def pseudonymize_batch(
+    batch: pa.Table,
+    cols: "list[str]",
+    salt: str,
+    prefix: str = "u_",
+    hex_chars: int = 12,
+) -> pa.Table:
+    """Deterministic keyed pseudonymization — the export-side PII
+    control next to the scrubbers: each identifier value ``v`` is
+    replaced by ``prefix + md5("{salt}:{v}")[:hex_chars]``, so the
+    token is stable (joins/groupbys still work across exports with the
+    same salt) while the raw identifier never leaves the pipeline.
+    Nulls stay null; values are keyed by their canonical string form
+    (ints render without sign-padding, matching SQL ``CAST(v AS
+    VARCHAR)``).
+
+    Row-local, stateless; per-batch the distinct values are hashed
+    once (``np.unique`` memo) — user-id columns repeat heavily inside
+    a batch.  SQL twin: ``prefix || substr(md5(salt || ':' ||
+    CAST(v AS VARCHAR)), 1, hex_chars)``.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = {}
+    for name in batch.column_names:
+        col = batch.column(name)
+        if name not in cols:
+            out[name] = col
+            continue
+        sv = pc.cast(col, pa.string())
+        vals = sv.to_numpy(zero_copy_only=False)  # object array, None for null
+        uniq, inv = np.unique(vals.astype("U"), return_inverse=True)
+        toks = np.array(
+            [
+                prefix
+                + hashlib.md5(f"{salt}:{u}".encode()).hexdigest()[:hex_chars]
+                for u in uniq
+            ],
+            dtype=object,
+        )
+        mapped = toks[inv]
+        mask = pc.is_null(sv).to_numpy(zero_copy_only=False)
+        mapped = np.where(mask, None, mapped)
+        out[name + "_token"] = pa.array(mapped, pa.string())
+    return pa.table(out)
+
+
+def pseudonymize_sql_expr(
+    col: str, salt: str, prefix: str = "u_", hex_chars: int = 12
+) -> str:
+    """Generated DuckDB twin of :func:`pseudonymize_batch` for one
+    column (DuckDB md5(varchar) hashes the UTF-8 bytes ≡ Python)."""
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"'{prefix}' || substr(md5('{salt}:' || CAST({col} AS VARCHAR)),"
+        f" 1, {hex_chars}) END"
+    )

@@ -8273,3 +8273,19 @@ def q_corpus_upsert(sf_dir: str) -> ray.data.Dataset:
         "n_chars": pa.int64(),
     }
     return upsert_corpus(base, incr, schema, id_col="doc_id", num_buckets=256)
+
+
+def q_pseudonymize(sf_dir: str) -> ray.data.Dataset:
+    """Privacy-safe export: events with user ids replaced by stable
+    keyed md5 tokens (``functions/pii.py:pseudonymize_batch``) —
+    row-local, per-batch distinct-value memo, no shuffle.  Twin = the
+    generated md5-substr expression."""
+    from functools import partial
+
+    from ..functions.pii import pseudonymize_batch
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return ev.map_batches(
+        partial(pseudonymize_batch, cols=["user_id"], salt="osr-export-1"),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,85 @@
+"""Keyed pseudonymization (functions/pii.py:pseudonymize_batch) vs
+DuckDB's native md5 and stability/null pins."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.pii import (
+    pseudonymize_batch,
+    pseudonymize_sql_expr,
+)
+
+
+def test_token_pin_and_null():
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([10, None, 10], pa.int64()),
+        }
+    )
+    o = pseudonymize_batch(t, ["user_id"], "s1")
+    toks = o.column("user_id_token").to_pylist()
+    want = "u_" + hashlib.md5(b"s1:10").hexdigest()[:12]
+    assert toks == [want, None, want]
+    assert o.column_names == ["id", "user_id_token"]
+
+
+def test_string_values_and_none_literal():
+    # a genuine "None" string gets the md5 of "None" — distinct from null
+    t = pa.table({"k": pa.array(["a", "None", None], pa.string())})
+    o = pseudonymize_batch(t, ["k"], "s")
+    toks = o.column("k_token").to_pylist()
+    assert toks[0] == "u_" + hashlib.md5(b"s:a").hexdigest()[:12]
+    assert toks[1] == "u_" + hashlib.md5(b"s:None").hexdigest()[:12]
+    assert toks[2] is None
+
+
+def test_salt_changes_tokens():
+    t = pa.table({"k": pa.array([7], pa.int64())})
+    a = pseudonymize_batch(t, ["k"], "s1").column("k_token").to_pylist()
+    b = pseudonymize_batch(t, ["k"], "s2").column("k_token").to_pylist()
+    assert a != b
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_matches_duckdb_and_joinable(ray_session, blocks):
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 40, 200)
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(200)), pa.int64()),
+            "user_id": pa.array([int(x) for x in ids], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    from functools import partial
+
+    out = ds.map_batches(
+        partial(pseudonymize_batch, cols=["user_id"], salt="tt"),
+        batch_format="pyarrow",
+    ).to_pandas()
+    ps_tbl = t  # noqa: F841 — bound by duckdb below
+    odf = duckdb.sql(
+        "SELECT event_id,"
+        f" {pseudonymize_sql_expr('user_id', 'tt')} AS user_id_token"
+        " FROM ps_tbl"
+    ).df()
+    got = dict(zip(out["event_id"], out["user_id_token"]))
+    want = dict(zip(odf["event_id"], odf["user_id_token"]))
+    assert got == want
+    # joinability: same user id → same token across the whole dataset
+    tok_by_user = {}
+    for uid, tok in zip(ids, [got[i] for i in range(200)]):
+        assert tok_by_user.setdefault(int(uid), tok) == tok
+    assert len(set(tok_by_user.values())) == len(tok_by_user)
