@@ -43,8 +43,9 @@ from .warc import _gunzip_members
 def _decompress_any(data: bytes) -> bytes:
     """Magic-byte shard decompression: gzip (multi-member), bz2 and xz
     (both multi-stream per their stdlib decompressors — the OSCAR/
-    HPLT shard flavors), plain bytes pass through.  zstd/brotli stay
-    behind the environment seam (no stdlib codec)."""
+    HPLT shard flavors), zstd (RFC 8878 frames via pyarrow's streaming
+    decompressor — the modern OSCAR/HPLT default), plain bytes pass
+    through.  brotli stays behind the environment seam (no codec)."""
     if data[:2] == b"\x1f\x8b":
         return _gunzip_members(data)
     if data[:3] == b"BZh":
@@ -55,6 +56,10 @@ def _decompress_any(data: bytes) -> bytes:
         import lzma
 
         return lzma.decompress(data)
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        # streaming decode — frame headers need not carry the content
+        # size (pa.Codec.decompress would demand it)
+        return pa.input_stream(pa.BufferReader(data), compression="zstd").read()
     return data
 
 
@@ -130,12 +135,18 @@ def write_jsonl(
     from inside the tasks; shard names are content-hashed so re-runs
     are idempotent).  ``compression``: "gzip" | "bz2" | "xz" | None.
     Returns the number of rows written."""
-    if compression not in ("gzip", "bz2", "xz", None):
-        raise ValueError("compression must be 'gzip', 'bz2', 'xz' or None")
+    if compression not in ("gzip", "bz2", "xz", "zstd", None):
+        raise ValueError(
+            "compression must be 'gzip', 'bz2', 'xz', 'zstd' or None"
+        )
     os.makedirs(out_dir, exist_ok=True)
-    ext = {"gzip": ".jsonl.gz", "bz2": ".jsonl.bz2", "xz": ".jsonl.xz", None: ".jsonl"}[
-        compression
-    ]
+    ext = {
+        "gzip": ".jsonl.gz",
+        "bz2": ".jsonl.bz2",
+        "xz": ".jsonl.xz",
+        "zstd": ".jsonl.zst",
+        None: ".jsonl",
+    }[compression]
 
     def write_block(t: pa.Table) -> pa.Table:
         lines = []
@@ -159,6 +170,11 @@ def write_jsonl(
             import lzma
 
             payload = lzma.compress(payload)
+        elif compression == "zstd":
+            sink = pa.BufferOutputStream()
+            with pa.output_stream(sink, compression="zstd") as o:
+                o.write(payload)
+            payload = bytes(sink.getvalue())
         name = hashlib.md5(payload).hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{name}{ext}")
         tmp = path + ".tmp"

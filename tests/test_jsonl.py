@@ -80,7 +80,10 @@ def test_writer_idempotent_content_hash(ray_session, tmp_path):
     assert sorted(os.listdir(out)) == first  # same content → same shard name
 
 
-@pytest.mark.parametrize("compression,ext", [("bz2", ".jsonl.bz2"), ("xz", ".jsonl.xz")])
+@pytest.mark.parametrize(
+    "compression,ext",
+    [("bz2", ".jsonl.bz2"), ("xz", ".jsonl.xz"), ("zstd", ".jsonl.zst")],
+)
 def test_round_trip_bz2_and_xz(ray_session, tmp_path, compression, ext):
     t = pa.table(
         {
@@ -137,4 +140,19 @@ def test_multistream_xz_and_bz2_members(ray_session, tmp_path):
 
 def test_write_jsonl_bad_compression(ray_session):
     with pytest.raises(ValueError, match="compression"):
-        write_jsonl(ray.data.from_items([{"doc_id": 1}]), "/tmp/x", compression="zstd")
+        write_jsonl(
+            ray.data.from_items([{"doc_id": 1}]), "/tmp/x", compression="brotli"
+        )
+
+
+def test_zstd_sizeless_frame(ray_session, tmp_path):
+    # frames written via streaming (no Frame_Content_Size header) must
+    # still read — the magic-byte path uses pyarrow's streaming decoder
+    import pyarrow as pa2
+
+    sink = pa2.BufferOutputStream()
+    with pa2.output_stream(sink, compression="zstd") as o:
+        o.write(b'{"doc_id": 9, "text": "z", "n": 1}\n')
+    (tmp_path / "z.jsonl.zst").write_bytes(bytes(sink.getvalue()))
+    got = _rows(read_jsonl(str(tmp_path / "z.jsonl.zst"), SCHEMA))
+    assert got == [{"doc_id": 9, "text": "z", "n": 1}]
