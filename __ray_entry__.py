@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_project": q.q_embed_project,
         "corpus_upsert": q.q_corpus_upsert,
         "pseudonymize_users": q.q_pseudonymize,
+        "value_quantiles_exact": q.q_value_quantiles_exact,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -719,6 +720,15 @@ def _host_communities_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return label_propagation_sql(edges, rounds=3, node_col="host")
+
+
+def _value_quantiles_exact_sql() -> str:
+    from ocr_system_ray.functions.hist import exact_quantiles_sql
+    from ocr_system_ray.pipelines.queries import EXACT_QS
+
+    return exact_quantiles_sql(
+        "CAST(floor(value * 100 + 0.5) AS BIGINT)", "FROM events", EXACT_QS
+    )
 
 
 def _pseudonymize_sql() -> str:
@@ -1786,6 +1796,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_upsert": _corpus_upsert_sql(),
         # pseudonymize_users: generated md5-substr token expression
         "pseudonymize_users": _pseudonymize_sql(),
+        # value_quantiles_exact: ROW_NUMBER rank ⋈ integer ceil-rank
+        "value_quantiles_exact": _value_quantiles_exact_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

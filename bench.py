@@ -264,6 +264,7 @@ def _query_suite() -> dict:
         "embed_project": q.q_embed_project,
         "corpus_upsert": q.q_corpus_upsert,
         "pseudonymize_users": q.q_pseudonymize,
+        "value_quantiles_exact": q.q_value_quantiles_exact,
     }
     return suite
 

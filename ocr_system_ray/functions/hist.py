@@ -94,3 +94,192 @@ def sql_value_histogram_select(
         FROM bins LEFT JOIN vals ON vals.bin = bins.bin
         GROUP BY bins.bin
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (two-pass histogram refinement)
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs_permille: "list[int]",
+    nbins: int = 4096,
+) -> ray.data.Dataset:
+    """EXACT order statistics over an int64 column without a global
+    sort and without a value-cardinality-dependent shuffle — the exact
+    counterpart of the HDR sketch (use this when the report must be
+    bit-true, e.g. SLA percentiles in a data contract).
+
+    Spec (mirrored by :func:`exact_quantiles_sql`): for each
+    ``q ∈ qs_permille`` the answer is the element at 1-indexed rank
+    ``ceil(q·n / 1000)`` of the ascending non-null values (SQL
+    ``quantile_disc`` rank rule, permille-integer form so no float
+    ever enters the rank math).  → ``(q_permille, value)`` rows.
+
+    Plan — two bounded passes after one stats pass, never a sort:
+
+    1. stats partials → (n, min, max) (fixed-width rows);
+    2. a :func:`value_histogram` over [min, max+1) with ``nbins``
+       integer-width bins — the driver walks cumulative counts to find
+       each target rank's bin and in-bin offset; ``width == 1`` bins
+       resolve immediately (the histogram IS the value);
+    3. one filtered ``groupby(value).count`` restricted to the ≤
+       len(qs) candidate bins — shuffle and driver cost bounded by the
+       candidate bins' distinct-value count (≈ distinct/nbins per bin;
+       one refinement level suffices for int64 cents-style columns —
+       the documented assumption).
+
+    The input plan executes once per pass (3 passes): `materialize()`
+    the projected column upstream when the read is expensive (the
+    kmeans/iterative-op rule in CLAUDE.md).
+    """
+    if not qs_permille or any(q < 1 or q > 1000 for q in qs_permille):
+        raise ValueError("exact_quantiles: need 1 ≤ q_permille ≤ 1000")
+    from ray.data.aggregate import Max, Min, Sum
+
+    qs = sorted(set(int(q) for q in qs_permille))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col)
+        v = v.filter(pc.is_valid(v))
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.int64()),
+                    "mx": pa.array([], pa.int64()),
+                }
+            )
+        a = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([len(a)], pa.int64()),
+                "mn": pa.array([int(a.min())], pa.int64()),
+                "mx": pa.array([int(a.max())], pa.int64()),
+            }
+        )
+
+    srows = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "q_permille": pa.array([], pa.int64()),
+            "value": pa.array([], pa.int64()),
+        }
+    )
+    if not srows:
+        return ray.data.from_arrow(empty)
+    n, lo, hi = int(srows[0]["n"]), int(srows[0]["mn"]), int(srows[0]["mx"])
+    # ceil(q·n/1000) as (q·n + 999) // 1000 — positive operands, so
+    # Python floor-div ≡ DuckDB trunc-div (the _trunc_div gotcha)
+    ranks = {q: (q * n + 999) // 1000 for q in qs}
+
+    # histogram partials are nbins-sized per BATCH — cap by the value
+    # range so narrow columns pay narrow partials (width-1 bins resolve
+    # without the refinement pass anyway)
+    nbins = min(nbins, hi - lo + 1)
+    w = bin_width(lo, hi + 1, nbins)
+    hist_rows = value_histogram(ds, col, lo, hi + 1, nbins).take_all()
+    counts = np.zeros(nbins + 2, dtype=np.int64)
+    for r in hist_rows:
+        counts[int(r["bin"]) + 1] = int(r["n"])
+    cum = np.cumsum(counts)  # cum[i] = ranks covered through bin i-1
+
+    out_q: list[int] = []
+    out_v: list[int] = []
+    need: dict[int, list[tuple[int, int]]] = {}  # bin → [(q, offset)]
+    for q, rank in ranks.items():
+        b = int(np.searchsorted(cum, rank, side="left"))  # 1-based slot
+        bin_ix = b - 1  # histogram bin id
+        offset = rank - int(cum[b - 1])  # 1-indexed within the bin
+        if w == 1:
+            out_q.append(q)
+            out_v.append(lo + bin_ix)
+        else:
+            need.setdefault(bin_ix, []).append((q, offset))
+
+    if need:
+        bins_needed = sorted(need)
+        bset = np.array(bins_needed, dtype=np.int64)
+
+        def in_bins(t: pa.Table) -> pa.Table:
+            v = t.column(col)
+            v = v.filter(pc.is_valid(v))
+            a = v.to_numpy(zero_copy_only=False).astype(np.int64)
+            b = (a - lo) // w
+            keep = np.isin(b, bset)
+            vals, cnts = np.unique(a[keep], return_counts=True)
+            return pa.table(
+                {
+                    "v": pa.array(vals),
+                    "c": pa.array(cnts.astype(np.int64)),
+                }
+            )
+
+        vc = (
+            ds.map_batches(in_bins, batch_format="pyarrow")
+            .groupby("v")
+            .sum("c")
+            .take_all()
+        )
+        vc_sorted = sorted((int(r["v"]), int(r["sum(c)"])) for r in vc)
+        for bin_ix, wants in need.items():
+            blo = lo + bin_ix * w
+            bhi = blo + w
+            run = 0
+            pend = sorted(wants, key=lambda t: t[1])
+            i = 0
+            for v, c in vc_sorted:
+                if v < blo or v >= bhi:
+                    continue
+                run += c
+                while i < len(pend) and pend[i][1] <= run:
+                    out_q.append(pend[i][0])
+                    out_v.append(v)
+                    i += 1
+                if i == len(pend):
+                    break
+
+    order = np.argsort(np.array(out_q))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_permille": pa.array(
+                    np.array(out_q, dtype=np.int64)[order]
+                ),
+                "value": pa.array(np.array(out_v, dtype=np.int64)[order]),
+            }
+        )
+    )
+
+
+def exact_quantiles_sql(
+    val_expr: str, from_clause: str, qs_permille: "list[int]"
+) -> str:
+    """Generated DuckDB twin of :func:`exact_quantiles`: ROW_NUMBER
+    rank joined to the identical integer ceil-rank rule."""
+    qs = sorted(set(int(q) for q in qs_permille))
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""
+        WITH eq_v AS (
+            SELECT {val_expr} AS v {from_clause}
+            WHERE {val_expr} IS NOT NULL
+        ),
+        eq_r AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM eq_v
+        ),
+        eq_q(q) AS (VALUES {vals})
+        SELECT CAST(q AS BIGINT) AS q_permille,
+               CAST(v AS BIGINT) AS value
+        FROM eq_r JOIN eq_q ON rn = (q * n + 999) // 1000
+    """

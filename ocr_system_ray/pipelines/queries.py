@@ -8289,3 +8289,30 @@ def q_pseudonymize(sf_dir: str) -> ray.data.Dataset:
         partial(pseudonymize_batch, cols=["user_id"], salt="osr-export-1"),
         batch_format="pyarrow",
     )
+
+
+EXACT_QS = [250, 500, 750, 900, 990, 999]
+
+
+def q_value_quantiles_exact(sf_dir: str) -> ray.data.Dataset:
+    """EXACT event-value percentiles (cents) at six permille targets
+    (``functions/hist.py:exact_quantiles``) — two bounded passes
+    (stats + 4096-bin histogram) plus one candidate-bin value count:
+    never a global sort, never a value-cardinality-dependent shuffle.
+    Twin = ROW_NUMBER rank joined to the identical integer ceil-rank
+    rule."""
+    from ..functions.hist import exact_quantiles
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        c = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(t.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"v_cents": c})
+
+    proj = ev.map_batches(cents, batch_format="pyarrow").materialize()
+    return exact_quantiles(proj, "v_cents", EXACT_QS)

@@ -1,0 +1,66 @@
+"""Exact distributed quantiles (functions/hist.py:exact_quantiles) —
+two-pass histogram refinement vs the numpy rank spec and the SQL twin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.hist import exact_quantiles, exact_quantiles_sql
+
+
+def rank_spec(vals, qs):
+    """Independent twin: value at 1-indexed rank ceil(q·n/1000)."""
+    a = np.sort(np.asarray([v for v in vals if v is not None], dtype=np.int64))
+    n = len(a)
+    return {q: int(a[(q * n + 999) // 1000 - 1]) for q in qs}
+
+
+def _ds(vals, blocks=1):
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def _run(vals, qs, blocks=1, nbins=4096):
+    out = exact_quantiles(_ds(vals, blocks), "v", qs, nbins=nbins).take_all()
+    return {r["q_permille"]: r["value"] for r in out}
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+@pytest.mark.parametrize("nbins", [4, 64, 1 << 20])
+def test_matches_spec_and_sql(ray_session, blocks, nbins):
+    # nbins=4 forces multi-quantile refinement bins; 2^20 forces the
+    # width-1 immediate-resolve path
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    vals = list(rng.integers(-5_000, 5_000, 3_000)) + [None] * 20
+    vals += [777] * 500  # heavy tie mass
+    qs = [1, 250, 500, 750, 900, 999, 1000]
+    got = _run(vals, qs, blocks=blocks, nbins=nbins)
+    assert got == rank_spec(vals, qs)
+
+    eq_tbl = pa.table({"v": pa.array(vals, pa.int64())})  # noqa: F841
+    sdf = duckdb.sql(exact_quantiles_sql("v", "FROM eq_tbl", qs)).df()
+    assert {
+        int(r.q_permille): int(r.value) for r in sdf.itertuples()
+    } == got
+
+
+def test_all_equal_and_single(ray_session):
+    assert _run([42] * 100, [1, 500, 1000]) == {1: 42, 500: 42, 1000: 42}
+    assert _run([-7], [500]) == {500: -7}
+
+
+def test_empty_and_bad_qs(ray_session):
+    assert exact_quantiles(_ds([None, None]), "v", [500]).take_all() == []
+    with pytest.raises(ValueError):
+        exact_quantiles(_ds([1]), "v", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(_ds([1]), "v", [0])
+    with pytest.raises(ValueError):
+        exact_quantiles(_ds([1]), "v", [1001])
