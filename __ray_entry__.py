@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_upsert": q.q_corpus_upsert,
         "pseudonymize_users": q.q_pseudonymize,
         "value_quantiles_exact": q.q_value_quantiles_exact,
+        "compression_ratio": q.q_compression_ratio,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -1798,6 +1799,15 @@ def oracle_sql() -> dict[str, str]:
         "pseudonymize_users": _pseudonymize_sql(),
         # value_quantiles_exact: ROW_NUMBER rank ⋈ integer ceil-rank
         "value_quantiles_exact": _value_quantiles_exact_sql(),
+        # compression_ratio: committed golden from the INDEPENDENT
+        # byte-at-a-time LZSS twin (tools/make_goldens.py), id-joined
+        # to the live table (the lang_id golden pattern)
+        "compression_ratio": """
+            SELECT d.doc_id, g.raw_len, g.comp_len, g.ratio_permille
+            FROM documents d
+            JOIN '/root/repo/tests/golden/lzratio_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

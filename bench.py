@@ -265,6 +265,7 @@ def _query_suite() -> dict:
         "corpus_upsert": q.q_corpus_upsert,
         "pseudonymize_users": q.q_pseudonymize,
         "value_quantiles_exact": q.q_value_quantiles_exact,
+        "compression_ratio": q.q_compression_ratio,
     }
     return suite
 

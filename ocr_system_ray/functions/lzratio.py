@@ -1,0 +1,119 @@
+"""Compression-ratio quality signal — LZSS cost model.
+
+The classic corpus-hygiene filter next to the Gopher repetition gates
+(used in Dolma/RedPajama-class pipelines as a "gzip ratio" cut):
+machine-generated, templated, or keyword-stuffed pages compress far
+below normal prose, while high-entropy binary-ish junk barely
+compresses at all.  Filtering on the ratio catches BOTH tails.
+
+Rather than depending on a zlib build's internals, the signal is a
+fully-specified from-scratch LZSS cost model (so an INDEPENDENT naive
+twin can reproduce it bit-for-bit — the CDC/JPEG oracle pattern):
+
+* window 4096 bytes, match length 4..18 (the classic 12+4-bit coding);
+* greedy parse over the UTF-8 bytes: at each position take the
+  LONGEST match starting in the window (ties → smallest distance),
+  else emit a literal;
+* cost: 9 bits per literal (flag+byte), 17 bits per match
+  (flag+12-bit distance+4-bit length); ``comp_len = ceil(bits / 8)``;
+* ``ratio_permille = comp_len · 1000 // max(raw_len, 1)`` — pure
+  integers end to end.
+
+Engine implementation: 4-byte-prefix hash chains (every length-≥4
+match shares its first 4 bytes, so chain enumeration with an exact
+prefix check finds EXACTLY the candidates the naive window scan
+finds; walking newest-first with strict improvement reproduces the
+smallest-distance tie-break).  Per-byte compute like the JPEG/PNG
+decoders — a stateless ``map_batches`` pass, embarrassingly parallel,
+payload dies in-stage.
+
+Reference seam: the reference app has no corpus analytics — training-
+data operator mandate (quality filtering), family of `textstats.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+WINDOW = 4096
+MIN_MATCH = 4
+MAX_MATCH = 18
+LIT_BITS = 9
+MATCH_BITS = 17
+
+
+def lzss_cost_bits(data: bytes) -> int:
+    """Exact LZSS parse cost in bits (greedy, longest-then-nearest)."""
+    n = len(data)
+    if n == 0:
+        return 0
+    b = np.frombuffer(data, dtype=np.uint8)
+    # 4-byte prefix keys, vectorized once
+    if n >= MIN_MATCH:
+        keys = (
+            b[: n - 3].astype(np.uint32) << 24
+            | b[1 : n - 2].astype(np.uint32) << 16
+            | b[2 : n - 1].astype(np.uint32) << 8
+            | b[3:n].astype(np.uint32)
+        )
+    else:
+        keys = np.empty(0, dtype=np.uint32)
+    chains: dict[int, list[int]] = {}
+    bits = 0
+    p = 0
+    last_indexed = 0  # every position < last_indexed is in its chain
+    mv = memoryview(data)
+    while p < n:
+        # index positions we have passed (match sources may start
+        # anywhere before p, including inside a previous match)
+        while last_indexed < p and last_indexed <= n - MIN_MATCH:
+            chains.setdefault(int(keys[last_indexed]), []).append(last_indexed)
+            last_indexed += 1
+        best_len = 0
+        if p <= n - MIN_MATCH:
+            lim = min(MAX_MATCH, n - p)
+            lo = p - WINDOW
+            cand = chains.get(int(keys[p]))
+            if cand:
+                tgt = mv[p : p + lim]
+                # newest-first: strict improvement ⇒ smallest distance
+                for s in reversed(cand):
+                    if s < lo:
+                        break
+                    if best_len == lim:
+                        break
+                    m = 0
+                    src = mv[s : s + lim]
+                    while m < lim and src[m] == tgt[m]:
+                        m += 1
+                    if m > best_len:
+                        best_len = m
+        if best_len >= MIN_MATCH:
+            bits += MATCH_BITS
+            p += best_len
+        else:
+            bits += LIT_BITS
+            p += 1
+    return bits
+
+
+def compression_ratio_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """→ ``(…, raw_len, comp_len, ratio_permille)`` per document over
+    the UTF-8 bytes of ``text_col`` (null → empty: raw_len 0, comp_len
+    0, ratio 0 — row conservation)."""
+    texts = batch.column(text_col).to_pylist()
+    raw = np.empty(len(texts), dtype=np.int64)
+    comp = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        d = (t or "").encode("utf-8")
+        raw[i] = len(d)
+        comp[i] = (lzss_cost_bits(d) + 7) // 8
+    ratio = comp * 1000 // np.maximum(raw, 1)
+    out = {c: batch.column(c) for c in batch.column_names if c != text_col}
+    out["raw_len"] = pa.array(raw)
+    out["comp_len"] = pa.array(comp)
+    out["ratio_permille"] = pa.array(ratio)
+    return pa.table(out)

@@ -8316,3 +8316,16 @@ def q_value_quantiles_exact(sf_dir: str) -> ray.data.Dataset:
 
     proj = ev.map_batches(cents, batch_format="pyarrow").materialize()
     return exact_quantiles(proj, "v_cents", EXACT_QS)
+
+
+def q_compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    """LZSS compression-ratio quality signal per document
+    (``functions/lzratio.py``): templated/stuffed pages compress far
+    below prose, binary-ish junk expands past 1000‰ — one stateless
+    per-byte pass, payload dies in-stage.  Oracle = the committed
+    golden from the INDEPENDENT byte-at-a-time twin
+    (``tools/make_goldens.py:lzss_cost_bits_naive``)."""
+    from ..functions.lzratio import compression_ratio_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(compression_ratio_batch, batch_format="pyarrow")

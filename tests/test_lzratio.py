@@ -1,0 +1,96 @@
+"""LZSS compression-ratio signal (functions/lzratio.py) — engine hash
+chains vs the independent byte-at-a-time twin, analytic pins, golden
+drift gate."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from ocr_system_ray.functions.lzratio import (
+    compression_ratio_batch,
+    lzss_cost_bits,
+)
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+def test_analytic_pins():
+    assert lzss_cost_bits(b"") == 0
+    # no length-4 repeats → all literals, 9 bits each
+    assert lzss_cost_bits(b"abcd") == 36
+    # 'a'*100: ONE literal, then overlapping self-copies from s=0
+    # (classic LZSS overlap): 5×18-byte matches + one 9-byte match
+    assert lzss_cost_bits(b"a" * 100) == 1 * 9 + 6 * 17
+
+
+def test_matches_naive_twin_adversarial():
+    from make_goldens import lzss_cost_bits_naive
+
+    rng = np.random.default_rng(13)
+    cases = [
+        b"",
+        b"abc",
+        b"abcd",
+        b"a" * 4,
+        b"a" * 23,
+        b"abcabcabc" * 60,
+        bytes(range(256)) * 5,
+        b"xy" * 3000,  # sources older than the 4096 window must drop
+        ("héllo ☂ unicode " * 150).encode(),
+        bytes(rng.integers(0, 256, 2000, dtype=np.uint8)),
+        bytes(rng.integers(97, 101, 3000, dtype=np.uint8)),  # 4-letter soup
+    ]
+    for d in cases:
+        assert lzss_cost_bits(d) == lzss_cost_bits_naive(d), d[:40]
+
+
+def test_dual_tail_property():
+    # templated text compresses (< 1000‰); high-entropy bytes expand
+    rep = ("buy now click here " * 60).encode()
+    rng = np.random.default_rng(7)
+    rnd = bytes(rng.integers(0, 256, 1000, dtype=np.uint8))
+    assert lzss_cost_bits(rep) // 8 * 1000 // len(rep) < 400
+    assert (lzss_cost_bits(rnd) + 7) // 8 * 1000 // len(rnd) > 1000
+
+
+def test_batch_contract(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["spam spam spam spam spam", None], pa.string()),
+        }
+    )
+    out = ray.data.from_arrow(t).map_batches(
+        compression_ratio_batch, batch_format="pyarrow"
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2] == {
+        "doc_id": 2,
+        "raw_len": 0,
+        "comp_len": 0,
+        "ratio_permille": 0,
+    }
+    assert by_id[1]["raw_len"] == 24
+    assert 0 < by_id[1]["comp_len"] < 24
+
+
+def test_golden_drift_gate():
+    # the committed golden must match a live naive-twin recompute on a
+    # deterministic subsample (full regen = tools/make_goldens.py)
+    from make_goldens import lzratio_golden
+
+    g = pq.read_table("tests/golden/lzratio_sf001.parquet")
+    sub_ids = set(g.column("doc_id").to_pylist()[:60])
+    live = lzratio_golden(doc_ids=sub_ids)
+    frozen = g.filter(
+        pa.compute.is_in(g.column("doc_id"), pa.array(sorted(sub_ids)))
+    )
+    assert live.equals(frozen)

@@ -2090,8 +2090,79 @@ def main() -> None:
     kc = pa.Table.from_pandas(knn_pq_candidates(str(SF_DIR)), preserve_index=False)
     pq.write_table(kc, GOLDEN_DIR / "knn_pq_candidates_sf001.parquet")
     print(f"knn_pq_candidates_sf001.parquet: {kc.num_rows} rows")
+    lz = lzratio_golden()
+    pq.write_table(lz, GOLDEN_DIR / "lzratio_sf001.parquet")
+    print(f"lzratio_sf001.parquet: {lz.num_rows} rows")
     ray.shutdown()
 
 
 if __name__ == "__main__":
     main()
+
+
+def lzss_cost_bits_naive(data: bytes) -> int:
+    """INDEPENDENT byte-at-a-time twin of
+    ``functions/lzratio.py:lzss_cost_bits`` — the full window scanned
+    per position through a first-BYTE index (a different structure
+    from the engine's 4-byte hash chains), longest match wins, ties →
+    smallest distance, overlap allowed (compare against the raw
+    buffer)."""
+    n = len(data)
+    bits = 0
+    p = 0
+    by_first: dict[int, list[int]] = {}
+    indexed = 0
+    while p < n:
+        while indexed < p:
+            by_first.setdefault(data[indexed], []).append(indexed)
+            indexed += 1
+        lim = min(18, n - p)
+        best_len = 0
+        best_s = -1
+        if lim >= 4:
+            lo = p - 4096
+            for s in by_first.get(data[p], ()):
+                if s < lo:
+                    continue
+                m = 0
+                while m < lim and data[s + m] == data[p + m]:
+                    m += 1
+                if m > best_len or (m == best_len and s > best_s):
+                    best_len, best_s = m, s
+        if best_len >= 4:
+            bits += 17
+            p += best_len
+        else:
+            bits += 9
+            p += 1
+    return bits
+
+
+def lzratio_golden(doc_ids=None) -> pa.Table:
+    """(doc_id, raw_len, comp_len, ratio_permille) from the naive twin
+    over the sf0.01 documents (``doc_ids`` restricts, for the pytest
+    drift subsample)."""
+    t = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    rows = [
+        (i, x) for i, x in zip(ids, texts) if doc_ids is None or i in doc_ids
+    ]
+    rows.sort()
+    out_i, out_r, out_c, out_p = [], [], [], []
+    for i, x in rows:
+        d = (x or "").encode("utf-8")
+        bits = lzss_cost_bits_naive(d)
+        comp = (bits + 7) // 8
+        out_i.append(i)
+        out_r.append(len(d))
+        out_c.append(comp)
+        out_p.append(comp * 1000 // max(len(d), 1))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_i, pa.int64()),
+            "raw_len": pa.array(out_r, pa.int64()),
+            "comp_len": pa.array(out_c, pa.int64()),
+            "ratio_permille": pa.array(out_p, pa.int64()),
+        }
+    )
