@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonymize_users": q.q_pseudonymize,
         "value_quantiles_exact": q.q_value_quantiles_exact,
         "compression_ratio": q.q_compression_ratio,
+        "span_corruption": q.q_span_corruption,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -730,6 +731,12 @@ def _value_quantiles_exact_sql() -> str:
     return exact_quantiles_sql(
         "CAST(floor(value * 100 + 0.5) AS BIGINT)", "FROM events", EXACT_QS
     )
+
+
+def _span_corruption_sql() -> str:
+    from ocr_system_ray.functions.spancorrupt import sql_span_corruption_select
+
+    return sql_span_corruption_select("FROM documents")
 
 
 def _pseudonymize_sql() -> str:
@@ -1808,6 +1815,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN '/root/repo/tests/golden/lzratio_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
+        # span_corruption: the GENERATED T5 denoising twin — every
+        # (input, target) sequence rebuilt in SQL from the shared token
+        # class, block carve, and sentinel layout
+        "span_corruption": _span_corruption_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

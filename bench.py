@@ -266,6 +266,8 @@ def _query_suite() -> dict:
         "pseudonymize_users": q.q_pseudonymize,
         "value_quantiles_exact": q.q_value_quantiles_exact,
         "compression_ratio": q.q_compression_ratio,
+        # round-3 session-9 additions
+        "span_corruption": q.q_span_corruption,
     }
     return suite
 

@@ -1,0 +1,207 @@
+"""T5-style span corruption: denoising-objective target construction.
+
+The reference's T5 leg (`/root/reference/t5_extractor.py:63-108`) runs a
+seq2seq model whose PRETRAINING data is built by span corruption
+(Raffel et al. 2020 §3.1.4): mask contiguous token spans, replace each
+with a sentinel ``<extra_id_k>``, and train the model to emit the
+sentinels followed by the masked tokens.  This module is the
+data-pipeline side of that objective — the stage that turns a cleaned
+text corpus into (input, target) denoising pairs.
+
+Determinism contract (what makes the DuckDB twin exact): instead of
+the paper's RNG span sampler, spans are chosen by the repo's md5-carve
+lottery per fixed token BLOCK — the token stream (the shared
+:data:`ocr_system_ray.functions.textstats.TOKEN_PATTERN` class) is cut
+into blocks of ``block`` tokens, and block ``b`` of document ``id`` is
+corrupted iff the 52-bit carve of ``salt:id:b`` falls under
+``noise_permille``; a corrupted block masks its first ``span`` tokens
+(clamped at document end).  Mask membership is a pure function of
+(id, position) — stable across runs, block layouts, and corpus growth,
+and rebuildable in SQL.
+
+Sequences follow the T5 layout exactly:
+
+* input  = tokens with each masked span replaced by its ordinal
+  sentinel ``<extra_id_k>`` (k = 0-based span ordinal, left to right);
+* target = ``<extra_id_0> span0… <extra_id_1> span1… <extra_id_n>``
+  (the final sentinel always present, also when no span was selected).
+
+Only md5 digests of the joined sequences cross the stage boundary (the
+driver-hash contract); the full strings never leave the batch.
+
+Scale shape: row-local stateless ``map_batches`` — no shuffle, O(tokens)
+per document; the corrupted pairs inherit the corpus partitioning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .textstats import _TOKEN_RGX, TOKEN_PATTERN
+
+_CARVE_BITS = 52  # 13 md5 hex chars — the repo's carve contract
+
+
+def _thr(noise_permille: int) -> int:
+    return (noise_permille << _CARVE_BITS) // 1000
+
+
+def _block_selected(salt: str, doc_id: int, blk: int, thr: int) -> bool:
+    carve = int(
+        hashlib.md5(f"{salt}:{doc_id}:{blk}".encode()).hexdigest()[:13], 16
+    )
+    return carve < thr
+
+
+def span_corruption(
+    ds: ray.data.Dataset,
+    *,
+    block: int = 8,
+    span: int = 3,
+    noise_permille: int = 350,
+    salt: str = "t5span",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """One corruption row per document: ``(id, n_tokens, n_spans,
+    n_masked, input_md5, target_md5)``.
+
+    ``noise_permille`` is the per-BLOCK selection rate; the expected
+    token mask rate is ``noise_permille/1000 · span/block`` (the
+    defaults give ~13%, near T5's 15%).  Null/token-less documents keep
+    their row: zero counts, ``input_md5 = md5('')``, ``target_md5 =
+    md5('<extra_id_0>')`` (the always-present final sentinel).
+    """
+    if block < 1 or span < 1 or span > block:
+        raise ValueError("span corruption needs 1 <= span <= block")
+    if not 0 <= noise_permille <= 1000:
+        raise ValueError("noise_permille must be in [0, 1000]")
+    thr = _thr(noise_permille)
+
+    def run(t: pa.Table) -> pa.Table:
+        ids_out, ntok, nspans, nmasked, in_md5, tg_md5 = [], [], [], [], [], []
+        for did, text in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            toks = _TOKEN_RGX.findall(text or "")
+            n = len(toks)
+            nblocks = (n + block - 1) // block
+            sel = [
+                _block_selected(salt, did, b, thr) for b in range(nblocks)
+            ]
+            input_parts: list[str] = []
+            target_parts: list[str] = []
+            k = 0
+            masked_total = 0
+            for b in range(nblocks):
+                start = b * block
+                end = min(start + block, n)
+                if sel[b]:
+                    mend = min(start + span, n)
+                    input_parts.append(f"<extra_id_{k}>")
+                    target_parts.append(f"<extra_id_{k}>")
+                    target_parts.extend(toks[start:mend])
+                    input_parts.extend(toks[mend:end])
+                    masked_total += mend - start
+                    k += 1
+                else:
+                    input_parts.extend(toks[start:end])
+            target_parts.append(f"<extra_id_{k}>")
+            ids_out.append(did)
+            ntok.append(n)
+            nspans.append(k)
+            nmasked.append(masked_total)
+            in_md5.append(
+                hashlib.md5(" ".join(input_parts).encode("utf-8")).hexdigest()
+            )
+            tg_md5.append(
+                hashlib.md5(" ".join(target_parts).encode("utf-8")).hexdigest()
+            )
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_spans": pa.array(nspans, pa.int64()),
+                "n_masked": pa.array(nmasked, pa.int64()),
+                "input_md5": pa.array(in_md5, pa.string()),
+                "target_md5": pa.array(tg_md5, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def sql_span_corruption_select(
+    from_clause: str,
+    *,
+    block: int = 8,
+    span: int = 3,
+    noise_permille: int = 350,
+    salt: str = "t5span",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """The GENERATED DuckDB twin — every sequence rebuilt in SQL from
+    the same token class, carve, and sentinel layout.
+
+    Shares every constant with :func:`span_corruption`; the only SQL
+    freedoms used are list comprehensions over ``range()`` and
+    1-based inclusive list slicing (both DuckDB-native).  Note
+    ``array_to_string([]) → NULL`` needs the COALESCE (CLAUDE.md
+    gotcha), and the per-block sentinel ordinal is recomputed as the
+    count of selected blocks before it (O(nblocks²) — oracle-scale
+    only).
+    """
+    thr = _thr(noise_permille)
+    carve = (
+        f"CAST(('0x' || substr(md5('{salt}:' || {id_expr} || ':' || __B__),"
+        " 1, 13)) AS BIGINT)"
+    )
+    sel_b = carve.replace("__B__", "bb") + f" < {thr}"
+    sel_j = carve.replace("__B__", f"(j // {block})") + f" < {thr}"
+    # ordinal of block bb = selected blocks among 0..bb-1
+    ord_b = f"len([v FOR v IN sel[1:bb] IF v])"
+    ord_j = f"len([v FOR v IN sel[1:(j // {block})] IF v])"
+    return f"""
+        WITH __t AS (
+            SELECT {id_expr} AS doc_id,
+                   regexp_extract_all(COALESCE({text_expr}, ''),
+                                      '{TOKEN_PATTERN}') AS toks
+            {from_clause}
+        ), __b AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   [{sel_b}
+                    FOR bb IN range(0, CAST((len(toks) + {block - 1})
+                                            // {block} AS INT))] AS sel
+            FROM __t
+        )
+        SELECT doc_id,
+            CAST(n AS BIGINT) AS n_tokens,
+            CAST(len([v FOR v IN sel IF v]) AS BIGINT) AS n_spans,
+            CAST(COALESCE(list_sum(
+                [CASE WHEN sel[bb + 1]
+                      THEN least({span}, n - bb * {block}) ELSE 0 END
+                 FOR bb IN range(0, CAST(len(sel) AS INT))]), 0)
+                AS BIGINT) AS n_masked,
+            md5(COALESCE(array_to_string(
+                [CASE WHEN {sel_j} AND j % {block} = 0
+                      THEN '<extra_id_' || {ord_j} || '>'
+                      ELSE toks[j + 1] END
+                 FOR j IN range(0, CAST(n AS INT))
+                 IF NOT ({sel_j} AND j % {block} < {span})
+                    OR j % {block} = 0],
+                ' '), '')) AS input_md5,
+            md5(COALESCE(array_to_string(
+                flatten([['<extra_id_' || {ord_b} || '>']
+                             || toks[bb * {block} + 1 : bb * {block} + {span}]
+                         FOR bb IN range(0, CAST(len(sel) AS INT))
+                         IF sel[bb + 1]])
+                    || ['<extra_id_' || len([v FOR v IN sel IF v]) || '>'],
+                ' '), '')) AS target_md5
+        FROM __b
+    """

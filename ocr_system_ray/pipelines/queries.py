@@ -8329,3 +8329,17 @@ def q_compression_ratio(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(compression_ratio_batch, batch_format="pyarrow")
+
+
+def q_span_corruption(sf_dir: str) -> ray.data.Dataset:
+    """T5 denoising-pair construction over the documents table
+    (``functions/spancorrupt.py``): md5-carve block lottery → masked
+    spans → sentinel-laid-out (input, target) sequence digests — the
+    data-pipeline side of the reference's T5 leg
+    (`/root/reference/t5_extractor.py:63-108`'s pretraining objective).
+    Row-local, no shuffle.  Oracle = the GENERATED DuckDB twin
+    rebuilding every sequence from the same token class + carve."""
+    from ..functions.spancorrupt import span_corruption
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_corruption(docs)

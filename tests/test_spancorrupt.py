@@ -1,0 +1,139 @@
+"""T5 span corruption (functions/spancorrupt.py) — generated DuckDB
+twin as cross-engine oracle, hand-computed sequence-layout pins,
+block-layout invariance, null contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.spancorrupt import (
+    span_corruption,
+    sql_span_corruption_select,
+)
+
+TEXTS = [
+    " ".join(f"w{i}" for i in range(30)),
+    "one two three",
+    "",
+    None,
+    "   \t\n ",
+    " ".join(f"tok{i % 7}" for i in range(100)),
+    "single",
+    "x " * 8,  # exactly one block at block=8
+    "a b c",  # NBSP is NOT ASCII whitespace — one token 'a\xa0b'
+]
+
+
+def _docs_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+@pytest.mark.parametrize(
+    "params",
+    [
+        {},  # defaults: block=8 span=3 noise=350
+        {"block": 4, "span": 4, "noise_permille": 500},
+        {"block": 5, "span": 1, "noise_permille": 900, "salt": "other"},
+    ],
+)
+def test_matches_duckdb_twin(ray_session, nblocks, params):
+    t = _docs_table()  # noqa: F841
+    ds = ray.data.from_arrow(_docs_table()).repartition(nblocks)
+    got = (
+        span_corruption(ds, **params)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            sql_span_corruption_select("FROM t", **params)
+            + " ORDER BY doc_id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_full_selection_layout_pin(ray_session):
+    # noise=1000 selects every block: the exact T5 sequence layout is
+    # hand-computable.  block=4 span=2 over 10 tokens:
+    #   blocks [a b c d][e f g h][i j]
+    #   input  = <e0> c d <e1> g h <e2>
+    #   target = <e0> a b <e1> e f <e2> i j <e3>
+    t = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": ["a b c d e f g h i j"]}
+    )
+    out = span_corruption(
+        ray.data.from_arrow(t), block=4, span=2, noise_permille=1000
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["n_tokens"] == 10
+    assert row["n_spans"] == 3
+    assert row["n_masked"] == 6  # 2 + 2 + 2 (third block has both)
+    want_input = "<extra_id_0> c d <extra_id_1> g h <extra_id_2>"
+    want_target = (
+        "<extra_id_0> a b <extra_id_1> e f <extra_id_2> i j <extra_id_3>"
+    )
+    assert row["input_md5"] == hashlib.md5(want_input.encode()).hexdigest()
+    assert row["target_md5"] == hashlib.md5(want_target.encode()).hexdigest()
+
+
+def test_zero_noise_and_empty_contract(ray_session):
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": ["a b c", None]}
+    )
+    out = (
+        span_corruption(ray.data.from_arrow(t), noise_permille=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # no spans anywhere: input = the tokens, target = the final sentinel
+    assert out["n_spans"].tolist() == [0, 0]
+    assert out["n_masked"].tolist() == [0, 0]
+    assert out["input_md5"][0] == hashlib.md5(b"a b c").hexdigest()
+    assert out["input_md5"][1] == hashlib.md5(b"").hexdigest()
+    assert (
+        out["target_md5"].tolist()
+        == [hashlib.md5(b"<extra_id_0>").hexdigest()] * 2
+    )
+
+
+def test_mask_rate_near_expectation(ray_session):
+    # 200 dense docs, defaults → expected token mask rate 0.35·3/8 ≈ 13%
+    texts = [" ".join(f"t{i}x{j}" for j in range(160)) for i in range(200)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(200), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = span_corruption(ray.data.from_arrow(t)).to_pandas()
+    rate = out["n_masked"].sum() / out["n_tokens"].sum()
+    assert 0.10 < rate < 0.17
+
+
+def test_bad_args():
+    ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+    with pytest.raises(ValueError):
+        span_corruption(ds, block=4, span=5)
+    with pytest.raises(ValueError):
+        span_corruption(ds, span=0)
+    with pytest.raises(ValueError):
+        span_corruption(ds, noise_permille=1001)
