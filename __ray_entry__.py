@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_exact": q.q_value_quantiles_exact,
         "compression_ratio": q.q_compression_ratio,
         "span_corruption": q.q_span_corruption,
+        "event_transitions": q.q_event_transitions,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -737,6 +738,12 @@ def _span_corruption_sql() -> str:
     from ocr_system_ray.functions.spancorrupt import sql_span_corruption_select
 
     return sql_span_corruption_select("FROM documents")
+
+
+def _event_transitions_sql() -> str:
+    from ocr_system_ray.functions.windows import transition_counts_sql
+
+    return transition_counts_sql("FROM events")
 
 
 def _pseudonymize_sql() -> str:
@@ -1819,6 +1826,8 @@ def oracle_sql() -> dict[str, str]:
         # (input, target) sequence rebuilt in SQL from the shared token
         # class, block carve, and sentinel layout
         "span_corruption": _span_corruption_sql(),
+        # event_transitions: the LEAD() window twin over (ts, id) order
+        "event_transitions": _event_transitions_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

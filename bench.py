@@ -268,6 +268,7 @@ def _query_suite() -> dict:
         "compression_ratio": q.q_compression_ratio,
         # round-3 session-9 additions
         "span_corruption": q.q_span_corruption,
+        "event_transitions": q.q_event_transitions,
     }
     return suite
 

@@ -725,3 +725,112 @@ def hopping_window_sql(
                CAST(SUM(c) AS BIGINT) AS sum_cents
         FROM hw_w GROUP BY window_start_us
     """
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """First-order Markov transition matrix over per-key event streams:
+    for every key's consecutive row pair under ``(ts, id)`` order, count
+    the ``(prev_state → next_state)`` transition corpus-wide — the
+    next-event model behind session prediction / funnel diagnostics.
+
+    → ``(prev_state, next_state, n)``; states are null-coalesced to ''
+    (both engines).  Scale shape: ONE adaptive coarse key-bucket
+    shuffle (the LAG idiom — pairs never cross keys, keys never cross
+    buckets), in-bucket vectorized shift + value_counts emits
+    per-bucket PARTIALS (≤ states² rows each), then one single-column
+    groupby over packed ``prev⟂next`` keys merges them — the final
+    shuffle is states²-sized, independent of corpus size."""
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                key_col: t.column(key_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+                "_state": pc.fill_null(t.column(state_col).cast(pa.string()), ""),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        {
+            id_col: pa.int64(),
+            key_col: pa.int64(),
+            "_ts_us": pa.int64(),
+            "_state": pa.string(),
+        },
+        num_buckets,
+    )
+
+    SEP = "\x1f"  # unit separator — not a plausible event-type byte
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "packed": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        nxt = df.groupby(key_col)["_state"].shift(-1)
+        keep = nxt.notna()
+        packed = df["_state"][keep] + SEP + nxt[keep]
+        vc = packed.value_counts()
+        return pd.DataFrame(
+            {
+                "packed": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = tagged.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    merged = partials.groupby("packed").sum("n")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t.column("packed")
+        parts = pc.split_pattern(packed, SEP)
+        n = t.column("sum(n)").cast(pa.int64())
+        return pa.table(
+            {
+                "prev_state": pc.list_element(parts, 0),
+                "next_state": pc.list_element(parts, 1),
+                "n": n,
+            }
+        )
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+def transition_counts_sql(
+    from_clause: str,
+    *,
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    id_expr: str = "event_id",
+    state_expr: str = "event_type",
+) -> str:
+    """The LEAD() twin of :func:`transition_counts`."""
+    return f"""
+        WITH __nxt AS (
+            SELECT COALESCE({state_expr}, '') AS prev_state,
+                   LEAD(COALESCE({state_expr}, '')) OVER (
+                       PARTITION BY {key_expr}
+                       ORDER BY {ts_expr}, {id_expr}) AS next_state
+            {from_clause}
+        )
+        SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __nxt WHERE next_state IS NOT NULL
+        GROUP BY prev_state, next_state
+    """

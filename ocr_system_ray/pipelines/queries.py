@@ -8343,3 +8343,14 @@ def q_span_corruption(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return span_corruption(docs)
+
+
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order Markov transition matrix over per-user event streams
+    (``functions/windows.py:transition_counts``): one adaptive coarse
+    key-bucket shuffle + in-bucket vectorized shift, partials merged by
+    a states²-sized packed-key groupby.  Oracle = the LEAD() twin."""
+    from ..functions.windows import transition_counts
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return transition_counts(ev)

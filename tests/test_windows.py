@@ -458,3 +458,57 @@ def test_trend_by_key_matches_twin_and_sql(ray_session):
         for r in duckdb.sql(sql).df().itertuples()
     }
     assert got_sql == want
+
+
+def test_transition_counts_matches_duckdb(ray_session):
+    from ocr_system_ray.functions.windows import (
+        transition_counts,
+        transition_counts_sql,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 1500
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 35, n), pa.int64()),
+            # many exact-duplicate timestamps → the id tiebreak must bite
+            "ts": pa.array(
+                (rng.integers(0, 400, n) * 1_000_000).tolist(), pa.timestamp("us")
+            ),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", None], n).tolist(),
+                pa.string(),
+            ),
+        }
+    )
+    for nb in (1, 4):
+        got = (
+            transition_counts(ray.data.from_arrow(t).repartition(nb))
+            .to_pandas()
+            .sort_values(["prev_state", "next_state"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            transition_counts_sql("FROM t") + " ORDER BY prev_state, next_state"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # pair-count conservation: transitions = rows − distinct keys
+    assert got["n"].sum() == n - t.column("user_id").to_pandas().nunique()
+
+
+def test_transition_counts_single_and_empty_keys(ray_session):
+    from ocr_system_ray.functions.windows import transition_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "user_id": pa.array([5, 5, 6], pa.int64()),
+            "ts": pa.array([1, 2, 9], pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "solo"], pa.string()),
+        }
+    )
+    out = transition_counts(ray.data.from_arrow(t)).to_pandas()
+    # user 6 has one event → contributes no pair; user 5 → exactly a→b
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == ["a", "b", 1]
