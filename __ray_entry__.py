@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q.q_compression_ratio,
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
+        "vocab_growth": q.q_vocab_growth,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -744,6 +745,22 @@ def _event_transitions_sql() -> str:
     from ocr_system_ray.functions.windows import transition_counts_sql
 
     return transition_counts_sql("FROM events")
+
+
+def _vocab_growth_sql() -> str:
+    from ocr_system_ray.functions.vocabgrowth import vocab_growth_sql
+
+    cps = (
+        "[(SELECT MAX(doc_id) // 4 FROM documents),"
+        " (SELECT MAX(doc_id) // 2 FROM documents),"
+        " (SELECT 3 * MAX(doc_id) // 4 FROM documents),"
+        " (SELECT MAX(doc_id) FROM documents)]"
+    )
+    return vocab_growth_sql(
+        "FROM documents",
+        cps,
+        text_expr="COALESCE(text, '') || ' u' || doc_id",
+    )
 
 
 def _pseudonymize_sql() -> str:
@@ -1828,6 +1845,9 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": _span_corruption_sql(),
         # event_transitions: the LEAD() window twin over (ts, id) order
         "event_transitions": _event_transitions_sql(),
+        # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
+        # + per-checkpoint counts, same doc_id-token enrichment
+        "vocab_growth": _vocab_growth_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -269,6 +269,7 @@ def _query_suite() -> dict:
         # round-3 session-9 additions
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
+        "vocab_growth": q.q_vocab_growth,
     }
     return suite
 

@@ -1,0 +1,193 @@
+"""Heaps-law vocabulary growth: distinct-vocabulary size at corpus
+checkpoints, computed WITHOUT any ordered scan of the corpus.
+
+The tokenizer-sizing question ("how fast does the vocabulary still
+grow?") needs V(c) = |{tokens first seen in docs ≤ c}| at a ladder of
+checkpoints c, plus N(c) = total tokens in docs ≤ c (Heaps' law fits
+V ≈ K·N^β).  The naive shape is an ordered accumulation over the
+corpus — a serial scan.  The distributed identity used here instead:
+
+    V(c) = #{ tokens t : min(doc_id containing t) ≤ c }
+
+so ONE single-column groupby-min over hashed token identities (the
+profiler's 8-byte `stable_hash64` contract — values never move) gives
+every checkpoint at once; first-occurrence ids then land in checkpoint
+cells via searchsorted bincount partials (value-cardinality-independent,
+the histogram shuffle shape).  N(c) is the same bincount over per-doc
+token counts.  Driver holds only the (checkpoints × 2) cell table.
+
+64-bit-identity caveat (shared with `profile.exact_distinct_counts`):
+hashed identities undercount by expected n²/2⁶⁵ collisions — zero at
+any testable scale, ~0.03 tokens at 10⁹ distinct.
+
+Scale shape: one O(tokens) map pass emitting per-batch (hash, min_doc)
+partials, one single-column groupby over token hashes, two tiny
+checkpoint-cell groupbys.  No sort, no driver loop over the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.skew import stable_hash64
+from .textstats import _TOKEN_RGX, TOKEN_PATTERN
+
+
+def vocab_growth(
+    ds: ray.data.Dataset,
+    checkpoints: list[int],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "pa.Table":
+    """→ arrow table ``(checkpoint, vocab, total_tokens)`` sorted by
+    checkpoint: distinct vocabulary and total token count over docs
+    with ``id ≤ checkpoint``.  Docs beyond the last checkpoint never
+    contribute.  ``checkpoints`` must be strictly increasing."""
+    cps = list(checkpoints)
+    if not cps or any(b <= a for a, b in zip(cps, cps[1:])):
+        raise ValueError("checkpoints must be non-empty, strictly increasing")
+    cp_arr = np.asarray(cps, dtype=np.int64)
+    ncp = len(cps)
+
+    def token_firsts(t: pa.Table) -> pa.Table:
+        """Per-batch (token_hash, min doc id) partials."""
+        hs: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        for did, text in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            if did > cp_arr[-1]:
+                continue
+            toks = _TOKEN_RGX.findall(text or "")
+            if not toks:
+                continue
+            uniq = np.unique(
+                stable_hash64(list(set(toks))).view(np.int64)
+            )
+            hs.append(uniq)
+            ds_.append(np.full(len(uniq), did, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "first_doc": pa.array([], pa.int64()),
+                }
+            )
+        h = np.concatenate(hs)
+        d = np.concatenate(ds_)
+        # pre-min per batch: one row per distinct hash in the batch
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        keep = np.empty(len(h), dtype=bool)
+        keep[0] = True
+        np.not_equal(h[1:], h[:-1], out=keep[1:])
+        return pa.table(
+            {
+                "h": pa.array(h[keep], pa.int64()),
+                "first_doc": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(token_firsts, batch_format="pyarrow")
+        .groupby("h")
+        .min("first_doc")
+    )
+
+    def vocab_cells(t: pa.Table) -> pa.Table:
+        fd = t.column("min(first_doc)").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cp_arr, fd, side="left")  # first cp ≥ fd
+        counts = np.bincount(idx[idx < ncp], minlength=ncp)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(ncp, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def token_cells(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ntok = (
+            pc.count_substring_regex(
+                pc.fill_null(t.column(text_col), ""), pattern=TOKEN_PATTERN
+            )
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        idx = np.searchsorted(cp_arr, dids, side="left")
+        ok = idx < ncp
+        sums = np.bincount(idx[ok], weights=ntok[ok], minlength=ncp)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(ncp, dtype=np.int64)),
+                "n": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    v = (
+        firsts.map_batches(vocab_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .to_pandas()
+    )
+    n = (
+        ds.map_batches(token_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .to_pandas()
+    )
+    vocab = np.zeros(ncp, dtype=np.int64)
+    total = np.zeros(ncp, dtype=np.int64)
+    if len(v):
+        vocab[v["cell"].to_numpy(dtype=np.int64)] = v["sum(n)"].to_numpy(
+            dtype=np.int64
+        )
+    if len(n):
+        total[n["cell"].to_numpy(dtype=np.int64)] = n["sum(n)"].to_numpy(
+            dtype=np.int64
+        )
+    return pa.table(
+        {
+            "checkpoint": pa.array(cp_arr),
+            "vocab": pa.array(np.cumsum(vocab)),
+            "total_tokens": pa.array(np.cumsum(total)),
+        }
+    )
+
+
+def vocab_growth_sql(
+    from_clause: str,
+    checkpoints_sql: str,
+    *,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """The twin: first-occurrence doc per token via GROUP BY/MIN, then
+    per-checkpoint correlated counts.  ``checkpoints_sql`` is a SQL
+    list expression (e.g. ``[124, 249, 374, 499]`` or arithmetic over a
+    scalar subquery)."""
+    return f"""
+        WITH __tok AS (
+            SELECT {id_expr} AS did,
+                   unnest(regexp_extract_all(COALESCE({text_expr}, ''),
+                                             '{TOKEN_PATTERN}')) AS tk
+            {from_clause}
+        ), __first AS (
+            SELECT tk, MIN(did) AS fd FROM __tok GROUP BY tk
+        ), __cp AS (
+            SELECT unnest({checkpoints_sql}) AS checkpoint
+        )
+        SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+               CAST((SELECT COUNT(*) FROM __first WHERE fd <= checkpoint)
+                    AS BIGINT) AS vocab,
+               CAST((SELECT COUNT(*) FROM __tok WHERE did <= checkpoint)
+                    AS BIGINT) AS total_tokens
+        FROM __cp
+    """

@@ -8354,3 +8354,32 @@ def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     return transition_counts(ev)
+
+
+def q_vocab_growth(sf_dir: str) -> pa.Table:
+    """Heaps-law vocabulary growth at four corpus checkpoints
+    (``functions/vocabgrowth.py``): V(c) via first-occurrence-doc
+    groupby-min over hashed token identities — no ordered corpus scan,
+    no sort.  A per-doc fresh token (`u<doc_id>`) is injected on both
+    engines so the curve genuinely grows past the synthetic corpus's
+    ~30-word vocabulary (the derivation-density gotcha).  Oracle =
+    GROUP BY/MIN + per-checkpoint counts."""
+    from ..functions.vocabgrowth import vocab_growth
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t.column("text"), ""),
+            pc.binary_join_element_wise(
+                "u", pc.cast(t.column("doc_id"), pa.string()), ""
+            ),
+            " ",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    mx = docs.max("doc_id")
+    cps = sorted({mx // 4, mx // 2, 3 * mx // 4, mx})
+    return vocab_growth(docs.map_batches(enrich, batch_format="pyarrow"), cps)

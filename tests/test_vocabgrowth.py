@@ -1,0 +1,70 @@
+"""Heaps-law vocabulary growth (functions/vocabgrowth.py) — DuckDB
+GROUP BY/MIN first-occurrence twin, cumulative pins, layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.vocabgrowth import vocab_growth, vocab_growth_sql
+
+
+def _docs(n=300, seed=3):
+    rng = np.random.default_rng(seed)
+    texts = []
+    for i in range(n):
+        base = " ".join(f"w{rng.integers(0, 60)}" for _ in range(rng.integers(0, 40)))
+        # per-doc fresh token → the vocabulary genuinely grows at every
+        # checkpoint (the synthetic corpus's ~60-word vocab saturates
+        # instantly — the derivation-density gotcha)
+        texts.append((base + f" u{i}") if i % 7 else (base or None))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    t = _docs()  # noqa: F841
+    cps = [49, 149, 250, 299]
+    got = vocab_growth(
+        ray.data.from_arrow(_docs()).repartition(nblocks), cps
+    ).to_pandas()
+    want = duckdb.sql(
+        vocab_growth_sql("FROM t", str(cps)) + " ORDER BY checkpoint"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # genuine growth: strictly more vocab at every checkpoint
+    assert got["vocab"].is_monotonic_increasing
+    assert got["vocab"].nunique() == len(cps)
+
+
+def test_docs_beyond_last_checkpoint_excluded(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 50], pa.int64()),
+            "text": ["a b", "b c", None, "zz only late"],
+        }
+    )
+    out = vocab_growth(ray.data.from_arrow(t), [1, 2]).to_pandas()
+    assert out["vocab"].tolist() == [3, 3]  # a, b, c; doc 50 never counts
+    assert out["total_tokens"].tolist() == [4, 4]
+
+
+def test_bad_checkpoints():
+    ds = ray.data.from_items([{"doc_id": 0, "text": "x"}])
+    with pytest.raises(ValueError):
+        vocab_growth(ds, [])
+    with pytest.raises(ValueError):
+        vocab_growth(ds, [5, 5])
+    with pytest.raises(ValueError):
+        vocab_growth(ds, [9, 2])
