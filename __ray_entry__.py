@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
         "vocab_growth": q.q_vocab_growth,
+        "split_leakage": q.q_split_leakage,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -745,6 +746,63 @@ def _event_transitions_sql() -> str:
     from ocr_system_ray.functions.windows import transition_counts_sql
 
     return transition_counts_sql("FROM events")
+
+
+# jaccard_join_exact's TRUE brute-force recomputation — the exact-recall
+# claim means the O(n²) gram self-join at sf scale IS the operator's
+# definition (distinct trigrams over the shared token class; <3-token
+# docs contribute their whole token run as one gram; floor micro
+# Jaccard; threshold as an integer cross-multiplication, no float
+# anywhere).  Shared by the split_leakage oracle.
+_ORACLE_JACCARD_EXACT = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(COALESCE(text, ''),
+                                  '[^ \t\n\r\f\v]+') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 3
+                      THEN [tk[i] || ' ' || tk[i + 1] || ' '
+                                || tk[i + 2]
+                            FOR i IN range(1, len(tk) - 1)]
+                      ELSE [array_to_string(tk, ' ')] END) AS g
+        FROM toks WHERE len(tk) > 0
+    ), gs AS (
+        SELECT DISTINCT doc_id, g FROM grams
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS s FROM gs GROUP BY 1
+    ), it AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT it.id_a, it.id_b,
+           CAST(it.i AS BIGINT) AS inter_size,
+           CAST(sa.s + sb.s - it.i AS BIGINT) AS union_size,
+           CAST(it.i * 1000000 // (sa.s + sb.s - it.i) AS BIGINT)
+               AS jac_micro
+    FROM it
+    JOIN sz sa ON sa.doc_id = it.id_a
+    JOIN sz sb ON sb.doc_id = it.id_b
+    WHERE it.i * 1000000 >= 700000 * (sa.s + sb.s - it.i)
+"""
+
+
+def _split_leakage_sql() -> str:
+    from ocr_system_ray.functions.splits import sql_split_expr
+
+    fr = {"train": 0.8, "test": 0.2}
+    _, case_a = sql_split_expr(fr, id_col="id_a", salt="leakaudit")
+    _, case_b = sql_split_expr(fr, id_col="id_b", salt="leakaudit")
+    jac = _ORACLE_JACCARD_EXACT
+    return f"""
+        WITH __pairs AS ({jac})
+        SELECT id_a, id_b, inter_size, union_size, jac_micro,
+               {case_a} AS split_a, {case_b} AS split_b
+        FROM __pairs
+        WHERE {case_a} <> {case_b}
+    """
 
 
 def _vocab_growth_sql() -> str:
@@ -1848,6 +1906,9 @@ def oracle_sql() -> dict[str, str]:
         # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
         # + per-checkpoint counts, same doc_id-token enrichment
         "vocab_growth": _vocab_growth_sql(),
+        # split_leakage: the brute-force Jaccard twin × the GENERATED
+        # split CASE ladder on both pair sides, cross-split filter
+        "split_leakage": _split_leakage_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins
@@ -2924,39 +2985,7 @@ def oracle_sql() -> dict[str, str]:
         # shared token class; <3-token docs contribute their whole token
         # run as one gram; floor micro Jaccard; threshold as an integer
         # cross-multiplication, no float anywhere)
-        "jaccard_join_exact": r"""
-            WITH toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(COALESCE(text, ''),
-                                          '[^ \t\n\r\f\v]+') AS tk
-                FROM documents
-            ), grams AS (
-                SELECT doc_id,
-                       unnest(CASE WHEN len(tk) >= 3
-                              THEN [tk[i] || ' ' || tk[i + 1] || ' '
-                                        || tk[i + 2]
-                                    FOR i IN range(1, len(tk) - 1)]
-                              ELSE [array_to_string(tk, ' ')] END) AS g
-                FROM toks WHERE len(tk) > 0
-            ), gs AS (
-                SELECT DISTINCT doc_id, g FROM grams
-            ), sz AS (
-                SELECT doc_id, COUNT(*) AS s FROM gs GROUP BY 1
-            ), it AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-                FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT it.id_a, it.id_b,
-                   CAST(it.i AS BIGINT) AS inter_size,
-                   CAST(sa.s + sb.s - it.i AS BIGINT) AS union_size,
-                   CAST(it.i * 1000000 // (sa.s + sb.s - it.i) AS BIGINT)
-                       AS jac_micro
-            FROM it
-            JOIN sz sa ON sa.doc_id = it.id_a
-            JOIN sz sb ON sb.doc_id = it.id_b
-            WHERE it.i * 1000000 >= 700000 * (sa.s + sb.s - it.i)
-        """,
+        "jaccard_join_exact": _ORACLE_JACCARD_EXACT,
         "simhash_pairs": """
             SELECT g.id_a, g.id_b, g.hamming
             FROM '/root/repo/tests/golden/simhash_pairs_sf001.parquet' g

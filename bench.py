@@ -270,6 +270,7 @@ def _query_suite() -> dict:
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
         "vocab_growth": q.q_vocab_growth,
+        "split_leakage": q.q_split_leakage,
     }
     return suite
 

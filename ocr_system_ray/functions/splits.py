@@ -365,3 +365,47 @@ def rendezvous_sql(
             FROM w)
         SELECT {id_col}, shard FROM r WHERE rn = 1
     """
+
+
+def leakage_audit(
+    pairs: ray.data.Dataset,
+    fractions: dict[str, float] | None = None,
+    *,
+    salt: str = "split",
+    id_a_col: str = "id_a",
+    id_b_col: str = "id_b",
+) -> ray.data.Dataset:
+    """Train/test contamination audit: given a near-duplicate PAIR
+    stream (any of the repo's similarity joins — MinHash, SimHash,
+    exact Jaccard, Hamming), keep the pairs whose two sides land in
+    DIFFERENT splits under :func:`assign_splits`'s carve — each one is
+    an eval-set leak (a test doc with a near-copy in train).
+
+    Split membership is a pure function of the id (the
+    :func:`assign_splits` contract), so the audit is ROW-LOCAL on the
+    pair stream — no join against the corpus, no shuffle; it appends
+    ``split_a``/``split_b`` and filters ``split_a != split_b``.  At
+    10¹² docs the pair stream is the similarity join's output (already
+    bounded by its threshold); the audit adds two md5s per pair.
+    """
+    import hashlib
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bounds = split_thresholds(fractions)
+
+    def split_of(ids: list[int]) -> list[str]:
+        out = []
+        for i in ids:
+            k = int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:4], 16)
+            out.append(next(name for name, ub in bounds if k < ub))
+        return out
+
+    def audit(t: pa.Table) -> pa.Table:
+        sa = pa.array(split_of(t.column(id_a_col).to_pylist()), pa.string())
+        sb = pa.array(split_of(t.column(id_b_col).to_pylist()), pa.string())
+        t = t.append_column("split_a", sa).append_column("split_b", sb)
+        import pyarrow.compute as pc
+
+        return t.filter(pc.invert(pc.equal(t.column("split_a"), t.column("split_b"))))
+
+    return pairs.map_batches(audit, batch_format="pyarrow")

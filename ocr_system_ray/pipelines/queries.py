@@ -8383,3 +8383,19 @@ def q_vocab_growth(sf_dir: str) -> pa.Table:
     mx = docs.max("doc_id")
     cps = sorted({mx // 4, mx // 2, 3 * mx // 4, mx})
     return vocab_growth(docs.map_batches(enrich, batch_format="pyarrow"), cps)
+
+
+def q_split_leakage(sf_dir: str) -> ray.data.Dataset:
+    """Eval-contamination audit (``splits.leakage_audit``): the
+    exact-recall trigram-Jaccard near-dup pairs whose two sides fall in
+    DIFFERENT halves of an 80/20 train/test split — each row is a test
+    doc with a near-copy in train.  Row-local on the pair stream
+    (split membership is a pure function of the id); oracle = the
+    brute-force Jaccard twin × the generated split CASE ladder."""
+    from ..functions.splits import leakage_audit
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.jaccard_similarity_join(ds, threshold=0.7, ngram=3)
+    return leakage_audit(
+        pairs, {"train": 0.8, "test": 0.2}, salt="leakaudit"
+    )

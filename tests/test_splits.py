@@ -216,3 +216,50 @@ def test_rendezvous_rejects_bad_shards(ray_session):
         rendezvous_assign(ds, [])
     with pytest.raises(ValueError):
         rendezvous_assign(ds, ["a", "a"])
+
+
+def test_leakage_audit_row_local_rules(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from ocr_system_ray.functions.splits import (
+        leakage_audit,
+        split_thresholds,
+    )
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array(list(range(0, 400, 2)), pa.int64()),
+            "id_b": pa.array(list(range(1, 400, 2)), pa.int64()),
+            "jac_micro": pa.array([900000] * 200, pa.int64()),
+        }
+    )
+    fr = {"train": 0.8, "test": 0.2}
+    out = (
+        leakage_audit(ray.data.from_arrow(pairs), fr, salt="s9")
+        .to_pandas()
+        .sort_values("id_a")
+        .reset_index(drop=True)
+    )
+
+    bounds = split_thresholds(fr)
+
+    def split_of(i):
+        k = int(hashlib.md5(f"{i}:s9".encode()).hexdigest()[:4], 16)
+        return next(name for name, ub in bounds if k < ub)
+
+    want = [
+        (a, b)
+        for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())
+        if split_of(a) != split_of(b)
+    ]
+    assert list(zip(out["id_a"], out["id_b"])) == want
+    assert (out["split_a"] != out["split_b"]).all()
+    # payload columns ride through untouched
+    assert (out["jac_micro"] == 900000).all()
+    # ~2·0.8·0.2 = 32% of pairs cross
+    assert 30 <= len(out) <= 100
