@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q.q_compression_ratio,
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
+        "event_paths": q.q_event_paths,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
         "credit_card_scan": q.q_credit_card_scan,
@@ -819,6 +820,12 @@ def _vocab_growth_sql() -> str:
         cps,
         text_expr="COALESCE(text, '') || ' u' || doc_id",
     )
+
+
+def _event_paths_sql() -> str:
+    from ocr_system_ray.functions.windows import event_path_counts_sql
+
+    return event_path_counts_sql("FROM events", k=3)
 
 
 def _pseudonymize_sql() -> str:
@@ -1903,6 +1910,8 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": _span_corruption_sql(),
         # event_transitions: the LEAD() window twin over (ts, id) order
         "event_transitions": _event_transitions_sql(),
+        # event_paths: the LEAD()-chain twin over (ts, id) order
+        "event_paths": _event_paths_sql(),
         # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
         # + per-checkpoint counts, same doc_id-token enrichment
         "vocab_growth": _vocab_growth_sql(),

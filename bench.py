@@ -269,6 +269,7 @@ def _query_suite() -> dict:
         # round-3 session-9 additions
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
+        "event_paths": q.q_event_paths,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -834,3 +834,134 @@ def transition_counts_sql(
         FROM __nxt WHERE next_state IS NOT NULL
         GROUP BY prev_state, next_state
     """
+
+
+def event_path_counts(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Order-``k`` sequential pattern counts (event k-grams): for every
+    key's ``k`` CONSECUTIVE rows under ``(ts, id)`` order, count the
+    state path corpus-wide — the k-step generalization of
+    :func:`transition_counts` (click-path mining / funnel discovery;
+    cf. the reference's per-document field sequences, which are
+    unordered — this is engine completeness for the events table).
+
+    → ``(state_1 … state_k, n)``; states null-coalesced to '' on both
+    engines.  Scale shape mirrors ``transition_counts``: ONE adaptive
+    coarse key-bucket shuffle (k-grams never cross keys, keys never
+    cross buckets), in-bucket vectorized shifts emit per-bucket
+    PARTIALS (≤ states^k rows each), then one single-column groupby
+    over SEP-packed paths merges them — the final shuffle is
+    states^k-sized, independent of corpus size."""
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError("event_path_counts needs k >= 2")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                key_col: t.column(key_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+                "_state": pc.fill_null(t.column(state_col).cast(pa.string()), ""),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        {
+            id_col: pa.int64(),
+            key_col: pa.int64(),
+            "_ts_us": pa.int64(),
+            "_state": pa.string(),
+        },
+        num_buckets,
+    )
+
+    SEP = "\x1f"
+
+    def paths_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "packed": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        g = df.groupby(key_col)["_state"]
+        packed = df["_state"].copy()
+        keep = pd.Series(True, index=df.index)
+        for i in range(1, k):
+            nxt = g.shift(-i)
+            keep &= nxt.notna()
+            packed = packed + SEP + nxt.fillna("")
+        packed = packed[keep]
+        if packed.empty:
+            return pd.DataFrame(
+                {
+                    "packed": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        vc = packed.value_counts()
+        return pd.DataFrame(
+            {
+                "packed": vc.index.to_numpy(dtype=object),
+                "n": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = tagged.groupby("bucket").map_groups(
+        paths_in_bucket, batch_format="pandas"
+    )
+    merged = partials.groupby("packed").sum("n")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("packed"), SEP)
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for i in range(k):
+            cols[f"state_{i + 1}"] = pc.list_element(parts, i)
+        cols["n"] = t.column("sum(n)").cast(pa.int64())
+        return pa.table(cols)
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+def event_path_counts_sql(
+    from_clause: str,
+    k: int = 3,
+    *,
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    id_expr: str = "event_id",
+    state_expr: str = "event_type",
+) -> str:
+    """The LEAD()-chain twin of :func:`event_path_counts`."""
+    leads = ",\n                   ".join(
+        f"LEAD(COALESCE({state_expr}, ''), {i}) OVER w AS s{i}"
+        for i in range(1, k)
+    )
+    not_null = " AND ".join(f"s{i} IS NOT NULL" for i in range(1, k))
+    sel = ", ".join(f"s{i} AS state_{i + 1}" for i in range(k))
+    grp = ", ".join(f"s{i}" for i in range(k))
+    return f"""
+        WITH __seq AS (
+            SELECT COALESCE({state_expr}, '') AS s0,
+                   {leads}
+            {from_clause}
+            WINDOW w AS (PARTITION BY {key_expr}
+                         ORDER BY {ts_expr}, {id_expr})
+        )
+        SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __seq WHERE {not_null}
+        GROUP BY {grp}
+    """

@@ -8399,3 +8399,15 @@ def q_split_leakage(sf_dir: str) -> ray.data.Dataset:
     return leakage_audit(
         pairs, {"train": 0.8, "test": 0.2}, salt="leakaudit"
     )
+
+
+def q_event_paths(sf_dir: str) -> ray.data.Dataset:
+    """Order-3 sequential pattern counts (event path mining) over
+    per-user event streams (``functions/windows.py:event_path_counts``):
+    one adaptive coarse key-bucket shuffle + in-bucket vectorized
+    shifts, partials merged by a states³-sized packed-path groupby.
+    Oracle = the LEAD()-chain twin."""
+    from ..functions.windows import event_path_counts
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return event_path_counts(ev, k=3)

