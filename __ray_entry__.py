@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
         "event_paths": q.q_event_paths,
+        "decayed_activity": q.q_decayed_activity,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
         "credit_card_scan": q.q_credit_card_scan,
@@ -826,6 +827,15 @@ def _event_paths_sql() -> str:
     from ocr_system_ray.functions.windows import event_path_counts_sql
 
     return event_path_counts_sql("FROM events", k=3)
+
+
+def _decayed_activity_sql() -> str:
+    from ocr_system_ray.functions.decay import decayed_counts_sql
+
+    return decayed_counts_sql(
+        "FROM events", key_expr="user_id", ts_expr="ts",
+        halflife_days=7, scale_bits=30,
+    )
 
 
 def _pseudonymize_sql() -> str:
@@ -1912,6 +1922,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _event_transitions_sql(),
         # event_paths: the LEAD()-chain twin over (ts, id) order
         "event_paths": _event_paths_sql(),
+        # decayed_activity: the exact >>-staircase decay twin
+        "decayed_activity": _decayed_activity_sql(),
         # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
         # + per-checkpoint counts, same doc_id-token enrichment
         "vocab_growth": _vocab_growth_sql(),

@@ -270,6 +270,7 @@ def _query_suite() -> dict:
         "span_corruption": q.q_span_corruption,
         "event_transitions": q.q_event_transitions,
         "event_paths": q.q_event_paths,
+        "decayed_activity": q.q_decayed_activity,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -1,0 +1,167 @@
+"""Time-decayed popularity — recency-weighted activity scores.
+
+Freshness-aware ranking (trending hosts, active-user sampling, crawl
+re-visit priority) wants an exponentially decayed count: old events
+contribute less, recent ones more.  The float formulation
+(``sum(2^(-age/h))``) is order-DEPENDENT under IEEE addition, so a
+distributed sum would not be bit-stable across block layouts.  This
+module uses the exact-integer staircase instead:
+
+    w(age) = SCALE >> (age_days // halflife_days)
+
+— a binary staircase that halves every ``halflife_days`` bucket.  Each
+weight is a pure int64 function of (event ts, corpus max ts), sums are
+order-independent, partials merge exactly, and the DuckDB twin is the
+same ``>>`` expression.  Within one step the staircase differs from
+continuous decay by at most 2× — irrelevant for ranking, and the exact
+arithmetic is what makes the op testable bit-for-bit at any layout.
+
+Scale shape: one O(rows) map pass emitting per-batch (key, w_sum, n)
+partials (combiner — at most keys-per-batch rows leave each task), then
+ONE single-column groupby merges them.  The max-ts pass is a cheap
+column-pruned aggregate.  Overflow bound: SCALE=2^30 → a key needs
+2^33 max-freshness events to overflow int64.
+
+Reference seam: the reference app has no temporal analytics; this is
+engine completeness for the events table (crawl-scheduling family —
+`fetch_schedule`'s refresh priorities are the consumer of exactly this
+signal at 100 TB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_US_PER_DAY = 86_400_000_000
+
+
+def decayed_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    halflife_days: int = 7,
+    scale_bits: int = 30,
+    max_ts_us: int | None = None,
+) -> ray.data.Dataset:
+    """→ ``(key_col, decayed_q, n_events)``: per key, the exact-integer
+    staircase-decayed event count (micro-units of ``2**scale_bits``)
+    plus the raw count.  Rows with a null timestamp are dropped on both
+    engines.  ``max_ts_us`` pins the reference instant (µs epoch);
+    default = the dataset's own max — computed in a column-pruned pass.
+    """
+    if halflife_days < 1 or not (1 <= scale_bits <= 40):
+        raise ValueError("halflife_days >= 1 and 1 <= scale_bits <= 40")
+    if max_ts_us is None:
+        mx = ds.max(ts_col)
+        if mx is None:
+            # empty input: return an empty, correctly-typed dataset
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        key_col: pa.array([], pa.int64()),
+                        "decayed_q": pa.array([], pa.int64()),
+                        "n_events": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        if hasattr(mx, "value"):
+            # pandas.Timestamp.value is NANOseconds (CLAUDE.md gotcha)
+            max_ts_us = mx.value // 1000
+        elif hasattr(mx, "timestamp"):  # datetime.datetime (naive = UTC)
+            import datetime as _dt
+
+            max_ts_us = (
+                mx.replace(tzinfo=_dt.timezone.utc)
+                - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            ) // _dt.timedelta(microseconds=1)
+        else:
+            max_ts_us = int(mx)
+    scale = np.int64(1) << scale_bits
+    hl = int(halflife_days)
+    t_ref = int(max_ts_us)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col).cast(pa.timestamp("us"))
+        valid = ts.is_valid().to_numpy(zero_copy_only=False)
+        ts_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = keys[valid]
+        # a null-bearing int64 arrow column lands as float64+NaN —
+        # filtered first, then cast back to exact int64
+        ts_us = ts_us[valid].astype(np.int64)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # future rows (only reachable with a pinned max_ts_us) clamp
+        # to full weight, matching a WHERE ts <= instant pre-filter
+        steps = np.maximum((t_ref - ts_us) // _US_PER_DAY // hl, 0)
+        w = np.where(steps >= 62, np.int64(0), scale >> np.minimum(steps, 62))
+        uk, inv = np.unique(keys, return_inverse=True)
+        wsum_i = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(wsum_i, inv, w.astype(np.int64))
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uk, pa.int64()),
+                "w": pa.array(wsum_i, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(key_col).sum(
+        ["w", "n"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.int64()),
+                "decayed_q": t.column("sum(w)").cast(pa.int64()),
+                "n_events": t.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def decayed_counts_sql(
+    from_clause: str,
+    *,
+    key_expr: str = "user_id",
+    ts_expr: str = "ts",
+    halflife_days: int = 7,
+    scale_bits: int = 30,
+) -> str:
+    """The exact ``>>``-staircase twin of :func:`decayed_counts`
+    (reference instant = MAX(ts) of the same relation)."""
+    scale = 1 << scale_bits
+    return f"""
+        WITH __dc_m AS (
+            SELECT MAX(epoch_us({ts_expr})) AS t_ref {from_clause}
+        ), __dc_w AS (
+            SELECT {key_expr} AS k,
+                   CASE WHEN (t_ref - epoch_us({ts_expr}))
+                             // {_US_PER_DAY} // {halflife_days} >= 62
+                        THEN 0
+                        ELSE CAST({scale} AS BIGINT) >>
+                             CAST((t_ref - epoch_us({ts_expr}))
+                                  // {_US_PER_DAY} // {halflife_days} AS INTEGER)
+                   END AS w
+            {from_clause}, __dc_m
+            WHERE {ts_expr} IS NOT NULL
+        )
+        SELECT k AS {key_expr},
+               CAST(SUM(w) AS BIGINT) AS decayed_q,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM __dc_w GROUP BY k
+    """

@@ -8411,3 +8411,16 @@ def q_event_paths(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     return event_path_counts(ev, k=3)
+
+
+def q_decayed_activity(sf_dir: str) -> ray.data.Dataset:
+    """Recency-weighted per-user activity scores
+    (``functions/decay.py:decayed_counts``): exact-integer binary
+    staircase decay (halving every 7 days, 2^30 fixed point) — weights
+    are pure int64 functions of (ts, max ts), so partial sums merge
+    exactly at any block layout.  One combiner map pass + ONE
+    single-column groupby.  Oracle = the same ``>>`` staircase in SQL."""
+    from ..functions.decay import decayed_counts
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return decayed_counts(ev, "user_id", "ts", halflife_days=7, scale_bits=30)

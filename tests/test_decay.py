@@ -1,0 +1,98 @@
+"""Time-decayed popularity (functions/decay.py) vs the DuckDB twin."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+
+from ocr_system_ray.functions.decay import decayed_counts, decayed_counts_sql
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _events(n: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    # ages spanning 0 .. ~600 days incl. exact step boundaries, some nulls
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 600 * _US_PER_DAY, n)
+    ts[: n // 4] = base + rng.integers(0, 3, n // 4) * 7 * _US_PER_DAY
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    mask = pa.array(rng.random(n) > 0.05)
+    import pyarrow.compute as pc
+
+    return t.set_column(2, "ts", pc.if_else(mask, t.column("ts"), None))
+
+
+def test_decayed_counts_matches_duckdb(ray_session):
+    t = _events(1500, 31)
+    for nb in (1, 5):
+        got = (
+            decayed_counts(ray.data.from_arrow(t).repartition(nb))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            decayed_counts_sql("FROM t") + " ORDER BY user_id"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_decayed_counts_staircase_pins(ray_session):
+    # ages 0, 6, 7, 13, 14 days at halflife 7 → steps 0,0,1,1,2
+    base = 1_700_000_000_000_000
+    ages = [0, 6, 7, 13, 14]
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([base - a * _US_PER_DAY for a in ages], pa.timestamp("us")),
+        }
+    )
+    out = (
+        decayed_counts(ray.data.from_arrow(t), halflife_days=7, scale_bits=10)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert out["decayed_q"].tolist() == [1024, 1024, 512, 512, 256]
+    # ancient rows decay to exactly zero (clamp at 62 steps)
+    t2 = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base - 62 * 7 * _US_PER_DAY], pa.timestamp("us")
+            ),
+        }
+    )
+    out2 = (
+        decayed_counts(ray.data.from_arrow(t2), halflife_days=7, scale_bits=10)
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    assert out2["decayed_q"].tolist() == [1024, 0]
+    assert out2["n_events"].tolist() == [1, 1]
+
+
+def test_decayed_counts_empty_and_badargs(ray_session):
+    t = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    out = decayed_counts(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 0
+    with pytest.raises(ValueError):
+        decayed_counts(ray.data.from_arrow(t), halflife_days=0)
+    with pytest.raises(ValueError):
+        decayed_counts(ray.data.from_arrow(t), scale_bits=0)
