@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q.q_event_transitions,
         "event_paths": q.q_event_paths,
         "decayed_activity": q.q_decayed_activity,
+        "secret_scan": q.q_secret_scan,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
         "credit_card_scan": q.q_credit_card_scan,
@@ -835,6 +836,17 @@ def _decayed_activity_sql() -> str:
     return decayed_counts_sql(
         "FROM events", key_expr="user_id", ts_expr="ts",
         halflife_days=7, scale_bits=30,
+    )
+
+
+def _secret_scan_sql() -> str:
+    from ocr_system_ray.functions.secrets import (
+        planted_text_sql_expr,
+        secret_scan_sql,
+    )
+
+    return secret_scan_sql(
+        "FROM documents", text_expr=planted_text_sql_expr(), id_expr="doc_id"
     )
 
 
@@ -1924,6 +1936,9 @@ def oracle_sql() -> dict[str, str]:
         "event_paths": _event_paths_sql(),
         # decayed_activity: the exact >>-staircase decay twin
         "decayed_activity": _decayed_activity_sql(),
+        # secret_scan: regexp classes + distinct-char generic gate over
+        # the same md5-planted text derivation
+        "secret_scan": _secret_scan_sql(),
         # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
         # + per-checkpoint counts, same doc_id-token enrichment
         "vocab_growth": _vocab_growth_sql(),

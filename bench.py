@@ -271,6 +271,7 @@ def _query_suite() -> dict:
         "event_transitions": q.q_event_transitions,
         "event_paths": q.q_event_paths,
         "decayed_activity": q.q_decayed_activity,
+        "secret_scan": q.q_secret_scan,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -8424,3 +8424,17 @@ def q_decayed_activity(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
     return decayed_counts(ev, "user_id", "ts", halflife_days=7, scale_bits=30)
+
+
+def q_secret_scan(sf_dir: str) -> ray.data.Dataset:
+    """Credential/secret screen over documents
+    (``functions/secrets.py:secret_scan``): vendor-prefixed pattern
+    classes (RE2, vectorized) + the exact distinct-char gate on
+    base64-ish runs; md5-derived plants keyed on doc_id make the
+    synthetic corpus exercise every class on both engines (the
+    vocab_growth enrichment idiom).  Row-local, no shuffle."""
+    from ..functions.secrets import plant_secrets_batch, secret_scan
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    planted = docs.map_batches(plant_secrets_batch, batch_format="pyarrow")
+    return secret_scan(planted)
