@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": q.q_event_paths,
         "decayed_activity": q.q_decayed_activity,
         "secret_scan": q.q_secret_scan,
+        "hybrid_topk": q.q_hybrid_topk,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
         "credit_card_scan": q.q_credit_card_scan,
@@ -848,6 +849,12 @@ def _secret_scan_sql() -> str:
     return secret_scan_sql(
         "FROM documents", text_expr=planted_text_sql_expr(), id_expr="doc_id"
     )
+
+
+def _hybrid_topk_sql() -> str:
+    from ocr_system_ray.functions.hybrid import hybrid_rrf_sql
+
+    return hybrid_rrf_sql(probe_doc_id=2, dim=64, depth=50, k0=60, topk=10)
 
 
 def _pseudonymize_sql() -> str:
@@ -1939,6 +1946,9 @@ def oracle_sql() -> dict[str, str]:
         # secret_scan: regexp classes + distinct-char generic gate over
         # the same md5-planted text derivation
         "secret_scan": _secret_scan_sql(),
+        # hybrid_topk: BM25 recompute + md5-carve hashed-BOW cosine,
+        # fused by the same integer // RRF contributions
+        "hybrid_topk": _hybrid_topk_sql(),
         # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
         # + per-checkpoint counts, same doc_id-token enrichment
         "vocab_growth": _vocab_growth_sql(),

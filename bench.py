@@ -272,6 +272,7 @@ def _query_suite() -> dict:
         "event_paths": q.q_event_paths,
         "decayed_activity": q.q_decayed_activity,
         "secret_scan": q.q_secret_scan,
+        "hybrid_topk": q.q_hybrid_topk,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

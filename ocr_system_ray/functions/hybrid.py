@@ -1,0 +1,227 @@
+"""Hybrid retrieval — reciprocal-rank fusion of lexical + dense views.
+
+Production search over a training corpus ("find the docs most like
+this one") fuses a lexical ranker (BM25) with a dense one (embedding
+cosine); Reciprocal Rank Fusion (Cormack/Clarke/Büttcher, SIGIR'09)
+is the standard score-free combiner: each list contributes
+``1/(k0 + rank)`` and the union re-ranks by the sum.  Everything here
+is exact-integer:
+
+* RRF contributions are ``10^9 // (k0 + rank)`` — floor division, so
+  partials merge exactly and the DuckDB twin is the same ``//``.
+* The dense view is a hashed bag-of-words cosine (feature hashing,
+  Weinberger et al. ICML'09): token → md5-carve bucket (the repo's
+  CountMin carve contract, SQL-twinnable), per-doc int64 bucket
+  counts, integer dot/norms; the only floats are ONE divide and ONE
+  sqrt over exact int64 operands — correctly-rounded IEEE ops, so the
+  doubles (and therefore the ranks) are bit-identical across engines.
+  Exactness bound: ``nd·nq < 2^53`` — safe to ~10^4-token docs; the
+  100 TB path swaps the md5 carve for `stable_hash64` (same shape, no
+  SQL twin).
+* The lexical view is the persisted BM25 index (`functions/bm25.py`)
+  searched at fusion depth — integer micro-scores, doc_id ties.
+
+Scale shape: the dense pass is one stateless `map_batches` over the
+corpus emitting per-block top-depth partials (block-bounded driver
+merge — the knn pattern); BM25 reads only the probed token-hash
+buckets of its index; fusion itself touches ≤ 2·depth rows.
+"""
+
+from __future__ import annotations
+
+from hashlib import md5 as _md5
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _bucket_of(token: str, dim: int) -> int:
+    return int(_md5(token.encode()).hexdigest()[:4], 16) % dim
+
+
+def bow_query_vector(text: str | None, dim: int = 64) -> np.ndarray:
+    """Hashed bag-of-words counts of ``text`` (single-space split, the
+    BM25 tokenization contract — empties included)."""
+    v = np.zeros(dim, dtype=np.int64)
+    for tok in (text or "").split(" "):
+        v[_bucket_of(tok, dim)] += 1
+    return v
+
+
+def dense_hashed_topk(
+    docs: ray.data.Dataset,
+    query_vec: np.ndarray,
+    *,
+    depth: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[int, float]]:
+    """Top-``depth`` ``(doc_id, cosine)`` by hashed-BOW cosine against
+    ``query_vec``; ties broken by doc_id.  Per-block top-depth partials
+    only reach the driver (depth × blocks rows)."""
+    dim = len(query_vec)
+    nq = int((query_vec.astype(np.int64) ** 2).sum())
+    if nq == 0:
+        return []
+    qv = query_vec.astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t.column(text_col).cast(pa.string()), "")
+        toks = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        parents = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        uniq, inv = np.unique(np.asarray(flat.to_pylist(), dtype=object), return_inverse=True)
+        buckets = np.fromiter(
+            (_bucket_of(tok, dim) for tok in uniq), dtype=np.int64, count=len(uniq)
+        )
+        mat = np.zeros((len(ids), dim), dtype=np.int64)
+        np.add.at(mat, (parents, buckets[inv]), 1)
+        nd = (mat * mat).sum(axis=1)
+        keep = nd > 0
+        if not keep.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        dot = mat[keep] @ qv
+        cos = dot.astype(np.float64) / np.sqrt(
+            (nd[keep] * np.int64(nq)).astype(np.float64)
+        )
+        kid = ids[keep]
+        order = np.lexsort((kid, -cos))[:depth]
+        return pa.table(
+            {
+                id_col: pa.array(kid[order], pa.int64()),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    rows = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = sorted(((r["cos"], r[id_col]) for r in rows), key=lambda x: (-x[0], x[1]))
+    return [(int(i), float(c)) for c, i in merged[:depth]]
+
+
+def rrf_fuse(
+    ranked_lists: list[list[int]],
+    *,
+    k0: int = 60,
+    topk: int = 10,
+) -> pa.Table:
+    """Exact-integer RRF over id lists already in rank order →
+    ``(doc_id, rrf_micro, rank)``; micro = Σ ``10^9 // (k0 + rank)``,
+    final ties broken by doc_id."""
+    score: dict[int, int] = {}
+    for lst in ranked_lists:
+        for rank, did in enumerate(lst, start=1):
+            score[did] = score.get(did, 0) + 1_000_000_000 // (k0 + rank)
+    top = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "rrf_micro": pa.array([s for _, s in top], pa.int64()),
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+        }
+    )
+
+
+def hybrid_rrf_sql(
+    *,
+    probe_doc_id: int = 2,
+    dim: int = 64,
+    depth: int = 50,
+    k0: int = 60,
+    topk: int = 10,
+) -> str:
+    """The full DuckDB twin: BM25 recomputed from scratch (the
+    `bm25_topk` oracle's verbatim idf/tf expression) + the md5-carve
+    hashed-BOW cosine, fused by the same ``//`` contributions."""
+    return f"""
+        WITH probe AS (
+          SELECT DISTINCT unnest(string_split(COALESCE(text, ''), ' ')[1:8]) AS token
+          FROM documents WHERE doc_id = {probe_doc_id}
+        ), toks AS (
+          SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS token
+          FROM documents
+        ), doclen AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), corpus AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avg_len
+          FROM doclen
+        ), tf AS (
+          SELECT t.doc_id, t.token, CAST(count(*) AS DOUBLE) AS tf
+          FROM toks t JOIN probe p USING (token)
+          GROUP BY t.doc_id, t.token
+        ), df AS (
+          SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM tf GROUP BY token
+        ), scored AS (
+          SELECT tf.doc_id,
+                 SUM(
+                   ln((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * ((tf.tf * (1.2 + 1.0))
+                      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.dl / c.avg_len))))
+                 ) AS score
+          FROM tf
+          JOIN df USING (token)
+          JOIN doclen dl USING (doc_id)
+          CROSS JOIN corpus c
+          GROUP BY tf.doc_id
+        ), bm AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   ORDER BY CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) DESC,
+                            doc_id
+                 ) AS rank
+          FROM scored
+        ), qbuck AS (
+          SELECT ('0x' || substr(md5(token), 1, 4))::INT % {dim} AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM toks WHERE doc_id = {probe_doc_id} GROUP BY b
+        ), qn AS (
+          SELECT CAST(SUM(c * c) AS BIGINT) AS nq FROM qbuck
+        ), dbuck AS (
+          SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::INT % {dim} AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY doc_id, b
+        ), dnorm AS (
+          SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS nd
+          FROM dbuck GROUP BY doc_id
+        ), dots AS (
+          SELECT d.doc_id, CAST(SUM(d.c * q.c) AS BIGINT) AS dot
+          FROM dbuck d JOIN qbuck q ON d.b = q.b GROUP BY d.doc_id
+        ), dense0 AS (
+          SELECT n.doc_id,
+                 CAST(COALESCE(t.dot, 0) AS DOUBLE)
+                 / sqrt(CAST(n.nd * q.nq AS DOUBLE)) AS cos
+          FROM dnorm n LEFT JOIN dots t USING (doc_id) CROSS JOIN qn q
+          WHERE n.nd > 0 AND q.nq > 0
+        ), dn AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+          FROM dense0
+        ), contrib AS (
+          SELECT doc_id, 1000000000 // ({k0} + rank) AS s
+          FROM bm WHERE rank <= {depth}
+          UNION ALL
+          SELECT doc_id, 1000000000 // ({k0} + rank) AS s
+          FROM dn WHERE rank <= {depth}
+        ), fused AS (
+          SELECT doc_id, CAST(SUM(s) AS BIGINT) AS rrf_micro
+          FROM contrib GROUP BY doc_id
+        ), final AS (
+          SELECT doc_id, rrf_micro,
+                 ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+          FROM fused
+        )
+        SELECT doc_id, rrf_micro, CAST(rank AS BIGINT) AS rank
+        FROM final WHERE rank <= {topk}
+    """

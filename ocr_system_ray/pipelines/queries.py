@@ -8438,3 +8438,49 @@ def q_secret_scan(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     planted = docs.map_batches(plant_secrets_batch, batch_format="pyarrow")
     return secret_scan(planted)
+
+
+def q_hybrid_topk(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval (``functions/hybrid.py``): reciprocal-rank
+    fusion of the persisted-BM25 lexical list and a hashed-BOW dense
+    cosine list (probe = doc 2; 8-token BM25 probe, full-text dense
+    query), both at depth 50, fused with exact-integer ``10^9 //
+    (60 + rank)`` contributions.  Dense pass = one stateless map with
+    per-block top-depth partials; BM25 reads only probed buckets."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from ..functions import bm25
+    from ..functions.hybrid import (
+        bow_query_vector,
+        dense_hashed_topk,
+        rrf_fuse,
+    )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_bm25_index_{_source_tag(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        bm25.build_bm25_index(docs, index_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    probe_row = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 2)],
+    )
+    probe_text = probe_row.column("text").to_pylist()[0] or ""
+    probe = list(dict.fromkeys(probe_text.split(" ")[:8]))
+
+    bm = bm25.bm25_topk(index_dir, probe, k=50).to_pandas()
+    bm = bm.sort_values(["score_micro", "doc_id"], ascending=[False, True])
+    lexical = [int(d) for d in bm["doc_id"]]
+
+    dense = dense_hashed_topk(
+        docs, bow_query_vector(probe_text, 64), depth=50
+    )
+    return rrf_fuse([lexical, [d for d, _ in dense]], k0=60, topk=10)

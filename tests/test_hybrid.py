@@ -1,0 +1,100 @@
+"""Hybrid RRF retrieval (functions/hybrid.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ocr_system_ray.functions.hybrid import (
+    bow_query_vector,
+    dense_hashed_topk,
+    rrf_fuse,
+)
+
+
+def test_rrf_fuse_hand_pins():
+    # list A ranks 1..3 = [7, 8, 9]; list B = [8, 7, 5]
+    out = rrf_fuse([[7, 8, 9], [8, 7, 5]], k0=60, topk=10).to_pandas()
+    c = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    want = {
+        7: c(1) + c(2),
+        8: c(2) + c(1),
+        9: c(3),
+        5: c(3),
+    }
+    got = dict(zip(out["doc_id"], out["rrf_micro"]))
+    assert got == want
+    # 7 and 8 tie exactly → doc_id breaks it; 9 and 5 tie → 5 first
+    assert out["doc_id"].tolist() == [7, 8, 5, 9]
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+
+
+def test_dense_hashed_topk_matches_duckdb(ray_session):
+    rng = np.random.default_rng(53)
+    words = [f"w{i}" for i in range(40)]
+    n = 120
+    texts = [
+        " ".join(rng.choice(words, rng.integers(1, 60))) if i % 9 else ""
+        for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    qtext = texts[2]
+    got = dense_hashed_topk(
+        ray.data.from_arrow(t).repartition(4),
+        bow_query_vector(qtext, 64),
+        depth=25,
+    )
+    duckdb.sql("CREATE OR REPLACE TEMP TABLE hyb_t AS SELECT * FROM t")
+    want = duckdb.sql(
+        """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(COALESCE(text,''),' ')) AS token
+          FROM hyb_t
+        ), qbuck AS (
+          SELECT ('0x'||substr(md5(token),1,4))::INT % 64 AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM toks WHERE doc_id = 2 GROUP BY b
+        ), qn AS (SELECT CAST(SUM(c*c) AS BIGINT) AS nq FROM qbuck),
+        dbuck AS (
+          SELECT doc_id, ('0x'||substr(md5(token),1,4))::INT % 64 AS b,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY doc_id, b
+        ), dnorm AS (
+          SELECT doc_id, CAST(SUM(c*c) AS BIGINT) AS nd FROM dbuck GROUP BY doc_id
+        ), dots AS (
+          SELECT d.doc_id, CAST(SUM(d.c*q.c) AS BIGINT) AS dot
+          FROM dbuck d JOIN qbuck q ON d.b = q.b GROUP BY d.doc_id
+        )
+        SELECT n.doc_id,
+               CAST(COALESCE(t.dot,0) AS DOUBLE)/sqrt(CAST(n.nd*q.nq AS DOUBLE)) AS cos
+        FROM dnorm n LEFT JOIN dots t USING (doc_id) CROSS JOIN qn q
+        WHERE n.nd > 0 AND q.nq > 0
+        ORDER BY cos DESC, doc_id LIMIT 25
+        """
+    ).fetchall()
+    assert [(int(d), float(c)) for d, c in want] == got
+    # the probe doc itself ranks first at cosine exactly 1.0
+    assert got[0][0] == 2 and got[0][1] == 1.0
+
+
+def test_dense_hashed_topk_empty_query(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["hello world"], pa.string()),
+        }
+    )
+    assert (
+        dense_hashed_topk(
+            ray.data.from_arrow(t), np.zeros(64, dtype=np.int64), depth=5
+        )
+        == []
+    )
