@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_activity": q.q_decayed_activity,
         "secret_scan": q.q_secret_scan,
         "hybrid_topk": q.q_hybrid_topk,
+        "dbscan_clusters": q.q_dbscan_clusters,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
         "credit_card_scan": q.q_credit_card_scan,
@@ -855,6 +856,12 @@ def _hybrid_topk_sql() -> str:
     from ocr_system_ray.functions.hybrid import hybrid_rrf_sql
 
     return hybrid_rrf_sql(probe_doc_id=2, dim=64, depth=50, k0=60, topk=10)
+
+
+def _dbscan_sql() -> str:
+    from ocr_system_ray.functions.clustering import dbscan_sql
+
+    return dbscan_sql(eps_cos=0.4, min_pts=3, rounds=12)
 
 
 def _pseudonymize_sql() -> str:
@@ -1949,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
         # hybrid_topk: BM25 recompute + md5-carve hashed-BOW cosine,
         # fused by the same integer // RRF contributions
         "hybrid_topk": _hybrid_topk_sql(),
+        # dbscan_clusters: brute-force eps-pairs + unrolled min-label CTEs
+        "dbscan_clusters": _dbscan_sql(),
         # vocab_growth: first-occurrence doc per token via GROUP BY/MIN
         # + per-checkpoint counts, same doc_id-token enrichment
         "vocab_growth": _vocab_growth_sql(),

@@ -273,6 +273,7 @@ def _query_suite() -> dict:
         "decayed_activity": q.q_decayed_activity,
         "secret_scan": q.q_secret_scan,
         "hybrid_topk": q.q_hybrid_topk,
+        "dbscan_clusters": q.q_dbscan_clusters,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -249,3 +249,221 @@ def semdedup(
     return labeled.groupby(cluster_col).map_groups(
         dedup_in_cluster, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over an embedding column (density clustering)
+# ---------------------------------------------------------------------------
+
+
+def dbscan_embeddings(
+    ds: ray.data.Dataset,
+    ids_mat_ref,
+    *,
+    eps_cos: float = 0.4,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """DBSCAN (Ester et al., KDD'96) with a cosine ε-ball, re-expressed
+    as three set operations over the repo's existing machinery — no
+    point ever "visits" another:
+
+    1. **ε-pairs**: all (a < b) with ``round(cos, 6) ≥ eps_cos`` — the
+       ``embedding_dup_exact`` broadcast-matmul pass here (O(n²) flops,
+       zero shuffle); the 10⁹-row path swaps in the LSH pair stream
+       (``dedup.embedding_dup_pairs``) unchanged, since steps 2-3 only
+       consume pairs.
+    2. **cores**: nodes with ``degree + 1 ≥ min_pts`` (the ε-ball
+       includes the point itself) — one symmetrized single-column
+       groupby-count over pair endpoints.
+    3. **clusters**: connected components over CORE-CORE pairs
+       (``dedup.connected_components`` — distributed min-label
+       propagation), label = min core id per component.  Border points
+       (non-core with ≥1 core neighbour) take the MIN label among
+       their core neighbours; everything else is noise (label −1).
+
+    ``ids_mat_ref`` is the broadcast ``ray.put((ids, normalized_mat))``
+    used by the pair pass (the dup-exact contract: built once from a
+    column-pruned read).  The core-label and border attachments
+    broadcast only the CORE population — the dup-dense minority.
+
+    → ``(id_col, cluster, role)``, one row per input row; role ∈
+    {'core','border','noise'}; noise cluster = −1.  Deterministic:
+    quantized cosines, min-label components, min-neighbour borders.
+    """
+    from .dedup import connected_components
+    from .similarity import _normalize
+    from .textstats import _broadcast_memo
+
+    if min_pts < 2:
+        raise ValueError("min_pts must be >= 2")
+
+    def pair_emit(batch: pa.Table) -> pa.Table:
+        ids_all, mat = _broadcast_memo(ids_mat_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _normalize(
+            np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        sims = vecs @ mat.T
+        bi, aj = np.nonzero(np.round(sims, 6) >= eps_cos)
+        keep = ids[bi] < ids_all[aj]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi][keep], pa.int64()),
+                "id_b": pa.array(ids_all[aj][keep], pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(pair_emit, batch_format="pyarrow").materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    deg = pairs.map_batches(sym, batch_format="pyarrow").groupby("node").count()
+    core_rows = deg.filter(lambda r: r["count()"] + 1 >= min_pts).take_all()
+    core_set = frozenset(int(r["node"]) for r in core_rows)
+    core_ref = ray.put(core_set)
+
+    def core_core(t: pa.Table) -> pa.Table:
+        cs = _broadcast_memo(core_ref)
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            ((x in cs) and (y in cs) for x, y in zip(a, b)), dtype=bool, count=len(a)
+        )
+        return pa.table(
+            {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b[keep], pa.int64())}
+        )
+
+    cc_edges = pairs.map_batches(core_core, batch_format="pyarrow")
+    # isolated cores (no core neighbour) form singleton clusters of
+    # their own id — connected_components only sees nodes WITH edges
+    if cc_edges.count() > 0:
+        label_rows = connected_components(cc_edges).take_all()
+        core_label = {int(r["node"]): int(r["label"]) for r in label_rows}
+    else:
+        core_label = {}
+    for c in core_set:
+        core_label.setdefault(c, c)
+    label_ref = ray.put(core_label)
+
+    # border label: min over core neighbours' labels, per non-core node
+    def border_emit(t: pa.Table) -> pa.Table:
+        lab = _broadcast_memo(label_ref)
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        nodes, labels = [], []
+        for x, y in zip(a, b):
+            if x in lab and y not in lab:
+                nodes.append(int(y)); labels.append(lab[x])
+            elif y in lab and x not in lab:
+                nodes.append(int(x)); labels.append(lab[y])
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "blabel": pa.array(labels, pa.int64()),
+            }
+        )
+
+    border_rows = (
+        pairs.map_batches(border_emit, batch_format="pyarrow")
+        .groupby("node")
+        .min("blabel")
+        .take_all()
+    )
+    border_label = {int(r["node"]): int(r["min(blabel)"]) for r in border_rows}
+    border_ref = ray.put(border_label)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = _broadcast_memo(label_ref)
+        bl = _broadcast_memo(border_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        cluster = np.full(len(ids), -1, dtype=np.int64)
+        role = np.full(len(ids), "noise", dtype=object)
+        for i, x in enumerate(ids):
+            xi = int(x)
+            if xi in lab:
+                cluster[i] = lab[xi]
+                role[i] = "core"
+            elif xi in bl:
+                cluster[i] = bl[xi]
+                role[i] = "border"
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "cluster": pa.array(cluster, pa.int64()),
+                "role": pa.array(role, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
+
+
+def dbscan_sql(
+    *,
+    eps_cos: float = 0.4,
+    min_pts: int = 3,
+    rounds: int = 12,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The DuckDB twin of :func:`dbscan_embeddings`: brute-force
+    ε-pairs (the embedding_dup_exact oracle), degree→cores, ``rounds``
+    unrolled MATERIALIZED min-label CTE rounds over core-core edges
+    (converges once rounds ≥ core-component diameter — asserted by the
+    Ray side's exact convergence matching), min-neighbour borders.
+    CTE names are ``db_``-prefixed (local-variable binding trap)."""
+    parts = [
+        f"""db_p AS MATERIALIZED (
+            SELECT a.{id_col} AS u, b.{id_col} AS v
+            FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+            WHERE round(list_cosine_similarity(a.{vec_col}, b.{vec_col}), 6)
+                  >= {eps_cos})""",
+        """db_e AS MATERIALIZED (
+            SELECT u, v FROM db_p UNION ALL SELECT v AS u, u AS v FROM db_p)""",
+        f"""db_core AS MATERIALIZED (
+            SELECT u AS node FROM db_e GROUP BY u
+            HAVING COUNT(*) + 1 >= {min_pts})""",
+        """db_ce AS MATERIALIZED (
+            SELECT e.u, e.v FROM db_e e
+            JOIN db_core c1 ON e.u = c1.node
+            JOIN db_core c2 ON e.v = c2.node)""",
+        """db_l0 AS MATERIALIZED (
+            SELECT node, node AS label FROM db_core)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""db_l{k} AS MATERIALIZED (
+                SELECT node, MIN(label) AS label FROM (
+                    SELECT node, label FROM db_l{k - 1}
+                    UNION ALL
+                    SELECT e.v AS node, r.label
+                    FROM db_ce e JOIN db_l{k - 1} r ON e.u = r.node
+                ) GROUP BY node)"""
+        )
+    parts.append(
+        f"""db_border AS MATERIALIZED (
+            SELECT e.v AS node, MIN(l.label) AS label
+            FROM db_e e
+            JOIN db_l{rounds} l ON e.u = l.node
+            LEFT JOIN db_core c ON e.v = c.node
+            WHERE c.node IS NULL
+            GROUP BY e.v)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT t.{id_col},
+               CAST(COALESCE(l.label, b.label, -1) AS BIGINT) AS cluster,
+               CASE WHEN l.node IS NOT NULL THEN 'core'
+                    WHEN b.node IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role
+        FROM {table} t
+        LEFT JOIN db_l{rounds} l ON t.{id_col} = l.node
+        LEFT JOIN db_border b ON t.{id_col} = b.node"""
+    )

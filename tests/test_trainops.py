@@ -2498,3 +2498,140 @@ def test_token_index_update_meta_validation(ray_session, tmp_path):
     invindex.build_token_index(ds, idx)
     with _pytest.raises(ValueError, match="id_col"):
         invindex.update_token_index(ds, idx, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over embeddings (functions/clustering.py:dbscan_embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _dbscan_twin(ids, x, eps=0.4, min_pts=3):
+    """Brute-force single-matrix DBSCAN twin: quantized-cosine ε-pairs,
+    cores by ball population (self included), min-label components over
+    core-core edges, min-core-neighbour borders, −1 noise."""
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    u = x / n
+    sims = np.round(u @ u.T, 6)
+    adj = sims >= eps
+    np.fill_diagonal(adj, False)
+    deg = adj.sum(axis=1)
+    is_core = deg + 1 >= min_pts
+    # min-label propagation to a fixed point over core-core edges
+    label = {int(ids[i]): int(ids[i]) for i in np.nonzero(is_core)[0]}
+    changed = True
+    while changed:
+        changed = False
+        for i in np.nonzero(is_core)[0]:
+            for j in np.nonzero(adj[i] & is_core)[0]:
+                m = min(label[int(ids[i])], label[int(ids[j])])
+                for k in (int(ids[i]), int(ids[j])):
+                    if label[k] != m:
+                        label[k] = m
+                        changed = True
+    out = {}
+    for i in range(len(ids)):
+        gid = int(ids[i])
+        if is_core[i]:
+            out[gid] = (label[gid], "core")
+        else:
+            core_nbrs = [label[int(ids[j])] for j in np.nonzero(adj[i] & is_core)[0]]
+            if core_nbrs:
+                out[gid] = (min(core_nbrs), "border")
+            else:
+                out[gid] = (-1, "noise")
+    return out
+
+
+def _dbscan_run(ds_ids, mat, ds, eps=0.4, min_pts=3):
+    from ocr_system_ray.functions.similarity import _normalize
+
+    ref = ray.put((np.asarray(ds_ids, dtype=np.int64), _normalize(np.asarray(mat, dtype=np.float64))))
+    return clustering.dbscan_embeddings(ds, ref, eps_cos=eps, min_pts=min_pts)
+
+
+def test_dbscan_equals_bruteforce_twin(ray_session):
+    ids, x = _ids_and_matrix()
+    want = _dbscan_twin(ids, x, eps=0.4, min_pts=3)
+    emb = ray.data.read_parquet(
+        f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = _dbscan_run(ids, x, emb).take_all()
+    assert len(out) == len(ids)
+    got = {r["vec_id"]: (r["cluster"], r["role"]) for r in out}
+    assert got == want
+    # sanity: the synthetic corpus must exercise all three roles
+    roles = {r["role"] for r in out}
+    assert roles == {"core", "border", "noise"}
+
+
+def test_dbscan_core_border_noise_roles(ray_session):
+    """Hand-built geometry (eps=0.95, min_pts=4): point 1 is the only
+    core (ball = {0,1,2,3}); 0/2/3 are its borders and take its label;
+    an isolated pair and a lone far point are noise."""
+    vecs = [
+        [1.0, 0.0],        # 0: border (nbrs 1,2 → ball of 3 < 4)
+        [0.98, 0.2],       # 1: core (nbrs 0,2,3 → ball of 4)
+        [0.995, 0.1],      # 2: border (nbrs 0,1)
+        [0.9, 0.44],       # 3: border (nbr 1 only)
+        [-1.0, 0.1],       # 4: noise pair member
+        [-1.0, 0.12],      # 5: noise pair member
+        [0.0, -1.0],       # 6: lone noise
+    ]
+    ids = np.arange(7, dtype=np.int64)
+    x = np.asarray(vecs, dtype=np.float64)
+    want = _dbscan_twin(ids, x, eps=0.95, min_pts=4)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(3)
+    out = {
+        r["vec_id"]: (r["cluster"], r["role"])
+        for r in _dbscan_run(ids, x, ds, eps=0.95, min_pts=4).take_all()
+    }
+    assert out == want
+    # the fixture really covers every role
+    assert {v[1] for v in out.values()} == {"core", "border", "noise"}
+    assert out[4] == (-1, "noise") and out[5] == (-1, "noise")
+    assert out[1] == (1, "core")
+    assert out[0] == (1, "border") and out[2] == (1, "border") and out[3] == (1, "border")
+
+
+def test_dbscan_isolated_core_is_singleton_cluster(ray_session):
+    """min_pts=2: a mutually-near pair where each point's only
+    neighbour is the other → both core, one 2-point cluster; a lone
+    point stays noise."""
+    vecs = [[1.0, 0.0], [0.99, 0.05], [-1.0, 0.0]]
+    ids = np.arange(3, dtype=np.int64)
+    x = np.asarray(vecs, dtype=np.float64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = {
+        r["vec_id"]: (r["cluster"], r["role"])
+        for r in _dbscan_run(ids, x, ds, eps=0.9, min_pts=2).take_all()
+    }
+    assert out == {0: (0, "core"), 1: (0, "core"), 2: (-1, "noise")}
+
+
+def test_dbscan_batching_invariance(ray_session):
+    ids, x = _ids_and_matrix()
+    results = []
+    for blocks in (1, 7):
+        emb = ray.data.read_parquet(
+            f"{SF001}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            override_num_blocks=blocks,
+        )
+        out = _dbscan_run(ids, x, emb).take_all()
+        results.append(sorted((r["vec_id"], r["cluster"], r["role"]) for r in out))
+    assert results[0] == results[1]
