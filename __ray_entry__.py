@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_exact": q.q_value_quantiles_exact,
         "compression_ratio": q.q_compression_ratio,
         "span_corruption": q.q_span_corruption,
+        "fim_transform": q.q_fim_transform,
         "event_transitions": q.q_event_transitions,
         "event_paths": q.q_event_paths,
         "decayed_activity": q.q_decayed_activity,
@@ -745,6 +746,12 @@ def _span_corruption_sql() -> str:
     from ocr_system_ray.functions.spancorrupt import sql_span_corruption_select
 
     return sql_span_corruption_select("FROM documents")
+
+
+def _fim_sql() -> str:
+    from ocr_system_ray.functions.spancorrupt import sql_fim_select
+
+    return sql_fim_select("FROM documents")
 
 
 def _event_transitions_sql() -> str:
@@ -1944,6 +1951,9 @@ def oracle_sql() -> dict[str, str]:
         # (input, target) sequence rebuilt in SQL from the shared token
         # class, block carve, and sentinel layout
         "span_corruption": _span_corruption_sql(),
+        # fim_transform: the same carve contract, sequences rebuilt
+        # via character-based substr on both engines
+        "fim_transform": _fim_sql(),
         # event_transitions: the LEAD() window twin over (ts, id) order
         "event_transitions": _event_transitions_sql(),
         # event_paths: the LEAD()-chain twin over (ts, id) order

@@ -274,6 +274,7 @@ def _query_suite() -> dict:
         "secret_scan": q.q_secret_scan,
         "hybrid_topk": q.q_hybrid_topk,
         "dbscan_clusters": q.q_dbscan_clusters,
+        "fim_transform": q.q_fim_transform,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

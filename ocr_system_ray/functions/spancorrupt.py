@@ -205,3 +205,155 @@ def sql_span_corruption_select(
                 ' '), '')) AS target_md5
         FROM __b
     """
+
+
+# ---------------------------------------------------------------------------
+# FIM (fill-in-the-middle) transformation
+# ---------------------------------------------------------------------------
+
+
+def _carve13(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+
+
+_FIM_PRE = "<fim_prefix>"
+_FIM_SUF = "<fim_suffix>"
+_FIM_MID = "<fim_middle>"
+
+
+def fim_transform(
+    ds: ray.data.Dataset,
+    *,
+    fim_permille: int = 500,
+    spm_permille: int = 500,
+    salt: str = "fim",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Fill-in-the-middle objective construction (Bavarian et al. 2022,
+    "Efficient Training of LMs to Fill in the Middle"; the StarCoder /
+    code-corpus training transform): a carve-selected fraction of
+    documents is split at two character cut points into
+    (prefix, middle, suffix) and re-serialized in sentinel layout —
+
+    * PSM: ``<fim_prefix>P<fim_suffix>S<fim_middle>M``
+    * SPM: ``<fim_prefix><fim_suffix>S<fim_middle>PM`` (the paper's
+      joined prefix-middle variant)
+
+    Determinism contract (≡ the span-corruption one): no RNG — document
+    selection, PSM-vs-SPM mode, and both cut points are md5 carves of
+    ``salt:id:{sel,spm,c1,c2}``; cuts are ``carve % (n_chars + 1)`` with
+    lo/hi ordering, so the transform is a pure function of (id, text),
+    stable across runs, block layouts, and corpus growth.  Unselected
+    documents pass through as ``mode='plain'`` with the original text's
+    md5 (row conservation — the trainer sees every document exactly
+    once).  Null text transforms as ``''``.
+
+    Only the md5 of the serialized sequence crosses the stage boundary;
+    scale shape: row-local stateless ``map_batches``, no shuffle.
+    → ``(id_col, mode, cut_lo, cut_hi, n_chars, seq_md5)``.
+    """
+    if not 0 <= fim_permille <= 1000:
+        raise ValueError("fim_permille must be in [0, 1000]")
+    if not 0 <= spm_permille <= 1000:
+        raise ValueError("spm_permille must be in [0, 1000]")
+    sel_thr = _thr(fim_permille)
+    spm_thr = _thr(spm_permille)
+
+    def run(t: pa.Table) -> pa.Table:
+        ids_out, modes, lo_out, hi_out, n_out, md5_out = [], [], [], [], [], []
+        for did, text in zip(
+            t.column(id_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            s = text or ""
+            n = len(s)
+            if _carve13(f"{salt}:{did}:sel") < sel_thr:
+                c1 = _carve13(f"{salt}:{did}:c1") % (n + 1)
+                c2 = _carve13(f"{salt}:{did}:c2") % (n + 1)
+                lo, hi = (c1, c2) if c1 <= c2 else (c2, c1)
+                pre, mid, suf = s[:lo], s[lo:hi], s[hi:]
+                if _carve13(f"{salt}:{did}:spm") < spm_thr:
+                    mode = "spm"
+                    seq = f"{_FIM_PRE}{_FIM_SUF}{suf}{_FIM_MID}{pre}{mid}"
+                else:
+                    mode = "psm"
+                    seq = f"{_FIM_PRE}{pre}{_FIM_SUF}{suf}{_FIM_MID}{mid}"
+            else:
+                mode, lo, hi, seq = "plain", 0, 0, s
+            ids_out.append(did)
+            modes.append(mode)
+            lo_out.append(lo)
+            hi_out.append(hi)
+            n_out.append(n)
+            md5_out.append(hashlib.md5(seq.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.int64()),
+                "mode": pa.array(modes, pa.string()),
+                "cut_lo": pa.array(lo_out, pa.int64()),
+                "cut_hi": pa.array(hi_out, pa.int64()),
+                "n_chars": pa.array(n_out, pa.int64()),
+                "seq_md5": pa.array(md5_out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def sql_fim_select(
+    from_clause: str,
+    *,
+    fim_permille: int = 500,
+    spm_permille: int = 500,
+    salt: str = "fim",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """GENERATED DuckDB twin of :func:`fim_transform`: the same carves
+    (13-hex md5 → BIGINT), the same ``% (length + 1)`` cuts, and the
+    same sentinel serialization via substr — DuckDB ``length``/
+    ``substr`` are character-based ≡ Python ``len``/slicing, and
+    ``md5(varchar)`` hashes UTF-8 bytes ≡ ``md5(s.encode())``."""
+    sel_thr = _thr(fim_permille)
+    spm_thr = _thr(spm_permille)
+
+    def carve(tag: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{salt}:' || {id_expr} || ':{tag}'),"
+            " 1, 13)) AS BIGINT)"
+        )
+
+    return f"""
+        WITH __f0 AS (
+            SELECT {id_expr} AS doc_id,
+                   COALESCE({text_expr}, '') AS s,
+                   {carve('sel')} < {sel_thr} AS sel,
+                   {carve('spm')} < {spm_thr} AS spm,
+                   {carve('c1')} % (length(COALESCE({text_expr}, '')) + 1) AS c1,
+                   {carve('c2')} % (length(COALESCE({text_expr}, '')) + 1) AS c2
+            {from_clause}
+        ), __f1 AS (
+            SELECT doc_id, s, sel, spm,
+                   CASE WHEN sel THEN least(c1, c2) ELSE 0 END AS cut_lo,
+                   CASE WHEN sel THEN greatest(c1, c2) ELSE 0 END AS cut_hi
+            FROM __f0
+        )
+        SELECT doc_id,
+               CASE WHEN NOT sel THEN 'plain'
+                    WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+               CAST(cut_lo AS BIGINT) AS cut_lo,
+               CAST(cut_hi AS BIGINT) AS cut_hi,
+               CAST(length(s) AS BIGINT) AS n_chars,
+               md5(CASE
+                   WHEN NOT sel THEN s
+                   WHEN spm THEN '{_FIM_PRE}{_FIM_SUF}'
+                        || substr(s, cut_hi + 1)
+                        || '{_FIM_MID}' || substr(s, 1, cut_lo)
+                        || substr(s, cut_lo + 1, cut_hi - cut_lo)
+                   ELSE '{_FIM_PRE}' || substr(s, 1, cut_lo)
+                        || '{_FIM_SUF}' || substr(s, cut_hi + 1)
+                        || '{_FIM_MID}'
+                        || substr(s, cut_lo + 1, cut_hi - cut_lo)
+                   END) AS seq_md5
+        FROM __f1
+    """

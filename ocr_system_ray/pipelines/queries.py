@@ -8508,3 +8508,17 @@ def q_dbscan_clusters(sf_dir: str) -> ray.data.Dataset:
     ref = ray.put((ids_all, mat))
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return dbscan_embeddings(ds, ref, eps_cos=0.4, min_pts=3)
+
+
+def q_fim_transform(sf_dir: str) -> ray.data.Dataset:
+    """Fill-in-the-middle objective construction over the documents
+    table (``functions/spancorrupt.py:fim_transform``): md5-carved
+    selection/mode/cut-point lottery → PSM/SPM sentinel sequences,
+    plain passthrough for unselected rows (row conservation) — the
+    code-corpus training transform (Bavarian et al. 2022) next to the
+    T5 span-corruption leg.  Row-local, no shuffle.  Oracle = the
+    GENERATED substr-rebuild twin."""
+    from ..functions.spancorrupt import fim_transform
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return fim_transform(docs)

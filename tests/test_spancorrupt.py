@@ -137,3 +137,118 @@ def test_bad_args():
         span_corruption(ds, span=0)
     with pytest.raises(ValueError):
         span_corruption(ds, noise_permille=1001)
+
+
+# ---------------------------------------------------------------------------
+# FIM transformation (spancorrupt.fim_transform)
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.spancorrupt import (  # noqa: E402
+    fim_transform,
+    sql_fim_select,
+)
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+@pytest.mark.parametrize(
+    "params",
+    [
+        {},  # defaults: fim=500 spm=500
+        {"fim_permille": 900, "spm_permille": 0},
+        {"fim_permille": 1000, "spm_permille": 1000, "salt": "other"},
+    ],
+)
+def test_fim_matches_duckdb_twin(ray_session, nblocks, params):
+    t = _docs_table()  # noqa: F841
+    ds = ray.data.from_arrow(_docs_table()).repartition(nblocks)
+    got = (
+        fim_transform(ds, **params)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(sql_fim_select("FROM t", **params) + " ORDER BY doc_id")
+        .df()
+        .reset_index(drop=True)
+    )
+    for col in got.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_fim_layout_pins(ray_session):
+    """Recompute the carves by hand and pin the exact PSM and SPM
+    serializations for one document under full selection."""
+    s = "abcdefghij"
+    t = pa.table({"doc_id": pa.array([3], pa.int64()), "text": [s]})
+
+    def carve(tag, did=3, salt="fim"):
+        return int(
+            hashlib.md5(f"{salt}:{did}:{tag}".encode()).hexdigest()[:13], 16
+        )
+
+    c1 = carve("c1") % 11
+    c2 = carve("c2") % 11
+    lo, hi = min(c1, c2), max(c1, c2)
+    pre, mid, suf = s[:lo], s[lo:hi], s[hi:]
+    spm = carve("spm") < (1000 << 52) // 1000
+
+    out = fim_transform(
+        ray.data.from_arrow(t), fim_permille=1000, spm_permille=1000
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["mode"] == "spm"  # spm_permille=1000 forces SPM
+    assert (row["cut_lo"], row["cut_hi"], row["n_chars"]) == (lo, hi, 10)
+    want = f"<fim_prefix><fim_suffix>{suf}<fim_middle>{pre}{mid}"
+    assert row["seq_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert spm  # sanity on the hand carve
+
+    out = fim_transform(
+        ray.data.from_arrow(t), fim_permille=1000, spm_permille=0
+    ).to_pandas()
+    row = out.iloc[0]
+    assert row["mode"] == "psm"
+    want = f"<fim_prefix>{pre}<fim_suffix>{suf}<fim_middle>{mid}"
+    assert row["seq_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_fim_plain_passthrough_and_null(ray_session):
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": ["hello world", None]}
+    )
+    out = (
+        fim_transform(ray.data.from_arrow(t), fim_permille=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["mode"].tolist() == ["plain", "plain"]
+    assert out["cut_lo"].tolist() == [0, 0]
+    assert out["seq_md5"][0] == hashlib.md5(b"hello world").hexdigest()
+    assert out["seq_md5"][1] == hashlib.md5(b"").hexdigest()
+    assert out["n_chars"].tolist() == [11, 0]
+
+
+def test_fim_row_conservation_and_mode_mix(ray_session):
+    texts = [f"doc number {i} with some body text" for i in range(300)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = fim_transform(ray.data.from_arrow(t).repartition(5)).to_pandas()
+    assert len(out) == 300  # every document exactly once
+    counts = out["mode"].value_counts()
+    # fim=500, spm=500 → roughly half plain, quarter psm, quarter spm
+    assert 100 < counts["plain"] < 200
+    assert 40 < counts["psm"] < 110
+    assert 40 < counts["spm"] < 110
+
+
+def test_fim_bad_args():
+    ds = ray.data.from_items([{"doc_id": 1, "text": "x"}])
+    with pytest.raises(ValueError):
+        fim_transform(ds, fim_permille=-1)
+    with pytest.raises(ValueError):
+        fim_transform(ds, spm_permille=1001)
