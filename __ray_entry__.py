@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q.q_compression_ratio,
         "span_corruption": q.q_span_corruption,
         "fim_transform": q.q_fim_transform,
+        "k_anonymity": q.q_k_anonymity,
         "event_transitions": q.q_event_transitions,
         "event_paths": q.q_event_paths,
         "decayed_activity": q.q_decayed_activity,
@@ -752,6 +753,18 @@ def _fim_sql() -> str:
     from ocr_system_ray.functions.spancorrupt import sql_fim_select
 
     return sql_fim_select("FROM documents")
+
+
+def _k_anonymity_sql() -> str:
+    from ocr_system_ray.functions.privacy import k_anonymity_sql
+
+    return k_anonymity_sql(
+        "customer",
+        ["c_nationkey", "c_mktsegment"],
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)",
+        k=5,
+        l_div=2,
+    )
 
 
 def _event_transitions_sql() -> str:
@@ -1954,6 +1967,9 @@ def oracle_sql() -> dict[str, str]:
         # fim_transform: the same carve contract, sequences rebuilt
         # via character-based substr on both engines
         "fim_transform": _fim_sql(),
+        # k_anonymity: plain GROUP BY + COUNT(DISTINCT) twin of the
+        # packed-pair-key two-groupby plan
+        "k_anonymity": _k_anonymity_sql(),
         # event_transitions: the LEAD() window twin over (ts, id) order
         "event_transitions": _event_transitions_sql(),
         # event_paths: the LEAD()-chain twin over (ts, id) order

@@ -275,6 +275,7 @@ def _query_suite() -> dict:
         "hybrid_topk": q.q_hybrid_topk,
         "dbscan_clusters": q.q_dbscan_clusters,
         "fim_transform": q.q_fim_transform,
+        "k_anonymity": q.q_k_anonymity,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -1,0 +1,164 @@
+"""k-anonymity / l-diversity release audit.
+
+The governance question before publishing any per-person extract (the
+reference exports per-document CSV rows keyed by identifying fields,
+`/root/reference/ocr/csv_utils.py:8-16`): does every quasi-identifier
+(QI) combination appear at least *k* times (k-anonymity, Sweeney 2002),
+and does each QI group carry at least *l* distinct sensitive values
+(l-diversity, Machanavelli et al. 2007)?  A group failing either flag
+must be suppressed or generalized before release.
+
+Scale shape (the packed-key idiom — multi-column groupby is
+pathological in ray 2.49, see CLAUDE.md):
+
+1. per-batch pre-aggregation: distinct ``(QI ⊕ sensitive)`` packed
+   pairs with in-batch counts — the shuffle moves at most the distinct
+   pair set per batch, never the corpus;
+2. ONE single-column groupby-sum over the packed pair key → exact
+   (QI, sensitive) totals;
+3. re-key to the QI prefix and ONE single-column
+   ``aggregate(Sum, Count)`` → group size + distinct-sensitive count
+   in a single pass (the pair stream is already distinct per group);
+4. row-local unpack + flag map.
+
+Both groupbys are value-cardinality-bounded (≤ distinct pairs, ≤
+distinct groups).  Nulls: QI nulls group together (SQL GROUP BY
+semantics) and survive to the output as nulls; a null sensitive value
+COUNTS as one distinct value (the twin says
+``COUNT(DISTINCT COALESCE(CAST(s AS VARCHAR), chr(1)))``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# unit separators: \x1f between QI fields, \x1e between QI and
+# sensitive, \x01 for a NULL cell (never produced by CAST AS VARCHAR)
+_FS = "\x1f"
+_GS = "\x1e"
+_NULL = "\x01"
+
+
+def _pack(vals: list) -> str:
+    return _FS.join(_NULL if v is None else str(v) for v in vals)
+
+
+def k_anonymity_report(
+    ds: ray.data.Dataset,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    k: int = 5,
+    l_div: int = 2,
+) -> ray.data.Dataset:
+    """One row per QI group: the QI values (as VARCHAR, nulls kept),
+    ``group_size``, ``distinct_sensitive``, and 0/1 ``k_ok`` /
+    ``l_ok`` flags.  ``k_ok = group_size >= k``; ``l_ok =
+    distinct_sensitive >= l_div``.
+
+    QI and sensitive cells are compared by their string form
+    (``str(v)`` ≡ ``CAST(v AS VARCHAR)`` for ints/strings — pre-derive
+    integer cents etc. for float columns, the repo's cents contract).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 1 or l_div < 1:
+        raise ValueError("k and l_div must be >= 1")
+    qi_cols = list(qi_cols)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cols = [t.column(c).to_pylist() for c in qi_cols]
+        sens = t.column(sensitive_col).to_pylist()
+        keys = [
+            _pack(list(row)) + _GS + (_NULL if s is None else str(s))
+            for *row, s in zip(*cols, sens)
+        ]
+        vc = pd.Series(keys, dtype=object).value_counts()
+        return pa.table(
+            {
+                "pair_key": pa.array(vc.index.astype(str), pa.string()),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    pair_totals = (
+        ds.select_columns(list(qi_cols) + [sensitive_col])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("pair_key")
+        .sum("cnt")
+    )
+
+    def rekey(t: pa.Table) -> pa.Table:
+        qi_keys = [
+            s.rsplit(_GS, 1)[0] for s in t.column("pair_key").to_pylist()
+        ]
+        return pa.table(
+            {
+                "qi_key": pa.array(qi_keys, pa.string()),
+                "cnt": t.column("sum(cnt)"),
+            }
+        )
+
+    groups = (
+        pair_totals.map_batches(rekey, batch_format="pyarrow")
+        .groupby("qi_key")
+        .aggregate(Sum("cnt"), Count())
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out: dict[str, pa.Array] = {}
+        parts = [s.split(_FS) for s in t.column("qi_key").to_pylist()]
+        for i, c in enumerate(qi_cols):
+            out[c] = pa.array(
+                [None if p[i] == _NULL else p[i] for p in parts], pa.string()
+            )
+        size = t.column("sum(cnt)").to_pylist()
+        dist = t.column("count()").to_pylist()
+        out["group_size"] = pa.array(size, pa.int64())
+        out["distinct_sensitive"] = pa.array(dist, pa.int64())
+        out["k_ok"] = pa.array([int(s >= k) for s in size], pa.int64())
+        out["l_ok"] = pa.array([int(d >= l_div) for d in dist], pa.int64())
+        return pa.table(out)
+
+    return groups.map_batches(finish, batch_format="pyarrow")
+
+
+def k_anonymity_sql(
+    table: str,
+    qi_cols: Sequence[str],
+    sensitive_expr: str,
+    *,
+    k: int = 5,
+    l_div: int = 2,
+) -> str:
+    """The DuckDB twin: plain GROUP BY over the QI columns with
+    COUNT(*) / COUNT(DISTINCT coalesced-sensitive) and the same CASE
+    flags.  Null sensitive values count as one distinct value (matching
+    the Ray side's null sentinel)."""
+    qi_vars = ", ".join(
+        f"CAST({c} AS VARCHAR) AS {c}" for c in qi_cols
+    )
+    qi_group = ", ".join(f"CAST({c} AS VARCHAR)" for c in qi_cols)
+    return f"""
+        SELECT {qi_vars},
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT COALESCE(
+                   CAST({sensitive_expr} AS VARCHAR), chr(1)))
+                    AS BIGINT) AS distinct_sensitive,
+               CAST(CASE WHEN COUNT(*) >= {k} THEN 1 ELSE 0 END
+                    AS BIGINT) AS k_ok,
+               CAST(CASE WHEN COUNT(DISTINCT COALESCE(
+                        CAST({sensitive_expr} AS VARCHAR), chr(1))) >= {l_div}
+                    THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+        FROM {table}
+        GROUP BY {qi_group}
+    """

@@ -8522,3 +8522,29 @@ def q_fim_transform(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return fim_transform(docs)
+
+
+def q_k_anonymity(sf_dir: str) -> ray.data.Dataset:
+    """k-anonymity / l-diversity release audit over the customer table
+    (``functions/privacy.py:k_anonymity_report``): QI = (nation,
+    market segment), sensitive = account balance in exact cents; per-QI
+    group size + distinct-sensitive counts via two packed-single-column
+    groupbys (distinct pairs move, never the corpus), 0/1 flags at
+    k=5, l=2.  Oracle = plain GROUP BY with COUNT / COUNT(DISTINCT)."""
+    from ..functions.privacy import k_anonymity_report
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bal_cents",
+            pa.array(np.floor(bal * 100 + 0.5).astype(np.int64), pa.int64()),
+        )
+
+    ds = cust.map_batches(cents, batch_format="pyarrow")
+    return k_anonymity_report(
+        ds, ["c_nationkey", "c_mktsegment"], "bal_cents", k=5, l_div=2
+    )

@@ -1,0 +1,120 @@
+"""k-anonymity / l-diversity audit (functions/privacy.py) — DuckDB
+GROUP BY twin equality incl. nulls, hand-pinned flags, layout
+invariance, argument validation."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.privacy import k_anonymity_report, k_anonymity_sql
+
+
+def _people() -> pa.Table:
+    # 12 rows; QI = (zip, age_band); sensitive = diagnosis
+    rows = [
+        ("100", "20-30", "flu"),
+        ("100", "20-30", "flu"),
+        ("100", "20-30", "cold"),
+        ("100", "20-30", "flu"),
+        ("100", "20-30", "cold"),      # group of 5, 2 distinct → k ok, l ok
+        ("200", "30-40", "flu"),
+        ("200", "30-40", "flu"),
+        ("200", "30-40", "flu"),       # group of 3, 1 distinct → k fail, l fail
+        ("300", None, "asthma"),
+        ("300", None, None),           # null QI groups together; null counts distinct
+        ("400", "50-60", "flu"),       # singleton → both fail
+        ("300", None, "asthma"),
+    ]
+    return pa.table(
+        {
+            "zip": pa.array([r[0] for r in rows], pa.string()),
+            "age_band": pa.array([r[1] for r in rows], pa.string()),
+            "diagnosis": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    t = _people()  # noqa: F841
+    ds = ray.data.from_arrow(_people()).repartition(nblocks)
+    got = _canon(
+        k_anonymity_report(ds, ["zip", "age_band"], "diagnosis", k=5, l_div=2)
+        .to_pandas()
+    )
+    want = _canon(
+        duckdb.sql(
+            k_anonymity_sql("t", ["zip", "age_band"], "diagnosis", k=5, l_div=2)
+        ).df()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_flag_pins(ray_session):
+    ds = ray.data.from_arrow(_people())
+    out = {
+        (r["zip"], r["age_band"]): r
+        for r in k_anonymity_report(
+            ds, ["zip", "age_band"], "diagnosis", k=5, l_div=2
+        ).take_all()
+    }
+    assert len(out) == 4
+    g = out[("100", "20-30")]
+    assert (g["group_size"], g["distinct_sensitive"], g["k_ok"], g["l_ok"]) == (
+        5, 2, 1, 1,
+    )
+    g = out[("200", "30-40")]
+    assert (g["group_size"], g["distinct_sensitive"], g["k_ok"], g["l_ok"]) == (
+        3, 1, 0, 0,
+    )
+    # null QI cell survives as null; null sensitive counts as distinct
+    g = out[("300", None)]
+    assert (g["group_size"], g["distinct_sensitive"], g["l_ok"]) == (3, 2, 1)
+    g = out[("400", "50-60")]
+    assert (g["group_size"], g["k_ok"], g["l_ok"]) == (1, 0, 0)
+
+
+def test_integer_qi_and_sensitive(ray_session):
+    # int columns compare by their VARCHAR form on both engines
+    t = pa.table(
+        {
+            "nation": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "seg": pa.array(["A", "A", "B", "B", "B"], pa.string()),
+            "cents": pa.array([100, 200, 300, 300, 300], pa.int64()),
+        }
+    )
+    got = _canon(
+        k_anonymity_report(
+            ray.data.from_arrow(t), ["nation", "seg"], "cents", k=2, l_div=2
+        ).to_pandas()
+    )
+    want = _canon(
+        duckdb.sql(k_anonymity_sql("t", ["nation", "seg"], "cents", k=2, l_div=2)).df()
+    )
+    assert got.values.tolist() == want.values.tolist()
+    row = got[got["nation"] == "2"].iloc[0]
+    assert int(row["distinct_sensitive"]) == 1 and int(row["l_ok"]) == 0
+
+
+def test_bad_args(ray_session):
+    ds = ray.data.from_items([{"a": 1, "s": 2}])
+    with pytest.raises(ValueError):
+        k_anonymity_report(ds, [], "s")
+    with pytest.raises(ValueError):
+        k_anonymity_report(ds, ["a"], "s", k=0)
+    with pytest.raises(ValueError):
+        k_anonymity_report(ds, ["a"], "s", l_div=0)
