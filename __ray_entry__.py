@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": q.q_dbscan_clusters,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
+        "pareto_frontier": q.q_pareto_frontier,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -764,6 +765,23 @@ def _k_anonymity_sql() -> str:
         "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)",
         k=5,
         l_div=2,
+    )
+
+
+def _pareto_frontier_sql() -> str:
+    from ocr_system_ray.functions.skyline import skyline_sql
+
+    derive = """
+        SELECT p_partkey,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               p_size,
+               length(p_name) AS name_len
+        FROM part
+    """
+    return skyline_sql(
+        ["p_partkey", "price_cents", "p_size", "name_len"],
+        derive,
+        [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
     )
 
 
@@ -1990,6 +2008,9 @@ def oracle_sql() -> dict[str, str]:
         # split_leakage: the brute-force Jaccard twin × the GENERATED
         # split CASE ladder on both pair sides, cross-split filter
         "split_leakage": _split_leakage_sql(),
+        # pareto_frontier: NOT EXISTS anti-dominance twin of the
+        # local-skyline-combiner plan
+        "pareto_frontier": _pareto_frontier_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

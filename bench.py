@@ -276,6 +276,7 @@ def _query_suite() -> dict:
         "dbscan_clusters": q.q_dbscan_clusters,
         "fim_transform": q.q_fim_transform,
         "k_anonymity": q.q_k_anonymity,
+        "pareto_frontier": q.q_pareto_frontier,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -1,0 +1,148 @@
+"""Skyline (Pareto-frontier) selection.
+
+Multi-objective data selection — "keep every document no other document
+beats on ALL axes at once" (Börzsönyi et al. ICDE'01).  The corpus
+analog of the reference's single-criterion non-empty filter
+(`/root/reference/ocr/extract.py` keeps rows with any extracted data):
+at training-data scale selection trades off several signals (quality
+vs. length vs. duplication weight) and the skyline is the undominated
+frontier of that trade-off space.
+
+Dominance (all objectives oriented as MAXIMIZE internally): row *b*
+dominates row *a* iff ``b >= a`` in every objective and ``b > a`` in at
+least one.  Rows tied on every objective do NOT dominate each other —
+exact duplicates all survive (matching the NOT EXISTS SQL twin).
+
+Scale shape (the local-skyline combiner, the standard distributed
+decomposition):
+
+1. per-batch local skyline inside ``map_batches`` — a row dominated
+   within its block is dominated globally, so local filtering is
+   lossless; only each block's frontier rides the shuffle;
+2. ``repartition(1)`` + one whole-block pass merges the candidates —
+   the final skyline must fit one worker, which holds whenever the
+   frontier is report-sized (d=2–4 objectives; for d=2 the frontier is
+   at most one row per distinct first-objective value).
+
+Rows with a NULL in any objective are dropped (SQL twin filters them
+with ``IS NOT NULL`` — NULL comparisons would be three-valued there).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _pareto_mask(a: np.ndarray) -> np.ndarray:
+    """Boolean mask of undominated rows of ``a`` (n×d, maximize all).
+
+    Sorted-scan skyline: visit rows in descending objective-sum order
+    (a dominator's sum strictly exceeds the dominated row's sum, so
+    every row is visited after all its potential dominators) and test
+    each row against the kept frontier only — O(n·s) with s = frontier
+    size, fully vectorized per row.
+    """
+    n = a.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(-a.sum(axis=1), kind="stable")
+    kept_rows: list[np.ndarray] = []
+    kept_idx: list[int] = []
+    for i in order:
+        x = a[i]
+        if kept_rows:
+            k = np.asarray(kept_rows)
+            dominated = np.any(
+                np.all(k >= x, axis=1) & np.any(k > x, axis=1)
+            )
+            if dominated:
+                continue
+        kept_rows.append(x)
+        kept_idx.append(i)
+    mask = np.zeros(n, dtype=bool)
+    mask[kept_idx] = True
+    return mask
+
+
+def skyline(
+    ds: ray.data.Dataset,
+    objectives: Sequence[tuple[str, str]],
+    *,
+    keep_cols: Sequence[str] | None = None,
+) -> ray.data.Dataset:
+    """Pareto frontier of ``ds`` over ``objectives`` — a list of
+    ``(column, direction)`` with direction ``"max"`` or ``"min"``.
+    Returns the undominated rows with ``keep_cols`` (default: every
+    input column) preserved.  Objective columns must be numeric; rows
+    with a NULL objective are dropped.
+    """
+    if not objectives:
+        raise ValueError("objectives must be non-empty")
+    for c, d in objectives:
+        if d not in ("max", "min"):
+            raise ValueError(f"direction for {c!r} must be 'max' or 'min'")
+    obj_cols = [c for c, _ in objectives]
+    signs = np.array(
+        [1.0 if d == "max" else -1.0 for _, d in objectives], dtype=np.float64
+    )
+
+    def local(t: pa.Table) -> pa.Table:
+        if keep_cols is not None:
+            t = t.select(list(dict.fromkeys(list(keep_cols) + obj_cols)))
+        valid = None
+        for c in obj_cols:
+            v = pc.is_valid(t.column(c))
+            valid = v if valid is None else pc.and_(valid, v)
+        t = t.filter(valid)
+        if t.num_rows == 0:
+            return t
+        a = np.column_stack(
+            [
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in obj_cols
+            ]
+        ) * signs
+        return t.filter(pa.array(_pareto_mask(a)))
+
+    candidates = ds.map_batches(local, batch_format="pyarrow")
+    # final merge: one whole-block pass over the per-block frontiers
+    return candidates.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    )
+
+
+def skyline_sql(
+    select_cols: Sequence[str],
+    from_clause: str,
+    objectives: Sequence[tuple[str, str]],
+) -> str:
+    """The DuckDB twin: NOT EXISTS anti-dominance over the same rows,
+    with the same NULL-objective drop."""
+    ge, gt = [], []
+    for c, d in objectives:
+        a, b = (f"b.{c} >= a.{c}", f"b.{c} > a.{c}")
+        if d == "min":
+            a, b = (f"b.{c} <= a.{c}", f"b.{c} < a.{c}")
+        ge.append(a)
+        gt.append(b)
+    notnull = " AND ".join(f"a.{c} IS NOT NULL" for c, _ in objectives)
+    notnull_b = " AND ".join(f"b.{c} IS NOT NULL" for c, _ in objectives)
+    cols = ", ".join(f"a.{c}" for c in select_cols)
+    return f"""
+        SELECT {cols}
+        FROM ({from_clause}) a
+        WHERE {notnull}
+          AND NOT EXISTS (
+            SELECT 1 FROM ({from_clause}) b
+            WHERE {notnull_b}
+              AND {" AND ".join(ge)}
+              AND ({" OR ".join(gt)})
+          )
+    """

@@ -8548,3 +8548,39 @@ def q_k_anonymity(sf_dir: str) -> ray.data.Dataset:
     return k_anonymity_report(
         ds, ["c_nationkey", "c_mktsegment"], "bal_cents", k=5, l_div=2
     )
+
+
+def q_pareto_frontier(sf_dir: str) -> ray.data.Dataset:
+    """Skyline / Pareto-frontier selection over the part table
+    (``functions/skyline.py:skyline``): maximize retail price (exact
+    cents), minimize size, maximize name length — the undominated
+    trade-off frontier.  Local per-block skylines ride the shuffle
+    (lossless combiner), one whole-block merge finishes.  Oracle =
+    NOT EXISTS anti-dominance over the identical derivation."""
+    from ..functions.skyline import skyline
+
+    part = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_size", "p_retailprice"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "price_cents": pa.array(
+                    np.floor(price * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "p_size": t.column("p_size"),
+                "name_len": pc.cast(
+                    pc.utf8_length(t.column("p_name")), pa.int64()
+                ),
+            }
+        )
+
+    ds = part.map_batches(derive, batch_format="pyarrow")
+    return skyline(
+        ds,
+        [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
+        keep_cols=["p_partkey", "price_cents", "p_size", "name_len"],
+    )

@@ -1,0 +1,107 @@
+"""Skyline / Pareto frontier (functions/skyline.py) — DuckDB NOT
+EXISTS twin equality, hand-pinned dominance geometry, tie/duplicate
+survival, null-objective drop, layout invariance, direction handling,
+argument validation."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.skyline import _pareto_mask, skyline, skyline_sql
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _rand_table(n: int, seed: int) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "x": pa.array(rng.randint(0, 20, n), pa.int64()),
+            "y": pa.array(rng.randint(0, 20, n), pa.int64()),
+            "z": pa.array(rng.randint(0, 20, n), pa.int64()),
+        }
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_duckdb_twin(ray_session, nblocks, seed):
+    t = _rand_table(400, seed)  # noqa: F841
+    objectives = [("x", "max"), ("y", "min"), ("z", "max")]
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = _canon(
+        skyline(ds, objectives, keep_cols=["id", "x", "y", "z"]).to_pandas()
+    )
+    want = _canon(
+        duckdb.sql(
+            skyline_sql(["id", "x", "y", "z"], "SELECT * FROM t", objectives)
+        ).df()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) >= 1
+
+
+def test_hand_pinned_geometry(ray_session):
+    # maximize x, maximize y.  (5,5) dominates (4,4)/(5,4)/(4,5);
+    # (1,9)/(9,1) undominated; exact ties both survive.
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+            "x": pa.array([5, 4, 5, 4, 1, 9, 5, 5], pa.int64()),
+            "y": pa.array([5, 4, 4, 5, 9, 1, 5, 3], pa.int64()),
+        }
+    )
+    out = skyline(
+        ray.data.from_arrow(t), [("x", "max"), ("y", "max")]
+    ).to_pandas()
+    assert sorted(out["id"].tolist()) == [1, 5, 6, 7]
+
+
+def test_min_direction_and_nulls(ray_session):
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "cost": pa.array([10, 5, None, 5], pa.int64()),
+            "size": pa.array([1, 2, 1, 1], pa.int64()),
+        }
+    )
+    # minimize both: (5,1) dominates (10,1) and (5,2); null row dropped
+    out = skyline(
+        ray.data.from_arrow(t), [("cost", "min"), ("size", "min")]
+    ).to_pandas()
+    assert sorted(out["id"].tolist()) == [4]
+    want = duckdb.sql(
+        skyline_sql(
+            ["id", "cost", "size"],
+            "SELECT * FROM t",
+            [("cost", "min"), ("size", "min")],
+        )
+    ).df()
+    assert sorted(want["id"].tolist()) == [4]
+
+
+def test_pareto_mask_unit():
+    a = np.array([[3.0, 3.0], [3.0, 3.0], [2.0, 4.0], [2.0, 2.0], [4.0, 1.0]])
+    mask = _pareto_mask(a)
+    # duplicates both survive; (2,2) dominated by (3,3)
+    assert mask.tolist() == [True, True, True, False, True]
+    assert _pareto_mask(np.empty((0, 2))).tolist() == []
+
+
+def test_bad_args(ray_session):
+    ds = ray.data.from_items([{"a": 1}])
+    with pytest.raises(ValueError):
+        skyline(ds, [])
+    with pytest.raises(ValueError):
+        skyline(ds, [("a", "up")])
