@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
         "pareto_frontier": q.q_pareto_frontier,
+        "roc_auc": q.q_roc_auc,
+        "calibration_bins": q.q_calibration_bins,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -782,6 +784,24 @@ def _pareto_frontier_sql() -> str:
         ["p_partkey", "price_cents", "p_size", "name_len"],
         derive,
         [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
+    )
+
+
+_EVENTS_SCORE = "floor(value * 100 + 0.5)"
+_EVENTS_LABEL = "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+
+
+def _roc_auc_sql() -> str:
+    from ocr_system_ray.functions.evalmetrics import roc_auc_sql
+
+    return roc_auc_sql(_EVENTS_SCORE, _EVENTS_LABEL, "FROM events")
+
+
+def _calibration_bins_sql() -> str:
+    from ocr_system_ray.functions.evalmetrics import calibration_bins_sql
+
+    return calibration_bins_sql(
+        _EVENTS_SCORE, _EVENTS_LABEL, "FROM events", lo=0, hi=50000, n_bins=20
     )
 
 
@@ -2011,6 +2031,10 @@ def oracle_sql() -> dict[str, str]:
         # pareto_frontier: NOT EXISTS anti-dominance twin of the
         # local-skyline-combiner plan
         "pareto_frontier": _pareto_frontier_sql(),
+        # roc_auc / calibration_bins: distinct-score-histogram twins
+        # with identical integer U2/ppm and clip/bin arithmetic
+        "roc_auc": _roc_auc_sql(),
+        "calibration_bins": _calibration_bins_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -277,6 +277,8 @@ def _query_suite() -> dict:
         "fim_transform": q.q_fim_transform,
         "k_anonymity": q.q_k_anonymity,
         "pareto_frontier": q.q_pareto_frontier,
+        "roc_auc": q.q_roc_auc,
+        "calibration_bins": q.q_calibration_bins,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -1,0 +1,206 @@
+"""Distributed exact classifier-evaluation metrics.
+
+The missing half of the trainable quality classifier
+(``functions/classifier.py``): once a scorer exists, the corpus team
+needs threshold-free ranking quality (ROC-AUC) and probability
+calibration (reliability bins) over held-out data — at corpus scale,
+without sorting the corpus.
+
+Both metrics reduce over the DISTINCT-SCORE histogram, not the rows:
+
+* ``roc_auc`` — exact Mann–Whitney AUC with the standard tie
+  correction (ties count ½).  Per-batch (score, label) pre-counts ride
+  a packed single-column groupby (``score*2 + label`` — multi-column
+  groupbys are pathological in ray 2.49, see CLAUDE.md); one
+  whole-block pass over the distinct-score table computes
+  ``U2 = Σ_s (2·neg_below(s)·pos(s) + pos(s)·neg(s))`` with Python
+  ints (no overflow at any scale) and emits exact integers only:
+  ``(n_pos, n_neg, u2, auc_ppm)`` with ``auc_ppm = u2·10⁶ //
+  (2·n_pos·n_neg)``.  The shuffle and the final pass are bounded by
+  distinct scores (integer micro-scores per the repo contract), never
+  by corpus rows.
+
+* ``calibration_bins`` — fixed-width reliability bins over an explicit
+  ``[lo, hi)`` score range: per-bin row count, positive count, and
+  exact score sum (all integers).  Row-local binning + the same packed
+  single-column groupby.
+
+Scores must already be integers (cents / permille — the repo's float
+contract); labels are 0/1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _packed_counts(
+    ds: ray.data.Dataset, score_col: str, label_col: str, pack
+) -> ray.data.Dataset:
+    """groupby-sum of per-batch counts over ``pack(score, label)``."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = pack(s, l)
+        vc = pd.Series(key).value_counts()
+        return pa.table(
+            {
+                "key": pa.array(vc.index.to_numpy(np.int64)),
+                "cnt": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("key").sum("cnt")
+
+
+def roc_auc(
+    ds: ray.data.Dataset, score_col: str, label_col: str
+) -> ray.data.Dataset:
+    """One-row Dataset ``(n_pos, n_neg, u2, auc_ppm)`` — the exact
+    tie-corrected Mann–Whitney AUC of ``score_col`` ranking
+    ``label_col`` (0/1), as integers (ppm = parts per million,
+    floor)."""
+
+    counts = _packed_counts(ds, score_col, label_col, lambda s, l: s * 2 + l)
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        cnt = t.column("sum(cnt)").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        score = key >> 1  # arithmetic shift == floor-div 2 for negatives
+        lab = (key & 1).astype(np.int64)
+        # collapse to per-distinct-score (pos, neg) rows, ascending
+        uniq, inv = np.unique(score, return_inverse=True)
+        pos = np.zeros(len(uniq), dtype=object)
+        neg = np.zeros(len(uniq), dtype=object)
+        np.add.at(pos, inv[lab == 1], cnt[lab == 1])
+        np.add.at(neg, inv[lab == 0], cnt[lab == 0])
+        neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        u2 = int(np.sum(2 * neg_below * pos + pos * neg))
+        n_pos, n_neg = int(np.sum(pos)), int(np.sum(neg))
+        auc_ppm = u2 * 1_000_000 // (2 * n_pos * n_neg) if n_pos and n_neg else -1
+        return pa.table(
+            {
+                "n_pos": pa.array([n_pos], pa.int64()),
+                "n_neg": pa.array([n_neg], pa.int64()),
+                "u2": pa.array([u2], pa.int64()),
+                "auc_ppm": pa.array([auc_ppm], pa.int64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def roc_auc_sql(score_expr: str, label_expr: str, from_clause: str) -> str:
+    """DuckDB twin: GROUP BY score + window cumulative negatives +
+    the same integer U2 / ppm arithmetic."""
+    return f"""
+        WITH ev_d AS (
+            SELECT CAST({score_expr} AS BIGINT) AS s,
+                   CAST({label_expr} AS BIGINT) AS l
+            {from_clause}
+        ),
+        ev_g AS (
+            SELECT s, SUM(l) AS pos, COUNT(*) - SUM(l) AS neg
+            FROM ev_d GROUP BY s
+        ),
+        ev_c AS (
+            SELECT pos, neg,
+                   COALESCE(SUM(neg) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS negb
+            FROM ev_g
+        )
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(2 * negb * pos + pos * neg) AS BIGINT) AS u2,
+               CAST(SUM(2 * negb * pos + pos * neg) * 1000000
+                    // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_ppm
+        FROM ev_c
+    """
+
+
+def calibration_bins(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+) -> ray.data.Dataset:
+    """Reliability-diagram bins: one row per non-empty fixed-width bin
+    of ``[lo, hi)`` with ``(bin, n, n_pos, sum_score)`` — all exact
+    integers (mean predicted score = sum_score/n, observed rate =
+    n_pos/n, computed by the consumer).  Scores outside the range clip
+    into the edge bins."""
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    width = hi - lo
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.clip((s - lo) * n_bins // width, 0, n_bins - 1)
+        df = pd.DataFrame({"bin": b, "l": l, "s": s})
+        g = df.groupby("bin", sort=False).agg(
+            n=("l", "size"), n_pos=("l", "sum"), sum_score=("s", "sum")
+        )
+        return pa.table(
+            {
+                "bin": pa.array(g.index.to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "n_pos": pa.array(g["n_pos"].to_numpy(np.int64)),
+                "sum_score": pa.array(g["sum_score"].to_numpy(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_pos", alias_name="n_pos"),
+            Sum("sum_score", alias_name="sum_score"),
+        )
+    )
+
+
+def calibration_bins_sql(
+    score_expr: str,
+    label_expr: str,
+    from_clause: str,
+    *,
+    lo: int,
+    hi: int,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin: the identical clip/bin arithmetic + GROUP BY."""
+    width = hi - lo
+    return f"""
+        WITH cb_d AS (
+            SELECT CAST({score_expr} AS BIGINT) AS s,
+                   CAST({label_expr} AS BIGINT) AS l
+            {from_clause}
+        )
+        SELECT CAST(least(greatest((s - {lo}) * {n_bins} // {width}, 0),
+                          {n_bins - 1}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(l) AS BIGINT) AS n_pos,
+               CAST(SUM(s) AS BIGINT) AS sum_score
+        FROM cb_d
+        GROUP BY 1
+    """

@@ -8584,3 +8584,48 @@ def q_pareto_frontier(sf_dir: str) -> ray.data.Dataset:
         [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
         keep_cols=["p_partkey", "price_cents", "p_size", "name_len"],
     )
+
+
+def _events_score_label(sf_dir: str) -> ray.data.Dataset:
+    """Shared derivation for the classifier-eval queries: score =
+    exact value cents, label = 1 iff event_type == 'click'."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "score": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "label": pc.cast(
+                    pc.equal(t.column("event_type"), "click"), pa.int64()
+                ),
+            }
+        )
+
+    return ev.map_batches(derive, batch_format="pyarrow")
+
+
+def q_roc_auc(sf_dir: str) -> ray.data.Dataset:
+    """Exact tie-corrected Mann-Whitney ROC-AUC
+    (``functions/evalmetrics.py:roc_auc``) of value-cents ranking
+    click events: packed (score,label) groupby (distinct scores move,
+    never rows) + one whole-block integer scan -> (n_pos, n_neg, u2,
+    auc_ppm).  Oracle = GROUP BY + window cumulative negatives with
+    the same integer arithmetic."""
+    from ..functions.evalmetrics import roc_auc
+
+    return roc_auc(_events_score_label(sf_dir), "score", "label")
+
+
+def q_calibration_bins(sf_dir: str) -> ray.data.Dataset:
+    """Reliability-diagram bins (``evalmetrics.calibration_bins``):
+    20 fixed-width score bins over [0, 50000) cents with exact integer
+    (n, n_pos, sum_score) per bin; row-local binning + ONE groupby.
+    Oracle = identical clip/bin arithmetic in SQL."""
+    from ..functions.evalmetrics import calibration_bins
+
+    return calibration_bins(
+        _events_score_label(sf_dir), "score", "label", lo=0, hi=50000, n_bins=20
+    )

@@ -1,0 +1,156 @@
+"""Exact ROC-AUC + calibration bins (functions/evalmetrics.py) —
+DuckDB twin equality, hand-computed AUC pins (perfect / inverted /
+tied rankings), sklearn-free rank-formula cross-check, layout
+invariance, degenerate single-class, argument validation."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.evalmetrics import (
+    calibration_bins,
+    calibration_bins_sql,
+    roc_auc,
+    roc_auc_sql,
+)
+
+
+def _rand_table(n: int, seed: int) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    lab = rng.randint(0, 2, n)
+    # informative but noisy integer scores with heavy ties
+    score = lab * 3 + rng.randint(-5, 6, n)
+    return pa.table(
+        {
+            "score": pa.array(score.astype(np.int64)),
+            "label": pa.array(lab.astype(np.int64)),
+        }
+    )
+
+
+def _ref_auc_ppm(score: np.ndarray, lab: np.ndarray) -> tuple[int, int]:
+    """Independent reference: tie-corrected rank-sum AUC with exact
+    rational arithmetic (average ranks as doubled integers)."""
+    order = np.argsort(score, kind="stable")
+    s, l = score[order], lab[order]
+    # doubled average rank per row (so everything stays integral)
+    ranks2 = np.zeros(len(s), dtype=object)
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks2[i:j] = (i + 1) + j  # 2 * avg of ranks i+1..j
+        i = j
+    n_pos = int(l.sum())
+    n_neg = len(l) - n_pos
+    r2 = int(ranks2[l == 1].sum())  # doubled rank sum of positives
+    u2 = r2 - n_pos * (n_pos + 1)  # 2*U = 2*(R - n_pos(n_pos+1)/2)
+    return u2, u2 * 1_000_000 // (2 * n_pos * n_neg)
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_auc_matches_duckdb_and_rank_formula(ray_session, nblocks, seed):
+    t = _rand_table(500, seed)
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = roc_auc(ds, "score", "label").to_pandas().iloc[0]
+    want = duckdb.sql(roc_auc_sql("score", "label", "FROM t")).df().iloc[0]
+    assert got.to_dict() == want.to_dict()
+    u2, ppm = _ref_auc_ppm(
+        t.column("score").to_numpy(), t.column("label").to_numpy()
+    )
+    assert int(got["u2"]) == u2 and int(got["auc_ppm"]) == ppm
+
+
+def test_auc_pins(ray_session):
+    def auc_of(score, lab):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "score": pa.array(score, pa.int64()),
+                    "label": pa.array(lab, pa.int64()),
+                }
+            )
+        )
+        return int(roc_auc(ds, "score", "label").to_pandas()["auc_ppm"][0])
+
+    assert auc_of([1, 2, 3, 4], [0, 0, 1, 1]) == 1_000_000  # perfect
+    assert auc_of([4, 3, 2, 1], [0, 0, 1, 1]) == 0  # inverted
+    assert auc_of([7, 7, 7, 7], [0, 1, 0, 1]) == 500_000  # all tied
+    # one tie at the decision point: U = (2>1) + (2~2)/2 + (3>1) + (3>2)
+    # = 3.5 of 4 pairs
+    assert auc_of([1, 2, 2, 3], [0, 0, 1, 1]) == 875_000
+    # negative scores take the same floor-shift path
+    assert auc_of([-3, -2, -1], [0, 1, 1]) == 1_000_000
+
+
+def test_auc_degenerate_single_class(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "score": pa.array([1, 2], pa.int64()),
+                "label": pa.array([1, 1], pa.int64()),
+            }
+        )
+    )
+    row = roc_auc(ds, "score", "label").to_pandas().iloc[0]
+    assert int(row["auc_ppm"]) == -1 and int(row["n_neg"]) == 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_calibration_matches_duckdb(ray_session, nblocks):
+    t = _rand_table(500, 1)
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = (
+        calibration_bins(ds, "score", "label", lo=-5, hi=9, n_bins=4)
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            calibration_bins_sql(
+                "score", "label", "FROM t", lo=-5, hi=9, n_bins=4
+            )
+        )
+        .df()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].values.tolist() == (
+        want[sorted(want.columns)].values.tolist()
+    )
+    assert int(got["n"].sum()) == 500  # clipping conserves rows
+
+
+def test_calibration_clip_and_pins(ray_session):
+    t = pa.table(
+        {
+            "score": pa.array([-100, 0, 4, 5, 9, 100], pa.int64()),
+            "label": pa.array([0, 1, 0, 1, 1, 0], pa.int64()),
+        }
+    )
+    out = {
+        int(r["bin"]): r
+        for r in calibration_bins(
+            ray.data.from_arrow(t), "score", "label", lo=0, hi=10, n_bins=2
+        ).take_all()
+    }
+    assert set(out) == {0, 1}
+    assert (out[0]["n"], out[0]["n_pos"], out[0]["sum_score"]) == (3, 1, -96)
+    assert (out[1]["n"], out[1]["n_pos"], out[1]["sum_score"]) == (3, 2, 114)
+
+
+def test_bad_args(ray_session):
+    ds = ray.data.from_items([{"score": 1, "label": 0}])
+    with pytest.raises(ValueError):
+        calibration_bins(ds, "score", "label", lo=5, hi=5)
+    with pytest.raises(ValueError):
+        calibration_bins(ds, "score", "label", lo=0, hi=10, n_bins=0)
