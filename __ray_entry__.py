@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier": q.q_pareto_frontier,
         "roc_auc": q.q_roc_auc,
         "calibration_bins": q.q_calibration_bins,
+        "nb_classify": q.q_nb_classify,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -785,6 +786,12 @@ def _pareto_frontier_sql() -> str:
         derive,
         [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
     )
+
+
+def _nb_classify_sql() -> str:
+    from ocr_system_ray.functions.nbayes import nb_sql
+
+    return nb_sql("documents", text_col="text", label_col="lang", id_col="doc_id")
 
 
 _EVENTS_SCORE = "floor(value * 100 + 0.5)"
@@ -2035,6 +2042,9 @@ def oracle_sql() -> dict[str, str]:
         # with identical integer U2/ppm and clip/bin arithmetic
         "roc_auc": _roc_auc_sql(),
         "calibration_bins": _calibration_bins_sql(),
+        # nb_classify: counts + micro-nat quantization + integer-sum
+        # argmax rebuilt wholesale in SQL (single-ln bit-parity)
+        "nb_classify": _nb_classify_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -279,6 +279,7 @@ def _query_suite() -> dict:
         "pareto_frontier": q.q_pareto_frontier,
         "roc_auc": q.q_roc_auc,
         "calibration_bins": q.q_calibration_bins,
+        "nb_classify": q.q_nb_classify,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

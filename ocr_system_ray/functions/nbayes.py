@@ -1,0 +1,243 @@
+"""Multinomial Naive Bayes — count-based text classification.
+
+The second trainable model next to the IRLS logistic classifier
+(``functions/classifier.py``): the classic high-throughput corpus
+router (language / domain / spam routing) whose training IS a word
+count — one shuffle over distinct (class, token) pairs, no iterations,
+no gradients.
+
+Exact-integer contract (what makes the DuckDB twin hash-exact): every
+per-(token, class) log term is quantized to integer micro-nats
+*before* any summation —
+
+    term_micro(t, c)  = floor((ln(n_tc + 1) − ln(n_c + V)) · 1e6)
+    prior_micro(c)    = floor((ln(docs_c) − ln(N)) · 1e6)
+    score(d, c)       = prior_micro(c) + Σ_t cnt_dt · term_micro(t, c)
+
+Each quantity feeds libm ``ln`` exactly one integer, so numpy/math and
+DuckDB produce bit-identical doubles (the ``pmi_collocations`` /
+``sampling.py`` contract); the doc score is then an ORDER-FREE integer
+sum — no float accumulation anywhere.  Laplace smoothing with V =
+corpus-wide distinct token count; prediction = argmax score, ties to
+the lexicographically smallest class.
+
+Scale shape:
+
+1. **train** — per-batch Counter combiners over packed
+   ``class⊕token`` keys (multi-column groupby is the documented
+   ray-2.49 pathology) → ONE single-column groupby; the shuffle moves
+   distinct-pair partials, never token occurrences.
+2. **broadcast** — the (V·C)-row model ships once per worker
+   (``ray.put`` + per-worker memo).  At web scale cap the vocabulary
+   with the Misra–Gries heavy-hitter sketch (``approx_top_tokens``)
+   and an ``<unk>`` bucket — the standard LM truncation — before
+   broadcasting.
+3. **score** — stateless row-local ``map_batches``; integer adds only.
+
+Tokens are single-space splits (``"".split(" ") == [""]`` — DuckDB
+``string_split`` agrees, so the empty document is in-vocabulary on
+both engines).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SEP = "\x1f"
+
+
+def nb_train_predict(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Fit multinomial NB on ``ds`` and score the same corpus
+    (train-set prediction — the corpus-routing smoke test; score any
+    other Dataset by splitting this function at the broadcast seam).
+    Returns ``(id_col, pred, score_micro)``."""
+    from ray.data.aggregate import Sum
+
+    from .textstats import _broadcast_memo
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lab, x in zip(
+            t.column(label_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            lab = "" if lab is None else str(lab)
+            for w in (x or "").split(" "):
+                c[lab + _SEP + w] += 1
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("p", alias_name="n"))
+        .to_pandas()
+    )
+
+    def docs_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter(
+            "" if v is None else str(v) for v in t.column(label_col).to_pylist()
+        )
+        return pa.table(
+            {
+                "cls": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    docs = (
+        ds.map_batches(docs_partial, batch_format="pyarrow")
+        .groupby("cls")
+        .aggregate(Sum("p", alias_name="docs"))
+        .to_pandas()
+    )
+    if pairs.empty or docs.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pred": pa.array([], pa.string()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    split = pairs["key"].str.split(_SEP, n=1, expand=True)
+    pairs = pairs.assign(cls=split[0], tok=split[1])
+    vocab_v = int(pairs["tok"].nunique())
+    n_docs = int(docs["docs"].sum())
+    classes = sorted(docs["cls"])
+    n_c = pairs.groupby("cls")["n"].sum().to_dict()  # token occurrences
+    docs_c = dict(zip(docs["cls"], docs["docs"].astype(int)))
+
+    prior = {
+        c: math.floor((math.log(docs_c[c]) - math.log(n_docs)) * 1e6)
+        for c in classes
+    }
+    # per-class default term (token in vocab, absent from class): n_tc = 0
+    default = {
+        c: math.floor(-math.log(int(n_c.get(c, 0)) + vocab_v) * 1e6)
+        for c in classes
+    }
+    term = {
+        (r.cls, r.tok): math.floor(
+            (math.log(int(r.n) + 1) - math.log(int(n_c[r.cls]) + vocab_v)) * 1e6
+        )
+        for r in pairs.itertuples()
+    }
+    model_ref = ray.put((classes, prior, default, term))
+
+    def score(t: pa.Table) -> pa.Table:
+        classes, prior, default, term = _broadcast_memo(model_ref)
+        preds: list[str] = []
+        scores: list[int] = []
+        for x in t.column(text_col).to_pylist():
+            cnt = Counter((x or "").split(" "))
+            best_c, best_s = None, None
+            for c in classes:
+                s = prior[c]
+                d = default[c]
+                for w, k in cnt.items():
+                    s += k * term.get((c, w), d)
+                if best_s is None or s > best_s:
+                    best_c, best_s = c, s
+            preds.append(best_c)
+            scores.append(best_s)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "pred": pa.array(preds, pa.string()),
+                "score_micro": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def nb_sql(
+    table: str,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB twin: the identical counts, micro-nat quantization,
+    integer score sum, and (score DESC, class ASC) argmax."""
+    return f"""
+        WITH nb_tok AS (
+            SELECT {id_col} AS did,
+                   COALESCE(CAST({label_col} AS VARCHAR), '') AS cls,
+                   unnest(string_split(COALESCE({text_col}, ''), ' ')) AS tok
+            FROM {table}
+        ),
+        nb_tc AS (
+            SELECT cls, tok, COUNT(*) AS n FROM nb_tok GROUP BY 1, 2
+        ),
+        nb_nc AS (
+            SELECT cls, COUNT(*) AS n_c FROM nb_tok GROUP BY 1
+        ),
+        nb_docs AS (
+            SELECT COALESCE(CAST({label_col} AS VARCHAR), '') AS cls,
+                   COUNT(*) AS docs
+            FROM {table} GROUP BY 1
+        ),
+        nb_v AS (SELECT COUNT(DISTINCT tok) AS v FROM nb_tok),
+        nb_n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+        nb_prior AS (
+            SELECT d.cls,
+                   CAST(floor((ln(d.docs) - ln(nn.n_docs)) * 1e6) AS BIGINT)
+                       AS prior_micro
+            FROM nb_docs d, nb_n nn
+        ),
+        nb_term AS (
+            SELECT tc.cls, tc.tok,
+                   CAST(floor((ln(tc.n + 1) - ln(nc.n_c + vv.v)) * 1e6)
+                        AS BIGINT) AS term_micro
+            FROM nb_tc tc
+            JOIN nb_nc nc ON nc.cls = tc.cls, nb_v vv
+        ),
+        nb_default AS (
+            SELECT nc.cls,
+                   CAST(floor(-ln(nc.n_c + vv.v) * 1e6) AS BIGINT) AS dflt
+            FROM nb_nc nc, nb_v vv
+        ),
+        nb_doccnt AS (
+            SELECT did, tok, COUNT(*) AS cnt FROM nb_tok GROUP BY 1, 2
+        ),
+        nb_score AS (
+            SELECT dc.did, df.cls,
+                   p.prior_micro
+                   + SUM(dc.cnt * COALESCE(t.term_micro, df.dflt)) AS score
+            FROM nb_doccnt dc
+            CROSS JOIN nb_default df
+            JOIN nb_prior p ON p.cls = df.cls
+            LEFT JOIN nb_term t ON t.cls = df.cls AND t.tok = dc.tok
+            GROUP BY dc.did, df.cls, p.prior_micro
+        ),
+        nb_best AS (
+            SELECT did, cls, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY did ORDER BY score DESC, cls ASC
+                   ) AS rn
+            FROM nb_score
+        )
+        SELECT did AS {id_col}, cls AS pred,
+               CAST(score AS BIGINT) AS score_micro
+        FROM nb_best WHERE rn = 1
+    """

@@ -8629,3 +8629,16 @@ def q_calibration_bins(sf_dir: str) -> ray.data.Dataset:
     return calibration_bins(
         _events_score_label(sf_dir), "score", "label", lo=0, hi=50000, n_bins=20
     )
+
+
+def q_nb_classify(sf_dir: str) -> ray.data.Dataset:
+    """Multinomial Naive Bayes corpus router
+    (``functions/nbayes.py:nb_train_predict``): fit on documents with
+    lang as the class (ONE packed (class,token) groupby — distinct
+    pairs move, never occurrences), broadcast the micro-nat model,
+    score row-locally with exact integer sums.  Oracle = the identical
+    counts + quantization + argmax rebuilt in SQL."""
+    from ..functions.nbayes import nb_train_predict
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return nb_train_predict(docs, text_col="text", label_col="lang", id_col="doc_id")

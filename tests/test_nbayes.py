@@ -1,0 +1,105 @@
+"""Multinomial Naive Bayes (functions/nbayes.py) — DuckDB twin
+equality incl. empty/null text and null labels, hand-computed
+two-class pin, tie-break determinism, layout invariance."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.nbayes import nb_sql, nb_train_predict
+
+
+def _corpus() -> pa.Table:
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "cat cat dog", "en"),
+        (3, "le chat noir", "fr"),
+        (4, "chat chien chat", "fr"),
+        (5, "the dog sat sat", "en"),
+        (6, "noir chien le le", "fr"),
+        (7, "", "en"),           # empty text -> [''] token
+        (8, None, "fr"),         # null text -> same
+        (9, "cat chat", None),   # null label -> '' class
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    t = _corpus()  # noqa: F841
+    ds = ray.data.from_arrow(_corpus()).repartition(nblocks)
+    got = _canon(nb_train_predict(ds).to_pandas())
+    want = _canon(duckdb.sql(nb_sql("t")).df())
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) == 9
+
+
+def test_hand_computed_two_class(ray_session):
+    # classes en/fr, vocab {a,b} (V=2); en corpus 'a a' (n_en=2),
+    # fr corpus 'b' (n_fr=1); doc 3 text 'a'
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a", "b", "a"], pa.string()),
+            "lang": pa.array(["en", "fr", "en"], pa.string()),
+        }
+    )
+    # recompute doc 3 (text 'a', counts: en a=3 n_en=3, fr n_fr=1, V=2,
+    # docs: en=2 fr=1 N=3)
+    pr_en = math.floor((math.log(2) - math.log(3)) * 1e6)
+    pr_fr = math.floor((math.log(1) - math.log(3)) * 1e6)
+    s_en = pr_en + math.floor((math.log(3 + 1) - math.log(3 + 2)) * 1e6)
+    s_fr = pr_fr + math.floor((math.log(0 + 1) - math.log(1 + 2)) * 1e6)
+    assert s_en > s_fr
+    out = {
+        r["doc_id"]: r
+        for r in nb_train_predict(ray.data.from_arrow(t)).take_all()
+    }
+    assert out[3]["pred"] == "en" and out[3]["score_micro"] == s_en
+
+
+def test_tie_breaks_to_smallest_class(ray_session):
+    # perfectly symmetric classes: every score ties -> 'aa' wins
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["x", "x"], pa.string()),
+            "lang": pa.array(["bb", "aa"], pa.string()),
+        }
+    )
+    out = nb_train_predict(ray.data.from_arrow(t)).to_pandas()
+    assert set(out["pred"]) == {"aa"}
+    want = duckdb.sql(nb_sql("t")).df()
+    assert set(want["pred"]) == {"aa"}
+
+
+def test_empty_corpus(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert nb_train_predict(ds).count() == 0
