@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roc_auc": q.q_roc_auc,
         "calibration_bins": q.q_calibration_bins,
         "nb_classify": q.q_nb_classify,
+        "dp_counts": q.q_dp_counts,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -785,6 +786,14 @@ def _pareto_frontier_sql() -> str:
         ["p_partkey", "price_cents", "p_size", "name_len"],
         derive,
         [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
+    )
+
+
+def _dp_counts_sql() -> str:
+    from ocr_system_ray.functions.privacy import dp_group_counts_sql
+
+    return dp_group_counts_sql(
+        "event_type", "FROM events", scale_b=2.0, salt="dp2026"
     )
 
 
@@ -2045,6 +2054,8 @@ def oracle_sql() -> dict[str, str]:
         # nb_classify: counts + micro-nat quantization + integer-sum
         # argmax rebuilt wholesale in SQL (single-ln bit-parity)
         "nb_classify": _nb_classify_sql(),
+        # dp_counts: identical md5-carve Laplace inversion in SQL
+        "dp_counts": _dp_counts_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -280,6 +280,7 @@ def _query_suite() -> dict:
         "roc_auc": q.q_roc_auc,
         "calibration_bins": q.q_calibration_bins,
         "nb_classify": q.q_nb_classify,
+        "dp_counts": q.q_dp_counts,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

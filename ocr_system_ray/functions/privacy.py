@@ -162,3 +162,129 @@ def k_anonymity_sql(
         FROM {table}
         GROUP BY {qi_group}
     """
+
+
+# ---------------------------------------------------------------------------
+# differentially-private count release
+# ---------------------------------------------------------------------------
+
+# 2^-40 — the uniform's granularity floor, guards ln(0) when the carve
+# lands exactly on 0 (the literal parses to the identical double in
+# Python and DuckDB)
+_DP_EPS_FLOOR = 9.094947017729282e-13
+
+
+def dp_group_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    scale_b: float = 2.0,
+    salt: str = "dp",
+) -> ray.data.Dataset:
+    """ε-differentially-private released counts per ``key_col`` group
+    (Dwork et al. 2006): count + Laplace(b) noise with b = 1/ε —
+    sensitivity 1 for a count query, so ``scale_b = 2.0`` is ε = 0.5.
+
+    The noise is DERIVED, not sampled: the uniform is a 40-bit md5
+    carve of ``salt:group`` (u = carve / 2^40, an exact dyadic double),
+    inverted through the Laplace CDF
+
+        noise = -b · sign(u − ½) · ln(max(1 − 2·|u − ½|, 2⁻⁴⁰))
+
+    — one libm ``ln`` per group on an exactly-representable argument,
+    so DuckDB reproduces the release bit-for-bit (the single-ln parity
+    contract).  ``scale_b`` must be a power of two (the b·ln product
+    then scales the exponent only, keeping cross-engine exactness).
+    Deterministic noise means re-releases of the SAME statistic don't
+    burn extra privacy budget (the "sticky noise" idiom); a new salt is
+    a new release.
+
+    Output: ``(key_col, released_micro)`` with
+    ``released_micro = count·10⁶ + floor(noise·10⁶)`` — exact integers.
+    Per-batch count combiners + ONE groupby; noise is row-local on the
+    group table.
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    if scale_b <= 0 or (math.log2(scale_b) % 1) != 0:
+        raise ValueError("scale_b must be a positive power of two")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t.column(key_col).to_pylist(), dtype=object
+        ).value_counts()
+        return pa.table(
+            {
+                key_col: pa.array(vc.index.astype(str), pa.string()),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum("cnt")
+    )
+
+    def release(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        cnts = t.column("sum(cnt)").to_pylist()
+        out: list[int] = []
+        for k, c in zip(keys, cnts):
+            carve = int(
+                hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:10], 16
+            )
+            u = carve / 1099511627776.0  # 2^40
+            d = u - 0.5
+            sign = 1.0 if d > 0 else (-1.0 if d < 0 else 0.0)
+            arg = max(1.0 - 2.0 * abs(d), _DP_EPS_FLOOR)
+            noise = -scale_b * sign * math.log(arg)
+            out.append(int(c) * 1_000_000 + math.floor(noise * 1e6))
+        return pa.table(
+            {
+                key_col: pa.array(keys, pa.string()),
+                "released_micro": pa.array(out, pa.int64()),
+            }
+        )
+
+    return counts.map_batches(release, batch_format="pyarrow")
+
+
+def dp_group_counts_sql(
+    key_expr: str,
+    from_clause: str,
+    *,
+    scale_b: float = 2.0,
+    salt: str = "dp",
+) -> str:
+    """The DuckDB twin: GROUP BY + the identical md5-carve uniform,
+    Laplace inversion, and micro quantization.  ``key_expr`` must be a
+    bare column name (it doubles as the output alias); NULL keys are
+    excluded on both engines (pandas ``value_counts`` drops them)."""
+    return f"""
+        WITH dp_g AS (
+            SELECT CAST({key_expr} AS VARCHAR) AS k, COUNT(*) AS c
+            {from_clause}
+            WHERE {key_expr} IS NOT NULL
+            GROUP BY 1
+        ),
+        dp_u AS (
+            SELECT k, c,
+                   ('0x' || substr(md5('{salt}:' || k), 1, 10))::BIGINT
+                       / 1099511627776.0 AS u
+            FROM dp_g
+        )
+        SELECT k AS {key_expr} ,
+               CAST(c * 1000000
+                    + floor((-{scale_b!r}) *
+                        (CASE WHEN u > 0.5 THEN 1.0
+                              WHEN u < 0.5 THEN -1.0 ELSE 0.0 END) *
+                        ln(greatest(1.0 - 2.0 * abs(u - 0.5),
+                                    {_DP_EPS_FLOOR!r})) * 1e6)
+                    AS BIGINT) AS released_micro
+        FROM dp_u
+    """

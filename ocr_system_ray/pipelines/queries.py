@@ -8642,3 +8642,15 @@ def q_nb_classify(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return nb_train_predict(docs, text_col="text", label_col="lang", id_col="doc_id")
+
+
+def q_dp_counts(sf_dir: str) -> ray.data.Dataset:
+    """Differentially-private released per-event-type counts
+    (``functions/privacy.py:dp_group_counts``): Laplace(b=2) noise
+    (eps = 0.5) derived from a 40-bit md5 carve per group (sticky,
+    re-release-safe), exact integer micro release.  Oracle = GROUP BY
+    + the identical carve/CDF-inversion/quantization in SQL."""
+    from ..functions.privacy import dp_group_counts
+
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    return dp_group_counts(ev, "event_type", scale_b=2.0, salt="dp2026")

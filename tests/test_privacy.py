@@ -118,3 +118,66 @@ def test_bad_args(ray_session):
         k_anonymity_report(ds, ["a"], "s", k=0)
     with pytest.raises(ValueError):
         k_anonymity_report(ds, ["a"], "s", l_div=0)
+
+
+# ---------------------------------------------------------------------------
+# DP count release
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.privacy import (  # noqa: E402
+    dp_group_counts,
+    dp_group_counts_sql,
+)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_dp_matches_duckdb_twin(ray_session, nblocks):
+    t = pa.table(  # noqa: F841
+        {"k": pa.array(["a"] * 40 + ["b"] * 25 + ["c"] * 7 + [None] * 3)}
+    )
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = _canon(dp_group_counts(ds, "k", scale_b=2.0, salt="s1").to_pandas())
+    want = _canon(
+        duckdb.sql(dp_group_counts_sql("k", "FROM t", scale_b=2.0, salt="s1")).df()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) == 3  # null keys excluded on both engines
+
+
+def test_dp_noise_properties(ray_session):
+    import hashlib
+    import math
+
+    t = pa.table({"k": pa.array(["x"] * 100)})
+    row = dp_group_counts(
+        ray.data.from_arrow(t), "k", scale_b=2.0, salt="s2"
+    ).take_all()[0]
+    # recompute the closed form by hand
+    carve = int(hashlib.md5(b"s2:x").hexdigest()[:10], 16)
+    u = carve / 2**40
+    d = u - 0.5
+    sign = 1.0 if d > 0 else (-1.0 if d < 0 else 0.0)
+    noise = -2.0 * sign * math.log(max(1.0 - 2.0 * abs(d), 2.0**-40))
+    assert row["released_micro"] == 100 * 1_000_000 + math.floor(noise * 1e6)
+    # noise is nonzero for this salt and bounded by b * 40 ln 2
+    assert row["released_micro"] != 100 * 1_000_000
+    assert abs(row["released_micro"] - 100 * 1_000_000) <= 2.0 * 40 * math.log(2) * 1e6
+
+    # determinism: same salt → same release; new salt → new noise
+    again = dp_group_counts(
+        ray.data.from_arrow(t), "k", scale_b=2.0, salt="s2"
+    ).take_all()[0]
+    assert again["released_micro"] == row["released_micro"]
+    other = dp_group_counts(
+        ray.data.from_arrow(t), "k", scale_b=2.0, salt="s3"
+    ).take_all()[0]
+    assert other["released_micro"] != row["released_micro"]
+
+
+def test_dp_bad_scale(ray_session):
+    ds = ray.data.from_items([{"k": "a"}])
+    with pytest.raises(ValueError):
+        dp_group_counts(ds, "k", scale_b=3.0)
+    with pytest.raises(ValueError):
+        dp_group_counts(ds, "k", scale_b=-2.0)
