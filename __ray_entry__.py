@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_bins": q.q_calibration_bins,
         "nb_classify": q.q_nb_classify,
         "dp_counts": q.q_dp_counts,
+        "zorder_keys": q.q_zorder_keys,
+        "zorder_probe": q.q_zorder_probe,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -787,6 +789,31 @@ def _pareto_frontier_sql() -> str:
         derive,
         [("price_cents", "max"), ("p_size", "min"), ("name_len", "max")],
     )
+
+
+def _zorder_keys_sql() -> str:
+    from ocr_system_ray.functions.layout import morton_key_sql
+    from ocr_system_ray.pipelines.queries import _EVENTS_XY_SQL
+
+    z = morton_key_sql("x", "y", bits=16)
+    return f"""
+        SELECT event_id, CAST({z} AS BIGINT) AS zkey
+        FROM ({_EVENTS_XY_SQL})
+    """
+
+
+def _zorder_probe_sql() -> str:
+    from ocr_system_ray.pipelines.queries import (
+        _EVENTS_XY_SQL,
+        _ZPROBE_X,
+        _ZPROBE_Y,
+    )
+
+    return f"""
+        SELECT event_id, x, y FROM ({_EVENTS_XY_SQL})
+        WHERE x BETWEEN {_ZPROBE_X[0]} AND {_ZPROBE_X[1]}
+          AND y BETWEEN {_ZPROBE_Y[0]} AND {_ZPROBE_Y[1]}
+    """
 
 
 def _dp_counts_sql() -> str:
@@ -2056,6 +2083,11 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": _nb_classify_sql(),
         # dp_counts: identical md5-carve Laplace inversion in SQL
         "dp_counts": _dp_counts_sql(),
+        # zorder_keys: the identical shift/mask interleave projection;
+        # zorder_probe: plain BETWEEN — the layout changes WHERE data
+        # lives, never WHAT a probe returns
+        "zorder_keys": _zorder_keys_sql(),
+        "zorder_probe": _zorder_probe_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -281,6 +281,7 @@ def _query_suite() -> dict:
         "calibration_bins": q.q_calibration_bins,
         "nb_classify": q.q_nb_classify,
         "dp_counts": q.q_dp_counts,
+        "zorder_probe": q.q_zorder_probe,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

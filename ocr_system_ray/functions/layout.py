@@ -1,0 +1,203 @@
+"""Z-order (Morton) clustered table layout + rectangle-pruned probes.
+
+The multi-dimensional analog of this repo's single-key partitioned
+indices (``dedup.build_minhash_index`` etc.): interleaving the bits of
+two sort keys makes ONE physical order serve range queries on BOTH
+dimensions (Morton 1966; the Delta/Iceberg "OPTIMIZE ZORDER BY"
+layout).  A 2-D rectangle probe then touches only the partition files
+whose Morton prefix intersects the rectangle — at 10⁹-row scale the
+difference between scanning the corpus and reading a handful of
+row-groups.
+
+Key facts the implementation leans on:
+
+* zkey bit layout: bit ``2i+1`` = x bit ``i``, bit ``2i`` = y bit
+  ``i`` — the HIGH zkey bits are the high bits of both dims, so a
+  bucket = the top ``prefix_bits`` of the zkey, and (for even
+  ``prefix_bits``) every bucket is an axis-aligned RECTANGLE
+  ``[x_hi·w, (x_hi+1)·w) × [y_hi·h, (y_hi+1)·h)`` — bucket pruning is
+  exact rectangle intersection, no curve-walking (BIGMIN) needed.
+* inputs must already be integers in ``[0, 2^bits)`` — scale/clip is
+  the caller's derivation (and the SQL twin's), keeping the key a
+  pure function of the row.
+
+``write_zordered`` sorts by zkey and writes
+``partition_cols=["zbucket"]`` with the mandatory
+``repartition(write_blocks)`` coalescing (CLAUDE.md file-explosion
+rule); ``zorder_probe`` lists ONLY intersecting buckets' files (the
+pruned-glob idiom — ``read_parquet`` on partition dirs errors) and
+finishes with the exact in-file filter.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def morton_key(x: np.ndarray, y: np.ndarray, bits: int) -> np.ndarray:
+    """Vectorized 2-D Morton interleave: int64 arrays in [0, 2^bits)
+    → int64 zkeys (x in odd bit positions, y in even)."""
+    if bits < 1 or bits > 31:
+        raise ValueError("bits must be in 1..31")
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    if (x < 0).any() or (y < 0).any() or (x >> bits).any() or (y >> bits).any():
+        raise ValueError(f"inputs must be in [0, 2^{bits})")
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits):  # bits vectorized passes, not rows·bits Python
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def zorder_keys(
+    ds: ray.data.Dataset, x_col: str, y_col: str, *, bits: int = 16
+) -> ray.data.Dataset:
+    """Row-local stateless pass appending ``zkey`` (no shuffle)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        z = morton_key(
+            t.column(x_col).to_numpy(zero_copy_only=False),
+            t.column(y_col).to_numpy(zero_copy_only=False),
+            bits,
+        )
+        return t.append_column("zkey", pa.array(z, pa.int64()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def morton_key_sql(x_expr: str, y_expr: str, *, bits: int = 16) -> str:
+    """SQL expression computing the identical interleave (a sum of
+    shifted bit tests — DuckDB folds it to one projection)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({y_expr}) >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    write_blocks: int = 4,
+) -> None:
+    """Cluster ``ds`` on the Morton curve of (x_col, y_col) and write
+    a zbucket-partitioned parquet layout.  ``prefix_bits`` must be
+    even (buckets are then exact rectangles)."""
+    if prefix_bits % 2 or prefix_bits < 2 or prefix_bits > 2 * bits:
+        raise ValueError("prefix_bits must be even and in [2, 2*bits]")
+    shift = 2 * bits - prefix_bits
+
+    def bucket(t: pa.Table) -> pa.Table:
+        z = t.column("zkey").to_numpy(zero_copy_only=False)
+        return t.append_column("zbucket", pa.array(z >> shift, pa.int64()))
+
+    (
+        zorder_keys(ds, x_col, y_col, bits=bits)
+        .map_batches(bucket, batch_format="pyarrow")
+        .sort("zkey")
+        .repartition(write_blocks)
+        .write_parquet(out_dir, partition_cols=["zbucket"])
+    )
+
+
+def _bucket_rects(bits: int, prefix_bits: int):
+    """(bucket, x_lo, x_hi_excl, y_lo, y_hi_excl) for every bucket —
+    decoded from the prefix's interleaved bits."""
+    half = prefix_bits // 2
+    cell = 1 << (bits - half)  # cell width per dim
+    out = []
+    for b in range(1 << prefix_bits):
+        x_hi = y_hi = 0
+        for i in range(half):
+            x_hi |= ((b >> (2 * i + 1)) & 1) << i
+            y_hi |= ((b >> (2 * i)) & 1) << i
+        out.append((b, x_hi * cell, (x_hi + 1) * cell, y_hi * cell, (y_hi + 1) * cell))
+    return out
+
+
+def zorder_probe(
+    index_dir: str,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    *,
+    bits: int = 16,
+    prefix_bits: int = 8,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Rectangle probe ``x_range × y_range`` (inclusive bounds) over a
+    ``write_zordered`` layout: prune to intersecting zbuckets, glob
+    those partitions' files only, exact-filter inside."""
+    x_lo, x_hi = x_range
+    y_lo, y_hi = y_range
+    keep = [
+        b
+        for b, bx0, bx1, by0, by1 in _bucket_rects(bits, prefix_bits)
+        if bx0 <= x_hi and bx1 > x_lo and by0 <= y_hi and by1 > y_lo
+    ]
+    files: list[str] = []
+    for b in keep:
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"zbucket={b}", "*.parquet")))
+        )
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"zkey": pa.array([], pa.int64())})
+        )
+    ds = ray.data.read_parquet(files, columns=columns)
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t.column(x_col), x_lo),
+                    pc.less_equal(t.column(x_col), x_hi),
+                ),
+                pc.and_(
+                    pc.greater_equal(t.column(y_col), y_lo),
+                    pc.less_equal(t.column(y_col), y_hi),
+                ),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def probe_files_touched(
+    index_dir: str,
+    x_range: tuple[int, int],
+    y_range: tuple[int, int],
+    *,
+    bits: int = 16,
+    prefix_bits: int = 8,
+) -> tuple[int, int]:
+    """(files the probe reads, total files in the layout) — the
+    pruning evidence used by tests and BASELINE notes."""
+    x_lo, x_hi = x_range
+    y_lo, y_hi = y_range
+    keep = {
+        b
+        for b, bx0, bx1, by0, by1 in _bucket_rects(bits, prefix_bits)
+        if bx0 <= x_hi and bx1 > x_lo and by0 <= y_hi and by1 > y_lo
+    }
+    total = glob.glob(os.path.join(index_dir, "zbucket=*", "*.parquet"))
+    touched = [
+        f
+        for f in total
+        if int(os.path.basename(os.path.dirname(f)).split("=", 1)[1]) in keep
+    ]
+    return len(touched), len(total)

@@ -8654,3 +8654,79 @@ def q_dp_counts(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["event_type"])
     return dp_group_counts(ev, "event_type", scale_b=2.0, salt="dp2026")
+
+
+def _events_xy(sf_dir: str) -> ray.data.Dataset:
+    """Shared derivation for the Z-order queries: x = 40·user_id mod
+    2^16 (spread over the key space at every sf), y = value cents mod
+    2^16 (the layout contract: integers in [0, 2^bits))."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "x": pa.array((uid * 40) % 65536, pa.int64()),
+                "y": pa.array(cents % 65536, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(derive, batch_format="pyarrow")
+
+
+_EVENTS_XY_SQL = """
+    SELECT event_id,
+           (user_id * 40) % 65536 AS x,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) % 65536 AS y
+    FROM events
+"""
+
+
+def q_zorder_keys(sf_dir: str) -> ray.data.Dataset:
+    """Morton/Z-order clustering keys (``functions/layout.py``):
+    bit-interleave of (user bucket, value cents) — ONE physical order
+    serving range queries on both dims; row-local, no shuffle.
+    Oracle = the identical shift/mask interleave as a SQL projection."""
+    from ..functions.layout import zorder_keys
+
+    return zorder_keys(_events_xy(sf_dir), "x", "y", bits=16).select_columns(
+        ["event_id", "zkey"]
+    )
+
+
+_ZPROBE_X = (0, 2000)
+_ZPROBE_Y = (0, 30000)
+
+
+def q_zorder_probe(sf_dir: str) -> ray.data.Dataset:
+    """Rectangle probe over a PERSISTED Z-ordered layout (built once,
+    cached under /tmp with a crash-safe marker): prune to the Morton-
+    prefix buckets intersecting the rectangle, glob only their files,
+    exact-filter inside.  Oracle = plain BETWEEN filter on the same
+    derivation — the layout must change WHERE data lives, never WHAT
+    the query returns."""
+    import os
+    import tempfile
+
+    from ..functions.layout import write_zordered, zorder_probe
+
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"osr_zorder_{_source_tag(sf_dir, 'events')}"
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        write_zordered(
+            _events_xy(sf_dir), index_dir, "x", "y", bits=16, prefix_bits=8
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    return zorder_probe(
+        index_dir, "x", "y", _ZPROBE_X, _ZPROBE_Y, bits=16, prefix_bits=8
+    ).select_columns(["event_id", "x", "y"])

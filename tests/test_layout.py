@@ -1,0 +1,132 @@
+"""Z-order layout (functions/layout.py) — interleave unit pins +
+DuckDB twin, probe ≡ brute-force rectangle filter, real file pruning,
+bucket-rectangle decode, argument validation."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.layout import (
+    _bucket_rects,
+    morton_key,
+    morton_key_sql,
+    probe_files_touched,
+    write_zordered,
+    zorder_keys,
+    zorder_probe,
+)
+
+
+def test_morton_pins_and_sql_twin():
+    x = np.array([0, 1, 0, 1, 2, 65535], dtype=np.int64)
+    y = np.array([0, 0, 1, 1, 3, 65535], dtype=np.int64)
+    z = morton_key(x, y, 16)
+    # hand pins: x odd bits, y even bits
+    assert z.tolist()[:5] == [0, 2, 1, 3, 0b1101]
+    assert z[5] == (1 << 32) - 1
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})  # noqa: F841
+    want = duckdb.sql(
+        f"SELECT CAST({morton_key_sql('x', 'y', bits=16)} AS BIGINT) AS z FROM t"
+    ).df()["z"]
+    assert z.tolist() == want.tolist()
+
+
+def test_morton_bad_inputs():
+    with pytest.raises(ValueError):
+        morton_key(np.array([-1]), np.array([0]), 16)
+    with pytest.raises(ValueError):
+        morton_key(np.array([1 << 16]), np.array([0]), 16)
+    with pytest.raises(ValueError):
+        morton_key(np.array([0]), np.array([0]), 0)
+
+
+def test_bucket_rects_cover_space():
+    rects = _bucket_rects(8, 4)
+    # 16 buckets tile the 256x256 grid into 4x4 cells of 64x64
+    assert len(rects) == 16
+    area = sum((x1 - x0) * (y1 - y0) for _, x0, x1, y0, y1 in rects)
+    assert area == 256 * 256
+    # bucket 0 is the origin cell; bucket 0b10 has x_hi=1
+    assert rects[0][1:] == (0, 64, 0, 64)
+    assert rects[2][1:] == (64, 128, 0, 64)
+
+
+@pytest.fixture(scope="module")
+def zlayout(ray_session, tmp_path_factory):
+    rng = np.random.RandomState(7)
+    n = 4000
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(n), pa.int64()),
+            "x": pa.array(rng.randint(0, 256, n).astype(np.int64)),
+            "y": pa.array(rng.randint(0, 256, n).astype(np.int64)),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("zord") / "layout")
+    write_zordered(
+        ray.data.from_arrow(t).repartition(6), d, "x", "y", bits=8, prefix_bits=4
+    )
+    return t, d
+
+
+def test_probe_matches_bruteforce(zlayout, ray_session):
+    t, d = zlayout
+    got = (
+        zorder_probe(d, "x", "y", (10, 80), (100, 140), bits=8, prefix_bits=4)
+        .to_pandas()
+        .sort_values("rid")
+    )
+    x = t.column("x").to_numpy()
+    y = t.column("y").to_numpy()
+    want = (10 <= x) & (x <= 80) & (100 <= y) & (y <= 140)
+    assert got["rid"].tolist() == t.column("rid").to_numpy()[want].tolist()
+
+
+def test_probe_prunes_files(zlayout):
+    _, d = zlayout
+    # a quadrant probe must skip most partitions
+    touched, total = probe_files_touched(
+        d, (0, 63), (0, 63), bits=8, prefix_bits=4
+    )
+    assert total == len(glob.glob(os.path.join(d, "zbucket=*", "*.parquet")))
+    assert 0 < touched < total
+    # the layout keeps file count bounded: <= write_blocks per bucket
+    per_bucket = {}
+    for f in glob.glob(os.path.join(d, "zbucket=*", "*.parquet")):
+        b = os.path.basename(os.path.dirname(f))
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) <= 4
+
+
+def test_probe_empty_rectangle(zlayout, ray_session):
+    _, d = zlayout
+    out = zorder_probe(
+        d, "x", "y", (300, 400), (300, 400), bits=8, prefix_bits=4
+    )
+    assert out.count() == 0
+
+
+def test_write_bad_prefix(ray_session):
+    ds = ray.data.from_items([{"x": 1, "y": 2}])
+    with pytest.raises(ValueError):
+        write_zordered(ds, "/tmp/zbad", "x", "y", bits=8, prefix_bits=3)
+
+
+def test_zorder_keys_dataset(ray_session):
+    t = pa.table(
+        {
+            "x": pa.array([1, 2], pa.int64()),
+            "y": pa.array([1, 0], pa.int64()),
+        }
+    )
+    out = zorder_keys(ray.data.from_arrow(t), "x", "y", bits=4).to_pandas()
+    assert out["zkey"].tolist() == [3, 8]
