@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts": q.q_dp_counts,
         "zorder_keys": q.q_zorder_keys,
         "zorder_probe": q.q_zorder_probe,
+        "sssp_latency": q.q_sssp_latency,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -727,6 +728,20 @@ def _crawl_depth_sql() -> str:
           SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
         ) WHERE src <> dst"""
     return bfs_sql(edges, BFS_SEEDS, max_hops=4, node_col="host")
+
+
+def _sssp_latency_sql() -> str:
+    from ocr_system_ray.functions.graph import sssp_sql
+    from ocr_system_ray.pipelines.queries import BFS_SEEDS, PAGERANK_HOSTS as H
+
+    edges = f"""SELECT src, dst, 1 + (src * 31 + dst * 17) % 7 AS w FROM (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+            UNION ALL
+            SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+          ) WHERE src <> dst
+        )"""
+    return sssp_sql(edges, BFS_SEEDS, max_rounds=3, node_col="host")
 
 
 def _host_communities_sql() -> str:
@@ -2088,6 +2103,8 @@ def oracle_sql() -> dict[str, str]:
         # lives, never WHAT a probe returns
         "zorder_keys": _zorder_keys_sql(),
         "zorder_probe": _zorder_probe_sql(),
+        # sssp_latency: the unrolled Bellman-Ford relaxation twin
+        "sssp_latency": _sssp_latency_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -282,6 +282,7 @@ def _query_suite() -> dict:
         "nb_classify": q.q_nb_classify,
         "dp_counts": q.q_dp_counts,
         "zorder_probe": q.q_zorder_probe,
+        "sssp_latency": q.q_sssp_latency,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

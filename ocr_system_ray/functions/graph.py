@@ -1313,3 +1313,154 @@ def k_core_sql(
                CAST(COUNT(*) AS BIGINT) AS {deg_col}
         FROM kc_e{rounds} GROUP BY src"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman–Ford relaxation)
+# ---------------------------------------------------------------------------
+
+
+def sssp_weighted(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    max_rounds: int = 6,
+    node_col: str = "node",
+    dist_col: str = "dist",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed Bellman–Ford over ``(src, dst, w)`` int64 edges
+    (non-negative integer weights — crawl latencies, link costs):
+    distance from the seed set after ``max_rounds`` synchronous
+    relaxations; unreached → ``-1``.
+
+    Exact SSSP needs |V|−1 rounds; a fixed ``max_rounds`` gives the
+    ≤k-hop shortest distance — the standard bounded-iteration
+    distributed relaxation (the :func:`bfs_depth` recurrence with
+    ``d + w`` in place of ``d + 1``), and the generated SQL twin
+    unrolls the SAME rounds, so the oracle is exact at any setting.
+    Per round: ONE reduce-side label join (edges ⋈ dists on src) +
+    ONE ``groupby(node).min`` — O(edges) rows moved per round, nothing
+    corpus-sized on the driver.
+    """
+    from ray.data.aggregate import Min
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+    e = edges.materialize()
+    nodes = _node_table(e).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_col: pa.array([], pa.int64()),
+                    dist_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    seed_arr = sorted(set(int(s) for s in seeds))
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_arr, pa.int64()),
+                "label": pa.array([0] * len(seed_arr), pa.int64()),
+            }
+        )
+    )
+    for _round in range(max_rounds):
+        cand = _attach_label(e, ["dst", "w"], dist, "src", "d", nb).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst").cast(pa.int64()),
+                    "label": pc.add(
+                        t.column("d").cast(pa.int64()),
+                        t.column("w").cast(pa.int64()),
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = (
+            dist.union(cand)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node").cast(pa.int64()),
+                        "label": t.column("label").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    big = 1 << 60
+
+    def all_nodes_rows(t: pa.Table) -> pa.Table:
+        n = t.column("node").cast(pa.int64())
+        return pa.table(
+            {
+                "node": n,
+                "label": pa.array(
+                    np.full(len(t), big, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min as _Min
+
+    merged = (
+        nodes.map_batches(all_nodes_rows, batch_format="pyarrow")
+        .union(dist)
+        .groupby("node")
+        .aggregate(_Min("label", alias_name="m"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                node_col: t.column("node").cast(pa.int64()),
+                dist_col: pa.array(np.where(m >= big, -1, m)),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def sssp_sql(
+    edges_sql: str,
+    seeds: list[int],
+    max_rounds: int = 6,
+    node_col: str = "node",
+    dist_col: str = "dist",
+) -> str:
+    """Generated DuckDB oracle for :func:`sssp_weighted`: the same
+    relaxation rounds unrolled as MATERIALIZED CTEs.  ``edges_sql``
+    must yield (src, dst, w)."""
+    seed_vals = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
+    parts = [
+        f"se AS MATERIALIZED ({edges_sql})",
+        "snodes AS MATERIALIZED (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM se UNION ALL SELECT dst AS h FROM se"
+        f" UNION ALL SELECT s FROM (VALUES {seed_vals}) sv(s)))",
+        f"sd0 AS MATERIALIZED (SELECT s AS h, 0 AS d FROM (VALUES {seed_vals}) sv(s))",
+    ]
+    for k in range(1, max_rounds + 1):
+        parts.append(
+            f"""sd{k} AS MATERIALIZED (
+                SELECT h, MIN(d) AS d FROM (
+                    SELECT h, d FROM sd{k - 1}
+                    UNION ALL
+                    SELECT se.dst AS h, r.d + se.w AS d
+                    FROM se JOIN sd{k - 1} r ON se.src = r.h
+                ) GROUP BY h)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT n.h AS {node_col},
+               CAST(COALESCE(dk.d, -1) AS BIGINT) AS {dist_col}
+        FROM snodes n LEFT JOIN sd{max_rounds} dk ON n.h = dk.h"""
+    )

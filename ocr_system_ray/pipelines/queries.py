@@ -8730,3 +8730,46 @@ def q_zorder_probe(sf_dir: str) -> ray.data.Dataset:
     return zorder_probe(
         index_dir, "x", "y", _ZPROBE_X, _ZPROBE_Y, bits=16, prefix_bits=8
     ).select_columns(["event_id", "x", "y"])
+
+
+def q_sssp_latency(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-hop weighted shortest paths from the seed hosts over
+    the pagerank-derived link graph with deterministic latency weights
+    w = 1 + (src*31 + dst*17) mod 7 (``functions/graph.py:
+    sssp_weighted``, 3 Bellman-Ford rounds, unreached -> -1).  Oracle
+    = the generated unrolled-CTE relaxation twin."""
+    from ..functions.graph import sssp_weighted, _dedup_edges, _adaptive_coarse_bits
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    nb = 1 << _adaptive_coarse_bits(max(2, ds.count()))
+    weighted = _dedup_edges(ds, nb).map_batches(
+        lambda t: t.append_column(
+            "w",
+            pa.array(
+                1
+                + (
+                    t.column("src").to_numpy(zero_copy_only=False) * 31
+                    + t.column("dst").to_numpy(zero_copy_only=False) * 17
+                )
+                % 7,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return sssp_weighted(
+        weighted, BFS_SEEDS, max_rounds=3, node_col="host", num_buckets=nb
+    )

@@ -1,0 +1,90 @@
+"""Weighted SSSP / Bellman-Ford (functions/graph.py:sssp_weighted) —
+DuckDB unrolled-CTE twin equality, hand-built geometry (shorter
+many-hop path beats a heavy direct edge), bounded-round semantics,
+unreached sentinel, layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.graph import sssp_sql, sssp_weighted
+
+
+def _edges(rows) -> pa.Table:
+    return pa.table(
+        {
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+            "w": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _dists(ds):
+    return {r["node"]: r["dist"] for r in ds.take_all()}
+
+
+def test_hand_geometry(ray_session):
+    # 0->3 direct costs 10; 0->1->2->3 costs 3.  Node 4 unreachable
+    # (edge INTO the seed only); 5<-4 w=1 off-component.
+    t = _edges([(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1), (4, 0, 2), (4, 5, 9)])
+    got = _dists(sssp_weighted(ray.data.from_arrow(t), [0], max_rounds=6))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1}
+
+
+def test_bounded_rounds(ray_session):
+    # with 1 round only the direct heavy edge is reachable
+    t = _edges([(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    got = _dists(sssp_weighted(ray.data.from_arrow(t), [0], max_rounds=1))
+    assert got[3] == 10 and got[2] == -1
+    # 2 rounds: 0->1->2 opens; 3 still best at 10
+    got = _dists(sssp_weighted(ray.data.from_arrow(t), [0], max_rounds=2))
+    assert got[2] == 2 and got[3] == 10
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("rounds", [1, 4])
+def test_matches_duckdb_twin(ray_session, nblocks, rounds):
+    rng = np.random.RandomState(11)
+    n = 300
+    src = rng.randint(0, 40, n).astype(np.int64)
+    dst = rng.randint(0, 40, n).astype(np.int64)
+    keep = src != dst
+    e = pa.table(  # noqa: F841
+        {
+            "src": pa.array(src[keep]),
+            "dst": pa.array(dst[keep]),
+            "w": pa.array((1 + (src[keep] * 3 + dst[keep]) % 5).astype(np.int64)),
+        }
+    )
+    # twin assumes a deduped edge list (the engine relaxes duplicates
+    # identically, but keep the comparison exact)
+    ded = duckdb.sql("SELECT DISTINCT src, dst, w FROM e").arrow()
+    ds = ray.data.from_arrow(ded).repartition(nblocks)
+    got = (
+        sssp_weighted(ds, [0, 5], max_rounds=rounds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            sssp_sql("SELECT DISTINCT src, dst, w FROM e", [0, 5], max_rounds=rounds)
+        )
+        .df()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_empty_graph(ray_session):
+    ds = ray.data.from_arrow(_edges([]))
+    assert sssp_weighted(ds, [0], max_rounds=2).count() == 0
