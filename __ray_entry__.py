@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_keys": q.q_zorder_keys,
         "zorder_probe": q.q_zorder_probe,
         "sssp_latency": q.q_sssp_latency,
+        "link_prediction": q.q_link_prediction,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -742,6 +743,18 @@ def _sssp_latency_sql() -> str:
           ) WHERE src <> dst
         )"""
     return sssp_sql(edges, BFS_SEEDS, max_rounds=3, node_col="host")
+
+
+def _link_prediction_sql() -> str:
+    from ocr_system_ray.functions.graph import adamic_adar_sql
+    from ocr_system_ray.pipelines.queries import PAGERANK_HOSTS as H
+
+    edges = f"""SELECT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+        ) WHERE src <> dst"""
+    return adamic_adar_sql(edges, min_common=1)
 
 
 def _host_communities_sql() -> str:
@@ -2105,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_probe": _zorder_probe_sql(),
         # sssp_latency: the unrolled Bellman-Ford relaxation twin
         "sssp_latency": _sssp_latency_sql(),
+        # link_prediction: identical wedge enumeration + anti-adjacency
+        "link_prediction": _link_prediction_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

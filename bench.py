@@ -283,6 +283,7 @@ def _query_suite() -> dict:
         "dp_counts": q.q_dp_counts,
         "zorder_probe": q.q_zorder_probe,
         "sssp_latency": q.q_sssp_latency,
+        "link_prediction": q.q_link_prediction,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

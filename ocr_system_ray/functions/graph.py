@@ -1464,3 +1464,244 @@ def sssp_sql(
                CAST(COALESCE(dk.d, -1) AS BIGINT) AS {dist_col}
         FROM snodes n LEFT JOIN sd{max_rounds} dk ON n.h = dk.h"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction (common-neighbor scoring)
+# ---------------------------------------------------------------------------
+
+
+def adamic_adar(
+    edges: ray.data.Dataset,
+    *,
+    min_common: int = 2,
+    max_degree: int | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Link prediction over an undirected graph (Adamic & Adar 2003):
+    for every NON-adjacent pair (u, v) with ≥ ``min_common`` common
+    neighbors, the common-neighbor count and the AA score
+    ``Σ_z 1/ln(deg z)`` over shared neighbors z — "which hosts will
+    link next" / mirror-candidate discovery.
+
+    Exact-integer contract: each center contributes
+    ``floor(10⁶ / ln(deg z))`` (ONE scalar libm ``ln`` per distinct
+    degree — the single-ln parity rule; a wedge center always has
+    deg ≥ 2, so ln > 0), and pair scores are order-free integer sums.
+
+    Scale shape — everything funnels into ONE pair groupby:
+
+    1. undirected dedup'd adjacency (both orientations) + ONE
+       ``groupby(src).count`` for degrees, attached back with a
+       reduce-side label join;
+    2. wedge pairs per center inside coarse ``bucket(src)`` groups
+       (vectorized self-merge, never Python-per-wedge); ``max_degree``
+       is the star guard — super-hub centers are SKIPPED (the standard
+       AA truncation; the SQL twin applies the identical filter);
+    3. existing edges ride the SAME groupby as ``isedge`` tag rows —
+       the anti-join costs no extra shuffle;
+    4. ``groupby(pair_key)`` → Sum(cnt), Sum(term), Sum(isedge) →
+       row-local filter + unpack.
+
+    Output ``(host_a, host_b, common_cnt, aa_micro)`` with
+    host_a < host_b; node ids must fit in 31 bits (packed pair keys).
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((s | d) >> 31).any() or (s < 0).any() or (d < 0).any():
+            raise ValueError("node ids must be in [0, 2^31)")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    und = _dedup_edges(edges.map_batches(both, batch_format="pyarrow"), nb)
+    und = und.materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t.column("src").to_numpy(zero_copy_only=False)
+        ).value_counts()
+        return pa.table(
+            {
+                "node": pa.array(vc.index.to_numpy(np.int64)),
+                "p": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    deg = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("p")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "label": t.column("sum(p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    withdeg = _attach_label(und, ["src", "dst"], deg, "src", "deg", nb)
+
+    def bucket_src(t: pa.Table) -> pa.Table:
+        from .dedup import _coarse_bucket
+
+        return t.append_column(
+            "bucket",
+            pa.array(
+                _coarse_bucket(
+                    t.column("src").to_numpy(zero_copy_only=False), nb
+                )
+            ),
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pk": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="int64"),
+                "isedge": pd.Series([], dtype="int64"),
+            }
+        )
+        if max_degree is not None:
+            g = g[g["deg"] <= max_degree]
+        if g.empty:
+            return empty
+        m = g[["src", "dst", "deg"]].merge(
+            g[["src", "dst"]], on="src", suffixes=("_a", "_b")
+        )
+        m = m[m["dst_a"] < m["dst_b"]]
+        if m.empty:
+            return empty
+        terms = {
+            int(d): math.floor(1e6 / math.log(int(d)))
+            for d in m["deg"].unique()
+        }
+        return pd.DataFrame(
+            {
+                "pk": (
+                    m["dst_a"].to_numpy(np.int64) * (1 << 31)
+                    + m["dst_b"].to_numpy(np.int64)
+                ),
+                "cnt": np.ones(len(m), dtype=np.int64),
+                "term": m["deg"].map(terms).to_numpy(np.int64),
+                "isedge": np.zeros(len(m), dtype=np.int64),
+            }
+        )
+
+    wedge_rows = (
+        withdeg.map_batches(bucket_src, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+        # normalize block type: map_groups emits pandas blocks, which
+        # union() refuses to mix with arrow blocks
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "pk": t.column("pk").cast(pa.int64()),
+                    "cnt": t.column("cnt").cast(pa.int64()),
+                    "term": t.column("term").cast(pa.int64()),
+                    "isedge": t.column("isedge").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s < d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "pk": pa.array(s * (1 << 31) + d),
+                "cnt": pa.array(np.zeros(len(s), dtype=np.int64)),
+                "term": pa.array(np.zeros(len(s), dtype=np.int64)),
+                "isedge": pa.array(np.ones(len(s), dtype=np.int64)),
+            }
+        )
+
+    tagged = wedge_rows.union(
+        und.map_batches(edge_rows, batch_format="pyarrow")
+    )
+    agg = tagged.groupby("pk").aggregate(
+        Sum("cnt", alias_name="common_cnt"),
+        Sum("term", alias_name="aa_micro"),
+        Sum("isedge", alias_name="isedge"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("common_cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        aa = t.column("aa_micro").to_numpy(zero_copy_only=False).astype(np.int64)
+        ise = t.column("isedge").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ise == 0) & (cnt >= min_common)
+        return pa.table(
+            {
+                "host_a": pa.array(pk[keep] >> 31),
+                "host_b": pa.array(pk[keep] & ((1 << 31) - 1)),
+                "common_cnt": pa.array(cnt[keep]),
+                "aa_micro": pa.array(aa[keep]),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def adamic_adar_sql(
+    edges_sql: str,
+    *,
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> str:
+    """Generated DuckDB oracle for :func:`adamic_adar` — identical
+    wedge enumeration, degree filter, integer AA terms, and
+    anti-adjacency filter.  ``edges_sql`` must yield directed
+    (src, dst) rows; self-loops are dropped here like the engine."""
+    degflt = f"WHERE d.deg <= {max_degree}" if max_degree is not None else ""
+    return f"""
+        WITH aa_raw AS MATERIALIZED ({edges_sql}),
+        aa_und AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM aa_raw WHERE src <> dst
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM aa_raw WHERE src <> dst
+            )
+        ),
+        aa_deg AS MATERIALIZED (
+            SELECT src AS node, COUNT(*) AS deg FROM aa_und GROUP BY 1
+        ),
+        aa_w AS (
+            SELECT a.dst AS u, b.dst AS v,
+                   CAST(floor(1000000.0 / ln(d.deg)) AS BIGINT) AS term
+            FROM aa_und a
+            JOIN aa_und b ON a.src = b.src AND a.dst < b.dst
+            JOIN aa_deg d ON d.node = a.src
+            {degflt}
+        )
+        SELECT u AS host_a, v AS host_b,
+               CAST(COUNT(*) AS BIGINT) AS common_cnt,
+               CAST(SUM(term) AS BIGINT) AS aa_micro
+        FROM aa_w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM aa_und e WHERE e.src = u AND e.dst = v
+        )
+        GROUP BY u, v
+        HAVING COUNT(*) >= {min_common}
+    """

@@ -8773,3 +8773,28 @@ def q_sssp_latency(sf_dir: str) -> ray.data.Dataset:
     return sssp_weighted(
         weighted, BFS_SEEDS, max_rounds=3, node_col="host", num_buckets=nb
     )
+
+
+def q_link_prediction(sf_dir: str) -> ray.data.Dataset:
+    """Adamic-Adar link prediction over the pagerank-derived host
+    graph (``functions/graph.py:adamic_adar``): non-adjacent host
+    pairs ranked by shared-neighbor evidence (integer AA micro-terms,
+    ONE pair groupby carrying wedges and edge tags together).  Oracle
+    = identical wedge enumeration + anti-adjacency filter in SQL."""
+    from ..functions.graph import adamic_adar
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return adamic_adar(ds, min_common=1)

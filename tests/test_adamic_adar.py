@@ -1,0 +1,99 @@
+"""Adamic-Adar link prediction (functions/graph.py:adamic_adar) —
+DuckDB twin equality, hand-built wedge geometry, existing-edge
+exclusion, max_degree star guard, id-range validation, layout
+invariance."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.graph import adamic_adar, adamic_adar_sql
+
+
+def _edges(rows) -> pa.Table:
+    return pa.table(
+        {
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_hand_geometry(ray_session):
+    # star: center 0 linked to 1,2,3 (deg 3); 1-2 also directly linked.
+    # non-adjacent pairs sharing z=0: (1,3) and (2,3); (1,2) is an edge.
+    t = _edges([(0, 1), (0, 2), (0, 3), (1, 2)])
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in adamic_adar(ray.data.from_arrow(t), min_common=1).take_all()
+    }
+    term0 = math.floor(1e6 / math.log(3))
+    assert set(out) == {(1, 3), (2, 3)}
+    assert out[(1, 3)]["common_cnt"] == 1
+    assert out[(1, 3)]["aa_micro"] == term0
+    # (1,2) excluded even though it shares center 0
+    assert (1, 2) not in out
+
+
+def test_two_centers_sum(ray_session):
+    # u=10, v=11 share centers 0 (deg 2: only u,v) and 1 (deg 3)
+    t = _edges([(0, 10), (0, 11), (1, 10), (1, 11), (1, 12)])
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in adamic_adar(ray.data.from_arrow(t), min_common=2).take_all()
+    }
+    want = math.floor(1e6 / math.log(2)) + math.floor(1e6 / math.log(3))
+    assert out[(10, 11)]["common_cnt"] == 2
+    assert out[(10, 11)]["aa_micro"] == want
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("max_degree", [None, 6])
+def test_matches_duckdb_twin(ray_session, nblocks, max_degree):
+    rng = np.random.RandomState(5)
+    n = 400
+    src = rng.randint(0, 60, n).astype(np.int64)
+    dst = rng.randint(0, 60, n).astype(np.int64)
+    e = pa.table({"src": pa.array(src), "dst": pa.array(dst)})  # noqa: F841
+    ds = ray.data.from_arrow(e).repartition(nblocks)
+    got = _canon(
+        adamic_adar(ds, min_common=2, max_degree=max_degree).to_pandas()
+    )
+    want = _canon(
+        duckdb.sql(
+            adamic_adar_sql(
+                "SELECT src, dst FROM e", min_common=2, max_degree=max_degree
+            )
+        ).df()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+
+
+def test_max_degree_guards_star(ray_session):
+    # one hub with 10 spokes: max_degree=5 skips every wedge
+    t = _edges([(0, i) for i in range(1, 11)])
+    assert (
+        adamic_adar(ray.data.from_arrow(t), min_common=1, max_degree=5).count()
+        == 0
+    )
+
+
+def test_id_range_rejected(ray_session):
+    t = _edges([(1 << 31, 1)])
+    with pytest.raises(Exception):
+        adamic_adar(ray.data.from_arrow(t), min_common=1).materialize()
