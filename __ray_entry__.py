@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_probe": q.q_zorder_probe,
         "sssp_latency": q.q_sssp_latency,
         "link_prediction": q.q_link_prediction,
+        "containment_join": q.q_containment_join,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -920,6 +921,39 @@ _ORACLE_JACCARD_EXACT = r"""
     JOIN sz sa ON sa.doc_id = it.id_a
     JOIN sz sb ON sb.doc_id = it.id_b
     WHERE it.i * 1000000 >= 700000 * (sa.s + sb.s - it.i)
+"""
+
+
+_ORACLE_CONTAINMENT_EXACT = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(COALESCE(text, ''),
+                                  '[^ \t\n\r\f\v]+') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= 3
+                      THEN [tk[i] || ' ' || tk[i + 1] || ' '
+                                || tk[i + 2]
+                            FOR i IN range(1, len(tk) - 1)]
+                      ELSE [array_to_string(tk, ' ')] END) AS g
+        FROM toks WHERE len(tk) > 0
+    ), gs AS (
+        SELECT DISTINCT doc_id, g FROM grams
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS s FROM gs GROUP BY 1
+    ), it AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT it.id_a, it.id_b,
+           CAST(it.i AS BIGINT) AS inter_size,
+           CAST(sa.s AS BIGINT) AS size_a,
+           CAST(it.i * 1000000 // sa.s AS BIGINT) AS cont_micro
+    FROM it
+    JOIN sz sa ON sa.doc_id = it.id_a
+    WHERE it.i * 1000000 >= 700000 * sa.s
 """
 
 
@@ -2120,6 +2154,9 @@ def oracle_sql() -> dict[str, str]:
         "sssp_latency": _sssp_latency_sql(),
         # link_prediction: identical wedge enumeration + anti-adjacency
         "link_prediction": _link_prediction_sql(),
+        # containment_join: brute-force DIRECTED containment over the
+        # identical trigram derivation (the jaccard-exact twin's shape)
+        "containment_join": _ORACLE_CONTAINMENT_EXACT,
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

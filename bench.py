@@ -284,6 +284,7 @@ def _query_suite() -> dict:
         "zorder_probe": q.q_zorder_probe,
         "sssp_latency": q.q_sssp_latency,
         "link_prediction": q.q_link_prediction,
+        "containment_join": q.q_containment_join,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -3203,13 +3203,19 @@ def _set_verify_join(
     id_col: str,
     num_buckets: int,
     dedup_pairs: bool = True,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact-Jaccard verify: the reduce-side fetch/reassemble join of
     :func:`_estimate_verify_join`, generalized to variable-width binary
     set payloads and an exact sorted-array intersection verdict.  Sets
     move once (8·|set| bytes per doc); cross-token duplicate candidates
     die in the fetch bucket (every occurrence of a pair keys its member
-    rows by the same ids), so no pair-keyed sort barrier exists."""
+    rows by the same ids), so no pair-keyed sort barrier exists.
+
+    ``metric="containment"`` swaps the verdict to the asymmetric
+    ``|A∩B| / |A| ≥ t`` (A = id_a, the candidate-contained side; pairs
+    are DIRECTED there) and the output to
+    ``(id_a, id_b, inter_size, size_a, cont_micro)``."""
     import pandas as pd
 
     def set_rows(t: pa.Table) -> pa.Table:
@@ -3269,14 +3275,17 @@ def _set_verify_join(
     def pair_bucket(t: pa.Table) -> pa.Table:
         return _pair_bucket_column(t, num_buckets)
 
+    size_col = "union_size" if metric == "jaccard" else "size_a"
+    score_col = "jac_micro" if metric == "jaccard" else "cont_micro"
+
     def verify_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series([], dtype=g["id_a"].dtype if not g.empty else "int64"),
                 "id_b": pd.Series([], dtype=g["id_b"].dtype if not g.empty else "int64"),
                 "inter_size": pd.Series([], dtype="int64"),
-                "union_size": pd.Series([], dtype="int64"),
-                "jac_micro": pd.Series([], dtype="int64"),
+                size_col: pd.Series([], dtype="int64"),
+                score_col: pd.Series([], dtype="int64"),
             }
         )
         if g.empty:
@@ -3287,22 +3296,24 @@ def _set_verify_join(
         if m.empty:
             return empty
         inter = np.empty(len(m), dtype=np.int64)
-        union = np.empty(len(m), dtype=np.int64)
+        denom = np.empty(len(m), dtype=np.int64)
         for i, (sa, sb) in enumerate(zip(m["sig_a"], m["sig_b"])):
             a = np.frombuffer(sa, dtype=np.uint64)
             b = np.frombuffer(sb, dtype=np.uint64)
             k = np.intersect1d(a, b, assume_unique=True).size
             inter[i] = k
-            union[i] = a.size + b.size - k
-        jac = np.where(union > 0, (inter * 1_000_000) // np.maximum(union, 1), 0)
-        keep = jac >= thr_micro
+            denom[i] = a.size + b.size - k if metric == "jaccard" else a.size
+        score = np.where(
+            denom > 0, (inter * 1_000_000) // np.maximum(denom, 1), 0
+        )
+        keep = score >= thr_micro
         return pd.DataFrame(
             {
                 "id_a": m["id_a"][keep].reset_index(drop=True),
                 "id_b": m["id_b"][keep].reset_index(drop=True),
                 "inter_size": pd.Series(inter[keep], dtype="int64"),
-                "union_size": pd.Series(union[keep], dtype="int64"),
-                "jac_micro": pd.Series(jac[keep], dtype="int64"),
+                size_col: pd.Series(denom[keep], dtype="int64"),
+                score_col: pd.Series(score[keep], dtype="int64"),
             }
         )
 
@@ -3310,4 +3321,143 @@ def _set_verify_join(
         fetched.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(verify_in_bucket, batch_format="pandas")
+    )
+
+
+def containment_join(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    join_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT-recall n-gram CONTAINMENT self-join (the LSH-Ensemble
+    problem, Zhu et al. VLDB'16, solved exactly): every DIRECTED pair
+    (A, B) with ``|A∩B| / |A| ≥ threshold`` — "A is mostly inside B".
+    Near-SUBSET detection is what symmetric Jaccard structurally
+    misses (a page embedded in a larger page scores low Jaccard but
+    containment 1.0): quote inclusion, template supersets, partial
+    mirrors.
+
+    Plan (the :func:`jaccard_similarity_join` machinery with the
+    asymmetric prefix rule):
+
+    1. gram sets — same stage, 8-byte identities only;
+    2. candidates — the CONTAINED side A emits its p smallest gram
+       hashes (p = s − ⌈t·s⌉ + 1: if |A∩B| ≥ ⌈t·|A|⌉, some shared
+       gram falls in A's prefix under any global order — B is
+       unconstrained, which is WHY B must emit ALL its grams; that
+       full-side emission is containment's inherent cost and the
+       length-bound prune does not exist here);
+    3. verify — the reduce-side set-fetch join with the
+       ``metric="containment"`` verdict (directed pairs, exact sorted
+       intersection, ``cont_micro = ⌊10⁶·|∩|/|A|⌋``).
+
+    Returns ``(id_a, id_b, inter_size, size_a, cont_micro)``; id_a is
+    the contained document.  Empty-set documents never qualify.
+    """
+    import pandas as pd
+
+    thr_micro = int(round(threshold * 1_000_000))
+    if not 0 < thr_micro <= 1_000_000:
+        raise ValueError("threshold must be in (0, 1]")
+
+    sets = ds.map_batches(
+        lambda t: _gram_set_rows(t, ngram, text_col, id_col),
+        batch_format="pyarrow",
+    ).materialize()
+
+    n_docs = sets.count()  # materialized — metadata only
+    if join_buckets is None:
+        join_buckets = int(max(64, min(1 << 18, n_docs // 20_000 + 64)))
+
+    def side_rows(t: pa.Table, probe: bool) -> pa.Table:
+        sizes = t.column("set_size").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        setcol = t.column("setbin").to_pylist()
+        lens = _prefix_len(sizes, thr_micro) if probe else sizes
+        toks: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        for i, (sb, p) in enumerate(zip(setcol, lens)):
+            if p <= 0:
+                continue
+            pre = np.frombuffer(sb, dtype=np.uint64)[: int(p)]
+            toks.append(pre)
+            out_ids.append(np.full(pre.size, ids[i], dtype=np.int64))
+        if not toks:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.uint64()),
+                    "sid": pa.array([], pa.int64()),
+                    "probe": pa.array([], pa.int8()),
+                }
+            )
+        flat = np.concatenate(toks)
+        return pa.table(
+            {
+                "tok": pa.array(flat),
+                "sid": pa.array(np.concatenate(out_ids)),
+                "probe": pa.array(
+                    np.full(flat.size, 1 if probe else 0, dtype=np.int8)
+                ),
+            }
+        )
+
+    emitted = sets.map_batches(
+        lambda t: side_rows(t, True), batch_format="pyarrow"
+    ).union(
+        sets.map_batches(lambda t: side_rows(t, False), batch_format="pyarrow")
+    )
+
+    bits = _adaptive_coarse_bits(max(1, int(n_docs * 3)))
+    num_coarse = 1 << bits
+
+    def tok_bucket(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "cbucket",
+            pa.array(_coarse_bucket(toks.astype(np.int64), num_coarse)),
+        )
+
+    def candidates_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        pa_side = g[g["probe"] == 1]
+        full = g[g["probe"] == 0]
+        if pa_side.empty or full.empty:
+            return empty
+        m = pa_side[["tok", "sid"]].merge(
+            full[["tok", "sid"]], on="tok", suffixes=("_a", "_b")
+        )
+        m = m[m["sid_a"] != m["sid_b"]]
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": m["sid_a"].to_numpy(np.int64),
+                "id_b": m["sid_b"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    candidates = (
+        emitted.map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(candidates_in_bucket, batch_format="pandas")
+    )
+
+    return _set_verify_join(
+        candidates,
+        sets,
+        thr_micro,
+        id_col,
+        join_buckets,
+        dedup_pairs=True,
+        metric="containment",
     )

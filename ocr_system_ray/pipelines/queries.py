@@ -8798,3 +8798,13 @@ def q_link_prediction(sf_dir: str) -> ray.data.Dataset:
         edges, batch_format="pyarrow"
     )
     return adamic_adar(ds, min_common=1)
+
+
+def q_containment_join(sf_dir: str) -> ray.data.Dataset:
+    """EXACT-recall trigram CONTAINMENT self-join at t=0.7
+    (``functions/dedup.py:containment_join``): directed near-subset
+    pairs |A∩B|/|A| >= t — what symmetric Jaccard structurally misses
+    (quote inclusion, template supersets, partial mirrors).  Oracle =
+    brute-force directed containment over the same gram derivation."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.containment_join(ds, threshold=0.7, ngram=3)

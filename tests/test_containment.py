@@ -1,0 +1,120 @@
+"""Containment join (functions/dedup.py:containment_join) — DuckDB
+brute-force twin equality, hand-built subset geometry (containment
+catches what Jaccard misses), directedness, threshold sweep, layout
+invariance, empty-set exclusion."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.dedup import containment_join
+
+
+def _twin_sql(thr_micro: int, ngram: int) -> str:
+    g = " || ' ' || ".join(f"tk[i + {j}]" for j in range(ngram))
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(COALESCE(text, ''),
+                                  '[^ \t\n\r\f\v]+') AS tk
+        FROM t
+    ), grams AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(tk) >= {ngram}
+                      THEN [{g} FOR i IN range(1, len(tk) - {ngram - 2})]
+                      ELSE [array_to_string(tk, ' ')] END) AS g
+        FROM toks WHERE len(tk) > 0
+    ), gs AS (
+        SELECT DISTINCT doc_id, g FROM grams
+    ), sz AS (
+        SELECT doc_id, COUNT(*) AS s FROM gs GROUP BY 1
+    ), it AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT it.id_a, it.id_b,
+           CAST(it.i AS BIGINT) AS inter_size,
+           CAST(sa.s AS BIGINT) AS size_a,
+           CAST(it.i * 1000000 // sa.s AS BIGINT) AS cont_micro
+    FROM it JOIN sz sa ON sa.doc_id = it.id_a
+    WHERE it.i * 1000000 >= {thr_micro} * sa.s
+    """
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_subset_geometry(ray_session):
+    # doc 1 is a strict prefix of doc 2: containment(1→2)=1.0 but
+    # Jaccard is low; 2→1 fails.  doc 3 unrelated.
+    small = "alpha beta gamma delta epsilon"
+    big = small + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([small, big, "one two three four five"], pa.string()),
+        }
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in containment_join(
+            ray.data.from_arrow(t), threshold=0.9, ngram=3
+        ).take_all()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    assert r["cont_micro"] == 1_000_000 and r["size_a"] == 3
+    # symmetric jaccard would be 3/15 = 0.2 — the point of the op
+    assert r["inter_size"] == 3
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("thr", [0.5, 0.8])
+def test_matches_duckdb_twin(ray_session, nblocks, thr):
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        n = rng.randint(3, 30)
+        texts.append(" ".join(rng.choice(vocab, n)))
+    # plant containments: every 10th doc is a slice of its neighbor
+    for i in range(0, 80, 10):
+        texts[i] = " ".join(texts[(i + 1) % 80].split()[:6])
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(80), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = _canon(containment_join(ds, threshold=thr, ngram=3).to_pandas())
+    want = _canon(duckdb.sql(_twin_sql(int(thr * 1e6), 3)).df())
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+
+
+def test_empty_and_short_docs(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", None, "solo"], pa.string()),
+        }
+    )
+    # empty-set docs never qualify; 'solo' has no partner
+    assert containment_join(ray.data.from_arrow(t), 0.5, 3).count() == 0
+
+
+def test_bad_threshold(ray_session):
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a"}])
+    with pytest.raises(ValueError):
+        containment_join(ds, threshold=0.0)
