@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_latency": q.q_sssp_latency,
         "link_prediction": q.q_link_prediction,
         "containment_join": q.q_containment_join,
+        "keyness_g2": q.q_keyness_g2,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -851,6 +852,12 @@ def _dp_counts_sql() -> str:
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
     )
+
+
+def _keyness_sql() -> str:
+    from ocr_system_ray.functions.keyness import keyness_g2_sql
+
+    return keyness_g2_sql("documents", top_k=10, min_count=5)
 
 
 def _nb_classify_sql() -> str:
@@ -2157,6 +2164,8 @@ def oracle_sql() -> dict[str, str]:
         # containment_join: brute-force DIRECTED containment over the
         # identical trigram derivation (the jaccard-exact twin's shape)
         "containment_join": _ORACLE_CONTAINMENT_EXACT,
+        # keyness_g2: identical 2x2 G2 cell terms, order, quantization
+        "keyness_g2": _keyness_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -285,6 +285,7 @@ def _query_suite() -> dict:
         "sssp_latency": q.q_sssp_latency,
         "link_prediction": q.q_link_prediction,
         "containment_join": q.q_containment_join,
+        "keyness_g2": q.q_keyness_g2,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -1,0 +1,214 @@
+"""Log-likelihood (Dunning G²) keyness — corpus comparison.
+
+"Which words characterize THIS source against the rest of the
+corpus?" (Dunning 1993; the keyness statistic corpus linguists and
+domain-mix auditors use).  Complements TF-IDF (per-document salience)
+and PMI (bigram association): G² is the per-(token, subcorpus)
+over-representation test over the 2×2 contingency table
+
+        a = c(token, source)        b = c(token) − a
+        c = c(source) − a           d = N − b − c − a
+
+    G² = 2·Σ_cell O·ln(O·N / (row·col))        (0 when O = 0)
+
+Exact-parity contract: every cell term feeds libm ``ln`` ONE
+deterministic double (exact integer products — counts stay < 2²⁶ so
+products sit under 2⁵³), the four terms add in a FIXED left-to-right
+order written identically in the SQL twin, and the result quantizes to
+``floor(±g2 · 1000)`` milli-units.  G² itself is unsigned (a
+likelihood-ratio statistic); the released value is SIGNED keyness —
+negative when the token is UNDER-represented in the source — via the
+exact integer test ``a·N ≥ c(token)·c(source)`` (a vs its
+expectation, cross-multiplied so no float compare decides a sign).
+
+Scale shape: ONE packed ``source⊕token`` groupby (per-batch Counter
+combiners — distinct pairs move, never occurrences) + ONE
+``groupby(token)`` for token totals; source totals and N are a tiny
+aggregate.  The scoring table is vocab-sized (model-sized, not
+corpus-sized) and row-local; output = top-k per source by
+(g2 DESC, token ASC).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SEP = "\x1f"
+
+
+def keyness_g2(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> ray.data.Dataset:
+    """Top-``top_k`` keyness tokens per source:
+    ``(source, token, cnt, g2_milli)`` with tokens below ``min_count``
+    in-source occurrences excluded.  Tokens are single-space splits
+    (the shared convention with :func:`nbayes.nb_train_predict`)."""
+    from ray.data.aggregate import Sum
+
+    if top_k < 1 or min_count < 1:
+        raise ValueError("top_k and min_count must be >= 1")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for src, x in zip(
+            t.column(source_col).to_pylist(), t.column(text_col).to_pylist()
+        ):
+            src = "" if src is None else str(src)
+            for w in (x or "").split(" "):
+                c[src + _SEP + w] += 1
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("p", alias_name="n"))
+        .to_pandas()
+    )
+    if pairs.empty:
+        return ray.data.from_arrow(_empty_out())
+    split = pairs["key"].str.split(_SEP, n=1, expand=True)
+    pairs = pairs.assign(src=split[0], tok=split[1])
+    tok_tot = pairs.groupby("tok")["n"].sum().to_dict()
+    src_tot = pairs.groupby("src")["n"].sum().to_dict()
+    n_total = int(pairs["n"].sum())
+
+    rows: list[tuple[str, str, int, int]] = []
+    for r in pairs.itertuples():
+        a = int(r.n)
+        if a < min_count:
+            continue
+        tt, st = int(tok_tot[r.tok]), int(src_tot[r.src])
+        sign = 1.0 if a * n_total >= tt * st else -1.0
+        g2 = sign * (
+            2.0
+            * (
+                _term(a, tt * st, n_total)
+                + _term(tt - a, tt * (n_total - st), n_total)
+                + _term(st - a, (n_total - tt) * st, n_total)
+                + _term(
+                    n_total - tt - st + a,
+                    (n_total - tt) * (n_total - st),
+                    n_total,
+                )
+            )
+        )
+        rows.append((r.src, r.tok, a, math.floor(g2 * 1000)))
+
+    if not rows:
+        return ray.data.from_arrow(_empty_out())
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["source", "token", "cnt", "g2_milli"])
+    df = df.sort_values(
+        ["source", "g2_milli", "token"], ascending=[True, False, True]
+    )
+    df = df.groupby("source", sort=False).head(top_k).reset_index(drop=True)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "token": pa.array(df["token"], pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy(np.int64)),
+                "g2_milli": pa.array(df["g2_milli"].to_numpy(np.int64)),
+            }
+        )
+    )
+
+
+def _term(o: int, prod: int, n: int) -> float:
+    """O·ln(O·N / (row·col)) — one libm ln on one exact double; 0 at
+    O = 0 (the G² limit)."""
+    if o <= 0 or prod <= 0:
+        return 0.0
+    return o * math.log((o * n) / prod)
+
+
+def _empty_out() -> pa.Table:
+    return pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "g2_milli": pa.array([], pa.int64()),
+        }
+    )
+
+
+def keyness_g2_sql(
+    table: str,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> str:
+    """The DuckDB twin: identical counts, cell terms in the identical
+    left-to-right order, identical quantization and (g2 DESC, token)
+    per-source top-k."""
+
+    def term(o: str, prod: str) -> str:
+        # the greatest() floor only shields the rows the CASE rejects
+        # (DuckDB evaluates ln over the whole vector before the CASE
+        # filters) — taken branches always have a positive argument
+        return (
+            f"(CASE WHEN ({o}) > 0 AND ({prod}) > 0 "
+            f"THEN ({o}) * ln(greatest((({o}) * nn) / ({prod}), 1e-300)) "
+            f"ELSE 0.0 END)"
+        )
+
+    t_a = term("a", "tt * st")
+    t_b = term("tt - a", "tt * (nn - st)")
+    t_c = term("st - a", "(nn - tt) * st")
+    t_d = term("nn - tt - st + a", "(nn - tt) * (nn - st)")
+    return f"""
+        WITH ky_tok AS (
+            SELECT COALESCE(CAST({source_col} AS VARCHAR), '') AS src,
+                   unnest(string_split(COALESCE({text_col}, ''), ' ')) AS tok
+            FROM {table}
+        ),
+        ky_pair AS (
+            SELECT src, tok, COUNT(*) AS a FROM ky_tok GROUP BY 1, 2
+        ),
+        ky_tt AS (SELECT tok, COUNT(*) AS tt FROM ky_tok GROUP BY 1),
+        ky_st AS (SELECT src, COUNT(*) AS st FROM ky_tok GROUP BY 1),
+        ky_n AS (SELECT COUNT(*) AS nn FROM ky_tok),
+        ky_g AS (
+            SELECT p.src, p.tok, p.a,
+                   CAST(floor(
+                       (CASE WHEN p.a * nn >= tt * st
+                             THEN 1.0 ELSE -1.0 END)
+                       * (2.0 * ({t_a} + {t_b} + {t_c} + {t_d})) * 1000)
+                        AS BIGINT) AS g2_milli
+            FROM ky_pair p
+            JOIN ky_tt USING (tok)
+            JOIN ky_st USING (src), ky_n
+            WHERE p.a >= {min_count}
+        ),
+        ky_r AS (
+            SELECT src, tok, a, g2_milli,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY src ORDER BY g2_milli DESC, tok ASC
+                   ) AS rn
+            FROM ky_g
+        )
+        SELECT src AS source, tok AS token,
+               CAST(a AS BIGINT) AS cnt, g2_milli
+        FROM ky_r WHERE rn <= {top_k}
+    """

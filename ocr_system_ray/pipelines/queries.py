@@ -8808,3 +8808,16 @@ def q_containment_join(sf_dir: str) -> ray.data.Dataset:
     brute-force directed containment over the same gram derivation."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup.containment_join(ds, threshold=0.7, ngram=3)
+
+
+def q_keyness_g2(sf_dir: str) -> ray.data.Dataset:
+    """Dunning log-likelihood keyness per source
+    (``functions/keyness.py:keyness_g2``): the tokens over- (or
+    under-)represented in each source vs the rest of the corpus, top
+    10 per source by G2 milli-units.  ONE packed pair groupby; the
+    scoring table is vocab-sized.  Oracle = identical 2x2 cell terms
+    in the identical order in SQL."""
+    from ..functions.keyness import keyness_g2
+
+    docs = read_table(sf_dir, "documents", columns=["text", "source"])
+    return keyness_g2(docs, top_k=10, min_count=5)

@@ -1,0 +1,120 @@
+"""Dunning G² keyness (functions/keyness.py) — DuckDB twin equality,
+hand-computed 2×2 pin, planted over-representation ranks first,
+min_count gate, layout invariance, empty corpus."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.keyness import keyness_g2, keyness_g2_sql
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _corpus(seed: int, n: int = 120) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(25)]
+    texts, srcs = [], []
+    for i in range(n):
+        src = ["web", "books", "wiki"][i % 3]
+        toks = list(rng.choice(vocab, rng.randint(5, 25)))
+        if src == "books":
+            toks += ["tome"] * 3  # planted books-only token
+        texts.append(" ".join(toks))
+        srcs.append(src)
+    return pa.table(
+        {
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+        }
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("seed", [0, 2])
+def test_matches_duckdb_twin(ray_session, nblocks, seed):
+    t = _corpus(seed)  # noqa: F841
+    ds = ray.data.from_arrow(_corpus(seed)).repartition(nblocks)
+    got = _canon(keyness_g2(ds, top_k=5, min_count=3).to_pandas())
+    want = _canon(
+        duckdb.sql(keyness_g2_sql("t", top_k=5, min_count=3)).df()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) == 15  # 5 per source
+
+
+def test_planted_token_ranks_first(ray_session):
+    ds = ray.data.from_arrow(_corpus(1))
+    out = keyness_g2(ds, top_k=3, min_count=3).to_pandas()
+    books = out[out["source"] == "books"].reset_index(drop=True)
+    assert books.iloc[0]["token"] == "tome"
+    assert books.iloc[0]["g2_milli"] > 0
+
+
+def test_hand_computed_2x2(ray_session):
+    # source A: 'x x y'; source B: 'y y y'.  N=6, token x: a=2 in A,
+    # tt=2, st=3.
+    t = pa.table(
+        {
+            "text": pa.array(["x x y", "y y y"], pa.string()),
+            "source": pa.array(["A", "B"], pa.string()),
+        }
+    )
+    out = {
+        (r["source"], r["token"]): r["g2_milli"]
+        for r in keyness_g2(
+            ray.data.from_arrow(t), top_k=5, min_count=1
+        ).take_all()
+    }
+
+    def term(o, prod, n):
+        return o * math.log((o * n) / prod) if o > 0 and prod > 0 else 0.0
+
+    n = 6
+    tt, st, a = 2, 3, 2
+    g2 = 2.0 * (
+        term(a, tt * st, n)
+        + term(tt - a, tt * (n - st), n)
+        + term(st - a, (n - tt) * st, n)
+        + term(n - tt - st + a, (n - tt) * (n - st), n)
+    )
+    assert out[("A", "x")] == math.floor(g2 * 1000)
+    # y in A is under-represented → negative keyness
+    assert out[("A", "y")] < 0
+
+
+def test_min_count_gate(ray_session):
+    t = pa.table(
+        {
+            "text": pa.array(["rare common common common common"], pa.string()),
+            "source": pa.array(["A"], pa.string()),
+        }
+    )
+    out = keyness_g2(ray.data.from_arrow(t), top_k=5, min_count=2).to_pandas()
+    assert "rare" not in set(out["token"])
+
+
+def test_empty_and_bad_args(ray_session):
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert keyness_g2(empty).count() == 0
+    with pytest.raises(ValueError):
+        keyness_g2(empty, top_k=0)
