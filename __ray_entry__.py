@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": q.q_link_prediction,
         "containment_join": q.q_containment_join,
         "keyness_g2": q.q_keyness_g2,
+        "orc_roundtrip": q.q_orc_roundtrip,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -2377,6 +2378,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # sqlite_roundtrip: nulls round-trip natively — bare table
         "sqlite_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # orc_roundtrip: ORC is lossless for Arrow types — bare table
+        "orc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # data_contract: one verdict row per rule; all checks except

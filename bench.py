@@ -286,6 +286,7 @@ def _query_suite() -> dict:
         "link_prediction": q.q_link_prediction,
         "containment_join": q.q_containment_join,
         "keyness_g2": q.q_keyness_g2,
+        "orc_roundtrip": q.q_orc_roundtrip,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -8821,3 +8821,24 @@ def q_keyness_g2(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["text", "source"])
     return keyness_g2(docs, top_k=10, min_count=5)
+
+
+def q_orc_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Apache ORC sink + source round trip (``sources/orcfile.py``):
+    the documents table written as ZSTD ORC shards (the Hive/Trino
+    warehouse leg of the corpus-exchange family) and read back with
+    in-task column pruning.  Lossless for Arrow types - the oracle is
+    the bare table.  Artifact cached under /tmp."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.orcfile import read_orc_shards, write_orc_shards
+
+    cache = f"/tmp/osr_orc_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=cols)
+        write_orc_shards(docs, cache, columns=cols, compression="ZSTD")
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.orc")))
+    return read_orc_shards(shards, columns=cols)

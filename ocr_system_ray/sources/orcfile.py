@@ -1,0 +1,90 @@
+"""Sharded Apache ORC sink + source — the Hive/Trino-ecosystem leg of
+the corpus-exchange family (Parquet / JSONL / CSV / Avro / TFRecord /
+Arrow IPC / SQLite already covered).
+
+ORC is what a Hadoop-era lakehouse hands this engine: columnar,
+stripe-organized, schema'd — the common case when a training corpus is
+exported from a Hive/Spark warehouse rather than re-crawled.  Arrow's
+``pyarrow.orc`` does the (de)serialization; everything Ray-side
+follows the repo shard discipline (cf. ``arrowipc.py``): the sink
+writes ONE ``.orc`` shard per incoming block inside the map tasks
+(content-hash names, tmp+rename, ``_SUCCESS`` row count), the source
+is ``read_binary_files`` (one task per shard) + an in-stage
+``orc.ORCFile.read`` expansion with column projection before the block
+leaves the task (the prune-at-the-read rule).
+
+Contract: Arrow-representable types round-trip exactly (ints, floats,
+strings, binary, timestamps, lists), nulls included — the oracle is a
+bare-table equality, no COALESCE.  The reference's export side is CSV
+(`/root/reference/ocr/csv_utils.py:8-16`); ORC is the lossless
+warehouse-native alternative.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+_COMPRESSIONS = ("UNCOMPRESSED", "ZLIB", "SNAPPY", "ZSTD", "LZ4")
+
+
+def write_orc_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    columns: list[str] | None = None,
+    compression: str = "ZSTD",
+) -> int:
+    """One ORC shard per block; returns total rows written."""
+    if compression not in _COMPRESSIONS:
+        raise ValueError(f"orc: unsupported compression {compression!r}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        if columns is not None:
+            t = t.select(columns)
+        sink = pa.BufferOutputStream()
+        orc.write_table(t, sink, compression=compression)
+        blob = sink.getvalue().to_pybytes()
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"shard-{name}.orc")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    n = int(sum(p["rows"] for p in parts))
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write(str(n))
+    return n
+
+
+def read_orc_shards(
+    paths: list[str] | str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Source: ORC shards → rows, one read task per shard; ``columns``
+    prunes inside the task (ORC reads only the selected streams)."""
+
+    def expand(t: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        outs: list[pa.Table] = []
+        for blob in t.column("bytes").to_pylist():
+            f = orc.ORCFile(pa.BufferReader(blob))
+            outs.append(f.read(columns=columns))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.read_binary_files(
+        paths, file_extensions=["orc"]
+    ).map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,77 @@
+"""ORC sink + source (sources/orcfile.py) — typed round trip incl.
+nulls/timestamps/lists, column pruning, shard idempotence, compression
+validation."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.sources.orcfile import read_orc_shards, write_orc_shards
+
+
+def _table() -> pa.Table:
+    return pa.table(
+        {
+            "i": pa.array([1, None, 3, 4], pa.int64()),
+            "f": pa.array([1.5, 2.5, None, 4.0], pa.float64()),
+            "s": pa.array(["a", None, "c", "d"], pa.string()),
+            "b": pa.array([b"x", b"y", None, b"z"], pa.binary()),
+            "ts": pa.array(
+                [1000000, 2000000, 3000000, None], pa.timestamp("us")
+            ),
+            "l": pa.array([[1, 2], [], None, [3]], pa.list_(pa.int64())),
+        }
+    )
+
+
+def _canon(df):
+    return df.sort_values("i", na_position="first").reset_index(drop=True)
+
+
+def test_typed_roundtrip(ray_session, tmp_path):
+    d = str(tmp_path / "orc")
+    n = write_orc_shards(ray.data.from_arrow(_table()).repartition(2), d)
+    assert n == 4
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    back = read_orc_shards(sorted(glob.glob(os.path.join(d, "*.orc"))))
+    got = _canon(back.to_pandas())
+    want = _canon(_table().to_pandas())
+    assert got.columns.tolist() == want.columns.tolist()
+    for c in got.columns:
+        for g, w in zip(got[c], want[c]):
+            if isinstance(w, np.ndarray) or isinstance(g, np.ndarray):
+                assert list(g) == list(w)
+            else:
+                assert (g == w) or (g != g and w != w) or (g is None and w is None)
+
+
+def test_column_pruning(ray_session, tmp_path):
+    d = str(tmp_path / "orc2")
+    write_orc_shards(ray.data.from_arrow(_table()), d)
+    back = read_orc_shards(
+        sorted(glob.glob(os.path.join(d, "*.orc"))), columns=["i", "s"]
+    )
+    assert back.schema().names == ["i", "s"]
+    assert back.count() == 4
+
+
+def test_idempotent_rerun(ray_session, tmp_path):
+    d = str(tmp_path / "orc3")
+    write_orc_shards(ray.data.from_arrow(_table()), d)
+    files1 = sorted(glob.glob(os.path.join(d, "*.orc")))
+    write_orc_shards(ray.data.from_arrow(_table()), d)
+    files2 = sorted(glob.glob(os.path.join(d, "*.orc")))
+    assert files1 == files2  # content-hash names → rewrite in place
+
+
+def test_bad_compression(ray_session):
+    with pytest.raises(ValueError):
+        write_orc_shards(ray.data.from_items([{"a": 1}]), "/tmp/x", compression="GZIP9")
