@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": q.q_containment_join,
         "keyness_g2": q.q_keyness_g2,
         "orc_roundtrip": q.q_orc_roundtrip,
+        "km_survival": q.q_km_survival,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -853,6 +854,12 @@ def _dp_counts_sql() -> str:
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
     )
+
+
+def _km_survival_sql() -> str:
+    from ocr_system_ray.functions.survival import km_survival_sql
+
+    return km_survival_sql("events", censor_window_sec=21600)
 
 
 def _keyness_sql() -> str:
@@ -2167,6 +2174,9 @@ def oracle_sql() -> dict[str, str]:
         "containment_join": _ORACLE_CONTAINMENT_EXACT,
         # keyness_g2: identical 2x2 G2 cell terms, order, quantization
         "keyness_g2": _keyness_sql(),
+        # km_survival: identical censor rule + risk sets + ln-quantized
+        # log-space survival (window SUM)
+        "km_survival": _km_survival_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -287,6 +287,7 @@ def _query_suite() -> dict:
         "containment_join": q.q_containment_join,
         "keyness_g2": q.q_keyness_g2,
         "orc_roundtrip": q.q_orc_roundtrip,
+        "km_survival": q.q_km_survival,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

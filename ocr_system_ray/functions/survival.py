@@ -1,0 +1,205 @@
+"""Kaplan–Meier survival — user lifetime / churn analysis.
+
+The product-analytics complement to ``cohort_retention``: instead of
+fixed calendar buckets, the KM estimator (Kaplan & Meier 1958) gives
+survival Ŝ(t) = Π_{s ≤ t} (1 − d_s/n_s) over the DISTINCT observed
+lifetime durations, with right-censoring for users still active at the
+corpus horizon — the correct way to read "how long do users stay?"
+from a log that simply *ends*.
+
+Exact-integer contract: survival is released in LOG space —
+
+    step(t)  = floor(ln((n_t − d_t)/n_t) · 10⁶)      (one libm ln on
+               an exact-double ratio; n_t = d_t → the −69·10⁶ floor,
+               e⁻⁶⁹ ≈ 10⁻³⁰ ≡ zero survival)
+    Ŝ_log(t) = Σ_{s ≤ t} step(s)
+
+so the cumulative product becomes an ORDER-FREE integer sum (the
+nbayes/keyness quantize-before-sum rule) and DuckDB reproduces it
+bit-for-bit with a window SUM.
+
+Scale shape: ONE ``groupby(user)`` min/max (int64-µs timestamps — the
+repo's timestamp-aggregate gotcha avoided by casting first), a
+duration histogram via packed ``dur·2+churn`` single-column groupby,
+and a whole-block pass over the DISTINCT-duration table (bounded by
+distinct lifetimes in seconds, never by users).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_ZERO_SURV_MICRO = -69_000_000  # ln-floor when the risk set churns out
+
+
+def km_survival(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_sec: int = 86_400,
+) -> ray.data.Dataset:
+    """KM curve over user lifetimes (last − first event, whole
+    seconds).  Users whose last event falls within
+    ``censor_window_sec`` of the corpus horizon are right-censored.
+    Returns one row per distinct CHURN duration, ascending:
+    ``(dur_sec, n_at_risk, n_events, surv_logmicro)``."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    if censor_window_sec < 0:
+        raise ValueError("censor_window_sec must be >= 0")
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": t.column(user_col).cast(pa.int64()),
+                "ts_us": t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    spans = (
+        ds.select_columns([user_col, ts_col])
+        .map_batches(to_us, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Min("ts_us", alias_name="f"), Max("ts_us", alias_name="l"))
+        .materialize()
+    )
+    if spans.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "dur_sec": pa.array([], pa.int64()),
+                    "n_at_risk": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "surv_logmicro": pa.array([], pa.int64()),
+                }
+            )
+        )
+    horizon = int(spans.max("l"))
+    cutoff = horizon - censor_window_sec * 1_000_000
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        f = t.column("f").to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t.column("l").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = (l - f) // 1_000_000
+        churn = (l <= cutoff).astype(np.int64)
+        vc = pd.Series(dur * 2 + churn).value_counts()
+        return pa.table(
+            {
+                "key": pa.array(vc.index.to_numpy(np.int64)),
+                "cnt": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        spans.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = key >> 1
+        churn = key & 1
+        order = np.argsort(dur, kind="stable")
+        dur, churn, cnt = dur[order], churn[order], cnt[order]
+        uniq = np.unique(dur)
+        # per distinct duration: total observations + churn events
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        ev = np.zeros(len(uniq), dtype=np.int64)
+        inv = np.searchsorted(uniq, dur)
+        np.add.at(tot, inv, cnt)
+        np.add.at(ev, inv, np.where(churn == 1, cnt, 0))
+        # at risk at t = everyone with duration >= t (suffix cumsum)
+        at_risk = np.cumsum(tot[::-1])[::-1]
+        out_d: list[int] = []
+        out_n: list[int] = []
+        out_e: list[int] = []
+        out_s: list[int] = []
+        acc = 0
+        for i in range(len(uniq)):
+            d = int(ev[i])
+            if d == 0:
+                continue  # censor-only times don't step the curve
+            n = int(at_risk[i])
+            step = (
+                _ZERO_SURV_MICRO
+                if n == d
+                else math.floor(math.log((n - d) / n) * 1e6)
+            )
+            acc += step
+            out_d.append(int(uniq[i]))
+            out_n.append(n)
+            out_e.append(d)
+            out_s.append(acc)
+        return pa.table(
+            {
+                "dur_sec": pa.array(out_d, pa.int64()),
+                "n_at_risk": pa.array(out_n, pa.int64()),
+                "n_events": pa.array(out_e, pa.int64()),
+                "surv_logmicro": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def km_survival_sql(
+    table: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_sec: int = 86_400,
+) -> str:
+    """The DuckDB twin: identical spans, censor rule, risk sets, ln
+    quantization, and window-SUM cumulative log survival."""
+    return f"""
+        WITH km_u AS (
+            SELECT {user_col} AS u,
+                   epoch_us(MIN({ts_col})) AS f,
+                   epoch_us(MAX({ts_col})) AS l
+            FROM {table} GROUP BY 1
+        ),
+        km_h AS (SELECT MAX(l) AS horizon FROM km_u),
+        km_d AS (
+            SELECT (l - f) // 1000000 AS dur,
+                   CASE WHEN l <= horizon - {censor_window_sec * 1_000_000}
+                        THEN 1 ELSE 0 END AS churn
+            FROM km_u, km_h
+        ),
+        km_g AS (
+            SELECT dur, COUNT(*) AS tot, SUM(churn) AS ev
+            FROM km_d GROUP BY 1
+        ),
+        km_r AS (
+            SELECT dur, ev,
+                   SUM(tot) OVER (ORDER BY dur DESC) AS n_at_risk
+            FROM km_g
+        ),
+        km_s AS (
+            SELECT dur, n_at_risk, ev,
+                   CASE WHEN n_at_risk = ev THEN {_ZERO_SURV_MICRO}
+                        ELSE CAST(floor(ln(greatest(
+                                 (n_at_risk - ev) / n_at_risk, 1e-300))
+                             * 1e6) AS BIGINT)
+                   END AS step
+            FROM km_r WHERE ev > 0
+        )
+        SELECT CAST(dur AS BIGINT) AS dur_sec,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(ev AS BIGINT) AS n_events,
+               CAST(SUM(step) OVER (ORDER BY dur ASC) AS BIGINT)
+                   AS surv_logmicro
+        FROM km_s
+    """

@@ -8842,3 +8842,16 @@ def q_orc_roundtrip(sf_dir: str) -> ray.data.Dataset:
         write_orc_shards(docs, cache, columns=cols, compression="ZSTD")
     shards = sorted(_glob.glob(_os.path.join(cache, "*.orc")))
     return read_orc_shards(shards, columns=cols)
+
+
+def q_km_survival(sf_dir: str) -> ray.data.Dataset:
+    """Kaplan-Meier user-lifetime survival
+    (``functions/survival.py:km_survival``): lifetimes = last-first
+    event seconds, right-censored within 6h of the corpus horizon;
+    curve released as order-free integer log-space survival (one ln
+    per distinct churn duration).  Oracle = identical spans/censor/
+    risk-set/quantization with a window-SUM in SQL."""
+    from ..functions.survival import km_survival
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return km_survival(ev, censor_window_sec=21600)

@@ -1,0 +1,120 @@
+"""Kaplan-Meier survival (functions/survival.py) — DuckDB twin
+equality, hand-computed risk sets / steps / censoring, zero-survival
+floor, censor-only times don't step, layout invariance."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.survival import (
+    _ZERO_SURV_MICRO,
+    km_survival,
+    km_survival_sql,
+)
+
+_US = 1_000_000
+
+
+def _events(rows) -> pa.Table:
+    # rows: (user, ts_seconds)
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * _US for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_hand_computed_curve(ray_session):
+    # horizon = 1000.  W=100 → cutoff 900.
+    # u1: [0, 10]   dur 10, churn (l=10 ≤ 900)
+    # u2: [0, 10]   dur 10, churn
+    # u3: [0, 20]   dur 20, churn
+    # u4: [0, 950]  dur 950, censored
+    # u5: [0, 1000] dur 1000, censored
+    rows = [
+        (1, 0), (1, 10), (2, 0), (2, 10), (3, 0), (3, 20),
+        (4, 0), (4, 950), (5, 0), (5, 1000),
+    ]
+    out = km_survival(
+        ray.data.from_arrow(_events(rows)), censor_window_sec=100
+    ).take_all()
+    assert [r["dur_sec"] for r in out] == [10, 20]
+    r10, r20 = out
+    # at t=10: all 5 at risk, 2 churn; at t=20: 3 at risk, 1 churn
+    assert (r10["n_at_risk"], r10["n_events"]) == (5, 2)
+    assert (r20["n_at_risk"], r20["n_events"]) == (3, 1)
+    s10 = math.floor(math.log(3 / 5) * 1e6)
+    s20 = s10 + math.floor(math.log(2 / 3) * 1e6)
+    assert r10["surv_logmicro"] == s10
+    assert r20["surv_logmicro"] == s20
+
+
+def test_zero_survival_floor(ray_session):
+    # every user churns at the same duration → n = d at the only step
+    rows = [(1, 0), (1, 5), (2, 0), (2, 5)]
+    out = km_survival(
+        ray.data.from_arrow(_events(rows)), censor_window_sec=0
+    ).take_all()
+    # W=0: cutoff = horizon; both users churn (l <= horizon)
+    assert len(out) == 1
+    assert out[0]["surv_logmicro"] == _ZERO_SURV_MICRO
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+@pytest.mark.parametrize("window", [0, 3600])
+def test_matches_duckdb_twin(ray_session, nblocks, window):
+    rng = np.random.RandomState(4)
+    rows = []
+    for u in range(60):
+        start = int(rng.randint(0, 5000))
+        for _ in range(rng.randint(1, 6)):
+            rows.append((u, start + int(rng.randint(0, 8000))))
+    t = _events(rows)  # noqa: F841
+    ds = ray.data.from_arrow(_events(rows)).repartition(nblocks)
+    got = (
+        km_survival(ds, censor_window_sec=window)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(km_survival_sql("t", censor_window_sec=window))
+        .df()
+        .sort_values("dur_sec")
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    assert len(got) > 0
+
+
+def test_censor_only_times_dont_step(ray_session):
+    # u1 churns at 10; u2 censored with dur 7 (between 0 and 10):
+    # no output row at 7, and u2 still at risk at t=10? NO — risk set
+    # at t counts durations >= t, so u2 (dur 7) has left by t=10.
+    rows = [(1, 0), (1, 10), (2, 991), (2, 998)]
+    out = km_survival(
+        ray.data.from_arrow(_events(rows)), censor_window_sec=5
+    ).take_all()
+    # horizon 998; cutoff 993; u1 churns (10 <= 993), u2 censored
+    assert [r["dur_sec"] for r in out] == [10]
+    assert out[0]["n_at_risk"] == 1  # u2's dur 7 < 10 → not at risk
+
+
+def test_bad_args_and_empty(ray_session):
+    empty = ray.data.from_arrow(_events([]))
+    assert km_survival(empty).count() == 0
+    with pytest.raises(ValueError):
+        km_survival(empty, censor_window_sec=-1)
