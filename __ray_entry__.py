@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_g2": q.q_keyness_g2,
         "orc_roundtrip": q.q_orc_roundtrip,
         "km_survival": q.q_km_survival,
+        "ab_test": q.q_ab_test,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -853,6 +854,19 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _ab_test_sql() -> str:
+    from ocr_system_ray.functions.abtest import ab_test_sql
+
+    return ab_test_sql(
+        "events",
+        outcome_case=(
+            "CASE WHEN event_type = 'purchase'"
+            " AND floor(value * 100 + 0.5) >= 45000 THEN 1 ELSE 0 END"
+        ),
+        salt="ab2026",
     )
 
 
@@ -2177,6 +2191,8 @@ def oracle_sql() -> dict[str, str]:
         # km_survival: identical censor rule + risk sets + ln-quantized
         # log-space survival (window SUM)
         "km_survival": _km_survival_sql(),
+        # ab_test: identical carve assignment + z expression tree
+        "ab_test": _ab_test_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

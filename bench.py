@@ -288,6 +288,7 @@ def _query_suite() -> dict:
         "keyness_g2": q.q_keyness_g2,
         "orc_roundtrip": q.q_orc_roundtrip,
         "km_survival": q.q_km_survival,
+        "ab_test": q.q_ab_test,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

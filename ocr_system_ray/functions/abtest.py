@@ -1,0 +1,194 @@
+"""A/B experiment readout — two-proportion z-test over event logs.
+
+The experimentation half of the analytics suite (funnels, retention,
+sessions already covered): users are deterministically assigned to
+variants by an md5 carve of their id (the ``splits.py`` membership
+contract — assignment is a pure function of the id, stable under
+corpus growth and re-runs), conversion is a per-user OR over the
+outcome event, and the readout is the classic pooled two-proportion
+z-statistic
+
+    z = (p_A − p_B) / sqrt(p̂(1−p̂)(1/n_A + 1/n_B))
+
+Exact-parity contract: every input to the float expression is an
+exact integer count; the expression tree is written with the IDENTICAL
+association in the engine and the SQL twin (one libm ``sqrt``, one
+division — deterministic doubles), then quantized to
+``floor(z·10⁶)``.  Degenerate cells (an empty variant, or pooled
+conversion 0/1 → zero standard error) release the ``z_micro = 0,
+significant = −1`` sentinel instead of NaN.
+
+Scale shape: ONE ``groupby(user)`` max for per-user conversion (the
+shuffle moves user rows, not events — per-batch pre-aggregation), a
+variant-count combiner, and a one-row driver finish on four numbers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+# |z| ≥ Φ⁻¹(0.975)·10⁶ — two-sided α = 0.05
+_Z_CRIT_MICRO = 1_959_964
+
+
+def ab_test_readout(
+    ds: ray.data.Dataset,
+    *,
+    user_col: str = "user_id",
+    outcome_expr_col: str = "converted",
+    salt: str = "ab",
+) -> ray.data.Dataset:
+    """One-row readout ``(n_a, n_b, conv_a, conv_b, z_micro,
+    significant)``.  ``ds`` must carry ``user_col`` and a 0/1
+    ``outcome_expr_col`` per EVENT row; per-user conversion is the OR
+    across the user's rows.  Variant = md5 carve of ``salt:user`` mod
+    2 (A = even, B = odd)."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "u": t.column(user_col).to_numpy(zero_copy_only=False),
+                "c": t.column(outcome_expr_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("u", sort=False)["c"].max()
+        return pa.table(
+            {
+                "u": pa.array(g.index.to_numpy(np.int64)),
+                "c": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    users = (
+        ds.select_columns([user_col, outcome_expr_col])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Max("c", alias_name="conv"))
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        us = t.column("u").to_pylist()
+        conv = t.column("conv").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_b = np.array(
+            [
+                int(hashlib.md5(f"{salt}:{u}".encode()).hexdigest()[:8], 16) % 2
+                for u in us
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "n_a": pa.array([int((is_b == 0).sum())], pa.int64()),
+                "n_b": pa.array([int((is_b == 1).sum())], pa.int64()),
+                "conv_a": pa.array([int(conv[is_b == 0].sum())], pa.int64()),
+                "conv_b": pa.array([int(conv[is_b == 1].sum())], pa.int64()),
+            }
+        )
+
+    parts = users.map_batches(counts, batch_format="pyarrow").groupby(None)
+    totals = parts.aggregate(
+        Sum("n_a", alias_name="n_a"),
+        Sum("n_b", alias_name="n_b"),
+        Sum("conv_a", alias_name="conv_a"),
+        Sum("conv_b", alias_name="conv_b"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = int(t.column("n_a")[0].as_py() or 0)
+        nb = int(t.column("n_b")[0].as_py() or 0)
+        ca = int(t.column("conv_a")[0].as_py() or 0)
+        cb = int(t.column("conv_b")[0].as_py() or 0)
+        z_micro, sig = _z_readout(na, nb, ca, cb)
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "conv_a": pa.array([ca], pa.int64()),
+                "conv_b": pa.array([cb], pa.int64()),
+                "z_micro": pa.array([z_micro], pa.int64()),
+                "significant": pa.array([sig], pa.int64()),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pyarrow")
+
+
+def _z_readout(na: int, nb: int, ca: int, cb: int) -> tuple[int, int]:
+    if na == 0 or nb == 0:
+        return 0, -1
+    cp = (ca + cb) / (na + nb)
+    se2 = (cp * (1.0 - cp)) * ((1.0 / na) + (1.0 / nb))
+    if se2 <= 0.0:
+        return 0, -1
+    z = (ca / na - cb / nb) / math.sqrt(se2)
+    # the clamp mirrors the SQL twin's overflow guard (a no-op for any
+    # real proportion test: |z| ≲ sqrt(N))
+    z_micro = math.floor(min(max(z * 1e6, -1e18), 1e18))
+    return z_micro, 1 if abs(z_micro) >= _Z_CRIT_MICRO else 0
+
+
+# greatest()/least() shield the rows the CASE rejects (DuckDB
+# evaluates the vector eagerly); taken branches are unaffected —
+# se2 > 0 is far above 1e-300 and |z·10⁶| far below 1e18
+_Z_EXPR = (
+    "CAST(floor(least(greatest(((conv_a / n_a - conv_b / n_b)"
+    " / sqrt(greatest(se2, 1e-300))) * 1e6, -1e18), 1e18)) AS BIGINT)"
+)
+
+
+def ab_test_sql(
+    table: str,
+    *,
+    user_col: str = "user_id",
+    outcome_case: str,
+    salt: str = "ab",
+) -> str:
+    """The DuckDB twin: identical carve assignment, per-user OR, and
+    the identical float expression tree for z."""
+    return f"""
+        WITH ab_u AS (
+            SELECT {user_col} AS u, MAX({outcome_case}) AS conv
+            FROM {table} GROUP BY 1
+        ),
+        ab_v AS (
+            SELECT conv,
+                   ('0x' || substr(md5('{salt}:' || CAST(u AS VARCHAR)),
+                                   1, 8))::BIGINT % 2 AS is_b
+            FROM ab_u
+        ),
+        ab_c AS (
+            SELECT CAST(SUM(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN is_b = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                   CAST(SUM(CASE WHEN is_b = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+            FROM ab_v
+        ),
+        ab_z AS (
+            SELECT n_a, n_b, conv_a, conv_b,
+                   CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+                        ELSE (((conv_a + conv_b) / (n_a + n_b))
+                              * (1.0 - ((conv_a + conv_b) / (n_a + n_b))))
+                             * ((1.0 / n_a) + (1.0 / n_b))
+                   END AS se2
+            FROM ab_c
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               CASE WHEN n_a = 0 OR n_b = 0 OR se2 <= 0.0 THEN 0
+                    ELSE {_Z_EXPR}
+               END AS z_micro,
+               CAST(CASE WHEN n_a = 0 OR n_b = 0 OR se2 <= 0.0 THEN -1
+                         WHEN abs({_Z_EXPR}) >= {_Z_CRIT_MICRO} THEN 1
+                         ELSE 0
+                    END AS BIGINT) AS significant
+        FROM ab_z
+    """

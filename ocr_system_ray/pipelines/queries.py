@@ -8855,3 +8855,35 @@ def q_km_survival(sf_dir: str) -> ray.data.Dataset:
 
     ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
     return km_survival(ev, censor_window_sec=21600)
+
+
+def q_ab_test(sf_dir: str) -> ray.data.Dataset:
+    """A/B experiment readout (``functions/abtest.py``): users split
+    A/B by md5 carve (pure function of the id), conversion = ever
+    fired a big purchase (>= 450.00 in exact cents), pooled
+    two-proportion z-test released as exact z_micro + significance
+    flag.  Oracle = identical carve, per-user
+    OR, and float expression tree in SQL."""
+    from ..functions.abtest import ab_test_readout
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        conv = (
+            pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False
+            )
+            & (cents >= 45000)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "converted": pa.array(conv),
+            }
+        )
+
+    return ab_test_readout(
+        ev.map_batches(derive, batch_format="pyarrow"), salt="ab2026"
+    )

@@ -1,0 +1,89 @@
+"""A/B readout (functions/abtest.py) — DuckDB twin equality,
+hand-computed z pin, degenerate sentinels, planted-effect
+significance, assignment determinism, layout invariance."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.abtest import (
+    _z_readout,
+    ab_test_readout,
+    ab_test_sql,
+)
+
+
+def _is_b(u: int, salt: str = "s") -> int:
+    return int(hashlib.md5(f"{salt}:{u}".encode()).hexdigest()[:8], 16) % 2
+
+
+def _events(rows) -> pa.Table:
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "converted": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_z_readout_unit():
+    # 100 vs 100 users, 60 vs 40 conversions: p=0.5, se=sqrt(.25*.02)
+    z = (0.6 - 0.4) / math.sqrt((0.5 * 0.5) * (0.01 + 0.01))
+    zm, sig = _z_readout(100, 100, 60, 40)
+    assert zm == math.floor(min(max(z * 1e6, -1e18), 1e18))
+    assert sig == 1  # z ≈ 2.83
+    assert _z_readout(0, 10, 0, 5) == (0, -1)       # empty arm
+    assert _z_readout(10, 10, 10, 10) == (0, -1)    # p̂ = 1 → se 0
+    assert _z_readout(10, 10, 0, 0) == (0, -1)      # p̂ = 0 → se 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    rng = np.random.RandomState(9)
+    rows = []
+    for u in range(300):
+        # planted effect: variant B converts more
+        p = 0.5 if _is_b(u) else 0.2
+        for _ in range(rng.randint(1, 4)):
+            rows.append((u, int(rng.rand() < p)))
+    t = pa.table(  # noqa: F841  (duckdb binds it)
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "et": pa.array(
+                ["purchase" if r[1] else "view" for r in rows], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(_events(rows)).repartition(nblocks)
+    got = ab_test_readout(ds, salt="s").to_pandas()
+    want = duckdb.sql(
+        ab_test_sql(
+            "t",
+            outcome_case="CASE WHEN et = 'purchase' THEN 1 ELSE 0 END",
+            salt="s",
+        )
+    ).df()
+    got = got[sorted(got.columns)].iloc[0]
+    want = want[sorted(want.columns)].iloc[0]
+    assert got.to_dict() == want.to_dict()
+    assert int(got["significant"]) == 1  # the planted effect is real
+    assert int(got["z_micro"]) < 0  # B converts more → p_A − p_B < 0
+
+
+def test_per_user_or_and_determinism(ray_session):
+    # user 1 has conversions on one of three rows → counts once
+    rows = [(1, 0), (1, 1), (1, 0), (2, 0)]
+    out1 = ab_test_readout(ray.data.from_arrow(_events(rows)), salt="s").to_pandas()
+    out2 = ab_test_readout(ray.data.from_arrow(_events(rows)), salt="s").to_pandas()
+    assert out1.values.tolist() == out2.values.tolist()
+    assert int(out1["conv_a"][0] + out1["conv_b"][0]) == 1
+    assert int(out1["n_a"][0] + out1["n_b"][0]) == 2
