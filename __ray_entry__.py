@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": q.q_orc_roundtrip,
         "km_survival": q.q_km_survival,
         "ab_test": q.q_ab_test,
+        "token_entropy": q.q_token_entropy,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -855,6 +856,12 @@ def _dp_counts_sql() -> str:
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
     )
+
+
+def _token_entropy_sql() -> str:
+    from ocr_system_ray.functions.keyness import token_entropy_sql
+
+    return token_entropy_sql("documents")
 
 
 def _ab_test_sql() -> str:
@@ -2193,6 +2200,8 @@ def oracle_sql() -> dict[str, str]:
         "km_survival": _km_survival_sql(),
         # ab_test: identical carve assignment + z expression tree
         "ab_test": _ab_test_sql(),
+        # token_entropy: identical per-term quantization + integer sums
+        "token_entropy": _token_entropy_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

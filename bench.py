@@ -289,6 +289,7 @@ def _query_suite() -> dict:
         "orc_roundtrip": q.q_orc_roundtrip,
         "km_survival": q.q_km_survival,
         "ab_test": q.q_ab_test,
+        "token_entropy": q.q_token_entropy,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -212,3 +212,108 @@ def keyness_g2_sql(
                CAST(a AS BIGINT) AS cnt, g2_milli
         FROM ky_r WHERE rn <= {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Token entropy / lexical diversity (per-document quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document Shannon entropy of the token distribution plus the
+    type-token ratio — the lexical-diversity quality cut (template/
+    keyword-stuffed pages score near 0; natural prose sits high).
+
+    Exact-integer contract (the quantize-before-sum rule): each
+    distinct token contributes
+
+        floor(((c · ln(n/c)) · 10⁶) / n)        nano→micro-nats
+
+    — one libm ``ln`` per distinct token on an exact int/int double —
+    and the document's entropy is the order-free integer SUM of its
+    terms.  TTR is ``floor(distinct·1000 / n)``.  Tokens are
+    single-space splits (the empty document is one '' token → H = 0,
+    TTR = 1000).  Row-local stateless pass, no shuffle.
+
+    Returns ``(id_col, n_tokens, distinct_tokens, entropy_micro,
+    ttr_permille)``.
+    """
+    import math
+    from collections import Counter
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        n_out: list[int] = []
+        d_out: list[int] = []
+        h_out: list[int] = []
+        r_out: list[int] = []
+        for x in t.column(text_col).to_pylist():
+            toks = (x or "").split(" ")
+            n = len(toks)
+            c = Counter(toks)
+            h = 0
+            for cnt in c.values():
+                if cnt < n:
+                    h += math.floor(((cnt * math.log(n / cnt)) * 1e6) / n)
+            n_out.append(n)
+            d_out.append(len(c))
+            h_out.append(h)
+            r_out.append(len(c) * 1000 // n)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(n_out, pa.int64()),
+                "distinct_tokens": pa.array(d_out, pa.int64()),
+                "entropy_micro": pa.array(h_out, pa.int64()),
+                "ttr_permille": pa.array(r_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def token_entropy_sql(
+    table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB twin: identical tokenization, per-term quantization
+    (terms with c = n contribute 0 — ln(1) — and are skipped on both
+    engines), and integer sums."""
+    return f"""
+        WITH te_tok AS (
+            SELECT {id_col} AS did,
+                   unnest(string_split(COALESCE({text_col}, ''), ' ')) AS tok
+            FROM {table}
+        ),
+        te_n AS (
+            SELECT did, COUNT(*) AS n FROM te_tok GROUP BY 1
+        ),
+        te_c AS (
+            SELECT did, tok, COUNT(*) AS c FROM te_tok GROUP BY 1, 2
+        ),
+        te_h AS (
+            SELECT c.did,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                   CAST(SUM(CASE WHEN c.c < n.n
+                        THEN CAST(floor(((c.c * ln(greatest(
+                                 n.n / c.c, 1e-300))) * 1e6) / n.n)
+                             AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS entropy_micro
+            FROM te_c c JOIN te_n n USING (did)
+            GROUP BY 1
+        )
+        SELECT n.did AS {id_col},
+               CAST(n.n AS BIGINT) AS n_tokens,
+               h.distinct_tokens,
+               h.entropy_micro,
+               CAST(h.distinct_tokens * 1000 // n.n AS BIGINT)
+                   AS ttr_permille
+        FROM te_n n JOIN te_h h ON h.did = n.did
+    """

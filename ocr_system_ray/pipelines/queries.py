@@ -8887,3 +8887,15 @@ def q_ab_test(sf_dir: str) -> ray.data.Dataset:
     return ab_test_readout(
         ev.map_batches(derive, batch_format="pyarrow"), salt="ab2026"
     )
+
+
+def q_token_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token-entropy / lexical-diversity quality signal
+    (``functions/keyness.py:token_entropy``): Shannon entropy as an
+    order-free sum of per-distinct-token quantized terms + type-token
+    ratio; row-local, no shuffle.  Oracle = identical tokenization,
+    term quantization, and integer sums in SQL."""
+    from ..functions.keyness import token_entropy
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_entropy(docs)

@@ -118,3 +118,59 @@ def test_empty_and_bad_args(ray_session):
     assert keyness_g2(empty).count() == 0
     with pytest.raises(ValueError):
         keyness_g2(empty, top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# token entropy
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.keyness import (  # noqa: E402
+    token_entropy,
+    token_entropy_sql,
+)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_entropy_matches_duckdb_twin(ray_session, nblocks):
+    rng = np.random.RandomState(6)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.randint(1, 40))) for _ in range(100)
+    ] + ["", None, "solo", "a a a a"]
+    t = pa.table(  # noqa: F841
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = _canon(token_entropy(ds).to_pandas())
+    want = _canon(duckdb.sql(token_entropy_sql("t")).df())
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_entropy_pins(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a a a a", "a b c d", "a a b b", ""], pa.string()
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in token_entropy(ray.data.from_arrow(t)).take_all()}
+    # uniform repetition → 0; 4 distinct → ln 4; 2×2 → ln 2
+    assert out[1]["entropy_micro"] == 0 and out[1]["ttr_permille"] == 250
+    assert out[2]["entropy_micro"] == 4 * math.floor(
+        ((1 * math.log(4 / 1)) * 1e6) / 4
+    )
+    assert out[3]["entropy_micro"] == 2 * math.floor(
+        ((2 * math.log(4 / 2)) * 1e6) / 4
+    )
+    # empty text = one '' token
+    assert (out[4]["n_tokens"], out[4]["entropy_micro"], out[4]["ttr_permille"]) == (
+        1, 0, 1000,
+    )
+    # ranking property: diversity orders as expected
+    assert out[2]["entropy_micro"] > out[3]["entropy_micro"] > out[1]["entropy_micro"]
