@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_survival": q.q_km_survival,
         "ab_test": q.q_ab_test,
         "token_entropy": q.q_token_entropy,
+        "attribution": q.q_attribution,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -856,6 +857,12 @@ def _dp_counts_sql() -> str:
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
     )
+
+
+def _attribution_sql() -> str:
+    from ocr_system_ray.functions.windows import last_touch_attribution_sql
+
+    return last_touch_attribution_sql("events", window_sec=3600)
 
 
 def _token_entropy_sql() -> str:
@@ -2202,6 +2209,8 @@ def oracle_sql() -> dict[str, str]:
         "ab_test": _ab_test_sql(),
         # token_entropy: identical per-term quantization + integer sums
         "token_entropy": _token_entropy_sql(),
+        # attribution: rank + window-MAX latest-touch + self-join twin
+        "attribution": _attribution_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -290,6 +290,7 @@ def _query_suite() -> dict:
         "km_survival": q.q_km_survival,
         "ab_test": q.q_ab_test,
         "token_entropy": q.q_token_entropy,
+        "attribution": q.q_attribution,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

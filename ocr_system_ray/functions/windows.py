@@ -965,3 +965,171 @@ def event_path_counts_sql(
         FROM __seq WHERE {not_null}
         GROUP BY {grp}
     """
+
+
+def last_touch_attribution(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_sec: int = 3600,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Last-touch conversion attribution — the marketing-analytics
+    read of an event log: each conversion is credited to the user's
+    MOST RECENT touch event (``touch_types``) strictly preceding it in
+    ``(ts, id)`` order and within ``window_sec``; conversions with no
+    qualifying touch are ``'unattributed'``.
+
+    Returns ``(channel, conversions)`` — channel = the crediting
+    touch's type or 'unattributed'.  One coarse-bucket shuffle on the
+    user key (the ``prev_event_gap`` idiom); inside each bucket the
+    per-user scan is a vectorized pandas forward-fill, and only the
+    tiny (channel, partial-count) rows leave the stage before ONE
+    final groupby.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if window_sec < 0:
+        raise ValueError("window_sec must be >= 0")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.int64()),
+                id_col: t.column(id_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "_type": t.column(type_col).cast(pa.string()),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        {
+            key_col: pa.int64(),
+            id_col: pa.int64(),
+            "_ts_us": pa.int64(),
+            "_type": pa.string(),
+        },
+        num_buckets,
+    )
+    win_us = window_sec * 1_000_000
+
+    def attribute_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "channel": pd.Series([], dtype=object),
+                "p": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        is_touch = df["_type"].isin(touch_types)
+        touch_ts = df["_ts_us"].where(is_touch)
+        touch_ty = df["_type"].where(is_touch)
+        g = df.groupby(key_col, sort=False)
+        # state BEFORE the current row: shift within user, then ffill
+        last_ts = (
+            touch_ts.groupby(df[key_col], sort=False).shift(1).groupby(
+                df[key_col], sort=False
+            ).ffill()
+        )
+        last_ty = (
+            touch_ty.groupby(df[key_col], sort=False).shift(1).groupby(
+                df[key_col], sort=False
+            ).ffill()
+        )
+        del g
+        conv = df["_type"] == convert_type
+        in_win = conv & last_ts.notna() & (
+            df["_ts_us"] - last_ts <= win_us
+        )
+        channel = pd.Series(
+            np.where(in_win, last_ty, "unattributed"), index=df.index
+        )[conv]
+        vc = channel.value_counts()
+        if vc.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "channel": vc.index.astype(object),
+                "p": vc.to_numpy(np.int64),
+            }
+        )
+
+    partials = tagged.groupby("bucket").map_groups(
+        attribute_in_bucket, batch_format="pandas"
+    )
+    return (
+        partials.groupby("channel")
+        .aggregate(Sum("p", alias_name="conversions"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "channel": t.column("channel").cast(pa.string()),
+                    "conversions": t.column("conversions").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def last_touch_attribution_sql(
+    table: str,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_sec: int = 3600,
+) -> str:
+    """The DuckDB twin: rank rows per user by (ts, id), window-MAX the
+    latest preceding touch rank (ROWS … 1 PRECEDING — 'strictly
+    preceding' exactly), self-join the touch row back, apply the same
+    window test."""
+    touches = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+        WITH lt_e AS (
+            SELECT {key_col} AS u, {id_col} AS eid,
+                   epoch_us({ts_col}) AS tus, {type_col} AS ty,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY {ts_col}, {id_col}
+                   ) AS rn
+            FROM {table}
+        ),
+        lt_m AS (
+            SELECT *,
+                   MAX(CASE WHEN ty IN ({touches}) THEN rn END) OVER (
+                       PARTITION BY u ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS ltrn
+            FROM lt_e
+        ),
+        lt_c AS (
+            SELECT c.u, c.tus, t.ty AS channel, t.tus AS ttus
+            FROM lt_m c
+            LEFT JOIN lt_e t ON t.u = c.u AND t.rn = c.ltrn
+            WHERE c.ty = '{convert_type}'
+        )
+        SELECT COALESCE(
+                   CASE WHEN ttus IS NOT NULL
+                             AND tus - ttus <= {window_sec * 1_000_000}
+                        THEN channel END,
+                   'unattributed') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS conversions
+        FROM lt_c
+        GROUP BY 1
+    """

@@ -8899,3 +8899,18 @@ def q_token_entropy(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return token_entropy(docs)
+
+
+def q_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch conversion attribution
+    (``functions/windows.py:last_touch_attribution``): purchases
+    credited to the most recent click/view within 1h, else
+    unattributed; one user-key coarse shuffle, vectorized per-user
+    ffill in-bucket, ONE channel groupby.  Oracle = rank + window-MAX
+    + self-join twin."""
+    from ..functions.windows import last_touch_attribution
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return last_touch_attribution(ev, window_sec=3600)

@@ -1,0 +1,108 @@
+"""Last-touch attribution (functions/windows.py) — DuckDB twin
+equality, hand-built timelines (window expiry, strict precedence,
+same-ts tie by id, interleaved touches), layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.windows import (
+    last_touch_attribution,
+    last_touch_attribution_sql,
+)
+
+_US = 1_000_000
+
+
+def _events(rows) -> pa.Table:
+    # rows: (event_id, user, ts_sec, type)
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] * _US for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def _counts(ds):
+    return {r["channel"]: r["conversions"] for r in ds.take_all()}
+
+
+def test_hand_timelines(ray_session):
+    rows = [
+        # u1: click @0 → purchase @10 (inside 1h window) → 'click'
+        (1, 1, 0, "click"),
+        (2, 1, 10, "purchase"),
+        # u2: view @0, click @5 → purchase @20 → last touch 'click'
+        (3, 2, 0, "view"),
+        (4, 2, 5, "click"),
+        (5, 2, 20, "purchase"),
+        # u3: click @0 → purchase @5000 (window 3600 expired) → unattributed
+        (6, 3, 0, "click"),
+        (7, 3, 5000, "purchase"),
+        # u4: purchase with no touches at all
+        (8, 4, 50, "purchase"),
+        # u5: touch AFTER the purchase doesn't count
+        (9, 5, 100, "purchase"),
+        (10, 5, 200, "click"),
+    ]
+    got = _counts(last_touch_attribution(ray.data.from_arrow(_events(rows))))
+    assert got == {"click": 2, "unattributed": 3}
+
+
+def test_same_ts_tie_by_id(ray_session):
+    # touch and purchase share ts: touch id < purchase id → precedes
+    rows = [(1, 1, 10, "view"), (2, 1, 10, "purchase")]
+    got = _counts(last_touch_attribution(ray.data.from_arrow(_events(rows))))
+    assert got == {"view": 1}
+    # reversed ids: purchase sorts first → unattributed
+    rows = [(2, 1, 10, "view"), (1, 1, 10, "purchase")]
+    got = _counts(last_touch_attribution(ray.data.from_arrow(_events(rows))))
+    assert got == {"unattributed": 1}
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+@pytest.mark.parametrize("window", [60, 3600])
+def test_matches_duckdb_twin(ray_session, nblocks, window):
+    rng = np.random.RandomState(8)
+    rows = []
+    eid = 0
+    for u in range(50):
+        t = 0
+        for _ in range(rng.randint(3, 15)):
+            t += int(rng.randint(1, 2000))
+            ty = ["click", "view", "purchase", "error"][rng.randint(0, 4)]
+            rows.append((eid, u, t, ty))
+            eid += 1
+    t = _events(rows)  # noqa: F841
+    ds = ray.data.from_arrow(_events(rows)).repartition(nblocks)
+    got = (
+        last_touch_attribution(ds, window_sec=window)
+        .to_pandas()
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(last_touch_attribution_sql("t", window_sec=window))
+        .df()
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].values.tolist() == (
+        want[sorted(want.columns)].values.tolist()
+    )
+    assert got["conversions"].sum() > 0
+
+
+def test_bad_window(ray_session):
+    ds = ray.data.from_arrow(_events([]))
+    with pytest.raises(ValueError):
+        last_touch_attribution(ds, window_sec=-1)
