@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test": q.q_ab_test,
         "token_entropy": q.q_token_entropy,
         "attribution": q.q_attribution,
+        "graph_stats": q.q_graph_stats,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -750,6 +751,18 @@ def _sssp_latency_sql() -> str:
           ) WHERE src <> dst
         )"""
     return sssp_sql(edges, BFS_SEEDS, max_rounds=3, node_col="host")
+
+
+def _graph_stats_sql() -> str:
+    from ocr_system_ray.functions.graph import graph_stats_sql
+    from ocr_system_ray.pipelines.queries import PAGERANK_HOSTS as H
+
+    edges = f"""SELECT src, dst FROM (
+          SELECT doc_id % {H} AS src, (doc_id * 7 + 3) % {H} AS dst FROM documents
+          UNION ALL
+          SELECT doc_id % {H} AS src, (doc_id * 13 + 5) % {H} AS dst FROM documents
+        ) WHERE src <> dst"""
+    return graph_stats_sql(edges)
 
 
 def _link_prediction_sql() -> str:
@@ -2211,6 +2224,8 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": _token_entropy_sql(),
         # attribution: rank + window-MAX latest-touch + self-join twin
         "attribution": _attribution_sql(),
+        # graph_stats: identical dedup/degree/sums/expression tree
+        "graph_stats": _graph_stats_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

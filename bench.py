@@ -291,6 +291,7 @@ def _query_suite() -> dict:
         "ab_test": q.q_ab_test,
         "token_entropy": q.q_token_entropy,
         "attribution": q.q_attribution,
+        "graph_stats": q.q_graph_stats,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

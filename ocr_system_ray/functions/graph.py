@@ -1705,3 +1705,267 @@ def adamic_adar_sql(
         GROUP BY u, v
         HAVING COUNT(*) >= {min_common}
     """
+
+
+# ---------------------------------------------------------------------------
+# Graph health stats: reciprocity + degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def graph_stats(
+    edges: ray.data.Dataset,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """One-row graph health readout over directed ``(src, dst)``
+    edges: ``(n_nodes, n_edges, reciprocal_pairs, reciprocity_ppm,
+    assort_micro)`` — link-farm detection (reciprocity: mutual-link
+    rings score high) and hub-mixing structure (degree assortativity,
+    Newman 2002: do high-degree hosts link to each other?).
+
+    Exact-integer contract: reciprocity is pure integer arithmetic
+    (``2·pairs_with_both·10⁶ // n_edges``); assortativity is Pearson r
+    over the BOTH-orientations edge list with j = deg(src),
+    k = deg(dst) —
+
+        r = (M·Σjk − Σj·Σk) / (sqrt(M·Σjj − Σj²) · sqrt(M·Σkk − Σk²))
+
+    every sum an exact int, two sqrts on exact doubles (each radicand
+    must stay < 2⁵³ — holds to ~10⁷-edge × 10³-degree graphs; beyond
+    that the twin contract needs a rescale), quantized to micro.
+    Degenerate variance (regular graph) → ``assort_micro = 0``.
+
+    Scale shape: directed dedup + undirected dedup (coarse-bucketed),
+    ONE degree groupby attached back with reduce-side joins, per-batch
+    partial sums → one global aggregate; nothing but counters on the
+    driver.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
+
+    def noself(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ((s | d) >> 31).any() or (s < 0).any() or (d < 0).any():
+            raise ValueError("node ids must be in [0, 2^31)")
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    directed = _dedup_edges(
+        edges.map_batches(noself, batch_format="pyarrow"), nb
+    ).materialize()
+
+    # --- reciprocity: orientation count per unordered pair -----------------
+    def pair_rows(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table(
+            {
+                "pk": pa.array(lo * (1 << 31) + hi),
+                "c": pa.array(np.ones(len(s), dtype=np.int64)),
+            }
+        )
+
+    def recip_partial(t: pa.Table) -> pa.Table:
+        c = t.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "both": pa.array([int((c == 2).sum())], pa.int64()),
+                "tot": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    recip = (
+        directed.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("pk")
+        .sum("c")
+        .map_batches(recip_partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(Sum("both", alias_name="both"), Sum("tot", alias_name="tot"))
+        .to_pandas()
+    )
+
+    # --- assortativity over the both-orientations list ---------------------
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    und = _dedup_edges(
+        directed.map_batches(both_dirs, batch_format="pyarrow"), nb
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            t.column("src").to_numpy(zero_copy_only=False)
+        ).value_counts()
+        return pa.table(
+            {
+                "node": pa.array(vc.index.to_numpy(np.int64)),
+                "p": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    deg = (
+        und.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .sum("p")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node").cast(pa.int64()),
+                    "label": t.column("sum(p)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_nodes = deg.count()
+    withdeg = _attach_label(
+        _attach_label(und, ["src", "dst"], deg, "src", "dega", nb),
+        ["src", "dst", "dega"],
+        deg,
+        "dst",
+        "degb",
+        nb,
+    )
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        j = t.column("dega").to_numpy(zero_copy_only=False).astype(object)
+        k = t.column("degb").to_numpy(zero_copy_only=False).astype(object)
+        return pa.table(
+            {
+                "m": pa.array([len(t)], pa.int64()),
+                "sjk": pa.array([int(np.sum(j * k))], pa.int64()),
+                "sj": pa.array([int(np.sum(j))], pa.int64()),
+                "sk": pa.array([int(np.sum(k))], pa.int64()),
+                "sjj": pa.array([int(np.sum(j * j))], pa.int64()),
+                "skk": pa.array([int(np.sum(k * k))], pa.int64()),
+            }
+        )
+
+    sums = (
+        withdeg.map_batches(sum_partial, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(
+            Sum("m", alias_name="m"),
+            Sum("sjk", alias_name="sjk"),
+            Sum("sj", alias_name="sj"),
+            Sum("sk", alias_name="sk"),
+            Sum("sjj", alias_name="sjj"),
+            Sum("skk", alias_name="skk"),
+        )
+        .to_pandas()
+    )
+
+    if recip.empty or sums.empty or int(recip["tot"][0] or 0) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_nodes": pa.array([0], pa.int64()),
+                    "n_edges": pa.array([0], pa.int64()),
+                    "reciprocal_pairs": pa.array([0], pa.int64()),
+                    "reciprocity_ppm": pa.array([0], pa.int64()),
+                    "assort_micro": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    both = int(recip["both"][0])
+    tot = int(recip["tot"][0])
+    m = int(sums["m"][0])
+    sjk, sj, sk = int(sums["sjk"][0]), int(sums["sj"][0]), int(sums["sk"][0])
+    sjj, skk = int(sums["sjj"][0]), int(sums["skk"][0])
+    num = m * sjk - sj * sk
+    d1 = m * sjj - sj * sj
+    d2 = m * skk - sk * sk
+    if d1 <= 0 or d2 <= 0:
+        assort = 0
+    else:
+        import math
+
+        assort = math.floor(
+            (num / (math.sqrt(d1) * math.sqrt(d2))) * 1e6
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([int(n_nodes)], pa.int64()),
+                "n_edges": pa.array([tot], pa.int64()),
+                "reciprocal_pairs": pa.array([both], pa.int64()),
+                "reciprocity_ppm": pa.array(
+                    [2 * both * 1_000_000 // tot], pa.int64()
+                ),
+                "assort_micro": pa.array([assort], pa.int64()),
+            }
+        )
+    )
+
+
+def graph_stats_sql(edges_sql: str) -> str:
+    """Generated DuckDB oracle for :func:`graph_stats` — identical
+    dedup, degree, partial sums, and float expression tree.
+    ``edges_sql`` must yield directed (src, dst) rows."""
+    return f"""
+        WITH gs_raw AS MATERIALIZED ({edges_sql}),
+        gs_e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM gs_raw WHERE src <> dst
+        ),
+        gs_p AS (
+            SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+                   COUNT(*) AS c
+            FROM gs_e GROUP BY 1, 2
+        ),
+        gs_r AS (
+            SELECT CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS both,
+                   CAST(SUM(c) AS BIGINT) AS tot
+            FROM gs_p
+        ),
+        gs_u AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM gs_e
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM gs_e
+            )
+        ),
+        gs_d AS MATERIALIZED (
+            SELECT src AS node, COUNT(*) AS deg FROM gs_u GROUP BY 1
+        ),
+        gs_w AS (
+            SELECT da.deg AS j, db.deg AS k
+            FROM gs_u u
+            JOIN gs_d da ON da.node = u.src
+            JOIN gs_d db ON db.node = u.dst
+        ),
+        gs_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(j * k) AS BIGINT) AS sjk,
+                   CAST(SUM(j) AS BIGINT) AS sj,
+                   CAST(SUM(k) AS BIGINT) AS sk,
+                   CAST(SUM(j * j) AS BIGINT) AS sjj,
+                   CAST(SUM(k * k) AS BIGINT) AS skk
+            FROM gs_w
+        )
+        SELECT CAST((SELECT COUNT(*) FROM gs_d) AS BIGINT) AS n_nodes,
+               r.tot AS n_edges,
+               r.both AS reciprocal_pairs,
+               CAST(2 * r.both * 1000000 // r.tot AS BIGINT)
+                   AS reciprocity_ppm,
+               CAST(CASE WHEN s.m * s.sjj - s.sj * s.sj <= 0
+                         OR s.m * s.skk - s.sk * s.sk <= 0 THEN 0
+                    ELSE floor(((s.m * s.sjk - s.sj * s.sk)
+                         / (sqrt(greatest(s.m * s.sjj - s.sj * s.sj, 1))
+                            * sqrt(greatest(s.m * s.skk - s.sk * s.sk, 1))))
+                         * 1e6)
+                    END AS BIGINT) AS assort_micro
+        FROM gs_r r, gs_s s
+    """

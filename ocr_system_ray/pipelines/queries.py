@@ -8914,3 +8914,27 @@ def q_attribution(sf_dir: str) -> ray.data.Dataset:
         sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
     )
     return last_touch_attribution(ev, window_sec=3600)
+
+
+def q_graph_stats(sf_dir: str) -> ray.data.Dataset:
+    """Graph health readout over the pagerank-derived host graph
+    (``functions/graph.py:graph_stats``): reciprocity (link-farm
+    signal) + degree assortativity (hub mixing), one exact-integer
+    row.  Oracle = identical dedup/degree/sums/expression tree."""
+    from ..functions.graph import graph_stats
+
+    h = PAGERANK_HOSTS
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids % h, ids % h])
+        dst = np.concatenate([(ids * 7 + 3) % h, (ids * 13 + 5) % h])
+        keep = src != dst
+        return pa.table(
+            {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
+        )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    return graph_stats(ds)

@@ -1,0 +1,75 @@
+"""Graph stats (functions/graph.py:graph_stats) — DuckDB twin
+equality, hand-built reciprocity geometry, assortativity sign pins
+(star = disassortative, balanced cycle = degenerate), regular-graph
+degenerate sentinel, layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.graph import graph_stats, graph_stats_sql
+
+
+def _edges(rows) -> pa.Table:
+    return pa.table(
+        {
+            "src": pa.array([r[0] for r in rows], pa.int64()),
+            "dst": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _row(ds):
+    return ds.take_all()[0]
+
+
+def test_reciprocity_pins(ray_session):
+    # 1↔2 mutual; 1→3 one-way; duplicate (1,2) collapses; self-loop drops
+    t = _edges([(1, 2), (2, 1), (1, 3), (1, 2), (4, 4)])
+    r = _row(graph_stats(ray.data.from_arrow(t)))
+    assert r["n_edges"] == 3 and r["reciprocal_pairs"] == 1
+    assert r["reciprocity_ppm"] == 2 * 1 * 1_000_000 // 3
+    assert r["n_nodes"] == 3
+
+
+def test_star_is_disassortative(ray_session):
+    # hub 0 with 5 spokes: high-degree node links only to degree-1 nodes
+    t = _edges([(0, i) for i in range(1, 6)])
+    r = _row(graph_stats(ray.data.from_arrow(t)))
+    assert r["assort_micro"] == -1_000_000  # perfect disassortativity
+    assert r["reciprocity_ppm"] == 0
+
+
+def test_regular_graph_degenerate(ray_session):
+    # a 4-cycle: every degree 2 → zero variance → sentinel 0
+    t = _edges([(0, 1), (1, 2), (2, 3), (3, 0)])
+    r = _row(graph_stats(ray.data.from_arrow(t)))
+    assert r["assort_micro"] == 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_matches_duckdb_twin(ray_session, nblocks, seed):
+    rng = np.random.RandomState(seed)
+    n = 500
+    src = rng.randint(0, 50, n).astype(np.int64)
+    dst = rng.randint(0, 50, n).astype(np.int64)
+    e = pa.table({"src": pa.array(src), "dst": pa.array(dst)})  # noqa: F841
+    ds = ray.data.from_arrow(e).repartition(nblocks)
+    got = graph_stats(ds).to_pandas()
+    want = duckdb.sql(graph_stats_sql("SELECT src, dst FROM e")).df()
+    got = got[sorted(got.columns)].iloc[0]
+    want = want[sorted(want.columns)].iloc[0]
+    assert got.to_dict() == want.to_dict()
+    assert int(got["n_edges"]) > 0
+
+
+def test_empty_graph(ray_session):
+    r = _row(graph_stats(ray.data.from_arrow(_edges([]))))
+    assert r["n_edges"] == 0 and r["reciprocity_ppm"] == 0
