@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q.q_token_entropy,
         "attribution": q.q_attribution,
         "graph_stats": q.q_graph_stats,
+        "cep_sequences": q.q_cep_sequences,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -869,6 +870,14 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _cep_sequences_sql() -> str:
+    from ocr_system_ray.functions.windows import cep_sequence_sql
+
+    return cep_sequence_sql(
+        "events", ("view", "click", "purchase"), max_step_gap_sec=86400
     )
 
 
@@ -2226,6 +2235,8 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _attribution_sql(),
         # graph_stats: identical dedup/degree/sums/expression tree
         "graph_stats": _graph_stats_sql(),
+        # cep_sequences: LEAD()-chain twin with identical gap tests
+        "cep_sequences": _cep_sequences_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

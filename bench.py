@@ -292,6 +292,7 @@ def _query_suite() -> dict:
         "token_entropy": q.q_token_entropy,
         "attribution": q.q_attribution,
         "graph_stats": q.q_graph_stats,
+        "cep_sequences": q.q_cep_sequences,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -895,6 +895,27 @@ def update_simhash_index(
 # ---------------------------------------------------------------------------
 
 
+
+
+def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize AND cut the stats lineage for loop-carried datasets.
+
+    ``Dataset.materialize()`` replaces the logical plan with InputData
+    but hands the new dataset the WHOLE upstream ``DatasetStats`` tree;
+    a dataset that is rebuilt from itself every round therefore doubles
+    the driver-side stats graph per round — measured 2×/round walls
+    (0.5 s → 111 s by round 14) on a 300-edge chain in
+    ``connected_components`` with flat row AND block counts.
+    Rebuilding from ``to_arrow_refs()`` starts a fresh stats lineage;
+    the refs keep the pinned blocks alive, so it is zero-copy for
+    arrow-block datasets.  Use this instead of ``materialize()`` for
+    EVERY dataset a loop feeds back into itself."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
+
 def _attach_label(
     facts: ray.data.Dataset,
     fact_cols: list[str],
@@ -1002,15 +1023,34 @@ def connected_components(
         )
         return pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
 
+    def _as_arrow_labels(t: pa.Table) -> pa.Table:
+        # normalize block type: aggregate emits pandas blocks, which
+        # union() / downstream merges refuse to mix with arrow blocks
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "label": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    n_edges = edges.count()  # materialized — metadata only
+    if num_buckets is None:
+        num_buckets = int(max(64, min(1 << 18, n_edges // 20_000 + 64)))
+    # per-round block budget for the label table: WITHOUT this
+    # coalesce every union+aggregate round TRIPLES the label block
+    # count (3^rounds blocks for constant rows — measured 729 blocks /
+    # 78 s-per-round by round 5 on a 300-edge chain); rows are bounded
+    # by 2·edges, so size the budget to the edge count
+    lab_blocks = int(max(4, min(256, n_edges // 250_000 + 4)))
+
     labels = (
         edges.map_batches(init_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(AggMin("label", alias_name="label"))
-        .materialize()
+        .map_batches(_as_arrow_labels, batch_format="pyarrow")
+        .repartition(lab_blocks)
     )
-    if num_buckets is None:
-        n_edges = edges.count()  # materialized — metadata only
-        num_buckets = int(max(64, min(1 << 18, n_edges // 20_000 + 64)))
+    labels = _pin(labels)
 
     for _ in range(max_iters):
         # attach current labels to both endpoints of every edge —
@@ -1064,8 +1104,10 @@ def connected_components(
             .union(labels)
             .groupby("node")
             .aggregate(AggMin("label", alias_name="label"))
-            .materialize()
+            .map_batches(_as_arrow_labels, batch_format="pyarrow")
+            .repartition(lab_blocks)
         )
+        labels = _pin(labels)
     return labels
 
 

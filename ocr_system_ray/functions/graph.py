@@ -50,7 +50,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .dedup import _adaptive_coarse_bits, _attach_label, _coarse_bucket, _pair_bucket_column
+from .dedup import _adaptive_coarse_bits, _attach_label, _coarse_bucket, _pair_bucket_column, _pin
 
 PR_TOTAL_MICRO = 10**12
 
@@ -317,7 +317,7 @@ def _pagerank_distributed(
                 }
             )
 
-        ranks = summed.map_batches(step, batch_format="pyarrow").materialize()
+        ranks = _pin(summed.map_batches(step, batch_format="pyarrow"))
 
     return ranks.map_batches(
         lambda t: pa.table({node_col: t.column("node"), rank_col: t.column("label")}),
@@ -857,6 +857,10 @@ def bfs_depth(
                 }
             )
         )
+    # per-hop block budget: without the coalesce each union+aggregate
+    # hop multiplies the depth table's block count (the CC 3^rounds
+    # lesson — see connected_components)
+    lab_blocks = int(max(4, min(256, e.count() // 250_000 + 4)))
     seed_arr = sorted(set(int(s) for s in seeds))
     dist = ray.data.from_arrow(
         pa.table(
@@ -895,8 +899,9 @@ def bfs_depth(
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
+            .repartition(lab_blocks)
         )
+        dist = _pin(dist)
 
     # every node joined with its depth; absent → the BIG sentinel,
     # which min() never beats a real depth with, then -1 at the end
@@ -1088,11 +1093,10 @@ def label_propagation(
             .map_batches(nbr_votes, batch_format="pyarrow")
             .union(labels.map_batches(self_votes, batch_format="pyarrow"))
         )
-        labels = (
+        labels = _pin(
             votes.map_batches(bucket_votes, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(pick, batch_format="pandas")
-            .materialize()
         )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1257,7 +1261,7 @@ def k_core(
             ),
             batch_format="pyarrow",
         )
-        e = kept.materialize()
+        e = _pin(kept)
 
     if e.count() == 0:
         return ray.data.from_arrow(empty)
@@ -1365,6 +1369,8 @@ def sssp_weighted(
             }
         )
     )
+    # per-round block budget (the CC 3^rounds block-explosion lesson)
+    lab_blocks = int(max(4, min(256, e.count() // 250_000 + 4)))
     for _round in range(max_rounds):
         cand = _attach_label(e, ["dst", "w"], dist, "src", "d", nb).map_batches(
             lambda t: pa.table(
@@ -1391,8 +1397,9 @@ def sssp_weighted(
                 ),
                 batch_format="pyarrow",
             )
-            .materialize()
+            .repartition(lab_blocks)
         )
+        dist = _pin(dist)
 
     big = 1 << 60
 

@@ -1133,3 +1133,154 @@ def last_touch_attribution_sql(
         FROM lt_c
         GROUP BY 1
     """
+
+
+def cep_sequence_matches(
+    ds: ray.data.Dataset,
+    pattern: tuple[str, ...],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_step_gap_sec: int = 600,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Complex-event-processing sequence match (MATCH_RECOGNIZE-lite):
+    per key, occurrences of a CONTIGUOUS event-type ``pattern`` where
+    every consecutive step arrives within ``max_step_gap_sec`` —
+    "click → click → purchase inside 10 minutes", the funnel's
+    strict-timing cousin.  Matches may overlap (every row can start
+    one — the standard all-matches semantics; funnels wanting
+    skip-past-match can consume this stream).
+
+    Returns ``(key_col, matches)`` for keys with ≥ 1 match.  One
+    coarse-bucket shuffle on the key (the ``prev_event_gap`` idiom);
+    inside a bucket the per-key scan is len(pattern) vectorized
+    pandas shifts — no Python per row; only (key, partial-count) rows
+    leave the stage before ONE final groupby.  The SQL twin is a
+    LEAD()-chain over the identical (ts, id) order.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least 2 steps")
+    if max_step_gap_sec < 0:
+        raise ValueError("max_step_gap_sec must be >= 0")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t.column(key_col).cast(pa.int64()),
+                id_col: t.column(id_col).cast(pa.int64()),
+                "_ts_us": t.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "_type": t.column(type_col).cast(pa.string()),
+            }
+        )
+
+    tagged = _bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col,
+        {
+            key_col: pa.int64(),
+            id_col: pa.int64(),
+            "_ts_us": pa.int64(),
+            "_type": pa.string(),
+        },
+        num_buckets,
+    )
+    gap_us = max_step_gap_sec * 1_000_000
+    k = len(pattern)
+
+    def match_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "p": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        g_key = df[key_col]
+        ok = df["_type"].eq(pattern[0]).to_numpy()
+        prev_ts = df["_ts_us"]
+        for j in range(1, k):
+            ty_j = df["_type"].groupby(g_key, sort=False).shift(-j)
+            ts_j = df["_ts_us"].groupby(g_key, sort=False).shift(-j)
+            step_ok = ty_j.eq(pattern[j]).to_numpy() & (
+                (ts_j - prev_ts).to_numpy() <= gap_us
+            )
+            ok &= np.where(np.isnan(ts_j.to_numpy()), False, step_ok)
+            prev_ts = ts_j
+        hits = df.loc[ok, key_col]
+        if hits.empty:
+            return empty
+        vc = hits.value_counts()
+        return pd.DataFrame(
+            {
+                key_col: vc.index.to_numpy(np.int64),
+                "p": vc.to_numpy(np.int64),
+            }
+        )
+
+    partials = tagged.groupby("bucket").map_groups(
+        match_in_bucket, batch_format="pandas"
+    )
+    return (
+        partials.groupby(key_col)
+        .aggregate(Sum("p", alias_name="matches"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t.column(key_col).cast(pa.int64()),
+                    "matches": t.column("matches").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def cep_sequence_sql(
+    table: str,
+    pattern: tuple[str, ...],
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    max_step_gap_sec: int = 600,
+) -> str:
+    """The DuckDB twin: a LEAD()-chain over the identical per-key
+    (ts, id) order with the same per-step gap tests."""
+    k = len(pattern)
+    gap_us = max_step_gap_sec * 1_000_000
+    leads = []
+    for j in range(1, k):
+        leads.append(
+            f"LEAD({type_col}, {j}) OVER w AS ty{j},"
+            f" LEAD(epoch_us({ts_col}), {j}) OVER w AS ts{j}"
+        )
+    conds = [f"{type_col} = '{pattern[0]}'"]
+    prev = f"epoch_us({ts_col})"
+    for j in range(1, k):
+        conds.append(f"ty{j} = '{pattern[j]}'")
+        conds.append(f"ts{j} - {prev} <= {gap_us}")
+        prev = f"ts{j}"
+    return f"""
+        WITH cep_l AS (
+            SELECT {key_col} AS u, {type_col}, {ts_col},
+                   {", ".join(leads)}
+            FROM {table}
+            WINDOW w AS (PARTITION BY {key_col}
+                         ORDER BY {ts_col}, {id_col})
+        )
+        SELECT u AS {key_col}, CAST(COUNT(*) AS BIGINT) AS matches
+        FROM cep_l
+        WHERE {" AND ".join(conds)}
+        GROUP BY 1
+    """

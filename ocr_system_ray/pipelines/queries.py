@@ -8938,3 +8938,20 @@ def q_graph_stats(sf_dir: str) -> ray.data.Dataset:
         edges, batch_format="pyarrow"
     )
     return graph_stats(ds)
+
+
+def q_cep_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Time-bounded CEP sequence matching
+    (``functions/windows.py:cep_sequence_matches``): per user, counts
+    of contiguous view->click->purchase runs with every step within
+    24h (overlap-allowed all-matches semantics).  One user-key coarse
+    shuffle, len(pattern) vectorized shifts in-bucket.  Oracle =
+    LEAD()-chain twin over the identical (ts, id) order."""
+    from ..functions.windows import cep_sequence_matches
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return cep_sequence_matches(
+        ev, ("view", "click", "purchase"), max_step_gap_sec=86400
+    )

@@ -1,0 +1,127 @@
+"""CEP sequence matching (functions/windows.py:cep_sequence_matches)
+— DuckDB LEAD-chain twin equality, hand-built timelines (gap bound,
+overlap, contiguity, key boundary), layout invariance, arg
+validation."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.windows import (
+    cep_sequence_matches,
+    cep_sequence_sql,
+)
+
+_US = 1_000_000
+
+
+def _events(rows) -> pa.Table:
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] * _US for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def _counts(ds):
+    return {r["user_id"]: r["matches"] for r in ds.take_all()}
+
+
+def test_hand_timelines(ray_session):
+    rows = [
+        # u1: a(0) b(5) c(8) — one match at gap 10
+        (1, 1, 0, "a"), (2, 1, 5, "b"), (3, 1, 8, "c"),
+        # u2: a(0) b(50) c(55) — step 1 gap 50 > 10 → no match
+        (4, 2, 0, "a"), (5, 2, 50, "b"), (6, 2, 55, "c"),
+        # u3: a(0) x(2) b(4) c(6) — NOT contiguous → no match
+        (7, 3, 0, "a"), (8, 3, 2, "x"), (9, 3, 4, "b"), (10, 3, 6, "c"),
+        # u4: a b c a b c — two matches
+        (11, 4, 0, "a"), (12, 4, 1, "b"), (13, 4, 2, "c"),
+        (14, 4, 3, "a"), (15, 4, 4, "b"), (16, 4, 5, "c"),
+    ]
+    got = _counts(
+        cep_sequence_matches(
+            ray.data.from_arrow(_events(rows)),
+            ("a", "b", "c"),
+            max_step_gap_sec=10,
+        )
+    )
+    assert got == {1: 1, 4: 2}
+
+
+def test_key_boundary_no_bleed(ray_session):
+    # the b,c belong to another user — no cross-key match
+    rows = [(1, 1, 0, "a"), (2, 2, 1, "b"), (3, 2, 2, "c")]
+    got = _counts(
+        cep_sequence_matches(
+            ray.data.from_arrow(_events(rows)), ("a", "b", "c"),
+            max_step_gap_sec=10,
+        )
+    )
+    assert got == {}
+
+
+def test_overlapping_matches(ray_session):
+    # a a b: pattern (a, b) matches at position 2 only; (a, a) at 1
+    rows = [(1, 1, 0, "a"), (2, 1, 1, "a"), (3, 1, 2, "b")]
+    got = _counts(
+        cep_sequence_matches(
+            ray.data.from_arrow(_events(rows)), ("a", "b"), max_step_gap_sec=10
+        )
+    )
+    assert got == {1: 1}
+    got = _counts(
+        cep_sequence_matches(
+            ray.data.from_arrow(_events(rows)), ("a", "a"), max_step_gap_sec=10
+        )
+    )
+    assert got == {1: 1}
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+@pytest.mark.parametrize("gap", [30, 600])
+def test_matches_duckdb_twin(ray_session, nblocks, gap):
+    rng = np.random.RandomState(12)
+    rows = []
+    eid = 0
+    for u in range(40):
+        t = 0
+        for _ in range(rng.randint(5, 25)):
+            t += int(rng.randint(1, 120))
+            rows.append((eid, u, t, "abcd"[rng.randint(0, 4)]))
+            eid += 1
+    t = _events(rows)  # noqa: F841
+    ds = ray.data.from_arrow(_events(rows)).repartition(nblocks)
+    got = (
+        cep_sequence_matches(ds, ("a", "b"), max_step_gap_sec=gap)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(cep_sequence_sql("t", ("a", "b"), max_step_gap_sec=gap))
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].values.tolist() == (
+        want[sorted(want.columns)].values.tolist()
+    )
+    assert len(got) > 0
+
+
+def test_bad_args(ray_session):
+    ds = ray.data.from_arrow(_events([]))
+    with pytest.raises(ValueError):
+        cep_sequence_matches(ds, ("a",))
+    with pytest.raises(ValueError):
+        cep_sequence_matches(ds, ("a", "b"), max_step_gap_sec=-1)
