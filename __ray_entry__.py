@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q.q_attribution,
         "graph_stats": q.q_graph_stats,
         "cep_sequences": q.q_cep_sequences,
+        "rle_layout": q.q_rle_layout,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -2237,6 +2238,20 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": _graph_stats_sql(),
         # cep_sequences: LEAD()-chain twin with identical gap tests
         "cep_sequences": _cep_sequences_sql(),
+        # rle_layout: GROUP BY + window cumsum over the packed sort key
+        "rle_layout": """
+            WITH rg AS (
+                SELECT lang || chr(31) || source AS k, lang, source,
+                       COUNT(*) AS c
+                FROM documents GROUP BY 1, 2, 3
+            )
+            SELECT lang, source,
+                   CAST(COALESCE(SUM(c) OVER (ORDER BY k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS run_start,
+                   CAST(c AS BIGINT) AS run_len
+            FROM rg
+        """,
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

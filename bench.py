@@ -293,6 +293,7 @@ def _query_suite() -> dict:
         "attribution": q.q_attribution,
         "graph_stats": q.q_graph_stats,
         "cep_sequences": q.q_cep_sequences,
+        "rle_layout": q.q_rle_layout,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

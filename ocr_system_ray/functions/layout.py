@@ -201,3 +201,111 @@ def probe_files_touched(
         if int(os.path.basename(os.path.dirname(f)).split("=", 1)[1]) in keep
     ]
     return len(touched), len(total)
+
+
+# ---------------------------------------------------------------------------
+# RLE-aware layout optimization (low-cardinality-first compound sort)
+# ---------------------------------------------------------------------------
+
+
+def rle_column_order(
+    ds: ray.data.Dataset, cols: list[str]
+) -> list[str]:
+    """Sort-key order that maximizes run lengths: columns by ASCENDING
+    exact distinct count (ties by name) — the classic columnar-layout
+    rule (cf. "Column Partition and Permutation for Run Length
+    Encoding", SIGMOD 2020): putting the fewest-valued column first
+    yields the longest constant runs for every RLE/dictionary encoder
+    downstream (parquet included).  One pass: per-batch distinct
+    (col ⊕ value) partials → ONE packed single-column groupby; the
+    per-column counts are a tiny driver reduce."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys: set[str] = set()
+        for c in cols:
+            for v in pc.unique(t.column(c)).to_pylist():
+                keys.add(f"{c}\x1f{v}")
+        ks = sorted(keys)
+        return pa.table({"key": pa.array(ks, pa.string())})
+
+    pairs = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .to_pandas()
+    )
+    if pairs.empty:
+        return sorted(cols)
+    col_of = pairs["key"].str.split("\x1f", n=1).str[0]
+    card = col_of.value_counts().to_dict()
+    return sorted(cols, key=lambda c: (int(card.get(c, 0)), c))
+
+
+def rle_runs(
+    ds: ray.data.Dataset, run_cols: list[str]
+) -> ray.data.Dataset:
+    """The run-length table of the layout sorted by ``run_cols`` (+ any
+    tiebreak): one row per distinct run-key with ``(… , run_start,
+    run_len)`` — exactly the RLE header stream an encoder would emit,
+    and the verifiable fingerprint of the physical order.  Packed
+    single-column groupby (the run-key table is
+    cardinality-product-sized, tiny next to the corpus) + driver-side
+    lexicographic cumsum (byte order ≡ DuckDB's binary collation for
+    ASCII keys; NULL cells unsupported — derive them away first)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [t.column(c).to_pylist() for c in run_cols]
+        c: dict[str, int] = {}
+        for row in zip(*arrs):
+            if any(v is None for v in row):
+                raise ValueError("rle_runs: NULL run-key cells unsupported")
+            k = "\x1f".join(str(v) for v in row)
+            c[k] = c.get(k, 0) + 1
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    g = (
+        ds.select_columns(run_cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("p", alias_name="c"))
+        .to_pandas()
+    )
+    if g.empty:
+        cols_out = {c: pa.array([], pa.string()) for c in run_cols}
+        cols_out["run_start"] = pa.array([], pa.int64())
+        cols_out["run_len"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols_out))
+    g = g.sort_values("key", kind="mergesort").reset_index(drop=True)
+    lens = g["c"].to_numpy(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    parts = g["key"].str.split("\x1f", expand=True)
+    out = {
+        c: pa.array(parts[i].astype(str), pa.string())
+        for i, c in enumerate(run_cols)
+    }
+    out["run_start"] = pa.array(starts)
+    out["run_len"] = pa.array(lens)
+    return ray.data.from_arrow(pa.table(out))
+
+
+def write_rle_sorted(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    sort_cols: list[str],
+    *,
+    write_blocks: int = 4,
+) -> None:
+    """Physically cluster by the RLE order and write parquet — the
+    OPTIMIZE step.  One sort; coalesced shards (the repo's
+    `repartition(write_blocks)` file-count rule)."""
+    ds.sort(sort_cols).repartition(write_blocks).write_parquet(out_dir)

@@ -8955,3 +8955,20 @@ def q_cep_sequences(sf_dir: str) -> ray.data.Dataset:
     return cep_sequence_matches(
         ev, ("view", "click", "purchase"), max_step_gap_sec=86400
     )
+
+
+def q_rle_layout(sf_dir: str) -> ray.data.Dataset:
+    """RLE-aware layout optimization over documents
+    (``functions/layout.py``): column order by ascending exact
+    cardinality (lang=5 < source, so [lang, source] — asserted), then
+    the run-length table (run_start, run_len) of the optimized order —
+    the encoder-visible fingerprint of the physical layout.  One
+    packed groupby per pass; the run table is
+    cardinality-product-sized.  Oracle = GROUP BY + window cumsum over
+    the identical packed sort key."""
+    from ..functions.layout import rle_column_order, rle_runs
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "source"])
+    order = rle_column_order(docs, ["lang", "source"])
+    assert order == ["lang", "source"], order
+    return rle_runs(docs, order)

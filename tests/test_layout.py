@@ -130,3 +130,105 @@ def test_zorder_keys_dataset(ray_session):
     )
     out = zorder_keys(ray.data.from_arrow(t), "x", "y", bits=4).to_pandas()
     assert out["zkey"].tolist() == [3, 8]
+
+
+# ---------------------------------------------------------------------------
+# RLE-aware layout optimization
+# ---------------------------------------------------------------------------
+
+import duckdb  # noqa: E402
+
+from ocr_system_ray.functions.layout import (  # noqa: E402
+    rle_column_order,
+    rle_runs,
+    write_rle_sorted,
+)
+
+
+def _corr_table(n=3000, seed=2) -> pa.Table:
+    rng = np.random.RandomState(seed)
+    lang = rng.choice(["de", "en", "fr"], n)
+    src = rng.choice([f"s{i:02d}" for i in range(12)], n)
+    return pa.table(
+        {
+            "rid": pa.array(np.arange(n), pa.int64()),
+            "lang": pa.array(lang, pa.string()),
+            "source": pa.array(src, pa.string()),
+        }
+    )
+
+
+def test_rle_column_order(ray_session):
+    t = _corr_table()
+    ds = ray.data.from_arrow(t).repartition(4)
+    assert rle_column_order(ds, ["source", "lang"]) == ["lang", "source"]
+    # ties break by name
+    t2 = pa.table(
+        {
+            "b": pa.array(["x", "y"], pa.string()),
+            "a": pa.array(["p", "q"], pa.string()),
+        }
+    )
+    assert rle_column_order(ray.data.from_arrow(t2), ["b", "a"]) == ["a", "b"]
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_rle_runs_matches_duckdb(ray_session, nblocks):
+    t = _corr_table()  # noqa: F841
+    ds = ray.data.from_arrow(_corr_table()).repartition(nblocks)
+    got = (
+        rle_runs(ds, ["lang", "source"])
+        .to_pandas()
+        .sort_values("run_start")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        WITH rg AS (
+            SELECT lang || chr(31) || source AS k, lang, source, COUNT(*) c
+            FROM t GROUP BY 1, 2, 3
+        )
+        SELECT lang, source,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS run_start,
+               CAST(c AS BIGINT) AS run_len
+        FROM rg ORDER BY run_start
+        """
+    ).df().reset_index(drop=True)
+    assert got[sorted(got.columns)].values.tolist() == (
+        want[sorted(want.columns)].values.tolist()
+    )
+    # runs tile the corpus exactly
+    assert int(got["run_len"].sum()) == 3000
+    assert got["run_start"].tolist() == (
+        [0] + list(np.cumsum(got["run_len"])[:-1])
+    )
+
+
+def test_rle_sorted_layout_compresses(ray_session, tmp_path):
+    t = _corr_table(n=20000).select(["lang", "source"])
+    d_sorted = str(tmp_path / "srt")
+    d_plain = str(tmp_path / "plain")
+    write_rle_sorted(
+        ray.data.from_arrow(t).repartition(6), d_sorted, ["lang", "source"],
+        write_blocks=1,
+    )
+    ray.data.from_arrow(t).repartition(1).write_parquet(d_plain)
+    import glob as g
+    import os as o
+
+    sz = lambda d: sum(o.path.getsize(f) for f in g.glob(o.path.join(d, "*.parquet")))
+    # low-cardinality-first clustering must shrink the encoded bytes
+    assert sz(d_sorted) < sz(d_plain)
+
+
+def test_rle_runs_null_rejected(ray_session):
+    t = pa.table(
+        {
+            "a": pa.array(["x", None], pa.string()),
+            "b": pa.array(["1", "2"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception):
+        rle_runs(ray.data.from_arrow(t), ["a", "b"]).materialize()
