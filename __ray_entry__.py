@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": q.q_graph_stats,
         "cep_sequences": q.q_cep_sequences,
         "rle_layout": q.q_rle_layout,
+        "trimmed_means": q.q_trimmed_means,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -871,6 +872,18 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _trimmed_means_sql() -> str:
+    from ocr_system_ray.functions.hdr import trimmed_mean_sql
+
+    return trimmed_mean_sql(
+        "(SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " AS cents FROM events)",
+        "event_type",
+        "cents",
+        trim_permille=100,
     )
 
 
@@ -2252,6 +2265,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c AS BIGINT) AS run_len
             FROM rg
         """,
+        # trimmed_means: ROW_NUMBER trim twin over raw observations
+        "trimmed_means": _trimmed_means_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

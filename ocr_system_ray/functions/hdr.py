@@ -273,3 +273,169 @@ def hdr_quantiles_by_key_sql(
                     END AS BIGINT) AS approx_cents
         FROM pick
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed means (robust per-key statistics)
+# ---------------------------------------------------------------------------
+
+
+def trimmed_mean_by_key(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    key_col: str,
+    cents_col: str,
+    *,
+    trim_permille: int = 100,
+) -> "ray.data.Dataset":
+    """Per-key TRIMMED mean — the robust-statistics cut (drop the
+    lowest and highest ``trim_permille``/1000 of observations by
+    value, exactly) that a mean-of-everything corrupts under heavy
+    tails; the integer-exact sibling of the exact-quantiles operator.
+
+    Scale shape (the value-histogram idiom shared with
+    ``exact_quantiles``): per-batch (key ⊕ cents) count combiners →
+    ONE packed single-column groupby — the shuffle moves distinct
+    value CELLS, never observations — then one whole-block pass over
+    the cell table computes, per key, ``k = n·trim//1000`` and drops k
+    observations from each end BY MULTISET (tie order cannot matter:
+    equal values contribute equally whichever copies are dropped).
+
+    Output: ``(key_col, n, n_kept, trimmed_sum, trimmed_mean_micro)``
+    with ``trimmed_mean_micro = trimmed_sum·10⁶ // n_kept`` — exact
+    integers end-to-end.  Keys whose trim consumes every observation
+    (2k ≥ n) are omitted (the SQL twin drops them identically).
+    """
+    import pandas as pd
+
+    import ray
+    import ray.data
+
+    if not 0 <= trim_permille < 500:
+        raise ValueError("trim_permille must be in [0, 500)")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        cents = t.column(cents_col).to_numpy(zero_copy_only=False)
+        c: dict[str, int] = {}
+        for k, v in zip(keys, cents):
+            kk = f"{k}\x1f{int(v)}"
+            c[kk] = c.get(kk, 0) + 1
+        return pa.table(
+            {
+                "cell": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.select_columns([key_col, cents_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("p", alias_name="c"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        empty = {
+            key_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64()),
+            "trimmed_sum": pa.array([], pa.int64()),
+            "trimmed_mean_micro": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        df = pd.DataFrame(
+            {
+                "cell": t.column("cell").to_pylist(),
+                "c": t.column("c").to_numpy(zero_copy_only=False),
+            }
+        )
+        split = df["cell"].str.rsplit("\x1f", n=1, expand=True)
+        df["key"] = split[0]
+        df["v"] = split[1].astype(np.int64)
+        out_k: list[str] = []
+        out_n: list[int] = []
+        out_kept: list[int] = []
+        out_sum: list[int] = []
+        out_mean: list[int] = []
+        for key, g in df.groupby("key", sort=True):
+            g = g.sort_values("v", kind="mergesort")
+            counts = g["c"].to_numpy(np.int64)
+            vals = g["v"].to_numpy(np.int64)
+            n = int(counts.sum())
+            k = n * trim_permille // 1000
+            if 2 * k >= n:
+                continue
+            keep = counts.copy()
+            # eat k observations from the low end, then the high end
+            rem = k
+            for i in range(len(keep)):
+                take = min(rem, int(keep[i]))
+                keep[i] -= take
+                rem -= take
+                if rem == 0:
+                    break
+            rem = k
+            for i in range(len(keep) - 1, -1, -1):
+                take = min(rem, int(keep[i]))
+                keep[i] -= take
+                rem -= take
+                if rem == 0:
+                    break
+            kept = int(keep.sum())
+            tsum = int(np.sum(keep.astype(object) * vals.astype(object)))
+            out_k.append(key)
+            out_n.append(n)
+            out_kept.append(kept)
+            out_sum.append(tsum)
+            out_mean.append(tsum * 1_000_000 // kept)
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_kept, pa.int64()),
+                "trimmed_sum": pa.array(out_sum, pa.int64()),
+                "trimmed_mean_micro": pa.array(out_mean, pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def trimmed_mean_sql(
+    table: str,
+    key_expr: str,
+    cents_expr: str,
+    *,
+    trim_permille: int = 100,
+) -> str:
+    """The DuckDB twin: per-key ROW_NUMBER over raw observations by
+    value (tie order is irrelevant to the kept multiset) with the
+    identical integer trim counts and micro mean."""
+    return f"""
+        WITH tm_d AS (
+            SELECT CAST({key_expr} AS VARCHAR) AS k,
+                   CAST({cents_expr} AS BIGINT) AS v
+            FROM {table}
+        ),
+        tm_r AS (
+            SELECT k, v,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS n
+            FROM tm_d
+        )
+        SELECT k AS {key_expr},
+               CAST(n AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(v) AS BIGINT) AS trimmed_sum,
+               CAST(SUM(v) * 1000000 // COUNT(*) AS BIGINT)
+                   AS trimmed_mean_micro
+        FROM tm_r
+        WHERE rn > n * {trim_permille} // 1000
+          AND rn <= n - n * {trim_permille} // 1000
+        GROUP BY k, n
+    """

@@ -8972,3 +8972,32 @@ def q_rle_layout(sf_dir: str) -> ray.data.Dataset:
     order = rle_column_order(docs, ["lang", "source"])
     assert order == ["lang", "source"], order
     return rle_runs(docs, order)
+
+
+def q_trimmed_means(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-type trimmed mean of event value cents (10% trimmed
+    each side; ``functions/hdr.py:trimmed_mean_by_key``): the shuffle
+    moves distinct (type, cents) cells, never events; exact integers
+    end-to-end.  Oracle = ROW_NUMBER trim twin (tie order irrelevant
+    to the kept multiset)."""
+    from ..functions.hdr import trimmed_mean_by_key
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return trimmed_mean_by_key(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        trim_permille=100,
+    )
