@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cep_sequences": q.q_cep_sequences,
         "rle_layout": q.q_rle_layout,
         "trimmed_means": q.q_trimmed_means,
+        "concentration": q.q_concentration,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -872,6 +873,15 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _concentration_sql() -> str:
+    from ocr_system_ray.functions.keyness import concentration_sql
+
+    return concentration_sql(
+        "lineitem", "l_suppkey",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
     )
 
 
@@ -2267,6 +2277,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # trimmed_means: ROW_NUMBER trim twin over raw observations
         "trimmed_means": _trimmed_means_sql(),
+        # concentration: ranked-window Gini/CR-k twin
+        "concentration": _concentration_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -295,6 +295,7 @@ def _query_suite() -> dict:
         "cep_sequences": q.q_cep_sequences,
         "rle_layout": q.q_rle_layout,
         "trimmed_means": q.q_trimmed_means,
+        "concentration": q.q_concentration,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

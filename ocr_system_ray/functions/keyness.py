@@ -317,3 +317,127 @@ def token_entropy_sql(
                    AS ttr_permille
         FROM te_n n JOIN te_h h ON h.did = n.did
     """
+
+
+# ---------------------------------------------------------------------------
+# Concentration report (Gini + CR-k shares)
+# ---------------------------------------------------------------------------
+
+
+def concentration_report(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+) -> ray.data.Dataset:
+    """One-row concentration readout over per-key integer weights —
+    "how dominated is the corpus by a few keys?" (domain token shares,
+    supplier revenue, host page counts): ``(n_keys, total,
+    top1_ppm, top10pct_ppm, gini_ppm)``.
+
+    * CR-1 / CR-10%: the largest key's share and the top-⌈n/10⌉ keys'
+      share, in exact ppm (integer // arithmetic);
+    * Gini: the discrete population formula over ascending weights
+      ``G = Σᵢ (2i − n − 1)·wᵢ / (n·W)`` — within a tie block the
+      rank multiset is fixed, so tie order cannot change the sum; the
+      numerator is exact Python-int arithmetic, quantized
+      ``floor``-ppm.
+
+    Scale shape: per-key weight sums via per-batch combiners + ONE
+    packed groupby (the shuffle moves keys, never observations), then
+    one whole-block pass over the key table (bounded by distinct
+    keys).  Negative weights are rejected (Gini is undefined there).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_pylist()
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        if (w < 0).any():
+            raise ValueError("concentration_report: negative weights")
+        c: dict[str, int] = {}
+        for k, v in zip(keys, w):
+            kk = str(k)
+            c[kk] = c.get(kk, 0) + int(v)
+        return pa.table(
+            {
+                "key": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    sums = (
+        ds.select_columns([key_col, weight_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("p", alias_name="w"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = np.sort(
+            t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        n = len(w)
+        total = int(w.sum())
+        if n == 0 or total == 0:
+            return pa.table(
+                {
+                    "n_keys": pa.array([n], pa.int64()),
+                    "total": pa.array([total], pa.int64()),
+                    "top1_ppm": pa.array([0], pa.int64()),
+                    "top10pct_ppm": pa.array([0], pa.int64()),
+                    "gini_ppm": pa.array([0], pa.int64()),
+                }
+            )
+        top1 = int(w[-1]) * 1_000_000 // total
+        k = (n + 9) // 10
+        topk = int(w[-k:].sum()) * 1_000_000 // total
+        i = np.arange(1, n + 1, dtype=object)
+        num = int(np.sum((2 * i - n - 1) * w.astype(object)))
+        gini = num * 1_000_000 // (n * total)
+        return pa.table(
+            {
+                "n_keys": pa.array([n], pa.int64()),
+                "total": pa.array([total], pa.int64()),
+                "top1_ppm": pa.array([top1], pa.int64()),
+                "top10pct_ppm": pa.array([topk], pa.int64()),
+                "gini_ppm": pa.array([gini], pa.int64()),
+            }
+        )
+
+    return sums.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def concentration_sql(
+    table: str,
+    key_expr: str,
+    weight_expr: str,
+) -> str:
+    """The DuckDB twin: GROUP BY + ranked windows with the identical
+    integer formulas."""
+    return f"""
+        WITH cr_g AS (
+            SELECT CAST({key_expr} AS VARCHAR) AS k,
+                   CAST(SUM({weight_expr}) AS BIGINT) AS w
+            FROM {table} GROUP BY 1
+        ),
+        cr_r AS (
+            SELECT w,
+                   ROW_NUMBER() OVER (ORDER BY w ASC, k ASC) AS i,
+                   ROW_NUMBER() OVER (ORDER BY w DESC, k ASC) AS rdesc,
+                   COUNT(*) OVER () AS n,
+                   SUM(w) OVER () AS total
+            FROM cr_g
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+               CAST(MAX(total) AS BIGINT) AS total,
+               CAST(MAX(w) * 1000000 // MAX(total) AS BIGINT) AS top1_ppm,
+               CAST(SUM(CASE WHEN rdesc <= (n + 9) // 10
+                        THEN w ELSE 0 END) * 1000000 // MAX(total)
+                    AS BIGINT) AS top10pct_ppm,
+               CAST(SUM((2 * i - n - 1) * w) * 1000000
+                    // (MAX(n) * MAX(total)) AS BIGINT) AS gini_ppm
+        FROM cr_r
+    """

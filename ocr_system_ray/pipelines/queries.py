@@ -9001,3 +9001,29 @@ def q_trimmed_means(sf_dir: str) -> ray.data.Dataset:
         "cents",
         trim_permille=100,
     )
+
+
+def q_concentration(sf_dir: str) -> ray.data.Dataset:
+    """Supplier revenue concentration over lineitem
+    (``functions/keyness.py:concentration_report``): one-row Gini +
+    CR-1 / CR-10% shares of exact extended-price cents per supplier;
+    the shuffle moves supplier keys, never line items.  Oracle =
+    GROUP BY + ranked windows with identical integer formulas."""
+    from ..functions.keyness import concentration_report
+
+    li = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return concentration_report(
+        li.map_batches(cents, batch_format="pyarrow"), "l_suppkey", "cents"
+    )

@@ -174,3 +174,60 @@ def test_entropy_pins(ray_session):
     )
     # ranking property: diversity orders as expected
     assert out[2]["entropy_micro"] > out[3]["entropy_micro"] > out[1]["entropy_micro"]
+
+
+# ---------------------------------------------------------------------------
+# concentration report
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.keyness import (  # noqa: E402
+    concentration_report,
+    concentration_sql,
+)
+
+
+def _weights(rows) -> pa.Table:
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.string()),
+            "w": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_concentration_pins(ray_session):
+    # equal shares → Gini 0; one key holding everything → Gini → (n-1)/n
+    eq = [("a", 10), ("b", 10), ("c", 10), ("d", 10)]
+    r = concentration_report(
+        ray.data.from_arrow(_weights(eq)), "k", "w"
+    ).take_all()[0]
+    assert r["gini_ppm"] == 0 and r["top1_ppm"] == 250_000
+    mono = [("a", 100), ("b", 0), ("c", 0), ("d", 0)]
+    r = concentration_report(
+        ray.data.from_arrow(_weights(mono)), "k", "w"
+    ).take_all()[0]
+    # discrete population Gini of (0,0,0,100) = 3/4
+    assert r["gini_ppm"] == 750_000
+    assert r["top1_ppm"] == 1_000_000 and r["top10pct_ppm"] == 1_000_000
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_concentration_matches_duckdb(ray_session, nblocks):
+    rng = np.random.RandomState(21)
+    rows = [
+        (f"s{rng.randint(0, 40)}", int(rng.randint(0, 900)))
+        for _ in range(3000)
+    ]
+    t = _weights(rows)  # noqa: F841
+    ds = ray.data.from_arrow(_weights(rows)).repartition(nblocks)
+    got = concentration_report(ds, "k", "w").to_pandas()
+    want = duckdb.sql(concentration_sql("t", "k", "w")).df()
+    assert got[sorted(got.columns)].iloc[0].to_dict() == (
+        want[sorted(want.columns)].iloc[0].to_dict()
+    )
+
+
+def test_concentration_negative_rejected(ray_session):
+    ds = ray.data.from_arrow(_weights([("a", -1)]))
+    with pytest.raises(Exception):
+        concentration_report(ds, "k", "w").materialize()
