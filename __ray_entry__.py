@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_layout": q.q_rle_layout,
         "trimmed_means": q.q_trimmed_means,
         "concentration": q.q_concentration,
+        "clustering_eval": q.q_clustering_eval,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -873,6 +874,14 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _clustering_eval_sql() -> str:
+    from ocr_system_ray.functions.clustering import clustering_agreement_sql
+
+    return clustering_agreement_sql(
+        "embeddings", "vec_id % 7", "CAST(label AS BIGINT)"
     )
 
 
@@ -2279,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_means": _trimmed_means_sql(),
         # concentration: ranked-window Gini/CR-k twin
         "concentration": _concentration_sql(),
+        # clustering_eval: contingency pair-count ARI/purity twin
+        "clustering_eval": _clustering_eval_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

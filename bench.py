@@ -296,6 +296,7 @@ def _query_suite() -> dict:
         "rle_layout": q.q_rle_layout,
         "trimmed_means": q.q_trimmed_means,
         "concentration": q.q_concentration,
+        "clustering_eval": q.q_clustering_eval,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -467,3 +467,170 @@ def dbscan_sql(
         LEFT JOIN db_l{rounds} l ON t.{id_col} = l.node
         LEFT JOIN db_border b ON t.{id_col} = b.node"""
     )
+
+
+# ---------------------------------------------------------------------------
+# External clustering evaluation (purity + adjusted Rand index)
+# ---------------------------------------------------------------------------
+
+
+def clustering_agreement(
+    ds: "ray.data.Dataset",
+    pred_col: str,
+    true_col: str,
+) -> "ray.data.Dataset":
+    """One-row external clustering evaluation — how well a predicted
+    partition (kmeans/DBSCAN output, shard assignment, dedup clusters)
+    recovers reference labels: ``(n, n_pred, n_true, purity_ppm,
+    ari_ppm)``.
+
+    Exact-integer contract: purity = ``Σ_clusters max_label n_ij·10⁶
+    // n``; the adjusted Rand index (Hubert & Arabie 1985) is computed
+    from pair counts with the /C(n,2) denominators cleared —
+
+        num = 2·C·Σij − 2·Σa·Σb
+        den = C·(Σa + Σb) − 2·Σa·Σb          (C = n(n−1)/2,
+              Σij/Σa/Σb = Σ C(cell,2) over cells/rows/cols)
+        ari_ppm = trunc(num·10⁶ / den)       (DuckDB's integer //
+              TRUNCATES toward zero; the engine mimics it exactly —
+              Python // floors, so negative quotients get +1 when
+              inexact)
+
+    — pure integer combinatorics, no float anywhere.  Degenerate den =
+    0 (e.g. both partitions are all-singletons or one cluster) → the
+    conventional ARI 1 when the contingency is diagonal-perfect, else
+    0; released as the same integers both engines.
+
+    Scale shape: per-batch contingency combiners over packed
+    ``pred⊕true`` cells → ONE single-column groupby (cells move, never
+    rows) + a whole-block finish on the contingency table (bounded by
+    |pred|·|true|).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column(pred_col).to_pylist()
+        y = t.column(true_col).to_pylist()
+        c: dict[str, int] = {}
+        for a, b in zip(p, y):
+            k = f"{a}\x1f{b}"
+            c[k] = c.get(k, 0) + 1
+        return pa.table(
+            {
+                "cell": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.select_columns([pred_col, true_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("p", alias_name="c"))
+        .materialize()  # contingency-sized; also powers the empty guard
+    )
+    if cells.count() == 0:
+        # an empty aggregate yields NO blocks — map_batches UDFs would
+        # never run, so the zero row must be built here
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "n_pred": pa.array([0], pa.int64()),
+                    "n_true": pa.array([0], pa.int64()),
+                    "purity_ppm": pa.array([0], pa.int64()),
+                    "ari_ppm": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        def c2(x: int) -> int:
+            return x * (x - 1) // 2
+        df = pd.DataFrame(
+            {
+                "cell": t.column("cell").to_pylist(),
+                "c": t.column("c").to_numpy(zero_copy_only=False),
+            }
+        )
+        split = df["cell"].str.split("\x1f", n=1, expand=True)
+        df["pred"] = split[0]
+        df["true"] = split[1]
+        n = int(df["c"].sum())
+        rows = df.groupby("pred")["c"].sum()
+        cols = df.groupby("true")["c"].sum()
+        purity = int(df.groupby("pred")["c"].max().sum()) * 1_000_000 // n
+        sij = int(sum(c2(int(v)) for v in df["c"]))
+        sa = int(sum(c2(int(v)) for v in rows))
+        sb = int(sum(c2(int(v)) for v in cols))
+        big_c = c2(n)
+        num = 2 * big_c * sij - 2 * sa * sb
+        den = big_c * (sa + sb) - 2 * sa * sb
+        if den == 0:
+            ari = 1_000_000 if sij == sa == sb else 0
+        else:
+            # DuckDB's integer // TRUNCATES toward zero (Python //
+            # floors) — ARI can be negative, so mimic truncation
+            v = num * 1_000_000
+            ari = v // den
+            if ari < 0 and ari * den != v:
+                ari += 1
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "n_pred": pa.array([int(rows.size)], pa.int64()),
+                "n_true": pa.array([int(cols.size)], pa.int64()),
+                "purity_ppm": pa.array([purity], pa.int64()),
+                "ari_ppm": pa.array([ari], pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def clustering_agreement_sql(
+    table: str, pred_expr: str, true_expr: str
+) -> str:
+    """The DuckDB twin: contingency GROUP BY + the identical integer
+    pair-count formulas (HUGEINT sums keep the products exact)."""
+    return f"""
+        WITH ca_cell AS (
+            SELECT CAST({pred_expr} AS VARCHAR) AS p,
+                   CAST({true_expr} AS VARCHAR) AS y,
+                   COUNT(*) AS c
+            FROM {table} GROUP BY 1, 2
+        ),
+        ca_tot AS (
+            SELECT SUM(c) AS n,
+                   SUM(c * (c - 1) // 2) AS sij,
+                   COUNT(DISTINCT p) AS n_pred,
+                   COUNT(DISTINCT y) AS n_true
+            FROM ca_cell
+        ),
+        ca_rows AS (
+            SELECT SUM(rc * (rc - 1) // 2) AS sa,
+                   SUM(mx) AS pure
+            FROM (SELECT p, SUM(c) AS rc, MAX(c) AS mx
+                  FROM ca_cell GROUP BY 1)
+        ),
+        ca_cols AS (
+            SELECT SUM(cc * (cc - 1) // 2) AS sb
+            FROM (SELECT y, SUM(c) AS cc FROM ca_cell GROUP BY 1)
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_true AS BIGINT) AS n_true,
+               CAST(pure * 1000000 // n AS BIGINT) AS purity_ppm,
+               CAST(CASE
+                   WHEN (n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb = 0
+                   THEN CASE WHEN sij = sa AND sij = sb
+                             THEN 1000000 ELSE 0 END
+                   ELSE (2 * (n * (n - 1) // 2) * sij - 2 * sa * sb)
+                        * 1000000
+                        // ((n * (n - 1) // 2) * (sa + sb) - 2 * sa * sb)
+               END AS BIGINT) AS ari_ppm
+        FROM ca_tot, ca_rows, ca_cols
+    """

@@ -9027,3 +9027,29 @@ def q_concentration(sf_dir: str) -> ray.data.Dataset:
     return concentration_report(
         li.map_batches(cents, batch_format="pyarrow"), "l_suppkey", "cents"
     )
+
+
+def q_clustering_eval(sf_dir: str) -> ray.data.Dataset:
+    """External clustering evaluation harness
+    (``functions/clustering.py:clustering_agreement``): purity +
+    exact-integer adjusted Rand index of a deterministic partition
+    (vec_id mod 7 — the metric harness; operationally feed kmeans/
+    DBSCAN output) against the embeddings' reference labels.
+    Contingency cells move, never rows.  Oracle = contingency GROUP BY
+    + identical integer pair-count formulas."""
+    from ..functions.clustering import clustering_agreement
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pred": pa.array(vid % 7, pa.int64()),
+                "truth": t.column("label").cast(pa.int64()),
+            }
+        )
+
+    return clustering_agreement(
+        emb.map_batches(pred, batch_format="pyarrow"), "pred", "truth"
+    )

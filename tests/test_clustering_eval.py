@@ -1,0 +1,120 @@
+"""External clustering evaluation (clustering.clustering_agreement) —
+DuckDB twin equality incl. negative-ARI truncation parity, perfect /
+random / permuted-label pins, kmeans sanity, layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.clustering import (
+    clustering_agreement,
+    clustering_agreement_sql,
+)
+
+
+def _t(pred, true) -> pa.Table:
+    return pa.table(
+        {
+            "p": pa.array(list(pred), pa.int64()),
+            "y": pa.array(list(true), pa.int64()),
+        }
+    )
+
+
+def _row(ds):
+    return ds.take_all()[0]
+
+
+def test_perfect_and_permuted(ray_session):
+    y = [0, 0, 1, 1, 2, 2]
+    r = _row(clustering_agreement(ray.data.from_arrow(_t(y, y)), "p", "y"))
+    assert r["ari_ppm"] == 1_000_000 and r["purity_ppm"] == 1_000_000
+    # label names don't matter: a permutation is still perfect
+    perm = [5, 5, 9, 9, 7, 7]
+    r = _row(clustering_agreement(ray.data.from_arrow(_t(perm, y)), "p", "y"))
+    assert r["ari_ppm"] == 1_000_000 and r["purity_ppm"] == 1_000_000
+
+
+def test_single_cluster_baseline(ray_session):
+    # everything in one predicted cluster: purity = majority share,
+    # ARI = 0 (den reduces the adjustment exactly)
+    y = [0] * 6 + [1] * 4
+    r = _row(
+        clustering_agreement(ray.data.from_arrow(_t([1] * 10, y)), "p", "y")
+    )
+    assert r["purity_ppm"] == 600_000
+    assert r["ari_ppm"] == 0
+
+
+def test_negative_ari_truncation_parity(ray_session):
+    # anti-correlated partition → negative ARI; engine must match
+    # DuckDB's toward-zero // exactly
+    pred = [0, 1, 0, 1]
+    y = [0, 0, 1, 1]
+    t = _t(pred, y)  # noqa: F841
+    got = _row(clustering_agreement(ray.data.from_arrow(t), "p", "y"))
+    want = duckdb.sql(clustering_agreement_sql("t", "p", "y")).df().iloc[0]
+    assert got["ari_ppm"] == int(want["ari_ppm"])
+    assert got["ari_ppm"] < 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("seed", [0, 4])
+def test_matches_duckdb_twin(ray_session, nblocks, seed):
+    rng = np.random.RandomState(seed)
+    n = 800
+    y = rng.randint(0, 5, n)
+    # noisy copy of y: 70% correct
+    pred = np.where(rng.rand(n) < 0.7, y, rng.randint(0, 5, n))
+    t = _t(pred, y)  # noqa: F841
+    ds = ray.data.from_arrow(_t(pred, y)).repartition(nblocks)
+    got = clustering_agreement(ds, "p", "y").to_pandas()
+    want = duckdb.sql(clustering_agreement_sql("t", "p", "y")).df()
+    assert got[sorted(got.columns)].iloc[0].to_dict() == (
+        want[sorted(want.columns)].iloc[0].to_dict()
+    )
+    assert int(got["ari_ppm"][0]) > 200_000  # informative prediction
+
+
+def test_kmeans_output_evaluates(ray_session):
+    # the metric harness consumes real kmeans output end-to-end
+    # (the synthetic labels are NOT cluster-separable — measured ARI
+    # ≈ 0.006 vs ≈ −0.001 for a hash partition — so assert validity
+    # and determinism, not separation)
+    from ocr_system_ray.pipelines import queries as q
+
+    pred = q.q_kmeans_clusters("/root/testdata/sf0.001")
+    import pandas as pd
+
+    if not isinstance(pred, pd.DataFrame):
+        pred = pred.to_pandas()
+    emb = duckdb.sql(
+        "SELECT vec_id, label FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    ).df()
+    m = pred.merge(emb, on="vec_id")
+    cl_col = [c for c in pred.columns if c != "vec_id"][0]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "p": pa.array(m[cl_col].to_numpy(np.int64)),
+                "y": pa.array(m["label"].to_numpy(np.int64)),
+            }
+        )
+    )
+    km = _row(clustering_agreement(ds, "p", "y"))
+    assert km["n"] == len(m) > 0
+    assert -1_000_000 <= km["ari_ppm"] <= 1_000_000
+    assert 0 < km["purity_ppm"] <= 1_000_000
+    again = _row(clustering_agreement(ds, "p", "y"))
+    assert again["ari_ppm"] == km["ari_ppm"]
+
+
+def test_empty(ray_session):
+    r = _row(clustering_agreement(ray.data.from_arrow(_t([], [])), "p", "y"))
+    assert r["n"] == 0
