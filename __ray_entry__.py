@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_means": q.q_trimmed_means,
         "concentration": q.q_concentration,
         "clustering_eval": q.q_clustering_eval,
+        "benford_audit": q.q_benford_audit,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -874,6 +875,14 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _benford_sql() -> str:
+    from ocr_system_ray.functions.profile import benford_sql
+
+    return benford_sql(
+        "orders", "floor(o_totalprice * 100 + 0.5)"
     )
 
 
@@ -2290,6 +2299,8 @@ def oracle_sql() -> dict[str, str]:
         "concentration": _concentration_sql(),
         # clustering_eval: contingency pair-count ARI/purity twin
         "clustering_eval": _clustering_eval_sql(),
+        # benford_audit: identical digit/expectation/chi-square tree
+        "benford_audit": _benford_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -297,6 +297,7 @@ def _query_suite() -> dict:
         "trimmed_means": q.q_trimmed_means,
         "concentration": q.q_concentration,
         "clustering_eval": q.q_clustering_eval,
+        "benford_audit": q.q_benford_audit,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -266,3 +266,139 @@ def _merge_int_aware(kinds: dict[str, str]):
         return out
 
     return merge
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def benford_audit(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    value_col: str,
+) -> "ray.data.Dataset":
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data smell test for any positive
+    value column (Benford 1938; auditors' first screen): naturally
+    grown magnitudes follow P(d) = log10(1 + 1/d), injected or
+    templated values don't.
+
+    Output: one row per digit 1–9 with ``(digit, observed,
+    expected_milli, chi2_milli)`` — ``expected_milli =
+    floor(N·log10(1+1/d)·1000)`` (ONE libm log10 per digit on a
+    deterministic double), ``chi2_milli`` the χ² statistic repeated on
+    every row (a constant column keeps the table driver-hashable):
+    ``χ² = Σ_d (O_d − E_d)²/E_d`` summed in FIXED digit order with the
+    UNQUANTIZED E_d — the expression tree is written identically in
+    the SQL twin.  Non-positive values are excluded (they have no
+    Benford digit) on both engines.
+
+    Scale shape: per-batch 9-bin digit counts → ONE tiny groupby;
+    everything after is a 9-row driver computation.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[v > 0]
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "digit": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                }
+            )
+        digits = np.array([int(str(int(x))[0]) for x in v], dtype=np.int64)
+        cnt = np.bincount(digits, minlength=10)[1:10]
+        keep = cnt > 0
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10)[keep]),
+                "p": pa.array(cnt[keep]),
+            }
+        )
+
+    counts = (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("p", alias_name="c"))
+        .to_pandas()
+    )
+    obs = {int(d): int(c) for d, c in zip(counts.get("digit", []), counts.get("c", []))}
+    n = sum(obs.values())
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "digit": pa.array([], pa.int64()),
+                    "observed": pa.array([], pa.int64()),
+                    "expected_milli": pa.array([], pa.int64()),
+                    "chi2_milli": pa.array([], pa.int64()),
+                }
+            )
+        )
+    chi2 = 0.0
+    exp_milli = []
+    for d in range(1, 10):  # FIXED digit order — the twin sums the same way
+        e = n * math.log10(1 + 1 / d)
+        o = obs.get(d, 0)
+        chi2 = chi2 + (o - e) * (o - e) / e
+        exp_milli.append(math.floor(e * 1000))
+    chi2_milli = math.floor(chi2 * 1000)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(list(range(1, 10)), pa.int64()),
+                "observed": pa.array(
+                    [obs.get(d, 0) for d in range(1, 10)], pa.int64()
+                ),
+                "expected_milli": pa.array(exp_milli, pa.int64()),
+                "chi2_milli": pa.array([chi2_milli] * 9, pa.int64()),
+            }
+        )
+    )
+
+
+def benford_sql(table: str, value_expr: str) -> str:
+    """The DuckDB twin: identical digit extraction, expectation, and
+    FIXED-digit-order χ² accumulation (the sum is written as nine
+    explicit left-to-right terms to pin float association)."""
+    terms = []
+    for d in range(1, 10):
+        e = f"(bn_n.n * log10(1 + 1.0 / {d}))"
+        o = f"COALESCE(bo{d}.o, 0)"
+        terms.append(f"(({o} - {e}) * ({o} - {e}) / {e})")
+    chi = " + ".join(terms)
+    joins = "\n".join(
+        f"LEFT JOIN bn_obs bo{d} ON bo{d}.digit = {d}" for d in range(1, 10)
+    )
+    return f"""
+        WITH bn_v AS (
+            SELECT CAST({value_expr} AS BIGINT) AS v FROM {table}
+        ),
+        bn_obs AS (
+            SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM bn_v WHERE v > 0 GROUP BY 1
+        ),
+        bn_n AS (SELECT COALESCE(SUM(o), 0) AS n FROM bn_obs),
+        bn_chi AS (
+            SELECT CAST(floor(({chi}) * 1000) AS BIGINT) AS chi2_milli
+            FROM bn_n
+            {joins}
+        )
+        SELECT d.digit,
+               COALESCE(bo.o, 0) AS observed,
+               CAST(floor(bn_n.n * log10(1 + 1.0 / d.digit) * 1000)
+                    AS BIGINT) AS expected_milli,
+               bn_chi.chi2_milli
+        FROM (SELECT unnest(range(1, 10)) AS digit) d
+        LEFT JOIN bn_obs bo ON bo.digit = d.digit,
+        bn_n, bn_chi
+        WHERE bn_n.n > 0
+    """

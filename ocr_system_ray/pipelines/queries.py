@@ -9053,3 +9053,28 @@ def q_clustering_eval(sf_dir: str) -> ray.data.Dataset:
     return clustering_agreement(
         emb.map_batches(pred, batch_format="pyarrow"), "pred", "truth"
     )
+
+
+def q_benford_audit(sf_dir: str) -> ray.data.Dataset:
+    """Benford first-digit audit over order totals in exact cents
+    (``functions/profile.py:benford_audit``): per-digit observed vs
+    expected counts + the chi-square statistic (fixed-digit-order
+    accumulation).  One tiny groupby; 9-row driver finish.  Oracle =
+    identical digit extraction / expectation / chi-square tree."""
+    from ..functions.profile import benford_audit
+
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                )
+            }
+        )
+
+    return benford_audit(
+        orders.map_batches(cents, batch_format="pyarrow"), "cents"
+    )

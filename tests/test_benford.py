@@ -1,0 +1,75 @@
+"""Benford audit (functions/profile.py:benford_audit) — DuckDB twin
+equality, hand-computed digits + expectations, Benford-conforming vs
+uniform discrimination, non-positive exclusion, layout invariance."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.profile import benford_audit, benford_sql
+
+
+def _vals(v) -> pa.Table:
+    return pa.table({"v": pa.array(list(v), pa.int64())})
+
+
+def test_digit_extraction_and_expectation(ray_session):
+    out = benford_audit(
+        ray.data.from_arrow(_vals([1, 19, 100, 2, 999, 0, -5])), "v"
+    ).to_pandas()
+    obs = dict(zip(out["digit"], out["observed"]))
+    # 0 and -5 excluded; digits: 1,1,1,2,9
+    assert obs[1] == 3 and obs[2] == 1 and obs[9] == 1 and obs[3] == 0
+    n = 5
+    e1 = math.floor(n * math.log10(2) * 1000)
+    assert int(out[out["digit"] == 1]["expected_milli"].iloc[0]) == e1
+    assert out["chi2_milli"].nunique() == 1
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    rng = np.random.RandomState(17)
+    # log-uniform magnitudes (Benford-conforming)
+    v = np.floor(10 ** (rng.rand(4000) * 5 + 1)).astype(np.int64)
+    t = _vals(v)  # noqa: F841
+    ds = ray.data.from_arrow(_vals(v)).repartition(nblocks)
+    got = (
+        benford_audit(ds, "v").to_pandas().sort_values("digit").reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(benford_sql("t", "v")).df().sort_values("digit").reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].values.tolist() == (
+        want[sorted(want.columns)].values.tolist()
+    )
+
+
+def test_discriminates_uniform_from_benford(ray_session):
+    rng = np.random.RandomState(3)
+    benford = np.floor(10 ** (rng.rand(5000) * 6)).astype(np.int64) + 1
+    uniform = rng.randint(100000, 999999, 5000).astype(np.int64)
+    chi_b = int(
+        benford_audit(ray.data.from_arrow(_vals(benford)), "v")
+        .to_pandas()["chi2_milli"].iloc[0]
+    )
+    chi_u = int(
+        benford_audit(ray.data.from_arrow(_vals(uniform)), "v")
+        .to_pandas()["chi2_milli"].iloc[0]
+    )
+    # uniform 6-digit values are wildly non-Benford (measured ~2088
+    # vs ~43 for the log-uniform sample — the +1 shift distorts it a
+    # little, hence 10× not 100×)
+    assert chi_u > 10 * max(chi_b, 1)
+
+
+def test_empty_and_all_nonpositive(ray_session):
+    assert benford_audit(ray.data.from_arrow(_vals([])), "v").count() == 0
+    assert benford_audit(ray.data.from_arrow(_vals([0, -3])), "v").count() == 0
