@@ -284,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concentration": q.q_concentration,
         "clustering_eval": q.q_clustering_eval,
         "benford_audit": q.q_benford_audit,
+        "golden_record": q.q_golden_record,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -875,6 +876,27 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _golden_record_sql() -> str:
+    from ocr_system_ray.functions.windows import golden_record_sql
+
+    return golden_record_sql(
+        "events",
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        field_exprs={
+            "last_purchase_cents": (
+                "CASE WHEN event_type = 'purchase' THEN"
+                " CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+                " END"
+            ),
+            "last_error_props": (
+                "CASE WHEN event_type = 'error' THEN props END"
+            ),
+        },
     )
 
 
@@ -2301,6 +2323,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_eval": _clustering_eval_sql(),
         # benford_audit: identical digit/expectation/chi-square tree
         "benford_audit": _benford_sql(),
+        # golden_record: last_value(... IGNORE NULLS) window twin
+        "golden_record": _golden_record_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -298,6 +298,7 @@ def _query_suite() -> dict:
         "concentration": q.q_concentration,
         "clustering_eval": q.q_clustering_eval,
         "benford_audit": q.q_benford_audit,
+        "golden_record": q.q_golden_record,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

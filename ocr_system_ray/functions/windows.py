@@ -1284,3 +1284,122 @@ def cep_sequence_sql(
         WHERE {" AND ".join(conds)}
         GROUP BY 1
     """
+
+
+def golden_record(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    field_cols: list[str],
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Field-level survivorship merge (the MDM "golden record" rule,
+    one step past ``corpus_upsert``'s row-level last-writer-wins): per
+    key, each field independently takes its value from the LATEST
+    version in ``(ts, id)`` order where that field is non-null — a
+    profile assembled from heterogeneous partial observations.
+
+    Returns one row per key: ``(key_col, last_ts_us, *field_cols)``
+    with ``last_ts_us`` the key's newest version timestamp; a field
+    never observed non-null stays null.  Fields must be strings
+    (derive/CAST first — the twin compares VARCHAR).
+
+    One coarse key shuffle (the ``prev_event_gap`` idiom); in-bucket
+    the per-key scan is one vectorized pandas groupby-last over
+    forward-filled columns; only one row per key leaves the stage.
+    The SQL twin is ``last_value(field IGNORE NULLS)`` over the
+    identical window order.
+    """
+    import pandas as pd
+
+    if not field_cols:
+        raise ValueError("field_cols must be non-empty")
+
+    keep = {
+        key_col: pa.int64(),
+        id_col: pa.int64(),
+        "_ts_us": pa.int64(),
+    }
+    for c in field_cols:
+        keep[c] = pa.string()
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {
+            key_col: t.column(key_col).cast(pa.int64()),
+            id_col: t.column(id_col).cast(pa.int64()),
+            "_ts_us": t.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+        }
+        for c in field_cols:
+            cols[c] = t.column(c).cast(pa.string())
+        return pa.table(cols)
+
+    tagged = _bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, keep, num_buckets
+    )
+
+    def merge_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty_cols = {
+            key_col: pd.Series([], dtype="int64"),
+            "last_ts_us": pd.Series([], dtype="int64"),
+        }
+        for c in field_cols:
+            empty_cols[c] = pd.Series([], dtype=object)
+        if len(df) == 0:
+            return pd.DataFrame(empty_cols)
+        df = df.sort_values([key_col, "_ts_us", id_col], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        out = pd.DataFrame(
+            {
+                key_col: g.size().index.to_numpy(np.int64),
+                "last_ts_us": g["_ts_us"].last().to_numpy(np.int64),
+            }
+        )
+        for c in field_cols:
+            out[c] = g[c].apply(
+                lambda s: s.dropna().iloc[-1] if s.notna().any() else None
+            ).to_numpy(object)
+        return out
+
+    return tagged.groupby("bucket").map_groups(
+        merge_in_bucket, batch_format="pandas"
+    )
+
+
+def golden_record_sql(
+    table: str,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    field_exprs: dict[str, str],
+) -> str:
+    """The DuckDB twin: ``last_value(expr IGNORE NULLS)`` per field
+    over the identical per-key (ts, id) window."""
+    fields = ",\n".join(
+        f"last_value({expr} IGNORE NULLS) OVER w AS {name}"
+        for name, expr in field_exprs.items()
+    )
+    return f"""
+        WITH gr_w AS (
+            SELECT {key_col} AS k,
+                   epoch_us({ts_col}) AS tus,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key_col}
+                       ORDER BY {ts_col} DESC, {id_col} DESC
+                   ) AS rn,
+                   {fields}
+            FROM {table}
+            WINDOW w AS (PARTITION BY {key_col}
+                         ORDER BY {ts_col}, {id_col}
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        )
+        SELECT k AS {key_col},
+               CAST(tus AS BIGINT) AS last_ts_us,
+               {", ".join(field_exprs)}
+        FROM gr_w WHERE rn = 1
+    """

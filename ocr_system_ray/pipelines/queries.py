@@ -9078,3 +9078,49 @@ def q_benford_audit(sf_dir: str) -> ray.data.Dataset:
     return benford_audit(
         orders.map_batches(cents, batch_format="pyarrow"), "cents"
     )
+
+
+def q_golden_record(sf_dir: str) -> ray.data.Dataset:
+    """Golden-record field survivorship over the event stream
+    (``functions/windows.py:golden_record``): per user, the latest
+    non-null observation of each profile field assembled from
+    heterogeneous events - last purchase amount (cents, purchases
+    only), last error props (errors only), plus the newest version
+    timestamp.  One coarse key shuffle; one row per key leaves the
+    stage.  Oracle = last_value(... IGNORE NULLS) windows."""
+    from ..functions.windows import golden_record
+
+    ev = read_table(
+        sf_dir,
+        "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100 + 0.5).astype(np.int64)
+        props = t.column("props").to_pylist()
+        last_purchase = [
+            str(c) if k == "purchase" else None for k, c in zip(ty, cents)
+        ]
+        last_error_props = [
+            p if k == "error" else None for k, p in zip(ty, props)
+        ]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "last_purchase_cents": pa.array(last_purchase, pa.string()),
+                "last_error_props": pa.array(last_error_props, pa.string()),
+            }
+        )
+
+    return golden_record(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        field_cols=["last_purchase_cents", "last_error_props"],
+    )

@@ -1,0 +1,118 @@
+"""Golden record survivorship (functions/windows.py:golden_record) —
+DuckDB IGNORE-NULLS twin equality, hand-built field timelines
+(independent per-field recency, never-observed stays null, same-ts id
+tiebreak), layout invariance, arg validation."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.windows import golden_record, golden_record_sql
+
+_US = 1_000_000
+
+
+def _events(rows) -> pa.Table:
+    # rows: (event_id, user, ts_sec, f1, f2)
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] * _US for r in rows], pa.timestamp("us")),
+            "f1": pa.array([r[3] for r in rows], pa.string()),
+            "f2": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def _gr(ds):
+    return {
+        r["user_id"]: r
+        for r in golden_record(
+            ds,
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            field_cols=["f1", "f2"],
+        ).take_all()
+    }
+
+
+def test_per_field_recency(ray_session):
+    rows = [
+        (1, 1, 10, "a1", None),
+        (2, 1, 20, None, "b1"),
+        (3, 1, 30, "a2", None),   # f1 updated later than f2
+        (4, 2, 5, None, None),    # user 2 never observes either field
+    ]
+    out = _gr(ray.data.from_arrow(_events(rows)))
+    r1 = out[1]
+    assert (r1["f1"], r1["f2"], r1["last_ts_us"]) == ("a2", "b1", 30 * _US)
+    r2 = out[4] if 4 in out else out[2]
+    assert (r2["f1"], r2["f2"]) == (None, None)
+
+
+def test_same_ts_id_tiebreak(ray_session):
+    # two observations at the same ts: the larger event_id wins
+    rows = [(1, 1, 10, "lo", None), (2, 1, 10, "hi", None)]
+    out = _gr(ray.data.from_arrow(_events(rows)))
+    assert out[1]["f1"] == "hi"
+    rows = [(2, 1, 10, "lo", None), (1, 1, 10, "hi", None)]
+    out = _gr(ray.data.from_arrow(_events(rows)))
+    assert out[1]["f1"] == "lo"
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_matches_duckdb_twin(ray_session, nblocks):
+    rng = np.random.RandomState(19)
+    rows = []
+    eid = 0
+    for u in range(40):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            t += int(rng.randint(1, 50))
+            f1 = f"x{rng.randint(0, 9)}" if rng.rand() < 0.4 else None
+            f2 = f"y{rng.randint(0, 9)}" if rng.rand() < 0.4 else None
+            rows.append((eid, u, t, f1, f2))
+            eid += 1
+    t = _events(rows)  # noqa: F841
+    ds = ray.data.from_arrow(_events(rows)).repartition(nblocks)
+    got = (
+        golden_record(
+            ds, key_col="user_id", ts_col="ts", id_col="event_id",
+            field_cols=["f1", "f2"],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            golden_record_sql(
+                "t", key_col="user_id", ts_col="ts", id_col="event_id",
+                field_exprs={"f1": "f1", "f2": "f2"},
+            )
+        )
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = got[sorted(got.columns)].astype(object).where(got.notna(), None)
+    want = want[sorted(want.columns)].astype(object).where(want.notna(), None)
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_bad_args(ray_session):
+    ds = ray.data.from_arrow(_events([]))
+    with pytest.raises(ValueError):
+        golden_record(
+            ds, key_col="user_id", ts_col="ts", id_col="event_id",
+            field_cols=[],
+        )
