@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_eval": q.q_clustering_eval,
         "benford_audit": q.q_benford_audit,
         "golden_record": q.q_golden_record,
+        "ks_drift": q.q_ks_drift,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -877,6 +878,12 @@ def _dp_counts_sql() -> str:
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
     )
+
+
+def _ks_drift_sql() -> str:
+    from ocr_system_ray.functions.profile import ks_two_sample_sql
+
+    return ks_two_sample_sql("documents", "n_chars", "lang", "en", "de")
 
 
 def _golden_record_sql() -> str:
@@ -2325,6 +2332,8 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": _benford_sql(),
         # golden_record: last_value(... IGNORE NULLS) window twin
         "golden_record": _golden_record_sql(),
+        # ks_drift: per-value counts + window cumsums + integer max
+        "ks_drift": _ks_drift_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

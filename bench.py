@@ -299,6 +299,7 @@ def _query_suite() -> dict:
         "clustering_eval": q.q_clustering_eval,
         "benford_audit": q.q_benford_audit,
         "golden_record": q.q_golden_record,
+        "ks_drift": q.q_ks_drift,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -402,3 +402,176 @@ def benford_sql(table: str, value_expr: str) -> str:
         bn_n, bn_chi
         WHERE bn_n.n > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> "ray.data.Dataset":
+    """EXACT two-sample KS statistic between two integer-valued
+    populations — the distribution-drift detector next to the
+    row-level ``corpus_diff`` ("did English doc lengths shift vs the
+    rest?", "is this crawl increment's value distribution the old
+    one?").
+
+    D = max_v |F_A(v) − F_B(v)| computed WITHOUT floats: with
+    cumulative counts ``ca(v), cb(v)`` the statistic is
+
+        D_num  = max_v |ca(v)·n_b − cb(v)·n_a|
+        d_ppm  = D_num · 10⁶ // (n_a · n_b)
+
+    — integer cross-multiplication, so the released ``(n_a, n_b,
+    d_ppm, at_value)`` row is hash-exact (``at_value`` = the SMALLEST
+    value attaining the max, the deterministic tie-break).
+
+    Scale shape: per-batch (value ⊕ side) histogram combiners → ONE
+    packed single-column groupby (distinct value cells move, never
+    rows) + a whole-block CDF scan.  Rows outside the two groups are
+    ignored; an empty side releases the ``d_ppm = -1`` sentinel.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ga, gb = str(group_a), str(group_b)
+    if ga == gb:
+        raise ValueError("group_a and group_b must differ")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pylist()
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        c: dict[str, int] = {}
+        for gi, vi in zip(g, v):
+            s = str(gi)
+            if s == ga:
+                k = f"a\x1f{int(vi)}"
+            elif s == gb:
+                k = f"b\x1f{int(vi)}"
+            else:
+                continue
+            c[k] = c.get(k, 0) + 1
+        return pa.table(
+            {
+                "cell": pa.array(list(c.keys()), pa.string()),
+                "p": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("p", alias_name="c"))
+        .materialize()
+    )
+    if cells.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_a": pa.array([0], pa.int64()),
+                    "n_b": pa.array([0], pa.int64()),
+                    "d_ppm": pa.array([-1], pa.int64()),
+                    "at_value": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "cell": t.column("cell").to_pylist(),
+                "c": t.column("c").to_numpy(zero_copy_only=False),
+            }
+        )
+        split = df["cell"].str.split("\x1f", n=1, expand=True)
+        df["side"] = split[0]
+        df["v"] = split[1].astype(np.int64)
+        piv = (
+            df.pivot_table(
+                index="v", columns="side", values="c", aggfunc="sum", fill_value=0
+            )
+            .reindex(columns=["a", "b"], fill_value=0)
+            .sort_index()
+        )
+        na = int(piv["a"].sum())
+        nb = int(piv["b"].sum())
+        if na == 0 or nb == 0:
+            return pa.table(
+                {
+                    "n_a": pa.array([na], pa.int64()),
+                    "n_b": pa.array([nb], pa.int64()),
+                    "d_ppm": pa.array([-1], pa.int64()),
+                    "at_value": pa.array([0], pa.int64()),
+                }
+            )
+        ca = np.cumsum(piv["a"].to_numpy(object))
+        cb = np.cumsum(piv["b"].to_numpy(object))
+        diff = np.abs(ca * nb - cb * na)
+        dmax = int(diff.max())
+        at = int(piv.index.to_numpy(np.int64)[np.argmax(diff)])  # first max
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "d_ppm": pa.array([dmax * 1_000_000 // (na * nb)], pa.int64()),
+                "at_value": pa.array([at], pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+
+
+def ks_two_sample_sql(
+    table: str,
+    value_expr: str,
+    group_expr: str,
+    group_a: str,
+    group_b: str,
+) -> str:
+    """The DuckDB twin: per-value side counts + window cumsums + the
+    identical integer cross-multiplied max (first-attaining value)."""
+    return f"""
+        WITH ks_h AS (
+            SELECT CAST({value_expr} AS BIGINT) AS v,
+                   SUM(CASE WHEN CAST({group_expr} AS VARCHAR) = '{group_a}'
+                            THEN 1 ELSE 0 END) AS a,
+                   SUM(CASE WHEN CAST({group_expr} AS VARCHAR) = '{group_b}'
+                            THEN 1 ELSE 0 END) AS b
+            FROM {table}
+            WHERE CAST({group_expr} AS VARCHAR) IN ('{group_a}', '{group_b}')
+            GROUP BY 1
+        ),
+        ks_c AS (
+            SELECT v,
+                   SUM(a) OVER (ORDER BY v) AS ca,
+                   SUM(b) OVER (ORDER BY v) AS cb,
+                   SUM(a) OVER () AS na,
+                   SUM(b) OVER () AS nb
+            FROM ks_h
+        ),
+        ks_d AS (
+            SELECT v, na, nb, abs(ca * nb - cb * na) AS d FROM ks_c
+        ),
+        ks_m AS (SELECT MAX(d) AS dmax FROM ks_d)
+        SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN -1
+                    ELSE MAX(dmax) * 1000000 // (MAX(na) * MAX(nb))
+                    END AS BIGINT) AS d_ppm,
+               CAST(CASE WHEN MAX(na) = 0 OR MAX(nb) = 0 THEN 0
+                    ELSE COALESCE(MIN(CASE WHEN d = dmax THEN v END), 0)
+                    END AS BIGINT) AS at_value
+        FROM ks_d, ks_m
+    """

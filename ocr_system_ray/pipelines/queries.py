@@ -9124,3 +9124,16 @@ def q_golden_record(sf_dir: str) -> ray.data.Dataset:
         id_col="event_id",
         field_cols=["last_purchase_cents", "last_error_props"],
     )
+
+
+def q_ks_drift(sf_dir: str) -> ray.data.Dataset:
+    """Exact two-sample KS drift test
+    (``functions/profile.py:ks_two_sample``): does the English
+    document-length distribution differ from German?  D computed with
+    integer cross-multiplied CDFs over (value, side) cells — distinct
+    cells move, never rows.  Oracle = per-value counts + window
+    cumsums + the identical integer max."""
+    from ..functions.profile import ks_two_sample
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ks_two_sample(docs, "n_chars", "lang", "en", "de")

@@ -73,3 +73,76 @@ def test_discriminates_uniform_from_benford(ray_session):
 def test_empty_and_all_nonpositive(ray_session):
     assert benford_audit(ray.data.from_arrow(_vals([])), "v").count() == 0
     assert benford_audit(ray.data.from_arrow(_vals([0, -3])), "v").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample drift
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.profile import (  # noqa: E402
+    ks_two_sample,
+    ks_two_sample_sql,
+)
+
+
+def _gv(rows) -> pa.Table:
+    return pa.table(
+        {
+            "g": pa.array([r[0] for r in rows], pa.string()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+def test_ks_hand_computed(ray_session):
+    # A = {1,2,3}, B = {3,4,5}: D = 2/3 at v=2 (F_A=2/3, F_B=0)
+    rows = [("A", 1), ("A", 2), ("A", 3), ("B", 3), ("B", 4), ("B", 5)]
+    r = ks_two_sample(
+        ray.data.from_arrow(_gv(rows)), "v", "g", "A", "B"
+    ).take_all()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["d_ppm"] == (2 * 3) * 1_000_000 // 9  # |2·3 − 0·3|/9
+    assert r["at_value"] == 2
+
+
+def test_ks_identical_and_disjoint(ray_session):
+    same = [("A", v) for v in (1, 2, 3)] + [("B", v) for v in (1, 2, 3)]
+    r = ks_two_sample(ray.data.from_arrow(_gv(same)), "v", "g", "A", "B").take_all()[0]
+    assert r["d_ppm"] == 0
+    disj = [("A", 1), ("A", 2), ("B", 10), ("B", 11)]
+    r = ks_two_sample(ray.data.from_arrow(_gv(disj)), "v", "g", "A", "B").take_all()[0]
+    assert r["d_ppm"] == 1_000_000  # fully separated distributions
+
+
+def test_ks_other_groups_ignored_and_empty_side(ray_session):
+    rows = [("A", 1), ("C", 99), ("A", 2)]
+    r = ks_two_sample(ray.data.from_arrow(_gv(rows)), "v", "g", "A", "B").take_all()[0]
+    assert (r["n_a"], r["n_b"], r["d_ppm"], r["at_value"]) == (2, 0, -1, 0)
+    # sentinel parity with the twin
+    t = _gv(rows)  # noqa: F841
+    want = duckdb.sql(ks_two_sample_sql("t", "v", "g", "A", "B")).df().iloc[0]
+    assert (int(want["d_ppm"]), int(want["at_value"])) == (-1, 0)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+@pytest.mark.parametrize("shift", [0, 40])
+def test_ks_matches_duckdb(ray_session, nblocks, shift):
+    rng = np.random.RandomState(23)
+    rows = [("A", int(rng.randint(0, 200))) for _ in range(1500)] + [
+        ("B", int(rng.randint(shift, 200 + shift))) for _ in range(900)
+    ] + [("C", 5)]
+    t = _gv(rows)  # noqa: F841
+    ds = ray.data.from_arrow(_gv(rows)).repartition(nblocks)
+    got = ks_two_sample(ds, "v", "g", "A", "B").to_pandas()
+    want = duckdb.sql(ks_two_sample_sql("t", "v", "g", "A", "B")).df()
+    assert got[sorted(got.columns)].iloc[0].to_dict() == (
+        want[sorted(want.columns)].iloc[0].to_dict()
+    )
+    if shift:
+        assert int(got["d_ppm"][0]) > 150_000  # the planted drift shows
+
+
+def test_ks_bad_groups(ray_session):
+    ds = ray.data.from_arrow(_gv([("A", 1)]))
+    with pytest.raises(ValueError):
+        ks_two_sample(ds, "v", "g", "A", "A")
