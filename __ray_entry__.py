@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": q.q_benford_audit,
         "golden_record": q.q_golden_record,
         "ks_drift": q.q_ks_drift,
+        "spearman": q.q_spearman,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -877,6 +878,18 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+def _spearman_sql() -> str:
+    from ocr_system_ray.functions.evalmetrics import spearman_sql
+
+    return spearman_sql(
+        "(SELECT n_chars,"
+        " len(string_split(COALESCE(text, ''), ' ')) AS n_tokens"
+        " FROM documents)",
+        "n_chars",
+        "n_tokens",
     )
 
 
@@ -2334,6 +2347,8 @@ def oracle_sql() -> dict[str, str]:
         "golden_record": _golden_record_sql(),
         # ks_drift: per-value counts + window cumsums + integer max
         "ks_drift": _ks_drift_sql(),
+        # spearman: doubled tie-averaged ranks + identical float tree
+        "spearman": _spearman_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -300,6 +300,7 @@ def _query_suite() -> dict:
         "benford_audit": q.q_benford_audit,
         "golden_record": q.q_golden_record,
         "ks_drift": q.q_ks_drift,
+        "spearman": q.q_spearman,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
     }

@@ -204,3 +204,191 @@ def calibration_bins_sql(
         FROM cb_d
         GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact, tie-corrected)
+# ---------------------------------------------------------------------------
+
+
+def spearman_corr(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> ray.data.Dataset:
+    """EXACT Spearman ρ between two integer columns — the monotonic-
+    association readout ("does length track quality?") that Pearson
+    over raw values distorts under heavy tails.
+
+    ρ = Pearson over tie-averaged ranks; with DOUBLED ranks
+    ``R = 2·rank_avg = 2·(cum_before + 1) + tie_count − 1`` everything
+    before the final expression is integer-exact:
+
+        ρ = (n·Σab − Σa·Σb) / (sqrt(n·Σaa − Σa²) · sqrt(n·Σbb − Σb²))
+
+    (the :func:`graph.graph_stats` assortativity tree — two sqrts on
+    exact doubles; the radicands are O(n³) rank variances, exact in
+    a double to n ≈ 1.9·10⁵ rows — the hash-exact contract's bound;
+    beyond it the value is still correct to double precision but the
+    twin comparison needs a rescale), floor-quantized to
+    ``rho_micro``.  Degenerate variance (a constant column) → the 0
+    sentinel.
+
+    Scale shape: ONE value-histogram groupby per column (distinct
+    value cells move, never rows) → the value→doubled-rank maps
+    broadcast per worker → per-batch integer partial sums → a tiny
+    global aggregate.  Output ``(n, rho_micro)``.
+    """
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .textstats import _broadcast_memo
+
+    def rank_map(col: str) -> dict[int, int]:
+        def partial(t: pa.Table) -> pa.Table:
+            vc = pd.Series(
+                t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ).value_counts()
+            return pa.table(
+                {
+                    "v": pa.array(vc.index.to_numpy(np.int64)),
+                    "p": pa.array(vc.to_numpy(np.int64)),
+                }
+            )
+
+        h = (
+            ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("p", alias_name="c"))
+            .to_pandas()
+        )
+        if h.empty:
+            return {}
+        h = h.sort_values("v").reset_index(drop=True)
+        cnt = h["c"].to_numpy(np.int64)
+        before = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        rank2 = 2 * (before + 1) + cnt - 1
+        return dict(zip(h["v"].astype(int), rank2.astype(int)))
+
+    map_a = rank_map(col_a)
+    map_b = rank_map(col_b)
+    ref = ray.put((map_a, map_b))
+
+    def sums(t: pa.Table) -> pa.Table:
+        ma, mb = _broadcast_memo(ref)
+        a = np.array(
+            [ma[int(x)] for x in t.column(col_a).to_pylist()], dtype=object
+        )
+        b = np.array(
+            [mb[int(x)] for x in t.column(col_b).to_pylist()], dtype=object
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "sa": pa.array([int(np.sum(a))], pa.int64()),
+                "sb": pa.array([int(np.sum(b))], pa.int64()),
+                "saa": pa.array([int(np.sum(a * a))], pa.int64()),
+                "sbb": pa.array([int(np.sum(b * b))], pa.int64()),
+                "sab": pa.array([int(np.sum(a * b))], pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.select_columns([col_a, col_b])
+        .map_batches(sums, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sa", alias_name="sa"),
+            Sum("sb", alias_name="sb"),
+            Sum("saa", alias_name="saa"),
+            Sum("sbb", alias_name="sbb"),
+            Sum("sab", alias_name="sab"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = int(t.column("n")[0].as_py() or 0)
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "rho_micro": pa.array([0], pa.int64()),
+                }
+            )
+        sa = int(t.column("sa")[0].as_py())
+        sb = int(t.column("sb")[0].as_py())
+        saa = int(t.column("saa")[0].as_py())
+        sbb = int(t.column("sbb")[0].as_py())
+        sab = int(t.column("sab")[0].as_py())
+        num = n * sab - sa * sb
+        d1 = n * saa - sa * sa
+        d2 = n * sbb - sb * sb
+        if d1 <= 0 or d2 <= 0:
+            rho = 0
+        elif num * num == d1 * d2:
+            # exact-integer endpoint test: perfect (anti)correlation
+            # releases ±10⁶ exactly instead of the sqrt/floor artifact
+            # (floor(0.999999…·10⁶) = 999999); the twin branches the
+            # same way
+            rho = 1_000_000 if num > 0 else -1_000_000
+        else:
+            # the twin quantizes with SQL floor() on the identical
+            # expression tree — a TRUE floor, so no truncation shim
+            # (the signed-// gotcha applies only to integer //)
+            rho = math.floor((num / (math.sqrt(d1) * math.sqrt(d2))) * 1e6)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "rho_micro": pa.array([rho], pa.int64()),
+            }
+        )
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
+def spearman_sql(table: str, a_expr: str, b_expr: str) -> str:
+    """The DuckDB twin: doubled tie-averaged ranks via
+    RANK()/COUNT() windows + the identical integer sums and float
+    tree (floor() is a true floor on both engines)."""
+    return f"""
+        WITH sp_d AS (
+            SELECT CAST({a_expr} AS BIGINT) AS a,
+                   CAST({b_expr} AS BIGINT) AS b
+            FROM {table}
+        ),
+        sp_r AS (
+            SELECT (2 * RANK() OVER (ORDER BY a)
+                    + COUNT(*) OVER (PARTITION BY a) - 1) AS ra,
+                   (2 * RANK() OVER (ORDER BY b)
+                    + COUNT(*) OVER (PARTITION BY b) - 1) AS rb
+            FROM sp_d
+        ),
+        sp_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ra) AS BIGINT) AS sa,
+                   CAST(SUM(rb) AS BIGINT) AS sb,
+                   CAST(SUM(ra * ra) AS BIGINT) AS saa,
+                   CAST(SUM(rb * rb) AS BIGINT) AS sbb,
+                   CAST(SUM(ra * rb) AS BIGINT) AS sab
+            FROM sp_r
+        )
+        SELECT n,
+               CAST(CASE WHEN n = 0 OR n * saa - sa * sa <= 0
+                         OR n * sbb - sb * sb <= 0 THEN 0
+                    WHEN CAST(n * sab - sa * sb AS HUGEINT)
+                         * CAST(n * sab - sa * sb AS HUGEINT)
+                         = CAST(n * saa - sa * sa AS HUGEINT)
+                           * CAST(n * sbb - sb * sb AS HUGEINT)
+                    THEN CASE WHEN n * sab - sa * sb > 0
+                              THEN 1000000 ELSE -1000000 END
+                    ELSE floor(((n * sab - sa * sb)
+                         / (sqrt(greatest(n * saa - sa * sa, 1))
+                            * sqrt(greatest(n * sbb - sb * sb, 1))))
+                         * 1e6)
+                    END AS BIGINT) AS rho_micro
+        FROM sp_s
+    """

@@ -9137,3 +9137,32 @@ def q_ks_drift(sf_dir: str) -> ray.data.Dataset:
 
     docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
     return ks_two_sample(docs, "n_chars", "lang", "en", "de")
+
+
+def q_spearman(sf_dir: str) -> ray.data.Dataset:
+    """Exact tie-corrected Spearman rank correlation between document
+    length (n_chars) and whitespace token count
+    (``functions/evalmetrics.py:spearman_corr``): value-histogram
+    rank maps broadcast once, integer partial sums, one-row finish.
+    Oracle = RANK()/COUNT() doubled ranks + the identical float
+    tree."""
+    from ..functions.evalmetrics import spearman_corr
+
+    docs = read_table(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(
+                pc.fill_null(t.column("text"), ""), " "
+            )
+        )
+        return pa.table(
+            {
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+                "n_tokens": pc.cast(toks, pa.int64()),
+            }
+        )
+
+    return spearman_corr(
+        docs.map_batches(derive, batch_format="pyarrow"), "n_chars", "n_tokens"
+    )

@@ -154,3 +154,72 @@ def test_bad_args(ray_session):
         calibration_bins(ds, "score", "label", lo=5, hi=5)
     with pytest.raises(ValueError):
         calibration_bins(ds, "score", "label", lo=0, hi=10, n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+from ocr_system_ray.functions.evalmetrics import (  # noqa: E402
+    spearman_corr,
+    spearman_sql,
+)
+
+
+def _ab(a, b) -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array(list(a), pa.int64()),
+            "b": pa.array(list(b), pa.int64()),
+        }
+    )
+
+
+def test_spearman_pins(ray_session):
+    def rho(a, b):
+        return int(
+            spearman_corr(ray.data.from_arrow(_ab(a, b)), "a", "b")
+            .to_pandas()["rho_micro"][0]
+        )
+
+    assert rho([1, 2, 3, 4], [10, 20, 30, 40]) == 1_000_000   # monotone up
+    assert rho([1, 2, 3, 4], [40, 30, 20, 10]) == -1_000_000  # monotone down
+    # nonlinear but monotone still 1.0 (the point vs Pearson)
+    assert rho([1, 2, 3, 4], [1, 10, 100, 1000]) == 1_000_000
+    # constant column → degenerate sentinel
+    assert rho([1, 2, 3], [7, 7, 7]) == 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+@pytest.mark.parametrize("seed", [0, 5])
+def test_spearman_matches_duckdb(ray_session, nblocks, seed):
+    rng = np.random.RandomState(seed)
+    n = 700
+    a = rng.randint(0, 50, n)          # heavy ties
+    b = a * 3 + rng.randint(0, 60, n)  # correlated with noise + ties
+    t = _ab(a, b)  # noqa: F841
+    ds = ray.data.from_arrow(_ab(a, b)).repartition(nblocks)
+    got = spearman_corr(ds, "a", "b").to_pandas()
+    want = duckdb.sql(spearman_sql("t", "a", "b")).df()
+    assert got[sorted(got.columns)].iloc[0].to_dict() == (
+        want[sorted(want.columns)].iloc[0].to_dict()
+    )
+    assert int(got["rho_micro"][0]) > 500_000
+
+
+def test_spearman_scipy_crosscheck(ray_session):
+    # independent reference: tie-corrected Pearson-on-ranks by hand
+    rng = np.random.RandomState(2)
+    a = rng.randint(0, 10, 200)
+    b = rng.randint(0, 10, 200)
+    import pandas as pd
+
+    ra = pd.Series(a).rank().to_numpy()
+    rb = pd.Series(b).rank().to_numpy()
+    ref = np.corrcoef(ra, rb)[0, 1]
+    got = (
+        spearman_corr(ray.data.from_arrow(_ab(a, b)), "a", "b")
+        .to_pandas()["rho_micro"][0]
+        / 1e6
+    )
+    assert abs(got - ref) < 2e-6
