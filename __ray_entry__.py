@@ -94,7 +94,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_type_approx": q.q_users_per_type_approx,
         "kmv_overlap": q.q_kmv_overlap,
         "train_test_split": q.q_train_test_split,
-        "corpus_shuffle": q.q_corpus_shuffle,
         "orders_top100": q.q_orders_top100,
         # text analysis
         "token_counts": q.q_token_counts,
@@ -3946,7 +3945,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'train' END AS split
             FROM documents
         """,
-        "corpus_shuffle": "SELECT doc_id FROM documents",
         "corpus_quality_filter": """
             SELECT doc_id, lang FROM documents
             WHERE length(text) > 0

@@ -227,12 +227,16 @@ def spearman_corr(
         ρ = (n·Σab − Σa·Σb) / (sqrt(n·Σaa − Σa²) · sqrt(n·Σbb − Σb²))
 
     (the :func:`graph.graph_stats` assortativity tree — two sqrts on
-    exact doubles; the radicands are O(n³) rank variances, exact in
-    a double to n ≈ 1.9·10⁵ rows — the hash-exact contract's bound;
-    beyond it the value is still correct to double precision but the
-    twin comparison needs a rescale), floor-quantized to
-    ``rho_micro``.  Degenerate variance (a constant column) → the 0
-    sentinel.
+    doubles; one factor of n is divided out of numerator and
+    radicands first, exactly, and BOTH engines evaluate the float
+    tree on the identical primed integers, so int→double
+    round-to-nearest agrees bit-for-bit at any magnitude).  The
+    binding bound is the SQL twin's 128-bit HUGEINT product in the
+    perfect-correlation endpoint test (nn² ≈ 16n⁶): exact to
+    n ≈ 1.5·10⁶ rows, after which DuckDB raises Out of Range rather
+    than silently wrapping; the engine side is arbitrary-precision
+    Python ints and unbounded.  Floor-quantized to ``rho_micro``.
+    Degenerate variance (a constant column) → the 0 sentinel.
 
     Scale shape: ONE value-histogram groupby per column (distinct
     value cells move, never rows) → the value→doubled-rank maps
@@ -327,19 +331,28 @@ def spearman_corr(
         num = n * sab - sa * sb
         d1 = n * saa - sa * sa
         d2 = n * sbb - sb * sb
-        if d1 <= 0 or d2 <= 0:
+        # Factor one n out of num/d1/d2 (exact: doubled tie-averaged
+        # ranks always sum to sa = sb = n(n+1), so n | num, n | d1,
+        # n | d2).  Both engines then work on the primed values: the
+        # SQL twin's HUGEINT products stay within 128 bits to
+        # n ≈ 1.5e6 (vs ~4e4 on the unprimed num²=d1·d2 test), and
+        # the float tree below is evaluated on the SAME primed
+        # operands so floor() agrees bit-for-bit.
+        assert num % n == 0 and d1 % n == 0 and d2 % n == 0
+        nn, e1, e2 = num // n, d1 // n, d2 // n
+        if e1 <= 0 or e2 <= 0:
             rho = 0
-        elif num * num == d1 * d2:
+        elif nn * nn == e1 * e2:
             # exact-integer endpoint test: perfect (anti)correlation
             # releases ±10⁶ exactly instead of the sqrt/floor artifact
             # (floor(0.999999…·10⁶) = 999999); the twin branches the
             # same way
-            rho = 1_000_000 if num > 0 else -1_000_000
+            rho = 1_000_000 if nn > 0 else -1_000_000
         else:
             # the twin quantizes with SQL floor() on the identical
             # expression tree — a TRUE floor, so no truncation shim
             # (the signed-// gotcha applies only to integer //)
-            rho = math.floor((num / (math.sqrt(d1) * math.sqrt(d2))) * 1e6)
+            rho = math.floor((nn / (math.sqrt(e1) * math.sqrt(e2))) * 1e6)
         return pa.table(
             {
                 "n": pa.array([n], pa.int64()),
@@ -353,7 +366,16 @@ def spearman_corr(
 def spearman_sql(table: str, a_expr: str, b_expr: str) -> str:
     """The DuckDB twin: doubled tie-averaged ranks via
     RANK()/COUNT() windows + the identical integer sums and float
-    tree (floor() is a true floor on both engines)."""
+    tree (floor() is a true floor on both engines).
+
+    All sums are kept HUGEINT (DuckDB's native SUM-of-BIGINT result)
+    and one factor of n is divided out of num/d1/d2 before the
+    endpoint-equality square — exact division, since doubled
+    tie-averaged ranks always sum to n(n+1).  The primed products
+    (nn² ≈ 16n⁶) stay inside 128-bit HUGEINT to n ≈ 1.5×10⁶ rows;
+    beyond that DuckDB raises Out of Range rather than silently
+    wrapping (the engine side is arbitrary-precision and unbounded).
+    """
     return f"""
         WITH sp_d AS (
             SELECT CAST({a_expr} AS BIGINT) AS a,
@@ -368,27 +390,30 @@ def spearman_sql(table: str, a_expr: str, b_expr: str) -> str:
             FROM sp_d
         ),
         sp_s AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(ra) AS BIGINT) AS sa,
-                   CAST(SUM(rb) AS BIGINT) AS sb,
-                   CAST(SUM(ra * ra) AS BIGINT) AS saa,
-                   CAST(SUM(rb * rb) AS BIGINT) AS sbb,
-                   CAST(SUM(ra * rb) AS BIGINT) AS sab
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(ra) AS HUGEINT) AS sa,
+                   CAST(SUM(rb) AS HUGEINT) AS sb,
+                   CAST(SUM(ra * ra) AS HUGEINT) AS saa,
+                   CAST(SUM(rb * rb) AS HUGEINT) AS sbb,
+                   CAST(SUM(ra * rb) AS HUGEINT) AS sab
             FROM sp_r
+        ),
+        sp_p AS (
+            SELECT n,
+                   (n * sab - sa * sb) // greatest(n, 1) AS nn,
+                   (n * saa - sa * sa) // greatest(n, 1) AS e1,
+                   (n * sbb - sb * sb) // greatest(n, 1) AS e2
+            FROM sp_s
         )
-        SELECT n,
-               CAST(CASE WHEN n = 0 OR n * saa - sa * sa <= 0
-                         OR n * sbb - sb * sb <= 0 THEN 0
-                    WHEN CAST(n * sab - sa * sb AS HUGEINT)
-                         * CAST(n * sab - sa * sb AS HUGEINT)
-                         = CAST(n * saa - sa * sa AS HUGEINT)
-                           * CAST(n * sbb - sb * sb AS HUGEINT)
-                    THEN CASE WHEN n * sab - sa * sb > 0
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(CASE WHEN n = 0 OR e1 <= 0 OR e2 <= 0 THEN 0
+                    WHEN nn * nn = e1 * e2
+                    THEN CASE WHEN nn > 0
                               THEN 1000000 ELSE -1000000 END
-                    ELSE floor(((n * sab - sa * sb)
-                         / (sqrt(greatest(n * saa - sa * sa, 1))
-                            * sqrt(greatest(n * sbb - sb * sb, 1))))
+                    ELSE floor((nn
+                         / (sqrt(greatest(e1, 1))
+                            * sqrt(greatest(e2, 1))))
                          * 1e6)
                     END AS BIGINT) AS rho_micro
-        FROM sp_s
+        FROM sp_p
     """

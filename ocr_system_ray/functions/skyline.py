@@ -92,6 +92,12 @@ def skyline(
     signs = np.array(
         [1.0 if d == "max" else -1.0 for _, d in objectives], dtype=np.float64
     )
+    signs_i = signs.astype(np.int64)
+    # int64 sums in the scan-order key stay exact while |v| < 2^62/d;
+    # above that we fall back to float64 (documented: dominance on
+    # integer objectives beyond ~2^62/d loses exactness — far past
+    # any integer micro-score this repo emits).
+    int_sum_bound = (1 << 62) // max(len(obj_cols), 1)
 
     def local(t: pa.Table) -> pa.Table:
         if keep_cols is not None:
@@ -103,12 +109,28 @@ def skyline(
         t = t.filter(valid)
         if t.num_rows == 0:
             return t
-        a = np.column_stack(
-            [
-                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
-                for c in obj_cols
-            ]
-        ) * signs
+        # Exact-integer dominance when every objective column is an
+        # integer type (matches the NOT EXISTS SQL twin, which
+        # compares exact integers — float64 would round above 2^53
+        # and could flip a dominance tie); float64 only for genuinely
+        # floating objectives or astronomically large integers.
+        integral = all(
+            pa.types.is_integer(t.schema.field(c).type) for c in obj_cols
+        )
+        cols = [
+            t.column(c).to_numpy(zero_copy_only=False) for c in obj_cols
+        ]
+        if integral and all(
+            np.abs(col.astype(np.int64)).max(initial=0) < int_sum_bound
+            for col in cols
+        ):
+            a = np.column_stack(
+                [col.astype(np.int64) for col in cols]
+            ) * signs_i
+        else:
+            a = np.column_stack(
+                [col.astype(np.float64) for col in cols]
+            ) * signs
         return t.filter(pa.array(_pareto_mask(a)))
 
     candidates = ds.map_batches(local, batch_format="pyarrow")

@@ -1,0 +1,58 @@
+"""Driver-dict hygiene: queries()/oracle_sql() key contracts.
+
+Round-3 VERDICT item #3: a duplicated ``corpus_shuffle`` key in both driver
+dict literals silently shadowed one entry (Python keeps the LAST duplicate),
+which came within an ordering accident of replacing a strict oracle with a
+rows-only stub.  These tests make any recurrence a hard failure:
+
+* every dict-literal key in ``__ray_entry__.py`` is unique (AST-level check,
+  catches shadowing the runtime dict can't see), and
+* every ``queries()`` key has a SQL twin unless it is on the documented
+  non-SQL-expressible allowlist (and vice versa: no orphan oracles).
+"""
+from __future__ import annotations
+
+import ast
+import collections
+import pathlib
+
+import __ray_entry__ as entry
+
+_ENTRY_PATH = pathlib.Path(entry.__file__)
+
+
+def test_no_duplicate_dict_literal_keys():
+    tree = ast.parse(_ENTRY_PATH.read_text())
+    dupes = []
+
+    class V(ast.NodeVisitor):
+        def visit_Dict(self, node):
+            keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
+            for k, c in collections.Counter(keys).items():
+                if c > 1:
+                    dupes.append((node.lineno, k, c))
+            self.generic_visit(node)
+
+    V().visit(tree)
+    assert not dupes, f"duplicate dict-literal keys in __ray_entry__.py: {dupes}"
+
+
+def test_query_and_oracle_keysets_consistent():
+    q = set(entry.queries().keys())
+    o = set(entry.oracle_sql().keys())
+    # Orphan oracles (SQL with no query) are always a bug.
+    orphans = o - q
+    assert not orphans, f"oracle_sql() keys with no queries() entry: {sorted(orphans)}"
+    # Queries without an oracle must be on the documented rows-only allowlist.
+    rows_only = q - o
+    allow = getattr(entry, "ROWS_ONLY_QUERIES", None)
+    if allow is None:
+        # No allowlist declared: every query must have an oracle.
+        assert not rows_only, (
+            f"queries() keys missing an oracle_sql() twin: {sorted(rows_only)}"
+        )
+    else:
+        stray = rows_only - set(allow)
+        assert not stray, (
+            f"queries without oracle and not in ROWS_ONLY_QUERIES: {sorted(stray)}"
+        )

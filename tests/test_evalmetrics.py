@@ -223,3 +223,21 @@ def test_spearman_scipy_crosscheck(ray_session):
         / 1e6
     )
     assert abs(got - ref) < 2e-6
+
+
+def test_spearman_sql_survives_large_n(ray_session):
+    # ADVICE r3: the old twin's BIGINT rank-sum products overflowed
+    # (DuckDB Out of Range) near n ≈ 4e4.  The primed-HUGEINT rewrite
+    # must stay exact and engine-equal at n = 60k — past the old
+    # bound, well inside the new n ≈ 1.5e6 one.
+    rng = np.random.RandomState(11)
+    n = 60_000
+    a = rng.randint(0, 1000, n)
+    b = a * 2 + rng.randint(0, 500, n)
+    t = _ab(a, b)  # noqa: F841
+    ds = ray.data.from_arrow(_ab(a, b)).repartition(4)
+    got = spearman_corr(ds, "a", "b").to_pandas()
+    want = duckdb.sql(spearman_sql("t", "a", "b")).df()
+    assert got[sorted(got.columns)].iloc[0].to_dict() == (
+        want[sorted(want.columns)].iloc[0].to_dict()
+    )

@@ -105,3 +105,40 @@ def test_bad_args(ray_session):
         skyline(ds, [])
     with pytest.raises(ValueError):
         skyline(ds, [("a", "up")])
+
+
+def test_exact_integer_dominance_above_2_53(ray_session):
+    # ADVICE r3: float64 casting would round int64 objectives above
+    # 2^53 and could flip a dominance tie.  base and base+1 differ
+    # only below float64 resolution at this magnitude: in float they
+    # compare equal (both rows would survive as a "tie"); in exact
+    # integers row 1 dominates row 0 on x with y equal.
+    base = (1 << 60) + 1
+    t = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "x": pa.array([base, base + 1], pa.int64()),
+            "y": pa.array([7, 7], pa.int64()),
+        }
+    )
+    assert float(base) == float(base + 1)  # the float path can't see it
+    got = (
+        skyline(
+            ray.data.from_arrow(t),
+            [("x", "max"), ("y", "max")],
+            keep_cols=["id"],
+        )
+        .to_pandas()
+    )
+    assert got["id"].tolist() == [1]
+
+    # min direction exercises the int64 negation path too
+    got2 = (
+        skyline(
+            ray.data.from_arrow(t),
+            [("x", "min"), ("y", "max")],
+            keep_cols=["id"],
+        )
+        .to_pandas()
+    )
+    assert got2["id"].tolist() == [0]
