@@ -258,8 +258,9 @@ def semdedup(
 
 def dbscan_embeddings(
     ds: ray.data.Dataset,
-    ids_mat_ref,
+    ids_mat_ref=None,
     *,
+    pairs: "ray.data.Dataset | None" = None,
     eps_cos: float = 0.4,
     min_pts: int = 3,
     id_col: str = "vec_id",
@@ -269,53 +270,70 @@ def dbscan_embeddings(
     as three set operations over the repo's existing machinery — no
     point ever "visits" another:
 
-    1. **ε-pairs**: all (a < b) with ``round(cos, 6) ≥ eps_cos`` — the
-       ``embedding_dup_exact`` broadcast-matmul pass here (O(n²) flops,
-       zero shuffle); the 10⁹-row path swaps in the LSH pair stream
-       (``dedup.embedding_dup_pairs``) unchanged, since steps 2-3 only
-       consume pairs.
+    1. **ε-pairs**: all (a < b) with ``round(cos, 6) ≥ eps_cos``.
+       Default: the EXACT distributed block-pair join
+       (``dedup.embedding_eps_pairs_blocked`` — one shuffle, no driver
+       table, no whole-matrix broadcast; VERDICT r3 item 1).  Any
+       other pair stream swaps in via ``pairs=`` unchanged, since
+       steps 2-3 only consume pairs: the multi-probe LSH stream
+       (``dedup.embedding_duplicate_pairs``) for high-ε at 10⁹ rows,
+       or the legacy broadcast-matmul pass when ``ids_mat_ref``
+       (a ``ray.put((ids, normalized_mat))``) is given — kept for the
+       LSH≡broadcast≡blocked equivalence tests, small-n only.
     2. **cores**: nodes with ``degree + 1 ≥ min_pts`` (the ε-ball
        includes the point itself) — one symmetrized single-column
        groupby-count over pair endpoints.
     3. **clusters**: connected components over CORE-CORE pairs
        (``dedup.connected_components`` — distributed min-label
-       propagation), label = min core id per component.  Border points
-       (non-core with ≥1 core neighbour) take the MIN label among
-       their core neighbours; everything else is noise (label −1).
+       propagation with pointer jumping, O(log diameter) rounds),
+       label = min core id per component.  Border points (non-core
+       with ≥1 core neighbour) take the MIN label among their core
+       neighbours; everything else is noise (label −1).
 
-    ``ids_mat_ref`` is the broadcast ``ray.put((ids, normalized_mat))``
-    used by the pair pass (the dup-exact contract: built once from a
-    column-pruned read).  The core-label and border attachments
-    broadcast only the CORE population — the dup-dense minority.
+    The core-label and border attachments broadcast only the CORE
+    population — the dup-dense minority.
 
     → ``(id_col, cluster, role)``, one row per input row; role ∈
     {'core','border','noise'}; noise cluster = −1.  Deterministic:
     quantized cosines, min-label components, min-neighbour borders.
     """
-    from .dedup import connected_components
-    from .similarity import _normalize
+    from .dedup import connected_components, embedding_eps_pairs_blocked
+    from .similarity import _as_matrix, _normalize
     from .textstats import _broadcast_memo
 
     if min_pts < 2:
         raise ValueError("min_pts must be >= 2")
 
-    def pair_emit(batch: pa.Table) -> pa.Table:
-        ids_all, mat = _broadcast_memo(ids_mat_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(
-            np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        )
-        sims = vecs @ mat.T
-        bi, aj = np.nonzero(np.round(sims, 6) >= eps_cos)
-        keep = ids[bi] < ids_all[aj]
-        return pa.table(
-            {
-                "id_a": pa.array(ids[bi][keep], pa.int64()),
-                "id_b": pa.array(ids_all[aj][keep], pa.int64()),
-            }
-        )
+    if pairs is None and ids_mat_ref is not None:
+        # legacy broadcast pair pass (equivalence-test harness)
+        def pair_emit(batch: pa.Table) -> pa.Table:
+            ids_all, mat = _broadcast_memo(ids_mat_ref)
+            ids = (
+                batch.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vecs = _normalize(
+                _as_matrix(batch.column(vec_col)).astype(np.float64)
+            )
+            sims = vecs @ mat.T
+            bi, aj = np.nonzero(np.round(sims, 6) >= eps_cos)
+            keep = ids[bi] < ids_all[aj]
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[bi][keep], pa.int64()),
+                    "id_b": pa.array(ids_all[aj][keep], pa.int64()),
+                }
+            )
 
-    pairs = ds.map_batches(pair_emit, batch_format="pyarrow").materialize()
+        pairs = ds.map_batches(pair_emit, batch_format="pyarrow")
+    elif pairs is None:
+        pairs = embedding_eps_pairs_blocked(
+            ds, eps_cos, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        pairs = pairs.select_columns(["id_a", "id_b"])
+    pairs = pairs.materialize()
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("id_a").to_numpy(zero_copy_only=False)

@@ -8489,25 +8489,16 @@ def q_hybrid_topk(sf_dir: str) -> pa.Table:
 def q_dbscan_clusters(sf_dir: str) -> ray.data.Dataset:
     """Density clustering (DBSCAN, cosine ε=0.4, min_pts=3) over the
     embeddings table (``functions/clustering.py:dbscan_embeddings``):
-    ε-pairs via the broadcast-matmul pass, cores by one symmetrized
-    groupby-count, clusters via distributed min-label connected
+    exact ε-pairs via the distributed block-pair join
+    (``dedup.embedding_eps_pairs_blocked`` — no driver table, no
+    whole-matrix broadcast; VERDICT r3 item 1), cores by one
+    symmetrized groupby-count, clusters via log-round connected
     components over core-core pairs, min-neighbour borders.  Oracle =
     the unrolled MATERIALIZED min-label CTE twin."""
-    import os
-
-    import pyarrow.parquet as pq_
-
     from ..functions.clustering import dbscan_embeddings
-    from ..functions.similarity import _normalize
 
-    t = pq_.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    ids_all = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = _normalize(np.asarray(t.column("embedding").to_pylist(), dtype=np.float64))
-    ref = ray.put((ids_all, mat))
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dbscan_embeddings(ds, ref, eps_cos=0.4, min_pts=3)
+    return dbscan_embeddings(ds, eps_cos=0.4, min_pts=3)
 
 
 def q_fim_transform(sf_dir: str) -> ray.data.Dataset:

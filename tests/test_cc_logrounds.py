@@ -1,0 +1,107 @@
+"""Log-round connected components (VERDICT r3 item 2).
+
+Pointer jumping must (a) keep labels identical to a union-find oracle
+on chain and clustered fixtures, and (b) converge in O(log diameter)
+rounds — the 300-node chain that min-propagation alone could not
+finish inside ``max_iters=20`` (it needs 299 one-hop rounds) now
+converges in ≤ ⌈log₂ n⌉ + 3 rounds.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions import dedup
+
+
+def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def _run(pairs: list[tuple[int, int]], **kw) -> dict[int, int]:
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                "id_b": pa.array([b for _, b in pairs], pa.int64()),
+            }
+        )
+    )
+    df = dedup.connected_components(ds, **kw).to_pandas()
+    return dict(zip(df["node"].astype(int), df["label"].astype(int)))
+
+
+def test_chain_300_converges_in_log_rounds(ray_session):
+    n = 300
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    got = _run(pairs, max_iters=20, local_cutoff=0)  # force iterative
+    assert got == _union_find(pairs)  # every node labels to 0
+    assert set(got.values()) == {0}
+    bound = math.ceil(math.log2(n)) + 3
+    assert dedup.LAST_CC_ROUNDS <= bound, (
+        f"{dedup.LAST_CC_ROUNDS} rounds > log-bound {bound}"
+    )
+
+
+def test_clustered_fixture_matches_union_find(ray_session):
+    rng = np.random.RandomState(7)
+    pairs: list[tuple[int, int]] = []
+    # 8 clusters of 12 nodes each, random spanning structure + extras,
+    # ids deliberately interleaved so min-ids aren't cluster-contiguous
+    for c in range(8):
+        ids = [c + 8 * k for k in range(12)]
+        rng.shuffle(ids)
+        for i in range(1, len(ids)):
+            pairs.append((ids[i], ids[rng.randint(0, i)]))
+        for _ in range(4):
+            i, j = rng.randint(0, 12, 2)
+            if i != j:
+                pairs.append((ids[i], ids[j]))
+    got = _run(pairs, local_cutoff=0)
+    assert got == _union_find(pairs)
+
+
+def test_two_chains_and_star(ray_session):
+    pairs = (
+        [(i, i + 1) for i in range(100, 140)]          # 41-chain
+        + [(i, i + 1) for i in range(500, 520)]        # 21-chain
+        + [(1000, x) for x in range(1001, 1020)]       # star
+    )
+    got = _run(pairs, local_cutoff=0)
+    assert got == _union_find(pairs)
+    # star resolves immediately; chains dominate the round count
+    assert dedup.LAST_CC_ROUNDS <= math.ceil(math.log2(41)) + 3
+
+
+def test_local_finish_equals_iterative(ray_session):
+    rng = np.random.RandomState(13)
+    pairs = [(i, i + 1) for i in range(50)]  # chain
+    pairs += [(200, x) for x in range(201, 215)]  # star
+    for _ in range(60):  # random clustered edges
+        a, b = rng.randint(300, 360, 2)
+        if a != b:
+            pairs.append((int(a), int(b)))
+    want = _union_find(pairs)
+    via_local = _run(pairs)  # default cutoff → single-task finish
+    assert dedup.LAST_CC_ROUNDS == 0  # the local path really ran
+    via_iter = _run(pairs, local_cutoff=0)
+    assert dedup.LAST_CC_ROUNDS > 0
+    assert via_local == want == via_iter
