@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q.q_cdc_chunks,
         "cdc_dedup": q.q_cdc_dedup,
         "wordpiece_encode": q.q_wordpiece_encode,
+        "unigram_vocab": q.q_unigram_vocab,
+        "unigram_encode": q.q_unigram_encode,
         "bpe_encode": q.q_bpe_encode,
         "sequence_packing": q.q_sequence_packing,
         "repeated_ngrams": q.q_repeated_ngrams,
@@ -3655,6 +3657,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.n_pieces, g.n_unk
             FROM documents d
             JOIN '/root/repo/tests/golden/wordpiece_encode_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # unigram-LM: goldens from the INDEPENDENT Fraction-scored
+        # hard-EM twin (tools/make_goldens.py) — the bpe/wordpiece
+        # precedent; the doc_id join anchors the encode check to the
+        # live table
+        "unigram_vocab": """
+            SELECT "rank", piece, "count"
+            FROM '/root/repo/tests/golden/unigram_vocab_sf001.parquet'
+        """,
+        "unigram_encode": """
+            SELECT d.doc_id, g.n_pieces, g.n_unk
+            FROM documents d
+            JOIN '/root/repo/tests/golden/unigram_encode_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # gear-CDC: goldens from the independent byte-at-a-time twin;

@@ -228,9 +228,10 @@ def semdedup(
         ids = df[id_col].to_numpy()
         order = np.argsort(ids)  # min-id rule needs id order, not arrival order
         ids = ids[order]
-        v = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in df[vec_col].to_numpy()[order]]
-        )
+        # elements are ndarray views from the Arrow list column —
+        # np.stack is one C pass, no per-row float-conversion loop
+        # (VERDICT r3 item 5)
+        v = np.stack(df[vec_col].to_numpy()[order]).astype(np.float64)
         n = np.linalg.norm(v, axis=1, keepdims=True)
         n[n == 0] = 1.0
         sims = (v / n) @ (v / n).T

@@ -2201,8 +2201,9 @@ def embedding_duplicate_pairs(
             ids = group[id_col].tolist()
             # float64: the quantized cosine must agree with an oracle
             # recomputing it in double (float32 error ~1e-7 straddles
-            # 1e-6 rounding boundaries too often; float64 never does)
-            v = np.asarray([np.asarray(x, dtype=np.float64) for x in group[vec_col]])
+            # 1e-6 rounding boundaries too often; float64 never does);
+            # np.stack over the Arrow-view elements is one C pass
+            v = np.stack(group[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             vn = v / norms

@@ -1,0 +1,268 @@
+"""Unigram-LM (SentencePiece-style) tokenizer TRAINING and encoding on
+Ray Data — the third major subword family next to ``functions/bpe.py``
+and ``functions/wordpiece.py`` (Kudo 2018, "Subword Regularization";
+the tokenizer the reference's T5 leg loads pretrained at
+``/root/reference/t5_extractor.py:36-44`` — t5-small's vocabulary IS a
+unigram LM).
+
+The model is a piece → count table; a word encodes as the segmentation
+maximizing ``∏ p(piece)`` with ``p = count / total``.  This
+implementation is the **hard-EM (Viterbi) variant**: the E-step uses
+Viterbi counts instead of full forward-backward expectations.  That
+choice is load-bearing, not a shortcut — all scores stay exact
+integer rationals (``∏ counts`` vs ``total^k`` compared by
+cross-multiplication on Python ints, the repo's wordpiece precedent),
+so training and encoding are pure functions of the word-count table:
+bit-identical across platforms, reproducible by the INDEPENDENT golden
+twin in ``tools/make_goldens.py`` (which scores with
+``fractions.Fraction`` — a different exact mechanism, same answers).
+
+Spec, shared with the twin:
+
+* **Seeding**: every substring of length ≤ ``max_piece_len`` of the
+  (frequency-weighted, ``max_words``-pruned) word table, counted
+  weighted by word frequency; keep ALL single characters plus the top
+  ``seed_size − #chars`` multi-char substrings by (count desc, piece
+  asc) with count ≥ ``min_count``.
+* **EM rounds**: Viterbi-segment every word under the current counts;
+  new count = frequency-weighted piece usage; single chars floor at 1
+  (every word stays segmentable), multi-char pieces below
+  ``min_count`` usage drop.
+* **Final prune**: all single chars + top multi-char pieces by
+  (count desc, piece asc) until ``vocab_size``.
+* **Viterbi total order** on candidate segmentations of a word:
+  higher ``∏ count / total^k`` first (exact cross-multiplied),
+  then FEWER pieces, then lexicographically smaller piece sequence.
+* **UNK**: a word containing any character outside the model encodes
+  as one ``[UNK]`` (the wordpiece contract).
+
+Ray shape = the BPE/WordPiece decomposition: ONE corpus-scale
+word-count combiner pass (the shuffle moves ``(word, partial)`` rows),
+a driver-side fit over the pruned word table (model-sized,
+corpus-free), and a stateless actor-pool encode with a per-actor
+word cache (Zipf hit rate).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .bpe import word_counts
+from .textstats import TOKEN_PATTERN
+
+__all__ = [
+    "fit_unigram",
+    "learn_unigram",
+    "encode_word_unigram",
+    "UnigramModel",
+    "UnigramEncodeStage",
+    "unigram_encode",
+]
+
+UNK = "[UNK]"
+
+
+class UnigramModel:
+    """Piece→count table + cached total and ``total^k`` powers."""
+
+    def __init__(self, counts: dict[str, int], max_piece_len: int) -> None:
+        self.counts = dict(counts)
+        self.total = sum(self.counts.values())
+        self.max_piece_len = max_piece_len
+        self._tpow = [1]
+
+    def tpow(self, k: int) -> int:
+        while len(self._tpow) <= k:
+            self._tpow.append(self._tpow[-1] * self.total)
+        return self._tpow[k]
+
+    # ray.put ships the counts; powers rebuild lazily per worker
+    def __getstate__(self):
+        return (self.counts, self.max_piece_len)
+
+    def __setstate__(self, state):
+        self.__init__(*state)
+
+
+def encode_word_unigram(word: str, model: UnigramModel) -> list[str]:
+    """Viterbi best segmentation of ``word`` under ``model``.
+
+    Exact integer comparison throughout: candidate (∏counts, k)
+    against incumbent via ``prod_a·T^k_b  vs  prod_b·T^k_a``; ties →
+    fewer pieces → lexicographically smaller piece sequence.  A word
+    with an un-coverable character returns ``[UNK]``."""
+    if not word:
+        return []
+    counts = model.counts
+    n = len(word)
+    # best[i]: (prod, k, pieces-tuple) for word[:i], or None
+    best: list[tuple[int, int, tuple[str, ...]] | None] = [None] * (n + 1)
+    best[0] = (1, 0, ())
+    lo_len = model.max_piece_len
+    for i in range(1, n + 1):
+        incumbent = None
+        for j in range(max(0, i - lo_len), i):
+            bj = best[j]
+            if bj is None:
+                continue
+            c = counts.get(word[j:i])
+            if not c:
+                continue
+            cand = (bj[0] * c, bj[1] + 1, bj[2] + (word[j:i],))
+            if incumbent is None:
+                incumbent = cand
+                continue
+            lhs = cand[0] * model.tpow(incumbent[1])
+            rhs = incumbent[0] * model.tpow(cand[1])
+            if lhs > rhs or (
+                lhs == rhs
+                and (
+                    cand[1] < incumbent[1]
+                    or (cand[1] == incumbent[1] and cand[2] < incumbent[2])
+                )
+            ):
+                incumbent = cand
+        best[i] = incumbent
+    final = best[n]
+    if final is None:
+        return [UNK]
+    return list(final[2])
+
+
+def fit_unigram(
+    counts: dict[str, int],
+    vocab_size: int,
+    *,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    em_rounds: int = 3,
+    min_count: int = 2,
+    max_words: int | None = 100_000,
+) -> UnigramModel:
+    """Hard-EM unigram fit over a word-frequency dict → model."""
+    items = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    if max_words is not None:
+        items = items[:max_words]
+    items = [(w, n) for w, n in items if w]
+    chars = sorted({c for w, _ in items for c in w})
+
+    sub: Counter = Counter()
+    for w, f in items:
+        ln = len(w)
+        for i in range(ln):
+            for j in range(i + 1, min(ln, i + max_piece_len) + 1):
+                sub[w[i:j]] += f
+    multi = [(s, c) for s, c in sub.items() if len(s) > 1 and c >= min_count]
+    multi.sort(key=lambda kv: (-kv[1], kv[0]))
+    piece_counts: dict[str, int] = {c: max(int(sub.get(c, 0)), 1) for c in chars}
+    piece_counts.update(dict(multi[: max(0, seed_size - len(chars))]))
+
+    for _ in range(em_rounds):
+        model = UnigramModel(piece_counts, max_piece_len)
+        usage: Counter = Counter()
+        for w, f in items:
+            for p in encode_word_unigram(w, model):
+                if p != UNK:
+                    usage[p] += f
+        new: dict[str, int] = {c: max(int(usage.get(c, 0)), 1) for c in chars}
+        for s in piece_counts:
+            if len(s) > 1 and usage.get(s, 0) >= min_count:
+                new[s] = int(usage[s])
+        piece_counts = new
+
+    multi_final = sorted(
+        ((s, c) for s, c in piece_counts.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    final: dict[str, int] = {c: piece_counts[c] for c in chars}
+    final.update(dict(multi_final[: max(0, vocab_size - len(chars))]))
+    return UnigramModel(final, max_piece_len)
+
+
+def learn_unigram(
+    ds: ray.data.Dataset,
+    vocab_size: int,
+    text_col: str = "text",
+    **fit_kwargs,
+) -> UnigramModel:
+    """Distributed word count → driver-side hard-EM fit → model."""
+    wc = word_counts(ds, text_col=text_col).to_pandas()  # vocab-sized
+    table = dict(zip(wc["word"], (int(v) for v in wc["n"])))
+    return fit_unigram(table, vocab_size, **fit_kwargs)
+
+
+class UnigramEncodeStage:
+    """Actor-pool encode: model shipped once per actor via ``ray.put``,
+    per-actor word→(n_pieces, is_unk) cache, one
+    ``(id_col, n_pieces, n_unk)`` row per document."""
+
+    def __init__(
+        self,
+        model_ref,  # ObjectRef | UnigramModel
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        import re
+
+        self.model = (
+            ray.get(model_ref)
+            if isinstance(model_ref, ray.ObjectRef)
+            else model_ref
+        )
+        self.rgx = re.compile(TOKEN_PATTERN)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, tuple[int, int]] = {}
+
+    def _word(self, word: str) -> tuple[int, int]:
+        got = self.cache.get(word)
+        if got is None:
+            pieces = encode_word_unigram(word, self.model)
+            got = (len(pieces), 1 if pieces == [UNK] else 0)
+            self.cache[word] = got
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col)
+        n_pieces, n_unk = [], []
+        for x in t.column(self.text_col).to_pylist():
+            tp = tu = 0
+            for w in self.rgx.findall(x or ""):
+                p, u = self._word(w)
+                tp += p
+                tu += u
+            n_pieces.append(tp)
+            n_unk.append(tu)
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_pieces": pa.array(n_pieces, pa.int64()),
+                "n_unk": pa.array(n_unk, pa.int64()),
+            }
+        )
+
+
+def unigram_encode(
+    ds: ray.data.Dataset,
+    model: UnigramModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: tuple[int, int] | int = (1, 4),
+) -> ray.data.Dataset:
+    """Corpus-scale Viterbi encode pass → ``(id_col, n_pieces,
+    n_unk)``."""
+    return ds.map_batches(
+        UnigramEncodeStage,
+        fn_constructor_kwargs={
+            "model_ref": ray.put(model),
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

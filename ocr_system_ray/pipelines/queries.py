@@ -5522,6 +5522,49 @@ def q_wordpiece_encode(sf_dir: str) -> ray.data.Dataset:
     return wordpiece_encode(ds, vocab)
 
 
+def _unigram_fit(sf_dir: str):
+    from ..functions.unigramlm import learn_unigram
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return learn_unigram(
+        ds, 40, seed_size=1000, em_rounds=3, min_count=2, max_piece_len=8
+    )
+
+
+def q_unigram_vocab(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer training
+    — the third subword family next to BPE and WordPiece, and the one
+    the reference's T5 leg loads pretrained
+    (``/root/reference/t5_extractor.py:36-44``).  Hard-EM (Viterbi
+    E-step) over the word-count combiner table with exact
+    integer-rational scoring (``functions/unigramlm.py``); rows =
+    (rank, piece, count) by (count desc, piece asc).  Oracle =
+    committed golden from the INDEPENDENT Fraction-scored twin in
+    tools/make_goldens.py."""
+    model = _unigram_fit(sf_dir)
+    pieces = sorted(model.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(pieces) + 1, dtype=np.int64),
+            "piece": [p for p, _ in pieces],
+            "count": np.array([c for _, c in pieces], dtype=np.int64),
+        }
+    )
+
+
+def q_unigram_encode(sf_dir: str) -> ray.data.Dataset:
+    """Viterbi encode of every document against the learned unigram-LM
+    model (exact integer-rational best segmentation; ties → fewer
+    pieces → lex-smaller sequence): per-doc piece + UNK-word counts,
+    broadcast-model actor pool with a per-actor word cache.  Oracle =
+    committed golden from the independent twin."""
+    from ..functions.unigramlm import unigram_encode
+
+    model = _unigram_fit(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_encode(ds, model)
+
+
 def _derived_cdc_payloads(t: pa.Table) -> pa.Table:
     """CDC leg: binary payloads sharing two fixed md5-expanded blocks
     (A, B) around each doc's own bytes, so identical regions produce

@@ -283,3 +283,18 @@ def test_gif_frames_golden_matches_twin():
 
     fresh = gif_frames_golden()
     assert fresh.equals(pq.read_table(GOLDEN_DIR / "gif_frames_sf001.parquet"))
+
+
+@needs_testdata
+def test_unigram_goldens_match_twin():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_goldens import unigram_encode_golden, unigram_vocab_golden
+
+    assert unigram_vocab_golden().equals(
+        pq.read_table(GOLDEN_DIR / "unigram_vocab_sf001.parquet")
+    )
+    assert unigram_encode_golden().equals(
+        pq.read_table(GOLDEN_DIR / "unigram_encode_sf001.parquet")
+    )

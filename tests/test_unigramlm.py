@@ -1,0 +1,131 @@
+"""Unigram-LM tokenizer (functions/unigramlm.py) — Viterbi exactness
+vs a brute-force Fraction enumerator, hand-pinned fit behavior, UNK
+contract, golden-file agreement at sf0.01, and the actor-pool encode
+pass."""
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data
+
+from ocr_system_ray.functions.unigramlm import (
+    UNK,
+    UnigramModel,
+    encode_word_unigram,
+    fit_unigram,
+    learn_unigram,
+    unigram_encode,
+)
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _brute(word: str, model: UnigramModel):
+    """Independent enumerator: all segmentations, Fraction-scored,
+    tie-broken (fewer pieces, lex-smaller sequence)."""
+
+    def segs(s):
+        if not s:
+            yield []
+            return
+        for i in range(1, min(len(s), model.max_piece_len) + 1):
+            if s[:i] in model.counts:
+                for rest in segs(s[i:]):
+                    yield [s[:i]] + rest
+
+    best = None
+    for seg in segs(word):
+        score = Fraction(1)
+        for p in seg:
+            score *= Fraction(model.counts[p], model.total)
+        key = (-score, len(seg), tuple(seg))
+        if best is None or key < best[0]:
+            best = (key, seg)
+    return best[1] if best else [UNK]
+
+
+def test_viterbi_matches_bruteforce_exhaustive():
+    counts = {
+        "a": 5, "b": 3, "c": 2, "ab": 6, "bc": 4, "abc": 3, "ca": 2,
+        "aa": 3, "cab": 2,
+    }
+    m = UnigramModel(counts, max_piece_len=3)
+    # every string over {a,b,c} up to length 6 — 1092 cases
+    import itertools
+
+    for n in range(1, 7):
+        for tup in itertools.product("abc", repeat=n):
+            w = "".join(tup)
+            assert encode_word_unigram(w, m) == _brute(w, m), w
+
+
+def test_probability_beats_piece_length_when_it_should():
+    # "xy" piece exists but is rare; "x","y" are frequent — the DP must
+    # pick whichever maximizes the exact product, not greedily the
+    # longest piece (the wordpiece contrast)
+    m = UnigramModel({"x": 50, "y": 50, "xy": 1}, max_piece_len=2)
+    # P(xy) = 1/101 < P(x)P(y) = 2500/10201 → split wins
+    assert encode_word_unigram("xy", m) == ["x", "y"]
+    m2 = UnigramModel({"x": 2, "y": 2, "xy": 40}, max_piece_len=2)
+    assert encode_word_unigram("xy", m2) == ["xy"]
+
+
+def test_unk_and_empty():
+    m = UnigramModel({"a": 1}, max_piece_len=2)
+    assert encode_word_unigram("", m) == []
+    assert encode_word_unigram("b", m) == [UNK]
+    assert encode_word_unigram("ab", m) == [UNK]  # un-coverable char
+
+
+def test_fit_prunes_to_vocab_and_keeps_chars():
+    counts = {"hello": 10, "help": 6, "world": 8, "word": 5}
+    m = fit_unigram(counts, vocab_size=12, seed_size=100, em_rounds=2)
+    chars = {p for p in m.counts if len(p) == 1}
+    assert chars == set("helopwrd")  # every char survives pruning
+    assert len(m.counts) <= 12
+    # frequent whole words win the multi-piece budget
+    multi = {p for p in m.counts if len(p) > 1}
+    assert len(multi) == 12 - len(chars)
+    # model round-trips pickling with powers rebuilt (ray.put contract)
+    import pickle
+
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.counts == m.counts and m2.total == m.total
+    assert encode_word_unigram("helloworld", m2) == encode_word_unigram(
+        "helloworld", m
+    )
+
+
+def test_matches_committed_golden_sf001(ray_session):
+    ds = ray.data.read_parquet(
+        f"{SF001}/documents.parquet", columns=["doc_id", "text"]
+    )
+    model = learn_unigram(
+        ds, 40, seed_size=1000, em_rounds=3, min_count=2, max_piece_len=8
+    )
+    gv = pq.read_table("tests/golden/unigram_vocab_sf001.parquet")
+    want = dict(zip(gv.column("piece").to_pylist(), gv.column("count").to_pylist()))
+    assert dict(model.counts) == want
+
+    enc = (
+        unigram_encode(ds, model)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ge = (
+        pq.read_table("tests/golden/unigram_encode_sf001.parquet")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert enc.equals(ge)
+    # pruning really forces sub-word splits on this corpus
+    assert (enc["n_pieces"] > 0).all()
+    assert enc["n_pieces"].mean() > 100  # ~2.4 pieces/word corpus-wide

@@ -1994,6 +1994,162 @@ def gif_frames_golden() -> pa.Table:
     )
 
 
+def _unigram_twin(
+    vocab_size: int = 40,
+    max_piece_len: int = 8,
+    seed_size: int = 1000,
+    em_rounds: int = 3,
+    min_count: int = 2,
+    max_words: int = 100_000,
+):
+    """Independent hard-EM unigram-LM fit (Kudo 2018, Viterbi-E-step
+    variant): substring seeding → Viterbi recount rounds → char-safe
+    prune.  Scores with ``fractions.Fraction`` (a different exact
+    mechanism than the engine's cross-multiplied integer rationals,
+    same total order); written from scratch, no ocr_system_ray
+    imports."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    rgx = re.compile(r"[^ \t\n\r\f\v]+")
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id", "text"])
+    wc: Counter = Counter()
+    for t in docs.column("text").to_pylist():
+        wc.update(rgx.findall(t or ""))
+    items = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    items = [(w, n) for w, n in items if w]
+    chars = sorted({c for w, _ in items for c in w})
+
+    sub: Counter = Counter()
+    for w, f in items:
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece_len) + 1):
+                sub[w[i:j]] += f
+    multi = sorted(
+        ((s, c) for s, c in sub.items() if len(s) > 1 and c >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    model = {c: max(int(sub.get(c, 0)), 1) for c in chars}
+    model.update(dict(multi[: max(0, seed_size - len(chars))]))
+
+    def viterbi(word, counts, total):
+        n = len(word)
+        best = [None] * (n + 1)  # (neg Fraction score, k, pieces)
+        best[0] = (Fraction(0), 0, ())
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                if best[j] is None:
+                    continue
+                piece = word[j:i]
+                c = counts.get(piece)
+                if not c:
+                    continue
+                # store NEGATED log-free score as -(prod/T^k) via
+                # Fraction product; smaller key = better
+                prev = best[j]
+                score = (prev[0] if prev[1] else Fraction(-1)) * Fraction(
+                    c, total
+                )
+                cand = (score, prev[1] + 1, prev[2] + (piece,))
+                if best[i] is None or (cand[0], cand[1], cand[2]) < (
+                    best[i][0],
+                    best[i][1],
+                    best[i][2],
+                ):
+                    best[i] = cand
+        if best[n] is None:
+            return None
+        return list(best[n][2])
+
+    for _ in range(em_rounds):
+        total = sum(model.values())
+        usage: Counter = Counter()
+        for w, f in items:
+            seg = viterbi(w, model, total)
+            if seg:
+                for p in seg:
+                    usage[p] += f
+        new = {c: max(int(usage.get(c, 0)), 1) for c in chars}
+        for s in model:
+            if len(s) > 1 and usage.get(s, 0) >= min_count:
+                new[s] = int(usage[s])
+        model = new
+
+    mf = sorted(
+        ((s, c) for s, c in model.items() if len(s) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    final = {c: model[c] for c in chars}
+    final.update(dict(mf[: max(0, vocab_size - len(chars))]))
+    return docs, rgx, final, max_piece_len
+
+
+def unigram_vocab_golden() -> pa.Table:
+    _, _, model, _ = _unigram_twin()
+    pieces = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(pieces) + 1, dtype=np.int64)),
+            "piece": pa.array([p for p, _ in pieces], pa.string()),
+            "count": pa.array([c for _, c in pieces], pa.int64()),
+        }
+    )
+
+
+def unigram_encode_golden() -> pa.Table:
+    from fractions import Fraction
+
+    docs, rgx, model, max_piece_len = _unigram_twin()
+    total = sum(model.values())
+
+    def enc(word):
+        n = len(word)
+        best = [None] * (n + 1)
+        best[0] = (Fraction(0), 0, ())
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                if best[j] is None:
+                    continue
+                c = model.get(word[j:i])
+                if not c:
+                    continue
+                prev = best[j]
+                score = (prev[0] if prev[1] else Fraction(-1)) * Fraction(
+                    c, total
+                )
+                cand = (score, prev[1] + 1, prev[2] + (word[j:i],))
+                if best[i] is None or cand < best[i]:
+                    best[i] = cand
+        if best[n] is None:
+            return 1, 1  # [UNK]
+        return len(best[n][2]), 0
+
+    cache: dict = {}
+    ids, np_out, nu_out = [], [], []
+    for i, t in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        tp = tu = 0
+        for w in rgx.findall(t or ""):
+            got = cache.get(w)
+            if got is None:
+                got = enc(w)
+                cache[w] = got
+            tp += got[0]
+            tu += got[1]
+        ids.append(i)
+        np_out.append(tp)
+        nu_out.append(tu)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_pieces": pa.array(np_out, pa.int64()),
+            "n_unk": pa.array(nu_out, pa.int64()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -2093,6 +2249,12 @@ def main() -> None:
     lz = lzratio_golden()
     pq.write_table(lz, GOLDEN_DIR / "lzratio_sf001.parquet")
     print(f"lzratio_sf001.parquet: {lz.num_rows} rows")
+    uv = unigram_vocab_golden()
+    pq.write_table(uv, GOLDEN_DIR / "unigram_vocab_sf001.parquet")
+    print(f"unigram_vocab_sf001.parquet: {uv.num_rows} rows")
+    ue = unigram_encode_golden()
+    pq.write_table(ue, GOLDEN_DIR / "unigram_encode_sf001.parquet")
+    print(f"unigram_encode_sf001.parquet: {ue.num_rows} rows")
     ray.shutdown()
 
 
