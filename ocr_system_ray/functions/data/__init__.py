@@ -1,0 +1,1 @@
+"""Generated RFC-constant data files (see tools/extract_brotli_tables.py)."""

@@ -1,6 +1,6 @@
 """Real HTTP/1.1 message decode for crawl payloads: status line +
 headers, ``Transfer-Encoding: chunked`` de-chunking, and
-``Content-Encoding`` gzip/deflate decompression.
+``Content-Encoding`` gzip/deflate/brotli decompression.
 
 Common-Crawl WARC ``response`` records store the raw HTTP message;
 ``sources/warc.py:strip_http_headers`` handles only the identity case
@@ -19,7 +19,10 @@ from the derivation):
   chunks present (truncation → prefix, the crawl-robustness default);
   a malformed size line is an error;
 * content decoding after de-chunking: ``gzip``/``x-gzip`` via the gzip
-  wrapper, ``deflate`` as zlib (raw-deflate fallback — real servers
+  wrapper, ``br`` via the from-scratch RFC 7932 decoder
+  (``functions/brotlidec.py`` — full compressed-stream support incl.
+  the static dictionary and transforms; the fixture encoder emits
+  stored-mode streams), ``deflate`` as zlib (raw-deflate fallback — real servers
   send both); corrupt compressed bytes are an error;
 * identity bodies honor ``Content-Length`` when present and sane,
   else run to end-of-payload.
@@ -130,6 +133,13 @@ def decode_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
             body = _gzip.decompress(body)
         except (OSError, EOFError, zlib.error) as exc:
             raise ValueError("http: corrupt gzip body") from exc
+    elif ce == "br":
+        from .brotlidec import BrotliError, decode_brotli
+
+        try:
+            body = decode_brotli(body)
+        except BrotliError as exc:
+            raise ValueError("http: corrupt brotli body") from exc
     elif ce == "deflate":
         try:
             body = zlib.decompress(body)
@@ -159,6 +169,10 @@ def encode_http_response(
         body = _gzip.compress(body, mtime=0)
     elif content_encoding == "deflate":
         body = zlib.compress(body)
+    elif content_encoding == "br":
+        from .brotlidec import encode_brotli_stored
+
+        body = encode_brotli_stored(body)
     elif content_encoding:
         raise ValueError("http: unsupported content_encoding fixture")
     headers = [("Date", "Tue, 18 Aug 2026 00:00:00 GMT")]
@@ -187,16 +201,18 @@ def encode_http_response(
 
 def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id"):
     """Stateless decode pass → ``(id, ok, status, chunked, gzipped,
-    n_bytes, body_md5)``; non-HTTP / malformed payloads emit a zero row
-    with ``ok=0`` (error-as-data, row conservation).  Raw payloads die
-    in-stage — only fingerprints flow on."""
+    brotli, n_bytes, body_md5)``; non-HTTP / malformed payloads emit a
+    zero row with ``ok=0`` (error-as-data, row conservation).  Raw
+    payloads die in-stage — only fingerprints flow on."""
     import hashlib
 
     import pyarrow as pa
 
     def run(t: "pa.Table") -> "pa.Table":
         ids = t.column(id_col)
-        ok, status, chunked, gzipped, n_bytes, md5s = [], [], [], [], [], []
+        ok, status, chunked, gzipped, brs, n_bytes, md5s = (
+            [], [], [], [], [], [], []
+        )
         for p in t.column(payload_col).to_pylist():
             try:
                 st, headers, body = decode_http_response(p or b"")
@@ -205,6 +221,7 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
                 status.append(0)
                 chunked.append(0)
                 gzipped.append(0)
+                brs.append(0)
                 n_bytes.append(0)
                 md5s.append("")
                 continue
@@ -213,6 +230,7 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
             chunked.append(int("chunked" in headers.get("transfer-encoding", "").lower()))
             ce = headers.get("content-encoding", "").lower()
             gzipped.append(int(ce in ("gzip", "x-gzip")))
+            brs.append(int(ce == "br"))
             n_bytes.append(len(body))
             md5s.append(hashlib.md5(body).hexdigest())
         return pa.table(
@@ -222,6 +240,7 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
                 "status": pa.array(status, pa.int64()),
                 "chunked": pa.array(chunked, pa.int64()),
                 "gzipped": pa.array(gzipped, pa.int64()),
+                "brotli": pa.array(brs, pa.int64()),
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "body_md5": pa.array(md5s, pa.string()),
             }

