@@ -3,8 +3,11 @@ dup-heavy corpus at two CPU levels, fresh process per run.
 
 The flagship scaling bench (`bench.py --scaling`) measures an
 embarrassingly-parallel pipeline; this one exercises the band-explode
-groupby + coarse-bucket reduce-side verify join — the all-to-all paths
-that actually stress a 100 TB cluster.  Protocol mirrors the flagship
+groupby + verify — the all-to-all paths that actually stress a 100 TB
+cluster.  Default mode is the TWO-barrier fused path (signatures ride
+the band explode, pairs verified where born; VERDICT r3 item 4);
+``GRAFT_SHUF_MODE=join`` measures the byte-lean 3-barrier join path.
+Pair sets are identical across modes (tests/test_fused_lsh.py).  Protocol mirrors the flagship
 bench: fresh `ray.init` per level, warm pass first, best-of-N
 interleaved, minimum per level (the time-shared host's noise floor is
 ±15%).
@@ -87,9 +90,13 @@ def run_once(ncpu: int) -> float:
 
     corpus = ensure_corpus()
 
+    mode = os.environ.get("GRAFT_SHUF_MODE", "fused")
+
     def pairs():  # noqa: ANN202
         ds = ray.data.read_parquet(corpus, columns=["doc_id", "text"])
-        return dedup.minhash_duplicate_pairs(ds, id_col="doc_id", text_col="text")
+        return dedup.minhash_duplicate_pairs(
+            ds, id_col="doc_id", text_col="text", verify_mode=mode
+        )
 
     # warm pass on one shard spawns worker processes
     warm = ray.data.read_parquet(
@@ -132,6 +139,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "minhash near-dup scaling (docs/sec, N vs 4N cpus)",
+                "verify_mode": os.environ.get("GRAFT_SHUF_MODE", "fused"),
                 "value": round(eff, 3),
                 "unit": "efficiency",
                 "cpus_lo": LO,
