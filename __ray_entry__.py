@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_record": q.q_golden_record,
         "ks_drift": q.q_ks_drift,
         "spearman": q.q_spearman,
+        "suffix_array": q.q_suffix_array,
+        "suffix_lcp": q.q_suffix_lcp,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -879,6 +881,24 @@ def _dp_counts_sql() -> str:
 
     return dp_group_counts_sql(
         "event_type", "FROM events", scale_b=2.0, salt="dp2026"
+    )
+
+
+_SA_FROM = "FROM documents WHERE doc_id % 10 = 0"
+
+
+def _suffix_array_sql() -> str:
+    from ocr_system_ray.functions.suffixarray import suffix_array_sql
+
+    return suffix_array_sql(_SA_FROM)
+
+
+def _suffix_lcp_sql() -> str:
+    from ocr_system_ray.functions.suffixarray import lcp_adjacent_sql
+
+    return (
+        lcp_adjacent_sql(_SA_FROM, cap=512)
+        + " ORDER BY lcp DESC, rank LIMIT 50"
     )
 
 
@@ -2350,6 +2370,12 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _ks_drift_sql(),
         # spearman: doubled tie-averaged ranks + identical float tree
         "spearman": _spearman_sql(),
+        # suffix array: ROW_NUMBER over (suffix, doc_id, pos) on the
+        # unnested char positions; DuckDB VARCHAR memcmp ≡ code points
+        "suffix_array": _suffix_array_sql(),
+        # adjacent-suffix LCP top-50 (cap 512 both engines; rank unique
+        # so the LIMIT boundary is deterministic)
+        "suffix_lcp": _suffix_lcp_sql(),
         "credit_card_scan": _credit_card_sql(),
         # blocked_hosts: host + blocklist test re-derived via the
         # generated sql_host_expr / sql_blocked_expr twins

@@ -9207,3 +9207,43 @@ def q_spearman(sf_dir: str) -> ray.data.Dataset:
     return spearman_corr(
         docs.map_batches(derive, batch_format="pyarrow"), "n_chars", "n_tokens"
     )
+
+
+def _sa_subset(sf_dir: str) -> ray.data.Dataset:
+    """The suffix-array query scope: every 10th document — the
+    suffix array is character-granular (one row per corpus character ×
+    ~25 stages of prefix doubling), so the DRIVER QUERY runs on a
+    deterministic 1/10 sample; the operator itself is scope-agnostic
+    (see functions/suffixarray.py scale notes)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_suffix_array(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide suffix array (prefix doubling, Manber–Myers /
+    Flick–Aluru shape) over the 1/10 document scope →
+    (doc_id, pos, sa_rank).  Oracle = ROW_NUMBER over
+    (substr(text, pos+1), doc_id, pos) on the unnested positions —
+    DuckDB's bytewise VARCHAR order ≡ the engine's code-point order."""
+    from ..functions import suffixarray
+
+    return suffixarray.suffix_array(_sa_subset(sf_dir))
+
+
+def q_suffix_lcp(sf_dir: str) -> ray.data.Dataset:
+    """Top-50 adjacent-suffix LCPs (longest repeated substrings' SA
+    neighbourhoods) over the same 1/10 scope →
+    (rank, id_a, pos_a, id_b, pos_b, lcp), lcp capped at 512 on both
+    engines; ordered by (lcp desc, rank) — rank is unique, so the
+    LIMIT boundary is deterministic."""
+    from ..functions import suffixarray
+
+    docs = _sa_subset(sf_dir)
+    sa = suffixarray.suffix_array(docs)
+    lcp = suffixarray.lcp_adjacent(sa, docs, cap=512)
+    return lcp.sort(["lcp", "rank"], descending=[True, False]).limit(50)

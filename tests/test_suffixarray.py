@@ -1,0 +1,141 @@
+"""Distributed suffix array + adjacent-LCP vs an in-process brute force.
+
+The brute force is the DEFINITION (sorted(suffixes) with the
+(suffix, doc_id, pos) key) — independent of every engine idiom the
+implementation uses (packed seeds, rank combines, bucket offsets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions import suffixarray as sax
+
+DOCS = [
+    (1, "banana"),
+    (2, "bandana"),
+    (3, ""),
+    (4, None),
+    (5, "banana"),  # byte-identical text → full-tie, doc_id break
+    (6, "año🎈ñ"),  # multi-byte + astral code points
+    (7, "aaaaaaaaaaaaaaaaaaaa"),  # maximal-repetition run
+    (8, "the quick brown fox jumps over the lazy dog the quick brown"),
+]
+
+
+def _dataset(docs, blocks=3):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _brute_sa(docs):
+    sufs = []
+    for d, x in docs:
+        x = x or ""
+        for p in range(len(x)):
+            sufs.append((x[p:], d, p))
+    sufs.sort()
+    return sufs
+
+
+def _brute_sa_frame(docs):
+    sufs = _brute_sa(docs)
+    return (
+        pd.DataFrame(
+            [(d, p, i + 1) for i, (_, d, p) in enumerate(sufs)],
+            columns=["doc_id", "pos", "sa_rank"],
+        )
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def _got_frame(ds):
+    return (
+        ds.to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def test_suffix_array_matches_brute_force(ray_session):
+    got = _got_frame(sax.suffix_array(_dataset(DOCS)))
+    exp = _brute_sa_frame(DOCS)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_block_layout_invariance(ray_session):
+    one = _got_frame(sax.suffix_array(_dataset(DOCS, blocks=1)))
+    many = _got_frame(sax.suffix_array(_dataset(DOCS, blocks=7)))
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_empty_corpus(ray_session):
+    ds = _dataset([(1, ""), (2, None)])
+    out = sax.suffix_array(ds).to_pandas()
+    assert len(out) == 0
+
+
+def test_lcp_adjacent_matches_brute_force(ray_session):
+    cap = 16
+    ds = _dataset(DOCS)
+    got = (
+        sax.lcp_adjacent(sax.suffix_array(ds), ds, cap=cap)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    sufs = _brute_sa(DOCS)
+    rows = []
+    for i in range(len(sufs) - 1):
+        a, b = sufs[i][0][:cap], sufs[i + 1][0][:cap]
+        l = 0
+        while l < min(len(a), len(b)) and a[l] == b[l]:
+            l += 1
+        rows.append((i + 1, sufs[i][1], sufs[i][2], sufs[i + 1][1], sufs[i + 1][2], l))
+    exp = pd.DataFrame(
+        rows, columns=["rank", "id_a", "pos_a", "id_b", "pos_b", "lcp"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_duplicate_documents_tiebreak(ray_session):
+    # two byte-identical docs: every suffix pair ties; ranks must
+    # interleave strictly by doc_id at equal pos-suffix
+    docs = [(10, "abab"), (20, "abab")]
+    got = _got_frame(sax.suffix_array(_dataset(docs, blocks=2)))
+    exp = _brute_sa_frame(docs)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_single_long_repetitive_doc(ray_session):
+    # one doc of period-3 repetition — exercises many doubling rounds
+    docs = [(1, "abc" * 40)]
+    got = _got_frame(sax.suffix_array(_dataset(docs, blocks=1)))
+    exp = _brute_sa_frame(docs)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_corpus(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        (i + 1, " ".join(rng.choice(vocab, size=rng.integers(3, 20))))
+        for i in range(12)
+    ]
+    got = _got_frame(sax.suffix_array(_dataset(docs, blocks=4)))
+    exp = _brute_sa_frame(docs)
+    pd.testing.assert_frame_equal(got, exp)
