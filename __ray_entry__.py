@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webp_lossless": q.q_webp_lossless,
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
+        "flac_roundtrip": q.q_flac_roundtrip,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
@@ -5256,6 +5257,16 @@ def oracle_sql() -> dict[str, str]:
                    g.peak, g.zero_crossings, g.rms, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/audio_features_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # flac_roundtrip: independent twin computes the features from
+        # the shared waveform derivation WITHOUT touching FLAC — the
+        # engine must encode+decode bit-exactly (MD5-complete) to match
+        "flac_roundtrip": """
+            SELECT d.doc_id, g.sample_rate, g.channels, g.bits,
+                   g.n_samples, g.peak, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/flac_features_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         "audio_fingerprints": """

@@ -1,0 +1,725 @@
+"""From-scratch FLAC codec (RFC 9639 / xiph FLAC format) — encoder +
+decoder, bit-exact, stdlib+numpy only.
+
+The lossless-audio leg of the multimodal library: LibriSpeech-style
+speech corpora ship as FLAC, and the engine's audio operators
+(``audiofp.py`` features / fingerprints / near-dup) need real decoded
+PCM from them.  Reference analog: the reference's binary ingestion legs
+(`/root/reference/ocr/pdf.py`) shell out to system binaries; here the
+codec is implemented from the public format spec directly, like the
+repo's JPEG/PNG/GIF/VP8L decoders.
+
+Encoder subset (always-valid FLAC):
+* STREAMINFO + frames, fixed block size (last block short, 16-bit
+  block-size-minus-1 header form), fixed blocking strategy;
+* per channel the best of CONSTANT / FIXED order 0–4 / VERBATIM by
+  exact Rice cost; independent channels;
+* residuals Rice-coded (method 0, partition order 0, escape to raw
+  when the best parameter exceeds 14);
+* frame-header CRC-8 (poly 0x07) and frame CRC-16 (poly 0x8005), and
+  the STREAMINFO MD5 of the interleaved little-endian PCM.
+
+Decoder (a strict superset of the encoder, covering real-world
+streams): CONSTANT / VERBATIM / FIXED 0–4 / LPC order 1–32 subframes,
+wasted bits, Rice method 0 and 1 (5-bit "rice2") with any partition
+order and raw escapes, left/side / right/side / mid/side channel
+decorrelation (side channel +1 bit), 8/12/16/20/24-bit sample sizes,
+both CRCs verified, decoded-PCM MD5 checked against STREAMINFO.
+
+Bit conventions (per the spec): everything MSB-first; unary is n
+``0``-bits followed by a ``1``; Rice values are zigzag-folded
+(``n>=0 → 2n``, ``n<0 → -2n-1``); frame numbers are UTF-8-style coded
+(extended to 36 bits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_flac",
+    "decode_flac",
+    "FlacError",
+]
+
+
+class FlacError(ValueError):
+    """Malformed or unsupported FLAC stream."""
+
+
+# ---------------------------------------------------------------------------
+# CRCs (spec polynomials, zero-initialised)
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = i << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) if (c & top) else (c << 1)
+        tab[i] = c & mask
+    return tab
+
+
+_CRC8_TAB = _crc_table(0x07, 8)
+_CRC16_TAB = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TAB[(c ^ b) & 0xFF])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = (int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ (c << 8)) & 0xFFFF
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (MSB-first)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._bytes.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def getvalue(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self._bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._byte = pos
+        self._bit = 0
+
+    @property
+    def byte_pos(self) -> int:
+        return self._byte
+
+    def aligned(self) -> bool:
+        return self._bit == 0
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        while nbits > 0:
+            if self._byte >= len(self._data):
+                raise FlacError("flac: truncated bitstream")
+            avail = 8 - self._bit
+            take = min(avail, nbits)
+            cur = self._data[self._byte]
+            v = (v << take) | ((cur >> (avail - take)) & ((1 << take) - 1))
+            self._bit += take
+            nbits -= take
+            if self._bit == 8:
+                self._bit = 0
+                self._byte += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 22:
+                raise FlacError("flac: runaway unary code")
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if v >= 1 << (nbits - 1):
+            v -= 1 << nbits
+        return v
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _utf8_code(n: int) -> bytes:
+    """Frame-number coding: standard UTF-8 widened to 36 bits."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, bits in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << bits):
+            lead = (0xFF << (8 - nbytes)) & 0xFF
+            shift = 6 * (nbytes - 1)
+            out = [lead | ((n >> shift) & ((1 << (7 - nbytes)) - 1))]
+            for i in range(nbytes - 1):
+                shift -= 6
+                out.append(0x80 | ((n >> shift) & 0x3F))
+            return bytes(out)
+    raise FlacError("flac: frame number out of range")
+
+
+def _read_utf8_code(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for i in range(7):
+        if not (b0 >> (6 - i)) & 1:
+            nbytes = i + 1
+            break
+    else:
+        raise FlacError("flac: bad UTF-8 frame number")
+    if nbytes < 2:
+        raise FlacError("flac: bad UTF-8 frame number")
+    v = b0 & ((1 << (7 - nbytes)) - 1)
+    for _ in range(nbytes - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise FlacError("flac: bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FIXED_COEFS: dict[int, list[int]] = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_RATE_CODES = {
+    88200: 1,
+    176400: 2,
+    192000: 3,
+    8000: 4,
+    16000: 5,
+    22050: 6,
+    24000: 7,
+    32000: 8,
+    44100: 9,
+    48000: 10,
+    96000: 11,
+}
+
+_BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}
+_BPS_FROM_CODE = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    return np.where(res >= 0, res << 1, (-res << 1) - 1).astype(np.int64)
+
+
+def _rice_cost(folded: np.ndarray, param: int) -> int:
+    return int((folded >> param).sum()) + folded.size * (param + 1)
+
+
+def _best_rice_param(folded: np.ndarray, max_param: int = 14) -> tuple[int, int]:
+    best_p, best_c = 0, _rice_cost(folded, 0)
+    for p in range(1, max_param + 1):
+        c = _rice_cost(folded, p)
+        if c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _encode_subframe(bw: _BitWriter, chan: np.ndarray, bps: int) -> None:
+    n = chan.size
+    chan = chan.astype(np.int64)
+    if n and np.all(chan == chan[0]):
+        bw.write(0, 1)  # zero pad bit
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(chan[0]) & ((1 << bps) - 1), bps)
+        return
+    # pick best fixed order by exact rice cost
+    best = None  # (cost, order, residual, param, escape_bits)
+    max_order = min(4, n - 1) if n > 1 else 0
+    for order in range(0, max_order + 1):
+        res = chan.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        res = res[: n - order] if order == 0 else res
+        folded = _zigzag(res)
+        if folded.size and int(folded.max()) >> 30:
+            continue  # giant residuals: rice useless, let verbatim win
+        p, cost = _best_rice_param(folded)
+        # escape (raw) alternative inside the single partition
+        raw_bits = int(folded.size and (int(_bitlen_signed(res)))) or 1
+        esc_cost = 5 + folded.size * raw_bits
+        use_esc = esc_cost < cost
+        total = (
+            order * bps
+            + 2  # residual method
+            + 4  # partition order
+            + (4 + (esc_cost if use_esc else cost) - (0 if use_esc else 0))
+        )
+        cand = (total, order, res, (None if use_esc else p), raw_bits if use_esc else None)
+        if best is None or total < best[0]:
+            best = cand
+    verbatim_cost = n * bps
+    if best is None or best[0] >= verbatim_cost:
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(0, 1)
+        for v in chan:
+            bw.write(int(v) & ((1 << bps) - 1), bps)
+        return
+    _, order, res, param, raw_bits = best
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)  # FIXED, order
+    bw.write(0, 1)  # no wasted bits
+    for v in chan[:order]:
+        bw.write(int(v) & ((1 << bps) - 1), bps)
+    bw.write(0, 2)  # residual method 0 (4-bit rice)
+    bw.write(0, 4)  # partition order 0
+    folded = _zigzag(res)
+    if param is None:
+        bw.write(0xF, 4)  # escape
+        bw.write(raw_bits, 5)
+        for v in res:
+            bw.write(int(v) & ((1 << raw_bits) - 1), raw_bits)
+    else:
+        bw.write(param, 4)
+        for f in folded:
+            f = int(f)
+            bw.write_unary(f >> param)
+            bw.write(f, param)
+
+
+def _bitlen_signed(res: np.ndarray) -> int:
+    """Bits needed to store every residual as two's complement."""
+    if res.size == 0:
+        return 1
+    mx = int(res.max())
+    mn = int(res.min())
+    bits = 1
+    while not (-(1 << (bits - 1)) <= mn and mx < (1 << (bits - 1))):
+        bits += 1
+    return bits
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int,
+    bits: int = 16,
+    block_size: int = 4096,
+) -> bytes:
+    """PCM → FLAC bytes.  ``samples``: int array, shape (n,) mono or
+    (n, channels); values must fit ``bits`` (signed)."""
+    if bits not in _BPS_CODES:
+        raise FlacError(f"flac: unsupported bits-per-sample {bits}")
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    if not (1 <= nch <= 8):
+        raise FlacError("flac: 1..8 channels")
+    s = s.astype(np.int64)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if n and (int(s.min()) < lo or int(s.max()) > hi):
+        raise FlacError("flac: sample out of range for bits")
+
+    # MD5 of interleaved little-endian PCM (spec: signed, LE)
+    width = (bits + 7) // 8
+    inter = s.reshape(-1)
+    md5 = hashlib.md5()
+    if width == 1:
+        md5.update((inter & 0xFF).astype(np.uint8).tobytes())
+    elif width == 2:
+        md5.update(inter.astype("<i2").tobytes())
+    else:
+        b = np.zeros((inter.size, width), dtype=np.uint8)
+        for i in range(width):
+            b[:, i] = (inter >> (8 * i)) & 0xFF
+        md5.update(b.tobytes())
+
+    frames = bytearray()
+    rate_code = _RATE_CODES.get(sample_rate)
+    frame_no = 0
+    for start in range(0, max(n, 1), block_size):
+        blk = s[start : start + block_size]
+        bs = blk.shape[0]
+        if bs == 0:
+            break
+        bw = _BitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocksize strategy
+        bw.write(7, 4)  # blocksize: 16-bit value-1 follows
+        bw.write(rate_code if rate_code is not None else 13, 4)
+        bw.write(nch - 1, 4)  # independent channels
+        bw.write(_BPS_CODES[bits], 3)
+        bw.write(0, 1)  # reserved
+        hdr = bw  # keep writing into same writer
+        for byt in _utf8_code(frame_no):
+            hdr.write(byt, 8)
+        hdr.write(bs - 1, 16)
+        if rate_code is None:
+            hdr.write(sample_rate, 16)
+        hdr.align()
+        partial = hdr.getvalue()
+        crc8 = _crc8(partial)
+        bw2 = _BitWriter()
+        bw2.write(crc8, 8)
+        for c in range(nch):
+            _encode_subframe(bw2, blk[:, c], bits)
+        bw2.align()
+        body = partial + bw2.getvalue()
+        frames += body + struct.pack(">H", _crc16(body))
+        frame_no += 1
+
+    # STREAMINFO
+    si = _BitWriter()
+    si.write(block_size if n else 16, 16)  # min block size
+    si.write(block_size, 16)  # max block size
+    si.write(0, 24)  # min frame size unknown
+    si.write(0, 24)  # max frame size unknown
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    si.align()
+    streaminfo = si.getvalue() + md5.digest()
+    head = b"fLaC" + bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:]
+    return head + streaminfo + bytes(frames)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise FlacError("flac: reserved residual method")
+    plen = 4 if method == 0 else 5
+    po = br.read(4)
+    nparts = 1 << po
+    if bs % nparts:
+        raise FlacError("flac: block size not divisible by partitions")
+    res = np.empty(bs - order, dtype=np.int64)
+    idx = 0
+    for p in range(nparts):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise FlacError("flac: bad partition order")
+        param = br.read(plen)
+        if param == (1 << plen) - 1:  # escape: raw
+            raw = br.read(5)
+            for i in range(cnt):
+                res[idx + i] = br.read_signed(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                low = br.read(param) if param else 0
+                folded = (q << param) | low
+                res[idx + i] = (folded >> 1) ^ -(folded & 1)
+        idx += cnt
+    return res
+
+
+def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise FlacError("flac: subframe pad bit set")
+    ty = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+        bps -= wasted
+    if ty == 0:  # CONSTANT
+        v = br.read_signed(bps)
+        out = np.full(bs, v, dtype=np.int64)
+    elif ty == 1:  # VERBATIM
+        out = np.array([br.read_signed(bps) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= ty <= 12:  # FIXED
+        order = ty - 8
+        warm = np.array(
+            [br.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
+        res = _decode_residual(br, bs, order)
+        # order-k fixed prediction residuals are exactly the k-th finite
+        # differences — invert with k nested cumsums (int64-exact,
+        # vectorized; the warmup's j-th-difference tails seed each level)
+        if order == 0:
+            out = res
+        else:
+            diffs = [warm]
+            for _ in range(order - 1):
+                diffs.append(np.diff(diffs[-1]))
+            cur = res  # t_k[k .. bs-1]
+            for j in range(order - 1, -1, -1):
+                seed = diffs[j][-1:]  # t_j[order-1], from the warmup
+                cur = np.cumsum(np.concatenate([seed, cur]))
+                if j > 0:
+                    cur = cur[1:]  # t_j[order .. bs-1]
+            out = np.concatenate([warm[: order - 1], cur])
+    elif ty >= 32:  # LPC
+        order = ty - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise FlacError("flac: invalid qlp precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise FlacError("flac: negative qlp shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, bs, order)
+        out = np.empty(bs, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, bs):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise FlacError(f"flac: reserved subframe type {ty}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+_BS_FROM_CODE = {
+    1: 192,
+    2: 576,
+    3: 1152,
+    4: 2304,
+    5: 4608,
+    8: 256,
+    9: 512,
+    10: 1024,
+    11: 2048,
+    12: 4096,
+    13: 8192,
+    14: 16384,
+    15: 32768,
+}
+
+_RATE_FROM_CODE = {v: k for k, v in _RATE_CODES.items()}
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int, int, bool]:
+    """FLAC bytes → ``(samples (n, channels) int64, sample_rate, bits,
+    md5_ok)``.  Raises :class:`FlacError` on malformed streams."""
+    if data[:4] != b"fLaC":
+        raise FlacError("flac: bad magic")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise FlacError("flac: truncated metadata")
+        hdr = data[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + ln]
+        if len(body) < ln:
+            raise FlacError("flac: truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise FlacError("flac: missing STREAMINFO")
+    br0 = _BitReader(streaminfo)
+    br0.read(16)
+    br0.read(16)
+    br0.read(24)
+    br0.read(24)
+    si_rate = br0.read(20)
+    si_nch = br0.read(3) + 1
+    si_bits = br0.read(5) + 1
+    si_total = br0.read(36)
+    si_md5 = streaminfo[18:34]
+
+    chans: list[np.ndarray] = []
+    total = 0
+    while pos < len(data):
+        frame_start = pos
+        br = _BitReader(data, pos)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise FlacError("flac: lost frame sync")
+        if br.read(1):
+            raise FlacError("flac: reserved header bit")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        rate_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        if br.read(1):
+            raise FlacError("flac: reserved header bit")
+        _read_utf8_code(br)
+        if bs_code == 0:
+            raise FlacError("flac: reserved block size code")
+        elif bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        else:
+            bs = _BS_FROM_CODE[bs_code]
+        if rate_code == 0:
+            rate = si_rate
+        elif rate_code in _RATE_FROM_CODE:
+            rate = _RATE_FROM_CODE[rate_code]
+        elif rate_code == 12:
+            rate = br.read(8) * 1000
+        elif rate_code == 13:
+            rate = br.read(16)
+        elif rate_code == 14:
+            rate = br.read(16) * 10
+        else:
+            raise FlacError("flac: invalid sample rate code")
+        bps = si_bits if bps_code == 0 else _BPS_FROM_CODE.get(bps_code)
+        if bps is None:
+            raise FlacError("flac: reserved sample size code")
+        hdr_crc = br.read(8)
+        if _crc8(data[frame_start : br.byte_pos - 1]) != hdr_crc:
+            raise FlacError("flac: frame header CRC mismatch")
+        if ch_code < 8:
+            nch = ch_code + 1
+            sub = [
+                _decode_subframe(br, bs, bps) for _ in range(nch)
+            ]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            if ch_code == 8:  # left/side
+                left = _decode_subframe(br, bs, bps)
+                side = _decode_subframe(br, bs, bps + 1)
+                sub = [left, left - side]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(br, bs, bps + 1)
+                right = _decode_subframe(br, bs, bps)
+                sub = [right + side, right]
+            else:  # mid/side
+                mid = _decode_subframe(br, bs, bps)
+                side = _decode_subframe(br, bs, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                sub = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise FlacError("flac: reserved channel assignment")
+        if nch != si_nch:
+            raise FlacError("flac: channel count mismatch")
+        # byte-align, then frame CRC-16
+        if not br.aligned():
+            br.read(8 - br._bit)
+        body_end = br.byte_pos
+        crc = struct.unpack(">H", data[body_end : body_end + 2])[0]
+        if _crc16(data[frame_start:body_end]) != crc:
+            raise FlacError("flac: frame CRC mismatch")
+        pos = body_end + 2
+        chans.append(np.stack(sub, axis=1))
+        total += bs
+        if si_total and total >= si_total:
+            break
+    if not chans:
+        out = np.zeros((0, si_nch), dtype=np.int64)
+    else:
+        out = np.concatenate(chans, axis=0)
+        if si_total:
+            out = out[:si_total]
+    # MD5 of decoded PCM
+    width = (si_bits + 7) // 8
+    inter = out.reshape(-1)
+    md5 = hashlib.md5()
+    if width == 1:
+        md5.update((inter & 0xFF).astype(np.uint8).tobytes())
+    elif width == 2:
+        md5.update(inter.astype("<i2").tobytes())
+    else:
+        b = np.zeros((inter.size, width), dtype=np.uint8)
+        for i in range(width):
+            b[:, i] = (inter >> (8 * i)) & 0xFF
+        md5.update(b.tobytes())
+    md5_ok = si_md5 == md5.digest() or si_md5 == b"\x00" * 16
+    return out, rate if chans else si_rate, si_bits, md5_ok
+
+
+# ---------------------------------------------------------------------------
+# Ray batch operator
+# ---------------------------------------------------------------------------
+
+
+def flac_features(ds, audio_col: str = "audio", id_col: str = "doc_id"):
+    """Decode a FLAC binary column → integer features, never-fail-row:
+    ``(id_col, sample_rate, channels, bits, n_samples, peak, ok)``.
+
+    ``ok = 1`` only when the stream decodes COMPLETELY and the decoded
+    PCM's MD5 matches STREAMINFO; any failure (bad magic, truncation,
+    CRC mismatch, short stream) yields an all-zero error-as-data row —
+    partial decodes are never reported as features, so the row is a
+    pure function of the payload.  Row-local ``map_batches``; payload
+    dies in-stage."""
+    import pyarrow as pa
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        blobs = t.column(audio_col).to_pylist()
+        rate_o, ch_o, bits_o, n_o, peak_o, ok_o = [], [], [], [], [], []
+        for blob in blobs:
+            try:
+                dec, rate, bits, md5_ok = decode_flac(blob or b"")
+                if not md5_ok:
+                    raise FlacError("flac: md5 mismatch / incomplete")
+                rate_o.append(rate)
+                ch_o.append(dec.shape[1])
+                bits_o.append(bits)
+                n_o.append(dec.shape[0])
+                peak_o.append(int(np.abs(dec).max()) if dec.size else 0)
+                ok_o.append(1)
+            except (FlacError, IndexError, struct.error):
+                rate_o.append(0)
+                ch_o.append(0)
+                bits_o.append(0)
+                n_o.append(0)
+                peak_o.append(0)
+                ok_o.append(0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rate_o, pa.int64()),
+                "channels": pa.array(ch_o, pa.int64()),
+                "bits": pa.array(bits_o, pa.int64()),
+                "n_samples": pa.array(n_o, pa.int64()),
+                "peak": pa.array(peak_o, pa.int64()),
+                "ok": pa.array(ok_o, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -9247,3 +9247,51 @@ def q_suffix_lcp(sf_dir: str) -> ray.data.Dataset:
     sa = suffixarray.suffix_array(docs)
     lcp = suffixarray.lcp_adjacent(sa, docs, cap=512)
     return lcp.sort(["lcp", "rank"], descending=[True, False]).limit(50)
+
+
+def _derived_flac_payloads(t: pa.Table) -> pa.Table:
+    """FLAC leg of the media corpus: the SAME deterministic waveforms
+    as the WAV leg (``_derived_wav_samples`` — derivation shared with
+    the golden twin, features never), encoded with the from-scratch
+    FLAC encoder (block_size 1024 → multi-frame streams).  Corrupt
+    rows: doc_id % IMG_BAD_MOD plants non-FLAC bytes; doc_id % 89 == 3
+    truncates at 2/3 (CRC/MD5 integrity must reject — ok=0, never a
+    partial-feature row)."""
+    from ..functions.flacaudio import encode_flac
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not flac")
+            continue
+        samples, rate, bits = _derived_wav_samples(i)
+        if bits == 8:
+            samples = samples >> 8  # FLAC 8-bit is signed; quantize
+        if i % 3 == 0 and bits == 16:
+            samples = np.stack([samples, samples // 2], axis=1)
+        raw = encode_flac(samples.astype(np.int64), rate, bits=bits, block_size=1024)
+        if i % 89 == 3:
+            raw = raw[: len(raw) * 2 // 3]
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_flac_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Real FLAC decode over from-scratch-encoded streams
+    (``functions/flacaudio.py`` — RFC 9639 frames, FIXED/CONSTANT/
+    VERBATIM subframes, Rice residuals, CRC-8/16 + STREAMINFO MD5
+    verified): → (doc_id, sample_rate, channels, bits, n_samples,
+    peak, ok).  ok=1 requires a COMPLETE decode with MD5 match; the
+    planted corrupt/truncated rows yield all-zero error-as-data rows.
+    Golden oracle = the INDEPENDENT twin computing the same features
+    from the shared waveform derivation directly — the engine must
+    round the samples through its own encoder AND decoder bit-exactly
+    to match (tools/make_goldens.py:flac_goldens)."""
+    from ..functions.flacaudio import flac_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    flacs = docs.map_batches(_derived_flac_payloads, batch_format="pyarrow")
+    return flac_features(flacs)

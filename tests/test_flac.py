@@ -1,0 +1,235 @@
+"""FLAC codec: round-trip property + HANDCRAFTED conformance frames.
+
+The handcrafted streams are assembled bit-by-bit in this file with an
+independent bit-string builder and a direct long-division CRC (no
+tables) — they exercise decoder paths the repo encoder never emits
+(LPC subframes, mid/left/right-side stereo, rice2 with partitions,
+raw escapes, wasted bits), with expected samples derived BY HAND in
+the comments."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.flacaudio import (
+    FlacError,
+    decode_flac,
+    encode_flac,
+)
+
+# ---------------------------------------------------------------------------
+# independent helpers (deliberately distinct from the module's)
+# ---------------------------------------------------------------------------
+
+
+def _bits(*parts: str) -> str:
+    return "".join(p.replace(" ", "") for p in parts)
+
+
+def _u(value: int, n: int) -> str:
+    return format(value & ((1 << n) - 1), f"0{n}b")
+
+
+def _pack(bitstr: str) -> bytes:
+    pad = (-len(bitstr)) % 8
+    bitstr += "0" * pad
+    return bytes(
+        int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8)
+    )
+
+
+def _crc8_slow(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _crc16_slow(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+    return c
+
+
+def _streaminfo(bs: int, rate: int, nch: int, bits: int, total: int) -> bytes:
+    si = _bits(
+        _u(bs, 16), _u(bs, 16), _u(0, 24), _u(0, 24),
+        _u(rate, 20), _u(nch - 1, 3), _u(bits - 1, 5), _u(total, 36),
+    )
+    body = _pack(si) + b"\x00" * 16  # zero MD5 → check skipped
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame(header_bits: str, payload_bits: str) -> bytes:
+    hdr = _pack(header_bits)
+    hdr += bytes([_crc8_slow(hdr)])
+    body = hdr + _pack(payload_bits)
+    return body + _crc16_slow(body).to_bytes(2, "big")
+
+
+def _header(bs: int, rate_code: int, ch_code: int, frame_no: int = 0) -> str:
+    # blocksize code 6 → 8-bit (bs-1) after the frame number; bps 16
+    return _bits(
+        "11111111111110", "0", "0",
+        _u(6, 4), _u(rate_code, 4), _u(ch_code, 4), _u(4, 3), "0",
+        _u(frame_no, 8), _u(bs - 1, 8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# handcrafted conformance streams
+# ---------------------------------------------------------------------------
+
+
+def test_handcrafted_lpc_midside_rice2_escape_wasted():
+    """Mid/side frame: mid = LPC order 2 (coefs [2,-1], shift 1) with
+    rice2 partitions incl. a raw escape; side = FIXED order 1 with one
+    wasted bit.  Expected samples derived by hand:
+
+    mid  = [3, 1, 4, 1, -1, -1, 2, -2]   (residuals [5,-2,0,1,3,-4])
+    side = [2, 4, 0, -2, 6, 2, -4, 0]    (= (FIXED-decoded w) << 1)
+    L = mid + side/2 = [4, 3, 4, 0, 2, 0, 0, -2]
+    R = mid - side/2 = [2, -1, 4, 2, -4, -2, 4, -2]
+    """
+    # mid subframe: LPC order 2, bps 16
+    mid = _bits(
+        "0", "1" + _u(1, 5), "0",          # LPC order-1=1, no wasted
+        _u(3, 16), _u(1, 16),               # warmup 3, 1
+        _u(3, 4),                            # precision-1 = 3 → 4-bit coefs
+        _u(1, 5),                            # shift = 1
+        _u(2, 4), _u(-1, 4),                 # coefs [2, -1]
+        "01",                                # residual method 1 (rice2)
+        _u(2, 4),                            # partition order 2 → 4 parts of 2
+        # p0: 2 - order = 0 samples, param irrelevant (use 0)
+        _u(0, 5),
+        # p1: residuals 5, -2 with param 2: folded 10 → 001 10 ; 3 → 1 11
+        _u(2, 5), "001" "10", "1" "11",
+        # p2: ESCAPE, raw 2-bit: residuals 0, 1
+        _u(31, 5), _u(2, 5), _u(0, 2), _u(1, 2),
+        # p3: residuals 3, -4 with param 3: folded 6 → 1 110 ; 7 → 1 111
+        _u(3, 5), "1" "110", "1" "111",
+    )
+    # side subframe: FIXED order 1, bps 17 (side channel +1), wasted 1
+    side = _bits(
+        "0", _u(0b001001, 6), "1", "1",      # FIXED o1; wasted flag, unary 0 → 1 wasted bit
+        _u(1, 16),                            # warmup w0 = 1 (bps 17-1 = 16)
+        "00", _u(0, 4),                       # rice method 0, partition order 0
+        # residuals of w = [1,2,0,-1,3,1,-2,0] → [1,-2,-1,4,-2,-3,2], param 1
+        _u(1, 4),
+        "01" "0",    # 1  → folded 2
+        "01" "1",    # -2 → folded 3
+        "1" "1",     # -1 → folded 1
+        "00001" "0",  # 4 → folded 8
+        "01" "1",    # -2 → folded 3
+        "001" "1",   # -3 → folded 5
+        "001" "0",   # 2  → folded 4
+    )
+    stream = _streaminfo(8, 8000, 2, 16, 8) + _frame(
+        _header(8, 4, 10), mid + side
+    )
+    dec, rate, bits, _ = decode_flac(stream)
+    assert rate == 8000 and bits == 16
+    exp_l = [4, 3, 4, 0, 2, 0, 0, -2]
+    exp_r = [2, -1, 4, 2, -4, -2, 4, -2]
+    assert dec[:, 0].tolist() == exp_l
+    assert dec[:, 1].tolist() == exp_r
+
+
+def test_handcrafted_left_side_constant():
+    """Left/side (code 8): left CONSTANT 5, side CONSTANT 3 → right 2."""
+    sub = _bits(
+        "0", _u(0, 6), "0", _u(5, 16),   # left: CONSTANT 5 (bps 16)
+        "0", _u(0, 6), "0", _u(3, 17),   # side: CONSTANT 3 (bps 17)
+    )
+    stream = _streaminfo(4, 8000, 2, 16, 4) + _frame(_header(4, 4, 8), sub)
+    dec, _, _, _ = decode_flac(stream)
+    assert dec[:, 0].tolist() == [5, 5, 5, 5]
+    assert dec[:, 1].tolist() == [2, 2, 2, 2]
+
+
+def test_handcrafted_right_side_verbatim():
+    """Right/side (code 9): side VERBATIM [4,-1,0,2] (bps 17), right
+    CONSTANT 7 → left = right + side = [11, 6, 7, 9]."""
+    sub = _bits(
+        "0", _u(1, 6), "0",
+        _u(4, 17), _u(-1, 17), _u(0, 17), _u(2, 17),  # side first
+        "0", _u(0, 6), "0", _u(7, 16),                 # right constant
+    )
+    stream = _streaminfo(4, 8000, 2, 16, 4) + _frame(_header(4, 4, 9), sub)
+    dec, _, _, _ = decode_flac(stream)
+    assert dec[:, 0].tolist() == [11, 6, 7, 9]
+    assert dec[:, 1].tolist() == [7, 7, 7, 7]
+
+
+def test_corrupt_crc_detected():
+    s = (np.sin(np.arange(3000) * 0.05) * 9000).astype(np.int64)
+    blob = bytearray(encode_flac(s, 44100))
+    blob[-10] ^= 0x40  # flip a bit inside the last frame
+    with pytest.raises(FlacError):
+        decode_flac(bytes(blob))
+
+
+def test_truncation_detected():
+    s = (np.sin(np.arange(3000) * 0.05) * 9000).astype(np.int64)
+    blob = encode_flac(s, 44100)
+    with pytest.raises(FlacError):
+        decode_flac(blob[: len(blob) * 2 // 3])
+
+
+# ---------------------------------------------------------------------------
+# round-trip properties
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,rate,bits",
+    [
+        ("sine", 44100, 16),
+        ("noise", 22050, 16),
+        ("ramp", 8000, 16),
+        ("const", 16000, 16),
+        ("sine", 8000, 8),
+        ("noise", 44100, 24),
+        ("stereo", 44100, 16),
+        ("empty", 44100, 16),
+        ("tiny", 44100, 16),
+    ],
+)
+def test_roundtrip(shape, rate, bits):
+    rng = np.random.default_rng(hash((shape, rate, bits)) % 2**31)
+    hi = 1 << (bits - 2)
+    n = 5000
+    if shape == "sine":
+        s = (np.sin(np.arange(n) * 0.031) * (hi - 1)).astype(np.int64)
+    elif shape == "noise":
+        s = rng.integers(-hi, hi, n)
+    elif shape == "ramp":
+        s = (np.arange(n) % (2 * hi)) - hi
+    elif shape == "const":
+        s = np.full(n, -hi + 3, dtype=np.int64)
+    elif shape == "stereo":
+        s = np.stack(
+            [rng.integers(-hi, hi, n), rng.integers(-hi, hi, n)], axis=1
+        )
+    elif shape == "empty":
+        s = np.zeros(0, dtype=np.int64)
+    else:  # tiny
+        s = np.array([5, -7, 2], dtype=np.int64)
+    blob = encode_flac(np.asarray(s), rate, bits=bits, block_size=1024)
+    dec, r, b, md5_ok = decode_flac(blob)
+    s2 = np.asarray(s)
+    s2 = s2[:, None] if s2.ndim == 1 else s2
+    assert md5_ok and r == rate and b == bits
+    assert np.array_equal(dec, s2)
+
+
+def test_compression_on_tonal_signal():
+    s = (np.sin(np.arange(20000) * 0.02) * 12000).astype(np.int64)
+    blob = encode_flac(s, 44100)
+    assert len(blob) < 20000 * 2 // 3  # genuinely compresses

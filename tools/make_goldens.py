@@ -2150,6 +2150,59 @@ def unigram_encode_golden() -> pa.Table:
     )
 
 
+
+
+def flac_goldens() -> pa.Table:
+    """Independent twin of ``q_flac_roundtrip``: the waveform
+    DERIVATION is shared (``_derived_wav_samples`` — same contract as
+    the WAV goldens), but this twin never touches FLAC bytes at all:
+    it computes (sample_rate, channels, bits, n_samples, peak) from
+    the raw samples with per-sample Python loops and derives the ok
+    flag from the planted-corruption rules.  The engine must push the
+    samples through its own FLAC encoder AND decoder bit-exactly
+    (MD5-verified, complete decode) to reproduce these rows."""
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_wav_samples,
+    )
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    ids, rate_o, ch_o, bits_o, n_o, peak_o, ok_o = ([] for _ in range(7))
+    for did in docs.column("doc_id").to_pylist():
+        ids.append(did)
+        if did % IMG_BAD_MOD == 0 or did % 89 == 3:
+            rate_o.append(0); ch_o.append(0); bits_o.append(0)
+            n_o.append(0); peak_o.append(0); ok_o.append(0)
+            continue
+        samples, rate, bits = _derived_wav_samples(did)
+        stereo = did % 3 == 0 and bits == 16
+        peak = 0
+        for v in samples.tolist():
+            if bits == 8:
+                v = v >> 8  # the engine's signed-8-bit quantization
+            if abs(v) > peak:
+                peak = abs(v)
+            if stereo and abs(v // 2) > peak:
+                peak = abs(v // 2)
+        rate_o.append(rate)
+        ch_o.append(2 if stereo else 1)
+        bits_o.append(bits)
+        n_o.append(int(samples.shape[0]))
+        peak_o.append(peak)
+        ok_o.append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rate_o, pa.int64()),
+            "channels": pa.array(ch_o, pa.int64()),
+            "bits": pa.array(bits_o, pa.int64()),
+            "n_samples": pa.array(n_o, pa.int64()),
+            "peak": pa.array(peak_o, pa.int64()),
+            "ok": pa.array(ok_o, pa.int64()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -2227,6 +2280,9 @@ def main() -> None:
     print(f"audio_features_sf001.parquet: {af.num_rows} rows")
     pq.write_table(ap, GOLDEN_DIR / "audio_fingerprints_sf001.parquet")
     print(f"audio_fingerprints_sf001.parquet: {ap.num_rows} rows")
+    ff = flac_goldens()
+    pq.write_table(ff, GOLDEN_DIR / "flac_features_sf001.parquet")
+    print(f"flac_features_sf001.parquet: {ff.num_rows} rows")
 
     import ray
 
