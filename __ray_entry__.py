@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_frames": q.q_gif_frames,
         "video_frames": q.q_video_frames,
         "flac_roundtrip": q.q_flac_roundtrip,
+        "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
@@ -5267,6 +5268,15 @@ def oracle_sql() -> dict[str, str]:
                    g.n_samples, g.peak, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/flac_features_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # adpcm_roundtrip: independent twin DECODER (own chunk walk,
+        # nibble loop, table copies) over the same encoded payloads
+        "adpcm_roundtrip": """
+            SELECT d.doc_id, g.sample_rate, g.channels,
+                   g.n_samples, g.peak, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/adpcm_features_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         "audio_fingerprints": """

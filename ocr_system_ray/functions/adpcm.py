@@ -1,0 +1,296 @@
+"""From-scratch IMA ADPCM codec in WAV containers (format tag 0x0011).
+
+The first genuinely LOSSY audio codec in the multimodal library (the
+r3 gap list's "lossy audio" leg): IMA/DVI ADPCM is the 4-bit
+adaptive-delta codec of the IMA Digital Audio standard, carried in
+RIFF/WAVE with per-block predictor resync headers — still common in
+telephony corpora, game assets, and legacy speech datasets.
+
+Spec constants (public IMA/DVI specification): the 89-entry step-size
+table and the 8-entry index-adaptation table.  Decode per nibble
+``b``::
+
+    diff = step >> 3
+    if b & 1: diff += step >> 2
+    if b & 2: diff += step >> 1
+    if b & 4: diff += step
+    pred  += -diff if b & 8 else diff   (clamped to int16)
+    index += INDEX_TABLE[b & 7]         (clamped to [0, 88])
+
+Container layout (Microsoft WAVE mapping): ``fmt`` tag 0x11 with
+``samples_per_block`` in the extension, a ``fact`` chunk carrying the
+true sample count, and fixed-size data blocks — per channel a 4-byte
+header (int16 predictor = the block's FIRST output sample, uint8 step
+index, reserved), then nibble data low-nibble-first, stereo
+interleaved in 4-byte (8-nibble) per-channel groups.  The per-block
+headers are what make the format seekable/resumable mid-stream — the
+property the engine's partitioned readers rely on.
+
+Encoder = the canonical IMA quantizer (sign + 3 magnitude bits tested
+against step, step/2, step/4) with the SAME predictor update as the
+decoder, so prediction state never drifts.  Lossiness is bounded:
+each reconstruction error is < step/4 of the current step.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_ima_wav",
+    "decode_ima_wav",
+    "AdpcmError",
+    "STEP_TABLE",
+    "INDEX_TABLE",
+]
+
+
+class AdpcmError(ValueError):
+    """Malformed or unsupported IMA-ADPCM WAV."""
+
+
+STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+INDEX_TABLE: tuple[int, ...] = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else 32767 if v > 32767 else v
+
+
+def _decode_nibble(b: int, pred: int, index: int) -> tuple[int, int]:
+    step = STEP_TABLE[index]
+    diff = step >> 3
+    if b & 1:
+        diff += step >> 2
+    if b & 2:
+        diff += step >> 1
+    if b & 4:
+        diff += step
+    pred = _clamp16(pred - diff if b & 8 else pred + diff)
+    index += INDEX_TABLE[b & 7]
+    index = 0 if index < 0 else 88 if index > 88 else index
+    return pred, index
+
+
+def _encode_sample(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    step = STEP_TABLE[index]
+    diff = sample - pred
+    code = 8 if diff < 0 else 0
+    if diff < 0:
+        diff = -diff
+    if diff >= step:
+        code |= 4
+        diff -= step
+    if diff >= step >> 1:
+        code |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        code |= 1
+    pred, index = _decode_nibble(code, pred, index)
+    return code, pred, index
+
+
+def encode_ima_wav(
+    samples: np.ndarray, sample_rate: int, block_align_per_ch: int = 256
+) -> bytes:
+    """int16 PCM (n,) or (n, ch) → IMA-ADPCM WAV bytes."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    if nch not in (1, 2):
+        raise AdpcmError("adpcm: 1 or 2 channels")
+    s = s.astype(np.int64)
+    if n and (int(s.min()) < -32768 or int(s.max()) > 32767):
+        raise AdpcmError("adpcm: samples out of int16 range")
+    block_align = block_align_per_ch * nch
+    spb = (block_align - 4 * nch) * 2 // nch + 1
+
+    data = bytearray()
+    preds = [0] * nch
+    idxs = [0] * nch
+    pos = 0
+    while pos < n:
+        blk = s[pos : pos + spb]
+        m = blk.shape[0]
+        # per-channel headers: predictor := first sample (exact), index carried
+        chunk_nibbles: list[list[int]] = []
+        for c in range(nch):
+            preds[c] = int(blk[0, c])
+            data += struct.pack("<hBB", preds[c], idxs[c], 0)
+            nibs: list[int] = []
+            for i in range(1, m):
+                code, preds[c], idxs[c] = _encode_sample(
+                    int(blk[i, c]), preds[c], idxs[c]
+                )
+                nibs.append(code)
+            nibs += [0] * ((spb - 1) - len(nibs))  # pad final block
+            chunk_nibbles.append(nibs)
+        # nibble data: mono → straight; stereo → 8-nibble groups per ch
+        if nch == 1:
+            nibs = chunk_nibbles[0]
+            for i in range(0, len(nibs), 2):
+                data.append((nibs[i + 1] << 4) | nibs[i])
+        else:
+            l, r = chunk_nibbles
+            for g in range(0, len(l), 8):
+                for ch_n in (l, r):
+                    grp = ch_n[g : g + 8]
+                    for i in range(0, 8, 2):
+                        data.append((grp[i + 1] << 4) | grp[i])
+        pos += spb
+
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, nch, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n)
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    if len(data) & 1:
+        out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def decode_ima_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV bytes → ``(int16 samples (n, ch), sample_rate)``."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise AdpcmError("adpcm: not a RIFF/WAVE stream")
+    avail = min(len(raw), 8 + struct.unpack("<I", raw[4:8])[0])
+    pos = 12
+    fmt = None
+    fact_n = None
+    data = None
+    while pos + 8 <= avail:
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        end = pos + 8 + size
+        if end > avail:
+            raise AdpcmError("adpcm: truncated chunk")
+        body = raw[pos + 8 : end]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise AdpcmError("adpcm: short fmt chunk")
+            tag, nch, rate, _br, ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 0x11:
+                raise AdpcmError(f"adpcm: not IMA ADPCM (tag {tag:#x})")
+            if bits != 4 or nch not in (1, 2):
+                raise AdpcmError("adpcm: unsupported layout")
+            # WAVEFORMATEX is 18 bytes (incl. cbSize); samplesPerBlock
+            # is the 2-byte extension at offset 18
+            spb = (
+                struct.unpack("<H", body[18:20])[0]
+                if len(body) >= 20
+                else (ba - 4 * nch) * 2 // nch + 1
+            )
+            if spb != (ba - 4 * nch) * 2 // nch + 1:
+                raise AdpcmError("adpcm: inconsistent samples_per_block")
+            fmt = (nch, rate, ba, spb)
+        elif cid == b"fact":
+            if len(body) >= 4:
+                fact_n = struct.unpack("<I", body[:4])[0]
+        elif cid == b"data" and data is None:
+            data = body
+        pos = end + (size & 1)
+    if fmt is None or data is None:
+        raise AdpcmError("adpcm: missing fmt/data")
+    nch, rate, ba, spb = fmt
+    if len(data) % ba:
+        raise AdpcmError("adpcm: data not block-aligned")
+    nblocks = len(data) // ba
+    out = np.empty((nblocks * spb, nch), dtype=np.int64)
+    row = 0
+    for blk in range(nblocks):
+        base = blk * ba
+        preds = []
+        idxs = []
+        for c in range(nch):
+            p, ix, _res = struct.unpack(
+                "<hBB", data[base + 4 * c : base + 4 * c + 4]
+            )
+            if ix > 88:
+                raise AdpcmError("adpcm: step index out of range")
+            preds.append(p)
+            idxs.append(ix)
+            out[row, c] = p
+        body = data[base + 4 * nch : base + ba]
+        if nch == 1:
+            k = row + 1
+            p, ix = preds[0], idxs[0]
+            for byt in body:
+                p, ix = _decode_nibble(byt & 0xF, p, ix)
+                out[k, 0] = p
+                k += 1
+                p, ix = _decode_nibble(byt >> 4, p, ix)
+                out[k, 0] = p
+                k += 1
+            preds[0], idxs[0] = p, ix
+        else:
+            k = [row + 1, row + 1]
+            for g in range(0, len(body), 8):
+                for c in range(2):
+                    seg = body[g + 4 * c : g + 4 * c + 4]
+                    p, ix = preds[c], idxs[c]
+                    for byt in seg:
+                        p, ix = _decode_nibble(byt & 0xF, p, ix)
+                        out[k[c], c] = p
+                        k[c] += 1
+                        p, ix = _decode_nibble(byt >> 4, p, ix)
+                        out[k[c], c] = p
+                        k[c] += 1
+                    preds[c], idxs[c] = p, ix
+        row += spb
+    if fact_n is not None:
+        out = out[:fact_n]
+    return out, rate
+
+
+def adpcm_features(ds, audio_col: str = "audio", id_col: str = "doc_id"):
+    """Decode an IMA-ADPCM WAV binary column → integer features,
+    never-fail-row: ``(id_col, sample_rate, channels, n_samples, peak,
+    ok)`` with all-zero rows for malformed payloads."""
+    import pyarrow as pa
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        blobs = t.column(audio_col).to_pylist()
+        rate_o, ch_o, n_o, peak_o, ok_o = [], [], [], [], []
+        for blob in blobs:
+            try:
+                dec, rate = decode_ima_wav(blob or b"")
+                rate_o.append(rate)
+                ch_o.append(dec.shape[1])
+                n_o.append(dec.shape[0])
+                peak_o.append(int(np.abs(dec).max()) if dec.size else 0)
+                ok_o.append(1)
+            except (AdpcmError, struct.error, IndexError):
+                rate_o.append(0)
+                ch_o.append(0)
+                n_o.append(0)
+                peak_o.append(0)
+                ok_o.append(0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(rate_o, pa.int64()),
+                "channels": pa.array(ch_o, pa.int64()),
+                "n_samples": pa.array(n_o, pa.int64()),
+                "peak": pa.array(peak_o, pa.int64()),
+                "ok": pa.array(ok_o, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -9295,3 +9295,43 @@ def q_flac_roundtrip(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     flacs = docs.map_batches(_derived_flac_payloads, batch_format="pyarrow")
     return flac_features(flacs)
+
+
+def _derived_adpcm_payloads(t: pa.Table) -> pa.Table:
+    """IMA-ADPCM leg of the media corpus: the shared waveforms encoded
+    with the from-scratch IMA quantizer (``functions/adpcm.py``,
+    4-bit nibbles, per-block resync headers).  Corrupt rows as in the
+    other media legs: % IMG_BAD_MOD garbage, % 89 == 3 truncation."""
+    from ..functions.adpcm import encode_ima_wav
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not adpcm")
+            continue
+        samples, rate, _bits = _derived_wav_samples(i)
+        if i % 3 == 0:
+            samples = np.stack([samples, samples // 2], axis=1)
+        raw = encode_ima_wav(samples.astype(np.int64), rate)
+        if i % 89 == 3:
+            raw = raw[: len(raw) * 2 // 3]
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_adpcm_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Lossy IMA-ADPCM decode (``functions/adpcm.py`` — real 4-bit
+    adaptive-delta codec, per-block predictor resync): →
+    (doc_id, sample_rate, channels, n_samples, peak, ok).  Golden
+    oracle = an INDEPENDENT twin decoder in tools/make_goldens.py
+    (its own chunk walk, nibble loop, and table copies) decoding the
+    SAME engine-encoded payloads — encoder and decoder must agree
+    with a disjoint implementation nibble-for-nibble."""
+    from ..functions.adpcm import adpcm_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    wavs = docs.map_batches(_derived_adpcm_payloads, batch_format="pyarrow")
+    return adpcm_features(wavs)

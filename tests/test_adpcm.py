@@ -1,0 +1,119 @@
+"""IMA-ADPCM codec: handcrafted nibble streams (hand-stepped through
+the public spec tables), lossy-bound properties, container errors."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.adpcm import (
+    INDEX_TABLE,
+    STEP_TABLE,
+    AdpcmError,
+    decode_ima_wav,
+    encode_ima_wav,
+)
+
+
+def _wrap(fmt_body: bytes, fact_n: int, data: bytes) -> bytes:
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    out += b"fact" + struct.pack("<I", 4) + struct.pack("<I", fact_n)
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def _fmt(nch: int, rate: int, ba: int, spb: int) -> bytes:
+    return struct.pack("<HHIIHHHH", 0x11, nch, rate, 1, ba, 4, 2, spb)
+
+
+def test_handcrafted_mono_block():
+    """predictor 100, index 10 (step 19); nibbles 0x3 then 0x8:
+
+    b=3: diff = 19>>3 + 19>>2 + 19>>1 = 2+4+9 = 15 → 115; idx 10-1 = 9
+    b=8: step 17; diff = 17>>3 = 2 (sign) → 113; idx 9-1 = 8
+    """
+    hdr = struct.pack("<hBB", 100, 10, 0)
+    data = hdr + bytes([(0x8 << 4) | 0x3]) + b"\x00" * 251
+    wav = _wrap(_fmt(1, 8000, 256, 505), 3, data)
+    dec, rate = decode_ima_wav(wav)
+    assert rate == 8000
+    assert dec[:, 0].tolist() == [100, 115, 113]
+
+
+def test_handcrafted_clamping_and_index_limits():
+    """index 88 (step 32767), predictor 30000, nibble 0x7:
+    diff = 4095 + 8191 + 16383 + 32767 = 61436 → clamps to 32767;
+    index 88+8 clamps to 88.  Next nibble 0xF steps down by the same
+    magnitude → 32767 - 61436 → clamps to -28669."""
+    hdr = struct.pack("<hBB", 30000, 88, 0)
+    data = hdr + bytes([(0xF << 4) | 0x7]) + b"\x00" * 251
+    wav = _wrap(_fmt(1, 8000, 256, 505), 3, data)
+    dec, _ = decode_ima_wav(wav)
+    assert dec[:, 0].tolist() == [30000, 32767, 32767 - 61436]
+
+
+def test_stereo_interleave_groups():
+    """Stereo nibble data alternates 4-byte groups per channel; decode
+    a 2-channel stream where left counts up and right counts down."""
+    rng = np.random.default_rng(3)
+    # bounded-derivative random walks: ADPCM is a slew-rate-limited
+    # delta codec, so tracking is tight only when successive deltas
+    # stay within ~1.9x the adapted step (white noise legitimately
+    # overloads it — that is codec behavior, not a bug)
+    walk_l = np.cumsum(rng.integers(-400, 401, 2000)).clip(-30000, 30000)
+    walk_r = np.cumsum(rng.integers(-250, 251, 2000)).clip(-30000, 30000)
+    s = np.stack([walk_l, walk_r], axis=1)
+    blob = encode_ima_wav(s, 22050)
+    dec, rate = decode_ima_wav(blob)
+    assert rate == 22050 and dec.shape == (2000, 2)
+    assert int(np.abs(dec - s).max()) < 1 << 10
+
+
+def test_block_header_resync_exact():
+    """The first sample of EVERY block is stored verbatim in the block
+    header — check bit-exactness at each block boundary (spb = 505)."""
+    t = np.arange(2200)
+    s = (np.sin(t * 0.01) * 30000).astype(np.int64)
+    dec, _ = decode_ima_wav(encode_ima_wav(s, 16000))
+    for b in range(0, 2200, 505):
+        assert dec[b, 0] == s[b]
+
+
+def test_snr_on_tonal_signal():
+    s = (np.sin(np.arange(8000) * 0.02) * 12000).astype(np.int64)
+    blob = encode_ima_wav(s, 16000)
+    dec, _ = decode_ima_wav(blob)
+    err = (dec[:, 0] - s).astype(float)
+    snr = 10 * np.log10((s.astype(float) ** 2).mean() / (err**2).mean())
+    assert snr > 40.0  # IMA on smooth tones: ~50 dB
+    assert len(blob) < s.size  # ~4:1 vs 16-bit PCM
+
+
+def test_container_errors():
+    with pytest.raises(AdpcmError):
+        decode_ima_wav(b"not a wav")
+    s = (np.sin(np.arange(3000) * 0.05) * 9000).astype(np.int64)
+    blob = encode_ima_wav(s, 8000)
+    with pytest.raises(AdpcmError):
+        decode_ima_wav(blob[: len(blob) * 2 // 3])
+    # PCM wav (tag 1) must be rejected, not mis-decoded
+    pcm_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = _wrap(pcm_fmt, 4, b"\x00" * 8)
+    with pytest.raises(AdpcmError):
+        decode_ima_wav(wav)
+
+
+def test_spec_tables_shape():
+    assert len(STEP_TABLE) == 89
+    assert STEP_TABLE[0] == 7 and STEP_TABLE[-1] == 32767
+    assert INDEX_TABLE == (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def test_empty_and_tiny():
+    dec, _ = decode_ima_wav(encode_ima_wav(np.zeros(0, dtype=np.int64), 8000))
+    assert dec.shape[0] == 0
+    dec, _ = decode_ima_wav(encode_ima_wav(np.array([123]), 8000))
+    assert dec[:, 0].tolist() == [123]

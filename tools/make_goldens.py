@@ -2203,6 +2203,147 @@ def flac_goldens() -> pa.Table:
     )
 
 
+
+
+def adpcm_goldens() -> pa.Table:
+    """Independent twin of ``q_adpcm_roundtrip``: decodes the SAME
+    engine-encoded IMA-ADPCM payloads with its OWN chunk walk, its own
+    nibble loop, and its own copies of the IMA spec tables — the
+    engine decoder and this twin share only the public specification."""
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_adpcm_payloads,
+    )
+
+    STEPS = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ]
+    IDX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    def nib(code, pred, index):
+        st = STEPS[index]
+        d = st >> 3
+        if code & 1:
+            d += st >> 2
+        if code & 2:
+            d += st >> 1
+        if code & 4:
+            d += st
+        pred = pred - d if code & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + IDX[code & 7]))
+        return pred, index
+
+    def twin_decode(raw):
+        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        avail = min(len(raw), 8 + int.from_bytes(raw[4:8], "little"))
+        pos, fmt, fact, dat = 12, None, None, None
+        while pos + 8 <= avail:
+            cid = raw[pos : pos + 4]
+            size = int.from_bytes(raw[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > avail:
+                return None
+            body = raw[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                tag = int.from_bytes(body[0:2], "little")
+                if tag != 0x11 or len(body) < 20:
+                    return None
+                fmt = (
+                    int.from_bytes(body[2:4], "little"),
+                    int.from_bytes(body[4:8], "little"),
+                    int.from_bytes(body[12:14], "little"),
+                    int.from_bytes(body[18:20], "little"),
+                )
+            elif cid == b"fact":
+                fact = int.from_bytes(body[:4], "little")
+            elif cid == b"data" and dat is None:
+                dat = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or dat is None:
+            return None
+        ch, rate, ba, spb = fmt
+        if spb != (ba - 4 * ch) * 2 // ch + 1 or len(dat) % ba:
+            return None
+        sams = [[] for _ in range(ch)]
+        for b0 in range(0, len(dat), ba):
+            preds, idxs = [], []
+            for c in range(ch):
+                p = int.from_bytes(
+                    dat[b0 + 4 * c : b0 + 4 * c + 2], "little", signed=True
+                )
+                ix = dat[b0 + 4 * c + 2]
+                if ix > 88:
+                    return None
+                preds.append(p)
+                idxs.append(ix)
+                sams[c].append(p)
+            body = dat[b0 + 4 * ch : b0 + ba]
+            if ch == 1:
+                p, ix = preds[0], idxs[0]
+                for byt in body:
+                    p, ix = nib(byt & 15, p, ix)
+                    sams[0].append(p)
+                    p, ix = nib(byt >> 4, p, ix)
+                    sams[0].append(p)
+            else:
+                for g in range(0, len(body), 8):
+                    for c in range(2):
+                        p, ix = preds[c], idxs[c]
+                        for byt in body[g + 4 * c : g + 4 * c + 4]:
+                            p, ix = nib(byt & 15, p, ix)
+                            sams[c].append(p)
+                            p, ix = nib(byt >> 4, p, ix)
+                            sams[c].append(p)
+                        preds[c], idxs[c] = p, ix
+        if fact is not None:
+            sams = [s[:fact] for s in sams]
+        return rate, ch, sams
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    payloads = _derived_adpcm_payloads(docs)
+    ids, rate_o, ch_o, n_o, peak_o, ok_o = ([] for _ in range(6))
+    for did, raw in zip(
+        payloads.column("doc_id").to_pylist(),
+        payloads.column("audio").to_pylist(),
+    ):
+        ids.append(did)
+        parsed = twin_decode(raw)
+        if parsed is None:
+            assert did % IMG_BAD_MOD == 0 or did % 89 == 3
+            rate_o.append(0); ch_o.append(0); n_o.append(0)
+            peak_o.append(0); ok_o.append(0)
+            continue
+        rate, ch, sams = parsed
+        peak = 0
+        for chan in sams:
+            for v in chan:
+                if abs(v) > peak:
+                    peak = abs(v)
+        rate_o.append(rate)
+        ch_o.append(ch)
+        n_o.append(len(sams[0]))
+        peak_o.append(peak)
+        ok_o.append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sample_rate": pa.array(rate_o, pa.int64()),
+            "channels": pa.array(ch_o, pa.int64()),
+            "n_samples": pa.array(n_o, pa.int64()),
+            "peak": pa.array(peak_o, pa.int64()),
+            "ok": pa.array(ok_o, pa.int64()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -2283,6 +2424,9 @@ def main() -> None:
     ff = flac_goldens()
     pq.write_table(ff, GOLDEN_DIR / "flac_features_sf001.parquet")
     print(f"flac_features_sf001.parquet: {ff.num_rows} rows")
+    adg = adpcm_goldens()
+    pq.write_table(adg, GOLDEN_DIR / "adpcm_features_sf001.parquet")
+    print(f"adpcm_features_sf001.parquet: {adg.num_rows} rows")
 
     import ray
 
