@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         "flac_roundtrip": q.q_flac_roundtrip,
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
+        "css_extract": q.q_css_extract,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
@@ -5269,6 +5270,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/flac_features_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # css_extract: every selector-extracted field re-derived from
+        # the same doc_id arithmetic the page synthesizer uses (the
+        # &amp; entity decodes to '&'; empty pages → all-'' rows)
+        "css_extract": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 4 THEN ''
+                        WHEN doc_id % 5 = 0 THEN 'T&' || doc_id
+                        ELSE 'T' || doc_id END AS title,
+                   CASE WHEN doc_id % 13 = 4 THEN ''
+                        ELSE 'A' || (doc_id % 50) END AS author,
+                   CASE WHEN doc_id % 13 = 4 THEN ''
+                        ELSE 't' || doc_id || '-0' END AS first_tag,
+                   CASE WHEN doc_id % 13 = 4 OR 1 + doc_id % 3 < 2 THEN ''
+                        ELSE 't' || doc_id || '-1' END AS second_tag,
+                   CASE WHEN doc_id % 13 = 4 THEN ''
+                        ELSE 't' || doc_id || '-' || (doc_id % 3) END
+                       AS last_tag,
+                   CASE WHEN doc_id % 13 = 4 THEN ''
+                        ELSE CAST((doc_id * 7) % 1000 AS VARCHAR) END
+                       AS price,
+                   CASE WHEN doc_id % 13 = 4 THEN ''
+                        ELSE '/next/' || doc_id END AS next_url
+            FROM documents
         """,
         # adpcm_roundtrip: independent twin DECODER (own chunk walk,
         # nibble loop, table copies) over the same encoded payloads

@@ -1,0 +1,485 @@
+"""CSS selector engine over a lightweight DOM — extraction rules as
+selectors instead of regexes.
+
+The reference's extraction surface is regex-per-field
+(`/root/reference/ocr/patterns.py`, priority first-match M3–M5); real
+web extraction pipelines express the same "field ← first match" rules
+as CSS selectors against the DOM.  This module gives the engine that
+second rule language from scratch (stdlib ``html.parser`` + a
+hand-written selector parser/matcher — no lxml/cssselect in the
+sandbox, and the from-scratch mandate applies anyway).
+
+Supported selector subset (the practically-used core):
+
+* type (``div``), universal (``*``), ``#id``, ``.class``
+* attributes ``[a]`` ``[a=v]`` ``[a^=v]`` ``[a$=v]`` ``[a*=v]``
+  ``[a~=v]`` (quoted or bare values)
+* compounds (``div#main.post[data-x=1]``)
+* combinators: descendant (whitespace), child ``>``, adjacent sibling
+  ``+``, general sibling ``~``
+* pseudo-classes ``:first-child``, ``:last-child``,
+  ``:nth-child(an+b | odd | even | N)``, ``:not(<compound>)``
+* selector lists (``a, b``) — document-order union
+
+Matching is the standard rightmost-compound-first walk (match the key
+compound, then satisfy combinators leftward), so cost is
+O(candidates × selector length), not a full tree product.
+
+DOM building is tolerant HTML: void elements never open scopes,
+mismatched end tags pop to the nearest matching open tag (ignored when
+none), everything below ``script``/``style`` is character data only.
+Element ``text()`` is the whitespace-normalized concatenation of
+descendant character data (entities decoded by the parser).
+
+Ray shape: selectors compile ONCE per actor (``CssExtractor`` — the
+M3 compile-patterns-once contract); per batch it's a row-local parse +
+match, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+__all__ = [
+    "CssSelectorError",
+    "parse_selector",
+    "build_dom",
+    "select",
+    "extract_rules",
+    "CssExtractor",
+]
+
+
+class CssSelectorError(ValueError):
+    """Unparseable selector."""
+
+
+VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
+RAW_TEXT_TAGS = frozenset("script style".split())
+
+# HTML implied end tags: opening `tag` closes an innermost open element
+# whose tag is in the mapped set (the practical HTML5 subset)
+_SELF_CLOSING_GROUPS: dict[str, frozenset] = {
+    "p": frozenset(("p",)),
+    "li": frozenset(("li",)),
+    "dt": frozenset(("dt", "dd")),
+    "dd": frozenset(("dt", "dd")),
+    "tr": frozenset(("tr", "td", "th")),
+    "td": frozenset(("td", "th")),
+    "th": frozenset(("td", "th")),
+    "option": frozenset(("option",)),
+}
+# block-level starts that close an open <p>
+_P_CLOSERS = frozenset(
+    """p div ul ol dl table h1 h2 h3 h4 h5 h6 blockquote pre section
+    article aside header footer nav figure form hr""".split()
+)
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "parent", "children", "_texts", "index")
+
+    def __init__(self, tag: str, attrs: dict, parent: "Element | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.parent = parent
+        self.children: list[Element] = []
+        self._texts: list[str] = []
+        self.index = 0  # 1-based position among element siblings
+
+    def text(self) -> str:
+        parts: list[str] = []
+
+        def walk(el: "Element") -> None:
+            # own character data first, then children's (tail text after
+            # a child re-orders — a documented flat-payload contract;
+            # extraction rules target leaf-ish elements)
+            parts.extend(el._texts)
+            for ch in el.children:
+                walk(ch)
+
+        walk(self)
+        return " ".join(" ".join(parts).split())
+
+    def classes(self) -> set[str]:
+        return set((self.attrs.get("class") or "").split())
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root", {}, None)
+        self.stack = [self.root]
+        self._raw_depth = 0
+
+    def handle_starttag(self, tag, attrs):  # noqa: ANN001
+        if self._raw_depth:
+            return
+        if tag in RAW_TEXT_TAGS:
+            self._raw_depth += 1
+            return
+        closers = _SELF_CLOSING_GROUPS.get(tag, frozenset())
+        while len(self.stack) > 1:
+            top = self.stack[-1].tag
+            if top in closers or (top == "p" and tag in _P_CLOSERS):
+                self.stack.pop()
+            else:
+                break
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        parent = self.stack[-1]
+        parent.children.append(el)
+        el.index = len(parent.children)
+        if tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):  # noqa: ANN001
+        if self._raw_depth:
+            return
+        el = Element(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        parent = self.stack[-1]
+        parent.children.append(el)
+        el.index = len(parent.children)
+
+    def handle_endtag(self, tag):  # noqa: ANN001
+        if tag in RAW_TEXT_TAGS:
+            if self._raw_depth:
+                self._raw_depth -= 1
+            return
+        if self._raw_depth:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # no matching open tag: ignore
+
+    def handle_data(self, data):  # noqa: ANN001
+        if self._raw_depth:
+            return
+        if data:
+            self.stack[-1]._texts.append(data)
+
+
+def build_dom(html: str) -> Element:
+    b = _DomBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# ---------------------------------------------------------------------------
+# selector parsing
+# ---------------------------------------------------------------------------
+
+_TOK = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comb>[>+~])
+  | (?P<comma>,)
+  | (?P<type>[A-Za-z][-\w]*|\*)
+  | \#(?P<id>[-\w]+)
+  | \.(?P<cls>[-\w]+)
+  | \[(?P<aname>[-\w]+)\s*(?:(?P<aop>[\^$*~]?=)\s*
+        (?P<aval>"[^"]*"|'[^']*'|[^\]\s]+))?\s*\]
+  | :(?P<pseudo>first-child|last-child)
+  | :nth-child\(\s*(?P<nth>[^)]+?)\s*\)
+  | :not\(\s*(?P<not>[^)]+?)\s*\)
+    """,
+    re.VERBOSE,
+)
+
+_NTH = re.compile(
+    r"^(?:odd|even|(?P<b0>-?\d+)|(?P<a>[+-]?\d*)n\s*(?:(?P<sgn>[+-])\s*(?P<b>\d+))?)$"
+)
+
+
+class _Compound:
+    __slots__ = ("tag", "ids", "classes", "attrs", "pseudos", "nots", "seen")
+
+    def __init__(self) -> None:
+        self.tag: str | None = None
+        self.ids: list[str] = []
+        self.classes: list[str] = []
+        self.attrs: list[tuple[str, str, str]] = []  # (name, op, value)
+        self.pseudos: list[tuple] = []  # ("first"|"last") | ("nth", a, b)
+        self.nots: list[_Compound] = []
+        self.seen = False  # any token applied (covers bare '*')
+
+    def empty(self) -> bool:
+        return not self.seen
+
+
+def _parse_nth(spec: str) -> tuple[int, int]:
+    m = _NTH.match(spec.strip().lower())
+    if not m:
+        raise CssSelectorError(f"bad :nth-child() argument {spec!r}")
+    if m.group(0) == "odd":
+        return 2, 1
+    if m.group(0) == "even":
+        return 2, 0
+    if m.group("b0") is not None:
+        return 0, int(m.group("b0"))
+    a_txt = m.group("a")
+    a = 1 if a_txt in ("", "+") else -1 if a_txt == "-" else int(a_txt)
+    b = int(m.group("b") or 0)
+    if m.group("sgn") == "-":
+        b = -b
+    return a, b
+
+
+def _parse_compound_str(s: str) -> _Compound:
+    sels = parse_selector(s)
+    if len(sels) != 1 or len(sels[0]) != 1:
+        raise CssSelectorError(f":not() takes one compound, got {s!r}")
+    return sels[0][0][1]
+
+
+def parse_selector(selector: str):
+    """→ list of complex selectors; each is a list of
+    ``(combinator, compound)`` with combinator ∈ ``' > + ~'`` (first
+    entry's combinator is ``''``)."""
+    out = []
+    cur: list[tuple[str, _Compound]] = []
+    comp = _Compound()
+    pending: str | None = None  # combinator awaiting next compound
+    saw_ws = False
+
+    def flush_compound() -> None:
+        nonlocal comp, pending, saw_ws
+        if comp.empty():
+            return
+        cur.append((pending if pending else (" " if (saw_ws and cur) else ""), comp))
+        comp = _Compound()
+        pending = None
+        saw_ws = False
+
+    pos = 0
+    while pos < len(selector):
+        m = _TOK.match(selector, pos)
+        if not m:
+            raise CssSelectorError(
+                f"bad selector at {selector[pos:pos+12]!r}"
+            )
+        pos = m.end()
+        if m.group("ws"):
+            if not comp.empty():
+                flush_compound()
+                saw_ws = True
+            else:
+                saw_ws = saw_ws or bool(cur)
+            continue
+        if m.group("comma"):
+            flush_compound()
+            if not cur:
+                raise CssSelectorError("empty selector in list")
+            out.append(cur)
+            cur = []
+            saw_ws = False
+            continue
+        if m.group("comb"):
+            flush_compound()
+            if not cur:
+                raise CssSelectorError(
+                    f"combinator {m.group('comb')!r} with no left side"
+                )
+            pending = m.group("comb")
+            saw_ws = False
+            continue
+        # simple-selector parts: starting a new compound?  Only a TYPE
+        # token can start one; #/./[/: parts glue onto the current
+        if m.group("type"):
+            if not comp.empty():
+                flush_compound()
+            comp.tag = None if m.group("type") == "*" else m.group("type").lower()
+        elif m.group("id"):
+            comp.ids.append(m.group("id"))
+        elif m.group("cls"):
+            comp.classes.append(m.group("cls"))
+        elif m.group("aname"):
+            val = m.group("aval") or ""
+            if val[:1] in "\"'" and val[-1:] == val[:1]:
+                val = val[1:-1]
+            comp.attrs.append((m.group("aname").lower(), m.group("aop") or "", val))
+        elif m.group("pseudo"):
+            comp.pseudos.append((m.group("pseudo").split("-")[0],))
+        elif m.group("nth") is not None:
+            a, b = _parse_nth(m.group("nth"))
+            comp.pseudos.append(("nth", a, b))
+        elif m.group("not") is not None:
+            comp.nots.append(_parse_compound_str(m.group("not")))
+        comp.seen = True
+    flush_compound()
+    if pending is not None:
+        raise CssSelectorError(f"dangling combinator {pending!r}")
+    if cur:
+        out.append(cur)
+    if not out:
+        raise CssSelectorError("empty selector")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# matching
+# ---------------------------------------------------------------------------
+
+
+def _match_compound(el: Element, c: _Compound) -> bool:
+    if el.tag.startswith("#"):
+        return False
+    if c.tag is not None and el.tag != c.tag:
+        return False
+    if c.ids and any(el.attrs.get("id") != i for i in c.ids):
+        return False
+    if c.classes:
+        have = el.classes()
+        if any(cl not in have for cl in c.classes):
+            return False
+    for name, op, val in c.attrs:
+        if name not in el.attrs:
+            return False
+        got = el.attrs[name]
+        if op == "":
+            continue
+        if op == "=" and got != val:
+            return False
+        if op == "^=" and not got.startswith(val):
+            return False
+        if op == "$=" and not got.endswith(val):
+            return False
+        if op == "*=" and val not in got:
+            return False
+        if op == "~=" and val not in got.split():
+            return False
+    for p in c.pseudos:
+        if p[0] == "first":
+            if el.index != 1:
+                return False
+        elif p[0] == "last":
+            if el.parent is None or el.index != len(el.parent.children):
+                return False
+        else:  # nth(a, b)
+            _tag, a, b = "nth", p[1], p[2]
+            n = el.index
+            if a == 0:
+                if n != b:
+                    return False
+            else:
+                k = n - b
+                if k * a < 0 or k % a != 0:
+                    return False
+    for nc in c.nots:
+        if _match_compound(el, nc):
+            return False
+    return True
+
+
+def _match_complex(el: Element, chain) -> bool:
+    """Match rightmost compound at ``el`` then walk leftward."""
+    comb, comp = chain[-1]
+    if not _match_compound(el, comp):
+        return False
+    return _match_left(el, chain, len(chain) - 1)
+
+
+def _match_left(el: Element, chain, i: int) -> bool:
+    if i == 0:
+        return True
+    comb = chain[i][0]
+    prev = chain[i - 1][1]
+    if comb in ("", " "):
+        anc = el.parent
+        while anc is not None:
+            if _match_compound(anc, chain[i - 1][1]) and _match_left(
+                anc, chain, i - 1
+            ):
+                return True
+            anc = anc.parent
+        return False
+    if comb == ">":
+        anc = el.parent
+        return (
+            anc is not None
+            and _match_compound(anc, prev)
+            and _match_left(anc, chain, i - 1)
+        )
+    if comb == "+":
+        if el.parent is None or el.index < 2:
+            return False
+        sib = el.parent.children[el.index - 2]
+        return _match_compound(sib, prev) and _match_left(sib, chain, i - 1)
+    # '~'
+    if el.parent is None:
+        return False
+    for sib in el.parent.children[: el.index - 1]:
+        if _match_compound(sib, prev) and _match_left(sib, chain, i - 1):
+            return True
+    return False
+
+
+def _iter_elements(root: Element):
+    stack = list(reversed(root.children))
+    while stack:
+        el = stack.pop()
+        yield el
+        stack.extend(reversed(el.children))
+
+
+def select(root: Element | str, selector) -> list[Element]:
+    """All elements matching ``selector`` in document order."""
+    if isinstance(root, str):
+        root = build_dom(root)
+    sels = (
+        parse_selector(selector) if isinstance(selector, str) else selector
+    )
+    out = []
+    for el in _iter_elements(root):
+        for chain in sels:
+            if _match_complex(el, chain):
+                out.append(el)
+                break
+    return out
+
+
+def extract_rules(html: str, compiled_rules) -> dict:
+    """First-match extraction: ``{field: value}`` where each rule is
+    ``(parsed_selector, 'text' | '@attrname')``; missing match → ''."""
+    root = build_dom(html)
+    out = {}
+    for field, (sel, what) in compiled_rules.items():
+        matches = select(root, sel)
+        if not matches:
+            out[field] = ""
+        elif what == "text":
+            out[field] = matches[0].text()
+        else:
+            out[field] = matches[0].attrs.get(what[1:], "")
+    return out
+
+
+class CssExtractor:
+    """Actor-pool stage: ``rules = {field: (selector_str, 'text'|'@attr')}``
+    compiled once in ``__init__`` (M3 contract); per batch applies
+    first-match extraction to an HTML string column →
+    ``(id_col, <field columns...>)``."""
+
+    def __init__(self, rules: dict, html_col: str = "html", id_col: str = "doc_id"):
+        self.rules = {
+            f: (parse_selector(sel), what) for f, (sel, what) in rules.items()
+        }
+        self.html_col = html_col
+        self.id_col = id_col
+
+    def __call__(self, t):  # noqa: ANN001 — pa.Table
+        import pyarrow as pa
+
+        htmls = t.column(self.html_col).to_pylist()
+        cols = {self.id_col: t.column(self.id_col)}
+        results = [
+            extract_rules(h or "", self.rules) for h in htmls
+        ]
+        for f in self.rules:
+            cols[f] = pa.array([r[f] for r in results], pa.string())
+        return pa.table(cols)

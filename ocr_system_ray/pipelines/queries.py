@@ -9335,3 +9335,70 @@ def q_adpcm_roundtrip(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     wavs = docs.map_batches(_derived_adpcm_payloads, batch_format="pyarrow")
     return adpcm_features(wavs)
+
+
+CSS_RULES: dict[str, tuple[str, str]] = {
+    # field → (selector, 'text' | '@attr') — the selector analog of the
+    # reference's regex field rules (priority first-match, M3–M5)
+    "title": ("#main > h1.title", "text"),
+    "author": ("div#main p.byline span.name", "text"),
+    "first_tag": ("ul.tags li:first-child", "text"),
+    "second_tag": (".tags li:nth-child(2)", "text"),
+    "last_tag": ("ul.tags > li:last-child", "text"),
+    "price": ("#main p[data-price]", "@data-price"),
+    "next_url": ("a[rel=next]", "@href"),
+}
+
+
+def _derived_css_pages(t: pa.Table) -> pa.Table:
+    """Deterministic rule-extraction corpus: per doc a page with an
+    id/class-structured article, a sidebar DECOY sharing the .byline
+    class (selector scoping must exclude it), a variable-length tag
+    list (:first/:nth/:last-child coverage), an entity in every 5th
+    title (&amp; → &), an extra <section> wrapper on odd ids
+    (descendant vs child combinator coverage), and an empty page every
+    13th (all-'' row)."""
+    ids = t.column("doc_id").to_pylist()
+    pages: list[str] = []
+    for i in ids:
+        if i % 13 == 4:
+            pages.append("<html><body><p>empty</p></body></html>")
+            continue
+        ntags = 1 + i % 3
+        lis = "".join(f"<li>t{i}-{j}</li>" for j in range(ntags))
+        title = f"T&amp;{i}" if i % 5 == 0 else f"T{i}"
+        w_open, w_close = ("<section>", "</section>") if i % 2 else ("", "")
+        pages.append(
+            f"<html><body>{w_open}"
+            f'<div id="main" class="content post">'
+            f'<h1 class="title">{title}</h1>'
+            f'<p class="byline">Author <span class="name">A{i % 50}</span></p>'
+            f'<ul class="tags">{lis}</ul>'
+            f'<p data-price="{(i * 7) % 1000}">body {i}</p>'
+            f"</div>{w_close}"
+            f'<div class="sidebar"><p class="byline">decoy</p></div>'
+            f'<a href="/next/{i}" rel="next">next</a>'
+            f"</body></html>"
+        )
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "html": pa.array(pages, pa.string())}
+    )
+
+
+def q_css_extract(sf_dir: str) -> ray.data.Dataset:
+    """CSS-selector extraction rules over derived pages — the DOM-rule
+    counterpart of the regex field extractor (``html/cssselect.py``:
+    from-scratch selector parser + rightmost-compound matcher;
+    selectors compile once per actor).  → (doc_id, title, author,
+    first_tag, second_tag, last_tag, price, next_url).  Oracle: every
+    field re-derived in SQL from the same doc_id arithmetic."""
+    from ..html.cssselect import CssExtractor
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pages = docs.map_batches(_derived_css_pages, batch_format="pyarrow")
+    return pages.map_batches(
+        CssExtractor,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"rules": CSS_RULES},
+    )

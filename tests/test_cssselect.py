@@ -1,0 +1,152 @@
+"""CSS selector engine: grammar coverage, combinators, pseudo-classes,
+tolerant DOM building, and the actor-pool extraction stage."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_system_ray.html.cssselect import (
+    CssSelectorError,
+    build_dom,
+    extract_rules,
+    parse_selector,
+    select,
+)
+
+DOC = """
+<html><body>
+<div id="main" class="content post">
+  <h1 class="title">T&amp;5</h1>
+  <p class="byline">Author <span class="name">A5</span></p>
+  <ul class="tags"><li>one</li><li>two</li><li>three</li><li>four</li></ul>
+  <p data-price="35" data-cur="usd euro">body text</p>
+  <p>plain one</p><p>plain two</p>
+</div>
+<div class="sidebar"><p class="byline">decoy</p></div>
+<a href="/next/5" rel="next">next</a>
+<script>var x = "<p>not real</p>";</script>
+</body></html>
+"""
+
+
+@pytest.fixture(scope="module")
+def root():
+    return build_dom(DOC)
+
+
+def _texts(root, sel):
+    return [e.text() for e in select(root, sel)]
+
+
+def test_basic_and_compound(root):
+    assert _texts(root, "#main > h1.title") == ["T&5"]
+    assert _texts(root, "div#main p.byline span.name") == ["A5"]
+    assert _texts(root, "div.sidebar > p") == ["decoy"]
+    # scoping: the decoy shares .byline but not the #main subtree
+    assert _texts(root, "#main .byline") == ["Author A5"]
+    assert len(select(root, "p.byline")) == 2
+
+
+def test_structural_pseudo_classes(root):
+    assert _texts(root, "ul.tags li:first-child") == ["one"]
+    assert _texts(root, "ul.tags > li:last-child") == ["four"]
+    assert _texts(root, ".tags li:nth-child(2)") == ["two"]
+    assert _texts(root, ".tags li:nth-child(odd)") == ["one", "three"]
+    assert _texts(root, ".tags li:nth-child(even)") == ["two", "four"]
+    assert _texts(root, ".tags li:nth-child(2n+1)") == ["one", "three"]
+    assert _texts(root, ".tags li:nth-child(3n)") == ["three"]
+    assert _texts(root, ".tags li:nth-child(-n+2)") == ["one", "two"]
+
+
+def test_attribute_operators(root):
+    assert [e.attrs["data-price"] for e in select(root, "p[data-price]")] == ["35"]
+    assert _texts(root, 'p[data-cur~="euro"]') == ["body text"]
+    assert _texts(root, 'p[data-cur^="usd"]') == ["body text"]
+    assert _texts(root, 'p[data-cur$="euro"]') == ["body text"]
+    assert _texts(root, 'p[data-cur*="d e"]') == ["body text"]
+    assert _texts(root, 'p[data-cur="usd"]') == []
+    assert [e.attrs["href"] for e in select(root, "a[rel=next]")] == ["/next/5"]
+
+
+def test_sibling_combinators_and_not(root):
+    # adjacent: any p directly after a p
+    assert _texts(root, "p + p") == ["plain one", "plain two"]
+    assert _texts(root, "ul ~ p") == ["body text", "plain one", "plain two"]
+    assert _texts(root, "#main p:not(.byline)") == [
+        "body text",
+        "plain one",
+        "plain two",
+    ]
+    assert _texts(root, "#main p:not([data-price])") == [
+        "Author A5",
+        "plain one",
+        "plain two",
+    ]
+
+
+def test_selector_lists_and_universal(root):
+    assert _texts(root, "h1, a[rel]") == ["T&5", "next"]
+    assert len(select(root, "*")) == 17
+    assert len(select(root, "#main *")) == 11
+
+
+def test_script_content_is_not_dom(root):
+    # the <p> inside <script> must not exist as an element
+    assert _texts(root, "p") == [
+        "Author A5",
+        "body text",
+        "plain one",
+        "plain two",
+        "decoy",
+    ]
+
+
+def test_tolerant_parsing():
+    # unclosed tags + stray end tags + void elements
+    root = build_dom("<div><p>a<p>b</span><br><p>c</div><p>d")
+    assert _texts(root := root, "div p") == ["a", "b", "c"]
+    assert _texts(root, "p") == ["a", "b", "c", "d"]
+
+
+def test_bad_selectors_raise():
+    for bad in ["", "   ", "> p", "p >", "a,,b", "p:nth-child(x)", "p::"]:
+        with pytest.raises(CssSelectorError):
+            parse_selector(bad)
+
+
+def test_extract_rules_first_match_and_missing():
+    rules = {
+        "title": (parse_selector("h1"), "text"),
+        "missing": (parse_selector(".nope"), "text"),
+        "price": (parse_selector("[data-price]"), "@data-price"),
+    }
+    out = extract_rules(DOC, rules)
+    assert out == {"title": "T&5", "missing": "", "price": "35"}
+
+
+def test_actor_stage_roundtrip(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from ocr_system_ray.html.cssselect import CssExtractor
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "html": pa.array(
+                ["<div id='x'><b>one</b></div>", "<i>two</i>"], pa.string()
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            CssExtractor,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs={"rules": {"v": ("#x b, i", "text")}},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["v"].tolist() == ["one", "two"]
