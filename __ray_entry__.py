@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipynb_extract": q.q_ipynb_extract,
         "markdown_extract": q.q_markdown_extract,
         "avro_roundtrip": q.q_avro_roundtrip,
+        "avro_snappy_roundtrip": q.q_avro_snappy_roundtrip,
         "sqlite_roundtrip": q.q_sqlite_roundtrip,
         "csv_roundtrip": q.q_csv_roundtrip,
         "ipc_roundtrip": q.q_ipc_roundtrip,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flac_roundtrip": q.q_flac_roundtrip,
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "css_extract": q.q_css_extract,
+        "temperature_mix": q.q_temperature_mix,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
@@ -888,6 +890,12 @@ def _dp_counts_sql() -> str:
 
 
 _SA_FROM = "FROM documents WHERE doc_id % 10 = 0"
+
+
+def _temperature_mix_sql() -> str:
+    from ocr_system_ray.functions.sampling import temperature_sample_sql
+
+    return temperature_sample_sql("FROM documents")
 
 
 def _suffix_array_sql() -> str:
@@ -2581,6 +2589,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # avro_roundtrip: OCF write+read must reproduce the table
         "avro_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        # avro snappy codec: from-scratch LZ round trip + per-block CRC
+        "avro_snappy_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         # ipc_roundtrip: Arrow IPC is lossless — bare table, no
@@ -5271,6 +5283,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN '/root/repo/tests/golden/flac_features_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
+        # temperature_mix: exact-integer α=1/2 temperature quotas +
+        # Hamilton apportionment + md5-rank membership, all in SQL
+        "temperature_mix": _temperature_mix_sql(),
         # css_extract: every selector-extracted field re-derived from
         # the same doc_id arithmetic the page synthesizer uses (the
         # &amp; entity decodes to '&'; empty pages → all-'' rows)

@@ -92,3 +92,201 @@ def weighted_sample(
             "score_q": pa.array([s for s, _ in rows], pa.int64()),
         }
     )
+
+
+def temperature_quotas(
+    sizes: "dict[str, tuple[int, int]]", budget: int
+) -> "dict[str, int]":
+    """mT5/Llama-style temperature mixing quotas at α = ½, exact
+    integers end-to-end: weight per source = ``isqrt(char_mass)``
+    (α = 0.5 is the one temperature exponent computable EXACTLY in
+    integer arithmetic — the reason this operator pins it), allocation
+    = largest-remainder (Hamilton) apportionment of ``budget`` docs,
+    ties by source name, each quota capped at the source's doc count
+    (the budget is an upper bound when a tiny source saturates —
+    documented, no redistribution pass, keeping the SQL twin a single
+    window expression).
+
+    ``sizes``: ``{source: (doc_count, char_mass)}``."""
+    import math
+
+    names = sorted(sizes)
+    wts = {s: math.isqrt(max(0, sizes[s][1])) for s in names}
+    W = sum(wts.values())
+    if W == 0 or budget <= 0:
+        return {s: 0 for s in names}
+    base = {s: budget * wts[s] // W for s in names}
+    rems = sorted(
+        names, key=lambda s: (-(budget * wts[s] % W), s)
+    )
+    extra = budget - sum(base.values())
+    for j, s in enumerate(rems):
+        if j < extra:
+            base[s] += 1
+    return {s: min(base[s], sizes[s][0]) for s in names}
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    budget_den: int = 3,
+    salt: str = "tmix",
+) -> ray.data.Dataset:
+    """Temperature-mixed corpus sample → ``(id_col, source_col)``:
+    per-source quotas from :func:`temperature_quotas` (budget =
+    total_docs // ``budget_den``), members = the quota-first docs under
+    the salted md5 order (``md5(id:salt)[:15]``, id tiebreak — the
+    deterministic_shuffle carve, so lowercase-hex ORDER BY in SQL
+    reproduces the selection exactly).
+
+    Ray shape: one combiner counts pass (per-batch partial sums →
+    single-column groupby over the SOURCE key — source cardinality is
+    assumed driver-bounded, the domain-mix contract), quotas on the
+    driver, then one ``groupby(source)`` rank-and-filter.  For corpora
+    whose single largest source exceeds a worker, swap the in-group
+    sort for the fine-bucket ordered-prefix-sum rank of
+    ``splits.deterministic_shuffle`` keyed per source."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = _pd.DataFrame(
+            {
+                "s": t.column(source_col).to_pylist(),
+                "c": pc.fill_null(t.column(size_col), 0)
+                .cast(pa.int64())
+                .to_pylist(),
+            }
+        )
+        g = df.groupby("s", sort=False).agg(n=("c", "size"), cm=("c", "sum"))
+        return pa.table(
+            {
+                source_col: pa.array(g.index.tolist(), pa.string()),
+                "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                "cm": pa.array(g["cm"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(size_partial, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("cm", alias_name="cm"))
+        .to_pandas()
+    )
+    if counts.empty:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    source_col: pa.array([], pa.string()),
+                }
+            )
+        )
+    sizes = {
+        str(r[source_col]): (int(r["n"]), int(r["cm"]))
+        for _, r in counts.iterrows()
+    }
+    total = sum(n for n, _ in sizes.values())
+    quotas = temperature_quotas(sizes, total // budget_den)
+    quota_ref = ray.put(quotas)
+
+    def pick(df) -> "pd.DataFrame":  # noqa: ANN001
+        import pandas as _pd
+
+        if len(df) == 0:
+            return _pd.DataFrame(
+                {
+                    id_col: _pd.Series([], dtype="int64"),
+                    source_col: _pd.Series([], dtype="object"),
+                }
+            )
+        from .textstats import _broadcast_memo
+
+        qs = _broadcast_memo(quota_ref)
+        out = []
+        for src, g in df.groupby(source_col, sort=False):
+            q = qs.get(str(src), 0)
+            if q <= 0:
+                continue
+            keys = [
+                hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:15]
+                for i in g[id_col]
+            ]
+            g = g.assign(_k=keys).sort_values(
+                ["_k", id_col], kind="mergesort"
+            )
+            out.append(g.iloc[:q][[id_col, source_col]])
+        if not out:
+            return _pd.DataFrame(
+                {
+                    id_col: _pd.Series([], dtype="int64"),
+                    source_col: _pd.Series([], dtype="object"),
+                }
+            )
+        return _pd.concat(out, ignore_index=True)
+
+    return (
+        ds.select_columns([id_col, source_col])
+        .groupby(source_col)
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def temperature_sample_sql(
+    docs_from: str, budget_den: int = 3, salt: str = "tmix"
+) -> str:
+    """DuckDB twin: exact isqrt via the ±1 correction on floor(sqrt),
+    Hamilton remainders as a window rank, md5-hex per-source order."""
+    return f"""
+        WITH tm_src AS (
+            SELECT source, COUNT(*) AS n,
+                   SUM(CAST(n_chars AS BIGINT)) AS cm
+            {docs_from} GROUP BY source
+        ),
+        tm_tot AS (
+            SELECT SUM(n) // {budget_den} AS b FROM tm_src
+        ),
+        tm_w AS (
+            SELECT source, n,
+                   (wt0 + CASE WHEN (wt0+1)*(wt0+1) <= cm THEN 1 ELSE 0 END
+                        - CASE WHEN wt0*wt0 > cm THEN 1 ELSE 0 END) AS wt
+            FROM (
+                SELECT source, n, cm,
+                       CAST(floor(sqrt(CAST(cm AS DOUBLE))) AS BIGINT) AS wt0
+                FROM tm_src
+            )
+        ),
+        tm_alloc AS (
+            SELECT source, n,
+                   (b * wt) // W AS base,
+                   (b * wt) % W AS rem,
+                   b
+            FROM tm_w, tm_tot,
+                 (SELECT SUM(wt) AS W FROM tm_w)
+        ),
+        tm_quota AS (
+            SELECT source,
+                   least(n, base + CASE WHEN ROW_NUMBER() OVER (
+                           ORDER BY rem DESC, source
+                       ) <= b - SUM(base) OVER () THEN 1 ELSE 0 END
+                   ) AS q
+            FROM tm_alloc
+        ),
+        tm_ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(doc_id || ':{salt}'), 1, 15),
+                                doc_id
+                   ) AS rk
+            {docs_from}
+        )
+        SELECT r.doc_id, r.source
+        FROM tm_ranked r JOIN tm_quota q ON r.source = q.source
+        WHERE r.rk <= q.q
+    """

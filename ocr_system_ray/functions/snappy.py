@@ -1,0 +1,186 @@
+"""From-scratch Snappy block-format codec (decoder + greedy encoder).
+
+Snappy is the byte-oriented LZ77 variant used throughout the data-eng
+stack — Avro object files, ORC stripes, Hadoop sequence files, Kafka
+batches.  Python's stdlib has zlib/bz2/lzma but no snappy, so the
+Avro reader's ``snappy`` codec needs this from-scratch implementation
+(public format description: google/snappy format_description.txt).
+
+Block format:
+
+* preamble: uncompressed length as little-endian varint;
+* elements, tag low 2 bits:
+  - ``00`` literal — length-1 in the high 6 bits; values 60..63 mean
+    the length-1 follows in 1..4 little-endian bytes;
+  - ``01`` copy, 1-byte offset — length = 4 + ((tag>>2) & 7)
+    (4..11), offset = ((tag>>5) << 8) | next byte (1..2047);
+  - ``10`` copy, 2-byte LE offset — length = (tag>>2) + 1 (1..64);
+  - ``11`` copy, 4-byte LE offset — same length form.
+* copies may overlap forward (RLE via offset < length): byte-serial
+  semantics, implemented chunk-doubling so runs stay vectorized.
+
+Encoder: greedy 4-byte-hash matcher (last-occurrence table, matches
+extended maximally, ≥ 4 bytes emit a copy; 2-byte offsets up to 64 KiB
+windows, longer matches split into ≤ 64-byte copies — always-valid
+output, compression comparable to reference snappy on text).
+
+Avro mapping (wired in ``sources/avro.py``): per-block payload =
+snappy(data) + 4-byte BIG-endian CRC-32 (zlib polynomial) of the
+uncompressed bytes, per the Avro 1.x spec.
+"""
+
+from __future__ import annotations
+
+__all__ = ["snappy_compress", "snappy_decompress", "SnappyError"]
+
+
+class SnappyError(ValueError):
+    """Malformed snappy stream."""
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise SnappyError("snappy: truncated varint")
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 35:
+            raise SnappyError("snappy: varint too long")
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    n, pos = _read_varint(data, 0)
+    out = bytearray()
+    ln = len(data)
+    while pos < ln:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = (tag >> 2) + 1
+            if length > 60:
+                nb = length - 60
+                if pos + nb > ln:
+                    raise SnappyError("snappy: truncated literal length")
+                length = int.from_bytes(data[pos : pos + nb], "little") + 1
+                pos += nb
+            if pos + length > ln:
+                raise SnappyError("snappy: truncated literal")
+            out += data[pos : pos + length]
+            pos += length
+            continue
+        if kind == 1:
+            length = 4 + ((tag >> 2) & 7)
+            if pos >= ln:
+                raise SnappyError("snappy: truncated copy")
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:
+            length = (tag >> 2) + 1
+            if pos + 2 > ln:
+                raise SnappyError("snappy: truncated copy")
+            offset = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:
+            length = (tag >> 2) + 1
+            if pos + 4 > ln:
+                raise SnappyError("snappy: truncated copy")
+            offset = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise SnappyError("snappy: bad copy offset")
+        start = len(out) - offset
+        if offset >= length:
+            out += out[start : start + length]
+        else:
+            # overlapping copy: chunk-doubling keeps it O(log) slices
+            piece = bytes(out[start:])
+            while len(piece) < length:
+                piece = piece + piece
+            out += piece[:length]
+    if len(out) != n:
+        raise SnappyError(
+            f"snappy: length mismatch (header {n}, decoded {len(out)})"
+        )
+    return bytes(out)
+
+
+def _emit_literal(out: bytearray, lit: bytes) -> None:
+    n = len(lit)
+    i = 0
+    while i < n:
+        chunk = min(n - i, 1 << 24)
+        l1 = chunk - 1
+        if l1 < 60:
+            out.append(l1 << 2)
+        elif l1 < 1 << 8:
+            out.append(60 << 2)
+            out.append(l1)
+        elif l1 < 1 << 16:
+            out.append(61 << 2)
+            out += l1.to_bytes(2, "little")
+        else:
+            out.append(62 << 2)
+            out += l1.to_bytes(3, "little")
+        out += lit[i : i + chunk]
+        i += chunk
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    while length > 0:
+        ln = min(length, 64)
+        if 4 <= ln <= 11 and offset < 2048:
+            out.append(1 | (((ln - 4) & 7) << 2) | ((offset >> 8) << 5))
+            out.append(offset & 0xFF)
+        elif offset < 1 << 16:
+            out.append(2 | ((ln - 1) << 2))
+            out += offset.to_bytes(2, "little")
+        else:
+            out.append(3 | ((ln - 1) << 2))
+            out += offset.to_bytes(4, "little")
+        length -= ln
+
+
+def snappy_compress(data: bytes) -> bytes:
+    n = len(data)
+    out = bytearray()
+    # varint preamble
+    v = n
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+    if n == 0:
+        return bytes(out)
+    table: dict[int, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = int.from_bytes(data[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand < (1 << 16) and data[cand : cand + 4] == data[i : i + 4]:
+            # extend match
+            m = 4
+            while i + m < n and data[cand + m] == data[i + m]:
+                m += 1
+            if lit_start < i:
+                _emit_literal(out, data[lit_start:i])
+            _emit_copy(out, i - cand, m)
+            i += m
+            lit_start = i
+        else:
+            i += 1
+    if lit_start < n:
+        _emit_literal(out, data[lit_start:])
+    return bytes(out)

@@ -9402,3 +9402,55 @@ def q_css_extract(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 4),
         fn_constructor_kwargs={"rules": CSS_RULES},
     )
+
+
+def q_temperature_mix(sf_dir: str) -> ray.data.Dataset:
+    """Temperature-based mixture sampling (mT5/Llama multilingual
+    practice, α pinned at ½ for exact-integer weights): per-source
+    quotas ∝ isqrt(char mass), largest-remainder apportionment of a
+    total//3 budget, members by salted md5 rank
+    (``functions/sampling.py:temperature_sample``).  Oracle: the
+    identical integer tree in SQL (exact isqrt via ±1 correction,
+    Hamilton window, md5-hex order)."""
+    from ..functions.sampling import temperature_sample
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "source", "n_chars"]
+    )
+    return temperature_sample(docs)
+
+
+def q_avro_snappy_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Avro OCF round trip under the SNAPPY codec — the block payloads
+    go through the from-scratch snappy compressor/decompressor
+    (``functions/snappy.py``) with the Avro-spec big-endian CRC-32 of
+    the uncompressed bytes verified per block.  Oracle = the table
+    itself: any defect anywhere in the LZ tag emission, overlap-copy
+    reconstruction, or CRC handling breaks full-value equality."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.avro import read_avro, write_avro
+
+    cache = f"/tmp/osr_avrosn_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(
+            sf_dir,
+            "documents",
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        write_avro(
+            docs,
+            cache,
+            {
+                "doc_id": "long",
+                "text": "string",
+                "lang": "string",
+                "source": "string",
+                "n_chars": "long",
+            },
+            codec="snappy",
+        )
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.avro")))
+    return read_avro(shards)

@@ -9,7 +9,7 @@ Files"):
     magic  b'Obj\\x01'
     file metadata: avro map<bytes> — repeated (count, key, value)
         groups, 0-count terminated; carries ``avro.schema`` (JSON) and
-        ``avro.codec`` (``null`` | ``deflate``)
+        ``avro.codec`` (``null`` | ``deflate`` | ``snappy`` — snappy from scratch, functions/snappy.py)
     16-byte sync marker
     data blocks: long record-count, long payload-size, payload
         (raw-deflate when the codec says so), sync marker
@@ -270,6 +270,13 @@ def write_container(
     if codec == "deflate":
         comp = zlib.compressobj(6, zlib.DEFLATED, -15)
         payload = comp.compress(payload) + comp.flush()
+    elif codec == "snappy":
+        # Avro spec: snappy block + 4-byte BIG-endian CRC-32 of the
+        # UNCOMPRESSED data (from-scratch codec: functions/snappy.py)
+        from ..functions.snappy import snappy_compress
+
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        payload = snappy_compress(payload) + crc.to_bytes(4, "big")
     elif codec != "null":
         raise ValueError(f"avro: unsupported codec {codec!r}")
     return (
@@ -317,6 +324,15 @@ def read_container(blob: bytes) -> tuple[dict, list[dict]]:
                 raise ValueError("avro: sync marker mismatch")
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)
+            elif codec == "snappy":
+                from ..functions.snappy import snappy_decompress
+
+                if size < 4:
+                    raise ValueError("avro: snappy block too short")
+                payload = snappy_decompress(payload[:-4])
+                want = int.from_bytes(blob[p2 + size - 4 : p2 + size], "big")
+                if (zlib.crc32(payload) & 0xFFFFFFFF) != want:
+                    raise ValueError("avro: snappy CRC mismatch")
             elif codec != "null":
                 raise ValueError(f"avro: unsupported codec {codec!r}")
             rows.extend(decode_records(plan, payload, count))

@@ -1,0 +1,84 @@
+"""Snappy codec: spec vectors (hand-assembled tags), round trips,
+error paths, and the Avro snappy-codec wiring."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+import pytest
+
+from ocr_system_ray.functions.snappy import (
+    SnappyError,
+    snappy_compress,
+    snappy_decompress,
+)
+
+
+def test_handcrafted_spec_vectors():
+    # literal(4)="abcd" + copy(len 4, offset 4) → "abcdabcd"
+    assert snappy_decompress(bytes([8, 12]) + b"abcd" + bytes([1, 4])) == b"abcdabcd"
+    # RLE overlap: literal "a" + 2-byte-offset copy len 9 off 1
+    assert snappy_decompress(bytes([10, 0]) + b"a" + bytes([34, 1, 0])) == b"a" * 10
+    # long-literal form: 1-byte length (60<<2 tag), len-1 = 99
+    payload = bytes(100)
+    blob = bytes([100, 60 << 2, 99]) + payload
+    assert snappy_decompress(blob) == payload
+    # 4-byte-offset copy form
+    lit = b"xy" * 40
+    blob = snappy_compress(lit)
+    assert snappy_decompress(blob) == lit
+
+
+def test_roundtrips():
+    random.seed(7)
+    cases = [
+        b"",
+        b"x",
+        b"a" * 100000,
+        b"the quick brown fox jumps over the lazy dog. " * 2000,
+        bytes(random.randbytes(50000)),
+        b"abc" * 33333,
+        b"".join(
+            bytes(random.randbytes(50)) + b"PATTERN-REPEAT" * 4
+            for _ in range(200)
+        ),
+    ]
+    for d in cases:
+        assert snappy_decompress(snappy_compress(d)) == d
+
+
+def test_compression_on_repetitive_input():
+    d = b"the quick brown fox jumps over the lazy dog. " * 2000
+    assert len(snappy_compress(d)) < len(d) // 10
+
+
+def test_error_paths():
+    with pytest.raises(SnappyError):
+        snappy_decompress(b"")  # truncated varint? empty -> varint fail
+    with pytest.raises(SnappyError):
+        snappy_decompress(bytes([5, 12]) + b"ab")  # truncated literal
+    with pytest.raises(SnappyError):
+        snappy_decompress(bytes([8, 1, 9]))  # copy offset beyond output
+    with pytest.raises(SnappyError):
+        # declared length ≠ decoded length
+        snappy_decompress(bytes([9, 12]) + b"abcd" + bytes([1, 4]))
+
+
+def test_avro_snappy_container_roundtrip():
+    from ocr_system_ray.sources.avro import (
+        build_schema,
+        read_container,
+        write_container,
+    )
+
+    schema = build_schema("row", {"id": "long", "t": "string"})
+    rows = [{"id": i, "t": f"value {i} " + "pad " * (i % 7)} for i in range(200)]
+    blob = write_container(schema, rows, codec="snappy")
+    _s, back = read_container(blob)
+    assert back == rows
+    # CRC corruption detected: flip one bit inside the block payload
+    bad = bytearray(blob)
+    bad[-25] ^= 1
+    with pytest.raises((ValueError, SnappyError)):
+        read_container(bytes(bad))

