@@ -183,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flac_roundtrip": q.q_flac_roundtrip,
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "css_extract": q.q_css_extract,
-        "temperature_mix": q.q_temperature_mix,
+        "temperature_quota_mix": q.q_temperature_quota_mix,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
@@ -5285,7 +5285,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
-        "temperature_mix": _temperature_mix_sql(),
+        "temperature_quota_mix": _temperature_mix_sql(),
         # css_extract: every selector-extracted field re-derived from
         # the same doc_id arithmetic the page synthesizer uses (the
         # &amp; entity decodes to '&'; empty pages → all-'' rows)

@@ -9404,7 +9404,7 @@ def q_css_extract(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_temperature_mix(sf_dir: str) -> ray.data.Dataset:
+def q_temperature_quota_mix(sf_dir: str) -> ray.data.Dataset:
     """Temperature-based mixture sampling (mT5/Llama multilingual
     practice, α pinned at ½ for exact-integer weights): per-source
     quotas ∝ isqrt(char mass), largest-remainder apportionment of a
