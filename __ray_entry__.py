@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
+        "edit_distance_join": q.q_edit_distance_join,
         "audio_features": q.q_audio_features,
         "audio_fingerprints": q.q_audio_fingerprints,
         "audio_neardup": q.q_audio_neardup,
@@ -5282,6 +5283,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN '/root/repo/tests/golden/flac_features_sf001.parquet' g
               ON d.doc_id = g.doc_id
+        """,
+        # edit_distance_join: the typo derivation rebuilt in substr
+        # arithmetic; brute-force levenshtein self-join (exact costs)
+        "edit_distance_join": """
+            WITH ed_base AS (
+                SELECT doc_id,
+                       (['apple','river','stone','cloud','tiger','mango',
+                         'delta','piano'])[(((doc_id // 5) * 7 + 0) % 8) + 1]
+                       || ' ' ||
+                       (['apple','river','stone','cloud','tiger','mango',
+                         'delta','piano'])[(((doc_id // 5) * 7 + 1) % 8) + 1]
+                       || ' ' ||
+                       (['apple','river','stone','cloud','tiger','mango',
+                         'delta','piano'])[(((doc_id // 5) * 7 + 2) % 8) + 1]
+                           AS base,
+                       doc_id % 5 AS r,
+                       1 + (doc_id * 13) % 14 AS p
+                FROM documents
+            ),
+            ed_keys AS (
+                SELECT doc_id,
+                       CASE r
+                           WHEN 1 THEN substr(base, 1, p) || substr(base, p + 2)
+                           WHEN 2 THEN substr(base, 1, p) || 'x' || substr(base, p + 2)
+                           WHEN 3 THEN substr(base, 1, p) || 'q' || substr(base, p + 1)
+                           WHEN 4 THEN substr(base, 1, p) || substr(base, p + 2, 1)
+                                       || substr(base, p + 1, 1) || substr(base, p + 3)
+                           ELSE base
+                       END AS s
+                FROM ed_base
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM ed_keys a JOIN ed_keys b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 2
         """,
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL

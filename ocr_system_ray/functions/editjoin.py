@@ -1,0 +1,229 @@
+"""Edit-distance similarity join — SymSpell deletion-neighborhood
+candidates + banded-DP verification, exact recall.
+
+Fuzzy record linkage's core join ("names within 2 typos of each
+other") at corpus scale without the O(n²) cross product.  Candidate
+generation is the symmetric-delete scheme (Garbe's SymSpell, public
+algorithm): if ``ed(a, b) ≤ k`` then deleting the ≤ k unmatched
+characters of an optimal alignment from EACH side reaches a common
+string, so every true pair shares at least one ``≤ k``-deletion
+variant — emitting all variants of every key gives EXACT recall, and
+the full Levenshtein DP (banded to ``k``, early-exit) verifies each
+candidate so precision is exact too.
+
+Ray shape — two coarse-bucket shuffles, strings die in-group:
+
+1. each row emits one row per deletion variant:
+   ``(bucket(sig_hash), sig_hash, id, key)`` — the key STRING rides
+   along (the operator's contract is SHORT linkage keys, ≤ ~64 chars;
+   C(64,2) ≈ 2k variants × key bytes is the documented ceiling — for
+   long strings use the MinHash/Jaccard operators instead);
+2. ``groupby(bucket)`` verifies in-signature-group pairs with the
+   banded DP (groups are deletion-variant collision sets — tiny on
+   real name data; identical-key clusters concentrate in the
+   zero-deletion group, the star-cluster hazard shared with every
+   content-keyed groupby);
+3. one pair-bucket groupby dedups pairs found via multiple shared
+   signatures (distance is a pure function of the pair — keep first).
+
+Verification matches DuckDB ``levenshtein`` exactly: unit-cost
+substitution/insert/delete, no transposition (an adjacent swap costs
+2) — which is what makes the brute-force SQL twin exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.skew import stable_hash64
+from .dedup import _adaptive_coarse_bits, _coarse_bucket
+
+__all__ = ["edit_distance_join", "levenshtein_banded"]
+
+
+def levenshtein_banded(a: str, b: str, k: int) -> int:
+    """Unit-cost Levenshtein, band-limited: returns the exact distance
+    when ≤ k, else k+1."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = list(range(lb + 1))
+    big = k + 1
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = [big] * (lb + 1)
+        cur[0] = i if i <= k else big
+        ca = a[i - 1]
+        row_min = big
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + cost,
+            )
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min > k:
+            return k + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= k else k + 1
+
+
+def _deletion_variants(s: str, k: int) -> set[str]:
+    """All strings obtainable by deleting ≤ k characters (incl. s)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_join(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str = "doc_id",
+    k: int = 2,
+    max_key_len: int = 64,
+) -> ray.data.Dataset:
+    """→ ``(id_a, id_b, dist)`` for every pair with
+    ``levenshtein(key_a, key_b) ≤ k`` (``id_a < id_b``); empty/null
+    keys never join; keys longer than ``max_key_len`` raise (the
+    short-key contract — see module docstring)."""
+    if k < 0:
+        raise ValueError("edit_distance_join: k must be ≥ 0")
+    # adaptive coarse width on the EXPLODED row count (rows × variants;
+    # C(L,≤k) variants per key) — the CLAUDE.md shuffle-width contract
+    n_rows = ds.count()
+    est_variants = 1 + max_key_len + (max_key_len * (max_key_len - 1) // 2 if k >= 2 else 0)
+    sig_buckets = 1 << _adaptive_coarse_bits(max(2, n_rows * est_variants))
+
+    def emit_sigs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).to_pylist()
+        o_sig: list[int] = []
+        o_id: list[int] = []
+        o_key: list[str] = []
+        for i, s in zip(ids, keys):
+            if not s:
+                continue
+            if len(s) > max_key_len:
+                raise ValueError(
+                    f"edit_distance_join: key longer than {max_key_len} "
+                    "chars — use the gram/MinHash operators for long text"
+                )
+            for v in _deletion_variants(s, k):
+                o_sig.append(v)
+                o_id.append(int(i))
+                o_key.append(s)
+        if not o_id:
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "key": pa.array([], pa.string()),
+                }
+            )
+        sig_h = stable_hash64(o_sig).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(_coarse_bucket(sig_h, sig_buckets)),
+                "sig": pa.array(sig_h),
+                id_col: pa.array(np.array(o_id, dtype=np.int64)),
+                "key": pa.array(o_key, pa.string()),
+            }
+        )
+
+    sigs = ds.map_batches(emit_sigs, batch_format="pyarrow")
+
+    def find_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        ia: list[int] = []
+        ib: list[int] = []
+        dd: list[int] = []
+        for _sig, g in df.groupby("sig", sort=False):
+            if len(g) < 2:
+                continue
+            # one row per id within the signature group
+            sub = g.drop_duplicates(subset=[id_col])
+            ids = sub[id_col].to_numpy(dtype=np.int64)
+            keys = sub["key"].to_numpy(dtype=object)
+            m = ids.size
+            for x in range(m):
+                for y in range(x + 1, m):
+                    d = levenshtein_banded(keys[x], keys[y], k)
+                    if d <= k:
+                        a, b2 = ids[x], ids[y]
+                        if a > b2:
+                            a, b2 = b2, a
+                        ia.append(int(a))
+                        ib.append(int(b2))
+                        dd.append(int(d))
+        if not ia:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ia, dtype="int64"),
+                "id_b": pd.Series(ib, dtype="int64"),
+                "dist": pd.Series(dd, dtype="int64"),
+            }
+        )
+
+    cand = sigs.groupby("b").map_groups(find_pairs, batch_format="pandas")
+
+    pair_buckets = 4096
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b2 = t.column("id_b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = a.astype(np.uint64) * np.uint64(1099511628211) + b2.astype(
+                np.uint64
+            )
+        return t.append_column(
+            "pb", pa.array(_coarse_bucket(key.astype(np.int64), pair_buckets))
+        )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        out = df.drop_duplicates(subset=["id_a", "id_b"])[
+            ["id_a", "id_b", "dist"]
+        ]
+        return out.reset_index(drop=True)
+
+    return (
+        cand.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )

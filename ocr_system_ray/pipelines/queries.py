@@ -9454,3 +9454,53 @@ def q_avro_snappy_roundtrip(sf_dir: str) -> ray.data.Dataset:
         )
     shards = sorted(_glob.glob(_os.path.join(cache, "*.avro")))
     return read_avro(shards)
+
+
+_ED_VOCAB = (
+    "apple", "river", "stone", "cloud", "tiger", "mango", "delta", "piano"
+)
+
+
+def _derived_linkage_keys(t: pa.Table) -> pa.Table:
+    """Typo-perturbed linkage keys (all-length-5 vocab → 17-char base,
+    so every position is SQL-substr-expressible): groups of 5 docs
+    share a base string; each member applies one deterministic edit
+    (none / delete / replace / insert / adjacent swap) at
+    p = 1 + (doc_id·13) mod 14 — within-group distances ≤ 2 (single
+    edits) or up to 4 (two stacked edits), so the k=2 join is
+    selective, not all-pairs."""
+    ids = t.column("doc_id").to_pylist()
+    keys: list[str] = []
+    for i in ids:
+        g = i // 5
+        base = " ".join(_ED_VOCAB[(g * 7 + j) % 8] for j in range(3))
+        r = i % 5
+        p = 1 + (i * 13) % 14
+        if r == 1:
+            s = base[:p] + base[p + 1 :]
+        elif r == 2:
+            s = base[:p] + "x" + base[p + 1 :]
+        elif r == 3:
+            s = base[:p] + "q" + base[p:]
+        elif r == 4:
+            s = base[:p] + base[p + 1] + base[p] + base[p + 2 :]
+        else:
+            s = base
+        keys.append(s)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "key": pa.array(keys, pa.string())}
+    )
+
+
+def q_edit_distance_join(sf_dir: str) -> ray.data.Dataset:
+    """Fuzzy similarity join at edit distance ≤ 2 over typo-derived
+    linkage keys — SymSpell deletion-neighborhood candidates (exact
+    recall) + banded-DP verify (``functions/editjoin.py``), matching
+    DuckDB ``levenshtein`` unit costs exactly.  Oracle: the SAME key
+    derivation rebuilt in pure SQL substr arithmetic, brute-force
+    self-join with ``levenshtein(a,b) <= 2``."""
+    from ..functions.editjoin import edit_distance_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    keys = docs.map_batches(_derived_linkage_keys, batch_format="pyarrow")
+    return edit_distance_join(keys, "key", k=2)

@@ -1,0 +1,119 @@
+"""Edit-distance join: banded DP exactness, SymSpell recall, engine
+join vs a DuckDB levenshtein brute force."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.editjoin import (
+    _deletion_variants,
+    edit_distance_join,
+    levenshtein_banded,
+)
+
+
+def test_banded_dp_matches_duckdb():
+    random.seed(11)
+    al = "abcdef "
+    for _ in range(300):
+        a = "".join(random.choice(al) for _ in range(random.randint(0, 10)))
+        b = "".join(random.choice(al) for _ in range(random.randint(0, 10)))
+        d = duckdb.sql(f"SELECT levenshtein('{a}','{b}')").fetchone()[0]
+        for k in (0, 1, 2, 3):
+            got = levenshtein_banded(a, b, k)
+            assert got == (d if d <= k else k + 1), (a, b, k)
+
+
+def test_deletion_variant_counts():
+    assert _deletion_variants("abc", 0) == {"abc"}
+    assert _deletion_variants("abc", 1) == {"abc", "bc", "ac", "ab"}
+    v2 = _deletion_variants("abcd", 2)
+    assert "cd" in v2 and "abcd" in v2 and len(v2) == 1 + 4 + 6
+
+
+def test_symspell_recall_property():
+    # every pair with ed <= 2 shares a <=2-deletion variant
+    random.seed(5)
+    for _ in range(100):
+        a = "".join(random.choice("abc") for _ in range(random.randint(2, 8)))
+        b = "".join(random.choice("abc") for _ in range(random.randint(2, 8)))
+        d = duckdb.sql(f"SELECT levenshtein('{a}','{b}')").fetchone()[0]
+        if d <= 2:
+            assert _deletion_variants(a, 2) & _deletion_variants(b, 2), (a, b)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_join_matches_bruteforce(ray_session, blocks):
+    import ray.data
+
+    vocab = ["apple", "river", "stone", "cloud"]
+    ids, keys = [], []
+    for i in range(120):
+        g = i // 4
+        base = " ".join(vocab[(g * 3 + j) % 4] for j in range(2))
+        r = i % 4
+        p = 1 + (i * 7) % (len(base) - 2)
+        s = (
+            base
+            if r == 0
+            else base[:p] + base[p + 1 :]
+            if r == 1
+            else base[:p] + "z" + base[p + 1 :]
+            if r == 2
+            else base[:p] + "w" + base[p:]
+        )
+        ids.append(i)
+        keys.append(s)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "key": pa.array(keys, pa.string())}
+    )
+    got = (
+        edit_distance_join(
+            ray.data.from_arrow(t).repartition(blocks), "key", k=2
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    kdf = pd.DataFrame({"doc_id": ids, "s": keys})
+    con = duckdb.connect()
+    con.register("kdf", kdf)
+    exp = con.sql(
+        """
+        SELECT a.doc_id id_a, b.doc_id id_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) dist
+        FROM kdf a JOIN kdf b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.s, b.s) <= 2 ORDER BY id_a, id_b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+def test_null_and_long_keys(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "key": pa.array(["ab", None, ""], pa.string()),
+        }
+    )
+    out = edit_distance_join(ray.data.from_arrow(t), "key", k=1).to_pandas()
+    assert len(out) == 0  # nulls/empties never join
+
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "key": pa.array(["x" * 100], pa.string()),
+        }
+    )
+    with pytest.raises(Exception):
+        edit_distance_join(
+            ray.data.from_arrow(t2), "key", k=1, max_key_len=64
+        ).to_pandas()
