@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         "flac_roundtrip": q.q_flac_roundtrip,
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
+        "mp1_subbands": q.q_mp1_subbands,
+        "checksum_ids": q.q_checksum_ids,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -891,6 +893,87 @@ def _dp_counts_sql() -> str:
 
 
 _SA_FROM = "FROM documents WHERE doc_id % 10 = 0"
+
+
+def _checksum_ids_sql() -> str:
+    from ocr_system_ray.functions.checksums import checksum_sql_select
+
+    # the mod-97 char fold (same machinery as the validator twin),
+    # applied to an arbitrary string expression
+    def fold(expr: str) -> str:
+        return (
+            "CAST(list_reduce(list_prepend('0', string_split_regex("
+            + expr
+            + ", '')), (a, b) -> CAST("
+            "CASE WHEN b BETWEEN '0' AND '9' THEN "
+            "(CAST(a AS BIGINT) * 10 + (ascii(b) - 48)) % 97 "
+            "ELSE (CAST(a AS BIGINT) * 100 + (ascii(b) - 55)) % 97 END "
+            "AS VARCHAR)) AS BIGINT)"
+        )
+
+    return f"""
+        WITH ck_parts AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                       lpad(CAST((doc_id * 7919 + 13) %
+                            1000000000000000000 AS VARCHAR), 18, '0')
+                   END AS bban,
+                   CASE WHEN doc_id % 4 = 1 THEN
+                       '978' || lpad(CAST((doc_id * 104729) %
+                            1000000000 AS VARCHAR), 9, '0')
+                   END AS body13,
+                   CASE WHEN doc_id % 5 = 2 THEN
+                       lpad(CAST((doc_id * 65537 + 7) %
+                            1000000000 AS VARCHAR), 9, '0')
+                   END AS base9
+            FROM documents
+        ),
+        ck_built AS (
+            SELECT doc_id,
+                   CASE WHEN bban IS NOT NULL THEN
+                       'DE' || lpad(CAST(98 - {fold("bban || 'DE00'")}
+                                    AS VARCHAR), 2, '0') || bban
+                   END AS iban0,
+                   CASE WHEN body13 IS NOT NULL THEN
+                       (10 - list_sum(list_transform(range(1, 13), j ->
+                           (CASE WHEN j % 2 = 1 THEN 1 ELSE 3 END) *
+                           (ascii(substr(body13, CAST(j AS INT), 1)) - 48)
+                       )) % 10) % 10
+                   END AS c13_0,
+                   CASE WHEN base9 IS NOT NULL THEN
+                       list_sum(list_transform(range(1, 10), j ->
+                           j * (ascii(substr(base9, CAST(j AS INT), 1)) - 48)
+                       )) % 11
+                   END AS c10_0,
+                   body13, base9
+            FROM ck_parts
+        ),
+        ck_text AS (
+            SELECT doc_id,
+                   'doc ' || doc_id || ' ref'
+                   || COALESCE(' pay to ' ||
+                       CASE WHEN doc_id % 9 = 0 THEN
+                           substr(iban0, 1, 21) ||
+                           CAST((ascii(substr(iban0, 22, 1)) - 48 + 1) % 10
+                                AS VARCHAR)
+                       ELSE iban0 END || ' today', '')
+                   || COALESCE(' cite ' || body13 ||
+                       CAST(CASE WHEN doc_id % 8 = 1
+                            THEN (c13_0 + 5) % 10 ELSE c13_0 END
+                            AS VARCHAR), '')
+                   || COALESCE(' isbn ' || base9 ||
+                       CASE WHEN (CASE WHEN doc_id % 10 = 2
+                                  THEN (c10_0 + 3) % 11 ELSE c10_0 END) = 10
+                            THEN 'X'
+                            ELSE CAST(CASE WHEN doc_id % 10 = 2
+                                      THEN (c10_0 + 3) % 11 ELSE c10_0 END
+                                      AS VARCHAR) END, '')
+                   || ' end' AS text
+            FROM ck_built
+        )
+        SELECT doc_id, {checksum_sql_select("text")}
+        FROM ck_text
+    """
 
 
 def _temperature_mix_sql() -> str:
@@ -5322,6 +5405,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # checksum_ids: snippet AND every check digit re-derived in SQL
+        "checksum_ids": _checksum_ids_sql(),
         # css_extract: every selector-extracted field re-derived from
         # the same doc_id arithmetic the page synthesizer uses (the
         # &amp; entity decodes to '&'; empty pages → all-'' rows)
@@ -5353,6 +5438,17 @@ def oracle_sql() -> dict[str, str]:
                    g.n_samples, g.peak, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/adpcm_features_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # mp1_subbands: twin computes the serial float tree from the
+        # shared grids without touching the bitstream — pack+parse must
+        # round-trip bit-exactly
+        "mp1_subbands": """
+            SELECT d.doc_id, g.sample_rate, g.n_frames,
+                   g.n_active_subbands, g.energy_low, g.energy_mid,
+                   g.energy_high, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/mp1_features_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         "audio_fingerprints": """

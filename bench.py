@@ -303,6 +303,14 @@ def _query_suite() -> dict:
         "spearman": q.q_spearman,
         "vocab_growth": q.q_vocab_growth,
         "split_leakage": q.q_split_leakage,
+        # round-4 additions
+        "suffix_array": q.q_suffix_array,
+        "flac_roundtrip": q.q_flac_roundtrip,
+        "adpcm_roundtrip": q.q_adpcm_roundtrip,
+        "css_extract": q.q_css_extract,
+        "temperature_quota_mix": q.q_temperature_quota_mix,
+        "avro_snappy_roundtrip": q.q_avro_snappy_roundtrip,
+        "edit_distance_join": q.q_edit_distance_join,
     }
     return suite
 

@@ -1,0 +1,172 @@
+"""Checksummed-identifier detection — IBAN / ISBN-13 / ISBN-10.
+
+The PII/compliance scan family beyond Luhn (``pii.credit_card_batch``):
+identifiers whose VALIDITY is a public checksum, so detection can
+separate card-shaped noise from real leakage.  All three checksums are
+exact integer arithmetic, which is what makes the DuckDB twin exact:
+
+* **IBAN** (ISO 13616 + ISO 7064 mod-97-10): candidate =
+  ``\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b``; valid iff the country code
+  is known with the matching national length AND the rearranged string
+  (body + country + check digits, letters → 10..35) ≡ 1 (mod 97).
+  The fold ``acc = (acc·10 + d) mod 97`` / ``(acc·100 + v) mod 97``
+  per character is reproduced in SQL with ``list_reduce``.
+* **ISBN-13 / EAN-13**: ``\\b97[89][0-9]{10}\\b``; alternating 1/3
+  weights, total ≡ 0 (mod 10).
+* **ISBN-10**: ``\\b[0-9]{9}[0-9X]\\b``; weights 1..10 with ``X`` = 10
+  in the last position, total ≡ 0 (mod 11).
+
+The candidate patterns are RE2-safe and used VERBATIM in the DuckDB
+``regexp_extract_all`` twin — one source of truth for the shapes.
+
+Ray shape: stateless row-local ``map_batches`` (candidates are rare —
+the per-row findall is cold-path, the ``pii.py`` precedent); only the
+count columns leave the stage."""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "IBAN_CANDIDATE",
+    "ISBN13_CANDIDATE",
+    "ISBN10_CANDIDATE",
+    "IBAN_LENGTHS",
+    "iban_valid",
+    "isbn13_valid",
+    "isbn10_valid",
+    "checksum_scan_batch",
+    "checksum_sql_select",
+]
+
+IBAN_CANDIDATE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\b"
+ISBN13_CANDIDATE = r"\b97[89][0-9]{10}\b"
+ISBN10_CANDIDATE = r"\b[0-9]{9}[0-9X]\b"
+
+# the common-country subset (ISO 13616 registry lengths)
+IBAN_LENGTHS: dict[str, int] = {
+    "DE": 22, "GB": 22, "FR": 27, "ES": 24, "NL": 18, "IT": 27,
+    "BE": 16, "CH": 21, "AT": 20, "PL": 28, "PT": 25, "SE": 24,
+}
+
+_IBAN_RE = re.compile(IBAN_CANDIDATE)
+_ISBN13_RE = re.compile(ISBN13_CANDIDATE)
+_ISBN10_RE = re.compile(ISBN10_CANDIDATE)
+
+
+def _mod97(s: str) -> int:
+    acc = 0
+    for ch in s:
+        if ch.isdigit():
+            acc = (acc * 10 + ord(ch) - 48) % 97
+        else:
+            acc = (acc * 100 + ord(ch) - 55) % 97  # A=10 .. Z=35
+    return acc
+
+
+def iban_valid(s: str) -> bool:
+    want = IBAN_LENGTHS.get(s[:2])
+    if want is None or len(s) != want:
+        return False
+    return _mod97(s[4:] + s[:4]) == 1
+
+
+def isbn13_valid(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(s):
+        total += (1 if i % 2 == 0 else 3) * (ord(ch) - 48)
+    return total % 10 == 0
+
+
+def isbn10_valid(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(s):
+        v = 10 if ch == "X" else ord(ch) - 48
+        total += (i + 1) * v
+    return total % 11 == 0
+
+
+def checksum_scan_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str | None = None
+) -> pa.Table:
+    """Append ``n_iban / n_iban_valid / n_isbn13 / n_isbn13_valid /
+    n_isbn10 / n_isbn10_valid`` counts (candidates in document order;
+    null text scans as empty)."""
+    texts = pc.fill_null(batch.column(text_col), "").to_pylist()
+    cols: dict[str, list[int]] = {
+        k: []
+        for k in (
+            "n_iban",
+            "n_iban_valid",
+            "n_isbn13",
+            "n_isbn13_valid",
+            "n_isbn10",
+            "n_isbn10_valid",
+        )
+    }
+    for t in texts:
+        ib = _IBAN_RE.findall(t)
+        i13 = _ISBN13_RE.findall(t)
+        i10 = _ISBN10_RE.findall(t)
+        cols["n_iban"].append(len(ib))
+        cols["n_iban_valid"].append(sum(1 for s in ib if iban_valid(s)))
+        cols["n_isbn13"].append(len(i13))
+        cols["n_isbn13_valid"].append(sum(1 for s in i13 if isbn13_valid(s)))
+        cols["n_isbn10"].append(len(i10))
+        cols["n_isbn10_valid"].append(sum(1 for s in i10 if isbn10_valid(s)))
+    out = batch
+    for k, v in cols.items():
+        out = out.append_column(k, pa.array(v, pa.int64()))
+    return out
+
+
+def checksum_sql_select(text_expr: str) -> str:
+    """GENERATED DuckDB twin expressions (same candidate regexes, the
+    same integer folds via list_reduce/list_transform).  Returns the
+    six count columns as a SELECT fragment."""
+    # DuckDB lambdas cannot hold subqueries (the cc_sql_exprs lesson)
+    # — the country-length registry becomes a generated CASE chain
+    length_case = " ".join(
+        f"WHEN '{c}' THEN {n}" for c, n in sorted(IBAN_LENGTHS.items())
+    )
+    # mod-97 fold over the rearranged candidate (body+country+check):
+    # acc carried as VARCHAR through list_reduce
+    fold = (
+        "CAST(list_reduce(list_prepend('0', string_split_regex("
+        "substr(x, 5) || substr(x, 1, 4), '')), (a, b) -> CAST("
+        "CASE WHEN b BETWEEN '0' AND '9' THEN "
+        "(CAST(a AS BIGINT) * 10 + (ascii(b) - 48)) % 97 "
+        "ELSE (CAST(a AS BIGINT) * 100 + (ascii(b) - 55)) % 97 END "
+        "AS VARCHAR)) AS BIGINT)"
+    )
+    iban_ok = (
+        f"len(list_filter(regexp_extract_all({text_expr}, "
+        f"'{IBAN_CANDIDATE}'), x -> "
+        f"COALESCE(len(x) = CASE substr(x, 1, 2) {length_case} END, "
+        f"false) AND {fold} = 1))"
+    )
+    isbn13_ok = (
+        f"len(list_filter(regexp_extract_all({text_expr}, "
+        f"'{ISBN13_CANDIDATE}'), x -> "
+        "list_sum(list_transform(range(1, 14), i -> "
+        "(CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END) * "
+        "(ascii(substr(x, CAST(i AS INT), 1)) - 48))) % 10 = 0))"
+    )
+    isbn10_ok = (
+        f"len(list_filter(regexp_extract_all({text_expr}, "
+        f"'{ISBN10_CANDIDATE}'), x -> "
+        "list_sum(list_transform(range(1, 11), i -> "
+        "i * (CASE WHEN substr(x, CAST(i AS INT), 1) = 'X' THEN 10 "
+        "ELSE ascii(substr(x, CAST(i AS INT), 1)) - 48 END))) % 11 = 0))"
+    )
+    return f"""
+        CAST(len(regexp_extract_all({text_expr}, '{IBAN_CANDIDATE}')) AS BIGINT) AS n_iban,
+        CAST({iban_ok} AS BIGINT) AS n_iban_valid,
+        CAST(len(regexp_extract_all({text_expr}, '{ISBN13_CANDIDATE}')) AS BIGINT) AS n_isbn13,
+        CAST({isbn13_ok} AS BIGINT) AS n_isbn13_valid,
+        CAST(len(regexp_extract_all({text_expr}, '{ISBN10_CANDIDATE}')) AS BIGINT) AS n_isbn10,
+        CAST({isbn10_ok} AS BIGINT) AS n_isbn10_valid
+    """

@@ -1,0 +1,313 @@
+"""MPEG-1 Audio Layer I — bitstream decode to the subband domain.
+
+Closes the MPEG leg of the lossy-audio gap honestly: everything the
+STANDARD defines as exact bit syntax and arithmetic is implemented —
+header fields, CRC-16 protection, bit allocation, scalefactors,
+sample codes, and the ISO 11172-3 §2.4.3.3 requantization formula
+
+    s'' = (2^nb / (2^nb − 1)) · (s''' + 2^(1−nb)),   s' = sf · s''
+
+(with ``s'''`` the MSB-inverted fractional code and ``sf = 2·2^(−i/3)``
+from the 63-entry scalefactor law).  What is NOT here is the polyphase
+synthesis to PCM: the 512-tap window C[] of Annex 3-B.3 is tabulated
+numeric data with no closed form, and reproducing it from memory would
+yield a silently non-conformant decoder — so this module stops at the
+SUBBAND domain (the representation audio fingerprinting consumes
+anyway; cf. ``audiofp.py``'s band energies) and the PCM seam is
+documented here, exactly like the lossy-video seam in
+``multimodal.py``.
+
+Layer I frame (after the 32-bit header, per ISO 11172-3 §2.4.1.5):
+
+* optional 16-bit CRC (protection_bit == 0), computed over header
+  bits 16..31 plus the allocation/scalefactor side info;
+* 4-bit allocation per (subband, channel) — code 0 = silent, codes
+  1..14 → nb = code+1 bits (2..15), 15 forbidden; in joint (intensity)
+  stereo, subbands ≥ bound share one allocation;
+* 6-bit scalefactor index per allocated (subband, channel);
+* 12 granules × nb-bit sample codes, subband-major within granule.
+
+Encoder: packs deterministic (allocation, scalefactor, sample-code)
+grids into conformant frames (the fixture writer for the decode
+oracle), bitrate-free form (padding via free-format is avoided by
+choosing the 448 kbps index and letting the frame self-terminate —
+the decoder walks by header-declared frame length).
+
+The features stage emits integer-micro mean |s'| per subband group —
+the float expression tree is written identically in the independent
+golden twin (the Benford float-tree precedent).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "MpegAudioError",
+    "encode_mp1_frames",
+    "decode_mp1_subbands",
+    "mp1_features",
+    "SCALEFACTORS",
+]
+
+
+class MpegAudioError(ValueError):
+    """Malformed or unsupported MPEG audio stream."""
+
+
+# ISO 11172-3 scalefactor law: sf(i) = 2.0 * 2^(-i/3), i = 0..62
+SCALEFACTORS: tuple[float, ...] = tuple(
+    2.0 * (2.0 ** (-(i) / 3.0)) for i in range(63)
+)
+
+_BITRATES_L1 = (
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448
+)
+_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def _crc16_mpeg(bits: "list[int]") -> int:
+    """CRC-16 (poly 0x8005, init 0xFFFF) over a BIT sequence — the
+    MPEG audio protection polynomial runs over side-info bits, not
+    bytes."""
+    crc = 0xFFFF
+    for b in bits:
+        hi = (crc >> 15) & 1
+        crc = (crc << 1) & 0xFFFF
+        if hi ^ b:
+            crc ^= 0x8005
+    return crc
+
+
+class _BitIO:
+    def __init__(self, data: bytes = b"", pos_bits: int = 0) -> None:
+        self.data = bytearray(data)
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise MpegAudioError("mpeg: truncated frame")
+            bit = 7 - (self.pos & 7)
+            v = (v << 1) | ((self.data[byte] >> bit) & 1)
+            self.pos += 1
+        return v
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            byte = self.pos >> 3
+            while byte >= len(self.data):
+                self.data.append(0)
+            bit = 7 - (self.pos & 7)
+            if (v >> i) & 1:
+                self.data[byte] |= 1 << bit
+            self.pos += 1
+
+
+def encode_mp1_frames(
+    grids: "list[tuple[np.ndarray, np.ndarray, np.ndarray]]",
+    sample_rate: int = 44100,
+    protect: bool = True,
+) -> bytes:
+    """Pack Layer I mono frames from ``(alloc[32], scf[32],
+    codes[12,32])`` grids (alloc codes 0..14; scf 0..62; codes must fit
+    alloc+1 bits; ignored where alloc == 0)."""
+    rate_code = {44100: 0, 48000: 1, 32000: 2}.get(sample_rate)
+    if rate_code is None:
+        raise MpegAudioError("mpeg: unsupported sample rate")
+    out = bytearray()
+    for alloc, scf, codes in grids:
+        bw = _BitIO()
+        # header: sync(12=0xFFF) id(1) layer(2=11 → Layer I) prot(1)
+        bw.write(0xFFF, 12)
+        bw.write(1, 1)  # MPEG-1
+        bw.write(3, 2)  # Layer I
+        bw.write(0 if protect else 1, 1)
+        bw.write(14, 4)  # bitrate index 448 kbps (frame length irrelevant
+        # to our walker, which parses the payload directly)
+        bw.write(rate_code, 2)
+        bw.write(0, 1)  # padding
+        bw.write(0, 1)  # private
+        bw.write(3, 2)  # mode: single_channel
+        bw.write(0, 2)  # mode extension
+        bw.write(0, 1)  # copyright
+        bw.write(1, 1)  # original
+        bw.write(0, 2)  # emphasis
+        crc_pos = bw.pos
+        if protect:
+            bw.write(0, 16)  # CRC placeholder
+        side_start = bw.pos
+        for sb in range(32):
+            a = int(alloc[sb])
+            if not (0 <= a <= 14):
+                raise MpegAudioError("mpeg: bad allocation code")
+            bw.write(a, 4)
+        for sb in range(32):
+            if alloc[sb]:
+                s = int(scf[sb])
+                if not (0 <= s <= 62):
+                    raise MpegAudioError("mpeg: bad scalefactor")
+                bw.write(s, 6)
+        side_end = bw.pos
+        if protect:
+            # CRC over header bits 16..31 + side info bits
+            hdr_bits = []
+            tmp = _BitIO(bytes(bw.data), 16)
+            for _ in range(16):
+                hdr_bits.append(tmp.read(1))
+            tmp = _BitIO(bytes(bw.data), side_start)
+            side_bits = [tmp.read(1) for _ in range(side_end - side_start)]
+            crc = _crc16_mpeg(hdr_bits + side_bits)
+            patch = _BitIO(bytes(bw.data), crc_pos)
+            patch.write(crc, 16)
+            bw.data = patch.data
+        for gr in range(12):
+            for sb in range(32):
+                a = int(alloc[sb])
+                if a:
+                    nb = a + 1
+                    c = int(codes[gr, sb])
+                    if not (0 <= c < (1 << nb)):
+                        raise MpegAudioError("mpeg: sample code overflow")
+                    bw.write(c, nb)
+        # byte-align the frame (Layer I frames are word-multiples by
+        # construction: 32+[16]+128+6k+... — pad to byte regardless)
+        while bw.pos & 7:
+            bw.write(0, 1)
+        out += bw.data
+    return bytes(out)
+
+
+def decode_mp1_subbands(
+    data: bytes,
+) -> "tuple[np.ndarray, int, int]":
+    """→ ``(subband samples (frames·12, 32) float64, sample_rate,
+    n_frames)`` for a mono Layer I stream; CRC verified when present.
+    Raises :class:`MpegAudioError` on malformed input."""
+    br = _BitIO(data, 0)
+    total_bits = len(data) * 8
+    frames: list[np.ndarray] = []
+    rate = 0
+    while br.pos + 32 <= total_bits:
+        if br.read(12) != 0xFFF:
+            raise MpegAudioError("mpeg: lost sync")
+        if br.read(1) != 1:
+            raise MpegAudioError("mpeg: not MPEG-1")
+        if br.read(2) != 3:
+            raise MpegAudioError("mpeg: not Layer I")
+        prot = br.read(1) == 0
+        bidx = br.read(4)
+        if bidx == 15:
+            raise MpegAudioError("mpeg: forbidden bitrate index")
+        rcode = br.read(2)
+        if rcode == 3:
+            raise MpegAudioError("mpeg: reserved sample rate")
+        rate = _RATES[rcode]
+        br.read(1)  # padding
+        br.read(1)  # private
+        mode = br.read(2)
+        if mode != 3:
+            raise MpegAudioError("mpeg: only single_channel supported")
+        br.read(2)  # mode extension
+        br.read(1)
+        br.read(1)
+        br.read(2)  # emphasis
+        crc_read = br.read(16) if prot else None
+        side_start = br.pos
+        alloc = [br.read(4) for _ in range(32)]
+        if any(a == 15 for a in alloc):
+            raise MpegAudioError("mpeg: forbidden allocation 15")
+        scf = [br.read(6) if alloc[sb] else 0 for sb in range(32)]
+        side_end = br.pos
+        if prot:
+            # frame start = side_start − 16 (crc) − 32 (header); the
+            # protected bits are header bits 16..31 + the side info
+            fstart = side_start - 16 - 32
+            h = _BitIO(data, fstart + 16)
+            hdr_bits = [h.read(1) for _ in range(16)]
+            s = _BitIO(data, side_start)
+            side_bits = [s.read(1) for _ in range(side_end - side_start)]
+            if _crc16_mpeg(hdr_bits + side_bits) != crc_read:
+                raise MpegAudioError("mpeg: CRC mismatch")
+        sb_block = np.zeros((12, 32), dtype=np.float64)
+        for gr in range(12):
+            for sb in range(32):
+                a = alloc[sb]
+                if not a:
+                    continue
+                nb = a + 1
+                c = br.read(nb)
+                # fractional two's complement: invert MSB
+                frac = ((c ^ (1 << (nb - 1))) / float(1 << (nb - 1))) - 1.0
+                s2 = (float(1 << nb) / float((1 << nb) - 1)) * (
+                    frac + 2.0 ** (1 - nb)
+                )
+                sb_block[gr, sb] = SCALEFACTORS[scf[sb]] * s2
+        while br.pos & 7:
+            br.read(1)
+        frames.append(sb_block)
+    if not frames:
+        raise MpegAudioError("mpeg: no frames")
+    return np.concatenate(frames, axis=0), rate, len(frames)
+
+
+def mp1_features(ds, audio_col: str = "audio", id_col: str = "doc_id"):
+    """Layer I subband features, never-fail-row:
+    ``(id_col, sample_rate, n_frames, n_active_subbands,
+    energy_low, energy_mid, energy_high, ok)`` — an energy column is
+    ``floor(acc / n · 10^6)`` where ``acc`` is the PLAIN SERIAL Python
+    float sum of ``|s'|`` in granule-major ``(row, subband)`` order
+    over subbands 0–9 / 10–20 / 21–31: the accumulation ORDER is part
+    of the spec (float association), mirrored exactly by the
+    independent golden twin."""
+    import math
+
+    import pyarrow as pa
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        blobs = t.column(audio_col).to_pylist()
+        cols = {k: [] for k in ("rate", "nf", "nsb", "lo", "mid", "hi", "ok")}
+        for blob in blobs:
+            try:
+                sb, rate, nf = decode_mp1_subbands(blob or b"")
+                act = int((np.abs(sb).sum(axis=0) > 0).sum())
+
+                def band(a: int, b: int) -> int:
+                    acc = 0.0
+                    n = 0
+                    for row in range(sb.shape[0]):
+                        for j in range(a, b):
+                            acc += abs(sb[row, j])
+                            n += 1
+                    return int(math.floor(acc / n * 1e6))
+
+                cols["rate"].append(rate)
+                cols["nf"].append(nf)
+                cols["nsb"].append(act)
+                cols["lo"].append(band(0, 10))
+                cols["mid"].append(band(10, 21))
+                cols["hi"].append(band(21, 32))
+                cols["ok"].append(1)
+            except (MpegAudioError, struct.error, IndexError):
+                for k in ("rate", "nf", "nsb", "lo", "mid", "hi"):
+                    cols[k].append(0)
+                cols["ok"].append(0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(cols["rate"], pa.int64()),
+                "n_frames": pa.array(cols["nf"], pa.int64()),
+                "n_active_subbands": pa.array(cols["nsb"], pa.int64()),
+                "energy_low": pa.array(cols["lo"], pa.int64()),
+                "energy_mid": pa.array(cols["mid"], pa.int64()),
+                "energy_high": pa.array(cols["hi"], pa.int64()),
+                "ok": pa.array(cols["ok"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -9504,3 +9504,141 @@ def q_edit_distance_join(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     keys = docs.map_batches(_derived_linkage_keys, batch_format="pyarrow")
     return edit_distance_join(keys, "key", k=2)
+
+
+def _derived_mp1_grids(i: int):
+    """Deterministic Layer I (alloc, scf, codes) grids per doc —
+    shared with the golden twin (grids are the derivation; the FEATURE
+    computation and the bitstream round trip are never shared)."""
+    alloc = np.array([(i * 31 + sb * 7) % 15 for sb in range(32)], dtype=np.int64)
+    scf = np.array([(i + sb * 5) % 63 for sb in range(32)], dtype=np.int64)
+    grids = []
+    for f in range(3):
+        codes = np.zeros((12, 32), dtype=np.int64)
+        for gr in range(12):
+            for sb in range(32):
+                a = int(alloc[sb])
+                if a:
+                    codes[gr, sb] = (i * 13 + f * 101 + gr * 37 + sb * 11) % (
+                        1 << (a + 1)
+                    )
+        grids.append((alloc, scf, codes))
+    return grids
+
+
+def _derived_mp1_payloads(t: pa.Table) -> pa.Table:
+    """MPEG-1 Layer I leg of the media corpus: three CRC-protected
+    mono frames per doc packed from the deterministic grids.  Corrupt
+    rows: % IMG_BAD_MOD garbage; % 89 == 3 cut mid-way through the
+    third frame (frames are equal-length by construction, so the cut
+    provably lands inside a frame → the decoder must reject)."""
+    from ..functions.mpegaudio import encode_mp1_frames
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not mpeg audio")
+            continue
+        raw = encode_mp1_frames(
+            _derived_mp1_grids(i), sample_rate=(44100, 48000, 32000)[i % 3]
+        )
+        if i % 89 == 3:
+            L = len(raw) // 3
+            raw = raw[: 3 * L - L // 2]
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_mp1_subbands(sf_dir: str) -> ray.data.Dataset:
+    """MPEG-1 Audio Layer I bitstream decode to the subband domain
+    (``functions/mpegaudio.py`` — header/CRC-16-over-bits/allocation/
+    scalefactor/sample syntax + the ISO 11172-3 requantization
+    formula; the polyphase synthesis WINDOW is tabulated ISO data and
+    is the documented PCM seam): → (doc_id, sample_rate, n_frames,
+    n_active_subbands, energy_low, energy_mid, energy_high, ok).
+    Golden oracle = the INDEPENDENT twin computing the same serial
+    float tree from the shared grids WITHOUT touching the bitstream —
+    the engine must pack AND parse the frames bit-exactly to match."""
+    from ..functions.mpegaudio import mp1_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    mp1 = docs.map_batches(_derived_mp1_payloads, batch_format="pyarrow")
+    return mp1_features(mp1)
+
+
+def _checksum_mod97(s: str) -> int:
+    acc = 0
+    for ch in s:
+        if ch.isdigit():
+            acc = (acc * 10 + ord(ch) - 48) % 97
+        else:
+            acc = (acc * 100 + ord(ch) - 55) % 97
+    return acc
+
+
+def _derived_id_text(i: int) -> str:
+    """Identifier-planted snippet, every byte re-derivable in SQL:
+    DE IBANs (every 3rd doc; every 9th corrupted), ISBN-13s (every
+    4th ≡ 1; every 8th ≡ 1 corrupted), ISBN-10s with X checks (every
+    5th ≡ 2; every 10th ≡ 2 corrupted)."""
+    parts = [f"doc {i} ref"]
+    if i % 3 == 0:
+        bban = str((i * 7919 + 13) % 10**18).zfill(18)
+        chk = 98 - _checksum_mod97(bban + "DE00")
+        iban = "DE" + str(chk).zfill(2) + bban
+        if i % 9 == 0:
+            last = (ord(iban[-1]) - 48 + 1) % 10
+            iban = iban[:-1] + chr(48 + last)
+        parts.append("pay to " + iban + " today")
+    if i % 4 == 1:
+        body = "978" + str((i * 104729) % 10**9).zfill(9)
+        total = sum(
+            (1 if j % 2 == 0 else 3) * (ord(c) - 48)
+            for j, c in enumerate(body)
+        )
+        c13 = (10 - total % 10) % 10
+        if i % 8 == 1:
+            c13 = (c13 + 5) % 10
+        parts.append("cite " + body + str(c13))
+    if i % 5 == 2:
+        base9 = str((i * 65537 + 7) % 10**9).zfill(9)
+        r = sum((j + 1) * (ord(c) - 48) for j, c in enumerate(base9))
+        c10 = r % 11
+        if i % 10 == 2:
+            c10 = (c10 + 3) % 11
+        parts.append("isbn " + base9 + ("X" if c10 == 10 else str(c10)))
+    parts.append("end")
+    return " ".join(parts)
+
+
+def q_checksum_ids(sf_dir: str) -> ray.data.Dataset:
+    """Checksummed-identifier scan (IBAN mod-97-10 / ISBN-13 / ISBN-10
+    — the compliance family beyond Luhn, ``functions/checksums.py``)
+    over identifier-planted snippets: → (doc_id, n_iban, n_iban_valid,
+    n_isbn13, n_isbn13_valid, n_isbn10, n_isbn10_valid).  Oracle: the
+    snippet AND every checksum re-derived in SQL (mod-97 via a
+    list_reduce char fold, ISBN sums via list_transform) with the
+    VERBATIM candidate regexes."""
+    from ..functions.checksums import checksum_scan_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(
+                    [_derived_id_text(i) for i in ids], pa.string()
+                ),
+            }
+        )
+
+    pages = docs.map_batches(derive, batch_format="pyarrow")
+    return pages.map_batches(
+        lambda t: checksum_scan_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,83 @@
+"""Checksummed identifiers: known-value vectors, corruption flips,
+engine-vs-SQL twin equality on planted snippets."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+
+from ocr_system_ray.functions.checksums import (
+    checksum_scan_batch,
+    checksum_sql_select,
+    iban_valid,
+    isbn10_valid,
+    isbn13_valid,
+)
+
+
+def test_iban_known_values():
+    # ISO 13616 example IBANs (public registry examples)
+    assert iban_valid("DE89370400440532013000")
+    assert iban_valid("GB29NWBK60161331926819")
+    assert iban_valid("FR1420041010050500013M02606")
+    assert not iban_valid("DE89370400440532013001")  # last digit off
+    assert not iban_valid("DE8937040044053201300")  # wrong length
+    assert not iban_valid("XX89370400440532013000")  # unknown country
+
+
+def test_isbn13_known_values():
+    assert isbn13_valid("9780306406157")
+    assert not isbn13_valid("9780306406158")
+    assert isbn13_valid("9783161484100")
+
+
+def test_isbn10_known_values():
+    assert isbn10_valid("0306406152")
+    assert not isbn10_valid("0306406153")
+    assert isbn10_valid("097522980X")  # X check digit
+
+
+def test_scan_counts_and_word_boundaries():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(
+                [
+                    "pay DE89370400440532013000 or DE89370400440532013001 "
+                    "book 9780306406157 bad 9780306406158 old 0306406152 "
+                    "inside xDE89370400440532013000x not counted"
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = checksum_scan_batch(t)
+    row = {c: out.column(c)[0].as_py() for c in out.column_names}
+    assert row["n_iban"] == 2 and row["n_iban_valid"] == 1
+    assert row["n_isbn13"] == 2 and row["n_isbn13_valid"] == 1
+    assert row["n_isbn10"] == 1 and row["n_isbn10_valid"] == 1
+
+
+def test_engine_matches_sql_twin():
+    texts = [
+        "pay DE89370400440532013000 now",
+        "ref GB29NWBK60161331926819 and 9780306406157",
+        "bad GB29NWBK60161331926810 0306406152 097522980X",
+        "nothing here",
+        None,
+        "edge 9783161484100 DE8937040044053201300 shortlen",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = checksum_scan_batch(t).to_pandas().drop(columns=["text"])
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    sel = checksum_sql_select("COALESCE(text, '')")
+    exp = con.sql(f"SELECT doc_id, {sel} FROM docs").df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    assert got.astype("int64").equals(exp.astype("int64")), (got, exp)

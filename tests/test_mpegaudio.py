@@ -1,0 +1,114 @@
+"""MPEG-1 Layer I subband decode: hand-assembled frames, CRC-16
+protection, requantization formula pins, grid round trips."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.mpegaudio import (
+    SCALEFACTORS,
+    MpegAudioError,
+    decode_mp1_subbands,
+    encode_mp1_frames,
+)
+
+
+def _grid(alloc_vals, scf_vals, code_fn):
+    alloc = np.array(alloc_vals, dtype=np.int64)
+    scf = np.array(scf_vals, dtype=np.int64)
+    codes = np.zeros((12, 32), dtype=np.int64)
+    for gr in range(12):
+        for sb in range(32):
+            if alloc[sb]:
+                codes[gr, sb] = code_fn(gr, sb) % (1 << (alloc[sb] + 1))
+    return alloc, scf, codes
+
+
+def test_requantization_formula_pin():
+    """alloc code 1 → nb=2: code 0b10 (MSB set) → frac 0; code 0b01 →
+    frac -0.5... hand-derive: frac = ((c ^ 2)/2) - 1;
+    s'' = (4/3)(frac + 0.5); s' = sf · s''.
+
+    c=3: frac = ((3^2)/2)-1 = -0.5 → s'' = 0; c=0: frac = (2/2)-1 = 0
+    → s'' = 2/3; scf 0 → sf = 2.0 → s' = 4/3."""
+    alloc = np.zeros(32, dtype=np.int64)
+    alloc[5] = 1
+    scf = np.zeros(32, dtype=np.int64)
+    codes = np.zeros((12, 32), dtype=np.int64)
+    codes[0, 5] = 3  # → 0.0
+    codes[1, 5] = 0  # → 4/3
+    blob = encode_mp1_frames([(alloc, scf, codes)])
+    sb, rate, nf = decode_mp1_subbands(blob)
+    assert rate == 44100 and nf == 1
+    assert sb[0, 5] == 0.0
+    assert sb[1, 5] == pytest.approx(2.0 * (4.0 / 3.0) * 0.5, abs=0)
+    assert sb[1, 5] == 2.0 * ((4.0 / 3.0) * (0.0 + 0.5))
+    assert np.all(sb[:, :5] == 0) and np.all(sb[:, 6:] == 0)
+
+
+def test_scalefactor_law():
+    assert SCALEFACTORS[0] == 2.0
+    assert SCALEFACTORS[3] == pytest.approx(1.0)
+    assert SCALEFACTORS[6] == pytest.approx(0.5)
+    assert len(SCALEFACTORS) == 63
+
+
+def test_grid_roundtrip_through_bitstream():
+    rng = np.random.default_rng(9)
+    alloc = rng.integers(0, 15, 32)
+    scf = rng.integers(0, 63, 32)
+    grids = []
+    for f in range(3):
+        codes = np.zeros((12, 32), dtype=np.int64)
+        for gr in range(12):
+            for sb in range(32):
+                if alloc[sb]:
+                    codes[gr, sb] = int(
+                        rng.integers(0, 1 << (alloc[sb] + 1))
+                    )
+        grids.append((alloc, scf, codes))
+    blob = encode_mp1_frames(grids, sample_rate=32000)
+    sb, rate, nf = decode_mp1_subbands(blob)
+    assert rate == 32000 and nf == 3 and sb.shape == (36, 32)
+    # silent subbands stay exactly zero
+    for j in range(32):
+        if alloc[j] == 0:
+            assert np.all(sb[:, j] == 0)
+
+
+def test_crc_protection_detects_side_info_flips():
+    alloc = np.full(32, 3, dtype=np.int64)
+    scf = np.arange(32, dtype=np.int64)
+    codes = np.ones((12, 32), dtype=np.int64)
+    blob = bytearray(encode_mp1_frames([(alloc, scf, codes)]))
+    blob[6] ^= 0x10  # inside the allocation bits (CRC-protected)
+    with pytest.raises(MpegAudioError):
+        decode_mp1_subbands(bytes(blob))
+
+
+def test_unprotected_frames_decode():
+    alloc = np.zeros(32, dtype=np.int64)
+    alloc[0] = 2
+    blob = encode_mp1_frames(
+        [(alloc, np.zeros(32, dtype=np.int64), np.zeros((12, 32), dtype=np.int64))],
+        protect=False,
+    )
+    sb, _, nf = decode_mp1_subbands(blob)
+    assert nf == 1
+
+
+def test_error_paths():
+    with pytest.raises(MpegAudioError):
+        decode_mp1_subbands(b"not mpeg")
+    alloc = np.full(32, 5, dtype=np.int64)
+    blob = encode_mp1_frames(
+        [(alloc, np.zeros(32, dtype=np.int64), np.zeros((12, 32), dtype=np.int64))]
+    )
+    with pytest.raises(MpegAudioError):
+        decode_mp1_subbands(blob[: len(blob) * 2 // 3])
+    with pytest.raises(MpegAudioError):
+        encode_mp1_frames(
+            [(np.full(32, 15, dtype=np.int64), np.zeros(32, dtype=np.int64),
+              np.zeros((12, 32), dtype=np.int64))]
+        )

@@ -2344,6 +2344,78 @@ def adpcm_goldens() -> pa.Table:
     )
 
 
+
+
+def mp1_goldens() -> pa.Table:
+    """Independent twin of ``q_mp1_subbands``: features computed from
+    the SHARED (alloc, scf, codes) grids directly — its own
+    scalefactor law and requantization expressions (the ISO formulas
+    are the shared public spec), its own serial accumulation — never
+    touching the engine's bitstream packer or parser."""
+    import math as _math
+
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_mp1_grids,
+    )
+
+    SF = [2.0 * (2.0 ** (-(ix) / 3.0)) for ix in range(63)]
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    out = {k: [] for k in ("doc_id", "sample_rate", "n_frames",
+                            "n_active_subbands", "energy_low",
+                            "energy_mid", "energy_high", "ok")}
+    for did in ids:
+        out["doc_id"].append(did)
+        if did % IMG_BAD_MOD == 0 or did % 89 == 3:
+            for k in ("sample_rate", "n_frames", "n_active_subbands",
+                      "energy_low", "energy_mid", "energy_high", "ok"):
+                out[k].append(0)
+            continue
+        grids = _derived_mp1_grids(did)
+        rows = []  # 36 rows of 32 floats, frame-major then granule
+        for alloc, scf, codes in grids:
+            for gr in range(12):
+                row = []
+                for sb in range(32):
+                    a = int(alloc[sb])
+                    if not a:
+                        row.append(0.0)
+                        continue
+                    nb = a + 1
+                    c = int(codes[gr][sb])
+                    frac = ((c ^ (1 << (nb - 1))) / float(1 << (nb - 1))) - 1.0
+                    s2 = (float(1 << nb) / float((1 << nb) - 1)) * (
+                        frac + 2.0 ** (1 - nb)
+                    )
+                    row.append(SF[int(scf[sb])] * s2)
+                rows.append(row)
+        nsb = 0
+        for sb in range(32):
+            if any(abs(r[sb]) > 0.0 for r in rows):
+                nsb += 1
+
+        def band(a, b):
+            acc = 0.0
+            n = 0
+            for r in rows:
+                for j in range(a, b):
+                    acc += abs(r[j])
+                    n += 1
+            return int(_math.floor(acc / n * 1e6))
+
+        out["sample_rate"].append((44100, 48000, 32000)[did % 3])
+        out["n_frames"].append(3)
+        out["n_active_subbands"].append(nsb)
+        out["energy_low"].append(band(0, 10))
+        out["energy_mid"].append(band(10, 21))
+        out["energy_high"].append(band(21, 32))
+        out["ok"].append(1)
+    return pa.table({k: pa.array(v, pa.int64()) if k != "doc_id" else pa.array(v, pa.int64())
+                     for k, v in out.items()})
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -2427,6 +2499,9 @@ def main() -> None:
     adg = adpcm_goldens()
     pq.write_table(adg, GOLDEN_DIR / "adpcm_features_sf001.parquet")
     print(f"adpcm_features_sf001.parquet: {adg.num_rows} rows")
+    m1 = mp1_goldens()
+    pq.write_table(m1, GOLDEN_DIR / "mp1_features_sf001.parquet")
+    print(f"mp1_features_sf001.parquet: {m1.num_rows} rows")
 
     import ray
 
