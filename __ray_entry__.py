@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "mp1_subbands": q.q_mp1_subbands,
         "checksum_ids": q.q_checksum_ids,
+        "theilsen_trend": q.q_theilsen_trend,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -974,6 +975,18 @@ def _checksum_ids_sql() -> str:
         SELECT doc_id, {checksum_sql_select("text")}
         FROM ck_text
     """
+
+
+def _theilsen_sql() -> str:
+    from ocr_system_ray.functions.regress import theilsen_sql
+
+    return theilsen_sql(
+        "user_id",
+        "CAST(epoch_us(ts) AS BIGINT)",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)",
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND value IS NOT NULL",
+    )
 
 
 def _temperature_mix_sql() -> str:
@@ -5405,6 +5418,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # theilsen_trend: pairwise-slope self-join + lower-median rank
+        "theilsen_trend": _theilsen_sql(),
         # checksum_ids: snippet AND every check digit re-derived in SQL
         "checksum_ids": _checksum_ids_sql(),
         # css_extract: every selector-extracted field re-derived from

@@ -311,6 +311,9 @@ def _query_suite() -> dict:
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "avro_snappy_roundtrip": q.q_avro_snappy_roundtrip,
         "edit_distance_join": q.q_edit_distance_join,
+        "mp1_subbands": q.q_mp1_subbands,
+        "checksum_ids": q.q_checksum_ids,
+        "theilsen_trend": q.q_theilsen_trend,
     }
     return suite
 

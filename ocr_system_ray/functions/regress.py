@@ -153,3 +153,129 @@ def trend_by_key_sql(
                     AS BIGINT) AS slope_nano
         FROM s
     """
+
+
+def theilsen_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Theil–Sen robust trend per key → ``(key_col, n_points, n_pairs,
+    slope_micro)`` — the median-of-pairwise-slopes estimator (Theil
+    1950 / Sen 1968; 29% breakdown vs OLS's zero), the robust
+    complement of :func:`trend_by_key`.
+
+    Exact-integer contract (what makes the SQL twin exact):
+
+    * pairwise slope = ``trunc(dy·10⁶ / dx)`` — TRUNCATED toward zero,
+      mimicking DuckDB's integer ``//`` on negative quotients (the
+      clustering_agreement signed-quotient rule); orientation-free
+      since truncation is sign-symmetric;
+    * pairs with ``dx == 0`` are excluded on both engines;
+    * the slope is the value at rank ``(m+1)//2`` of the ascending
+      quantized slopes (lower median — ``quantile_disc``'s rank rule);
+    * keys with no valid pair emit nothing.
+
+    Ray shape: ONE coarse key-bucket groupby; per key the pair set is
+    materialized vectorized (``np.triu_indices``) — O(n_k²) int64
+    slopes per key, the documented per-key-bounded contract (quota-cap
+    or subsample giant keys upstream; the pairs never leave the
+    group)."""
+    import pandas as pd
+
+    from .dedup import _coarse_bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "tb", pa.array(_coarse_bucket(keys, num_buckets))
+        )
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "n_points": pd.Series([], dtype="int64"),
+                "n_pairs": pd.Series([], dtype="int64"),
+                "slope_micro": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        out_k: list[int] = []
+        out_n: list[int] = []
+        out_m: list[int] = []
+        out_s: list[int] = []
+        for key, g in df.groupby(key_col, sort=False):
+            xs = g[x_col].to_numpy(dtype=np.int64)
+            ys = g[y_col].to_numpy(dtype=np.int64)
+            n = xs.size
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            dx = xs[j] - xs[i]
+            dy = (ys[j] - ys[i]) * 1_000_000
+            mask = dx != 0
+            dx, dy = dx[mask], dy[mask]
+            m = dx.size
+            if m == 0:
+                continue
+            q = np.floor_divide(dy, dx)
+            r = dy - q * dx
+            q = q + ((r != 0) & ((dy < 0) != (dx < 0)))  # floor → trunc
+            rank = (m + 1) // 2
+            slope = int(np.partition(q, rank - 1)[rank - 1])
+            out_k.append(int(key))
+            out_n.append(int(n))
+            out_m.append(int(m))
+            out_s.append(slope)
+        if not out_k:
+            return empty
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(out_k, dtype="int64"),
+                "n_points": pd.Series(out_n, dtype="int64"),
+                "n_pairs": pd.Series(out_m, dtype="int64"),
+                "slope_micro": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def theilsen_sql(key: str, x_expr: str, y_expr: str, from_clause: str) -> str:
+    """DuckDB twin of :func:`theilsen_by_key`: self-join pairs,
+    ``//`` truncation (matched engine-side), ROW_NUMBER lower-median."""
+    return f"""
+        WITH ts_pts AS (
+            SELECT {key} AS k, {x_expr} AS x, {y_expr} AS y,
+                   ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {x_expr}) AS rid
+            {from_clause}
+        ),
+        ts_pairs AS (
+            SELECT a.k, ((b.y - a.y) * 1000000) // (b.x - a.x) AS s
+            FROM ts_pts a JOIN ts_pts b
+              ON a.k = b.k AND a.rid < b.rid AND a.x <> b.x
+        ),
+        ts_stats AS (
+            SELECT k, COUNT(*) AS n_pairs FROM ts_pairs GROUP BY k
+        ),
+        ts_ranked AS (
+            SELECT k, s,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY s) AS rn
+            FROM ts_pairs
+        ),
+        ts_np AS (
+            SELECT k, COUNT(*) AS n_points FROM ts_pts GROUP BY k
+        )
+        SELECT r.k AS {key}, p.n_points, st.n_pairs, r.s AS slope_micro
+        FROM ts_ranked r
+        JOIN ts_stats st ON r.k = st.k AND r.rn = (st.n_pairs + 1) // 2
+        JOIN ts_np p ON r.k = p.k
+    """

@@ -9642,3 +9642,39 @@ def q_checksum_ids(sf_dir: str) -> ray.data.Dataset:
         lambda t: checksum_scan_batch(t).drop_columns(["text"]),
         batch_format="pyarrow",
     )
+
+
+def q_theilsen_trend(sf_dir: str) -> ray.data.Dataset:
+    """Robust per-user value trend — Theil–Sen median-of-pairwise-
+    slopes (``functions/regress.py:theilsen_by_key``; the
+    29%-breakdown complement of the OLS ``user_trends``): x = epoch
+    micros, y = value cents, slope in micro-cents-per-micro, truncated
+    division matching DuckDB ``//`` on negatives.  Oracle: self-join
+    pairs + ROW_NUMBER lower-median, identical integer tree."""
+    from ..functions.regress import theilsen_by_key
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))
+            ),
+            pc.is_valid(t.column("value")),
+        )
+        t = t.filter(ok)
+        x = pc.cast(t.column("ts"), pa.int64())  # timestamp[us] → micros
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("value"), 100.0), 0.5)
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "x": x,
+                "y": pc.cast(cents, pa.int64()),
+            }
+        )
+
+    return theilsen_by_key(
+        ev.map_batches(derive, batch_format="pyarrow"), "user_id", "x", "y"
+    )

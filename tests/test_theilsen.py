@@ -1,0 +1,88 @@
+"""Theil–Sen robust trend: hand pins, outlier robustness vs OLS,
+truncation parity, engine-vs-SQL twin."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.functions.regress import theilsen_by_key, theilsen_sql
+
+
+def _ds(rows, blocks=3):
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "x": pa.array([r[1] for r in rows], pa.int64()),
+            "y": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_hand_pin_exact_line(ray_session):
+    rows = [(1, x, 7 * x + 3) for x in range(10)]
+    out = theilsen_by_key(_ds(rows), "k", "x", "y").to_pandas()
+    assert out.iloc[0]["slope_micro"] == 7_000_000
+    assert out.iloc[0]["n_points"] == 10 and out.iloc[0]["n_pairs"] == 45
+
+
+def test_outlier_robustness(ray_session):
+    # slope 2 line with one wild outlier: Theil–Sen stays at 2
+    rows = [(1, x, 2 * x) for x in range(20)] + [(1, 100, -100000)]
+    out = theilsen_by_key(_ds(rows), "k", "x", "y").to_pandas()
+    assert out.iloc[0]["slope_micro"] == 2_000_000
+
+
+def test_negative_truncation_parity(ray_session):
+    # dy=-7, dx=2 → -7e6/2 = -3.5e6 → TRUNCATES to -3500000 (DuckDB //)
+    rows = [(1, 0, 7), (1, 2, 0)]
+    out = theilsen_by_key(_ds(rows), "k", "x", "y").to_pandas()
+    assert out.iloc[0]["slope_micro"] == -3_500_000
+    got = duckdb.sql("SELECT (-7 * 1000000) // 2").fetchone()[0]
+    assert got == -3_500_000
+
+
+def test_duplicate_x_excluded_and_empty_keys(ray_session):
+    rows = [(1, 5, 1), (1, 5, 9), (2, 1, 1), (2, 2, 3)]
+    out = (
+        theilsen_by_key(_ds(rows), "k", "x", "y")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # key 1 has only a dx=0 pair → dropped; key 2 slope 2
+    assert out["k"].tolist() == [2]
+    assert out.iloc[0]["slope_micro"] == 2_000_000
+
+
+def test_engine_matches_sql_twin(ray_session):
+    rng = np.random.default_rng(4)
+    rows = []
+    for k in range(12):
+        n = int(rng.integers(2, 25))
+        xs = rng.choice(np.arange(-50, 50), size=n, replace=False)
+        for x in xs:
+            rows.append((k, int(x), int(rng.integers(-1000, 1000))))
+    got = (
+        theilsen_by_key(_ds(rows, blocks=5), "k", "x", "y")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    df = pd.DataFrame(rows, columns=["k", "x", "y"])
+    con = duckdb.connect()
+    con.register("pts", df)
+    exp = (
+        con.sql(theilsen_sql("k", "x", "y", "FROM pts"))
+        .df()
+        .sort_values("k")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
