@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mp1_subbands": q.q_mp1_subbands,
         "checksum_ids": q.q_checksum_ids,
         "theilsen_trend": q.q_theilsen_trend,
+        "geohash_encode": q.q_geohash,
+        "geo_pairs": q.q_geo_pairs,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -987,6 +989,30 @@ def _theilsen_sql() -> str:
         "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
         "AND value IS NOT NULL",
     )
+
+
+def _geohash_sql() -> str:
+    from ocr_system_ray.functions.geo import geohash_sql
+    from ocr_system_ray.pipelines.queries import GEO_SQL_DERIVE
+
+    return geohash_sql(
+        "doc_id", "lat_u", "lon_u", f"FROM ({GEO_SQL_DERIVE})", precision=7
+    )
+
+
+def _geo_pairs_sql() -> str:
+    from ocr_system_ray.pipelines.queries import GEO_SQL_DERIVE
+
+    return f"""
+        WITH geo_pts AS ({GEO_SQL_DERIVE})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+               + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS d2
+        FROM geo_pts a JOIN geo_pts b ON a.doc_id < b.doc_id
+        WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+              + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+              <= CAST(250000 AS BIGINT) * 250000
+    """
 
 
 def _temperature_mix_sql() -> str:
@@ -5418,6 +5444,10 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # geohash: identical integer cell/interleave/alphabet tree
+        "geohash_encode": _geohash_sql(),
+        # geo pairs: brute-force integer d2 self-join
+        "geo_pairs": _geo_pairs_sql(),
         # theilsen_trend: pairwise-slope self-join + lower-median rank
         "theilsen_trend": _theilsen_sql(),
         # checksum_ids: snippet AND every check digit re-derived in SQL

@@ -1,0 +1,286 @@
+"""Geospatial grid operators — geohash encoding + neighbor-cell
+proximity join, exact-integer micro-degree contract.
+
+The geospatial leg of the analytics library (store locators, check-in
+dedup, POI conflation — the record-linkage join keyed on WHERE instead
+of WHO).  Everything is integer arithmetic end-to-end, which is what
+makes the DuckDB twins exact:
+
+* coordinates are **micro-degrees** (int64; lat ∈ [−90e6, 90e6],
+  lon ∈ [−180e6, 180e6]) — never floats;
+* grid cells: ``cx = (lon_u + 180·10⁶) · 2^kx // 360·10⁶`` (and lat
+  alike) — non-negative integer floor division, identical in SQL;
+* **geohash** (public Niemeyer scheme): interleave the cell bits
+  LONGITUDE-FIRST into ``5p`` bits (lon gets ``⌈5p/2⌉``), then map
+  5-bit groups through the base-32 alphabet
+  ``0123456789bcdefghjkmnpqrstuvwxyz`` — the bisection definition and
+  this fixed-point form are exactly equivalent;
+* **proximity join**: candidate = Chebyshev-adjacent cells (3×3
+  neighborhood at a cell size ≥ the radius), verified by the exact
+  integer predicate ``dlon² + dlat² ≤ r²`` (equirectangular
+  micro-degrees — the documented metric; great-circle correction is a
+  monotone refinement the verify hook can swap in).
+
+Ray shape: encoding is row-local; the join is the repo's standard
+double-emission grid idiom — every point lands in its home cell and
+its 8 neighbor cells (9 small int rows per point), one coarse-bucket
+groupby forms home×all pairs in-cell, one pair-bucket groupby dedups
+the double-discovered pairs.  No all-pairs anywhere; skew = dense
+cells (urban clusters), the same hazard class as every content-keyed
+groupby."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .dedup import _coarse_bucket
+
+__all__ = [
+    "GEOHASH_ALPHABET",
+    "geohash_cells",
+    "geohash_encode_batch",
+    "geohash_sql",
+    "geo_proximity_join",
+]
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_LAT_SPAN = 180_000_000
+_LON_SPAN = 360_000_000
+
+
+def geohash_cells(
+    lat_u: np.ndarray, lon_u: np.ndarray, precision: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Micro-degree coords → integer cells at geohash precision
+    (lon gets ⌈5p/2⌉ bits, lat ⌊5p/2⌋)."""
+    kx = (5 * precision + 1) // 2
+    ky = 5 * precision // 2
+    cx = (lon_u.astype(np.int64) + 180_000_000) * (1 << kx) // _LON_SPAN
+    cy = (lat_u.astype(np.int64) + 90_000_000) * (1 << ky) // _LAT_SPAN
+    # exact-east/north edge (lon=180, lat=90) belongs to the last cell
+    cx = np.minimum(cx, (1 << kx) - 1)
+    cy = np.minimum(cy, (1 << ky) - 1)
+    return cx, cy
+
+
+def _interleave_lon_first(
+    cx: np.ndarray, cy: np.ndarray, precision: int
+) -> np.ndarray:
+    kx = (5 * precision + 1) // 2
+    ky = 5 * precision // 2
+    total = 5 * precision
+    out = np.zeros(cx.shape, dtype=np.int64)
+    for j in range(kx):  # lon bits at even positions 0,2,4,... from MSB
+        bit = (cx >> (kx - 1 - j)) & 1
+        out |= bit << (total - 1 - 2 * j)
+    for j in range(ky):  # lat bits at odd positions
+        bit = (cy >> (ky - 1 - j)) & 1
+        out |= bit << (total - 2 - 2 * j)
+    return out
+
+
+def geohash_encode_batch(
+    t: pa.Table,
+    lat_col: str = "lat_u",
+    lon_col: str = "lon_u",
+    precision: int = 7,
+) -> pa.Table:
+    """Append ``geohash`` (base-32 string), ``cell_x``, ``cell_y``."""
+    lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+    lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+    cx, cy = geohash_cells(lat, lon, precision)
+    inter = _interleave_lon_first(cx, cy, precision)
+    chars = np.empty((len(t), precision), dtype="<U1")
+    alpha = np.array(list(GEOHASH_ALPHABET))
+    for i in range(precision):
+        code = (inter >> (5 * precision - 5 * (i + 1))) & 31
+        chars[:, i] = alpha[code]
+    hashes = ["".join(row) for row in chars]
+    return (
+        t.append_column("geohash", pa.array(hashes, pa.string()))
+        .append_column("cell_x", pa.array(cx))
+        .append_column("cell_y", pa.array(cy))
+    )
+
+
+def geohash_sql(
+    id_expr: str,
+    lat_expr: str,
+    lon_expr: str,
+    from_clause: str,
+    precision: int = 7,
+) -> str:
+    """GENERATED DuckDB twin of :func:`geohash_encode_batch` →
+    ``(doc_id, geohash, cell_x, cell_y)`` over micro-degree integer
+    expressions (identical cell floor-division, bit interleave, and
+    alphabet indexing)."""
+    kx = (5 * precision + 1) // 2
+    ky = 5 * precision // 2
+    total = 5 * precision
+    cx = (
+        f"least((({lon_expr}) + 180000000) * {1 << kx} // {_LON_SPAN}, "
+        f"{(1 << kx) - 1})"
+    )
+    cy = (
+        f"least((({lat_expr}) + 90000000) * {1 << ky} // {_LAT_SPAN}, "
+        f"{(1 << ky) - 1})"
+    )
+    terms = []
+    for j in range(kx):
+        terms.append(f"(((gx >> {kx - 1 - j}) & 1) << {total - 1 - 2 * j})")
+    for j in range(ky):
+        terms.append(f"(((gy >> {ky - 1 - j}) & 1) << {total - 2 - 2 * j})")
+    inter = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST(((gi >> {5 * precision - 5 * (i + 1)}) & 31) AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"""
+        WITH gh_cells AS (
+            SELECT {id_expr} AS doc_id, {cx} AS gx, {cy} AS gy
+            {from_clause}
+        ),
+        gh_inter AS (
+            SELECT doc_id, gx, gy, {inter} AS gi FROM gh_cells
+        )
+        SELECT doc_id, {chars} AS geohash,
+               gx AS cell_x, gy AS cell_y
+        FROM gh_inter
+    """
+
+
+def geo_proximity_join(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    lat_col: str = "lat_u",
+    lon_col: str = "lon_u",
+    radius_u: int = 250_000,
+    cell_bits: int = 10,
+    num_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """→ ``(id_a, id_b, d2)`` for every pair with
+    ``dlon² + dlat² ≤ radius_u²`` (micro-degrees, ``id_a < id_b``).
+
+    ``cell_bits`` sizes the grid: the lat cell must be ≥ the radius
+    (``180e6 / 2^bits ≥ radius_u``) so the 3×3 neighborhood has exact
+    recall — violating that raises."""
+    if _LAT_SPAN // (1 << cell_bits) < radius_u:
+        raise ValueError(
+            "geo_proximity_join: cell smaller than radius — lower cell_bits"
+        )
+    r2 = radius_u * radius_u
+
+    def emit(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = (lon + 180_000_000) * (1 << cell_bits) // _LON_SPAN
+        cy = (lat + 90_000_000) * (1 << cell_bits) // _LAT_SPAN
+        n = ids.size
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                home = np.int8(1 if (dx == 0 and dy == 0) else 0)
+                cell = (cx + dx) * (1 << (cell_bits + 1)) + (cy + dy)
+                reps.append(
+                    pa.table(
+                        {
+                            "gb": pa.array(
+                                _coarse_bucket(cell, num_buckets)
+                            ),
+                            "cell": pa.array(cell),
+                            id_col: pa.array(ids),
+                            "lat": pa.array(lat),
+                            "lon": pa.array(lon),
+                            "home": pa.array(
+                                np.full(n, home, dtype=np.int8)
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(reps)
+
+    def pairs_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "d2": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        ia, ib, dd = [], [], []
+        for _cell, g in df.groupby("cell", sort=False):
+            home = g[g["home"] == 1]
+            if home.empty or len(g) < 2:
+                continue
+            hid = home[id_col].to_numpy(dtype=np.int64)
+            hlat = home["lat"].to_numpy(dtype=np.int64)
+            hlon = home["lon"].to_numpy(dtype=np.int64)
+            aid = g[id_col].to_numpy(dtype=np.int64)
+            alat = g["lat"].to_numpy(dtype=np.int64)
+            alon = g["lon"].to_numpy(dtype=np.int64)
+            # home × all (incl. ghosts) — id_a < id_b kills self/dups
+            dlat = hlat[:, None] - alat[None, :]
+            dlon = hlon[:, None] - alon[None, :]
+            d2 = dlat * dlat + dlon * dlon
+            lt = hid[:, None] < aid[None, :]
+            okm = (d2 <= r2) & lt
+            xs, ys = np.nonzero(okm)
+            ia.extend(hid[xs].tolist())
+            ib.extend(aid[ys].tolist())
+            dd.extend(d2[xs, ys].tolist())
+        if not ia:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ia, dtype="int64"),
+                "id_b": pd.Series(ib, dtype="int64"),
+                "d2": pd.Series(dd, dtype="int64"),
+            }
+        )
+
+    cand = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pairs_in_cell, batch_format="pandas")
+    )
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(
+                np.uint64
+            )
+        return t.append_column(
+            "pb", pa.array(_coarse_bucket(key.astype(np.int64), num_buckets))
+        )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "d2": pd.Series([], dtype="int64"),
+                }
+            )
+        return (
+            df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b", "d2"]]
+            .reset_index(drop=True)
+        )
+
+    return (
+        cand.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedup, batch_format="pandas")
+    )

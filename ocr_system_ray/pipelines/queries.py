@@ -9678,3 +9678,69 @@ def q_theilsen_trend(sf_dir: str) -> ray.data.Dataset:
     return theilsen_by_key(
         ev.map_batches(derive, batch_format="pyarrow"), "user_id", "x", "y"
     )
+
+
+def _derived_geo(t: pa.Table) -> pa.Table:
+    """City-clustered micro-degree coordinates (7 centers, ±0.2°
+    jitter; every 250th doc pinned to the (90, 180) pole/antimeridian
+    corner for the clamp edge) — all integer arithmetic, re-derived
+    verbatim in SQL."""
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    c = ids % 7
+    lat = (-60_000_000 + c * 18_000_000) + ((ids * 7919) % 400_000) - 200_000
+    lon = (-150_000_000 + c * 47_000_000) + ((ids * 104_729) % 400_000) - 200_000
+    corner = ids % 250 == 0
+    lat = np.where(corner, 90_000_000, lat)
+    lon = np.where(corner, 180_000_000, lon)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lat_u": pa.array(lat),
+            "lon_u": pa.array(lon),
+        }
+    )
+
+
+GEO_SQL_DERIVE = """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 250 = 0 THEN 90000000
+                        ELSE (-60000000 + (doc_id % 7) * 18000000)
+                             + (doc_id * 7919) % 400000 - 200000 END
+                       AS lat_u,
+                   CASE WHEN doc_id % 250 = 0 THEN 180000000
+                        ELSE (-150000000 + (doc_id % 7) * 47000000)
+                             + (doc_id * 104729) % 400000 - 200000 END
+                       AS lon_u
+            FROM documents
+"""
+
+
+def q_geohash(sf_dir: str) -> ray.data.Dataset:
+    """Geohash encoding (Niemeyer base-32, lon-first interleave) over
+    city-clustered micro-degree coordinates — exact-integer fixed-point
+    form of the bisection definition (``functions/geo.py``; verified
+    against the textbook 'ezs42'/'u4pruyd' vectors in tests).
+    → (doc_id, geohash, cell_x, cell_y) at precision 7."""
+    from ..functions.geo import geohash_encode_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pts = docs.map_batches(_derived_geo, batch_format="pyarrow")
+    return pts.map_batches(
+        lambda t: geohash_encode_batch(t, precision=7).select(
+            ["doc_id", "geohash", "cell_x", "cell_y"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_geo_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Grid proximity join: every pair within 0.25° equirectangular
+    radius (exact integer d² ≤ r² in micro-degrees) via the 3×3
+    neighbor-cell double-emission idiom — no all-pairs
+    (``functions/geo.py:geo_proximity_join``).  Oracle: brute-force
+    integer self-join over the same derived coordinates."""
+    from ..functions.geo import geo_proximity_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    pts = docs.map_batches(_derived_geo, batch_format="pyarrow")
+    return geo_proximity_join(pts, radius_u=250_000, cell_bits=9)

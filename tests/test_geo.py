@@ -1,0 +1,140 @@
+"""Geospatial: geohash textbook vectors + independent bisection twin,
+grid-join exact recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.geo import (
+    GEOHASH_ALPHABET,
+    geo_proximity_join,
+    geohash_encode_batch,
+)
+
+
+def _encode(lat_u: int, lon_u: int, precision: int) -> str:
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "lat_u": pa.array([lat_u], pa.int64()),
+            "lon_u": pa.array([lon_u], pa.int64()),
+        }
+    )
+    return geohash_encode_batch(t, precision=precision).column("geohash")[0].as_py()
+
+
+def _bisect_geohash(lat: float, lon: float, precision: int) -> str:
+    """Independent twin: the textbook interval-bisection definition."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for b in bits[5 * i : 5 * i + 5]:
+            v = (v << 1) | b
+        out.append(GEOHASH_ALPHABET[v])
+    return "".join(out)
+
+
+def test_textbook_vectors():
+    assert _encode(42_600_000, -5_600_000, 5) == "ezs42"
+    assert _encode(57_649_110, 10_407_440, 7) == "u4pruyd"
+
+
+def test_matches_bisection_twin():
+    rng = np.random.default_rng(6)
+    for _ in range(60):
+        lat_u = int(rng.integers(-90_000_000, 90_000_001))
+        lon_u = int(rng.integers(-180_000_000, 180_000_001))
+        for p in (1, 4, 7):
+            got = _encode(lat_u, lon_u, p)
+            exp = _bisect_geohash(lat_u / 1e6, lon_u / 1e6, p)
+            # the float twin can disagree only when a coordinate lands
+            # exactly on a bisection boundary — micro-degree grids make
+            # that measure-zero for random draws
+            assert got == exp, (lat_u, lon_u, p)
+
+
+def test_edge_clamp():
+    # the exact north pole / antimeridian corner stays in range
+    gh = _encode(90_000_000, 180_000_000, 7)
+    assert len(gh) == 7 and gh == "zzzzzzz"
+
+
+def _pts_ds(rows, blocks=4):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lat_u": pa.array([r[1] for r in rows], pa.int64()),
+            "lon_u": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_proximity_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(200):
+        c = i % 3
+        rows.append(
+            (
+                i,
+                int(20_000_000 * c + rng.integers(-300_000, 300_000)),
+                int(30_000_000 * c + rng.integers(-300_000, 300_000)),
+            )
+        )
+    r = 250_000
+    got = (
+        geo_proximity_join(_pts_ds(rows), radius_u=r, cell_bits=9)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp_rows = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            dlat = rows[i][1] - rows[j][1]
+            dlon = rows[i][2] - rows[j][2]
+            d2 = dlat * dlat + dlon * dlon
+            if d2 <= r * r:
+                exp_rows.append((rows[i][0], rows[j][0], d2))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["id_a", "id_b", "d2"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 50  # the fixture genuinely clusters
+
+
+def test_cell_size_guard():
+    with pytest.raises(ValueError):
+        geo_proximity_join(None, radius_u=1_000_000, cell_bits=10)
