@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_trend": q.q_theilsen_trend,
         "geohash_encode": q.q_geohash,
         "geo_pairs": q.q_geo_pairs,
+        "interval_overlaps": q.q_interval_overlaps,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -1012,6 +1013,24 @@ def _geo_pairs_sql() -> str:
         WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
               + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
               <= CAST(250000 AS BIGINT) * 250000
+    """
+
+
+def _interval_overlaps_sql() -> str:
+    return """
+        WITH iv AS (
+            SELECT event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS s,
+                   CAST(epoch_us(ts) AS BIGINT)
+                   + (event_id * 104729) % 600000000 AS e
+            FROM events
+            WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               least(a.e, b.e) - greatest(a.s, b.s) AS overlap_u
+        FROM iv a JOIN iv b
+          ON a.event_id < b.event_id
+         AND a.s <= b.e AND b.s <= a.e
     """
 
 
@@ -5412,13 +5431,13 @@ def oracle_sql() -> dict[str, str]:
             WITH ed_base AS (
                 SELECT doc_id,
                        (['apple','river','stone','cloud','tiger','mango',
-                         'delta','piano'])[(((doc_id // 5) * 7 + 0) % 8) + 1]
+                         'delta','piano'])[((((doc_id // 5) * 2654435761) // 64) % 8) + 1]
                        || ' ' ||
                        (['apple','river','stone','cloud','tiger','mango',
-                         'delta','piano'])[(((doc_id // 5) * 7 + 1) % 8) + 1]
+                         'delta','piano'])[((((doc_id // 5) * 40503) // 16) % 8) + 1]
                        || ' ' ||
                        (['apple','river','stone','cloud','tiger','mango',
-                         'delta','piano'])[(((doc_id // 5) * 7 + 2) % 8) + 1]
+                         'delta','piano'])[((((doc_id // 5) * 104729) // 32) % 8) + 1]
                            AS base,
                        doc_id % 5 AS r,
                        1 + (doc_id * 13) % 14 AS p
@@ -5444,6 +5463,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # interval overlaps: brute-force inequality self-join
+        "interval_overlaps": _interval_overlaps_sql(),
         # geohash: identical integer cell/interleave/alphabet tree
         "geohash_encode": _geohash_sql(),
         # geo pairs: brute-force integer d2 self-join

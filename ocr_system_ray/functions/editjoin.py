@@ -119,6 +119,8 @@ def edit_distance_join(
         o_sig: list[int] = []
         o_id: list[int] = []
         o_key: list[str] = []
+        o_self: list[int] = []
+        var_cache: dict[str, set] = {}
         for i, s in zip(ids, keys):
             if not s:
                 continue
@@ -127,10 +129,15 @@ def edit_distance_join(
                     f"edit_distance_join: key longer than {max_key_len} "
                     "chars — use the gram/MinHash operators for long text"
                 )
-            for v in _deletion_variants(s, k):
+            vs = var_cache.get(s)
+            if vs is None:
+                vs = _deletion_variants(s, k)
+                var_cache[s] = vs
+            for v in vs:
                 o_sig.append(v)
                 o_id.append(int(i))
                 o_key.append(s)
+                o_self.append(1 if v == s else 0)
         if not o_id:
             return pa.table(
                 {
@@ -138,6 +145,7 @@ def edit_distance_join(
                     "sig": pa.array([], pa.int64()),
                     id_col: pa.array([], pa.int64()),
                     "key": pa.array([], pa.string()),
+                    "home": pa.array([], pa.int8()),
                 }
             )
         sig_h = stable_hash64(o_sig).astype(np.int64)
@@ -147,6 +155,7 @@ def edit_distance_join(
                 "sig": pa.array(sig_h),
                 id_col: pa.array(np.array(o_id, dtype=np.int64)),
                 "key": pa.array(o_key, pa.string()),
+                "home": pa.array(np.array(o_self, dtype=np.int8)),
             }
         )
 
@@ -168,21 +177,40 @@ def edit_distance_join(
         for _sig, g in df.groupby("sig", sort=False):
             if len(g) < 2:
                 continue
-            # one row per id within the signature group
-            sub = g.drop_duplicates(subset=[id_col])
-            ids = sub[id_col].to_numpy(dtype=np.int64)
-            keys = sub["key"].to_numpy(dtype=object)
-            m = ids.size
-            for x in range(m):
-                for y in range(x + 1, m):
-                    d = levenshtein_banded(keys[x], keys[y], k)
+            # DISTINCT-KEY factoring (the identical-key-cluster guard):
+            # duplicate keys collapse to one DP per distinct pair; the
+            # member cross-product only expands for verified pairs, and
+            # the all-dist-0 pairs of an identical-key cluster emit
+            # ONLY from the cluster's canonical (zero-deletion) group
+            # so they are not re-found in every variant group.
+            by_key: dict[str, list[int]] = {}
+            is_home: dict[str, bool] = {}
+            for kid, kkey, khome in zip(
+                g[id_col].to_numpy(dtype=np.int64),
+                g["key"].to_numpy(dtype=object),
+                g["home"].to_numpy(dtype=np.int8),
+            ):
+                by_key.setdefault(kkey, []).append(int(kid))
+                is_home[kkey] = bool(khome)
+            distinct = list(by_key)
+            for kkey, members in by_key.items():
+                if is_home[kkey] and len(members) > 1:
+                    ms = sorted(set(members))
+                    for x in range(len(ms)):
+                        for y in range(x + 1, len(ms)):
+                            ia.append(ms[x])
+                            ib.append(ms[y])
+                            dd.append(0)
+            for x in range(len(distinct)):
+                for y in range(x + 1, len(distinct)):
+                    d = levenshtein_banded(distinct[x], distinct[y], k)
                     if d <= k:
-                        a, b2 = ids[x], ids[y]
-                        if a > b2:
-                            a, b2 = b2, a
-                        ia.append(int(a))
-                        ib.append(int(b2))
-                        dd.append(int(d))
+                        for a0 in by_key[distinct[x]]:
+                            for b0 in by_key[distinct[y]]:
+                                a, b2 = (a0, b0) if a0 < b0 else (b0, a0)
+                                ia.append(a)
+                                ib.append(b2)
+                                dd.append(int(d))
         if not ia:
             return empty
         return pd.DataFrame(

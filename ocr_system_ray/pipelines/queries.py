@@ -9473,7 +9473,16 @@ def _derived_linkage_keys(t: pa.Table) -> pa.Table:
     keys: list[str] = []
     for i in ids:
         g = i // 5
-        base = " ".join(_ED_VOCAB[(g * 7 + j) % 8] for j in range(3))
+        # three INDEPENDENT word picks (divide-then-mod mixes — a plain
+        # (g·c) % 8 collapses to g % 8 and re-creates the 8-base
+        # derivation-density artifact that made the join quadratic)
+        base = " ".join(
+            (
+                _ED_VOCAB[(g * 2654435761 // 64) % 8],
+                _ED_VOCAB[(g * 40503 // 16) % 8],
+                _ED_VOCAB[(g * 104729 // 32) % 8],
+            )
+        )
         r = i % 5
         p = 1 + (i * 13) % 14
         if r == 1:
@@ -9744,3 +9753,36 @@ def q_geo_pairs(sf_dir: str) -> ray.data.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
     pts = docs.map_batches(_derived_geo, batch_format="pyarrow")
     return geo_proximity_join(pts, radius_u=250_000, cell_bits=9)
+
+
+def q_interval_overlaps(sf_dir: str) -> ray.data.Dataset:
+    """Self interval-overlap join (the genomic/temporal classic) over
+    derived event intervals — start = event micros, duration =
+    (event_id·104729) mod 600 s: every overlapping pair with its exact
+    overlap length (``functions/joins.py:interval_overlap_join`` —
+    start-cell + next-cell emission, cell ≥ max length ⇒ exact recall,
+    integer predicate).  Oracle: brute-force inequality self-join."""
+    from ..functions.joins import interval_overlap_join
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_valid(t.column("event_id")), pc.is_valid(t.column("ts"))
+        )
+        t = t.filter(ok)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        start = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (ids * 104_729) % 600_000_000
+        return pa.table(
+            {
+                "event_id": pa.array(ids),
+                "start_u": pa.array(start),
+                "end_u": pa.array(start + dur),
+            }
+        )
+
+    return interval_overlap_join(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        max_len_u=600_000_000,
+    )
