@@ -314,6 +314,9 @@ def _query_suite() -> dict:
         "mp1_subbands": q.q_mp1_subbands,
         "checksum_ids": q.q_checksum_ids,
         "theilsen_trend": q.q_theilsen_trend,
+        "geohash_encode": q.q_geohash,
+        "geo_pairs": q.q_geo_pairs,
+        "interval_overlaps": q.q_interval_overlaps,
     }
     return suite
 

@@ -1,0 +1,94 @@
+"""Interval overlap join: hand cases, recall across cell boundaries,
+guards, brute-force parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.joins import interval_overlap_join
+
+
+def _ds(rows, blocks=3):
+    import ray.data
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "start_u": pa.array([r[1] for r in rows], pa.int64()),
+            "end_u": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_hand_cases(ray_session):
+    rows = [
+        (1, 0, 10),
+        (2, 5, 15),    # overlaps 1 by 5
+        (3, 10, 20),   # touches 1 (overlap 0), overlaps 2 by 5
+        (4, 100, 110), # isolated
+    ]
+    out = (
+        interval_overlap_join(_ds(rows), max_len_u=10, cell_u=10)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        [(1, 2, 5), (1, 3, 0), (2, 3, 5)],
+        columns=["id_a", "id_b", "overlap_u"],
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), exp.astype("int64"))
+
+
+def test_cross_boundary_recall_both_id_orders(ray_session):
+    # pair spanning a cell boundary with the LARGER id starting first
+    rows = [(9, 0, 10), (1, 9, 19)]
+    out = interval_overlap_join(_ds(rows, 1), max_len_u=10).to_pandas()
+    assert out[["id_a", "id_b"]].values.tolist() == [[1, 9]]
+    rows = [(1, 0, 10), (9, 9, 19)]
+    out = interval_overlap_join(_ds(rows, 1), max_len_u=10).to_pandas()
+    assert out[["id_a", "id_b"]].values.tolist() == [[1, 9]]
+
+
+def test_guards(ray_session):
+    with pytest.raises(ValueError):
+        interval_overlap_join(_ds([(1, 0, 5)]), max_len_u=None)
+    with pytest.raises(ValueError):
+        interval_overlap_join(_ds([(1, 0, 5)]), max_len_u=10, cell_u=5)
+    with pytest.raises(Exception):
+        interval_overlap_join(_ds([(1, 0, 50)]), max_len_u=10).to_pandas()
+    with pytest.raises(Exception):
+        interval_overlap_join(_ds([(1, 10, 0)]), max_len_u=10).to_pandas()
+
+
+def test_bruteforce_parity(ray_session):
+    rng = np.random.default_rng(12)
+    rows = []
+    for i in range(300):
+        s = int(rng.integers(-5000, 5000))
+        rows.append((i, s, s + int(rng.integers(0, 200))))
+    got = (
+        interval_overlap_join(_ds(rows, 5), max_len_u=200)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp_rows = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            lo = max(rows[i][1], rows[j][1])
+            hi = min(rows[i][2], rows[j][2])
+            if hi >= lo:
+                exp_rows.append((rows[i][0], rows[j][0], hi - lo))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["id_a", "id_b", "overlap_u"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
