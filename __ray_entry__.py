@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": q.q_spearman,
         "suffix_array": q.q_suffix_array,
         "suffix_lcp": q.q_suffix_lcp,
+        "sa_span_mask": q.q_sa_span_mask,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -1053,6 +1054,12 @@ def _suffix_lcp_sql() -> str:
         lcp_adjacent_sql(_SA_FROM, cap=512)
         + " ORDER BY lcp DESC, rank LIMIT 50"
     )
+
+
+def _sa_span_mask_sql() -> str:
+    from ocr_system_ray.functions.suffixarray import sa_span_mask_sql
+
+    return sa_span_mask_sql(_SA_FROM, min_len=15)
 
 
 def _spearman_sql() -> str:
@@ -2526,6 +2533,9 @@ def oracle_sql() -> dict[str, str]:
         # suffix array: ROW_NUMBER over (suffix, doc_id, pos) on the
         # unnested char positions; DuckDB VARCHAR memcmp ≡ code points
         "suffix_array": _suffix_array_sql(),
+        # SA-based ExactSubstr span masking: neighbour-LCP flags +
+        # gaps-and-islands interval union, identical tree
+        "sa_span_mask": _sa_span_mask_sql(),
         # adjacent-suffix LCP top-50 (cap 512 both engines; rank unique
         # so the LIMIT boundary is deterministic)
         "suffix_lcp": _suffix_lcp_sql(),

@@ -634,3 +634,143 @@ def lcp_adjacent_sql(docs_from: str, cap: int = 512) -> str:
             FROM sa_pair
         )
     """
+
+
+def sa_span_mask(
+    sa: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    min_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = 512,
+    doc_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Suffix-array span masking — the consumption step that makes the
+    SA the ExactSubstr structure Lee et al. 2022 actually use: a
+    position p participates in a corpus-repeat of length ≥ L iff its
+    LCP with EITHER lexicographic neighbour is ≥ L, and its maximal
+    shared run is ℓ(p) = max(neighbour LCPs) (capped at ``cap``, the
+    shared LCP contract).  Mask the interval ``[p, p+ℓ(p))`` for every
+    flagged position, merge overlaps per document →
+    ``(id_col, n_spans, n_masked_chars)`` — zero rows for untouched
+    docs are NOT emitted (join against the corpus for zero-filling).
+
+    One extra reduce-side pass over :func:`lcp_adjacent`'s output:
+    each LCP row flags both endpoints, a doc-bucket groupby merges the
+    per-doc interval union vectorized.  ℓ ≤ suffix length by
+    construction, so no doc-length bookkeeping is needed."""
+    lcp = lcp_adjacent(sa, docs, text_col=text_col, id_col=id_col, cap=cap)
+
+    def emit_flags(t: pa.Table) -> pa.Table:
+        l = t.column("lcp").to_numpy(zero_copy_only=False)
+        keep = l >= min_len
+        ida = t.column("id_a").to_numpy(zero_copy_only=False)[keep]
+        pa_a = t.column("pos_a").to_numpy(zero_copy_only=False)[keep]
+        idb = t.column("id_b").to_numpy(zero_copy_only=False)[keep]
+        pa_b = t.column("pos_b").to_numpy(zero_copy_only=False)[keep]
+        lv = l[keep]
+        ids = np.concatenate([ida, idb])
+        pos = np.concatenate([pa_a, pa_b])
+        ln = np.concatenate([lv, lv])
+        return pa.table(
+            {
+                "fb": pa.array(_coarse_bucket(ids, doc_buckets)),
+                id_col: pa.array(ids),
+                "pos": pa.array(pos),
+                "l": pa.array(ln),
+            }
+        )
+
+    def merge_spans(df):  # noqa: ANN001 — pandas
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "n_spans": pd.Series([], dtype="int64"),
+                "n_masked_chars": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        out_i, out_s, out_c = [], [], []
+        for did, g in df.groupby(id_col, sort=False):
+            # per position keep the max ℓ, then interval-union
+            gg = g.groupby("pos")["l"].max().sort_index()
+            starts = gg.index.to_numpy(dtype=np.int64)
+            ends = starts + gg.to_numpy(dtype=np.int64)
+            n_spans = 0
+            masked = 0
+            cur_s = cur_e = None
+            for s, e in zip(starts, ends):
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        masked += cur_e - cur_s
+                    n_spans += 1
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            if cur_e is not None:
+                masked += cur_e - cur_s
+            out_i.append(int(did))
+            out_s.append(n_spans)
+            out_c.append(int(masked))
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_i, dtype="int64"),
+                "n_spans": pd.Series(out_s, dtype="int64"),
+                "n_masked_chars": pd.Series(out_c, dtype="int64"),
+            }
+        )
+
+    return (
+        lcp.map_batches(emit_flags, batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(merge_spans, batch_format="pandas")
+    )
+
+
+def sa_span_mask_sql(docs_from: str, min_len: int, cap: int = 512) -> str:
+    """DuckDB twin: neighbour LCPs from the shared mismatch-scan
+    machinery, per-position max, gaps-and-islands interval union via
+    a running window max."""
+    lcp_sql = lcp_adjacent_sql(docs_from, cap=cap)
+    return f"""
+        WITH sm_lcp AS ({lcp_sql}),
+        sm_flags AS (
+            SELECT id_a AS doc_id, pos_a AS pos, lcp FROM sm_lcp
+            WHERE lcp >= {min_len}
+            UNION ALL
+            SELECT id_b, pos_b, lcp FROM sm_lcp WHERE lcp >= {min_len}
+        ),
+        sm_pos AS (
+            SELECT doc_id, pos, MAX(lcp) AS l
+            FROM sm_flags GROUP BY doc_id, pos
+        ),
+        sm_islands AS (
+            SELECT doc_id, pos, pos + l AS e,
+                   CASE WHEN pos > COALESCE(MAX(pos + l) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) THEN 1 ELSE 0 END AS new_island
+            FROM sm_pos
+        ),
+        sm_grp AS (
+            SELECT doc_id, pos, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM sm_islands
+        )
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT island) AS BIGINT) AS n_spans,
+               CAST(SUM(ln) AS BIGINT) AS n_masked_chars
+        FROM (
+            SELECT doc_id, island, MAX(e) - MIN(pos) AS ln
+            FROM sm_grp GROUP BY doc_id, island
+        )
+        GROUP BY doc_id
+    """

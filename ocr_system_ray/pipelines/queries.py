@@ -9786,3 +9786,17 @@ def q_interval_overlaps(sf_dir: str) -> ray.data.Dataset:
         ev.map_batches(derive, batch_format="pyarrow"),
         max_len_u=600_000_000,
     )
+
+
+def q_sa_span_mask(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr span masking FROM THE SUFFIX ARRAY (the consumption
+    step of Lee et al. 2022): positions whose lexicographic-neighbour
+    LCP ≥ 15 mask their maximal shared run; per-doc interval union →
+    (doc_id, n_spans, n_masked_chars) over the 1/10 SA scope
+    (``functions/suffixarray.py:sa_span_mask``).  Oracle: the same
+    neighbour-LCP + gaps-and-islands tree in pure SQL."""
+    from ..functions import suffixarray
+
+    docs = _sa_subset(sf_dir)
+    sa = suffixarray.suffix_array(docs)
+    return suffixarray.sa_span_mask(sa, docs, min_len=15)

@@ -139,3 +139,68 @@ def test_randomized_corpus(ray_session, seed):
     got = _got_frame(sax.suffix_array(_dataset(docs, blocks=4)))
     exp = _brute_sa_frame(docs)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sa_span_mask_matches_bruteforce(ray_session):
+    """Span masking vs a definition-level brute force: per position the
+    max shared-prefix length with ANY other suffix (capped), flag ≥ L,
+    union the [p, p+l) intervals."""
+    from ocr_system_ray.functions.suffixarray import sa_span_mask
+
+    docs = [
+        (1, "the cat sat on the mat the cat sat"),
+        (2, "the cat sat on a hat xyz"),
+        (3, "completely unrelated words here qq"),
+        (4, "the cat sat on the mat the cat sat"),  # dup of 1
+    ]
+    L, cap = 8, 16
+    ds = _dataset(docs)
+    got = (
+        sa_span_mask(sax.suffix_array(ds), ds, min_len=L, cap=cap)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+    # brute force: neighbour-free definition via ALL-pairs max LCP
+    # (for any position, the max shared prefix with any other suffix
+    # equals the max LCP with a lexicographic NEIGHBOUR — the classic
+    # SA property the operator relies on)
+    sufs = _brute_sa(docs)
+    exp_rows = {}
+    for i, (s, d, p) in enumerate(sufs):
+        best = 0
+        for k in (i - 1, i + 1):
+            if 0 <= k < len(sufs):
+                o = sufs[k][0]
+                l = 0
+                while l < min(len(s), len(o), cap) and s[l] == o[l]:
+                    l += 1
+                best = max(best, l)
+        if best >= L:
+            exp_rows.setdefault(d, []).append((p, p + best))
+    import pandas as pd
+
+    rows = []
+    for d, spans in exp_rows.items():
+        spans.sort()
+        n_sp, masked, cs, ce = 0, 0, None, None
+        for s, e in spans:
+            if ce is None or s > ce:
+                if ce is not None:
+                    masked += ce - cs
+                n_sp += 1
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        masked += ce - cs
+        rows.append((d, n_sp, masked))
+    exp = (
+        pd.DataFrame(rows, columns=["doc_id", "n_spans", "n_masked_chars"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert set(exp["doc_id"]) >= {1, 4}  # the duplicated docs mask
