@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_encode": q.q_geohash,
         "geo_pairs": q.q_geo_pairs,
         "interval_overlaps": q.q_interval_overlaps,
+        "expr_eval": q.q_expr_eval,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -1032,6 +1033,25 @@ def _interval_overlaps_sql() -> str:
         FROM iv a JOIN iv b
           ON a.event_id < b.event_id
          AND a.s <= b.e AND b.s <= a.e
+    """
+
+
+def _expr_eval_sql() -> str:
+    from ocr_system_ray.pipelines.queries import EXPR_RULES
+
+    int_cols = {"c_flag", "c_linear", "c_mod", "c_clamp", "c_namelen"}
+    cols = ",\n                   ".join(
+        (
+            f"CAST({src} AS BIGINT) AS {name}"
+            if name in int_cols
+            else f"{src} AS {name}"
+        )
+        for name, src in EXPR_RULES.items()
+    )
+    return f"""
+        SELECT p_partkey,
+                   {cols}
+        FROM part
     """
 
 
@@ -5473,6 +5493,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # expr_eval: the SAME expression strings, pasted verbatim
+        "expr_eval": _expr_eval_sql(),
         # interval overlaps: brute-force inequality self-join
         "interval_overlaps": _interval_overlaps_sql(),
         # geohash: identical integer cell/interleave/alphabet tree

@@ -1,0 +1,339 @@
+"""Scalar expression compiler — a tiny SQL-ish expression language
+compiled to vectorized ``pyarrow.compute`` kernels.
+
+The engine's computed-column surface (reference M13,
+`/root/reference/ocr/computed.py` analog) grows from "a Python hook"
+to a declarative language: the same expression STRING evaluates on
+both engines — compiled to Arrow kernels here, pasted verbatim into
+DuckDB there — so user-defined derived columns stay oracle-checkable
+and never drop to Python rows.
+
+Grammar (Pratt parser, precedence climbing):
+
+    expr    := or_expr
+    or      := and (OR and)*
+    and     := not (AND not)*
+    not     := NOT not | cmp
+    cmp     := add (( = | <> | != | < | <= | > | >= ) add)?
+    add     := mul (( + | - | || ) mul)*
+    mul     := unary (( * | / | // | % ) unary)*
+    unary   := - unary | primary
+    primary := NUMBER | 'string' | ident | ident(args) | (expr)
+
+Functions: ``abs, floor, ceil, sqrt, ln, length, lower, upper,
+substr(s, start, len), coalesce, least, greatest`` — each mapped to
+the DuckDB-identical kernel (``length`` is CHARACTER length;
+``substr`` is 1-based SQL slicing; ``/`` is float division, ``//``
+integer floor-division on non-negative operands — signed ``//``
+raises, the DuckDB-truncation-vs-Python-floor trap is refused rather
+than silently mismatched).
+
+All arithmetic stays in Arrow kernels (int64/float64), comparisons
+yield booleans usable as filters; string concat is ``||``.  The
+compiled form is a closure over ``pa.Table`` → ``pa.Array`` — use it
+in ``map_batches`` / ``append_column`` / ``filter``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["compile_expr", "eval_expr", "ExprError"]
+
+
+class ExprError(ValueError):
+    """Unparseable or unsupported expression."""
+
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<num>\d+\.\d+|\d+)
+    | '(?P<str>(?:[^']|'')*)'
+    | (?P<op><>|!=|<=|>=|\|\||//|[-+*/%()=<>,])
+    | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(src: str):
+    pos = 0
+    out = []
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise ExprError(f"bad token at {src[pos:pos+10]!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            txt = m.group("num")
+            out.append(("num", float(txt) if "." in txt else int(txt)))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str").replace("''", "'")))
+        elif m.group("op") is not None:
+            out.append(("op", m.group("op")))
+        else:
+            out.append(("ident", m.group("ident")))
+    out.append(("end", None))
+    return out
+
+
+# AST: tuples ("num", v) ("str", v) ("col", name) ("call", fn, [args])
+#      ("un", op, a) ("bin", op, a, b)
+
+
+class _Parser:
+    def __init__(self, tokens):  # noqa: ANN001
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def take(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_op(self, op: str):
+        t = self.take()
+        if t != ("op", op):
+            raise ExprError(f"expected {op!r}, got {t!r}")
+
+    def parse(self):
+        e = self.parse_or()
+        if self.peek()[0] != "end":
+            raise ExprError(f"trailing tokens at {self.peek()!r}")
+        return e
+
+    def parse_or(self):
+        e = self.parse_and()
+        while self.peek() == ("ident", "OR") or self.peek() == ("ident", "or"):
+            self.take()
+            e = ("bin", "or", e, self.parse_and())
+        return e
+
+    def parse_and(self):
+        e = self.parse_not()
+        while self.peek() in (("ident", "AND"), ("ident", "and")):
+            self.take()
+            e = ("bin", "and", e, self.parse_not())
+        return e
+
+    def parse_not(self):
+        if self.peek() in (("ident", "NOT"), ("ident", "not")):
+            self.take()
+            return ("un", "not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        e = self.parse_add()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.take()
+            e = ("bin", t[1], e, self.parse_add())
+        return e
+
+    def parse_add(self):
+        e = self.parse_mul()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("+", "-", "||"):
+                self.take()
+                e = ("bin", t[1], e, self.parse_mul())
+            else:
+                return e
+
+    def parse_mul(self):
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("*", "/", "//", "%"):
+                self.take()
+                e = ("bin", t[1], e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self):
+        t = self.peek()
+        if t == ("op", "-"):
+            self.take()
+            return ("un", "neg", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.take()
+        if t[0] == "num":
+            return ("num", t[1])
+        if t[0] == "str":
+            return ("str", t[1])
+        if t == ("op", "("):
+            e = self.parse_or()
+            self.expect_op(")")
+            return e
+        if t[0] == "ident":
+            name = t[1]
+            if self.peek() == ("op", "("):
+                self.take()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.parse_or())
+                    while self.peek() == ("op", ","):
+                        self.take()
+                        args.append(self.parse_or())
+                self.expect_op(")")
+                return ("call", name.lower(), args)
+            return ("col", name)
+        raise ExprError(f"unexpected token {t!r}")
+
+
+def parse(src: str):
+    return _Parser(_tokenize(src)).parse()
+
+
+_FUNCS_ARITY = {
+    "abs": 1,
+    "floor": 1,
+    "ceil": 1,
+    "sqrt": 1,
+    "ln": 1,
+    "length": 1,
+    "lower": 1,
+    "upper": 1,
+    "substr": 3,
+    "coalesce": None,
+    "least": None,
+    "greatest": None,
+}
+
+
+def _eval(node, t: pa.Table):  # noqa: ANN001
+    kind = node[0]
+    if kind == "num":
+        return pa.scalar(node[1])
+    if kind == "str":
+        return pa.scalar(node[1])
+    if kind == "col":
+        try:
+            return t.column(node[1])
+        except KeyError:
+            raise ExprError(f"unknown column {node[1]!r}") from None
+    if kind == "un":
+        a = _eval(node[2], t)
+        if node[1] == "neg":
+            return pc.negate_checked(a)
+        return pc.invert(a)  # not
+    if kind == "call":
+        name, args = node[1], node[2]
+        arity = _FUNCS_ARITY.get(name)
+        if name not in _FUNCS_ARITY:
+            raise ExprError(f"unknown function {name!r}")
+        if arity is not None and len(args) != arity:
+            raise ExprError(f"{name} takes {arity} args")
+        vals = [_eval(a, t) for a in args]
+        if name == "abs":
+            return pc.abs_checked(vals[0])
+        if name == "floor":
+            return pc.floor(vals[0])
+        if name == "ceil":
+            return pc.ceil(vals[0])
+        if name == "sqrt":
+            return pc.sqrt_checked(vals[0])
+        if name == "ln":
+            return pc.ln_checked(vals[0])
+        if name == "length":
+            return pc.cast(pc.utf8_length(vals[0]), pa.int64())
+        if name == "lower":
+            return pc.utf8_lower(vals[0])
+        if name == "upper":
+            return pc.utf8_upper(vals[0])
+        if name == "substr":
+            # SQL 1-based (start, len) → arrow utf8_slice_codeunits
+            start = node[2][1]
+            ln = node[2][2]
+            if start[0] != "num" or ln[0] != "num":
+                raise ExprError("substr start/len must be literals")
+            s0 = int(start[1]) - 1
+            return pc.utf8_slice_codeunits(
+                vals[0], start=s0, stop=s0 + int(ln[1])
+            )
+        if name == "coalesce":
+            return pc.coalesce(*vals)
+        if name == "least":
+            return pc.min_element_wise(*vals)
+        if name == "greatest":
+            return pc.max_element_wise(*vals)
+    if kind == "bin":
+        op = node[1]
+        a = _eval(node[2], t)
+        b = _eval(node[3], t)
+        if op == "+":
+            return pc.add_checked(a, b)
+        if op == "-":
+            return pc.subtract_checked(a, b)
+        if op == "*":
+            return pc.multiply_checked(a, b)
+        if op == "/":
+            return pc.divide(
+                pc.cast(a, pa.float64()), pc.cast(b, pa.float64())
+            )
+        if op == "//":
+            av = pc.cast(a, pa.int64())
+            bv = pc.cast(b, pa.int64())
+            neg_a = pc.any(pc.less(av, 0)).as_py() if isinstance(av, (pa.Array, pa.ChunkedArray)) else (av.as_py() or 0) < 0
+            neg_b = pc.any(pc.less(bv, 0)).as_py() if isinstance(bv, (pa.Array, pa.ChunkedArray)) else (bv.as_py() or 0) < 0
+            if neg_a or neg_b:
+                raise ExprError(
+                    "// on negative operands refused: DuckDB truncates, "
+                    "Python floors — use explicit floor(a / b)"
+                )
+            return pc.divide_checked(av, bv)
+        if op == "%":
+            av = pc.cast(a, pa.int64())
+            bv = pc.cast(b, pa.int64())
+            q = pc.divide_checked(av, bv)
+            return pc.subtract_checked(av, pc.multiply_checked(q, bv))
+        if op == "||":
+            return pc.binary_join_element_wise(
+                pc.cast(a, pa.string()), pc.cast(b, pa.string()), ""
+            )
+        if op == "=":
+            return pc.equal(a, b)
+        if op in ("<>", "!="):
+            return pc.not_equal(a, b)
+        if op == "<":
+            return pc.less(a, b)
+        if op == "<=":
+            return pc.less_equal(a, b)
+        if op == ">":
+            return pc.greater(a, b)
+        if op == ">=":
+            return pc.greater_equal(a, b)
+        if op == "and":
+            return pc.and_kleene(a, b)
+        if op == "or":
+            return pc.or_kleene(a, b)
+    raise ExprError(f"bad node {node!r}")
+
+
+def compile_expr(src: str):
+    """Parse once → a ``pa.Table -> pa.Array`` closure."""
+    ast = parse(src)
+
+    def run(t: pa.Table):
+        out = _eval(ast, t)
+        if isinstance(out, pa.Scalar):
+            out = pa.array([out.as_py()] * len(t))
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return out
+
+    return run
+
+
+def eval_expr(t: pa.Table, src: str):
+    return compile_expr(src)(t)

@@ -9800,3 +9800,42 @@ def q_sa_span_mask(sf_dir: str) -> ray.data.Dataset:
     docs = _sa_subset(sf_dir)
     sa = suffixarray.suffix_array(docs)
     return suffixarray.sa_span_mask(sa, docs, min_len=15)
+
+
+EXPR_RULES: dict[str, str] = {
+    # ONE source of truth: each expression string compiles to Arrow
+    # kernels engine-side AND pastes verbatim into the DuckDB oracle
+    "c_linear": "p_size * 3 + 1",
+    "c_cents": "floor(p_retailprice * 100 + 0.5)",
+    "c_namelen": "length(p_name)",
+    "c_tag": "lower(p_name) || '#' || p_size",
+    "c_mod": "p_size % 7",
+    "c_clamp": "least(p_size, 25) + greatest(p_size, 25)",
+    "c_flag": "p_size > 20 AND p_retailprice < 1500.0",
+}
+
+
+def q_expr_eval(sf_dir: str) -> ray.data.Dataset:
+    """Declarative computed columns — the from-scratch scalar
+    expression compiler (``functions/exprs.py``: Pratt parser →
+    vectorized pyarrow.compute kernels, DuckDB-identical semantics per
+    operator incl. the refused signed ``//``).  Every EXPR_RULES
+    string evaluates on both engines verbatim; booleans cast to BIGINT
+    for the hash."""
+    from ..functions.exprs import compile_expr
+
+    compiled = {n: compile_expr(src) for n, src in EXPR_RULES.items()}
+    parts = read_table(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_size", "p_retailprice"]
+    )
+
+    def run(t: pa.Table) -> pa.Table:
+        cols = {"p_partkey": t.column("p_partkey")}
+        for name, fn in compiled.items():
+            v = fn(t)
+            if pa.types.is_boolean(v.type) or pa.types.is_integer(v.type):
+                v = pc.cast(v, pa.int64())  # int32 sources (p_size) → BIGINT
+            cols[name] = v
+        return pa.table(cols)
+
+    return parts.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""Expression compiler: DuckDB parity per operator, precedence,
+errors, null propagation."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.functions.exprs import ExprError, eval_expr
+
+T = pa.table(
+    {
+        "a": pa.array([1, 5, None, 42, -3], pa.int64()),
+        "b": pa.array([3.5, -2.0, 7.25, 0.5, None], pa.float64()),
+        "s": pa.array(["Hello", "wOrld", None, "Grüße", "x''y"], pa.string()),
+    }
+)
+
+
+def _sql(e: str):
+    con = duckdb.connect()
+    con.register("t", T.to_pandas())
+    return [r[0] for r in con.sql(f"SELECT {e} FROM t").fetchall()]
+
+
+@pytest.mark.parametrize(
+    "e",
+    [
+        "a * 2 + 7",
+        "a % 5",
+        "-a % 5",  # C-style remainder on negatives (DuckDB semantics)
+        "(a + 1) * (a - 1)",
+        "abs(b) + floor(b)",
+        "ceil(b) - 1",
+        "a / 4",
+        "sqrt(abs(b))",
+        "ln(abs(b) + 1)",
+        "length(s)",
+        "lower(s) || '-' || upper(s)",
+        "substr(s, 2, 3)",
+        "coalesce(a, 0) * 10",
+        "least(a, 10) + greatest(a, 10)",
+        "a > 4 AND b < 5",
+        "NOT (a = 5) OR b >= 7",
+        "a <> 5",
+        "a != 5",
+        "a <= 5 OR a >= 40",
+        "floor(b * 100 + 0.5)",
+        "-a + 100",
+        "1 + 2 * 3 - 4 / 8",  # precedence incl. float division
+        "'lit''eral' || s",  # escaped quote literal
+        "10 // 3",
+    ],
+)
+def test_duckdb_parity(e):
+    assert eval_expr(T, e).to_pylist() == _sql(e)
+
+
+def test_unicode_length_is_characters():
+    assert eval_expr(T, "length(s)").to_pylist() == [5, 5, None, 5, 4]
+
+
+def test_errors():
+    for bad in ["a +", "nosuchfn(a)", "substr(s, a, 2)", "a ^ 2", "", "))"]:
+        with pytest.raises(ExprError):
+            eval_expr(T, bad)
+    with pytest.raises(ExprError):
+        eval_expr(T, "unknown_col + 1")
+    with pytest.raises(ExprError):
+        eval_expr(T, "(a - 10) // 3")  # signed // refused
+
+
+def test_null_propagation_and_kleene():
+    # NULL AND false = false (Kleene) — matches SQL three-valued logic
+    got = eval_expr(T, "a > 100 AND b > 0").to_pylist()
+    assert got == _sql("a > 100 AND b > 0")
+    got = eval_expr(T, "a > 0 OR b > 100").to_pylist()
+    assert got == _sql("a > 0 OR b > 100")
+
+
+def test_scalar_only_expression():
+    out = eval_expr(T, "2 * 21").to_pylist()
+    assert out == [42] * len(T)
