@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pairs": q.q_geo_pairs,
         "interval_overlaps": q.q_interval_overlaps,
         "expr_eval": q.q_expr_eval,
+        "scd2_history": q.q_scd2_history,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -1053,6 +1054,18 @@ def _expr_eval_sql() -> str:
                    {cols}
         FROM part
     """
+
+
+def _scd2_sql() -> str:
+    from ocr_system_ray.functions.windows import scd2_sql
+
+    return scd2_sql(
+        "user_id",
+        "CAST(epoch_us(ts) AS BIGINT)",
+        "event_type",
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+        "AND event_type IS NOT NULL",
+    )
 
 
 def _temperature_mix_sql() -> str:
@@ -5493,6 +5506,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # scd2: LAG-collapse + LEAD-close identical windows
+        "scd2_history": _scd2_sql(),
         # expr_eval: the SAME expression strings, pasted verbatim
         "expr_eval": _expr_eval_sql(),
         # interval overlaps: brute-force inequality self-join

@@ -1403,3 +1403,108 @@ def golden_record_sql(
                {", ".join(field_exprs)}
         FROM gr_w WHERE rn = 1
     """
+
+
+def scd2_history(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    num_buckets: int = 1024,
+):
+    """Slowly-changing-dimension TYPE 2 assembly from a change log —
+    the warehouse-history classic: per key, order observations by
+    ``(ts, value)``, COLLAPSE consecutive duplicates (an observation
+    that repeats the current value extends it, it does not version),
+    then each surviving change opens a validity interval
+    ``[valid_from, valid_to)`` closed by the next change (open
+    intervals carry the ``valid_to = -1`` sentinel — a NULL here
+    becomes float64 in pandas and NaN in DuckDB's df(), the CLAUDE.md
+    nullable-int trap) → ``(key, version, value, valid_from_us,
+    valid_to_us)`` with version numbering from 1 in change order.
+
+    Equal-timestamp ties order by value (deterministic, both engines).
+    ONE coarse key-bucket shuffle; per key the collapse + lead are
+    vectorized in-group.  Timestamps flow as int64 micros."""
+    import pandas as pd
+
+    from .dedup import _coarse_bucket as _cb
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        return t.append_column("sb", pa.array(_cb(keys, num_buckets)))
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype="int64"),
+                "version": pd.Series([], dtype="int64"),
+                "value": pd.Series([], dtype="object"),
+                "valid_from_us": pd.Series([], dtype="int64"),
+                "valid_to_us": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        frames = []
+        for key, g in df.groupby(key_col, sort=False):
+            g = g.sort_values([ts_col, value_col], kind="mergesort")
+            vals = g[value_col].to_numpy(dtype=object)
+            ts = g[ts_col].to_numpy(dtype=np.int64)
+            keep = np.ones(len(g), dtype=bool)
+            keep[1:] = vals[1:] != vals[:-1]
+            vals, ts = vals[keep], ts[keep]
+            n = vals.size
+            vto = np.full(n, -1, dtype=np.int64)
+            if n > 1:
+                vto[:-1] = ts[1:]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: pd.Series(
+                            np.full(n, key, dtype=np.int64), dtype="int64"
+                        ),
+                        "version": pd.Series(
+                            np.arange(1, n + 1, dtype=np.int64), dtype="int64"
+                        ),
+                        "value": pd.Series(vals, dtype="object"),
+                        "valid_from_us": pd.Series(ts, dtype="int64"),
+                        "valid_to_us": pd.Series(vto, dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def scd2_sql(key: str, ts_expr: str, value: str, from_clause: str) -> str:
+    """DuckDB twin of :func:`scd2_history`: LAG-collapse + LEAD-close
+    over the identical (ts, value) order."""
+    return f"""
+        WITH scd_obs AS (
+            SELECT {key} AS k, {ts_expr} AS ts, {value} AS v
+            {from_clause}
+        ),
+        scd_chg AS (
+            SELECT k, ts, v,
+                   LAG(v) OVER (PARTITION BY k ORDER BY ts, v) AS pv
+            FROM scd_obs
+        ),
+        scd_keep AS (
+            SELECT k, ts, v FROM scd_chg
+            WHERE pv IS NULL OR v <> pv
+        )
+        SELECT k AS {key},
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY k ORDER BY ts, v) AS BIGINT) AS version,
+               v AS value,
+               ts AS valid_from_us,
+               COALESCE(LEAD(ts) OVER (
+                   PARTITION BY k ORDER BY ts, v), -1) AS valid_to_us
+        FROM scd_keep
+    """

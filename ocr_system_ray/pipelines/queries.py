@@ -9839,3 +9839,37 @@ def q_expr_eval(sf_dir: str) -> ray.data.Dataset:
         return pa.table(cols)
 
     return parts.map_batches(run, batch_format="pyarrow")
+
+
+def q_scd2_history(sf_dir: str) -> ray.data.Dataset:
+    """SCD TYPE-2 history from the event change log: per user the
+    versioned event_type validity intervals [valid_from, valid_to),
+    consecutive duplicates collapsed
+    (``functions/windows.py:scd2_history``).  Oracle: LAG-collapse +
+    LEAD-close windows over the identical (ts, value) order."""
+    from ..functions.windows import scd2_history
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))
+            ),
+            pc.is_valid(t.column("event_type")),
+        )
+        t = t.filter(ok)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    return scd2_history(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        "user_id",
+        "ts_us",
+        "event_type",
+    )

@@ -1,0 +1,73 @@
+"""SCD2 history: collapse, versioning, sentinel, twin parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.functions.windows import scd2_history, scd2_sql
+
+
+def _ds(rows, blocks=3):
+    import ray.data
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_collapse_and_versions(ray_session):
+    rows = [
+        (1, 10, "a"),
+        (1, 20, "a"),   # duplicate → extends, no version
+        (1, 30, "b"),
+        (1, 40, "b"),
+        (1, 50, "a"),   # back to a → NEW version (type 2, not type 1)
+    ]
+    out = (
+        scd2_history(_ds(rows), "k", "ts", "v")
+        .to_pandas()
+        .sort_values("version")
+        .reset_index(drop=True)
+    )
+    assert out["value"].tolist() == ["a", "b", "a"]
+    assert out["valid_from_us"].tolist() == [10, 30, 50]
+    assert out["valid_to_us"].tolist() == [30, 50, -1]
+
+
+def test_twin_parity(ray_session):
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in range(20):
+        t0 = 0
+        for _ in range(int(rng.integers(1, 30))):
+            t0 += int(rng.integers(1, 50))
+            rows.append((k, t0, str(rng.choice(["x", "y", "z"]))))
+    got = (
+        scd2_history(_ds(rows, 5), "k", "ts", "v")
+        .to_pandas()
+        .sort_values(["k", "version"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    con = duckdb.connect()
+    con.register("obs", df)
+    exp = (
+        con.sql(scd2_sql("k", "ts", "v", "FROM obs"))
+        .df()
+        .sort_values(["k", "version"])
+        .reset_index(drop=True)
+    )
+    got = got[["k", "version", "value", "valid_from_us", "valid_to_us"]]
+    exp = exp[["k", "version", "value", "valid_from_us", "valid_to_us"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"valid_to_us": "int64"}),
+        exp.astype({"valid_to_us": "int64"}),
+    )
