@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlaps": q.q_interval_overlaps,
         "expr_eval": q.q_expr_eval,
         "scd2_history": q.q_scd2_history,
+        "merkle_tree": q.q_merkle_tree,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -1066,6 +1067,12 @@ def _scd2_sql() -> str:
         "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
         "AND event_type IS NOT NULL",
     )
+
+
+def _merkle_sql() -> str:
+    from ocr_system_ray.functions.merkle import merkle_sql
+
+    return merkle_sql("FROM documents", n_leaves=16)
 
 
 def _temperature_mix_sql() -> str:
@@ -5506,6 +5513,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # merkle: identical leaf agg + per-level md5 concat
+        "merkle_tree": _merkle_sql(),
         # scd2: LAG-collapse + LEAD-close identical windows
         "scd2_history": _scd2_sql(),
         # expr_eval: the SAME expression strings, pasted verbatim

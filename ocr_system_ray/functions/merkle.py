@@ -1,0 +1,171 @@
+"""Merkle-tree corpus integrity — tamper-evident snapshot digests.
+
+The integrity complement of the lineage/diff family: a corpus snapshot
+gets one ROOT hash such that any changed document flips it, and the
+tree localizes WHICH partition changed in O(log) hash comparisons —
+the structure replication/audit pipelines use to verify a copied
+corpus without moving the corpus (cf. content-addressed storage /
+certificate-transparency style logs, all public constructions).
+
+Spec (mirrored by the generated SQL twin):
+
+* leaf b ∈ [0, n_leaves): over the docs with ``doc_id % n_leaves = b``
+  ordered by doc_id, the leaf hash is ``md5('|'-join of
+  "{doc_id}:{md5(utf8(text))}")`` (empty bucket → md5('')); null text
+  hashes as the empty string;
+* level k+1 node i = ``md5(hex(child_2i) || hex(child_2i+1))`` —
+  hex digests concatenated as lowercase ASCII (DuckDB ``md5(varchar)``
+  hashes UTF-8 bytes, which is exactly Python's
+  ``md5(s.encode())`` — the CLAUDE.md parity);
+* ``n_leaves`` must be a power of two; output = every node as
+  ``(level, idx, node_hash)`` with level 0 = leaves.
+
+Ray shape: ONE ``groupby(leaf)`` pass builds the leaves (document
+hashes computed row-local in the map side — only (id, md5) pairs
+shuffle, never text); the fold above the leaves is driver-side on the
+``n_leaves``-row table (config-sized by contract — scale ``n_leaves``
+with the corpus partition count, not the row count)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+__all__ = ["merkle_tree", "merkle_sql"]
+
+
+def merkle_tree(
+    ds: ray.data.Dataset,
+    n_leaves: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """→ ``(level, idx, node_hash)`` for every tree node (driver-side
+    result table — tree size is ``2·n_leaves − 1``, config-sized)."""
+    if n_leaves < 1 or n_leaves & (n_leaves - 1):
+        raise ValueError("merkle_tree: n_leaves must be a power of two")
+
+    def doc_hashes(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t.column(text_col), "").to_pylist()
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                "leaf": pa.array(
+                    (ids % n_leaves).astype(np.int64)
+                ),
+                id_col: pa.array(ids),
+                "h": pa.array(md5s, pa.string()),
+            }
+        )
+
+    def leaf_hash(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "leaf": pd.Series([], dtype="int64"),
+                    "lh": pd.Series([], dtype="object"),
+                }
+            )
+        out_l, out_h = [], []
+        for leaf, g in df.groupby("leaf", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            joined = "|".join(
+                f"{i}:{h}" for i, h in zip(g[id_col], g["h"])
+            )
+            out_l.append(int(leaf))
+            out_h.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+        return pd.DataFrame(
+            {
+                "leaf": pd.Series(out_l, dtype="int64"),
+                "lh": pd.Series(out_h, dtype="object"),
+            }
+        )
+
+    got = (
+        ds.map_batches(doc_hashes, batch_format="pyarrow")
+        .groupby("leaf")
+        .map_groups(leaf_hash, batch_format="pandas")
+        .to_pandas()
+    )
+    leaf_map = dict(zip(got["leaf"].astype(int), got["lh"]))
+    empty_h = hashlib.md5(b"").hexdigest()
+    level = [leaf_map.get(b, empty_h) for b in range(n_leaves)]
+
+    rows: list[tuple[int, int, str]] = [
+        (0, i, h) for i, h in enumerate(level)
+    ]
+    lv = 0
+    while len(level) > 1:
+        lv += 1
+        nxt = [
+            hashlib.md5(
+                (level[2 * i] + level[2 * i + 1]).encode("utf-8")
+            ).hexdigest()
+            for i in range(len(level) // 2)
+        ]
+        rows.extend((lv, i, h) for i, h in enumerate(nxt))
+        level = nxt
+    return pa.table(
+        {
+            "level": pa.array([r[0] for r in rows], pa.int64()),
+            "idx": pa.array([r[1] for r in rows], pa.int64()),
+            "node_hash": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+def merkle_sql(docs_from: str, n_leaves: int = 16) -> str:
+    """GENERATED DuckDB twin: leaf string_agg over the identical order,
+    then one CTE level per tree level (md5 of hex-concat)."""
+    if n_leaves < 1 or n_leaves & (n_leaves - 1):
+        raise ValueError("merkle_sql: n_leaves must be a power of two")
+    depth = n_leaves.bit_length() - 1
+    parts = [
+        f"""
+        mk_docs AS (
+            SELECT doc_id, doc_id % {n_leaves} AS leaf,
+                   md5(COALESCE(text, '')) AS h
+            {docs_from}
+        ),
+        mk_all_leaves AS (
+            SELECT CAST(range AS BIGINT) AS leaf FROM range({n_leaves})
+        ),
+        mk_l0 AS (
+            SELECT a.leaf AS idx,
+                   md5(COALESCE(d.agg, '')) AS h
+            FROM mk_all_leaves a LEFT JOIN (
+                SELECT leaf,
+                       string_agg(doc_id || ':' || h, '|'
+                                  ORDER BY doc_id) AS agg
+                FROM mk_docs GROUP BY leaf
+            ) d ON a.leaf = d.leaf
+        )"""
+    ]
+    selects = [
+        f"SELECT CAST(0 AS BIGINT) AS level, idx, h AS node_hash FROM mk_l0"
+    ]
+    for lv in range(1, depth + 1):
+        parts.append(
+            f"""
+        mk_l{lv} AS (
+            SELECT a.idx // 2 AS idx,
+                   md5(MIN(CASE WHEN a.idx % 2 = 0 THEN a.h END) ||
+                       MIN(CASE WHEN a.idx % 2 = 1 THEN a.h END)) AS h
+            FROM mk_l{lv - 1} a GROUP BY a.idx // 2
+        )"""
+        )
+        selects.append(
+            f"SELECT CAST({lv} AS BIGINT), idx, h FROM mk_l{lv}"
+        )
+    return (
+        "WITH " + ",".join(parts) + "\n        "
+        + "\n        UNION ALL ".join(selects)
+    )

@@ -9873,3 +9873,15 @@ def q_scd2_history(sf_dir: str) -> ray.data.Dataset:
         "ts_us",
         "event_type",
     )
+
+
+def q_merkle_tree(sf_dir: str) -> pa.Table:
+    """Tamper-evident corpus snapshot digest: 16-leaf Merkle tree over
+    per-bucket document hashes (``functions/merkle.py`` — leaves from
+    ONE groupby over (id, md5) pairs, the log-depth fold on the
+    config-sized leaf table).  Oracle: string_agg leaves + one
+    generated CTE level per tree level."""
+    from ..functions.merkle import merkle_tree
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return merkle_tree(docs, n_leaves=16)

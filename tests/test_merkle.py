@@ -1,0 +1,74 @@
+"""Merkle corpus integrity: tamper sensitivity + localization + twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.functions.merkle import merkle_sql, merkle_tree
+
+
+def _ds(docs, blocks=3):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+DOCS = [(i, f"document number {i} body") for i in range(40)] + [(40, None)]
+
+
+def test_root_flips_on_any_change_and_localizes(ray_session):
+    base = merkle_tree(_ds(DOCS), n_leaves=8).to_pandas()
+    root0 = base[base.level == 3].iloc[0]["node_hash"]
+
+    changed = [(d, (t + "!") if d == 13 else t) for d, t in DOCS]
+    after = merkle_tree(_ds(changed), n_leaves=8).to_pandas()
+    root1 = after[after.level == 3].iloc[0]["node_hash"]
+    assert root0 != root1
+    # localization: exactly one leaf differs (13 % 8 = 5), and one node
+    # per level above it
+    m = base.merge(after, on=["level", "idx"], suffixes=("_a", "_b"))
+    diff = m[m.node_hash_a != m.node_hash_b]
+    assert diff[diff.level == 0]["idx"].tolist() == [5]
+    assert len(diff) == 4  # one per level: leaf, 2 internals, root
+
+
+def test_block_layout_invariance(ray_session):
+    a = merkle_tree(_ds(DOCS, blocks=1), n_leaves=8).to_pandas()
+    b = merkle_tree(_ds(DOCS, blocks=7), n_leaves=8).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["level", "idx"]).reset_index(drop=True),
+        b.sort_values(["level", "idx"]).reset_index(drop=True),
+    )
+
+
+def test_twin_parity_including_empty_leaves(ray_session):
+    docs = [(i * 16, f"sparse {i}") for i in range(3)]  # only leaf 0 used
+    got = (
+        merkle_tree(_ds(docs), n_leaves=16)
+        .to_pandas()
+        .sort_values(["level", "idx"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text"]),
+    )
+    exp = (
+        con.sql(merkle_sql("FROM documents", n_leaves=16))
+        .df()
+        .sort_values(["level", "idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"level": "int64", "idx": "int64"}),
+        exp.astype({"level": "int64", "idx": "int64"}),
+    )
