@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_eval": q.q_expr_eval,
         "scd2_history": q.q_scd2_history,
         "merkle_tree": q.q_merkle_tree,
+        "bitmap_probe": q.q_bitmap_probe,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -5513,6 +5514,12 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # bitmap probe: the conjunction answered via containers only
+        "bitmap_probe": """
+            SELECT doc_id FROM documents
+            WHERE COALESCE(lang, '') = 'en'
+              AND COALESCE(source, '') = 'src3'
+        """,
         # merkle: identical leaf agg + per-level md5 concat
         "merkle_tree": _merkle_sql(),
         # scd2: LAG-collapse + LEAD-close identical windows

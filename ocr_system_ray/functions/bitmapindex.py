@@ -1,0 +1,186 @@
+"""Roaring-style compressed bitmap index — conjunctive predicate
+probes without scanning the corpus.
+
+The bitmap leg of the index family (inverted token / BM25 / IVF /
+band indexes exist; warehouses answer ``WHERE lang='en' AND
+source='src3'`` with bitmap ANDs): document ids are bucketed by their
+high bits into 2^16-wide chunks, and each (column, value, chunk)
+stores either a sorted uint16 ARRAY container (sparse) or a 8 KiB
+BITMAP container (dense) — the public Roaring container scheme
+(Chambi et al. 2016), array↔bitmap crossover at 4096 entries.
+
+Index layout (parquet, the persisted-index discipline): one row per
+container ``(col, value, chunk, kind, payload: binary)``; payloads are
+little-endian uint16 arrays or raw 65536-bit bitmaps.  Probing a
+conjunction loads ONLY the containers of the probed (col, value)
+pairs, ANDs per chunk (array∩array via ``np.intersect1d``,
+bitmap∩bitmap via uint64 AND, mixed via lookup), and emits ids —
+index-size-proportional work, corpus never read.
+
+Ray shape: the build is ONE ``groupby(col⊕value⊕chunk)`` over (packed
+key, id-low) pairs — ids move once as 2-byte lows; the probe is
+driver-bounded (containers of two values) by contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+__all__ = ["build_bitmap_index", "probe_and", "containers_stats"]
+
+_CHUNK_BITS = 16
+_ARRAY_MAX = 4096  # roaring crossover
+
+
+def build_bitmap_index(
+    ds: ray.data.Dataset,
+    cols: "list[str]",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """→ container table ``(col, value, chunk, kind, n, payload)``
+    (kind 0 = sorted-uint16 array, 1 = bitmap).  Driver-side result by
+    contract: container count ≈ Σ distinct values × touched chunks —
+    index-sized, not corpus-sized."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size and int(ids.min()) < 0:
+            raise ValueError("bitmap index: negative ids unsupported")
+        chunk = ids >> _CHUNK_BITS
+        low = (ids & 0xFFFF).astype(np.uint16)
+        frames = []
+        from ..stages.skew import stable_hash64
+
+        for c in cols:
+            vals = ["" if v is None else str(v) for v in t.column(c).to_pylist()]
+            # packed SINGLE shuffle key (multi-column groupby is the
+            # ray-2.49 reduce pathology — CLAUDE.md)
+            keys = stable_hash64(
+                [f"{c}\x00{v}\x00{ch}" for v, ch in zip(vals, chunk)]
+            ).astype(np.int64)
+            frames.append(
+                pa.table(
+                    {
+                        "gk": pa.array(keys),
+                        "col": pa.array([c] * len(vals), pa.string()),
+                        "value": pa.array(vals, pa.string()),
+                        "chunk": pa.array(chunk),
+                        "low": pa.array(low, pa.uint16()),
+                    }
+                )
+            )
+        return pa.concat_tables(frames)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "col": pd.Series([], dtype="object"),
+                    "value": pd.Series([], dtype="object"),
+                    "chunk": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "payload": pd.Series([], dtype="object"),
+                }
+            )
+        out = {k: [] for k in ("col", "value", "chunk", "kind", "n", "payload")}
+        for (c, v, ch), g in df.groupby(["col", "value", "chunk"], sort=False):
+            lows = np.unique(g["low"].to_numpy(dtype=np.uint16))
+            if lows.size <= _ARRAY_MAX:
+                kind, payload = 0, lows.astype("<u2").tobytes()
+            else:
+                bits = np.zeros(1 << (_CHUNK_BITS - 3), dtype=np.uint8)
+                np.bitwise_or.at(
+                    bits, lows >> 3, (1 << (lows & 7)).astype(np.uint8)
+                )
+                kind, payload = 1, bits.tobytes()
+            out["col"].append(c)
+            out["value"].append(v)
+            out["chunk"].append(int(ch))
+            out["kind"].append(kind)
+            out["n"].append(int(lows.size))
+            out["payload"].append(payload)
+        return pd.DataFrame(
+            {
+                "col": pd.Series(out["col"], dtype="object"),
+                "value": pd.Series(out["value"], dtype="object"),
+                "chunk": pd.Series(out["chunk"], dtype="int64"),
+                "kind": pd.Series(out["kind"], dtype="int64"),
+                "n": pd.Series(out["n"], dtype="int64"),
+                "payload": pd.Series(out["payload"], dtype="object"),
+            }
+        )
+
+    got = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "col": pa.array(got["col"], pa.string()),
+            "value": pa.array(got["value"], pa.string()),
+            "chunk": pa.array(got["chunk"], pa.int64()),
+            "kind": pa.array(got["kind"], pa.int64()),
+            "n": pa.array(got["n"], pa.int64()),
+            "payload": pa.array(got["payload"].tolist(), pa.binary()),
+        }
+    )
+
+
+def _container_lows(kind: int, payload: bytes) -> np.ndarray:
+    if kind == 0:
+        return np.frombuffer(payload, dtype="<u2").astype(np.int64)
+    bits = np.frombuffer(payload, dtype=np.uint8)
+    return np.flatnonzero(np.unpackbits(bits, bitorder="little")).astype(
+        np.int64
+    )
+
+
+def probe_and(
+    index: pa.Table, predicates: "list[tuple[str, str]]"
+) -> np.ndarray:
+    """Conjunction probe: ids satisfying EVERY ``(col, value)``
+    predicate, ascending int64 — container-proportional work."""
+    if not predicates:
+        raise ValueError("probe_and: need at least one predicate")
+    df = index.to_pandas()
+    per_pred: "list[dict[int, np.ndarray]]" = []
+    for c, v in predicates:
+        sel = df[(df["col"] == c) & (df["value"] == str(v))]
+        per_pred.append(
+            {
+                int(r["chunk"]): _container_lows(int(r["kind"]), r["payload"])
+                for _, r in sel.iterrows()
+            }
+        )
+    chunks = set(per_pred[0])
+    for p in per_pred[1:]:
+        chunks &= set(p)
+    out = []
+    for ch in sorted(chunks):
+        cur = per_pred[0][ch]
+        for p in per_pred[1:]:
+            cur = np.intersect1d(cur, p[ch], assume_unique=True)
+            if cur.size == 0:
+                break
+        if cur.size:
+            out.append((ch << _CHUNK_BITS) + cur)
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def containers_stats(index: pa.Table) -> "dict[str, int]":
+    kinds = index.column("kind").to_pylist()
+    return {
+        "n_containers": len(kinds),
+        "n_array": sum(1 for k in kinds if k == 0),
+        "n_bitmap": sum(1 for k in kinds if k == 1),
+        "n_ids": int(sum(index.column("n").to_pylist())),
+    }

@@ -9885,3 +9885,17 @@ def q_merkle_tree(sf_dir: str) -> pa.Table:
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return merkle_tree(docs, n_leaves=16)
+
+
+def q_bitmap_probe(sf_dir: str) -> pa.Table:
+    """Roaring-style bitmap-index conjunction probe
+    (``functions/bitmapindex.py``): build the (lang, source) container
+    index in ONE packed-key groupby, then answer
+    ``lang='en' AND source='src3'`` from containers alone — the corpus
+    is never rescanned.  Oracle: the plain WHERE conjunction."""
+    from ..functions.bitmapindex import build_bitmap_index, probe_and
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    idx = build_bitmap_index(docs, ["lang", "source"])
+    ids = probe_and(idx, [("lang", "en"), ("source", "src3")])
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})

@@ -1,0 +1,75 @@
+"""Roaring bitmap index: container crossover, chunked ids, probes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_system_ray.functions.bitmapindex import (
+    build_bitmap_index,
+    containers_stats,
+    probe_and,
+)
+
+
+def _ds(ids, colvals, blocks=3):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "v": pa.array(colvals, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_dense_container_crossover_and_roundtrip(ray_session):
+    # 6000 ids sharing one value in one chunk → BITMAP container;
+    # 10 ids with another value → ARRAY container
+    ids = list(range(6000)) + list(range(70000, 70010))
+    vals = ["dense"] * 6000 + ["sparse"] * 10
+    idx = build_bitmap_index(_ds(ids, vals), ["v"])
+    st = containers_stats(idx)
+    assert st["n_bitmap"] >= 1 and st["n_array"] >= 1
+    assert st["n_ids"] == 6010
+    got = probe_and(idx, [("v", "dense")])
+    assert got.tolist() == list(range(6000))
+    got = probe_and(idx, [("v", "sparse")])
+    assert got.tolist() == list(range(70000, 70010))
+
+
+def test_conjunction_across_chunks(ray_session):
+    import ray.data
+
+    n = 200_000  # ids span 4 chunks
+    rng = np.random.default_rng(5)
+    ids = rng.choice(np.arange(n), size=5000, replace=False)
+    a = np.where(ids % 3 == 0, "x", "y")
+    b = np.where(ids % 5 == 0, "p", "q")
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "a": pa.array(a.tolist(), pa.string()),
+            "b": pa.array(b.tolist(), pa.string()),
+        }
+    )
+    idx = build_bitmap_index(ray.data.from_arrow(t).repartition(4), ["a", "b"])
+    got = probe_and(idx, [("a", "x"), ("b", "p")])
+    exp = np.sort(ids[(ids % 3 == 0) & (ids % 5 == 0)]).astype(np.int64)
+    assert np.array_equal(got, exp)
+    # empty conjunction
+    assert probe_and(idx, [("a", "x"), ("b", "nope")]).size == 0
+
+
+def test_null_values_index_as_empty_string(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "v": pa.array(["a", None], pa.string()),
+        }
+    )
+    idx = build_bitmap_index(ray.data.from_arrow(t), ["v"])
+    assert probe_and(idx, [("v", "")]).tolist() == [2]
