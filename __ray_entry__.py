@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": q.q_scd2_history,
         "merkle_tree": q.q_merkle_tree,
         "bitmap_probe": q.q_bitmap_probe,
+        "ts_codec": q.q_ts_codec,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -5514,6 +5515,21 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # ts codec: sums recomputed from the raw table; the engine
+        # computes them from DECODED Gorilla chunks (ok must be 1)
+        "ts_codec": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(epoch_us(ts) AS BIGINT)) AS BIGINT)
+                       AS ts_sum,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS cents_sum,
+                   CAST(1 AS BIGINT) AS ok
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY user_id
+        """,
         # bitmap probe: the conjunction answered via containers only
         "bitmap_probe": """
             SELECT doc_id FROM documents

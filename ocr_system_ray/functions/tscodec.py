@@ -1,0 +1,227 @@
+"""Gorilla time-series codec — delta-of-delta timestamps + XOR floats.
+
+The storage codec of the in-memory TSDB lineage (Pelkonen et al.,
+"Gorilla: A Fast, Scalable, In-Memory Time Series Database",
+VLDB 2015; the scheme behind Prometheus/M3/InfluxDB chunk encodings):
+sorted timestamps compress to ~1–2 bits each under regular cadence,
+and slowly-varying float values to a few bits via XOR windows.  This
+is the engine's columnar chunk codec for event streams — the
+time-series sibling of the RLE/Z-order layout operators.
+
+Timestamp track (per the paper, with one documented widening):
+
+* header: first ts as 64 raw bits, first DELTA as zigzag varint;
+* then per point the delta-of-delta D:
+  ``0`` → D = 0; ``10``+7 bits → D ∈ [−63, 64]; ``110``+9 bits →
+  D ∈ [−255, 256]; ``1110``+12 bits → D ∈ [−2047, 2048];
+  ``1111``+64 bits → raw (the paper uses 32 — micro-resolution event
+  data overflows that, so the escape is widened and the widening is
+  part of this spec);
+  bucketed values are stored offset (D + 63 etc.), the paper's form.
+
+Value track (float64 XOR):
+
+* first value raw 64 bits; then X = bits(prev) ⊕ bits(cur):
+  ``0`` if X == 0; ``10`` + meaningful bits if the XOR fits the
+  PREVIOUS leading/length window; ``11`` + 5-bit leading-zero count +
+  6-bit meaningful length + the bits otherwise (length 64 stored as
+  0 — the paper's wrap).
+
+Decoding requires ordered input; the operator contract is
+``encode(sort_by_ts(points))`` — feed it per-key groups."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "TsCodecError",
+    "encode_chunk",
+    "decode_chunk",
+]
+
+
+class TsCodecError(ValueError):
+    """Malformed chunk or contract violation."""
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            self.write(0, 8 - self.n)
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise TsCodecError("tscodec: truncated chunk")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+_TS_BUCKETS = (
+    (7, 63, "10"),
+    (9, 255, "110"),
+    (12, 2047, "1110"),
+)
+
+
+def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:
+    """Sorted int64 timestamps + float64 values → chunk bytes."""
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    if ts.shape != vals.shape or ts.ndim != 1:
+        raise TsCodecError("tscodec: ts/vals shape mismatch")
+    n = ts.size
+    out = bytearray(struct.pack("<I", n))
+    if n == 0:
+        return bytes(out)
+    if n > 1 and int(np.diff(ts).min()) < 0:
+        raise TsCodecError("tscodec: timestamps must be sorted")
+    bw = _BitWriter()
+    bw.write(int(ts[0]) & ((1 << 64) - 1), 64)
+    if n > 1:
+        d0 = int(ts[1] - ts[0])
+        zz = (d0 << 1) ^ (d0 >> 63)
+        while True:
+            b = zz & 0x7F
+            zz >>= 7
+            if zz:
+                bw.write(0x80 | b, 8)
+            else:
+                bw.write(b, 8)
+                break
+        prev_delta = d0
+        for i in range(2, n):
+            delta = int(ts[i] - ts[i - 1])
+            dod = delta - prev_delta
+            prev_delta = delta
+            if dod == 0:
+                bw.write(0, 1)
+                continue
+            for bits, lim, prefix in _TS_BUCKETS:
+                if -lim <= dod <= lim + 1:
+                    bw.write(int(prefix, 2), len(prefix))
+                    bw.write(dod + lim, bits)
+                    break
+            else:
+                bw.write(0b1111, 4)
+                bw.write(dod & ((1 << 64) - 1), 64)
+    # value track
+    prev_bits = struct.unpack("<Q", struct.pack("<d", float(vals[0])))[0]
+    bw.write(prev_bits, 64)
+    lead_prev, len_prev = -1, -1
+    for i in range(1, n):
+        cur = struct.unpack("<Q", struct.pack("<d", float(vals[i])))[0]
+        x = prev_bits ^ cur
+        prev_bits = cur
+        if x == 0:
+            bw.write(0, 1)
+            continue
+        lead = 64 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        mlen = 64 - lead - trail
+        if (
+            lead_prev >= 0
+            and lead >= lead_prev
+            and trail >= 64 - lead_prev - len_prev
+        ):
+            bw.write(0b10, 2)
+            shift = 64 - lead_prev - len_prev
+            bw.write(x >> shift, len_prev)
+        else:
+            bw.write(0b11, 2)
+            bw.write(lead, 5)
+            bw.write(mlen & 63, 6)  # 64 wraps to 0 (paper form)
+            bw.write(x >> trail, mlen)
+            lead_prev, len_prev = lead, mlen
+    return bytes(out) + bw.done()
+
+
+def decode_chunk(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk bytes → (int64 timestamps, float64 values)."""
+    if len(blob) < 4:
+        raise TsCodecError("tscodec: short chunk")
+    n = struct.unpack("<I", blob[:4])[0]
+    ts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return ts, vals
+    br = _BitReader(blob[4:])
+    t0 = br.read(64)
+    if t0 >= 1 << 63:
+        t0 -= 1 << 64
+    ts[0] = t0
+    if n > 1:
+        zz = 0
+        shift = 0
+        while True:
+            b = br.read(8)
+            zz |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        d0 = (zz >> 1) ^ -(zz & 1)
+        ts[1] = ts[0] + d0
+        prev_delta = d0
+        for i in range(2, n):
+            if br.read(1) == 0:
+                dod = 0
+            else:
+                for bits, lim, prefix in _TS_BUCKETS:
+                    if br.read(1) == 0:
+                        dod = br.read(bits) - lim
+                        break
+                else:
+                    dod = br.read(64)
+                    if dod >= 1 << 63:
+                        dod -= 1 << 64
+            prev_delta += dod
+            ts[i] = ts[i - 1] + prev_delta
+    prev_bits = br.read(64)
+    vals[0] = struct.unpack("<d", struct.pack("<Q", prev_bits))[0]
+    lead_prev, len_prev = -1, -1
+    for i in range(1, n):
+        if br.read(1) == 0:
+            vals[i] = struct.unpack("<d", struct.pack("<Q", prev_bits))[0]
+            continue
+        if br.read(1) == 0:
+            if lead_prev < 0:
+                raise TsCodecError("tscodec: window reuse before define")
+            shift = 64 - lead_prev - len_prev
+            x = br.read(len_prev) << shift
+        else:
+            lead = br.read(5)
+            mlen = br.read(6) or 64
+            if lead + mlen > 64:
+                raise TsCodecError("tscodec: bad XOR window")
+            trail = 64 - lead - mlen
+            x = br.read(mlen) << trail
+            lead_prev, len_prev = lead, mlen
+        prev_bits ^= x
+        vals[i] = struct.unpack("<d", struct.pack("<Q", prev_bits))[0]
+    return ts, vals

@@ -9899,3 +9899,83 @@ def q_bitmap_probe(sf_dir: str) -> pa.Table:
     idx = build_bitmap_index(docs, ["lang", "source"])
     ids = probe_and(idx, [("lang", "en"), ("source", "src3")])
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def q_ts_codec(sf_dir: str) -> ray.data.Dataset:
+    """Gorilla chunk codec round trip per user
+    (``functions/tscodec.py`` — delta-of-delta timestamps + XOR
+    floats, bit-exact incl. NaN payloads): each user's (ts, value)
+    series encodes then decodes, and the output sums are computed from
+    the DECODED points — (user_id, n, ts_sum, cents_sum, ok).  Oracle
+    recomputes the sums from the raw table; any codec defect anywhere
+    in the bit grammar breaks them."""
+    import pandas as pd
+
+    from ..functions.dedup import _coarse_bucket
+    from ..functions.tscodec import decode_chunk, encode_chunk
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("user_id")), pc.is_valid(t.column("ts"))
+            ),
+            pc.is_valid(t.column("value")),
+        )
+        t = t.filter(ok)
+        ids = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ub": pa.array(_coarse_bucket(ids.astype(np.int64), 256)),
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "ts_sum": pd.Series([], dtype="int64"),
+                "cents_sum": pd.Series([], dtype="int64"),
+                "ok": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ts = g["ts_us"].to_numpy(dtype=np.int64)
+            vs = g["value"].to_numpy(dtype=np.float64)
+            blob = encode_chunk(ts, vs)
+            t2, v2 = decode_chunk(blob)
+            ok = int(
+                np.array_equal(t2, ts)
+                and np.array_equal(
+                    v2.view(np.uint64), vs.view(np.uint64)
+                )
+            )
+            cents = np.floor(v2 * 100.0 + 0.5).astype(np.int64)
+            rows.append(
+                (
+                    int(uid),
+                    int(ts.size),
+                    int(t2.sum()),
+                    int(cents.sum()),
+                    ok,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["user_id", "n", "ts_sum", "cents_sum", "ok"]
+        ).astype("int64")
+
+    return (
+        ev.map_batches(derive, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_user, batch_format="pandas")
+    )

@@ -1,0 +1,70 @@
+"""Gorilla codec: bit-exact round trips, compression, error paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_system_ray.functions.tscodec import (
+    TsCodecError,
+    decode_chunk,
+    encode_chunk,
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["regular", "jitter", "gaps", "const", "single", "empty", "neg", "nan"],
+)
+def test_roundtrip_bit_exact(name):
+    rng = np.random.default_rng(hash(name) % 2**31)
+    if name == "regular":
+        ts = np.arange(5000) * 60_000_000
+        vs = np.round(np.cumsum(rng.normal(0, 0.5, 5000)) + 100, 2)
+    elif name == "jitter":
+        ts = np.cumsum(rng.integers(50, 70, 3000)) * 1_000_000
+        vs = rng.normal(0, 1, 3000)
+    elif name == "gaps":
+        ts = np.cumsum(rng.integers(1, 10**10, 500))
+        vs = rng.random(500) * 1e9
+    elif name == "const":
+        ts = np.arange(1000) * 1000
+        vs = np.full(1000, 3.14159)
+    elif name == "single":
+        ts = np.array([123456789])
+        vs = np.array([2.5])
+    elif name == "empty":
+        ts = np.array([], dtype=np.int64)
+        vs = np.array([])
+    elif name == "neg":
+        ts = np.arange(-500, 500) * 7
+        vs = rng.normal(size=1000)
+    else:
+        ts = np.arange(4) * 10
+        vs = np.array([np.nan, np.inf, -np.inf, 0.0])
+    blob = encode_chunk(ts, vs)
+    t2, v2 = decode_chunk(blob)
+    assert np.array_equal(t2, np.asarray(ts, dtype=np.int64))
+    assert np.array_equal(
+        v2.view(np.uint64), np.asarray(vs, dtype=np.float64).view(np.uint64)
+    )
+
+
+def test_compression_on_regular_cadence():
+    ts = np.arange(10000) * 60_000_000  # exact minute cadence
+    vs = np.full(10000, 42.0)
+    blob = encode_chunk(ts, vs)
+    # dod = 0 and XOR = 0 after the header: ~2 bits/point
+    assert len(blob) < 10000 * 16 // 30
+
+
+def test_errors():
+    with pytest.raises(TsCodecError):
+        encode_chunk(np.array([5, 1]), np.array([1.0, 2.0]))  # unsorted
+    with pytest.raises(TsCodecError):
+        encode_chunk(np.array([1, 2]), np.array([1.0]))  # shape
+    blob = encode_chunk(np.arange(100) * 3, np.random.default_rng(0).normal(size=100))
+    with pytest.raises(TsCodecError):
+        decode_chunk(blob[: len(blob) // 2])
+    with pytest.raises(TsCodecError):
+        decode_chunk(b"\x01")
