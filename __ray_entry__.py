@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merkle_tree": q.q_merkle_tree,
         "bitmap_probe": q.q_bitmap_probe,
         "ts_codec": q.q_ts_codec,
+        "pdf_tables": q.q_pdf_tables,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -5515,6 +5516,18 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # pdf tables: cells re-derived from the doc_id arithmetic
+        "pdf_tables": """
+            SELECT d.doc_id,
+                   CAST(r AS BIGINT) AS row_idx,
+                   CAST(c AS BIGINT) AS col_idx,
+                   'r' || r || 'c' || c || 'v' ||
+                       ((d.doc_id * 7 + r * 3 + c) % 100) AS cell
+            FROM documents d,
+                 unnest(range(0, CAST(2 + d.doc_id % 4 AS INT))) t1(r),
+                 unnest(range(0, CAST(2 + d.doc_id % 3 AS INT))) t2(c)
+            WHERE d.doc_id % 97 <> 0
+        """,
         # ts codec: sums recomputed from the raw table; the engine
         # computes them from DECODED Gorilla chunks (ok must be 1)
         "ts_codec": """

@@ -550,3 +550,51 @@ def build_pdf_xrefstream(
     )
     buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_at)
     return bytes(buf)
+
+
+def build_pdf_table(
+    tables: "list[list[list[str]]]",
+    col_xs: "list[int] | None" = None,
+    y0: int = 720,
+    dy: int = 20,
+    font_size: int = 12,
+) -> bytes:
+    """Deterministic multi-page PDF with one positioned TABLE per page:
+    every cell is its own absolutely-placed text object (``Tm`` set to
+    the cell's column x / row y) — the fixture the stream-mode table
+    extractor consumes.  ``col_xs`` defaults to 72 + 120·c."""
+    objs: list[bytes] = []
+    page_refs = [4 + 2 * i for i in range(len(tables))]
+    kids = b" ".join(b"%d 0 R" % n for n in page_refs)
+    objs.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    objs.append(
+        _obj(
+            2,
+            b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % len(tables),
+        )
+    )
+    objs.append(
+        _obj(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    for i, rows in enumerate(tables):
+        pn = page_refs[i]
+        parts = []
+        for r, row in enumerate(rows):
+            y = y0 - r * dy
+            for c, cell in enumerate(row):
+                x = (col_xs[c] if col_xs else 72 + 120 * c)
+                parts.append(
+                    b"BT /F1 %d Tf 1 0 0 1 %d %d Tm (%s) Tj ET"
+                    % (font_size, x, y, _escape(cell))
+                )
+        content = b"\n".join(parts)
+        objs.append(
+            _obj(
+                pn,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                % (pn + 1),
+            )
+        )
+        objs.append(_stream_obj(pn + 1, b"", content))
+    return _classic_xref(objs)

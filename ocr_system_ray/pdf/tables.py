@@ -1,0 +1,80 @@
+"""PDF table extraction — stream-mode column detection over text runs.
+
+The extraction-tier leg Camelot/pdfplumber call "stream" (no ruled
+lines, pure text alignment; the public lattice/stream taxonomy): the
+content interpreter's positioned :class:`~.parser.TextRun`\\ s cluster
+into baseline lines (the same tolerance rule the plain-text assembler
+uses), and CONSECUTIVE lines whose run x-starts align column-for-column
+(within half a font size) with ≥ 2 columns form a table block; each
+aligned run is a cell.
+
+→ per page a list of tables, each ``list[list[str]]`` (rows × cells).
+Lines that are not column-aligned with their neighbour break the
+block — prose above/below a table never bleeds in.
+
+Ray shape: row-local per payload inside whatever stage parses the
+PDF (the warm-pool discipline of ``stages/pdfparse.py``)."""
+
+from __future__ import annotations
+
+from .parser import PdfDocument, PdfError, TextRun, interpret_content
+
+__all__ = ["extract_page_tables", "extract_tables"]
+
+
+def _cluster_lines(runs: "list[TextRun]") -> "list[list[TextRun]]":
+    if not runs:
+        return []
+    runs = sorted(runs, key=lambda r: (-r.y, r.x))
+    lines: list[list[TextRun]] = []
+    cur_y = None
+    for r in runs:
+        tol = max(1.0, 0.5 * r.size)
+        if cur_y is not None and abs(r.y - cur_y) <= tol:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+            cur_y = r.y
+    for line in lines:
+        line.sort(key=lambda r: r.x)
+    return lines
+
+
+def _aligned(a: "list[TextRun]", b: "list[TextRun]") -> bool:
+    if len(a) != len(b) or len(a) < 2:
+        return False
+    tol = max(1.0, 0.5 * max(r.size for r in a))
+    return all(abs(x.x - y.x) <= tol for x, y in zip(a, b))
+
+
+def extract_page_tables(runs: "list[TextRun]") -> "list[list[list[str]]]":
+    """Runs of ONE page → its tables (each rows × cells)."""
+    lines = _cluster_lines(runs)
+    tables: list[list[list[str]]] = []
+    block: list[list[TextRun]] = []
+    for line in lines:
+        if block and _aligned(block[-1], line):
+            block.append(line)
+        else:
+            if len(block) >= 2:
+                tables.append([[r.text for r in row] for row in block])
+            block = [line] if len(line) >= 2 else []
+    if len(block) >= 2:
+        tables.append([[r.text for r in row] for row in block])
+    return tables
+
+
+def extract_tables(data: bytes) -> "list[list[list[list[str]]]]":
+    """PDF bytes → per page the list of detected tables."""
+    try:
+        doc = PdfDocument(data)
+        out = []
+        for page in doc.pages():
+            content = doc.page_content(page)
+            runs = interpret_content(content, doc.page_fonts(page))
+            out.append(extract_page_tables(runs))
+        return out
+    except PdfError:
+        raise
+    except Exception as e:  # noqa: BLE001 — malformed input
+        raise PdfError(f"malformed pdf: {type(e).__name__}: {e}") from e

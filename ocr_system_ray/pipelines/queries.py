@@ -9979,3 +9979,57 @@ def q_ts_codec(sf_dir: str) -> ray.data.Dataset:
         .groupby("ub")
         .map_groups(per_user, batch_format="pandas")
     )
+
+
+def q_pdf_tables(sf_dir: str) -> ray.data.Dataset:
+    """Stream-mode PDF table extraction (``pdf/tables.py`` — baseline
+    clustering + consecutive column-alignment blocks over the content
+    interpreter's positioned runs): per doc a REAL generated PDF with
+    a title line, an aligned cell grid, and a footer line — the
+    single-run prose must stay out of the table.  → one row per cell
+    (doc_id, row_idx, col_idx, cell).  Oracle: cells re-derived from
+    the doc_id arithmetic; %97 corrupt payloads contribute nothing."""
+    from ..functions.dedup import _coarse_bucket  # noqa: F401 (parity)
+    from ..pdf.mini import build_pdf_table
+    from ..pdf.tables import extract_tables
+    from ..pdf.parser import PdfError
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        o_id, o_r, o_c, o_v = [], [], [], []
+        for i in ids:
+            if i % IMG_BAD_MOD == 0:
+                payload = b"not a pdf"
+            else:
+                nr = 2 + i % 4
+                nc = 2 + i % 3
+                grid = [
+                    [f"r{r}c{c}v{(i * 7 + r * 3 + c) % 100}" for c in range(nc)]
+                    for r in range(nr)
+                ]
+                rows = [["Table for doc %d" % i]] + grid + [["end of table"]]
+                payload = build_pdf_table([rows])
+            try:
+                pages = extract_tables(payload)
+            except PdfError:
+                continue
+            for tables in pages:
+                for tbl in tables:
+                    for r, row in enumerate(tbl):
+                        for c, cell in enumerate(row):
+                            o_id.append(i)
+                            o_r.append(r)
+                            o_c.append(c)
+                            o_v.append(cell)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "row_idx": pa.array(o_r, pa.int64()),
+                "col_idx": pa.array(o_c, pa.int64()),
+                "cell": pa.array(o_v, pa.string()),
+            }
+        )
+
+    return docs.map_batches(run, batch_format="pyarrow")

@@ -1,0 +1,56 @@
+"""PDF stream-mode table extraction: alignment blocks, prose
+exclusion, multi-table pages, malformation."""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_system_ray.pdf.mini import build_pdf_table
+from ocr_system_ray.pdf.parser import PdfError
+from ocr_system_ray.pdf.tables import extract_tables
+
+
+def test_basic_grid_roundtrip():
+    rows = [[f"r{r}c{c}" for c in range(3)] for r in range(4)]
+    out = extract_tables(build_pdf_table([rows]))
+    assert out == [[rows]]
+
+
+def test_title_and_footer_prose_excluded():
+    grid = [["a", "b"], ["c", "d"]]
+    rows = [["A Title Line"]] + grid + [["closing remark"]]
+    out = extract_tables(build_pdf_table([rows]))
+    assert out == [[grid]]
+
+
+def test_two_tables_split_by_prose():
+    g1 = [["a", "b"], ["c", "d"]]
+    g2 = [["x", "y", "z"], ["1", "2", "3"], ["4", "5", "6"]]
+    rows = g1 + [["gap line"]] + g2
+    out = extract_tables(build_pdf_table([rows]))
+    assert out == [[g1, g2]]
+
+
+def test_column_count_change_breaks_block():
+    rows = [["a", "b"], ["c", "d"], ["e", "f", "g"], ["h", "i", "j"]]
+    out = extract_tables(build_pdf_table([rows]))
+    # 2-col block and 3-col block detected separately
+    assert out == [[[["a", "b"], ["c", "d"]], [["e", "f", "g"], ["h", "i", "j"]]]]
+
+
+def test_single_aligned_line_is_not_a_table():
+    rows = [["only", "one"], ["prose line"]]
+    out = extract_tables(build_pdf_table([rows]))
+    assert out == [[]]
+
+
+def test_multipage():
+    p1 = [["a", "b"], ["c", "d"]]
+    p2 = [["q", "w"], ["e", "r"], ["t", "y"]]
+    out = extract_tables(build_pdf_table([p1, p2]))
+    assert out == [[p1], [p2]]
+
+
+def test_malformed_raises():
+    with pytest.raises(PdfError):
+        extract_tables(b"not a pdf at all")
