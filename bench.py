@@ -317,6 +317,11 @@ def _query_suite() -> dict:
         "geohash_encode": q.q_geohash,
         "geo_pairs": q.q_geo_pairs,
         "interval_overlaps": q.q_interval_overlaps,
+        "expr_eval": q.q_expr_eval,
+        "scd2_history": q.q_scd2_history,
+        "ts_codec": q.q_ts_codec,
+        "pdf_tables": q.q_pdf_tables,
+        "sa_span_mask": q.q_sa_span_mask,
     }
     return suite
 
