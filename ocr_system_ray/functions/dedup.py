@@ -543,6 +543,47 @@ def _pair_bucket_column(t: pa.Table, num_buckets: int, name: str = "pbucket") ->
     return t.append_column(name, pa.array(pb, pa.int64()))
 
 
+def dedup_pair_stream(
+    pairs: ray.data.Dataset,
+    value_cols: "dict[str, str]",
+    num_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Drop duplicate ``(id_a, id_b)`` rows from a candidate-pair
+    stream with ONE pair-bucket groupby — the shared reassembly idiom
+    every double-discovery join (grid, interval, deletion-signature)
+    ends with.  ``value_cols``: carried columns → pandas dtype (the
+    empty-frame dtype pinning rule)."""
+    import pandas as pd
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        return _pair_bucket_column(t, num_buckets, name="pb")
+
+    out_cols = ["id_a", "id_b", *value_cols]
+
+    def dd(df: "pd.DataFrame") -> "pd.DataFrame":
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    **{
+                        c: pd.Series([], dtype=dt)
+                        for c, dt in value_cols.items()
+                    },
+                }
+            )
+        return (
+            df.drop_duplicates(subset=["id_a", "id_b"])[out_cols]
+            .reset_index(drop=True)
+        )
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
 def _adaptive_coarse_bits(total_rows: int, target: int = 50_000) -> int:
     """Coarse-key width scaling with the exploded row count: ~``target``
     rows per Ray group.  Fixed widths are wrong at both ends — near-empty
@@ -2466,16 +2507,23 @@ def embedding_eps_pairs_blocked(
         norms[norms == 0] = 1.0
         vn = v / norms
         chunks = g["chunk"].to_numpy().astype(np.int64)
-        uniq = np.unique(chunks)
-        if len(uniq) == 1:
+        # the bucket IDENTITY (not the observed chunk set) decides the
+        # mode: an off-diagonal bucket whose partner chunk is EMPTY
+        # degenerates to one observed chunk and would re-emit that
+        # chunk's internal pairs once per empty partner
+        bval = int(g["bucket"].iloc[0])
+        b_lo, b_hi = bval // n_chunks, bval % n_chunks
+        if b_lo == b_hi:
             sims = np.round(vn @ vn.T, 6)
             ii, jj = np.nonzero(sims >= threshold)
             keep = ii < jj
             a = np.minimum(ids[ii[keep]], ids[jj[keep]])
             b = np.maximum(ids[ii[keep]], ids[jj[keep]])
         else:
-            ma = chunks == uniq[0]
-            mb = ~ma
+            ma = chunks == b_lo
+            mb = chunks == b_hi
+            if not ma.any() or not mb.any():
+                return empty
             sims = np.round(vn[ma] @ vn[mb].T, 6)
             ii, jj = np.nonzero(sims >= threshold)
             ia, ib = ids[ma][ii], ids[mb][jj]

@@ -223,35 +223,10 @@ def edit_distance_join(
 
     cand = sigs.groupby("b").map_groups(find_pairs, batch_format="pandas")
 
-    pair_buckets = 4096
+    from .dedup import dedup_pair_stream
 
-    def add_pb(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False)
-        b2 = t.column("id_b").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            key = a.astype(np.uint64) * np.uint64(1099511628211) + b2.astype(
-                np.uint64
-            )
-        return t.append_column(
-            "pb", pa.array(_coarse_bucket(key.astype(np.int64), pair_buckets))
-        )
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
-                    "dist": pd.Series([], dtype="int64"),
-                }
-            )
-        out = df.drop_duplicates(subset=["id_a", "id_b"])[
-            ["id_a", "id_b", "dist"]
-        ]
-        return out.reset_index(drop=True)
-
-    return (
-        cand.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup_pairs, batch_format="pandas")
+    return dedup_pair_stream(
+        cand,
+        {"dist": "int64"},
+        num_buckets=1 << _adaptive_coarse_bits(max(2, n_rows)),
     )

@@ -252,15 +252,31 @@ def _eval(node, t: pa.Table):  # noqa: ANN001
         if name == "upper":
             return pc.utf8_upper(vals[0])
         if name == "substr":
-            # SQL 1-based (start, len) → arrow utf8_slice_codeunits
-            start = node[2][1]
-            ln = node[2][2]
-            if start[0] != "num" or ln[0] != "num":
+            # SQL 1-based (start, len) → arrow utf8_slice_codeunits,
+            # with DuckDB's start<=0 rule: characters before position 1
+            # consume length (substr('abcdef', 0, 3) = 'ab')
+            def _int_lit(nd):  # noqa: ANN001 — literal or negated literal
+                if nd[0] == "num":
+                    return int(nd[1])
+                if nd[0] == "un" and nd[1] == "neg" and nd[2][0] == "num":
+                    return -int(nd[2][1])
                 raise ExprError("substr start/len must be literals")
-            s0 = int(start[1]) - 1
-            return pc.utf8_slice_codeunits(
-                vals[0], start=s0, stop=s0 + int(ln[1])
-            )
+
+            start = _int_lit(node[2][1])
+            ln = _int_lit(node[2][2])
+            if start < 0:
+                raise ExprError(
+                    "substr with negative start refused: DuckDB counts "
+                    "from the string END there — write the suffix "
+                    "explicitly instead"
+                )
+            s0 = start - 1
+            stop = s0 + ln
+            if s0 < 0:
+                s0 = 0
+            if stop <= s0:
+                return pc.utf8_slice_codeunits(vals[0], start=0, stop=0)
+            return pc.utf8_slice_codeunits(vals[0], start=s0, stop=stop)
         if name == "coalesce":
             return pc.coalesce(*vals)
         if name == "least":

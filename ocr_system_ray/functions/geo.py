@@ -163,7 +163,7 @@ def geo_proximity_join(
     lon_col: str = "lon_u",
     radius_u: int = 250_000,
     cell_bits: int = 10,
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """→ ``(id_a, id_b, d2)`` for every pair with
     ``dlon² + dlat² ≤ radius_u²`` (micro-degrees, ``id_a < id_b``).
@@ -175,6 +175,12 @@ def geo_proximity_join(
         raise ValueError(
             "geo_proximity_join: cell smaller than radius — lower cell_bits"
         )
+    if num_buckets is None:
+        # adaptive on the 9×-emission row count (the CLAUDE.md rule:
+        # every new coarse-bucket op sizes adaptively)
+        from .dedup import _adaptive_coarse_bits
+
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count() * 9))
     r2 = radius_u * radius_u
 
     def emit(t: pa.Table) -> pa.Table:
@@ -253,34 +259,6 @@ def geo_proximity_join(
         .groupby("gb")
         .map_groups(pairs_in_cell, batch_format="pandas")
     )
+    from .dedup import dedup_pair_stream
 
-    def add_pb(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False)
-        b = t.column("id_b").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(
-                np.uint64
-            )
-        return t.append_column(
-            "pb", pa.array(_coarse_bucket(key.astype(np.int64), num_buckets))
-        )
-
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series([], dtype="int64"),
-                    "id_b": pd.Series([], dtype="int64"),
-                    "d2": pd.Series([], dtype="int64"),
-                }
-            )
-        return (
-            df.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b", "d2"]]
-            .reset_index(drop=True)
-        )
-
-    return (
-        cand.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup, batch_format="pandas")
-    )
+    return dedup_pair_stream(cand, {"d2": "int64"}, num_buckets=num_buckets)

@@ -272,7 +272,7 @@ def interval_overlap_join(
     end_col: str = "end_u",
     max_len_u: int | None = None,
     cell_u: int | None = None,
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Self interval-overlap join → ``(id_a, id_b, overlap_u)`` for
     every pair with ``a.start ≤ b.end AND b.start ≤ a.end``
@@ -303,6 +303,10 @@ def interval_overlap_join(
         cell_u = max_len_u
     if cell_u < max_len_u:
         raise ValueError("interval_overlap_join: cell_u < max_len_u")
+    if num_buckets is None:
+        from .dedup import _adaptive_coarse_bits
+
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count() * 2))
 
     def emit(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -383,37 +387,8 @@ def interval_overlap_join(
         .groupby("ib")
         .map_groups(pairs_in_cell, batch_format="pandas")
     )
+    from .dedup import dedup_pair_stream
 
-    def add_pb(t: pa.Table) -> pa.Table:
-        a = t.column("id_a").to_numpy(zero_copy_only=False)
-        b = t.column("id_b").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            key = a.astype(np.uint64) * np.uint64(1099511628211) + b.astype(
-                np.uint64
-            )
-        return t.append_column(
-            "pb", pa.array(_coarse_bucket(key.astype(np.int64), num_buckets))
-        )
-
-    def dedup(df):  # noqa: ANN001
-        import pandas as _pd
-
-        if len(df) == 0:
-            return _pd.DataFrame(
-                {
-                    "id_a": _pd.Series([], dtype="int64"),
-                    "id_b": _pd.Series([], dtype="int64"),
-                    "overlap_u": _pd.Series([], dtype="int64"),
-                }
-            )
-        return (
-            df.drop_duplicates(subset=["id_a", "id_b"])[
-                ["id_a", "id_b", "overlap_u"]
-            ].reset_index(drop=True)
-        )
-
-    return (
-        cand.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("pb")
-        .map_groups(dedup, batch_format="pandas")
+    return dedup_pair_stream(
+        cand, {"overlap_u": "int64"}, num_buckets=num_buckets
     )

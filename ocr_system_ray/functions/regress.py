@@ -160,7 +160,7 @@ def theilsen_by_key(
     key_col: str,
     x_col: str,
     y_col: str,
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Theil–Sen robust trend per key → ``(key_col, n_points, n_pairs,
     slope_micro)`` — the median-of-pairwise-slopes estimator (Theil
@@ -185,7 +185,10 @@ def theilsen_by_key(
     group)."""
     import pandas as pd
 
-    from .dedup import _coarse_bucket
+    from .dedup import _adaptive_coarse_bits, _coarse_bucket
+
+    if num_buckets is None:
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_numpy(zero_copy_only=False)

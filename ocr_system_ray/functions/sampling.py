@@ -157,7 +157,13 @@ def temperature_sample(
 
         df = _pd.DataFrame(
             {
-                "s": t.column(source_col).to_pylist(),
+                # NULL sources fold to '' (pandas groupby silently DROPS
+                # NaN keys — the counts pass would diverge from the SQL
+                # twin's NULL group otherwise)
+                "s": [
+                    "" if v is None else str(v)
+                    for v in t.column(source_col).to_pylist()
+                ],
                 "c": pc.fill_null(t.column(size_col), 0)
                 .cast(pa.int64())
                 .to_pylist(),
@@ -198,6 +204,11 @@ def temperature_sample(
     def pick(df) -> "pd.DataFrame":  # noqa: ANN001
         import pandas as _pd
 
+        df = df.copy()
+        if len(df):
+            df[source_col] = df[source_col].map(
+                lambda v: "" if v is None or v != v else str(v)
+            )
         if len(df) == 0:
             return _pd.DataFrame(
                 {
@@ -244,9 +255,9 @@ def temperature_sample_sql(
     Hamilton remainders as a window rank, md5-hex per-source order."""
     return f"""
         WITH tm_src AS (
-            SELECT source, COUNT(*) AS n,
+            SELECT COALESCE(source, '') AS source, COUNT(*) AS n,
                    SUM(CAST(n_chars AS BIGINT)) AS cm
-            {docs_from} GROUP BY source
+            {docs_from} GROUP BY COALESCE(source, '')
         ),
         tm_tot AS (
             SELECT SUM(n) // {budget_den} AS b FROM tm_src
@@ -278,9 +289,9 @@ def temperature_sample_sql(
             FROM tm_alloc
         ),
         tm_ranked AS (
-            SELECT doc_id, source,
+            SELECT doc_id, COALESCE(source, '') AS source,
                    ROW_NUMBER() OVER (
-                       PARTITION BY source
+                       PARTITION BY COALESCE(source, '')
                        ORDER BY substr(md5(doc_id || ':{salt}'), 1, 15),
                                 doc_id
                    ) AS rk

@@ -418,7 +418,11 @@ def lcp_adjacent(
     (uint32 codepoint matrix per group)."""
 
     # --- pass 1: attach capped suffix strings (tagged-union doc join)
-    doc_buckets = 4096
+    # adaptive width from a cheap docs count × a per-doc position
+    # estimate (width only shapes group sizes, never results; counting
+    # the SA itself would re-run the whole prefix-doubling plan)
+    n_docs = docs.count()
+    doc_buckets = 1 << _adaptive_coarse_bits(max(2, n_docs * 300))
 
     def tag_docs(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -486,7 +490,7 @@ def lcp_adjacent(
     )
 
     # --- pass 2: pair (r, r+1) via double emission on a pair bucket
-    pair_buckets = 4096
+    pair_buckets = doc_buckets
 
     def emit_pairs(t: pa.Table) -> pa.Table:
         rank = t.column("rank").to_numpy(zero_copy_only=False)

@@ -143,6 +143,9 @@ def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:
             bw.write(0, 1)
             continue
         lead = 64 - x.bit_length()
+        if lead > 31:
+            lead = 31  # 5-bit field — clamp (paper rule); unclamped
+            # leads silently truncated 63→31 and corrupted the decode
         trail = (x & -x).bit_length() - 1
         mlen = 64 - lead - trail
         if (

@@ -1410,7 +1410,7 @@ def scd2_history(
     key_col: str,
     ts_col: str,
     value_col: str,
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
 ):
     """Slowly-changing-dimension TYPE 2 assembly from a change log —
     the warehouse-history classic: per key, order observations by
@@ -1428,7 +1428,10 @@ def scd2_history(
     vectorized in-group.  Timestamps flow as int64 micros."""
     import pandas as pd
 
-    from .dedup import _coarse_bucket as _cb
+    from .dedup import _adaptive_coarse_bits, _coarse_bucket as _cb
+
+    if num_buckets is None:
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column(key_col).to_numpy(zero_copy_only=False)

@@ -516,13 +516,6 @@ def q_train_test_split(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(split, batch_format="pyarrow")
 
 
-def q_corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
-    """Global random shuffle (training-order randomization) — seeded,
-    row-preserving; the one intentionally order-changing wide op."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id"])
-    return ds.random_shuffle(seed=42)
-
-
 def q_approx_distinct_users(sf_dir: str) -> pa.Table:
     """Mergeable-sketch pattern: per-batch HLL over user_id, driver merge
     — 4 KB sketches move instead of a value shuffle.  Hashes with

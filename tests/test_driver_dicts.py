@@ -56,3 +56,25 @@ def test_query_and_oracle_keysets_consistent():
         assert not stray, (
             f"queries without oracle and not in ROWS_ONLY_QUERIES: {sorted(stray)}"
         )
+
+
+def test_no_duplicate_query_function_definitions():
+    """Two q_* functions with the same name silently shadow (the
+    corpus_shuffle and temperature_mix incidents) — refuse the class."""
+    import ast
+    from collections import Counter
+    from pathlib import Path
+
+    src = (
+        Path(__file__).resolve().parent.parent
+        / "ocr_system_ray"
+        / "pipelines"
+        / "queries.py"
+    ).read_text()
+    names = [
+        n.name
+        for n in ast.parse(src).body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+    ]
+    dups = [n for n, c in Counter(names).items() if c > 1]
+    assert not dups, f"duplicate top-level definitions: {dups}"
