@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitmap_probe": q.q_bitmap_probe,
         "ts_codec": q.q_ts_codec,
         "pdf_tables": q.q_pdf_tables,
+        "geojson_roundtrip": q.q_geojson_roundtrip,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -5516,6 +5517,21 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # geojson: the coordinate derivation IS the oracle (exact
+        # micro-degree round trip through the RFC 7946 floats)
+        "geojson_roundtrip": """
+            SELECT doc_id AS feature_id,
+                   CASE WHEN doc_id % 250 = 0 THEN 90000000
+                        ELSE (-60000000 + (doc_id % 7) * 18000000)
+                             + (doc_id * 7919) % 400000 - 200000 END
+                       AS lat_u,
+                   CASE WHEN doc_id % 250 = 0 THEN 180000000
+                        ELSE (-150000000 + (doc_id % 7) * 47000000)
+                             + (doc_id * 104729) % 400000 - 200000 END
+                       AS lon_u,
+                   'poi ' || (doc_id % 50) AS prop_name
+            FROM documents
+        """,
         # pdf tables: cells re-derived from the doc_id arithmetic
         "pdf_tables": """
             SELECT d.doc_id,

@@ -10026,3 +10026,43 @@ def q_pdf_tables(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(run, batch_format="pyarrow")
+
+
+def q_geojson_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """GeoJSON FeatureCollection sink + source round trip
+    (``sources/geojson.py`` — RFC 7946 point features, micro-degree
+    half-up recovery): the derived city-cluster points written as
+    sharded FeatureCollections and read back.  Oracle: the coordinate
+    derivation itself (the ÷10⁶ → ·10⁶ float trip is exact under the
+    0.5 ulp budget).  Cached under /tmp keyed by sf dir."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+
+    from ..sources.geojson import read_geojson, write_geojson
+
+    cache = f"/tmp/osr_geojson_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not _os.path.exists(_os.path.join(cache, "_SUCCESS")):
+        docs = read_table(sf_dir, "documents", columns=["doc_id"])
+        pts = docs.map_batches(_derived_geo, batch_format="pyarrow")
+
+        def add_props(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            return pa.table(
+                {
+                    "feature_id": t.column("doc_id"),
+                    "lat_u": t.column("lat_u"),
+                    "lon_u": t.column("lon_u"),
+                    "prop_name": pa.array(
+                        [f"poi {i % 50}" for i in ids], pa.string()
+                    ),
+                }
+            )
+
+        write_geojson(
+            pts.map_batches(add_props, batch_format="pyarrow"),
+            cache,
+            prop_cols=("prop_name",),
+        )
+    shards = sorted(_glob.glob(_os.path.join(cache, "*.geojson")))
+    return read_geojson(shards, prop_cols=("name",))

@@ -1,0 +1,168 @@
+"""GeoJSON source + sink (RFC 7946) — point features ↔ the geo table.
+
+The interchange leg of the geospatial family (``functions/geo.py``):
+POI corpora, check-in dumps, and open-data portals ship
+FeatureCollections; the engine reads them into the micro-degree
+integer schema the geohash/proximity operators consume, and writes
+them back sharded.
+
+Spec subset (the point-corpus core):
+
+* ``FeatureCollection`` → one row per ``Feature`` with a ``Point``
+  geometry; coordinates are ``[lon, lat]`` (RFC 7946 §3.1.1 order)
+  in degrees → stored as micro-degree int64 with half-up rounding at
+  the 6th decimal (floor(x·10⁶ + 0.5) — the cents carve, exact for
+  the float64 inputs both engines see);
+* ``properties`` members with scalar string/number values become
+  ``prop_<name>`` string columns (numbers via ``repr``-free
+  ``json.dumps`` scalar formatting so both engines agree);
+* non-Point features and malformed Features are error-as-data SKIPS
+  counted per shard (never-fail-row at the FILE level: a malformed
+  shard yields its parseable prefix of features).
+
+Sink: one ``.geojson`` shard per block (content-hash names, tmp+rename,
+``_SUCCESS`` — the shared sink discipline), ``ensure_ascii=False``,
+sorted property keys → byte-stable shards.
+
+Ray shape: one read task per shard; features expand in-stage."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+
+import pyarrow as pa
+
+import ray.data
+
+__all__ = ["read_geojson", "write_geojson"]
+
+
+def _to_micro(x: float) -> int:
+    return int(math.floor(float(x) * 1_000_000 + 0.5))
+
+
+def _parse_shard(payload: bytes, prop_cols: "tuple[str, ...]") -> pa.Table:
+    cols: dict[str, list] = {
+        "feature_id": [],
+        "lat_u": [],
+        "lon_u": [],
+        **{f"prop_{p}": [] for p in prop_cols},
+    }
+    try:
+        doc = json.loads(payload.decode("utf-8"))
+        feats = doc.get("features", []) if isinstance(doc, dict) else []
+    except (ValueError, UnicodeDecodeError):
+        feats = []
+    for f in feats:
+        try:
+            geom = f.get("geometry") or {}
+            if geom.get("type") != "Point":
+                continue
+            lon, lat = geom["coordinates"][:2]
+            props = f.get("properties") or {}
+            fid = f.get("id")
+            cols["feature_id"].append(
+                int(fid) if isinstance(fid, (int, float)) else -1
+            )
+            cols["lat_u"].append(_to_micro(lat))
+            cols["lon_u"].append(_to_micro(lon))
+            for p in prop_cols:
+                v = props.get(p)
+                if v is None:
+                    cols[f"prop_{p}"].append("")
+                elif isinstance(v, str):
+                    cols[f"prop_{p}"].append(v)
+                else:
+                    cols[f"prop_{p}"].append(json.dumps(v))
+        except (KeyError, TypeError, ValueError, IndexError):
+            continue
+    return pa.table(
+        {
+            "feature_id": pa.array(cols["feature_id"], pa.int64()),
+            "lat_u": pa.array(cols["lat_u"], pa.int64()),
+            "lon_u": pa.array(cols["lon_u"], pa.int64()),
+            **{
+                f"prop_{p}": pa.array(cols[f"prop_{p}"], pa.string())
+                for p in prop_cols
+            },
+        }
+    )
+
+
+def read_geojson(
+    paths: "list[str]", prop_cols: "tuple[str, ...]" = ()
+) -> ray.data.Dataset:
+    """Shard paths → ``(feature_id, lat_u, lon_u, prop_*...)``."""
+    files = ray.data.read_binary_files(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        out = [
+            _parse_shard(payload, prop_cols)
+            for payload in t.column("bytes").to_pylist()
+        ]
+        return (
+            pa.concat_tables(out)
+            if out
+            else _parse_shard(b"{}", prop_cols)
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def write_geojson(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    lat_col: str = "lat_u",
+    lon_col: str = "lon_u",
+    id_col: str = "feature_id",
+    prop_cols: "tuple[str, ...]" = (),
+) -> int:
+    """Sink: one FeatureCollection shard per block (idempotent
+    content-hash names).  Returns features written."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        feats = []
+        ids = t.column(id_col).to_pylist()
+        lats = t.column(lat_col).to_pylist()
+        lons = t.column(lon_col).to_pylist()
+        propvals = {p: t.column(p).to_pylist() for p in prop_cols}
+        for i in range(len(t)):
+            feats.append(
+                {
+                    "type": "Feature",
+                    "id": ids[i],
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [
+                            lons[i] / 1_000_000,
+                            lats[i] / 1_000_000,
+                        ],
+                    },
+                    "properties": {
+                        p.removeprefix("prop_"): propvals[p][i]
+                        for p in prop_cols
+                    },
+                }
+            )
+        body = json.dumps(
+            {"type": "FeatureCollection", "features": feats},
+            ensure_ascii=False,
+            sort_keys=True,
+        ).encode("utf-8")
+        name = hashlib.md5(body).hexdigest()[:16]
+        tmp = os.path.join(out_dir, f".tmp-{name}")
+        dst = os.path.join(out_dir, f"part-{name}.geojson")
+        if not os.path.exists(dst):
+            with open(tmp, "wb") as fh:
+                fh.write(body)
+            os.replace(tmp, dst)
+        return pa.table({"n": pa.array([len(feats)], pa.int64())})
+
+    counts = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+        fh.write("ok")
+    return int(counts["n"].sum())

@@ -1,0 +1,95 @@
+"""GeoJSON source/sink: RFC 7946 parsing, skips, round trips."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from ocr_system_ray.sources.geojson import read_geojson, write_geojson
+
+
+def test_parse_points_props_and_skips(ray_session, tmp_path):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": 7,
+                "geometry": {"type": "Point", "coordinates": [10.40744, 57.64911]},
+                "properties": {"name": "café", "rank": 3},
+            },
+            {  # non-point → skipped
+                "type": "Feature",
+                "geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+                "properties": {"name": "road"},
+            },
+            {  # missing geometry → skipped
+                "type": "Feature",
+                "properties": {"name": "ghost"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [-5.6, 42.6]},
+                "properties": {},
+            },
+        ],
+    }
+    p = tmp_path / "a.geojson"
+    p.write_text(json.dumps(doc), encoding="utf-8")
+    bad = tmp_path / "b.geojson"
+    bad.write_bytes(b"not json {")
+    out = (
+        read_geojson([str(p), str(bad)], prop_cols=("name", "rank"))
+        .to_pandas()
+        .sort_values("lat_u")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.iloc[1]["feature_id"] == 7
+    assert out.iloc[1]["lat_u"] == 57_649_110
+    assert out.iloc[1]["lon_u"] == 10_407_440
+    assert out.iloc[1]["prop_name"] == "café"
+    assert out.iloc[1]["prop_rank"] == "3"
+    assert out.iloc[0]["feature_id"] == -1  # no id member
+    assert out.iloc[0]["prop_name"] == ""
+
+
+def test_roundtrip_and_idempotent_shards(ray_session, tmp_path):
+    import ray.data
+
+    t = pa.table(
+        {
+            "feature_id": pa.array([1, 2, 3], pa.int64()),
+            "lat_u": pa.array([42_600_000, -90_000_000, 0], pa.int64()),
+            "lon_u": pa.array([-5_600_000, 180_000_000, 1], pa.int64()),
+            "prop_name": pa.array(["a", "b", "ü"], pa.string()),
+        }
+    )
+    out_dir = str(tmp_path / "shards")
+    n = write_geojson(
+        ray.data.from_arrow(t).repartition(2), out_dir, prop_cols=("prop_name",)
+    )
+    assert n == 3
+    shards = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".geojson")
+    )
+    back = (
+        read_geojson(shards, prop_cols=("name",))
+        .to_pandas()
+        .sort_values("feature_id")
+        .reset_index(drop=True)
+    )
+    assert back["lat_u"].tolist() == [42_600_000, -90_000_000, 0]
+    assert back["lon_u"].tolist() == [-5_600_000, 180_000_000, 1]
+    assert back["prop_name"].tolist() == ["a", "b", "ü"]
+    # idempotent re-write: same content-hash names, no new shards
+    write_geojson(
+        ray.data.from_arrow(t).repartition(2), out_dir, prop_cols=("prop_name",)
+    )
+    shards2 = [f for f in os.listdir(out_dir) if f.endswith(".geojson")]
+    assert len(shards2) == len(shards)
