@@ -425,7 +425,7 @@ def dbscan_sql(
     *,
     eps_cos: float = 0.4,
     min_pts: int = 3,
-    rounds: int = 12,
+    rounds: int = 24,
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -433,8 +433,12 @@ def dbscan_sql(
     """The DuckDB twin of :func:`dbscan_embeddings`: brute-force
     ε-pairs (the embedding_dup_exact oracle), degree→cores, ``rounds``
     unrolled MATERIALIZED min-label CTE rounds over core-core edges
-    (converges once rounds ≥ core-component diameter — asserted by the
-    Ray side's exact convergence matching), min-neighbour borders.
+    (plain min-propagation: EXACT only when rounds ≥ the core-subgraph
+    diameter — the Ray side converges to a fixed point regardless, so a
+    deeper-than-``rounds`` chain shows up as an oracle MISMATCH, never
+    a silent agreement; raise ``rounds`` for stringy ε-graphs — ε-ball
+    near-dup clusters are dense/shallow, which is what makes 24 ample
+    at driver scale), min-neighbour borders.
     CTE names are ``db_``-prefixed (local-variable binding trap)."""
     parts = [
         f"""db_p AS MATERIALIZED (

@@ -40,6 +40,9 @@ from ray.data.aggregate import Min as AggMin
 from .textstats import fingerprint_batch
 
 
+_BLOOM_MEMO: dict = {}
+
+
 def _sig_pool_size() -> tuple[int, int]:
     """Autoscaling bounds for the signature actor pools: up to 3/4 of
     the cluster's CPUs (min 1 free slot for the read stage — the
@@ -52,7 +55,10 @@ def _sig_pool_size() -> tuple[int, int]:
         ncpu = int(_ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    return (1, max(8, (ncpu * 3) // 4))
+    # floor 8 ONLY when it still leaves a read slot: on <=8-cpu
+    # clusters an 8-actor pool reserves every CPU and deadlocks the
+    # stream (the pool-starves-reads rule) — cap at ncpu-1 always
+    return (1, max(1, min(ncpu - 1, max(8, (ncpu * 3) // 4))))
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -375,9 +381,10 @@ def minhash_duplicate_pairs(
         # broadcast verify is µs per candidate — verify first, THEN
         # dedup the (post-threshold, much smaller) pair stream
         verified = _estimate_verify_broadcast(candidates, sigs, threshold, id_col)
-        return verified.groupby(["id_a", "id_b"]).aggregate(
-            AggMin("est_jaccard", alias_name="est_jaccard")
-        )
+        # est_jaccard is a pure function of the pair — keep-first via
+        # the shared pair-bucket stream (multi-column aggregate is the
+        # ray-2.49 reduce pathology)
+        return dedup_pair_stream(verified, {"est_jaccard": "float64"})
     raise ValueError(
         f"verify_mode must be 'join', 'fused' or 'broadcast', got {verify_mode!r}"
     )
@@ -892,8 +899,13 @@ def simhash_duplicate_pairs(
                 ids.append(i)
                 keys.append((b << 58) | band_value(h, b))
                 hs.append(h)
+        # band keys through a uint64 view: at max_hamming=0 the single
+        # band IS the full 64-bit simhash, which overflows a direct
+        # int64 conversion for ~half of all hashes (latent-crash fix;
+        # values < 2^63 — every bands>=2 case — are bit-identical)
+        key_arr = np.array(keys, dtype=np.uint64).view(np.int64)
         out = pa.table(
-            {"band_key": pa.array(keys, pa.int64()), id_col: pa.array(ids),
+            {"band_key": pa.array(key_arr), id_col: pa.array(ids),
              "simhash": pa.array(np.array(hs, dtype=np.uint64))}
         )
         # coarse shuffle key (the minhash adaptive-bucket pattern): one
@@ -2172,8 +2184,16 @@ def jaccard_verify_distributed(
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         from ..state.streaming import BloomFilter
+        from .textstats import _broadcast_memo
 
-        b = BloomFilter.deserialize(_ray.get(bloom_ref), bloom_bits)
+        # per-worker memo: a fresh ray.get + 1 MiB deserialize PER
+        # BATCH was the documented broadcast anti-pattern
+        key = ("bloom", bloom_ref.hex() if hasattr(bloom_ref, "hex") else id(bloom_ref))
+        cache = _BLOOM_MEMO
+        b = cache.get(key)
+        if b is None:
+            b = BloomFilter.deserialize(_broadcast_memo(bloom_ref), bloom_bits)
+            cache[key] = b
         from ..state.streaming import bloom_keys
 
         ids_np = t.column(id_col).to_numpy(zero_copy_only=False)
@@ -2341,8 +2361,16 @@ def embedding_duplicate_pairs(
 
         vecs = _as_matrix(t.column(vec_col))
         if vecs.size == 0:
-            return pa.table({ "bucket": pa.array([], pa.int64()), id_col: t.column(id_col),
-                              vec_col: t.column(vec_col)})
+            # null/ragged vectors carry no LSH identity: the whole batch
+            # contributes no candidates (ALL columns length 0 — mixing a
+            # full-length id column with empty buckets was ArrowInvalid)
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: t.column(id_col).slice(0, 0),
+                    vec_col: t.column(vec_col).slice(0, 0),
+                }
+            )
         proj = vecs @ planes  # (n, p)
         signs = proj > 0
         packed = np.packbits(signs, axis=1, bitorder="little")
@@ -2413,9 +2441,11 @@ def embedding_duplicate_pairs(
     )
     if probes == 1:
         return pairs  # no duplicate pair can arise from a single probe
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        AggMin("cosine", alias_name="cosine")
-    )
+    # the cosine is a pure function of the pair (same vectors, same
+    # rounding), so keep-first dedup ≡ the old AggMin — and the native
+    # MULTI-column groupby().aggregate here is the documented ray-2.49
+    # reduce pathology (~2 s per reduce task on pair keys)
+    return dedup_pair_stream(pairs, {"cosine": "float64"})
 
 
 def embedding_eps_pairs_blocked(
@@ -3520,7 +3550,8 @@ def _prefix_len(sizes: np.ndarray, thr_micro: int) -> np.ndarray:
 def jaccard_similarity_join(
     ds: ray.data.Dataset,
     threshold: float = 0.5,
-    ngram: int = 2,
+    ngram: int = 3,  # the CLAUDE.md gram-selectivity rule: bigrams over
+    # the synthetic corpus are all stop-grams → quadratic AllPairs
     text_col: str = "text",
     id_col: str = "doc_id",
     join_buckets: int | None = None,

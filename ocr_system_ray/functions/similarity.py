@@ -57,8 +57,15 @@ def _as_matrix(col) -> np.ndarray:  # noqa: ANN001
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
         if widths.size and (widths == widths[0]).all() and flat.size == n * int(widths[0]):
             return flat.reshape(n, int(widths[0]))
-    v = np.asarray(col.to_pylist(), dtype=np.float32)  # ragged fallback
-    return v if v.ndim == 2 else v.reshape(0, 0)
+    try:
+        v = np.asarray(col.to_pylist(), dtype=np.float32)
+    except ValueError:
+        # ragged / mixed-width lists: no rectangular matrix exists —
+        # error-as-data skip (callers treat a (0, 0) matrix as "this
+        # batch contributes no vectors"); numpy >= 1.24 raises here
+        # instead of building an object array
+        return np.zeros((0, 0), dtype=np.float32)
+    return v if v.ndim == 2 else np.zeros((0, 0), dtype=np.float32)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -103,7 +110,11 @@ class _BatchTopK:
                 # full sort under the global total order
                 order = np.lexsort((ids, -np.round(col, self.round_decimals)))[:k]
             else:
-                order = np.argpartition(-col, k - 1)[:k]
+                # the same (cosine desc, id asc) total order — a bare
+                # argpartition kept an ARBITRARY k of equal-cosine rows
+                # (exact-duplicate vectors are routine here), cutting
+                # the smallest id before the global head saw it
+                order = np.lexsort((ids, -col))[:k]
             out_q.extend([qi] * k)
             out_id.extend(ids[order].tolist())
             out_c.extend(col[order].tolist())
@@ -772,11 +783,15 @@ def semantic_decontam(
         ids = t.column(id_col)
         vecs = _as_matrix(t.column(vec_col))
         if vecs.size == 0:
+            # null/ragged vector batch: rows keep their identity with a
+            # zero score (length-matched — an empty score column next
+            # to n ids was an ArrowInvalid crash)
+            zeros = np.zeros(len(t), dtype=np.int64)
             return pa.table(
                 {
                     id_col: ids,
-                    "max_cos_micro": pa.array([], pa.int64()),
-                    "contaminated": pa.array([], pa.int64()),
+                    "max_cos_micro": pa.array(zeros),
+                    "contaminated": pa.array(zeros),
                 }
             )
         sims = _normalize(vecs.astype(np.float64)) @ b.T  # (n, n_bench)
@@ -927,10 +942,15 @@ def hamming_topk(
 
 
 def sql_sign_bits_expr(vec_col: str, lo: bool, dim: int = 64) -> str:
-    """GENERATED DuckDB twin of :func:`sign_bits_matrix`: one 32-term
-    CASE sum per half (1-based list indexing), int64-safe."""
-    start = 1 if lo else dim // 2 + 1
-    end = dim // 2 if lo else dim
+    """GENERATED DuckDB twin of :func:`sign_bits_matrix`: one CASE sum
+    per WORD (1-based list indexing), int64-safe.  The engine packs
+    dims 0..31 into the lo word and 32.. into hi REGARDLESS of dim —
+    the twin must split at the same bit-32 boundary, not at dim/2
+    (they only coincide at dim = 64)."""
+    start = 1 if lo else 33
+    end = min(dim, 32) if lo else dim
+    if start > end:
+        return "(0::BIGINT)"
     terms = " + ".join(
         f"(CASE WHEN {vec_col}[{i}] >= 0 THEN (1::BIGINT << {i - start}) "
         "ELSE 0 END)"

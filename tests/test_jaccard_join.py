@@ -131,7 +131,9 @@ def test_sf0001_documents_vs_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     got = list(zip(df.id_a, df.id_b, df.inter_size, df.union_size, df.jac_micro))
-    assert got == _bruteforce(texts, 0.4)
+    # the function DEFAULT is now trigram (the CLAUDE.md gram-selectivity
+    # rule) — the brute force must mirror it
+    assert got == _bruteforce(texts, 0.4, ngram=3)
     assert len(got) > 0  # the synthetic corpus plants near-dups
 
 
