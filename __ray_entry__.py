@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_codec": q.q_ts_codec,
         "pdf_tables": q.q_pdf_tables,
         "geojson_roundtrip": q.q_geojson_roundtrip,
+        "ams_f2": q.q_ams_f2,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -1077,6 +1078,16 @@ def _merkle_sql() -> str:
     from ocr_system_ray.functions.merkle import merkle_sql
 
     return merkle_sql("FROM documents", n_leaves=16)
+
+
+def _ams_f2_sql() -> str:
+    from ocr_system_ray.state.streaming import ams_f2_sql
+
+    return ams_f2_sql(
+        "SELECT CAST(user_id AS VARCHAR) AS v FROM events "
+        "WHERE user_id IS NOT NULL",
+        n_counters=64,
+    )
 
 
 def _temperature_mix_sql() -> str:
@@ -5517,6 +5528,8 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # AMS F2: every ±1 counter rebuilt from the identical carve
+        "ams_f2": _ams_f2_sql(),
         # geojson: the coordinate derivation IS the oracle (exact
         # micro-degree round trip through the RFC 7946 floats)
         "geojson_roundtrip": """

@@ -10066,3 +10066,23 @@ def q_geojson_roundtrip(sf_dir: str) -> ray.data.Dataset:
         )
     shards = sorted(_glob.glob(_os.path.join(cache, "*.geojson")))
     return read_geojson(shards, prop_cols=("name",))
+
+
+def q_ams_f2(sf_dir: str) -> pa.Table:
+    """AMS second-frequency-moment sketch over event users (the
+    self-join-size / skew estimator, Alon–Matias–Szegedy 1996) with
+    md5-carved ±1 signs — the CountMin/HLL carve contract, so the
+    oracle rebuilds every counter EXACTLY
+    (``state/streaming.py:ams_f2_sketch``).  → one row
+    (f2_est, n_rows)."""
+    from ..state.streaming import ams_f2_sketch
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    z, n = ams_f2_sketch(ev, "user_id", n_counters=64)
+    f2 = int((z.astype(object) ** 2).sum()) // 64
+    return pa.table(
+        {
+            "f2_est": pa.array([f2], pa.int64()),
+            "n_rows": pa.array([n], pa.int64()),
+        }
+    )

@@ -564,3 +564,85 @@ def approx_distinct_by_key(
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def ams_f2_sketch(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    col: str,
+    n_counters: int = 64,
+    salt: str = "ams",
+) -> "tuple[np.ndarray, int]":
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996,
+    the self-join-size / skew estimator): ``n_counters`` independent
+    counters ``Z_j = Σ_x f(x)·s_j(x)`` with ±1 signs carved from
+    ``md5(f"{salt}:{j}:{value}")`` (first hex nibble < 8 → +1) — the
+    CountMin/HLL carve contract, so a DuckDB oracle rebuilds every
+    counter EXACTLY and the estimate is reproducible, not merely
+    within the sketch's variance bound.
+
+    F2 estimate = mean of ``Z_j²`` (the classic estimator; medians of
+    means are a caller-side grouping of the returned counters).
+
+    Returns ``(counters int64[n_counters], n_rows)``.  Mergeable: the
+    per-batch partials are plain sums — ONE fixed-width groupby over
+    the counter index, value-cardinality-independent like every sketch
+    in this module."""
+    import hashlib
+
+    import pyarrow as pa_
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa_.Table) -> pa_.Table:
+        vals = t.column(col).to_pylist()
+        acc = np.zeros(n_counters, dtype=np.int64)
+        n = 0
+        for v in vals:
+            if v is None:
+                continue
+            n += 1
+            for j in range(n_counters):
+                h = hashlib.md5(f"{salt}:{j}:{v}".encode()).hexdigest()
+                acc[j] += 1 if int(h[0], 16) < 8 else -1
+        return pa_.table(
+            {
+                "j": pa_.array(
+                    np.arange(n_counters + 1, dtype=np.int64)
+                ),
+                "z": pa_.array(np.concatenate([acc, [n]])),
+            }
+        )
+
+    got = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("j")
+        .aggregate(Sum("z", alias_name="z"))
+        .to_pandas()
+        .sort_values("j")
+    )
+    z = got["z"].to_numpy(dtype=np.int64)
+    return z[:n_counters], int(z[n_counters])
+
+
+def ams_f2_sql(
+    values_select: str, n_counters: int = 64, salt: str = "ams"
+) -> str:
+    """DuckDB twin: every counter rebuilt from the identical md5 carve,
+    F2 = the same integer mean-of-squares floor division.
+    ``values_select``: a full SELECT yielding one column ``v`` (already
+    null-filtered and stringified like the engine's str(value))."""
+    rows = ", ".join(f"({j})" for j in range(n_counters))
+    return f"""
+        WITH ams_v AS ({values_select}),
+        ams_j(j) AS (VALUES {rows}),
+        ams_z AS (
+            SELECT j,
+                   SUM(CASE WHEN ('0x' || substr(md5(
+                           '{salt}:' || j || ':' || v), 1, 1)
+                       )::INT < 8 THEN 1 ELSE -1 END) AS z
+            FROM ams_j, ams_v
+            GROUP BY j
+        )
+        SELECT CAST((SELECT SUM(z * z) FROM ams_z)
+                    // {n_counters} AS BIGINT) AS f2_est,
+               CAST((SELECT COUNT(*) FROM ams_v) AS BIGINT) AS n_rows
+    """

@@ -1,0 +1,49 @@
+"""AMS F2 sketch: exact-twin parity, estimator quality, mergeability."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_system_ray.state.streaming import ams_f2_sketch, ams_f2_sql
+
+
+def _ds(vals, blocks=4):
+    import ray.data
+
+    t = pa.table({"v": pa.array(vals, pa.string())})
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def test_twin_parity_and_layout_invariance(ray_session):
+    rng = np.random.default_rng(2)
+    vals = [f"u{int(x)}" for x in rng.zipf(1.5, 600) % 40]
+    z1, n1 = ams_f2_sketch(_ds(vals, 1), "v", n_counters=16)
+    z8, n8 = ams_f2_sketch(_ds(vals, 8), "v", n_counters=16)
+    assert np.array_equal(z1, z8) and n1 == n8 == len(vals)
+    con = duckdb.connect()
+    con.register("raw", pd.DataFrame({"v": vals}))
+    exp = con.sql(
+        ams_f2_sql("SELECT v FROM raw", n_counters=16)
+    ).fetchone()
+    f2 = int((z1.astype(object) ** 2).sum()) // 16
+    assert (f2, n1) == (int(exp[0]), int(exp[1]))
+
+
+def test_estimator_tracks_true_f2(ray_session):
+    # skewed multiset with known F2
+    freqs = {"a": 50, "b": 20, "c": 5, "d": 1}
+    vals = [k for k, c in freqs.items() for _ in range(c)]
+    true_f2 = sum(c * c for c in freqs.values())  # 2926
+    z, n = ams_f2_sketch(_ds(vals), "v", n_counters=64)
+    est = int((z.astype(object) ** 2).sum()) // 64
+    assert n == sum(freqs.values())
+    # unbiased estimator, 64 counters: expect within ~3 std errors
+    assert true_f2 * 0.4 < est < true_f2 * 2.5
+
+
+def test_nulls_skipped(ray_session):
+    z, n = ams_f2_sketch(_ds(["a", None, "a"]), "v", n_counters=8)
+    assert n == 2
