@@ -339,29 +339,29 @@ def pagerank_sql(
     iteration rule — the Python engine and this generator share the
     constants, the expression shape is mirrored verbatim."""
     parts = [
-        f"e AS ({edges_sql})",
-        "nodes AS (SELECT DISTINCT h FROM"
-        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e))",
-        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
-        "c AS (SELECT COUNT(*) AS n FROM nodes)",
-        f"r0 AS (SELECT h, CAST({total_micro} // c.n AS BIGINT) AS r FROM nodes, c)",
+        f"pr_e AS ({edges_sql})",
+        "pr_nodes AS (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM pr_e UNION ALL SELECT dst AS h FROM pr_e))",
+        "pr_deg AS (SELECT src, COUNT(*) AS d FROM pr_e GROUP BY src)",
+        "pr_c AS (SELECT COUNT(*) AS n FROM pr_nodes)",
+        f"pr_r0 AS (SELECT h, CAST({total_micro} // pr_c.n AS BIGINT) AS r FROM pr_nodes, pr_c)",
     ]
     for i in range(iters):
         parts.append(
-            f"""r{i + 1} AS (
+            f"""pr_r{i + 1} AS (
               SELECT n.h,
-                     CAST(({100 - damping_pct} * {total_micro} // 100) // c.n
+                     CAST(({100 - damping_pct} * {total_micro} // 100) // pr_c.n
                           + ({damping_pct} * COALESCE(inc.s, 0)) // 100 AS BIGINT) AS r
-              FROM nodes n CROSS JOIN c
-              LEFT JOIN (SELECT e.dst AS h, SUM(r.r // d.d) AS s
-                         FROM e JOIN r{i} r ON e.src = r.h
-                                JOIN deg d ON e.src = d.src
-                         GROUP BY e.dst) inc ON n.h = inc.h)"""
+              FROM pr_nodes n CROSS JOIN pr_c
+              LEFT JOIN (SELECT pr_e.dst AS h, SUM(r.r // d.d) AS s
+                         FROM pr_e JOIN pr_r{i} r ON pr_e.src = r.h
+                                JOIN pr_deg d ON pr_e.src = d.src
+                         GROUP BY pr_e.dst) inc ON n.h = inc.h)"""
         )
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT h AS {node_col}, r AS {rank_col} FROM r{iters}"
+        + f"\nSELECT h AS {node_col}, r AS {rank_col} FROM pr_r{iters}"
     )
 
 
@@ -498,52 +498,52 @@ def hits_sql(
     # each other 2-4x and DuckDB's default inlining would expand the
     # chain exponentially (4^iters scans of the base table)
     parts = [
-        f"e AS MATERIALIZED ({edges_sql})",
-        "nodes AS MATERIALIZED (SELECT DISTINCT h FROM"
-        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e))",
-        "c AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
-        f"h0 AS MATERIALIZED (SELECT h, CAST({total} // c.n AS BIGINT) AS r"
-        " FROM nodes, c)",
+        f"ht_e AS MATERIALIZED ({edges_sql})",
+        "ht_nodes AS MATERIALIZED (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM ht_e UNION ALL SELECT dst AS h FROM ht_e))",
+        "ht_c AS MATERIALIZED (SELECT COUNT(*) AS n FROM ht_nodes)",
+        f"ht_h0 AS MATERIALIZED (SELECT h, CAST({total} // ht_c.n AS BIGINT) AS r"
+        " FROM ht_nodes, ht_c)",
     ]
     for i in range(iters):
         parts.append(
-            f"""ra{i} AS MATERIALIZED (
-                 SELECT e.dst AS h, CAST(SUM(r.r) AS BIGINT) AS s
-                 FROM e JOIN h{i} r ON e.src = r.h GROUP BY e.dst)"""
+            f"""ht_ra{i} AS MATERIALIZED (
+                 SELECT ht_e.dst AS h, CAST(SUM(r.r) AS BIGINT) AS s
+                 FROM ht_e JOIN ht_h{i} r ON ht_e.src = r.h GROUP BY ht_e.dst)"""
         )
         parts.append(
-            f"as{i} AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ra{i})"
+            f"ht_as{i} AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ht_ra{i})"
         )
         parts.append(
-            f"""a{i + 1} AS MATERIALIZED (SELECT n.h,
+            f"""ht_a{i + 1} AS MATERIALIZED (SELECT n.h,
                  CAST(CASE WHEN x.t > 0
                       THEN COALESCE(ra.s, 0) * {total} // x.t
                       ELSE 0 END AS BIGINT) AS a
-                 FROM nodes n CROSS JOIN as{i} x
-                 LEFT JOIN ra{i} ra ON n.h = ra.h)"""
+                 FROM ht_nodes n CROSS JOIN ht_as{i} x
+                 LEFT JOIN ht_ra{i} ra ON n.h = ra.h)"""
         )
         parts.append(
-            f"""rh{i} AS MATERIALIZED (
-                 SELECT e.src AS h, CAST(SUM(a.a) AS BIGINT) AS s
-                 FROM e JOIN a{i + 1} a ON e.dst = a.h GROUP BY e.src)"""
+            f"""ht_rh{i} AS MATERIALIZED (
+                 SELECT ht_e.src AS h, CAST(SUM(a.a) AS BIGINT) AS s
+                 FROM ht_e JOIN ht_a{i + 1} a ON ht_e.dst = a.h GROUP BY ht_e.src)"""
         )
         parts.append(
-            f"hs{i} AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM rh{i})"
+            f"ht_hs{i} AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ht_rh{i})"
         )
         parts.append(
-            f"""h{i + 1} AS MATERIALIZED (SELECT n.h,
+            f"""ht_h{i + 1} AS MATERIALIZED (SELECT n.h,
                  CAST(CASE WHEN x.t > 0
                       THEN COALESCE(rh.s, 0) * {total} // x.t
                       ELSE 0 END AS BIGINT) AS r
-                 FROM nodes n CROSS JOIN hs{i} x
-                 LEFT JOIN rh{i} rh ON n.h = rh.h)"""
+                 FROM ht_nodes n CROSS JOIN ht_hs{i} x
+                 LEFT JOIN ht_rh{i} rh ON n.h = rh.h)"""
         )
     return (
         "WITH "
         + ",\n".join(parts)
         + f"""
         SELECT h.h AS {node_col}, h.r AS {hub_col}, a.a AS {auth_col}
-        FROM h{iters} h JOIN a{iters} a ON h.h = a.h"""
+        FROM ht_h{iters} h JOIN ht_a{iters} a ON h.h = a.h"""
     )
 
 
@@ -845,9 +845,23 @@ def bfs_depth(
     ``max_hops`` hops, nothing corpus-sized on the driver.  The SQL
     twin (:func:`bfs_sql`) unrolls the same hops as MATERIALIZED CTEs.
     """
+    if not seeds:
+        raise ValueError("bfs_depth: seeds must be non-empty")
     nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
     e = _dedup_edges(edges, nb).materialize()
-    nodes = _node_table(e).materialize()
+    seed_tbl = ray.data.from_arrow(
+        pa.table({"node": pa.array(sorted(set(int(s) for s in seeds)), pa.int64())})
+    )
+    # node universe = edge endpoints ∪ SEEDS (the SQL twin includes the
+    # seeds; an edgeless graph must still emit them at depth 0)
+    nodes = (
+        _node_table(e)
+        .union(seed_tbl)
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .materialize()
+    )
     if nodes.count() == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -947,22 +961,24 @@ def bfs_sql(
     """Generated DuckDB oracle for :func:`bfs_depth`: the same hops
     unrolled as MATERIALIZED CTEs (union + per-node MIN per hop);
     output = edge-set nodes ∪ seeds, unreached → -1."""
+    if not seeds:
+        raise ValueError("bfs_sql: seeds must be non-empty")
     seed_vals = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
     parts = [
-        f"e AS MATERIALIZED ({edges_sql})",
-        "nodes AS MATERIALIZED (SELECT DISTINCT h FROM"
-        " (SELECT src AS h FROM e UNION ALL SELECT dst AS h FROM e"
+        f"bf_e AS MATERIALIZED ({edges_sql})",
+        "bf_nodes AS MATERIALIZED (SELECT DISTINCT h FROM"
+        " (SELECT src AS h FROM bf_e UNION ALL SELECT dst AS h FROM bf_e"
         f" UNION ALL SELECT s FROM (VALUES {seed_vals}) sv(s)))",
-        f"d0 AS MATERIALIZED (SELECT s AS h, 0 AS d FROM (VALUES {seed_vals}) sv(s))",
+        f"bf_d0 AS MATERIALIZED (SELECT s AS h, 0 AS d FROM (VALUES {seed_vals}) sv(s))",
     ]
     for k in range(1, max_hops + 1):
         parts.append(
-            f"""d{k} AS MATERIALIZED (
+            f"""bf_d{k} AS MATERIALIZED (
                 SELECT h, MIN(d) AS d FROM (
-                    SELECT h, d FROM d{k - 1}
+                    SELECT h, d FROM bf_d{k - 1}
                     UNION ALL
-                    SELECT e.dst AS h, r.d + 1 AS d
-                    FROM e JOIN d{k - 1} r ON e.src = r.h
+                    SELECT bf_e.dst AS h, r.d + 1 AS d
+                    FROM bf_e JOIN bf_d{k - 1} r ON bf_e.src = r.h
                 ) GROUP BY h)"""
         )
     return (
@@ -971,7 +987,7 @@ def bfs_sql(
         + f"""
         SELECT n.h AS {node_col},
                CAST(COALESCE(dk.d, -1) AS BIGINT) AS {depth_col}
-        FROM nodes n LEFT JOIN d{max_hops} dk ON n.h = dk.h"""
+        FROM bf_nodes n LEFT JOIN bf_d{max_hops} dk ON n.h = dk.h"""
     )
 
 
@@ -1348,9 +1364,25 @@ def sssp_weighted(
     """
     from ray.data.aggregate import Min
 
+    if not seeds:
+        raise ValueError("sssp_weighted: seeds must be non-empty")
     nb = num_buckets or (1 << _adaptive_coarse_bits(max(2, edges.count())))
     e = edges.materialize()
-    nodes = _node_table(e).materialize()
+    seed_arr = sorted(set(int(s) for s in seeds))
+    # node universe = edge endpoints ∪ seeds (SQL-twin parity on
+    # edgeless graphs — seeds still emit at distance 0)
+    nodes = (
+        _node_table(e)
+        .union(
+            ray.data.from_arrow(
+                pa.table({"node": pa.array(seed_arr, pa.int64())})
+            )
+        )
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .materialize()
+    )
     if nodes.count() == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -1360,7 +1392,6 @@ def sssp_weighted(
                 }
             )
         )
-    seed_arr = sorted(set(int(s) for s in seeds))
     dist = ray.data.from_arrow(
         pa.table(
             {
@@ -1445,6 +1476,8 @@ def sssp_sql(
     """Generated DuckDB oracle for :func:`sssp_weighted`: the same
     relaxation rounds unrolled as MATERIALIZED CTEs.  ``edges_sql``
     must yield (src, dst, w)."""
+    if not seeds:
+        raise ValueError("sssp_sql: seeds must be non-empty")
     seed_vals = ", ".join(f"({int(s)})" for s in sorted(set(seeds)))
     parts = [
         f"se AS MATERIALIZED ({edges_sql})",

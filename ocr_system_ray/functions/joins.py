@@ -92,7 +92,10 @@ def asof_join_latest(
             "m": pa.array(np.zeros(len(t), dtype=np.int8)),
         }
         for c in carry:
-            cols[c] = k  # dummy; unused on right rows
+            # typed dummy: the docstring's carry contract is int64 —
+            # reusing the KEY column here gave carries the key's type
+            # and broke the union schema for string-keyed joins
+            cols[c] = pa.array(np.zeros(len(t), dtype=np.int64))
         return pa.table(cols)
 
     tagged = left.map_batches(left_rows, batch_format="pyarrow").union(
@@ -103,12 +106,11 @@ def asof_join_latest(
     def asof_in_bucket(g):  # pandas DataFrame in
         l = g[g["m"] == 1].drop(columns=["bucket", "m"])
         if l.empty:
-            return pd.DataFrame(
-                {
-                    **{c: pd.Series([], dtype="int64") for c in out_cols[:-1]},
-                    "right_ts_us": pd.Series([], dtype="Int64"),
-                }
-            )
+            # dtype-correct empty from the GROUP's own frame (a
+            # hardcoded int64 key clashed with string-keyed blocks)
+            empty = l.copy()
+            empty["right_ts_us"] = pd.Series([], dtype="Int64")
+            return empty[out_cols]
         r = (
             g[g["m"] == 0][[key_col, "ts_us"]]
             .rename(columns={"ts_us": "right_ts_us"})

@@ -611,6 +611,11 @@ def _broadcast_memo(ref):  # noqa: ANN001 — ray.ObjectRef
 
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     if key not in _BCAST_MEMO:
+        # bounded memo: every op invocation creates a fresh ref, and an
+        # uncapped per-worker cache retained one dead model copy per
+        # invocation (tens of MB each) — keep the most recent few
+        while len(_BCAST_MEMO) >= 8:
+            _BCAST_MEMO.pop(next(iter(_BCAST_MEMO)))
         _BCAST_MEMO[key] = _ray.get(ref)
     return _BCAST_MEMO[key]
 

@@ -40,7 +40,17 @@ def _bucketed(
     num_buckets: int | None,
 ) -> ray.data.Dataset:
     """Tag each row with the key's coarse bucket; project to ``keep``."""
-    nb = num_buckets or (1 << _adaptive_coarse_bits(ds.count()))
+    if num_buckets is None:
+        # pin before counting: on non-row-preserving upstream plans
+        # (filters/unions/pre-aggregations) a bare count() executes the
+        # WHOLE plan once just to size buckets, then the shuffle runs
+        # it again — pinning makes the sizing pass pay for itself
+        from .dedup import _pin
+
+        ds = _pin(ds)
+        nb = 1 << _adaptive_coarse_bits(max(2, ds.count()))
+    else:
+        nb = num_buckets
 
     def tag(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False)
@@ -363,6 +373,13 @@ def funnel_steps(
     """
     import pandas as pd
 
+    if len(set(steps)) != len(steps):
+        raise ValueError(
+            "funnel_steps: repeated step types are not expressible in "
+            "the type→index tagging (they silently collapsed to zero "
+            "progress) — use cep_sequence_matches for patterns like "
+            "click → click → purchase"
+        )
     step_ix = {s: i for i, s in enumerate(steps)}
     k_steps = len(steps)
 
@@ -464,6 +481,14 @@ def funnel_steps(
     )
 
 
+def _trunc_div(a: np.ndarray, d: int) -> np.ndarray:
+    """Integer division TRUNCATED toward zero — DuckDB ``//`` semantics
+    (numpy floor-divides; they differ on negative operands, the
+    CLAUDE.md signed-quotient rule).  ``d > 0``."""
+    q = a // d
+    return q + ((a - q * d != 0) & (a < 0))
+
+
 def cohort_retention(
     ds: ray.data.Dataset,
     key_col: str = "user_id",
@@ -489,9 +514,12 @@ def cohort_retention(
     day_us = 86_400_000_000
 
     def days(t: pa.Table) -> pa.Table:
-        d = (
-            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
-        ).to_numpy() // day_us
+        d = _trunc_div(
+            (
+                t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+            ).to_numpy(),
+            day_us,
+        )
         k = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         kd = np.unique(np.stack([k, d], axis=1), axis=0)
         return pa.table(
@@ -665,7 +693,7 @@ def hopping_window_counts(
             .cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        base = (tus // hop_us) * hop_us
+        base = _trunc_div(tus, hop_us) * hop_us
         starts = (
             base[None, :] - (np.arange(k, dtype=np.int64) * hop_us)[:, None]
         ).ravel()
@@ -1495,12 +1523,17 @@ def scd2_sql(key: str, ts_expr: str, value: str, from_clause: str) -> str:
         ),
         scd_chg AS (
             SELECT k, ts, v,
-                   LAG(v) OVER (PARTITION BY k ORDER BY ts, v) AS pv
+                   LAG(v) OVER (PARTITION BY k ORDER BY ts, v) AS pv,
+                   ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts, v) AS rn
             FROM scd_obs
         ),
         scd_keep AS (
+            -- IS DISTINCT FROM + first-row guard: `v <> pv` is NULL for
+            -- A→NULL transitions (dropping them) and `pv IS NULL`
+            -- re-kept every row after a NULL — both diverged from the
+            -- engine's object-equality collapse on nullable values
             SELECT k, ts, v FROM scd_chg
-            WHERE pv IS NULL OR v <> pv
+            WHERE rn = 1 OR v IS DISTINCT FROM pv
         )
         SELECT k AS {key},
                CAST(ROW_NUMBER() OVER (

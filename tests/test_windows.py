@@ -570,3 +570,17 @@ def test_event_path_counts_short_keys(ray_session):
     # keys shorter than k contribute nothing
     out2 = event_path_counts(ray.data.from_arrow(t), k=4).to_pandas()
     assert len(out2) == 0
+
+
+def test_funnel_rejects_repeated_steps(ray_session):
+    """Repeated step types silently collapsed to zero progress in the
+    type→index tagging — the contract now refuses them loudly."""
+    import pytest as _pytest
+
+    import ray.data as _rd
+
+    from ocr_system_ray.functions.windows import funnel_steps
+
+    ds = _rd.from_items([{"user_id": 1, "ts": 1, "event_type": "click"}])
+    with _pytest.raises(ValueError):
+        funnel_steps(ds, ["click", "click", "purchase"])
