@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_tables": q.q_pdf_tables,
         "geojson_roundtrip": q.q_geojson_roundtrip,
         "ams_f2": q.q_ams_f2,
+        "extraction_eval": q.q_extraction_eval,
         "css_extract": q.q_css_extract,
         "temperature_quota_mix": q.q_temperature_quota_mix,
         "edit_distance_join": q.q_edit_distance_join,
@@ -1087,6 +1088,19 @@ def _ams_f2_sql() -> str:
         "SELECT CAST(user_id AS VARCHAR) AS v FROM events "
         "WHERE user_id IS NOT NULL",
         n_counters=64,
+    )
+
+
+def _extraction_eval_sql() -> str:
+    from ocr_system_ray.functions.c4 import sql_c4_select
+    from ocr_system_ray.functions.evalmetrics import token_prf_sql
+
+    c4 = sql_c4_select("FROM documents", text_expr="COALESCE(text, '')")
+    return token_prf_sql(
+        "d.doc_id",
+        "c.clean_text",
+        "COALESCE(d.text, '')",
+        f"FROM documents d JOIN ({c4}) c ON d.doc_id = c.doc_id",
     )
 
 
@@ -5528,6 +5542,9 @@ def oracle_sql() -> dict[str, str]:
         # temperature_mix: exact-integer α=1/2 temperature quotas +
         # Hamilton apportionment + md5-rank membership, all in SQL
         "temperature_quota_mix": _temperature_mix_sql(),
+        # extraction eval: identical multiset least() tree over the
+        # C4-clean twin's clean_text vs the raw text
+        "extraction_eval": _extraction_eval_sql(),
         # AMS F2: every ±1 counter rebuilt from the identical carve
         "ams_f2": _ams_f2_sql(),
         # geojson: the coordinate derivation IS the oracle (exact

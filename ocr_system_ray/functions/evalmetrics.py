@@ -417,3 +417,133 @@ def spearman_sql(table: str, a_expr: str, b_expr: str) -> str:
                     END AS BIGINT) AS rho_micro
         FROM sp_p
     """
+
+
+def token_prf(
+    ds,  # noqa: ANN001 — ray.data.Dataset
+    pred_col: str,
+    gold_col: str,
+    id_col: str = "doc_id",
+):
+    """Token-level MULTISET precision/recall/F1 between two text
+    columns — the extraction-quality readout (SQuAD/MRC token-F1
+    convention, applied to extraction/cleaning pipelines: prediction =
+    the pipeline's output text, gold = the reference text).
+
+    Per doc: tokens are whitespace splits (the shared TOKEN_PATTERN
+    class); overlap = Σ_t min(count_pred(t), count_gold(t)); exact
+    integer micro-ratios, floor division (non-negative — no
+    signed-quotient hazard):
+
+        p_micro = overlap·10⁶ // n_pred   (0 when n_pred = 0)
+        r_micro = overlap·10⁶ // n_gold   (0 when n_gold = 0)
+        f1_micro = 2·overlap·10⁶ // (n_pred + n_gold)  (0 when both 0)
+
+    (F1 = 2PR/(P+R) = 2·overlap/(n_pred+n_gold) for multiset counts —
+    the second form stays in integers, so the twin is exact.)
+
+    Row-local ``map_batches``; null text tokenizes empty."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    def run(t: pa_.Table) -> pa_.Table:
+        from collections import Counter
+
+        from .textstats import _TOKEN_RGX
+
+        preds = pc_.fill_null(t.column(pred_col), "").to_pylist()
+        golds = pc_.fill_null(t.column(gold_col), "").to_pylist()
+        np_, ng_, ov_, p_, r_, f_ = [], [], [], [], [], []
+        for pt, gt in zip(preds, golds):
+            # the shared ASCII TOKEN_PATTERN class — str.split() also
+            # breaks on UNICODE whitespace (NBSP etc.) and would
+            # diverge from the SQL regex
+            cp = Counter(_TOKEN_RGX.findall(pt))
+            cg = Counter(_TOKEN_RGX.findall(gt))
+            n_p = sum(cp.values())
+            n_g = sum(cg.values())
+            ov = sum(min(c, cg[tok]) for tok, c in cp.items())
+            np_.append(n_p)
+            ng_.append(n_g)
+            ov_.append(ov)
+            p_.append(ov * 1_000_000 // n_p if n_p else 0)
+            r_.append(ov * 1_000_000 // n_g if n_g else 0)
+            f_.append(
+                2 * ov * 1_000_000 // (n_p + n_g) if (n_p + n_g) else 0
+            )
+        import numpy as _np
+
+        return pa_.table(
+            {
+                id_col: t.column(id_col),
+                "n_pred": pa_.array(_np.array(np_, dtype=_np.int64)),
+                "n_gold": pa_.array(_np.array(ng_, dtype=_np.int64)),
+                "overlap": pa_.array(_np.array(ov_, dtype=_np.int64)),
+                "p_micro": pa_.array(_np.array(p_, dtype=_np.int64)),
+                "r_micro": pa_.array(_np.array(r_, dtype=_np.int64)),
+                "f1_micro": pa_.array(_np.array(f_, dtype=_np.int64)),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def token_prf_sql(
+    id_expr: str, pred_expr: str, gold_expr: str, from_clause: str
+) -> str:
+    """DuckDB twin: whitespace-split unnest, per-token least() of the
+    two counts, the identical integer ratio tree.  Tokens split with
+    the same regex class as the engine's ``str.split()`` (runs of
+    whitespace, empties dropped)."""
+    return f"""
+        WITH pf_docs AS (
+            SELECT {id_expr} AS doc_id,
+                   COALESCE({pred_expr}, '') AS pred,
+                   COALESCE({gold_expr}, '') AS gold
+            {from_clause}
+        ),
+        pf_pt AS (
+            SELECT doc_id, t AS tok, COUNT(*) AS c
+            FROM pf_docs,
+                 unnest(list_filter(regexp_split_to_array(pred,
+                     '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')) u(t)
+            GROUP BY doc_id, t
+        ),
+        pf_gt AS (
+            SELECT doc_id, t AS tok, COUNT(*) AS c
+            FROM pf_docs,
+                 unnest(list_filter(regexp_split_to_array(gold,
+                     '[ \\t\\n\\r\\f\\v]+'), x -> x <> '')) u(t)
+            GROUP BY doc_id, t
+        ),
+        pf_ov AS (
+            SELECT p.doc_id, SUM(least(p.c, g.c)) AS ov
+            FROM pf_pt p JOIN pf_gt g
+              ON p.doc_id = g.doc_id AND p.tok = g.tok
+            GROUP BY p.doc_id
+        ),
+        pf_n AS (
+            SELECT d.doc_id,
+                   COALESCE((SELECT SUM(c) FROM pf_pt p
+                             WHERE p.doc_id = d.doc_id), 0) AS n_pred,
+                   COALESCE((SELECT SUM(c) FROM pf_gt g
+                             WHERE g.doc_id = d.doc_id), 0) AS n_gold,
+                   COALESCE((SELECT ov FROM pf_ov o
+                             WHERE o.doc_id = d.doc_id), 0) AS ov
+            FROM pf_docs d
+        )
+        SELECT doc_id,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_gold AS BIGINT) AS n_gold,
+               CAST(ov AS BIGINT) AS overlap,
+               CAST(CASE WHEN n_pred > 0
+                    THEN ov * 1000000 // n_pred ELSE 0 END AS BIGINT)
+                   AS p_micro,
+               CAST(CASE WHEN n_gold > 0
+                    THEN ov * 1000000 // n_gold ELSE 0 END AS BIGINT)
+                   AS r_micro,
+               CAST(CASE WHEN n_pred + n_gold > 0
+                    THEN 2 * ov * 1000000 // (n_pred + n_gold)
+                    ELSE 0 END AS BIGINT) AS f1_micro
+        FROM pf_n
+    """

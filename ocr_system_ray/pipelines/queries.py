@@ -10086,3 +10086,30 @@ def q_ams_f2(sf_dir: str) -> pa.Table:
             "n_rows": pa.array([n], pa.int64()),
         }
     )
+
+
+def q_extraction_eval(sf_dir: str) -> ray.data.Dataset:
+    """Extraction-quality readout — token-level multiset P/R/F1
+    (the SQuAD token-F1 convention) between the C4-cleaned text and
+    the raw document text (``functions/evalmetrics.py:token_prf``):
+    how much of each document the cleaning pipeline keeps, exact
+    integer micro-ratios.  Oracle: the identical unnest + least()
+    multiset tree."""
+    from ..functions.c4 import c4_clean_batch
+    from ..functions.evalmetrics import token_prf
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cleaned = c4_clean_batch(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pred": cleaned.column("clean_text"),
+                "gold": pc.fill_null(t.column("text"), ""),
+            }
+        )
+
+    return token_prf(
+        docs.map_batches(derive, batch_format="pyarrow"), "pred", "gold"
+    )

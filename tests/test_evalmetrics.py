@@ -241,3 +241,53 @@ def test_spearman_sql_survives_large_n(ray_session):
     assert got[sorted(got.columns)].iloc[0].to_dict() == (
         want[sorted(want.columns)].iloc[0].to_dict()
     )
+
+
+def test_token_prf_hand_and_twin(ray_session):
+    """Token P/R/F1: hand-computed multiset cases + DuckDB twin parity
+    including duplicate tokens, empties, and unicode whitespace."""
+    import duckdb as _duckdb
+    import pyarrow as _pa
+
+    import ray.data as _rd
+
+    from ocr_system_ray.functions.evalmetrics import token_prf, token_prf_sql
+
+    rows = [
+        (1, "a b b c", "a b c d"),      # overlap 3: P 3/4, R 3/4
+        (2, "", "x y"),                  # empty pred
+        (3, "x y", ""),                  # empty gold
+        (4, None, None),                 # nulls
+        (5, "tok tok tok", "tok"),       # multiset: overlap 1
+        (6, "a b", "a b"),     # NBSP is NOT a separator (ASCII class)
+    ]
+    t = _pa.table(
+        {
+            "doc_id": _pa.array([r[0] for r in rows], _pa.int64()),
+            "pred": _pa.array([r[1] for r in rows], _pa.string()),
+            "gold": _pa.array([r[2] for r in rows], _pa.string()),
+        }
+    )
+    got = (
+        token_prf(_rd.from_arrow(t), "pred", "gold")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, ["overlap", "p_micro", "r_micro"]].tolist() == [
+        3, 750000, 750000
+    ]
+    assert got.loc[1, "p_micro"] == 0 and got.loc[1, "r_micro"] == 0
+    assert got.loc[4, "overlap"] == 1
+    assert got.loc[5, "overlap"] == 1  # one NBSP-joined token, equal
+    con = _duckdb.connect()
+    con.register("tt", t.to_pandas())
+    exp = (
+        con.sql(token_prf_sql("doc_id", "pred", "gold", "FROM tt"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
