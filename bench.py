@@ -322,6 +322,11 @@ def _query_suite() -> dict:
         "ts_codec": q.q_ts_codec,
         "pdf_tables": q.q_pdf_tables,
         "sa_span_mask": q.q_sa_span_mask,
+        "geojson_roundtrip": q.q_geojson_roundtrip,
+        "ams_f2": q.q_ams_f2,
+        "extraction_eval": q.q_extraction_eval,
+        "merkle_tree": q.q_merkle_tree,
+        "bitmap_probe": q.q_bitmap_probe,
     }
     return suite
 
