@@ -86,5 +86,12 @@ def test_matches_duckdb_twin(ray_session, nblocks, rounds):
 
 
 def test_empty_graph(ray_session):
+    # seeds are part of the node universe (SQL-twin parity): an
+    # edgeless graph still emits the seeds at distance 0
     ds = ray.data.from_arrow(_edges([]))
-    assert sssp_weighted(ds, [0], max_rounds=2).count() == 0
+    out = sssp_weighted(ds, [0], max_rounds=2).to_pandas()
+    assert out.values.tolist() == [[0, 0]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sssp_weighted(ds, [], max_rounds=2)
