@@ -113,8 +113,13 @@ class _BatchTopK:
                 # the same (cosine desc, id asc) total order — a bare
                 # argpartition kept an ARBITRARY k of equal-cosine rows
                 # (exact-duplicate vectors are routine here), cutting
-                # the smallest id before the global head saw it
-                order = np.lexsort((ids, -col))[:k]
+                # the smallest id before the global head saw it.  Keep
+                # argpartition's O(n) but include the ENTIRE boundary
+                # tie class, then order just that candidate set.
+                part = np.argpartition(-col, k - 1)
+                kth = col[part[k - 1]]
+                cand = np.flatnonzero(col >= kth)
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:k]
             out_q.extend([qi] * k)
             out_id.extend(ids[order].tolist())
             out_c.extend(col[order].tolist())
