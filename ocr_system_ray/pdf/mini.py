@@ -536,9 +536,11 @@ def build_pdf_xrefstream(
             )
             row(2, objstm_num, idx)
     xref_at = len(buf)
-    # patch the xref stream's own offset
+    # patch the xref stream's own offset — pos already points at the
+    # f2 field (1 type byte per row precedes it); the former pos+1
+    # slice wrote one byte right, garbling offset AND f3
     pos = 1 + (xref_num * 7)
-    rows[pos + 1 : pos + 5] = xref_at.to_bytes(4, "big")
+    rows[pos : pos + 4] = xref_at.to_bytes(4, "big")
     xref_data = zlib.compress(bytes(rows), 6)
     buf.extend(
         _stream_obj(

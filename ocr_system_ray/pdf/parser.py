@@ -501,10 +501,16 @@ class PdfDocument:
                 em = re.compile(rb"(\d{10})\s(\d{5})\s([nf])").match(data, i)
                 if not em:
                     raise PdfError("bad xref entry")
-                if em.group(3) == b"n":
-                    num = start + k
-                    if num not in self._xref:
+                num = start + k
+                if num not in self._xref:
+                    if em.group(3) == b"n":
                         self._xref[num] = (1, int(em.group(1)))
+                    else:
+                        # FREE entry = a tombstone: without it, an
+                        # older /Prev section's stale offset would
+                        # resurrect an object deleted in a newer
+                        # incremental update
+                        self._xref[num] = (0, 0)
                 i = em.end()
                 # entries are 20 bytes incl. the 2-byte terminator
                 while i < len(data) and data[i] in b"\r\n ":
@@ -547,6 +553,8 @@ class PdfDocument:
                     self._xref[num] = (1, f2)
                 elif t == 2:
                     self._xref[num] = (2, f2, f3)
+                elif t == 0:
+                    self._xref[num] = (0, 0)  # free tombstone (see above)
         return dict(obj.dict)
 
     def _scan_fallback(self) -> None:
@@ -617,7 +625,7 @@ class PdfDocument:
         if num in self._cache:
             return self._cache[num]
         entry = self._xref.get(num)
-        if entry is None:
+        if entry is None or entry[0] == 0:  # absent or freed (tombstone)
             return None
         try:
             if entry[0] == 1:
@@ -686,6 +694,11 @@ class PdfDocument:
             parms = [parms]
         elif not isinstance(parms, list):
             parms = [parms] + [None] * (len(filt) - 1)
+        else:
+            # a /DecodeParms ARRAY shorter than /Filter must pad, not
+            # zip-truncate (truncation silently skipped the remaining
+            # filters and emitted still-compressed bytes as content)
+            parms = list(parms) + [None] * (len(filt) - len(parms))
         for f, p in zip(filt, parms or [None] * len(filt)):
             data = _apply_filter(str(self._resolve(f)), data, self._resolve(p))
         return data

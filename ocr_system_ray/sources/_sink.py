@@ -1,0 +1,46 @@
+"""Shared shard-sink discipline for every sources/ sink.
+
+One place for the content-addressed write that ~12 sinks had each
+re-implemented (and drifted on): shard name = md5 of the shard BYTES,
+tmp + ``os.replace`` (atomic, idempotent re-runs), ``_SUCCESS`` at the
+end.
+
+Content-addressed semantics, now EXPLICIT: byte-identical shards
+coalesce — two Ray blocks that serialize to the same bytes persist
+ONCE, and :func:`write_shard` reports whether THIS call created the
+file so per-block row counts sum to what a read-back actually yields
+(the old copies counted both blocks while the filesystem kept one —
+a silent sink-count/read-count mismatch).  On a RESUMED run,
+previously-persisted shards therefore count 0: the returned total is
+"rows newly persisted by this run", the number a resume log wants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+__all__ = ["write_shard", "mark_success"]
+
+
+def write_shard(
+    out_dir: str, payload: bytes, ext: str, prefix: str = "part-"
+) -> tuple[str, bool]:
+    """Persist one shard → ``(path, created)``.
+
+    ``created`` is False when a byte-identical shard already exists
+    (content-addressed coalescing — count its rows 0)."""
+    name = hashlib.md5(payload).hexdigest()[:16]
+    path = os.path.join(out_dir, f"{prefix}{name}{ext}")
+    if os.path.exists(path):
+        return path, False
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+    os.replace(tmp, path)
+    return path, True
+
+
+def mark_success(out_dir: str) -> None:
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:
+        fh.write("ok")

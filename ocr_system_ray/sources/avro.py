@@ -41,6 +41,8 @@ same "header once, then rows" idea made binary and splittable.
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import hashlib
 import json
 import os
@@ -380,13 +382,11 @@ def write_avro(
             {c: cols[c][i] for c in names} for i in range(len(t))
         ]
         blob = write_container(schema, rows, codec=codec)
-        name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"shard-{name}.avro")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, blob, '.avro', prefix="shard-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=None

@@ -29,6 +29,8 @@ the Common-Crawl-shaped contract.
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import gzip
 import hashlib
 import json
@@ -84,13 +86,11 @@ def write_cdx(
             lines.append(f"{surt_key(url or '')} {ts14} {blob}")
         lines.sort()
         payload = gzip.compress(("\n".join(lines) + "\n").encode("utf-8"), mtime=0)
-        name = hashlib.md5(payload).hexdigest()[:16]
-        path = os.path.join(out_dir, f"cdx-{name}.cdx.gz")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, payload, '.cdx.gz', prefix="cdx-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=None
@@ -121,10 +121,9 @@ def read_cdx(paths: str | list[str], **read_kwargs) -> ray.data.Dataset:
             # .gz paths arrive pre-gunzipped (Ray's reader); keep a
             # gzip fallback for extension-less shard paths
             if raw[:2] == b"\x1f\x8b":
-                try:
-                    raw = gzip.decompress(raw)
-                except OSError:
-                    continue
+                # corrupt-gzip SHARDS fail loudly (the documented
+                # contract — only malformed LINES may be skipped)
+                raw = gzip.decompress(raw)
             try:
                 text = raw.decode("utf-8")
             except UnicodeDecodeError:

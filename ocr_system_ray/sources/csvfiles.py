@@ -25,6 +25,8 @@ traffic.
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import csv
 import hashlib
 import io
@@ -59,13 +61,11 @@ def write_csv_shards(
                 ["" if cols[j][i] is None else cols[j][i] for j in range(len(columns))]
             )
         blob = buf.getvalue().encode("utf-8")
-        name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"shard-{name}.csv")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, blob, '.csv', prefix="shard-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=None

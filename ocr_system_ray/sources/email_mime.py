@@ -53,8 +53,16 @@ _EW_RE = re.compile(r"=\?([^?]+)\?([bBqQ])\?([^?]*)\?=")
 _QP_HEX = re.compile(rb"=([0-9A-Fa-f]{2})")
 _DATE_RE = re.compile(
     r"(?:[A-Za-z]{3},\s*)?(\d{1,2})\s+([A-Za-z]{3})\s+(\d{4})\s+"
-    r"(\d{2}):(\d{2}):(\d{2})\s*([+-]\d{4})?"
+    r"(\d{2}):(\d{2}):(\d{2})\s*([+-]\d{4}|[A-Za-z]{1,5})?"
 )
+
+# RFC 5322 §4.3 obsolete zone names — real mail archives use these
+# constantly; defaulting them to +0000 put epochs hours off
+_OBS_ZONES = {
+    "UT": "+0000", "GMT": "+0000", "Z": "+0000",
+    "EST": "-0500", "EDT": "-0400", "CST": "-0600", "CDT": "-0500",
+    "MST": "-0700", "MDT": "-0600", "PST": "-0800", "PDT": "-0700",
+}
 
 
 # ---------------------------------------------------------------- decode
@@ -159,6 +167,10 @@ def parse_rfc5322_date(value: str) -> int:
     day, mon, year = int(m.group(1)), _MONTH_NUM[m.group(2)], int(m.group(3))
     hh, mm, ss = int(m.group(4)), int(m.group(5)), int(m.group(6))
     tz = m.group(7) or "+0000"
+    if tz and tz[0] not in "+-":
+        # obsolete zone name; unknown single-letter military zones and
+        # other unknowns read as +0000 per RFC 5322's own advice
+        tz = _OBS_ZONES.get(tz.upper(), "+0000")
     off = (int(tz[1:3]) * 60 + int(tz[3:5])) * (1 if tz[0] == "+" else -1)
     dt = datetime(year, mon, day, hh, mm, ss,
                   tzinfo=timezone(timedelta(minutes=off)))

@@ -153,14 +153,12 @@ def write_geojson(
             ensure_ascii=False,
             sort_keys=True,
         ).encode("utf-8")
-        name = hashlib.md5(body).hexdigest()[:16]
-        tmp = os.path.join(out_dir, f".tmp-{name}")
-        dst = os.path.join(out_dir, f"part-{name}.geojson")
-        if not os.path.exists(dst):
-            with open(tmp, "wb") as fh:
-                fh.write(body)
-            os.replace(tmp, dst)
-        return pa.table({"n": pa.array([len(feats)], pa.int64())})
+        from ._sink import write_shard
+
+        _path, created = write_shard(out_dir, body, ".geojson")
+        return pa.table(
+            {"n": pa.array([len(feats) if created else 0], pa.int64())}
+        )
 
     counts = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
     with open(os.path.join(out_dir, "_SUCCESS"), "w") as fh:

@@ -26,6 +26,8 @@ from inside the tasks — the driver never sees the data.
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import gzip
 import hashlib
 import io
@@ -175,13 +177,11 @@ def write_jsonl(
             with pa.output_stream(sink, compression="zstd") as o:
                 o.write(payload)
             payload = bytes(sink.getvalue())
-        name = hashlib.md5(payload).hexdigest()[:16]
-        path = os.path.join(out_dir, f"part-{name}{ext}")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, payload, ext, prefix="part-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=None

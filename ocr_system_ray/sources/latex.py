@@ -85,6 +85,17 @@ def latex_extract_text(src: str) -> dict:
     n_footnotes, n_envs_dropped}``.  Raises ``ValueError`` on an
     unclosed droppable environment."""
     s = src or ""
+
+    protected: list[str] = []
+
+    def _protect(mm: re.Match) -> str:
+        protected.append(mm.group(1))
+        return f"\x00{len(protected) - 1}\x00"
+
+    # verbatim FIRST, on the raw source: the comment pass truncated
+    # verbatim lines at '%', and escape placeholders restored into the
+    # WRONG string leaked literal \x01 bytes into extracted text
+    s = _VERB_RE.sub(_protect, s)
     for lit, ph in _ESCAPES:
         s = s.replace(lit, ph)
     s = _COMMENT_RE.sub("", s)
@@ -94,14 +105,6 @@ def latex_extract_text(src: str) -> dict:
         e = re.search(r"\\end\{document\}", s)
         if e:
             s = s[: e.start()]
-
-    protected: list[str] = []
-
-    def _protect(mm: re.Match) -> str:
-        protected.append(mm.group(1))
-        return f"\x00{len(protected) - 1}\x00"
-
-    s = _VERB_RE.sub(_protect, s)
 
     n_math = 0
     for rx in _DISPLAY_RES + _INLINE_RES:

@@ -26,6 +26,8 @@ contract for DB-consuming downstreams, at corpus scale.
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import hashlib
 import os
 import sqlite3
@@ -81,13 +83,11 @@ def write_sqlite_shards(
         con.commit()
         blob = con.serialize()
         con.close()
-        name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"shard-{name}.sqlite")
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, blob, '.sqlite', prefix="shard-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=None

@@ -34,6 +34,8 @@ explicit column list; here the "header" is the per-record schema.)
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import hashlib
 import os
 import struct
@@ -343,13 +345,11 @@ def write_tfrecord(
             for r in range(len(t))
         ]
         blob = frame_records(payloads)
-        name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"shard-{name}.tfrecord")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, blob, '.tfrecord', prefix="shard-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).take_all()
     n = int(sum(p["rows"] for p in parts))
@@ -385,8 +385,13 @@ def read_tfrecord(
                     if k == "bytes":
                         outs[c].append(values[0] if values else b"")
                     else:
+                        # empty list = the null encoding the writer
+                        # emits — read back as NULL (a bare [] next to
+                        # scalars was an ArrowInvalid mixed-type crash)
                         outs[c].append(
-                            values[0] if len(values) == 1 else list(values)
+                            values[0]
+                            if len(values) == 1
+                            else (None if len(values) == 0 else list(values))
                         )
         cols: dict = {}
         for c, k in items:

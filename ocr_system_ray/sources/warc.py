@@ -26,6 +26,8 @@ task.
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import zlib
 from datetime import datetime, timezone
 
@@ -241,13 +243,11 @@ def write_wet(
                 _gzip.compress(head + payload + b"\r\n\r\n", mtime=0)
             )
         blob = b"".join(chunks)
-        name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"wet-{name}.warc.wet.gz")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(t)], pa.int64())})
+        path, created = write_shard(out_dir, blob, '.warc.wet.gz', prefix="wet-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(t) if created else 0], pa.int64())})
 
     parts = ds.map_batches(
         write_block, batch_format="pyarrow", batch_size=None

@@ -21,6 +21,8 @@ one task per shard, samples expanded in-stage (1→N flat-map), so a
 
 from __future__ import annotations
 
+from ._sink import write_shard
+
 import hashlib
 import io
 import os
@@ -69,13 +71,11 @@ def write_webdataset(
                 payload = v.encode("utf-8") if isinstance(v, str) else bytes(v)
                 entries.append((f"{key}.{ext}", payload))
         blob = _tar_bytes(entries)
-        name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"wds-{name}.tar")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
-        return pa.table({"rows": pa.array([len(keys)], pa.int64())})
+        path, created = write_shard(out_dir, blob, '.tar', prefix="wds-")
+        # content-addressed coalescing: a byte-identical shard
+        # already on disk persists these rows — count 0 so the
+        # sink total equals what a read-back yields
+        return pa.table({"rows": pa.array([len(keys) if created else 0], pa.int64())})
 
     parts = ds.map_batches(write_block, batch_format="pyarrow", batch_size=None).take_all()
     n = int(sum(p["rows"] for p in parts))

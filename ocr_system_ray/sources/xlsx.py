@@ -182,6 +182,16 @@ def read_xlsx_table(payload: bytes, sheet: str | None = None):
     if not grid:
         return pa.table({})
     header = [str(h) if h is not None else "" for h in grid[0]]
+    # duplicate header names are structurally valid XLSX — uniquify
+    # deterministically (a, a__2, a__3) instead of collapsing into one
+    # dict key (which built length-mismatched columns → ArrowInvalid)
+    seen: dict[str, int] = {}
+    uniq: list[str] = []
+    for h in header:
+        n = seen.get(h, 0) + 1
+        seen[h] = n
+        uniq.append(h if n == 1 else f"{h}__{n}")
+    header = uniq
     cols: dict[str, list[str]] = {h: [] for h in header}
     for row in grid[1:]:
         for h, v in zip(header, row):

@@ -145,7 +145,9 @@ def test_write_wet_round_trip(ray_session, tmp_path):
         (r["url"], r["warc_ts"] // 1_000_000, r["extracted_text"]) for r in rows
     }
     assert got == want
-    # idempotent re-run: same content-hash shard names, no duplicates
+    # idempotent re-run: same content-hash shard names, no duplicates;
+    # the count reflects rows NEWLY persisted (content-addressed
+    # coalescing — the shared _sink contract), so a full re-run is 0
     n2 = write_wet(ray_mod.data.from_arrow(t).repartition(4), out)
-    assert n2 == 40
+    assert n2 == 0
     assert sorted(glob.glob(out + "/*.warc.wet.gz")) == sorted(shards)
