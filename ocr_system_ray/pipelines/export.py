@@ -12,6 +12,8 @@ Contract pinned from the reference:
 
 from __future__ import annotations
 
+import re
+
 import os
 from collections.abc import Iterable, Sequence
 
@@ -70,12 +72,18 @@ _XLSX_WORKBOOK_RELS = (
 )
 
 
+_XML_ILLEGAL = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+)  # chars illegal in XML 1.0 even escaped — Excel rejects the sheet
+
+
 def _xml_escape(value: str) -> str:
-    return (
+    return _XML_ILLEGAL.sub(
+        "",
         value.replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
-        .replace('"', "&quot;")
+        .replace('"', "&quot;"),
     )
 
 
@@ -156,7 +164,19 @@ def project_columns(batch: pa.Table, columns: Sequence[str]) -> pa.Table:
     arrays = []
     for c in columns:
         if c in batch.column_names:
-            arrays.append(pc.fill_null(batch.column(c).cast(pa.string()), ""))
+            col = batch.column(c)
+            try:
+                arrays.append(pc.fill_null(col.cast(pa.string()), ""))
+            except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+                # non-string-castable types (list-typed spans etc.):
+                # stringify per value like the row-dict xlsx path — the
+                # two export paths must agree on the column contract
+                arrays.append(
+                    pa.array(
+                        ["" if v is None else str(v) for v in col.to_pylist()],
+                        pa.string(),
+                    )
+                )
         else:
             arrays.append(pa.array([""] * n, pa.string()))
     return pa.table(dict(zip(columns, arrays)))
@@ -167,7 +187,10 @@ def export_results(
 ) -> None:
     """K2-equivalent sink: project to the column contract, then write.
 
-    ``.csv`` suffix → a single-header csv directory via ``write_csv``;
+    ``.csv`` suffix → ONE csv file with ONE header (the reference's
+    append-mode csv contract, gui/app.py K2 — streamed batch-by-batch
+    on the driver, bounded memory; a ``write_csv`` DIRECTORY at a
+    ``.csv`` path broke every downstream reader expecting a file);
     ``.xlsx`` → one workbook via the stdlib writer (driver-side,
     streaming batches); otherwise a parquet directory (the scale path).
     """
@@ -182,6 +205,13 @@ def export_results(
         lambda t: project_columns(t, columns), batch_format="pyarrow"
     )
     if lower.endswith(".csv"):
-        projected.write_csv(out_path)
+        import csv as _csv
+
+        with open(out_path, "w", newline="", encoding="utf-8") as fh:
+            w = _csv.writer(fh)
+            w.writerow(list(columns))
+            for t in projected.iter_batches(batch_format="pyarrow"):
+                cols = [t.column(c).to_pylist() for c in columns]
+                w.writerows(zip(*cols))
     else:
         projected.write_parquet(out_path)

@@ -93,6 +93,12 @@ class PipelineConfig:
           in-stage routing costs one vectorized size filter per batch
           and needs no second pool.
         """
+        if num_cpus < 2:
+            raise ValueError(
+                "sized_for: needs >= 2 cpus — a pool on a 1-cpu host "
+                "reserves the only slot and deadlocks the stream "
+                "(pass an explicit PipelineConfig to override)"
+            )
         cfg = dict(parse_concurrency=max(1, min(num_cpus - 1, num_cpus * 7 // 8)))
         cfg.update(overrides)
         return cls(**cfg)
@@ -201,7 +207,15 @@ def run_resumable(
     a crash skips partitions whose lineage record is ``done`` with an
     unchanged input fingerprint.  Returns the manifest metrics dict.
     """
-    cfg = config or PipelineConfig()
+    # pipeline-matched default: document_fields' own entry point
+    # defaults to the legacy '\n' page join — a bare PipelineConfig()
+    # here silently joined pages with the EPL marker instead, so the
+    # two entry points produced different extracted text
+    cfg = config or (
+        PipelineConfig()
+        if pipeline == "final_extract"
+        else PipelineConfig(page_join="\n")
+    )
     shards = glob.glob(input_glob)
     if not shards:
         raise FileNotFoundError(f"no input shards match {input_glob}")

@@ -7931,7 +7931,10 @@ def q_cdx_collapse(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.filter(pc.not_equal(t.column("urlkey"), "")),
         batch_format="pyarrow",
     )
-    nb = 1 << _adaptive_coarse_bits(max(2, caps.count()))
+    # size buckets from the BASE table's metadata count (≤ 3 captures
+    # per doc by derivation) — counting the derived plan executed the
+    # whole flat-map+filter once just to size the shuffle
+    nb = 1 << _adaptive_coarse_bits(max(2, docs.count() * 3))
 
     def bucket(t: pa.Table) -> pa.Table:
         keys = t.column("urlkey").to_numpy(zero_copy_only=False)
@@ -8785,10 +8788,11 @@ def q_sssp_latency(sf_dir: str) -> ray.data.Dataset:
             {"src": pa.array(src[keep]), "dst": pa.array(dst[keep])}
         )
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
-        edges, batch_format="pyarrow"
-    )
-    nb = 1 << _adaptive_coarse_bits(max(2, ds.count()))
+    base = read_table(sf_dir, "documents", columns=["doc_id"])
+    ds = base.map_batches(edges, batch_format="pyarrow")
+    # ≤ 2 edges per doc by derivation — size from the metadata count
+    # instead of executing the edge derivation an extra time
+    nb = 1 << _adaptive_coarse_bits(max(2, base.count() * 2))
     weighted = _dedup_edges(ds, nb).map_batches(
         lambda t: t.append_column(
             "w",

@@ -16,6 +16,7 @@ on the identity key via one hash-partitioned groupby.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -72,6 +73,12 @@ def join_extract(
     CLAUDE.md).  Aggregators are pinned to fractional CPUs anyway so the
     pool can never crowd out the parse actors.
     """
+    # pin the shared parse stream ONCE: two lazy branches would each
+    # re-execute the whole read+parse (the r1 flagship defect; the
+    # _pin idiom cuts the stats lineage too)
+    from ..functions.dedup import _pin
+
+    parsed = _pin(parsed)
     lic = licenses_stream(parsed)
     dyn = dynamic_fields_stream(parsed, field_to_patterns)
     return lic.join(
@@ -86,13 +93,42 @@ def join_extract(
 def dedup_pages_by_url(pages: ray.data.Dataset) -> ray.data.Dataset:
     """Exact first-wins dedup on the identity key (reference A6 analog).
 
-    One hash-partitioned groupby; "first" = smallest ``warc_ts`` when
-    present (stable across runs), else arbitrary-but-single.
-    """
+    "First" = smallest ``(warc_ts, md5(html))`` when present — a
+    CONTENT tie-break, so the survivor is a pure function of the data
+    (the old unstable quicksort kept a run-order-dependent row on
+    equal timestamps).  ONE coarse url-bucket groupby with an in-group
+    pandas pass — grouping on the raw url key paid Ray's per-group
+    overhead once per DISTINCT URL (the documented high-cardinality
+    anti-pattern)."""
+    import hashlib
 
-    def first(group):  # pandas in
-        if "warc_ts" in group.columns:
-            group = group.sort_values("warc_ts")
-        return group.head(1)
+    import pandas as pd
 
-    return pages.groupby("url").map_groups(first, batch_format="pandas")
+    from ..functions.dedup import _adaptive_coarse_bits, _coarse_bucket
+
+    nb = 1 << _adaptive_coarse_bits(max(2, pages.count()))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        urls = np.array(
+            [u or "" for u in t.column("url").to_pylist()], dtype=object
+        )
+        return t.append_column("ub", pa.array(_coarse_bucket(urls, nb)))
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df.drop(columns=["ub"])
+        keys = [
+            hashlib.md5(h if isinstance(h, bytes) else (h or "").encode()).hexdigest()
+            for h in (df["html"] if "html" in df.columns else [b""] * len(df))
+        ]
+        df = df.assign(_tb=keys)
+        sort_cols = (["warc_ts", "_tb"] if "warc_ts" in df.columns else ["_tb"])
+        df = df.sort_values(sort_cols, kind="mergesort")
+        out = df.groupby("url", sort=False).head(1)
+        return out.drop(columns=["ub", "_tb"])
+
+    return (
+        pages.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(first, batch_format="pandas")
+    )

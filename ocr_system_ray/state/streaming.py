@@ -106,13 +106,14 @@ def sessionize_stream(
     gap_us = int(round(gap_seconds * 1_000_000))
 
     def partials(t: pa.Table) -> pa.Table:
+        # the SINGLE-sourced shuffle-key contract (an inline copy of
+        # the golden-ratio mix had drifted alongside dedup's)
+        from ..functions.dedup import _coarse_bucket
+
         out = session_partials_batch(t, key_col, ts_col, gap_seconds)
-        kn = out.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = ((kn * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(13)) % np.uint64(
-                max(1, num_buckets)
-            )
-        return out.append_column("bucket", pa.array(b.astype(np.int64)))
+        kn = out.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = _coarse_bucket(kn, max(1, num_buckets))
+        return out.append_column("bucket", pa.array(b))
 
     def merge_in_bucket(g):  # pandas DataFrame in
         import pandas as pd
@@ -642,7 +643,7 @@ def ams_f2_sql(
             FROM ams_j, ams_v
             GROUP BY j
         )
-        SELECT CAST((SELECT SUM(z * z) FROM ams_z)
+        SELECT CAST(COALESCE((SELECT SUM(z * z) FROM ams_z), 0)
                     // {n_counters} AS BIGINT) AS f2_est,
                CAST((SELECT COUNT(*) FROM ams_v) AS BIGINT) AS n_rows
     """

@@ -128,8 +128,14 @@ def test_export_results_csv_and_parquet(ray_session, tmp_path):
 
     csv_path = str(tmp_path / "out.csv")
     export_results(ds, csv_path, cols)
-    df = duckdb.sql(f"select * from '{csv_path}/*.csv'").df()
+    # ONE file with ONE header — the reference's append-csv contract
+    # (a write_csv DIRECTORY at a .csv path broke csv consumers)
+    import os as _os
+
+    assert _os.path.isfile(csv_path)
+    df = duckdb.sql(f"select * from '{csv_path}'").df()
     assert list(df.columns) == cols
+    assert len(df) == 2
 
     pq_path = str(tmp_path / "outdir")
     export_results(ds, pq_path, cols)
