@@ -124,6 +124,9 @@ def fit_quality_classifier(
     ds: ray.data.Dataset,
     label_col: str,
     text_col: str = "text",
+    # MODEL feature dimension (hashing trick), not a shuffle width —
+    # exempt from the adaptive-coarse-bucket rule: changing it changes
+    # the fitted weights and every downstream oracle hash
     num_buckets: int = 1024,
     n_iter: int = 12,
     l2: float = 1e-5,
@@ -275,7 +278,8 @@ def score_quality(
 def logistic_fit_twin(
     texts: list[str],
     labels: list[int],
-    num_buckets: int = 1024,
+    num_buckets: int = 1024,  # model feature dimension — see fit_quality_classifier
+
     n_iter: int = 12,
     l2: float = 1e-5,
     round_decimals: int = 6,

@@ -87,7 +87,7 @@ def duplicate_weights(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Soft dedup: per-document duplicate-group size and sampling weight
     instead of hard removal (the SlimPajama / DataComp-LM downweighting
@@ -109,6 +109,12 @@ def duplicate_weights(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+
+    if num_buckets is None:
+        # one (md5, id) row per input doc rides the shuffle — size the
+        # coarse key from the doc count (adaptive-width rule; count()
+        # on the untransformed input is a metadata shortcut)
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     hashed = ds.map_batches(
         lambda t: fingerprint_batch(t, text_col).select(["content_md5", id_col]),
@@ -553,14 +559,23 @@ def _pair_bucket_column(t: pa.Table, num_buckets: int, name: str = "pbucket") ->
 def dedup_pair_stream(
     pairs: ray.data.Dataset,
     value_cols: "dict[str, str]",
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Drop duplicate ``(id_a, id_b)`` rows from a candidate-pair
     stream with ONE pair-bucket groupby — the shared reassembly idiom
     every double-discovery join (grid, interval, deletion-signature)
     ends with.  ``value_cols``: carried columns → pandas dtype (the
-    empty-frame dtype pinning rule)."""
+    empty-frame dtype pinning rule).
+
+    ``num_buckets=None`` sizes the pair-bucket adaptively from the
+    stream's row count (the adaptive-width rule); the stream is pinned
+    first so the sizing count and the shuffle share one execution of
+    the upstream join plan."""
     import pandas as pd
+
+    if num_buckets is None:
+        pairs = _pin(pairs)
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, pairs.count()))
 
     def add_pb(t: pa.Table) -> pa.Table:
         return _pair_bucket_column(t, num_buckets, name="pb")
@@ -588,6 +603,35 @@ def dedup_pair_stream(
         pairs.map_batches(add_pb, batch_format="pyarrow")
         .groupby("pb")
         .map_groups(dd, batch_format="pandas")
+    )
+
+
+def _adaptive_text_buckets(
+    ds: ray.data.Dataset,
+    text_col: str,
+    per_doc,  # noqa: ANN001 — text -> exploded-row count
+    sample: int = 256,
+) -> tuple[int, int]:
+    """(exploded_buckets, doc_buckets) for operators that explode each
+    document into many shuffle rows (k-gram windows, lines): the doc
+    bucket scales with the doc count, the exploded bucket with
+    ``count × mean-rows-per-doc`` estimated from the first ``sample``
+    documents (one block's worth — cheap, deterministic for a given
+    input).  Fixed widths are wrong at both ends (adaptive-width
+    rule)."""
+    n_docs = max(2, ds.count())
+    try:
+        head = ds.limit(sample).select_columns([text_col]).take_all()
+    except Exception:
+        head = []
+    if head:
+        avg = sum(per_doc(r[text_col] or "") for r in head) / len(head)
+    else:
+        avg = 1.0
+    est = max(2, int(avg * n_docs))
+    return (
+        1 << _adaptive_coarse_bits(est),
+        1 << _adaptive_coarse_bits(n_docs),
     )
 
 
@@ -1422,7 +1466,10 @@ def duplicate_survivors(
     import pandas as pd
 
     labels = connected_components(pairs)
-    num_buckets = 4096
+    # ids + labels both ride the lookup shuffle; labels ≤ ids, so size
+    # from the corpus id count (adaptive-width rule; the id stream is a
+    # projection of a base table — count() is the metadata shortcut)
+    num_buckets = 1 << _adaptive_coarse_bits(max(2, all_ids.count()))
 
     def id_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col)
@@ -1564,7 +1611,7 @@ def dedup_against_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_buckets: int | None = None,
-    join_buckets: int = 1024,
+    join_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Survivor ids of ``new_ds`` whose text md5 is NOT in the persisted
     index — exact cross-corpus dedup without touching corpus documents.
@@ -1624,6 +1671,19 @@ def dedup_against_index(
         for b in sorted(seen)
         for f in sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
     ]
+
+    if join_buckets is None:
+        # adaptive-width rule: increment rows (pinned — count is free)
+        # + the selected index partitions' rows from parquet FOOTERS
+        # (metadata only, no data read)
+        import pyarrow.parquet as _pq
+
+        idx_rows = sum(
+            _pq.ParquetFile(f).metadata.num_rows for f in part_files
+        )
+        join_buckets = 1 << _adaptive_coarse_bits(
+            max(2, new_hashed.count() + idx_rows)
+        )
 
     def tag(m: int):  # noqa: ANN202
         def inner(t: pa.Table) -> pa.Table:
@@ -1919,8 +1979,8 @@ def repeated_ngram_stats(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    gram_buckets: int = 4096,
-    doc_buckets: int = 1024,
+    gram_buckets: int | None = None,
+    doc_buckets: int | None = None,
     min_count: int = 2,
     exact: bool = True,
 ) -> ray.data.Dataset:
@@ -1957,6 +2017,13 @@ def repeated_ngram_stats(
     zero-filled for documents with no repeated window.
     """
     import pandas as pd
+
+    if gram_buckets is None or doc_buckets is None:
+        gb, db = _adaptive_text_buckets(
+            ds, text_col, lambda t: max(0, len(t.split(" ")) - k + 1)
+        )
+        gram_buckets = gb if gram_buckets is None else gram_buckets
+        doc_buckets = db if doc_buckets is None else doc_buckets
 
     hits = _repeated_gram_hits(
         ds, k, text_col, id_col, gram_buckets, min_count, exact
@@ -2025,8 +2092,8 @@ def remove_repeated_ngrams(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    gram_buckets: int = 4096,
-    doc_buckets: int = 1024,
+    gram_buckets: int | None = None,
+    doc_buckets: int | None = None,
     min_count: int = 2,
     exact: bool = True,
 ) -> ray.data.Dataset:
@@ -2050,6 +2117,13 @@ def remove_repeated_ngrams(
     cumsum, never a Python scan per token.
     """
     import pandas as pd
+
+    if gram_buckets is None or doc_buckets is None:
+        gb, db = _adaptive_text_buckets(
+            ds, text_col, lambda t: max(0, len(t.split(" ")) - k + 1)
+        )
+        gram_buckets = gb if gram_buckets is None else gram_buckets
+        doc_buckets = db if doc_buckets is None else doc_buckets
 
     hits = _repeated_gram_hits(
         ds, k, text_col, id_col, gram_buckets, min_count, exact
@@ -2148,7 +2222,7 @@ def jaccard_verify_distributed(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
     bloom_bits: int = 1 << 23,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard per candidate pair, corpus-scale: →
@@ -2177,6 +2251,13 @@ def jaccard_verify_distributed(
 
     from ..state.streaming import build_bloom
 
+    if num_buckets is None:
+        # pin the pair stream (build_bloom consumes it too, so the
+        # sizing count shares one execution) and size from pair-member
+        # + surviving-doc rows ≈ 2·|pairs| each (adaptive-width rule)
+        pairs = _pin(pairs)
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, 4 * pairs.count()))
+
     bloom = build_bloom(pairs, ["id_a", "id_b"], num_bits=bloom_bits)
     import ray as _ray
 
@@ -2193,6 +2274,11 @@ def jaccard_verify_distributed(
         b = cache.get(key)
         if b is None:
             b = BloomFilter.deserialize(_broadcast_memo(bloom_ref), bloom_bits)
+            # same bound as textstats._BCAST_MEMO: long-lived workers
+            # otherwise accumulate dead multi-MB filters across
+            # operator invocations (unbounded-broadcast-memo class)
+            while len(cache) >= 8:
+                cache.pop(next(iter(cache)))
             cache[key] = b
         from ..state.streaming import bloom_keys
 
@@ -2701,8 +2787,8 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
-    line_buckets: int = 4096,
-    doc_buckets: int = 1024,
+    line_buckets: int | None = None,
+    doc_buckets: int | None = None,
     exact: bool = True,
     sep: str = "\n",
 ) -> ray.data.Dataset:
@@ -2744,6 +2830,13 @@ def line_dedup(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+
+    if line_buckets is None or doc_buckets is None:
+        lb_, db_ = _adaptive_text_buckets(
+            ds, text_col, lambda t: len(t.split(sep))
+        )
+        line_buckets = lb_ if line_buckets is None else line_buckets
+        doc_buckets = db_ if doc_buckets is None else doc_buckets
 
     def emit_lines(t: pa.Table) -> pa.Table:
         ids_out: list = []
@@ -3421,7 +3514,7 @@ def quality_survivors(
     quality_col: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact-dup survivor selection by QUALITY — the FineWeb/SlimPajama
     nuance over :func:`exact_dedup`'s min-id rule: of each identical-
@@ -3438,6 +3531,9 @@ def quality_survivors(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+
+    if num_buckets is None:
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     hashed = ds.map_batches(
         lambda t: fingerprint_batch(t, text_col).select(

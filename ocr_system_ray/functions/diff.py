@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .dedup import _coarse_bucket
+from .dedup import _adaptive_coarse_bits, _coarse_bucket
 from .textstats import fingerprint_batch
 
 
@@ -31,13 +31,19 @@ def corpus_diff(
     new_ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """→ ``(id_col, status)`` with status ∈ {added, removed, changed,
     unchanged}: removed = id only in old, added = only in new, changed
     = both sides but different content md5.  Ids must be unique per
     side (snapshot semantics)."""
     import pandas as pd
+
+    if num_buckets is None:
+        # both snapshots' (id, md5) rows ride the shuffle
+        num_buckets = 1 << _adaptive_coarse_bits(
+            max(2, old_ds.count() + new_ds.count())
+        )
 
     def keyed(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -95,7 +101,7 @@ def upsert_corpus(
     incr_ds: ray.data.Dataset,
     payload_schema: "dict[str, pa.DataType]",
     id_col: str = "doc_id",
-    num_buckets: int = 1024,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """MERGE a crawl increment into the corpus — the write-side
     companion of :func:`corpus_diff`: one row per id, the increment's
@@ -111,6 +117,12 @@ def upsert_corpus(
     nullable int64 payloads are NOT supported, coalesce upstream).
     """
     import pandas as pd
+
+    if num_buckets is None:
+        # full rows of both sides ride the shuffle once
+        num_buckets = 1 << _adaptive_coarse_bits(
+            max(2, base_ds.count() + incr_ds.count())
+        )
 
     cols = list(payload_schema)
 

@@ -87,6 +87,9 @@ def _doc_bucket_counts(text: str, num_buckets: int) -> np.ndarray:
 def fit_log_ratio(
     ds: ray.data.Dataset,
     target_col: str,
+    # MODEL feature dimension (hashed-gram histogram), not a shuffle
+    # width — exempt from the adaptive-coarse-bucket rule (changing it
+    # changes every importance weight)
     num_buckets: int = 1024,
     text_col: str = "text",
 ) -> np.ndarray:

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .dedup import _coarse_bucket
+from .dedup import _adaptive_coarse_bits, _coarse_bucket
 
 
 def _require_valid_keys(col, key_col: str, op: str) -> None:  # noqa: ANN001
@@ -50,7 +50,7 @@ def asof_join_latest(
     ts_col: str = "ts",
     left_cols: tuple[str, ...] = (),
     out_ts_col: str = "right_ts",
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """For each left row: append ``out_ts_col`` = the latest right
     ``ts_col`` ≤ the left row's ``ts_col`` for the same ``key_col``
@@ -62,6 +62,12 @@ def asof_join_latest(
     resurface them at ns resolution (CLAUDE.md gotcha).
     """
     import pandas as pd
+
+    if num_buckets is None:
+        # both sides ride the shuffle — adaptive-width rule
+        num_buckets = 1 << _adaptive_coarse_bits(
+            max(2, left.count() + right.count())
+        )
 
     carry = [c for c in left_cols if c not in (key_col, ts_col)]
 
@@ -153,7 +159,7 @@ def window_count_join(
     lookback_us: int = 300_000_000,
     left_id_col: str = "event_id",
     out_col: str = "n_right",
-    num_buckets: int = 4096,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Keyed point-in-window range join (counting form): for each left
     row, ``out_col`` = number of right rows with the same ``key_col``
@@ -168,6 +174,12 @@ def window_count_join(
     rows with no matches keep count 0 (their probe rows always emit a
     partial)."""
     import pandas as pd
+
+    if num_buckets is None:
+        # left emits 2 probe rows per event, right 1 — adaptive rule
+        num_buckets = 1 << _adaptive_coarse_bits(
+            max(2, 2 * left.count() + right.count())
+        )
 
     lb = np.int64(lookback_us)
 

@@ -185,9 +185,13 @@ def theilsen_by_key(
     group)."""
     import pandas as pd
 
-    from .dedup import _adaptive_coarse_bits, _coarse_bucket
+    from .dedup import _adaptive_coarse_bits, _coarse_bucket, _pin
 
     if num_buckets is None:
+        # pin before counting (windows._bucketed rule): callers pass
+        # null-filtered map_batches plans, and a bare count() would
+        # execute the whole derive once just to size the shuffle
+        ds = _pin(ds)
         num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     def add_bucket(t: pa.Table) -> pa.Table:

@@ -121,7 +121,7 @@ def evaluate_robots(
     url_col: str = "url",
     host_col: str = "host",
     body_col: str = "robots_txt",
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Admission decision per URL → ``(id_col, host, allowed: int64)``.
 
@@ -132,6 +132,13 @@ def evaluate_robots(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+    from .dedup import _adaptive_coarse_bits
+
+    if num_buckets is None:
+        # both sides ride the host-bucket shuffle (adaptive-width rule)
+        num_buckets = 1 << _adaptive_coarse_bits(
+            max(2, urls.count() + robots.count())
+        )
 
     def bucket_of(hosts: list[str]) -> np.ndarray:
         return (stable_hash64(hosts) % np.uint64(num_buckets)).astype(np.int64)
@@ -202,7 +209,7 @@ def fetch_schedule(
     id_col: str = "doc_id",
     url_col: str = "url",
     priority_col: str | None = None,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Politeness planner: per host, order URLs by (priority DESC,
     url, id) and give each a fetch slot ``rank × crawl_delay_ms`` —
@@ -217,6 +224,10 @@ def fetch_schedule(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+    from .dedup import _adaptive_coarse_bits
+
+    if num_buckets is None:
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, urls.count()))
 
     def emit(t: pa.Table) -> pa.Table:
         pairs = [split_host_path(u) for u in t.column(url_col).to_pylist()]
@@ -325,7 +336,7 @@ def fetch_schedule_with_robots(
     id_col: str = "doc_id",
     url_col: str = "url",
     priority_col: str | None = None,
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Politeness planner driven by the hosts' OWN robots.txt: each
     host's ``Crawl-delay`` (``parse_crawl_delay``; ``default_delay_ms``
@@ -337,6 +348,12 @@ def fetch_schedule_with_robots(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+    from .dedup import _adaptive_coarse_bits
+
+    if num_buckets is None:
+        num_buckets = 1 << _adaptive_coarse_bits(
+            max(2, urls.count() + robots.count())
+        )
 
     def robot_rows(t: pa.Table) -> pa.Table:
         hosts = t.column("host").to_pylist()

@@ -647,7 +647,7 @@ def sa_span_mask(
     text_col: str = "text",
     id_col: str = "doc_id",
     cap: int = 512,
-    doc_buckets: int = 1024,
+    doc_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Suffix-array span masking — the consumption step that makes the
     SA the ExactSubstr structure Lee et al. 2022 actually use: a
@@ -663,6 +663,13 @@ def sa_span_mask(
     each LCP row flags both endpoints, a doc-bucket groupby merges the
     per-doc interval union vectorized.  ℓ ≤ suffix length by
     construction, so no doc-length bookkeeping is needed."""
+    from .dedup import _adaptive_coarse_bits
+
+    if doc_buckets is None:
+        # ≤2 flag rows per SA position ride the shuffle (adaptive rule;
+        # the SA's count is a metadata shortcut on its pinned plan)
+        doc_buckets = 1 << _adaptive_coarse_bits(max(2, 2 * sa.count()))
+
     lcp = lcp_adjacent(sa, docs, text_col=text_col, id_col=id_col, cap=cap)
 
     def emit_flags(t: pa.Table) -> pa.Table:

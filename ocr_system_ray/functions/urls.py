@@ -304,7 +304,7 @@ def anchor_text_counts(
     ds: ray.data.Dataset,
     html_col: str = "html",
     host_col: str = "dst_host",
-    num_buckets: int = 256,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Anchor-text corpus per target host (the link-text signal search
     engines and query-doc training sets are built from): every
@@ -319,6 +319,11 @@ def anchor_text_counts(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
+    from .dedup import _adaptive_coarse_bits
+
+    if num_buckets is None:
+        # pages explode into anchors (~tens per page) — adaptive rule
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count() * 16))
 
     def emit(t: pa.Table) -> pa.Table:
         hrefs: list[str] = []

@@ -1456,9 +1456,12 @@ def scd2_history(
     vectorized in-group.  Timestamps flow as int64 micros."""
     import pandas as pd
 
-    from .dedup import _adaptive_coarse_bits, _coarse_bucket as _cb
+    from .dedup import _adaptive_coarse_bits, _coarse_bucket as _cb, _pin
 
     if num_buckets is None:
+        # pin before counting (the _bucketed rule above): sizing from
+        # an unpinned filtered plan executes the whole derive twice
+        ds = _pin(ds)
         num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     def add_bucket(t: pa.Table) -> pa.Table:

@@ -37,8 +37,23 @@ def write_shard(
     tmp = path + f".tmp-{os.getpid()}"
     with open(tmp, "wb") as fh:
         fh.write(payload)
-    os.replace(tmp, path)
-    return path, True
+    # Atomic claim: exists-then-replace races (two tasks persisting
+    # byte-identical shards can both see the path absent and both
+    # report created=True, double-counting rows vs a read-back).
+    # os.link refuses to overwrite, so exactly ONE concurrent writer
+    # wins; losers count their rows 0.
+    try:
+        os.link(tmp, path)
+        created = True
+    except FileExistsError:
+        created = False
+    except OSError:
+        # filesystem without hard links — fall back to the racy
+        # replace (still atomic per-file, only the count can double)
+        os.replace(tmp, path)
+        return path, True
+    os.unlink(tmp)
+    return path, created
 
 
 def mark_success(out_dir: str) -> None:

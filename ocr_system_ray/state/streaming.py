@@ -90,7 +90,7 @@ def sessionize_stream(
     ds: ray.data.Dataset,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     gap_seconds: float = 1800.0,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
@@ -104,6 +104,12 @@ def sessionize_stream(
     segments, not events; the driver moves nothing.
     """
     gap_us = int(round(gap_seconds * 1_000_000))
+
+    if num_buckets is None:
+        from ..functions.dedup import _adaptive_coarse_bits
+
+        # session segments ≤ events ride the shuffle (adaptive rule)
+        num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     def partials(t: pa.Table) -> pa.Table:
         # the SINGLE-sourced shuffle-key contract (an inline copy of

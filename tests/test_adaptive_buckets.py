@@ -1,0 +1,99 @@
+"""Adaptive-bucket rule enforcement (VERDICT r4 item 4).
+
+Every coarse-bucket SHUFFLE width must default to adaptive sizing
+(``num_buckets=None`` → ``_adaptive_coarse_bits`` / an explicit
+row-count formula), never a fixed 4096/1024.  Fixed widths are wrong at
+both ends: near-empty pandas groups at bench scale, multi-GB groups at
+10⁹ docs (CLAUDE.md; the imagehash 27 s → 5 s precedent).
+
+MODEL dimensions that merely look like bucket counts (hashing-trick
+feature widths) are exempt — changing those changes fitted weights and
+oracle hashes — and are allowlisted explicitly so a new shuffle width
+cannot hide behind the exemption.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "ocr_system_ray"
+
+# (module basename, function name, param name): hashing-trick model
+# dimensions, NOT shuffle widths.
+_FEATURE_DIM_ALLOWLIST = {
+    ("classifier.py", "fit_quality_classifier", "num_buckets"),
+    ("classifier.py", "_doc_features", "num_buckets"),
+    ("classifier.py", "logistic_fit_twin", "num_buckets"),
+    ("dsir.py", "fit_log_ratio", "num_buckets"),
+    ("dsir.py", "_doc_bucket_counts", "num_buckets"),
+    ("dsir.py", "dsir_logweights", "num_buckets"),
+}
+
+# Persisted-index PARTITION LAYOUT parameters: recorded in the index's
+# `_index_meta.json` at build time and validated by every probe/update,
+# so they are an on-disk format contract, not a per-run shuffle width.
+# Their docstrings carry the raise-with-corpus-size guidance; a probe
+# against an index built with a different value fails loudly.
+_INDEX_LAYOUT_ALLOWLIST = {
+    ("bm25.py", "build_bm25_index", "prefix_buckets"),
+    ("dedup.py", "build_md5_index", "prefix_buckets"),
+    ("dedup.py", "build_simhash_index", "prefix_buckets"),
+    ("dedup.py", "build_minhash_index", "band_buckets"),
+    ("dedup.py", "build_minhash_index", "sig_buckets"),
+    ("imagehash.py", "build_phash_index", "prefix_buckets"),
+    ("invindex.py", "build_token_index", "prefix_buckets"),
+}
+_FEATURE_DIM_ALLOWLIST = _FEATURE_DIM_ALLOWLIST | _INDEX_LAYOUT_ALLOWLIST
+
+_BUCKET_PARAM_SUFFIXES = ("_buckets",)
+_BUCKET_PARAM_NAMES = ("num_buckets", "join_buckets")
+
+
+def _is_bucket_param(name: str) -> bool:
+    return name in _BUCKET_PARAM_NAMES or name.endswith(_BUCKET_PARAM_SUFFIXES)
+
+
+def test_no_fixed_bucket_defaults() -> None:
+    offenders: list[str] = []
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            args = node.args
+            all_args = args.args + args.kwonlyargs
+            defaults = [None] * (
+                len(args.args) - len(args.defaults)
+            ) + list(args.defaults) + list(args.kw_defaults)
+            for arg, default in zip(all_args, defaults):
+                if not _is_bucket_param(arg.arg):
+                    continue
+                if not isinstance(default, ast.Constant):
+                    continue
+                if not isinstance(default.value, int):
+                    continue  # None default = adaptive — fine
+                key = (path.name, node.name, arg.arg)
+                if key in _FEATURE_DIM_ALLOWLIST:
+                    continue
+                offenders.append(
+                    f"{path.relative_to(PKG.parent)}:{node.lineno} "
+                    f"{node.name}({arg.arg}={default.value})"
+                )
+    assert not offenders, (
+        "fixed coarse-bucket defaults (adaptive-width rule violated):\n"
+        + "\n".join(offenders)
+    )
+
+
+def test_allowlist_entries_exist() -> None:
+    """A stale allowlist row would quietly re-open the exemption."""
+    seen = set()
+    for path in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for arg in node.args.args + node.args.kwonlyargs:
+                    seen.add((path.name, node.name, arg.arg))
+    missing = _FEATURE_DIM_ALLOWLIST - seen
+    assert not missing, f"stale allowlist entries: {sorted(missing)}"
