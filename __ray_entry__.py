@@ -120,6 +120,7 @@ _DRIVER_SAMPLE_HEAD = [
     "near_dedup_survivors",
     "crawl_refresh",
     # round-5 additions join here as they land
+    "scan_preprocess",
 ]
 
 
@@ -237,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_png_i7": q.q_image_phash_png_i7,
         "mhtml_extract": q.q_mhtml_extract,
         "scan_ingest": q.q_scan_ingest,
+        "scan_preprocess": q.q_scan_preprocess,
         "srcset_urls": q.q_srcset_urls,
         "webp_lossless": q.q_webp_lossless,
         "gif_frames": q.q_gif_frames,
@@ -5490,6 +5492,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, g.width, g.height, g.ahash, g.dhash, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/imagehash_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # scan_preprocess: the reference's full preprocessing chain
+        # (bilateral/Canny/Hough deskew, adaptive threshold) — oracle =
+        # committed golden from the structurally-independent twin
+        # (tools/make_goldens.py:scanprep_golden; cv2 absent, so the
+        # twin + hand-stepped conformance fixtures adjudicate)
+        "scan_preprocess": """
+            SELECT d.doc_id, g.ok, g.width, g.height, g.n_lines,
+                   g.angle_mdeg, g.rotated, g.ink_ppm, g.out_md5
+            FROM documents d
+            JOIN '/root/repo/tests/golden/scanprep_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         # srcset_urls: every candidate row re-derived per branch

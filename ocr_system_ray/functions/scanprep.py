@@ -1,0 +1,539 @@
+"""Scanned-document preprocessing — the reference's full image chain
+(`/root/reference/ocr/preprocess.py:10-60`) re-implemented from scratch
+on numpy, no cv2:
+
+    grayscale → bilateral(d=7, σ_color=75, σ_space=75)
+    → Canny(50, 150, aperture 3) → HoughLines(1, π/180, vote 120)
+    → median line angle folded to (−45, 45], clipped ±10°,
+      rotate (bicubic, replicate border) only if |angle| > 0.5°
+    → adaptive Gaussian threshold(block=35, C=11) → 1×1 morph open.
+
+Every stage follows the OpenCV algorithm definition the reference
+relies on (fixed-point grayscale coefficients, the circular-mask
+bilateral neighborhood, the TG22 fixed-point non-max-suppression
+sectors, the float32 Hough tab accumulation with the >/≥ local-maximum
+asymmetry, Catmull-Rom-like bicubic with A = −0.75 on 1/32-quantized
+fractions, σ = 0.3·((k−1)/2 − 1) + 0.8 Gaussian sizing) so the chain
+measures the same thing the reference's cv2 calls measure.  cv2 is not
+available in this environment, so exact-output parity is pinned against
+an INDEPENDENT structurally-different twin
+(`tools/make_goldens.py:scanprep_golden`) plus hand-stepped conformance
+fixtures (`tests/test_scanprep.py`) — the imagehash oracle pattern.
+Documented residual divergences from cv2 (float64 vs float32
+accumulation in the bilateral/Gaussian stages, float vs short-scaled
+bicubic weights) are ≤1 LSB classes that the committed golden, not cv2,
+adjudicates.
+
+The reference's never-fail contract is kept verbatim: the whole
+deskew block (Canny → Hough → rotate) runs under ``try/except`` and
+any failure falls through to thresholding the unrotated image
+(`preprocess.py:19-47`).
+
+Ray shape: :func:`scan_preprocess_metrics` is a ``map_batches``
+actor-pool stage — pixels are decoded, processed, and reduced to
+row-sized metrics (+ an output-byte md5) INSIDE the stage; image
+payloads never ride a shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+# ---------------------------------------------------------------- gray
+
+# OpenCV's fixed-point BT.601 luma (modules/imgproc color_lut: R2Y=4899,
+# G2Y=9617, B2Y=1868, yuv_shift=14) — integer-exact, no float round-trip
+_R2Y, _G2Y, _B2Y, _YSHIFT = 4899, 9617, 1868, 14
+
+
+def rgb_to_gray(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 RGB → (H, W) uint8 gray, cv2.COLOR_RGB2GRAY
+    fixed-point semantics: y = (4899·R + 9617·G + 1868·B + 2^13) >> 14.
+    2-D inputs pass through unchanged (`preprocess.py:12-15`)."""
+    if img.ndim == 2:
+        return img
+    r = img[..., 0].astype(np.int64)
+    g = img[..., 1].astype(np.int64)
+    b = img[..., 2].astype(np.int64)
+    y = (r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_YSHIFT - 1))) >> _YSHIFT
+    return y.astype(np.uint8)
+
+
+# ----------------------------------------------------------- bilateral
+
+
+def _bilateral_offsets(radius: int) -> list[tuple[int, int]]:
+    """cv2.bilateralFilter's CIRCULAR neighborhood: all (i, j) with
+    sqrt(i² + j²) ≤ radius — 29 taps at radius 3, not the full 49."""
+    offs = []
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            if math.sqrt(i * i + j * j) <= radius:
+                offs.append((i, j))
+    return offs
+
+
+def bilateral_filter(
+    gray: np.ndarray,
+    d: int = 7,
+    sigma_color: float = 75.0,
+    sigma_space: float = 75.0,
+) -> np.ndarray:
+    """Edge-preserving denoise, cv2.bilateralFilter semantics
+    (`preprocess.py:17`): weight(q) = exp(−‖p−q‖²/2σ_s²) ·
+    exp(−(I(p)−I(q))²/2σ_c²) over the circular radius-⌊d/2⌋
+    neighborhood, REFLECT_101 border, result rounded half-to-even.
+    Vectorized as one shift-accumulate pass per tap (29 at d=7)."""
+    radius = d // 2
+    gc = -0.5 / (sigma_color * sigma_color)
+    gs = -0.5 / (sigma_space * sigma_space)
+    color_w = np.exp(gc * np.arange(256, dtype=np.float64) ** 2)
+    pad = np.pad(gray, radius, mode="reflect").astype(np.int64)
+    h, w = gray.shape
+    center = pad[radius : radius + h, radius : radius + w]
+    num = np.zeros((h, w), dtype=np.float64)
+    den = np.zeros((h, w), dtype=np.float64)
+    for i, j in _bilateral_offsets(radius):
+        sw = math.exp(gs * (i * i + j * j))
+        sh = pad[radius + i : radius + i + h, radius + j : radius + j + w]
+        wgt = sw * color_w[np.abs(center - sh)]
+        num += wgt * sh
+        den += wgt
+    return np.clip(np.rint(num / den), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------- canny
+
+# tan(22.5°) in Q15 (OpenCV CANNY_SHIFT=15, TG22=13573)
+_TG22 = 13573
+_CANNY_SHIFT = 15
+
+
+def _sobel3(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """3×3 Sobel dx/dy, int16 range, REPLICATE border (what cv2.Canny
+    passes to Sobel).  dy increases downward (image coordinates)."""
+    p = np.pad(gray.astype(np.int32), 1, mode="edge")
+    h, w = gray.shape
+    # separable: dx = [1 2 1]ᵀ ⊗ [-1 0 1]; dy = [-1 0 1]ᵀ ⊗ [1 2 1]
+    sm_v = p[:-2, :] + 2 * p[1:-1, :] + p[2:, :]  # vertical smooth
+    dx = sm_v[:, 2:] - sm_v[:, :-2]
+    df_v = p[2:, :] - p[:-2, :]  # vertical derivative
+    dy = df_v[:, :-2] + 2 * df_v[:, 1:-1] + df_v[:, 2:]
+    assert dx.shape == (h, w) and dy.shape == (h, w)
+    return dx, dy
+
+
+def canny(
+    gray: np.ndarray, threshold1: int = 50, threshold2: int = 150
+) -> np.ndarray:
+    """cv2.Canny(aperture 3, L1 gradient) from scratch
+    (`preprocess.py:20`): Sobel → |dx|+|dy| magnitude → fixed-point
+    TG22 sector non-max suppression (the exact >/≥ neighbor
+    asymmetries) → two-threshold hysteresis by 8-connected BFS from
+    strong pixels.  Returns uint8 {0, 255}."""
+    low, high = min(threshold1, threshold2), max(threshold1, threshold2)
+    dx, dy = _sobel3(gray)
+    mag = np.abs(dx) + np.abs(dy)  # L1, the cv2 default
+    h, w = gray.shape
+    mp = np.zeros((h + 2, w + 2), dtype=np.int64)
+    mp[1:-1, 1:-1] = mag
+    m = mp[1:-1, 1:-1]
+    left, right = mp[1:-1, :-2], mp[1:-1, 2:]
+    up, down = mp[:-2, 1:-1], mp[2:, 1:-1]
+    ul, ur = mp[:-2, :-2], mp[:-2, 2:]
+    ll, lr = mp[2:, :-2], mp[2:, 2:]
+
+    x = np.abs(dx).astype(np.int64)
+    y = np.abs(dy).astype(np.int64) << _CANNY_SHIFT
+    tg22x = x * _TG22
+    tg67x = tg22x + ((x + x) << _CANNY_SHIFT)
+    horiz = y < tg22x
+    vert = y > tg67x
+    diag = ~horiz & ~vert
+    s_neg = (dx ^ dy) < 0  # raw sign XOR, the cv2 sector-sign rule
+    cand = (
+        (horiz & (m > left) & (m >= right))
+        | (vert & (m > up) & (m >= down))
+        | (diag & ~s_neg & (m > ul) & (m > lr))
+        | (diag & s_neg & (m > ur) & (m > ll))
+    ) & (m > low)
+    strong = cand & (m > high)
+    weak = cand & ~strong
+
+    # hysteresis: frontier BFS over flat indices (8-connectivity)
+    hw = h * w
+    weak_flat = weak.ravel()
+    vis = strong.ravel().copy()
+    frontier = np.flatnonzero(vis)
+    if frontier.size:
+        nbr = np.array(
+            [-w - 1, -w, -w + 1, -1, 1, w - 1, w, w + 1], dtype=np.int64
+        )
+        col = np.arange(hw, dtype=np.int64) % w
+        while frontier.size:
+            cand_idx = (frontier[:, None] + nbr[None, :]).ravel()
+            src_col = np.repeat(col[frontier], 8)
+            dcol = np.tile(np.array([-1, 0, 1, -1, 1, -1, 0, 1]), frontier.size)
+            ok = (
+                (cand_idx >= 0)
+                & (cand_idx < hw)
+                & (src_col + dcol >= 0)
+                & (src_col + dcol < w)
+            )
+            cand_idx = cand_idx[ok]
+            new = cand_idx[weak_flat[cand_idx] & ~vis[cand_idx]]
+            if new.size == 0:
+                break
+            new = np.unique(new)
+            vis[new] = True
+            frontier = new
+    out = np.zeros((h, w), dtype=np.uint8)
+    out.ravel()[vis] = 255
+    return out
+
+
+# --------------------------------------------------------------- hough
+
+
+def hough_lines(
+    edges: np.ndarray,
+    rho: float = 1.0,
+    theta: float = math.pi / 180.0,
+    threshold: int = 120,
+) -> np.ndarray:
+    """cv2.HoughLines standard transform (`preprocess.py:21`) →
+    (n, 2) float array of (rho, theta) rows, sorted by vote count
+    descending with the accumulator-index tiebreak.  Matches the cv2
+    discretization: float32 sin/cos tabs, round-half-even vote binning,
+    the (>, ≥) local-maximum asymmetry over the zero-padded
+    accumulator."""
+    h, w = edges.shape
+    numangle = int(round(math.pi / theta))
+    numrho = int(round(((w + h) * 2 + 1) / rho))
+    ys, xs = np.nonzero(edges)
+    if xs.size == 0:
+        return np.zeros((0, 2), dtype=np.float64)
+    tab_cos = np.array(
+        [math.cos(n * theta) / rho for n in range(numangle)], dtype=np.float32
+    )
+    tab_sin = np.array(
+        [math.sin(n * theta) / rho for n in range(numangle)], dtype=np.float32
+    )
+    xs32 = xs.astype(np.float32)
+    ys32 = ys.astype(np.float32)
+    off = (numrho - 1) // 2
+    acc = np.zeros((numangle, numrho), dtype=np.int64)
+    for n in range(numangle):
+        r = np.rint(xs32 * tab_cos[n] + ys32 * tab_sin[n]).astype(np.int64) + off
+        acc[n] = np.bincount(r, minlength=numrho)
+    ap = np.zeros((numangle + 2, numrho + 2), dtype=np.int64)
+    ap[1:-1, 1:-1] = acc
+    c = ap[1:-1, 1:-1]
+    is_max = (
+        (c > threshold)
+        & (c > ap[1:-1, :-2])
+        & (c >= ap[1:-1, 2:])
+        & (c > ap[:-2, 1:-1])
+        & (c >= ap[2:, 1:-1])
+    )
+    ns, rs = np.nonzero(is_max)
+    if ns.size == 0:
+        return np.zeros((0, 2), dtype=np.float64)
+    votes = c[ns, rs]
+    # sort: votes desc, accumulator index (n-major, r-minor) asc
+    order = np.lexsort((ns * (numrho + 2) + rs, -votes))
+    ns, rs = ns[order], rs[order]
+    out = np.empty((ns.size, 2), dtype=np.float64)
+    out[:, 0] = (rs - (numrho - 1) * 0.5) * rho
+    out[:, 1] = ns * theta
+    return out
+
+
+# -------------------------------------------------------------- deskew
+
+
+def deskew_angle(lines: np.ndarray) -> float:
+    """The reference's vote-to-angle rule (`preprocess.py:23-34`):
+    take the first 100 (rho, theta) lines, angle = θ·180/π − 90 folded
+    into (−45, 45] by ±90 steps, median, clipped to ±10°.  Returns 0.0
+    for an empty line set."""
+    if lines.shape[0] == 0:
+        return 0.0
+    angles = []
+    for k in range(min(100, lines.shape[0])):
+        angle_deg = lines[k, 1] * 180.0 / math.pi - 90.0
+        while angle_deg <= -45.0:
+            angle_deg += 90.0
+        while angle_deg > 45.0:
+            angle_deg -= 90.0
+        angles.append(angle_deg)
+    med = float(np.median(np.array(angles, dtype=np.float64)))
+    return float(np.clip(med, -10.0, 10.0))
+
+
+# -------------------------------------------------------------- rotate
+
+_A = -0.75  # OpenCV's bicubic coefficient
+_INTER_BITS = 5  # fractional coords quantized to 1/32
+_AB_BITS = 10  # affine coords computed in 1/1024 fixed point
+
+
+def _cubic_weights(f: np.ndarray) -> np.ndarray:
+    """OpenCV interpolateCubic (A = −0.75): 4 taps for fraction f,
+    last tap closes the partition of unity."""
+    a = _A
+    w0 = ((a * (f + 1) - 5 * a) * (f + 1) + 8 * a) * (f + 1) - 4 * a
+    w1 = ((a + 2) * f - (a + 3)) * f * f + 1
+    w2 = ((a + 2) * (1 - f) - (a + 3)) * (1 - f) * (1 - f) + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return np.stack([w0, w1, w2, w3], axis=-1)
+
+
+def get_rotation_matrix_2d(
+    center: tuple[float, float], angle: float, scale: float
+) -> np.ndarray:
+    """cv2.getRotationMatrix2D (`preprocess.py:38`)."""
+    rad = angle * math.pi / 180.0
+    a = math.cos(rad) * scale
+    b = math.sin(rad) * scale
+    cx, cy = center
+    return np.array(
+        [[a, b, (1 - a) * cx - b * cy], [-b, a, b * cx + (1 - a) * cy]],
+        dtype=np.float64,
+    )
+
+
+def _invert_affine(m: np.ndarray) -> np.ndarray:
+    d = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    d = 1.0 / d if d != 0 else 0.0
+    a11 = m[1, 1] * d
+    a12 = -m[0, 1] * d
+    a21 = -m[1, 0] * d
+    a22 = m[0, 0] * d
+    return np.array(
+        [
+            [a11, a12, -a11 * m[0, 2] - a12 * m[1, 2]],
+            [a21, a22, -a21 * m[0, 2] - a22 * m[1, 2]],
+        ],
+        dtype=np.float64,
+    )
+
+
+def warp_rotate(img: np.ndarray, rot_mat: np.ndarray) -> np.ndarray:
+    """cv2.warpAffine(INTER_CUBIC, BORDER_REPLICATE) semantics
+    (`preprocess.py:39-45`): destination-scan inverse mapping, source
+    coordinates quantized cv2-style (round at 1/1024, floor to 1/32),
+    4×4 bicubic stencil with replicate-clipped indices, rounded
+    half-to-even and saturated.  Weights stay float64 — cv2's
+    Q15-quantized short weights differ by ≤1 LSB (documented seam; the
+    committed golden adjudicates)."""
+    h, w = img.shape
+    inv = _invert_affine(rot_mat)
+    xs = np.arange(w, dtype=np.float64)
+    ys = np.arange(h, dtype=np.float64)
+    gx, gy = np.meshgrid(xs, ys)
+    sx = inv[0, 0] * gx + inv[0, 1] * gy + inv[0, 2]
+    sy = inv[1, 0] * gx + inv[1, 1] * gy + inv[1, 2]
+    # cv2 fixed-point: X = rint(s·2^10) >> (10−5) → 1/32 units
+    qx = np.rint(sx * (1 << _AB_BITS)).astype(np.int64) >> (_AB_BITS - _INTER_BITS)
+    qy = np.rint(sy * (1 << _AB_BITS)).astype(np.int64) >> (_AB_BITS - _INTER_BITS)
+    ix = qx >> _INTER_BITS
+    iy = qy >> _INTER_BITS
+    fx = (qx & ((1 << _INTER_BITS) - 1)) / float(1 << _INTER_BITS)
+    fy = (qy & ((1 << _INTER_BITS) - 1)) / float(1 << _INTER_BITS)
+    wx = _cubic_weights(fx)  # (H, W, 4)
+    wy = _cubic_weights(fy)
+    acc = np.zeros((h, w), dtype=np.float64)
+    src = img.astype(np.float64)
+    for dj in range(4):
+        cols = np.clip(ix + (dj - 1), 0, w - 1)
+        colw = wx[..., dj]
+        row_acc = np.zeros((h, w), dtype=np.float64)
+        for di in range(4):
+            rows = np.clip(iy + (di - 1), 0, h - 1)
+            row_acc += wy[..., di] * src[rows, cols]
+        acc += colw * row_acc
+    return np.clip(np.rint(acc), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- threshold
+
+
+def _gaussian_kernel(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel(ksize, sigma ≤ 0): σ = 0.3·((k−1)/2 − 1)
+    + 0.8, normalized float64 (k > 7 takes the computed path, not the
+    small fixed tables)."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def adaptive_threshold_gaussian(
+    img: np.ndarray, max_value: int = 255, block_size: int = 35, c: float = 11.0
+) -> np.ndarray:
+    """cv2.adaptiveThreshold(ADAPTIVE_THRESH_GAUSSIAN_C, THRESH_BINARY)
+    (`preprocess.py:49-56`): per-pixel threshold = Gaussian-weighted
+    block mean (separable 35-tap blur, REPLICATE border, rounded to
+    uint8), output = max_value where src − mean > −⌈C⌉ else 0 — the
+    exact integer comparison cv2's lookup table encodes."""
+    ksize = block_size
+    ker = _gaussian_kernel(ksize)
+    r = ksize // 2
+    p = np.pad(img.astype(np.float64), ((0, 0), (r, r)), mode="edge")
+    hh, ww = img.shape
+    horiz = np.zeros((hh, ww), dtype=np.float64)
+    for t in range(ksize):
+        horiz += ker[t] * p[:, t : t + ww]
+    p2 = np.pad(horiz, ((r, r), (0, 0)), mode="edge")
+    mean = np.zeros((hh, ww), dtype=np.float64)
+    for t in range(ksize):
+        mean += ker[t] * p2[t : t + hh, :]
+    mean_u8 = np.clip(np.rint(mean), 0, 255).astype(np.int64)
+    idelta = int(math.ceil(c))
+    out = np.where(
+        img.astype(np.int64) - mean_u8 > -idelta, np.uint8(max_value), np.uint8(0)
+    )
+    return out.astype(np.uint8)
+
+
+def morph_open_1x1(img: np.ndarray) -> np.ndarray:
+    """cv2.morphologyEx(MORPH_OPEN, ones((1,1))) — a 1×1 structuring
+    element makes erode and dilate identities, so the reference's final
+    step (`preprocess.py:58-60`) is a provable no-op; kept for
+    stage-for-stage parity."""
+    return img.copy()
+
+
+# ----------------------------------------------------------- the chain
+
+
+def preprocess_scan(img: np.ndarray) -> dict:
+    """The full reference chain with its never-fail deskew contract.
+
+    Returns ``{"out": uint8 (H, W) binary image, "angle": float
+    (post-clip median deskew angle, 0.0 when no rotation path ran),
+    "rotated": bool, "n_lines": int}``.
+    """
+    gray = rgb_to_gray(img)
+    denoised = bilateral_filter(gray)
+    angle = 0.0
+    rotated = False
+    n_lines = 0
+    try:
+        edges = canny(denoised, 50, 150)
+        lines = hough_lines(edges, 1.0, math.pi / 180.0, 120)
+        n_lines = int(lines.shape[0])
+        if n_lines > 0:
+            angle = deskew_angle(lines)
+            if abs(angle) > 0.5:
+                h, w = denoised.shape
+                rot = get_rotation_matrix_2d((w // 2, h // 2), angle, 1.0)
+                denoised = warp_rotate(denoised, rot)
+                rotated = True
+    except Exception:
+        # the reference swallows EVERYTHING here (`preprocess.py:46-47`)
+        pass
+    thresh = adaptive_threshold_gaussian(denoised, 255, 35, 11.0)
+    opened = morph_open_1x1(thresh)
+    return {"out": opened, "angle": angle, "rotated": rotated, "n_lines": n_lines}
+
+
+# ----------------------------------------------------------- Ray stage
+
+
+class ScanPreprocessStage:
+    """Actor-pool ``map_batches`` stage: decode scan payloads (TIFF /
+    netpbm / BMP via the existing from-scratch readers), run
+    :func:`preprocess_scan`, and reduce to row-sized metrics — payloads
+    die in-stage, the shuffleable output is ~60 B/row.
+
+    Output schema: ``(doc_id, ok, width, height, n_lines, angle_mdeg,
+    rotated, ink_ppm, out_md5)`` — angle in integer millidegrees and
+    ink (black-pixel) fraction in integer ppm so the committed-golden
+    SQL join compares exactly.
+    """
+
+    def __init__(self, image_col: str = "image", id_col: str = "doc_id") -> None:
+        from .imagehash import decode_image
+
+        def decode(raw: bytes):
+            try:
+                return decode_image(raw)
+            except Exception:
+                return None  # error-as-data: ok=0 row, never a dead task
+
+        self._decode = decode
+        self._image_col = image_col
+        self._id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self._id_col).to_pylist()
+        payloads = t.column(self._image_col).to_pylist()
+        oks, widths, heights, nlines, angles, rots, inks, md5s = (
+            [], [], [], [], [], [], [], [],
+        )
+        for raw in payloads:
+            px = self._decode(raw or b"")
+            if px is None:
+                oks.append(0)
+                widths.append(0)
+                heights.append(0)
+                nlines.append(0)
+                angles.append(0)
+                rots.append(0)
+                inks.append(0)
+                md5s.append("")
+                continue
+            res = preprocess_scan(px)
+            out = res["out"]
+            oks.append(1)
+            heights.append(int(out.shape[0]))
+            widths.append(int(out.shape[1]))
+            nlines.append(int(res["n_lines"]))
+            angles.append(int(round(res["angle"] * 1000.0)))
+            rots.append(1 if res["rotated"] else 0)
+            inks.append(
+                int(round(1_000_000.0 * float((out == 0).sum()) / out.size))
+            )
+            md5s.append(hashlib.md5(out.tobytes()).hexdigest())
+        return pa.table(
+            {
+                self._id_col: t.column(self._id_col),
+                "ok": pa.array(oks, pa.int64()),
+                "width": pa.array(widths, pa.int64()),
+                "height": pa.array(heights, pa.int64()),
+                "n_lines": pa.array(nlines, pa.int64()),
+                "angle_mdeg": pa.array(angles, pa.int64()),
+                "rotated": pa.array(rots, pa.int64()),
+                "ink_ppm": pa.array(inks, pa.int64()),
+                "out_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+
+def scan_preprocess_metrics(
+    ds: ray.data.Dataset,
+    image_col: str = "image",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Distributed scan preprocessing over a binary payload column —
+    an actor pool sized like the other pixel stages (small batches:
+    each image expands ~20× decoded)."""
+    from .dedup import _sig_pool_size
+
+    return ds.map_batches(
+        ScanPreprocessStage,
+        fn_constructor_kwargs={"image_col": image_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_sig_pool_size(),
+        num_cpus=1,
+    )

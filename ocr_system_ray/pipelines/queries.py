@@ -1769,6 +1769,74 @@ def q_scan_ingest(sf_dir: str) -> ray.data.Dataset:
     return image_hashes(docs.map_batches(payloads, batch_format="pyarrow"))
 
 
+SCAN_H, SCAN_W = 192, 256  # long enough that a ruled line clears the
+# reference's Hough vote threshold (120) even with staircase splitting
+
+
+def derived_scan_page(doc_id: int) -> np.ndarray:
+    """Deterministic ruled scan page with a PLANTED skew: dark stripes
+    of id-keyed period at angle ``base + quarter-offset`` where
+    ``base = (id·7) % 19 − 9`` degrees and the offset ∈ {−0.25, 0,
+    +0.25} keeps every planted angle off the 0.5° rotate boundary AND
+    off the Hough half-degree bin boundary.  base = 0 ids exercise the
+    no-rotate path (|median| ≤ 0.5).  Channels split ±5 around the
+    stripe value so the fixed-point RGB→gray weights are exercised.
+    Shared by the Ray query and the independent golden twin — only the
+    PIXELS are shared, the processing chain is recomputed."""
+    import math as _math
+
+    base = (doc_id * 7) % 19 - 9
+    angle = base + 0.25 * ((doc_id % 3) - 1)
+    period = 16 + (doc_id % 5)
+    th = angle * _math.pi / 180.0
+    y, x = np.mgrid[0:SCAN_H, 0:SCAN_W]
+    d = y * _math.cos(th) - x * _math.sin(th)
+    v = np.where(np.mod(d, period) < 3, 40, 220).astype(np.int64)
+    return np.stack(
+        [
+            v.astype(np.uint8),
+            np.clip(v - 5, 0, 255).astype(np.uint8),
+            np.clip(v + 5, 0, 255).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def q_scan_preprocess(sf_dir: str) -> ray.data.Dataset:
+    """The reference's FULL image-preprocessing chain
+    (`/root/reference/ocr/preprocess.py:10-60`) on real decoded scan
+    pixels: derived ruled pages with planted skews ship as baseline
+    TIFF (even ids, rotating endianness) / binary P6 netpbm (odd ids),
+    the stage decodes, deskews by the bilateral→Canny→Hough median-
+    angle rule and emits adaptive-threshold metrics (+ the output md5).
+    Corrupt payloads (%97) exercise the never-fail contract.  Oracle =
+    committed golden from the structurally-independent twin
+    (tools/make_goldens.py:scanprep_golden)."""
+    from ..functions.scanprep import scan_preprocess_metrics
+    from ..functions.tiffpixels import encode_pnm, encode_tiff
+
+    def payloads(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        out = []
+        for i in ids:
+            if i % IMG_BAD_MOD == 0:
+                out.append(b"not a scan")
+                continue
+            img = derived_scan_page(i)
+            if i % 2 == 0:
+                out.append(encode_tiff(img, big_endian=i % 6 == 2))
+            else:
+                out.append(encode_pnm(img))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "image": pa.array(out, pa.binary())}
+        )
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    return scan_preprocess_metrics(
+        docs.map_batches(payloads, batch_format="pyarrow")
+    )
+
+
 def q_srcset_urls(sf_dir: str) -> ray.data.Dataset:
     """Responsive-image asset discovery (``urls.srcset_candidates``):
     derived pages carry width-descriptor sets, a descriptor-less +

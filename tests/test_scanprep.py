@@ -1,0 +1,342 @@
+"""Conformance tests for the from-scratch reference preprocessing chain
+(`functions/scanprep.py` vs `/root/reference/ocr/preprocess.py:10-60`).
+
+cv2 is absent in this environment, so the oracle layers are:
+  1. hand-stepped fixtures per stage (this file) — small inputs whose
+     expected values are recomputed here with independent arithmetic;
+  2. the structurally-independent twin golden
+     (`tools/make_goldens.py:scanprep_golden`,
+     `tests/golden/scanprep_sf001.parquet`) — byte-compared in
+     `test_golden_agrees`;
+  3. the planted-skew recovery check — the chain must MEASURE the
+     derivation's real angle, not merely be self-consistent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_system_ray.functions import scanprep as sp
+
+
+def _striped(h, w, angle_deg, period=18, duty=3):
+    th = math.radians(angle_deg)
+    y, x = np.mgrid[0:h, 0:w]
+    d = y * math.cos(th) - x * math.sin(th)
+    v = np.where(np.mod(d, period) < duty, 40, 220).astype(np.uint8)
+    return np.stack([v] * 3, axis=-1)
+
+
+# ------------------------------------------------------------ gray
+
+
+def test_gray_fixed_point_values():
+    # independent arithmetic: plain-int evaluation of the cv2 formula
+    for r, g, b in [(0, 0, 0), (255, 255, 255), (10, 200, 77), (1, 2, 3), (255, 0, 0)]:
+        img = np.array([[[r, g, b]]], dtype=np.uint8)
+        want = (r * 4899 + g * 9617 + b * 1868 + 8192) // 16384
+        assert sp.rgb_to_gray(img)[0, 0] == want
+
+
+def test_gray_passthrough_2d():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert sp.rgb_to_gray(g) is g
+
+
+# -------------------------------------------------------- bilateral
+
+
+def test_bilateral_constant_is_identity():
+    img = np.full((10, 12), 77, np.uint8)
+    assert (sp.bilateral_filter(img) == 77).all()
+
+
+def test_bilateral_neighborhood_is_circular_29_taps():
+    assert len(sp._bilateral_offsets(3)) == 29
+    assert (3, 1) not in sp._bilateral_offsets(3)  # sqrt(10) > 3
+    assert (2, 2) in sp._bilateral_offsets(3)  # sqrt(8) ≤ 3
+
+
+def test_bilateral_impulse_hand_stepped():
+    # 9×9 zeros with a 255 impulse: recompute the center output with a
+    # scalar double loop over the circular mask
+    img = np.zeros((9, 9), np.uint8)
+    img[4, 4] = 255
+    out = sp.bilateral_filter(img)
+    num = den = 0.0
+    for i in range(-3, 4):
+        for j in range(-3, 4):
+            if math.sqrt(i * i + j * j) > 3:
+                continue
+            v = 255 if (i, j) == (0, 0) else 0
+            wgt = math.exp(-(i * i + j * j) / (2 * 75.0**2)) * math.exp(
+                -((255 - v) ** 2) / (2 * 75.0**2)
+            )
+            num += wgt * v
+            den += wgt
+    want = int(np.rint(num / den))
+    assert out[4, 4] == want
+
+
+# ------------------------------------------------------------ canny
+
+
+def test_canny_vertical_step_edge():
+    img = np.zeros((20, 20), np.uint8)
+    img[:, 10:] = 200
+    e = sp.canny(img, 50, 150)
+    ys, xs = np.nonzero(e)
+    assert set(np.unique(xs)) <= {9, 10}  # edge hugs the step
+    assert len(ys) >= 18
+
+
+def test_canny_horizontal_step_edge():
+    img = np.zeros((20, 20), np.uint8)
+    img[10:, :] = 200
+    e = sp.canny(img, 50, 150)
+    ys, xs = np.nonzero(e)
+    assert set(np.unique(ys)) <= {9, 10}
+
+
+def test_canny_below_threshold_silent():
+    img = np.zeros((20, 20), np.uint8)
+    img[:, 10:] = 10  # max Sobel response 4·10 = 40 < low 50
+    assert sp.canny(img, 50, 150).sum() == 0
+
+
+def test_canny_hysteresis_extends_weak():
+    # a strong step that decays along its length: weak-edge pixels
+    # connected to the strong section must survive, isolated weak must not
+    img = np.zeros((30, 20), np.uint8)
+    img[:15, 10:] = 200  # strong segment (|dx| >> high)
+    img[15:, 10:] = 30  # weak segment (4·30 = 120 ∈ (50, 150])
+    e = sp.canny(img, 50, 150)
+    ys = np.nonzero(e)[0]
+    assert ys.max() >= 27  # grew down into the weak half
+    img2 = np.zeros((30, 20), np.uint8)
+    img2[:, 10:] = 30  # full-height weak step: no strong seed anywhere
+    assert sp.canny(img2, 50, 150).sum() == 0
+
+
+# ------------------------------------------------------------ hough
+
+
+def test_hough_single_horizontal_line():
+    e = np.zeros((50, 200), np.uint8)
+    e[17, :] = 255
+    lines = sp.hough_lines(e, 1.0, math.pi / 180.0, 120)
+    assert lines.shape[0] >= 1
+    rho, theta = lines[0]
+    assert theta == pytest.approx(math.pi / 2)  # n = 90
+    assert rho == pytest.approx(17.0)
+
+
+def test_hough_single_vertical_line():
+    e = np.zeros((200, 60), np.uint8)
+    e[:, 23] = 255
+    lines = sp.hough_lines(e, 1.0, math.pi / 180.0, 120)
+    rho, theta = lines[0]
+    assert theta == pytest.approx(0.0)
+    assert rho == pytest.approx(23.0)
+
+
+def test_hough_threshold_is_strict():
+    e = np.zeros((50, 200), np.uint8)
+    e[17, :120] = 255  # exactly 120 votes — cv2 requires > threshold
+    assert sp.hough_lines(e, 1.0, math.pi / 180.0, 120).shape[0] == 0
+    e[17, :121] = 255
+    assert sp.hough_lines(e, 1.0, math.pi / 180.0, 120).shape[0] >= 1
+
+
+def test_hough_sort_by_votes_desc():
+    e = np.zeros((80, 200), np.uint8)
+    e[10, :200] = 255  # 200 votes
+    e[40, :150] = 255  # 150 votes
+    lines = sp.hough_lines(e, 1.0, math.pi / 180.0, 120)
+    assert lines[0][0] == pytest.approx(10.0)
+    assert lines[1][0] == pytest.approx(40.0)
+
+
+# ----------------------------------------------------------- deskew
+
+
+def test_deskew_fold_rules_hand_stepped():
+    # theta → angle: θ·180/π − 90 folded into (−45, 45], then the ±10
+    # clip (all one rule in the reference)
+    cases = [
+        (0.0, 0.0),  # −90 → fold +90 → 0 (boundary: −90 ≤ −45)
+        (math.pi / 2, 0.0),  # 0 stays
+        (math.radians(80), -10.0),
+        (math.radians(175), -5.0),  # 85 > 45 → −5
+        # −45 ≤ −45 → fold +90 → +45 → clip +10; a fold into (−45, 45)
+        # EXCLUSIVE would have left −45 → clip −10 — the SIGN pins the
+        # boundary direction
+        (math.radians(45), 10.0),
+        (math.radians(100), 10.0),
+    ]
+    for theta, want in cases:
+        lines = np.array([[0.0, theta]])
+        assert sp.deskew_angle(lines) == pytest.approx(want)
+
+
+def test_deskew_median_and_clip():
+    thetas = [math.radians(d) for d in (102, 103, 104)]  # angles 12,13,14
+    lines = np.array([[0.0, t] for t in thetas])
+    assert sp.deskew_angle(lines) == pytest.approx(10.0)  # clipped ±10
+    assert sp.deskew_angle(np.zeros((0, 2))) == 0.0
+
+
+def test_deskew_first_100_lines_only():
+    # 100 lines at +5° then 200 at −5°: the reference slices [:100]
+    a5 = [[0.0, math.radians(95)]] * 100
+    m5 = [[0.0, math.radians(85)]] * 200
+    assert sp.deskew_angle(np.array(a5 + m5)) == pytest.approx(5.0)
+
+
+# ----------------------------------------------------------- rotate
+
+
+def test_rotate_identity_at_angle_zero():
+    img = (np.arange(400) % 251).astype(np.uint8).reshape(20, 20)
+    rot = sp.get_rotation_matrix_2d((10, 10), 0.0, 1.0)
+    assert (sp.warp_rotate(img, rot) == img).all()
+
+
+def test_rotate_constant_stays_constant():
+    img = np.full((30, 40), 123, np.uint8)
+    rot = sp.get_rotation_matrix_2d((20, 15), 7.0, 1.0)
+    assert (sp.warp_rotate(img, rot) == 123).all()  # replicate border
+
+
+def test_rotation_matrix_matches_cv2_formula():
+    m = sp.get_rotation_matrix_2d((8, 6), 30.0, 1.0)
+    a = math.cos(math.radians(30.0))
+    b = math.sin(math.radians(30.0))
+    want = np.array([[a, b, (1 - a) * 8 - b * 6], [-b, a, b * 8 + (1 - a) * 6]])
+    assert np.allclose(m, want)
+
+
+def test_rotate_roundtrip_small_angle():
+    # rotate +4° then −4°: interior pixels return near their original
+    # values (bicubic is not exactly invertible — tolerance, interior only)
+    img = _striped(64, 64, 0.0)[..., 0]
+    rot = sp.get_rotation_matrix_2d((32, 32), 4.0, 1.0)
+    back = sp.get_rotation_matrix_2d((32, 32), -4.0, 1.0)
+    twice = sp.warp_rotate(sp.warp_rotate(img, rot), back)
+    inner = (slice(16, 48), slice(16, 48))
+    assert np.mean(np.abs(twice[inner].astype(int) - img[inner].astype(int))) < 12
+
+
+# -------------------------------------------------------- threshold
+
+
+def test_adaptive_threshold_constant_all_white():
+    img = np.full((40, 40), 90, np.uint8)
+    assert (sp.adaptive_threshold_gaussian(img) == 255).all()  # 0 > −11
+
+
+def test_adaptive_threshold_boundary_minus_11():
+    # src − mean == −11 must be BLACK (> −11 strict), −10 white:
+    # build a field where one pixel sits exactly delta below the
+    # (constant elsewhere) local mean, then verify with the integer rule
+    img = np.full((41, 41), 100, np.uint8)
+    out = sp.adaptive_threshold_gaussian(img, 255, 35, 11.0)
+    assert (out == 255).all()
+    img2 = img.copy()
+    img2[20, 20] = 60
+    out2 = sp.adaptive_threshold_gaussian(img2, 255, 35, 11.0)
+    # hand-step the center: mean ≈ 100 − 40·k₀² where k₀ is the center
+    # tap weight; recompute independently
+    ker = sp._gaussian_kernel(35)
+    mean_center = 100.0 - 40.0 * ker[17] * ker[17]
+    want_black = (60 - int(np.rint(mean_center))) <= -11
+    assert (out2[20, 20] == 0) == want_black
+
+
+def test_gaussian_kernel_sigma_rule():
+    k = sp._gaussian_kernel(35)
+    assert k.sum() == pytest.approx(1.0)
+    sigma = 0.3 * ((35 - 1) * 0.5 - 1) + 0.8
+    assert sigma == pytest.approx(5.6)
+    assert k[17] == k.max()
+    assert k[0] == pytest.approx(math.exp(-(17.0**2) / (2 * 5.6**2)) / (
+        sum(math.exp(-((i - 17.0) ** 2) / (2 * 5.6**2)) for i in range(35))
+    ))
+
+
+def test_morph_open_1x1_is_identity():
+    img = (np.arange(100) % 2 * 255).astype(np.uint8).reshape(10, 10)
+    out = sp.morph_open_1x1(img)
+    assert (out == img).all() and out is not img
+
+
+# ------------------------------------------------------- full chain
+
+
+def test_planted_skew_recovered():
+    for planted in (0.0, 2.0, -3.0, 7.0, -9.0):
+        res = sp.preprocess_scan(_striped(192, 256, planted))
+        assert res["angle"] == pytest.approx(planted, abs=0.51)
+        assert res["rotated"] == (abs(planted) > 0.5)
+
+
+def test_never_fail_contract(monkeypatch):
+    # the reference swallows every deskew failure (`preprocess.py:46-47`)
+    def boom(*a, **k):
+        raise RuntimeError("hough exploded")
+
+    monkeypatch.setattr(sp, "hough_lines", boom)
+    img = _striped(96, 128, 5.0)
+    res = sp.preprocess_scan(img)
+    assert res["rotated"] is False and res["angle"] == 0.0
+    assert res["out"].shape == (96, 128)
+    assert set(np.unique(res["out"])) <= {0, 255}
+
+
+def test_golden_agrees():
+    """Engine chain ≡ the committed structurally-independent twin on a
+    sample of sf0.01 ids (metrics AND output md5, byte-level)."""
+    from ocr_system_ray.pipelines.queries import IMG_BAD_MOD, derived_scan_page
+
+    g = pq.read_table("tests/golden/scanprep_sf001.parquet").to_pylist()
+    by_id = {r["doc_id"]: r for r in g}
+    for i in list(by_id)[:12] + [97]:
+        row = by_id[i]
+        if i % IMG_BAD_MOD == 0:
+            assert row["ok"] == 0
+            continue
+        res = sp.preprocess_scan(derived_scan_page(i))
+        assert hashlib.md5(res["out"].tobytes()).hexdigest() == row["out_md5"]
+        assert int(round(res["angle"] * 1000)) == row["angle_mdeg"]
+        assert res["n_lines"] == row["n_lines"]
+        assert int(res["rotated"]) == row["rotated"]
+
+
+def test_stage_handles_corrupt_payload(ray_session):
+    import ray.data
+
+    from ocr_system_ray.functions.scanprep import scan_preprocess_metrics
+    from ocr_system_ray.functions.tiffpixels import encode_pnm
+
+    import pyarrow as pa
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "image": pa.array(
+                [encode_pnm(_striped(96, 128, 2.0)), b"garbage"], pa.binary()
+            ),
+        }
+    )
+    out = (
+        scan_preprocess_metrics(ray.data.from_arrow(rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "ok"] == 1 and out.loc[2, "ok"] == 0
+    assert out.loc[1, "width"] == 128 and out.loc[1, "height"] == 96

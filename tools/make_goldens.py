@@ -2416,6 +2416,257 @@ def mp1_goldens() -> pa.Table:
                      for k, v in out.items()})
 
 
+def scanprep_golden() -> pa.Table:
+    """Independent twin of ``q_scan_preprocess``: shares ONLY the pixel
+    derivation (``derived_scan_page``) and re-implements the reference
+    preprocessing chain (`/root/reference/ocr/preprocess.py:10-60`)
+    with a structurally different decomposition — matrix-multiply
+    grayscale, sliding-window bilateral, 9-term Sobel correlation,
+    gathered-neighbor NMS, dilate-to-fixpoint hysteresis, one
+    ``np.add.at`` Hough accumulation, scalar local-maximum walk,
+    mod-arithmetic angle fold, homogeneous-inverse einsum bicubic and
+    ``np.convolve`` Gaussian — nothing imported from
+    ``functions/scanprep.py``.  Pixels skip the TIFF/PNM encode/decode
+    leg: its losslessness is pinned separately (``scan_ingest``), so a
+    decoder regression shows up here as an md5 mismatch."""
+    import hashlib as _hashlib
+    import math as _math
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ocr_system_ray.pipelines.queries import IMG_BAD_MOD, derived_scan_page
+
+    def chain(img: np.ndarray) -> dict:
+        # --- gray: fixed-point 601 via matmul
+        gray = (
+            (img.astype(np.int64) @ np.array([4899, 9617, 1868], np.int64) + 8192)
+            >> 14
+        ).astype(np.uint8)
+        h, w = gray.shape
+        # --- bilateral d=7 σ=75/75, circular mask, reflect-101
+        r = 3
+        ii, jj = np.mgrid[-r : r + 1, -r : r + 1]
+        circ = np.sqrt(ii * ii + jj * jj) <= r
+        sw = np.exp(-(ii * ii + jj * jj) / (2.0 * 75.0**2)) * circ
+        win = sliding_window_view(np.pad(gray, r, mode="reflect"), (7, 7)).astype(
+            np.float64
+        )
+        diff = win - gray[:, :, None, None].astype(np.float64)
+        wgt = sw * np.exp(-(diff * diff) / (2.0 * 75.0**2))
+        den = wgt.sum(axis=(2, 3))
+        den_img = np.clip(
+            np.rint((wgt * win).sum(axis=(2, 3)) / den), 0, 255
+        ).astype(np.uint8)
+        # --- Canny 50/150: 9-term Sobel correlation, replicate border
+        p = np.pad(den_img.astype(np.int64), 1, mode="edge")
+        kx = {(-1, -1): -1, (-1, 1): 1, (0, -1): -2, (0, 1): 2, (1, -1): -1, (1, 1): 1}
+        ky = {(-1, -1): -1, (-1, 0): -2, (-1, 1): -1, (1, -1): 1, (1, 0): 2, (1, 1): 1}
+        dx = np.zeros((h, w), np.int64)
+        dy = np.zeros((h, w), np.int64)
+        for (di, dj), kv in kx.items():
+            dx += kv * p[1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+        for (di, dj), kv in ky.items():
+            dy += kv * p[1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+        mag = np.abs(dx) + np.abs(dy)
+        mp = np.pad(mag, 1)
+
+        def nb(di: int, dj: int) -> np.ndarray:
+            return mp[1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+
+        x_ = np.abs(dx)
+        y_ = np.abs(dy) << 15
+        t22 = x_ * 13573
+        t67 = t22 + ((2 * x_) << 15)
+        horiz = y_ < t22
+        vert = y_ > t67
+        diag = ~(horiz | vert)
+        sneg = (dx ^ dy) < 0
+        keep = np.where(
+            horiz,
+            (mag > nb(0, -1)) & (mag >= nb(0, 1)),
+            np.where(
+                vert,
+                (mag > nb(-1, 0)) & (mag >= nb(1, 0)),
+                np.where(
+                    sneg,
+                    (mag > nb(-1, 1)) & (mag > nb(1, -1)),
+                    (mag > nb(-1, -1)) & (mag > nb(1, 1)),
+                ),
+            ),
+        )
+        cand = keep & (mag > 50)
+        strong = cand & (mag > 150)
+        weak = cand & ~strong
+        # hysteresis: dilate strong into weak to fixpoint
+        cur = strong.copy()
+        while True:
+            cp = np.pad(cur, 1)
+            grown = np.zeros((h, w), bool)
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di or dj:
+                        grown |= cp[1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+            nxt = cur | (weak & grown)
+            if (nxt == cur).all():
+                break
+            cur = nxt
+        edges = cur
+        # --- Hough (1, π/180, 120): one 2-D add.at
+        numangle = 180
+        numrho = int(round((w + h) * 2 + 1))
+        off = (numrho - 1) // 2
+        eys, exs = np.nonzero(edges)
+        n_lines = 0
+        angle = 0.0
+        if exs.size:
+            ang = np.arange(numangle)
+            tc = np.cos(ang * _math.pi / 180.0).astype(np.float32)
+            ts = np.sin(ang * _math.pi / 180.0).astype(np.float32)
+            rr = (
+                np.rint(
+                    exs[:, None].astype(np.float32) * tc[None, :]
+                    + eys[:, None].astype(np.float32) * ts[None, :]
+                ).astype(np.int64)
+                + off
+            )
+            acc = np.zeros((numangle, numrho), np.int64)
+            np.add.at(
+                acc, (np.broadcast_to(ang, rr.shape).ravel(), rr.ravel()), 1
+            )
+            ap = np.pad(acc, 1)
+            found = []
+            for n, rv in zip(*np.nonzero(acc > 120)):
+                b = ap[n + 1, rv + 1]
+                if (
+                    b > ap[n + 1, rv]
+                    and b >= ap[n + 1, rv + 2]
+                    and b > ap[n, rv + 1]
+                    and b >= ap[n + 2, rv + 1]
+                ):
+                    found.append((-b, n * numrho + rv, n, rv))
+            found.sort()
+            n_lines = len(found)
+            if n_lines:
+                angles = []
+                for _, _, n, rv in found[:100]:
+                    a = n - 90.0  # theta·180/π − 90, theta = n degrees
+                    f = ((a + 45.0) % 90.0) - 45.0
+                    if f == -45.0:
+                        f = 45.0
+                    angles.append(f)
+                angle = float(np.clip(np.median(angles), -10.0, 10.0))
+        rotated = False
+        if n_lines and abs(angle) > 0.5:
+            rotated = True
+            # --- bicubic rotate, replicate border, 1/32 quantization
+            rad = angle * _math.pi / 180.0
+            a_, b_ = _math.cos(rad), _math.sin(rad)
+            cx, cy = w // 2, h // 2
+            m3 = np.array(
+                [
+                    [a_, b_, (1 - a_) * cx - b_ * cy],
+                    [-b_, a_, b_ * cx + (1 - a_) * cy],
+                    [0.0, 0.0, 1.0],
+                ]
+            )
+            inv = np.linalg.inv(m3)
+            gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+            ones = np.ones_like(gx)
+            src = np.einsum(
+                "rc,chw->rhw",
+                inv[:2],
+                np.stack([gx, gy, ones]).astype(np.float64),
+            )
+            q = np.rint(src * 1024.0).astype(np.int64) >> 5
+            ipart = q >> 5
+            frac = (q & 31) / 32.0
+
+            def cw(f: np.ndarray) -> np.ndarray:
+                A = -0.75
+                w0 = ((A * (f + 1) - 5 * A) * (f + 1) + 8 * A) * (f + 1) - 4 * A
+                w1 = ((A + 2) * f - (A + 3)) * f * f + 1
+                w2 = ((A + 2) * (1 - f) - (A + 3)) * (1 - f) ** 2 + 1
+                return np.stack([w0, w1, w2, 1.0 - w0 - w1 - w2])
+
+            wxt = cw(frac[0])  # (4, H, W)
+            wyt = cw(frac[1])
+            samp = np.empty((4, 4, h, w), np.float64)
+            for ti in range(4):
+                rows = np.clip(ipart[1] + ti - 1, 0, h - 1)
+                for tj in range(4):
+                    cols = np.clip(ipart[0] + tj - 1, 0, w - 1)
+                    samp[ti, tj] = den_img[rows, cols]
+            den_img = np.clip(
+                np.rint(np.einsum("ihw,jhw,ijhw->hw", wyt, wxt, samp)), 0, 255
+            ).astype(np.uint8)
+        # --- adaptive gaussian threshold 35/11 via np.convolve
+        sigma = 0.3 * ((35 - 1) * 0.5 - 1) + 0.8
+        xs = np.arange(35, dtype=np.float64) - 17.0
+        ker = np.exp(-(xs * xs) / (2 * sigma * sigma))
+        ker /= ker.sum()
+        rr_ = 17
+        rowpad = np.pad(den_img.astype(np.float64), ((0, 0), (rr_, rr_)), mode="edge")
+        hz = np.array([np.convolve(row, ker[::-1], mode="valid") for row in rowpad])
+        colpad = np.pad(hz, ((rr_, rr_), (0, 0)), mode="edge")
+        mean = np.array(
+            [np.convolve(col, ker[::-1], mode="valid") for col in colpad.T]
+        ).T
+        mean_u8 = np.clip(np.rint(mean), 0, 255).astype(np.int64)
+        out = np.where(den_img.astype(np.int64) - mean_u8 > -11, 255, 0).astype(
+            np.uint8
+        )
+        return {
+            "out": out,
+            "angle": angle if n_lines else 0.0,
+            "rotated": rotated,
+            "n_lines": n_lines,
+        }
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    rows = {
+        k: []
+        for k in (
+            "doc_id", "ok", "width", "height", "n_lines",
+            "angle_mdeg", "rotated", "ink_ppm", "out_md5",
+        )
+    }
+    for i in ids:
+        rows["doc_id"].append(i)
+        if i % IMG_BAD_MOD == 0:
+            for k, v in (
+                ("ok", 0), ("width", 0), ("height", 0), ("n_lines", 0),
+                ("angle_mdeg", 0), ("rotated", 0), ("ink_ppm", 0), ("out_md5", ""),
+            ):
+                rows[k].append(v)
+            continue
+        res = chain(derived_scan_page(i))
+        out = res["out"]
+        rows["ok"].append(1)
+        rows["height"].append(out.shape[0])
+        rows["width"].append(out.shape[1])
+        rows["n_lines"].append(res["n_lines"])
+        rows["angle_mdeg"].append(int(round(res["angle"] * 1000.0)))
+        rows["rotated"].append(1 if res["rotated"] else 0)
+        rows["ink_ppm"].append(
+            int(round(1_000_000.0 * float((out == 0).sum()) / out.size))
+        )
+        rows["out_md5"].append(_hashlib.md5(out.tobytes()).hexdigest())
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "ok": pa.array(rows["ok"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "n_lines": pa.array(rows["n_lines"], pa.int64()),
+            "angle_mdeg": pa.array(rows["angle_mdeg"], pa.int64()),
+            "rotated": pa.array(rows["rotated"], pa.int64()),
+            "ink_ppm": pa.array(rows["ink_ppm"], pa.int64()),
+            "out_md5": pa.array(rows["out_md5"], pa.string()),
+        }
+    )
+
+
 def main() -> None:
     GOLDEN_DIR.mkdir(parents=True, exist_ok=True)
     ef = extract_fields_golden()
@@ -2502,6 +2753,9 @@ def main() -> None:
     m1 = mp1_goldens()
     pq.write_table(m1, GOLDEN_DIR / "mp1_features_sf001.parquet")
     print(f"mp1_features_sf001.parquet: {m1.num_rows} rows")
+    sg = scanprep_golden()
+    pq.write_table(sg, GOLDEN_DIR / "scanprep_sf001.parquet")
+    print(f"scanprep_sf001.parquet: {sg.num_rows} rows")
 
     import ray
 
