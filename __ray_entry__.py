@@ -121,6 +121,7 @@ _DRIVER_SAMPLE_HEAD = [
     "crawl_refresh",
     # round-5 additions join here as they land
     "scan_preprocess",
+    "sa_index_update",
 ]
 
 
@@ -375,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_array": q.q_suffix_array,
         "suffix_lcp": q.q_suffix_lcp,
         "sa_span_mask": q.q_sa_span_mask,
+        "sa_index_update": q.q_sa_index_update,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -2668,6 +2670,11 @@ def oracle_sql() -> dict[str, str]:
         # SA-based ExactSubstr span masking: neighbour-LCP flags +
         # gaps-and-islands interval union, identical tree
         "sa_span_mask": _sa_span_mask_sql(),
+        # sa_index_update: the persisted-index FOLD path — build on the
+        # even half, update_sa_index folds the odd half, span-mask from
+        # the result; the oracle is the FULL-scope span mask, so the
+        # fold must equal a rebuild bit-for-bit
+        "sa_index_update": _sa_span_mask_sql(),
         # adjacent-suffix LCP top-50 (cap 512 both engines; rank unique
         # so the LIMIT boundary is deterministic)
         "suffix_lcp": _suffix_lcp_sql(),

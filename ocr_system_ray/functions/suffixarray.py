@@ -85,6 +85,13 @@ __all__ = [
     "lcp_adjacent",
     "suffix_array_sql",
     "lcp_adjacent_sql",
+    "sa_span_mask",
+    "sa_span_mask_sql",
+    "build_sa_index",
+    "read_sa_index",
+    "sa_index_lcp_pairs",
+    "sa_span_mask_from_index",
+    "update_sa_index",
 ]
 
 _CP_BITS = 21  # max code point 0x10FFFF; cp+1 < 2^21
@@ -398,29 +405,20 @@ def suffix_array(
     )
 
 
-def lcp_adjacent(
+def _attach_suffixes(
     sa: ray.data.Dataset,
     docs: ray.data.Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    cap: int = 512,
-) -> ray.data.Dataset:
-    """LCP of lexicographically adjacent suffix pairs →
-    ``(rank, id_a, pos_a, id_b, pos_b, lcp)`` for every rank r paired
-    with r+1; ``lcp`` is the common-prefix length CAPPED at ``cap``
-    characters (both engine and SQL twin apply the identical cap — the
-    cap is what bounds the attached suffix strings to ``cap`` chars per
-    position instead of a quadratic full-suffix blowup).
-
-    Two reduce-side group passes: (1) per-doc join attaches
-    ``text[pos:pos+cap]`` to each SA row; (2) pair-bucket groupby
-    reassembles (r, r+1) neighbours and computes the LCP vectorized
-    (uint32 codepoint matrix per group)."""
-
-    # --- pass 1: attach capped suffix strings (tagged-union doc join)
-    # adaptive width from a cheap docs count × a per-doc position
-    # estimate (width only shapes group sizes, never results; counting
-    # the SA itself would re-run the whole prefix-doubling plan)
+    cap: int,
+    text_col: str,
+    id_col: str,
+) -> "tuple[ray.data.Dataset, int]":
+    """Pass 1 shared by :func:`lcp_adjacent` and the persisted index:
+    tagged-union reduce-side join attaching ``text[pos:pos+cap]`` to
+    every SA row → ``(rank, id_col, pos, suf)`` (+ the bucket width it
+    sized, reused for the pair pass).  Adaptive width from a cheap docs
+    count × a per-doc position estimate (width only shapes group
+    sizes, never results; counting the SA itself would re-run the whole
+    prefix-doubling plan)."""
     n_docs = docs.count()
     doc_buckets = 1 << _adaptive_coarse_bits(max(2, n_docs * 300))
 
@@ -488,6 +486,53 @@ def lcp_adjacent(
     with_suf = tagged.groupby("jb").map_groups(
         fetch_suffix, batch_format="pandas"
     )
+    return with_suf, doc_buckets
+
+
+def _lcp_of_string_pairs(
+    sufs_a: "list[str]", sufs_b: "list[str]", cap: int
+) -> np.ndarray:
+    """Vectorized capped LCP of parallel string lists (the uint32
+    codepoint-matrix kernel shared by :func:`lcp_adjacent` and the
+    persisted-index build/update paths)."""
+    n = len(sufs_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    mat_a = np.zeros((n, cap), dtype=np.uint32)
+    mat_b = np.zeros((n, cap), dtype=np.uint32)
+    for j, (a, b) in enumerate(zip(sufs_a, sufs_b)):
+        ca = np.frombuffer(a.encode("utf-32-le"), dtype="<u4")
+        cb = np.frombuffer(b.encode("utf-32-le"), dtype="<u4")
+        mat_a[j, : ca.size] = ca + 1
+        mat_b[j, : cb.size] = cb + 1
+    neq = mat_a != mat_b
+    any_neq = neq.any(axis=1)
+    return np.where(
+        any_neq,
+        neq.argmax(axis=1),
+        np.minimum((mat_a != 0).sum(axis=1), (mat_b != 0).sum(axis=1)),
+    ).astype(np.int64)
+
+
+def lcp_adjacent(
+    sa: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = 512,
+) -> ray.data.Dataset:
+    """LCP of lexicographically adjacent suffix pairs →
+    ``(rank, id_a, pos_a, id_b, pos_b, lcp)`` for every rank r paired
+    with r+1; ``lcp`` is the common-prefix length CAPPED at ``cap``
+    characters (both engine and SQL twin apply the identical cap — the
+    cap is what bounds the attached suffix strings to ``cap`` chars per
+    position instead of a quadratic full-suffix blowup).
+
+    Two reduce-side group passes: (1) per-doc join attaches
+    ``text[pos:pos+cap]`` to each SA row (:func:`_attach_suffixes`);
+    (2) pair-bucket groupby reassembles (r, r+1) neighbours and
+    computes the LCP vectorized (uint32 codepoint matrix per group)."""
+    with_suf, doc_buckets = _attach_suffixes(sa, docs, cap, text_col, id_col)
 
     # --- pass 2: pair (r, r+1) via double emission on a pair bucket
     pair_buckets = doc_buckets
@@ -543,22 +588,7 @@ def lcp_adjacent(
             return empty_out
         li, ri = starts, starts + 1
         suf = df["suf"].to_numpy(dtype=object)
-        mat_a = np.zeros((starts.size, cap), dtype=np.uint32)
-        mat_b = np.zeros((starts.size, cap), dtype=np.uint32)
-        for j, (a, b) in enumerate(zip(suf[li], suf[ri])):
-            ca = np.frombuffer(a.encode("utf-32-le"), dtype="<u4")
-            cb = np.frombuffer(b.encode("utf-32-le"), dtype="<u4")
-            mat_a[j, : ca.size] = ca + 1
-            mat_b[j, : cb.size] = cb + 1
-        neq = mat_a != mat_b
-        any_neq = neq.any(axis=1)
-        lcp = np.where(
-            any_neq,
-            neq.argmax(axis=1),
-            np.minimum(
-                (mat_a != 0).sum(axis=1), (mat_b != 0).sum(axis=1)
-            ),
-        ).astype(np.int64)
+        lcp = _lcp_of_string_pairs(list(suf[li]), list(suf[ri]), cap)
         ids = df[id_col].to_numpy(dtype=np.int64)
         pos = df["pos"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
@@ -663,14 +693,22 @@ def sa_span_mask(
     each LCP row flags both endpoints, a doc-bucket groupby merges the
     per-doc interval union vectorized.  ℓ ≤ suffix length by
     construction, so no doc-length bookkeeping is needed."""
-    from .dedup import _adaptive_coarse_bits
-
     if doc_buckets is None:
         # ≤2 flag rows per SA position ride the shuffle (adaptive rule;
         # the SA's count is a metadata shortcut on its pinned plan)
         doc_buckets = 1 << _adaptive_coarse_bits(max(2, 2 * sa.count()))
 
     lcp = lcp_adjacent(sa, docs, text_col=text_col, id_col=id_col, cap=cap)
+    return _span_mask_from_lcp(lcp, min_len, id_col, doc_buckets)
+
+
+def _span_mask_from_lcp(
+    lcp: ray.data.Dataset, min_len: int, id_col: str, doc_buckets: int
+) -> ray.data.Dataset:
+    """Flag/merge half of :func:`sa_span_mask`, shared with the
+    persisted-index probe: each ≥ min_len LCP row flags both endpoint
+    positions, a doc-bucket groupby merges the per-doc interval
+    union."""
 
     def emit_flags(t: pa.Table) -> pa.Table:
         l = t.column("lcp").to_numpy(zero_copy_only=False)
@@ -785,3 +823,561 @@ def sa_span_mask_sql(docs_from: str, min_len: int, cap: int = 512) -> str:
         )
         GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# persisted suffix-array index (build / probe / update)
+# ---------------------------------------------------------------------------
+#
+# The md5/minhash/BM25 index contract applied to the SA: build ONCE,
+# probe many times, fold increments into touched partitions — so the
+# ExactSubstr consumers (`sa_span_mask`, top-LCP reports, substring
+# probes) stop paying the ~25-stage prefix-doubling rebuild per query.
+#
+# Layout under ``index_dir``:
+#   sa/bucket=<b>/part-<contenthash>.parquet
+#       (bucket, loc, doc_id, pos, nxt_id, nxt_pos, lcp_next)
+#       rows of rank-range bucket b sorted by loc (0-based within the
+#       bucket); each row denormalizes its lexicographic SUCCESSOR and
+#       the capped LCP to it, so every probe is a pure column scan —
+#       the bucket-last row carries (-1, -1, -1) and its cross-bucket
+#       pair lives in boundary.parquet.
+#   bounds.parquet   — per bucket: size + first/last row identity and
+#       their capped suffix strings (the update router's key table;
+#       n/rows_per_bucket rows, driver-bounded: ~20k rows at 10⁹ chars)
+#   boundary.parquet — the (last-of-b, first-of-b+1) cross-bucket LCP
+#       pair rows (n_buckets-1 rows, rewritten whole on update)
+#   _index_meta.json — cap, id_col, rows_per_bucket, bucket sizes
+#
+# Absolute rank is NEVER stored: rank(row) = offset(bucket) + loc + 1
+# with offsets = exclusive cumsum of the meta's bucket sizes — an
+# update that inserts into bucket b rewrites ONLY b's file and the two
+# small driver-side tables; every later bucket's ranks shift via the
+# offset table, zero data movement (the "touched-partition update").
+#
+# Update-order caveat (documented contract): increments position new
+# suffixes by their CAPPED prefix, ties broken (doc_id, pos).  Two
+# DISTINCT suffixes sharing a full cap-length prefix would therefore
+# order by id instead of by their (beyond-cap) text — consistent with
+# the capped-LCP consumers (which cannot distinguish beyond cap either)
+# but a divergence from a full rebuild's exact order.  Corpora whose
+# longest repeat approaches ``cap`` should raise ``cap`` or rebuild.
+
+
+def _sa_index_shard(
+    index_dir: str, bucket: int, table: "pa.Table"
+) -> tuple[str, int]:
+    """Content-addressed parquet shard for one bucket (tmp + os.replace,
+    idempotent re-runs coalesce — the sources/_sink discipline, parquet
+    flavored)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq_
+
+    part_dir = os.path.join(index_dir, "sa", f"bucket={bucket}")
+    os.makedirs(part_dir, exist_ok=True)
+    key = hashlib.md5(
+        b"|".join(
+            [
+                table.column("doc_id").to_string().encode(),
+                table.column("pos").to_string().encode(),
+                table.column("lcp_next").to_string().encode(),
+            ]
+        )
+    ).hexdigest()[:16]
+    path = os.path.join(part_dir, f"part-{key}.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp-{os.getpid()}"
+        pq_.write_table(table, tmp)
+        os.replace(tmp, path)
+    return path, table.num_rows
+
+
+def _persist_bucket_group(
+    df: "pd.DataFrame",
+    index_dir: str,
+    id_col: str,
+    cap: int,
+    sort_cols: "list[str] | None" = None,
+) -> "pd.DataFrame":
+    """Sort one rank-bucket's (suf-attached) rows, compute successor
+    columns + capped LCPs, persist the shard, return ONE manifest row
+    (the per-block shard-write manifest pattern).  ``sort_cols``:
+    ``["sk"]`` at build (sk = the EXACT global rank — immune to
+    cap-length ties) or the default ``[suf, id, pos]`` at update (the
+    capped-order contract documented above)."""
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "path": pd.Series([], dtype="object"),
+                "first_suf": pd.Series([], dtype="object"),
+                "last_suf": pd.Series([], dtype="object"),
+                "first_id": pd.Series([], dtype="int64"),
+                "first_pos": pd.Series([], dtype="int64"),
+                "last_id": pd.Series([], dtype="int64"),
+                "last_pos": pd.Series([], dtype="int64"),
+            }
+        )
+    b = int(df["bucket"].iloc[0])
+    d = df.sort_values(sort_cols or ["suf", id_col, "pos"], kind="mergesort")
+    ids = d[id_col].to_numpy(dtype=np.int64)
+    pos = d["pos"].to_numpy(dtype=np.int64)
+    sufs = list(d["suf"].to_numpy(dtype=object))
+    n = len(d)
+    lcp_next = np.full(n, -1, dtype=np.int64)
+    nxt_id = np.full(n, -1, dtype=np.int64)
+    nxt_pos = np.full(n, -1, dtype=np.int64)
+    if n > 1:
+        lcp_next[:-1] = _lcp_of_string_pairs(sufs[:-1], sufs[1:], cap)
+        nxt_id[:-1] = ids[1:]
+        nxt_pos[:-1] = pos[1:]
+    table = pa.table(
+        {
+            "bucket": pa.array(np.full(n, b, dtype=np.int64)),
+            "loc": pa.array(np.arange(n, dtype=np.int64)),
+            "doc_id": pa.array(ids),
+            "pos": pa.array(pos),
+            "nxt_id": pa.array(nxt_id),
+            "nxt_pos": pa.array(nxt_pos),
+            "lcp_next": pa.array(lcp_next),
+        }
+    )
+    path, _ = _sa_index_shard(index_dir, b, table)
+    return pd.DataFrame(
+        {
+            "bucket": [b],
+            "n_rows": [n],
+            "path": [path],
+            "first_suf": [sufs[0]],
+            "last_suf": [sufs[-1]],
+            "first_id": [int(ids[0])],
+            "first_pos": [int(pos[0])],
+            "last_id": [int(ids[-1])],
+            "last_pos": [int(pos[-1])],
+        }
+    )
+
+
+def _write_index_driver_tables(
+    index_dir: str,
+    bounds: "pd.DataFrame",
+    cap: int,
+    id_col: str,
+    rows_per_bucket: int,
+) -> None:
+    """bounds.parquet + boundary.parquet + _index_meta.json from the
+    complete per-bucket bounds frame (sorted by bucket; driver-bounded:
+    one row per bucket)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    bounds = bounds.sort_values("bucket").reset_index(drop=True)
+    pq_.write_table(
+        pa.Table.from_pandas(bounds, preserve_index=False),
+        os.path.join(index_dir, "bounds.parquet"),
+    )
+    # cross-bucket boundary pairs: scalar capped LCP per adjacency
+    ba, paa, bb, pbb, lc, bks = [], [], [], [], [], []
+    for i in range(len(bounds) - 1):
+        a = bounds.iloc[i]
+        bnext = bounds.iloc[i + 1]
+        lcp = _lcp_of_string_pairs(
+            [a["last_suf"]], [bnext["first_suf"]], cap
+        )[0]
+        bks.append(int(a["bucket"]))
+        ba.append(int(a["last_id"]))
+        paa.append(int(a["last_pos"]))
+        bb.append(int(bnext["first_id"]))
+        pbb.append(int(bnext["first_pos"]))
+        lc.append(int(lcp))
+    pq_.write_table(
+        pa.table(
+            {
+                "bucket": pa.array(bks, pa.int64()),
+                "id_a": pa.array(ba, pa.int64()),
+                "pos_a": pa.array(paa, pa.int64()),
+                "id_b": pa.array(bb, pa.int64()),
+                "pos_b": pa.array(pbb, pa.int64()),
+                "lcp": pa.array(lc, pa.int64()),
+            }
+        ),
+        os.path.join(index_dir, "boundary.parquet"),
+    )
+    meta = {
+        "kind": "suffix_array",
+        "cap": cap,
+        "id_col": id_col,
+        "rows_per_bucket": rows_per_bucket,
+        "buckets": [int(x) for x in bounds["bucket"]],
+        "sizes": [int(x) for x in bounds["n_rows"]],
+    }
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def build_sa_index(
+    docs: ray.data.Dataset,
+    index_dir: str,
+    cap: int = 512,
+    rows_per_bucket: int = 50_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Build + persist the corpus suffix-array index (layout above).
+    Returns ``{"n_rows", "n_buckets"}``."""
+    import functools
+
+    sa = _pin(suffix_array(docs, text_col=text_col, id_col=id_col))
+    with_suf, _ = _attach_suffixes(sa, docs, cap, text_col, id_col)
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((rank - 1) // rows_per_bucket),
+                "sk": t.column("rank"),
+                id_col: t.column(id_col),
+                "pos": t.column("pos"),
+                "suf": t.column("suf"),
+            }
+        )
+
+    persist = functools.partial(
+        _persist_bucket_group,
+        index_dir=index_dir,
+        id_col=id_col,
+        cap=cap,
+        sort_cols=["sk"],
+    )
+    manifest = (
+        with_suf.map_batches(tag_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(persist, batch_format="pandas")
+        .to_pandas()
+    )
+    _write_index_driver_tables(index_dir, manifest, cap, id_col, rows_per_bucket)
+    return {
+        "n_rows": int(manifest["n_rows"].sum()),
+        "n_buckets": int(len(manifest)),
+    }
+
+
+def _sa_index_files_and_offsets(index_dir: str) -> tuple[list, dict, dict, dict]:
+    """(file list, offsets by bucket, sizes by bucket, meta)."""
+    import glob as _glob
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    sizes = dict(zip(meta["buckets"], meta["sizes"]))
+    offsets: dict[int, int] = {}
+    run = 0
+    for b in sorted(sizes):
+        offsets[b] = run
+        run += sizes[b]
+    files = [
+        f
+        for b in sorted(sizes)
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "sa", f"bucket={b}", "*.parquet"))
+        )
+    ]
+    return files, offsets, sizes, meta
+
+
+def read_sa_index(index_dir: str, id_col: str = "doc_id") -> ray.data.Dataset:
+    """The persisted SA as a Dataset ``(id_col, pos, sa_rank)`` — the
+    probe equivalent of :func:`suffix_array`'s output; ranks derived
+    from the offset table, no rebuild."""
+    files, offsets, _, meta = _sa_index_files_and_offsets(index_dir)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    off_ref = ray.put(offsets)
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        off = _broadcast_memo(off_ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        loc = t.column("loc").to_numpy(zero_copy_only=False)
+        rank = np.array([off[int(x)] for x in b], dtype=np.int64) + loc + 1
+        return pa.table(
+            {
+                id_col: t.column("doc_id"),
+                "pos": t.column("pos"),
+                "sa_rank": pa.array(rank),
+            }
+        )
+
+    return ray.data.read_parquet(
+        files, columns=["bucket", "loc", "doc_id", "pos"]
+    ).map_batches(to_rows, batch_format="pyarrow")
+
+
+def sa_index_lcp_pairs(
+    index_dir: str, min_lcp: int = 0, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Adjacent-suffix LCP pairs from the persisted index —
+    :func:`lcp_adjacent`'s output schema ``(rank, id_a, pos_a, id_b,
+    pos_b, lcp)`` without touching the corpus: in-bucket pairs are a
+    pure column scan (``min_lcp`` pushed into the parquet read),
+    cross-bucket pairs come from the tiny boundary table."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    files, offsets, sizes, meta = _sa_index_files_and_offsets(index_dir)
+    off_ref = ray.put(offsets)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        off = _broadcast_memo(off_ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        loc = t.column("loc").to_numpy(zero_copy_only=False)
+        rank = np.array([off[int(x)] for x in b], dtype=np.int64) + loc + 1
+        return pa.table(
+            {
+                "rank": pa.array(rank),
+                "id_a": t.column("doc_id"),
+                "pos_a": t.column("pos"),
+                "id_b": t.column("nxt_id"),
+                "pos_b": t.column("nxt_pos"),
+                "lcp": t.column("lcp_next"),
+            }
+        )
+
+    inner = ray.data.read_parquet(
+        files,
+        columns=["bucket", "loc", "doc_id", "pos", "nxt_id", "nxt_pos", "lcp_next"],
+        filter=pads.field("lcp_next") >= max(0, min_lcp),
+    ).map_batches(to_pairs, batch_format="pyarrow")
+
+    bt = ray.data.read_parquet(os.path.join(index_dir, "boundary.parquet"))
+
+    def boundary_rows(t: pa.Table) -> pa.Table:
+        off = _broadcast_memo(off_ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        lcp = t.column("lcp").to_numpy(zero_copy_only=False)
+        keep = lcp >= min_lcp
+        rank = np.array(
+            [off[int(x)] + sizes[int(x)] for x in b], dtype=np.int64
+        )
+        return pa.table(
+            {
+                "rank": pa.array(rank[keep]),
+                "id_a": t.column("id_a").filter(pa.array(keep)),
+                "pos_a": t.column("pos_a").filter(pa.array(keep)),
+                "id_b": t.column("id_b").filter(pa.array(keep)),
+                "pos_b": t.column("pos_b").filter(pa.array(keep)),
+                "lcp": t.column("lcp").filter(pa.array(keep)),
+            }
+        )
+
+    return inner.union(bt.map_batches(boundary_rows, batch_format="pyarrow"))
+
+
+def sa_span_mask_from_index(
+    index_dir: str,
+    min_len: int,
+    id_col: str = "doc_id",
+    doc_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """:func:`sa_span_mask` probing the persisted index instead of
+    rebuilding the SA — identical output by construction (the flag/
+    merge pass runs on the same LCP pair stream)."""
+    _, _, sizes, _ = _sa_index_files_and_offsets(index_dir)
+    if doc_buckets is None:
+        doc_buckets = 1 << _adaptive_coarse_bits(
+            max(2, 2 * sum(sizes.values()))
+        )
+    lcp = sa_index_lcp_pairs(index_dir, min_lcp=min_len, id_col=id_col)
+    return _span_mask_from_lcp(lcp, min_len, id_col, doc_buckets)
+
+
+def update_sa_index(
+    index_dir: str,
+    new_docs: ray.data.Dataset,
+    corpus_docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Fold an increment into the persisted SA index, touching only the
+    rank-range buckets that receive new suffixes (layout notes above).
+
+    1. the increment's own SA orders its suffixes and attaches capped
+       strings (increment-sized work);
+    2. each new suffix routes to its bucket by binary search over the
+       broadcast bounds table (first-key per bucket);
+    3. touched buckets re-attach their OLD rows' suffix strings — the
+       docs stream is pre-filtered worker-local by a Bloom filter over
+       the touched rows' doc ids, so only touched documents' text
+       moves — and one groupby(bucket) merge re-sorts, recomputes
+       successor LCPs and rewrites the shard;
+    4. bounds/boundary/meta rewrite driver-side (bucket-count-sized);
+       stale shards are deleted last (crash leaves a probe-consistent
+       superset, the update_md5_index contract).
+
+    ``corpus_docs`` must be the dataset the index was built over (the
+    SA indexes positions INTO that text; it is re-read only for touched
+    documents).  Returns ``{"buckets_touched", "rows_added"}``."""
+    import bisect
+    import functools
+    import glob as _glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    cap = int(meta["cap"])
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index built with id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    rows_per_bucket = int(meta["rows_per_bucket"])
+    bounds = pq_.read_table(os.path.join(index_dir, "bounds.parquet")).to_pandas()
+    bounds = bounds.sort_values("bucket").reset_index(drop=True)
+    # router key table: (first_suf, first_id, first_pos) per bucket
+    route_keys = [
+        (r["first_suf"], int(r["first_id"]), int(r["first_pos"]))
+        for _, r in bounds.iterrows()
+    ]
+    route_buckets = [int(r["bucket"]) for _, r in bounds.iterrows()]
+    keys_ref = ray.put((route_keys, route_buckets))
+
+    # 1. increment SA + capped strings
+    sa_new = _pin(suffix_array(new_docs, text_col=text_col, id_col=id_col))
+    with_suf_new, _ = _attach_suffixes(sa_new, new_docs, cap, text_col, id_col)
+    rows_added = with_suf_new.count()
+
+    # 2. route to buckets
+    def route(t: pa.Table) -> pa.Table:
+        keys, bks = _broadcast_memo(keys_ref)
+        sufs = t.column("suf").to_pylist()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        out = np.empty(len(sufs), dtype=np.int64)
+        for j, s in enumerate(sufs):
+            k = (s, int(ids[j]), int(pos[j]))
+            i = bisect.bisect_right(keys, k) - 1
+            out[j] = bks[max(0, i)]
+        return pa.table(
+            {
+                "bucket": pa.array(out),
+                id_col: t.column(id_col),
+                "pos": t.column("pos"),
+                "suf": t.column("suf"),
+            }
+        )
+
+    routed = _pin(with_suf_new.map_batches(route, batch_format="pyarrow"))
+    touched = sorted(
+        {
+            int(r["bucket"])
+            for r in routed.map_batches(
+                lambda t: pa.table(
+                    {
+                        "bucket": pa.array(
+                            sorted(set(t.column("bucket").to_pylist())), pa.int64()
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+    )
+    if not touched:
+        return {"buckets_touched": 0, "rows_added": 0}
+
+    # 3. old rows of touched buckets + their suffix strings
+    old_files = {
+        b: sorted(
+            _glob.glob(os.path.join(index_dir, "sa", f"bucket={b}", "*.parquet"))
+        )
+        for b in touched
+    }
+    flat_old = [f for fs in old_files.values() for f in fs]
+    old_rows = ray.data.read_parquet(
+        flat_old, columns=["bucket", "loc", "doc_id", "pos"]
+    )
+    from ..state.streaming import build_bloom
+
+    bloom = build_bloom(
+        old_rows.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id")}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+    )
+    bloom_ref = ray.put(bloom.serialize())
+
+    def doc_filter(t: pa.Table) -> pa.Table:
+        from ..state.streaming import BloomFilter, bloom_keys
+
+        blm = BloomFilter.deserialize(_broadcast_memo(bloom_ref))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(blm.might_contain(bloom_keys(ids))))
+
+    touched_docs = corpus_docs.map_batches(doc_filter, batch_format="pyarrow")
+
+    # reuse the attach join: feed old rows as an SA-shaped dataset with
+    # the BUCKET packed into the rank field (the helper carries rank
+    # through verbatim; loc is re-derived by the merge sort anyway)
+    packed = old_rows.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column("doc_id"),
+                "pos": t.column("pos"),
+                "sa_rank": t.column("bucket"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    old_with_suf, _ = _attach_suffixes(packed, touched_docs, cap, text_col, id_col)
+    old_tagged = old_with_suf.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": t.column("rank"),
+                id_col: t.column(id_col),
+                "pos": t.column("pos"),
+                "suf": t.column("suf"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    persist = functools.partial(
+        _persist_bucket_group, index_dir=index_dir, id_col=id_col, cap=cap
+    )
+    manifest = (
+        old_tagged.union(routed)
+        .groupby("bucket")
+        .map_groups(persist, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # 4. driver tables + stale-shard cleanup
+    # (bounds.parquet never stored paths — align columns explicitly)
+    untouched = bounds[~bounds["bucket"].isin(touched)]
+    cols = [
+        "bucket", "n_rows", "first_suf", "last_suf",
+        "first_id", "first_pos", "last_id", "last_pos",
+    ]
+    new_bounds = pd.concat(
+        [untouched[cols], manifest[cols]], ignore_index=True
+    )
+    _write_index_driver_tables(
+        index_dir, new_bounds, cap, id_col, rows_per_bucket
+    )
+    new_paths = set(manifest["path"])
+    for b, fs in old_files.items():
+        for f in fs:
+            if f not in new_paths:
+                os.remove(f)
+    return {"buckets_touched": len(touched), "rows_added": int(rows_added)}

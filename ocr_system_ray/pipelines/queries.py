@@ -9294,10 +9294,29 @@ def q_suffix_array(sf_dir: str) -> ray.data.Dataset:
     Flick–Aluru shape) over the 1/10 document scope →
     (doc_id, pos, sa_rank).  Oracle = ROW_NUMBER over
     (substr(text, pos+1), doc_id, pos) on the unnested positions —
-    DuckDB's bytewise VARCHAR order ≡ the engine's code-point order."""
+    DuckDB's bytewise VARCHAR order ≡ the engine's code-point order.
+    Builds the shared persisted index on first touch (the one
+    prefix-doubling pass all three SA queries now share) and READS it
+    back — the build/probe split the md5/minhash indexes use."""
     from ..functions import suffixarray
 
-    return suffixarray.suffix_array(_sa_subset(sf_dir))
+    return suffixarray.read_sa_index(_sa_index_dir(sf_dir))
+
+
+def _sa_index_dir(sf_dir: str) -> str:
+    """Build-once /tmp cache of the persisted SA index over the 1/10
+    scope (the q_image_neardup_incremental caching idiom) — the first
+    SA consumer pays the prefix-doubling build, every later one
+    PROBES."""
+    import hashlib
+    import os
+
+    from ..functions import suffixarray
+
+    idx = f"/tmp/osr_sa_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(idx, "_index_meta.json")):
+        suffixarray.build_sa_index(_sa_subset(sf_dir), idx)
+    return idx
 
 
 def q_suffix_lcp(sf_dir: str) -> ray.data.Dataset:
@@ -9305,12 +9324,11 @@ def q_suffix_lcp(sf_dir: str) -> ray.data.Dataset:
     neighbourhoods) over the same 1/10 scope →
     (rank, id_a, pos_a, id_b, pos_b, lcp), lcp capped at 512 on both
     engines; ordered by (lcp desc, rank) — rank is unique, so the
-    LIMIT boundary is deterministic."""
+    LIMIT boundary is deterministic.  PROBES the persisted SA index
+    (``sa_index_lcp_pairs``) instead of rebuilding the array."""
     from ..functions import suffixarray
 
-    docs = _sa_subset(sf_dir)
-    sa = suffixarray.suffix_array(docs)
-    lcp = suffixarray.lcp_adjacent(sa, docs, cap=512)
+    lcp = suffixarray.sa_index_lcp_pairs(_sa_index_dir(sf_dir))
     return lcp.sort(["lcp", "rank"], descending=[True, False]).limit(50)
 
 
@@ -9859,12 +9877,42 @@ def q_sa_span_mask(sf_dir: str) -> ray.data.Dataset:
     LCP ≥ 15 mask their maximal shared run; per-doc interval union →
     (doc_id, n_spans, n_masked_chars) over the 1/10 SA scope
     (``functions/suffixarray.py:sa_span_mask``).  Oracle: the same
-    neighbour-LCP + gaps-and-islands tree in pure SQL."""
+    neighbour-LCP + gaps-and-islands tree in pure SQL.  PROBES the
+    persisted SA index (min_len pushed into the parquet scan) instead
+    of rebuilding the array."""
     from ..functions import suffixarray
 
-    docs = _sa_subset(sf_dir)
-    sa = suffixarray.suffix_array(docs)
-    return suffixarray.sa_span_mask(sa, docs, min_len=15)
+    return suffixarray.sa_span_mask_from_index(_sa_index_dir(sf_dir), min_len=15)
+
+
+def q_sa_index_update(sf_dir: str) -> ray.data.Dataset:
+    """The persisted SA index's UPDATE-FOLD path under the driver
+    oracle: build the index over the even half of the 1/10 scope
+    (ids % 20 == 0), fold the odd half (ids % 20 == 10) in with
+    ``update_sa_index`` (touched-bucket rewrite only), then span-mask
+    from the updated index.  Oracle = the full-scope span-mask SQL —
+    the fold must equal a rebuild."""
+    import hashlib
+    import os
+
+    from ..functions import suffixarray
+
+    docs_all = _sa_subset(sf_dir)
+
+    def half(mod20: int):
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 20 == mod20))
+
+        return docs_all.map_batches(keep, batch_format="pyarrow")
+
+    idx = f"/tmp/osr_sa_upd_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(os.path.join(idx, "_upd_done")):
+        suffixarray.build_sa_index(half(0), idx)
+        suffixarray.update_sa_index(idx, half(10), docs_all)
+        with open(os.path.join(idx, "_upd_done"), "w") as f:
+            f.write("ok")
+    return suffixarray.sa_span_mask_from_index(idx, min_len=15)
 
 
 EXPR_RULES: dict[str, str] = {
