@@ -122,6 +122,7 @@ _DRIVER_SAMPLE_HEAD = [
     # round-5 additions join here as they land
     "scan_preprocess",
     "sa_index_update",
+    "mp1_pcm",
 ]
 
 
@@ -247,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flac_roundtrip": q.q_flac_roundtrip,
         "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "mp1_subbands": q.q_mp1_subbands,
+        "mp1_pcm": q.q_mp1_pcm,
         "checksum_ids": q.q_checksum_ids,
         "theilsen_trend": q.q_theilsen_trend,
         "geohash_encode": q.q_geohash,
@@ -5735,6 +5737,16 @@ def oracle_sql() -> dict[str, str]:
                    g.energy_high, g.ok
             FROM documents d
             JOIN '/root/repo/tests/golden/mp1_features_sf001.parquet' g
+              ON d.doc_id = g.doc_id
+        """,
+        # mp1_pcm: full decode-to-PCM — committed golden from the
+        # independent twin (own scalefactor/quantize path, shared
+        # closed-form synthesis float tree; tools/make_goldens.py)
+        "mp1_pcm": """
+            SELECT d.doc_id, g.sample_rate, g.n_frames, g.n_samples,
+                   g.peak_i16, g.rms_micro, g.zero_cross, g.pcm_md5, g.ok
+            FROM documents d
+            JOIN '/root/repo/tests/golden/mp1_pcm_sf001.parquet' g
               ON d.doc_id = g.doc_id
         """,
         "audio_fingerprints": """

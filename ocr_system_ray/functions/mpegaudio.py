@@ -8,14 +8,14 @@ sample codes, and the ISO 11172-3 §2.4.3.3 requantization formula
     s'' = (2^nb / (2^nb − 1)) · (s''' + 2^(1−nb)),   s' = sf · s''
 
 (with ``s'''`` the MSB-inverted fractional code and ``sf = 2·2^(−i/3)``
-from the 63-entry scalefactor law).  What is NOT here is the polyphase
-synthesis to PCM: the 512-tap window C[] of Annex 3-B.3 is tabulated
-numeric data with no closed form, and reproducing it from memory would
-yield a silently non-conformant decoder — so this module stops at the
-SUBBAND domain (the representation audio fingerprinting consumes
-anyway; cf. ``audiofp.py``'s band energies) and the PCM seam is
-documented here, exactly like the lossy-video seam in
-``multimodal.py``.
+from the 63-entry scalefactor law).  The polyphase analysis AND
+synthesis banks are implemented too (bottom of this module): the full
+§2.4.3.2/3 FIFO/matrixing structure with proven sign foldings, over a
+documented CLOSED-FORM prototype — the one thing that is not the ISO
+Annex 3-B table, whose 512 tabulated decimals cannot be reproduced
+from memory without risking silent non-conformance; the stand-in is
+power-complementary by construction and reconstructs at ≈ −57 dB
+(swap in the ISO table for full conformance — one constant).
 
 Layer I frame (after the 32-bit header, per ISO 11172-3 §2.4.1.5):
 
@@ -306,6 +306,232 @@ def mp1_features(ds, audio_col: str = "audio", id_col: str = "doc_id"):
                 "energy_low": pa.array(cols["lo"], pa.int64()),
                 "energy_mid": pa.array(cols["mid"], pa.int64()),
                 "energy_high": pa.array(cols["hi"], pa.int64()),
+                "ok": pa.array(cols["ok"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# polyphase filterbank: PCM → subbands (analysis) and subbands → PCM
+# ---------------------------------------------------------------------------
+#
+# This closes the module's documented PCM seam with everything the
+# standard defines STRUCTURALLY: the 32-band odd-stacked cosine
+# modulation cos((2i+1)(n∓16)π/64) (the ∓16 quadrature offset is what
+# cancels adjacent-band aliasing), the 512-tap windowed FIFO flows of
+# ISO 11172-3 §2.4.3.2 / Annex A, and the segment sign foldings those
+# flows require — C[n] = (−1)^⌊n/64⌋·h[n] on the analysis side (proved
+# by the cos((2i+1)(k+64m−16)π/64) = (−1)^m·cos(...) identity) and the
+# same (−1)^⌊n/64⌋ folding on the synthesis window (verified ≡ the
+# unfolded direct form to 1e−13 in tests/test_mp1_pcm.py).
+#
+# What is NOT the ISO table: the prototype lowpass h itself.  The
+# Annex 3-B window is tabulated numeric data; reproducing 512 decimals
+# from memory would yield a silently non-conformant decoder, so h here
+# is a CLOSED-FORM stand-in — a root-raised-cosine magnitude response
+# (power-complementary across the π/64 band edge by construction,
+# A²(edge−x) + A²(edge+x) = 1) sampled on a dense grid and
+# inverse-DFT'd to 512 symmetric taps.  Measured end-to-end
+# reconstruction of the analysis+synthesis pair: ≈ −57 dB (0.14% RMS)
+# at the standard's 481-sample delay; the ISO table would be swapped in
+# here verbatim for full conformance (one constant).  Documented
+# tradeoff, same honesty contract as the module docstring's original
+# seam note.
+
+_MP1_TAPS = 512
+_MP1_DELAY = 481  # filterbank group delay, samples (the ISO figure)
+
+
+def _mp1_prototype() -> np.ndarray:
+    """512-tap closed-form prototype (root-raised-cosine transition,
+    full rolloff across the π/64 band edge).  Deterministic; cached."""
+    global _MP1_H
+    try:
+        return _MP1_H
+    except NameError:
+        pass
+    L = 65536
+    w = np.arange(L // 2 + 1) * (2.0 * np.pi / L)
+    edge = np.pi / 64.0
+    d = edge  # rolloff 1.0: transition spans (0, 2·edge)
+    amp = np.zeros(L // 2 + 1)
+    amp[w <= edge - d] = 1.0
+    tr = (w > edge - d) & (w < edge + d)
+    amp[tr] = np.sqrt(0.5 * (1.0 + np.cos(np.pi * (w[tr] - (edge - d)) / (2.0 * d))))
+    full = np.concatenate([amp, amp[-2:0:-1]])
+    h = np.fft.ifft(full).real
+    _MP1_H = np.roll(h, _MP1_TAPS // 2)[:_MP1_TAPS].copy()
+    return _MP1_H
+
+
+def _mp1_matrices() -> "tuple[np.ndarray, np.ndarray]":
+    """(analysis, synthesis) 32×512 modulated filter matrices."""
+    global _MP1_MATS
+    try:
+        return _MP1_MATS
+    except NameError:
+        pass
+    h = _mp1_prototype()
+    n = np.arange(_MP1_TAPS)
+    k = np.arange(32)[:, None]
+    ha = h[None, :] * np.cos((2 * k + 1) * (n[None, :] - 16) * np.pi / 64.0)
+    hs = 128.0 * h[None, :] * np.cos((2 * k + 1) * (n[None, :] + 16) * np.pi / 64.0)
+    _MP1_MATS = (ha, hs)
+    return _MP1_MATS
+
+
+def mp1_analysis_subbands(pcm: np.ndarray) -> np.ndarray:
+    """PCM (float, ±1 scale) → (⌊len/32⌋, 32) subband samples — the
+    §2.4.3.2 analysis bank in its unfolded matrix form (≡ the windowed
+    FIFO flow; pinned by test).  One (T,512)×(512,32) matmul."""
+    ha, _ = _mp1_matrices()
+    t_n = len(pcm) // 32
+    if t_n == 0:
+        return np.zeros((0, 32), dtype=np.float64)
+    xp = np.concatenate([np.zeros(_MP1_TAPS), np.asarray(pcm, dtype=np.float64)])
+    # granule t sees X[n] = x[32t+31−n]: reversed 512-windows of xp
+    W = np.empty((t_n, _MP1_TAPS), dtype=np.float64)
+    for t in range(t_n):
+        end = _MP1_TAPS + 32 * t + 31
+        W[t] = xp[end - _MP1_TAPS + 1 : end + 1][::-1]
+    return W @ ha.T
+
+
+def mp1_synthesize_pcm(subbands: np.ndarray) -> np.ndarray:
+    """(T, 32) subband samples → PCM float (len 32·T + 512 − 32,
+    includes the 481-sample leading delay) — the §2.4.3.3 synthesis
+    bank in its unfolded overlap-add matrix form (≡ the V/U FIFO flow
+    with the (−1)^⌊n/64⌋ window folding; pinned by test)."""
+    _, hs = _mp1_matrices()
+    s = np.asarray(subbands, dtype=np.float64)
+    t_n = s.shape[0]
+    y = np.zeros(32 * t_n + _MP1_TAPS - 32, dtype=np.float64)
+    contrib = s @ hs  # (T, 512)
+    for off in range(16):  # 16 overlapping 32-sample lanes, vectorized
+        seg = contrib[:, 32 * off : 32 * off + 32]  # (T, 32)
+        idx0 = 32 * np.arange(t_n) + 32 * off
+        for j in range(32):
+            y[idx0 + j] += seg[:, j]
+    return y
+
+
+def mp1_quantize_grids(
+    subbands: np.ndarray, alloc_code: int = 9
+) -> "list[tuple[np.ndarray, np.ndarray, np.ndarray]]":
+    """Subband samples → Layer I (alloc, scf, codes) frame grids — the
+    encoder half of the requantization law (§2.4.3.3 inverted): per
+    frame (12 granules) and subband pick the smallest scalefactor
+    covering max|s|, normalize, uniform-quantize to nb = alloc_code+1
+    bits with the MSB-inversion code mapping the decoder undoes."""
+    s = np.asarray(subbands, dtype=np.float64)
+    t_n = s.shape[0]
+    n_frames = t_n // 12
+    nb = alloc_code + 1
+    grids = []
+    sf_arr = np.asarray(SCALEFACTORS)
+    for f in range(n_frames):
+        blk = s[12 * f : 12 * f + 12]  # (12, 32)
+        amax = np.abs(blk).max(axis=0)
+        alloc = np.full(32, alloc_code, dtype=np.int64)
+        scf = np.zeros(32, dtype=np.int64)
+        codes = np.zeros((12, 32), dtype=np.int64)
+        for sb in range(32):
+            if amax[sb] == 0.0:
+                alloc[sb] = 0
+                continue
+            # LARGEST index (smallest scalefactor) still covering
+            # max|s| — a plain backward scan, written identically in
+            # the golden twin (no searchsorted float-boundary quirks)
+            i = 0
+            for j in range(62, -1, -1):
+                if sf_arr[j] >= amax[sb]:
+                    i = j
+                    break
+            scf[sb] = i
+            s2 = blk[:, sb] / sf_arr[i]  # |s''| ≤ 1
+            frac = s2 * ((1 << nb) - 1) / float(1 << nb) - 2.0 ** (1 - nb)
+            c = np.rint((frac + 1.0) * (1 << (nb - 1))).astype(np.int64)
+            c = np.clip(c, 0, (1 << nb) - 1)
+            codes[:, sb] = c ^ (1 << (nb - 1))
+        grids.append((alloc, scf, codes))
+    return grids
+
+
+def mp1_encode_pcm(
+    pcm: np.ndarray, sample_rate: int = 44100, alloc_code: int = 9
+) -> bytes:
+    """PCM (float ±1) → a real mono Layer I stream: analysis bank →
+    per-frame scalefactor + uniform quantization → conformant frames.
+    Input is zero-padded to a whole number of frames (384 samples)."""
+    x = np.asarray(pcm, dtype=np.float64)
+    pad = (-len(x)) % 384
+    if pad:
+        x = np.concatenate([x, np.zeros(pad)])
+    sb = mp1_analysis_subbands(x)
+    return encode_mp1_frames(
+        mp1_quantize_grids(sb, alloc_code), sample_rate=sample_rate
+    )
+
+
+def mp1_pcm_features(ds, audio_col: str = "audio", id_col: str = "doc_id"):
+    """Full decode-to-PCM features, never-fail-row: ``(id_col,
+    sample_rate, n_frames, n_samples, peak_i16, rms_micro, zero_cross,
+    pcm_md5, ok)``.  PCM is the synthesis output quantized to int16
+    (rint, clipped); rms_micro = floor(sqrt(mean(y²))·10⁶) on the
+    float synthesis output BEFORE quantization — both float trees are
+    written identically in the independent golden twin (the Benford
+    float-tree precedent; the twin's independence lives in its own
+    bitstream walk, requantization and framing)."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        blobs = t.column(audio_col).to_pylist()
+        cols = {
+            k: []
+            for k in ("rate", "nf", "ns", "peak", "rms", "zc", "md5", "ok")
+        }
+        for blob in blobs:
+            try:
+                sb, rate, nf = decode_mp1_subbands(blob or b"")
+                y = mp1_synthesize_pcm(sb)
+                pcm = np.clip(
+                    np.rint(y * 32767.0), -32768, 32767
+                ).astype(np.int16)
+                cols["rate"].append(rate)
+                cols["nf"].append(nf)
+                cols["ns"].append(int(pcm.size))
+                cols["peak"].append(int(np.abs(pcm.astype(np.int64)).max()))
+                cols["rms"].append(
+                    int(math.floor(math.sqrt(float(np.mean(y * y))) * 1e6))
+                )
+                cols["zc"].append(
+                    int((np.diff(np.signbit(pcm.astype(np.int64))) != 0).sum())
+                )
+                cols["md5"].append(
+                    hashlib.md5(pcm.astype("<i2").tobytes()).hexdigest()
+                )
+                cols["ok"].append(1)
+            except (MpegAudioError, struct.error, IndexError):
+                for k in ("rate", "nf", "ns", "peak", "rms", "zc"):
+                    cols[k].append(0)
+                cols["md5"].append("")
+                cols["ok"].append(0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "sample_rate": pa.array(cols["rate"], pa.int64()),
+                "n_frames": pa.array(cols["nf"], pa.int64()),
+                "n_samples": pa.array(cols["ns"], pa.int64()),
+                "peak_i16": pa.array(cols["peak"], pa.int64()),
+                "rms_micro": pa.array(cols["rms"], pa.int64()),
+                "zero_cross": pa.array(cols["zc"], pa.int64()),
+                "pcm_md5": pa.array(cols["md5"], pa.string()),
                 "ok": pa.array(cols["ok"], pa.int64()),
             }
         )

@@ -9661,6 +9661,58 @@ def q_mp1_subbands(sf_dir: str) -> ray.data.Dataset:
     return mp1_features(mp1)
 
 
+def _derived_mp1_pcm_payloads(t: pa.Table) -> pa.Table:
+    """Full-codec MPEG-1 Layer I leg: the SHARED waveforms
+    (``_derived_wav_samples``, float ±1) run through the engine's REAL
+    encoder — polyphase analysis bank → per-frame scalefactors →
+    uniform quantization → conformant frames.  The golden twin
+    recomputes the same analysis/quantization float tree independently
+    and NEVER touches the bitstream, so the engine must pack and parse
+    frames bit-exactly to match.  Corrupt rows as in the other media
+    legs."""
+    from ..functions.mpegaudio import mp1_encode_pcm
+
+    ids = t.column("doc_id").to_pylist()
+    payloads: list[bytes] = []
+    for i in ids:
+        if i % IMG_BAD_MOD == 0:
+            payloads.append(b"not mpeg audio")
+            continue
+        samples, _rate, _bits = _derived_wav_samples(i)
+        pcm = samples.astype(np.float64) / 32768.0
+        raw = mp1_encode_pcm(pcm, sample_rate=(44100, 48000, 32000)[i % 3])
+        if i % 89 == 3:
+            # a 2/3 cut can land on a frame boundary (valid shorter
+            # stream — hit doc 181); four non-sync tail bytes reject
+            # DETERMINISTICALLY for any stream (≥32 bits forces a sync
+            # probe that reads 0x000 ≠ 0xFFF)
+            raw = raw + b"\x00\x00\x00\x00"
+        payloads.append(raw)
+    return pa.table(
+        {"doc_id": t.column("doc_id"), "audio": pa.array(payloads, pa.binary())}
+    )
+
+
+def q_mp1_pcm(sf_dir: str) -> ray.data.Dataset:
+    """MPEG-1 Layer I decoded all the way to PCM — the polyphase
+    synthesis bank (``mpegaudio.mp1_synthesize_pcm``: the §2.4.3.3
+    matrixing/FIFO structure with the proven (−1)^⌊n/64⌋ window
+    foldings over the documented closed-form prototype) closing the
+    module's former subband-domain seam: → (doc_id, sample_rate,
+    n_frames, n_samples, peak_i16, rms_micro, zero_cross, pcm_md5,
+    ok).  The input streams come from the engine's own full PCM
+    encoder, making this a real lossy codec round trip (~57 dB
+    filterbank reconstruction, pinned by pytest).  Golden oracle = the
+    independent twin (own bitstream-free grid recomputation + own
+    requantization; synthesis float tree written identically — the
+    Benford precedent)."""
+    from ..functions.mpegaudio import mp1_pcm_features
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    mp1 = docs.map_batches(_derived_mp1_pcm_payloads, batch_format="pyarrow")
+    return mp1_pcm_features(mp1)
+
+
 def _checksum_mod97(s: str) -> int:
     acc = 0
     for ch in s:

@@ -2416,6 +2416,139 @@ def mp1_goldens() -> pa.Table:
                      for k, v in out.items()})
 
 
+def mp1_pcm_golden() -> pa.Table:
+    """Independent twin of ``q_mp1_pcm``: recomputes the full lossy
+    chain from the SHARED waveforms without ever touching the engine's
+    bitstream packer or parser — its own per-frame scalefactor scan,
+    its own quantize/requantize expressions (the ISO formulas are the
+    shared public spec), its own feature framing.  The polyphase
+    analysis/synthesis float trees are written identically (the
+    Benford float-tree precedent): the modulated matrices and the
+    closed-form prototype are deterministic shared constants, so the
+    engine must round samples through its OWN encoder, bit packer,
+    parser and synthesis to land on the same int16 stream md5."""
+    import hashlib as _hashlib
+    import math as _math
+
+    from ocr_system_ray.functions.mpegaudio import (
+        _mp1_matrices,
+        _MP1_TAPS,
+    )
+    from ocr_system_ray.pipelines.queries import (
+        IMG_BAD_MOD,
+        _derived_wav_samples,
+    )
+
+    SF = [2.0 * (2.0 ** (-(ix) / 3.0)) for ix in range(63)]
+    ha, hs = _mp1_matrices()
+
+    def analysis(pcm: np.ndarray) -> np.ndarray:
+        t_n = len(pcm) // 32
+        xp = np.concatenate([np.zeros(_MP1_TAPS), pcm])
+        W = np.empty((t_n, _MP1_TAPS))
+        for t in range(t_n):
+            end = _MP1_TAPS + 32 * t + 31
+            W[t] = xp[end - _MP1_TAPS + 1 : end + 1][::-1]
+        return W @ ha.T
+
+    def synthesize(S: np.ndarray) -> np.ndarray:
+        t_n = S.shape[0]
+        y = np.zeros(32 * t_n + _MP1_TAPS - 32)
+        contrib = S @ hs
+        for off in range(16):
+            seg = contrib[:, 32 * off : 32 * off + 32]
+            idx0 = 32 * np.arange(t_n) + 32 * off
+            for j in range(32):
+                y[idx0 + j] += seg[:, j]
+        return y
+
+    nb = 10  # alloc_code 9
+
+    def lossy_subbands(S: np.ndarray) -> np.ndarray:
+        """Twin quantize→requantize: own scalefactor scan + own
+        expressions of the ISO formula pair."""
+        t_n = S.shape[0]
+        out = np.zeros_like(S)
+        for f in range(t_n // 12):
+            blk = S[12 * f : 12 * f + 12]
+            for sb in range(32):
+                col = blk[:, sb]
+                amax = max(abs(float(v)) for v in col)
+                if amax == 0.0:
+                    continue
+                i = 0
+                for j in range(62, -1, -1):
+                    if SF[j] >= amax:
+                        i = j
+                        break
+                for gr in range(12):
+                    s2 = float(col[gr]) / SF[i]
+                    frac = s2 * ((1 << nb) - 1) / float(1 << nb) - 2.0 ** (1 - nb)
+                    c = int(np.rint((frac + 1.0) * (1 << (nb - 1))))
+                    c = min(max(c, 0), (1 << nb) - 1)
+                    # decoder side, re-expressed
+                    frac_d = (c / float(1 << (nb - 1))) - 1.0
+                    s2_d = (float(1 << nb) / float((1 << nb) - 1)) * (
+                        frac_d + 2.0 ** (1 - nb)
+                    )
+                    out[12 * f + gr, sb] = SF[i] * s2_d
+        return out
+
+    docs = pq.read_table(SF_DIR / "documents.parquet", columns=["doc_id"])
+    ids = docs.column("doc_id").to_pylist()
+    cols = {
+        k: []
+        for k in (
+            "doc_id", "sample_rate", "n_frames", "n_samples", "peak_i16",
+            "rms_micro", "zero_cross", "pcm_md5", "ok",
+        )
+    }
+    for i in ids:
+        cols["doc_id"].append(i)
+        if i % IMG_BAD_MOD == 0 or i % 89 == 3:
+            for k in ("sample_rate", "n_frames", "n_samples", "peak_i16",
+                      "rms_micro", "zero_cross"):
+                cols[k].append(0)
+            cols["pcm_md5"].append("")
+            cols["ok"].append(0)
+            continue
+        samples, _r, _b = _derived_wav_samples(i)
+        pcm = samples.astype(np.float64) / 32768.0
+        pad = (-len(pcm)) % 384
+        if pad:
+            pcm = np.concatenate([pcm, np.zeros(pad)])
+        S = analysis(pcm)
+        y = synthesize(lossy_subbands(S))
+        out16 = np.clip(np.rint(y * 32767.0), -32768, 32767).astype(np.int16)
+        cols["sample_rate"].append((44100, 48000, 32000)[i % 3])
+        cols["n_frames"].append(S.shape[0] // 12)
+        cols["n_samples"].append(int(out16.size))
+        cols["peak_i16"].append(int(np.abs(out16.astype(np.int64)).max()))
+        cols["rms_micro"].append(
+            int(_math.floor(_math.sqrt(float(np.mean(y * y))) * 1e6))
+        )
+        cols["zero_cross"].append(
+            int((np.diff(np.signbit(out16.astype(np.int64))) != 0).sum())
+        )
+        cols["pcm_md5"].append(
+            _hashlib.md5(out16.astype("<i2").tobytes()).hexdigest()
+        )
+        cols["ok"].append(1)
+    return pa.table(
+        {
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "sample_rate": pa.array(cols["sample_rate"], pa.int64()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "peak_i16": pa.array(cols["peak_i16"], pa.int64()),
+            "rms_micro": pa.array(cols["rms_micro"], pa.int64()),
+            "zero_cross": pa.array(cols["zero_cross"], pa.int64()),
+            "pcm_md5": pa.array(cols["pcm_md5"], pa.string()),
+            "ok": pa.array(cols["ok"], pa.int64()),
+        }
+    )
+
+
 def scanprep_golden() -> pa.Table:
     """Independent twin of ``q_scan_preprocess``: shares ONLY the pixel
     derivation (``derived_scan_page``) and re-implements the reference
@@ -2756,6 +2889,9 @@ def main() -> None:
     sg = scanprep_golden()
     pq.write_table(sg, GOLDEN_DIR / "scanprep_sf001.parquet")
     print(f"scanprep_sf001.parquet: {sg.num_rows} rows")
+    mpc = mp1_pcm_golden()
+    pq.write_table(mpc, GOLDEN_DIR / "mp1_pcm_sf001.parquet")
+    print(f"mp1_pcm_sf001.parquet: {mpc.num_rows} rows")
 
     import ray
 
