@@ -4663,11 +4663,13 @@ def oracle_sql() -> dict[str, str]:
                      WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END AS BIGINT) AS status,
                 CAST(CASE WHEN doc_id % 97 = 0 THEN 0
                      WHEN doc_id % 89 = 3 THEN 1
-                     WHEN doc_id % 6 IN (1, 3) THEN 1 ELSE 0 END AS BIGINT) AS chunked,
+                     WHEN doc_id % 7 IN (1, 3) THEN 1 ELSE 0 END AS BIGINT) AS chunked,
                 CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 3 THEN 0
-                     WHEN doc_id % 6 IN (2, 3) THEN 1 ELSE 0 END AS BIGINT) AS gzipped,
+                     WHEN doc_id % 7 IN (2, 3) THEN 1 ELSE 0 END AS BIGINT) AS gzipped,
                 CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 3 THEN 0
-                     WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END AS BIGINT) AS brotli,
+                     WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END AS BIGINT) AS brotli,
+                CAST(CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 3 THEN 0
+                     WHEN doc_id % 7 = 6 THEN 1 ELSE 0 END AS BIGINT) AS zstd,
                 CAST(CASE WHEN doc_id % 97 = 0 THEN 0
                      WHEN doc_id % 89 = 3 THEN 200
                      ELSE octet_length(encode(COALESCE(text, ''))) END AS BIGINT) AS n_bytes,

@@ -1,6 +1,6 @@
 """Real HTTP/1.1 message decode for crawl payloads: status line +
 headers, ``Transfer-Encoding: chunked`` de-chunking, and
-``Content-Encoding`` gzip/deflate/brotli decompression.
+``Content-Encoding`` gzip/deflate/brotli/zstd decompression.
 
 Common-Crawl WARC ``response`` records store the raw HTTP message;
 ``sources/warc.py:strip_http_headers`` handles only the identity case
@@ -148,6 +148,13 @@ def decode_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
                 body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
             except zlib.error as exc:
                 raise ValueError("http: corrupt deflate body") from exc
+    elif ce == "zstd":
+        from .zstddec import ZstdError, decode_zstd
+
+        try:
+            body = decode_zstd(body)
+        except ZstdError as exc:
+            raise ValueError("http: corrupt zstd body") from exc
     return status, headers, body
 
 
@@ -173,6 +180,10 @@ def encode_http_response(
         from .brotlidec import encode_brotli_stored
 
         body = encode_brotli_stored(body)
+    elif content_encoding == "zstd":
+        from .zstddec import encode_zstd
+
+        body = encode_zstd(body)
     elif content_encoding:
         raise ValueError("http: unsupported content_encoding fixture")
     headers = [("Date", "Tue, 18 Aug 2026 00:00:00 GMT")]
@@ -201,7 +212,7 @@ def encode_http_response(
 
 def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id"):
     """Stateless decode pass → ``(id, ok, status, chunked, gzipped,
-    brotli, n_bytes, body_md5)``; non-HTTP / malformed payloads emit a
+    brotli, zstd, n_bytes, body_md5)``; non-HTTP / malformed payloads emit a
     zero row with ``ok=0`` (error-as-data, row conservation).  Raw
     payloads die in-stage — only fingerprints flow on."""
     import hashlib
@@ -210,8 +221,8 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
 
     def run(t: "pa.Table") -> "pa.Table":
         ids = t.column(id_col)
-        ok, status, chunked, gzipped, brs, n_bytes, md5s = (
-            [], [], [], [], [], [], []
+        ok, status, chunked, gzipped, brs, zst, n_bytes, md5s = (
+            [], [], [], [], [], [], [], []
         )
         for p in t.column(payload_col).to_pylist():
             try:
@@ -222,6 +233,7 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
                 chunked.append(0)
                 gzipped.append(0)
                 brs.append(0)
+                zst.append(0)
                 n_bytes.append(0)
                 md5s.append("")
                 continue
@@ -231,6 +243,7 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
             ce = headers.get("content-encoding", "").lower()
             gzipped.append(int(ce in ("gzip", "x-gzip")))
             brs.append(int(ce == "br"))
+            zst.append(int(ce == "zstd"))
             n_bytes.append(len(body))
             md5s.append(hashlib.md5(body).hexdigest())
         return pa.table(
@@ -241,6 +254,7 @@ def http_body_features(ds, payload_col: str = "payload", id_col: str = "doc_id")
                 "chunked": pa.array(chunked, pa.int64()),
                 "gzipped": pa.array(gzipped, pa.int64()),
                 "brotli": pa.array(brs, pa.int64()),
+                "zstd": pa.array(zst, pa.int64()),
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "body_md5": pa.array(md5s, pa.string()),
             }

@@ -1,0 +1,1108 @@
+"""Zstandard (RFC 8878) — from-scratch decoder and a minimal
+conformant encoder.
+
+The last mainstream HTTP content coding after gzip/deflate/br
+(``Content-Encoding: zstd``, RFC 8878 §7), also the common parquet /
+WARC interchange codec.  Everything here is implemented from the RFC's
+normative structure — no zstd library:
+
+* frames: magic, frame-header descriptor (FCS/window/dictionary-id/
+  checksum flags), skippable frames, multi-frame concatenation,
+  XXH64 content checksum (``xxh64`` below, from scratch);
+* blocks: Raw / RLE / Compressed, 128 KB block rule, cross-block match
+  window within a frame;
+* literals: Raw / RLE / Huffman-compressed / Treeless (table reuse),
+  1-stream and 4-stream layouts with the jump table; Huffman tree
+  descriptions both direct (4-bit weights) and FSE-compressed (the
+  two-state interleaved weight stream);
+* FSE: normalized-count header parsing (variable-bit probability
+  coding with the low-range trick and zero-repeat flags), table
+  spreading with the ``(size>>1)+(size>>3)+3`` step and the
+  high-threshold placement of "less-than-one" symbols;
+* sequences: the three symbol-compression modes per field
+  (Predefined / RLE / FSE / Repeat), the RFC's predefined LL/ML/OF
+  distributions, interleaved-state decoding in the normative read
+  order (OF→ML→LL values, LL→ML→OF state updates), the repeat-offset
+  history with its literals-length-0 special cases, and overlap-safe
+  match copies.
+
+Conformance is pinned two ways (tests/test_zstd.py): the reference
+``zstd`` CLI present in this environment compresses a corpus sweep
+(levels, sizes, checksums, multi-frame) that THIS decoder must decode
+byte-identically, and this ENCODER's output must round-trip through
+the reference binary — both directions, live-oracle style
+(the tests/test_core_oracle.py precedent).
+
+The encoder is deliberately minimal but fully conformant: greedy
+hash-chain LZ77 (min match 4), Huffman literals with direct weight
+descriptions (1- or 4-stream as size demands), sequences in
+Predefined FSE mode (encoding = interval-inverted walk of the decode
+table), Raw fallbacks at every level where compression does not pay.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "ZstdError",
+    "decode_zstd",
+    "encode_zstd",
+    "xxh64",
+]
+
+
+class ZstdError(ValueError):
+    """Malformed or unsupported zstd stream."""
+
+
+# ---------------------------------------------------------------- xxh64
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the zstd content checksum) — from the published
+    algorithm; returns the 64-bit digest."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            for off, v in ((0, 1), (8, 2), (16, 3), (24, 4)):
+                lane = struct.unpack_from("<Q", data, i + off)[0]
+                if v == 1:
+                    v1 = (_rotl((v1 + lane * _P2) & _M64, 31) * _P1) & _M64
+                elif v == 2:
+                    v2 = (_rotl((v2 + lane * _P2) & _M64, 31) * _P1) & _M64
+                elif v == 3:
+                    v3 = (_rotl((v3 + lane * _P2) & _M64, 31) * _P1) & _M64
+                else:
+                    v4 = (_rotl((v4 + lane * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _P2) & _M64, 31) * _P1) & _M64) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = struct.unpack_from("<Q", data, i)[0]
+        h = ((_rotl(h ^ (_rotl((lane * _P2) & _M64, 31) * _P1) & _M64, 27)) * _P1 + _P4) & _M64
+        i += 8
+    while i + 4 <= n:
+        lane = struct.unpack_from("<I", data, i)[0]
+        h = ((_rotl(h ^ ((lane * _P1) & _M64), 23)) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _P5) & _M64), 11)) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ------------------------------------------------------- bit readers
+
+
+class _FwdBits:
+    """Forward LSB-first reader (FSE normalized-count headers)."""
+
+    def __init__(self, data: bytes, start: int = 0) -> None:
+        self.data = data
+        self.byte = start
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        got = 0
+        while got < n:
+            if self.byte >= len(self.data):
+                raise ZstdError("zstd: truncated header bitstream")
+            take = min(8 - self.bit, n - got)
+            chunk = (self.data[self.byte] >> self.bit) & ((1 << take) - 1)
+            out |= chunk << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return out
+
+    def bytes_consumed(self) -> int:
+        return self.byte + (1 if self.bit else 0)
+
+
+class _BackBits:
+    """Backward reader for FSE/Huffman content bitstreams: a sentinel
+    1-bit tops the last byte; reads proceed downward from it."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data:
+            raise ZstdError("zstd: empty bitstream")
+        self.val = int.from_bytes(data, "little")
+        top = self.val.bit_length() - 1
+        if self.val == 0:
+            raise ZstdError("zstd: bitstream missing sentinel")
+        self.pos = top  # bits below the sentinel are readable
+
+    def read(self, n: int) -> int:
+        """Read n bits (MSB-first of the remaining stream).  Reading
+        past the start yields zero bits (the RFC's defined behavior for
+        final state reloads)."""
+        if n == 0:
+            return 0
+        self.pos -= n
+        if self.pos >= 0:
+            return (self.val >> self.pos) & ((1 << n) - 1)
+        # partially (or fully) past the start: zero-pad from below
+        shift = -self.pos
+        if shift >= n:
+            out = 0
+        else:
+            out = (self.val & ((1 << (self.pos + n)) - 1)) << shift
+        return out & ((1 << n) - 1)
+
+    def exhausted(self) -> bool:
+        return self.pos <= 0
+
+
+# ------------------------------------------------------------- FSE
+
+
+def _read_ncount(
+    br: _FwdBits, max_symbol: int, max_accuracy: int
+) -> "tuple[list[int], int]":
+    """RFC 8878 §4.1.1: normalized counts → (probs, accuracy_log).
+    probs[i] ∈ {−1, 0, 1, …}; −1 = "less than one"."""
+    al = br.read(4) + 5
+    if al > max_accuracy:
+        raise ZstdError("zstd: FSE accuracy log too large")
+    table_size = 1 << al
+    remaining = table_size + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > max_symbol:
+            raise ZstdError("zstd: FSE too many symbols")
+        nb = remaining.bit_length()  # threshold ≤ remaining < 2·threshold
+        # number of values that need the full nb bits (FSE_readNCount):
+        # max = (2·threshold − 1) − remaining
+        thresh = (1 << nb) - 1 - remaining
+        val = br.read(nb - 1)
+        if val < thresh:
+            value = val
+        else:
+            extra = br.read(1)
+            value = val | (extra << (nb - 1))
+            if value >= (1 << (nb - 1)):
+                value -= thresh
+        proba = value - 1
+        probs.append(proba)
+        remaining -= proba if proba > 0 else (1 if proba < 0 else 0)
+        if proba == 0:
+            while True:
+                rep = br.read(2)
+                probs.extend([0] * rep)
+                if len(probs) > max_symbol + 1:
+                    raise ZstdError("zstd: FSE zero-repeat overflow")
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ZstdError("zstd: FSE counts do not sum to table size")
+    # align to byte boundary
+    if br.bit:
+        br.bit = 0
+        br.byte += 1
+    return probs, al
+
+
+def _fse_decode_table(probs: "list[int]", al: int):
+    """→ (symbol[size], nb_bits[size], base[size]) per RFC 8878
+    §4.1.1's spread + state-assignment algorithm."""
+    size = 1 << al
+    symbol = np.zeros(size, dtype=np.int64)
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            symbol[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            symbol[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("zstd: FSE table spread error")
+    counts = {s: (p if p > 0 else 1) for s, p in enumerate(probs) if p != 0}
+    nb = np.zeros(size, dtype=np.int64)
+    base = np.zeros(size, dtype=np.int64)
+    for i in range(size):
+        s = int(symbol[i])
+        x = counts[s]
+        counts[s] = x + 1
+        b = al - (x.bit_length() - 1)
+        nb[i] = b
+        base[i] = (x << b) - size
+    return symbol, nb, base
+
+
+class _FseState:
+    def __init__(self, table, br: _BackBits, al: int) -> None:
+        self.symbol, self.nb, self.base = table
+        self.al = al
+        self.state = br.read(al)
+
+    def peek(self) -> int:
+        return int(self.symbol[self.state])
+
+    def update(self, br: _BackBits) -> None:
+        i = self.state
+        self.state = int(self.base[i]) + br.read(int(self.nb[i]))
+
+
+# ---------------------------------------------------------- Huffman
+
+
+def _huff_table_from_weights(weights: "list[int]"):
+    """Weights (last one implied by the caller) → decode table
+    (symbols[2^TL], nbits[2^TL], TL)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("zstd: empty huffman table")
+    tl = (total - 1).bit_length()
+    left = (1 << tl) - total
+    if left & (left - 1) or left == 0:
+        raise ZstdError("zstd: huffman weights not power-complete")
+    last_w = left.bit_length()  # log2(left) + 1
+    weights = weights + [last_w]
+    if tl > 11:
+        raise ZstdError("zstd: huffman table log > 11")
+    size = 1 << tl
+    syms = np.zeros(size, dtype=np.int64)
+    nbits = np.zeros(size, dtype=np.int64)
+    pos = 0
+    for w in range(1, tl + 1):
+        for s, ws in enumerate(weights):
+            if ws == w:
+                span = 1 << (w - 1)
+                syms[pos : pos + span] = s
+                nbits[pos : pos + span] = tl + 1 - w
+                pos += span
+    if pos != size:
+        raise ZstdError("zstd: huffman table incomplete")
+    return syms, nbits, tl
+
+
+def _read_huffman(data: bytes):
+    """Huffman tree description → (decode table, bytes consumed)."""
+    if not data:
+        raise ZstdError("zstd: missing huffman description")
+    h = data[0]
+    if h >= 128:
+        n = h - 127
+        nb = (n + 1) // 2
+        if len(data) < 1 + nb:
+            raise ZstdError("zstd: truncated huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return _huff_table_from_weights(weights), 1 + nb
+    # FSE-compressed weights: h = compressed size
+    if len(data) < 1 + h:
+        raise ZstdError("zstd: truncated huffman FSE weights")
+    sub = data[1 : 1 + h]
+    br = _FwdBits(sub)
+    probs, al = _read_ncount(br, 255, 6)
+    table = _fse_decode_table(probs, al)
+    bitdata = sub[br.bytes_consumed() :]
+    bb = _BackBits(bitdata)
+    even = _FseState(table, bb, al)
+    odd = _FseState(table, bb, al)
+    weights: list[int] = []
+    while True:
+        if bb.pos < 0:
+            break
+        weights.append(even.peek())
+        if bb.exhausted() and bb.pos + int(even.nb[even.state]) < 0:
+            break
+        even.update(bb)
+        if bb.pos < 0:
+            weights.append(odd.peek())
+            break
+        weights.append(odd.peek())
+        if bb.pos <= 0:
+            # odd state cannot reload: stream ends when bits run out
+            if bb.pos - int(odd.nb[odd.state]) < 0:
+                break
+        odd.update(bb)
+        if len(weights) > 255:
+            raise ZstdError("zstd: huffman weights overflow")
+    return _huff_table_from_weights(weights), 1 + h
+
+
+def _huff_decode_stream(data: bytes, table, out_n: int) -> bytes:
+    syms, nbits, tl = table
+    bb = _BackBits(data)
+    out = bytearray()
+    while len(out) < out_n:
+        idx = bb.read(tl)
+        # peek semantics: we consumed tl, give back tl − nb
+        nb = int(nbits[idx])
+        bb.pos += tl - nb
+        out.append(int(syms[idx]))
+        if bb.pos < 0 and len(out) < out_n:
+            raise ZstdError("zstd: huffman stream exhausted early")
+    return bytes(out)
+
+
+# ----------------------------------------------- sequences: code maps
+
+_LL_BASE = [
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+_ML_BASE = [
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+
+# RFC 8878 §3.1.1.3.2.2 predefined distributions
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1,
+]
+_LL_DEFAULT_AL = 6
+_ML_DEFAULT_AL = 6
+_OF_DEFAULT_AL = 5
+
+
+def _seq_table(mode: int, data: bytes, pos: int, defaults, default_al: int,
+               max_symbol: int, max_al: int, prev):
+    """One sequences field's decode table per its compression mode →
+    (table, accuracy_log, new_pos, rle_symbol_or_None)."""
+    if mode == 0:  # predefined
+        return _fse_decode_table(defaults, default_al), default_al, pos, None
+    if mode == 1:  # RLE: one byte symbol
+        if pos >= len(data):
+            raise ZstdError("zstd: truncated RLE sequence table")
+        return None, 0, pos + 1, data[pos]
+    if mode == 2:  # FSE description
+        br = _FwdBits(data, pos)
+        probs, al = _read_ncount(br, max_symbol, max_al)
+        return _fse_decode_table(probs, al), al, br.bytes_consumed(), None
+    # repeat
+    if prev is None:
+        raise ZstdError("zstd: repeat mode without previous table")
+    return prev[0], prev[1], pos, prev[2]
+
+
+# --------------------------------------------------------- decoder
+
+
+def decode_zstd(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Decode a (possibly multi-frame) zstd stream → content bytes."""
+    out_frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise ZstdError("zstd: truncated magic")
+        magic = struct.unpack_from("<I", data, pos)[0]
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if n - pos < 8:
+                raise ZstdError("zstd: truncated skippable frame")
+            sz = struct.unpack_from("<I", data, pos + 4)[0]
+            pos += 8 + sz
+            if pos > n:
+                raise ZstdError("zstd: skippable frame overruns input")
+            continue
+        if magic != 0xFD2FB528:
+            raise ZstdError("zstd: bad magic")
+        pos += 4
+        frame, pos = _decode_frame(data, pos, max_output)
+        out_frames.append(frame)
+    return b"".join(out_frames)
+
+
+def _decode_frame(data: bytes, pos: int, max_output: int) -> "tuple[bytes, int]":
+    n = len(data)
+    if pos >= n:
+        raise ZstdError("zstd: missing frame header")
+    fhd = data[pos]
+    pos += 1
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    checksum_flag = (fhd >> 2) & 1
+    did_flag = fhd & 3
+    if (fhd >> 3) & 1:
+        raise ZstdError("zstd: reserved frame-header bit set")
+    if not single_segment:
+        if pos >= n:
+            raise ZstdError("zstd: missing window descriptor")
+        pos += 1  # window size only bounds memory; we decode whole frames
+    did_len = (0, 1, 2, 4)[did_flag]
+    pos += did_len
+    fcs_len = (0, 2, 4, 8)[fcs_flag]
+    if fcs_flag == 0 and single_segment:
+        fcs_len = 1
+    fcs = None
+    if fcs_len:
+        if pos + fcs_len > n:
+            raise ZstdError("zstd: truncated frame content size")
+        fcs = int.from_bytes(data[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            fcs += 256
+        pos += fcs_len
+
+    out = bytearray()
+    huff_table = None  # persists across blocks (Treeless)
+    rep = [1, 4, 8]
+    seq_prev = {"ll": None, "of": None, "ml": None}
+    while True:
+        if pos + 3 > n:
+            raise ZstdError("zstd: truncated block header")
+        bh = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 0:  # raw
+            if pos + bsize > n:
+                raise ZstdError("zstd: truncated raw block")
+            out += data[pos : pos + bsize]
+            pos += bsize
+        elif btype == 1:  # RLE
+            if pos >= n:
+                raise ZstdError("zstd: truncated RLE block")
+            out += bytes([data[pos]]) * bsize
+            pos += 1
+        elif btype == 2:
+            if pos + bsize > n:
+                raise ZstdError("zstd: truncated compressed block")
+            block = data[pos : pos + bsize]
+            pos += bsize
+            huff_table = _decode_block(
+                block, out, huff_table, rep, seq_prev
+            )
+        else:
+            raise ZstdError("zstd: reserved block type")
+        if len(out) > max_output:
+            raise ZstdError("zstd: output exceeds limit")
+        if last:
+            break
+    if fcs is not None and len(out) != fcs:
+        raise ZstdError("zstd: frame content size mismatch")
+    if checksum_flag:
+        if pos + 4 > n:
+            raise ZstdError("zstd: truncated checksum")
+        want = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        if xxh64(bytes(out)) & 0xFFFFFFFF != want:
+            raise ZstdError("zstd: content checksum mismatch")
+    return bytes(out), pos
+
+
+def _decode_block(block: bytes, out: bytearray, huff_table, rep, seq_prev):
+    """Decode one compressed block, appending to ``out`` (the frame
+    window).  Returns the (possibly updated) Huffman table."""
+    if not block:
+        raise ZstdError("zstd: empty compressed block")
+    lt = block[0] & 3
+    sf = (block[0] >> 2) & 3
+    p = 0
+    if lt in (0, 1):  # Raw / RLE literals
+        if sf in (0, 2):
+            regen = block[0] >> 3
+            p = 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise ZstdError("zstd: truncated literals header")
+            regen = (block[0] >> 4) | (block[1] << 4)
+            p = 2
+        else:
+            if len(block) < 3:
+                raise ZstdError("zstd: truncated literals header")
+            regen = (block[0] >> 4) | (block[1] << 4) | (block[2] << 12)
+            p = 3
+        if lt == 0:
+            literals = block[p : p + regen]
+            if len(literals) != regen:
+                raise ZstdError("zstd: truncated raw literals")
+            p += regen
+        else:
+            if p >= len(block):
+                raise ZstdError("zstd: truncated RLE literal")
+            literals = bytes([block[p]]) * regen
+            p += 1
+    else:  # Compressed / Treeless
+        if sf == 0:
+            hdr = int.from_bytes(block[0:3], "little")
+            regen = (hdr >> 4) & 0x3FF
+            csize = (hdr >> 14) & 0x3FF
+            p = 3
+            streams = 1
+        elif sf == 1:
+            hdr = int.from_bytes(block[0:3], "little")
+            regen = (hdr >> 4) & 0x3FF
+            csize = (hdr >> 14) & 0x3FF
+            p = 3
+            streams = 4
+        elif sf == 2:
+            hdr = int.from_bytes(block[0:4], "little")
+            regen = (hdr >> 4) & 0x3FFF
+            csize = (hdr >> 18) & 0x3FFF
+            p = 4
+            streams = 4
+        else:
+            hdr = int.from_bytes(block[0:5], "little")
+            regen = (hdr >> 4) & 0x3FFFF
+            csize = (hdr >> 22) & 0x3FFFF
+            p = 5
+            streams = 4
+        payload = block[p : p + csize]
+        if len(payload) != csize:
+            raise ZstdError("zstd: truncated literals payload")
+        p += csize
+        if lt == 2:
+            huff_table, used = _read_huffman(payload)
+            payload = payload[used:]
+        elif huff_table is None:
+            raise ZstdError("zstd: treeless literals with no prior table")
+        if streams == 1:
+            literals = _huff_decode_stream(payload, huff_table, regen)
+        else:
+            if len(payload) < 6:
+                raise ZstdError("zstd: truncated jump table")
+            s1, s2, s3 = struct.unpack_from("<HHH", payload, 0)
+            body = payload[6:]
+            s4 = len(body) - s1 - s2 - s3
+            if s4 <= 0:
+                raise ZstdError("zstd: bad jump table")
+            r123 = (regen + 3) >> 2
+            r4 = regen - 3 * r123
+            if r4 < 0:
+                raise ZstdError("zstd: bad 4-stream regen split")
+            chunks = []
+            off = 0
+            for sz, rn in ((s1, r123), (s2, r123), (s3, r123), (s4, r4)):
+                chunks.append(
+                    _huff_decode_stream(body[off : off + sz], huff_table, rn)
+                )
+                off += sz
+            literals = b"".join(chunks)
+
+    # ---- sequences section
+    rest = block[p:]
+    if not rest:
+        raise ZstdError("zstd: missing sequences section")
+    b0 = rest[0]
+    q = 1
+    if b0 == 0:
+        nseq = 0
+    elif b0 < 128:
+        nseq = b0
+    elif b0 < 255:
+        if len(rest) < 2:
+            raise ZstdError("zstd: truncated sequence count")
+        nseq = ((b0 - 128) << 8) + rest[1]
+        q = 2
+    else:
+        if len(rest) < 3:
+            raise ZstdError("zstd: truncated sequence count")
+        nseq = rest[1] + (rest[2] << 8) + 0x7F00
+        q = 3
+    if nseq == 0:
+        out += literals
+        return huff_table
+    if len(rest) <= q:
+        raise ZstdError("zstd: missing compression modes")
+    modes = rest[q]
+    q += 1
+    if modes & 3:
+        raise ZstdError("zstd: reserved sequence mode bits")
+    ll_mode = (modes >> 6) & 3
+    of_mode = (modes >> 4) & 3
+    ml_mode = (modes >> 2) & 3
+
+    ll_tab, ll_al, q, ll_rle = _seq_table(
+        ll_mode, rest, q, _LL_DEFAULT, _LL_DEFAULT_AL, 35, 9, seq_prev["ll"]
+    )
+    of_tab, of_al, q, of_rle = _seq_table(
+        of_mode, rest, q, _OF_DEFAULT, _OF_DEFAULT_AL, 31, 8, seq_prev["of"]
+    )
+    ml_tab, ml_al, q, ml_rle = _seq_table(
+        ml_mode, rest, q, _ML_DEFAULT, _ML_DEFAULT_AL, 52, 9, seq_prev["ml"]
+    )
+    seq_prev["ll"] = (ll_tab, ll_al, ll_rle)
+    seq_prev["of"] = (of_tab, of_al, of_rle)
+    seq_prev["ml"] = (ml_tab, ml_al, ml_rle)
+
+    bb = _BackBits(rest[q:])
+    ll_st = _FseState(ll_tab, bb, ll_al) if ll_tab is not None else None
+    of_st = _FseState(of_tab, bb, of_al) if of_tab is not None else None
+    ml_st = _FseState(ml_tab, bb, ml_al) if ml_tab is not None else None
+
+    lit_pos = 0
+    for s_i in range(nseq):
+        of_code = of_st.peek() if of_st is not None else of_rle
+        ml_code = ml_st.peek() if ml_st is not None else ml_rle
+        ll_code = ll_st.peek() if ll_st is not None else ll_rle
+        if of_code > 31 or ml_code > 52 or ll_code > 35:
+            raise ZstdError("zstd: sequence code out of range")
+        # value bits read order: OF, ML, LL
+        of_value = (1 << of_code) + bb.read(of_code)
+        ml = _ML_BASE[ml_code] + bb.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + bb.read(_LL_BITS[ll_code])
+        # repeat-offset resolution
+        if of_value > 3:
+            offset = of_value - 3
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+        else:
+            idx = of_value - 1 if ll != 0 else of_value
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+            else:  # ll == 0 and of_value == 3
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ZstdError("zstd: repeat offset underflow")
+                rep[2] = rep[1]
+                rep[1] = rep[0]
+                rep[0] = offset
+        # state updates (not after the last sequence): LL, ML, OF
+        if s_i != nseq - 1:
+            if ll_st is not None:
+                ll_st.update(bb)
+            if ml_st is not None:
+                ml_st.update(bb)
+            if of_st is not None:
+                of_st.update(bb)
+        # execute
+        if lit_pos + ll > len(literals):
+            raise ZstdError("zstd: literals overrun")
+        out += literals[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ZstdError("zstd: match offset beyond window")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start : start + ml]
+        else:
+            for _ in range(ml):
+                out.append(out[-offset])
+    out += literals[lit_pos:]
+    return huff_table
+
+
+# --------------------------------------------------------- encoder
+
+
+def _huff_lengths(freqs: "dict[int, int]", max_len: int = 11) -> "dict[int, int]":
+    """Code lengths via plain Huffman + length limiting (fold nodes
+    deeper than max_len up — fine for the encoder's small alphabets)."""
+    import heapq
+
+    items = sorted(freqs.items())
+    if len(items) == 1:
+        return {items[0][0]: 1}
+    heap = [(f, s, None) for s, f in items]
+    heapq.heapify(heap)
+    cnt = 0
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        cnt += 1
+        heapq.heappush(heap, (a[0] + b[0], 256 + cnt, (a, b)))
+    depths: dict[int, int] = {}
+
+    def walk(node, d):  # noqa: ANN001
+        if node[2] is None:
+            depths[node[1]] = max(1, d)
+            return
+        walk(node[2][0], d + 1)
+        walk(node[2][1], d + 1)
+
+    walk(heap[0], 0)
+    # limit depth: clamp and repair Kraft by shortening the most
+    # frequent deep symbols / lengthening cheap ones
+    for s in depths:
+        depths[s] = min(depths[s], max_len)
+    while True:
+        kraft = sum(2.0 ** -d for d in depths.values())
+        if kraft <= 1.0 + 1e-12:
+            break
+        # lengthen the lowest-frequency symbol that can grow
+        cands = [s for s, d in depths.items() if d < max_len]
+        s = min(cands, key=lambda s_: (freqs[s_], s_))
+        depths[s] += 1
+    # tighten: pull up symbols while Kraft allows (keeps total power-of-2)
+    changed = True
+    while changed:
+        changed = False
+        for s in sorted(depths, key=lambda s_: -freqs[s_]):
+            if depths[s] > 1:
+                depths[s] -= 1
+                if sum(2.0 ** -d for d in depths.values()) <= 1.0 + 1e-12:
+                    changed = True
+                else:
+                    depths[s] += 1
+    return depths
+
+
+class _BackWriter:
+    """Builds a backward bitstream: bits appended in DECODER order."""
+
+    def __init__(self) -> None:
+        self.val = 1  # sentinel
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self.val = (self.val << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+
+    def bytes(self) -> bytes:
+        # padding zeros live ABOVE the sentinel in the last byte — a
+        # bottom shift would read back as phantom payload bits and the
+        # reference decoder rejects the stream as not-fully-consumed
+        total = self.n + 1
+        return self.val.to_bytes((total + 7) // 8, "little")
+
+
+def _huff_encode_stream(payload: bytes, codes: "dict[int, tuple[int, int]]") -> bytes:
+    w = _BackWriter()
+    for b in payload:
+        code, nb = codes[b]
+        w.write(code, nb)
+    return w.bytes()
+
+
+def _build_huff_codes(weights_by_symbol: "dict[int, int]", tl: int):
+    """Per-symbol (code, nbits) mirroring the decoder's fill order."""
+    codes = {}
+    pos = 0
+    for w in range(1, tl + 1):
+        for s in sorted(weights_by_symbol):
+            if weights_by_symbol[s] == w:
+                nb = tl + 1 - w
+                codes[s] = (pos >> (w - 1), nb)
+                pos += 1 << (w - 1)
+    return codes
+
+
+def _fse_encode_table(probs: "list[int]", al: int):
+    """Decode-table inversion for encoding: per symbol, the sorted
+    slot states; per slot, (nb, base) — the encoder walks sequences
+    backward choosing the unique predecessor state."""
+    symbol, nb, base = _fse_decode_table(probs, al)
+    size = 1 << al
+    slots: dict[int, list[int]] = {}
+    for i in range(size):
+        slots.setdefault(int(symbol[i]), []).append(i)
+    return symbol, nb, base, slots
+
+
+def _encode_sequences_bits(seqs, tables) -> bytes:
+    """seqs: list of (ll_code, ll_extra, of_code, of_extra, ml_code,
+    ml_extra) in stream order; tables: per-field
+    (symbol, nb, base, slots, al).  Returns the backward bitstream."""
+    (llS, llN, llB, llSlots, ll_al) = tables["ll"]
+    (ofS, ofN, ofB, ofSlots, of_al) = tables["of"]
+    (mlS, mlN, mlB, mlSlots, ml_al) = tables["ml"]
+
+    def predecessor(slots, nbt, baset, code, next_state):
+        for st in slots[code]:
+            b = int(baset[st])
+            w = int(nbt[st])
+            if b <= next_state < b + (1 << w):
+                return st, next_state - b, w
+        raise ZstdError("zstd: FSE encode state not found")
+
+    # choose states backward
+    n = len(seqs)
+    ll_states = [0] * n
+    of_states = [0] * n
+    ml_states = [0] * n
+    ll_bits = [None] * n
+    of_bits = [None] * n
+    ml_bits = [None] * n
+    # last sequence: its state emits the symbol, no update afterwards —
+    # free choice of any slot of that symbol
+    ll_states[-1] = llSlots[seqs[-1][0]][0]
+    of_states[-1] = ofSlots[seqs[-1][2]][0]
+    ml_states[-1] = mlSlots[seqs[-1][4]][0]
+    for i in range(n - 2, -1, -1):
+        st, bits, w = predecessor(llSlots, llN, llB, seqs[i][0], ll_states[i + 1])
+        ll_states[i] = st
+        ll_bits[i] = (bits, w)
+        st, bits, w = predecessor(mlSlots, mlN, mlB, seqs[i][4], ml_states[i + 1])
+        ml_states[i] = st
+        ml_bits[i] = (bits, w)
+        st, bits, w = predecessor(ofSlots, ofN, ofB, seqs[i][2], of_states[i + 1])
+        of_states[i] = st
+        of_bits[i] = (bits, w)
+
+    w = _BackWriter()
+    # decoder reads: init LL, OF, ML states
+    w.write(ll_states[0], ll_al)
+    w.write(of_states[0], of_al)
+    w.write(ml_states[0], ml_al)
+    for i, (llc, lle, ofc, ofe, mlc, mle) in enumerate(seqs):
+        # decoder reads value bits OF, ML, LL
+        w.write(ofe, ofc)
+        w.write(mle, _ML_BITS[mlc])
+        w.write(lle, _LL_BITS[llc])
+        if i != n - 1:
+            # decoder updates LL, ML, OF — reading the bits we chose
+            w.write(ll_bits[i][0], ll_bits[i][1])
+            w.write(ml_bits[i][0], ml_bits[i][1])
+            w.write(of_bits[i][0], of_bits[i][1])
+    return w.bytes()
+
+
+def _code_of(value: int, bases: "list[int]") -> int:
+    import bisect
+
+    return bisect.bisect_right(bases, value) - 1
+
+
+def _lz_parse(chunk: bytes, min_match: int = 4):
+    """Greedy hash-map LZ77 → (sequences, literal bytes): sequences are
+    (ll, offset, ml) with the final tail returned as trailing
+    literals."""
+    n = len(chunk)
+    seqs = []
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+    while i + min_match <= n:
+        key = chunk[i : i + min_match]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= (1 << 20):
+            # extend
+            ml = min_match
+            while i + ml < n and chunk[j + ml] == chunk[i + ml]:
+                ml += 1
+            ll = i - anchor
+            lits += chunk[anchor:i]
+            seqs.append((ll, i - j, ml))
+            # index a few positions inside the match for future finds
+            for k in range(i + 1, min(i + ml, n - min_match), 7):
+                table[chunk[k : k + min_match]] = k
+            i += ml
+            anchor = i
+        else:
+            i += 1
+    lits += chunk[anchor:]
+    return seqs, bytes(lits), n - anchor
+
+
+def _encode_literals_section(literals: bytes) -> bytes:
+    """Huffman-compressed literals with a direct weight description,
+    1- or 4-stream as the sizes require; Raw when compression does not
+    pay or the alphabet is unrepresentable."""
+    regen = len(literals)
+
+    def raw() -> bytes:
+        if regen < 32 and regen < (1 << 5):
+            return bytes([(regen << 3) | 0]) + literals
+        if regen < (1 << 12):
+            h = (regen << 4) | 0x4  # size_format 01
+            return bytes([h & 0xFF, (h >> 8) & 0xFF]) + literals
+        h = (regen << 4) | 0xC  # size_format 11
+        return bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF]) + literals
+
+    if regen < 64:
+        return raw()
+    freqs: dict[int, int] = {}
+    for b in literals:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2 or len(freqs) > 128:
+        return raw()
+    depths = _huff_lengths(freqs, 11)
+    tl = max(depths.values())
+    weights = {s: tl + 1 - d for s, d in depths.items()}
+    max_sym = max(weights)
+    # direct description: weights for symbols 0..max_sym−1, LAST
+    # present symbol's weight implied.  Absent symbols weight 0.
+    # Implied weight must match: leftover power-of-two check.
+    wlist = [weights.get(s, 0) for s in range(max_sym)]
+    total = sum((1 << (w - 1)) for w in wlist if w > 0)
+    left = (1 << tl) - total
+    if left <= 0 or left & (left - 1) or left.bit_length() != weights[max_sym]:
+        return raw()  # length-limit repair broke the canonical form
+    if len(wlist) > 128:
+        return raw()
+    codes = _build_huff_codes(weights, tl)
+    desc = bytearray([127 + len(wlist)])
+    for i in range(0, len(wlist), 2):
+        hi = wlist[i] << 4
+        lo = wlist[i + 1] if i + 1 < len(wlist) else 0
+        desc.append(hi | lo)
+    if regen <= 1023:
+        stream = _huff_encode_stream(literals, codes)
+        csize = len(desc) + len(stream)
+        if csize > 1023 or csize >= regen:
+            return raw()
+        hdr = 2 | (0 << 2) | (regen << 4) | (csize << 14)
+        return hdr.to_bytes(3, "little") + bytes(desc) + stream
+    # 4-stream (size_format 11: 18-bit fields)
+    r123 = (regen + 3) >> 2
+    parts = [
+        literals[0:r123],
+        literals[r123 : 2 * r123],
+        literals[2 * r123 : 3 * r123],
+        literals[3 * r123 :],
+    ]
+    streams = [_huff_encode_stream(pt, codes) for pt in parts]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return raw()
+    body = struct.pack("<HHH", len(streams[0]), len(streams[1]), len(streams[2]))
+    body += b"".join(streams)
+    csize = len(desc) + len(body)
+    if csize >= regen or csize >= (1 << 18) or regen >= (1 << 18):
+        return raw()
+    hdr = 2 | (3 << 2) | (regen << 4) | (csize << 22)
+    return hdr.to_bytes(5, "little") + bytes(desc) + body
+
+
+def _encode_block_body(chunk: bytes) -> "bytes | None":
+    """One compressed-block body (literals + sequences in Predefined
+    mode), or None when compression does not pay."""
+    seqs, lits, _tail = _lz_parse(chunk)
+    lit_sec = _encode_literals_section(lits)
+    if not seqs:
+        body = lit_sec + b"\x00"  # 0 sequences
+        return body if len(body) < len(chunk) else None
+    if len(seqs) > 0x7EFF:
+        return None  # keep the count in the 2-byte form
+    coded = []
+    for ll, off, ml in seqs:
+        if ml > 65539 + 65535 or ll > 65536 + 65535:
+            return None
+        llc = _code_of(ll, _LL_BASE)
+        mlc = _code_of(ml, _ML_BASE)
+        of_value = off + 3
+        ofc = of_value.bit_length() - 1
+        if ofc > 23:  # stay inside the predefined OF table (28 max, but
+            return None  # cap to the non-"less-than-one" range for safety
+        coded.append(
+            (
+                llc,
+                ll - _LL_BASE[llc],
+                ofc,
+                of_value - (1 << ofc),
+                mlc,
+                ml - _ML_BASE[mlc],
+            )
+        )
+    tables = {
+        "ll": _fse_encode_table(_LL_DEFAULT, _LL_DEFAULT_AL) + (_LL_DEFAULT_AL,),
+        "of": _fse_encode_table(_OF_DEFAULT, _OF_DEFAULT_AL) + (_OF_DEFAULT_AL,),
+        "ml": _fse_encode_table(_ML_DEFAULT, _ML_DEFAULT_AL) + (_ML_DEFAULT_AL,),
+    }
+    bits = _encode_sequences_bits(coded, tables)
+    nseq = len(coded)
+    if nseq < 128:
+        count = bytes([nseq])
+    else:
+        count = bytes([128 + (nseq >> 8), nseq & 0xFF])
+    body = lit_sec + count + bytes([0]) + bits  # modes byte: all predefined
+    return body if len(body) < len(chunk) else None
+
+
+def encode_zstd(data: bytes, checksum: bool = True) -> bytes:
+    """Encode ``data`` as one zstd frame (single-segment, frame content
+    size present) — minimal but RFC-conformant; round-trips through the
+    reference zstd binary (pinned by tests)."""
+    out = bytearray()
+    out += struct.pack("<I", 0xFD2FB528)
+    n = len(data)
+    # FHD: single_segment, checksum flag, FCS size by magnitude
+    if n <= 255:
+        fcs_flag = 0  # 1 byte (single-segment form)
+        fcs_bytes = bytes([n])
+    elif n <= 65535 + 256:
+        fcs_flag = 1
+        fcs_bytes = struct.pack("<H", n - 256)
+    elif n < (1 << 32):
+        fcs_flag = 2
+        fcs_bytes = struct.pack("<I", n)
+    else:
+        fcs_flag = 3
+        fcs_bytes = struct.pack("<Q", n)
+    fhd = (fcs_flag << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
+    out.append(fhd)
+    out += fcs_bytes
+    BS = 1 << 17  # 128 KB block rule
+    chunks = [data[i : i + BS] for i in range(0, n, BS)] or [b""]
+    for ci, chunk in enumerate(chunks):
+        last = 1 if ci == len(chunks) - 1 else 0
+        body = _encode_block_body(chunk) if chunk else None
+        if body is None:
+            bh = last | (0 << 1) | (len(chunk) << 3)
+            out += bh.to_bytes(3, "little") + chunk
+        else:
+            bh = last | (2 << 1) | (len(body) << 3)
+            out += bh.to_bytes(3, "little") + body
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

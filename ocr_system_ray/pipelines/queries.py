@@ -1637,14 +1637,19 @@ def q_favicon_hash(sf_dir: str) -> ray.data.Dataset:
 
 def _derived_http_payloads(t: pa.Table) -> pa.Table:
     """HTTP-response leg over the documents' own text: rotating
-    transfer/content codings (doc_id % 6 → identity / chunked / gzip /
-    chunked+gzip / deflate / brotli; ``x-gzip`` label every %10==2),
+    transfer/content codings (doc_id % 7 → identity / chunked / gzip /
+    chunked+gzip / deflate / brotli / zstd; ``x-gzip`` label every
+    %10==2),
     rotating statuses (%7==2 → 301, %11==3 → 404), a truncated chunked
     stream (%89==3: two complete 100-byte chunks of a 500-byte body
     survive → complete-prefix semantics) and non-HTTP corrupt rows
     (%97).  The ``br`` rows carry stored-mode RFC 7932 streams from
     the deterministic pure-Python encoder; the decoder handles real
-    compressed streams too (``tests/test_brotli.py`` goldens)."""
+    compressed streams too (``tests/test_brotli.py`` goldens).  The
+    ``zstd`` rows carry REAL compressed frames from the from-scratch
+    RFC 8878 encoder (sequences + Huffman literals), decoded by the
+    from-scratch decoder — both conformance-pinned against the
+    reference zstd binary (``tests/test_zstd.py``)."""
     from ..functions.httpbody import encode_http_response
 
     ids = t.column("doc_id").to_pylist()
@@ -1662,7 +1667,7 @@ def _derived_http_payloads(t: pa.Table) -> pa.Table:
             payloads.append(raw[: body_start + 2 * 106 + 10])
             continue
         body = (text or "").encode("utf-8")
-        enc = i % 6
+        enc = i % 7
         ce = ""
         if enc in (2, 3):
             ce = "x-gzip" if i % 10 == 2 else "gzip"
@@ -1670,6 +1675,8 @@ def _derived_http_payloads(t: pa.Table) -> pa.Table:
             ce = "deflate"
         elif enc == 5:
             ce = "br"
+        elif enc == 6:
+            ce = "zstd"
         payloads.append(
             encode_http_response(
                 body, status=status, content_encoding=ce, chunked=enc in (1, 3)
@@ -1683,8 +1690,10 @@ def _derived_http_payloads(t: pa.Table) -> pa.Table:
 def q_http_bodies(sf_dir: str) -> ray.data.Dataset:
     """Full-fidelity HTTP response decode over REAL message bytes —
     chunked de-framing (incl. truncated-stream complete-prefix
-    semantics), gzip/x-gzip/deflate/brotli content decoding (``br``
-    via the from-scratch RFC 7932 decoder, ``functions/brotlidec.py``),
+    semantics), gzip/x-gzip/deflate/brotli/zstd content decoding
+    (``br`` via the from-scratch RFC 7932 decoder, ``zstd`` via the
+    from-scratch RFC 8878 decoder — ``functions/zstddec.py``,
+    conformance-pinned against the reference binary),
     status parse (``functions/httpbody.py``) — the WARC-response path
     real crawls need beyond Content-Length.  Oracle = DuckDB
     recomputing every column from the derivation; body md5 is the

@@ -1,0 +1,190 @@
+"""RFC 8878 zstd codec (`functions/zstddec.py`): live-oracle
+conformance against the reference zstd CLI in BOTH directions (the
+tests/test_core_oracle.py precedent — the binary is part of this
+environment), plus structural and error-path units."""
+
+from __future__ import annotations
+
+import random
+import shutil
+import struct
+import subprocess
+
+import pytest
+
+from ocr_system_ray.functions.zstddec import (
+    ZstdError,
+    decode_zstd,
+    encode_zstd,
+    xxh64,
+)
+
+_BIN = shutil.which("zstd")
+needs_bin = pytest.mark.skipif(_BIN is None, reason="reference zstd CLI absent")
+
+
+def _z(data: bytes, args: list) -> bytes:
+    return subprocess.run(
+        [_BIN, "-c"] + args, input=data, capture_output=True, check=True
+    ).stdout
+
+
+def _unz(comp: bytes) -> "tuple[int, bytes]":
+    r = subprocess.run([_BIN, "-d", "-c"], input=comp, capture_output=True)
+    return r.returncode, r.stdout
+
+
+def _corpus() -> "dict[str, bytes]":
+    rng = random.Random(42)
+    words = ["the", "zstd", "frame", "block", "huffman", "fse", "sequence",
+             "offset", "literal", "entropy"]
+    text = (" ".join(rng.choice(words) for _ in range(60000))).encode()
+    binary = bytes(rng.getrandbits(8) for _ in range(60000))
+    return {
+        "text": text,
+        "binary": binary,
+        "mixed": b"".join(
+            text[i : i + 500] + binary[i : i + 50] for i in range(0, 30000, 500)
+        ),
+        "repet": (b"ABCD" * 100 + b"\x00" * 400 + b"pat!" * 200) * 40,
+        "tiny": b"x",
+        "empty": b"",
+    }
+
+
+# ------------------------------------------------------------- xxh64
+
+
+def test_xxh64_known_vectors():
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    # >32-byte path
+    assert xxh64(b"a" * 100) != xxh64(b"a" * 101)
+    assert xxh64(b"abc", seed=1) != xxh64(b"abc", seed=0)
+
+
+# ------------------------------------ decoder vs the reference binary
+
+
+@needs_bin
+@pytest.mark.parametrize("level", ["-1", "-3", "-6", "-12", "-19"])
+def test_decode_reference_streams(level):
+    for name, data in _corpus().items():
+        for extra in ([], ["--no-check"]):
+            comp = _z(data, [level] + extra)
+            assert decode_zstd(comp) == data, (name, level, extra)
+
+
+@needs_bin
+def test_decode_multi_frame_and_skippable():
+    c = _corpus()
+    comp = _z(c["text"][:3000], ["-3"]) + _z(c["binary"][:3000], ["-1"])
+    assert decode_zstd(comp) == c["text"][:3000] + c["binary"][:3000]
+    # skippable frame between real frames
+    skip = struct.pack("<II", 0x184D2A53, 5) + b"extra"
+    comp2 = _z(b"aaa", ["-1"]) + skip + _z(b"bbb", ["-1"])
+    assert decode_zstd(comp2) == b"aaabbb"
+
+
+# ------------------------------------ encoder through the reference
+
+
+@needs_bin
+def test_encoder_roundtrips_through_reference():
+    for name, data in _corpus().items():
+        for chk in (True, False):
+            comp = encode_zstd(data, checksum=chk)
+            rc, out = _unz(comp)
+            assert rc == 0 and out == data, (name, chk)
+
+
+def test_encoder_self_roundtrip():
+    for name, data in _corpus().items():
+        comp = encode_zstd(data)
+        assert decode_zstd(comp) == data, name
+
+
+def test_encoder_compresses_text():
+    data = (b"the quick brown fox " * 2000)
+    comp = encode_zstd(data)
+    assert len(comp) < len(data) // 10
+
+
+def test_encoder_multi_block():
+    data = bytes((i * 7) % 251 for i in range(300_000))  # > 2 blocks
+    comp = encode_zstd(data)
+    assert decode_zstd(comp) == data
+
+
+# ------------------------------------------------------ error paths
+
+
+def test_bad_magic():
+    with pytest.raises(ZstdError):
+        decode_zstd(b"\x00\x01\x02\x03\x04")
+
+
+def test_truncated_frame():
+    comp = encode_zstd(b"hello world " * 100)
+    with pytest.raises(ZstdError):
+        decode_zstd(comp[: len(comp) // 2])
+
+
+def test_checksum_mismatch():
+    comp = bytearray(encode_zstd(b"hello hello hello", checksum=True))
+    comp[-1] ^= 0xFF
+    with pytest.raises(ZstdError):
+        decode_zstd(bytes(comp))
+
+
+def test_content_size_mismatch():
+    comp = bytearray(encode_zstd(b"abcdefgh", checksum=False))
+    comp[5] ^= 1  # FCS byte
+    with pytest.raises(ZstdError):
+        decode_zstd(bytes(comp))
+
+
+def test_reserved_block_type():
+    # frame header for empty single-segment + a reserved (type 3) block
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x20, 0x00])
+    frame += (1 | (3 << 1)).to_bytes(3, "little")
+    with pytest.raises(ZstdError):
+        decode_zstd(frame)
+
+
+def test_garbage_rejected():
+    with pytest.raises(ZstdError):
+        decode_zstd(b"not zstd at all")
+
+
+# -------------------------------------------------- http integration
+
+
+def test_http_zstd_body(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from ocr_system_ray.functions.httpbody import (
+        encode_http_response,
+        http_body_features,
+    )
+
+    body = b"zstd over http " * 500
+    good = encode_http_response(body, content_encoding="zstd")
+    bad = encode_http_response(b"x", content_encoding="zstd")
+    bad = bad.replace(encode_zstd(b"x"), b"\xde\xad\xbe\xef")
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([good, bad], pa.binary()),
+        }
+    )
+    out = (
+        http_body_features(ray.data.from_arrow(rows))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "ok"] == 1 and out.loc[1, "zstd"] == 1
+    assert out.loc[1, "n_bytes"] == len(body)
+    assert out.loc[2, "ok"] == 0
