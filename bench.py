@@ -327,8 +327,43 @@ def _query_suite() -> dict:
         "extraction_eval": q.q_extraction_eval,
         "merkle_tree": q.q_merkle_tree,
         "bitmap_probe": q.q_bitmap_probe,
+        # round-5 additions
+        "scan_preprocess": q.q_scan_preprocess,
+        "mp1_pcm": q.q_mp1_pcm,
+        "suffix_lcp": q.q_suffix_lcp,  # persisted-SA PROBE path
+        "sa_index_update": _sa_fold_fresh,  # cache-busted fold
     }
+    # cache-busted SA build: the /tmp index cache would otherwise make
+    # every rep after the first measure only the read-back; deleting it
+    # keeps "suffix_array" = the full build+persist+read, while
+    # suffix_lcp / sa_span_mask (later in pass order) measure the warm
+    # probe — together the build-once / probe-many cost split.
+    suite["suffix_array"] = _sa_build_fresh
     return suite
+
+
+def _sa_index_tmp(sf_dir: str, prefix: str) -> str:
+    import hashlib
+
+    return f"/tmp/{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+
+
+def _sa_build_fresh(sf_dir: str):
+    import shutil
+
+    from ocr_system_ray.pipelines import queries as q
+
+    shutil.rmtree(_sa_index_tmp(sf_dir, "osr_sa_idx"), ignore_errors=True)
+    return q.q_suffix_array(sf_dir)
+
+
+def _sa_fold_fresh(sf_dir: str):
+    import shutil
+
+    from ocr_system_ray.pipelines import queries as q
+
+    shutil.rmtree(_sa_index_tmp(sf_dir, "osr_sa_upd"), ignore_errors=True)
+    return q.q_sa_index_update(sf_dir)
 
 
 def run_query_suite(reps: int) -> tuple[dict[str, float], dict[str, list[float]]]:

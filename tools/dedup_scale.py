@@ -1,0 +1,167 @@
+"""Second scale point for the dedup family (VERDICT r4 item 7).
+
+Runs minhash / simhash / jaccard-join / edit-join at sf0.1 (5 000
+docs) and at a synthesized sf1 (10× replicas with per-replica tag
+words — same duplicate-rate statistics, distinct content), recording
+wall, per-stage remote-wall SUMS from ``ds.stats()`` (the only
+parallelism-honest number on this time-shared host — CLAUDE.md), and
+output rows.  Results go into BASELINE.md's r5 table.
+
+Usage:  python tools/dedup_scale.py [sf_dir]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/osr_sf1_docs"
+
+
+def build_sf1() -> str:
+    """10× the sf0.1 documents: replica k offsets doc ids by k·10⁷ and
+    appends replica-tag words so copies are near-dup-ish but distinct
+    (keeps minhash cluster sizes realistic instead of planting
+    10-member exact-dup stars everywhere)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(SF1_DIR)
+    marker = out / "_complete"
+    if marker.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    src = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = src.column("doc_id").to_pylist()
+    texts = src.column("text").to_pylist()
+    for k in range(10):
+        rid = [i + k * 10_000_000 for i in ids]
+        rtx = []
+        for i, t in zip(ids, texts):
+            if k == 0:
+                rtx.append(t or "")
+                continue
+            # replace ~45% of words with replica-keyed tokens: replica
+            # Jaccard lands ≈0.35–0.45, BELOW the dedup thresholds, so
+            # the sf1 duplicate-cluster statistics match sf0.1's
+            # instead of planting 10-cliques everywhere
+            w = (t or "").split(" ")
+            rtx.append(
+                " ".join(
+                    f"r{k}x{(j * 131 + i) % 4093}"
+                    if (j + k) % 9 < 4
+                    else x
+                    for j, x in enumerate(w)
+                )
+            )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(rid, pa.int64()),
+                    "text": pa.array(rtx, pa.string()),
+                }
+            ),
+            out / f"part-{k}.parquet",
+        )
+    marker.write_text("ok")
+    return str(out)
+
+
+def remote_wall_sum(stats: str) -> float:
+    """Sum of per-operator remote wall times from ``ds.stats()``."""
+    total = 0.0
+    for m in re.finditer(r"Remote wall time:.*?total", stats):
+        seg = m.group(0)
+        t = re.search(r"([0-9.]+)(ms|s|m) total", seg)
+        if t:
+            v = float(t.group(1))
+            unit = t.group(2)
+            total += v / 1000 if unit == "ms" else (v * 60 if unit == "m" else v)
+    return round(total, 2)
+
+
+def run_op(name, fn, docs):  # noqa: ANN001
+    t0 = time.monotonic()
+    out = fn(docs)
+    out = out.materialize()
+    wall = round(time.monotonic() - t0, 2)
+    rows = out.count()
+    rsum = remote_wall_sum(out.stats())
+    return {"op": name, "wall_s": wall, "rows": rows, "remote_wall_sum_s": rsum}
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from ocr_system_ray.functions import dedup
+    from ocr_system_ray.functions.editjoin import edit_distance_join
+    from ocr_system_ray.pipelines.queries import _derived_linkage_keys
+
+    sf1 = build_sf1()
+
+    def ops(scale_dir: str, label: str):
+        import glob as _glob
+
+        paths = (
+            [f"{scale_dir}/documents.parquet"]
+            if label == "sf0.1"
+            else sorted(_glob.glob(f"{scale_dir}/part-*.parquet"))
+        )
+        docs = ray.data.read_parquet(paths, columns=["doc_id", "text"])
+        res = []
+        res.append(
+            run_op(
+                "minhash_pairs",
+                lambda d: dedup.minhash_duplicate_pairs(d, threshold=0.7),
+                docs,
+            )
+        )
+        res.append(
+            run_op(
+                "simhash_pairs",
+                lambda d: dedup.simhash_duplicate_pairs(d, max_hamming=3),
+                docs,
+            )
+        )
+        res.append(
+            run_op(
+                "jaccard_join",
+                lambda d: dedup.jaccard_similarity_join(d, threshold=0.8),
+                docs,
+            )
+        )
+        res.append(
+            run_op(
+                "edit_join",
+                lambda d: edit_distance_join(
+                    d.map_batches(_derived_linkage_keys, batch_format="pyarrow"),
+                    "key",
+                    k=2,
+                ),
+                docs,
+            )
+        )
+        for r in res:
+            r["scale"] = label
+        return res
+
+    import os
+
+    results = ops(SF_DIR, "sf0.1") + ops(sf1, "sf1")
+    print(json.dumps({"loadavg_1m": os.getloadavg()[0], "results": results}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

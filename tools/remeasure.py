@@ -1,0 +1,67 @@
+"""Targeted re-measurement of specific bench queries (VERDICT r4 item
+6: dict_tags / code_filters / hreflang_links regressions were measured
+under loadavg 5.57 and need a settled-host verdict).
+
+Usage: python tools/remeasure.py name [name ...]  — best-of-N
+interleaved passes (GRAFT_BENCH_REPS, default 5) at sf0.1, printing
+one JSON line with samples + load averages (the bench.py protocol on a
+subset)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("GRAFT_BENCH_REPS", "5"))
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        raise SystemExit("usage: remeasure.py query [query ...]")
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import pandas as pd
+    import pyarrow as pa
+
+    import bench
+
+    suite = bench._query_suite()
+    missing = [n for n in names if n not in suite]
+    if missing:
+        raise SystemExit(f"unknown queries: {missing}")
+    load0 = os.getloadavg()[0]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(REPS):
+        for n in names:
+            t0 = time.monotonic()
+            out = suite[n](SF_DIR)
+            if not isinstance(out, (pd.DataFrame, pa.Table)):
+                out.materialize()
+            samples[n].append(round(time.monotonic() - t0, 3))
+    print(
+        json.dumps(
+            {
+                "best": {n: min(s) for n, s in samples.items()},
+                "samples": samples,
+                "loadavg_1m": [load0, os.getloadavg()[0]],
+                "reps": REPS,
+                "sf_dir": SF_DIR,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
