@@ -29,7 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .dedup import _adaptive_coarse_bits, _coarse_bucket
+from .dedup import _adaptive_coarse_bits, _coarse_bucket, _pin
 
 
 def _require_valid_keys(col, key_col: str, op: str) -> None:  # noqa: ANN001
@@ -64,7 +64,10 @@ def asof_join_latest(
     import pandas as pd
 
     if num_buckets is None:
-        # both sides ride the shuffle — adaptive-width rule
+        # both sides ride the shuffle — adaptive-width rule; pin first
+        # (callers pass derived ts-cast plans — pin-before-count rule)
+        left = _pin(left)
+        right = _pin(right)
         num_buckets = 1 << _adaptive_coarse_bits(
             max(2, left.count() + right.count())
         )
@@ -176,7 +179,10 @@ def window_count_join(
     import pandas as pd
 
     if num_buckets is None:
-        # left emits 2 probe rows per event, right 1 — adaptive rule
+        # left emits 2 probe rows per event, right 1 — adaptive rule;
+        # pin-before-count on the derived inputs
+        left = _pin(left)
+        right = _pin(right)
         num_buckets = 1 << _adaptive_coarse_bits(
             max(2, 2 * left.count() + right.count())
         )

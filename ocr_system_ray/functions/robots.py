@@ -132,10 +132,14 @@ def evaluate_robots(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
-    from .dedup import _adaptive_coarse_bits
+    from .dedup import _adaptive_coarse_bits, _pin
 
     if num_buckets is None:
-        # both sides ride the host-bucket shuffle (adaptive-width rule)
+        # pin-before-count (the windows._bucketed rule): callers pass
+        # DERIVED url/robots plans, and a bare count() executes each
+        # derivation once just to size the shuffle
+        urls = _pin(urls)
+        robots = _pin(robots)
         num_buckets = 1 << _adaptive_coarse_bits(
             max(2, urls.count() + robots.count())
         )
@@ -224,9 +228,10 @@ def fetch_schedule(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
-    from .dedup import _adaptive_coarse_bits
+    from .dedup import _adaptive_coarse_bits, _pin
 
     if num_buckets is None:
+        urls = _pin(urls)  # pin-before-count: derived url plans
         num_buckets = 1 << _adaptive_coarse_bits(max(2, urls.count()))
 
     def emit(t: pa.Table) -> pa.Table:
@@ -348,9 +353,11 @@ def fetch_schedule_with_robots(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
-    from .dedup import _adaptive_coarse_bits
+    from .dedup import _adaptive_coarse_bits, _pin
 
     if num_buckets is None:
+        urls = _pin(urls)  # pin-before-count: derived plans both sides
+        robots = _pin(robots)
         num_buckets = 1 << _adaptive_coarse_bits(
             max(2, urls.count() + robots.count())
         )

@@ -319,10 +319,12 @@ def anchor_text_counts(
     import pandas as pd
 
     from ..stages.skew import stable_hash64
-    from .dedup import _adaptive_coarse_bits
+    from .dedup import _adaptive_coarse_bits, _pin
 
     if num_buckets is None:
-        # pages explode into anchors (~tens per page) — adaptive rule
+        # pages explode into anchors (~tens per page) — adaptive rule;
+        # pin first (derived page plans would otherwise execute twice)
+        ds = _pin(ds)
         num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count() * 16))
 
     def emit(t: pa.Table) -> pa.Table:

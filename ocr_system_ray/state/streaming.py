@@ -106,9 +106,11 @@ def sessionize_stream(
     gap_us = int(round(gap_seconds * 1_000_000))
 
     if num_buckets is None:
-        from ..functions.dedup import _adaptive_coarse_bits
+        from ..functions.dedup import _adaptive_coarse_bits, _pin
 
-        # session segments ≤ events ride the shuffle (adaptive rule)
+        # session segments ≤ events ride the shuffle (adaptive rule);
+        # pin first — callers pass filtered event plans
+        ds = _pin(ds)
         num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     def partials(t: pa.Table) -> pa.Table:

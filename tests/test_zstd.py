@@ -116,6 +116,37 @@ def test_encoder_multi_block():
     assert decode_zstd(comp) == data
 
 
+@needs_bin
+def test_treeless_literals_conformance():
+    """Treeless (table-reuse) literals — the one form the reference
+    CLI rarely emits — hand-assembled and validated under BOTH
+    decoders."""
+    from ocr_system_ray.functions import zstddec as zd
+
+    lits1 = (b"abcdefgh" * 40)[:300]
+    lits2 = (b"hgfedcba" * 40)[:280]
+    sec1 = zd._encode_literals_section(lits1)
+    assert sec1[0] & 3 == 2  # compressed — defines the table
+    freqs: dict = {}
+    for b in lits1:
+        freqs[b] = freqs.get(b, 0) + 1
+    depths = zd._huff_lengths(freqs, 11)
+    tl = max(depths.values())
+    codes = zd._build_huff_codes({s: tl + 1 - d for s, d in depths.items()}, tl)
+    stream2 = zd._huff_encode_stream(lits2, codes)
+    hdr2 = 3 | (len(lits2) << 4) | (len(stream2) << 14)  # type 3, 1 stream
+    body1 = sec1 + b"\x00"
+    body2 = hdr2.to_bytes(3, "little") + stream2 + b"\x00"
+    n = len(lits1) + len(lits2)
+    frame = struct.pack("<I", 0xFD2FB528)
+    frame += bytes([(1 << 6) | (1 << 5)]) + struct.pack("<H", n - 256)
+    frame += (0 | (2 << 1) | (len(body1) << 3)).to_bytes(3, "little") + body1
+    frame += (1 | (2 << 1) | (len(body2) << 3)).to_bytes(3, "little") + body2
+    assert decode_zstd(frame) == lits1 + lits2
+    rc, out = _unz(frame)
+    assert rc == 0 and out == lits1 + lits2
+
+
 # ------------------------------------------------------ error paths
 
 
