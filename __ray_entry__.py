@@ -123,6 +123,7 @@ _DRIVER_SAMPLE_HEAD = [
     "scan_preprocess",
     "sa_index_update",
     "mp1_pcm",
+    "sa_search",
 ]
 
 
@@ -379,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffix_lcp": q.q_suffix_lcp,
         "sa_span_mask": q.q_sa_span_mask,
         "sa_index_update": q.q_sa_index_update,
+        "sa_search": q.q_sa_search,
         "credit_card_scan": q.q_credit_card_scan,
         "event_gaps": q.q_event_gaps,
         "funnel_conversion": q.q_funnel_conversion,
@@ -2677,6 +2679,24 @@ def oracle_sql() -> dict[str, str]:
         # the result; the oracle is the FULL-scope span mask, so the
         # fold must equal a rebuild bit-for-bit
         "sa_index_update": _sa_span_mask_sql(),
+        # sa_search: occurrence positions of the probe-doc patterns,
+        # re-derived + enumerated via a DuckDB list comprehension over
+        # the 1/10 scope (0-based pos, engine parity)
+        "sa_search": """
+            WITH probes AS (
+                SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                           AS pattern_id,
+                       substr(COALESCE(text, ''), 18, 8) AS p
+                FROM documents
+                WHERE doc_id IN (0, 50, 110, 200, 340)
+                  AND length(substr(COALESCE(text, ''), 18, 8)) >= 5
+            )
+            SELECT pr.pattern_id, d.doc_id, CAST(u.i - 1 AS BIGINT) AS pos
+            FROM probes pr
+            CROSS JOIN documents d
+            CROSS JOIN UNNEST([i FOR i IN range(1, greatest(length(COALESCE(d.text,'')) - length(pr.p) + 2, 1)) IF substr(COALESCE(d.text,''), CAST(i AS INTEGER), length(pr.p)) = pr.p]) AS u(i)
+            WHERE d.doc_id % 10 = 0
+        """,
         # adjacent-suffix LCP top-50 (cap 512 both engines; rank unique
         # so the LIMIT boundary is deterministic)
         "suffix_lcp": _suffix_lcp_sql(),

@@ -481,6 +481,13 @@ class ScanPreprocessStage:
         )
         for raw in payloads:
             px = self._decode(raw or b"")
+            if px is not None:
+                try:
+                    res = preprocess_scan(px)
+                except Exception:
+                    # degenerate geometry the chain can't process →
+                    # error-as-data, never a dead task (row conservation)
+                    px = None
             if px is None:
                 oks.append(0)
                 widths.append(0)
@@ -491,7 +498,6 @@ class ScanPreprocessStage:
                 inks.append(0)
                 md5s.append("")
                 continue
-            res = preprocess_scan(px)
             out = res["out"]
             oks.append(1)
             heights.append(int(out.shape[0]))

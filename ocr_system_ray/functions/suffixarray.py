@@ -92,6 +92,7 @@ __all__ = [
     "sa_index_lcp_pairs",
     "sa_span_mask_from_index",
     "update_sa_index",
+    "sa_search",
 ]
 
 _CP_BITS = 21  # max code point 0x10FFFF; cp+1 < 2^21
@@ -1381,3 +1382,146 @@ def update_sa_index(
             if f not in new_paths:
                 os.remove(f)
     return {"buckets_touched": len(touched), "rows_added": int(rows_added)}
+
+
+def sa_search(
+    index_dir: str,
+    patterns: "list[str]",
+    corpus_docs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Substring search against the persisted SA — the probe that makes
+    the index a corpus-wide occurrence locator (benchmark-string
+    contamination positions, quote tracing):
+    → ``(pattern_id, id_col, pos)`` for every occurrence of every
+    pattern (pattern_id = index into ``patterns``).
+
+    Plan (pattern-batch amortized, never a corpus scan):
+
+    1. driver routes each pattern to its CANDIDATE rank-range buckets
+       via the bounds table — all occurrences of p are suffixes
+       prefixed by p, a contiguous rank range, so only buckets whose
+       [first_suf, last_suf] interval intersects [p, p+ε) qualify
+       (usually 1–2 per pattern);
+    2. ONLY those buckets' (doc_id, pos) rows are read, and only their
+       documents' text ships (the Bloom-filtered
+       :func:`_attach_suffixes` join from the update path);
+    3. one vectorized startswith pass per candidate row × routed
+       pattern emits occurrences.
+
+    Patterns longer than the index cap cannot be verified against the
+    stored order and raise.  Empty patterns raise (every position
+    would match)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq_
+
+    with open(os.path.join(index_dir, "_index_meta.json")) as f:
+        meta = json.load(f)
+    cap = int(meta["cap"])
+    for p in patterns:
+        if not p:
+            raise ValueError("sa_search: empty pattern")
+        if len(p) > cap:
+            raise ValueError(
+                f"sa_search: pattern longer than the index cap ({cap})"
+            )
+    bounds = (
+        pq_.read_table(os.path.join(index_dir, "bounds.parquet"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # candidate buckets per pattern: [first_suf, last_suf] interval
+    # intersects the prefix range [p, p + chr(max)) — conservative
+    # string-interval test on the capped keys
+    routed: dict[int, list[int]] = {}
+    empty = pa.table(
+        {
+            "pattern_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+        }
+    )
+    for pi, p in enumerate(patterns):
+        for _, row in bounds.iterrows():
+            first = row["first_suf"]
+            last = row["last_suf"]
+            # bucket covers suffixes in [first, last]; p-prefixed
+            # suffixes all satisfy p <= s < p + "\U0010FFFF"
+            if last >= p and first[: len(p)] <= p:
+                routed.setdefault(int(row["bucket"]), []).append(pi)
+    if not routed:
+        return ray.data.from_arrow(empty)
+
+    import glob as _glob
+
+    files = [
+        f
+        for b in sorted(routed)
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "sa", f"bucket={b}", "*.parquet"))
+        )
+    ]
+    rows = ray.data.read_parquet(files, columns=["bucket", "doc_id", "pos"])
+
+    from ..state.streaming import build_bloom
+
+    bloom = build_bloom(
+        rows.map_batches(
+            lambda t: pa.table({"doc_id": t.column("doc_id")}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+    )
+    bloom_ref = ray.put(bloom.serialize())
+
+    def doc_filter(t: pa.Table) -> pa.Table:
+        from ..state.streaming import BloomFilter, bloom_keys
+
+        blm = BloomFilter.deserialize(_broadcast_memo(bloom_ref))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(blm.might_contain(bloom_keys(ids))))
+
+    cand_docs = corpus_docs.map_batches(doc_filter, batch_format="pyarrow")
+    packed = rows.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column("doc_id"),
+                "pos": t.column("pos"),
+                "sa_rank": t.column("bucket"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # only the longest routed pattern's length is needed of each suffix
+    maxlen = max(len(p) for p in patterns)
+    with_suf, _ = _attach_suffixes(packed, cand_docs, maxlen, text_col, id_col)
+    routed_ref = ray.put((routed, list(patterns)))
+
+    def match(t: pa.Table) -> pa.Table:
+        routed_, pats = _broadcast_memo(routed_ref)
+        buckets = t.column("rank").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        sufs = t.column("suf").to_pylist()
+        out_p: list[int] = []
+        out_i: list[int] = []
+        out_o: list[int] = []
+        for j, s in enumerate(sufs):
+            for pi in routed_.get(int(buckets[j]), ()):  # noqa: B023
+                if s.startswith(pats[pi]):
+                    out_p.append(pi)
+                    out_i.append(int(ids[j]))
+                    out_o.append(int(pos[j]))
+        return pa.table(
+            {
+                "pattern_id": pa.array(out_p, pa.int64()),
+                id_col: pa.array(out_i, pa.int64()),
+                "pos": pa.array(out_o, pa.int64()),
+            }
+        )
+
+    return with_suf.map_batches(match, batch_format="pyarrow")

@@ -9976,6 +9976,40 @@ def q_sa_index_update(sf_dir: str) -> ray.data.Dataset:
     return suffixarray.sa_span_mask_from_index(idx, min_len=15)
 
 
+SA_PROBE_IDS = [0, 50, 110, 200, 340]  # probe docs; patterns = chars 17:25
+
+
+def q_sa_search(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide substring SEARCH against the persisted SA index
+    (``suffixarray.sa_search`` — the occurrence-locator probe:
+    benchmark-contamination positions, quote tracing): five
+    8-char patterns carved from fixed probe documents are located across the
+    whole 1/10 scope → (pattern_id, doc_id, pos).  Driver-side bucket
+    routing via the bounds table; only candidate buckets' rows and
+    their documents' text move.  Oracle: DuckDB re-derives the
+    patterns and enumerates positions with a list comprehension (the
+    epub variable-length precedent)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions import suffixarray
+
+    probe = (
+        _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    patterns = []
+    for i in SA_PROBE_IDS:
+        p = (probe.loc[i, "text"] or "")[17:25]
+        if len(p) >= 5:  # mirrored by the SQL filter
+            patterns.append(p)
+    return suffixarray.sa_search(
+        _sa_index_dir(sf_dir), patterns, _sa_subset(sf_dir)
+    )
+
+
 EXPR_RULES: dict[str, str] = {
     # ONE source of truth: each expression string compiles to Arrow
     # kernels engine-side AND pastes verbatim into the DuckDB oracle

@@ -172,3 +172,49 @@ def test_rebuild_coalesces_shards(ray_session, idx_dir):
     files2 = sorted(glob.glob(os.path.join(idx_dir, "sa", "*", "*.parquet")))
     assert files1 == files2
     assert all(os.path.getmtime(f) == mtimes1[f] for f in files2)
+
+
+def test_sa_search_occurrences(ray_session, idx_dir):
+    docs = _ds(DOCS_A)
+    sax.build_sa_index(docs, idx_dir, rows_per_bucket=40)
+    out = (
+        sax.sa_search(idx_dir, ["the quick brown", "lazy", "zzz-absent"], docs)
+        .to_pandas()
+        .sort_values(["pattern_id", "doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # brute-force twin over the corpus
+    want = []
+    for pi, p in enumerate(["the quick brown", "lazy", "zzz-absent"]):
+        for i, t in DOCS_A:
+            s = 0
+            while True:
+                j = t.find(p, s)
+                if j < 0:
+                    break
+                want.append((pi, i, j))
+                s = j + 1
+    want_df = pd.DataFrame(want, columns=["pattern_id", "doc_id", "pos"]).astype(
+        "int64"
+    ).sort_values(["pattern_id", "doc_id", "pos"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want_df)
+    assert (out["pattern_id"] == 2).sum() == 0  # absent pattern: no rows
+
+
+def test_sa_search_guards(ray_session, idx_dir):
+    docs = _ds(DOCS_A)
+    sax.build_sa_index(docs, idx_dir, rows_per_bucket=40, cap=16)
+    with pytest.raises(ValueError):
+        sax.sa_search(idx_dir, [""], docs)
+    with pytest.raises(ValueError):
+        sax.sa_search(idx_dir, ["x" * 17], docs)  # longer than cap
+
+
+def test_sa_search_after_update(ray_session, idx_dir):
+    """The search probe sees folded-in documents too."""
+    docs_a, docs_b = _ds(DOCS_A), _ds(DOCS_B)
+    docs_all = _ds(sorted(DOCS_A + DOCS_B))
+    sax.build_sa_index(docs_a, idx_dir, rows_per_bucket=40)
+    sax.update_sa_index(idx_dir, docs_b, docs_all)
+    out = sax.sa_search(idx_dir, ["the quick brown"], docs_all).to_pandas()
+    assert set(out["doc_id"]) == {1, 3, 4}  # incl. the folded doc 4
