@@ -75,11 +75,13 @@ class MediaDecodeStage:
     def __init__(self, use_real_codecs: bool = False) -> None:
         if use_real_codecs:
             raise NotImplementedError(
-                "inter-frame video (H.264/VP9) and lossy-audio DECODE "
-                "(Vorbis/MP3 samples) need a codec library offline; every "
-                "common web IMAGE format, MJPEG video, and PCM audio "
+                "inter-frame video (H.264/VP9) and the remaining "
+                "lossy-audio decodes (Vorbis/MP3 Layer III samples) need "
+                "a codec library offline; every common web IMAGE format, "
+                "MJPEG video, PCM audio, IMA-ADPCM, FLAC, and MPEG-1 "
+                "Layer I (full polyphase PCM, mpegaudio.mp1_synthesize_pcm) "
                 "already decode for real — see imagehash.decode_image, "
-                "avipixels, audiofp (the module docstring maps them)"
+                "avipixels, audiofp, adpcm, flacaudio, mpegaudio"
             )
 
     @staticmethod

@@ -486,6 +486,12 @@ def _decode_frame(data: bytes, pos: int, max_output: int) -> "tuple[bytes, int]"
             raise ZstdError("zstd: missing window descriptor")
         pos += 1  # window size only bounds memory; we decode whole frames
     did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        did = int.from_bytes(data[pos : pos + did_len], "little")
+        if did != 0:
+            # a declared dictionary is REQUIRED for correct decode —
+            # silently proceeding would emit garbage, not an error
+            raise ZstdError("zstd: dictionary-compressed frames unsupported")
     pos += did_len
     fcs_len = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single_segment:

@@ -188,6 +188,16 @@ def test_garbage_rejected():
         decode_zstd(b"not zstd at all")
 
 
+def test_dictionary_frames_rejected():
+    """A declared dictionary ID must REJECT, not silently decode
+    garbage (frame: did_flag=1, one-byte DID=7)."""
+    frame = struct.pack("<I", 0xFD2FB528)
+    frame += bytes([0x01, 0x00, 0x07])  # FHD(did_flag=1), window, DID=7
+    frame += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")  # empty raw last
+    with pytest.raises(ZstdError, match="dictionary"):
+        decode_zstd(frame)
+
+
 # -------------------------------------------------- http integration
 
 
