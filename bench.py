@@ -331,6 +331,7 @@ def _query_suite() -> dict:
         "scan_preprocess": q.q_scan_preprocess,
         "mp1_pcm": q.q_mp1_pcm,
         "suffix_lcp": q.q_suffix_lcp,  # persisted-SA PROBE path
+        "sa_search": q.q_sa_search,  # bucket-routed occurrence probe
         "sa_index_update": _sa_fold_fresh,  # cache-busted fold
     }
     # cache-busted SA build: the /tmp index cache would otherwise make

@@ -978,6 +978,12 @@ def _write_index_driver_tables(
     import pyarrow.parquet as pq_
 
     bounds = bounds.sort_values("bucket").reset_index(drop=True)
+    bounds = bounds[
+        [
+            "bucket", "n_rows", "first_suf", "last_suf",
+            "first_id", "first_pos", "last_id", "last_pos",
+        ]
+    ]  # canonical schema: the build manifest carries a path column too
     pq_.write_table(
         pa.Table.from_pandas(bounds, preserve_index=False),
         os.path.join(index_dir, "bounds.parquet"),
