@@ -112,8 +112,9 @@ def duplicate_weights(
 
     if num_buckets is None:
         # one (md5, id) row per input doc rides the shuffle — size the
-        # coarse key from the doc count (adaptive-width rule; count()
-        # on the untransformed input is a metadata shortcut)
+        # coarse key from the doc count; pin first (callers pass
+        # derived re-crawl streams — the pin-before-count rule)
+        ds = _pin(ds)
         num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     hashed = ds.map_batches(
@@ -3533,6 +3534,7 @@ def quality_survivors(
     from ..stages.skew import stable_hash64
 
     if num_buckets is None:
+        ds = _pin(ds)  # pin-before-count: derived quality streams
         num_buckets = 1 << _adaptive_coarse_bits(max(2, ds.count()))
 
     hashed = ds.map_batches(

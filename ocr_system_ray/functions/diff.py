@@ -40,7 +40,12 @@ def corpus_diff(
     import pandas as pd
 
     if num_buckets is None:
-        # both snapshots' (id, md5) rows ride the shuffle
+        # both snapshots' (id, md5) rows ride the shuffle;
+        # pin-before-count — the v2 side is a derived stream
+        from .dedup import _pin
+
+        old_ds = _pin(old_ds)
+        new_ds = _pin(new_ds)
         num_buckets = 1 << _adaptive_coarse_bits(
             max(2, old_ds.count() + new_ds.count())
         )
@@ -119,7 +124,12 @@ def upsert_corpus(
     import pandas as pd
 
     if num_buckets is None:
-        # full rows of both sides ride the shuffle once
+        # full rows of both sides ride the shuffle once;
+        # pin-before-count on the derived increment
+        from .dedup import _pin
+
+        base_ds = _pin(base_ds)
+        incr_ds = _pin(incr_ds)
         num_buckets = 1 << _adaptive_coarse_bits(
             max(2, base_ds.count() + incr_ds.count())
         )
