@@ -531,15 +531,19 @@ def scan_preprocess_metrics(
     batch_size: int = 32,
 ) -> ray.data.Dataset:
     """Distributed scan preprocessing over a binary payload column —
-    an actor pool sized like the other pixel stages (small batches:
-    each image expands ~20× decoded)."""
+    small batches (each image expands ~20× decoded), FIXED actor pool
+    at the deadlock-safe ceiling: the chain is ~30 ms/image of real
+    numpy work, and the autoscaling (lo, hi) pool ramps too slowly to
+    cover a 20 s workload (measured 19.4 s autoscaled vs 11.9 s fixed
+    at sf0.1 — the pool spent half the run below 10 actors)."""
     from .dedup import _sig_pool_size
 
+    _lo, hi = _sig_pool_size()
     return ds.map_batches(
         ScanPreprocessStage,
         fn_constructor_kwargs={"image_col": image_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=_sig_pool_size(),
+        concurrency=hi,
         num_cpus=1,
     )
